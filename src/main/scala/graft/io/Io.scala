@@ -1,0 +1,40 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Sources and sinks (SURVEY §2.1 S1/S2, §2.2 K1).
+  *
+  * The reference reads whole JSON array files (`json.load`,
+  * `src/data_processor.py:44-48`) locally or via a curl-from-S3 hack
+  * (`:56-88`); both collapse to `spark.read.json` — the S3A filesystem
+  * replaces the curl path entirely, so `local_file` and `s3` inputs differ
+  * only in the URI scheme.
+  */
+object Io {
+
+  /** `{hour}` path templating (reference `src/data_processor.py:37,46,51`) —
+    * plan-time string interpolation, and the reference's only (manual) form
+    * of partition pruning.
+    */
+  def templated(path: String, hour: String): String = path.replace("{hour}", hour)
+
+  /** Multi-line JSON array scan with an explicit schema (S1). An explicit
+    * schema avoids the extra inference pass and keeps missing optional
+    * fields as typed nulls.
+    */
+  def readJsonArray(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("multiLine", value = true).json(path)
+
+  /** JSON sink (K1). `json.dump` of one array per hour becomes a JSON-lines
+    * directory; `coalesce(1)` only for small per-hour outputs where a single
+    * file mirrors the reference layout — never for large data.
+    */
+  def writeJson(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").json(path)
+  }
+
+  def readParquet(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+}

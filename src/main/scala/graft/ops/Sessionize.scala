@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.SessionEvent
+
+/** Sessionization: page-view start/end pairing → summed duration per key
+  * (SURVEY §2.5 A2).
+  *
+  * Reference semantics (`src/batch_tlb.py:46-62`): per client, events sorted
+  * by timestamp; a scan keeps one pending start. `page_view_start` sets it
+  * (a later start overwrites an unmatched earlier one); `page_view_end`
+  * with a pending start emits `(end - start)` seconds and resets; an end
+  * without a pending start and a trailing unmatched start emit nothing.
+  * Pairing ignores `page`.
+  *
+  * Two equivalent implementations:
+  *
+  *  1. [[pairedDurations]] — pure window functions. Key fact making this
+  *     expressible declaratively: after *any* end event the pending start is
+  *     null (matched → reset; unmatched → was already null), so at an end
+  *     event the pending start is exactly the latest start since the
+  *     previous end event. Hence per end row:
+  *     `duration = ts - lastStart  iff  lastStart > coalesce(lastEndBefore, -∞)`.
+  *     One shuffle (partition by key) + in-partition sort, fully
+  *     whole-stage-codegen, no per-group materialization — the 100 TB path.
+  *
+  *  2. [[pageViewTimeTyped]] — `groupByKey(...).flatMapGroups` literal
+  *     replay of the reference scan, used to cross-check (1) in tests.
+  */
+object Sessionize {
+
+  /** Per-event paired durations via window functions. Input needs columns
+    * (`key`, `ts` timestamp-like, `eventType`, `seq` tie-break).
+    * Returns rows (`key`, `duration_sec: Double`) — one per matched pair.
+    */
+  def pairedDurations(
+      df: DataFrame,
+      key: String = "clientId",
+      ts: String = "timestamp",
+      eventType: String = "eventType",
+      tieBreak: String = "eventId",
+      startType: String = "page_view_start",
+      endType: String = "page_view_end"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tsSec = col(ts).cast("double")
+    df.withColumn("__last_start", max(when(col(eventType) === startType, tsSec)).over(w))
+      .withColumn("__last_end", max(when(col(eventType) === endType, tsSec)).over(w))
+      .where(
+        col(eventType) === endType && col("__last_start").isNotNull &&
+          (col("__last_end").isNull || col("__last_start") > col("__last_end")))
+      .select(col(key), (tsSec - col("__last_start")).as("duration_sec"))
+  }
+
+  /** Total page-view seconds per key (window-function path). */
+  def pageViewTime(df: DataFrame, key: String = "clientId"): DataFrame =
+    pairedDurations(df, key)
+      .groupBy(col(key))
+      .agg(sum(col("duration_sec")).as("page_view_time"))
+
+  /** Typed literal replay of the reference scan (`src/batch_tlb.py:46-62`).
+    * Scales per-key: each client's events are materialized and sorted inside
+    * its group — bounded by the largest single key, not the dataset.
+    */
+  def pageViewTimeTyped(ds: Dataset[SessionEvent])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ds.groupByKey(_.clientId)
+      .flatMapGroups { (clientId, it) =>
+        val events = it.toArray.sortBy(_.timestamp.getTime)
+        var pending: Option[Long] = None
+        var total = 0.0
+        events.foreach { e =>
+          e.eventType match {
+            case "page_view_start" => pending = Some(e.timestamp.getTime)
+            case "page_view_end" =>
+              pending.foreach { s => total += (e.timestamp.getTime - s) / 1000.0; pending = None }
+            case _ =>
+          }
+        }
+        Iterator.single((clientId, total))
+      }
+      .toDF("clientId", "page_view_time")
+  }
+}
