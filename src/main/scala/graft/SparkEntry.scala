@@ -1,13 +1,327 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.ops.{Dedup, Enrich, Mappings, Sessionize, Similarity}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
+  * DuckDB oracle where the semantics are ANSI-SQL-expressible.
+  *
+  * Oracle-parity rules used throughout:
+  *  - aggregate money/ratios in exact integer units (cents, milliseconds) —
+  *    cross-engine float summation order can differ, integer sums cannot;
+  *  - alias every computed column identically in Spark and SQL;
+  *  - only use primitives with identical semantics in both engines
+  *    (length/replace/md5/regexp/row_number/epoch-ms).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** Read a testdata table. `events.ts` is TIMESTAMP(NANOS) parquet, which
+    * Spark rejects by default — read nanos as long and floor to microsecond
+    * TimestampType, which is bit-identical to how DuckDB (µs-native) sees
+    * the same file, so ordering and epoch-ms math agree across engines.
+    */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)")) else df
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    *
+    * The reference's TLB metrics shape (SURVEY §3 EP3) transposed onto the
+    * synthetic event stream: per-user session time (view→purchase pairing,
+    * reference A2 semantics) + conditional error counts + zero-fill.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val events = t(spark, dir, "events")
+    val sessions = Sessionize.pairedDurations(
+      events, "user_id", unix_millis(col("ts")),
+      Seq(col("ts"), col("event_id")), "event_type", "view", "purchase")
+      .groupBy("user_id").agg(sum("duration").as("session_ms"))
+    val counts = events.groupBy("user_id").agg(
+      count_if(col("event_type") === "error").as("error_count"),
+      count_if(col("event_type") === "click").as("click_count"))
+    events.select("user_id").distinct()
+      .join(sessions, Seq("user_id"), "left")
+      .join(counts, Seq("user_id"), "left")
+      .na.fill(0L)
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation (A1/A3/A5): TPC-H-Q1-shaped pricing summary --------
+    "q1_pricing_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+            .as("sum_disc_price_cents"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // ---- conditional counts (A3) ----------------------------------------
+    "q2_conditional_counts" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count_if(col("event_type") === "error").as("error_count"),
+          count_if(col("event_type") === "click").as("click_count"),
+          count_if(col("event_type") === "signup").as("signup_count"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // ---- zero-fill universe (A4) ----------------------------------------
+    "q3_zero_fill" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val purchases = events.where(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("purchase_count"))
+      events.select(col("user_id")).distinct()
+        .join(purchases, Seq("user_id"), "left")
+        .na.fill(0L, Seq("purchase_count"))
+    }),
+
+    // ---- enrichment lookup join (J1) via the Enrich operator -------------
+    "q4_enrich_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val mapping = t(s, dir, "customer")
+        .select(col("c_custkey").as("key"), struct(col("c_name"), col("c_mktsegment")).as("value"))
+      Enrich(orders, mapping, "o_custkey")
+    }),
+
+    // ---- three-way correlation join + agg (J4+A3) ------------------------
+    "q5_threeway_join" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+            .as("revenue_cents"))
+    }),
+
+    // ---- array fan-out / explode (P1/J2) ---------------------------------
+    "q6_explode" -> ((s, dir) => {
+      t(s, dir, "embeddings").select(col("vec_id"), explode(col("embedding")).as("val"))
+    }),
+
+    // ---- last-write-wins dedup by explicit sequence (J5/A6) --------------
+    "q7_last_write_wins" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max_by(struct(col("o_orderkey"), col("o_totalprice")), col("o_orderkey")).as("last"))
+        .select(
+          col("o_custkey"),
+          col("last.o_orderkey").as("last_orderkey"),
+          col("last.o_totalprice").as("last_totalprice"))
+    }),
+
+    // ---- sessionization, reference A2 reset semantics (A2/O1) ------------
+    "q8_sessionize" -> ((s, dir) => {
+      Sessionize.pairedDurations(
+        t(s, dir, "events"), "user_id", unix_millis(col("ts")),
+        Seq(col("ts"), col("event_id")), "event_type", "view", "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(col("duration")).as("session_ms"), count(lit(1)).as("n_sessions"))
+    }),
+
+    // ---- per-key ordered scan / window sort (O1) -------------------------
+    "q9_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("first_event_id"), col("event_type").as("first_event_type"))
+    }),
+
+    // ---- timestamp math (P5/P6) ------------------------------------------
+    "q10_ts_span" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          (max(unix_millis(col("ts"))) - min(unix_millis(col("ts")))).as("span_ms"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // ---- JSON scalar extraction (dynamic-schema surface) -----------------
+    "q11_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k_value"))
+    }),
+
+    // ---- exact dedup by content fingerprint ------------------------------
+    "q12_dedup_exact" -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+
+    // ---- text stats: char/word/token counts ------------------------------
+    "q13_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("char_len"),
+        TextFunctions.wordCount(col("text")).cast("long").as("word_count"),
+        TextFunctions.tokenCount(col("text")).as("token_count"))
+    }),
+
+    // ---- heuristic language ID -------------------------------------------
+    "q14_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"), TextFunctions.langGuess(col("text")).as("lang_guess"))
+    }),
+
+    // ---- quality score ----------------------------------------------------
+    "q15_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+    }),
+
+    // ---- MinHash + LSH near-dup candidates (no SQL oracle: murmur hash) --
+    "q16_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLsh(t(s, dir, "documents"), minJaccard = 0.2)
+    }),
+
+    // ---- SimHash signatures (no SQL oracle: murmur hash) -----------------
+    "q17_simhash" -> ((s, dir) => Dedup.simhashText(t(s, dir, "documents"))),
+
+    // ---- n-gram Jaccard verification of LSH candidates -------------------
+    "q18_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.ngramJaccard(docs, Dedup.minhashLsh(docs, minJaccard = 0.2).select("a_id", "b_id"))
+    }),
+
+    // ---- brute-force cosine top-k (exact ANN baseline) -------------------
+    "q19_embedding_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding")), k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // ---- LSH-bucketed ANN (scale path; recall<1 → no oracle) -------------
+    "q20_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding")), k = 10)
+    }),
+
+    // ---- embedding near-dup pairs (LSH-bucketed; no oracle) --------------
+    "q21_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.25)
+    })
+  )
+
+  /** DuckDB oracle SQL generated from [[TextFunctions.LangMarkers]] so the
+    * Spark expression and the SQL stay structurally identical.
+    */
+  private def langIdOracle: String = {
+    def occ(needle: String): String = {
+      val pat = s" $needle "
+      s"CAST((length(pt) - length(replace(pt, '$pat', ''))) / ${pat.length} AS BIGINT)"
+    }
+    val scores = TextFunctions.LangMarkers
+      .map { case (lang, ws) => s"(${ws.map(occ).mkString(" + ")}) AS s_$lang" }
+      .mkString(", ")
+    val langs = TextFunctions.LangMarkers.map(_._1)
+    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = g AND s_$l > 0 THEN '$l'").mkString(" ")
+    s"""WITH p AS (SELECT doc_id, ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ' AS pt FROM documents),
+       | s AS (SELECT doc_id, $scores FROM p)
+       |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_guess
+       |FROM (SELECT *, $best AS g FROM s)""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (murmur-hash-based sketches) → driver records a rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+        | sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_conditional_counts" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE event_type = 'error') AS error_count,
+        | count(*) FILTER (WHERE event_type = 'click') AS click_count,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup_count,
+        | count(*) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q3_zero_fill" ->
+      """SELECT u.user_id, coalesce(p.purchase_count, 0) AS purchase_count
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN (SELECT user_id, count(*) AS purchase_count FROM events
+        |           WHERE event_type = 'purchase' GROUP BY user_id) p
+        |ON u.user_id = p.user_id""".stripMargin,
+    "q4_enrich_join" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+        | o.o_orderdate, o.o_orderpriority, c.c_name, c.c_mktsegment
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "q5_threeway_join" ->
+      """SELECT c_mktsegment, count(*) AS n_items,
+        | sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q6_explode" ->
+      "SELECT vec_id, unnest(embedding) AS val FROM embeddings",
+    "q7_last_write_wins" ->
+      """SELECT o_custkey, o_orderkey AS last_orderkey, o_totalprice AS last_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        |      FROM orders)
+        |WHERE rn = 1""".stripMargin,
+    "q8_sessionize" ->
+      """WITH e AS (SELECT user_id, ts, epoch_ms(ts) AS t, event_type, event_id FROM events),
+        | m AS (SELECT user_id, t, event_type,
+        |   max(CASE WHEN event_type = 'view' THEN t END) OVER
+        |     (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_start,
+        |   max(CASE WHEN event_type = 'purchase' THEN t END) OVER
+        |     (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_end
+        |  FROM e)
+        |SELECT user_id, sum(t - last_start) AS session_ms, count(*) AS n_sessions
+        |FROM m
+        |WHERE event_type = 'purchase' AND last_start IS NOT NULL
+        |  AND (last_end IS NULL OR last_start > last_end)
+        |GROUP BY user_id""".stripMargin,
+    "q9_window_rank" ->
+      """SELECT user_id, event_id AS first_event_id, event_type AS first_event_type
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin,
+    "q10_ts_span" ->
+      """SELECT user_id, max(epoch_ms(ts)) - min(epoch_ms(ts)) AS span_ms, count(*) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q11_json_extract" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value FROM events",
+    "q12_dedup_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+        | min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q13_text_stats" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS char_len,
+        | CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS word_count,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS token_count
+        |FROM documents""".stripMargin,
+    "q14_lang_id" -> langIdOracle,
+    "q15_quality" ->
+      """SELECT doc_id,
+        | (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0 ELSE 0.5 END
+        |  + CASE WHEN len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) > 0
+        |         AND CAST(length(text) AS DOUBLE) / len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) >= 3.0
+        |         AND CAST(length(text) AS DOUBLE) / len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) <= 12.0
+        |    THEN 1.0 ELSE 0.5 END) / 2 AS quality
+        |FROM documents""".stripMargin,
+    "q19_embedding_topk" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC, c.vec_id) AS rank
+        | FROM embeddings c, embeddings q
+        | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 10""".stripMargin
+  )
 }

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale document pipelines (SURVEY §7.2
+  * step 8 / BASELINE.json north star): language ID, quality scoring, token
+  * counting, fingerprinting. All are pure Column expressions — whole-stage
+  * codegen, no UDFs, embarrassingly parallel at 100 TB.
+  *
+  * Every function is built only from primitives with identical semantics in
+  * ANSI SQL engines (length/replace/lower/md5/regexp), so each has an exact
+  * DuckDB oracle formulation.
+  */
+object TextFunctions {
+
+  /** Whitespace-token word count (empty tokens dropped). */
+  def wordCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** Non-overlapping occurrence count of a literal `needle`. */
+  def occurrences(haystack: Column, needle: String): Column =
+    ((length(haystack) - length(replace(haystack, lit(needle), lit("")))) / needle.length)
+      .cast("long")
+
+  /** BPE-ish token count: letter runs, digit runs, or single non-space
+    * symbols — the standard pre-tokenizer shape.
+    */
+  val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(TokenPattern), lit(0))).cast("long")
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text.
+    * Deterministic content address for exact dedup across shards.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Marker stopwords per language for the n-gram/stopword heuristic
+    * language ID. Counts hits of ` word ` in the padded lowercased text.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  private def padded(text: Column): Column =
+    concat(lit(" "), regexp_replace(lower(text), "\\s+", " "), lit(" "))
+
+  /** Total marker hits for one language. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    markers.map(w => occurrences(padded(text), s" $w ")).reduce(_ + _)
+
+  /** Heuristic language guess: argmax of marker scores, 'und' when all 0.
+    * Ties resolve in [[LangMarkers]] order (first wins).
+    */
+  def langGuess(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ws) => lang -> langScore(text, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality score in [0,1]: rewards mid-length docs, penalizes symbol
+    * density and very short docs. Single-division ratios of exact integer
+    * counts keep it bit-identical across engines.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val words = wordCount(text).cast("double")
+    val avgWordLen = when(words > 0, len / words).otherwise(lit(0.0))
+    val lengthOk = when(length(text) >= 100 && length(text) <= 20000, lit(1.0)).otherwise(lit(0.5))
+    val wordLenOk = when(avgWordLen >= 3.0 && avgWordLen <= 12.0, lit(1.0)).otherwise(lit(0.5))
+    (lengthOk + wordLenOk) / 2
+  }
+}

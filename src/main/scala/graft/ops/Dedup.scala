@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the shuffle profile it induces at 100 TB (BASELINE.json north star).
+  *
+  *  - [[exact]]: one hash-shuffle on a 16-byte digest, not the document
+  *    bytes — group keys stay small however large the docs are.
+  *  - [[minhashLsh]]: shingle → minhash signature → banded LSH buckets →
+  *    within-bucket candidate pairs. The only join is the self-join on
+  *    (band, bucket), whose groups are tiny by construction; no O(n²).
+  *  - [[simhashText]]: 64-bit SimHash per doc; near-dups = identical
+  *    simhash (or small Hamming distance within buckets).
+  *  - [[ngramJaccard]]: exact Jaccard verification over candidate pairs —
+  *    run it on LSH survivors, never all pairs.
+  *  - [[embeddingNearDup]]: cosine-over-threshold pairs via LSH buckets on
+  *    the embedding column.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest-id representative per content
+    * fingerprint; report group size. The aggregate carries only
+    * (digest, id), so the shuffle is O(rows · 24 bytes) regardless of
+    * document size.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(TextFunctions.fingerprint(col(textCol)).as("fingerprint"), col(idCol))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Word k-shingles of the normalized text: array of the distinct
+    * `k`-grams, hashed to longs so signatures never carry strings.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val words = filter(split(regexp_replace(trim(lower(text)), "\\s+", " "), " "), w => length(w) > 0)
+    val n = size(words)
+    array_distinct(
+      when(n >= k,
+        transform(sequence(lit(0), n - k), i => hash(concat_ws(" ", slice(words, i + 1, lit(k))))))
+        .otherwise(array(hash(concat_ws(" ", words)))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * minimum over the shingle set. Pure higher-order functions — the whole
+    * signature computes in one codegen'd projection.
+    */
+  def minhashSignature(shingleSet: Column, numHashes: Int = 64): Column =
+    array((0 until numHashes).map { h =>
+      array_min(transform(shingleSet, s => hash(s, lit(h)).cast("long")))
+    }: _*)
+
+  /** MinHash + banded LSH near-dup candidate pairs with Jaccard estimate.
+    *
+    * @return (a_id, b_id, est_jaccard) with a_id < b_id, deduped across
+    *         bands, filtered to `minJaccard`.
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      shingleK: Int = 3): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = docs
+      .select(col(idCol).as("id"), minhashSignature(shingles(col(textCol), shingleK), numHashes).as("sig"))
+    // Explode into (band, bucket=hash(band rows)) — one shuffle on the
+    // bucket key; bucket groups are small so the self-join never blows up.
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("id").as("a_id"), col("sig").as("a_sig"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), m => m))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .where(col("est_jaccard") >= minJaccard)
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  /** 64-bit SimHash over word features: sign-sum of per-feature hash bits.
+    * Docs with identical simhash are near-identical; bucketing by simhash
+    * prefix gives a banded Hamming search at scale.
+    */
+  def simhashText(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text", bits: Int = 64): DataFrame = {
+    val words = filter(split(regexp_replace(trim(lower(col(textCol))), "\\s+", " "), " "), w => length(w) > 0)
+    val sim = (0 until bits).map { bit =>
+      val votes = aggregate(
+        transform(words, w => when(shiftright(hash(w, lit(bit / 32)).cast("long"), bit % 32).bitwiseAND(1L) === 1L, 1).otherwise(-1)),
+        lit(0),
+        (acc, x) => acc + x)
+      when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    docs.select(col(idCol).as("id"), sim.as("simhash"))
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs
+    * (columns a_id, b_id) — the verification stage after LSH.
+    */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id", textCol: String = "text", k: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol), shingles(col(textCol), k).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col(idCol).as("b_id"), col("sh").as("b_sh")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
+  }
+
+  /** Embedding near-dup: cosine ≥ threshold pairs found via banded
+    * random-hyperplane LSH buckets (OR-amplification: a pair is a candidate
+    * if it collides in ANY band), so no all-pairs join ever happens. Raise
+    * `nBits` / lower `bands` as the corpus grows to keep buckets small.
+    */
+  def embeddingNearDup(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.95,
+      nBits: Int = 8,
+      bands: Int = 4): DataFrame = {
+    val bucketed = emb.select(
+      col(idCol).as("id"), col(vecCol).as("vec"),
+      posexplode(array((0 until bands).map(bd =>
+        VectorFunctions.simhashBucket(col(vecCol), nBits, seed = bd)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val a = bucketed.select(col("band"), col("bucket"), col("id").as("a_id"), col("vec").as("a_vec"))
+    val b = bucketed.select(col("band"), col("bucket"), col("id").as("b_id"), col("vec").as("b_vec"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), VectorFunctions.cosine(col("a_vec"), col("b_vec")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .dropDuplicates("a_id", "b_id")
+  }
+}

@@ -31,34 +31,41 @@ import graft.model.SessionEvent
   */
 object Sessionize {
 
-  /** Per-event paired durations via window functions. Input needs columns
-    * (`key`, `ts` timestamp-like, `eventType`, `seq` tie-break).
-    * Returns rows (`key`, `duration_sec: Double`) — one per matched pair.
+  /** Per-event paired durations via window functions. `tVal` is the numeric
+    * time value to pair on (e.g. `col(ts).cast("double")` seconds, or
+    * `unix_millis(col(ts))` for exact integer arithmetic); durations come
+    * back in its units. Returns (`key`, `duration`) — one row per matched
+    * pair.
     */
   def pairedDurations(
       df: DataFrame,
-      key: String = "clientId",
-      ts: String = "timestamp",
-      eventType: String = "eventType",
-      tieBreak: String = "eventId",
-      startType: String = "page_view_start",
-      endType: String = "page_view_end"): DataFrame = {
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
+      key: String,
+      tVal: org.apache.spark.sql.Column,
+      orderBy: Seq[org.apache.spark.sql.Column],
+      eventType: String,
+      startType: String,
+      endType: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(orderBy: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val tsSec = col(ts).cast("double")
-    df.withColumn("__last_start", max(when(col(eventType) === startType, tsSec)).over(w))
-      .withColumn("__last_end", max(when(col(eventType) === endType, tsSec)).over(w))
+    df.withColumn("__t", tVal)
+      .withColumn("__last_start", max(when(col(eventType) === startType, col("__t"))).over(w))
+      .withColumn("__last_end", max(when(col(eventType) === endType, col("__t"))).over(w))
       .where(
         col(eventType) === endType && col("__last_start").isNotNull &&
           (col("__last_end").isNull || col("__last_start") > col("__last_end")))
-      .select(col(key), (tsSec - col("__last_start")).as("duration_sec"))
+      .select(col(key), (col("__t") - col("__last_start")).as("duration"))
   }
 
-  /** Total page-view seconds per key (window-function path). */
+  /** Total page-view seconds per key (window-function path, reference
+    * column names).
+    */
   def pageViewTime(df: DataFrame, key: String = "clientId"): DataFrame =
-    pairedDurations(df, key)
+    pairedDurations(
+      df, key, col("timestamp").cast("double"),
+      Seq(col("timestamp"), col("eventId")),
+      "eventType", "page_view_start", "page_view_end")
       .groupBy(col(key))
-      .agg(sum(col("duration_sec")).as("page_view_time"))
+      .agg(sum(col("duration")).as("page_view_time"))
 
   /** Typed literal replay of the reference scan (`src/batch_tlb.py:46-62`).
     * Scales per-key: each client's events are materialized and sorted inside

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.SessionEvent
+import graft.ops.{Dedup, DotPath, Enrich, Mappings, Sessionize, Similarity}
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Per-operator unit tests pinning the reference's edge-case semantics
+  * (SURVEY §5.2-2): session pairing resets, enrichment miss-passthrough,
+  * extraction null-skipping, array fan-out, last-write-wins.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sessionTotal(events: Seq[(String, String, String)]): Map[String, Double] = {
+    // (clientId, ts, eventType)
+    val df = events.zipWithIndex
+      .map { case ((c, ts, et), i) => (c, java.sql.Timestamp.from(java.time.Instant.parse(ts)), et, s"e$i") }
+      .toDF("clientId", "timestamp", "eventType", "eventId")
+    Sessionize.pageViewTime(df).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  test("sessionize: consecutive starts — later start wins (src/batch_tlb.py:56-57)") {
+    val got = sessionTotal(Seq(
+      ("c", "2024-01-01T00:00:00Z", "page_view_start"),
+      ("c", "2024-01-01T00:00:30Z", "page_view_start"),
+      ("c", "2024-01-01T00:01:00Z", "page_view_end")))
+    assert(got == Map("c" -> 30.0))
+  }
+
+  test("sessionize: end without pending start ignored") {
+    val got = sessionTotal(Seq(
+      ("c", "2024-01-01T00:00:00Z", "page_view_end"),
+      ("c", "2024-01-01T00:01:00Z", "page_view_start"),
+      ("c", "2024-01-01T00:01:10Z", "page_view_end")))
+    assert(got == Map("c" -> 10.0))
+  }
+
+  test("sessionize: trailing unmatched start contributes nothing") {
+    val got = sessionTotal(Seq(
+      ("c", "2024-01-01T00:00:00Z", "page_view_start"),
+      ("c", "2024-01-01T00:00:05Z", "page_view_end"),
+      ("c", "2024-01-01T00:01:00Z", "page_view_start")))
+    assert(got == Map("c" -> 5.0))
+  }
+
+  test("sessionize: end matches only once — second end after matched end ignored") {
+    val got = sessionTotal(Seq(
+      ("c", "2024-01-01T00:00:00Z", "page_view_start"),
+      ("c", "2024-01-01T00:00:10Z", "page_view_end"),
+      ("c", "2024-01-01T00:00:20Z", "page_view_end")))
+    assert(got == Map("c" -> 10.0))
+  }
+
+  test("sessionize: window path equals typed flatMapGroups replay") {
+    val events = for {
+      c <- Seq("a", "b", "c"); i <- 0 until 20
+    } yield (c, f"2024-01-01T00:${i}%02d:00Z",
+      Seq("page_view_start", "page_view_end", "error")((c + i).hashCode.abs % 3))
+    val windowed = sessionTotal(events)
+    val typed = Sessionize.pageViewTimeTyped(
+      events.map { case (c, ts, et) =>
+        SessionEvent(c, java.sql.Timestamp.from(java.time.Instant.parse(ts)), et)
+      }.toDS())(spark)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // typed path emits every client (0.0 for pair-less); windowed only matched
+    assert(windowed == typed.filter(_._2 > 0))
+  }
+
+  test("enrich: hit merges+overwrites, miss passes through (src/data_processor.py:100-112)") {
+    val df = Seq(("r1", "k1", "old1"), ("r2", "k2", "old2"), ("r3", null, "old3")).toDF("id", "fk", "v")
+    val mapping = Seq(("k1", "new1", "extra1")).toDF("key", "v", "w")
+      .select(col("key"), struct(col("v"), col("w")).as("value"))
+    val got = Enrich(df, mapping, "fk").orderBy("id")
+      .collect().map(r => (r.getString(0), r.getString(2), r.getString(3))).toSeq
+    assert(got == Seq(("r1", "new1", "extra1"), ("r2", "old2", null), ("r3", "old3", null)))
+  }
+
+  test("mappings: array fan-out + null/empty-key skip + last-write-wins (src/data_processor.py:128-153)") {
+    val df = Seq(
+      (Seq("s1", "s2"), "t1", "c1"),
+      (Seq("s2", null), "t2", "c2"), // s2 re-mapped: later wins; null key skipped
+      (Seq.empty[String], "t3", "c3"),
+      (Seq("s4"), "t4", null) // multi-value keeps null values
+    ).toDF("spanIds", "traceId", "clientId")
+    val got = Mappings.extract(df, "spanIds", Seq("traceId", "clientId"), singleValue = false)
+      .collect().map(r => r.getString(0) -> ((r.getStruct(1).getString(0), r.getStruct(1).getString(1)))).toMap
+    assert(got == Map(
+      "s1" -> (("t1", "c1")),
+      "s2" -> (("t2", "c2")),
+      "s4" -> (("t4", null))))
+  }
+
+  test("mappings: single-value null skipped entirely (src/data_processor.py:147-150)") {
+    val df = Seq(("k1", "v1"), ("k2", null)).toDF("k", "v")
+    val got = Mappings.extract(df, "k", Seq("v"), singleValue = true)
+      .collect().map(r => r.getString(0) -> r.getStruct(1).getString(0)).toMap
+    assert(got == Map("k1" -> "v1"))
+  }
+
+  test("dot-path: nested array fan-out matches reference _get_nested_field") {
+    val df = Seq(("t1", Seq(("s1", "srv1"), ("s2", "srv2")))).toDF("traceId", "spans")
+      .select(col("traceId"), col("spans").cast("array<struct<spanId:string,server:string>>"))
+    val got = df.select(DotPath.resolve(df, "spans.spanId").as("ids")).as[Seq[String]].head()
+    assert(got == Seq("s1", "s2"))
+    val missing = df.select(DotPath.resolve(df, "nope.x").as("m")).head()
+    assert(missing.isNullAt(0))
+  }
+
+  test("text: word/token counts and fingerprint stability") {
+    val df = Seq(("  Hello,  world  x  ", "a"), ("hello, world x", "b")).toDF("text", "id")
+    val rows = df.select(
+      TextFunctions.wordCount(col("text")).as("w"),
+      TextFunctions.tokenCount(col("text")).as("t"),
+      TextFunctions.fingerprint(col("text")).as("f")).collect()
+    assert(rows(0).getInt(0) == 3 && rows(0).getLong(1) == 4) // Hello , world x
+    // normalization makes the two spellings (case/whitespace) identical
+    assert(rows(0).getString(2) == rows(1).getString(2))
+  }
+
+  test("vector: cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b", "c")
+    val r = df.select(
+      VectorFunctions.cosine(col("a"), col("b")),
+      VectorFunctions.cosine(col("a"), col("c"))).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12 && math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("minhash LSH finds a planted near-duplicate pair") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"tok$i").mkString(" ") + " tokX tokY"
+    val distinct = (100 to 160).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, distinct)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, minJaccard = 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("brute-force top-k: self excluded, k respected, planted neighbor first") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") === 1).select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Similarity.bruteForceTopK(vecs, queries, k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 3L))
+  }
+}
