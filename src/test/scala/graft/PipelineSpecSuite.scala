@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+import graft.pipeline._
+
+/** Golden E2E for the dynamic pipeline engine: run the reference's own
+  * 3-stage YAML spec on its fixtures and compare every stage output with
+  * the committed goldens (the `_processed_2024111612.json` files). Pins
+  * enrichment widening (stage_2 adds clientId, stage_3 adds traceId +
+  * clientId) and mapping extraction exactly.
+  */
+class PipelineSpecSuite extends SparkSpec {
+
+  private val hour = "2024111612"
+  private lazy val fixtures = new java.io.File(TestSpark.resource(s"user_exp_$hour.json")).getParent
+
+  /** The reference YAML, with local paths only (S3 resolved below). */
+  private val yamlText =
+    s"""pipeline_name: "observability_correlation_pipeline"
+       |stages:
+       |  stage_1:
+       |    description: "Process user experience data"
+       |    input:
+       |      type: "local_file"
+       |      file_path: "$fixtures/user_exp_{hour}.json"
+       |    redis_mappings:
+       |      write:
+       |        redis_key_prefix: "trace_to_client"
+       |        from_fields:
+       |          key: "traceId"
+       |          value: "clientId"
+       |    output_file: "{out}/user_exp_processed_{hour}.json"
+       |  stage_2:
+       |    description: "Enhance trace data"
+       |    input:
+       |      type: "s3"
+       |      bucket: "demo-trace-bucket"
+       |      prefix: "traces/{hour}/"
+       |    redis_mappings:
+       |      read:
+       |        redis_key_prefix: "trace_to_client"
+       |        key_field: "traceId"
+       |      write:
+       |        redis_key_prefix: "span_to_trace_client"
+       |        from_fields:
+       |          key: "spans.spanId"
+       |          value: ["traceId", "clientId"]
+       |    output_file: "{out}/trace_processed_{hour}.json"
+       |  stage_3:
+       |    description: "Enhance log data"
+       |    input:
+       |      type: "s3"
+       |      bucket: "demo-log-bucket"
+       |      prefix: "logs/{hour}/"
+       |    redis_mappings:
+       |      read:
+       |        redis_key_prefix: "span_to_trace_client"
+       |        key_field: "spanId"
+       |    output_file: "{out}/log_processed_{hour}.json"
+       |""".stripMargin
+
+  /** Canonical row-set: columns alphabetized, rows stringified + sorted.
+    * `multiLine = true` for the goldens (JSON arrays); false for our sink
+    * output (JSON lines).
+    */
+  private def canon(path: String, multiLine: Boolean): Seq[String] = {
+    val df = spark.read.option("multiLine", multiLine).json(path)
+    df.select(df.columns.sorted.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .collect().map(_.toString).toSeq.sorted
+  }
+
+  test("YAML parses into the expected spec shape") {
+    val spec = PipelineSpec.fromYaml(yamlText)
+    assert(spec.name == "observability_correlation_pipeline")
+    assert(spec.stages.map(_.name) == Vector("stage_1", "stage_2", "stage_3"))
+    assert(spec.stages(0).mappingWrite.contains(
+      MappingWrite("trace_to_client", "traceId", Vector("clientId"), single = true)))
+    assert(spec.stages(1).mappingRead.contains(MappingRead("trace_to_client", "traceId")))
+    assert(spec.stages(1).mappingWrite.contains(
+      MappingWrite("span_to_trace_client", "spans.spanId", Vector("traceId", "clientId"), single = false)))
+    assert(spec.stages(2).input == S3Input("demo-log-bucket", "logs/{hour}/"))
+  }
+
+  test("stage ordering follows mapping dependencies even when declared shuffled") {
+    val spec = PipelineSpec.fromYaml(yamlText)
+    val shuffled = spec.copy(stages = Vector(spec.stages(2), spec.stages(1), spec.stages(0)))
+    assert(PipelineCompiler.orderStages(shuffled).map(_.name) ==
+      Vector("stage_1", "stage_2", "stage_3"))
+  }
+
+  test("reading an unwritten mapping fails at plan time") {
+    val spec = PipelineSpec.fromYaml(yamlText)
+    val broken = spec.copy(stages = spec.stages.drop(1)) // stage_1 (writer) removed
+    val e = intercept[IllegalArgumentException](PipelineCompiler.orderStages(broken))
+    assert(e.getMessage.contains("trace_to_client"))
+  }
+
+  test("pipeline run reproduces all three golden processed outputs") {
+    val out = Files.createTempDirectory("graft_pipeline").toString
+    val resolver: PipelineCompiler.PathResolver = {
+      case p if p.startsWith("s3a://demo-trace-bucket/") => s"$fixtures/trace_$hour.json"
+      case p if p.startsWith("s3a://demo-log-bucket/")   => s"$fixtures/log_$hour.json"
+      case p => p.replace("{out}", out)
+    }
+    val spec = PipelineSpec.fromYaml(yamlText)
+    PipelineCompiler.run(spark, spec, hour, resolver)
+    assert(canon(s"$out/user_exp_processed_$hour.json", multiLine = false) ==
+      canon(s"$fixtures/user_exp_processed_$hour.json", multiLine = true))
+    assert(canon(s"$out/trace_processed_$hour.json", multiLine = false) ==
+      canon(s"$fixtures/trace_processed_$hour.json", multiLine = true))
+    assert(canon(s"$out/log_processed_$hour.json", multiLine = false) ==
+      canon(s"$fixtures/log_processed_$hour.json", multiLine = true))
+  }
+}
