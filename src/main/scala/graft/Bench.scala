@@ -1,23 +1,45 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): run every SparkEntry query against
+  * `SPARK_GRAFT_SF_DIR`, print one JSON line with per-query seconds.
+  *
+  * Each query is forced through a `noop` write — unlike `count()`, that
+  * computes every output column (no silent column-pruning shortcuts), which
+  * is what a real consumer of the result would pay for.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Untimed warmup at the smallest scale factor: pays Catalyst + Janino +
+    // JIT compilation once so the timed runs measure data processing, not
+    // first-use compilation (identical plan structure → codegen cache hits).
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+      queries.foreach { case (name, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
+      }
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

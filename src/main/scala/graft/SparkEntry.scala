@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.ops.{Dedup, Enrich, Mappings, Sessionize, Similarity}
+import graft.ops.{Dedup, Enrich, Mappings, Multimodal, Sessionize, Similarity}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -208,6 +208,13 @@ object SparkEntry {
     // ---- embedding near-dup pairs (LSH-bucketed; no oracle) --------------
     "q21_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.25)
+    }),
+
+    // ---- multimodal binary-column pipeline (stubbed codec; no oracle) ----
+    "q22_multimodal" -> ((s, dir) => {
+      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("kind"), col("width"), col("height"), col("n_frames"))
     })
   )
 

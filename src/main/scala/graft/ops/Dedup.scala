@@ -22,28 +22,56 @@ import graft.functions.{TextFunctions, VectorFunctions}
   */
 object Dedup {
 
+  /** Ensure enough partitions for CPU-heavy per-row work. A no-op when the
+    * source already has ≥ default-parallelism splits (any real at-scale
+    * input); only tiny single-row-group local files get exchanged.
+    */
+  private[ops] def parallelize(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup: keep the smallest-id representative per content
     * fingerprint; report group size. The aggregate carries only
     * (digest, id), so the shuffle is O(rows · 24 bytes) regardless of
     * document size.
     */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs
+    parallelize(docs)
       .select(TextFunctions.fingerprint(col(textCol)).as("fingerprint"), col(idCol))
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Word k-shingles of the normalized text: array of the distinct
-    * `k`-grams, hashed to longs so signatures never carry strings.
+  /** Normalized word tokens (the shared first stage of every sketch). */
+  def wordTokens(text: Column): Column =
+    filter(split(regexp_replace(trim(lower(text)), "\\s+", " "), " "), w => length(w) > 0)
+
+  /** Distinct hashed word k-shingles from a *materialized* words column.
+    * Keep `words` an aliased column from a previous projection: higher-order
+    * functions are interpreted, and aliasing stops CollapseProject from
+    * inlining (= re-evaluating) the tokenization once per shingle.
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val words = filter(split(regexp_replace(trim(lower(text)), "\\s+", " "), " "), w => length(w) > 0)
+  def shinglesFromWords(words: Column, k: Int = 3): Column = {
     val n = size(words)
     array_distinct(
       when(n >= k,
         transform(sequence(lit(0), n - k), i => hash(concat_ws(" ", slice(words, i + 1, lit(k))))))
         .otherwise(array(hash(concat_ws(" ", words)))))
   }
+
+  /** Word k-shingles of the normalized text (single-expression convenience
+    * for tests/small inputs; pipelines should stage via [[shingleSets]]).
+    */
+  def shingles(text: Column, k: Int = 3): Column = shinglesFromWords(wordTokens(text), k)
+
+  /** (id, sh) shingle-set DataFrame, staged so tokenize → shingle → sketch
+    * each evaluate once per row, and repartitioned so the CPU-heavy
+    * sketching parallelizes even when the source is one small file.
+    */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    parallelize(docs)
+      .select(col(idCol).as("id"), wordTokens(col(textCol)).as("__words"))
+      .select(col("id"), shinglesFromWords(col("__words"), k).as("sh"))
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * minimum over the shingle set. Pure higher-order functions — the whole
@@ -68,8 +96,8 @@ object Dedup {
       minJaccard: Double = 0.5,
       shingleK: Int = 3): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = docs
-      .select(col(idCol).as("id"), minhashSignature(shingles(col(textCol), shingleK), numHashes).as("sig"))
+    val sigs = shingleSets(docs, idCol, textCol, shingleK)
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
     // Explode into (band, bucket=hash(band rows)) — one shuffle on the
     // bucket key; bucket groups are small so the self-join never blows up.
     val banded = sigs.select(
@@ -94,7 +122,7 @@ object Dedup {
     * prefix gives a banded Hamming search at scale.
     */
   def simhashText(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text", bits: Int = 64): DataFrame = {
-    val words = filter(split(regexp_replace(trim(lower(col(textCol))), "\\s+", " "), " "), w => length(w) > 0)
+    val words = col("__words")
     val sim = (0 until bits).map { bit =>
       val votes = aggregate(
         transform(words, w => when(shiftright(hash(w, lit(bit / 32)).cast("long"), bit % 32).bitwiseAND(1L) === 1L, 1).otherwise(-1)),
@@ -102,17 +130,19 @@ object Dedup {
         (acc, x) => acc + x)
       when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
     }.reduce(_ + _)
-    docs.select(col(idCol).as("id"), sim.as("simhash"))
+    parallelize(docs)
+      .select(col(idCol).as("id"), wordTokens(col(textCol)).as("__words"))
+      .select(col("id"), sim.as("simhash"))
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (columns a_id, b_id) — the verification stage after LSH.
     */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id", textCol: String = "text", k: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol), shingles(col(textCol), k).as("sh"))
+    val sh = shingleSets(docs, idCol, textCol, k)
     pairs
-      .join(sh.select(col(idCol).as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(sh.select(col(idCol).as("b_id"), col("sh").as("b_sh")), "b_id")
+      .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .select(col("a_id"), col("b_id"),
         (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
           size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.model.SessionEvent
+
+/** Structured Streaming surface (SURVEY §2.7): the reference's streaming
+  * *intent* — hourly file micro-batches, arrival-driven sensors, Kafka
+  * scaffold, cross-batch Redis state — made real.
+  *
+  *  - File/Kafka arrival gating (`src/pipeline_dag.py:65-88`'s HTTP poll
+  *    sensors) is native to `readStream`: new files/offsets are discovered
+  *    per micro-batch, no sensor code.
+  *  - The hourly `{hour}` templating becomes a 1-hour tumbling window with
+  *    a watermark for late data (the reference just put late events in the
+  *    next hour's file).
+  *  - The cross-stage Redis state (`src/data_processor.py:90-98`) becomes
+  *    the state store of `flatMapGroupsWithState`.
+  */
+object StreamingOps {
+
+  /** Per-key pending-start state for streaming sessionization. */
+  final case class PendingStart(startMs: Long)
+
+  /** Emitted on every matched start/end pair. */
+  final case class SessionPair(clientId: String, durationSec: Double)
+
+  /** Streaming sessionization with the reference's exact scan semantics
+    * (`src/batch_tlb.py:46-62`): later start wins, orphan ends ignored,
+    * pending start carries across micro-batches in the state store.
+    *
+    * Events are sorted by event time within each micro-batch; cross-batch
+    * ordering is the source's arrival order (for files, filename order) —
+    * the same contract the reference has across hourly files.
+    */
+  def sessionPairs(events: Dataset[SessionEvent]): Dataset[SessionPair] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.clientId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (clientId: String, batch: Iterator[SessionEvent], state: GroupState[PendingStart]) =>
+          var pending: Option[Long] = state.getOption.map(_.startMs)
+          val out = Vector.newBuilder[SessionPair]
+          batch.toVector.sortBy(_.timestamp.getTime).foreach { e =>
+            e.eventType match {
+              case "page_view_start" => pending = Some(e.timestamp.getTime)
+              case "page_view_end" =>
+                pending.foreach { s =>
+                  out += SessionPair(clientId, (e.timestamp.getTime - s) / 1000.0)
+                  pending = None
+                }
+              case _ =>
+            }
+          }
+          pending match {
+            case Some(s) => state.update(PendingStart(s))
+            case None    => state.remove()
+          }
+          out.result().iterator
+      }
+  }
+
+  /** Watermarked 1-hour tumbling event counts by type — the streaming form
+    * of the reference's per-hour batch files.
+    */
+  def hourlyCounts(
+      events: DataFrame,
+      tsCol: String = "timestamp",
+      typeCol: String = "eventType",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), "1 hour"), col(typeCol))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("window.start").as("hour_start"),
+        col(typeCol),
+        col("n"))
+
+  /** Read the reference's user-exp JSON shape as a file stream. */
+  def userExpStream(spark: SparkSession, dir: String): Dataset[SessionEvent] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(graft.model.Schemas.userExp)
+      .json(dir)
+      .select(
+        col("clientId"),
+        to_timestamp(col("timestamp")).as("timestamp"),
+        col("eventType"))
+      .as[SessionEvent]
+  }
+}

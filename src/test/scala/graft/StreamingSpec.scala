@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamingOps
+
+/** Streaming sessionization must agree with the batch golden: feeding the
+  * reference fixture through a file stream yields the same per-client
+  * page-view totals (client1 120 s, client3 125 s), and a second
+  * micro-batch proves pending-start state carries across batches.
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("file-stream sessionization matches the batch golden totals") {
+    val in = Files.createTempDirectory("graft_stream_in")
+    // JSON-lines version of the fixture (file streams are line-oriented)
+    val fixture = spark.read.option("multiLine", value = true)
+      .schema(graft.model.Schemas.userExp)
+      .json(TestSpark.resource("user_exp_2024111612.json"))
+    fixture.coalesce(1).write.mode("overwrite").json(in.toString + "/batch")
+    val q = StreamingOps.sessionPairs(StreamingOps.userExpStream(spark, in.toString + "/batch"))
+      .writeStream.outputMode("append").format("memory").queryName("sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val totals = spark.table("sessions")
+      .groupBy("clientId").agg(sum("durationSec").as("total"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(totals == Map("client1" -> 120.0, "client3" -> 125.0))
+  }
+
+  test("pending start carries across micro-batches via state store") {
+    val in = Files.createTempDirectory("graft_stream_state")
+    def write(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(in.toString, name), lines.mkString("\n").getBytes)
+    // batch 1: a lone start
+    write("b1.json", Seq(
+      """{"clientId":"c9","timestamp":"2024-11-16T10:00:00Z","eventType":"page_view_start","eventId":"s1"}"""))
+    val q = StreamingOps.sessionPairs(StreamingOps.userExpStream(spark, in.toString))
+      .writeStream.outputMode("append").format("memory").queryName("sessions2")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable()
+    assert(spark.table("sessions2").count() == 0)
+    // batch 2: the matching end arrives later
+    write("b2.json", Seq(
+      """{"clientId":"c9","timestamp":"2024-11-16T10:00:42Z","eventType":"page_view_end","eventId":"e1"}"""))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sessions2").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq(("c9", 42.0)))
+  }
+
+  test("hourly watermarked counts bucket events into tumbling windows") {
+    val in = Files.createTempDirectory("graft_stream_win")
+    val fixture = spark.read.option("multiLine", value = true)
+      .schema(graft.model.Schemas.userExp)
+      .json(TestSpark.resource("user_exp_2024111612.json"))
+      .withColumn("timestamp", to_timestamp(col("timestamp")))
+    fixture.coalesce(1).write.mode("overwrite").parquet(in.toString)
+    val stream = spark.readStream.schema(fixture.schema).parquet(in.toString)
+    val q = StreamingOps.hourlyCounts(stream)
+      .writeStream.outputMode("complete").format("memory").queryName("hourly")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hourly")
+      .collect().map(r => (r.getTimestamp(0).toInstant.toString, r.getString(1), r.getLong(2))).toSet
+    // all 15 fixture events fall in the 12:00 hour: 10 starts, 4 ends, 1 error
+    assert(got.map(_._1).forall(_ == "2024-11-16T12:00:00Z"))
+    assert(got.map(x => x._2 -> x._3).toMap == Map(
+      "page_view_start" -> 10L, "page_view_end" -> 4L, "error" -> 1L))
+  }
+}
