@@ -215,6 +215,17 @@ object SparkEntry {
       Multimodal.extractFeatures(Multimodal.mediaFromDocuments(t(s, dir, "documents")))
         .toDF()
         .select(col("media_id"), col("kind"), col("width"), col("height"), col("n_frames"))
+    }),
+
+    // ---- IVF ANN: probe nearest centroid partitions (no oracle) ----------
+    "q23_ivf_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = emb.where(pmod(col("vec_id"), lit(97)) === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      Similarity.ivfTopK(
+        emb,
+        emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding")),
+        centroids, k = 10, nProbe = 2)
     })
   )
 

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.KvSink
+import graft.ops.Similarity
+
+class KvAndIvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("KV sink writes prefixed batched entries via foreachPartition") {
+    KvSink.InMemory.store.clear()
+    val mapping = Seq(("t1", "c1"), ("t2", "c2"), ("t3", null))
+      .toDF("key", "clientId")
+      .select(col("key"), struct(col("clientId")).as("value"))
+    KvSink.write(mapping, "trace_to_client", KvSink.InMemory.factory, batchSize = 2)
+    import scala.jdk.CollectionConverters._
+    val got = KvSink.InMemory.store.asScala.toMap
+    assert(got("trace_to_client:t1") == """{"clientId":"c1"}""")
+    assert(got("trace_to_client:t2") == """{"clientId":"c2"}""")
+    assert(got("trace_to_client:t3") == "{}") // null dropped by to_json, like reference json.dumps of {} — key still present
+    assert(got.size == 3)
+  }
+
+  test("IVF top-k finds the planted neighbor when probing its centroid") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.98f, 0.2f, 0.0f)),
+      (3L, Seq(0.9f, 0.4f, 0.1f)),
+      (4L, Seq(0.0f, 1.0f, 0.0f)),
+      (5L, Seq(0.1f, 0.95f, 0.0f)),
+      (6L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f)),
+      (200L, Seq(0.0f, 1.0f, 0.0f)),
+      (300L, Seq(0.0f, 0.0f, 1.0f))).toDF("centroid_id", "embedding")
+    val queries = vecs.where(col("vec_id") === 1)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val got = Similarity.ivfTopK(vecs, queries, centroids, k = 2, nProbe = 1)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    // probing only centroid 100's partition: neighbors 2 and 3
+    assert(got == Seq(2L, 3L))
+  }
+}
