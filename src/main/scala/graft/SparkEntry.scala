@@ -95,16 +95,22 @@ object SparkEntry {
       Enrich(orders, mapping, "o_custkey")
     }),
 
-    // ---- three-way correlation join + agg (J4+A3) ------------------------
+    // ---- three-way correlation join + agg (J4+A3). Lineitem is partially
+    // aggregated to per-order (cnt, revenue) BEFORE the join — the classic
+    // push-agg-below-join: the fact-table shuffle carries one narrow row
+    // per order instead of every line item, and customer broadcast-joins. --
     "q5_threeway_join" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_mktsegment"))
+      val perOrder = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
         .agg(
-          count(lit(1)).as("n_items"),
+          count(lit(1)).as("__cnt"),
           sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
-            .as("revenue_cents"))
+            .as("__rev"))
+      perOrder
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("__cnt")).as("n_items"), sum(col("__rev")).as("revenue_cents"))
     }),
 
     // ---- array fan-out / explode (P1/J2) ---------------------------------
@@ -168,9 +174,12 @@ object SparkEntry {
         TextFunctions.tokenCount(col("text")).as("token_count"))
     }),
 
-    // ---- heuristic language ID -------------------------------------------
+    // ---- heuristic language ID (padded text staged: regexp once per row,
+    // not once per marker — mirrors the oracle's CTE) ----------------------
     "q14_lang_id" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"), TextFunctions.langGuess(col("text")).as("lang_guess"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.paddedText(col("text")).as("__pt"))
+        .select(col("doc_id"), TextFunctions.langGuessFromPadded(col("__pt")).as("lang_guess"))
     }),
 
     // ---- quality score ----------------------------------------------------

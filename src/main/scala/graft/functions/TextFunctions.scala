@@ -45,23 +45,35 @@ object TextFunctions {
     "de" -> Seq("der", "die", "und", "ist", "das"),
     "fr" -> Seq("le", "la", "et", "les", "des"))
 
-  private def padded(text: Column): Column =
+  /** Space-padded, whitespace-normalized, lowercased text — the shared
+    * input of every marker count. Stage it as its own projected column
+    * (`df.select(..., paddedText(col) as "__pt")`) so the regexp runs once
+    * per row, not once per marker: the padded attribute is referenced ~20×
+    * downstream, which stops CollapseProject from inlining the regexp.
+    */
+  def paddedText(text: Column): Column =
     concat(lit(" "), regexp_replace(lower(text), "\\s+", " "), lit(" "))
 
-  /** Total marker hits for one language. */
-  def langScore(text: Column, markers: Seq[String]): Column =
-    markers.map(w => occurrences(padded(text), s" $w ")).reduce(_ + _)
+  /** Total marker hits for one language over a pre-padded text column. */
+  def langScore(padded: Column, markers: Seq[String]): Column =
+    markers.map(w => occurrences(padded, s" $w ")).reduce(_ + _)
 
-  /** Heuristic language guess: argmax of marker scores, 'und' when all 0.
-    * Ties resolve in [[LangMarkers]] order (first wins).
+  /** Heuristic language guess over a pre-padded ([[paddedText]]) column:
+    * argmax of marker scores, 'und' when all 0. Ties resolve in
+    * [[LangMarkers]] order (first wins).
     */
-  def langGuess(text: Column): Column = {
-    val scores = LangMarkers.map { case (lang, ws) => lang -> langScore(text, ws) }
+  def langGuessFromPadded(padded: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ws) => lang -> langScore(padded, ws) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und")) { case ((lang, s), acc) =>
       when(s === best && s > 0, lit(lang)).otherwise(acc)
     }
   }
+
+  /** Single-expression convenience form (tests / ad-hoc use). Pipelines
+    * should stage [[paddedText]] first — see [[langGuessFromPadded]].
+    */
+  def langGuess(text: Column): Column = langGuessFromPadded(paddedText(text))
 
   /** Quality score in [0,1]: rewards mid-length docs, penalizes symbol
     * density and very short docs. Single-division ratios of exact integer

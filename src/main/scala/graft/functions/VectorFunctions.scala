@@ -29,6 +29,17 @@ object VectorFunctions {
     when(n > 0, d / n).otherwise(lit(0.0))
   }
 
+  /** Unit-normalize against a pre-computed norm column (stage the norm in a
+    * prior projection so it evaluates once, not once per element). With unit
+    * vectors, cosine degenerates to [[dot]] — one aggregate per candidate
+    * pair instead of three, the dominant cost of any LSH/IVF scoring join.
+    * Zero-norm vectors map to the zero vector (cosine 0 against everything,
+    * matching [[cosine]]'s null-safe zero).
+    */
+  def unitizeWith(vec: Column, normCol: Column): Column =
+    when(normCol > 0, transform(vec, x => x.cast("double") / normCol))
+      .otherwise(transform(vec, _ => lit(0.0)))
+
   /** Signed random-hyperplane LSH bucket: the sign bits of `nBits` fixed
     * pseudo-random hyperplane projections, packed into a long. Two vectors
     * with high cosine similarity collide with high probability — the

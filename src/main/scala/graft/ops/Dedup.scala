@@ -160,17 +160,22 @@ object Dedup {
       threshold: Double = 0.95,
       nBits: Int = 8,
       bands: Int = 4): DataFrame = {
-    val bucketed = emb.select(
-      col(idCol).as("id"), col(vecCol).as("vec"),
-      posexplode(array((0 until bands).map(bd =>
-        VectorFunctions.simhashBucket(col(vecCol), nBits, seed = bd)): _*)))
+    // Unit-normalize once per row (bucket signs are scale-invariant), so
+    // each within-bucket pair costs one dot instead of dot + two norms.
+    val bucketed = emb
+      .select(col(idCol).as("id"), col(vecCol).as("__v"), VectorFunctions.norm(col(vecCol)).as("__n"))
+      .select(col("id"), VectorFunctions.unitizeWith(col("__v"), col("__n")).as("vec"))
+      .select(
+        col("id"), col("vec"),
+        posexplode(array((0 until bands).map(bd =>
+          VectorFunctions.simhashBucket(col("vec"), nBits, seed = bd)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
     val a = bucketed.select(col("band"), col("bucket"), col("id").as("a_id"), col("vec").as("a_vec"))
     val b = bucketed.select(col("band"), col("bucket"), col("id").as("b_id"), col("vec").as("b_vec"))
     a.join(b, Seq("band", "bucket"))
       .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), VectorFunctions.cosine(col("a_vec"), col("b_vec")).as("cosine"))
+      .select(col("a_id"), col("b_id"), VectorFunctions.dot(col("a_vec"), col("b_vec")).as("cosine"))
       .where(col("cosine") >= threshold)
       .dropDuplicates("a_id", "b_id")
   }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
@@ -19,6 +19,15 @@ import graft.functions.VectorFunctions
   *    centroids' partitions.
   */
 object Similarity {
+
+  /** Project to (renamed id, unit-normalized vector). The norm is staged in
+    * its own projection so it computes once per row; the follow-up select
+    * is not collapsed into it because the (expensive) norm attribute is
+    * referenced more than once.
+    */
+  private[ops] def unitized(df: DataFrame, idCol: String, outId: String, vecCol: String, outVec: String): DataFrame =
+    df.select(col(idCol).as(outId), col(vecCol).as("__v"), VectorFunctions.norm(col(vecCol)).as("__n"))
+      .select(col(outId), VectorFunctions.unitizeWith(col("__v"), col("__n")).as(outVec))
 
   /** Exact top-k cosine neighbors for each query vector.
     *
@@ -56,11 +65,13 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       queryIdCol: String = "query_id"): DataFrame = {
+    // Unit-normalize before bucketing (signs of hyperplane projections are
+    // scale-invariant, so buckets are unchanged) → pair scoring is one dot.
     def bucketize(df: DataFrame, id: String, outId: String, vec: String, outVec: String): DataFrame =
-      df.select(
-        col(id).as(outId), col(vec).as(outVec),
+      unitized(df, id, outId, vec, outVec).select(
+        col(outId), col(outVec),
         posexplode(array((0 until bands).map(bd =>
-          VectorFunctions.simhashBucket(col(vec), nBits, seed = bd)): _*)))
+          VectorFunctions.simhashBucket(col(outVec), nBits, seed = bd)): _*)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bucket")
     val bucketedCorpus = bucketize(corpus, idCol, "neighbor_id", vecCol, "c_vec")
@@ -69,16 +80,23 @@ object Similarity {
     bucketedCorpus.join(broadcast(bucketedQueries), Seq("band", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        VectorFunctions.cosine(col("c_vec"), col("q_vec")).as("cosine"))
+        VectorFunctions.dot(col("c_vec"), col("q_vec")).as("cosine"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
 
-  /** IVF ANN: assign corpus rows to their nearest centroid (broadcast),
-    * probe the `nProbe` nearest centroids per query. Centroids are any
-    * representative sample (e.g. `corpus.limit(nCentroids)` or k-means out
-    * of band); correctness degrades gracefully with centroid quality.
+  /** IVF ANN: assign corpus rows to their nearest centroid, probe the
+    * `nProbe` nearest centroids per query. Centroids are any representative
+    * sample (e.g. `corpus.limit(nCentroids)` or k-means out of band);
+    * correctness degrades gracefully with centroid quality.
+    *
+    * The centroid table is small by construction (that is the point of
+    * IVF), so it is collected and inlined as literal arrays — centroid
+    * assignment becomes a **map-only codegen'd projection** over the
+    * corpus: no crossJoin, no per-row window, no corpus shuffle. At 100 TB
+    * the corpus is touched exactly once before the (broadcast) probe join;
+    * the only shuffle is the final per-query top-k over candidates.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -90,29 +108,43 @@ object Similarity {
       vecCol: String = "embedding",
       queryIdCol: String = "query_id",
       centroidIdCol: String = "centroid_id"): DataFrame = {
-    val cent = broadcast(centroids.select(col(centroidIdCol).as("c_id"), col(vecCol).as("cent_vec")))
+    // Collect + unit-normalize centroids driver-side (equivalent to a
+    // broadcast — IVF centroid sets are thousands of rows at most), sorted
+    // by id so argmax ties resolve to the smallest centroid id.
+    val centRows = centroids.select(col(centroidIdCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val centVecs: Column = typedLit(centRows.map { case (_, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v.map(_ => 0.0)
+    }.toSeq)
+    val centIds: Column = typedLit(centRows.map(_._1).toSeq)
 
-    def assign(df: DataFrame, vecName: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col("__rid")).orderBy(col("__cd").desc, col("c_id"))
-      df.crossJoin(cent)
-        .withColumn("__cd", VectorFunctions.cosine(col(vecName), col("cent_vec")))
-        .withColumn("__cr", row_number().over(w))
-        .where(col("__cr") <= keep)
-        .drop("cent_vec", "__cd", "__cr")
-    }
+    // score vector (dot against every centroid) staged as its own column so
+    // downstream argmax / top-n expressions don't recompute it.
+    def scored(df: DataFrame, vec: String): DataFrame =
+      df.withColumn("__cs", transform(centVecs, c => VectorFunctions.dot(col(vec), c)))
 
-    val assignedCorpus = assign(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col(idCol).as("__rid")),
-      "c_vec", 1).drop("__rid")
-    val assignedQueries = assign(
-      queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("q_vec"), col(queryIdCol).as("__rid")),
-      "q_vec", nProbe).drop("__rid")
+    // Corpus: nearest centroid = first position of the max score (1-based).
+    val assignedCorpus = scored(unitized(corpus, idCol, "neighbor_id", vecCol, "c_vec"), "c_vec")
+      .withColumn("c_id", element_at(centIds, array_position(col("__cs"), array_max(col("__cs"))).cast("int")))
+      .drop("__cs")
+    // Queries: top-nProbe centroids via sort of (-score, id) structs — all
+    // map-side; struct field order gives (score desc, id asc).
+    val assignedQueries = scored(unitized(queries, queryIdCol, "query_id", vecCol, "q_vec"), "q_vec")
+      .withColumn("c_id", explode(slice(
+        array_sort(zip_with(col("__cs"), centIds, (s, i) => struct((-s).as("neg"), i.as("c_id")))),
+        1, nProbe).getField("c_id")))
+      .drop("__cs")
+    // Each corpus row has exactly one centroid and each query probes
+    // distinct centroids, so (query_id, neighbor_id) pairs are unique — no
+    // dedup needed before ranking.
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     assignedCorpus.join(broadcast(assignedQueries), Seq("c_id"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        VectorFunctions.cosine(col("c_vec"), col("q_vec")).as("cosine"))
-      .dropDuplicates("query_id", "neighbor_id")
+        VectorFunctions.dot(col("c_vec"), col("q_vec")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
