@@ -235,6 +235,46 @@ object SparkEntry {
         emb,
         emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding")),
         centroids, k = 10, nProbe = 2)
+    }),
+
+    // ---- rolling-hash document fingerprint -------------------------------
+    "q24_rolling_fp" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("rolling_fp"))
+    }),
+
+    // ---- anti join: orders with no deeply-discounted line item -----------
+    "q25_anti_join" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(
+          t(s, dir, "lineitem").where(col("l_discount") > 0.05),
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // ---- semi join: orders with a deeply-discounted line item ------------
+    "q26_semi_join" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(
+          t(s, dir, "lineitem").where(col("l_discount") > 0.05),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // ---- rollup: subtotals + grand total in one pass ---------------------
+    "q27_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+    }),
+
+    // ---- lag window: max inter-event gap per user ------------------------
+    "q28_lag_gap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("__gap", unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("__gap")).as("max_gap_ms"), count(lit(1)).as("n_events"))
     })
   )
 
@@ -349,6 +389,32 @@ object SparkEntry {
         |    ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC, c.vec_id) AS rank
         | FROM embeddings c, embeddings q
         | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
-        |WHERE rank <= 10""".stripMargin
+        |WHERE rank <= 10""".stripMargin,
+    // ord('') is -1 in DuckDB but ascii('') is 0 in Spark — the CASE pins
+    // the empty-char code to 0 on both engines.
+    "q24_rolling_fp" ->
+      """SELECT doc_id, list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split_regex(text, ''),
+        |      x -> CAST(CASE WHEN x = '' THEN 0 ELSE ord(x) END AS BIGINT))),
+        |  (acc, x) -> (acc * 257 + x) % 2147483647) AS rolling_fp
+        |FROM documents""".stripMargin,
+    "q25_anti_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_discount > 0.05)""".stripMargin,
+    "q26_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)""".stripMargin,
+    "q27_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q28_lag_gap" ->
+      """WITH g AS (SELECT user_id,
+        |  epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        | FROM events)
+        |SELECT user_id, max(gap) AS max_gap_ms, count(*) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin
   )
 }

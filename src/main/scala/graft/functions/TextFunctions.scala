@@ -75,6 +75,18 @@ object TextFunctions {
     */
   def langGuess(text: Column): Column = langGuessFromPadded(paddedText(text))
 
+  /** Rolling polynomial fingerprint (Rabin–Karp shape): fold the character
+    * codes left-to-right as `acc·base + code (mod m)`. Unlike [[fingerprint]]
+    * (md5), the rolling form extends incrementally — the building block for
+    * shingle-level content addressing. `base`/`mod` chosen so `acc·base+255`
+    * never overflows a long.
+    */
+  def rollingHash(text: Column, base: Long = 257L, mod: Long = 2147483647L): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * base + x) % mod)
+
   /** Quality score in [0,1]: rewards mid-length docs, penalizes symbol
     * density and very short docs. Single-division ratios of exact integer
     * counts keep it bit-identical across engines.

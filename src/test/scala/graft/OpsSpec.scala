@@ -118,6 +118,14 @@ class OpsSpec extends SparkSpec {
     assert(rows(0).getString(2) == rows(1).getString(2))
   }
 
+  test("text: rolling hash is the left-to-right polynomial fold") {
+    val df = Seq(("abc", 1), ("", 2)).toDF("text", "id")
+    val rows = df.orderBy("id").select(TextFunctions.rollingHash(col("text"))).collect()
+    // ((0*257+97)*257+98)*257+99 = 6432038; split("","") = [""], ascii("")=0
+    assert(rows(0).getLong(0) == 6432038L)
+    assert(rows(1).getLong(0) == 0L)
+  }
+
   test("vector: cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b", "c")
     val r = df.select(
