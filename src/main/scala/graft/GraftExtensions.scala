@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.expressions._
+
+/** Registers the native graft expressions as SQL functions, so the hot
+  * vector/sketch primitives are callable from `spark.sql(...)` as well as
+  * the Scala Column API:
+  *
+  * {{{
+  * spark.sql("SELECT graft_cosine(a.embedding, b.embedding) FROM ...")
+  * }}}
+  *
+  * Enable with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * on the session builder (the documented `SparkSessionExtensions` path —
+  * no session-state hacking).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - dot product of two float/double arrays"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "graft_cosine(a, b) - cosine similarity, 0 for zero-norm inputs"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_hyperplane_bucket"),
+      info("graft_hyperplane_bucket",
+        "graft_hyperplane_bucket(vec, nBits, seed) - random-hyperplane LSH bucket (long)"),
+      (children: Seq[Expression]) =>
+        HyperplaneBucket(children(0), intArg(children(1), "nBits"), intArg(children(2), "seed"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig",
+        "graft_minhash_sig(shingles, numHashes) - MinHash signature as array<long>"),
+      (children: Seq[Expression]) =>
+        MinHashSignature(children(0), intArg(children(1), "numHashes"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      info("graft_simhash64", "graft_simhash64(tokens) - 64-bit SimHash of a string array"),
+      (children: Seq[Expression]) => SimHash64(children(0))))
+  }
+}

@@ -1,18 +1,25 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftColumn}
 import org.apache.spark.sql.functions._
+import graft.functions.expressions.{CosineSimilarity, DotProduct, HyperplaneBucket => HyperplaneBucketExpr, MinHashSignature, SimHash64}
 
-/** Vector math over `array<float>` embedding columns as native higher-order
-  * functions (`zip_with` / `aggregate`) — codegen'd, no UDFs, so similarity
-  * scans stay inside whole-stage codegen at 100 TB.
+/** Vector math over `array<float>` embedding columns. The hot pairwise
+  * functions ([[dot]], [[cosine]], [[simhashBucket]]) are native Catalyst
+  * expressions with `doGenCode` (see
+  * [[graft.functions.expressions.VectorExpressions]]) — tight primitive
+  * loops inside whole-stage codegen. The higher-order-function forms are
+  * kept as `*Hof` reference implementations (semantically identical,
+  * interpreted) for cross-checking in tests.
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ. Accumulates in double, left-to-right over the array — the same
-    * order every engine's straightforward loop uses.
-    */
+  /** Σ aᵢ·bᵢ — native codegen'd loop, accumulating in double left-to-right. */
   def dot(a: Column, b: Column): Column =
+    GraftColumn(DotProduct(GraftColumn.expr(a), GraftColumn.expr(b)))
+
+  /** Reference HOF form of [[dot]] (interpreted; tests cross-check). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -22,12 +29,28 @@ object VectorFunctions {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  /** Cosine similarity; null-safe zero for zero-norm vectors. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
+  /** Cosine similarity; null-safe zero for zero-norm vectors. Single fused
+    * pass, bit-identical to the staged `dot/(norm·norm)` formulation.
+    */
+  def cosine(a: Column, b: Column): Column =
+    GraftColumn(CosineSimilarity(GraftColumn.expr(a), GraftColumn.expr(b)))
+
+  /** Reference HOF form of [[cosine]] (interpreted; tests cross-check). */
+  def cosineHof(a: Column, b: Column): Column = {
+    val d = dotHof(a, b)
     val n = norm(a) * norm(b)
     when(n > 0, d / n).otherwise(lit(0.0))
   }
+
+  /** MinHash signature (array<long>, length `numHashes`) over a hashed
+    * shingle set — one native pass updating all mins.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    GraftColumn(MinHashSignature(GraftColumn.expr(shingles), numHashes))
+
+  /** 64-bit SimHash over a token array — each token hashed once natively. */
+  def simhash64(tokens: Column): Column =
+    GraftColumn(SimHash64(GraftColumn.expr(tokens)))
 
   /** Unit-normalize against a pre-computed norm column (stage the norm in a
     * prior projection so it evaluates once, not once per element). With unit
@@ -45,23 +68,11 @@ object VectorFunctions {
     * with high cosine similarity collide with high probability — the
     * bucket-join path that replaces the O(n²) all-pairs scan at scale.
     *
-    * Hyperplanes derive deterministically from (bit, dim) via a hash, so
-    * the same bucket function is computable on any executor with no
-    * broadcast state.
+    * Hyperplanes derive deterministically from (bit, dim, seed) via a
+    * splitmix64 finalizer, so the same bucket function is computable on any
+    * executor with no broadcast state. Native: one pass over the vector
+    * updating all `nBits` projections.
     */
-  def simhashBucket(vec: Column, nBits: Int = 16, seed: Int = 42): Column = {
-    val projections: Seq[Column] = (0 until nBits).map { bit =>
-      // projection = Σ vec[i] * h(bit, i), h deterministic in [-0.5, 0.5)
-      val proj = aggregate(
-        zip_with(
-          vec,
-          sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") *
-            ((pmod(hash(lit(bit), i, lit(seed)).cast("long"), lit(1000000L)).cast("double") / 1000000.0) - 0.5)),
-        lit(0.0),
-        (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
-    }
-    projections.reduce(_ + _)
-  }
+  def simhashBucket(vec: Column, nBits: Int = 16, seed: Int = 42): Column =
+    GraftColumn(HyperplaneBucketExpr(GraftColumn.expr(vec), nBits, seed))
 }

@@ -1,0 +1,337 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (`doGenCode`) for the vector / sketch hot
+  * paths. The higher-order-function formulations in
+  * [[graft.functions.VectorFunctions]] are semantically identical but
+  * interpreted — every element evaluation allocates and boxes. These
+  * compile to tight Java loops over `ArrayData` primitives inside
+  * whole-stage codegen, which is what a 100 TB similarity scan needs:
+  * scoring a candidate pair costs one fused loop, not three boxed folds.
+  */
+object VectorExpressions {
+
+  private[expressions] def elemGetter(t: DataType): String = t match {
+    case ArrayType(FloatType, _)  => "getFloat"
+    case ArrayType(DoubleType, _) => "getDouble"
+    case other => throw new IllegalArgumentException(s"expected array<float|double>, got $other")
+  }
+
+  private[expressions] def elemAt(arr: ArrayData, t: DataType, i: Int): Double = t match {
+    case ArrayType(FloatType, _)  => arr.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => arr.getDouble(i)
+    case other => throw new IllegalArgumentException(s"expected array<float|double>, got $other")
+  }
+}
+
+/** Σ aᵢ·bᵢ in left-to-right order, accumulating in double — element-wise
+  * identical to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` over non-null
+  * elements. Null elements contribute 0; length mismatch folds the common
+  * prefix.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        sum += VectorExpressions.elemAt(x, left.dataType, i) * VectorExpressions.elemAt(y, right.dataType, i)
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (ga, gb) = (VectorExpressions.elemGetter(left.dataType), VectorExpressions.elemGetter(right.dataType))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, sum) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("sum"))
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $sum += ((double) $a.$ga($i)) * ((double) $b.$gb($i));
+         |  }
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Cosine similarity in one fused pass. The arithmetic replays the staged
+  * formulation exactly — `dot / (sqrt(Σa²) · sqrt(Σb²))`, every sum
+  * left-to-right — so results are bit-identical to
+  * [[graft.functions.VectorFunctions.cosine]] (incl. the null-safe 0 for
+  * zero-norm inputs).
+  */
+case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        dot += VectorExpressions.elemAt(x, left.dataType, i) * VectorExpressions.elemAt(y, right.dataType, i)
+      i += 1
+    }
+    var na = 0.0
+    i = 0
+    while (i < x.numElements()) {
+      if (!x.isNullAt(i)) { val v = VectorExpressions.elemAt(x, left.dataType, i); na += v * v }
+      i += 1
+    }
+    var nb = 0.0
+    i = 0
+    while (i < y.numElements()) {
+      if (!y.isNullAt(i)) { val v = VectorExpressions.elemAt(y, right.dataType, i); nb += v * v }
+      i += 1
+    }
+    val norm = math.sqrt(na) * math.sqrt(nb)
+    if (norm > 0) dot / norm else 0.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (ga, gb) = (VectorExpressions.elemGetter(left.dataType), VectorExpressions.elemGetter(right.dataType))
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val v = ctx.freshName("v")
+      val norm = ctx.freshName("norm")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $dot += ((double) $a.$ga($i)) * ((double) $b.$gb($i));
+         |  }
+         |}
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i)) { double $v = (double) $a.$ga($i); $na += $v * $v; }
+         |}
+         |for (int $i = 0; $i < $b.numElements(); $i++) {
+         |  if (!$b.isNullAt($i)) { double $v = (double) $b.$gb($i); $nb += $v * $v; }
+         |}
+         |final double $norm = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = $norm > 0 ? $dot / $norm : 0.0;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object HyperplaneBucket {
+  /** Deterministic pseudo-random hyperplane coefficient in [-0.5, 0.5) for
+    * (bit, dim index, seed) — splitmix64 finalizer, computable on any
+    * executor with no broadcast state.
+    */
+  def coef(bit: Int, i: Int, seed: Int): Double = {
+    var z = bit.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL + seed.toLong * 0x165667B19E3779F9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    // top 53 bits → [0,1) → [-0.5, 0.5)
+    (z >>> 11).toDouble / 9007199254740992.0 - 0.5
+  }
+}
+
+/** Signed random-hyperplane LSH bucket: sign bits of `nBits` pseudo-random
+  * projections packed into a long, in one pass over the vector (the staged
+  * HOF form walks the vector once per bit). Cosine-similar vectors collide
+  * with high probability; scale-invariant, so bucket before or after
+  * normalization interchangeably.
+  */
+case class HyperplaneBucket(child: Expression, nBits: Int, seed: Int) extends UnaryExpression {
+  require(nBits >= 1 && nBits <= 63, s"nBits must be in [1,63], got $nBits")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  def projections(arr: ArrayData): Array[Double] = {
+    val proj = new Array[Double](nBits)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val v = VectorExpressions.elemAt(arr, child.dataType, i)
+        var b = 0
+        while (b < nBits) { proj(b) += v * HyperplaneBucket.coef(b, i, seed); b += 1 }
+      }
+      i += 1
+    }
+    proj
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val proj = projections(input.asInstanceOf[ArrayData])
+    var bucket = 0L
+    var b = 0
+    while (b < nBits) { if (proj(b) >= 0) bucket |= 1L << b; b += 1 }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val g = VectorExpressions.elemGetter(child.dataType)
+    nullSafeCodeGen(ctx, ev, a => {
+      val (proj, i, b, v, bucket) =
+        (ctx.freshName("proj"), ctx.freshName("i"), ctx.freshName("b"), ctx.freshName("v"), ctx.freshName("bucket"))
+      s"""
+         |double[] $proj = new double[$nBits];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    double $v = (double) $a.$g($i);
+         |    for (int $b = 0; $b < $nBits; $b++) {
+         |      $proj[$b] += $v * graft.functions.expressions.HyperplaneBucket.coef($b, $i, $seed);
+         |    }
+         |  }
+         |}
+         |long $bucket = 0L;
+         |for (int $b = 0; $b < $nBits; $b++) { if ($proj[$b] >= 0) $bucket |= 1L << $b; }
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
+object SketchHash {
+  /** 64-bit mix of (value, stream) — splitmix64 finalizer. */
+  def mix64(value: Long, stream: Long): Long = {
+    var z = value * 0x9E3779B97F4A7C15L + stream * 0xC2B2AE3D27D4EB4FL + 0x165667B19E3779F9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit string hash (FNV-1a over UTF-8 bytes, splitmix-finalized). */
+  def hash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xFF)) * 0x100000001B3L; i += 1 }
+    mix64(h, 0L)
+  }
+}
+
+/** MinHash signature: element `h` is `min over shingles of mix64(shingle, h)`
+  * — one pass over the shingle set updating all `numHashes` mins, instead of
+  * `numHashes` interpreted transform+array_min walks. Empty set → Long.Max
+  * sentinels (no spurious matches).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  def signature(arr: ArrayData): Array[Long] = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val isLong = child.dataType == ArrayType(LongType, containsNull = false) ||
+      child.dataType == ArrayType(LongType, containsNull = true)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val s = if (isLong) arr.getLong(i) else arr.getInt(i).toLong
+        var h = 0
+        while (h < numHashes) {
+          val v = SketchHash.mix64(s, h.toLong)
+          if (v < mins(h)) mins(h) = v
+          h += 1
+        }
+      }
+      i += 1
+    }
+    mins
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(signature(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = child.dataType match {
+      case ArrayType(IntegerType, _) => "getInt"
+      case ArrayType(LongType, _)    => "getLong"
+      case other => throw new IllegalArgumentException(s"expected array<int|long>, got $other")
+    }
+    nullSafeCodeGen(ctx, ev, a => {
+      val (mins, i, h, s, v) =
+        (ctx.freshName("mins"), ctx.freshName("i"), ctx.freshName("h"), ctx.freshName("s"), ctx.freshName("v"))
+      s"""
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    final long $s = (long) $a.$getter($i);
+         |    for (int $h = 0; $h < $numHashes; $h++) {
+         |      final long $v = graft.functions.expressions.SketchHash.mix64($s, (long) $h);
+         |      if ($v < $mins[$h]) $mins[$h] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over a token array: each token hashes once to 64 bits;
+  * per-bit signed votes; result bit set where votes are positive. The
+  * staged HOF form hashes every token once per bit (64×).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  def simhash(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = SketchHash.hash64(arr.getUTF8String(i))
+        var b = 0
+        while (b < 64) { votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simhash64", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.simhash($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

@@ -74,13 +74,11 @@ object Dedup {
       .select(col("id"), shinglesFromWords(col("__words"), k).as("sh"))
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum over the shingle set. Pure higher-order functions — the whole
-    * signature computes in one codegen'd projection.
+    * minimum over the shingle set. Native codegen'd expression — one pass
+    * over the shingle set updates all `numHashes` mins.
     */
   def minhashSignature(shingleSet: Column, numHashes: Int = 64): Column =
-    array((0 until numHashes).map { h =>
-      array_min(transform(shingleSet, s => hash(s, lit(h)).cast("long")))
-    }: _*)
+    VectorFunctions.minhashSignature(shingleSet, numHashes)
 
   /** MinHash + banded LSH near-dup candidate pairs with Jaccard estimate.
     *
@@ -119,21 +117,14 @@ object Dedup {
 
   /** 64-bit SimHash over word features: sign-sum of per-feature hash bits.
     * Docs with identical simhash are near-identical; bucketing by simhash
-    * prefix gives a banded Hamming search at scale.
+    * prefix gives a banded Hamming search at scale. Native expression:
+    * each word hashes to 64 bits once (the HOF form re-hashed every word
+    * per bit).
     */
-  def simhashText(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text", bits: Int = 64): DataFrame = {
-    val words = col("__words")
-    val sim = (0 until bits).map { bit =>
-      val votes = aggregate(
-        transform(words, w => when(shiftright(hash(w, lit(bit / 32)).cast("long"), bit % 32).bitwiseAND(1L) === 1L, 1).otherwise(-1)),
-        lit(0),
-        (acc, x) => acc + x)
-      when(votes > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def simhashText(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     parallelize(docs)
       .select(col(idCol).as("id"), wordTokens(col(textCol)).as("__words"))
-      .select(col("id"), sim.as("simhash"))
-  }
+      .select(col("id"), VectorFunctions.simhash64(col("__words")).as("simhash"))
 
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (columns a_id, b_id) — the verification stage after LSH.

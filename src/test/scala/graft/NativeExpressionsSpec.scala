@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import graft.functions.VectorFunctions
+import graft.functions.expressions.{DotProduct, HyperplaneBucket, SketchHash}
+
+/** The native codegen expressions must agree exactly with their
+  * higher-order-function reference formulations (same accumulation order,
+  * same null-safety), on both the codegen and interpreted eval paths.
+  */
+class NativeExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+  private val vecs = Seq.fill(50)(
+    (Seq.fill(64)(rnd.nextFloat() * 2 - 1), Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+
+  test("native dot/cosine are bit-identical to the HOF reference forms") {
+    val df = vecs.toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("d"),
+      VectorFunctions.dotHof(col("a"), col("b")).as("dh"),
+      VectorFunctions.cosine(col("a"), col("b")).as("c"),
+      VectorFunctions.cosineHof(col("a"), col("b")).as("ch")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "dot != dotHof")
+      assert(r.getDouble(2) == r.getDouble(3), "cosine != cosineHof")
+    }
+  }
+
+  test("native expressions: interpreted eval path matches codegen result") {
+    val a = Literal.create(Seq(1.0, 2.0, 3.0), ArrayType(DoubleType))
+    val b = Literal.create(Seq(4.0, 5.0, 6.0), ArrayType(DoubleType))
+    assert(DotProduct(a, b).eval() == 32.0)
+    val viaDf = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+      .select(VectorFunctions.dot(col("a"), col("b"))).head().getDouble(0)
+    assert(viaDf == 32.0)
+  }
+
+  test("hyperplane bucket is scale-invariant and deterministic") {
+    val df = vecs.map(_._1).map(v => (v, v.map(_ * 2.5f))).toDF("v", "v2")
+    val rows = df.select(
+      VectorFunctions.simhashBucket(col("v"), nBits = 8, seed = 3).as("b1"),
+      VectorFunctions.simhashBucket(col("v2"), nBits = 8, seed = 3).as("b2")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), "bucket not scale-invariant"))
+    // deterministic across plans/JVMs: pure function of (bit, i, seed)
+    assert(HyperplaneBucket.coef(3, 17, 42) == HyperplaneBucket.coef(3, 17, 42))
+    assert(HyperplaneBucket.coef(3, 17, 42) != HyperplaneBucket.coef(4, 17, 42))
+  }
+
+  test("minhash signature estimates jaccard: 1 for identical, ~0 for disjoint") {
+    val df = Seq((
+      (1 to 100).map(_.toLong),
+      (1 to 100).map(_.toLong),
+      (1001 to 1100).map(_.toLong))).toDF("s1", "s2", "s3")
+    val r = df.select(
+      VectorFunctions.minhashSignature(col("s1"), 64).as("m1"),
+      VectorFunctions.minhashSignature(col("s2"), 64).as("m2"),
+      VectorFunctions.minhashSignature(col("s3"), 64).as("m3")).head()
+    val (m1, m2, m3) = (r.getSeq[Long](0), r.getSeq[Long](1), r.getSeq[Long](2))
+    assert(m1 == m2)
+    assert(m1.size == 64)
+    val overlap = m1.zip(m3).count { case (x, y) => x == y }
+    assert(overlap <= 3, s"disjoint sets should share ~no mins, shared $overlap")
+  }
+
+  test("simhash64: identical tokens equal; near-identical docs are close in hamming") {
+    val base = (1 to 200).map(i => s"tok$i")
+    val df = Seq((base, base, base.updated(0, "changed").updated(1, "words"))).toDF("t1", "t2", "t3")
+    val r = df.select(
+      VectorFunctions.simhash64(col("t1")),
+      VectorFunctions.simhash64(col("t2")),
+      VectorFunctions.simhash64(col("t3"))).head()
+    assert(r.getLong(0) == r.getLong(1))
+    val hamming = java.lang.Long.bitCount(r.getLong(0) ^ r.getLong(2))
+    assert(hamming <= 16, s"2/200 token change moved $hamming of 64 bits")
+    assert(SketchHash.hash64(org.apache.spark.unsafe.types.UTF8String.fromString("a")) !=
+      SketchHash.hash64(org.apache.spark.unsafe.types.UTF8String.fromString("b")))
+  }
+
+  test("SQL surface: graft_* functions registered via SparkSessionExtensions") {
+    val d = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
+    assert(d == 11.0)
+    val c = spark.sql("SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head().getDouble(0)
+    assert(c == 1.0)
+    val sig = spark.sql("SELECT graft_minhash_sig(array(1L, 2L), 8) AS s").head().getSeq[Long](0)
+    assert(sig.size == 8)
+    val bkt = spark.sql("SELECT graft_hyperplane_bucket(array(1.0D, -1.0D), 8, 42) AS b").head().getLong(0)
+    assert(bkt >= 0L && bkt < 256L)
+    val sh = spark.sql("SELECT graft_simhash64(array('a', 'b')) AS h").head().getLong(0)
+    assert(sh != 0L)
+  }
+}
