@@ -31,12 +31,18 @@ object Bench {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
       }
-    val results = queries.map { case (name, fn) =>
+    // Best-of-2 per query: host-level background activity shows up as
+    // multi-second spikes on whole wall-clock windows; the min of two
+    // spaced runs is the robust per-query estimate.
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      catch { case e: Throwable => System.err.println(s"[bench] failed: ${e.getMessage}") }
+      (System.nanoTime() - t0) / 1e9
     }
+    val pass1 = queries.map { case (name, fn) => name -> timed(fn) }
+    val pass2 = queries.map { case (name, fn) => name -> timed(fn) }.toMap
+    val results = pass1.map { case (name, t1) => name -> math.min(t1, pass2(name)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -56,5 +56,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64", "graft_simhash64(tokens) - 64-bit SimHash of a string array"),
       (children: Seq[Expression]) => SimHash64(children(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      info("graft_shingle_hashes",
+        "graft_shingle_hashes(words, k) - distinct hashed word k-shingles as array<long>"),
+      (children: Seq[Expression]) =>
+        ShingleHashes(children(0), intArg(children(1), "k"))))
   }
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumn}
 import org.apache.spark.sql.functions._
-import graft.functions.expressions.{CosineSimilarity, DotProduct, HyperplaneBucket => HyperplaneBucketExpr, MinHashSignature, SimHash64}
+import graft.functions.expressions.{CosineSimilarity, DotProduct, HyperplaneBucket => HyperplaneBucketExpr, MinHashSignature, ShingleHashes, SimHash64}
 
 /** Vector math over `array<float>` embedding columns. The hot pairwise
   * functions ([[dot]], [[cosine]], [[simhashBucket]]) are native Catalyst
@@ -51,6 +51,10 @@ object VectorFunctions {
   /** 64-bit SimHash over a token array — each token hashed once natively. */
   def simhash64(tokens: Column): Column =
     GraftColumn(SimHash64(GraftColumn.expr(tokens)))
+
+  /** Distinct hashed word k-shingles (array<long>) in one native pass. */
+  def shingleHashes(words: Column, k: Int): Column =
+    GraftColumn(ShingleHashes(GraftColumn.expr(words), k))
 
   /** Unit-normalize against a pre-computed norm column (stage the norm in a
     * prior projection so it evaluates once, not once per element). With unit

@@ -299,6 +299,61 @@ case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpr
     copy(child = newChild)
 }
 
+/** Distinct hashed word k-shingles in one pass: hash each word once
+  * (64-bit), combine each length-k window of word hashes order-sensitively,
+  * and deduplicate. Replaces an interpreted transform+slice+concat_ws+hash
+  * chain that re-concatenated strings per shingle. Fewer than k words →
+  * one shingle over all words; empty input → one sentinel shingle (the
+  * empty-document fingerprint), mirroring the staged form.
+  */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  def shingles(arr: ArrayData): Array[Long] = {
+    val n = arr.numElements()
+    val wordHashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      wordHashes(i) = if (arr.isNullAt(i)) 0L else SketchHash.hash64(arr.getUTF8String(i))
+      i += 1
+    }
+    val width = if (n < k) math.max(n, 1) else k
+    val count = if (n < k) 1 else n - k + 1
+    val out = new Array[Long](count)
+    i = 0
+    while (i < count) {
+      var h = 0x9E3779B97F4A7C15L
+      var j = 0
+      while (j < width && i + j < n) { h = SketchHash.mix64(h, wordHashes(i + j)); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    // distinct, order-insensitive downstream (set semantics): sort + dedup
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < count) {
+      if (i == 0 || out(i) != out(i - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, w)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(shingles(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($self.shingles($a));")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over a token array: each token hashes once to 64 bits;
   * per-bit signed votes; result bit set where votes are positive. The
   * staged HOF form hashes every token once per bit (64×).

@@ -46,18 +46,12 @@ object Dedup {
   def wordTokens(text: Column): Column =
     filter(split(regexp_replace(trim(lower(text)), "\\s+", " "), " "), w => length(w) > 0)
 
-  /** Distinct hashed word k-shingles from a *materialized* words column.
-    * Keep `words` an aliased column from a previous projection: higher-order
-    * functions are interpreted, and aliasing stops CollapseProject from
-    * inlining (= re-evaluating) the tokenization once per shingle.
+  /** Distinct hashed word k-shingles — native one-pass expression (each
+    * word hashes once; windows combine word hashes, no string
+    * re-concatenation per shingle).
     */
-  def shinglesFromWords(words: Column, k: Int = 3): Column = {
-    val n = size(words)
-    array_distinct(
-      when(n >= k,
-        transform(sequence(lit(0), n - k), i => hash(concat_ws(" ", slice(words, i + 1, lit(k))))))
-        .otherwise(array(hash(concat_ws(" ", words)))))
-  }
+  def shinglesFromWords(words: Column, k: Int = 3): Column =
+    VectorFunctions.shingleHashes(words, k)
 
   /** Word k-shingles of the normalized text (single-expression convenience
     * for tests/small inputs; pipelines should stage via [[shingleSets]]).

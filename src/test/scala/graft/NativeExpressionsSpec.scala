@@ -80,6 +80,25 @@ class NativeExpressionsSpec extends SparkSpec {
       SketchHash.hash64(org.apache.spark.unsafe.types.UTF8String.fromString("b")))
   }
 
+  test("shingle hashes: distinct, order-sensitive windows, short-doc fallback") {
+    val df = Seq((
+      Seq("a", "b", "c", "d"),        // 2 shingles of 3: abc, bcd
+      Seq("a", "b"),                  // < k → one shingle over all words
+      Seq("x", "b", "c", "d"),        // windows xbc, bcd — shares only bcd with t1
+      Seq("a", "b", "c", "a", "b", "c", "d"))).toDF("t1", "t2", "t3", "t4")
+    val r = df.select(
+      VectorFunctions.shingleHashes(col("t1"), 3),
+      VectorFunctions.shingleHashes(col("t2"), 3),
+      VectorFunctions.shingleHashes(col("t3"), 3),
+      VectorFunctions.shingleHashes(col("t4"), 3)).head()
+    val (s1, s2, s3, s4) = (r.getSeq[Long](0), r.getSeq[Long](1), r.getSeq[Long](2), r.getSeq[Long](3))
+    assert(s1.size == 2 && s2.size == 1)
+    assert(s1.intersect(s3).size == 1) // only "b c d" survives the reorder
+    // duplicate window "a b c" deduped: windows = abc,bca,cab,abc,bcd → 4 distinct
+    assert(s4.size == 4 && s4.toSet.size == 4)
+    assert(s1.forall(h => s4.contains(h)))
+  }
+
   test("SQL surface: graft_* functions registered via SparkSessionExtensions") {
     val d = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
     assert(d == 11.0)
