@@ -275,6 +275,47 @@ object SparkEntry {
         .withColumn("__gap", unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w))
         .groupBy(col("user_id"))
         .agg(max(col("__gap")).as("max_gap_ms"), count(lit(1)).as("n_events"))
+    }),
+
+    // ---- deterministic train/val/test split: content-hash bucketing ------
+    // (md5 exists on both engines → exact oracle; hash-based assignment is
+    // reproducible across runs/engines, unlike rand()-based sampling)
+    "q29_hash_split" -> ((s, dir) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long")
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(bucket < 204, lit("train")).when(bucket < 230, lit("val")).otherwise(lit("test")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).cast("long").as("total_chars"))
+    }),
+
+    // ---- top-k per group: 3 highest-value orders per market segment ------
+    "q30_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // ---- histogram binning: order-value distribution ---------------------
+    "q31_histogram" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // ---- data-quality profile: nulls / distincts / bounds in one pass ----
+    "q32_profile" -> ((s, dir) => {
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("o_custkey")).as("n_customers"),
+        count_if(col("o_orderstatus").isNull).as("null_status"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
     })
   )
 
@@ -415,6 +456,30 @@ object SparkEntry {
         |  epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
         | FROM events)
         |SELECT user_id, max(gap) AS max_gap_ms, count(*) AS n_events
-        |FROM g GROUP BY user_id""".stripMargin
+        |FROM g GROUP BY user_id""".stripMargin,
+    "q29_hash_split" ->
+      """WITH b AS (SELECT *,
+        |  (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |  + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+        | FROM documents)
+        |SELECT CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split,
+        | count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM b GROUP BY 1""".stripMargin,
+    "q30_topk_per_group" ->
+      """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+        | SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rk <= 3""".stripMargin,
+    "q31_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin, count(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q32_profile" ->
+      """SELECT count(*) AS n_rows,
+        | count(DISTINCT o_custkey) AS n_customers,
+        | count(*) FILTER (WHERE o_orderstatus IS NULL) AS null_status,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        |FROM orders""".stripMargin
   )
 }
