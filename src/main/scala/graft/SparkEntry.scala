@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.ops.{Dedup, Enrich, Mappings, Multimodal, Sessionize, Similarity}
+import graft.ops.{AsOfJoin, Dedup, Enrich, Mappings, Multimodal, Sessionize, Similarity}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -316,6 +316,66 @@ object SparkEntry {
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+    }),
+
+    // ---- as-of join: most recent view at-or-before each purchase ---------
+    // (single-shuffle union+window AsOfJoin operator; oracle is DuckDB's
+    // native ASOF JOIN — gap_ms is tie-insensitive by construction)
+    "q33_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"))
+      AsOfJoin.backward(purchases, views, "user_id", "ts", "v_ts", Seq("v_ts"))
+        .select(col("event_id"), col("user_id"),
+          (unix_millis(col("ts")) - unix_millis(col("v_ts"))).as("gap_ms"))
+    }),
+
+    // ---- range-band join: broadcast inequality join onto a tiny dim ------
+    "q34_range_band" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("budget", 0L, 100000L), ("mid", 100000L, 250000L),
+        ("premium", 250000L, 400000L), ("luxury", 400000L, 1000000L))
+        .toDF("band", "lo", "hi")
+      t(s, dir, "orders")
+        .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+    }),
+
+    // ---- cumulative window: running revenue per customer -----------------
+    "q35_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(round(col("o_totalprice") * 100).cast("long")).over(w).as("running_cents"))
+    }),
+
+    // ---- exact quartiles per priority class ------------------------------
+    // (integer cents → the linear interpolation a + (b-a)*frac is exact in
+    // doubles at frac ∈ {0, .25, .5, .75}, so Spark percentile() and DuckDB
+    // quantile_cont() agree bit-for-bit)
+    "q36_quartiles" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile(cents, 0.25)").as("p25"),
+          expr("percentile(cents, 0.5)").as("p50"),
+          expr("percentile(cents, 0.75)").as("p75"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // ---- set ops: intersect / except / union in one result ---------------
+    "q37_setops" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val viewers = ev.where(col("event_type") === "view").select("user_id").distinct()
+      val buyers = ev.where(col("event_type") === "purchase").select("user_id").distinct()
+      viewers.intersect(buyers).withColumn("rel", lit("both"))
+        .union(viewers.except(buyers).withColumn("rel", lit("view_only")))
     })
   )
 
@@ -480,6 +540,38 @@ object SparkEntry {
         | count(*) FILTER (WHERE o_orderstatus IS NULL) AS null_status,
         | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
         | sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+    "q33_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_ms(p.ts) - epoch_ms(v.ts) AS gap_ms
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
+    "q34_range_band" ->
+      """SELECT band, count(*) AS n_orders,
+        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        |FROM orders
+        |JOIN (VALUES ('budget', 0, 100000), ('mid', 100000, 250000),
+        |             ('premium', 250000, 400000), ('luxury', 400000, 1000000)) b(band, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band""".stripMargin,
+    "q35_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        | sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS running_cents
+        |FROM orders""".stripMargin,
+    "q36_quartiles" ->
+      """WITH c AS (SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderpriority,
+        | quantile_cont(cents, 0.25) AS p25,
+        | quantile_cont(cents, 0.5) AS p50,
+        | quantile_cont(cents, 0.75) AS p75,
+        | count(*) AS n_orders
+        |FROM c GROUP BY o_orderpriority""".stripMargin,
+    "q37_setops" ->
+      """WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+        | p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, 'both' AS rel FROM (SELECT user_id FROM v INTERSECT SELECT user_id FROM p)
+        |UNION ALL
+        |SELECT user_id, 'view_only' AS rel FROM (SELECT user_id FROM v EXCEPT SELECT user_id FROM p)""".stripMargin
   )
 }
