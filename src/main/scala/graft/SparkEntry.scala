@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.ops.{AsOfJoin, Dedup, Enrich, Mappings, Multimodal, Sessionize, Similarity}
+import graft.ops.{AsOfJoin, Dedup, Enrich, Mappings, Multimodal, Sessionize, Similarity, SkewJoin}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -376,6 +376,66 @@ object SparkEntry {
       val buyers = ev.where(col("event_type") === "purchase").select("user_id").distinct()
       viewers.intersect(buyers).withColumn("rel", lit("both"))
         .union(viewers.except(buyers).withColumn("rel", lit("view_only")))
+    }),
+
+    // ---- pivot: event-type counts as columns (A3 is a fixed 3-way pivot;
+    // this is the general form with an explicit value list — never pivot on
+    // discovered values at scale, that's an extra pass + unstable schema) --
+    "q38_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+    }),
+
+    // ---- cube: all grouping-set combinations + grouping_id ---------------
+    "q39_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          grouping_id().as("gid"),
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+    }),
+
+    // ---- global top-k: TakeOrderedAndProject, not a full sort ------------
+    "q40_global_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // ---- calendar rollup: revenue per month (date_trunc + format) --------
+    "q41_monthly_revenue" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
+    }),
+
+    // ---- salted skew join: same result set as the plain join oracle, but
+    // the hot key spreads across nSalts reducers --------------------------
+    "q42_salted_join" -> ((s, dir) => {
+      SkewJoin.salted(t(s, dir, "lineitem"), t(s, dir, "orders"), "l_orderkey", "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+            .as("revenue_cents"))
+    }),
+
+    // ---- approx distinct (HLL++) next to exact — no SQL oracle: sketch
+    // estimates are engine-specific; correctness pinned by the exact column
+    // and the ±5% relative-error spec asserted in OpsSpec ------------------
+    "q43_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          count_distinct(col("user_id")).as("exact_users"))
     })
   )
 
@@ -572,6 +632,33 @@ object SparkEntry {
         | p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
         |SELECT user_id, 'both' AS rel FROM (SELECT user_id FROM v INTERSECT SELECT user_id FROM p)
         |UNION ALL
-        |SELECT user_id, 'view_only' AS rel FROM (SELECT user_id FROM v EXCEPT SELECT user_id FROM p)""".stripMargin
+        |SELECT user_id, 'view_only' AS rel FROM (SELECT user_id FROM v EXCEPT SELECT user_id FROM p)""".stripMargin,
+    "q38_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'view') AS view,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q39_cube" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        | GROUPING(o_orderpriority, o_orderstatus) AS gid,
+        | count(*) AS n_orders,
+        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
+    "q40_global_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q41_monthly_revenue" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        | count(*) AS n_orders,
+        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q42_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin
   )
 }

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys.
+  *
+  * A plain `fact ⋈ dim` hash-partitions both sides by the join key, so one
+  * hot key (the reference's workloads are full of them: one pathological
+  * client, one viral document) lands every matching fact row on a single
+  * reducer. AQE's skew-join split helps sort-merge joins after the fact;
+  * salting fixes the layout up front and also covers shuffled-hash joins
+  * and downstream stages that reuse the exchange.
+  *
+  * Mechanics: the fact side gains a deterministic salt in `[0, nSalts)`
+  * hashed from the whole row, widening each key into `nSalts` sub-keys;
+  * the dim side is replicated once per salt via `explode`. The join runs
+  * on `(key, salt)` — same result set as the unsalted join (inner,
+  * duplicate-preserving), but the hot key now spreads over `nSalts`
+  * reducers. Dim replication costs `nSalts ×` the small side, which is
+  * the side you'd broadcast anyway when it fits; salting is for when it
+  * doesn't.
+  */
+object SkewJoin {
+
+  def salted(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      nSalts: Int = 8): DataFrame = {
+    require(nSalts > 0, "nSalts must be positive")
+    val saltedFact = fact.withColumn(
+      "__salt", pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(nSalts)).cast("int"))
+    val saltedDim = dim.withColumn(
+      "__salt", explode(array((0 until nSalts).map(lit): _*)))
+    saltedFact
+      .join(saltedDim,
+        saltedFact(factKey) === saltedDim(dimKey) && saltedFact("__salt") === saltedDim("__salt"))
+      .drop("__salt")
+  }
+}
