@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
+import graft.jobs.CorpusPrep
 import graft.ops.{AsOfJoin, Dedup, Enrich, Mappings, Multimodal, Sessionize, Similarity, SkewJoin}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -419,7 +420,8 @@ object SparkEntry {
     // ---- salted skew join: same result set as the plain join oracle, but
     // the hot key spreads across nSalts reducers --------------------------
     "q42_salted_join" -> ((s, dir) => {
-      SkewJoin.salted(t(s, dir, "lineitem"), t(s, dir, "orders"), "l_orderkey", "o_orderkey")
+      SkewJoin.salted(t(s, dir, "lineitem"), t(s, dir, "orders"), "l_orderkey", "o_orderkey",
+          saltCols = Seq("l_orderkey", "l_linenumber"))
         .groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n_items"),
@@ -436,7 +438,11 @@ object SparkEntry {
         .agg(
           approx_count_distinct(col("user_id")).as("approx_users"),
           count_distinct(col("user_id")).as("exact_users"))
-    })
+    }),
+
+    // ---- composite training-corpus prep: dedup → quality gate → tokens →
+    // deterministic split, one declarative plan (jobs.CorpusPrep) ----------
+    "q44_corpus_prep" -> ((s, dir) => CorpusPrep.prepare(t(s, dir, "documents")))
   )
 
   /** DuckDB oracle SQL generated from [[TextFunctions.LangMarkers]] so the
@@ -659,6 +665,28 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n_items,
         | sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q44_corpus_prep" ->
+      """WITH keep AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM documents
+        |  GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |), d AS (
+        |  SELECT documents.* FROM documents JOIN keep USING (doc_id)
+        |), q AS (
+        |  SELECT doc_id, text,
+        |   (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0 ELSE 0.5 END
+        |    + CASE WHEN len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) > 0
+        |           AND CAST(length(text) AS DOUBLE) / len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) >= 3.0
+        |           AND CAST(length(text) AS DOUBLE) / len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) <= 12.0
+        |      THEN 1.0 ELSE 0.5 END) / 2 AS quality,
+        |   (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |   + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+        |  FROM d)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS token_count,
+        | quality,
+        | CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
+        |FROM q WHERE quality >= 0.75""".stripMargin
   )
 }

@@ -23,15 +23,22 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** `saltCols`: columns the fact-side salt is hashed from. They must vary
+    * within a key group (a unique id or line number is ideal); defaults to
+    * the whole row, which is always correct but drags every column into
+    * the scan — pass a narrow set to keep column pruning intact.
+    */
   def salted(
       fact: DataFrame,
       dim: DataFrame,
       factKey: String,
       dimKey: String,
-      nSalts: Int = 8): DataFrame = {
+      nSalts: Int = 8,
+      saltCols: Seq[String] = Nil): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
+    val saltInput = (if (saltCols.nonEmpty) saltCols else fact.columns.toSeq).map(col)
     val saltedFact = fact.withColumn(
-      "__salt", pmod(xxhash64(fact.columns.map(col).toIndexedSeq: _*), lit(nSalts)).cast("int"))
+      "__salt", pmod(xxhash64(saltInput: _*), lit(nSalts)).cast("int"))
     val saltedDim = dim.withColumn(
       "__salt", explode(array((0 until nSalts).map(lit): _*)))
     saltedFact
