@@ -442,7 +442,42 @@ object SparkEntry {
 
     // ---- composite training-corpus prep: dedup → quality gate → tokens →
     // deterministic split, one declarative plan (jobs.CorpusPrep) ----------
-    "q44_corpus_prep" -> ((s, dir) => CorpusPrep.prepare(t(s, dir, "documents")))
+    "q44_corpus_prep" -> ((s, dir) => CorpusPrep.prepare(t(s, dir, "documents"))),
+
+    // ---- VARIANT (Spark 4): the true dynamic-schema surface — parse once,
+    // extract typed fields lazily (vs q11's per-path get_json_object) ------
+    "q45_variant" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"), parse_json(col("props")).as("__v"))
+        .select(col("event_id"),
+          try_variant_get(col("__v"), "$.k", "long").as("k_value"))
+    }),
+
+    // ---- range-frame window: trailing 7-day revenue per customer ---------
+    // (RANGE frame over epoch seconds — value-based, not row-based)
+    "q46_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("__epoch"))
+        .rangeBetween(-7L * 24 * 3600, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("__epoch", unix_timestamp(col("o_orderdate")))
+        .withColumn("trailing_7d_cents",
+          sum(round(col("o_totalprice") * 100).cast("long")).over(w))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("trailing_7d_cents")).as("peak_7d_cents"))
+    }),
+
+    // ---- vocabulary: global top-50 terms by document frequency -----------
+    // (partial agg before the shuffle: explode → per-partition combine →
+    // one narrow (term, count) exchange; top-k via TakeOrdered) ------------
+    "q47_top_terms" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(array_distinct(Dedup.wordTokens(col("text")))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("term"))
+        .limit(50)
+    })
   )
 
   /** DuckDB oracle SQL generated from [[TextFunctions.LangMarkers]] so the
@@ -687,6 +722,24 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS token_count,
         | quality,
         | CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
-        |FROM q WHERE quality >= 0.75""".stripMargin
+        |FROM q WHERE quality >= 0.75""".stripMargin,
+    "q45_variant" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+        |FROM events""".stripMargin,
+    "q46_range_frame" ->
+      """WITH t AS (SELECT o_custkey, epoch(o_orderdate) AS e,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_custkey, max(trailing_7d_cents) AS peak_7d_cents FROM (
+        |  SELECT o_custkey,
+        |   sum(cents) OVER (PARTITION BY o_custkey ORDER BY e
+        |     RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS trailing_7d_cents
+        |  FROM t) GROUP BY o_custkey""".stripMargin,
+    "q47_top_terms" ->
+      """SELECT term, count(*) AS doc_freq FROM (
+        |  SELECT doc_id, unnest(list_distinct(list_filter(
+        |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+        |    w -> len(w) > 0))) AS term
+        |  FROM documents)
+        |GROUP BY term ORDER BY doc_freq DESC, term LIMIT 50""".stripMargin
   )
 }

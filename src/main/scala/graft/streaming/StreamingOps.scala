@@ -78,6 +78,18 @@ object StreamingOps {
         col(typeCol),
         col("n"))
 
+  /** Streaming exact dedup within a watermark horizon: the streaming form
+    * of the exact-dedup extension op. State is bounded — a key's
+    * fingerprint is dropped from the store once the watermark passes its
+    * event time, which is the only way unbounded streams can dedup without
+    * unbounded memory.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Read the reference's user-exp JSON shape as a file stream. */
   def userExpStream(spark: SparkSession, dir: String): Dataset[SessionEvent] = {
     import spark.implicits._

@@ -68,4 +68,47 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(x => x._2 -> x._3).toMap == Map(
       "page_view_start" -> 10L, "page_view_end" -> 4L, "error" -> 1L))
   }
+
+  test("batch Enrich op works unchanged as a stream-static broadcast join") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_stream_enrich")
+    Seq(("t1", "a"), ("t2", "b"), ("t3", "c")).toDF("traceId", "payload")
+      .coalesce(1).write.mode("overwrite").parquet(in.toString)
+    val mapping = Seq(("t1", "client1"), ("t3", "client3"))
+      .toDF("key", "clientId")
+      .select(col("key"), struct(col("clientId")).as("value"))
+    val stream = spark.readStream
+      .schema("traceId STRING, payload STRING").parquet(in.toString)
+    val q = graft.ops.Enrich(stream, mapping, "traceId")
+      .writeStream.outputMode("append").format("memory").queryName("enriched")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enriched").collect()
+      .map(r => (r.getString(0), Option(r.getString(2)))).toSet
+    assert(got == Set(("t1", Some("client1")), ("t2", None), ("t3", Some("client3"))))
+  }
+
+  test("watermarked streaming dedup drops repeats within the horizon") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_stream_dedup")
+    def write(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(in.toString, name), lines.mkString("\n").getBytes)
+    write("b1.json", Seq(
+      """{"eventId":"e1","ts":"2024-11-16T10:00:00Z"}""",
+      """{"eventId":"e1","ts":"2024-11-16T10:00:01Z"}""",
+      """{"eventId":"e2","ts":"2024-11-16T10:00:02Z"}"""))
+    val stream = spark.readStream
+      .schema("eventId STRING, ts STRING").json(in.toString)
+      .withColumn("ts", to_timestamp(col("ts")))
+    val q = StreamingOps.dedupStream(stream, Seq("eventId"), "ts")
+      .writeStream.outputMode("append").format("memory").queryName("deduped")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable()
+    assert(spark.table("deduped").select("eventId").as[String].collect().sorted.toSeq
+      === Seq("e1", "e2"))
+    // a later duplicate of e1 still inside the watermark horizon is dropped
+    write("b2.json", Seq("""{"eventId":"e1","ts":"2024-11-16T10:05:00Z"}"""))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("deduped").count() === 2)
+  }
 }
