@@ -100,4 +100,46 @@ object PipelineCompiler {
     }
     (results, mappings)
   }
+
+  /** Arrival-driven execution — the native replacement for the reference's
+    * Airflow HTTP sensors (`src/pipeline_dag.py:65-88`, SURVEY §2.1 S5).
+    *
+    * A file stream watches the first stage's input directory; each
+    * micro-batch extracts the `{hour}` partition from the newly-arrived
+    * file names and runs the compiled pipeline once per new hour. No
+    * polling loop, no retry budget: discovery, checkpointing, and
+    * exactly-once hour processing come from Structured Streaming. At
+    * scale the watch dir is an object-store prefix and each hour's run is
+    * a distributed batch job — the driver only sequences hours.
+    *
+    * @param hourFromFile extracts the hour partition from an arrived file
+    *                     path (e.g. `user_exp_(\d{10})\.json` capture)
+    * @param onHour       callback after an hour completes (tests; metrics)
+    */
+  def runOnArrival(
+      spark: SparkSession,
+      spec: PipelineSpec,
+      watchDir: String,
+      hourFromFile: String => Option[String],
+      resolve: PathResolver = s3aResolver,
+      writeOutputs: Boolean = true,
+      onHour: String => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    spark.readStream
+      .format("text")
+      .load(watchDir)
+      .select(input_file_name().as("file"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val hours = batch.select("file").distinct().collect()
+          .flatMap(r => hourFromFile(r.getString(0))).distinct.sorted
+        hours.filterNot(seen).foreach { hour =>
+          run(spark, spec, hour, resolve, writeOutputs)
+          seen += hour
+          onHour(hour)
+        }
+      }
+      .start()
+  }
 }

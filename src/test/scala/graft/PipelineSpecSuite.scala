@@ -111,4 +111,31 @@ class PipelineSpecSuite extends SparkSpec {
     assert(canon(s"$out/log_processed_$hour.json", multiLine = false) ==
       canon(s"$fixtures/log_processed_$hour.json", multiLine = true))
   }
+
+  test("file arrival triggers the pipeline for that hour (sensor replacement)") {
+    val watch = Files.createTempDirectory("graft_pipeline_watch").toString
+    val out = Files.createTempDirectory("graft_pipeline_arrival").toString
+    // watched copy of the fixture stands in for stage_1's input
+    val resolver: PipelineCompiler.PathResolver = {
+      case p if p.contains("user_exp_") && !p.contains("processed") => s"$watch/user_exp_$hour.json"
+      case p if p.startsWith("s3a://demo-trace-bucket/") => s"$fixtures/trace_$hour.json"
+      case p if p.startsWith("s3a://demo-log-bucket/")   => s"$fixtures/log_$hour.json"
+      case p => p.replace("{out}", out)
+    }
+    val spec = PipelineSpec.fromYaml(yamlText)
+    val hours = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val q = PipelineCompiler.runOnArrival(
+      spark, spec, watch,
+      f => "user_exp_(\\d{10})\\.json".r.findFirstMatchIn(f).map(_.group(1)),
+      resolver, writeOutputs = true, onHour = hours.add(_))
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$fixtures/user_exp_$hour.json"),
+        java.nio.file.Paths.get(s"$watch/user_exp_$hour.json"))
+      q.processAllAvailable()
+      assert(hours.contains(hour))
+      assert(canon(s"$out/log_processed_$hour.json", multiLine = false) ==
+        canon(s"$fixtures/log_processed_$hour.json", multiLine = true))
+    } finally q.stop()
+  }
 }
