@@ -500,6 +500,30 @@ object SparkEntry {
        |FROM (SELECT *, $best AS g FROM s)""".stripMargin
   }
 
+  /** DuckDB subquery `(SELECT <table>.*, quality ...)` computing
+    * [[TextFunctions.qualityScore]]'s four checks, generated from the same
+    * [[TextFunctions.QualityStopwords]] list so Spark and oracle can't drift.
+    * Callers alias it and project the columns they need.
+    */
+  private def qualityOracle(table: String): String = {
+    def occ(w: String): String = {
+      val pat = s" $w "
+      s"CAST((length(__pt) - length(replace(__pt, '$pat', ''))) / ${pat.length} AS BIGINT)"
+    }
+    val stopHits = TextFunctions.QualityStopwords.map(occ).mkString(" + ")
+    s"""(SELECT *,
+       |  (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0 ELSE 0.5 END
+       |   + CASE WHEN __wc > 0 AND CAST(length(text) AS DOUBLE) / __wc >= 3.0
+       |          AND CAST(length(text) AS DOUBLE) / __wc <= 12.0 THEN 1.0 ELSE 0.5 END
+       |   + CASE WHEN length(text) > 0 AND CAST(__punct AS DOUBLE) / length(text) <= 0.2 THEN 1.0 ELSE 0.5 END
+       |   + CASE WHEN __wc > 0 AND CAST($stopHits AS DOUBLE) / __wc >= 0.01 THEN 1.0 ELSE 0.5 END) / 4 AS quality
+       | FROM (SELECT *,
+       |   ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ' AS __pt,
+       |   len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS __wc,
+       |   len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS __punct
+       |  FROM $table) __qinner)""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (murmur-hash-based sketches) → driver records a rows-only check.
@@ -577,13 +601,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q14_lang_id" -> langIdOracle,
     "q15_quality" ->
-      """SELECT doc_id,
-        | (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0 ELSE 0.5 END
-        |  + CASE WHEN len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) > 0
-        |         AND CAST(length(text) AS DOUBLE) / len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) >= 3.0
-        |         AND CAST(length(text) AS DOUBLE) / len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) <= 12.0
-        |    THEN 1.0 ELSE 0.5 END) / 2 AS quality
-        |FROM documents""".stripMargin,
+      s"SELECT doc_id, quality FROM ${qualityOracle("documents")} __q15",
     "q19_embedding_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -702,24 +720,19 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
     "q44_corpus_prep" ->
-      """WITH keep AS (
+      s"""WITH keep AS (
         |  SELECT min(doc_id) AS doc_id
         |  FROM documents
-        |  GROUP BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |  GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
         |), d AS (
         |  SELECT documents.* FROM documents JOIN keep USING (doc_id)
         |), q AS (
-        |  SELECT doc_id, text,
-        |   (CASE WHEN length(text) >= 100 AND length(text) <= 20000 THEN 1.0 ELSE 0.5 END
-        |    + CASE WHEN len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) > 0
-        |           AND CAST(length(text) AS DOUBLE) / len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) >= 3.0
-        |           AND CAST(length(text) AS DOUBLE) / len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) <= 12.0
-        |      THEN 1.0 ELSE 0.5 END) / 2 AS quality,
+        |  SELECT doc_id, text, quality,
         |   (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
         |   + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
-        |  FROM d)
+        |  FROM ${qualityOracle("d")} __qd)
         |SELECT doc_id,
-        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS token_count,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS token_count,
         | quality,
         | CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
         |FROM q WHERE quality >= 0.75""".stripMargin,

@@ -87,16 +87,31 @@ object TextFunctions {
       lit(0L),
       (acc, x) => (acc * base + x) % mod)
 
-  /** Quality score in [0,1]: rewards mid-length docs, penalizes symbol
-    * density and very short docs. Single-division ratios of exact integer
-    * counts keep it bit-identical across engines.
+  /** English stopwords for the quality heuristic's stopword-ratio check —
+    * natural prose has some; keyword spam and boilerplate have none.
+    */
+  val QualityStopwords: Seq[String] =
+    Seq("the", "and", "of", "to", "is", "in", "a", "that", "it", "for")
+
+  /** Quality score in [0,1] over four equally-weighted checks (each passes
+    * at 1.0 or fails at 0.5): length in [100, 20k]; average word length in
+    * [3, 12]; punctuation density ≤ 20% of characters; ≥ 1% of words are
+    * stopwords. Single-division ratios of exact integer counts keep every
+    * check bit-identical across engines.
     */
   def qualityScore(text: Column): Column = {
     val len = length(text).cast("double")
     val words = wordCount(text).cast("double")
     val avgWordLen = when(words > 0, len / words).otherwise(lit(0.0))
+    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val padded = paddedText(text)
+    val stopHits = QualityStopwords
+      .map(w => occurrences(padded, s" $w ").cast("double"))
+      .reduce(_ + _)
     val lengthOk = when(length(text) >= 100 && length(text) <= 20000, lit(1.0)).otherwise(lit(0.5))
     val wordLenOk = when(avgWordLen >= 3.0 && avgWordLen <= 12.0, lit(1.0)).otherwise(lit(0.5))
-    (lengthOk + wordLenOk) / 2
+    val punctOk = when(len > 0 && punct / len <= 0.2, lit(1.0)).otherwise(lit(0.5))
+    val stopOk = when(words > 0 && stopHits / words >= 0.01, lit(1.0)).otherwise(lit(0.5))
+    (lengthOk + wordLenOk + punctOk + stopOk) / 4
   }
 }

@@ -16,9 +16,10 @@ class CorpusPrepSpec extends SparkSpec {
   }
 
   test("quality gate removes short/degenerate docs") {
-    // doc 3: short AND avg word length < 3 → quality 0.5, below the gate;
-    // doc 2: short but word shape fine → 0.75, kept (soft penalty only)
-    val docs = Seq((1L, goodText), (2L, "tiny"), (3L, "a b c d e f g h")).toDF("doc_id", "text")
+    // doc 3 fails length, word-shape, and punctuation-density checks →
+    // quality 0.625, below the gate; doc 2 fails only length + stopword
+    // ratio → 0.75, kept (soft penalty only)
+    val docs = Seq((1L, goodText), (2L, "tiny"), (3L, "a! b? c# d$ e% f^ g& h*")).toDF("doc_id", "text")
     val out = CorpusPrep.prepare(docs)
     assert(out.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
     assert(out.select("quality").as[Double].collect().forall(_ >= 0.75))
