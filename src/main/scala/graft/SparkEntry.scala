@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
-import graft.ops.{AsOfJoin, Dedup, Enrich, Mappings, Multimodal, Sessionize, Similarity, SkewJoin}
+import graft.ops.{AsOfJoin, Decontaminate, Dedup, Enrich, Mappings, Multimodal, Sampling, Sessionize, Similarity, SkewJoin}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -477,6 +477,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("doc_freq"))
         .orderBy(col("doc_freq").desc, col("term"))
         .limit(50)
+    }),
+
+    // ---- deterministic stratified sampling: md5-bucket membership is a
+    // pure function of the id — reproducible at any parallelism, map-only,
+    // no RNG state (vs sampleBy's seed/partitioning dependence) ------------
+    "q48_stratified_sample" -> ((s, dir) => {
+      Sampling.stratified(t(s, dir, "events"), "event_type", "event_id",
+          Map("view" -> 0.1, "click" -> 0.5))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+
+    // ---- benchmark decontamination: train docs sharing any word n-gram
+    // with the held-out set (doc_id ≡ 0 mod 97); test grams broadcast, so
+    // the corpus is never shuffled --------------------------------------
+    "q49_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.flagged(
+        docs.where(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(97)) === 0),
+        n = 3)
     })
   )
 
@@ -523,6 +543,14 @@ object SparkEntry {
        |   len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS __punct
        |  FROM $table) __qinner)""".stripMargin
   }
+
+  /** DuckDB expression for [[Sampling.idBucket]]: first byte of md5(id)
+    * in [0, 256) (DuckDB `conv` doesn't exist; strpos over the hex
+    * alphabet decodes the two nibbles).
+    */
+  private def bucketOracle(id: String): String =
+    s"(strpos('0123456789abcdef', substring(md5(CAST($id AS VARCHAR)), 1, 1)) - 1) * 16" +
+      s" + strpos('0123456789abcdef', substring(md5(CAST($id AS VARCHAR)), 2, 1)) - 1"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -637,9 +665,7 @@ object SparkEntry {
         |SELECT user_id, max(gap) AS max_gap_ms, count(*) AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
     "q29_hash_split" ->
-      """WITH b AS (SELECT *,
-        |  (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-        |  + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+      s"""WITH b AS (SELECT *, ${bucketOracle("doc_id")} AS bucket
         | FROM documents)
         |SELECT CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split,
         | count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars
@@ -727,9 +753,7 @@ object SparkEntry {
         |), d AS (
         |  SELECT documents.* FROM documents JOIN keep USING (doc_id)
         |), q AS (
-        |  SELECT doc_id, text, quality,
-        |   (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-        |   + strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+        |  SELECT doc_id, text, quality, ${bucketOracle("doc_id")} AS bucket
         |  FROM ${qualityOracle("d")} __qd)
         |SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS token_count,
@@ -753,6 +777,23 @@ object SparkEntry {
         |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
         |    w -> len(w) > 0))) AS term
         |  FROM documents)
-        |GROUP BY term ORDER BY doc_freq DESC, term LIMIT 50""".stripMargin
+        |GROUP BY term ORDER BY doc_freq DESC, term LIMIT 50""".stripMargin,
+    "q48_stratified_sample" ->
+      s"""SELECT event_id, user_id, event_type FROM events
+        |WHERE ${bucketOracle("event_id")}
+        |  < CASE event_type WHEN 'view' THEN ${Sampling.threshold(0.1)}
+        |                    WHEN 'click' THEN ${Sampling.threshold(0.5)}
+        |                    ELSE 256 END""".stripMargin,
+    "q49_decontaminate" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS ws
+        | FROM documents),
+        | g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+        |   i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS gram FROM w),
+        | t AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+        |SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+        |FROM g JOIN t USING (gram)
+        |WHERE g.doc_id % 97 <> 0
+        |GROUP BY g.doc_id""".stripMargin
   )
 }

@@ -3,7 +3,7 @@ package graft.jobs
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.ops.Dedup
+import graft.ops.{Dedup, Sampling}
 
 /** End-to-end training-corpus preparation: the composite pipeline a
   * 100 TB pretraining-data run actually executes, as one declarative
@@ -25,7 +25,7 @@ object CorpusPrep {
     * the same document can't straddle train/test by textual accident.
     */
   def hashSplit(id: Column): Column = {
-    val bucket = conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("long")
+    val bucket = Sampling.idBucket(id)
     when(bucket < 204, lit("train")).when(bucket < 230, lit("val")).otherwise(lit("test"))
   }
 

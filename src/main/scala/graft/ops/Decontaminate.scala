@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Benchmark decontamination: flag training documents that share any word
+  * n-gram with a held-out evaluation corpus — the standard pretraining
+  * hygiene step (e.g. "drop any train doc containing a 13-gram from the
+  * test set").
+  *
+  * Scale shape: the held-out set is tiny next to a 100 TB corpus, so its
+  * distinct gram set is **broadcast** — the training side is scanned once,
+  * map-side joined (no corpus shuffle), and only matching (id, gram) pairs
+  * reach the final narrow aggregate. [[flagged]] uses exact string grams
+  * (oracle-matchable in any SQL engine); [[flaggedHashed]] is the wire-
+  * efficient form — 8-byte murmur shingle hashes via the native
+  * [[VectorFunctions.shingleHashes]] expression — for when gram strings
+  * themselves are too wide to ship.
+  */
+object Decontaminate {
+
+  /** Space-joined word n-grams of a token array (empty when < n words). */
+  def ngrams(words: Column, n: Int): Column = {
+    require(n > 0, s"n must be positive: $n")
+    when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - (n - 1)), i => array_join(slice(words, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def explodedGrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), Dedup.wordTokens(col(textCol)).as("__w"))
+      .select(col("id"), explode(ngrams(col("__w"), n)).as("gram"))
+
+  /** (idCol, n_hits): training docs sharing ≥ 1 word n-gram with `test`,
+    * with the count of distinct shared grams. Inner result — clean docs
+    * don't appear; anti-join the ids to drop contaminated docs.
+    */
+  def flagged(
+      train: DataFrame,
+      test: DataFrame,
+      n: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val testGrams = explodedGrams(test, idCol, textCol, n).select("gram").distinct()
+    explodedGrams(train, idCol, textCol, n)
+      .join(broadcast(testGrams), "gram")
+      .groupBy(col("id").as(idCol))
+      .agg(count_distinct(col("gram")).as("n_hits"))
+  }
+
+  /** [[flagged]] with 64-bit hashed shingles instead of gram strings —
+    * same join shape, 8-byte keys. Distinct-per-doc by construction
+    * ([[VectorFunctions.shingleHashes]] emits distinct hashes), so the
+    * plain count is the distinct-gram count (modulo negligible 64-bit
+    * collisions).
+    */
+  def flaggedHashed(
+      train: DataFrame,
+      test: DataFrame,
+      n: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol).as("id"), Dedup.wordTokens(col(textCol)).as("__w"))
+      .select(col("id"), explode(VectorFunctions.shingleHashes(col("__w"), n)).as("gram"))
+    val testGrams = grams(test).select("gram").distinct()
+    grams(train)
+      .join(broadcast(testGrams), "gram")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+}

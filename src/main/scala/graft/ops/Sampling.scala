@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-addressed sampling for training-data pipelines.
+  *
+  * `df.stat.sampleBy` draws per-row randoms, so the selected set changes
+  * with seed handling, partitioning, and Spark version — useless for
+  * reproducible ablations. Here membership is a pure function of the row
+  * id: bucket = first byte of md5(id) ∈ [0, 256), keep iff bucket < ⌈f·256⌉
+  * for the row's stratum. Rerunning on the same corpus — at any
+  * parallelism, any cluster — selects byte-identical rows, and the same
+  * rule is expressible in any SQL engine (the DuckDB oracle runs it
+  * verbatim). Map-only: no shuffle, no RNG state, prunes to (id, stratum).
+  */
+object Sampling {
+
+  /** First byte of md5(id) as a long in [0, 256) — the shared
+    * deterministic bucketing primitive (also drives
+    * [[graft.jobs.CorpusPrep.hashSplit]]'s train/val/test assignment).
+    */
+  def idBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("long")
+
+  /** Per-stratum threshold out of 256 for a sampling fraction. */
+  def threshold(fraction: Double): Int = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction")
+    math.ceil(fraction * 256).toInt
+  }
+
+  /** Keep each row of `df` with its stratum's fraction (default for
+    * strata not listed). Deterministic in `idCol`; approximately exact
+    * rates (md5 is uniform; granularity 1/256).
+    */
+  def stratified(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 1.0): DataFrame = {
+    val thresh = fractions.foldLeft(lit(threshold(defaultFraction))) {
+      case (acc, (stratum, f)) => when(col(stratumCol) === stratum, lit(threshold(f))).otherwise(acc)
+    }
+    df.where(idBucket(col(idCol)) < thresh)
+  }
+}

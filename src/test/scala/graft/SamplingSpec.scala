@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Decontaminate, Dedup, Sampling}
+
+/** Deterministic sampling + decontamination semantics. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratified: deterministic, per-stratum rate, unlisted strata keep default") {
+    val rows = (1L to 2000L).map(i => (i, if (i % 2 == 0) "view" else "purchase"))
+    val df = rows.toDF("event_id", "event_type")
+    val sampled = Sampling.stratified(df, "event_type", "event_id", Map("view" -> 0.1))
+    val again = Sampling.stratified(df, "event_type", "event_id", Map("view" -> 0.1))
+    assert(sampled.collect().toSet === again.collect().toSet)
+    val byType = sampled.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(byType("purchase") === 1000L) // default fraction 1.0 keeps everything
+    val viewRate = byType.getOrElse("view", 0L).toDouble / 1000
+    assert(viewRate > 0.05 && viewRate < 0.2, s"view rate $viewRate far from 0.1")
+  }
+
+  test("stratified: fraction 0 drops the stratum entirely") {
+    val df = (1L to 100L).map(i => (i, "view")).toDF("event_id", "event_type")
+    assert(Sampling.stratified(df, "event_type", "event_id", Map("view" -> 0.0)).count() === 0L)
+  }
+
+  test("ngrams: sliding word windows; short docs yield none") {
+    val words = Seq(Seq("a", "b", "c", "d"), Seq("a", "b")).toDF("w")
+    val got = words.select(Decontaminate.ngrams(col("w"), 3).as("g")).as[Seq[String]].collect()
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq.empty)
+  }
+
+  test("flagged finds shared n-grams and counts distinct hits; hashed form agrees") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words here nothing shared"),
+      (3L, "quick brown fox again and again quick brown fox")).toDF("doc_id", "text")
+    val test = Seq((100L, "a quick brown fox appeared")).toDF("doc_id", "text")
+    val exact = Decontaminate.flagged(train, test, n = 3)
+      .as[(Long, Long)].collect().toMap
+    // shared 3-gram "quick brown fox": docs 1 and 3 (distinct-counted once in 3)
+    assert(exact === Map(1L -> 1L, 3L -> 1L))
+    val hashed = Decontaminate.flaggedHashed(train, test, n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(hashed === exact)
+  }
+
+  test("flagged is case/whitespace normalized like wordTokens") {
+    val train = Seq((1L, "The  Quick\tBrown Fox")).toDF("doc_id", "text")
+    val test = Seq((2L, "quick brown fox")).toDF("doc_id", "text")
+    assert(Decontaminate.flagged(train, test, n = 3).count() === 1L)
+  }
+}
