@@ -497,6 +497,14 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(97)) =!= 0),
         docs.where(pmod(col("doc_id"), lit(97)) === 0),
         n = 3)
+    }),
+
+    // ---- sequence packing: docs → ~2048-token shards, greedy fill in
+    // doc_id order within (split, shard) windows — no global sort ----------
+    "q50_pack_shards" -> ((s, dir) => {
+      CorpusPrep.packShards(t(s, dir, "documents"), budgetTokens = 2048, nShards = 16)
+        .groupBy(col("split"), col("shard"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("pack_tokens"))
     })
   )
 
@@ -794,6 +802,20 @@ object SparkEntry {
         |SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
         |FROM g JOIN t USING (gram)
         |WHERE g.doc_id % 97 <> 0
-        |GROUP BY g.doc_id""".stripMargin
+        |GROUP BY g.doc_id""".stripMargin,
+    "q50_pack_shards" ->
+      s"""WITH b AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS tok,
+        |  ${bucketOracle("doc_id")} AS bucket
+        | FROM documents),
+        | a AS (SELECT doc_id, tok,
+        |  CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split,
+        |  bucket % 16 AS shard
+        | FROM b),
+        | p AS (SELECT *, sum(tok) OVER (PARTITION BY split, shard ORDER BY doc_id) AS cum FROM a)
+        |SELECT split, shard,
+        | CAST(floor((cum - tok) / CAST(2048 AS DOUBLE)) AS BIGINT) AS pack_id,
+        | count(*) AS n_docs, sum(tok) AS pack_tokens
+        |FROM p GROUP BY 1, 2, 3""".stripMargin
   )
 }

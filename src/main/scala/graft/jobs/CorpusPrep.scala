@@ -1,6 +1,7 @@
 package graft.jobs
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.ops.{Dedup, Sampling}
@@ -27,6 +28,33 @@ object CorpusPrep {
   def hashSplit(id: Column): Column = {
     val bucket = Sampling.idBucket(id)
     when(bucket < 204, lit("train")).when(bucket < 230, lit("val")).otherwise(lit("test"))
+  }
+
+  /** Pack documents into ~`budgetTokens`-token training shards: within
+    * each (split, shard) group, docs are taken in deterministic doc_id
+    * order and assigned `pack_id = ⌊exclusive-cumulative-tokens / budget⌋`
+    * — contiguous greedy fill, the standard pretraining sequence-packing
+    * shape. Returns per-doc assignments
+    * (doc_id, tok, split, shard, pack_id).
+    *
+    * Scale shape: the only sort is *within* a (split, shard) window
+    * partition — there is no global order. `nShards` bounds parallelism
+    * and per-group size; raise it with the corpus (it only changes which
+    * packs docs land in, never the determinism).
+    */
+  def packShards(docs: DataFrame, budgetTokens: Int = 2048, nShards: Int = 16): DataFrame = {
+    require(budgetTokens > 0 && nShards > 0, "budgetTokens and nShards must be positive")
+    val w = Window.partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))
+    docs
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("tok"),
+        hashSplit(col("doc_id")).as("split"),
+        pmod(Sampling.idBucket(col("doc_id")), lit(nShards)).as("shard"))
+      .withColumn("__cum", sum(col("tok")).over(w))
+      .withColumn("pack_id",
+        floor((col("__cum") - col("tok")).cast("double") / budgetTokens).cast("long"))
+      .drop("__cum")
   }
 
   /** docs(doc_id, text, ...) → (doc_id, token_count, quality, split) for

@@ -25,6 +25,27 @@ class CorpusPrepSpec extends SparkSpec {
     assert(out.select("quality").as[Double].collect().forall(_ >= 0.75))
   }
 
+  test("packShards: greedy contiguous fill in doc_id order within a shard") {
+    // One shard (nShards=1), all docs same split bucket behavior irrelevant:
+    // verify pack boundaries from the exclusive cumulative sum.
+    val docs = (1L to 20L).map(i => (i, goodText)).toDF("doc_id", "text")
+    val out = CorpusPrep.packShards(docs, budgetTokens = 200, nShards = 1)
+      .select("doc_id", "tok", "split", "pack_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // within each split group, pack_id must be non-decreasing in doc_id and
+    // each pack's token total (except possibly its last doc) stays < budget
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).toSeq.sorted)
+      var cum = 0L
+      sorted.foreach { case (_, tok, _, pack) =>
+        assert(pack === cum / 200, s"pack mismatch at cum=$cum")
+        cum += tok
+      }
+    }
+  }
+
   test("split assignment is deterministic and id-based") {
     val docs = (1L to 50L).map(i => (i, goodText + s" doc $i")).toDF("doc_id", "text")
     val a = CorpusPrep.prepare(docs).select("doc_id", "split").collect().toSet
