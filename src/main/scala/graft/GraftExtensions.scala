@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
 
+  private def stringArg(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
@@ -56,6 +61,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64", "graft_simhash64(tokens) - 64-bit SimHash of a string array"),
       (children: Seq[Expression]) => SimHash64(children(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_count_occurrences"),
+      info("graft_count_occurrences",
+        "graft_count_occurrences(haystack, needle) - non-overlapping occurrence count of a literal needle"),
+      (children: Seq[Expression]) =>
+        CountOccurrences(children(0), stringArg(children(1), "needle"))))
 
     ext.injectFunction((
       FunctionIdentifier("graft_shingle_hashes"),

@@ -1,7 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftColumn}
 import org.apache.spark.sql.functions._
+import graft.functions.expressions.CountOccurrences
 
 /** Text-analysis operators for large-scale document pipelines (SURVEY §7.2
   * step 8 / BASELINE.json north star): language ID, quality scoring, token
@@ -18,8 +19,18 @@ object TextFunctions {
   def wordCount(text: Column): Column =
     size(filter(split(text, "\\s+"), t => length(t) > 0))
 
-  /** Non-overlapping occurrence count of a literal `needle`. */
+  /** Non-overlapping occurrence count of a literal `needle` — native
+    * indexOf scan (no replaced-string allocation; see
+    * [[CountOccurrences]]). [[occurrencesHof]] is the portable
+    * length/replace formulation the DuckDB oracles mirror.
+    */
   def occurrences(haystack: Column, needle: String): Column =
+    GraftColumn(CountOccurrences(GraftColumn.expr(haystack), needle))
+
+  /** Reference length/replace form of [[occurrences]] (what the SQL
+    * oracles run; tests cross-check the native form against it).
+    */
+  def occurrencesHof(haystack: Column, needle: String): Column =
     ((length(haystack) - length(replace(haystack, lit(needle), lit("")))) / needle.length)
       .cast("long")
 

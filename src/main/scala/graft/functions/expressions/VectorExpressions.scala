@@ -354,6 +354,44 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Non-overlapping occurrence count of a constant `needle`, scanning
+  * left-to-right — character-for-character the same count as the portable
+  * `(length(h) - length(replace(h, needle, ''))) / length(needle)`
+  * formulation (the DuckDB-oracle form), but as an indexOf walk: no
+  * replaced-string allocation. The language-ID / quality scorers evaluate
+  * ~20 marker needles per row, so the allocation-free form is the hot-path
+  * variant.
+  */
+case class CountOccurrences(child: Expression, needle: String) extends UnaryExpression {
+  require(needle.nonEmpty, "needle must be non-empty")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val needleU = UTF8String.fromString(needle)
+  @transient private lazy val needleChars = needleU.numChars()
+
+  def count(h: UTF8String): Long = {
+    var c = 0L
+    var pos = h.indexOf(needleU, 0)
+    while (pos >= 0) {
+      c += 1
+      pos = h.indexOf(needleU, pos + needleChars)
+    }
+    c
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("countOccurrences", this, classOf[CountOccurrences].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.count($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountOccurrences =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over a token array: each token hashes once to 64 bits;
   * per-bit signed votes; result bit set where votes are positive. The
   * staged HOF form hashes every token once per bit (64×).

@@ -99,7 +99,25 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(s1.forall(h => s4.contains(h)))
   }
 
+  test("count occurrences: native indexOf scan matches the length/replace form") {
+    val texts = Seq(
+      " the cat and the dog and the bird ",
+      "aaaa",            // overlap: "aa" counts 2 non-overlapping, not 3
+      "no match here",
+      "",                // empty haystack
+      " ééé ü the ü ")   // multi-byte chars: char semantics, not bytes
+      .toDF("t")
+    Seq(" the ", "aa", "ü").foreach { needle =>
+      val rows = texts.select(
+        graft.functions.TextFunctions.occurrences(col("t"), needle).as("n"),
+        graft.functions.TextFunctions.occurrencesHof(col("t"), needle).as("nh")).collect()
+      rows.foreach(r => assert(r.getLong(0) === r.getLong(1), s"needle '$needle' on ${r}"))
+    }
+  }
+
   test("SQL surface: graft_* functions registered via SparkSessionExtensions") {
+    val occ = spark.sql("SELECT graft_count_occurrences(' a b a ', 'a') AS n").head().getLong(0)
+    assert(occ == 2L)
     val d = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
     assert(d == 11.0)
     val c = spark.sql("SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head().getDouble(0)
