@@ -31,6 +31,14 @@ object SparkEntry {
     if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)")) else df
   }
 
+  /** Spread a document-bearing input to all cores before regex/hash-heavy
+    * per-row work ([[graft.io.Spread]]) — an agg-first query should NOT use
+    * this (it would shuffle full rows that map-side partial aggregation
+    * would otherwise reduce first); it pays off only when per-row compute
+    * dominates the one cheap exchange. No-op on multi-split inputs.
+    */
+  private def spread(df: DataFrame): DataFrame = graft.io.Spread.toDefaultParallelism(df)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *
     * The reference's TLB metrics shape (SURVEY §3 EP3) transposed onto the
@@ -168,7 +176,7 @@ object SparkEntry {
 
     // ---- text stats: char/word/token counts ------------------------------
     "q13_text_stats" -> ((s, dir) => {
-      t(s, dir, "documents").select(
+      spread(t(s, dir, "documents")).select(
         col("doc_id"),
         length(col("text")).cast("long").as("char_len"),
         TextFunctions.wordCount(col("text")).cast("long").as("word_count"),
@@ -178,14 +186,15 @@ object SparkEntry {
     // ---- heuristic language ID (padded text staged: regexp once per row,
     // not once per marker — mirrors the oracle's CTE) ----------------------
     "q14_lang_id" -> ((s, dir) => {
-      t(s, dir, "documents")
+      spread(t(s, dir, "documents"))
         .select(col("doc_id"), TextFunctions.paddedText(col("text")).as("__pt"))
         .select(col("doc_id"), TextFunctions.langGuessFromPadded(col("__pt")).as("lang_guess"))
     }),
 
     // ---- quality score ----------------------------------------------------
     "q15_quality" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+      spread(t(s, dir, "documents"))
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
     }),
 
     // ---- MinHash + LSH near-dup candidates (no SQL oracle: murmur hash) --
@@ -240,7 +249,7 @@ object SparkEntry {
 
     // ---- rolling-hash document fingerprint -------------------------------
     "q24_rolling_fp" -> ((s, dir) => {
-      t(s, dir, "documents")
+      spread(t(s, dir, "documents"))
         .select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("rolling_fp"))
     }),
 
@@ -471,7 +480,7 @@ object SparkEntry {
     // (partial agg before the shuffle: explode → per-partition combine →
     // one narrow (term, count) exchange; top-k via TakeOrdered) ------------
     "q47_top_terms" -> ((s, dir) => {
-      t(s, dir, "documents")
+      spread(t(s, dir, "documents"))
         .select(explode(array_distinct(Dedup.wordTokens(col("text")))).as("term"))
         .groupBy(col("term"))
         .agg(count(lit(1)).as("doc_freq"))

@@ -45,7 +45,7 @@ object CorpusPrep {
   def packShards(docs: DataFrame, budgetTokens: Int = 2048, nShards: Int = 16): DataFrame = {
     require(budgetTokens > 0 && nShards > 0, "budgetTokens and nShards must be positive")
     val w = Window.partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))
-    docs
+    graft.io.Spread.toDefaultParallelism(docs)
       .select(
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("tok"),
@@ -61,8 +61,9 @@ object CorpusPrep {
     * the deduped, quality-gated corpus.
     */
   def prepare(docs: DataFrame, minQuality: Double = 0.75): DataFrame = {
-    val keep = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
-    docs.join(keep, Seq("doc_id"), "left_semi")
+    val spreadDocs = graft.io.Spread.toDefaultParallelism(docs)
+    val keep = Dedup.exact(spreadDocs).select(col("keep_id").as("doc_id"))
+    spreadDocs.join(keep, Seq("doc_id"), "left_semi")
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .where(col("quality") >= minQuality)
       .select(

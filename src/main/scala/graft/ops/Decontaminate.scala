@@ -29,7 +29,8 @@ object Decontaminate {
   }
 
   private def explodedGrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), Dedup.wordTokens(col(textCol)).as("__w"))
+    graft.io.Spread.toDefaultParallelism(df)
+      .select(col(idCol).as("id"), Dedup.wordTokens(col(textCol)).as("__w"))
       .select(col("id"), explode(ngrams(col("__w"), n)).as("gram"))
 
   /** (idCol, n_hits): training docs sharing ≥ 1 word n-gram with `test`,

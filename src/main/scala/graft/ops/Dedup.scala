@@ -22,14 +22,11 @@ import graft.functions.{TextFunctions, VectorFunctions}
   */
 object Dedup {
 
-  /** Ensure enough partitions for CPU-heavy per-row work. A no-op when the
-    * source already has ≥ default-parallelism splits (any real at-scale
-    * input); only tiny single-row-group local files get exchanged.
+  /** Ensure enough partitions for CPU-heavy per-row work — see
+    * [[graft.io.Spread.toDefaultParallelism]] (no-op at real scale).
     */
-  private[ops] def parallelize(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private[ops] def parallelize(df: DataFrame): DataFrame =
+    graft.io.Spread.toDefaultParallelism(df)
 
   /** Exact dedup: keep the smallest-id representative per content
     * fingerprint; report group size. The aggregate carries only
