@@ -63,6 +63,12 @@ object CorpusPrep {
   def prepare(docs: DataFrame, minQuality: Double = 0.75): DataFrame = {
     val spreadDocs = graft.io.Spread.toDefaultParallelism(docs)
     val keep = Dedup.exact(spreadDocs).select(col("keep_id").as("doc_id"))
+    // Catalyst inlines the quality alias into a Filter it pushes all the
+    // way to the scan — the gate then cuts rows before the dedup join and
+    // the spread exchange, at the cost of re-evaluating quality in the
+    // output projection for survivors (codegen CSE dedups within each
+    // operator). Early row reduction wins at scale, so the pushdown is
+    // left alone.
     spreadDocs.join(keep, Seq("doc_id"), "left_semi")
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .where(col("quality") >= minQuality)
