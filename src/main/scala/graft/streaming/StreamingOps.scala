@@ -90,6 +90,30 @@ object StreamingOps {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream correlation join — the streaming form of the
+    * reference's J4 event⋈trace correlation when both sides arrive as
+    * streams. Each side is watermarked and the join carries a time-range
+    * bound (`|traceTs − eventTs| ≤ within`): the range plus the watermarks
+    * is what lets Spark expire unmatched rows from the join state store,
+    * keeping state finite on unbounded streams. Inner semantics, like J4.
+    */
+  def correlateStreams(
+      events: DataFrame,
+      traces: DataFrame,
+      key: String = "traceId",
+      eventTsCol: String = "timestamp",
+      traceTsCol: String = "traceTs",
+      within: String = "1 hour"): DataFrame = {
+    val e = events.withWatermark(eventTsCol, within)
+    val t = traces.withWatermark(traceTsCol, within)
+    e.join(
+      t,
+      e(key) === t(key) &&
+        t(traceTsCol) >= e(eventTsCol) - expr(s"INTERVAL $within") &&
+        t(traceTsCol) <= e(eventTsCol) + expr(s"INTERVAL $within"))
+      .drop(t(key))
+  }
+
   /** Read the reference's user-exp JSON shape as a file stream. */
   def userExpStream(spark: SparkSession, dir: String): Dataset[SessionEvent] = {
     import spark.implicits._

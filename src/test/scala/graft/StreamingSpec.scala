@@ -111,4 +111,30 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     assert(spark.table("deduped").count() === 2)
   }
+
+  test("stream-stream correlation joins events to traces within the time bound") {
+    val in = Files.createTempDirectory("graft_stream_ss")
+    def write(sub: String, name: String, lines: Seq[String]): Unit = {
+      Files.createDirectories(Paths.get(in.toString, sub))
+      Files.write(Paths.get(in.toString, sub, name), lines.mkString("\n").getBytes)
+    }
+    write("ev", "b1.json", Seq(
+      """{"eventId":"e1","traceId":"t1","timestamp":"2024-11-16T10:00:00Z"}""",
+      """{"eventId":"e2","traceId":"t2","timestamp":"2024-11-16T10:00:00Z"}"""))
+    write("tr", "b1.json", Seq(
+      """{"traceId":"t1","traceTs":"2024-11-16T10:20:00Z","server":"s1"}""",
+      // t2's trace arrives 3 h after the event — outside the 1 h bound
+      """{"traceId":"t2","traceTs":"2024-11-16T13:00:00Z","server":"s2"}"""))
+    val ev = spark.readStream.schema("eventId STRING, traceId STRING, timestamp STRING")
+      .json(in.toString + "/ev").withColumn("timestamp", to_timestamp(col("timestamp")))
+    val tr = spark.readStream.schema("traceId STRING, traceTs STRING, server STRING")
+      .json(in.toString + "/tr").withColumn("traceTs", to_timestamp(col("traceTs")))
+    val q = StreamingOps.correlateStreams(ev, tr)
+      .writeStream.outputMode("append").format("memory").queryName("correlated")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("correlated").select("eventId", "server").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("e1", "s1")))
+  }
 }
