@@ -514,6 +514,19 @@ object SparkEntry {
       CorpusPrep.packShards(t(s, dir, "documents"), budgetTokens = 2048, nShards = 16)
         .groupBy(col("split"), col("shard"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("pack_tokens"))
+    }),
+
+    // ---- arbitrary GROUPING SETS (beyond rollup/cube's fixed lattices):
+    // one pass, Expand feeds a single hash agg ----------------------------
+    "q51_grouping_sets" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping_id().as("gid"),
+          count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
     })
   )
 
@@ -825,6 +838,13 @@ object SparkEntry {
         |SELECT split, shard,
         | CAST(floor((cum - tok) / CAST(2048 AS DOUBLE)) AS BIGINT) AS pack_id,
         | count(*) AS n_docs, sum(tok) AS pack_tokens
-        |FROM p GROUP BY 1, 2, 3""".stripMargin
+        |FROM p GROUP BY 1, 2, 3""".stripMargin,
+    "q51_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | GROUPING(o_orderstatus, o_orderpriority) AS gid,
+        | count(*) AS n_orders,
+        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin
   )
 }
