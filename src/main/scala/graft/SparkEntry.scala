@@ -527,6 +527,20 @@ object SparkEntry {
           grouping_id().as("gid"),
           count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+    }),
+
+    // ---- int8 embedding quantization (ANN memory scale path); summarized
+    // to exact integer stats so the oracle compares scalars, not arrays ----
+    "q52_quantize" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          VectorFunctions.maxAbs(col("embedding")).as("max_abs"))
+        .select(col("vec_id"), col("max_abs"),
+          VectorFunctions.quantizeInt8(col("embedding"), col("max_abs")).as("__q"))
+        .select(col("vec_id"), col("max_abs"),
+          aggregate(col("__q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("__q")).as("q_min"),
+          array_max(col("__q")).as("q_max"))
     })
   )
 
@@ -845,6 +859,19 @@ object SparkEntry {
         | count(*) AS n_orders,
         | sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
         |FROM orders
-        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin,
+    "q52_quantize" ->
+      """WITH m AS (SELECT vec_id,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
+        |  embedding FROM embeddings),
+        | q AS (SELECT vec_id, max_abs,
+        |  CASE WHEN max_abs > 0
+        |   THEN list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs) AS BIGINT))
+        |   ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+        | FROM m)
+        |SELECT vec_id, max_abs,
+        | CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        | list_min(qv) AS q_min, list_max(qv) AS q_max
+        |FROM q""".stripMargin
   )
 }

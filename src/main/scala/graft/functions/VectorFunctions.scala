@@ -67,6 +67,25 @@ object VectorFunctions {
     when(normCol > 0, transform(vec, x => x.cast("double") / normCol))
       .otherwise(transform(vec, _ => lit(0.0)))
 
+  /** Per-vector max|xᵢ| (in double) — the scale denominator for symmetric
+    * int8 quantization.
+    */
+  def maxAbs(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double"))))
+
+  /** Symmetric int8 quantization against a pre-staged [[maxAbs]] column:
+    * `qᵢ = round(xᵢ · 127 / maxAbs)` ∈ [-127, 127]. The standard
+    * 4×-memory-reduction step for billion-vector ANN at rest — quantize
+    * once at ingest, score candidates on int8, re-rank survivors on the
+    * full floats. Zero vectors quantize to zeros. Exact integer outputs →
+    * any SQL engine reproduces them bit-for-bit (ties round away from
+    * zero in both Spark and ANSI round()).
+    */
+  def quantizeInt8(vec: Column, maxAbsCol: Column): Column =
+    when(maxAbsCol > 0,
+      transform(vec, x => round(x.cast("double") * 127.0 / maxAbsCol).cast("long")))
+      .otherwise(transform(vec, _ => lit(0L)))
+
   /** Signed random-hyperplane LSH bucket: the sign bits of `nBits` fixed
     * pseudo-random hyperplane projections, packed into a long. Two vectors
     * with high cosine similarity collide with high probability — the

@@ -40,4 +40,25 @@ class KvAndIvfSpec extends SparkSpec {
     // probing only centroid 100's partition: neighbors 2 and 3
     assert(got == Seq(2L, 3L))
   }
+
+  test("int8 quantization: bounded range, zero-vector safe, cosine preserved") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(40)(Seq.fill(64)(rnd.nextFloat() * 2 - 1)) :+ Seq.fill(64)(0.0f)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      .withColumn("max_abs", graft.functions.VectorFunctions.maxAbs(col("embedding")))
+      .withColumn("q", graft.functions.VectorFunctions.quantizeInt8(col("embedding"), col("max_abs")))
+    val rows = df.select(
+      array_min(col("q")), array_max(col("q")),
+      graft.functions.VectorFunctions.cosine(
+        col("embedding").cast("array<double>"),
+        col("q").cast("array<double>")).as("cos")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) >= -127L && r.getLong(1) <= 127L)
+      // dequantization is a positive per-vector rescale, so cosine against
+      // the quantized ints directly measures quantization error
+      val c = r.getDouble(2)
+      assert(c == 0.0 || c > 0.999, s"cosine degraded: $c")
+    }
+  }
 }
