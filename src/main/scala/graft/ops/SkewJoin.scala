@@ -41,8 +41,11 @@ object SkewJoin {
       "__salt", pmod(xxhash64(saltInput: _*), lit(nSalts)).cast("int"))
     val saltedDim = dim.withColumn(
       "__salt", explode(array((0 until nSalts).map(lit): _*)))
+    // Shuffled-hash over sort-merge: salting exists to bound every
+    // (key, salt) partition, which is exactly the precondition that makes
+    // hash-joining safe — and it skips both sides' sorts.
     saltedFact
-      .join(saltedDim,
+      .join(saltedDim.hint("shuffle_hash"),
         saltedFact(factKey) === saltedDim(dimKey) && saltedFact("__salt") === saltedDim("__salt"))
       .drop("__salt")
   }
