@@ -37,4 +37,17 @@ object Io {
 
   def readParquet(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
+
+  /** Hour-partitioned parquet layout — the at-scale replacement for the
+    * reference's `{hour}`-in-filename convention: `hour` becomes a
+    * directory partition column, so an hour-filtered read is pruned at
+    * plan time to one directory (`PartitionFilters` in the scan) instead
+    * of listing/reading the whole corpus.
+    */
+  def writeHourPartitioned(df: DataFrame, path: String, hourCol: String = "hour"): Unit =
+    df.write.mode("overwrite").partitionBy(hourCol).parquet(path)
+
+  /** Read one hour from an hour-partitioned layout (partition-pruned). */
+  def readHour(spark: SparkSession, path: String, hour: String, hourCol: String = "hour"): DataFrame =
+    spark.read.parquet(path).where(org.apache.spark.sql.functions.col(hourCol) === hour)
 }

@@ -40,4 +40,21 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_agg")
     }
   }
+
+  test("hour-partitioned layout prunes an hour-filtered read at plan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hourpart").toString
+    val df = (0 until 240).map(i => (i.toLong, s"2024111${6 + i % 3}%02d".format(i % 24).take(10), s"e$i"))
+      .toDF("id", "hour", "payload")
+    graft.io.Io.writeHourPartitioned(df, dir)
+    val hour = df.select("hour").as[String].head()
+    val read = graft.io.Io.readHour(spark, dir, hour)
+    assert(read.count() === df.where(col("hour") === hour).count())
+    val scan = read.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .getOrElse(fail("no file scan in plan"))
+    assert(scan.partitionFilters.nonEmpty, "hour filter must become a PartitionFilter")
+    // pruned listing: only the selected hour's directory is read
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .forall(_.files.forall(_.getPath.toString.contains(s"hour=$hour"))))
+  }
 }
