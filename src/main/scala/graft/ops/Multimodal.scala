@@ -54,6 +54,20 @@ object Multimodal {
       payload.grouped(frameSize).take(maxFrames).toSeq
     }
 
+    /** Deterministic stand-in for a pixel resample: payload truncated or
+      * cycle-padded to the byte budget of the target dimensions. Real
+      * impl: bilinear/areal resample via an image library.
+      */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val target = math.max(1, (w * h) / 256)
+      val out = new Array[Byte](target)
+      if (payload.nonEmpty) {
+        var i = 0
+        while (i < target) { out(i) = payload(i % payload.length); i += 1 }
+      }
+      out
+    }
+
     /** Rolling-hash feature vector — stands in for a vision/audio encoder. */
     def features(payload: Array[Byte], dim: Int = 16): Array[Float] = {
       val out = new Array[Float](dim)
@@ -92,14 +106,30 @@ object Multimodal {
     }
   }
 
+  /** Batched resize to a uniform target resolution — the standard
+    * normalization pass before feature extraction. Same partition-batched
+    * shape as [[extractFeatures]]; payloads are rewritten, metadata
+    * (dims encoded by the stub header contract) updated in place.
+    */
+  def resizeAll(media: Dataset[MediaRow], w: Int, h: Int, batchSize: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // real codec: one native resampler instance per batch here
+        batch.iterator.map { m =>
+          val resized = DecodeStub.resize(m.payload, w, h)
+          m.copy(payload = resized, size_bytes = resized.length.toLong)
+        }
+      }
+    }
+  }
+
   /** Test-path adapter: treat document text bytes as opaque media payloads
     * so the full binary-column pipeline runs against real testdata.
     */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    val target = docs.sparkSession.sparkContext.defaultParallelism
-    val spread = if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
-    spread.select(
+    graft.io.Spread.toDefaultParallelism(docs).select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")), (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
       col("text").cast("binary").as("payload"))

@@ -45,4 +45,19 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.size == 8)
     assert(frames.map(_.length).sum >= 1000 - 8) // near-complete coverage
   }
+
+  test("resizeAll rewrites payloads to the target budget, keeps ids and kinds") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", Array[Byte](1, 2, 3), "application/x-fake-image", 3L),
+      Multimodal.MediaRow(2L, "video", (1 to 5000).map(_.toByte).toArray, "application/x-fake-video", 5000L))
+      .toDS()
+    val out = Multimodal.resizeAll(media, w = 128, h = 128).collect().sortBy(_.media_id)
+    assert(out.map(_.media_id).toSeq == Seq(1L, 2L))
+    assert(out.forall(_.payload.length == 128 * 128 / 256))
+    assert(out.forall(m => m.size_bytes == m.payload.length.toLong))
+    // deterministic: same input → same bytes
+    val again = Multimodal.resizeAll(media, w = 128, h = 128).collect().sortBy(_.media_id)
+    assert(out.zip(again).forall { case (a, b) => a.payload.sameElements(b.payload) })
+  }
 }
