@@ -19,6 +19,18 @@ class SamplingSpec extends SparkSpec {
     assert(viewRate > 0.05 && viewRate < 0.2, s"view rate $viewRate far from 0.1")
   }
 
+  test("stratified: samples are nested — a smaller fraction is a subset of a larger one") {
+    // threshold membership ⇒ sample(f₁) ⊆ sample(f₂) for f₁ ≤ f₂: ablation
+    // sweeps over data fractions stay consistent (each run extends, never
+    // reshuffles, the previous selection)
+    val df = (1L to 3000L).map(i => (i, "view")).toDF("event_id", "event_type")
+    def ids(f: Double): Set[Long] =
+      Sampling.stratified(df, "event_type", "event_id", Map("view" -> f))
+        .select("event_id").as[Long].collect().toSet
+    val s10 = ids(0.1); val s50 = ids(0.5); val s100 = ids(1.0)
+    assert(s10.subsetOf(s50) && s50.subsetOf(s100) && s100.size === 3000)
+  }
+
   test("stratified: fraction 0 drops the stratum entirely") {
     val df = (1L to 100L).map(i => (i, "view")).toDF("event_id", "event_type")
     assert(Sampling.stratified(df, "event_type", "event_id", Map("view" -> 0.0)).count() === 0L)
