@@ -68,7 +68,9 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity")).as("sum_qty"),
+          // integer units (quantities are integral) → exact, order-independent
+          // sums AND an int64-vs-float64 dtype match with the DuckDB oracle
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
           sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"),
           sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
             .as("sum_disc_price_cents"),
@@ -601,11 +603,16 @@ object SparkEntry {
     * (murmur-hash-based sketches) → driver records a rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
+    // NOTE (driver hash parity): DuckDB sum(BIGINT) returns HUGEINT, which
+    // pandas renders as float64 — a dtype-sensitive hash then differs from
+    // Spark's int64 even when every value is equal. Every integer sum below
+    // is therefore wrapped CAST(sum(..) AS BIGINT); sum_qty is integer-unit
+    // on both sides for the same reason.
     "q1_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | sum(l_quantity) AS sum_qty,
-        | sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
-        | sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        | CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
         | count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q2_conditional_counts" ->
@@ -627,7 +634,7 @@ object SparkEntry {
         |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
     "q5_threeway_join" ->
       """SELECT c_mktsegment, count(*) AS n_items,
-        | sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+        | CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -647,7 +654,7 @@ object SparkEntry {
         |   max(CASE WHEN event_type = 'purchase' THEN t END) OVER
         |     (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_end
         |  FROM e)
-        |SELECT user_id, sum(t - last_start) AS session_ms, count(*) AS n_sessions
+        |SELECT user_id, CAST(sum(t - last_start) AS BIGINT) AS session_ms, count(*) AS n_sessions
         |FROM m
         |WHERE event_type = 'purchase' AND last_start IS NOT NULL
         |  AND (last_end IS NULL OR last_start > last_end)
@@ -728,7 +735,7 @@ object SparkEntry {
         | count(DISTINCT o_custkey) AS n_customers,
         | count(*) FILTER (WHERE o_orderstatus IS NULL) AS null_status,
         | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
-        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders""".stripMargin,
     "q33_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_ms(p.ts) - epoch_ms(v.ts) AS gap_ms
@@ -737,7 +744,7 @@ object SparkEntry {
         |  ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
     "q34_range_band" ->
       """SELECT band, count(*) AS n_orders,
-        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders
         |JOIN (VALUES ('budget', 0, 100000), ('mid', 100000, 250000),
         |             ('premium', 250000, 400000), ('luxury', 400000, 1000000)) b(band, lo, hi)
@@ -745,8 +752,8 @@ object SparkEntry {
         |GROUP BY band""".stripMargin,
     "q35_running_sum" ->
       """SELECT o_custkey, o_orderkey,
-        | sum(CAST(round(o_totalprice * 100) AS BIGINT))
-        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS running_cents
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS running_cents
         |FROM orders""".stripMargin,
     "q36_quartiles" ->
       """WITH c AS (SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
@@ -774,7 +781,7 @@ object SparkEntry {
       """SELECT o_orderpriority, o_orderstatus,
         | GROUPING(o_orderpriority, o_orderstatus) AS gid,
         | count(*) AS n_orders,
-        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
     "q40_global_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -782,11 +789,11 @@ object SparkEntry {
     "q41_monthly_revenue" ->
       """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
         | count(*) AS n_orders,
-        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM orders GROUP BY 1""".stripMargin,
     "q42_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
-        | sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+        | CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
     "q44_corpus_prep" ->
@@ -812,8 +819,8 @@ object SparkEntry {
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
         |SELECT o_custkey, max(trailing_7d_cents) AS peak_7d_cents FROM (
         |  SELECT o_custkey,
-        |   sum(cents) OVER (PARTITION BY o_custkey ORDER BY e
-        |     RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS trailing_7d_cents
+        |   CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY e
+        |     RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_7d_cents
         |  FROM t) GROUP BY o_custkey""".stripMargin,
     "q47_top_terms" ->
       """SELECT term, count(*) AS doc_freq FROM (
@@ -851,13 +858,13 @@ object SparkEntry {
         | p AS (SELECT *, sum(tok) OVER (PARTITION BY split, shard ORDER BY doc_id) AS cum FROM a)
         |SELECT split, shard,
         | CAST(floor((cum - tok) / CAST(2048 AS DOUBLE)) AS BIGINT) AS pack_id,
-        | count(*) AS n_docs, sum(tok) AS pack_tokens
+        | count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS pack_tokens
         |FROM p GROUP BY 1, 2, 3""".stripMargin,
     "q51_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         | GROUPING(o_orderstatus, o_orderpriority) AS gid,
         | count(*) AS n_orders,
-        | sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""".stripMargin,
     "q52_quantize" ->

@@ -48,10 +48,20 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"{name}: ROWS mismatch spark={len(got)} oracle={len(want)}"); failures += 1; continue
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
-            print(f"{name}: OK ({len(got)} rows)")
         except AssertionError as e:
             print(f"{name}: VALUE mismatch: {str(e)[:500]}")
             failures += 1
+            continue
+        # The driver's hash is dtype-sensitive (r1: DuckDB sum(BIGINT) →
+        # HUGEINT → pandas float64 made 12 value-exact queries hash-fail).
+        # Flag any post-canon dtype divergence as a failure here too.
+        bad = [c for c in got.columns if got[c].dtype != want[c].dtype]
+        if bad:
+            detail = ", ".join(f"{c}: spark={got[c].dtype} oracle={want[c].dtype}" for c in bad)
+            print(f"{name}: DTYPE mismatch (driver hash would fail): {detail}")
+            failures += 1
+        else:
+            print(f"{name}: OK ({len(got)} rows)")
     rows_only = [n for n in glob.glob(f"{out_dir}/*/") if n.split("/")[-2] not in sql]
     for d in sorted(rows_only):
         n = d.split("/")[-2]
