@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through undecorated: the driver parses
+// graft.Bench's one-line JSON from stdout, and sbt's default LoggedOutput
+// wraps every line in "[info] " (r1's BENCH json was unparseable for this).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

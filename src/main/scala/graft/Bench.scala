@@ -46,7 +46,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Belt-and-braces for the driver's parser: stdout may be decorated by a
+    // build tool (r1: sbt's "[info] " prefix made the line unparseable), so
+    // also drop the same JSON at a stable path.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/bench_last.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
