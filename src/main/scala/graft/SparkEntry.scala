@@ -207,10 +207,20 @@ object SparkEntry {
     // ---- SimHash signatures (no SQL oracle: murmur hash) -----------------
     "q17_simhash" -> ((s, dir) => Dedup.simhashText(t(s, dir, "documents"))),
 
-    // ---- n-gram Jaccard verification of LSH candidates -------------------
+    // ---- n-gram Jaccard verification over a deterministic candidate list.
+    // The pair fixture (every 10th doc vs its +1 and +5 successors) is
+    // SQL-expressible, so DuckDB recomputes the exact same Jaccard values
+    // over the same normalized shingle strings — a full value oracle for
+    // the verification operator. The LSH→verify composite (murmur-based
+    // candidates, not SQL-expressible) is Dedup.lshVerifiedPairs, covered
+    // by DedupSpec with the shingle stage computed once and persisted. ----
     "q18_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      Dedup.ngramJaccard(docs, Dedup.minhashLsh(docs, minJaccard = 0.2).select("a_id", "b_id"))
+      val pairs = docs
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("a_id"),
+          explode(array(col("doc_id") + 1, col("doc_id") + 5)).as("b_id"))
+      Dedup.ngramJaccard(docs, pairs)
     }),
 
     // ---- brute-force cosine top-k (exact ANN baseline) -------------------
@@ -238,7 +248,10 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("width"), col("height"), col("n_frames"))
     }),
 
-    // ---- IVF ANN: probe nearest centroid partitions (no oracle) ----------
+    // ---- IVF ANN: probe nearest centroid partitions. Deterministic given
+    // the fixed centroid rule (vec_id % 97 == 0), so the whole
+    // assign→probe→rank pipeline is SQL-oracled; the float cosine itself is
+    // dropped (engine-specific summation order), as in q19. ----------------
     "q23_ivf_ann" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val centroids = emb.where(pmod(col("vec_id"), lit(97)) === 0)
@@ -247,6 +260,7 @@ object SparkEntry {
         emb,
         emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding")),
         centroids, k = 10, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
     // ---- rolling-hash document fingerprint -------------------------------
@@ -440,15 +454,20 @@ object SparkEntry {
             .as("revenue_cents"))
     }),
 
-    // ---- approx distinct (HLL++) next to exact — no SQL oracle: sketch
-    // estimates are engine-specific; correctness pinned by the exact column
-    // and the ±5% relative-error spec asserted in OpsSpec ------------------
+    // ---- approx distinct (HLL++) next to exact. The raw sketch estimate is
+    // engine-specific, so the oracled surface is the exact count plus the
+    // sketch's error CONTRACT (|approx−exact| ≤ 5%·exact ⇔ rsd spec) as a
+    // boolean the oracle pins to TRUE; OpsSpec additionally asserts the
+    // ±5% bound on the raw estimate. ---------------------------------------
     "q43_approx_distinct" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
+          approx_count_distinct(col("user_id")).as("__approx"),
           count_distinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__approx") - col("exact_users")) <=
+            col("exact_users") * lit(0.05)).as("approx_within_5pct"))
     }),
 
     // ---- composite training-corpus prep: dedup → quality gate → tokens →
@@ -681,6 +700,29 @@ object SparkEntry {
     "q14_lang_id" -> langIdOracle,
     "q15_quality" ->
       s"SELECT doc_id, quality FROM ${qualityOracle("documents")} __q15",
+    // q18: same normalization (lower, \s+ split, drop empties), same word
+    // 3-shingles, set semantics via list_distinct — the Jaccard fraction is
+    // a ratio of identical integer cardinalities on both engines (Spark
+    // compares 64-bit shingle hashes, DuckDB the shingle strings; equal
+    // absent hash collisions). Pair fixture mirrors the Spark side exactly.
+    "q18_ngram_jaccard" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(w) - 2, 0)),
+        |   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+        | FROM tok),
+        |pairs AS (
+        | SELECT doc_id AS a_id, unnest([doc_id + 1, doc_id + 5]) AS b_id
+        | FROM documents WHERE doc_id % 10 = 0)
+        |SELECT p.a_id, p.b_id,
+        | CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+        |FROM pairs p
+        |JOIN sh sa ON sa.doc_id = p.a_id
+        |JOIN sh sb ON sb.doc_id = p.b_id""".stripMargin,
     "q19_embedding_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -688,6 +730,32 @@ object SparkEntry {
         |    ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC, c.vec_id) AS rank
         | FROM embeddings c, embeddings q
         | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        |WHERE rank <= 10""".stripMargin,
+    // q23: full IVF replay — nearest-centroid assignment (ties → smallest
+    // centroid id, as in Similarity.ivfTopK's array_position-of-max), top-2
+    // probe per query, exact rank within probed partitions. Cosine values
+    // are compared only through the ordering, never as floats.
+    "q23_ivf_ann" ->
+      """WITH cent AS (
+        | SELECT vec_id AS c_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
+        |assigned AS (
+        | SELECT neighbor_id, embedding, c_id FROM (
+        |  SELECT e.vec_id AS neighbor_id, e.embedding, c.c_id,
+        |   row_number() OVER (PARTITION BY e.vec_id
+        |     ORDER BY list_cosine_similarity(e.embedding, c.embedding) DESC, c.c_id) AS rn
+        |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+        |qprobe AS (
+        | SELECT query_id, q_emb, c_id FROM (
+        |  SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.c_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.c_id) AS rn
+        |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE rn <= 2)
+        |SELECT query_id, neighbor_id, rank FROM (
+        | SELECT p.query_id, a.neighbor_id,
+        |  row_number() OVER (PARTITION BY p.query_id
+        |    ORDER BY list_cosine_similarity(p.q_emb, a.embedding) DESC, a.neighbor_id) AS rank
+        | FROM qprobe p JOIN assigned a USING (c_id)
+        | WHERE a.neighbor_id <> p.query_id)
         |WHERE rank <= 10""".stripMargin,
     // ord('') is -1 in DuckDB but ascii('') is 0 in Spark — the CASE pins
     // the empty-char code to 0 on both engines.
@@ -796,6 +864,13 @@ object SparkEntry {
         | CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    // q43: the raw HLL estimate is engine-specific; the oracled contract is
+    // the exact count plus "estimate within the 5% rsd spec" pinned TRUE.
+    "q43_approx_distinct" ->
+      """SELECT event_type,
+        | count(DISTINCT user_id) AS exact_users,
+        | TRUE AS approx_within_5pct
+        |FROM events GROUP BY event_type""".stripMargin,
     "q44_corpus_prep" ->
       s"""WITH keep AS (
         |  SELECT min(doc_id) AS doc_id

@@ -83,9 +83,20 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       minJaccard: Double = 0.5,
-      shingleK: Int = 3): DataFrame = {
+      shingleK: Int = 3): DataFrame =
+    minhashLshFromShingles(shingleSets(docs, idCol, textCol, shingleK), numHashes, bands, minJaccard)
+
+  /** [[minhashLsh]] over a pre-staged (id, sh) shingle-set DataFrame — use
+    * this form when the same shingle sets also feed a verification stage
+    * (persist the staged frame once instead of re-tokenizing the corpus).
+    */
+  def minhashLshFromShingles(
+      shingled: DataFrame,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = shingleSets(docs, idCol, textCol, shingleK)
+    val sigs = shingled
       .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
     // Explode into (band, bucket=hash(band rows)) — one shuffle on the
     // bucket key; bucket groups are small so the self-join never blows up.
@@ -120,14 +131,46 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (columns a_id, b_id) — the verification stage after LSH.
     */
-  def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id", textCol: String = "text", k: Int = 3): DataFrame = {
-    val sh = shingleSets(docs, idCol, textCol, k)
-    pairs
-      .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id", textCol: String = "text", k: Int = 3): DataFrame =
+    ngramJaccardFromShingles(shingleSets(docs, idCol, textCol, k), pairs)
+
+  /** [[ngramJaccard]] over a pre-staged (id, sh) shingle-set DataFrame.
+    * Extra columns on `pairs` (e.g. an LSH estimate) pass through, between
+    * the ids and the computed `jaccard`.
+    */
+  def ngramJaccardFromShingles(shingled: DataFrame, pairs: DataFrame): DataFrame = {
+    val joined = pairs
+      .join(shingled.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(shingled.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))))
+    val extras = pairs.columns.filterNot(Set("a_id", "b_id"))
+    joined.select(("a_id" +: "b_id" +: extras :+ "jaccard").map(col): _*)
+  }
+
+  /** The full near-dup composite: LSH candidate generation + exact Jaccard
+    * verification, with the tokenize→shingle stage computed ONCE and
+    * persisted across both uses (unstaged, each side would re-shingle the
+    * whole corpus — the most expensive part of the pipeline). The staged
+    * frame stays persisted for the lifetime of the returned (lazy) result;
+    * callers looping over many corpora should `spark.catalog.clearCache()`
+    * or persist/unpersist around materialization.
+    *
+    * @return (a_id, b_id, est_jaccard, jaccard) — LSH estimate next to the
+    *         exact verified value for every surviving candidate pair.
+    */
+  def lshVerifiedPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      shingleK: Int = 3): DataFrame = {
+    val sh = shingleSets(docs, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ngramJaccardFromShingles(sh, minhashLshFromShingles(sh, numHashes, bands, minJaccard))
   }
 
   /** Embedding near-dup: cosine ≥ threshold pairs found via banded

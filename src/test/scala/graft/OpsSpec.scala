@@ -144,6 +144,19 @@ class OpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("lshVerifiedPairs: one shingle stage feeds both LSH estimate and exact jaccard") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"tok$i").mkString(" ") + " tokX tokY"
+    val distinct = (100 to 160).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, distinct)).toDF("doc_id", "text")
+    val got = Dedup.lshVerifiedPairs(docs, minJaccard = 0.5).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val r = got.head
+    // exact 3-shingle Jaccard: 56 common shingles, 60 in the union
+    assert(math.abs(r.getDouble(3) - 56.0 / 60.0) < 1e-12)
+    assert(r.getDouble(2) >= 0.5)
+  }
+
   test("brute-force top-k: self excluded, k respected, planted neighbor first") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
