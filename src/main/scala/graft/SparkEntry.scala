@@ -384,6 +384,10 @@ object SparkEntry {
     // (integer cents → the linear interpolation a + (b-a)*frac is exact in
     // doubles at frac ∈ {0, .25, .5, .75}, so Spark percentile() and DuckDB
     // quantile_cont() agree bit-for-bit)
+    // SCALE CAVEAT: exact percentile buffers every group's values in the
+    // aggregation buffer — at 100 TB each priority group's cents column
+    // sits on a single reducer. Kept for oracle parity with quantile_cont;
+    // the scale path is q53_quartiles_approx (bounded GK sketch).
     "q36_quartiles" -> ((s, dir) => {
       t(s, dir, "orders")
         .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
@@ -393,6 +397,26 @@ object SparkEntry {
           expr("percentile(cents, 0.5)").as("p50"),
           expr("percentile(cents, 0.75)").as("p75"),
           count(lit(1)).as("n_orders"))
+    }),
+
+    // ---- approx quartiles: the 100 TB path. GK sketch, O(accuracy) memory
+    // per group however large the group; one pass, mergeable partials. With
+    // group cardinality below `accuracy` the sketch's rank error ε·n < 1,
+    // so the result is EXACTLY the discrete quantile (partitioning-
+    // independent) and DuckDB quantile_disc oracles it value-exact; above
+    // it (e.g. the sf0.1 bench) answers degrade gracefully to ±ε·n ranks. -
+    "q53_quartiles_approx" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          expr("approx_percentile(cents, array(0.25, 0.5, 0.75), 10000)").as("q"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_orderpriority"),
+          col("q").getItem(0).as("p25"),
+          col("q").getItem(1).as("p50"),
+          col("q").getItem(2).as("p75"),
+          col("n_orders"))
     }),
 
     // ---- set ops: intersect / except / union in one result ---------------
@@ -829,6 +853,17 @@ object SparkEntry {
         | quantile_cont(cents, 0.25) AS p25,
         | quantile_cont(cents, 0.5) AS p50,
         | quantile_cont(cents, 0.75) AS p75,
+        | count(*) AS n_orders
+        |FROM c GROUP BY o_orderpriority""".stripMargin,
+    // q53: at sf0.01 every group is smaller than the sketch accuracy, so
+    // approx_percentile is exactly the discrete quantile — quantile_disc
+    // reproduces it value-for-value (verified empirically, 15/15 cells).
+    "q53_quartiles_approx" ->
+      """WITH c AS (SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_orderpriority,
+        | quantile_disc(cents, 0.25) AS p25,
+        | quantile_disc(cents, 0.5) AS p50,
+        | quantile_disc(cents, 0.75) AS p75,
         | count(*) AS n_orders
         |FROM c GROUP BY o_orderpriority""".stripMargin,
     "q37_setops" ->
