@@ -1,8 +1,9 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, GraftColumn}
 import org.apache.spark.sql.functions._
-import graft.functions.expressions.{CosineSimilarity, DotProduct, HyperplaneBucket => HyperplaneBucketExpr, MinHashSignature, ShingleHashes, SimHash64}
+import graft.functions.expressions.{CentroidCodebook, CosineSimilarity, DotProduct, HyperplaneBucket => HyperplaneBucketExpr, MinHashSignature, NearestCentroidId, ShingleHashes, SimHash64, TopCentroidIds}
 
 /** Vector math over `array<float>` embedding columns. The hot pairwise
   * functions ([[dot]], [[cosine]], [[simhashBucket]]) are native Catalyst
@@ -98,4 +99,17 @@ object VectorFunctions {
     */
   def simhashBucket(vec: Column, nBits: Int = 16, seed: Int = 42): Column =
     GraftColumn(HyperplaneBucketExpr(GraftColumn.expr(vec), nBits, seed))
+
+  /** Nearest-centroid id by dot product against a broadcast codebook — the
+    * map-only, codegen'd IVF assignment step (plan size stays flat in the
+    * centroid count; see [[graft.functions.expressions.NearestCentroidId]]).
+    */
+  def nearestCentroidId(vec: Column, codebook: Broadcast[CentroidCodebook]): Column =
+    GraftColumn(NearestCentroidId(GraftColumn.expr(vec), codebook))
+
+  /** Top-`nProbe` centroid ids (dot desc, id asc) against a broadcast
+    * codebook — the IVF query-probe step.
+    */
+  def topCentroidIds(vec: Column, codebook: Broadcast[CentroidCodebook], nProbe: Int): Column =
+    GraftColumn(TopCentroidIds(GraftColumn.expr(vec), codebook, nProbe))
 }

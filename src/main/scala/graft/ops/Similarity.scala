@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
+import graft.functions.expressions.CentroidCodebook
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (BASELINE.json north star: similarity search).
@@ -92,9 +93,12 @@ object Similarity {
     * correctness degrades gracefully with centroid quality.
     *
     * The centroid table is small by construction (that is the point of
-    * IVF), so it is collected and inlined as literal arrays — centroid
-    * assignment becomes a **map-only codegen'd projection** over the
-    * corpus: no crossJoin, no per-row window, no corpus shuffle. At 100 TB
+    * IVF): it is collected, unit-normalized, and shipped as a **broadcast
+    * codebook** referenced from native expressions — centroid assignment
+    * is a map-only codegen'd projection over the corpus (no crossJoin, no
+    * per-row window, no corpus shuffle), and the PLAN stays a few bytes
+    * however many centroids there are (a `typedLit` codebook would inline
+    * every vector into the plan and the codegen constant pool). At 100 TB
     * the corpus is touched exactly once before the (broadcast) probe join;
     * the only shuffle is the final per-query top-k over candidates.
     */
@@ -108,35 +112,26 @@ object Similarity {
       vecCol: String = "embedding",
       queryIdCol: String = "query_id",
       centroidIdCol: String = "centroid_id"): DataFrame = {
-    // Collect + unit-normalize centroids driver-side (equivalent to a
-    // broadcast — IVF centroid sets are thousands of rows at most), sorted
-    // by id so argmax ties resolve to the smallest centroid id.
+    // Collect + unit-normalize centroids driver-side, sorted by id so
+    // argmax ties resolve to the smallest centroid id, then broadcast once.
     val centRows = centroids.select(col(centroidIdCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
-    val centVecs: Column = typedLit(centRows.map { case (_, v) =>
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n > 0) v.map(_ / n) else v.map(_ => 0.0)
-    }.toSeq)
-    val centIds: Column = typedLit(centRows.map(_._1).toSeq)
+    require(centRows.nonEmpty, "ivfTopK needs at least one centroid")
+    val codebook = corpus.sparkSession.sparkContext.broadcast(CentroidCodebook(
+      centRows.map(_._1),
+      centRows.map { case (_, v) =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (if (n > 0) v.map(_ / n) else v.map(_ => 0.0)).toArray
+      }))
 
-    // score vector (dot against every centroid) staged as its own column so
-    // downstream argmax / top-n expressions don't recompute it.
-    def scored(df: DataFrame, vec: String): DataFrame =
-      df.withColumn("__cs", transform(centVecs, c => VectorFunctions.dot(col(vec), c)))
-
-    // Corpus: nearest centroid = first position of the max score (1-based).
-    val assignedCorpus = scored(unitized(corpus, idCol, "neighbor_id", vecCol, "c_vec"), "c_vec")
-      .withColumn("c_id", element_at(centIds, array_position(col("__cs"), array_max(col("__cs"))).cast("int")))
-      .drop("__cs")
-    // Queries: top-nProbe centroids via sort of (-score, id) structs — all
-    // map-side; struct field order gives (score desc, id asc).
-    val assignedQueries = scored(unitized(queries, queryIdCol, "query_id", vecCol, "q_vec"), "q_vec")
-      .withColumn("c_id", explode(slice(
-        array_sort(zip_with(col("__cs"), centIds, (s, i) => struct((-s).as("neg"), i.as("c_id")))),
-        1, nProbe).getField("c_id")))
-      .drop("__cs")
+    // Corpus: nearest centroid id, one codegen'd loop per row.
+    val assignedCorpus = unitized(corpus, idCol, "neighbor_id", vecCol, "c_vec")
+      .withColumn("c_id", VectorFunctions.nearestCentroidId(col("c_vec"), codebook))
+    // Queries: top-nProbe centroid ids (dot desc, id asc), then fan out.
+    val assignedQueries = unitized(queries, queryIdCol, "query_id", vecCol, "q_vec")
+      .withColumn("c_id", explode(VectorFunctions.topCentroidIds(col("q_vec"), codebook, nProbe)))
     // Each corpus row has exactly one centroid and each query probes
     // distinct centroids, so (query_id, neighbor_id) pairs are unique — no
     // dedup needed before ranking.

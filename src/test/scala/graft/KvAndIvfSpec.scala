@@ -41,6 +41,28 @@ class KvAndIvfSpec extends SparkSpec {
     assert(got == Seq(2L, 3L))
   }
 
+  test("IVF with a 1k-centroid broadcast codebook: plan stays flat, assignment exact") {
+    // Centroid c lives at angle θ_c on the unit circle (padded to 4 dims);
+    // a corpus/query vector near θ_c must assign to centroid c exactly.
+    val n = 1000
+    def at(theta: Double): Seq[Float] =
+      Seq(math.cos(theta).toFloat, math.sin(theta).toFloat, 0.0f, 0.0f)
+    val centroids = (0 until n).map(c => (c.toLong, at(c * 2 * math.Pi / n)))
+      .toDF("centroid_id", "embedding")
+    val corpus = (0 until n).map(c => (c.toLong, at((c + 0.05) * 2 * math.Pi / n)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((9999L, at(0.1 * 2 * math.Pi / n))).toDF("query_id", "embedding")
+    val out = Similarity.ivfTopK(corpus, queries, centroids, k = 3, nProbe = 2)
+    // the plan must reference a broadcast codebook, not 1000 inline vectors
+    val planText = out.queryExecution.analyzed.toString
+    assert(planText.length < 20000, s"plan inflated: ${planText.length} chars")
+    // query sits in centroid 0's cell and probes cell 1 second; each cell
+    // holds exactly its own corpus vector → candidates are vecs 0 and 1,
+    // nearest first
+    val got = out.orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L), s"expected ring neighbors 0,1 — got $got")
+  }
+
   test("int8 quantization: bounded range, zero-vector safe, cosine preserved") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(11)
