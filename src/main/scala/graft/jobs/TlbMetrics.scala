@@ -36,6 +36,45 @@ object TlbMetrics {
         col("error_count"))
   }
 
+  /** Render the metrics as the reference's K3 byte shape: ONE pretty-printed
+    * JSON object keyed by clientId (`output/tlb_metrics/2024111612.json`),
+    * following Python `json.dump(.., indent=2)` conventions — 2-space
+    * indent, no trailing newline, and int `0` where the reference
+    * zero-fills `page_view_time` (computed session sums serialize as
+    * floats, `120.0`). Built as a single-row Spark aggregate: the per-hour
+    * result is bounded by the client universe, so one driver-side string is
+    * the correct sink shape (the reference emits exactly one small object
+    * file per hour). Client ids are emitted verbatim — the fixture ids need
+    * no JSON string escaping.
+    */
+  def toGoldenObjectJson(metrics: DataFrame): String = {
+    val entry = format_string(
+      "  \"%s\": {\n    \"page_view_time\": %s,\n    \"retry_count\": %s,\n    \"timeout_count\": %s,\n    \"error_count\": %s\n  }",
+      col("clientId"),
+      when(col("page_view_time") === 0.0, lit("0"))
+        .otherwise(col("page_view_time").cast("string")),
+      col("retry_count"), col("timeout_count"), col("error_count"))
+    metrics
+      .agg(concat(
+        lit("{\n"),
+        concat_ws(",\n", transform(
+          array_sort(collect_list(struct(col("clientId").as("k"), entry.as("v")))),
+          s => s.getField("v"))),
+        lit("\n}")).as("json"))
+      .head().getString(0)
+  }
+
+  /** Write [[toGoldenObjectJson]] through the Hadoop filesystem of `path`
+    * (local, HDFS, or s3a — same writer everywhere).
+    */
+  def writeGoldenJson(metrics: DataFrame, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(metrics.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(toGoldenObjectJson(metrics).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Run against the reference's JSON fixtures for one `{hour}`. */
   def fromJson(spark: SparkSession, dataDir: String, hour: String): DataFrame = {
     val events = Io.readJsonArray(spark, s"$dataDir/user_exp_$hour.json", Schemas.userExp)

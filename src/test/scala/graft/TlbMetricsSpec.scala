@@ -20,4 +20,20 @@ class TlbMetricsSpec extends SparkSpec {
       "client3" -> ((125.0, 1L, 0L, 0L)))
     assert(got == expected)
   }
+
+  test("K3 writer reproduces the reference output file byte-for-byte") {
+    val goldenPath = TestSpark.resource("tlb_metrics_2024111612.json")
+    val dir = new java.io.File(TestSpark.resource("user_exp_2024111612.json")).getParent
+    val metrics = TlbMetrics.fromJson(spark, dir, "2024111612")
+    val rendered = TlbMetrics.toGoldenObjectJson(metrics)
+    val golden = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(goldenPath)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(rendered == golden)
+    // and the filesystem writer round-trips the same bytes
+    val out = java.nio.file.Files.createTempDirectory("tlb").resolve("m.json")
+    TlbMetrics.writeGoldenJson(metrics, out.toString)
+    assert(new String(java.nio.file.Files.readAllBytes(out),
+      java.nio.charset.StandardCharsets.UTF_8) == golden)
+  }
 }
