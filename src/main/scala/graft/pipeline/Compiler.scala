@@ -112,8 +112,18 @@ object PipelineCompiler {
     * scale the watch dir is an object-store prefix and each hour's run is
     * a distributed batch job — the driver only sequences hours.
     *
+    * Restart safety: with `stateDir` set, every completed hour writes an
+    * empty marker file there, and a (re)started query seeds its
+    * processed-hour set from the existing markers — a driver restart skips
+    * hours that already committed. The marker is written AFTER the hour's
+    * outputs, so a crash mid-hour re-runs that hour on restart
+    * (at-least-once; safe because stage outputs are overwrite-mode).
+    * Without `stateDir` the set is in-memory only (single-process
+    * lifetime), as before.
+    *
     * @param hourFromFile extracts the hour partition from an arrived file
     *                     path (e.g. `user_exp_(\d{10})\.json` capture)
+    * @param stateDir     durable dir (any Hadoop FS) for completion markers
     * @param onHour       callback after an hour completes (tests; metrics)
     */
   def runOnArrival(
@@ -123,8 +133,16 @@ object PipelineCompiler {
       hourFromFile: String => Option[String],
       resolve: PathResolver = s3aResolver,
       writeOutputs: Boolean = true,
+      stateDir: Option[String] = None,
       onHour: String => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery = {
+    def fsOf(dir: String) = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val seen = scala.collection.mutable.Set.empty[String]
+    stateDir.foreach { d =>
+      val fs = fsOf(d)
+      val p = fs.makeQualified(new org.apache.hadoop.fs.Path(d))
+      if (fs.exists(p)) seen ++= fs.listStatus(p).map(_.getPath.getName)
+    }
     spark.readStream
       .format("text")
       .load(watchDir)
@@ -137,6 +155,9 @@ object PipelineCompiler {
         hours.filterNot(seen).foreach { hour =>
           run(spark, spec, hour, resolve, writeOutputs)
           seen += hour
+          stateDir.foreach { d =>
+            fsOf(d).create(new org.apache.hadoop.fs.Path(d, hour), true).close()
+          }
           onHour(hour)
         }
       }

@@ -138,4 +138,38 @@ class PipelineSpecSuite extends SparkSpec {
         canon(s"$fixtures/log_processed_$hour.json", multiLine = true))
     } finally q.stop()
   }
+
+  test("arrival loop restart skips hours whose completion marker exists") {
+    val watch = Files.createTempDirectory("graft_pipeline_watch2").toString
+    val out = Files.createTempDirectory("graft_pipeline_arrival2").toString
+    val state = Files.createTempDirectory("graft_pipeline_state").toString
+    val resolver: PipelineCompiler.PathResolver = {
+      case p if p.contains("user_exp_") && !p.contains("processed") => s"$watch/user_exp_$hour.json"
+      case p if p.startsWith("s3a://demo-trace-bucket/") => s"$fixtures/trace_$hour.json"
+      case p if p.startsWith("s3a://demo-log-bucket/")   => s"$fixtures/log_$hour.json"
+      case p => p.replace("{out}", out)
+    }
+    val spec = PipelineSpec.fromYaml(yamlText)
+    val hourFromFile: String => Option[String] =
+      f => "user_exp_(\\d{10})\\.json".r.findFirstMatchIn(f).map(_.group(1))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$fixtures/user_exp_$hour.json"),
+      java.nio.file.Paths.get(s"$watch/user_exp_$hour.json"))
+
+    // first "driver": processes the hour and writes its marker
+    val first = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val q1 = PipelineCompiler.runOnArrival(spark, spec, watch, hourFromFile,
+      resolver, writeOutputs = true, stateDir = Some(state), onHour = first.add(_))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(first.contains(hour))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(state, hour)))
+
+    // restarted "driver": fresh in-memory state, same stateDir — the same
+    // arrival must NOT re-run the completed hour
+    val second = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val q2 = PipelineCompiler.runOnArrival(spark, spec, watch, hourFromFile,
+      resolver, writeOutputs = true, stateDir = Some(state), onHour = second.add(_))
+    try q2.processAllAvailable() finally q2.stop()
+    assert(second.isEmpty, s"restart re-ran hours: $second")
+  }
 }
