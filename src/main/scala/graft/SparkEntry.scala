@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
-import graft.ops.{AsOfJoin, Decontaminate, Dedup, Enrich, Mappings, Multimodal, Sampling, Sessionize, Similarity, SkewJoin}
+import graft.ops.{AsOfJoin, Components, Decontaminate, Dedup, Enrich, Mappings, Multimodal, Sampling, Sessionize, Similarity, SkewJoin}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -221,6 +221,22 @@ object SparkEntry {
         .select(col("doc_id").as("a_id"),
           explode(array(col("doc_id") + 1, col("doc_id") + 5)).as("b_id"))
       Dedup.ngramJaccard(docs, pairs)
+    }),
+
+    // ---- connected components over a deterministic pair graph: the
+    // near-dup RESOLUTION step (pairs → clusters → keep min-id rep). The
+    // fixture builds chains + stars with bridges merging group pairs, so
+    // convergence requires real multi-hop propagation; DuckDB replays it
+    // with a recursive transitive closure. --------------------------------
+    "q54_connected_components" -> ((s, dir) => {
+      val b = t(s, dir, "documents").where(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("a"))
+      val pairs = b.select(col("a").as("a_id"), (col("a") + 1).as("b_id"))
+        .union(b.select((col("a") + 1).as("a_id"), (col("a") + 2).as("b_id")))
+        .union(b.select(col("a").as("a_id"), (col("a") + 5).as("b_id")))
+        .union(b.where(col("a") % 40 === 0)
+          .select((col("a") + 5).as("a_id"), (col("a") + 22).as("b_id")))
+      Components.connectedComponents(pairs)
     }),
 
     // ---- brute-force cosine top-k (exact ANN baseline) -------------------
@@ -755,6 +771,24 @@ object SparkEntry {
         | FROM embeddings c, embeddings q
         | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 10""".stripMargin,
+    // q54: recursive transitive closure replays the distributed star-
+    // contraction exactly — component = min reachable id per node.
+    "q54_connected_components" ->
+      """WITH RECURSIVE b AS (
+        | SELECT doc_id AS a FROM documents WHERE doc_id % 20 = 0),
+        |edges0 AS (
+        | SELECT a AS u, a + 1 AS v FROM b
+        | UNION ALL SELECT a + 1, a + 2 FROM b
+        | UNION ALL SELECT a, a + 5 FROM b
+        | UNION ALL SELECT a + 5, a + 22 FROM b WHERE a % 40 = 0),
+        |edges AS (
+        | SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+        |nodes AS (SELECT DISTINCT u AS id FROM edges),
+        |reach(id, r) AS (
+        | SELECT id, id FROM nodes
+        | UNION
+        | SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
     // q23: full IVF replay — nearest-centroid assignment (ties → smallest
     // centroid id, as in Similarity.ivfTopK's array_position-of-max), top-2
     // probe per query, exact rank within probed partitions. Cosine values

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a pair list — the resolution step
+  * that turns near-duplicate CANDIDATE PAIRS (minhash/simhash/embedding
+  * LSH output) into keep/drop DECISIONS: every document in a component
+  * keeps exactly one representative (the minimum id).
+  *
+  * Algorithm: alternating large-star / small-star contraction (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond", SoCC'14). Each
+  * round is two shuffles on the node id; the edge set contracts toward
+  * per-component stars in O(log n) rounds REGARDLESS of graph diameter —
+  * naive min-label propagation needs O(diameter) rounds, which a single
+  * 100M-node duplicate chain turns into thousands of jobs. Nothing is
+  * ever collected to the driver; per-round state is the (shrinking) edge
+  * list, checkpointed locally to keep the plan flat.
+  */
+object Components {
+
+  /** (id, component) for every node appearing in `pairs`, where
+    * `component` is the minimum node id reachable from `id`.
+    *
+    * @param pairs   candidate pairs; self-pairs ignored, direction ignored
+    * @param maxIter safety bound on contraction rounds — the algorithm
+    *                needs O(log n) (≈30 covers any feasible graph), so
+    *                hitting this indicates a bug, and we fail loudly
+    *                rather than return a partial clustering
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxIter: Int = 50): DataFrame = {
+    // Canonical (u < v) long edges, self-loops dropped.
+    var edges = pairs
+      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .where(col("x") =!= col("y") && col("x").isNotNull && col("y").isNotNull)
+      .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // Cheap probabilistic fixpoint detector: (count, order-independent
+    // hash-sum) of the canonical edge set. A false "converged" needs a
+    // 64-bit hash-sum collision between consecutive rounds — negligible.
+    def checksum(e: DataFrame): (Long, BigDecimal) = {
+      // hash-sum accumulates in decimal — a long sum overflows under ANSI
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(28,0)")), lit(BigDecimal(0)))).head()
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+
+    // large-star: every node hooks its larger neighbors onto its minimum
+    // neighborhood member; small-star does the same for smaller neighbors.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("u"), greatest(col("v"), col("m")).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // already canonical u < v: group by the larger endpoint v
+      val mins = e.groupBy("v").agg(min(col("u")).as("m"))
+      e.join(mins, "v")
+        .select(col("u"), col("m"), col("v"))
+        .select(
+          least(col("u"), col("m")).as("nu"), greatest(col("u"), col("m")).as("nv"),
+          col("v"), col("m"))
+        .select(array(struct(col("nu").as("u"), col("nv").as("v")),
+          struct(col("m").as("u"), col("v").as("v"))).as("es"))
+        .select(explode(col("es")).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var prev = checksum(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val sig = checksum(next)
+      converged = sig == prev
+      prev = sig
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "O(log n) rounds suffice for any input, so this is a bug, not a big graph")
+
+    // Fixpoint edges form stars (root = component minimum): u is the root
+    // on canonical edges. Roots map to themselves.
+    edges.select(col("v").as("id"), col("u").as("component"))
+      .union(edges.select(col("u").as("id"), col("u").as("component")))
+      .groupBy("id").agg(min(col("component")).as("component"))
+  }
+}

@@ -173,6 +173,19 @@ object Dedup {
     ngramJaccardFromShingles(sh, minhashLshFromShingles(sh, numHashes, bands, minJaccard))
   }
 
+  /** Keep/drop resolution over near-dup candidate pairs: connected
+    * components of the pair graph ([[Components.connectedComponents]],
+    * O(log n) contraction rounds), minimum-id representative survives,
+    * every other member is dropped. The anti-join build side carries only
+    * (id) — document bodies never shuffle.
+    */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      Components.connectedComponents(pairs)
+        .where(col("id") =!= col("component"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Embedding near-dup: cosine ≥ threshold pairs found via banded
     * random-hyperplane LSH buckets (OR-amplification: a pair is a candidate
     * if it collides in ANY band), so no all-pairs join ever happens. Raise
