@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
-import graft.ops.{AsOfJoin, Components, Decontaminate, Dedup, Enrich, Mappings, Multimodal, Sampling, Sessionize, Similarity, SkewJoin}
+import graft.ops.{AsOfJoin, Components, Decontaminate, Dedup, Enrich, Mappings, Multimodal, Repetition, Sampling, Sessionize, Similarity, SkewJoin}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -222,6 +222,12 @@ object SparkEntry {
           explode(array(col("doc_id") + 1, col("doc_id") + 5)).as("b_id"))
       Dedup.ngramJaccard(docs, pairs)
     }),
+
+    // ---- Gopher-style repetition quality signals (word-level duplicate /
+    // top-bigram fractions); integer-count ratios → exact doubles both
+    // engines. -------------------------------------------------------------
+    "q55_repetition" -> ((s, dir) =>
+      Repetition.signals(t(s, dir, "documents"))),
 
     // ---- connected components over a deterministic pair graph: the
     // near-dup RESOLUTION step (pairs → clusters → keep min-id rep). The
@@ -771,6 +777,30 @@ object SparkEntry {
         | FROM embeddings c, embeddings q
         | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 10""".stripMargin,
+    // q55: same normalization + bigram construction as the Spark side;
+    // Spark counts 64-bit bigram hashes, DuckDB the strings — equal
+    // counts absent hash collisions.
+    "q55_repetition" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |base AS (
+        | SELECT doc_id, w, len(w) AS n,
+        |  len(w) - len(list_distinct(w)) AS dup_words FROM tok),
+        |bg AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(range(0, n - 1), i -> w[i+1] || ' ' || w[i+2])) AS b
+        | FROM base WHERE n >= 2),
+        |cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |stats AS (
+        | SELECT doc_id, count(*) AS distinct_b, sum(c) AS tb, max(c) AS maxc
+        | FROM cnt GROUP BY 1)
+        |SELECT base.doc_id,
+        | CASE WHEN n > 0 THEN CAST(dup_words AS DOUBLE) / n ELSE 0.0 END AS dup_word_frac,
+        | CASE WHEN tb > 0 THEN CAST(tb - distinct_b AS DOUBLE) / tb ELSE 0.0 END AS dup_bigram_frac,
+        | CASE WHEN tb > 0 THEN CAST(maxc AS DOUBLE) / tb ELSE 0.0 END AS top_bigram_frac
+        |FROM base LEFT JOIN stats ON base.doc_id = stats.doc_id""".stripMargin,
     // q54: recursive transitive closure replays the distributed star-
     // contraction exactly — component = min reachable id per node.
     "q54_connected_components" ->

@@ -144,6 +144,20 @@ class OpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("repetition signals: hand-computed fractions") {
+    val docs = Seq(
+      (1L, "a a b"),          // words 3/2 distinct; bigrams {a a, a b}
+      (2L, "x y x y x"),      // words 5/2; bigrams x·y ×2, y·x ×2
+      (3L, "solo"),           // no bigrams
+      (4L, "p q r s")).toDF("doc_id", "text")
+    val got = graft.ops.Repetition.signals(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((1.0 / 3, 0.0, 0.5)))
+    assert(got(2L) == ((3.0 / 5, 0.5, 0.5)))
+    assert(got(3L) == ((0.0, 0.0, 0.0)))
+    assert(got(4L) == ((0.0, 0.0, 1.0 / 3)))
+  }
+
   test("lshVerifiedPairs: one shingle stage feeds both LSH estimate and exact jaccard") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 58).map(i => s"tok$i").mkString(" ") + " tokX tokY"
