@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
-import graft.ops.{AsOfJoin, Components, Decontaminate, Dedup, Enrich, Mappings, Multimodal, Repetition, Sampling, Sessionize, Similarity, SkewJoin}
+import graft.ops.{AsOfJoin, Chunking, Components, Decontaminate, Dedup, Enrich, Mappings, Multimodal, Repetition, Sampling, Sessionize, Similarity, SkewJoin}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -222,6 +222,17 @@ object SparkEntry {
           explode(array(col("doc_id") + 1, col("doc_id") + 5)).as("b_id"))
       Dedup.ngramJaccard(docs, pairs)
     }),
+
+    // ---- PII / identifier redaction: chained global regex rules over the
+    // customer names (digit-run ids) — map-only, codegen'd. ---------------
+    "q56_redact" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"), TextFunctions.redact(col("c_name")).as("redacted"))),
+
+    // ---- sliding-window chunking for embedding pipelines: 32-word
+    // windows, 8-word overlap — a pure flatMap, no shuffle. ---------------
+    "q57_chunk" -> ((s, dir) =>
+      Chunking.byWords(t(s, dir, "documents"), chunkSize = 32, overlap = 8)),
 
     // ---- Gopher-style repetition quality signals (word-level duplicate /
     // top-bigram fractions); integer-count ratios → exact doubles both
@@ -777,6 +788,28 @@ object SparkEntry {
         | FROM embeddings c, embeddings q
         | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 10""".stripMargin,
+    // q56: identical rule chain, RE2-compatible patterns, global flag.
+    "q56_redact" ->
+      """SELECT c_custkey,
+        | regexp_replace(regexp_replace(regexp_replace(regexp_replace(c_name,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |  '\d{6,}', '<ID>', 'g'),
+        |  '\+?\d[\d\s()-]{6,}\d', '<PHONE>', 'g') AS redacted
+        |FROM customer""".stripMargin,
+    // q57: same tokenization; list slice w[a:b] is 1-based inclusive and
+    // truncates at the end exactly like Spark's slice().
+    "q57_chunk" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |base AS (SELECT doc_id, w, len(w) AS n FROM tok WHERE len(w) > 0),
+        |st AS (SELECT doc_id, w, n, unnest(range(0, n, 24)) AS s FROM base)
+        |SELECT doc_id, s // 24 AS chunk_id,
+        | array_to_string(w[s+1:s+32], ' ') AS chunk,
+        | len(w[s+1:s+32]) AS n_words
+        |FROM st""".stripMargin,
     // q55: same normalization + bigram construction as the Spark side;
     // Spark counts 64-bit bigram hashes, DuckDB the strings — equal
     // counts absent hash collisions.

@@ -125,4 +125,25 @@ object TextFunctions {
     val stopOk = when(words > 0 && stopHits / words >= 0.01, lit(1.0)).otherwise(lit(0.5))
     (lengthOk + wordLenOk + punctOk + stopOk) / 4
   }
+
+  /** Default PII/identifier redaction rules, applied in order: email, IPv4,
+    * long digit run (account/serial ids), phone-like digit-separator
+    * sequences. Patterns stick to the regex subset shared by Java regex and
+    * RE2 so any engine replays them identically.
+    */
+  val RedactionRules: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("\\d{6,}", "<ID>"),
+    ("\\+?\\d[\\d\\s()-]{6,}\\d", "<PHONE>"))
+
+  /** PII scrubbing: chained global regex replacements (map-only, codegen'd
+    * — the standard pre-training redaction pass). Rule order matters and is
+    * part of the contract: earlier rules consume text later rules would
+    * otherwise match.
+    */
+  def redact(text: Column, rules: Seq[(String, String)] = RedactionRules): Column =
+    rules.foldLeft(text) { case (c, (pattern, replacement)) =>
+      regexp_replace(c, pattern, replacement)
+    }
 }

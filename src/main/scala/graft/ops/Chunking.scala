@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sliding-window document chunking — the prep step for embedding /
+  * retrieval pipelines: long documents become overlapping fixed-size word
+  * windows, each embedded and indexed separately.
+  *
+  * Map-only: tokenize → per-row window starts → explode. No shuffle at
+  * all; output size is rows × ceil(n/step), bounded and predictable, which
+  * is exactly what a 100 TB chunking pass needs (it's a flatMap, not an
+  * aggregation).
+  */
+object Chunking {
+
+  /** One row per (document, window): `chunk_id` counts windows from 0,
+    * `chunk` is the space-joined word window, `n_words` its length (the
+    * final window may be shorter). Windows start every
+    * `chunkSize - overlap` words; empty documents emit nothing.
+    */
+  def byWords(
+      docs: DataFrame,
+      chunkSize: Int,
+      overlap: Int = 0,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize, "overlap must be in [0, chunkSize)")
+    val step = chunkSize - overlap
+    Dedup.parallelize(docs)
+      .select(col(idCol).as("doc_id"), Dedup.wordTokens(col(textCol)).as("__w"))
+      .select(col("doc_id"), col("__w"), size(col("__w")).as("__n"))
+      .where(col("__n") > 0)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("__n") - 1, lit(step)), s => {
+          val window = slice(col("__w"), s + 1, lit(chunkSize))
+          struct(
+            (s / step).cast("long").as("chunk_id"),
+            concat_ws(" ", window).as("chunk"),
+            size(window).as("n_words"))
+        })).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.chunk"), col("c.n_words"))
+  }
+}

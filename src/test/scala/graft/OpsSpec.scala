@@ -144,6 +144,36 @@ class OpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("redact: email, ip, long id, phone — in rule order") {
+    val df = Seq(
+      "mail bob.smith+x@ex-ample.org end",
+      "ip 192.168.0.1 end",
+      "acct 123456789 end",
+      "call +1 (555) 123-4567 end",
+      "short 12345 end").toDF("text")
+    val got = df.select(TextFunctions.redact(col("text"))).as[String].collect().toSeq
+    assert(got == Seq(
+      "mail <EMAIL> end",
+      "ip <IP> end",
+      "acct <ID> end",
+      "call <PHONE> end",
+      "short 12345 end"))
+  }
+
+  test("chunking: window starts, overlap, ragged tail, empty doc") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7"),
+      (2L, "a b"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val got = graft.ops.Chunking.byWords(docs, chunkSize = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3))).toSet
+    assert(got == Set(
+      (1L, 0L, "w1 w2 w3 w4", 4), // starts every 3 words
+      (1L, 1L, "w4 w5 w6 w7", 4),
+      (1L, 2L, "w7", 1),          // ragged tail window
+      (2L, 0L, "a b", 2)))        // doc 3 (whitespace only) emits nothing
+  }
+
   test("repetition signals: hand-computed fractions") {
     val docs = Seq(
       (1L, "a a b"),          // words 3/2 distinct; bigrams {a a, a b}
