@@ -106,12 +106,22 @@ object Dedup {
         hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    val a = banded.select(col("band"), col("bucket"), col("id").as("a_id"), col("sig").as("a_sig"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("b_id"), col("sig").as("b_sig"))
-    a.join(b, Seq("band", "bucket"))
-      .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        (size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y), m => m))
+    // Self-join with IDENTICAL child plans on both sides (rename only
+    // after the join): the two shuffles canonicalize equal, so
+    // ReuseExchange computes the tokenize→shingle→minhash→band stage ONCE
+    // and replays the exchange output for the build side. Renaming before
+    // the join (a_id/b_id projections) defeats the reuse and doubles the
+    // most expensive stage of the pipeline. The shuffle_hash hint keeps the
+    // join shuffled even when the planner would broadcast (a broadcast side
+    // is a separate computation — no reuse, sketch stage runs twice); at
+    // real scale the join is shuffled regardless, and bucket groups are
+    // tiny by construction so hash beats sort-merge.
+    banded.alias("l").hint("shuffle_hash")
+      .join(banded.alias("r").hint("shuffle_hash"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a_id"), col("r.id").as("b_id"),
+        (size(filter(zip_with(col("l.sig"), col("r.sig"), (x, y) => x === y), m => m))
           .cast("double") / numHashes).as("est_jaccard"))
       .where(col("est_jaccard") >= minJaccard)
       .dropDuplicates("a_id", "b_id")
@@ -209,11 +219,15 @@ object Dedup {
           VectorFunctions.simhashBucket(col("vec"), nBits, seed = bd)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    val a = bucketed.select(col("band"), col("bucket"), col("id").as("a_id"), col("vec").as("a_vec"))
-    val b = bucketed.select(col("band"), col("bucket"), col("id").as("b_id"), col("vec").as("b_vec"))
-    a.join(b, Seq("band", "bucket"))
-      .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), VectorFunctions.dot(col("a_vec"), col("b_vec")).as("cosine"))
+    // Identical-child self-join (rename after the join) + shuffle_hash →
+    // ReuseExchange computes the normalize+bucket stage once; see
+    // minhashLshFromShingles for the full rationale.
+    bucketed.alias("l").hint("shuffle_hash")
+      .join(bucketed.alias("r").hint("shuffle_hash"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a_id"), col("r.id").as("b_id"),
+        VectorFunctions.dot(col("l.vec"), col("r.vec")).as("cosine"))
       .where(col("cosine") >= threshold)
       .dropDuplicates("a_id", "b_id")
   }
