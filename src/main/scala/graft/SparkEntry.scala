@@ -223,6 +223,15 @@ object SparkEntry {
       Dedup.ngramJaccard(docs, pairs)
     }),
 
+    // ---- quota sampling: exactly n rows per stratum, selected in md5(id)
+    // order — deterministic corpus-composition caps (per domain/language/
+    // source). md5 hex ordering is engine-portable, so DuckDB replays the
+    // exact selected set. -------------------------------------------------
+    "q58_quota_sample" -> ((s, dir) => {
+      Sampling.exactPerGroup(t(s, dir, "orders"), "o_orderpriority", "o_orderkey", n = 40)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+    }),
+
     // ---- PII / identifier redaction: chained global regex rules over the
     // customer names (digit-run ids) — map-only, codegen'd. ---------------
     "q56_redact" -> ((s, dir) =>
@@ -788,6 +797,14 @@ object SparkEntry {
         | FROM embeddings c, embeddings q
         | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 10""".stripMargin,
+    // q58: same md5-hex selection order; row_number ties impossible
+    // (distinct keys → distinct digests).
+    "q58_quota_sample" ->
+      """SELECT o_orderkey, o_orderpriority FROM (
+        | SELECT o_orderkey, o_orderpriority,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY md5(CAST(o_orderkey AS VARCHAR))) AS rk
+        | FROM orders) WHERE rk <= 40""".stripMargin,
     // q56: identical rule chain, RE2-compatible patterns, global flag.
     "q56_redact" ->
       """SELECT c_custkey,

@@ -44,4 +44,26 @@ object Sampling {
     }
     df.where(idBucket(col(idCol)) < thresh)
   }
+
+  /** EXACTLY `n` rows per stratum (fewer if the stratum is smaller) —
+    * quota sampling for corpus composition (cap per domain/language/
+    * source). Selection order is md5(id): deterministic, content-blind,
+    * and reproducible in any engine, unlike `rand()`-ranked sampling.
+    * Ties cannot occur (ids are distinct ⇒ digests distinct modulo md5
+    * collisions), so the result set is unique.
+    *
+    * One shuffle on the stratum (window rank); the rows carry only the
+    * caller's columns. For very hot strata at extreme scale, pre-filter
+    * with [[stratified]] at a fraction safely above n/|stratum| first,
+    * then apply the exact cap to the survivors.
+    */
+  def exactPerGroup(df: DataFrame, stratumCol: String, idCol: String, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= n)
+      .drop("__rk")
+  }
 }

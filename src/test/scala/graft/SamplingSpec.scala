@@ -63,4 +63,16 @@ class SamplingSpec extends SparkSpec {
     val test = Seq((2L, "quick brown fox")).toDF("doc_id", "text")
     assert(Decontaminate.flagged(train, test, n = 3).count() === 1L)
   }
+
+  test("exactPerGroup: exact caps, small strata untouched, partition-independent") {
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++ Seq((200L, "small"), (201L, "small")))
+      .toDF("id", "stratum")
+    val got = Sampling.exactPerGroup(df, "stratum", "id", n = 10)
+    val counts = got.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 10L, "small" -> 2L))
+    val again = Sampling.exactPerGroup(df.repartition(7), "stratum", "id", n = 10)
+    assert(got.select("id").as[Long].collect().sorted.toSeq ==
+      again.select("id").as[Long].collect().sorted.toSeq)
+  }
 }
