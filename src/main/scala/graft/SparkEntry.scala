@@ -223,6 +223,21 @@ object SparkEntry {
       Dedup.ngramJaccard(docs, pairs)
     }),
 
+    // ---- multimodal binary roundtrip: synthesize REAL BMP/WAV payloads
+    // (container params = pure functions of the id), then parse the
+    // headers back with the byte-level codecs. The oracle replays the
+    // parameter formulas — writer and parser must agree byte-for-byte for
+    // the metadata to land on the formula values. ------------------------
+    "q59_media_meta" -> ((s, dir) => {
+      Multimodal.parseMeta(Multimodal.syntheticMedia(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("kind"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("duration_ms"))
+    }),
+
     // ---- quota sampling: exactly n rows per stratum, selected in md5(id)
     // order — deterministic corpus-composition caps (per domain/language/
     // source). md5 hex ordering is engine-portable, so DuckDB replays the
@@ -797,6 +812,17 @@ object SparkEntry {
         | FROM embeddings c, embeddings q
         | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 10""".stripMargin,
+    // q59: the synthesis formulas, replayed — duration uses the same
+    // floor integer division as the parser's nSamples*1000/rate.
+    "q59_media_meta" ->
+      """SELECT doc_id AS media_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        | CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 24 END AS width,
+        | CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 16 END AS height,
+        | CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 8) * 1000 END AS sample_rate,
+        | CASE WHEN doc_id % 2 = 1
+        |   THEN (500 + doc_id % 1000) * 1000 // (8000 + (doc_id % 8) * 1000) END AS duration_ms
+        |FROM documents""".stripMargin,
     // q58: same md5-hex selection order; row_number ties impossible
     // (distinct keys → distinct digests).
     "q58_quota_sample" ->

@@ -1,0 +1,112 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Real pure-JVM binary codecs for the multimodal pipeline: byte-exact
+  * writers and parsers for the two classic uncompressed container formats
+  * — BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, 24bpp) and WAV (RIFF /
+  * `fmt ` / `data`, 16-bit PCM). These are actual on-disk formats, not
+  * fakes: a file produced by [[bmp]] opens in any image viewer and one
+  * from [[wav]] plays in any audio player. Compressed codecs (JPEG, MP3,
+  * H.264) still need native libraries absent from this environment —
+  * [[graft.ops.Multimodal.DecodeStub]] remains the documented fallback
+  * for payloads these parsers don't recognize.
+  */
+object BinaryCodecs {
+
+  // ---------------------------------------------------------------- BMP --
+
+  /** 24bpp bottom-up BMP. Rows are padded to 4-byte boundaries per the
+    * spec; `pixels` supplies BGR bytes row-major and is cycled/zero-padded
+    * to fill the pixel array.
+    */
+  def bmp(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, "bmp dimensions must be positive")
+    val rowSize = ((24 * width + 31) / 32) * 4
+    val dataSize = rowSize * height
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + dataSize) // file size
+    buf.putInt(0)             // reserved
+    buf.putInt(54)            // pixel-array offset
+    buf.putInt(40)            // BITMAPINFOHEADER size
+    buf.putInt(width)
+    buf.putInt(height)
+    buf.putShort(1)           // planes
+    buf.putShort(24)          // bpp
+    buf.putInt(0)             // BI_RGB (uncompressed)
+    buf.putInt(dataSize)
+    buf.putInt(2835).putInt(2835) // 72 DPI
+    buf.putInt(0).putInt(0)   // palette
+    var i = 0
+    while (i < dataSize) {
+      buf.put(if (pixels.nonEmpty) pixels(i % pixels.length) else 0: Byte)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** (width, height) if the payload is a parseable BMP, else None. */
+  def bmpDimensions(payload: Array[Byte]): Option[(Int, Int)] =
+    if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M') None
+    else {
+      val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+      val w = buf.getInt(18)
+      val h = buf.getInt(22)
+      if (w > 0 && h != 0) Some((w, math.abs(h))) else None // negative h = top-down
+    }
+
+  // ---------------------------------------------------------------- WAV --
+
+  /** 16-bit mono PCM WAV. `samples` are little-endian int16 frames. */
+  def wav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0, "sampleRate must be positive")
+    val dataSize = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII"))
+    buf.putInt(36 + dataSize)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(16)            // PCM fmt chunk size
+    buf.putShort(1)           // PCM
+    buf.putShort(1)           // mono
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * 2) // byte rate
+    buf.putShort(2)           // block align
+    buf.putShort(16)          // bits per sample
+    buf.put("data".getBytes("US-ASCII"))
+    buf.putInt(dataSize)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** (sampleRate, nSamples) if the payload is parseable 16-bit mono PCM
+    * WAV, else None. Walks the chunk list (spec-conformant files may carry
+    * LIST/INFO chunks before `data`).
+    */
+  def wavMeta(payload: Array[Byte]): Option[(Int, Long)] = {
+    if (payload.length < 44) return None
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(payload, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var sampleRate = -1
+    var bytesPerFrame = -1
+    var dataBytes = -1L
+    while (off + 8 <= payload.length && (sampleRate < 0 || dataBytes < 0)) {
+      val id = tag(off)
+      val size = buf.getInt(off + 4)
+      if (size < 0 || off + 8 + size.toLong > payload.length + 1) return None
+      if (id == "fmt " && size >= 16) {
+        sampleRate = buf.getInt(off + 12)
+        bytesPerFrame = buf.getShort(off + 20).toInt // block align
+      } else if (id == "data") {
+        dataBytes = size.toLong
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (sampleRate > 0 && bytesPerFrame > 0 && dataBytes >= 0)
+      Some((sampleRate, dataBytes / bytesPerFrame))
+    else None
+  }
+}

@@ -46,6 +46,53 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.length).sum >= 1000 - 8) // near-complete coverage
   }
 
+  test("BMP codec roundtrip and rejection") {
+    import graft.functions.BinaryCodecs
+    val payload = BinaryCodecs.bmp(33, 7, Array[Byte](10, 20, 30)) // odd width → row padding
+    assert(BinaryCodecs.bmpDimensions(payload) == Some((33, 7)))
+    // spec: rows pad to 4-byte boundaries
+    assert(payload.length == 54 + ((24 * 33 + 31) / 32) * 4 * 7)
+    assert(BinaryCodecs.bmpDimensions("not a bitmap".getBytes) == None)
+    assert(BinaryCodecs.bmpDimensions(Array[Byte]('B', 'M')) == None)
+  }
+
+  test("WAV codec roundtrip, chunk walking, and rejection") {
+    import graft.functions.BinaryCodecs
+    val payload = BinaryCodecs.wav(16000, Array.tabulate(320)(_.toShort))
+    assert(BinaryCodecs.wavMeta(payload) == Some((16000, 320L)))
+    assert(payload.length == 44 + 640)
+    // LIST chunk inserted before data must be skipped, not break parsing
+    val withList = {
+      val head = payload.take(36) // RIFF..WAVE + fmt chunk
+      val list = "LIST".getBytes ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes
+      val out = head ++ list ++ payload.drop(36)
+      // fix RIFF size
+      val buf = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(4, out.length - 8)
+      out
+    }
+    assert(BinaryCodecs.wavMeta(withList) == Some((16000, 320L)))
+    assert(BinaryCodecs.wavMeta("RIFFxxxxJUNK".getBytes ++ new Array[Byte](40)) == None)
+  }
+
+  test("synthetic media parses back to its formula metadata") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val metas = Multimodal.parseMeta(Multimodal.syntheticMedia(docs)).collect()
+    assert(metas.length == docs.count())
+    metas.foreach { m =>
+      if (m.media_id % 2 == 0) {
+        assert(m.kind == "image" && m.sample_rate.isEmpty)
+        assert(m.width.contains(8 + (m.media_id % 24).toInt))
+        assert(m.height.contains(8 + (m.media_id % 16).toInt))
+      } else {
+        val rate = 8000 + (m.media_id % 8).toInt * 1000
+        assert(m.kind == "audio" && m.width.isEmpty)
+        assert(m.sample_rate.contains(rate))
+        assert(m.duration_ms.contains((500 + m.media_id % 1000) * 1000L / rate))
+      }
+    }
+  }
+
   test("resizeAll rewrites payloads to the target budget, keeps ids and kinds") {
     import spark.implicits._
     val media = Seq(
