@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over a pair list — the resolution step
@@ -53,11 +54,13 @@ object Components {
 
     // large-star: every node hooks its larger neighbors onto its minimum
     // neighborhood member; small-star does the same for smaller neighbors.
+    // The per-node neighborhood minimum is a window aggregate (one shuffle
+    // on the grouping node), not a groupBy + self-join (two shuffles) — at
+    // O(log n) rounds the per-round shuffle count is the whole cost model.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      sym.join(mins, "u")
+      val m = least(col("u"), min(col("v")).over(Window.partitionBy(col("u"))))
+      sym.withColumn("m", m)
         .where(col("v") > col("u"))
         .select(least(col("v"), col("m")).as("u"), greatest(col("v"), col("m")).as("v"))
         .where(col("u") =!= col("v"))
@@ -65,15 +68,10 @@ object Components {
     }
     def smallStar(e: DataFrame): DataFrame = {
       // already canonical u < v: group by the larger endpoint v
-      val mins = e.groupBy("v").agg(min(col("u")).as("m"))
-      e.join(mins, "v")
-        .select(col("u"), col("m"), col("v"))
-        .select(
-          least(col("u"), col("m")).as("nu"), greatest(col("u"), col("m")).as("nv"),
-          col("v"), col("m"))
-        .select(array(struct(col("nu").as("u"), col("nv").as("v")),
-          struct(col("m").as("u"), col("v").as("v"))).as("es"))
-        .select(explode(col("es")).as("e"))
+      e.withColumn("m", min(col("u")).over(Window.partitionBy(col("v"))))
+        .select(explode(array(
+          struct(least(col("u"), col("m")).as("u"), greatest(col("u"), col("m")).as("v")),
+          struct(col("m").as("u"), col("v").as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
         .where(col("u") =!= col("v"))
         .distinct()
