@@ -114,6 +114,62 @@ object StreamingOps {
       .drop(t(key))
   }
 
+  /** A (key, event-time) row for keyed admission control. */
+  final case class KeyedEvent(key: String, ts: java.sql.Timestamp)
+
+  /** Per-key admission state: admitted count per open window. Bounded by
+    * construction — the watermark filter stops events for closed windows,
+    * so at most ⌈lateness/window⌉+1 entries stay live per key.
+    */
+  final case class WindowQuotas(admitted: Map[Long, Int])
+
+  /** Streaming per-key rate cap — the streaming form of quota sampling:
+    * admit at most `maxPerWindow` events per key per tumbling window,
+    * drop the rest. Ingest-side throttling for corpus pipelines (cap a
+    * domain/source that floods the stream) with BOUNDED state: per-window
+    * counts are pruned as soon as the watermark closes the window (the
+    * watermark also filters any stragglers for it), and a whole key's
+    * state dies by event-time timeout when all its windows close.
+    *
+    * Which events of an overfull window are admitted follows micro-batch
+    * arrival order (deterministic counts, arrival-dependent membership) —
+    * the same contract as any online admission control.
+    */
+  def rateLimit(
+      events: Dataset[KeyedEvent],
+      windowMillis: Long,
+      maxPerWindow: Int,
+      lateness: String = "1 hour"): Dataset[KeyedEvent] = {
+    require(windowMillis > 0 && maxPerWindow > 0, "window and cap must be positive")
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, batch: Iterator[KeyedEvent], state: GroupState[WindowQuotas]) =>
+          val watermark = if (state.getCurrentWatermarkMs() > 0) state.getCurrentWatermarkMs() else 0L
+          var admitted = state.getOption.map(_.admitted).getOrElse(Map.empty[Long, Int])
+            .filter { case (w, _) => (w + 1) * windowMillis > watermark } // prune closed windows
+          val out = Vector.newBuilder[KeyedEvent]
+          batch.toVector.sortBy(_.ts.getTime).foreach { e =>
+            val w = math.floorDiv(e.ts.getTime, windowMillis)
+            val n = admitted.getOrElse(w, 0)
+            if (n < maxPerWindow) {
+              out += e
+              admitted = admitted.updated(w, n + 1)
+            }
+          }
+          if (admitted.isEmpty) state.remove()
+          else {
+            state.update(WindowQuotas(admitted))
+            // expire the key's state when its newest window closes
+            val horizon = (admitted.keys.max + 1) * windowMillis
+            if (horizon > watermark) state.setTimeoutTimestamp(horizon)
+          }
+          out.result().iterator
+      }
+  }
+
   /** Read the reference's user-exp JSON shape as a file stream. */
   def userExpStream(spark: SparkSession, dir: String): Dataset[SessionEvent] = {
     import spark.implicits._

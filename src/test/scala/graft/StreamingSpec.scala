@@ -137,4 +137,30 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got === Set(("e1", "s1")))
   }
+
+  test("rateLimit admits at most n events per key per window, state carries across batches") {
+    val in = Files.createTempDirectory("graft_stream_cap")
+    def write(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(in.toString, name), lines.mkString("\n").getBytes)
+    def line(key: String, sec: Int) =
+      s"""{"key":"$key","ts":"2024-11-16T10:00:${"%02d".format(sec)}Z"}"""
+    // batch 1: 3 events for hot in minute-window 0; 1 for cold
+    write("b1.json", (0 to 2).map(line("hot", _)) :+ line("cold", 5))
+    import spark.implicits._
+    val stream = spark.readStream
+      .schema("key STRING, ts STRING")
+      .json(in.toString)
+      .select(col("key"), to_timestamp(col("ts")).as("ts"))
+      .as[StreamingOps.KeyedEvent]
+    val q = StreamingOps.rateLimit(stream, windowMillis = 60000L, maxPerWindow = 4)
+      .writeStream.outputMode("append").format("memory").queryName("capped")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable()
+    // batch 2: 5 more hot events in the SAME window — only 1 more fits the cap
+    write("b2.json", (10 to 14).map(line("hot", _)))
+    q.processAllAvailable(); q.stop()
+    val counts = spark.table("capped").groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("hot" -> 4L, "cold" -> 1L))
+  }
 }
