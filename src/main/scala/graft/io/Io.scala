@@ -35,6 +35,37 @@ object Io {
     out.write.mode("overwrite").json(path)
   }
 
+  /** Lenient JSON-lines scan for large-scale ingestion: malformed rows
+    * survive as a populated `_corrupt_record` column (PERMISSIVE mode)
+    * instead of failing the job — at 100 TB a handful of truncated or
+    * mangled lines is a certainty, not an error. Split the result with
+    * [[goodRecords]] / [[corruptRecords]] and alert on the corrupt count.
+    */
+  def readJsonLenient(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** Well-formed rows of a [[readJsonLenient]] frame, corrupt column dropped. */
+  def goodRecords(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.where(col("_corrupt_record").isNull).drop("_corrupt_record")
+  }
+
+  /** Quarantine view: the raw text of every malformed row (for a dead-
+    * letter sink / data-quality metrics). Spark disallows filtering a raw
+    * JSON scan on the internal corrupt column alone
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN); the
+    * documented workaround is to cache the parsed frame first — which the
+    * good/quarantine split wants anyway (one parse, two consumers).
+    */
+  def corruptRecords(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.cache().where(col("_corrupt_record").isNotNull)
+  }
+
   def readParquet(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
