@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
-import graft.ops.{AsOfJoin, Chunking, Components, Decontaminate, Dedup, Enrich, Mappings, Multimodal, Repetition, Sampling, Sessionize, Similarity, SkewJoin}
+import graft.ops.{AsOfJoin, Bm25, Chunking, Components, Decontaminate, Dedup, Enrich, Mappings, Multimodal, Repetition, Sampling, Sessionize, Similarity, SkewJoin}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -221,6 +221,15 @@ object SparkEntry {
         .select(col("doc_id").as("a_id"),
           explode(array(col("doc_id") + 1, col("doc_id") + 5)).as("b_id"))
       Dedup.ngramJaccard(docs, pairs)
+    }),
+
+    // ---- BM25 retrieval statistics: exact integer (tf, df, len) per
+    // (doc, query term) — the scoring formula itself is spec-tested, not
+    // oracled, because ln() may differ across engines in the last ulp. --
+    "q60_bm25_stats" -> ((s, dir) => {
+      Bm25.stats(t(s, dir, "documents"), Seq("table", "query", "vector"))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("doc_len"), col("n_docs"))
     }),
 
     // ---- multimodal binary roundtrip: synthesize REAL BMP/WAV payloads
@@ -812,6 +821,22 @@ object SparkEntry {
         | FROM embeddings c, embeddings q
         | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 10""".stripMargin,
+    // q60: same tokenization; integer stats only (no floats).
+    "q60_bm25_stats" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |t AS (SELECT doc_id, len(w) AS doc_len, unnest(w) AS term FROM tok),
+        |pt AS (
+        | SELECT doc_id, doc_len, term, count(*) AS tf FROM t
+        | WHERE term IN ('table', 'query', 'vector') GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df FROM pt GROUP BY 1),
+        |c AS (SELECT count(*) AS n_docs FROM tok)
+        |SELECT pt.doc_id, pt.term, CAST(pt.tf AS BIGINT) AS tf,
+        | CAST(dfreq.df AS BIGINT) AS df, CAST(pt.doc_len AS BIGINT) AS doc_len,
+        | CAST(c.n_docs AS BIGINT) AS n_docs
+        |FROM pt JOIN dfreq USING (term) CROSS JOIN c""".stripMargin,
     // q59: the synthesis formulas, replayed — duration uses the same
     // floor integer division as the parser's nSamples*1000/rate.
     "q59_media_meta" ->

@@ -144,6 +144,27 @@ class OpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("bm25: exact stats and rare-term ranking") {
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "d d d")).toDF("doc_id", "text")
+    val stats = graft.ops.Bm25.stats(docs, Seq("a", "d")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // (doc, term) -> (tf, df, doc_len)
+    assert(stats == Map(
+      (1L, "a") -> ((2L, 2L, 3L)),
+      (2L, "a") -> ((1L, 2L, 2L)),
+      (3L, "d") -> ((3L, 1L, 3L))))
+    val scores = graft.ops.Bm25.score(docs, Seq("a", "d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.keySet == Set(1L, 2L, 3L))
+    assert(scores.values.forall(_ > 0))
+    // the rare high-tf term dominates the common one
+    assert(scores(3L) > scores(1L) && scores(1L) > 0)
+    // replay the formula for doc 3 / term d: N=3, df=1, tf=3, len=3, avg=8/3
+    val idf = math.log(1.0 + (3 - 1 + 0.5) / (1 + 0.5))
+    val tfNorm = 3 * 2.2 / (3 + 1.2 * (1 - 0.75 + 0.75 * 3 / (8.0 / 3)))
+    assert(math.abs(scores(3L) - idf * tfNorm) < 1e-12)
+  }
+
   test("redact: email, ip, long id, phone — in rule order") {
     val df = Seq(
       "mail bob.smith+x@ex-ample.org end",
