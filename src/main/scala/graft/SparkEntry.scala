@@ -223,6 +223,11 @@ object SparkEntry {
       Dedup.ngramJaccard(docs, pairs)
     }),
 
+    // ---- cross-document boilerplate: shingles shared by ≥3 docs, per-doc
+    // boilerplate fraction — integer counts → exact ratio both engines. --
+    "q61_boilerplate" -> ((s, dir) =>
+      Repetition.boilerplate(t(s, dir, "documents"), minDocs = 3)),
+
     // ---- BM25 retrieval statistics: exact integer (tf, df, len) per
     // (doc, query term) — the scoring formula itself is spec-tested, not
     // oracled, because ln() may differ across engines in the last ulp. --
@@ -821,6 +826,26 @@ object SparkEntry {
         | FROM embeddings c, embeddings q
         | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 10""".stripMargin,
+    // q61: same shingle construction as q18/q55; counts over strings vs
+    // 64-bit hashes — equal absent collisions.
+    "q61_boilerplate" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(w) - 2, 0)),
+        |   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS s
+        | FROM tok),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |hot AS (SELECT g FROM ex GROUP BY g HAVING count(*) >= 3),
+        |tot AS (SELECT doc_id, count(*) AS n_grams FROM ex GROUP BY 1),
+        |boil AS (SELECT ex.doc_id, count(*) AS boiler FROM ex JOIN hot USING (g) GROUP BY 1)
+        |SELECT tot.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        | CAST(coalesce(boiler, 0) AS BIGINT) AS boiler_grams,
+        | CASE WHEN n_grams > 0 THEN CAST(coalesce(boiler, 0) AS DOUBLE) / n_grams
+        |  ELSE 0.0 END AS boilerplate_frac
+        |FROM tot LEFT JOIN boil ON tot.doc_id = boil.doc_id""".stripMargin,
     // q60: same tokenization; integer stats only (no floats).
     "q60_bm25_stats" ->
       """WITH tok AS (

@@ -48,4 +48,41 @@ object Repetition {
         when(col("__b") > 0, col("__max_c").cast("double") / col("__b"))
           .otherwise(0.0).as("top_bigram_frac"))
   }
+
+  /** CROSS-document boilerplate detection — the corpus-wide complement of
+    * [[signals]]: a k-shingle appearing in at least `minDocs` distinct
+    * documents is boilerplate (headers, footers, licence blocks, template
+    * spam), and each document reports what fraction of its distinct
+    * shingles are boilerplate. The canonical filter drops documents with
+    * high `boilerplate_frac` before training.
+    *
+    * Scale shape: the exploded (doc_id, shingle-hash) frame is the one
+    * large intermediate; it is persisted (compact 16-byte rows — document
+    * bodies are long gone) because three aggregations consume it. Hot-gram
+    * selection and the per-doc counts are plain hash aggregations; no
+    * joins ever touch text.
+    */
+  def boilerplate(
+      docs: DataFrame,
+      minDocs: Int = 3,
+      shingleK: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2, "minDocs must be at least 2")
+    val exploded = Dedup.shingleSets(docs, idCol, textCol, shingleK)
+      .select(col("id"), explode(col("sh")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shingle sets are distinct per doc, so count(*) counts distinct docs
+    val hot = exploded.groupBy("g").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= minDocs).select("g")
+    val totals = exploded.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val boiler = exploded.join(hot, Seq("g"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("__boiler"))
+    totals.join(boiler, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_grams"),
+        coalesce(col("__boiler"), lit(0L)).as("boiler_grams"),
+        when(col("n_grams") > 0,
+          coalesce(col("__boiler"), lit(0L)).cast("double") / col("n_grams"))
+          .otherwise(0.0).as("boilerplate_frac"))
+  }
 }

@@ -144,6 +144,23 @@ class OpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("boilerplate: shared shingles flagged, unique docs score zero") {
+    val template = "copyright acme corp all rights reserved"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $template"),
+      (2L, s"delta epsilon zeta $template"),
+      (3L, s"eta theta iota $template"),
+      (4L, "totally unique words nothing shared here at all")).toDF("doc_id", "text")
+    val got = graft.ops.Repetition.boilerplate(docs, minDocs = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // each templated doc: 9 words → 7 shingles; the template contributes
+    // 4 shingles fully inside it ("copyright acme corp" … "all rights
+    // reserved"), shared by all 3 → boilerplate
+    assert(got(1L) == ((7L, 4L, 4.0 / 7)))
+    assert(got(2L)._2 == 4L && got(3L)._2 == 4L)
+    assert(got(4L) == ((6L, 0L, 0.0)))
+  }
+
   test("bm25: exact stats and rare-term ranking") {
     val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "d d d")).toDF("doc_id", "text")
     val stats = graft.ops.Bm25.stats(docs, Seq("a", "d")).collect()
