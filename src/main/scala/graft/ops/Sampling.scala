@@ -52,18 +52,27 @@ object Sampling {
     * Ties cannot occur (ids are distinct ⇒ digests distinct modulo md5
     * collisions), so the result set is unique.
     *
-    * One shuffle on the stratum (window rank); the rows carry only the
-    * caller's columns. For very hot strata at extreme scale, pre-filter
-    * with [[stratified]] at a fraction safely above n/|stratum| first,
-    * then apply the exact cap to the survivors.
+    * Two-phase selection so a hot stratum never sorts on one reducer: a
+    * salted pre-pass takes the top `n` per (stratum, salt) — spreading
+    * each stratum over `saltBuckets` reducers — and the final window sees
+    * at most `saltBuckets·n` survivors per stratum. Exactness is
+    * preserved because every global top-`n` row is necessarily in its
+    * salt bucket's top `n`. Results are independent of `saltBuckets`;
+    * size it so `saltBuckets·n` rows fit one reducer comfortably.
     */
-  def exactPerGroup(df: DataFrame, stratumCol: String, idCol: String, n: Int): DataFrame = {
+  def exactPerGroup(df: DataFrame, stratumCol: String, idCol: String, n: Int, saltBuckets: Int = 64): DataFrame = {
     require(n > 0, "n must be positive")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol))
-      .orderBy(md5(col(idCol).cast("string")))
-    df.withColumn("__rk", row_number().over(w))
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val order = md5(col(idCol).cast("string"))
+    val pre = Window
+      .partitionBy(col(stratumCol), pmod(xxhash64(col(idCol)), lit(saltBuckets)))
+      .orderBy(order)
+    val fin = Window.partitionBy(col(stratumCol)).orderBy(order)
+    df.withColumn("__prk", row_number().over(pre))
+      .where(col("__prk") <= n)
+      .withColumn("__rk", row_number().over(fin))
       .where(col("__rk") <= n)
-      .drop("__rk")
+      .drop("__prk", "__rk")
   }
 }

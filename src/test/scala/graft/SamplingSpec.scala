@@ -74,5 +74,9 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.exactPerGroup(df.repartition(7), "stratum", "id", n = 10)
     assert(got.select("id").as[Long].collect().sorted.toSeq ==
       again.select("id").as[Long].collect().sorted.toSeq)
+    // the salted pre-pass never changes the selected set
+    val salted = Sampling.exactPerGroup(df, "stratum", "id", n = 10, saltBuckets = 3)
+    assert(got.select("id").as[Long].collect().sorted.toSeq ==
+      salted.select("id").as[Long].collect().sorted.toSeq)
   }
 }
