@@ -85,10 +85,12 @@ object StreamingOps {
     * unbounded memory.
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String,
-      lateness: String = "1 hour"): DataFrame =
-    events
-      .withWatermark(tsCol, lateness)
-      .dropDuplicatesWithinWatermark(keyCols)
+      lateness: String = "1 hour"): DataFrame = {
+    // lateness == null → inherit an upstream watermark (Spark disallows
+    // redefining one mid-chain when composing stateful operators)
+    val marked = if (lateness == null) events else events.withWatermark(tsCol, lateness)
+    marked.dropDuplicatesWithinWatermark(keyCols)
+  }
 
   /** Stream-stream correlation join — the streaming form of the
     * reference's J4 event⋈trace correlation when both sides arrive as
@@ -140,19 +142,37 @@ object StreamingOps {
       windowMillis: Long,
       maxPerWindow: Int,
       lateness: String = "1 hour"): Dataset[KeyedEvent] = {
-    require(windowMillis > 0 && maxPerWindow > 0, "window and cap must be positive")
     import events.sparkSession.implicits._
-    events
-      .withWatermark("ts", lateness)
-      .groupByKey(_.key)
+    rateLimitTyped(events, (e: KeyedEvent) => e.key, (e: KeyedEvent) => e.ts,
+      "ts", windowMillis, maxPerWindow, lateness)
+  }
+
+  /** Generic form of [[rateLimit]]: cap arbitrary rows (documents with
+    * their payloads, not just (key, ts) pairs) per key per window, so the
+    * limiter composes inside a full pipeline — parse → quality gate →
+    * rateLimit → dedup — without losing columns.
+    */
+  def rateLimitTyped[T](
+      events: Dataset[T],
+      keyFn: T => String,
+      tsFn: T => java.sql.Timestamp,
+      tsCol: String,
+      windowMillis: Long,
+      maxPerWindow: Int,
+      lateness: String = "1 hour")(implicit ev: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    require(windowMillis > 0 && maxPerWindow > 0, "window and cap must be positive")
+    // lateness == null → inherit an upstream watermark (see dedupStream)
+    val marked = if (lateness == null) events else events.withWatermark(tsCol, lateness)
+    marked
+      .groupByKey(keyFn)(org.apache.spark.sql.Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: String, batch: Iterator[KeyedEvent], state: GroupState[WindowQuotas]) =>
+        (_: String, batch: Iterator[T], state: GroupState[WindowQuotas]) =>
           val watermark = if (state.getCurrentWatermarkMs() > 0) state.getCurrentWatermarkMs() else 0L
           var admitted = state.getOption.map(_.admitted).getOrElse(Map.empty[Long, Int])
             .filter { case (w, _) => (w + 1) * windowMillis > watermark } // prune closed windows
-          val out = Vector.newBuilder[KeyedEvent]
-          batch.toVector.sortBy(_.ts.getTime).foreach { e =>
-            val w = math.floorDiv(e.ts.getTime, windowMillis)
+          val out = Vector.newBuilder[T]
+          batch.toVector.sortBy(e => tsFn(e).getTime).foreach { e =>
+            val w = math.floorDiv(tsFn(e).getTime, windowMillis)
             val n = admitted.getOrElse(w, 0)
             if (n < maxPerWindow) {
               out += e
@@ -167,7 +187,7 @@ object StreamingOps {
             if (horizon > watermark) state.setTimeoutTimestamp(horizon)
           }
           out.result().iterator
-      }
+      }(org.apache.spark.sql.Encoders.product[WindowQuotas], ev)
   }
 
   /** Read the reference's user-exp JSON shape as a file stream. */

@@ -138,6 +138,41 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set(("e1", "s1")))
   }
 
+  test("streaming corpus intake composes: parse → gate → dedup → rate-cap") {
+    val in = Files.createTempDirectory("graft_stream_corpus")
+    def doc(source: String, sec: Int, text: String) =
+      s"""{"source":"$source","ts":"2024-11-16T10:00:${"%02d".format(sec)}Z","text":"$text"}"""
+    Files.write(Paths.get(in.toString, "b1.json"), (Seq(
+      doc("hot", 1, "a perfectly fine training document one"),
+      doc("hot", 2, "a perfectly fine training document two"),
+      doc("hot", 3, "A  Perfectly Fine Training Document Two"), // near-dup of #2 (fingerprint)
+      doc("hot", 4, "a perfectly fine training document three"),
+      doc("hot", 5, "a perfectly fine training document four"), // 4th distinct hot doc — over cap 3
+      doc("cold", 6, "another acceptable document"),
+      doc("cold", 7, "short")) // gated: under min length
+      ).mkString("\n").getBytes)
+    import spark.implicits._
+    val parsed = spark.readStream
+      .schema("source STRING, ts STRING, text STRING")
+      .json(in.toString)
+      .select(col("source"), to_timestamp(col("ts")).as("ts"), col("text"))
+      .where(length(col("text")) >= 10) // stateless quality gate
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+    val deduped = StreamingOps.dedupStream(parsed, Seq("fp"), "ts")
+      .select("source", "ts", "text").as[(String, java.sql.Timestamp, String)]
+    val capped = StreamingOps.rateLimitTyped[(String, java.sql.Timestamp, String)](
+      deduped, _._1, _._2, "ts", windowMillis = 60000L, maxPerWindow = 3,
+      lateness = null) // watermark set once by dedupStream upstream
+    val q = capped.toDF("source", "ts", "text")
+      .writeStream.outputMode("append").format("memory").queryName("intake")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("intake").groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hot: 4 distinct after near-dup removal, capped at 3; cold: 1 (short gated)
+    assert(got == Map("hot" -> 3L, "cold" -> 1L))
+  }
+
   test("rateLimit admits at most n events per key per window, state carries across batches") {
     val in = Files.createTempDirectory("graft_stream_cap")
     def write(name: String, lines: Seq[String]): Unit =
