@@ -69,6 +69,24 @@ object Io {
   def readParquet(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  /** Small-file compaction: rewrite a parquet dataset into files of
+    * roughly `targetBytes` each. Long-running hourly pipelines accrete
+    * thousands of small files (one per trigger per partition), and scan
+    * throughput dies on per-file open overhead; periodic compaction is
+    * standard operational hygiene. The output file count derives from the
+    * dataset's actual on-disk size via the Hadoop FS — no row counting,
+    * no collect. Writes to a separate directory: atomic swap semantics
+    * belong to the table format / orchestrator, not this library.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String, targetBytes: Long = 128L << 20): Unit = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir).repartition(nFiles).write.mode("overwrite").parquet(outDir)
+  }
+
   /** Hour-partitioned parquet layout — the at-scale replacement for the
     * reference's `{hour}`-in-filename convention: `hour` becomes a
     * directory partition column, so an hour-filtered read is pruned at
