@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
-import graft.ops.{AsOfJoin, Bm25, Chunking, Components, Decontaminate, Dedup, Enrich, Mappings, Multimodal, Repetition, Sampling, Sessionize, Similarity, SkewJoin}
+import graft.ops.{AsOfJoin, Bm25, Chunking, Components, Decontaminate, Dedup, Enrich, Mappings, Multimodal, Repetition, Sampling, Sessionize, Similarity, SkewJoin, TimeSeries}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -221,6 +221,20 @@ object SparkEntry {
         .select(col("doc_id").as("a_id"),
           explode(array(col("doc_id") + 1, col("doc_id") + 5)).as("b_id"))
       Dedup.ngramJaccard(docs, pairs)
+    }),
+
+    // ---- time-series regularization: per-customer monthly spine, gap
+    // months zero-filled, last-observation-carried-forward value. Spine
+    // generated per key with sequence() (bounded by the key's own span —
+    // no global-calendar cross join). ------------------------------------
+    "q62_gap_fill" -> ((s, dir) => {
+      val filled = TimeSeries.gapFillMonthlyCounts(
+        t(s, dir, "orders"), "o_custkey", "o_orderdate",
+        round(col("o_totalprice") * 100).cast("long"))
+        .withColumn("__v", when(col("n_obs") > 0, col("cents")))
+      TimeSeries.forwardFill(filled, "o_custkey", "month", "__v")
+        .select(col("o_custkey"), date_format(col("month"), "yyyy-MM").as("month"),
+          col("n_obs"), col("cents"), col("__v").as("last_cents"))
     }),
 
     // ---- cross-document boilerplate: shingles shared by ≥3 docs, per-doc
@@ -826,6 +840,27 @@ object SparkEntry {
         | FROM embeddings c, embeddings q
         | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 10""".stripMargin,
+    // q62: generate_series replays sequence(); last_value IGNORE NULLS
+    // replays last(ignoreNulls) over the same frame.
+    "q62_gap_fill" ->
+      """WITH m AS (
+        | SELECT o_custkey, date_trunc('month', o_orderdate) AS month,
+        |  count(*) AS n, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM orders GROUP BY 1, 2),
+        |sp AS (
+        | SELECT o_custkey, unnest(generate_series(date_trunc('month', min(o_orderdate)),
+        |   date_trunc('month', max(o_orderdate)), INTERVAL 1 MONTH)) AS month
+        | FROM orders GROUP BY o_custkey),
+        |j AS (
+        | SELECT sp.o_custkey, sp.month,
+        |  coalesce(m.n, 0) AS n_obs, coalesce(m.cents, 0) AS cents,
+        |  CASE WHEN m.n > 0 THEN m.cents END AS v
+        | FROM sp LEFT JOIN m ON sp.o_custkey = m.o_custkey AND sp.month = m.month)
+        |SELECT o_custkey, strftime(month, '%Y-%m') AS month,
+        | CAST(n_obs AS BIGINT) AS n_obs, CAST(cents AS BIGINT) AS cents,
+        | CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY month
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS last_cents
+        |FROM j""".stripMargin,
     // q61: same shingle construction as q18/q55; counts over strings vs
     // 64-bit hashes — equal absent collisions.
     "q61_boilerplate" ->

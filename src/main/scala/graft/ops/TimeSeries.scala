@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: turn event data with holes into a dense,
+  * regular series per key — the prerequisite for any windowed model or
+  * chart downstream.
+  *
+  *  - [[monthlySpine]]: each key's complete month range, generated with
+  *    `sequence()` per key (map-side fan-out bounded by the key's own
+  *    span — no cross-join against a global calendar, which at scale
+  *    would shuffle every key against every date).
+  *  - [[gapFillMonthlyCounts]]: spine ⟕ per-month aggregates, zero-fill.
+  *  - [[forwardFill]]: last-observation-carried-forward via
+  *    `last(ignoreNulls)` over an ordered per-key window.
+  */
+object TimeSeries {
+
+  /** (key, month) rows covering every month between the key's first and
+    * last observation, inclusive.
+    */
+  def monthlySpine(df: DataFrame, keyCol: String, dateCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(
+        date_trunc("month", min(col(dateCol))).as("__lo"),
+        date_trunc("month", max(col(dateCol))).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"), expr("INTERVAL 1 MONTH"))).as("month"))
+
+  /** Dense monthly series per key: observation count and summed integer
+    * `amountCents` per month, gap months present with zeros.
+    */
+  def gapFillMonthlyCounts(
+      df: DataFrame,
+      keyCol: String,
+      dateCol: String,
+      amountCents: Column): DataFrame = {
+    val monthly = df
+      .groupBy(col(keyCol), date_trunc("month", col(dateCol)).as("month"))
+      .agg(count(lit(1)).as("__n"), sum(amountCents).as("__cents"))
+    monthlySpine(df, keyCol, dateCol)
+      .join(monthly, Seq(keyCol, "month"), "left")
+      .select(col(keyCol), col("month"),
+        coalesce(col("__n"), lit(0L)).as("n_obs"),
+        coalesce(col("__cents"), lit(0L)).as("cents"))
+  }
+
+  /** Forward fill: replace nulls in `valueCol` with the last non-null
+    * value in `orderCol` order within each key. One shuffle + sort per
+    * key partition; the standard LOCF semantics.
+    */
+  def forwardFill(df: DataFrame, keyCol: String, orderCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+}

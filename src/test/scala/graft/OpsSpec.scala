@@ -144,6 +144,25 @@ class OpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("time series: gap months zero-filled, forward fill carries last value") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      ("A", ts("2024-01-05"), 100L), ("A", ts("2024-01-20"), 50L),
+      ("A", ts("2024-04-02"), 30L),
+      ("B", ts("2024-02-10"), 7L)).toDF("k", "d", "cents")
+    val filled = graft.ops.TimeSeries.gapFillMonthlyCounts(orders, "k", "d", col("cents"))
+      .withColumn("__v", when(col("n_obs") > 0, col("cents")))
+    val got = graft.ops.TimeSeries.forwardFill(filled, "k", "month", "__v")
+      .select(col("k"), date_format(col("month"), "yyyy-MM"), col("n_obs"), col("cents"), col("__v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      ("A", "2024-01") -> ((2L, 150L, 150L)),
+      ("A", "2024-02") -> ((0L, 0L, 150L)), // gap month: zero obs, carried value
+      ("A", "2024-03") -> ((0L, 0L, 150L)),
+      ("A", "2024-04") -> ((1L, 30L, 30L)),
+      ("B", "2024-02") -> ((1L, 7L, 7L))))
+  }
+
   test("boilerplate: shared shingles flagged, unique docs score zero") {
     val template = "copyright acme corp all rights reserved"
     val docs = Seq(
