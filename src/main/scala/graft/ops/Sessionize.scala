@@ -31,6 +31,55 @@ import graft.model.SessionEvent
   */
 object Sessionize {
 
+  /** The A2 scan as a typed [[org.apache.spark.sql.expressions.Aggregator]]
+    * so sessionization is callable from SQL (SURVEY §2.8's optional item):
+    *
+    * {{{
+    * spark.udf.register("graft_session_seconds",
+    *   org.apache.spark.sql.functions.udaf(Sessionize.SessionSecondsAgg))
+    * spark.sql("SELECT clientId, graft_session_seconds(ts_millis, eventType) FROM e GROUP BY clientId")
+    * }}}
+    *
+    * The buffer keeps ALL (t, isStart) pairs and `finish` replays the
+    * reference scan over the sorted sequence — required for exactness
+    * because merge order of partial buffers is nondeterministic and the
+    * scan is order-sensitive. Buffer size is the group's event count:
+    * same memory class as the exact-percentile aggregate; the window
+    * formulation ([[pairedDurations]]) remains the unbounded-scale path.
+    */
+  object SessionSecondsAgg
+      extends org.apache.spark.sql.expressions.Aggregator[(Long, String), SessionBuffer, Double] {
+    override def zero: SessionBuffer = SessionBuffer(Seq.empty)
+    override def reduce(b: SessionBuffer, a: (Long, String)): SessionBuffer =
+      a._2 match {
+        case "page_view_start" => SessionBuffer(b.events :+ ((a._1, true)))
+        case "page_view_end"   => SessionBuffer(b.events :+ ((a._1, false)))
+        case _                 => b
+      }
+    override def merge(x: SessionBuffer, y: SessionBuffer): SessionBuffer =
+      SessionBuffer(x.events ++ y.events)
+    override def finish(b: SessionBuffer): Double = {
+      var pending: Option[Long] = None
+      var total = 0.0
+      b.events.sortBy(_._1).foreach {
+        case (t, true) => pending = Some(t)
+        case (t, false) =>
+          pending.foreach { s => total += (t - s) / 1000.0; pending = None }
+      }
+      total
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[SessionBuffer] =
+      org.apache.spark.sql.Encoders.product[SessionBuffer]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  /** Buffer for [[SessionSecondsAgg]]: every (t, isStart) pair in the
+    * group — order restored in `finish` because partial-merge order is
+    * nondeterministic and the scan is order-sensitive.
+    */
+  final case class SessionBuffer(events: Seq[(Long, Boolean)])
+
   /** Per-event paired durations via window functions. `tVal` is the numeric
     * time value to pair on (e.g. `col(ts).cast("double")` seconds, or
     * `unix_millis(col(ts))` for exact integer arithmetic); durations come

@@ -67,6 +67,26 @@ class OpsSpec extends SparkSpec {
     assert(windowed == typed.filter(_._2 > 0))
   }
 
+  test("SQL UDAF sessionization equals the window path (SURVEY §2.8 optional item)") {
+    val events = for {
+      c <- Seq("a", "b", "c"); i <- 0 until 20
+    } yield (c, i * 7000L + (c.hashCode.abs % 1000),
+      Seq("page_view_start", "page_view_end", "other")((c + i).hashCode.abs % 3))
+    val df = events.toDF("clientId", "t_ms", "eventType")
+    spark.udf.register("graft_session_seconds", udaf(Sessionize.SessionSecondsAgg))
+    df.createOrReplaceTempView("sess_events")
+    val viaSql = spark.sql(
+      "SELECT clientId, graft_session_seconds(t_ms, eventType) AS s FROM sess_events GROUP BY clientId")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaWindow = Sessionize.pairedDurations(
+      df, "clientId", col("t_ms"), Seq(col("t_ms")), "eventType", "page_view_start", "page_view_end")
+      .groupBy("clientId").agg(sum(col("duration") / 1000.0).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // UDAF emits every group (0.0 when pair-less); window path only matched
+    assert(viaSql.filter(_._2 > 0) == viaWindow.filter(_._2 > 0))
+    assert(viaSql.keySet == Set("a", "b", "c"))
+  }
+
   test("enrich: hit merges+overwrites, miss passes through (src/data_processor.py:100-112)") {
     val df = Seq(("r1", "k1", "old1"), ("r2", "k2", "old2"), ("r3", null, "old3")).toDF("id", "fk", "v")
     val mapping = Seq(("k1", "new1", "extra1")).toDF("key", "v", "w")
