@@ -223,6 +223,40 @@ object SparkEntry {
       Dedup.ngramJaccard(docs, pairs)
     }),
 
+    // ---- Count-Min frequency sketch: fixed-memory term counts, merged by
+    // elementwise addition (partitioning-independent). The oracled surface
+    // is the exact counts plus the sketch's two-sided error CONTRACT
+    // (never undercounts; over by ≤ ⌈e·N/width⌉) pinned TRUE — the raw
+    // estimates are sketch-internal, like q43's HLL. The exact-count
+    // branch exists only to oracle the contract; real use replaces it. --
+    "q64_countmin" -> ((s, dir) => {
+      val terms = Seq("table", "data", "spark", "vector", "nonexistentterm")
+      val words = spread(t(s, dir, "documents"))
+        .select(explode(Dedup.wordTokens(col("text"))).as("term"))
+      val cm = udaf(new graft.functions.Sketches.CountMinAgg(4, 2048, terms))
+      val est = words.agg(cm(col("term")).as("e"))
+        .select(posexplode(col("e.estimates")))
+        .select(element_at(typedlit(terms), col("pos").cast("int") + 1).as("term"),
+          col("col").as("__est"))
+      val exact = words.groupBy("term").agg(count(lit(1)).as("exact_count"))
+      est.join(exact, Seq("term"), "left")
+        .crossJoin(broadcast(words.agg(count(lit(1)).as("__n"))))
+        .select(col("term"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+          (col("__est") >= coalesce(col("exact_count"), lit(0L))).as("never_undercounts"),
+          (col("__est") <= coalesce(col("exact_count"), lit(0L)) +
+            ceil(col("__n") * lit(math.E) / 2048).cast("long")).as("within_eps_n"))
+    }),
+
+    // ---- weighted deterministic sampling: keep orders with probability
+    // proportional to price (clamped) — the corpus-reweighting primitive,
+    // md5-coin-flipped so DuckDB replays the exact selected set. ---------
+    "q63_weighted_sample" -> ((s, dir) => {
+      Sampling.weighted(t(s, dir, "orders"), "o_orderkey",
+        col("o_totalprice") / 500000.0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
+
     // ---- time-series regularization: per-customer monthly spine, gap
     // months zero-filled, last-observation-carried-forward value. Spine
     // generated per key with sequence() (bounded by the key's own span —
@@ -840,6 +874,22 @@ object SparkEntry {
         | FROM embeddings c, embeddings q
         | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 10""".stripMargin,
+    // q64: exact counts + pinned sketch contract (cf. q43).
+    "q64_countmin" ->
+      """WITH tok AS (
+        | SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |words AS (SELECT unnest(w) AS term FROM tok),
+        |t(term) AS (VALUES ('table'), ('data'), ('spark'), ('vector'), ('nonexistentterm')),
+        |e AS (SELECT term, count(*) AS c FROM words GROUP BY 1)
+        |SELECT t.term, CAST(coalesce(e.c, 0) AS BIGINT) AS exact_count,
+        | TRUE AS never_undercounts, TRUE AS within_eps_n
+        |FROM t LEFT JOIN e ON t.term = e.term""".stripMargin,
+    // q63: identical md5-bucket coin and clamped-weight threshold.
+    "q63_weighted_sample" ->
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE ${bucketOracle("o_orderkey")} <
+        |  ceil(least(greatest(o_totalprice / 500000.0, 0.0), 1.0) * 256)""".stripMargin,
     // q62: generate_series replays sequence(); last_value IGNORE NULLS
     // replays last(ignoreNulls) over the same frame.
     "q62_gap_fill" ->

@@ -45,6 +45,19 @@ object Sampling {
     df.where(idBucket(col(idCol)) < thresh)
   }
 
+  /** Deterministic weighted Bernoulli sampling: keep each row with
+    * probability `weightCol` (clamped to [0,1], granularity 1/256), where
+    * the coin flip is the row's md5 bucket — content-addressed like
+    * [[stratified]], so reruns keep byte-identical rows and any engine
+    * replays the selection. The standard corpus-reweighting move: sample
+    * documents proportional to a quality/importance score instead of a
+    * hard threshold. Map-only, no shuffle.
+    */
+  def weighted(df: DataFrame, idCol: String, weightCol: Column): DataFrame = {
+    val clamped = least(greatest(weightCol, lit(0.0)), lit(1.0))
+    df.where(idBucket(col(idCol)) < ceil(clamped * 256))
+  }
+
   /** EXACTLY `n` rows per stratum (fewer if the stratum is smaller) —
     * quota sampling for corpus composition (cap per domain/language/
     * source). Selection order is md5(id): deterministic, content-blind,

@@ -64,6 +64,23 @@ class SamplingSpec extends SparkSpec {
     assert(Decontaminate.flagged(train, test, n = 3).count() === 1L)
   }
 
+  test("weighted: rate tracks the weight, selection deterministic, clamped at extremes") {
+    val df = (1 to 2000).map(_.toLong).toDF("id")
+    def rate(w: Double): Double =
+      Sampling.weighted(df, "id", lit(w)).count().toDouble / 2000
+    assert(rate(0.0) == 0.0 && rate(1.0) == 1.0)
+    assert(rate(-5.0) == 0.0 && rate(7.0) == 1.0) // clamped
+    assert(math.abs(rate(0.5) - 0.5) < 0.05 && math.abs(rate(0.1) - 0.1) < 0.03)
+    // per-row weights: heavier rows selected more often
+    val byParity = Sampling.weighted(df, "id", when(col("id") % 2 === 0, 0.9).otherwise(0.1))
+      .groupBy((col("id") % 2).as("p")).count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byParity(0L) > 800 && byParity(1L) < 200)
+    // deterministic across reruns/partitioning
+    val a = Sampling.weighted(df, "id", lit(0.3)).select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.weighted(df.repartition(7), "id", lit(0.3)).select("id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("exactPerGroup: exact caps, small strata untouched, partition-independent") {
     val df = ((1 to 100).map(i => (i.toLong, "big")) ++ Seq((200L, "small"), (201L, "small")))
       .toDF("id", "stratum")
