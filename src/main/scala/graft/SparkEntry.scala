@@ -861,8 +861,10 @@ object SparkEntry {
         | SELECT doc_id AS a_id, unnest([doc_id + 1, doc_id + 5]) AS b_id
         | FROM documents WHERE doc_id % 10 = 0)
         |SELECT p.a_id, p.b_id,
-        | CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-        |   / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+        | CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+        |  THEN CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(sa.s, sb.s)))
+        |  ELSE 0.0 END AS jaccard
         |FROM pairs p
         |JOIN sh sa ON sa.doc_id = p.a_id
         |JOIN sh sb ON sb.doc_id = p.b_id""".stripMargin,
@@ -976,14 +978,15 @@ object SparkEntry {
         |  '\+?\d[\d\s()-]{6,}\d', '<PHONE>', 'g') AS redacted
         |FROM customer""".stripMargin,
     // q57: same tokenization; list slice w[a:b] is 1-based inclusive and
-    // truncates at the end exactly like Spark's slice().
+    // truncates at the end exactly like Spark's slice(). Window starts cap
+    // at n - overlap (first window excepted) — no strict-subset tails.
     "q57_chunk" ->
       """WITH tok AS (
         | SELECT doc_id,
         |  list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
         | FROM documents),
         |base AS (SELECT doc_id, w, len(w) AS n FROM tok WHERE len(w) > 0),
-        |st AS (SELECT doc_id, w, n, unnest(range(0, n, 24)) AS s FROM base)
+        |st AS (SELECT doc_id, w, n, unnest(range(0, greatest(n - 8, 1), 24)) AS s FROM base)
         |SELECT doc_id, s // 24 AS chunk_id,
         | array_to_string(w[s+1:s+32], ' ') AS chunk,
         | len(w[s+1:s+32]) AS n_words

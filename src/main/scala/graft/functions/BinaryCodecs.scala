@@ -46,14 +46,24 @@ object BinaryCodecs {
     buf.array()
   }
 
-  /** (width, height) if the payload is a parseable BMP, else None. */
+  /** (width, height) if the payload is a parseable BMP, else None. The
+    * 2-byte magic alone is far too weak (any text starting with "BM"
+    * matches), so the fixed header fields already in hand are validated
+    * too: BITMAPINFOHEADER size, plane count, and a legal bit depth.
+    */
   def bmpDimensions(payload: Array[Byte]): Option[(Int, Int)] =
     if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M') None
     else {
       val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+      val dibSize = buf.getInt(14)
       val w = buf.getInt(18)
       val h = buf.getInt(22)
-      if (w > 0 && h != 0) Some((w, math.abs(h))) else None // negative h = top-down
+      val planes = buf.getShort(26)
+      val bpp = buf.getShort(28)
+      val legalBpp = Set[Short](1, 4, 8, 16, 24, 32)
+      if (dibSize == 40 && planes == 1 && legalBpp(bpp) && w > 0 && h != 0)
+        Some((w, math.abs(h))) // negative h = top-down
+      else None
     }
 
   // ---------------------------------------------------------------- WAV --
@@ -96,7 +106,7 @@ object BinaryCodecs {
     while (off + 8 <= payload.length && (sampleRate < 0 || dataBytes < 0)) {
       val id = tag(off)
       val size = buf.getInt(off + 4)
-      if (size < 0 || off + 8 + size.toLong > payload.length + 1) return None
+      if (size < 0 || off + 8 + size.toLong > payload.length) return None
       if (id == "fmt " && size >= 16) {
         sampleRate = buf.getInt(off + 12)
         bytesPerFrame = buf.getShort(off + 20).toInt // block align

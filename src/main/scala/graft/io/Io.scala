@@ -60,10 +60,17 @@ object Io {
     * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN); the
     * documented workaround is to cache the parsed frame first — which the
     * good/quarantine split wants anyway (one parse, two consumers).
+    *
+    * OWNERSHIP: persists `df` if the caller has not already; the CALLER
+    * owns `df.unpersist()` once both views are materialized — a per-batch
+    * ingestion loop that never unpersists accumulates one pinned parse
+    * per batch.
     */
   def corruptRecords(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
-    df.cache().where(col("_corrupt_record").isNotNull)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.where(col("_corrupt_record").isNotNull)
   }
 
   def readParquet(spark: SparkSession, dir: String, table: String): DataFrame =

@@ -17,7 +17,12 @@ object Chunking {
   /** One row per (document, window): `chunk_id` counts windows from 0,
     * `chunk` is the space-joined word window, `n_words` its length (the
     * final window may be shorter). Windows start every
-    * `chunkSize - overlap` words; empty documents emit nothing.
+    * `chunkSize - overlap` words, and a window only exists if it
+    * contributes at least one token beyond the overlap it shares with its
+    * predecessor (start < n − overlap, first window excepted) — otherwise
+    * the tail window would be a strict subset of the previous one and the
+    * duplicate text would be embedded/indexed twice downstream. Empty
+    * documents emit nothing.
     */
   def byWords(
       docs: DataFrame,
@@ -33,7 +38,8 @@ object Chunking {
       .select(col("doc_id"), col("__w"), size(col("__w")).as("__n"))
       .where(col("__n") > 0)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), col("__n") - 1, lit(step)), s => {
+        explode(transform(
+          sequence(lit(0), greatest(col("__n") - lit(overlap) - 1, lit(0)), lit(step)), s => {
           val window = slice(col("__w"), s + 1, lit(chunkSize))
           struct(
             (s / step).cast("long").as("chunk_id"),

@@ -153,8 +153,12 @@ object Dedup {
       .join(shingled.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(shingled.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("jaccard",
-        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh"))))
+        // two empty shingle sets (both docs under k words) define 0.0,
+        // guarding the 0/0 division
+        when(size(array_union(col("a_sh"), col("b_sh"))) > 0,
+          size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+            size(array_union(col("a_sh"), col("b_sh"))))
+          .otherwise(0.0))
     val extras = pairs.columns.filterNot(Set("a_id", "b_id"))
     joined.select(("a_id" +: "b_id" +: extras :+ "jaccard").map(col): _*)
   }

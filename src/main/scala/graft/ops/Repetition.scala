@@ -60,7 +60,10 @@ object Repetition {
     * large intermediate; it is persisted (compact 16-byte rows — document
     * bodies are long gone) because three aggregations consume it. Hot-gram
     * selection and the per-doc counts are plain hash aggregations; no
-    * joins ever touch text.
+    * joins ever touch text. The persisted frame stays pinned for the
+    * lifetime of the returned (lazy) result — callers scoring many
+    * corpora in one session should `spark.catalog.clearCache()` between
+    * runs (same contract as [[Dedup.lshVerifiedPairs]]).
     */
   def boilerplate(
       docs: DataFrame,

@@ -50,10 +50,12 @@ object Sessionize {
   object SessionSecondsAgg
       extends org.apache.spark.sql.expressions.Aggregator[(Long, String), SessionBuffer, Double] {
     override def zero: SessionBuffer = SessionBuffer(Seq.empty)
+    // O(1) prepend (order is restored by the sort in finish; ':+' on the
+    // default Seq would make buffer construction quadratic per group)
     override def reduce(b: SessionBuffer, a: (Long, String)): SessionBuffer =
       a._2 match {
-        case "page_view_start" => SessionBuffer(b.events :+ ((a._1, true)))
-        case "page_view_end"   => SessionBuffer(b.events :+ ((a._1, false)))
+        case "page_view_start" => SessionBuffer(((a._1, true)) +: b.events)
+        case "page_view_end"   => SessionBuffer(((a._1, false)) +: b.events)
         case _                 => b
       }
     override def merge(x: SessionBuffer, y: SessionBuffer): SessionBuffer =
@@ -61,7 +63,13 @@ object Sessionize {
     override def finish(b: SessionBuffer): Double = {
       var pending: Option[Long] = None
       var total = 0.0
-      b.events.sortBy(_._1).foreach {
+      // Total order (t, isStart) — ends sort before starts at equal t —
+      // because partial-merge order is arbitrary: sorting by t alone would
+      // leave equal-timestamp resolution nondeterministic. (The reference
+      // resolves such ties by file order, which a SQL aggregate cannot
+      // see; callers needing that exact tie semantics should use
+      // pairedDurations with an explicit tiebreak column.)
+      b.events.sortBy(e => (e._1, e._2)).foreach {
         case (t, true) => pending = Some(t)
         case (t, false) =>
           pending.foreach { s => total += (t - s) / 1000.0; pending = None }

@@ -54,6 +54,12 @@ class MultimodalSpec extends SparkSpec {
     assert(payload.length == 54 + ((24 * 33 + 31) / 32) * 4 * 7)
     assert(BinaryCodecs.bmpDimensions("not a bitmap".getBytes) == None)
     assert(BinaryCodecs.bmpDimensions(Array[Byte]('B', 'M')) == None)
+    // text that merely STARTS with the magic must not parse as garbage dims
+    assert(BinaryCodecs.bmpDimensions(
+      "BMW drivers appreciate precision engineering in every detail of it".getBytes) == None)
+    // truncated WAV (one data byte short) must not parse either
+    val wavOk = BinaryCodecs.wav(8000, Array.tabulate(10)(_.toShort))
+    assert(BinaryCodecs.wavMeta(wavOk.dropRight(1)) == None)
   }
 
   test("WAV codec roundtrip, chunk walking, and rejection") {

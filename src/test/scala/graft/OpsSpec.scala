@@ -246,9 +246,9 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3))).toSet
     assert(got == Set(
       (1L, 0L, "w1 w2 w3 w4", 4), // starts every 3 words
-      (1L, 1L, "w4 w5 w6 w7", 4),
-      (1L, 2L, "w7", 1),          // ragged tail window
-      (2L, 0L, "a b", 2)))        // doc 3 (whitespace only) emits nothing
+      (1L, 1L, "w4 w5 w6 w7", 4), // a start-6 window ("w7") would be a
+      (2L, 0L, "a b", 2)))        // strict subset of this one — suppressed;
+                                  // doc 3 (whitespace only) emits nothing
   }
 
   test("repetition signals: hand-computed fractions") {
