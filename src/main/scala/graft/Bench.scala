@@ -50,9 +50,12 @@ object Bench {
     println(line)
     // Belt-and-braces for the driver's parser: stdout may be decorated by a
     // build tool (r1: sbt's "[info] " prefix made the line unparseable), so
-    // also drop the same JSON at a stable path.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/bench_last.json"), line + "\n")
-    catch { case _: Throwable => () }
+    // also drop the same JSON at a stable path — the working directory (sbt
+    // runs from the project root), overridable via SPARK_GRAFT_BENCH_OUT.
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      java.nio.file.Paths.get(sys.props("user.dir"), "bench_last.json").toString)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(benchOut), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] mirror write to $benchOut failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -876,7 +876,13 @@ object SparkEntry {
         | FROM embeddings c, embeddings q
         | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 10""".stripMargin,
-    // q64: exact counts + pinned sketch contract (cf. q43).
+    // q64: exact counts + pinned sketch contract (cf. q43). NOTE: the
+    // within_eps_n pin is EMPIRICALLY verified for this fixed (hash seed,
+    // testdata, term list) — the CM bound est ≤ exact + ⌈e·N/width⌉ holds
+    // per-term with prob ~1-(1/e)^depth ≈ 98%, not always. The run is
+    // deterministic so the pin is stable, but re-verify if the fixture or
+    // the term list ever changes (a miss flips this to a hash failure, not
+    // a sketch bug).
     "q64_countmin" ->
       """WITH tok AS (
         | SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w

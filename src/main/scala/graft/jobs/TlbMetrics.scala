@@ -46,6 +46,17 @@ object TlbMetrics {
     * the correct sink shape (the reference emits exactly one small object
     * file per hour). Client ids are emitted verbatim — the fixture ids need
     * no JSON string escaping.
+    *
+    * Key-order caveat: we emit clients in SORTED order — the canonical,
+    * partitioning-independent choice for a distributed aggregate. The
+    * reference's Python dict preserves first-appearance file order, which
+    * no shuffle-parallel engine can reproduce in general; the two orders
+    * coincide on the committed 2024111612 fixture, so the golden
+    * byte-equality test holds there. Likewise Java's double formatting
+    * matches Python's repr only for simple values (both print `120.0`;
+    * scientific-notation thresholds differ further out). Byte parity is
+    * therefore guaranteed for lexicographically-arriving client ids and
+    * plainly-representable sums — semantic equality always holds.
     */
   def toGoldenObjectJson(metrics: DataFrame): String = {
     val entry = format_string(

@@ -52,6 +52,15 @@ object Sampling {
     * replays the selection. The standard corpus-reweighting move: sample
     * documents proportional to a quality/importance score instead of a
     * hard threshold. Map-only, no shuffle.
+    *
+    * Quantization is biased UP: the keep condition `bucket < ceil(w·256)`
+    * rounds every weight to the next multiple of 1/256, so any w in
+    * (0, 1/256] is sampled at exactly 1/256 — up to 256× oversampling of
+    * near-zero weights (w=0 keeps nothing). This is deliberate: ceil
+    * guarantees every positively-weighted row retains a nonzero,
+    * engine-replayable chance. If sub-1/256 fidelity matters for your
+    * reweighting, rescale weights so the mass of interest sits well above
+    * 1/256 (or derive a finer coin from more digest bytes).
     */
   def weighted(df: DataFrame, idCol: String, weightCol: Column): DataFrame = {
     val clamped = least(greatest(weightCol, lit(0.0)), lit(1.0))

@@ -50,9 +50,19 @@ object TimeSeries {
   /** Forward fill: replace nulls in `valueCol` with the last non-null
     * value in `orderCol` order within each key. One shuffle + sort per
     * key partition; the standard LOCF semantics.
+    *
+    * Determinism contract: `(orderCol, tiebreaks*)` must totally order the
+    * rows within each key — `last(ignoreNulls)` over a running ROWS frame
+    * is partition-order-sensitive, so duplicate sort keys would make the
+    * filled value depend on shuffle arrival order. The monthly-spine
+    * caller is safe (one row per (key, month)); generic callers with
+    * non-unique `orderCol` must pass tiebreak columns (cf.
+    * `Sessionize.pairedDurations`' explicit event-id tiebreak).
     */
-  def forwardFill(df: DataFrame, keyCol: String, orderCol: String, valueCol: String): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+  def forwardFill(df: DataFrame, keyCol: String, orderCol: String, valueCol: String,
+      tiebreaks: String*): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(orderCol) +: tiebreaks.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
