@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
-import graft.ops.{AsOfJoin, Bm25, Chunking, Components, Decontaminate, Dedup, Enrich, Mappings, Multimodal, Repetition, Sampling, Sessionize, Similarity, SkewJoin, TimeSeries}
+import graft.ops.{AsOfJoin, Bm25, Chunking, Components, Decontaminate, Dedup, Enrich, IntervalJoin, Mappings, Multimodal, Repetition, Sampling, Scd, Sessionize, Similarity, SkewJoin, TimeSeries}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -221,6 +221,37 @@ object SparkEntry {
         .select(col("doc_id").as("a_id"),
           explode(array(col("doc_id") + 1, col("doc_id") + 5)).as("b_id"))
       Dedup.ngramJaccard(docs, pairs)
+    }),
+
+    // ---- SCD type-2 history: ordered change log → validity intervals,
+    // one shuffle, both windows on one sort. epoch-ms integers out so the
+    // cross-engine compare never sees timestamp dtype drift. --------------
+    "q65_scd2" -> ((s, dir) => {
+      Scd.history(t(s, dir, "events"), "user_id", "ts", Seq("event_type"), Seq("event_id"))
+        .select(col("user_id"), unix_millis(col("valid_from")).as("valid_from_ms"),
+          unix_millis(col("valid_to")).as("valid_to_ms"),
+          col("event_type"), col("is_current"))
+    }),
+
+    // ---- native session_window aggregation: gap-based sessions as a
+    // plain merging aggregate (the batch twin of streaming sessionize). --
+    "q66_session_window" -> ((s, dir) => {
+      Sessionize.sessionWindows(t(s, dir, "events"), "user_id", "ts", "30 minutes")
+        .select(col("user_id"), unix_millis(col("session_start")).as("start_ms"),
+          unix_millis(col("session_end")).as("end_ms"), col("n_events"))
+    }),
+
+    // ---- bucketized point-in-interval join: non-equi range match turned
+    // into a bucket equi-join + exact filter (no nested-loop against a
+    // large interval set). ------------------------------------------------
+    "q67_interval_join" -> ((s, dir) => {
+      val iv = t(s, dir, "orders").where(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"), col("o_orderdate").as("iv_start"),
+          (col("o_orderdate") + expr("INTERVAL 2 DAYS")).as("iv_end"))
+      val pts = t(s, dir, "lineitem").where(col("l_orderkey") % 10 === 0)
+        .select(col("l_shipdate"))
+      IntervalJoin.pointsInIntervals(iv, "iv_start", "iv_end", pts, "l_shipdate", 2 * 86400L)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_points"))
     }),
 
     // ---- Count-Min frequency sketch: fixed-memory term counts, merged by
@@ -876,6 +907,49 @@ object SparkEntry {
         | FROM embeddings c, embeddings q
         | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 10""".stripMargin,
+    // q65: identical lag/lead change detection. CAST(ts AS TIMESTAMP)
+    // floors DuckDB's ns-precision read to µs exactly like our scan does.
+    "q65_scd2" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |x AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  (event_type IS DISTINCT FROM lag(event_type)
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS chg
+        | FROM e),
+        |k AS (SELECT user_id, ts, event_id, event_type FROM x WHERE chg)
+        |SELECT user_id, epoch_ms(ts) AS valid_from_ms,
+        | epoch_ms(lead(ts) OVER w) AS valid_to_ms, event_type,
+        | (lead(ts) OVER w IS NULL) AS is_current
+        |FROM k WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    // q66: gaps-and-islands replay of session_window — break STRICTLY
+    // after prev + gap: the engine merges an event landing exactly on the
+    // session close (inclusive merge, pinned by TemporalOpsSpec).
+    "q66_session_window" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |x AS (
+        | SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT user_id, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM x)
+        |SELECT user_id, epoch_ms(min(ts)) AS start_ms,
+        | epoch_ms(max(ts)) + 1800000 AS end_ms, CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    // q67: plain inequality join — the oracle pays the O(n·m) plan our
+    // bucketized equi-join avoids.
+    "q67_interval_join" ->
+      """WITH iv AS (
+        | SELECT o_orderkey, o_orderdate AS s, o_orderdate + INTERVAL 2 DAY AS e
+        | FROM orders WHERE o_orderkey % 100 = 0),
+        |pt AS (SELECT l_shipdate FROM lineitem WHERE l_orderkey % 10 = 0)
+        |SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_points
+        |FROM iv JOIN pt ON pt.l_shipdate >= iv.s AND pt.l_shipdate < iv.e
+        |GROUP BY 1""".stripMargin,
     // q64: exact counts + pinned sketch contract (cf. q43). NOTE: the
     // within_eps_n pin is EMPIRICALLY verified for this fixed (hash seed,
     // testdata, term list) — the CM bound est ≤ exact + ⌈e·N/width⌉ holds

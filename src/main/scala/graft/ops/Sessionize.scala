@@ -113,6 +113,28 @@ object Sessionize {
       .select(col(key), (col("__t") - col("__last_start")).as("duration"))
   }
 
+  /** Gap-based session aggregation via Spark's native `session_window`:
+    * events of one key belong to the same session while consecutive
+    * timestamps are ≤ `gap` apart (an event landing EXACTLY on the
+    * session close merges — inclusive semantics, pinned in
+    * `TemporalOpsSpec`); the window closes at `last_ts + gap`.
+    * This is the batch twin of `StreamingOps`' stateful sessionization —
+    * same operator family Catalyst uses for streaming session windows,
+    * here planned as a plain (merging) aggregation: one shuffle on the
+    * key, sessions merged within each sorted group, no state store.
+    *
+    * Returns (`key`, session_start, session_end, n_events) — session_end
+    * is `max(ts) + gap` (the window's exclusive close), matching the
+    * engine's session-window semantics exactly.
+    */
+  def sessionWindows(df: DataFrame, key: String, tsCol: String, gap: String): DataFrame =
+    df.groupBy(col(key), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(key),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Total page-view seconds per key (window-function path, reference
     * column names).
     */
