@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
-import graft.ops.{AsOfJoin, Bm25, Chunking, Components, Decontaminate, Dedup, Enrich, IntervalJoin, Mappings, Multimodal, Repetition, Sampling, Scd, Sessionize, Similarity, SkewJoin, TimeSeries}
+import graft.functions.expressions.ZOrder
+import graft.ops.{AsOfJoin, Bm25, Chunking, Components, Decontaminate, Dedup, Enrich, IntervalJoin, Mappings, Multimodal, PageRank, Repetition, Sampling, Scd, Sessionize, Similarity, SkewJoin, TimeSeries}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -221,6 +222,31 @@ object SparkEntry {
         .select(col("doc_id").as("a_id"),
           explode(array(col("doc_id") + 1, col("doc_id") + 5)).as("b_id"))
       Dedup.ngramJaccard(docs, pairs)
+    }),
+
+    // ---- Z-order (Morton) encoding: the multi-dimensional clustering
+    // key, as a native codegen expression (ZOrder.cluster uses it to
+    // range-partition the write layout). Inputs masked to 16 bits here so
+    // the oracle's BIGINT shift chain can replay the identical math. -----
+    "q68_zorder" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          ZOrder.interleave(col("l_partkey") % lit(65536L), col("l_suppkey") % lit(65536L))
+            .as("zval"))
+    }),
+
+    // ---- fixed-point integer PageRank over the customer↔supplier
+    // bipartite trade graph (both directions): per-iteration = one join +
+    // one agg on node ids, integer math ⇒ partitioning-independent. ------
+    "q69_pagerank" -> ((s, dir) => {
+      val e0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("s"), (col("l_suppkey") + lit(1000000L)).as("d"))
+        .distinct()
+      val e = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
+      PageRank.ranksFixedPoint(e, "s", "d", iterations = 3)
+        .select(col("id").as("node_id"), col("rank"))
     }),
 
     // ---- SCD type-2 history: ordered change log → validity intervals,
@@ -907,6 +933,46 @@ object SparkEntry {
         | FROM embeddings c, embeddings q
         | WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
         |WHERE rank <= 10""".stripMargin,
+    // q68: the 16-bit Morton spread chain in BIGINT (no hex literals in
+    // the oracle engine; constants are 0x00FF00FF / 0x0F0F0F0F /
+    // 0x33333333 / 0x55555555 in decimal). For 16-bit inputs this equals
+    // the expression's 32-bit chain (ZOrderSpec pins the identity).
+    "q68_zorder" ->
+      """WITH a AS (
+        | SELECT l_orderkey, l_linenumber,
+        |  l_partkey % 65536 AS x, l_suppkey % 65536 AS y FROM lineitem),
+        |b AS (SELECT l_orderkey, l_linenumber,
+        |  ((x | (x << 8)) & 16711935) AS x, ((y | (y << 8)) & 16711935) AS y FROM a),
+        |c AS (SELECT l_orderkey, l_linenumber,
+        |  ((x | (x << 4)) & 252645135) AS x, ((y | (y << 4)) & 252645135) AS y FROM b),
+        |d AS (SELECT l_orderkey, l_linenumber,
+        |  ((x | (x << 2)) & 858993459) AS x, ((y | (y << 2)) & 858993459) AS y FROM c),
+        |e AS (SELECT l_orderkey, l_linenumber,
+        |  ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y FROM d)
+        |SELECT l_orderkey, l_linenumber, CAST(x | (y << 1) AS BIGINT) AS zval FROM e""".stripMargin,
+    // q69: 3 unrolled integer-PageRank iterations — floor division (//)
+    // replays Spark's `div` exactly on non-negative ranks; integer sums
+    // are order-independent so no float drift is possible.
+    "q69_pagerank" -> {
+      val base =
+        """WITH e0 AS (
+          | SELECT DISTINCT o_custkey AS s, l_suppkey + 1000000 AS d
+          | FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          |e AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0),
+          |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+          |nodes AS (SELECT DISTINCT s AS id FROM e),
+          |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes)""".stripMargin
+      val iters = (1 to 3).map { i =>
+        s""",
+           |c$i AS (
+           | SELECT e.d AS id, CAST(sum((r.rank * 85) // (100 * deg.outdeg)) AS BIGINT) AS c
+           | FROM e JOIN r${i - 1} r ON e.s = r.id JOIN deg ON deg.s = e.s GROUP BY 1),
+           |r$i AS (
+           | SELECT n.id, CAST(150000 + coalesce(c$i.c, 0) AS BIGINT) AS rank
+           | FROM nodes n LEFT JOIN c$i ON n.id = c$i.id)""".stripMargin
+      }.mkString
+      base + iters + "\nSELECT id AS node_id, rank FROM r3"
+    },
     // q65: identical lag/lead change detection. CAST(ts AS TIMESTAMP)
     // floors DuckDB's ns-precision read to µs exactly like our scan does.
     "q65_scd2" ->
