@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Bm25, Chunking, Components, Decontaminate, Dedup, Enrich, IntervalJoin, Mappings, Multimodal, PageRank, Repetition, Sampling, Scd, Sessionize, Similarity, SkewJoin, TimeSeries}
+import graft.ops.{AsOfJoin, Bm25, Cdc, Chunking, Components, Decontaminate, Dedup, Enrich, IntervalJoin, Mappings, Multimodal, PageRank, Repetition, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, SkewJoin, TimeSeries}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -247,6 +247,62 @@ object SparkEntry {
       val e = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
       PageRank.ranksFixedPoint(e, "s", "d", iterations = 3)
         .select(col("id").as("node_id"), col("rank"))
+    }),
+
+    // ---- CDC changelog apply: base ⊕ (upserts+deletes) → next snapshot.
+    // The changelog collapses to last-change-per-key BEFORE touching the
+    // base, so the join shuffle carries one narrow row per changed key,
+    // not one per change. ------------------------------------------------
+    "q70_cdc_merge" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long").as("balance_cents"))
+      val changes = t(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+          when(col("o_orderstatus") === "P", lit("D")).otherwise(lit("U")).as("op"),
+          round(col("o_totalprice") * 100).cast("long").as("balance_cents"))
+      Cdc.applyChangelog(base, changes, "c_custkey", "o_orderkey", "op", Seq("balance_cents"))
+    }),
+
+    // ---- hopping (sliding) window aggregation: size 2h / slide 1h, each
+    // event expands map-side into its two covering windows, then a plain
+    // hash agg on (window, type) — no state, no sort. --------------------
+    "q71_sliding_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_millis(col("w.start")).as("w_start_ms"), col("event_type"), col("n"))
+    }),
+
+    // ---- bloom-filter runtime filter: fact rows pruned map-side against
+    // the dim key set before the exact semi-join (Spark's own bloom
+    // expressions). No false negatives ⇒ result is exactly the semi-join;
+    // the pre-filter only cuts the fact-side shuffle volume. --------------
+    "q72_bloom_prune" -> ((s, dir) => {
+      val dim = t(s, dir, "supplier").where(col("s_nationkey") < 5)
+      RuntimeFilter.bloomSemiJoin(t(s, dir, "lineitem"), dim, "l_suppkey", "s_suppkey",
+        expectedItems = 4096)
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+    }),
+
+    // ---- ranking family: rank / percent_rank / cume_dist / ntile within
+    // nation — partitioned windows, so no global single-reducer sort (the
+    // global-ordering variant is q40's bounded top-k). ntile/row-number
+    // take an id tiebreak for a total order; rank/percent_rank/cume_dist
+    // are value-based and tie-stable. Long casts keep driver dtypes
+    // aligned with DuckDB's BIGINT window outputs. ------------------------
+    "q73_ranks" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem").groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val j = rev.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      val byVal = Window.partitionBy(col("s_nationkey")).orderBy(col("rev_cents"))
+      val total = Window.partitionBy(col("s_nationkey")).orderBy(col("rev_cents"), col("l_suppkey"))
+      j.select(col("s_nationkey"), col("l_suppkey"), col("rev_cents"),
+        rank().over(byVal).cast("long").as("rnk"),
+        percent_rank().over(byVal).as("pct_rank"),
+        cume_dist().over(byVal).as("cdist"),
+        ntile(4).over(total).cast("long").as("quartile"))
     }),
 
     // ---- SCD type-2 history: ordered change log → validity intervals,
@@ -1016,6 +1072,52 @@ object SparkEntry {
         |SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_points
         |FROM iv JOIN pt ON pt.l_shipdate >= iv.s AND pt.l_shipdate < iv.e
         |GROUP BY 1""".stripMargin,
+    // q70: arg_max twice with the same ordering ≡ Spark's single
+    // max_by(struct) — unique o_orderkey makes both deterministic.
+    "q70_cdc_merge" ->
+      """WITH last AS (
+        | SELECT o_custkey AS c_custkey,
+        |  arg_max(CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END, o_orderkey) AS op,
+        |  arg_max(CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) AS ch_cents,
+        |  count(*) AS n_changes
+        | FROM orders GROUP BY 1),
+        |b AS (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS b_cents FROM customer)
+        |SELECT coalesce(b.c_custkey, l.c_custkey) AS c_custkey,
+        | coalesce(l.ch_cents, b.b_cents) AS balance_cents,
+        | CAST(coalesce(l.n_changes, 0) AS BIGINT) AS n_changes
+        |FROM b FULL OUTER JOIN last l ON b.c_custkey = l.c_custkey
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
+    // q71: a 2h/1h hopping window covers each event at exactly
+    // {trunc_hour(ts), trunc_hour(ts) − 1h} — the union replays Spark's
+    // epoch-aligned window() expansion.
+    "q71_sliding_window" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+        |w AS (
+        | SELECT h AS ws, event_type FROM e
+        | UNION ALL
+        | SELECT h - INTERVAL 1 HOUR AS ws, event_type FROM e)
+        |SELECT epoch_ms(ws) AS w_start_ms, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    // q72: the bloom pre-filter is an exact no-op on the result — the
+    // oracle is the plain semi-join.
+    "q72_bloom_prune" ->
+      """SELECT l_suppkey, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+        |GROUP BY 1""".stripMargin,
+    "q73_ranks" ->
+      """WITH rev AS (
+        | SELECT l_suppkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        | FROM lineitem GROUP BY 1)
+        |SELECT s_nationkey, l_suppkey, rev_cents,
+        | rank() OVER v AS rnk,
+        | percent_rank() OVER v AS pct_rank,
+        | cume_dist() OVER v AS cdist,
+        | ntile(4) OVER (PARTITION BY s_nationkey ORDER BY rev_cents, l_suppkey) AS quartile
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WINDOW v AS (PARTITION BY s_nationkey ORDER BY rev_cents)""".stripMargin,
     // q64: exact counts + pinned sketch contract (cf. q43). NOTE: the
     // within_eps_n pin is EMPIRICALLY verified for this fixed (hash seed,
     // testdata, term list) — the CM bound est ≤ exact + ⌈e·N/width⌉ holds
