@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Bm25, Cdc, Chunking, Components, Decontaminate, Dedup, Enrich, IntervalJoin, Mappings, Multimodal, PageRank, Repetition, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, SkewJoin, TimeSeries}
+import graft.ops.{AsOfJoin, Bm25, Cdc, Chunking, Components, Decontaminate, Dedup, Enrich, GraphMetrics, IntervalJoin, Mappings, Multimodal, Outliers, PageRank, Repetition, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, SkewJoin, TimeSeries}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -303,6 +303,41 @@ object SparkEntry {
         percent_rank().over(byVal).as("pct_rank"),
         cume_dist().over(byVal).as("cdist"),
         ntile(4).over(total).cast("long").as("quartile"))
+    }),
+
+    // ---- edit-distance near-dup verification: blocked (lang, source)
+    // self-join + length-band prune + prefix-bounded Levenshtein. The
+    // third verifier family beside n-gram Jaccard (q18) and embedding
+    // cosine (q21) — catches small-edit duplicates shingles blur. --------
+    "q74_edit_distance" -> ((s, dir) => {
+      Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+        blockCols = Seq("lang", "source"), prefixLen = 80, maxDist = 30)
+        .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
+    }),
+
+    // ---- robust outlier screen: per-user activity counts vs the upper
+    // Tukey fence of their event_type peer group, exact integer quartiles
+    // (the scale path lowers approx_percentile accuracy — q36's exact-
+    // percentile trap documented at Outliers.upperIqr). ------------------
+    "q77_outliers" -> ((s, dir) => {
+      val counts = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      Outliers.upperIqr(counts, Seq("event_type"), "n")
+        .select(col("event_type"), col("user_id"), col("n"), col("q1"), col("q3"))
+    }),
+
+    // ---- triangle counting on the co-order part graph: two hash joins
+    // count each triangle once at its u<v<w orientation; per-node
+    // participation out. --------------------------------------------------
+    "q79_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.alias("a").hint("shuffle_hash")
+        .join(li.alias("b").hint("shuffle_hash"),
+          col("a.l_orderkey") === col("b.l_orderkey") && col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("a_id"), col("b.l_partkey").as("b_id"))
+      GraphMetrics.nodeTriangles(pairs)
     }),
 
     // ---- SCD type-2 history: ordered change log → validity intervals,
@@ -1118,6 +1153,43 @@ object SparkEntry {
         | ntile(4) OVER (PARTITION BY s_nationkey ORDER BY rev_cents, l_suppkey) AS quartile
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WINDOW v AS (PARTITION BY s_nationkey ORDER BY rev_cents)""".stripMargin,
+    // q74: DuckDB levenshtein == Spark levenshtein (unit-cost DP) on the
+    // identical normalized prefix.
+    "q74_edit_distance" ->
+      """WITH d AS (
+        | SELECT doc_id AS id, lang, source, len(p) AS l, p FROM (
+        |  SELECT *, substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 80) AS p
+        |  FROM documents))
+        |SELECT a.id AS a_id, b.id AS b_id,
+        | CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+        |FROM d a JOIN d b
+        | ON a.lang = b.lang AND a.source = b.source AND a.id < b.id
+        | AND abs(a.l - b.l) <= 30
+        |WHERE levenshtein(a.p, b.p) <= 30""".stripMargin,
+    // q77: approx_percentile degenerates to exact discrete quantiles when
+    // every group < accuracy — value-identical to quantile_disc (same
+    // trick as q53).
+    "q77_outliers" ->
+      """WITH c AS (
+        | SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2),
+        |q AS (
+        | SELECT event_type, quantile_disc(n, 0.25) AS q1, quantile_disc(n, 0.75) AS q3
+        | FROM c GROUP BY 1)
+        |SELECT c.event_type, user_id, n, CAST(q1 AS BIGINT) AS q1, CAST(q3 AS BIGINT) AS q3
+        |FROM c JOIN q ON c.event_type = q.event_type
+        |WHERE 2 * n > 2 * q3 + 3 * (q3 - q1)""".stripMargin,
+    "q79_triangles" ->
+      """WITH li AS (
+        | SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0),
+        |e AS (
+        | SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        | FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (
+        | SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        | FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |x AS (SELECT unnest([a, b, c]) AS id FROM tri)
+        |SELECT id, count(*) AS n_triangles FROM x GROUP BY 1""".stripMargin,
     // q64: exact counts + pinned sketch contract (cf. q43). NOTE: the
     // within_eps_n pin is EMPIRICALLY verified for this fixed (hash seed,
     // testdata, term list) — the CM bound est ≤ exact + ⌈e·N/width⌉ holds

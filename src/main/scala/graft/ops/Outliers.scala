@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tukey-fence (IQR) outlier detection over integer metrics — the robust
+  * anomaly screen a corpus pipeline runs on per-entity activity counts
+  * (a crawler gone hot, a spam user, a duplicated feed) before letting
+  * the entities into training data.
+  *
+  * Why quartiles, not z-scores: mean/stddev are themselves dragged by the
+  * outliers they're meant to find, and cross-engine float summation order
+  * makes them non-portable to oracle. Discrete quartiles over integers
+  * are exact, order-independent and robust.
+  *
+  * Scale shape: quartiles come from `approx_percentile` — a bounded
+  * GK-style sketch that merges map-side (never buffers a group's values,
+  * unlike exact `percentile` — q36's documented scale trap). With
+  * `accuracy` above the group size the sketch degenerates to exact
+  * discrete quantiles (rank error < 1), which is what makes the DuckDB
+  * `quantile_disc` oracle land value-exact; at 100 TB the SAME code with
+  * default accuracy keeps working with bounded memory, trading exactness
+  * for ε-rank error. Flagging is a broadcast join of k quartile rows back
+  * onto the values.
+  */
+object Outliers {
+
+  /** Rows of `values` whose integer `valueCol` lies above the upper Tukey
+    * fence of its `groupCols` group: v > Q3 + 1.5·IQR, evaluated in exact
+    * integer arithmetic as 2·v > 2·Q3 + 3·(Q3 − Q1).
+    *
+    * @param accuracy approx_percentile accuracy; leave the large default
+    *                 for exact quartiles on ≤100k-per-group data, lower
+    *                 it for sketch-mode at scale
+    */
+  def upperIqr(
+      values: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      accuracy: Int = 10000000): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val q = values.groupBy(groupCols.map(col): _*)
+      .agg(approx_percentile(col(valueCol), array(lit(0.25), lit(0.75)), lit(accuracy)).as("__q"))
+      .select(groupCols.map(col) :+ col("__q")(0).as("q1") :+ col("__q")(1).as("q3"): _*)
+    values
+      .join(broadcast(q), groupCols)
+      .where(lit(2) * col(valueCol) > lit(2) * col("q3") + lit(3) * (col("q3") - col("q1")))
+  }
+}
