@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Bm25, Cdc, Chunking, Components, Decontaminate, Dedup, Enrich, GraphMetrics, IntervalJoin, Mappings, Multimodal, Outliers, PageRank, Repetition, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, SkewJoin, TimeSeries}
+import graft.ops.{AsOfJoin, Bm25, Cdc, Chunking, Components, Decontaminate, Dedup, Enrich, GraphMetrics, IntervalJoin, KMeans, Mappings, Multimodal, Outliers, PageRank, Repetition, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, SkewJoin, TimeSeries}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -325,6 +325,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
       Outliers.upperIqr(counts, Seq("event_type"), "n")
         .select(col("event_type"), col("user_id"), col("n"), col("q1"), col("q3"))
+    }),
+
+    // ---- integer-lattice k-means (2 Lloyd rounds, k=8): map-only
+    // assignment against a broadcast codebook + bounded-shuffle centroid
+    // update, all in exact integer arithmetic (same portability trick as
+    // the fixed-point PageRank) — output is the per-cluster integer
+    // fingerprint (size, inertia, centroid sum). -------------------------
+    "q78_kmeans" -> ((s, dir) => {
+      KMeans.clusterStats(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iterations = 2)
     }),
 
     // ---- triangle counting on the co-order part graph: two hash joins
@@ -1153,6 +1163,61 @@ object SparkEntry {
         | ntile(4) OVER (PARTITION BY s_nationkey ORDER BY rev_cents, l_suppkey) AS quartile
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WINDOW v AS (PARTITION BY s_nationkey ORDER BY rev_cents)""".stripMargin,
+    // q78: full 2-round Lloyd replay in long form — same quantization as
+    // q52, same init (k lowest ids), same (dist, cid) tie-break, same
+    // floor-division centroid means, so every integer matches exactly.
+    "q78_kmeans" ->
+      """WITH m AS (
+        | SELECT vec_id AS id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+        | FROM embeddings),
+        |qv AS (
+        | SELECT id,
+        |  CASE WHEN max_abs > 0
+        |   THEN list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs) AS BIGINT) + 127)
+        |   ELSE list_transform(embedding, x -> CAST(127 AS BIGINT)) END AS v
+        | FROM m),
+        |q AS (
+        | SELECT id, u.d AS dim, u.x AS v FROM (
+        |  SELECT id, unnest(list_transform(v, (x, i) -> struct_pack(d := i - 1, x := x))) AS u
+        |  FROM qv)),
+        |c0 AS (
+        | SELECT dense_rank() OVER (ORDER BY id) - 1 AS cid, dim, v
+        | FROM q WHERE id IN (SELECT id FROM qv ORDER BY id LIMIT 8)),
+        |a1 AS (
+        | SELECT id, cid FROM (
+        |  SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+        |  FROM (SELECT q.id, c.cid, sum((q.v - c.v) * (q.v - c.v)) AS dist
+        |        FROM q JOIN c0 c ON q.dim = c.dim GROUP BY q.id, c.cid))
+        | WHERE rn = 1),
+        |c1 AS (
+        | SELECT c.cid, c.dim, coalesce(n.v, c.v) AS v
+        | FROM c0 c LEFT JOIN (
+        |  SELECT a.cid, q.dim, CAST(sum(q.v) // count(*) AS BIGINT) AS v
+        |  FROM a1 a JOIN q ON a.id = q.id GROUP BY a.cid, q.dim) n
+        | ON c.cid = n.cid AND c.dim = n.dim),
+        |a2 AS (
+        | SELECT id, cid FROM (
+        |  SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+        |  FROM (SELECT q.id, c.cid, sum((q.v - c.v) * (q.v - c.v)) AS dist
+        |        FROM q JOIN c1 c ON q.dim = c.dim GROUP BY q.id, c.cid))
+        | WHERE rn = 1),
+        |c2 AS (
+        | SELECT c.cid, c.dim, coalesce(n.v, c.v) AS v
+        | FROM c1 c LEFT JOIN (
+        |  SELECT a.cid, q.dim, CAST(sum(q.v) // count(*) AS BIGINT) AS v
+        |  FROM a2 a JOIN q ON a.id = q.id GROUP BY a.cid, q.dim) n
+        | ON c.cid = n.cid AND c.dim = n.dim),
+        |a3 AS (
+        | SELECT id, cid, CAST(dist AS BIGINT) AS dist FROM (
+        |  SELECT id, cid, dist, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+        |  FROM (SELECT q.id, c.cid, sum((q.v - c.v) * (q.v - c.v)) AS dist
+        |        FROM q JOIN c2 c ON q.dim = c.dim GROUP BY q.id, c.cid))
+        | WHERE rn = 1),
+        |cs AS (SELECT cid, CAST(sum(v) AS BIGINT) AS c_sum FROM c2 GROUP BY cid)
+        |SELECT a3.cid, count(*) AS n, CAST(sum(dist) AS BIGINT) AS inertia, cs.c_sum
+        |FROM a3 JOIN cs ON a3.cid = cs.cid
+        |GROUP BY a3.cid, cs.c_sum""".stripMargin,
     // q74: DuckDB levenshtein == Spark levenshtein (unit-cost DP) on the
     // identical normalized prefix.
     "q74_edit_distance" ->
