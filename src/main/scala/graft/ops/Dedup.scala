@@ -265,17 +265,31 @@ object Dedup {
       prefixLen: Int = 80,
       maxDist: Int = 30): DataFrame = {
     require(blockCols.nonEmpty, "blocking columns required — unblocked edit distance is all-pairs")
-    val keyed = parallelize(docs).select(
+    // Explicit REPARTITION_BY_NUM on the block key: the pair stream is
+    // tiny in BYTES but quadratic in CPU (a ~30 µs DP per pair), so AQE's
+    // byte-based coalescing would fold the join's post-shuffle partitions
+    // onto one core and serialize the whole DP stage. A user repartition
+    // is exempt from coalescing, the self-join reuses the one exchange
+    // for both sides, and the DP then runs at full width inside the join
+    // stage. (A post-join repartition would NOT work: the distance filter
+    // is deterministic, so Catalyst pushes it straight back through the
+    // exchange onto the coalesced side.)
+    val keyed = docs.select(
       blockCols.map(col) :+ col(idCol).as("id") :+
         substring(regexp_replace(trim(lower(col(textCol))), "\\s+", " "), 1, prefixLen).as("p"): _*)
       .withColumn("len", length(col("p")))
+    val spread = keyed.repartition(
+      keyed.sparkSession.sparkContext.defaultParallelism, blockCols.map(col): _*)
     val blockKey = blockCols.map(c => col("l." + c) === col("r." + c)).reduce(_ && _)
-    keyed.alias("l").hint("shuffle_hash")
-      .join(keyed.alias("r").hint("shuffle_hash"),
+    // The threshold'd levenshtein fills at most a maxDist-wide DP band
+    // and bails early for far-apart pairs (the overwhelming majority),
+    // returning the exact distance for everything within the threshold.
+    spread.alias("l").hint("shuffle_hash")
+      .join(spread.alias("r").hint("shuffle_hash"),
         blockKey && col("l.id") < col("r.id") &&
           abs(col("l.len") - col("r.len")) <= maxDist)
-      .withColumn("dist", levenshtein(col("l.p"), col("r.p")))
-      .where(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("l.p"), col("r.p"), maxDist))
+      .where(col("dist") >= 0)
       .select(col("l.id").as("a_id"), col("r.id").as("b_id"), col("dist"))
   }
 }

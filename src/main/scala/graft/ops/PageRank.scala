@@ -46,22 +46,41 @@ object PageRank {
     require(iterations >= 0, s"iterations must be >= 0: $iterations")
     require(scale % 100 == 0, s"scale must be a multiple of 100 for an exact teleport term: $scale")
     require(dampingNum >= 0 && dampingNum <= 100, s"dampingNum must be in [0,100]: $dampingNum")
+    // Materialize the (possibly expensive) upstream edge computation
+    // once — nodes, degrees and the degree-joined edge list all derive
+    // from it, and without this each derivation re-runs the caller's
+    // whole edge-building plan.
     val e = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .localCheckpoint()
+    // Partition the loop-invariant sides ONCE and CACHE them: an
+    // InMemoryRelation keeps its outputPartitioning through planning
+    // (localCheckpoint would not — RDD-backed plans lose partitioning
+    // AND statistics, which made every iteration re-shuffle the full
+    // edge list). With edges cached hash(s) and nodes cached hash(id),
+    // each iteration exchanges only the narrow ranks rows plus the
+    // contribution aggregation — the irreducible PageRank shuffle. The
+    // caches are dropped before returning; the returned ranks are
+    // checkpoint-materialized and independent of them.
+    val p = e.sparkSession.sparkContext.defaultParallelism
     val nodes = e.select(col("s").as("id")).union(e.select(col("d").as("id")))
-      .distinct().localCheckpoint()
+      .distinct().repartition(p, col("id")).cache()
     val deg = e.groupBy("s").agg(count(lit(1)).as("outdeg"))
-    val withDeg = e.join(deg, "s").localCheckpoint()
+    val withDeg = e.join(deg, "s").repartition(p, col("s")).cache()
     val teleport = scale * (100 - dampingNum) / 100
     var ranks = nodes.withColumn("rank", lit(scale))
     for (_ <- 1 to iterations) {
-      val contribs = withDeg.join(ranks, col("s") === col("id"))
+      // Build side = ranks (one narrow row per node); the hint pins the
+      // shuffled-hash strategy where checkpointed stats can't guide it.
+      val contribs = withDeg.join(ranks.hint("shuffle_hash"), col("s") === col("id"))
         .select(col("d").as("id"),
           expr(s"(rank * $dampingNum) div (100 * outdeg)").as("c"))
         .groupBy("id").agg(sum("c").as("c"))
-      ranks = nodes.join(contribs, Seq("id"), "left")
+      ranks = nodes.join(contribs.hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"), (lit(teleport) + coalesce(col("c"), lit(0L))).as("rank"))
         .localCheckpoint()
     }
+    nodes.unpersist()
+    withDeg.unpersist()
     ranks
   }
 }
