@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Bm25, Cdc, Chunking, Components, Decontaminate, Dedup, Enrich, GraphMetrics, IntervalJoin, KMeans, Mappings, Multimodal, Outliers, PageRank, Repetition, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, SkewJoin, TimeSeries}
+import graft.ops.{AsOfJoin, Bm25, Cdc, Chunking, Components, Decontaminate, Dedup, Enrich, Funnel, GraphMetrics, IntervalJoin, KMeans, Mappings, Multimodal, Outliers, PageRank, Repetition, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, SkewJoin, TimeSeries}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -315,6 +315,23 @@ object SparkEntry {
         .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
     }),
 
+    // ---- ordered funnel: staged min-after-previous aggregation (k narrow
+    // shuffles for k steps, one row per entity each — no window sort, no
+    // per-entity state; the A2 start/end pairing generalized to chains). --
+    "q75_funnel" -> ((s, dir) => {
+      Funnel.counts(t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+    }),
+
+    // ---- throttle-dedup (debounce): drop same-key events closer than the
+    // gap to their predecessor — one window, lag-based, full codegen. ----
+    "q76_debounce" -> ((s, dir) => {
+      TimeSeries.debounce(t(s, dir, "events"), Seq("user_id", "event_type"), "ts",
+        minGapMs = 60000L, tiebreaks = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_millis(col("ts")).as("ts_ms"))
+    }),
+
     // ---- robust outlier screen: per-user activity counts vs the upper
     // Tukey fence of their event_type peer group, exact integer quartiles
     // (the scale path lowers approx_percentile accuracy — q36's exact-
@@ -348,6 +365,19 @@ object SparkEntry {
           col("a.l_orderkey") === col("b.l_orderkey") && col("a.l_partkey") < col("b.l_partkey"))
         .select(col("a.l_partkey").as("a_id"), col("b.l_partkey").as("b_id"))
       GraphMetrics.nodeTriangles(pairs)
+    }),
+
+    // ---- mode-based label propagation (2 synchronous rounds) on the same
+    // co-order part graph: deterministic community labels via integer
+    // neighbor tallies with a (count desc, label asc) tie order. ----------
+    "q80_label_prop" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.alias("a").hint("shuffle_hash")
+        .join(li.alias("b").hint("shuffle_hash"),
+          col("a.l_orderkey") === col("b.l_orderkey") && col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("a_id"), col("b.l_partkey").as("b_id"))
+      GraphMetrics.labelPropagation(pairs, rounds = 2)
     }),
 
     // ---- SCD type-2 history: ordered change log → validity intervals,
@@ -1231,6 +1261,32 @@ object SparkEntry {
         | ON a.lang = b.lang AND a.source = b.source AND a.id < b.id
         | AND abs(a.l - b.l) <= 30
         |WHERE levenshtein(a.p, b.p) <= 30""".stripMargin,
+    // q75: the same staged min-after-previous chain; count(t_i) counts
+    // completers because t_i is null for entities stuck before step i.
+    "q75_funnel" ->
+      """WITH s1 AS (
+        | SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        | SELECT s1.user_id, min(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+        | FROM s1 LEFT JOIN events e
+        |  ON e.user_id = s1.user_id AND e.event_type = 'click'
+        | GROUP BY 1),
+        |s3 AS (
+        | SELECT s2.user_id, min(CASE WHEN e.ts > s2.t2 THEN e.ts END) AS t3
+        | FROM s2 LEFT JOIN events e
+        |  ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        | GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step, count(t1) AS n_entities FROM s1
+        |UNION ALL
+        |SELECT 2, 'click', count(t2) FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', count(t3) FROM s3""".stripMargin,
+    "q76_debounce" ->
+      """SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM (
+        | SELECT *, lag(epoch_ms(ts)) OVER (
+        |   PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev
+        | FROM events)
+        |WHERE prev IS NULL OR epoch_ms(ts) - prev >= 60000""".stripMargin,
     // q77: approx_percentile degenerates to exact discrete quantiles when
     // every group < accuracy — value-identical to quantile_disc (same
     // trick as q53).
@@ -1255,6 +1311,27 @@ object SparkEntry {
         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
         |x AS (SELECT unnest([a, b, c]) AS id FROM tri)
         |SELECT id, count(*) AS n_triangles FROM x GROUP BY 1""".stripMargin,
+    "q80_label_prop" ->
+      """WITH li AS (
+        | SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0),
+        |e AS (
+        | SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        | FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+        |l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym),
+        |r1 AS (
+        | SELECT src AS id, label FROM (
+        |  SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY n DESC, label ASC) AS rn
+        |  FROM (SELECT s.src, l.label, count(*) AS n
+        |        FROM sym s JOIN l0 l ON s.dst = l.id GROUP BY 1, 2))
+        | WHERE rn = 1),
+        |r2 AS (
+        | SELECT src AS id, label FROM (
+        |  SELECT src, label, row_number() OVER (PARTITION BY src ORDER BY n DESC, label ASC) AS rn
+        |  FROM (SELECT s.src, l.label, count(*) AS n
+        |        FROM sym s JOIN r1 l ON s.dst = l.id GROUP BY 1, 2))
+        | WHERE rn = 1)
+        |SELECT id, label FROM r2""".stripMargin,
     // q64: exact counts + pinned sketch contract (cf. q43). NOTE: the
     // within_eps_n pin is EMPIRICALLY verified for this fixed (hash seed,
     // testdata, term list) — the CM bound est ≤ exact + ⌈e·N/width⌉ holds

@@ -40,4 +40,59 @@ object GraphMetrics {
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Synchronous mode-based label propagation — the lightweight community
+    * detector: after `rounds` rounds, densely connected neighborhoods
+    * converge onto shared labels, without the full contraction machinery
+    * of [[Components]] (LPA labels ≠ connected components: a bridge node
+    * adopts whichever side dominates its neighborhood).
+    *
+    * Round semantics (fully deterministic, partitioning-independent):
+    * every node simultaneously adopts the most frequent label among its
+    * NEIGHBORS, ties broken toward the smallest label; labels start as
+    * the node's own id. Integer counts + a total tie order make the
+    * result a pure function of the edge set — no RNG, no update-order
+    * dependence (the classic async formulation is update-order-sensitive,
+    * which would poison cross-engine checks).
+    *
+    * Scale shape per round: one join of the (cached, layout-pinned)
+    * symmetrized edge list with the narrow labels table + two
+    * aggregations on node ids — the same per-round cost model as
+    * [[PageRank]], with the edge list never re-shuffling after setup.
+    */
+  def labelPropagation(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      rounds: Int = 2): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val e = pairs
+      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val p = e.sparkSession.sparkContext.defaultParallelism
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .toDF("src", "dst")
+      .repartition(p, col("dst")).cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      // Neighbor-label tally: join on the label-carrier side (dst), so
+      // the cached dst-hashed edge layout is reused every round and only
+      // the narrow labels table moves.
+      val tally = sym.join(labels.hint("shuffle_hash"), col("dst") === col("id"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("n"))
+      // argmax by (count desc, label asc) via struct max: among equal
+      // counts, the largest negated label is the smallest label.
+      labels = tally
+        .groupBy(col("src"))
+        .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("m"))
+        .select(col("src").as("id"), (-col("m.nl")).as("label"))
+        .localCheckpoint()
+    }
+    sym.unpersist()
+    labels
+  }
 }

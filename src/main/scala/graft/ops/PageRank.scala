@@ -69,12 +69,7 @@ object PageRank {
     val teleport = scale * (100 - dampingNum) / 100
     var ranks = nodes.withColumn("rank", lit(scale))
     for (_ <- 1 to iterations) {
-      // Build side = ranks (one narrow row per node); the hint pins the
-      // shuffled-hash strategy where checkpointed stats can't guide it.
-      val contribs = withDeg.join(ranks.hint("shuffle_hash"), col("s") === col("id"))
-        .select(col("d").as("id"),
-          expr(s"(rank * $dampingNum) div (100 * outdeg)").as("c"))
-        .groupBy("id").agg(sum("c").as("c"))
+      val contribs = contributions(withDeg, ranks, dampingNum)
       ranks = nodes.join(contribs.hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"), (lit(teleport) + coalesce(col("c"), lit(0L))).as("rank"))
         .localCheckpoint()
@@ -83,4 +78,19 @@ object PageRank {
     withDeg.unpersist()
     ranks
   }
+
+  /** One iteration's incoming-contribution aggregation — split out so the
+    * plan-shape suite can assert the cached edge layout is joined with NO
+    * edge-side exchange (the scale contract of the whole loop). Build
+    * side = ranks (one narrow row per node); the hint pins the
+    * shuffled-hash strategy where checkpointed stats can't guide it.
+    */
+  private[graft] def contributions(
+      withDeg: DataFrame,
+      ranks: DataFrame,
+      dampingNum: Long): DataFrame =
+    withDeg.join(ranks.hint("shuffle_hash"), col("s") === col("id"))
+      .select(col("d").as("id"),
+        expr(s"(rank * $dampingNum) div (100 * outdeg)").as("c"))
+      .groupBy("id").agg(sum("c").as("c"))
 }

@@ -66,4 +66,39 @@ object TimeSeries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
+
+  /** Throttle-dedup ("debounce"): drop a row when its immediate
+    * predecessor in the same key group is closer than `minGapMs` — the
+    * duplicate-burst filter for retried webhooks, double-clicks and
+    * at-least-once ingestion echoes.
+    *
+    * Semantics are lag-based: each row compares against the previous ROW
+    * (kept or dropped), not the previous kept row. This keeps the
+    * operator a single window function — one shuffle, one sort, full
+    * codegen, and identical SQL in every engine. (The "previous KEPT
+    * row" variant is a running-state scan that needs a per-key stateful
+    * pass; [[Sessionize]]'s typed replay is the template if that exact
+    * semantics is ever needed.)
+    *
+    * Determinism contract: `(timeCol, tiebreaks*)` must totally order
+    * rows within a key, same as [[forwardFill]]. Rows with equal
+    * timestamps are `minGapMs = 0` apart, so of a same-instant burst only
+    * the tiebreak-first row survives (when minGapMs > 0).
+    */
+  def debounce(
+      df: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      minGapMs: Long,
+      tiebreaks: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(minGapMs >= 0, s"minGapMs must be >= 0: $minGapMs")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol) +: tiebreaks.map(col): _*)
+    val prev = lag(unix_millis(col(timeCol)), 1).over(w)
+    df.withColumn("__prev_ms", prev)
+      .where(col("__prev_ms").isNull ||
+        unix_millis(col(timeCol)) - col("__prev_ms") >= minGapMs)
+      .drop("__prev_ms")
+  }
 }

@@ -79,6 +79,39 @@ class OutlierAndGraphSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  // ------------------------------------------------------ label propagation
+
+  test("labelPropagation: two cliques joined by a bridge edge converge to two communities") {
+    // cliques {1,2,3,4} and {10,11,12,13}, bridge 4-10
+    val cl = (for (s <- Seq(Seq(1L, 2L, 3L, 4L), Seq(10L, 11L, 12L, 13L));
+                   a <- s; b <- s if a < b) yield (a, b)) :+ ((4L, 10L))
+    val got = GraphMetrics.labelPropagation(cl.toDF("a_id", "b_id"), rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // each clique shares one label; the two labels differ
+    assert(Seq(1L, 2L, 3L).map(got).distinct.size == 1)
+    assert(Seq(11L, 12L, 13L).map(got).distinct.size == 1)
+    assert(got(1L) != got(11L))
+  }
+
+  test("labelPropagation matches a reference synchronous implementation on random graphs") {
+    val rnd = new scala.util.Random(23)
+    val n = 40
+    val edges = (for (a <- 0 until n; b <- (a + 1) until n if rnd.nextInt(6) == 0)
+      yield (a.toLong, b.toLong)).toSeq
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    def step(labels: Map[Long, Long]): Map[Long, Long] =
+      adj.map { case (id, nbrs) =>
+        val tally = nbrs.map(labels).groupBy(identity).map { case (l, o) => (l, o.size) }
+        val best = tally.toSeq.minBy { case (l, c) => (-c, l) }._1
+        id -> best
+      }
+    val expect = step(step(adj.keys.map(k => k -> k).toMap)).toSeq.sorted
+    val got = GraphMetrics.labelPropagation(edges.toDF("a_id", "b_id"), rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == expect)
+  }
+
   test("nodeTriangles agrees with brute force on random graphs") {
     val rnd = new scala.util.Random(5)
     val n = 30

@@ -1,11 +1,12 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_NUM, ShuffleExchangeExec}
 import org.apache.spark.sql.functions._
-import graft.ops.{Chunking, Dedup, Repetition}
+import graft.ops.{Chunking, Dedup, PageRank, Repetition, RuntimeFilter}
 
 /** Plan-shape assertions pinning the scale CONTRACTS of the corpus
   * operators — not what they compute, but what they shuffle. A regression
@@ -52,5 +53,60 @@ class PlanShapeSpec extends SparkSpec {
     shuffles.foreach { out =>
       assert(!out.contains("text") && !out.contains("sh"), s"body column in shuffle: $out")
     }
+  }
+
+  private def initialPlan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p: SparkPlan             => p
+    }
+
+  test("bloom semi-join probes the sketch map-side — below the fact shuffle, not above it") {
+    // fact must not be a LocalRelation — the optimizer would evaluate the
+    // probe filter eagerly and leave no FilterExec to assert on
+    val fact = spark.range(500).selectExpr("id as fid", "id % 50 as fk")
+    val dim = Seq(1L, 2L, 3L).toDF("dk")
+    val plan = initialPlan(RuntimeFilter.bloomSemiJoin(fact, dim, "fk", "dk", expectedItems = 8))
+    val bloomFilters = plan.collect {
+      case f: FilterExec if f.condition.toString.contains("might_contain") => f
+    }
+    assert(bloomFilters.nonEmpty, "bloom probe filter missing from the plan")
+    // the probe's subtree must reach the scan without crossing any
+    // exchange — i.e. the prune happens before a single fact row moves
+    bloomFilters.foreach { f =>
+      assert(f.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "bloom probe runs above an exchange — fact rows shuffled before pruning")
+    }
+  }
+
+  test("pagerank iteration joins the cached edge layout with no edge-side exchange") {
+    val e = spark.range(2000).selectExpr("id % 100 as s", "(id * 7) % 100 as d")
+    val p = spark.sparkContext.defaultParallelism
+    val withDeg = e.join(e.groupBy("s").agg(count(lit(1)).as("outdeg")), "s")
+      .repartition(p, col("s")).cache()
+    withDeg.count() // populate the cache, as ranksFixedPoint's loop does
+    try {
+      val ranks = e.select(col("s").as("id")).distinct()
+        .withColumn("rank", lit(1000000L)).localCheckpoint()
+      val plan = initialPlan(PageRank.contributions(withDeg, ranks, 85L))
+      val cachedScans = plan.collect { case s: InMemoryTableScanExec => s }
+      assert(cachedScans.nonEmpty, "edge list not read from cache")
+      // no exchange may sit between the cached edge scan and the join:
+      // the only shuffles in the plan must NOT contain edge columns
+      // (s/d/outdeg all together marks the edge list itself moving)
+      plan.collect { case ex: ShuffleExchangeExec => ex.output.map(_.name).toSet }
+        .foreach { out =>
+          assert(!(out.contains("d") && out.contains("outdeg")),
+            s"edge list re-shuffled in iteration: $out")
+        }
+    } finally withDeg.unpersist()
+  }
+
+  test("edit-distance DP stage runs at pinned width (REPARTITION_BY_NUM, never coalescible)") {
+    val many = (1 to 200).map(i => (i.toLong, s"b${i % 4}", s"some text body number $i")).toDF("doc_id", "blk", "text")
+    val plan = initialPlan(Dedup.editDistancePairs(many, "doc_id", "text", Seq("blk")))
+    val origins = plan.collect { case e: ShuffleExchangeExec => e.shuffleOrigin }
+    assert(origins.nonEmpty && origins.forall(_ == REPARTITION_BY_NUM),
+      s"expected only REPARTITION_BY_NUM exchanges feeding the DP join, got: $origins")
   }
 }
