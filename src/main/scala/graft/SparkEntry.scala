@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Bm25, Cdc, Chunking, Components, Decontaminate, Dedup, Enrich, Funnel, GraphMetrics, IntervalJoin, KMeans, Mappings, Multimodal, Outliers, PageRank, Repetition, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, SkewJoin, TimeSeries}
+import graft.ops.{AsOfJoin, Bm25, Cdc, Chunking, Components, Decontaminate, Dedup, Enrich, Funnel, GraphMetrics, IntervalJoin, KMeans, Mappings, Multimodal, Outliers, PageRank, Repetition, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, SkewJoin, TimeSeries, Trend}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -30,6 +30,20 @@ object SparkEntry {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)")) else df
+  }
+
+  /** Co-order part pairs — the deterministic synthetic graph shared by the
+    * triangle (q79) and label-propagation (q80) queries: parts appearing
+    * in the same order are linked, filtered to every 4th part key to keep
+    * the bench-scale pair count bounded.
+    */
+  private def partPairs(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").where(col("l_partkey") % 4 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.alias("a").hint("shuffle_hash")
+      .join(li.alias("b").hint("shuffle_hash"),
+        col("a.l_orderkey") === col("b.l_orderkey") && col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("a_id"), col("b.l_partkey").as("b_id"))
   }
 
   /** Spread a document-bearing input to all cores before regex/hash-heavy
@@ -237,12 +251,14 @@ object SparkEntry {
 
     // ---- fixed-point integer PageRank over the customer↔supplier
     // bipartite trade graph (both directions): per-iteration = one join +
-    // one agg on node ids, integer math ⇒ partitioning-independent. ------
+    // one agg on node ids, integer math ⇒ partitioning-independent.
+    // Node ids use a disjoint even/odd encoding (2·cust / 2·supp+1) — an
+    // additive offset would collide once customers outgrow it. ------------
     "q69_pagerank" -> ((s, dir) => {
       val e0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("s"), (col("l_suppkey") + lit(1000000L)).as("d"))
+        .select((col("o_custkey") * 2).as("s"), (col("l_suppkey") * 2 + 1).as("d"))
         .distinct()
       val e = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
       PageRank.ranksFixedPoint(e, "s", "d", iterations = 3)
@@ -357,28 +373,39 @@ object SparkEntry {
     // ---- triangle counting on the co-order part graph: two hash joins
     // count each triangle once at its u<v<w orientation; per-node
     // participation out. --------------------------------------------------
-    "q79_triangles" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").where(col("l_partkey") % 4 === 0)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li.alias("a").hint("shuffle_hash")
-        .join(li.alias("b").hint("shuffle_hash"),
-          col("a.l_orderkey") === col("b.l_orderkey") && col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("a_id"), col("b.l_partkey").as("b_id"))
-      GraphMetrics.nodeTriangles(pairs)
+    "q79_triangles" -> ((s, dir) => GraphMetrics.nodeTriangles(partPairs(s, dir))),
+
+    // ---- per-supplier revenue trend: least-squares slope as exact
+    // integer (numerator, denominator, sign) — regr_slope without float
+    // merge-order drift; one narrow two-level aggregation. ---------------
+    "q81_linear_trend" -> ((s, dir) => {
+      val monthly = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"),
+          (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).cast("long").as("xm"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("y"))
+      Trend.linear(monthly, Seq("l_suppkey"), col("xm"), col("y"))
+    }),
+
+    // ---- navigation window functions: per-user first/last/2nd event via
+    // one partitioned sort, collapsed to a single row per user. ----------
+    "q82_nav_windows" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select(col("user_id"),
+          first(col("event_type")).over(wf).as("first_type"),
+          last(col("event_type")).over(wf).as("last_type"),
+          nth_value(col("event_id"), 2).over(wf).as("second_event_id"),
+          row_number().over(w).as("__rn"))
+        .where(col("__rn") === 1)
+        .drop("__rn")
     }),
 
     // ---- mode-based label propagation (2 synchronous rounds) on the same
     // co-order part graph: deterministic community labels via integer
     // neighbor tallies with a (count desc, label asc) tie order. ----------
-    "q80_label_prop" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").where(col("l_partkey") % 4 === 0)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li.alias("a").hint("shuffle_hash")
-        .join(li.alias("b").hint("shuffle_hash"),
-          col("a.l_orderkey") === col("b.l_orderkey") && col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("a_id"), col("b.l_partkey").as("b_id"))
-      GraphMetrics.labelPropagation(pairs, rounds = 2)
-    }),
+    "q80_label_prop" -> ((s, dir) =>
+      GraphMetrics.labelPropagation(partPairs(s, dir), rounds = 2)),
 
     // ---- SCD type-2 history: ordered change log → validity intervals,
     // one shuffle, both windows on one sort. epoch-ms integers out so the
@@ -1087,7 +1114,7 @@ object SparkEntry {
     "q69_pagerank" -> {
       val base =
         """WITH e0 AS (
-          | SELECT DISTINCT o_custkey AS s, l_suppkey + 1000000 AS d
+          | SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS d
           | FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
           |e AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0),
           |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
@@ -1126,13 +1153,14 @@ object SparkEntry {
       """WITH e AS (
         | SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |x AS (
-        | SELECT user_id, ts,
+        | SELECT user_id, event_id, ts,
         |  CASE WHEN lag(ts) OVER w IS NULL
         |        OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         | SELECT user_id, ts,
-        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
         | FROM x)
         |SELECT user_id, epoch_ms(min(ts)) AS start_ms,
         | epoch_ms(max(ts)) + 1800000 AS end_ms, CAST(count(*) AS BIGINT) AS n_events
@@ -1311,6 +1339,28 @@ object SparkEntry {
         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
         |x AS (SELECT unnest([a, b, c]) AS id FROM tri)
         |SELECT id, count(*) AS n_triangles FROM x GROUP BY 1""".stripMargin,
+    "q81_linear_trend" ->
+      """WITH m AS (
+        | SELECT l_suppkey,
+        |  CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS xm,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS y
+        | FROM lineitem GROUP BY 1, 2)
+        |SELECT l_suppkey, count(*) AS n,
+        | CAST(count(*) * sum(xm * y) - sum(xm) * sum(y) AS BIGINT) AS slope_num,
+        | CAST(count(*) * sum(xm * xm) - sum(xm) * sum(xm) AS BIGINT) AS slope_den,
+        | CAST(sign(count(*) * sum(xm * y) - sum(xm) * sum(y)) AS BIGINT) AS trend
+        |FROM m GROUP BY 1""".stripMargin,
+    "q82_nav_windows" ->
+      """SELECT user_id, first_type, last_type, second_event_id FROM (
+        | SELECT user_id,
+        |  first_value(event_type) OVER wf AS first_type,
+        |  last_value(event_type) OVER wf AS last_type,
+        |  nth_value(event_id, 2) OVER wf AS second_event_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        | FROM events
+        | WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |WHERE rn = 1""".stripMargin,
     "q80_label_prop" ->
       """WITH li AS (
         | SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0),

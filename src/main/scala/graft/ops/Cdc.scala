@@ -56,7 +56,11 @@ object Cdc {
       .where(col("__last").isNull || col(s"__last.$opCol") =!= deleteOp)
       .select(
         col(keyCol) +:
-          valueCols.map(v => coalesce(col(s"__last.$v"), col(v)).as(v)) :+
+          // presence of a change decides, not null-ness of the value — an
+          // upsert may legitimately SET a column to null, and coalesce
+          // would silently resurrect the stale base value
+          valueCols.map(v =>
+            when(col("__last").isNotNull, col(s"__last.$v")).otherwise(col(v)).as(v)) :+
           coalesce(col("n_changes"), lit(0L)).as("n_changes"): _*)
   }
 }

@@ -22,16 +22,24 @@ import org.apache.spark.sql.functions._
   */
 object GraphMetrics {
 
+  /** Canonical undirected edge set (u < v, long ids): direction,
+    * duplicates, self-loops and nulls cleaned — the shared front door of
+    * every graph op here (and of [[Components]], which carries its own
+    * copy to stay self-contained).
+    */
+  private def canonicalEdges(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    pairs
+      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
+      .distinct()
+
   /** Per-node triangle participation: (id, n_triangles) for every node in
     * at least one triangle. Input direction/self-loops/duplicates are
     * cleaned here; ids must be numeric.
     */
   def nodeTriangles(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
-    val e = pairs
-      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
-      .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
-      .distinct()
+    val e = canonicalEdges(pairs, aCol, bCol)
     val tri = e.alias("e1")
       .join(e.alias("e2"), col("e1.v") === col("e2.u"))
       .join(e.alias("e3"), col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
@@ -66,12 +74,7 @@ object GraphMetrics {
       bCol: String = "b_id",
       rounds: Int = 2): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0: $rounds")
-    val e = pairs
-      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
-      .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
-      .distinct()
-      .localCheckpoint()
+    val e = canonicalEdges(pairs, aCol, bCol).localCheckpoint()
     val p = e.sparkSession.sparkContext.defaultParallelism
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .toDF("src", "dst")

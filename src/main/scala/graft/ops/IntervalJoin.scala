@@ -53,8 +53,13 @@ object IntervalJoin {
     def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
     // Last covered bucket uses end-1µs: an interval ending exactly on a
     // grid line must not claim the next bucket (end is exclusive).
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence(floor(micros(col(startCol)) / width), floor((micros(col(endCol)) - 1) / width))))
+    // Empty/inverted intervals (end <= start) can match no point, but
+    // sequence(hi, lo) would COUNT DOWN and fan a corrupt interval out
+    // across its whole reversed span — drop them before the explode.
+    val iv = intervals
+      .where(col(endCol) > col(startCol))
+      .withColumn("__bucket",
+        explode(sequence(floor(micros(col(startCol)) / width), floor((micros(col(endCol)) - 1) / width))))
     val pt = points.withColumn("__bucket", floor(micros(col(tsCol)) / width))
     pt.join(iv, Seq("__bucket"))
       .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))

@@ -47,6 +47,15 @@ object RuntimeFilter {
       dimKey: String,
       expectedItems: Long,
       numBits: Long = 0L): DataFrame = {
+    // The probe hashes both sides with xxhash64 on their NATIVE types; a
+    // dtype mismatch (int fact key vs long dim key) would hash equal
+    // values differently and produce bloom FALSE NEGATIVES — rows the
+    // exact join can never rescue. Fail loudly instead of dropping rows.
+    require(
+      fact.schema(factKey).dataType == dim.schema(dimKey).dataType,
+      s"bloomSemiJoin requires identical key types, got " +
+        s"${fact.schema(factKey).dataType} vs ${dim.schema(dimKey).dataType} — " +
+        "cast one side before calling")
     val bits = if (numBits > 0) numBits else expectedItems * 8
     val sketch = GraftColumn(
       new BloomFilterAggregate(

@@ -190,6 +190,55 @@ object StreamingOps {
       }(org.apache.spark.sql.Encoders.product[WindowQuotas], ev)
   }
 
+  /** Per-key last-kept timestamp for [[debounceStream]]. */
+  final case class DebounceState(lastKeptMs: Long)
+
+  /** Streaming throttle-dedup: admit an event only when it is at least
+    * `minGapMs` after the key's last ADMITTED event — the stateful twin
+    * of the batch `TimeSeries.debounce` (which is lag-based against the
+    * previous row; streaming state makes the strictly stronger
+    * last-KEPT-row semantics natural, since the admitted frontier lives
+    * in the state store anyway).
+    *
+    * State lifecycle: one long per key, expired via event-time timeout as
+    * soon as the watermark passes `lastKept + minGapMs` — beyond that
+    * point no admissible (non-late) event can violate the gap, so
+    * dropping the state cannot change results. Within a micro-batch,
+    * events replay in event-time order (stable for equal stamps), exactly
+    * like the other stateful ops here.
+    */
+  def debounceStream(
+      events: Dataset[KeyedEvent],
+      minGapMs: Long,
+      lateness: String = "1 hour"): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    require(minGapMs >= 0, s"minGapMs must be >= 0: $minGapMs")
+    val marked = if (lateness == null) events else events.withWatermark("ts", lateness)
+    marked
+      .groupByKey(_.key)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, batch: Iterator[KeyedEvent], state: GroupState[DebounceState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var last = state.getOption.map(_.lastKeptMs)
+            val out = Vector.newBuilder[KeyedEvent]
+            batch.toVector.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              if (last.forall(l => t - l >= minGapMs)) { out += e; last = Some(t) }
+            }
+            last.foreach { l =>
+              val horizon = l + minGapMs
+              if (horizon > state.getCurrentWatermarkMs()) {
+                state.update(DebounceState(l))
+                state.setTimeoutTimestamp(horizon)
+              } else state.remove()
+            }
+            out.result().iterator
+          }
+      }(org.apache.spark.sql.Encoders.product[DebounceState],
+        org.apache.spark.sql.Encoders.product[KeyedEvent])
+  }
+
   /** Read the reference's user-exp JSON shape as a file stream. */
   def userExpStream(spark: SparkSession, dir: String): Dataset[SessionEvent] = {
     import spark.implicits._

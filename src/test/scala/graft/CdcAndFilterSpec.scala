@@ -33,6 +33,14 @@ class CdcAndFilterSpec extends SparkSpec {
       (9L, "new", 99L, 1L)))
   }
 
+  test("cdc: an upsert may SET a value to null — it must not resurrect the base value") {
+    val changes = Seq((1L, 1L, "U", Option.empty[String], Option(11L)))
+      .toDF("k", "seq", "op", "name", "v")
+    val got = Cdc.applyChangelog(base, changes, "k", "seq", "op", Seq("name", "v"))
+      .where(col("k") === 1L).head()
+    assert(got.isNullAt(1) && got.getLong(2) == 11L && got.getLong(3) == 1L)
+  }
+
   test("cdc: empty changelog returns the base unchanged (n_changes = 0)") {
     val changes = Seq.empty[(Long, Long, String, String, Long)].toDF("k", "seq", "op", "name", "v")
     val got = Cdc.applyChangelog(base, changes, "k", "seq", "op", Seq("name", "v"))

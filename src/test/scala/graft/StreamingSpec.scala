@@ -198,4 +198,31 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == Map("hot" -> 4L, "cold" -> 1L))
   }
+
+  test("debounceStream admits only events >= gap after the last ADMITTED one, across batches") {
+    val in = Files.createTempDirectory("graft_stream_debounce")
+    def write(name: String, lines: Seq[String]): Unit =
+      Files.write(Paths.get(in.toString, name), lines.mkString("\n").getBytes)
+    def line(key: String, sec: Int) =
+      s"""{"key":"$key","ts":"2024-11-16T10:00:${"%02d".format(sec)}Z"}"""
+    // burst at 0s,5s,9s with 10s gap: only 0s survives batch 1
+    write("b1.json", Seq(line("k", 0), line("k", 5), line("k", 9)))
+    import spark.implicits._
+    val stream = spark.readStream
+      .schema("key STRING, ts STRING")
+      .json(in.toString)
+      .select(col("key"), to_timestamp(col("ts")).as("ts"))
+      .as[StreamingOps.KeyedEvent]
+    val q = StreamingOps.debounceStream(stream, minGapMs = 10000L)
+      .writeStream.outputMode("append").format("memory").queryName("debounced")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable()
+    // batch 2: 8s after last KEPT (0s) → dropped even though it is 8s
+    // after the last SEEN (9s, dropped); 12s → kept
+    write("b2.json", Seq(line("k", 8), line("k", 12)))
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("debounced").collect()
+      .map(_.getAs[java.sql.Timestamp]("ts").toInstant.toString).sorted
+    assert(kept.toSeq == Seq("2024-11-16T10:00:00Z", "2024-11-16T10:00:12Z"))
+  }
 }
