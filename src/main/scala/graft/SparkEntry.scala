@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Bm25, Cdc, Chunking, Components, Decontaminate, Dedup, Enrich, Funnel, GraphMetrics, IntervalJoin, KMeans, Mappings, Multimodal, Outliers, PageRank, Repetition, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, SkewJoin, TimeSeries, Trend}
+import graft.ops.{AsOfJoin, Bm25, Cdc, Chunking, Cohort, Components, Decontaminate, Dedup, Enrich, Funnel, FuzzyJoin, GraphMetrics, IntervalJoin, KMeans, Mappings, Metrics, Multimodal, Ngrams, Outliers, PageRank, Repetition, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, SkewJoin, TimeSeries, Transitions, Trend}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -920,7 +920,59 @@ object SparkEntry {
           aggregate(col("__q"), lit(0L), (a, x) => a + x).as("q_sum"),
           array_min(col("__q")).as("q_min"),
           array_max(col("__q")).as("q_max"))
-    })
+    }),
+
+    // ---- cohort retention: first-activity-period cohorts × age, one
+    // window shuffle on the entity key, no join. --------------------------
+    "q83_cohort_retention" -> ((s, dir) =>
+      Cohort.retention(t(s, dir, "orders"), "o_custkey",
+        year(col("o_orderdate")) * 12 + month(col("o_orderdate")))),
+
+    // ---- collocation mining: corpus bigram × unigram counts, Dice score
+    // in exact ppm; vocabulary-sized joins, never corpus-sized. -----------
+    "q84_collocations" -> ((s, dir) =>
+      Ngrams.collocations(t(s, dir, "documents"), "text", minCount = 10L)),
+
+    // ---- first-order Markov transitions over per-user event sequences:
+    // the lag-window sort + two narrow count aggs. ------------------------
+    "q85_transitions" -> ((s, dir) =>
+      Transitions.matrix(t(s, dir, "events"), "user_id", "event_type",
+        Seq(col("ts"), col("event_id")))),
+
+    // ---- blocked fuzzy match (entity resolution): (noun, adjective-
+    // initial) blocking key + codegen levenshtein verify — Σ|block|²
+    // comparisons instead of all-pairs. -----------------------------------
+    "q86_fuzzy_block" -> ((s, dir) =>
+      FuzzyJoin.selfPairs(t(s, dir, "part"), "p_partkey", "p_name",
+        concat_ws("|", split(col("p_name"), " ")(1), substring(split(col("p_name"), " ")(0), 1, 1)),
+        maxDist = 3)),
+
+    // ---- LM-familiarity quality score: per-doc fraction of bigrams seen
+    // in the English reference slice, exact integer ppm. ------------------
+    "q87_lm_familiarity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Ngrams.familiarity(docs, docs.where(col("lang") === "en"))
+    }),
+
+    // ---- rolling z-score anomaly flags in pure integer arithmetic over
+    // a 20-row trailing window (current row excluded from its baseline). --
+    "q88_rolling_zscore" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      Outliers.rollingZ(ev, Seq("user_id"), Seq(col("ts"), col("event_id")), "cents", n = 20, z = 3)
+        .select(col("user_id"), col("event_id"), col("cents"),
+          col("win_sum"), col("win_sumsq"), col("is_anomaly"))
+    }),
+
+    // ---- exact 2-hop neighborhood size on the co-order part graph: one
+    // wedge join + distinct, no iteration. --------------------------------
+    "q89_khop" -> ((s, dir) =>
+      GraphMetrics.neighborhoodSize(partPairs(s, dir))),
+
+    // ---- per-language source-concentration profile (Herfindahl, exact
+    // ppm): the corpus-balance audit as two stacked count aggs. -----------
+    "q90_concentration" -> ((s, dir) =>
+      Metrics.concentration(t(s, dir, "documents"), Seq("lang"), "source"))
   )
 
   /** DuckDB oracle SQL generated from [[TextFunctions.LangMarkers]] so the
@@ -1779,6 +1831,101 @@ object SparkEntry {
         |SELECT vec_id, max_abs,
         | CAST(list_sum(qv) AS BIGINT) AS q_sum,
         | list_min(qv) AS q_min, list_max(qv) AS q_max
-        |FROM q""".stripMargin
+        |FROM q""".stripMargin,
+    "q83_cohort_retention" ->
+      """WITH o AS (
+        | SELECT o_custkey,
+        |  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+        | FROM orders),
+        |c AS (SELECT o_custkey, m, min(m) OVER (PARTITION BY o_custkey) AS cohort FROM o)
+        |SELECT cohort, m - cohort AS age,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "q84_collocations" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |t AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos FROM tok),
+        |uni AS (SELECT word, count(*) AS n_w FROM t GROUP BY 1),
+        |bi AS (
+        | SELECT a.word || ' ' || b.word AS bigram,
+        |  a.word AS left_w, b.word AS right_w, count(*) AS n_ab
+        | FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        | GROUP BY 1, 2, 3 HAVING count(*) >= 10)
+        |SELECT bi.bigram, CAST(bi.n_ab AS BIGINT) AS n_ab,
+        | CAST(ua.n_w AS BIGINT) AS n_a, CAST(ub.n_w AS BIGINT) AS n_b,
+        | CAST(floor(2000000 * bi.n_ab / (ua.n_w + ub.n_w)) AS BIGINT) AS dice_ppm
+        |FROM bi JOIN uni ua ON bi.left_w = ua.word
+        | JOIN uni ub ON bi.right_w = ub.word""".stripMargin,
+    "q85_transitions" ->
+      """WITH p AS (
+        | SELECT event_type AS to_state,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_state
+        | FROM events),
+        |n AS (SELECT from_state, to_state, count(*) AS n FROM p
+        |      WHERE from_state IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_state, sum(n) AS total FROM n GROUP BY 1)
+        |SELECT n.from_state, n.to_state, CAST(n.n AS BIGINT) AS n,
+        | CAST(floor(1000000 * n.n / t.total) AS BIGINT) AS p_ppm
+        |FROM n JOIN t USING (from_state)""".stripMargin,
+    "q86_fuzzy_block" ->
+      """WITH p AS (
+        | SELECT p_partkey AS id, p_name AS name,
+        |  string_split(p_name, ' ')[2] || '|' || substring(string_split(p_name, ' ')[1], 1, 1) AS block
+        | FROM part)
+        |SELECT a.id AS a_id, b.id AS b_id, a.name AS a_name, b.name AS b_name,
+        | CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM p a JOIN p b ON a.block = b.block AND a.id < b.id
+        |WHERE levenshtein(a.name, b.name) <= 3""".stripMargin,
+    "q87_lm_familiarity" ->
+      """WITH tok AS (
+        | SELECT doc_id, lang,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |t AS (SELECT doc_id, lang, unnest(w) AS word, generate_subscripts(w, 1) AS pos FROM tok),
+        |bi AS (
+        | SELECT a.doc_id, a.lang, a.word || ' ' || b.word AS bigram
+        | FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |vocab AS (SELECT DISTINCT bigram FROM bi WHERE lang = 'en'),
+        |j AS (
+        | SELECT bi.doc_id, CASE WHEN v.bigram IS NULL THEN 0 ELSE 1 END AS known
+        | FROM bi LEFT JOIN vocab v ON bi.bigram = v.bigram)
+        |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(known) AS BIGINT) AS n_known,
+        | CAST(floor(1000000 * sum(known) / count(*)) AS BIGINT) AS known_ppm
+        |FROM j GROUP BY 1""".stripMargin,
+    "q88_rolling_zscore" ->
+      """WITH e AS (
+        | SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events),
+        |w AS (
+        | SELECT user_id, event_id, cents,
+        |  sum(cents) OVER win AS s, sum(cents * cents) OVER win AS q,
+        |  count(*) OVER win AS n
+        | FROM e
+        | WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, cents,
+        | CAST(s AS BIGINT) AS win_sum, CAST(q AS BIGINT) AS win_sumsq,
+        | (20 * cents - s) * (20 * cents - s) > 9 * (20 * q - s * s) AS is_anomaly
+        |FROM w WHERE n = 20""".stripMargin,
+    "q89_khop" ->
+      """WITH li AS (
+        | SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0),
+        |e AS (
+        | SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        | FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS (SELECT u AS src, v AS dst FROM e UNION SELECT v, u FROM e),
+        |two AS (
+        | SELECT p.src, q.dst FROM sym p JOIN sym q ON p.dst = q.src WHERE p.src <> q.dst
+        | UNION SELECT src, dst FROM sym)
+        |SELECT o.src AS id, CAST(o.n1 AS BIGINT) AS n_1hop, CAST(t.n2 AS BIGINT) AS n_2hop
+        |FROM (SELECT src, count(*) AS n1 FROM sym GROUP BY 1) o
+        | JOIN (SELECT src, count(*) AS n2 FROM two GROUP BY 1) t USING (src)""".stripMargin,
+    "q90_concentration" ->
+      """WITH c AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2)
+        |SELECT lang, count(*) AS n_categories, CAST(sum(n) AS BIGINT) AS n_rows,
+        | CAST(floor(1000000 * sum(n * n) / (sum(n) * sum(n))) AS BIGINT) AS hhi_ppm
+        |FROM c GROUP BY 1""".stripMargin
   )
 }

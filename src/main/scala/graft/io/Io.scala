@@ -76,6 +76,27 @@ object Io {
   def readParquet(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  /** Lenient CSV scan — the delimited-text twin of [[readJsonLenient]]:
+    * malformed lines land in `_corrupt_record` (PERMISSIVE) instead of
+    * failing the scan; split with the same [[goodRecords]] /
+    * [[corruptRecords]] pair. An explicit schema is required — at
+    * ingestion scale an inference pass is a full extra read of the
+    * corpus, and inferred types drift run-to-run with the data.
+    */
+  def readCsvLenient(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      header: Boolean = true,
+      delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .csv(path)
+
   /** Small-file compaction: rewrite a parquet dataset into files of
     * roughly `targetBytes` each. Long-running hourly pipelines accrete
     * thousands of small files (one per trigger per partition), and scan

@@ -98,4 +98,33 @@ object GraphMetrics {
     sym.unpersist()
     labels
   }
+
+  /** Exact 2-hop neighborhood size per node: (id, n_1hop, n_2hop) where
+    * n_2hop counts DISTINCT nodes reachable in ≤2 hops (self excluded) —
+    * the local-reach metric behind influence scoring and crawl frontier
+    * sizing, and the exact quantity the degeneracy of a near-dup graph
+    * shows up in first (template families have 2-hop ≈ 1-hop ≈ family
+    * size).
+    *
+    * Scale shape: one self-join of the symmetrized edge list on the
+    * middle node builds 2-hop paths; a distinct + count on (src, dst)
+    * collapses them. The wedge intermediate is Σ_v deg(v)² — same bound
+    * as [[nodeTriangles]]; for power-law graphs cap or sample hub
+    * neighborhoods upstream. No driver state, no iteration.
+    */
+  def neighborhoodSize(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val e = canonicalEdges(pairs, aCol, bCol)
+    val sym = e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst")))
+    val oneHop = sym.distinct()
+    val twoHop = oneHop.alias("p")
+      .join(oneHop.alias("q"), col("p.dst") === col("q.src"))
+      .select(col("p.src").as("src"), col("q.dst").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .union(oneHop)
+      .distinct()
+    oneHop.groupBy("src").agg(count(lit(1)).as("n_1hop"))
+      .join(twoHop.groupBy("src").agg(count(lit(1)).as("n_2hop")), Seq("src"))
+      .withColumnRenamed("src", "id")
+  }
 }

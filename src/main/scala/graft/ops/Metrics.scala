@@ -38,4 +38,30 @@ object Metrics {
       .join(counts, Seq(key), "left")
       .na.fill(0.0, Seq("page_view_time"))
       .na.fill(0L, Seq("retry_count", "timeout_count", "error_count"))
+
+  /** Categorical concentration profile: per group, the Herfindahl index
+    * of `catCol`'s distribution in exact parts-per-million —
+    * `hhi_ppm = ⌊1e6·Σnᵢ² / N²⌋` (1e6 = one category owns everything,
+    * 1e6/k = uniform over k) — plus the category count. The
+    * data-balance audit a corpus pipeline runs per language/domain
+    * before training: a source monoculture shows up as a high HHI long
+    * before anyone reads samples. Integer-exact where Shannon entropy
+    * (the float alternative) is not portable across engines.
+    *
+    * Scale shape: two stacked narrow aggregations — (group, cat) counts
+    * combine map-side, then collapse per group. Shuffles carry counts,
+    * never rows. Magnitude guard: Σnᵢ²·1e6 needs N ≤ ~10⁸ per group for
+    * Long; beyond that, pre-scale counts (HHI is scale-invariant).
+    */
+  def concentration(df: DataFrame, groupCols: Seq[String], catCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    df.groupBy((groupCols :+ catCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_categories"),
+        sum(col("__n")).as("n_rows"),
+        floor(lit(1000000L) * sum(col("__n") * col("__n")) /
+          (sum(col("__n")) * sum(col("__n")))).as("hhi_ppm"))
+  }
 }

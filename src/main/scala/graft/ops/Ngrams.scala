@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus n-gram statistics: collocation mining and language-model
+  * familiarity scoring — the token-level quality layer between per-doc
+  * text stats ([[graft.functions.TextFunctions]]) and retrieval scoring
+  * ([[Bm25]]). Everything is exact integer counts (and ppm ratios of
+  * integer counts), so results are order-independent and cross-engine
+  * portable; no floating log-likelihoods in the oracled surface.
+  */
+object Ngrams {
+
+  /** Adjacent word-bigram strings ("a b") of a token array — built by
+    * zipping the array against its own tail, so each token materializes
+    * once (no per-position substring re-scan).
+    */
+  def bigrams(words: Column): Column =
+    zip_with(
+      slice(words, lit(1), greatest(size(words) - 1, lit(0))),
+      slice(words, lit(2), greatest(size(words) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+
+  /** (doc id, bigram) exploded pairs for a document table. */
+  private def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.parallelize(docs)
+      .select(col(idCol).as("id"), Dedup.wordTokens(col(textCol)).as("__w"))
+      .select(col("id"), explode(bigrams(col("__w"))).as("bigram"))
+
+  /** Collocation candidates: corpus-wide bigram counts joined with both
+    * component unigram counts, scored by the Dice coefficient in exact
+    * parts-per-million — `dice_ppm = ⌊2e6·n_ab / (n_a + n_b)⌋`. High-Dice
+    * bigrams are multi-word expressions ("machine learning"); a corpus
+    * pipeline uses them for tokenizer vocab induction and template
+    * detection.
+    *
+    * Scale shape: two narrow aggregations (bigram counts, unigram counts)
+    * — both map-side-combined — then the bigram table joins the unigram
+    * table twice on a single word key. The unigram (vocabulary) table is
+    * orders of magnitude smaller than the corpus; at bench scale it
+    * broadcasts, at 100 TB vocabulary scale the same equi-join shuffles
+    * vocabulary-sized, never corpus-sized, data. `minCount` prunes the
+    * hapax tail BEFORE the joins, which is where the cardinality dies.
+    */
+  def collocations(
+      docs: DataFrame,
+      textCol: String = "text",
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val words = Dedup.parallelize(docs)
+      .select(Dedup.wordTokens(col(textCol)).as("__w"))
+    val uni = words.select(explode(col("__w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_w"))
+    val bi = words.select(explode(bigrams(col("__w"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+      .withColumn("left_w", split(col("bigram"), " ")(0))
+      .withColumn("right_w", split(col("bigram"), " ")(1))
+    bi
+      .join(broadcast(uni.withColumnRenamed("n_w", "n_a")), col("left_w") === col("word"))
+      .drop("word")
+      .join(broadcast(uni.withColumnRenamed("n_w", "n_b")), col("right_w") === col("word"))
+      .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+        floor(lit(2000000L) * col("n_ab") / (col("n_a") + col("n_b"))).as("dice_ppm"))
+  }
+
+  /** Language-model familiarity: per document, the fraction (ppm) of its
+    * bigrams that occur in a reference corpus — a cheap fluency/quality
+    * proxy (gibberish, boilerplate and OOV-heavy docs score low against a
+    * known-good reference slice). `known_ppm = ⌊1e6·n_known / n_bigrams⌋`;
+    * docs with no bigram (≤1 token) report 0 of 0.
+    *
+    * Scale shape: the reference vocabulary is a DISTINCT bigram set —
+    * aggregated map-side first — and joins the corpus bigrams on a single
+    * string key as a left join that degenerates to a broadcast when the
+    * reference slice is small. The corpus side never shuffles documents:
+    * only (id, bigram) pairs move, then collapse back to one row per doc.
+    */
+  def familiarity(
+      docs: DataFrame,
+      reference: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val vocab = docBigrams(reference, idCol, textCol)
+      .select(col("bigram")).distinct()
+      .withColumn("__known", lit(1L))
+    docBigrams(docs, idCol, textCol)
+      .join(broadcast(vocab), Seq("bigram"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(coalesce(col("__known"), lit(0L))).as("n_known"))
+      .select(col(idCol), col("n_bigrams"), col("n_known"),
+        floor(lit(1000000L) * col("n_known") / col("n_bigrams")).cast("long").as("known_ppm"))
+  }
+}

@@ -46,4 +46,50 @@ object Outliers {
       .join(broadcast(q), groupCols)
       .where(lit(2) * col(valueCol) > lit(2) * col("q3") + lit(3) * (col("q3") - col("q1")))
   }
+
+  /** Rolling z-score anomaly flags over an ordered per-key integer series
+    * — "is this value > z standard deviations from its own trailing
+    * window?" — evaluated ENTIRELY in integer arithmetic so the flag is
+    * exact and portable: with trailing sum s and sum-of-squares q over
+    * exactly n prior rows, `(x−s/n)² > z²·(n·q−s²)/n²` rearranges to
+    * `(n·x − s)² > z²·(n·q − s²)`, all integers.
+    *
+    * Emits one row per input row that has a FULL n-row trailing window
+    * (current row excluded from its own baseline — an anomaly must not
+    * dilute the statistics it is judged against), with the flag and the
+    * integer moments for downstream thresholds.
+    *
+    * Scale shape: one shuffle+sort per key (any per-key windowed metric
+    * pays exactly this), two running-frame aggregates on that single
+    * sort, zero joins. Magnitude guard: |value| ≤ ~3·10⁶ and n ≤ ~10³
+    * keep n·q and (n·x−s)² inside Long; the require below enforces the
+    * window half of that contract.
+    */
+  def rollingZ(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column],
+      valueCol: String,
+      n: Int,
+      z: Int = 3): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(n >= 2 && n <= 1000, s"window size must be in [2, 1000]: $n")
+    require(z >= 1, s"z must be >= 1: $z")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+      .rowsBetween(-n, -1)
+    val v = col(valueCol).cast("long")
+    df
+      .withColumn("__s", sum(v).over(w))
+      .withColumn("__q", sum(v * v).over(w))
+      .withColumn("__n", count(v).over(w))
+      .where(col("__n") === n)
+      .withColumn("is_anomaly",
+        (lit(n) * v - col("__s")) * (lit(n) * v - col("__s")) >
+          lit(z.toLong * z) * (lit(n) * col("__q") - col("__s") * col("__s")))
+      .drop("__n")
+      .withColumnRenamed("__s", "win_sum")
+      .withColumnRenamed("__q", "win_sumsq")
+  }
 }

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** First-order Markov transition statistics over per-entity ordered event
+  * sequences — the model behind next-event prediction, funnel drop-off
+  * analysis ([[Funnel]] asks "did the ordered stages happen"; this asks
+  * "what follows what, how often") and session-shape anomaly detection.
+  *
+  * Output is exact integers plus a ppm probability of integer counts:
+  * `p_ppm = ⌊1e6·n(u→v) / n(u→·)⌋` — portable across engines because no
+  * float accumulates; the division happens once on final counts.
+  */
+object Transitions {
+
+  /** (from_state, to_state, n, p_ppm) over consecutive event pairs within
+    * each `keyCol` sequence, ordered by `orderCols` (must totally order
+    * events within a key — pass a tiebreaker, the [[Sessionize]] rule).
+    *
+    * Scale shape: one shuffle partitions by key for the `lag` window (the
+    * same sort a sessionizer already pays), then two narrow aggregations
+    * on state pairs — counts combine map-side, and the final join of
+    * pair-counts to from-state totals is on a state-cardinality table
+    * (tiny; broadcast). Nothing corpus-sized is ever re-shuffled.
+    */
+  def matrix(df: DataFrame, keyCol: String, stateCol: String, orderCols: Seq[Column]): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val pairs = df
+      .select(col(keyCol), col(stateCol).as("to_state"),
+        lag(col(stateCol), 1).over(w).as("from_state"))
+      .where(col("from_state").isNotNull)
+    val n = pairs.groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+    val totals = n.groupBy("from_state").agg(sum("n").as("__total"))
+    n.join(broadcast(totals), Seq("from_state"))
+      .select(col("from_state"), col("to_state"), col("n"),
+        floor(lit(1000000L) * col("n") / col("__total")).as("p_ppm"))
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Cohort, FuzzyJoin, GraphMetrics, Metrics, Ngrams, Outliers, Transitions}
+
+/** Cohort retention, n-gram statistics, Markov transitions, fuzzy
+  * blocking, rolling z-score, 2-hop neighborhoods, concentration
+  * profiles, lenient CSV (round 3).
+  */
+class CohortAndNgramsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- cohort
+
+  test("Cohort.retention: first-period cohorts and ages are exact") {
+    // key 1 first seen in period 10, active 10/11/13; key 2 only 11; key 3 joins 11, returns 12.
+    val df = Seq(
+      (1L, 10L), (1L, 11L), (1L, 13L), (1L, 10L), // duplicate activity in one period counts once
+      (2L, 11L),
+      (3L, 11L), (3L, 12L)
+    ).toDF("k", "m")
+    val got = Cohort.retention(df, "k", col("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (10L, 0L, 1L), (10L, 1L, 1L), (10L, 3L, 1L),
+      (11L, 0L, 2L), (11L, 1L, 1L)))
+  }
+
+  // ------------------------------------------------------------- ngrams
+
+  test("Ngrams.bigrams: adjacent pairs; short arrays yield empty") {
+    val got = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq("x")),
+      (3L, Seq.empty[String])
+    ).toDF("id", "w").select(col("id"), Ngrams.bigrams(col("w")).as("bg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("a b", "b c"))
+    assert(got(2L).isEmpty && got(3L).isEmpty)
+  }
+
+  test("Ngrams.collocations: counts and Dice ppm are exact") {
+    // "new york" appears 3x; "new" 4x, "york" 3x → dice = 2e6*3/7 = 857142.
+    val docs = Seq(
+      "new york is big",
+      "i love new york",
+      "new york new jersey"
+    ).toDF("text")
+    val got = Ngrams.collocations(docs, "text", minCount = 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("new york", 3L, 4L, 3L, 2000000L * 3 / 7)))
+  }
+
+  test("Ngrams.familiarity: known-bigram ppm against a reference slice") {
+    val docs = Seq(
+      (1L, "a b c", "en"),     // reference member: all own bigrams known
+      (2L, "a b x y", "de"),   // "a b" known; "b x", "x y" not → 1/3
+      (3L, "z", "de")          // no bigram → absent from output
+    ).toDF("doc_id", "text", "lang")
+    val got = Ngrams.familiarity(docs, docs.where(col("lang") === "en"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == 2)
+    assert(got(1L) == (2L, 2L, 1000000L))
+    assert(got(2L) == (3L, 1L, 333333L))
+  }
+
+  // -------------------------------------------------------- transitions
+
+  test("Transitions.matrix: per-pair counts and row-normalized ppm") {
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"), // a→b, b→a, a→b
+      (2L, 1L, "a"), (2L, 2L, "c")                                // a→c
+    ).toDF("k", "seq", "s")
+    val got = Transitions.matrix(df, "k", "s", Seq(col("seq")))
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("a", "b")) == (2L, 666666L)) // 2 of 3 a-departures
+    assert(got(("a", "c")) == (1L, 333333L))
+    assert(got(("b", "a")) == (1L, 1000000L))
+    assert(got.size == 3)
+  }
+
+  // -------------------------------------------------------- fuzzy join
+
+  test("FuzzyJoin.selfPairs: matches within block only, bounded distance") {
+    val df = Seq(
+      (1L, "small ring"), (2L, "smell ring"),  // same block (ring|s), dist 1
+      (3L, "small king"),                      // block king|s — never compared to 1/2
+      (4L, "red ring")                         // block ring|r — never compared to 1/2
+    ).toDF("id", "name")
+    val block = concat_ws("|", split(col("name"), " ")(1), substring(split(col("name"), " ")(0), 1, 1))
+    val got = FuzzyJoin.selfPairs(df, "id", "name", block, maxDist = 3)
+      .select("a_id", "b_id", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L)))
+  }
+
+  // ----------------------------------------------------- rolling z-score
+
+  test("Outliers.rollingZ: flags a spike against its trailing window, full windows only") {
+    // Stable series then one spike. n=4: first 4 rows lack a full window.
+    val vals = Seq(10L, 12L, 11L, 10L, 11L, 100L, 11L)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }.toDF("k", "seq", "v")
+    val got = Outliers.rollingZ(df, Seq("k"), Seq(col("seq")), "v", n = 4, z = 3)
+      .select("seq", "is_anomaly").as[(Long, Boolean)].collect().toMap
+    assert(got.keySet == Set(4L, 5L, 6L)) // rows 0–3 have no full trailing window
+    assert(!got(4L))
+    assert(got(5L)) // the spike
+    // Row 6's window [11,10,11,100] has huge variance → 11 is not anomalous.
+    assert(!got(6L))
+    // Cross-check row 5 against the closed form: s=sum(12,11,10,11)=44, q=486.
+    val x = 100L; val s = 44L; val q = 486L; val n = 4L
+    assert((n * x - s) * (n * x - s) > 9 * (n * q - s * s))
+  }
+
+  // ------------------------------------------------------- 2-hop reach
+
+  test("GraphMetrics.neighborhoodSize: exact 1- and 2-hop counts on a path and a star") {
+    // Path 1-2-3-4 plus star center 10 with leaves 11,12,13.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (10L, 13L))
+      .toDF("a_id", "b_id")
+    val got = GraphMetrics.neighborhoodSize(edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (1L, 2L)) // sees 2; 2-hop adds 3
+    assert(got(2L) == (2L, 3L)) // sees 1,3; adds 4
+    assert(got(10L) == (3L, 3L))
+    assert(got(11L) == (1L, 3L)) // center + the other two leaves
+  }
+
+  // ----------------------------------------------------- concentration
+
+  test("Metrics.concentration: uniform vs monoculture HHI") {
+    val df = Seq(
+      ("en", "s1"), ("en", "s2"), ("en", "s3"), ("en", "s4"), // uniform over 4 → 250000
+      ("de", "s1"), ("de", "s1"), ("de", "s1")                // monoculture → 1000000
+    ).toDF("lang", "source")
+    val got = Metrics.concentration(df, Seq("lang"), "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("en") == (4L, 4L, 250000L))
+    assert(got("de") == (1L, 3L, 1000000L))
+  }
+
+  // ------------------------------------------------------- lenient CSV
+
+  test("Io.readCsvLenient: malformed rows are quarantined, good rows parse") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toFile
+    val f = new java.io.File(dir, "part.csv")
+    java.nio.file.Files.writeString(f.toPath,
+      "id,n\n1,10\n2,notanumber\n3,30\n")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("n", LongType)))
+    val df = graft.io.Io.readCsvLenient(spark, f.getPath, schema).cache()
+    try {
+      val good = graft.io.Io.goodRecords(df).as[(Long, Long)].collect().toSet
+      val bad = graft.io.Io.corruptRecords(df).select("_corrupt_record").as[String].collect()
+      assert(good == Set((1L, 10L), (3L, 30L)))
+      assert(bad.toSeq == Seq("2,notanumber"))
+    } finally { df.unpersist(); f.delete(); dir.delete() }
+  }
+}
