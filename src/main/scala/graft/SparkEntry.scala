@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Bm25, Cdc, Chunking, Cohort, Components, Decontaminate, Dedup, Enrich, Funnel, FuzzyJoin, GraphMetrics, IntervalJoin, KMeans, Mappings, Metrics, Multimodal, Ngrams, Outliers, PageRank, Repetition, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, SkewJoin, TimeSeries, Transitions, Trend}
+import graft.ops.{AsOfJoin, Bm25, Cdc, Chunking, Cohort, Components, Decontaminate, Dedup, Enrich, Funnel, FuzzyJoin, GraphMetrics, Indexing, IntervalJoin, KMeans, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, SkewJoin, TableDiff, TimeSeries, Transitions, Trend}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -972,7 +972,73 @@ object SparkEntry {
     // ---- per-language source-concentration profile (Herfindahl, exact
     // ppm): the corpus-balance audit as two stacked count aggs. -----------
     "q90_concentration" -> ((s, dir) =>
-      Metrics.concentration(t(s, dir, "documents"), Seq("lang"), "source"))
+      Metrics.concentration(t(s, dir, "documents"), Seq("lang"), "source")),
+
+    // ---- keyed snapshot reconciliation: added/removed/changed + column
+    // mask from one full outer join. Both snapshots derive
+    // deterministically from `orders` so the oracle replays them. ---------
+    "q91_table_diff" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"), col("o_orderstatus"))
+      val oldSnap = base.where(col("o_orderkey") % 7 =!= 0)
+      val newSnap = base.where(col("o_orderkey") % 11 =!= 0)
+        .withColumn("cents",
+          when(col("o_orderkey") % 5 === 0, col("cents") + 1000).otherwise(col("cents")))
+      TableDiff.diff(oldSnap, newSnap, Seq("o_orderkey"), Seq("cents", "o_orderstatus"))
+    }),
+
+    // ---- last-touch attribution: purchases as-of-joined back to the
+    // latest preceding click/view (7-day lookback), revenue rolled up per
+    // touch channel — one AsOfJoin shuffle + one narrow agg. --------------
+    "q92_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_millis(col("ts")).as("p_ms"),
+          round(col("value") * 100).cast("long").as("revenue_cents"))
+      val touches = ev.where(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id").as("touch_id"),
+          col("event_type").as("touch_type"), unix_millis(col("ts")).as("t_ms"))
+      AsOfJoin.backward(purchases, touches, "user_id", "p_ms", "t_ms",
+          Seq("touch_id", "touch_type", "t_ms"), inner = true, tieBreak = Seq("touch_id"))
+        .where(col("p_ms") - col("t_ms") <= 7L * 86400 * 1000)
+        .groupBy("touch_type")
+        .agg(count(lit(1)).as("n_purchases"), sum("revenue_cents").as("attributed_cents"))
+    }),
+
+    // ---- group-wise min-max normalization to exact ppm of the group
+    // range: window extrema on one key shuffle, no join. ------------------
+    "q93_minmax_norm" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      Normalize.minMaxPpm(ev, Seq("event_type"), "cents")
+    }),
+
+    // ---- inverted-index posting summary: term → df + first-20 posting
+    // ids; presence-distinct before the explode bounds the shuffle. -------
+    "q94_inverted_index" -> ((s, dir) =>
+      Indexing.postingSummary(t(s, dir, "documents"), k = 20)),
+
+    // ---- share-of-total (ratio-to-report): nation revenue as ppm of its
+    // region — agg-below-join, broadcast dims, window over 25 rows. -------
+    "q95_share_of_total" -> ((s, dir) => {
+      val perCust = t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val dims = t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      val perNation = perCust
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(dims), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "r_name").agg(sum("cents").as("nation_cents"))
+      val w = Window.partitionBy(col("r_name"))
+      perNation
+        .withColumn("region_cents", sum(col("nation_cents")).over(w))
+        .withColumn("share_ppm",
+          floor(lit(1000000L) * col("nation_cents") / col("region_cents")))
+    })
   )
 
   /** DuckDB oracle SQL generated from [[TextFunctions.LangMarkers]] so the
@@ -1926,6 +1992,81 @@ object SparkEntry {
       """WITH c AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2)
         |SELECT lang, count(*) AS n_categories, CAST(sum(n) AS BIGINT) AS n_rows,
         | CAST(floor(1000000 * sum(n * n) / (sum(n) * sum(n))) AS BIGINT) AS hhi_ppm
-        |FROM c GROUP BY 1""".stripMargin
+        |FROM c GROUP BY 1""".stripMargin,
+    "q91_table_diff" ->
+      """WITH base AS (
+        | SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderstatus
+        | FROM orders),
+        |o AS (SELECT *, TRUE AS in_old FROM base WHERE o_orderkey % 7 <> 0),
+        |n AS (
+        | SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN cents + 1000 ELSE cents END AS cents,
+        |  o_orderstatus, TRUE AS in_new
+        | FROM base WHERE o_orderkey % 11 <> 0),
+        |j AS (
+        | SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  o.in_old, n.in_new,
+        |  concat_ws(',',
+        |   CASE WHEN o.cents IS DISTINCT FROM n.cents THEN 'cents' END,
+        |   CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus THEN 'o_orderstatus' END
+        |  ) AS cc
+        | FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey,
+        | CASE WHEN in_old IS NULL THEN 'added'
+        |      WHEN in_new IS NULL THEN 'removed'
+        |      WHEN cc <> '' THEN 'changed' END AS change,
+        | CASE WHEN in_old IS NOT NULL AND in_new IS NOT NULL THEN cc ELSE '' END AS changed_cols
+        |FROM j
+        |WHERE in_old IS NULL OR in_new IS NULL OR cc <> ''""".stripMargin,
+    "q92_attribution" ->
+      """WITH p AS (
+        | SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS p_ms,
+        |  CAST(round(value * 100) AS BIGINT) AS revenue_cents
+        | FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        | SELECT user_id, event_id AS touch_id, event_type AS touch_type, epoch_ms(ts) AS t_ms
+        | FROM events WHERE event_type IN ('click', 'view')),
+        |j AS (
+        | SELECT p.purchase_id, p.p_ms, p.revenue_cents, t.touch_type, t.t_ms,
+        |  row_number() OVER (PARTITION BY p.user_id, p.purchase_id
+        |                     ORDER BY t.t_ms DESC, t.touch_id DESC) AS rn
+        | FROM p JOIN t ON p.user_id = t.user_id AND t.t_ms <= p.p_ms)
+        |SELECT touch_type, count(*) AS n_purchases,
+        | CAST(sum(revenue_cents) AS BIGINT) AS attributed_cents
+        |FROM j WHERE rn = 1 AND p_ms - t_ms <= 604800000 GROUP BY 1""".stripMargin,
+    "q93_minmax_norm" ->
+      """WITH e AS (
+        | SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events)
+        |SELECT event_id, event_type, cents,
+        | CASE WHEN max(cents) OVER w = min(cents) OVER w THEN 0
+        |      ELSE CAST(floor(1000000 * (cents - min(cents) OVER w) /
+        |                      (max(cents) OVER w - min(cents) OVER w)) AS BIGINT) END AS scaled_ppm
+        |FROM e WINDOW w AS (PARTITION BY event_type)""".stripMargin,
+    "q94_inverted_index" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |t AS (SELECT DISTINCT doc_id, term FROM (SELECT doc_id, unnest(w) AS term FROM tok))
+        |SELECT term, count(*) AS df,
+        | array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+        |FROM t GROUP BY 1""".stripMargin,
+    "q95_share_of_total" ->
+      """WITH pc AS (
+        | SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        | FROM orders GROUP BY 1),
+        |pn AS (
+        | SELECT n_name, r_name, CAST(sum(cents) AS BIGINT) AS nation_cents
+        | FROM pc
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        | GROUP BY 1, 2)
+        |SELECT n_name, r_name, nation_cents,
+        | CAST(sum(nation_cents) OVER (PARTITION BY r_name) AS BIGINT) AS region_cents,
+        | CAST(floor(1000000 * nation_cents /
+        |            sum(nation_cents) OVER (PARTITION BY r_name)) AS BIGINT) AS share_ppm
+        |FROM pn""".stripMargin
   )
 }
