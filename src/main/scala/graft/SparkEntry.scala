@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Bm25, Cdc, Chunking, Cohort, Components, Decontaminate, Dedup, Enrich, Funnel, FuzzyJoin, GraphMetrics, Indexing, IntervalJoin, KMeans, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, SkewJoin, TableDiff, TimeSeries, Transitions, Trend}
+import graft.ops.{AsOfJoin, Audit, Bm25, Cdc, Chunking, Cohort, Components, Decontaminate, Dedup, Enrich, Funnel, FuzzyJoin, GraphMetrics, Indexing, IntervalJoin, KMeans, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, Skyline, SkewJoin, TableDiff, TimeSeries, Transitions, Trend}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -1038,6 +1038,58 @@ object SparkEntry {
         .withColumn("region_cents", sum(col("nation_cents")).over(w))
         .withColumn("share_ppm",
           floor(lit(1000000L) * col("nation_cents") / col("region_cents")))
+    }),
+
+    // ---- declarative data-quality audit: completeness + uniqueness +
+    // range checks in ONE scan, pivoted to one row per check. -------------
+    "q96_quality_audit" -> ((s, dir) =>
+      Audit.constraints(t(s, dir, "orders"),
+        notNullCols = Seq("o_custkey", "o_orderdate"),
+        uniqueCols = Seq("o_orderkey"),
+        ranges = Seq(("o_totalprice_cents",
+          round(col("o_totalprice") * 100).cast("long"), 0L, 100000000L)))),
+
+    // ---- order-independent replication checksum per group: 40-bit md5
+    // fingerprints combined by SUM and XOR — partitioning-invariant. ------
+    "q97_group_checksum" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      Audit.groupChecksum(li, Seq("l_returnflag"),
+        Seq("l_orderkey", "l_linenumber", "qty", "cents"))
+    }),
+
+    // ---- exact lower weighted median (price weighted by quantity) via a
+    // cumulative-weight window over pre-aggregated distinct values. -------
+    "q98_weighted_median" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      Metrics.weightedMedian(li, Seq("l_returnflag"), "cents", "qty")
+    }),
+
+    // ---- integer CUSUM changepoint per user on the event value series:
+    // score and peak position exact via n-scaled deviations. --------------
+    "q99_cusum" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("ts"),
+        col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      Outliers.cusum(ev, Seq("user_id"), Seq(col("ts"), col("event_id")), "cents")
+    }),
+
+    // ---- one-pass sufficient statistics (n, Σx, Σy, Σx², Σxy, Σy²) for
+    // covariance/correlation per group — dollars not cents for Σy² room. --
+    "q100_suffstats" -> ((s, dir) =>
+      Metrics.suffStats(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        col("l_quantity"), round(col("l_extendedprice")))),
+
+    // ---- 2-D skyline over per-part aggregates (minimize best price,
+    // maximize total quantity) — bucketed local frontiers, then global. ---
+    "q101_skyline" -> ((s, dir) => {
+      val perPart = t(s, dir, "lineitem").groupBy(col("l_partkey"))
+        .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("min_cents"),
+          sum(col("l_quantity").cast("long")).as("total_qty"))
+      Skyline.frontier2d(perPart, "min_cents", "total_qty")
     })
   )
 
@@ -1092,6 +1144,16 @@ object SparkEntry {
   private def bucketOracle(id: String): String =
     s"(strpos('0123456789abcdef', substring(md5(CAST($id AS VARCHAR)), 1, 1)) - 1) * 16" +
       s" + strpos('0123456789abcdef', substring(md5(CAST($id AS VARCHAR)), 2, 1)) - 1"
+
+  /** DuckDB expression decoding the first `n` hex digits of an md5-hex
+    * column `hexExpr` to a BIGINT (big-endian nibbles), matching Spark's
+    * `conv(substring(md5(..), 1, n), 16, 10)` in [[graft.ops.Audit]].
+    */
+  private def hexPrefixOracle(hexExpr: String, n: Int): String =
+    (1 to n).map { i =>
+      val scale = java.lang.Long.parseLong("1" + "0" * (n - i), 16)
+      s"(strpos('0123456789abcdef', substring($hexExpr, $i, 1)) - 1) * $scale"
+    }.mkString("(", " + ", ")")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -2067,6 +2129,83 @@ object SparkEntry {
         | CAST(sum(nation_cents) OVER (PARTITION BY r_name) AS BIGINT) AS region_cents,
         | CAST(floor(1000000 * nation_cents /
         |            sum(nation_cents) OVER (PARTITION BY r_name)) AS BIGINT) AS share_ppm
-        |FROM pn""".stripMargin
+        |FROM pn""".stripMargin,
+    "q96_quality_audit" ->
+      """WITH a AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v3,
+        |  CAST(sum(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) < 0
+        |                  OR CAST(round(o_totalprice * 100) AS BIGINT) > 100000000
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS v4
+        | FROM orders)
+        |SELECT 'not_null' AS "check", 'o_custkey' AS "column", v1 AS violations, n AS n_rows, v1 = 0 AS pass FROM a
+        |UNION ALL
+        |SELECT 'not_null', 'o_orderdate', v2, n, v2 = 0 FROM a
+        |UNION ALL
+        |SELECT 'unique', 'o_orderkey', v3, n, v3 = 0 FROM a
+        |UNION ALL
+        |SELECT 'range', 'o_totalprice_cents', v4, n, v4 = 0 FROM a""".stripMargin,
+    "q97_group_checksum" -> {
+      val row = "concat_ws('|', l_orderkey, l_linenumber, qty, cents)"
+      s"""WITH li AS (
+         | SELECT l_returnflag, l_orderkey, l_linenumber,
+         |  CAST(l_quantity AS BIGINT) AS qty,
+         |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+         | FROM lineitem),
+         |fp AS (SELECT l_returnflag,
+         |  CAST(${hexPrefixOracle(s"md5($row)", 10)} AS BIGINT) AS f FROM li)
+         |SELECT l_returnflag, count(*) AS n_rows,
+         | CAST(sum(f) AS BIGINT) AS checksum_sum,
+         | CAST(bit_xor(f) AS BIGINT) AS checksum_xor
+         |FROM fp GROUP BY 1""".stripMargin
+    },
+    "q98_weighted_median" ->
+      """WITH pv AS (
+        | SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        | FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, cents, w,
+        |  CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents) AS BIGINT) AS cum,
+        |  CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        | FROM pv)
+        |SELECT l_returnflag,
+        | CAST(min(CASE WHEN 2 * cum >= tot THEN cents END) AS BIGINT) AS weighted_median,
+        | CAST(max(tot) AS BIGINT) AS total_weight
+        |FROM c GROUP BY 1""".stripMargin,
+    "q99_cusum" ->
+      """WITH e AS (
+        | SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events),
+        |w AS (SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS t,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id) AS BIGINT) AS tot
+        | FROM e),
+        |s AS (SELECT user_id, n, abs(n * cum - t * tot) AS sc, t FROM w)
+        |SELECT user_id, n AS n_points, CAST(sc AS BIGINT) AS cusum_score, t AS cp_pos
+        |FROM s QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY sc DESC, t ASC) = 1""".stripMargin,
+    "q100_suffstats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_x,
+        | CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_y,
+        | CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_xx,
+        | CAST(sum(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_xy,
+        | CAST(sum(CAST(round(l_extendedprice) AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_yy
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q101_skyline" ->
+      """WITH p AS (
+        | SELECT l_partkey,
+        |  CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        | FROM lineitem GROUP BY 1)
+        |SELECT a.l_partkey, a.min_cents, a.total_qty FROM p a
+        |WHERE NOT EXISTS (
+        | SELECT 1 FROM p b
+        | WHERE b.min_cents <= a.min_cents AND b.total_qty >= a.total_qty
+        |  AND (b.min_cents < a.min_cents OR b.total_qty > a.total_qty))""".stripMargin
   )
 }

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality gates a 100 TB pipeline runs before promoting a table:
+  * declarative constraint checks (completeness / uniqueness / range) and
+  * an order-independent content checksum for replication verification.
+  *
+  * Both are single-pass aggregations: the audit never materializes
+  * violating rows (counts only), the checksum never ships rows (one
+  * 40-bit fingerprint per row, combined map-side). At 1000 executors the
+  * only traffic is the final partial-aggregate merge.
+  */
+object Audit {
+
+  /** One-pass constraint audit. Emits one row per check:
+    * `(check, column, violations, n_rows, pass)`.
+    *
+    *  - `not_null`: rows where the column IS NULL;
+    *  - `unique`: `n_rows − count(DISTINCT col)` — duplicate surplus.
+    *    Exact distinct is fine for a handful of audited key columns (one
+    *    expand each); at extreme cardinality swap for HLL and a
+    *    tolerance, which changes the contract — keep that a caller
+    *    decision, not a silent fallback;
+    *  - `range`: non-null values of the integer expression outside
+    *    `[lo, hi]`.
+    *
+    * All checks compute in ONE `agg` over one scan (map-side combined),
+    * then pivot to long form with a 0-shuffle `explode` of a literal
+    * array — the audit costs one pass regardless of how many checks run.
+    */
+  def constraints(
+      df: DataFrame,
+      notNullCols: Seq[String],
+      uniqueCols: Seq[String],
+      ranges: Seq[(String, Column, Long, Long)]): DataFrame = {
+    require(notNullCols.nonEmpty || uniqueCols.nonEmpty || ranges.nonEmpty,
+      "at least one constraint required")
+    val nn = notNullCols.map(c => (s"not_null:$c", count_if(col(c).isNull)))
+    val uq = uniqueCols.map(c =>
+      (s"unique:$c", count(lit(1)) - countDistinct(col(c))))
+    val rg = ranges.map { case (name, e, lo, hi) =>
+      (s"range:$name", count_if(e.isNotNull && (e < lo || e > hi)))
+    }
+    val checks = nn ++ uq ++ rg
+    val aggs = checks.map { case (name, e) => e.as(name) } :+
+      count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = checks.map { case (name, _) =>
+      val Array(kind, column) = name.split(":", 2)
+      struct(lit(kind).as("check"), lit(column).as("column"),
+        col(name).as("violations"))
+    }
+    one.select(explode(array(entries: _*)).as("c"), col("__n").as("n_rows"))
+      .select(col("c.check"), col("c.column"), col("c.violations"),
+        col("n_rows"), (col("c.violations") === 0L).as("pass"))
+  }
+
+  /** Order-independent content checksum per group — the cheap "are these
+    * two replicas / two runs identical?" answer that does not require
+    * sorting or shipping data: per row, the first 10 hex digits (40 bits)
+    * of `md5(concat_ws('|', cols))` decoded to a Long; per group, the
+    * COUNT, SUM and XOR of those fingerprints. Sum and xor are both
+    * commutative, so the result is partitioning- and order-invariant,
+    * and 40-bit fingerprints keep the sum inside Long up to ~10⁶ rows
+    * per group (pre-scale to more groups beyond that).
+    *
+    * NULL handling: `concat_ws` skips NULLs, so `(NULL,'a')` and
+    * `('a',NULL)` collide — callers with nullable columns should
+    * coalesce to a sentinel first. Collision posture: 40 bits is a
+    * verification checksum (like a CRC), not a cryptographic identity.
+    */
+  def groupChecksum(df: DataFrame, groupCols: Seq[String], hashCols: Seq[String]): DataFrame = {
+    require(hashCols.nonEmpty, "hashCols must be non-empty")
+    val fp = conv(substring(md5(concat_ws("|", hashCols.map(col): _*)), 1, 10), 16, 10)
+      .cast("long")
+    val grouped =
+      if (groupCols.isEmpty) df.groupBy() else df.groupBy(groupCols.map(col): _*)
+    grouped.agg(
+      count(lit(1)).as("n_rows"),
+      sum(fp).as("checksum_sum"),
+      bit_xor(fp).as("checksum_xor"))
+  }
+}

@@ -64,4 +64,69 @@ object Metrics {
         floor(lit(1000000L) * sum(col("__n") * col("__n")) /
           (sum(col("__n")) * sum(col("__n")))).as("hhi_ppm"))
   }
+
+  /** Exact lower weighted median per group over integer values with
+    * integer weights: the smallest value v whose cumulative weight (over
+    * values ascending) reaches half the total — `2·cumw(v) ≥ totw` kept
+    * in integer arithmetic so there is no half-total rounding ambiguity.
+    *
+    * Scale shape: pre-aggregate to (group, value) → weight first, so the
+    * windowed cumulative sum runs over DISTINCT values per group (combine
+    * map-side, shuffle counts not rows), then one window + one narrow
+    * min-aggregate on the SAME partitioning — Spark reuses the exchange.
+    * Unlike exact `percentile`, nothing buffers a whole group in memory:
+    * the window is a streaming running sum over the sorted group.
+    */
+  def weightedMedian(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      weightCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val perValue = df.groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+    val wTot = Window.partitionBy(groupCols.map(col): _*)
+    perValue
+      .withColumn("__cum", sum(col("__w")).over(w))
+      .withColumn("__tot", sum(col("__w")).over(wTot))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        min(when(lit(2) * col("__cum") >= col("__tot"), col(valueCol)))
+          .as("weighted_median"),
+        max(col("__tot")).as("total_weight"))
+  }
+
+  /** One-pass sufficient statistics for covariance / correlation /
+    * regression per group: `(n, sum_x, sum_y, sum_xx, sum_xy, sum_yy)`
+    * as exact Longs. Any moment-derived statistic (Pearson r, OLS slope,
+    * covariance) is a driver-side formula over these six numbers — the
+    * distributed work is ONE map-side-combinable aggregation, which is
+    * how a 100 TB correlation must be computed (never a second pass for
+    * `x − x̄`, never float accumulation whose result depends on partition
+    * order).
+    *
+    * Magnitude guard: per-group Σx² must stay inside Long — with |x|,|y|
+    * ≤ 10⁶ that allows ~10⁶ rows per group; rescale units (dollars not
+    * cents) to buy headroom, exactly like the callers here do.
+    */
+  def suffStats(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: org.apache.spark.sql.Column,
+      yCol: org.apache.spark.sql.Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val x = xCol.cast("long")
+    val y = yCol.cast("long")
+    df.select((groupCols.map(col) :+ x.as("__x") :+ y.as("__y")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("sum_x"),
+        sum(col("__y")).as("sum_y"),
+        sum(col("__x") * col("__x")).as("sum_xx"),
+        sum(col("__x") * col("__y")).as("sum_xy"),
+        sum(col("__y") * col("__y")).as("sum_yy"))
+  }
 }

@@ -92,4 +92,45 @@ object Outliers {
       .withColumnRenamed("__s", "win_sum")
       .withColumnRenamed("__q", "win_sumsq")
   }
+
+  /** Integer CUSUM changepoint score per key: over the ordered series
+    * x₁..xₙ, the classic cumulative deviation Sₜ = Σᵢ≤ₜ(xᵢ − x̄) peaks at
+    * the most likely single changepoint. Kept exact by scaling by n:
+    * `n·Sₜ = n·cumₜ − t·total` (all Longs), so the score and argmax are
+    * portable across engines — no float mean, no accumulation-order
+    * drift.
+    *
+    * Emits per key: `n_points`, `cusum_score = maxₜ |n·Sₜ|`, and
+    * `cp_pos` — the 1-based position of the peak (earliest on ties, a
+    * deterministic tiebreak via max_by on (score, −t)).
+    *
+    * Scale shape: one shuffle+sort per key (window), then a narrow agg
+    * on the same partitioning — exchange reuse, no join. Magnitude
+    * guard: n·cum needs n·Σ|x| < 2⁶³ — with cents ≤ 10⁶ that is ~10⁴
+    * points per key at full headroom.
+    */
+  def cusum(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column],
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val v = col(valueCol).cast("long")
+    df
+      .withColumn("__t", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum(v).over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__tot", sum(v).over(wAll))
+      .withColumn("__s", abs(col("__n") * col("__cum") - col("__t") * col("__tot")))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        max(col("__n")).as("n_points"),
+        max(col("__s")).as("cusum_score"),
+        max_by(col("__t"), struct(col("__s"), -col("__t"))).as("cp_pos"))
+  }
 }
