@@ -1090,8 +1090,42 @@ object SparkEntry {
         .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("min_cents"),
           sum(col("l_quantity").cast("long")).as("total_qty"))
       Skyline.frontier2d(perPart, "min_cents", "total_qty")
-    })
+    }),
+
+    // ---- equi-depth histogram: 10 equal-frequency price buckets per
+    // return flag; unique tiebreak keys make ntile engine-portable. -------
+    "q102_equidepth" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+      Metrics.equiDepth(li, Seq("l_returnflag"), "cents",
+        Seq(col("l_orderkey"), col("l_linenumber")), k = 10)
+    }),
+
+    // ---- corpus-mixing schedule: content-addressed interleave positions
+    // with per-source strides — map-only, no per-source sequence. ---------
+    "q103_mix_schedule" -> ((s, dir) =>
+      Sampling.mixSchedule(t(s, dir, "documents"), "source", "doc_id", MixStrides)
+        .select(col("doc_id"), col("source"), col("mix_pos"))),
+
+    // ---- sorted-neighborhood blocking: rank-adjacent candidate pairs
+    // within digit-prefix blocks of the customer names. -------------------
+    "q104_sorted_neighborhood" -> ((s, dir) =>
+      FuzzyJoin.sortedNeighborhood(t(s, dir, "customer"), "c_custkey", "c_name",
+        substring(col("c_name"), 10, 4), w = 2)),
+
+    // ---- top session paths: first 6 ordered event types per user as an
+    // `a->b` string, counted across users. --------------------------------
+    "q105_session_paths" -> ((s, dir) =>
+      Transitions.topPaths(t(s, dir, "events"), "user_id", "event_type",
+        Seq(col("ts"), col("event_id")), maxSteps = 6))
   )
+
+  /** Per-source interleave strides for q103 (stride 1 ⇒ 4× the density of
+    * stride 4), shared by the Spark query and the generated oracle CASE.
+    */
+  private val MixStrides: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> (1L + i % 4)).toMap
 
   /** DuckDB oracle SQL generated from [[TextFunctions.LangMarkers]] so the
     * Spark expression and the SQL stay structurally identical.
@@ -2206,6 +2240,44 @@ object SparkEntry {
         |WHERE NOT EXISTS (
         | SELECT 1 FROM p b
         | WHERE b.min_cents <= a.min_cents AND b.total_qty >= a.total_qty
-        |  AND (b.min_cents < a.min_cents OR b.total_qty > a.total_qty))""".stripMargin
+        |  AND (b.min_cents < a.min_cents OR b.total_qty > a.total_qty))""".stripMargin,
+    "q102_equidepth" ->
+      """WITH li AS (
+        | SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |  l_orderkey, l_linenumber
+        | FROM lineitem),
+        |b AS (SELECT l_returnflag, cents,
+        |  CAST(ntile(10) OVER (PARTITION BY l_returnflag
+        |                       ORDER BY cents, l_orderkey, l_linenumber) AS BIGINT) AS bucket
+        | FROM li)
+        |SELECT l_returnflag, bucket, CAST(min(cents) AS BIGINT) AS lo,
+        | CAST(max(cents) AS BIGINT) AS hi, count(*) AS n
+        |FROM b GROUP BY 1, 2""".stripMargin,
+    "q103_mix_schedule" -> {
+      val cases = MixStrides.toSeq.sortBy(_._1)
+        .map { case (s0, st) => s"WHEN '$s0' THEN $st" }.mkString(" ")
+      s"""SELECT doc_id, source,
+         | CAST(${hexPrefixOracle("md5(CAST(doc_id AS VARCHAR))", 10)} *
+         |      (CASE source $cases END) AS BIGINT) AS mix_pos
+         |FROM documents""".stripMargin
+    },
+    "q104_sorted_neighborhood" ->
+      """WITH r AS (
+        | SELECT c_custkey AS id, c_name AS name, substring(c_name, 10, 4) AS block,
+        |  CAST(row_number() OVER (PARTITION BY substring(c_name, 10, 4)
+        |                          ORDER BY c_name, c_custkey) AS BIGINT) AS rk
+        | FROM customer)
+        |SELECT a.block, a.id AS a_id, b.id AS b_id, a.name AS a_name, b.name AS b_name,
+        | b.rk - a.rk AS rank_gap, CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM r a JOIN r b
+        | ON a.block = b.block AND b.rk > a.rk AND b.rk <= a.rk + 2""".stripMargin,
+    "q105_session_paths" ->
+      """WITH r AS (
+        | SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        | FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '->' ORDER BY rn) AS path
+        | FROM r WHERE rn <= 6 GROUP BY 1)
+        |SELECT path, count(*) AS n_keys FROM p GROUP BY 1""".stripMargin
   )
 }

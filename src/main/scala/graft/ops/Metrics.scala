@@ -98,6 +98,40 @@ object Metrics {
         max(col("__tot")).as("total_weight"))
   }
 
+  /** Equi-depth (equal-frequency) histogram per group: `ntile(k)` over
+    * the value ordering splits each group into k near-equal-count
+    * buckets; per bucket emit `(lo, hi, n)`. The complement of the
+    * fixed-width histogram (q31): bucket BOUNDARIES adapt to the data, so
+    * every bar is readable even under heavy skew — and the boundaries
+    * double as quantile estimates.
+    *
+    * Determinism contract: `tieCols` must make the ordering total —
+    * ntile's assignment of equal values straddling a boundary is
+    * order-dependent, and a unique sort key is what makes the same rows
+    * land in the same buckets in any engine.
+    *
+    * Scale shape: one shuffle+sort per group for the window, then a
+    * narrow count/min/max agg on the same partitioning (exchange reuse).
+    * Groups sort in parallel; no group's VALUES are ever buffered (ntile
+    * streams over the sorted run).
+    */
+  def equiDepth(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      tieCols: Seq[org.apache.spark.sql.Column],
+      k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(k >= 2, s"k must be >= 2: $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol) +: tieCols: _*)
+    df.withColumn("bucket", ntile(k).over(w).cast("long"))
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"),
+        count(lit(1)).as("n"))
+  }
+
   /** One-pass sufficient statistics for covariance / correlation /
     * regression per group: `(n, sum_x, sum_y, sum_xx, sum_xy, sum_yy)`
     * as exact Longs. Any moment-derived statistic (Pearson r, OLS slope,

@@ -82,6 +82,45 @@ object Sampling {
     * salt bucket's top `n`. Results are independent of `saltBuckets`;
     * size it so `saltBuckets·n` rows fit one reducer comfortably.
     */
+  /** Deterministic weighted corpus-mixing schedule: assign every row a
+    * `mix_pos` such that reading rows in `mix_pos` order interleaves the
+    * sources with frequency inversely proportional to their stride — the
+    * "data mixing" stage of LLM training-corpus assembly (40% web, 30%
+    * code, 30% books, shuffled together rather than concatenated). For
+    * target weights w, pass `stride = LCM(w) / w` (stride 1 appears 2×
+    * as often as stride 2 at every prefix of the position axis).
+    *
+    * Position is content-addressed, not sequenced: with u = first 40
+    * bits of md5(id) (uniform on [0, 2⁴⁰)), `mix_pos = u · stride` —
+    * pure Long multiplication, exactly replayable in any engine (no
+    * division whose float rounding could differ). A per-source
+    * `row_number` round-robin would serialize each source through one
+    * reducer at 100 TB; a hash of the id is map-only. Consumers
+    * range-partition + sort by (`mix_pos`, id) to materialize the
+    * schedule — Spark's distributed sort, no single reducer.
+    *
+    * Deterministic and stable under corpus edits: adding or removing
+    * documents never moves another document's position. Rows whose
+    * source has no stride are dropped (an explicit mix lists every
+    * source it wants).
+    */
+  def mixSchedule(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      strides: Map[String, Long]): DataFrame = {
+    require(strides.nonEmpty, "strides must be non-empty")
+    require(strides.values.forall(s => s > 0 && s <= 1000000L),
+      "strides must be in (0, 1e6]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = strides.toSeq.toDF(sourceCol, "__stride")
+    val u40 = conv(substring(md5(col(idCol).cast("string")), 1, 10), 16, 10).cast("long")
+    df.join(broadcast(wdf), Seq(sourceCol))
+      .withColumn("mix_pos", u40 * col("__stride"))
+      .drop("__stride")
+  }
+
   def exactPerGroup(df: DataFrame, stratumCol: String, idCol: String, n: Int, saltBuckets: Int = 64): DataFrame = {
     require(n > 0, "n must be positive")
     require(saltBuckets > 0, "saltBuckets must be positive")

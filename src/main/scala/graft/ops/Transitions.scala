@@ -38,4 +38,36 @@ object Transitions {
       .select(col("from_state"), col("to_state"), col("n"),
         floor(lit(1000000L) * col("n") / col("__total")).as("p_ppm"))
   }
+
+  /** Top observed paths: the first `maxSteps` states of each key's
+    * ordered sequence joined into one `a->b->c` string, counted across
+    * keys — the "what do sessions actually look like" query behind
+    * user-journey dashboards (where [[matrix]] is memoryless, a path
+    * keeps full order up to the horizon).
+    *
+    * Scale shape: `row_number ≤ maxSteps` BEFORE any collection bounds
+    * per-key state to `maxSteps` elements — the aggregate buffers at
+    * most `maxSteps` tiny structs per key, never a whole session — then
+    * path counts combine map-side like any groupBy. One window shuffle
+    * + one count shuffle on path strings ≤ `maxSteps` tokens long.
+    */
+  def topPaths(
+      df: DataFrame,
+      keyCol: String,
+      stateCol: String,
+      orderCols: Seq[Column],
+      maxSteps: Int): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(maxSteps >= 1 && maxSteps <= 64, s"maxSteps must be in [1, 64]: $maxSteps")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxSteps)
+      .groupBy(col(keyCol))
+      .agg(collect_list(struct(col("__rn"), col(stateCol).as("s"))).as("__steps"))
+      .select(concat_ws("->",
+        transform(sort_array(col("__steps")), x => x("s"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
 }
