@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Audit, Bm25, Cdc, Chunking, Cohort, Components, Decontaminate, Dedup, Enrich, Funnel, FuzzyJoin, GraphMetrics, Indexing, IntervalJoin, KMeans, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, Skyline, SkewJoin, TableDiff, TimeSeries, Transitions, Trend}
+import graft.ops.{AsOfJoin, Audit, Bm25, Cdc, Chunking, Cohort, Components, Decontaminate, Dedup, Enrich, Funnel, FuzzyJoin, GraphMetrics, Indexing, IntervalJoin, KMeans, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, Skyline, SkewJoin, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -1118,7 +1118,46 @@ object SparkEntry {
     // `a->b` string, counted across users. --------------------------------
     "q105_session_paths" -> ((s, dir) =>
       Transitions.topPaths(t(s, dir, "events"), "user_id", "event_type",
-        Seq(col("ts"), col("event_id")), maxSteps = 6))
+        Seq(col("ts"), col("event_id")), maxSteps = 6)),
+
+    // ---- RFM segmentation of customers by their orders: one narrow agg
+    // + quintile scores with unique tiebreaks. ----------------------------
+    "q106_rfm" -> ((s, dir) =>
+      Cohort.rfm(t(s, dir, "orders"), "o_custkey", col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long"), k = 5)),
+
+    // ---- survivorship merge over a sparse synthetic change log derived
+    // from orders: latest non-null per field, one hash agg, no sort. ------
+    "q107_survivorship" -> ((s, dir) => {
+      val log = t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 3 =!= 0, col("o_orderstatus")).as("status"),
+        when(col("o_orderkey") % 4 =!= 0,
+          round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      Survivorship.merge(log, Seq("o_custkey"), col("seq"), Seq("status", "cents"))
+    }),
+
+    // ---- month-over-month revenue growth per order priority: lag window
+    // on monthly integer sums; ratio is one exact-int double division. ----
+    "q108_mom_growth" -> ((s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      TimeSeries.periodGrowth(monthly, Seq("o_orderpriority"), "month", "cents")
+    }),
+
+    // ---- run-length encoding (gaps-and-islands) of each user's event-
+    // type stream: double-row_number islands on one exchange. -------------
+    "q109_runs" -> ((s, dir) =>
+      TimeSeries.runs(t(s, dir, "events"), Seq("user_id"),
+        Seq(col("ts"), col("event_id")), "event_type")),
+
+    // ---- categorical presence bitmap per user: one Long mask via
+    // map-side-combined bit_or + popcount. --------------------------------
+    "q110_category_bitmap" -> ((s, dir) =>
+      Indexing.categoryBitmap(t(s, dir, "events"), Seq("user_id"), "event_type",
+        Seq("click", "error", "purchase", "signup", "view")))
   )
 
   /** Per-source interleave strides for q103 (stride 1 ⇒ 4× the density of
@@ -2278,6 +2317,60 @@ object SparkEntry {
         | FROM events),
         |p AS (SELECT user_id, string_agg(event_type, '->' ORDER BY rn) AS path
         | FROM r WHERE rn <= 6 GROUP BY 1)
-        |SELECT path, count(*) AS n_keys FROM p GROUP BY 1""".stripMargin
+        |SELECT path, count(*) AS n_keys FROM p GROUP BY 1""".stripMargin,
+    "q106_rfm" ->
+      """WITH per AS (
+        | SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+        |  count(*) AS frequency,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+        | FROM orders GROUP BY 1),
+        |base AS (SELECT o_custkey, frequency, monetary_cents,
+        |  CAST(date_diff('day', last_d, (SELECT max(last_d) FROM per)) AS BIGINT) AS recency_days
+        | FROM per)
+        |SELECT o_custkey, frequency, monetary_cents, recency_days,
+        | CAST(ntile(5) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_bucket,
+        | CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_bucket,
+        | CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS BIGINT) AS m_bucket
+        |FROM base""".stripMargin,
+    "q107_survivorship" ->
+      """WITH log AS (
+        | SELECT o_custkey, o_orderkey AS seq,
+        |  CASE WHEN o_orderkey % 3 <> 0 THEN o_orderstatus END AS status,
+        |  CASE WHEN o_orderkey % 4 <> 0 THEN CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+        | FROM orders)
+        |SELECT o_custkey, count(*) AS n_records, CAST(max(seq) AS BIGINT) AS last_seq,
+        | arg_max(status, CASE WHEN status IS NOT NULL THEN seq END) AS status,
+        | CAST(arg_max(cents, CASE WHEN cents IS NOT NULL THEN seq END) AS BIGINT) AS cents
+        |FROM log GROUP BY 1""".stripMargin,
+    "q108_mom_growth" ->
+      """WITH m AS (
+        | SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, month, cents,
+        | lag(cents) OVER w AS prev_value,
+        | cents - lag(cents) OVER w AS delta,
+        | CASE WHEN lag(cents) OVER w > 0
+        |      THEN CAST(cents - lag(cents) OVER w AS DOUBLE) / lag(cents) OVER w
+        | END AS growth
+        |FROM m WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)""".stripMargin,
+    "q109_runs" ->
+      """WITH r AS (
+        | SELECT user_id, event_type,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+        |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rns
+        | FROM events)
+        |SELECT user_id, event_type, CAST(min(rn) AS BIGINT) AS start_pos,
+        | CAST(max(rn) AS BIGINT) AS end_pos, count(*) AS run_len
+        |FROM r GROUP BY user_id, event_type, rn - rns""".stripMargin,
+    "q110_category_bitmap" ->
+      """WITH b AS (
+        | SELECT user_id,
+        |  CAST(bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |   WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 WHEN 'view' THEN 16
+        |   ELSE 0 END) AS BIGINT) AS cat_mask
+        | FROM events GROUP BY 1)
+        |SELECT user_id, cat_mask, CAST(bit_count(cat_mask) AS BIGINT) AS n_cats
+        |FROM b""".stripMargin
   )
 }

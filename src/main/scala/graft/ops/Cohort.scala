@@ -36,4 +36,43 @@ object Cohort {
       .groupBy(col("cohort"), (col("__m") - col("cohort")).as("age"))
       .agg(count_distinct(col(keyCol)).as("n_active"))
   }
+
+  /** RFM segmentation: per entity, Recency (days since its last activity,
+    * relative to the dataset's latest date), Frequency (activity count)
+    * and Monetary (summed integer amount), each quintile-scored 1..k by
+    * `ntile` — the classic customer-value segmentation grid.
+    *
+    * Determinism: each ntile orders by (metric, entity id) — the unique
+    * tiebreak that makes bucket assignment engine-portable.
+    *
+    * Scale shape: the base is one narrow aggregation on the entity key;
+    * the dataset max date is a 1-row broadcast. The three ntile windows
+    * are GLOBAL sorts of the entity-grain table — fine at customer grain
+    * (orders of magnitude below event grain); at billions of entities
+    * swap ntile for comparison against broadcast `approx_percentile`
+    * boundaries, trading exact equal-frequency buckets for ε-rank error.
+    */
+  def rfm(
+      df: DataFrame,
+      keyCol: String,
+      dateCol: Column,
+      amountCents: Column,
+      k: Int = 5): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(col(keyCol)).agg(
+      max(to_date(dateCol)).as("__last"),
+      count(lit(1)).as("frequency"),
+      sum(amountCents).as("monetary_cents"))
+    val mx = per.agg(max(col("__last")).as("__mx"))
+    val base = per.crossJoin(broadcast(mx))
+      .withColumn("recency_days", datediff(col("__mx"), col("__last")).cast("long"))
+      .drop("__last", "__mx")
+    def score(metric: String): Column =
+      ntile(k).over(Window.orderBy(col(metric), col(keyCol))).cast("long")
+    base
+      .withColumn("r_bucket", score("recency_days"))
+      .withColumn("f_bucket", score("frequency"))
+      .withColumn("m_bucket", score("monetary_cents"))
+  }
 }

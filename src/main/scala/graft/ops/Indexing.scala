@@ -39,4 +39,33 @@ object Indexing {
       .agg(count(lit(1)).as("df"),
         concat_ws(",", slice(sort_array(collect_list(col("id"))), 1, k)).as("postings"))
   }
+
+  /** Bitmap index of categorical presence per key: each category from
+    * the CLOSED `categories` list owns one bit; per key emit the OR of
+    * the bits seen (`cat_mask`) and its popcount (`n_cats`). The "which
+    * event types has this user ever fired" profile as ONE Long per key —
+    * set algebra over entities (users who did A and B but never C)
+    * becomes bitwise AND/OR on the mask instead of k semi-joins.
+    *
+    * Scale shape: a single hash aggregation — `bit_or` partials combine
+    * map-side, the shuffle carries one Long per (partition, key).
+    * Categories outside the list map to no bit (count them upstream if
+    * that matters); ≤ 63 categories by construction.
+    */
+  def categoryBitmap(
+      df: DataFrame,
+      keyCols: Seq[String],
+      catCol: String,
+      categories: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(categories.nonEmpty && categories.size <= 63,
+      s"need 1..63 categories: ${categories.size}")
+    require(categories.distinct.size == categories.size, "categories must be distinct")
+    val bit = categories.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (c, i)) => when(col(catCol) === c, lit(1L << i)).otherwise(acc)
+    }
+    df.groupBy(keyCols.map(col): _*)
+      .agg(bit_or(bit).as("cat_mask"))
+      .withColumn("n_cats", bit_count(col("cat_mask")).cast("long"))
+  }
 }

@@ -101,4 +101,61 @@ object TimeSeries {
         unix_millis(col(timeCol)) - col("__prev_ms") >= minGapMs)
       .drop("__prev_ms")
   }
+
+  /** Period-over-period growth per key: previous period's value, the
+    * exact integer delta, and the growth ratio — `lag` over the period
+    * ordering, one window on one shuffle.
+    *
+    * The ratio is a plain DOUBLE division of two exact Longs: a single
+    * IEEE-754 correctly-rounded operation, bit-identical in any engine —
+    * unlike a floor-to-ppm of that quotient, whose last-ulp could differ
+    * at bucket boundaries. Null when there is no previous period or its
+    * value is ≤ 0. "Previous" means previous PRESENT period; run
+    * [[gapFillMonthlyCounts]] first if calendar-adjacent semantics are
+    * needed.
+    */
+  def periodGrowth(
+      df: DataFrame,
+      keyCols: Seq[String],
+      periodCol: String,
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(periodCol))
+    df
+      .withColumn("prev_value", lag(col(valueCol), 1).over(w))
+      .withColumn("delta", col(valueCol) - col("prev_value"))
+      .withColumn("growth",
+        when(col("prev_value") > 0,
+          col("delta").cast("double") / col("prev_value")))
+  }
+
+  /** Run-length encoding of a per-key state series (gaps-and-islands):
+    * one row per maximal run of consecutive equal states, with integer
+    * start/end positions and length. The session-shape primitive behind
+    * "how long do users stay in state X" and the repetition screen for
+    * state streams.
+    *
+    * Island id via the classic double-row_number difference: `rn_key −
+    * rn_(key,state)` is constant exactly within a run. Both windows sort
+    * by the SAME key prefix, so Catalyst plans one exchange; positions
+    * (not timestamps) make the output engine-exact.
+    */
+  def runs(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column],
+      stateCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val wKey = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    val wState = Window.partitionBy(keyCols.map(col) :+ col(stateCol): _*)
+      .orderBy(orderCols: _*)
+    df
+      .withColumn("__rn", row_number().over(wKey).cast("long"))
+      .withColumn("__island", col("__rn") - row_number().over(wState))
+      .groupBy((keyCols.map(col) :+ col(stateCol) :+ col("__island")): _*)
+      .agg(min(col("__rn")).as("start_pos"), max(col("__rn")).as("end_pos"),
+        count(lit(1)).as("run_len"))
+      .drop("__island")
+  }
 }
