@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Audit, Bm25, Cdc, Chunking, Cohort, Components, Decontaminate, Dedup, Enrich, Funnel, FuzzyJoin, GraphMetrics, Indexing, IntervalJoin, KMeans, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, Skyline, SkewJoin, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
+import graft.ops.{AsOfJoin, Audit, Bm25, Cdc, Chunking, Cohort, Components, Decontaminate, Dedup, Enrich, Funnel, FuzzyJoin, GraphMetrics, Indexing, IntervalJoin, KMeans, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, Reshape, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, Skyline, SkewJoin, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -943,7 +943,14 @@ object SparkEntry {
     // initial) blocking key + codegen levenshtein verify — Σ|block|²
     // comparisons instead of all-pairs. -----------------------------------
     "q86_fuzzy_block" -> ((s, dir) =>
-      FuzzyJoin.selfPairs(t(s, dir, "part"), "p_partkey", "p_name",
+      // Even-key slice: the 2-word vocab yields only ~64 blocks, so the
+      // candidate-pair count is quadratic in table size (~3M pairs at
+      // sf0.1 unsliced) — the slice keeps the bench query's work
+      // representative without drowning it in pair output. Blocks here
+      // are BALANCED, so saltBuckets stays 1 (the grid salt is for
+      // skewed blocks; measured neutral-to-negative on uniform ones).
+      FuzzyJoin.selfPairs(t(s, dir, "part").where(col("p_partkey") % 2 === 0),
+        "p_partkey", "p_name",
         concat_ws("|", split(col("p_name"), " ")(1), substring(split(col("p_name"), " ")(0), 1, 1)),
         maxDist = 3)),
 
@@ -1157,7 +1164,48 @@ object SparkEntry {
     // map-side-combined bit_or + popcount. --------------------------------
     "q110_category_bitmap" -> ((s, dir) =>
       Indexing.categoryBitmap(t(s, dir, "events"), Seq("user_id"), "event_type",
-        Seq("click", "error", "purchase", "signup", "view")))
+        Seq("click", "error", "purchase", "signup", "view"))),
+
+    // ---- melt (wide→long): three measure columns to (variable, value)
+    // rows via the native Expand — map-only, one scan, no union. ----------
+    "q111_melt" -> ((s, dir) => {
+      val wide = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+        round(col("l_discount") * 1000000).cast("long").as("disc_ppm"))
+      Reshape.melt(wide, Seq("l_orderkey", "l_linenumber"),
+        Seq("qty", "price_cents", "disc_ppm"))
+    }),
+
+    // ---- time-weighted average of each user's value series: exact
+    // integer value·duration sums from one lead window. -------------------
+    "q112_twa" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        unix_millis(col("ts")).as("ms"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      TimeSeries.timeWeighted(ev, Seq("user_id"), "ms", "cents",
+        tiebreaks = Seq("event_id"))
+    }),
+
+    // ---- dictionary encoding: dense sort-order codes assigned on the
+    // distinct values, broadcast back — the fact side never shuffles. -----
+    "q113_dict_encode" -> ((s, dir) =>
+      Normalize.dictEncode(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "lang_code")),
+
+    // ---- nearest-event join: each purchase to its closest click/view in
+    // EITHER direction — one union, one sort, two window frames. ----------
+    "q114_nearest_event" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_millis(col("ts")).as("p_ms"))
+      val touches = ev.where(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id").as("touch_id"),
+          col("event_type").as("touch_type"), unix_millis(col("ts")).as("t_ms"))
+      AsOfJoin.nearest(purchases, touches, "user_id", "p_ms", "t_ms",
+        Seq("touch_id", "touch_type"), inner = true, tieBreak = Seq("touch_id"))
+    })
   )
 
   /** Per-source interleave strides for q103 (stride 1 ⇒ 4× the density of
@@ -2074,10 +2122,11 @@ object SparkEntry {
       """WITH p AS (
         | SELECT p_partkey AS id, p_name AS name,
         |  string_split(p_name, ' ')[2] || '|' || substring(string_split(p_name, ' ')[1], 1, 1) AS block
-        | FROM part)
+        | FROM part WHERE p_partkey % 2 = 0)
         |SELECT a.id AS a_id, b.id AS b_id, a.name AS a_name, b.name AS b_name,
         | CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
         |FROM p a JOIN p b ON a.block = b.block AND a.id < b.id
+        | AND abs(length(a.name) - length(b.name)) <= 3
         |WHERE levenshtein(a.name, b.name) <= 3""".stripMargin,
     "q87_lm_familiarity" ->
       """WITH tok AS (
@@ -2371,6 +2420,66 @@ object SparkEntry {
         |   ELSE 0 END) AS BIGINT) AS cat_mask
         | FROM events GROUP BY 1)
         |SELECT user_id, cat_mask, CAST(bit_count(cat_mask) AS BIGINT) AS n_cats
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+    "q111_melt" ->
+      """WITH b AS (
+        | SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |  CAST(round(l_discount * 1000000) AS BIGINT) AS disc_ppm
+        | FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, 'qty' AS variable, qty AS value FROM b
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'price_cents', price_cents FROM b
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'disc_ppm', disc_ppm FROM b""".stripMargin,
+    "q112_twa" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_ms(ts) AS ms, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events),
+        |d AS (SELECT user_id, cents,
+        |  lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) - ms AS dur
+        | FROM e)
+        |SELECT user_id, CAST(sum(cents * dur) AS BIGINT) AS weighted_sum,
+        | CAST(sum(dur) AS BIGINT) AS total_ms,
+        | CASE WHEN sum(dur) > 0
+        |      THEN CAST(CAST(sum(cents * dur) AS BIGINT) AS DOUBLE) / CAST(sum(dur) AS BIGINT)
+        | END AS twa
+        |FROM d WHERE dur IS NOT NULL GROUP BY 1""".stripMargin,
+    "q113_dict_encode" ->
+      """SELECT doc_id, lang,
+        | CAST(dense_rank() OVER (ORDER BY lang) AS BIGINT) AS lang_code
+        |FROM documents""".stripMargin,
+    "q114_nearest_event" ->
+      """WITH p AS (
+        | SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS p_ms
+        | FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        | SELECT user_id, event_id AS touch_id, event_type AS touch_type, epoch_ms(ts) AS t_ms
+        | FROM events WHERE event_type IN ('click', 'view')),
+        |b AS (SELECT * FROM (
+        | SELECT p.purchase_id, t.touch_id, t.touch_type, t.t_ms,
+        |  row_number() OVER (PARTITION BY p.purchase_id
+        |                     ORDER BY t.t_ms DESC, t.touch_id DESC) AS rn
+        | FROM p JOIN t ON p.user_id = t.user_id AND t.t_ms <= p.p_ms) WHERE rn = 1),
+        |f AS (SELECT * FROM (
+        | SELECT p.purchase_id, t.touch_id, t.touch_type, t.t_ms,
+        |  row_number() OVER (PARTITION BY p.purchase_id
+        |                     ORDER BY t.t_ms ASC, t.touch_id ASC) AS rn
+        | FROM p JOIN t ON p.user_id = t.user_id AND t.t_ms > p.p_ms) WHERE rn = 1),
+        |j AS (SELECT p.user_id, p.purchase_id, p.p_ms,
+        |  b.touch_id AS b_id, b.touch_type AS b_type, b.t_ms AS b_ms,
+        |  f.touch_id AS f_id, f.touch_type AS f_type, f.t_ms AS f_ms,
+        |  (b.touch_id IS NOT NULL AND
+        |   (f.touch_id IS NULL OR p.p_ms - b.t_ms <= f.t_ms - p.p_ms)) AS use_b
+        | FROM p
+        |  LEFT JOIN b ON p.purchase_id = b.purchase_id
+        |  LEFT JOIN f ON p.purchase_id = f.purchase_id
+        | WHERE b.touch_id IS NOT NULL OR f.touch_id IS NOT NULL)
+        |SELECT user_id, purchase_id, p_ms,
+        | CASE WHEN use_b THEN b_id ELSE f_id END AS touch_id,
+        | CASE WHEN use_b THEN b_type ELSE f_type END AS touch_type,
+        | CAST(CASE WHEN use_b THEN p_ms - b_ms ELSE f_ms - p_ms END AS BIGINT) AS nearest_dist
+        |FROM j""".stripMargin
   )
 }

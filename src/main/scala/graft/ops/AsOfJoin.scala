@@ -62,6 +62,66 @@ object AsOfJoin {
       tieBreak: Seq[String] = Nil): DataFrame =
     joined(probe, build, key, probeOrder, buildOrder, valueCols, inner, tieBreak, asc = false)
 
+  /** Nearest-event join: for each probe row, the build row with the same
+    * key MINIMUM |buildOrder − probeOrder| in either direction (ties →
+    * the backward match) — sensor/series alignment where "closest
+    * reading" beats "latest preceding". Orders must be numeric (e.g.
+    * epoch millis); emits probe columns + `valueCols` + `nearest_dist`.
+    *
+    * Same single-shuffle architecture as [[backward]]: ONE union, ONE
+    * sort, and BOTH direction scans as two frames over that one sorted
+    * run (`last(…) ignoreNulls` over the preceding frame, `first(…)`
+    * over the following frame) — not two joins. An exactly-equal build
+    * row sorts before its probe row and wins as a backward match at
+    * distance 0.
+    */
+  def nearest(
+      probe: DataFrame,
+      build: DataFrame,
+      key: String,
+      probeOrder: String,
+      buildOrder: String,
+      valueCols: Seq[String],
+      inner: Boolean = true,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val payload = struct((valueCols.map(col) :+ col(buildOrder).cast("long").as("__bord")): _*)
+    val payloadType = build.select(payload).schema.head.dataType
+    val tbTypes = tieBreak.map(c => build.select(col(c)).schema.head.dataType)
+
+    val probeSide = probe.select(
+      col(key).as("__k") +: col(probeOrder).cast("long").as("__ord") +: lit(1).as("__side") +:
+        struct(probe.columns.map(col): _*).as("__p") +:
+        lit(null).cast(payloadType).as("__b") +:
+        tbTypes.zipWithIndex.map { case (t, i) => lit(null).cast(t).as(s"__tb$i") }: _*)
+    val buildSide = build.select(
+      col(key).as("__k") +: col(buildOrder).cast("long").as("__ord") +: lit(0).as("__side") +:
+        lit(null).cast(probeSide.schema("__p").dataType).as("__p") +:
+        payload.as("__b") +:
+        tieBreak.zipWithIndex.map { case (c, i) => col(c).as(s"__tb$i") }: _*)
+
+    val order = col("__ord").asc +: col("__side").asc +:
+      tieBreak.indices.map(i => col(s"__tb$i").asc)
+    val base = Window.partitionBy(col("__k")).orderBy(order: _*)
+    val wPrev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val matched = probeSide.unionByName(buildSide)
+      .withColumn("__mb", last(col("__b"), ignoreNulls = true).over(wPrev))
+      .withColumn("__mf", first(col("__b"), ignoreNulls = true).over(wNext))
+      .where(col("__side") === 1)
+      .withColumn("__db", col("__ord") - col("__mb.__bord"))
+      .withColumn("__df", col("__mf.__bord") - col("__ord"))
+      .withColumn("__m",
+        when(col("__mb").isNull, col("__mf"))
+          .when(col("__mf").isNull, col("__mb"))
+          .when(col("__db") <= col("__df"), col("__mb"))
+          .otherwise(col("__mf")))
+    val kept = if (inner) matched.where(col("__m").isNotNull) else matched
+    kept.select(probe.columns.map(c => col(s"__p.$c")) ++
+      valueCols.map(c => col(s"__m.$c").as(c)) :+
+      abs(col("__ord") - col("__m.__bord")).as("nearest_dist"): _*)
+  }
+
   private def joined(
       probe: DataFrame,
       build: DataFrame,

@@ -23,23 +23,51 @@ object FuzzyJoin {
     * (a_id, b_id, a_name, b_name, dist) with a_id < b_id and
     * `dist = levenshtein(a_name, b_name) ≤ maxDist`.
     *
-    * Scale shape: one equi-join on the block key (shuffle carries only
+    * Scale shape: an equi-join on the block key (shuffle carries only
     * id + name + block), verification is codegen'd `levenshtein` inside
-    * the join — no UDF, no cross join. Hot blocks (skewed keys) are the
-    * known failure mode at scale; cap or salt them upstream if a block
-    * key collides too broadly.
+    * the join — no UDF, no cross join; a length guard in the join
+    * condition skips pairs whose distance provably exceeds the budget
+    * (|len(a)−len(b)| > k ⇒ dist > k) before any DP runs.
+    *
+    * Hot blocks — the known failure mode of key blocking — are handled
+    * by GRID SALTING (`saltBuckets` = g > 1): each row joins under a
+    * (block, roleᵢ, roleⱼ) key built from its id-hash bucket, so a block
+    * with m members becomes g² balanced sub-joins of (m/g)² pairs on
+    * DISTINCT reducer keys instead of one reducer computing m²/2. Each
+    * unordered pair is produced under exactly one (bucketₐ, bucket_b)
+    * key, so results are IDENTICAL for any g — replication factor g per
+    * side buys g² more parallelism. Size g so a hot block's m/g fits a
+    * task comfortably; g=1 is the plain join for well-spread keys.
     */
   def selfPairs(
       df: DataFrame,
       idCol: String,
       nameCol: String,
       blockKey: Column,
-      maxDist: Int): DataFrame = {
+      maxDist: Int,
+      saltBuckets: Int = 1): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1: $saltBuckets")
+    val g = saltBuckets
     val side = df.select(col(idCol).as("id"), col(nameCol).as("name"), blockKey.as("block"))
-    side.alias("a")
-      .join(side.alias("b"),
-        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+    val guard = abs(length(col("a.name")) - length(col("b.name"))) <= maxDist
+    val joined =
+      if (g == 1)
+        side.alias("a").join(side.alias("b"),
+          col("a.block") === col("b.block") && col("a.id") < col("b.id") && guard)
+      else {
+        val withB = side.withColumn("__b", pmod(xxhash64(col("id")), lit(g)).cast("int"))
+        val roles = array((0 until g).map(lit): _*)
+        val a = withB.withColumn("__j", explode(roles)).alias("a")
+        val b = withB.withColumn("__i", explode(roles)).alias("b")
+        // a plays role (own bucket, j); b plays role (i, own bucket) —
+        // they meet exactly when (i, j) = (bucket_a, bucket_b).
+        a.join(b,
+          col("a.block") === col("b.block") &&
+            col("a.__b") === col("b.__i") && col("a.__j") === col("b.__b") &&
+            col("a.id") < col("b.id") && guard)
+      }
+    joined
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         col("a.name").as("a_name"), col("b.name").as("b_name"),
         levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"))
@@ -59,10 +87,11 @@ object FuzzyJoin {
     * candidates with their Levenshtein distance, unfiltered: thresholding
     * is the verifier's policy decision, not the blocker's.
     *
-    * Scale shape: the rank comes from a window PER BLOCK (parallel across
-    * blocks — never a global row_number, which would serialize the table
-    * through one reducer), then one self-equi-join on the block key with
-    * a rank-band predicate; the shuffle carries (id, name, rank) only.
+    * Scale shape: NO self-join — each record's `w` successors come from
+    * `lead(g)` over the same per-block sort (parallel across blocks,
+    * never a global row_number), then one `explode` fans the w gap
+    * structs into pair rows. ONE shuffle total, and the sorted run is
+    * read once instead of being materialized twice as join inputs.
     */
   def sortedNeighborhood(
       df: DataFrame,
@@ -73,17 +102,19 @@ object FuzzyJoin {
     require(w >= 1, s"window must be >= 1: $w")
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy(col("block")).orderBy(col("name"), col("id"))
-    val ranked = df
-      .select(col(idCol).as("id"), col(nameCol).as("name"), blockKey.as("block"))
-      .withColumn("rk", row_number().over(win).cast("long"))
-    ranked.alias("a")
-      .join(ranked.alias("b"),
-        col("a.block") === col("b.block") &&
-          col("b.rk") > col("a.rk") && col("b.rk") <= col("a.rk") + w)
-      .select(col("a.block").as("block"),
-        col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.name").as("a_name"), col("b.name").as("b_name"),
-        (col("b.rk") - col("a.rk")).as("rank_gap"),
-        levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"))
+    val base = df.select(col(idCol).as("id"), col(nameCol).as("name"), blockKey.as("block"))
+    val withLeads = (1 to w).foldLeft(base) { (acc, g) =>
+      acc.withColumn(s"__l$g",
+        struct(lead(col("id"), g).over(win).as("id"),
+          lead(col("name"), g).over(win).as("name"),
+          lit(g.toLong).as("gap")))
+    }
+    withLeads
+      .withColumn("__s", explode(array((1 to w).map(g => col(s"__l$g")): _*)))
+      .where(col("__s.id").isNotNull)
+      .select(col("block"), col("id").as("a_id"), col("__s.id").as("b_id"),
+        col("name").as("a_name"), col("__s.name").as("b_name"),
+        col("__s.gap").as("rank_gap"),
+        levenshtein(col("name"), col("__s.name")).cast("long").as("dist"))
   }
 }

@@ -116,7 +116,12 @@ object GraphMetrics {
     val e = canonicalEdges(pairs, aCol, bCol)
     val sym = e.select(col("u").as("src"), col("v").as("dst"))
       .union(e.select(col("v").as("src"), col("u").as("dst")))
-    val oneHop = sym.distinct()
+    // Materialize the deduped adjacency once: it feeds BOTH sides of the
+    // wedge join, the union and the 1-hop count — without this the
+    // caller's (possibly expensive) pair-building plan re-runs four
+    // times. localCheckpoint trades re-partitioning two small edge-list
+    // shuffles for not re-running the upstream join 4×.
+    val oneHop = sym.distinct().localCheckpoint()
     val twoHop = oneHop.alias("p")
       .join(oneHop.alias("q"), col("p.dst") === col("q.src"))
       .select(col("p.src").as("src"), col("q.dst").as("dst"))

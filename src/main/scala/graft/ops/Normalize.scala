@@ -34,4 +34,23 @@ object Normalize {
             (col("__max") - col("__min")))))
       .drop("__min", "__max")
   }
+
+  /** Dictionary-encode a categorical column: dense integer codes 1..n in
+    * the value's sort order — label encoding for feature pipelines, and
+    * the id-assignment step of building any dimension table. Sort-order
+    * codes (not first-seen order) are what make the assignment
+    * deterministic and reproducible across runs and engines.
+    *
+    * Scale shape: codes are assigned on the DISTINCT values (dimension-
+    * sized — the window's single reducer sees categories, never rows),
+    * then broadcast-joined back; the fact table is never shuffled. This
+    * is the distinct→rank→broadcast pattern, NOT a window over the fact
+    * table.
+    */
+  def dictEncode(df: DataFrame, valueCol: String, codeCol: String = "code"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(valueCol))
+    val dict = df.select(col(valueCol)).distinct()
+      .withColumn(codeCol, row_number().over(w).cast("long"))
+    df.join(broadcast(dict), Seq(valueCol))
+  }
 }

@@ -129,6 +129,39 @@ object TimeSeries {
           col("delta").cast("double") / col("prev_value")))
   }
 
+  /** Time-weighted average of a step series per key — each value holds
+    * until the NEXT observation, so its weight is that interval: emits
+    * exact integer `weighted_sum = Σ value·duration_ms` and
+    * `total_ms = Σ duration_ms` plus their single-division double `twa`
+    * (cf. [[periodGrowth]]'s portability note). The correct average for
+    * irregularly-sampled state (sensor readings, price ticks, replica
+    * counts) where a plain mean over-weights busy periods.
+    *
+    * The last observation of each key has no successor and carries zero
+    * weight (step-function-until-known semantics; append a horizon row
+    * upstream to weight it). One `lead` window on one key shuffle + a
+    * narrow agg on the same partitioning.
+    */
+  def timeWeighted(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsMsCol: String,
+      valueCol: String,
+      tiebreaks: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsMsCol) +: tiebreaks.map(col): _*)
+    val v = col(valueCol).cast("long")
+    df
+      .withColumn("__d", lead(col(tsMsCol), 1).over(w) - col(tsMsCol))
+      .where(col("__d").isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(v * col("__d")).as("weighted_sum"), sum(col("__d")).as("total_ms"))
+      .withColumn("twa",
+        when(col("total_ms") > 0,
+          col("weighted_sum").cast("double") / col("total_ms")))
+  }
+
   /** Run-length encoding of a per-key state series (gaps-and-islands):
     * one row per maximal run of consecutive equal states, with integer
     * start/end positions and length. The session-shape primitive behind

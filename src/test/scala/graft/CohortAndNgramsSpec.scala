@@ -93,6 +93,21 @@ class CohortAndNgramsSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1L)))
   }
 
+  test("FuzzyJoin.selfPairs: grid salting returns identical pairs for any bucket count") {
+    val rnd = new scala.util.Random(17)
+    val words = Seq("ring", "king", "wing", "sing")
+    val df = (1L to 120L).map { i =>
+      (i, s"${words(rnd.nextInt(4))} ${words(rnd.nextInt(4))}")
+    }.toDF("id", "name")
+    val block = split(col("name"), " ")(0)
+    def run(g: Int) = FuzzyJoin.selfPairs(df, "id", "name", block, maxDist = 2, saltBuckets = g)
+      .select("a_id", "b_id", "dist").as[(Long, Long, Long)].collect().toSet
+    val base = run(1)
+    assert(base.nonEmpty)
+    assert(run(3) == base)
+    assert(run(8) == base)
+  }
+
   // ----------------------------------------------------- rolling z-score
 
   test("Outliers.rollingZ: flags a spike against its trailing window, full windows only") {
