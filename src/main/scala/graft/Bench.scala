@@ -43,18 +43,36 @@ object Bench {
     val pass1 = queries.map { case (name, fn) => name -> timed(fn) }
     val pass2 = queries.map { case (name, fn) => name -> timed(fn) }.toMap
     val results = pass1.map { case (name, t1) => name -> math.min(t1, pass2(name)) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The stdout line must stay SMALL: the driver tail-captures stdout and a
+    // full 114-entry query map (~2.7 KB in r3) overflows its window, leaving
+    // the bench gate unscored ("parsed": null). Print a fixed headline subset
+    // (stable across rounds for trend comparison); `value` still covers ALL
+    // queries. The complete per-query map goes to the mirror file only.
+    val headline = Seq("q1", "q4_enrich_join", "q5_threeway_join", "q8_sessionize",
+      "q12_dedup_exact", "q16_minhash_lsh", "q19_embedding_topk", "q23_ivf_ann",
+      "q54_connected_components", "q69_pagerank", "q78_kmeans", "q89_khop")
+    val byName = results.toMap
+    val headlineResults = headline.flatMap(n => byName.get(n).map(n -> _))
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(headlineResults)},"n_queries":${results.size},"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces for the driver's parser: stdout may be decorated by a
     // build tool (r1: sbt's "[info] " prefix made the line unparseable), so
-    // also drop the same JSON at a stable path — the working directory (sbt
-    // runs from the project root), overridable via SPARK_GRAFT_BENCH_OUT.
+    // also drop the FULL JSON (all per-query timings) at a stable path — the
+    // working directory (sbt runs from the project root), overridable via
+    // SPARK_GRAFT_BENCH_OUT.
+    // Workload-change provenance so cross-round trend comparisons don't
+    // silently mix different workloads under one query name.
+    val notes =
+      """{"q86_fuzzy_block":"workload changed in round 3 (partkey%2 slice + length-band guard); r3+ timings not comparable to r1/r2"}"""
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"workload_notes":$notes,"sf":"$sfDir"}"""
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       java.nio.file.Paths.get(sys.props("user.dir"), "bench_last.json").toString)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(benchOut), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(benchOut), fullLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] mirror write to $benchOut failed: ${e.getMessage}") }
     spark.stop()
   }

@@ -18,7 +18,10 @@ object Audit {
     * `(check, column, violations, n_rows, pass)`.
     *
     *  - `not_null`: rows where the column IS NULL;
-    *  - `unique`: `n_rows − count(DISTINCT col)` — duplicate surplus.
+    *  - `unique`: `count(col) − count(DISTINCT col)` — duplicate surplus
+    *    over NON-NULL rows (both counts skip NULLs, so a nullable key
+    *    never misreports its NULL rows as duplicates; pair with a
+    *    `not_null` check on the same column to police NULLs explicitly).
     *    Exact distinct is fine for a handful of audited key columns (one
     *    expand each); at extreme cardinality swap for HLL and a
     *    tolerance, which changes the contract — keep that a caller
@@ -39,7 +42,7 @@ object Audit {
       "at least one constraint required")
     val nn = notNullCols.map(c => (s"not_null:$c", count_if(col(c).isNull)))
     val uq = uniqueCols.map(c =>
-      (s"unique:$c", count(lit(1)) - countDistinct(col(c))))
+      (s"unique:$c", count(col(c)) - countDistinct(col(c))))
     val rg = ranges.map { case (name, e, lo, hi) =>
       (s"range:$name", count_if(e.isNotNull && (e < lo || e > hi)))
     }
@@ -81,5 +84,37 @@ object Audit {
       count(lit(1)).as("n_rows"),
       sum(fp).as("checksum_sum"),
       bit_xor(fp).as("checksum_xor"))
+  }
+
+  /** Join-key skew profile: the top-`topN` heaviest values of `keyCol`
+    * with exact count, share of all rows (ppm), and cumulative share —
+    * the pre-flight audit run before any large join or aggregation to
+    * decide whether a key needs salting ([[SkewJoin]]), an AQE skew
+    * threshold, or a broadcast instead. Reading it: a top key holding
+    * >5–10% of rows means one reducer inherits that fraction of the
+    * shuffle; a flat profile means hash partitioning is safe as-is.
+    *
+    * Scale shape: one map-side-combined count aggregation (the only
+    * full-data pass), then a global top-N via TakeOrdered — no full sort
+    * — and the cumulative window runs over just `topN` rows on a single
+    * task, which is exactly where a driver-sized window belongs. The
+    * grand total rides along as a broadcast one-row crossJoin.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1: $topN")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    val top = counts
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(topN)
+      .crossJoin(broadcast(total))
+    val w = Window.orderBy(col("n").desc, col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col(keyCol), col("n"),
+        floor(lit(1000000L) * col("n") / col("__total")).as("share_ppm"),
+        floor(lit(1000000L) * sum(col("n")).over(w) / col("__total")).as("cum_share_ppm"))
   }
 }

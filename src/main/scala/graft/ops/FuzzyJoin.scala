@@ -117,4 +117,49 @@ object FuzzyJoin {
         col("__s.gap").as("rank_gap"),
         levenshtein(col("name"), col("__s.name")).cast("long").as("dist"))
   }
+
+  /** Fellegi–Sunter-style agreement scoring over blocked candidate
+    * pairs: within each block, every a_id < b_id pair is scored
+    * `Σ_field (agree ? +w_agree : −w_disagree)` and classified
+    * `is_match = score ≥ minScore` — the probabilistic-record-linkage
+    * decision rule with caller-supplied integer log-odds weights (rare
+    * fields like a phone prefix get big weights, common ones like a
+    * region small; calibrate offline from labeled pairs). Field
+    * agreement is NULL-SAFE equality, so two missing values AGREE — the
+    * conventional ER treatment of "no evidence either way" fields is to
+    * give them small weights, not to special-case NULL.
+    *
+    * Scale shape: the same blocked equi-join as [[selfPairs]] — shuffle
+    * carries only id + the compared fields, cost Σ_b |b|², no cross
+    * join — with the scoring a pure codegen'd column expression in the
+    * join's projection. Hot blocks take the same remedies (grid salting,
+    * finer keys); emitted pairs keep both field values for downstream
+    * clerical review.
+    *
+    * @param fields (column, agreeWeight, disagreeWeight) per compared
+    *               field; weights are positive integers
+    */
+  def agreementPairs(
+      df: DataFrame,
+      idCol: String,
+      blockKey: Column,
+      fields: Seq[(String, Long, Long)],
+      minScore: Long): DataFrame = {
+    require(fields.nonEmpty, "fields must be non-empty")
+    require(fields.forall { case (_, aw, dw) => aw > 0 && dw > 0 },
+      "agree/disagree weights must be positive")
+    val side = df.select(
+      (col(idCol).as("id") +: blockKey.as("block") +:
+        fields.map { case (f, _, _) => col(f).as(f) }): _*)
+    val score = fields.map { case (f, aw, dw) =>
+      when(col(s"a.$f") <=> col(s"b.$f"), lit(aw)).otherwise(lit(-dw))
+    }.reduce(_ + _)
+    side.alias("a")
+      .join(side.alias("b"), col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .select(
+        (col("a.id").as("a_id") +: col("b.id").as("b_id") +:
+          fields.flatMap { case (f, _, _) =>
+            Seq(col(s"a.$f").as(s"a_$f"), col(s"b.$f").as(s"b_$f"))
+          } :+ score.as("score") :+ (score >= minScore).as("is_match")): _*)
+  }
 }

@@ -10,15 +10,17 @@ import org.apache.spark.sql.functions._
   * families (every member pairs with every other); on an entity
   * co-occurrence graph, triangles expose tightly-coupled groups.
   *
-  * Algorithm: canonicalize edges to u < v, then count each triangle once
-  * at its ordered orientation u < v < w via two hash joins —
-  * e₁(u,v) ⋈ e₂(v,w) builds wedges, ⋈ e₃(u,w) closes them. Three
-  * shuffles on node ids, no driver state. The id-ordering means each
-  * wedge/triangle materializes exactly once (not 3× or 6×). The wedge
-  * intermediate is Σ_v deg⁺(v)² — bounded by canonical orientation; for
-  * power-law graphs at extreme scale the standard refinement is ordering
-  * by (degree, id) instead of raw id, which this API permits by
-  * pre-mapping ids.
+  * Algorithm: degree-ordered orientation (the "compact-forward" /
+  * node-iterator++ refinement). Each undirected edge is oriented from its
+  * lower-(degree, id) endpoint to its higher one; wedges are built only
+  * around each triangle's LOWEST-rank corner (e₁(a→b) ⋈ e₂(a→c) with
+  * rank(b) < rank(c)) and closed by the oriented edge b→c. Each triangle
+  * materializes exactly once, and — the point of the ordering — the wedge
+  * intermediate is Σ_v C(deg⁺(v), 2) where out-degrees under the degree
+  * orientation are O(√m), giving the classic O(m^{3/2}) total bound even
+  * on power-law graphs (a raw-id orientation leaves hub out-degrees
+  * unbounded and blows up at Σ deg(hub)²). Three hash joins on node ids,
+  * no driver state.
   */
 object GraphMetrics {
 
@@ -40,10 +42,32 @@ object GraphMetrics {
     */
   def nodeTriangles(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
     val e = canonicalEdges(pairs, aCol, bCol)
-    val tri = e.alias("e1")
-      .join(e.alias("e2"), col("e1.v") === col("e2.u"))
-      .join(e.alias("e3"), col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
-      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    // Undirected degree of every endpoint — the ordering key. Joining it
+    // back onto both endpoints costs two shuffles on node id, which is
+    // what buys the O(√m) out-degree bound below.
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+    // Orient low-(deg,id) → high-(deg,id); carry the dst rank so the wedge
+    // join below can order the two spokes without another degree join.
+    val oriented = withDeg.select(
+      when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+        struct(col("u").as("s"), col("v").as("d"), col("dv").as("dd")))
+        .otherwise(struct(col("v").as("s"), col("u").as("d"), col("du").as("dd"))).as("o"))
+      .select(col("o.s").as("src"), col("o.d").as("dst"), col("o.dd").as("dstDeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // oriented feeds three join sides; persist (lazy, fault-tolerant —
+    // recomputed from lineage on executor loss) rather than an eager
+    // localCheckpoint. Blocks stay referenced by the returned plan, so
+    // they are released by Spark's LRU / context GC, not unpersisted here.
+    val tri = oriented.alias("e1")
+      .join(oriented.alias("e2"),
+        col("e1.src") === col("e2.src") &&
+          (struct(col("e1.dstDeg"), col("e1.dst")) < struct(col("e2.dstDeg"), col("e2.dst"))))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
     tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
@@ -108,22 +132,46 @@ object GraphMetrics {
     *
     * Scale shape: one self-join of the symmetrized edge list on the
     * middle node builds 2-hop paths; a distinct + count on (src, dst)
-    * collapses them. The wedge intermediate is Σ_v deg(v)² — same bound
-    * as [[nodeTriangles]]; for power-law graphs cap or sample hub
-    * neighborhoods upstream. No driver state, no iteration.
+    * collapses them. Unbounded, the wedge intermediate is Σ_v deg(v)² —
+    * the classic power-law blow-up — so `maxDegree` caps the SECOND-hop
+    * fan-out per middle node: each middle node expands to at most its
+    * `maxDegree` smallest neighbor ids (a deterministic truncation, so
+    * results are engine-reproducible), bounding the wedge count at
+    * 2·m·maxDegree. n_1hop is always exact; n_2hop is exact iff no node
+    * on a counted path has degree > maxDegree, else a documented
+    * undercount through hubs. `Int.MaxValue` disables the cap.
     */
-  def neighborhoodSize(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+  def neighborhoodSize(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxDegree: Int = Int.MaxValue): DataFrame = {
+    require(maxDegree >= 1, s"maxDegree must be >= 1: $maxDegree")
     val e = canonicalEdges(pairs, aCol, bCol)
     val sym = e.select(col("u").as("src"), col("v").as("dst"))
       .union(e.select(col("v").as("src"), col("u").as("dst")))
     // Materialize the deduped adjacency once: it feeds BOTH sides of the
     // wedge join, the union and the 1-hop count — without this the
     // caller's (possibly expensive) pair-building plan re-runs four
-    // times. localCheckpoint trades re-partitioning two small edge-list
-    // shuffles for not re-running the upstream join 4×.
+    // times. localCheckpoint is EAGER (runs a job at plan-construction
+    // time) and stores blocks non-fault-tolerantly; the trade, accepted
+    // here at API level, is that the alternative — re-running the
+    // upstream pair-building join 4× or persisting without lineage
+    // truncation under a self-join — costs more than a recompute-on-
+    // executor-loss scenario saves in local and small-cluster deployments.
     val oneHop = sym.distinct().localCheckpoint()
+    val mid =
+      if (maxDegree == Int.MaxValue) oneHop
+      else {
+        // Deterministic hub truncation: keep each src's maxDegree smallest
+        // dst ids. One extra shuffle+sort on src — the price of turning an
+        // unbounded Σdeg² join into a bounded one.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("src").orderBy("dst")
+        oneHop.withColumn("rn", row_number().over(w))
+          .where(col("rn") <= maxDegree).drop("rn")
+      }
     val twoHop = oneHop.alias("p")
-      .join(oneHop.alias("q"), col("p.dst") === col("q.src"))
+      .join(mid.alias("q"), col("p.dst") === col("q.src"))
       .select(col("p.src").as("src"), col("q.dst").as("dst"))
       .where(col("src") =!= col("dst"))
       .union(oneHop)

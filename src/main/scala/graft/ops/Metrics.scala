@@ -163,4 +163,39 @@ object Metrics {
         sum(col("__x") * col("__y")).as("sum_xy"),
         sum(col("__y") * col("__y")).as("sum_yy"))
   }
+
+  /** Exact Gini coefficient (ppm) of category sizes per group — the
+    * inequality complement to [[concentration]]'s HHI: HHI says how much
+    * mass the top categories hold, Gini says how unevenly the whole
+    * distribution spreads (a corpus with 1000 equal sources and one with
+    * 1000 log-spread sources have similar HHI but very different Gini).
+    *
+    * Formula over category sizes x₁ ≤ … ≤ x_n (ascending, i = 1-based
+    * rank): `G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)`, emitted as
+    * `⌊1e6·G⌋` — all-integer, so exact and engine-portable. 0 = perfectly
+    * equal, → 1 as one category dominates.
+    *
+    * Scale shape: the windowed rank runs over CATEGORY COUNTS (the
+    * category table, not the rows — map-side-combined first), one sort
+    * window + one narrow aggregate per group. Rank ties broken by
+    * category id for determinism, though Σi·xᵢ is tie-order-invariant
+    * (equal x under swapped ranks contribute the same sum).
+    */
+  def gini(df: DataFrame, groupCols: Seq[String], catCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val keys = groupCols.map(col)
+    val counts = df.groupBy((groupCols :+ catCol).map(col): _*)
+      .agg(count(lit(1)).as("__x"))
+    val w = Window.partitionBy(keys: _*).orderBy(col("__x"), col(catCol))
+    counts
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(keys: _*)
+      .agg(
+        count(lit(1)).as("n_categories"),
+        sum(col("__x")).as("n_rows"),
+        floor(lit(1000000L) *
+          (lit(2L) * sum(col("__i") * col("__x")) - (count(lit(1)) + 1L) * sum(col("__x"))) /
+          (count(lit(1)) * sum(col("__x")))).as("gini_ppm"))
+  }
 }

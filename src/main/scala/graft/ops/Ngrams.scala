@@ -92,4 +92,44 @@ object Ngrams {
       .select(col(idCol), col("n_bigrams"), col("n_known"),
         floor(lit(1000000L) * col("n_known") / col("n_bigrams")).cast("long").as("known_ppm"))
   }
+
+  /** Kneser–Ney continuation-count table: per word, the raw token count
+    * plus the number of DISTINCT left and right neighbor words — the
+    * sufficient statistics behind KN-smoothed language models and the
+    * usual "is this token productive or boilerplate?" signal (a word with
+    * huge `n_tokens` but one left context is a template fragment, not
+    * vocabulary; continuation counts, not raw counts, feed the
+    * lower-order KN distribution).
+    *
+    * Scale shape: token counts are one map-side-combined aggregation;
+    * continuation counts aggregate over the DISTINCT bigram set (also
+    * combined map-side before the shuffle — the bigram vocabulary, not
+    * the corpus, crosses the wire), then two vocabulary-sized equi-joins
+    * assemble the table. `minTokens` prunes the hapax tail before the
+    * joins.
+    */
+  def continuationCounts(
+      docs: DataFrame,
+      textCol: String = "text",
+      minTokens: Long = 5L): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1: $minTokens")
+    val words = Dedup.parallelize(docs)
+      .select(Dedup.wordTokens(col(textCol)).as("__w"))
+    val uni = words.select(explode(col("__w")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_tokens"))
+      .where(col("n_tokens") >= minTokens)
+    val biDistinct = words.select(explode(bigrams(col("__w"))).as("bigram"))
+      .distinct()
+      .select(split(col("bigram"), " ")(0).as("left_w"), split(col("bigram"), " ")(1).as("right_w"))
+    val leftCtx = biDistinct.groupBy(col("right_w").as("word"))
+      .agg(count(lit(1)).as("n_left_contexts"))
+    val rightCtx = biDistinct.groupBy(col("left_w").as("word"))
+      .agg(count(lit(1)).as("n_right_contexts"))
+    uni
+      .join(leftCtx, Seq("word"), "left")
+      .join(rightCtx, Seq("word"), "left")
+      .select(col("word"), col("n_tokens"),
+        coalesce(col("n_left_contexts"), lit(0L)).as("n_left_contexts"),
+        coalesce(col("n_right_contexts"), lit(0L)).as("n_right_contexts"))
+  }
 }

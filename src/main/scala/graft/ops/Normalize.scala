@@ -46,11 +46,67 @@ object Normalize {
     * then broadcast-joined back; the fact table is never shuffled. This
     * is the distinct→rank→broadcast pattern, NOT a window over the fact
     * table.
+    *
+    * Contract: the distinct-value dictionary must be BROADCAST-sized
+    * (categorical cardinality, not key cardinality) — encoding a
+    * near-unique column would OOM the driver; use a join against a
+    * persisted dimension table for that shape. NULL is a legal category:
+    * the join is null-safe (`<=>`), so NULL values receive the first code
+    * (NULLS FIRST sort order) instead of being silently dropped.
     */
   def dictEncode(df: DataFrame, valueCol: String, codeCol: String = "code"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(valueCol))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(valueCol).asc_nulls_first)
     val dict = df.select(col(valueCol)).distinct()
       .withColumn(codeCol, row_number().over(w).cast("long"))
-    df.join(broadcast(dict), Seq(valueCol))
+      .withColumnRenamed(valueCol, "__dict_value")
+    df.join(broadcast(dict), col(valueCol) <=> col("__dict_value")).drop("__dict_value")
+  }
+
+  /** Winsorize an integer column within each group: clamp values below
+    * the `pLow` quantile up to it and above the `pHigh` quantile down to
+    * it — the standard outlier-robust scaling step before averaging or
+    * model features (unlike dropping outliers, row count is preserved).
+    *
+    * The boundary is the exact DISCRETE quantile — the group's value at
+    * 1-based rank `ceil(p·n)` in ascending order (rank 1 for p=0) — a
+    * pure integer-rank definition with no interpolation, so any engine
+    * replays it bit-identically.
+    *
+    * Scale shape: one sort-window shuffle on the group key assigns ranks
+    * (ties in value are rank-order-independent: the value AT a rank is
+    * unique even when row numbering among equal values is not), the two
+    * boundary rows per group collapse to a group-sized bounds table that
+    * joins back — broadcast-sized whenever the group count is. Like all
+    * per-group sort windows, a single group's rows sort within one
+    * partition's spill budget — groups themselves need not fit in memory.
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      pLow: Double,
+      pHigh: Double,
+      outCol: String = "winsorized"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(0.0 <= pLow && pLow < pHigh && pHigh <= 1.0,
+      s"need 0 <= pLow < pHigh <= 1: ($pLow, $pHigh)")
+    import org.apache.spark.sql.expressions.Window
+    val keys = groupCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(valueCol))
+    val wn = Window.partitionBy(keys: _*)
+    val ranked = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
+    val loRank = greatest(ceil(lit(pLow) * col("__n")), lit(1L))
+    val hiRank = greatest(ceil(lit(pHigh) * col("__n")), lit(1L))
+    val bounds = ranked
+      .where(col("__rn") === loRank || col("__rn") === hiRank)
+      .groupBy(keys: _*)
+      .agg(min(when(col("__rn") === loRank, col(valueCol))).as("__lo"),
+        max(when(col("__rn") === hiRank, col(valueCol))).as("__hi"))
+    ranked.drop("__rn", "__n")
+      .join(bounds, groupCols)
+      .withColumn(outCol, greatest(least(col(valueCol), col("__hi")), col("__lo")))
+      .drop("__lo", "__hi")
   }
 }

@@ -24,8 +24,9 @@ class AuditAndStatsSpec extends SparkSpec {
         (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
     assert(got(("not_null", "id")) == ((1L, 4L, false)))
     assert(got(("not_null", "name")) == ((1L, 4L, false)))
-    // distinct ids = {1, 2, NULL→not counted} = 2; 4 − 2 = 2 surplus
-    assert(got(("unique", "id")) == ((2L, 4L, false)))
+    // surplus over NON-NULL rows: count(id)=3, distinct {1,2}=2 → 1;
+    // the NULL id row is the not_null check's business, not unique's
+    assert(got(("unique", "id")) == ((1L, 4L, false)))
     assert(got(("range", "v")) == ((2L, 4L, false)))
   }
 

@@ -140,6 +140,27 @@ class CohortAndNgramsSpec extends SparkSpec {
     assert(got(11L) == (1L, 3L)) // center + the other two leaves
   }
 
+  test("GraphMetrics.neighborhoodSize: maxDegree caps hub fan-out deterministically") {
+    // Star center 10 with leaves 11..15; node 1 attached to leaf 11.
+    val edges = Seq((10L, 11L), (10L, 12L), (10L, 13L), (10L, 14L), (10L, 15L), (1L, 11L))
+      .toDF("a_id", "b_id")
+    val exact = GraphMetrics.neighborhoodSize(edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // Uncapped: leaf 12 reaches center + other 4 leaves = 5 (node 1 is 3 hops away).
+    assert(exact(12L) == (1L, 5L))
+    // Cap the center's expansion to its 2 smallest neighbors (11, 12):
+    // paths THROUGH node 10 now only reach 11 and 12.
+    val capped = GraphMetrics.neighborhoodSize(edges, maxDegree = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(capped(12L) == (1L, 2L))  // center + leaf 11 only
+    assert(capped(15L) == (1L, 3L))  // center + 11, 12 via the capped hub
+    // n_1hop is always exact, even for the hub itself.
+    assert(capped(10L)._1 == 5L)
+    // Non-hub nodes (degree <= cap) keep exact 2-hop counts through
+    // non-hub middles: node 1 -> 11 -> {1's excluded self, 10} = {11, 10}.
+    assert(capped(1L) == (1L, 2L))
+  }
+
   // ----------------------------------------------------- concentration
 
   test("Metrics.concentration: uniform vs monoculture HHI") {

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Audit, FuzzyJoin, Metrics, Ngrams, Normalize}
+
+/** Round-4 additions: continuation counts, key-skew profile, winsorize,
+  * agreement scoring, Gini.
+  */
+class Round4OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------- continuation counts
+
+  test("continuationCounts: token and distinct-context counts on a tiny corpus") {
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the dog sat"),
+      (3L, "the cat ran")
+    ).toDF("doc_id", "text")
+    val got = Ngrams.continuationCounts(docs, minTokens = 1)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // "the": 3 tokens, 0 left contexts, right contexts {cat, dog}
+    assert(got("the") == ((3L, 0L, 2L)))
+    // "cat": 2 tokens, left {the}, right {sat, ran}
+    assert(got("cat") == ((2L, 1L, 2L)))
+    // "sat": 2 tokens, left {cat, dog}, 0 right
+    assert(got("sat") == ((2L, 2L, 0L)))
+  }
+
+  test("continuationCounts: minTokens prunes the hapax tail") {
+    val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val words = Ngrams.continuationCounts(docs, minTokens = 2).collect().map(_.getString(0))
+    assert(words.toSet == Set("a"))
+  }
+
+  // ------------------------------------------------- key skew
+
+  test("keySkew: ranks heavy keys with exact share and cumulative share") {
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++ Seq("cold")).toDF("k")
+    val got = Audit.keySkew(df, "k", topN = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "hot", 6L, 600000L, 600000L),
+      (2L, "warm", 3L, 300000L, 900000L)))
+  }
+
+  test("keySkew: count ties break by key value for determinism") {
+    val df = Seq("b", "a", "b", "a").toDF("k")
+    val got = Audit.keySkew(df, "k", topN = 2).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  // ------------------------------------------------ winsorize
+
+  test("winsorize clamps to the exact discrete quantile boundaries per group") {
+    // Group g: values 1..20. p10 boundary = rank ceil(0.1*20)=2 → 2;
+    // p90 = rank 18 → 18.
+    val df = (1L to 20L).map(v => ("g", v)).toDF("grp", "v")
+    val got = Normalize.winsorize(df, Seq("grp"), "v", 0.1, 0.9)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got(1L) == 2L && got(2L) == 2L && got(3L) == 3L)
+    assert(got(18L) == 18L && got(19L) == 18L && got(20L) == 18L)
+    // Row count preserved
+    assert(got.size == 20)
+  }
+
+  test("winsorize: pLow=0 clamps nothing at the bottom; single-value groups are fixed points") {
+    val df = (Seq(("a", 5L), ("a", 7L), ("a", 9L)) ++ Seq(("b", 42L))).toDF("grp", "v")
+    val got = Normalize.winsorize(df, Seq("grp"), "v", 0.0, 1.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall { case (_, v, w) => v == w })
+  }
+
+  // ----------------------------------------- agreement scoring
+
+  test("agreementPairs: null-safe field agreement with integer weights") {
+    val df = Seq(
+      (1L, "blk", Some("x"), "p"),
+      (2L, "blk", Some("x"), "q"),
+      (3L, "blk", None, "p"),
+      (4L, "blk2", Some("x"), "p") // different block: never compared
+    ).toDF("id", "blk", "f1", "f2")
+    val got = FuzzyJoin.agreementPairs(df, "id", col("blk"),
+      Seq(("f1", 5L, 2L), ("f2", 3L, 1L)), minScore = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(6), r.getBoolean(7))).toMap
+    // (1,2): f1 agree +5, f2 disagree -1 → 4, match
+    assert(got((1L, 2L)) == ((4L, true)))
+    // (1,3): f1 NULL vs x disagree -2, f2 agree +3 → 1, no match
+    assert(got((1L, 3L)) == ((1L, false)))
+    // (2,3): -2 - 1 = -3
+    assert(got((2L, 3L)) == ((-3L, false)))
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("agreementPairs: two NULLs agree null-safely") {
+    val df = Seq((1L, "b", Option.empty[String]), (2L, "b", Option.empty[String]))
+      .toDF("id", "b", "f")
+    val got = FuzzyJoin.agreementPairs(df, "id", col("b"), Seq(("f", 7L, 3L)), minScore = 0L)
+      .collect().map(r => (r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq((7L, true)))
+  }
+
+  // ------------------------------------------------------ gini
+
+  test("gini: equal categories → 0; concentration raises the coefficient") {
+    val equal = Seq(("g", "a"), ("g", "b"), ("g", "c"), ("g", "d")).toDF("grp", "cat")
+    val g0 = Metrics.gini(equal, Seq("grp"), "cat").collect().head
+    assert(g0.getLong(3) == 0L)
+    // Sizes 1 and 9, n=2: G = (2·(1·1 + 2·9) − 3·10) / (2·10) = 8/20 = 0.4
+    val skew = (Seq.fill(1)(("g", "a")) ++ Seq.fill(9)(("g", "b"))).toDF("grp", "cat")
+    val g1 = Metrics.gini(skew, Seq("grp"), "cat").collect().head
+    assert(g1.getLong(1) == 2L && g1.getLong(2) == 10L && g1.getLong(3) == 400000L)
+  }
+
+  test("gini agrees with a brute-force computation on random category sizes") {
+    val rnd = new scala.util.Random(7)
+    val sizes = Seq.fill(12)(1 + rnd.nextInt(50))
+    val rows = sizes.zipWithIndex.flatMap { case (n, i) => Seq.fill(n)(("g", f"c$i%02d")) }
+    val got = Metrics.gini(rows.toDF("grp", "cat"), Seq("grp"), "cat").collect().head
+    val xs = sizes.map(_.toLong).sorted
+    val n = xs.size.toLong
+    val sum = xs.sum
+    val iSum = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val expected = math.floor(1e6 * (2 * iSum - (n + 1) * sum).toDouble / (n * sum)).toLong
+    assert(got.getLong(3) == expected)
+  }
+}
