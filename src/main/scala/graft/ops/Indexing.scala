@@ -68,4 +68,76 @@ object Indexing {
       .agg(bit_or(bit).as("cat_mask"))
       .withColumn("n_cats", bit_count(col("cat_mask")).cast("long"))
   }
+
+  /** Market-basket co-occurrence: for every unordered item pair that
+    * shares at least `minPairCount` baskets, the pair count, each item's
+    * basket count, and the exact lift in ppm —
+    * `lift_ppm = ⌊1e6·n_ab·N / (n_a·n_b)⌋` (N = total baskets). Lift > 1e6
+    * means the pair co-occurs MORE than independence predicts — the
+    * "bought together" / co-mention signal behind recommendations and
+    * template detection.
+    *
+    * Scale shape: presence is deduped to one (basket, item) row BEFORE
+    * the pair join, so the self-join on the basket key materializes
+    * Σ_b |b|² pairs — bounded by basket size (carts, orders, docs'
+    * tag sets are small by construction), never corpus². `minPairCount`
+    * prunes the long tail right after the pair count; the item-count
+    * table is vocabulary-sized and broadcasts; N rides along as a one-row
+    * broadcast crossJoin.
+    */
+  def coOccurrence(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minPairCount: Long = 2L): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1: $minPairCount")
+    val presence = df.select(col(basketCol).as("basket"), col(itemCol).as("item")).distinct()
+    val itemCounts = presence.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val totals = presence.select(col("basket")).distinct().agg(count(lit(1)).as("__N"))
+    val pairs = presence.alias("l").hint("shuffle_hash")
+      .join(presence.alias("r").hint("shuffle_hash"),
+        col("l.basket") === col("r.basket") && col("l.item") < col("r.item"))
+      .groupBy(col("l.item").as("a_item"), col("r.item").as("b_item"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairCount)
+    pairs
+      .join(broadcast(itemCounts.select(col("item").as("a_item"), col("n_item").as("n_a"))), "a_item")
+      .join(broadcast(itemCounts.select(col("item").as("b_item"), col("n_item").as("n_b"))), "b_item")
+      .crossJoin(broadcast(totals))
+      .select(col("a_item"), col("b_item"), col("n_ab"), col("n_a"), col("n_b"),
+        floor(lit(1000000L) * col("n_ab") * col("__N") / (col("n_a") * col("n_b"))).as("lift_ppm"))
+  }
+
+  /** Characteristic terms per document: the `k` terms that are frequent
+    * IN the document but rare ACROSS the corpus — ranked by
+    * (tf desc, df asc, term asc), an all-integer TF-IDF surrogate (the
+    * float idf log is monotone in 1/df, so the rank order matches
+    * tf·idf's within equal tf) that stays exact and engine-portable.
+    * The keyword/topic-tag extraction step of a corpus pipeline.
+    *
+    * Scale shape: per-doc term frequencies aggregate map-side (one
+    * (doc, term) row per distinct term, not per occurrence, after the
+    * count); the document-frequency table is vocabulary-sized and joins
+    * the per-doc table on the term key; final top-k is a per-doc window
+    * over ≤ |doc vocabulary| rows. Document bodies never shuffle.
+    */
+  def characteristicTerms(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val tokens = Dedup.parallelize(docs)
+      .select(col(idCol).cast("long").as("id"),
+        explode(Dedup.wordTokens(col(textCol))).as("term"))
+    val tf = tokens.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("id").as(idCol), col("term"), col("tf"), col("df"), col("rank"))
+  }
 }

@@ -1,10 +1,10 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Audit, FuzzyJoin, Metrics, Ngrams, Normalize}
+import graft.ops.{Audit, FuzzyJoin, Indexing, Metrics, Ngrams, Normalize}
 
 /** Round-4 additions: continuation counts, key-skew profile, winsorize,
-  * agreement scoring, Gini.
+  * agreement scoring, Gini, basket co-occurrence, characteristic terms.
   */
 class Round4OpsSpec extends SparkSpec {
   import spark.implicits._
@@ -110,6 +110,45 @@ class Round4OpsSpec extends SparkSpec {
     val skew = (Seq.fill(1)(("g", "a")) ++ Seq.fill(9)(("g", "b"))).toDF("grp", "cat")
     val g1 = Metrics.gini(skew, Seq("grp"), "cat").collect().head
     assert(g1.getLong(1) == 2L && g1.getLong(2) == 10L && g1.getLong(3) == 400000L)
+  }
+
+  // --------------------------------------------- basket co-occurrence
+
+  test("coOccurrence: exact pair counts and lift, presence-deduped") {
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (1L, "b"), // duplicate presence collapses
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"),
+      (4L, "c")
+    ).toDF("basket", "item")
+    val got = Indexing.coOccurrence(df, "basket", "item", minPairCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // (a,b): n_ab=2, n_a=3, n_b=2, N=4 → lift = 2·4/(3·2) = 1.333… → 1333333
+    assert(got(("a", "b")) == ((2L, 3L, 2L, 1333333L)))
+    // (a,c) co-occurs once only → pruned by minPairCount
+    assert(got.size == 1)
+  }
+
+  // --------------------------------------------- characteristic terms
+
+  test("characteristicTerms ranks by tf desc then rarity (df asc)") {
+    val docs = Seq(
+      (1L, "x x y common"),
+      (2L, "y common common"),
+      (3L, "common")
+    ).toDF("doc_id", "text")
+    val got = Indexing.characteristicTerms(docs, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(4)) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: x tf=2 (df=1) first; then y (tf=1, df=2) beats common (df=3)
+    assert(got((1L, 1L)) == (("x", 2L, 1L)))
+    assert(got((1L, 2L)) == (("y", 1L, 2L)))
+    // doc 2: common tf=2 first; then y
+    assert(got((2L, 1L)) == (("common", 2L, 3L)))
+    assert(got((2L, 2L)) == (("y", 1L, 2L)))
+    // doc 3 has a single term → one row despite k=2
+    assert(got((3L, 1L)) == (("common", 1L, 3L)))
+    assert(!got.contains((3L, 2L)))
   }
 
   test("gini agrees with a brute-force computation on random category sizes") {
