@@ -21,7 +21,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q89_khop,q79_triangles
+    // times just those queries. Unset (the driver's path) → all queries.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // Untimed warmup at the smallest scale factor: pays Catalyst + Janino +
     // JIT compilation once so the timed runs measure data processing, not
     // first-use compilation (identical plan structure → codegen cache hits).
@@ -51,7 +56,7 @@ object Bench {
     // the bench gate unscored ("parsed": null). Print a fixed headline subset
     // (stable across rounds for trend comparison); `value` still covers ALL
     // queries. The complete per-query map goes to the mirror file only.
-    val headline = Seq("q1", "q4_enrich_join", "q5_threeway_join", "q8_sessionize",
+    val headline = Seq("q1_pricing_agg", "q4_enrich_join", "q5_threeway_join", "q8_sessionize",
       "q12_dedup_exact", "q16_minhash_lsh", "q19_embedding_topk", "q23_ivf_ann",
       "q54_connected_components", "q69_pagerank", "q78_kmeans", "q89_khop")
     val byName = results.toMap
@@ -67,7 +72,10 @@ object Bench {
     // Workload-change provenance so cross-round trend comparisons don't
     // silently mix different workloads under one query name.
     val notes =
-      """{"q86_fuzzy_block":"workload changed in round 3 (partkey%2 slice + length-band guard); r3+ timings not comparable to r1/r2"}"""
+      """{"q86_fuzzy_block":"workload changed in round 3 (partkey%2 slice + length-band guard); r3+ timings not comparable to r1/r2",""" +
+        """"q16_minhash_lsh":"round 4 adds exact-Jaccard verification (lshVerifiedPairs); r4+ not comparable to r1-r3 candidates-only",""" +
+        """"q79_triangles":"round 4 switched to degree-ordered orientation (adds two degree joins; bounds power-law wedges)",""" +
+        """"q89_khop":"round 4 adds the maxDegree=64 second-hop cap (inert on this homogeneous graph, binds on power-law)"}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"workload_notes":$notes,"sf":"$sfDir"}"""
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

@@ -161,6 +161,28 @@ class CohortAndNgramsSpec extends SparkSpec {
     assert(capped(1L) == (1L, 2L))
   }
 
+  test("GraphMetrics.neighborhoodSize: cap never overcounts, and is exact when no degree exceeds it") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(60)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("a_id", "b_id")
+    val exact = GraphMetrics.neighborhoodSize(edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val capped = GraphMetrics.neighborhoodSize(edges, maxDegree = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(capped.keySet == exact.keySet)
+    capped.foreach { case (id, (n1, n2)) =>
+      assert(n1 == exact(id)._1)      // 1-hop always exact
+      assert(n2 <= exact(id)._2)      // truncation only ever undercounts
+      assert(n2 >= n1)                // 2-hop includes the 1-hop set
+    }
+    // A cap at least the max degree changes nothing.
+    val maxDeg = exact.values.map(_._1).max.toInt
+    val wide = GraphMetrics.neighborhoodSize(edges, maxDegree = maxDeg)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(wide == exact)
+  }
+
   // ----------------------------------------------------- concentration
 
   test("Metrics.concentration: uniform vs monoculture HHI") {
