@@ -1286,7 +1286,32 @@ object SparkEntry {
     // ---- characteristic terms per document: all-integer TF-IDF surrogate,
     // ranked (tf desc, df asc) — keyword extraction, bodies never shuffle. -
     "q121_char_terms" -> ((s, dir) =>
-      Indexing.characteristicTerms(t(s, dir, "documents"), k = 3))
+      Indexing.characteristicTerms(t(s, dir, "documents"), k = 3)),
+
+    // ---- vocabulary coverage / OOV rate against the corpus's own top-100
+    // terms — broadcast vocabulary, bodies never shuffle. ------------------
+    "q122_vocab_coverage" -> ((s, dir) =>
+      Ngrams.vocabCoverage(t(s, dir, "documents"), vocabSize = 100)),
+
+    // ---- incremental aggregate maintenance: signed delta merge into a
+    // per-customer (count, sum) view — fact data never re-read. -----------
+    "q123_delta_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val base = o.where(col("o_orderkey") % 7 =!= 0)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_v"))
+      val deltas = o.where(col("o_orderkey") % 7 === 0).withColumn("op", lit("I"))
+        .unionByName(o.where(col("o_orderkey") % 7 =!= 0 && col("o_orderkey") % 11 === 0)
+          .withColumn("op", lit("D")))
+      Cdc.mergeAggregate(base, deltas, Seq("o_custkey"), "cents", "op")
+    }),
+
+    // ---- pre-flight join cardinality estimate on the events self-join:
+    // exact Σ n(k)² from two count aggs, never the join itself. -----------
+    "q124_join_estimate" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Audit.joinEstimate(ev, "user_id", ev, "user_id", topN = 15)
+    })
   )
 
   /** Per-source interleave strides for q103 (stride 1 ⇒ 4× the density of
@@ -2712,6 +2737,44 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY f.doc_id
         |    ORDER BY f.tf DESC, d.df ASC, f.term ASC) AS BIGINT) AS rank
         | FROM f JOIN d ON f.term = d.term)
-        |SELECT doc_id, term, tf, df, rank FROM r WHERE rank <= 3""".stripMargin
+        |SELECT doc_id, term, tf, df, rank FROM r WHERE rank <= 3""".stripMargin,
+    "q122_vocab_coverage" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |t AS (SELECT doc_id, unnest(w) AS word FROM tok),
+        |v AS (
+        | SELECT word, 1 AS in_vocab FROM (
+        |  SELECT word, count(*) AS n FROM t GROUP BY 1
+        |  ORDER BY n DESC, word LIMIT 100)),
+        |c AS (
+        | SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        | FROM t LEFT JOIN v ON t.word = v.word GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_oov,
+        | CAST(floor(1000000 * n_oov / n_tokens) AS BIGINT) AS oov_ppm
+        |FROM c""".stripMargin,
+    // q123: the oracle aggregates the post-merge survivor set directly —
+    // base (%7<>0) minus deletes (%11=0) plus inserts (%7=0).
+    "q123_delta_agg" ->
+      """WITH o AS (
+        | SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |s AS (
+        | SELECT * FROM o
+        | WHERE o_orderkey % 7 = 0 OR (o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0))
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(cents) AS BIGINT) AS sum_v
+        |FROM s GROUP BY 1""".stripMargin,
+    "q124_join_estimate" ->
+      """WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |per AS (SELECT key, n AS n_left, n AS n_right, n * n AS est_rows FROM c),
+        |t AS (SELECT CAST(sum(est_rows) AS BIGINT) AS total FROM per),
+        |top AS (SELECT * FROM per ORDER BY est_rows DESC, key LIMIT 15)
+        |SELECT CAST(row_number() OVER win AS BIGINT) AS rank, key, n_left, n_right, est_rows,
+        | CAST(floor(1000000 * est_rows / total) AS BIGINT) AS est_share_ppm
+        |FROM top, t
+        |WINDOW win AS (ORDER BY est_rows DESC, key ROWS UNBOUNDED PRECEDING)""".stripMargin
   )
 }

@@ -117,4 +117,40 @@ object Audit {
         floor(lit(1000000L) * col("n") / col("__total")).as("share_ppm"),
         floor(lit(1000000L) * sum(col("n")).over(w) / col("__total")).as("cum_share_ppm"))
   }
+
+  /** Pre-flight join cardinality estimate: the exact output row count a
+    * key-equi-join would produce (Σ_k n_left(k)·n_right(k)) and the
+    * `topN` keys contributing most of it — run on the KEY HISTOGRAMS
+    * (two count aggregations), never the join itself. This is the audit
+    * that catches a many-to-many key blow-up before it takes down a
+    * cluster: a single key pair (10⁶ × 10⁶) predicts 10¹² output rows
+    * from two cheap counts.
+    *
+    * Emits `(rank, key, n_left, n_right, est_rows, est_share_ppm)`,
+    * ranked by per-key output size desc. Scale shape: two map-side-
+    * combined count aggs, a key-cardinality-sized inner join, TakeOrdered
+    * for the top-N, one-row broadcast total.
+    */
+  def joinEstimate(
+      left: DataFrame,
+      leftKey: String,
+      right: DataFrame,
+      rightKey: String,
+      topN: Int = 20): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1: $topN")
+    val ln = left.groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("n_left"))
+    val rn = right.groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("n_right"))
+    val per = ln.join(rn, "key")
+      .withColumn("est_rows", col("n_left") * col("n_right"))
+    val total = per.agg(sum(col("est_rows")).as("__total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("est_rows").desc, col("key"))
+    per
+      .orderBy(col("est_rows").desc, col("key"))
+      .limit(topN)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("key"), col("n_left"), col("n_right"), col("est_rows"),
+        floor(lit(1000000L) * col("est_rows") / col("__total")).as("est_share_ppm"))
+  }
 }

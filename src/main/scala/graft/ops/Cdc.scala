@@ -63,4 +63,44 @@ object Cdc {
             when(col("__last").isNotNull, col(s"__last.$v")).otherwise(col(v)).as(v)) :+
           coalesce(col("n_changes"), lit(0L)).as("n_changes"): _*)
   }
+
+  /** Incremental aggregate maintenance: merge a signed row-level delta
+    * stream into a per-key (count, sum) aggregate table WITHOUT re-reading
+    * the base data — the materialized-view maintenance shape. Inserts
+    * contribute (+1, +v), deletes (−1, −v); keys whose merged count
+    * reaches 0 disappear (and a negative merged count is a contract
+    * violation — deletes for rows that never existed — surfaced rather
+    * than clamped).
+    *
+    * Both count and sum are self-inverse under signed merge, which is
+    * exactly why this table maintains incrementally; averages derive as
+    * sum/count downstream, but max/min do NOT maintain this way (a
+    * deleted max needs a rescan) — keep those out of delta-maintained
+    * views.
+    *
+    * Scale shape: the delta stream collapses to one row per touched key
+    * in a map-side-combined aggregation BEFORE the one key-partitioned
+    * outer join against the aggregate table. At 100 TB the join carries
+    * |touched keys| + |aggregate keys| rows — the base FACT data is never
+    * read, which is the entire point.
+    */
+  def mergeAggregate(
+      baseAgg: DataFrame,
+      deltas: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      opCol: String,
+      deleteOp: String = "D"): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val sign = when(col(opCol) === deleteOp, lit(-1L)).otherwise(lit(1L))
+    val d = deltas.groupBy(keyCols.map(col): _*).agg(
+      sum(sign).as("__dn"),
+      sum(sign * col(valueCol)).as("__dsum"))
+    baseAgg
+      .join(d, keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n_rows") :+
+        (coalesce(col("sum_v"), lit(0L)) + coalesce(col("__dsum"), lit(0L))).as("sum_v"): _*)
+      .where(col("n_rows") =!= 0L)
+  }
 }

@@ -132,4 +132,37 @@ object Ngrams {
         coalesce(col("n_left_contexts"), lit(0L)).as("n_left_contexts"),
         coalesce(col("n_right_contexts"), lit(0L)).as("n_right_contexts"))
   }
+
+  /** Vocabulary coverage / OOV rate per document against the corpus's own
+    * top-`vocabSize` terms (by count desc, term asc — the deterministic
+    * frequency-truncated vocabulary a tokenizer build would keep):
+    * `(doc id, n_tokens, n_oov, oov_ppm)`. High-OOV documents are the
+    * ones a frequency-truncated tokenizer will shred into bytes — the
+    * standard pre-training corpus health check.
+    *
+    * Scale shape: the vocabulary is one map-side-combined count agg +
+    * TakeOrdered (vocabSize rows, broadcast); the per-doc pass is one
+    * explode → broadcast left join → per-doc count agg. Document bodies
+    * never shuffle; the only wide exchange carries (doc id, counts).
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      vocabSize: Int = 100): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
+    val tokens = Dedup.parallelize(docs)
+      .select(col(idCol).as("id"), explode(Dedup.wordTokens(col(textCol))).as("word"))
+    val vocab = tokens.groupBy("word").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("word"))
+      .limit(vocabSize)
+      .select(col("word"), lit(1L).as("__in_vocab"))
+    tokens
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count_if(col("__in_vocab").isNull).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        floor(lit(1000000L) * col("n_oov") / col("n_tokens")).as("oov_ppm"))
+  }
 }

@@ -1,10 +1,11 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Audit, FuzzyJoin, Indexing, Metrics, Ngrams, Normalize}
+import graft.ops.{Audit, Cdc, FuzzyJoin, Indexing, Metrics, Ngrams, Normalize}
 
 /** Round-4 additions: continuation counts, key-skew profile, winsorize,
-  * agreement scoring, Gini, basket co-occurrence, characteristic terms.
+  * agreement scoring, Gini, basket co-occurrence, characteristic terms,
+  * vocab coverage, incremental aggregate maintenance, join estimate.
   */
 class Round4OpsSpec extends SparkSpec {
   import spark.implicits._
@@ -149,6 +150,61 @@ class Round4OpsSpec extends SparkSpec {
     // doc 3 has a single term → one row despite k=2
     assert(got((3L, 1L)) == (("common", 1L, 3L)))
     assert(!got.contains((3L, 2L)))
+  }
+
+  // ----------------------------------------------- vocab coverage
+
+  test("vocabCoverage: OOV counted against the frequency-truncated vocabulary") {
+    val docs = Seq(
+      (1L, "a a a b b rare1"),
+      (2L, "a b rare2 rare3")
+    ).toDF("doc_id", "text")
+    // vocabSize=2 keeps {a (4), b (3)}; rare* are OOV.
+    val got = Ngrams.vocabCoverage(docs, vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((6L, 1L, 166666L)))
+    assert(got(2L) == ((4L, 2L, 500000L)))
+  }
+
+  test("vocabCoverage: frequency ties at the vocab boundary break by term for determinism") {
+    val docs = Seq((1L, "x y")).toDF("doc_id", "text")  // both count 1
+    val got = Ngrams.vocabCoverage(docs, vocabSize = 1).collect().head
+    // vocab = {x} (tie broken asc by term) → y is OOV
+    assert((got.getLong(1), got.getLong(2)) == ((2L, 1L)))
+  }
+
+  // --------------------------------------- incremental aggregate merge
+
+  test("mergeAggregate applies signed deltas and drops zeroed keys") {
+    val base = Seq(("k1", 2L, 100L), ("k2", 1L, 50L), ("k3", 1L, 10L))
+      .toDF("k", "n_rows", "sum_v")
+    val deltas = Seq(
+      ("k1", "I", 7L),   // k1: 3 rows, 107
+      ("k2", "D", 50L),  // k2: count hits 0 → disappears
+      ("k4", "I", 5L),   // brand-new key
+      ("k4", "I", 6L)
+    ).toDF("k", "op", "v")
+    val got = Cdc.mergeAggregate(base, deltas, Seq("k"), "v", "op")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "k1" -> ((3L, 107L)),
+      "k3" -> ((1L, 10L)),
+      "k4" -> ((2L, 11L))))
+  }
+
+  // ------------------------------------------------ join estimate
+
+  test("joinEstimate predicts the exact equi-join output size per key") {
+    val left = (Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c")).toDF("lk")
+    val right = (Seq.fill(4)("a") ++ Seq.fill(5)("b") ++ Seq("d")).toDF("rk")
+    val got = Audit.joinEstimate(left, "lk", right, "rk", topN = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // a: 3·4=12; b: 2·5=10; c/d unmatched → absent. total=22.
+    assert(got.toSeq == Seq(
+      (1L, "a", 3L, 4L, 12L, 545454L),
+      (2L, "b", 2L, 5L, 10L, 454545L)))
+    // Ground truth: the actual join output size.
+    assert(left.join(right, col("lk") === col("rk")).count() == 22L)
   }
 
   test("gini agrees with a brute-force computation on random category sizes") {
