@@ -109,4 +109,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(origins.nonEmpty && origins.forall(_ == REPARTITION_BY_NUM),
       s"expected only REPARTITION_BY_NUM exchanges feeding the DP join, got: $origins")
   }
+
+  test("vocabCoverage joins the vocabulary as a broadcast — document tokens never build-side") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val plan = initialPlan(graft.ops.Ngrams.vocabCoverage(docs, vocabSize = 10))
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, "vocabulary join is not a broadcast hash join")
+    // no shuffle may carry the raw text column
+    shuffleOutputs(graft.ops.Ngrams.vocabCoverage(docs, vocabSize = 10)).foreach { out =>
+      assert(!out.contains("text"), s"document text in shuffle: $out")
+    }
+  }
+
+  test("characteristicTerms and continuationCounts never shuffle document bodies") {
+    Seq(
+      graft.ops.Indexing.characteristicTerms(docs, k = 2),
+      graft.ops.Ngrams.continuationCounts(docs, minTokens = 1)
+    ).foreach { df =>
+      val shuffles = shuffleOutputs(df)
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { out =>
+        assert(!out.contains("text") && !out.contains("__w"), s"body column in shuffle: $out")
+      }
+    }
+  }
+
+  test("degree-ordered triangles read the oriented edge list from cache, not three rebuilds") {
+    val e = spark.range(300).selectExpr("id % 40 as a_id", "(id * 13) % 40 as b_id")
+      .where(col("a_id") =!= col("b_id"))
+    val tri = graft.ops.GraphMetrics.nodeTriangles(e)
+    val plan = initialPlan(tri)
+    val cachedScans = plan.collect { case s: InMemoryTableScanExec => s }
+    assert(cachedScans.size >= 3,
+      s"expected the persisted oriented edges on all three join sides, found ${cachedScans.size} cached scans")
+  }
 }
