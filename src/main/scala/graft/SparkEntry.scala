@@ -1311,7 +1311,12 @@ object SparkEntry {
     "q124_join_estimate" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       Audit.joinEstimate(ev, "user_id", ev, "user_id", topN = 15)
-    })
+    }),
+
+    // ---- C4-style repeated-span coverage: words inside corpus-hot 3-gram
+    // windows, overlaps unioned — the span-dedup rewrite volume. ----------
+    "q125_span_coverage" -> ((s, dir) =>
+      Repetition.spanCoverage(t(s, dir, "documents"), minDocs = 3, k = 3))
   )
 
   /** Per-source interleave strides for q103 (stride 1 ⇒ 4× the density of
@@ -2775,6 +2780,33 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER win AS BIGINT) AS rank, key, n_left, n_right, est_rows,
         | CAST(floor(1000000 * est_rows / total) AS BIGINT) AS est_share_ppm
         |FROM top, t
-        |WINDOW win AS (ORDER BY est_rows DESC, key ROWS UNBOUNDED PRECEDING)""".stripMargin
+        |WINDOW win AS (ORDER BY est_rows DESC, key ROWS UNBOUNDED PRECEDING)""".stripMargin,
+    // q125: string 3-grams with positions stand in for Spark's 64-bit
+    // window hashes (cardinalities equal absent collisions, as in
+    // q16/q18); hot windows fan out to the k positions they cover.
+    "q125_span_coverage" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - 2, 0)),
+        |   i -> {'i': i, 'g': w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]})) AS s
+        | FROM tok),
+        |gg AS (SELECT doc_id, CAST(s.i AS BIGINT) AS i, s.g AS g FROM g),
+        |hot AS (
+        | SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM gg GROUP BY 1)
+        | WHERE nd >= 3),
+        |cov AS (
+        | SELECT DISTINCT gg.doc_id, gg.i + o.k AS j
+        | FROM gg JOIN hot ON gg.g = hot.g
+        | CROSS JOIN (VALUES (0), (1), (2)) o(k)),
+        |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered_words FROM cov GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words,
+        | CAST(coalesce(c.covered_words, 0) AS BIGINT) AS covered_words,
+        | CAST(CASE WHEN len(t.w) > 0
+        |  THEN floor(1000000 * (len(t.w) - coalesce(c.covered_words, 0)) / len(t.w))
+        |  ELSE 1000000 END AS BIGINT) AS kept_ppm
+        |FROM tok t LEFT JOIN c USING (doc_id)""".stripMargin
   )
 }

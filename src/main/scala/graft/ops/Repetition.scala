@@ -88,4 +88,60 @@ object Repetition {
           coalesce(col("__boiler"), lit(0L)).cast("double") / col("n_grams"))
           .otherwise(0.0).as("boilerplate_frac"))
   }
+
+  /** Repeated-span coverage — the C4/RefinedWeb-style span dedup measure:
+    * which fraction of each document's WORDS sits inside a `k`-gram
+    * window that occurs in at least `minDocs` distinct documents. Where
+    * [[boilerplate]] counts a document's distinct shingles, this op
+    * resolves hot windows back to word POSITIONS (window at position i
+    * covers words i..i+k−1, overlaps unioned), so `kept_ppm` is exactly
+    * the share of text a span-removal rewrite would keep — the filter
+    * threshold and the rewrite volume estimate in one pass.
+    *
+    * Scale shape: the positional (id, pos, gram-hash) frame is the one
+    * large intermediate — 20-byte rows, bodies long gone — persisted
+    * because both the hot-gram tally and the coverage join consume it.
+    * Hot grams are found with a distinct-doc count (map-side combined);
+    * coverage is a left-semi join on the gram hash followed by a bounded
+    * k-way position fan-out and a distinct — every shuffle carries
+    * (id, position) or (hash, count) rows only.
+    */
+  def spanCoverage(
+      docs: DataFrame,
+      minDocs: Int = 3,
+      k: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2, "minDocs must be at least 2")
+    require(k >= 1, s"k must be >= 1: $k")
+    val words = Dedup.parallelize(docs)
+      .select(col(idCol).as("id"), Dedup.wordTokens(col(textCol)).as("__w"))
+    // Positional gram hashes: hash(words[i..i+k-1]) for each window start.
+    // Guard short docs: sequence(0, negative) would run DESCENDING.
+    val withGrams = words.select(
+      col("id"), size(col("__w")).as("n_words"),
+      when(size(col("__w")) < k, array().cast("array<int>"))
+        .otherwise(transform(sequence(lit(0), size(col("__w")) - k),
+          i => hash(slice(col("__w"), i + 1, lit(k))))).as("__g"))
+    val pos = withGrams
+      .select(col("id"), posexplode(col("__g")))
+      .withColumnRenamed("pos", "i")
+      .withColumnRenamed("col", "g")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = pos.groupBy("g").agg(countDistinct(col("id")).as("nd"))
+      .where(col("nd") >= minDocs).select("g")
+    val covered = pos
+      .join(hot, Seq("g"), "left_semi")
+      .select(col("id"), explode(sequence(col("i"), col("i") + (k - 1))).as("j"))
+      .distinct()
+      .groupBy("id").agg(count(lit(1)).as("covered_words"))
+    withGrams.select(col("id"), col("n_words").cast("long").as("n_words"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_words"),
+        coalesce(col("covered_words"), lit(0L)).as("covered_words"),
+        when(col("n_words") > 0,
+          floor(lit(1000000L) * (col("n_words") - coalesce(col("covered_words"), lit(0L))) /
+            col("n_words")))
+          .otherwise(1000000L).as("kept_ppm"))
+  }
 }

@@ -192,6 +192,45 @@ class Round4OpsSpec extends SparkSpec {
       "k4" -> ((2L, 11L))))
   }
 
+  // ------------------------------------------- repeated-span coverage
+
+  test("spanCoverage: hot windows cover their k word positions, overlaps unioned") {
+    // "a b c" appears in docs 1,2,3 (hot at minDocs=3); doc 1 has it at
+    // positions 0 and 2 (overlap at word index 2): "a b c" + "c a b c".
+    val docs = Seq(
+      (1L, "a b a b c x"),   // window "a b c"? windows: aba,bab,abc? no: a b a, b a b, a b c, b c x
+      (2L, "a b c y"),
+      (3L, "z a b c"),
+      (4L, "u v w")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Repetition.spanCoverage(docs, minDocs = 3, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // hot gram: "a b c" (docs 1,2,3).
+    // doc1 words: a b a b c x — "a b c" at start 2 covers positions 2,3,4 → 3 of 6 → kept 500000
+    assert(got(1L) == ((6L, 3L, 500000L)))
+    // doc2: covers 0,1,2 of 4 → kept floor(1e6/4)=250000
+    assert(got(2L) == ((4L, 3L, 250000L)))
+    // doc3: covers 1,2,3 of 4
+    assert(got(3L) == ((4L, 3L, 250000L)))
+    // doc4: nothing hot
+    assert(got(4L) == ((3L, 0L, 1000000L)))
+  }
+
+  test("spanCoverage: short and empty docs are safe; overlapping hot windows union") {
+    val docs = Seq(
+      (1L, "p q p q p q"),   // "p q p" at 0,2; "q p q" at 1,3 — if hot, union covers all 6
+      (2L, "p q p q p q"),
+      (3L, "p q p q p q"),
+      (4L, "xy"),            // 1 word < k → no windows
+      (5L, " ")              // empty
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Repetition.spanCoverage(docs, minDocs = 3, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((6L, 6L, 0L)))
+    assert(got(4L) == ((1L, 0L, 1000000L)))
+    assert(got(5L) == ((0L, 0L, 1000000L)))
+  }
+
   // ------------------------------------------------ join estimate
 
   test("joinEstimate predicts the exact equi-join output size per key") {
