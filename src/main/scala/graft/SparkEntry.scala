@@ -1316,8 +1316,37 @@ object SparkEntry {
     // ---- C4-style repeated-span coverage: words inside corpus-hot 3-gram
     // windows, overlaps unioned — the span-dedup rewrite volume. ----------
     "q125_span_coverage" -> ((s, dir) =>
-      Repetition.spanCoverage(t(s, dir, "documents"), minDocs = 3, k = 3))
+      Repetition.spanCoverage(t(s, dir, "documents"), minDocs = 3, k = 3)),
+
+    // ---- multi-probe LSH ANN: queries also probe every 1-bit-flip bucket
+    // per band — the recall lever that leaves the corpus index untouched.
+    // Pinned-fixture oracle like q20. --------------------------------------
+    "q126_ann_multiprobe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb,
+        emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding")),
+        k = 10, probeHamming = 1)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // ---- ANN recall harness: recall@10 of the multi-probe index against
+    // the exact baseline — the oracle recomputes the exact side by brute
+    // force and re-derives recall from the pinned ANN rows. ---------------
+    "q127_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.recallAt(
+        Similarity.lshTopK(emb, qs, k = 10, probeHamming = 1),
+        Similarity.bruteForceTopK(emb, qs, k = 10),
+        k = 10)
+    })
   )
+
+  /** Pinned sf0.01 multi-probe ANN rows (tools/pin_oracle.py) — q126's
+    * oracle, and the ANN side q127's oracle re-derives recall from.
+    */
+  private val PinnedQ126: String =
+    """SELECT CAST(query_id AS BIGINT) AS query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id, CAST(rank AS BIGINT) AS rank FROM (VALUES (0,99,9),(0,165,5),(0,229,7),(0,261,8),(0,266,10),(0,334,1),(0,344,4),(0,387,2),(0,388,3),(0,415,6),(1,80,5),(1,124,2),(1,181,7),(1,203,4),(1,217,8),(1,220,3),(1,285,6),(1,373,9),(1,386,1),(1,451,10),(2,13,7),(2,37,6),(2,118,9),(2,172,1),(2,239,3),(2,407,4),(2,440,2),(2,453,10),(2,465,5),(2,468,8),(3,11,10),(3,85,9),(3,130,1),(3,174,2),(3,201,7),(3,207,4),(3,231,3),(3,283,8),(3,349,6),(3,463,5),(4,89,4),(4,280,3),(4,332,6),(4,353,7),(4,384,5),(4,395,9),(4,403,8),(4,408,2),(4,445,10),(4,496,1),(5,19,8),(5,46,5),(5,152,4),(5,157,1),(5,267,9),(5,337,7),(5,359,2),(5,361,10),(5,457,6),(5,464,3),(6,78,5),(6,82,7),(6,145,2),(6,165,9),(6,268,3),(6,315,8),(6,371,4),(6,430,1),(6,443,6),(6,459,10),(7,49,4),(7,59,5),(7,209,2),(7,214,10),(7,319,7),(7,334,3),(7,407,8),(7,418,6),(7,423,9),(7,425,1),(8,35,8),(8,39,1),(8,47,10),(8,102,5),(8,138,2),(8,196,6),(8,314,7),(8,401,9),(8,403,3),(8,494,4),(9,20,7),(9,49,1),(9,69,8),(9,107,3),(9,274,6),(9,330,4),(9,340,5),(9,386,2),(9,408,10),(9,449,9)) AS t(query_id, neighbor_id, rank)"""
 
   /** Per-source interleave strides for q103 (stride 1 ⇒ 4× the density of
     * stride 4), shared by the Spark query and the generated oracle CASE.
@@ -2807,6 +2836,27 @@ object SparkEntry {
         | CAST(CASE WHEN len(t.w) > 0
         |  THEN floor(1000000 * (len(t.w) - coalesce(c.covered_words, 0)) / len(t.w))
         |  ELSE 1000000 END AS BIGINT) AS kept_ppm
-        |FROM tok t LEFT JOIN c USING (doc_id)""".stripMargin
+        |FROM tok t LEFT JOIN c USING (doc_id)""".stripMargin,
+    "q126_ann_multiprobe" -> PinnedQ126,
+    // q127: the exact side is recomputed by brute force (same CTE as the
+    // q19 oracle — already proven to agree with Spark's float ordering);
+    // recall is re-derived from the pinned ANN rows, so this checks the
+    // recall MATH, not just result stability.
+    "q127_ann_recall" ->
+      s"""WITH ann AS ($PinnedQ126),
+        |exact AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings c, embeddings q
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) WHERE rank <= 10),
+        |h AS (
+        | SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+        | FROM ann a JOIN exact e
+        |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id GROUP BY 1)
+        |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        | CAST(floor(1000000 * coalesce(h.n_hits, 0) / 10) AS BIGINT) AS recall_ppm
+        |FROM (SELECT DISTINCT query_id FROM exact) q LEFT JOIN h USING (query_id)""".stripMargin
   )
 }

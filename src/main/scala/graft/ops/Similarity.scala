@@ -65,7 +65,9 @@ object Similarity {
       bands: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      queryIdCol: String = "query_id"): DataFrame = {
+      queryIdCol: String = "query_id",
+      probeHamming: Int = 0): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 1, s"probeHamming must be 0 or 1: $probeHamming")
     // Unit-normalize before bucketing (signs of hyperplane projections are
     // scale-invariant, so buckets are unchanged) → pair scoring is one dot.
     def bucketize(df: DataFrame, id: String, outId: String, vec: String, outVec: String): DataFrame =
@@ -76,7 +78,18 @@ object Similarity {
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bucket")
     val bucketedCorpus = bucketize(corpus, idCol, "neighbor_id", vecCol, "c_vec")
-    val bucketedQueries = bucketize(queries, queryIdCol, "query_id", vecCol, "q_vec")
+    val probed = bucketize(queries, queryIdCol, "query_id", vecCol, "q_vec")
+    // Multi-probe (the standard recall lever that does NOT grow the
+    // corpus-side index): each query ALSO probes the nBits buckets one
+    // bit-flip away in every band — a vector that lands just across one
+    // hyperplane is found without adding bands or re-bucketing the
+    // corpus. Query-side fan-out only: queries are broadcast-sized, so
+    // (1 + nBits)× more probe rows is noise next to the corpus scan.
+    val bucketedQueries =
+      if (probeHamming == 0) probed
+      else probed.select(col("query_id"), col("q_vec"), col("band"),
+        explode(array(col("bucket") +:
+          (0 until nBits).map(b => col("bucket").bitwiseXOR(lit(1 << b))): _*)).as("bucket"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     bucketedCorpus.join(broadcast(bucketedQueries), Seq("band", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
@@ -85,6 +98,33 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /** Recall@k of an ANN result against an exact baseline: per query,
+    * `n_hits` = |ANN top-k ∩ exact top-k| and `recall_ppm` — the eval
+    * harness every approximate index ships with. Queries the ANN result
+    * missed entirely report 0, not absence.
+    *
+    * Scale shape: both inputs are (query × k)-sized — a broadcast-scale
+    * inner join on (query_id, neighbor_id) plus one count aggregation;
+    * nothing here touches the corpus.
+    */
+  def recallAt(
+      ann: DataFrame,
+      exact: DataFrame,
+      k: Int,
+      queryIdCol: String = "query_id",
+      neighborIdCol: String = "neighbor_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val a = ann.select(col(queryIdCol).as("query_id"), col(neighborIdCol).as("n_id"))
+    val e = exact.select(col(queryIdCol).as("query_id"), col(neighborIdCol).as("n_id"))
+    val hits = a.join(e, Seq("query_id", "n_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    e.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        floor(lit(1000000L) * coalesce(col("n_hits"), lit(0L)) / k).as("recall_ppm"))
   }
 
   /** IVF ANN: assign corpus rows to their nearest centroid, probe the

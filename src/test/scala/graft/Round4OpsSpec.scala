@@ -231,6 +231,41 @@ class Round4OpsSpec extends SparkSpec {
     assert(got(5L) == ((0L, 0L, 1000000L)))
   }
 
+  // -------------------------------------- multi-probe ANN + recall
+
+  test("multi-probe LSH is a superset recall lever: recall@k >= single-probe, exact self-agreement = 1") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(5)
+    val corpus = (0L until 120L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+    val single = Similarity.lshTopK(corpus, queries, k = 5)
+    val multi = Similarity.lshTopK(corpus, queries, k = 5, probeHamming = 1)
+    def meanRecall(ann: org.apache.spark.sql.DataFrame): Double = {
+      val r = Similarity.recallAt(ann, exact, k = 5).collect()
+      r.map(_.getLong(2)).sum.toDouble / r.length
+    }
+    val rs = meanRecall(single)
+    val rm = meanRecall(multi)
+    assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
+    // recall of the exact result against itself is 1 for every query
+    val self = Similarity.recallAt(exact, exact, k = 5).collect()
+    assert(self.length == 5 && self.forall(_.getLong(2) == 1000000L))
+  }
+
+  test("recallAt reports 0 (not absence) for queries the ANN missed entirely") {
+    import graft.ops.Similarity
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1), (2L, 21L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val ann = Seq((1L, 11L, 1)).toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.recallAt(ann, exact, k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((1L, 500000L)))
+    assert(got(2L) == ((0L, 0L)))
+  }
+
   // ------------------------------------------------ join estimate
 
   test("joinEstimate predicts the exact equi-join output size per key") {
