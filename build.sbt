@@ -30,5 +30,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] means driver heap IS the whole cluster's memory: 32 task
+  // threads + block manager share one JVM, and 8g starves cache-heavy
+  // iterative queries into eviction/GC stalls (the sandbox has 128 GiB).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -39,7 +39,22 @@ object Bench {
     // Best-of-2 per query: host-level background activity shows up as
     // multi-second spikes on whole wall-clock windows; the min of two
     // spaced runs is the robust per-query estimate.
+    // Between timed runs, evict the previous query's leftovers: cached
+    // relations plus persisted/localCheckpoint'd RDDs survive in the block
+    // manager until GC'd, and 127 queries × 2 passes of debris in one JVM
+    // pushes cache-heavy (graph/iterative) queries into eviction + GC
+    // stalls ON THE TIMED PATH. Everything a query materializes is dead
+    // once its noop write returns (each timed call rebuilds plans from
+    // scratch), so dropping it all between runs is safe — and the System.gc
+    // lets the ContextCleaner reap unreferenced checkpoint blocks now
+    // instead of mid-measurement.
+    def evictDebris(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      evictDebris()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] failed: ${e.getMessage}") }

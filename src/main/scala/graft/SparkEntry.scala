@@ -558,16 +558,8 @@ object SparkEntry {
     // fixture builds chains + stars with bridges merging group pairs, so
     // convergence requires real multi-hop propagation; DuckDB replays it
     // with a recursive transitive closure. --------------------------------
-    "q54_connected_components" -> ((s, dir) => {
-      val b = t(s, dir, "documents").where(col("doc_id") % 20 === 0)
-        .select(col("doc_id").as("a"))
-      val pairs = b.select(col("a").as("a_id"), (col("a") + 1).as("b_id"))
-        .union(b.select((col("a") + 1).as("a_id"), (col("a") + 2).as("b_id")))
-        .union(b.select(col("a").as("a_id"), (col("a") + 5).as("b_id")))
-        .union(b.where(col("a") % 40 === 0)
-          .select((col("a") + 5).as("a_id"), (col("a") + 22).as("b_id")))
-      Components.connectedComponents(pairs)
-    }),
+    "q54_connected_components" -> ((s, dir) =>
+      Components.connectedComponents(docChainPairs(s, dir))),
 
     // ---- brute-force cosine top-k (exact ANN baseline) -------------------
     "q19_embedding_topk" -> ((s, dir) => {
@@ -1339,8 +1331,70 @@ object SparkEntry {
         Similarity.lshTopK(emb, qs, k = 10, probeHamming = 1),
         Similarity.bruteForceTopK(emb, qs, k = 10),
         k = 10)
-    })
+    }),
+
+    // ---- cluster-representative election: the step AFTER near-dup
+    // resolution — q54's component structure, ranked by n_chars (quality
+    // proxy), emits the id→rep_id rewrite map a dedup materialization
+    // applies. One join + one max-struct agg, no windows. -----------------
+    "q128_cluster_rep" -> ((s, dir) => {
+      val membership = Components.connectedComponents(docChainPairs(s, dir))
+      val ranks = t(s, dir, "documents")
+        .select(col("doc_id").as("id"), col("n_chars").as("rank"))
+      Components.representatives(membership, ranks)
+    }),
+
+    // ---- interpolated Kneser–Ney bigram LM, exact integer ppm: the
+    // smoothing layer over q115's continuation counts — one rational per
+    // observed bigram, vocabulary-sized all the way. ----------------------
+    "q129_kneser_ney" -> ((s, dir) =>
+      Ngrams.kneserNeyBigrams(t(s, dir, "documents"), minCount = 3)),
+
+    // ---- EXACT set-similarity self-join via prefix filtering (AllPairs/
+    // PPJoin): every pair with word-set Jaccard ≥ 0.95, zero false
+    // negatives — the auditable complement to MinHash-LSH. Candidates come
+    // only from shared rarest-first prefix tokens + size filter. (The
+    // synthetic corpus's tiny vocabulary makes the MEDIAN pairwise Jaccard
+    // 0.63 — a production-like 0.2 dedup threshold would be all-pairs on
+    // this data, so the query uses the near-identity band.) ---------------
+    "q130_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixFilterPairs(t(s, dir, "documents"), thresholdPpm = 950000L))
   )
+
+  /** The deterministic doc-id chain graph shared by q54 and q128: edges
+    * between arithmetic neighbors of every 20th doc id — engine-neutral
+    * (the oracle rebuilds it in SQL), with multi-node components and
+    * occasional bridges (`a % 40` rows).
+    */
+  private def docChainPairs(s: SparkSession, dir: String): DataFrame = {
+    val b = t(s, dir, "documents").where(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("a"))
+    b.select(col("a").as("a_id"), (col("a") + 1).as("b_id"))
+      .union(b.select((col("a") + 1).as("a_id"), (col("a") + 2).as("b_id")))
+      .union(b.select(col("a").as("a_id"), (col("a") + 5).as("b_id")))
+      .union(b.where(col("a") % 40 === 0)
+        .select((col("a") + 5).as("a_id"), (col("a") + 22).as("b_id")))
+  }
+
+  /** Shared recursive-closure CTE body for the [[docChainPairs]] graph —
+    * q54's oracle aggregates it to components; q128's extends it with the
+    * representative election. (Callers prepend `WITH RECURSIVE `.)
+    */
+  private val DocChainComponentsCte: String =
+    """b AS (
+      | SELECT doc_id AS a FROM documents WHERE doc_id % 20 = 0),
+      |edges0 AS (
+      | SELECT a AS u, a + 1 AS v FROM b
+      | UNION ALL SELECT a + 1, a + 2 FROM b
+      | UNION ALL SELECT a, a + 5 FROM b
+      | UNION ALL SELECT a + 5, a + 22 FROM b WHERE a % 40 = 0),
+      |edges AS (
+      | SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+      |nodes AS (SELECT DISTINCT u AS id FROM edges),
+      |reach(id, r) AS (
+      | SELECT id, id FROM nodes
+      | UNION
+      | SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id)""".stripMargin
 
   /** Pinned sf0.01 multi-probe ANN rows (tools/pin_oracle.py) — q126's
     * oracle, and the ANN side q127's oracle re-derives recall from.
@@ -2008,20 +2062,7 @@ object SparkEntry {
     // q54: recursive transitive closure replays the distributed star-
     // contraction exactly — component = min reachable id per node.
     "q54_connected_components" ->
-      """WITH RECURSIVE b AS (
-        | SELECT doc_id AS a FROM documents WHERE doc_id % 20 = 0),
-        |edges0 AS (
-        | SELECT a AS u, a + 1 AS v FROM b
-        | UNION ALL SELECT a + 1, a + 2 FROM b
-        | UNION ALL SELECT a, a + 5 FROM b
-        | UNION ALL SELECT a + 5, a + 22 FROM b WHERE a % 40 = 0),
-        |edges AS (
-        | SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
-        |nodes AS (SELECT DISTINCT u AS id FROM edges),
-        |reach(id, r) AS (
-        | SELECT id, id FROM nodes
-        | UNION
-        | SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id)
+      s"""WITH RECURSIVE $DocChainComponentsCte
         |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
     // q23: full IVF replay — nearest-centroid assignment (ties → smallest
     // centroid id, as in Similarity.ivfTopK's array_position-of-max), top-2
@@ -2857,6 +2898,64 @@ object SparkEntry {
         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id GROUP BY 1)
         |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
         | CAST(floor(1000000 * coalesce(h.n_hits, 0) / 10) AS BIGINT) AS recall_ppm
-        |FROM (SELECT DISTINCT query_id FROM exact) q LEFT JOIN h USING (query_id)""".stripMargin
+        |FROM (SELECT DISTINCT query_id FROM exact) q LEFT JOIN h USING (query_id)""".stripMargin,
+    // q128: components via the same recursive closure as q54, then the
+    // (rank desc, id asc) argmax replayed as a window; unranked members
+    // get Long.MinValue exactly like the Spark side.
+    "q128_cluster_rep" ->
+      s"""WITH RECURSIVE $DocChainComponentsCte,
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |ranked AS (
+        | SELECT c.id, c.component,
+        |  coalesce(d.n_chars, -9223372036854775807 - 1) AS rnk
+        | FROM comp c LEFT JOIN documents d ON c.id = d.doc_id),
+        |w AS (
+        | SELECT component, id AS rep_id,
+        |  row_number() OVER (PARTITION BY component ORDER BY rnk DESC, id) AS rn
+        | FROM ranked)
+        |SELECT CAST(r.id AS BIGINT) AS id, CAST(r.component AS BIGINT) AS component,
+        | CAST(w.rep_id AS BIGINT) AS rep_id, r.id = w.rep_id AS is_rep
+        |FROM ranked r JOIN w ON r.component = w.component AND w.rn = 1""".stripMargin,
+    // q129: KN bigram probability as ONE integer rational —
+    // ⌊1e6·(B·(4·c12 − 3) + 3·R1(w1)·L1(w2)) / (4·c1·B)⌋ — identical
+    // numerator/denominator as the Spark side, so floor rounding agrees.
+    "q129_kneser_ney" ->
+      """WITH tok AS (
+        | SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |bg AS (
+        | SELECT unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
+        |   i -> w[i+1] || ' ' || w[i+2])) AS bigram
+        | FROM tok),
+        |bi AS (
+        | SELECT string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2,
+        |  CAST(count(*) AS BIGINT) AS n_12
+        | FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(n_12) AS BIGINT) AS c_1 FROM bi GROUP BY 1),
+        |r1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS r_1 FROM bi GROUP BY 1),
+        |l1 AS (SELECT w2, CAST(count(*) AS BIGINT) AS l_1 FROM bi GROUP BY 1),
+        |bb AS (SELECT CAST(count(*) AS BIGINT) AS n_bigrams FROM bi)
+        |SELECT bi.w1, bi.w2, bi.n_12,
+        | CAST(floor((1000000 * (bb.n_bigrams * (4 * bi.n_12 - 3) + 3 * r1.r_1 * l1.l_1))
+        |   / (4 * c1.c_1 * bb.n_bigrams)) AS BIGINT) AS p_ppm
+        |FROM bi JOIN c1 USING (w1) JOIN r1 USING (w1) JOIN l1 USING (w2), bb
+        |WHERE bi.n_12 >= 3""".stripMargin,
+    // q130: the oracle is the BRUTE-FORCE similarity join — every pair,
+    // exact Jaccard — which is precisely the no-false-negative contract
+    // the prefix filter claims; sf0.01's 500 docs keep it tractable.
+    "q130_prefix_jaccard" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  list_distinct(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0)) AS s
+        | FROM documents),
+        |nz AS (SELECT doc_id, s, len(s) AS n FROM tok WHERE len(s) > 0),
+        |p AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_common
+        | FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, n_a, n_b, n_common,
+        | CAST(floor(1000000 * n_common / (n_a + n_b - n_common)) AS BIGINT) AS jaccard_ppm
+        |FROM p WHERE n_common * 1000000 >= 950000 * (n_a + n_b - n_common)""".stripMargin
   )
 }

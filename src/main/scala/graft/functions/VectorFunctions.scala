@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, GraftColumn}
 import org.apache.spark.sql.functions._
-import graft.functions.expressions.{CentroidCodebook, CosineSimilarity, DotProduct, HyperplaneBucket => HyperplaneBucketExpr, MinHashSignature, NearestCentroidId, ShingleHashes, SimHash64, TopCentroidIds}
+import graft.functions.expressions.{CentroidCodebook, CosineSimilarity, DotProduct, HyperplaneBucket => HyperplaneBucketExpr, MinHashSignature, NearestCentroidId, ShingleHashes, SimHash64, SortedIntersectCount, TopCentroidIds}
 
 /** Vector math over `array<float>` embedding columns. The hot pairwise
   * functions ([[dot]], [[cosine]], [[simhashBucket]]) are native Catalyst
@@ -56,6 +56,14 @@ object VectorFunctions {
   /** Distinct hashed word k-shingles (array<long>) in one native pass. */
   def shingleHashes(words: Column, k: Int): Column =
     GraftColumn(ShingleHashes(GraftColumn.expr(words), k))
+
+  /** |A ∩ B| over sorted, distinct, null-free string/long arrays — one
+    * native two-pointer merge (≡ `size(array_intersect(a, b))` on such
+    * inputs, without the per-row hash set). The per-candidate-pair
+    * verification kernel.
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftColumn(SortedIntersectCount(GraftColumn.expr(a), GraftColumn.expr(b)))
 
   /** Unit-normalize against a pre-computed norm column (stage the norm in a
     * prior projection so it evaluates once, not once per element). With unit

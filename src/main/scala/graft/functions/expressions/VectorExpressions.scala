@@ -428,3 +428,64 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
+
+/** |A ∩ B| over two SORTED (ascending, binary order), DISTINCT, null-free
+  * arrays — string or long elements — in one two-pointer merge pass.
+  * Equivalent to `size(array_intersect(a, b))` on such inputs, but
+  * O(|A|+|B|) with no per-row hash-set allocation and whole-stage
+  * codegen: this is the verification kernel of the prefix-filter
+  * similarity join, which evaluates it once per CANDIDATE pair (millions
+  * of times per partition), exactly where an interpreted ArrayIntersect
+  * stalls the scan. Inputs that violate sortedness/distinctness give
+  * undefined counts — callers own `array_sort(array_distinct(...))`.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+
+  private lazy val isString: Boolean = left.dataType match {
+    case ArrayType(StringType, _) => true
+    case ArrayType(LongType, _)   => false
+    case other => throw new IllegalArgumentException(s"expected array<string|bigint>, got $other")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (n, m) = (x.numElements(), y.numElements())
+    var (i, j) = (0, 0)
+    var count = 0L
+    while (i < n && j < m) {
+      val c =
+        if (isString) x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        else java.lang.Long.compare(x.getLong(i), y.getLong(j))
+      if (c == 0) { count += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    count
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, m, i, j, c, cnt) = (ctx.freshName("n"), ctx.freshName("m"), ctx.freshName("i"),
+        ctx.freshName("j"), ctx.freshName("c"), ctx.freshName("cnt"))
+      val cmp =
+        if (isString) s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
+        else s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
+      s"""
+         |final int $n = $a.numElements();
+         |final int $m = $b.numElements();
+         |int $i = 0; int $j = 0; long $cnt = 0L;
+         |while ($i < $n && $j < $m) {
+         |  final int $c = $cmp;
+         |  if ($c == 0) { $cnt++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}

@@ -99,4 +99,45 @@ object Components {
       .union(edges.select(col("u").as("id"), col("u").as("component")))
       .groupBy("id").agg(min(col("component")).as("component"))
   }
+
+  /** Canonical-member election per cluster: given a membership table
+    * (id → component) and a ranking table (id → rank), every member row
+    * comes back annotated with its cluster's winner — argmax by
+    * (rank desc, id asc), a total order, so the choice is deterministic
+    * for any partitioning. This is the step after near-dup resolution:
+    * [[connectedComponents]] says WHICH documents are one family;
+    * `representatives` says which single document the corpus KEEPS for
+    * it (highest quality score, ties to the smallest id), and gives the
+    * id-level rewrite map (id → rep_id) a dedup materialization applies.
+    *
+    * Members missing from `ranks` participate with rank
+    * `Long.MinValue` (they can still win a cluster where nobody is
+    * ranked — smallest id among the unranked).
+    *
+    * Scale shape: one equi-join on id (narrow rows: id, component,
+    * rank), one max-of-struct aggregation on component (map-side
+    * combined — one candidate row per component per partition crosses
+    * the wire), and one component-keyed join to annotate members. No
+    * windows, no per-cluster materialized member lists.
+    */
+  def representatives(
+      membership: DataFrame,
+      ranks: DataFrame,
+      idCol: String = "id",
+      componentCol: String = "component",
+      rankCol: String = "rank"): DataFrame = {
+    val m = membership.select(col(idCol).cast("long").as("id"),
+      col(componentCol).cast("long").as("component"))
+    val r = ranks.select(col(idCol).cast("long").as("id"),
+      col(rankCol).cast("long").as("__rank"))
+    val ranked = m.join(r, Seq("id"), "left")
+      .withColumn("__rank", coalesce(col("__rank"), lit(Long.MinValue)))
+    val winners = ranked
+      .groupBy("component")
+      .agg(max(struct(col("__rank"), (-col("id")).as("nid"))).as("__w"))
+      .select(col("component"), (-col("__w.nid")).as("rep_id"))
+    ranked.join(winners, Seq("component"))
+      .select(col("id").as(idCol), col("component").as(componentCol), col("rep_id"),
+        (col("id") === col("rep_id")).as("is_rep"))
+  }
 }

@@ -292,4 +292,86 @@ object Dedup {
       .where(col("dist") >= 0)
       .select(col("l.id").as("a_id"), col("r.id").as("b_id"), col("dist"))
   }
+
+  /** EXACT set-similarity self-join via prefix filtering (the AllPairs /
+    * PPJoin candidate scheme): every document pair whose word-SET Jaccard
+    * is ≥ `thresholdPpm/1e6`, with no false negatives — the deterministic
+    * complement to [[minhashLsh]] (probabilistic recall) when the dedup
+    * policy must be auditable ("ALL pairs above t were merged").
+    *
+    * Candidate generation: tokens are globally ordered rarest-first
+    * (document frequency asc, word asc — a total order, so results are
+    * partitioning-independent); each document exposes only its first
+    * `|s| − ⌈t·|s|⌉ + 1` tokens under that order. Any pair with
+    * J ≥ t shares ≥ ⌈t·|s|⌉ tokens, hence at least one EXPOSED token
+    * (pigeonhole) — so joining on exposed tokens alone loses nothing,
+    * while the rarest-first order makes the join key selective exactly
+    * where it matters (frequent tokens almost never land in a prefix).
+    * A size filter (`t·|a| ≤ |b| ∧ t·|b| ≤ |a|`, necessary for J ≥ t)
+    * prunes candidates before any verification.
+    *
+    * Scale shape: one vocabulary-sized frequency aggregation, one
+    * rank window per document (narrow (id, word, df) rows), an equi-join
+    * on the exposed-token key, then exact verification that touches ONLY
+    * surviving candidate pairs (token arrays join in by id — two hash
+    * joins). The quadratic blow-up of a naive similarity join is confined
+    * to documents sharing a rare prefix token; corpus bodies never
+    * shuffle. Verification is `|A∩B|` on distinct-token arrays with
+    * `|A∪B| = |A|+|B|−|A∩B|`, all integer.
+    *
+    * @param thresholdPpm inclusive Jaccard threshold in parts-per-million
+    *                     (e.g. 300000 ⇒ J ≥ 0.3)
+    */
+  def prefixFilterPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      thresholdPpm: Long = 500000L): DataFrame = {
+    require(thresholdPpm >= 1 && thresholdPpm <= 1000000L,
+      s"thresholdPpm must be in [1, 1000000]: $thresholdPpm")
+    // Sorted (binary order) distinct-token arrays: sortedness is what the
+    // O(|A|+|B|) native merge-intersection verification kernel needs.
+    val sets = parallelize(docs)
+      .select(col(idCol).cast("long").as("id"),
+        array_sort(array_distinct(wordTokens(col(textCol)))).as("toks"))
+      .where(size(col("toks")) > 0)
+      .withColumn("n", size(col("toks")).cast("long"))
+    val tokens = sets.select(col("id"), col("n"), explode(col("toks")).as("word"))
+    // Global document frequency — the prefix order key. Vocabulary-sized,
+    // map-side combined, broadcast back onto the token stream.
+    val df = tokens.groupBy("word").agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("__df"), col("word"))
+    // prefix length = n − ⌈t·n⌉ + 1, with ⌈t·n⌉ = (t_ppm·n + 999999) div 1e6
+    // (the `div` is exact: the numerator is ≤ 1e12, well inside double)
+    val needed = (col("n") * thresholdPpm + lit(999999L)) / lit(1000000L)
+    val prefixes = tokens
+      .join(broadcast(df), Seq("word"))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .where(col("__rk") <= col("n") - floor(needed).cast("long") + lit(1L))
+      .select(col("id"), col("n"), col("word"), col("__rk"))
+    // Positional filter (PPJoin): a shared token at prefix positions
+    // (rkₐ, rk_b) caps the overlap at 1 + min(n_a−rkₐ, n_b−rk_b); J ≥ t
+    // forces overlap ≥ ⌈t·(n_a+n_b)/(1+t)⌉. The TRUE first shared token
+    // of a qualifying pair always passes, so per-row pruning before the
+    // pair-distinct drops only rows, never pairs — exactness holds.
+    val alphaNum = lit(thresholdPpm) * (col("a.n") + col("b.n"))
+    val alphaDen = lit(1000000L + thresholdPpm)
+    val overlapUb = lit(1L) + least(col("a.n") - col("a.__rk"), col("b.n") - col("b.__rk"))
+    val candidates = prefixes.alias("a")
+      .join(prefixes.alias("b"),
+        col("a.word") === col("b.word") && col("a.id") < col("b.id") &&
+          col("a.n") * thresholdPpm <= col("b.n") * 1000000L &&
+          col("b.n") * thresholdPpm <= col("a.n") * 1000000L &&
+          overlapUb * alphaDen >= alphaNum)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    val nCommon = VectorFunctions.sortedIntersectCount(col("a_toks"), col("b_toks"))
+    candidates
+      .join(sets.select(col("id").as("a_id"), col("toks").as("a_toks"), col("n").as("n_a")), Seq("a_id"))
+      .join(sets.select(col("id").as("b_id"), col("toks").as("b_toks"), col("n").as("n_b")), Seq("b_id"))
+      .withColumn("n_common", nCommon)
+      .where(col("n_common") * 1000000L >= lit(thresholdPpm) * (col("n_a") + col("n_b") - col("n_common")))
+      .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"), col("n_common"),
+        floor(lit(1000000L) * col("n_common") / (col("n_a") + col("n_b") - col("n_common"))).as("jaccard_ppm"))
+  }
 }

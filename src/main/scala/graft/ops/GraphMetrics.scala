@@ -105,7 +105,7 @@ object GraphMetrics {
       .repartition(p, col("dst")).cache()
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    for (i <- 1 to rounds) {
       // Neighbor-label tally: join on the label-carrier side (dst), so
       // the cached dst-hashed edge layout is reused every round and only
       // the narrow labels table moves.
@@ -113,11 +113,15 @@ object GraphMetrics {
         .groupBy(col("src"), col("label")).agg(count(lit(1)).as("n"))
       // argmax by (count desc, label asc) via struct max: among equal
       // counts, the largest negated label is the smallest label.
-      labels = tally
+      val next = tally
         .groupBy(col("src"))
         .agg(max(struct(col("n"), (-col("label")).as("nl"))).as("m"))
         .select(col("src").as("id"), (-col("m.nl")).as("label"))
-        .localCheckpoint()
+      // Label lineage is linear (one reference per round) — same
+      // checkpoint cadence rationale as [[PageRank.ranksFixedPoint]]:
+      // truncate every 4th round and on the last (the result must
+      // outlive sym.unpersist below), skip the eager job otherwise.
+      labels = if (i == rounds || i % 4 == 0) next.localCheckpoint() else next
     }
     sym.unpersist()
     labels

@@ -133,6 +133,64 @@ object Ngrams {
         coalesce(col("n_right_contexts"), lit(0L)).as("n_right_contexts"))
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities, in exact integer ppm:
+    * for each observed bigram (w1 w2),
+    * `P(w2|w1) = (c₁₂ − d)/c₁ + d·R₁(w1)/c₁ · L₁(w2)/B`, where c₁₂ is the
+    * bigram count, c₁ = Σ_w c(w1 w), R₁(w1) = |distinct right neighbors
+    * of w1|, L₁(w2) = |distinct left neighbors of w2| (the continuation
+    * distribution), B = |distinct bigrams|, and d = `discountNum /
+    * discountDen` (KN's fixed absolute discount, ¾ by default). This is
+    * the actual smoothing an n-gram LM (the classic quality-filter scorer
+    * for pre-training corpora) puts on top of [[continuationCounts]].
+    *
+    * All arithmetic is one integer rational per row —
+    * `p_ppm = ⌊1e6 · (B·(den·c₁₂ − num) + num·R₁·L₁) / (den·c₁·B)⌋` —
+    * so results are merge-order- and engine-independent (float KN drifts
+    * in the last ulps across reduce orders, poisoning hash gates). Since
+    * c₁₂ ≥ 1 and d < 1, the discounted term is always positive; the
+    * `max(·,0)` of textbook KN is vacuous on OBSERVED bigrams, which are
+    * the only rows emitted (the backoff-only mass for unseen pairs lives
+    * in the same numbers and needs no materialized row per unseen pair —
+    * THAT would be |V|² rows).
+    *
+    * Scale shape: everything after tokenization is vocabulary-sized —
+    * one map-side-combined bigram count agg; c₁ re-aggregates those
+    * counts by w1 (never re-reading the corpus); continuation counts
+    * aggregate the distinct-bigram set; B is a one-row aggregate joined
+    * in by broadcast. The assembling joins key on single words, the
+    * canonical "small dimension onto vocabulary fact" shape.
+    */
+  def kneserNeyBigrams(
+      docs: DataFrame,
+      textCol: String = "text",
+      minCount: Long = 2L,
+      discountNum: Long = 3L,
+      discountDen: Long = 4L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(discountNum >= 0 && discountDen >= 1 && discountNum < discountDen,
+      s"discount must be a rational in [0,1): $discountNum/$discountDen")
+    val words = Dedup.parallelize(docs)
+      .select(Dedup.wordTokens(col(textCol)).as("__w"))
+    val bi = words.select(explode(bigrams(col("__w"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_12"))
+      .select(split(col("bigram"), " ")(0).as("w1"), split(col("bigram"), " ")(1).as("w2"),
+        col("n_12"))
+    // Derived stats re-aggregate the (already vocabulary-sized) bigram
+    // table — the corpus is tokenized exactly once above.
+    val c1 = bi.groupBy("w1").agg(sum("n_12").as("c_1"))
+    val r1 = bi.groupBy("w1").agg(count(lit(1)).as("r_1"))
+    val l1 = bi.groupBy("w2").agg(count(lit(1)).as("l_1"))
+    val b = bi.agg(count(lit(1)).as("n_bigrams"))
+    bi.where(col("n_12") >= minCount)
+      .join(c1, Seq("w1")).join(r1, Seq("w1")).join(l1, Seq("w2"))
+      .crossJoin(broadcast(b))
+      .select(col("w1"), col("w2"), col("n_12"),
+        floor((lit(1000000L) *
+          (col("n_bigrams") * (lit(discountDen) * col("n_12") - lit(discountNum)) +
+            lit(discountNum) * col("r_1") * col("l_1"))) /
+          (lit(discountDen) * col("c_1") * col("n_bigrams"))).as("p_ppm"))
+  }
+
   /** Vocabulary coverage / OOV rate per document against the corpus's own
     * top-`vocabSize` terms (by count desc, term asc — the deterministic
     * frequency-truncated vocabulary a tokenizer build would keep):

@@ -68,11 +68,17 @@ object PageRank {
     val withDeg = e.join(deg, "s").repartition(p, col("s")).cache()
     val teleport = scale * (100 - dampingNum) / 100
     var ranks = nodes.withColumn("rank", lit(scale))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contribs = contributions(withDeg, ranks, dampingNum)
-      ranks = nodes.join(contribs.hint("shuffle_hash"), Seq("id"), "left")
+      val next = nodes.join(contribs.hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"), (lit(teleport) + coalesce(col("c"), lit(0L))).as("rank"))
-        .localCheckpoint()
+      // Rank lineage grows LINEARLY (each iteration references the prior
+      // ranks exactly once), so a checkpoint per iteration buys nothing
+      // structurally while costing one eager materialization job each
+      // round. Truncate every 4th round (Catalyst analysis/AQE cost on a
+      // deep chained plan) and always on the last (callers get a
+      // materialized, cache-independent result).
+      ranks = if (i == iterations || i % 4 == 0) next.localCheckpoint() else next
     }
     nodes.unpersist()
     withDeg.unpersist()

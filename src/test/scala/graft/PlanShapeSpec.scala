@@ -143,4 +143,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(cachedScans.size >= 3,
       s"expected the persisted oriented edges on all three join sides, found ${cachedScans.size} cached scans")
   }
+
+  test("prefix-filter join and Kneser–Ney never shuffle raw document text") {
+    // prefixFilterPairs legitimately shuffles DISTINCT-TOKEN arrays (the
+    // verification step needs the sets); the contract is that full `text`
+    // bodies never cross an exchange. KN shuffles only vocabulary rows.
+    Seq(
+      Dedup.prefixFilterPairs(docs, thresholdPpm = 300000L),
+      graft.ops.Ngrams.kneserNeyBigrams(docs, minCount = 1)
+    ).foreach { df =>
+      val shuffles = shuffleOutputs(df)
+      assert(shuffles.nonEmpty)
+      shuffles.foreach { out =>
+        assert(!out.contains("text") && !out.contains("__w"), s"body column in shuffle: $out")
+      }
+    }
+  }
 }

@@ -293,4 +293,86 @@ class Round4OpsSpec extends SparkSpec {
     val expected = math.floor(1e6 * (2 * iSum - (n + 1) * sum).toDouble / (n * sum)).toLong
     assert(got.getLong(3) == expected)
   }
+
+  // ------------------------------------------ cluster representatives
+
+  test("representatives: argmax by (rank desc, id asc), unranked members rank lowest") {
+    import graft.ops.Components
+    val membership = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "component")
+    // cluster 1: ranks 5, 9, 9 → tie between ids 2 and 3 → rep 2.
+    // cluster 10: nobody ranked → smallest id wins → rep 10.
+    val ranks = Seq((1L, 5L), (2L, 9L), (3L, 9L)).toDF("id", "rank")
+    val got = Components.representatives(membership, ranks)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(1L) == ((2L, false)))
+    assert(got(2L) == ((2L, true)))
+    assert(got(3L) == ((2L, false)))
+    assert(got(10L) == ((10L, true)))
+    assert(got(11L) == ((10L, false)))
+  }
+
+  // ------------------------------------------------- Kneser–Ney
+
+  test("kneserNeyBigrams matches the hand-computed KN rational on a tiny corpus") {
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    // bigrams: ab ab ba ba ac → counts: ab=2, ba=2, ac=1; B=3 distinct.
+    // c1(a)=3, c1(b)=2; R1(a)=2, R1(b)=1; L1(b)=1, L1(a)=1, L1(c)=1.
+    val got = Ngrams.kneserNeyBigrams(docs, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    def ppm(c12: Long, c1: Long, r1: Long, l1: Long, b: Long): Long =
+      math.floorDiv(1000000L * (b * (4 * c12 - 3) + 3 * r1 * l1), 4 * c1 * b)
+    assert(got(("a", "b")) == ((2L, ppm(2, 3, 2, 1, 3))))
+    assert(got(("b", "a")) == ((2L, ppm(2, 2, 1, 1, 3))))
+    assert(got(("a", "c")) == ((1L, ppm(1, 3, 2, 1, 3))))
+  }
+
+  test("kneserNeyBigrams: per-context probabilities sum to ~1 (within floor loss)") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the cat"),
+      (3L, "a cat and a dog sat")
+    ).toDF("doc_id", "text")
+    val rows = Ngrams.kneserNeyBigrams(docs, minCount = 1).collect()
+    // KN is a proper conditional distribution over OBSERVED continuations
+    // plus backoff mass for unseen ones — so per w1, the observed sum must
+    // be ≤ 1e6 and > 0; with every continuation observed it approaches 1e6.
+    val byW1 = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(3)).sum)
+    byW1.foreach { case (w1, s) =>
+      assert(s > 0 && s <= 1000000L, s"w1=$w1 observed-mass sum $s out of range")
+    }
+  }
+
+  // ---------------------------------------- prefix-filter similarity join
+
+  test("prefixFilterPairs equals the brute-force Jaccard join (no false negatives/positives)") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("red", "green", "blue", "cyan", "teal", "plum", "gold", "gray", "jade", "rust",
+      "mint", "navy", "pink", "sand", "wine")
+    val docs = (0L until 60L).map { i =>
+      val n = 3 + rnd.nextInt(8)
+      i -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }.toDF("doc_id", "text")
+    val got = graft.ops.Dedup.prefixFilterPairs(docs, thresholdPpm = 400000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    // brute force over the same token sets
+    val sets = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).split("\\s+").filter(_.nonEmpty).toSet).toMap
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      i = sets(a).intersect(sets(b)).size.toLong
+      u = sets(a).union(sets(b)).size.toLong
+      if i * 1000000L >= 400000L * u
+    } yield (a, b) -> math.floorDiv(1000000L * i, u)).toMap
+    assert(got == expected, s"got ${got.size} pairs, expected ${expected.size}")
+    assert(expected.nonEmpty, "fixture produced no qualifying pairs — weaken the threshold")
+  }
+
+  test("prefixFilterPairs: disjoint docs produce no candidates; identical docs hit 1e6") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.prefixFilterPairs(docs, thresholdPpm = 500000L).collect()
+    assert(got.length == 1)
+    assert((got.head.getLong(0), got.head.getLong(1), got.head.getLong(5)) == ((1L, 2L, 1000000L)))
+  }
 }
