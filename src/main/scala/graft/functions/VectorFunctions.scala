@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, GraftColumn}
 import org.apache.spark.sql.functions._
-import graft.functions.expressions.{CentroidCodebook, CosineSimilarity, DotProduct, HyperplaneBucket => HyperplaneBucketExpr, MinHashSignature, NearestCentroidId, ShingleHashes, SimHash64, SortedIntersectCount, TopCentroidIds}
+import graft.functions.expressions.{CentroidCodebook, CosineSimilarity, DotProduct, HyperplaneBucket => HyperplaneBucketExpr, LatticeCodebook, MinHashSignature, NearestCentroidId, NearestLatticeCentroid, PositionalShingleHashes, ShingleHashes, SimHash64, SortedIntersectCount, TopCentroidIds}
 
 /** Vector math over `array<float>` embedding columns. The hot pairwise
   * functions ([[dot]], [[cosine]], [[simhashBucket]]) are native Catalyst
@@ -56,6 +56,12 @@ object VectorFunctions {
   /** Distinct hashed word k-shingles (array<long>) in one native pass. */
   def shingleHashes(words: Column, k: Int): Column =
     GraftColumn(ShingleHashes(GraftColumn.expr(words), k))
+
+  /** Positional (order-preserving, non-distinct) k-shingle hashes — one
+    * per window start, empty below k words; one native pass.
+    */
+  def positionalShingleHashes(words: Column, k: Int): Column =
+    GraftColumn(PositionalShingleHashes(GraftColumn.expr(words), k))
 
   /** |A ∩ B| over sorted, distinct, null-free string/long arrays — one
     * native two-pointer merge (≡ `size(array_intersect(a, b))` on such
@@ -114,6 +120,13 @@ object VectorFunctions {
     */
   def nearestCentroidId(vec: Column, codebook: Broadcast[CentroidCodebook]): Column =
     GraftColumn(NearestCentroidId(GraftColumn.expr(vec), codebook))
+
+  /** `[cid, squared_distance]` of the nearest centroid on the integer
+    * lattice (exact long math, ties to smallest cid) — the codegen'd Lloyd
+    * assignment step of [[graft.ops.KMeans]].
+    */
+  def nearestLatticeCentroid(vec: Column, codebook: Broadcast[LatticeCodebook]): Column =
+    GraftColumn(NearestLatticeCentroid(GraftColumn.expr(vec), codebook))
 
   /** Top-`nProbe` centroid ids (dot desc, id asc) against a broadcast
     * codebook — the IVF query-probe step.

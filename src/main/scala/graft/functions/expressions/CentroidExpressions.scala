@@ -152,3 +152,89 @@ case class TopCentroidIds(child: Expression, codebook: Broadcast[CentroidCodeboo
   override protected def withNewChildInternal(newChild: Expression): TopCentroidIds =
     copy(child = newChild)
 }
+
+/** Integer-lattice codebook (parallel to [[CentroidCodebook]], but exact
+  * long coordinates), cid-sorted ascending so strict `<` argmin ties
+  * resolve to the smallest cid.
+  */
+case class LatticeCodebook(ids: Array[Long], vecs: Array[Array[Long]]) {
+  require(ids.length == vecs.length, "ids and vecs must be parallel")
+  require(ids.nonEmpty, "empty lattice codebook")
+}
+
+/** Nearest centroid on the integer lattice: `[cid, squared_distance]` as a
+  * 2-element long array, all-integer arithmetic (exact for lattice
+  * coordinates ≤ ~2²⁰ per |element| at any realistic dim) — the Lloyd
+  * assignment hot path of [[graft.ops.KMeans]], replacing an interpreted
+  * `aggregate(codebook, …, sqDist)` HOF chain that allocates per element.
+  * Ties on distance keep the smallest cid (cid-sorted codebook, strict <).
+  * Input must be `array<bigint>`; null elements are treated as 0.
+  */
+case class NearestLatticeCentroid(child: Expression, codebook: Broadcast[LatticeCodebook])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_lattice_centroid"
+  override lazy val canonicalized: Expression = copy(child = child.canonicalized)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = codebook.value
+    var best = 0
+    var bestDist = Long.MaxValue
+    var c = 0
+    while (c < m.vecs.length) {
+      val cv = m.vecs(c)
+      val n = math.min(v.numElements(), cv.length)
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val d = (if (v.isNullAt(i)) 0L else v.getLong(i)) - cv(i)
+        s += d * d
+        i += 1
+      }
+      if (s < bestDist) { bestDist = s; best = c }
+      c += 1
+    }
+    new GenericArrayData(Array(m.ids(best), bestDist))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcast = ctx.addReferenceObj("latticeCodebook", codebook,
+      classOf[Broadcast[LatticeCodebook]].getName)
+    val cbClass = classOf[LatticeCodebook].getName
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, v => {
+      val m = ctx.freshName("cb")
+      val vecs = ctx.freshName("vecs")
+      val best = ctx.freshName("best")
+      val bestDist = ctx.freshName("bestDist")
+      val c = ctx.freshName("c")
+      val cv = ctx.freshName("cv")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      s"""
+         |final $cbClass $m = ($cbClass) $bcast.value();
+         |final long[][] $vecs = $m.vecs();
+         |int $best = 0;
+         |long $bestDist = Long.MAX_VALUE;
+         |for (int $c = 0; $c < $vecs.length; $c++) {
+         |  final long[] $cv = $vecs[$c];
+         |  final int $n = java.lang.Math.min($v.numElements(), $cv.length);
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final long $d = ($v.isNullAt($i) ? 0L : $v.getLong($i)) - $cv[$i];
+         |    $s += $d * $d;
+         |  }
+         |  if ($s < $bestDist) { $bestDist = $s; $best = $c; }
+         |}
+         |${ev.value} = new $gad(new long[]{$m.ids()[$best], $bestDist});
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestLatticeCentroid =
+    copy(child = newChild)
+}

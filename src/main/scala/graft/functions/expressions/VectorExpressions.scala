@@ -354,6 +354,57 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** POSITIONAL k-shingle hashes: `out[i] = h(words[i..i+k-1])` for every
+  * window start, in document order — length `n−k+1`, or empty when the
+  * document is shorter than one window. The order-PRESERVING sibling of
+  * [[ShingleHashes]] (which dedups into set semantics): span-level
+  * operators ([[graft.ops.Repetition.spanCoverage]]) need the position of
+  * every gram occurrence, not the set. Each word hashes exactly once;
+  * windows combine word hashes by mix64 — no per-window array slicing, no
+  * string re-concatenation, and the whole column evaluates as one native
+  * call per row instead of an interpreted `transform(sequence…, slice…)`
+  * chain per window.
+  */
+case class PositionalShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "positional_shingle_hashes"
+
+  def shingles(arr: ArrayData): Array[Long] = {
+    val n = arr.numElements()
+    if (n < k) return Array.emptyLongArray
+    val wordHashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      wordHashes(i) = if (arr.isNullAt(i)) 0L else SketchHash.hash64(arr.getUTF8String(i))
+      i += 1
+    }
+    val out = new Array[Long](n - k + 1)
+    i = 0
+    while (i < out.length) {
+      var h = 0x9E3779B97F4A7C15L
+      var j = 0
+      while (j < k) { h = SketchHash.mix64(h, wordHashes(i + j)); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(shingles(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("posShingleHashes", this, classOf[PositionalShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($self.shingles($a));")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PositionalShingleHashes =
+    copy(child = newChild)
+}
+
 /** Non-overlapping occurrence count of a constant `needle`, scanning
   * left-to-right — character-for-character the same count as the portable
   * `(length(h) - length(replace(h, needle, ''))) / length(needle)`

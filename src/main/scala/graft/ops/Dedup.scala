@@ -149,16 +149,23 @@ object Dedup {
     * the ids and the computed `jaccard`.
     */
   def ngramJaccardFromShingles(shingled: DataFrame, pairs: DataFrame): DataFrame = {
+    // [[graft.functions.expressions.ShingleHashes]] emits sorted distinct
+    // arrays, so |A∩B| is one native merge pass per pair and |A∪B| is
+    // arithmetic — same values as the array_intersect/array_union
+    // formulation, without two hash-set builds per candidate pair.
+    val inter = VectorFunctions.sortedIntersectCount(col("a_sh"), col("b_sh"))
     val joined = pairs
       .join(shingled.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(shingled.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("__i", inter)
       .withColumn("jaccard",
         // two empty shingle sets (both docs under k words) define 0.0,
         // guarding the 0/0 division
-        when(size(array_union(col("a_sh"), col("b_sh"))) > 0,
-          size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-            size(array_union(col("a_sh"), col("b_sh"))))
+        when(size(col("a_sh")) + size(col("b_sh")) - col("__i") > 0,
+          col("__i").cast("double") /
+            (size(col("a_sh")) + size(col("b_sh")) - col("__i")))
           .otherwise(0.0))
+      .drop("__i")
     val extras = pairs.columns.filterNot(Set("a_id", "b_id"))
     joined.select(("a_id" +: "b_id" +: extras :+ "jaccard").map(col): _*)
   }
@@ -331,11 +338,16 @@ object Dedup {
       s"thresholdPpm must be in [1, 1000000]: $thresholdPpm")
     // Sorted (binary order) distinct-token arrays: sortedness is what the
     // O(|A|+|B|) native merge-intersection verification kernel needs.
+    // Persisted: the tokenized sets feed FOUR plan branches (two prefix
+    // sides of the candidate self-join, two verification attach sides) —
+    // unstaged, the corpus would re-tokenize once per branch. Lazy,
+    // fault-tolerant; blocks release via LRU/context GC with the plan.
     val sets = parallelize(docs)
       .select(col(idCol).cast("long").as("id"),
         array_sort(array_distinct(wordTokens(col(textCol)))).as("toks"))
       .where(size(col("toks")) > 0)
       .withColumn("n", size(col("toks")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tokens = sets.select(col("id"), col("n"), explode(col("toks")).as("word"))
     // Global document frequency — the prefix order key. Vocabulary-sized,
     // map-side combined, broadcast back onto the token stream.
@@ -344,11 +356,15 @@ object Dedup {
     // prefix length = n − ⌈t·n⌉ + 1, with ⌈t·n⌉ = (t_ppm·n + 999999) div 1e6
     // (the `div` is exact: the numerator is ≤ 1e12, well inside double)
     val needed = (col("n") * thresholdPpm + lit(999999L)) / lit(1000000L)
+    // Persisted for the same reason: both sides of the candidate
+    // self-join read the prefix stream — one df-join + rank window
+    // instead of two.
     val prefixes = tokens
       .join(broadcast(df), Seq("word"))
       .withColumn("__rk", row_number().over(w).cast("long"))
       .where(col("__rk") <= col("n") - floor(needed).cast("long") + lit(1L))
       .select(col("id"), col("n"), col("word"), col("__rk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Positional filter (PPJoin): a shared token at prefix positions
     // (rkₐ, rk_b) caps the overlap at 1 + min(n_a−rkₐ, n_b−rk_b); J ≥ t
     // forces overlap ≥ ⌈t·(n_a+n_b)/(1+t)⌉. The TRUE first shared token

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 
@@ -19,9 +19,11 @@ import graft.functions.VectorFunctions
   * path for final re-ranking stays in [[Similarity]].
   *
   * Scale shape per round:
-  *  - assignment is MAP-ONLY: the k×dim codebook travels as one
-  *    broadcast row; each point scans it with a codegen'd HOF — no
-  *    shuffle, no per-round driver collect;
+  *  - assignment is MAP-ONLY: the k×dim codebook is collected (bounded:
+  *    k·dim longs, the same documented trade as the IVF codebook) and
+  *    broadcast; each point scans it in one codegen'd integer loop
+  *    ([[graft.functions.expressions.NearestLatticeCentroid]]) — no
+  *    shuffle, nothing point-sized ever moves;
   *  - the centroid update shuffles (cid, dim, partial sum) — map-side
   *    partial aggregation bounds it at partitions × k × dim rows,
   *    independent of point count;
@@ -31,9 +33,6 @@ import graft.functions.VectorFunctions
   * pure DataFrame lineage.
   */
 object KMeans {
-
-  private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
 
   /** (centroids, assignments) after `iterations` Lloyd rounds.
     *
@@ -72,21 +71,21 @@ object KMeans {
       .select(col("cid"), col("qv").as("cvec"))
       .localCheckpoint()
 
-    // Map-only nearest-centroid scan against the one-row broadcast
-    // codebook; ties break to the smallest cid because the array is
-    // cid-sorted and the comparison is strict.
+    // Map-only nearest-centroid scan against a broadcast codebook via a
+    // codegen'd integer loop ([[graft.functions.expressions
+    // .NearestLatticeCentroid]]); ties break to the smallest cid because
+    // the codebook is cid-sorted and the comparison is strict. The
+    // per-round centroid collect is k×dim longs — the same documented
+    // bounded-broadcast trade as the IVF codebook ([[Similarity.ivfTopK]]);
+    // the POINTS never leave the executors.
     def assign(c: DataFrame): DataFrame = {
-      val codebook = c.agg(array_sort(collect_list(struct(col("cid"), col("cvec")))).as("cs"))
-      q.crossJoin(broadcast(codebook))
-        .withColumn("best",
-          aggregate(col("cs"),
-            struct(lit(Long.MaxValue).as("dist"), lit(-1L).as("cid")),
-            (acc, cc) => {
-              val d = sqDist(col("qv"), cc.getField("cvec"))
-              when(d < acc.getField("dist"),
-                struct(d.as("dist"), cc.getField("cid").as("cid"))).otherwise(acc)
-            }))
-        .select(col("id"), col("qv"), col("best.cid").as("cid"), col("best.dist").as("dist"))
+      val rows = c.orderBy("cid").collect()
+      val cb = graft.functions.expressions.LatticeCodebook(
+        rows.map(_.getLong(0)),
+        rows.map(_.getSeq[Long](1).toArray))
+      val bcast = q.sparkSession.sparkContext.broadcast(cb)
+      q.withColumn("best", VectorFunctions.nearestLatticeCentroid(col("qv"), bcast))
+        .select(col("id"), col("qv"), col("best")(0).as("cid"), col("best")(1).as("dist"))
     }
 
     for (_ <- 0 until iterations) {

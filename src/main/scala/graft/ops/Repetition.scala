@@ -116,13 +116,14 @@ object Repetition {
     require(k >= 1, s"k must be >= 1: $k")
     val words = Dedup.parallelize(docs)
       .select(col(idCol).as("id"), Dedup.wordTokens(col(textCol)).as("__w"))
-    // Positional gram hashes: hash(words[i..i+k-1]) for each window start.
-    // Guard short docs: sequence(0, negative) would run DESCENDING.
+    // Positional gram hashes — one NATIVE pass per document (each word
+    // hashes once, windows combine by mix64; empty below k words). The
+    // interpreted `transform(sequence…, hash(slice…)))` formulation this
+    // replaces re-sliced the token array per window and dominated the
+    // whole operator's runtime ~5× over the actual shuffles.
     val withGrams = words.select(
       col("id"), size(col("__w")).as("n_words"),
-      when(size(col("__w")) < k, array().cast("array<int>"))
-        .otherwise(transform(sequence(lit(0), size(col("__w")) - k),
-          i => hash(slice(col("__w"), i + 1, lit(k))))).as("__g"))
+      graft.functions.VectorFunctions.positionalShingleHashes(col("__w"), k).as("__g"))
     val pos = withGrams
       .select(col("id"), posexplode(col("__g")))
       .withColumnRenamed("pos", "i")

@@ -115,6 +115,41 @@ class NativeExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("sorted intersect count matches size(array_intersect) on sorted distinct arrays") {
+    val pairs = Seq.fill(80) {
+      val a = Seq.fill(1 + rnd.nextInt(30))(f"w${rnd.nextInt(40)}%02d").distinct.sorted
+      val b = Seq.fill(1 + rnd.nextInt(30))(f"w${rnd.nextInt(40)}%02d").distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[String], Seq("w01"))) // empty side
+    val rows = pairs.toDF("a", "b").select(
+      VectorFunctions.sortedIntersectCount(col("a"), col("b")).as("n"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"native $r"))
+    // long-element variant
+    val lp = Seq((Seq(1L, 3L, 7L, 9L), Seq(2L, 3L, 9L, 11L))).toDF("a", "b")
+    assert(lp.select(VectorFunctions.sortedIntersectCount(col("a"), col("b")))
+      .head().getLong(0) == 2L)
+  }
+
+  test("nearest lattice centroid: exact integer argmin, ties to smallest cid") {
+    import graft.functions.expressions.LatticeCodebook
+    val cb = spark.sparkContext.broadcast(LatticeCodebook(
+      Array(0L, 1L, 2L),
+      Array(Array(0L, 0L), Array(10L, 0L), Array(5L, 5L))))
+    val pts = Seq(
+      (1L, Seq(1L, 0L)),   // d² = 1 / 81 / 41 → cid 0
+      (2L, Seq(10L, 1L)),  // d² = 101 / 1 / 41 → cid 1
+      (3L, Seq(5L, 0L))    // d² = 25 / 25 / 25 → three-way tie → cid 0
+    ).toDF("id", "qv")
+    val got = pts.select(col("id"),
+      VectorFunctions.nearestLatticeCentroid(col("qv"), cb).as("best"))
+      .select(col("id"), col("best")(0).as("cid"), col("best")(1).as("dist"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((0L, 1L)))
+    assert(got(2L) == ((1L, 1L)))
+    assert(got(3L) == ((0L, 25L)))
+  }
+
   test("SQL surface: graft_* functions registered via SparkSessionExtensions") {
     val occ = spark.sql("SELECT graft_count_occurrences(' a b a ', 'a') AS n").head().getLong(0)
     assert(occ == 2L)
