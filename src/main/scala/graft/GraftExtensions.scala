@@ -75,5 +75,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_shingle_hashes(words, k) - distinct hashed word k-shingles as array<long>"),
       (children: Seq[Expression]) =>
         ShingleHashes(children(0), intArg(children(1), "k"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_positional_shingle_hashes"),
+      info("graft_positional_shingle_hashes",
+        "graft_positional_shingle_hashes(words, k) - order-preserving k-shingle hashes, one per window start"),
+      (children: Seq[Expression]) =>
+        PositionalShingleHashes(children(0), intArg(children(1), "k"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect_count"),
+      info("graft_sorted_intersect_count",
+        "graft_sorted_intersect_count(a, b) - |A ∩ B| of two sorted distinct string/long arrays"),
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
   }
 }

@@ -1358,7 +1358,23 @@ object SparkEntry {
     // 0.63 — a production-like 0.2 dedup threshold would be all-pairs on
     // this data, so the query uses the near-identity band.) ---------------
     "q130_prefix_jaccard" -> ((s, dir) =>
-      Dedup.prefixFilterPairs(t(s, dir, "documents"), thresholdPpm = 950000L))
+      Dedup.prefixFilterPairs(t(s, dir, "documents"), thresholdPpm = 950000L)),
+
+    // ---- per-doc k-gram novelty vs the whole corpus: share of a doc's
+    // distinct 3-grams first seen in THIS doc (min-doc-id first-occurrence
+    // order) — the incremental-corpus-drop pruning signal. --------------
+    "q131_novelty" -> ((s, dir) =>
+      Ngrams.novelty(t(s, dir, "documents"), k = 3)),
+
+    // ---- leave-one-out target encoding of market segment by account
+    // balance (cents): high-cardinality categorical → leak-free integer
+    // code; singleton categories yield NULL. ------------------------------
+    "q132_target_encode" -> ((s, dir) =>
+      Normalize.targetEncode(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents")),
+        Seq("c_mktsegment"), "bal_cents")
+        .select(col("c_custkey"), col("c_mktsegment"), col("bal_cents"), col("loo_code")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -2956,6 +2972,41 @@ object SparkEntry {
         | FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
         |SELECT a_id, b_id, n_a, n_b, n_common,
         | CAST(floor(1000000 * n_common / (n_a + n_b - n_common)) AS BIGINT) AS jaccard_ppm
-        |FROM p WHERE n_common * 1000000 >= 950000 * (n_a + n_b - n_common)""".stripMargin
+        |FROM p WHERE n_common * 1000000 >= 950000 * (n_a + n_b - n_common)""".stripMargin,
+    // q131: gram identity replayed as the literal window STRING (the Spark
+    // side matches on 64-bit window hashes — same grouping, collision odds
+    // negligible); short docs contribute their whole token sequence as one
+    // gram and empty docs share the empty gram, mirroring the native
+    // short-doc fallback.
+    "q131_novelty" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+        |   THEN list_transform(range(0, len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+        |   ELSE [array_to_string(w, ' ')] END)) AS gram
+        | FROM tok),
+        |f AS (SELECT gram, min(doc_id) AS first_id FROM g GROUP BY 1),
+        |p AS (
+        | SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(*) FILTER (WHERE f.first_id = g.doc_id) AS BIGINT) AS n_new
+        | FROM g JOIN f USING (gram) GROUP BY 1)
+        |SELECT doc_id, n_grams, n_new,
+        | CAST(floor(1000000 * n_new / n_grams) AS BIGINT) AS novelty_ppm
+        |FROM p""".stripMargin,
+    // q132: the LOO mean replayed with a window (sum/count over the
+    // segment minus self); floor() of the same double division.
+    "q132_target_encode" ->
+      """WITH c AS (
+        | SELECT c_custkey, c_mktsegment,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        | FROM customer)
+        |SELECT c_custkey, c_mktsegment, bal_cents,
+        | CASE WHEN count(*) OVER seg > 1 THEN
+        |  CAST(floor((sum(bal_cents) OVER seg - bal_cents)
+        |    / (count(*) OVER seg - 1)) AS BIGINT) END AS loo_code
+        |FROM c WINDOW seg AS (PARTITION BY c_mktsegment)""".stripMargin
   )
 }

@@ -133,6 +133,50 @@ object Ngrams {
         coalesce(col("n_right_contexts"), lit(0L)).as("n_right_contexts"))
   }
 
+  /** Per-document k-gram NOVELTY against the whole corpus: the fraction
+    * (ppm) of a document's distinct k-grams whose FIRST corpus occurrence
+    * (minimum doc id over all documents containing the gram) is this
+    * document — the "how much new content does each doc contribute"
+    * signal used to order/prune crawl snapshots and incremental corpus
+    * drops (a doc with novelty → 0 is entirely re-assembled from earlier
+    * material). Deterministic: ids give first-occurrence a total order.
+    * Short documents (< k words) contribute their whole token sequence
+    * as one gram ([[Dedup.shingles]]'s short-doc fallback; empty docs all
+    * share the empty gram), so every document has ≥ 1 gram and a defined
+    * novelty.
+    *
+    * Scale shape: distinct gram sets come from the native one-pass
+    * shingle hasher (bodies never reprocessed per gram); the shuffle
+    * carries (gram hash, id) pairs, aggregated map-side to per-gram
+    * minima (gram-vocabulary-sized), then one equi-join on the hash and
+    * a per-doc count agg. Nothing is ever corpus × corpus.
+    */
+  def novelty(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val grams = Dedup.parallelize(docs)
+      .select(col(idCol).cast("long").as("id"),
+        Dedup.shingles(col(textCol), k).as("__sh"))
+    val exploded = grams.select(col("id"), explode(col("__sh")).as("g"))
+    val first = exploded.groupBy("g").agg(min(col("id")).as("__first"))
+    val perDoc = exploded
+      .join(first, Seq("g"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        count_if(col("__first") === col("id")).as("n_new"))
+    grams.select(col("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          floor(lit(1000000L) * col("n_new") / col("n_grams")))
+          .otherwise(1000000L).as("novelty_ppm"))
+  }
+
   /** Interpolated Kneser–Ney bigram probabilities, in exact integer ppm:
     * for each observed bigram (w1 w2),
     * `P(w2|w1) = (c₁₂ − d)/c₁ + d·R₁(w1)/c₁ · L₁(w2)/B`, where c₁₂ is the

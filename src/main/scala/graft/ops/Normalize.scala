@@ -109,4 +109,35 @@ object Normalize {
       .withColumn(outCol, greatest(least(col(valueCol), col("__hi")), col("__lo")))
       .drop("__lo", "__hi")
   }
+
+  /** Leave-one-out target encoding: each row's category is replaced by
+    * the mean target of the OTHER rows in its category —
+    * `⌊(Σ_cat target − target_i) / (n_cat − 1)⌋` — the standard
+    * high-cardinality categorical feature for tree/linear models, with
+    * the self-exclusion that stops the encoding from leaking each row's
+    * own label. Singleton categories (n = 1) encode NULL: there is no
+    * "others" mean, and imputing one (global mean, prior blend) is a
+    * modeling decision the caller owns. Integer targets in, integer
+    * (floor-division, exact) codes out — no float summation anywhere.
+    *
+    * Scale shape: one map-side-combined (sum, count) aggregation at
+    * category cardinality, joined back by broadcast-or-shuffle on the
+    * category key; the encode itself is map-only arithmetic. Rows never
+    * shuffle unless the category table outgrows broadcast.
+    */
+  def targetEncode(
+      df: DataFrame,
+      categoryCols: Seq[String],
+      targetCol: String,
+      outCol: String = "loo_code"): DataFrame = {
+    require(categoryCols.nonEmpty, "categoryCols must be non-empty")
+    val keys = categoryCols.map(col)
+    val stats = df.groupBy(keys: _*)
+      .agg(sum(col(targetCol).cast("long")).as("__sum"), count(col(targetCol)).as("__n"))
+    df.join(stats, categoryCols)
+      .withColumn(outCol,
+        when(col("__n") > 1,
+          floor((col("__sum") - col(targetCol).cast("long")) / (col("__n") - 1)).cast("long")))
+      .drop("__sum", "__n")
+  }
 }

@@ -163,5 +163,30 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(bkt >= 0L && bkt < 256L)
     val sh = spark.sql("SELECT graft_simhash64(array('a', 'b')) AS h").head().getLong(0)
     assert(sh != 0L)
+    val sic = spark.sql(
+      "SELECT graft_sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS n")
+      .head().getLong(0)
+    assert(sic == 2L)
+    val psh = spark.sql(
+      "SELECT graft_positional_shingle_hashes(array('a','b','c'), 2) AS g").head().getSeq[Long](0)
+    assert(psh.size == 2)
+  }
+
+  test("positional shingle hashes: order-preserving, content-determined, empty below k") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "a", "b")),
+      (2L, Seq("a", "b")),
+      (3L, Seq.empty[String])).toDF("id", "w")
+    val got = df.select(col("id"),
+      VectorFunctions.positionalShingleHashes(col("w"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L).size == 3)
+    // identical window content => identical hash, regardless of position…
+    val again = df.where(col("id") === 1L).select(
+      VectorFunctions.positionalShingleHashes(col("w"), 2).as("g")).head().getSeq[Long](0)
+    assert(again.size == 4 && again(0) == again(3), "'a b' windows at 0 and 3 must agree")
+    // …and adjacent different windows differ
+    assert(again(0) != again(1))
+    assert(got(2L).isEmpty && got(3L).isEmpty)
   }
 }

@@ -375,4 +375,59 @@ class Round4OpsSpec extends SparkSpec {
     assert(got.length == 1)
     assert((got.head.getLong(0), got.head.getLong(1), got.head.getLong(5)) == ((1L, 2L, 1000000L)))
   }
+
+  // --------------------------------------------------- novelty
+
+  test("novelty: first occurrence by min doc id; verbatim copy scores 0") {
+    val docs = Seq(
+      (1L, "a b c d"),        // grams: abc, bcd — both first here
+      (2L, "a b c d"),        // verbatim copy → 0 new
+      (3L, "a b c x y z")     // abc seen; bcx, cxy, xyz new → 3/4
+    ).toDF("doc_id", "text")
+    val got = Ngrams.novelty(docs, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((2L, 2L, 1000000L)))
+    assert(got(2L) == ((2L, 0L, 0L)))
+    assert(got(3L) == ((4L, 3L, 750000L)))
+  }
+
+  test("novelty: short docs fall back to the whole-sequence gram; repeats dedup") {
+    val docs = Seq(
+      (1L, "a b"),            // short fallback gram "a b" — new
+      (2L, "a b"),            // same fallback gram — not new
+      (3L, "p q p q p q")     // grams pqp, qpq repeat → 2 distinct, both new
+    ).toDF("doc_id", "text")
+    val got = Ngrams.novelty(docs, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((1L, 1L, 1000000L)))
+    assert(got(2L) == ((1L, 0L, 0L)))
+    assert(got(3L) == ((2L, 2L, 1000000L)))
+  }
+
+  // ------------------------------------------- LOO target encoding
+
+  test("targetEncode: leave-one-out mean, floor division, singleton NULL") {
+    import graft.ops.Normalize
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 31L),
+      (4L, "b", 7L)
+    ).toDF("id", "cat", "y")
+    val got = Normalize.targetEncode(df, Seq("cat"), "y").select("id", "loo_code")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L).contains(25L)) // (20+31)/2 = 25.5 → 25
+    assert(got(2L).contains(20L)) // (10+31)/2 = 20.5 → 20
+    assert(got(3L).contains(15L)) // (10+20)/2 = 15
+    assert(got(4L).isEmpty)       // singleton → NULL
+  }
+
+  test("targetEncode: negative sums floor toward -inf (matching SQL floor)") {
+    import graft.ops.Normalize
+    val df = Seq((1L, "a", -10L), (2L, "a", -5L), (3L, "a", 0L)).toDF("id", "cat", "y")
+    val got = Normalize.targetEncode(df, Seq("cat"), "y").select("id", "loo_code")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == -3L) // (-5+0)/2 = -2.5 → floor -3
+    assert(got(2L) == -5L) // (-10+0)/2 = -5
+    assert(got(3L) == -8L) // (-15)/2 = -7.5 → floor -8
+  }
 }
