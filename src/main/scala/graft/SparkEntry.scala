@@ -1374,7 +1374,27 @@ object SparkEntry {
         t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"),
           round(col("c_acctbal") * 100).cast("long").as("bal_cents")),
         Seq("c_mktsegment"), "bal_cents")
-        .select(col("c_custkey"), col("c_mktsegment"), col("bal_cents"), col("loo_code")))
+        .select(col("c_custkey"), col("c_mktsegment"), col("bal_cents"), col("loo_code"))),
+
+    // ---- hard-negative mining for contrastive training: per query, the
+    // 10 most-similar embeddings with a DIFFERENT label — exact top-k with
+    // the label filter ahead of any scoring. -----------------------------
+    "q133_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.hardNegatives(emb,
+        emb.where(col("vec_id") < 10).select(col("vec_id").as("query_id"),
+          col("embedding"), col("label")),
+        k = 10)
+    }),
+
+    // ---- dedup-aware train/val/test split: near-dup families (q54's
+    // components) bucket by GROUP id, never straddling splits — the
+    // leakage countermeasure; singleton docs key by their own id. ---------
+    "q134_leakfree_split" -> ((s, dir) =>
+      Sampling.groupSplit(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        Components.connectedComponents(docChainPairs(s, dir)))
+        .select(col("doc_id"), col("group_id"), col("split")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -3007,6 +3027,30 @@ object SparkEntry {
         | CASE WHEN count(*) OVER seg > 1 THEN
         |  CAST(floor((sum(bal_cents) OVER seg - bal_cents)
         |    / (count(*) OVER seg - 1)) AS BIGINT) END AS loo_code
-        |FROM c WINDOW seg AS (PARTITION BY c_mktsegment)""".stripMargin
+        |FROM c WINDOW seg AS (PARTITION BY c_mktsegment)""".stripMargin,
+    // q133: q19's proven float-cosine replay plus the label inequality
+    // (labels are non-null in the fixture; the Spark side's null-safe
+    // negation agrees wherever labels exist).
+    "q133_hard_negatives" ->
+      """SELECT query_id, neighbor_id, n_label, rank FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS n_label,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC, c.vec_id) AS rank
+        | FROM embeddings c, embeddings q
+        | WHERE q.vec_id < 10 AND c.label <> q.label)
+        |WHERE rank <= 10""".stripMargin,
+    // q134: the q54 component closure + md5-bucket split on the GROUP key
+    // (rows outside any component key by their own id).
+    "q134_leakfree_split" ->
+      s"""WITH RECURSIVE $DocChainComponentsCte,
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |j AS (
+        | SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_id
+        | FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        |bk AS (SELECT doc_id, group_id, ${bucketOracle("group_id")} AS bucket FROM j)
+        |SELECT doc_id, group_id,
+        | CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM bk""".stripMargin
   )
 }

@@ -121,6 +121,44 @@ object Sampling {
       .drop("__stride")
   }
 
+  /** Dedup-aware (group-wise) train/val/test split: every row belonging
+    * to the same group — e.g. a near-duplicate family from
+    * [[Components.connectedComponents]] — lands in the SAME split,
+    * because the bucket is computed from the group id, not the row id.
+    * Splitting near-dups independently leaks train content into test
+    * verbatim, which silently inflates every eval; the group-wise rule is
+    * the standard countermeasure. Rows absent from `groups` form
+    * singleton groups keyed by their own id (`coalesce`), so the split
+    * remains total and deterministic. Thresholds are bucket bounds out of
+    * 256 (`[0, trainUpTo)` → train, `[trainUpTo, valUpTo)` → val, rest
+    * test), the same 1/256 granularity as [[stratified]].
+    *
+    * Scale shape: one equi-join on the row id against the (much smaller)
+    * group membership table — broadcast when it fits — then map-only
+    * md5 bucketing; nothing else shuffles.
+    */
+  def groupSplit(
+      df: DataFrame,
+      groups: DataFrame,
+      idCol: String = "doc_id",
+      groupIdCol: String = "id",
+      groupCol: String = "component",
+      trainUpTo: Int = 204,
+      valUpTo: Int = 230): DataFrame = {
+    require(trainUpTo >= 0 && trainUpTo <= valUpTo && valUpTo <= 256,
+      s"need 0 <= trainUpTo <= valUpTo <= 256: $trainUpTo, $valUpTo")
+    val g = groups.select(col(groupIdCol).cast("long").as(idCol), col(groupCol).as("__g"))
+    val key = coalesce(col("__g"), col(idCol)).as("group_id")
+    val bucket = idBucket(coalesce(col("__g"), col(idCol)))
+    df.join(g, Seq(idCol), "left")
+      .withColumn("group_id", key)
+      .withColumn("split",
+        when(bucket < trainUpTo, lit("train"))
+          .when(bucket < valUpTo, lit("val"))
+          .otherwise(lit("test")))
+      .drop("__g")
+  }
+
   def exactPerGroup(df: DataFrame, stratumCol: String, idCol: String, n: Int, saltBuckets: Int = 64): DataFrame = {
     require(n > 0, "n must be positive")
     require(saltBuckets > 0, "saltBuckets must be positive")

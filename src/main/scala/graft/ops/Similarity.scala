@@ -53,6 +53,41 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: per query,
+    * the `k` most cosine-similar corpus vectors with a DIFFERENT label —
+    * the near-misses that carry the gradient signal (random negatives are
+    * trivially separable; in-label neighbors are positives, not
+    * negatives). Exact top-k over the label-filtered corpus.
+    *
+    * Scale shape: queries (with their labels) broadcast against one
+    * linear corpus scan — the label filter runs BEFORE any scoring, so
+    * same-label rows cost one comparison, not a dot product. Same cost
+    * model as [[bruteForceTopK]]; for billion-row corpora substitute the
+    * LSH/IVF candidate stage and apply the same label filter to its
+    * candidates.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col(labelCol).as("n_label"))
+      .crossJoin(broadcast(queries.select(col(queryIdCol).as("query_id"),
+        col(vecCol).as("q_vec"), col(labelCol).as("q_label"))))
+      .where(!(col("n_label") <=> col("q_label")))
+      .select(col("query_id"), col("neighbor_id"), col("n_label"),
+        VectorFunctions.cosine(col("c_vec"), col("q_vec")).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("n_label"), col("rank"))
+  }
+
   /** LSH-bucketed ANN with banded OR-amplification: each vector lands in
     * one bucket per band; queries probe the union of their band-buckets.
     * More bands → higher recall, more candidates scored.

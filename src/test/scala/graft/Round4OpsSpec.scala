@@ -430,4 +430,45 @@ class Round4OpsSpec extends SparkSpec {
     assert(got(2L) == -5L) // (-10+0)/2 = -5
     assert(got(3L) == -8L) // (-15)/2 = -7.5 → floor -8
   }
+
+  // ---------------------------------------------- hard negatives
+
+  test("hardNegatives: nearest different-label vectors only; positives never surface") {
+    import graft.ops.Similarity
+    // 1-D embeddings make similarity transparent: cosine is sign-based,
+    // so order falls to the deterministic neighbor_id tie-break.
+    val corpus = Seq(
+      (1L, Seq(1.0f), 0), (2L, Seq(1.0f), 0), (3L, Seq(1.0f), 1),
+      (4L, Seq(1.0f), 1), (5L, Seq(-1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val queries = corpus.where(col("vec_id") === 1L)
+      .select(col("vec_id").as("query_id"), col("embedding"), col("label"))
+    val got = Similarity.hardNegatives(corpus, queries, k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(3)))
+    // label-0 query: candidates are label-1 vectors {3,4,5}; cosine ties
+    // between 3 and 4 (both +1) break by id; 5 (cosine −1) is out at k=2.
+    assert(got.toSeq == Seq((3L, 1, 1), (4L, 1, 2)))
+  }
+
+  // ---------------------------------------------- leak-free split
+
+  test("groupSplit: a whole group lands in one split; singletons key by own id") {
+    import graft.ops.Sampling
+    val docs = (0L until 40L).toDF("doc_id")
+    val membership = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (11L, 10L))
+      .toDF("id", "component")
+    val rows = Sampling.groupSplit(docs, membership)
+      .select("doc_id", "group_id", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byGroup = rows.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    // every group is split-pure
+    byGroup.foreach { case (g, splits) => assert(splits.size == 1, s"group $g straddles $splits") }
+    // grouped rows share their family's split
+    val split0 = rows.filter(_._1 == 0L).head._3
+    assert(rows.filter(r => Set(1L, 2L).contains(r._1)).forall(_._3 == split0))
+    // singletons use their own id as group key
+    assert(rows.filter(_._1 == 39L).head._2 == 39L)
+    // with 40 ids and the default 204/230 bounds, all three splits appear
+    assert(rows.map(_._3).toSet == Set("train", "val", "test"))
+  }
 }
