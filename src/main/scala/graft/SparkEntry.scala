@@ -1394,7 +1394,14 @@ object SparkEntry {
       Sampling.groupSplit(
         t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
         Components.connectedComponents(docChainPairs(s, dir)))
-        .select(col("doc_id"), col("group_id"), col("split")))
+        .select(col("doc_id"), col("group_id"), col("split"))),
+
+    // ---- BPE merge-table induction (16 rounds): the subword-tokenizer
+    // training algorithm over the corpus word-type table; deterministic
+    // (count desc, pair asc) election. Pinned-fixture oracle — the
+    // iterative argmax/rewrite loop is not SQL-replayable. --------------
+    "q135_bpe_merges" -> ((s, dir) =>
+      Ngrams.bpeMerges(t(s, dir, "documents"), rounds = 16))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -3051,6 +3058,11 @@ object SparkEntry {
         |SELECT doc_id, group_id,
         | CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val'
         |  ELSE 'test' END AS split
-        |FROM bk""".stripMargin
+        |FROM bk""".stripMargin,
+    // q135: pinned sf0.01 merge table (tools/pin_oracle.py) — the
+    // iterative argmax-then-rewrite loop is deterministic but not
+    // SQL-replayable (same contract as the q64 Count-Min pin).
+    "q135_bpe_merges" ->
+      """SELECT CAST(merge_rank AS BIGINT) AS merge_rank, left_sym, right_sym, CAST(n AS BIGINT) AS n FROM (VALUES (1,'e','r',4568),(2,'e','</w>',4473),(3,'n','</w>',2834),(4,'er','</w>',2779),(5,'o','w',2747),(6,'ow','</w>',2747),(7,'o','r',2696),(8,'s','t',2676),(9,'h','</w>',1884),(10,'a','t',1845),(11,'l','u',1831),(12,'i','n',1796),(13,'a','</w>',1788),(14,'g','</w>',1777),(15,'y','</w>',1767),(16,'a','r',1758)) AS t(merge_rank, left_sym, right_sym, n)"""
   )
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumn}
 import org.apache.spark.sql.functions._
-import graft.functions.expressions.CountOccurrences
+import graft.functions.expressions.{CountOccurrences, MergeAdjacentPair}
 
 /** Text-analysis operators for large-scale document pipelines (SURVEY §7.2
   * step 8 / BASELINE.json north star): language ID, quality scoring, token
@@ -26,6 +26,12 @@ object TextFunctions {
     */
   def occurrences(haystack: Column, needle: String): Column =
     GraftColumn(CountOccurrences(GraftColumn.expr(haystack), needle))
+
+  /** One BPE merge step: adjacent (left, right) symbols collapse to
+    * `left+right`, leftmost-greedy non-overlapping — one native pass.
+    */
+  def mergeAdjacentPair(symbols: Column, left: String, right: String): Column =
+    GraftColumn(MergeAdjacentPair(GraftColumn.expr(symbols), left, right))
 
   /** Reference length/replace form of [[occurrences]] (what the SQL
     * oracles run; tests cross-check the native form against it).

@@ -405,6 +405,57 @@ case class PositionalShingleHashes(child: Expression, k: Int) extends UnaryExpre
     copy(child = newChild)
 }
 
+/** One BPE merge step over a symbol array: every adjacent (left, right)
+  * pair becomes the single symbol `left+right`, scanning left-to-right
+  * greedily and non-overlapping ("a a a" under (a,a) → "aa a", not
+  * "a aa") — exactly the rewrite a byte-pair-encoding trainer applies
+  * after electing a merge. One native pass per row; the merge pair is
+  * constant for the whole column (it comes from the per-round argmax), so
+  * it lives in the expression, not in a join.
+  */
+case class MergeAdjacentPair(child: Expression, left: String, right: String)
+    extends UnaryExpression {
+  require(left.nonEmpty && right.nonEmpty, "merge symbols must be non-empty")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "merge_adjacent_pair"
+
+  @transient private lazy val leftU = UTF8String.fromString(left)
+  @transient private lazy val rightU = UTF8String.fromString(right)
+  @transient private lazy val mergedU = UTF8String.fromString(left + right)
+
+  def merge(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[AnyRef](n)
+    var w = 0
+    var i = 0
+    while (i < n) {
+      val cur = arr.getUTF8String(i)
+      if (i + 1 < n && cur != null && cur.equals(leftU) &&
+        arr.getUTF8String(i + 1) != null && arr.getUTF8String(i + 1).equals(rightU)) {
+        out(w) = mergedU
+        i += 2
+      } else {
+        out(w) = cur
+        i += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    merge(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("mergePair", this, classOf[MergeAdjacentPair].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.merge($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MergeAdjacentPair =
+    copy(child = newChild)
+}
+
 /** Non-overlapping occurrence count of a constant `needle`, scanning
   * left-to-right — character-for-character the same count as the portable
   * `(length(h) - length(replace(h, needle, ''))) / length(needle)`

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
 
 /** Corpus n-gram statistics: collocation mining and language-model
   * familiarity scoring — the token-level quality layer between per-doc
@@ -233,6 +234,70 @@ object Ngrams {
           (col("n_bigrams") * (lit(discountDen) * col("n_12") - lit(discountNum)) +
             lit(discountNum) * col("r_1") * col("l_1"))) /
           (lit(discountDen) * col("c_1") * col("n_bigrams"))).as("p_ppm"))
+  }
+
+  /** Byte-pair-encoding merge-table induction — the actual algorithm a
+    * subword tokenizer is trained with (Sennrich et al.): words split
+    * into characters plus an end-of-word marker symbol; each round elects
+    * the corpus-wide most frequent adjacent symbol pair (ties toward the
+    * lexicographically smallest pair — a total order, so the table is a
+    * pure function of the corpus) and rewrites every word's symbol
+    * sequence with that merge, leftmost-greedy. Returns the merge table
+    * `(merge_rank, left_sym, right_sym, n)` — with it, any text
+    * tokenizes identically on any engine.
+    *
+    * Scale shape: BPE statistics live on the WORD-TYPE table (distinct
+    * words with frequencies — orders of magnitude smaller than the
+    * corpus, which is tokenized exactly once); each round is one
+    * vocabulary-sized pair aggregation plus a map-only native rewrite
+    * ([[graft.functions.expressions.MergeAdjacentPair]]), and the only
+    * driver traffic is the single elected pair per round (same bounded
+    * trade as the IVF codebook). Faithful sequential semantics; a
+    * production-size vocab build (30k merges) batches provably
+    * independent merges per round — `rounds` here is the parameter that
+    * caps the sequential horizon.
+    */
+  def bpeMerges(
+      docs: DataFrame,
+      textCol: String = "text",
+      rounds: Int = 16,
+      endOfWord: String = "</w>"): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val spark = docs.sparkSession
+    var vocab = Dedup.parallelize(docs)
+      .select(explode(Dedup.wordTokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(concat(split(col("word"), ""), array(lit(endOfWord))).as("syms"), col("n"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val top = vocab.select(col("n"),
+          explode(zip_with(
+            slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
+            slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
+            (a, b) => struct(a.as("l"), b.as("rt")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.rt").as("rt"))
+        .agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("rt"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val l = top.head.getString(0)
+        val rt = top.head.getString(1)
+        val cnt = top.head.getLong(2)
+        merges += ((r.toLong, l, rt, cnt))
+        vocab = vocab.select(
+          TextFunctions.mergeAdjacentPair(col("syms"), l, rt).as("syms"), col("n"))
+        // linear lineage; truncate periodically like the other fixpoints
+        if (r % 4 == 0) vocab = vocab.localCheckpoint()
+        r += 1
+      }
+    }
+    // merge_rank/left_sym/right_sym: names chosen to stay clear of the
+    // SQL keywords rank/left/right in every oracle engine.
+    spark.createDataFrame(merges.toSeq).toDF("merge_rank", "left_sym", "right_sym", "n")
   }
 
   /** Vocabulary coverage / OOV rate per document against the corpus's own

@@ -450,6 +450,35 @@ class Round4OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((3L, 1, 1), (4L, 1, 2)))
   }
 
+  // ------------------------------------------------- BPE merges
+
+  test("bpeMerges replays the classic hand-computed merge sequence") {
+    val docs = Seq((1L, "ab ab ac")).toDF("doc_id", "text")
+    // word types: ab×2 → [a,b,</w>], ac×1 → [a,c,</w>]
+    // r1: (a,b)=2 ties (b,</w>)=2 → smallest pair (a,b); r2: (ab,</w>)=2;
+    // r3: count-1 tie → (a,c); r4: (ac,</w>); r5: no pairs → stop early.
+    val got = Ngrams.bpeMerges(docs, rounds = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "b", 2L),
+      (2L, "ab", "</w>", 2L),
+      (3L, "a", "c", 1L),
+      (4L, "ac", "</w>", 1L)))
+  }
+
+  test("bpeMerges: leftmost-greedy rewrite counts overlapping pairs like the reference trainer") {
+    // "aaa" → [a,a,a,</w>]: (a,a) counted twice in round 1; after the
+    // (a,a) merge the word is [aa,a,</w>] (leftmost-greedy, NOT [a,aa]).
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val got = Ngrams.bpeMerges(docs, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.head == ((1L, "a", "a", 2L)))
+    // round 2 elects (aa,a): count 1, smaller than (a,</w>)… both count 1,
+    // tie → lexicographic: "a" < "aa", and pair (a,</w>) has left "a" →
+    // (a,</w>) wins the tie.
+    assert(got(1) == ((2L, "a", "</w>", 1L)))
+  }
+
   // ---------------------------------------------- leak-free split
 
   test("groupSplit: a whole group lands in one split; singletons key by own id") {

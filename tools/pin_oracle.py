@@ -51,6 +51,8 @@ def main(out_dir: str) -> None:
         ("q21_embedding_neardup", ["a_id", "b_id"], {"a_id": "BIGINT", "b_id": "BIGINT"}),
         ("q126_ann_multiprobe", ["query_id", "neighbor_id", "rank"],
          {"query_id": "BIGINT", "neighbor_id": "BIGINT", "rank": "BIGINT"}),
+        ("q135_bpe_merges", ["merge_rank", "left_sym", "right_sym", "n"],
+         {"merge_rank": "BIGINT", "n": "BIGINT"}),
         ("q22_multimodal", ["media_id", "kind", "width", "height", "n_frames"],
          {"media_id": "BIGINT", "width": "BIGINT", "height": "BIGINT", "n_frames": "BIGINT"}),
     ]:
