@@ -342,6 +342,10 @@ object Dedup {
     // sides of the candidate self-join, two verification attach sides) —
     // unstaged, the corpus would re-tokenize once per branch. Lazy,
     // fault-tolerant; blocks release via LRU/context GC with the plan.
+    // MEMORY_AND_DISK means at corpus scale this stages distinct-token
+    // arrays (≈ the deduped token footprint) to local disk rather than
+    // caching nothing — the 4× re-tokenization it avoids costs more than
+    // the spill; callers that prefer recompute can pre-stage `docs`.
     val sets = parallelize(docs)
       .select(col(idCol).cast("long").as("id"),
         array_sort(array_distinct(wordTokens(col(textCol)))).as("toks"))

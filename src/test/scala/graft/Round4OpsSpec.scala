@@ -5,7 +5,10 @@ import graft.ops.{Audit, Cdc, FuzzyJoin, Indexing, Metrics, Ngrams, Normalize}
 
 /** Round-4 additions: continuation counts, key-skew profile, winsorize,
   * agreement scoring, Gini, basket co-occurrence, characteristic terms,
-  * vocab coverage, incremental aggregate maintenance, join estimate.
+  * vocab coverage, incremental aggregate maintenance, join estimate,
+  * span coverage, multi-probe ANN + recall harness, cluster
+  * representatives, Kneser–Ney, prefix-filter similarity join, novelty,
+  * LOO target encoding, hard negatives, leak-free split, BPE merges.
   */
 class Round4OpsSpec extends SparkSpec {
   import spark.implicits._
