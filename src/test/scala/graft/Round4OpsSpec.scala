@@ -482,6 +482,47 @@ class Round4OpsSpec extends SparkSpec {
     assert(got(1) == ((2L, "a", "</w>", 1L)))
   }
 
+  test("bpeMerges agrees with an in-memory reference trainer on a random corpus") {
+    // Straight-line reference implementation of the same spec: pair
+    // counts over word types (overlapping, frequency-weighted), election
+    // by (count desc, left asc, right asc), leftmost-greedy rewrite.
+    def refBpe(wordCounts: Map[String, Long], rounds: Int): Seq[(Long, String, String, Long)] = {
+      var vocab: Map[Vector[String], Long] =
+        wordCounts.map { case (w, n) => (w.map(_.toString).toVector :+ "</w>") -> n }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      for (r <- 1 to rounds if out.size == r - 1) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, n) =>
+          syms.sliding(2).filter(_.size == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + n
+          }
+        }
+        if (counts.nonEmpty) {
+          val ((l, rt), cnt) = counts.toSeq.minBy { case ((l, rt), c) => (-c, l, rt) }
+          out += ((r.toLong, l, rt, cnt))
+          vocab = vocab.groupMapReduce { case (syms, _) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rt) {
+                b += (l + rt); i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            b.result()
+          }(_._2)(_ + _)
+        }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(23)
+    val words = Seq.fill(150)(Seq.fill(2 + rnd.nextInt(5))(('a' + rnd.nextInt(4)).toChar).mkString)
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = Ngrams.bpeMerges(docs, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val expected = refBpe(words.groupBy(identity).view.mapValues(_.size.toLong).toMap, rounds = 8)
+    assert(got == expected)
+  }
+
   // ---------------------------------------------- leak-free split
 
   test("groupSplit: a whole group lands in one split; singletons key by own id") {
