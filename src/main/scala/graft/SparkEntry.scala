@@ -1401,7 +1401,19 @@ object SparkEntry {
     // (count desc, pair asc) election. Pinned-fixture oracle — the
     // iterative argmax/rewrite loop is not SQL-replayable. --------------
     "q135_bpe_merges" -> ((s, dir) =>
-      Ngrams.bpeMerges(t(s, dir, "documents"), rounds = 16))
+      Ngrams.bpeMerges(t(s, dir, "documents"), rounds = 16)),
+
+    // ---- BPE ENCODE with the table q135 just trained: per-doc subword
+    // counts and fertility — the tokenizer-quality audit. The merge table
+    // is collected (vocabulary metadata, bounded) and applied map-only.
+    // Oracle: the PINNED sf0.01 merges replayed as a chain of spaced
+    // string replaces (the same leftmost-greedy semantics). -------------
+    "q136_bpe_encode" -> ((s, dir) => {
+      val merges = Ngrams.bpeMerges(t(s, dir, "documents"), rounds = 16)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Ngrams.bpeEncodeStats(t(s, dir, "documents"), merges)
+    })
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -3062,7 +3074,58 @@ object SparkEntry {
     // q135: pinned sf0.01 merge table (tools/pin_oracle.py) — the
     // iterative argmax-then-rewrite loop is deterministic but not
     // SQL-replayable (same contract as the q64 Count-Min pin).
-    "q135_bpe_merges" ->
-      """SELECT CAST(merge_rank AS BIGINT) AS merge_rank, left_sym, right_sym, CAST(n AS BIGINT) AS n FROM (VALUES (1,'e','r',4568),(2,'e','</w>',4473),(3,'n','</w>',2834),(4,'er','</w>',2779),(5,'o','w',2747),(6,'ow','</w>',2747),(7,'o','r',2696),(8,'s','t',2676),(9,'h','</w>',1884),(10,'a','t',1845),(11,'l','u',1831),(12,'i','n',1796),(13,'a','</w>',1788),(14,'g','</w>',1777),(15,'y','</w>',1767),(16,'a','r',1758)) AS t(merge_rank, left_sym, right_sym, n)"""
+    "q135_bpe_merges" -> {
+      val rows = PinnedQ135Merges.map { case (r, l, rt, n) =>
+        s"($r,'${sqlEsc(l)}','${sqlEsc(rt)}',$n)"
+      }.mkString(",")
+      "SELECT CAST(merge_rank AS BIGINT) AS merge_rank, left_sym, right_sym, " +
+        s"CAST(n AS BIGINT) AS n FROM (VALUES $rows) AS t(merge_rank, left_sym, right_sym, n)"
+    },
+    // q136: ENCODE replayed in pure SQL — each word becomes its spaced
+    // symbol string (every symbol wrapped ' x ', so adjacent pair
+    // patterns never share delimiter spaces) and the pinned merges apply
+    // as a chain of string replaces, whose left-to-right non-overlapping
+    // scan IS the trainer's leftmost-greedy rewrite.
+    "q136_bpe_encode" -> {
+      val chain = PinnedQ135Merges.foldLeft("spaced") { case (acc, (_, l, rt, _)) =>
+        s"replace($acc, ' ${sqlEsc(l)}  ${sqlEsc(rt)} ', ' ${sqlEsc(l + rt)} ')"
+      }
+      s"""WITH tok AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |words AS (SELECT doc_id, unnest(w) AS word FROM tok),
+        |enc AS (
+        | SELECT doc_id,
+        |  array_to_string(list_transform(range(len(word)), i -> ' ' || word[i+1] || ' '), '')
+        |   || ' </w> ' AS spaced
+        | FROM words),
+        |sub AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split_regex(trim($chain), ' +')) AS BIGINT) AS n_sub
+        | FROM enc),
+        |per AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(n_sub) AS BIGINT) AS n_subwords
+        | FROM sub GROUP BY 1)
+        |SELECT t.doc_id, coalesce(p.n_words, 0) AS n_words,
+        | coalesce(p.n_subwords, 0) AS n_subwords,
+        | CAST(CASE WHEN coalesce(p.n_words, 0) > 0
+        |  THEN floor(1000000 * p.n_subwords / p.n_words) ELSE 0 END AS BIGINT) AS fertility_ppm
+        |FROM tok t LEFT JOIN per p USING (doc_id)""".stripMargin
+    }
   )
+
+  private def sqlEsc(s: String): String = s.replace("'", "''")
+
+  /** Pinned sf0.01 BPE merge table (regenerate via tools/pin_oracle.py) —
+    * q135's oracle VALUES and the replace chain q136's oracle applies.
+    */
+  private val PinnedQ135Merges: Seq[(Long, String, String, Long)] = Seq(
+    (1L, "e", "r", 4568L), (2L, "e", "</w>", 4473L), (3L, "n", "</w>", 2834L),
+    (4L, "er", "</w>", 2779L), (5L, "o", "w", 2747L), (6L, "ow", "</w>", 2747L),
+    (7L, "o", "r", 2696L), (8L, "s", "t", 2676L), (9L, "h", "</w>", 1884L),
+    (10L, "a", "t", 1845L), (11L, "l", "u", 1831L), (12L, "i", "n", 1796L),
+    (13L, "a", "</w>", 1788L), (14L, "g", "</w>", 1777L), (15L, "y", "</w>", 1767L),
+    (16L, "a", "r", 1758L))
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumn}
 import org.apache.spark.sql.functions._
-import graft.functions.expressions.{CountOccurrences, MergeAdjacentPair}
+import graft.functions.expressions.{ApplyBpeMerges, CountOccurrences, MergeAdjacentPair}
 
 /** Text-analysis operators for large-scale document pipelines (SURVEY §7.2
   * step 8 / BASELINE.json north star): language ID, quality scoring, token
@@ -32,6 +32,14 @@ object TextFunctions {
     */
   def mergeAdjacentPair(symbols: Column, left: String, right: String): Column =
     GraftColumn(MergeAdjacentPair(GraftColumn.expr(symbols), left, right))
+
+  /** Segment every word of a token array into subwords with a learned
+    * BPE merge table applied in rank order — the tokenizer ENCODE step;
+    * one native pass, no joins.
+    */
+  def applyBpeMerges(words: Column, merges: Seq[(String, String)],
+      endOfWord: String = "</w>"): Column =
+    GraftColumn(ApplyBpeMerges(GraftColumn.expr(words), merges, endOfWord))
 
   /** Reference length/replace form of [[occurrences]] (what the SQL
     * oracles run; tests cross-check the native form against it).

@@ -456,6 +456,74 @@ case class MergeAdjacentPair(child: Expression, left: String, right: String)
     copy(child = newChild)
 }
 
+/** BPE ENCODE: segment each word of a token array into subwords by
+  * applying a learned merge table ([[graft.ops.Ngrams.bpeMerges]]) in
+  * rank order — each word splits to characters plus the end-of-word
+  * marker, then every merge rewrites it leftmost-greedy, exactly like
+  * the trainer did. Output is the flattened subword array for the row.
+  * The merge list is constant for the column (vocabulary metadata, like
+  * a broadcast codebook), so it lives in the expression; evaluation is
+  * one native pass per word per merge — no joins, no shuffles.
+  */
+case class ApplyBpeMerges(child: Expression, merges: Seq[(String, String)], endOfWord: String)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "apply_bpe_merges"
+
+  @transient private lazy val mergePairs: Array[(UTF8String, UTF8String, UTF8String)] =
+    merges.map { case (l, r) =>
+      (UTF8String.fromString(l), UTF8String.fromString(r), UTF8String.fromString(l + r))
+    }.toArray
+  @transient private lazy val eow = UTF8String.fromString(endOfWord)
+
+  private def encodeWord(word: UTF8String, out: java.util.ArrayList[UTF8String]): Unit = {
+    val n = word.numChars()
+    var syms = new Array[UTF8String](n + 1)
+    var i = 0
+    while (i < n) { syms(i) = word.substring(i, i + 1); i += 1 }
+    syms(n) = eow
+    var len = n + 1
+    var m = 0
+    while (m < mergePairs.length) {
+      val (l, r, lr) = mergePairs(m)
+      var w = 0
+      var j = 0
+      while (j < len) {
+        if (j + 1 < len && syms(j).equals(l) && syms(j + 1).equals(r)) {
+          syms(w) = lr; j += 2
+        } else { syms(w) = syms(j); j += 1 }
+        w += 1
+      }
+      len = w
+      m += 1
+    }
+    var k = 0
+    while (k < len) { out.add(syms(k)); k += 1 }
+  }
+
+  def encode(words: ArrayData): ArrayData = {
+    val out = new java.util.ArrayList[UTF8String]()
+    var i = 0
+    while (i < words.numElements()) {
+      if (!words.isNullAt(i)) encodeWord(words.getUTF8String(i), out)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("applyBpe", this, classOf[ApplyBpeMerges].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.encode($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ApplyBpeMerges =
+    copy(child = newChild)
+}
+
 /** Non-overlapping occurrence count of a constant `needle`, scanning
   * left-to-right — character-for-character the same count as the portable
   * `(length(h) - length(replace(h, needle, ''))) / length(needle)`

@@ -300,6 +300,30 @@ object Ngrams {
     spark.createDataFrame(merges.toSeq).toDF("merge_rank", "left_sym", "right_sym", "n")
   }
 
+  /** BPE encode statistics: apply a learned merge table ([[bpeMerges]],
+    * collected — vocabulary metadata, bounded like a codebook) to every
+    * document and report `(id, n_words, n_subwords, fertility_ppm)`,
+    * where fertility = subwords per word — THE tokenizer-quality metric
+    * a corpus team watches (fertility creeping up means the vocab no
+    * longer fits the data). Map-only: one native encode pass per row
+    * ([[graft.functions.expressions.ApplyBpeMerges]]); empty docs report
+    * fertility 0.
+    */
+  def bpeEncodeStats(
+      docs: DataFrame,
+      merges: Seq[(String, String)],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      endOfWord: String = "</w>"): DataFrame =
+    Dedup.parallelize(docs)
+      .select(col(idCol), Dedup.wordTokens(col(textCol)).as("__w"))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_words"),
+        size(TextFunctions.applyBpeMerges(col("__w"), merges, endOfWord)).cast("long").as("n_subwords"))
+      .withColumn("fertility_ppm",
+        when(col("n_words") > 0, floor(lit(1000000L) * col("n_subwords") / col("n_words")))
+          .otherwise(0L))
+
   /** Vocabulary coverage / OOV rate per document against the corpus's own
     * top-`vocabSize` terms (by count desc, term asc — the deterministic
     * frequency-truncated vocabulary a tokenizer build would keep):

@@ -523,6 +523,29 @@ class Round4OpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("bpeEncodeStats: merges apply in rank order, leftmost-greedy; fertility exact") {
+    val docs = Seq((1L, "abab ac"), (2L, "")).toDF("doc_id", "text")
+    // merges: (a,b)→ab then (ab,ab)→abab then (abab,</w>)
+    val merges = Seq(("a", "b"), ("ab", "ab"), ("abab", "</w>"))
+    val got = Ngrams.bpeEncodeStats(docs, merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // "abab": a b a b </w> → ab ab </w> → abab </w> → abab</w> = 1 subword
+    // "ac":   a c </w> → unchanged by all merges = 3 subwords
+    assert(got(1L) == ((2L, 4L, 2000000L)))
+    assert(got(2L) == ((0L, 0L, 0L)))
+  }
+
+  test("bpeEncodeStats round-trips the trainer: encoding the training corpus with its own merges") {
+    val docs = Seq((1L, "low low low lower lower")).toDF("doc_id", "text")
+    val merges = Ngrams.bpeMerges(docs, rounds = 6)
+      .orderBy("merge_rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = Ngrams.bpeEncodeStats(docs, merges).collect().head
+    // 6 merges on this corpus fully assemble "low</w>" and reduce "lower</w>"
+    // to ≤ 2 symbols: 5 words → at most 3+2·2 = 7 subwords, ≥ 5.
+    assert(got.getLong(1) == 5L)
+    assert(got.getLong(2) >= 5L && got.getLong(2) <= 7L)
+  }
+
   // ---------------------------------------------- leak-free split
 
   test("groupSplit: a whole group lands in one split; singletons key by own id") {
