@@ -371,6 +371,27 @@ class Round4OpsSpec extends SparkSpec {
     assert(expected.nonEmpty, "fixture produced no qualifying pairs — weaken the threshold")
   }
 
+  test("prefixFilterPairs: exactness holds across the threshold range (property)") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector.tabulate(12)(i => f"t$i%02d")
+    val docs = (0L until 40L).map { i =>
+      i -> Seq.fill(2 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }.toDF("doc_id", "text")
+    val sets = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).split("\\s+").filter(_.nonEmpty).toSet).toMap
+    for (t <- Seq(100000L, 250000L, 500000L, 750000L, 990000L)) {
+      val got = graft.ops.Dedup.prefixFilterPairs(docs, thresholdPpm = t)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        i = sets(a).intersect(sets(b)).size.toLong
+        u = sets(a).union(sets(b)).size.toLong
+        if i * 1000000L >= t * u
+      } yield (a, b)).toSet
+      assert(got == expected, s"threshold $t: got ${got.size}, expected ${expected.size}")
+    }
+  }
+
   test("prefixFilterPairs: disjoint docs produce no candidates; identical docs hit 1e6") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta epsilon zeta"))
       .toDF("doc_id", "text")
