@@ -216,10 +216,16 @@ object Ngrams {
       s"discount must be a rational in [0,1): $discountNum/$discountDen")
     val words = Dedup.parallelize(docs)
       .select(Dedup.wordTokens(col(textCol)).as("__w"))
+    // The bigram-count table feeds FIVE branches (c₁, R₁, L₁, B, and the
+    // output rows); it is vocabulary-sized by construction, so staging it
+    // is cheap and saves four corpus re-tokenizations. (Persisting the
+    // corpus-sized token arrays instead measured SLOWER — materializing
+    // fat arrays costs more than recomputing the fused tokenize+agg.)
     val bi = words.select(explode(bigrams(col("__w"))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n_12"))
       .select(split(col("bigram"), " ")(0).as("w1"), split(col("bigram"), " ")(1).as("w2"),
         col("n_12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Derived stats re-aggregate the (already vocabulary-sized) bigram
     // table — the corpus is tokenized exactly once above.
     val c1 = bi.groupBy("w1").agg(sum("n_12").as("c_1"))
