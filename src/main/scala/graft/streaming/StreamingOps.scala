@@ -239,6 +239,65 @@ object StreamingOps {
         org.apache.spark.sql.Encoders.product[KeyedEvent])
   }
 
+  /** Space-saving counter state: item → (count, overestimate bound). */
+  final case class HeavyHitterState(items: Map[String, (Long, Long)])
+
+  /** One tracked counter after a micro-batch: `count` is an UPPER bound
+    * on the item's true frequency; `count − err` a LOWER bound (the
+    * space-saving guarantees). `bucket` is the state shard.
+    */
+  final case class HeavyHitter(bucket: Int, item: String, count: Long, err: Long)
+
+  /** Streaming heavy hitters via the SPACE-SAVING sketch: continuously
+    * tracks (approximately) the most frequent items of an unbounded
+    * stream with HARD-BOUNDED state — `capacity` counters per state
+    * shard, however many distinct items flow past. A tracked item's true
+    * count is always within `[count − err, count]`, and any item with
+    * true frequency > N/capacity (per shard) is guaranteed tracked — the
+    * classic guarantee that makes this THE production top-k: exact
+    * streaming counts need unbounded state.
+    *
+    * Sharding: items hash into `shards` state keys, each with its own
+    * counter table — no single hot state key at scale, and per-shard
+    * results union into global candidates (space-saving counters are
+    * shard-mergeable on the query side). Emits every tracked counter per
+    * shard per micro-batch (Update mode); state never exceeds
+    * shards × capacity entries. Counter updates replay the batch in
+    * arrival order — the sketch's contents are order-dependent by
+    * construction (as in any space-saving implementation); the
+    * [count − err, count] bounds hold for every order.
+    */
+  def heavyHittersStream(
+      items: Dataset[String],
+      capacity: Int,
+      shards: Int = 16): Dataset[HeavyHitter] = {
+    import items.sparkSession.implicits._
+    require(capacity >= 1, s"capacity must be >= 1: $capacity")
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    items
+      .groupByKey(it => math.floorMod(it.hashCode, shards))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (bucket: Int, batch: Iterator[String], state: GroupState[HeavyHitterState]) =>
+          var counters = state.getOption.map(_.items).getOrElse(Map.empty[String, (Long, Long)])
+          batch.foreach { it =>
+            counters.get(it) match {
+              case Some((c, e)) => counters = counters.updated(it, (c + 1, e))
+              case None if counters.size < capacity => counters = counters.updated(it, (1L, 0L))
+              case None =>
+                // evict the minimum-count counter (ties: smallest item for
+                // determinism given the arrival order); its count becomes
+                // the newcomer's overestimate bound
+                val (minItem, (minC, _)) = counters.minBy { case (k, (c, _)) => (c, k) }
+                counters = (counters - minItem).updated(it, (minC + 1, minC))
+            }
+          }
+          state.update(HeavyHitterState(counters))
+          counters.toSeq.sortBy { case (k, (c, _)) => (-c, k) }
+            .map { case (k, (c, e)) => HeavyHitter(bucket, k, c, e) }
+      }
+      .flatMap(identity)
+  }
+
   /** Read the reference's user-exp JSON shape as a file stream. */
   def userExpStream(spark: SparkSession, dir: String): Dataset[SessionEvent] = {
     import spark.implicits._

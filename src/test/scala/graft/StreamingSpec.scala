@@ -199,6 +199,37 @@ class StreamingSpec extends SparkSpec {
     assert(counts == Map("hot" -> 4L, "cold" -> 1L))
   }
 
+  test("heavyHittersStream: bounded state, exact counts while under capacity, bounds after eviction") {
+    val in = Files.createTempDirectory("graft_stream_hh")
+    def write(name: String, items: Seq[String]): Unit =
+      Files.write(Paths.get(in.toString, name),
+        items.map(i => s"""{"item":"$i"}""").mkString("\n").getBytes)
+    // one shard so eviction is observable; capacity 2
+    write("b1.json", Seq("a", "a", "b"))
+    import spark.implicits._
+    val stream = spark.readStream.schema("item STRING").json(in.toString)
+      .select(col("item")).as[String]
+    val q = StreamingOps.heavyHittersStream(stream, capacity = 2, shards = 1)
+      .writeStream.outputMode("update").format("memory").queryName("hh")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable()
+    val afterB1 = spark.table("hh").collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // under capacity: exact, zero error
+    assert(afterB1 == Map("a" -> (2L, 0L), "b" -> (1L, 0L)))
+    // batch 2: c arrives at full capacity → evicts min (b, count 1):
+    // c.count = 2 (overestimate), c.err = 1; a += 1 exact
+    write("b2.json", Seq("c", "a"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("hh").collect().map(r =>
+      (r.getString(1), r.getLong(2), r.getLong(3)))
+    val latest = rows.groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2) }
+    assert(latest("a") == (("a", 3L, 0L)))
+    assert(latest("c") == (("c", 2L, 1L)))
+    // state never exceeded capacity: the final emission has exactly 2 items
+    assert(rows.length == 4, s"expected 2 counters per batch emission: ${rows.toSeq}")
+  }
+
   test("debounceStream admits only events >= gap after the last ADMITTED one, across batches") {
     val in = Files.createTempDirectory("graft_stream_debounce")
     def write(name: String, lines: Seq[String]): Unit =
