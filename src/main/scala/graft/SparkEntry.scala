@@ -1396,6 +1396,14 @@ object SparkEntry {
         Components.connectedComponents(docChainPairs(s, dir)))
         .select(col("doc_id"), col("group_id"), col("split"))),
 
+    // ---- distributed dense-id assignment (the scale-correct
+    // zipWithIndex): contiguous ids in (n_chars, doc_id) order via range
+    // partition + partition-count-sized offset table — no global window. -
+    "q137_dense_ids" -> ((s, dir) =>
+      Normalize.denseIds(t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        orderCol = "n_chars", tieCol = "doc_id")
+        .select(col("doc_id"), col("n_chars"), col("dense_id"))),
+
     // ---- BPE merge-table induction (16 rounds): the subword-tokenizer
     // training algorithm over the corpus word-type table; deterministic
     // (count desc, pair asc) election. Pinned-fixture oracle — the
@@ -3071,6 +3079,12 @@ object SparkEntry {
         | CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val'
         |  ELSE 'test' END AS split
         |FROM bk""".stripMargin,
+    // q137: the distributed offset+local-rank construction IS the global
+    // row_number — replayed directly.
+    "q137_dense_ids" ->
+      """SELECT doc_id, n_chars,
+        | CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS dense_id
+        |FROM documents""".stripMargin,
     // q135: pinned sf0.01 merge table (tools/pin_oracle.py) — the
     // iterative argmax-then-rewrite loop is deterministic but not
     // SQL-replayable (same contract as the q64 Count-Min pin).

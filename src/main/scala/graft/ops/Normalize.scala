@@ -125,6 +125,47 @@ object Normalize {
     * category key; the encode itself is map-only arithmetic. Rows never
     * shuffle unless the category table outgrows broadcast.
     */
+  /** Distributed dense-id assignment: every row gets the contiguous id
+    * `0..n−1` of its position in the total order `(orderCol, tieCol)` —
+    * the re-keying step before packing rows into embedding tables, graph
+    * adjacency arrays, or file offsets. This is the scale-correct
+    * zipWithIndex: a range repartition on the order key puts ordered
+    * blocks on separate partitions, a PARTITION-COUNT-sized offset table
+    * (one count row per partition, prefix-summed on the driver-side tiny
+    * window and broadcast back) anchors each block, and a per-partition
+    * sort ranks within — no global single-partition window anywhere.
+    *
+    * Output ids are a pure function of the input even though range
+    * boundaries are sampled (nondeterministic): whatever the split, a
+    * row's `offset + local rank` IS its global rank, because the order
+    * is total. `tieCol` must be unique (enforce upstream) — with
+    * duplicate full keys, rows straddling a sampled boundary could swap.
+    */
+  def denseIds(
+      df: DataFrame,
+      orderCol: String,
+      tieCol: String,
+      outCol: String = "dense_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    // Materialized EAGERLY: the offset table and the ranked rows must see
+    // the SAME physical partitioning, and range boundaries are sampled
+    // per execution — two independent evaluations of the repartition
+    // could split rows differently and desynchronize pids from offsets.
+    val ranged = df.repartitionByRange(p, col(orderCol), col(tieCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__n")
+    val w = Window.partitionBy("__pid").orderBy(col(orderCol), col(tieCol))
+    ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, col("__off") + row_number().over(w).cast("long") - 1L)
+      .drop("__pid", "__off")
+  }
+
   def targetEncode(
       df: DataFrame,
       categoryCols: Seq[String],

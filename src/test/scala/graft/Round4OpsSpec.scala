@@ -474,6 +474,21 @@ class Round4OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((3L, 1, 1), (4L, 1, 2)))
   }
 
+  // ------------------------------------------------- dense ids
+
+  test("denseIds assigns the exact global enumeration across many partitions") {
+    import graft.ops.Normalize
+    val rnd = new scala.util.Random(41)
+    val rows = (0L until 5000L).map(i => (i, rnd.nextInt(100).toLong)).toDF("id", "v")
+    val got = Normalize.denseIds(rows, orderCol = "v", tieCol = "id")
+      .select("id", "v", "dense_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // ids are a permutation of 0..n-1 and agree with the total order
+    assert(got.map(_._3).sorted.toSeq == (0L until 5000L))
+    val byOrder = got.sortBy(t => (t._2, t._1)).map(_._3)
+    assert(byOrder.toSeq == (0L until 5000L), "dense ids must follow the (v, id) total order")
+  }
+
   // ------------------------------------------------- BPE merges
 
   test("bpeMerges replays the classic hand-computed merge sequence") {
