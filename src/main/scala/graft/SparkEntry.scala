@@ -470,6 +470,7 @@ object SparkEntry {
         .crossJoin(broadcast(words.agg(count(lit(1)).as("__n"))))
         .select(col("term"),
           coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+          ceil(col("__n") * lit(math.E) / 2048).cast("long").as("eps_bound"),
           (col("__est") >= coalesce(col("exact_count"), lit(0L))).as("never_undercounts"),
           (col("__est") <= coalesce(col("exact_count"), lit(0L)) +
             ceil(col("__n") * lit(math.E) / 2048).cast("long")).as("within_eps_n"))
@@ -1977,23 +1978,27 @@ object SparkEntry {
         |        FROM sym s JOIN r1 l ON s.dst = l.id GROUP BY 1, 2))
         | WHERE rn = 1)
         |SELECT id, label FROM r2""".stripMargin,
-    // q64: exact counts + pinned sketch contract (cf. q43). NOTE: the
-    // within_eps_n pin is EMPIRICALLY verified for this fixed (hash seed,
-    // testdata, term list) — the CM bound est ≤ exact + ⌈e·N/width⌉ holds
-    // per-term with prob ~1-(1/e)^depth ≈ 98%, not always. The run is
-    // deterministic so the pin is stable, but re-verify if the fixture or
-    // the term list ever changes (a miss flips this to a hash failure, not
-    // a sketch bug).
+    // q64: exact counts + sketch contract (cf. q43). The oracle now
+    // EXPRESSES the error bound — eps_bound = ⌈e·N/width⌉ is recomputed in
+    // SQL from the corpus word count, so a testdata refresh moves the
+    // oracle's bound with it (a mismatch there is a real tokenizer/count
+    // bug). The two booleans remain pins: never_undercounts is a
+    // deterministic CM-sketch theorem; within_eps_n holds per-term with
+    // prob ~1-(1/e)^depth ≈ 98% and is verified on this deterministic run
+    // (a flip after a fixture change means a legitimate 2% bound miss, not
+    // a sketch bug — widen width or reroll the term list).
     "q64_countmin" ->
       """WITH tok AS (
         | SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
         | FROM documents),
         |words AS (SELECT unnest(w) AS term FROM tok),
+        |n AS (SELECT count(*) AS total FROM words),
         |t(term) AS (VALUES ('table'), ('data'), ('spark'), ('vector'), ('nonexistentterm')),
         |e AS (SELECT term, count(*) AS c FROM words GROUP BY 1)
         |SELECT t.term, CAST(coalesce(e.c, 0) AS BIGINT) AS exact_count,
+        | CAST(ceil(n.total * exp(1.0) / 2048) AS BIGINT) AS eps_bound,
         | TRUE AS never_undercounts, TRUE AS within_eps_n
-        |FROM t LEFT JOIN e ON t.term = e.term""".stripMargin,
+        |FROM t LEFT JOIN e ON t.term = e.term CROSS JOIN n""".stripMargin,
     // q63: identical md5-bucket coin and clamped-weight threshold.
     "q63_weighted_sample" ->
       s"""SELECT o_orderkey, o_totalprice FROM orders

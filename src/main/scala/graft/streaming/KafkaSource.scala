@@ -12,6 +12,19 @@ import org.apache.spark.sql.types.StructType
   */
 object KafkaSource {
 
+  /** Parse a Kafka-shaped `value` column (binary or string JSON payload)
+    * into typed top-level columns. This is the connector-independent half
+    * of [[jsonStream]]: everything after the socket — cast, `from_json`
+    * with an explicit schema (malformed payloads become null-struct rows,
+    * Spark's PERMISSIVE default, matching the reference's tolerant JSON
+    * reads), struct flatten — so the suite can exercise it over a
+    * `MemoryStream` without the Kafka connector jar.
+    */
+  def parseJsonValues(raw: DataFrame, schema: StructType): DataFrame =
+    raw
+      .select(from_json(col("value").cast("string"), schema).as("r"))
+      .select(col("r.*"))
+
   /** Subscribe to a topic and parse the JSON value column with an explicit
     * schema. Partition parallelism follows the topic's Kafka partitions
     * (the reference provisioned 3 — `src/setup.py:11`).
@@ -22,12 +35,12 @@ object KafkaSource {
       topic: String,
       schema: StructType,
       startingOffsets: String = "latest"): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .load()
-      .select(from_json(col("value").cast("string"), schema).as("r"))
-      .select(col("r.*"))
+    parseJsonValues(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .load(),
+      schema)
 }

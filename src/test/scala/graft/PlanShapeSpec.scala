@@ -79,28 +79,37 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("pagerank iteration joins the cached edge layout with no edge-side exchange") {
-    val e = spark.range(2000).selectExpr("id % 100 as s", "(id * 7) % 100 as d")
-    val p = spark.sparkContext.defaultParallelism
-    val withDeg = e.join(e.groupBy("s").agg(count(lit(1)).as("outdeg")), "s")
-      .repartition(p, col("s")).cache()
-    withDeg.count() // populate the cache, as ranksFixedPoint's loop does
-    try {
-      val ranks = e.select(col("s").as("id")).distinct()
-        .withColumn("rank", lit(1000000L)).localCheckpoint()
-      val plan = initialPlan(PageRank.contributions(withDeg, ranks, 85L))
-      val cachedScans = plan.collect { case s: InMemoryTableScanExec => s }
-      assert(cachedScans.nonEmpty, "edge list not read from cache")
-      // no exchange may sit between the cached edge scan and the join:
-      // the only shuffles in the plan must NOT contain edge columns
-      // (s/d/outdeg all together marks the edge list itself moving)
-      plan.collect { case ex: ShuffleExchangeExec => ex.output.map(_.name).toSet }
-        .foreach { out =>
-          assert(!(out.contains("d") && out.contains("outdeg")),
-            s"edge list re-shuffled in iteration: $out")
-        }
-    } finally withDeg.unpersist()
-  }
+  // The cached-edge-layout contract must hold at ANY parallelism — a plan
+  // that only avoids the per-round edge exchange when the cached layout
+  // happens to equal spark.sql.shuffle.partitions would silently re-shuffle
+  // on a real cluster where the two diverge. Assert at 4 and 32.
+  for (parts <- Seq(4, 32))
+    test(s"pagerank iteration joins the cached edge layout with no edge-side exchange (width $parts)") {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      val e = spark.range(2000).selectExpr("id % 100 as s", "(id * 7) % 100 as d")
+      val withDeg = e.join(e.groupBy("s").agg(count(lit(1)).as("outdeg")), "s")
+        .repartition(parts, col("s")).cache()
+      withDeg.count() // populate the cache, as ranksFixedPoint's loop does
+      try {
+        val ranks = e.select(col("s").as("id")).distinct()
+          .withColumn("rank", lit(1000000L)).localCheckpoint()
+        val plan = initialPlan(PageRank.contributions(withDeg, ranks, 85L))
+        val cachedScans = plan.collect { case s: InMemoryTableScanExec => s }
+        assert(cachedScans.nonEmpty, "edge list not read from cache")
+        // no exchange may sit between the cached edge scan and the join:
+        // the only shuffles in the plan must NOT contain edge columns
+        // (s/d/outdeg all together marks the edge list itself moving)
+        plan.collect { case ex: ShuffleExchangeExec => ex.output.map(_.name).toSet }
+          .foreach { out =>
+            assert(!(out.contains("d") && out.contains("outdeg")),
+              s"edge list re-shuffled in iteration: $out")
+          }
+      } finally {
+        withDeg.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+    }
 
   test("edit-distance DP stage runs at pinned width (REPARTITION_BY_NUM, never coalescible)") {
     val many = (1 to 200).map(i => (i.toLong, s"b${i % 4}", s"some text body number $i")).toDF("doc_id", "blk", "text")
@@ -134,15 +143,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("degree-ordered triangles read the oriented edge list from cache, not three rebuilds") {
-    val e = spark.range(300).selectExpr("id % 40 as a_id", "(id * 13) % 40 as b_id")
-      .where(col("a_id") =!= col("b_id"))
-    val tri = graft.ops.GraphMetrics.nodeTriangles(e)
-    val plan = initialPlan(tri)
-    val cachedScans = plan.collect { case s: InMemoryTableScanExec => s }
-    assert(cachedScans.size >= 3,
-      s"expected the persisted oriented edges on all three join sides, found ${cachedScans.size} cached scans")
-  }
+  for (parts <- Seq(4, 32))
+    test(s"degree-ordered triangles read the oriented edge list from cache, not three rebuilds (width $parts)") {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        val e = spark.range(300).selectExpr("id % 40 as a_id", "(id * 13) % 40 as b_id")
+          .where(col("a_id") =!= col("b_id"))
+        val tri = graft.ops.GraphMetrics.nodeTriangles(e)
+        val plan = initialPlan(tri)
+        val cachedScans = plan.collect { case s: InMemoryTableScanExec => s }
+        assert(cachedScans.size >= 3,
+          s"expected the persisted oriented edges on all three join sides, found ${cachedScans.size} cached scans")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
 
   test("prefix-filter join and Kneser–Ney never shuffle raw document text") {
     // prefixFilterPairs legitimately shuffles DISTINCT-TOKEN arrays (the

@@ -256,4 +256,29 @@ class StreamingSpec extends SparkSpec {
       .map(_.getAs[java.sql.Timestamp]("ts").toInstant.toString).sorted
     assert(kept.toSeq == Seq("2024-11-16T10:00:00Z", "2024-11-16T10:00:12Z"))
   }
+
+  test("Kafka value parsing works over a MemoryStream — everything but the socket") {
+    // Binary `value` payloads, exactly the shape the Kafka connector emits;
+    // one malformed record must become a null-struct row, not kill the query.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Array[Byte]]
+    mem.addData(
+      """{"clientId":"c1","eventType":"page_view_start","eventId":"e1"}""".getBytes("UTF-8"),
+      """{"clientId":"c2","eventType":"error","eventId":"e2"}""".getBytes("UTF-8"),
+      "not json at all".getBytes("UTF-8"))
+    val parsed = graft.streaming.KafkaSource.parseJsonValues(
+      mem.toDF().select(col("value")),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "clientId STRING, eventType STRING, eventId STRING"))
+    val q = parsed.writeStream.outputMode("append").format("memory")
+      .queryName("kafka_parsed").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("kafka_parsed").collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)))).toSet
+    assert(rows == Set(
+      (Some("c1"), Some("page_view_start")),
+      (Some("c2"), Some("error")),
+      (None, None)))
+  }
 }
