@@ -1422,7 +1422,57 @@ object SparkEntry {
         .orderBy("merge_rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       Ngrams.bpeEncodeStats(t(s, dir, "documents"), merges)
-    })
+    }),
+
+    // ---- corpus-wide segment dedup (C4/RefinedWeb "line dedup" on
+    // unstructured text): 16-word blocks, corpus-wide first occurrence
+    // wins, docs reassembled from survivors. Election shuffles only
+    // (fingerprint, id, idx); bodies cross one exchange. ----------------
+    "q138_segment_dedup" -> ((s, dir) =>
+      Dedup.segmentDedup(t(s, dir, "documents"))
+        .select(col("doc_id"), col("clean_text"), col("n_segments"), col("n_dropped"))),
+
+    // ---- train/test contamination audit: the near-dup relation vs split
+    // borders. The naive per-doc hash split leaks related pairs across
+    // splits; the component-grouped split (q134) must PROVE zero. -------
+    "q139_split_leakage" -> ((s, dir) => {
+      val pairs = docChainPairs(s, dir)
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val grouped = Sampling.groupSplit(docs, Components.connectedComponents(pairs))
+      val naiveBucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10).cast("long")
+      val naive = docs.withColumn("split",
+        when(naiveBucket < 204, lit("train")).when(naiveBucket < 230, lit("val"))
+          .otherwise(lit("test")))
+      Audit.splitLeakage(pairs, grouped).withColumn("method", lit("grouped"))
+        .unionByName(
+          Audit.splitLeakage(pairs, naive).withColumn("method", lit("naive_hash")))
+        .select(col("method"), col("n_pairs"), col("cross_split_pairs"))
+    }),
+
+    // ---- context-length budgeting: whole-token truncation to 64 tokens
+    // with audit columns. Map-only — the 100 TB cost is the scan. -------
+    "q140_token_truncate" -> ((s, dir) =>
+      Chunking.truncateTokens(t(s, dir, "documents"), maxTokens = 64)
+        .select(col("doc_id"), col("n_tokens"), col("truncated"), col("out_text"))),
+
+    // ---- cross-corpus dedup ("what's new in this crawl"): even docs not
+    // content-identical to any odd doc. Bloom-definitely-novel rows
+    // bypass the anti-join shuffle entirely. ----------------------------
+    "q141_cross_corpus_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossCorpusNovel(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        expectedItems = 1L << 16)
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // ---- SemDeDup-style blocked semantic dedup: within each label block,
+    // drop vectors with a smaller-id cosine-≥0.9 neighbor. All-integer
+    // threshold test (quantize → codegen'd integer dot) — engine-exact. -
+    "q142_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("label"), col("dropped")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -3132,7 +3182,98 @@ object SparkEntry {
         | CAST(CASE WHEN coalesce(p.n_words, 0) > 0
         |  THEN floor(1000000 * p.n_subwords / p.n_words) ELSE 0 END AS BIGINT) AS fertility_ppm
         |FROM tok t LEFT JOIN per p USING (doc_id)""".stripMargin
-    }
+    },
+    // q138: identical segmentation (16-word blocks of the normalized
+    // token list), md5 fingerprint election ordered by (doc_id, idx),
+    // reassembly via ordered string_agg of the rn=1 survivors.
+    "q138_segment_dedup" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |seg0 AS (
+        | SELECT doc_id, w, unnest(range(CAST(ceil(len(w)/16.0) AS BIGINT))) AS i
+        | FROM tok WHERE len(w) > 0),
+        |seg AS (
+        | SELECT doc_id, i AS idx, array_to_string(w[(i*16+1):(i*16+16)], ' ') AS seg
+        | FROM seg0),
+        |win AS (
+        | SELECT doc_id, idx, seg,
+        |  row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, idx) AS rn
+        | FROM seg),
+        |agg AS (
+        | SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(count(CASE WHEN rn > 1 THEN 1 END) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(seg, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '') AS clean_text
+        | FROM win GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        | coalesce(a.n_segments, 0) AS n_segments,
+        | coalesce(a.n_dropped, 0) AS n_dropped
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+    // q139: both split assignments replayed (naive md5 bucket of doc_id;
+    // grouped bucket of the recursive-CTE component id), pairs from the
+    // same edges0 relation docChainPairs builds; inner joins drop pairs
+    // whose endpoint falls outside the corpus, as the Spark op does.
+    "q139_split_leakage" ->
+      s"""WITH RECURSIVE $DocChainComponentsCte,
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |gs AS (
+        | SELECT d.doc_id,
+        |  CASE WHEN ${bucketOracle("coalesce(c.component, d.doc_id)")} < 204 THEN 'train'
+        |   WHEN ${bucketOracle("coalesce(c.component, d.doc_id)")} < 230 THEN 'val'
+        |   ELSE 'test' END AS split
+        | FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        |ns AS (
+        | SELECT doc_id,
+        |  CASE WHEN ${bucketOracle("doc_id")} < 204 THEN 'train'
+        |   WHEN ${bucketOracle("doc_id")} < 230 THEN 'val'
+        |   ELSE 'test' END AS split
+        | FROM documents)
+        |SELECT 'grouped' AS method, CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(count(CASE WHEN a.split <> b.split THEN 1 END) AS BIGINT) AS cross_split_pairs
+        |FROM edges0 e JOIN gs a ON e.u = a.doc_id JOIN gs b ON e.v = b.doc_id
+        |UNION ALL
+        |SELECT 'naive_hash', CAST(count(*) AS BIGINT),
+        | CAST(count(CASE WHEN a.split <> b.split THEN 1 END) AS BIGINT)
+        |FROM edges0 e JOIN ns a ON e.u = a.doc_id JOIN ns b ON e.v = b.doc_id""".stripMargin,
+    // q140: same tokenizer, list slice, whole-token join.
+    "q140_token_truncate" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
+        | FROM documents)
+        |SELECT doc_id, CAST(len(w) AS INT) AS n_tokens, len(w) > 64 AS truncated,
+        | array_to_string(w[1:64], ' ') AS out_text
+        |FROM tok""".stripMargin,
+    // q141: plain NOT EXISTS on the q12 content fingerprint — the bloom
+    // pre-filter is a pure optimization, invisible in the result.
+    "q141_cross_corpus_dedup" ->
+      """SELECT d.doc_id, d.source FROM documents d
+        |WHERE d.doc_id % 2 = 0 AND NOT EXISTS (
+        | SELECT 1 FROM documents r WHERE r.doc_id % 2 = 1
+        |  AND md5(regexp_replace(trim(lower(r.text)), '\s+', ' ', 'g'))
+        |    = md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')))""".stripMargin,
+    // q142: identical quantization (round to BIGINT at scale 1024) and
+    // the same all-integer threshold algebra — list_sum over BIGINT
+    // products stays exact, unlike list_dot_product's double.
+    "q142_semantic_dedup" ->
+      """WITH q AS (
+        | SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+        | FROM embeddings),
+        |n AS (
+        | SELECT vec_id, label, qv,
+        |  list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])) AS n2
+        | FROM q),
+        |p AS (
+        | SELECT DISTINCT b.vec_id AS dropped_id
+        | FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id,
+        |  LATERAL (SELECT list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*b.qv[i])) AS d) t
+        | WHERE t.d > 0 AND t.d * t.d * 100 >= 81 * a.n2 * b.n2)
+        |SELECT e.vec_id, e.label,
+        | EXISTS (SELECT 1 FROM p WHERE p.dropped_id = e.vec_id) AS dropped
+        |FROM embeddings e""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

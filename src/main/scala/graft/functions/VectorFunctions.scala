@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, GraftColumn}
 import org.apache.spark.sql.functions._
-import graft.functions.expressions.{CentroidCodebook, CosineSimilarity, DotProduct, HyperplaneBucket => HyperplaneBucketExpr, LatticeCodebook, MinHashSignature, NearestCentroidId, NearestLatticeCentroid, PositionalShingleHashes, ShingleHashes, SimHash64, SortedIntersectCount, TopCentroidIds}
+import graft.functions.expressions.{CentroidCodebook, CosineSimilarity, DotProduct, HyperplaneBucket => HyperplaneBucketExpr, IntDotProduct, LatticeCodebook, MinHashSignature, NearestCentroidId, NearestLatticeCentroid, PositionalShingleHashes, ShingleHashes, SimHash64, SortedIntersectCount, TopCentroidIds}
 
 /** Vector math over `array<float>` embedding columns. The hot pairwise
   * functions ([[dot]], [[cosine]], [[simhashBucket]]) are native Catalyst
@@ -18,6 +18,13 @@ object VectorFunctions {
   /** Σ aᵢ·bᵢ — native codegen'd loop, accumulating in double left-to-right. */
   def dot(a: Column, b: Column): Column =
     GraftColumn(DotProduct(GraftColumn.expr(a), GraftColumn.expr(b)))
+
+  /** Σ aᵢ·bᵢ over `array<long>` in exact 64-bit integer arithmetic —
+    * native codegen'd loop; the kernel for quantized-embedding thresholds
+    * that must compare identically across engines.
+    */
+  def intDot(a: Column, b: Column): Column =
+    GraftColumn(IntDotProduct(GraftColumn.expr(a), GraftColumn.expr(b)))
 
   /** Reference HOF form of [[dot]] (interpreted; tests cross-check). */
   def dotHof(a: Column, b: Column): Column =

@@ -599,6 +599,50 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Σ aᵢ·bᵢ over two `array<long>` columns in EXACT 64-bit integer
+  * arithmetic — the pairwise kernel of quantized-embedding similarity,
+  * where a float accumulator would make threshold comparisons
+  * engine-dependent at the boundary. Null elements contribute 0; length
+  * mismatch folds the common prefix (mirrors [[DotProduct]]). The caller
+  * owns overflow headroom: |value| ≤ scale·maxAbs and dim·(scale·maxAbs)²
+  * must fit a long (for unit vectors at scale 1024 the dot is ≤ ~2²⁶ —
+  * six orders of magnitude of slack).
+  */
+case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) sum += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, i, sum) = (ctx.freshName("n"), ctx.freshName("i"), ctx.freshName("sum"))
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $sum = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $sum += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IntDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** |A ∩ B| over two SORTED (ascending, binary order), DISTINCT, null-free
   * arrays — string or long elements — in one two-pointer merge pass.
   * Equivalent to `size(array_intersect(a, b))` on such inputs, but

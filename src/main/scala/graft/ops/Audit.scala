@@ -131,6 +131,34 @@ object Audit {
     * combined count aggs, a key-cardinality-sized inner join, TakeOrdered
     * for the top-N, one-row broadcast total.
     */
+  /** Train/test contamination audit: how many related pairs straddle a
+    * split boundary. `pairs` is any relatedness relation (near-dup pairs,
+    * same-user sessions, citation edges); `splits` assigns each id a split
+    * label. A leak-free grouped split (e.g. [[Sampling.groupSplit]] over
+    * the same relation's components) must report 0 — run this as the
+    * release gate that PROVES it, and on naive per-row splits to quantify
+    * what grouping bought.
+    *
+    * Scale shape: two equi-joins of the pair list against the (id, split)
+    * projection — the pair relation is near-dup-sized (≪ corpus), and
+    * only ids/labels shuffle. One global one-row agg at the end.
+    */
+  def splitLeakage(
+      pairs: DataFrame,
+      splits: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      idCol: String = "doc_id",
+      splitCol: String = "split"): DataFrame = {
+    val s = splits.select(col(idCol), col(splitCol))
+    pairs.select(col(aCol), col(bCol))
+      .join(s.select(col(idCol).as(aCol), col(splitCol).as("__sa")), Seq(aCol))
+      .join(s.select(col(idCol).as(bCol), col(splitCol).as("__sb")), Seq(bCol))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count(when(col("__sa") =!= col("__sb"), 1)).as("cross_split_pairs"))
+  }
+
   def joinEstimate(
       left: DataFrame,
       leftKey: String,

@@ -48,4 +48,25 @@ object Chunking {
         })).as("c"))
       .select(col("doc_id"), col("c.chunk_id"), col("c.chunk"), col("c.n_words"))
   }
+
+  /** Context-length budgeting: truncate each document to its first
+    * `maxTokens` whitespace tokens, reporting the original length and
+    * whether anything was cut. Map-only (a projection — the 100 TB cost
+    * is the scan), deterministic, and the truncation keeps whole tokens
+    * so downstream tokenizers never see a sheared word.
+    */
+  def truncateTokens(
+      docs: DataFrame,
+      maxTokens: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    Dedup.parallelize(docs)
+      .select(col(idCol), Dedup.wordTokens(col(textCol)).as("__w"))
+      .select(
+        col(idCol),
+        size(col("__w")).as("n_tokens"),
+        (size(col("__w")) > maxTokens).as("truncated"),
+        concat_ws(" ", slice(col("__w"), 1, maxTokens)).as("out_text"))
+  }
 }

@@ -41,7 +41,12 @@ object Dedup {
 
   /** Normalized word tokens (the shared first stage of every sketch). */
   def wordTokens(text: Column): Column =
-    filter(split(regexp_replace(trim(lower(text)), "\\s+", " "), " "), w => length(w) > 0)
+    // array_remove(split, "") ≡ filter(length > 0) here (split("\\s+") can
+    // only emit "" for an empty input), but it stays inside whole-stage
+    // codegen where the lambda form falls back to interpreted eval — this
+    // tokenizer sits in the hot path of every text query (q13-q15, q47,
+    // q64, BM25, KN, …).
+    array_remove(split(trim(lower(text)), "\\s+"), "")
 
   /** Distinct hashed word k-shingles — native one-pass expression (each
     * word hashes once; windows combine word hashes, no string
@@ -393,5 +398,93 @@ object Dedup {
       .where(col("n_common") * 1000000L >= lit(thresholdPpm) * (col("n_a") + col("n_b") - col("n_common")))
       .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"), col("n_common"),
         floor(lit(1000000L) * col("n_common") / (col("n_a") + col("n_b") - col("n_common"))).as("jaccard_ppm"))
+  }
+
+  /** Corpus-wide segment-level dedup — the C4/RefinedWeb "line dedup"
+    * adapted to unstructured text: deterministically segment every
+    * document into consecutive `segWords`-word blocks, fingerprint each
+    * block, keep only its corpus-wide FIRST occurrence (smallest
+    * (doc id, segment index)), and reassemble the survivors in order.
+    * Docs whose every segment was seen earlier survive as empty strings
+    * (auditable, not silently dropped).
+    *
+    * Scale shape: the first-occurrence election shuffles only
+    * (fingerprint, id, idx) — segment STRINGS never cross that exchange
+    * (fingerprints are computed in the same projection that builds the
+    * segments, map-side). Reassembly joins the narrow per-doc keep-index
+    * arrays back to the source docs and re-slices the token array, so
+    * document bodies move through exactly ONE exchange (the reassembly
+    * join) regardless of duplication rate.
+    */
+  def segmentDedup(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      segWords: Int = 16): DataFrame = {
+    require(segWords > 0, "segWords must be positive")
+    val sw = lit(segWords)
+    val base = parallelize(docs)
+      .select(col(idCol), wordTokens(col(textCol)).as("__w"))
+    // (id, idx, fp): fingerprints only — the segment text dies map-side.
+    // The size>0 guard matters: sequence(0, -1) counts DOWN (step is
+    // inferred), so an unguarded empty doc would fabricate segments.
+    // posexplode drops the guarded empty arrays; the left join below
+    // restores those docs.
+    val segs = base.select(
+      col(idCol),
+      posexplode(
+        when(size(col("__w")) > 0,
+          transform(
+            sequence(lit(0), (ceil(size(col("__w")) / sw.cast("double")) - 1).cast("int")),
+            i => md5(concat_ws(" ", slice(col("__w"), i * sw + 1, lit(segWords))))))
+          .otherwise(array())))
+      .toDF(idCol, "__idx", "__fp")
+    val elected = segs
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__fp")).orderBy(col(idCol), col("__idx"))))
+    val perDoc = elected.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_segments"),
+      count(when(col("__rn") > 1, 1)).as("n_dropped"),
+      sort_array(collect_list(when(col("__rn") === 1, col("__idx")))).as("__keep"))
+    base.join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(
+          concat_ws(" ",
+            flatten(transform(col("__keep"),
+              i => slice(col("__w"), i * sw + 1, lit(segWords))))),
+          lit("")).as("clean_text"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
+  /** Cross-corpus exact dedup: the `target` docs whose content fingerprint
+    * does NOT appear anywhere in `reference` — the "what's new in this
+    * crawl" primitive (dedup against last month's corpus, against an
+    * already-trained-on corpus, …).
+    *
+    * Scale shape: a bloom sketch of the reference fingerprints (one
+    * narrow distributive agg, bounded driver bytes) splits the target
+    * map-side — rows the bloom rejects are DEFINITELY novel and bypass
+    * the join entirely (no false negatives), so the exact anti-join
+    * shuffles only the ~dup-rate fraction the bloom couldn't clear.
+    * For a mostly-novel crawl that is a >90% shuffle-volume cut.
+    */
+  def crossCorpusNovel(
+      target: DataFrame,
+      reference: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      expectedItems: Long = 1 << 20): DataFrame = {
+    val refFps = reference
+      .select(TextFunctions.fingerprint(col(textCol)).as("__fp"))
+    val bf = RuntimeFilter.bloomBytes(refFps, "__fp", expectedItems)
+    val t = parallelize(target)
+      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+    val probe = RuntimeFilter.mightContain(bf, col("__fp"))
+    val definitelyNovel = t.where(!probe)
+    val maybeDup = t.where(probe)
+      .join(refFps.distinct(), Seq("__fp"), "left_anti")
+    definitelyNovel.unionByName(maybeDup).drop("__fp")
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, GraftColumn}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumn}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
@@ -56,16 +56,8 @@ object RuntimeFilter {
       s"bloomSemiJoin requires identical key types, got " +
         s"${fact.schema(factKey).dataType} vs ${dim.schema(dimKey).dataType} — " +
         "cast one side before calling")
-    val bits = if (numBits > 0) numBits else expectedItems * 8
-    val sketch = GraftColumn(
-      new BloomFilterAggregate(
-        GraftColumn.expr(xxhash64(col(dimKey))),
-        Literal(expectedItems), Literal(bits)).toAggregateExpression())
-    val bf = dim.agg(sketch.as("bf")).head().getAs[Array[Byte]]("bf")
-    val pruned = fact.where(GraftColumn(
-      BloomFilterMightContain(
-        Literal(bf, BinaryType),
-        GraftColumn.expr(xxhash64(col(factKey))))))
+    val bf = bloomBytes(dim, dimKey, expectedItems, numBits)
+    val pruned = fact.where(mightContain(bf, col(factKey)))
     // Exact semi-join on the survivors removes the bloom's false
     // positives; the dim side collapses to distinct keys first so the
     // build side is minimal.
@@ -73,4 +65,27 @@ object RuntimeFilter {
       dim.select(col(dimKey).as(factKey)).distinct(),
       Seq(factKey), "left_semi")
   }
+
+  /** Aggregate `dim.keyCol` into one bloom sketch and collect its bytes
+    * (`numBits/8` — bounded, broadcast-equivalent driver hop). Partial
+    * sketches merge distributively, so this is one narrow agg over the
+    * dim, never a collect of keys.
+    */
+  def bloomBytes(dim: DataFrame, keyCol: String, expectedItems: Long, numBits: Long = 0L): Array[Byte] = {
+    val bits = if (numBits > 0) numBits else expectedItems * 8
+    val sketch = GraftColumn(
+      new BloomFilterAggregate(
+        GraftColumn.expr(xxhash64(col(keyCol))),
+        Literal(expectedItems), Literal(bits)).toAggregateExpression())
+    dim.agg(sketch.as("bf")).head().getAs[Array[Byte]]("bf")
+  }
+
+  /** The codegen'd map-side probe: true when `key` MIGHT be in the sketch
+    * (no false negatives). Hash dtype caveat as in [[bloomSemiJoin]]: the
+    * probe key must have the same type the sketch was built over.
+    */
+  def mightContain(bf: Array[Byte], key: Column): Column =
+    GraftColumn(BloomFilterMightContain(
+      Literal(bf, BinaryType),
+      GraftColumn.expr(xxhash64(key))))
 }

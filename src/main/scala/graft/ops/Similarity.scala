@@ -218,4 +218,53 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /** SemDeDup-style blocked semantic dedup: within each block, a vector is
+    * DROPPED when some smaller-id vector in the same block has cosine
+    * similarity ≥ tauNum/tauDen with it (greedy min-id representative —
+    * deterministic, no iteration). Blocks bound the pair space: use a
+    * cluster assignment ([[ivfTopK]]'s codebook, [[graft.ops.KMeans]]) or
+    * any partition key as `blockCol`; pairs never form across blocks.
+    *
+    * Exactness across engines: embeddings are quantized to integers
+    * (round(x·scale)) and the threshold test runs in ALL-INTEGER
+    * arithmetic — cos(a,b) ≥ τ ⟺ dot > 0 ∧ dot²·tauDen² ≥ tauNum²·‖a‖²·‖b‖²
+    * — so there is no float boundary to disagree on. Overflow headroom
+    * (unit vectors, scale 1024, dim ≤ 512, tauDen ≤ 10): dot² ≤ 2⁵⁵/dim
+    * · tauDen² stays under 2⁶³.
+    *
+    * Scale shape: quantization and norms are map-side; the only shuffle
+    * is the block self-join (bounded groups) plus the narrow dropped-id
+    * distinct; the pairwise kernel is the codegen'd integer dot.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      blockCol: String = "label",
+      tauNum: Int = 9,
+      tauDen: Int = 10,
+      scale: Int = 1024,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(tauDen > 0 && tauNum >= 0 && tauNum <= tauDen, "need 0 <= tauNum/tauDen <= 1")
+    val q = transform(col(vecCol), x => round(x.cast("double") * scale).cast("long"))
+    val base = emb
+      .select(col(idCol), col(blockCol), q.as("__q"))
+      .withColumn("__n2", VectorFunctions.intDot(col("__q"), col("__q")))
+    // Identical child plans on both sides (rename via alias AFTER the
+    // join) so ReuseExchange computes the quantize+norm stage once — the
+    // minhashLsh self-join lesson.
+    val pairs = base.alias("a").hint("shuffle_hash")
+      .join(base.alias("b").hint("shuffle_hash"),
+        col(s"a.$blockCol") === col(s"b.$blockCol") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("__dot", VectorFunctions.intDot(col("a.__q"), col("b.__q")))
+      .where(col("__dot") > 0 &&
+        col("__dot") * col("__dot") * lit(tauDen.toLong * tauDen) >=
+          lit(tauNum.toLong * tauNum) * col("a.__n2") * col("b.__n2"))
+    val dropped = pairs.select(col(s"b.$idCol").as(idCol)).distinct()
+    emb.select(col(idCol), col(blockCol))
+      .join(dropped.withColumn("__d", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col(blockCol),
+        coalesce(col("__d"), lit(false)).as("dropped"))
+  }
 }

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.ops.{Audit, Chunking, Dedup, Similarity}
+
+/** Corpus-hygiene additions: segment-level dedup with reassembly,
+  * cross-corpus novelty, split-leakage audit, whole-token truncation,
+  * blocked semantic dedup, and the exact integer dot kernel.
+  */
+class CorpusHygieneSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------- segment dedup
+
+  test("segmentDedup: corpus-wide first occurrence wins, docs reassembled in order") {
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "c d a b"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, segWords = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1 owns both "a b" and "c d"; doc 2 keeps only its novel tail;
+    // doc 3 is entirely seen-before; the empty doc survives untouched.
+    assert(got(1L) == (("a b c d", 2L, 0L)))
+    assert(got(2L) == (("x y", 2L, 1L)))
+    assert(got(3L) == (("", 2L, 2L)))
+    assert(got(4L) == (("", 0L, 0L)))
+  }
+
+  test("segmentDedup: a within-doc repeat dedups against its own earlier segment") {
+    val docs = Seq((7L, "p q p q z")).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, segWords = 2).collect().head
+    assert(got.getString(1) == "p q z")
+    assert(got.getLong(2) == 3L && got.getLong(3) == 1L)
+  }
+
+  test("segmentDedup: the final short block is its own segment, not padded or dropped") {
+    val docs = Seq((1L, "a b c"), (2L, "c")).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, segWords = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 2's single-word doc matches doc 1's trailing block "c"
+    assert(got(1L) == "a b c" && got(2L) == "")
+  }
+
+  // ------------------------------------------- cross-corpus novelty
+
+  test("crossCorpusNovel equals the exact anti-join on content fingerprints") {
+    val target = Seq((1L, "alpha beta"), (2L, "gamma  delta"), (3L, "unique here")).toDF("doc_id", "text")
+    val ref = Seq((10L, "ALPHA BETA"), (11L, "gamma delta"), (12L, "other")).toDF("doc_id", "text")
+    // fingerprints normalize case and whitespace, so docs 1 and 2 are dups
+    val got = Dedup.crossCorpusNovel(target, ref, expectedItems = 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(3L))
+  }
+
+  test("crossCorpusNovel: an undersized bloom loses no rows (false positives only)") {
+    val target = (1L to 200L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+    val ref = (1L to 200L).filter(_ % 3 == 0).map(i => (i + 1000, s"doc number $i")).toDF("doc_id", "text")
+    val got = Dedup.crossCorpusNovel(target, ref, expectedItems = 4) // absurdly small
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == (1L to 200L).filterNot(_ % 3 == 0).toSet)
+  }
+
+  // ------------------------------------------- split leakage
+
+  test("splitLeakage counts cross-split pairs; endpoints missing a split drop out") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 99L)).toDF("a_id", "b_id")
+    val splits = Seq((1L, "train"), (2L, "test"), (3L, "test")).toDF("doc_id", "split")
+    val got = Audit.splitLeakage(pairs, splits).collect().head
+    // (1,2) crosses, (2,3) doesn't, (3,99) has no split for 99 → dropped
+    assert((got.getLong(0), got.getLong(1)) == ((2L, 1L)))
+  }
+
+  test("splitLeakage reports 0 for a component-grouped split of the same relation") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val comps = graft.ops.Components.connectedComponents(pairs)
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val split = graft.ops.Sampling.groupSplit(docs, comps)
+    val got = Audit.splitLeakage(pairs, split).collect().head
+    assert(got.getLong(0) == 3L && got.getLong(1) == 0L)
+  }
+
+  // ------------------------------------------- token truncation
+
+  test("truncateTokens cuts at whole tokens; exactly-max docs are not flagged") {
+    val docs = Seq(
+      (1L, "one two three four"),
+      (2L, "one two"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = Chunking.truncateTokens(docs, maxTokens = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2), r.getString(3)))).toMap
+    assert(got(1L) == ((4, true, "one two")))
+    assert(got(2L) == ((2, false, "one two")))
+    assert(got(3L) == ((0, false, "")))
+  }
+
+  // ------------------------------------------- semantic dedup
+
+  test("semanticDedup drops the larger id of a within-block near-pair; blocks isolate") {
+    val mk = (x: Double, y: Double) => Array(x.toFloat, y.toFloat)
+    val emb = Seq(
+      (1L, 0, mk(1.0, 0.0)),
+      (2L, 0, mk(0.9995, 0.0316)), // cos vs v1 ≈ 0.9995 → dropped
+      (3L, 0, mk(0.0, 1.0)),       // orthogonal → kept
+      (4L, 1, mk(1.0, 0.0))        // near-dup of v1 but different block → kept
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.semanticDedup(emb)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> false, 4L -> false))
+  }
+
+  test("semanticDedup: the threshold test is exact at the integer boundary") {
+    // After quantization at scale 1024: a=(3,4)→(3072,4096), b=(4,3)→(4096,3072).
+    // dot=2*3072*4096=25165824, n2=26214400 each → cos = 24/25 = 0.96 exactly.
+    val emb = Seq(
+      (1L, 0, Array(3.0f, 4.0f)),
+      (2L, 0, Array(4.0f, 3.0f))
+    ).toDF("vec_id", "label", "embedding")
+    def dropped(num: Int, den: Int): Boolean =
+      Similarity.semanticDedup(emb, tauNum = num, tauDen = den)
+        .where(col("vec_id") === 2L).select("dropped").as[Boolean].collect().head
+    assert(dropped(24, 25))  // τ = cos exactly → ≥ holds → dropped
+    assert(!dropped(97, 100)) // τ just above → kept
+  }
+
+  test("intDot matches the interpreted HOF fold and stays integer-exact") {
+    val df = Seq((Array(1L, -2L, 3L), Array(7L, 11L, -13L))).toDF("a", "b")
+    val native = df.select(VectorFunctions.intDot(col("a"), col("b"))).as[Long].collect().head
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .as[Long].collect().head
+    assert(native == hof && native == (7L - 22L - 39L))
+  }
+}

@@ -158,6 +158,30 @@ class PlanShapeSpec extends SparkSpec {
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
 
+  test("segment dedup: election shuffles fingerprints only; bodies cross at most one exchange") {
+    val shuffles = shuffleOutputs(Dedup.segmentDedup(docs))
+    assert(shuffles.nonEmpty)
+    // raw text never moves; the token array may cross ONLY the final
+    // reassembly join, never the fingerprint-election exchanges
+    shuffles.foreach(out => assert(!out.contains("text"), s"raw text in shuffle: $out"))
+    assert(shuffles.count(_.contains("__w")) <= 1,
+      s"token arrays crossed more than one exchange: $shuffles")
+  }
+
+  test("cross-corpus dedup: the bloom probe prunes below any exchange (novel rows skip the join)") {
+    val target = spark.range(500).selectExpr("id as doc_id", "concat('t', id % 50) as text")
+    val ref = spark.range(50).selectExpr("id as doc_id", "concat('t', id) as text")
+    val plan = initialPlan(Dedup.crossCorpusNovel(target, ref, expectedItems = 64))
+    val probes = plan.collect {
+      case f: FilterExec if f.condition.toString.contains("might_contain") => f
+    }
+    assert(probes.size >= 2, s"expected both bloom probe branches, found ${probes.size}")
+    probes.foreach { f =>
+      assert(f.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "bloom probe runs above an exchange — target rows shuffled before pruning")
+    }
+  }
+
   test("prefix-filter join and Kneser–Ney never shuffle raw document text") {
     // prefixFilterPairs legitimately shuffles DISTINCT-TOKEN arrays (the
     // verification step needs the sets); the contract is that full `text`
