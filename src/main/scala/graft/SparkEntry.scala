@@ -1472,7 +1472,33 @@ object SparkEntry {
     // threshold test (quantize → codegen'd integer dot) — engine-exact. -
     "q142_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(t(s, dir, "embeddings"))
-        .select(col("vec_id"), col("label"), col("dropped")))
+        .select(col("vec_id"), col("label"), col("dropped"))),
+
+    // ---- sequence packing WITH position offsets: q50's greedy fill plus
+    // the within-pack token offset each doc starts at — what the training
+    // loader needs to build position ids without re-tokenizing. ---------
+    "q143_pack_offsets" -> ((s, dir) =>
+      CorpusPrep.packOffsets(t(s, dir, "documents"), budgetTokens = 2048, nShards = 16)
+        .select(col("doc_id"), col("split"), col("shard"), col("pack_id"), col("tok"), col("offset_tok"))),
+
+    // ---- contamination DEGREE (q49 flags any-hit): per train doc, the
+    // distinct-3-gram count, shared-with-test count, and overlap ppm —
+    // the threshold-policy form of decontamination. Broadcast gram set;
+    // corpus bodies never shuffle. --------------------------------------
+    "q144_overlap_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.overlapStats(
+        docs.where(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(97)) === 0),
+        n = 3)
+    }),
+
+    // ---- per-label integer embedding centroids: exact coordinate sums
+    // and floor-means per (label, dim). Partial agg bounds the shuffle at
+    // partitions×labels×dim — the KMeans-update cost model. -------------
+    "q145_label_centroids" -> ((s, dir) =>
+      Similarity.blockCentroids(t(s, dir, "embeddings"))
+        .select(col("label"), col("dim"), col("n"), col("sum_q"), col("centroid")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -3273,7 +3299,60 @@ object SparkEntry {
         | WHERE t.d > 0 AND t.d * t.d * 100 >= 81 * a.n2 * b.n2)
         |SELECT e.vec_id, e.label,
         | EXISTS (SELECT 1 FROM p WHERE p.dropped_id = e.vec_id) AS dropped
-        |FROM embeddings e""".stripMargin
+        |FROM embeddings e""".stripMargin,
+    // q143: q50's window replayed with the offset algebra inlined.
+    "q143_pack_offsets" ->
+      s"""WITH b AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS tok,
+        |  ${bucketOracle("doc_id")} AS bucket
+        | FROM documents),
+        | a AS (SELECT doc_id, tok,
+        |  CASE WHEN bucket < 204 THEN 'train' WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split,
+        |  bucket % 16 AS shard
+        | FROM b),
+        | p AS (SELECT *, sum(tok) OVER (PARTITION BY split, shard ORDER BY doc_id) AS cum FROM a)
+        |SELECT doc_id, split, CAST(shard AS BIGINT) AS shard,
+        | CAST(floor((cum - tok) / CAST(2048 AS DOUBLE)) AS BIGINT) AS pack_id,
+        | tok,
+        | CAST(cum - tok - CAST(floor((cum - tok) / CAST(2048 AS DOUBLE)) AS BIGINT) * 2048 AS BIGINT) AS offset_tok
+        |FROM p""".stripMargin,
+    // q144: distinct 3-grams per train doc, hits against the test-set
+    // gram set, ppm share; docs below 3 tokens report 0s.
+    "q144_overlap_stats" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |tr AS (SELECT * FROM tok WHERE doc_id % 97 <> 0),
+        |te AS (SELECT * FROM tok WHERE doc_id % 97 = 0),
+        |trg AS (
+        | SELECT DISTINCT doc_id, array_to_string(w[i:(i+2)], ' ') AS gram
+        | FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM tr WHERE len(w) >= 3)),
+        |teg AS (
+        | SELECT DISTINCT array_to_string(w[i:(i+2)], ' ') AS gram
+        | FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i FROM te WHERE len(w) >= 3)),
+        |agg AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(CASE WHEN gram IN (SELECT gram FROM teg) THEN 1 END) AS BIGINT) AS n_hits
+        | FROM trg GROUP BY 1)
+        |SELECT t.doc_id, coalesce(a.n_grams, 0) AS n_grams,
+        | coalesce(a.n_hits, 0) AS n_hits,
+        | CAST(CASE WHEN coalesce(a.n_grams, 0) > 0
+        |  THEN floor(1000000 * a.n_hits / a.n_grams) ELSE 0 END AS BIGINT) AS overlap_ppm
+        |FROM tr t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // q145: same quantization as q142; exact integer sums; floor of the
+    // double division is exact (|sum| far below 2^53).
+    "q145_label_centroids" ->
+      """WITH q AS (
+        | SELECT label,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+        | FROM embeddings),
+        |e AS (SELECT label, unnest(range(1, len(qv)+1)) AS dim, qv FROM q),
+        |v AS (SELECT label, CAST(dim AS INT) AS dim, qv[dim] AS val FROM e)
+        |SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(val) AS BIGINT) AS sum_q,
+        | CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS centroid
+        |FROM v GROUP BY 1, 2""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -42,7 +42,22 @@ object CorpusPrep {
     * and per-group size; raise it with the corpus (it only changes which
     * packs docs land in, never the determinism).
     */
-  def packShards(docs: DataFrame, budgetTokens: Int = 2048, nShards: Int = 16): DataFrame = {
+  def packShards(docs: DataFrame, budgetTokens: Int = 2048, nShards: Int = 16): DataFrame =
+    packedWithCum(docs, budgetTokens, nShards).drop("__cum")
+
+  /** [[packShards]] plus the WITHIN-PACK token offset each document starts
+    * at — `offset_tok = exclusive-cumulative-tokens − pack_id·budget` —
+    * i.e. the position-id base the training loader needs to concatenate
+    * pack members without re-tokenizing. Same windowing as packShards
+    * (one within-(split, shard) sort, no global order).
+    */
+  def packOffsets(docs: DataFrame, budgetTokens: Int = 2048, nShards: Int = 16): DataFrame =
+    packedWithCum(docs, budgetTokens, nShards)
+      .withColumn("offset_tok",
+        col("__cum") - col("tok") - col("pack_id") * budgetTokens)
+      .drop("__cum")
+
+  private def packedWithCum(docs: DataFrame, budgetTokens: Int, nShards: Int): DataFrame = {
     require(budgetTokens > 0 && nShards > 0, "budgetTokens and nShards must be positive")
     val w = Window.partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))
     graft.io.Spread.toDefaultParallelism(docs)
@@ -54,7 +69,6 @@ object CorpusPrep {
       .withColumn("__cum", sum(col("tok")).over(w))
       .withColumn("pack_id",
         floor((col("__cum") - col("tok")).cast("double") / budgetTokens).cast("long"))
-      .drop("__cum")
   }
 
   /** docs(doc_id, text, ...) → (doc_id, token_count, quality, split) for

@@ -50,6 +50,42 @@ object Decontaminate {
       .agg(count_distinct(col("gram")).as("n_hits"))
   }
 
+  /** Per-document contamination DEGREE (where [[flagged]] gives a yes/no):
+    * every train doc with its distinct-gram count, the number of those
+    * grams shared with `test`, and the share in ppm — the signal for
+    * threshold-based (rather than any-hit) decontamination policies.
+    * Zero-hit and too-short docs appear with 0s, so the output is a total
+    * function of the train corpus.
+    *
+    * Scale shape: same broadcast-gram-set map-side join as [[flagged]] —
+    * the corpus never shuffles bodies; the per-doc agg carries
+    * (id, counts) only.
+    */
+  def overlapStats(
+      train: DataFrame,
+      test: DataFrame,
+      n: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val testGrams = explodedGrams(test, idCol, textCol, n).select("gram").distinct()
+      .withColumn("__hit", lit(true))
+    val perDoc = explodedGrams(train, idCol, textCol, n)
+      .dropDuplicates("id", "gram")
+      .join(broadcast(testGrams), Seq("gram"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(when(col("__hit"), 1)).as("n_hits"))
+    train.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          floor(lit(1000000L) * col("n_hits") / col("n_grams")))
+          .otherwise(lit(0L)).as("overlap_ppm"))
+  }
+
   /** [[flagged]] with 64-bit hashed shingles instead of gram strings —
     * same join shape, 8-byte keys. Distinct-per-doc by construction
     * ([[VectorFunctions.shingleHashes]] emits distinct hashes), so the

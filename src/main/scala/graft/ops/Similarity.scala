@@ -237,6 +237,32 @@ object Similarity {
     * is the block self-join (bounded groups) plus the narrow dropped-id
     * distinct; the pairwise kernel is the codegen'd integer dot.
     */
+  /** Per-block integer centroid of quantized embeddings, one row per
+    * (block, dim): member count, exact coordinate sum, floor-mean — the
+    * cluster-QA / codebook-refresh primitive (feed blocks from a cluster
+    * assignment or any partition key).
+    *
+    * Scale shape: posexplode fans each vector into `dim` integer rows,
+    * but the hash aggregation is PARTIAL — every task combines down to
+    * ≤ blocks·dim rows before the exchange, so the shuffle is bounded by
+    * partitions·blocks·dim regardless of corpus size (the same cost
+    * model as [[graft.ops.KMeans]]'s update step).
+    */
+  def blockCentroids(
+      emb: DataFrame,
+      blockCol: String = "label",
+      scale: Int = 1024,
+      vecCol: String = "embedding"): DataFrame = {
+    val q = transform(col(vecCol), x => round(x.cast("double") * scale).cast("long"))
+    emb.select(col(blockCol), posexplode(q))
+      .select(col(blockCol), (col("pos") + 1).as("dim"), col("col").as("__v"))
+      .groupBy(col(blockCol), col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__v")).as("sum_q"),
+        floor(sum(col("__v")) / count(lit(1))).as("centroid"))
+  }
+
   def semanticDedup(
       emb: DataFrame,
       blockCol: String = "label",

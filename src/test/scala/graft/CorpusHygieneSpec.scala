@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
-import graft.ops.{Audit, Chunking, Dedup, Similarity}
+import graft.ops.{Audit, Chunking, Decontaminate, Dedup, Similarity}
 
 /** Corpus-hygiene additions: segment-level dedup with reassembly,
   * cross-corpus novelty, split-leakage audit, whole-token truncation,
@@ -125,6 +125,69 @@ class CorpusHygieneSpec extends SparkSpec {
         .where(col("vec_id") === 2L).select("dropped").as[Boolean].collect().head
     assert(dropped(24, 25))  // τ = cos exactly → ≥ holds → dropped
     assert(!dropped(97, 100)) // τ just above → kept
+  }
+
+  // ------------------------------------------- pack offsets
+
+  test("packOffsets: offsets restart at each pack boundary and never exceed the budget") {
+    val docs = (1L to 60L).map(i => (i, ("tok " * 100).trim)).toDF("doc_id", "text")
+    val got = graft.jobs.CorpusPrep.packOffsets(docs, budgetTokens = 256, nShards = 2).collect()
+    got.foreach { r =>
+      val (tok, packId, off) = (r.getLong(r.fieldIndex("tok")),
+        r.getLong(r.fieldIndex("pack_id")), r.getLong(r.fieldIndex("offset_tok")))
+      assert(off >= 0 && off < 256, s"offset out of range: $r")
+      assert(tok == 100L)
+      // offset must equal (exclusive cum) − pack_id·budget by construction:
+      // re-derivable as (pack docs before me)·tok − pack start
+      assert((off + packId * 256) % 100 == 0, s"offset not a whole-doc boundary: $r")
+    }
+    // within every (split, shard, pack), offsets are distinct and start at the min
+    val grouped = got.groupBy(r => (r.getString(r.fieldIndex("split")),
+      r.getLong(r.fieldIndex("shard")), r.getLong(r.fieldIndex("pack_id"))))
+    grouped.foreach { case (_, rows) =>
+      val offs = rows.map(_.getLong(rows.head.fieldIndex("offset_tok"))).sorted
+      assert(offs.distinct.length == offs.length)
+    }
+  }
+
+  // ------------------------------------------- overlap stats
+
+  test("overlapStats: ppm degree per train doc; clean and short docs report zeros") {
+    val train = Seq(
+      (1L, "a b c d e"),       // grams: "a b c","b c d","c d e" — 2 hits
+      (2L, "x y z w"),          // no overlap
+      (3L, "a b")               // too short for 3-grams
+    ).toDF("doc_id", "text")
+    val test = Seq((10L, "a b c d q")).toDF("doc_id", "text") // grams: "a b c","b c d","c d q"
+    val got = Decontaminate.overlapStats(train, test, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 2L, 666666L)))
+    assert(got(2L) == ((2L, 0L, 0L)))
+    assert(got(3L) == ((0L, 0L, 0L)))
+  }
+
+  test("overlapStats counts DISTINCT grams — a repeated shared gram is one hit") {
+    val train = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val test = Seq((9L, "a b c")).toDF("doc_id", "text")
+    val got = Decontaminate.overlapStats(train, test, n = 3).collect().head
+    // distinct grams of train doc: "a b c","b c a","c a b" and "a b c" again → 3 distinct, 1 hit
+    assert((got.getLong(1), got.getLong(2)) == ((3L, 1L)))
+  }
+
+  // ------------------------------------------- block centroids
+
+  test("blockCentroids: exact integer sums and floor-means per (block, dim)") {
+    val emb = Seq(
+      (1L, 0, Array(1.0f, -1.0f)),
+      (2L, 0, Array(0.5f, 0.25f)),
+      (3L, 1, Array(2.0f, 0.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.blockCentroids(emb, scale = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // label 0 dim 1: q = 4, 2 → sum 6, floor(6/2)=3 ; dim 2: -4, 1 → sum -3, floor(-1.5) = -2
+    assert(got((0, 1)) == ((2L, 6L, 3L)))
+    assert(got((0, 2)) == ((2L, -3L, -2L)))
+    assert(got((1, 1)) == ((1L, 8L, 8L)))
   }
 
   test("intDot matches the interpreted HOF fold and stays integer-exact") {
