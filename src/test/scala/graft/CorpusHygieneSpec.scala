@@ -45,6 +45,35 @@ class CorpusHygieneSpec extends SparkSpec {
     assert(got(1L) == "a b c" && got(2L) == "")
   }
 
+  test("segmentDedup invariant: dropped total = segment total − distinct fingerprints (random corpus)") {
+    // deterministic pseudo-random corpus with a small vocabulary so
+    // segment collisions actually occur
+    val rng = new scala.util.Random(4242)
+    val vocab = Vector("a", "b", "c", "d")
+    val docs = (1L to 40L).map { i =>
+      val n = rng.nextInt(12)
+      (i, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, segWords = 3)
+    val (totSegs, totDropped) = got.agg(sum("n_segments"), sum("n_dropped"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    // distinct fingerprints, recomputed independently of the operator
+    val distinctSegs = docs
+      .select(col("doc_id"), Dedup.wordTokens(col("text")).as("w"))
+      .where(size(col("w")) > 0)
+      .select(explode(transform(
+        sequence(lit(0), (ceil(size(col("w")) / 3.0) - 1).cast("int")),
+        i => concat_ws(" ", slice(col("w"), i * 3 + 1, lit(3))))).as("seg"))
+      .select(countDistinct(col("seg"))).collect().head.getLong(0)
+    assert(totSegs - totDropped == distinctSegs,
+      s"kept $totSegs-$totDropped, expected $distinctSegs distinct segments")
+    // and every clean_text re-tokenizes to a subsequence of the original tokens
+    val bad = got.join(docs, "doc_id")
+      .where(!col("text").startsWith(col("clean_text")) && col("n_dropped") === 0)
+      .count()
+    assert(bad == 0, "an undropped doc's clean_text diverged from its source")
+  }
+
   // ------------------------------------------- cross-corpus novelty
 
   test("crossCorpusNovel equals the exact anti-join on content fingerprints") {

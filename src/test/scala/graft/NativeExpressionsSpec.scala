@@ -170,6 +170,8 @@ class NativeExpressionsSpec extends SparkSpec {
     val psh = spark.sql(
       "SELECT graft_positional_shingle_hashes(array('a','b','c'), 2) AS g").head().getSeq[Long](0)
     assert(psh.size == 2)
+    val idot = spark.sql("SELECT graft_int_dot(array(2L, -3L), array(5L, 7L)) AS d").head().getLong(0)
+    assert(idot == -11L)
   }
 
   test("positional shingle hashes: order-preserving, content-determined, empty below k") {
