@@ -1504,7 +1504,27 @@ object SparkEntry {
     // partitions×labels×dim — the KMeans-update cost model. -------------
     "q145_label_centroids" -> ((s, dir) =>
       Similarity.blockCentroids(t(s, dir, "embeddings"))
-        .select(col("label"), col("dim"), col("n"), col("sum_q"), col("centroid")))
+        .select(col("label"), col("dim"), col("n"), col("sum_q"), col("centroid"))),
+
+    // ---- corpus length distribution: log2 token-count histogram per
+    // source. Integer bit-length bucket — no float log2 boundary. -------
+    "q146_length_histogram" -> ((s, dir) =>
+      Metrics.log2Histogram(
+        t(s, dir, "documents")
+          .select(col("source"), TextFunctions.tokenCount(col("text")).as("tok")),
+        Seq("source"), "tok")),
+
+    // ---- segment-level duplication profile: how many identical 16-word
+    // blocks occur 1×, 2×, … — the boilerplate report that motivates
+    // segment dedup (doc-level dup rate here is ~0). --------------------
+    "q147_segment_dup_profile" -> ((s, dir) =>
+      Dedup.segmentDupProfile(t(s, dir, "documents"))),
+
+    // ---- cross-source content overlap (the corpus Venn): distinct
+    // 16-word blocks shared per source pair. ----------------------------
+    "q148_source_overlap" -> ((s, dir) =>
+      Dedup.crossGroupOverlap(t(s, dir, "documents"))
+        .select(col("source_a"), col("source_b"), col("n_shared")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -3358,7 +3378,48 @@ object SparkEntry {
         |SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
         | CAST(sum(val) AS BIGINT) AS sum_q,
         | CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS centroid
-        |FROM v GROUP BY 1, 2""".stripMargin
+        |FROM v GROUP BY 1, 2""".stripMargin,
+    // q146: bit-length bucket replayed with bin(); same token regex as q50.
+    "q146_length_histogram" ->
+      """WITH b AS (
+        | SELECT source,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tok
+        | FROM documents)
+        |SELECT source,
+        | CAST(CASE WHEN tok <= 0 THEN 0 ELSE length(bin(tok)) END AS INT) AS log2_bucket,
+        | CAST(count(*) AS BIGINT) AS n, CAST(sum(tok) AS BIGINT) AS total,
+        | CAST(min(tok) AS BIGINT) AS lo, CAST(max(tok) AS BIGINT) AS hi
+        |FROM b GROUP BY 1, 2""".stripMargin,
+    // q147/q148: the q138 segmentation replayed; stacked count aggs /
+    // distinct-pair self-join.
+    "q147_segment_dup_profile" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |seg0 AS (
+        | SELECT doc_id, w, unnest(range(CAST(ceil(len(w)/16.0) AS BIGINT))) AS i
+        | FROM tok WHERE len(w) > 0),
+        |seg AS (SELECT md5(array_to_string(w[(i*16+1):(i*16+16)], ' ')) AS fp FROM seg0),
+        |cl AS (SELECT fp, CAST(count(*) AS BIGINT) AS cluster_size FROM seg GROUP BY 1)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        | CAST(sum(cluster_size) AS BIGINT) AS n_segments
+        |FROM cl GROUP BY 1""".stripMargin,
+    "q148_source_overlap" ->
+      """WITH tok AS (
+        | SELECT doc_id, source,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |seg0 AS (
+        | SELECT source, w, unnest(range(CAST(ceil(len(w)/16.0) AS BIGINT))) AS i
+        | FROM tok WHERE len(w) > 0),
+        |gfp AS (
+        | SELECT DISTINCT source, md5(array_to_string(w[(i*16+1):(i*16+16)], ' ')) AS fp
+        | FROM seg0)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        | CAST(count(*) AS BIGINT) AS n_shared
+        |FROM gfp a JOIN gfp b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -425,20 +425,7 @@ object Dedup {
     val sw = lit(segWords)
     val base = parallelize(docs)
       .select(col(idCol), wordTokens(col(textCol)).as("__w"))
-    // (id, idx, fp): fingerprints only — the segment text dies map-side.
-    // The size>0 guard matters: sequence(0, -1) counts DOWN (step is
-    // inferred), so an unguarded empty doc would fabricate segments.
-    // posexplode drops the guarded empty arrays; the left join below
-    // restores those docs.
-    val segs = base.select(
-      col(idCol),
-      posexplode(
-        when(size(col("__w")) > 0,
-          transform(
-            sequence(lit(0), (ceil(size(col("__w")) / sw.cast("double")) - 1).cast("int")),
-            i => md5(concat_ws(" ", slice(col("__w"), i * sw + 1, lit(segWords))))))
-          .otherwise(array())))
-      .toDF(idCol, "__idx", "__fp")
+    val segs = segmentFingerprints(base, idCol, segWords)
     val elected = segs
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__fp")).orderBy(col(idCol), col("__idx"))))
@@ -456,6 +443,83 @@ object Dedup {
           lit("")).as("clean_text"),
         coalesce(col("n_segments"), lit(0L)).as("n_segments"),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
+  /** (id, __idx, __fp) segment fingerprints of a (id, __w token array)
+    * frame: fingerprints only — segment text dies map-side. The size>0
+    * guard matters: sequence(0, -1) counts DOWN (step is inferred), so an
+    * unguarded empty doc would fabricate segments; posexplode drops the
+    * guarded empty arrays.
+    */
+  private def segmentFingerprints(
+      base: DataFrame,
+      idCol: String,
+      segWords: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val sw = lit(segWords)
+    base.select(
+      (col(idCol) +: carry.map(col)) :+
+        posexplode(
+          when(size(col("__w")) > 0,
+            transform(
+              sequence(lit(0), (ceil(size(col("__w")) / sw.cast("double")) - 1).cast("int")),
+              i => md5(concat_ws(" ", slice(col("__w"), i * sw + 1, lit(segWords))))))
+            .otherwise(array())): _*)
+      .toDF((idCol +: carry) ++ Seq("__idx", "__fp"): _*)
+  }
+
+  /** Corpus duplication profile at SEGMENT granularity: for each
+    * segment-cluster size (number of places an identical `segWords`-word
+    * block occurs), how many distinct blocks and how many total
+    * occurrences — the "how much of my corpus is boilerplate" report that
+    * motivates running [[segmentDedup]] at all (doc-level exact dup rates
+    * understate template reuse by orders of magnitude).
+    *
+    * Scale shape: two stacked narrow aggs over (fingerprint) then
+    * (cluster size) — the first benefits from partial map-side combine,
+    * the second is tiny.
+    */
+  def segmentDupProfile(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      segWords: Int = 16): DataFrame = {
+    require(segWords > 0, "segWords must be positive")
+    val base = parallelize(docs)
+      .select(col(idCol), wordTokens(col(textCol)).as("__w"))
+    segmentFingerprints(base, idCol, segWords)
+      .groupBy(col("__fp")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_segments"))
+  }
+
+  /** Cross-group content overlap at segment granularity: for each pair of
+    * groups (sources, crawls, snapshots), the number of distinct
+    * `segWords`-word blocks present in BOTH — the corpus Venn diagram
+    * that decides which sources are worth cross-deduping.
+    *
+    * Scale shape: distinct (group, fingerprint) pairs, then a fingerprint
+    * self-join with identical child plans (ReuseExchange computes the
+    * distinct stage once); group count bounds the output at |G|²/2 rows.
+    */
+  def crossGroupOverlap(
+      docs: DataFrame,
+      groupCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      segWords: Int = 16): DataFrame = {
+    require(segWords > 0, "segWords must be positive")
+    val base = parallelize(docs)
+      .select(col(idCol), col(groupCol), wordTokens(col(textCol)).as("__w"))
+    val gfp = segmentFingerprints(base, idCol, segWords, carry = Seq(groupCol))
+      .select(col(groupCol), col("__fp")).distinct()
+    gfp.alias("a").hint("shuffle_hash")
+      .join(gfp.alias("b").hint("shuffle_hash"),
+        col("a.__fp") === col("b.__fp") &&
+          col(s"a.$groupCol") < col(s"b.$groupCol"))
+      .groupBy(col(s"a.$groupCol").as(s"${groupCol}_a"), col(s"b.$groupCol").as(s"${groupCol}_b"))
+      .agg(count(lit(1)).as("n_shared"))
   }
 
   /** Cross-corpus exact dedup: the `target` docs whose content fingerprint

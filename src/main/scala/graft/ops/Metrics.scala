@@ -98,6 +98,28 @@ object Metrics {
         max(col("__tot")).as("total_weight"))
   }
 
+  /** Log₂-bucketed histogram per group — the corpus length-distribution
+    * report (token counts span 4+ orders of magnitude; linear buckets
+    * (q31) are unreadable there). Bucket is the INTEGER bit length of the
+    * value (`length(bin(v))`, 0 for v ≤ 0): exact in any engine, where
+    * `floor(log2(v))` would sit on a float boundary at every power of
+    * two. One narrow agg with map-side partial combine.
+    */
+  def log2Histogram(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val bucket = when(col(valueCol) <= 0, lit(0))
+      .otherwise(length(bin(col(valueCol).cast("long"))))
+    df.withColumn("log2_bucket", bucket)
+      .groupBy((groupCols :+ "log2_bucket").map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol).cast("long")).as("total"),
+        min(col(valueCol).cast("long")).as("lo"),
+        max(col(valueCol).cast("long")).as("hi"))
+  }
+
   /** Equi-depth (equal-frequency) histogram per group: `ntile(k)` over
     * the value ordering splits each group into k near-equal-count
     * buckets; per bucket emit `(lo, hi, n)`. The complement of the

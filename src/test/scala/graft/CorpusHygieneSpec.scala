@@ -74,6 +74,42 @@ class CorpusHygieneSpec extends SparkSpec {
     assert(bad == 0, "an undropped doc's clean_text diverged from its source")
   }
 
+  test("segmentDupProfile: cluster-size histogram over segment fingerprints") {
+    val docs = Seq(
+      (1L, "a b c d"),   // segs: "a b", "c d"
+      (2L, "a b x y"),   // "a b" (2nd), "x y"
+      (3L, "a b")        // "a b" (3rd)
+    ).toDF("doc_id", "text")
+    val got = Dedup.segmentDupProfile(docs, segWords = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // "a b" occurs 3×; "c d" and "x y" once each
+    assert(got == Map(1L -> ((2L, 2L)), 3L -> ((1L, 3L))))
+  }
+
+  test("crossGroupOverlap counts DISTINCT shared segments per group pair") {
+    val docs = Seq(
+      (1L, "s1", "a b c d"),
+      (2L, "s1", "a b"),        // "a b" twice within s1 — still one distinct
+      (3L, "s2", "a b z z"),
+      (4L, "s3", "q q")
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.crossGroupOverlap(docs, segWords = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("s1", "s2") -> 1L)) // only "a b" is shared; s3 overlaps nothing
+  }
+
+  test("log2Histogram: integer bit-length buckets, zeros in bucket 0") {
+    val df = Seq(("a", 0L), ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("b", 1024L))
+      .toDF("g", "v")
+    val got = graft.ops.Metrics.log2Histogram(df, Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("a", 0)) == ((1L, 0L, 0L, 0L)))
+    assert(got(("a", 1)) == ((1L, 1L, 1L, 1L)))
+    assert(got(("a", 2)) == ((2L, 5L, 2L, 3L)))  // 2 and 3 share bit length 2
+    assert(got(("a", 3)) == ((1L, 4L, 4L, 4L)))
+    assert(got(("b", 11)) == ((1L, 1024L, 1024L, 1024L))) // 2^10 → 11 bits
+  }
+
   // ------------------------------------------- cross-corpus novelty
 
   test("crossCorpusNovel equals the exact anti-join on content fingerprints") {
