@@ -182,6 +182,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("self-join reuse: semanticDedup and crossGroupOverlap compute their shared stage ONCE") {
+    // Both ops self-join a derived frame with IDENTICAL child plans (the
+    // minhashLsh lesson): the planner must replay one exchange, not
+    // rebuild the quantize/segment stage per side. Losing ReuseExchange
+    // here silently doubles the most expensive stage of each pipeline.
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val emb = (1L to 40L).map(i => (i, (i % 3).toInt, Array.tabulate(4)(d => (i * 7 % 13 + d).toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    val docsG = (1 to 40).map(i => (i.toLong, s"s${i % 4}", s"word${i % 6} " * 20)).toDF("doc_id", "source", "text")
+    // Under AQE, stage reuse happens at materialization time and is not
+    // visible in the initial plan — assert on the static planner, whose
+    // ReuseExchange rule proves the two sides canonicalize equal (the
+    // same property AQE's runtime stage reuse keys on).
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Seq(
+      graft.ops.Similarity.semanticDedup(emb),
+      Dedup.crossGroupOverlap(docsG)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan
+      val reused = plan.collect { case r: ReusedExchangeExec => r }
+      assert(reused.nonEmpty, s"no ReusedExchange in plan:\n${plan.treeString.take(2000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("prefix-filter join and Kneser–Ney never shuffle raw document text") {
     // prefixFilterPairs legitimately shuffles DISTINCT-TOKEN arrays (the
     // verification step needs the sets); the contract is that full `text`
