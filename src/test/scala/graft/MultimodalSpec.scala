@@ -99,6 +99,35 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wavPcmStats: exact integer PCM statistics, negatives included; rejects non-PCM") {
+    import graft.functions.BinaryCodecs
+    val samples = Array[Short](100, -200, 0, 32767, -32768)
+    val payload = BinaryCodecs.wav(16000, samples)
+    val Some((rate, n, sumSq, sumAbs, peak)) = BinaryCodecs.wavPcmStats(payload)
+    assert(rate == 16000 && n == 5L)
+    assert(sumSq == samples.map(s => s.toLong * s).sum)
+    assert(sumAbs == samples.map(s => math.abs(s.toLong)).sum)
+    assert(peak == 32768)
+    assert(BinaryCodecs.wavPcmStats("RIFFjunk".getBytes("US-ASCII")).isEmpty)
+    assert(BinaryCodecs.wavPcmStats(BinaryCodecs.bmp(4, 4, Array[Byte](1, 2, 3))).isEmpty)
+  }
+
+  test("audioStats: real decode over the dataset; non-audio rows drop out") {
+    import spark.implicits._
+    val wav = graft.functions.BinaryCodecs.wav(8000, Array[Short](256, -512, 1024))
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wav, "audio/wav", wav.length.toLong),
+      Multimodal.MediaRow(2L, "image", Array[Byte](1, 2, 3), "application/x-fake", 3L))
+      .toDS()
+    val out = Multimodal.audioStats(media).collect()
+    assert(out.length == 1)
+    val a = out.head
+    assert(a.media_id == 1L && a.sample_rate == 8000L && a.n_samples == 3L)
+    assert(a.energy == 256L * 256 + 512L * 512 + 1024L * 1024)
+    assert(a.mean_abs == (256L + 512 + 1024) / 3)
+    assert(a.peak_abs == 1024L)
+  }
+
   test("resizeAll rewrites payloads to the target budget, keeps ids and kinds") {
     import spark.implicits._
     val media = Seq(
