@@ -1534,7 +1534,17 @@ object SparkEntry {
       Multimodal.audioStats(Multimodal.syntheticMedia(t(s, dir, "documents")))
         .toDF()
         .select(col("media_id"), col("sample_rate"), col("n_samples"),
-          col("energy"), col("mean_abs"), col("peak_abs")))
+          col("energy"), col("mean_abs"), col("peak_abs"))),
+
+    // ---- REAL image decode features: integer-exact per-channel pixel
+    // sums (B, G, R) from an actual 24bpp BMP pixel walk over the
+    // synthesized images — row padding excluded on both sides; the oracle
+    // replays the writer's cycled-byte formula analytically. -------------
+    "q150_image_stats" -> ((s, dir) =>
+      Multimodal.imageStats(Multimodal.syntheticMedia(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
+          col("sum_b"), col("sum_g"), col("sum_r")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -3453,7 +3463,36 @@ object SparkEntry {
         | CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS energy,
         | CAST(sum(s) // n AS BIGINT) AS mean_abs,
         | CAST(max(s) AS BIGINT) AS peak_abs
-        |FROM v GROUP BY doc_id, rate, n""".stripMargin
+        |FROM v GROUP BY doc_id, rate, n""".stripMargin,
+    // q150: the BMP writer cycles the doc's ascii bytes over the PADDED
+    // pixel array (rowSize = ceil(3w/4)·4), so the oracle walks byte
+    // offsets j, keeps only in-row pixel bytes (j%rowSize < 3w), and
+    // assigns channel j%3 (BGR order). Text is pure ASCII (strlen ==
+    // octet_length asserted over all SFs), so char indexing == byte
+    // indexing; empty text decodes to all-zero pixels on both sides.
+    "q150_image_stats" ->
+      """WITH d AS (
+        | SELECT doc_id, coalesce(text, '') AS t FROM documents WHERE doc_id % 2 = 0),
+        |par AS (
+        | SELECT doc_id, t, strlen(t) AS l, 8 + doc_id % 24 AS w,
+        |  8 + doc_id % 16 AS h
+        | FROM d),
+        |geom AS (SELECT *, ((24 * w + 31) // 32) * 4 AS row_size FROM par),
+        |ix AS (
+        | SELECT doc_id, w, h, row_size, t, l, unnest(range(row_size * h)) AS j
+        | FROM geom),
+        |px AS (
+        | SELECT doc_id, w, h, j % row_size AS pir,
+        |  CASE WHEN l = 0 THEN 0
+        |   ELSE ascii(substring(t, CAST(j % l AS INT) + 1, 1)) END AS v
+        | FROM ix),
+        |ch AS (SELECT doc_id, w, h, v, pir % 3 AS c FROM px WHERE pir < 3 * w)
+        |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
+        | CAST(h AS BIGINT) AS height, CAST(w * h AS BIGINT) AS n_pixels,
+        | CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+        | CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        | CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r
+        |FROM ch GROUP BY doc_id, w, h""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

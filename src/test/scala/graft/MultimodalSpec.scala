@@ -128,6 +128,43 @@ class MultimodalSpec extends SparkSpec {
     assert(a.peak_abs == 1024L)
   }
 
+  test("bmpPixelStats: channel sums skip row padding, read bytes unsigned; rejects non-BMP") {
+    import graft.functions.BinaryCodecs
+    // 2×2 at 24bpp: rowSize = 8, so bytes 6-7 of each row are padding the
+    // cycled pixel fill also writes — the decoder must NOT count them.
+    val pixels = Array.tabulate[Byte](16)(i => (i * 16 + 200 % 251).toByte)
+    val payload = BinaryCodecs.bmp(2, 2, pixels)
+    val Some((w, h, sumB, sumG, sumR)) = BinaryCodecs.bmpPixelStats(payload)
+    assert(w == 2 && h == 2)
+    val expected = (0 until 2).flatMap { row =>
+      (0 until 2).flatMap { c =>
+        (0 until 3).map(ch => (ch, pixels((row * 8 + 3 * c + ch) % pixels.length) & 0xff))
+      }
+    }
+    assert(sumB == expected.collect { case (0, v) => v.toLong }.sum)
+    assert(sumG == expected.collect { case (1, v) => v.toLong }.sum)
+    assert(sumR == expected.collect { case (2, v) => v.toLong }.sum)
+    assert(BinaryCodecs.bmpPixelStats("BMjunk".getBytes("US-ASCII")).isEmpty)
+    assert(BinaryCodecs.bmpPixelStats(
+      BinaryCodecs.wav(8000, Array[Short](1, 2))).isEmpty)
+  }
+
+  test("imageStats: real decode over the dataset; non-image rows drop out") {
+    import spark.implicits._
+    val bmp = graft.functions.BinaryCodecs.bmp(3, 2, Array[Byte](10, 20, 30))
+    val media = Seq(
+      Multimodal.MediaRow(2L, "image", bmp, "image/bmp", bmp.length.toLong),
+      Multimodal.MediaRow(3L, "audio", Array[Byte](9, 9), "application/x-fake", 2L))
+      .toDS()
+    val out = Multimodal.imageStats(media).collect()
+    assert(out.length == 1)
+    val s = out.head
+    assert(s.media_id == 2L && s.width == 3L && s.height == 2L && s.n_pixels == 6L)
+    // rowSize=12; pixel bytes at in-row offsets 0-8 cycle (10,20,30) —
+    // every pixel is exactly (10,20,30) BGR; padding bytes 9-11 ignored.
+    assert(s.sum_b == 6L * 10 && s.sum_g == 6L * 20 && s.sum_r == 6L * 30)
+  }
+
   test("resizeAll rewrites payloads to the target budget, keeps ids and kinds") {
     import spark.implicits._
     val media = Seq(
