@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Audit, Bm25, Cdc, Chunking, Cohort, Components, Decontaminate, Dedup, Enrich, Funnel, FuzzyJoin, GraphMetrics, Indexing, IntervalJoin, KMeans, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, Reshape, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, Skyline, SkewJoin, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
+import graft.ops.{AsOfJoin, Audit, Bm25, Cdc, Chunking, Cohort, Components, Decontaminate, Dedup, Enrich, Funnel, FuzzyJoin, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, Reshape, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, Skyline, SkewJoin, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -1544,7 +1544,39 @@ object SparkEntry {
       Multimodal.imageStats(Multimodal.syntheticMedia(t(s, dir, "documents")))
         .toDF()
         .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
-          col("sum_b"), col("sum_g"), col("sum_r")))
+          col("sum_b"), col("sum_g"), col("sum_r"))),
+
+    // ---- functional-dependency audit: does source determine lang in the
+    // corpus? Violating determinants only — output bounded by violations,
+    // not key cardinality. ------------------------------------------------
+    "q151_fd_audit" -> ((s, dir) =>
+      Audit.functionalDependency(t(s, dir, "documents"), Seq("source"), "lang")
+        .select(col("source"), col("n_rows"), col("n_distinct_dep"),
+          col("top_count"), col("violations"))),
+
+    // ---- k-anonymity audit over (user_id, event_type) quasi-identifiers:
+    // equivalence classes an attacker could single out (< k members). -----
+    "q152_k_anonymity" -> ((s, dir) =>
+      Audit.kAnonymity(t(s, dir, "events"), Seq("user_id", "event_type"), k = 8L)
+        .select(col("user_id"), col("event_type"), col("group_size"))),
+
+    // ---- exact integer percent-rank of event value within event_type:
+    // rank-based feature normalization that is reproducible across engines
+    // (rank(), not float percent_rank). -----------------------------------
+    "q153_percent_rank" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      Normalize.percentRankPpm(ev, Seq("event_type"), "cents")
+        .select(col("event_id"), col("event_type"), col("cents"), col("pr_ppm"))
+    }),
+
+    // ---- per-doc lexical diversity: type-token ratio, Simpson collision
+    // numerator, hapax count — all-integer quality signals; empty docs
+    // kept as zero rows. --------------------------------------------------
+    "q154_lexical_diversity" -> ((s, dir) =>
+      Lexical.diversity(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          col("ttr_ppm"), col("simpson_sum"), col("hapax")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -3492,7 +3524,61 @@ object SparkEntry {
         | CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
         | CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
         | CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r
-        |FROM ch GROUP BY doc_id, w, h""".stripMargin
+        |FROM ch GROUP BY doc_id, w, h""".stripMargin,
+    // q151: NULL dependents form one class in GROUP BY on both engines.
+    "q151_fd_audit" ->
+      """WITH dd AS (
+        | SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        | FROM documents GROUP BY source, lang)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_rows,
+        | CAST(count(*) AS BIGINT) AS n_distinct_dep,
+        | CAST(max(n) AS BIGINT) AS top_count,
+        | CAST(sum(n) - max(n) AS BIGINT) AS violations
+        |FROM dd GROUP BY source HAVING count(*) > 1""".stripMargin,
+    "q152_k_anonymity" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS group_size
+        |FROM events GROUP BY user_id, event_type
+        |HAVING count(*) < 8""".stripMargin,
+    // q153: rank() tie semantics are identical across engines; integer
+    // floor-division of non-negatives on both sides.
+    "q153_percent_rank" ->
+      """WITH ev AS (
+        | SELECT event_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events),
+        |rk AS (
+        | SELECT event_id, event_type, cents,
+        |  rank() OVER (PARTITION BY event_type ORDER BY cents) AS r,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM ev)
+        |SELECT event_id, event_type, cents,
+        | CAST(CASE WHEN n = 1 THEN 0
+        |  ELSE (1000000 * (r - 1)) // (n - 1) END AS BIGINT) AS pr_ppm
+        |FROM rk""".stripMargin,
+    // q154: same tokenizer as q47; empty docs zero-filled on both sides.
+    "q154_lexical_diversity" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(list_filter(
+        |   string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+        |   w -> len(w) > 0)) AS term
+        | FROM documents),
+        |tf AS (
+        | SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        | FROM tok GROUP BY doc_id, term),
+        |per AS (
+        | SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(tf * tf) AS BIGINT) AS simpson_sum,
+        |  CAST(count(*) FILTER (WHERE tf = 1) AS BIGINT) AS hapax
+        | FROM tf GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | coalesce(p.n_tokens, 0) AS n_tokens,
+        | coalesce(p.n_types, 0) AS n_types,
+        | CAST(CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0
+        |  ELSE (1000000 * p.n_types) // p.n_tokens END AS BIGINT) AS ttr_ppm,
+        | coalesce(p.simpson_sum, 0) AS simpson_sum,
+        | coalesce(p.hapax, 0) AS hapax
+        |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -86,6 +86,56 @@ object Audit {
       bit_xor(fp).as("checksum_xor"))
   }
 
+  /** Functional-dependency audit: does `detCols → depCol` hold? For each
+    * determinant value that maps to MORE than one dependent value, emits
+    * `(detCols…, n_rows, n_distinct_dep, top_count, violations)` where
+    * `violations = n_rows − top_count` — the minimum number of rows that
+    * must be corrected (or the FD candidate rejected) for the dependency
+    * to hold. Clean determinants are omitted, so output is bounded by the
+    * actual violation count, not key cardinality.
+    *
+    * Scale shape: two stacked narrow aggregations — `(det, dep)` counts
+    * (map-side combined) then per-det max/sum — both on the same key
+    * prefix, so AQE plans the second from the first's statistics. No
+    * joins, no windows. NULL dependents count as ONE distinct value (an
+    * FD violated by NULLs is still violated; GROUP BY groups NULLs into a
+    * single class in Spark and ANSI SQL alike, so no sentinel is needed).
+    */
+  def functionalDependency(
+      df: DataFrame,
+      detCols: Seq[String],
+      depCol: String): DataFrame = {
+    require(detCols.nonEmpty, "detCols must be non-empty")
+    df.groupBy((detCols :+ depCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(detCols.map(col): _*)
+      .agg(
+        sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_distinct_dep"),
+        max(col("__n")).as("top_count"))
+      .where(col("n_distinct_dep") > 1)
+      .withColumn("violations", col("n_rows") - col("top_count"))
+  }
+
+  /** k-anonymity audit over quasi-identifier columns: every equivalence
+    * class smaller than `k` — the rows that would have to be suppressed
+    * or generalized before a privacy-safe release. Emits
+    * `(quasiCols…, group_size)` per violating class; total suppressed
+    * rows = Σ group_size of the result.
+    *
+    * Scale shape: one map-side-combined count aggregation + a post-agg
+    * filter — output is bounded at (k−1)·|violating classes|, never the
+    * table. NULLs in a quasi column form their own class (they are an
+    * identifiable value to an attacker too).
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 2, s"k must be >= 2: $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .where(col("group_size") < k)
+  }
+
   /** Join-key skew profile: the top-`topN` heaviest values of `keyCol`
     * with exact count, share of all rows (ppm), and cumulative share —
     * the pre-flight audit run before any large join or aggregation to

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-document lexical-diversity profile — the vocabulary-richness quality
+  * signals a corpus filter thresholds on (template-generated and keyword-spam
+  * pages score low; natural prose scores high). All-integer outputs so the
+  * report is exact, order-independent, and engine-portable.
+  */
+object Lexical {
+
+  /** Per-doc lexical diversity over the shared whitespace tokenizer
+    * ([[Dedup.wordTokens]]):
+    *
+    *  - `n_tokens` / `n_types`: token and distinct-token counts;
+    *  - `ttr_ppm`: type–token ratio ⌊1e6·types/tokens⌋ (0 for empty);
+    *  - `simpson_sum`: Σ tf² over the doc's term frequencies — the exact
+    *    integer numerator of the repeat/collision probability
+    *    (Σtf² − n)/(n(n−1)); kept unnormalized so it stays exact;
+    *  - `hapax`: terms occurring exactly once (hapax legomena).
+    *
+    * Empty/whitespace-only docs are kept with all-zero counts (a filter
+    * wants to SEE them, not lose them).
+    *
+    * Scale shape: explode → one `(doc, term)` map-side-combined count →
+    * one per-doc agg — the shuffle carries term-frequency integers, never
+    * text bodies — then a broadcast-sized zero-fill join back to the doc
+    * ids (doc_id is unique, so the join is 1:1 and stays hash-partitioned
+    * on the same key as the agg).
+    */
+  def diversity(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(Dedup.wordTokens(col(textCol))).as("__term"))
+      .groupBy(col(idCol), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+    val perDoc = tf.groupBy(col(idCol))
+      .agg(
+        sum(col("__tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("__tf") * col("__tf")).as("simpson_sum"),
+        count_if(col("__tf") === 1).as("hapax"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0L))
+          .otherwise(expr("(1000000L * n_types) div n_tokens")).as("ttr_ppm"),
+        coalesce(col("simpson_sum"), lit(0L)).as("simpson_sum"),
+        coalesce(col("hapax"), lit(0L)).as("hapax"))
+  }
+}

@@ -54,6 +54,38 @@ object Normalize {
     * the join is null-safe (`<=>`), so NULL values receive the first code
     * (NULLS FIRST sort order) instead of being silently dropped.
     */
+  /** Percent-rank normalize `valueCol` within each group, in exact
+    * integer parts-per-million: `pr_ppm = ⌊1e6·(rank−1) / (n−1)⌋` (0 for
+    * a 1-row group). Uses `rank()` (ties share a rank), so the result is
+    * a pure function of the multiset of values — deterministic across
+    * engines and partitionings, unlike float `percent_rank`, whose last
+    * ulp depends on the division order.
+    *
+    * Scale shape: one hash shuffle on the group key feeds both the rank
+    * window and the group-count window (same partition spec, one sort).
+    * Parallelism is group-bounded, like any exact per-group ranking —
+    * pre-bucket groups upstream if one group dominates.
+    */
+  def percentRankPpm(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    df
+      .withColumn("__rk", rank().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("pr_ppm",
+        when(col("__n") === 1, 0L)
+          // `div`, not `/`: Spark's `/` on longs is DOUBLE division, and a
+          // correctly-rounded float quotient can land on the wrong side of
+          // an integer boundary before the floor. `div` stays in Long.
+          .otherwise(expr("(1000000L * (__rk - 1)) div (__n - 1)")))
+      .drop("__rk", "__n")
+  }
+
   def dictEncode(df: DataFrame, valueCol: String, codeCol: String = "code"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy(col(valueCol).asc_nulls_first)
     val dict = df.select(col(valueCol)).distinct()
