@@ -1576,7 +1576,31 @@ object SparkEntry {
     "q154_lexical_diversity" -> ((s, dir) =>
       Lexical.diversity(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens"), col("n_types"),
-          col("ttr_ppm"), col("simpson_sum"), col("hapax")))
+          col("ttr_ppm"), col("simpson_sum"), col("hapax"))),
+
+    // ---- temporal split with a 2-day embargo before the 2024-01-24 cut:
+    // per-user counts on each side + the cross-presence leak list. --------
+    "q155_embargo_split" -> ((s, dir) =>
+      Sampling.temporalEmbargoSplit(t(s, dir, "events"), "user_id", "ts",
+          "2024-01-24 00:00:00", embargoSeconds = 2L * 86400)
+        .select(col("user_id"), col("n_train"), col("n_test"),
+          col("n_embargo"), col("cross_presence"))),
+
+    // ---- deterministic 3-epoch shuffle schedule: md5 re-keyed per-epoch
+    // permutation, positions via the range-partitioned dense-id path. -----
+    "q156_epoch_schedule" -> ((s, dir) =>
+      CorpusPrep.epochSchedule(t(s, dir, "documents").select(col("doc_id")),
+          "doc_id", epochs = 3)
+        .select(col("epoch"), col("doc_id"), col("schedule_pos"))),
+
+    // ---- one-pass pairwise sufficient statistics over four lineitem
+    // features — the exact-integer input to a correlation matrix. ---------
+    "q157_suffstats_matrix" -> ((s, dir) =>
+      Metrics.suffStatsMatrix(t(s, dir, "lineitem"), Seq(
+        "qty" -> col("l_quantity"),
+        "price_dollars" -> round(col("l_extendedprice")),
+        "discount_pct" -> round(col("l_discount") * 100),
+        "tax_pct" -> round(col("l_tax") * 100))))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -3578,7 +3602,68 @@ object SparkEntry {
         |  ELSE (1000000 * p.n_types) // p.n_tokens END AS BIGINT) AS ttr_ppm,
         | coalesce(p.simpson_sum, 0) AS simpson_sum,
         | coalesce(p.hapax, 0) AS hapax
-        |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""".stripMargin
+        |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""".stripMargin,
+    "q155_embargo_split" ->
+      """SELECT user_id,
+        | CAST(count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-22 00:00:00')
+        |   AS BIGINT) AS n_train,
+        | CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-24 00:00:00')
+        |   AS BIGINT) AS n_test,
+        | CAST(count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+        |   AND ts < TIMESTAMP '2024-01-24 00:00:00') AS BIGINT) AS n_embargo,
+        | (count(*) FILTER (WHERE ts < TIMESTAMP '2024-01-22 00:00:00') > 0
+        |  AND count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-24 00:00:00') > 0)
+        |  AS cross_presence
+        |FROM events GROUP BY user_id""".stripMargin,
+    // q156: md5 hex is engine-identical; epoch-major order, hash-permuted
+    // within each epoch, doc_id as the deterministic tiebreak.
+    "q156_epoch_schedule" ->
+      """WITH s AS (
+        | SELECT e.epoch, d.doc_id,
+        |  md5(e.epoch || ':' || d.doc_id) AS h
+        | FROM documents d, (SELECT unnest(range(3)) AS epoch) e)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+        | CAST(row_number() OVER (ORDER BY epoch, h, doc_id) - 1 AS BIGINT)
+        |  AS schedule_pos
+        |FROM s""".stripMargin,
+    // q157: the same six sums per pair, computed directly; dollar/percent
+    // units keep every Σx² far inside BIGINT.
+    "q157_suffstats_matrix" ->
+      """WITH f AS (
+        | SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |  CAST(round(l_extendedprice) AS BIGINT) AS price_dollars,
+        |  CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+        |  CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
+        | FROM lineitem)
+        |SELECT 'qty' AS x_name, 'price_dollars' AS y_name,
+        | CAST(count(*) AS BIGINT) AS n, CAST(sum(qty) AS BIGINT) AS sum_x,
+        | CAST(sum(price_dollars) AS BIGINT) AS sum_y,
+        | CAST(sum(qty*qty) AS BIGINT) AS sum_xx,
+        | CAST(sum(qty*price_dollars) AS BIGINT) AS sum_xy,
+        | CAST(sum(price_dollars*price_dollars) AS BIGINT) AS sum_yy FROM f
+        |UNION ALL SELECT 'qty', 'discount_pct', CAST(count(*) AS BIGINT),
+        | CAST(sum(qty) AS BIGINT), CAST(sum(discount_pct) AS BIGINT),
+        | CAST(sum(qty*qty) AS BIGINT), CAST(sum(qty*discount_pct) AS BIGINT),
+        | CAST(sum(discount_pct*discount_pct) AS BIGINT) FROM f
+        |UNION ALL SELECT 'qty', 'tax_pct', CAST(count(*) AS BIGINT),
+        | CAST(sum(qty) AS BIGINT), CAST(sum(tax_pct) AS BIGINT),
+        | CAST(sum(qty*qty) AS BIGINT), CAST(sum(qty*tax_pct) AS BIGINT),
+        | CAST(sum(tax_pct*tax_pct) AS BIGINT) FROM f
+        |UNION ALL SELECT 'price_dollars', 'discount_pct', CAST(count(*) AS BIGINT),
+        | CAST(sum(price_dollars) AS BIGINT), CAST(sum(discount_pct) AS BIGINT),
+        | CAST(sum(price_dollars*price_dollars) AS BIGINT),
+        | CAST(sum(price_dollars*discount_pct) AS BIGINT),
+        | CAST(sum(discount_pct*discount_pct) AS BIGINT) FROM f
+        |UNION ALL SELECT 'price_dollars', 'tax_pct', CAST(count(*) AS BIGINT),
+        | CAST(sum(price_dollars) AS BIGINT), CAST(sum(tax_pct) AS BIGINT),
+        | CAST(sum(price_dollars*price_dollars) AS BIGINT),
+        | CAST(sum(price_dollars*tax_pct) AS BIGINT),
+        | CAST(sum(tax_pct*tax_pct) AS BIGINT) FROM f
+        |UNION ALL SELECT 'discount_pct', 'tax_pct', CAST(count(*) AS BIGINT),
+        | CAST(sum(discount_pct) AS BIGINT), CAST(sum(tax_pct) AS BIGINT),
+        | CAST(sum(discount_pct*discount_pct) AS BIGINT),
+        | CAST(sum(discount_pct*tax_pct) AS BIGINT),
+        | CAST(sum(tax_pct*tax_pct) AS BIGINT) FROM f""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -92,4 +92,33 @@ object CorpusPrep {
         col("quality"),
         hashSplit(col("doc_id")).as("split"))
   }
+
+  /** Deterministic multi-epoch shuffle schedule: every (epoch, doc) pair
+    * gets its position in the global training order, where within each
+    * epoch the docs are permuted by `md5(epoch ∥ ':' ∥ id)` — a fresh,
+    * reproducible, data-independent order per epoch (the md5 re-keying is
+    * the distributed stand-in for a seeded Fisher–Yates: uniform, stable
+    * across runs and engines, and free of RNG state). Consumers stream
+    * `schedule_pos` ascending: epochs come out in order, docs within an
+    * epoch in their permuted order.
+    *
+    * Scale shape: the epoch fan-out is a map-only `explode` (E×N rows of
+    * (id, epoch, hash) — never bodies), and positions come from
+    * [[graft.ops.Normalize.denseIds]]'s range-partition + offset-table
+    * ranking — no global single-partition window at any point.
+    */
+  def epochSchedule(docs: DataFrame, idCol: String, epochs: Int): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1: $epochs")
+    val fanned = docs
+      .select(col(idCol), explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("__h",
+        md5(concat(col("epoch").cast("string"), lit(":"), col(idCol).cast("string"))))
+      // epoch-major order: lpad keeps lexicographic == numeric for the
+      // epoch prefix; the hash permutes within the epoch block.
+      .withColumn("__ord", concat(lpad(col("epoch").cast("string"), 6, "0"), col("__h")))
+      .withColumn("__tie",
+        concat(col("epoch").cast("string"), lit(":"), col(idCol).cast("string")))
+    graft.ops.Normalize.denseIds(fanned, "__ord", "__tie", "schedule_pos")
+      .select(col("epoch").cast("long").as("epoch"), col(idCol), col("schedule_pos"))
+  }
 }

@@ -186,6 +186,44 @@ object Metrics {
         sum(col("__y") * col("__y")).as("sum_yy"))
   }
 
+  /** All-pairs sufficient statistics over a feature list in ONE pass —
+    * the input to a full correlation/covariance matrix (feature-redundancy
+    * audit before training): for every unordered column pair (i < j), one
+    * long-form row `(x_name, y_name, n, sum_x, sum_y, sum_xx, sum_xy,
+    * sum_yy)`, all exact integers. k features cost k + k + k(k−1)/2
+    * aggregate expressions in a single scan — never k² passes.
+    *
+    * Scale shape: one map-side-combined global aggregation to a single
+    * row, then a 0-shuffle literal-array `explode` to long form (the
+    * [[graft.ops.Audit.constraints]] pivot). Magnitude guard as
+    * [[suffStats]]: per-column Σx² must stay inside Long.
+    */
+  def suffStatsMatrix(df: DataFrame, cols: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.map(_._1).distinct.size == cols.size, "column names must be unique")
+    val named = cols.map { case (n, c) => n -> c.cast("long") }
+    val base = df.select(named.map { case (n, c) => c.as(s"__$n") }: _*)
+    val pairs = for {
+      i <- named.indices; j <- named.indices if i < j
+    } yield (named(i)._1, named(j)._1)
+    val aggs =
+      Seq(count(lit(1)).as("__n")) ++
+        named.map { case (n, _) => sum(col(s"__$n")).as(s"s_$n") } ++
+        named.map { case (n, _) => sum(col(s"__$n") * col(s"__$n")).as(s"ss_$n") } ++
+        pairs.map { case (a, b) => sum(col(s"__$a") * col(s"__$b")).as(s"sx_${a}_$b") }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val entries = pairs.map { case (a, b) =>
+      struct(lit(a).as("x_name"), lit(b).as("y_name"),
+        col(s"s_$a").as("sum_x"), col(s"s_$b").as("sum_y"),
+        col(s"ss_$a").as("sum_xx"), col(s"sx_${a}_$b").as("sum_xy"),
+        col(s"ss_$b").as("sum_yy"))
+    }
+    one.select(explode(array(entries: _*)).as("p"), col("__n").as("n"))
+      .select(col("p.x_name"), col("p.y_name"), col("n"),
+        col("p.sum_x"), col("p.sum_y"), col("p.sum_xx"), col("p.sum_xy"),
+        col("p.sum_yy"))
+  }
+
   /** Exact Gini coefficient (ppm) of category sizes per group — the
     * inequality complement to [[concentration]]'s HHI: HHI says how much
     * mass the top categories hold, Gini says how unevenly the whole

@@ -159,6 +159,37 @@ object Sampling {
       .drop("__g")
   }
 
+  /** Temporal train/test split with an embargo gap, reported per entity:
+    * rows strictly before `splitTs − embargoSeconds` are train, rows at or
+    * after `splitTs` are test, and the gap between them is embargoed
+    * (dropped from both) so that near-boundary temporal correlation —
+    * sessions straddling the cut, labels computed from forward windows —
+    * cannot leak across. Emits one row per entity:
+    * `(entity, n_train, n_test, n_embargo, cross_presence)`, where
+    * `cross_presence` marks entities with data on BOTH sides — the list a
+    * user-level task must additionally drop or group-split
+    * ([[groupSplit]]) to stay leak-free.
+    *
+    * Scale shape: map-only bucket assignment + one map-side-combined
+    * aggregation at entity cardinality; nothing else shuffles.
+    */
+  def temporalEmbargoSplit(
+      df: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      splitTs: String,
+      embargoSeconds: Long): DataFrame = {
+    require(embargoSeconds >= 0, s"embargoSeconds must be >= 0: $embargoSeconds")
+    val cut = to_timestamp(lit(splitTs))
+    val trainEnd = cut - expr(s"INTERVAL $embargoSeconds SECOND")
+    df.groupBy(col(entityCol))
+      .agg(
+        count_if(col(tsCol) < trainEnd).as("n_train"),
+        count_if(col(tsCol) >= cut).as("n_test"),
+        count_if(col(tsCol) >= trainEnd && col(tsCol) < cut).as("n_embargo"))
+      .withColumn("cross_presence", col("n_train") > 0 && col("n_test") > 0)
+  }
+
   def exactPerGroup(df: DataFrame, stratumCol: String, idCol: String, n: Int, saltBuckets: Int = 64): DataFrame = {
     require(n > 0, "n must be positive")
     require(saltBuckets > 0, "saltBuckets must be positive")

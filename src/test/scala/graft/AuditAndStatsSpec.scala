@@ -128,4 +128,18 @@ class AuditAndStatsSpec extends SparkSpec {
     // (4,1): cheapest x → on frontier
     assert(got == Set(1L, 2L, 4L))
   }
+
+  test("suffStatsMatrix: one pass, exact pair sums in long form") {
+    val df = Seq((1L, 2L, 3L), (4L, 5L, 6L), (7L, 8L, 10L)).toDF("a", "b", "c")
+    val got = Metrics.suffStatsMatrix(df,
+        Seq("a" -> col("a"), "b" -> col("b"), "c" -> col("c")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // a=(1,4,7) b=(2,5,8): n=3, sums 12/15, xx=66, xy=78, yy=93
+    assert(got(("a", "b")) == ((3L, 12L, 15L, 66L, 78L, 93L)))
+    // a vs c=(3,6,10): xy = 3+24+70 = 97, yy = 9+36+100 = 145
+    assert(got(("a", "c")) == ((3L, 12L, 19L, 66L, 97L, 145L)))
+    assert(got(("b", "c")) == ((3L, 15L, 19L, 93L, 116L, 145L)))
+  }
 }

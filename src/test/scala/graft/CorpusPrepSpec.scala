@@ -53,4 +53,24 @@ class CorpusPrepSpec extends SparkSpec {
     assert(a === b)
     assert(a.map(_.getString(1)).subsetOf(Set("train", "val", "test")))
   }
+
+  test("epochSchedule: bijective positions, epoch-major, per-epoch permutations differ") {
+    val docs = (1L to 40L).map(i => Tuple1(i)).toDF("doc_id")
+    val got = CorpusPrep.epochSchedule(docs, "doc_id", epochs = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 120)
+    // positions are exactly 0..119, epoch-major blocks of 40
+    assert(got.map(_._3).sorted.toSeq == (0L until 120L))
+    got.foreach { case (e, _, pos) => assert(pos / 40 == e) }
+    // each epoch covers all docs once, and the orders differ across epochs
+    val byEpoch = got.groupBy(_._1).map { case (e, rows) =>
+      e -> rows.sortBy(_._3).map(_._2).toSeq
+    }
+    assert(byEpoch.values.forall(_.sorted == (1L to 40L)))
+    assert(byEpoch(0L) != byEpoch(1L) && byEpoch(1L) != byEpoch(2L))
+    // deterministic across runs
+    val again = CorpusPrep.epochSchedule(docs.repartition(7), "doc_id", epochs = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3)
+    assert(again.toSeq == got.sortBy(_._3).toSeq)
+  }
 }

@@ -96,4 +96,24 @@ class SamplingSpec extends SparkSpec {
     assert(got.select("id").as[Long].collect().sorted.toSeq ==
       salted.select("id").as[Long].collect().sorted.toSeq)
   }
+
+  test("temporalEmbargoSplit: embargo rows drop from both sides; cross-presence flagged") {
+    import java.sql.Timestamp
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-10 00:00:00")), // train
+      (1L, Timestamp.valueOf("2024-01-25 00:00:00")), // test -> cross
+      (2L, Timestamp.valueOf("2024-01-23 12:00:00")), // embargo only
+      (3L, Timestamp.valueOf("2024-01-21 23:59:59")), // train (just before gap)
+      (3L, Timestamp.valueOf("2024-01-22 00:00:00")), // embargo (gap start)
+      (4L, Timestamp.valueOf("2024-01-24 00:00:00"))  // test (cut inclusive)
+    ).toDF("user_id", "ts")
+    val got = Sampling.temporalEmbargoSplit(rows, "user_id", "ts",
+        "2024-01-24 00:00:00", embargoSeconds = 2L * 86400)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got(1L) == ((1L, 1L, 0L, true)))
+    assert(got(2L) == ((0L, 0L, 1L, false)))
+    assert(got(3L) == ((1L, 0L, 1L, false)))
+    assert(got(4L) == ((0L, 1L, 0L, false)))
+  }
 }
