@@ -1600,7 +1600,37 @@ object SparkEntry {
         "qty" -> col("l_quantity"),
         "price_dollars" -> round(col("l_extendedprice")),
         "discount_pct" -> round(col("l_discount") * 100),
-        "tax_pct" -> round(col("l_tax") * 100))))
+        "tax_pct" -> round(col("l_tax") * 100)))),
+
+    // ---- stratified interleave: source-round-robin training order via
+    // the range-partitioned dense-id path — no per-stratum global window.
+    "q158_stratified_interleave" -> ((s, dir) =>
+      Sampling.stratifiedInterleave(t(s, dir, "documents"), "doc_id", "source")
+        .select(col("doc_id"), col("source"), col("interleave_pos"))),
+
+    // ---- per-doc sentence-shape profile: readability-proxy integers. ----
+    "q159_sentence_stats" -> ((s, dir) =>
+      Lexical.sentenceStats(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_sentences"), col("n_chars"),
+          col("n_words"), col("chars_per_sentence_ppm"),
+          col("words_per_sentence_ppm"))),
+
+    // ---- per-doc character-class census: the raw signals under
+    // boilerplate/spam heuristics, exact and summing to n_chars. ----------
+    "q160_char_classes" -> ((s, dir) =>
+      Lexical.charClasses(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_chars"), col("n_digit"), col("n_upper"),
+          col("n_lower"), col("n_space"), col("n_other"), col("digit_ppm"))),
+
+    // ---- median/MAD robust outlier flags on event values per type:
+    // exact lower medians, integer MAD fence. -----------------------------
+    "q161_mad_outliers" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      Outliers.madOutliers(ev, Seq("event_type"), "cents", k = 3L)
+        .select(col("event_id"), col("event_type"), col("cents"),
+          col("med"), col("mad"), col("is_outlier"))
+    })
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -3663,7 +3693,96 @@ object SparkEntry {
         | CAST(sum(discount_pct) AS BIGINT), CAST(sum(tax_pct) AS BIGINT),
         | CAST(sum(discount_pct*discount_pct) AS BIGINT),
         | CAST(sum(discount_pct*tax_pct) AS BIGINT),
-        | CAST(sum(tax_pct*tax_pct) AS BIGINT) FROM f""".stripMargin
+        | CAST(sum(tax_pct*tax_pct) AS BIGINT) FROM f""".stripMargin,
+    // q158: within-stratum md5 permutation rank × stratum count + dense
+    // stratum code; md5 hex and ASCII source ordering are engine-identical.
+    "q158_stratified_interleave" ->
+      """WITH rk AS (
+        | SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS wr
+        | FROM documents),
+        |codes AS (
+        | SELECT source, row_number() OVER (ORDER BY source) AS code
+        | FROM (SELECT DISTINCT source FROM documents)),
+        |b AS (SELECT count(*) AS nb FROM codes)
+        |SELECT rk.doc_id, rk.source,
+        | CAST(rk.wr * b.nb + codes.code - 1 AS BIGINT) AS interleave_pos
+        |FROM rk JOIN codes ON rk.source = codes.source CROSS JOIN b""".stripMargin,
+    // q159: same [.!?]+ segmentation and q13 word tokenizer; empty and
+    // NULL docs produce all-zero rows on both sides.
+    "q159_sentence_stats" ->
+      """SELECT doc_id,
+        | CAST(coalesce(len(list_filter(
+        |   regexp_split_to_array(coalesce(text, ''), '[.!?]+'),
+        |   s -> regexp_matches(s, '\S'))), 0) AS BIGINT) AS n_sentences,
+        | CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars,
+        | CAST(coalesce(len(list_filter(string_split_regex(text, '\s+'),
+        |   x -> len(x) > 0)), 0) AS BIGINT) AS n_words,
+        | CAST(CASE WHEN coalesce(len(list_filter(
+        |    regexp_split_to_array(coalesce(text, ''), '[.!?]+'),
+        |    s -> regexp_matches(s, '\S'))), 0) = 0 THEN 0
+        |  ELSE (1000000 * coalesce(length(text), 0)) // len(list_filter(
+        |    regexp_split_to_array(coalesce(text, ''), '[.!?]+'),
+        |    s -> regexp_matches(s, '\S'))) END AS BIGINT) AS chars_per_sentence_ppm,
+        | CAST(CASE WHEN coalesce(len(list_filter(
+        |    regexp_split_to_array(coalesce(text, ''), '[.!?]+'),
+        |    s -> regexp_matches(s, '\S'))), 0) = 0 THEN 0
+        |  ELSE (1000000 * coalesce(len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0)), 0)) // len(list_filter(
+        |    regexp_split_to_array(coalesce(text, ''), '[.!?]+'),
+        |    s -> regexp_matches(s, '\S'))) END AS BIGINT) AS words_per_sentence_ppm
+        |FROM documents""".stripMargin,
+    // q160: len − len(regexp strip) per ASCII class; classes partition the
+    // string so the five counts sum to n_chars on both sides.
+    "q160_char_classes" ->
+      """WITH t AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+        |c AS (
+        | SELECT doc_id, CAST(length(s) AS BIGINT) AS n_chars,
+        |  CAST(length(s) - length(regexp_replace(s, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |  CAST(length(s) - length(regexp_replace(s, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+        |  CAST(length(s) - length(regexp_replace(s, '[a-z]', '', 'g')) AS BIGINT) AS n_lower,
+        |  CAST(length(s) - length(regexp_replace(s, '\s', '', 'g')) AS BIGINT) AS n_space
+        | FROM t)
+        |SELECT doc_id, n_chars, n_digit, n_upper, n_lower, n_space,
+        | CAST(n_chars - n_digit - n_upper - n_lower - n_space AS BIGINT) AS n_other,
+        | CAST(CASE WHEN n_chars = 0 THEN 0
+        |  ELSE (1000000 * n_digit) // n_chars END AS BIGINT) AS digit_ppm
+        |FROM c""".stripMargin,
+    // q161: two-stage exact lower medians (min value with 2·cum ≥ tot over
+    // integer counts), replayed with windows over distinct values.
+    "q161_mad_outliers" ->
+      """WITH v AS (
+        | SELECT event_id, event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events),
+        |c1 AS (SELECT event_type, cents, count(*) AS w FROM v GROUP BY 1, 2),
+        |m1 AS (
+        | SELECT event_type,
+        |  min(CASE WHEN 2 * cum >= tot THEN cents END) AS med
+        | FROM (
+        |  SELECT event_type, cents,
+        |   sum(w) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+        |   sum(w) OVER (PARTITION BY event_type) AS tot
+        |  FROM c1)
+        | GROUP BY event_type),
+        |d AS (
+        | SELECT v.event_id, v.event_type, v.cents, m1.med,
+        |  abs(v.cents - m1.med) AS dev
+        | FROM v JOIN m1 ON v.event_type = m1.event_type),
+        |c2 AS (SELECT event_type, dev, count(*) AS w FROM d GROUP BY 1, 2),
+        |m2 AS (
+        | SELECT event_type,
+        |  min(CASE WHEN 2 * cum >= tot THEN dev END) AS mad
+        | FROM (
+        |  SELECT event_type, dev,
+        |   sum(w) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+        |   sum(w) OVER (PARTITION BY event_type) AS tot
+        |  FROM c2)
+        | GROUP BY event_type)
+        |SELECT d.event_id, d.event_type, d.cents, d.med, m2.mad,
+        | (d.dev > 3 * m2.mad) AS is_outlier
+        |FROM d JOIN m2 ON d.event_type = m2.event_type""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -51,4 +51,57 @@ object Lexical {
         coalesce(col("simpson_sum"), lit(0L)).as("simpson_sum"),
         coalesce(col("hapax"), lit(0L)).as("hapax"))
   }
+
+  /** Per-doc sentence-shape profile: sentence count (segments between
+    * `[.!?]+` runs that contain any non-whitespace) plus exact-integer
+    * chars-per-sentence and words-per-sentence in ppm — the
+    * readability-proxy features a quality filter thresholds on (both
+    * one-word telegraphic spam and unpunctuated run-on walls score at the
+    * extremes). Map-only column math; zero shuffles.
+    */
+  def sentenceStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val segs = split(col(textCol), "[.!?]+")
+    val nSent = size(filter(segs, s => s.rlike("\\S"))).cast("long")
+    val nChars = coalesce(length(col(textCol)).cast("long"), lit(0L))
+    val nWords = graft.functions.TextFunctions.wordCount(col(textCol)).cast("long")
+    docs.select(
+      col(idCol),
+      coalesce(nSent, lit(0L)).as("n_sentences"),
+      nChars.as("n_chars"),
+      coalesce(nWords, lit(0L)).as("n_words"))
+      .withColumn("chars_per_sentence_ppm",
+        when(col("n_sentences") === 0, 0L)
+          .otherwise(expr("(1000000L * n_chars) div n_sentences")))
+      .withColumn("words_per_sentence_ppm",
+        when(col("n_sentences") === 0, 0L)
+          .otherwise(expr("(1000000L * n_words) div n_sentences")))
+  }
+
+  /** Per-doc character-class census: exact counts of digits, uppercase,
+    * lowercase, whitespace, and everything else (each via one global
+    * regexp strip — `len − len(strip(class))` — so the five counts always
+    * sum to the length), plus the digit share in ppm. The raw signals
+    * under boilerplate/spam heuristics ("mostly digits", "no lowercase",
+    * "symbol soup"), exposed as columns instead of a baked-in score.
+    * Map-only; zero shuffles. ASCII classes by design — engine-portable
+    * where Unicode category classes are ICU-version-dependent.
+    */
+  def charClasses(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val len = length(t).cast("long")
+    def classCount(pattern: String) =
+      (len - length(regexp_replace(t, pattern, ""))).cast("long")
+    docs.select(
+      col(idCol),
+      len.as("n_chars"),
+      classCount("[0-9]").as("n_digit"),
+      classCount("[A-Z]").as("n_upper"),
+      classCount("[a-z]").as("n_lower"),
+      classCount("\\s").as("n_space"))
+      .withColumn("n_other",
+        col("n_chars") - col("n_digit") - col("n_upper") - col("n_lower") - col("n_space"))
+      .withColumn("digit_ppm",
+        when(col("n_chars") === 0, 0L)
+          .otherwise(expr("(1000000L * n_digit) div n_chars")))
+  }
 }

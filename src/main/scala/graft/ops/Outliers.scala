@@ -109,6 +109,48 @@ object Outliers {
     * guard: n·cum needs n·Σ|x| < 2⁶³ — with cents ≤ 10⁶ that is ~10⁴
     * points per key at full headroom.
     */
+  /** Median/MAD robust outlier flags — the heavier-tailed complement to
+    * [[upperIqr]]: per group, the (lower) median `med`, the median
+    * absolute deviation `mad = median(|x − med|)`, and a flag for rows
+    * with `|x − med| > k·mad`. Lower (discrete) medians keep every number
+    * an exact integer — order-independent and engine-portable, where the
+    * interpolated median and float stddev are neither.
+    *
+    * Scale shape: each median is one `(group, value)` map-side-combined
+    * count plus a window over the DISTINCT-value table (value-cardinality
+    * sized, not row-sized), and each joins back as a broadcast
+    * group-cardinality table; the rows themselves never shuffle. Two
+    * medians → two such passes, both over integer counts.
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Long = 3L): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    def lowerMedian(in: DataFrame, vCol: String, out: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val perValue = in.groupBy((groupCols :+ vCol).map(col): _*)
+        .agg(count(lit(1)).as("__w"))
+      val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(vCol))
+      val wAll = Window.partitionBy(groupCols.map(col): _*)
+      perValue
+        .withColumn("__cum", sum(col("__w")).over(w))
+        .withColumn("__tot", sum(col("__w")).over(wAll))
+        .groupBy(groupCols.map(col): _*)
+        .agg(min(when(lit(2) * col("__cum") >= col("__tot"), col(vCol))).as(out))
+    }
+    val v = col(valueCol).cast("long")
+    val base = df.withColumn("__v", v)
+    val med = lowerMedian(base, "__v", "med")
+    val withMed = base.join(broadcast(med), groupCols)
+      .withColumn("__dev", abs(col("__v") - col("med")))
+    val mad = lowerMedian(withMed, "__dev", "mad")
+    withMed.join(broadcast(mad), groupCols)
+      .withColumn("is_outlier", col("__dev") > lit(k) * col("mad"))
+      .drop("__v", "__dev")
+  }
+
   def cusum(
       df: DataFrame,
       keyCols: Seq[String],

@@ -190,6 +190,54 @@ object Sampling {
       .withColumn("cross_presence", col("n_train") > 0 && col("n_test") > 0)
   }
 
+  /** Stratified interleave schedule: orders rows so that consecutive
+    * positions cycle through the strata — consuming by ascending
+    * `interleave_pos` exposes every stratum throughout training instead of
+    * exhausting one source before the next (the standard fix for
+    * source-ordered corpora, where a model sees all of web before any
+    * code). Within each stratum rows are md5-permuted; position
+    * `= within_rank · B + stratum_code` for B strata, so positions are
+    * unique and stratum-round-robin while strata last (smaller strata
+    * exhaust and leave gaps — an ORDERING key, not a dense index).
+    *
+    * Scale shape: one global [[graft.ops.Normalize.denseIds]] ranking in
+    * stratum-major order (range partition + offset table — no per-stratum
+    * single-task window), then a broadcast join against the
+    * stratum-cardinality size/offset/code table. Stratum values must not
+    * contain `':'` (the order-key separator).
+    */
+  def stratifiedInterleave(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df
+      .select(col(stratumCol), col(idCol))
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .withColumn("__ord", concat(col(stratumCol).cast("string"), lit(":"), col("__h")))
+      .withColumn("__tie", concat(col(stratumCol).cast("string"), lit(":"), col(idCol).cast("string")))
+    val ranked = graft.ops.Normalize.denseIds(keyed, "__ord", "__tie", "__grank")
+    // Stratum-cardinality side table: size, exclusive prefix offset (in
+    // the SAME stratum-major order as __ord), dense code, stratum count.
+    // The offset prefix-sum MUST follow the same order the global ranking
+    // used — which is lexicographic on `stratum ∥ ':'`, NOT on the bare
+    // stratum (when one stratum is a prefix of another, "a" vs "a0", the
+    // appended ':' sorts between digits and letters and flips them).
+    // Codes stay in bare-stratum order: they only label, never offset.
+    val sizes = ranked.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__code",
+        row_number().over(Window.orderBy(col(stratumCol).cast("string"))).cast("long"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy(concat(col(stratumCol).cast("string"), lit(":")))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__b", max(col("__code")).over(Window.partitionBy()))
+    ranked.join(broadcast(sizes), Seq(stratumCol))
+      .select(col(idCol), col(stratumCol),
+        ((col("__grank") - col("__off")) * col("__b") + col("__code") - 1L)
+          .as("interleave_pos"))
+  }
+
   def exactPerGroup(df: DataFrame, stratumCol: String, idCol: String, n: Int, saltBuckets: Int = 64): DataFrame = {
     require(n > 0, "n must be positive")
     require(saltBuckets > 0, "saltBuckets must be positive")

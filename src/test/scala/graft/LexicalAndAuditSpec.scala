@@ -63,4 +63,33 @@ class LexicalAndAuditSpec extends SparkSpec {
     assert(got(2L) == ((0L, 0L, 0L, 0L, 0L)))
     assert(got(3L) == ((0L, 0L, 0L, 0L, 0L)))
   }
+
+  test("sentenceStats: terminator runs segment; blank segments ignored; zero-sentence docs") {
+    val df = Seq(
+      (1L, "One two. Three!! Four? "),   // 3 sentences, trailing blank segment
+      (2L, "no terminator at all"),      // 1 sentence (whole text)
+      (3L, "... !!! "),                  // punctuation only: 0 sentences
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Lexical.sentenceStats(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(1L)._1 == 3L)
+    assert(got(1L)._3 == 4L) // whitespace tokens: One / two. / Three!! / Four?
+    assert(got(2L) == ((1L, 20L, 4L, 20000000L, 4000000L)))
+    assert(got(3L)._1 == 0L && got(3L)._4 == 0L && got(3L)._5 == 0L)
+    assert(got(4L) == ((0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("charClasses: counts partition the string and sum to n_chars") {
+    val df = Seq(
+      (1L, "Ab1 c!"),                    // upper 1, lower 2, digit 1, space 1, other 1
+      (2L, ""),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Lexical.charClasses(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(got(1L) == ((6L, 1L, 1L, 2L, 1L, 1L, 166666L)))
+    assert(got(2L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got(3L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
 }

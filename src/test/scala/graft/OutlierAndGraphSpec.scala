@@ -128,4 +128,18 @@ class OutlierAndGraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(got.toSeq == expect)
   }
+
+  test("madOutliers: exact lower medians; fence flags only genuine spikes") {
+    val df = Seq(8L, 9L, 10L, 10L, 11L, 12L, 100L)
+      .zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("id", "grp", "v")
+    val got = graft.ops.Outliers.madOutliers(df, Seq("grp"), "v", k = 3L)
+      .select("id", "med", "mad", "is_outlier")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // sorted: 8,9,10,10,11,12,100 (n=7) -> lower median 10
+    // devs sorted: 0,0,1,1,2,2,90        -> lower median of devs = 1
+    assert(got.values.forall { case (med, mad, _) => med == 10L && mad == 1L })
+    assert(got(6L)._3, "the 100 spike must flag")
+    assert(got.filter(_._1 != 6L).values.forall(!_._3), "inliers must not flag")
+  }
 }

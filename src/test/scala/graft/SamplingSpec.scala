@@ -116,4 +116,28 @@ class SamplingSpec extends SparkSpec {
     assert(got(3L) == ((1L, 0L, 1L, false)))
     assert(got(4L) == ((0L, 1L, 0L, false)))
   }
+
+  test("stratifiedInterleave: round-robin positions; prefix strata do not desync offsets") {
+    // "a" is a prefix of "a0" - the regression that flips concat-order vs tuple-order
+    val df = ((1L to 9L).map(i => (i, "a")) ++ (10L to 15L).map(i => (i, "a0")) ++
+      (16L to 18L).map(i => (i, "b"))).toDF("id", "stratum")
+    val got = Sampling.stratifiedInterleave(df, "id", "stratum").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length == 18)
+    assert(got.forall(_._3 >= 0), s"negative positions: ${got.filter(_._3 < 0).mkString(",")}")
+    // positions are unique and stratum-coded mod B=3: a->0, a0->1, b->2
+    assert(got.map(_._3).distinct.length == 18)
+    got.foreach { case (_, st, pos) =>
+      val code = Map("a" -> 0L, "a0" -> 1L, "b" -> 2L)(st)
+      assert(pos % 3 == code, s"pos $pos stratum $st")
+    }
+    // within each stratum, within-ranks are 0..n-1 (pos div B dense from 0)
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3 / 3).sorted.toSeq == (0L until rows.length))
+    }
+    // deterministic under repartition
+    val again = Sampling.stratifiedInterleave(df.repartition(5), "id", "stratum")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(again.toSeq == got.sortBy(_._1).toSeq)
+  }
 }
