@@ -1630,6 +1630,45 @@ object SparkEntry {
       Outliers.madOutliers(ev, Seq("event_type"), "cents", k = 3L)
         .select(col("event_id"), col("event_type"), col("cents"),
           col("med"), col("mad"), col("is_outlier"))
+    }),
+
+    // ---- per-doc PII density: independent per-rule match counts + rate
+    // per kilochar — the drop-vs-redact triage signal before q56. ---------
+    "q162_pii_density" -> ((s, dir) =>
+      Lexical.piiDensity(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_chars"), col("n_email"), col("n_ip"),
+          col("n_longid"), col("n_phone"), col("pii_per_kilochar"))),
+
+    // ---- referential-integrity audit across the TPC-H-ish FK graph:
+    // anti-join on projected keys only. -----------------------------------
+    "q163_fk_orphans" -> ((s, dir) =>
+      Audit.fkOrphans(Seq(
+        ("lineitem.l_orderkey->orders", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"),
+        ("orders.o_custkey->customer", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"),
+        ("lineitem.l_partkey->part", t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        ("customer.c_nationkey->nation", t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey")))),
+
+    // ---- Benford first-digit census of order totals in cents. -----------
+    "q164_benford" -> ((s, dir) =>
+      Metrics.benfordDigits(
+        t(s, dir, "orders").select(
+          round(col("o_totalprice") * 100).cast("long").as("cents")),
+        "cents")),
+
+    // ---- corpus drift: pairwise L1 distance between per-source log2
+    // length histograms — shared buckets join, totals cover the rest. -----
+    "q165_histogram_distance" -> ((s, dir) => {
+      val hist = Metrics.log2Histogram(
+        t(s, dir, "documents").select(col("source"), col("n_chars")),
+        Seq("source"), "n_chars")
+        .select(col("source"), col("log2_bucket"), col("n"))
+      Metrics.histogramDistance(hist, "source", "log2_bucket", "n")
+        .select(col("group_a"), col("group_b"), col("l1_distance"),
+          col("distance_ppm"))
     })
   )
 
@@ -3782,7 +3821,84 @@ object SparkEntry {
         | GROUP BY event_type)
         |SELECT d.event_id, d.event_type, d.cents, d.med, m2.mad,
         | (d.dev > 3 * m2.mad) AS is_outlier
-        |FROM d JOIN m2 ON d.event_type = m2.event_type""".stripMargin
+        |FROM d JOIN m2 ON d.event_type = m2.event_type""".stripMargin,
+    // q162: same four RedactionRules patterns, counted independently.
+    "q162_pii_density" ->
+      """WITH t AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+        |c AS (
+        | SELECT doc_id, CAST(length(s) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(s,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(s,
+        |   '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(s, '\d{6,}')) AS BIGINT) AS n_longid,
+        |  CAST(len(regexp_extract_all(s, '\+?\d[\d\s()-]{6,}\d')) AS BIGINT) AS n_phone
+        | FROM t)
+        |SELECT doc_id, n_chars, n_email, n_ip, n_longid, n_phone,
+        | CAST((1000 * (n_email + n_ip + n_longid + n_phone))
+        |  // greatest(n_chars, 1) AS BIGINT) AS pii_per_kilochar
+        |FROM c""".stripMargin,
+    "q163_fk_orphans" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS relation,
+        | CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_orphans,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | count(*) FILTER (WHERE o.o_orderkey IS NULL) = 0 AS pass
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_orderkey IS NOT NULL
+        |UNION ALL
+        |SELECT 'orders.o_custkey->customer',
+        | CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT),
+        | CAST(count(*) AS BIGINT),
+        | count(*) FILTER (WHERE c.c_custkey IS NULL) = 0
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_custkey IS NOT NULL
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part',
+        | CAST(count(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT),
+        | CAST(count(*) AS BIGINT),
+        | count(*) FILTER (WHERE p.p_partkey IS NULL) = 0
+        |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_partkey IS NOT NULL
+        |UNION ALL
+        |SELECT 'customer.c_nationkey->nation',
+        | CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT),
+        | CAST(count(*) AS BIGINT),
+        | count(*) FILTER (WHERE n.n_nationkey IS NULL) = 0
+        |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_nationkey IS NOT NULL""".stripMargin,
+    "q164_benford" ->
+      """WITH v AS (
+        | SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders),
+        |d AS (
+        | SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        | FROM v WHERE cents > 0),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit)
+        |SELECT digit, n,
+        | CAST((1000000 * n) // (SELECT sum(n) FROM c) AS BIGINT) AS share_ppm
+        |FROM c""".stripMargin,
+    // q165: same log2 histogram (integer bit length) per source, then
+    // L1 = Ta + Tb − 2·Σ_shared min — pairs from totals, so disjoint
+    // histograms still emit their maximal distance.
+    "q165_histogram_distance" ->
+      """WITH h AS (
+        | SELECT source,
+        |  CASE WHEN n_chars <= 0 THEN 0
+        |   ELSE length(bin(CAST(n_chars AS BIGINT))) END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS t FROM h GROUP BY source),
+        |sm AS (
+        | SELECT a.source AS group_a, b.source AS group_b,
+        |  CAST(sum(least(a.n, b.n)) AS BIGINT) AS shared_min
+        | FROM h a JOIN h b ON a.bucket = b.bucket AND a.source < b.source
+        | GROUP BY 1, 2)
+        |SELECT ta.source AS group_a, tb.source AS group_b,
+        | CAST(ta.t + tb.t - 2 * coalesce(sm.shared_min, 0) AS BIGINT) AS l1_distance,
+        | CAST((1000000 * (ta.t + tb.t - 2 * coalesce(sm.shared_min, 0)))
+        |  // (ta.t + tb.t) AS BIGINT) AS distance_ppm
+        |FROM tot ta JOIN tot tb ON ta.source < tb.source
+        |LEFT JOIN sm ON sm.group_a = ta.source AND sm.group_b = tb.source""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

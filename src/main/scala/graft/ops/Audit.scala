@@ -136,6 +136,33 @@ object Audit {
       .where(col("group_size") < k)
   }
 
+  /** Referential-integrity audit over a set of foreign-key relations:
+    * for each `(name, child, childKey, parent, parentKey)`, the number of
+    * child rows whose key has no parent (NULL child keys are skipped —
+    * they are [[constraints]]' `not_null` business, not orphanhood).
+    * Emits `(relation, n_orphans, n_rows, pass)` — the gate every
+    * warehouse promotion runs before trusting joins downstream.
+    *
+    * Scale shape: per relation, one left-anti join on projected KEY
+    * columns only (bodies never shuffle) feeding a count; parents
+    * deduplicate map-side via the anti join itself. Results union as
+    * literal-sized rows.
+    */
+  def fkOrphans(
+      relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(relations.nonEmpty, "at least one relation required")
+    relations.map { case (name, child, childKey, parent, parentKey) =>
+      val c = child.select(col(childKey).as("__k")).where(col("__k").isNotNull)
+      val p = parent.select(col(parentKey).as("__k"))
+      val orphans = c.join(p, Seq("__k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val total = c.agg(count(lit(1)).as("n_rows"))
+      orphans.crossJoin(total).select(
+        lit(name).as("relation"), col("n_orphans"), col("n_rows"),
+        (col("n_orphans") === 0L).as("pass"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Join-key skew profile: the top-`topN` heaviest values of `keyCol`
     * with exact count, share of all rows (ppm), and cumulative share —
     * the pre-flight audit run before any large join or aggregation to

@@ -104,4 +104,26 @@ object Lexical {
         when(col("n_chars") === 0, 0L)
           .otherwise(expr("(1000000L * n_digit) div n_chars")))
   }
+
+  /** Per-doc PII density report: independent match counts for each
+    * [[graft.functions.TextFunctions.RedactionRules]] pattern (email, IP,
+    * long-id, phone) plus matches-per-kilochar — the triage signal that
+    * decides between dropping a document and redacting it
+    * ([[graft.functions.TextFunctions.redact]]). Counts are independent
+    * per pattern (unlike redaction, where earlier rules consume text), so
+    * the report shows what each rule WOULD see. Map-only; zero shuffles;
+    * patterns stay in the Java-regex ∩ RE2 subset, so any engine replays
+    * them.
+    */
+  def piiDensity(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val names = Seq("n_email", "n_ip", "n_longid", "n_phone")
+    val counts = graft.functions.TextFunctions.RedactionRules.map(_._1).zip(names).map {
+      case (pattern, name) =>
+        size(regexp_extract_all(t, lit(pattern), lit(0))).cast("long").as(name)
+    }
+    docs.select(col(idCol) +: length(t).cast("long").as("n_chars") +: counts: _*)
+      .withColumn("pii_per_kilochar",
+        expr(s"(1000L * (${names.mkString(" + ")})) div greatest(n_chars, 1L)"))
+  }
 }

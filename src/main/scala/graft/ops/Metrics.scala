@@ -224,6 +224,67 @@ object Metrics {
         col("p.sum_yy"))
   }
 
+  /** Benford first-significant-digit census of a positive integer metric:
+    * counts and ppm share per leading digit 1–9 — the classic
+    * fabricated-data screen (organic multiplicative quantities follow
+    * log10(1+1/d); uniform or hand-typed ones don't). This op reports the
+    * exact observed distribution; comparing against the Benford curve is
+    * the caller's (float) business. Rows with value ≤ 0 are excluded (no
+    * significant digit). One map-side-combined 9-ary aggregation.
+    */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("long")
+    df.where(v > 0)
+      .select(substring(v.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__tot", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("share_ppm", expr("(1000000L * n) div __tot"))
+      .drop("__tot")
+  }
+
+  /** Pairwise L1 (total-variation·2) distance between per-group
+    * histograms — the drift metric between two corpus snapshots or two
+    * sources: with per-(group, bucket) counts, for every group pair
+    * `Σ_buckets |c_a − c_b| = T_a + T_b − 2·Σ_shared min(c_a, c_b)`, so
+    * only SHARED buckets ever join; buckets private to one side are
+    * covered by the totals. Output also carries the distance normalized
+    * by total mass (ppm) — 0 for identical histograms, 1e6 for disjoint.
+    *
+    * Scale shape: histogram counts are group×bucket-sized (tiny next to
+    * rows); the bucket equi-join and the totals join both run on that
+    * aggregated table. Output is bounded at group pairs.
+    */
+  def histogramDistance(
+      counts: DataFrame,
+      groupCol: String,
+      bucketCol: String,
+      countCol: String): DataFrame = {
+    val a = counts.select(col(groupCol).as("group_a"), col(bucketCol).as("__b"),
+      col(countCol).cast("long").as("__ca"))
+    val b = counts.select(col(groupCol).as("group_b"), col(bucketCol).as("__b"),
+      col(countCol).cast("long").as("__cb"))
+    val sharedMin = a.join(b, Seq("__b"))
+      .where(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(sum(least(col("__ca"), col("__cb"))).as("__sm"))
+    val totals = counts.groupBy(col(groupCol))
+      .agg(sum(col(countCol).cast("long")).as("__t"))
+    // Pairs come from the (group-cardinality) totals table, NOT from the
+    // shared-bucket join — two groups with fully disjoint histograms still
+    // get their (maximal) distance row.
+    totals.select(col(groupCol).as("group_a"), col("__t").as("__ta"))
+      .crossJoin(totals.select(col(groupCol).as("group_b"), col("__t").as("__tb")))
+      .where(col("group_a") < col("group_b"))
+      .join(sharedMin, Seq("group_a", "group_b"), "left")
+      .withColumn("__shared_min", coalesce(col("__sm"), lit(0L)))
+      .select(col("group_a"), col("group_b"),
+        (col("__ta") + col("__tb") - lit(2L) * col("__shared_min")).as("l1_distance"),
+        expr("(1000000L * (__ta + __tb - 2L * __shared_min)) div (__ta + __tb)")
+          .as("distance_ppm"))
+  }
+
   /** Exact Gini coefficient (ppm) of category sizes per group — the
     * inequality complement to [[concentration]]'s HHI: HHI says how much
     * mass the top categories hold, Gini says how unevenly the whole

@@ -92,4 +92,60 @@ class LexicalAndAuditSpec extends SparkSpec {
     assert(got(2L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L)))
     assert(got(3L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L)))
   }
+
+  test("piiDensity: independent rule counts; rate per kilochar") {
+    val df = Seq(
+      (1L, "mail me at a.b@example.com or 10.0.0.1 please, id 1234567"),
+      (2L, "clean text"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Lexical.piiDensity(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val (nChars, email, ip, longid, phone, rate) = got(1L)
+    assert(email == 1L && ip == 1L && longid == 1L)
+    assert(phone == 0L) // 7-digit run is below the phone rule's 8-char floor
+    assert(rate == (1000L * (email + ip + longid + phone)) / nChars)
+    assert(got(2L)._2 == 0L && got(2L)._6 == 0L)
+    assert(got(3L)._1 == 0L && got(3L)._6 == 0L)
+  }
+
+  test("fkOrphans: counts keyless children, skips NULL keys, passes clean relations") {
+    val child = Seq((1L, Some(10L)), (2L, Some(99L)), (3L, None), (4L, Some(10L)))
+      .toDF("id", "fk")
+    val parent = Seq(Tuple1(10L), Tuple1(11L)).toDF("pk")
+    val got = graft.ops.Audit.fkOrphans(Seq(("c->p", child, "fk", parent, "pk")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(("c->p", 1L, 3L, false))) // 99 orphan; NULL skipped
+    val clean = graft.ops.Audit.fkOrphans(
+      Seq(("ok", child.where("fk = 10"), "fk", parent, "pk")))
+      .collect().head
+    assert(clean.getLong(1) == 0L && clean.getBoolean(3))
+  }
+
+  test("benfordDigits: exact first-digit census, non-positive rows excluded") {
+    val df = (Seq(1L, 19L, 123L, 2L, 25L, 900L, 9L, -5L, 0L)).map(Tuple1(_)).toDF("v")
+    val got = graft.ops.Metrics.benfordDigits(df, "v").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // positives: 1,19,123 -> digit 1 x3; 2,25 -> digit 2 x2; 900,9 -> digit 9 x2
+    assert(got(1L) == ((3L, 428571L)))
+    assert(got(2L) == ((2L, 285714L)))
+    assert(got(9L) == ((2L, 285714L)))
+    assert(got.keySet == Set(1L, 2L, 9L))
+  }
+
+  test("histogramDistance: L1 identity, disjoint pairs still emitted at max ppm") {
+    val counts = Seq(
+      ("a", 1, 5L), ("a", 2, 5L),
+      ("b", 1, 3L), ("b", 3, 7L),
+      ("c", 9, 4L) // disjoint from both
+    ).toDF("g", "bucket", "n")
+    val got = graft.ops.Metrics.histogramDistance(counts, "g", "bucket", "n")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // a vs b: Ta=10 Tb=10, shared bucket 1: min(5,3)=3 -> L1 = 20-6 = 14
+    assert(got(("a", "b")) == ((14L, 700000L)))
+    // disjoint pairs: full mass, 1e6 ppm
+    assert(got(("a", "c")) == ((14L, 1000000L)))
+    assert(got(("b", "c")) == ((14L, 1000000L)))
+  }
 }
