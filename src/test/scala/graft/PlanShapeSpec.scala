@@ -222,4 +222,43 @@ class PlanShapeSpec extends SparkSpec {
       }
     }
   }
+
+  test("lexical ops shuffle term-frequency integers or nothing — never text") {
+    import graft.ops.Lexical
+    // diversity: the tf aggregation shuffles, but only ids/terms/counts
+    val divShuffles = shuffleOutputs(Lexical.diversity(docs))
+    assert(divShuffles.nonEmpty)
+    divShuffles.foreach { out =>
+      assert(!out.contains("text"), s"document text in shuffle: $out")
+    }
+    // the map-only profiles shuffle nothing at all
+    assert(shuffleOutputs(Lexical.sentenceStats(docs)).isEmpty)
+    assert(shuffleOutputs(Lexical.charClasses(docs)).isEmpty)
+    assert(shuffleOutputs(Lexical.piiDensity(docs)).isEmpty)
+  }
+
+  test("fkOrphans anti-joins shuffle projected key columns only") {
+    import graft.ops.Audit
+    val child = docs.select(col("doc_id"), col("text"), (col("doc_id") % 7).as("fk"))
+    val parent = (1L to 5L).toDF("pk")
+    val shuffles = shuffleOutputs(
+      Audit.fkOrphans(Seq(("c->p", child, "fk", parent, "pk"))))
+    shuffles.foreach { out =>
+      assert(!out.contains("text"), s"child body column in shuffle: $out")
+    }
+  }
+
+  test("temporalEmbargoSplit is one aggregation: shuffles carry counts, not rows") {
+    import graft.ops.Sampling
+    val ev = (1 to 100).map(i =>
+      (i.toLong % 10, java.sql.Timestamp.valueOf(f"2024-01-${i % 28 + 1}%02d 00:00:00"), s"payload$i"))
+      .toDF("user_id", "ts", "payload")
+    val shuffles = shuffleOutputs(Sampling.temporalEmbargoSplit(ev, "user_id", "ts",
+      "2024-01-24 00:00:00", 2L * 86400))
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { out =>
+      assert(!out.contains("payload") && !out.contains("ts"),
+        s"row-level column in shuffle: $out")
+    }
+  }
 }
