@@ -1669,6 +1669,33 @@ object SparkEntry {
       Metrics.histogramDistance(hist, "source", "log2_bucket", "n")
         .select(col("group_a"), col("group_b"), col("l1_distance"),
           col("distance_ppm"))
+    }),
+
+    // ---- largest-remainder apportionment of a 10k-token budget across
+    // sources, proportional to their token mass: Σ alloc = budget exactly.
+    "q166_token_apportion" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(col("source"), TextFunctions.tokenCount(col("text")).as("tokens"))
+        .groupBy(col("source")).agg(sum(col("tokens")).as("tokens"))
+      Sampling.apportion(counts, "source", "tokens", budget = 10000L)
+        .select(col("source"), col("tokens"), col("alloc"))
+    }),
+
+    // ---- the selection step consuming q166's allocations: per source,
+    // take docs by (n_chars desc, md5) until the running token total
+    // passes the source's budget (boundary row included). ----------------
+    "q167_budget_fill" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = docs
+        .select(col("source"), TextFunctions.tokenCount(col("text")).as("tokens"))
+        .groupBy(col("source")).agg(sum(col("tokens")).as("tokens"))
+      val budgets = Sampling.apportion(counts, "source", "tokens", budget = 10000L)
+      val d = docs.select(col("source"), col("doc_id"), col("n_chars"),
+        TextFunctions.tokenCount(col("text")).as("tok"))
+      Sampling.budgetFill(d, "source", "doc_id", "n_chars", "tok",
+          budgets, "source", "alloc")
+        .select(col("source"), col("doc_id"), col("n_chars"), col("tok"),
+          col("cum_weight"))
     })
   )
 
@@ -3898,7 +3925,62 @@ object SparkEntry {
         | CAST((1000000 * (ta.t + tb.t - 2 * coalesce(sm.shared_min, 0)))
         |  // (ta.t + tb.t) AS BIGINT) AS distance_ppm
         |FROM tot ta JOIN tot tb ON ta.source < tb.source
-        |LEFT JOIN sm ON sm.group_a = ta.source AND sm.group_b = tb.source""".stripMargin
+        |LEFT JOIN sm ON sm.group_a = ta.source AND sm.group_b = tb.source""".stripMargin,
+    // q166: Hamilton apportionment replayed — floor + largest-remainder
+    // top-up, ties to the smaller source; all integer.
+    "q166_token_apportion" ->
+      """WITH c AS (
+        | SELECT source, CAST(sum(len(regexp_extract_all(text,
+        |  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS tokens
+        | FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot FROM c),
+        |b AS (
+        | SELECT source, tokens,
+        |  CAST((10000 * tokens) // tot AS BIGINT) AS fl,
+        |  CAST((10000 * tokens) % tot AS BIGINT) AS rem
+        | FROM c, t),
+        |d AS (SELECT CAST(10000 - sum(fl) AS BIGINT) AS deficit FROM b),
+        |r AS (
+        | SELECT source, tokens, fl,
+        |  row_number() OVER (ORDER BY rem DESC, source) AS rk
+        | FROM b)
+        |SELECT r.source, r.tokens,
+        | CAST(r.fl + CASE WHEN r.rk <= d.deficit THEN 1 ELSE 0 END AS BIGINT)
+        |  AS alloc
+        |FROM r, d""".stripMargin,
+    // q167: q166's budgets feed a per-source running-sum cutoff; the
+    // boundary row (cum − tok < alloc ≤ cum) is included. The full
+    // (n_chars DESC, md5, doc_id) order is unique, so RANGE ≡ ROWS.
+    "q167_budget_fill" ->
+      """WITH c AS (
+        | SELECT source, CAST(sum(len(regexp_extract_all(text,
+        |  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS tokens
+        | FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot FROM c),
+        |b AS (
+        | SELECT source, tokens,
+        |  CAST((10000 * tokens) // tot AS BIGINT) AS fl,
+        |  CAST((10000 * tokens) % tot AS BIGINT) AS rem
+        | FROM c, t),
+        |d AS (SELECT CAST(10000 - sum(fl) AS BIGINT) AS deficit FROM b),
+        |alloc AS (
+        | SELECT source,
+        |  CAST(fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+        |   <= (SELECT deficit FROM d) THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        | FROM b),
+        |doc AS (
+        | SELECT source, doc_id, n_chars,
+        |  CAST(len(regexp_extract_all(text,
+        |   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tok
+        | FROM documents),
+        |w AS (
+        | SELECT doc.source, doc.doc_id, doc.n_chars, doc.tok, alloc.alloc,
+        |  CAST(sum(doc.tok) OVER (PARTITION BY doc.source
+        |   ORDER BY doc.n_chars DESC, md5(CAST(doc.doc_id AS VARCHAR)), doc.doc_id)
+        |   AS BIGINT) AS cum
+        | FROM doc JOIN alloc ON doc.source = alloc.source)
+        |SELECT source, doc_id, n_chars, tok, cum AS cum_weight
+        |FROM w WHERE cum - tok < alloc""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -238,6 +238,75 @@ object Sampling {
           .as("interleave_pos"))
   }
 
+  /** Largest-remainder (Hamilton) apportionment of an integer budget
+    * across categories, proportional to `weightCol`: every category gets
+    * `⌊B·w/T⌋`, and the `B − Σ⌊·⌋` leftover units go one each to the
+    * largest remainders (ties to the smaller key — fully deterministic).
+    * The standard way to turn target mix proportions into an EXACT
+    * token-budget split (Σ alloc = B always; proportional rounding that
+    * floats can't guarantee).
+    *
+    * Scale shape: runs on a category-cardinality table (the caller
+    * aggregates rows → weights first); the rank/deficit windows are
+    * category-sized — exactly where a driver-sized window belongs.
+    * Magnitude guard: B·w must stay inside Long.
+    */
+  def apportion(
+      counts: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = col(weightCol).cast("long")
+    val tot = counts.agg(sum(w).as("__tot"))
+    val base = counts.select(col(keyCol), w.as("__w"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__floor", expr(s"($budget * __w) div __tot"))
+      .withColumn("__rem", expr(s"($budget * __w) % __tot"))
+    val wAll = Window.partitionBy()
+    val wRank = Window.orderBy(col("__rem").desc, col(keyCol))
+    base
+      .withColumn("__deficit", lit(budget) - sum(col("__floor")).over(wAll))
+      .withColumn("__rk", row_number().over(wRank))
+      .select(col(keyCol), col("__w").as(weightCol),
+        (col("__floor") + when(col("__rk") <= col("__deficit"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
+  /** Quality-ranked selection under a per-group budget: within each group,
+    * rows are taken in `(orderCol DESC, md5(id))` order until the running
+    * `weightCol` total passes the group's budget — the "fill the mix"
+    * step that consumes [[apportion]]'s allocations. The first row to
+    * cross the budget is INCLUDED (so every group with any rows and a
+    * positive budget selects at least one — whole-row granularity;
+    * callers wanting exact token counts truncate the boundary row
+    * downstream). Emits kept rows with their running total.
+    *
+    * Scale shape: one hash shuffle on the group key feeds the running-sum
+    * window; parallelism is group-bounded like any per-group ordered
+    * scan. The budgets table is group-cardinality — broadcast.
+    */
+  def budgetFill(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      orderCol: String,
+      weightCol: String,
+      budgets: DataFrame,
+      budgetKeyCol: String,
+      budgetCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc, md5(col(idCol).cast("string")), col(idCol))
+    val b = budgets.select(col(budgetKeyCol).as(groupCol), col(budgetCol).as("__budget"))
+    df.join(broadcast(b), Seq(groupCol))
+      .withColumn("__cum", sum(col(weightCol).cast("long")).over(w))
+      .where(col("__cum") - col(weightCol).cast("long") < col("__budget"))
+      .select(col(groupCol), col(idCol), col(orderCol), col(weightCol),
+        col("__cum").as("cum_weight"))
+  }
+
   def exactPerGroup(df: DataFrame, stratumCol: String, idCol: String, n: Int, saltBuckets: Int = 64): DataFrame = {
     require(n > 0, "n must be positive")
     require(saltBuckets > 0, "saltBuckets must be positive")

@@ -140,4 +140,36 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
     assert(again.toSeq == got.sortBy(_._1).toSeq)
   }
+
+  test("apportion: exact Hamilton allocation, sums to budget, deterministic ties") {
+    val counts = Seq(("a", 30L), ("b", 30L), ("c", 40L)).toDF("src", "w")
+    // B=10, T=100: floors 3,3,4 sum to 10 -> no remainder seats
+    val even = Sampling.apportion(counts, "src", "w", budget = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(even == Map("a" -> 3L, "b" -> 3L, "c" -> 4L))
+    // B=7, T=100: quotas 2.1/2.1/2.8 -> floors 2,2,2, deficit 1 ->
+    // largest remainder is c (.8)
+    val tight = Sampling.apportion(counts, "src", "w", budget = 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tight == Map("a" -> 2L, "b" -> 2L, "c" -> 3L))
+    assert(tight.values.sum == 7L)
+    // remainder tie: a and b tie -> smaller key wins the seat
+    val tie = Sampling.apportion(Seq(("a", 50L), ("b", 50L)).toDF("src", "w"),
+      "src", "w", budget = 3L).collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tie == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("budgetFill: boundary row included, order by rank then md5, per-group budgets") {
+    val docs = Seq(
+      ("s", 1L, 10L, 40L), ("s", 2L, 9L, 40L), ("s", 3L, 8L, 40L),
+      ("t", 4L, 5L, 100L)
+    ).toDF("src", "id", "rank", "w")
+    val budgets = Seq(("s", 50L), ("t", 1L)).toDF("src", "alloc")
+    val got = Sampling.budgetFill(docs, "src", "id", "rank", "w",
+        budgets, "src", "alloc")
+      .collect().map(r => (r.getLong(1), r.getLong(4))).toMap
+    // s: rank order 1(40),2(40 -> cum 80 crosses 50, included),3 excluded
+    // t: single row crosses its tiny budget, included
+    assert(got == Map(1L -> 40L, 2L -> 80L, 4L -> 100L))
+  }
 }
