@@ -91,4 +91,46 @@ class CorpusPropertySpec extends SparkSpec {
       assert(counts.forall(_ <= n))
     }
   }
+
+  test("apportion: sums to budget exactly, never negative, monotone-ish in weight") {
+    (1 to 10).foreach { seed =>
+      val n = 2 + seed % 7
+      val weights = sample(Gen.listOfN(n, Gen.chooseNum(1L, 10000L)), seed)
+      val budget = sample(Gen.chooseNum(0L, 5000L), seed + 100)
+      val counts = weights.zipWithIndex.map { case (w, i) => (s"k$i", w) }.toDF("k", "w")
+      val got = Sampling.apportion(counts, "k", "w", budget)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(got.values.sum == budget, s"seed=$seed: sum != budget")
+      assert(got.values.forall(_ >= 0), s"seed=$seed: negative alloc")
+      // every category within 1 unit of its exact proportional quota
+      val tot = weights.sum
+      weights.zipWithIndex.foreach { case (w, i) =>
+        val quota = budget.toDouble * w / tot
+        assert(math.abs(got(s"k$i") - quota) < 1.0 + 1e-9, s"seed=$seed k$i")
+      }
+    }
+  }
+
+  test("stratifiedInterleave: bijective onto distinct ordering keys, stratum-cyclic") {
+    (1 to 6).foreach { seed =>
+      val n = 5 + seed * 7
+      val strata = Seq("s1", "s2", "longerstratum")
+      val rows = (1 to n).map(i => (i.toLong, strata(sample(Gen.chooseNum(0, 2), seed * 1000 + i))))
+      val df = rows.toDF("id", "st")
+      val got = Sampling.stratifiedInterleave(df, "id", "st").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(got.length == n)
+      assert(got.map(_._3).distinct.length == n, s"seed=$seed: positions collide")
+      assert(got.forall(_._3 >= 0))
+      // pos mod B encodes the stratum consistently
+      val codes = strata.sorted.zipWithIndex.toMap
+      got.foreach { case (_, st, pos) =>
+        assert(pos % 3 == codes(st), s"seed=$seed stratum $st pos $pos")
+      }
+      // within a stratum the interleave ranks are dense from 0
+      got.groupBy(_._2).foreach { case (_, rs) =>
+        assert(rs.map(_._3 / 3).sorted.toSeq == (0L until rs.length), s"seed=$seed")
+      }
+    }
+  }
 }
