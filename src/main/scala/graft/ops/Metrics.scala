@@ -70,30 +70,58 @@ object Metrics {
     * values ascending) reaches half the total — `2·cumw(v) ≥ totw` kept
     * in integer arithmetic so there is no half-total rounding ambiguity.
     *
-    * Scale shape: pre-aggregate to (group, value) → weight first, so the
-    * windowed cumulative sum runs over DISTINCT values per group (combine
-    * map-side, shuffle counts not rows), then one window + one narrow
-    * min-aggregate on the SAME partitioning — Spark reuses the exchange.
-    * Unlike exact `percentile`, nothing buffers a whole group in memory:
-    * the window is a streaming running sum over the sorted group.
+    * Scale shape — two-phase bucketed selection, NOT a value-cardinality
+    * window (on continuous-ish metrics like prices nearly every value is
+    * distinct, so a "distinct values" window is really a row-sized sort):
+    * phase 1 aggregates weights into `value >> bucketShift` coarse
+    * buckets (map-side combined; shuffle and window are BUCKET-sized) and
+    * finds each group's median bucket + the cumulative weight before it;
+    * phase 2 rescans only rows INSIDE each group's median bucket (a
+    * pushed-down filter against a broadcast group-cardinality table) and
+    * runs the exact cumulative scan there — per group, that is a
+    * 2^bucketShift-value window at most, regardless of total rows.
+    * Arithmetic `>>` floors negatives, so bucket order matches value
+    * order everywhere.
     */
   def weightedMedian(
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
-      weightCol: String): DataFrame = {
+      weightCol: String,
+      bucketShift: Int = 10): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(bucketShift >= 0 && bucketShift < 63, s"bad bucketShift: $bucketShift")
     import org.apache.spark.sql.expressions.Window
-    val perValue = df.groupBy((groupCols :+ valueCol).map(col): _*)
-      .agg(sum(col(weightCol).cast("long")).as("__w"))
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
-    val wTot = Window.partitionBy(groupCols.map(col): _*)
-    perValue
-      .withColumn("__cum", sum(col("__w")).over(w))
-      .withColumn("__tot", sum(col("__w")).over(wTot))
+    val base = df.select(
+      (groupCols.map(col) :+ col(valueCol).cast("long").as("__v") :+
+        col(weightCol).cast("long").as("__w")): _*)
+      .withColumn("__b", expr(s"shiftright(__v, $bucketShift)"))
+    // Phase 1: bucket weights → median bucket + exclusive prefix weight.
+    val wOrd = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__b"))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val buckets = base.groupBy((groupCols :+ "__b").map(col): _*)
+      .agg(sum(col("__w")).as("__bw"))
+      .withColumn("__bcum", sum(col("__bw")).over(wOrd))
+      .withColumn("__tot", sum(col("__bw")).over(wAll))
+    // min(struct) orders by the leading field — the smallest qualifying
+    // bucket wins, carrying its prefix along.
+    val medBucket = buckets.groupBy(groupCols.map(col): _*)
+      .agg(
+        min(when(lit(2) * col("__bcum") >= col("__tot"),
+          struct(col("__b"), (col("__bcum") - col("__bw")).as("__prefix")))).as("__mb"),
+        max(col("__tot")).as("__tot"))
+      .select((groupCols.map(col) :+ col("__mb.__b").as("__b") :+
+        col("__mb.__prefix").as("__prefix") :+ col("__tot")): _*)
+    // Phase 2: exact scan inside the median bucket only.
+    base.join(broadcast(medBucket), groupCols :+ "__b")
+      .groupBy((groupCols :+ "__v").map(col): _*)
+      .agg(sum(col("__w")).as("__w"), max(col("__prefix")).as("__prefix"),
+        max(col("__tot")).as("__tot"))
+      .withColumn("__cum", col("__prefix") + sum(col("__w")).over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy(col("__v"))))
       .groupBy(groupCols.map(col): _*)
       .agg(
-        min(when(lit(2) * col("__cum") >= col("__tot"), col(valueCol)))
+        min(when(lit(2) * col("__cum") >= col("__tot"), col("__v")))
           .as("weighted_median"),
         max(col("__tot")).as("total_weight"))
   }
