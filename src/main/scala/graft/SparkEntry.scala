@@ -1696,7 +1696,79 @@ object SparkEntry {
           budgets, "source", "alloc")
         .select(col("source"), col("doc_id"), col("n_chars"), col("tok"),
           col("cum_weight"))
-    })
+    }),
+
+    // ---- reciprocal-rank fusion: suppliers ranked per nation by two
+    // uncalibrated signals (account balance; shipped revenue), fused by
+    // rank only — integer micro-unit RRF, top-5 per nation. --------------
+    "q168_rrf_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"),
+          round(col("s_acctbal") * 100).cast("long").as("bal_cents"))
+      val byBal = sup.withColumn("rnk", row_number().over(
+        Window.partitionBy("s_nationkey").orderBy(col("bal_cents").desc, col("s_suppkey"))))
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("s_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_cents"))
+      val byRev = sup.select(col("s_suppkey"), col("s_nationkey"))
+        .join(rev, Seq("s_suppkey"), "left")
+        .withColumn("rev_cents", coalesce(col("rev_cents"), lit(0L)))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("s_nationkey").orderBy(col("rev_cents").desc, col("s_suppkey"))))
+      Indexing.rrfFuse(Seq(byBal, byRev), "s_nationkey", "s_suppkey", "rnk", topK = 5)
+        .select(col("s_nationkey"), col("s_suppkey"), col("rrf_score"),
+          col("n_lists"), col("fused_rank"))
+    }),
+
+    // ---- quantile normalization: per-returnflag price distributions
+    // mapped onto the global one — exact integer ranks both sides, the
+    // cross-source batch-effect remover. ---------------------------------
+    "q169_quantile_norm" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        (col("l_orderkey") * 100 + col("l_linenumber")).as("tid"),
+        col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      Normalize.quantileNormalize(li, Seq("l_returnflag"), "cents", "tid")
+        .select(col("tid"), col("l_returnflag"), col("cents"),
+          col("pr_ppm"), col("q_norm"))
+    }),
+
+    // ---- tokenizer-budget coverage curve: corpus token share of the
+    // top-2^k terms — the rank window runs over VOCABULARY-sized data. ---
+    "q170_coverage_curve" -> ((s, dir) =>
+      Ngrams.coverageCurve(t(s, dir, "documents"))),
+
+    // ---- per-label embedding dispersion via the centroid identity:
+    // exact Σ pairwise distance² from ONE linear pass — no pair join. ----
+    "q171_dispersion" -> ((s, dir) =>
+      Similarity.dispersion(t(s, dir, "embeddings"))
+        .select(col("label"), col("n"), col("sum_sq_norm"),
+          col("norm_sq_sum"), col("pair_dist_sum"), col("mean_pair_dist"))),
+
+    // ---- 2-core of the deterministic divisor graph (doc_id — 2·doc_id /
+    // 3·doc_id): iterative peel, node-sized per-round shuffles. Oracle is
+    // the pinned sf0.01 fixture (peeling isn't SQL-replayable). ----------
+    "q172_kcore" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val maxId = ids.groupBy().agg(max(col("doc_id")).as("__m"))
+      val edges = ids.crossJoin(broadcast(maxId))
+        .select(col("doc_id").as("a_id"), (col("doc_id") * 2).as("b_id"), col("__m"))
+        .union(ids.crossJoin(broadcast(maxId))
+          .select(col("doc_id").as("a_id"), (col("doc_id") * 3).as("b_id"), col("__m")))
+        .where(col("a_id") > 0 && col("b_id") <= col("__m"))
+        .drop("__m")
+      GraphMetrics.kCore(edges, k = 2).orderBy("id")
+    }),
+
+    // ---- recency-decayed activity score: dyadic-weight bounded-lag EMA
+    // over each user's event series — newest row weighs 2^7. -------------
+    "q173_decay_score" -> ((s, dir) =>
+      TimeSeries.decayedScore(
+        t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents")),
+        Seq("user_id"), Seq(col("ts"), col("event_id")), "cents")
+        .select(col("user_id"), col("decayed_score"), col("n_obs")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -3980,7 +4052,107 @@ object SparkEntry {
         |   AS BIGINT) AS cum
         | FROM doc JOIN alloc ON doc.source = alloc.source)
         |SELECT source, doc_id, n_chars, tok, cum AS cum_weight
-        |FROM w WHERE cum - tok < alloc""".stripMargin
+        |FROM w WHERE cum - tok < alloc""".stripMargin,
+    // q168: RRF replayed — per-list floor division BEFORE the sum, so the
+    // fused score is order-independent; QUALIFY trims to top-5.
+    "q168_rrf_fusion" ->
+      """WITH sup AS (SELECT s_suppkey, s_nationkey,
+        |  CAST(round(s_acctbal * 100) AS BIGINT) AS bal FROM supplier),
+        |bal AS (SELECT s_nationkey, s_suppkey, row_number() OVER (
+        |  PARTITION BY s_nationkey ORDER BY bal DESC, s_suppkey) AS rnk FROM sup),
+        |rev0 AS (SELECT l_suppkey AS s_suppkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        | FROM lineitem GROUP BY 1),
+        |rev AS (SELECT sup.s_nationkey, sup.s_suppkey, row_number() OVER (
+        |  PARTITION BY sup.s_nationkey
+        |  ORDER BY coalesce(rev0.rev, 0) DESC, sup.s_suppkey) AS rnk
+        | FROM sup LEFT JOIN rev0 USING (s_suppkey)),
+        |u AS (SELECT s_nationkey, s_suppkey, 1000000 // (60 + rnk) AS c FROM bal
+        | UNION ALL SELECT s_nationkey, s_suppkey, 1000000 // (60 + rnk) FROM rev),
+        |f AS (SELECT s_nationkey, s_suppkey, CAST(sum(c) AS BIGINT) AS rrf_score,
+        |  CAST(count(*) AS BIGINT) AS n_lists FROM u GROUP BY 1, 2)
+        |SELECT s_nationkey, s_suppkey, rrf_score, n_lists,
+        | CAST(row_number() OVER (PARTITION BY s_nationkey
+        |  ORDER BY rrf_score DESC, s_suppkey) AS BIGINT) AS fused_rank
+        |FROM f QUALIFY fused_rank <= 5""".stripMargin,
+    // q169: exact-ppm percent rank per flag; global index via
+    // row_number−1 over (cents, tid); lower-interpolation mapping is the
+    // same integer floor both sides.
+    "q169_quantile_norm" ->
+      """WITH b AS (SELECT l_orderkey * 100 + l_linenumber AS tid, l_returnflag,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+        |r AS (SELECT tid, l_returnflag, cents,
+        |  rank() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rk,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS gn FROM b),
+        |p AS (SELECT tid, l_returnflag, cents,
+        |  CAST(CASE WHEN gn = 1 THEN 0
+        |   ELSE (1000000 * (rk - 1)) // (gn - 1) END AS BIGINT) AS pr_ppm FROM r),
+        |g AS (SELECT cents AS gv,
+        |  row_number() OVER (ORDER BY cents, tid) - 1 AS gidx FROM b)
+        |SELECT p.tid, p.l_returnflag, p.cents, p.pr_ppm, g.gv AS q_norm
+        |FROM p CROSS JOIN nn
+        |JOIN g ON g.gidx = (p.pr_ppm * (nn.n - 1)) // 1000000""".stripMargin,
+    // q170: q47's tokenization; rank/cumsum windows run over the
+    // vocabulary, not the corpus; ppm floor in BIGINT.
+    "q170_coverage_curve" ->
+      """WITH tok AS (
+        | SELECT unnest(list_filter(
+        |  string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+        |  w -> len(w) > 0)) AS word
+        | FROM documents),
+        |c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY word),
+        |r AS (SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rk,
+        |  sum(n) OVER (ORDER BY n DESC, word ROWS UNBOUNDED PRECEDING) AS cum FROM c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+        |s AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128]) AS vocab_size)
+        |SELECT CAST(s.vocab_size AS BIGINT) AS vocab_size,
+        | CAST(max(r.rk) AS BIGINT) AS n_terms,
+        | CAST(max(r.cum) AS BIGINT) AS covered_tokens,
+        | CAST((1000000 * max(r.cum)) // t.tot AS BIGINT) AS coverage_ppm
+        |FROM r JOIN s ON r.rk <= s.vocab_size CROSS JOIN t
+        |GROUP BY s.vocab_size, t.tot""".stripMargin,
+    // q171: q145's quantization; the centroid identity replayed on exact
+    // integer sums — floor-div on non-negative operands both sides.
+    "q171_dispersion" ->
+      """WITH q AS (SELECT label,
+        |  list_transform(embedding,
+        |   x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+        | FROM embeddings),
+        |d AS (SELECT label, unnest(range(1, len(qv) + 1)) AS dim, qv FROM q),
+        |v AS (SELECT label, dim, qv[dim] AS val FROM d),
+        |per AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(val) AS BIGINT) AS s, CAST(sum(val * val) AS BIGINT) AS ss
+        | FROM v GROUP BY 1, 2)
+        |SELECT label, CAST(max(n) AS BIGINT) AS n,
+        | CAST(sum(ss) AS BIGINT) AS sum_sq_norm,
+        | CAST(sum(s * s) AS BIGINT) AS norm_sq_sum,
+        | CAST(2 * (max(n) * sum(ss) - sum(s * s)) AS BIGINT) AS pair_dist_sum,
+        | CAST((2 * (max(n) * sum(ss) - sum(s * s))) // (max(n) * max(n)) AS BIGINT)
+        |  AS mean_pair_dist
+        |FROM per GROUP BY label""".stripMargin,
+    // q172: pinned sf0.01 fixture (tools/pin_oracle.py) — the peel loop
+    // is not SQL-replayable; the divisor graph and k=2 are fixed, so the
+    // core is a pure function of the testdata.
+    "q172_kcore" ->
+      """SELECT CAST(id AS BIGINT) AS id, CAST(core_degree AS BIGINT) AS core_degree FROM (VALUES (1,2),(2,3),(3,3),(4,3),(5,2),(6,4),(7,2),(8,3),(9,3),(10,3),(11,2),(12,4),(13,2),(14,3),(15,3),(16,3),(17,2),(18,4),(19,2),(20,3),(21,3),(22,3),(23,2),(24,4),(25,2),(26,3),(27,3),(28,3),(29,2),(30,4),(31,2),(32,3),(33,3),(34,3),(35,2),(36,4),(37,2),(38,3),(39,3),(40,3),(41,2),(42,4),(43,2),(44,3),(45,3),(46,3),(47,2),(48,4),(49,2),(50,3),(51,3),(52,3),(53,2),(54,4),(55,2),(56,3),(57,3),(58,3),(59,2),(60,4),(61,2),(62,3),(63,3),(64,3),(65,2),(66,4),(67,2),(68,3),(69,3),(70,3),(71,2),(72,4),(73,2),(74,3),(75,3),(76,3),(77,2),(78,4),(79,2),(80,3),(81,3),(82,3),(83,2),(84,4),(86,2),(87,2),(88,2),(90,4),(92,2),(93,2),(94,2),(96,4),(98,2),(99,2),(100,2),(102,4),(104,2),(105,2),(106,2),(108,4),(110,2),(111,2),(112,2),(114,4),(116,2),(117,2),(118,2),(120,4),(122,2),(123,2),(124,2),(126,4),(128,2),(129,2),(130,2),(132,4),(134,2),(135,2),(136,2),(138,4),(140,2),(141,2),(142,2),(144,4),(146,2),(147,2),(148,2),(150,4),(152,2),(153,2),(154,2),(156,4),(158,2),(159,2),(160,2),(162,4),(164,2),(165,2),(166,2),(168,3),(171,2),(174,3),(177,2),(180,3),(183,2),(186,3),(189,2),(192,3),(195,2),(198,3),(201,2),(204,3),(207,2),(210,3),(213,2),(216,3),(219,2),(222,3),(225,2),(228,3),(231,2),(234,3),(237,2),(240,3),(243,2),(246,3),(249,2),(252,2),(258,2),(264,2),(270,2),(276,2),(282,2),(288,2),(294,2),(300,2),(306,2),(312,2),(318,2),(324,2),(330,2),(336,2),(342,2),(348,2),(354,2),(360,2),(366,2),(372,2),(378,2),(384,2),(390,2),(396,2),(402,2),(408,2),(414,2),(420,2),(426,2),(432,2),(438,2),(444,2),(450,2),(456,2),(462,2),(468,2),(474,2),(480,2),(486,2),(492,2),(498,2)) AS t(id, core_degree)""",
+    // q173: the dyadic-weight lag chain replayed; WHERE rn = n keeps each
+    // user's latest row only.
+    "q173_decay_score" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |w AS (SELECT user_id,
+        |  row_number() OVER win AS rn, count(*) OVER (PARTITION BY user_id) AS n,
+        |  v * 128 + coalesce(lag(v, 1) OVER win, 0) * 64
+        |   + coalesce(lag(v, 2) OVER win, 0) * 32
+        |   + coalesce(lag(v, 3) OVER win, 0) * 16
+        |   + coalesce(lag(v, 4) OVER win, 0) * 8
+        |   + coalesce(lag(v, 5) OVER win, 0) * 4
+        |   + coalesce(lag(v, 6) OVER win, 0) * 2
+        |   + coalesce(lag(v, 7) OVER win, 0) AS score
+        | FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(score AS BIGINT) AS decayed_score,
+        | CAST(n AS BIGINT) AS n_obs FROM w WHERE rn = n""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

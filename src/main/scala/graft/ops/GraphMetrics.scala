@@ -184,4 +184,58 @@ object GraphMetrics {
       .join(twoHop.groupBy("src").agg(count(lit(1)).as("n_2hop")), Seq("src"))
       .withColumnRenamed("src", "id")
   }
+
+  /** k-core: the maximal subgraph where every node keeps degree ≥ k —
+    * the standard "dense kernel" extractor (a near-duplicate candidate
+    * graph's k-core is its template families; the periphery is noise
+    * pairs). Computed by the classic peel: repeatedly delete nodes of
+    * degree < k until none remain. Output: (id, core_degree) for core
+    * members — degree WITHIN the core, ≥ k by construction.
+    *
+    * The peel order never affects the result (the k-core is unique), so
+    * synchronous whole-rounds — delete ALL under-degree nodes each pass —
+    * are safe and give the fewest rounds. Per round: one degree
+    * aggregation (map-side combined; shuffle is node-sized) and one
+    * semi-join of edges against surviving nodes (hash join on node id).
+    * Nothing driver-side except the per-round convergence scalar — edge
+    * count, a single Long — and rounds are capped: real graphs peel in
+    * few rounds (degeneracy ordering depth), and `maxRounds` bounds the
+    * adversarial chain case (a path peels one layer per round).
+    * Lineage is truncated each round (localCheckpoint, the iterative-op
+    * pattern shared with [[labelPropagation]]): the loop's plan would
+    * otherwise double per round. Eager/fault-tolerance trade documented
+    * at [[neighborhoodSize]].
+    */
+  def kCore(
+      pairs: DataFrame,
+      k: Int,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val e = canonicalEdges(pairs, aCol, bCol)
+    var sym = e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    var nEdges = sym.count()
+    var round = 0
+    var converged = nEdges == 0L
+    while (!converged && round < maxRounds) {
+      val keep = sym.groupBy("src").agg(count(lit(1)).as("__d"))
+        .where(col("__d") >= k).select(col("src").as("__keep"))
+      val next = sym
+        .join(keep, col("src") === col("__keep"), "left_semi")
+        .join(keep, col("dst") === col("__keep"), "left_semi")
+        .localCheckpoint()
+      val nNext = next.count()
+      converged = nNext == nEdges
+      sym = next
+      nEdges = nNext
+      round += 1
+    }
+    sym.groupBy("src").agg(count(lit(1)).as("core_degree"))
+      .where(col("core_degree") >= k)
+      .withColumnRenamed("src", "id")
+  }
 }

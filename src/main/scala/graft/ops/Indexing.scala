@@ -140,4 +140,46 @@ object Indexing {
       .where(col("rank") <= k)
       .select(col("id").as(idCol), col("term"), col("tf"), col("df"), col("rank"))
   }
+
+  /** Reciprocal-rank fusion: merge several per-key rankings of the same
+    * item space into one consensus ranking. Each input carries
+    * (key, item, rank); an item's fused score is `Σ ⌊1e6 / (k0 + rank)⌋`
+    * over the rankings that listed it (the classic RRF formula, kept in
+    * integer micro-units so every engine reproduces it bit-for-bit —
+    * floor-per-list BEFORE the sum, so addition order can't matter).
+    * Items absent from a list simply contribute nothing — RRF's built-in
+    * handling of partial overlap, no imputation step. Output: per key,
+    * the `topK` items by (score desc, item asc), with `fused_rank`.
+    *
+    * The standard way to combine heterogeneous retrieval signals (BM25
+    * vs embedding ANN, or any multi-criteria ranking) without score
+    * calibration — only ranks cross the boundary, so scales never clash.
+    *
+    * Scale shape: union of the (already small, top-k-sized) ranking
+    * relations → one hash aggregation on (key, item) — partials combine
+    * map-side — then a per-key window over ≤ Σk items. No join against
+    * the corpus: fusion touches ranks, never documents.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      keyCol: String,
+      itemCol: String,
+      rankCol: String,
+      k0: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rankings must be non-empty")
+    require(k0 >= 1, s"k0 must be >= 1: $k0")
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    import org.apache.spark.sql.expressions.Window
+    val contribs = rankings
+      .map(_.select(col(keyCol), col(itemCol),
+        expr(s"1000000L div (${k0}L + cast($rankCol as long))").as("__c")))
+      .reduce(_.unionByName(_))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__score").desc, col(itemCol))
+    contribs.groupBy(col(keyCol), col(itemCol))
+      .agg(sum(col("__c")).as("__score"), count(lit(1)).as("n_lists"))
+      .withColumn("fused_rank", row_number().over(w).cast("long"))
+      .where(col("fused_rank") <= topK)
+      .withColumnRenamed("__score", "rrf_score")
+  }
 }

@@ -362,4 +362,47 @@ object Ngrams {
       .select(col(idCol), col("n_tokens"), col("n_oov"),
         floor(lit(1000000L) * col("n_oov") / col("n_tokens")).as("oov_ppm"))
   }
+
+  /** Vocabulary coverage CURVE: for each candidate vocabulary size in
+    * `sizes`, the corpus token share (exact ppm) covered by the top-`v`
+    * terms under (count desc, term asc) ranking. The tokenizer-design
+    * companion to [[vocabCoverage]]: that op scores documents against one
+    * fixed vocabulary; this one answers "how big must the vocabulary BE"
+    * — the knee of this curve is the standard budget/coverage trade.
+    * Output: (vocab_size, n_terms, covered_tokens, coverage_ppm), one
+    * row per requested size (sizes beyond the distinct-term count cover
+    * everything and report `n_terms` = term count).
+    *
+    * Scale shape: token explode feeds one hash aggregation to term
+    * counts (map-side combined — the shuffle carries (term, count), not
+    * tokens). The ranking window then runs over VOCABULARY-sized data,
+    * orders of magnitude below corpus size; a final broadcast-range join
+    * against the tiny `sizes` list produces the curve. Nothing
+    * corpus-sized is ever sorted.
+    */
+  def coverageCurve(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sizes: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64, 128)): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1), s"bad sizes: $sizes")
+    import org.apache.spark.sql.expressions.Window
+    val counts = Dedup.parallelize(docs)
+      .select(explode(Dedup.wordTokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("__n"))
+    val w = Window.orderBy(col("__n").desc, col("word"))
+    val ranked = counts
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum(col("__n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = counts.groupBy().agg(sum(col("__n")).as("__tot"))
+    val sizesDf = docs.sparkSession.createDataFrame(
+      sizes.distinct.sorted.map(v => Tuple1(v.toLong))).toDF("vocab_size")
+    ranked.join(broadcast(sizesDf), col("__rk") <= col("vocab_size"))
+      .groupBy("vocab_size")
+      .agg(max(col("__rk")).as("n_terms"), max(col("__cum")).as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .withColumn("coverage_ppm", expr("(1000000L * covered_tokens) div __tot"))
+      .drop("__tot")
+  }
 }

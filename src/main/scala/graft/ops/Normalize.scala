@@ -198,6 +198,46 @@ object Normalize {
       .drop("__pid", "__off")
   }
 
+  /** Quantile-normalize `valueCol` against the GLOBAL distribution:
+    * each row's within-group percent-rank (exact ppm, rank() ties — see
+    * [[percentRankPpm]]) is mapped to the global value at that quantile,
+    * using lower (floor-index) interpolation over the globally sorted
+    * column: `mapped = sorted_global[⌊pr_ppm·(N−1) / 1e6⌋]`. After this,
+    * every group's values follow the same marginal distribution — the
+    * batch-effect-removal step before cross-source features are compared
+    * or pooled, with ALL arithmetic in integers so engines agree exactly.
+    *
+    * Scale shape: the per-group ranking is one window shuffle on the
+    * group key; the global sorted index comes from [[denseIds]] (range
+    * partition + offset table — no single-partition global window); the
+    * final mapping is an equi-join on the computed index — hash shuffle
+    * on a dense integer key, trivially balanced. The value at a given
+    * global index is well-defined under ties (equal values are
+    * interchangeable in sort order), so the sampled range boundaries
+    * inside denseIds cannot change the result.
+    *
+    * `tieCol` must be a unique row key (denseIds' contract).
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      tieCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val globalIdx = denseIds(
+      df.select(col(valueCol).as("__gv"), col(tieCol).as("__gt")), "__gv", "__gt", "__gidx")
+      .select(col("__gidx"), col("__gv"))
+    // Broadcast one-row N, not an eager count: keeps the op a lazy plan.
+    val nRow = df.groupBy().agg(count(lit(1)).as("__n"))
+    percentRankPpm(df, groupCols, valueCol)
+      .crossJoin(broadcast(nRow))
+      .withColumn("__gidx", expr("(pr_ppm * (__n - 1L)) div 1000000L"))
+      .drop("__n")
+      .join(globalIdx, Seq("__gidx"))
+      .withColumnRenamed("__gv", "q_norm")
+      .drop("__gidx")
+  }
+
   def targetEncode(
       df: DataFrame,
       categoryCols: Seq[String],

@@ -191,4 +191,43 @@ object TimeSeries {
         count(lit(1)).as("run_len"))
       .drop("__island")
   }
+
+  /** Recency-decayed score per key: over each key's series in
+    * `orderCols` order, the latest row's score is
+    * `Σ_{j=0..lags} value(t−j) · 2^(lags−j)` — a bounded-lag EMA with
+    * dyadic weights (newest row weighs 2^lags, each step back halves).
+    * Missing lags (short series) contribute 0. All-integer: dyadic
+    * weights are what make an exponential decay EXACT, where a float
+    * α·(1−α)^k accumulates engine-dependent rounding. One row per key:
+    * (key…, decayed_score, n_obs). The standard "recent activity beats
+    * stale activity" feature for user/source freshness ranking.
+    *
+    * Scale shape: one window shuffle on the key (all `lag` columns share
+    * one window spec → one exchange + one sort), then the per-key
+    * last-row filter — no self-joins, no per-row UDFs, whole-stage
+    * codegen throughout.
+    */
+  def decayedScore(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column],
+      valueCol: String,
+      lags: Int = 7): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(lags >= 0 && lags < 62, s"bad lags: $lags")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    val v = col(valueCol).cast("long")
+    val score = (0 to lags).map { j =>
+      val vj = if (j == 0) v else coalesce(lag(v, j).over(w), lit(0L))
+      vj * lit(1L << (lags - j))
+    }.reduce(_ + _)
+    df
+      .withColumn("__score", score)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
+      .where(col("__rn") === col("__n"))
+      .select(keyCols.map(col) :+ col("__score").as("decayed_score") :+
+        col("__n").as("n_obs"): _*)
+  }
 }

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{GraphMetrics, Indexing, Ngrams, Normalize, Similarity, TimeSeries}
+
+/** Round-4 additions, batch 2: reciprocal-rank fusion, quantile
+  * normalization, vocabulary coverage curve, embedding dispersion,
+  * k-core, recency-decayed score.
+  */
+class FusionAndCoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------- rrfFuse
+
+  test("rrfFuse: integer RRF, partial overlap, item-asc tiebreak") {
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L)).toDF("k", "item", "rnk")
+    val b = Seq((1L, 20L, 1L), (1L, 10L, 2L), (1L, 40L, 3L)).toDF("k", "item", "rnk")
+    val got = Indexing.rrfFuse(Seq(a, b), "k", "item", "rnk", k0 = 60, topK = 3)
+      .orderBy("fused_rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // 1e6//61 = 16393, //62 = 16129, //63 = 15873
+    assert(got(0) == ((10L, 16393L + 16129L, 2L, 1L))) // score tie with 20 → item asc
+    assert(got(1) == ((20L, 16393L + 16129L, 2L, 2L)))
+    assert(got(2) == ((30L, 15873L, 1L, 3L)))          // single-list item
+  }
+
+  // -------------------------------------- quantileNormalize
+
+  test("quantileNormalize maps every group onto the global marginal") {
+    val df = Seq(
+      ("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L), ("a", 4L, 4L),
+      ("b", 101L, 5L), ("b", 102L, 6L), ("b", 103L, 7L), ("b", 104L, 8L)
+    ).toDF("g", "v", "tid")
+    val got = Normalize.quantileNormalize(df, Seq("g"), "v", "tid")
+      .select("g", "v", "q_norm").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // global sorted = [1,2,3,4,101,102,103,104]; per-group pr_ppm
+    // {0, 333333, 666666, 1000000} → global idx {0, 2, 4, 7}
+    val expect = Seq(1L, 3L, 101L, 104L)
+    assert(Seq(1L, 2L, 3L, 4L).map(v => got(("a", v))) == expect)
+    assert(Seq(101L, 102L, 103L, 104L).map(v => got(("b", v))) == expect)
+  }
+
+  // ----------------------------------------- coverageCurve
+
+  test("coverageCurve: cumulative token share at power-of-two vocab sizes") {
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val got = Ngrams.coverageCurve(docs)
+      .orderBy("vocab_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 8)
+    assert(got(0) == ((1L, 1L, 3L, 500000L)))
+    assert(got(1) == ((2L, 2L, 5L, 833333L)))
+    // only 3 distinct terms: sizes >= 4 saturate
+    assert(got(2) == ((4L, 3L, 6L, 1000000L)))
+    assert(got(7) == ((128L, 3L, 6L, 1000000L)))
+  }
+
+  // ------------------------------------------- dispersion
+
+  test("dispersion equals brute-force pairwise distance sums") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 2.0f, -3.0f), 0),
+      (2L, Seq(0.5f, -1.5f, 2.0f), 0),
+      (3L, Seq(-2.0f, 0.25f, 1.0f), 0),
+      (4L, Seq(4.0f, 4.0f, 4.0f), 1),
+      (5L, Seq(4.0f, 4.0f, 4.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.dispersion(vecs, scale = 4)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(4), r.getLong(5))).toMap
+    // brute force on the same scale-4 quantization
+    def q(v: Seq[Float]): Seq[Long] = v.map(x => math.round(x.toDouble * 4))
+    def brute(vs: Seq[Seq[Long]]): Long =
+      (for (a <- vs; b <- vs) yield a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum).sum
+    val g0 = Seq(Seq(1.0f, 2.0f, -3.0f), Seq(0.5f, -1.5f, 2.0f), Seq(-2.0f, 0.25f, 1.0f)).map(q)
+    assert(got(0) == ((3L, brute(g0), brute(g0) / 9)))
+    // identical vectors → zero dispersion
+    assert(got(1) == ((2L, 0L, 0L)))
+  }
+
+  // ------------------------------------------------ kCore
+
+  test("kCore peels the tail and keeps the triangle") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a_id", "b_id")
+    val got = GraphMetrics.kCore(edges, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore of a star is empty at k=2 and whole at k=1") {
+    val edges = (1L to 5L).map(i => (0L, i)).toDF("a_id", "b_id")
+    assert(GraphMetrics.kCore(edges, k = 2).count() == 0L)
+    val k1 = GraphMetrics.kCore(edges, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k1 == Map(0L -> 5L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  // ----------------------------------------- decayedScore
+
+  test("decayedScore: dyadic weights, newest row heaviest") {
+    val df = Seq(
+      ("u1", 1L, 1L), ("u1", 2L, 2L), ("u1", 3L, 3L),
+      ("u2", 1L, 5L)
+    ).toDF("k", "t", "v")
+    val got = TimeSeries.decayedScore(df, Seq("k"), Seq(col("t")), "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // u1: 3·128 + 2·64 + 1·32 = 544 over 3 obs
+    assert(got("u1") == ((544L, 3L)))
+    assert(got("u2") == ((5L * 128L, 1L)))
+  }
+}

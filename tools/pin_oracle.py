@@ -55,6 +55,7 @@ def main(out_dir: str) -> None:
          {"merge_rank": "BIGINT", "n": "BIGINT"}),
         ("q22_multimodal", ["media_id", "kind", "width", "height", "n_frames"],
          {"media_id": "BIGINT", "width": "BIGINT", "height": "BIGINT", "n_frames": "BIGINT"}),
+        ("q172_kcore", ["id", "core_degree"], {"id": "BIGINT", "core_degree": "BIGINT"}),
     ]:
         sql = pin(out_dir, name, cols, casts)
         print(f"--- {name} ---")
