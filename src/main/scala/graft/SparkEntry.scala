@@ -1768,7 +1768,25 @@ object SparkEntry {
         t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"),
           round(col("value") * 100).cast("long").as("cents")),
         Seq("user_id"), Seq(col("ts"), col("event_id")), "cents")
-        .select(col("user_id"), col("decayed_score"), col("n_obs")))
+        .select(col("user_id"), col("decayed_score"), col("n_obs"))),
+
+    // ---- Heaps-law vocabulary growth: distinct terms after the first N
+    // stream tokens — global index via denseIds, no corpus-wide window. --
+    "q174_vocab_growth" -> ((s, dir) =>
+      Ngrams.vocabGrowth(t(s, dir, "documents"))),
+
+    // ---- crawl-snapshot novelty accounting: per day, rows whose payload
+    // first appeared that day vs re-sent content — digest-only shuffles. -
+    "q175_novelty_by_period" -> ((s, dir) =>
+      Dedup.noveltyByPeriod(
+        t(s, dir, "events").select(
+          date_format(col("ts"), "yyyy-MM-dd").as("day"), col("props")),
+        "day", "props")),
+
+    // ---- corpus-mix drift: pairwise source unigram L1 in exact ppm;
+    // corpus-sized work is ONE token-count agg, distance runs on vocab. -
+    "q176_unigram_drift" -> ((s, dir) =>
+      Lexical.unigramDrift(t(s, dir, "documents")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -4152,7 +4170,64 @@ object SparkEntry {
         |   + coalesce(lag(v, 7) OVER win, 0) AS score
         | FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, CAST(score AS BIGINT) AS decayed_score,
-        | CAST(n AS BIGINT) AS n_obs FROM w WHERE rn = n""".stripMargin
+        | CAST(n AS BIGINT) AS n_obs FROM w WHERE rn = n""".stripMargin,
+    // q174: q47's tokenization with 1-based subscripts — stream order
+    // (doc_id, pos) matches Spark's (doc_id·1e6 + pos) composite; LEFT
+    // JOIN keeps checkpoints past the corpus end.
+    "q174_vocab_growth" ->
+      """WITH w AS (SELECT doc_id, list_filter(
+        |  string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+        |  x -> len(x) > 0) AS ws FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS word,
+        |  generate_subscripts(ws, 1) AS pos FROM w),
+        |g AS (SELECT word, row_number() OVER (ORDER BY doc_id, pos) - 1 AS gidx
+        | FROM tok),
+        |f AS (SELECT word, min(gidx) AS fidx FROM g GROUP BY word),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM g),
+        |s AS (SELECT CAST(unnest([1000, 2000, 4000, 8000, 16000, 32000, 64000])
+        |  AS BIGINT) AS requested_n)
+        |SELECT s.requested_n,
+        | CAST(least(s.requested_n, t.tot) AS BIGINT) AS n_tokens,
+        | CAST(count(f.word) AS BIGINT) AS vocab_size
+        |FROM s CROSS JOIN t LEFT JOIN f ON f.fidx < s.requested_n
+        |GROUP BY 1, 2""".stripMargin,
+    // q175: grouping by the payload itself ≡ grouping by its digest
+    // (md5 is a pure relabeling); first-period via min.
+    "q175_novelty_by_period" ->
+      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS period, props FROM events),
+        |pp AS (SELECT period, props, CAST(count(*) AS BIGINT) AS n
+        | FROM e GROUP BY 1, 2),
+        |f AS (SELECT props, min(period) AS first_p FROM pp GROUP BY 1)
+        |SELECT pp.period, CAST(sum(n) AS BIGINT) AS n_rows,
+        | CAST(sum(CASE WHEN pp.period = f.first_p THEN n ELSE 0 END) AS BIGINT)
+        |  AS novel_rows,
+        | CAST(sum(CASE WHEN pp.period <> f.first_p THEN n ELSE 0 END) AS BIGINT)
+        |  AS dup_rows,
+        | CAST(count(CASE WHEN pp.period = f.first_p THEN 1 END) AS BIGINT)
+        |  AS new_contents
+        |FROM pp JOIN f USING (props) GROUP BY 1""".stripMargin,
+    // q176: per-source ppm distributions; shared-term join + unshared
+    // mass from ppm totals — the Ta+Tb−2Σ identity generalized to L1.
+    "q176_unigram_drift" ->
+      """WITH tok AS (SELECT source AS g, unnest(list_filter(
+        |  string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+        |  x -> len(x) > 0)) AS word FROM documents),
+        |c AS (SELECT g, word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2),
+        |w AS (SELECT g, word,
+        |  (1000000 * n) // (sum(n) OVER (PARTITION BY g)) AS p FROM c),
+        |t AS (SELECT g, CAST(sum(p) AS BIGINT) AS tp FROM w GROUP BY g),
+        |sh AS (SELECT a.g AS g_a, b.g AS g_b,
+        |  CAST(sum(abs(a.p - b.p)) AS BIGINT) AS l1s,
+        |  CAST(sum(a.p) AS BIGINT) AS sa, CAST(sum(b.p) AS BIGINT) AS sb,
+        |  CAST(count(*) AS BIGINT) AS n_shared_terms
+        | FROM w a JOIN w b ON a.word = b.word AND a.g < b.g GROUP BY 1, 2),
+        |pr AS (SELECT ta.g AS g_a, tb.g AS g_b, ta.tp AS tpa, tb.tp AS tpb
+        | FROM t ta, t tb WHERE ta.g < tb.g)
+        |SELECT pr.g_a, pr.g_b,
+        | CAST(coalesce(sh.l1s, 0) + (pr.tpa - coalesce(sh.sa, 0))
+        |  + (pr.tpb - coalesce(sh.sb, 0)) AS BIGINT) AS l1_ppm,
+        | CAST(coalesce(sh.n_shared_terms, 0) AS BIGINT) AS n_shared_terms
+        |FROM pr LEFT JOIN sh ON pr.g_a = sh.g_a AND pr.g_b = sh.g_b""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -551,4 +551,37 @@ object Dedup {
       .join(refFps.distinct(), Seq("__fp"), "left_anti")
     definitelyNovel.unionByName(maybeDup).drop("__fp")
   }
+
+  /** Novel-vs-duplicate accounting per period: for each period, how many
+    * rows carried content FIRST seen in that period (`novel_rows`,
+    * including every repeat within the first period itself), how many
+    * repeated earlier periods' content (`dup_rows`), and how many
+    * distinct new contents arrived (`new_contents`). The crawl-snapshot
+    * dedup report — "is this feed still delivering new material, or
+    * re-sending last week's" — and the numerator of an incremental-
+    * ingest skip rate.
+    *
+    * Scale shape: content collapses to a 16-byte digest at the map side,
+    * so the (period, digest) pre-aggregation — map-side combined — and
+    * the per-digest min-period reduction shuffle digests and counts,
+    * never bodies ([[exact]]'s contract). The digest→first-period table
+    * joins back on digest (hash join, key-sized), and the final
+    * period-level rollup is period-cardinality-sized.
+    */
+  def noveltyByPeriod(
+      df: DataFrame,
+      periodCol: String,
+      contentCol: String): DataFrame = {
+    val perPeriod = parallelize(df)
+      .select(col(periodCol).as("period"), md5(col(contentCol).cast("string")).as("__d"))
+      .groupBy(col("period"), col("__d")).agg(count(lit(1)).as("__n"))
+    val firstSeen = perPeriod.groupBy(col("__d")).agg(min(col("period")).as("__first"))
+    perPeriod.join(firstSeen, Seq("__d"))
+      .groupBy(col("period"))
+      .agg(
+        sum(col("__n")).as("n_rows"),
+        sum(when(col("period") === col("__first"), col("__n")).otherwise(0L)).as("novel_rows"),
+        sum(when(col("period") =!= col("__first"), col("__n")).otherwise(0L)).as("dup_rows"),
+        count_if(col("period") === col("__first")).as("new_contents"))
+  }
 }

@@ -126,4 +126,55 @@ object Lexical {
       .withColumn("pii_per_kilochar",
         expr(s"(1000L * (${names.mkString(" + ")})) div greatest(n_chars, 1L)"))
   }
+
+  /** Pairwise unigram-distribution drift between corpus groups: for every
+    * group pair (a < b), the L1 distance between their word distributions
+    * in exact ppm — `Σ_w |p_a(w) − p_b(w)|` with `p(w) = ⌊1e6·tf/total⌋`
+    * — plus the shared-vocabulary size. 0 = identical mix, up to
+    * ~2 000 000 = disjoint vocabularies. The corpus-mix drift monitor:
+    * run it source-vs-source to spot a feed whose content shifted, or
+    * snapshot-vs-snapshot as the ingest regression gate.
+    *
+    * Scale shape: one token explode → (group, word) hash agg (map-side
+    * combined — the only corpus-sized stage); the distance then runs on
+    * vocabulary-sized data: an inner self-join on word for shared terms
+    * (each side's distribution table, re-read via identical child plans
+    * so the exchange is reused) + broadcast per-group ppm totals to
+    * account for unshared mass without materializing the disjoint word
+    * union: `L1 = Σ_shared|p_a−p_b| + (T_a − Σ_shared p_a) +
+    * (T_b − Σ_shared p_b)`. The group-pair universe is a broadcast cross
+    * of the (tiny) group list, so pairs with zero shared words still
+    * report.
+    */
+  def unigramDrift(
+      docs: DataFrame,
+      groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val counts = Dedup.parallelize(docs)
+      .select(col(groupCol).as("g"), explode(Dedup.wordTokens(col(textCol))).as("word"))
+      .groupBy(col("g"), col("word")).agg(count(lit(1)).as("__n"))
+    val withTot = counts
+      .withColumn("__tot", sum(col("__n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .withColumn("__p", expr("(1000000L * __n) div __tot"))
+      .select(col("g"), col("word"), col("__p"))
+    val ppmTot = withTot.groupBy(col("g")).agg(sum(col("__p")).as("__t"))
+    val shared = withTot.alias("a").hint("shuffle_hash")
+      .join(withTot.alias("b").hint("shuffle_hash"),
+        col("a.word") === col("b.word") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g_a"), col("b.g").as("g_b"))
+      .agg(sum(abs(col("a.__p") - col("b.__p"))).as("__l1s"),
+        sum(col("a.__p")).as("__sa"), sum(col("b.__p")).as("__sb"),
+        count(lit(1)).as("n_shared_terms"))
+    val pairs = ppmTot.alias("ta").crossJoin(broadcast(ppmTot.alias("tb")))
+      .where(col("ta.g") < col("tb.g"))
+      .select(col("ta.g").as("g_a"), col("tb.g").as("g_b"),
+        col("ta.__t").as("__ta"), col("tb.__t").as("__tb"))
+    pairs.join(shared, Seq("g_a", "g_b"), "left")
+      .select(col("g_a"), col("g_b"),
+        (coalesce(col("__l1s"), lit(0L)) +
+          (col("__ta") - coalesce(col("__sa"), lit(0L))) +
+          (col("__tb") - coalesce(col("__sb"), lit(0L)))).as("l1_ppm"),
+        coalesce(col("n_shared_terms"), lit(0L)).as("n_shared_terms"))
+  }
 }

@@ -405,4 +405,45 @@ object Ngrams {
       .withColumn("coverage_ppm", expr("(1000000L * covered_tokens) div __tot"))
       .drop("__tot")
   }
+
+  /** Vocabulary GROWTH curve (Heaps' law): distinct-term count after the
+    * first N tokens of the corpus stream, for each checkpoint N — the
+    * "how fast does new vocabulary keep arriving" companion to
+    * [[coverageCurve]] (which fixes the vocabulary and asks about
+    * coverage). Stream order is (doc id, token position) — deterministic,
+    * so engines replay it exactly. Output per requested checkpoint:
+    * (requested_n, n_tokens = min(N, corpus tokens), vocab_size).
+    *
+    * Scale shape: tokens get their global stream index from
+    * [[Normalize.denseIds]] (range partition + per-partition offsets —
+    * NO single-partition global window over the corpus); each term
+    * collapses to its FIRST index (one map-side-combined min-agg, the
+    * shuffle carries (term, index) once per term), and the curve is a
+    * broadcast inequality join of the vocabulary-sized first-index table
+    * against the tiny checkpoint list.
+    */
+  def vocabGrowth(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      checkpoints: Seq[Long] = Seq(1000L, 2000L, 4000L, 8000L, 16000L, 32000L, 64000L)): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints.forall(_ >= 1), s"bad checkpoints: $checkpoints")
+    val toks = Dedup.parallelize(docs)
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(Dedup.wordTokens(col(textCol))))
+      // (doc, pos)-unique composite key whose total order IS stream order
+      .select(col("col").as("word"),
+        (col("id") * 1000000L + col("pos")).as("__k"))
+    val indexed = Normalize.denseIds(toks, "__k", "__k", "__gidx")
+    val first = indexed.groupBy("word").agg(min(col("__gidx")).as("__fidx"))
+    val tot = indexed.groupBy().agg(count(lit(1)).as("__tot"))
+    val cps = docs.sparkSession.createDataFrame(
+      checkpoints.distinct.sorted.map(Tuple1(_))).toDF("requested_n")
+    first.join(broadcast(cps), col("__fidx") < col("requested_n"), "right")
+      .groupBy("requested_n")
+      .agg(count(col("word")).as("vocab_size"))
+      .crossJoin(broadcast(tot))
+      .withColumn("n_tokens", least(col("requested_n"), col("__tot")))
+      .select(col("requested_n"), col("n_tokens"), col("vocab_size"))
+  }
 }

@@ -97,6 +97,46 @@ class FusionAndCoreSpec extends SparkSpec {
     assert(k1 == Map(0L -> 5L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
   }
 
+  // ------------------------------------------ vocabGrowth
+
+  test("vocabGrowth counts distinct terms after the first N stream tokens") {
+    val docs = Seq((1L, "a b a c"), (2L, "d a")).toDF("doc_id", "text")
+    val got = Ngrams.vocabGrowth(docs, checkpoints = Seq(1L, 2L, 4L, 8L))
+      .orderBy("requested_n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // stream: a b a c d a
+    assert(got.toSeq == Seq((1L, 1L, 1L), (2L, 2L, 2L), (4L, 4L, 3L), (8L, 6L, 4L)))
+  }
+
+  // ------------------------------------- noveltyByPeriod
+
+  test("noveltyByPeriod splits rows into first-period vs repeat content") {
+    val df = Seq(
+      ("p1", "x"), ("p1", "x"), ("p1", "y"),
+      ("p2", "x"), ("p2", "z"), ("p2", "z")
+    ).toDF("period", "content")
+    val got = graft.ops.Dedup.noveltyByPeriod(df, "period", "content")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("p1") == ((3L, 3L, 0L, 2L)))
+    assert(got("p2") == ((3L, 2L, 1L, 1L)))
+  }
+
+  // -------------------------------------- unigramDrift
+
+  test("unigramDrift: zero for identical mixes, totals for disjoint ones") {
+    val docs = Seq(
+      (1L, "srcA", "x x y"), (2L, "srcB", "x x y"), (3L, "srcC", "z")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.ops.Lexical.unigramDrift(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // p(x)=666666, p(y)=333333 ppm in A and B; C is all z at 1000000
+    assert(got(("srcA", "srcB")) == ((0L, 2L)))
+    assert(got(("srcA", "srcC")) == ((999999L + 1000000L, 0L)))
+    assert(got(("srcB", "srcC")) == ((999999L + 1000000L, 0L)))
+  }
+
   // ----------------------------------------- decayedScore
 
   test("decayedScore: dyadic weights, newest row heaviest") {
