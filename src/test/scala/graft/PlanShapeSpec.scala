@@ -261,4 +261,39 @@ class PlanShapeSpec extends SparkSpec {
         s"row-level column in shuffle: $out")
     }
   }
+
+  test("dispersion plans NO join: the centroid identity keeps it linear") {
+    // The whole point of the op is replacing the O(n²) pair join with one
+    // pass; a Join node appearing here means someone broke that contract.
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec}
+    val emb = (1L to 40L).map(i => (i, (i % 3).toInt,
+      Array.tabulate(4)(d => (i * 7 % 13 + d).toFloat))).toDF("vec_id", "label", "embedding")
+    val plan = initialPlan(graft.ops.Similarity.dispersion(emb))
+    val joins = plan.collect { case j: BaseJoinExec => j; case j: BroadcastNestedLoopJoinExec => j }
+    assert(joins.isEmpty, s"join in dispersion plan:\n${plan.treeString.take(1500)}")
+    // and its shuffles carry per-dim integer partials, never vectors
+    shuffleOutputs(graft.ops.Similarity.dispersion(emb)).foreach { out =>
+      assert(!out.contains("embedding"), s"vector column in shuffle: $out")
+    }
+  }
+
+  test("noveltyByPeriod shuffles digests and counts, never payloads") {
+    val ev = (1 to 100).map(i => (s"p${i % 5}", s"payload content ${i % 9}"))
+      .toDF("period", "content")
+    val shuffles = shuffleOutputs(Dedup.noveltyByPeriod(ev, "period", "content"))
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { out =>
+      assert(!out.contains("content"), s"payload in shuffle: $out")
+    }
+  }
+
+  test("unigramDrift: corpus-sized shuffle carries (group, word, count) only; text never crosses") {
+    val docsG = (1 to 40).map(i => (i.toLong, s"s${i % 4}", s"word${i % 6} " * 20))
+      .toDF("doc_id", "source", "text")
+    val shuffles = shuffleOutputs(graft.ops.Lexical.unigramDrift(docsG))
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { out =>
+      assert(!out.contains("text"), s"document text in shuffle: $out")
+    }
+  }
 }
