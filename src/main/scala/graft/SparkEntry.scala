@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Audit, Bm25, Cdc, Chunking, Cohort, Components, Decontaminate, Dedup, Enrich, Funnel, FuzzyJoin, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, Reshape, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, Skyline, SkewJoin, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
+import graft.ops.{AsOfJoin, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Decontaminate, Dedup, Enrich, Funnel, FuzzyJoin, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, Reshape, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, Skyline, SkewJoin, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -1786,7 +1786,41 @@ object SparkEntry {
     // ---- corpus-mix drift: pairwise source unigram L1 in exact ppm;
     // corpus-sized work is ONE token-count agg, distance runs on vocab. -
     "q176_unigram_drift" -> ((s, dir) =>
-      Lexical.unigramDrift(t(s, dir, "documents")))
+      Lexical.unigramDrift(t(s, dir, "documents"))),
+
+    // ---- temperature-1/2 source rebalance: √-damped token weights into
+    // an exact largest-remainder split — Σ alloc = 10000 always. --------
+    "q177_temperature_mix" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(col("source"), TextFunctions.tokenCount(col("text")).as("tokens"))
+        .groupBy(col("source")).agg(sum(col("tokens")).as("tokens"))
+      Sampling.temperatureHalfApportion(counts, "source", "tokens", budget = 10000L)
+    }),
+
+    // ---- U-shaped multi-touch attribution: touches before each user's
+    // first purchase share 10000 bp (4000/2000-split/4000), one window
+    // shuffle on the user key, integer credit only. ----------------------
+    "q178_position_attribution" -> ((s, dir) =>
+      Attribution.positionBased(
+        t(s, dir, "events"),
+        "user_id", Seq(col("ts"), col("event_id")), "event_id",
+        isTouch = col("event_type").isin("view", "click"),
+        isConversion = col("event_type") === "purchase")),
+
+    // ---- k-NN label-noise audit: per query vector, the share of its 10
+    // exact-cosine neighbors with a different label. ---------------------
+    "q179_knn_label_noise" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.labelDisagreement(emb, emb.where(col("vec_id") < 50), k = 10)
+    }),
+
+    // ---- intra-doc sentence repetition: deterministic 5-word sentence
+    // segmentation (period every 5 words), dedup-if-cleaned counts. ------
+    "q180_sentence_dup" -> ((s, dir) =>
+      Lexical.sentenceDupProfile(
+        t(s, dir, "documents").select(col("doc_id"),
+          regexp_replace(col("text"),
+            "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1. ").as("text"))))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -4227,7 +4261,84 @@ object SparkEntry {
         | CAST(coalesce(sh.l1s, 0) + (pr.tpa - coalesce(sh.sa, 0))
         |  + (pr.tpb - coalesce(sh.sb, 0)) AS BIGINT) AS l1_ppm,
         | CAST(coalesce(sh.n_shared_terms, 0) AS BIGINT) AS n_shared_terms
-        |FROM pr LEFT JOIN sh ON pr.g_a = sh.g_a AND pr.g_b = sh.g_b""".stripMargin
+        |FROM pr LEFT JOIN sh ON pr.g_a = sh.g_a AND pr.g_b = sh.g_b""".stripMargin,
+    // q177: q166's Hamilton split over floor(sqrt(tokens)) — IEEE sqrt is
+    // correctly rounded, so the damped weights agree exactly.
+    "q177_temperature_mix" ->
+      """WITH c AS (
+        | SELECT source, CAST(sum(len(regexp_extract_all(text,
+        |  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS tokens
+        | FROM documents GROUP BY source),
+        |s AS (SELECT source, tokens,
+        |  CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS sw FROM c),
+        |t AS (SELECT CAST(sum(sw) AS BIGINT) AS tot FROM s),
+        |b AS (SELECT source, tokens, sw,
+        |  CAST((10000 * sw) // tot AS BIGINT) AS fl,
+        |  CAST((10000 * sw) % tot AS BIGINT) AS rem FROM s, t),
+        |d AS (SELECT CAST(10000 - sum(fl) AS BIGINT) AS deficit FROM b),
+        |r AS (SELECT source, tokens, sw, fl,
+        |  row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b)
+        |SELECT r.source, r.tokens, r.sw AS sqrt_weight,
+        | CAST(r.fl + CASE WHEN r.rk <= d.deficit THEN 1 ELSE 0 END AS BIGINT)
+        |  AS alloc
+        |FROM r, d""".stripMargin,
+    // q178: first purchase per user via rn=1; row-value (ts, id)
+    // comparison ≡ Spark's struct ordering; the U-split replayed in
+    // integer basis points.
+    "q178_position_attribution" ->
+      """WITH f AS (SELECT user_id, event_id, ts, event_type FROM events),
+        |conv AS (SELECT user_id, ts AS cts, event_id AS cid FROM (
+        |  SELECT user_id, ts, event_id, row_number() OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM f WHERE event_type = 'purchase') WHERE rn = 1),
+        |t AS (SELECT f.user_id, f.event_id, f.ts FROM f
+        | JOIN conv ON f.user_id = conv.user_id
+        | WHERE f.event_type IN ('view', 'click')
+        |  AND (f.ts, f.event_id) < (conv.cts, conv.cid)),
+        |r AS (SELECT user_id, event_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS BIGINT) AS position,
+        |  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n FROM t)
+        |SELECT user_id, event_id, position, n AS n_touches,
+        | CAST(CASE WHEN n = 1 THEN 10000 WHEN n = 2 THEN 5000
+        |  WHEN position = 1 OR position = n THEN 4000
+        |  ELSE 2000 // (n - 2)
+        |   + CASE WHEN position - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END
+        |  END AS BIGINT) AS weight_bp
+        |FROM r""".stripMargin,
+    // q179: q19's exact-cosine ranking + label joins on the top-k rows.
+    "q179_knn_label_noise" ->
+      """WITH topk AS (SELECT query_id, neighbor_id FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |   ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |    c.vec_id) AS rank
+        | FROM embeddings c, embeddings q
+        | WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id) WHERE rank <= 10),
+        |j AS (SELECT t.query_id, ql.label AS query_label, nl.label AS nlab
+        | FROM topk t JOIN embeddings nl ON nl.vec_id = t.neighbor_id
+        | JOIN embeddings ql ON ql.vec_id = t.query_id)
+        |SELECT query_id, query_label, CAST(count(*) AS BIGINT) AS n_neighbors,
+        | CAST(count(CASE WHEN nlab <> query_label THEN 1 END) AS BIGINT)
+        |  AS n_disagree,
+        | CAST((1000000 * count(CASE WHEN nlab <> query_label THEN 1 END))
+        |  // count(*) AS BIGINT) AS disagree_ppm
+        |FROM j GROUP BY 1, 2""".stripMargin,
+    // q180: the same every-5-words segmentation (backreference \1 ≡
+    // Spark's $1; left-to-right non-overlapping in both regex engines),
+    // then trim/blank-drop/distinct counts.
+    "q180_sentence_dup" ->
+      """WITH seg AS (SELECT doc_id, list_filter(list_transform(
+        |  string_split_regex(regexp_replace(text,
+        |   '(\w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g'), '[.!?]+'),
+        |  s -> trim(s)), s -> s <> '') AS ss FROM documents)
+        |SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_sentences,
+        | CAST(len(list_distinct(ss)) AS BIGINT) AS n_distinct,
+        | CAST(len(ss) - len(list_distinct(ss)) AS BIGINT) AS n_dup,
+        | CAST(CASE WHEN len(ss) = 0 THEN 0
+        |  ELSE (1000000 * (len(ss) - len(list_distinct(ss)))) // len(ss)
+        |  END AS BIGINT) AS dup_ppm
+        |FROM seg""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -146,6 +146,32 @@ object Lexical {
     * of the (tiny) group list, so pairs with zero shared words still
     * report.
     */
+  /** Intra-document sentence repetition profile: per doc, sentence count,
+    * distinct-sentence count, removed-if-deduped count and its ppm share
+    * — the WITHIN-document complement of the cross-corpus segment
+    * profile ([[Dedup.segmentDupProfile]]). Template/spam pages repeat
+    * their own sentences; this is the signal a "dedup lines within doc"
+    * cleaning pass (C4-style) keys on. Sentences split on `[.!?]+`
+    * ([[sentenceStats]]' convention), trimmed, blanks dropped; zero-
+    * sentence docs report zeros. Map-only; zero shuffles.
+    */
+  def sentenceDupProfile(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val segs = filter(
+      transform(split(coalesce(col(textCol), lit("")), "[.!?]+"), s => trim(s)),
+      s => s =!= "")
+    docs.select(col(idCol), segs.as("__s"))
+      .select(col(idCol),
+        size(col("__s")).cast("long").as("n_sentences"),
+        size(array_distinct(col("__s"))).cast("long").as("n_distinct"))
+      .withColumn("n_dup", col("n_sentences") - col("n_distinct"))
+      .withColumn("dup_ppm",
+        when(col("n_sentences") === 0, 0L)
+          .otherwise(expr("(1000000L * n_dup) div n_sentences")))
+  }
+
   def unigramDrift(
       docs: DataFrame,
       groupCol: String = "source",

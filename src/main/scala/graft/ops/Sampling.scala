@@ -274,6 +274,31 @@ object Sampling {
           .as("alloc"))
   }
 
+  /** Temperature-½ apportionment: [[apportion]] over √-damped weights —
+    * the standard "temperature sampling" rebalance (UNIMAX-style) that
+    * lifts low-resource sources without letting the head dominate, at
+    * the one temperature (τ = 1/2) whose damping is EXACTLY computable
+    * in integers: `⌊√w⌋` via IEEE-correctly-rounded sqrt, exact for
+    * w < 2⁵⁰ (beyond that the double rounding of √ can cross an integer
+    * boundary — guarded). Output: (key, weight, sqrt_weight, alloc),
+    * Σ alloc = budget exactly.
+    *
+    * Scale shape: identical to [[apportion]] — category-sized windows
+    * over a pre-aggregated weight table.
+    */
+  def temperatureHalfApportion(
+      counts: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      budget: Long): DataFrame = {
+    val damped = counts.select(col(keyCol), col(weightCol).cast("long").as(weightCol))
+      .withColumn("__sw", floor(sqrt(col(weightCol).cast("double"))).cast("long"))
+    apportion(damped, keyCol, "__sw", budget)
+      .withColumnRenamed("__sw", "sqrt_weight")
+      .join(damped.select(col(keyCol), col(weightCol)), Seq(keyCol))
+      .select(col(keyCol), col(weightCol), col("sqrt_weight"), col("alloc"))
+  }
+
   /** Quality-ranked selection under a per-group budget: within each group,
     * rows are taken in `(orderCol DESC, md5(id))` order until the running
     * `weightCol` total passes the group's budget — the "fill the mix"

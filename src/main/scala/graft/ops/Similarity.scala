@@ -294,6 +294,40 @@ object Similarity {
         coalesce(col("__d"), lit(false)).as("dropped"))
   }
 
+  /** k-NN label-disagreement score — the confident-learning-style label
+    * noise detector: for each query vector, how many of its `k` nearest
+    * corpus neighbors (exact cosine top-k) carry a DIFFERENT label. A
+    * vector whose neighborhood overwhelmingly disagrees is either
+    * mislabeled or sits on a class boundary; both are what a training-set
+    * audit wants surfaced. Output per query: (query_id, query_label,
+    * n_neighbors, n_disagree, disagree_ppm).
+    *
+    * Scale shape: [[bruteForceTopK]]'s broadcast-queries × linear-scan
+    * contract (queries are the audited sample, corpus is the big side),
+    * then one label join ON THE TOP-K ROWS ONLY (query-count × k rows)
+    * and a query-sized aggregation. Swap in [[lshTopK]]/[[ivfTopK]]
+    * upstream for the approximate variant at larger query counts.
+    */
+  def labelDisagreement(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val topk = bruteForceTopK(corpus, queries.select(col(idCol).as("query_id"), col(vecCol)),
+      k, idCol, vecCol)
+    val nLabels = corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("__nl"))
+    val qLabels = queries.select(col(idCol).as("query_id"), col(labelCol).as("query_label"))
+    topk
+      .join(nLabels, Seq("neighbor_id"))
+      .join(broadcast(qLabels), Seq("query_id"))
+      .groupBy(col("query_id"), col("query_label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        count_if(col("__nl") =!= col("query_label")).as("n_disagree"))
+      .withColumn("disagree_ppm", expr("(1000000L * n_disagree) div n_neighbors"))
+  }
+
   /** Per-group embedding dispersion WITHOUT pairwise distances: over
     * `scale`-quantized integer vectors, the exact sum of squared
     * pairwise L2 distances per group via the centroid identity

@@ -298,6 +298,47 @@ object StreamingOps {
       .flatMap(identity)
   }
 
+  /** Per-key state for [[decayedScoreStream]]: the last `lags+1` values,
+    * newest first.
+    */
+  final case class DecayState(recent: List[Long])
+
+  /** One decayed-score emission per key per micro-batch. */
+  final case class DecayedScore(key: String, decayedScore: Long, nObs: Long)
+
+  /** Streaming form of [[graft.ops.TimeSeries.decayedScore]]: per key,
+    * the dyadic-weight bounded-lag EMA (`Σ_{j=0..lags} v(t−j)·2^(lags−j)`)
+    * over the last `lags+1` observed values, carried across micro-batches
+    * in the state store. Emits the score after each batch that touched
+    * the key. Values must arrive in event order per key within the
+    * stream's delivery order — the same contract as the batch op's
+    * `orderCols`, here delegated to the source (per-key ordered topics /
+    * file sequence).
+    *
+    * State is O(lags) longs per key — bounded regardless of stream
+    * length, the property that lets a freshness score run forever.
+    */
+  def decayedScoreStream(
+      events: Dataset[(String, Long)],
+      lags: Int = 7): Dataset[DecayedScore] = {
+    import events.sparkSession.implicits._
+    require(lags >= 0 && lags < 62, s"bad lags: $lags")
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[(String, Long)], state: GroupState[DecayState]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(Nil)
+          var seen = 0L
+          batch.foreach { case (_, v) =>
+            recent = (v :: recent).take(lags + 1)
+            seen += 1
+          }
+          state.update(DecayState(recent))
+          val score = recent.zipWithIndex.map { case (v, j) => v * (1L << (lags - j)) }.sum
+          DecayedScore(key, score, seen)
+      }
+  }
+
   /** Read the reference's user-exp JSON shape as a file stream. */
   def userExpStream(spark: SparkSession, dir: String): Dataset[SessionEvent] = {
     import spark.implicits._

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{GraphMetrics, Indexing, Ngrams, Normalize, Similarity, TimeSeries}
+import graft.ops.{Attribution, GraphMetrics, Indexing, Ngrams, Normalize, Sampling, Similarity, TimeSeries}
 
 /** Round-4 additions, batch 2: reciprocal-rank fusion, quantile
   * normalization, vocabulary coverage curve, embedding dispersion,
@@ -135,6 +135,79 @@ class FusionAndCoreSpec extends SparkSpec {
     assert(got(("srcA", "srcB")) == ((0L, 2L)))
     assert(got(("srcA", "srcC")) == ((999999L + 1000000L, 0L)))
     assert(got(("srcB", "srcC")) == ((999999L + 1000000L, 0L)))
+  }
+
+  // ---------------------------------------- positionBased
+
+  test("positionBased: U-shaped credit sums to exactly 10000 bp") {
+    // u1: 5 touches then purchase → 4000, 667, 667, 666, 4000 (Σ = 10000);
+    // a post-conversion touch gets nothing; u2: 1 touch → 10000;
+    // u3: no conversion → absent entirely
+    val evT = Seq(
+      ("u1", 1L, "view"), ("u1", 2L, "click"), ("u1", 3L, "view"),
+      ("u1", 4L, "click"), ("u1", 5L, "view"), ("u1", 6L, "buy"),
+      ("u1", 7L, "view"),
+      ("u2", 1L, "click"), ("u2", 2L, "buy"),
+      ("u3", 1L, "view")
+    ).toDF("user_id", "eid", "etype")
+    val got = Attribution.positionBased(evT, "user_id", Seq(col("eid")), "eid",
+      isTouch = col("etype").isin("view", "click"),
+      isConversion = col("etype") === "buy")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(got(("u1", 1L)) == 4000L)
+    assert(got(("u1", 2L)) == 667L)
+    assert(got(("u1", 3L)) == 667L)
+    assert(got(("u1", 4L)) == 666L)
+    assert(got(("u1", 5L)) == 4000L)
+    assert(got(("u2", 1L)) == 10000L)
+    assert(!got.keySet.exists(_._1 == "u3"))
+    assert(!got.contains(("u1", 7L)))
+    assert(got.filterKeys(_._1 == "u1").values.sum == 10000L)
+  }
+
+  // ------------------------------- temperatureHalfApportion
+
+  test("temperatureHalfApportion: sqrt damping + exact Hamilton split") {
+    val counts = Seq(("big", 100L), ("mid", 25L), ("small", 4L)).toDF("src", "w")
+    val got = Sampling.temperatureHalfApportion(counts, "src", "w", budget = 100L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // sw = 10, 5, 2 (tot 17); floors 58/29/11, deficit 2 → rems 14, 7, 13
+    assert(got("big") == ((100L, 10L, 59L)))
+    assert(got("mid") == ((25L, 5L, 29L)))
+    assert(got("small") == ((4L, 2L, 12L)))
+    assert(got.values.map(_._3).sum == 100L)
+  }
+
+  // ---------------------------------- labelDisagreement
+
+  test("labelDisagreement counts differing-label neighbors in the exact top-k") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.8f, 0.2f), 1),
+      (4L, Seq(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelDisagreement(emb, emb, k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // v1's top-2 = v2 (label 0), v3 (label 1) → 1 disagreement
+    assert(got(1L) == ((0, 2L, 1L, 500000L)))
+    // v4's top-2 = v3 (label 1), v2 (label 0) → 1 disagreement
+    assert(got(4L) == ((1, 2L, 1L, 500000L)))
+  }
+
+  // --------------------------------- sentenceDupProfile
+
+  test("sentenceDupProfile counts repeated sentences within a doc") {
+    val docs = Seq(
+      (1L, "a b. a b. c"),
+      (2L, "x y! z?"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Lexical.sentenceDupProfile(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == ((3L, 2L, 1L, 333333L)))
+    assert(got(2L) == ((2L, 2L, 0L, 0L)))
+    assert(got(3L) == ((0L, 0L, 0L, 0L)))
   }
 
   // ----------------------------------------- decayedScore

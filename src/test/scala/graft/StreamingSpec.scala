@@ -230,6 +230,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == 4, s"expected 2 counters per batch emission: ${rows.toSeq}")
   }
 
+  test("decayedScoreStream carries the lag window across micro-batches") {
+    val in = Files.createTempDirectory("graft_stream_decay")
+    def write(name: String, rows: Seq[(String, Long)]): Unit =
+      Files.write(Paths.get(in.toString, name),
+        rows.map { case (k, v) => s"""{"k":"$k","v":$v}""" }.mkString("\n").getBytes)
+    write("b1.json", Seq(("u1", 1L), ("u1", 2L)))
+    import spark.implicits._
+    val stream = spark.readStream.schema("k STRING, v LONG").json(in.toString)
+      .select(col("k"), col("v")).as[(String, Long)]
+    val q = StreamingOps.decayedScoreStream(stream, lags = 2)
+      .writeStream.outputMode("update").format("memory").queryName("decay")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable()
+    val afterB1 = spark.table("decay").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // recent = [2, 1]: 2·4 + 1·2 = 10, 2 obs this batch
+    assert(afterB1("u1") == ((10L, 2L)))
+    // batch 2 continues the SAME window: recent = [3, 2, 1] → 12+4+1 = 17
+    write("b2.json", Seq(("u1", 3L)))
+    q.processAllAvailable(); q.stop()
+    val latest = spark.table("decay").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(latest.contains(("u1", 17L, 1L)), s"got: ${latest.toSeq}")
+  }
+
   test("debounceStream admits only events >= gap after the last ADMITTED one, across batches") {
     val in = Files.createTempDirectory("graft_stream_debounce")
     def write(name: String, lines: Seq[String]): Unit =
