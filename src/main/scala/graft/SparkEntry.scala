@@ -1820,7 +1820,28 @@ object SparkEntry {
       Lexical.sentenceDupProfile(
         t(s, dir, "documents").select(col("doc_id"),
           regexp_replace(col("text"),
-            "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1. ").as("text"))))
+            "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1. ").as("text")))),
+
+    // ---- calibration table for an md5-derived score vs the purchase
+    // outcome: 10 equal-width bins, one bins-sized counter shuffle. ------
+    "q181_calibration" -> ((s, dir) =>
+      Metrics.calibrationBins(
+        t(s, dir, "events").select(
+          expr("(conv(substring(md5(cast(event_id as string)), 1, 5), 16, 10)" +
+            " * 1000000L) div 1048576L").as("score_ppm"),
+          col("event_type")),
+        "score_ppm", col("event_type") === "purchase")),
+
+    // ---- integer medoid per label: the member vector nearest its mean,
+    // denominator-cleared distance — broadcast S, one linear scan. -------
+    "q182_medoids" -> ((s, dir) =>
+      Similarity.medoids(t(s, dir, "embeddings"))),
+
+    // ---- stratified 5-fold CV assignment: md5 round-robin within each
+    // event type; fold sizes differ by ≤1 per stratum. -------------------
+    "q183_strat_folds" -> ((s, dir) =>
+      Sampling.stratifiedFolds(t(s, dir, "events"), Seq("event_type"), "event_id", k = 5)
+        .select(col("event_id"), col("event_type"), col("fold")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -4338,7 +4359,55 @@ object SparkEntry {
         | CAST(CASE WHEN len(ss) = 0 THEN 0
         |  ELSE (1000000 * (len(ss) - len(list_distinct(ss)))) // len(ss)
         |  END AS BIGINT) AS dup_ppm
-        |FROM seg""".stripMargin
+        |FROM seg""".stripMargin,
+    // q181: 5-hex-digit md5 prefix → ppm score (the q48 bucket trick at
+    // finer grain); equal-width binning replayed in BIGINT.
+    "q181_calibration" ->
+      s"""WITH s AS (SELECT
+        |  (${hexPrefixOracle("md5(CAST(event_id AS VARCHAR))", 5)}
+        |   * 1000000) // 1048576 AS score_ppm,
+        |  event_type = 'purchase' AS pos FROM events),
+        |b AS (SELECT least(9, (10 * score_ppm) // 1000000) AS bin,
+        |  score_ppm, pos FROM s)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(CASE WHEN pos THEN 1 END) AS BIGINT) AS n_pos,
+        | CAST((1000000 * count(CASE WHEN pos THEN 1 END)) // count(*) AS BIGINT)
+        |  AS pos_rate_ppm,
+        | CAST(sum(score_ppm) // count(*) AS BIGINT) AS mean_score_ppm
+        |FROM b GROUP BY 1""".stripMargin,
+    // q182: q145's quantization + per-vector dots against the coordinate
+    // sums; the cleared-denominator distance replayed, argmin by
+    // (dist, id).
+    "q182_medoids" ->
+      """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+        |  x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+        | FROM embeddings),
+        |d AS (SELECT vec_id, label, unnest(range(1, len(qv) + 1)) AS dim, qv FROM q),
+        |v AS (SELECT vec_id, label, dim, qv[dim] AS val FROM d),
+        |s AS (SELECT label, dim, CAST(sum(val) AS BIGINT) AS sv FROM v GROUP BY 1, 2),
+        |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1),
+        |dot AS (SELECT v.vec_id, v.label,
+        |  CAST(sum(v.val * v.val) AS BIGINT) AS xx,
+        |  CAST(sum(v.val * s.sv) AS BIGINT) AS xs
+        | FROM v JOIN s ON v.label = s.label AND v.dim = s.dim GROUP BY 1, 2),
+        |ss AS (SELECT label, CAST(sum(sv * sv) AS BIGINT) AS ssq FROM s GROUP BY 1),
+        |dist AS (SELECT dot.vec_id, dot.label,
+        |  n.n * n.n * dot.xx - 2 * n.n * dot.xs + ss.ssq AS dnum
+        | FROM dot JOIN n USING (label) JOIN ss USING (label)),
+        |r AS (SELECT label, vec_id, dnum,
+        |  row_number() OVER (PARTITION BY label ORDER BY dnum, vec_id) AS rk
+        | FROM dist)
+        |SELECT r.label, CAST(r.vec_id AS BIGINT) AS medoid_id, n.n,
+        | CAST(r.dnum AS BIGINT) AS dist_num
+        |FROM r JOIN n USING (label) WHERE rk = 1""".stripMargin,
+    // q183: md5 round-robin within stratum — fold is a pure function of
+    // (id, stratum, k).
+    "q183_strat_folds" ->
+      """SELECT event_id, event_type,
+        | CAST((row_number() OVER (PARTITION BY event_type
+        |  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) - 1) % 5 AS BIGINT)
+        |  AS fold
+        |FROM events""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

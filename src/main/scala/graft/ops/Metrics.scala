@@ -330,6 +330,37 @@ object Metrics {
     * category id for determinism, though Σi·xᵢ is tie-order-invariant
     * (equal x under swapped ranks contribute the same sum).
     */
+  /** Calibration (reliability) table: rows carrying an integer score in
+    * ppm and a boolean outcome bucket into `bins` equal-width score bins;
+    * per bin: row count, positives, observed positive rate (ppm) and the
+    * mean score (ppm, floor) — the "is a 0.7 score right 70% of the
+    * time" diagnostic for any scoring model feeding a selection step
+    * (quality filters, dedup confidences, toxicity screens). A
+    * well-calibrated scorer tracks the diagonal; a flat table means the
+    * score carries no signal. Everything integer → engine-exact.
+    *
+    * Scale shape: one map-side-combined hash aggregation on the bin id —
+    * the shuffle is `bins` rows of counters. Nothing else.
+    */
+  def calibrationBins(
+      df: DataFrame,
+      scorePpmCol: String,
+      labelCol: org.apache.spark.sql.Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1: $bins")
+    df
+      .withColumn("bin",
+        least(lit(bins.toLong - 1),
+          expr(s"(${bins}L * $scorePpmCol) div 1000000L")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        count_if(labelCol).as("n_pos"),
+        sum(col(scorePpmCol).cast("long")).as("__s"))
+      .withColumn("pos_rate_ppm", expr("(1000000L * n_pos) div n"))
+      .withColumn("mean_score_ppm", expr("__s div n"))
+      .drop("__s")
+  }
+
   def gini(df: DataFrame, groupCols: Seq[String], catCol: String): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     import org.apache.spark.sql.expressions.Window

@@ -286,6 +286,30 @@ object Sampling {
     * Scale shape: identical to [[apportion]] — category-sized windows
     * over a pre-aggregated weight table.
     */
+  /** Stratified k-fold assignment for cross-validation: within each
+    * stratum, rows take folds round-robin in `md5(id)` order —
+    * `fold = (rank − 1) mod k` — so every stratum's fold sizes differ by
+    * at most one (exact balance, which hash-mod-k alone cannot promise)
+    * and the assignment is a pure function of (id, stratum, k): stable
+    * across runs, engines, and partitionings. The id must be unique.
+    *
+    * Scale shape: one window shuffle on the strata key (rank within
+    * stratum), nothing else; parallelism is stratum-bounded like any
+    * per-group ranking.
+    */
+  def stratifiedFolds(
+      df: DataFrame,
+      strataCols: Seq[String],
+      idCol: String,
+      k: Int): DataFrame = {
+    require(strataCols.nonEmpty, "strataCols must be non-empty")
+    require(k >= 2, s"k must be >= 2: $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("fold", (row_number().over(w) - 1).cast("long") % k)
+  }
+
   def temperatureHalfApportion(
       counts: DataFrame,
       keyCol: String,

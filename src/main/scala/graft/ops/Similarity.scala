@@ -294,6 +294,53 @@ object Similarity {
         coalesce(col("__d"), lit(false)).as("dropped"))
   }
 
+  /** Geometric medoid per block: the member vector closest to its
+    * block's mean, chosen with ALL arithmetic in integers — the
+    * representative-selection step after clustering (ship one vector per
+    * cluster, not the float centroid, so the representative is a real
+    * corpus member). Distance to the mean is compared via the
+    * denominator-cleared form `n²·(x·x) − 2n·(x·S) + S·S` (S = Σ members,
+    * over `scale`-quantized ints), which orders identically to
+    * |x − S/n|² without ever dividing — exact, tie-broken by id.
+    * Output per block: (block, medoid_id, n, dist_num — the cleared
+    * distance numerator of the winner).
+    *
+    * Scale shape: S comes from one posexplode hash-agg (shuffle bounded
+    * at blocks×dim, [[blockCentroids]]' cost model); S re-assembles to a
+    * blocks-sized array table that BROADCASTS onto a single linear
+    * member scan (codegen'd int dot); the argmin is a min-of-struct
+    * aggregation — no pairwise anything.
+    */
+  def medoids(
+      emb: DataFrame,
+      blockCol: String = "label",
+      scale: Int = 1024,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    val q = transform(col(vecCol), x => round(x.cast("double") * scale).cast("long"))
+    val base = emb.select(col(idCol).cast("long").as("__id"), col(blockCol), q.as("__q"))
+    val sums = base
+      .select(col(blockCol), posexplode(col("__q")))
+      .groupBy(col(blockCol), col("pos"))
+      .agg(sum(col("col")).as("__s"), count(lit(1)).as("__n"))
+      .groupBy(col(blockCol))
+      .agg(max(col("__n")).as("__n"),
+        // dim-ordered re-assembly of S; min(struct) sorts by pos
+        transform(array_sort(collect_list(struct(col("pos"), col("__s")))),
+          s => s.getField("__s")).as("__S"))
+    base.join(broadcast(sums), Seq(blockCol))
+      .withColumn("__d",
+        col("__n") * col("__n") * VectorFunctions.intDot(col("__q"), col("__q"))
+          - lit(2L) * col("__n") * VectorFunctions.intDot(col("__q"), col("__S"))
+          + VectorFunctions.intDot(col("__S"), col("__S")))
+      .groupBy(col(blockCol))
+      .agg(max(col("__n")).as("n"),
+        min(struct(col("__d"), col("__id"))).as("__m"))
+      .select(col(blockCol), col("__m.__id").as("medoid_id"), col("n"),
+        col("__m.__d").as("dist_num"))
+  }
+
   /** k-NN label-disagreement score — the confident-learning-style label
     * noise detector: for each query vector, how many of its `k` nearest
     * corpus neighbors (exact cosine top-k) carry a DIFFERENT label. A

@@ -210,6 +210,46 @@ class FusionAndCoreSpec extends SparkSpec {
     assert(got(3L) == ((0L, 0L, 0L, 0L)))
   }
 
+  // --------------------------------------- calibrationBins
+
+  test("calibrationBins: equal-width ppm bins with exact counts") {
+    val df = Seq((50000L, true), (150000L, false), (999999L, true), (120000L, true))
+      .toDF("score_ppm", "pos")
+    val got = graft.ops.Metrics.calibrationBins(df, "score_ppm", col("pos"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(0L) == ((1L, 1L, 1000000L, 50000L)))
+    assert(got(1L) == ((2L, 1L, 500000L, 135000L)))
+    assert(got(9L) == ((1L, 1L, 1000000L, 999999L)))
+  }
+
+  // ---------------------------------------------- medoids
+
+  test("medoids picks the member closest to the block mean, all-integer") {
+    val emb = Seq(
+      (1L, Seq(0.0f, 0.0f), 0), (2L, Seq(2.0f, 0.0f), 0), (3L, Seq(10.0f, 0.0f), 0),
+      (4L, Seq(5.0f, 5.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.medoids(emb, scale = 4)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // label 0: mean (4,0) → closest member is (2,0); cleared distance
+    // 9·64 − 6·8·48 + 48² = 576 at scale 4
+    assert(got(0) == ((2L, 3L, 576L)))
+    // singleton block: its own medoid at distance 0
+    assert(got(1) == ((4L, 1L, 0L)))
+  }
+
+  // -------------------------------------- stratifiedFolds
+
+  test("stratifiedFolds: balanced within stratum and deterministic") {
+    val df = (1L to 10L).map(i => (i, "s")).toDF("id", "stratum")
+    def run() = Sampling.stratifiedFolds(df, Seq("stratum"), "id", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val a = run()
+    assert(a.values.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map(0L -> 4, 1L -> 3, 2L -> 3))
+    assert(a == run()) // pure function of (id, stratum, k)
+  }
+
   // ----------------------------------------- decayedScore
 
   test("decayedScore: dyadic weights, newest row heaviest") {
