@@ -1841,7 +1841,30 @@ object SparkEntry {
     // event type; fold sizes differ by ≤1 per stratum. -------------------
     "q183_strat_folds" -> ((s, dir) =>
       Sampling.stratifiedFolds(t(s, dir, "events"), Seq("event_type"), "event_id", k = 5)
-        .select(col("event_id"), col("event_type"), col("fold")))
+        .select(col("event_id"), col("event_type"), col("fold"))),
+
+    // ---- vocabulary-subset pairs (containment = 1.0): the asymmetric
+    // quote/subset detector at its exact-subset point — prefix length 1
+    // (each doc's rarest token), directional prefix×full candidates. -----
+    "q184_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(
+        t(s, dir, "documents").where(col("doc_id") % 5 === 0),
+        thresholdPpm = 1000000L)),
+
+    // ---- deterministic popularity-ranked negative sampling over the
+    // purchase interactions: 4 md5-derived draws per positive, user
+    // history anti-joined away. ------------------------------------------
+    "q185_neg_sampling" -> ((s, dir) =>
+      Sampling.popularityNegatives(
+        t(s, dir, "events").where(col("event_type") === "purchase")
+          .select(col("user_id"), col("props").as("item")),
+        "user_id", "item", k = 4)),
+
+    // ---- churn labels at a fixed cutoff with a 3-day lookback: future-
+    // blind by construction (post-cutoff rows never aggregate). ----------
+    "q186_churn_labels" -> ((s, dir) =>
+      TimeSeries.churnLabels(t(s, dir, "events"), "user_id", "ts",
+        cutoff = "2024-01-25 00:00:00", windowSec = 3L * 86400))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -4407,7 +4430,52 @@ object SparkEntry {
         | CAST((row_number() OVER (PARTITION BY event_type
         |  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) - 1) % 5 AS BIGINT)
         |  AS fold
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    // q184: brute-force containment over the same sliced doc set — sound
+    // as an oracle because the slice is small; the Spark side must find
+    // exactly these pairs through the directional prefix filter.
+    "q184_containment" ->
+      """WITH tok AS (SELECT doc_id,
+        |  list_sort(list_distinct(list_filter(
+        |   string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0))) AS s
+        | FROM documents WHERE doc_id % 5 = 0),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(a.s) AS n_a, len(b.s) AS n_b, len(list_intersect(a.s, b.s)) AS nc
+        | FROM tok a, tok b WHERE a.doc_id <> b.doc_id)
+        |SELECT a_id, b_id, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        | CAST(nc AS BIGINT) AS n_common,
+        | CAST((1000000 * nc) // n_a AS BIGINT) AS containment_ppm
+        |FROM p WHERE nc * 1000000 >= 1000000 * n_a""".stripMargin,
+    // q185: md5 draws replayed digit-by-digit; anti-join via NOT EXISTS.
+    "q185_neg_sampling" ->
+      s"""WITH pos AS (SELECT DISTINCT user_id, props AS item FROM events
+        |  WHERE event_type = 'purchase'),
+        |ir AS (SELECT item, CAST(row_number() OVER (
+        |  ORDER BY count(*) DESC, item) AS BIGINT) AS rnk FROM pos GROUP BY item),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ir),
+        |d AS (SELECT pos.user_id, pos.item, t.draw,
+        |  1 + (${hexPrefixOracle("md5(concat_ws('|', pos.user_id, pos.item, t.draw))", 8)}
+        |   % nn.n) AS rnk
+        | FROM pos, nn, unnest([1, 2, 3, 4]) AS t(draw))
+        |SELECT d.user_id, d.item, CAST(d.draw AS BIGINT) AS draw,
+        | ir.item AS neg_item
+        |FROM d JOIN ir USING (rnk)
+        |WHERE NOT EXISTS (SELECT 1 FROM pos p2
+        | WHERE p2.user_id = d.user_id AND p2.item = ir.item)""".stripMargin,
+    // q186: the future-blind filter, then max/count per user; epoch-ms
+    // floors agree (ns→µs→ms ≡ ns→ms for positive epochs).
+    "q186_churn_labels" ->
+      """WITH e AS (SELECT user_id, ts FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-25 00:00:00'),
+        |a AS (SELECT user_id, CAST(max(epoch_ms(ts)) AS BIGINT) AS last_seen_ms,
+        |  CAST(count(*) AS BIGINT) AS n_events FROM e GROUP BY 1)
+        |SELECT user_id, last_seen_ms, n_events,
+        | CAST((epoch_ms(TIMESTAMP '2024-01-25 00:00:00') - last_seen_ms) // 1000
+        |  AS BIGINT) AS gap_sec,
+        | CAST(CASE WHEN last_seen_ms <=
+        |   epoch_ms(TIMESTAMP '2024-01-25 00:00:00') - 259200000
+        |  THEN 1 ELSE 0 END AS BIGINT) AS churned
+        |FROM a""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

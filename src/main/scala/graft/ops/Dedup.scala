@@ -400,6 +400,67 @@ object Dedup {
         floor(lit(1000000L) * col("n_common") / (col("n_a") + col("n_b") - col("n_common"))).as("jaccard_ppm"))
   }
 
+  /** Asymmetric CONTAINMENT pairs — `|A∩B| / |A| ≥ t` over distinct-token
+    * sets: the quote/subset detector [[prefixFilterPairs]]' symmetric
+    * Jaccard cannot see (a short doc fully quoted inside a long one has
+    * containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0). Emits ORDERED pairs
+    * (a contained-in b, a ≠ b) with the exact integer evidence:
+    * (a_id, b_id, n_a, n_b, n_common, containment_ppm).
+    *
+    * Exactness: the prefix-filter theorem in its directional form — if
+    * |A∩B| ≥ ⌈t·|A|⌉, then A's first `|A| − ⌈t·|A|⌉ + 1` tokens in the
+    * global rare-first (df, word) order must intersect B somewhere. So
+    * candidates come from joining A-PREFIX tokens against B's FULL token
+    * stream; no qualifying pair can escape. Verification is the native
+    * O(|A|+|B|) sorted-merge intersection.
+    *
+    * Scale shape: [[prefixFilterPairs]]' cost model, asymmetric: the
+    * join is prefix-stream × full-stream on rare-first tokens (the rare
+    * end of the vocabulary carries few rows per word — the same df-skew
+    * argument), candidates dedup to ordered pairs before verification,
+    * and bodies never shuffle (token arrays only, persisted once into
+    * the shared stage feeding candidate and verify branches).
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      thresholdPpm: Long = 800000L): DataFrame = {
+    require(thresholdPpm >= 1 && thresholdPpm <= 1000000L,
+      s"thresholdPpm must be in [1, 1000000]: $thresholdPpm")
+    val sets = parallelize(docs)
+      .select(col(idCol).cast("long").as("id"),
+        array_sort(array_distinct(wordTokens(col(textCol)))).as("toks"))
+      .where(size(col("toks")) > 0)
+      .withColumn("n", size(col("toks")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tokens = sets.select(col("id"), col("n"), explode(col("toks")).as("word"))
+    val df = tokens.groupBy("word").agg(count(lit(1)).as("__df"))
+    val ranked = tokens
+      .join(broadcast(df), Seq("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("id")).orderBy(col("__df"), col("word"))
+    // ⌈t·n⌉ = (t_ppm·n + 999999) div 1e6, exact in Long
+    val needed = expr(s"($thresholdPpm * n + 999999) div 1000000")
+    val prefixes = ranked
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .where(col("__rk") <= col("n") - needed + lit(1L))
+      .select(col("id"), col("word"))
+    val candidates = prefixes.alias("a")
+      .join(ranked.select(col("id"), col("word")).alias("b"),
+        col("a.word") === col("b.word") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    candidates
+      .join(sets.select(col("id").as("a_id"), col("toks").as("a_toks"), col("n").as("n_a")), Seq("a_id"))
+      .join(sets.select(col("id").as("b_id"), col("toks").as("b_toks"), col("n").as("n_b")), Seq("b_id"))
+      .withColumn("n_common",
+        VectorFunctions.sortedIntersectCount(col("a_toks"), col("b_toks")))
+      .where(col("n_common") * 1000000L >= lit(thresholdPpm) * col("n_a"))
+      .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"), col("n_common"),
+        floor(lit(1000000L) * col("n_common") / col("n_a")).as("containment_ppm"))
+  }
+
   /** Corpus-wide segment-level dedup — the C4/RefinedWeb "line dedup"
     * adapted to unstructured text: deterministically segment every
     * document into consecutive `segWords`-word blocks, fingerprint each

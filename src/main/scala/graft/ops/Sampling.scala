@@ -286,6 +286,52 @@ object Sampling {
     * Scale shape: identical to [[apportion]] — category-sized windows
     * over a pre-aggregated weight table.
     */
+  /** Deterministic popularity-ranked negative sampling for recommender /
+    * contrastive training: for every observed (user, item) positive, `k`
+    * pseudo-random negatives drawn uniformly from the item catalog by
+    * rank — `neg_j = rank 1 + (md5(user‖item‖j) mod n_items)` — then
+    * user-history negatives are anti-joined away (a drawn item the user
+    * actually interacted with is NOT a negative; such draws are dropped,
+    * so a pair can emit < k rows — auditable via `draw`). Pure function
+    * of the data and k: resumable, engine-replayable, no RNG state.
+    *
+    * Scale shape: the item-rank table is catalog-sized (one count agg +
+    * one catalog-sized window) and joins by dense rank — a hash join on
+    * integers; the draw explode is k rows per positive (bounded fan-out,
+    * map-side); the history anti-join is keyed on (user, item). Nothing
+    * quadratic, no driver state.
+    */
+  def popularityNegatives(
+      interactions: DataFrame,
+      userCol: String,
+      itemCol: String,
+      k: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val pos = interactions.select(col(userCol), col(itemCol)).distinct()
+    val itemRank = pos.groupBy(col(itemCol)).agg(count(lit(1)).as("__pop"))
+      .withColumn("__rank",
+        row_number().over(Window.orderBy(col("__pop").desc, col(itemCol))).cast("long"))
+    val nItems = itemRank.groupBy().agg(count(lit(1)).as("__n"))
+    val draws = pos
+      .crossJoin(broadcast(nItems))
+      .select(col(userCol), col(itemCol), col("__n"),
+        explode(sequence(lit(1), lit(k))).as("draw"))
+      .withColumn("__hash",
+        expr(s"conv(substring(md5(concat_ws('|', $userCol, $itemCol, draw)), 1, 8), 16, 10)")
+          .cast("long"))
+      .withColumn("__rank", lit(1L) + col("__hash") % col("__n"))
+      .drop("__n", "__hash")
+    draws
+      .join(itemRank.select(col("__rank"), col(itemCol).as("neg_item")), Seq("__rank"))
+      .drop("__rank")
+      .join(pos.select(col(userCol), col(itemCol).as("neg_item"))
+        .withColumn("__hit", lit(true)), Seq(userCol, "neg_item"), "left")
+      .where(col("__hit").isNull)
+      .select(col(userCol), col(itemCol), col("draw").cast("long").as("draw"),
+        col("neg_item"))
+  }
+
   /** Stratified k-fold assignment for cross-validation: within each
     * stratum, rows take folds round-robin in `md5(id)` order —
     * `fold = (rank − 1) mod k` — so every stratum's fold sizes differ by

@@ -230,4 +230,36 @@ object TimeSeries {
       .select(keyCols.map(col) :+ col("__score").as("decayed_score") :+
         col("__n").as("n_obs"): _*)
   }
+
+  /** Churn-label generation at a cutoff: every key active at or before
+    * `cutoff` gets a label — `churned = 1` iff it has NO activity inside
+    * the lookback window `(cutoff − windowSec, cutoff]` — plus the
+    * evidence (`last_seen_ms` ≤ cutoff, `gap_sec` to the cutoff,
+    * `n_events` ≤ cutoff). Future-blind by construction: rows after the
+    * cutoff never enter any aggregate, so the label can't leak what it
+    * predicts — the property a training-label generator must prove, made
+    * structural here.
+    *
+    * Scale shape: one filter + one map-side-combined max/count
+    * aggregation on the key; the shuffle carries (key, last_ms, count).
+    */
+  def churnLabels(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      cutoff: String,
+      windowSec: Long): DataFrame = {
+    require(windowSec >= 1, s"windowSec must be >= 1: $windowSec")
+    val cutMs = unix_millis(to_timestamp(lit(cutoff)))
+    df
+      .where(col(tsCol) <= to_timestamp(lit(cutoff)))
+      .groupBy(col(keyCol))
+      .agg(max(unix_millis(col(tsCol))).as("last_seen_ms"),
+        count(lit(1)).as("n_events"))
+      .withColumn("__cut_ms", cutMs)
+      .withColumn("gap_sec", expr("(__cut_ms - last_seen_ms) div 1000L"))
+      .drop("__cut_ms")
+      .withColumn("churned",
+        when(col("last_seen_ms") <= cutMs - windowSec * 1000L, 1L).otherwise(0L))
+  }
 }

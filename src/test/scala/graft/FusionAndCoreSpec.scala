@@ -250,6 +250,60 @@ class FusionAndCoreSpec extends SparkSpec {
     assert(a == run()) // pure function of (id, stratum, k)
   }
 
+  // ------------------------------------- containmentPairs
+
+  test("containmentPairs finds subset docs the symmetric Jaccard would miss") {
+    val docs = Seq(
+      (1L, "x y"),          // ⊂ doc 2
+      (2L, "x y z w"),
+      (3L, "p q")           // disjoint
+    ).toDF("doc_id", "text")
+    val exact = graft.ops.Dedup.containmentPairs(docs, thresholdPpm = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(4), r.getLong(5))).toMap
+    // only 1-in-2 qualifies at t=1.0 (Jaccard is just 0.5)
+    assert(exact.keySet == Set((1L, 2L)))
+    assert(exact((1L, 2L)) == ((2L, 1000000L)))
+    val half = graft.ops.Dedup.containmentPairs(docs, thresholdPpm = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    // at t=0.5 the reverse direction appears too: |B∩A|/|B| = 2/4
+    assert(half((1L, 2L)) == 1000000L && half((2L, 1L)) == 500000L)
+    assert(!half.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  // --------------------------------- popularityNegatives
+
+  test("popularityNegatives: deterministic draws, never a user positive") {
+    val inter = Seq(
+      ("u1", "a"), ("u1", "b"), ("u2", "a"), ("u2", "c"), ("u3", "b"), ("u3", "d")
+    ).toDF("user_id", "item")
+    def run() = Sampling.popularityNegatives(inter, "user_id", "item", k = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val a = run()
+    assert(a.nonEmpty && a.toSeq == run().toSeq)
+    val pos = Set(("u1", "a"), ("u1", "b"), ("u2", "a"), ("u2", "c"), ("u3", "b"), ("u3", "d"))
+    a.foreach { case (u, _, draw, neg) =>
+      assert(!pos.contains((u, neg)), s"drew a positive: $u $neg")
+      assert(draw >= 1 && draw <= 4)
+    }
+  }
+
+  // ------------------------------------------ churnLabels
+
+  test("churnLabels: future-blind, window decides the label") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    val ev = Seq(
+      ("active", ts(24)), ("active", ts(1)),
+      ("churned", ts(10)),
+      ("future_only", ts(28))  // after cutoff → absent entirely
+    ).toDF("k", "ts")
+    val got = graft.ops.TimeSeries.churnLabels(ev, "k", "ts",
+      cutoff = "2024-01-25 00:00:00", windowSec = 3L * 86400)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(got("active") == ((2L, 0L)))
+    assert(got("churned") == ((1L, 1L)))
+    assert(!got.contains("future_only"))
+  }
+
   // ----------------------------------------- decayedScore
 
   test("decayedScore: dyadic weights, newest row heaviest") {
