@@ -1864,7 +1864,22 @@ object SparkEntry {
     // blind by construction (post-cutoff rows never aggregate). ----------
     "q186_churn_labels" -> ((s, dir) =>
       TimeSeries.churnLabels(t(s, dir, "events"), "user_id", "ts",
-        cutoff = "2024-01-25 00:00:00", windowSec = 3L * 86400))
+        cutoff = "2024-01-25 00:00:00", windowSec = 3L * 86400)),
+
+    // ---- survival labels: seconds to each user's next purchase, 7-day
+    // horizon, censoring explicit — one reverse-running-min window. ------
+    "q187_time_to_event" -> ((s, dir) =>
+      TimeSeries.timeToEvent(t(s, dir, "events"), "user_id", "ts", "event_id",
+        isTarget = col("event_type") === "purchase", horizonSec = 7L * 86400)
+        .select(col("user_id"), col("event_id"), col("tte_sec"), col("censored"))),
+
+    // ---- exact two-sample KS drift between returnflag A and R price
+    // distributions: supremum found in cross-multiplied integers. --------
+    "q188_ks_drift" -> ((s, dir) =>
+      Metrics.ksStatistic(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        "l_returnflag", "cents", "A", "R"))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -4475,7 +4490,40 @@ object SparkEntry {
         | CAST(CASE WHEN last_seen_ms <=
         |   epoch_ms(TIMESTAMP '2024-01-25 00:00:00') - 259200000
         |  THEN 1 ELSE 0 END AS BIGINT) AS churned
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+    // q187: the strictly-after frame replayed verbatim; epoch-ms floors
+    // agree across the ns→µs→ms chain.
+    "q187_time_to_event" ->
+      """WITH w AS (SELECT user_id, event_id,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) OVER (
+        |   PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ms,
+        |  epoch_ms(ts) AS ms FROM events)
+        |SELECT user_id, event_id,
+        | CASE WHEN next_ms IS NULL OR (next_ms - ms) // 1000 > 604800 THEN NULL
+        |  ELSE CAST((next_ms - ms) // 1000 AS BIGINT) END AS tte_sec,
+        | CAST(CASE WHEN next_ms IS NULL OR (next_ms - ms) // 1000 > 604800
+        |  THEN 1 ELSE 0 END AS BIGINT) AS censored
+        |FROM w""".stripMargin,
+    // q188: merged-domain ECDF running sums; the supremum compared in
+    // cross-multiplied integers, ppm only at the end.
+    "q188_ks_drift" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        | FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |pv AS (SELECT v,
+        |  CAST(count(CASE WHEN g = 'A' THEN 1 END) AS BIGINT) AS ca,
+        |  CAST(count(CASE WHEN g = 'R' THEN 1 END) AS BIGINT) AS cb
+        | FROM b GROUP BY v),
+        |c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cuma,
+        |  sum(cb) OVER (ORDER BY v) AS cumb FROM pv),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |  CAST(sum(cb) AS BIGINT) AS nb FROM pv)
+        |SELECT t.na AS n_a, t.nb AS n_b,
+        | CAST(max(abs(c.cuma * t.nb - c.cumb * t.na)) AS BIGINT) AS d_num,
+        | CAST((1000000 * max(abs(c.cuma * t.nb - c.cumb * t.na)))
+        |  // (t.na * t.nb) AS BIGINT) AS ks_ppm
+        |FROM c, t GROUP BY t.na, t.nb""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -361,6 +361,46 @@ object Metrics {
       .drop("__s")
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic between two groups'
+    * integer value distributions: `D = max_v |F_a(v) − F_b(v)|`,
+    * computed cross-multiplied — `D_num = max |cum_a·n_b − cum_b·n_a|`
+    * over the merged value domain — so the supremum is found in exact
+    * integers and only the final report divides (`ks_ppm =
+    * ⌊1e6·D_num/(n_a·n_b)⌋`). The distribution-drift test that needs no
+    * binning choice, complementing [[histogramDistance]] (whose L1 is
+    * bin-width-sensitive). One row out: (n_a, n_b, d_num, ks_ppm).
+    *
+    * Scale shape: one hash agg to per-value (cnt_a, cnt_b) — map-side
+    * combined, the shuffle is value-cardinality-sized — then one ordered
+    * window over DISTINCT values for the running sums and a scalar max.
+    * Like any exact ECDF, the window is value-cardinality-bound: use the
+    * bucketed [[histogramDistance]] when the domain is unbounded-ish.
+    */
+  def ksStatistic(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      groupA: String,
+      groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perValue = df
+      .where(col(groupCol).isin(groupA, groupB))
+      .groupBy(col(valueCol).cast("long").as("__v"))
+      .agg(count_if(col(groupCol) === groupA).as("__ca"),
+        count_if(col(groupCol) === groupB).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+    val totals = perValue.groupBy()
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
+    perValue
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(abs(col("__cuma") * col("n_b") - col("__cumb") * col("n_a")))
+        .as("d_num"))
+      .withColumn("ks_ppm", expr("(1000000L * d_num) div (n_a * n_b)"))
+  }
+
   def gini(df: DataFrame, groupCols: Seq[String], catCol: String): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     import org.apache.spark.sql.expressions.Window

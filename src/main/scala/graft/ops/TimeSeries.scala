@@ -231,6 +231,49 @@ object TimeSeries {
         col("__n").as("n_obs"): _*)
   }
 
+  /** Time-to-event (survival) labels: for every row, the seconds until
+    * the key's NEXT target event strictly after it — or a censor flag if
+    * none lands within `horizonSec`. The label generator for
+    * churn/conversion survival models, with the censoring made explicit
+    * (silently dropping censored rows biases the model toward fast
+    * converters; here they stay, flagged). Events at or past the target
+    * see the one AFTER it, so targets themselves get time-to-NEXT-target.
+    * Output: input keys + (tte_sec for uncensored, NULL otherwise) +
+    * `censored` (0/1).
+    *
+    * The next-target timestamp is a REVERSE running min over the key's
+    * series of (target ? ts : ∞) — one window, no self-join, no asof
+    * machinery: the `rowsBetween(1, unbounded)` frame is the "strictly
+    * after" semantics verbatim.
+    *
+    * Scale shape: one window shuffle on the key; the frame is a running
+    * min the window operator streams in reverse sort order — nothing
+    * buffers beyond the sort.
+    */
+  def timeToEvent(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      isTarget: org.apache.spark.sql.Column,
+      horizonSec: Long): DataFrame = {
+    require(horizonSec >= 1, s"horizonSec must be >= 1: $horizonSec")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(1, Window.unboundedFollowing)
+    df
+      .withColumn("__next_ms",
+        min(when(isTarget, unix_millis(col(tsCol)))).over(w))
+      .withColumn("__tte_sec",
+        expr("(__next_ms - unix_millis(" + tsCol + ")) div 1000L"))
+      .withColumn("censored",
+        when(col("__tte_sec").isNull || col("__tte_sec") > horizonSec, 1L)
+          .otherwise(0L))
+      .withColumn("tte_sec",
+        when(col("censored") === 0, col("__tte_sec")))
+      .drop("__next_ms", "__tte_sec")
+  }
+
   /** Churn-label generation at a cutoff: every key active at or before
     * `cutoff` gets a label — `churned = 1` iff it has NO activity inside
     * the lookback window `(cutoff − windowSec, cutoff]` — plus the

@@ -304,6 +304,39 @@ class FusionAndCoreSpec extends SparkSpec {
     assert(!got.contains("future_only"))
   }
 
+  // ------------------------------------------ timeToEvent
+
+  test("timeToEvent: strictly-after target, horizon censoring explicit") {
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val ev = Seq(
+      ("u", 1L, ts(0), "view"), ("u", 2L, ts(1), "buy"),
+      ("u", 3L, ts(2), "view"), ("u", 4L, ts(5), "buy"),
+      ("u", 5L, ts(6), "view")
+    ).toDF("k", "eid", "ts", "etype")
+    val got = graft.ops.TimeSeries.timeToEvent(ev, "k", "ts", "eid",
+      isTarget = col("etype") === "buy", horizonSec = 2 * 3600)
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(r.fieldIndex("tte_sec"))).map(_.asInstanceOf[Long]),
+          r.getLong(r.fieldIndex("censored")))).toMap
+    assert(got(1L) == ((Some(3600L), 0L)))       // view → buy 1h later
+    assert(got(2L) == ((None, 1L)))              // buy → next buy is 4h away > horizon
+    assert(got(3L) == ((None, 1L)))              // 3h gap > 2h horizon
+    assert(got(5L) == ((None, 1L)))              // no later target at all
+  }
+
+  // ------------------------------------------ ksStatistic
+
+  test("ksStatistic: exact supremum of the ECDF gap in integers") {
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L), ("C", 99L))
+      .toDF("g", "v")
+    val got = graft.ops.Metrics.ksStatistic(df, "g", "v", "A", "B").collect()
+    assert(got.length == 1)
+    val r = got(0)
+    // F_A = {1:.5, 2:1}, F_B = {2:.5, 3:1} → D = 1/2; group C ignored
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 2L, 500000L)))
+  }
+
   // ----------------------------------------- decayedScore
 
   test("decayedScore: dyadic weights, newest row heaviest") {
