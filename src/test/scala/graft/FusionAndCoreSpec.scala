@@ -270,6 +270,28 @@ class FusionAndCoreSpec extends SparkSpec {
     assert(!half.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  // ------------- containment exactness property (vs brute force)
+
+  test("containmentPairs: exactness holds across the threshold range (property)") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector.tabulate(12)(i => f"w$i%02d")
+    val docs = (0L until 40L).map { i =>
+      i -> Seq.fill(2 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }.toDF("doc_id", "text")
+    val sets = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).split("\\s+").filter(_.nonEmpty).toSet).toMap
+    for (t <- Seq(300000L, 500000L, 800000L, 1000000L)) {
+      val got = graft.ops.Dedup.containmentPairs(docs, thresholdPpm = t)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        a <- sets.keys; b <- sets.keys if a != b
+        i = sets(a).intersect(sets(b)).size.toLong
+        if i * 1000000L >= t * sets(a).size.toLong
+      } yield (a, b)).toSet
+      assert(got == expected, s"threshold $t: got ${got.size}, expected ${expected.size}")
+    }
+  }
+
   // --------------------------------- popularityNegatives
 
   test("popularityNegatives: deterministic draws, never a user positive") {

@@ -296,4 +296,26 @@ class PlanShapeSpec extends SparkSpec {
       assert(!out.contains("text"), s"document text in shuffle: $out")
     }
   }
+
+  test("containmentPairs never shuffles raw document text") {
+    // Same contract as prefixFilterPairs: distinct-token ARRAYS may cross
+    // (verification needs the sets); full `text` bodies never do.
+    val shuffles = shuffleOutputs(Dedup.containmentPairs(docs, thresholdPpm = 900000L))
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { out =>
+      assert(!out.contains("text"), s"document text in shuffle: $out")
+    }
+  }
+
+  test("medoids: broadcast S + linear scan — no shuffle carries vectors twice") {
+    // The member scan joins the blocks-sized S table by BROADCAST; if S
+    // ever arrives via a shuffle keyed on the block column, the linear-
+    // scan contract broke.
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val emb = (1L to 40L).map(i => (i, (i % 3).toInt,
+      Array.tabulate(4)(d => (i * 7 % 13 + d).toFloat))).toDF("vec_id", "label", "embedding")
+    val plan = initialPlan(graft.ops.Similarity.medoids(emb))
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"no broadcast join in medoids plan:\n${plan.treeString.take(1500)}")
+  }
 }
