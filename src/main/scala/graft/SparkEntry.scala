@@ -1879,7 +1879,31 @@ object SparkEntry {
       Metrics.ksStatistic(
         t(s, dir, "lineitem").select(col("l_returnflag"),
           round(col("l_extendedprice") * 100).cast("long").as("cents")),
-        "l_returnflag", "cents", "A", "R"))
+        "l_returnflag", "cents", "A", "R")),
+
+    // ---- deterministic bucket-bootstrap error bar on the mean price:
+    // 32 md5 buckets → bucket-mean spread, all integer. ------------------
+    "q189_bucket_bootstrap" -> ((s, dir) =>
+      Metrics.bucketBootstrap(
+        t(s, dir, "lineitem").select(
+          (col("l_orderkey") * 100 + col("l_linenumber")).as("rid"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        "rid", "cents", buckets = 32)),
+
+    // ---- DAU / trailing-7-day WAU / stickiness: the rolling distinct
+    // via bounded activity fan-out, never a sliding distinct window. -----
+    "q190_active_users" -> ((s, dir) =>
+      Cohort.activeUsers(t(s, dir, "events"), "user_id", "ts", windowDays = 7)),
+
+    // ---- hierarchical path rollup: flag/status/ship-year subtree usage
+    // report — prefix fan-out in the map, one combined aggregation. ------
+    "q191_path_rollup" -> ((s, dir) =>
+      Indexing.pathRollup(
+        t(s, dir, "lineitem").select(
+          concat_ws("/", col("l_returnflag"), col("l_linestatus"),
+            year(col("l_shipdate"))).as("path"),
+          col("l_quantity").cast("long").as("qty")),
+        "path", "qty"))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -4523,7 +4547,45 @@ object SparkEntry {
         | CAST(max(abs(c.cuma * t.nb - c.cumb * t.na)) AS BIGINT) AS d_num,
         | CAST((1000000 * max(abs(c.cuma * t.nb - c.cumb * t.na)))
         |  // (t.na * t.nb) AS BIGINT) AS ks_ppm
-        |FROM c, t GROUP BY t.na, t.nb""".stripMargin
+        |FROM c, t GROUP BY t.na, t.nb""".stripMargin,
+    // q189: 4-hex md5 bucket mod 32 replayed digit-by-digit; floor-mean
+    // per bucket, scalar spread.
+    "q189_bucket_bootstrap" ->
+      s"""WITH b AS (SELECT
+        |  ${hexPrefixOracle("md5(CAST(l_orderkey * 100 + l_linenumber AS VARCHAR))", 4)}
+        |   % 32 AS bk,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+        |per AS (SELECT bk, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS s FROM b GROUP BY bk),
+        |m AS (SELECT n, s, s // n AS mean FROM per)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        | CAST(count(*) AS BIGINT) AS n_buckets,
+        | CAST(sum(s) // sum(n) AS BIGINT) AS global_mean,
+        | CAST(min(mean) AS BIGINT) AS bucket_mean_min,
+        | CAST(max(mean) AS BIGINT) AS bucket_mean_max,
+        | CAST(max(mean) - min(mean) AS BIGINT) AS spread
+        |FROM m""".stripMargin,
+    // q190: the trailing window replayed as a range join over observed
+    // activity days; day out as a string.
+    "q190_active_users" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |days AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM act GROUP BY d),
+        |w AS (SELECT d1.d, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+        | FROM days d1 JOIN act a ON a.d BETWEEN d1.d - 6 AND d1.d GROUP BY d1.d)
+        |SELECT strftime(days.d, '%Y-%m-%d') AS day, days.dau, w.wau,
+        | CAST((1000000 * days.dau) // w.wau AS BIGINT) AS stickiness_ppm
+        |FROM days JOIN w USING (d)""".stripMargin,
+    // q191: prefix explode via list_slice over 1..depth; same '/' joining.
+    "q191_path_rollup" ->
+      """WITH p AS (SELECT l_returnflag || '/' || l_linestatus || '/'
+        |   || CAST(year(l_shipdate) AS VARCHAR) AS path,
+        |  CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+        |s AS (SELECT string_split(path, '/') AS segs, v FROM p),
+        |e AS (SELECT array_to_string(list_slice(segs, 1, i), '/') AS path,
+        |  CAST(i AS BIGINT) AS depth, v
+        | FROM s, unnest(range(1, len(segs) + 1)) AS t(i))
+        |SELECT path, depth, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(v) AS BIGINT) AS total FROM e GROUP BY 1, 2""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -75,4 +75,43 @@ object Cohort {
       .withColumn("f_bucket", score("frequency"))
       .withColumn("m_bucket", score("monetary_cents"))
   }
+
+  /** Daily/rolling active users and stickiness: per activity day, the
+    * exact distinct-key counts for that day (`dau`) and for the trailing
+    * `windowDays` window ending on it (`wau`), plus
+    * `stickiness_ppm = ⌊1e6·dau/wau⌋` — the engagement trio every
+    * activity dashboard leads with. Output days are the OBSERVED
+    * activity days (a day with no activity at all emits nothing — zero-
+    * fill downstream with [[graft.ops.Metrics.zeroFill]] if the calendar
+    * spine matters). `dayCol` output is a yyyy-MM-dd STRING.
+    *
+    * The rolling distinct is NOT a window function (count-distinct over
+    * a sliding frame buffers the frame): each (key, day) activity fact
+    * fans out to the `windowDays` days it keeps the key active for —
+    * bounded fan-out in the map phase — and `wau` is then a plain
+    * distinct-count per day. Exact at any scale, two hash aggregations.
+    *
+    * Scale shape: dedup to (key, day) first (map-side combined), fan out
+    * ×windowDays, aggregate — shuffles carry (key, day) pairs only.
+    */
+  def activeUsers(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    val act = df.select(col(keyCol).as("__k"), to_date(col(tsCol)).as("__d")).distinct()
+    val dau = act.groupBy(col("__d").as("__day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = act
+      .select(col("__k"), explode(sequence(col("__d"),
+        date_add(col("__d"), windowDays - 1))).as("__day"))
+      .distinct()
+      .groupBy(col("__day"))
+      .agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("__day"))
+      .withColumn("stickiness_ppm", expr("(1000000L * dau) div wau"))
+      .select(date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"), col("stickiness_ppm"))
+  }
 }

@@ -141,6 +141,32 @@ object Indexing {
       .select(col("id").as(idCol), col("term"), col("tf"), col("df"), col("rank"))
   }
 
+  /** Hierarchical path rollup: rows carrying a `/`-separated path emit
+    * one aggregate row per path PREFIX — the "usage by subtree" report
+    * (telemetry namespaces, dataset directories, category trees) without
+    * a recursive query: `a/b/c` contributes to `a`, `a/b`, and `a/b/c`.
+    * Output per prefix: (path, depth, n_rows, total).
+    *
+    * Scale shape: prefix fan-out happens in the map projection (bounded
+    * by path depth), then ONE map-side-combined hash aggregation on the
+    * prefix — shallow prefixes ("a") receive heavy partial-aggregated
+    * traffic but each partition sends one partial row per prefix, so the
+    * hot root key is a combiner problem, not a skew problem.
+    */
+  def pathRollup(
+      df: DataFrame,
+      pathCol: String,
+      valueCol: String): DataFrame = {
+    val segs = split(col(pathCol), "/")
+    df
+      .select(segs.as("__s"), col(valueCol).cast("long").as("__v"))
+      .select(explode(transform(sequence(lit(1), size(col("__s"))),
+        i => struct(concat_ws("/", slice(col("__s"), lit(1), i)).as("path"),
+          i.cast("long").as("depth")))).as("__p"), col("__v"))
+      .groupBy(col("__p.path").as("path"), col("__p.depth").as("depth"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__v")).as("total"))
+  }
+
   /** Reciprocal-rank fusion: merge several per-key rankings of the same
     * item space into one consensus ranking. Each input carries
     * (key, item, rank); an item's fused score is `Σ ⌊1e6 / (k0 + rank)⌋`

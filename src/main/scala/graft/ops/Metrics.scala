@@ -361,6 +361,41 @@ object Metrics {
       .drop("__s")
   }
 
+  /** Deterministic bucket-bootstrap spread for a mean metric: rows split
+    * into `buckets` md5 buckets of their id (a pure function of the
+    * data — no RNG state, rerunnable anywhere), the metric (floor-mean
+    * of `valueCol`) computes per bucket, and the report is the spread of
+    * those bucket means around the global mean — the poor-man's error
+    * bar every pipeline metric should ship with (a metric whose bucket
+    * means disagree wildly isn't stable enough to gate on). One row:
+    * (n_rows, n_buckets, global_mean, bucket_mean_min, bucket_mean_max,
+    * spread). All-integer.
+    *
+    * Scale shape: one map-side-combined hash agg to `buckets` rows, then
+    * a scalar aggregate. The md5 bucket is computed in the scan
+    * projection — nothing row-sized shuffles.
+    */
+  def bucketBootstrap(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      buckets: Int = 32): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val bucket = expr(
+      s"conv(substring(md5(cast($idCol as string)), 1, 4), 16, 10) % $buckets")
+    df
+      .select(bucket.cast("long").as("__b"), col(valueCol).cast("long").as("__v"))
+      .groupBy("__b")
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"))
+      .withColumn("__mean", expr("__s div __n"))
+      .groupBy()
+      .agg(sum(col("__n")).as("n_rows"), count(lit(1)).as("n_buckets"),
+        expr("sum(__s) div sum(__n)").as("global_mean"),
+        min(col("__mean")).as("bucket_mean_min"),
+        max(col("__mean")).as("bucket_mean_max"))
+      .withColumn("spread", col("bucket_mean_max") - col("bucket_mean_min"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic between two groups'
     * integer value distributions: `D = max_v |F_a(v) − F_b(v)|`,
     * computed cross-multiplied — `D_num = max |cum_a·n_b − cum_b·n_a|`

@@ -359,6 +359,41 @@ class FusionAndCoreSpec extends SparkSpec {
       ((2L, 2L, 2L, 500000L)))
   }
 
+  // -------------------------------------- bucketBootstrap
+
+  test("bucketBootstrap: zero spread on constant data, exact counts") {
+    val df = (1L to 200L).map(i => (i, 500L)).toDF("rid", "v")
+    val r = graft.ops.Metrics.bucketBootstrap(df, "rid", "v", buckets = 8).collect()(0)
+    assert(r.getLong(0) == 200L)           // n_rows
+    assert(r.getLong(1) <= 8L)             // n_buckets
+    assert(r.getLong(2) == 500L)           // global mean
+    assert(r.getLong(5) == 0L)             // constant data → zero spread
+  }
+
+  // ------------------------------------------ activeUsers
+
+  test("activeUsers: DAU exact, WAU via bounded fan-out") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-02-$d%02d 10:00:00")
+    val ev = Seq(("u1", ts(1)), ("u1", ts(2)), ("u2", ts(1))).toDF("k", "ts")
+    val got = graft.ops.Cohort.activeUsers(ev, "k", "ts", windowDays = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("2024-02-01") == ((2L, 2L, 1000000L)))
+    // day 2: only u1 active, but u2's day-1 activity is inside the window
+    assert(got("2024-02-02") == ((1L, 2L, 500000L)))
+  }
+
+  // ------------------------------------------- pathRollup
+
+  test("pathRollup aggregates every prefix of every path") {
+    val df = Seq(("a/b", 1L), ("a/b/c", 2L), ("d", 4L)).toDF("path", "v")
+    val got = graft.ops.Indexing.pathRollup(df, "path", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("a") == ((1L, 2L, 3L)))
+    assert(got("a/b") == ((2L, 2L, 3L)))
+    assert(got("a/b/c") == ((3L, 1L, 2L)))
+    assert(got("d") == ((1L, 1L, 4L)))
+  }
+
   // ----------------------------------------- decayedScore
 
   test("decayedScore: dyadic weights, newest row heaviest") {
