@@ -1903,7 +1903,31 @@ object SparkEntry {
           concat_ws("/", col("l_returnflag"), col("l_linestatus"),
             year(col("l_shipdate"))).as("path"),
           col("l_quantity").cast("long").as("qty")),
-        "path", "qty"))
+        "path", "qty")),
+
+    // ---- personalized PageRank from every-50th customer as seed: rank
+    // mass = proximity to the seed set, same cached-edge loop as q69. ----
+    "q192_ppr" -> ((s, dir) => {
+      val e0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("s"), (col("l_suppkey") * 2 + 1).as("d"))
+        .distinct()
+      val e = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
+      val seeds = t(s, dir, "customer").where(col("c_custkey") % 50 === 0)
+        .select((col("c_custkey") * 2).as("seed"))
+      PageRank.personalizedFixedPoint(e, "s", "d", seeds, "seed", iterations = 3)
+        .select(col("id").as("node_id"), col("rank"))
+    }),
+
+    // ---- item-item co-purchase graph: capped bipartite projection of
+    // (user, item) purchase facts — wedge volume bounded by the cap. -----
+    "q193_copurchase" -> ((s, dir) =>
+      GraphMetrics.bipartiteProject(
+        t(s, dir, "events").where(col("event_type") === "purchase")
+          .select(col("user_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("item")),
+        "user_id", "item", maxDegree = 10))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -4585,7 +4609,48 @@ object SparkEntry {
         |  CAST(i AS BIGINT) AS depth, v
         | FROM s, unnest(range(1, len(segs) + 1)) AS t(i))
         |SELECT path, depth, CAST(count(*) AS BIGINT) AS n_rows,
-        | CAST(sum(v) AS BIGINT) AS total FROM e GROUP BY 1, 2""".stripMargin
+        | CAST(sum(v) AS BIGINT) AS total FROM e GROUP BY 1, 2""".stripMargin,
+    // q192: q69's chained-CTE replay with the teleport restricted to the
+    // seed set (full per-node teleport to each seed — the documented
+    // integer-exact convention).
+    "q192_ppr" -> {
+      val base =
+        """WITH e0 AS (
+          | SELECT DISTINCT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS d
+          | FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          |e AS (SELECT s, d FROM e0 UNION ALL SELECT d AS s, s AS d FROM e0),
+          |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+          |nodes AS (SELECT DISTINCT s AS id FROM e),
+          |sd AS (SELECT c_custkey * 2 AS id FROM customer WHERE c_custkey % 50 = 0),
+          |ns AS (SELECT n.id, sd.id IS NOT NULL AS seed
+          | FROM nodes n LEFT JOIN sd ON n.id = sd.id),
+          |r0 AS (SELECT id, CAST(CASE WHEN seed THEN 1000000 ELSE 0 END AS BIGINT)
+          |  AS rank FROM ns)""".stripMargin
+      val iters = (1 to 3).map { i =>
+        s""",
+           |c$i AS (
+           | SELECT e.d AS id, CAST(sum((r.rank * 85) // (100 * deg.outdeg)) AS BIGINT) AS c
+           | FROM e JOIN r${i - 1} r ON e.s = r.id JOIN deg ON deg.s = e.s GROUP BY 1),
+           |r$i AS (
+           | SELECT ns.id,
+           |  CAST(CASE WHEN ns.seed THEN 150000 ELSE 0 END
+           |   + coalesce(c$i.c, 0) AS BIGINT) AS rank
+           | FROM ns LEFT JOIN c$i ON ns.id = c$i.id)""".stripMargin
+      }.mkString
+      base + iters + "\nSELECT id AS node_id, rank FROM r3"
+    },
+    // q193: the cap replayed as the same row_number window; weights are
+    // distinct-left counts per right pair.
+    "q193_copurchase" ->
+      """WITH lr AS (SELECT DISTINCT user_id AS l,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS r
+        | FROM events WHERE event_type = 'purchase'),
+        |capped AS (SELECT l, r FROM (
+        |  SELECT l, r, row_number() OVER (PARTITION BY l ORDER BY r) AS rn
+        |  FROM lr) WHERE rn <= 10)
+        |SELECT a.r AS a_id, b.r AS b_id, CAST(count(*) AS BIGINT) AS weight
+        |FROM capped a JOIN capped b ON a.l = b.l AND a.r < b.r
+        |GROUP BY 1, 2""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

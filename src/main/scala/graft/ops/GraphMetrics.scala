@@ -185,6 +185,46 @@ object GraphMetrics {
       .withColumnRenamed("src", "id")
   }
 
+  /** Bipartite projection with a degree cap: from (left, right)
+    * engagement facts, the right-right co-engagement graph —
+    * (a, b, weight = #lefts engaging both) for a < b — the item-item /
+    * doc-doc graph builder behind co-occurrence recommenders and
+    * content-graph clustering. The wedge blow-up lives on the LEFT
+    * degree (a left touching k rights emits C(k,2) pairs: Σ deg²), so
+    * hub lefts are deterministically truncated to their `maxDegree`
+    * smallest rights BEFORE pairing — the [[neighborhoodSize]] hub
+    * lesson, made mandatory here because bipartite hubs (a crawler
+    * account, a catalog-wide bot) are the rule, not the edge case.
+    * Truncation is part of the operator's contract: results are a pure
+    * function of (facts, maxDegree).
+    *
+    * Scale shape: distinct (left, right) → per-left cap (one window
+    * shuffle) → self-join on left with a < b — the intermediate is
+    * ≤ Σ min(deg, maxDegree)² — → map-side-combined count per pair.
+    */
+  def bipartiteProject(
+      facts: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      maxDegree: Int = 64): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2: $maxDegree")
+    import org.apache.spark.sql.expressions.Window
+    // left is only ever a join key — any type works; right ids are the
+    // output node ids and normalize to long
+    val lr = facts
+      .select(col(leftCol).as("l"), col(rightCol).cast("long").as("r"))
+      .where(col("l").isNotNull && col("r").isNotNull)
+      .distinct()
+    val w = Window.partitionBy("l").orderBy("r")
+    val capped = lr.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxDegree).drop("__rn")
+    capped.alias("a").hint("shuffle_hash")
+      .join(capped.alias("b").hint("shuffle_hash"),
+        col("a.l") === col("b.l") && col("a.r") < col("b.r"))
+      .groupBy(col("a.r").as("a_id"), col("b.r").as("b_id"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
   /** k-core: the maximal subgraph where every node keeps degree ≥ k —
     * the standard "dense kernel" extractor (a near-duplicate candidate
     * graph's k-core is its template families; the periphery is noise

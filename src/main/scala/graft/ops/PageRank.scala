@@ -85,6 +85,61 @@ object PageRank {
     ranks
   }
 
+  /** Personalized (topic-sensitive) PageRank: identical fixed-point loop,
+    * but the teleport term lands ONLY on the `seeds` — so rank mass
+    * concentrates around the seed neighborhood and the output reads as
+    * "proximity to the seeds", the seed-expansion primitive behind
+    * crawl-frontier prioritization and "more like these" corpus sampling.
+    * Convention (documented, part of the contract): each seed receives
+    * the FULL per-node teleport `⌊scale·(100−d)/100⌋` rather than a
+    * 1/|seeds| share — keeping the arithmetic integer-exact; ranks are
+    * comparable within a run, as any PPR use wants. Non-seed rank₀ = 0,
+    * seed rank₀ = scale.
+    *
+    * Scale shape: exactly [[ranksFixedPoint]] — cached edge layout, per
+    * round one narrow rank join + one contribution aggregation; the seed
+    * flag is a broadcast join onto the (cached) node list, applied once.
+    */
+  def personalizedFixedPoint(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iterations: Int,
+      scale: Long = 1000000L,
+      dampingNum: Long = 85L): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0: $iterations")
+    require(scale % 100 == 0, s"scale must be a multiple of 100 for an exact teleport term: $scale")
+    require(dampingNum >= 0 && dampingNum <= 100, s"dampingNum must be in [0,100]: $dampingNum")
+    val e = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
+      .localCheckpoint()
+    val p = e.sparkSession.sparkContext.defaultParallelism
+    val seedFlag = seeds.select(col(seedCol).cast("long").as("id"))
+      .distinct().withColumn("__seed", lit(true))
+    val nodes = e.select(col("s").as("id")).union(e.select(col("d").as("id")))
+      .distinct()
+      .join(broadcast(seedFlag), Seq("id"), "left")
+      .withColumn("__seed", coalesce(col("__seed"), lit(false)))
+      .repartition(p, col("id")).cache()
+    val deg = e.groupBy("s").agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(deg, "s").repartition(p, col("s")).cache()
+    val teleport = scale * (100 - dampingNum) / 100
+    var ranks = nodes.select(col("id"),
+      when(col("__seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
+    for (i <- 1 to iterations) {
+      val contribs = contributions(withDeg, ranks, dampingNum)
+      val next = nodes.join(contribs.hint("shuffle_hash"), Seq("id"), "left")
+        .select(col("id"),
+          (when(col("__seed"), lit(teleport)).otherwise(lit(0L)) +
+            coalesce(col("c"), lit(0L))).as("rank"))
+      ranks = if (i == iterations || i % 4 == 0) next.localCheckpoint() else next
+    }
+    nodes.unpersist()
+    withDeg.unpersist()
+    ranks
+  }
+
   /** One iteration's incoming-contribution aggregation — split out so the
     * plan-shape suite can assert the cached edge layout is joined with NO
     * edge-side exchange (the scale contract of the whole loop). Build

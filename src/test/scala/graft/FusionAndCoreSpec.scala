@@ -394,6 +394,34 @@ class FusionAndCoreSpec extends SparkSpec {
     assert(got("d") == ((1L, 1L, 4L)))
   }
 
+  // ------------------------------ personalized PageRank
+
+  test("personalizedFixedPoint: teleport mass lands only on seeds") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val seeds = Seq(Tuple1(1L)).toDF("seed")
+    val got = graft.ops.PageRank.personalizedFixedPoint(
+      edges, "s", "d", seeds, "seed", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r0 = {1: 1e6, others 0}; round 1: node 1 keeps only its teleport,
+    // node 2 inherits ⌊1e6·85/100⌋, node 3 nothing yet
+    assert(got == Map(1L -> 150000L, 2L -> 850000L, 3L -> 0L))
+  }
+
+  // -------------------------------------- bipartiteProject
+
+  test("bipartiteProject: co-engagement weights, cap bounds the wedges") {
+    val facts = Seq(
+      ("u1", 1L), ("u1", 2L), ("u1", 3L), ("u2", 1L), ("u2", 2L), ("u2", 2L)
+    ).toDF("u", "item")
+    val full = GraphMetrics.bipartiteProject(facts, "u", "item", maxDegree = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(full == Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+    // cap 2: u1's smallest-2 rights are {1,2} → item 3 drops out entirely
+    val capped = GraphMetrics.bipartiteProject(facts, "u", "item", maxDegree = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped == Map((1L, 2L) -> 2L))
+  }
+
   // ----------------------------------------- decayedScore
 
   test("decayedScore: dyadic weights, newest row heaviest") {
