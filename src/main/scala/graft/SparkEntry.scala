@@ -1927,7 +1927,17 @@ object SparkEntry {
         t(s, dir, "events").where(col("event_type") === "purchase")
           .select(col("user_id"),
             get_json_object(col("props"), "$.k").cast("long").as("item")),
-        "user_id", "item", maxDegree = 10))
+        "user_id", "item", maxDegree = 10)),
+
+    // ---- sentence-aligned chunking (q180's segmentation, 20-word
+    // budget): sentences never split; chunk id is a closed-form function
+    // of the prefix word counts — no sequential fold. --------------------
+    "q194_sentence_chunks" -> ((s, dir) =>
+      Chunking.bySentences(
+        t(s, dir, "documents").select(col("doc_id"),
+          regexp_replace(col("text"),
+            "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1. ").as("text")),
+        budget = 20))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -4650,7 +4660,33 @@ object SparkEntry {
         |  FROM lr) WHERE rn <= 10)
         |SELECT a.r AS a_id, b.r AS b_id, CAST(count(*) AS BIGINT) AS weight
         |FROM capped a JOIN capped b ON a.l = b.l AND a.r < b.r
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    // q194: q180's segmentation; exclusive prefix word counts via
+    // list_slice sums; ordered re-assembly via string_agg ORDER BY pos.
+    "q194_sentence_chunks" ->
+      """WITH seg AS (SELECT doc_id, list_filter(list_transform(
+        |  string_split_regex(regexp_replace(text,
+        |   '(\w+ \w+ \w+ \w+ \w+) ', '\1. ', 'g'), '[.!?]+'),
+        |  s -> trim(s)), s -> s <> '') AS ss FROM documents),
+        |wc AS (SELECT doc_id, ss, list_transform(ss,
+        |  s -> CAST(len(list_filter(string_split_regex(trim(lower(s)), '\s+'),
+        |   w -> len(w) > 0)) AS BIGINT)) AS wcs
+        | FROM seg WHERE len(ss) > 0),
+        |ex AS (SELECT doc_id, unnest(ss) AS sent,
+        |  generate_subscripts(ss, 1) AS pos, wcs FROM wc),
+        |pre AS (SELECT doc_id, sent, pos,
+        |  CAST(coalesce(list_sum(list_slice(wcs, 1, pos - 1)), 0) AS BIGINT) AS p
+        | FROM ex),
+        |ch AS (SELECT doc_id, CAST(p // 20 AS BIGINT) AS chunk_id, sent, pos
+        | FROM pre),
+        |g AS (SELECT doc_id, chunk_id,
+        |  string_agg(sent, '. ' ORDER BY pos) AS chunk,
+        |  CAST(count(*) AS BIGINT) AS n_sentences
+        | FROM ch GROUP BY 1, 2)
+        |SELECT doc_id, chunk_id, chunk, n_sentences,
+        | CAST(len(list_filter(string_split_regex(trim(lower(chunk)), '\s+'),
+        |  w -> len(w) > 0)) AS BIGINT) AS n_words
+        |FROM g""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

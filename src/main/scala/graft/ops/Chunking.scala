@@ -49,6 +49,60 @@ object Chunking {
       .select(col("doc_id"), col("c.chunk_id"), col("c.chunk"), col("c.n_words"))
   }
 
+  /** Sentence-aligned chunking: split on `[.!?]+`, then assign each
+    * sentence to chunk `⌊words_before / budget⌋` — sentences are NEVER
+    * split across chunks (the retrieval-quality property plain
+    * [[byWords]] windows can't give), chunks hold ≈ `budget` words (a
+    * long sentence can push a chunk over — the standard accepted slack),
+    * and the assignment is a closed-form function of the prefix word
+    * counts, not a sequential fold — which is what keeps it a pure
+    * per-doc array expression any engine replays. Output: (doc id,
+    * chunk_id, chunk text, n_sentences, n_words).
+    *
+    * Scale shape: map-only until the per-(doc, chunk) regroup — and that
+    * aggregation keys on (doc, chunk), preserving parallelism however
+    * long single documents get. No windows, no state.
+    */
+  def bySentences(
+      docs: DataFrame,
+      budget: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val sents = filter(
+      transform(split(coalesce(col(textCol), lit("")), "[.!?]+"), s => trim(s)),
+      s => s =!= "")
+    val withCounts = Dedup.parallelize(docs)
+      .select(col(idCol).as("doc_id"), sents.as("__s"))
+      .where(size(col("__s")) > 0)
+      // per-sentence word counts, then exclusive prefix sums via a
+      // closed-form aggregate over the index — array expressions only
+      .withColumn("__wc", transform(col("__s"),
+        s => size(Dedup.wordTokens(s)).cast("long")))
+      .withColumn("__pre", transform(sequence(lit(0), size(col("__s")) - 1),
+        i => when(i === 0, lit(0L)).otherwise(
+          aggregate(slice(col("__wc"), lit(1), i), lit(0L), (a, x) => a + x))))
+    withCounts
+      .select(col("doc_id"),
+        posexplode(zip_with(col("__s"), col("__pre"),
+          // exact: __pre ≤ total words per doc stays far inside double
+          (s, p) => struct(s.as("sent"),
+            (p / lit(budget.toLong)).cast("long").as("cid")))))
+      .select(col("doc_id"), col("pos"), col("col.sent").as("__sent"),
+        col("col.cid").as("chunk_id"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      // order restored via (pos, sentence) sort — collect_list alone has
+      // no order guarantee across shuffles
+      .agg(count(lit(1)).as("n_sentences"),
+        concat_ws(". ", transform(
+          array_sort(collect_list(struct(col("pos"), col("__sent")))),
+          s => s.getField("__sent"))).as("chunk"))
+      .withColumn("n_words",
+        size(Dedup.wordTokens(col("chunk"))).cast("long"))
+      .select(col("doc_id"), col("chunk_id"), col("chunk"),
+        col("n_sentences"), col("n_words"))
+  }
+
   /** Context-length budgeting: truncate each document to its first
     * `maxTokens` whitespace tokens, reporting the original length and
     * whether anything was cut. Map-only (a projection — the 100 TB cost

@@ -422,6 +422,19 @@ class FusionAndCoreSpec extends SparkSpec {
     assert(capped == Map((1L, 2L) -> 2L))
   }
 
+  // --------------------------------------- bySentences
+
+  test("bySentences: sentence-aligned chunks, closed-form assignment") {
+    val docs = Seq((1L, "a b. c d. e f"), (2L, "")).toDF("doc_id", "text")
+    val got = graft.ops.Chunking.bySentences(docs, budget = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    // prefix word counts 0, 2, 4 → chunks ⌊0/3⌋=0, ⌊2/3⌋=0, ⌊4/3⌋=1
+    assert(got((1L, 0L)) == (("a b. c d", 2L, 4L)))
+    assert(got((1L, 1L)) == (("e f", 1L, 2L)))
+    assert(!got.keySet.exists(_._1 == 2L)) // empty doc emits nothing
+  }
+
   // ----------------------------------------- decayedScore
 
   test("decayedScore: dyadic weights, newest row heaviest") {
