@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Decontaminate, Dedup, Enrich, Funnel, FuzzyJoin, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, Reshape, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, Skyline, SkewJoin, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
+import graft.ops.{AsOfJoin, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, Reshape, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, Skyline, SkewJoin, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -1937,7 +1937,52 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"),
           regexp_replace(col("text"),
             "(\\w+ \\w+ \\w+ \\w+ \\w+) ", "$1. ").as("text")),
-        budget = 20))
+        budget = 20)),
+
+    // ---- exact ROC AUC per event type: does the amount predict a high
+    // payload k? Tie-aware Mann–Whitney over distinct-cent counts — the
+    // window walks score cardinality, never rows. ------------------------
+    "q195_auc" -> ((s, dir) =>
+      Eval.rocAuc(
+        t(s, dir, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"), col("props")),
+        "event_type", "cents",
+        get_json_object(col("props"), "$.k").cast("long") >= 50)),
+
+    // ---- Cohen's kappa per source between the recorded lang and a
+    // second deterministic rater (disagrees on every 4th doc): the
+    // annotator-agreement audit, integer-exact with the truncate-
+    // toward-zero convention for negative kappa. -------------------------
+    "q196_kappa" -> ((s, dir) =>
+      Eval.cohensKappa(
+        t(s, dir, "documents").select(col("source"), col("lang"),
+          when(col("doc_id") % 4 === 0,
+            element_at(
+              map(lit("en"), lit("de"), lit("de"), lit("es"), lit("es"),
+                lit("fr"), lit("fr"), lit("zh"), lit("zh"), lit("en")),
+              col("lang")))
+            .otherwise(col("lang")).as("rater_b")),
+        "source", "lang", "rater_b")),
+
+    // ---- chi-square mix drift, per-cell decomposition: event-type
+    // distribution early vs late half of the month — the integer
+    // residual d = o·N − r·c carries all the precision. ------------------
+    "q197_chisq_drift" -> ((s, dir) =>
+      Eval.chiSquareCells(
+        t(s, dir, "events").select(col("event_type"),
+          when(col("ts") < lit("2024-01-16").cast("timestamp"), lit("early"))
+            .otherwise(lit("late")).as("period")),
+        "event_type", "period")),
+
+    // ---- mean reciprocal rank of the first purchase in each user's
+    // ts-ordered stream, per user-id cohort: misses score 0 and stay in
+    // the denominator (documented convention). ---------------------------
+    "q198_mrr" -> ((s, dir) =>
+      Eval.meanReciprocalRank(
+        t(s, dir, "events").select((col("user_id") % 10).as("cohort"),
+          col("user_id"), col("ts"), col("event_id"), col("event_type")),
+        "cohort", "user_id", "ts", "event_id",
+        col("event_type") === "purchase"))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -4686,7 +4731,91 @@ object SparkEntry {
         |SELECT doc_id, chunk_id, chunk, n_sentences,
         | CAST(len(list_filter(string_split_regex(trim(lower(chunk)), '\s+'),
         |  w -> len(w) > 0)) AS BIGINT) AS n_words
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+    // q195: per-distinct-score (pos, neg) counts → running negatives-
+    // below window → 2U in integers; ppm by integer division.
+    "q195_auc" ->
+      """WITH b AS (SELECT event_type AS g,
+        |  CAST(round(value * 100) AS BIGINT) AS s,
+        |  CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        |   THEN 1 ELSE 0 END AS pos FROM events),
+        |ps AS (SELECT g, s, CAST(sum(pos) AS BIGINT) AS p,
+        |  CAST(count(*) - sum(pos) AS BIGINT) AS q FROM b GROUP BY g, s),
+        |c AS (SELECT g, p, q, CAST(coalesce(sum(q) OVER (PARTITION BY g
+        |  ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |  AS BIGINT) AS qlt FROM ps),
+        |a AS (SELECT g, CAST(sum(p) AS BIGINT) AS n_pos,
+        |  CAST(sum(q) AS BIGINT) AS n_neg,
+        |  CAST(sum(p * (2 * qlt + q)) AS BIGINT) AS u2 FROM c GROUP BY g)
+        |SELECT g AS event_type, n_pos, n_neg,
+        | CASE WHEN n_pos > 0 AND n_neg > 0
+        |  THEN CAST((1000000 * u2) // (2 * n_pos * n_neg) AS BIGINT)
+        | END AS auc_ppm
+        |FROM a""".stripMargin,
+    // q196: agreement + marginal-product sufficient statistics; kappa as
+    // a ratio of integers, truncated toward zero (sign split so // on
+    // non-negatives matches Spark's div).
+    "q196_kappa" ->
+      """WITH r AS (SELECT * FROM (SELECT source AS g, lang AS a,
+        |  CASE WHEN doc_id % 4 = 0 THEN
+        |   CASE lang WHEN 'en' THEN 'de' WHEN 'de' THEN 'es'
+        |    WHEN 'es' THEN 'fr' WHEN 'fr' THEN 'zh' WHEN 'zh' THEN 'en' END
+        |  ELSE lang END AS b FROM documents)
+        | WHERE a IS NOT NULL AND b IS NOT NULL),
+        |base AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CASE WHEN a = b THEN 1 END) AS BIGINT) AS n_agree
+        | FROM r GROUP BY g),
+        |ma AS (SELECT g, a AS lbl, CAST(count(*) AS BIGINT) AS na
+        | FROM r GROUP BY 1, 2),
+        |mb AS (SELECT g, b AS lbl, CAST(count(*) AS BIGINT) AS nb
+        | FROM r GROUP BY 1, 2),
+        |pe AS (SELECT g, CAST(sum(na * nb) AS BIGINT) AS pen
+        | FROM ma JOIN mb USING (g, lbl) GROUP BY g)
+        |SELECT base.g AS source, base.n, base.n_agree,
+        | CASE WHEN base.n * base.n - pe.pen <> 0 THEN
+        |  CASE WHEN base.n * base.n_agree >= pe.pen
+        |   THEN CAST((1000000 * (base.n * base.n_agree - pe.pen))
+        |    // (base.n * base.n - pe.pen) AS BIGINT)
+        |   ELSE -CAST((1000000 * (pe.pen - base.n * base.n_agree))
+        |    // (base.n * base.n - pe.pen) AS BIGINT)
+        |  END END AS kappa_ppm
+        |FROM base JOIN pe USING (g)""".stripMargin,
+    // q197: cell counts → marginals → integer residual d = o·N − r·c;
+    // the single double-precision step has identical shape in both
+    // engines (IEEE-deterministic).
+    "q197_chisq_drift" ->
+      """WITH b AS (SELECT event_type AS r,
+        |  CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'early' ELSE 'late'
+        |  END AS c FROM events),
+        |cells AS (SELECT r, c, CAST(count(*) AS BIGINT) AS o
+        | FROM b GROUP BY r, c),
+        |rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rn FROM cells GROUP BY r),
+        |ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS cn FROM cells GROUP BY c),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells)
+        |SELECT cells.r AS event_type, cells.c AS period, cells.o,
+        | CAST((1000000 * rt.rn * ct.cn) // n.nn AS BIGINT) AS e_ppm,
+        | CAST(floor(1000000.0
+        |   * CAST(cells.o * n.nn - rt.rn * ct.cn AS DOUBLE)
+        |   * CAST(cells.o * n.nn - rt.rn * ct.cn AS DOUBLE)
+        |   / CAST(n.nn * rt.rn * ct.cn AS DOUBLE)) AS BIGINT) AS chi2_micro
+        |FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN n""".stripMargin,
+    // q198: row_number per (cohort, user) stream → first-hit rank →
+    // integer reciprocal ppm; misses stay in the cohort denominator.
+    "q198_mrr" ->
+      """WITH b AS (SELECT user_id % 10 AS cohort, user_id, ts, event_id,
+        |  event_type = 'purchase' AS hit FROM events),
+        |rn AS (SELECT cohort, user_id, hit, row_number() OVER (
+        |  PARTITION BY cohort, user_id ORDER BY ts, event_id) AS rn FROM b),
+        |fh AS (SELECT cohort, user_id, CAST(min(rn) AS BIGINT) AS rank
+        | FROM rn WHERE hit GROUP BY 1, 2),
+        |act AS (SELECT cohort, CAST(count(DISTINCT user_id) AS BIGINT)
+        |  AS n_actors FROM b GROUP BY 1),
+        |h AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_hit,
+        |  CAST(sum(1000000 // rank) AS BIGINT) AS rrs FROM fh GROUP BY 1)
+        |SELECT act.cohort, act.n_actors,
+        | CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        | CAST(coalesce(h.rrs, 0) // act.n_actors AS BIGINT) AS mrr_ppm
+        |FROM act LEFT JOIN h USING (cohort)""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

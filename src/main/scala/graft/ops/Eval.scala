@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model- and label-quality evaluation metrics, integer-exact so the
+  * numbers are portable across engines: ROC AUC (tie-aware
+  * Mann–Whitney), Cohen's kappa, chi-square contingency drift, and
+  * mean reciprocal rank. A training-data pipeline runs these
+  * constantly — auditing a quality classifier against held-out labels
+  * (AUC), measuring annotator agreement before trusting a label column
+  * (kappa), alarming on categorical mix drift between snapshots
+  * (chi-square), and scoring a retrieval stage (MRR) — and every one of
+  * them is usually computed with floats that don't reproduce across
+  * engines. Here each metric is derived from integer sufficient
+  * statistics and emitted in exact parts-per-million, so the same
+  * number falls out of any engine that can sum and divide integers.
+  */
+object Eval {
+
+  /** Exact ROC AUC per group, in parts-per-million, via the rank-free
+    * Mann–Whitney formulation. AUC = P(score⁺ > score⁻) + ½·P(tie),
+    * computed from per-distinct-score (pos, neg) counts: with `p_s` /
+    * `q_s` the positive/negative counts at score `s` and `Q_<s` the
+    * negatives strictly below,
+    * `U2 = Σ_s p_s·(2·Q_<s + q_s)` (twice the tie-corrected U) and
+    * `auc_ppm = ⌊10⁶·U2 / (2·n_pos·n_neg)⌋` — integer division
+    * throughout, no doubles anywhere. Groups with an empty class emit
+    * NULL (AUC undefined).
+    *
+    * Scale shape: rows collapse FIRST to one row per (group, distinct
+    * score) — a map-side-combinable aggregation — and only that
+    * distinct-score table is window-scanned per group. The window cost
+    * is |distinct scores|, not |rows|; score cardinality is what you
+    * pay for, exactly like a merged-domain ECDF ([[Metrics.ksStatistic]]).
+    * Magnitude guard: 10⁶·U2 must fit a Long — U2 ≤ 2·n_pos·n_neg, so
+    * n_pos·n_neg ≤ ~4.6e12 per group (e.g. 2M×2M); beyond that,
+    * pre-bin scores (AUC over bins = AUC with ties at bin granularity).
+    */
+  def rocAuc(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      isPositive: org.apache.spark.sql.Column): DataFrame = {
+    val perScore = df
+      .groupBy(col(groupCol), col(scoreCol).as("__s"))
+      .agg(
+        count_if(isPositive).as("__p"),
+        count_if(!isPositive).as("__q"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("__qlt", coalesce(sum(col("__q")).over(w), lit(0L)))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("__p")).as("n_pos"),
+        sum(col("__q")).as("n_neg"),
+        sum(col("__p") * (lit(2L) * col("__qlt") + col("__q"))).as("__u2"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("(1000000 * __u2) div (2 * n_pos * n_neg)")).as("auc_ppm"))
+  }
+
+  /** Cohen's kappa per group between two categorical label columns, in
+    * exact ppm. With `N` items, `A` agreements, and marginal counts
+    * `a_c` / `b_c` per class: `p_o = A/N`, `p_e = Σ_c a_c·b_c / N²`, and
+    * `kappa = (p_o − p_e)/(1 − p_e) = (N·A − Σa_c·b_c)/(N² − Σa_c·b_c)`
+    * — a ratio of integers. Emitted as `kappa_ppm` truncated TOWARD
+    * ZERO (`sign·(10⁶·|num| div den)`): kappa can be negative
+    * (worse-than-chance agreement) and floor-vs-truncate differs across
+    * engines on negatives, so the truncation convention is part of the
+    * contract. Rows where either rater is NULL are excluded (kappa is
+    * defined over co-rated items). A group where `p_e = 1` (both raters
+    * constant) emits NULL.
+    *
+    * Scale shape: three narrow aggregations — agreement counts per
+    * group, marginals per (group, class) for each rater — joined on
+    * (group, class), all post-aggregation (class-cardinality-sized, not
+    * row-sized). Magnitude guard: 10⁶·|N·A − Σa·b| needs N ≤ ~3e6 per
+    * group for Long; beyond that pre-scale the marginals.
+    */
+  def cohensKappa(
+      df: DataFrame,
+      groupCol: String,
+      raterACol: String,
+      raterBCol: String): DataFrame = {
+    val rated = df
+      .where(col(raterACol).isNotNull && col(raterBCol).isNotNull)
+      .select(col(groupCol), col(raterACol).as("__a"), col(raterBCol).as("__b"))
+    val base = rated.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), count_if(col("__a") === col("__b")).as("n_agree"))
+    val margA = rated.groupBy(col(groupCol), col("__a").as("__lbl"))
+      .agg(count(lit(1)).as("__na"))
+    val margB = rated.groupBy(col(groupCol), col("__b").as("__lbl"))
+      .agg(count(lit(1)).as("__nb"))
+    val pe = margA.join(margB, Seq(groupCol, "__lbl"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__na") * col("__nb")).as("__peNum"))
+    base.join(pe, Seq(groupCol))
+      .select(col(groupCol), col("n"), col("n_agree"),
+        when(col("n") * col("n") - col("__peNum") =!= 0L,
+          expr("""CASE WHEN n * n_agree >= __peNum
+                 | THEN (1000000 * (n * n_agree - __peNum)) div (n * n - __peNum)
+                 | ELSE -((1000000 * (__peNum - n * n_agree)) div (n * n - __peNum))
+                 | END""".stripMargin)).as("kappa_ppm"))
+  }
+
+  /** Chi-square contingency table between two categorical columns — the
+    * per-cell decomposition a mix-drift monitor wants (WHICH cell moved,
+    * not just that the total is large). Per cell: observed `o`, expected
+    * in exact ppm `e_ppm = (10⁶·r·c) div N`, and the cell's chi-square
+    * contribution in micro-units. The contribution `(o−E)²/E` with
+    * `E = r·c/N` is algebraically `d²/(N·r·c)` for the INTEGER residual
+    * `d = o·N − r·c`, so the only floating step is one fixed-shape
+    * double expression over exact integers —
+    * `⌊10⁶·d·d / (N·r·c)⌋` evaluated left-to-right in IEEE doubles,
+    * which reproduces bit-identically on any IEEE engine evaluating the
+    * same shape. Zero-margin cells cannot occur (cells come from
+    * observed rows), so the denominator is never 0.
+    *
+    * Scale shape: one (row, col) count aggregation — map-side
+    * combinable — then marginals derived from it by re-aggregation and
+    * two broadcast-sized joins back. Everything after the first
+    * aggregation is contingency-table-sized. Total chi-square = SUM of
+    * `chi2_micro` over cells (left to the caller / a trivial re-agg).
+    */
+  def chiSquareCells(
+      df: DataFrame,
+      rowCol: String,
+      colCol: String): DataFrame = {
+    val cells = df.groupBy(col(rowCol), col(colCol)).agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy(col(rowCol)).agg(sum(col("o")).as("__r"))
+    val colTot = cells.groupBy(col(colCol)).agg(sum(col("o")).as("__c"))
+    val n = cells.agg(sum(col("o")).as("__n"))
+    cells
+      .join(broadcast(rowTot), Seq(rowCol))
+      .join(broadcast(colTot), Seq(colCol))
+      .crossJoin(broadcast(n))
+      .select(col(rowCol), col(colCol), col("o"),
+        expr("(1000000 * __r * __c) div __n").as("e_ppm"),
+        floor(
+          lit(1000000.0)
+            * (col("o") * col("__n") - col("__r") * col("__c")).cast("double")
+            * (col("o") * col("__n") - col("__r") * col("__c")).cast("double")
+            / (col("__n") * col("__r") * col("__c")).cast("double")).as("chi2_micro"))
+  }
+
+  /** Mean reciprocal rank per cohort: each actor's stream is ordered by
+    * (`orderCol`, `tieCol`) and the 1-based position of the FIRST hit
+    * row becomes `rr_ppm = 10⁶ div rank` (0 for actors with no hit).
+    * The cohort row reports actors, hitting actors, and
+    * `mrr_ppm = Σ rr_ppm div n_actors` — mean over ALL actors, misses
+    * contributing 0, reciprocal and mean both integer-truncated (the
+    * documented convention; "over hitters only" is `Σrr div n_hit`,
+    * recoverable from the emitted columns). The retrieval-stage score
+    * a search/dedup pipeline tracks per segment.
+    *
+    * Scale shape: one `row_number` window per actor (per-key sort,
+    * spill-safe), hits filtered BEFORE the min-rank aggregation, then a
+    * cohort-sized re-aggregation; the cohort join is on the actor
+    * universe aggregated per cohort, so nothing row-sized crosses a
+    * second shuffle.
+    */
+  def meanReciprocalRank(
+      df: DataFrame,
+      cohortCol: String,
+      actorCol: String,
+      orderCol: String,
+      tieCol: String,
+      isHit: org.apache.spark.sql.Column): DataFrame = {
+    val w = Window.partitionBy(col(cohortCol), col(actorCol))
+      .orderBy(col(orderCol), col(tieCol))
+    val firstHit = df
+      .select(col(cohortCol), col(actorCol), col(orderCol), col(tieCol), isHit.as("__hit"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__hit"))
+      .groupBy(col(cohortCol), col(actorCol))
+      .agg(min(col("__rn")).as("__rank"))
+    val actors = df.groupBy(col(cohortCol))
+      .agg(countDistinct(col(actorCol)).as("n_actors"))
+    val hits = firstHit.groupBy(col(cohortCol))
+      .agg(count(lit(1)).as("n_hit"),
+        sum(expr("1000000 div __rank")).as("__rrSum"))
+    actors.join(hits, Seq(cohortCol), "left")
+      .select(col(cohortCol), col("n_actors"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(__rrSum, 0) div n_actors").as("mrr_ppm"))
+  }
+}
