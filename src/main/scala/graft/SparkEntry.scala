@@ -1982,7 +1982,30 @@ object SparkEntry {
         t(s, dir, "events").select((col("user_id") % 10).as("cohort"),
           col("user_id"), col("ts"), col("event_id"), col("event_type")),
         "cohort", "user_id", "ts", "event_id",
-        col("event_type") === "purchase"))
+        col("event_type") === "purchase")),
+
+    // ---- local clustering coefficient on the q79 co-order graph:
+    // triangles over degree-pairs in exact ppm — topic-cohesion vs
+    // bridge hubs. ------------------------------------------------------
+    "q199_clustering_coef" -> ((s, dir) =>
+      GraphMetrics.localClustering(partPairs(s, dir))),
+
+    // ---- seasonal-naive backtest: day-of-week profile trained before
+    // Jan 22 scores the rest of the month; integer MAE + signed bias. ----
+    "q200_seasonal_backtest" -> ((s, dir) =>
+      TimeSeries.seasonalBacktest(
+        t(s, dir, "events").select(col("event_type"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents")),
+        "event_type", "ts", "cents", "2024-01-22 00:00:00")),
+
+    // ---- l-diversity audit over (nation, segment) quasi-classes with a
+    // bucketed balance as the sensitive value: the homogeneity-attack
+    // gate k-anonymity alone misses. -------------------------------------
+    "q201_l_diversity" -> ((s, dir) =>
+      Audit.lDiversity(
+        t(s, dir, "customer").select(col("c_nationkey"), col("c_mktsegment"),
+          (abs(round(col("c_acctbal") * 100).cast("long")) % 7).as("bal_class")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_class", l = 5))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -4815,7 +4838,62 @@ object SparkEntry {
         |SELECT act.cohort, act.n_actors,
         | CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
         | CAST(coalesce(h.rrs, 0) // act.n_actors AS BIGINT) AS mrr_ppm
-        |FROM act LEFT JOIN h USING (cohort)""".stripMargin
+        |FROM act LEFT JOIN h USING (cohort)""".stripMargin,
+    // q199: q79's triangle listing + a degree CTE; coefficient by integer
+    // division (deg·(deg−1) > 0 guarded by the CASE).
+    "q199_clustering_coef" ->
+      """WITH li AS (
+        | SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0),
+        |e AS (
+        | SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        | FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM
+        | (SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e) GROUP BY id),
+        |tri AS (
+        | SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        | FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tcnt AS (SELECT id, CAST(count(*) AS BIGINT) AS t
+        | FROM (SELECT unnest([a, b, c]) AS id FROM tri) GROUP BY id)
+        |SELECT deg.id, deg.deg,
+        | CAST(coalesce(tcnt.t, 0) AS BIGINT) AS n_triangles,
+        | CAST(CASE WHEN deg.deg >= 2
+        |  THEN (1000000 * 2 * coalesce(tcnt.t, 0)) // (deg.deg * (deg.deg - 1))
+        |  ELSE 0 END AS BIGINT) AS clustering_ppm
+        |FROM deg LEFT JOIN tcnt USING (id)""".stripMargin,
+    // q200: dow is only a grouping key (Spark 1-7 vs DuckDB 0-6 is a
+    // bijection — same classes); floor-means on non-negative cents,
+    // sign-split bias.
+    "q200_seasonal_backtest" ->
+      """WITH b AS (SELECT event_type AS k, dayofweek(ts) AS dow,
+        |  CAST(round(value * 100) AS BIGINT) AS y,
+        |  ts < TIMESTAMP '2024-01-22 00:00:00' AS tr FROM events),
+        |prof AS (SELECT k, dow, CAST(sum(y) // count(*) AS BIGINT) AS fc
+        | FROM b WHERE tr GROUP BY 1, 2),
+        |fb AS (SELECT k, CAST(sum(y) // count(*) AS BIGINT) AS fca,
+        |  CAST(count(*) AS BIGINT) AS n_train FROM b WHERE tr GROUP BY 1),
+        |te AS (SELECT b.k, b.y - coalesce(prof.fc, fb.fca) AS err, fb.n_train
+        | FROM b LEFT JOIN prof ON b.k = prof.k AND b.dow = prof.dow
+        | JOIN fb ON b.k = fb.k WHERE NOT b.tr)
+        |SELECT k AS event_type, n_train, CAST(count(*) AS BIGINT) AS n_test,
+        | CAST(sum(abs(err)) AS BIGINT) AS sae,
+        | CAST(sum(abs(err)) // count(*) AS BIGINT) AS mae,
+        | CAST(CASE WHEN sum(err) >= 0 THEN sum(err) // count(*)
+        |  ELSE -((-sum(err)) // count(*)) END AS BIGINT) AS bias
+        |FROM te GROUP BY 1, 2""".stripMargin,
+    // q201: two-level aggregation; distinct sensitive values per class =
+    // first-level row count (NULL would be its own class).
+    "q201_l_diversity" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+        |  abs(CAST(round(c_acctbal * 100) AS BIGINT)) % 7 AS bal_class
+        | FROM customer),
+        |lv AS (SELECT c_nationkey, c_mktsegment, bal_class, count(*) AS n
+        | FROM b GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, c_mktsegment,
+        | CAST(sum(n) AS BIGINT) AS group_size,
+        | CAST(count(*) AS BIGINT) AS n_sensitive,
+        | CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT) AS violates
+        |FROM lv GROUP BY 1, 2""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -136,6 +136,35 @@ object Audit {
       .where(col("group_size") < k)
   }
 
+  /** l-diversity audit — [[kAnonymity]]'s necessary complement: a class
+    * can be k-large yet still leak if everyone in it shares the same
+    * sensitive value (the homogeneity attack). Per quasi-identifier
+    * class: size, distinct sensitive values, and `violates = 1` when
+    * diversity < `l`. Emits EVERY class (the release gate needs the
+    * passing ones too — filter on `violates` for the suppression list).
+    * NULL sensitive values count as one distinct value (an attacker
+    * learns "missing", which is information).
+    *
+    * Scale shape: one two-level aggregation — (quasi…, sensitive)
+    * counts collapse map-side, then per-class distinct = count of the
+    * first level — so the shuffle carries class×value counts, never
+    * rows.
+    */
+  def lDiversity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(l >= 2, s"l must be >= 2: $l")
+    df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__n")).as("group_size"),
+        count(lit(1)).as("n_sensitive"))
+      .withColumn("violates", when(col("n_sensitive") < l, 1L).otherwise(0L))
+  }
+
   /** Referential-integrity audit over a set of foreign-key relations:
     * for each `(name, child, childKey, parent, parentKey)`, the number of
     * child rows whose key has no parent (NULL child keys are skipped —

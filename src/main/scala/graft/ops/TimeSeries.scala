@@ -305,4 +305,57 @@ object TimeSeries {
       .withColumn("churned",
         when(col("last_seen_ms") <= cutMs - windowSec * 1000L, 1L).otherwise(0L))
   }
+
+  /** Seasonal-naive forecast backtest: rows before `cutoff` train a
+    * per-(key, day-of-week) floor-mean profile; rows at/after `cutoff`
+    * are scored against it, falling back to the key's global train mean
+    * for weekdays unseen in training. Emits per key the exact integer
+    * error summary — `n_train`, `n_test`, `sae` (Σ|err|),
+    * `mae = sae div n_test`, and the signed `bias = Σerr div n_test`
+    * (negative = forecast runs high). The cheapest honest baseline a
+    * forecasting pipeline must beat, and the backtest harness that
+    * proves it on history — integer-exact end to end (floor-mean
+    * forecasts, truncated means) so the score is engine-portable.
+    * Keys with no train rows are excluded (nothing to forecast from);
+    * `valueCol` must be integral and non-negative (pre-scale currency
+    * to cents — the floor-mean profile uses `div`, which only matches
+    * the oracle's floor semantics on non-negative sums; the signed
+    * `bias` handles its own sign explicitly).
+    *
+    * Scale shape: two narrow aggregations (key×7-row profile, key-row
+    * fallback) broadcast back onto the test scan; nothing row-sized
+    * shuffles twice, and the error summary is one map-side-combinable
+    * aggregation per key.
+    */
+  def seasonalBacktest(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      cutoff: String): DataFrame = {
+    val cut = to_timestamp(lit(cutoff))
+    val base = df.select(col(keyCol).as("__k"),
+      dayofweek(col(tsCol)).cast("long").as("__dow"),
+      col(valueCol).cast("long").as("__y"),
+      (col(tsCol) < cut).as("__train"))
+    val profile = base.where(col("__train"))
+      .groupBy(col("__k"), col("__dow"))
+      .agg(expr("sum(__y) div count(1)").as("__fc_dow"))
+    val fallback = base.where(col("__train"))
+      .groupBy(col("__k"))
+      .agg(expr("sum(__y) div count(1)").as("__fc_all"),
+        count(lit(1)).as("n_train"))
+    base.where(!col("__train"))
+      .join(broadcast(profile), Seq("__k", "__dow"), "left")
+      .join(broadcast(fallback), Seq("__k"))
+      .withColumn("__err", col("__y") - coalesce(col("__fc_dow"), col("__fc_all")))
+      .groupBy(col("__k").as(keyCol), col("n_train"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(abs(col("__err"))).as("sae"),
+        sum(col("__err")).as("__se"))
+      .select(col(keyCol), col("n_train"), col("n_test"),
+        col("sae"), expr("sae div n_test").as("mae"),
+        expr("""CASE WHEN __se >= 0 THEN __se div n_test
+               | ELSE -((-__se) div n_test) END""".stripMargin).as("bias"))
+  }
 }

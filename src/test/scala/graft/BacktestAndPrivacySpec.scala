@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Audit, GraphMetrics, TimeSeries}
+
+/** Round-4 additions: local clustering coefficient, seasonal-naive
+  * backtest, l-diversity audit.
+  */
+class BacktestAndPrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("localClustering: clique is 1e6, star is 0, missing-triangle nodes are 0") {
+    // 4-clique: every node deg 3, 3 triangles each → coefficient exactly 1
+    val clique = (for { a <- 0 to 3; b <- 0 to 3 if a < b } yield (a.toLong, b.toLong))
+      .toDF("a_id", "b_id")
+    val cq = GraphMetrics.localClustering(clique).collect()
+    assert(cq.length == 4)
+    assert(cq.forall(r => r.getAs[Long]("deg") == 3 &&
+      r.getAs[Long]("n_triangles") == 3 &&
+      r.getAs[Long]("clustering_ppm") == 1000000L))
+
+    // star: center 0 with leaves 1..3 — no closed wedge anywhere
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a_id", "b_id")
+    val st = GraphMetrics.localClustering(star).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(st(0L).getAs[Long]("deg") == 3 && st(0L).getAs[Long]("clustering_ppm") == 0L)
+    assert(st(1L).getAs[Long]("deg") == 1 && st(1L).getAs[Long]("clustering_ppm") == 0L)
+
+    // triangle + pendant: node 0 in the triangle plus an edge to 3 —
+    // deg 3, 1 triangle → 2·1/(3·2) = 333333 truncated
+    val tp = Seq((0L, 1L), (1L, 2L), (0L, 2L), (0L, 3L)).toDF("a_id", "b_id")
+    val got = GraphMetrics.localClustering(tp).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("clustering_ppm")).toMap
+    assert(got(0L) == 333333L && got(1L) == 1000000L && got(3L) == 0L)
+  }
+
+  test("seasonalBacktest: dow profile, fallback, and signed bias") {
+    // train week: Mon Jan 1 2024 = 10, Tue Jan 2 = 20 (one obs each);
+    // test: Mon Jan 8 = 13 (err 3), Tue Jan 9 = 17 (err −3),
+    // Wed Jan 10 = 40 → dow unseen → fallback (10+20) div 2 = 15, err 25
+    val df = Seq(
+      ("a", "2024-01-01 12:00:00", 10L), ("a", "2024-01-02 12:00:00", 20L),
+      ("a", "2024-01-08 12:00:00", 13L), ("a", "2024-01-09 12:00:00", 17L),
+      ("a", "2024-01-10 12:00:00", 40L))
+      .toDF("k", "s", "v").withColumn("ts", to_timestamp(col("s")))
+    val r = TimeSeries.seasonalBacktest(df, "k", "ts", "v", "2024-01-08 00:00:00").head()
+    assert(r.getAs[Long]("n_train") == 2 && r.getAs[Long]("n_test") == 3)
+    assert(r.getAs[Long]("sae") == 3 + 3 + 25)
+    assert(r.getAs[Long]("mae") == 31 / 3)
+    assert(r.getAs[Long]("bias") == (3 - 3 + 25) / 3)
+
+    // negative bias truncates toward zero: single test err −5 over 3 rows
+    // would floor to −2 under // — the contract is −1
+    val neg = Seq(
+      ("b", "2024-01-01 12:00:00", 10L),
+      ("b", "2024-01-08 12:00:00", 9L), ("b", "2024-01-08 13:00:00", 8L),
+      ("b", "2024-01-08 14:00:00", 8L))
+      .toDF("k", "s", "v").withColumn("ts", to_timestamp(col("s")))
+    val rb = TimeSeries.seasonalBacktest(neg, "k", "ts", "v", "2024-01-08 00:00:00").head()
+    assert(rb.getAs[Long]("sae") == 1 + 2 + 2)
+    assert(rb.getAs[Long]("bias") == -1L) // (−5) div 3 toward zero
+
+    // a key with no train rows emits nothing
+    val noTrain = Seq(("c", "2024-01-08 12:00:00", 1L))
+      .toDF("k", "s", "v").withColumn("ts", to_timestamp(col("s")))
+    assert(TimeSeries.seasonalBacktest(noTrain, "k", "ts", "v", "2024-01-08 00:00:00").isEmpty)
+  }
+
+  test("lDiversity: homogeneous classes flagged, NULL counts as a value") {
+    val df = Seq(
+      ("g1", Some("x")), ("g1", Some("x")), ("g1", Some("y")),
+      ("g2", Some("x")), ("g2", Some("y")), ("g2", Some("z")),
+      ("g3", None), ("g3", Some("x")))
+      .toDF("q", "s")
+    val got = Audit.lDiversity(df, Seq("q"), "s", l = 3).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("g1").getAs[Long]("n_sensitive") == 2 && got("g1").getAs[Long]("violates") == 1)
+    assert(got("g2").getAs[Long]("n_sensitive") == 3 && got("g2").getAs[Long]("violates") == 0)
+    // NULL is one distinct sensitive value
+    assert(got("g3").getAs[Long]("n_sensitive") == 2 && got("g3").getAs[Long]("group_size") == 2)
+  }
+
+  test("seasonalBacktest plan: profile and fallback broadcast, no row re-shuffle") {
+    val df = Seq(("a", "2024-01-01 12:00:00", 10L), ("a", "2024-01-08 12:00:00", 13L))
+      .toDF("k", "s", "v").withColumn("ts", to_timestamp(col("s")))
+    val plan = TimeSeries.seasonalBacktest(df, "k", "ts", "v", "2024-01-08 00:00:00")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
