@@ -2005,7 +2005,36 @@ object SparkEntry {
       Audit.lDiversity(
         t(s, dir, "customer").select(col("c_nationkey"), col("c_mktsegment"),
           (abs(round(col("c_acctbal") * 100).cast("long")) % 7).as("bal_class")),
-        Seq("c_nationkey", "c_mktsegment"), "bal_class", l = 5))
+        Seq("c_nationkey", "c_mktsegment"), "bal_class", l = 5)),
+
+    // ---- gains / cumulative-lift table per event type: score deciles
+    // (event_id total order) vs the high-k label — WHERE the score earns
+    // its AUC. ------------------------------------------------------------
+    "q202_gains" -> ((s, dir) =>
+      Eval.gainsTable(
+        t(s, dir, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          col("event_id"), col("props")),
+        "event_type", "cents", "event_id",
+        get_json_object(col("props"), "$.k").cast("long") >= 50, buckets = 10)),
+
+    // ---- 10%-each-side trimmed price stats per return flag: the robust
+    // location estimate as a produced aggregate, rank-boundary ties
+    // value-interchangeable by construction. ------------------------------
+    "q203_trimmed" -> ((s, dir) =>
+      Outliers.trimmedStats(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        Seq("l_returnflag"), "cents", trimPpm = 100000L)),
+
+    // ---- difference-in-differences on a 2×2 (odd users × post-Jan-16):
+    // four cell aggregates + the floor-mean DiD estimate in one row. ------
+    "q204_did" -> ((s, dir) =>
+      Cohort.diffInDiff(
+        t(s, dir, "events").select(col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents")),
+        col("user_id") % 2 === 1,
+        col("ts") >= lit("2024-01-16").cast("timestamp"), "cents"))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -4893,7 +4922,68 @@ object SparkEntry {
         | CAST(sum(n) AS BIGINT) AS group_size,
         | CAST(count(*) AS BIGINT) AS n_sensitive,
         | CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT) AS violates
-        |FROM lv GROUP BY 1, 2""".stripMargin
+        |FROM lv GROUP BY 1, 2""".stripMargin,
+    // q202: ntile over the (score DESC, event_id) total order — both
+    // engines give the first buckets the extras; cumulative lift by
+    // integer division.
+    "q202_gains" ->
+      """WITH b AS (SELECT event_type AS g,
+        |  CAST(round(value * 100) AS BIGINT) AS s, event_id,
+        |  CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        |   THEN 1 ELSE 0 END AS pos FROM events),
+        |r AS (SELECT g, pos, CAST(ntile(10) OVER (PARTITION BY g
+        |  ORDER BY s DESC, event_id) AS BIGINT) AS bk FROM b),
+        |a AS (SELECT g, bk, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos FROM r GROUP BY 1, 2),
+        |c AS (SELECT g, bk, n, n_pos,
+        |  CAST(sum(n) OVER (PARTITION BY g ORDER BY bk) AS BIGINT) AS cum_n,
+        |  CAST(sum(n_pos) OVER (PARTITION BY g ORDER BY bk) AS BIGINT) AS cum_pos,
+        |  CAST(sum(n) OVER (PARTITION BY g) AS BIGINT) AS tn,
+        |  CAST(sum(n_pos) OVER (PARTITION BY g) AS BIGINT) AS tp FROM a)
+        |SELECT g AS event_type, bk AS bucket, n, n_pos, cum_n, cum_pos,
+        | CASE WHEN tp > 0
+        |  THEN CAST((1000000 * cum_pos * tn) // (cum_n * tp) AS BIGINT)
+        | END AS lift_ppm
+        |FROM c""".stripMargin,
+    // q203: rank/count windows on one sort; boundary ties carry equal
+    // values so the kept-sum is order-independent.
+    "q203_trimmed" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+        |r AS (SELECT g, v,
+        |  CAST(row_number() OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS rk,
+        |  CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM b),
+        |k AS (SELECT g, v, n, (n * 100000) // 1000000 AS cut, rk FROM r)
+        |SELECT g AS l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        | CAST(count(*) AS BIGINT) AS n_kept,
+        | CAST(sum(v) AS BIGINT) AS trimmed_sum,
+        | CAST(sum(v) // count(*) AS BIGINT) AS trimmed_mean
+        |FROM k WHERE rk > cut AND rk <= n - cut GROUP BY g""".stripMargin,
+    // q204: one conditional-aggregation pass; did from the four floored
+    // means (the documented publish-then-subtract convention).
+    "q204_did" ->
+      """WITH b AS (SELECT user_id % 2 = 1 AS t,
+        |  ts >= TIMESTAMP '2024-01-16' AS p,
+        |  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |a AS (SELECT
+        |  CAST(count(CASE WHEN t AND NOT p THEN 1 END) AS BIGINT) AS n_t_pre,
+        |  CAST(coalesce(sum(CASE WHEN t AND NOT p THEN v END), 0) AS BIGINT) AS s_t_pre,
+        |  CAST(count(CASE WHEN t AND p THEN 1 END) AS BIGINT) AS n_t_post,
+        |  CAST(coalesce(sum(CASE WHEN t AND p THEN v END), 0) AS BIGINT) AS s_t_post,
+        |  CAST(count(CASE WHEN NOT t AND NOT p THEN 1 END) AS BIGINT) AS n_c_pre,
+        |  CAST(coalesce(sum(CASE WHEN NOT t AND NOT p THEN v END), 0) AS BIGINT) AS s_c_pre,
+        |  CAST(count(CASE WHEN NOT t AND p THEN 1 END) AS BIGINT) AS n_c_post,
+        |  CAST(coalesce(sum(CASE WHEN NOT t AND p THEN v END), 0) AS BIGINT) AS s_c_post
+        | FROM b),
+        |m AS (SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+        |  s_t_pre // n_t_pre AS m_t_pre, s_t_post // n_t_post AS m_t_post,
+        |  s_c_pre // n_c_pre AS m_c_pre, s_c_post // n_c_post AS m_c_post
+        | FROM a WHERE n_t_pre > 0 AND n_t_post > 0 AND n_c_pre > 0 AND n_c_post > 0)
+        |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+        | CAST(m_t_pre AS BIGINT) AS m_t_pre, CAST(m_t_post AS BIGINT) AS m_t_post,
+        | CAST(m_c_pre AS BIGINT) AS m_c_pre, CAST(m_c_post AS BIGINT) AS m_c_post,
+        | CAST((m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS BIGINT) AS did
+        |FROM m""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -114,4 +114,48 @@ object Cohort {
       .select(date_format(col("__day"), "yyyy-MM-dd").as("day"),
         col("dau"), col("wau"), col("stickiness_ppm"))
   }
+
+  /** Difference-in-differences over a 2×2 (treatment × period) design:
+    * the four cell aggregates (n, sum, floor-mean) in one row, plus
+    * `did = (m_treat_post − m_treat_pre) − (m_ctrl_post − m_ctrl_pre)`
+    * computed from the FLOOR-MEANS — the documented convention (each
+    * mean truncates once; the estimate is a difference of already-
+    * published numbers, which is what a metrics review actually
+    * debates). The experiment readout that subtracts out both the
+    * group baseline and the secular trend. Values must be non-negative
+    * integers (cents); all four cells must be non-empty or the row is
+    * dropped (a missing cell means the design is broken, not zero).
+    *
+    * Scale shape: a single conditional aggregation — one map-side-
+    * combinable pass, output is one row. Nothing shuffles but eight
+    * partial sums.
+    */
+  def diffInDiff(
+      df: DataFrame,
+      isTreated: Column,
+      isPost: Column,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    def n(in: Column) = count_if(in)
+    def s(in: Column) = coalesce(sum(when(in, v)), lit(0L))
+    val tp = isTreated && isPost
+    val t0 = isTreated && !isPost
+    val cp = !isTreated && isPost
+    val c0 = !isTreated && !isPost
+    val aggs = Seq(
+      n(t0).as("n_t_pre"), s(t0).as("__s_t_pre"),
+      n(tp).as("n_t_post"), s(tp).as("__s_t_post"),
+      n(c0).as("n_c_pre"), s(c0).as("__s_c_pre"),
+      n(cp).as("n_c_post"), s(cp).as("__s_c_post"))
+    df.agg(aggs.head, aggs.tail: _*)
+      .where(col("n_t_pre") > 0 && col("n_t_post") > 0 &&
+        col("n_c_pre") > 0 && col("n_c_post") > 0)
+      .withColumn("m_t_pre", expr("__s_t_pre div n_t_pre"))
+      .withColumn("m_t_post", expr("__s_t_post div n_t_post"))
+      .withColumn("m_c_pre", expr("__s_c_pre div n_c_pre"))
+      .withColumn("m_c_post", expr("__s_c_post div n_c_post"))
+      .withColumn("did",
+        (col("m_t_post") - col("m_t_pre")) - (col("m_c_post") - col("m_c_pre")))
+      .drop("__s_t_pre", "__s_t_post", "__s_c_pre", "__s_c_post")
+  }
 }

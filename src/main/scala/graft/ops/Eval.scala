@@ -187,4 +187,50 @@ object Eval {
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         expr("coalesce(__rrSum, 0) div n_actors").as("mrr_ppm"))
   }
+
+  /** Gains / lift table per group: rows ranked by score (descending,
+    * `tieCol` breaking ties for a total order — REQUIRED, ntile over a
+    * partial order is partitioning-dependent) and cut into `buckets`
+    * equal-count bins; per bin the positive counts, cumulative
+    * counts down the ranking, and the exact cumulative lift
+    * `lift_ppm = (10⁶·cum_pos·n_total) div (cum_n·total_pos)` —
+    * "top decile captures 3.1× its share of positives" is the
+    * targeting-quality readout this table exists for, and the natural
+    * companion to [[rocAuc]] (AUC summarizes; the table says WHERE the
+    * model earns it). Groups with zero positives emit NULL lift.
+    *
+    * Scale shape: one ntile + running-sum window pass per group (sort
+    * is per-group, spill-safe) feeding a bucket-count aggregation —
+    * the output is groups×buckets rows, the shuffle after the window
+    * carries bucket aggregates only.
+    */
+  def gainsTable(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      tieCol: String,
+      isPositive: org.apache.spark.sql.Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(tieCol))
+    val binned = df
+      .select(col(groupCol), col(scoreCol), col(tieCol),
+        when(isPositive, 1L).otherwise(0L).as("__pos"))
+      .withColumn("__bk", ntile(buckets).over(w).cast("long"))
+      .groupBy(col(groupCol), col("__bk").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__pos")).as("n_pos"))
+    val wc = Window.partitionBy(col(groupCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col(groupCol))
+    binned
+      .withColumn("cum_n", sum(col("n")).over(wc))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wc))
+      .withColumn("__tn", sum(col("n")).over(wt))
+      .withColumn("__tp", sum(col("n_pos")).over(wt))
+      .select(col(groupCol), col("bucket"), col("n"), col("n_pos"),
+        col("cum_n"), col("cum_pos"),
+        when(col("__tp") > 0,
+          expr("(1000000 * cum_pos * __tn) div (cum_n * __tp)")).as("lift_ppm"))
+  }
 }

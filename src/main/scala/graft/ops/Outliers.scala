@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Tukey-fence (IQR) outlier detection over integer metrics — the robust
@@ -174,5 +175,44 @@ object Outliers {
         max(col("__n")).as("n_points"),
         max(col("__s")).as("cusum_score"),
         max_by(col("__t"), struct(col("__s"), -col("__t"))).as("cp_pos"))
+  }
+
+  /** Symmetric trimmed statistics per group: drop the
+    * `⌊n·trimPpm/10⁶⌋` smallest and largest values by rank, report the
+    * surviving count, sum, and floor-mean — the robust location
+    * estimate that, unlike [[madOutliers]]' flagging, produces the
+    * cleaned aggregate itself (the "mean excluding the junk tails"
+    * a quality dashboard plots). Ranking is by value only: tied values
+    * at a trim boundary are interchangeable (equal values contribute
+    * equally to the sum), so the result is deterministic without a
+    * tie-break column. Values must be non-negative integers (floor-mean
+    * via `div`; pre-scale currency to cents).
+    *
+    * Scale shape: one per-group sort (row_number) + count window on the
+    * same sort, then a map-side-combinable aggregation — the same
+    * single-shuffle cost as any exact per-group order statistic.
+    */
+  def trimmedStats(
+      values: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      trimPpm: Long): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(trimPpm >= 0 && trimPpm < 500000L,
+      s"trimPpm must be in [0, 500000): $trimPpm")
+    val gs = groupCols.map(col)
+    val w = Window.partitionBy(gs: _*).orderBy(col("__v"))
+    val wn = Window.partitionBy(gs: _*)
+    values
+      .select(gs :+ col(valueCol).cast("long").as("__v"): _*)
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .withColumn("__cut", expr(s"(__n * $trimPpm) div 1000000"))
+      .where(col("__rk") > col("__cut") && col("__rk") <= col("__n") - col("__cut"))
+      .groupBy(gs: _*)
+      .agg(max(col("__n")).as("n"),
+        count(lit(1)).as("n_kept"),
+        sum(col("__v")).as("trimmed_sum"))
+      .withColumn("trimmed_mean", expr("trimmed_sum div n_kept"))
   }
 }

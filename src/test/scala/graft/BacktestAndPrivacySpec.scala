@@ -80,6 +80,44 @@ class BacktestAndPrivacySpec extends SparkSpec {
     assert(got("g3").getAs[Long]("n_sensitive") == 2 && got("g3").getAs[Long]("group_size") == 2)
   }
 
+  test("trimmedStats drops exactly ⌊n·trim⌋ per side and survives boundary ties") {
+    // 10 values: trim 10% each side drops min and max exactly
+    val df = (1L to 10L).map(v => ("g", v * 10)).toDF("g", "v")
+    val r = graft.ops.Outliers.trimmedStats(df, Seq("g"), "v", trimPpm = 100000L).head()
+    assert(r.getAs[Long]("n") == 10 && r.getAs[Long]("n_kept") == 8)
+    assert(r.getAs[Long]("trimmed_sum") == (2L to 9L).map(_ * 10).sum)
+    assert(r.getAs[Long]("trimmed_mean") == (2L to 9L).map(_ * 10).sum / 8)
+
+    // tied values at the trim boundary: dropping either tie yields the
+    // same sum — determinism without a tiebreak column
+    val tied = Seq(("g", 1L), ("g", 5L), ("g", 5L), ("g", 5L), ("g", 9L))
+      .toDF("g", "v")
+    val rt = graft.ops.Outliers.trimmedStats(tied, Seq("g"), "v", trimPpm = 200000L).head()
+    assert(rt.getAs[Long]("n_kept") == 3 && rt.getAs[Long]("trimmed_sum") == 15L)
+
+    // trim 0 keeps everything
+    val all = graft.ops.Outliers.trimmedStats(df, Seq("g"), "v", trimPpm = 0L).head()
+    assert(all.getAs[Long]("n_kept") == 10)
+  }
+
+  test("diffInDiff: hand-computed 2x2 and the missing-cell guard") {
+    import org.apache.spark.sql.functions.{col => c}
+    // treat pre mean 10, post 25 (Δ15); control pre 20, post 22 (Δ2) → did 13
+    val df = Seq(
+      (1L, false, 10L), (1L, false, 10L), (1L, true, 25L),
+      (0L, false, 20L), (0L, true, 22L), (0L, true, 22L))
+      .toDF("u", "post", "v")
+    val r = graft.ops.Cohort.diffInDiff(df, c("u") === 1L, c("post"), "v").head()
+    assert(r.getAs[Long]("m_t_pre") == 10 && r.getAs[Long]("m_t_post") == 25)
+    assert(r.getAs[Long]("m_c_pre") == 20 && r.getAs[Long]("m_c_post") == 22)
+    assert(r.getAs[Long]("did") == 13L)
+
+    // an empty cell (no control-post rows) drops the row entirely
+    val broken = Seq((1L, false, 10L), (1L, true, 25L), (0L, false, 20L))
+      .toDF("u", "post", "v")
+    assert(graft.ops.Cohort.diffInDiff(broken, c("u") === 1L, c("post"), "v").isEmpty)
+  }
+
   test("seasonalBacktest plan: profile and fallback broadcast, no row re-shuffle") {
     val df = Seq(("a", "2024-01-01 12:00:00", 10L), ("a", "2024-01-08 12:00:00", 13L))
       .toDF("k", "s", "v").withColumn("ts", to_timestamp(col("s")))

@@ -145,6 +145,27 @@ class EvalSpec extends SparkSpec {
     assert(miss.getAs[Long]("n_hit") == 0 && miss.getAs[Long]("mrr_ppm") == 0L)
   }
 
+  test("gainsTable: cumulative lift concentrates where the positives are") {
+    // 10 rows, scores 10..1, positives exactly the top 2 scorers, 5 buckets
+    val df = (1 to 10).map(i => (11 - i).toLong -> (i <= 2)).toDF("s", "y")
+      .withColumn("g", lit("a")).withColumn("id", col("s"))
+    val rows = graft.ops.Eval.gainsTable(df, "g", "s", "id", col("y"), buckets = 5)
+      .orderBy("bucket").collect()
+    assert(rows.length == 5)
+    // bucket 1 = top 2 rows = both positives → lift = (2/2)/(2/10) = 5×
+    assert(rows(0).getAs[Long]("n_pos") == 2)
+    assert(rows(0).getAs[Long]("lift_ppm") == 5000000L)
+    // the last bucket's cumulative lift is exactly 1
+    assert(rows(4).getAs[Long]("cum_n") == 10 && rows(4).getAs[Long]("cum_pos") == 2)
+    assert(rows(4).getAs[Long]("lift_ppm") == 1000000L)
+    // no positives at all → NULL lift everywhere
+    val nolift = graft.ops.Eval.gainsTable(
+      (1 to 10).map(i => (i.toLong, false)).toDF("s", "y")
+        .withColumn("g", lit("a")).withColumn("id", col("s")),
+      "g", "s", "id", col("y"), buckets = 5).collect()
+    assert(nolift.forall(_.isNullAt(nolift.head.fieldIndex("lift_ppm"))))
+  }
+
   test("rocAuc plan collapses to distinct scores before the window") {
     // the pre-window aggregate must appear below the window (sort) node:
     // a HashAggregate keyed on (g, score) — i.e. the window never sees
