@@ -2034,7 +2034,20 @@ object SparkEntry {
         t(s, dir, "events").select(col("user_id"), col("ts"),
           round(col("value") * 100).cast("long").as("cents")),
         col("user_id") % 2 === 1,
-        col("ts") >= lit("2024-01-16").cast("timestamp"), "cents"))
+        col("ts") >= lit("2024-01-16").cast("timestamp"), "cents")),
+
+    // ---- per-class precision/recall/F1 of the q196 noisy rater against
+    // the recorded lang: F1 fraction-free via 2·tp/(n_pred+n_gold). ------
+    "q205_class_prf" -> ((s, dir) =>
+      Eval.classPrf(
+        t(s, dir, "documents").select(col("lang"),
+          when(col("doc_id") % 4 === 0,
+            element_at(
+              map(lit("en"), lit("de"), lit("de"), lit("es"), lit("es"),
+                lit("fr"), lit("fr"), lit("zh"), lit("zh"), lit("en")),
+              col("lang")))
+            .otherwise(col("lang")).as("rater_b")),
+        "lang", "rater_b"))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -4983,7 +4996,37 @@ object SparkEntry {
         | CAST(m_t_pre AS BIGINT) AS m_t_pre, CAST(m_t_post AS BIGINT) AS m_t_post,
         | CAST(m_c_pre AS BIGINT) AS m_c_pre, CAST(m_c_post AS BIGINT) AS m_c_post,
         | CAST((m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS BIGINT) AS did
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    // q205: three class-count aggregations outer-joined; F1 by the
+    // fraction-free 2·tp/(n_pred+n_gold) identity.
+    "q205_class_prf" ->
+      """WITH r AS (SELECT * FROM (SELECT lang AS g,
+        |  CASE WHEN doc_id % 4 = 0 THEN
+        |   CASE lang WHEN 'en' THEN 'de' WHEN 'de' THEN 'es'
+        |    WHEN 'es' THEN 'fr' WHEN 'fr' THEN 'zh' WHEN 'zh' THEN 'en' END
+        |  ELSE lang END AS p
+        | FROM documents) WHERE g IS NOT NULL AND p IS NOT NULL),
+        |tp AS (SELECT g AS label, CAST(count(*) AS BIGINT) AS tp
+        | FROM r WHERE g = p GROUP BY 1),
+        |gold AS (SELECT g AS label, CAST(count(*) AS BIGINT) AS n_gold
+        | FROM r GROUP BY 1),
+        |pred AS (SELECT p AS label, CAST(count(*) AS BIGINT) AS n_pred
+        | FROM r GROUP BY 1)
+        |SELECT label,
+        | CAST(coalesce(gold.n_gold, 0) AS BIGINT) AS n_gold,
+        | CAST(coalesce(pred.n_pred, 0) AS BIGINT) AS n_pred,
+        | CAST(coalesce(tp.tp, 0) AS BIGINT) AS tp,
+        | CASE WHEN coalesce(pred.n_pred, 0) > 0
+        |  THEN CAST((1000000 * coalesce(tp.tp, 0)) // pred.n_pred AS BIGINT)
+        | END AS precision_ppm,
+        | CASE WHEN coalesce(gold.n_gold, 0) > 0
+        |  THEN CAST((1000000 * coalesce(tp.tp, 0)) // gold.n_gold AS BIGINT)
+        | END AS recall_ppm,
+        | CAST((2000000 * coalesce(tp.tp, 0))
+        |  // (coalesce(pred.n_pred, 0) + coalesce(gold.n_gold, 0)) AS BIGINT)
+        |  AS f1_ppm
+        |FROM gold FULL OUTER JOIN pred USING (label)
+        | LEFT JOIN tp USING (label)""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

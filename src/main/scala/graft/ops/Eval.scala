@@ -233,4 +233,42 @@ object Eval {
         when(col("__tp") > 0,
           expr("(1000000 * cum_pos * __tn) div (cum_n * __tp)")).as("lift_ppm"))
   }
+
+  /** Per-class precision / recall / F1 between a gold and a predicted
+    * label column, integer-exact: per class `c`, `tp` (gold = pred = c),
+    * `n_gold = tp + fn`, `n_pred = tp + fp`, and the ppm ratios —
+    * F1 via the fraction-free identity `2·tp / (n_pred + n_gold)`, so
+    * no intermediate float ever appears. Classes that are only ever
+    * predicted (precision defined, recall 0) or only ever gold
+    * (recall defined, precision NULL on zero predictions) both emit —
+    * the per-class breakdown is exactly where one-sided classes
+    * matter. Rows with a NULL on either side are excluded (un-scored).
+    *
+    * Scale shape: three map-side-combinable class-count aggregations
+    * (tp, gold marginal, pred marginal) outer-joined on the class key —
+    * everything after the first pass is class-cardinality-sized.
+    */
+  def classPrf(
+      df: DataFrame,
+      goldCol: String,
+      predCol: String): DataFrame = {
+    val rated = df.where(col(goldCol).isNotNull && col(predCol).isNotNull)
+      .select(col(goldCol).as("__g"), col(predCol).as("__p"))
+    val tp = rated.where(col("__g") === col("__p"))
+      .groupBy(col("__g").as("label")).agg(count(lit(1)).as("tp"))
+    val gold = rated.groupBy(col("__g").as("label")).agg(count(lit(1)).as("n_gold"))
+    val pred = rated.groupBy(col("__p").as("label")).agg(count(lit(1)).as("n_pred"))
+    gold
+      .join(pred, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision_ppm",
+        when(col("n_pred") > 0, expr("(1000000 * tp) div n_pred")))
+      .withColumn("recall_ppm",
+        when(col("n_gold") > 0, expr("(1000000 * tp) div n_gold")))
+      .withColumn("f1_ppm", expr("(2000000 * tp) div (n_pred + n_gold)"))
+  }
 }

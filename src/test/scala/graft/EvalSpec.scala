@@ -166,6 +166,30 @@ class EvalSpec extends SparkSpec {
     assert(nolift.forall(_.isNullAt(nolift.head.fieldIndex("lift_ppm"))))
   }
 
+  test("classPrf: per-class tp/marginals, one-sided classes, fraction-free F1") {
+    val rows = Seq(
+      ("a", "a"), ("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"), ("b", "b"), ("b", "a"),
+      ("c", "b"), // gold-only class: never predicted
+      ("b", "d")) // pred-only class: never gold
+    val got = graft.ops.Eval.classPrf(rows.toDF("gold", "pred"), "gold", "pred")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("tp") == 3 && a.getAs[Long]("n_gold") == 4 && a.getAs[Long]("n_pred") == 4)
+    assert(a.getAs[Long]("precision_ppm") == 750000L && a.getAs[Long]("f1_ppm") == 750000L)
+    val b = got("b")
+    assert(b.getAs[Long]("tp") == 2 && b.getAs[Long]("n_gold") == 4 && b.getAs[Long]("n_pred") == 4)
+    assert(b.getAs[Long]("f1_ppm") == 2000000L * 2 / 8)
+    // gold-only: precision NULL (0 predictions), recall 0, f1 0
+    val c = got("c")
+    assert(c.isNullAt(c.fieldIndex("precision_ppm")))
+    assert(c.getAs[Long]("recall_ppm") == 0L && c.getAs[Long]("f1_ppm") == 0L)
+    // pred-only: recall NULL, precision 0
+    val d = got("d")
+    assert(d.isNullAt(d.fieldIndex("recall_ppm")))
+    assert(d.getAs[Long]("precision_ppm") == 0L)
+  }
+
   test("rocAuc plan collapses to distinct scores before the window") {
     // the pre-window aggregate must appear below the window (sort) node:
     // a HashAggregate keyed on (g, score) — i.e. the window never sees
