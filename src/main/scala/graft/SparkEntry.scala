@@ -21,15 +21,26 @@ import graft.ops.{AsOfJoin, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Com
   */
 object SparkEntry {
 
-  /** Read a testdata table. `events.ts` is TIMESTAMP(NANOS) parquet, which
-    * Spark rejects by default — read nanos as long and floor to microsecond
-    * TimestampType, which is bit-identical to how DuckDB (µs-native) sees
-    * the same file, so ordering and epoch-ms math agree across engines.
+  /** Read a testdata table. `events.ts` has shipped as TIMESTAMP(NANOS)
+    * parquet in some generations (which Spark rejects by default — read
+    * nanos as long, floor to µs) and as timestamp[us] in others (loads as
+    * TIMESTAMP_NTZ — cast to session-TZ TimestampType; the session runs
+    * UTC, so the cast is an identity on the stored micros). Dispatching on
+    * the loaded type makes both generations land on the same µs-precision
+    * TimestampType that DuckDB (µs-native) sees, so ordering and epoch-ms
+    * math agree across engines either way.
     */
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts div 1000)")) else df
+    if (name == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampType => df
+        case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+      }
+    } else df
   }
 
   /** Co-order part pairs — the deterministic synthetic graph shared by the

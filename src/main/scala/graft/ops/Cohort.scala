@@ -46,11 +46,14 @@ object Cohort {
     * tiebreak that makes bucket assignment engine-portable.
     *
     * Scale shape: the base is one narrow aggregation on the entity key;
-    * the dataset max date is a 1-row broadcast. The three ntile windows
-    * are GLOBAL sorts of the entity-grain table — fine at customer grain
-    * (orders of magnitude below event grain); at billions of entities
-    * swap ntile for comparison against broadcast `approx_percentile`
-    * boundaries, trading exact equal-frequency buckets for ε-rank error.
+    * the dataset max date is a 1-row broadcast. Bucket assignment is
+    * EXACT ntile semantics but with no global single-partition sort:
+    * each metric's global rank comes from [[Normalize.denseIds]] (range
+    * repartition + broadcast per-partition offsets), and the bucket is
+    * then pure arithmetic on (rank, n, k) — `ntile` deals the first
+    * `n mod k` buckets one extra row, which is a closed-form floor
+    * division given the rank. Three range-balanced shuffles of the
+    * entity-grain table, nothing ever funnels to one partition.
     */
   def rfm(
       df: DataFrame,
@@ -59,21 +62,33 @@ object Cohort {
       amountCents: Column,
       k: Int = 5): DataFrame = {
     require(k >= 2, s"k must be >= 2: $k")
-    import org.apache.spark.sql.expressions.Window
     val per = df.groupBy(col(keyCol)).agg(
       max(to_date(dateCol)).as("__last"),
       count(lit(1)).as("frequency"),
       sum(amountCents).as("monetary_cents"))
     val mx = per.agg(max(col("__last")).as("__mx"))
+    val n = per.agg(count(lit(1)).as("__nt"))
     val base = per.crossJoin(broadcast(mx))
       .withColumn("recency_days", datediff(col("__mx"), col("__last")).cast("long"))
       .drop("__last", "__mx")
-    def score(metric: String): Column =
-      ntile(k).over(Window.orderBy(col(metric), col(keyCol))).cast("long")
-    base
-      .withColumn("r_bucket", score("recency_days"))
-      .withColumn("f_bucket", score("frequency"))
-      .withColumn("m_bucket", score("monetary_cents"))
+      .crossJoin(broadcast(n))
+    // ntile(k) over rank r in 1..n: buckets 1..rem hold big=⌈n/k⌉ rows,
+    // the rest hold small=⌊n/k⌋ (rem = n mod k). Exact integer division
+    // throughout — bit-identical to the window function in any engine.
+    def score(d: DataFrame, metric: String, out: String): DataFrame = {
+      val ranked = Normalize.denseIds(d, metric, keyCol, "__r0")
+        .withColumn("__r", col("__r0") + lit(1L)).drop("__r0")
+      ranked.withColumn(out,
+          expr(s"""CASE WHEN __r <= (__nt % $k) * ((__nt div $k) + 1)
+                  | THEN (__r - 1) div ((__nt div $k) + 1) + 1
+                  | ELSE (__nt % $k) + (__r - (__nt % $k) * ((__nt div $k) + 1) - 1)
+                  |        div (__nt div $k) + 1
+                  |END""".stripMargin).cast("long"))
+        .drop("__r")
+    }
+    val scored = score(score(score(base,
+      "recency_days", "r_bucket"), "frequency", "f_bucket"), "monetary_cents", "m_bucket")
+    scored.drop("__nt")
   }
 
   /** Daily/rolling active users and stickiness: per activity day, the

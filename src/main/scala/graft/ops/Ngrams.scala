@@ -386,15 +386,14 @@ object Ngrams {
       textCol: String = "text",
       sizes: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64, 128)): DataFrame = {
     require(sizes.nonEmpty && sizes.forall(_ >= 1), s"bad sizes: $sizes")
-    import org.apache.spark.sql.expressions.Window
     val counts = Dedup.parallelize(docs)
       .select(explode(Dedup.wordTokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("__n"))
-    val w = Window.orderBy(col("__n").desc, col("word"))
-    val ranked = counts
-      .withColumn("__rk", row_number().over(w).cast("long"))
-      .withColumn("__cum", sum(col("__n")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // Rank + running token total over (count desc, word) WITHOUT a global
+    // single-partition window: two-phase range-partitioned scan — the
+    // vocabulary can be billions of terms at corpus scale.
+    val ranked = Normalize.rankedPrefixSum(
+      counts, Seq(col("__n").desc, col("word")), "__n", "__rk", "__cum")
     val tot = counts.groupBy().agg(sum(col("__n")).as("__tot"))
     val sizesDf = docs.sparkSession.createDataFrame(
       sizes.distinct.sorted.map(v => Tuple1(v.toLong))).toDF("vocab_size")

@@ -173,6 +173,48 @@ object Normalize {
     * is total. `tieCol` must be unique (enforce upstream) — with
     * duplicate full keys, rows straddling a sampled boundary could swap.
     */
+  /** [[denseIds]] generalized to an ordered SCAN: every row gets both its
+    * global 1-based rank in the total order `orderBy` and the running sum
+    * of `valueCol` up to and including itself — i.e. exactly
+    * `row_number()` + `sum() ROWS UNBOUNDED PRECEDING` over a global
+    * window, but built scale-correct: range repartition on the order,
+    * a partition-count-sized (count, sum) offset table prefix-summed on
+    * a tiny window and broadcast back, per-partition window within. The
+    * ranking/accumulation shuffle is range-balanced across the cluster —
+    * no single-partition global WindowExec anywhere.
+    *
+    * `orderBy` must be a TOTAL order (unique composite; direction
+    * columns like `col.desc` are honored by both the range partitioner
+    * and the within-partition window, so they agree).
+    */
+  def rankedPrefixSum(
+      df: DataFrame,
+      orderBy: Seq[Column],
+      valueCol: String,
+      rankOut: String,
+      cumOut: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    // Eager for the same reason as denseIds: offsets and ranked rows must
+    // see one physical split of the sampled range boundaries.
+    val ranged = df.repartitionByRange(p, orderBy: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = ranged.groupBy("__pid")
+      .agg(count(lit(1)).as("__c"), sum(col(valueCol)).as("__s"))
+      .withColumn("__coff", coalesce(sum(col("__c")).over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__soff", coalesce(sum(col("__s")).over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__c", "__s")
+    val w = Window.partitionBy("__pid").orderBy(orderBy: _*)
+    ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(rankOut, col("__coff") + row_number().over(w).cast("long"))
+      .withColumn(cumOut, col("__soff") + sum(col(valueCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__pid", "__coff", "__soff")
+  }
+
   def denseIds(
       df: DataFrame,
       orderCol: String,
