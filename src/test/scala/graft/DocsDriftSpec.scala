@@ -1,0 +1,42 @@
+package graft
+
+/** Fail fast on documentation drift against the driver contract — the
+  * README query count and coverage-table tail went stale for two rounds
+  * before anything noticed. These invariants are cheap and structural:
+  * they don't require every query id to be spelled out in prose, just
+  * that the declared totals and the newest entry track `SparkEntry`.
+  */
+class DocsDriftSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private def read(p: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+
+  private val ids: Set[Int] =
+    SparkEntry.queries.keySet.map(k => k.drop(1).takeWhile(_.isDigit).toInt)
+
+  test("queries and oracleSql declare the same keys") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q == o, s"queries-only: ${(q -- o).toSeq.sorted}; oracle-only: ${(o -- q).toSeq.sorted}")
+  }
+
+  test("query ids are unique and contiguous from 1") {
+    assert(ids.size == SparkEntry.queries.size, "duplicate numeric query ids")
+    assert(ids == (1 to ids.size).toSet,
+      s"ids not contiguous 1..${ids.size}: missing ${((1 to ids.max).toSet -- ids).toSeq.sorted}")
+  }
+
+  test("README declares the actual query count and its table reaches the newest query") {
+    val readme = read("README.md")
+    val n = SparkEntry.queries.size
+    assert(readme.contains(s"$n queries"),
+      s"README should state '$n queries' (driver contract size)")
+    assert(readme.contains(s"q${ids.max}"),
+      s"README coverage table should mention the newest query q${ids.max}")
+  }
+
+  test("SURVEY §2.9 table reaches the newest query") {
+    val survey = read("SURVEY.md")
+    assert(survey.contains(s"q${ids.max}"),
+      s"SURVEY should mention the newest query q${ids.max}")
+  }
+}
