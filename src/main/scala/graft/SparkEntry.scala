@@ -1427,7 +1427,7 @@ object SparkEntry {
     // (count desc, pair asc) election. Pinned-fixture oracle — the
     // iterative argmax/rewrite loop is not SQL-replayable. --------------
     "q135_bpe_merges" -> ((s, dir) =>
-      Ngrams.bpeMerges(t(s, dir, "documents"), rounds = 16)),
+      Ngrams.bpeMerges(t(s, dir, "documents"), rounds = 16, batch = 8)),
 
     // ---- BPE ENCODE with the table q135 just trained: per-doc subword
     // counts and fertility — the tokenizer-quality audit. The merge table
@@ -1435,7 +1435,7 @@ object SparkEntry {
     // Oracle: the PINNED sf0.01 merges replayed as a chain of spaced
     // string replaces (the same leftmost-greedy semantics). -------------
     "q136_bpe_encode" -> ((s, dir) => {
-      val merges = Ngrams.bpeMerges(t(s, dir, "documents"), rounds = 16)
+      val merges = Ngrams.bpeMerges(t(s, dir, "documents"), rounds = 16, batch = 8)
         .orderBy("merge_rank").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       Ngrams.bpeEncodeStats(t(s, dir, "documents"), merges)
@@ -5044,6 +5044,9 @@ object SparkEntry {
 
   /** Pinned sf0.01 BPE merge table (regenerate via tools/pin_oracle.py) —
     * q135's oracle VALUES and the replace chain q136's oracle applies.
+    * Verified in round 7: batched election (batch = 8, conflict-free
+    * prefix rule) produces the IDENTICAL table to sequential BPE on this
+    * corpus, so the pin covers both modes.
     */
   private val PinnedQ135Merges: Seq[(Long, String, String, Long)] = Seq(
     (1L, "e", "r", 4568L), (2L, "e", "</w>", 4473L), (3L, "n", "</w>", 2834L),

@@ -257,18 +257,32 @@ object Ngrams {
     * corpus, which is tokenized exactly once); each round is one
     * vocabulary-sized pair aggregation plus a map-only native rewrite
     * ([[graft.functions.expressions.MergeAdjacentPair]]), and the only
-    * driver traffic is the single elected pair per round (same bounded
-    * trade as the IVF codebook). Faithful sequential semantics; a
-    * production-size vocab build (30k merges) batches provably
-    * independent merges per round — `rounds` here is the parameter that
-    * caps the sequential horizon.
+    * driver traffic is the elected pairs per round (bounded, same trade
+    * as the IVF codebook).
+    *
+    * `batch` caps how many merges one pair aggregation may elect: the
+    * top-`batch` pairs are scanned in election order and the maximal
+    * PREFIX whose pairs share no symbol is applied in one rewrite pass
+    * (stop at the first conflict). Disjointness means every batched
+    * pair's recorded count is exact at its own merge time — none of the
+    * batch-mates can touch its occurrences — so the table stays a pure
+    * function of the corpus. `batch = 1` is literal sequential BPE
+    * (Sennrich et al.); `batch > 1` may diverge from the sequential
+    * table only where a merge CREATES a new pair frequent enough to have
+    * out-ranked a later batch member — the standard, deterministic
+    * parallel-BPE trade. Job count: a 32k-merge production vocabulary at
+    * `batch = 64` is ~32k/⌀prefix ≈ 600–1500 aggregation rounds instead
+    * of 32k — the difference between hours and a day of driver round
+    * trips; each round stays one vocabulary-sized shuffle.
     */
   def bpeMerges(
       docs: DataFrame,
       textCol: String = "text",
       rounds: Int = 16,
-      endOfWord: String = "</w>"): DataFrame = {
+      endOfWord: String = "</w>",
+      batch: Int = 1): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    require(batch >= 1, s"batch must be >= 1: $batch")
     val spark = docs.sparkSession
     var vocab = Dedup.parallelize(docs)
       .select(explode(Dedup.wordTokens(col(textCol))).as("word"))
@@ -276,9 +290,10 @@ object Ngrams {
       .select(concat(split(col("word"), ""), array(lit(endOfWord))).as("syms"), col("n"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-    var r = 1
+    var sinceCheckpoint = 0
     var done = false
-    while (r <= rounds && !done) {
+    while (merges.size < rounds && !done) {
+      val want = math.min(batch, rounds - merges.size)
       val top = vocab.select(col("n"),
           explode(zip_with(
             slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
@@ -287,18 +302,28 @@ object Ngrams {
         .groupBy(col("p.l").as("l"), col("p.rt").as("rt"))
         .agg(sum("n").as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("rt"))
-        .limit(1).collect()
+        .limit(want).collect()
       if (top.isEmpty) done = true
       else {
-        val l = top.head.getString(0)
-        val rt = top.head.getString(1)
-        val cnt = top.head.getLong(2)
-        merges += ((r.toLong, l, rt, cnt))
+        // Maximal conflict-free prefix of the election order: the first
+        // pair always applies; later candidates apply only while no
+        // symbol seen so far repeats.
+        val used = scala.collection.mutable.Set.empty[String]
+        val selected = top.iterator.takeWhile { row =>
+          val ok = !used(row.getString(0)) && !used(row.getString(1))
+          if (ok) { used += row.getString(0); used += row.getString(1) }
+          ok
+        }.toSeq
+        selected.foreach { row =>
+          merges += ((merges.size + 1L, row.getString(0), row.getString(1), row.getLong(2)))
+        }
         vocab = vocab.select(
-          TextFunctions.mergeAdjacentPair(col("syms"), l, rt).as("syms"), col("n"))
+          selected.foldLeft(col("syms")) { (acc, row) =>
+            TextFunctions.mergeAdjacentPair(acc, row.getString(0), row.getString(1))
+          }.as("syms"), col("n"))
         // linear lineage; truncate periodically like the other fixpoints
-        if (r % 4 == 0) vocab = vocab.localCheckpoint()
-        r += 1
+        sinceCheckpoint += selected.size
+        if (sinceCheckpoint >= 4) { vocab = vocab.localCheckpoint(); sinceCheckpoint = 0 }
       }
     }
     // merge_rank/left_sym/right_sym: names chosen to stay clear of the

@@ -307,6 +307,35 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("rfm: no single-partition global WindowExec over the entity table") {
+    // ntile buckets now come from denseIds ranks + closed-form arithmetic;
+    // the only permissible empty-partition windows are the PARTITION-COUNT-
+    // sized offset prefix sums inside denseIds — those run over ≤ p rows.
+    // Nothing entity-grain may sort through one partition.
+    val orders = (1L to 200L).map(i =>
+      (i % 37, java.sql.Date.valueOf(s"2024-01-${i % 28 + 1}"), i * 13 % 997))
+      .toDF("cust", "d", "cents")
+    val plan = initialPlan(graft.ops.Cohort.rfm(orders, "cust", col("d"), col("cents")))
+    // denseIds localCheckpoints its ranged input, so the entity-grain rows
+    // enter each window stage ALREADY partitioned by range: any WindowExec
+    // left in the final plan with an empty partitionSpec would be the old
+    // global-ntile shape resurfacing.
+    val bad = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }.filterNot(_.orderSpec.mkString.contains("__pid")) // p-row offset prefix sums
+    assert(bad.isEmpty, s"global entity-grain window in rfm plan:\n${bad.map(_.treeString.take(500))}")
+  }
+
+  test("coverageCurve: vocabulary ranking has no single-partition global window") {
+    val d = (1 to 60).map(i => (i.toLong, s"alpha beta w$i w${i % 7}")).toDF("doc_id", "text")
+    val plan = initialPlan(graft.ops.Ngrams.coverageCurve(d, sizes = Seq(1, 4, 16)))
+    val bad = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }.filterNot(_.orderSpec.mkString.contains("__pid")) // p-row offset prefix sums
+    assert(bad.isEmpty,
+      s"global vocabulary window in coverageCurve plan:\n${bad.map(_.treeString.take(500))}")
+  }
+
   test("medoids: broadcast S + linear scan — no shuffle carries vectors twice") {
     // The member scan joins the blocks-sized S table by BROADCAST; if S
     // ever arrives via a shuffle keyed on the block column, the linear-

@@ -559,6 +559,41 @@ class Round4OpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("bpeMerges batched: disjoint prefix applies in one round, conflicts stop the batch") {
+    // word types: ab×3 [a,b,</w>], cd×2 [c,d,</w>].
+    // Round-1 election order: (a,b)=3, (b,</w>)=3 … tie → (a,b) first;
+    // next disjoint candidate in order is (c,d)=2 — but (b,</w>) sits
+    // between them and CONFLICTS on b, so the prefix rule stops at it:
+    // batch 1 = [(a,b)] only. Sequential equivalence holds regardless.
+    val docs = Seq((1L, "ab ab ab cd cd")).toDF("doc_id", "text")
+    val batched = Ngrams.bpeMerges(docs, rounds = 6, batch = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val sequential = Ngrams.bpeMerges(docs, rounds = 6, batch = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // On this corpus no merge ever creates a pair that out-ranks a later
+    // batch member, so batched == sequential — the equivalence case.
+    assert(batched == sequential)
+    assert(batched.head == ((1L, "a", "b", 3L)))
+  }
+
+  test("bpeMerges batched: recorded counts are exact at merge time (disjointness)") {
+    // Two independent high-frequency pairs in one batch: (a,b) and (c,d)
+    // share no symbol, so both merge in round 1 with their true counts.
+    // Election order: (a,b)=5, (c,d)=5 → tie by pair: a<c so (a,b) first,
+    // then (b,</w>)? No — (b,</w>)=5 too: order is (a,b),(b,</w>),(c,d)…
+    // (b,</w>) conflicts on b → batch stops after (a,b). So assert merges
+    // arrive in SOME valid order with exact counts, and determinism.
+    val docs = Seq((1L, ("ab " * 5) + ("cd " * 5))).toDF("doc_id", "text")
+    val a = Ngrams.bpeMerges(docs, rounds = 4, batch = 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val b = Ngrams.bpeMerges(docs, rounds = 4, batch = 8).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(a == b) // deterministic across runs
+    assert(a.head == ((1L, "a", "b", 5L)))
+    assert(a.map(m => (m._2, m._3)).contains(("c", "d")))
+    assert(a.find(m => m._2 == "c" && m._3 == "d").get._4 == 5L)
+  }
+
   test("bpeEncodeStats: merges apply in rank order, leftmost-greedy; fertility exact") {
     val docs = Seq((1L, "abab ac"), (2L, "")).toDF("doc_id", "text")
     // merges: (a,b)→ab then (ab,ab)→abab then (abab,</w>)
