@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1 scale smoke (dev/bench mode, not part of the library surface):
+  * gives the 100 TB-posture claims a first empirical point beyond sf0.1
+  * by timing the shuffle-heaviest queries at 10× the largest driver-
+  * generated scale factor.
+  *
+  * There is no driver-generated sf1, so the inputs are DERIVED from the
+  * driver's sf0.1 tables by deterministic disjoint replication — every
+  * replica shifts its keys past the global max and (for documents)
+  * prefixes each token with a replica tag, so replicas share no join
+  * keys and no vocabulary. That makes the scaled workload an honest 10×
+  * of the sf0.1 one: 10× documents with 10× vocabulary and 10× the
+  * qualifying similarity pairs (no cross-replica near-dup inflation),
+  * 10 disjoint copies of the order/supplier graph, 10× rows per
+  * quantile-norm group. Replicated inputs are materialized once under
+  * `target/sf1` (inside the repo; regenerated only if absent).
+  *
+  * Usage: `sbt 'runMain graft.ScaleSmoke'` → one JSON line + mirror at
+  * bench_sf1.json. SPARK_GRAFT_REPLICAS overrides the 10× default.
+  */
+object ScaleSmoke {
+  private val Queries = Seq(
+    "q69_pagerank", "q89_khop", "q130_prefix_jaccard", "q169_quantile_norm", "q192_ppr")
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+      java.nio.file.Paths.get(sys.props("user.dir"), "target", "sf1").toString)
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$out/customer.parquet").exists()) {
+      // Documents: shifted ids + per-replica token prefix → disjoint vocab.
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val docShift = docs.agg(max("doc_id")).head.getLong(0) + 1
+      replicate(docs, replicas) { case (d, i) =>
+        d.withColumn("doc_id", col("doc_id") + lit(i * docShift))
+          .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1"))
+      }.write.mode("overwrite").parquet(s"$out/documents.parquet")
+      // Orders/lineitem: shift every entity key past the global max so the
+      // derived graphs (customer–supplier, part co-order) are 10 disjoint
+      // copies; non-key measures replicate as-is.
+      val orders = spark.read.parquet(s"$src/orders.parquet")
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      val cust = spark.read.parquet(s"$src/customer.parquet")
+      val okShift = orders.agg(max("o_orderkey")).head.getLong(0) + 1
+      // custkey shift comes from the CUSTOMER table (superset of the keys
+      // orders reference) so o_custkey and c_custkey stay joinable.
+      val ckShift = cust.agg(max("c_custkey")).head.getLong(0) + 1
+      val skShift = li.agg(max("l_suppkey")).head.getLong(0) + 1
+      // partkey shift must preserve l_partkey % 4 (q89's deterministic
+      // graph slice) or replica graphs would differ from the base one.
+      val pkShift0 = li.agg(max("l_partkey")).head.getLong(0) + 1
+      val pkShift = pkShift0 + (4 - pkShift0 % 4) % 4
+      replicate(orders, replicas) { case (d, i) =>
+        d.withColumn("o_orderkey", col("o_orderkey") + lit(i * okShift))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * ckShift))
+      }.write.mode("overwrite").parquet(s"$out/orders.parquet")
+      replicate(li, replicas) { case (d, i) =>
+        d.withColumn("l_orderkey", col("l_orderkey") + lit(i * okShift))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i * skShift))
+          .withColumn("l_partkey", col("l_partkey") + lit(i * pkShift))
+      }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      replicate(cust, replicas) { case (d, i) =>
+        d.withColumn("c_custkey", col("c_custkey") + lit(i * ckShift))
+      }.write.mode("overwrite").parquet(s"$out/customer.parquet")
+    }
+
+    def timed(name: String): (String, Double) = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, out).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[sf1] $name failed: ${e.getMessage}") }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val results = Queries.map(timed)
+    val qJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val line = s"""{"metric":"sf1_smoke","value":${results.map(_._2).sum},"unit":"sec",""" +
+      s""""queries":$qJson,"replicas":$replicas,"base_sf":"$src",""" +
+      """"note":"inputs are deterministic disjoint replicas of sf0.1 (shifted keys, per-replica vocabulary) — a 10x workload, not driver-generated data"}"""
+    println(line)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.props("user.dir"), "bench_sf1.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[sf1] mirror write failed: ${e.getMessage}") }
+    spark.stop()
+  }
+
+  private def replicate(df: DataFrame, n: Int)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until n).map(i => shift(df, i)).reduce(_ unionByName _)
+}

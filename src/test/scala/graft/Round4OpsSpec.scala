@@ -489,6 +489,25 @@ class Round4OpsSpec extends SparkSpec {
     assert(byOrder.toSeq == (0L until 5000L), "dense ids must follow the (v, id) total order")
   }
 
+  test("rankedPrefixSum matches the global-window semantics it replaces, desc order included") {
+    import graft.ops.Normalize
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(43)
+    val rows = (0L until 3000L).map(i => (i, rnd.nextInt(50).toLong, rnd.nextInt(1000).toLong))
+      .toDF("id", "v", "n").repartition(7)
+    val w = Window.orderBy(col("v").desc, col("id"))
+    val expected = rows
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "rk", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val got = Normalize.rankedPrefixSum(rows, Seq(col("v").desc, col("id")), "n", "rk", "cum")
+      .select("id", "rk", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == expected.toSeq)
+  }
+
   // ------------------------------------------------- BPE merges
 
   test("bpeMerges replays the classic hand-computed merge sequence") {
