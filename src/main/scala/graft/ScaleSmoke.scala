@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   *
   * Usage: `sbt 'runMain graft.ScaleSmoke'` → one JSON line + mirror at
   * bench_sf1.json. SPARK_GRAFT_REPLICAS overrides the 10× default.
+  *
+  * Each query first runs UNTIMED at sf0.01: the per-round bench times a
+  * JVM warmed by 200 preceding queries, so a cold-JVM sf1 time would
+  * conflate JIT/codegen warm-up with data scaling (profiled: cold-start
+  * inflated q69 from its true ~9× to an apparent 33×; per-phase, edge
+  * build 3.6×, caches ~16×-but-1.6×-over-linear, iterations 9.6× — i.e.
+  * linear once warm). The warm-up makes sf1-vs-sf0.1 an apples-to-apples
+  * scaling read.
   */
 object ScaleSmoke {
   private val Queries = Seq(
@@ -78,11 +86,14 @@ object ScaleSmoke {
       }.write.mode("overwrite").parquet(s"$out/customer.parquet")
     }
 
+    def run(name: String, dir: String): Boolean =
+      try { SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save(); true }
+      catch { case e: Throwable => System.err.println(s"[sf1] $name failed on $dir: ${e.getMessage}"); false }
+    Queries.foreach(run(_, "/root/testdata/sf0.01")) // warm-up: JIT + codegen, untimed
     def timed(name: String): (String, Double) = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, out).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[sf1] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = run(name, out)
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val results = Queries.map(timed)
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
