@@ -2058,7 +2058,25 @@ object SparkEntry {
                 lit("fr"), lit("fr"), lit("zh"), lit("zh"), lit("en")),
               col("lang")))
             .otherwise(col("lang")).as("rater_b")),
-        "lang", "rater_b"))
+        "lang", "rater_b")),
+
+    // ---- semantic decontamination: even-id corpus vectors flagged when
+    // ANY odd-id (held-out) vector sits at cosine ≥ 0.9 — the paraphrase-
+    // level complement of q49's exact n-gram screen. Held-out side
+    // broadcast; corpus scanned once map-side, integer-exact threshold. -
+    "q206_semantic_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Decontaminate.semanticFlags(
+        emb.where(pmod(col("vec_id"), lit(2)) === 0),
+        emb.where(pmod(col("vec_id"), lit(2)) === 1))
+        .select(col("vec_id"), col("n_matches"), col("contaminated"))
+    }),
+
+    // ---- tokenizer fertility by language: tokens/word and chars/token
+    // ppm per lang bucket — vocab-allocation planning signal. Map-side
+    // counts (no explode) + one tiny hash agg. --------------------------
+    "q207_token_fertility" -> ((s, dir) =>
+      Lexical.tokenFertility(t(s, dir, "documents")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -5037,7 +5055,50 @@ object SparkEntry {
         |  // (coalesce(pred.n_pred, 0) + coalesce(gold.n_gold, 0)) AS BIGINT)
         |  AS f1_ppm
         |FROM gold FULL OUTER JOIN pred USING (label)
-        | LEFT JOIN tp USING (label)""".stripMargin
+        | LEFT JOIN tp USING (label)""".stripMargin,
+
+    // q206: q142's quantized-integer cosine algebra, cross-set (even =
+    // corpus, odd = held-out) instead of within-label.
+    "q206_semantic_decontaminate" ->
+      """WITH q AS (
+        | SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv
+        | FROM embeddings),
+        |n AS (
+        | SELECT vec_id, qv,
+        |  list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])) AS n2
+        | FROM q),
+        |h AS (
+        | SELECT a.vec_id, CAST(count(*) AS BIGINT) AS n_matches
+        | FROM n a JOIN n b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1,
+        |  LATERAL (SELECT list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*b.qv[i])) AS d) t
+        | WHERE t.d > 0 AND t.d * t.d * 100 >= 81 * a.n2 * b.n2
+        | GROUP BY a.vec_id)
+        |SELECT e.vec_id,
+        | CAST(coalesce(h.n_matches, 0) AS BIGINT) AS n_matches,
+        | h.vec_id IS NOT NULL AS contaminated
+        |FROM embeddings e LEFT JOIN h USING (vec_id)
+        |WHERE e.vec_id % 2 = 0""".stripMargin,
+
+    // q207: fertility ratios over the shared tokenizers — words =
+    // whitespace split, tokens = the BPE-ish pre-tokenizer regex.
+    "q207_token_fertility" ->
+      """WITH d AS (SELECT lang,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0)) AS w,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS t,
+        |  length(text) AS c
+        | FROM documents)
+        |SELECT lang,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(w) AS BIGINT) AS n_words,
+        | CAST(sum(t) AS BIGINT) AS n_tokens,
+        | CAST(sum(c) AS BIGINT) AS n_chars,
+        | CASE WHEN sum(w) = 0 THEN 0
+        |  ELSE CAST((1000000 * sum(t)) // sum(w) AS BIGINT) END AS fertility_ppm,
+        | CASE WHEN sum(t) = 0 THEN 0
+        |  ELSE CAST((1000000 * sum(c)) // sum(t) AS BIGINT) END AS chars_per_token_ppm
+        |FROM d
+        |GROUP BY lang""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -86,6 +86,53 @@ object Decontaminate {
           .otherwise(lit(0L)).as("overlap_ppm"))
   }
 
+  /** SEMANTIC decontamination: flag corpus vectors whose embedding has
+    * cosine ≥ tauNum/tauDen to ANY held-out vector — the paraphrase-level
+    * complement of the exact n-gram screens above (a reworded benchmark
+    * item shares no 8-gram but still sits next to the original in
+    * embedding space; cf. SemDeDup-style near-duplicate screening,
+    * [[Similarity.semanticDedup]]).
+    *
+    * Exactness: both sides quantize to `scale`-integers and the threshold
+    * test is the cross-multiplied square — `dot² · den² ≥ num² · |a|²|b|²`
+    * over integer dot products ([[VectorFunctions.intDot]]), no floats
+    * anywhere, so the flag is bit-identical across engines and partition
+    * counts.
+    *
+    * Scale shape: the held-out set is tiny next to a 100 TB corpus, so its
+    * quantized vectors are **broadcast** and the corpus is scanned once
+    * map-side (broadcast nested-loop: each corpus row checks k held-out
+    * vectors — linear in the corpus, never a corpus shuffle). Output is a
+    * total function of `corpus`: every id appears, with its match count.
+    */
+  def semanticFlags(
+      corpus: DataFrame,
+      heldout: DataFrame,
+      tauNum: Int = 9,
+      tauDen: Int = 10,
+      scale: Int = 1024,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(tauDen > 0 && tauNum >= 0 && tauNum <= tauDen, "need 0 <= tauNum/tauDen <= 1")
+    val q = transform(col(vecCol), x => round(x.cast("double") * scale).cast("long"))
+    def prep(df: DataFrame, qc: String, nc: String) = df
+      .select(col(idCol), q.as(qc))
+      .withColumn(nc, VectorFunctions.intDot(col(qc), col(qc)))
+    val tr = prep(corpus, "__qa", "__n2a").withColumnRenamed(idCol, "__ida")
+    val te = prep(heldout, "__qb", "__n2b").drop(idCol)
+    val dot = VectorFunctions.intDot(col("__qa"), col("__qb"))
+    val hits = tr.join(broadcast(te),
+        dot > 0 && dot * dot * lit(tauDen.toLong * tauDen) >=
+          lit(tauNum.toLong * tauNum) * col("__n2a") * col("__n2b"))
+      .groupBy(col("__ida").as(idCol))
+      .agg(count(lit(1)).as("n_matches"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("n_matches").isNotNull.as("contaminated"))
+  }
+
   /** [[flagged]] with 64-bit hashed shingles instead of gram strings —
     * same join shape, 8-byte keys. Distinct-per-doc by construction
     * ([[VectorFunctions.shingleHashes]] emits distinct hashes), so the

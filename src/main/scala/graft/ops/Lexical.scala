@@ -203,4 +203,40 @@ object Lexical {
           (col("__tb") - coalesce(col("__sb"), lit(0L)))).as("l1_ppm"),
         coalesce(col("n_shared_terms"), lit(0L)).as("n_shared_terms"))
   }
+
+  /** Tokenizer fertility per language — the tokens-per-word and
+    * characters-per-token ratios a tokenizer budget planner reads per
+    * language bucket (high fertility = the tokenizer fragments that
+    * language; drives vocab allocation and per-language token pricing).
+    * Words are the whitespace tokenizer ([[Dedup.wordTokens]]); tokens the
+    * BPE-ish pre-tokenizer ([[graft.functions.TextFunctions.TokenPattern]]).
+    * Ratios are ⌊1e6·x⌋ ppm so the report is integer-exact.
+    *
+    * Scale shape: one map-side projection (two regex scans per doc, no
+    * explode — counts only) + one hash agg on the language key. The 100 TB
+    * cost is the corpus scan itself.
+    */
+  def tokenFertility(
+      docs: DataFrame,
+      langCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions
+    docs
+      .select(col(langCol).as("lang"),
+        size(Dedup.wordTokens(col(textCol))).cast("long").as("__w"),
+        TextFunctions.tokenCount(col(textCol)).as("__t"),
+        length(col(textCol)).cast("long").as("__c"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__w")).as("n_words"),
+        sum(col("__t")).as("n_tokens"),
+        sum(col("__c")).as("n_chars"))
+      .withColumn("fertility_ppm",
+        when(col("n_words") === 0, 0L)
+          .otherwise(expr("(1000000L * n_tokens) div n_words")))
+      .withColumn("chars_per_token_ppm",
+        when(col("n_tokens") === 0, 0L)
+          .otherwise(expr("(1000000L * n_chars) div n_tokens")))
+  }
 }

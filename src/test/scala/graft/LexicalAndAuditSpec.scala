@@ -148,4 +148,17 @@ class LexicalAndAuditSpec extends SparkSpec {
     assert(got(("a", "c")) == ((14L, 1000000L)))
     assert(got(("b", "c")) == ((14L, 1000000L)))
   }
+
+  test("tokenFertility: hand-computed per-language ratios, zero-safe") {
+    val docs = Seq(
+      ("en", "Hello world!"),  // words 2; tokens Hello|world|! = 3; chars 12
+      ("en", "a b"),           // words 2; tokens 2; chars 3
+      ("zz", "")               // empty: all zero, ratios 0
+    ).toDF("lang", "text")
+    val got = Lexical.tokenFertility(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got("en") == ((2L, 4L, 5L, 15L, 1250000L, 3000000L)))
+    assert(got("zz") == ((1L, 0L, 0L, 0L, 0L, 0L)))
+  }
 }

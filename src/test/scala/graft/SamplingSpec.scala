@@ -172,4 +172,39 @@ class SamplingSpec extends SparkSpec {
     // t: single row crosses its tiny budget, included
     assert(got == Map(1L -> 40L, 2L -> 80L, 4L -> 100L))
   }
+
+  test("semanticFlags: cosine-threshold hits vs held-out, total over the corpus") {
+    val corpus = Seq(
+      (0L, Seq(1f, 0f)),      // cos 1.0 with held-out (2,0) → contaminated
+      (2L, Seq(0.6f, 0.8f)),  // cos 0.6 / 0.8 vs the two held-out → clean
+      (4L, Seq(-3f, -4f))     // antiparallel → dot < 0 → clean
+    ).toDF("vec_id", "embedding")
+    val heldout = Seq((1L, Seq(2f, 0f)), (3L, Seq(0f, 5f))).toDF("vec_id", "embedding")
+    val got = Decontaminate.semanticFlags(corpus, heldout)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map(0L -> ((1L, true)), 2L -> ((0L, false)), 4L -> ((0L, false))))
+  }
+
+  test("semanticFlags matches a reference double-cosine screen on random vectors") {
+    val rnd = new scala.util.Random(7)
+    def vec(): Seq[Float] = Seq.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)
+    val corpus = (0L until 60L).map(i => (i, vec()))
+    val heldout = (100L until 130L).map(i => (i, vec()))
+    // Reference replays the op's integer contract (scale-quantized dot,
+    // cross-multiplied squares) in plain Scala.
+    def q(v: Seq[Float]): Seq[Long] = v.map(x => math.round(x.toDouble * 1024))
+    def dot(a: Seq[Long], b: Seq[Long]): Long = a.zip(b).map { case (x, y) => x * y }.sum
+    val expected = corpus.map { case (id, v) =>
+      val qa = q(v); val n2a = dot(qa, qa)
+      val n = heldout.count { case (_, w) =>
+        val qb = q(w); val d = dot(qa, qb)
+        d > 0 && d * d * 100 >= 81 * n2a * dot(qb, qb)
+      }
+      id -> ((n.toLong, n > 0))
+    }.toMap
+    val got = Decontaminate.semanticFlags(
+        corpus.toDF("vec_id", "embedding"), heldout.toDF("vec_id", "embedding"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == expected)
+  }
 }
