@@ -347,4 +347,20 @@ class PlanShapeSpec extends SparkSpec {
     val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
     assert(bhj.nonEmpty, s"no broadcast join in medoids plan:\n${plan.treeString.take(1500)}")
   }
+
+  test("semanticFlags: held-out side broadcast (BNLJ), corpus never cartesian-shuffled") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val mk = (ids: Seq[Long]) => ids.map(i =>
+      (i, Array.tabulate(4)(d => (i * 7 % 13 + d).toFloat))).toDF("vec_id", "embedding")
+    val out = graft.ops.Decontaminate.semanticFlags(mk(1L to 40L), mk(100L to 110L))
+    val plan = initialPlan(out)
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"cartesian product in semanticFlags plan:\n${plan.treeString.take(1500)}")
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
+      s"no broadcast nested-loop in semanticFlags plan:\n${plan.treeString.take(1500)}")
+    // and no shuffle ever carries the quantized vectors — only (id, count)
+    shuffleOutputs(out).foreach { o =>
+      assert(!o.exists(_.startsWith("__q")), s"vector column in shuffle: $o")
+    }
+  }
 }
