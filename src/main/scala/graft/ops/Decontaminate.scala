@@ -118,7 +118,10 @@ object Decontaminate {
     def prep(df: DataFrame, qc: String, nc: String) = df
       .select(col(idCol), q.as(qc))
       .withColumn(nc, VectorFunctions.intDot(col(qc), col(qc)))
-    val tr = prep(corpus, "__qa", "__n2a").withColumnRenamed(idCol, "__ida")
+    // Spread guards the CPU-heavy per-pair dot stage against tiny
+    // single-split inputs (no-op on real multi-split corpora).
+    val tr = prep(graft.io.Spread.toDefaultParallelism(corpus), "__qa", "__n2a")
+      .withColumnRenamed(idCol, "__ida")
     val te = prep(heldout, "__qb", "__n2b").drop(idCol)
     val dot = VectorFunctions.intDot(col("__qa"), col("__qb"))
     val hits = tr.join(broadcast(te),
