@@ -2076,7 +2076,19 @@ object SparkEntry {
     // ppm per lang bucket — vocab-allocation planning signal. Map-side
     // counts (no explode) + one tiny hash agg. --------------------------
     "q207_token_fertility" -> ((s, dir) =>
-      Lexical.tokenFertility(t(s, dir, "documents")))
+      Lexical.tokenFertility(t(s, dir, "documents"))),
+
+    // ---- column-level drift between two snapshots (even/odd orderkey
+    // halves of lineitem): per column, (rows, nulls, distinct, min, max,
+    // sum) from each side — one full-scan agg per snapshot, unpivoted to
+    // a columns-count-sized report. ------------------------------------
+    "q208_column_drift" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Audit.columnDrift(
+        li.where(pmod(col("l_orderkey"), lit(2)) === 0),
+        li.where(pmod(col("l_orderkey"), lit(2)) === 1),
+        Seq("l_quantity", "l_partkey", "l_suppkey", "l_linenumber"))
+    })
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -5098,7 +5110,23 @@ object SparkEntry {
         | CASE WHEN sum(t) = 0 THEN 0
         |  ELSE CAST((1000000 * sum(c)) // sum(t) AS BIGINT) END AS chars_per_token_ppm
         |FROM d
-        |GROUP BY lang""".stripMargin
+        |GROUP BY lang""".stripMargin,
+
+    // q208: the per-column profile replayed per snapshot half and joined.
+    "q208_column_drift" -> {
+      def side(tag: String, parity: Int) =
+        Seq("l_quantity", "l_partkey", "l_suppkey", "l_linenumber").map(c =>
+          s"""SELECT '$c' AS column_name,
+             | CAST(count(*) AS BIGINT) AS n_$tag,
+             | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_$tag,
+             | CAST(count(DISTINCT $c) AS BIGINT) AS distinct_$tag,
+             | CAST(min($c) AS BIGINT) AS min_$tag,
+             | CAST(max($c) AS BIGINT) AS max_$tag,
+             | CAST(sum($c) AS BIGINT) AS sum_$tag
+             |FROM lineitem WHERE l_orderkey % 2 = $parity""".stripMargin)
+          .mkString("(", ") UNION ALL (", ")")
+      s"""SELECT * FROM (${side("a", 0)}) pa JOIN (${side("b", 1)}) pb USING (column_name)"""
+    }
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

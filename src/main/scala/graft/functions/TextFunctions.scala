@@ -49,10 +49,18 @@ object TextFunctions {
       .cast("long")
 
   /** BPE-ish token count: letter runs, digit runs, or single non-space
-    * symbols — the standard pre-tokenizer shape.
+    * symbols — the standard pre-tokenizer shape. Native single-matcher
+    * walk ([[expressions.RegexpCount]]): same count as the extract-all
+    * form below, without materializing every matched substring.
     */
   val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def tokenCount(text: Column): Column =
+    GraftColumn(expressions.RegexpCount(GraftColumn.expr(text), TokenPattern))
+
+  /** Reference extract-all form of [[tokenCount]] (what the SQL oracles
+    * run; tests cross-check the native form against it).
+    */
+  def tokenCountHof(text: Column): Column =
     size(regexp_extract_all(text, lit(TokenPattern), lit(0))).cast("long")
 
   /** Document fingerprint: md5 of whitespace-normalized lowercased text.

@@ -562,6 +562,41 @@ case class CountOccurrences(child: Expression, needle: String) extends UnaryExpr
     copy(child = newChild)
 }
 
+/** Count of non-overlapping matches of a constant regex, as one matcher
+  * walk — the same count as `size(regexp_extract_all(text, pattern, 0))`
+  * (both sides are java.util.regex find() loops), WITHOUT materializing
+  * the match array: the extract-all form allocates every matched
+  * substring plus an ArrayData per row just to take its length, which on
+  * a 100 TB token-counting scan (q13/q44/q140/q143/q166/q207 all count
+  * BPE-ish tokens) is pure GC pressure. The pattern compiles once per
+  * operator instance.
+  */
+case class RegexpCount(child: Expression, pattern: String) extends UnaryExpression {
+  require(pattern.nonEmpty, "pattern must be non-empty")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val compiled = java.util.regex.Pattern.compile(pattern)
+
+  def count(h: UTF8String): Long = {
+    val m = compiled.matcher(h.toString)
+    var c = 0L
+    while (m.find()) c += 1
+    c
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("regexpCount", this, classOf[RegexpCount].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.count($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RegexpCount =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over a token array: each token hashes once to 64 bits;
   * per-bit signed votes; result bit set where votes are positive. The
   * staged HOF form hashes every token once per bit (64×).

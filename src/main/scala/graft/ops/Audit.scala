@@ -287,4 +287,42 @@ object Audit {
       .select(col("rank"), col("key"), col("n_left"), col("n_right"), col("est_rows"),
         floor(lit(1000000L) * col("est_rows") / col("__total")).as("est_share_ppm"))
   }
+
+  /** Column-level drift report between two snapshots of the same table —
+    * the per-column complement of row-level [[TableDiff]]: one row per
+    * profiled column with (rows, nulls, distinct, min, max, sum) from
+    * each side, the data-quality monitor a pipeline runs between loads
+    * ("did this column's null rate / range / mass shift?").
+    *
+    * All stats are integer-exact on long-castable columns, so the report
+    * hashes identically across engines.
+    *
+    * Scale shape: ONE full-scan aggregation per snapshot producing a
+    * single row (every stat is an ordinary agg), unpivoted to per-column
+    * rows by a `stack` over that 1-row result, then a tiny
+    * columns-count-sized join. The multiple `count(DISTINCT ...)`s plan
+    * as one Expand (k× row multiplication for k profiled columns) feeding
+    * one shuffle of per-column partial distinct sets — at truly high
+    * cardinality swap in `approx_count_distinct` for the bounded-memory
+    * path; exact is kept here because the report is oracled.
+    */
+  def columnDrift(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    def profile(df: DataFrame, tag: String): DataFrame = {
+      val aggs = cols.flatMap(c => Seq(
+        count(lit(1)).as(s"${c}__n"),
+        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("long").as(s"${c}__min"),
+        max(col(c)).cast("long").as(s"${c}__max"),
+        sum(col(c)).cast("long").as(s"${c}__sum")))
+      val row = df.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', `${c}__n`, `${c}__nulls`, `${c}__nd`, `${c}__min`, `${c}__max`, `${c}__sum`")
+        .mkString(", ")
+      row.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        s"(column_name, n_$tag, nulls_$tag, distinct_$tag, min_$tag, max_$tag, sum_$tag)")
+    }
+    profile(a, "a").join(profile(b, "b"), "column_name")
+  }
 }

@@ -149,6 +149,15 @@ class LexicalAndAuditSpec extends SparkSpec {
     assert(got(("b", "c")) == ((14L, 1000000L)))
   }
 
+  test("columnDrift: per-column stats from both snapshots, null-aware") {
+    val a = Seq((1L, Option(10L)), (2L, Option(10L)), (3L, None)).toDF("id", "v")
+    val b = Seq((4L, Option(7L))).toDF("id", "v")
+    val got = Audit.columnDrift(a, b, Seq("id", "v"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(got("id") == Seq(3L, 0L, 3L, 1L, 3L, 6L, 1L, 0L, 1L, 4L, 4L, 4L))
+    assert(got("v") == Seq(3L, 1L, 1L, 10L, 10L, 20L, 1L, 0L, 1L, 7L, 7L, 7L))
+  }
+
   test("tokenFertility: hand-computed per-language ratios, zero-safe") {
     val docs = Seq(
       ("en", "Hello world!"),  // words 2; tokens Hello|world|! = 3; chars 12

@@ -115,6 +115,31 @@ class NativeExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("regexp count: native matcher walk matches size(regexp_extract_all)") {
+    val texts = Seq(
+      "Hello, world! 42 tokens?",
+      "a1b2c3",                      // alternating runs
+      "",                            // empty
+      "    ",                        // whitespace only (zero tokens)
+      "ünïcödé mixed ASCII 7 ...",   // multi-byte chars + symbol runs
+      "x" * 5000)                    // long single run
+      .toDF("t")
+    val rows = texts.select(
+      graft.functions.TextFunctions.tokenCount(col("t")).as("n"),
+      graft.functions.TextFunctions.tokenCountHof(col("t")).as("nh")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1), s"$r"))
+    // and the random cross-check, both engines' count on arbitrary text
+    val rnd = new scala.util.Random(11)
+    val alphabet = "ab1 ,.!\tZ9é"
+    val fuzz = (1 to 200).map(_ =>
+      Tuple1((0 until rnd.nextInt(80)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString))
+      .toDF("t")
+    val fr = fuzz.select(
+      graft.functions.TextFunctions.tokenCount(col("t")).as("n"),
+      graft.functions.TextFunctions.tokenCountHof(col("t")).as("nh")).collect()
+    fr.foreach(r => assert(r.getLong(0) === r.getLong(1), s"$r"))
+  }
+
   test("sorted intersect count matches size(array_intersect) on sorted distinct arrays") {
     val pairs = Seq.fill(80) {
       val a = Seq.fill(1 + rnd.nextInt(30))(f"w${rnd.nextInt(40)}%02d").distinct.sorted
