@@ -94,5 +94,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_int_dot",
         "graft_int_dot(a, b) - exact 64-bit integer dot product of two long arrays"),
       (children: Seq[Expression]) => IntDotProduct(children(0), children(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_regexp_count"),
+      info("graft_regexp_count",
+        "graft_regexp_count(text, pattern) - non-overlapping match count of a literal regex, no match-array materialization"),
+      (children: Seq[Expression]) =>
+        RegexpCount(children(0), stringArg(children(1), "pattern"))))
   }
 }

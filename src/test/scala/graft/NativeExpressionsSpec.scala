@@ -197,6 +197,8 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(psh.size == 2)
     val idot = spark.sql("SELECT graft_int_dot(array(2L, -3L), array(5L, 7L)) AS d").head().getLong(0)
     assert(idot == -11L)
+    val rc = spark.sql("SELECT graft_regexp_count('ab1 cd2', '[a-z]+') AS n").head().getLong(0)
+    assert(rc == 2L)
   }
 
   test("positional shingle hashes: order-preserving, content-determined, empty below k") {
