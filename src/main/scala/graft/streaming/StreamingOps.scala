@@ -339,6 +339,33 @@ object StreamingOps {
       }
   }
 
+  /** Incremental column profiler — the streaming form of
+    * [[graft.ops.Audit.columnDrift]]'s per-snapshot side: per profiled
+    * column, running (rows, nulls, min, max, sum) maintained by Spark's
+    * OWN stateful aggregation (update mode), so each micro-batch merges
+    * its partial stats into the state store instead of rescanning
+    * history. Exact distinct is deliberately absent: it is not
+    * bounded-state mergeable — pair with `approx_count_distinct` when an
+    * estimate is acceptable.
+    *
+    * Works identically on a batch frame (plain agg) and a streaming one
+    * (update-mode stateful agg) — the unpivot is a map-side explode of a
+    * column-count-sized literal array, combined before the shuffle, so
+    * the shuffle carries per-column partials only.
+    */
+  def columnProfileStream(rows: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val pairs = rows.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("long").as("v"))): _*)).as("p"))
+      .select(col("p.column_name").as("column_name"), col("p.v").as("v"))
+    pairs.groupBy("column_name").agg(
+      count(lit(1)).as("n"),
+      count(when(col("v").isNull, 1)).as("nulls"),
+      min(col("v")).as("min"),
+      max(col("v")).as("max"),
+      sum(col("v")).as("sum"))
+  }
+
   /** Read the reference's user-exp JSON shape as a file stream. */
   def userExpStream(spark: SparkSession, dir: String): Dataset[SessionEvent] = {
     import spark.implicits._

@@ -199,6 +199,39 @@ class StreamingSpec extends SparkSpec {
     assert(counts == Map("hot" -> 4L, "cold" -> 1L))
   }
 
+  test("columnProfileStream maintains running per-column stats across micro-batches") {
+    val in = Files.createTempDirectory("graft_stream_prof")
+    def write(name: String, rows: Seq[(Long, java.lang.Long)]): Unit =
+      Files.write(Paths.get(in.toString, name),
+        rows.map { case (a, b) => s"""{"a":$a,"b":${Option(b).map(_.toString).getOrElse("null")}}""" }
+          .mkString("\n").getBytes)
+    write("b1.json", Seq((1L, 10L), (2L, null)))
+    val stream = spark.readStream.schema("a LONG, b LONG").json(in.toString)
+    val q = StreamingOps.columnProfileStream(stream, Seq("a", "b"))
+      .writeStream.outputMode("complete").format("memory").queryName("prof")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable()
+    def profile(): Map[String, (Long, Long, Long, Long, Long)] =
+      spark.table("prof").collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(profile() == Map(
+      "a" -> ((2L, 0L, 1L, 2L, 3L)),
+      "b" -> ((2L, 1L, 10L, 10L, 10L))))
+    // batch 2 merges into the state store — stats are cumulative, not per-batch
+    write("b2.json", Seq((5L, 4L)))
+    q.processAllAvailable(); q.stop()
+    assert(profile() == Map(
+      "a" -> ((3L, 0L, 1L, 5L, 8L)),
+      "b" -> ((3L, 1L, 4L, 10L, 14L))))
+    // and the SAME code path profiles a batch frame (no streaming machinery)
+    import spark.implicits._
+    val batch = Seq((1L, Option(10L)), (2L, None), (5L, Option(4L))).toDF("a", "b")
+    val got = StreamingOps.columnProfileStream(batch, Seq("a", "b")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == profile())
+  }
+
   test("heavyHittersStream: bounded state, exact counts while under capacity, bounds after eviction") {
     val in = Files.createTempDirectory("graft_stream_hh")
     def write(name: String, items: Seq[String]): Unit =
