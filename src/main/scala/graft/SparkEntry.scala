@@ -2088,7 +2088,15 @@ object SparkEntry {
         li.where(pmod(col("l_orderkey"), lit(2)) === 0),
         li.where(pmod(col("l_orderkey"), lit(2)) === 1),
         Seq("l_quantity", "l_partkey", "l_suppkey", "l_linenumber"))
-    })
+    }),
+
+    // ---- inter-arrival-time histogram per event type: successive
+    // per-user gaps, 60 s bins capped at 10 — per-key window (never
+    // global) + one narrow (type, bucket) hash agg. ---------------------
+    "q209_interarrival" -> ((s, dir) =>
+      TimeSeries.interArrivalHistogram(
+        t(s, dir, "events"), "user_id", "event_type", "ts",
+        widthSec = 60L, maxBucket = 10L, tieCols = Seq("event_id")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -5126,7 +5134,19 @@ object SparkEntry {
              |FROM lineitem WHERE l_orderkey % 2 = $parity""".stripMargin)
           .mkString("(", ") UNION ALL (", ")")
       s"""SELECT * FROM (${side("a", 0)}) pa JOIN (${side("b", 1)}) pb USING (column_name)"""
-    }
+    },
+
+    // q209: identical gap pairing — per-user lag over (epoch_ms, event_id).
+    "q209_interarrival" ->
+      """WITH g AS (
+        | SELECT event_type, epoch_ms(ts) AS ms,
+        |  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev
+        | FROM events)
+        |SELECT event_type,
+        | CAST(least((ms - prev) // 60000, 10) AS BIGINT) AS bucket,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM g WHERE prev IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -358,4 +358,44 @@ object TimeSeries {
         expr("""CASE WHEN __se >= 0 THEN __se div n_test
                | ELSE -((-__se) div n_test) END""".stripMargin).as("bias"))
   }
+
+  /** Inter-arrival-time histogram per group: successive per-key event
+    * gaps, bucketed to `widthSec`-wide bins capped at `maxBucket`
+    * (overflow collapses into the cap bin), counted per
+    * (group, bucket) — the arrival-cadence profile an ops monitor reads
+    * per event type ("did the gap distribution shift right?"). Each key's
+    * first event has no predecessor and is excluded.
+    *
+    * Scale shape: one per-key window (`lag` over keyCol partitions —
+    * range-balanced, never global) + one narrow hash agg on
+    * (group, bucket); the shuffle carries key/ts/group triples then
+    * bucket counts.
+    */
+  def interArrivalHistogram(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      tsCol: String,
+      widthSec: Long = 60L,
+      maxBucket: Long = 10L,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(widthSec > 0, s"widthSec must be positive: $widthSec")
+    require(maxBucket >= 0, s"maxBucket must be non-negative: $maxBucket")
+    import org.apache.spark.sql.expressions.Window
+    // Gap math in epoch MILLIS (sub-second gaps bucket correctly) with
+    // integer division — engine-exact against an epoch-ms oracle. The
+    // order is over the SAME ms values both engines see; tieCols make it
+    // total when timestamps repeat, so gap pairing is deterministic.
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ms") +: tieCols.map(col): _*)
+    df.select((Seq(col(keyCol), col(groupCol), unix_millis(col(tsCol)).as("__ms")) ++
+        tieCols.map(col)): _*)
+      .withColumn("__prev", lag(col("__ms"), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .select(col(groupCol),
+        least(expr(s"(__ms - __prev) div ${widthSec * 1000L}"), lit(maxBucket))
+          .cast("long").as("bucket"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

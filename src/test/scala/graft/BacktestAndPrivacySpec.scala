@@ -125,4 +125,20 @@ class BacktestAndPrivacySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("interArrivalHistogram: hand-computed gaps, cap bucket, first events excluded") {
+    // u1: gaps 30s (bucket 0), 90s (bucket 1), 20min (capped at 3)
+    // u2: single event -> no gap
+    val df = Seq(
+      ("u1", "view", "2024-01-01 10:00:00"),
+      ("u1", "view", "2024-01-01 10:00:30"),
+      ("u1", "click", "2024-01-01 10:02:00"),
+      ("u1", "view", "2024-01-01 10:22:00"),
+      ("u2", "view", "2024-01-01 10:00:00")
+    ).toDF("u", "g", "s").withColumn("ts", to_timestamp(col("s")))
+    val got = TimeSeries.interArrivalHistogram(df, "u", "g", "ts",
+        widthSec = 60L, maxBucket = 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("view", 0L) -> 1L, ("click", 1L) -> 1L, ("view", 3L) -> 1L))
+  }
 }
