@@ -2096,7 +2096,14 @@ object SparkEntry {
     "q209_interarrival" -> ((s, dir) =>
       TimeSeries.interArrivalHistogram(
         t(s, dir, "events"), "user_id", "event_type", "ts",
-        widthSec = 60L, maxBucket = 10L, tieCols = Seq("event_id")))
+        widthSec = 60L, maxBucket = 10L, tieCols = Seq("event_id"))),
+
+    // ---- per-language Spearman rank correlation between text length and
+    // token count: tie-broken integer ranks, exact Σd² suff-stats, floor
+    // ppm ρ — two per-lang rank windows + one narrow agg. ----------------
+    "q210_spearman" -> ((s, dir) =>
+      Trend.spearman(t(s, dir, "documents"), Seq("lang"),
+        length(col("text")), TextFunctions.tokenCount(col("text")), col("doc_id")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -5146,7 +5153,28 @@ object SparkEntry {
         | CAST(least((ms - prev) // 60000, 10) AS BIGINT) AS bucket,
         | CAST(count(*) AS BIGINT) AS n
         |FROM g WHERE prev IS NOT NULL
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q210: identical tie-broken ranks; DuckDB's // floors, matching the
+    // Spark side's explicit floor-division branches.
+    "q210_spearman" ->
+      """WITH r AS (
+        | SELECT lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY length(text), doc_id) AS rx,
+        |  row_number() OVER (PARTITION BY lang
+        |   ORDER BY len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), doc_id) AS ry
+        | FROM documents),
+        |s AS (
+        | SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+        | FROM r GROUP BY 1)
+        |SELECT lang, n, sum_d2,
+        | CAST(n * (n * n - 1) - 6 * sum_d2 AS BIGINT) AS rho_num,
+        | CAST(n * (n * n - 1) AS BIGINT) AS rho_den,
+        | CASE WHEN n < 2 THEN NULL
+        |  ELSE CAST((1000000 * (n * (n * n - 1) - 6 * sum_d2)) // (n * (n * n - 1)) AS BIGINT)
+        | END AS rho_ppm
+        |FROM s""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -50,4 +50,51 @@ object Trend {
           signum(col("n") * col("__sxy") - col("__sx") * col("__sy")).cast("long")
             .as("trend")): _*)
   }
+
+  /** Per-group Spearman rank correlation — the monotone-association
+    * screen between two columns (does token count track text length?
+    * does quality track recency?), integer-exact: both columns rank by
+    * `row_number` over a TIE-BROKEN total order (`tieCol` — ties take
+    * the tie-break's order; the documented contract is Spearman of that
+    * tie-broken permutation, which equals classic Spearman exactly when
+    * values are distinct), then ρ = 1 − 6·Σd²/(n·(n²−1)) published as a
+    * floor ppm plus its exact integer numerator/denominator. Groups with
+    * n < 2 report null ρ. The ppm publication stays inside Long up to
+    * n ≈ 2·10⁴ rows per group (10⁶·n³ < 2⁶³); beyond that consumers
+    * derive ρ from the exact `(rho_num, rho_den)` pair in wider
+    * arithmetic — the suff-stats, not the ppm, are the scale-safe output
+    * (the q100/q157 stance).
+    *
+    * Scale shape: two per-group rank windows (partitioned by the group —
+    * range-balanced, never a global sort) + one narrow suff-stat agg;
+    * the shuffles carry (group, value, rank) triples only.
+    */
+  def spearman(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: Column,
+      yCol: Column,
+      tieCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val wx = Window.partitionBy(g: _*).orderBy(xCol, tieCol)
+    val wy = Window.partitionBy(g: _*).orderBy(yCol, tieCol)
+    val ranked = df
+      .withColumn("__rx", row_number().over(wx).cast("long"))
+      .withColumn("__ry", row_number().over(wy).cast("long"))
+      .withColumn("__d2", (col("__rx") - col("__ry")) * (col("__rx") - col("__ry")))
+    ranked.groupBy(g: _*)
+      .agg(count(lit(1)).as("n"), sum(col("__d2")).as("sum_d2"))
+      .withColumn("rho_num", col("n") * (col("n") * col("n") - 1) - lit(6L) * col("sum_d2"))
+      .withColumn("rho_den", col("n") * (col("n") * col("n") - 1))
+      // floor division toward -inf on a possibly-negative numerator: both
+      // engines must agree, so spell the negative branch explicitly.
+      .withColumn("rho_ppm",
+        when(col("n") < 2, lit(null).cast("long"))
+          .otherwise(expr(
+            """CASE WHEN rho_num >= 0 THEN (1000000 * rho_num) div rho_den
+              | ELSE -(((-1000000) * rho_num + rho_den - 1) div rho_den)
+              |END""".stripMargin).cast("long")))
+  }
 }

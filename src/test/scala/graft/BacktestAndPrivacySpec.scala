@@ -126,6 +126,24 @@ class BacktestAndPrivacySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("spearman: hand-computed rho incl. the negative floor-division branch") {
+    import graft.ops.Trend
+    // group "neg": x ranks 1..7, y ranks (4,5,2,7,1,6,3) → Σd² = 60,
+    // rho = -24/336 = -1/14 → floor ppm = -71429 (truncation would give
+    // -71428 — this pins FLOOR semantics on the negative branch).
+    val neg = Seq(4, 5, 2, 7, 1, 6, 3).zipWithIndex.map { case (ry, i) =>
+      ("neg", (i + 1).toLong, ry.toLong, i.toLong)
+    }
+    // group "pos": y = x → Σd² = 0 → rho_ppm = 1000000 exactly
+    val pos = (1 to 5).map(i => ("pos", i.toLong, i.toLong, (i + 100).toLong))
+    val df = (neg ++ pos).toDF("g", "x", "y", "id")
+    val got = Trend.spearman(df, Seq("g"), col("x"), col("y"), col("id"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("neg") == ((7L, 60L, -24L, 336L, -71429L)))
+    assert(got("pos") == ((5L, 0L, 120L, 120L, 1000000L)))
+  }
+
   test("interArrivalHistogram: hand-computed gaps, cap bucket, first events excluded") {
     // u1: gaps 30s (bucket 0), 90s (bucket 1), 20min (capped at 3)
     // u2: single event -> no gap
