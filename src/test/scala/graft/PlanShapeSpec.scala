@@ -348,6 +348,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(bhj.nonEmpty, s"no broadcast join in medoids plan:\n${plan.treeString.take(1500)}")
   }
 
+  test("interArrivalHistogram and spearman: every window is key-partitioned, never global") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    def unpartitionedWindows(df: DataFrame): Seq[WindowExec] =
+      initialPlan(df).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+    val ev = (1 to 60).map(i => (s"u${i % 7}", s"t${i % 3}", f"2024-01-01 10:${i % 60}%02d:00"))
+      .toDF("u", "g", "s").withColumn("ts", to_timestamp(col("s")))
+    assert(unpartitionedWindows(
+      graft.ops.TimeSeries.interArrivalHistogram(ev, "u", "g", "ts")).isEmpty,
+      "inter-arrival lag must partition by the key")
+    val xy = (1 to 60).map(i => (s"g${i % 4}", (i * 7 % 13).toLong, (i * 5 % 11).toLong, i.toLong))
+      .toDF("g", "x", "y", "id")
+    assert(unpartitionedWindows(
+      graft.ops.Trend.spearman(xy, Seq("g"), col("x"), col("y"), col("id"))).isEmpty,
+      "spearman ranks must partition by the group")
+  }
+
   test("semanticFlags: held-out side broadcast (BNLJ), corpus never cartesian-shuffled") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val mk = (ids: Seq[Long]) => ids.map(i =>
