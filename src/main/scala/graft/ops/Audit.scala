@@ -302,17 +302,27 @@ object Audit {
     * rows by a `stack` over that 1-row result, then a tiny
     * columns-count-sized join. The multiple `count(DISTINCT ...)`s plan
     * as one Expand (k× row multiplication for k profiled columns) feeding
-    * one shuffle of per-column partial distinct sets — at truly high
-    * cardinality swap in `approx_count_distinct` for the bounded-memory
-    * path; exact is kept here because the report is oracled.
+    * one shuffle of per-column partial distinct sets — the k× input
+    * expansion of exact multi-distinct. `approxDistinct = true` swaps in
+    * `approx_count_distinct` (HyperLogLog++): partials collapse to one
+    * fixed-size sketch per column with NO Expand — the bounded-memory
+    * path for a wide audit over a huge table, at ~2% relative error on
+    * the distinct counts only (every other stat stays exact). Exact is
+    * the default because the report is oracled.
     */
-  def columnDrift(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+  def columnDrift(
+      a: DataFrame,
+      b: DataFrame,
+      cols: Seq[String],
+      approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
     def profile(df: DataFrame, tag: String): DataFrame = {
+      def nd(c: String) =
+        if (approxDistinct) approx_count_distinct(col(c)) else count_distinct(col(c))
       val aggs = cols.flatMap(c => Seq(
         count(lit(1)).as(s"${c}__n"),
         count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
-        count_distinct(col(c)).as(s"${c}__nd"),
+        nd(c).as(s"${c}__nd"),
         min(col(c)).cast("long").as(s"${c}__min"),
         max(col(c)).cast("long").as(s"${c}__max"),
         sum(col(c)).cast("long").as(s"${c}__sum")))

@@ -124,9 +124,18 @@ object Decontaminate {
       .withColumnRenamed(idCol, "__ida")
     val te = prep(heldout, "__qb", "__n2b").drop(idCol)
     val dot = VectorFunctions.intDot(col("__qa"), col("__qb"))
+    // The cross-multiplied test runs in DecimalType(38,0), not Long:
+    // dot²·den² exceeds Long for high-dim / non-unit-norm embeddings at
+    // scale=1024 (768-dim, norm ≈ 30 ⇒ ~5·10¹⁹ > 2⁶³), and Spark wraps
+    // silently where other engines error — a silent wrap could flip
+    // flags. Decimal(38,0) keeps the products exact up to 10³⁸, i.e.
+    // n2a·n2b·tauDen² < 10³⁸ — quantized squared-norms to ~10¹⁶ a side
+    // at tauDen ≤ 10³, far beyond any real embedding. Only the
+    // comparison pays decimal cost; the O(dim) dot stays a Long kernel.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val hits = tr.join(broadcast(te),
-        dot > 0 && dot * dot * lit(tauDen.toLong * tauDen) >=
-          lit(tauNum.toLong * tauNum) * col("__n2a") * col("__n2b"))
+        dot > 0 && dot.cast(dec) * dot.cast(dec) * lit(tauDen.toLong * tauDen).cast(dec) >=
+          lit(tauNum.toLong * tauNum).cast(dec) * col("__n2a").cast(dec) * col("__n2b").cast(dec))
       .groupBy(col("__ida").as(idCol))
       .agg(count(lit(1)).as("n_matches"))
     corpus.select(col(idCol))

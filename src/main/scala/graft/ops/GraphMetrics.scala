@@ -149,7 +149,8 @@ object GraphMetrics {
       pairs: DataFrame,
       aCol: String = "a_id",
       bCol: String = "b_id",
-      maxDegree: Int = Int.MaxValue): DataFrame = {
+      maxDegree: Int = Int.MaxValue,
+      reliable: Boolean = false): DataFrame = {
     require(maxDegree >= 1, s"maxDegree must be >= 1: $maxDegree")
     val e = canonicalEdges(pairs, aCol, bCol)
     val sym = e.select(col("u").as("src"), col("v").as("dst"))
@@ -157,13 +158,13 @@ object GraphMetrics {
     // Materialize the deduped adjacency once: it feeds BOTH sides of the
     // wedge join, the union and the 1-hop count — without this the
     // caller's (possibly expensive) pair-building plan re-runs four
-    // times. localCheckpoint is EAGER (runs a job at plan-construction
-    // time) and stores blocks non-fault-tolerantly; the trade, accepted
-    // here at API level, is that the alternative — re-running the
-    // upstream pair-building join 4× or persisting without lineage
-    // truncation under a self-join — costs more than a recompute-on-
-    // executor-loss scenario saves in local and small-cluster deployments.
-    val oneHop = sym.distinct().localCheckpoint()
+    // times. Caller-selectable posture ([[Staging.stage]]): the default
+    // localCheckpoint is eager and non-fault-tolerant (fastest; executor
+    // loss kills the query); `reliable = true` swaps in a lazy
+    // persist(DISK_ONLY) that recomputes lost blocks from lineage — the
+    // right call on preemptible nodes. `sym.distinct()` is deterministic,
+    // so recompute is bit-identical.
+    val oneHop = Staging.stage(sym.distinct(), reliable)
     val mid =
       if (maxDegree == Int.MaxValue) oneHop
       else {

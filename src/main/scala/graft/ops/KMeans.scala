@@ -48,28 +48,31 @@ object KMeans {
       idCol: String,
       vecCol: String,
       k: Int,
-      iterations: Int): (DataFrame, DataFrame) = {
+      iterations: Int,
+      reliable: Boolean = false): (DataFrame, DataFrame) = {
     require(k > 0 && iterations >= 0, "k and iterations must be positive")
     // Quantize to the non-negative lattice [0, 254] (shift keeps integer
-    // division = floor division in every engine). Checkpoint: q feeds
-    // every round — recomputing the quantization per round would rescan
-    // the source iterations+1 times.
-    val q = points
+    // division = floor division in every engine). Staged ([[Staging
+    // .stage]], caller-selectable fault tolerance — quantization is a
+    // pure function of the input, so the reliable persist(DISK_ONLY)
+    // path recomputes lost blocks bit-identically): q feeds every
+    // round — unstaged, the source would rescan iterations+1 times.
+    val q = Staging.stage(points
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
       .withColumn("__m", VectorFunctions.maxAbs(col("__v")))
       .select(col("id"),
-        transform(VectorFunctions.quantizeInt8(col("__v"), col("__m")), x => x + 127L).as("qv"))
-      .localCheckpoint()
+        transform(VectorFunctions.quantizeInt8(col("__v"), col("__m")), x => x + 127L).as("qv")),
+      reliable)
 
     // Deterministic seed: k lowest ids, cid assigned in id order. The
     // window runs over k rows (post-limit), not the input.
     val seed = q.orderBy(col("id")).limit(k)
-    var centroids = seed
+    var centroids = Staging.stage(seed
       .withColumn("cid",
         row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("id")))
           .cast("long") - 1L)
-      .select(col("cid"), col("qv").as("cvec"))
-      .localCheckpoint()
+      .select(col("cid"), col("qv").as("cvec")),
+      reliable)
 
     // Map-only nearest-centroid scan against a broadcast codebook via a
     // codegen'd integer loop ([[graft.functions.expressions
@@ -100,10 +103,10 @@ object KMeans {
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("v")))),
           s => s.getField("v")).as("cvec_new"))
-      centroids = centroids
+      centroids = Staging.stage(centroids
         .join(means, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("cvec_new"), col("cvec")).as("cvec"))
-        .localCheckpoint()
+        .select(col("cid"), coalesce(col("cvec_new"), col("cvec")).as("cvec")),
+        reliable)
     }
     (centroids, assign(centroids).drop("qv"))
   }
@@ -118,8 +121,9 @@ object KMeans {
       idCol: String,
       vecCol: String,
       k: Int,
-      iterations: Int): DataFrame = {
-    val (centroids, assigned) = fit(points, idCol, vecCol, k, iterations)
+      iterations: Int,
+      reliable: Boolean = false): DataFrame = {
+    val (centroids, assigned) = fit(points, idCol, vecCol, k, iterations, reliable)
     assigned.groupBy("cid")
       .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"))
       .join(centroids.select(col("cid"),

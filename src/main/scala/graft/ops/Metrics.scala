@@ -406,10 +406,15 @@ object Metrics {
     * bin-width-sensitive). One row out: (n_a, n_b, d_num, ks_ppm).
     *
     * Scale shape: one hash agg to per-value (cnt_a, cnt_b) — map-side
-    * combined, the shuffle is value-cardinality-sized — then one ordered
-    * window over DISTINCT values for the running sums and a scalar max.
-    * Like any exact ECDF, the window is value-cardinality-bound: use the
-    * bucketed [[histogramDistance]] when the domain is unbounded-ish.
+    * combined, the shuffle is value-cardinality-sized — then the running
+    * ECDF difference is a single range-partitioned prefix-sum scan
+    * ([[Normalize.rankedPrefixSum]]) over the distinct values: the
+    * identity `cum_a·n_b − cum_b·n_a = Σ_{v'≤v}(ca·n_b − cb·n_a)` turns
+    * the two running counts into ONE running sum of a per-value delta,
+    * so no single-partition global window exists anywhere in the plan —
+    * the value domain can be arbitrarily large. [[histogramDistance]]
+    * remains the bucketed alternative when even the distinct-value AGG
+    * is too big to shuffle.
     */
   def ksStatistic(
       df: DataFrame,
@@ -417,22 +422,19 @@ object Metrics {
       valueCol: String,
       groupA: String,
       groupB: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perValue = df
       .where(col(groupCol).isin(groupA, groupB))
       .groupBy(col(valueCol).cast("long").as("__v"))
       .agg(count_if(col(groupCol) === groupA).as("__ca"),
         count_if(col(groupCol) === groupB).as("__cb"))
-    val w = Window.orderBy(col("__v"))
     val totals = perValue.groupBy()
       .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
-    perValue
-      .withColumn("__cuma", sum(col("__ca")).over(w))
-      .withColumn("__cumb", sum(col("__cb")).over(w))
+    val withDelta = perValue
       .crossJoin(broadcast(totals))
+      .withColumn("__delta", col("__ca") * col("n_b") - col("__cb") * col("n_a"))
+    Normalize.rankedPrefixSum(withDelta, Seq(col("__v")), "__delta", "__rk", "__cum")
       .groupBy(col("n_a"), col("n_b"))
-      .agg(max(abs(col("__cuma") * col("n_b") - col("__cumb") * col("n_a")))
-        .as("d_num"))
+      .agg(max(abs(col("__cum"))).as("d_num"))
       .withColumn("ks_ppm", expr("(1000000L * d_num) div (n_a * n_b)"))
   }
 

@@ -246,6 +246,46 @@ object Multimodal {
       }
   }
 
+  /** [[syntheticMedia]] extended to all three modalities — id%3==0 a real
+    * BMP, id%3==1 a real WAV, id%3==2 an 8-frame "video" whose payload is
+    * a real BMP (frame sampling is byte-window based, so a valid BMP is a
+    * valid frame source) — so [[extractFeatures]]' dimension path runs the
+    * REAL container parser ([[graft.functions.BinaryCodecs.bmpDimensions]])
+    * on two of three legs; only the audio leg falls through to the stub's
+    * deterministic header read (dims (128, 352), a pure function of the
+    * 'RI' RIFF magic). Container params are pure functions of the id, so
+    * the expected metadata replays analytically in any engine.
+    */
+  def syntheticMediaTri(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    graft.io.Spread.toDefaultParallelism(docs)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+        (id % 3) match {
+          case 0 =>
+            val w = 8 + (id % 24).toInt
+            val h = 8 + (id % 16).toInt
+            val payload = BinaryCodecs.bmp(w, h, bytes)
+            MediaRow(id, "image", payload, "image/bmp", payload.length.toLong)
+          case 1 =>
+            val rate = 8000 + (id % 8).toInt * 1000
+            val n = 500 + (id % 1000).toInt
+            val samples = Array.tabulate(n)(i =>
+              (if (bytes.isEmpty) 0 else bytes(i % bytes.length) * 128).toShort)
+            val payload = BinaryCodecs.wav(rate, samples)
+            MediaRow(id, "audio", payload, "audio/wav", payload.length.toLong)
+          case _ =>
+            val w = 8 + (id % 24).toInt
+            val h = 8 + (id % 16).toInt
+            val payload = BinaryCodecs.bmp(w, h, bytes)
+            MediaRow(id, "video", payload, "video/x-bmp-frames", payload.length.toLong)
+        }
+      }
+  }
+
   /** Test-path adapter: treat document text bytes as opaque media payloads
     * so the full binary-column pipeline runs against real testdata.
     */

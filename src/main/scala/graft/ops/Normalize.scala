@@ -41,11 +41,12 @@ object Normalize {
     * codes (not first-seen order) are what make the assignment
     * deterministic and reproducible across runs and engines.
     *
-    * Scale shape: codes are assigned on the DISTINCT values (dimension-
-    * sized — the window's single reducer sees categories, never rows),
-    * then broadcast-joined back; the fact table is never shuffled. This
-    * is the distinct→rank→broadcast pattern, NOT a window over the fact
-    * table.
+    * Scale shape: codes are assigned on the DISTINCT values via
+    * [[denseIds]] — range-partitioned two-phase ranking, so even a huge
+    * code domain (user-ids, URLs) is ranked across the cluster with no
+    * single-partition sort — then broadcast-joined back; the fact table
+    * is never shuffled. This is the distinct→rank→broadcast pattern,
+    * NOT a window over the fact table.
     *
     * Contract: the distinct-value dictionary must be BROADCAST-sized
     * (categorical cardinality, not key cardinality) — encoding a
@@ -87,10 +88,15 @@ object Normalize {
   }
 
   def dictEncode(df: DataFrame, valueCol: String, codeCol: String = "code"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(valueCol).asc_nulls_first)
-    val dict = df.select(col(valueCol)).distinct()
-      .withColumn(codeCol, row_number().over(w).cast("long"))
-      .withColumnRenamed(valueCol, "__dict_value")
+    // Two-phase ranking on the distinct values ([[denseIds]]): same
+    // 1-based sort-order codes the old global row_number window assigned
+    // (asc, NULLS FIRST — both the range partitioner and the per-partition
+    // window use Spark's asc-nulls-first default), with the ranking
+    // range-balanced instead of single-partition. The value itself is the
+    // tiebreak (unique after distinct).
+    val distinctVals = df.select(col(valueCol).as("__dict_value")).distinct()
+    val dict = denseIds(distinctVals, "__dict_value", "__dict_value", codeCol)
+      .withColumn(codeCol, col(codeCol) + 1L)
     df.join(broadcast(dict), col(valueCol) <=> col("__dict_value")).drop("__dict_value")
   }
 

@@ -309,9 +309,17 @@ object Sampling {
     require(k >= 1, s"k must be >= 1: $k")
     import org.apache.spark.sql.expressions.Window
     val pos = interactions.select(col(userCol), col(itemCol)).distinct()
-    val itemRank = pos.groupBy(col(itemCol)).agg(count(lit(1)).as("__pop"))
-      .withColumn("__rank",
-        row_number().over(Window.orderBy(col("__pop").desc, col(itemCol))).cast("long"))
+    // Catalog ranking by (popularity desc, item asc) via the two-phase
+    // range-partitioned [[Normalize.denseIds]] (asc on −pop ≡ desc on
+    // pop; item is the unique tiebreak after the groupBy) — item catalogs
+    // run 1e8–1e9 in recsys corpora, so the rank assignment must not be a
+    // single-partition global window.
+    val itemRank = Normalize.denseIds(
+      pos.groupBy(col(itemCol)).agg(count(lit(1)).as("__pop"))
+        .withColumn("__negpop", -col("__pop")),
+      "__negpop", itemCol, "__rank")
+      .withColumn("__rank", col("__rank") + 1L)
+      .drop("__negpop", "__pop")
     val nItems = itemRank.groupBy().agg(count(lit(1)).as("__n"))
     val draws = pos
       .crossJoin(broadcast(nItems))

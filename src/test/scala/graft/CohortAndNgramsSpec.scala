@@ -161,6 +161,15 @@ class CohortAndNgramsSpec extends SparkSpec {
     assert(capped(1L) == (1L, 2L))
   }
 
+  test("GraphMetrics.neighborhoodSize: reliable=true matches the localCheckpoint path") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L), (10L, 13L))
+      .toDF("a_id", "b_id")
+    def run(reliable: Boolean) =
+      GraphMetrics.neighborhoodSize(edges, reliable = reliable)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(run(reliable = true) == run(reliable = false))
+  }
+
   test("GraphMetrics.neighborhoodSize: cap never overcounts, and is exact when no degree exceeds it") {
     val rnd = new scala.util.Random(11)
     val edges = Seq.fill(60)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))

@@ -58,6 +58,21 @@ class KMeansSpec extends SparkSpec {
     assert(assigned.count() == df.count())
   }
 
+  test("reliable=true (persist DISK_ONLY) reproduces the localCheckpoint path bit-identically") {
+    // The fault-tolerance switch must be invisible to results: every
+    // staged plan is a pure function of the input, so the recompute-
+    // capable persist path and the lineage-truncating localCheckpoint
+    // path land on identical centroids and assignments.
+    val df = blobs(15)
+    def run(reliable: Boolean) = {
+      val (c, a) = KMeans.fit(df, "vec_id", "embedding", k = 3, iterations = 2, reliable = reliable)
+      (c.collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq,
+        a.collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cid"), r.getAs[Long]("dist")))
+          .sortBy(_._1).toSeq)
+    }
+    assert(run(reliable = true) == run(reliable = false))
+  }
+
   test("zero vectors quantize to the lattice midpoint and cluster together") {
     val df = ((0 until 10).map(i => (i.toLong, Array.fill(4)(0f))) ++
       (10 until 20).map(i => (i.toLong, Array.fill(4)(50f)))).toDF("vec_id", "embedding")

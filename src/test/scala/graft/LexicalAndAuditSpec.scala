@@ -158,6 +158,17 @@ class LexicalAndAuditSpec extends SparkSpec {
     assert(got("v") == Seq(3L, 1L, 1L, 10L, 10L, 20L, 1L, 0L, 1L, 7L, 7L, 7L))
   }
 
+  test("columnDrift: approxDistinct path matches exact on small cardinality, other stats identical") {
+    // HLL++ is exact in its sparse regime, so at toy cardinality the
+    // approximate path must agree exactly — and every non-distinct stat
+    // comes off the same aggregate either way.
+    val a = Seq((1L, Option(10L)), (2L, Option(10L)), (3L, None)).toDF("id", "v")
+    val b = Seq((4L, Option(7L))).toDF("id", "v")
+    def run(approx: Boolean) = Audit.columnDrift(a, b, Seq("id", "v"), approxDistinct = approx)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(run(approx = true) == run(approx = false))
+  }
+
   test("tokenFertility: hand-computed per-language ratios, zero-safe") {
     val docs = Seq(
       ("en", "Hello world!"),  // words 2; tokens Hello|world|! = 3; chars 12

@@ -40,6 +40,22 @@ class MultimodalSpec extends SparkSpec {
     assert(kinds.keySet == Set("image", "audio", "video"))
   }
 
+  test("syntheticMediaTri: real BMP dims on image AND video legs, stub RIFF read on audio") {
+    val docs = Seq((0L, "abc"), (1L, "defg"), (2L, "hij"), (3L, ""), (25L, "xyz"))
+      .toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(Multimodal.syntheticMediaTri(docs))
+      .collect().map(f => f.media_id -> f).toMap
+    // image (id%3==0): dims are the writer's params decoded by the REAL parser
+    assert(feats(0L).kind == "image" && feats(0L).width == 8 && feats(0L).height == 8)
+    assert(feats(3L).width == 11 && feats(3L).height == 11) // 8+3%24, 8+3%16
+    // audio (id%3==1): stub header read of the RIFF magic — constants
+    assert(feats(1L).kind == "audio" && feats(1L).width == 128 && feats(1L).height == 352)
+    assert(feats(25L).kind == "audio" && feats(25L).width == 128 && feats(25L).height == 352)
+    // video (id%3==2): BMP-framed payload — real dims, 8 sampled frames
+    assert(feats(2L).kind == "video" && feats(2L).width == 10 && feats(2L).height == 10)
+    assert(feats(2L).n_frames == 8 && feats(0L).n_frames == 1)
+  }
+
   test("frame sampling is bounded and covers the payload") {
     val frames = DecodeStub.sampleFrames((1 to 1000).map(_.toByte).toArray, maxFrames = 8)
     assert(frames.size == 8)

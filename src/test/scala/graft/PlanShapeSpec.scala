@@ -366,6 +366,60 @@ class PlanShapeSpec extends SparkSpec {
       "spearman ranks must partition by the group")
   }
 
+  test("dictEncode / popularityNegatives / ksStatistic: no row-grain global windows") {
+    // r8: the last three single-partition global rankings were rebuilt on
+    // the two-phase range-partitioned path (denseIds / rankedPrefixSum).
+    // The only empty-partitionSpec windows allowed in these plans are the
+    // partition-count-sized __pid offset prefix sums inside those helpers.
+    import org.apache.spark.sql.execution.window.WindowExec
+    def rowGrainGlobal(df: DataFrame): Seq[WindowExec] =
+      initialPlan(df).collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        .filterNot(_.orderSpec.mkString.contains("__pid"))
+    val vals = (1 to 300).map(i => (i.toLong, s"v${i % 41}")).toDF("id", "v")
+    assert(rowGrainGlobal(graft.ops.Normalize.dictEncode(vals, "v")).isEmpty,
+      "dictEncode must rank its dictionary via denseIds, not a global window")
+    val inter = (1 to 300).map(i => (s"u${i % 23}", s"item${i % 57}")).toDF("user", "item")
+    assert(rowGrainGlobal(
+      graft.ops.Sampling.popularityNegatives(inter, "user", "item", k = 2)).isEmpty,
+      "popularityNegatives must rank the item catalog via denseIds, not a global window")
+    val ks = (1 to 300).map(i => (if (i % 2 == 0) "A" else "R", (i * 7 % 97).toLong)).toDF("g", "v")
+    assert(rowGrainGlobal(graft.ops.Metrics.ksStatistic(ks, "g", "v", "A", "R")).isEmpty,
+      "ksStatistic's ECDF running sum must go through rankedPrefixSum, not a global window")
+  }
+
+  test("bounded global windows (interleave strata, apportion, keySkew) are post-agg/post-limit only") {
+    // These three sites legitimately keep an empty-partitionSpec window —
+    // over a stratum/category/topN table, never row-grain data. The
+    // contract: every such window's input subtree contains the aggregation
+    // or limit that bounded its cardinality. A refactor that re-points one
+    // of these windows at row-grain input fails here.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec, CollectLimitExec}
+    def assertBounded(df: DataFrame, label: String): Unit = {
+      val global = initialPlan(df)
+        .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        .filterNot(_.orderSpec.mkString.contains("__pid"))
+      assert(global.nonEmpty, s"$label: expected a bounded global window in the plan")
+      global.foreach { w =>
+        val bounded = w.child.collect {
+          case a: BaseAggregateExec => a: Any
+          case l: GlobalLimitExec => l: Any
+          case t: TakeOrderedAndProjectExec => t: Any
+          case c: CollectLimitExec => c: Any
+        }
+        assert(bounded.nonEmpty,
+          s"$label: global window over unbounded (row-grain) input:\n${w.treeString.take(600)}")
+      }
+    }
+    val d = (1 to 200).map(i => (i.toLong, s"s${i % 7}")).toDF("doc_id", "source")
+    assertBounded(graft.ops.Sampling.stratifiedInterleave(d, "doc_id", "source"), "stratifiedInterleave")
+    val wt = (1 to 40).map(i => (s"cat$i", (i * 13 % 29 + 1).toLong)).toDF("cat", "weight")
+    assertBounded(graft.ops.Sampling.apportion(wt, "cat", "weight", budget = 1000L), "apportion")
+    val keys = (1 to 300).map(i => Tuple1(s"k${i % 31}")).toDF("k")
+    assertBounded(graft.ops.Audit.keySkew(keys, "k", topN = 5), "keySkew")
+  }
+
   test("semanticFlags: held-out side broadcast (BNLJ), corpus never cartesian-shuffled") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val mk = (ids: Seq[Long]) => ids.map(i =>

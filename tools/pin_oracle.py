@@ -1,9 +1,9 @@
 #!/usr/bin/env python3
 """Regenerate the pinned-fixture oracle SQL for hash-dependent queries.
 
-q17_simhash, q20_ann_lsh, q21_embedding_neardup and q22_multimodal are
-deterministic (fixed murmur seeds / stub codecs + fixed testdata) but not
-SQL-derivable, so their oracles are the sf0.01 result pinned as a literal
+q17_simhash, q20_ann_lsh and q21_embedding_neardup are deterministic
+(fixed murmur seeds + fixed testdata) but not SQL-derivable, so their
+oracles are the sf0.01 result pinned as a literal
 VALUES table (same contract as q64's Count-Min pin). If seeds, LSH
 parameters, or the testdata ever change, re-run graft.Verify at sf0.01
 and paste this script's output back into SparkEntry.oracleSql.
@@ -53,8 +53,8 @@ def main(out_dir: str) -> None:
          {"query_id": "BIGINT", "neighbor_id": "BIGINT", "rank": "BIGINT"}),
         ("q135_bpe_merges", ["merge_rank", "left_sym", "right_sym", "n"],
          {"merge_rank": "BIGINT", "n": "BIGINT"}),
-        ("q22_multimodal", ["media_id", "kind", "width", "height", "n_frames"],
-         {"media_id": "BIGINT", "width": "BIGINT", "height": "BIGINT", "n_frames": "BIGINT"}),
+        # q22_multimodal was re-oracled analytically in round 8 (real BMP
+        # parse on the image/video legs) — no longer pinned.
         ("q172_kcore", ["id", "core_degree"], {"id": "BIGINT", "core_degree": "BIGINT"}),
     ]:
         sql = pin(out_dir, name, cols, casts)
