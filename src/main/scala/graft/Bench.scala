@@ -127,6 +127,7 @@ object Bench {
         """"q89_khop":"round 4 adds the maxDegree=64 second-hop cap (inert on this homogeneous graph, binds on power-law); r6's 20.6s adjudicated as host noise — r7 idle-host isolated rerun: 6.56s (r5: 6.35s, 1.03x)",""" +
         """"q125_span_coverage":"r6's 11.3s adjudicated as host noise — r7 idle-host isolated rerun: 2.61s (r5: 3.36s)",""" +
         """"q130_prefix_jaccard":"r8: idle-host FULL 210-query run times it at 3.4s best-of-2 (code cache, heap, block manager all verified clean in-run), overturning r7's shared-JVM-context adjudication — the r6/r7 43-52s was host contention on both timed windows; r8 adds heavy-tail rescue passes (up to 2 extra deep-cleaned attempts for any query whose best-of-2 exceeds 2.5s, min reported) so two noisy windows can no longer set the score",""" +
+        """"q69_pagerank":"cold-JVM timings overstate its scaling (10x data appeared 33x until profiled warm per-phase: linear); ScaleSmoke warms every query untimed at sf0.01 before timing sf1",""" +
         """"q106_rfm":"round 7 replaces the three global ntile windows with denseIds two-phase ranking (range repartition + 3 localCheckpoint jobs) — scale-correct shape, slightly more fixed overhead at bench scale",""" +
         """"q170_coverage_curve":"round 7 replaces the global vocabulary rank window with a range-partitioned two-phase scan (rankedPrefixSum)"}"""
     val fullLine =

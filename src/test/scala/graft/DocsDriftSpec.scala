@@ -39,4 +39,28 @@ class DocsDriftSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(survey.contains(s"q${ids.max}"),
       s"SURVEY should mention the newest query q${ids.max}")
   }
+
+  test("bench adjudications name real queries and stay in sync with the bench artifact") {
+    // Stale adjudications rot loudly: every query id cited in README's
+    // "Bench reading notes" must be a live query, and when a bench mirror
+    // exists, must be covered by Bench's canonical workload_notes — the
+    // one place per-query timing caveats are versioned with the code.
+    val readme = read("README.md")
+    val section = readme.split("## Bench reading notes")(1).split("\n## ")(0)
+    val cited = "q\\d+_\\w+".r.findAllIn(section).toSet
+    assert(cited.nonEmpty, "Bench reading notes cite no queries — section moved?")
+    val live = SparkEntry.queries.keySet
+    assert(cited.subsetOf(live),
+      s"README bench notes cite dead queries: ${(cited -- live).toSeq.sorted}")
+    val mirror = java.nio.file.Paths.get("bench_last.json")
+    if (java.nio.file.Files.exists(mirror)) {
+      val benchJson = read(mirror.toString)
+      if (benchJson.contains("workload_notes")) {
+        val noted = "q\\d+_\\w+".r
+          .findAllIn(benchJson.split("\"workload_notes\":")(1)).toSet
+        assert(cited.subsetOf(noted),
+          s"README adjudicates queries Bench's workload_notes does not: ${(cited -- noted).toSeq.sorted}")
+      }
+    }
+  }
 }
