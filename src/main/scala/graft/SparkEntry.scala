@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, Reshape, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, Skyline, SkewJoin, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
+import graft.ops.{AsOfJoin, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GeoGrid, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, Reshape, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, Skyline, SkewJoin, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -2108,7 +2108,107 @@ object SparkEntry {
     // ppm ρ — two per-lang rank windows + one narrow agg. ----------------
     "q210_spearman" -> ((s, dir) =>
       Trend.spearman(t(s, dir, "documents"), Seq("lang"),
-        length(col("text")), TextFunctions.tokenCount(col("text")), col("doc_id")))
+        length(col("text")), TextFunctions.tokenCount(col("text")), col("doc_id"))),
+
+    // ---- transposition-aware fuzzy linkage: blocked customer-name pairs
+    // within unrestricted Damerau–Levenshtein ≤ 1 — the native kernel
+    // charges digit swaps 1 where levenshtein says 2, so this output
+    // provably differs from any levenshtein filter (sf0.01: 675
+    // transposition-only pairs). Blocked equi-join (prefix key), codegen
+    // verify, never all-pairs. ------------------------------------------
+    "q211_damerau_pairs" -> ((s, dir) =>
+      FuzzyJoin.selfPairs(t(s, dir, "customer"), "c_custkey", "c_name",
+        substring(col("c_name"), 1, 16), maxDist = 1,
+        metric = TextFunctions.damerau(_, _))
+        .select(col("a_id").cast("long").as("a_id"),
+          col("b_id").cast("long").as("b_id"), col("dist"))),
+
+    // ---- Jaro–Winkler linkage: blocked supplier-name pairs at sim ≥
+    // 0.88 — native kernel bit-identical to the oracle engine's, so the
+    // double survives the hash compare. ---------------------------------
+    "q212_jaro_winkler" -> ((s, dir) =>
+      FuzzyJoin.similarityPairs(t(s, dir, "supplier"), "s_suppkey", "s_name",
+        substring(col("s_name"), 1, 15), minSim = 0.88,
+        sim = TextFunctions.jaroWinkler(_, _))
+        .select(col("a_id").cast("long").as("a_id"),
+          col("b_id").cast("long").as("b_id"), col("sim"))),
+
+    // ---- grid-blocked planar radius join: all point pairs within 1000
+    // units on a 100k×100k plane, exact integer distances; coordinates
+    // are a deterministic quadratic scatter of the customer key (a linear
+    // scatter collapses pairwise distances onto the Δkey lattice —
+    // engine-replayable test scaffolding; real callers pass real
+    // coordinates). -----------------------------------------------------
+    "q213_grid_radius_join" -> ((s, dir) => {
+      val k = col("c_custkey").cast("long")
+      GeoGrid.radiusPairs(
+        t(s, dir, "customer").select(
+          k.as("id"),
+          ((k * k * 7919L + k * 104729L) % 100003L).as("x"),
+          ((k * k * 6983L + k * 92821L) % 99991L).as("y")),
+        "id", col("x"), col("y"), radius = 1000L)
+    }),
+
+    // ---- 1-Wasserstein drift between click and view value
+    // distributions on a milli-unit grid — exact-integer earth-mover
+    // complement to q188's KS supremum; same rankedPrefixSum scan shape.
+    "q214_emd_drift" -> ((s, dir) =>
+      Metrics.wassersteinDrift(t(s, dir, "events"), "event_type",
+        floor(col("value") * 1000).cast("long"), "click", "view")),
+
+    // ---- Theil–Sen robust trend per user: lower-median of pairwise
+    // value-vs-time slopes (cents per second ×10⁶) — outlier-immune where
+    // q81's least squares is not. Group-keyed pair join, per-group rank
+    // window; Σ_g n_g² pairs is the estimator's intrinsic cost. ----------
+    "q215_theil_sen" -> ((s, dir) =>
+      Trend.theilSen(t(s, dir, "events"), Seq("user_id"),
+        unix_micros(col("ts")), floor(col("value") * 100).cast("long"),
+        scale = 1000000000000L)),
+
+    // ---- t-closeness audit (k-anon → l-diversity → THIS): per
+    // (mktsegment, nation) class, ordered-EMD distance between the
+    // class's acctbal-bucket distribution and the global one, exact
+    // cross-multiplied integers. ----------------------------------------
+    "q216_t_closeness" -> ((s, dir) =>
+      Audit.tCloseness(t(s, dir, "customer"), Seq("c_mktsegment", "c_nationkey"),
+        floor(col("c_acctbal") / 1000).cast("long"))),
+
+    // ---- Flesch reading-ease per document from exact integer counts
+    // (vowel-run syllables); map-only column math. ----------------------
+    "q217_readability" -> ((s, dir) =>
+      Lexical.readability(t(s, dir, "documents"))),
+
+    // ---- per-user value peaks: strict local maxima over a ±3-row
+    // neighborhood in event order — per-key frames only, never global. --
+    "q218_peaks" -> ((s, dir) =>
+      TimeSeries.peaks(
+        t(s, dir, "events").select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"),
+          round(col("value") * 100).cast("long").as("cents")),
+        "user_id", Seq(col("ms"), col("event_id")), "event_id",
+        col("cents"), w = 3)),
+
+    // ---- CUPED variance-reduced A/B readout: per-user pre-metric (view
+    // spend) soaks variance out of the post-metric (purchase spend);
+    // arms by user-id parity. Integer suff-stats, pinned-order doubles
+    // only in the last mile. --------------------------------------------
+    "q219_cuped" -> ((s, dir) => {
+      val cents = round(col("value") * 100).cast("long")
+      val per = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "view", cents).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", cents).otherwise(0L)).as("y"))
+      Eval.cuped(per, pmod(col("user_id"), lit(2)) === 1, col("x"), col("y"))
+    }),
+
+    // ---- discrete hazard table over purchase "durations": per event
+    // time, risk-set size via one descending rankedPrefixSum — the
+    // Kaplan–Meier ingredients as exact integers. -----------------------
+    "q220_hazard_table" -> ((s, dir) =>
+      TimeSeries.hazardTable(
+        t(s, dir, "events").where(col("event_type") === "purchase"),
+        floor(col("value")),
+        get_json_object(col("props"), "$.k").cast("long") >= 50))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -5189,7 +5289,211 @@ object SparkEntry {
         | CASE WHEN n < 2 THEN NULL
         |  ELSE CAST((1000000 * (n * (n * n - 1) - 6 * sum_d2)) // (n * (n * n - 1)) AS BIGINT)
         | END AS rho_ppm
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // q211: DuckDB's damerau_levenshtein is the same unrestricted
+    // (Lowrance–Wagner) variant as the native kernel — verified on the
+    // OSA-distinguishing case ca→abc = 2.
+    "q211_damerau_pairs" ->
+      """WITH c AS (
+        | SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
+        |  substr(c_name, 1, 16) AS blk
+        | FROM customer)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        | CAST(damerau_levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM c a JOIN c b
+        | ON a.blk = b.blk AND a.id < b.id
+        | AND abs(length(a.name) - length(b.name)) <= 1
+        |WHERE damerau_levenshtein(a.name, b.name) <= 1""".stripMargin,
+
+    // q212: the kernel replays DuckDB's parameters (window ⌊max/2⌋−1,
+    // boost 0.1·ℓ≤4 above 0.7) in the same operation order — doubles
+    // compare bit-equal.
+    "q212_jaro_winkler" ->
+      """WITH s AS (
+        | SELECT CAST(s_suppkey AS BIGINT) AS id, s_name AS name,
+        |  substr(s_name, 1, 15) AS blk
+        | FROM supplier)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        | jaro_winkler_similarity(a.name, b.name) AS sim
+        |FROM s a JOIN s b ON a.blk = b.blk AND a.id < b.id
+        |WHERE jaro_winkler_similarity(a.name, b.name) >= 0.88""".stripMargin,
+
+    // q213: brute-force quadratic reference — the grid blocking must
+    // change nothing but the plan. All-integer distances.
+    "q213_grid_radius_join" ->
+      """WITH p AS (
+        | SELECT CAST(c_custkey AS BIGINT) AS id,
+        |  (CAST(c_custkey AS BIGINT) * CAST(c_custkey AS BIGINT) * 7919
+        |   + CAST(c_custkey AS BIGINT) * 104729) % 100003 AS x,
+        |  (CAST(c_custkey AS BIGINT) * CAST(c_custkey AS BIGINT) * 6983
+        |   + CAST(c_custkey AS BIGINT) * 92821) % 99991 AS y
+        | FROM customer)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        | (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 1000000""".stripMargin,
+
+    // q214: running ECDF-gap window over the merged milli-value grid;
+    // lead() supplies the grid step, the max value's gap is identically
+    // zero so dropping it is exact.
+    "q214_emd_drift" ->
+      """WITH v AS (
+        | SELECT CAST(floor(value * 1000) AS BIGINT) AS v,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        | FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM v),
+        |c AS (
+        | SELECT t.n_a, t.n_b,
+        |  sum(v.ca * t.n_b - v.cb * t.n_a) OVER (ORDER BY v.v ROWS UNBOUNDED PRECEDING) AS cum,
+        |  lead(v.v) OVER (ORDER BY v.v) - v.v AS dv
+        | FROM v CROSS JOIN t)
+        |SELECT n_a, n_b,
+        | CAST(sum(dv * abs(cum)) AS BIGINT) AS emd_num,
+        | CAST((1000 * sum(dv * abs(cum))) // (n_a * n_b) AS BIGINT) AS w1_milli
+        |FROM c WHERE dv IS NOT NULL
+        |GROUP BY n_a, n_b""".stripMargin,
+
+    // q215: identical pair grid, identical ⌊scale·Δy/Δx⌋ double divide,
+    // identical lower-median rank pick — all deterministic.
+    "q215_theil_sen" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(ts) AS x,
+        |  CAST(floor(value * 100) AS BIGINT) AS y
+        | FROM events),
+        |p AS (
+        | SELECT a.user_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2,
+        |  CAST(floor((1000000000000 * (b.y - a.y)) / (b.x - a.x)) AS BIGINT) AS slope
+        | FROM e a JOIN e b ON a.user_id = b.user_id AND a.x < b.x),
+        |r AS (
+        | SELECT user_id, slope,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY slope, x1, y1, x2, y2) AS rk,
+        |  count(*) OVER (PARTITION BY user_id) AS n_pairs
+        | FROM p)
+        |SELECT user_id, CAST(n_pairs AS BIGINT) AS n_pairs, slope AS slope_scaled
+        |FROM r WHERE rk = (n_pairs + 1) // 2""".stripMargin,
+
+    // q216: zero-filled class×bucket grid (missing buckets still move the
+    // cumulative gap), cross-multiplied ordered EMD, all integer.
+    "q216_t_closeness" ->
+      """WITH c AS (
+        | SELECT c_mktsegment, c_nationkey,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS b
+        | FROM customer),
+        |cls AS (SELECT c_mktsegment, c_nationkey, count(*) AS n_rows FROM c GROUP BY 1, 2),
+        |g AS (SELECT b, count(*) AS gb FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(gb) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS m FROM g),
+        |grid AS (
+        | SELECT cls.c_mktsegment, cls.c_nationkey, cls.n_rows, g.b, g.gb, t.n, t.m,
+        |  coalesce(cb.cnt, 0) AS cb
+        | FROM cls CROSS JOIN g CROSS JOIN t
+        | LEFT JOIN (SELECT c_mktsegment, c_nationkey, b, count(*) AS cnt
+        |            FROM c GROUP BY 1, 2, 3) cb
+        |  ON cb.c_mktsegment = cls.c_mktsegment
+        |  AND cb.c_nationkey = cls.c_nationkey AND cb.b = g.b),
+        |cum AS (
+        | SELECT c_mktsegment, c_nationkey, n_rows, m, n,
+        |  abs(n * sum(cb) OVER w - n_rows * sum(gb) OVER w) AS gap
+        | FROM grid
+        | WINDOW w AS (PARTITION BY c_mktsegment, c_nationkey
+        |              ORDER BY b ROWS UNBOUNDED PRECEDING))
+        |SELECT c_mktsegment, c_nationkey,
+        | CAST(n_rows AS BIGINT) AS n_rows, m AS m_buckets,
+        | CAST(sum(gap) AS BIGINT) AS t_num,
+        | CASE WHEN m < 2 THEN NULL
+        |  ELSE CAST((1000000 * sum(gap)) // ((m - 1) * n * n_rows) AS BIGINT)
+        | END AS t_ppm
+        |FROM cum GROUP BY c_mktsegment, c_nationkey, n_rows, m, n""".stripMargin,
+
+    // q217: two-strip vowel-run counting; the Flesch arithmetic is
+    // spelled in the Spark side's exact operation order.
+    "q217_readability" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CAST(coalesce(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |    x -> len(x) > 0)), 0) AS BIGINT) AS w,
+        |  CAST(coalesce(len(list_filter(
+        |    regexp_split_to_array(coalesce(text, ''), '[.!?]+'),
+        |    s -> regexp_matches(s, '\S'))), 0) AS BIGINT) AS sent,
+        |  CAST(length(regexp_replace(lower(coalesce(text, '')), '[aeiouy]+', '#', 'g'))
+        |   - length(regexp_replace(lower(coalesce(text, '')), '[aeiouy]+', '', 'g')) AS BIGINT) AS y
+        | FROM documents)
+        |SELECT doc_id, w AS n_words, sent AS n_sentences, y AS n_syllables,
+        | CASE WHEN sent = 0 OR w = 0 THEN NULL
+        |  ELSE CAST(floor(1000.0 * (206.835
+        |   - 1.015 * (CAST(w AS DOUBLE) / CAST(sent AS DOUBLE))
+        |   - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)))) AS BIGINT)
+        | END AS flesch_milli
+        |FROM d""".stripMargin,
+
+    // q218: identical ±3-row frames; max over an empty frame is NULL and
+    // count is 0 in both engines, so boundary semantics agree.
+    "q218_peaks" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |  CAST(round(value * 100) AS BIGINT) AS c
+        | FROM events),
+        |w AS (
+        | SELECT user_id, event_id, c,
+        |  max(c) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS lm,
+        |  max(c) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |   ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS rm,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS nl,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |   ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS nr
+        | FROM e)
+        |SELECT user_id, event_id, c AS value,
+        | CAST(nl AS BIGINT) AS n_before, CAST(nr AS BIGINT) AS n_after
+        |FROM w
+        |WHERE (lm IS NULL OR c > lm) AND (rm IS NULL OR c > rm)""".stripMargin,
+
+    // q219: integer suff-stats (HUGEINT partials convert to the same
+    // doubles as Spark's longs), then the pinned-order double last mile.
+    "q219_cuped" ->
+      """WITH per AS (
+        | SELECT user_id,
+        |  sum(CASE WHEN event_type = 'view'
+        |   THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x,
+        |  sum(CASE WHEN event_type = 'purchase'
+        |   THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+        | FROM events GROUP BY 1),
+        |s AS (
+        | SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |  sum(x * y) AS sxy, sum(x * x) AS sxx,
+        |  sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n_t,
+        |  sum(CASE WHEN user_id % 2 = 1 THEN x ELSE 0 END) AS sxt,
+        |  sum(CASE WHEN user_id % 2 = 1 THEN y ELSE 0 END) AS syt
+        | FROM per),
+        |d AS (
+        | SELECT n_t, n - n_t AS n_c,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+        |  syt / n_t - (sy - syt) / (n - n_t) AS dy,
+        |  sxt / n_t - (sx - sxt) / (n - n_t) AS dx
+        | FROM s)
+        |SELECT CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+        | CAST(floor(1000000.0 * theta) AS BIGINT) AS theta_micro,
+        | CAST(floor(1000000.0 * dy) AS BIGINT) AS effect_raw_micro,
+        | CAST(floor(1000000.0 * (dy - theta * dx)) AS BIGINT) AS effect_cuped_micro
+        |FROM d""".stripMargin,
+
+    // q220: suffix risk-set via a DESC running count; (1e6·d)//n_risk is
+    // non-negative, so // and div agree.
+    "q220_hazard_table" ->
+      """WITH base AS (
+        | SELECT CAST(floor(value) AS BIGINT) AS t,
+        |  CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        |   THEN 1 ELSE 0 END AS ev
+        | FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT t, count(*) AS c, sum(ev) AS d FROM base GROUP BY 1),
+        |r AS (SELECT t, d,
+        |  sum(c) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n_risk
+        | FROM p)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+        | CAST((1000000 * d) // n_risk AS BIGINT) AS hazard_ppm
+        |FROM r WHERE d > 0""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

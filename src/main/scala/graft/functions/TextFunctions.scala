@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumn}
 import org.apache.spark.sql.functions._
-import graft.functions.expressions.{ApplyBpeMerges, CountOccurrences, MergeAdjacentPair}
+import graft.functions.expressions.{ApplyBpeMerges, CountOccurrences, DamerauLevenshtein, JaroWinkler, MergeAdjacentPair}
 
 /** Text-analysis operators for large-scale document pipelines (SURVEY §7.2
   * step 8 / BASELINE.json north star): language ID, quality scoring, token
@@ -26,6 +26,22 @@ object TextFunctions {
     */
   def occurrences(haystack: Column, needle: String): Column =
     GraftColumn(CountOccurrences(GraftColumn.expr(haystack), needle))
+
+  /** Unrestricted Damerau–Levenshtein distance (transpositions cost 1
+    * even across intervening edits — `ca→abc` is 2 where OSA says 3);
+    * native codegen'd kernel, DuckDB-`damerau_levenshtein`-exact. The
+    * record-linkage verifier for name/id data where digit transposition
+    * is THE dominant typo class `levenshtein` double-counts.
+    */
+  def damerau(a: Column, b: Column): Column =
+    GraftColumn(DamerauLevenshtein(GraftColumn.expr(a), GraftColumn.expr(b)))
+
+  /** Jaro–Winkler similarity (match window ⌊max/2⌋−1, prefix boost
+    * p=0.1 over ≤ 4 chars above jaro 0.7) — native codegen'd kernel,
+    * bit-identical to DuckDB's `jaro_winkler_similarity`.
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    GraftColumn(JaroWinkler(GraftColumn.expr(a), GraftColumn.expr(b)))
 
   /** One BPE merge step: adjacent (left, right) symbols collapse to
     * `left+right`, leftmost-greedy non-overlapping — one native pass.

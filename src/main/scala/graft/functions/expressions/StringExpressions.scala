@@ -1,0 +1,175 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Record-linkage string kernels Spark lacks natively: unrestricted
+  * Damerau–Levenshtein (true transposition edit distance) and
+  * Jaro–Winkler similarity. Both are static-method kernels invoked from
+  * `doGenCode`, so callers stay inside whole-stage codegen (the pattern
+  * Spark itself uses for `levenshtein`) while the O(n·m) / O(n+m) loops
+  * run as plain JVM code the JIT can vectorize.
+  *
+  * Both operate on Unicode code points, which coincides with DuckDB's
+  * per-character semantics on the BMP text these oracles compare against.
+  */
+object StringKernels {
+
+  private def codePoints(s: String): Array[Int] = {
+    val n = s.codePointCount(0, s.length)
+    val out = new Array[Int](n)
+    var i = 0
+    var k = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(k) = cp
+      k += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** Unrestricted Damerau–Levenshtein distance (Lowrance–Wagner): edit
+    * distance with insert/delete/substitute at cost 1 plus TRANSPOSITION
+    * of two characters at cost 1 even when other edits happen between
+    * them — so `ca → abc` is 2 (the restricted/OSA variant says 3).
+    * Matches DuckDB's `damerau_levenshtein` (verified: ca/abc = 2).
+    *
+    * O(n·m) time and memory — callers bound input length (the fuzzy-join
+    * operators verify on capped normalized prefixes, never raw bodies).
+    */
+  def damerauLevenshtein(left: UTF8String, right: UTF8String): Int = {
+    val a = codePoints(left.toString)
+    val b = codePoints(right.toString)
+    val n = a.length
+    val m = b.length
+    if (n == 0) return m
+    if (m == 0) return n
+    // d is (n+2)×(m+2): row/col 0 hold the "infinity" sentinel the
+    // transposition recurrence reads when a character has no previous
+    // occurrence; row/col 1 are the usual empty-prefix base case.
+    val w = m + 2
+    val d = new Array[Int]((n + 2) * w)
+    val inf = n + m
+    d(0) = inf
+    var i = 0
+    while (i <= n) { d((i + 1) * w) = inf; d((i + 1) * w + 1) = i; i += 1 }
+    var j = 0
+    while (j <= m) { d(j + 1) = inf; d(w + j + 1) = j; j += 1 }
+    // last row index (1-based) where each code point occurred in `a`
+    val da = new java.util.HashMap[Integer, Integer]()
+    i = 1
+    while (i <= n) {
+      var db = 0 // last column j' < j (1-based) with b(j'-1) == a(i-1)
+      j = 1
+      while (j <= m) {
+        val k = { val v = da.get(b(j - 1)); if (v == null) 0 else v.intValue() }
+        val l = db
+        val cost = if (a(i - 1) == b(j - 1)) { db = j; 0 } else 1
+        val sub = d(i * w + j) + cost
+        val ins = d((i + 1) * w + j) + 1
+        val del = d(i * w + j + 1) + 1
+        val trans = d(k * w + l) + (i - k - 1) + 1 + (j - l - 1)
+        var best = if (sub < ins) sub else ins
+        if (del < best) best = del
+        if (trans < best) best = trans
+        d((i + 1) * w + j + 1) = best
+        j += 1
+      }
+      da.put(a(i - 1), i)
+      i += 1
+    }
+    d((n + 1) * w + m + 1)
+  }
+
+  /** Jaro–Winkler similarity with the standard parameters DuckDB's
+    * `jaro_winkler_similarity` uses (empirically pinned this round on
+    * transposition-heavy, prefix-heavy, and sub-threshold pairs):
+    * match window ⌊max(n,m)/2⌋−1, transpositions halved, Winkler prefix
+    * boost p=0.1 over at most 4 leading characters, applied only when
+    * jaro > 0.7. Arithmetic order mirrors the reference exactly —
+    * `(m/n + m/m' + (m−t)/m)/3` then `j + (ℓ·0.1)·(1−j)` — so results
+    * are bit-identical doubles, which the hash oracle requires.
+    */
+  def jaroWinkler(left: UTF8String, right: UTF8String): Double = {
+    if (left.equals(right)) return 1.0
+    val a = codePoints(left.toString)
+    val b = codePoints(right.toString)
+    val n = a.length
+    val m = b.length
+    if (n == 0 || m == 0) return 0.0
+    val window = math.max(n, m) / 2 - 1
+    val ma = new Array[Boolean](n)
+    val mb = new Array[Boolean](m)
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(m, i + window + 1)
+      var j = lo
+      var found = false
+      while (j < hi && !found) {
+        if (!mb(j) && a(i) == b(j)) {
+          ma(i) = true; mb(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (ma(i)) {
+        while (!mb(k)) k += 1
+        if (a(i) != b(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val md = matches.toDouble
+    val jaro = (md / n + md / m + (md - t) / md) / 3
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    while (l < math.min(4, math.min(n, m)) && a(l) == b(l)) l += 1
+    jaro + (l * 0.1) * (1.0 - jaro)
+  }
+}
+
+/** Unrestricted Damerau–Levenshtein distance — see
+  * [[StringKernels.damerauLevenshtein]].
+  */
+case class DamerauLevenshtein(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StringKernels.damerauLevenshtein(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.StringKernels.damerauLevenshtein($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DamerauLevenshtein =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Jaro–Winkler similarity — see [[StringKernels.jaroWinkler]]. */
+case class JaroWinkler(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    StringKernels.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.StringKernels.jaroWinkler($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}

@@ -165,6 +165,59 @@ object Audit {
       .withColumn("violates", when(col("n_sensitive") < l, 1L).otherwise(0L))
   }
 
+  /** t-closeness audit — the third leg of the release-privacy tripod
+    * ([[kAnonymity]] → class size, [[lDiversity]] → value variety, this →
+    * value DISTRIBUTION): a class is unsafe when its sensitive-attribute
+    * distribution diverges from the table-wide one (an attacker who knows
+    * someone's class learns "this class skews rich" even with l diverse
+    * values present). Distance is the ordered-attribute earth-mover
+    * distance of the t-closeness paper: over the globally-observed
+    * ordered bucket domain (index 0..m−1, unit spacing),
+    * `t = Σᵢ |CumP(i) − CumQ(i)| / (m−1)`, computed cross-multiplied so
+    * every comparison is exact integer:
+    * `t_num = Σᵢ |N·cum_c(i) − n_c·cum_g(i)|`,
+    * `t_ppm = ⌊10⁶·t_num / ((m−1)·N·n_c)⌋`. Per class out:
+    * (quasi…, n_rows, m_buckets, t_num, t_ppm) — every class, so the
+    * caller thresholds `t_ppm` for the suppression list. Buckets the
+    * class never saw still shift its cumulative gap — the zero-fill grid
+    * below is semantics, not cosmetics.
+    *
+    * Scale shape: two count aggregations (class×bucket, bucket) + a
+    * broadcast of the bucket table (bounded: buckets are a deliberate
+    * quantization, ≤ hundreds) against the class list — the grid is
+    * |classes|·m narrow rows; running sums are per-class windows
+    * (partitioned, range-balanced). No global window, no row-grain
+    * shuffle beyond the first count agg.
+    */
+  def tCloseness(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveBucket: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    val q = quasiCols.map(col)
+    val classes = df.groupBy(q: _*).agg(count(lit(1)).as("n_rows"))
+    val global = df.groupBy(sensitiveBucket.cast("long").as("__b"))
+      .agg(count(lit(1)).as("__gb"))
+    val perClass = df.groupBy((q :+ sensitiveBucket.cast("long").as("__b")): _*)
+      .agg(count(lit(1)).as("__cb"))
+    val totals = global.groupBy().agg(sum(col("__gb")).as("__n"), count(lit(1)).as("m_buckets"))
+    val w = Window.partitionBy(q: _*).orderBy(col("__b"))
+    classes
+      .crossJoin(broadcast(global.crossJoin(totals)))
+      .join(perClass, quasiCols :+ "__b", "left")
+      .na.fill(0L, Seq("__cb"))
+      .withColumn("__cumc", sum(col("__cb")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__cumg", sum(col("__gb")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__gap", abs(col("__n") * col("__cumc") - col("n_rows") * col("__cumg")))
+      .groupBy((q ++ Seq(col("n_rows"), col("m_buckets"), col("__n"))): _*)
+      .agg(sum(col("__gap")).as("t_num"))
+      .withColumn("t_ppm",
+        when(col("m_buckets") < 2, lit(null).cast("long"))
+          .otherwise(expr("(1000000L * t_num) div ((m_buckets - 1) * __n * n_rows)")))
+      .drop("__n")
+  }
+
   /** Referential-integrity audit over a set of foreign-key relations:
     * for each `(name, child, childKey, parent, parentKey)`, the number of
     * child rows whose key has no parent (NULL child keys are skipped —

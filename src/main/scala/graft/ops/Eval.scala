@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -270,5 +270,54 @@ object Eval {
       .withColumn("recall_ppm",
         when(col("n_gold") > 0, expr("(1000000 * tp) div n_gold")))
       .withColumn("f1_ppm", expr("(2000000 * tp) div (n_pred + n_gold)"))
+  }
+
+  /** CUPED variance-reduced treatment effect over per-unit
+    * (arm, pre-metric X, post-metric Y) rows — the experimentation
+    * workhorse: the pre-period covariate soaks up between-unit variance,
+    * `Ŷ = Y − θ·(X − X̄)` with `θ = cov(X,Y)/var(X)` from the POOLED
+    * sample, and the adjusted effect is
+    * `(Ȳ_t − Ȳ_c) − θ·(X̄_t − X̄_c)`. All sufficient statistics are
+    * exact integer aggregates ([[Trend.linear]]'s overflow posture:
+    * n²·max|x|·max|y| < 2⁶³ — metrics in cents, not micro-units, at
+    * large n); the two final divisions run in doubles with the operation
+    * order spelled once, so any IEEE engine reproduces the identical
+    * floor-micro values. One row out: (n_t, n_c, theta_micro,
+    * effect_raw_micro, effect_cuped_micro).
+    *
+    * Scale shape: ONE map-side-combinable aggregation over the unit
+    * table — the cheapest wide shape there is; nothing else shuffles.
+    */
+  def cuped(
+      units: DataFrame,
+      treatedCol: Column,
+      xCol: Column,
+      yCol: Column): DataFrame = {
+    val x = xCol.cast("long")
+    val y = yCol.cast("long")
+    units
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"),
+        count_if(treatedCol).as("n_t"),
+        sum(when(treatedCol, x).otherwise(0L)).as("__sxt"),
+        sum(when(treatedCol, y).otherwise(0L)).as("__syt"))
+      .withColumn("n_c", col("__n") - col("n_t"))
+      .withColumn("__sxc", col("__sx") - col("__sxt"))
+      .withColumn("__syc", col("__sy") - col("__syt"))
+      // doubles from here down, one pinned operation order:
+      // theta = (n·Σxy − Σx·Σy) / (n·Σxx − Σx·Σx)
+      // effect = (Ȳt − Ȳc) − theta·(X̄t − X̄c)
+      .withColumn("__theta",
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx")))
+      .withColumn("__dy", col("__syt") / col("n_t") - col("__syc") / col("n_c"))
+      .withColumn("__dx", col("__sxt") / col("n_t") - col("__sxc") / col("n_c"))
+      .select(col("n_t"), col("n_c"),
+        floor(lit(1000000.0) * col("__theta")).cast("long").as("theta_micro"),
+        floor(lit(1000000.0) * col("__dy")).cast("long").as("effect_raw_micro"),
+        floor(lit(1000000.0) * (col("__dy") - col("__theta") * col("__dx")))
+          .cast("long").as("effect_cuped_micro"))
   }
 }

@@ -21,7 +21,11 @@ object FuzzyJoin {
 
   /** Within-block near-match pairs of one table against itself:
     * (a_id, b_id, a_name, b_name, dist) with a_id < b_id and
-    * `dist = levenshtein(a_name, b_name) ≤ maxDist`.
+    * `dist = metric(a_name, b_name) ≤ maxDist` — `metric` defaults to
+    * `levenshtein`; pass [[graft.functions.TextFunctions.damerau]] for
+    * true transposition-cost-1 linkage (the length guard below is a
+    * valid lower bound for any unit-cost edit metric with
+    * transpositions, since no operation changes length by more than 1).
     *
     * Scale shape: an equi-join on the block key (shuffle carries only
     * id + name + block), verification is codegen'd `levenshtein` inside
@@ -45,7 +49,8 @@ object FuzzyJoin {
       nameCol: String,
       blockKey: Column,
       maxDist: Int,
-      saltBuckets: Int = 1): DataFrame = {
+      saltBuckets: Int = 1,
+      metric: (Column, Column) => Column = levenshtein(_, _)): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
     require(saltBuckets >= 1, s"saltBuckets must be >= 1: $saltBuckets")
     val g = saltBuckets
@@ -70,8 +75,30 @@ object FuzzyJoin {
     joined
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         col("a.name").as("a_name"), col("b.name").as("b_name"),
-        levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"))
+        metric(col("a.name"), col("b.name")).cast("long").as("dist"))
       .where(col("dist") <= maxDist)
+  }
+
+  /** [[selfPairs]] for SIMILARITY metrics (higher = closer, no
+    * length-difference pruning bound): within-block pairs scored by
+    * `sim` and kept at `sim ≥ minSim` — the Jaro–Winkler linkage shape.
+    * Same blocked equi-join scale posture; the verifier is a codegen'd
+    * column expression in the join projection.
+    */
+  def similarityPairs(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blockKey: Column,
+      minSim: Double,
+      sim: (Column, Column) => Column): DataFrame = {
+    val side = df.select(col(idCol).as("id"), col(nameCol).as("name"), blockKey.as("block"))
+    side.alias("a").join(side.alias("b"),
+        col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.name").as("a_name"), col("b.name").as("b_name"),
+        sim(col("a.name"), col("b.name")).as("sim"))
+      .where(col("sim") >= minSim)
   }
 
   /** Sorted-neighborhood candidate pairs: within each block, sort by

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Per-document lexical-diversity profile — the vocabulary-richness quality
@@ -238,5 +238,42 @@ object Lexical {
       .withColumn("chars_per_token_ppm",
         when(col("n_tokens") === 0, 0L)
           .otherwise(expr("(1000000L * n_chars) div n_tokens")))
+  }
+
+  /** Per-doc readability: Flesch reading-ease from exact integer counts —
+    * words (whitespace tokens), sentences (`[.!?]+`-separated segments
+    * with any non-whitespace), and syllables approximated the standard
+    * heuristic way as VOWEL-GROUP RUNS (`[aeiouy]+` in the lowercased
+    * text; "readable" → 3). The score is published in milli-points,
+    * `⌊1000·(206.835 − 1.015·W/S − 84.6·Y/W)⌋`, with the double
+    * arithmetic spelled in one fixed order so any IEEE engine reproduces
+    * the identical bits — plus the three raw counts, which are the
+    * scale-safe signals a quality filter actually thresholds.
+    *
+    * Run counting is the two-strip identity
+    * `len(replace(runs → "#")) − len(replace(runs → ""))` — each run
+    * collapses to one `#` in the first strip and to nothing in the
+    * second, so the difference counts runs with no per-row loop. Docs
+    * with zero sentences or zero words emit a null score (the counts
+    * still flow). Map-only column math; zero shuffles.
+    */
+  def readability(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val lower = org.apache.spark.sql.functions.lower(t)
+    def runCount(s: Column, pattern: String) =
+      (length(regexp_replace(s, pattern, "#")) - length(regexp_replace(s, pattern, ""))).cast("long")
+    val segs = split(t, "[.!?]+")
+    docs.select(
+      col(idCol),
+      graft.functions.TextFunctions.wordCount(t).cast("long").as("n_words"),
+      size(filter(segs, s => s.rlike("\\S"))).cast("long").as("n_sentences"),
+      runCount(lower, "[aeiouy]+").as("n_syllables"))
+      .withColumn("flesch_milli",
+        when(col("n_sentences") === 0 || col("n_words") === 0, lit(null).cast("long"))
+          .otherwise(floor(lit(1000.0) *
+            (lit(206.835)
+              - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+              - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double"))))
+            .cast("long")))
   }
 }

@@ -398,4 +398,72 @@ object TimeSeries {
       .groupBy(col(groupCol), col("bucket"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Per-key local-maximum (peak) detection: a point is a peak when its
+    * value STRICTLY exceeds every value in the `w` rows before and after
+    * it in the key's order — the windowed local-max detector behind
+    * spike alerts and burst extraction. Boundary rows with a truncated
+    * neighborhood still qualify (a missing side is vacuously exceeded);
+    * `n_before`/`n_after` report the actual neighborhood each verdict
+    * saw, so callers wanting full-window peaks filter `n_before = w`.
+    * Strictness makes plateaus peak-free — deterministic under ties by
+    * construction, no tie-break column needed for the VERDICT (the order
+    * columns still must totally order rows for the frames to be stable).
+    *
+    * Scale shape: three frames over one per-key window (max before, max
+    * after, counts) — partitioned by the key, range-balanced, never
+    * global; one shuffle of (key, order, id, value).
+    */
+  def peaks(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[Column],
+      idCol: String,
+      valueCol: Column,
+      w: Int): DataFrame = {
+    require(w >= 1, s"window must be >= 1: $w")
+    import org.apache.spark.sql.expressions.Window
+    val base = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val before = base.rowsBetween(-w, -1)
+    val after = base.rowsBetween(1, w)
+    df.select((Seq(col(keyCol), col(idCol)) ++ orderCols :+ valueCol.cast("long").as("__v")): _*)
+      .withColumn("__lm", max(col("__v")).over(before))
+      .withColumn("__rm", max(col("__v")).over(after))
+      .withColumn("__nl", count(lit(1)).over(before))
+      .withColumn("__nr", count(lit(1)).over(after))
+      .where((col("__lm").isNull || col("__v") > col("__lm")) &&
+        (col("__rm").isNull || col("__v") > col("__rm")))
+      .select(col(keyCol), col(idCol), col("__v").as("value"),
+        col("__nl").as("n_before"), col("__nr").as("n_after"))
+  }
+
+  /** Discrete-time hazard table over (duration, event) survival data:
+    * for every duration `t` at which an EVENT occurred, the risk set
+    * size `n_risk = |{duration ≥ t}|` (censored rows count — they were
+    * still at risk), the event count `d`, and the exact hazard
+    * `⌊10⁶·d / n_risk⌋` — the per-time-step ingredients of
+    * Kaplan–Meier/Nelson–Aalen, published as exact integers instead of
+    * a float product/sum that no two engines reproduce bit-equal
+    * (consumers fold the cumulative curve in whatever precision they
+    * like; the TABLE is the portable artifact).
+    *
+    * Scale shape: one duration-cardinality hash agg, then `n_risk` for
+    * every distinct duration in ONE descending range-partitioned prefix
+    * sum ([[Normalize.rankedPrefixSum]]) — the suffix-count identity
+    * `|{≥ t}| = Σ_{t' ≥ t} c_{t'}` — so no global window and no
+    * per-row risk-set join anywhere; the duration domain can be
+    * arbitrarily large.
+    */
+  def hazardTable(
+      df: DataFrame,
+      durationCol: Column,
+      eventCol: Column): DataFrame = {
+    val perT = df
+      .groupBy(durationCol.cast("long").as("t"))
+      .agg(count(lit(1)).as("__c"), count_if(eventCol).as("d"))
+    Normalize.rankedPrefixSum(perT, Seq(col("t").desc), "__c", "__rk", "__cum")
+      .where(col("d") > 0)
+      .select(col("t"), col("__cum").as("n_risk"), col("d"))
+      .withColumn("hazard_ppm", expr("(1000000L * d) div n_risk"))
+  }
 }

@@ -97,4 +97,50 @@ object Trend {
               | ELSE -(((-1000000) * rho_num + rho_den - 1) div rho_den)
               |END""".stripMargin).cast("long")))
   }
+
+  /** Per-group Theil–Sen slope — the ROBUST trend estimator: the median
+    * of all pairwise slopes `(y_b − y_a)/(x_b − x_a)` over pairs with
+    * `x_a < x_b`. Up to ~29% of the points can be arbitrary outliers
+    * before the estimate moves, where [[linear]]'s least squares chases a
+    * single corrupted point — the right default for sensor/telemetry
+    * trends. Slopes are published as `⌊scale·Δy/Δx⌋` (one IEEE double
+    * divide + floor, bit-identical across engines); the median is the
+    * LOWER median — the element at 1-based rank `⌈n_pairs/2⌉` of the
+    * (slope, x_a, y_a, x_b, y_b)-ordered pair list, so ties and even
+    * counts are deterministic without averaging. Groups with no
+    * x-distinct pair emit nothing.
+    *
+    * Scale shape: the pairwise expansion is an equi-join on the GROUP
+    * key (never a global cross join) — Σ_g n_g² pairs, the estimator's
+    * intrinsic cost; callers with big groups pre-thin per group (the
+    * classic Theil–Sen subsampling) BEFORE calling. The median is a
+    * per-group rank window over the pair stream (partitioned,
+    * range-balanced) + one count join — no global window.
+    */
+  def theilSen(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: Column,
+      yCol: Column,
+      scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    val pts = df.select(
+      (groupCols.map(col) :+ xCol.cast("long").as("__x") :+ yCol.cast("long").as("__y")): _*)
+    val a = pts.toDF(pts.columns.map(c => if (c.startsWith("__")) s"a${c.stripPrefix("__")}" else c): _*)
+    val b = pts.toDF(pts.columns.map(c => if (c.startsWith("__")) s"b${c.stripPrefix("__")}" else c): _*)
+    val pairs = a.join(b, groupCols)
+      .where(col("ax") < col("bx"))
+      .withColumn("__slope",
+        floor(lit(scale) * (col("by") - col("ay")) / (col("bx") - col("ax"))).cast("long"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__slope"), col("ax"), col("ay"), col("bx"), col("by"))
+    val counts = pairs.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n_pairs"))
+    pairs
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .join(counts, groupCols)
+      .where(col("__rk") === expr("(n_pairs + 1L) div 2L"))
+      .select((groupCols.map(col) :+ col("n_pairs") :+ col("__slope").as("slope_scaled")): _*)
+  }
 }

@@ -435,4 +435,31 @@ class PlanShapeSpec extends SparkSpec {
       assert(!o.exists(_.startsWith("__q")), s"vector column in shuffle: $o")
     }
   }
+
+  test("grid radius join is an equi-join on cells — no cartesian, no nested loop") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val pts = (1 to 200).map(i => (i.toLong, (i * 7 % 101).toLong, (i * 13 % 97).toLong))
+      .toDF("id", "x", "y")
+    val plan = initialPlan(graft.ops.GeoGrid.radiusPairs(pts, "id", col("x"), col("y"), 10L))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty &&
+      plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"non-equi join in grid radius plan:\n${plan.treeString.take(1200)}")
+  }
+
+  test("round-8 rank/scan ops keep every window key-partitioned or __pid-phase") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    def rowGrainGlobal(df: DataFrame): Seq[WindowExec] =
+      initialPlan(df).collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        .filterNot(_.orderSpec.mkString.contains("__pid"))
+    val ev = (1 to 200).map(i => (if (i % 2 == 0) "a" else "b", (i * 7 % 53).toLong))
+      .toDF("g", "v")
+    assert(rowGrainGlobal(graft.ops.Metrics.wassersteinDrift(ev, "g", col("v"), "a", "b")).isEmpty,
+      "wassersteinDrift's ECDF scan must ride rankedPrefixSum, not a global window")
+    val ts = (1 to 80).map(i => (s"u${i % 5}", i.toLong, (i * 3 % 17).toLong)).toDF("g", "x", "y")
+    assert(rowGrainGlobal(graft.ops.Trend.theilSen(ts, Seq("g"), col("x"), col("y"))).isEmpty,
+      "theilSen's median rank must partition by the group")
+    val priv = (1 to 120).map(i => (s"q${i % 6}", (i % 4).toLong)).toDF("q", "s")
+    assert(rowGrainGlobal(graft.ops.Audit.tCloseness(priv, Seq("q"), col("s"))).isEmpty,
+      "tCloseness cumulative sums must partition by the class")
+  }
 }

@@ -1,0 +1,210 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.TextFunctions
+import graft.functions.expressions.StringKernels
+import graft.ops.{Audit, Eval, GeoGrid, Lexical, Metrics, TimeSeries, Trend}
+
+/** Round-8 operators: string-linkage kernels, grid radius join,
+  * Wasserstein drift, Theil–Sen, t-closeness, readability.
+  */
+class Round8OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dl(a: String, b: String): Int =
+    StringKernels.damerauLevenshtein(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("damerau: unrestricted variant — transposition survives intervening edits") {
+    assert(dl("ca", "abc") == 2) // OSA says 3; full DL says 2 (as DuckDB does)
+    assert(dl("ab", "ba") == 1)
+    assert(dl("", "abc") == 3 && dl("abc", "") == 3 && dl("", "") == 0)
+    assert(dl("abc", "abc") == 0)
+    assert(dl("kitten", "sitting") == 3) // no transpositions → plain levenshtein
+    assert(dl("Customer#000000012", "Customer#000000021") == 1) // digit swap costs 1
+  }
+
+  test("damerau: agrees with independent BFS over the edit-operation graph") {
+    // BFS from each source applying single edit ops (insert/delete/
+    // substitute/adjacent-transpose over {a,b,c}) — an implementation
+    // sharing NOTHING with the DP. Universe capped at length 5 so the
+    // frontier stays finite; distances beyond the cap are only
+    // lower-bounded.
+    val alphabet = "abc"
+    val strings = (0 to 3).flatMap(n =>
+      (0 until math.pow(3, n).toInt).map(i =>
+        (0 until n).map(k => alphabet(i / math.pow(3, k).toInt % 3)).mkString))
+    def neighbors(s: String): Seq[String] = {
+      val subs = for (i <- s.indices; c <- alphabet if c != s(i)) yield s.updated(i, c)
+      val dels = s.indices.map(i => s.take(i) + s.drop(i + 1))
+      val inss = if (s.length >= 5) Seq() else
+        for (i <- 0 to s.length; c <- alphabet) yield s.take(i) + c + s.drop(i)
+      val swaps = (0 until s.length - 1).filter(i => s(i) != s(i + 1))
+        .map(i => s.take(i) + s(i + 1) + s(i) + s.drop(i + 2))
+      subs ++ dels ++ inss ++ swaps
+    }
+    for (src <- strings) {
+      val dist = scala.collection.mutable.Map(src -> 0)
+      var frontier = List(src)
+      var d = 0
+      while (frontier.nonEmpty && d < 4) {
+        d += 1
+        frontier = frontier.flatMap(neighbors).distinct.filterNot(dist.contains)
+        frontier.foreach(s => dist(s) = d)
+      }
+      for (dst <- strings) dist.get(dst) match {
+        case Some(bfs) => assert(dl(src, dst) == bfs, s"$src -> $dst")
+        case None      => assert(dl(src, dst) >= 4, s"$src -> $dst")
+      }
+    }
+  }
+
+  test("jaroWinkler: reference values, boost gating, and degenerate inputs") {
+    def jw(a: String, b: String): Double =
+      StringKernels.jaroWinkler(UTF8String.fromString(a), UTF8String.fromString(b))
+    assert(jw("martha", "marhta") == 0.9611111111111111)
+    assert(jw("dwayne", "duane") == 0.8400000000000001)
+    assert(jw("crate", "trace") == 0.7333333333333334)
+    // jaro 0.6 ≤ 0.7 → NO prefix boost despite the 4-char common prefix
+    assert(jw("abcdxxxxxx", "abcdyyyyyy") == 0.6)
+    assert(jw("same", "same") == 1.0)
+    assert(jw("", "x") == 0.0 && jw("x", "") == 0.0)
+    assert(jw("a", "b") == 0.0)
+  }
+
+  test("string kernels ride Column expressions inside codegen") {
+    val df = Seq(("ca", "abc"), ("martha", "marhta")).toDF("a", "b")
+      .select(TextFunctions.damerau(col("a"), col("b")).as("d"),
+        TextFunctions.jaroWinkler(col("a"), col("b")).as("j"))
+    val rows = df.collect()
+    assert(rows(0).getInt(0) == 2 && rows(1).getDouble(1) == 0.9611111111111111)
+  }
+
+  test("grid radius join equals the quadratic reference on random points") {
+    val rnd = new scala.util.Random(8)
+    val pts = (0L until 400L).map(i => (i, rnd.nextInt(5000).toLong, rnd.nextInt(5000).toLong))
+    val r = 400L
+    val expected = (for {
+      (ia, xa, ya) <- pts; (ib, xb, yb) <- pts
+      if ia < ib
+      d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+      if d2 <= r * r
+    } yield (ia, ib, d2)).sorted
+    val got = GeoGrid.radiusPairs(pts.toDF("id", "x", "y"), "id", col("x"), col("y"), r)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(expected.nonEmpty && got == expected)
+  }
+
+  test("grid radius join: negative coordinates land on the correct cells") {
+    val pts = Seq((1L, -3L, -3L), (2L, 3L, 3L), (3L, -90L, 40L)).toDF("id", "x", "y")
+    val got = GeoGrid.radiusPairs(pts, "id", col("x"), col("y"), radius = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 72L))) // straddles the origin across 4 cells
+  }
+
+  test("wasserstein drift reproduces the hand-computed earth-mover distance") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 4L)).toDF("g", "v")
+    val r = Metrics.wassersteinDrift(df, "g", col("v"), "a", "b").head()
+    // W1({1,2}, {2,4}) = 1.5; cross-multiplied num = 6 over n_a·n_b = 4
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2)
+    assert(r.getAs[Long]("emd_num") == 6 && r.getAs[Long]("w1_milli") == 1500L)
+  }
+
+  test("wasserstein drift is zero iff the distributions coincide") {
+    val same = Seq(("a", 5L), ("a", 9L), ("b", 5L), ("b", 9L)).toDF("g", "v")
+    assert(Metrics.wassersteinDrift(same, "g", col("v"), "a", "b")
+      .head().getAs[Long]("emd_num") == 0L)
+  }
+
+  test("theil-sen shrugs off the outlier least-squares chases") {
+    val clean = (1L to 9L).map(x => ("u", x * 1000000L, 2 * x))
+    val rows = clean :+ (("u", 10000000L, 100000L)) // one wild point
+    val df = rows.toDF("g", "x", "y")
+    val ts = Trend.theilSen(df, Seq("g"), col("x"), col("y"), scale = 1000000L).head()
+    assert(ts.getAs[Long]("n_pairs") == 45)
+    // pairwise slope of the clean points: 2 per 1e6 x-units → scaled 2
+    assert(ts.getAs[Long]("slope_scaled") == 2L)
+    val ls = Trend.linear(df, Seq("g"), col("x"), col("y")).head()
+    val lsSlope = ls.getAs[Long]("slope_num").toDouble / ls.getAs[Long]("slope_den")
+    assert(lsSlope * 1000000L > 100) // least squares dragged far off 2
+  }
+
+  test("theil-sen lower median is deterministic on even pair counts") {
+    // 3 x-distinct points → 3 pairs (odd); 4 points → 6 pairs, rank 3
+    val df = Seq(("g", 0L, 0L), ("g", 1L, 0L), ("g", 2L, 4L), ("g", 3L, 3L)).toDF("g", "x", "y")
+    val r = Trend.theilSen(df, Seq("g"), col("x"), col("y"), scale = 1L).head()
+    // slopes: (0,1)=0 (1,2)=4 (2,3)=-1 (0,2)=2 (1,3)=1 (0,3)=1 → sorted
+    // [-1,0,1,1,2,4], lower median (rank 3) = 1
+    assert(r.getAs[Long]("n_pairs") == 6 && r.getAs[Long]("slope_scaled") == 1L)
+  }
+
+  test("t-closeness: skewed class scores the hand-computed EMD, balanced class zero") {
+    val df = Seq(
+      ("X", 0L), ("X", 0L), ("Y", 1L), ("Y", 1L), // X all-low, Y all-high
+      ("Z", 0L), ("Z", 1L)) // Z mirrors the global mix
+      .toDF("q", "s")
+    val r = Audit.tCloseness(df, Seq("q"), col("s"))
+      .collect().map(x => x.getAs[String]("q") -> x).toMap
+    // global: bucket0=3, bucket1=3, N=6, m=2
+    // X (n=2): gap@0 = |6·2 − 2·3| = 6 → t = 6/(1·6·2) = 0.5
+    assert(r("X").getAs[Long]("t_num") == 6 && r("X").getAs[Long]("t_ppm") == 500000L)
+    assert(r("Y").getAs[Long]("t_num") == 6 && r("Y").getAs[Long]("t_ppm") == 500000L)
+    assert(r("Z").getAs[Long]("t_num") == 0 && r("Z").getAs[Long]("t_ppm") == 0L)
+    assert(r("X").getAs[Long]("m_buckets") == 2)
+  }
+
+  test("peaks: strict local maxima only; plateaus and boundaries behave") {
+    // series: 1 5 5 3 9 2 → strict peaks at 9 (idx 5); the 5-5 plateau is
+    // peak-free; the boundary 1 is not a peak (5 follows); trailing 2 not
+    // (9 precedes within w)
+    val rows = Seq(1L, 5L, 5L, 3L, 9L, 2L).zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+    val got = TimeSeries.peaks(rows.toDF("k", "i", "v"), "k", Seq(col("i")), "i", col("v"), w = 2)
+      .select("i", "value", "n_before", "n_after")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((4L, 9L, 2L, 1L)))
+    // single-row key: vacuously a peak with empty neighborhoods
+    val one = TimeSeries.peaks(Seq(("s", 0L, 7L)).toDF("k", "i", "v"),
+      "k", Seq(col("i")), "i", col("v"), w = 3).head()
+    assert(one.getAs[Long]("value") == 7L && one.getAs[Long]("n_before") == 0L)
+  }
+
+  test("hazard table reproduces hand-computed risk sets and hazards") {
+    // durations: 2(event) 2(censored) 3(event) 5(event) 5(censored)
+    val df = Seq((2L, true), (2L, false), (3L, true), (5L, true), (5L, false))
+      .toDF("dur", "ev")
+    val got = TimeSeries.hazardTable(df, col("dur"), col("ev"))
+      .select("t", "n_risk", "d", "hazard_ppm")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // t=2: risk 5, d 1 → 200000; t=3: risk 3, d 1 → 333333; t=5: risk 2, d 1 → 500000
+    assert(got == Seq((2L, 5L, 1L, 200000L), (3L, 3L, 1L, 333333L), (5L, 2L, 1L, 500000L)))
+  }
+
+  test("cuped: zero-covariate noise leaves the raw effect; correlated covariate shrinks it") {
+    // y = x + arm-effect: with X fully explaining the variance, theta = 1
+    // and the cuped effect isolates the true +10 arm lift exactly
+    // arm pairs share the covariate (cov(X, arm) = 0 exactly), so the
+    // integer suff-stats give theta = 1 with no float slack
+    val units = (0 until 40).map { i =>
+      val x = (i / 2 * 7 % 23).toLong
+      (i.toLong, i % 2 == 1, x, x + (if (i % 2 == 1) 10L else 0L))
+    }
+    val r = Eval.cuped(units.toDF("u", "t", "x", "y"), col("t"), col("x"), col("y")).head()
+    assert(r.getAs[Long]("n_t") == 20 && r.getAs[Long]("n_c") == 20)
+    assert(r.getAs[Long]("theta_micro") == 1000000L)
+    assert(r.getAs[Long]("effect_cuped_micro") == 10000000L)
+  }
+
+  test("readability counts and Flesch score on known text") {
+    val df = Seq((1L, "Hello world. This is readable.")).toDF("doc_id", "text")
+    val r = Lexical.readability(df).head()
+    assert(r.getAs[Long]("n_words") == 5)
+    assert(r.getAs[Long]("n_sentences") == 2)
+    // vowel runs: e,o | o | i | i | ea,a,e → 8
+    assert(r.getAs[Long]("n_syllables") == 8)
+    val expected = math.floor(1000.0 * (206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (8.0 / 5.0))).toLong
+    assert(r.getAs[Long]("flesch_milli") == expected)
+    // degenerate: no sentence punctuation → null score, counts intact
+    val deg = Lexical.readability(Seq((2L, "")).toDF("doc_id", "text")).head()
+    assert(deg.isNullAt(deg.fieldIndex("flesch_milli")))
+  }
+}
