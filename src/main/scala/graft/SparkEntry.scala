@@ -2208,7 +2208,32 @@ object SparkEntry {
       TimeSeries.hazardTable(
         t(s, dir, "events").where(col("event_type") === "purchase"),
         floor(col("value")),
-        get_json_object(col("props"), "$.k").cast("long") >= 50))
+        get_json_object(col("props"), "$.k").cast("long") >= 50)),
+
+    // ---- bivariate Mahalanobis scoring: (spend, payload-k) correlation
+    // outliers — exact integer suff-stats broadcast onto a map-only
+    // scoring scan; pinned-order double last mile. ----------------------
+    "q221_mahalanobis" -> ((s, dir) =>
+      Outliers.mahalanobis2d(
+        t(s, dir, "events")
+          .where(get_json_object(col("props"), "$.k").isNotNull),
+        "event_id", floor(col("value")),
+        get_json_object(col("props"), "$.k").cast("long"))),
+
+    // ---- dow×hour activity heatmap per event type: engine-neutral
+    // integer calendar math, one bounded agg + broadcast share join. ----
+    "q222_activity_heatmap" -> ((s, dir) =>
+      TimeSeries.activityProfile(t(s, dir, "events"), "event_type", "ts")),
+
+    // ---- per-user rolling lower-median smoothing over the trailing 5
+    // events — deterministic element pick, per-key frames only. ---------
+    "q223_rolling_median" -> ((s, dir) =>
+      TimeSeries.rollingMedian(
+        t(s, dir, "events").select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("ms"),
+          round(col("value") * 100).cast("long").as("cents")),
+        "user_id", Seq(col("ms"), col("event_id")), "event_id",
+        col("cents"), w = 4))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -5493,7 +5518,61 @@ object SparkEntry {
         | FROM p)
         |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
         | CAST((1000000 * d) // n_risk AS BIGINT) AS hazard_ppm
-        |FROM r WHERE d > 0""".stripMargin
+        |FROM r WHERE d > 0""".stripMargin,
+
+    // q221: HUGEINT partials convert to the same doubles as Spark's
+    // longs; the scoring expression is spelled in the identical order.
+    "q221_mahalanobis" ->
+      """WITH b AS (
+        | SELECT event_id, CAST(floor(value) AS BIGINT) AS x,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+        | FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |s AS (
+        | SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |  sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        | FROM b),
+        |m AS (
+        | SELECT event_id, x, y, n,
+        |  n * x - sx AS u, n * y - sy AS v,
+        |  n * sxx - sx * sx AS cxx, n * syy - sy * sy AS cyy,
+        |  n * sxy - sx * sy AS cxy
+        | FROM b CROSS JOIN s)
+        |SELECT event_id, x, y,
+        | CAST(floor((1000.0 * (CAST(n - 1 AS DOUBLE)
+        |   * (CAST(u AS DOUBLE) * u * cyy - 2.0 * u * v * cxy
+        |      + CAST(v AS DOUBLE) * v * cxx)))
+        |  / (CAST(n AS DOUBLE)
+        |   * (CAST(cxx AS DOUBLE) * cyy - CAST(cxy AS DOUBLE) * cxy))) AS BIGINT)
+        |  AS d2_milli
+        |FROM m""".stripMargin,
+
+    // q222: engine-neutral epoch calendar math (dayofweek builtins
+    // disagree on origin/range across engines).
+    "q222_activity_heatmap" ->
+      """WITH c AS (
+        | SELECT event_type,
+        |  ((epoch_ms(ts) // 1000 // 86400) + 4) % 7 AS dow,
+        |  (epoch_ms(ts) // 1000 % 86400) // 3600 AS hour
+        | FROM events),
+        |g AS (SELECT event_type, dow, hour, count(*) AS n FROM c GROUP BY 1, 2, 3),
+        |t AS (SELECT event_type, sum(n) AS tot FROM g GROUP BY 1)
+        |SELECT g.event_type, CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+        | CAST(n AS BIGINT) AS n, CAST((1000000 * n) // tot AS BIGINT) AS share_ppm
+        |FROM g JOIN t USING (event_type)""".stripMargin,
+
+    // q223: quantile_disc(0.5) over a ROWS frame IS the lower median —
+    // verified against the element-at pick on ramp-up and even frames.
+    "q223_rolling_median" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |  CAST(round(value * 100) AS BIGINT) AS c
+        | FROM events)
+        |SELECT user_id, event_id, c AS value,
+        | quantile_disc(c, 0.5) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med,
+        | CAST(count(*) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_win
+        |FROM e""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

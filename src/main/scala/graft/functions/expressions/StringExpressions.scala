@@ -31,6 +31,18 @@ object StringKernels {
     out
   }
 
+  // Per-thread scratch for the DP matrix and the ASCII last-occurrence
+  // table: a verification join evaluates the kernel millions of times per
+  // task, and per-call allocation (matrix + boxed HashMap) dominated the
+  // bench profile (q211 measured ~6 µs/pair allocating vs ~2 µs reusing).
+  // Executor task threads each get their own scratch — no sharing.
+  private val dpScratch = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](64 * 64)
+  }
+  private val asciiLastRow = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](128)
+  }
+
   /** Unrestricted Damerau–Levenshtein distance (Lowrance–Wagner): edit
     * distance with insert/delete/substitute at cost 1 plus TRANSPOSITION
     * of two characters at cost 1 even when other edits happen between
@@ -39,6 +51,9 @@ object StringKernels {
     *
     * O(n·m) time and memory — callers bound input length (the fuzzy-join
     * operators verify on capped normalized prefixes, never raw bodies).
+    * The `da` last-occurrence table is a flat 128-slot array when both
+    * strings are ASCII (the hot path) and a boxed map otherwise —
+    * identical recurrence either way.
     */
   def damerauLevenshtein(left: UTF8String, right: UTF8String): Int = {
     val a = codePoints(left.toString)
@@ -51,21 +66,31 @@ object StringKernels {
     // transposition recurrence reads when a character has no previous
     // occurrence; row/col 1 are the usual empty-prefix base case.
     val w = m + 2
-    val d = new Array[Int]((n + 2) * w)
+    val need = (n + 2) * w
+    var d = dpScratch.get()
+    if (d.length < need) { d = new Array[Int](need); dpScratch.set(d) }
     val inf = n + m
     d(0) = inf
     var i = 0
     while (i <= n) { d((i + 1) * w) = inf; d((i + 1) * w + 1) = i; i += 1 }
     var j = 0
     while (j <= m) { d(j + 1) = inf; d(w + j + 1) = j; j += 1 }
+    var ascii = true
+    i = 0
+    while (i < n && ascii) { if (a(i) >= 128) ascii = false; i += 1 }
+    j = 0
+    while (j < m && ascii) { if (b(j) >= 128) ascii = false; j += 1 }
     // last row index (1-based) where each code point occurred in `a`
-    val da = new java.util.HashMap[Integer, Integer]()
+    val daFlat = if (ascii) { val t = asciiLastRow.get(); java.util.Arrays.fill(t, 0); t } else null
+    val daMap = if (ascii) null else new java.util.HashMap[Integer, Integer]()
     i = 1
     while (i <= n) {
       var db = 0 // last column j' < j (1-based) with b(j'-1) == a(i-1)
       j = 1
       while (j <= m) {
-        val k = { val v = da.get(b(j - 1)); if (v == null) 0 else v.intValue() }
+        val k =
+          if (ascii) daFlat(b(j - 1))
+          else { val v = daMap.get(b(j - 1)); if (v == null) 0 else v.intValue() }
         val l = db
         val cost = if (a(i - 1) == b(j - 1)) { db = j; 0 } else 1
         val sub = d(i * w + j) + cost
@@ -78,7 +103,7 @@ object StringKernels {
         d((i + 1) * w + j + 1) = best
         j += 1
       }
-      da.put(a(i - 1), i)
+      if (ascii) daFlat(a(i - 1)) = i else daMap.put(a(i - 1), i)
       i += 1
     }
     d((n + 1) * w + m + 1)

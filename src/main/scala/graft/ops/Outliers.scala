@@ -215,4 +215,64 @@ object Outliers {
         sum(col("__v")).as("trimmed_sum"))
       .withColumn("trimmed_mean", expr("trimmed_sum div n_kept"))
   }
+
+  /** Bivariate Mahalanobis outlier scoring — the multivariate screen the
+    * univariate detectors ([[madOutliers]], [[rollingZ]]) cannot do: a
+    * point that is unremarkable on each axis but violates their
+    * CORRELATION (high spend with low engagement) scores high. For
+    * integer columns (x, y), with one global pass of exact integer
+    * sufficient statistics (n, Σx, Σy, Σxx, Σyy, Σxy) and the scaled
+    * deviations `u = n·x − Σx`, `v = n·y − Σy` and co-moments
+    * `Cxx = n·Σxx − Σx²` (etc.), the squared Mahalanobis distance under
+    * the sample covariance is
+    * `d² = (n−1)/n · (u²·Cyy − 2uv·Cxy + v²·Cxx) / (Cxx·Cyy − Cxy²)`,
+    * published as `⌊1000·d²⌋`. All integer aggregates are exact; the
+    * final products/divide run in doubles with one pinned operation
+    * order, so every IEEE engine reproduces the identical milli values
+    * (int→double conversions round identically). Thresholding is the
+    * caller's: d² ~ χ²₂ under normality, so `d2_milli ≥ 9210` ≈ the 1%
+    * tail.
+    *
+    * Magnitude posture: exactness of the double last mile needs the long
+    * co-moments to stay ≲ 2⁵³ for exact conversion — n·Σxx < 9·10¹⁵,
+    * i.e. feed DOLLARS not micro-cents at n ~ 10⁶ (the [[Trend.linear]]
+    * suff-stat stance). Beyond 2⁵³ both engines still agree (identical
+    * rounding), but the milli floor is then a rounded, not exact, d².
+    *
+    * Scale shape: one map-side-combinable aggregation, broadcast back as
+    * six literals onto a map-only scoring scan — nothing but the
+    * suff-stat shuffle moves; the scoring never shuffles at all.
+    */
+  def mahalanobis2d(
+      df: DataFrame,
+      idCol: String,
+      xCol: org.apache.spark.sql.Column,
+      yCol: org.apache.spark.sql.Column): DataFrame = {
+    val x = xCol.cast("long")
+    val y = yCol.cast("long")
+    val base = df.select(col(idCol), x.as("__x"), y.as("__y"))
+    val stats = base.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+    base.crossJoin(broadcast(stats))
+      .withColumn("__u", col("__n") * col("__x") - col("__sx"))
+      .withColumn("__v", col("__n") * col("__y") - col("__sy"))
+      .withColumn("__cxx", col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__cyy", col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .withColumn("__cxy", col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      // doubles from here, pinned order:
+      // num = u·u·Cyy − 2·u·v·Cxy + v·v·Cxx ; det = Cxx·Cyy − Cxy·Cxy
+      .withColumn("__num",
+        col("__u").cast("double") * col("__u") * col("__cyy")
+          - lit(2.0) * col("__u") * col("__v") * col("__cxy")
+          + col("__v").cast("double") * col("__v") * col("__cxx"))
+      .withColumn("__det",
+        col("__cxx").cast("double") * col("__cyy") - col("__cxy").cast("double") * col("__cxy"))
+      .select(col(idCol), col("__x").as("x"), col("__y").as("y"),
+        floor(lit(1000.0) * ((col("__n") - 1L).cast("double") * col("__num"))
+          / (col("__n").cast("double") * col("__det"))).cast("long").as("d2_milli"))
+  }
 }

@@ -454,6 +454,64 @@ object TimeSeries {
     * per-row risk-set join anywhere; the duration domain can be
     * arbitrarily large.
     */
+  /** Day-of-week × hour-of-day activity heatmap per group: counts and
+    * within-group share (ppm). Calendar math is ENGINE-NEUTRAL integer
+    * arithmetic on the epoch — `dow = (⌊epoch_s/86400⌋ + 4) mod 7`
+    * (0 = Sunday; epoch day 0 was a Thursday) and
+    * `hour = (epoch_s mod 86400) div 3600` — because `dayofweek`-style
+    * builtins disagree across engines on both origin and range. UTC by
+    * construction (shift the epoch before calling for a business TZ).
+    *
+    * Scale shape: one map-side-combinable (group, dow, hour) count agg +
+    * a 168-cell-bounded broadcast join back for the share — no windows.
+    */
+  def activityProfile(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String): DataFrame = {
+    val cells = df
+      .select(col(groupCol), unix_millis(col(tsCol)).as("__ms"))
+      .withColumn("__s", expr("__ms div 1000"))
+      .select(col(groupCol),
+        expr("pmod(__s div 86400 + 4, 7)").cast("long").as("dow"),
+        expr("pmod(__s, 86400) div 3600").cast("long").as("hour"))
+      .groupBy(col(groupCol), col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col(groupCol)).agg(sum(col("n")).as("__tot"))
+    cells.join(broadcast(totals), Seq(groupCol))
+      .withColumn("share_ppm", expr("(1000000L * n) div __tot"))
+      .drop("__tot")
+  }
+
+  /** Per-key rolling LOWER median over the trailing `w+1`-row frame —
+    * the robust smoother for spiky telemetry ([[graft.ops.Outliers.rollingZ]]'s
+    * denoising complement): the lower median of a sorted frame is a
+    * deterministic element pick, so results are engine-exact with no
+    * averaging. Emits every row with its smoothed value and the actual
+    * frame size (ramp-up rows have n_win < w+1).
+    *
+    * Scale shape: one per-key window (partitioned, range-balanced); the
+    * frame materializes w+1 values per row — the caller's w bounds the
+    * memory, exactly like any ROWS frame. For large w use
+    * [[graft.ops.Metrics.equiDepth]]-style bucketing instead.
+    */
+  def rollingMedian(
+      df: DataFrame,
+      keyCol: String,
+      orderCols: Seq[Column],
+      idCol: String,
+      valueCol: Column,
+      w: Int): DataFrame = {
+    require(w >= 1, s"window must be >= 1: $w")
+    import org.apache.spark.sql.expressions.Window
+    val frame = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*).rowsBetween(-w, 0)
+    df.select((Seq(col(keyCol), col(idCol)) ++ orderCols :+ valueCol.cast("long").as("__v")): _*)
+      .withColumn("__win", sort_array(collect_list(col("__v")).over(frame)))
+      .select(col(keyCol), col(idCol), col("__v").as("value"),
+        expr("element_at(__win, cast((size(__win) + 1) div 2 as int))").as("med"),
+        size(col("__win")).cast("long").as("n_win"))
+  }
+
   def hazardTable(
       df: DataFrame,
       durationCol: Column,

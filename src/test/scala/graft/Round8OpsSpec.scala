@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.TextFunctions
 import graft.functions.expressions.StringKernels
-import graft.ops.{Audit, Eval, GeoGrid, Lexical, Metrics, TimeSeries, Trend}
+import graft.ops.{Audit, Eval, GeoGrid, Lexical, Metrics, Outliers, TimeSeries, Trend}
 
 /** Round-8 operators: string-linkage kernels, grid radius join,
   * Wasserstein drift, Theil–Sen, t-closeness, readability.
@@ -192,6 +192,46 @@ class Round8OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_t") == 20 && r.getAs[Long]("n_c") == 20)
     assert(r.getAs[Long]("theta_micro") == 1000000L)
     assert(r.getAs[Long]("effect_cuped_micro") == 10000000L)
+  }
+
+  test("mahalanobis: correlation violators outscore on-axis extremes") {
+    // x ≈ y line, plus one point far OFF the line and one far ALONG it:
+    // the off-line point must dominate even though the along-line point
+    // is more extreme on both axes.
+    val onLine = (1L to 20L).map(i => (i, i, i + (i % 3) - 1))
+    val rows = onLine :+ ((21L, 10L, 30L)) :+ ((22L, 40L, 41L))
+    val d = Outliers.mahalanobis2d(rows.toDF("id", "x", "y"), "id", col("x"), col("y"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("d2_milli")).toMap
+    assert(d(21L) > d(22L), s"off-line ${d(21L)} must beat along-line ${d(22L)}")
+    assert(d(21L) > onLine.map(p => d(p._1)).max)
+    // d² of the bulk stays small (χ²₂ median ≈ 1.39)
+    assert(onLine.map(p => d(p._1)).count(_ < 3000) >= 15)
+  }
+
+  test("activity heatmap: engine-neutral dow/hour math and ppm shares") {
+    val df = Seq(
+      ("a", "2026-08-14 10:30:00"), // Friday → dow 5, hour 10
+      ("a", "2026-08-14 10:59:59"),
+      ("a", "2026-08-16 00:01:00"), // Sunday → dow 0, hour 0
+      ("b", "2026-08-13 23:00:00")) // Thursday → dow 4, hour 23
+      .toDF("g", "s").withColumn("ts", to_timestamp(col("s")))
+    val got = TimeSeries.activityProfile(df, "g", "ts")
+      .select("g", "dow", "hour", "n", "share_ppm")
+      .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(got == Seq(
+      ("a", 0L, 0L, 1L, 333333L),
+      ("a", 5L, 10L, 2L, 666666L),
+      ("b", 4L, 23L, 1L, 1000000L)))
+  }
+
+  test("rolling median smooths a spike and honors ramp-up frames") {
+    val vals = Seq(5L, 1L, 9L, 4L, 7L, 2L)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }.toDF("k", "i", "v")
+    val got = TimeSeries.rollingMedian(df, "k", Seq(col("i")), "i", col("v"), w = 2)
+      .select("i", "med", "n_win").as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // frames: [5] [5,1] [5,1,9] [1,9,4] [9,4,7] [4,7,2] → lower medians
+    assert(got == Seq((0L, 5L, 1L), (1L, 1L, 2L), (2L, 5L, 3L),
+      (3L, 4L, 3L), (4L, 7L, 3L), (5L, 4L, 3L)))
   }
 
   test("readability counts and Flesch score on known text") {
