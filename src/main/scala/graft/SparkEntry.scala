@@ -2233,7 +2233,37 @@ object SparkEntry {
           unix_millis(col("ts")).as("ms"),
           round(col("value") * 100).cast("long").as("cents")),
         "user_id", Seq(col("ms"), col("event_id")), "event_id",
-        col("cents"), w = 4))
+        col("cents"), w = 4)),
+
+    // ---- peak concurrency per event type over [ts, ts+dur) synthetic
+    // sessions (dur = ⌊value⌋+1 s): sweep-line deltas + per-key running
+    // sum — never an interval self-join. --------------------------------
+    "q224_max_concurrency" -> ((s, dir) => {
+      val start = expr("unix_millis(ts) div 1000")
+      TimeSeries.maxConcurrency(
+        t(s, dir, "events").withColumn("__start", start)
+          .withColumn("__end", start + floor(col("value")).cast("long") + lit(1L)),
+        "event_type", col("__start"), col("__end"))
+    }),
+
+    // ---- hapax legomena share per language: type/token counts and the
+    // once-seen vocabulary share — corpus-maturity screen. --------------
+    "q225_hapax" -> ((s, dir) =>
+      Lexical.hapax(t(s, dir, "documents"))),
+
+    // ---- Goh–Barabási burstiness per user over inter-event gaps:
+    // metronome −1 … Poisson 0 … bursts → 1; exact long suff-stats,
+    // pinned-order double last mile. ------------------------------------
+    "q226_burstiness" -> ((s, dir) =>
+      TimeSeries.burstiness(t(s, dir, "events"), "user_id", "ts",
+        tieCols = Seq("event_id"))),
+
+    // ---- multiplicative seasonal index per event type and day-of-month
+    // (the corpus spans one month): cell mean vs type mean in ppm; one
+    // agg + 30-cell broadcast. ------------------------------------------
+    "q227_seasonal_index" -> ((s, dir) =>
+      TimeSeries.seasonalIndex(t(s, dir, "events"), "event_type",
+        dayofmonth(col("ts")), round(col("value") * 100)))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -5572,7 +5602,83 @@ object SparkEntry {
         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med,
         | CAST(count(*) OVER (PARTITION BY user_id ORDER BY ms, event_id
         |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_win
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+
+    // q224: same sweep line — per-timestamp nets FIRST (half-open
+    // same-instant handoff), then the running max.
+    "q224_max_concurrency" ->
+      """WITH iv AS (
+        | SELECT event_type, epoch_ms(ts) // 1000 AS s,
+        |  epoch_ms(ts) // 1000 + CAST(floor(value) AS BIGINT) + 1 AS e
+        | FROM events),
+        |d AS (
+        | SELECT event_type, s AS t, 1 AS dd FROM iv
+        | UNION ALL
+        | SELECT event_type, e AS t, -1 AS dd FROM iv),
+        |net AS (SELECT event_type, t, sum(dd) AS net FROM d GROUP BY 1, 2),
+        |run AS (
+        | SELECT event_type,
+        |  sum(net) OVER (PARTITION BY event_type ORDER BY t
+        |   ROWS UNBOUNDED PRECEDING) AS run
+        | FROM net)
+        |SELECT r.event_type, CAST(max(r.run) AS BIGINT) AS max_concurrent,
+        | CAST(min(c.n) AS BIGINT) AS n_intervals
+        |FROM run r JOIN (SELECT event_type, count(*) AS n FROM events GROUP BY 1) c
+        | USING (event_type)
+        |GROUP BY r.event_type""".stripMargin,
+
+    // q225: the q122 tokenizer, rolled up to the type-frequency spectrum
+    // endpoint.
+    "q225_hapax" ->
+      """WITH tok AS (
+        | SELECT lang,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |t AS (SELECT lang, unnest(w) AS word FROM tok),
+        |c AS (SELECT lang, word, count(*) AS n FROM t GROUP BY 1, 2)
+        |SELECT lang,
+        | CAST(count(*) AS BIGINT) AS n_types,
+        | CAST(sum(n) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        | CAST((1000000 * sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+        |  AS hapax_ppm
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // q226: identical gap pairing and the identical clamped-variance
+    // double pipeline (sqrt of a clamp is engine-safe).
+    "q226_burstiness" ->
+      """WITH g AS (
+        | SELECT user_id, epoch_ms(ts) // 1000 AS s,
+        |  lag(epoch_ms(ts) // 1000) OVER (PARTITION BY user_id
+        |   ORDER BY epoch_ms(ts) // 1000, event_id) AS prev
+        | FROM events),
+        |st AS (
+        | SELECT user_id, count(*) AS n_gaps,
+        |  sum(s - prev) AS sum_gap, sum((s - prev) * (s - prev)) AS sum_gap2
+        | FROM g WHERE prev IS NOT NULL GROUP BY 1),
+        |mm AS (
+        | SELECT user_id, n_gaps, sum_gap, sum_gap2,
+        |  sum_gap / n_gaps AS mu,
+        |  sqrt(greatest(sum_gap2 / n_gaps - (sum_gap / n_gaps) * (sum_gap / n_gaps), 0.0)) AS sd
+        | FROM st)
+        |SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+        | CAST(sum_gap AS BIGINT) AS sum_gap, CAST(sum_gap2 AS BIGINT) AS sum_gap2,
+        | CASE WHEN sd + mu = 0.0 THEN NULL
+        |  ELSE CAST(floor(1000000.0 * (sd - mu) / (sd + mu)) AS BIGINT) END AS b_micro
+        |FROM mm""".stripMargin,
+
+    // q227: day() is proleptic-Gregorian-identical across engines for
+    // modern dates; the ratio is one pinned-order double divide.
+    "q227_seasonal_index" ->
+      """WITH cells AS (
+        | SELECT event_type, CAST(day(ts) AS BIGINT) AS season,
+        |  count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+        | FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, sum(n) AS nt, sum(sum_cents) AS st FROM cells GROUP BY 1)
+        |SELECT c.event_type, c.season, CAST(c.n AS BIGINT) AS n,
+        | CAST(c.sum_cents AS BIGINT) AS sum_cents,
+        | CAST(floor((1000000.0 * c.sum_cents * t.nt) / (c.n * t.st)) AS BIGINT) AS index_ppm
+        |FROM cells c JOIN tot t USING (event_type)""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

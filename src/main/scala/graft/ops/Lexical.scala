@@ -240,6 +240,31 @@ object Lexical {
           .otherwise(expr("(1000000L * n_chars) div n_tokens")))
   }
 
+  /** Per-language hapax legomena profile: vocabulary size (types),
+    * token count, and the share of types seen EXACTLY ONCE — the
+    * classic corpus-maturity signal (a healthy natural-language corpus
+    * runs ~40–60% hapax by Zipf; scraped boilerplate collapses it,
+    * OCR noise and mixed-language shards inflate it). Complements
+    * [[graft.ops.Ngrams]]' vocabulary growth/coverage curves with the
+    * type-frequency-spectrum endpoint.
+    *
+    * Scale shape: one (lang, word) count agg — map-side combined, the
+    * shuffle carries the vocabulary, never documents — then a
+    * lang-cardinality rollup. No windows.
+    */
+  def hapax(docs: DataFrame, langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    docs
+      .select(col(langCol).as("lang"), explode(Dedup.wordTokens(col(textCol))).as("word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("__n")).as("n_tokens"),
+        count_if(col("__n") === 1).as("n_hapax"))
+      .withColumn("hapax_ppm", expr("(1000000L * n_hapax) div n_types"))
+  }
+
   /** Per-doc readability: Flesch reading-ease from exact integer counts —
     * words (whitespace tokens), sentences (`[.!?]+`-separated segments
     * with any non-whitespace), and syllables approximated the standard

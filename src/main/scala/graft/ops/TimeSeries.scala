@@ -512,6 +512,109 @@ object TimeSeries {
         size(col("__win")).cast("long").as("n_win"))
   }
 
+  /** Peak concurrency per group over half-open integer intervals
+    * `[start, end)` — "how many sessions/locks/calls were open at once",
+    * the capacity-planning sweep-line: +1 at each start, −1 at each end,
+    * both aggregated per distinct timestamp FIRST (so an end and a start
+    * at the same instant net out — half-open semantics exactly), then a
+    * per-group running sum whose max is the answer.
+    *
+    * Scale shape: one (group, timestamp) hash agg over 2·n narrow delta
+    * rows, one per-group window (partitioned, range-balanced), one tiny
+    * count join — never a global window, never an interval self-join
+    * (the O(n²) formulation this replaces).
+    */
+  def maxConcurrency(
+      df: DataFrame,
+      groupCol: String,
+      startCol: Column,
+      endCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deltas = df.select(col(groupCol), startCol.cast("long").as("__t"), lit(1L).as("__d"))
+      .unionByName(df.select(col(groupCol), endCol.cast("long").as("__t"), lit(-1L).as("__d")))
+    val perT = deltas.groupBy(col(groupCol), col("__t")).agg(sum(col("__d")).as("__net"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peaks = perT
+      .withColumn("__run", sum(col("__net")).over(w))
+      .groupBy(col(groupCol))
+      .agg(max(col("__run")).as("max_concurrent"))
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_intervals"))
+    peaks.join(broadcast(counts), Seq(groupCol))
+  }
+
+  /** Per-key burstiness of inter-arrival gaps — Goh–Barabási
+    * `B = (σ − μ)/(σ + μ)` over the seconds between consecutive events:
+    * −1 for a metronome, → 0 for Poisson, → 1 for heavy-tailed bursts.
+    * The classic screen separating organic activity from scripted
+    * traffic. Suff-stats (n, Σg, Σg²) are exact longs (gaps in SECONDS
+    * keep Σg² < 2⁶³ for decade-long spans); μ, population σ and B run
+    * in pinned-order doubles, σ² clamped at 0 against fp cancellation
+    * (both engines clamp identically). Keys with all-zero gaps emit a
+    * NULL B (σ + μ = 0). One row per key with ≥ 1 gap:
+    * (key, n_gaps, sum_gap, sum_gap2, b_micro).
+    *
+    * Scale shape: one per-key lag window + one hash agg — shuffles carry
+    * (key, seconds) pairs only.
+    */
+  def burstiness(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__s") +: tieCols.map(col): _*)
+    df.select((Seq(col(keyCol), expr(s"unix_millis($tsCol) div 1000").as("__s")) ++
+        tieCols.map(col)): _*)
+      .withColumn("__g", col("__s") - lag(col("__s"), 1).over(w))
+      .where(col("__g").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__g")).as("sum_gap"),
+        sum(col("__g") * col("__g")).as("sum_gap2"))
+      // pinned doubles: mu = Σg/n ; var = max(Σg²/n − mu·mu, 0) ;
+      // B = (sqrt(var) − mu) / (sqrt(var) + mu)
+      .withColumn("__mu", col("sum_gap") / col("n_gaps"))
+      .withColumn("__sd",
+        sqrt(greatest(col("sum_gap2") / col("n_gaps") - col("__mu") * col("__mu"), lit(0.0))))
+      .withColumn("b_micro",
+        when(col("__sd") + col("__mu") === 0.0, lit(null).cast("long"))
+          .otherwise(floor(lit(1000000.0) * (col("__sd") - col("__mu")) / (col("__sd") + col("__mu")))
+            .cast("long")))
+      .drop("__mu", "__sd")
+  }
+
+  /** Multiplicative seasonal index per group and caller-chosen season
+    * cell (calendar month, day-of-month, hour — any engine-stable
+    * expression): `index_ppm = ⌊10⁶ · (cell mean) / (group mean)⌋` —
+    * 1 000 000 means "an average cell", 1 300 000 a +30% seasonal peak;
+    * the normalization behind deseasonalized trend reads and staffing
+    * curves. The means never materialize: the ratio is computed as
+    * `(10⁶·Σ_c·n) / (n_c·Σ)` with exact-long numerator inputs and one
+    * pinned-order double divide. Calendar extractors like `month()` /
+    * `dayofmonth()` are proleptic-Gregorian-identical across engines for
+    * modern dates (unlike day-of-week builtins).
+    *
+    * Scale shape: one (group, season) hash agg + a cells-per-group-
+    * bounded broadcast of group totals. Nothing else moves.
+    */
+  def seasonalIndex(
+      df: DataFrame,
+      groupCol: String,
+      seasonCol: Column,
+      valueCol: Column): DataFrame = {
+    val cells = df
+      .groupBy(col(groupCol), seasonCol.cast("long").as("season"))
+      .agg(count(lit(1)).as("n"), sum(valueCol.cast("long")).as("sum_cents"))
+    val totals = cells.groupBy(col(groupCol))
+      .agg(sum(col("n")).as("__n"), sum(col("sum_cents")).as("__sum"))
+    cells.join(broadcast(totals), Seq(groupCol))
+      .withColumn("index_ppm",
+        floor(lit(1000000.0) * col("sum_cents") * col("__n") / (col("n") * col("__sum")))
+          .cast("long"))
+      .drop("__n", "__sum")
+  }
+
   def hazardTable(
       df: DataFrame,
       durationCol: Column,

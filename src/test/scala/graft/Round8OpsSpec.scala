@@ -234,6 +234,57 @@ class Round8OpsSpec extends SparkSpec {
       (3L, 4L, 3L), (4L, 7L, 3L), (5L, 4L, 3L)))
   }
 
+  test("max concurrency: sweep line nets same-instant handoffs (half-open)") {
+    // k: [0,10) [5,15) [10,20) → peak 2 (the [0,10)→[10,20) handoff at 10
+    // must NOT count 3); solo key peaks at 1
+    val df = Seq(("k", 0L, 10L), ("k", 5L, 15L), ("k", 10L, 20L), ("s", 3L, 4L))
+      .toDF("g", "st", "en")
+    val got = TimeSeries.maxConcurrency(df, "g", col("st"), col("en"))
+      .select("g", "max_concurrent", "n_intervals")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(got == Seq(("k", 2L, 3L), ("s", 1L, 1L)))
+  }
+
+  test("hapax: type/token bookkeeping on a known corpus") {
+    val df = Seq(("en", "a a b c"), ("en", "b d"), ("fr", "x x x")).toDF("lang", "text")
+    val got = Lexical.hapax(df).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_types"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_hapax"), r.getAs[Long]("hapax_ppm"))).toMap
+    // en: types {a,b,c,d}, tokens 6, hapax {c,d}
+    assert(got("en") == ((4L, 6L, 2L, 500000L)))
+    assert(got("fr") == ((1L, 3L, 0L, 0L)))
+  }
+
+  test("burstiness: metronome scores -1, mixed gaps land in between") {
+    val metro = (0 to 5).map(i => ("m", i * 60L))
+    val bursty = Seq(("b", 0L), ("b", 1L), ("b", 2L), ("b", 300L), ("b", 301L))
+    val df = (metro ++ bursty).map { case (k, s) => (k, s * 1000L) }
+      .toDF("k", "ms").withColumn("ts", timestamp_millis(col("ms")))
+      .withColumn("event_id", col("ms"))
+    val got = TimeSeries.burstiness(df, "k", "ts", Seq("event_id")).collect()
+      .map(r => r.getAs[String]("k") -> r).toMap
+    assert(got("m").getAs[Long]("b_micro") == -1000000L) // sd = 0 → exactly −1
+    val b = got("b").getAs[Long]("b_micro")
+    assert(b > -1000000L && b < 1000000L && got("b").getAs[Long]("n_gaps") == 4L)
+    // all-zero gaps → null B
+    val z = TimeSeries.burstiness(
+      Seq(("z", 0L), ("z", 0L)).toDF("k", "ms")
+        .withColumn("ts", timestamp_millis(col("ms"))).withColumn("event_id", monotonically_increasing_id()),
+      "k", "ts", Seq("event_id")).head()
+    assert(z.isNullAt(z.fieldIndex("b_micro")))
+  }
+
+  test("seasonal index: flat cells read 1e6, a 2x cell reads 2x minus its dilution") {
+    // two cells with equal counts: values 100 vs 300 → means 100/300,
+    // group mean 200 → indices 500000 and 1500000
+    val df = Seq(("g", 1L, 100L), ("g", 1L, 100L), ("g", 2L, 300L), ("g", 2L, 300L))
+      .toDF("g", "cell", "cents")
+    val got = TimeSeries.seasonalIndex(df, "g", col("cell"), col("cents"))
+      .select("season", "index_ppm").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 500000L), (2L, 1500000L)))
+  }
+
   test("readability counts and Flesch score on known text") {
     val df = Seq((1L, "Hello world. This is readable.")).toDF("doc_id", "text")
     val r = Lexical.readability(df).head()
