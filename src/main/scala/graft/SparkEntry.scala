@@ -2263,7 +2263,26 @@ object SparkEntry {
     // agg + 30-cell broadcast. ------------------------------------------
     "q227_seasonal_index" -> ((s, dir) =>
       TimeSeries.seasonalIndex(t(s, dir, "events"), "event_type",
-        dayofmonth(col("ts")), round(col("value") * 100)))
+        dayofmonth(col("ts")), round(col("value") * 100))),
+
+    // ---- Q–Q table click vs view: exact lower-quantile element picks
+    // at nine levels — WHERE the distributions diverge, complementing
+    // q188's KS supremum and q214's EMD mass. ---------------------------
+    "q228_qq_table" -> ((s, dir) =>
+      Metrics.qqTable(t(s, dir, "events"), "event_type",
+        round(col("value") * 100), "click", "view")),
+
+    // ---- L-moment profile per event type: exact rank-weighted P-sums,
+    // integer λ2/λ3 numerators, floor-ppm L-CV and L-skewness. ----------
+    "q229_l_moments" -> ((s, dir) =>
+      Metrics.lMoments(t(s, dir, "events"), Seq("event_type"),
+        floor(col("value")))),
+
+    // ---- sliding event-type trigrams per user: higher-order sequence
+    // mining between q85's pairs and q105's prefix paths. ---------------
+    "q230_path_trigrams" -> ((s, dir) =>
+      Transitions.ngrams(t(s, dir, "events"), "user_id", "event_type",
+        Seq(col("ts"), col("event_id")), k = 3))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -5678,7 +5697,65 @@ object SparkEntry {
         |SELECT c.event_type, c.season, CAST(c.n AS BIGINT) AS n,
         | CAST(c.sum_cents AS BIGINT) AS sum_cents,
         | CAST(floor((1000000.0 * c.sum_cents * t.nt) / (c.n * t.st)) AS BIGINT) AS index_ppm
-        |FROM cells c JOIN tot t USING (event_type)""".stripMargin
+        |FROM cells c JOIN tot t USING (event_type)""".stripMargin,
+
+    // q228: identical lower-quantile rank formula; ties among equal
+    // values can permute row identity but never the picked value.
+    "q228_qq_table" ->
+      """WITH r AS (
+        | SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v,
+        |  row_number() OVER (PARTITION BY event_type
+        |   ORDER BY CAST(round(value * 100) AS BIGINT)) AS rk,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM events WHERE event_type IN ('click', 'view')),
+        |l AS (SELECT unnest([1, 5, 10, 25, 50, 75, 90, 95, 99]) AS p),
+        |t AS (SELECT l.p, r.g, r.v FROM l JOIN r ON r.rk = (l.p * (r.n - 1)) // 100 + 1)
+        |SELECT p,
+        | CAST(max(CASE WHEN g = 'click' THEN v END) AS BIGINT) AS q_a,
+        | CAST(max(CASE WHEN g = 'view' THEN v END) AS BIGINT) AS q_b,
+        | CAST(max(CASE WHEN g = 'click' THEN v END)
+        |  - max(CASE WHEN g = 'view' THEN v END) AS BIGINT) AS gap
+        |FROM t GROUP BY 1""".stripMargin,
+
+    // q229: identical rank-weighted P-sums ((i−1)(i−2) is even, so the
+    // // is exact) and the identical pinned double ratio chains.
+    "q229_l_moments" ->
+      """WITH r AS (
+        | SELECT event_type, CAST(floor(value) AS BIGINT) AS v,
+        |  row_number() OVER (PARTITION BY event_type
+        |   ORDER BY CAST(floor(value) AS BIGINT)) AS i
+        | FROM events),
+        |s AS (
+        | SELECT event_type, count(*) AS n, sum(v) AS p0,
+        |  sum((i - 1) * v) AS p1,
+        |  sum((((i - 1) * (i - 2)) // 2) * v) AS p2
+        | FROM r GROUP BY 1),
+        |m AS (
+        | SELECT event_type, n, p0, p1, p2,
+        |  2 * p1 - (n - 1) * p0 AS l2_num,
+        |  12 * p2 - 6 * (n - 2) * p1 + (n - 1) * (n - 2) * p0 AS l3_num
+        | FROM s)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(p0 AS BIGINT) AS p0,
+        | CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+        | CAST(l2_num AS BIGINT) AS l2_num, CAST(l3_num AS BIGINT) AS l3_num,
+        | CASE WHEN n < 2 OR p0 = 0 THEN NULL
+        |  ELSE CAST(floor((1000000.0 * (l2_num / (n - 1))) / p0) AS BIGINT) END AS t2_ppm,
+        | CASE WHEN n < 3 OR l2_num = 0 THEN NULL
+        |  ELSE CAST(floor((1000000.0 * (l3_num / (n - 2))) / l2_num) AS BIGINT) END AS t3_ppm
+        |FROM m""".stripMargin,
+
+    // q230: one window spec, two leads — identical tie-broken order.
+    "q230_path_trigrams" ->
+      """WITH s AS (
+        | SELECT user_id, event_type AS s1,
+        |  lead(event_type, 1) OVER w AS s2,
+        |  lead(event_type, 2) OVER w AS s3
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT s1, s2, s3, count(*) AS n FROM s WHERE s3 IS NOT NULL GROUP BY 1, 2, 3),
+        |t AS (SELECT sum(n) AS tot FROM g)
+        |SELECT s1, s2, s3, CAST(n AS BIGINT) AS n,
+        | CAST((1000000 * n) // tot AS BIGINT) AS share_ppm
+        |FROM g CROSS JOIN t""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -490,6 +490,102 @@ object Metrics {
       .withColumn("w1_milli", expr("(1000L * emd_num) div (n_a * n_b)"))
   }
 
+  /** Q–Q table between two groups' integer value distributions: for each
+    * requested percent level `p`, the LOWER p-quantile of each group —
+    * the element at 1-based rank `⌊p·(n−1)/100⌋ + 1` of the sorted
+    * values, an exact element pick, no interpolation — plus their gap.
+    * Where [[ksStatistic]] reports the worst ECDF gap and
+    * [[wassersteinDrift]] the total transported mass, the Q–Q table
+    * shows WHERE the distributions diverge (tail-only drift vs a body
+    * shift read completely differently).
+    *
+    * Scale shape: per-group rank windows (key-partitioned), a
+    * levels×groups target-rank table (tiny, broadcast) equi-joined back
+    * on (group, rank), and a levels-sized pivot — the join is on a
+    * pre-filtered rank column, so only |levels|·2 rows survive it.
+    */
+  def qqTable(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: Column,
+      groupA: String,
+      groupB: String,
+      levels: Seq[Int] = Seq(1, 5, 10, 25, 50, 75, 90, 95, 99)): DataFrame = {
+    require(levels.nonEmpty && levels.forall(p => p >= 0 && p <= 100),
+      s"levels must be percents in [0, 100]: $levels")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    val ranked = df
+      .where(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("__g"), valueCol.cast("long").as("__v"))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+    val counts = ranked.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val targets = levels.distinct.sorted.toDF("p")
+      .crossJoin(counts)
+      .withColumn("__rk", expr("(p * (__n - 1)) div 100 + 1"))
+      .select(col("p"), col("__g"), col("__rk"))
+    ranked.join(broadcast(targets), Seq("__g", "__rk"))
+      .groupBy(col("p"))
+      .agg(
+        max(when(col("__g") === groupA, col("__v"))).as("q_a"),
+        max(when(col("__g") === groupB, col("__v"))).as("q_b"))
+      .withColumn("gap", col("q_a") - col("q_b"))
+  }
+
+  /** Per-group L-moment profile — the order-statistics moments that stay
+    * meaningful under heavy tails where classical variance/skew blow up:
+    * from the exact rank-weighted sums `P0 = Σx`, `P1 = Σ(i−1)·x`,
+    * `P2 = Σ((i−1)(i−2)/2)·x` over each group's ascending sort,
+    * λ2 (L-scale) and the ratios t2 = λ2/λ1 (L-CV) and t3 = λ3/λ2
+    * (L-skewness) have closed integer numerators:
+    * `λ2·n(n−1) = 2P1 − (n−1)P0`,
+    * `λ3·n(n−1)(n−2) = 12P2 − 6(n−2)P1 + (n−1)(n−2)P0`.
+    * The P-sums and both numerators are published EXACT; the ppm ratios
+    * are floors of one pinned-order double divide each (the numerators
+    * can exceed the 10⁶-scaled Long range, so the exact pair is the
+    * scale-safe output — the [[suffStats]] stance). Rank ties need no
+    * tiebreak: equal values permuting among tied ranks leave every
+    * weighted sum unchanged.
+    *
+    * Scale shape: one per-group rank window + one hash agg; shuffles
+    * carry (group, value, rank) triples only.
+    */
+  def lMoments(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("__v"))
+    val ranked = df
+      .select((g :+ valueCol.cast("long").as("__v")): _*)
+      .withColumn("__i", row_number().over(w).cast("long"))
+    ranked.groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__v")).as("p0"),
+        sum((col("__i") - 1L) * col("__v")).as("p1"),
+        // (i−1)(i−2) is always even — the div is exact integer division
+        sum(expr("(((__i - 1) * (__i - 2)) div 2) * __v")).as("p2"))
+      .withColumn("l2_num", lit(2L) * col("p1") - (col("n") - 1L) * col("p0"))
+      .withColumn("l3_num",
+        lit(12L) * col("p2") - lit(6L) * (col("n") - 2L) * col("p1")
+          + (col("n") - 1L) * (col("n") - 2L) * col("p0"))
+      // pinned-order double ratios: t2 = (l2_num/(n−1)) / p0,
+      // t3 = (l3_num/(n−2)) / l2_num — each one divide chain, floored
+      .withColumn("t2_ppm",
+        when(col("n") < 2 || col("p0") === 0, lit(null).cast("long"))
+          .otherwise(floor(lit(1000000.0) * (col("l2_num") / (col("n") - 1L)) / col("p0"))
+            .cast("long")))
+      .withColumn("t3_ppm",
+        when(col("n") < 3 || col("l2_num") === 0, lit(null).cast("long"))
+          .otherwise(floor(lit(1000000.0) * (col("l3_num") / (col("n") - 2L)) / col("l2_num"))
+            .cast("long")))
+  }
+
   def gini(df: DataFrame, groupCols: Seq[String], catCol: String): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     import org.apache.spark.sql.expressions.Window

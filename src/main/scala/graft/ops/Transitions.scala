@@ -70,4 +70,41 @@ object Transitions {
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_keys"))
   }
+
+  /** Sliding state k-grams: every length-`k` window of consecutive
+    * states within a key's ordered sequence, counted across keys — the
+    * higher-order sequence-mining middle ground between [[matrix]]
+    * (memoryless pairs) and [[topPaths]] (prefix-anchored whole paths):
+    * `a→b→c` counts wherever it occurs, not only at sequence starts.
+    * Emits `(s1 … sk, n, share_ppm)` over all observed k-grams.
+    *
+    * Scale shape: one per-key window shuffle feeding `k−1` `lead`
+    * columns over the SAME window spec (one WindowExec, no extra
+    * exchanges), then a map-side-combined count on state tuples — the
+    * shuffle after the window carries k-gram tuples, never sequences.
+    */
+  def ngrams(
+      df: DataFrame,
+      keyCol: String,
+      stateCol: String,
+      orderCols: Seq[Column],
+      k: Int): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(k >= 2 && k <= 8, s"k must be in [2, 8]: $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val stateCols = (1 to k).map(i => s"s$i")
+    val withLeads = (2 to k).foldLeft(
+      df.select((Seq(col(keyCol), col(stateCol).as("s1")) ++ orderCols): _*)) { (acc, i) =>
+      acc.withColumn(s"s$i", lead(col("s1"), i - 1).over(w))
+    }
+    val grams = withLeads
+      .where(col(s"s$k").isNotNull)
+      .groupBy(stateCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val total = grams.groupBy().agg(sum(col("n")).as("__total"))
+    grams.crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("(1000000L * n) div __total"))
+      .drop("__total")
+  }
 }

@@ -285,6 +285,37 @@ class Round8OpsSpec extends SparkSpec {
     assert(got == Seq((1L, 500000L), (2L, 1500000L)))
   }
 
+  test("qq table picks exact lower quantiles and their gaps") {
+    // a = 0,10,…,100 (n=11): lower p-quantile = element at (p·10)/100+1
+    // b = a + 7 → constant gap −7 at every level
+    val rows = (0 to 10).flatMap(i => Seq(("a", i * 10L), ("b", i * 10L + 7L)))
+    val got = Metrics.qqTable(rows.toDF("g", "v"), "g", col("v"), "a", "b",
+      levels = Seq(0, 25, 50, 100))
+      .select("p", "q_a", "q_b", "gap").as[(Int, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((0, 0L, 7L, -7L), (25, 20L, 27L, -7L),
+      (50, 50L, 57L, -7L), (100, 100L, 107L, -7L)))
+  }
+
+  test("l-moments: uniform {1,2,3,4} gives known λ2 and symmetric t3 = 0") {
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L)).toDF("g", "v")
+    val r = Metrics.lMoments(df, Seq("g"), col("v")).head()
+    assert(r.getAs[Long]("p0") == 10 && r.getAs[Long]("p1") == 20 && r.getAs[Long]("p2") == 15)
+    assert(r.getAs[Long]("l2_num") == 10) // λ2 = 10/(4·3) = 5/6
+    assert(r.getAs[Long]("l3_num") == 0) // symmetric → L-skew 0
+    assert(r.getAs[Long]("t2_ppm") == 333333L && r.getAs[Long]("t3_ppm") == 0L)
+  }
+
+  test("state trigrams slide over every position, prefix-free") {
+    val df = Seq(("k", 1L, "a"), ("k", 2L, "b"), ("k", 3L, "a"), ("k", 4L, "b"),
+      ("j", 1L, "x"), ("j", 2L, "y")) // j too short for any trigram
+      .toDF("k", "o", "s")
+    val got = graft.ops.Transitions.ngrams(df, "k", "s", Seq(col("o")), k = 3)
+      .select("s1", "s2", "s3", "n", "share_ppm")
+      .as[(String, String, String, Long, Long)].collect().sorted.toSeq
+    assert(got == Seq(("a", "b", "a", 1L, 500000L), ("b", "a", "b", 1L, 500000L)))
+  }
+
   test("readability counts and Flesch score on known text") {
     val df = Seq((1L, "Hello world. This is readable.")).toDF("doc_id", "text")
     val r = Lexical.readability(df).head()
