@@ -2282,7 +2282,26 @@ object SparkEntry {
     // mining between q85's pairs and q105's prefix paths. ---------------
     "q230_path_trigrams" -> ((s, dir) =>
       Transitions.ngrams(t(s, dir, "events"), "user_id", "event_type",
-        Seq(col("ts"), col("event_id")), k = 3))
+        Seq(col("ts"), col("event_id")), k = 3)),
+
+    // ---- pairwise vocabulary Jaccard between sources: the lexical Venn
+    // q148's verbatim 16-word blocks can't see; vocabulary-sized
+    // shuffles only. ----------------------------------------------------
+    "q231_vocab_jaccard" -> ((s, dir) =>
+      Lexical.vocabJaccard(t(s, dir, "documents"))),
+
+    // ---- classical moment profile per event type: exact power sums,
+    // pinned-order skew/kurtosis milli — q229's parametric sibling. -----
+    "q232_moments" -> ((s, dir) =>
+      Metrics.momentStats(t(s, dir, "events"), Seq("event_type"),
+        floor(col("value")))),
+
+    // ---- Gini concentration of spend per event type over the value
+    // distribution itself (q119 is over category counts): rank-weighted
+    // closed form, exact integers. --------------------------------------
+    "q233_value_gini" -> ((s, dir) =>
+      Metrics.valueGini(t(s, dir, "events"), Seq("event_type"),
+        floor(col("value"))))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -5755,7 +5774,69 @@ object SparkEntry {
         |t AS (SELECT sum(n) AS tot FROM g)
         |SELECT s1, s2, s3, CAST(n AS BIGINT) AS n,
         | CAST((1000000 * n) // tot AS BIGINT) AS share_ppm
-        |FROM g CROSS JOIN t""".stripMargin
+        |FROM g CROSS JOIN t""".stripMargin,
+
+    // q231: the q122 tokenizer feeding a distinct vocabulary, word-keyed
+    // pair intersection, broadcast sizes.
+    "q231_vocab_jaccard" ->
+      """WITH v AS (
+        | SELECT DISTINCT source AS g,
+        |  unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |   w -> len(w) > 0)) AS word
+        | FROM documents),
+        |s AS (SELECT g, count(*) AS n FROM v GROUP BY 1),
+        |c AS (
+        | SELECT a.g AS g_a, b.g AS g_b, count(*) AS n_common
+        | FROM v a JOIN v b ON a.word = b.word AND a.g < b.g GROUP BY 1, 2)
+        |SELECT g_a, g_b, CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+        | CAST(n_common AS BIGINT) AS n_common,
+        | CAST((1000000 * n_common) // (sa.n + sb.n - n_common) AS BIGINT) AS jaccard_ppm
+        |FROM c JOIN s sa ON sa.g = c.g_a JOIN s sb ON sb.g = c.g_b""".stripMargin,
+
+    // q232: identical pinned central-moment and ratio chains (mu ≡ s1/n
+    // recomputed inline is the identical double).
+    "q232_moments" ->
+      """WITH b AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS v FROM events),
+        |s AS (
+        | SELECT event_type, count(*) AS n, sum(v) AS s1, sum(v * v) AS s2,
+        |  sum(v * v * v) AS s3, sum(v * v * v * v) AS s4
+        | FROM b GROUP BY 1),
+        |m AS (
+        | SELECT event_type, n, s1, s2, s3, s4,
+        |  s1 / n AS mu,
+        |  s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |  s3 / n - 3.0 * (s1 / n) * (s2 / n)
+        |   + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |  s4 / n - 4.0 * (s1 / n) * (s3 / n)
+        |   + 6.0 * ((s1 / n) * (s1 / n)) * (s2 / n)
+        |   - 3.0 * ((s1 / n) * (s1 / n)) * ((s1 / n) * (s1 / n)) AS m4
+        | FROM s)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(s1 AS BIGINT) AS s1,
+        | CAST(s2 AS BIGINT) AS s2, CAST(s3 AS BIGINT) AS s3, CAST(s4 AS BIGINT) AS s4,
+        | CAST(floor(1000.0 * mu) AS BIGINT) AS mean_milli,
+        | CAST(floor(1000.0 * m2) AS BIGINT) AS var_milli,
+        | CASE WHEN m2 <= 0.0 THEN NULL
+        |  ELSE CAST(floor(1000.0 * (m3 / (sqrt(m2) * m2))) AS BIGINT) END AS skew_milli,
+        | CASE WHEN m2 <= 0.0 THEN NULL
+        |  ELSE CAST(floor(1000.0 * (m4 / (m2 * m2) - 3.0)) AS BIGINT) END AS kurt_milli
+        |FROM m""".stripMargin,
+
+    // q233: rank-weighted Gini closed form; ties permute equal values
+    // only, so Σi·v is stable.
+    "q233_value_gini" ->
+      """WITH r AS (
+        | SELECT event_type, CAST(floor(value) AS BIGINT) AS v,
+        |  row_number() OVER (PARTITION BY event_type
+        |   ORDER BY CAST(floor(value) AS BIGINT)) AS i
+        | FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(v) AS BIGINT) AS sum_value,
+        | CAST(2 * sum(i * v) - (count(*) + 1) * sum(v) AS BIGINT) AS gini_num,
+        | CAST(count(*) * sum(v) AS BIGINT) AS gini_den,
+        | CASE WHEN count(*) * sum(v) = 0 THEN NULL
+        |  ELSE CAST((1000000 * (2 * sum(i * v) - (count(*) + 1) * sum(v)))
+        |   // (count(*) * sum(v)) AS BIGINT) END AS gini_ppm
+        |FROM r GROUP BY 1""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

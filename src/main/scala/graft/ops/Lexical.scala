@@ -265,6 +265,39 @@ object Lexical {
       .withColumn("hapax_ppm", expr("(1000000L * n_hapax) div n_types"))
   }
 
+  /** Pairwise VOCABULARY Jaccard between groups (sources, languages,
+    * snapshots): exact `|A∩B| / |A∪B|` over each group's distinct word
+    * set — the lexical-identity Venn that catches a relabeled or
+    * re-crawled source sharing its entire vocabulary, where
+    * [[graft.ops.Dedup.crossGroupOverlap]]'s 16-word blocks only catch
+    * verbatim passages. Emits every unordered group pair with the exact
+    * integer evidence: (g_a, g_b, n_a, n_b, n_common, jaccard_ppm).
+    *
+    * Scale shape: one distinct (group, word) agg (vocabulary-sized, the
+    * documents never shuffle), one word-keyed self-join producing
+    * pair-intersection counts (cost Σ_w groups(w)² — bounded by the
+    * group count, not the corpus), one broadcast of per-group sizes.
+    */
+  def vocabJaccard(
+      docs: DataFrame,
+      groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val vocab = docs
+      .select(col(groupCol).as("g"), explode(Dedup.wordTokens(col(textCol))).as("word"))
+      .distinct()
+    val sizes = vocab.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val common = vocab.alias("a")
+      .join(vocab.alias("b"),
+        col("a.word") === col("b.word") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g_a"), col("b.g").as("g_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.select(col("g").as("g_a"), col("n").as("n_a"))), Seq("g_a"))
+      .join(broadcast(sizes.select(col("g").as("g_b"), col("n").as("n_b"))), Seq("g_b"))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"), col("n_common"),
+        expr("(1000000L * n_common) div (n_a + n_b - n_common)").as("jaccard_ppm"))
+  }
+
   /** Per-doc readability: Flesch reading-ease from exact integer counts —
     * words (whitespace tokens), sentences (`[.!?]+`-separated segments
     * with any non-whitespace), and syllables approximated the standard

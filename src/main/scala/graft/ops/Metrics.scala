@@ -586,6 +586,90 @@ object Metrics {
             .cast("long")))
   }
 
+  /** Classical moment profile per group from EXACT integer power sums
+    * `S1..S4 = Σx, Σx², Σx³, Σx⁴`: mean, variance, skewness and excess
+    * kurtosis in milli units — [[lMoments]]' parametric sibling for the
+    * well-behaved-tail regime. The power sums are exact (feed values in
+    * units where n·max|x|⁴ < 2⁶³ — dollars, not cents, at 10⁶-row
+    * groups); central moments and ratios run in ONE pinned operation
+    * order each, so the milli floors reproduce bit-equal on any IEEE
+    * engine:
+    * `m2 = S2/n − μ·μ`, `m3 = S3/n − 3·μ·(S2/n) + 2·μ·μ·μ`,
+    * `m4 = S4/n − 4·μ·(S3/n) + 6·(μ·μ)·(S2/n) − 3·(μ·μ)·(μ·μ)`,
+    * `skew = m3/(sqrt(m2)·m2)`, `ex_kurt = m4/(m2·m2) − 3`.
+    * Degenerate groups (m2 ≤ 0) emit null ratios; the exact sums always
+    * flow.
+    *
+    * Scale shape: ONE map-side-combinable aggregation — nothing else
+    * shuffles.
+    */
+  def momentStats(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val x = valueCol.cast("long")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+      .withColumn("__mu", col("s1") / col("n"))
+      .withColumn("__m2", col("s2") / col("n") - col("__mu") * col("__mu"))
+      .withColumn("__m3",
+        col("s3") / col("n") - lit(3.0) * col("__mu") * (col("s2") / col("n"))
+          + lit(2.0) * col("__mu") * col("__mu") * col("__mu"))
+      .withColumn("__m4",
+        col("s4") / col("n") - lit(4.0) * col("__mu") * (col("s3") / col("n"))
+          + lit(6.0) * (col("__mu") * col("__mu")) * (col("s2") / col("n"))
+          - lit(3.0) * (col("__mu") * col("__mu")) * (col("__mu") * col("__mu")))
+      .withColumn("mean_milli", floor(lit(1000.0) * col("__mu")).cast("long"))
+      .withColumn("var_milli",
+        when(col("n") < 1, lit(null).cast("long"))
+          .otherwise(floor(lit(1000.0) * col("__m2")).cast("long")))
+      .withColumn("skew_milli",
+        when(col("__m2") <= 0.0, lit(null).cast("long"))
+          .otherwise(floor(lit(1000.0) * (col("__m3") / (sqrt(col("__m2")) * col("__m2"))))
+            .cast("long")))
+      .withColumn("kurt_milli",
+        when(col("__m2") <= 0.0, lit(null).cast("long"))
+          .otherwise(floor(lit(1000.0) * (col("__m4") / (col("__m2") * col("__m2")) - lit(3.0)))
+            .cast("long")))
+      .drop("__mu", "__m2", "__m3", "__m4")
+  }
+
+  /** Exact Gini concentration of a CONTINUOUS value per group (who owns
+    * the spend/tokens/storage), via the rank-weighted closed form over
+    * the ascending sort: `G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx)`, published
+    * as floor ppm with the integer numerator/denominator exact —
+    * [[gini]]'s sibling for values instead of category counts. Rank
+    * ties need no tiebreak (equal values permuting among tied ranks
+    * leave Σi·xᵢ unchanged). Requires non-negative values; `gini_ppm`
+    * stays in-Long for Σi·x ≤ 9·10¹² — dollars at 10⁶-row groups.
+    *
+    * Scale shape: one per-group rank window + one hash agg.
+    */
+  def valueGini(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(col("__v"))
+    df.select((g :+ valueCol.cast("long").as("__v")): _*)
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("sum_value"),
+        sum(col("__i") * col("__v")).as("__ix"))
+      .withColumn("gini_num", lit(2L) * col("__ix") - (col("n") + 1L) * col("sum_value"))
+      .withColumn("gini_den", col("n") * col("sum_value"))
+      .withColumn("gini_ppm",
+        when(col("gini_den") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000L * gini_num) div gini_den")))
+      .drop("__ix")
+  }
+
   def gini(df: DataFrame, groupCols: Seq[String], catCol: String): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     import org.apache.spark.sql.expressions.Window

@@ -446,6 +446,21 @@ class PlanShapeSpec extends SparkSpec {
       s"non-equi join in grid radius plan:\n${plan.treeString.take(1200)}")
   }
 
+  test("ngrams: the k−1 leads FUSE into each WindowExec (one window pass, not k−1)") {
+    val df = (1 to 200).map(i => (s"k${i % 9}", i.toLong, s"s${i % 4}")).toDF("k", "o", "s")
+    val plan = initialPlan(graft.ops.Transitions.ngrams(df, "k", "s", Seq(col("o")), k = 4))
+    import org.apache.spark.sql.execution.window.WindowExec
+    val windows = plan.collect { case w: WindowExec => w }
+    // the share-denominator branch may replay the subtree (exchange reuse
+    // resolves that at runtime); the contract here is FUSION — every
+    // WindowExec carries all k−1 leads, never one window pass per lead
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.windowExpression.size == 3,
+        s"lead chain split across window passes:\n${w.treeString.take(600)}")
+    }
+  }
+
   test("round-8 rank/scan ops keep every window key-partitioned or __pid-phase") {
     import org.apache.spark.sql.execution.window.WindowExec
     def rowGrainGlobal(df: DataFrame): Seq[WindowExec] =

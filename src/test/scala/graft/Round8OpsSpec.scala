@@ -316,6 +316,34 @@ class Round8OpsSpec extends SparkSpec {
     assert(got == Seq(("a", "b", "a", 1L, 500000L), ("b", "a", "b", 1L, 500000L)))
   }
 
+  test("vocab jaccard: exact set algebra over group vocabularies") {
+    val df = Seq(("s1", "a b c"), ("s1", "c d"), ("s2", "c d e"), ("s3", "z")).toDF("source", "text")
+    val got = Lexical.vocabJaccard(df)
+      .select("g_a", "g_b", "n_a", "n_b", "n_common", "jaccard_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect().sorted.toSeq
+    // s1 = {a,b,c,d}, s2 = {c,d,e} → ∩ 2, ∪ 5 → 400000; s3 disjoint → no row
+    assert(got == Seq(("s1", "s2", 4L, 3L, 2L, 400000L)))
+  }
+
+  test("moment stats: symmetric data has zero skew, uniform kurtosis is platykurtic") {
+    val df = (1L to 9L).map(v => ("g", v)).toDF("g", "v")
+    val r = Metrics.momentStats(df, Seq("g"), col("v")).head()
+    assert(r.getAs[Long]("s1") == 45 && r.getAs[Long]("s2") == 285)
+    assert(r.getAs[Long]("mean_milli") == 5000L)
+    // discrete uniform 1..9: m2 = 20/3 ≈ 6.667, m3 = 0, kurtosis ≈ 1.77 → ex −1.23
+    assert(r.getAs[Long]("var_milli") == 6666L)
+    assert(r.getAs[Long]("skew_milli") == 0L)
+    assert(r.getAs[Long]("kurt_milli") < -1000L && r.getAs[Long]("kurt_milli") > -1300L)
+  }
+
+  test("value gini: equality scores 0, total concentration scores (n-1)/n") {
+    val eq = Seq(("e", 5L), ("e", 5L), ("e", 5L), ("e", 5L)).toDF("g", "v")
+    assert(Metrics.valueGini(eq, Seq("g"), col("v")).head().getAs[Long]("gini_ppm") == 0L)
+    val conc = Seq(("c", 0L), ("c", 0L), ("c", 0L), ("c", 100L)).toDF("g", "v")
+    // one owner of everything among 4 → G = (n−1)/n = 0.75
+    assert(Metrics.valueGini(conc, Seq("g"), col("v")).head().getAs[Long]("gini_ppm") == 750000L)
+  }
+
   test("readability counts and Flesch score on known text") {
     val df = Seq((1L, "Hello world. This is readable.")).toDF("doc_id", "text")
     val r = Lexical.readability(df).head()
