@@ -2301,7 +2301,27 @@ object SparkEntry {
     // closed form, exact integers. --------------------------------------
     "q233_value_gini" -> ((s, dir) =>
       Metrics.valueGini(t(s, dir, "events"), Seq("event_type"),
-        floor(col("value"))))
+        floor(col("value")))),
+
+    // ---- Lorenz curve at decile resolution per event type: cumulative
+    // spend share by population slice — q233's curve. -------------------
+    "q234_lorenz_deciles" -> ((s, dir) =>
+      Metrics.lorenzDeciles(t(s, dir, "events"), Seq("event_type"),
+        round(col("value") * 100))),
+
+    // ---- activity-rank movers: users ranked by event count in each
+    // month half, two range-partitioned rankings joined — the trending
+    // diff without a sampled top-N. -------------------------------------
+    "q235_rank_movers" -> ((s, dir) =>
+      Trend.rankMovers(t(s, dir, "events"), "user_id",
+        when(dayofmonth(col("ts")) <= 15, lit("p1")).otherwise(lit("p2")),
+        "p1", "p2")),
+
+    // ---- weekly pulse check: lag-7 autocorrelation of per-type daily
+    // counts from exact suff-stats. -------------------------------------
+    "q236_autocorr" -> ((s, dir) =>
+      TimeSeries.dailyAutocorrelation(t(s, dir, "events"), "event_type", "ts",
+        lagDays = 7))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -5836,7 +5856,68 @@ object SparkEntry {
         | CASE WHEN count(*) * sum(v) = 0 THEN NULL
         |  ELSE CAST((1000000 * (2 * sum(i * v) - (count(*) + 1) * sum(v)))
         |   // (count(*) * sum(v)) AS BIGINT) END AS gini_ppm
-        |FROM r GROUP BY 1""".stripMargin
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // q234: identical rank→bucket formula and cumulative share windows.
+    "q234_lorenz_deciles" ->
+      """WITH r AS (
+        | SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+        |  row_number() OVER (PARTITION BY event_type
+        |   ORDER BY CAST(round(value * 100) AS BIGINT)) AS i,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM events),
+        |b AS (
+        | SELECT event_type, ((i - 1) * 10) // n AS bucket,
+        |  count(*) AS n_rows, sum(v) AS sum_value
+        | FROM r GROUP BY 1, 2),
+        |c AS (
+        | SELECT event_type, bucket, n_rows, sum_value,
+        |  sum(sum_value) OVER (PARTITION BY event_type ORDER BY bucket
+        |   ROWS UNBOUNDED PRECEDING) AS cum,
+        |  sum(sum_value) OVER (PARTITION BY event_type) AS tot
+        | FROM b)
+        |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+        | CAST(n_rows AS BIGINT) AS n_rows, CAST(sum_value AS BIGINT) AS sum_value,
+        | CASE WHEN tot = 0 THEN NULL
+        |  ELSE CAST((1000000 * cum) // tot AS BIGINT) END AS cum_value_ppm
+        |FROM c""".stripMargin,
+
+    // q235: two per-period rankings over (count DESC, item) — the
+    // two-phase denseIds path reproduces exactly this total order.
+    "q235_rank_movers" ->
+      """WITH c AS (
+        | SELECT CASE WHEN day(ts) <= 15 THEN 'p1' ELSE 'p2' END AS p,
+        |  user_id AS item, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |ra AS (SELECT item, n AS n_a,
+        |  row_number() OVER (ORDER BY n DESC, item) AS rank_a
+        | FROM c WHERE p = 'p1'),
+        |rb AS (SELECT item, n AS n_b,
+        |  row_number() OVER (ORDER BY n DESC, item) AS rank_b
+        | FROM c WHERE p = 'p2')
+        |SELECT item, CAST(n_a AS BIGINT) AS n_a, CAST(rank_a AS BIGINT) AS rank_a,
+        | CAST(n_b AS BIGINT) AS n_b, CAST(rank_b AS BIGINT) AS rank_b,
+        | CAST(rank_a - rank_b AS BIGINT) AS rank_delta
+        |FROM ra JOIN rb USING (item)""".stripMargin,
+
+    // q236: identical day integers, observed-pair join, pinned r chain.
+    "q236_autocorr" ->
+      """WITH d AS (
+        | SELECT event_type, epoch_ms(ts) // 1000 // 86400 AS day, count(*) AS c
+        | FROM events GROUP BY 1, 2),
+        |p AS (
+        | SELECT a.event_type, a.c AS x, b.c AS y
+        | FROM d a JOIN d b ON a.event_type = b.event_type AND b.day = a.day + 7),
+        |s AS (
+        | SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |  sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        | FROM p GROUP BY 1)
+        |SELECT event_type, CAST(7 AS BIGINT) AS lag_days, CAST(n AS BIGINT) AS n_pairs,
+        | CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL
+        |  ELSE CAST(floor((1000000.0 * (n * sxy - sx * sy))
+        |   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) AS BIGINT)
+        | END AS r_ppm
+        |FROM s""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

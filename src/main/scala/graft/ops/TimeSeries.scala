@@ -615,6 +615,52 @@ object TimeSeries {
       .drop("__n", "__sum")
   }
 
+  /** Lag-k autocorrelation of per-group DAILY event counts — "does
+    * yesterday predict today" (lag 1) / "is there a weekly pulse"
+    * (lag 7): Pearson r between the day-t and day-t+k counts over all
+    * observed day pairs, from exact integer sufficient statistics with
+    * the divide-and-sqrt last mile in one pinned double order,
+    * `r = (n·Σxy − Σx·Σy) / (sqrt(n·Σxx − Σx·Σx) · sqrt(n·Σyy − Σy·Σy))`.
+    * Days are engine-neutral integers (`epoch_s div 86400`); only
+    * OBSERVED day pairs correlate (zero-fill through
+    * [[gapFillMonthlyCounts]]-style spines first if absent days should
+    * count as 0 — for dense telemetry they are the same thing).
+    *
+    * Scale shape: one (group, day) count agg, one self-equi-join on
+    * (group, day+k) over the day-cardinality table, one suff-stat agg.
+    * Corpus rows shuffle once into the day counts; everything after is
+    * days-sized.
+    */
+  def dailyAutocorrelation(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      lagDays: Int): DataFrame = {
+    require(lagDays >= 1, s"lagDays must be >= 1: $lagDays")
+    val days = df
+      .select(col(groupCol), expr(s"unix_millis($tsCol) div 1000 div 86400").as("__day"))
+      .groupBy(col(groupCol), col("__day"))
+      .agg(count(lit(1)).as("__c"))
+    val a = days.select(col(groupCol), col("__day"), col("__c").as("__x"))
+    val b = days.select(col(groupCol), (col("__day") - lagDays).as("__day"), col("__c").as("__y"))
+    a.join(b, Seq(groupCol, "__day"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .withColumn("__num", col("n_pairs") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__da", col("n_pairs") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__db", col("n_pairs") * col("__syy") - col("__sy") * col("__sy"))
+      .withColumn("r_ppm",
+        when(col("__da") <= 0 || col("__db") <= 0, lit(null).cast("long"))
+          .otherwise(floor(lit(1000000.0) * col("__num") / (sqrt(col("__da")) * sqrt(col("__db"))))
+            .cast("long")))
+      .withColumn("lag_days", lit(lagDays.toLong))
+      .select(col(groupCol), col("lag_days"), col("n_pairs"), col("r_ppm"))
+  }
+
   def hazardTable(
       df: DataFrame,
       durationCol: Column,

@@ -98,6 +98,38 @@ object Trend {
               |END""".stripMargin).cast("long")))
   }
 
+  /** Rank movers between two periods: every item ranked by count within
+    * each period (descending count, item tie-break) via the two-phase
+    * range-partitioned ranking ([[graft.ops.Normalize.denseIds]] — per
+    * period, so NO near-global two-partition window), inner-joined to
+    * `(item, n_a, n_b, rank_a, rank_b, rank_delta)` — positive delta =
+    * climbed. The "what's trending" diff behind leaderboard dashboards,
+    * with exact deterministic ranks instead of a sampled top-N.
+    *
+    * Scale shape: one (period, item) count agg, two range-partitioned
+    * rankings (each a balanced global sort over item-cardinality rows),
+    * one item-keyed join. Item cardinality is the working set —
+    * documents never move.
+    */
+  def rankMovers(
+      df: DataFrame,
+      itemCol: String,
+      periodCol: Column,
+      periodA: String,
+      periodB: String): DataFrame = {
+    val counts = df
+      .where(periodCol.isin(periodA, periodB))
+      .groupBy(periodCol.as("__p"), col(itemCol).as("item"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__neg", -col("n"))
+    def ranked(p: String, out: String, nOut: String) =
+      Normalize.denseIds(counts.where(col("__p") === p), "__neg", "item", out)
+        .select(col("item"), col("n").as(nOut), (col(out) + 1L).as(out))
+    ranked(periodA, "rank_a", "n_a")
+      .join(ranked(periodB, "rank_b", "n_b"), Seq("item"))
+      .withColumn("rank_delta", col("rank_a") - col("rank_b"))
+  }
+
   /** Per-group Theil–Sen slope — the ROBUST trend estimator: the median
     * of all pairwise slopes `(y_b − y_a)/(x_b − x_a)` over pairs with
     * `x_a < x_b`. Up to ~29% of the points can be arbitrary outliers

@@ -344,6 +344,41 @@ class Round8OpsSpec extends SparkSpec {
     assert(Metrics.valueGini(conc, Seq("g"), col("v")).head().getAs[Long]("gini_ppm") == 750000L)
   }
 
+  test("lorenz deciles: cumulative shares are monotone and end at 1e6") {
+    val rows = (1L to 40L).map(v => ("g", v * v)) // convex → strictly below diagonal
+    val got = Metrics.lorenzDeciles(rows.toDF("g", "v"), Seq("g"), col("v"))
+      .select("bucket", "n_rows", "cum_value_ppm")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == (0L to 9L) && got.forall(_._2 == 4L))
+    assert(got.last._3 == 1000000L)
+    assert(got.map(_._3) == got.map(_._3).sorted)
+    // bottom decile of squares carries far less than 10%
+    assert(got.head._3 < 20000L)
+  }
+
+  test("rank movers: climb and fall read off the two period rankings") {
+    val df = (Seq.fill(5)(("p1", "a")) ++ Seq.fill(3)(("p1", "b")) ++ Seq.fill(1)(("p1", "c")) ++
+      Seq.fill(1)(("p2", "a")) ++ Seq.fill(3)(("p2", "b")) ++ Seq.fill(5)(("p2", "c")))
+      .toDF("p", "item")
+    val got = Trend.rankMovers(df, "item", col("p"), "p1", "p2")
+      .select("item", "rank_a", "rank_b", "rank_delta")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 1L, 3L, -2L), ("b", 2L, 2L, 0L), ("c", 3L, 1L, 2L)))
+  }
+
+  test("daily autocorrelation: a perfect weekly pulse correlates to +1") {
+    // counts repeat with period 7 → lag-7 pairs are identical series
+    val rows = for (d <- 0 until 28; k <- 0 until (d % 7 + 1)) yield ("g", d.toLong)
+    val df = rows.toDF("g", "day")
+      .withColumn("ts", timestamp_millis(col("day") * 86400000L))
+    val r = TimeSeries.dailyAutocorrelation(df, "g", "ts", lagDays = 7).head()
+    assert(r.getAs[Long]("n_pairs") == 21)
+    assert(r.getAs[Long]("r_ppm") == 1000000L)
+    // lag 1 on the sawtooth is far from 1
+    val r1 = TimeSeries.dailyAutocorrelation(df, "g", "ts", lagDays = 1).head()
+    assert(r1.getAs[Long]("r_ppm") < 900000L)
+  }
+
   test("readability counts and Flesch score on known text") {
     val df = Seq((1L, "Hello world. This is readable.")).toDF("doc_id", "text")
     val r = Lexical.readability(df).head()
