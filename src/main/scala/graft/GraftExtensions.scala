@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+    // cheap necessary-condition guards in front of edit-distance DPs,
+    // in filters and join conditions alike
+    ext.injectOptimizerRule(_ => graft.plans.EditDistanceGuardRule)
+
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - dot product of two float/double arrays"),
@@ -94,6 +98,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_int_dot",
         "graft_int_dot(a, b) - exact 64-bit integer dot product of two long arrays"),
       (children: Seq[Expression]) => IntDotProduct(children(0), children(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_damerau"),
+      info("graft_damerau",
+        "graft_damerau(a, b) - unrestricted Damerau-Levenshtein distance (transposition cost 1)"),
+      (children: Seq[Expression]) => DamerauLevenshtein(children(0), children(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      info("graft_jaro_winkler",
+        "graft_jaro_winkler(a, b) - Jaro-Winkler similarity (p=0.1, prefix<=4, boost above 0.7)"),
+      (children: Seq[Expression]) => JaroWinkler(children(0), children(1))))
 
     ext.injectFunction((
       FunctionIdentifier("graft_regexp_count"),
