@@ -2321,7 +2321,25 @@ object SparkEntry {
     // counts from exact suff-stats. -------------------------------------
     "q236_autocorr" -> ((s, dir) =>
       TimeSeries.dailyAutocorrelation(t(s, dir, "events"), "event_type", "ts",
-        lagDays = 7))
+        lagDays = 7)),
+
+    // ---- one-row dataset card: the release headline numbers, all
+    // exact-integer; corpus collapses to fingerprint-distinct rows
+    // before the multi-distinct Expand. ---------------------------------
+    "q237_dataset_card" -> ((s, dir) =>
+      Audit.datasetCard(t(s, dir, "documents"))),
+
+    // ---- p10/p50/p90 daily value envelope: exact element picks per
+    // integer day; days partition richly. -------------------------------
+    "q238_daily_bands" -> ((s, dir) =>
+      TimeSeries.dailyBands(t(s, dir, "events"), "ts",
+        round(col("value") * 100))),
+
+    // ---- conversion lift per event type vs global (payload k ≥ 50 as
+    // the flag): cross-multiplied all-integer rates. --------------------
+    "q239_segment_lift" -> ((s, dir) =>
+      Audit.segmentLift(t(s, dir, "events"), Seq("event_type"),
+        get_json_object(col("props"), "$.k").cast("long") >= 50))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -5917,7 +5935,62 @@ object SparkEntry {
         |  ELSE CAST(floor((1000000.0 * (n * sxy - sx * sy))
         |   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))) AS BIGINT)
         | END AS r_ppm
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // q237: md5 hex agrees across engines (q12 precedent); the q207
+    // tokenizer; distincts over the same normalized fields.
+    "q237_dataset_card" ->
+      """WITH d AS (
+        | SELECT lang, source, md5(trim(lower(coalesce(text, '')))) AS fp,
+        |  CAST(coalesce(length(coalesce(text, '')), 0) AS BIGINT) AS c,
+        |  CAST(coalesce(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |   x -> len(x) > 0)), 0) AS BIGINT) AS w,
+        |  CAST(len(regexp_extract_all(coalesce(text, ''),
+        |   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS t
+        | FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        | CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+        | CAST(sum(c) AS BIGINT) AS total_chars,
+        | CAST(sum(w) AS BIGINT) AS total_words,
+        | CAST(sum(t) AS BIGINT) AS total_tokens,
+        | CAST((1000000 * (count(*) - count(DISTINCT fp))) // count(*) AS BIGINT) AS dup_ppm,
+        | CAST((1000 * sum(w)) // count(*) AS BIGINT) AS mean_words_milli,
+        | CASE WHEN sum(w) = 0 THEN 0
+        |  ELSE CAST((1000000 * sum(t)) // sum(w) AS BIGINT) END AS fertility_ppm
+        |FROM d""".stripMargin,
+
+    // q238: identical day integers and lower-quantile rank picks.
+    "q238_daily_bands" ->
+      """WITH r AS (
+        | SELECT epoch_ms(ts) // 1000 // 86400 AS day,
+        |  CAST(round(value * 100) AS BIGINT) AS v,
+        |  row_number() OVER (PARTITION BY epoch_ms(ts) // 1000 // 86400
+        |   ORDER BY CAST(round(value * 100) AS BIGINT)) AS rk,
+        |  count(*) OVER (PARTITION BY epoch_ms(ts) // 1000 // 86400) AS n
+        | FROM events)
+        |SELECT day, CAST(max(n) AS BIGINT) AS n,
+        | CAST(max(CASE WHEN rk = ((10 * (n - 1)) // 100) + 1 THEN v END) AS BIGINT) AS p10,
+        | CAST(max(CASE WHEN rk = ((50 * (n - 1)) // 100) + 1 THEN v END) AS BIGINT) AS p50,
+        | CAST(max(CASE WHEN rk = ((90 * (n - 1)) // 100) + 1 THEN v END) AS BIGINT) AS p90
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // q239: cross-multiplied lift keeps every comparison in integers.
+    "q239_segment_lift" ->
+      """WITH s AS (
+        | SELECT event_type, count(*) AS n_rows,
+        |  sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        |   THEN 1 ELSE 0 END) AS n_flagged
+        | FROM events GROUP BY 1),
+        |g AS (SELECT sum(n_rows) AS n, sum(n_flagged) AS k FROM s)
+        |SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows,
+        | CAST(n_flagged AS BIGINT) AS n_flagged,
+        | CAST((1000000 * n_flagged) // n_rows AS BIGINT) AS rate_ppm,
+        | CAST((1000000 * k) // n AS BIGINT) AS global_rate_ppm,
+        | CASE WHEN k = 0 THEN NULL
+        |  ELSE CAST((1000000 * n_flagged * n) // (n_rows * k) AS BIGINT) END AS lift_ppm
+        |FROM s CROSS JOIN g""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

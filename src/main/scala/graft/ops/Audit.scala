@@ -218,6 +218,77 @@ object Audit {
       .drop("__n")
   }
 
+  /** One-row DATASET CARD for a document corpus — the headline numbers a
+    * training-data release ships with: document/language/source counts,
+    * exact char/word/token totals, the exact-duplicate rate
+    * (md5-fingerprint collisions over normalized text), and mean
+    * document length — each exact-integer so the card reproduces
+    * bit-for-bit on any engine.
+    *
+    * Scale shape: one (lang, source, fingerprint) aggregation collapses
+    * the corpus to distinct-document-sized rows map-side (document
+    * bodies never shuffle — only fingerprints and counters), then the
+    * final multi-distinct aggregate's Expand runs over THAT collapsed
+    * table, not the corpus. Two shuffles total, both narrow.
+    */
+  def datasetCard(
+      docs: DataFrame,
+      langCol: String = "lang",
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions
+    val t = coalesce(col(textCol), lit(""))
+    val collapsed = docs
+      .select(col(langCol).as("__lang"), col(sourceCol).as("__source"),
+        md5(trim(lower(t))).as("__fp"),
+        length(t).cast("long").as("__chars"),
+        TextFunctions.wordCount(t).cast("long").as("__words"),
+        TextFunctions.tokenCount(t).cast("long").as("__tokens"))
+      .groupBy(col("__lang"), col("__source"), col("__fp"))
+      .agg(count(lit(1)).as("__n"), sum(col("__chars")).as("__c"),
+        sum(col("__words")).as("__w"), sum(col("__tokens")).as("__t"))
+    collapsed.agg(
+      sum(col("__n")).as("n_docs"),
+      count_distinct(col("__lang")).as("n_langs"),
+      count_distinct(col("__source")).as("n_sources"),
+      count_distinct(col("__fp")).as("n_distinct"),
+      sum(col("__c")).as("total_chars"),
+      sum(col("__w")).as("total_words"),
+      sum(col("__t")).as("total_tokens"))
+      .withColumn("dup_ppm", expr("(1000000L * (n_docs - n_distinct)) div n_docs"))
+      .withColumn("mean_words_milli", expr("(1000L * total_words) div n_docs"))
+      .withColumn("fertility_ppm",
+        when(col("total_words") === 0, 0L)
+          .otherwise(expr("(1000000L * total_tokens) div total_words")))
+  }
+
+  /** Conversion lift per segment vs the whole population, exact-integer:
+    * `lift_ppm = ⌊10⁶·(k_s·n)/(n_s·k)⌋` (1 000 000 = average, 2 000 000
+    * = double the global rate) plus both rates in ppm — the campaign /
+    * cohort screening table, with the cross-multiplied division keeping
+    * everything in 64-bit integers (k_s·n ≤ n² — fine to 3·10⁹ rows).
+    *
+    * Scale shape: one map-side-combinable segment aggregation + a
+    * broadcast one-row global; nothing else moves.
+    */
+  def segmentLift(
+      df: DataFrame,
+      segCols: Seq[String],
+      flagCol: Column): DataFrame = {
+    require(segCols.nonEmpty, "segCols must be non-empty")
+    val seg = df.groupBy(segCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), count_if(flagCol).as("n_flagged"))
+    val glob = seg.groupBy()
+      .agg(sum(col("n_rows")).as("__n"), sum(col("n_flagged")).as("__k"))
+    seg.crossJoin(broadcast(glob))
+      .withColumn("rate_ppm", expr("(1000000L * n_flagged) div n_rows"))
+      .withColumn("global_rate_ppm", expr("(1000000L * __k) div __n"))
+      .withColumn("lift_ppm",
+        when(col("__k") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000L * n_flagged * __n) div (n_rows * __k)")))
+      .drop("__n", "__k")
+  }
+
   /** Referential-integrity audit over a set of foreign-key relations:
     * for each `(name, child, childKey, parent, parentKey)`, the number of
     * child rows whose key has no parent (NULL child keys are skipped —

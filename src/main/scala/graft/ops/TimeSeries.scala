@@ -615,6 +615,37 @@ object TimeSeries {
       .drop("__n", "__sum")
   }
 
+  /** Daily value bands — the p10/p50/p90 envelope a monitoring chart
+    * draws: per engine-neutral integer day (`epoch_s div 86400`), the
+    * exact LOWER-quantile elements at the requested percent levels
+    * (rank `⌊p·(n−1)/100⌋ + 1` of the day's ascending sort — an element
+    * pick, no interpolation, so bands are engine-exact integers).
+    *
+    * Scale shape: one per-day rank window (days partition richly —
+    * thousands of independent partitions, never global), one bounded
+    * levels-pivot per day. Shuffle carries (day, value) pairs.
+    */
+  def dailyBands(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: Column,
+      levels: Seq[Int] = Seq(10, 50, 90)): DataFrame = {
+    require(levels.nonEmpty && levels.forall(p => p >= 0 && p <= 100),
+      s"levels must be percents in [0, 100]: $levels")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("day")).orderBy(col("__v"))
+    val ranked = df
+      .select(expr(s"unix_millis($tsCol) div 1000 div 86400").as("day"),
+        valueCol.cast("long").as("__v"))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("day"))))
+    val picks = levels.distinct.sorted.map(p =>
+      max(when(col("__rk") === expr(s"(($p * (__n - 1)) div 100) + 1"), col("__v")))
+        .as(s"p$p"))
+    ranked.groupBy(col("day"))
+      .agg(max(col("__n")).as("n"), picks: _*)
+  }
+
   /** Lag-k autocorrelation of per-group DAILY event counts — "does
     * yesterday predict today" (lag 1) / "is there a weekly pulse"
     * (lag 7): Pearson r between the day-t and day-t+k counts over all

@@ -379,6 +379,42 @@ class Round8OpsSpec extends SparkSpec {
     assert(r1.getAs[Long]("r_ppm") < 900000L)
   }
 
+  test("dataset card: exact totals and duplicate rate on a known corpus") {
+    val df = Seq(
+      ("en", "s1", "hello world."), ("en", "s1", "hello world."), // exact dup
+      ("fr", "s2", "bonjour")).toDF("lang", "source", "text")
+    val r = Audit.datasetCard(df).head()
+    assert(r.getAs[Long]("n_docs") == 3 && r.getAs[Long]("n_distinct") == 2)
+    assert(r.getAs[Long]("n_langs") == 2 && r.getAs[Long]("n_sources") == 2)
+    assert(r.getAs[Long]("total_words") == 5)
+    assert(r.getAs[Long]("dup_ppm") == 333333L)
+  }
+
+  test("daily bands: element picks track the day's sorted values") {
+    val rows = (0 until 11).map(i => (0L, (i * 10).toLong)) ++ Seq((1L, 7L))
+    val df = rows.toDF("day", "cents")
+      .withColumn("ts", timestamp_millis(col("day") * 86400000L))
+    val got = TimeSeries.dailyBands(df, "ts", col("cents")).collect()
+      .map(r => r.getAs[Long]("day") -> r).toMap
+    val d0 = got(0L)
+    assert(d0.getAs[Long]("n") == 11 && d0.getAs[Long]("p10") == 10L &&
+      d0.getAs[Long]("p50") == 50L && d0.getAs[Long]("p90") == 90L)
+    val d1 = got(1L) // single value: every band is that value
+    assert(d1.getAs[Long]("p10") == 7L && d1.getAs[Long]("p90") == 7L)
+  }
+
+  test("segment lift: cross-multiplied rates agree with hand math") {
+    // seg a: 2/4 flagged; seg b: 1/4; global 3/8 → lift_a = (2·8)/(4·3) = 4/3
+    val df = (Seq.fill(2)(("a", true)) ++ Seq.fill(2)(("a", false)) ++
+      Seq.fill(1)(("b", true)) ++ Seq.fill(3)(("b", false))).toDF("seg", "f")
+    val got = Audit.segmentLift(df, Seq("seg"), col("f")).collect()
+      .map(r => r.getAs[String]("seg") -> r).toMap
+    assert(got("a").getAs[Long]("rate_ppm") == 500000L)
+    assert(got("a").getAs[Long]("global_rate_ppm") == 375000L)
+    assert(got("a").getAs[Long]("lift_ppm") == 1333333L)
+    assert(got("b").getAs[Long]("lift_ppm") == 666666L)
+  }
+
   test("readability counts and Flesch score on known text") {
     val df = Seq((1L, "Hello world. This is readable.")).toDF("doc_id", "text")
     val r = Lexical.readability(df).head()
