@@ -41,7 +41,11 @@ object ScaleSmoke {
     // claims (rfm quintiles, dict codes, stratified interleave, popularity
     // negative sampling).
     "q106_rfm", "q113_dict_encode", "q158_stratified_interleave",
-    "q185_neg_sampling")
+    "q185_neg_sampling",
+    // Round-8 heavy shapes: the blocked Damerau verification join
+    // (Σ|block|² — honest 10× needs replica-disjoint names, see the
+    // c_name rewrite below) and the vocabulary-keyed pair intersection.
+    "q211_damerau_pairs", "q231_vocab_jaccard")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))
@@ -102,6 +106,11 @@ object ScaleSmoke {
       }.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
       replicate(cust, replicas) { case (d, i) =>
         d.withColumn("c_custkey", col("c_custkey") + lit(i * ckShift))
+          // names follow the shifted key (driver format 'Customer#%09d'):
+          // leaving replicated names identical would grow q211's name
+          // blocks 10× deep (Σ|block|² → 100× per block) instead of 10×
+          // wide — disjoint names keep the blocked-join workload honest
+          .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
       }.write.mode("overwrite").parquet(s"$out/customer.parquet")
     }
     // Events (q106 joins orders; q185's interactions and the stratified/

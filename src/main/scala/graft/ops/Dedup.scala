@@ -367,10 +367,11 @@ object Dedup {
     val needed = (col("n") * thresholdPpm + lit(999999L)) / lit(1000000L)
     // Persisted for the same reason: both sides of the candidate
     // self-join read the prefix stream — one df-join + rank window
-    // instead of two. Measured (r8, sf0.1 isolated): dropping this
-    // persist and leaning on exchange reuse costs ~20% — the reused
-    // exchange sits below the rank window, so the window re-evaluates
-    // per side. The persist stays.
+    // instead of two. Measured (r8): dropping this persist and leaning
+    // on exchange reuse costs ~20% at sf0.1 isolated and 2.0× at the
+    // sf1 smoke (36.6 s → 71.6 s) — the reused exchange sits below the
+    // rank window, so the window re-evaluates per side. The persist
+    // stays.
     val prefixes = tokens
       .join(broadcast(df), Seq("word"))
       .withColumn("__rk", row_number().over(w).cast("long"))
