@@ -2339,7 +2339,24 @@ object SparkEntry {
     // the flag): cross-multiplied all-integer rates. --------------------
     "q239_segment_lift" -> ((s, dir) =>
       Audit.segmentLift(t(s, dir, "events"), Seq("event_type"),
-        get_json_object(col("props"), "$.k").cast("long") >= 50))
+        get_json_object(col("props"), "$.k").cast("long") >= 50)),
+
+    // ---- sample-ratio-mismatch gate on the parity assignment: distinct
+    // units per arm, exact milli chi-square. ----------------------------
+    "q240_srm_check" -> ((s, dir) =>
+      Eval.srmCheck(t(s, dir, "events"), "user_id",
+        pmod(col("user_id"), lit(2)) === 1)),
+
+    // ---- language-ID confusion matrix vs the recorded label: where the
+    // classifier is wrong, not just what it guessed (q14). --------------
+    "q241_lang_confusion" -> ((s, dir) =>
+      Lexical.langConfusion(spread(t(s, dir, "documents")))),
+
+    // ---- blocking-key cost profile for q211's key: block-size classes
+    // with their candidate-pair mass — the pre-join planner read. -------
+    "q242_block_profile" -> ((s, dir) =>
+      FuzzyJoin.blockProfile(t(s, dir, "customer"),
+        substring(col("c_name"), 1, 16)))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -5990,7 +6007,43 @@ object SparkEntry {
         | CAST((1000000 * k) // n AS BIGINT) AS global_rate_ppm,
         | CASE WHEN k = 0 THEN NULL
         |  ELSE CAST((1000000 * n_flagged * n) // (n_rows * k) AS BIGINT) END AS lift_ppm
-        |FROM s CROSS JOIN g""".stripMargin
+        |FROM s CROSS JOIN g""".stripMargin,
+
+    // q240: distinct units first (exposure-event double-counting is the
+    // classic SRM false alarm), then the exact milli chi-square.
+    "q240_srm_check" ->
+      """WITH u AS (
+        | SELECT DISTINCT user_id,
+        |  CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t
+        | FROM events),
+        |s AS (SELECT sum(t) AS n_t, sum(1 - t) AS n_c FROM u)
+        |SELECT CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+        | CAST((1000 * (n_t - n_c) * (n_t - n_c)) // (n_t + n_c) AS BIGINT) AS chisq_milli,
+        | ((1000 * (n_t - n_c) * (n_t - n_c)) // (n_t + n_c)) >= 3841 AS srm_suspect
+        |FROM s""".stripMargin,
+
+    // q241: the q14 lang-ID oracle as a CTE, crossed with the recorded
+    // label; shares over a labels-bounded total.
+    "q241_lang_confusion" ->
+      s"""WITH g AS ($langIdOracle),
+         |cells AS (
+         | SELECT d.lang, g.lang_guess, count(*) AS n
+         | FROM documents d JOIN g ON d.doc_id = g.doc_id GROUP BY 1, 2),
+         |t AS (SELECT lang, sum(n) AS tot FROM cells GROUP BY 1)
+         |SELECT c.lang, c.lang_guess, CAST(c.n AS BIGINT) AS n,
+         | CAST((1000000 * c.n) // t.tot AS BIGINT) AS share_ppm
+         |FROM cells c JOIN t USING (lang)""".stripMargin,
+
+    // q242: identical binary-digit size classes and pair mass.
+    "q242_block_profile" ->
+      """WITH b AS (
+        | SELECT substr(c_name, 1, 16) AS blk, count(*) AS sz
+        | FROM customer GROUP BY 1)
+        |SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS size_class,
+        | CAST(count(*) AS BIGINT) AS n_blocks,
+        | CAST(sum(sz) AS BIGINT) AS n_rows,
+        | CAST(sum((sz * (sz - 1)) // 2) AS BIGINT) AS n_pairs
+        |FROM b GROUP BY 1""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

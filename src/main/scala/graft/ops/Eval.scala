@@ -272,6 +272,29 @@ object Eval {
       .withColumn("f1_ppm", expr("(2000000 * tp) div (n_pred + n_gold)"))
   }
 
+  /** Sample-ratio-mismatch (SRM) check — the first gate every A/B
+    * readout must pass: with a 50/50 intended split, the one-degree
+    * chi-square statistic `(n_t − n_c)² / (n_t + n_c)` published in
+    * exact milli units (≥ 3841 ≈ p < 0.05 → the assignment itself is
+    * broken and every downstream metric is garbage). Units are counted
+    * DISTINCT (an SRM test over exposure events double-counts heavy
+    * users and false-alarms).
+    *
+    * Scale shape: one distinct-unit aggregation (map-side combined on
+    * the unit key) + a two-count finale. Nothing else moves.
+    */
+  def srmCheck(
+      df: DataFrame,
+      unitCol: String,
+      treatedCol: Column): DataFrame = {
+    df.select(col(unitCol).as("__u"), treatedCol.as("__t"))
+      .distinct()
+      .agg(count_if(col("__t")).as("n_t"), count_if(!col("__t")).as("n_c"))
+      .withColumn("chisq_milli",
+        expr("(1000L * (n_t - n_c) * (n_t - n_c)) div (n_t + n_c)"))
+      .withColumn("srm_suspect", col("chisq_milli") >= 3841L)
+  }
+
   /** CUPED variance-reduced treatment effect over per-unit
     * (arm, pre-metric X, post-metric Y) rows — the experimentation
     * workhorse: the pre-period covariate soaks up between-unit variance,

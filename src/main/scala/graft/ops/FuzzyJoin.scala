@@ -145,6 +145,32 @@ object FuzzyJoin {
         levenshtein(col("name"), col("__s.name")).cast("long").as("dist"))
   }
 
+  /** Blocking-key COST PROFILE — the planner's question before any
+    * blocked fuzzy join runs: how big are the blocks this key produces,
+    * and how many candidate pairs (Σ|b|·(|b|−1)/2, the join's actual
+    * work) does each size class contribute? Block sizes roll up into
+    * power-of-two classes (`⌊log2(size)⌋`, exact integer bit length) so
+    * the report stays bounded however skewed the key is; a single hot
+    * class carrying most of `n_pairs` says "salt or refine this key"
+    * before the quadratic join is ever attempted.
+    *
+    * Scale shape: one count agg on the block key (map-side combined) +
+    * a log-bounded rollup. The profiled table never self-joins.
+    */
+  def blockProfile(df: DataFrame, blockKey: Column): DataFrame = {
+    df.select(blockKey.as("__b"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__size"))
+      // ⌊log2(size)⌋ via binary-digit count — exact integer string math
+      // in every engine, where float log2 formulations differ in ulps
+      .withColumn("size_class", (length(bin(col("__size"))) - 1).cast("long"))
+      .groupBy(col("size_class"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(col("__size")).as("n_rows"),
+        sum(expr("(__size * (__size - 1)) div 2")).as("n_pairs"))
+  }
+
   /** Fellegi–Sunter-style agreement scoring over blocked candidate
     * pairs: within each block, every a_id < b_id pair is scored
     * `Σ_field (agree ? +w_agree : −w_disagree)` and classified

@@ -298,6 +298,32 @@ object Lexical {
         expr("(1000000L * n_common) div (n_a + n_b - n_common)").as("jaccard_ppm"))
   }
 
+  /** Language-ID confusion matrix: the recorded `lang` label crossed
+    * with [[graft.functions.TextFunctions]]' n-gram-marker guess, with
+    * each cell's within-label share in ppm — the eval table that says
+    * WHERE the classifier is wrong (es→fr confusion reads differently
+    * from everything→und), where q14 only emits the guesses.
+    *
+    * Scale shape: the guess is map-only column math; one (label, guess)
+    * count agg + a labels-bounded broadcast for shares.
+    */
+  def langConfusion(
+      docs: DataFrame,
+      langCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions
+    val cells = docs
+      .select(col(langCol).as("lang"),
+        TextFunctions.langGuessFromPadded(TextFunctions.paddedText(col(textCol)))
+          .as("lang_guess"))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("__tot"))
+    cells.join(broadcast(totals), Seq("lang"))
+      .withColumn("share_ppm", expr("(1000000L * n) div __tot"))
+      .drop("__tot")
+  }
+
   /** Per-doc readability: Flesch reading-ease from exact integer counts —
     * words (whitespace tokens), sentences (`[.!?]+`-separated segments
     * with any non-whitespace), and syllables approximated the standard

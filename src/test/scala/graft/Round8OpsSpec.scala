@@ -415,6 +415,37 @@ class Round8OpsSpec extends SparkSpec {
     assert(got("b").getAs[Long]("lift_ppm") == 666666L)
   }
 
+  test("srm check: distinct units, exact chi-square, suspect gate") {
+    // 60/40 split over 100 units → chisq = 400/100 = 4.0 > 3.841
+    val rows = (0 until 100).flatMap(u => Seq((u.toLong, u < 60), (u.toLong, u < 60)))
+    val r = Eval.srmCheck(rows.toDF("u", "t"), "u", col("t")).head()
+    assert(r.getAs[Long]("n_t") == 60 && r.getAs[Long]("n_c") == 40)
+    assert(r.getAs[Long]("chisq_milli") == 4000L && r.getAs[Boolean]("srm_suspect"))
+    // 51/49 is fine
+    val ok = Eval.srmCheck((0 until 100).map(u => (u.toLong, u < 51)).toDF("u", "t"),
+      "u", col("t")).head()
+    assert(ok.getAs[Long]("chisq_milli") == 40L && !ok.getAs[Boolean]("srm_suspect"))
+  }
+
+  test("block profile: size classes carry exact pair mass") {
+    // blocks: sizes 1,1,2,4 → classes 0 (two blocks), 1, 2; pairs 0,1,6
+    val rows = Seq("a", "b", "c", "c", "d", "d", "d", "d").map(Tuple1(_))
+    val got = graft.ops.FuzzyJoin.blockProfile(rows.toDF("k"), col("k"))
+      .select("size_class", "n_blocks", "n_rows", "n_pairs")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 2L, 2L, 0L), (1L, 1L, 2L, 1L), (2L, 1L, 4L, 6L)))
+  }
+
+  test("lang confusion: perfect-marker docs land on the diagonal") {
+    val df = Seq(("en", "the and is of to the"), ("fr", "le la et les des"),
+      ("en", "zzz qqq")).toDF("lang", "text")
+    val got = Lexical.langConfusion(df).select("lang", "lang_guess", "n", "share_ppm")
+      .as[(String, String, Long, Long)].collect().sorted.toSeq
+    assert(got.contains(("en", "en", 1L, 500000L)))
+    assert(got.contains(("fr", "fr", 1L, 1000000L)))
+    assert(got.exists { case (l, g, _, _) => l == "en" && g == "und" })
+  }
+
   test("readability counts and Flesch score on known text") {
     val df = Seq((1L, "Hello world. This is readable.")).toDF("doc_id", "text")
     val r = Lexical.readability(df).head()
