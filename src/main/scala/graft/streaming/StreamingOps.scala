@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.model.SessionEvent
@@ -365,6 +365,26 @@ object StreamingOps {
       max(col("v")).as("max"),
       sum(col("v")).as("sum"))
   }
+
+  /** Continuous sample-ratio-mismatch monitor over an ASSIGNMENT stream
+    * (one record per experiment unit — the randomizer's log): running
+    * per-arm counts with the exact milli chi-square and the 3.841
+    * suspect gate, updated every micro-batch, so a broken assignment
+    * pipeline alarms within a trigger interval instead of at readout
+    * time ([[graft.ops.Eval.srmCheck]] is the batch form; for EXPOSURE
+    * streams, where units repeat, compose [[dedupStream]] in front —
+    * the same double-counting rule the batch op enforces with its
+    * distinct).
+    *
+    * Scale shape: one global streaming aggregation — two counters of
+    * state, total. The same code path runs on a batch frame unchanged.
+    */
+  def srmMonitorStream(assignments: DataFrame, treatedCol: Column): DataFrame =
+    assignments
+      .agg(count_if(treatedCol).as("n_t"), count_if(!treatedCol).as("n_c"))
+      .withColumn("chisq_milli",
+        expr("(1000L * (n_t - n_c) * (n_t - n_c)) div (n_t + n_c)"))
+      .withColumn("srm_suspect", col("chisq_milli") >= 3841L)
 
   /** Read the reference's user-exp JSON shape as a file stream. */
   def userExpStream(spark: SparkSession, dir: String): Dataset[SessionEvent] = {

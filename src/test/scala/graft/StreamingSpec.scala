@@ -232,6 +232,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == profile())
   }
 
+  test("srmMonitorStream: chi-square updates per micro-batch, gate flips when the split breaks") {
+    val in = Files.createTempDirectory("graft_stream_srm")
+    def write(name: String, rows: Seq[(Long, Boolean)]): Unit =
+      Files.write(Paths.get(in.toString, name),
+        rows.map { case (u, t) => s"""{"u":$u,"t":$t}""" }.mkString("\n").getBytes)
+    // balanced first batch: 50/50
+    write("b1.json", (0L until 100L).map(u => (u, u < 50)))
+    val stream = spark.readStream.schema("u LONG, t BOOLEAN").json(in.toString)
+    val q = StreamingOps.srmMonitorStream(stream, org.apache.spark.sql.functions.col("t"))
+      .writeStream.outputMode("complete").format("memory").queryName("srm")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable()
+    def state(): (Long, Long, Long, Boolean) = {
+      val r = spark.table("srm").head()
+      (r.getAs[Long]("n_t"), r.getAs[Long]("n_c"), r.getAs[Long]("chisq_milli"),
+        r.getAs[Boolean]("srm_suspect"))
+    }
+    assert(state() == ((50L, 50L, 0L, false)))
+    // treatment leg silently stops logging → counts skew, gate flips
+    write("b2.json", (100L until 160L).map(u => (u, false)))
+    q.processAllAvailable(); q.stop()
+    val (nt, nc, chisq, suspect) = state()
+    assert(nt == 50L && nc == 110L)
+    assert(chisq == (1000L * 60 * 60) / 160 && suspect)
+    // same code path on a batch frame
+    import spark.implicits._
+    val batch = StreamingOps.srmMonitorStream(
+      ((0L until 50L).map((_, true)) ++ (50L until 160L).map((_, false))).toDF("u", "t"),
+      org.apache.spark.sql.functions.col("t")).head()
+    assert(batch.getAs[Long]("chisq_milli") == chisq)
+  }
+
   test("heavyHittersStream: bounded state, exact counts while under capacity, bounds after eviction") {
     val in = Files.createTempDirectory("graft_stream_hh")
     def write(name: String, items: Seq[String]): Unit =
