@@ -2356,7 +2356,19 @@ object SparkEntry {
     // with their candidate-pair mass — the pre-join planner read. -------
     "q242_block_profile" -> ((s, dir) =>
       FuzzyJoin.blockProfile(t(s, dir, "customer"),
-        substring(col("c_name"), 1, 16)))
+        substring(col("c_name"), 1, 16))),
+
+    // ---- dwell time per state: inter-event gaps attributed to the
+    // earlier event's type — how long each state HOLDS, where q85
+    // counts what follows. ----------------------------------------------
+    "q243_time_in_state" -> ((s, dir) =>
+      TimeSeries.timeInState(t(s, dir, "events"), "user_id", "event_type",
+        "ts", tieCols = Seq("event_id"))),
+
+    // ---- longest consecutive-day streak per user: gaps-and-islands
+    // over distinct active days, no iteration. --------------------------
+    "q244_daily_streaks" -> ((s, dir) =>
+      TimeSeries.longestStreak(t(s, dir, "events"), "user_id", "ts"))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -5845,7 +5857,10 @@ object SparkEntry {
         | FROM v a JOIN v b ON a.word = b.word AND a.g < b.g GROUP BY 1, 2)
         |SELECT g_a, g_b, CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
         | CAST(n_common AS BIGINT) AS n_common,
-        | CAST((1000000 * n_common) // (sa.n + sb.n - n_common) AS BIGINT) AS jaccard_ppm
+        | CAST((1000000 * n_common) // (sa.n + sb.n - n_common) AS BIGINT) AS jaccard_ppm,
+        | CAST((1000000 * n_common) // least(sa.n, sb.n) AS BIGINT) AS overlap_ppm,
+        | CAST((1000000 * n_common) // sa.n AS BIGINT) AS a_in_b_ppm,
+        | CAST((1000000 * n_common) // sb.n AS BIGINT) AS b_in_a_ppm
         |FROM c JOIN s sa ON sa.g = c.g_a JOIN s sb ON sb.g = c.g_b""".stripMargin,
 
     // q232: identical pinned central-moment and ratio chains (mu ≡ s1/n
@@ -6043,7 +6058,36 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_blocks,
         | CAST(sum(sz) AS BIGINT) AS n_rows,
         | CAST(sum((sz * (sz - 1)) // 2) AS BIGINT) AS n_pairs
-        |FROM b GROUP BY 1""".stripMargin
+        |FROM b GROUP BY 1""".stripMargin,
+
+    // q243: identical gap pairing (per-user lead over seconds + id) and
+    // earlier-state attribution.
+    "q243_time_in_state" ->
+      """WITH g AS (
+        | SELECT event_type AS state, epoch_ms(ts) // 1000 AS s,
+        |  lead(epoch_ms(ts) // 1000) OVER (PARTITION BY user_id
+        |   ORDER BY epoch_ms(ts) // 1000, event_id) AS nxt
+        | FROM events)
+        |SELECT state, CAST(count(*) AS BIGINT) AS n_intervals,
+        | CAST(sum(nxt - s) AS BIGINT) AS total_sec,
+        | CAST((1000 * sum(nxt - s)) // count(*) AS BIGINT) AS mean_sec_milli
+        |FROM g WHERE nxt IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // q244: day − row_number anchors consecutive runs; distinct days
+    // first so multi-event days count once.
+    "q244_daily_streaks" ->
+      """WITH d AS (
+        | SELECT DISTINCT user_id, epoch_ms(ts) // 1000 // 86400 AS day
+        | FROM events),
+        |r AS (
+        | SELECT user_id, day,
+        |  day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS anchor
+        | FROM d),
+        |runs AS (SELECT user_id, anchor, count(*) AS len FROM r GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        | CAST(max(len) AS BIGINT) AS longest_streak,
+        | CAST(count(*) AS BIGINT) AS n_streaks
+        |FROM runs GROUP BY 1""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -295,7 +295,13 @@ object Lexical {
       .join(broadcast(sizes.select(col("g").as("g_a"), col("n").as("n_a"))), Seq("g_a"))
       .join(broadcast(sizes.select(col("g").as("g_b"), col("n").as("n_b"))), Seq("g_b"))
       .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"), col("n_common"),
-        expr("(1000000L * n_common) div (n_a + n_b - n_common)").as("jaccard_ppm"))
+        expr("(1000000L * n_common) div (n_a + n_b - n_common)").as("jaccard_ppm"),
+        // Szymkiewicz–Simpson overlap (∩ / min) and both directional
+        // containments: a re-crawl that swallowed a smaller source whole
+        // shows overlap ≈ 1 while Jaccard stays low
+        expr("(1000000L * n_common) div least(n_a, n_b)").as("overlap_ppm"),
+        expr("(1000000L * n_common) div n_a").as("a_in_b_ppm"),
+        expr("(1000000L * n_common) div n_b").as("b_in_a_ppm"))
   }
 
   /** Language-ID confusion matrix: the recorded `lang` label crossed

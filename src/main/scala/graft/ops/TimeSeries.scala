@@ -615,6 +615,64 @@ object TimeSeries {
       .drop("__n", "__sum")
   }
 
+  /** Time-in-state accounting: each interval between consecutive events
+    * of a key is attributed to the STATE the key was in during it (the
+    * earlier event's state — "time in cart" is the gap between entering
+    * the cart and whatever came next), summed per state across all
+    * keys: (state, n_intervals, total_sec, mean_sec_milli). The
+    * state-duration readout behind dwell-time and bottleneck analysis,
+    * where [[graft.ops.Transitions]] counts WHAT followed and this
+    * measures HOW LONG it took.
+    *
+    * Scale shape: one per-key lead window + one state-cardinality hash
+    * agg; the shuffle carries (key, second, state) triples.
+    */
+  def timeInState(
+      df: DataFrame,
+      keyCol: String,
+      stateCol: String,
+      tsCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__s") +: tieCols.map(col): _*)
+    df.select((Seq(col(keyCol), col(stateCol).as("state"),
+        expr(s"unix_millis($tsCol) div 1000").as("__s")) ++ tieCols.map(col)): _*)
+      .withColumn("__next", lead(col("__s"), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__next") - col("__s")).as("total_sec"))
+      .withColumn("mean_sec_milli", expr("(1000L * total_sec) div n_intervals"))
+  }
+
+  /** Longest consecutive-day activity streak per key — the classic
+    * gaps-and-islands read (DAU streaks, uptime runs): over each key's
+    * DISTINCT active days, `day − row_number()` is constant exactly
+    * within a run of consecutive days, so grouping on that anchor and
+    * taking the max run length needs no iteration. Emits
+    * (key, n_active_days, longest_streak, n_streaks).
+    *
+    * Scale shape: one distinct (key, day) agg, one per-key rank window,
+    * two narrow rollups — all key-partitioned.
+    */
+  def longestStreak(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__day"))
+    val runs = df
+      .select(col(keyCol), expr(s"unix_millis($tsCol) div 1000 div 86400").as("__day"))
+      .distinct()
+      .withColumn("__anchor", col("__day") - row_number().over(w))
+      .groupBy(col(keyCol), col("__anchor"))
+      .agg(count(lit(1)).as("__len"))
+    runs.groupBy(col(keyCol))
+      .agg(sum(col("__len")).as("n_active_days"),
+        max(col("__len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+  }
+
   /** Daily value bands — the p10/p50/p90 envelope a monitoring chart
     * draws: per engine-neutral integer day (`epoch_s div 86400`), the
     * exact LOWER-quantile elements at the requested percent levels

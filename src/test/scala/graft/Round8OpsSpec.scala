@@ -446,6 +446,40 @@ class Round8OpsSpec extends SparkSpec {
     assert(got.exists { case (l, g, _, _) => l == "en" && g == "und" })
   }
 
+  test("time in state: gaps attribute to the earlier event's state") {
+    // u: A@0 B@10 A@30 → A holds 10s (0→10), B holds 20s (10→30)
+    val rows = Seq(("u", "A", 0L), ("u", "B", 10L), ("u", "A", 30L), ("v", "A", 5L))
+    val df = rows.toDF("k", "st", "sec")
+      .withColumn("ts", timestamp_millis(col("sec") * 1000L))
+      .withColumn("event_id", col("sec"))
+    val got = TimeSeries.timeInState(df, "k", "st", "ts", Seq("event_id"))
+      .select("state", "n_intervals", "total_sec", "mean_sec_milli")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // v has a single event → no interval anywhere from it
+    assert(got == Seq(("A", 1L, 10L, 10000L), ("B", 1L, 20L, 20000L)))
+  }
+
+  test("daily streaks: islands anchor on day minus rank, multi-event days count once") {
+    // u active days 1,2,3, 7,8 (day 2 twice) → longest 3, streaks 2
+    val days = Seq(1L, 2L, 2L, 3L, 7L, 8L).map(("u", _)) :+ (("w", 5L))
+    val df = days.toDF("k", "day")
+      .withColumn("ts", timestamp_millis(col("day") * 86400000L))
+    val got = TimeSeries.longestStreak(df, "k", "ts")
+      .select("k", "n_active_days", "longest_streak", "n_streaks")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("u", 5L, 3L, 2L), ("w", 1L, 1L, 1L)))
+  }
+
+  test("vocab overlap columns: containment sees the swallowed source") {
+    val df = Seq(("big", "a b c d e"), ("small", "a b")).toDF("source", "text")
+    val r = Lexical.vocabJaccard(df).head()
+    assert(r.getAs[Long]("jaccard_ppm") == 400000L) // 2/5
+    assert(r.getAs[Long]("overlap_ppm") == 1000000L) // small ⊂ big
+    // directional: g_a="big" (lexicographic), so b_in_a = small-in-big = 1
+    assert(r.getAs[Long]("b_in_a_ppm") == 1000000L)
+    assert(r.getAs[Long]("a_in_b_ppm") == 400000L)
+  }
+
   test("readability counts and Flesch score on known text") {
     val df = Seq((1L, "Hello world. This is readable.")).toDF("doc_id", "text")
     val r = Lexical.readability(df).head()
