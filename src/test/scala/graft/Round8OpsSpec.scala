@@ -59,6 +59,42 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("damerau: metric properties hold on random strings") {
+    def lev(a: String, b: String): Int = { // independent plain-DP reference
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(88)
+    def rs(): String = (0 until rnd.nextInt(9)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    for (_ <- 0 until 800) {
+      val (a, b, c) = (rs(), rs(), rs())
+      val (ab, ba, ac, bc) = (dl(a, b), dl(b, a), dl(a, c), dl(b, c))
+      assert(ab == ba, s"symmetry $a/$b")
+      assert(ab <= lev(a, b), s"DL must not exceed Levenshtein: $a/$b")
+      assert(ab >= math.abs(a.length - b.length), s"length lower bound $a/$b")
+      assert(ab <= math.max(a.length, b.length), s"upper bound $a/$b")
+      assert(ac <= ab + bc, s"triangle $a/$b/$c")
+      assert(dl(a, a) == 0)
+    }
+  }
+
+  test("jaroWinkler: range, symmetry, and 1.0 exactly on equality (random strings)") {
+    def jw(a: String, b: String): Double =
+      StringKernels.jaroWinkler(UTF8String.fromString(a), UTF8String.fromString(b))
+    val rnd = new scala.util.Random(31)
+    def rs(): String = (0 until rnd.nextInt(10)).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+    for (_ <- 0 until 800) {
+      val (a, b) = (rs(), rs())
+      val s = jw(a, b)
+      assert(s >= 0.0 && s <= 1.0, s"range $a/$b -> $s")
+      assert(s == jw(b, a), s"symmetry $a/$b")
+      assert((s == 1.0) == (a == b), s"identity $a/$b -> $s")
+    }
+  }
+
   test("jaroWinkler: reference values, boost gating, and degenerate inputs") {
     def jw(a: String, b: String): Double =
       StringKernels.jaroWinkler(UTF8String.fromString(a), UTF8String.fromString(b))
