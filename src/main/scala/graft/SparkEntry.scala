@@ -2368,7 +2368,19 @@ object SparkEntry {
     // ---- longest consecutive-day streak per user: gaps-and-islands
     // over distinct active days, no iteration. --------------------------
     "q244_daily_streaks" -> ((s, dir) =>
-      TimeSeries.longestStreak(t(s, dir, "events"), "user_id", "ts"))
+      TimeSeries.longestStreak(t(s, dir, "events"), "user_id", "ts")),
+
+    // ---- rarity-ranked keywords: each doc's 3 rarest terms by global
+    // df (df order = idf order, no float log) — tf-idf's integer-exact
+    // cousin for routing and clustering seeds. --------------------------
+    "q245_rarest_terms" -> ((s, dir) =>
+      Lexical.rarestTerms(t(s, dir, "documents"), k = 3)),
+
+    // ---- token-sort duplicate keys over part names ("red widget" ≡
+    // "widget red"): the zero-cost ER pass before any edit-distance
+    // join; groups collect ids as a portable sorted string. -------------
+    "q246_token_sort_dups" -> ((s, dir) =>
+      Lexical.tokenSortDups(t(s, dir, "part"), "p_partkey", "p_name"))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -6087,7 +6099,38 @@ object SparkEntry {
         |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
         | CAST(max(len) AS BIGINT) AS longest_streak,
         | CAST(count(*) AS BIGINT) AS n_streaks
-        |FROM runs GROUP BY 1""".stripMargin
+        |FROM runs GROUP BY 1""".stripMargin,
+
+    // q245: identical (df, term) rarity order per doc.
+    "q245_rarest_terms" ->
+      """WITH t AS (
+        | SELECT DISTINCT doc_id,
+        |  unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |   w -> len(w) > 0)) AS term
+        | FROM documents),
+        |d AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+        |r AS (
+        | SELECT t.doc_id, t.term, d.df,
+        |  row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.term) AS rank
+        | FROM t JOIN d USING (term))
+        |SELECT doc_id, term, CAST(df AS BIGINT) AS df, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3""".stripMargin,
+
+    // q246: identical sorted-distinct-token fingerprints and sorted
+    // member-id strings.
+    "q246_token_sort_dups" ->
+      """WITH f AS (
+        | SELECT CAST(p_partkey AS BIGINT) AS id,
+        |  array_to_string(list_sort(list_distinct(
+        |   list_filter(string_split_regex(trim(lower(p_name)), '\s+'),
+        |    w -> len(w) > 0))), ' ') AS fingerprint
+        | FROM part),
+        |g AS (
+        | SELECT fingerprint, count(*) AS n_records,
+        |  array_to_string(list_sort(list(id)), ',') AS ids
+        | FROM f WHERE length(fingerprint) > 0 GROUP BY 1)
+        |SELECT fingerprint, CAST(n_records AS BIGINT) AS n_records, ids
+        |FROM g WHERE n_records >= 2""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

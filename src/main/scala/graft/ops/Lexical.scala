@@ -330,6 +330,60 @@ object Lexical {
       .drop("__tot")
   }
 
+  /** Rarity-ranked keyword extraction: each document's `k` RAREST
+    * distinct terms by global document frequency (ties by term) — the
+    * integer-exact cousin of tf-idf keyword picking (df ordering equals
+    * idf ordering; no float log needed), good enough for routing,
+    * clustering seeds and index keys. Emits (doc_id, term, df, rank).
+    *
+    * Scale shape: one vocabulary-sized df aggregation broadcast onto
+    * the distinct (doc, term) stream, one per-doc rank window — both
+    * key-partitioned; bodies never shuffle.
+    */
+  def rarestTerms(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs
+      .select(col(idCol).as("doc_id"), explode(Dedup.wordTokens(col(textCol))).as("term"))
+      .distinct()
+    val df = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("term"))
+    terms.join(broadcast(df), Seq("term"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("df"), col("rank"))
+  }
+
+  /** Token-sort duplicate keys: normalize each name/title to its SORTED
+    * distinct-token fingerprint ("smith, john" ≡ "John Smith") and emit
+    * every fingerprint shared by 2+ records with its member ids — the
+    * zero-cost entity-resolution pass that catches word-order and
+    * punctuation variants BEFORE any edit-distance join runs. Emits
+    * (fingerprint, n_records, ids sorted).
+    *
+    * Scale shape: one fingerprint count agg + a collect bounded by the
+    * duplicate-group size (groups are name-collision-sized, not
+    * corpus-sized); records never pair-join.
+    */
+  def tokenSortDups(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String): DataFrame = {
+    df.select(col(idCol).cast("long").as("__id"),
+        concat_ws(" ",
+          array_sort(array_distinct(Dedup.wordTokens(col(nameCol))))).as("fingerprint"))
+      .where(length(col("fingerprint")) > 0)
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_records"),
+        concat_ws(",", transform(sort_array(collect_list(col("__id"))),
+          i => i.cast("string"))).as("ids"))
+      .where(col("n_records") >= 2)
+  }
+
   /** Per-doc readability: Flesch reading-ease from exact integer counts —
     * words (whitespace tokens), sentences (`[.!?]+`-separated segments
     * with any non-whitespace), and syllables approximated the standard

@@ -516,6 +516,24 @@ class Round8OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("a_in_b_ppm") == 400000L)
   }
 
+  test("rarest terms: global df ranks, per-doc rarity order, ties by term") {
+    val df = Seq((1L, "x common common"), (2L, "y common"), (3L, "common")).toDF("doc_id", "text")
+    val got = Lexical.rarestTerms(df, k = 2).select("doc_id", "term", "df", "rank")
+      .as[(Long, String, Long, Long)].collect().sorted.toSeq
+    // df: x=1, y=1, common=3 → doc1 picks x then common, doc2 y then common
+    assert(got == Seq((1L, "common", 3L, 2L), (1L, "x", 1L, 1L),
+      (2L, "common", 3L, 2L), (2L, "y", 1L, 1L), (3L, "common", 3L, 1L)))
+  }
+
+  test("token-sort dups: word order and repeats collapse, singletons drop") {
+    val df = Seq((3L, "Red Widget"), (1L, "widget red"), (2L, "widget red widget"),
+      (9L, "blue bolt")).toDF("id", "name")
+    val got = Lexical.tokenSortDups(df, "id", "name")
+      .select("fingerprint", "n_records", "ids")
+      .as[(String, Long, String)].collect().toSeq
+    assert(got == Seq(("red widget", 3L, "1,2,3")))
+  }
+
   test("readability counts and Flesch score on known text") {
     val df = Seq((1L, "Hello world. This is readable.")).toDF("doc_id", "text")
     val r = Lexical.readability(df).head()
