@@ -2380,7 +2380,17 @@ object SparkEntry {
     // "widget red"): the zero-cost ER pass before any edit-distance
     // join; groups collect ids as a portable sorted string. -------------
     "q246_token_sort_dups" -> ((s, dir) =>
-      Lexical.tokenSortDups(t(s, dir, "part"), "p_partkey", "p_name"))
+      Lexical.tokenSortDups(t(s, dir, "part"), "p_partkey", "p_name")),
+
+    // ---- D1/D7 return rates by first-active day: the growth activation
+    // read at day grain (q83 is the period-grain triangle). -------------
+    "q247_cohort_returns" -> ((s, dir) =>
+      Cohort.dailyReturns(t(s, dir, "events"), "user_id", "ts")),
+
+    // ---- whale check: the event share of the top 1% of users, exact
+    // cut through the range-partitioned ranking. ------------------------
+    "q248_power_share" -> ((s, dir) =>
+      Cohort.powerUserShare(t(s, dir, "events"), "user_id", pctPpm = 10000L))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -6130,7 +6140,36 @@ object SparkEntry {
         |  array_to_string(list_sort(list(id)), ',') AS ids
         | FROM f WHERE length(fingerprint) > 0 GROUP BY 1)
         |SELECT fingerprint, CAST(n_records AS BIGINT) AS n_records, ids
-        |FROM g WHERE n_records >= 2""".stripMargin
+        |FROM g WHERE n_records >= 2""".stripMargin,
+
+    // q247: identical UTC day integers, distinct days, per-user min.
+    "q247_cohort_returns" ->
+      """WITH d AS (
+        | SELECT DISTINCT user_id AS u, epoch_ms(ts) // 1000 // 86400 AS day
+        | FROM events),
+        |f AS (SELECT u, min(day) AS first FROM d GROUP BY 1),
+        |per AS (
+        | SELECT d.u, f.first,
+        |  max(CASE WHEN d.day = f.first + 1 THEN 1 ELSE 0 END) AS d1,
+        |  max(CASE WHEN d.day > f.first AND d.day <= f.first + 7 THEN 1 ELSE 0 END) AS d7
+        | FROM d JOIN f USING (u) GROUP BY 1, 2)
+        |SELECT first AS cohort_day, CAST(count(*) AS BIGINT) AS n_users,
+        | CAST(sum(d1) AS BIGINT) AS n_d1, CAST(sum(d7) AS BIGINT) AS n_d7,
+        | CAST((1000000 * sum(d1)) // count(*) AS BIGINT) AS d1_ppm,
+        | CAST((1000000 * sum(d7)) // count(*) AS BIGINT) AS d7_ppm
+        |FROM per GROUP BY 1""".stripMargin,
+
+    // q248: identical (count DESC, user) total order and ⌊n·pct⌋ cut.
+    "q248_power_share" ->
+      """WITH c AS (SELECT user_id AS u, count(*) AS n FROM events GROUP BY 1),
+        |r AS (SELECT u, n, row_number() OVER (ORDER BY n DESC, u) AS rk FROM c),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_users, CAST(sum(n) AS BIGINT) AS n_events FROM c),
+        |k AS (SELECT greatest(1, (n_users * 10000) // 1000000) AS top_users FROM t)
+        |SELECT t.n_users, t.n_events, CAST(k.top_users AS BIGINT) AS top_users,
+        | CAST((SELECT sum(n) FROM r WHERE rk <= k.top_users) AS BIGINT) AS top_events,
+        | CAST((1000000 * (SELECT sum(n) FROM r WHERE rk <= k.top_users)) // t.n_events AS BIGINT)
+        |  AS share_ppm
+        |FROM t CROSS JOIN k""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

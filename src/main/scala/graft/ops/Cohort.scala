@@ -55,6 +55,64 @@ object Cohort {
     * division given the rank. Three range-balanced shuffles of the
     * entity-grain table, nothing ever funnels to one partition.
     */
+  /** Day-grain D1/D7 return rates by signup cohort — the growth team's
+    * standard activation read, where [[retention]] is the period-grain
+    * triangle: per first-active day, the cohort size and how many of
+    * its users came back ON day+1 (`d1`) and within days 1..7 (`d7`),
+    * with exact ppm rates. Day boundaries are engine-neutral integers
+    * (`epoch_s div 86400`, UTC).
+    *
+    * Scale shape: one distinct (user, day) agg, one per-user min for
+    * the cohort day, one semi-join-free conditional re-aggregation of
+    * the SAME distinct-day table — shuffles carry (user, day) pairs.
+    */
+  def dailyReturns(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    val days = df
+      .select(col(keyCol).as("__u"), expr(s"unix_millis($tsCol) div 1000 div 86400").as("__day"))
+      .distinct()
+    val first = days.groupBy(col("__u")).agg(min(col("__day")).as("__first"))
+    days.join(first, Seq("__u"))
+      .groupBy(col("__u"), col("__first"))
+      .agg(
+        max(when(col("__day") === col("__first") + 1L, 1L).otherwise(0L)).as("__d1"),
+        max(when(col("__day") > col("__first") && col("__day") <= col("__first") + 7L, 1L)
+          .otherwise(0L)).as("__d7"))
+      .groupBy(col("__first").as("cohort_day"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("__d1")).as("n_d1"), sum(col("__d7")).as("n_d7"))
+      .withColumn("d1_ppm", expr("(1000000L * n_d1) div n_users"))
+      .withColumn("d7_ppm", expr("(1000000L * n_d7) div n_users"))
+  }
+
+  /** Heavy-user concentration: the event share owned by the top
+    * `pctPpm` (parts-per-million, e.g. 10000 = top 1%) of users by
+    * activity — one number answering "is this product a broad habit or
+    * a whale show". The top-k cut is exact: users rank by (count desc,
+    * user) through the range-partitioned [[Normalize.denseIds]] path
+    * (never a single-partition global sort), and
+    * `k = max(1, ⌊n_users·pct⌋)`. One row out:
+    * (n_users, n_events, top_users, top_events, share_ppm).
+    */
+  def powerUserShare(
+      df: DataFrame,
+      keyCol: String,
+      pctPpm: Long = 10000L): DataFrame = {
+    require(pctPpm >= 1 && pctPpm <= 1000000L, s"pctPpm must be in [1, 1e6]: $pctPpm")
+    val counts = df.groupBy(col(keyCol).as("__u")).agg(count(lit(1)).as("__n"))
+      .withColumn("__neg", -col("__n"))
+    val ranked = Normalize.denseIds(counts, "__neg", "__u", "__rk")
+    val totals = ranked.groupBy().agg(
+      count(lit(1)).as("n_users"), sum(col("__n")).as("n_events"))
+    ranked.crossJoin(broadcast(totals))
+      .withColumn("__k", greatest(lit(1L), expr(s"(n_users * $pctPpm) div 1000000")))
+      .groupBy(col("n_users"), col("n_events"), col("__k").as("top_users"))
+      .agg(sum(when(col("__rk") < col("__k"), col("__n")).otherwise(0L)).as("top_events"))
+      .withColumn("share_ppm", expr("(1000000L * top_events) div n_events"))
+  }
+
   def rfm(
       df: DataFrame,
       keyCol: String,

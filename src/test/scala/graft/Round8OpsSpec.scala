@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.TextFunctions
 import graft.functions.expressions.StringKernels
-import graft.ops.{Audit, Eval, GeoGrid, Lexical, Metrics, Outliers, TimeSeries, Trend}
+import graft.ops.{Audit, Cohort, Eval, GeoGrid, Lexical, Metrics, Outliers, TimeSeries, Trend}
 
 /** Round-8 operators: string-linkage kernels, grid radius join,
   * Wasserstein drift, Theil–Sen, t-closeness, readability.
@@ -532,6 +532,28 @@ class Round8OpsSpec extends SparkSpec {
       .select("fingerprint", "n_records", "ids")
       .as[(String, Long, String)].collect().toSeq
     assert(got == Seq(("red widget", 3L, "1,2,3")))
+  }
+
+  test("daily returns: D1 is exact-next-day, D7 is the 1..7 window") {
+    // u0: days 0,1,9 → d1 yes, d7 yes; u1: days 0,5 → d1 no, d7 yes;
+    // u2: day 0 only → neither; u3: days 2,10 → d1 no d7 no (gap 8)
+    val rows = Seq(("u0", 0L), ("u0", 1L), ("u0", 9L), ("u1", 0L), ("u1", 5L),
+      ("u2", 0L), ("u3", 2L), ("u3", 10L))
+    val df = rows.toDF("k", "day").withColumn("ts", timestamp_millis(col("day") * 86400000L))
+    val got = Cohort.dailyReturns(df, "k", "ts")
+      .select("cohort_day", "n_users", "n_d1", "n_d7", "d1_ppm", "d7_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 3L, 1L, 2L, 333333L, 666666L), (2L, 1L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("power share: whale-heavy data concentrates, uniform does not") {
+    // 200 users: one whale with 300 events, rest 1 each → top 1% = 2 users
+    val rows = (0 until 300).map(_ => 0L) ++ (1L until 200L)
+    val r = Cohort.powerUserShare(rows.map(Tuple1(_)).toDF("u"), "u", pctPpm = 10000L).head()
+    assert(r.getAs[Long]("n_users") == 200 && r.getAs[Long]("n_events") == 499)
+    assert(r.getAs[Long]("top_users") == 2)
+    assert(r.getAs[Long]("top_events") == 301) // whale + one singleton
+    assert(r.getAs[Long]("share_ppm") == (1000000L * 301) / 499)
   }
 
   test("readability counts and Flesch score on known text") {
