@@ -476,5 +476,19 @@ class PlanShapeSpec extends SparkSpec {
     val priv = (1 to 120).map(i => (s"q${i % 6}", (i % 4).toLong)).toDF("q", "s")
     assert(rowGrainGlobal(graft.ops.Audit.tCloseness(priv, Seq("q"), col("s"))).isEmpty,
       "tCloseness cumulative sums must partition by the class")
+    val evts = (1 to 120).map(i => (s"u${i % 8}", s"t${i % 3}", i.toLong * 1000L))
+      .toDF("k", "st", "ms").withColumn("ts", timestamp_millis(col("ms")))
+      .withColumn("event_id", col("ms"))
+    assert(rowGrainGlobal(
+      graft.ops.TimeSeries.timeInState(evts, "k", "st", "ts", Seq("event_id"))).isEmpty,
+      "timeInState's lead must partition by the key")
+    assert(rowGrainGlobal(graft.ops.TimeSeries.longestStreak(evts, "k", "ts")).isEmpty,
+      "longestStreak's rank must partition by the key")
+    assert(rowGrainGlobal(
+      graft.ops.Cohort.powerUserShare(evts, "k", pctPpm = 100000L)).isEmpty,
+      "powerUserShare must rank through denseIds, not a global window")
+    assert(rowGrainGlobal(
+      graft.ops.Trend.rankMovers(evts.withColumn("p", col("st")), "k", col("p"), "t0", "t1")).isEmpty,
+      "rankMovers must rank each period through denseIds, not a global window")
   }
 }
