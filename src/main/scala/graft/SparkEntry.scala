@@ -2390,7 +2390,39 @@ object SparkEntry {
     // ---- whale check: the event share of the top 1% of users, exact
     // cut through the range-partitioned ranking. ------------------------
     "q248_power_share" -> ((s, dir) =>
-      Cohort.powerUserShare(t(s, dir, "events"), "user_id", pctPpm = 10000L))
+      Cohort.powerUserShare(t(s, dir, "events"), "user_id", pctPpm = 10000L)),
+
+    // ---- fulfillment lead time per order priority: order date → first
+    // ship date in exact day integers, with mean and exact p50/p90
+    // element picks (per-priority windows). -----------------------------
+    "q249_fulfillment_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ship = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(min(col("l_shipdate")).as("__ship"))
+      val lags = t(s, dir, "orders")
+        .join(ship, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          datediff(col("__ship"), col("o_orderdate")).cast("long").as("__d"))
+      val w = Window.partitionBy(col("priority")).orderBy(col("__d"))
+      lags
+        .withColumn("__rk", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("priority"))))
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          expr("(1000L * sum(__d)) div count(1)").as("mean_days_milli"),
+          max(when(col("__rk") === expr("((50 * (__n - 1)) div 100) + 1"), col("__d"))).as("p50_days"),
+          max(when(col("__rk") === expr("((90 * (__n - 1)) div 100) + 1"), col("__d"))).as("p90_days"))
+    }),
+
+    // ---- return rate by part brand: lineitem⋈part with exact ppm
+    // return shares — the classic fact⋈dim quality rollup. --------------
+    "q250_brand_returns" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          count_if(col("l_returnflag") === "R").as("n_returned"))
+        .withColumn("return_ppm", expr("(1000000L * n_returned) div n_items")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -6169,7 +6201,35 @@ object SparkEntry {
         | CAST((SELECT sum(n) FROM r WHERE rk <= k.top_users) AS BIGINT) AS top_events,
         | CAST((1000000 * (SELECT sum(n) FROM r WHERE rk <= k.top_users)) // t.n_events AS BIGINT)
         |  AS share_ppm
-        |FROM t CROSS JOIN k""".stripMargin
+        |FROM t CROSS JOIN k""".stripMargin,
+
+    // q249: date subtraction is exact day integers in both engines;
+    // identical lower-quantile rank picks.
+    "q249_fulfillment_lag" ->
+      """WITH s AS (SELECT l_orderkey, min(l_shipdate) AS ship FROM lineitem GROUP BY 1),
+        |l AS (
+        | SELECT o.o_orderpriority AS priority,
+        |  CAST(date_diff('day', o.o_orderdate, s.ship) AS BIGINT) AS d
+        | FROM orders o JOIN s ON o.o_orderkey = s.l_orderkey),
+        |r AS (
+        | SELECT priority, d,
+        |  row_number() OVER (PARTITION BY priority ORDER BY d) AS rk,
+        |  count(*) OVER (PARTITION BY priority) AS n
+        | FROM l)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST((1000 * sum(d)) // count(*) AS BIGINT) AS mean_days_milli,
+        | CAST(max(CASE WHEN rk = ((50 * (n - 1)) // 100) + 1 THEN d END) AS BIGINT) AS p50_days,
+        | CAST(max(CASE WHEN rk = ((90 * (n - 1)) // 100) + 1 THEN d END) AS BIGINT) AS p90_days
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // q250: plain fact⋈dim rollup with integer ppm shares.
+    "q250_brand_returns" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+        | CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+        | CAST((1000000 * sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+        |  AS return_ppm
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")
