@@ -2422,7 +2422,30 @@ object SparkEntry {
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_items"),
           count_if(col("l_returnflag") === "R").as("n_returned"))
-        .withColumn("return_ppm", expr("(1000000L * n_returned) div n_items")))
+        .withColumn("return_ppm", expr("(1000000L * n_returned) div n_items"))),
+
+    // ---- Mann–Kendall monotone-trend test per event type over the
+    // DAILY count series: all-integer S and pair count, floor-ppm
+    // tau-a; the pair join runs on the days-sized aggregate. -----------
+    "q251_mann_kendall" -> ((s, dir) =>
+      Trend.mannKendall(
+        t(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_millis(ts) div 1000 div 86400").as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("c")),
+        Seq("event_type"), col("day"), col("c"))),
+
+    // ---- Kruskal–Wallis k-sample rank test per event type: does the
+    // metric's distribution differ across the day-of-week slices —
+    // ×2-integer midranks, pinned-double H, floor-milli. ---------------
+    "q252_kruskal_wallis" -> ((s, dir) =>
+      Eval.kruskalWallis(
+        t(s, dir, "events")
+          .select(col("event_type"),
+            expr("pmod(unix_millis(ts) div 1000 div 86400 + 4, 7)").as("dow"),
+            round(col("value") * 100).cast("long").as("cents")),
+        Seq("event_type"), col("dow"), col("cents")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -5484,8 +5507,9 @@ object SparkEntry {
         |FROM g WHERE prev IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
 
-    // q210: identical tie-broken ranks; DuckDB's // floors, matching the
-    // Spark side's explicit floor-division branches.
+    // q210: identical tie-broken ranks; DuckDB's integer // truncates
+    // toward zero exactly like Spark's div (measured r8: (-5)//3 = -1),
+    // so the plain quotient matches even for negative rho.
     "q210_spearman" ->
       """WITH r AS (
         | SELECT lang,
@@ -6229,7 +6253,67 @@ object SparkEntry {
         | CAST((1000000 * sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
         |  AS return_ppm
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // q251: identical day integers; the explicit Spark floor-division
+    // branches match DuckDB's flooring //.
+    "q251_mann_kendall" ->
+      """WITH d AS (
+        | SELECT event_type, epoch_ms(ts) // 1000 // 86400 AS day,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM events GROUP BY 1, 2),
+        |p AS (
+        | SELECT a.event_type,
+        |  CAST(sum(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+        |  CAST(count(*) AS BIGINT) AS pairs
+        | FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day
+        | GROUP BY 1),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1)
+        |SELECT n.event_type, n.n,
+        | CAST(coalesce(p.s_stat, 0) AS BIGINT) AS s_stat,
+        | CAST(coalesce(p.pairs, 0) AS BIGINT) AS pairs,
+        | CASE WHEN coalesce(p.pairs, 0) = 0 THEN NULL
+        |  ELSE CAST((1000000 * p.s_stat) // p.pairs AS BIGINT)
+        | END AS tau_ppm
+        |FROM n LEFT JOIN p ON n.event_type = p.event_type""".stripMargin,
+
+    // q252: ×2 midranks stay integer in both engines
+    // (2·rank + ties − 1); H's double arithmetic is spelled in the
+    // identical operation order so the floor-milli values agree.
+    "q252_kruskal_wallis" ->
+      """WITH b AS (
+        | SELECT event_type,
+        |  (epoch_ms(ts) // 1000 // 86400 + 4) % 7 AS dow,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events),
+        |r AS (
+        | SELECT event_type, dow, cents,
+        |  rank() OVER (PARTITION BY event_type ORDER BY cents) AS rk,
+        |  count(*) OVER (PARTITION BY event_type, cents) AS ct
+        | FROM b),
+        |ps AS (
+        | SELECT event_type, dow, CAST(count(*) AS BIGINT) AS nj,
+        |  CAST(sum(2 * rk + ct - 1) AS BIGINT) AS r2j
+        | FROM r GROUP BY 1, 2),
+        |pg AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(nj) AS BIGINT) AS n,
+        |  sum(CAST(r2j AS DOUBLE) * r2j / nj) AS sr
+        | FROM ps GROUP BY 1),
+        |t AS (
+        | SELECT event_type, CAST(sum(ct * ct * ct - ct) AS BIGINT) AS tie3
+        | FROM (SELECT event_type, cents, CAST(count(*) AS BIGINT) AS ct
+        |       FROM b GROUP BY 1, 2) GROUP BY 1)
+        |SELECT pg.event_type, pg.k, pg.n,
+        | CASE WHEN pg.n < 2 OR pg.k < 2 THEN NULL
+        |  ELSE CAST(floor(1000.0 * (3.0 * sr / (n * (n + 1)) - 3.0 * (n + 1))) AS BIGINT)
+        | END AS h_milli,
+        | CASE WHEN pg.n < 2 OR pg.k < 2
+        |   OR 1.0 - tie3 / (CAST(n AS DOUBLE) * n * n - n) <= 0.0 THEN NULL
+        |  ELSE CAST(floor(1000.0 * (3.0 * sr / (n * (n + 1)) - 3.0 * (n + 1)) /
+        |   (1.0 - tie3 / (CAST(n AS DOUBLE) * n * n - n))) AS BIGINT)
+        | END AS h_adj_milli
+        |FROM pg JOIN t ON pg.event_type = t.event_type""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

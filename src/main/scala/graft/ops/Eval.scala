@@ -343,4 +343,67 @@ object Eval {
         floor(lit(1000000.0) * (col("__dy") - col("__theta") * col("__dx")))
           .cast("long").as("effect_cuped_micro"))
   }
+
+  /** Kruskal–Wallis H test per group — the k-sample generalization of
+    * the rank tests ([[rocAuc]] IS the two-sample Mann–Whitney in
+    * disguise): "does this metric's distribution differ ACROSS the k
+    * slices" without assuming normality — the screen a pipeline runs
+    * before trusting that a per-slice mean shift is real. Ranks are
+    * tie-aware midranks kept integer by the ×2 trick
+    * (`2·midrank = 2·rank + ties − 1`, all integer), so every rank
+    * statistic is exact; H and its tie-corrected form take the one
+    * documented double step at the end in a pinned operation order:
+    * `H = 3·Σ_j(R2_j²/n_j)/(n(n+1)) − 3(n+1)` (the 12/(4·…)
+    * simplification of the classic formula under ×2 ranks) and
+    * `H_adj = H / (1 − Σ(t³−t)/(n³−n))`, both published floor-milli.
+    * Slices with n < 2 total points or a single sample emit NULL H.
+    *
+    * Scale shape: two per-GROUP rank windows (key-partitioned, never
+    * global), one (group, sample) aggregate, one (group, value)
+    * tie aggregate, then group-sized arithmetic. The corpus shuffles
+    * once into the rank partitioning; everything downstream is
+    * slices-sized.
+    */
+  def kruskalWallis(
+      df: DataFrame,
+      groupCols: Seq[String],
+      sampleCol: Column,
+      valueCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val g = groupCols.map(col)
+    val base = df.select(
+      (g :+ sampleCol.cast("string").as("__s") :+ valueCol.cast("long").as("__v")): _*)
+    val wRank = Window.partitionBy(g: _*).orderBy(col("__v"))
+    val wTie = Window.partitionBy((g :+ col("__v")): _*)
+    val ranked = base
+      .withColumn("__rk", rank().over(wRank).cast("long"))
+      .withColumn("__ct", count(lit(1)).over(wTie))
+      .withColumn("__r2", lit(2L) * col("__rk") + col("__ct") - lit(1L))
+    val perSample = ranked
+      .groupBy((g :+ col("__s")): _*)
+      .agg(count(lit(1)).as("__nj"), sum(col("__r2")).as("__r2j"))
+    val perGroup = perSample
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("k"), sum(col("__nj")).as("n"),
+        // Σ R2_j²/n_j in doubles, one pinned order (R2_j² can pass 2⁶³
+        // at ~10⁹ rows per group; the double keeps 53 bits which is the
+        // same last-mile precision class as the final division anyway)
+        sum(col("__r2j").cast("double") * col("__r2j") / col("__nj")).as("__sr"))
+    val ties = base
+      .groupBy((g :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(g: _*)
+      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__tie3"))
+    perGroup.join(ties, groupCols)
+      .withColumn("__h",
+        lit(3.0) * col("__sr") / (col("n") * (col("n") + 1)) - lit(3.0) * (col("n") + 1))
+      .withColumn("__c",
+        lit(1.0) - col("__tie3") / (col("n").cast("double") * col("n") * col("n") - col("n")))
+      .select((g :+ col("k") :+ col("n") :+
+        when(col("n") < 2 || col("k") < 2, lit(null).cast("long"))
+          .otherwise(floor(lit(1000.0) * col("__h")).cast("long")).as("h_milli") :+
+        when(col("n") < 2 || col("k") < 2 || col("__c") <= 0.0, lit(null).cast("long"))
+          .otherwise(floor(lit(1000.0) * col("__h") / col("__c")).cast("long"))
+          .as("h_adj_milli")): _*)
+  }
 }

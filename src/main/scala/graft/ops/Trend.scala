@@ -88,14 +88,14 @@ object Trend {
       .agg(count(lit(1)).as("n"), sum(col("__d2")).as("sum_d2"))
       .withColumn("rho_num", col("n") * (col("n") * col("n") - 1) - lit(6L) * col("sum_d2"))
       .withColumn("rho_den", col("n") * (col("n") * col("n") - 1))
-      // floor division toward -inf on a possibly-negative numerator: both
-      // engines must agree, so spell the negative branch explicitly.
+      // division on a possibly-negative numerator: Spark's `div` and
+      // DuckDB's integer `//` BOTH truncate toward zero ((-5)/3 = -1),
+      // so the plain quotient is already engine-identical. (An explicit
+      // floor-toward--inf branch here would DISAGREE with the oracle's
+      // `//` on negative non-exact quotients — measured r8.)
       .withColumn("rho_ppm",
         when(col("n") < 2, lit(null).cast("long"))
-          .otherwise(expr(
-            """CASE WHEN rho_num >= 0 THEN (1000000 * rho_num) div rho_den
-              | ELSE -(((-1000000) * rho_num + rho_den - 1) div rho_den)
-              |END""".stripMargin).cast("long")))
+          .otherwise(expr("(1000000 * rho_num) div rho_den").cast("long")))
   }
 
   /** Rank movers between two periods: every item ranked by count within
@@ -174,5 +174,54 @@ object Trend {
       .join(counts, groupCols)
       .where(col("__rk") === expr("(n_pairs + 1L) div 2L"))
       .select((groupCols.map(col) :+ col("n_pairs") :+ col("__slope").as("slope_scaled")): _*)
+  }
+
+  /** Mann–Kendall trend test per group — the NON-PARAMETRIC "is this
+    * series monotonically drifting" companion to [[theilSen]] (which
+    * gives the magnitude, while S gives the evidence): over the
+    * x-ordered points, `S = Σ_{i<j} sign(y_j − y_i)` — every pair votes
+    * up/down/tie, so a single outlier moves S by at most n−1 where it
+    * can move a least-squares slope arbitrarily. All-integer: S, the
+    * pair count `n·(n−1)/2`, and Kendall's tau-a as truncated-ppm
+    * `τ = S / pairs` (Spark `div` and DuckDB integer `//` both
+    * truncate toward zero, so the plain quotient is engine-identical
+    * even for negative S). Groups with a single point emit S = 0,
+    * pairs = 0, tau_ppm = NULL.
+    *
+    * x values are REQUIRED distinct within a group (feed daily/period
+    * aggregates, the op's intended diet) — equal-x pairs would be
+    * order-ambiguous and are excluded by the strict `<` anyway, which
+    * for distinct x is exactly the classic statistic.
+    *
+    * Scale shape: the pairwise expansion is an equi-join on the group
+    * key over the AGGREGATED series table (days × groups, not raw
+    * rows) — Σ_g n_g² pairs with n_g bounded by the observation window
+    * (a year of dailies = 366 points = 67k pairs per group). The raw
+    * corpus shuffles once into the per-(group, x) aggregate upstream;
+    * nothing here touches it.
+    */
+  def mannKendall(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: Column,
+      yCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val pts = df.select(
+      (groupCols.map(col) :+ xCol.cast("long").as("__x") :+ yCol.cast("long").as("__y")): _*)
+    val a = pts.toDF(pts.columns.map(c => if (c.startsWith("__")) s"a${c.stripPrefix("__")}" else c): _*)
+    val b = pts.toDF(pts.columns.map(c => if (c.startsWith("__")) s"b${c.stripPrefix("__")}" else c): _*)
+    val voted = a.join(b, groupCols)
+      .where(col("ax") < col("bx"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(signum(col("by") - col("ay")).cast("long")).as("s_stat"),
+        count(lit(1)).as("pairs"))
+    val n = pts.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n"))
+    n.join(voted, groupCols, "left")
+      .select((groupCols.map(col) :+ col("n") :+
+        coalesce(col("s_stat"), lit(0L)).as("s_stat") :+
+        coalesce(col("pairs"), lit(0L)).as("pairs")): _*)
+      .withColumn("tau_ppm",
+        when(col("pairs") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000 * s_stat) div pairs").cast("long")))
   }
 }

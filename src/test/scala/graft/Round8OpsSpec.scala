@@ -569,4 +569,35 @@ class Round8OpsSpec extends SparkSpec {
     val deg = Lexical.readability(Seq((2L, "")).toDF("doc_id", "text")).head()
     assert(deg.isNullAt(deg.fieldIndex("flesch_milli")))
   }
+
+  test("mann-kendall: S counts pair votes, tau truncates toward zero") {
+    // g=up: y = 1,2,3,4 over x=0..3 → all 6 pairs up, S=6, tau=1e6
+    // g=mix: y = 3,1,2 → pairs (3,1)↓ (3,2)↓ (1,2)↑ → S=-1, pairs=3,
+    //   tau = (-1e6)/3 truncated = -333333 (floor would say -333334)
+    // g=solo: one point → S=0, pairs=0, tau NULL
+    val df = Seq(("up", 0L, 1L), ("up", 1L, 2L), ("up", 2L, 3L), ("up", 3L, 4L),
+      ("mix", 0L, 3L), ("mix", 1L, 1L), ("mix", 2L, 2L), ("solo", 0L, 9L))
+      .toDF("g", "x", "y")
+    val got = Trend.mannKendall(df, Seq("g"), col("x"), col("y"))
+      .select("g", "n", "s_stat", "pairs", "tau_ppm")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) Long.MinValue else r.getLong(4))).sortBy(_._1).toSeq
+    assert(got == Seq(("mix", 3L, -1L, 3L, -333333L),
+      ("solo", 1L, 0L, 0L, Long.MinValue), ("up", 4L, 6L, 6L, 1000000L)))
+  }
+
+  test("kruskal-wallis: hand-checked H with ties, degenerate slices null") {
+    // g=a, samples s1={1,2}, s2={2,3}: sorted 1,2,2,3 → midranks
+    // 1, 2.5, 2.5, 4 (×2: 2,5,5,8). R2_1=7, R2_2=13, n=4, k=2.
+    // H = 3·(49/2 + 169/2)/(4·5) − 3·5 = 3·109/20 − 15 = 1.35
+    // ties: value 2 twice → Σ(t³−t)=6; C = 1 − 6/60 = 0.9; H/C = 1.5
+    val df = Seq(("a", "s1", 1L), ("a", "s1", 2L), ("a", "s2", 2L), ("a", "s2", 3L),
+      ("b", "only", 1L), ("b", "only", 2L)).toDF("g", "s", "v")
+    val got = Eval.kruskalWallis(df, Seq("g"), col("s"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MinValue else r.getLong(3),
+        if (r.isNullAt(4)) Long.MinValue else r.getLong(4))).sortBy(_._1).toSeq
+    assert(got == Seq(("a", 2L, 4L, 1350L, 1500L),
+      ("b", 1L, 2L, Long.MinValue, Long.MinValue)))
+  }
 }
