@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GeoGrid, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, Reshape, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, Skyline, SkewJoin, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
+import graft.ops.{AsOfJoin, Association, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GeoGrid, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, Reshape, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, Skyline, SkewJoin, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -2445,7 +2445,20 @@ object SparkEntry {
           .select(col("event_type"),
             expr("pmod(unix_millis(ts) div 1000 div 86400 + 4, 7)").as("dow"),
             round(col("value") * 100).cast("long").as("cents")),
-        Seq("event_type"), col("dow"), col("cents")))
+        Seq("event_type"), col("dow"), col("cents"))),
+
+    // ---- market-basket association rules over order⋈part baskets:
+    // exact pair/item counts, truncated ppm support/confidence and
+    // milli lift; pair expansion bounded by order size. ----------------
+    "q253_assoc_rules" -> ((s, dir) =>
+      Association.rules(t(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_partkey"), minPairCount = 2L)),
+
+    // ---- degree assortativity of the doc-chain graph: hubs-to-hubs
+    // vs hubs-to-leaves in one integer ratio, no sqrt (symmetrized
+    // Pearson over edge endpoint degrees). -----------------------------
+    "q254_assortativity" -> ((s, dir) =>
+      GraphMetrics.degreeAssortativity(docChainPairs(s, dir)))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -6313,7 +6326,53 @@ object SparkEntry {
         |  ELSE CAST(floor(1000.0 * (3.0 * sr / (n * (n + 1)) - 3.0 * (n + 1)) /
         |   (1.0 - tie3 / (CAST(n AS DOUBLE) * n * n - n))) AS BIGINT)
         | END AS h_adj_milli
-        |FROM pg JOIN t ON pg.event_type = t.event_type""".stripMargin
+        |FROM pg JOIN t ON pg.event_type = t.event_type""".stripMargin,
+
+    // q253: identical distinct (basket, item) projection and integer
+    // truncated quotients in both engines.
+    "q253_assoc_rules" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS it FROM lineitem),
+        |ic AS (SELECT it, CAST(count(*) AS BIGINT) AS c FROM i GROUP BY 1),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM i),
+        |p AS (
+        | SELECT a.it AS item_a, c.it AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+        | FROM i a JOIN i c ON a.b = c.b AND a.it < c.it
+        | GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.item_a, p.item_b, p.n_ab,
+        | ca.c AS n_a, cb.c AS n_b, nb.n_baskets,
+        | CAST((1000000 * p.n_ab) // nb.n_baskets AS BIGINT) AS support_ppm,
+        | CAST((1000000 * p.n_ab) // ca.c AS BIGINT) AS conf_a_b_ppm,
+        | CAST((1000000 * p.n_ab) // cb.c AS BIGINT) AS conf_b_a_ppm,
+        | CAST((1000 * nb.n_baskets * p.n_ab) // (ca.c * cb.c) AS BIGINT) AS lift_milli
+        |FROM p JOIN ic ca ON p.item_a = ca.it
+        | JOIN ic cb ON p.item_b = cb.it CROSS JOIN nb""".stripMargin,
+
+    // q254: same canonical undirected edge set as the other doc-chain
+    // graph oracles; the symmetrized Pearson needs no sqrt, so the
+    // ratio is a plain integer quotient in both engines.
+    "q254_assortativity" ->
+      """WITH b AS (SELECT doc_id AS a FROM documents WHERE doc_id % 20 = 0),
+        |edges0 AS (
+        | SELECT a AS u, a + 1 AS v FROM b
+        | UNION ALL SELECT a + 1, a + 2 FROM b
+        | UNION ALL SELECT a, a + 5 FROM b
+        | UNION ALL SELECT a + 5, a + 22 FROM b WHERE a % 40 = 0),
+        |e AS (SELECT DISTINCT least(u, v) AS x, greatest(u, v) AS y FROM edges0),
+        |und AS (SELECT x AS id FROM e UNION ALL SELECT y FROM e),
+        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY 1),
+        |s AS (
+        | SELECT CAST(count(*) AS BIGINT) AS m,
+        |  CAST(sum(da.d * db.d) AS BIGINT) AS sjk,
+        |  CAST(sum(da.d + db.d) AS BIGINT) AS sj,
+        |  CAST(sum(da.d * da.d + db.d * db.d) AS BIGINT) AS sq
+        | FROM e JOIN deg da ON e.x = da.id JOIN deg db ON e.y = db.id)
+        |SELECT m,
+        | CAST(4 * m * sjk - sj * sj AS BIGINT) AS r_num,
+        | CAST(2 * m * sq - sj * sj AS BIGINT) AS r_den,
+        | CASE WHEN 2 * m * sq - sj * sj = 0 THEN NULL
+        |  ELSE CAST((1000000 * (4 * m * sjk - sj * sj)) // (2 * m * sq - sj * sj) AS BIGINT)
+        | END AS r_ppm
+        |FROM s""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -600,4 +600,39 @@ class Round8OpsSpec extends SparkSpec {
     assert(got == Seq(("a", 2L, 4L, 1350L, 1500L),
       ("b", 1L, 2L, Long.MinValue, Long.MinValue)))
   }
+
+  test("association rules: pair pruning, per-direction confidence, lift") {
+    // baskets 1:{10,20,30} 2:{10,20} 3:{10,20} 4:{30}; duplicate row in
+    // basket 2 must not double-count. minPair=2 keeps only (10,20): 3 of
+    // 4 baskets, both confidences 3/3, lift = 4·3/(3·3) = 1.333
+    val rows = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 10L),
+      (2L, 20L), (3L, 10L), (3L, 20L), (4L, 30L))
+    val got = graft.ops.Association.rules(rows.toDF("b", "it"), col("b"), col("it"))
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("item_a") == 10 && r.getAs[Long]("item_b") == 20)
+    assert(r.getAs[Long]("n_ab") == 3 && r.getAs[Long]("n_a") == 3 &&
+      r.getAs[Long]("n_b") == 3 && r.getAs[Long]("n_baskets") == 4)
+    assert(r.getAs[Long]("support_ppm") == 750000L)
+    assert(r.getAs[Long]("conf_a_b_ppm") == 1000000L && r.getAs[Long]("conf_b_a_ppm") == 1000000L)
+    assert(r.getAs[Long]("lift_milli") == 1333L)
+  }
+
+  test("assortativity: star is -1, regular graph is degenerate, truncation") {
+    import graft.ops.GraphMetrics
+    // star 0-{1,2,3}: every edge pairs deg 3 with deg 1 → r = −1 exactly
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a_id", "b_id")
+    val s = GraphMetrics.degreeAssortativity(star).head()
+    assert(s.getAs[Long]("m") == 3 && s.getAs[Long]("r_ppm") == -1000000L)
+    // 4-cycle: all degrees equal → zero variance, r undefined (NULL)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a_id", "b_id")
+    val c = GraphMetrics.degreeAssortativity(cyc).head()
+    assert(c.getAs[Long]("r_den") == 0 && c.isNullAt(c.fieldIndex("r_ppm")))
+    // triangle + pendant: num=−20, den=28 → ppm truncates to −714285
+    val tp = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a_id", "b_id")
+    val t = GraphMetrics.degreeAssortativity(tp).head()
+    assert(t.getAs[Long]("r_num") == -20 && t.getAs[Long]("r_den") == 28)
+    assert(t.getAs[Long]("r_ppm") == -714285L)
+  }
 }
