@@ -2458,7 +2458,42 @@ object SparkEntry {
     // vs hubs-to-leaves in one integer ratio, no sqrt (symmetrized
     // Pearson over edge endpoint degrees). -----------------------------
     "q254_assortativity" -> ((s, dir) =>
-      GraphMetrics.degreeAssortativity(docChainPairs(s, dir)))
+      GraphMetrics.degreeAssortativity(docChainPairs(s, dir))),
+
+    // ---- landing-zone type sniffing over deterministically
+    // string-ified event fields: anchored-regex class per value, one
+    // melted hash agg — int/json/datetime/bool/other all exercised. ----
+    "q255_type_sniff" -> ((s, dir) =>
+      Audit.typeSniff(
+        t(s, dir, "events").select(
+          col("event_id").cast("string").as("c_id"),
+          col("event_type").as("c_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("c_ts"),
+          col("props").as("c_props"),
+          when(pmod(col("user_id"), lit(2)) === 0, "true").otherwise("false").as("c_flag"),
+          when(col("value") < 50, round(col("value") * 100).cast("long").cast("string"))
+            .as("c_mixed")),
+        Seq("c_id", "c_type", "c_ts", "c_props", "c_flag", "c_mixed"))),
+
+    // ---- best lead/lag between event-type daily curves: ±7-day lag
+    // fan-out on the days-sized table, pinned-double r, one row per
+    // pair with the argmax lag. ----------------------------------------
+    "q256_lead_lag" -> ((s, dir) =>
+      TimeSeries.leadLagCorrelation(t(s, dir, "events"), "event_type", "ts",
+        maxLagDays = 7)),
+
+    // ---- monthly revenue trend per nation WITH fit quality: exact
+    // integer slope parts plus sqrt-free R² (squared Pearson) ppm.
+    // Revenue in WHOLE dollars, not cents: Σy² must stay under 2⁶³ and
+    // monthly-nation revenue in cents squared would pass it at sf ≥ 0.1.
+    "q257_trend_fit" -> ((s, dir) =>
+      Trend.linearFit(
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nation"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+          .agg(sum(floor(col("o_totalprice")).cast("long")).as("rev")),
+        Seq("nation"), col("m"), col("rev")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -6372,6 +6407,93 @@ object SparkEntry {
         | CASE WHEN 2 * m * sq - sj * sj = 0 THEN NULL
         |  ELSE CAST((1000000 * (4 * m * sjk - sj * sj)) // (2 * m * sq - sj * sj) AS BIGINT)
         | END AS r_ppm
+        |FROM s""".stripMargin,
+
+    // q255: the same anchored regexes (syntax valid in both Java regex
+    // and RE2 with identical semantics); precedence order is the CASE
+    // order; strftime mirrors date_format's literal pattern.
+    "q255_type_sniff" ->
+      """WITH src AS (
+        | SELECT CAST(event_id AS VARCHAR) AS c_id,
+        |  event_type AS c_type,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS c_ts,
+        |  props AS c_props,
+        |  CASE WHEN user_id % 2 = 0 THEN 'true' ELSE 'false' END AS c_flag,
+        |  CASE WHEN value < 50 THEN CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) END AS c_mixed
+        | FROM events),
+        |m AS (
+        | SELECT column_name, v FROM (
+        |  SELECT unnest(['c_id','c_type','c_ts','c_props','c_flag','c_mixed']) AS column_name,
+        |   unnest([c_id, c_type, c_ts, c_props, c_flag, c_mixed]) AS v
+        |  FROM src)),
+        |c AS (
+        | SELECT column_name,
+        |  CASE WHEN v IS NULL THEN 'null'
+        |   WHEN v = '' THEN 'empty'
+        |   WHEN regexp_matches(v, '^[+-]?[0-9]+$') THEN 'int'
+        |   WHEN regexp_matches(v, '^[+-]?[0-9]+\.[0-9]+$') THEN 'float'
+        |   WHEN lower(v) IN ('true', 'false') THEN 'bool'
+        |   WHEN regexp_matches(v, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$') THEN 'date'
+        |   WHEN regexp_matches(v, '^[0-9]{4}-[0-9]{2}-[0-9]{2}[ T][0-9]{2}:[0-9]{2}:[0-9]{2}(\.[0-9]+)?$') THEN 'datetime'
+        |   WHEN regexp_matches(v, '^\{.*\}$') THEN 'json'
+        |   ELSE 'other' END AS inferred
+        | FROM m)
+        |SELECT column_name, inferred, CAST(count(*) AS BIGINT) AS n
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // q256: identical day integers, suff stats and pinned
+    // divide-and-sqrt order as q236; the argmax window's tie order is
+    // total (r desc, |lag|, lag).
+    "q256_lead_lag" ->
+      """WITH d AS (
+        | SELECT event_type AS g, epoch_ms(ts) // 1000 // 86400 AS day,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM events GROUP BY 1, 2),
+        |l AS (SELECT CAST(x AS BIGINT) AS lag FROM range(-7, 8) t(x)),
+        |j AS (
+        | SELECT a.g AS g_a, b.g AS g_b, l.lag,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(a.c) AS BIGINT) AS sx, CAST(sum(b.c) AS BIGINT) AS sy,
+        |  CAST(sum(a.c * b.c) AS BIGINT) AS sxy,
+        |  CAST(sum(a.c * a.c) AS BIGINT) AS sxx,
+        |  CAST(sum(b.c * b.c) AS BIGINT) AS syy
+        | FROM d a CROSS JOIN l JOIN d b ON a.day + l.lag = b.day AND a.g < b.g
+        | GROUP BY 1, 2, 3),
+        |v AS (
+        | SELECT g_a, g_b, lag, n_pairs,
+        |  CAST(floor(1000000.0 * (n_pairs * sxy - sx * sy) /
+        |   (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+        |    sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))) AS BIGINT) AS r_ppm
+        | FROM j
+        | WHERE n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0)
+        |SELECT g_a, g_b, CAST(lag AS BIGINT) AS best_lag, n_pairs, r_ppm FROM (
+        | SELECT *, row_number() OVER (PARTITION BY g_a, g_b
+        |   ORDER BY r_ppm DESC, abs(lag), lag) AS rn FROM v)
+        |WHERE rn = 1""".stripMargin,
+
+    // q257: integer slope parts; R² is the squared Pearson — no sqrt —
+    // with the one double division in the identical operation order.
+    "q257_trend_fit" ->
+      """WITH mrev AS (
+        | SELECT c.c_nationkey AS nation,
+        |  year(o.o_orderdate) * 12 + month(o.o_orderdate) AS m,
+        |  CAST(sum(CAST(floor(o.o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+        | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        | GROUP BY 1, 2),
+        |s AS (
+        | SELECT nation, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(m) AS BIGINT) AS sx, CAST(sum(rev) AS BIGINT) AS sy,
+        |  CAST(sum(m * rev) AS BIGINT) AS sxy,
+        |  CAST(sum(m * m) AS BIGINT) AS sxx,
+        |  CAST(sum(rev * rev) AS BIGINT) AS syy
+        | FROM mrev GROUP BY 1)
+        |SELECT nation, n,
+        | CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        | CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+        | CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL
+        |  ELSE CAST(floor(1000000.0 * (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        |   (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy))) AS BIGINT)
+        | END AS r2_ppm
         |FROM s""".stripMargin
   )
 

@@ -459,4 +459,43 @@ object Audit {
     }
     profile(a, "a").join(profile(b, "b"), "column_name")
   }
+
+  /** Value-type inference over STRING columns — the landing-zone
+    * profiler that answers "what is actually in this column" before any
+    * schema is trusted: each value classifies into one of
+    * null / empty / int / float / bool / date / datetime / json / other
+    * by anchored regexes (first match in that precedence wins), and the
+    * op emits (column_name, inferred, n) counts. A column that sniffs
+    * 99.8% int and 0.2% other is a typed column with dirty rows — the
+    * 0.2% is the actionable output.
+    *
+    * The regexes are deliberately conservative (no exponent floats, no
+    * locale dates) and use only syntax with identical semantics in
+    * Java regex and RE2, so any engine reproduces the same classes.
+    *
+    * Scale shape: one narrow projection + a (columns × 9)-cardinality
+    * hash aggregate over the melted stream — map-side combined, no
+    * windows, no joins; the melt multiplies rows by |cols| but each row
+    * is two small strings.
+    */
+  def typeSniff(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to sniff")
+    def classify(c: Column): Column =
+      when(c.isNull, "null")
+        .when(c === "", "empty")
+        .when(c.rlike("^[+-]?[0-9]+$"), "int")
+        .when(c.rlike("^[+-]?[0-9]+\\.[0-9]+$"), "float")
+        .when(lower(c) === "true" || lower(c) === "false", "bool")
+        .when(c.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), "date")
+        .when(c.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}[ T][0-9]{2}:[0-9]{2}:[0-9]{2}(\\.[0-9]+)?$"),
+          "datetime")
+        .when(c.rlike("^\\{.*\\}$"), "json")
+        .otherwise("other")
+    val melted = df.select(cols.map(c =>
+      classify(col(c).cast("string")).as(c)): _*)
+      .selectExpr(s"stack(${cols.size}, " +
+        cols.map(c => s"'$c', `$c`").mkString(", ") + ") AS (column_name, inferred)")
+    melted.groupBy(col("column_name"), col("inferred"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

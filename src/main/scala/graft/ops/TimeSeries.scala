@@ -762,4 +762,63 @@ object TimeSeries {
       .select(col("t"), col("__cum").as("n_risk"), col("d"))
       .withColumn("hazard_ppm", expr("(1000000L * d) div n_risk"))
   }
+
+  /** Best lead/lag cross-correlation between every pair of groups'
+    * daily-count series — "does signups' curve predict purchases' curve
+    * three days later": for each ordered pair (g_a < g_b) and each lag
+    * ℓ ∈ [−maxLagDays, +maxLagDays], Pearson r between a's day-t count
+    * and b's day-(t+ℓ) count over the observed day pairs
+    * ([[dailyAutocorrelation]]'s exact-integer sufficient statistics
+    * and pinned divide-and-sqrt last mile), then ONE row per pair: the
+    * lag with the highest r (ties → smaller |lag|, then smaller lag).
+    * Positive best_lag ⇒ a LEADS b by that many days.
+    *
+    * Scale shape: the corpus shuffles once into the (group, day) count
+    * table; everything after runs on that days-sized table — a
+    * (2·maxLag+1)-way lag fan-out, an equi-join on the shifted day key,
+    * a suff-stat aggregate and a (pairs × lags)-sized rank window
+    * (key-partitioned on the pair). With G groups and D days that is
+    * O(G²·D·lags) candidate rows — group keys here are low-cardinality
+    * slices (event types, sources), not user ids.
+    */
+  def leadLagCorrelation(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      maxLagDays: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxLagDays >= 1, s"maxLagDays must be >= 1: $maxLagDays")
+    val days = df
+      .select(col(groupCol).cast("string").as("__g"),
+        expr(s"unix_millis($tsCol) div 1000 div 86400").as("__day"))
+      .groupBy(col("__g"), col("__day"))
+      .agg(count(lit(1)).as("__c"))
+    val lags = (-maxLagDays to maxLagDays).map(l => lit(l.toLong))
+    val a = days.select(col("__g").as("g_a"), col("__day"), col("__c").as("__x"))
+      .withColumn("lag", explode(array(lags: _*)))
+      .withColumn("__bday", col("__day") + col("lag"))
+    val b = days.select(col("__g").as("g_b"), col("__day").as("__bday"), col("__c").as("__y"))
+    val stats = a.join(b, Seq("__bday"))
+      .where(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .withColumn("__num", col("n_pairs") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__da", col("n_pairs") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__db", col("n_pairs") * col("__syy") - col("__sy") * col("__sy"))
+      .where(col("__da") > 0 && col("__db") > 0)
+      .withColumn("r_ppm",
+        floor(lit(1000000.0) * col("__num") / (sqrt(col("__da")) * sqrt(col("__db"))))
+          .cast("long"))
+    val w = Window.partitionBy(col("g_a"), col("g_b"))
+      .orderBy(col("r_ppm").desc, abs(col("lag")), col("lag"))
+    stats
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("g_a"), col("g_b"), col("lag").as("best_lag"),
+        col("n_pairs"), col("r_ppm"))
+  }
 }

@@ -224,4 +224,38 @@ object Trend {
         when(col("pairs") === 0, lit(null).cast("long"))
           .otherwise(expr("(1000000 * s_stat) div pairs").cast("long")))
   }
+
+  /** [[linear]] plus goodness of fit — the R² that says whether the
+    * slope MEANS anything: `R² = num² / (den_x · den_y)` with
+    * `num = n·Σxy − Σx·Σy`, `den_x = n·Σxx − (Σx)²`,
+    * `den_y = n·Σyy − (Σy)²` — the squared Pearson correlation, so no
+    * square root is ever taken; the single division runs in doubles in
+    * one pinned order and publishes floor-ppm (num² can pass 2⁶³, the
+    * 53-bit double mantissa is the same last-mile precision class as
+    * the division itself). Constant x or constant y ⇒ r2_ppm NULL.
+    * Same overflow posture as [[linear]]: keep x a small index.
+    */
+  def linearFit(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xCol: Column,
+      yCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val x = xCol.cast("long")
+    val y = yCol.cast("long")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+      .withColumn("slope_num", col("n") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("slope_den", col("n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__dy", col("n") * col("__syy") - col("__sy") * col("__sy"))
+      .withColumn("r2_ppm",
+        when(col("slope_den") <= 0 || col("__dy") <= 0, lit(null).cast("long"))
+          .otherwise(floor(lit(1000000.0) * col("slope_num") * col("slope_num") /
+            (col("slope_den").cast("double") * col("__dy"))).cast("long")))
+      .select((groupCols.map(col) :+ col("n") :+ col("slope_num") :+
+        col("slope_den") :+ col("r2_ppm")): _*)
+  }
 }

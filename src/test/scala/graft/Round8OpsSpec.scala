@@ -635,4 +635,49 @@ class Round8OpsSpec extends SparkSpec {
     assert(t.getAs[Long]("r_num") == -20 && t.getAs[Long]("r_den") == 28)
     assert(t.getAs[Long]("r_ppm") == -714285L)
   }
+
+  test("type sniff: precedence order and per-class counts") {
+    val df = Seq(
+      ("42", "3.14", "x"), ("-7", "true", "{\"a\":1}"),
+      (null, "2024-01-02", "2024-01-02 10:00:00"), ("", "1e5", "9.")
+    ).toDF("a", "b", "c")
+    val got = Audit.typeSniff(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("a", "int", 2L), ("a", "null", 1L), ("a", "empty", 1L),
+      ("b", "float", 1L), ("b", "bool", 1L), ("b", "date", 1L), ("b", "other", 1L),
+      ("c", "other", 2L), ("c", "json", 1L), ("c", "datetime", 1L)))
+  }
+
+  test("lead-lag: recovers the injected shift with r = 1") {
+    // b's daily count curve is exactly a's shifted +2 days → best_lag 2,
+    // perfect correlation; c is flat → zero variance, no row with c.
+    // r_ppm is 999999, not 1e6: sqrt(da)·sqrt(da) rounds a hair above
+    // da in doubles, and the last mile is PINNED double math (the same
+    // documented posture as dailyAutocorrelation) — both engines agree.
+    val curve = Seq(1, 5, 2, 8, 3, 9, 4)
+    val rows =
+      curve.zipWithIndex.flatMap { case (n, d) => Seq.fill(n)(("a", d.toLong)) } ++
+      curve.zipWithIndex.flatMap { case (n, d) => Seq.fill(n)(("b", d.toLong + 2)) } ++
+      (0L until 9L).map(d => ("c", d))
+    val df = rows.toDF("g", "day")
+      .withColumn("ts", timestamp_millis(col("day") * 86400000L))
+    val got = TimeSeries.leadLagCorrelation(df, "g", "ts", maxLagDays = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    assert(got.toSeq == Seq(("a", "b", 2L, 999999L)))
+  }
+
+  test("linear fit: perfect line is ppm 1e6, constant y is null") {
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 3L, 30L),
+      ("h", 1L, 5L), ("h", 2L, 5L), ("h", 3L, 5L),
+      // i: y = (0,1,1) on x = (1,2,3): num = 3·5−3·2 = wait compute in
+      // comment: sx=6 sy=2 sxy=1·0+2·1+3·1=5 sxx=14 syy=2
+      // num=3·5−12=3, dx=3·14−36=6, dy=3·2−4=2 → r²=9/12=0.75
+      ("i", 1L, 0L), ("i", 2L, 1L), ("i", 3L, 1L)).toDF("g", "x", "y")
+    val got = Trend.linearFit(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).sortBy(_._1).toSeq
+    assert(got == Seq(("g", 3L, 60L, 6L, 1000000L), ("h", 3L, 0L, 6L, -1L),
+      ("i", 3L, 3L, 6L, 750000L)))
+  }
 }
