@@ -126,11 +126,12 @@ class BacktestAndPrivacySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("spearman: hand-computed rho incl. the negative floor-division branch") {
+  test("spearman: hand-computed rho incl. the negative truncating-division branch") {
     import graft.ops.Trend
     // group "neg": x ranks 1..7, y ranks (4,5,2,7,1,6,3) → Σd² = 60,
-    // rho = -24/336 = -1/14 → floor ppm = -71429 (truncation would give
-    // -71428 — this pins FLOOR semantics on the negative branch).
+    // rho = -24/336 = -1/14 → truncate-toward-zero ppm = -71428 (floor
+    // would give -71429 — this pins TRUNCATION on the negative branch,
+    // matching both Spark `div` and DuckDB `//`, measured r8).
     val neg = Seq(4, 5, 2, 7, 1, 6, 3).zipWithIndex.map { case (ry, i) =>
       ("neg", (i + 1).toLong, ry.toLong, i.toLong)
     }
@@ -140,7 +141,7 @@ class BacktestAndPrivacySpec extends SparkSpec {
     val got = Trend.spearman(df, Seq("g"), col("x"), col("y"), col("id"))
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
-    assert(got("neg") == ((7L, 60L, -24L, 336L, -71429L)))
+    assert(got("neg") == ((7L, 60L, -24L, 336L, -71428L)))
     assert(got("pos") == ((5L, 0L, 120L, 120L, 1000000L)))
   }
 
