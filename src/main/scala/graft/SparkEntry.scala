@@ -2493,7 +2493,26 @@ object SparkEntry {
           .groupBy(col("c_nationkey").as("nation"),
             (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
           .agg(sum(floor(col("o_totalprice")).cast("long")).as("rev")),
-        Seq("nation"), col("m"), col("rev")))
+        Seq("nation"), col("m"), col("rev"))),
+
+    // ---- SAX words over per-user daily activity: PAA means of 4-day
+    // windows binned against fixed milli breakpoints — whole-series
+    // shape as a short string, per-key windows only. --------------------
+    "q258_sax" -> ((s, dir) =>
+      TimeSeries.saxSymbols(
+        t(s, dir, "events")
+          .select(col("user_id"),
+            expr("unix_millis(ts) div 1000 div 86400").as("day"))
+          .groupBy(col("user_id"), col("day"))
+          .agg(count(lit(1)).as("c")),
+        Seq("user_id"), Seq(col("day")), col("c"),
+        w = 4, breakpointsMilli = Seq(1500L, 2500L, 4000L))),
+
+    // ---- Gini–Simpson behavioral diversity per user over event types:
+    // exact rational diversity + effective-category count. --------------
+    "q259_simpson" -> ((s, dir) =>
+      Metrics.simpsonDiversity(t(s, dir, "events"), Seq("user_id"),
+        col("event_type")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -6494,6 +6513,45 @@ object SparkEntry {
         |  ELSE CAST(floor(1000000.0 * (n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |   (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy))) AS BIGINT)
         | END AS r2_ppm
+        |FROM s""".stripMargin,
+
+    // q258: identical day integers, (rank-1)//4 window ids, (1000·Σ)//n
+    // PAA truncation, same breakpoint counts, ordered string_agg word.
+    "q258_sax" ->
+      """WITH d AS (
+        | SELECT user_id, epoch_ms(ts) // 1000 // 86400 AS day, count(*) AS c
+        | FROM events GROUP BY 1, 2),
+        |r AS (
+        | SELECT user_id, c,
+        |  (row_number() OVER (PARTITION BY user_id ORDER BY day) - 1) // 4 AS win
+        | FROM d),
+        |p AS (
+        | SELECT user_id, win, (1000 * sum(c)) // count(*) AS paa,
+        |  count(*) AS n
+        | FROM r GROUP BY 1, 2),
+        |s AS (
+        | SELECT user_id, win, n,
+        |  chr(97 + CASE WHEN paa >= 1500 THEN 1 ELSE 0 END
+        |   + CASE WHEN paa >= 2500 THEN 1 ELSE 0 END
+        |   + CASE WHEN paa >= 4000 THEN 1 ELSE 0 END) AS sym
+        | FROM p)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_windows,
+        | CAST(sum(n) AS BIGINT) AS n_points,
+        | string_agg(sym, '' ORDER BY win) AS sax_word
+        |FROM s GROUP BY 1""".stripMargin,
+
+    // q259: rational diversity — both engines truncate the div.
+    "q259_simpson" ->
+      """WITH c AS (
+        | SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+        |s AS (
+        | SELECT user_id, CAST(count(*) AS BIGINT) AS n_categories,
+        |  CAST(sum(n) AS BIGINT) AS n_rows, CAST(sum(n * n) AS BIGINT) AS s2
+        | FROM c GROUP BY 1)
+        |SELECT user_id, n_categories, n_rows,
+        | CAST((1000000 * (n_rows * n_rows - s2)) // (n_rows * n_rows) AS BIGINT)
+        |  AS gini_simpson_ppm,
+        | CAST((1000 * n_rows * n_rows) // s2 AS BIGINT) AS effective_cats_milli
         |FROM s""".stripMargin
   )
 

@@ -712,6 +712,37 @@ object Metrics {
       .drop("__cum", "__tot")
   }
 
+  /** Gini–Simpson diversity per group: `1 − Σ(n_c/n)²` over the category
+    * counts — the "probability two draws differ" score behind behavioral
+    * breadth and corpus-mix dashboards — plus the inverse-Simpson
+    * effective category count `n²/Σn_c²` ("how many equally-likely
+    * categories would look like this"). Unlike Shannon entropy, both are
+    * rational in the counts, so the report is exact integer end-to-end:
+    * `gini_simpson_ppm = (10⁶·(n² − Σn_c²)) div n²` and
+    * `effective_cats_milli = (10³·n²) div Σn_c²` (truncation toward
+    * zero, Spark `div` ≡ DuckDB `//`).
+    *
+    * Scale shape: one (group, category) map-side-combined count, one
+    * group-level sum over category-cardinality rows. No windows, no
+    * joins. Overflow bound: n² needs Long, so per-GROUP row counts must
+    * stay below ~3.0×10⁹ — beyond that, cast the two products to
+    * DecimalType(38,0) (the [[graft.ops.Decontaminate]] precedent).
+    */
+  def simpsonDiversity(df: DataFrame, groupCols: Seq[String], catCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val keys = groupCols.map(col)
+    val counts = df.groupBy(keys :+ catCol.as("__cat"): _*)
+      .agg(count(lit(1)).as("__c"))
+    counts
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_categories"), sum(col("__c")).as("n_rows"),
+        sum(col("__c") * col("__c")).as("__s2"))
+      .withColumn("gini_simpson_ppm",
+        expr("(1000000L * (n_rows * n_rows - __s2)) div (n_rows * n_rows)"))
+      .withColumn("effective_cats_milli", expr("(1000L * n_rows * n_rows) div __s2"))
+      .drop("__s2")
+  }
+
   def gini(df: DataFrame, groupCols: Seq[String], catCol: String): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     import org.apache.spark.sql.expressions.Window

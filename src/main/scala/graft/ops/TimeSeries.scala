@@ -821,4 +821,56 @@ object TimeSeries {
       .select(col("g_a"), col("g_b"), col("lag").as("best_lag"),
         col("n_pairs"), col("r_ppm"))
   }
+
+  /** SAX symbolization (Lin et al., DMKD 2007): reduce each key's ordered
+    * integer series to a short alphabet string — Piecewise Aggregate
+    * Approximation (mean of every `w` consecutive points) followed by
+    * breakpoint binning — the standard prelude to motif mining, series
+    * indexing, and cheap whole-series similarity at scale (compare words,
+    * not raw points).
+    *
+    * All-integer determinism: the PAA mean is `(1000·Σv) div n` (milli
+    * units, truncation toward zero — Spark `div` ≡ DuckDB `//`), the
+    * symbol is the count of caller-supplied milli breakpoints ≤ the PAA
+    * value, rendered 'a', 'b', … Fixed breakpoints (instead of the
+    * classic Gaussian quantiles) keep the op a pure map over the PAA
+    * aggregate and make the word stable under data growth — callers
+    * derive them once (e.g. from [[graft.ops.Metrics]] profiles).
+    *
+    * Scale shape: one per-key ordered window (`row_number` PARTITIONED BY
+    * key — never global), one (key, window) hash agg, one per-key word
+    * assembly whose input is `⌈series length / w⌉` rows. Keys never
+    * co-shuffle; word length is bounded by the per-key series span.
+    */
+  def saxSymbols(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column],
+      valueCol: Column,
+      w: Int,
+      breakpointsMilli: Seq[Long]): DataFrame = {
+    require(w >= 1, s"window width must be >= 1: $w")
+    require(breakpointsMilli.nonEmpty, "need at least one breakpoint")
+    require(breakpointsMilli == breakpointsMilli.sorted && breakpointsMilli.distinct == breakpointsMilli,
+      s"breakpoints must be strictly increasing: $breakpointsMilli")
+    require(breakpointsMilli.size <= 25, "alphabet beyond 'z' — cap breakpoints at 25")
+    val g = keyCols.map(col)
+    val wk = Window.partitionBy(g: _*).orderBy(orderCols: _*)
+    val paa = df
+      .withColumn("__rk", row_number().over(wk).cast("long"))
+      .withColumn("__win", expr("(__rk - 1) div " + w))
+      .groupBy(g :+ col("__win"): _*)
+      .agg(sum(valueCol.cast("long")).as("__s"), count(lit(1)).as("__n"))
+      .withColumn("__paa", expr("(1000 * __s) div __n"))
+    // Symbol index = #breakpoints ≤ PAA value; a chr() off a bounded int.
+    val symIdx = breakpointsMilli
+      .map(bp => when(col("__paa") >= bp, 1).otherwise(0))
+      .reduce(_ + _)
+    paa
+      .withColumn("__sym", chr(lit(97) + symIdx))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_windows"), sum(col("__n")).as("n_points"),
+        array_join(transform(array_sort(collect_list(struct(col("__win"), col("__sym")))),
+          x => x.getField("__sym")), "").as("sax_word"))
+  }
 }

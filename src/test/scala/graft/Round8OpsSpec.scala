@@ -680,4 +680,39 @@ class Round8OpsSpec extends SparkSpec {
     assert(got == Seq(("g", 3L, 60L, 6L, 1000000L), ("h", 3L, 0L, 6L, -1L),
       ("i", 3L, 3L, 6L, 750000L)))
   }
+
+  test("saxSymbols: hand-computed PAA words, ragged tail window, breakpoint edges") {
+    // key "u": values 1,2,3,4 | 5,6,7,8 | 9 over w=4 →
+    //   PAA milli: 2500, 6500, 9000; breakpoints (2500, 5000, 8000) →
+    //   syms: >=2500 only → 'b'; >=2500,5000 → 'c'; all three → 'd'
+    // key "v": single point 0 → PAA 0 → 'a'
+    val rows = (1 to 9).map(i => ("u", i.toLong, i.toLong)) :+ (("v", 1L, 0L))
+    val df = rows.toDF("k", "o", "v")
+    val got = graft.ops.TimeSeries.saxSymbols(df, Seq("k"), Seq(col("o")), col("v"),
+        w = 4, breakpointsMilli = Seq(2500L, 5000L, 8000L))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(("u", 3L, 9L, "bcd"), ("v", 1L, 1L, "a")))
+    // order column decides the word, not input order: reversed input, same word
+    val rev = rows.reverse.toDF("k", "o", "v")
+    val w2 = graft.ops.TimeSeries.saxSymbols(rev, Seq("k"), Seq(col("o")), col("v"),
+        w = 4, breakpointsMilli = Seq(2500L, 5000L, 8000L))
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(w2("u") == "bcd")
+  }
+
+  test("simpsonDiversity: uniform, single-category, and skewed groups exact") {
+    // g1: 3 cats × 2 each, n=6, s2=12 → gini = (36-12)/36 = 666666 ppm,
+    //   effective = 36/12 = 3.000
+    // g2: one cat, n=4 → gini 0, effective 1.000
+    // g3: counts (3,1), n=4, s2=10 → (16-10)/16 = 375000, eff = 16/10 = 1600 milli
+    val rows = Seq.fill(2)(("g1", "a")) ++ Seq.fill(2)(("g1", "b")) ++
+      Seq.fill(2)(("g1", "c")) ++ Seq.fill(4)(("g2", "x")) ++
+      Seq.fill(3)(("g3", "a")) :+ (("g3", "b"))
+    val got = graft.ops.Metrics.simpsonDiversity(rows.toDF("g", "c"), Seq("g"), col("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(("g1", 3L, 6L, 666666L, 3000L), ("g2", 1L, 4L, 0L, 1000L),
+      ("g3", 2L, 4L, 375000L, 1600L)))
+  }
 }
