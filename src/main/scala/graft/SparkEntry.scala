@@ -2512,7 +2512,47 @@ object SparkEntry {
     // exact rational diversity + effective-category count. --------------
     "q259_simpson" -> ((s, dir) =>
       Metrics.simpsonDiversity(t(s, dir, "events"), Seq("user_id"),
-        col("event_type")))
+        col("event_type"))),
+
+    // ---- bottom-k (KMV) sketch Jaccard between source vocabularies:
+    // the fixed-memory estimate next to q231's exact matrix — md5
+    // bottom-256 per source, union-rank per pair. ----------------------
+    "q260_bottomk_jaccard" -> ((s, dir) =>
+      Dedup.bottomKJaccard(
+        t(s, dir, "documents")
+          .select(col("source"),
+            explode(split(lower(coalesce(col("text"), lit(""))), "\\s+")).as("tok"))
+          .where(length(col("tok")) > 0),
+        "source", col("tok"), k = 256)),
+
+    // ---- Average Precision @ 20 of the per-type user ranking against
+    // the deterministic id%3 relevance rule: per-term truncated-ppm
+    // P@i, one per-query window. ---------------------------------------
+    "q261_avg_precision" -> ((s, dir) =>
+      Eval.averagePrecision(
+        t(s, dir, "events").groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n")),
+        Seq("event_type"), Seq(col("n").desc, col("user_id")),
+        pmod(col("user_id"), lit(3)) === 0, k = 20)),
+
+    // ---- common-neighbor Jaccard link scoring on the q79/q199 co-order
+    // part graph: wedge-join candidates (capped), exact degrees,
+    // is_edge flag — predict where the high-score non-edges are. --------
+    "q262_link_jaccard" -> ((s, dir) =>
+      GraphMetrics.linkJaccard(partPairs(s, dir), maxDegree = 64)
+        .where(col("n_common") >= 2)),
+
+    // ---- co-missingness matrix over sparse derived attributes: does
+    // payload-k, purchase flag, and the id-cohort tag vanish together —
+    // one single-row agg, stack-melted. ---------------------------------
+    "q263_conull" -> ((s, dir) =>
+      Audit.coMissingness(
+        t(s, dir, "events").select(
+          when(get_json_object(col("props"), "$.k").cast("long") % 2 === 0,
+            get_json_object(col("props"), "$.k").cast("long")).as("k_even"),
+          when(col("event_type") === "purchase", lit(1L)).as("purchase_flag"),
+          when(col("user_id") % 5 === 0, col("user_id")).as("cohort_tag")),
+        Seq("k_even", "purchase_flag", "cohort_tag")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -6552,7 +6592,114 @@ object SparkEntry {
         | CAST((1000000 * (n_rows * n_rows - s2)) // (n_rows * n_rows) AS BIGINT)
         |  AS gini_simpson_ppm,
         | CAST((1000 * n_rows * n_rows) // s2 AS BIGINT) AS effective_cats_milli
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // q260: identical md5-prefix order (lowercase hex both engines), same
+    // whitespace tokenizer, same union-rank estimator.
+    "q260_bottomk_jaccard" ->
+      """WITH e AS (
+        | SELECT DISTINCT g, substring(md5(tok), 1, 16) AS h FROM (
+        |  SELECT source AS g,
+        |   unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+        |    x -> len(x) > 0)) AS tok
+        |  FROM documents)),
+        |sk AS (
+        | SELECT g, h FROM (
+        |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM e)
+        | WHERE rn <= 256),
+        |gs AS (SELECT DISTINCT g FROM sk),
+        |p AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+        |m AS (
+        | SELECT ga, gb, h,
+        |  max(CASE WHEN s.g = ga THEN 1 ELSE 0 END) AS ina,
+        |  max(CASE WHEN s.g = gb THEN 1 ELSE 0 END) AS inb
+        | FROM p JOIN sk s ON s.g = ga OR s.g = gb GROUP BY 1, 2, 3),
+        |u AS (SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM m)
+        |SELECT ga AS g_a, gb AS g_b, CAST(count(*) AS BIGINT) AS k_used,
+        | CAST(sum(ina * inb) AS BIGINT) AS n_common,
+        | CAST((1000000 * sum(ina * inb)) // count(*) AS BIGINT) AS jaccard_ppm
+        |FROM u WHERE rn <= 256 GROUP BY 1, 2""".stripMargin,
+
+    // q261: identical (count DESC, user) total order, per-term truncated
+    // ppm precision, one more truncation for the mean — both by spec.
+    "q261_avg_precision" ->
+      """WITH c AS (
+        | SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (
+        | SELECT event_type, user_id, n,
+        |  CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS rel,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS rn
+        | FROM c),
+        |t AS (
+        | SELECT *, sum(rel) OVER (PARTITION BY event_type ORDER BY rn) AS relcnt
+        | FROM r WHERE rn <= 20)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_ranked,
+        | CAST(sum(rel) AS BIGINT) AS n_rel,
+        | CASE WHEN sum(rel) = 0 THEN NULL ELSE
+        |  CAST(sum(CASE WHEN rel = 1 THEN (1000000 * relcnt) // rn ELSE 0 END)
+        |   // least(sum(rel), 20) AS BIGINT) END AS ap_ppm
+        |FROM t GROUP BY 1""".stripMargin,
+
+    // q262: same q199 co-order graph, same deterministic 64-smallest-ids
+    // cap before the wedge join, exact degrees, edge flag via left join.
+    "q262_link_jaccard" ->
+      """WITH li AS (
+        | SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0),
+        |e AS (
+        | SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        | FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS (SELECT u AS src, v AS dst FROM e UNION SELECT v, u FROM e),
+        |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+        |cap AS (SELECT src, dst FROM (
+        | SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+        | FROM sym) WHERE rn <= 64),
+        |cn AS (
+        | SELECT a.dst AS u, b.dst AS v, CAST(count(*) AS BIGINT) AS n_common
+        | FROM cap a JOIN cap b ON a.src = b.src AND a.dst < b.dst
+        | GROUP BY 1, 2)
+        |SELECT cn.u AS a_id, cn.v AS b_id, cn.n_common,
+        | da.d AS deg_a, db.d AS deg_b,
+        | coalesce(ed.is_e, false) AS is_edge,
+        | CAST((1000000 * cn.n_common) // (da.d + db.d - cn.n_common) AS BIGINT)
+        |  AS jaccard_ppm
+        |FROM cn
+        |JOIN deg da ON da.id = cn.u
+        |JOIN deg db ON db.id = cn.v
+        |LEFT JOIN (SELECT u, v, true AS is_e FROM e) ed
+        | ON ed.u = cn.u AND ed.v = cn.v
+        |WHERE cn.n_common >= 2""".stripMargin,
+
+    // q263: same sparse derivations; three pair rows via UNION ALL over
+    // one aggregate row.
+    "q263_conull" ->
+      """WITH d AS (
+        | SELECT
+        |  CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+        |   THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k_even,
+        |  CASE WHEN event_type = 'purchase' THEN 1 END AS purchase_flag,
+        |  CASE WHEN user_id % 5 = 0 THEN user_id END AS cohort_tag
+        | FROM events),
+        |a AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CASE WHEN k_even IS NULL THEN 1 END) AS BIGINT) AS nk,
+        |  CAST(count(CASE WHEN purchase_flag IS NULL THEN 1 END) AS BIGINT) AS np,
+        |  CAST(count(CASE WHEN cohort_tag IS NULL THEN 1 END) AS BIGINT) AS nc,
+        |  CAST(count(CASE WHEN k_even IS NULL AND purchase_flag IS NULL THEN 1 END) AS BIGINT) AS bkp,
+        |  CAST(count(CASE WHEN k_even IS NULL AND cohort_tag IS NULL THEN 1 END) AS BIGINT) AS bkc,
+        |  CAST(count(CASE WHEN purchase_flag IS NULL AND cohort_tag IS NULL THEN 1 END) AS BIGINT) AS bpc
+        | FROM d),
+        |p AS (
+        | SELECT 'k_even' AS col_a, 'purchase_flag' AS col_b, n, nk AS null_a, np AS null_b, bkp AS both_null FROM a
+        | UNION ALL
+        | SELECT 'k_even', 'cohort_tag', n, nk, nc, bkc FROM a
+        | UNION ALL
+        | SELECT 'purchase_flag', 'cohort_tag', n, np, nc, bpc FROM a)
+        |SELECT col_a, col_b, n AS n_rows, null_a, null_b, both_null,
+        | CAST((1000000 * both_null) // n AS BIGINT) AS conull_ppm,
+        | CASE WHEN null_a = 0 OR null_b = 0 THEN NULL
+        |  ELSE CAST((1000 * both_null * n) // (null_a * null_b) AS BIGINT)
+        | END AS lift_milli
+        |FROM p""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

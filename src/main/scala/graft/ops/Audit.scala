@@ -498,4 +498,42 @@ object Audit {
     melted.groupBy(col("column_name"), col("inferred"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Co-missingness matrix: for every ordered pair of audited columns,
+    * how often both are null TOGETHER vs what independence predicts —
+    * the structural-missingness detector ("these two fields come from
+    * the same upstream call; when it fails, both vanish") that a
+    * per-column null count can never see. Emits exact counts plus
+    * `conull_ppm = (10⁶·both) div n` and the association lift
+    * `lift_milli = (10³·both·n) div (nullA·nullB)` (NULL when either
+    * marginal is zero; 1000 = independent, ≫1000 = co-missing).
+    *
+    * Scale shape: ONE full-scan aggregation — k marginal null counts
+    * and C(k,2) pair counts as plain conditional sums in a single
+    * 1-row agg (map-side combined, no Expand, no join, no second
+    * pass), unpivoted to pair rows by `stack` over that row. Cost is
+    * O(k²) AGGREGATE EXPRESSIONS, not rows — bounded by the audited
+    * column list, same contract as [[columnDrift]].
+    */
+  def coMissingness(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least two columns: $cols")
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
+      yield (cols(i), cols(j))
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      cols.map(c => count(when(col(c).isNull, 1)).as(s"__null_$c")) ++
+      pairs.map { case (a, b) =>
+        count(when(col(a).isNull && col(b).isNull, 1)).as(s"__both_${a}__$b") }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs.map { case (a, b) =>
+      s"'$a', '$b', `__null_$a`, `__null_$b`, `__both_${a}__$b`" }.mkString(", ")
+    row
+      .selectExpr("__n",
+        s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, null_a, null_b, both_null)")
+      .select(col("col_a"), col("col_b"), col("__n").as("n_rows"),
+        col("null_a"), col("null_b"), col("both_null"),
+        expr("(1000000L * both_null) div n_rows").as("conull_ppm"),
+        when(col("null_a") === 0 || col("null_b") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000L * both_null * n_rows) div (null_a * null_b)"))
+          .as("lift_milli"))
+  }
 }

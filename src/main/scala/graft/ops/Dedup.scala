@@ -649,4 +649,58 @@ object Dedup {
         sum(when(col("period") =!= col("__first"), col("__n")).otherwise(0L)).as("dup_rows"),
         count_if(col("period") === col("__first")).as("new_contents"))
   }
+
+  /** Bottom-k sketch Jaccard between every pair of corpora — the
+    * fixed-memory estimate of the exact vocabulary overlap: per group,
+    * keep the `k` lexicographically smallest md5 prefixes of its distinct
+    * elements ("k minimum values"); for a pair (A, B) the estimator is
+    * `|B_k(A ∪ B) ∩ A ∩ B| / |B_k(A ∪ B)|` — how many of the union's k
+    * smallest hashes both sides saw. Deterministic given md5 (no seeded
+    * permutations), so the whole pipeline — sketch, union rank, count —
+    * is exact-integer reproducible cross-engine; the ESTIMATE vs the
+    * exact Jaccard is the only approximation, with standard error
+    * ~1/√k.
+    *
+    * Scale shape: the full-data pass is one distinct (group, element)
+    * agg that collapses each element to a 16-hex-char digest; everything
+    * after runs on G·k sketch rows (G = group count). The per-pair union
+    * rank is a window PARTITIONED BY pair over ≤ 2k rows. Quadratic in
+    * G only — built for corpus/source-level comparison (G to ~10³),
+    * where the exact [[graft.ops.Lexical]] vocabulary join would
+    * re-shuffle the full token table per pair.
+    */
+  def bottomKJaccard(
+      df: DataFrame,
+      groupCol: String,
+      elemCol: Column,
+      k: Int = 256): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val sk = df
+      .select(col(groupCol).as("__g"), substring(md5(elemCol.cast("string")), 1, 16).as("__h"))
+      .distinct()
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("__g")).orderBy(col("__h"))))
+      .where(col("__rn") <= k)
+      .select(col("__g"), col("__h"))
+    val groups = sk.select(col("__g")).distinct()
+    val pairs = groups.select(col("__g").as("g_a"))
+      .join(broadcast(groups.select(col("__g").as("g_b"))), col("g_a") < col("g_b"))
+    // Fan each pair's two sketches into one rail: (pair, hash, side flags),
+    // collapse same-hash rows, rank the union, keep its k smallest.
+    val membership = pairs
+      .select(col("g_a"), col("g_b"), explode(array(col("g_a"), col("g_b"))).as("__g"))
+    val unioned = membership.join(sk, Seq("__g"))
+      .groupBy(col("g_a"), col("g_b"), col("__h"))
+      .agg(max(when(col("__g") === col("g_a"), 1L).otherwise(0L)).as("__ina"),
+        max(when(col("__g") === col("g_b"), 1L).otherwise(0L)).as("__inb"))
+    unioned
+      .withColumn("__rn", row_number()
+        .over(Window.partitionBy(col("g_a"), col("g_b")).orderBy(col("__h"))))
+      .where(col("__rn") <= k)
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("k_used"),
+        sum(col("__ina") * col("__inb")).as("n_common"))
+      .withColumn("jaccard_ppm", expr("(1000000L * n_common) div k_used"))
+  }
 }

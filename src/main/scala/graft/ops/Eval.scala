@@ -188,6 +188,46 @@ object Eval {
         expr("coalesce(__rrSum, 0) div n_actors").as("mrr_ppm"))
   }
 
+  /** Average Precision @ k per query — the order-sensitive retrieval
+    * metric [[meanReciprocalRank]] is the first-hit shadow of: over the
+    * top `k` ranked candidates, AP = (Σ_{i relevant} P@i) / min(R, k)
+    * with P@i = (#relevant in top i)/i and R the query's relevant count
+    * among its ranked candidates. Integer determinism is BY SPEC: each
+    * P@i truncates once to ppm (`(10⁶·relcnt) div i`) and the final mean
+    * truncates once more — engine-identical (Spark `div` ≡ DuckDB `//`)
+    * at any k, with no lcm(1..k) blowup. Queries with no relevant
+    * candidate emit NULL.
+    *
+    * Scale shape: one per-query ordered window (running relevant count —
+    * never global) over at most the candidate lists, then a per-query
+    * agg. The shuffle carries (query, candidate) rows once; output is
+    * one row per query.
+    */
+  def averagePrecision(
+      df: DataFrame,
+      queryCols: Seq[String],
+      orderCols: Seq[Column],
+      isRelevant: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(queryCols.nonEmpty, "queryCols must be non-empty")
+    val g = queryCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(orderCols: _*)
+    df
+      .withColumn("__rel", isRelevant.cast("long"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .where(col("__rn") <= k)
+      .withColumn("__relcnt",
+        sum(col("__rel")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_ranked"), sum(col("__rel")).as("n_rel"),
+        sum(when(col("__rel") === 1L, expr("(1000000 * __relcnt) div __rn"))
+          .otherwise(0L)).as("__apSum"))
+      .withColumn("ap_ppm", when(col("n_rel") === 0, lit(null).cast("long"))
+        .otherwise(expr(s"__apSum div least(n_rel, ${k}L)")))
+      .drop("__apSum")
+  }
+
   /** Gains / lift table per group: rows ranked by score (descending,
     * `tieCol` breaking ties for a total order — REQUIRED, ntile over a
     * partial order is partitioning-dependent) and cut into `buckets`

@@ -348,4 +348,49 @@ object GraphMetrics {
         when(col("r_den") === 0, lit(null).cast("long"))
           .otherwise(expr("(1000000 * r_num) div r_den").cast("long")))
   }
+
+  /** Common-neighbor Jaccard link scoring: for every node pair sharing at
+    * least one neighbor, `|N(u)∩N(v)| / |N(u)∪N(v)|` in exact ppm plus
+    * whether the pair is already an edge — the classic link-prediction /
+    * missing-edge candidate ranking (score high + not an edge = predict),
+    * which doubles as a same-cluster affinity score in near-dup graphs.
+    *
+    * Scale shape: candidates come from a wedge join through the middle
+    * node — never an all-pairs cross — so the intermediate is Σ_w deg(w)²
+    * bounded by the same deterministic `maxDegree` smallest-ids hub
+    * truncation as [[neighborhoodSize]] (results are a pure function of
+    * (graph, maxDegree); common counts through super-hubs undercount, by
+    * contract). Degrees in the denominator are always EXACT — the cap
+    * bounds candidate generation, not the union size. Two node-sized
+    * degree joins and one edge-set anti-ish left join finish the job.
+    */
+  def linkJaccard(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxDegree: Int = 64): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2: $maxDegree")
+    import org.apache.spark.sql.expressions.Window
+    val e = canonicalEdges(pairs, aCol, bCol)
+    val sym = e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+    val w = Window.partitionBy("src").orderBy("dst")
+    val capped = sym.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxDegree).drop("__rn")
+    val common = capped.alias("a").hint("shuffle_hash")
+      .join(capped.alias("b").hint("shuffle_hash"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .groupBy(col("a.dst").as("u"), col("b.dst").as("v"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(deg.select(col("src").as("u"), col("__d").as("deg_a")), Seq("u"))
+      .join(deg.select(col("src").as("v"), col("__d").as("deg_b")), Seq("v"))
+      .join(e.select(col("u"), col("v"), lit(true).as("__e")), Seq("u", "v"), "left")
+      .select(col("u").as("a_id"), col("v").as("b_id"), col("n_common"),
+        col("deg_a"), col("deg_b"),
+        coalesce(col("__e"), lit(false)).as("is_edge"),
+        expr("(1000000L * n_common) div (deg_a + deg_b - n_common)").as("jaccard_ppm"))
+  }
 }

@@ -715,4 +715,87 @@ class Round8OpsSpec extends SparkSpec {
     assert(got == Seq(("g1", 3L, 6L, 666666L, 3000L), ("g2", 1L, 4L, 0L, 1000L),
       ("g3", 2L, 4L, 375000L, 1600L)))
   }
+
+  test("bottomKJaccard: small-k matches exact Jaccard; estimator is hash-rank-exact") {
+    // Three corpora over a tiny vocab; with k >= |union| the bottom-k
+    // estimate IS the exact Jaccard (every hash is in the sketch).
+    val rows = Seq(
+      "A" -> Seq("w1", "w2", "w3", "w4"),
+      "B" -> Seq("w3", "w4", "w5", "w6"),
+      "C" -> Seq("w1", "w2", "w3", "w4")
+    ).flatMap { case (g, ws) => ws.map(g -> _) }
+    val df = rows.toDF("src", "tok")
+    val got = graft.ops.Dedup.bottomKJaccard(df, "src", col("tok"), k = 100)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // A∩B = {w3,w4}, |A∪B| = 6 → 2/6 = 333333 ppm; A = C → 4/4 = 1e6
+    assert(got == Seq(("A", "B", 6L, 2L, 333333L), ("A", "C", 4L, 4L, 1000000L),
+      ("B", "C", 6L, 2L, 333333L)))
+
+    // with k = 3 the union rank keeps only 3 hashes — k_used = 3 and the
+    // estimate depends only on md5 order (re-run stability)
+    val small = graft.ops.Dedup.bottomKJaccard(df, "src", col("tok"), k = 3)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(4)))).toMap
+    assert(small.values.forall(_._1 == 3L))
+    assert(small(("A", "C")) == ((3L, 1000000L)))
+  }
+
+  test("averagePrecision: hand-computed AP, truncation spec, no-relevant is null") {
+    // q1 ranking (rank: rel): 1:1, 2:0, 3:1, 4:0 with k=4 →
+    //   P@1 = 1e6, P@3 = (1e6·2)//3 = 666666; R=2 → AP = 1666666//2 = 833333
+    // q2: relevant only at rank 4 but k=3 cuts it → n_rel=0 in top-k → null
+    val df = Seq(
+      ("q1", 1L, true), ("q1", 2L, false), ("q1", 3L, true), ("q1", 4L, false),
+      ("q2", 1L, false), ("q2", 2L, false), ("q2", 3L, false), ("q2", 4L, true)
+    ).toDF("q", "pos", "rel")
+    val k4 = graft.ops.Eval.averagePrecision(df, Seq("q"), Seq(col("pos")), col("rel"), k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sortBy(_._1).toSeq
+    assert(k4 == Seq(("q1", 4L, 2L, 833333L), ("q2", 4L, 1L, 250000L)))
+    val k3 = graft.ops.Eval.averagePrecision(df, Seq("q"), Seq(col("pos")), col("rel"), k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sortBy(_._1).toSeq
+    // k=3: q1 unchanged numerator (hits at 1 and 3), min(R,k) still 2;
+    // q2 loses its only hit → null
+    assert(k3 == Seq(("q1", 3L, 2L, 833333L), ("q2", 3L, 0L, -1L)))
+  }
+
+  test("linkJaccard: hand-computed scores, edge flags, deterministic hub cap") {
+    // triangle 1-2-3 plus pendant 3-4:
+    //   (1,2) common {3} J=1/3; (1,3),(2,3) J=1/4; non-edges (1,4),(2,4) J=1/2
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a_id", "b_id")
+    val got = graft.ops.GraphMetrics.linkJaccard(g)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5), r.getLong(6)))).toMap
+    assert(got.size == 5)
+    assert(got((1L, 2L)) == ((1L, 2L, 2L, true, 333333L)))
+    assert(got((1L, 3L)) == ((1L, 2L, 3L, true, 250000L)))
+    assert(got((2L, 3L)) == ((1L, 2L, 3L, true, 250000L)))
+    assert(got((1L, 4L)) == ((1L, 2L, 1L, false, 500000L)))
+    assert(got((2L, 4L)) == ((1L, 2L, 1L, false, 500000L)))
+
+    // maxDegree=2 truncates node 3's adjacency to its 2 smallest ids
+    // {1,2}: the pendant pairs through 3 vanish, degrees stay exact
+    val capped = graft.ops.GraphMetrics.linkJaccard(g, maxDegree = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("coMissingness: pair counts, ppm, and independence lift exact") {
+    val df = Seq[(Option[Int], Option[Int], Option[Int])](
+      (None, None, Some(1)), (None, Some(2), None), (Some(1), None, None),
+      (Some(1), Some(2), Some(3)), (None, None, None)
+    ).toDF("a", "b", "c")
+    val got = graft.ops.Audit.coMissingness(df, Seq("a", "b", "c"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // every pair: 2 of 5 co-null, marginals 3 and 3 → lift 10000//9 = 1111
+    assert(got.size == 3)
+    for (p <- Seq(("a", "b"), ("a", "c"), ("b", "c")))
+      assert(got(p) == ((5L, 3L, 3L, 2L, 400000L, 1111L)), s"pair $p: ${got(p)}")
+    // a never-null column zeroes the marginal → lift NULL, conull 0
+    val withFull = df.withColumn("d", lit(1))
+    val ad = graft.ops.Audit.coMissingness(withFull, Seq("a", "d")).head()
+    assert(ad.getLong(5) == 0L && ad.isNullAt(7))
+  }
 }
