@@ -2552,7 +2552,36 @@ object SparkEntry {
             get_json_object(col("props"), "$.k").cast("long")).as("k_even"),
           when(col("event_type") === "purchase", lit(1L)).as("purchase_flag"),
           when(col("user_id") % 5 === 0, col("user_id")).as("cohort_tag")),
-        Seq("k_even", "purchase_flag", "cohort_tag")))
+        Seq("k_even", "purchase_flag", "cohort_tag"))),
+
+    // ---- weekly stickiness (mean-DAU / WAU): one distinct triple pass,
+    // engine-neutral week/day integers. ---------------------------------
+    "q264_stickiness" -> ((s, dir) =>
+      Cohort.stickiness(t(s, dir, "events"), "user_id", "ts")),
+
+    // ---- hashing-trick collision profile of the document vocabulary:
+    // 256 md5-prefix buckets, bucket-load histogram. --------------------
+    "q265_hash_profile" -> ((s, dir) =>
+      Audit.hashBucketProfile(
+        t(s, dir, "documents")
+          .select(explode(split(lower(coalesce(col("text"), lit(""))), "\\s+")).as("tok"))
+          .where(length(col("tok")) > 0),
+        col("tok"), prefixLen = 2)),
+
+    // ---- harmonic centrality at radius 2 on the co-order part graph:
+    // q89's exact counts finished with 1/d weights. ---------------------
+    "q266_harmonic" -> ((s, dir) =>
+      GraphMetrics.harmonicCentrality2(partPairs(s, dir), maxDegree = 64)),
+
+    // ---- exact audience overlap between event-type segments: Jaccard +
+    // overlap coefficient per pair, actor-keyed self-join. --------------
+    "q267_audience_overlap" -> ((s, dir) =>
+      Cohort.audienceOverlap(t(s, dir, "events"), "event_type", "user_id")),
+
+    // ---- Unicode NFC hygiene audit per language: native normalizer
+    // kernel, map-side flags into one group agg. ------------------------
+    "q268_nfc_audit" -> ((s, dir) =>
+      Lexical.unicodeAudit(t(s, dir, "documents"), Seq("lang"), col("text")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -6699,7 +6728,76 @@ object SparkEntry {
         | CASE WHEN null_a = 0 OR null_b = 0 THEN NULL
         |  ELSE CAST((1000 * both_null * n) // (null_a * null_b) AS BIGINT)
         | END AS lift_milli
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+
+    // q264: identical epoch-day/week integers and distinct-triple base.
+    "q264_stickiness" ->
+      """WITH t AS (
+        | SELECT DISTINCT (epoch_ms(ts) // 1000 // 86400) // 7 AS week,
+        |  epoch_ms(ts) // 1000 // 86400 AS day, user_id AS a
+        | FROM events),
+        |d AS (SELECT week, day, count(*) AS dau FROM t GROUP BY 1, 2),
+        |w AS (SELECT week, count(*) AS nd, sum(dau) AS sd FROM d GROUP BY 1),
+        |u AS (SELECT week, count(DISTINCT a) AS wau FROM t GROUP BY 1)
+        |SELECT CAST(w.week AS BIGINT) AS week, CAST(nd AS BIGINT) AS n_active_days,
+        | CAST(wau AS BIGINT) AS wau, CAST(sd // nd AS BIGINT) AS mean_dau,
+        | CAST((1000000 * sd) // (nd * wau) AS BIGINT) AS stickiness_ppm
+        |FROM w JOIN u USING (week)""".stripMargin,
+
+    // q265: same tokenizer, same md5-prefix buckets, counts only.
+    "q265_hash_profile" ->
+      """WITH v AS (
+        | SELECT DISTINCT tok FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+        |   x -> len(x) > 0)) AS tok
+        |  FROM documents)),
+        |b AS (SELECT substring(md5(tok), 1, 2) AS bk, count(*) AS load FROM v GROUP BY 1)
+        |SELECT CAST(load AS BIGINT) AS load, CAST(count(*) AS BIGINT) AS n_buckets,
+        | CAST(load * count(*) AS BIGINT) AS n_values
+        |FROM b GROUP BY load""".stripMargin,
+
+    // q266: q89's adjacency/cap CTEs; harmonic weights in exact ppm.
+    "q266_harmonic" ->
+      """WITH li AS (
+        | SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0),
+        |e AS (
+        | SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        | FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS (SELECT u AS src, v AS dst FROM e UNION SELECT v, u FROM e),
+        |mid AS (
+        | SELECT src, dst FROM (
+        |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM sym)
+        | WHERE rn <= 64),
+        |two AS (
+        | SELECT p.src, q.dst FROM sym p JOIN mid q ON p.dst = q.src WHERE p.src <> q.dst
+        | UNION SELECT src, dst FROM sym)
+        |SELECT o.src AS id, CAST(o.n1 AS BIGINT) AS n_1hop, CAST(t.n2 AS BIGINT) AS n_2hop,
+        | CAST(1000000 * o.n1 + 500000 * (t.n2 - o.n1) AS BIGINT) AS harmonic2_ppm
+        |FROM (SELECT src, count(*) AS n1 FROM sym GROUP BY 1) o
+        | JOIN (SELECT src, count(*) AS n2 FROM two GROUP BY 1) t USING (src)""".stripMargin,
+
+    // q267: distinct (segment, actor) base, actor-keyed pair counts.
+    "q267_audience_overlap" ->
+      """WITH sa AS (SELECT DISTINCT event_type AS s, user_id AS a FROM events),
+        |sz AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM sa GROUP BY 1),
+        |i AS (
+        | SELECT x.s AS seg_a, y.s AS seg_b, CAST(count(*) AS BIGINT) AS n_common
+        | FROM sa x JOIN sa y ON x.a = y.a AND x.s < y.s GROUP BY 1, 2)
+        |SELECT seg_a, seg_b, za.n AS size_a, zb.n AS size_b, n_common,
+        | CAST((1000000 * n_common) // (za.n + zb.n - n_common) AS BIGINT) AS jaccard_ppm,
+        | CAST((1000000 * n_common) // least(za.n, zb.n) AS BIGINT) AS overlap_ppm
+        |FROM i JOIN sz za ON za.s = seg_a JOIN sz zb ON zb.s = seg_b""".stripMargin,
+
+    // q268: DuckDB nfc_normalize vs the native kernel — same NFC form.
+    "q268_nfc_audit" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(CASE WHEN nfc_normalize(coalesce(text, '')) <> coalesce(text, '')
+        |  THEN 1 END) AS BIGINT) AS n_non_nfc,
+        | CAST(sum(length(coalesce(text, ''))
+        |  - length(nfc_normalize(coalesce(text, '')))) AS BIGINT) AS char_delta,
+        | CAST((1000000 * count(CASE WHEN nfc_normalize(coalesce(text, '')) <> coalesce(text, '')
+        |  THEN 1 END)) // count(*) AS BIGINT) AS non_nfc_ppm
+        |FROM documents GROUP BY lang""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

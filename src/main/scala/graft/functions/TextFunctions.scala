@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumn}
 import org.apache.spark.sql.functions._
-import graft.functions.expressions.{ApplyBpeMerges, CountOccurrences, DamerauLevenshtein, JaroWinkler, MergeAdjacentPair}
+import graft.functions.expressions.{ApplyBpeMerges, CountOccurrences, DamerauLevenshtein, JaroWinkler, MergeAdjacentPair, NfcNormalize}
 
 /** Text-analysis operators for large-scale document pipelines (SURVEY §7.2
   * step 8 / BASELINE.json north star): language ID, quality scoring, token
@@ -56,6 +56,14 @@ object TextFunctions {
   def applyBpeMerges(words: Column, merges: Seq[(String, String)],
       endOfWord: String = "</w>"): Column =
     GraftColumn(ApplyBpeMerges(GraftColumn.expr(words), merges, endOfWord))
+
+  /** Unicode NFC canonical normalization — combining sequences collapse
+    * to precomposed forms so byte-exact dedup/fingerprints see one
+    * representation; native codegen'd kernel with an allocation-free
+    * already-normalized fast path, identical to DuckDB `nfc_normalize`.
+    */
+  def nfc(text: Column): Column =
+    GraftColumn(NfcNormalize(GraftColumn.expr(text)))
 
   /** Reference length/replace form of [[occurrences]] (what the SQL
     * oracles run; tests cross-check the native form against it).

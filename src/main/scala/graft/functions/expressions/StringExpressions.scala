@@ -1,8 +1,8 @@
 package graft.functions.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Record-linkage string kernels Spark lacks natively: unrestricted
@@ -163,6 +163,21 @@ object StringKernels {
     while (l < math.min(4, math.min(n, m)) && a(l) == b(l)) l += 1
     jaro + (l * 0.1) * (1.0 - jaro)
   }
+
+  /** Unicode NFC canonical normalization (java.text.Normalizer) — the
+    * corpus-hygiene primitive that makes `café` (e + combining acute)
+    * and `café` (precomposed é) the same bytes before any md5-exact
+    * dedup or tokenizer sees them. `isNormalized` first: it answers
+    * without allocating for the overwhelmingly-common already-NFC
+    * (all-ASCII included) case, so the hot path returns the input
+    * UTF8String untouched. Matches DuckDB's `nfc_normalize`.
+    */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }
 
 /** Unrestricted Damerau–Levenshtein distance — see
@@ -197,4 +212,20 @@ case class JaroWinkler(left: Expression, right: Expression) extends BinaryExpres
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaroWinkler =
     copy(left = newLeft, right = newRight)
+}
+
+/** Unicode NFC canonical normalization — see [[StringKernels.nfcNormalize]]. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(s: Any): Any =
+    StringKernels.nfcNormalize(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.StringKernels.nfcNormalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
 }

@@ -536,4 +536,27 @@ object Audit {
           .otherwise(expr("(1000L * both_null * n_rows) div (null_a * null_b)"))
           .as("lift_milli"))
   }
+
+  /** Hashing-trick collision profile: bucket the DISTINCT values of a
+    * feature by an md5 prefix (16^prefixLen buckets — the deterministic,
+    * engine-neutral stand-in for murmur-mod-B feature hashing) and
+    * report the bucket-load distribution `(load, n_buckets,
+    * n_values = load·n_buckets)` — the pre-flight answer to "how much
+    * signal does B buckets destroy" before committing a hashed feature
+    * space. A load histogram hugging 1 is safe; a fat tail says raise B
+    * or keep a vocabulary.
+    *
+    * Scale shape: distinct values collapse to their bucket id at the map
+    * side, then two count aggs (values→bucket load, load→histogram);
+    * output is at most 16^prefixLen rows and the histogram is tiny.
+    */
+  def hashBucketProfile(df: DataFrame, valueCol: Column, prefixLen: Int = 2): DataFrame = {
+    require(prefixLen >= 1 && prefixLen <= 8, s"prefixLen must be in [1,8]: $prefixLen")
+    val loads = df
+      .select(valueCol.cast("string").as("__v")).where(col("__v").isNotNull).distinct()
+      .select(substring(md5(col("__v")), 1, prefixLen).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("load"))
+    loads.groupBy(col("load")).agg(count(lit(1)).as("n_buckets"))
+      .withColumn("n_values", col("load") * col("n_buckets"))
+  }
 }

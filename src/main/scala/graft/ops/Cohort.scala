@@ -231,4 +231,65 @@ object Cohort {
         (col("m_t_post") - col("m_t_pre")) - (col("m_c_post") - col("m_c_pre")))
       .drop("__s_t_pre", "__s_t_post", "__s_c_pre", "__s_c_post")
   }
+
+  /** Stickiness per calendar week — mean-DAU over WAU, THE
+    * product-engagement ratio ("of the people who showed up this week,
+    * what share shows up on an average active day"): per week,
+    * `stickiness_ppm = (10⁶·Σ_day DAU(day)) div (n_active_days·WAU)`.
+    * Exact integers on engine-neutral epoch-day/week ints; weeks with
+    * one active day degenerate to DAU/WAU as they should.
+    *
+    * Scale shape: one distinct over (week, day, actor) — the only
+    * full-data pass, map-side combined — then a (week, day) count, a
+    * week-level distinct-actor count, and a weeks-sized join. The WAU
+    * distinct re-shuffles actor ids once; no windows.
+    */
+  def stickiness(df: DataFrame, actorCol: String, tsCol: String): DataFrame = {
+    val triples = df
+      .select(expr(s"unix_millis($tsCol) div 1000 div 86400").as("__day"),
+        col(actorCol).as("__a"))
+      .withColumn("__week", expr("__day div 7"))
+      .select(col("__week"), col("__day"), col("__a"))
+      .distinct()
+    val daily = triples.groupBy(col("__week"), col("__day"))
+      .agg(count(lit(1)).as("__dau"))
+      .groupBy(col("__week"))
+      .agg(count(lit(1)).as("n_active_days"), sum(col("__dau")).as("__sumDau"))
+    val weekly = triples.select(col("__week"), col("__a")).distinct()
+      .groupBy(col("__week")).agg(count(lit(1)).as("wau"))
+    daily.join(weekly, Seq("__week"))
+      .select(col("__week").as("week"), col("n_active_days"), col("wau"),
+        expr("__sumDau div n_active_days").as("mean_dau"),
+        expr("(1000000L * __sumDau) div (n_active_days * wau)").as("stickiness_ppm"))
+  }
+
+  /** Exact audience overlap between every pair of segments: shared
+    * actors, per-segment sizes, Jaccard and overlap-coefficient ppm —
+    * the "how distinct are these cohorts really" matrix behind campaign
+    * dedup and segment-consolidation calls. [[graft.ops.Dedup]]'s
+    * bottom-k sketch is the fixed-memory estimate of exactly this; here
+    * segments are few enough to pay for the truth.
+    *
+    * Scale shape: one distinct (segment, actor) pass, then a self-join
+    * keyed on ACTOR — the intermediate is Σ_actor segcount(actor)²,
+    * bounded by the segment count per actor (≤ S, the number of
+    * segments), never by actor cardinality. Segment sizes ride in on a
+    * segments-sized broadcast join.
+    */
+  def audienceOverlap(df: DataFrame, segmentCol: String, actorCol: String): DataFrame = {
+    val sa = df.select(col(segmentCol).cast("string").as("__s"), col(actorCol).as("__a"))
+      .where(col("__s").isNotNull && col("__a").isNotNull)
+      .distinct()
+    val sizes = sa.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+    val inter = sa.alias("a")
+      .join(sa.alias("b"), col("a.__a") === col("b.__a") && col("a.__s") < col("b.__s"))
+      .groupBy(col("a.__s").as("seg_a"), col("b.__s").as("seg_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("__s").as("seg_a"), col("__n").as("size_a"))), Seq("seg_a"))
+      .join(broadcast(sizes.select(col("__s").as("seg_b"), col("__n").as("size_b"))), Seq("seg_b"))
+      .select(col("seg_a"), col("seg_b"), col("size_a"), col("size_b"), col("n_common"),
+        expr("(1000000L * n_common) div (size_a + size_b - n_common)").as("jaccard_ppm"),
+        expr("(1000000L * n_common) div least(size_a, size_b)").as("overlap_ppm"))
+  }
 }

@@ -364,6 +364,24 @@ object GraphMetrics {
     * bounds candidate generation, not the union size. Two node-sized
     * degree joins and one edge-set anti-ish left join finish the job.
     */
+  /** Harmonic centrality truncated at radius 2, in exact ppm:
+    * `Σ_{v≠u, d(u,v)≤2} 1/d(u,v) = n_1hop + (n_2hop − n_1hop)/2` — the
+    * reach-weighted influence score that, unlike closeness, is defined
+    * on disconnected graphs. Exactly [[neighborhoodSize]]'s counts
+    * (including its `maxDegree` hub-truncation contract on the 2-hop
+    * leg) finished with integer arithmetic — 10⁶·n1 + 5·10⁵·(n2−n1).
+    */
+  def harmonicCentrality2(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxDegree: Int = Int.MaxValue,
+      reliable: Boolean = false): DataFrame =
+    neighborhoodSize(pairs, aCol, bCol, maxDegree, reliable)
+      .select(col("id"), col("n_1hop"), col("n_2hop"),
+        (lit(1000000L) * col("n_1hop")
+          + lit(500000L) * (col("n_2hop") - col("n_1hop"))).as("harmonic2_ppm"))
+
   def linkJaccard(
       pairs: DataFrame,
       aCol: String = "a_id",

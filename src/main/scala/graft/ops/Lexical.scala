@@ -420,4 +420,28 @@ object Lexical {
               - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double"))))
             .cast("long")))
   }
+
+  /** Unicode-normalization audit per group: how much of the corpus is
+    * NOT in NFC canonical form — the dedup-blindspot detector (a
+    * combining-sequence `café` and a precomposed `café` hash apart in
+    * every byte-exact fingerprint until normalization runs). Emits doc
+    * counts, non-NFC docs (via the native
+    * [[graft.functions.TextFunctions.nfc]] kernel — allocation-free on
+    * already-normalized text), the ppm share, and the total char-length
+    * delta normalization would apply (0 for a clean corpus; negative
+    * never — NFC only shortens or preserves combining sequences).
+    *
+    * Scale shape: pure map-side Column expressions into one
+    * group-cardinality hash agg — embarrassingly parallel.
+    */
+  def unicodeAudit(df: DataFrame, groupCols: Seq[String], textCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val t = coalesce(textCol, lit(""))
+    val n = graft.functions.TextFunctions.nfc(t)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(n =!= t).as("n_non_nfc"),
+        sum((length(t) - length(n)).cast("long")).as("char_delta"))
+      .withColumn("non_nfc_ppm", expr("(1000000L * n_non_nfc) div n_docs"))
+  }
 }

@@ -798,4 +798,69 @@ class Round8OpsSpec extends SparkSpec {
     val ad = graft.ops.Audit.coMissingness(withFull, Seq("a", "d")).head()
     assert(ad.getLong(5) == 0L && ad.isNullAt(7))
   }
+
+  test("stickiness: hand-computed week, dedup within day, single-day week") {
+    def ts(day: Int, h: Int) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(day.toLong * 86400 + h * 3600))
+    // week 0 (days 0..6): day 0 actives {u1,u2}, day 1 {u1} (u1 twice
+    // same day dedups) → sum_dau 3, n_active_days 2, wau {u1,u2}=2 →
+    // stickiness = 3e6 // (2*2) = 750000
+    // week 1: day 7 {u3} → 1e6 exactly
+    val df = Seq(("u1", ts(0, 1)), ("u2", ts(0, 2)), ("u1", ts(1, 3)),
+      ("u1", ts(1, 9)), ("u3", ts(7, 0))).toDF("user_id", "ts")
+    val got = graft.ops.Cohort.stickiness(df, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((0L, 2L, 2L, 1L, 750000L), (1L, 1L, 1L, 1L, 1000000L)))
+  }
+
+  test("hashBucketProfile: loads partition the distinct values, duplicates collapse") {
+    val df = Seq("a", "a", "b", "c", "d", "e", "f", "g", "h").toDF("v")
+    val got = graft.ops.Audit.hashBucketProfile(df, col("v"), prefixLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // md5 prefixes of 8 distinct values at prefixLen=8: collision-free →
+    // one histogram row (load 1, 8 buckets, 8 values)
+    assert(got.toSeq == Seq((1L, 8L, 8L)))
+    // n_values always sums to the distinct count whatever the collisions
+    val tiny = graft.ops.Audit.hashBucketProfile(df, col("v"), prefixLen = 1)
+      .collect().map(r => r.getLong(2)).sum
+    assert(tiny == 8L)
+  }
+
+  test("harmonicCentrality2: path graph hand-computed") {
+    // path 1-2-3-4: node 1 reaches 2 at d1, 3 at d2 → 1e6 + 5e5;
+    // node 2 reaches 1,3 at d1 and 4 at d2 → 2e6 + 5e5
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id")
+    val got = graft.ops.GraphMetrics.harmonicCentrality2(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 1500000L, 2L -> 2500000L, 3L -> 2500000L, 4L -> 1500000L))
+  }
+
+  test("audienceOverlap: jaccard and overlap coefficient exact") {
+    // A={1,2,3}, B={2,3,4}, C={9}: A∩B=2 → J=2/4, overlap=2/3; C disjoint
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 2L), ("B", 3L),
+      ("B", 4L), ("B", 4L), ("C", 9L)).toDF("seg", "uid")
+    val got = graft.ops.Cohort.audienceOverlap(df, "seg", "uid")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // only pairs with n_common >= 1 appear (actor-keyed join)
+    assert(got.keySet == Set(("A", "B")))
+    assert(got(("A", "B")) == ((3L, 3L, 2L, 500000L, 666666L)))
+  }
+
+  test("nfc kernel and unicodeAudit: composed/decomposed text detected, ascii untouched") {
+    import graft.functions.TextFunctions
+    val decomposed = "caf" + "e\u0301"  // e + combining acute: NOT NFC
+    val composed = "caf" + "\u00e9"     // precomposed e-acute: NFC
+    val df = Seq(("l1", decomposed), ("l1", composed), ("l1", "plain ascii"),
+      ("l2", null.asInstanceOf[String])).toDF("lang", "text")
+    val norm = df.select(TextFunctions.nfc(coalesce(col("text"), lit(""))).as("n"))
+      .collect().map(_.getString(0)).toSet
+    assert(norm.contains(composed) && !norm.exists(_.contains("\u0301")))
+    val got = graft.ops.Lexical.unicodeAudit(df, Seq("lang"), col("text"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    // decomposed is 5 chars, NFC form 4 → char_delta 1; 1 of 3 docs non-NFC
+    assert(got == Seq(("l1", 3L, 1L, 1L, 333333L), ("l2", 1L, 0L, 0L, 0L)))
+  }
 }
