@@ -2581,7 +2581,33 @@ object SparkEntry {
     // ---- Unicode NFC hygiene audit per language: native normalizer
     // kernel, map-side flags into one group agg. ------------------------
     "q268_nfc_audit" -> ((s, dir) =>
-      Lexical.unicodeAudit(t(s, dir, "documents"), Seq("lang"), col("text")))
+      Lexical.unicodeAudit(t(s, dir, "documents"), Seq("lang"), col("text"))),
+
+    // ---- phonetic blocking-key profile over part names: the native
+    // separator-variant Soundex kernel; per code, block sizes that bound
+    // the fuzzy-verify fan-in. ------------------------------------------
+    "q269_soundex" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(TextFunctions.soundexSep(col("p_name")).as("sx"), col("p_name"))
+        .groupBy(col("sx"))
+        .agg(count(lit(1)).as("n_parts"),
+          countDistinct(col("p_name")).as("n_distinct_names"))),
+
+    // ---- daily OHLC candles per event type over value cents: exact
+    // first/last picks on a pinned total order. --------------------------
+    "q270_ohlc" -> ((s, dir) =>
+      TimeSeries.ohlc(
+        t(s, dir, "events")
+          .select(col("event_type"), col("ts"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"),
+            unix_millis(col("ts")).as("ms")),
+        Seq("event_type"), expr("unix_millis(ts) div 1000 div 86400"),
+        Seq(col("ms"), col("event_id")), col("cents"))),
+
+    // ---- orders→lineitem fan-out profile: exact p50/p90 children per
+    // order off the histogram prefix-sum, one-row report. ----------------
+    "q271_fanout" -> ((s, dir) =>
+      Audit.fanoutProfile(t(s, dir, "lineitem"), col("l_orderkey")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -6797,7 +6823,73 @@ object SparkEntry {
         |  - length(nfc_normalize(coalesce(text, '')))) AS BIGINT) AS char_delta,
         | CAST((1000000 * count(CASE WHEN nfc_normalize(coalesce(text, '')) <> coalesce(text, '')
         |  THEN 1 END)) // count(*) AS BIGINT) AS non_nfc_ppm
-        |FROM documents GROUP BY lang""".stripMargin
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    // q269: the separator-variant Soundex rebuilt in backreference-free
+    // SQL — translate to digit classes, collapse runs by repeated
+    // pair-replace (6 rounds collapse runs to 64), drop the first
+    // collapsed digit, strip zeros, pad. Same variant as the kernel BY
+    // CONSTRUCTION (h/w separate; see StringKernels.soundexSep).
+    "q269_soundex" -> {
+      // 6 rounds of replace('dd','d') per digit: each round halves run
+      // lengths, so runs up to 2^6 collapse — far beyond any p_name.
+      val collapsed = (1 to 6).foldLeft("m") { (acc, _) =>
+        (0 to 6).foldLeft(acc)((a, d) => s"replace($a, '$d$d', '$d')")
+      }
+      s"""WITH b AS (
+         | SELECT p_name,
+         |  upper(regexp_replace(p_name, '[^A-Za-z]', '', 'g')) AS u
+         | FROM part),
+         |t AS (
+         | SELECT p_name, u,
+         |  translate(u, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+         |   '01230120022455012623010202') AS m
+         | FROM b),
+         |c AS (SELECT p_name, u, $collapsed AS mc FROM t),
+         |sx AS (
+         | SELECT p_name,
+         |  CASE WHEN u = '' THEN ''
+         |   ELSE substring(u, 1, 1) ||
+         |    substring(replace(substring(mc, 2), '0', '') || '000', 1, 3)
+         |  END AS sx
+         | FROM c)
+         |SELECT sx, CAST(count(*) AS BIGINT) AS n_parts,
+         | CAST(count(DISTINCT p_name) AS BIGINT) AS n_distinct_names
+         |FROM sx GROUP BY sx""".stripMargin
+    },
+
+    // q270: identical (ms, event_id) total order and first/last picks.
+    "q270_ohlc" ->
+      """WITH r AS (
+        | SELECT event_type, epoch_ms(ts) // 1000 // 86400 AS period,
+        |  CAST(round(value * 100) AS BIGINT) AS v, epoch_ms(ts) AS ms, event_id
+        | FROM events),
+        |w AS (
+        | SELECT event_type, period, v,
+        |  row_number() OVER (PARTITION BY event_type, period ORDER BY ms, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY event_type, period) AS n
+        | FROM r)
+        |SELECT event_type, CAST(period AS BIGINT) AS period,
+        | CAST(count(*) AS BIGINT) AS volume,
+        | CAST(max(CASE WHEN rn = 1 THEN v END) AS BIGINT) AS open,
+        | CAST(max(v) AS BIGINT) AS high, CAST(min(v) AS BIGINT) AS low,
+        | CAST(max(CASE WHEN rn = n THEN v END) AS BIGINT) AS close
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // q271: same histogram prefix-sum and lower-element percentile picks.
+    "q271_fanout" ->
+      """WITH c AS (SELECT l_orderkey, count(*) AS f FROM lineitem GROUP BY 1),
+        |h AS (SELECT f, count(*) AS nk FROM c GROUP BY 1),
+        |r AS (SELECT f, nk, sum(nk) OVER (ORDER BY f) AS cum FROM h),
+        |t AS (SELECT sum(nk) AS ks, sum(f * nk) AS rs, max(f) AS mx FROM h)
+        |SELECT CAST(ks AS BIGINT) AS n_keys, CAST(rs AS BIGINT) AS n_rows,
+        | CAST(mx AS BIGINT) AS max_fanout,
+        | CAST(min(CASE WHEN cum >= ((50 * (ks - 1)) // 100) + 1 THEN f END) AS BIGINT)
+        |  AS p50_fanout,
+        | CAST(min(CASE WHEN cum >= ((90 * (ks - 1)) // 100) + 1 THEN f END) AS BIGINT)
+        |  AS p90_fanout,
+        | CAST((1000 * rs) // ks AS BIGINT) AS mean_fanout_milli
+        |FROM r, t GROUP BY ks, rs, mx""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumn}
 import org.apache.spark.sql.functions._
-import graft.functions.expressions.{ApplyBpeMerges, CountOccurrences, DamerauLevenshtein, JaroWinkler, MergeAdjacentPair, NfcNormalize}
+import graft.functions.expressions.{ApplyBpeMerges, CountOccurrences, DamerauLevenshtein, JaroWinkler, MergeAdjacentPair, NfcNormalize, SoundexSep}
 
 /** Text-analysis operators for large-scale document pipelines (SURVEY §7.2
   * step 8 / BASELINE.json north star): language ID, quality scoring, token
@@ -64,6 +64,17 @@ object TextFunctions {
     */
   def nfc(text: Column): Column =
     GraftColumn(NfcNormalize(GraftColumn.expr(text)))
+
+  /** Separator-variant Soundex phonetic code (`X999`) — the blocking key
+    * for phonetic record linkage: same-sounding names collide, so the
+    * expensive [[damerau]]/[[jaroWinkler]] verification runs per block,
+    * never all-pairs. Native single-pass kernel; NOT Spark's built-in
+    * `soundex` — this variant makes h/w SEPARATE equal codes (not
+    * transparent), the one rule change that makes the code exactly
+    * replicable in backreference-free SQL for the DuckDB oracle.
+    */
+  def soundexSep(text: Column): Column =
+    GraftColumn(SoundexSep(GraftColumn.expr(text)))
 
   /** Reference length/replace form of [[occurrences]] (what the SQL
     * oracles run; tests cross-check the native form against it).

@@ -164,6 +164,49 @@ object StringKernels {
     jaro + (l * 0.1) * (1.0 - jaro)
   }
 
+  private val SoundexCodes: Array[Char] = {
+    // A B C D E F G H I J K L M N O P Q R S T U V W X Y Z
+    "01230120022455012623010202".toCharArray
+  }
+
+  /** Soundex phonetic code, SEPARATOR VARIANT: uppercase the letters
+    * (non-letters dropped), map every letter to its Soundex digit class
+    * (vowels AND h/w/y → 0), collapse consecutive equal digits, drop the
+    * first collapsed digit (it belongs to the kept first letter), strip
+    * zeros, pad to `X999`. Differs from classic American Soundex in ONE
+    * documented rule: h and w SEPARATE equal codes instead of being
+    * transparent (ASHCRAFT → A226 here vs A261 classic) — the variant
+    * every pure-SQL formulation computes, chosen so the DuckDB oracle can
+    * replicate it exactly (RE2 has no backreferences and no mechanism
+    * for code-transparency, so classic Soundex is not SQL-expressible).
+    * Empty / letterless input → empty string.
+    */
+  def soundexSep(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(4)
+    var first: Char = 0
+    var prev: Char = 'x' // last emitted code, collapse state
+    var i = 0
+    while (i < str.length && sb.length < 4) {
+      val c0 = str.charAt(i)
+      val c = if (c0 >= 'a' && c0 <= 'z') (c0 - 32).toChar else c0
+      if (c >= 'A' && c <= 'Z') {
+        val code = SoundexCodes(c - 'A')
+        if (first == 0) {
+          first = c
+          sb.append(c)
+        } else if (code != prev && code != '0') sb.append(code)
+        prev = code
+      }
+      i += 1
+    }
+    if (first == 0) UTF8String.EMPTY_UTF8
+    else {
+      while (sb.length < 4) sb.append('0')
+      UTF8String.fromString(sb.toString)
+    }
+  }
+
   /** Unicode NFC canonical normalization (java.text.Normalizer) — the
     * corpus-hygiene primitive that makes `café` (e + combining acute)
     * and `café` (precomposed é) the same bytes before any md5-exact
@@ -212,6 +255,24 @@ case class JaroWinkler(left: Expression, right: Expression) extends BinaryExpres
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaroWinkler =
     copy(left = newLeft, right = newRight)
+}
+
+/** Separator-variant Soundex phonetic code — see
+  * [[StringKernels.soundexSep]].
+  */
+case class SoundexSep(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(s: Any): Any =
+    StringKernels.soundexSep(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.StringKernels.soundexSep($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SoundexSep =
+    copy(child = newChild)
 }
 
 /** Unicode NFC canonical normalization — see [[StringKernels.nfcNormalize]]. */

@@ -559,4 +559,36 @@ object Audit {
     loads.groupBy(col("load")).agg(count(lit(1)).as("n_buckets"))
       .withColumn("n_values", col("load") * col("n_buckets"))
   }
+
+  /** 1:N fan-out profile of a join key: one row with the key count, row
+    * count, max and floor-milli mean children-per-key, and EXACT p50/p90
+    * fan-outs (lower-element picks, the q-th key in fan-out order at
+    * `⌊q·(n−1)/100⌋+1`) — the data-modeling pre-flight that tells you
+    * whether `orders→lineitem`-shaped joins carry a long tail that needs
+    * skew handling before you discover it as a straggler task.
+    *
+    * Scale shape: one per-key count agg (the only full-data pass), one
+    * count agg onto the DISTINCT-fan-out-sized histogram, then a
+    * range-partitioned prefix-sum scan
+    * ([[graft.ops.Normalize.rankedPrefixSum]] — no global window) over
+    * that histogram for the percentile picks, finished by a one-row agg
+    * with totals broadcast alongside.
+    */
+  def fanoutProfile(fact: DataFrame, keyCol: Column): DataFrame = {
+    val counts = fact.groupBy(keyCol.as("__k")).agg(count(lit(1)).as("__f"))
+    val hist = counts.groupBy(col("__f")).agg(count(lit(1)).as("__nk"))
+    val ranked = graft.ops.Normalize.rankedPrefixSum(
+      hist, Seq(col("__f")), "__nk", "__rk", "__cum")
+    val tot = ranked.agg(sum(col("__nk")).as("__keys"),
+      sum(col("__f") * col("__nk")).as("__rows"), max(col("__f")).as("__max"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("__p50t", expr("((50 * (__keys - 1)) div 100) + 1"))
+      .withColumn("__p90t", expr("((90 * (__keys - 1)) div 100) + 1"))
+      .groupBy()
+      .agg(max(col("__keys")).as("n_keys"), max(col("__rows")).as("n_rows"),
+        max(col("__max")).as("max_fanout"),
+        min(when(col("__cum") >= col("__p50t"), col("__f"))).as("p50_fanout"),
+        min(when(col("__cum") >= col("__p90t"), col("__f"))).as("p90_fanout"))
+      .withColumn("mean_fanout_milli", expr("(1000L * n_rows) div n_keys"))
+  }
 }

@@ -822,6 +822,41 @@ object TimeSeries {
         col("n_pairs"), col("r_ppm"))
   }
 
+  /** OHLC candle rollup: per (key, period) the Open (first value in the
+    * period's total order), High, Low, Close (last) and volume — the
+    * canonical downsample for any metric stream you chart or feed to a
+    * range/breakout rule, exact on integer values. `orderCols` must
+    * total-order rows WITHIN a (key, period) (include a unique
+    * tiebreaker) so first/last are well-defined cross-engine.
+    *
+    * Scale shape: one per-(key, period) ordered window pass (row_number
+    * + count — same partitioning, one WindowExec) feeding one hash agg.
+    * No global windows; period cardinality never matters.
+    */
+  def ohlc(
+      df: DataFrame,
+      keyCols: Seq[String],
+      periodCol: Column,
+      orderCols: Seq[Column],
+      valueCol: Column): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val g = keyCols.map(col)
+    val part = g :+ col("__period")
+    val w = Window.partitionBy(part: _*).orderBy(orderCols: _*)
+    df
+      .withColumn("__period", periodCol)
+      .withColumn("__v", valueCol.cast("long"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(part: _*)))
+      .groupBy(part: _*)
+      .agg(count(lit(1)).as("volume"),
+        max(when(col("__rn") === 1L, col("__v"))).as("open"),
+        max(col("__v")).as("high"),
+        min(col("__v")).as("low"),
+        max(when(col("__rn") === col("__n"), col("__v"))).as("close"))
+      .withColumnRenamed("__period", "period")
+  }
+
   /** SAX symbolization (Lin et al., DMKD 2007): reduce each key's ordered
     * integer series to a short alphabet string — Piecewise Aggregate
     * Approximation (mean of every `w` consecutive points) followed by

@@ -863,4 +863,51 @@ class Round8OpsSpec extends SparkSpec {
     // decomposed is 5 chars, NFC form 4 → char_delta 1; 1 of 3 docs non-NFC
     assert(got == Seq(("l1", 3L, 1L, 1L, 333333L), ("l2", 1L, 0L, 0L, 0L)))
   }
+
+  test("soundexSep: classic reference codes and the documented h/w divergence") {
+    def sx(s: String): String =
+      StringKernels.soundexSep(UTF8String.fromString(s)).toString
+    // agree with classic American Soundex when no h/w adjacency is in play
+    assert(sx("Robert") == "R163" && sx("Rupert") == "R163")
+    assert(sx("Tymczak") == "T522")
+    assert(sx("Pfister") == "P236") // leading same-code pair absorbs
+    assert(sx("Aaron") == "A650")   // vowel separates the repeated code
+    assert(sx("Jackson") == "J250")
+    // the ONE divergence: h does NOT make the flanking same-codes collapse
+    assert(sx("Ashcraft") == "A226") // classic (h/w transparent) says A261
+    // hygiene: case-insensitive, non-letters stripped, degenerate inputs
+    assert(sx("o'BRIEN") == sx("OBrien"))
+    assert(sx("AE") == "A000")
+    assert(sx("123") == "" && sx("") == "")
+  }
+
+  test("ohlc: open/close follow the pinned order, not input order") {
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    // day 0 for key k: values by time = 10, 30, 5, 20 → O=10 H=30 L=5 C=20
+    // rows arrive shuffled; a same-ms tie resolves by event_id
+    val rows = Seq(("k", ts(300), 3L, 5L), ("k", ts(100), 1L, 10L),
+      ("k", ts(400), 4L, 20L), ("k", ts(200), 2L, 30L),
+      // day 1: single trade
+      ("k", ts(86400 + 10), 9L, 7L))
+    val df = rows.toDF("k", "ts", "event_id", "cents")
+      .withColumn("ms", unix_millis(col("ts")))
+    val got = graft.ops.TimeSeries.ohlc(df, Seq("k"),
+        expr("unix_millis(ts) div 1000 div 86400"),
+        Seq(col("ms"), col("event_id")), col("cents"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))).sortBy(_._1).toSeq
+    assert(got == Seq((0L, 4L, 10L, 30L, 5L, 20L), (1L, 1L, 7L, 7L, 7L, 7L)))
+  }
+
+  test("fanoutProfile: exact percentile picks off the histogram") {
+    // 10 keys: fan-outs 1×5, 2×3, 10×1, 50×1 →
+    //   n_rows = 5+6+10+50 = 71; p50 pick = key at rank ⌊50·9/100⌋+1 = 5 → 1
+    //   p90 pick = rank ⌊90·9/100⌋+1 = 9 → fan-out 10; mean = 7100 milli
+    val rows =
+      (1 to 5).map(k => (s"a$k", 1)) ++ (6 to 8).flatMap(k => Seq.fill(2)((s"a$k", 1))) ++
+      Seq.fill(10)(("a9", 1)) ++ Seq.fill(50)(("a10", 1))
+    val r = graft.ops.Audit.fanoutProfile(rows.toDF("k", "x"), col("k")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((10L, 71L, 50L, 1L, 10L, 7100L)))
+  }
 }
