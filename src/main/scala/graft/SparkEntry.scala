@@ -2607,7 +2607,25 @@ object SparkEntry {
     // ---- orders→lineitem fan-out profile: exact p50/p90 children per
     // order off the histogram prefix-sum, one-row report. ----------------
     "q271_fanout" -> ((s, dir) =>
-      Audit.fanoutProfile(t(s, dir, "lineitem"), col("l_orderkey")))
+      Audit.fanoutProfile(t(s, dir, "lineitem"), col("l_orderkey"))),
+
+    // ---- Unicode script profile per language: explicit-range char
+    // classes (the Java-regex/RE2-identical subset), mixed-script
+    // routing-bug detector. ----------------------------------------------
+    "q272_script_profile" -> ((s, dir) =>
+      Lexical.scriptProfile(t(s, dir, "documents"), Seq("lang"), col("text"))),
+
+    // ---- single least-SSE changepoint over each event type's daily
+    // count series: binary segmentation's first cut, all-integer costs,
+    // deterministic argmin. ----------------------------------------------
+    "q273_changepoint" -> ((s, dir) =>
+      TimeSeries.varianceChangepoint(
+        t(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_millis(ts) div 1000 div 86400").as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("c")),
+        Seq("event_type"), Seq(col("day")), col("c")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -6889,7 +6907,67 @@ object SparkEntry {
         | CAST(min(CASE WHEN cum >= ((90 * (ks - 1)) // 100) + 1 THEN f END) AS BIGINT)
         |  AS p90_fanout,
         | CAST((1000 * rs) // ks AS BIGINT) AS mean_fanout_milli
-        |FROM r, t GROUP BY ks, rs, mx""".stripMargin
+        |FROM r, t GROUP BY ks, rs, mx""".stripMargin,
+
+    // q272: identical explicit ranges; dominant by the same fixed
+    // precedence (latin > cyrillic > greek > cjk > arabic > digit).
+    "q272_script_profile" ->
+      """WITH s AS (
+        | SELECT lang,
+        |  CAST(length(regexp_replace(coalesce(text, ''), '[^A-Za-zÀ-ɏ]', '', 'g')) AS BIGINT) AS cl,
+        |  CAST(length(regexp_replace(coalesce(text, ''), '[^Ѐ-ӿ]', '', 'g')) AS BIGINT) AS cc,
+        |  CAST(length(regexp_replace(coalesce(text, ''), '[^Ͱ-Ͽ]', '', 'g')) AS BIGINT) AS cg,
+        |  CAST(length(regexp_replace(coalesce(text, ''), '[^一-鿿぀-ヿ]', '', 'g')) AS BIGINT) AS cj,
+        |  CAST(length(regexp_replace(coalesce(text, ''), '[^؀-ۿ]', '', 'g')) AS BIGINT) AS ca,
+        |  CAST(length(regexp_replace(coalesce(text, ''), '[^0-9]', '', 'g')) AS BIGINT) AS cd
+        | FROM documents),
+        |a AS (
+        | SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(cl) AS BIGINT) AS n_latin, CAST(sum(cc) AS BIGINT) AS n_cyrillic,
+        |  CAST(sum(cg) AS BIGINT) AS n_greek, CAST(sum(cj) AS BIGINT) AS n_cjk,
+        |  CAST(sum(ca) AS BIGINT) AS n_arabic, CAST(sum(cd) AS BIGINT) AS n_digit
+        | FROM s GROUP BY 1)
+        |SELECT *,
+        | CASE WHEN greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_digit) = 0
+        |   THEN 'none'
+        |  WHEN n_latin = greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_digit)
+        |   THEN 'latin'
+        |  WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_digit)
+        |   THEN 'cyrillic'
+        |  WHEN n_greek = greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_digit)
+        |   THEN 'greek'
+        |  WHEN n_cjk = greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_digit)
+        |   THEN 'cjk'
+        |  WHEN n_arabic = greatest(n_latin, n_cyrillic, n_greek, n_cjk, n_arabic, n_digit)
+        |   THEN 'arabic'
+        |  ELSE 'digit' END AS dominant
+        |FROM a""".stripMargin,
+
+    // q273: same prefix-sum windows, same truncating per-segment SSE,
+    // same (cost, k) argmin order.
+    "q273_changepoint" ->
+      """WITH d AS (
+        | SELECT event_type, epoch_ms(ts) // 1000 // 86400 AS day, count(*) AS c
+        | FROM events GROUP BY 1, 2),
+        |p AS (
+        | SELECT event_type, c,
+        |  count(*) OVER wk AS k, sum(c) OVER wk AS s, sum(c * c) OVER wk AS q,
+        |  count(*) OVER wt AS n, sum(c) OVER wt AS st, sum(c * c) OVER wt AS qt
+        | FROM d
+        | WINDOW wk AS (PARTITION BY event_type ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wt AS (PARTITION BY event_type)),
+        |c2 AS (
+        | SELECT *, (1000 * q - (1000 * s * s) // k)
+        |   + (1000 * (qt - q) - (1000 * (st - s) * (st - s)) // (n - k)) AS cost
+        | FROM p WHERE k < n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY cost, k) AS rn
+        | FROM c2)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS best_k,
+        | CAST(cost AS BIGINT) AS split_sse_milli,
+        | CAST(1000 * qt - (1000 * st * st) // n AS BIGINT) AS total_sse_milli,
+        | CAST((1000 * qt - (1000 * st * st) // n) - cost AS BIGINT) AS gain_milli
+        |FROM r WHERE rn = 1""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -434,6 +434,44 @@ object Lexical {
     * Scale shape: pure map-side Column expressions into one
     * group-cardinality hash agg — embarrassingly parallel.
     */
+  /** Unicode SCRIPT profile per group: how many characters fall in each
+    * major script range (Latin incl. the Latin-1/Extended accents,
+    * Cyrillic, Greek, CJK+kana, Arabic, ASCII digits) plus a dominant
+    * label — the mixed-script / wrong-language-routing detector that
+    * byte-level lang-ID misses (a "de" document full of Cyrillic is a
+    * routing bug, whatever the classifier said). Ranges are explicit
+    * char classes — NOT `\\p{Script=...}` — because Java regex and RE2
+    * spell script properties differently; explicit ranges are the
+    * engine-identical subset. Dominant is the first maximum in a fixed
+    * precedence order, `none` on script-less text.
+    *
+    * Scale shape: pure map-side regexp_replace/length Column math into
+    * one group-cardinality hash agg.
+    */
+  def scriptProfile(df: DataFrame, groupCols: Seq[String], textCol: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val t = coalesce(textCol, lit(""))
+    def inRange(range: String) =
+      length(regexp_replace(t, s"[^$range]", "")).cast("long")
+    val scripts = Seq(
+      "latin" -> "A-Za-zÀ-ɏ",
+      "cyrillic" -> "Ѐ-ӿ",
+      "greek" -> "Ͱ-Ͽ",
+      "cjk" -> "一-鿿぀-ヿ",
+      "arabic" -> "؀-ۿ",
+      "digit" -> "0-9")
+    val agged = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        scripts.map { case (name, r) => sum(inRange(r)).as(s"n_$name") }: _*)
+    val top = greatest(scripts.map { case (n, _) => col(s"n_$n") }: _*)
+    val dominant = scripts.foldRight(lit("none")) { case ((name, _), rest) =>
+      when(top > 0 && col(s"n_$name") === top, name).otherwise(rest)
+    }
+    // foldRight keeps precedence latin > cyrillic > ... > digit: the
+    // FIRST script hitting the max wins ties, mirrored in the oracle.
+    agged.withColumn("dominant", dominant)
+  }
+
   def unicodeAudit(df: DataFrame, groupCols: Seq[String], textCol: Column): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     val t = coalesce(textCol, lit(""))

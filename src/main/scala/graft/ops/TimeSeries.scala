@@ -822,6 +822,55 @@ object TimeSeries {
         col("n_pairs"), col("r_ppm"))
   }
 
+  /** Single changepoint per series by least squared error: the split
+    * k ∈ [1, n−1] minimizing SSE(prefix) + SSE(suffix), i.e. binary
+    * segmentation's first cut — "where did this metric change level".
+    * Costs are integer BY SPEC: `sse_milli = 1000·ΣY² − (1000·(ΣY)²) div n`
+    * per segment (one truncating division each, Spark `div` ≡ DuckDB
+    * `//`), candidates ranked (cost asc, k asc) so the argmin is a
+    * deterministic total order. Output per key: n, best_k (prefix
+    * length), the split cost, the unsplit cost, and `gain_milli` —
+    * rank series by gain to find the real level shifts.
+    *
+    * Scale shape: per-key ordered prefix-sum window (key-partitioned)
+    * emits every candidate split, a second per-key window picks the
+    * argmin — two WindowExecs over the same key partitioning, no joins.
+    * Overflow: 1000·(ΣY)² needs |ΣY| < 3×10⁶ per series-prefix in
+    * Long — counts/cents series are fine; rescale first otherwise.
+    */
+  def varianceChangepoint(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column],
+      valueCol: Column): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val g = keyCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(g: _*)
+    val pre = df
+      .withColumn("__v", valueCol.cast("long"))
+      .withColumn("__k", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("__v")).over(w))
+      .withColumn("__q", sum(col("__v") * col("__v")).over(w))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .withColumn("__st", sum(col("__v")).over(whole))
+      .withColumn("__qt", sum(col("__v") * col("__v")).over(whole))
+      .where(col("__k") < col("__n"))
+      .withColumn("__cost",
+        expr("""(1000 * __q - (1000 * __s * __s) div __k)
+              + (1000 * (__qt - __q)
+                 - (1000 * (__st - __s) * (__st - __s)) div (__n - __k))"""))
+    val pick = Window.partitionBy(g: _*).orderBy(col("__cost"), col("__k"))
+    pre
+      .withColumn("__rn", row_number().over(pick))
+      .where(col("__rn") === 1)
+      .select(g ++ Seq(col("__n").as("n"), col("__k").as("best_k"),
+        col("__cost").as("split_sse_milli"),
+        expr("1000 * __qt - (1000 * __st * __st) div __n").as("total_sse_milli")): _*)
+      .withColumn("gain_milli", col("total_sse_milli") - col("split_sse_milli"))
+  }
+
   /** OHLC candle rollup: per (key, period) the Open (first value in the
     * period's total order), High, Low, Close (last) and volume — the
     * canonical downsample for any metric stream you chart or feed to a

@@ -910,4 +910,36 @@ class Round8OpsSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
       ((10L, 71L, 50L, 1L, 10L, 7100L)))
   }
+
+  test("scriptProfile: counts per range, precedence-ordered dominant, none on empty") {
+    val df = Seq(
+      ("mix", "abcДЕ 12"),      // 3 latin, 2 cyrillic, 2 digits
+      ("mix", "Γ一ア"),      // 1 greek, 2 cjk (han + katakana)
+      ("tie", "aД"),                  // latin ties cyrillic → latin wins
+      ("empty", "...!?")
+    ).toDF("g", "text")
+    val got = graft.ops.Lexical.scriptProfile(df, Seq("g"), col("text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+          r.getString(8)))).toMap
+    assert(got("mix") == ((3L, 2L, 1L, 2L, 0L, 2L, "latin")))
+    assert(got("tie") == ((1L, 1L, 0L, 0L, 0L, 0L, "latin")))
+    assert(got("empty") == ((0L, 0L, 0L, 0L, 0L, 0L, "none")))
+  }
+
+  test("varianceChangepoint: level shift found at the exact boundary") {
+    // series g: 5,5,5,5, 50,50,50 → best split at k=4 with zero SSE
+    val g = Seq(5L, 5L, 5L, 5L, 50L, 50L, 50L).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }
+    // series h: constant → every split costs 0, tie → smallest k=1
+    val h = (0 until 4).map(i => ("h", i.toLong, 7L))
+    val df = (g ++ h).toDF("k", "o", "v")
+    val got = graft.ops.TimeSeries.varianceChangepoint(df, Seq("k"), Seq(col("o")), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5))).sortBy(_._1).toSeq
+    // g total SSE: ΣY²=14600... ΣY=170, n=7 → 1000·7600−(1000·28900)//7 → compute:
+    // Q=4·25+3·2500=7600; 1000·7600=7.6e6; (1000·170²)//7=(28.9e6)//7=4128571
+    // → total 3471429; split cost 0 → gain = total
+    assert(got == Seq(("g", 7L, 4L, 0L, 3471429L), ("h", 4L, 1L, 0L, 0L)))
+  }
 }
