@@ -2625,7 +2625,13 @@ object SparkEntry {
             expr("unix_millis(ts) div 1000 div 86400").as("day"))
           .groupBy(col("event_type"), col("day"))
           .agg(count(lit(1)).as("c")),
-        Seq("event_type"), Seq(col("day")), col("c")))
+        Seq("event_type"), Seq(col("day")), col("c"))),
+
+    // ---- embedding hygiene audit per label: dim consistency, zero /
+    // non-finite vectors, quantized-norm spread — one map-side fold
+    // pass, no explode. --------------------------------------------------
+    "q274_embedding_audit" -> ((s, dir) =>
+      Similarity.embeddingAudit(t(s, dir, "embeddings")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -6967,7 +6973,28 @@ object SparkEntry {
         | CAST(cost AS BIGINT) AS split_sse_milli,
         | CAST(1000 * qt - (1000 * st * st) // n AS BIGINT) AS total_sse_milli,
         | CAST((1000 * qt - (1000 * st * st) // n) - cost AS BIGINT) AS gain_milli
-        |FROM r WHERE rn = 1""".stripMargin
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // q274: same double-promoted quantization (q52 precedent), same
+    // zero/non-finite flags, truncated mean.
+    "q274_embedding_audit" ->
+      """WITH b AS (
+        | SELECT label, len(embedding) AS dim,
+        |  CAST(list_sum(list_transform(embedding,
+        |   x -> CASE WHEN isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)) THEN 0
+        |         ELSE CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+        |            * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) END)) AS BIGINT) AS n2,
+        |  len(list_filter(embedding,
+        |   x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0 AS bad
+        | FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+        | CAST(count(DISTINCT dim) AS BIGINT) AS n_dims_distinct,
+        | CAST(min(dim) AS BIGINT) AS dim_min, CAST(max(dim) AS BIGINT) AS dim_max,
+        | CAST(count(CASE WHEN n2 = 0 THEN 1 END) AS BIGINT) AS n_zero,
+        | CAST(count(CASE WHEN bad THEN 1 END) AS BIGINT) AS n_nonfinite,
+        | CAST(min(n2) AS BIGINT) AS norm2q_min, CAST(max(n2) AS BIGINT) AS norm2q_max,
+        | CAST(sum(n2) // count(*) AS BIGINT) AS norm2q_mean
+        |FROM b GROUP BY label""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -412,4 +412,50 @@ object Similarity {
         lit(2L) * (col("n") * col("sum_sq_norm") - col("norm_sq_sum")))
       .withColumn("mean_pair_dist", expr("pair_dist_sum div (n * n)"))
   }
+
+  /** Embedding hygiene audit per group — the pre-flight every ANN/dedup
+    * stage above this one assumes has already passed: dimension
+    * consistency (one distinct dim or your dot products are garbage),
+    * zero vectors (cosine is undefined; they silently sink to the
+    * bottom of every ranking), non-finite elements (one NaN poisons a
+    * whole reduction), and the quantized-norm² spread (collapsed-norm
+    * embeddings are a model-regression tell). Norms quantize at `scale`
+    * ([[dispersion]]'s convention) so min/max/truncated-mean are exact
+    * integers cross-engine.
+    *
+    * Scale shape: one pass of per-row array folds (map-side, codegen)
+    * into a group-cardinality hash agg. No explode — dim stats come
+    * from `size()`, norms from a single `aggregate` fold per row.
+    */
+  def embeddingAudit(
+      emb: DataFrame,
+      groupCol: String = "label",
+      vecCol: String = "embedding",
+      scale: Int = 1000): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    val e = col(vecCol)
+    def nonfinite(x: Column) =
+      isnan(x) || x === lit(Float.PositiveInfinity) || x === lit(Float.NegativeInfinity)
+    // Non-finite elements quantize to 0 — casting NaN to long THROWS
+    // under ANSI, and a poisoned norm is exactly what this audit exists
+    // to prevent: the vector is FLAGGED in n_nonfinite, its norm is the
+    // norm of its finite part (mirrored in the oracle).
+    val q = transform(e, x =>
+      when(nonfinite(x), 0L).otherwise(round(x.cast("double") * scale).cast("long")))
+    val norm2q = aggregate(q, lit(0L), (acc, v) => acc + v * v)
+    val hasNonfinite = exists(e, x => nonfinite(x))
+    emb
+      .select(col(groupCol), size(e).as("__dim"), norm2q.as("__n2"),
+        hasNonfinite.as("__bad"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_vectors"),
+        countDistinct(col("__dim")).as("n_dims_distinct"),
+        min(col("__dim")).cast("long").as("dim_min"),
+        max(col("__dim")).cast("long").as("dim_max"),
+        count_if(col("__n2") === 0L).as("n_zero"),
+        count_if(col("__bad")).as("n_nonfinite"),
+        min(col("__n2")).as("norm2q_min"),
+        max(col("__n2")).as("norm2q_max"),
+        expr("sum(__n2) div count(1)").as("norm2q_mean"))
+  }
 }

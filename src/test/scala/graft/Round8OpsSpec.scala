@@ -942,4 +942,22 @@ class Round8OpsSpec extends SparkSpec {
     // → total 3471429; split cost 0 → gain = total
     assert(got == Seq(("g", 7L, 4L, 0L, 3471429L), ("h", 4L, 1L, 0L, 0L)))
   }
+
+  test("embeddingAudit: dims, zero vectors, NaN flags, quantized norms exact") {
+    val rows = Seq(
+      (0, Array(0.5f, -0.5f)),                 // norm2q = 500²·2 = 500000
+      (0, Array(0.0f, 0.0f)),                  // zero vector
+      (0, Array(1.0f, Float.NaN)),             // non-finite
+      (1, Array(0.1f, 0.2f, 0.3f))             // dim 3: 10000+40000+90000
+    ).toDF("label", "embedding")
+    val got = graft.ops.Similarity.embeddingAudit(rows)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9)))).toMap
+    // label 0: NaN quantizes through round → its norm still computes;
+    // the audit FLAGS it rather than poisoning the aggregate
+    val l0 = got(0)
+    assert(l0._1 == 3L && l0._2 == 1L && l0._3 == 2L && l0._4 == 2L)
+    assert(l0._5 == 1L && l0._6 == 1L) // one zero vector, one non-finite
+    assert(got(1) == ((1L, 1L, 3L, 3L, 0L, 0L, 140000L, 140000L, 140000L)))
+  }
 }
