@@ -2631,7 +2631,29 @@ object SparkEntry {
     // non-finite vectors, quantized-norm spread — one map-side fold
     // pass, no explode. --------------------------------------------------
     "q274_embedding_audit" -> ((s, dir) =>
-      Similarity.embeddingAudit(t(s, dir, "embeddings")))
+      Similarity.embeddingAudit(t(s, dir, "embeddings"))),
+
+    // ---- weighted Jaccard between source vocabularies over token
+    // COUNTS (q231's set version, distribution-aware): common tokens
+    // only, Σmax by identity. --------------------------------------------
+    "q275_weighted_jaccard" -> ((s, dir) =>
+      Lexical.weightedJaccard(
+        t(s, dir, "documents")
+          .select(col("source"),
+            explode(split(lower(coalesce(col("text"), lit(""))), "\\s+")).as("tok"))
+          .where(length(col("tok")) > 0),
+        "source", col("tok"))),
+
+    // ---- log template mining over synthesized event log lines: hex
+    // then digit masking, per-template counts with deterministic
+    // examples. ----------------------------------------------------------
+    "q276_log_templates" -> ((s, dir) =>
+      Lexical.logTemplates(
+        t(s, dir, "events").select(
+          concat(col("event_type"), lit(" user="), col("user_id"),
+            lit(" took "), floor(col("value")).cast("long"), lit("ms"),
+            lit(" props="), col("props")).as("msg")),
+        col("msg")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -6994,7 +7016,41 @@ object SparkEntry {
         | CAST(count(CASE WHEN bad THEN 1 END) AS BIGINT) AS n_nonfinite,
         | CAST(min(n2) AS BIGINT) AS norm2q_min, CAST(max(n2) AS BIGINT) AS norm2q_max,
         | CAST(sum(n2) // count(*) AS BIGINT) AS norm2q_mean
-        |FROM b GROUP BY label""".stripMargin
+        |FROM b GROUP BY label""".stripMargin,
+
+    // q275: same tokenizer; Σmax via the tot_a + tot_b − Σmin identity.
+    "q275_weighted_jaccard" ->
+      """WITH w AS (
+        | SELECT source AS g, tok, count(*) AS w FROM (
+        |  SELECT source,
+        |   unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+        |    x -> len(x) > 0)) AS tok
+        |  FROM documents) GROUP BY 1, 2),
+        |t AS (SELECT g, CAST(sum(w) AS BIGINT) AS tot FROM w GROUP BY 1),
+        |m AS (
+        | SELECT a.g AS g_a, b.g AS g_b, CAST(sum(least(a.w, b.w)) AS BIGINT) AS sum_min
+        | FROM w a JOIN w b ON a.tok = b.tok AND a.g < b.g GROUP BY 1, 2)
+        |SELECT g_a, g_b, ta.tot AS tot_a, tb.tot AS tot_b, sum_min,
+        | CAST((1000000 * sum_min) // (ta.tot + tb.tot - sum_min) AS BIGINT)
+        |  AS wjaccard_ppm
+        |FROM m JOIN t ta ON ta.g = g_a JOIN t tb ON tb.g = g_b""".stripMargin,
+
+    // q276: same mask chain (hex-first so ids don't half-survive digit
+    // masking), same deterministic min() example.
+    "q276_log_templates" ->
+      """WITH msg AS (
+        | SELECT event_type || ' user=' || user_id || ' took ' ||
+        |  CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) || 'ms' ||
+        |  ' props=' || props AS m
+        | FROM events),
+        |t AS (
+        | SELECT regexp_replace(regexp_replace(m, '[0-9a-fA-F]{8,}', '<hex>', 'g'),
+        |   '[0-9]+', '<n>', 'g') AS template, m
+        | FROM msg)
+        |SELECT template, CAST(count(*) AS BIGINT) AS n_msgs,
+        | CAST(count(DISTINCT m) AS BIGINT) AS n_distinct_msgs,
+        | min(m) AS example
+        |FROM t GROUP BY 1""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

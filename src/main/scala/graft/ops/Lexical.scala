@@ -434,6 +434,60 @@ object Lexical {
     * Scale shape: pure map-side Column expressions into one
     * group-cardinality hash agg — embarrassingly parallel.
     */
+  /** Weighted Jaccard between every pair of corpora over TOKEN COUNTS:
+    * `Σ_t min(w_a(t), w_b(t)) / Σ_t max(w_a(t), w_b(t))` — the overlap
+    * measure that, unlike set Jaccard, notices when one corpus merely
+    * MENTIONS the other's dominant vocabulary vs actually sharing its
+    * distribution. Exact integers: only common tokens need pairing,
+    * because `Σmax = tot_a + tot_b − Σmin`.
+    *
+    * Scale shape: one (group, token) count agg, one token-keyed inner
+    * join between group pairs (intermediate bounded by
+    * Σ_t groups(t)² — the per-token group fan-out, ≤ G², never token
+    * cardinality), totals broadcast on a groups-sized table.
+    */
+  def weightedJaccard(df: DataFrame, groupCol: String, tokenCol: Column): DataFrame = {
+    val counts = df
+      .select(col(groupCol).cast("string").as("__g"), tokenCol.as("__t"))
+      .where(col("__t").isNotNull)
+      .groupBy(col("__g"), col("__t")).agg(count(lit(1)).as("__w"))
+    val totals = counts.groupBy(col("__g")).agg(sum(col("__w")).as("__tot"))
+    val smin = counts.alias("a")
+      .join(counts.alias("b"),
+        col("a.__t") === col("b.__t") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("g_a"), col("b.__g").as("g_b"))
+      .agg(sum(least(col("a.__w"), col("b.__w"))).as("sum_min"))
+    smin
+      .join(broadcast(totals.select(col("__g").as("g_a"), col("__tot").as("tot_a"))), Seq("g_a"))
+      .join(broadcast(totals.select(col("__g").as("g_b"), col("__tot").as("tot_b"))), Seq("g_b"))
+      .select(col("g_a"), col("g_b"), col("tot_a"), col("tot_b"), col("sum_min"),
+        expr("(1000000L * sum_min) div (tot_a + tot_b - sum_min)").as("wjaccard_ppm"))
+  }
+
+  /** Log template mining, mask-and-count: hex runs (ids, hashes) then
+    * digit runs collapse to placeholders, and the surviving template is
+    * the message's shape — the observability workhorse that turns a
+    * billion raw log lines into a few hundred countable behaviors.
+    * Emits per template: occurrences, distinct raw forms, and the
+    * lexicographically-smallest example (deterministic cross-engine).
+    *
+    * Scale shape: pure map-side regexp_replace into one
+    * template-cardinality hash agg (min() carries the example — no
+    * second pass, no window).
+    */
+  def logTemplates(df: DataFrame, messageCol: Column): DataFrame = {
+    val raw = coalesce(messageCol, lit(""))
+    val template =
+      regexp_replace(
+        regexp_replace(raw, "[0-9a-fA-F]{8,}", "<hex>"),
+        "[0-9]+", "<n>")
+    df.select(template.as("template"), raw.as("__raw"))
+      .groupBy(col("template"))
+      .agg(count(lit(1)).as("n_msgs"),
+        countDistinct(col("__raw")).as("n_distinct_msgs"),
+        min(col("__raw")).as("example"))
+  }
+
   /** Unicode SCRIPT profile per group: how many characters fall in each
     * major script range (Latin incl. the Latin-1/Extended accents,
     * Cyrillic, Greek, CJK+kana, Arabic, ASCII digits) plus a dominant

@@ -960,4 +960,34 @@ class Round8OpsSpec extends SparkSpec {
     assert(l0._5 == 1L && l0._6 == 1L) // one zero vector, one non-finite
     assert(got(1) == ((1L, 1L, 3L, 3L, 0L, 0L, 140000L, 140000L, 140000L)))
   }
+
+  test("weightedJaccard: count-aware overlap, identity for the max side") {
+    // A: x×3, y×1  B: x×1, z×2  → Σmin = min(3,1) = 1 over common {x};
+    // Σmax = 4 + 3 − 1 = 6 → 166666 ppm. C == A exactly → 1e6.
+    val rows = Seq.fill(3)(("A", "x")) ++ Seq(("A", "y")) ++
+      Seq(("B", "x")) ++ Seq.fill(2)(("B", "z")) ++
+      Seq.fill(3)(("C", "x")) ++ Seq(("C", "y"))
+    val byName = graft.ops.Lexical.weightedJaccard(rows.toDF("g", "t"), "g", col("t"))
+      .collect().map(r => ((r.getAs[String]("g_a"), r.getAs[String]("g_b")),
+        (r.getAs[Long]("sum_min"), r.getAs[Long]("wjaccard_ppm")))).toMap
+    assert(byName(("A", "B")) == ((1L, 166666L)))
+    assert(byName(("A", "C")) == ((4L, 1000000L)))
+    assert(byName(("B", "C")) == ((1L, 166666L)))
+  }
+
+  test("logTemplates: hex-before-digit masking, counts and deterministic example") {
+    val df = Seq(
+      "GET /api/user/123 took 45ms",
+      "GET /api/user/999 took 7ms",
+      "session deadbeef01 expired",
+      "session cafebabe99 expired",
+      "plain message"
+    ).toDF("m")
+    val got = graft.ops.Lexical.logTemplates(df, col("m"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got("GET /api/user/<n> took <n>ms") ==
+      ((2L, 2L, "GET /api/user/123 took 45ms")))
+    assert(got("session <hex> expired") == ((2L, 2L, "session cafebabe99 expired")))
+    assert(got("plain message") == ((1L, 1L, "plain message")))
+  }
 }
