@@ -491,4 +491,40 @@ class PlanShapeSpec extends SparkSpec {
       graft.ops.Trend.rankMovers(evts.withColumn("p", col("st")), "k", col("p"), "t0", "t1")).isEmpty,
       "rankMovers must rank each period through denseIds, not a global window")
   }
+
+  test("newest batch ops: windows stay key-partitioned, pair joins stay bounded") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    def rowGrainGlobal(df: DataFrame): Seq[WindowExec] =
+      initialPlan(df).collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        .filterNot(_.orderSpec.mkString.contains("__pid"))
+    val series = (1 to 120).map(i => (s"u${i % 6}", i.toLong, (i % 9).toLong)).toDF("k", "o", "v")
+    assert(rowGrainGlobal(graft.ops.TimeSeries.saxSymbols(
+      series, Seq("k"), Seq(col("o")), col("v"), 4, Seq(1500L))).isEmpty,
+      "saxSymbols' PAA ranking must partition by the series key")
+    assert(rowGrainGlobal(graft.ops.TimeSeries.varianceChangepoint(
+      series, Seq("k"), Seq(col("o")), col("v"))).isEmpty,
+      "varianceChangepoint's prefix sums and argmin must partition by key")
+    assert(rowGrainGlobal(graft.ops.TimeSeries.ohlc(
+      series, Seq("k"), col("o") % 7, Seq(col("o")), col("v"))).isEmpty,
+      "ohlc's first/last picks must partition by (key, period)")
+    val ranked = (1 to 90).map(i => (s"q${i % 3}", i.toLong)).toDF("q", "s")
+    assert(rowGrainGlobal(graft.ops.Eval.averagePrecision(
+      ranked, Seq("q"), Seq(col("s")), col("s") % 3 === 0, 10)).isEmpty,
+      "averagePrecision's running relevant count must partition by query")
+    // bottom-k sketch: the per-group and per-pair rankings are
+    // key-partitioned; no CartesianProduct anywhere (the pair expansion
+    // is an equi-join through the exploded membership rail)
+    val toks = (1 to 200).map(i => (s"s${i % 5}", s"w${i % 37}")).toDF("g", "t")
+    val bkPlan = initialPlan(graft.ops.Dedup.bottomKJaccard(toks, "g", col("t"), 16))
+    assert(bkPlan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "bottomKJaccard must never plan a CartesianProduct")
+    assert(rowGrainGlobal(graft.ops.Dedup.bottomKJaccard(toks, "g", col("t"), 16)).isEmpty,
+      "bottomKJaccard's sketch and union ranks must partition by group/pair")
+    // weightedJaccard: token-keyed equi-join only — no cartesian, and the
+    // token strings never ride a shuffle wider than (group, token, count)
+    val wjPlan = initialPlan(graft.ops.Lexical.weightedJaccard(toks, "g", col("t")))
+    assert(wjPlan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "weightedJaccard must pair groups through the token equi-join")
+  }
 }
