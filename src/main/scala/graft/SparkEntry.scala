@@ -2653,7 +2653,30 @@ object SparkEntry {
           concat(col("event_type"), lit(" user="), col("user_id"),
             lit(" took "), floor(col("value")).cast("long"), lit("ms"),
             lit(" props="), col("props")).as("msg")),
-        col("msg")))
+        col("msg"))),
+
+    // ---- cohort LTV curve over orders: first-order cohort month, age,
+    // active counts, exact cumulative revenue per cohort member. --------
+    "q277_ltv_curve" -> ((s, dir) =>
+      Cohort.ltvCurve(
+        t(s, dir, "orders"),
+        "o_custkey",
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long"),
+        round(col("o_totalprice") * 100).cast("long"))),
+
+    // ---- floor-at-zero credit balance per user: purchases draw 3×,
+    // everything else accrues — the sequential clamp as two windows
+    // (Skorokhod reflection), plus the lost-to-floor shortfall. ---------
+    "q278_clamped_balance" -> ((s, dir) =>
+      TimeSeries.clampedBalance(
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+            when(col("event_type") === "purchase",
+              lit(-3L) * floor(col("value")).cast("long"))
+              .otherwise(floor(col("value")).cast("long")).as("d")),
+        Seq("user_id"), Seq(col("ms"), col("event_id")), col("d"))
+        .select(col("user_id"), col("event_id"), col("delta"), col("balance"),
+          col("shortfall")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -7050,7 +7073,63 @@ object SparkEntry {
         |SELECT template, CAST(count(*) AS BIGINT) AS n_msgs,
         | CAST(count(DISTINCT m) AS BIGINT) AS n_distinct_msgs,
         | min(m) AS example
-        |FROM t GROUP BY 1""".stripMargin
+        |FROM t GROUP BY 1""".stripMargin,
+
+    // q277: identical month ints, min-cohort join, per-cohort cumsum.
+    "q277_ltv_curve" ->
+      """WITH b AS (
+        | SELECT o_custkey AS c, year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS amt
+        | FROM orders),
+        |co AS (SELECT c, min(m) AS cohort_month FROM b GROUP BY 1),
+        |sz AS (SELECT cohort_month, CAST(count(*) AS BIGINT) AS cohort_size
+        | FROM co GROUP BY 1),
+        |ag AS (
+        | SELECT co.cohort_month, b.m - co.cohort_month AS age_months,
+        |  CAST(count(DISTINCT b.c) AS BIGINT) AS n_active,
+        |  CAST(sum(b.amt) AS BIGINT) AS revenue_cents
+        | FROM b JOIN co ON b.c = co.c GROUP BY 1, 2),
+        |cum AS (
+        | SELECT *, sum(revenue_cents) OVER (PARTITION BY cohort_month
+        |   ORDER BY age_months ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS cum_revenue_cents
+        | FROM ag)
+        |SELECT CAST(cohort_month AS BIGINT) AS cohort_month,
+        | CAST(age_months AS BIGINT) AS age_months, n_active, revenue_cents,
+        | cohort_size, CAST(cum_revenue_cents AS BIGINT) AS cum_revenue_cents,
+        | CAST((1000 * cum_revenue_cents) // (100 * cohort_size) AS BIGINT)
+        |  AS cum_rev_per_user_milli
+        |FROM cum JOIN sz USING (cohort_month)""".stripMargin,
+
+    // q278: the reflection identity layered as stacked window passes on
+    // the same (ms, event_id) order.
+    "q278_clamped_balance" ->
+      """WITH d AS (
+        | SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |  CASE WHEN event_type = 'purchase'
+        |   THEN -3 * CAST(floor(value) AS BIGINT)
+        |   ELSE CAST(floor(value) AS BIGINT) END AS delta
+        | FROM events),
+        |s AS (
+        | SELECT user_id, event_id, ms, delta, sum(delta) OVER w AS rs
+        | FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |r AS (
+        | SELECT user_id, event_id, ms, delta, rs, min(rs) OVER w AS rmin
+        | FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |b AS (
+        | SELECT user_id, event_id, ms, delta,
+        |  rs - least(CAST(0 AS BIGINT), rmin) AS balance
+        | FROM r),
+        |f AS (
+        | SELECT *, coalesce(lag(balance) OVER (PARTITION BY user_id
+        |   ORDER BY ms, event_id), 0) AS prev
+        | FROM b)
+        |SELECT user_id, event_id, delta, CAST(balance AS BIGINT) AS balance,
+        | CAST(CASE WHEN delta < 0 THEN balance - prev - delta ELSE 0 END AS BIGINT)
+        |  AS shortfall
+        |FROM f""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

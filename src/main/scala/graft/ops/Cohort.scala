@@ -263,6 +263,41 @@ object Cohort {
         expr("(1000000L * __sumDau) div (n_active_days * wau)").as("stickiness_ppm"))
   }
 
+  /** Cohort LTV curve: per (first-purchase cohort month, months-since)
+    * the active-customer count, period revenue, and the cumulative
+    * revenue per original cohort member — the "do newer cohorts
+    * monetize faster" table behind every growth model, exact in integer
+    * cents/milli.
+    *
+    * Scale shape: one min-agg for cohort assignment, a customer-keyed
+    * join back (both sides shuffle on the customer key once), one
+    * (cohort, age) agg, then a PER-COHORT cumulative window over
+    * age-cardinality rows. Cohort sizes ride a broadcast join.
+    */
+  def ltvCurve(
+      df: DataFrame,
+      customerCol: String,
+      monthCol: Column,
+      amountCents: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(customerCol).as("__c"), monthCol.as("__m"),
+      amountCents.as("__amt"))
+    val cohorts = base.groupBy(col("__c")).agg(min(col("__m")).as("cohort_month"))
+    val sizes = cohorts.groupBy(col("cohort_month")).agg(count(lit(1)).as("cohort_size"))
+    val aged = base.join(cohorts, Seq("__c"))
+      .withColumn("age_months", col("__m") - col("cohort_month"))
+      .groupBy(col("cohort_month"), col("age_months"))
+      .agg(countDistinct(col("__c")).as("n_active"),
+        sum(col("__amt")).as("revenue_cents"))
+    val w = Window.partitionBy(col("cohort_month")).orderBy(col("age_months"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    aged
+      .join(broadcast(sizes), Seq("cohort_month"))
+      .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(w))
+      .withColumn("cum_rev_per_user_milli",
+        expr("(1000L * cum_revenue_cents) div (100L * cohort_size)"))
+  }
+
   /** Exact audience overlap between every pair of segments: shared
     * actors, per-segment sizes, Jaccard and overlap-coefficient ppm —
     * the "how distinct are these cohorts really" matrix behind campaign

@@ -822,6 +822,45 @@ object TimeSeries {
         col("n_pairs"), col("r_ppm"))
   }
 
+  /** Floor-at-zero running balance per key — inventory on hand, credit
+    * balances, token buckets: deltas accumulate but the balance never
+    * goes below zero (a sale against empty stock is lost, not borrowed).
+    * The sequential clamp has a closed form (Skorokhod reflection):
+    * `balance_t = S_t − min(0, min_{k≤t} S_k)` with S the plain running
+    * sum — so the "inherently stateful" scan is TWO ordinary per-key
+    * window functions sharing one sort, no typed replay, no UDAF, and
+    * an exact SQL-oracle formulation. `shortfall` (how much of this
+    * row's negative delta was lost to the floor) falls out of the same
+    * identity.
+    *
+    * Scale shape: one per-key ordered window pass (sum + min share the
+    * frame), map-side arithmetic after. Keys never co-shuffle.
+    */
+  def clampedBalance(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[Column],
+      deltaCol: Column): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val g = keyCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("delta", deltaCol.cast("long"))
+      .withColumn("__s", sum(col("delta")).over(w))
+      .withColumn("__rmin", min(col("__s")).over(w))
+      .withColumn("balance", col("__s") - least(lit(0L), col("__rmin")))
+      .withColumn("__prevBal",
+        coalesce(lag(col("balance"), 1).over(
+          Window.partitionBy(g: _*).orderBy(orderCols: _*)), lit(0L)))
+      // shortfall = requested draw beyond what the clamp allowed:
+      // prev + delta would have gone negative by exactly this much
+      .withColumn("shortfall",
+        when(col("delta") < 0, col("balance") - col("__prevBal") - col("delta"))
+          .otherwise(0L))
+      .drop("__s", "__rmin", "__prevBal")
+  }
+
   /** Single changepoint per series by least squared error: the split
     * k ∈ [1, n−1] minimizing SSE(prefix) + SSE(suffix), i.e. binary
     * segmentation's first cut — "where did this metric change level".

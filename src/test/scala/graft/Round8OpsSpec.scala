@@ -990,4 +990,45 @@ class Round8OpsSpec extends SparkSpec {
     assert(got("session <hex> expired") == ((2L, 2L, "session cafebabe99 expired")))
     assert(got("plain message") == ((1L, 1L, "plain message")))
   }
+
+  test("ltvCurve: cohort assignment, cumulative revenue per member exact") {
+    // cohort month 10: u1 (buys m10: 1000c, m11: 500c), u2 (m10: 2000c)
+    // cohort month 11: u3 (m11: 300c)
+    val df = Seq(("u1", 10L, 1000L), ("u1", 11L, 500L), ("u2", 10L, 2000L),
+      ("u3", 11L, 300L)).toDF("c", "m", "amt")
+    val got = graft.ops.Cohort.ltvCurve(df, "c", col("m"), col("amt"))
+      .collect().map(r => ((r.getAs[Long]("cohort_month"), r.getAs[Long]("age_months")),
+        (r.getAs[Long]("n_active"), r.getAs[Long]("revenue_cents"),
+          r.getAs[Long]("cohort_size"), r.getAs[Long]("cum_revenue_cents"),
+          r.getAs[Long]("cum_rev_per_user_milli")))).toMap
+    // cohort 10 age 0: 2 active, 3000c, cum 3000 → per-user 3000/2 c = 15000 milli-dollars? no:
+    // (1000·3000)//(100·2) = 15000 milli-units of currency = 15.000
+    assert(got((10L, 0L)) == ((2L, 3000L, 2L, 3000L, 15000L)))
+    assert(got((10L, 1L)) == ((1L, 500L, 2L, 3500L, 17500L)))
+    assert(got((11L, 0L)) == ((1L, 300L, 1L, 300L, 3000L)))
+  }
+
+  test("clampedBalance: reflection identity equals the sequential clamp, shortfall exact") {
+    // hand trace (+5, -3, -4, +2): balances 5,2,0,2; shortfall 2 on the -4
+    val hand = Seq((1L, 5L), (2L, -3L), (3L, -4L), (4L, 2L))
+      .map { case (o, d) => ("k", o, d) }.toDF("k", "o", "d")
+    val got = graft.ops.TimeSeries.clampedBalance(hand, Seq("k"), Seq(col("o")), col("d"))
+      .collect().map(r => (r.getAs[Long]("o"), r.getAs[Long]("balance"), r.getAs[Long]("shortfall")))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1L, 5L, 0L), (2L, 2L, 0L), (3L, 0L, 2L), (4L, 2L, 0L)))
+
+    // random series: the window formulation must equal a sequential fold
+    val rnd = new scala.util.Random(17)
+    val deltas = (1 to 200).map(i => (s"g${i % 3}", i.toLong, (rnd.nextInt(21) - 10).toLong))
+    val seq = deltas.groupBy(_._1).flatMap { case (k, rows) =>
+      rows.sortBy(_._2).scanLeft((k, 0L, 0L)) { case ((_, _, bal), (_, o, d)) =>
+        (k, o, math.max(0L, bal + d))
+      }.drop(1)
+    }.map { case (k, o, b) => (k, o) -> b }.toMap
+    val win = graft.ops.TimeSeries.clampedBalance(
+        deltas.toDF("k", "o", "d"), Seq("k"), Seq(col("o")), col("d"))
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("o")) -> r.getAs[Long]("balance"))
+      .toMap
+    assert(win == seq)
+  }
 }
