@@ -2676,7 +2676,21 @@ object SparkEntry {
               .otherwise(floor(col("value")).cast("long")).as("d")),
         Seq("user_id"), Seq(col("ms"), col("event_id")), col("d"))
         .select(col("user_id"), col("event_id"), col("delta"), col("balance"),
-          col("shortfall")))
+          col("shortfall"))),
+
+    // ---- net/gross revenue retention per month over orders: lag-1
+    // customer self-join from the prior-month base. ---------------------
+    "q279_revenue_retention" -> ((s, dir) =>
+      Cohort.revenueRetention(
+        t(s, dir, "orders"),
+        "o_custkey",
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long"),
+        round(col("o_totalprice") * 100).cast("long"))),
+
+    // ---- weekly growth accounting over events: new / retained /
+    // resurrected / churned + quick ratio. ------------------------------
+    "q280_growth_accounting" -> ((s, dir) =>
+      Cohort.growthAccounting(t(s, dir, "events"), "user_id", "ts"))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -7129,7 +7143,59 @@ object SparkEntry {
         |SELECT user_id, event_id, delta, CAST(balance AS BIGINT) AS balance,
         | CAST(CASE WHEN delta < 0 THEN balance - prev - delta ELSE 0 END AS BIGINT)
         |  AS shortfall
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // q279: lag-1 month self-join from the base side, min() caps GRR.
+    "q279_revenue_retention" ->
+      """WITH m AS (
+        | SELECT o_custkey AS c, year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        | FROM orders GROUP BY 1, 2),
+        |j AS (
+        | SELECT p.m + 1 AS month, p.rev AS base, c.rev AS cur
+        | FROM m p LEFT JOIN m c ON c.c = p.c AND c.m = p.m + 1)
+        |SELECT CAST(month AS BIGINT) AS month,
+        | CAST(count(*) AS BIGINT) AS n_base_customers,
+        | CAST(sum(base) AS BIGINT) AS base_cents,
+        | CAST(sum(CASE WHEN cur IS NULL THEN 0 ELSE least(base, cur) END) AS BIGINT)
+        |  AS retained_cents,
+        | CAST(sum(coalesce(cur, 0)) AS BIGINT) AS carried_cents,
+        | CAST(count(CASE WHEN cur IS NULL THEN 1 END) AS BIGINT) AS n_churned,
+        | CAST((1000000 * sum(CASE WHEN cur IS NULL THEN 0 ELSE least(base, cur) END))
+        |  // sum(base) AS BIGINT) AS grr_ppm,
+        | CAST((1000000 * sum(coalesce(cur, 0))) // sum(base) AS BIGINT) AS nrr_ppm
+        |FROM j GROUP BY 1""".stripMargin,
+
+    // q280: identical epoch-week ints, per-user lag/lead/min windows.
+    "q280_growth_accounting" ->
+      """WITH wk AS (
+        | SELECT DISTINCT user_id AS a, epoch_ms(ts) // 1000 // 86400 // 7 AS week
+        | FROM events),
+        |t AS (
+        | SELECT a, week,
+        |  min(week) OVER (PARTITION BY a) AS fw,
+        |  lag(week) OVER (PARTITION BY a ORDER BY week) AS pw,
+        |  lead(week) OVER (PARTITION BY a ORDER BY week) AS nw
+        | FROM wk),
+        |st AS (
+        | SELECT week,
+        |  CAST(count(CASE WHEN week = fw THEN 1 END) AS BIGINT) AS n_new,
+        |  CAST(count(CASE WHEN pw = week - 1 THEN 1 END) AS BIGINT) AS n_retained,
+        |  CAST(count(CASE WHEN week <> fw AND (pw IS NULL OR pw < week - 1) THEN 1 END)
+        |   AS BIGINT) AS n_resurrected,
+        |  CAST(count(*) AS BIGINT) AS n_active
+        | FROM t GROUP BY 1),
+        |ch AS (
+        | SELECT week + 1 AS week, CAST(count(*) AS BIGINT) AS n_churned
+        | FROM t WHERE nw IS NULL OR nw > week + 1 GROUP BY 1)
+        |SELECT CAST(week AS BIGINT) AS week,
+        | coalesce(n_new, 0) AS n_new, coalesce(n_retained, 0) AS n_retained,
+        | coalesce(n_resurrected, 0) AS n_resurrected,
+        | coalesce(n_active, 0) AS n_active, coalesce(n_churned, 0) AS n_churned,
+        | CASE WHEN coalesce(n_churned, 0) = 0 THEN NULL
+        |  ELSE CAST((1000 * (coalesce(n_new, 0) + coalesce(n_resurrected, 0)))
+        |   // n_churned AS BIGINT) END AS quick_ratio_milli
+        |FROM st FULL OUTER JOIN ch USING (week)""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -263,6 +263,88 @@ object Cohort {
         expr("(1000000L * __sumDau) div (n_active_days * wau)").as("stickiness_ppm"))
   }
 
+  /** Net / gross revenue retention per month: of the revenue base laid
+    * down by month m−1's customers, how much survived into m (GRR caps
+    * each customer at their prior spend; NRR lets expansion count) —
+    * THE SaaS-health pair, exact in integer cents and truncated ppm.
+    * New-customer revenue is excluded from both by construction.
+    *
+    * Scale shape: one (customer, month) revenue agg, one customer-keyed
+    * self-join at lag 1 month (left join from the prior-month side so
+    * full churn still contributes its zero), one month-level agg.
+    */
+  def revenueRetention(
+      df: DataFrame,
+      customerCol: String,
+      monthCol: Column,
+      amountCents: Column): DataFrame = {
+    val monthly = df
+      .groupBy(col(customerCol).as("__c"), monthCol.as("__m"))
+      .agg(sum(amountCents).as("__rev"))
+    val prev = monthly.select(col("__c"), (col("__m") + 1L).as("month"),
+      col("__rev").as("__base"))
+    val cur = monthly.select(col("__c"), col("__m").as("month"),
+      col("__rev").as("__cur"))
+    prev.join(cur, Seq("__c", "month"), "left")
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_base_customers"),
+        sum(col("__base")).as("base_cents"),
+        // NOT least(base, cur) alone: least() in BOTH engines skips
+        // NULLs, so a churned customer's base would count as retained
+        sum(when(col("__cur").isNull, 0L)
+          .otherwise(least(col("__base"), col("__cur")))).as("retained_cents"),
+        sum(coalesce(col("__cur"), lit(0L))).as("carried_cents"),
+        count_if(col("__cur").isNull).as("n_churned"))
+      .withColumn("grr_ppm", expr("(1000000L * retained_cents) div base_cents"))
+      .withColumn("nrr_ppm", expr("(1000000L * carried_cents) div base_cents"))
+  }
+
+  /** Weekly growth accounting: every active user classifies as NEW
+    * (first week ever), RETAINED (also active the week before) or
+    * RESURRECTED (active before, but not last week); CHURNED counts
+    * land on the first week a previously-active user goes quiet. The
+    * quick ratio `(new + resurrected) / churned` is the one-line
+    * growth-quality readout. Exact counts on engine-neutral epoch-week
+    * integers.
+    *
+    * Scale shape: one distinct (user, week) pass, per-USER lag/lead/min
+    * windows (key-partitioned), two week-level aggs outer-merged. The
+    * churn week may extend one week past the data horizon — that final
+    * row reports the last week's quiet-goers, by design.
+    */
+  def growthAccounting(df: DataFrame, actorCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weeks = df
+      .select(col(actorCol).as("__a"),
+        expr(s"unix_millis($tsCol) div 1000 div 86400 div 7").as("week"))
+      .distinct()
+    val w = Window.partitionBy(col("__a")).orderBy(col("week"))
+    val tagged = weeks
+      .withColumn("__first", min(col("week")).over(Window.partitionBy(col("__a"))))
+      .withColumn("__prev", lag(col("week"), 1).over(w))
+      .withColumn("__next", lead(col("week"), 1).over(w))
+    val states = tagged.groupBy(col("week"))
+      .agg(count_if(col("week") === col("__first")).as("n_new"),
+        count_if(col("__prev") === col("week") - 1).as("n_retained"),
+        count_if(col("week") =!= col("__first") &&
+          (col("__prev").isNull || col("__prev") < col("week") - 1)).as("n_resurrected"),
+        count(lit(1)).as("n_active"))
+    val churn = tagged
+      .where(col("__next").isNull || col("__next") > col("week") + 1)
+      .select((col("week") + 1L).as("week"))
+      .groupBy(col("week")).agg(count(lit(1)).as("n_churned"))
+    states.join(churn, Seq("week"), "full_outer")
+      .select(col("week"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .withColumn("quick_ratio_milli",
+        when(col("n_churned") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000L * (n_new + n_resurrected)) div n_churned")))
+  }
+
   /** Cohort LTV curve: per (first-purchase cohort month, months-since)
     * the active-customer count, period revenue, and the cumulative
     * revenue per original cohort member — the "do newer cohorts

@@ -1031,4 +1031,38 @@ class Round8OpsSpec extends SparkSpec {
       .toMap
     assert(win == seq)
   }
+
+  test("revenueRetention: churn caps GRR, expansion lifts NRR, new customers excluded") {
+    // m10: u1=100, u2=200; m11: u1=150 (expansion), u2 absent (churn),
+    // u3=999 (new — must not count). Base for m11 = 300;
+    // GRR = min(100,150)+0 = 100 → 333333; NRR = 150 → 500000.
+    val df = Seq(("u1", 10L, 100L), ("u2", 10L, 200L), ("u1", 11L, 150L),
+      ("u3", 11L, 999L)).toDF("c", "m", "amt")
+    val got = graft.ops.Cohort.revenueRetention(df, "c", col("m"), col("amt"))
+      .collect().map(r => r.getAs[Long]("month") ->
+        ((r.getAs[Long]("n_base_customers"), r.getAs[Long]("base_cents"),
+          r.getAs[Long]("retained_cents"), r.getAs[Long]("carried_cents"),
+          r.getAs[Long]("n_churned"), r.getAs[Long]("grr_ppm"), r.getAs[Long]("nrr_ppm")))).toMap
+    assert(got(11L) == ((2L, 300L, 100L, 150L, 1L, 333333L, 500000L)))
+    // m12 row: base = m11's customers (u1, u3), all churned
+    assert(got(12L) == ((2L, 1149L, 0L, 0L, 2L, 0L, 0L)))
+  }
+
+  test("growthAccounting: state classification and churn-week placement") {
+    def ts(week: Int) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(week.toLong * 7 * 86400 + 3600))
+    // u1 active w0, w1, w3  → new@0, retained@1, resurrected@3, churn lands on w2 and w4
+    // u2 active w1          → new@1, churn lands on w2
+    val df = Seq(("u1", ts(0)), ("u1", ts(1)), ("u1", ts(3)), ("u2", ts(1)))
+      .toDF("user_id", "ts")
+    val got = graft.ops.Cohort.growthAccounting(df, "user_id", "ts")
+      .collect().map(r => r.getAs[Long]("week") ->
+        ((r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"), r.getAs[Long]("n_resurrected"),
+          r.getAs[Long]("n_active"), r.getAs[Long]("n_churned")))).toMap
+    assert(got(0L) == ((1L, 0L, 0L, 1L, 0L)))
+    assert(got(1L) == ((1L, 1L, 0L, 2L, 0L)))
+    assert(got(2L) == ((0L, 0L, 0L, 0L, 2L)))
+    assert(got(3L) == ((0L, 0L, 1L, 1L, 0L)))
+    assert(got(4L) == ((0L, 0L, 0L, 0L, 1L)))
+  }
 }
