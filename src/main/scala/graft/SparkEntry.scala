@@ -2690,7 +2690,34 @@ object SparkEntry {
     // ---- weekly growth accounting over events: new / retained /
     // resurrected / churned + quick ratio. ------------------------------
     "q280_growth_accounting" -> ((s, dir) =>
-      Cohort.growthAccounting(t(s, dir, "events"), "user_id", "ts"))
+      Cohort.growthAccounting(t(s, dir, "events"), "user_id", "ts")),
+
+    // ---- interval-overlap join: order fulfillment windows × a sampled
+    // incident grid — bucket equi-join, first-shared-cell dedup-free
+    // matching, exact overlap micros. -----------------------------------
+    "q281_interval_overlap" -> ((s, dir) => {
+      val a = t(s, dir, "orders").where(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey").as("a_id"), col("o_orderdate").as("a_start"),
+          (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("a_end"))
+      val b = t(s, dir, "orders").where(col("o_orderkey") % 70 === 0)
+        .select(col("o_orderkey").as("b_id"),
+          (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("b_start"),
+          (col("o_orderdate") + expr("INTERVAL 4 DAYS")).as("b_end"))
+      IntervalJoin.overlapPairs(a, "a_start", "a_end", b, "b_start", "b_end",
+          bucketWidthSec = 3 * 86400L)
+        .select(col("a_id"), col("b_id"), col("overlap_micros"))
+    }),
+
+    // ---- rolling 7-point regression slope of each type's daily count
+    // series: one frame window, exact integer suff-stats. ---------------
+    "q282_rolling_slope" -> ((s, dir) =>
+      TimeSeries.rollingSlope(
+        t(s, dir, "events")
+          .select(col("event_type"),
+            expr("unix_millis(ts) div 1000 div 86400").as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("c")),
+        Seq("event_type"), col("day"), col("c"), w = 7))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -7195,7 +7222,43 @@ object SparkEntry {
         | CASE WHEN coalesce(n_churned, 0) = 0 THEN NULL
         |  ELSE CAST((1000 * (coalesce(n_new, 0) + coalesce(n_resurrected, 0)))
         |   // n_churned AS BIGINT) END AS quick_ratio_milli
-        |FROM st FULL OUTER JOIN ch USING (week)""".stripMargin
+        |FROM st FULL OUTER JOIN ch USING (week)""".stripMargin,
+
+    // q281: a plain inequality join is exact at oracle scale — the
+    // bucket-grid path must produce the identical pair set.
+    "q281_interval_overlap" ->
+      """WITH a AS (
+        | SELECT o_orderkey AS a_id, o_orderdate AS a_start,
+        |  o_orderdate + INTERVAL 3 DAY AS a_end
+        | FROM orders WHERE o_orderkey % 50 = 0),
+        |b AS (
+        | SELECT o_orderkey AS b_id, o_orderdate + INTERVAL 1 DAY AS b_start,
+        |  o_orderdate + INTERVAL 4 DAY AS b_end
+        | FROM orders WHERE o_orderkey % 70 = 0)
+        |SELECT a_id, b_id,
+        | CAST(epoch_us(least(a_end, b_end)) - epoch_us(greatest(a_start, b_start))
+        |  AS BIGINT) AS overlap_micros
+        |FROM a JOIN b ON a_start < b_end AND b_start < a_end""".stripMargin,
+
+    // q282: one frame window, identical suff-stat arithmetic.
+    "q282_rolling_slope" ->
+      """WITH d AS (
+        | SELECT event_type, epoch_ms(ts) // 1000 // 86400 AS day, count(*) AS c
+        | FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(day AS BIGINT) AS day, CAST(c AS BIGINT) AS c,
+        | CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+        | CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+        | CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |  ELSE CAST((1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT)
+        | END AS slope_milli,
+        | CAST(n AS BIGINT) AS n_window
+        |FROM (
+        | SELECT event_type, day, c,
+        |  count(*) OVER w AS n, sum(day) OVER w AS sx, sum(c) OVER w AS sy,
+        |  sum(day * c) OVER w AS sxy, sum(day * day) OVER w AS sxx
+        | FROM d
+        | WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -65,4 +65,43 @@ object IntervalJoin {
       .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval–interval OVERLAP join: pairs (a, b) from two interval sets
+    * whose half-open spans intersect, with the exact overlap length —
+    * the session-vs-incident / downtime-vs-deploy correlation join. The
+    * classic O(n·m) inequality join becomes a bucket-grid equi-join:
+    * both sides fan out to the grid cells they span, and each
+    * overlapping pair matches EXACTLY ONCE — only in the first cell the
+    * overlap itself occupies (`bucket = ⌊max(starts)/w⌋`) — so no
+    * distinct pass over the matches is needed.
+    *
+    * Scale shape: fan-out is span/width cells per interval (pick
+    * `bucketWidthSec` ≈ the typical span), the join is a plain hash
+    * equi-join on the cell id, and the overlap predicate + first-cell
+    * filter run inside codegen. Degenerate (end ≤ start) intervals are
+    * dropped before the explode, as in [[pointsInIntervals]].
+    */
+  def overlapPairs(
+      a: DataFrame,
+      aStart: String,
+      aEnd: String,
+      b: DataFrame,
+      bStart: String,
+      bEnd: String,
+      bucketWidthSec: Long): DataFrame = {
+    require(bucketWidthSec > 0, s"bucketWidthSec must be positive: $bucketWidthSec")
+    val width = lit(bucketWidthSec * 1000000L)
+    def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
+    def spread(df: DataFrame, s: String, e: String) = df
+      .where(col(e) > col(s))
+      .withColumn("__bucket",
+        explode(sequence(floor(micros(col(s)) / width), floor((micros(col(e)) - 1) / width))))
+    spread(a, aStart, aEnd).join(spread(b, bStart, bEnd), Seq("__bucket"))
+      .where(col(aStart) < col(bEnd) && col(bStart) < col(aEnd) &&
+        col("__bucket") === floor(greatest(micros(col(aStart)), micros(col(bStart))) / width))
+      .withColumn("overlap_micros",
+        least(micros(col(aEnd)), micros(col(bEnd)))
+          - greatest(micros(col(aStart)), micros(col(bStart))))
+      .drop("__bucket")
+  }
 }

@@ -822,6 +822,46 @@ object TimeSeries {
         col("n_pairs"), col("r_ppm"))
   }
 
+  /** Rolling regression slope per key: over the trailing `w` points of
+    * each series, the least-squares slope of value against the ORDER
+    * column as exact integer numerator/denominator
+    * (`n·Σxy − Σx·Σy` over `n·Σx² − (Σx)²`) plus a truncated-milli
+    * quotient — the local-trend signal behind "is this metric
+    * accelerating" alerts, where a global [[graft.ops.Trend]] fit
+    * averages the question away. Flat-x windows (den = 0) emit NULL.
+    *
+    * Scale shape: all four suff-stat sums share ONE per-key frame
+    * window (same partitioning, same ordering, same frame → one
+    * WindowExec, one sort); arithmetic is map-side after.
+    */
+  def rollingSlope(
+      df: DataFrame,
+      keyCols: Seq[String],
+      xCol: Column,
+      yCol: Column,
+      w: Int): DataFrame = {
+    require(w >= 2, s"window must cover at least 2 points: $w")
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val g = keyCols.map(col)
+    val frame = Window.partitionBy(g: _*).orderBy(xCol)
+      .rowsBetween(-(w - 1), Window.currentRow)
+    val x = xCol.cast("long")
+    val y = yCol.cast("long")
+    df
+      .withColumn("__n", count(lit(1)).over(frame))
+      .withColumn("__sx", sum(x).over(frame))
+      .withColumn("__sy", sum(y).over(frame))
+      .withColumn("__sxy", sum(x * y).over(frame))
+      .withColumn("__sxx", sum(x * x).over(frame))
+      .withColumn("slope_num", expr("__n * __sxy - __sx * __sy"))
+      .withColumn("slope_den", expr("__n * __sxx - __sx * __sx"))
+      .withColumn("slope_milli",
+        when(col("slope_den") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000 * slope_num) div slope_den")))
+      .withColumn("n_window", col("__n"))
+      .drop("__n", "__sx", "__sy", "__sxy", "__sxx")
+  }
+
   /** Floor-at-zero running balance per key — inventory on hand, credit
     * balances, token buckets: deltas accumulate but the balance never
     * goes below zero (a sale against empty stock is lost, not borrowed).

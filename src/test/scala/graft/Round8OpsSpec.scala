@@ -1065,4 +1065,46 @@ class Round8OpsSpec extends SparkSpec {
     assert(got(3L) == ((0L, 0L, 1L, 1L, 0L)))
     assert(got(4L) == ((0L, 0L, 0L, 0L, 1L)))
   }
+
+  test("overlapPairs: matches the quadratic reference once per pair, exact lengths") {
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val rnd = new scala.util.Random(5)
+    val mk = (n: Int) => (0 until n).map { i =>
+      val s = rnd.nextInt(5000).toLong
+      (i.toLong, s, s + 1 + rnd.nextInt(800))
+    }
+    val as = mk(80)
+    val bs = mk(60)
+    val expected = (for {
+      (ai, as1, ae) <- as; (bi, bs1, be) <- bs
+      if as1 < be && bs1 < ae
+    } yield (ai, bi, (math.min(ae, be) - math.max(as1, bs1)) * 1000000L)).toSet
+    val aDf = as.map { case (i, s, e) => (i, ts(s), ts(e)) }.toDF("a_id", "a_start", "a_end")
+    val bDf = bs.map { case (i, s, e) => (i, ts(s), ts(e)) }.toDF("b_id", "b_start", "b_end")
+    // width much smaller than spans → pairs share MANY buckets; the
+    // first-shared-cell rule must still emit each pair exactly once
+    val got = graft.ops.IntervalJoin.overlapPairs(aDf, "a_start", "a_end",
+        bDf, "b_start", "b_end", bucketWidthSec = 64)
+      .select("a_id", "b_id", "overlap_micros")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == got.toSet.size, "pair emitted more than once")
+    assert(got.toSet == expected)
+  }
+
+  test("rollingSlope: exact window suff-stats, null on flat x") {
+    // y = 3x: every window slope is exactly 3.000
+    val lin = (1 to 10).map(i => ("g", i.toLong, 3L * i))
+    val got = graft.ops.TimeSeries.rollingSlope(lin.toDF("k", "x", "y"),
+        Seq("k"), col("x"), col("y"), w = 4)
+      .collect().map(r => (r.getAs[Long]("x"),
+        Option(r.getAs[Any]("slope_milli")), r.getAs[Long]("n_window"))).sortBy(_._1)
+    // the first window holds a single point → den 0 → NULL; the rest 3.000
+    assert(got.head._2.isEmpty)
+    assert(got.drop(1).forall(_._2.contains(3000L)))
+    assert(got.take(4).map(_._3).toSeq == Seq(1L, 2L, 3L, 4L) && got.last._3 == 4L)
+    // single-point window: den 0 → null
+    val single = Seq(("h", 5L, 9L)).toDF("k", "x", "y")
+    val r = graft.ops.TimeSeries.rollingSlope(single, Seq("k"), col("x"), col("y"), w = 3).head()
+    assert(r.getAs[Any]("slope_milli") == null)
+  }
 }
