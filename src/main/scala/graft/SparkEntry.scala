@@ -2717,7 +2717,23 @@ object SparkEntry {
             expr("unix_millis(ts) div 1000 div 86400").as("day"))
           .groupBy(col("event_type"), col("day"))
           .agg(count(lit(1)).as("c")),
-        Seq("event_type"), col("day"), col("c"), w = 7))
+        Seq("event_type"), col("day"), col("c"), w = 7)),
+
+    // ---- k-anonymity cell suppression (the release transform next to
+    // q152's audit): small quasi classes null out, flagged. -------------
+    "q283_k_suppress" -> ((s, dir) =>
+      Audit.kSuppress(
+        t(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            expr("cast(get_json_object(props, '$.k') as bigint) div 10").as("k_band"),
+            pmod(col("user_id"), lit(25)).as("cohort")),
+        Seq("event_type", "k_band", "cohort"), k = 4)),
+
+    // ---- unordered activation funnel: did each user ever view, click
+    // AND purchase — and how long did the full set take. ----------------
+    "q284_set_completion" -> ((s, dir) =>
+      Funnel.setCompletion(t(s, dir, "events"), "user_id", col("event_type"),
+        "ts", Seq("view", "click", "purchase")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -7258,7 +7274,38 @@ object SparkEntry {
         |  sum(day * c) OVER w AS sxy, sum(day * day) OVER w AS sxx
         | FROM d
         | WINDOW w AS (PARTITION BY event_type ORDER BY day
-        |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))""".stripMargin
+        |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))""".stripMargin,
+
+    // q283: count-join replicate; suppressed rows null their quasi cells.
+    "q283_k_suppress" ->
+      """WITH b AS (
+        | SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_band,
+        |  user_id % 25 AS cohort
+        | FROM events),
+        |c AS (SELECT event_type, k_band, cohort, count(*) AS gs
+        | FROM b GROUP BY 1, 2, 3)
+        |SELECT CASE WHEN gs >= 4 THEN b.event_type END AS event_type,
+        | CAST(CASE WHEN gs >= 4 THEN b.k_band END AS BIGINT) AS k_band,
+        | CAST(CASE WHEN gs >= 4 THEN b.cohort END AS BIGINT) AS cohort,
+        | event_id, gs < 4 AS suppressed
+        |FROM b JOIN c ON b.event_type = c.event_type
+        | AND b.k_band = c.k_band AND b.cohort = c.cohort""".stripMargin,
+
+    // q284: per-(user, step) min-ts then user-level span, same seconds.
+    "q284_set_completion" ->
+      """WITH f AS (
+        | SELECT user_id, event_type AS step,
+        |  min(epoch_ms(ts) // 1000) AS t
+        | FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        | GROUP BY 1, 2),
+        |u AS (
+        | SELECT user_id, CAST(count(*) AS BIGINT) AS n_steps_seen,
+        |  max(t) AS tl, min(t) AS tf
+        | FROM f GROUP BY 1)
+        |SELECT user_id, n_steps_seen, n_steps_seen = 3 AS completed,
+        | CAST(CASE WHEN n_steps_seen = 3 THEN tl - tf END AS BIGINT) AS span_seconds
+        |FROM u""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -136,6 +136,33 @@ object Audit {
       .where(col("group_size") < k)
   }
 
+  /** k-anonymity SUPPRESSION — [[kAnonymity]] is the audit, this is the
+    * release transform: rows whose quasi-identifier class is smaller
+    * than `k` get those columns nulled (cell suppression) and flagged,
+    * everything else passes untouched — the output table is safe to
+    * hand over wholesale, with `suppressed` telling the analyst exactly
+    * which rows lost precision and why their quasi columns are NULL.
+    *
+    * Scale shape: one map-side-combined class count (class-cardinality
+    * output), hash-joined back on the quasi key — no window over the
+    * table. NULL quasi values form their own class, as in the audit.
+    */
+  def kSuppress(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 2, s"k must be >= 2: $k")
+    // counts-side keys renamed so the self-derived join is unambiguous
+    val counts = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__gs"))
+      .select(quasiCols.map(c => col(c).as(s"__q_$c")) :+ col("__gs"): _*)
+    // null-safe join keys: a NULL quasi value must match its own class
+    val cond = quasiCols.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _)
+    val keep = col("__gs") >= k
+    val out = quasiCols.map(c => when(keep, col(c)).otherwise(lit(null)).as(c)) ++
+      df.columns.filterNot(quasiCols.contains).map(c => col(c)) :+
+      (!keep).as("suppressed")
+    df.join(counts, cond, "left").select(out: _*)
+  }
+
   /** l-diversity audit — [[kAnonymity]]'s necessary complement: a class
     * can be k-large yet still leak if everyone in it shares the same
     * sensitive value (the homogeneity attack). Per quasi-identifier

@@ -75,4 +75,37 @@ object Funnel {
         element_at(typedlit(steps), col("idx").cast("int") + 1).as("step"),
         col("n_entities"))
   }
+
+  /** UNORDERED set-completion funnel: per actor, how many of the target
+    * steps were ever performed, whether the set completed, and the span
+    * from the first step to the moment the LAST DISTINCT step first
+    * appeared — the checklist/activation metric ("did they try all
+    * three core features, and how long did adoption take") that an
+    * order-sensitive funnel misreports whenever users wander.
+    *
+    * Scale shape: one (actor, step) min-ts agg (map-side combined, the
+    * only full-data pass) then an actor-level agg — no windows, no
+    * joins. Span is exact epoch-second arithmetic; incomplete actors
+    * emit NULL span.
+    */
+  def setCompletion(
+      df: DataFrame,
+      actorCol: String,
+      typeCol: Column,
+      tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps, s"steps must be distinct: $steps")
+    val firsts = df
+      .where(typeCol.isin(steps: _*))
+      .groupBy(col(actorCol), typeCol.as("__step"))
+      .agg(min(expr(s"unix_millis(cast($tsCol as timestamp)) div 1000")).as("__t"))
+    firsts.groupBy(col(actorCol))
+      .agg(count(lit(1)).as("n_steps_seen"),
+        max(col("__t")).as("__tLast"), min(col("__t")).as("__tFirst"))
+      .withColumn("completed", col("n_steps_seen") === steps.size)
+      .withColumn("span_seconds",
+        when(col("completed"), col("__tLast") - col("__tFirst"))
+          .otherwise(lit(null).cast("long")))
+      .drop("__tLast", "__tFirst")
+  }
 }

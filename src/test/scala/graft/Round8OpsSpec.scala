@@ -1107,4 +1107,43 @@ class Round8OpsSpec extends SparkSpec {
     val r = graft.ops.TimeSeries.rollingSlope(single, Seq("k"), col("x"), col("y"), w = 3).head()
     assert(r.getAs[Any]("slope_milli") == null)
   }
+
+  test("kSuppress: small classes null out (null quasi matches itself), large pass") {
+    val df = Seq(
+      ("a", "x", 1L), ("a", "x", 2L), ("a", "x", 3L),      // class of 3 → passes
+      ("b", "y", 4L),                                       // singleton → suppressed
+      (null.asInstanceOf[String], "z", 5L),                 // null-keyed singletons:
+      (null.asInstanceOf[String], "z", 6L),                 //  class of 2 → passes
+      (null.asInstanceOf[String], "w", 7L)                  //  class of 1 → suppressed
+    ).toDF("q1", "q2", "id")
+    val got = graft.ops.Audit.kSuppress(df, Seq("q1", "q2"), k = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[String]("q1")), Option(r.getAs[String]("q2")),
+          r.getAs[Boolean]("suppressed")))).toMap
+    assert(got(1L) == ((Some("a"), Some("x"), false)))
+    assert(got(4L) == ((None, None, true)))
+    assert(got(5L) == ((None, Some("z"), false))) // null quasi kept as its own class
+    assert(got(7L) == ((None, None, true)))
+  }
+
+  test("setCompletion: unordered steps, exact span, incomplete actors null") {
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val df = Seq(
+      // u1 completes out of order: purchase first, view last → span 100
+      ("u1", "purchase", ts(100)), ("u1", "click", ts(150)), ("u1", "view", ts(200)),
+      ("u1", "view", ts(50000)),   // later repeat must not move the span
+      // u2 sees only two steps
+      ("u2", "view", ts(10)), ("u2", "click", ts(20)),
+      // u3's other event types don't count as steps
+      ("u3", "error", ts(5))
+    ).toDF("user_id", "t", "ts")
+    val got = graft.ops.Funnel.setCompletion(df, "user_id", col("t"), "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[String]("user_id") ->
+        ((r.getAs[Long]("n_steps_seen"), r.getAs[Boolean]("completed"),
+          Option(r.getAs[Any]("span_seconds"))))).toMap
+    assert(got("u1") == ((3L, true, Some(100L))))
+    assert(got("u2") == ((2L, false, None)))
+    assert(!got.contains("u3"))
+  }
 }
