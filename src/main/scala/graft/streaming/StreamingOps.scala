@@ -78,6 +78,35 @@ object StreamingOps {
         col(typeCol),
         col("n"))
 
+  /** Streaming OHLC candles: per (window, key) the first/last (by event
+    * time, tie-broken on a caller tiebreak column for determinism under
+    * replay), min, max and count of an integer metric — the batch
+    * [[graft.ops.TimeSeries.ohlc]] as a watermarked windowed
+    * aggregation. `min_by`/`max_by` over a (ts, tie) struct replace the
+    * batch op's ordered window pass, because streaming state can merge
+    * out-of-order batches — an ordered window can't.
+    */
+  def ohlcStream(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      windowLen: String = "1 hour",
+      lateness: String = "30 minutes"): DataFrame = {
+    val ord = struct(col(tsCol), col(tieCol))
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("volume"),
+        min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"))
+      .select(col("window.start").as("period_start"), col(keyCol),
+        col("volume"), col("open"), col("high"), col("low"), col("close"))
+  }
+
   /** Streaming exact dedup within a watermark horizon: the streaming form
     * of the exact-dedup extension op. State is bounded — a key's
     * fingerprint is dropped from the store once the watermark passes its

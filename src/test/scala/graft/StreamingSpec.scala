@@ -49,6 +49,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("c9", 42.0)))
   }
 
+  test("streaming OHLC candles: open/close by event time across out-of-order batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Long, Long)]
+    // (key, epochSec, tie, value): second batch arrives EARLIER in event
+    // time — min_by/max_by state must still pick the true open/close
+    val df = mem.toDF().toDF("k", "sec", "tie", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val q = StreamingOps.ohlcStream(df, "k", "ts", "tie", "v",
+        windowLen = "1 hour", lateness = "10 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("ohlc_s").start()
+    mem.addData(("a", 1000L, 1L, 50L), ("a", 1400L, 2L, 10L))
+    q.processAllAvailable()
+    mem.addData(("a", 500L, 3L, 30L), ("a", 1400L, 1L, 99L)) // same-ts tie: tie=1 beats tie=2
+    q.processAllAvailable(); q.stop()
+    val r = spark.table("ohlc_s").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("volume") == 4L)
+    assert(row.getAs[Long]("open") == 30L)   // sec 500 arrived last but opens
+    assert(row.getAs[Long]("high") == 99L && row.getAs[Long]("low") == 10L)
+    // both closers share sec 1400 → the (ts, tie) struct order decides:
+    // (1400, 2) > (1400, 1), so close is the tie=2 row's value
+    assert(row.getAs[Long]("close") == 10L)
+  }
+
   test("hourly watermarked counts bucket events into tumbling windows") {
     val in = Files.createTempDirectory("graft_stream_win")
     val fixture = spark.read.option("multiLine", value = true)
