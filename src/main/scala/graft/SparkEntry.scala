@@ -2733,7 +2733,18 @@ object SparkEntry {
     // AND purchase — and how long did the full set take. ----------------
     "q284_set_completion" -> ((s, dir) =>
       Funnel.setCompletion(t(s, dir, "events"), "user_id", col("event_type"),
-        "ts", Seq("view", "click", "purchase")))
+        "ts", Seq("view", "click", "purchase"))),
+
+    // ---- rich-club coefficient ladder on the co-order part graph: do
+    // the hub parts wire to each other. ---------------------------------
+    "q285_rich_club" -> ((s, dir) =>
+      GraphMetrics.richClub(partPairs(s, dir),
+        thresholds = Seq(4L, 8L, 16L, 24L, 32L))),
+
+    // ---- stylometric cosine between sources over function-word
+    // frequency vectors; pinned-double cosine last mile. ----------------
+    "q286_stylometry" -> ((s, dir) =>
+      Lexical.stylometricCosine(t(s, dir, "documents"), "source", col("text")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -7305,7 +7316,52 @@ object SparkEntry {
         | FROM f GROUP BY 1)
         |SELECT user_id, n_steps_seen, n_steps_seen = 3 AS completed,
         | CAST(CASE WHEN n_steps_seen = 3 THEN tl - tf END AS BIGINT) AS span_seconds
-        |FROM u""".stripMargin
+        |FROM u""".stripMargin,
+
+    // q285: q199's graph; per-threshold edge filters through degrees.
+    "q285_rich_club" ->
+      """WITH li AS (
+        | SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0),
+        |e AS (
+        | SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        | FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT id, count(*) AS d FROM
+        | (SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e) GROUP BY 1),
+        |th AS (SELECT unnest([4, 8, 16, 24, 32]) AS k),
+        |nodes AS (
+        | SELECT k, CAST(count(*) AS BIGINT) AS n_rich
+        | FROM th JOIN deg ON deg.d > th.k GROUP BY 1),
+        |edges AS (
+        | SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+        | FROM th JOIN e ON true
+        |  JOIN deg du ON du.id = e.u JOIN deg dv ON dv.id = e.v
+        | WHERE du.d > th.k AND dv.d > th.k GROUP BY 1)
+        |SELECT CAST(k AS BIGINT) AS k, n_rich, coalesce(n_edges, 0) AS n_edges,
+        | CASE WHEN n_rich < 2 THEN NULL
+        |  ELSE CAST((1000000 * 2 * coalesce(n_edges, 0)) // (n_rich * (n_rich - 1))
+        |   AS BIGINT) END AS phi_ppm
+        |FROM nodes LEFT JOIN edges USING (k)""".stripMargin,
+
+    // q286: same tokenizer and function-word list; pinned-double cosine.
+    "q286_stylometry" ->
+      """WITH c AS (
+        | SELECT source AS g, tok, count(*) AS c FROM (
+        |  SELECT source,
+        |   unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+        |    x -> len(x) > 0)) AS tok
+        |  FROM documents)
+        | WHERE tok IN ('the','of','and','a','to','in','is','it','that','was',
+        |  'for','on','with','as','but','at','by','from','or','an')
+        | GROUP BY 1, 2),
+        |n AS (SELECT g, CAST(sum(c * c) AS BIGINT) AS n2,
+        |  CAST(sum(c) AS BIGINT) AS tot FROM c GROUP BY 1),
+        |d AS (
+        | SELECT a.g AS g_a, b.g AS g_b, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        | FROM c a JOIN c b ON a.tok = b.tok AND a.g < b.g GROUP BY 1, 2)
+        |SELECT g_a, g_b, na.tot AS fw_tokens_a, nb.tot AS fw_tokens_b, dot,
+        | CAST(floor(1000000.0 * dot / (sqrt(na.n2) * sqrt(nb.n2))) AS BIGINT)
+        |  AS cosine_ppm
+        |FROM d JOIN n na ON na.g = g_a JOIN n nb ON nb.g = g_b""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -364,6 +364,48 @@ object GraphMetrics {
     * bounds candidate generation, not the union size. Two node-sized
     * degree joins and one edge-set anti-ish left join finish the job.
     */
+  /** Rich-club coefficient φ(k) for a ladder of degree thresholds: among
+    * nodes of degree > k, the share of possible edges actually present —
+    * "do the hubs form their own clique" (φ rising with k = elite
+    * wiring; the fraud-ring / botnet-mesh shape next to
+    * [[degreeAssortativity]]'s single number). Exact ppm per threshold;
+    * thresholds with fewer than two qualifying nodes emit NULL.
+    *
+    * Scale shape: one degree agg, then per threshold an edge-list
+    * semi-filter through two node-sized degree joins and a count — the
+    * threshold ladder multiplies the EDGE scan, not any pairwise
+    * product; possible-pair counts are arithmetic on the node count.
+    */
+  def richClub(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      thresholds: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L)): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.distinct == thresholds,
+      s"thresholds must be distinct: $thresholds")
+    val sess = pairs.sparkSession
+    import sess.implicits._
+    val e = canonicalEdges(pairs, aCol, bCol)
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("__d"))
+    val th = thresholds.toDF("k")
+    val nodes = deg.crossJoin(broadcast(th))
+      .where(col("__d") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_rich"))
+    val edges = e
+      .join(deg.select(col("id").as("u"), col("__d").as("__du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("__d").as("__dv")), Seq("v"))
+      .crossJoin(broadcast(th))
+      .where(col("__du") > col("k") && col("__dv") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_edges"))
+    nodes.join(edges, Seq("k"), "left")
+      .select(col("k"), col("n_rich"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("phi_ppm",
+        when(col("n_rich") < 2, lit(null).cast("long"))
+          .otherwise(expr("(1000000L * 2L * n_edges) div (n_rich * (n_rich - 1))")))
+  }
+
   /** Harmonic centrality truncated at radius 2, in exact ppm:
     * `Σ_{v≠u, d(u,v)≤2} 1/d(u,v) = n_1hop + (n_2hop − n_1hop)/2` — the
     * reach-weighted influence score that, unlike closeness, is defined

@@ -434,6 +434,48 @@ object Lexical {
     * Scale shape: pure map-side Column expressions into one
     * group-cardinality hash agg — embarrassingly parallel.
     */
+  /** Stylometric similarity between corpora: cosine over FUNCTION-WORD
+    * frequency vectors — the authorship/style-drift signal (content
+    * words say what a corpus is about; how often it says "the", "of",
+    * "but" says who wrote it). Integer dot/norms with the single cosine
+    * division in pinned double order (the
+    * [[graft.ops.TimeSeries.dailyAutocorrelation]] posture — sqrt is
+    * IEEE-exact, so both engines agree bit-for-bit).
+    *
+    * Scale shape: token explode filtered to the bounded function-word
+    * list at the map side → a (group, word) count whose cardinality is
+    * G×|words|; everything pairwise runs on that tiny table.
+    */
+  def stylometricCosine(
+      df: DataFrame,
+      groupCol: String,
+      textCol: Column,
+      functionWords: Seq[String] = Seq("the", "of", "and", "a", "to", "in",
+        "is", "it", "that", "was", "for", "on", "with", "as", "but", "at",
+        "by", "from", "or", "an")): DataFrame = {
+    require(functionWords.nonEmpty, "need at least one function word")
+    val counts = df
+      .select(col(groupCol).cast("string").as("__g"),
+        explode(split(lower(coalesce(textCol, lit(""))), "\\s+")).as("__w"))
+      .where(col("__w").isin(functionWords: _*))
+      .groupBy(col("__g"), col("__w")).agg(count(lit(1)).as("__c"))
+    val norms = counts.groupBy(col("__g"))
+      .agg(sum(col("__c") * col("__c")).as("__n2"), sum(col("__c")).as("__tot"))
+    val dots = counts.alias("a")
+      .join(counts.alias("b"),
+        col("a.__w") === col("b.__w") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("g_a"), col("b.__g").as("g_b"))
+      .agg(sum(col("a.__c") * col("b.__c")).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("__g").as("g_a"), col("__n2").as("__n2a"),
+        col("__tot").as("fw_tokens_a"))), Seq("g_a"))
+      .join(broadcast(norms.select(col("__g").as("g_b"), col("__n2").as("__n2b"),
+        col("__tot").as("fw_tokens_b"))), Seq("g_b"))
+      .select(col("g_a"), col("g_b"), col("fw_tokens_a"), col("fw_tokens_b"), col("dot"),
+        floor(lit(1000000.0) * col("dot") / (sqrt(col("__n2a")) * sqrt(col("__n2b"))))
+          .cast("long").as("cosine_ppm"))
+  }
+
   /** Weighted Jaccard between every pair of corpora over TOKEN COUNTS:
     * `Σ_t min(w_a(t), w_b(t)) / Σ_t max(w_a(t), w_b(t))` — the overlap
     * measure that, unlike set Jaccard, notices when one corpus merely

@@ -1146,4 +1146,39 @@ class Round8OpsSpec extends SparkSpec {
     assert(got("u2") == ((2L, false, None)))
     assert(!got.contains("u3"))
   }
+
+  test("richClub: clique of hubs vs pendant leaves, hand-computed phi") {
+    // 4-clique {1,2,3,4} (deg ≥ 3 each) + leaves 5,6 hanging off node 1
+    // (deg(1)=5). At k=2: rich = {1,2,3,4} (deg > 2), 6/6 edges → 1e6.
+    // At k=3: deg > 3 keeps ONLY node 1 (clique nodes sit at exactly 3)
+    // → NULL. Same at k=4.
+    val g = (for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong)) ++
+      Seq((1L, 5L), (1L, 6L))
+    val got = graft.ops.GraphMetrics.richClub(g.toDF("a_id", "b_id"),
+        thresholds = Seq(0L, 2L, 3L, 4L))
+      .collect().map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("n_rich"), r.getAs[Long]("n_edges"),
+          Option(r.getAs[Any]("phi_ppm"))))).toMap
+    // k=0: all 6 nodes, 8 edges of 15 possible → 533333
+    assert(got(0L) == ((6L, 8L, Some(533333L))))
+    assert(got(2L) == ((4L, 6L, Some(1000000L))))
+    assert(got(3L) == ((1L, 0L, None)))
+    assert(got(4L) == ((1L, 0L, None)))
+  }
+
+  test("stylometricCosine: identical styles hit 1e6, disjoint function words absent") {
+    val df = Seq(
+      ("A", "the cat of the house and the dog"),
+      ("B", "the bird of the sea and the fish"),   // same fw profile as A
+      ("C", "but but but it it was")                // different profile
+    ).toDF("src", "text")
+    val got = graft.ops.Lexical.stylometricCosine(df, "src", col("text"))
+      .collect().map(r => ((r.getAs[String]("g_a"), r.getAs[String]("g_b")),
+        r.getAs[Long]("cosine_ppm"))).toMap
+    // A and B: fw counts {the:3, of:1, and:1} each → cosine exactly 1
+    assert(got(("A", "B")) == 999999L || got(("A", "B")) == 1000000L)
+    // C shares no function words with A → no pair row at all
+    assert(!got.contains(("A", "C")) && !got.contains(("B", "C")) ||
+      (got.get(("A", "C")).isEmpty && got.get(("B", "C")).isEmpty))
+  }
 }
