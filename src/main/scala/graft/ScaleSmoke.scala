@@ -45,7 +45,12 @@ object ScaleSmoke {
     // Round-8 heavy shapes: the blocked Damerau verification join
     // (Σ|block|² — honest 10× needs replica-disjoint names, see the
     // c_name rewrite below) and the vocabulary-keyed pair intersection.
-    "q211_damerau_pairs", "q231_vocab_jaccard")
+    "q211_damerau_pairs", "q231_vocab_jaccard",
+    // Late round-8 additions: the capped wedge joins (link scoring,
+    // 2-hop harmonic) and the two token-keyed corpus-pair shapes —
+    // the newest Σdeg²/Σ|posting|² surfaces needing a 10× point.
+    "q262_link_jaccard", "q266_harmonic", "q275_weighted_jaccard",
+    "q286_stylometry")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))

@@ -2744,7 +2744,24 @@ object SparkEntry {
     // ---- stylometric cosine between sources over function-word
     // frequency vectors; pinned-double cosine last mile. ----------------
     "q286_stylometry" -> ((s, dir) =>
-      Lexical.stylometricCosine(t(s, dir, "documents"), "source", col("text")))
+      Lexical.stylometricCosine(t(s, dir, "documents"), "source", col("text"))),
+
+    // ---- mix-shift decomposition of the purchase rate between month
+    // halves, by event-type segment: traffic-mix vs per-segment rate. ---
+    "q287_mix_shift" -> ((s, dir) =>
+      Metrics.mixShift(
+        t(s, dir, "events")
+          .withColumn("half", when(dayofmonth(col("ts")) <= 15, "h1").otherwise("h2")),
+        "event_type", col("half"), "h1", "h2",
+        get_json_object(col("props"), "$.k").cast("long") >= 50)),
+
+    // ---- ABC classification of parts by lineitem revenue: labeled
+    // working-set split off the range-partitioned cumulative curve. -----
+    "q288_abc_class" -> ((s, dir) =>
+      Metrics.abcClassification(
+        t(s, dir, "lineitem"),
+        "l_partkey",
+        round(col("l_extendedprice") * 100).cast("long")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -7361,7 +7378,60 @@ object SparkEntry {
         |SELECT g_a, g_b, na.tot AS fw_tokens_a, nb.tot AS fw_tokens_b, dot,
         | CAST(floor(1000000.0 * dot / (sqrt(na.n2) * sqrt(nb.n2))) AS BIGINT)
         |  AS cosine_ppm
-        |FROM d JOIN n na ON na.g = g_a JOIN n nb ON nb.g = g_b""".stripMargin
+        |FROM d JOIN n na ON na.g = g_a JOIN n nb ON nb.g = g_b""".stripMargin,
+
+    // q287: per-segment truncation exactly as specified in the op.
+    "q287_mix_shift" ->
+      """WITH b AS (
+        | SELECT event_type AS segment,
+        |  CASE WHEN day(ts) <= 15 THEN 'h1' ELSE 'h2' END AS p,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50 AS ok
+        | FROM events),
+        |s AS (
+        | SELECT segment,
+        |  CAST(count(CASE WHEN p = 'h1' THEN 1 END) AS BIGINT) AS n_a,
+        |  CAST(count(CASE WHEN p = 'h1' AND ok THEN 1 END) AS BIGINT) AS pos_a,
+        |  CAST(count(CASE WHEN p = 'h2' THEN 1 END) AS BIGINT) AS n_b,
+        |  CAST(count(CASE WHEN p = 'h2' AND ok THEN 1 END) AS BIGINT) AS pos_b
+        | FROM b GROUP BY 1),
+        |t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM s),
+        |e AS (
+        | SELECT segment, n_a, pos_a, n_b, pos_b,
+        |  (1000000 * n_a) // ta AS share_a_ppm,
+        |  (1000000 * n_b) // tb AS share_b_ppm,
+        |  CASE WHEN n_a = 0 THEN 0 ELSE (1000000 * pos_a) // n_a END AS rate_a_ppm,
+        |  CASE WHEN n_b = 0 THEN 0 ELSE (1000000 * pos_b) // n_b END AS rate_b_ppm
+        | FROM s, t)
+        |SELECT segment, n_a, pos_a, n_b, pos_b,
+        | CAST(share_a_ppm AS BIGINT) AS share_a_ppm,
+        | CAST(share_b_ppm AS BIGINT) AS share_b_ppm,
+        | CAST(rate_a_ppm AS BIGINT) AS rate_a_ppm,
+        | CAST(rate_b_ppm AS BIGINT) AS rate_b_ppm,
+        | CAST(((share_b_ppm - share_a_ppm) * rate_a_ppm) // 1000000 AS BIGINT)
+        |  AS mix_effect_ppm,
+        | CAST((share_b_ppm * (rate_b_ppm - rate_a_ppm)) // 1000000 AS BIGINT)
+        |  AS rate_effect_ppm
+        |FROM e""".stripMargin,
+
+    // q288: descending cumulative curve, before-the-key class cuts.
+    "q288_abc_class" ->
+      """WITH s AS (
+        | SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |  AS BIGINT) AS v
+        | FROM lineitem GROUP BY 1),
+        |r AS (
+        | SELECT l_partkey, v,
+        |  row_number() OVER (ORDER BY v DESC, l_partkey) AS rank,
+        |  sum(v) OVER (ORDER BY v DESC, l_partkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM s),
+        |t AS (SELECT sum(v) AS tot FROM s)
+        |SELECT l_partkey, v AS value, CAST(rank AS BIGINT) AS rank,
+        | CAST((1000000 * cum) // tot AS BIGINT) AS cum_share_ppm,
+        | CASE WHEN (1000000 * (cum - v)) // tot < 800000 THEN 'A'
+        |  WHEN (1000000 * (cum - v)) // tot < 950000 THEN 'B'
+        |  ELSE 'C' END AS abc_class
+        |FROM r, t""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -743,6 +743,85 @@ object Metrics {
       .drop("__s2")
   }
 
+  /** Mix-shift decomposition of a rate change between two periods: per
+    * segment, how much of the overall rate move came from the segment
+    * MIX changing (share_b − share_a at the old rate) vs the segment's
+    * own RATE changing (new share times rate delta) — the "did
+    * conversion drop because traffic shifted to mobile, or because
+    * mobile got worse" table. All ppm terms truncate once per segment
+    * BY SPEC (Spark `div` ≡ DuckDB `//`); a segment absent from a
+    * period contributes share 0 / rate 0 on that side.
+    *
+    * Scale shape: one (segment, period) conditional-count agg, one
+    * broadcast one-row totals join — two passes over nothing bigger
+    * than the segment table after the first agg.
+    */
+  def mixShift(
+      df: DataFrame,
+      segmentCol: String,
+      periodCol: Column,
+      periodA: String,
+      periodB: String,
+      isSuccess: Column): DataFrame = {
+    val per = df
+      .where(periodCol.isin(periodA, periodB))
+      .groupBy(col(segmentCol).as("segment"))
+      .agg(count_if(periodCol === periodA).as("n_a"),
+        count_if(periodCol === periodA && isSuccess).as("pos_a"),
+        count_if(periodCol === periodB).as("n_b"),
+        count_if(periodCol === periodB && isSuccess).as("pos_b"))
+    val tot = per.groupBy().agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("share_a_ppm", expr("(1000000L * n_a) div __ta"))
+      .withColumn("share_b_ppm", expr("(1000000L * n_b) div __tb"))
+      .withColumn("rate_a_ppm",
+        when(col("n_a") === 0, 0L).otherwise(expr("(1000000L * pos_a) div n_a")))
+      .withColumn("rate_b_ppm",
+        when(col("n_b") === 0, 0L).otherwise(expr("(1000000L * pos_b) div n_b")))
+      .withColumn("mix_effect_ppm",
+        expr("((share_b_ppm - share_a_ppm) * rate_a_ppm) div 1000000L"))
+      .withColumn("rate_effect_ppm",
+        expr("(share_b_ppm * (rate_b_ppm - rate_a_ppm)) div 1000000L"))
+      .drop("__ta", "__tb")
+  }
+
+  /** ABC (Pareto) classification: every key labeled A / B / C by its
+    * position on the cumulative-value curve — A while the curve BEFORE
+    * the key is under `aCutPpm` (so the key that crosses 80% is still
+    * an A, even if it crosses alone), B until `bCutPpm`, C after — the
+    * inventory/catalog working-set split, produced as a labeled TABLE
+    * (the [[lorenz]]-style curves report the shape; this assigns the
+    * label you act on).
+    *
+    * Scale shape: one per-key sum, then the range-partitioned
+    * [[graft.ops.Normalize.rankedPrefixSum]] over (value desc, key) —
+    * a balanced global ranking, no single-partition window — and a
+    * broadcast one-row total.
+    */
+  def abcClassification(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: Column,
+      aCutPpm: Long = 800000L,
+      bCutPpm: Long = 950000L): DataFrame = {
+    require(0 < aCutPpm && aCutPpm < bCutPpm && bCutPpm <= 1000000L,
+      s"need 0 < aCut < bCut <= 1e6: $aCutPpm, $bCutPpm")
+    val sums = df.groupBy(col(keyCol)).agg(sum(valueCol.cast("long")).as("__v"))
+      .withColumn("__negv", -col("__v"))
+    val ranked = graft.ops.Normalize.rankedPrefixSum(
+      sums, Seq(col("__negv"), col(keyCol)), "__v", "rank", "__cum")
+    val tot = ranked.agg(sum(col("__v")).as("__tot"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("cum_share_ppm", expr("(1000000L * __cum) div __tot"))
+      .withColumn("__beforePpm", expr("(1000000L * (__cum - __v)) div __tot"))
+      .withColumn("abc_class",
+        when(col("__beforePpm") < aCutPpm, "A")
+          .when(col("__beforePpm") < bCutPpm, "B")
+          .otherwise("C"))
+      .select(col(keyCol), col("__v").as("value"), col("rank"),
+        col("cum_share_ppm"), col("abc_class"))
+  }
+
   def gini(df: DataFrame, groupCols: Seq[String], catCol: String): DataFrame = {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     import org.apache.spark.sql.expressions.Window

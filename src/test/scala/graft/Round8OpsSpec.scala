@@ -1181,4 +1181,45 @@ class Round8OpsSpec extends SparkSpec {
     assert(!got.contains(("A", "C")) && !got.contains(("B", "C")) ||
       (got.get(("A", "C")).isEmpty && got.get(("B", "C")).isEmpty))
   }
+
+  test("mixShift: mix and rate effects reconstruct the overall delta") {
+    // seg X: a(100 rows, 50 pos), b(300, 150) — rate flat 50%, share grows
+    // seg Y: a(300, 30),  b(100, 50)  — rate 10% → 50%, share shrinks
+    val rows =
+      Seq.fill(50)(("X", "a", true)) ++ Seq.fill(50)(("X", "a", false)) ++
+      Seq.fill(150)(("X", "b", true)) ++ Seq.fill(150)(("X", "b", false)) ++
+      Seq.fill(30)(("Y", "a", true)) ++ Seq.fill(270)(("Y", "a", false)) ++
+      Seq.fill(50)(("Y", "b", true)) ++ Seq.fill(50)(("Y", "b", false))
+    val df = rows.toDF("seg", "p", "ok")
+    val got = graft.ops.Metrics.mixShift(df, "seg", col("p"), "a", "b", col("ok"))
+      .collect().map(r => r.getAs[String]("segment") ->
+        ((r.getAs[Long]("share_a_ppm"), r.getAs[Long]("share_b_ppm"),
+          r.getAs[Long]("rate_a_ppm"), r.getAs[Long]("rate_b_ppm"),
+          r.getAs[Long]("mix_effect_ppm"), r.getAs[Long]("rate_effect_ppm")))).toMap
+    // X: share 25%→75%, rate 50% flat → mix = +250000, rate = 0
+    assert(got("X") == ((250000L, 750000L, 500000L, 500000L, 250000L, 0L)))
+    // Y: share 75%→25%, rate 10%→50% → mix = −500000·0.1 = −50000,
+    //    rate = 0.25·400000 = 100000
+    assert(got("Y") == ((750000L, 250000L, 100000L, 500000L, -50000L, 100000L)))
+    // identity: overall_b − overall_a = Σ(mix + rate) = 300000 exactly here
+    // (overall a: 80/400 = 20%; b: 200/400 = 50%)
+    val sumEffects = got.values.map(v => v._5 + v._6).sum
+    assert(sumEffects == 300000L)
+  }
+
+  test("abcClassification: crossing key stays A, cuts land by the before-curve") {
+    // values desc: 60, 25, 10, 5 (total 100). before-cum: 0, 60, 85, 95.
+    // cuts 80/95: A (0<80), A (60<80 — crosses to 85 but stays A),
+    // B (85<95), C (95≥95)
+    val df = Seq(("k1", 60L), ("k2", 25L), ("k3", 10L), ("k4", 5L)).toDF("k", "v")
+    val got = graft.ops.Metrics.abcClassification(df, "k", col("v"),
+        aCutPpm = 800000L, bCutPpm = 950000L)
+      .collect().map(r => r.getAs[String]("k") ->
+        ((r.getAs[Long]("rank"), r.getAs[Long]("cum_share_ppm"),
+          r.getAs[String]("abc_class")))).toMap
+    assert(got("k1") == ((1L, 600000L, "A")))
+    assert(got("k2") == ((2L, 850000L, "A")))
+    assert(got("k3") == ((3L, 950000L, "B")))
+    assert(got("k4") == ((4L, 1000000L, "C")))
+  }
 }
