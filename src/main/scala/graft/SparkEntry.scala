@@ -2761,7 +2761,17 @@ object SparkEntry {
       Metrics.abcClassification(
         t(s, dir, "lineitem"),
         "l_partkey",
-        round(col("l_extendedprice") * 100).cast("long")))
+        round(col("l_extendedprice") * 100).cast("long"))),
+
+    // ---- seasonality-aware outliers: dow-median baseline per event
+    // type, then the MAD fence on residuals — exact picks only. ---------
+    "q289_seasonal_outliers" -> ((s, dir) =>
+      Outliers.seasonalResidualOutliers(
+        t(s, dir, "events").select(col("event_type"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents")),
+        Seq("event_type"), "ts", col("cents"))
+        .select(col("event_type"), col("event_id"), col("cents"), col("baseline"),
+          col("residual"), col("med_residual"), col("mad"), col("is_outlier")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -7431,7 +7441,49 @@ object SparkEntry {
         | CASE WHEN (1000000 * (cum - v)) // tot < 800000 THEN 'A'
         |  WHEN (1000000 * (cum - v)) // tot < 950000 THEN 'B'
         |  ELSE 'C' END AS abc_class
-        |FROM r, t""".stripMargin
+        |FROM r, t""".stripMargin,
+
+    // q289: identical dow ints, lower-median picks at both levels.
+    "q289_seasonal_outliers" ->
+      """WITH b AS (
+        | SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+        |  ((epoch_ms(ts) // 1000 // 86400 + 4) % 7 + 7) % 7 AS dow
+        | FROM events),
+        |sm AS (
+        | SELECT event_type, dow, min(CASE WHEN 2 * cum >= tot THEN cents END) AS baseline
+        | FROM (
+        |  SELECT event_type, dow, cents,
+        |   sum(w) OVER (PARTITION BY event_type, dow ORDER BY cents) AS cum,
+        |   sum(w) OVER (PARTITION BY event_type, dow) AS tot
+        |  FROM (SELECT event_type, dow, cents, count(*) AS w FROM b GROUP BY 1, 2, 3))
+        | GROUP BY 1, 2),
+        |r AS (
+        | SELECT b.event_type, b.event_id, b.cents, sm.baseline,
+        |  b.cents - sm.baseline AS residual
+        | FROM b JOIN sm ON b.event_type = sm.event_type AND b.dow = sm.dow),
+        |mr AS (
+        | SELECT event_type, min(CASE WHEN 2 * cum >= tot THEN residual END) AS med_residual
+        | FROM (
+        |  SELECT event_type, residual,
+        |   sum(w) OVER (PARTITION BY event_type ORDER BY residual) AS cum,
+        |   sum(w) OVER (PARTITION BY event_type) AS tot
+        |  FROM (SELECT event_type, residual, count(*) AS w FROM r GROUP BY 1, 2))
+        | GROUP BY 1),
+        |d AS (
+        | SELECT r.*, mr.med_residual, abs(r.residual - mr.med_residual) AS dev
+        | FROM r JOIN mr USING (event_type)),
+        |md AS (
+        | SELECT event_type, min(CASE WHEN 2 * cum >= tot THEN dev END) AS mad
+        | FROM (
+        |  SELECT event_type, dev,
+        |   sum(w) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+        |   sum(w) OVER (PARTITION BY event_type) AS tot
+        |  FROM (SELECT event_type, dev, count(*) AS w FROM d GROUP BY 1, 2))
+        | GROUP BY 1)
+        |SELECT d.event_type, d.event_id, d.cents, d.baseline, d.residual,
+        | d.med_residual, md.mad,
+        | CASE WHEN md.mad = 0 THEN d.dev > 0 ELSE d.dev > 3 * md.mad END AS is_outlier
+        |FROM d JOIN md USING (event_type)""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -150,6 +150,58 @@ object Outliers {
     withMed.join(broadcast(mad), groupCols)
       .withColumn("is_outlier", col("__dev") > lit(k) * col("mad"))
       .drop("__v", "__dev")
+  }
+
+  /** Seasonality-aware outliers: [[madOutliers]] after removing each
+    * key's day-of-week baseline — a Saturday dip is NORMAL for a
+    * weekday-heavy metric, and a raw MAD fence either flags every
+    * weekend or misses true anomalies hiding inside the weekly swing.
+    * Baseline = exact lower-median per (key, dow) (engine-neutral
+    * `pmod(epoch_day+4, 7)` dow ints); residual = value − baseline;
+    * then the per-key lower-median/MAD fence on residuals. All element
+    * picks, no floats; `mad = 0` degenerates to "any nonzero deviation
+    * flags", which is what a constant-baseline series means.
+    *
+    * Scale shape: two grouped lower-median passes (each a per-group
+    * value-cardinality agg + pick) with broadcast joins back — the
+    * [[madOutliers]] scale contract, once per level.
+    */
+  def seasonalResidualOutliers(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: Column,
+      k: Long = 3L): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val base = df
+      .withColumn("__v", valueCol.cast("long"))
+      .withColumn("__dow",
+        expr(s"pmod(unix_millis(cast($tsCol as timestamp)) div 1000 div 86400 + 4, 7)"))
+    val seasonKeys = keyCols :+ "__dow"
+    def lowerMedian(in: DataFrame, grp: Seq[String], vCol: String, out: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val perValue = in.groupBy((grp :+ vCol).map(col): _*)
+        .agg(count(lit(1)).as("__w"))
+      val w = Window.partitionBy(grp.map(col): _*).orderBy(col(vCol))
+      val wAll = Window.partitionBy(grp.map(col): _*)
+      perValue
+        .withColumn("__cum", sum(col("__w")).over(w))
+        .withColumn("__tot", sum(col("__w")).over(wAll))
+        .groupBy(grp.map(col): _*)
+        .agg(min(when(lit(2) * col("__cum") >= col("__tot"), col(vCol))).as(out))
+    }
+    val seasonal = lowerMedian(base, seasonKeys, "__v", "baseline")
+    val withResid = base.join(broadcast(seasonal), seasonKeys)
+      .withColumn("residual", col("__v") - col("baseline"))
+    val medR = lowerMedian(withResid, keyCols, "residual", "med_residual")
+    val withDev = withResid.join(broadcast(medR), keyCols)
+      .withColumn("__dev", abs(col("residual") - col("med_residual")))
+    val mad = lowerMedian(withDev, keyCols, "__dev", "mad")
+    withDev.join(broadcast(mad), keyCols)
+      .withColumn("is_outlier",
+        when(col("mad") === 0, col("__dev") > 0)
+          .otherwise(col("__dev") > lit(k) * col("mad")))
+      .drop("__v", "__dev", "__dow")
   }
 
   def cusum(

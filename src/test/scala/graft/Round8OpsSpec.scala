@@ -1222,4 +1222,26 @@ class Round8OpsSpec extends SparkSpec {
     assert(got("k3") == ((3L, 950000L, "B")))
     assert(got("k4") == ((4L, 1000000L, "C")))
   }
+
+  test("seasonalResidualOutliers: weekend swing is baseline, true spike flags") {
+    // epoch day 0 = Thursday (dow 4 under the +4 rule → ((0+4)%7)=4).
+    // Build 6 weeks: weekdays value 100, saturdays value 500 — a raw MAD
+    // fence would flag every saturday; seasonally adjusted, none flag.
+    // One true anomaly: a weekday at 10000.
+    def ts(day: Int) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(day.toLong * 86400 + 7200))
+    val rows = (0 until 42).map { d =>
+      val dow = (d + 4) % 7
+      val v = if (dow == 6) 500L else 100L
+      ("m", d.toLong, ts(d), v)
+    } :+ (("m", 100L, ts(14), 10000L)) // extra weekday reading, wildly high
+    val df = rows.toDF("k", "id", "ts", "v")
+    val got = graft.ops.Outliers.seasonalResidualOutliers(df, Seq("k"), "ts", col("v"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("residual"),
+        r.getAs[Boolean]("is_outlier")))
+    val flagged = got.filter(_._3).map(_._1).toSet
+    assert(flagged == Set(100L), s"flagged: $flagged")
+    // every saturday's residual is 0 — fully explained by the baseline
+    assert(got.filter(t => t._1 != 100L && t._1 % 7 == 2).forall(_._2 == 0L))
+  }
 }
