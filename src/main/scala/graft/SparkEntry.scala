@@ -2771,7 +2771,17 @@ object SparkEntry {
           round(col("value") * 100).cast("long").as("cents")),
         Seq("event_type"), "ts", col("cents"))
         .select(col("event_type"), col("event_id"), col("cents"), col("baseline"),
-          col("residual"), col("med_residual"), col("mad"), col("is_outlier")))
+          col("residual"), col("med_residual"), col("mad"), col("is_outlier"))),
+
+    // ---- spend-decile migration between month halves: two denseIds
+    // rankings, full-outer flow matrix with −1 entry/exit rows. ---------
+    "q290_decile_migration" -> ((s, dir) =>
+      Cohort.decileMigration(
+        t(s, dir, "events"),
+        "user_id",
+        when(dayofmonth(col("ts")) <= 15, "p1").otherwise("p2"),
+        "p1", "p2",
+        round(col("value") * 100).cast("long")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -7483,7 +7493,26 @@ object SparkEntry {
         |SELECT d.event_type, d.event_id, d.cents, d.baseline, d.residual,
         | d.med_residual, md.mad,
         | CASE WHEN md.mad = 0 THEN d.dev > 0 ELSE d.dev > 3 * md.mad END AS is_outlier
-        |FROM d JOIN md USING (event_type)""".stripMargin
+        |FROM d JOIN md USING (event_type)""".stripMargin,
+
+    // q290: identical (value desc, user) total orders and decile rule.
+    "q290_decile_migration" ->
+      """WITH v AS (
+        | SELECT CASE WHEN day(ts) <= 15 THEN 'p1' ELSE 'p2' END AS p,
+        |  user_id AS a, sum(CAST(round(value * 100) AS BIGINT)) AS v
+        | FROM events GROUP BY 1, 2),
+        |r AS (
+        | SELECT p, a,
+        |  row_number() OVER (PARTITION BY p ORDER BY v DESC, a) AS rk,
+        |  count(*) OVER (PARTITION BY p) AS n
+        | FROM v),
+        |d AS (SELECT p, a, (10 * (rk - 1)) // n AS dec FROM r),
+        |da AS (SELECT a, dec FROM d WHERE p = 'p1'),
+        |db AS (SELECT a, dec FROM d WHERE p = 'p2')
+        |SELECT CAST(coalesce(da.dec, -1) AS BIGINT) AS decile_a,
+        | CAST(coalesce(db.dec, -1) AS BIGINT) AS decile_b,
+        | CAST(count(*) AS BIGINT) AS n_actors
+        |FROM da FULL OUTER JOIN db USING (a) GROUP BY 1, 2""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

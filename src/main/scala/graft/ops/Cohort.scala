@@ -263,6 +263,45 @@ object Cohort {
         expr("(1000000L * __sumDau) div (n_active_days * wau)").as("stickiness_ppm"))
   }
 
+  /** Decile migration matrix between two periods: every actor ranked by
+    * value within each period (dense global ranking via the range-
+    * partitioned [[graft.ops.Normalize.denseIds]] — never a
+    * single-partition window), bucketed into deciles by
+    * `(10·(rank−1)) div n`, and the (decile_a → decile_b) flow counted —
+    * "did the top spenders stay top" as one 11×11 table (decile −1 =
+    * absent from that period, so entries and exits are rows, not
+    * footnotes).
+    *
+    * Scale shape: two per-period value aggs, two denseIds rankings
+    * (each a balanced range-partitioned sort over actor-cardinality
+    * rows), one actor-keyed full-outer join, one bounded matrix agg.
+    */
+  def decileMigration(
+      df: DataFrame,
+      actorCol: String,
+      periodCol: Column,
+      periodA: String,
+      periodB: String,
+      valueCents: Column): DataFrame = {
+    val per = df
+      .where(periodCol.isin(periodA, periodB))
+      .groupBy(periodCol.as("__p"), col(actorCol).as("__a"))
+      .agg(sum(valueCents).as("__v"))
+      .withColumn("__negv", -col("__v"))
+    def deciles(p: String, out: String) = {
+      val ranked = graft.ops.Normalize.denseIds(
+        per.where(col("__p") === p), "__negv", "__a", "__rk")
+      val n = ranked.groupBy().agg(count(lit(1)).as("__n"))
+      ranked.crossJoin(broadcast(n))
+        .select(col("__a"), expr("(10L * __rk) div __n").as(out))
+    }
+    deciles(periodA, "decile_a")
+      .join(deciles(periodB, "decile_b"), Seq("__a"), "full_outer")
+      .groupBy(coalesce(col("decile_a"), lit(-1L)).as("decile_a"),
+        coalesce(col("decile_b"), lit(-1L)).as("decile_b"))
+      .agg(count(lit(1)).as("n_actors"))
+  }
+
   /** Net / gross revenue retention per month: of the revenue base laid
     * down by month m−1's customers, how much survived into m (GRR caps
     * each customer at their prior spend; NRR lets expansion count) —

@@ -1244,4 +1244,23 @@ class Round8OpsSpec extends SparkSpec {
     // every saturday's residual is 0 — fully explained by the baseline
     assert(got.filter(t => t._1 != 100L && t._1 % 7 == 2).forall(_._2 == 0L))
   }
+
+  test("decileMigration: flows, entries and exits on a hand-built ranking") {
+    // period a: users 1..10 with values 100..1000 (u10 top) → deciles 0..9
+    // period b: u10 crashes to the bottom, u1..u9 shift up one value slot,
+    // u11 enters, u5 exits
+    val pa = (1 to 10).map(u => (s"u$u", "a", u * 100L))
+    val pb = ((1 to 9).filter(_ != 5).map(u => (s"u$u", "b", u * 100L + 50L))) ++
+      Seq(("u10", "b", 1L), ("u11", "b", 2000L))
+    val df = (pa ++ pb).toDF("actor", "p", "cents")
+    val got = graft.ops.Cohort.decileMigration(df, "actor", col("p"), "a", "b", col("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // u10: decile_a 0 (top) → decile_b 9 (bottom of 10 actors in b)
+    assert(got((0L, 9L)) == 1L)
+    // u11 enters at the top of b: (−1 → 0)
+    assert(got((-1L, 0L)) == 1L)
+    // u5 (value 500 → rank 6 of 10 in a → decile 5) exits: (5 → −1)
+    assert(got((5L, -1L)) == 1L)
+    assert(got.values.sum == 11L)
+  }
 }
