@@ -2781,7 +2781,25 @@ object SparkEntry {
         "user_id",
         when(dayofmonth(col("ts")) <= 15, "p1").otherwise("p2"),
         "p1", "p2",
-        round(col("value") * 100).cast("long")))
+        round(col("value") * 100).cast("long"))),
+
+    // ---- SLO compliance + burn rate per event type: "error" events
+    // spend the 99% budget; rolling 7-day windows. ----------------------
+    "q291_slo_burn" -> ((s, dir) =>
+      TimeSeries.sloBurn(
+        t(s, dir, "events").withColumn("__src", col("user_id") % 2),
+        Seq("__src"), "ts", col("event_type") =!= "error",
+        windowDays = 7, objectivePpm = 990000L)
+        .withColumnRenamed("__src", "src")),
+
+    // ---- candidate-key discovery over lineitem: which column subsets
+    // actually identify rows — one Expand agg, stack-melted. ------------
+    "q292_candidate_keys" -> ((s, dir) =>
+      Audit.candidateKeys(t(s, dir, "lineitem"), Seq(
+        Seq("l_orderkey"),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("l_partkey", "l_suppkey"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"))))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -7512,7 +7530,47 @@ object SparkEntry {
         |SELECT CAST(coalesce(da.dec, -1) AS BIGINT) AS decile_a,
         | CAST(coalesce(db.dec, -1) AS BIGINT) AS decile_b,
         | CAST(count(*) AS BIGINT) AS n_actors
-        |FROM da FULL OUTER JOIN db USING (a) GROUP BY 1, 2""".stripMargin
+        |FROM da FULL OUTER JOIN db USING (a) GROUP BY 1, 2""".stripMargin,
+
+    // q291: identical day ints, rolling 7-row frame, one truncation per
+    // ratio.
+    "q291_slo_burn" ->
+      """WITH d AS (
+        | SELECT user_id % 2 AS src, epoch_ms(ts) // 1000 // 86400 AS day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CASE WHEN event_type <> 'error' THEN 1 END) AS BIGINT) AS n_good
+        | FROM events GROUP BY 1, 2),
+        |r AS (
+        | SELECT src, day, n, n_good,
+        |  sum(n) OVER w AS window_n, sum(n_good) OVER w AS window_good
+        | FROM d WINDOW w AS (PARTITION BY src ORDER BY day
+        |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT CAST(src AS BIGINT) AS src, CAST(day AS BIGINT) AS day, n, n_good,
+        | CAST(window_n AS BIGINT) AS window_n,
+        | CAST(window_good AS BIGINT) AS window_good,
+        | CAST((1000000 * window_good) // window_n AS BIGINT) AS compliance_ppm,
+        | CAST((1000 * (1000000 - (1000000 * window_good) // window_n)) // 10000
+        |  AS BIGINT) AS burn_rate_milli
+        |FROM r""".stripMargin,
+
+    // q292: the same subsets as distinct struct counts.
+    "q292_candidate_keys" ->
+      """WITH a AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS d0,
+        |  CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS d1,
+        |  CAST(count(DISTINCT (l_partkey, l_suppkey)) AS BIGINT) AS d2,
+        |  CAST(count(DISTINCT (l_orderkey, l_partkey, l_suppkey)) AS BIGINT) AS d3
+        | FROM lineitem),
+        |p AS (
+        | SELECT 'l_orderkey' AS columns, n, d0 AS n_distinct FROM a
+        | UNION ALL SELECT 'l_orderkey,l_linenumber', n, d1 FROM a
+        | UNION ALL SELECT 'l_partkey,l_suppkey', n, d2 FROM a
+        | UNION ALL SELECT 'l_orderkey,l_partkey,l_suppkey', n, d3 FROM a)
+        |SELECT columns, n AS n_rows, n_distinct,
+        | CAST((1000000 * n_distinct) // n AS BIGINT) AS uniqueness_ppm,
+        | CAST(n - n_distinct AS BIGINT) AS n_collisions
+        |FROM p""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -587,6 +587,37 @@ object Audit {
       .withColumn("n_values", col("load") * col("n_buckets"))
   }
 
+  /** Candidate-key discovery: for each proposed column subset, the
+    * distinct-combination count against the row count and the
+    * uniqueness ratio — `1e6` means the subset IS a key; the gap below
+    * says exactly how many duplicate collisions block it. The
+    * schema-archaeology pass you run before trusting any "id" column a
+    * landing zone hands you ([[functionalDependencies]] asks which
+    * columns determine others; this asks which combinations identify
+    * ROWS).
+    *
+    * Scale shape: ONE aggregation with a multi-distinct (Catalyst plans
+    * k subsets as one Expand — k× the input rows through a single
+    * shuffle of per-subset partials, the [[columnDrift]] exact-path
+    * contract), unpivoted by `stack`. NULLs count as values (two
+    * all-NULL rows collide, as they would in a join).
+    */
+  def candidateKeys(df: DataFrame, subsets: Seq[Seq[String]]): DataFrame = {
+    require(subsets.nonEmpty && subsets.forall(_.nonEmpty), "need non-empty subsets")
+    def nd(cols: Seq[String]) =
+      count_distinct(struct(cols.map(col): _*))
+    val aggs = count(lit(1)).as("__n") +:
+      subsets.zipWithIndex.map { case (s, i) => nd(s).as(s"__d$i") }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = subsets.zipWithIndex
+      .map { case (s, i) => s"'${s.mkString(",")}', `__d$i`" }.mkString(", ")
+    row
+      .selectExpr("__n", s"stack(${subsets.size}, $stackArgs) AS (columns, n_distinct)")
+      .select(col("columns"), col("__n").as("n_rows"), col("n_distinct"),
+        expr("(1000000L * n_distinct) div __n").as("uniqueness_ppm"),
+        (col("__n") - col("n_distinct")).as("n_collisions"))
+  }
+
   /** 1:N fan-out profile of a join key: one row with the key count, row
     * count, max and floor-milli mean children-per-key, and EXACT p50/p90
     * fan-outs (lower-element picks, the q-th key in fan-out order at

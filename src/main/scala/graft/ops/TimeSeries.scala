@@ -822,6 +822,44 @@ object TimeSeries {
         col("n_pairs"), col("r_ppm"))
   }
 
+  /** SLO compliance and burn rate per key over a trailing window: daily
+    * good/total counts, the rolling `windowDays`-day compliance in ppm,
+    * and the burn rate — how fast the error budget disappears relative
+    * to the objective (`burn = (1 − compliance)/(1 − objective)`,
+    * reported in milli; 1000 = spending exactly the budget, 14400 =
+    * Google's classic 1h-of-30d page threshold). Exact integers with
+    * one truncating division per reported ratio.
+    *
+    * Scale shape: one (key, day) conditional-count agg, then rolling
+    * sums on a per-key frame window over day-cardinality rows —
+    * [[rollingSlope]]'s contract.
+    */
+  def sloBurn(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      isGood: Column,
+      windowDays: Int = 7,
+      objectivePpm: Long = 990000L): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
+    require(0 < objectivePpm && objectivePpm < 1000000L,
+      s"objective must be inside (0, 1e6) ppm: $objectivePpm")
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val g = keyCols.map(col)
+    val daily = df
+      .withColumn("day", expr(s"unix_millis(cast($tsCol as timestamp)) div 1000 div 86400"))
+      .groupBy(g :+ col("day"): _*)
+      .agg(count(lit(1)).as("n"), count_if(isGood).as("n_good"))
+    val frame = Window.partitionBy(g: _*).orderBy(col("day"))
+      .rowsBetween(-(windowDays - 1), Window.currentRow)
+    daily
+      .withColumn("window_n", sum(col("n")).over(frame))
+      .withColumn("window_good", sum(col("n_good")).over(frame))
+      .withColumn("compliance_ppm", expr("(1000000L * window_good) div window_n"))
+      .withColumn("burn_rate_milli",
+        expr(s"(1000L * (1000000L - compliance_ppm)) div ${1000000L - objectivePpm}L"))
+  }
+
   /** Rolling regression slope per key: over the trailing `w` points of
     * each series, the least-squares slope of value against the ORDER
     * column as exact integer numerator/denominator

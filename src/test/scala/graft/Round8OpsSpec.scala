@@ -1263,4 +1263,37 @@ class Round8OpsSpec extends SparkSpec {
     assert(got((5L, -1L)) == 1L)
     assert(got.values.sum == 11L)
   }
+
+  test("sloBurn: hand-computed compliance and burn over the rolling window") {
+    def ts(day: Int, i: Int) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(day.toLong * 86400 + i * 60))
+    // day 0: 10 reqs, 1 bad → 90%; day 1: 10 reqs, 0 bad.
+    // window(2d) at day 1: 19/20 good → 950000 ppm; objective 99% →
+    // burn = 1000·50000/10000 = 5000 milli (5× budget).
+    val rows = (0 until 10).map(i => ("s", ts(0, i), i != 0)) ++
+      (0 until 10).map(i => ("s", ts(1, i), true))
+    val df = rows.toDF("k", "ts", "good")
+    val got = graft.ops.TimeSeries.sloBurn(df, Seq("k"), "ts", col("good"),
+        windowDays = 2, objectivePpm = 990000L)
+      .collect().map(r => r.getAs[Long]("day") ->
+        ((r.getAs[Long]("window_n"), r.getAs[Long]("window_good"),
+          r.getAs[Long]("compliance_ppm"), r.getAs[Long]("burn_rate_milli")))).toMap
+    assert(got(0L) == ((10L, 9L, 900000L, 10000L)))
+    assert(got(1L) == ((20L, 19L, 950000L, 5000L)))
+  }
+
+  test("candidateKeys: exact uniqueness, null rows collide like join keys") {
+    val df = Seq(
+      (1, "a", Some(10)), (2, "a", Some(10)), (3, "b", None), (4, "b", None)
+    ).toDF("id", "g", "v")
+    val got = graft.ops.Audit.candidateKeys(df,
+        Seq(Seq("id"), Seq("g"), Seq("g", "v")))
+      .collect().map(r => r.getAs[String]("columns") ->
+        ((r.getAs[Long]("n_distinct"), r.getAs[Long]("uniqueness_ppm"),
+          r.getAs[Long]("n_collisions")))).toMap
+    assert(got("id") == ((4L, 1000000L, 0L)))
+    assert(got("g") == ((2L, 500000L, 2L)))
+    // the two (b, NULL) rows collide — NULL is a value here
+    assert(got("g,v") == ((2L, 500000L, 2L)))
+  }
 }
