@@ -527,4 +527,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(wjPlan.collect { case c: CartesianProductExec => c }.isEmpty,
       "weightedJaccard must pair groups through the token equi-join")
   }
+
+  test("final-batch ranked ops ride denseIds/rankedPrefixSum, frames stay keyed") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    def rowGrainGlobal(df: DataFrame): Seq[WindowExec] =
+      initialPlan(df).collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        .filterNot(_.orderSpec.mkString.contains("__pid"))
+    val vals = (1 to 300).map(i => (s"k${i % 97}", (i * 13 % 251).toLong)).toDF("k", "v")
+    assert(rowGrainGlobal(
+      graft.ops.Metrics.abcClassification(vals, "k", col("v"))).isEmpty,
+      "abcClassification's cumulative curve must ride rankedPrefixSum")
+    val ts = (1 to 300).map(i => (s"u${i % 41}", if (i % 2 == 0) "p1" else "p2",
+      (i * 7 % 89).toLong)).toDF("a", "p", "cents")
+    assert(rowGrainGlobal(graft.ops.Cohort.decileMigration(
+      ts, "a", col("p"), "p1", "p2", col("cents"))).isEmpty,
+      "decileMigration's per-period rankings must ride denseIds")
+    val days = (1 to 200).map(i => (s"s${i % 5}", i.toLong * 86400000L, i % 7 != 0))
+      .toDF("k", "ms", "good").withColumn("ts", timestamp_millis(col("ms")))
+    assert(rowGrainGlobal(graft.ops.TimeSeries.sloBurn(
+      days, Seq("k"), "ts", col("good"))).isEmpty,
+      "sloBurn's rolling frames must partition by key")
+    assert(rowGrainGlobal(graft.ops.TimeSeries.rollingSlope(
+      days.withColumn("d", col("ms") / 1000L), Seq("k"), col("ms"), col("d"), 7)).isEmpty,
+      "rollingSlope's frames must partition by key")
+    assert(rowGrainGlobal(graft.ops.Outliers.seasonalResidualOutliers(
+      days, Seq("k"), "ts", col("ms"))).isEmpty,
+      "seasonal outlier medians must partition by (key, dow) / key")
+  }
 }
