@@ -2799,7 +2799,21 @@ object SparkEntry {
         Seq("l_orderkey"),
         Seq("l_orderkey", "l_linenumber"),
         Seq("l_partkey", "l_suppkey"),
-        Seq("l_orderkey", "l_partkey", "l_suppkey"))))
+        Seq("l_orderkey", "l_partkey", "l_suppkey")))),
+
+    // ---- inter-label centroid separation on the embeddings: truncating
+    // quantized means, exact pairwise distance² over labels×dim rows. ---
+    "q293_centroid_separation" -> ((s, dir) =>
+      Similarity.centroidSeparation(t(s, dir, "embeddings"))),
+
+    // ---- burst detection: 3 same-type events from one user inside 10
+    // minutes — per-user rollup of completed bursts. --------------------
+    "q294_bursts" -> ((s, dir) =>
+      TimeSeries.bursts(t(s, dir, "events"), Seq("user_id"), col("event_type"),
+          "ts", k = 3, windowSec = 600L)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count_if(col("is_burst_end")).as("n_bursts")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -7570,7 +7584,34 @@ object SparkEntry {
         |SELECT columns, n AS n_rows, n_distinct,
         | CAST((1000000 * n_distinct) // n AS BIGINT) AS uniqueness_ppm,
         | CAST(n - n_distinct AS BIGINT) AS n_collisions
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+
+    // q293: same quantization and truncating per-dim means.
+    "q293_centroid_separation" ->
+      """WITH q AS (
+        | SELECT CAST(label AS BIGINT) AS l,
+        |  generate_subscripts(embedding, 1) - 1 AS pos,
+        |  CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS qv
+        | FROM embeddings),
+        |c AS (
+        | SELECT l, pos, CAST(sum(qv) // count(*) AS BIGINT) AS c
+        | FROM q GROUP BY 1, 2)
+        |SELECT a.l AS label_a, b.l AS label_b, CAST(count(*) AS BIGINT) AS dim,
+        | CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS dist_sq_q
+        |FROM c a JOIN c b ON a.pos = b.pos AND a.l < b.l
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q294: identical epoch-ms lag rule, same burst-end flags.
+    "q294_bursts" ->
+      """WITH r AS (
+        | SELECT user_id, event_type, epoch_ms(ts) AS ms,
+        |  lag(epoch_ms(ts), 2) OVER (PARTITION BY user_id, event_type
+        |   ORDER BY epoch_ms(ts)) AS lag_ms
+        | FROM events)
+        |SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(CASE WHEN lag_ms IS NOT NULL AND ms - lag_ms <= 600000
+        |  THEN 1 END) AS BIGINT) AS n_bursts
+        |FROM r GROUP BY 1, 2""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -413,6 +413,36 @@ object Similarity {
       .withColumn("mean_pair_dist", expr("pair_dist_sum div (n * n)"))
   }
 
+  /** Inter-label centroid separation matrix: quantized per-dimension
+    * centroid means per label (truncating `(scale·Σv) div n` — the spec
+    * that keeps every engine identical), then the exact squared L2
+    * distance between every label pair — the cluster-quality companion
+    * to [[dispersion]] (tight blocks far apart = good labels; centroids
+    * closer than their blocks' spread = labels the model can't mean).
+    *
+    * Scale shape: one posexplode → (label, dim) agg (shuffle bounded at
+    * labels×dim), centroid table is labels×dim rows; the pair matrix is
+    * a dim-keyed self-join over that bounded table.
+    */
+  def centroidSeparation(
+      emb: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding",
+      scale: Int = 1000): DataFrame = {
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    val q = transform(col(vecCol), x => round(x.cast("double") * scale).cast("long"))
+    val cent = emb.select(col(labelCol).cast("long").as("__l"), posexplode(q))
+      .groupBy(col("__l"), col("pos"))
+      .agg(expr("(sum(col)) div count(1)").as("__c"))
+    cent.alias("a")
+      .join(cent.alias("b"),
+        col("a.pos") === col("b.pos") && col("a.__l") < col("b.__l"))
+      .groupBy(col("a.__l").as("label_a"), col("b.__l").as("label_b"))
+      .agg(count(lit(1)).as("dim"),
+        sum((col("a.__c") - col("b.__c")) * (col("a.__c") - col("b.__c")))
+          .as("dist_sq_q"))
+  }
+
   /** Embedding hygiene audit per group — the pre-flight every ANN/dedup
     * stage above this one assumes has already passed: dimension
     * consistency (one distinct dim or your dot products are garbage),

@@ -822,6 +822,37 @@ object TimeSeries {
         col("n_pairs"), col("r_ppm"))
   }
 
+  /** Burst (rage-event) detection: rows where the SAME key emitted `k`
+    * events of the same kind within `windowSec` — the rage-click /
+    * retry-storm / crash-loop pattern, flagged at the row that completes
+    * the burst (lag(k−1) within the window), plus a per-(key, kind)
+    * burst count rollup. Frustration bursts predict churn better than
+    * any average; this finds them in one ordered pass.
+    *
+    * Scale shape: one per-(key, kind) ordered window (lag only — no
+    * running state), then a map-side flag and a bounded rollup.
+    */
+  def bursts(
+      df: DataFrame,
+      keyCols: Seq[String],
+      kindCol: Column,
+      tsCol: String,
+      k: Int = 3,
+      windowSec: Long = 5L): DataFrame = {
+    require(k >= 2, s"burst size must be >= 2: $k")
+    require(windowSec >= 1, s"window must be >= 1s: $windowSec")
+    val g = keyCols.map(col)
+    val w = Window.partitionBy(g :+ kindCol: _*)
+      .orderBy(expr(s"unix_millis(cast($tsCol as timestamp))"))
+    val ms = expr(s"unix_millis(cast($tsCol as timestamp))")
+    df
+      .withColumn("__ms", ms)
+      .withColumn("__lagMs", lag(col("__ms"), k - 1).over(w))
+      .withColumn("is_burst_end",
+        col("__lagMs").isNotNull && col("__ms") - col("__lagMs") <= windowSec * 1000L)
+      .drop("__ms", "__lagMs")
+  }
+
   /** SLO compliance and burn rate per key over a trailing window: daily
     * good/total counts, the rolling `windowDays`-day compliance in ppm,
     * and the burn rate — how fast the error budget disappears relative

@@ -1296,4 +1296,41 @@ class Round8OpsSpec extends SparkSpec {
     // the two (b, NULL) rows collide — NULL is a value here
     assert(got("g,v") == ((2L, 500000L, 2L)))
   }
+
+  test("centroidSeparation: hand-computed quantized means and distances") {
+    // label 0: vectors (1, 0) and (0, 1) → means (500, 500)
+    // label 1: (1, 1), (1, 1) → (1000, 1000); label 2: (-1, 0) → (-1000, 0)
+    val rows = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(0.0f, 1.0f)),
+      (1, Array(1.0f, 1.0f)), (1, Array(1.0f, 1.0f)),
+      (2, Array(-1.0f, 0.0f)))
+    val got = graft.ops.Similarity.centroidSeparation(rows.toDF("label", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // d²(0,1) = 500² + 500² = 500000; d²(0,2) = 1500² + 500² = 2500000
+    // d²(1,2) = 2000² + 1000² = 5000000
+    assert(got((0L, 1L)) == ((2L, 500000L)))
+    assert(got((0L, 2L)) == ((2L, 2500000L)))
+    assert(got((1L, 2L)) == ((2L, 5000000L)))
+  }
+
+  test("bursts: flags exactly the row completing k-in-window, rollup counts") {
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val df = Seq(
+      // u1 click: 3 events inside 5s → one burst end at t=4; a 4th at
+      // t=100 does NOT extend (its lag(2) is t=2 → 98s gap)
+      ("u1", "click", ts(0)), ("u1", "click", ts(2)), ("u1", "click", ts(4)),
+      ("u1", "click", ts(100)),
+      // u1 view: only 2 events — never a burst at k=3
+      ("u1", "view", ts(0)), ("u1", "view", ts(1)),
+      // u2 click: 3 events but spread over 20s
+      ("u2", "click", ts(0)), ("u2", "click", ts(10)), ("u2", "click", ts(20))
+    ).toDF("user_id", "t", "ts")
+    val flags = graft.ops.TimeSeries.bursts(df, Seq("user_id"), col("t"), "ts",
+        k = 3, windowSec = 5L)
+      .collect().map(r => (r.getAs[String]("user_id"), r.getAs[String]("t"),
+        r.getAs[java.sql.Timestamp]("ts").toInstant.getEpochSecond,
+        r.getAs[Boolean]("is_burst_end")))
+    assert(flags.count(_._4) == 1)
+    assert(flags.find(_._4).get._3 == 4L)
+  }
 }
