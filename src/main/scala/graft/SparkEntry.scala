@@ -2813,7 +2813,24 @@ object SparkEntry {
           "ts", k = 3, windowSec = 600L)
         .groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          count_if(col("is_burst_end")).as("n_bursts")))
+          count_if(col("is_burst_end")).as("n_bursts"))),
+
+    // ---- daily vocabulary retention over document text: drops and
+    // entries per day, source-change early warning. ---------------------
+    "q295_vocab_retention" -> ((s, dir) =>
+      Lexical.vocabRetention(
+        t(s, dir, "documents")
+          .select((col("doc_id") % 20).as("day"),
+            explode(split(lower(coalesce(col("text"), lit(""))), "\\s+")).as("tok"))
+          .where(length(col("tok")) > 0),
+        col("day"), col("tok"))),
+
+    // ---- natural-breaks banding of order totals: 6 classes at the 5
+    // widest gaps between distinct cent values. --------------------------
+    "q296_gap_breaks" -> ((s, dir) =>
+      Normalize.naturalBreaks(
+        t(s, dir, "orders").select(round(col("o_totalprice") * 100).cast("long").as("c")),
+        col("c"), k = 6))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -7611,7 +7628,46 @@ object SparkEntry {
         |SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
         | CAST(count(CASE WHEN lag_ms IS NOT NULL AND ms - lag_ms <= 600000
         |  THEN 1 END) AS BIGINT) AS n_bursts
-        |FROM r GROUP BY 1, 2""".stripMargin
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // q295: same day key and tokenizer; full-outer lag-1 vocab join.
+    "q295_vocab_retention" ->
+      """WITH pt AS (
+        | SELECT DISTINCT doc_id % 20 AS p, tok FROM (
+        |  SELECT doc_id,
+        |   unnest(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+        |    x -> len(x) > 0)) AS tok
+        |  FROM documents)),
+        |pr AS (SELECT p + 1 AS period, tok, 1 AS in_prev FROM pt),
+        |cu AS (SELECT p AS period, tok, 1 AS in_cur FROM pt),
+        |j AS (SELECT period, in_prev, in_cur FROM pr FULL OUTER JOIN cu USING (period, tok))
+        |SELECT CAST(period AS BIGINT) AS period,
+        | CAST(count(CASE WHEN in_prev IS NOT NULL THEN 1 END) AS BIGINT) AS prev_vocab,
+        | CAST(count(CASE WHEN in_prev IS NOT NULL AND in_cur IS NOT NULL THEN 1 END)
+        |  AS BIGINT) AS retained,
+        | CAST(count(CASE WHEN in_prev IS NOT NULL AND in_cur IS NULL THEN 1 END)
+        |  AS BIGINT) AS dropped,
+        | CAST(count(CASE WHEN in_prev IS NULL THEN 1 END) AS BIGINT) AS entered,
+        | CAST((1000000 * count(CASE WHEN in_prev IS NOT NULL AND in_cur IS NOT NULL
+        |  THEN 1 END)) // count(CASE WHEN in_prev IS NOT NULL THEN 1 END) AS BIGINT)
+        |  AS retention_ppm
+        |FROM j GROUP BY 1
+        |HAVING count(CASE WHEN in_prev IS NOT NULL THEN 1 END) > 0""".stripMargin,
+
+    // q296: distinct-value gaps, widest-5 boundaries, ties toward the
+    // smaller value.
+    "q296_gap_breaks" ->
+      """WITH v AS (
+        | SELECT DISTINCT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c) AS rk FROM v),
+        |g AS (
+        | SELECT a.c AS lower_value, b.c AS upper_value, b.c - a.c AS gap
+        | FROM r a JOIN r b ON b.rk = a.rk + 1),
+        |top AS (SELECT * FROM g ORDER BY gap DESC, lower_value LIMIT 5)
+        |SELECT CAST(row_number() OVER (ORDER BY lower_value) AS BIGINT)
+        |  AS boundary_rank,
+        | lower_value, upper_value, CAST(gap AS BIGINT) AS gap
+        |FROM top""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

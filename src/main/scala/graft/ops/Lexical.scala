@@ -434,6 +434,33 @@ object Lexical {
     * Scale shape: pure map-side Column expressions into one
     * group-cardinality hash agg — embarrassingly parallel.
     */
+  /** Vocabulary retention between consecutive periods: of the distinct
+    * tokens period p−1 used, how many survive into p, how many dropped,
+    * how many are new — the corpus-churn companion to
+    * [[graft.ops.Cohort.revenueRetention]]'s money view, and the
+    * early-warning for a scraper/source change (retention cliffs before
+    * any volume metric moves).
+    *
+    * Scale shape: one distinct (period, token) pass, one token-keyed
+    * lag-1 self-join (full outer, so drops and entries both count), one
+    * period-level agg.
+    */
+  def vocabRetention(df: DataFrame, periodCol: Column, tokenCol: Column): DataFrame = {
+    val pt = df.select(periodCol.cast("long").as("__p"), tokenCol.as("__t"))
+      .where(col("__t").isNotNull)
+      .distinct()
+    val prev = pt.select((col("__p") + 1L).as("period"), col("__t"), lit(1).as("__inPrev"))
+    val cur = pt.select(col("__p").as("period"), col("__t"), lit(1).as("__inCur"))
+    prev.join(cur, Seq("period", "__t"), "full_outer")
+      .groupBy(col("period"))
+      .agg(count_if(col("__inPrev").isNotNull).as("prev_vocab"),
+        count_if(col("__inPrev").isNotNull && col("__inCur").isNotNull).as("retained"),
+        count_if(col("__inPrev").isNotNull && col("__inCur").isNull).as("dropped"),
+        count_if(col("__inPrev").isNull).as("entered"))
+      .where(col("prev_vocab") > 0)
+      .withColumn("retention_ppm", expr("(1000000L * retained) div prev_vocab"))
+  }
+
   /** Stylometric similarity between corpora: cosine over FUNCTION-WORD
     * frequency vectors — the authorship/style-drift signal (content
     * words say what a corpus is about; how often it says "the", "of",

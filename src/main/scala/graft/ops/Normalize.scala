@@ -221,6 +221,39 @@ object Normalize {
       .drop("__pid", "__coff", "__soff")
   }
 
+  /** Natural-breaks (largest-gap) segmentation: the `k` classes whose
+    * boundaries sit at the k−1 WIDEST gaps between consecutive distinct
+    * values — the 1-D clustering behind choropleth-style banding that
+    * equal-width bins botch on skewed data. Returns the boundary table
+    * `(boundary_rank, lower_value, upper_value, gap)`: a class is
+    * "values in (lower_i, upper_{i+1}]"; ties on gap width break toward
+    * the smaller value (deterministic).
+    *
+    * Scale shape: distinct values ranked by the range-partitioned
+    * [[denseIds]] (no global window), consecutive pairs via a rank
+    * equi-join (rank → rank+1 — an exchange on the rank, not a window),
+    * then a global top-(k−1) via TakeOrdered on gap width — the only
+    * driver-sized step, bounded at k rows.
+    */
+  def naturalBreaks(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 classes: $k")
+    val vals = df.select(valueCol.cast("long").as("__v")).where(col("__v").isNotNull)
+      .distinct()
+    val ranked = denseIds(vals, "__v", "__v", "__rk")
+    val gaps = ranked.alias("a")
+      .join(ranked.alias("b"), col("b.__rk") === col("a.__rk") + 1L)
+      .select(col("a.__v").as("lower_value"), col("b.__v").as("upper_value"),
+        (col("b.__v") - col("a.__v")).as("gap"))
+    gaps.orderBy(col("gap").desc, col("lower_value")).limit(k - 1)
+      .orderBy(col("lower_value"))
+      .withColumn("boundary_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("lower_value"))).cast("long"))
+      // the boundary-rank window runs over the k−1 row LIMIT output —
+      // bounded by construction (the keySkew post-limit contract)
+      .select(col("boundary_rank"), col("lower_value"), col("upper_value"), col("gap"))
+  }
+
   def denseIds(
       df: DataFrame,
       orderCol: String,

@@ -1333,4 +1333,26 @@ class Round8OpsSpec extends SparkSpec {
     assert(flags.count(_._4) == 1)
     assert(flags.find(_._4).get._3 == 4L)
   }
+
+  test("vocabRetention: drops, entries and the cliff a source swap makes") {
+    // p0: {a,b,c}; p1: {a,b,d}; p2: {x,y} (source swapped)
+    val rows = Seq((0L, "a"), (0L, "b"), (0L, "c"), (1L, "a"), (1L, "b"),
+      (1L, "d"), (2L, "x"), (2L, "y"))
+    val got = graft.ops.Lexical.vocabRetention(rows.toDF("p", "t"), col("p"), col("t"))
+      .collect().map(r => r.getAs[Long]("period") ->
+        ((r.getAs[Long]("prev_vocab"), r.getAs[Long]("retained"), r.getAs[Long]("dropped"),
+          r.getAs[Long]("entered"), r.getAs[Long]("retention_ppm")))).toMap
+    assert(got(1L) == ((3L, 2L, 1L, 1L, 666666L)))
+    assert(got(2L) == ((3L, 0L, 3L, 2L, 0L)))      // the cliff
+    assert(got(3L) == ((2L, 0L, 2L, 0L, 0L)))      // horizon row: all drop
+  }
+
+  test("naturalBreaks: boundaries at the widest gaps, deterministic ties") {
+    // values 1,2,3, 10,11, 50: gaps 1,1,7,1,39 → k=3 boundaries at 39 (11→50)
+    // and 7 (3→10)
+    val df = Seq(1L, 2L, 3L, 10L, 11L, 50L, 50L).toDF("v")
+    val got = graft.ops.Normalize.naturalBreaks(df, col("v"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 3L, 10L, 7L), (2L, 11L, 50L, 39L)))
+  }
 }
