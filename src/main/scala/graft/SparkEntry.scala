@@ -2830,7 +2830,18 @@ object SparkEntry {
     "q296_gap_breaks" -> ((s, dir) =>
       Normalize.naturalBreaks(
         t(s, dir, "orders").select(round(col("o_totalprice") * 100).cast("long").as("c")),
-        col("c"), k = 6))
+        col("c"), k = 6)),
+
+    // ---- intra-document half-overlap: does the back half restate the
+    // front — map-side template detector. -------------------------------
+    "q297_half_overlap" -> ((s, dir) =>
+      Lexical.halfVocabOverlap(t(s, dir, "documents"), "doc_id", col("text"))),
+
+    // ---- per-user silence audit over 2-day threshold: longest gap,
+    // silence count, silent-now flag at the corpus horizon. -------------
+    "q298_silences" -> ((s, dir) =>
+      TimeSeries.silences(t(s, dir, "events"), Seq("user_id"), "ts",
+        thresholdDays = 2L))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -7667,7 +7678,47 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY lower_value) AS BIGINT)
         |  AS boundary_rank,
         | lower_value, upper_value, CAST(gap AS BIGINT) AS gap
-        |FROM top""".stripMargin
+        |FROM top""".stripMargin,
+
+    // q297: identical word split, halves by floor-div, list set ops.
+    "q297_half_overlap" ->
+      """WITH w AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+        |   x -> len(x) > 0) AS ws
+        | FROM documents),
+        |h AS (
+        | SELECT doc_id, len(ws) AS n,
+        |  list_distinct(ws[1:len(ws) // 2]) AS v1,
+        |  list_distinct(ws[len(ws) // 2 + 1:len(ws)]) AS v2
+        | FROM w),
+        |m AS (
+        | SELECT doc_id, n, len(v1) AS vf, len(v2) AS vb,
+        |  len(list_intersect(v1, v2)) AS inter
+        | FROM h)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+        | CAST(vf AS BIGINT) AS vocab_front, CAST(vb AS BIGINT) AS vocab_back,
+        | CAST(inter AS BIGINT) AS n_common,
+        | CASE WHEN vf + vb - inter = 0 THEN NULL
+        |  ELSE CAST((1000000 * inter) // (vf + vb - inter) AS BIGINT)
+        | END AS overlap_ppm
+        |FROM m""".stripMargin,
+
+    // q298: identical day ints, per-key lag gaps, horizon cross join.
+    "q298_silences" ->
+      """WITH d AS (
+        | SELECT DISTINCT user_id, epoch_ms(ts) // 1000 // 86400 AS day FROM events),
+        |h AS (SELECT max(day) AS horizon FROM d),
+        |g AS (
+        | SELECT user_id, day,
+        |  day - lag(day) OVER (PARTITION BY user_id ORDER BY day) AS gap
+        | FROM d)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_active_days,
+        | CAST(max(day) AS BIGINT) AS last_seen_day,
+        | CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_days,
+        | CAST(count(CASE WHEN gap > 2 THEN 1 END) AS BIGINT) AS n_silences,
+        | max(h.horizon) - max(day) > 2 AS silent_now
+        |FROM g, h GROUP BY user_id""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

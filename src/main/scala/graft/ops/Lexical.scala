@@ -434,6 +434,35 @@ object Lexical {
     * Scale shape: pure map-side Column expressions into one
     * group-cardinality hash agg — embarrassingly parallel.
     */
+  /** Intra-document half-overlap: Jaccard between the vocabularies of
+    * each document's first and second half (by word count) — the
+    * boilerplate/template detector ([[graft.ops.Repetition]] finds
+    * repeated tokens; this finds documents whose back half RESTATES the
+    * front, the mail-merge and scraped-listing shape). Pure map-side
+    * array math per document — no shuffle at all until the caller
+    * aggregates.
+    */
+  def halfVocabOverlap(df: DataFrame, idCol: String, textCol: Column): DataFrame = {
+    val words = filter(split(lower(coalesce(textCol, lit(""))), "\\s+"),
+      w => length(w) > 0)
+    df
+      .withColumn("__w", words)
+      .withColumn("__n", size(col("__w")))
+      .withColumn("__h", expr("__n div 2"))
+      .withColumn("__v1", array_distinct(slice(col("__w"), lit(1), col("__h"))))
+      .withColumn("__v2", array_distinct(
+        slice(col("__w"), col("__h") + 1, col("__n") - col("__h"))))
+      .withColumn("__inter", size(array_intersect(col("__v1"), col("__v2"))))
+      .withColumn("__union",
+        size(col("__v1")) + size(col("__v2")) - col("__inter"))
+      .select(col(idCol), col("__n").cast("long").as("n_words"),
+        size(col("__v1")).cast("long").as("vocab_front"),
+        size(col("__v2")).cast("long").as("vocab_back"),
+        col("__inter").cast("long").as("n_common"),
+        when(col("__union") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000L * __inter) div __union")).as("overlap_ppm"))
+  }
+
   /** Vocabulary retention between consecutive periods: of the distinct
     * tokens period p−1 used, how many survive into p, how many dropped,
     * how many are new — the corpus-churn companion to

@@ -822,6 +822,43 @@ object TimeSeries {
         col("n_pairs"), col("r_ppm"))
   }
 
+  /** Silence audit per key: from each key's active-day set, the longest
+    * inactivity gap, how many gaps exceeded a threshold, the last seen
+    * day, and whether the key is silent NOW (past the threshold at the
+    * corpus horizon) — the sudden-silence detector for sources, sensors
+    * and users that [[interArrivalHistogram]]'s distribution view can't
+    * name individuals from.
+    *
+    * Scale shape: one distinct (key, day) pass, a per-key lag window
+    * over active-day-cardinality rows, one per-key agg with the horizon
+    * riding a broadcast one-row crossJoin.
+    */
+  def silences(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      thresholdDays: Long = 7L): DataFrame = {
+    require(thresholdDays >= 1, s"threshold must be >= 1 day: $thresholdDays")
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val g = keyCols.map(col)
+    val days = df
+      .select(g :+ expr(s"unix_millis(cast($tsCol as timestamp)) div 1000 div 86400")
+        .as("__day"): _*)
+      .distinct()
+    val horizon = days.agg(max(col("__day")).as("__horizon"))
+    val w = Window.partitionBy(g: _*).orderBy(col("__day"))
+    days
+      .withColumn("__gap", col("__day") - lag(col("__day"), 1).over(w))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_active_days"),
+        max(col("__day")).as("last_seen_day"),
+        coalesce(max(col("__gap")), lit(0L)).as("max_gap_days"),
+        count_if(col("__gap") > thresholdDays).as("n_silences"))
+      .crossJoin(broadcast(horizon))
+      .withColumn("silent_now", col("__horizon") - col("last_seen_day") > thresholdDays)
+      .drop("__horizon")
+  }
+
   /** Burst (rage-event) detection: rows where the SAME key emitted `k`
     * events of the same kind within `windowSec` — the rage-click /
     * retry-storm / crash-loop pattern, flagged at the row that completes

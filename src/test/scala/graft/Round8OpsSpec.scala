@@ -1355,4 +1355,38 @@ class Round8OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == Seq((1L, 3L, 10L, 7L), (2L, 11L, 50L, 39L)))
   }
+
+  test("halfVocabOverlap: restated halves near 1e6, disjoint halves 0, odd splits") {
+    val df = Seq(
+      (1L, "a b c a b c"),         // halves {a,b,c}/{a,b,c} → 1e6
+      (2L, "a b c d e f"),         // disjoint → 0
+      (3L, "x y z x w"),           // 5 words: front {x,y}, back {z,x,w} → 1/4
+      (4L, "")                     // empty → union 0 → NULL
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Lexical.halfVocabOverlap(df, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.getAs[Any]("overlap_ppm"))))).toMap
+    assert(got(1L) == ((6L, 3L, 3L, 3L, Some(1000000L))))
+    assert(got(2L) == ((6L, 3L, 3L, 0L, Some(0L))))
+    assert(got(3L) == ((5L, 2L, 3L, 1L, Some(250000L))))
+    assert(got(4L)._5.isEmpty)
+  }
+
+  test("silences: gaps, threshold counts, silent-now at the horizon") {
+    def ts(day: Int) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(day.toLong * 86400 + 3600))
+    // u1 active days 0,1,5,6 (gap 4 once); u2 active day 0 only →
+    // silent at horizon 6; u3 active 5,6 → alive
+    val df = Seq(("u1", ts(0)), ("u1", ts(1)), ("u1", ts(5)), ("u1", ts(6)),
+      ("u2", ts(0)), ("u3", ts(5)), ("u3", ts(6))).toDF("user_id", "ts")
+    val got = graft.ops.TimeSeries.silences(df, Seq("user_id"), "ts", thresholdDays = 2L)
+      .collect().map(r => r.getAs[String]("user_id") ->
+        ((r.getAs[Long]("n_active_days"), r.getAs[Long]("last_seen_day"),
+          r.getAs[Long]("max_gap_days"), r.getAs[Long]("n_silences"),
+          r.getAs[Boolean]("silent_now")))).toMap
+    assert(got("u1") == ((4L, 6L, 4L, 1L, false)))
+    assert(got("u2") == ((1L, 0L, 0L, 0L, true)))
+    assert(got("u3") == ((2L, 6L, 1L, 0L, false)))
+  }
 }
