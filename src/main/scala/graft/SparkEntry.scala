@@ -2841,7 +2841,24 @@ object SparkEntry {
     // silence count, silent-now flag at the corpus horizon. -------------
     "q298_silences" -> ((s, dir) =>
       TimeSeries.silences(t(s, dir, "events"), Seq("user_id"), "ts",
-        thresholdDays = 2L))
+        thresholdDays = 2L)),
+
+    // ---- order-header vs line-sum reconciliation in whole cents
+    // against the deterministic 7/10ths rule baked into the check:
+    // headers never equal line sums in this synthetic data, so the
+    // mismatch distribution itself is the verified output. --------------
+    "q299_reconcile" -> ((s, dir) =>
+      Audit.reconcileTotals(
+        t(s, dir, "orders"), "o_orderkey",
+        round(col("o_totalprice") * 100).cast("long"),
+        t(s, dir, "lineitem"), "l_orderkey",
+        round(col("l_extendedprice") * 100).cast("long"),
+        tolerancePpm = 800000L)),
+
+    // ---- the corpus release gate: four named checks, one audit-trail
+    // table — the composite the whole hygiene suite feeds. --------------
+    "q300_release_gate" -> ((s, dir) =>
+      Audit.releaseGate(t(s, dir, "documents"), col("text"), col("source")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -7718,7 +7735,58 @@ object SparkEntry {
         | CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_days,
         | CAST(count(CASE WHEN gap > 2 THEN 1 END) AS BIGINT) AS n_silences,
         | max(h.horizon) - max(day) > 2 AS silent_now
-        |FROM g, h GROUP BY user_id""".stripMargin
+        |FROM g, h GROUP BY user_id""".stripMargin,
+
+    // q299: same cent amounts, left join from the header side.
+    "q299_reconcile" ->
+      """WITH s AS (
+        | SELECT l_orderkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |  AS BIGINT) AS cs
+        | FROM lineitem GROUP BY 1)
+        |SELECT o.o_orderkey,
+        | CAST(round(o.o_totalprice * 100) AS BIGINT) AS parent_amount,
+        | CAST(coalesce(s.cs, 0) AS BIGINT) AS child_sum,
+        | CAST(round(o.o_totalprice * 100) AS BIGINT) - coalesce(s.cs, 0) AS diff,
+        | CAST(CASE WHEN CAST(round(o.o_totalprice * 100) AS BIGINT) = 0
+        |  THEN CASE WHEN coalesce(s.cs, 0) = 0 THEN 0 ELSE 1000000 END
+        |  ELSE (1000000 * abs(CAST(round(o.o_totalprice * 100) AS BIGINT)
+        |   - coalesce(s.cs, 0))) // abs(CAST(round(o.o_totalprice * 100) AS BIGINT))
+        | END AS BIGINT) AS mismatch_ppm,
+        | CASE WHEN CAST(round(o.o_totalprice * 100) AS BIGINT) = 0
+        |  THEN coalesce(s.cs, 0) = 0
+        |  ELSE (1000000 * abs(CAST(round(o.o_totalprice * 100) AS BIGINT)
+        |   - coalesce(s.cs, 0))) // abs(CAST(round(o.o_totalprice * 100) AS BIGINT))
+        |   <= 800000 END AS reconciled
+        |FROM orders o LEFT JOIN s ON s.l_orderkey = o.o_orderkey""".stripMargin,
+
+    // q300: md5-digest dup share, nfc_normalize flags, HHI — unioned.
+    "q300_release_gate" ->
+      """WITH base AS (
+        | SELECT coalesce(text, '') AS t, source FROM documents),
+        |dup AS (
+        | SELECT 'exact_dup_ppm' AS "check",
+        |  CAST((1000000 * (count(*) - count(DISTINCT md5(t)))) // count(*) AS BIGINT)
+        |   AS value, CAST(100000 AS BIGINT) AS threshold
+        | FROM base),
+        |fl AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CASE WHEN nfc_normalize(t) <> t THEN 1 END) AS BIGINT) AS nn,
+        |  CAST(count(CASE WHEN length(t) = 0 THEN 1 END) AS BIGINT) AS e
+        | FROM base),
+        |f2 AS (
+        | SELECT 'non_nfc_ppm' AS "check", CAST((1000000 * nn) // n AS BIGINT) AS value,
+        |  CAST(1000 AS BIGINT) AS threshold FROM fl
+        | UNION ALL
+        | SELECT 'empty_doc_ppm', CAST((1000000 * e) // n AS BIGINT),
+        |  CAST(1000 AS BIGINT) FROM fl),
+        |hh AS (
+        | SELECT 'source_hhi_ppm' AS "check",
+        |  CAST((1000000 * sum(c * c)) // (sum(c) * sum(c)) AS BIGINT) AS value,
+        |  CAST(500000 AS BIGINT) AS threshold
+        | FROM (SELECT source, count(*) AS c FROM base GROUP BY 1))
+        |SELECT "check", value, threshold, value <= threshold AS pass
+        |FROM (SELECT * FROM dup UNION ALL SELECT * FROM f2
+        |  UNION ALL SELECT * FROM hh)""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -587,6 +587,42 @@ object Audit {
       .withColumn("n_values", col("load") * col("n_buckets"))
   }
 
+  /** Parent/child total reconciliation: for every parent key, the
+    * parent's stated amount vs the sum of its children, the signed
+    * difference, the relative mismatch in ppm of the parent amount, and
+    * an in-tolerance flag — the warehouse closing check ("does the
+    * order header agree with its lines") that catches partial loads and
+    * double-applied adjustments the moment they land. Parents with no
+    * children reconcile against 0 (full mismatch), orphan children are
+    * [[foreignKeyOrphans]]'s job.
+    *
+    * Scale shape: one child-side sum agg, one parent-keyed left join —
+    * both sides shuffle on the key once; everything after is map-side.
+    */
+  def reconcileTotals(
+      parent: DataFrame,
+      parentKey: String,
+      parentAmount: Column,
+      child: DataFrame,
+      childKey: String,
+      childAmount: Column,
+      tolerancePpm: Long = 0L): DataFrame = {
+    require(tolerancePpm >= 0, s"tolerance must be >= 0 ppm: $tolerancePpm")
+    val sums = child.groupBy(col(childKey).as("__k"))
+      .agg(sum(childAmount).as("__childSum"))
+    parent
+      .select(col(parentKey), parentAmount.as("parent_amount"))
+      .join(sums, col(parentKey) === col("__k"), "left")
+      .withColumn("child_sum", coalesce(col("__childSum"), lit(0L)))
+      .withColumn("diff", col("parent_amount") - col("child_sum"))
+      .withColumn("mismatch_ppm",
+        when(col("parent_amount") === 0,
+          when(col("child_sum") === 0, 0L).otherwise(lit(1000000L)))
+          .otherwise(expr("(1000000L * abs(diff)) div abs(parent_amount)")))
+      .withColumn("reconciled", col("mismatch_ppm") <= tolerancePpm)
+      .drop("__k", "__childSum")
+  }
+
   /** Candidate-key discovery: for each proposed column subset, the
     * distinct-combination count against the row count and the
     * uniqueness ratio — `1e6` means the subset IS a key; the gap below
@@ -616,6 +652,56 @@ object Audit {
       .select(col("columns"), col("__n").as("n_rows"), col("n_distinct"),
         expr("(1000000L * n_distinct) div __n").as("uniqueness_ppm"),
         (col("__n") - col("n_distinct")).as("n_collisions"))
+  }
+
+  /** Corpus release gate: the go/no-go checklist a training-data
+    * release runs last — each row one named check with its measured
+    * value, its threshold, and a pass flag. Checks: exact-duplicate
+    * share, non-NFC share ([[graft.ops.Lexical.unicodeAudit]]'s
+    * signal), empty-document share, and source concentration
+    * (Herfindahl over sources). One failing row blocks the release;
+    * the table IS the audit trail.
+    *
+    * Scale shape: three independent map-side-combined aggregates
+    * (digest distinct, flag counts, per-source counts) unioned into a
+    * four-row report — nothing bigger than the source table's
+    * cardinality ever shuffles.
+    */
+  def releaseGate(
+      docs: DataFrame,
+      textCol: Column,
+      sourceCol: Column,
+      maxDupPpm: Long = 100000L,
+      maxNonNfcPpm: Long = 1000L,
+      maxEmptyPpm: Long = 1000L,
+      maxHhiPpm: Long = 500000L): DataFrame = {
+    val t = coalesce(textCol, lit(""))
+    val dup = docs
+      .agg(count(lit(1)).as("__n"),
+        count_distinct(md5(t)).as("__d"))
+      .select(lit("exact_dup_ppm").as("check"),
+        expr("(1000000L * (__n - __d)) div __n").as("value"),
+        lit(maxDupPpm).as("threshold"))
+    val flags = docs
+      .agg(count(lit(1)).as("__n"),
+        count_if(graft.functions.TextFunctions.nfc(t) =!= t).as("__nn"),
+        count_if(length(t) === 0).as("__e"))
+      .select(
+        struct(lit("non_nfc_ppm").as("check"),
+          expr("(1000000L * __nn) div __n").as("value"),
+          lit(maxNonNfcPpm).as("threshold")).as("r1"),
+        struct(lit("empty_doc_ppm").as("check"),
+          expr("(1000000L * __e) div __n").as("value"),
+          lit(maxEmptyPpm).as("threshold")).as("r2"))
+      .select(explode(array(col("r1"), col("r2"))).as("r"))
+      .select(col("r.check"), col("r.value"), col("r.threshold"))
+    val hhi = docs.groupBy(sourceCol.as("__s")).agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c")).as("__n"), sum(col("__c") * col("__c")).as("__s2"))
+      .select(lit("source_hhi_ppm").as("check"),
+        expr("(1000000L * __s2) div (__n * __n)").as("value"),
+        lit(maxHhiPpm).as("threshold"))
+    dup.unionAll(flags).unionAll(hhi)
+      .withColumn("pass", col("value") <= col("threshold"))
   }
 
   /** 1:N fan-out profile of a join key: one row with the key count, row

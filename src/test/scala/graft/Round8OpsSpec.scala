@@ -1389,4 +1389,37 @@ class Round8OpsSpec extends SparkSpec {
     assert(got("u2") == ((1L, 0L, 0L, 0L, true)))
     assert(got("u3") == ((2L, 6L, 1L, 0L, false)))
   }
+
+  test("reconcileTotals: exact match, mismatch ppm, childless parent, zero parent") {
+    val parent = Seq((1L, 1000L), (2L, 1000L), (3L, 500L), (4L, 0L))
+      .toDF("pk", "amt")
+    val child = Seq((1L, 600L), (1L, 400L), (2L, 900L), (4L, 7L)).toDF("ck", "amt")
+    val got = graft.ops.Audit.reconcileTotals(parent, "pk", col("amt"),
+        child, "ck", col("amt"), tolerancePpm = 0L)
+      .collect().map(r => r.getAs[Long]("pk") ->
+        ((r.getAs[Long]("child_sum"), r.getAs[Long]("diff"),
+          r.getAs[Long]("mismatch_ppm"), r.getAs[Boolean]("reconciled")))).toMap
+    assert(got(1L) == ((1000L, 0L, 0L, true)))
+    assert(got(2L) == ((900L, 100L, 100000L, false)))
+    assert(got(3L) == ((0L, 500L, 1000000L, false)))    // childless parent
+    assert(got(4L) == ((7L, -7L, 1000000L, false)))     // zero parent, nonzero child
+  }
+
+  test("releaseGate: clean corpus passes, each defect trips its own check") {
+    val clean = (1 to 20).map(i => (s"unique text $i", s"s${i % 4}")).toDF("text", "src")
+    val g1 = graft.ops.Audit.releaseGate(clean, col("text"), col("src"))
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("pass")).toMap
+    assert(g1.size == 4 && g1.values.forall(identity), s"clean corpus failed: $g1")
+    // 50% duplicates trip the dup check and ONLY it
+    val dupey = ((1 to 10).map(i => (s"text $i", "s1")) ++
+      (1 to 10).map(_ => ("same text", "s2"))).toDF("text", "src")
+    val g2 = graft.ops.Audit.releaseGate(dupey, col("text"), col("src"))
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("pass")).toMap
+    assert(!g2("exact_dup_ppm") && g2("empty_doc_ppm"))
+    // a single-source corpus trips concentration
+    val mono = (1 to 20).map(i => (s"t $i", "only")).toDF("text", "src")
+    val g3 = graft.ops.Audit.releaseGate(mono, col("text"), col("src"))
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("pass")).toMap
+    assert(!g3("source_hhi_ppm") && g3("exact_dup_ppm"))
+  }
 }
