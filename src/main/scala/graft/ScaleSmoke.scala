@@ -80,7 +80,7 @@ object ScaleSmoke {
       // edges reaching a+22 near a replica's top id stay inside that
       // replica's id range — the copies are exactly disjoint subgraphs.
       val docs = spark.read.parquet(s"$src/documents.parquet")
-      val docShift = ((docs.agg(max("doc_id")).head.getLong(0) + 23 + 39) / 40) * 40
+      val docShift = ((docs.agg(max("doc_id")).head().getLong(0) + 23 + 39) / 40) * 40
       replicate(docs, replicas) { case (d, i) =>
         d.withColumn("doc_id", col("doc_id") + lit(i * docShift))
           .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1"))
@@ -91,14 +91,14 @@ object ScaleSmoke {
       val orders = spark.read.parquet(s"$src/orders.parquet")
       val li = spark.read.parquet(s"$src/lineitem.parquet")
       val cust = spark.read.parquet(s"$src/customer.parquet")
-      val okShift = orders.agg(max("o_orderkey")).head.getLong(0) + 1
+      val okShift = orders.agg(max("o_orderkey")).head().getLong(0) + 1
       // custkey shift comes from the CUSTOMER table (superset of the keys
       // orders reference) so o_custkey and c_custkey stay joinable.
-      val ckShift = cust.agg(max("c_custkey")).head.getLong(0) + 1
-      val skShift = li.agg(max("l_suppkey")).head.getLong(0) + 1
+      val ckShift = cust.agg(max("c_custkey")).head().getLong(0) + 1
+      val skShift = li.agg(max("l_suppkey")).head().getLong(0) + 1
       // partkey shift must preserve l_partkey % 4 (q89's deterministic
       // graph slice) or replica graphs would differ from the base one.
-      val pkShift0 = li.agg(max("l_partkey")).head.getLong(0) + 1
+      val pkShift0 = li.agg(max("l_partkey")).head().getLong(0) + 1
       val pkShift = pkShift0 + (4 - pkShift0 % 4) % 4
       replicate(orders, replicas) { case (d, i) =>
         d.withColumn("o_orderkey", col("o_orderkey") + lit(i * okShift))
@@ -127,8 +127,8 @@ object ScaleSmoke {
     // by earlier builds lack this table.
     if (absent("events")) {
       val ev = spark.read.parquet(s"$src/events.parquet")
-      val uShift = ev.agg(max("user_id")).head.getLong(0) + 1
-      val eShift = ev.agg(max("event_id")).head.getLong(0) + 1
+      val uShift = ev.agg(max("user_id")).head().getLong(0) + 1
+      val eShift = ev.agg(max("event_id")).head().getLong(0) + 1
       replicate(ev, replicas) { case (d, i) =>
         d.withColumn("user_id", col("user_id") + lit(i * uShift))
           .withColumn("event_id", col("event_id") + lit(i * eShift))

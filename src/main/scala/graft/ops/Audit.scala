@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object Audit {
 
+  /** Resolve a caller-provided column NAME literally: `col("a.b")` would
+    * parse the dot as struct-field access, so audit ops (whose whole job
+    * is profiling arbitrary landing-zone columns) quote the name,
+    * doubling embedded backticks per the SQL identifier-escape rule.
+    */
+  private def colExact(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   /** One-pass constraint audit. Emits one row per check:
     * `(check, column, violations, n_rows, pass)`.
     *
@@ -469,20 +477,24 @@ object Audit {
     require(cols.nonEmpty, "need at least one column to profile")
     def profile(df: DataFrame, tag: String): DataFrame = {
       def nd(c: String) =
-        if (approxDistinct) approx_count_distinct(col(c)) else count_distinct(col(c))
-      val aggs = cols.flatMap(c => Seq(
-        count(lit(1)).as(s"${c}__n"),
-        count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
-        nd(c).as(s"${c}__nd"),
-        min(col(c)).cast("long").as(s"${c}__min"),
-        max(col(c)).cast("long").as(s"${c}__max"),
-        sum(col(c)).cast("long").as(s"${c}__sum")))
+        if (approxDistinct) approx_count_distinct(colExact(c)) else count_distinct(colExact(c))
+      // Internal aliases are INDEX-based and the label is a lit(): no raw
+      // column name is ever spliced into parsed SQL text, so names with
+      // quotes/backticks/dots can't break or mislabel the unpivot.
+      val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+        count(lit(1)).as(s"__n$i"),
+        count(when(colExact(c).isNull, 1)).as(s"__nulls$i"),
+        nd(c).as(s"__nd$i"),
+        min(colExact(c)).cast("long").as(s"__min$i"),
+        max(colExact(c)).cast("long").as(s"__max$i"),
+        sum(colExact(c)).cast("long").as(s"__sum$i")) }
       val row = df.agg(aggs.head, aggs.tail: _*)
-      val stackArgs = cols.map(c =>
-        s"'$c', `${c}__n`, `${c}__nulls`, `${c}__nd`, `${c}__min`, `${c}__max`, `${c}__sum`")
-        .mkString(", ")
-      row.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
-        s"(column_name, n_$tag, nulls_$tag, distinct_$tag, min_$tag, max_$tag, sum_$tag)")
+      val kvs = cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("column_name"),
+          col(s"__n$i").as(s"n_$tag"), col(s"__nulls$i").as(s"nulls_$tag"),
+          col(s"__nd$i").as(s"distinct_$tag"), col(s"__min$i").as(s"min_$tag"),
+          col(s"__max$i").as(s"max_$tag"), col(s"__sum$i").as(s"sum_$tag")) }
+      row.select(explode(array(kvs: _*)).as("kv")).select(col("kv.*"))
     }
     profile(a, "a").join(profile(b, "b"), "column_name")
   }
@@ -518,10 +530,14 @@ object Audit {
           "datetime")
         .when(c.rlike("^\\{.*\\}$"), "json")
         .otherwise("other")
-    val melted = df.select(cols.map(c =>
-      classify(col(c).cast("string")).as(c)): _*)
-      .selectExpr(s"stack(${cols.size}, " +
-        cols.map(c => s"'$c', `$c`").mkString(", ") + ") AS (column_name, inferred)")
+    // Index-aliased melt (struct/explode, no SQL-text splicing) — same
+    // row multiplication as a stack, immune to hostile column names.
+    val classified = df.select(cols.zipWithIndex.map { case (c, i) =>
+      classify(colExact(c).cast("string")).as(s"__c$i") }: _*)
+    val kvs = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column_name"), col(s"__c$i").as("inferred")) }
+    val melted = classified.select(explode(array(kvs: _*)).as("kv"))
+      .select(col("kv.column_name").as("column_name"), col("kv.inferred").as("inferred"))
     melted.groupBy(col("column_name"), col("inferred"))
       .agg(count(lit(1)).as("n"))
   }
@@ -538,25 +554,33 @@ object Audit {
     * Scale shape: ONE full-scan aggregation — k marginal null counts
     * and C(k,2) pair counts as plain conditional sums in a single
     * 1-row agg (map-side combined, no Expand, no join, no second
-    * pass), unpivoted to pair rows by `stack` over that row. Cost is
+    * pass), unpivoted to pair rows by a struct/explode melt. Cost is
     * O(k²) AGGREGATE EXPRESSIONS, not rows — bounded by the audited
     * column list, same contract as [[columnDrift]].
     */
   def coMissingness(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"need at least two columns: $cols")
     val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
-      yield (cols(i), cols(j))
+      yield (i, j)
+    // Index-based internal aliases + lit() labels: raw column names never
+    // enter parsed SQL text (names with quotes/backticks stay safe).
     val aggs = Seq(count(lit(1)).as("__n")) ++
-      cols.map(c => count(when(col(c).isNull, 1)).as(s"__null_$c")) ++
-      pairs.map { case (a, b) =>
-        count(when(col(a).isNull && col(b).isNull, 1)).as(s"__both_${a}__$b") }
+      cols.zipWithIndex.map { case (c, i) =>
+        count(when(colExact(c).isNull, 1)).as(s"__null$i") } ++
+      pairs.map { case (i, j) =>
+        count(when(colExact(cols(i)).isNull && colExact(cols(j)).isNull, 1))
+          .as(s"__both${i}_$j") }
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = pairs.map { case (a, b) =>
-      s"'$a', '$b', `__null_$a`, `__null_$b`, `__both_${a}__$b`" }.mkString(", ")
+    val kvs = pairs.map { case (i, j) =>
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        col(s"__null$i").as("null_a"), col(s"__null$j").as("null_b"),
+        col(s"__both${i}_$j").as("both_null")) }
     row
-      .selectExpr("__n",
-        s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, null_a, null_b, both_null)")
-      .select(col("col_a"), col("col_b"), col("__n").as("n_rows"),
+      .select(col("__n"), explode(array(kvs: _*)).as("kv"))
+      .select(col("kv.col_a").as("col_a"), col("kv.col_b").as("col_b"), col("__n").as("n_rows"),
+        col("kv.null_a").as("null_a"), col("kv.null_b").as("null_b"),
+        col("kv.both_null").as("both_null"))
+      .select(col("col_a"), col("col_b"), col("n_rows"),
         col("null_a"), col("null_b"), col("both_null"),
         expr("(1000000L * both_null) div n_rows").as("conull_ppm"),
         when(col("null_a") === 0 || col("null_b") === 0, lit(null).cast("long"))
@@ -635,23 +659,36 @@ object Audit {
     * Scale shape: ONE aggregation with a multi-distinct (Catalyst plans
     * k subsets as one Expand — k× the input rows through a single
     * shuffle of per-subset partials, the [[columnDrift]] exact-path
-    * contract), unpivoted by `stack`. NULLs count as values (two
-    * all-NULL rows collide, as they would in a join).
+    * contract), unpivoted by a struct/explode melt. NULLs count as
+    * values (two all-NULL rows collide, as they would in a join).
+    * `approxDistinct = true` swaps every subset count to
+    * `approx_count_distinct` (HyperLogLog++): the Expand disappears —
+    * one scan, one fixed-size sketch per subset — the bounded-memory
+    * path for probing many subsets over a huge table, at ~2% relative
+    * error (a subset can then only be CONFIRMED as a key by the exact
+    * path; the approx path is the cheap first-pass filter). Exact is
+    * the default because the report is oracled.
     */
-  def candidateKeys(df: DataFrame, subsets: Seq[Seq[String]]): DataFrame = {
+  def candidateKeys(
+      df: DataFrame,
+      subsets: Seq[Seq[String]],
+      approxDistinct: Boolean = false): DataFrame = {
     require(subsets.nonEmpty && subsets.forall(_.nonEmpty), "need non-empty subsets")
     def nd(cols: Seq[String]) =
-      count_distinct(struct(cols.map(col): _*))
+      if (approxDistinct) approx_count_distinct(struct(cols.map(colExact): _*))
+      else count_distinct(struct(cols.map(colExact): _*))
     val aggs = count(lit(1)).as("__n") +:
       subsets.zipWithIndex.map { case (s, i) => nd(s).as(s"__d$i") }
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = subsets.zipWithIndex
-      .map { case (s, i) => s"'${s.mkString(",")}', `__d$i`" }.mkString(", ")
+    // lit() labels + index aliases — no raw names in parsed SQL text.
+    val kvs = subsets.zipWithIndex.map { case (s, i) =>
+      struct(lit(s.mkString(",")).as("columns"), col(s"__d$i").as("n_distinct")) }
     row
-      .selectExpr("__n", s"stack(${subsets.size}, $stackArgs) AS (columns, n_distinct)")
-      .select(col("columns"), col("__n").as("n_rows"), col("n_distinct"),
-        expr("(1000000L * n_distinct) div __n").as("uniqueness_ppm"),
-        (col("__n") - col("n_distinct")).as("n_collisions"))
+      .select(col("__n"), explode(array(kvs: _*)).as("kv"))
+      .select(col("kv.columns").as("columns"), col("__n").as("n_rows"),
+        col("kv.n_distinct").as("n_distinct"),
+        expr("(1000000L * kv.n_distinct) div __n").as("uniqueness_ppm"),
+        (col("__n") - col("kv.n_distinct")).as("n_collisions"))
   }
 
   /** Corpus release gate: the go/no-go checklist a training-data

@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * naive min-label propagation needs O(diameter) rounds, which a single
   * 100M-node duplicate chain turns into thousands of jobs. Nothing is
   * ever collected to the driver; per-round state is the (shrinking) edge
-  * list, checkpointed locally to keep the plan flat.
+  * list, staged each round ([[Staging.stage]], caller-selectable fault
+  * tolerance) to keep the plan flat.
   */
 object Components {
 
@@ -33,14 +34,20 @@ object Components {
       pairs: DataFrame,
       aCol: String = "a_id",
       bCol: String = "b_id",
-      maxIter: Int = 50): DataFrame = {
-    // Canonical (u < v) long edges, self-loops dropped.
-    var edges = pairs
+      maxIter: Int = 50,
+      reliable: Boolean = false): DataFrame = {
+    // Canonical (u < v) long edges, self-loops dropped. Staged with the
+    // caller-selectable posture ([[Staging.stage]]): `reliable = true`
+    // keeps lineage (persist DISK_ONLY) so a lost executor recomputes the
+    // partition instead of failing the whole O(log n)-round job — the
+    // preemptible-cluster posture; contraction is deterministic, so
+    // recompute is bit-identical.
+    var edges = Staging.stage(pairs
       .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
       .where(col("x") =!= col("y") && col("x").isNotNull && col("y").isNotNull)
       .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct(),
+      reliable)
 
     // Cheap probabilistic fixpoint detector: (count, order-independent
     // hash-sum) of the canonical edge set. A false "converged" needs a
@@ -81,8 +88,13 @@ object Components {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = Staging.stage(smallStar(largeStar(edges)), reliable)
+      // checksum is an action: it materializes `next` (persist blocks /
+      // checkpoint) while the previous round's blocks are still alive,
+      // after which the previous round can be released — the reliable
+      // path keeps at most two edge sets on disk.
       val sig = checksum(next)
+      if (reliable) edges.unpersist()
       converged = sig == prev
       prev = sig
       edges = next

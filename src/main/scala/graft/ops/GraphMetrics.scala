@@ -96,15 +96,20 @@ object GraphMetrics {
       pairs: DataFrame,
       aCol: String = "a_id",
       bCol: String = "b_id",
-      rounds: Int = 2): DataFrame = {
+      rounds: Int = 2,
+      reliable: Boolean = false): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0: $rounds")
-    val e = canonicalEdges(pairs, aCol, bCol).localCheckpoint()
+    // Caller-selectable staging posture ([[Staging.stage]]) — the
+    // propagation is deterministic, so the lineage-keeping reliable path
+    // recomputes lost partitions bit-identically.
+    val e = Staging.stage(canonicalEdges(pairs, aCol, bCol), reliable)
     val p = e.sparkSession.sparkContext.defaultParallelism
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       .toDF("src", "dst")
       .repartition(p, col("dst")).cache()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint()
+    var labels = Staging.stage(sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")), reliable)
+    val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (i <- 1 to rounds) {
       // Neighbor-label tally: join on the label-carrier side (dst), so
       // the cached dst-hashed edge layout is reused every round and only
@@ -121,7 +126,17 @@ object GraphMetrics {
       // checkpoint cadence rationale as [[PageRank.ranksFixedPoint]]:
       // truncate every 4th round and on the last (the result must
       // outlive sym.unpersist below), skip the eager job otherwise.
-      labels = if (i == rounds || i % 4 == 0) next.localCheckpoint() else next
+      if (i == rounds || i % 4 == 0) {
+        labels = Staging.stage(next, reliable)
+        staged += labels
+      } else labels = next
+    }
+    // Same materialize-then-release dance as [[PageRank.ranksFixedPoint]]:
+    // the reliable persist is lazy, so pin the final labels to disk while
+    // the cached edge layout is still alive, then release intermediates.
+    if (reliable && rounds > 0) {
+      labels.count()
+      staged.dropRight(1).foreach(_.unpersist())
     }
     sym.unpersist()
     labels
@@ -242,34 +257,40 @@ object GraphMetrics {
     * count, a single Long — and rounds are capped: real graphs peel in
     * few rounds (degeneracy ordering depth), and `maxRounds` bounds the
     * adversarial chain case (a path peels one layer per round).
-    * Lineage is truncated each round (localCheckpoint, the iterative-op
-    * pattern shared with [[labelPropagation]]): the loop's plan would
-    * otherwise double per round. Eager/fault-tolerance trade documented
-    * at [[neighborhoodSize]].
+    * Lineage is truncated each round ([[Staging.stage]], the iterative-op
+    * pattern shared with [[labelPropagation]] — caller-selectable fault
+    * tolerance via `reliable`): the loop's plan would otherwise double
+    * per round. Eager/fault-tolerance trade documented at
+    * [[neighborhoodSize]].
     */
   def kCore(
       pairs: DataFrame,
       k: Int,
       aCol: String = "a_id",
       bCol: String = "b_id",
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50,
+      reliable: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
     val e = canonicalEdges(pairs, aCol, bCol)
-    var sym = e.select(col("u").as("src"), col("v").as("dst"))
-      .union(e.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint()
+    var sym = Staging.stage(e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst"))),
+      reliable)
     var nEdges = sym.count()
     var round = 0
     var converged = nEdges == 0L
     while (!converged && round < maxRounds) {
       val keep = sym.groupBy("src").agg(count(lit(1)).as("__d"))
         .where(col("__d") >= k).select(col("src").as("__keep"))
-      val next = sym
+      val next = Staging.stage(sym
         .join(keep, col("src") === col("__keep"), "left_semi")
-        .join(keep, col("dst") === col("__keep"), "left_semi")
-        .localCheckpoint()
+        .join(keep, col("dst") === col("__keep"), "left_semi"),
+        reliable)
+      // count is the convergence probe AND the materializing action; on
+      // the reliable path the previous round's blocks can be released
+      // once the new round is on disk — at most two edge sets held.
       val nNext = next.count()
+      if (reliable) sym.unpersist()
       converged = nNext == nEdges
       sym = next
       nEdges = nNext

@@ -280,15 +280,27 @@ object Ngrams {
       textCol: String = "text",
       rounds: Int = 16,
       endOfWord: String = "</w>",
-      batch: Int = 1): DataFrame = {
+      batch: Int = 1,
+      reliable: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     require(batch >= 1, s"batch must be >= 1: $batch")
     val spark = docs.sparkSession
-    var vocab = Dedup.parallelize(docs)
+    // Word-type table staged with the caller-selectable posture
+    // ([[Staging.stage]]): `reliable = true` keeps lineage so an
+    // executor loss mid-training recomputes the lost partition instead
+    // of killing a multi-hundred-round vocabulary run; the rewrite chain
+    // is deterministic, so recompute is bit-identical.
+    var vocab = Staging.stage(Dedup.parallelize(docs)
       .select(explode(Dedup.wordTokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
-      .select(concat(split(col("word"), ""), array(lit(endOfWord))).as("syms"), col("n"))
-      .localCheckpoint()
+      .select(concat(split(col("word"), ""), array(lit(endOfWord))).as("syms"), col("n")),
+      reliable)
+    // On the reliable path each round's pair election (a collect — an
+    // action) materializes the most recent staged vocab; the staged
+    // generation BEFORE it can then be released, keeping at most two
+    // vocabulary snapshots on disk.
+    var toRelease: Option[DataFrame] = None
+    var lastStaged = vocab
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var sinceCheckpoint = 0
     var done = false
@@ -303,6 +315,7 @@ object Ngrams {
         .agg(sum("n").as("cnt"))
         .orderBy(col("cnt").desc, col("l"), col("rt"))
         .limit(want).collect()
+      if (reliable) { toRelease.foreach(_.unpersist()); toRelease = None }
       if (top.isEmpty) done = true
       else {
         // Maximal conflict-free prefix of the election order: the first
@@ -323,9 +336,17 @@ object Ngrams {
           }.as("syms"), col("n"))
         // linear lineage; truncate periodically like the other fixpoints
         sinceCheckpoint += selected.size
-        if (sinceCheckpoint >= 4) { vocab = vocab.localCheckpoint(); sinceCheckpoint = 0 }
+        if (sinceCheckpoint >= 4) {
+          if (reliable) toRelease = Some(lastStaged)
+          vocab = Staging.stage(vocab, reliable)
+          lastStaged = vocab
+          sinceCheckpoint = 0
+        }
       }
     }
+    // The merge table lives on the driver — every staged vocabulary
+    // snapshot can be released before returning.
+    if (reliable) { toRelease.foreach(_.unpersist()); lastStaged.unpersist() }
     // merge_rank/left_sym/right_sym: names chosen to stay clear of the
     // SQL keywords rank/left/right in every oracle engine.
     spark.createDataFrame(merges.toSeq).toDF("merge_rank", "left_sym", "right_sym", "n")

@@ -201,11 +201,11 @@ object Normalize {
       cumOut: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = df.sparkSession.sparkContext.defaultParallelism
-    // Eager for the same reason as denseIds: offsets and ranked rows must
-    // see one physical split of the sampled range boundaries.
-    val ranged = df.repartitionByRange(p, orderBy: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    // Eager pin for the same reason as denseIds: offsets and ranked rows
+    // must see one physical split of the sampled range boundaries
+    // ([[Staging.pin]]; `spark.graft.reliablePin` opts into checkpoint()).
+    val ranged = Staging.pin(df.repartitionByRange(p, orderBy: _*)
+      .withColumn("__pid", spark_partition_id()))
     val offsets = ranged.groupBy("__pid")
       .agg(count(lit(1)).as("__c"), sum(col(valueCol)).as("__s"))
       .withColumn("__coff", coalesce(sum(col("__c")).over(
@@ -261,13 +261,14 @@ object Normalize {
       outCol: String = "dense_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = df.sparkSession.sparkContext.defaultParallelism
-    // Materialized EAGERLY: the offset table and the ranked rows must see
-    // the SAME physical partitioning, and range boundaries are sampled
-    // per execution — two independent evaluations of the repartition
-    // could split rows differently and desynchronize pids from offsets.
-    val ranged = df.repartitionByRange(p, col(orderCol), col(tieCol))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    // Materialized EAGERLY ([[Staging.pin]]): the offset table and the
+    // ranked rows must see the SAME physical partitioning, and range
+    // boundaries are sampled per execution — two independent evaluations
+    // of the repartition could split rows differently and desynchronize
+    // pids from offsets. `spark.graft.reliablePin=true` swaps in a real
+    // checkpoint() so the pinned split survives executor loss.
+    val ranged = Staging.pin(df.repartitionByRange(p, col(orderCol), col(tieCol))
+      .withColumn("__pid", spark_partition_id()))
     val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("__n"))
       .withColumn("__off",
         coalesce(sum(col("__n")).over(

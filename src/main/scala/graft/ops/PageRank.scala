@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   * Scale shape per iteration: one equi-join of the (static) out-degree
   * edge list with the current ranks on the source id + one aggregation on
   * the destination id — both shuffle on node ids, exactly like any wide
-  * join; ranks are `localCheckpoint`ed each round so the plan stays flat
-  * instead of growing a 2^iterations lineage. No driver-side state; edge
+  * join; ranks are staged every few rounds ([[Staging.stage]], caller-
+  * selectable fault tolerance via `reliable`) so the plan stays flat
+  * instead of growing a deep lineage. No driver-side state; edge
   * degrees are computed once and reused.
   *
   * Simplification (documented contract): dangling-node mass is NOT
@@ -42,16 +43,22 @@ object PageRank {
       dstCol: String,
       iterations: Int,
       scale: Long = 1000000L,
-      dampingNum: Long = 85L): DataFrame = {
+      dampingNum: Long = 85L,
+      reliable: Boolean = false): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0: $iterations")
     require(scale % 100 == 0, s"scale must be a multiple of 100 for an exact teleport term: $scale")
     require(dampingNum >= 0 && dampingNum <= 100, s"dampingNum must be in [0,100]: $dampingNum")
     // Materialize the (possibly expensive) upstream edge computation
     // once — nodes, degrees and the degree-joined edge list all derive
     // from it, and without this each derivation re-runs the caller's
-    // whole edge-building plan.
-    val e = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
-      .localCheckpoint()
+    // whole edge-building plan. Posture is caller-selectable
+    // ([[Staging.stage]]): `reliable = true` keeps lineage so a lost
+    // executor recomputes instead of failing — the preemptible-cluster
+    // posture; the loop below is integer-exact, so recompute reproduces
+    // every partition bit-identically.
+    val e = Staging.stage(
+      edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d")),
+      reliable)
     // Partition the loop-invariant sides ONCE and CACHE them: an
     // InMemoryRelation keeps its outputPartitioning through planning
     // (localCheckpoint would not — RDD-backed plans lose partitioning
@@ -68,6 +75,7 @@ object PageRank {
     val withDeg = e.join(deg, "s").repartition(p, col("s")).cache()
     val teleport = scale * (100 - dampingNum) / 100
     var ranks = nodes.withColumn("rank", lit(scale))
+    val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (i <- 1 to iterations) {
       val contribs = contributions(withDeg, ranks, dampingNum)
       val next = nodes.join(contribs.hint("shuffle_hash"), Seq("id"), "left")
@@ -78,7 +86,19 @@ object PageRank {
       // round. Truncate every 4th round (Catalyst analysis/AQE cost on a
       // deep chained plan) and always on the last (callers get a
       // materialized, cache-independent result).
-      ranks = if (i == iterations || i % 4 == 0) next.localCheckpoint() else next
+      if (i == iterations || i % 4 == 0) {
+        ranks = Staging.stage(next, reliable)
+        staged += ranks
+      } else ranks = next
+    }
+    // The reliable persist is LAZY — force the final ranks onto disk now,
+    // while the loop-invariant caches are still alive (otherwise the
+    // caller's first action re-derives nodes/degrees once per iteration),
+    // then drop the intermediate staged frames (each referenced exactly
+    // once; only the final one backs the returned plan).
+    if (reliable && iterations > 0) {
+      ranks.count()
+      staged.dropRight(1).foreach(_.unpersist())
     }
     nodes.unpersist()
     withDeg.unpersist()
@@ -108,12 +128,14 @@ object PageRank {
       seedCol: String,
       iterations: Int,
       scale: Long = 1000000L,
-      dampingNum: Long = 85L): DataFrame = {
+      dampingNum: Long = 85L,
+      reliable: Boolean = false): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0: $iterations")
     require(scale % 100 == 0, s"scale must be a multiple of 100 for an exact teleport term: $scale")
     require(dampingNum >= 0 && dampingNum <= 100, s"dampingNum must be in [0,100]: $dampingNum")
-    val e = edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d"))
-      .localCheckpoint()
+    val e = Staging.stage(
+      edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d")),
+      reliable)
     val p = e.sparkSession.sparkContext.defaultParallelism
     val seedFlag = seeds.select(col(seedCol).cast("long").as("id"))
       .distinct().withColumn("__seed", lit(true))
@@ -127,13 +149,22 @@ object PageRank {
     val teleport = scale * (100 - dampingNum) / 100
     var ranks = nodes.select(col("id"),
       when(col("__seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
+    val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (i <- 1 to iterations) {
       val contribs = contributions(withDeg, ranks, dampingNum)
       val next = nodes.join(contribs.hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"),
           (when(col("__seed"), lit(teleport)).otherwise(lit(0L)) +
             coalesce(col("c"), lit(0L))).as("rank"))
-      ranks = if (i == iterations || i % 4 == 0) next.localCheckpoint() else next
+      if (i == iterations || i % 4 == 0) {
+        ranks = Staging.stage(next, reliable)
+        staged += ranks
+      } else ranks = next
+    }
+    // Same materialize-then-release dance as [[ranksFixedPoint]].
+    if (reliable && iterations > 0) {
+      ranks.count()
+      staged.dropRight(1).foreach(_.unpersist())
     }
     nodes.unpersist()
     withDeg.unpersist()

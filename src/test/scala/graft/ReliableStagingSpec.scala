@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.ops.{Components, GraphMetrics, Ngrams, PageRank}
+
+/** The `reliable` staging switch ([[graft.ops.Staging]]) must be
+  * behavior-neutral: every iterative op threaded through it has to
+  * produce BIT-IDENTICAL results on both postures (localCheckpoint vs
+  * lineage-keeping persist), because the switch changes only fault
+  * tolerance, never semantics. One parity test per threaded op; KMeans
+  * and neighborhoodSize have theirs in their own suites.
+  */
+class ReliableStagingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edges =
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (10L, 11L), (11L, 12L), (12L, 10L))
+      .toDF("a_id", "b_id")
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("PageRank.ranksFixedPoint: reliable=true matches the localCheckpoint path") {
+    def run(reliable: Boolean) = sortedRows(
+      PageRank.ranksFixedPoint(edges, "a_id", "b_id", iterations = 6, reliable = reliable))
+    assert(run(reliable = true) == run(reliable = false))
+  }
+
+  test("PageRank.personalizedFixedPoint: reliable=true matches the localCheckpoint path") {
+    val seeds = Seq(1L).toDF("id")
+    def run(reliable: Boolean) = sortedRows(
+      PageRank.personalizedFixedPoint(edges, "a_id", "b_id", seeds, "id",
+        iterations = 6, reliable = reliable))
+    assert(run(reliable = true) == run(reliable = false))
+  }
+
+  test("Components.connectedComponents: reliable=true matches the localCheckpoint path") {
+    def run(reliable: Boolean) = sortedRows(
+      Components.connectedComponents(edges, reliable = reliable))
+    val got = run(reliable = true)
+    assert(got == run(reliable = false))
+    // sanity: two components, rooted at their minima
+    assert(got.size == 8)
+  }
+
+  test("Ngrams.bpeMerges: reliable=true matches the localCheckpoint path") {
+    val docs = Seq("low low low lower lowest", "new newer newest low").toDF("text")
+    def run(reliable: Boolean) = sortedRows(
+      Ngrams.bpeMerges(docs, rounds = 9, reliable = reliable))
+    assert(run(reliable = true) == run(reliable = false))
+  }
+
+  test("GraphMetrics.labelPropagation: reliable=true matches the localCheckpoint path") {
+    def run(reliable: Boolean) = sortedRows(
+      GraphMetrics.labelPropagation(edges, rounds = 5, reliable = reliable))
+    assert(run(reliable = true) == run(reliable = false))
+  }
+
+  test("GraphMetrics.kCore: reliable=true matches the localCheckpoint path") {
+    def run(reliable: Boolean) = sortedRows(
+      GraphMetrics.kCore(edges, k = 2, reliable = reliable))
+    val got = run(reliable = true)
+    assert(got == run(reliable = false))
+    assert(got.nonEmpty) // the two triangles survive k=2
+  }
+
+  // Registration order matters for the two pin tests: the shared
+  // SparkContext keeps its checkpoint dir once set, so the no-dir guard
+  // must run BEFORE the test that sets one.
+  test("reliablePin without a checkpoint dir fails fast with instructions") {
+    assume(spark.sparkContext.getCheckpointDir.isEmpty,
+      "another suite already set a checkpoint dir on the shared context")
+    spark.conf.set("spark.graft.reliablePin", "true")
+    val df = Seq(1L, 2L).toDF("v")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.ops.Normalize.denseIds(df, "v", "v", "rk").collect()
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    } finally spark.conf.unset("spark.graft.reliablePin")
+  }
+
+  test("denseIds: spark.graft.reliablePin=true (real checkpoint) matches the default path") {
+    val df = (0 until 500).map(i => ((i * 37) % 500).toLong).toDF("v")
+    def run(): Seq[String] = sortedRows(graft.ops.Normalize.denseIds(df, "v", "v", "rk"))
+    val base = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("spark.graft.reliablePin", "true")
+    try assert(run() == base)
+    finally spark.conf.unset("spark.graft.reliablePin")
+  }
+}

@@ -1297,6 +1297,38 @@ class Round8OpsSpec extends SparkSpec {
     assert(got("g,v") == ((2L, 500000L, 2L)))
   }
 
+  test("candidateKeys: approxDistinct path (no Expand) agrees at small cardinality") {
+    val df = Seq((1, "a"), (2, "a"), (3, "b"), (4, "b")).toDF("id", "g")
+    def run(approx: Boolean) = graft.ops.Audit
+      .candidateKeys(df, Seq(Seq("id"), Seq("g")), approxDistinct = approx)
+      .collect().map(r => r.getAs[String]("columns") -> r.getAs[Long]("n_distinct")).toMap
+    // HLL++ is exact at these cardinalities, so the paths must agree;
+    // the approx plan additionally must NOT contain an Expand.
+    assert(run(approx = true) == run(approx = false))
+    val approxPlan = graft.ops.Audit
+      .candidateKeys(df, Seq(Seq("id"), Seq("g")), approxDistinct = true)
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"), s"approx path should not Expand:\n$approxPlan")
+  }
+
+  test("audit unpivots survive hostile column names (quotes, backticks, dots)") {
+    val hostile = Seq((1, Some(10), "x"), (2, None, "y"))
+      .toDF("it's", "a`b", "c.d")
+    val ck = graft.ops.Audit.candidateKeys(hostile, Seq(Seq("it's"), Seq("a`b", "c.d")))
+      .collect().map(r => r.getAs[String]("columns") -> r.getAs[Long]("n_distinct")).toMap
+    assert(ck("it's") == 2L && ck("a`b,c.d") == 2L)
+    val cm = graft.ops.Audit.coMissingness(hostile, Seq("it's", "a`b"))
+      .head()
+    assert(cm.getAs[String]("col_a") == "it's" && cm.getAs[String]("col_b") == "a`b"
+      && cm.getAs[Long]("null_b") == 1L)
+    val ts = graft.ops.Audit.typeSniff(hostile, Seq("it's", "a`b", "c.d"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ts(("it's", "int")) == 2L && ts(("a`b", "null")) == 1L && ts(("c.d", "other")) == 2L)
+    val cd = graft.ops.Audit.columnDrift(hostile, hostile, Seq("it's", "a`b"))
+      .collect().map(r => r.getAs[String]("column_name") -> r.getAs[Long]("distinct_a")).toMap
+    assert(cd("it's") == 2L && cd("a`b") == 1L)
+  }
+
   test("centroidSeparation: hand-computed quantized means and distances") {
     // label 0: vectors (1, 0) and (0, 1) → means (500, 500)
     // label 1: (1, 1), (1, 1) → (1000, 1000); label 2: (-1, 0) → (-1000, 0)
