@@ -87,13 +87,25 @@ object Bench {
     // lower the reported total, never raise it.
     val rescueThreshold = 2.5
     val byNameFn = queries.toMap
+    val pass1Map = pass1.toMap
+    // Auditability of the min-of-<=4 policy: for every rescued query the
+    // FULL raw attempt vector [pass1, pass2, rescue...] is recorded in the
+    // mirror JSON, so a genuinely noisy regression (all attempts high-ish,
+    // min barely under threshold) stays visible to the next reader instead
+    // of being silently flattened to its best case.
+    val rescueAttempts = scala.collection.mutable.SortedMap.empty[String, Seq[Double]]
     val results = best2.map { case (name, t) =>
       var best = t
       var attempts = 0
+      val extra = scala.collection.mutable.ArrayBuffer.empty[Double]
       while (best > rescueThreshold && attempts < 2) {
-        best = math.min(best, timed(byNameFn(name), deepClean = true))
+        val a = timed(byNameFn(name), deepClean = true)
+        extra += a
+        best = math.min(best, a)
         attempts += 1
       }
+      if (extra.nonEmpty)
+        rescueAttempts(name) = Seq(pass1Map(name), pass2(name)) ++ extra
       name -> best
     }
     def toJson(rs: Seq[(String, Double)]): String =
@@ -110,8 +122,11 @@ object Bench {
       "q125_span_coverage", "q130_prefix_jaccard", "q138_segment_dedup", "q142_semantic_dedup")
     val byName = results.toMap
     val headlineResults = headline.flatMap(n => byName.get(n).map(n -> _))
+    val rescueJson = rescueAttempts.map { case (k, vs) =>
+      "\"" + k + "\":[" + vs.map(v => f"$v%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(headlineResults)},"n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(headlineResults)},"n_queries":${results.size},"n_rescued":${rescueAttempts.size},"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces for the driver's parser: stdout may be decorated by a
     // build tool (r1: sbt's "[info] " prefix made the line unparseable), so
@@ -131,7 +146,7 @@ object Bench {
         """"q106_rfm":"round 7 replaces the three global ntile windows with denseIds two-phase ranking (range repartition + 3 localCheckpoint jobs) — scale-correct shape, slightly more fixed overhead at bench scale",""" +
         """"q170_coverage_curve":"round 7 replaces the global vocabulary rank window with a range-partitioned two-phase scan (rankedPrefixSum)"}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"workload_notes":$notes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"rescue_attempts":$rescueJson,"workload_notes":$notes,"sf":"$sfDir"}"""
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       java.nio.file.Paths.get(sys.props("user.dir"), "bench_last.json").toString)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(benchOut), fullLine + "\n")

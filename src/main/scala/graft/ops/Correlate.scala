@@ -40,4 +40,36 @@ object Correlate {
       .join(spans, "traceId")
       .join(logs.select(col("spanId"), col("eventType").as("logEventType")), "spanId")
   }
+
+  /** [[apply]] with the events⋈spans stage salted ([[SkewJoin.salted]]) —
+    * the posture for the classic production skew: one pathological client
+    * hammering a single traceId puts every matching event row on one
+    * reducer in the plain plan (AQE's skew split only rescues sort-merge
+    * joins, post-hoc, and not the reused exchange). Here each event row
+    * gets a per-row salt, the span side replicates `nSalts`×, and the hot
+    * trace spreads over `nSalts` reducers up front.
+    *
+    * The salt comes from `monotonically_increasing_id` — identical event
+    * rows must still spread (the hot-key group often IS identical rows),
+    * and the salt affects only physical placement, never the result set:
+    * output equals [[apply]] exactly, duplicate-preserving. The second
+    * join (spanId) stays unsalted: span fan-out of a hot trace is already
+    * spread by the first stage, and the log side joins at span
+    * granularity (salt it too, via the same pattern, only if one single
+    * span dominates the LOG side).
+    */
+  def skewSafe(
+      events: DataFrame,
+      traces: DataFrame,
+      logs: DataFrame,
+      nSalts: Int = 8): DataFrame = {
+    val spans = traceSpans(traces).withColumnRenamed("traceId", "__tid")
+    val ev = events
+      .select(col("clientId"), col("traceId"))
+      .where(col("traceId").isNotNull && col("traceId") =!= "")
+      .withColumn("__row", monotonically_increasing_id())
+    SkewJoin.salted(ev, spans, "traceId", "__tid", nSalts, saltCols = Seq("__row"))
+      .drop("__tid", "__row")
+      .join(logs.select(col("spanId"), col("eventType").as("logEventType")), "spanId")
+  }
 }

@@ -172,4 +172,92 @@ class PipelineSpecSuite extends SparkSpec {
     try q2.processAllAvailable() finally q2.stop()
     assert(second.isEmpty, s"restart re-ran hours: $second")
   }
+
+  test("schema drift across hours: added and dropped fields widen, never break") {
+    // The reference's per-hour JSON reads re-infer schema every run and its
+    // dict-merge enrichment tolerates fields appearing and vanishing
+    // between hours. The Spark compiler must match: hour N+1's input ADDS
+    // a field and DROPS another on BOTH stage inputs, each hour still runs
+    // end-to-end, and a downstream consumer reading both hours' outputs
+    // together sees the union schema with null-fill on the missing sides.
+    val dir = Files.createTempDirectory("graft_pipeline_drift").toString
+    val out = Files.createTempDirectory("graft_pipeline_drift_out").toString
+    val h1 = "2024111612"
+    val h2 = "2024111613"
+    def write(path: String, lines: String*): Unit =
+      Files.write(java.nio.file.Paths.get(path),
+        lines.mkString("[", ",", "]").getBytes("UTF-8"))
+    // hour 1: user_exp has durationMs; traces have service
+    write(s"$dir/user_exp_$h1.json",
+      """{"clientId":"c1","traceId":"t1","durationMs":120}""",
+      """{"clientId":"c2","traceId":"t2","durationMs":80}""")
+    write(s"$dir/trace_$h1.json",
+      """{"traceId":"t1","service":"checkout"}""",
+      """{"traceId":"t2","service":"search"}""")
+    // hour 2: user_exp drops durationMs, adds deviceType; traces drop
+    // service, add region
+    write(s"$dir/user_exp_$h2.json",
+      """{"clientId":"c3","traceId":"t3","deviceType":"mobile"}""")
+    write(s"$dir/trace_$h2.json",
+      """{"traceId":"t3","region":"eu"}""")
+
+    val driftYaml =
+      s"""pipeline_name: "drift_pipeline"
+         |stages:
+         |  stage_1:
+         |    description: "user experience"
+         |    input:
+         |      type: "local_file"
+         |      file_path: "$dir/user_exp_{hour}.json"
+         |    redis_mappings:
+         |      write:
+         |        redis_key_prefix: "trace_to_client"
+         |        from_fields:
+         |          key: "traceId"
+         |          value: "clientId"
+         |    output_file: "{out}/user_exp_processed_{hour}.json"
+         |  stage_2:
+         |    description: "traces"
+         |    input:
+         |      type: "local_file"
+         |      file_path: "$dir/trace_{hour}.json"
+         |    redis_mappings:
+         |      read:
+         |        redis_key_prefix: "trace_to_client"
+         |        key_field: "traceId"
+         |    output_file: "{out}/trace_processed_{hour}.json"
+         |""".stripMargin
+    val resolver: PipelineCompiler.PathResolver = _.replace("{out}", out)
+    val spec = PipelineSpec.fromYaml(driftYaml)
+    PipelineCompiler.run(spark, spec, h1, resolver)
+    PipelineCompiler.run(spark, spec, h2, resolver)
+
+    // Per-hour: each hour's trace output carries ITS fields plus the
+    // enrichment column — drift never aborts a run.
+    val t1 = spark.read.json(s"$out/trace_processed_$h1.json")
+    assert(t1.columns.sorted.toSeq == Seq("clientId", "service", "traceId"))
+    val t2 = spark.read.json(s"$out/trace_processed_$h2.json")
+    assert(t2.columns.sorted.toSeq == Seq("clientId", "region", "traceId"))
+
+    // Cross-hour consumer: one read over both hours yields the UNION
+    // schema, null-filled where an hour lacked the field.
+    val both = spark.read.json(
+      s"$out/trace_processed_$h1.json", s"$out/trace_processed_$h2.json")
+    assert(both.columns.sorted.toSeq == Seq("clientId", "region", "service", "traceId"))
+    val rows = both.collect().map(r =>
+      (r.getAs[String]("traceId"), Option(r.getAs[String]("clientId")),
+        Option(r.getAs[String]("service")), Option(r.getAs[String]("region")))).toSet
+    assert(rows == Set(
+      ("t1", Some("c1"), Some("checkout"), None),
+      ("t2", Some("c2"), Some("search"), None),
+      ("t3", Some("c3"), None, Some("eu"))))
+
+    // Same union/null-fill contract on the stage_1 side (deviceType and
+    // durationMs each exist in exactly one hour).
+    val ue = spark.read.json(
+      s"$out/user_exp_processed_$h1.json", s"$out/user_exp_processed_$h2.json")
+    assert(ue.columns.sorted.toSeq == Seq("clientId", "deviceType", "durationMs", "traceId"))
+    assert(ue.where(ue("durationMs").isNull).count() == 1L) // h2's row
+    assert(ue.where(ue("deviceType").isNull).count() == 2L) // h1's rows
+  }
 }

@@ -28,6 +28,44 @@ class SkewJoinSpec extends SparkSpec {
     assert(spread > 1, s"expected the hot key to hash to >1 salt bucket, got $spread")
   }
 
+  test("Correlate.skewSafe: 1000:1 hot traceId keeps exact results with a salted plan") {
+    // The reference's flagship J4 correlate under its classic failure
+    // mode: one pathological client emits 1000 events on ONE traceId
+    // (identical rows — the worst case for any row-hash salt that
+    // excludes a unique column), one event each on 10 other traces.
+    val events = ((1 to 1000).map(_ => ("c_hot", "t_hot")) ++
+      (1 to 10).map(i => (s"c$i", s"t$i"))).toDF("clientId", "traceId")
+    val traces = (Seq("t_hot") ++ (1 to 10).map(i => s"t$i"))
+      .map(t => (t, Seq(s"${t}_s1", s"${t}_s2")))
+      .toDF("traceId", "spanIds")
+      .select($"traceId", transform($"spanIds", x => struct(x.as("spanId"))).as("spans"))
+    val logs = (Seq("t_hot") ++ (1 to 10).map(i => s"t$i"))
+      .flatMap(t => Seq((s"${t}_s1", "log_a"), (s"${t}_s2", "log_b")))
+      .toDF("spanId", "eventType")
+
+    val cols = Seq("clientId", "traceId", "spanId", "logEventType")
+    val plain = graft.ops.Correlate(events, traces, logs).select(cols.map(col): _*)
+    val salted = graft.ops.Correlate.skewSafe(events, traces, logs).select(cols.map(col): _*)
+    // Result contract: exactly the plain inner-join multiset.
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+
+    // Plan contract: the trace join runs on (key, salt) as a shuffled-hash
+    // join — the salted fallback shape, not a single-reducer sort-merge.
+    val plan = graft.ops.Correlate.skewSafe(events, traces, logs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffled-hash trace join:\n$plan")
+    assert(plan.contains("__salt"), s"expected the salt in the join keys:\n$plan")
+
+    // Skew contract: the hot trace's 1000 identical rows actually spread
+    // over >1 salt bucket (per-row salt, not row-hash).
+    val spread = events.where($"traceId" === "t_hot")
+      .withColumn("__row", monotonically_increasing_id())
+      .withColumn("__salt", pmod(xxhash64($"__row"), lit(8)))
+      .select("__salt").distinct().count()
+    assert(spread > 1, s"hot key stayed on $spread salt bucket(s)")
+  }
+
   test("approx_count_distinct stays within its 5% relative-error spec") {
     val df = (1 to 20000).map(i => i % 5000).toDF("v")
       .agg(approx_count_distinct($"v").as("approx"), count_distinct($"v").as("exact"))

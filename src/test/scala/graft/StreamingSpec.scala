@@ -397,4 +397,36 @@ class StreamingSpec extends SparkSpec {
       (Some("c2"), Some("error")),
       (None, None)))
   }
+
+  test("Kafka connector leg lights up by itself when the jar appears (runtime-gated)") {
+    // The spark-sql-kafka jar is absent from this environment (offline
+    // build, not in /opt/spark/jars). Detect it via reflection: when a
+    // future environment ships it, this test automatically starts
+    // exercising the real `format("kafka")` source resolution + plan;
+    // until then it cancels with a named reason instead of silently
+    // passing. Posture documented in README "Kafka connector".
+    val connectorPresent =
+      try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
+      catch { case _: ClassNotFoundException => false }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "clientId STRING, eventType STRING, eventId STRING")
+    if (connectorPresent) {
+      // No broker needed for plan-level verification: source resolution,
+      // streaming-ness and the parsed schema all happen before connect.
+      val df = graft.streaming.KafkaSource.jsonStream(
+        spark, "localhost:9092", "events", schema, startingOffsets = "earliest")
+      assert(df.isStreaming)
+      assert(df.schema.fieldNames.toSeq == Seq("clientId", "eventType", "eventId"))
+    } else {
+      // Without the jar, Spark must fail at SOURCE RESOLUTION with its
+      // standard "Failed to find data source" guidance — the error a real
+      // user hits first, so pin that it surfaces cleanly (not a deep NPE).
+      val e = intercept[Exception] {
+        graft.streaming.KafkaSource.jsonStream(spark, "localhost:9092", "events", schema)
+      }
+      assert(e.getMessage.toLowerCase.contains("kafka"))
+      cancel("spark-sql-kafka connector not on classpath — live leg environmentally blocked; " +
+        "parse path covered by the MemoryStream test above")
+    }
+  }
 }
