@@ -7414,8 +7414,9 @@ object SparkEntry {
         | CAST(CASE WHEN gs >= 4 THEN b.k_band END AS BIGINT) AS k_band,
         | CAST(CASE WHEN gs >= 4 THEN b.cohort END AS BIGINT) AS cohort,
         | event_id, gs < 4 AS suppressed
-        |FROM b JOIN c ON b.event_type = c.event_type
-        | AND b.k_band = c.k_band AND b.cohort = c.cohort""".stripMargin,
+        |FROM b JOIN c ON b.event_type IS NOT DISTINCT FROM c.event_type
+        | AND b.k_band IS NOT DISTINCT FROM c.k_band
+        | AND b.cohort IS NOT DISTINCT FROM c.cohort""".stripMargin,
 
     // q284: per-(user, step) min-ts then user-level span, same seconds.
     "q284_set_completion" ->

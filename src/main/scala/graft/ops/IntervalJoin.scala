@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  /** Exact floor division in pure Long arithmetic. `floor(x / w)` via
+    * double division loses integer precision for |x| > 2^53 (epoch
+    * micros pass that around 2255 CE) and rounds the quotient BEFORE
+    * flooring; `x div w` alone truncates toward zero, which disagrees
+    * with floor for pre-1970 (negative-micros) timestamps. Subtracting
+    * the positive modulus first makes `div` exact floor for any sign.
+    */
+  private def floorDiv(x: Column, w: Column): Column =
+    call_function("div", x - pmod(x, w), w)
+
   /** Inner-join `points` to the intervals containing them.
     *
     * @param intervals   one row per interval
@@ -59,8 +69,9 @@ object IntervalJoin {
     val iv = intervals
       .where(col(endCol) > col(startCol))
       .withColumn("__bucket",
-        explode(sequence(floor(micros(col(startCol)) / width), floor((micros(col(endCol)) - 1) / width))))
-    val pt = points.withColumn("__bucket", floor(micros(col(tsCol)) / width))
+        explode(sequence(floorDiv(micros(col(startCol)), width),
+          floorDiv(micros(col(endCol)) - 1, width))))
+    val pt = points.withColumn("__bucket", floorDiv(micros(col(tsCol)), width))
     pt.join(iv, Seq("__bucket"))
       .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bucket")
@@ -95,10 +106,10 @@ object IntervalJoin {
     def spread(df: DataFrame, s: String, e: String) = df
       .where(col(e) > col(s))
       .withColumn("__bucket",
-        explode(sequence(floor(micros(col(s)) / width), floor((micros(col(e)) - 1) / width))))
+        explode(sequence(floorDiv(micros(col(s)), width), floorDiv(micros(col(e)) - 1, width))))
     spread(a, aStart, aEnd).join(spread(b, bStart, bEnd), Seq("__bucket"))
       .where(col(aStart) < col(bEnd) && col(bStart) < col(aEnd) &&
-        col("__bucket") === floor(greatest(micros(col(aStart)), micros(col(bStart))) / width))
+        col("__bucket") === floorDiv(greatest(micros(col(aStart)), micros(col(bStart))), width))
       .withColumn("overlap_micros",
         least(micros(col(aEnd)), micros(col(bEnd)))
           - greatest(micros(col(aStart)), micros(col(bStart))))

@@ -898,6 +898,17 @@ object TimeSeries {
     * Google's classic 1h-of-30d page threshold). Exact integers with
     * one truncating division per reported ratio.
     *
+    * Window semantics (documented contract): the trailing window is
+    * `windowDays` ACTIVE days — a ROWS frame over the days that have at
+    * least one event — not `windowDays` calendar days. On a sparse
+    * series (keys with zero-event days) the window therefore spans MORE
+    * wall-clock time than `windowDays`, which is the right read for
+    * "compliance over the last N days of traffic" but NOT for a
+    * calendar-day SLO clock. Callers needing calendar semantics should
+    * densify days per key upstream (cross-join the key universe with a
+    * day `sequence`, zero-filling good/total) so every day materializes
+    * a row; the frame then equals the calendar window.
+    *
     * Scale shape: one (key, day) conditional-count agg, then rolling
     * sums on a per-key frame window over day-cardinality rows —
     * [[rollingSlope]]'s contract.

@@ -1091,6 +1091,28 @@ class Round8OpsSpec extends SparkSpec {
     assert(got.toSet == expected)
   }
 
+  test("interval joins bucket exactly beyond 2^53 micros and before 1970 (integer grid)") {
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    // Year ~2258: epoch micros ≈ 9.1e15 > 2^53, where double division
+    // misplaces grid cells; and a pre-1970 pair, where truncating `div`
+    // disagrees with floor. Both must still match exactly once.
+    val farSec = 9100000000L // ≈ 2258-05-27
+    val oldSec = -1000000L   // 1969-12-20
+    val a = Seq((1L, ts(farSec), ts(farSec + 100)), (2L, ts(oldSec), ts(oldSec + 100)))
+      .toDF("a_id", "a_start", "a_end")
+    val b = Seq((10L, ts(farSec + 50), ts(farSec + 150)), (20L, ts(oldSec + 50), ts(oldSec + 150)))
+      .toDF("b_id", "b_start", "b_end")
+    val pairs = graft.ops.IntervalJoin.overlapPairs(a, "a_start", "a_end",
+        b, "b_start", "b_end", bucketWidthSec = 7)
+      .select("a_id", "b_id", "overlap_micros").as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 10L, 50000000L), (2L, 20L, 50000000L)))
+    val pts = Seq((100L, ts(farSec + 10)), (200L, ts(oldSec + 10))).toDF("p_id", "p")
+    val inIv = graft.ops.IntervalJoin.pointsInIntervals(a, "a_start", "a_end",
+        pts, "p", bucketWidthSec = 7)
+      .select("p_id", "a_id").as[(Long, Long)].collect().toSet
+    assert(inIv == Set((100L, 1L), (200L, 2L)))
+  }
+
   test("rollingSlope: exact window suff-stats, null on flat x") {
     // y = 3x: every window slope is exactly 3.000
     val lin = (1 to 10).map(i => ("g", i.toLong, 3L * i))
