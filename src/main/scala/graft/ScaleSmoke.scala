@@ -50,7 +50,16 @@ object ScaleSmoke {
     // 2-hop harmonic) and the two token-keyed corpus-pair shapes —
     // the newest Σdeg²/Σ|posting|² surfaces needing a 10× point.
     "q262_link_jaccard", "q266_harmonic", "q275_weighted_jaccard",
-    "q286_stylometry")
+    "q286_stylometry",
+    // Round-9 additions: the remaining join-heavy round-8 shapes.
+    // q213/q281 need replica-disjoint geometry to scale honestly — 10×
+    // points in the SAME coordinate/time space is intrinsically ~100×
+    // pairs (density², not data size), while 100 TB reality is more
+    // entities at constant density. q281 gets disjoint per-replica date
+    // bands at generation; q213 runs a replica-banded coordinate variant
+    // (identical to the plain query at base scale — see q213Banded).
+    "q213_grid_radius_join", "q253_assoc_rules", "q281_interval_overlap",
+    "q292_candidate_keys")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))
@@ -70,6 +79,21 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Generation-scheme version: replicas produced by an older scheme
+    // (e.g. without the per-replica date bands q281 needs) would silently
+    // mis-shape the new queries' workloads — wipe and regenerate instead.
+    val genVersion = 2
+    val verFile = java.nio.file.Paths.get(out, "VERSION")
+    val haveVersion =
+      if (java.nio.file.Files.exists(verFile))
+        scala.util.Try(java.nio.file.Files.readString(verFile).trim.toInt).getOrElse(0)
+      else 0
+    if (haveVersion < genVersion && new java.io.File(out).exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
 
     def absent(name: String): Boolean = !new java.io.File(s"$out/$name.parquet").exists()
     if (absent("customer")) {
@@ -100,9 +124,15 @@ object ScaleSmoke {
       // graph slice) or replica graphs would differ from the base one.
       val pkShift0 = li.agg(max("l_partkey")).head().getLong(0) + 1
       val pkShift = pkShift0 + (4 - pkShift0 % 4) % 4
+      // Dates shift by a disjoint ~7.7-year band per replica (the TPC-H
+      // span is ~6.6 years): interval/temporal workloads then see 10×
+      // intervals at CONSTANT temporal density — 10× overlap pairs —
+      // instead of 10× density in one fixed span (~100× pairs, which is
+      // densification, not scale-up).
       replicate(orders, replicas) { case (d, i) =>
         d.withColumn("o_orderkey", col("o_orderkey") + lit(i * okShift))
           .withColumn("o_custkey", col("o_custkey") + lit(i * ckShift))
+          .withColumn("o_orderdate", date_add(col("o_orderdate"), i * 2800))
       }.write.mode("overwrite").parquet(s"$out/orders.parquet")
       replicate(li, replicas) { case (d, i) =>
         d.withColumn("l_orderkey", col("l_orderkey") + lit(i * okShift))
@@ -135,10 +165,35 @@ object ScaleSmoke {
           .withColumn("props", concat(lit(s"r${i}_"), col("props")))
       }.write.mode("overwrite").parquet(s"$out/events.parquet")
     }
+    java.nio.file.Files.writeString(verFile, genVersion.toString)
+
+    // q213's coordinates are hashed from c_custkey into one fixed grid, so
+    // shifted replica keys still land in the SAME space — 10× density,
+    // ~100× pairs, a densification benchmark rather than a scale-up one.
+    // This variant translates each replica's cloud to a disjoint x-band
+    // (band = key div base-table key range; offset > grid + radius). At
+    // base scale every key is in band 0, so the shape is IDENTICAL to the
+    // plain q213 there — the sf0.1 comparison stays apples-to-apples.
+    val ckShiftBase = spark.read.parquet(s"$src/customer.parquet")
+      .agg(max("c_custkey")).head().getLong(0) + 1
+    val extraShapes: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "q213_grid_radius_join" -> ((s: SparkSession, dir: String) => {
+        val k = col("c_custkey").cast("long")
+        graft.ops.GeoGrid.radiusPairs(
+          s.read.parquet(s"$dir/customer.parquet").select(
+            k.as("id"),
+            (((k * k * 7919L + k * 104729L) % 100003L) +
+              expr(s"cast(c_custkey as long) div $ckShiftBase") * 110000L).as("x"),
+            ((k * k * 6983L + k * 92821L) % 99991L).as("y")),
+          "id", col("x"), col("y"), radius = 1000L)
+      }))
 
     def run(name: String, dir: String): Boolean =
-      try { SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save(); true }
-      catch { case e: Throwable => System.err.println(s"[sf1] $name failed on $dir: ${e.getMessage}"); false }
+      try {
+        extraShapes.getOrElse(name, SparkEntry.queries(name))(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        true
+      } catch { case e: Throwable => System.err.println(s"[sf1] $name failed on $dir: ${e.getMessage}"); false }
     // Warm-up dir derives from the configured source root (sibling sf0.01
     // of SPARK_GRAFT_SF_DIR; SPARK_GRAFT_WARM_DIR overrides) and its
     // absence is FATAL, not a silent skip: `run` swallows per-query
@@ -182,7 +237,7 @@ object ScaleSmoke {
     val failedJson = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"sf1_smoke","value":${ok.map(_._2).sum},"unit":"sec",""" +
       s""""queries":$qJson,"failed":$failedJson,"replicas":$replicas,"base_sf":"$src",""" +
-      """"note":"inputs are deterministic disjoint replicas of sf0.1 (shifted keys, per-replica vocabulary) - a 10x workload, not driver-generated data. Timing: best-of-2 per query after sf0.01 JIT warm-up, cache debris evicted between runs; host timing variance is multi-x (shared infra), so read these as scaling-shape evidence, not absolute throughput - worst observed isolated samples still stay at-or-below linear in the 10x data"}"""
+      """"note":"inputs are deterministic disjoint replicas of sf0.1 (shifted keys, per-replica vocabulary, per-replica date bands) - a 10x workload, not driver-generated data. q213 runs a replica-banded coordinate variant (identical to the plain query at base scale): disjoint spatial/temporal bands keep radius/overlap joins at 10x pairs (constant density, the 100TB scenario) instead of ~100x (densification). Timing: best-of-2 per query after sf0.01 JIT warm-up, cache debris evicted between runs; host timing variance is multi-x (shared infra), so read these as scaling-shape evidence, not absolute throughput - worst observed isolated samples still stay at-or-below linear in the 10x data"}"""
     println(line)
     // The mirror is the full-run artifact; filtered adjudication runs
     // print only.

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Association, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GeoGrid, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, Reshape, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, Skyline, SkewJoin, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
+import graft.ops.{AsOfJoin, Association, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Correlate, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GeoGrid, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, Reshape, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, Skyline, SkewJoin, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -2858,7 +2858,42 @@ object SparkEntry {
     // ---- the corpus release gate: four named checks, one audit-trail
     // table — the composite the whole hygiene suite feeds. --------------
     "q300_release_gate" -> ((s, dir) =>
-      Audit.releaseGate(t(s, dir, "documents"), col("text"), col("source")))
+      Audit.releaseGate(t(s, dir, "documents"), col("text"), col("source"))),
+
+    // ---- q291's SLO burn on CALENDAR days: the input keeps only every
+    // third day (guaranteed gaps), so the densified path materializes
+    // zero-event days and the 7-day window ages on wall-clock, not on
+    // active rows — the semantics q291's active-days frame cannot give
+    // a sparse series. -------------------------------------------------
+    "q301_slo_calendar" -> ((s, dir) =>
+      TimeSeries.sloBurn(
+        t(s, dir, "events")
+          .withColumn("__src", col("user_id") % 2)
+          .where(expr("unix_millis(cast(ts as timestamp)) div 1000 div 86400 % 3") === 0),
+        Seq("__src"), "ts", col("event_type") =!= "error",
+        windowDays = 7, objectivePpm = 990000L, calendarDays = true)
+        .withColumnRenamed("__src", "src")),
+
+    // ---- the flagship three-way correlate through the SALTED skew path
+    // (per-row salt on the hot-trace join, span side replicated): the
+    // result multiset must equal the plain plan's exactly — this query
+    // keeps that identity under the hash oracle, not just a unit test. --
+    "q302_skew_correlate" -> ((s, dir) => {
+      val ev = t(s, dir, "orders").select(
+        col("o_custkey").cast("string").as("clientId"),
+        col("o_orderkey").cast("string").as("traceId"))
+      val spans = t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("string").as("traceId"),
+          concat_ws("_", col("l_orderkey"), col("l_linenumber")).as("spanId"))
+        .groupBy("traceId").agg(collect_list(struct(col("spanId"))).as("spans"))
+      val logs = t(s, dir, "lineitem").select(
+        concat_ws("_", col("l_orderkey"), col("l_linenumber")).as("spanId"),
+        col("l_returnflag").as("eventType"))
+      Correlate.skewSafe(ev, spans, logs)
+        .groupBy("clientId")
+        .agg(count(lit(1)).as("n_correlated"),
+          count_if(col("logEventType") === "R").as("n_returned"))
+    })
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -7787,7 +7822,56 @@ object SparkEntry {
         | FROM (SELECT source, count(*) AS c FROM base GROUP BY 1))
         |SELECT "check", value, threshold, value <= threshold AS pass
         |FROM (SELECT * FROM dup UNION ALL SELECT * FROM f2
-        |  UNION ALL SELECT * FROM hh)""".stripMargin
+        |  UNION ALL SELECT * FROM hh)""".stripMargin,
+
+    // q301: q291 densified to calendar days — per-src day range via
+    // generate_series, zero-filled, same 7-row frame (now = 7 calendar
+    // days by construction).
+    "q301_slo_calendar" ->
+      """WITH d AS (
+        | SELECT user_id % 2 AS src, epoch_ms(ts) // 1000 // 86400 AS day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CASE WHEN event_type <> 'error' THEN 1 END) AS BIGINT) AS n_good
+        | FROM events
+        | WHERE (epoch_ms(ts) // 1000 // 86400) % 3 = 0
+        | GROUP BY 1, 2),
+        |sp AS (SELECT src, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+        |cal AS (
+        | SELECT src, unnest(generate_series(d0, d1)) AS day FROM sp),
+        |base AS (
+        | SELECT cal.src, cal.day, coalesce(d.n, 0) AS n, coalesce(d.n_good, 0) AS n_good
+        | FROM cal LEFT JOIN d ON d.src = cal.src AND d.day = cal.day),
+        |r AS (
+        | SELECT src, day, n, n_good,
+        |  sum(n) OVER w AS window_n, sum(n_good) OVER w AS window_good
+        | FROM base WINDOW w AS (PARTITION BY src ORDER BY day
+        |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT CAST(src AS BIGINT) AS src, CAST(day AS BIGINT) AS day,
+        | CAST(n AS BIGINT) AS n, CAST(n_good AS BIGINT) AS n_good,
+        | CAST(window_n AS BIGINT) AS window_n,
+        | CAST(window_good AS BIGINT) AS window_good,
+        | CAST((1000000 * window_good) // window_n AS BIGINT) AS compliance_ppm,
+        | CAST((1000 * (1000000 - (1000000 * window_good) // window_n)) // 10000
+        |  AS BIGINT) AS burn_rate_milli
+        |FROM r""".stripMargin,
+
+    // q302: the salted plan must produce the PLAIN inner-join multiset —
+    // the oracle is the unsalted three-way join, aggregated per client.
+    "q302_skew_correlate" ->
+      """WITH ev AS (
+        | SELECT CAST(o_custkey AS VARCHAR) AS clientId,
+        |  CAST(o_orderkey AS VARCHAR) AS traceId FROM orders),
+        |sp AS (
+        | SELECT CAST(l_orderkey AS VARCHAR) AS traceId,
+        |  CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS spanId
+        | FROM lineitem),
+        |lg AS (
+        | SELECT CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) AS spanId,
+        |  l_returnflag AS eventType FROM lineitem)
+        |SELECT ev.clientId, CAST(count(*) AS BIGINT) AS n_correlated,
+        | CAST(count(CASE WHEN lg.eventType = 'R' THEN 1 END) AS BIGINT) AS n_returned
+        |FROM ev JOIN sp ON ev.traceId = sp.traceId JOIN lg ON sp.spanId = lg.spanId
+        |GROUP BY 1""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

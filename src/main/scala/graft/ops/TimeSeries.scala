@@ -904,14 +904,18 @@ object TimeSeries {
     * series (keys with zero-event days) the window therefore spans MORE
     * wall-clock time than `windowDays`, which is the right read for
     * "compliance over the last N days of traffic" but NOT for a
-    * calendar-day SLO clock. Callers needing calendar semantics should
-    * densify days per key upstream (cross-join the key universe with a
-    * day `sequence`, zero-filling good/total) so every day materializes
-    * a row; the frame then equals the calendar window.
+    * calendar-day SLO clock. `calendarDays = true` switches to calendar
+    * semantics: each key's day range is densified (a day `sequence`
+    * from its first to its last active day, zero-filled counts), so the
+    * frame spans exactly `windowDays` calendar days; zero-traffic days
+    * emit rows, with NULL compliance/burn when the whole trailing
+    * window is empty (0/0 is unreportable, not 100%).
     *
     * Scale shape: one (key, day) conditional-count agg, then rolling
     * sums on a per-key frame window over day-cardinality rows —
-    * [[rollingSlope]]'s contract.
+    * [[rollingSlope]]'s contract. Densify adds one key-cardinality span
+    * agg, a bounded `sequence` fan-out (each key's active span in
+    * days), and one (key, day) hash join — nothing event-sized.
     */
   def sloBurn(
       df: DataFrame,
@@ -919,7 +923,8 @@ object TimeSeries {
       tsCol: String,
       isGood: Column,
       windowDays: Int = 7,
-      objectivePpm: Long = 990000L): DataFrame = {
+      objectivePpm: Long = 990000L,
+      calendarDays: Boolean = false): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1: $windowDays")
     require(0 < objectivePpm && objectivePpm < 1000000L,
       s"objective must be inside (0, 1e6) ppm: $objectivePpm")
@@ -929,12 +934,23 @@ object TimeSeries {
       .withColumn("day", expr(s"unix_millis(cast($tsCol as timestamp)) div 1000 div 86400"))
       .groupBy(g :+ col("day"): _*)
       .agg(count(lit(1)).as("n"), count_if(isGood).as("n_good"))
+    val base =
+      if (!calendarDays) daily
+      else {
+        val spans = daily.groupBy(g: _*).agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+        spans.select(g :+ explode(sequence(col("__d0"), col("__d1"))).as("day"): _*)
+          .join(daily, keyCols :+ "day", "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+          .withColumn("n_good", coalesce(col("n_good"), lit(0L)))
+      }
     val frame = Window.partitionBy(g: _*).orderBy(col("day"))
       .rowsBetween(-(windowDays - 1), Window.currentRow)
-    daily
+    base
       .withColumn("window_n", sum(col("n")).over(frame))
       .withColumn("window_good", sum(col("n_good")).over(frame))
-      .withColumn("compliance_ppm", expr("(1000000L * window_good) div window_n"))
+      .withColumn("compliance_ppm",
+        when(col("window_n") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(1000000L * window_good) div window_n")))
       .withColumn("burn_rate_milli",
         expr(s"(1000L * (1000000L - compliance_ppm)) div ${1000000L - objectivePpm}L"))
   }

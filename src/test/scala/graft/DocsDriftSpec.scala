@@ -40,6 +40,13 @@ class DocsDriftSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"SURVEY should mention the newest query q${ids.max}")
   }
 
+  test("docs/ops.md is exactly what DocsGen generates from the query maps") {
+    // The index is generated, never hand-edited: regenerate and diff.
+    // After adding/renaming a query, run `sbt 'runMain graft.DocsGen'`.
+    assert(read("docs/ops.md") == DocsGen.render(),
+      "docs/ops.md is stale — regenerate with: sbt 'runMain graft.DocsGen'")
+  }
+
   test("bench adjudications name real queries and stay in sync with the bench artifact") {
     // Stale adjudications rot loudly: every query id cited in README's
     // "Bench reading notes" must be a live query, and when a bench mirror

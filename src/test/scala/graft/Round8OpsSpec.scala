@@ -1304,6 +1304,29 @@ class Round8OpsSpec extends SparkSpec {
     assert(got(1L) == ((20L, 19L, 950000L, 5000L)))
   }
 
+  test("sloBurn calendarDays: zero-event days materialize and bound the window") {
+    def ts(day: Int, i: Int) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(day.toLong * 86400 + i * 60))
+    // Sparse series: day 0 (1 bad of 10) … gap … day 3 (10 good).
+    // Active-days semantics with windowDays=2 would pair day 3 with day
+    // 0 (>2 calendar days apart); calendar semantics must not.
+    val rows = (0 until 10).map(i => ("s", ts(0, i), i != 0)) ++
+      (0 until 10).map(i => ("s", ts(3, i), true))
+    val df = rows.toDF("k", "ts", "good")
+    def run(calendar: Boolean) = graft.ops.TimeSeries.sloBurn(df, Seq("k"), "ts",
+        col("good"), windowDays = 2, objectivePpm = 990000L, calendarDays = calendar)
+      .collect().map(r => r.getAs[Long]("day") ->
+        ((r.getAs[Long]("window_n"), Option(r.getAs[Any]("compliance_ppm"))))).toMap
+    val active = run(calendar = false)
+    assert(active(3L) == ((20L, Some(950000L)))) // day 0 leaks into day 3's "2-day" window
+    val cal = run(calendar = true)
+    assert(cal.keySet == Set(0L, 1L, 2L, 3L))    // gap days materialize
+    assert(cal(0L) == ((10L, Some(900000L))))
+    assert(cal(1L) == ((10L, Some(900000L))))    // day 0 still in the 2-day window
+    assert(cal(2L) == ((0L, None)))              // empty window: NULL, not 100%
+    assert(cal(3L) == ((10L, Some(1000000L))))   // day 0 correctly aged out
+  }
+
   test("candidateKeys: exact uniqueness, null rows collide like join keys") {
     val df = Seq(
       (1, "a", Some(10)), (2, "a", Some(10)), (3, "b", None), (4, "b", None)
