@@ -173,6 +173,33 @@ class PipelineSpecSuite extends SparkSpec {
     assert(second.isEmpty, s"restart re-ran hours: $second")
   }
 
+  test("S3 input leg lights up by itself when hadoop-aws appears (runtime-gated)") {
+    // Mirror of the Kafka connector gate in StreamingSpec: the s3a
+    // filesystem needs the hadoop-aws jar, absent from this offline
+    // environment. The URI construction + hour templating (the part we
+    // own) is asserted unconditionally; the live read arms itself via
+    // reflection when a future environment ships the jar AND names a
+    // readable path.
+    val spec = PipelineSpec.fromYaml(yamlText)
+    val s3Stage = spec.stages(1)
+    assert(s3Stage.input == S3Input("demo-trace-bucket", "traces/{hour}/"))
+    // default resolver must pass s3a URIs through untouched, hour resolved
+    val uri = s3Stage.input match {
+      case S3Input(b, p) => PipelineCompiler.s3aResolver(s"s3a://$b/${graft.io.Io.templated(p, hour)}")
+      case other         => fail(s"unexpected input $other")
+    }
+    assert(uri == s"s3a://demo-trace-bucket/traces/$hour/")
+    val s3aPresent =
+      try { Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem"); true }
+      catch { case _: ClassNotFoundException => false }
+    if (s3aPresent && sys.env.contains("SPARK_GRAFT_S3_TEST_PATH")) {
+      val df = spark.read.option("multiLine", true).json(sys.env("SPARK_GRAFT_S3_TEST_PATH"))
+      assert(df.count() >= 0L)
+    } else cancel(
+      if (s3aPresent) "hadoop-aws present but SPARK_GRAFT_S3_TEST_PATH unset — no live bucket to read"
+      else "hadoop-aws not on classpath — live s3a:// read environmentally blocked; URI construction asserted above")
+  }
+
   test("schema drift across hours: added and dropped fields widen, never break") {
     // The reference's per-hour JSON reads re-infer schema every run and its
     // dict-merge enrichment tolerates fields appearing and vanishing
