@@ -83,6 +83,10 @@ object ScaleSmoke {
     // Generation-scheme version: replicas produced by an older scheme
     // (e.g. without the per-replica date bands q281 needs) would silently
     // mis-shape the new queries' workloads — wipe and regenerate instead.
+    // The wipe is SCOPED to the artifacts this tool itself writes (the
+    // known table dirs + VERSION): SPARK_GRAFT_SF1_DIR may point at a
+    // shared scratch dir, and deleting unrelated contents of a
+    // user-supplied path is not this tool's call.
     val genVersion = 2
     val verFile = java.nio.file.Paths.get(out, "VERSION")
     val haveVersion =
@@ -91,8 +95,12 @@ object ScaleSmoke {
       else 0
     if (haveVersion < genVersion && new java.io.File(out).exists()) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator().asScala
-        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      val owned = Seq("customer", "orders", "lineitem", "documents", "events")
+        .map(t => java.nio.file.Paths.get(out, s"$t.parquet")) :+ verFile
+      owned.filter(java.nio.file.Files.exists(_)).foreach { p =>
+        java.nio.file.Files.walk(p).iterator().asScala
+          .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
 
     def absent(name: String): Boolean = !new java.io.File(s"$out/$name.parquet").exists()
@@ -177,16 +185,12 @@ object ScaleSmoke {
     val ckShiftBase = spark.read.parquet(s"$src/customer.parquet")
       .agg(max("c_custkey")).head().getLong(0) + 1
     val extraShapes: Map[String, (SparkSession, String) => DataFrame] = Map(
-      "q213_grid_radius_join" -> ((s: SparkSession, dir: String) => {
-        val k = col("c_custkey").cast("long")
+      "q213_grid_radius_join" -> ((s: SparkSession, dir: String) =>
         graft.ops.GeoGrid.radiusPairs(
-          s.read.parquet(s"$dir/customer.parquet").select(
-            k.as("id"),
-            (((k * k * 7919L + k * 104729L) % 100003L) +
-              expr(s"cast(c_custkey as long) div $ckShiftBase") * 110000L).as("x"),
-            ((k * k * 6983L + k * 92821L) % 99991L).as("y")),
-          "id", col("x"), col("y"), radius = 1000L)
-      }))
+          SparkEntry.gridRadiusPoints(
+            s.read.parquet(s"$dir/customer.parquet"),
+            expr(s"cast(c_custkey as long) div $ckShiftBase") * 110000L),
+          "id", col("x"), col("y"), radius = 1000L)))
 
     def run(name: String, dir: String): Boolean =
       try {

@@ -30,6 +30,21 @@ object SparkEntry {
     * TimestampType that DuckDB (µs-native) sees, so ordering and epoch-ms
     * math agree across engines either way.
     */
+  /** q213's synthetic point cloud — hash-scattered coordinates from the
+    * customer key. ONE definition shared by the oracled query
+    * (`bandOffset = 0`) and `ScaleSmoke`'s replica-banded sf1 variant
+    * (offset = replica band × a disjoint stride), so the smoke provably
+    * times the same projection the driver verifies; a constant change
+    * here changes both in lockstep.
+    */
+  private[graft] def gridRadiusPoints(customer: DataFrame, bandOffset: Column): DataFrame = {
+    val k = col("c_custkey").cast("long")
+    customer.select(
+      k.as("id"),
+      (((k * k * 7919L + k * 104729L) % 100003L) + bandOffset).as("x"),
+      ((k * k * 6983L + k * 92821L) % 99991L).as("y"))
+  }
+
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
@@ -2139,15 +2154,9 @@ object SparkEntry {
     // scatter collapses pairwise distances onto the Δkey lattice —
     // engine-replayable test scaffolding; real callers pass real
     // coordinates). -----------------------------------------------------
-    "q213_grid_radius_join" -> ((s, dir) => {
-      val k = col("c_custkey").cast("long")
-      GeoGrid.radiusPairs(
-        t(s, dir, "customer").select(
-          k.as("id"),
-          ((k * k * 7919L + k * 104729L) % 100003L).as("x"),
-          ((k * k * 6983L + k * 92821L) % 99991L).as("y")),
-        "id", col("x"), col("y"), radius = 1000L)
-    }),
+    "q213_grid_radius_join" -> ((s, dir) =>
+      GeoGrid.radiusPairs(gridRadiusPoints(t(s, dir, "customer"), lit(0L)),
+        "id", col("x"), col("y"), radius = 1000L)),
 
     // ---- 1-Wasserstein drift between click and view value
     // distributions on a milli-unit grid — exact-integer earth-mover

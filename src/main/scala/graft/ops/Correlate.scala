@@ -71,5 +71,9 @@ object Correlate {
     SkewJoin.salted(ev, spans, "traceId", "__tid", nSalts, saltCols = Seq("__row"))
       .drop("__tid", "__row")
       .join(logs.select(col("spanId"), col("eventType").as("logEventType")), "spanId")
+      // column ORDER is part of the "equals [[apply]] exactly" contract —
+      // positional consumers (union, typed as[...]) must not silently
+      // swap traceId/clientId
+      .select(col("spanId"), col("traceId"), col("clientId"), col("logEventType"))
   }
 }

@@ -81,11 +81,13 @@ object PageRank {
       val next = nodes.join(contribs.hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"), (lit(teleport) + coalesce(col("c"), lit(0L))).as("rank"))
       // Rank lineage grows LINEARLY (each iteration references the prior
-      // ranks exactly once), so a checkpoint per iteration buys nothing
-      // structurally while costing one eager materialization job each
-      // round. Truncate every 4th round (Catalyst analysis/AQE cost on a
-      // deep chained plan) and always on the last (callers get a
-      // materialized, cache-independent result).
+      // ranks exactly once), so staging every iteration buys nothing
+      // structurally while costing one materialization each round. Stage
+      // every 4th round and always on the last. Plan depth per posture:
+      // localCheckpoint and the reliablePin checkpoint() truncate to a
+      // leaf; the lineage-keeping reliable persist leaves the analyzed
+      // tree linear in rounds (execution stays flat — cache substitution
+      // plans each persisted subtree as a leaf; see [[Staging]]).
       if (i == iterations || i % 4 == 0) {
         ranks = Staging.stage(next, reliable)
         staged += ranks

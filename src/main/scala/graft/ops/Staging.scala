@@ -7,32 +7,56 @@ import org.apache.spark.storage.StorageLevel
   * operators that must not re-run their upstream plan per branch or per
   * round.
   *
-  * Two postures, one switch:
+  * Three postures, one switch plus one conf:
   *
   *  - `reliable = false` (default): `localCheckpoint()` — EAGER (runs a
-  *    job now), truncates lineage, stores blocks non-fault-tolerantly.
-  *    Fastest, and the right call on local mode / dedicated clusters:
-  *    an executor loss kills the query instead of recomputing.
-  *  - `reliable = true`: `persist(DISK_ONLY)` — lazy, lineage kept, so a
-  *    lost block is recomputed from source instead of failing the job.
-  *    The posture for preemptible/spot clusters; costs plan re-execution
-  *    (not just block reload) only on actual executor loss. Only valid
-  *    when the staged plan is DETERMINISTIC (recompute must reproduce
-  *    the lost partition bit-identically) — every call site below stages
-  *    a pure function of its input.
+  *    job now), truncates lineage to an RDD leaf, stores blocks
+  *    non-fault-tolerantly. Fastest, and the right call on local mode /
+  *    dedicated clusters: an executor loss kills the query instead of
+  *    recomputing.
+  *  - `reliable = true`: `persist(DISK_ONLY)` — lazy, lineage KEPT, so
+  *    a lost block is recomputed from source instead of failing the
+  *    job. The posture for preemptible/spot clusters; costs plan
+  *    re-execution (not just block reload) only on actual executor
+  *    loss. Only valid when the staged plan is DETERMINISTIC (recompute
+  *    must reproduce the lost partition bit-identically) — every call
+  *    site stages a pure function of its input. Honest trade: because
+  *    lineage is kept, the LOGICAL plan grows linearly with rounds
+  *    (execution stays cheap — the cache manager substitutes each
+  *    persisted subtree with its materialized relation at planning
+  *    time, so the optimizer/physical planner see a leaf — but very
+  *    long runs carry a deep analyzed tree on the driver).
+  *  - `reliable = true` AND `spark.graft.reliablePin=true` (with
+  *    `SparkContext.setCheckpointDir` pointing at cluster-visible
+  *    storage): a REAL eager `checkpoint()` — fault-tolerant AND
+  *    lineage-truncating, the best posture for very long iterative runs
+  *    (multi-hundred-round BPE, 50-iteration PageRank) when the cluster
+  *    has a checkpoint dir to offer. Recovery re-READS the checkpoint
+  *    files rather than recomputing.
   *
-  * Callers that need eager + fault-tolerant (e.g. sampled range
-  * boundaries that must be fixed once, [[Normalize.denseIds]]) use
-  * [[pin]]: `reliable` cannot apply there (recompute would resample the
-  * boundaries and desynchronize offsets), so the fault-tolerant posture
-  * is a REAL `checkpoint()` into `SparkContext.setCheckpointDir` —
-  * cluster-wide storage this library cannot assume exists, hence opt-in
-  * via the session conf `spark.graft.reliablePin=true` rather than a
-  * default.
+  * Callers that need eager + fault-tolerant for NON-deterministic
+  * stages (sampled range boundaries that must be fixed once,
+  * [[Normalize.denseIds]]) use [[pin]]: `reliable`'s recompute
+  * semantics cannot apply there (recompute would resample the
+  * boundaries and desynchronize offsets), so only the checkpoint path
+  * provides fault tolerance — same conf, same checkpoint dir.
   */
 private[graft] object Staging {
+
+  private def reliablePin(df: DataFrame): Boolean =
+    df.sparkSession.conf.get("spark.graft.reliablePin", "false").toBoolean
+
+  private def requireCheckpointDir(df: DataFrame): Unit =
+    require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "spark.graft.reliablePin=true requires SparkContext.setCheckpointDir " +
+        "(cluster-visible storage, e.g. an HDFS/S3 path)")
+
   def stage(df: DataFrame, reliable: Boolean): DataFrame =
-    if (reliable) df.persist(StorageLevel.DISK_ONLY) else df.localCheckpoint()
+    if (reliable && reliablePin(df)) {
+      requireCheckpointDir(df)
+      df.checkpoint()
+    } else if (reliable) df.persist(StorageLevel.DISK_ONLY)
+    else df.localCheckpoint()
 
   /** Eager materialization whose RESULT must be pinned exactly once —
     * used where the staged plan is execution-nondeterministic (sampled
@@ -49,10 +73,8 @@ private[graft] object Staging {
     *    fails fast with instructions when unset.
     */
   def pin(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf.get("spark.graft.reliablePin", "false").toBoolean) {
-      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
-        "spark.graft.reliablePin=true requires SparkContext.setCheckpointDir " +
-          "(cluster-visible storage, e.g. an HDFS/S3 path)")
+    if (reliablePin(df)) {
+      requireCheckpointDir(df)
       df.checkpoint()
     } else df.localCheckpoint()
 }

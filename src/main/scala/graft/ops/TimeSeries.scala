@@ -909,7 +909,9 @@ object TimeSeries {
     * from its first to its last active day, zero-filled counts), so the
     * frame spans exactly `windowDays` calendar days; zero-traffic days
     * emit rows, with NULL compliance/burn when the whole trailing
-    * window is empty (0/0 is unreportable, not 100%).
+    * window is empty (0/0 is unreportable, not 100%). A NULL key value
+    * is a real group (as under `groupBy`) — the densify re-join is
+    * null-safe, so NULL-keyed series report identically on both paths.
     *
     * Scale shape: one (key, day) conditional-count agg, then rolling
     * sums on a per-key frame window over day-cardinality rows —
@@ -937,11 +939,19 @@ object TimeSeries {
     val base =
       if (!calendarDays) daily
       else {
+        // Null-safe (<=>) re-join: a NULL key value is a real group under
+        // groupBy/partitionBy, and an equality join would silently zero
+        // its counts on every densified day.
         val spans = daily.groupBy(g: _*).agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
-        spans.select(g :+ explode(sequence(col("__d0"), col("__d1"))).as("day"): _*)
-          .join(daily, keyCols :+ "day", "left")
-          .withColumn("n", coalesce(col("n"), lit(0L)))
-          .withColumn("n_good", coalesce(col("n_good"), lit(0L)))
+        val cal = spans.select(g :+ explode(sequence(col("__d0"), col("__d1"))).as("day"): _*)
+        val fact = keyCols.foldLeft(daily)((d, c) => d.withColumnRenamed(c, s"__f_$c"))
+          .withColumnRenamed("day", "__f_day")
+        val cond = (keyCols.map(c => col(c) <=> col(s"__f_$c")) :+
+          (col("day") === col("__f_day"))).reduce(_ && _)
+        cal.join(fact, cond, "left")
+          .select(g :+ col("day") :+
+            coalesce(col("n"), lit(0L)).as("n") :+
+            coalesce(col("n_good"), lit(0L)).as("n_good"): _*)
       }
     val frame = Window.partitionBy(g: _*).orderBy(col("day"))
       .rowsBetween(-(windowDays - 1), Window.currentRow)

@@ -90,4 +90,21 @@ class ReliableStagingSpec extends SparkSpec {
     try assert(run() == base)
     finally spark.conf.unset("spark.graft.reliablePin")
   }
+
+  test("reliable + reliablePin escalates loops to real checkpoints (truncated plan, same results)") {
+    // The prior test set the shared context's checkpoint dir; with the
+    // conf also set, reliable staging must switch from lineage-keeping
+    // persist to an eager reliable checkpoint() — fault-tolerant AND
+    // plan-truncating, the long-run posture.
+    assume(spark.sparkContext.getCheckpointDir.isDefined)
+    spark.conf.set("spark.graft.reliablePin", "true")
+    try {
+      val pr = sortedRows(
+        PageRank.ranksFixedPoint(edges, "a_id", "b_id", iterations = 6, reliable = true))
+      assert(pr == sortedRows(
+        PageRank.ranksFixedPoint(edges, "a_id", "b_id", iterations = 6, reliable = false)))
+      val cc = sortedRows(Components.connectedComponents(edges, reliable = true))
+      assert(cc == sortedRows(Components.connectedComponents(edges, reliable = false)))
+    } finally spark.conf.unset("spark.graft.reliablePin")
+  }
 }

@@ -1327,6 +1327,27 @@ class Round8OpsSpec extends SparkSpec {
     assert(cal(3L) == ((10L, Some(1000000L))))   // day 0 correctly aged out
   }
 
+  test("sloBurn calendarDays: a NULL key value is a real series, not zeroed") {
+    def ts(day: Int, i: Int) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(day.toLong * 86400 + i * 60))
+    // One keyed series and one NULL-keyed series, both sparse; the
+    // densify re-join must be null-safe or the NULL key's real counts
+    // silently coalesce to zero on every day.
+    val rows = (0 until 4).map(i => (Some("s"), ts(0, i), true)) ++
+      (0 until 6).map(i => (Option.empty[String], ts(0, i), i != 0)) ++
+      (0 until 6).map(i => (Option.empty[String], ts(2, i), true))
+    val df = rows.toDF("k", "ts", "good")
+    val got = graft.ops.TimeSeries.sloBurn(df, Seq("k"), "ts", col("good"),
+        windowDays = 2, objectivePpm = 990000L, calendarDays = true)
+      .collect().map(r => (Option(r.getAs[String]("k")), r.getAs[Long]("day")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("window_n"),
+          Option(r.getAs[Any]("compliance_ppm"))))).toMap
+    assert(got((None, 0L)) == ((6L, 6L, Some(833333L))))
+    assert(got((None, 1L)) == ((0L, 6L, Some(833333L))))  // densified gap day
+    assert(got((None, 2L)) == ((6L, 6L, Some(1000000L)))) // day 0 aged out
+    assert(got((Some("s"), 0L)) == ((4L, 4L, Some(1000000L))))
+  }
+
   test("candidateKeys: exact uniqueness, null rows collide like join keys") {
     val df = Seq(
       (1, "a", Some(10)), (2, "a", Some(10)), (3, "b", None), (4, "b", None)

@@ -43,6 +43,10 @@ class SkewJoinSpec extends SparkSpec {
       .flatMap(t => Seq((s"${t}_s1", "log_a"), (s"${t}_s2", "log_b")))
       .toDF("spanId", "eventType")
 
+    // Schema contract first: same columns in the same ORDER (positional
+    // consumers like union/typed-as must be swappable between the paths).
+    assert(graft.ops.Correlate.skewSafe(events, traces, logs).columns.toSeq ==
+      graft.ops.Correlate(events, traces, logs).columns.toSeq)
     val cols = Seq("clientId", "traceId", "spanId", "logEventType")
     val plain = graft.ops.Correlate(events, traces, logs).select(cols.map(col): _*)
     val salted = graft.ops.Correlate.skewSafe(events, traces, logs).select(cols.map(col): _*)
