@@ -2902,7 +2902,25 @@ object SparkEntry {
         .groupBy("clientId")
         .agg(count(lit(1)).as("n_correlated"),
           count_if(col("logEventType") === "R").as("n_returned"))
-    })
+    }),
+
+    // ---- integer HITS on the DIRECTED doc-chain graph: hub/authority
+    // separation PageRank's single score conflates; two synchronous
+    // rounds, max-normalized in exact integers (oracle unrolls both). --
+    "q303_hits" -> ((s, dir) =>
+      GraphMetrics.hits(docChainPairs(s, dir), "a_id", "b_id", iterations = 2)),
+
+    // ---- 5-truss of the co-order part graph: edge-level cohesion one
+    // notch above q172's k-core (only edges embedded in >=3 triangles
+    // within the surviving subgraph), reported as a support histogram
+    // with id-sum fingerprints. Oracle is PINNED from an independent
+    // driver-side reference peeler (tools/pin_ktruss.py) — peeling is
+    // not expressible in one SQL pass. ---------------------------------
+    "q304_ktruss" -> ((s, dir) =>
+      GraphMetrics.kTruss(partPairs(s, dir), k = 5)
+        .groupBy("support")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(col("a_id")).as("sum_a"), sum(col("b_id")).as("sum_b")))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -7880,7 +7898,53 @@ object SparkEntry {
         |SELECT ev.clientId, CAST(count(*) AS BIGINT) AS n_correlated,
         | CAST(count(CASE WHEN lg.eventType = 'R' THEN 1 END) AS BIGINT) AS n_returned
         |FROM ev JOIN sp ON ev.traceId = sp.traceId JOIN lg ON sp.spanId = lg.spanId
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // q303: both HITS rounds unrolled — each round one in-sum + max-
+    // normalize, one out-sum + max-normalize, all integer div.
+    "q303_hits" ->
+      """WITH b AS (SELECT doc_id AS a FROM documents WHERE doc_id % 20 = 0),
+        |e0 AS (
+        | SELECT a AS s, a + 1 AS d FROM b
+        | UNION ALL SELECT a + 1, a + 2 FROM b
+        | UNION ALL SELECT a, a + 5 FROM b
+        | UNION ALL SELECT a + 5, a + 22 FROM b WHERE a % 40 = 0),
+        |e AS (SELECT DISTINCT s, d FROM e0),
+        |n AS (SELECT s AS id FROM e UNION SELECT d FROM e),
+        |a1 AS (SELECT n.id, coalesce(cnt.c * 1000000, 0) AS v
+        | FROM n LEFT JOIN (SELECT d, count(*) AS c FROM e GROUP BY 1) cnt ON cnt.d = n.id),
+        |a1n AS (SELECT id, CASE WHEN mx <= 0 THEN 0 ELSE (v * 1000000) // mx END AS v
+        | FROM a1, (SELECT max(v) AS mx FROM a1)),
+        |h1 AS (SELECT n.id, coalesce(t.v, 0) AS v FROM n LEFT JOIN (
+        | SELECT e.s AS id, sum(a1n.v) AS v FROM e JOIN a1n ON a1n.id = e.d GROUP BY 1) t
+        | ON t.id = n.id),
+        |h1n AS (SELECT id, CASE WHEN mx <= 0 THEN 0 ELSE (v * 1000000) // mx END AS v
+        | FROM h1, (SELECT max(v) AS mx FROM h1)),
+        |a2 AS (SELECT n.id, coalesce(t.v, 0) AS v FROM n LEFT JOIN (
+        | SELECT e.d AS id, sum(h1n.v) AS v FROM e JOIN h1n ON h1n.id = e.s GROUP BY 1) t
+        | ON t.id = n.id),
+        |a2n AS (SELECT id, CASE WHEN mx <= 0 THEN 0 ELSE (v * 1000000) // mx END AS v
+        | FROM a2, (SELECT max(v) AS mx FROM a2)),
+        |h2 AS (SELECT n.id, coalesce(t.v, 0) AS v FROM n LEFT JOIN (
+        | SELECT e.s AS id, sum(a2n.v) AS v FROM e JOIN a2n ON a2n.id = e.d GROUP BY 1) t
+        | ON t.id = n.id),
+        |h2n AS (SELECT id, CASE WHEN mx <= 0 THEN 0 ELSE (v * 1000000) // mx END AS v
+        | FROM h2, (SELECT max(v) AS mx FROM h2))
+        |SELECT CAST(n.id AS BIGINT) AS id, CAST(a2n.v AS BIGINT) AS auth,
+        | CAST(h2n.v AS BIGINT) AS hub
+        |FROM n JOIN a2n ON a2n.id = n.id JOIN h2n ON h2n.id = n.id""".stripMargin,
+
+    // q304: pinned sf0.01 support histogram from the INDEPENDENT Python
+    // reference peeler (tools/pin_ktruss.py — definition-direct, no
+    // orientation tricks), making this a true cross-implementation
+    // oracle; `KTrussSpec` additionally replays random graphs against a
+    // Scala reference peeler.
+    "q304_ktruss" ->
+      """SELECT CAST(support AS BIGINT) AS support, CAST(n_edges AS BIGINT) AS n_edges,
+        | CAST(sum_a AS BIGINT) AS sum_a, CAST(sum_b AS BIGINT) AS sum_b
+        |FROM (VALUES (3,387,259856,530024),(4,123,75720,143772),(5,11,9040,16680),
+        | (6,11,10528,17364),(7,35,27840,47280),(8,1,184,1508),(10,1,120,1272))
+        | AS t(support, n_edges, sum_a, sum_b)""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

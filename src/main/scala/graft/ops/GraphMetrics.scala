@@ -40,37 +40,44 @@ object GraphMetrics {
     * at least one triangle. Input direction/self-loops/duplicates are
     * cleaned here; ids must be numeric.
     */
-  def nodeTriangles(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
-    val e = canonicalEdges(pairs, aCol, bCol)
-    // Undirected degree of every endpoint — the ordering key. Joining it
-    // back onto both endpoints costs two shuffles on node id, which is
-    // what buys the O(√m) out-degree bound below.
+  def nodeTriangles(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id"): DataFrame =
+    triangles(canonicalEdges(pairs, aCol, bCol))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+
+  /** Each triangle of the canonical edge set exactly once, as (a, b, c)
+    * in low→high (deg, id) orientation order — the shared enumeration
+    * kernel of [[nodeTriangles]], [[localClustering]]'s counts and
+    * [[kTruss]]'s per-round support.
+    *
+    * Undirected degree joins back onto both endpoints (two shuffles on
+    * node id), which buys the O(√m)-bounded oriented out-degree: every
+    * edge points low-(deg,id) → high-(deg,id), so the wedge self-join's
+    * fan-out per node is its oriented out-degree, never a hub's full
+    * degree. `oriented` feeds three join sides; persist (lazy,
+    * fault-tolerant — recomputed from lineage on executor loss) rather
+    * than an eager localCheckpoint. Blocks stay referenced by the
+    * returned plan, so they are released by Spark's LRU / context GC,
+    * not unpersisted here.
+    */
+  private def triangles(e: DataFrame): DataFrame = {
     val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     val withDeg = e
       .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
-    // Orient low-(deg,id) → high-(deg,id); carry the dst rank so the wedge
-    // join below can order the two spokes without another degree join.
     val oriented = withDeg.select(
       when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
         struct(col("u").as("s"), col("v").as("d"), col("dv").as("dd")))
         .otherwise(struct(col("v").as("s"), col("u").as("d"), col("du").as("dd"))).as("o"))
       .select(col("o.s").as("src"), col("o.d").as("dst"), col("o.dd").as("dstDeg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // oriented feeds three join sides; persist (lazy, fault-tolerant —
-    // recomputed from lineage on executor loss) rather than an eager
-    // localCheckpoint. Blocks stay referenced by the returned plan, so
-    // they are released by Spark's LRU / context GC, not unpersisted here.
-    val tri = oriented.alias("e1")
+    oriented.alias("e1")
       .join(oriented.alias("e2"),
         col("e1.src") === col("e2.src") &&
           (struct(col("e1.dstDeg"), col("e1.dst")) < struct(col("e2.dstDeg"), col("e2.dst"))))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
       .join(oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
-    tri
-      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
 
   /** Synchronous mode-based label propagation — the lightweight community
@@ -473,5 +480,152 @@ object GraphMetrics {
         col("deg_a"), col("deg_b"),
         coalesce(col("__e"), lit(false)).as("is_edge"),
         expr("(1000000L * n_common) div (deg_a + deg_b - n_common)").as("jaccard_ppm"))
+  }
+
+  /** Per-canonical-edge triangle support — each triangle (enumerated
+    * once via the degree-ordered orientation, [[nodeTriangles]]'s
+    * wedge-bounding trick) explodes to its three canonical edges; a
+    * count per (u, v) follows. Support counting is the per-round kernel
+    * of [[kTruss]].
+    */
+  private def edgeSupport(e: DataFrame): DataFrame =
+    triangles(e).select(explode(array(
+        struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
+        struct(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v")),
+        struct(least(col("b"), col("c")).as("u"), greatest(col("b"), col("c")).as("v")))).as("t"))
+      .groupBy(col("t.u").as("u"), col("t.v").as("v"))
+      .agg(count(lit(1)).as("support"))
+
+  /** k-truss: the maximal subgraph in which EVERY edge closes at least
+    * k−2 triangles within the subgraph — the edge-level cohesion
+    * extractor one notch stronger than [[kCore]] (a k-core keeps hubs
+    * with many weak ties; a k-truss keeps only edges embedded in dense
+    * mutual-neighbor structure — template families and copy rings in a
+    * near-dup graph, tight communities in a link graph). Returns the
+    * surviving canonical edges with their within-truss support.
+    *
+    * Peel: compute per-edge support, delete edges below k−2, repeat
+    * until the edge set is stable. Deletion order never affects the
+    * result (the k-truss is unique), so synchronous whole-rounds are
+    * safe, as in [[kCore]]. Per round: one degree-ordered triangle
+    * enumeration (wedge cost Σ min-deg per edge — the O(m^1.5) bound)
+    * + one hash join to filter; per-round state is the (shrinking)
+    * staged edge list, count as the convergence probe. `maxRounds`
+    * bounds the adversarial layered case, as in [[kCore]].
+    */
+  def kTruss(
+      pairs: DataFrame,
+      k: Int,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxRounds: Int = 50,
+      reliable: Boolean = false): DataFrame = {
+    require(k >= 3, s"k must be >= 3: $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    var e = Staging.stage(canonicalEdges(pairs, aCol, bCol), reliable)
+    var nEdges = e.count()
+    var round = 0
+    var converged = nEdges == 0L
+    while (!converged && round < maxRounds) {
+      val next = Staging.stage(
+        e.join(edgeSupport(e), Seq("u", "v"), "left")
+          .where(coalesce(col("support"), lit(0L)) >= k - 2)
+          .select(col("u"), col("v")),
+        reliable)
+      val nNext = next.count()
+      if (reliable) e.unpersist()
+      converged = nNext == nEdges
+      e = next
+      nEdges = nNext
+      round += 1
+    }
+    e.join(edgeSupport(e), Seq("u", "v"), "left")
+      .select(col("u").as("a_id"), col("v").as("b_id"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** Integer HITS (Kleinberg hubs & authorities) on a DIRECTED edge
+    * list — the link-analysis complement to [[PageRank]]: a good HUB
+    * points at good authorities, a good AUTHORITY is pointed at by good
+    * hubs. On a crawl/link graph this separates index pages from
+    * content pages, which PageRank's single score conflates.
+    *
+    * Update per round (mutual recursion, synchronous):
+    * `auth(v) = Σ_{u→v} hub(u)`, then max-normalize authorities back to
+    * `scale`; `hub(u) = Σ_{u→v} auth(v)`, then max-normalize hubs —
+    * all integer (sums exact; normalization is `(x·scale) div max`,
+    * truncating — deterministic, so the output is a pure function of
+    * the input, the cross-engine-checkable form of the usual L2 float
+    * normalization; ranking order within a round is IDENTICAL since
+    * x ↦ x·scale div max is monotone). Nodes with no in-edges keep
+    * auth 0; no out-edges, hub 0.
+    *
+    * Scale shape per round: two equi-joins of the (staged) edge list
+    * with a node-sized score table + two aggregations — exactly
+    * [[PageRank.ranksFixedPoint]]'s cost model. Each half-round's max
+    * is fetched to the driver as ONE Long (the bounded-driver trade the
+    * BPE trainer's per-round election already makes) and re-enters the
+    * plan as a literal: broadcasting it back via crossJoin instead
+    * would reference each score table twice (max side + normalize
+    * side), and on the lineage-keeping `reliable` posture that doubles
+    * the logical plan per half-round — 4^iterations analysis blow-up.
+    * With the literal, the score chain is referenced once per round,
+    * staged every half-round (the max fetch is the materializing
+    * action), and plan depth stays linear on every posture.
+    */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+      scale: Long = 1000000L,
+      reliable: Boolean = false): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    val e = Staging.stage(
+      edges.select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("d")).distinct(),
+      reliable)
+    val nodes = Staging.stage(
+      e.select(col("s").as("id")).union(e.select(col("d").as("id"))).distinct(),
+      reliable)
+    // max-normalize to `scale`: stage the raw sums, fetch their max as
+    // one Long (bounded driver traffic; this action also materializes
+    // the staged frame), normalize against the literal.
+    val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def normalized(scores: DataFrame, c: String): DataFrame = {
+      val s = Staging.stage(scores, reliable)
+      staged += s
+      val mx = Option(s.agg(max(col(c))).head().get(0)).fold(0L)(_.asInstanceOf[Long])
+      if (mx <= 0L) s.select(col("id"), lit(0L).as(c))
+      else s.select(col("id"), expr(s"($c * ${scale}L) div ${mx}L").as(c))
+    }
+    var hubs = nodes.select(col("id"), lit(scale).as("hub"))
+    var auths = nodes.select(col("id"), lit(0L).as("auth"))
+    for (_ <- 1 to iterations) {
+      val a = nodes.join(
+        e.join(hubs.hint("shuffle_hash"), col("s") === col("id"))
+          .groupBy(col("d")).agg(sum(col("hub")).as("auth"))
+          .select(col("d").as("id"), col("auth")),
+        Seq("id"), "left")
+        .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth"))
+      auths = normalized(a, "auth")
+      val h = nodes.join(
+        e.join(auths.hint("shuffle_hash"), col("d") === col("id"))
+          .groupBy(col("s")).agg(sum(col("auth")).as("hub"))
+          .select(col("s").as("id"), col("hub")),
+        Seq("id"), "left")
+        .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"))
+      hubs = normalized(h, "hub")
+    }
+    val out = auths.join(hubs, Seq("id"))
+    // Reliable staging is lazy: pin the result, then release the
+    // intermediate half-round frames (the result depends only on the
+    // final two).
+    if (reliable) {
+      val pinned = Staging.stage(out, reliable)
+      pinned.count()
+      staged.foreach(_.unpersist())
+      pinned
+    } else out
   }
 }
