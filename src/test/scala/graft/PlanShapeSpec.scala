@@ -554,4 +554,22 @@ class PlanShapeSpec extends SparkSpec {
       days, Seq("k"), "ts", col("ms"))).isEmpty,
       "seasonal outlier medians must partition by (key, dow) / key")
   }
+
+  test("hits and kTruss: no cartesian/nested-loop joins, no row-grain global windows") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // hits' per-half-round max re-enters as a LITERAL — a crossJoin of
+    // the score table against its own max would show up here as a
+    // BroadcastNestedLoopJoin (and double the logical plan per round on
+    // the lineage-keeping reliable posture).
+    val edges = (1 to 300).map(i => (i.toLong % 40, (i * 7 % 40).toLong))
+      .filter(e => e._1 != e._2).toDF("a", "b")
+    val hitsPlan = initialPlan(graft.ops.GraphMetrics.hits(edges, "a", "b", iterations = 2))
+    assert(hitsPlan.collect { case c: CartesianProductExec => c }.isEmpty &&
+      hitsPlan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"non-equi join in hits plan:\n${hitsPlan.treeString.take(1200)}")
+    val trussPlan = initialPlan(graft.ops.GraphMetrics.kTruss(edges.toDF("a_id", "b_id"), k = 3))
+    assert(trussPlan.collect { case c: CartesianProductExec => c }.isEmpty &&
+      trussPlan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"non-equi join in kTruss plan:\n${trussPlan.treeString.take(1200)}")
+  }
 }
