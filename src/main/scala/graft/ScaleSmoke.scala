@@ -59,7 +59,12 @@ object ScaleSmoke {
     // bands at generation; q213 runs a replica-banded coordinate variant
     // (identical to the plain query at base scale — see q213Banded).
     "q213_grid_radius_join", "q253_assoc_rules", "q281_interval_overlap",
-    "q292_candidate_keys")
+    "q292_candidate_keys",
+    // Round-9 graph operators: HITS (PageRank's per-round cost model +
+    // driver-literal normalization) and the k-truss support peel (3-4
+    // triangle-enumeration rounds at this k) — both iterate, so both
+    // need a 10x point.
+    "q303_hits", "q304_ktruss")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))
