@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Association, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Correlate, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GeoGrid, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, Reshape, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, Skyline, SkewJoin, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
+import graft.ops.{AsOfJoin, Association, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Correlate, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GeoGrid, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, Reshape, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, Skyline, SkewJoin, SpanningForest, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -2920,7 +2920,33 @@ object SparkEntry {
       GraphMetrics.kTruss(partPairs(s, dir), k = 5)
         .groupBy("support")
         .agg(count(lit(1)).as("n_edges"),
-          sum(col("a_id")).as("sum_a"), sum(col("b_id")).as("sum_b")))
+          sum(col("a_id")).as("sum_a"), sum(col("b_id")).as("sum_b"))),
+
+    // ---- Borůvka minimum spanning forest of the co-order part graph
+    // (weight = inverse co-order count — strong affinities are cheap),
+    // reported as per-component-size invariants: every correct MSF
+    // implementation agrees on edge count and total weight per
+    // component even under weight ties, so the PINNED oracle (an
+    // independent Python Kruskal, tools/pin_msf.py) is tie-safe. The
+    // (order, part) dedup mirrors the reference's set semantics. ------
+    "q305_spanning_forest" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val weighted = li.alias("a")
+        .join(li.alias("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("a_id"), col("b.l_partkey").as("b_id"))
+        .agg(expr("1000000L div count(1)").as("weight"))
+      val forest = SpanningForest.boruvka(weighted)
+      forest
+        .join(Components.connectedComponents(forest.select(col("a_id"), col("b_id")))
+          .withColumnRenamed("id", "a_id"), Seq("a_id"))
+        .groupBy("component")
+        .agg(count(lit(1)).as("__ne"), sum(col("weight")).as("__tw"))
+        .groupBy(col("__ne").as("n_edges"))
+        .agg(count(lit(1)).as("n_components"), sum(col("__tw")).as("sum_weight"))
+    })
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -7944,7 +7970,18 @@ object SparkEntry {
         | CAST(sum_a AS BIGINT) AS sum_a, CAST(sum_b AS BIGINT) AS sum_b
         |FROM (VALUES (3,387,259856,530024),(4,123,75720,143772),(5,11,9040,16680),
         | (6,11,10528,17364),(7,35,27840,47280),(8,1,184,1508),(10,1,120,1272))
-        | AS t(support, n_edges, sum_a, sum_b)""".stripMargin
+        | AS t(support, n_edges, sum_a, sum_b)""".stripMargin,
+
+    // q305: pinned per-component-size MSF invariants from an independent
+    // Python Kruskal (tools/pin_msf.py). The co-order part graph at
+    // sf0.01 is one 500-node component: any correct MSF has exactly 499
+    // edges totaling 400666666 — invariant under weight ties, so the
+    // cross-implementation check does not depend on tie-breaking.
+    "q305_spanning_forest" ->
+      """SELECT CAST(n_edges AS BIGINT) AS n_edges,
+        | CAST(n_components AS BIGINT) AS n_components,
+        | CAST(sum_weight AS BIGINT) AS sum_weight
+        |FROM (VALUES (499,1,400666666)) AS t(n_edges, n_components, sum_weight)""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")
