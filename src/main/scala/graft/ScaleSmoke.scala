@@ -61,10 +61,11 @@ object ScaleSmoke {
     "q213_grid_radius_join", "q253_assoc_rules", "q281_interval_overlap",
     "q292_candidate_keys",
     // Round-9 graph operators: HITS (PageRank's per-round cost model +
-    // driver-literal normalization) and the k-truss support peel (3-4
-    // triangle-enumeration rounds at this k) — both iterate, so both
+    // driver-literal normalization), the k-truss support peel (3-4
+    // triangle-enumeration rounds at this k) and the Borůvka MSF
+    // (O(log n) election/contraction rounds) — all iterate, so all
     // need a 10x point.
-    "q303_hits", "q304_ktruss")
+    "q303_hits", "q304_ktruss", "q305_spanning_forest")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))

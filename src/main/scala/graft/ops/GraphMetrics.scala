@@ -41,7 +41,7 @@ object GraphMetrics {
     * cleaned here; ids must be numeric.
     */
   def nodeTriangles(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id"): DataFrame =
-    triangles(canonicalEdges(pairs, aCol, bCol))
+    triangles(canonicalEdges(pairs, aCol, bCol))._1
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
 
@@ -56,11 +56,14 @@ object GraphMetrics {
     * fan-out per node is its oriented out-degree, never a hub's full
     * degree. `oriented` feeds three join sides; persist (lazy,
     * fault-tolerant — recomputed from lineage on executor loss) rather
-    * than an eager localCheckpoint. Blocks stay referenced by the
-    * returned plan, so they are released by Spark's LRU / context GC,
-    * not unpersisted here.
+    * than an eager localCheckpoint. The persisted handle is RETURNED so
+    * per-round callers ([[kTruss]]) can unpersist it once the round's
+    * output is materialized — the CacheManager holds a strong reference
+    * otherwise, so "wait for GC" would accumulate one cached edge list
+    * per round. One-shot callers ([[nodeTriangles]]) leave it cached:
+    * the returned plan still references it.
     */
-  private def triangles(e: DataFrame): DataFrame = {
+  private def triangles(e: DataFrame): (DataFrame, DataFrame) = {
     val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     val withDeg = e
@@ -72,12 +75,13 @@ object GraphMetrics {
         .otherwise(struct(col("v").as("s"), col("u").as("d"), col("du").as("dd"))).as("o"))
       .select(col("o.s").as("src"), col("o.d").as("dst"), col("o.dd").as("dstDeg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    oriented.alias("e1")
+    val tri = oriented.alias("e1")
       .join(oriented.alias("e2"),
         col("e1.src") === col("e2.src") &&
           (struct(col("e1.dstDeg"), col("e1.dst")) < struct(col("e2.dstDeg"), col("e2.dst"))))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
       .join(oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    (tri, oriented)
   }
 
   /** Synchronous mode-based label propagation — the lightweight community
@@ -488,13 +492,16 @@ object GraphMetrics {
     * count per (u, v) follows. Support counting is the per-round kernel
     * of [[kTruss]].
     */
-  private def edgeSupport(e: DataFrame): DataFrame =
-    triangles(e).select(explode(array(
+  private def edgeSupport(e: DataFrame): (DataFrame, DataFrame) = {
+    val (tri, oriented) = triangles(e)
+    val sup = tri.select(explode(array(
         struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
         struct(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v")),
         struct(least(col("b"), col("c")).as("u"), greatest(col("b"), col("c")).as("v")))).as("t"))
       .groupBy(col("t.u").as("u"), col("t.v").as("v"))
       .agg(count(lit(1)).as("support"))
+    (sup, oriented)
+  }
 
   /** k-truss: the maximal subgraph in which EVERY edge closes at least
     * k−2 triangles within the subgraph — the edge-level cohesion
@@ -510,8 +517,14 @@ object GraphMetrics {
     * safe, as in [[kCore]]. Per round: one degree-ordered triangle
     * enumeration (wedge cost Σ min-deg per edge — the O(m^1.5) bound)
     * + one hash join to filter; per-round state is the (shrinking)
-    * staged edge list, count as the convergence probe. `maxRounds`
-    * bounds the adversarial layered case, as in [[kCore]].
+    * staged edge list (support carried through, so the CONVERGED
+    * round's support table IS the result — no extra enumeration), count
+    * as the convergence probe, the round's triangle cache released
+    * as soon as its output is materialized. Unlike [[kCore]] (whose
+    * truncation yields a conservative superset), an unconverged peel is
+    * NOT a k-truss — removal cascades can legitimately run one layer
+    * per round — so exhausting `maxRounds` throws rather than returning
+    * a silently wrong edge set; raise the bound for deep cascades.
     */
   def kTruss(
       pairs: DataFrame,
@@ -522,26 +535,40 @@ object GraphMetrics {
       reliable: Boolean = false): DataFrame = {
     require(k >= 3, s"k must be >= 3: $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val spark = pairs.sparkSession
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "a_id BIGINT, b_id BIGINT, support BIGINT"))
     var e = Staging.stage(canonicalEdges(pairs, aCol, bCol), reliable)
     var nEdges = e.count()
+    if (nEdges == 0L) return empty
+    var result: DataFrame = null
     var round = 0
-    var converged = nEdges == 0L
+    var converged = false
     while (!converged && round < maxRounds) {
+      val (sup, oriented) = edgeSupport(e)
       val next = Staging.stage(
-        e.join(edgeSupport(e), Seq("u", "v"), "left")
-          .where(coalesce(col("support"), lit(0L)) >= k - 2)
-          .select(col("u"), col("v")),
+        e.join(sup, Seq("u", "v"), "left")
+          .select(col("u"), col("v"), coalesce(col("support"), lit(0L)).as("support"))
+          .where(col("support") >= k - 2),
         reliable)
       val nNext = next.count()
+      oriented.unpersist()
       if (reliable) e.unpersist()
       converged = nNext == nEdges
-      e = next
+      if (converged) result = next
+      e = next.select(col("u"), col("v"))
       nEdges = nNext
       round += 1
+      if (nEdges == 0L && !converged) { converged = true; result = next }
     }
-    e.join(edgeSupport(e), Seq("u", "v"), "left")
-      .select(col("u").as("a_id"), col("v").as("b_id"),
-        coalesce(col("support"), lit(0L)).as("support"))
+    if (!converged)
+      throw new IllegalStateException(
+        s"kTruss did not converge in $maxRounds rounds — the peel cascade is " +
+          "deeper than the bound; raise maxRounds (an unconverged edge set is " +
+          "not a k-truss, so returning it would be silently wrong)")
+    result.select(col("u").as("a_id"), col("v").as("b_id"), col("support"))
   }
 
   /** Integer HITS (Kleinberg hubs & authorities) on a DIRECTED edge

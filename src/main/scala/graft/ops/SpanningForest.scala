@@ -66,12 +66,16 @@ object SpanningForest {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      // label both endpoints; only inter-component edges are candidates
-      val el = e
+      // label both endpoints; only inter-component edges are candidates.
+      // Staged: el is read three times (the convergence probe + both
+      // branches of the election union) — unstaged, the dominant
+      // two-join plan would execute three times per round.
+      val el = Staging.stage(e
         .join(labels.select(col("id").as("u"), col("comp").as("cu")), Seq("u"))
         .join(labels.select(col("id").as("v"), col("comp").as("cv")), Seq("v"))
-        .where(col("cu") =!= col("cv"))
-      if (el.isEmpty) converged = true
+        .where(col("cu") =!= col("cv")),
+        reliable)
+      if (el.isEmpty) { converged = true; if (reliable) el.unpersist() }
       else {
         // per-component minimum outgoing edge, total order (w, u, v)
         val sel = Staging.stage(el
@@ -96,7 +100,7 @@ object SpanningForest {
           .select(col("id"), coalesce(col("component"), col("comp")).as("comp")),
           reliable)
         next.count()
-        if (reliable) labels.unpersist()
+        if (reliable) { labels.unpersist(); el.unpersist() }
         labels = next
       }
       round += 1

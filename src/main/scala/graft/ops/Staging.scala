@@ -32,7 +32,13 @@ import org.apache.spark.storage.StorageLevel
   *    lineage-truncating, the best posture for very long iterative runs
   *    (multi-hundred-round BPE, 50-iteration PageRank) when the cluster
   *    has a checkpoint dir to offer. Recovery re-READS the checkpoint
-  *    files rather than recomputing.
+  *    files rather than recomputing. Storage honesty: Spark does NOT
+  *    delete reliable checkpoints by default, so a long run writes one
+  *    state snapshot per staged round and keeps them all — set
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` so the
+  *    ContextCleaner removes each round's files once its RDD is
+  *    unreferenced, and plan checkpoint-dir capacity for at least a few
+  *    concurrent snapshots either way.
   *
   * Callers that need eager + fault-tolerant for NON-deterministic
   * stages (sampled range boundaries that must be fixed once,

@@ -92,11 +92,12 @@ class ReliableStagingSpec extends SparkSpec {
   }
 
   test("reliable + reliablePin escalates loops to real checkpoints (truncated plan, same results)") {
-    // The prior test set the shared context's checkpoint dir; with the
-    // conf also set, reliable staging must switch from lineage-keeping
-    // persist to an eager reliable checkpoint() — fault-tolerant AND
-    // plan-truncating, the long-run posture.
-    assume(spark.sparkContext.getCheckpointDir.isDefined)
+    // Self-sufficient: set a checkpoint dir if no earlier test has (the
+    // shared context keeps it either way) — this test must never cancel
+    // itself away, it is the only coverage of the escalated stage() path.
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt-esc").toString)
     spark.conf.set("spark.graft.reliablePin", "true")
     try {
       val pr = sortedRows(
