@@ -1,4 +1,9 @@
 import org.apache.spark.sql.SparkSession
+
+/** Scratch timing harness for ad-hoc per-query profiling during
+  * development (edit the query list, `sbt 'runMain TimeQ'`) — the bench
+  * proper is [[graft.Bench]].
+  */
 object TimeQ {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -8,7 +13,8 @@ object TimeQ {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
-    for (name <- Seq("q86_fuzzy_block", "q89_khop")) {
+    val names = if (args.nonEmpty) args.toSeq else Seq("q305_spanning_forest")
+    for (name <- names) {
       graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       val ts = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

@@ -94,11 +94,23 @@ object Bench {
     // min barely under threshold) stays visible to the next reader instead
     // of being silently flattened to its best case.
     val rescueAttempts = scala.collection.mutable.SortedMap.empty[String, Seq[Double]]
+    // Variance-aware early stop (r9 verdict item): rescue exists to beat
+    // HOST NOISE — two timing windows that disagree. When pass1 and pass2
+    // already agree within 15%, the measurement is stable and the cost is
+    // real (r9's q211 burned two deep-clean retries on [2.83, 2.76, 2.89,
+    // 2.84]); more attempts would re-measure a fact. Skipped-stable
+    // queries are recorded with their agreeing pair in the mirror, so the
+    // early stop itself stays auditable.
+    val stableAgreement = 1.15
+    val skippedStable = scala.collection.mutable.SortedMap.empty[String, Seq[Double]]
     val results = best2.map { case (name, t) =>
       var best = t
       var attempts = 0
       val extra = scala.collection.mutable.ArrayBuffer.empty[Double]
-      while (best > rescueThreshold && attempts < 2) {
+      val p1 = pass1Map(name); val p2 = pass2(name)
+      val stable = math.max(p1, p2) <= math.min(p1, p2) * stableAgreement
+      if (stable && best > rescueThreshold) skippedStable(name) = Seq(p1, p2)
+      while (!stable && best > rescueThreshold && attempts < 2) {
         val a = timed(byNameFn(name), deepClean = true)
         extra += a
         best = math.min(best, a)
@@ -122,11 +134,12 @@ object Bench {
       "q125_span_coverage", "q130_prefix_jaccard", "q138_segment_dedup", "q142_semantic_dedup")
     val byName = results.toMap
     val headlineResults = headline.flatMap(n => byName.get(n).map(n -> _))
-    val rescueJson = rescueAttempts.map { case (k, vs) =>
+    def vecJson(m: collection.Map[String, Seq[Double]]): String = m.map { case (k, vs) =>
       "\"" + k + "\":[" + vs.map(v => f"$v%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val rescueJson = vecJson(rescueAttempts)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(headlineResults)},"n_queries":${results.size},"n_rescued":${rescueAttempts.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(headlineResults)},"n_queries":${results.size},"n_rescued":${rescueAttempts.size},"n_stable_skipped":${skippedStable.size},"sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces for the driver's parser: stdout may be decorated by a
     // build tool (r1: sbt's "[info] " prefix made the line unparseable), so
@@ -144,9 +157,10 @@ object Bench {
         """"q130_prefix_jaccard":"r8: idle-host FULL 210-query run times it at 3.4s best-of-2 (code cache, heap, block manager all verified clean in-run), overturning r7's shared-JVM-context adjudication — the r6/r7 43-52s was host contention on both timed windows; r8 adds heavy-tail rescue passes (up to 2 extra deep-cleaned attempts for any query whose best-of-2 exceeds 2.5s, min reported) so two noisy windows can no longer set the score",""" +
         """"q69_pagerank":"cold-JVM timings overstate its scaling (10x data appeared 33x until profiled warm per-phase: linear); ScaleSmoke warms every query untimed at sf0.01 before timing sf1",""" +
         """"q106_rfm":"round 7 replaces the three global ntile windows with denseIds two-phase ranking (range repartition + 3 localCheckpoint jobs) — scale-correct shape, slightly more fixed overhead at bench scale",""" +
-        """"q170_coverage_curve":"round 7 replaces the global vocabulary rank window with a range-partitioned two-phase scan (rankedPrefixSum)"}"""
+        """"q170_coverage_curve":"round 7 replaces the global vocabulary rank window with a range-partitioned two-phase scan (rankedPrefixSum)",""" +
+        """"q211_damerau_pairs":"r9 attempt vector [2.83, 2.76, 2.89, 2.84] proves ~2.8s is the real kernel cost, not noise — it motivated r10's variance-aware rescue (pass1/pass2 within 15% => deep-clean retries skipped, pair recorded in rescue_skipped_stable)"}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"rescue_attempts":$rescueJson,"workload_notes":$notes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"rescue_attempts":$rescueJson,"rescue_skipped_stable":${vecJson(skippedStable)},"workload_notes":$notes,"sf":"$sfDir"}"""
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       java.nio.file.Paths.get(sys.props("user.dir"), "bench_last.json").toString)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(benchOut), fullLine + "\n")

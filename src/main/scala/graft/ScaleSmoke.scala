@@ -65,7 +65,11 @@ object ScaleSmoke {
     // triangle-enumeration rounds at this k) and the Borůvka MSF
     // (O(log n) election/contraction rounds) — all iterate, so all
     // need a 10x point.
-    "q303_hits", "q304_ktruss", "q305_spanning_forest")
+    "q303_hits", "q304_ktruss", "q305_spanning_forest",
+    // Round-10 additions: the salted skew-safe correlate (replication
+    // factor × hot-key fan-out is exactly the thing to watch at 10×)
+    // and single-linkage (Borůvka + threshold-cut components stacked).
+    "q302_skew_correlate", "q306_single_linkage")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))
@@ -103,9 +107,23 @@ object ScaleSmoke {
       import scala.jdk.CollectionConverters._
       val owned = Seq("customer", "orders", "lineitem", "documents", "events")
         .map(t => java.nio.file.Paths.get(out, s"$t.parquet")) :+ verFile
-      owned.filter(java.nio.file.Files.exists(_)).foreach { p =>
-        java.nio.file.Files.walk(p).iterator().asScala
-          .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      val stale = owned.filter(java.nio.file.Files.exists(_))
+      if (stale.nonEmpty) {
+        // Deletion guards: a misconfigured SPARK_GRAFT_SF1_DIR (pointed at
+        // the SOURCE data dir, or at any dataset this tool did not write —
+        // detectable because only this tool leaves the VERSION marker)
+        // must never be wiped: without the guard the regeneration would
+        // destroy the very tables it then needs to read.
+        def real(p: String) = scala.util.Try(
+          java.nio.file.Paths.get(p).toRealPath()).getOrElse(java.nio.file.Paths.get(p))
+        require(real(out) != real(src),
+          s"SPARK_GRAFT_SF1_DIR ($out) resolves to the SOURCE dir ($src) — refusing to wipe; point it at a scratch dir")
+        require(haveVersion > 0,
+          s"$out holds table dirs but no VERSION marker, so this tool did not generate them — refusing to wipe; clear the dir manually if regeneration is intended")
+        stale.foreach { p =>
+          java.nio.file.Files.walk(p).iterator().asScala
+            .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       }
     }
 
@@ -243,10 +261,42 @@ object ScaleSmoke {
     // total: failures are excluded from the sum and named in an explicit
     // `failed` list — an empty list is the all-green assertion.
     val (failed, ok) = results.partition(_._2 < 0)
+    // reliablePin posture probe, one shape at sf1: q69's PageRank graph
+    // run reliable=true on the DISK_ONLY persist posture, then again
+    // with `spark.graft.reliablePin=true` + a REAL checkpoint dir — the
+    // real-checkpoint write path (per-round state snapshots to
+    // cluster-visible storage) is exactly the thing that surprises at
+    // cluster scale, and `ReliableStagingSpec` only exercises it on toy
+    // rows. Recorded as its own JSON field; not part of the smoke total.
+    val pinProbeJson: String = if (sys.env.get("SPARK_GRAFT_SMOKE_ONLY").isEmpty) {
+      def pagerankReliable(): Unit = {
+        val e0 = spark.read.parquet(s"$out/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(spark.read.parquet(s"$out/lineitem.parquet")
+            .select(col("l_orderkey"), col("l_suppkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("s"), (col("l_suppkey") * 2 + 1).as("d"))
+          .distinct()
+        val e = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
+        graft.ops.PageRank.ranksFixedPoint(e, "s", "d", iterations = 3, reliable = true)
+          .write.format("noop").mode("overwrite").save()
+      }
+      def probe(body: => Unit): Double =
+        try { evictDebris(); val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable => System.err.println(s"[sf1] pin probe failed: ${e.getMessage}"); -1.0 }
+      val tReliable = probe(pagerankReliable())
+      val ckptDir = java.nio.file.Paths.get(sys.props("user.dir"), "target", "ckpt").toString
+      spark.sparkContext.setCheckpointDir(ckptDir)
+      spark.conf.set("spark.graft.reliablePin", "true")
+      spark.conf.set("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      val tPin = probe(pagerankReliable())
+      spark.conf.set("spark.graft.reliablePin", "false")
+      f""","reliable_pin_probe":{"query":"q69_pagerank","reliable_sec":$tReliable%.3f,"reliable_pin_sec":$tPin%.3f}"""
+    } else ""
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"sf1_smoke","value":${ok.map(_._2).sum},"unit":"sec",""" +
-      s""""queries":$qJson,"failed":$failedJson,"replicas":$replicas,"base_sf":"$src",""" +
+      s""""queries":$qJson,"failed":$failedJson,"replicas":$replicas,"base_sf":"$src"$pinProbeJson,""" +
       """"note":"inputs are deterministic disjoint replicas of sf0.1 (shifted keys, per-replica vocabulary, per-replica date bands) - a 10x workload, not driver-generated data. q213 runs a replica-banded coordinate variant (identical to the plain query at base scale): disjoint spatial/temporal bands keep radius/overlap joins at 10x pairs (constant density, the 100TB scenario) instead of ~100x (densification). Timing: best-of-2 per query after sf0.01 JIT warm-up, cache debris evicted between runs; host timing variance is multi-x (shared infra), so read these as scaling-shape evidence, not absolute throughput - worst observed isolated samples still stay at-or-below linear in the 10x data"}"""
     println(line)
     // The mirror is the full-run artifact; filtered adjudication runs

@@ -2946,7 +2946,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("__ne"), sum(col("weight")).as("__tw"))
         .groupBy(col("__ne").as("n_edges"))
         .agg(count(lit(1)).as("n_components"), sum(col("__tw")).as("sum_weight"))
-    })
+    }),
+
+    // ---- single-linkage clustering read off the Borůvka forest: weight
+    // the doc-chain graph deterministically, build the MSF ONCE, cut at
+    // the threshold. The oracle replays the DEFINITION instead (recursive
+    // components over the graph's <=threshold edges) — the two agree by
+    // the MSF minimax-path property, which holds for ANY minimum forest
+    // even under weight ties, so this is a strong engine-neutral check of
+    // the whole forest->threshold->components pipeline, not a pin. ------
+    "q306_single_linkage" -> ((s, dir) => {
+      val weighted = docChainPairs(s, dir)
+        .withColumn("weight", (col("a_id") * 7 + col("b_id") * 13) % 100)
+      SpanningForest.singleLinkage(weighted, threshold = 50)
+    }),
+
+    // ---- q304's truss peel consumed at its operator-boundary aggregate:
+    // only the (support, n_edges) histogram ever crosses to the caller —
+    // the shape a 100 TB cohesion profile would ship. Same pinned
+    // cross-implementation oracle as q304 (tools/pin_ktruss.py). --------
+    "q307_truss_histogram" -> ((s, dir) =>
+      GraphMetrics.kTrussSupportHistogram(partPairs(s, dir), k = 5))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -7981,7 +8001,37 @@ object SparkEntry {
       """SELECT CAST(n_edges AS BIGINT) AS n_edges,
         | CAST(n_components AS BIGINT) AS n_components,
         | CAST(sum_weight AS BIGINT) AS sum_weight
-        |FROM (VALUES (499,1,400666666)) AS t(n_edges, n_components, sum_weight)""".stripMargin
+        |FROM (VALUES (499,1,400666666)) AS t(n_edges, n_components, sum_weight)""".stripMargin,
+
+    // q306: the DEFINITION of single-linkage at the threshold — connected
+    // components (recursive closure, min reachable id) of the graph
+    // restricted to weight <= 50, singletons keeping their own id. The
+    // Spark side answers via the Borůvka forest; agreement is the MSF
+    // minimax-path property, tie-safe.
+    "q306_single_linkage" ->
+      """WITH RECURSIVE b AS (
+        | SELECT doc_id AS a FROM documents WHERE doc_id % 20 = 0),
+        |edges0 AS (
+        | SELECT a AS u, a + 1 AS v FROM b
+        | UNION ALL SELECT a + 1, a + 2 FROM b
+        | UNION ALL SELECT a, a + 5 FROM b
+        | UNION ALL SELECT a + 5, a + 22 FROM b WHERE a % 40 = 0),
+        |nodes AS (SELECT u AS id FROM edges0 UNION SELECT v FROM edges0),
+        |kept0 AS (SELECT u, v FROM edges0 WHERE (u * 7 + v * 13) % 100 <= 50),
+        |kept AS (SELECT u, v FROM kept0 UNION SELECT v, u FROM kept0),
+        |reach(id, r) AS (
+        | SELECT id, id FROM nodes
+        | UNION
+        | SELECT k.u, reach.r FROM kept k JOIN reach ON k.v = reach.id)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS cluster
+        |FROM reach GROUP BY id""".stripMargin,
+
+    // q307: q304's pin projected to the histogram the aggregate variant
+    // returns (same independent reference peeler, tools/pin_ktruss.py).
+    "q307_truss_histogram" ->
+      """SELECT CAST(support AS BIGINT) AS support, CAST(n_edges AS BIGINT) AS n_edges
+        |FROM (VALUES (3,387),(4,123),(5,11),(6,11),(7,35),(8,1),(10,1))
+        | AS t(support, n_edges)""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -120,6 +120,7 @@ object GraphMetrics {
       .repartition(p, col("dst")).cache()
     var labels = Staging.stage(sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label")), reliable)
+    val labels0 = labels
     val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (i <- 1 to rounds) {
       // Neighbor-label tally: join on the label-carrier side (dst), so
@@ -144,10 +145,14 @@ object GraphMetrics {
     }
     // Same materialize-then-release dance as [[PageRank.ranksFixedPoint]]:
     // the reliable persist is lazy, so pin the final labels to disk while
-    // the cached edge layout is still alive, then release intermediates.
+    // the cached edge layout is still alive, then release intermediates —
+    // including the staged INPUTS (initial labels, canonical edges),
+    // which would otherwise stay persisted for the session.
     if (reliable && rounds > 0) {
       labels.count()
       staged.dropRight(1).foreach(_.unpersist())
+      labels0.unpersist()
+      e.unpersist()
     }
     sym.unpersist()
     labels
@@ -541,6 +546,12 @@ object GraphMetrics {
       org.apache.spark.sql.types.StructType.fromDDL(
         "a_id BIGINT, b_id BIGINT, support BIGINT"))
     var e = Staging.stage(canonicalEdges(pairs, aCol, bCol), reliable)
+    // `e` becomes a PROJECTION of the staged round output below, so the
+    // frame the CacheManager actually holds is tracked separately —
+    // unpersisting the projection is a silent no-op (uncache matches on
+    // sameResult, which a select over the persisted plan fails) and
+    // would leak one DISK_ONLY edge set per peel round.
+    var stagedPrev = e
     var nEdges = e.count()
     if (nEdges == 0L) return empty
     var result: DataFrame = null
@@ -555,7 +566,8 @@ object GraphMetrics {
         reliable)
       val nNext = next.count()
       oriented.unpersist()
-      if (reliable) e.unpersist()
+      if (reliable) stagedPrev.unpersist()
+      stagedPrev = next
       converged = nNext == nEdges
       if (converged) result = next
       e = next.select(col("u"), col("v"))
@@ -570,6 +582,24 @@ object GraphMetrics {
           "not a k-truss, so returning it would be silently wrong)")
     result.select(col("u").as("a_id"), col("v").as("b_id"), col("support"))
   }
+
+  /** [[kTruss]] reduced to its support histogram: (support, n_edges).
+    * The peel itself must materialize per-edge state every round no
+    * matter what (the convergence probe counts it), so this costs
+    * nothing extra — what it buys is the operator-boundary guarantee
+    * that only the aggregate ever crosses to the consumer: at 100 TB a
+    * caller wanting just the cohesion profile never ships, collects or
+    * stores the (potentially edge-scale) surviving set.
+    */
+  def kTrussSupportHistogram(
+      pairs: DataFrame,
+      k: Int,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxRounds: Int = 50,
+      reliable: Boolean = false): DataFrame =
+    kTruss(pairs, k, aCol, bCol, maxRounds, reliable)
+      .groupBy("support").agg(count(lit(1)).as("n_edges"))
 
   /** Integer HITS (Kleinberg hubs & authorities) on a DIRECTED edge
     * list — the link-analysis complement to [[PageRank]]: a good HUB
@@ -594,11 +624,13 @@ object GraphMetrics {
     * BPE trainer's per-round election already makes) and re-enters the
     * plan as a literal: broadcasting it back via crossJoin instead
     * would reference each score table twice (max side + normalize
-    * side), and on the lineage-keeping `reliable` posture that doubles
-    * the logical plan per half-round — 4^iterations analysis blow-up.
-    * With the literal, the score chain is referenced once per round,
-    * staged every half-round (the max fetch is the materializing
-    * action), and plan depth stays linear on every posture.
+    * side) and add a per-half-round broadcast exchange; with the
+    * literal, the score chain is referenced once per round, staged
+    * every half-round (the max fetch is the materializing action), and
+    * the plan stays one join shallower on every posture. (Since
+    * [[Staging.stage]] leaf-wraps the reliable persist, double
+    * references no longer compound across rounds — the literal is now
+    * a per-round simplification, not a blow-up guard.)
     */
   def hits(
       edges: DataFrame,
@@ -624,7 +656,14 @@ object GraphMetrics {
       staged += s
       val mx = Option(s.agg(max(col(c))).head().get(0)).fold(0L)(_.asInstanceOf[Long])
       if (mx <= 0L) s.select(col("id"), lit(0L).as(c))
-      else s.select(col("id"), expr(s"($c * ${scale}L) div ${mx}L").as(c))
+      // The multiply runs in DECIMAL(38,0): raw sums reach
+      // maxInDegree·scale, so a Long `x·scale` silently wraps past
+      // in-degree ~9.2e18/scale² — plausible hub territory at 100 TB.
+      // Both factors are < 2^63, so the ≤126-bit product always fits
+      // decimal(38,0) exactly; `div` (integral divide) brings the
+      // result back to a Long ≤ scale, keeping the truncating contract.
+      else s.select(col("id"),
+        expr(s"(cast($c as decimal(38,0)) * ${scale}L) div ${mx}L").as(c))
     }
     var hubs = nodes.select(col("id"), lit(scale).as("hub"))
     var auths = nodes.select(col("id"), lit(0L).as("auth"))
@@ -646,12 +685,16 @@ object GraphMetrics {
     }
     val out = auths.join(hubs, Seq("id"))
     // Reliable staging is lazy: pin the result, then release the
-    // intermediate half-round frames (the result depends only on the
-    // final two).
+    // intermediate half-round frames AND the staged inputs (edge list,
+    // node universe) — the pinned result reads from disk; lineage is
+    // kept, so post-release block loss recomputes from source, per the
+    // posture's contract.
     if (reliable) {
       val pinned = Staging.stage(out, reliable)
       pinned.count()
       staged.foreach(_.unpersist())
+      e.unpersist()
+      nodes.unpersist()
       pinned
     } else out
   }

@@ -101,6 +101,9 @@ object PageRank {
     if (reliable && iterations > 0) {
       ranks.count()
       staged.dropRight(1).foreach(_.unpersist())
+      // staged input too: the pinned ranks read from disk, and lineage
+      // is kept, so post-release block loss recomputes from source
+      e.unpersist()
     }
     nodes.unpersist()
     withDeg.unpersist()
@@ -163,10 +166,12 @@ object PageRank {
         staged += ranks
       } else ranks = next
     }
-    // Same materialize-then-release dance as [[ranksFixedPoint]].
+    // Same materialize-then-release dance as [[ranksFixedPoint]],
+    // staged input included.
     if (reliable && iterations > 0) {
       ranks.count()
       staged.dropRight(1).foreach(_.unpersist())
+      e.unpersist()
     }
     nodes.unpersist()
     withDeg.unpersist()

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftStagedLeaf}
 import org.apache.spark.storage.StorageLevel
 
 /** Caller-selectable materialization for iterative/self-joining
@@ -9,23 +9,45 @@ import org.apache.spark.storage.StorageLevel
   *
   * Three postures, one switch plus one conf:
   *
+  * Every posture returns a STATS-FREE LEAF ([[GraftStagedLeaf]]): the
+  * checkpoint APIs preserve the origin plan's estimated statistics, and
+  * inside a loop whose rounds join k staged frames those estimates
+  * multiply per round and are carried into the next round's leaves —
+  * sizeInBytes bit-length grows ~k× per round, and by a handful of
+  * rounds the driver spends seconds per planning pass doing BigInteger
+  * division in `canBroadcastBySize` (measured: a 45-million-bit size
+  * estimate over 136 actual rows in Borůvka round 3). The fresh leaf
+  * pins every staged frame's estimate at the constant default; AQE's
+  * runtime sizes restore accurate per-stage decisions.
+  *
   *  - `reliable = false` (default): `localCheckpoint()` — EAGER (runs a
   *    job now), truncates lineage to an RDD leaf, stores blocks
   *    non-fault-tolerantly. Fastest, and the right call on local mode /
   *    dedicated clusters: an executor loss kills the query instead of
   *    recomputing.
-  *  - `reliable = true`: `persist(DISK_ONLY)` — lazy, lineage KEPT, so
-  *    a lost block is recomputed from source instead of failing the
-  *    job. The posture for preemptible/spot clusters; costs plan
-  *    re-execution (not just block reload) only on actual executor
+  *  - `reliable = true`: `persist(DISK_ONLY)` over a FRESH LEAF plan
+  *    wrapping the staged plan's executed RDD — lineage KEPT at the RDD
+  *    level, so a lost block is recomputed from source instead of
+  *    failing the job. The posture for preemptible/spot clusters; costs
+  *    plan re-execution (not just block reload) only on actual executor
   *    loss. Only valid when the staged plan is DETERMINISTIC (recompute
   *    must reproduce the lost partition bit-identically) — every call
-  *    site stages a pure function of its input. Honest trade: because
-  *    lineage is kept, the LOGICAL plan grows linearly with rounds
-  *    (execution stays cheap — the cache manager substitutes each
-  *    persisted subtree with its materialized relation at planning
-  *    time, so the optimizer/physical planner see a leaf — but very
-  *    long runs carry a deep analyzed tree on the driver).
+  *    site stages a pure function of its input. The leaf wrap is what
+  *    keeps iterative SELF-JOINING loops analyzable: a bare
+  *    `df.persist` keeps the full LOGICAL tree, and any loop that
+  *    references its round state twice (pointer-jumping contraction,
+  *    star-contraction's symmetrize-union, triangle enumeration's
+  *    three-way self-join) then doubles-or-worse the analyzed plan per
+  *    round — 2^rounds tree growth that hangs Catalyst analysis long
+  *    before execution is the bottleneck (observed: Borůvka's jump loop
+  *    at 5 jumps × 6 rounds). With the leaf, the logical plan is O(1)
+  *    per staged frame on every posture while the wrapped RDD's DAG —
+  *    an immutable, executor-side structure the driver never re-walks —
+  *    still recomputes lost partitions from source. Trades kept:
+  *    like `localCheckpoint`, the leaf drops Catalyst statistics and
+  *    output partitioning (loop call sites already pin join strategies
+  *    with `shuffle_hash` hints for exactly this reason), and building
+  *    the RDD executes upstream shuffle stages eagerly under AQE.
   *  - `reliable = true` AND `spark.graft.reliablePin=true` (with
   *    `SparkContext.setCheckpointDir` pointing at cluster-visible
   *    storage): a REAL eager `checkpoint()` — fault-tolerant AND
@@ -60,9 +82,18 @@ private[graft] object Staging {
   def stage(df: DataFrame, reliable: Boolean): DataFrame =
     if (reliable && reliablePin(df)) {
       requireCheckpointDir(df)
-      df.checkpoint()
-    } else if (reliable) df.persist(StorageLevel.DISK_ONLY)
-    else df.localCheckpoint()
+      GraftStagedLeaf.cappedCheckpoint(df.checkpoint(), df)
+    } else if (reliable) {
+      // Leaf-wrapped persist (see scaladoc): the RDD carries the
+      // fault-tolerance lineage; the DataFrame plan over it is a leaf,
+      // so loop plans stay flat. Persisting the WRAPPER (not the input)
+      // keeps the CacheManager handle on the frame we return — callers'
+      // materialize-then-release choreography (`count()` then
+      // `unpersist()`) works unchanged, and uncaching matches because
+      // the returned object IS the persisted one (uncache is
+      // sameResult-based; a projection would silently no-op).
+      GraftStagedLeaf(df).persist(StorageLevel.DISK_ONLY)
+    } else GraftStagedLeaf.cappedCheckpoint(df.localCheckpoint(), df)
 
   /** Eager materialization whose RESULT must be pinned exactly once —
     * used where the staged plan is execution-nondeterministic (sampled
@@ -81,6 +112,6 @@ private[graft] object Staging {
   def pin(df: DataFrame): DataFrame =
     if (reliablePin(df)) {
       requireCheckpointDir(df)
-      df.checkpoint()
-    } else df.localCheckpoint()
+      GraftStagedLeaf.cappedCheckpoint(df.checkpoint(), df)
+    } else GraftStagedLeaf.cappedCheckpoint(df.localCheckpoint(), df)
 }

@@ -64,4 +64,31 @@ class KTrussSpec extends SparkSpec {
       .collect().map(_.toString).toSeq.sorted
     assert(run(reliable = true) == run(reliable = false))
   }
+
+  test("reliable path releases every peel round's staged frame (result-only residue)") {
+    // A clique chain peels over multiple rounds (each deletion cascades);
+    // the per-round staged edge set must be released as soon as the next
+    // round is materialized — the frame the CacheManager holds, not the
+    // projection `e` becomes (uncaching the projection is a no-op).
+    def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(4L, 5L, 6L, 7L)) ++
+      clique(Seq(7L, 8L, 9L, 10L)) :+ ((10L, 1L))).toDF("a_id", "b_id")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = GraphMetrics.kTruss(edges, k = 4, reliable = true)
+    assert(got.count() > 0L)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked persisted RDDs beyond the converged round: $leaked")
+    spark.catalog.clearCache()
+  }
+
+  test("support histogram variant agrees with the per-edge output") {
+    def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L, 14L)) :+ ((4L, 10L)))
+      .toDF("a_id", "b_id")
+    val perEdge = GraphMetrics.kTruss(edges, k = 4)
+      .collect().map(_.getLong(2)).groupBy(identity).map { case (s, xs) => s -> xs.length.toLong }
+    val hist = GraphMetrics.kTrussSupportHistogram(edges, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == perEdge)
+  }
 }

@@ -77,4 +77,45 @@ class SpanningForestSpec extends SparkSpec {
       .collect().map(_.toString).toSeq.sorted
     assert(run(reliable = true) == run(reliable = false))
   }
+
+  test("reliable path releases every per-round frame (result-only residue)") {
+    // A long path forces multiple Borůvka rounds (components halve), so a
+    // leak of any per-round frame (elected edges, labels, parent-pointer
+    // jumps, edge labeling) shows up as extra persisted RDDs. Only the
+    // returned forest's own pin may remain.
+    val rnd = new scala.util.Random(41)
+    val edges = (0L until 24L).map(i => (i, i + 1, 100L + rnd.nextInt(50)))
+      .toDF("a_id", "b_id", "weight")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val forest = SpanningForest.boruvka(edges, reliable = true)
+    assert(forest.count() == 24L)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"leaked persisted RDDs beyond the returned forest: $leaked")
+    spark.catalog.clearCache()
+  }
+
+  test("singleLinkage matches a driver-side union-find at every threshold") {
+    val rnd = new scala.util.Random(53)
+    val edges = Seq.fill(60)(
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong, (1L + rnd.nextInt(8)).toLong))
+      .filter(e => e._1 != e._2)
+    def reference(t: Long): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.foreach(find)
+      edges.filter(_._3 <= t).foreach { case (a, b, _) => parent(find(a)) = find(b) }
+      val minOf = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+      nodes.map(n => n -> minOf(find(n))).toMap
+    }
+    val df = edges.toDF("a_id", "b_id", "weight")
+    for (t <- Seq(0L, 2L, 4L, 9L)) {
+      val got = SpanningForest.singleLinkage(df, threshold = t)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == reference(t), s"threshold $t diverged from union-find")
+    }
+  }
 }
