@@ -87,6 +87,10 @@ object ScaleSmoke {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // core (static) conf for the reliablePin probe below — settable
+      // only at session creation: without it a long pin run keeps every
+      // round's checkpoint files until exit
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -288,7 +292,6 @@ object ScaleSmoke {
       val ckptDir = java.nio.file.Paths.get(sys.props("user.dir"), "target", "ckpt").toString
       spark.sparkContext.setCheckpointDir(ckptDir)
       spark.conf.set("spark.graft.reliablePin", "true")
-      spark.conf.set("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       val tPin = probe(pagerankReliable())
       spark.conf.set("spark.graft.reliablePin", "false")
       f""","reliable_pin_probe":{"query":"q69_pagerank","reliable_sec":$tReliable%.3f,"reliable_pin_sec":$tPin%.3f}"""

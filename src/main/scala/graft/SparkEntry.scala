@@ -2966,7 +2966,32 @@ object SparkEntry {
     // the shape a 100 TB cohesion profile would ship. Same pinned
     // cross-implementation oracle as q304 (tools/pin_ktruss.py). --------
     "q307_truss_histogram" -> ((s, dir) =>
-      GraphMetrics.kTrussSupportHistogram(partPairs(s, dir), k = 5))
+      GraphMetrics.kTrussSupportHistogram(partPairs(s, dir), k = 5)),
+
+    // ---- full core decomposition of the co-order part graph: per-node
+    // coreness via the distributed h-index fixpoint, reported as a
+    // (coreness, n_nodes, sum_ids) histogram. Oracle is PINNED from an
+    // independent sequential min-degree peel (tools/pin_coreness.py) —
+    // a structurally different algorithm, so agreement is a true
+    // cross-implementation check; `CorenessSpec` replays random graphs
+    // against a Scala peeler. ------------------------------------------
+    "q308_coreness" -> ((s, dir) =>
+      GraphMetrics.coreDecomposition(partPairs(s, dir))
+        .groupBy("coreness")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("id")).as("sum_ids"))),
+
+    // ---- Newman modularity of a block partition of the doc-chain graph
+    // (community = id div 64): per-community internal edges, degree mass
+    // and exact ppm contribution — the partition-quality score for
+    // whatever labeling a pipeline produced. Fully SQL-replayable (the
+    // oracle recomputes the definition; division forced to truncate like
+    // Spark's div). -----------------------------------------------------
+    "q309_modularity" -> ((s, dir) => {
+      val e = docChainPairs(s, dir)
+      val nodes = e.select(col("a_id").as("id"))
+        .union(e.select(col("b_id").as("id"))).distinct()
+      GraphMetrics.modularity(e, nodes.withColumn("community", expr("id div 64")))
+    })
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -8031,7 +8056,48 @@ object SparkEntry {
     "q307_truss_histogram" ->
       """SELECT CAST(support AS BIGINT) AS support, CAST(n_edges AS BIGINT) AS n_edges
         |FROM (VALUES (3,387),(4,123),(5,11),(6,11),(7,35),(8,1),(10,1))
-        | AS t(support, n_edges)""".stripMargin
+        | AS t(support, n_edges)""".stripMargin,
+
+    // q308: pinned sf0.01 coreness histogram from the INDEPENDENT
+    // sequential min-degree peel (tools/pin_coreness.py — Batagelj-
+    // Zaversnik by definition) vs the Spark side's h-index fixpoint:
+    // different algorithm, same unique decomposition.
+    "q308_coreness" ->
+      """SELECT CAST(coreness AS BIGINT) AS coreness, CAST(n_nodes AS BIGINT) AS n_nodes,
+        | CAST(sum_ids AS BIGINT) AS sum_ids
+        |FROM (VALUES (10,1,1092),(11,2,1856),(14,2,2080),(15,5,4060),(16,12,11868),
+        | (17,16,13904),(18,22,17936),(19,36,33828),(20,404,412376))
+        | AS t(coreness, n_nodes, sum_ids)""".stripMargin,
+
+    // q309: the modularity DEFINITION replayed — per-community internal
+    // edges + degree mass over the canonical doc-chain edge set, ppm
+    // contribution with division forced to TRUNCATE (DuckDB's // floors;
+    // Spark's div truncates — they differ on the negative contributions
+    // sparse communities produce).
+    "q309_modularity" ->
+      """WITH b AS (SELECT doc_id AS a FROM documents WHERE doc_id % 20 = 0),
+        |edges0 AS (
+        | SELECT a AS u, a + 1 AS v FROM b
+        | UNION ALL SELECT a + 1, a + 2 FROM b
+        | UNION ALL SELECT a, a + 5 FROM b
+        | UNION ALL SELECT a + 5, a + 22 FROM b WHERE a % 40 = 0),
+        |e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM edges0),
+        |mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e),
+        |le AS (SELECT u, v, u // 64 AS cu, v // 64 AS cv FROM e),
+        |deg AS (SELECT c, count(*) AS degree_sum
+        | FROM (SELECT cu AS c FROM le UNION ALL SELECT cv AS c FROM le) GROUP BY 1),
+        |intl AS (SELECT cu AS c, count(*) AS n_internal FROM le WHERE cu = cv GROUP BY 1),
+        |raw AS (
+        | SELECT d.c, coalesce(i.n_internal, 0) AS n_internal, d.degree_sum,
+        |  CAST(1000000 AS HUGEINT) *
+        |   (4 * mm.m * coalesce(i.n_internal, 0) -
+        |    CAST(d.degree_sum AS HUGEINT) * d.degree_sum) AS num,
+        |  4 * mm.m * mm.m AS den
+        | FROM deg d LEFT JOIN intl i ON i.c = d.c CROSS JOIN mm)
+        |SELECT CAST(c AS BIGINT) AS community, CAST(n_internal AS BIGINT) AS n_internal,
+        | CAST(degree_sum AS BIGINT) AS degree_sum,
+        | CAST(CASE WHEN num < 0 THEN -((-num) // den) ELSE num // den END AS BIGINT) AS q_ppm
+        |FROM raw""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

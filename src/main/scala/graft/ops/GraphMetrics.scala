@@ -601,6 +601,140 @@ object GraphMetrics {
     kTruss(pairs, k, aCol, bCol, maxRounds, reliable)
       .groupBy("support").agg(count(lit(1)).as("n_edges"))
 
+  /** Per-node CORENESS (k-core number): the largest k such that the node
+    * survives in the k-core — the full decomposition [[kCore]] gives one
+    * slice of, and the standard "how embedded is this node" signal
+    * (crawl-frontier prioritization, spam-farm detection, community-core
+    * extraction) without picking k up front.
+    *
+    * Algorithm: the H-INDEX FIXPOINT (Lü et al., "The H-index of a
+    * network node and its relation to degree and coreness", 2016):
+    * `h₀(v) = deg(v)`; `h_{t+1}(v) = H({h_t(u) : u ∈ N(v)})` where H is
+    * the largest h with at least h neighbors at value ≥ h. The sequence
+    * is pointwise non-increasing and its fixpoint is exactly coreness —
+    * so SUM(h) is a strictly decreasing convergence probe (one scalar
+    * agg per round, no frame diff). Unlike the sequential min-degree
+    * peel (inherently serial) this is a per-node local update, the
+    * distributed formulation of choice.
+    *
+    * Scale shape per round: one equi-join of the (staged) symmetric edge
+    * list with the node-sized h table + one NODE-KEYED window
+    * (`row_number` over neighbors sorted by value desc — max(min(rank,
+    * value)) IS the H-index) + one agg. No global window, nothing
+    * collects; per-round state staged ([[Staging.stage]]). Rounds: on
+    * real (core-dense) graphs a handful; pathological chains cascade one
+    * layer per round like every peel does — `maxRounds` fails loudly
+    * rather than returning a non-fixpoint (wrong) decomposition.
+    *
+    * Determinism: H is order-insensitive among tied neighbor values
+    * (min(rank, value) over a descending sort gives the same max for any
+    * permutation of equal values), so the output is a pure function of
+    * the input. Returns (id, coreness) for every node with ≥1 edge.
+    */
+  def coreDecomposition(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxRounds: Int = 100,
+      reliable: Boolean = false): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1: $maxRounds")
+    val e = canonicalEdges(pairs, aCol, bCol)
+    val sym = Staging.stage(e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst"))),
+      reliable)
+    var h = Staging.stage(sym.groupBy("src").agg(count(lit(1)).as("h")), reliable)
+    def total(df: DataFrame): Long =
+      Option(df.agg(sum(col("h"))).head().get(0)).fold(0L)(_.asInstanceOf[Long])
+    var prevSum = total(h)
+    var round = 0
+    var converged = prevSum == 0L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("nh").desc)
+    def update(cur: DataFrame): DataFrame = sym
+      .join(cur.select(col("src").as("dst"), col("h").as("nh")), Seq("dst"))
+      .select(col("src"), col("nh"), row_number().over(w).cast("long").as("r"))
+      .groupBy("src").agg(max(least(col("r"), col("nh"))).as("h"))
+    // Updates are BATCHED three per staged probe: unlike the self-joining
+    // graph loops, each h-update references the previous h exactly ONCE,
+    // so the un-staged chain grows linearly (3 join+window+agg segments),
+    // and one staging + one sum probe amortizes over three rounds — the
+    // per-round fixed job cost is the dominant term at any scale (the
+    // frames are node-sized). Monotonicity makes the coarser probe safe:
+    // SUM(h) is non-increasing and equal sums mean NO node moved in any
+    // of the three updates, i.e. the fixpoint was already reached.
+    val batch = 3
+    while (!converged && round < maxRounds) {
+      val next = Staging.stage(
+        Iterator.iterate(h)(update).drop(batch).next(),
+        reliable)
+      // the sum is the convergence probe AND the materializing action
+      val nextSum = total(next)
+      if (reliable) h.unpersist()
+      converged = nextSum == prevSum
+      h = next
+      prevSum = nextSum
+      round += batch
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"coreDecomposition did not reach its fixpoint in $maxRounds " +
+          "rounds — raise maxRounds (peel cascades one layer per round " +
+          "on chain-like graphs); a non-fixpoint h overstates coreness")
+    if (reliable) sym.unpersist()
+    h.select(col("src").as("id"), col("h").as("coreness"))
+  }
+
+  /** Newman MODULARITY decomposition of a node partition: per community,
+    * the internal-edge count and total degree mass, plus the community's
+    * exact integer modularity contribution — the standard "is this
+    * partition better than chance" score for whatever labeling the
+    * pipeline produced ([[labelPropagation]], [[Components]], an
+    * external clustering). `Q = Σ_c [ in_c/m − (d_c/2m)² ]`, emitted per
+    * community in ppm as `q_ppm = (1e6·(4·m·in_c − d_c²)) div (4·m²)`,
+    * computed in DECIMAL(38,0) — `d_c²` and `4m²` overflow Long at
+    * ~3e9 edges, squarely inside 100 TB territory. Σ q_ppm over the
+    * output (± one ppm per community from truncation) is the graph's
+    * modularity; unlabeled nodes are treated as singleton communities
+    * (their in_c = 0 rows still appear, keyed by their own id).
+    *
+    * Scale shape: one degree agg, two broadcast-or-shuffle label joins
+    * of the edge list, two community-keyed aggs — single-pass, no
+    * iteration, no window. Deterministic and integer-exact throughout
+    * (the one division is the final truncating div).
+    */
+  def modularity(
+      pairs: DataFrame,
+      labels: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      idCol: String = "id",
+      communityCol: String = "community"): DataFrame = {
+    val e = canonicalEdges(pairs, aCol, bCol)
+    val lab = labels.select(col(idCol).cast("long").as("__id"),
+      col(communityCol).cast("long").as("__c"))
+    // unlabeled nodes become singleton communities keyed by own id
+    val labeled = e
+      .join(lab.select(col("__id").as("u"), col("__c").as("cu")), Seq("u"), "left")
+      .join(lab.select(col("__id").as("v"), col("__c").as("cv")), Seq("v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("cu"), col("u")).as("cu"), coalesce(col("cv"), col("v")).as("cv"))
+    val degrees = labeled
+      .select(col("cu").as("c"))
+      .union(labeled.select(col("cv").as("c")))
+      .groupBy("c").agg(count(lit(1)).as("degree_sum"))
+    val internal = labeled.where(col("cu") === col("cv"))
+      .groupBy(col("cu").as("c")).agg(count(lit(1)).as("n_internal"))
+    degrees.join(internal, Seq("c"), "left")
+      .select(col("c").as("community"),
+        coalesce(col("n_internal"), lit(0L)).as("n_internal"),
+        col("degree_sum"))
+      .join(broadcast(e.agg(count(lit(1)).as("__m"))))
+      .select(col("community"), col("n_internal"), col("degree_sum"),
+        expr("""cast(
+            (1000000L * (4L * __m * n_internal - cast(degree_sum as decimal(38,0)) * degree_sum))
+            div (4L * cast(__m as decimal(38,0)) * __m) as bigint)""").as("q_ppm"))
+  }
+
   /** Integer HITS (Kleinberg hubs & authorities) on a DIRECTED edge
     * list — the link-analysis complement to [[PageRank]]: a good HUB
     * points at good authorities, a good AUTHORITY is pointed at by good
