@@ -654,14 +654,22 @@ object GraphMetrics {
       .join(cur.select(col("src").as("dst"), col("h").as("nh")), Seq("dst"))
       .select(col("src"), col("nh"), row_number().over(w).cast("long").as("r"))
       .groupBy("src").agg(max(least(col("r"), col("nh"))).as("h"))
-    // Updates are BATCHED three per staged probe: unlike the self-joining
-    // graph loops, each h-update references the previous h exactly ONCE,
-    // so the un-staged chain grows linearly (3 join+window+agg segments),
-    // and one staging + one sum probe amortizes over three rounds — the
-    // per-round fixed job cost is the dominant term at any scale (the
-    // frames are node-sized). Monotonicity makes the coarser probe safe:
-    // SUM(h) is non-increasing and equal sums mean NO node moved in any
-    // of the three updates, i.e. the fixpoint was already reached.
+    // Updates are BATCHED three per staged probe: each h-update
+    // references the previous h exactly ONCE (no self-join), so the
+    // un-staged chain grows linearly (3 join+window+agg segments) and
+    // one staging + one sum probe amortizes over three rounds.
+    // Monotonicity makes the coarser probe safe: SUM(h) is
+    // non-increasing and equal sums mean NO node moved in any of the
+    // three updates, i.e. the fixpoint was already reached.
+    // Measured shape (sf0.1 part graph, 150k symmetric edges): 16
+    // updates to fixpoint at ~0.5 s each — COMPUTE-bound, not
+    // job-overhead-bound. A delta/frontier variant (recompute only
+    // neighbors of last round's changed set, the Flink/Pregel loop
+    // primitive) measured SLOWER here: on a dense graph the frontier's
+    // neighborhood is most of the graph for the head rounds, and the
+    // extra semi-join/merge stages outweigh the tail savings. It wins
+    // only on sparse chain-y graphs where rounds are many and frontiers
+    // tiny — revisit if such inputs become the workload.
     val batch = 3
     while (!converged && round < maxRounds) {
       val next = Staging.stage(
