@@ -2991,7 +2991,20 @@ object SparkEntry {
       val nodes = e.select(col("a_id").as("id"))
         .union(e.select(col("b_id").as("id"))).distinct()
       GraphMetrics.modularity(e, nodes.withColumn("community", expr("id div 64")))
-    })
+    }),
+
+    // ---- exact BFS closeness from a deterministic source slice (every
+    // 5th chain anchor) of the doc-chain graph: per source, reach count,
+    // shortest-distance sum and integer closeness. The oracle replays
+    // the BFS exactly (recursive CTE, min dist per (source, node), the
+    // same depth bound) — exact distances from sampled sources is the
+    // scalable closeness trade; all-pairs BFS is O(n·m). -----------------
+    "q310_closeness" -> ((s, dir) =>
+      GraphMetrics.multiSourceCloseness(
+        docChainPairs(s, dir),
+        t(s, dir, "documents").where(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("id")),
+        maxDepth = 8))
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -8097,7 +8110,33 @@ object SparkEntry {
         |SELECT CAST(c AS BIGINT) AS community, CAST(n_internal AS BIGINT) AS n_internal,
         | CAST(degree_sum AS BIGINT) AS degree_sum,
         | CAST(CASE WHEN num < 0 THEN -((-num) // den) ELSE num // den END AS BIGINT) AS q_ppm
-        |FROM raw""".stripMargin
+        |FROM raw""".stripMargin,
+
+    // q310: the BFS replayed exactly — recursive closure bounded at the
+    // SAME depth as the operator, min dist per (source, node), closeness
+    // from the reached set (all terms positive, so // matches div).
+    "q310_closeness" ->
+      """WITH RECURSIVE b AS (SELECT doc_id AS a FROM documents WHERE doc_id % 20 = 0),
+        |edges0 AS (
+        | SELECT a AS u, a + 1 AS v FROM b
+        | UNION ALL SELECT a + 1, a + 2 FROM b
+        | UNION ALL SELECT a, a + 5 FROM b
+        | UNION ALL SELECT a + 5, a + 22 FROM b WHERE a % 40 = 0),
+        |e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM edges0),
+        |sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+        |srcs AS (SELECT doc_id AS s FROM documents WHERE doc_id % 100 = 0),
+        |walk(source, node, dist) AS (
+        | SELECT s, s, 0 FROM srcs
+        | UNION
+        | SELECT w.source, m.dst, w.dist + 1
+        | FROM walk w JOIN sym m ON m.src = w.node WHERE w.dist < 8),
+        |d AS (SELECT source, node, min(dist) AS dist FROM walk GROUP BY 1, 2)
+        |SELECT CAST(source AS BIGINT) AS source,
+        | CAST(count(*) - 1 AS BIGINT) AS n_reached,
+        | CAST(sum(dist) AS BIGINT) AS sum_dist,
+        | CAST(CASE WHEN sum(dist) > 0
+        |  THEN ((count(*) - 1) * 1000000) // sum(dist) ELSE 0 END AS BIGINT) AS closeness_ppm
+        |FROM d GROUP BY source""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

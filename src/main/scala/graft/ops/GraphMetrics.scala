@@ -461,6 +461,86 @@ object GraphMetrics {
         (lit(1000000L) * col("n_1hop")
           + lit(500000L) * (col("n_2hop") - col("n_1hop"))).as("harmonic2_ppm"))
 
+  /** Exact BFS closeness centrality from a bounded SOURCE set:
+    * per source, the number of nodes reached within `maxDepth` hops, the
+    * sum of their shortest-path distances, and integer closeness
+    * `((n_reached − 1)·10⁶) div sum_dist` — the other standard
+    * centrality axis next to [[PageRank]] (influence flow) and
+    * [[harmonicCentrality2]] (2-hop approximation over ALL nodes): here
+    * the DISTANCES are exact and the source set is sampled instead.
+    * That trade is the scalable one — all-pairs BFS is O(n·m) and off
+    * the table at any scale, while k sources cost k parallel BFS
+    * frontiers sharing each round's single edge join.
+    *
+    * State is the visited table (source, node, dist) — bounded by
+    * |sources| × reach, which is why `sources` is an explicit DataFrame:
+    * the caller picks a deterministic bounded set (md5 top-k, modular
+    * slice), keeping state linear in the graph for fixed k. Per round:
+    * one equi-join of the frontier with the (staged) symmetric edge
+    * list + one anti-join against visited — textbook frontier BFS,
+    * O(diameter) rounds, nothing collects. Unreachable pairs are simply
+    * absent (closeness is over the reached set, the standard
+    * disconnected-graph convention — Wasserman-Faust variants can be
+    * derived from the returned counts).
+    */
+  def multiSourceCloseness(
+      pairs: DataFrame,
+      sources: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      sourceCol: String = "id",
+      maxDepth: Int = 10,
+      reliable: Boolean = false): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
+    val e = canonicalEdges(pairs, aCol, bCol)
+    val sym = Staging.stage(e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst"))),
+      reliable)
+    var visited = Staging.stage(sources
+      .select(col(sourceCol).cast("long").as("source"))
+      .distinct()
+      .select(col("source"), col("source").as("node"), lit(0L).as("dist")),
+      reliable)
+    val visitedFrames = scala.collection.mutable.ArrayBuffer(visited)
+    var frontier = visited
+    var depth = 0
+    var exhausted = visited.isEmpty
+    while (!exhausted && depth < maxDepth) {
+      depth += 1
+      val next = Staging.stage(frontier
+        .join(sym, col("node") === col("src"))
+        .select(col("source"), col("dst").as("node")).distinct()
+        .join(visited, Seq("source", "node"), "left_anti")
+        .select(col("source"), col("node"), lit(depth.toLong).as("dist")),
+        reliable)
+      exhausted = next.isEmpty
+      if (exhausted) { if (reliable) next.unpersist() }
+      else {
+        // visited accumulates as a staged union — the anti-join above
+        // reads it once per round, so restage the union to keep the
+        // per-round plan one leaf deep (frames tracked for release)
+        val grown = Staging.stage(visited.unionByName(next), reliable)
+        visitedFrames += next
+        visitedFrames += grown
+        visited = grown
+        frontier = next
+      }
+    }
+    val out = visited.groupBy("source")
+      .agg((count(lit(1)) - 1L).as("n_reached"), sum(col("dist")).as("sum_dist"))
+      .select(col("source"), col("n_reached"), col("sum_dist"),
+        when(col("sum_dist") > 0L,
+          expr("(n_reached * 1000000L) div sum_dist")).otherwise(lit(0L))
+          .as("closeness_ppm"))
+    if (reliable) {
+      val pinned = Staging.stage(out, reliable)
+      pinned.count()
+      visitedFrames.foreach(_.unpersist())
+      sym.unpersist()
+      pinned
+    } else out
+  }
+
   def linkJaccard(
       pairs: DataFrame,
       aCol: String = "a_id",
