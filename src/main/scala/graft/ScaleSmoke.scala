@@ -122,7 +122,12 @@ object ScaleSmoke {
           java.nio.file.Paths.get(p).toRealPath()).getOrElse(java.nio.file.Paths.get(p))
         require(real(out) != real(src),
           s"SPARK_GRAFT_SF1_DIR ($out) resolves to the SOURCE dir ($src) — refusing to wipe; point it at a scratch dir")
-        require(haveVersion > 0,
+        // Ownership proof = the VERSION file EXISTS (any value): this
+        // tool writes a `0` sentinel before generating and the real
+        // version after, so its own crashed runs self-heal on the next
+        // invocation, while a dataset dir this tool never touched (no
+        // marker at all) is refused.
+        require(java.nio.file.Files.exists(verFile),
           s"$out holds table dirs but no VERSION marker, so this tool did not generate them — refusing to wipe; clear the dir manually if regeneration is intended")
         stale.foreach { p =>
           java.nio.file.Files.walk(p).iterator().asScala
@@ -132,6 +137,13 @@ object ScaleSmoke {
     }
 
     def absent(name: String): Boolean = !new java.io.File(s"$out/$name.parquet").exists()
+    if (absent("customer") || absent("events")) {
+      // generation-in-progress sentinel (see the wipe guard above): if
+      // this run dies mid-write, the marker proves ownership so the next
+      // run regenerates instead of refusing
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      java.nio.file.Files.writeString(verFile, "0")
+    }
     if (absent("customer")) {
       // Documents: shifted ids + per-replica token prefix → disjoint vocab.
       // docShift is (a) rounded UP to a multiple of 40 so the doc-chain
@@ -288,13 +300,24 @@ object ScaleSmoke {
       def probe(body: => Unit): Double =
         try { evictDebris(); val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable => System.err.println(s"[sf1] pin probe failed: ${e.getMessage}"); -1.0 }
-      val tReliable = probe(pagerankReliable())
       val ckptDir = java.nio.file.Paths.get(sys.props("user.dir"), "target", "ckpt").toString
       spark.sparkContext.setCheckpointDir(ckptDir)
-      spark.conf.set("spark.graft.reliablePin", "true")
-      val tPin = probe(pagerankReliable())
-      spark.conf.set("spark.graft.reliablePin", "false")
-      f""","reliable_pin_probe":{"query":"q69_pagerank","reliable_sec":$tReliable%.3f,"reliable_pin_sec":$tPin%.3f}"""
+      def run(pin: Boolean): Double = {
+        spark.conf.set("spark.graft.reliablePin", pin.toString)
+        val t = probe(pagerankReliable())
+        spark.conf.set("spark.graft.reliablePin", "false")
+        t
+      }
+      // ALTERNATING best-of-2 (reliable, pin, reliable, pin): a single
+      // ordered pair hands the second posture the first's one-time
+      // JIT/classload/page-cache warm-up — alternating, each posture's
+      // min is its second (warm) sample, so the comparison is
+      // order-unbiased.
+      val r1 = run(pin = false); val p1 = run(pin = true)
+      val r2 = run(pin = false); val p2 = run(pin = true)
+      def best(a: Double, b: Double) =
+        if (a < 0) b else if (b < 0) a else math.min(a, b)
+      f""","reliable_pin_probe":{"query":"q69_pagerank","reliable_sec":${best(r1, r2)}%.3f,"reliable_pin_sec":${best(p1, p2)}%.3f}"""
     } else ""
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")

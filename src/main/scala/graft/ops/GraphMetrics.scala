@@ -153,6 +153,12 @@ object GraphMetrics {
       staged.dropRight(1).foreach(_.unpersist())
       labels0.unpersist()
       e.unpersist()
+    } else if (reliable) {
+      // zero rounds: the returned frame IS the staged initial labels —
+      // pin it, release only the staged edge input (which would
+      // otherwise outlive the call in the CacheManager)
+      labels.count()
+      e.unpersist()
     }
     sym.unpersist()
     labels
@@ -633,7 +639,13 @@ object GraphMetrics {
     // would leak one DISK_ONLY edge set per peel round.
     var stagedPrev = e
     var nEdges = e.count()
-    if (nEdges == 0L) return empty
+    if (nEdges == 0L) {
+      // release the staged (empty) edge frame before bailing — the
+      // CacheManager otherwise holds it for the session (the same leak
+      // class stagedPrev exists to prevent inside the loop)
+      if (reliable) e.unpersist()
+      return empty
+    }
     var result: DataFrame = null
     var round = 0
     var converged = false
@@ -785,10 +797,15 @@ object GraphMetrics {
     * modularity; unlabeled nodes are treated as singleton communities
     * (their in_c = 0 rows still appear, keyed by their own id).
     *
-    * Scale shape: one degree agg, two broadcast-or-shuffle label joins
-    * of the edge list, two community-keyed aggs — single-pass, no
-    * iteration, no window. Deterministic and integer-exact throughout
-    * (the one division is the final truncating div).
+    * Scale shape: the labeled edge set is STAGED (it feeds the degree
+    * union, the internal-edge agg and the edge count — unstaged, the
+    * caller's whole edge-building plan would execute three times), then
+    * one degree agg + one community-keyed agg; m enters the final
+    * projection as a driver literal (the bounded one-Long fetch the
+    * staging count already pays for). Deterministic and integer-exact
+    * throughout — every multiply involving m or degree_sum runs in
+    * DECIMAL(38,0) (both 4·m·in_c and d_c² overflow Long at ~3e9
+    * edges); the one division is the final truncating div.
     */
   def modularity(
       pairs: DataFrame,
@@ -796,31 +813,41 @@ object GraphMetrics {
       aCol: String = "a_id",
       bCol: String = "b_id",
       idCol: String = "id",
-      communityCol: String = "community"): DataFrame = {
+      communityCol: String = "community",
+      reliable: Boolean = false): DataFrame = {
     val e = canonicalEdges(pairs, aCol, bCol)
     val lab = labels.select(col(idCol).cast("long").as("__id"),
       col(communityCol).cast("long").as("__c"))
     // unlabeled nodes become singleton communities keyed by own id
-    val labeled = e
+    val labeled = Staging.stage(e
       .join(lab.select(col("__id").as("u"), col("__c").as("cu")), Seq("u"), "left")
       .join(lab.select(col("__id").as("v"), col("__c").as("cv")), Seq("v"), "left")
-      .select(col("u"), col("v"),
-        coalesce(col("cu"), col("u")).as("cu"), coalesce(col("cv"), col("v")).as("cv"))
+      .select(coalesce(col("cu"), col("u")).as("cu"), coalesce(col("cv"), col("v")).as("cv")),
+      reliable)
+    val m = labeled.count()
     val degrees = labeled
       .select(col("cu").as("c"))
       .union(labeled.select(col("cv").as("c")))
       .groupBy("c").agg(count(lit(1)).as("degree_sum"))
     val internal = labeled.where(col("cu") === col("cv"))
       .groupBy(col("cu").as("c")).agg(count(lit(1)).as("n_internal"))
-    degrees.join(internal, Seq("c"), "left")
+    val out = degrees.join(internal, Seq("c"), "left")
       .select(col("c").as("community"),
         coalesce(col("n_internal"), lit(0L)).as("n_internal"),
         col("degree_sum"))
-      .join(broadcast(e.agg(count(lit(1)).as("__m"))))
-      .select(col("community"), col("n_internal"), col("degree_sum"),
-        expr("""cast(
-            (1000000L * (4L * __m * n_internal - cast(degree_sum as decimal(38,0)) * degree_sum))
-            div (4L * cast(__m as decimal(38,0)) * __m) as bigint)""").as("q_ppm"))
+      // separate projection: the expr below must see the COALESCED
+      // n_internal, not the nullable join column of the same name
+      .withColumn("q_ppm",
+        expr(s"""cast(
+            (1000000L * (4L * cast(${m}L as decimal(38,0)) * n_internal
+                         - cast(degree_sum as decimal(38,0)) * degree_sum))
+            div (4L * cast(${m}L as decimal(38,0)) * ${m}L) as bigint)"""))
+    if (reliable) {
+      val pinned = Staging.stage(out, reliable)
+      pinned.count()
+      labeled.unpersist()
+      pinned
+    } else out
   }
 
   /** Integer HITS (Kleinberg hubs & authorities) on a DIRECTED edge

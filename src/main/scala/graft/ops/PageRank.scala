@@ -98,7 +98,11 @@ object PageRank {
     // caller's first action re-derives nodes/degrees once per iteration),
     // then drop the intermediate staged frames (each referenced exactly
     // once; only the final one backs the returned plan).
-    if (reliable && iterations > 0) {
+    if (reliable) {
+      // no `iterations > 0` guard: a zero-iteration call must still
+      // release the staged input (it otherwise outlives the call in the
+      // CacheManager); ranks.count() is then a plain materialization and
+      // `staged` is empty, both harmless
       ranks.count()
       staged.dropRight(1).foreach(_.unpersist())
       // staged input too: the pinned ranks read from disk, and lineage
@@ -167,8 +171,8 @@ object PageRank {
       } else ranks = next
     }
     // Same materialize-then-release dance as [[ranksFixedPoint]],
-    // staged input included.
-    if (reliable && iterations > 0) {
+    // staged input included (and released even at zero iterations).
+    if (reliable) {
       ranks.count()
       staged.dropRight(1).foreach(_.unpersist())
       e.unpersist()

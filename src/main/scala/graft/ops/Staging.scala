@@ -9,16 +9,17 @@ import org.apache.spark.storage.StorageLevel
   *
   * Three postures, one switch plus one conf:
   *
-  * Every posture returns a STATS-FREE LEAF ([[GraftStagedLeaf]]): the
+  * Every posture returns a CAPPED-STATS LEAF ([[GraftStagedLeaf]]): the
   * checkpoint APIs preserve the origin plan's estimated statistics, and
   * inside a loop whose rounds join k staged frames those estimates
   * multiply per round and are carried into the next round's leaves —
   * sizeInBytes bit-length grows ~k× per round, and by a handful of
   * rounds the driver spends seconds per planning pass doing BigInteger
   * division in `canBroadcastBySize` (measured: a 45-million-bit size
-  * estimate over 136 actual rows in Borůvka round 3). The fresh leaf
-  * pins every staged frame's estimate at the constant default; AQE's
-  * runtime sizes restore accurate per-stage decisions.
+  * estimate over 136 actual rows in Borůvka round 3). The leaf keeps
+  * the origin estimate but CAPS it at 2^50, so small staged frames stay
+  * statically broadcastable while the per-leaf bit length is a constant
+  * and growth resets at every staging boundary.
   *
   *  - `reliable = false` (default): `localCheckpoint()` — EAGER (runs a
   *    job now), truncates lineage to an RDD leaf, stores blocks
@@ -43,11 +44,11 @@ import org.apache.spark.storage.StorageLevel
   *    at 5 jumps × 6 rounds). With the leaf, the logical plan is O(1)
   *    per staged frame on every posture while the wrapped RDD's DAG —
   *    an immutable, executor-side structure the driver never re-walks —
-  *    still recomputes lost partitions from source. Trades kept:
-  *    like `localCheckpoint`, the leaf drops Catalyst statistics and
-  *    output partitioning (loop call sites already pin join strategies
-  *    with `shuffle_hash` hints for exactly this reason), and building
-  *    the RDD executes upstream shuffle stages eagerly under AQE.
+  *    still recomputes lost partitions from source. Trades kept: the
+  *    leaf PRESERVES output partitioning/ordering and the origin's
+  *    (capped) statistics — see [[org.apache.spark.sql.GraftStagedLeaf]]
+  *    for why both matter — and building the RDD executes upstream
+  *    shuffle stages eagerly under AQE.
   *  - `reliable = true` AND `spark.graft.reliablePin=true` (with
   *    `SparkContext.setCheckpointDir` pointing at cluster-visible
   *    storage): a REAL eager `checkpoint()` — fault-tolerant AND
