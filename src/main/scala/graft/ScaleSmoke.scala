@@ -67,9 +67,11 @@ object ScaleSmoke {
     // need a 10x point.
     "q303_hits", "q304_ktruss", "q305_spanning_forest",
     // Round-10 additions: the salted skew-safe correlate (replication
-    // factor × hot-key fan-out is exactly the thing to watch at 10×)
-    // and single-linkage (Borůvka + threshold-cut components stacked).
-    "q302_skew_correlate", "q306_single_linkage")
+    // factor × hot-key fan-out is exactly the thing to watch at 10×),
+    // single-linkage (Borůvka + threshold-cut components stacked) and
+    // the h-index coreness fixpoint (the new slowest bench resident —
+    // its 16-round convergence tail is the thing to watch at 10×).
+    "q302_skew_correlate", "q306_single_linkage", "q308_coreness")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))
