@@ -740,12 +740,22 @@ object GraphMetrics {
     var prevSum = total(h)
     var round = 0
     var converged = prevSum == 0L
+    // H-index from the VALUE HISTOGRAM, not per-neighbor ranks: with
+    // c_v = #neighbors at value ≥ v, H = max over present values v of
+    // min(v, c_v) (between present values c is constant, so the max over
+    // all h is attained there — [5,5] gives min(5,2) = 2, the H-index,
+    // with 2 never present). The tally groupBy(src, nh) is map-side
+    // combinable — the shuffle carries one row per (node, distinct
+    // neighbor value), not per edge — and the running-count window then
+    // sorts only those collapsed rows (node-keyed, the approved shape).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("src").orderBy(col("nh").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     def update(cur: DataFrame): DataFrame = sym
       .join(cur.select(col("src").as("dst"), col("h").as("nh")), Seq("dst"))
-      .select(col("src"), col("nh"), row_number().over(w).cast("long").as("r"))
-      .groupBy("src").agg(max(least(col("r"), col("nh"))).as("h"))
+      .groupBy(col("src"), col("nh")).agg(count(lit(1)).as("cnt"))
+      .select(col("src"), col("nh"), sum(col("cnt")).over(w).as("cum"))
+      .groupBy("src").agg(max(least(col("nh"), col("cum"))).as("h"))
     // Updates are BATCHED three per staged probe: each h-update
     // references the previous h exactly ONCE (no self-join), so the
     // un-staged chain grows linearly (3 join+window+agg segments) and
