@@ -572,4 +572,28 @@ class PlanShapeSpec extends SparkSpec {
       trussPlan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
       s"non-equi join in kTruss plan:\n${trussPlan.treeString.take(1200)}")
   }
+
+  test("round-10 graph ops: equi-joins only, m enters modularity as a literal") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    def assertEqui(name: String, df: DataFrame): Unit = {
+      val p = initialPlan(df)
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+        p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+        s"non-equi join in $name plan:\n${p.treeString.take(1200)}")
+    }
+    val edges = (1 to 200).map(i => (i.toLong % 30, (i * 11 % 30).toLong))
+      .filter(e => e._1 != e._2).toDF("a_id", "b_id")
+    val weighted = edges.withColumn("weight", (col("a_id") * 3 + col("b_id")) % 17)
+    assertEqui("boruvka", graft.ops.SpanningForest.boruvka(weighted))
+    assertEqui("singleLinkage", graft.ops.SpanningForest.singleLinkage(weighted, threshold = 8))
+    assertEqui("coreDecomposition", graft.ops.GraphMetrics.coreDecomposition(edges))
+    assertEqui("multiSourceCloseness", graft.ops.GraphMetrics.multiSourceCloseness(
+      edges, Seq(1L, 5L).toDF("id"), maxDepth = 4))
+    // modularity's edge count must enter as a driver literal: joining the
+    // one-row count frame back (the first formulation) planned a
+    // BroadcastNestedLoopJoin AND re-executed the caller's edge plan a
+    // fourth time — this pin fails if that regresses.
+    val labels = (0L until 30L).map(i => (i, i / 8)).toDF("id", "community")
+    assertEqui("modularity", graft.ops.GraphMetrics.modularity(edges, labels))
+  }
 }
