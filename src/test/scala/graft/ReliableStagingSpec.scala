@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import graft.ops.{Components, GraphMetrics, Ngrams, PageRank}
 
 /** The `reliable` staging switch ([[graft.ops.Staging]]) must be
@@ -107,5 +108,33 @@ class ReliableStagingSpec extends SparkSpec {
       val cc = sortedRows(Components.connectedComponents(edges, reliable = true))
       assert(cc == sortedRows(Components.connectedComponents(edges, reliable = false)))
     } finally spark.conf.unset("spark.graft.reliablePin")
+  }
+
+  test("staged-leaf statistics stay capped across self-joining rounds (no compounding)") {
+    // Regression pin for the round-10 planner blowup: checkpoint APIs
+    // preserve origin stats, and a loop whose rounds self-join staged
+    // frames multiplies them — sizeInBytes bit-length grew ~65x PER
+    // ROUND (43 → 10k → 697k → 45M bits by Borůvka round 3 at sf0.1)
+    // until the driver spent seconds per planning pass in
+    // BigInteger.divide. The staged leaf caps the estimate at 2^50, so
+    // after ANY number of rounds the staged frame's stats must stay
+    // within the cap (plus nothing: the leaf reports the capped origin
+    // directly), and a 3-deep self-join chain over it stays small.
+    def selfJoinRound(df: DataFrame): DataFrame = {
+      val j = df.alias("a").join(df.alias("b"), col("a.p") === col("b.comp"))
+        .select(col("a.comp").as("comp"), col("b.p").as("p"))
+      j.alias("a").join(j.alias("b"), col("a.p") === col("b.comp"))
+        .select(col("a.comp").as("comp"), col("b.p").as("p"))
+    }
+    var cur = graft.ops.Staging.stage(
+      Seq((1L, 2L), (2L, 3L), (3L, 3L)).toDF("comp", "p"), reliable = false)
+    for (_ <- 1 to 4) cur = graft.ops.Staging.stage(selfJoinRound(cur), reliable = false)
+    val bits = cur.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    assert(bits <= 51, s"staged-leaf stats compounding again: $bits bits after 4 rounds")
+    // and the reliable posture's leaf obeys the same cap
+    val rel = graft.ops.Staging.stage(selfJoinRound(cur), reliable = true)
+    val relBits = rel.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+    rel.unpersist()
+    assert(relBits <= 51, s"reliable staged-leaf stats uncapped: $relBits bits")
   }
 }
