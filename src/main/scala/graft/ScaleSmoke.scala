@@ -124,13 +124,15 @@ object ScaleSmoke {
           java.nio.file.Paths.get(p).toRealPath()).getOrElse(java.nio.file.Paths.get(p))
         require(real(out) != real(src),
           s"SPARK_GRAFT_SF1_DIR ($out) resolves to the SOURCE dir ($src) — refusing to wipe; point it at a scratch dir")
-        // Ownership proof = the VERSION file EXISTS (any value): this
-        // tool writes a `0` sentinel before generating and the real
-        // version after, so its own crashed runs self-heal on the next
-        // invocation, while a dataset dir this tool never touched (no
-        // marker at all) is refused.
-        require(java.nio.file.Files.exists(verFile),
-          s"$out holds table dirs but no VERSION marker, so this tool did not generate them — refusing to wipe; clear the dir manually if regeneration is intended")
+        // Ownership proof = the VERSION file exists AND parses as a
+        // non-negative integer (this tool writes a `0` sentinel before
+        // generating and the real version after, so its own crashed
+        // runs self-heal), while a dataset dir this tool never touched
+        // — no marker, or a foreign marker like "v2.0" — is refused.
+        val ownedByTool = java.nio.file.Files.exists(verFile) && scala.util.Try(
+          java.nio.file.Files.readString(verFile).trim.toInt).toOption.exists(_ >= 0)
+        require(ownedByTool,
+          s"$out holds table dirs but no integer VERSION marker of this tool's format — refusing to wipe; clear the dir manually if regeneration is intended")
         stale.foreach { p =>
           java.nio.file.Files.walk(p).iterator().asScala
             .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
@@ -139,10 +141,13 @@ object ScaleSmoke {
     }
 
     def absent(name: String): Boolean = !new java.io.File(s"$out/$name.parquet").exists()
-    if (absent("customer") || absent("events")) {
-      // generation-in-progress sentinel (see the wipe guard above): if
+    if ((absent("customer") || absent("events")) && !java.nio.file.Files.exists(verFile)) {
+      // Generation-in-progress sentinel (see the wipe guard above): if
       // this run dies mid-write, the marker proves ownership so the next
-      // run regenerates instead of refusing
+      // run regenerates instead of refusing. Written only when NO marker
+      // exists — an events-only top-up of an otherwise-valid dir must
+      // not demote its real VERSION to 0 (a crash there would otherwise
+      // wipe four intact tables to regenerate one).
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
       java.nio.file.Files.writeString(verFile, "0")
     }

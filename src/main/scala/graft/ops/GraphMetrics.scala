@@ -826,8 +826,11 @@ object GraphMetrics {
       communityCol: String = "community",
       reliable: Boolean = false): DataFrame = {
     val e = canonicalEdges(pairs, aCol, bCol)
+    // distinct: a duplicated (id, community) row in an externally
+    // produced labeling would multiply edge rows through the joins and
+    // inflate m, degree_sum and n_internal all at once
     val lab = labels.select(col(idCol).cast("long").as("__id"),
-      col(communityCol).cast("long").as("__c"))
+      col(communityCol).cast("long").as("__c")).distinct()
     // unlabeled nodes become singleton communities keyed by own id
     val labeled = Staging.stage(e
       .join(lab.select(col("__id").as("u"), col("__c").as("cu")), Seq("u"), "left")

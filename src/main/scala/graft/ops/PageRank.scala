@@ -101,8 +101,10 @@ object PageRank {
     if (reliable) {
       // no `iterations > 0` guard: a zero-iteration call must still
       // release the staged input (it otherwise outlives the call in the
-      // CacheManager); ranks.count() is then a plain materialization and
-      // `staged` is empty, both harmless
+      // CacheManager) — but then `ranks` was never staged by the loop,
+      // so stage it first or the count materializes nothing durable and
+      // every caller action re-derives the edge plan from source
+      if (iterations == 0) ranks = Staging.stage(ranks, reliable)
       ranks.count()
       staged.dropRight(1).foreach(_.unpersist())
       // staged input too: the pinned ranks read from disk, and lineage
@@ -171,8 +173,10 @@ object PageRank {
       } else ranks = next
     }
     // Same materialize-then-release dance as [[ranksFixedPoint]],
-    // staged input included (and released even at zero iterations).
+    // staged input included (and released even at zero iterations,
+    // staging the never-looped ranks first so the pin holds something).
     if (reliable) {
+      if (iterations == 0) ranks = Staging.stage(ranks, reliable)
       ranks.count()
       staged.dropRight(1).foreach(_.unpersist())
       e.unpersist()

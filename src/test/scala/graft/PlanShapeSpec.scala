@@ -575,6 +575,12 @@ class PlanShapeSpec extends SparkSpec {
 
   test("round-10 graph ops: equi-joins only, m enters modularity as a literal") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // Scope honesty: the iterative ops (boruvka, singleLinkage, coreness,
+    // closeness) execute their round bodies eagerly inside the call, so
+    // only their FINAL assembled plan is asserted here — a non-equi join
+    // introduced inside a round body is caught by that round's cost, not
+    // this pin. modularity is single-pass, so its assertion covers the
+    // whole plan, including the m-as-literal contract described below.
     def assertEqui(name: String, df: DataFrame): Unit = {
       val p = initialPlan(df)
       assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
