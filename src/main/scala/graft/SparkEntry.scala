@@ -3004,7 +3004,32 @@ object SparkEntry {
         docChainPairs(s, dir),
         t(s, dir, "documents").where(col("doc_id") % 100 === 0)
           .select(col("doc_id").as("id")),
-        maxDepth = 8))
+        maxDepth = 8)),
+
+    // ---- time-respecting reachability over the order event graph:
+    // customer→supplier edges fire on the order date, supplier→customer
+    // back-edges a day later, and a chain is valid only if edge times
+    // never decrease — the influence-path semantics static reachability
+    // gets wrong on event data. Earliest arrival per (source, node),
+    // aggregated per source. Oracle unrolls the 3-hop min-arrival DP
+    // stage by stage (a naive recursive closure would carry every
+    // distinct arrival per node and explode on hub suppliers). ---------
+    "q311_temporal_reach" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("d"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val fwd = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"),
+          col("d").as("t"))
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst"), (col("t") + 1).as("t")))
+      val sources = o.where(col("o_custkey") % 100 === 0)
+        .select((col("o_custkey") * 2).as("id")).distinct()
+      GraphMetrics.temporalReachability(edges, sources, maxHops = 3)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_reached"), min(col("arr")).as("first_contact"),
+          sum(col("arr")).as("sum_arrival"))
+    })
   )
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
@@ -8136,7 +8161,45 @@ object SparkEntry {
         | CAST(sum(dist) AS BIGINT) AS sum_dist,
         | CAST(CASE WHEN sum(dist) > 0
         |  THEN ((count(*) - 1) * 1000000) // sum(dist) ELSE 0 END AS BIGINT) AS closeness_ppm
-        |FROM d GROUP BY source""".stripMargin
+        |FROM d GROUP BY source""".stripMargin,
+
+    // q311: the 3-hop earliest-arrival DP unrolled stage by stage, each
+    // stage min-folded per (source, node) — semantically identical to
+    // the operator's delta-BFS (full-frontier expansion computes the
+    // same per-hop minimum), and the fold keeps every stage node-sized
+    // where a recursive closure would carry one row per distinct
+    // arrival. The -1 floor plays Long.MinValue's role (all edge times
+    // are positive epoch days, so only the comparisons matter).
+    "q311_temporal_reach" ->
+      """WITH fwd AS (
+        | SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst,
+        |  CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t
+        | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |e AS (SELECT src, dst, t FROM fwd
+        | UNION ALL SELECT dst AS src, src AS dst, t + 1 AS t FROM fwd),
+        |a0 AS (SELECT DISTINCT o_custkey * 2 AS source, o_custkey * 2 AS node,
+        |  CAST(-1 AS BIGINT) AS arr FROM orders WHERE o_custkey % 100 = 0),
+        |c1 AS (SELECT a.source, e.dst AS node, min(e.t) AS cand
+        | FROM a0 a JOIN e ON e.src = a.node AND e.t >= a.arr GROUP BY 1, 2),
+        |a1 AS (SELECT coalesce(a.source, c.source) AS source, coalesce(a.node, c.node) AS node,
+        |  CASE WHEN a.arr IS NULL THEN c.cand WHEN c.cand IS NULL THEN a.arr
+        |       WHEN c.cand < a.arr THEN c.cand ELSE a.arr END AS arr
+        | FROM a0 a FULL JOIN c1 c ON a.source = c.source AND a.node = c.node),
+        |c2 AS (SELECT a.source, e.dst AS node, min(e.t) AS cand
+        | FROM a1 a JOIN e ON e.src = a.node AND e.t >= a.arr GROUP BY 1, 2),
+        |a2 AS (SELECT coalesce(a.source, c.source) AS source, coalesce(a.node, c.node) AS node,
+        |  CASE WHEN a.arr IS NULL THEN c.cand WHEN c.cand IS NULL THEN a.arr
+        |       WHEN c.cand < a.arr THEN c.cand ELSE a.arr END AS arr
+        | FROM a1 a FULL JOIN c2 c ON a.source = c.source AND a.node = c.node),
+        |c3 AS (SELECT a.source, e.dst AS node, min(e.t) AS cand
+        | FROM a2 a JOIN e ON e.src = a.node AND e.t >= a.arr GROUP BY 1, 2),
+        |a3 AS (SELECT coalesce(a.source, c.source) AS source, coalesce(a.node, c.node) AS node,
+        |  CASE WHEN a.arr IS NULL THEN c.cand WHEN c.cand IS NULL THEN a.arr
+        |       WHEN c.cand < a.arr THEN c.cand ELSE a.arr END AS arr
+        | FROM a2 a FULL JOIN c3 c ON a.source = c.source AND a.node = c.node)
+        |SELECT CAST(source AS BIGINT) AS source, CAST(count(*) AS BIGINT) AS n_reached,
+        | CAST(min(arr) AS BIGINT) AS first_contact, CAST(sum(arr) AS BIGINT) AS sum_arrival
+        |FROM a3 WHERE arr <> -1 GROUP BY source""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

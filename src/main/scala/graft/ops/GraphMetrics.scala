@@ -547,6 +547,97 @@ object GraphMetrics {
     } else out
   }
 
+  /** TIME-RESPECTING reachability (temporal BFS): from each source, the
+    * earliest arrival time at every node reachable through a path whose
+    * edge times never decrease — `(u →t v)` is usable only when
+    * `t ≥ arrival(u)`. The influence/contact-chain primitive a static
+    * reachability gets WRONG on event data: an edge that fired before
+    * you arrived cannot carry you ("A met B in March, B met C in
+    * January" is not a transmission path to C).
+    *
+    * Earliest-arrival DP is exact for this semantics: arriving earlier
+    * never closes an edge (the usable set `t ≥ arr` only grows as arr
+    * shrinks), so keeping the MIN arrival per (source, node) dominates
+    * every alternative — the classic temporal-path result. The loop is
+    * delta-BFS over that DP: each round extends only last round's
+    * improved rows, merges by min, and stops when nothing improves;
+    * round r has computed the min over all ≤ r-hop time-respecting
+    * paths, so `maxHops` bounds BOTH the work and (for the oracle) the
+    * replayed recursion identically.
+    *
+    * Scale shape per round: one equi-join of the improved frontier with
+    * the (staged) temporal edge list + a non-equi `t ≥ arr` FILTER on
+    * the join output (not a join condition — the plan stays a hash
+    * join), one min-agg, one merge join with the arrivals table. State
+    * is (source, node, arrival) — |sources| × reach, the same explicit
+    * bounded-source contract as [[multiSourceCloseness]]. Returns
+    * (source, node, arrival) with arrival the source's own start row
+    * `(s, s, Long.MinValue → reported as the given floor)` excluded —
+    * callers aggregate reach/arrival profiles from it.
+    */
+  def temporalReachability(
+      edges: DataFrame,
+      sources: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      timeCol: String = "t",
+      sourceCol: String = "id",
+      maxHops: Int = 10,
+      reliable: Boolean = false): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val e = Staging.stage(edges.select(
+      col(srcCol).cast("long").as("e_src"), col(dstCol).cast("long").as("e_dst"),
+      col(timeCol).cast("long").as("e_t"))
+      .where(col("e_src").isNotNull && col("e_dst").isNotNull && col("e_t").isNotNull),
+      reliable)
+    // sources start "before all time": any first edge out is usable
+    var arrivals = Staging.stage(sources
+      .select(col(sourceCol).cast("long").as("source")).distinct()
+      .select(col("source"), col("source").as("node"), lit(Long.MinValue).as("arr")),
+      reliable)
+    val frames = scala.collection.mutable.ArrayBuffer(arrivals)
+    var frontier = arrivals
+    var hops = 0
+    var done = arrivals.isEmpty
+    while (!done && hops < maxHops) {
+      hops += 1
+      val candidates = frontier
+        .join(e, col("node") === col("e_src"))
+        .where(col("e_t") >= col("arr"))
+        .groupBy(col("source"), col("e_dst").as("node"))
+        .agg(min(col("e_t")).as("cand"))
+      val improved = Staging.stage(candidates
+        .join(arrivals.select(col("source"), col("node"), col("arr").as("old")),
+          Seq("source", "node"), "left")
+        .where(col("old").isNull || col("cand") < col("old"))
+        .select(col("source"), col("node"), col("cand").as("arr")),
+        reliable)
+      done = improved.isEmpty
+      if (done) { if (reliable) improved.unpersist() }
+      else {
+        // merge = union + min-fold: one map-side-combinable aggregation
+        // instead of a left join + anti-join pair (improved rows are by
+        // construction either new or strictly smaller, and the source
+        // floor survives any min)
+        val merged = Staging.stage(arrivals.unionByName(improved)
+          .groupBy(col("source"), col("node")).agg(min(col("arr")).as("arr")),
+          reliable)
+        frames += improved
+        frames += merged
+        arrivals = merged
+        frontier = improved
+      }
+    }
+    val out = arrivals.where(col("arr") =!= Long.MinValue)
+    if (reliable) {
+      val pinned = Staging.stage(out, reliable)
+      pinned.count()
+      frames.foreach(_.unpersist())
+      e.unpersist()
+      pinned
+    } else out
+  }
+
   def linkJaccard(
       pairs: DataFrame,
       aCol: String = "a_id",
