@@ -3029,6 +3029,61 @@ object SparkEntry {
         .groupBy("source")
         .agg(count(lit(1)).as("n_reached"), min(col("arr")).as("first_contact"),
           sum(col("arr")).as("sum_arrival"))
+    }),
+
+    // ---- deterministic random walks (DeepWalk corpus prep) over the
+    // doc-chain graph: every 100th doc starts a 4-step walk; each hop
+    // picks the neighbor minimizing (md5(walk:step:nbr), nbr) — a
+    // content-addressed coin flip, so the corpus is a pure function of
+    // the graph and DuckDB replays every hop bit-for-bit (md5 hex
+    // ordering is engine-portable, the Sampling contract). -------------
+    "q312_random_walks" -> ((s, dir) =>
+      GraphMetrics.randomWalks(
+        docChainPairs(s, dir),
+        t(s, dir, "documents").where(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("id")),
+        steps = 4)),
+
+    // ---- double-sweep diameter bound on the doc-chain graph from
+    // anchor 20: BFS out, pivot to the farthest node (ONE row to the
+    // driver), BFS back — the second eccentricity is the classic
+    // diameter lower bound at 2 BFS instead of O(n·m) all-pairs. ------
+    "q313_double_sweep" -> ((s, dir) =>
+      GraphMetrics.doubleSweep(docChainPairs(s, dir), startId = 20L, maxDepth = 16)),
+
+    // ---- resource-allocation link prediction over the part co-order
+    // graph (same graph as q262): shared rare neighbors outweigh shared
+    // hubs via the exact rational weight 1e9 div deg(w) — the RA index,
+    // integer-exact where Adamic-Adar's log is not. --------------------
+    "q314_link_ra" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.alias("a")
+        .join(li.alias("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("a_id"), col("b.l_partkey").as("b_id"))
+      GraphMetrics.linkResourceAllocation(pairs, maxDegree = 64, minCommon = 2L)
+    }),
+
+    // ---- temporal relay census over the q311 order event graph: per
+    // middle node, time-respecting u→v→w pairs within a 7-day window —
+    // the basic temporal motif a static 2-path count gets wrong. The
+    // time predicates are FILTERS on the node-keyed hash join, so the
+    // plan stays an equi-join at any scale; maxEvents = 64 caps a hub
+    // supplier's in×out blow-up at 64² pairs (earliest-first, the
+    // documented deterministic truncation the oracle replays). ---------
+    "q315_temporal_relay" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("d"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val fwd = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"),
+          col("d").as("t"))
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst"), (col("t") + 1).as("t")))
+      GraphMetrics.temporalRelayCount(edges, delta = 7L, maxEvents = 64)
     })
   )
 
@@ -8199,7 +8254,129 @@ object SparkEntry {
         | FROM a2 a FULL JOIN c3 c ON a.source = c.source AND a.node = c.node)
         |SELECT CAST(source AS BIGINT) AS source, CAST(count(*) AS BIGINT) AS n_reached,
         | CAST(min(arr) AS BIGINT) AS first_contact, CAST(sum(arr) AS BIGINT) AS sum_arrival
-        |FROM a3 WHERE arr <> -1 GROUP BY source""".stripMargin
+        |FROM a3 WHERE arr <> -1 GROUP BY source""".stripMargin,
+
+    // q312: every hop replayed — the per-walk argmin over
+    // (md5(walk:step:nbr), nbr) is a window rank in SQL; md5 hex
+    // ordering and BIGINT→string casts agree between the engines (the
+    // Sampling md5-coin contract), so the whole corpus matches
+    // bit-for-bit.
+    "q312_random_walks" ->
+      """WITH b AS (SELECT doc_id AS a FROM documents WHERE doc_id % 20 = 0),
+        |edges0 AS (
+        | SELECT a AS u, a + 1 AS v FROM b
+        | UNION ALL SELECT a + 1, a + 2 FROM b
+        | UNION ALL SELECT a, a + 5 FROM b
+        | UNION ALL SELECT a + 5, a + 22 FROM b WHERE a % 40 = 0),
+        |e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM edges0),
+        |sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+        |w0 AS (SELECT doc_id AS walk_id, doc_id AS node FROM documents WHERE doc_id % 100 = 0),
+        |s1 AS (SELECT walk_id, dst, row_number() OVER (PARTITION BY walk_id
+        |  ORDER BY md5(CAST(walk_id AS VARCHAR) || ':1:' || CAST(dst AS VARCHAR)), dst) AS rn
+        | FROM w0 JOIN sym ON sym.src = w0.node),
+        |w1 AS (SELECT walk_id, dst AS node FROM s1 WHERE rn = 1),
+        |s2 AS (SELECT walk_id, dst, row_number() OVER (PARTITION BY walk_id
+        |  ORDER BY md5(CAST(walk_id AS VARCHAR) || ':2:' || CAST(dst AS VARCHAR)), dst) AS rn
+        | FROM w1 JOIN sym ON sym.src = w1.node),
+        |w2 AS (SELECT walk_id, dst AS node FROM s2 WHERE rn = 1),
+        |s3 AS (SELECT walk_id, dst, row_number() OVER (PARTITION BY walk_id
+        |  ORDER BY md5(CAST(walk_id AS VARCHAR) || ':3:' || CAST(dst AS VARCHAR)), dst) AS rn
+        | FROM w2 JOIN sym ON sym.src = w2.node),
+        |w3 AS (SELECT walk_id, dst AS node FROM s3 WHERE rn = 1),
+        |s4 AS (SELECT walk_id, dst, row_number() OVER (PARTITION BY walk_id
+        |  ORDER BY md5(CAST(walk_id AS VARCHAR) || ':4:' || CAST(dst AS VARCHAR)), dst) AS rn
+        | FROM w3 JOIN sym ON sym.src = w3.node),
+        |w4 AS (SELECT walk_id, dst AS node FROM s4 WHERE rn = 1)
+        |SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST(0 AS BIGINT) AS step,
+        | CAST(node AS BIGINT) AS node FROM w0
+        |UNION ALL SELECT walk_id, 1, node FROM w1
+        |UNION ALL SELECT walk_id, 2, node FROM w2
+        |UNION ALL SELECT walk_id, 3, node FROM w3
+        |UNION ALL SELECT walk_id, 4, node FROM w4""".stripMargin,
+
+    // q313: both sweeps replayed as bounded recursive closures (q310's
+    // BFS pattern); the pivot — farthest node, ties to the smallest id
+    // — is a LIMIT 1 subquery the second closure seeds from, mirroring
+    // the operator's one-row driver fetch.
+    "q313_double_sweep" ->
+      """WITH RECURSIVE b AS (SELECT doc_id AS a FROM documents WHERE doc_id % 20 = 0),
+        |edges0 AS (
+        | SELECT a AS u, a + 1 AS v FROM b
+        | UNION ALL SELECT a + 1, a + 2 FROM b
+        | UNION ALL SELECT a, a + 5 FROM b
+        | UNION ALL SELECT a + 5, a + 22 FROM b WHERE a % 40 = 0),
+        |e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM edges0),
+        |sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+        |walk1(node, dist) AS (
+        | SELECT CAST(20 AS BIGINT), CAST(0 AS BIGINT)
+        | UNION
+        | SELECT m.dst, w.dist + 1 FROM walk1 w JOIN sym m ON m.src = w.node
+        | WHERE w.dist < 16),
+        |d1 AS (SELECT node, min(dist) AS dist FROM walk1 GROUP BY 1),
+        |piv AS (SELECT node, dist FROM d1 ORDER BY dist DESC, node ASC LIMIT 1),
+        |walk2(node, dist) AS (
+        | SELECT node, CAST(0 AS BIGINT) FROM piv
+        | UNION
+        | SELECT m.dst, w.dist + 1 FROM walk2 w JOIN sym m ON m.src = w.node
+        | WHERE w.dist < 16),
+        |d2 AS (SELECT node, min(dist) AS dist FROM walk2 GROUP BY 1)
+        |SELECT CAST(20 AS BIGINT) AS start_id,
+        | CAST((SELECT dist FROM piv) AS BIGINT) AS ecc_start,
+        | CAST((SELECT count(*) FROM d1) AS BIGINT) AS n_reached,
+        | CAST((SELECT node FROM piv) AS BIGINT) AS peripheral_id,
+        | CAST((SELECT max(dist) FROM d2) AS BIGINT) AS diameter_lb""".stripMargin,
+
+    // q314: q262's capped wedge kernel with the RA weight riding on the
+    // shared-neighbor side — 1e9 // deg(w) is exact integer arithmetic
+    // on both engines (true degree, computed before the cap).
+    "q314_link_ra" ->
+      """WITH li AS (
+        | SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0),
+        |e AS (
+        | SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        | FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |sym AS (SELECT u AS src, v AS dst FROM e UNION SELECT v, u FROM e),
+        |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+        |capw AS (SELECT src, dst, 1000000000 // d AS w FROM (
+        | SELECT s.src, s.dst, dg.d,
+        |  row_number() OVER (PARTITION BY s.src ORDER BY s.dst) AS rn
+        | FROM sym s JOIN deg dg ON dg.id = s.src) WHERE rn <= 64),
+        |cn AS (
+        | SELECT a.dst AS u, b.dst AS v, CAST(count(*) AS BIGINT) AS n_common,
+        |  CAST(sum(a.w) AS BIGINT) AS ra
+        | FROM capw a JOIN capw b ON a.src = b.src AND a.dst < b.dst
+        | GROUP BY 1, 2)
+        |SELECT cn.u AS a_id, cn.v AS b_id, cn.n_common, cn.ra AS ra_score_e9,
+        | coalesce(ed.is_e, false) AS is_edge
+        |FROM cn
+        |LEFT JOIN (SELECT u, v, true AS is_e FROM e) ed
+        | ON ed.u = cn.u AND ed.v = cn.v
+        |WHERE cn.n_common >= 2""".stripMargin,
+
+    // q315: the capped event lists replayed with the same earliest-first
+    // row_number truncation, then the relay join with identical window
+    // predicates — ties inside the cap are between IDENTICAL rows, so
+    // the selected multiset is deterministic on both engines.
+    "q315_temporal_relay" ->
+      """WITH fwd AS (
+        | SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst,
+        |  CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t
+        | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |e AS (SELECT src, dst, t FROM fwd
+        | UNION ALL SELECT dst AS src, src AS dst, t + 1 AS t FROM fwd),
+        |inn AS (SELECT node, u, t1 FROM (
+        | SELECT dst AS node, src AS u, t AS t1,
+        |  row_number() OVER (PARTITION BY dst ORDER BY t, src) AS rn FROM e)
+        | WHERE rn <= 64),
+        |outt AS (SELECT node, w, t2 FROM (
+        | SELECT src AS node, dst AS w, t AS t2,
+        |  row_number() OVER (PARTITION BY src ORDER BY t, dst) AS rn FROM e)
+        | WHERE rn <= 64)
+        |SELECT CAST(i.node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS n_relays,
+        | CAST(count(DISTINCT i.u) AS BIGINT) AS n_sources
+        |FROM inn i JOIN outt o ON o.node = i.node
+        |WHERE o.t2 > i.t1 AND o.t2 <= i.t1 + 7 AND i.u <> o.w
+        |GROUP BY 1""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

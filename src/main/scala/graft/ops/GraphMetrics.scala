@@ -1051,4 +1051,272 @@ object GraphMetrics {
       pinned
     } else out
   }
+
+  /** Deterministic hash-seeded random walks — the DeepWalk/node2vec
+    * corpus-generation primitive: from each start node, `steps` hops
+    * where the walker on walk `w` at step `i` standing on node `x`
+    * moves to the neighbor `y` minimizing
+    * `(md5(w || ':' || i || ':' || y), y)`. md5 is uniform, so the
+    * choice is distributionally a uniform neighbor pick, yet the walk
+    * set is a PURE FUNCTION of the graph — re-runs, retries and the
+    * cross-engine oracle all reproduce it bit-for-bit (the same
+    * content-addressed-coin-flip contract as [[Sampling.idBucket]]).
+    * Seeding enters through the walk id: callers wanting k walks per
+    * node start k walk ids per node (e.g. `id·k + r`), and each id
+    * draws an independent hash stream.
+    *
+    * Returns the walk corpus `(walk_id, step, node)` including step 0
+    * (the start). Walkers that reach an isolated dead end simply stop —
+    * their walks are shorter; on the symmetric closure used here that
+    * only happens for isolated start nodes.
+    *
+    * Scale shape per step: ONE equi-join of the position table (one row
+    * per live walk) with the staged symmetric adjacency list + one
+    * map-side-combinable min-agg per walk. The join fan-out is
+    * Σ_walks deg(position) — a walker on a hub scans the hub's
+    * adjacency once; `maxDegree` caps that deterministically
+    * (row_number by neighbor id, the same documented truncation as
+    * [[linkJaccard]]) when hub degrees would dominate. Nothing
+    * collects; per-step state is staged and released on the reliable
+    * posture once the corpus is pinned.
+    */
+  def randomWalks(
+      pairs: DataFrame,
+      starts: DataFrame,
+      steps: Int,
+      startCol: String = "id",
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxDegree: Int = Int.MaxValue,
+      reliable: Boolean = false): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1: $steps")
+    require(maxDegree >= 1, s"maxDegree must be >= 1: $maxDegree")
+    import org.apache.spark.sql.expressions.Window
+    val e = canonicalEdges(pairs, aCol, bCol)
+    val symAll = e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst")))
+    val capped =
+      if (maxDegree == Int.MaxValue) symAll
+      else symAll
+        .withColumn("__rn", row_number().over(Window.partitionBy("src").orderBy("dst")))
+        .where(col("__rn") <= maxDegree).drop("__rn")
+    val sym = Staging.stage(capped, reliable)
+    var pos = Staging.stage(
+      starts.select(col(startCol).cast("long").as("walk_id")).distinct()
+        .select(col("walk_id"), col("walk_id").as("node")),
+      reliable)
+    val frames = scala.collection.mutable.ArrayBuffer(pos)
+    var corpus = pos.select(col("walk_id"), lit(0L).as("step"), col("node"))
+    var step = 0
+    var live = !pos.isEmpty
+    while (live && step < steps) {
+      step += 1
+      // the choice hash binds (walk, step, candidate): independent
+      // draws per walk and per step, replayable as a SQL expression
+      val nxt = Staging.stage(pos
+        .join(sym, col("node") === col("src"))
+        .select(col("walk_id"),
+          struct(
+            md5(concat_ws(":",
+              col("walk_id").cast("string"), lit(step.toString),
+              col("dst").cast("string"))).as("h"),
+            col("dst").as("nxt")).as("pick"))
+        .groupBy("walk_id").agg(min(col("pick")).as("m"))
+        .select(col("walk_id"), col("m.nxt").as("node")),
+        reliable)
+      frames += nxt
+      corpus = corpus.unionByName(
+        nxt.select(col("walk_id"), lit(step.toLong).as("step"), col("node")))
+      live = !nxt.isEmpty
+      pos = nxt
+    }
+    val out = Staging.stage(corpus, reliable)
+    if (reliable) {
+      out.count()
+      frames.foreach(_.unpersist())
+      sym.unpersist()
+    }
+    out
+  }
+
+  /** Double-sweep eccentricity: BFS from `startId`, hop to the farthest
+    * reached node (max dist, ties to the smallest id), BFS again from
+    * there. The second sweep's eccentricity is the classic DIAMETER
+    * LOWER BOUND — on trees it is exact, and on real graphs the
+    * two-sweep bound is empirically within a hop or two of the true
+    * diameter at the cost of 2 BFS instead of the O(n·m) all-pairs
+    * sweep no scale survives. Returns ONE row
+    * `(start_id, ecc_start, n_reached, peripheral_id, diameter_lb)`
+    * for `startId`'s component (the standard per-component semantics —
+    * other components are separate double-sweep calls).
+    *
+    * Scale shape: two frontier BFS loops over the staged symmetric
+    * edge list (one equi-join + one anti-join per hop, exactly
+    * [[multiSourceCloseness]]'s kernel at |sources| = 1). The only
+    * driver traffic is ONE (node, dist) row between the sweeps — the
+    * pivot must seed the second BFS's plan, the same bounded fetch the
+    * HITS normalizer makes — plus the single output row's inputs.
+    */
+  def doubleSweep(
+      pairs: DataFrame,
+      startId: Long,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxDepth: Int = 32,
+      reliable: Boolean = false): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
+    val e = canonicalEdges(pairs, aCol, bCol)
+    val sym = Staging.stage(e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst"))),
+      reliable)
+    val spark = sym.sparkSession
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def bfs(source: Long): DataFrame = {
+      var visited = Staging.stage(
+        spark.range(1).select(lit(source).as("node"), lit(0L).as("dist")),
+        reliable)
+      frames += visited
+      var frontier = visited
+      var depth = 0
+      var exhausted = false
+      while (!exhausted && depth < maxDepth) {
+        depth += 1
+        val next = Staging.stage(frontier
+          .join(sym, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .select(col("node"), lit(depth.toLong).as("dist")),
+          reliable)
+        exhausted = next.isEmpty
+        if (exhausted) { if (reliable) next.unpersist() }
+        else {
+          val grown = Staging.stage(visited.unionByName(next), reliable)
+          frames += next
+          frames += grown
+          visited = grown
+          frontier = next
+        }
+      }
+      visited
+    }
+    val first = bfs(startId)
+    // the pivot row: farthest node of sweep 1, ties to the smallest id —
+    // ONE row to the driver, it parameterizes the second sweep's plan
+    val pivot = first.orderBy(col("dist").desc, col("node").asc).head()
+    val (farNode, eccStart) = (pivot.getLong(0), pivot.getLong(1))
+    val nReached = first.count()
+    val second = bfs(farNode)
+    val out = Staging.stage(
+      second.agg(max(col("dist")).as("diameter_lb"))
+        .select(lit(startId).as("start_id"), lit(eccStart).as("ecc_start"),
+          lit(nReached).as("n_reached"), lit(farNode).as("peripheral_id"),
+          col("diameter_lb")),
+      reliable)
+    if (reliable) {
+      out.count()
+      frames.foreach(_.unpersist())
+      sym.unpersist()
+    }
+    out
+  }
+
+  /** Resource-allocation link prediction — [[linkJaccard]]'s weighted
+    * sibling: candidate pair (u, v) scores
+    * `Σ_{w ∈ Γ(u) ∩ Γ(v)} (10⁹ div deg(w))`, so a shared OBSCURE
+    * neighbor (two documents linked only through a rare entity) counts
+    * for more than a shared hub everyone touches — the RA index, the
+    * strongest of the classic local link predictors (Zhou-Lü-Zhang),
+    * and unlike Adamic-Adar its weights are RATIONAL, so the scaled
+    * integer sum is exact and cross-engine replayable (no log).
+    *
+    * Same wedge kernel and same honesty about scale as [[linkJaccard]]:
+    * adjacency capped at `maxDegree` per node (deterministic
+    * row_number-by-id truncation) bounds the self-join at
+    * Σ C(min(deg, cap), 2); degrees in the weights are TRUE degrees,
+    * computed before the cap. `is_edge` marks pairs already connected
+    * (prediction wants them excluded, missing-edge ranking keeps
+    * both); pairs below `minCommon` shared neighbors are dropped
+    * before the degree joins.
+    */
+  def linkResourceAllocation(
+      pairs: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxDegree: Int = 64,
+      minCommon: Long = 1L): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2: $maxDegree")
+    import org.apache.spark.sql.expressions.Window
+    val e = canonicalEdges(pairs, aCol, bCol)
+    val sym = e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+    val w = Window.partitionBy("src").orderBy("dst")
+    // true degree rides along on the shared-neighbor side of the wedge
+    val capped = sym.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxDegree).drop("__rn")
+      .join(deg, Seq("src"))
+      .withColumn("__w", expr("1000000000L div __d")).drop("__d")
+    val scored = capped.alias("a").hint("shuffle_hash")
+      .join(capped.alias("b").hint("shuffle_hash"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .groupBy(col("a.dst").as("u"), col("b.dst").as("v"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("a.__w")).as("ra_score_e9"))
+      .where(col("n_common") >= minCommon)
+    scored
+      .join(e.select(col("u"), col("v"), lit(true).as("__e")), Seq("u", "v"), "left")
+      .select(col("u").as("a_id"), col("v").as("b_id"), col("n_common"),
+        col("ra_score_e9"), coalesce(col("__e"), lit(false)).as("is_edge"))
+  }
+
+  /** Time-respecting relay (temporal 2-path) census: for each middle
+    * node v, the number of event pairs `u →t₁ v →t₂ w` with
+    * `t₁ < t₂ ≤ t₁ + delta` and `u ≠ w` — the basic TEMPORAL MOTIF,
+    * and the quantity a static 2-path count gets wrong on event data
+    * (an outgoing edge that fired before the incoming one cannot relay
+    * it; see [[temporalReachability]] for the path-level version of
+    * the same correction). Returns `(node, n_relays, n_sources)` with
+    * `n_sources` the distinct upstream endpoints relayed.
+    *
+    * Scale shape: ONE equi-join of the event list with itself on the
+    * middle node — the time-window and u ≠ w conditions are FILTERS on
+    * the hash-join output, not join conditions, so the plan stays a
+    * shuffled hash join keyed on the node id. Fan-out per middle node
+    * is in(v) · out(v) restricted to the delta window; `maxEvents`
+    * caps both event lists per node deterministically (earliest-first,
+    * ties by peer id — the [[neighborhoodSize]] hub-truncation trade)
+    * so a hub's quadratic blow-up is bounded at maxEvents² with the
+    * truncation visible in the signature instead of an OOM at 100 TB.
+    */
+  def temporalRelayCount(
+      edges: DataFrame,
+      delta: Long,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      timeCol: String = "t",
+      maxEvents: Int = Int.MaxValue): DataFrame = {
+    require(delta >= 1, s"delta must be >= 1: $delta")
+    require(maxEvents >= 1, s"maxEvents must be >= 1: $maxEvents")
+    import org.apache.spark.sql.expressions.Window
+    val ev = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"),
+      col(timeCol).cast("long").as("t"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("t").isNotNull)
+    def cap(df: DataFrame, key: String, peer: String): DataFrame =
+      if (maxEvents == Int.MaxValue) df
+      else df.withColumn("__rn",
+          row_number().over(Window.partitionBy(key).orderBy(col("t"), col(peer))))
+        .where(col("__rn") <= maxEvents).drop("__rn")
+    val in = cap(ev, "dst", "src")
+      .select(col("dst").as("node"), col("src").as("u"), col("t").as("t1"))
+    val out = cap(ev, "src", "dst")
+      .select(col("src").as("node"), col("dst").as("w"), col("t").as("t2"))
+    in.hint("shuffle_hash").join(out.hint("shuffle_hash"), Seq("node"))
+      .where(col("t2") > col("t1") && col("t2") <= col("t1") + delta
+        && col("u") =!= col("w"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_relays"),
+        countDistinct(col("u")).as("n_sources"))
+  }
 }

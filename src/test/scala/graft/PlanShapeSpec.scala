@@ -602,4 +602,31 @@ class PlanShapeSpec extends SparkSpec {
     val labels = (0L until 30L).map(i => (i, i / 8)).toDF("id", "community")
     assertEqui("modularity", graft.ops.GraphMetrics.modularity(edges, labels))
   }
+
+  test("walks/motif ops: equi-joins only; relay time window is a filter, not a join condition") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    def assertEqui(name: String, df: DataFrame): Unit = {
+      val p = initialPlan(df)
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+        p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+        s"non-equi join in $name plan:\n${p.treeString.take(1200)}")
+    }
+    val edges = (1 to 200).map(i => (i.toLong % 30, (i * 11 % 30).toLong))
+      .filter(e => e._1 != e._2).toDF("a_id", "b_id")
+    // randomWalks/doubleSweep iterate eagerly — the final plan is pinned,
+    // per-round shapes are covered by their round cost (same scope note
+    // as the round-10 pin above)
+    assertEqui("randomWalks", graft.ops.GraphMetrics.randomWalks(
+      edges, Seq(1L, 5L).toDF("id"), steps = 3))
+    assertEqui("doubleSweep", graft.ops.GraphMetrics.doubleSweep(edges, startId = 1L))
+    assertEqui("linkResourceAllocation",
+      graft.ops.GraphMetrics.linkResourceAllocation(edges))
+    // the relay join must key on the middle NODE with t2 ∈ (t1, t1+δ] and
+    // u ≠ w applied as post-join filters — expressing them as join
+    // conditions would force a nested-loop plan and this pin would trip
+    val ev = (1 to 300).map(i =>
+      ((i % 20).toLong, ((i * 7) % 20).toLong, (i % 50).toLong)).toDF("src", "dst", "t")
+    assertEqui("temporalRelayCount",
+      graft.ops.GraphMetrics.temporalRelayCount(ev, delta = 5L, maxEvents = 16))
+  }
 }
