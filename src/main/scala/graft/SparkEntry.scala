@@ -3084,6 +3084,27 @@ object SparkEntry {
       val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst"), (col("t") + 1).as("t")))
       GraphMetrics.temporalRelayCount(edges, delta = 7L, maxEvents = 64)
+    }),
+
+    // ---- sampled Brandes betweenness over a runged doc-chain graph:
+    // the chain plus one (a+2)—(a+5) rung per anchor, so shortest-path
+    // counts genuinely exceed 1 (σ(a+2) = 2 from its anchor) and the
+    // backward pass exercises the σ_v/σ_w traffic split — a pure-chain
+    // graph would leave every ratio at 1 and test nothing. Sources =
+    // every chain anchor; depth-4 balls cross the a%40 bridges, so
+    // inter-component broker nodes (the bridge endpoints) surface with
+    // the highest bc_e9, which is exactly what betweenness is FOR. ----
+    "q316_betweenness" -> ((s, dir) => {
+      val b = t(s, dir, "documents").where(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("a"))
+      val pairs = b.select(col("a").as("a_id"), (col("a") + 1).as("b_id"))
+        .union(b.select((col("a") + 1).as("a_id"), (col("a") + 2).as("b_id")))
+        .union(b.select(col("a").as("a_id"), (col("a") + 5).as("b_id")))
+        .union(b.select((col("a") + 2).as("a_id"), (col("a") + 5).as("b_id")))
+        .union(b.where(col("a") % 40 === 0)
+          .select((col("a") + 5).as("a_id"), (col("a") + 22).as("b_id")))
+      GraphMetrics.betweennessSampled(
+        pairs, b.select(col("a").as("id")), maxDepth = 4)
     })
   )
 
@@ -8376,7 +8397,77 @@ object SparkEntry {
         | CAST(count(DISTINCT i.u) AS BIGINT) AS n_sources
         |FROM inn i JOIN outt o ON o.node = i.node
         |WHERE o.t2 > i.t1 AND o.t2 <= i.t1 + 7 AND i.u <> o.w
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // q316: the whole Brandes pipeline replayed level by level — forward
+    // σ-counting BFS unrolled to depth 4 (σ of a new node = sum over its
+    // previous-level predecessors, aggregated BEFORE the anti-join),
+    // the dist(w) = dist(v)+1 shortest-path DAG, then the backward
+    // dependency recurrence in HUGEINT floor division, which on these
+    // all-positive values equals Spark's DECIMAL(38,0) truncating `div`
+    // exactly. Levels never overlap per source (BFS dist is unique), so
+    // the UNION ALL of per-level deltas is the operator's accumulated
+    // frame bit-for-bit.
+    "q316_betweenness" ->
+      """WITH b AS (SELECT doc_id AS a FROM documents WHERE doc_id % 20 = 0),
+        |edges0 AS (
+        | SELECT a AS u, a + 1 AS v FROM b
+        | UNION ALL SELECT a + 1, a + 2 FROM b
+        | UNION ALL SELECT a, a + 5 FROM b
+        | UNION ALL SELECT a + 2, a + 5 FROM b
+        | UNION ALL SELECT a + 5, a + 22 FROM b WHERE a % 40 = 0),
+        |e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM edges0),
+        |sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+        |l0 AS (SELECT a AS source, a AS node, CAST(1 AS BIGINT) AS sigma FROM b),
+        |n1 AS (SELECT l.source, s.dst AS node, CAST(sum(l.sigma) AS BIGINT) AS sigma
+        | FROM l0 l JOIN sym s ON s.src = l.node GROUP BY 1, 2),
+        |l1 AS (SELECT * FROM n1 WHERE NOT EXISTS (
+        | SELECT 1 FROM l0 v WHERE v.source = n1.source AND v.node = n1.node)),
+        |n2 AS (SELECT l.source, s.dst AS node, CAST(sum(l.sigma) AS BIGINT) AS sigma
+        | FROM l1 l JOIN sym s ON s.src = l.node GROUP BY 1, 2),
+        |l2 AS (SELECT * FROM n2 WHERE NOT EXISTS (
+        | SELECT 1 FROM (SELECT source, node FROM l0 UNION ALL SELECT source, node FROM l1) v
+        | WHERE v.source = n2.source AND v.node = n2.node)),
+        |n3 AS (SELECT l.source, s.dst AS node, CAST(sum(l.sigma) AS BIGINT) AS sigma
+        | FROM l2 l JOIN sym s ON s.src = l.node GROUP BY 1, 2),
+        |l3 AS (SELECT * FROM n3 WHERE NOT EXISTS (
+        | SELECT 1 FROM (SELECT source, node FROM l0 UNION ALL SELECT source, node FROM l1
+        |   UNION ALL SELECT source, node FROM l2) v
+        | WHERE v.source = n3.source AND v.node = n3.node)),
+        |n4 AS (SELECT l.source, s.dst AS node, CAST(sum(l.sigma) AS BIGINT) AS sigma
+        | FROM l3 l JOIN sym s ON s.src = l.node GROUP BY 1, 2),
+        |l4 AS (SELECT * FROM n4 WHERE NOT EXISTS (
+        | SELECT 1 FROM (SELECT source, node FROM l0 UNION ALL SELECT source, node FROM l1
+        |   UNION ALL SELECT source, node FROM l2 UNION ALL SELECT source, node FROM l3) v
+        | WHERE v.source = n4.source AND v.node = n4.node)),
+        |vis AS (
+        | SELECT source, node, 0 AS dist, sigma FROM l0
+        | UNION ALL SELECT source, node, 1, sigma FROM l1
+        | UNION ALL SELECT source, node, 2, sigma FROM l2
+        | UNION ALL SELECT source, node, 3, sigma FROM l3
+        | UNION ALL SELECT source, node, 4, sigma FROM l4),
+        |dag AS (
+        | SELECT v.source, v.node AS v, w.node AS w, v.dist AS dv,
+        |  v.sigma AS sv, w.sigma AS sw
+        | FROM vis v JOIN sym s ON s.src = v.node
+        | JOIN vis w ON w.source = v.source AND w.node = s.dst AND w.dist = v.dist + 1),
+        |d3 AS (SELECT source, v AS node,
+        |  CAST(sum((CAST(sv AS HUGEINT) * 1000000000) // sw) AS BIGINT) AS delta
+        | FROM dag WHERE dv = 3 GROUP BY 1, 2),
+        |d2 AS (SELECT dag.source, dag.v AS node,
+        |  CAST(sum((CAST(sv AS HUGEINT) * (1000000000 + coalesce(d3.delta, 0))) // sw)
+        |   AS BIGINT) AS delta
+        | FROM dag LEFT JOIN d3 ON d3.source = dag.source AND d3.node = dag.w
+        | WHERE dv = 2 GROUP BY 1, 2),
+        |d1 AS (SELECT dag.source, dag.v AS node,
+        |  CAST(sum((CAST(sv AS HUGEINT) * (1000000000 + coalesce(d2.delta, 0))) // sw)
+        |   AS BIGINT) AS delta
+        | FROM dag LEFT JOIN d2 ON d2.source = dag.source AND d2.node = dag.w
+        | WHERE dv = 1 GROUP BY 1, 2),
+        |dd AS (SELECT * FROM d3 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d1)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(sum(delta) AS BIGINT) AS bc_e9,
+        | CAST(count(*) AS BIGINT) AS n_sources
+        |FROM dd WHERE node <> source GROUP BY 1 HAVING sum(delta) > 0""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -1289,6 +1289,144 @@ object GraphMetrics {
     * so a hub's quadratic blow-up is bounded at maxEvents² with the
     * truncation visible in the signature instead of an OOM at 100 TB.
     */
+  /** k-bounded Brandes betweenness from a sampled source set: how much
+    * of the shortest-path traffic (length ≤ `maxDepth`, originating at
+    * the sources) flows THROUGH each node — the broker/bottleneck
+    * centrality [[PageRank]] (influence) and closeness (reach) both
+    * miss. Sampling sources and bounding the radius are the two
+    * standard concessions that make Brandes feasible at scale: exact
+    * betweenness is O(n·m) (one BFS per NODE) and off the table at any
+    * real size, while k sources × depth-L balls cost k parallel
+    * truncated BFS sharing each level's single edge join — the same
+    * explicit bounded-source contract as [[multiSourceCloseness]].
+    *
+    * Contract (all integer, cross-engine replayable):
+    *  - Forward: per source, BFS levels to `maxDepth` carrying
+    *    σ(s, v) = the number of shortest s→v paths (the per-level
+    *    predecessor-σ sum — exact within the ball, since BFS level =
+    *    true distance there).
+    *  - DAG: edge (v → w) iff both are in the ball and
+    *    dist(w) = dist(v) + 1.
+    *  - Backward, level L−1 … 1: the classic Brandes dependency in
+    *    scaled truncating arithmetic,
+    *    `δ(v) = Σ_{w ∈ succ(v)} (σ_v · (10⁹ + δ(w))) div σ_w`,
+    *    each product in DECIMAL(38,0) (σ·δ exceeds Long on dense
+    *    balls; the ≤126-bit product always fits, the [[hits]]
+    *    overflow rule). Truncation makes δ a pure integer function of
+    *    the graph — the oracle replays it exactly, where the float
+    *    recurrence would hash-diverge.
+    *  - Betweenness(v) = Σ_s δ_s(v) over v ≠ s, reported as
+    *    `bc_e9` (10⁹ ≈ one full path through v from one source).
+    *    Nodes carrying no traffic are absent.
+    *
+    * Scale shape: `maxDepth` forward rounds (frontier ⋈ staged
+    * symmetric edges + σ-sum agg + anti-join vs the ball), ONE 3-way
+    * equi-join building the DAG, `maxDepth − 1` backward rounds (DAG
+    * level ⋈ deeper deltas + agg), one final agg. Nothing collects;
+    * every staged frame is released once the result is pinned on the
+    * reliable posture.
+    */
+  def betweennessSampled(
+      pairs: DataFrame,
+      sources: DataFrame,
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      sourceCol: String = "id",
+      maxDepth: Int = 4,
+      reliable: Boolean = false): DataFrame = {
+    require(maxDepth >= 2, s"maxDepth must be >= 2: $maxDepth")
+    val e = canonicalEdges(pairs, aCol, bCol)
+    val sym = Staging.stage(e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst"))),
+      reliable)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // forward: ball membership (source, node, dist, sigma)
+    var visited = Staging.stage(sources
+      .select(col(sourceCol).cast("long").as("source")).distinct()
+      .select(col("source"), col("source").as("node"), lit(0L).as("dist"),
+        lit(1L).as("sigma")),
+      reliable)
+    frames += visited
+    var frontier = visited
+    var depth = 0
+    var exhausted = visited.isEmpty
+    while (!exhausted && depth < maxDepth) {
+      depth += 1
+      // σ of a new node = Σ σ over its distance-(d−1) predecessors; the
+      // agg must run BEFORE the anti-join (a predecessor seen twice is
+      // two distinct shortest paths, not a duplicate row)
+      val next = Staging.stage(frontier
+        .join(sym, col("node") === col("src"))
+        .groupBy(col("source"), col("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("source"), col("dst").as("node"), lit(depth.toLong).as("dist"),
+          col("sigma"))
+        .join(visited.select(col("source"), col("node")), Seq("source", "node"), "left_anti"),
+        reliable)
+      exhausted = next.isEmpty
+      if (exhausted) { if (reliable) next.unpersist() }
+      else {
+        val grown = Staging.stage(visited.unionByName(next), reliable)
+        frames += next
+        frames += grown
+        visited = grown
+        frontier = next
+      }
+    }
+    // shortest-path DAG within each ball: (v → w) iff dist(w) = dist(v)+1
+    val dag = Staging.stage(visited.select(
+        col("source"), col("node").as("v"), col("dist").as("dv"), col("sigma").as("sv"))
+      .join(sym, col("v") === col("src"))
+      .join(visited.select(
+          col("source"), col("node").as("w"), col("dist").as("dw"), col("sigma").as("sw")),
+        Seq("source"))
+      .where(col("w") === col("dst") && col("dw") === col("dv") + 1)
+      .select(col("source"), col("v"), col("w"), col("dv"), col("sv"), col("sw")),
+      reliable)
+    // backward: Brandes dependencies level by level, deepest first.
+    // deltas holds the FINAL δ of every node strictly deeper than the
+    // level being processed (nodes at the deepest level have no
+    // successors in the ball → δ = 0, represented by absence).
+    val spark = visited.sparkSession
+    var deltas = Staging.stage(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "source BIGINT, node BIGINT, delta BIGINT")),
+      reliable)
+    frames += deltas
+    var level = maxDepth - 1
+    while (level >= 1) {
+      val lv = Staging.stage(dag.where(col("dv") === level.toLong)
+        .join(deltas.select(col("source"), col("node").as("w"), col("delta")),
+          Seq("source", "w"), "left")
+        .groupBy(col("source"), col("v").as("node"))
+        .agg(sum(expr(
+          "(cast(sv as decimal(38,0)) * (1000000000L + coalesce(delta, 0L))) div sw"))
+          .cast("long").as("delta")),
+        reliable)
+      val grown = Staging.stage(deltas.unionByName(lv), reliable)
+      frames += lv
+      frames += grown
+      deltas = grown
+      level -= 1
+    }
+    val out = Staging.stage(
+      deltas.alias("d")
+        .where(col("node") =!= col("source"))
+        .groupBy("node")
+        .agg(sum(col("delta")).as("bc_e9"), count(lit(1)).as("n_sources"))
+        .where(col("bc_e9") > 0L),
+      reliable)
+    if (reliable) {
+      out.count()
+      frames.foreach(_.unpersist())
+      dag.unpersist()
+      sym.unpersist()
+    }
+    out
+  }
+
   def temporalRelayCount(
       edges: DataFrame,
       delta: Long,

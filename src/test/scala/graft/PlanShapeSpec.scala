@@ -628,5 +628,12 @@ class PlanShapeSpec extends SparkSpec {
       ((i % 20).toLong, ((i * 7) % 20).toLong, (i % 50).toLong)).toDF("src", "dst", "t")
     assertEqui("temporalRelayCount",
       graft.ops.GraphMetrics.temporalRelayCount(ev, delta = 5L, maxEvents = 16))
+    // betweenness: the DAG build writes `w = dst` and `dw = dv + 1` as
+    // post-join FILTERS over a source-keyed join — Catalyst must extract
+    // both equalities into the hash-join keys (source, dst, dv+1); if a
+    // refactor breaks that extraction the plan degrades to a per-source
+    // nested loop and this pin trips
+    assertEqui("betweennessSampled", graft.ops.GraphMetrics.betweennessSampled(
+      edges, Seq(1L, 5L, 9L).toDF("id"), maxDepth = 3))
   }
 }
