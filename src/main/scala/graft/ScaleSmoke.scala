@@ -71,7 +71,18 @@ object ScaleSmoke {
     // single-linkage (Borůvka + threshold-cut components stacked) and
     // the h-index coreness fixpoint (the new slowest bench resident —
     // its 16-round convergence tail is the thing to watch at 10×).
-    "q302_skew_correlate", "q306_single_linkage", "q308_coreness")
+    "q302_skew_correlate", "q306_single_linkage", "q308_coreness",
+    // Late round-10 graph additions that iterate or self-join: the
+    // per-step walk-position joins (q312), the in×out capped relay
+    // self-join (q315, the Σ min(in,64)·min(out,64) shape) and the
+    // Brandes forward/DAG/backward stack (q316, the deepest plan of the
+    // suite). Each replica's doc-chain/order graph is key-disjoint, so
+    // their 10× is honest.
+    "q312_random_walks", "q315_temporal_relay", "q316_betweenness",
+    // Next-fit sequence packing: O(log #windows) orbit-doubling rounds
+    // whose bench-scale cost is almost pure job-scheduling latency — the
+    // 10× point is what shows the data-scale costs staying sublinear.
+    "q318_pack_nextfit")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))

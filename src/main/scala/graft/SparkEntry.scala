@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Association, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Correlate, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GeoGrid, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, Reshape, RuntimeFilter, Sampling, Scd, Sessionize, Similarity, Skyline, SkewJoin, SpanningForest, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
+import graft.ops.{AsOfJoin, Association, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Correlate, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GeoGrid, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, Reshape, RuntimeFilter, Sampling, Scd, SequencePack, Sessionize, Similarity, Skyline, SkewJoin, SpanningForest, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -3105,6 +3105,28 @@ object SparkEntry {
           .select((col("a") + 5).as("a_id"), (col("a") + 22).as("b_id")))
       GraphMetrics.betweennessSampled(
         pairs, b.select(col("a").as("id")), maxDepth = 4)
+    }),
+
+    // ---- GPT-style concat-and-chunk sequence packing: the corpus laid
+    // end-to-end in doc-id order, sliced every 256 tokens, documents
+    // spanning boundaries — one global prefix sum then map-only
+    // arithmetic, the zero-padding packing a pretraining run feeds on. --
+    "q317_concat_chunk" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      SequencePack.concatChunk(d, windowSize = 256)
+    }),
+
+    // ---- next-fit whole-document packing at capacity 256 (max doc is
+    // ~100 tokens, so the n ≤ C contract holds by data): exact
+    // sequential-greedy window assignment computed via the jump-function
+    // orbit in O(log #windows) pointer-doubling rounds — no sequential
+    // scan anywhere; the oracle walks the same recurrence with a
+    // recursive CTE. ---------------------------------------------------
+    "q318_pack_nextfit" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      SequencePack.nextFitWindows(d, capacity = 256)
     })
   )
 
@@ -8467,7 +8489,52 @@ object SparkEntry {
         |dd AS (SELECT * FROM d3 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d1)
         |SELECT CAST(node AS BIGINT) AS node, CAST(sum(delta) AS BIGINT) AS bc_e9,
         | CAST(count(*) AS BIGINT) AS n_sources
-        |FROM dd WHERE node <> source GROUP BY 1 HAVING sum(delta) > 0""".stripMargin
+        |FROM dd WHERE node <> source GROUP BY 1 HAVING sum(delta) > 0""".stripMargin,
+
+    // q317: the concatenated stream replayed with a window prefix sum;
+    // each document fans out to the window range its token span crosses
+    // (generate_series = Spark's sequence), span arithmetic identical.
+    "q317_concat_chunk" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n
+        | FROM documents),
+        |p AS (SELECT doc_id, n,
+        |  CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS s
+        | FROM d WHERE n > 0),
+        |x AS (SELECT doc_id, n, s,
+        |  unnest(generate_series(s // 256, (s + n - 1) // 256)) AS w FROM p)
+        |SELECT CAST(w AS BIGINT) AS window_id, doc_id,
+        | CAST(greatest(w * 256, s) - w * 256 AS BIGINT) AS offset_in_window,
+        | CAST(least((w + 1) * 256, s + n) - greatest(w * 256, s) AS BIGINT) AS n_in_window,
+        | s >= w * 256 AS is_head, s + n <= (w + 1) * 256 AS is_tail
+        |FROM x""".stripMargin,
+
+    // q318: the jump function (max j with S_j ≤ S_i + 256) built by an
+    // inequality join + max, then the window boundaries walked with a
+    // recursive CTE — the sequential recurrence the operator's
+    // pointer-doubling orbit computes without one. Assignment = the last
+    // boundary strictly before each doc's cumulative position.
+    "q318_pack_nextfit" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n
+        | FROM documents),
+        |p AS (SELECT doc_id, n,
+        |  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rk,
+        |  CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+        | FROM d WHERE n > 0),
+        |s0 AS (SELECT rk, cum FROM p
+        | UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |j AS (SELECT t.rk AS i, CAST(max(b.rk) AS BIGINT) AS jmp
+        | FROM s0 t JOIN s0 b ON b.cum <= t.cum + 256 GROUP BY 1),
+        |wb(b, w) AS (
+        | SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
+        | UNION ALL
+        | SELECT j.jmp, wb.w + 1 FROM wb JOIN j ON j.i = wb.b WHERE j.jmp > wb.b),
+        |bnd AS (SELECT wb.w, s0.cum AS bc FROM wb JOIN s0 ON s0.rk = wb.b)
+        |SELECT p.doc_id,
+        | CAST((SELECT max(bnd.w) FROM bnd WHERE bnd.bc < p.cum) AS BIGINT) AS window_id,
+        | p.n AS n_tokens
+        |FROM p""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

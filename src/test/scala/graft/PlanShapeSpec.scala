@@ -636,4 +636,27 @@ class PlanShapeSpec extends SparkSpec {
     assertEqui("betweennessSampled", graft.ops.GraphMetrics.betweennessSampled(
       edges, Seq(1L, 5L, 9L).toDF("id"), maxDepth = 3))
   }
+
+  test("sequence packing: equi-joins only and no doc-grain global window") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = (1L to 120L).map(i => (i, 1L + (i * 7) % 30)).toDF("doc_id", "n_tokens")
+    // both packers ride rankedPrefixSum: the only empty-partition windows
+    // allowed are its ≤ p-row __pid offset prefix sums — doc-grain rows
+    // must never sort through a single partition, and the jump/assignment
+    // as-ofs must stay bucket-keyed hash joins (a range join here would
+    // be a per-window nested loop at 100 TB)
+    def check(name: String, df: DataFrame): Unit = {
+      val p = initialPlan(df)
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+        p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+        s"non-equi join in $name plan:\n${p.treeString.take(1200)}")
+      val bad = p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }.filterNot(_.orderSpec.mkString.contains("__pid"))
+      assert(bad.isEmpty, s"doc-grain global window in $name plan")
+    }
+    check("concatChunk", graft.ops.SequencePack.concatChunk(docs, windowSize = 32))
+    check("nextFitWindows", graft.ops.SequencePack.nextFitWindows(docs, capacity = 32))
+  }
 }
