@@ -3117,16 +3117,18 @@ object SparkEntry {
       SequencePack.concatChunk(d, windowSize = 256)
     }),
 
-    // ---- next-fit whole-document packing at capacity 256 (max doc is
-    // ~100 tokens, so the n ≤ C contract holds by data): exact
-    // sequential-greedy window assignment computed via the jump-function
-    // orbit in O(log #windows) pointer-doubling rounds — no sequential
-    // scan anywhere; the oracle walks the same recurrence with a
-    // recursive CTE. ---------------------------------------------------
+    // ---- next-fit whole-document packing at capacity 1024 (max doc is
+    // ~100 tokens at base scale and ~400 in the sf1 smoke's
+    // tag-prefixed replicas, so the n ≤ C contract holds with headroom
+    // at every scale the suite runs): exact sequential-greedy window
+    // assignment computed via the jump-function orbit in
+    // O(log #windows) pointer-doubling rounds — no sequential scan
+    // anywhere; the oracle walks the same recurrence with a recursive
+    // CTE. ---------------------------------------------------------------
     "q318_pack_nextfit" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"))
-      SequencePack.nextFitWindows(d, capacity = 256)
+      SequencePack.nextFitWindows(d, capacity = 1024)
     })
   )
 
@@ -8525,7 +8527,7 @@ object SparkEntry {
         |s0 AS (SELECT rk, cum FROM p
         | UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
         |j AS (SELECT t.rk AS i, CAST(max(b.rk) AS BIGINT) AS jmp
-        | FROM s0 t JOIN s0 b ON b.cum <= t.cum + 256 GROUP BY 1),
+        | FROM s0 t JOIN s0 b ON b.cum <= t.cum + 1024 GROUP BY 1),
         |wb(b, w) AS (
         | SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
         | UNION ALL

@@ -1311,10 +1311,14 @@ object GraphMetrics {
     *    scaled truncating arithmetic,
     *    `δ(v) = Σ_{w ∈ succ(v)} (σ_v · (10⁹ + δ(w))) div σ_w`,
     *    each product in DECIMAL(38,0) (σ·δ exceeds Long on dense
-    *    balls; the ≤126-bit product always fits, the [[hits]]
-    *    overflow rule). Truncation makes δ a pure integer function of
-    *    the graph — the oracle replays it exactly, where the float
-    *    recurrence would hash-diverge.
+    *    balls — the [[hits]] overflow rule). Headroom bound, explicit:
+    *    the product fits DECIMAL(38,0) while σ·(10⁹ + δ) < 10³⁸, i.e.
+    *    per-ball shortest-path counts below ~10¹⁴ — astronomically
+    *    beyond real graphs at these depths, but a caller probing
+    *    path-count-explosive graphs should lower `maxDepth` rather
+    *    than trust silent non-ANSI decimal NULLs. Truncation makes δ a
+    *    pure integer function of the graph — the oracle replays it
+    *    exactly, where the float recurrence would hash-diverge.
     *  - Betweenness(v) = Σ_s δ_s(v) over v ≠ s, reported as
     *    `bc_e9` (10⁹ ≈ one full path through v from one source).
     *    Nodes carrying no traffic are absent.

@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
   * the answer lies within 2 capacity-width buckets of the probe, so
   * [[AsOfJoin.backward]] runs keyed on `cum div C` — never a global
   * window, never a range join.
+  *
+  * Both packers order the stream by `idCol`, which must therefore be
+  * UNIQUE (the [[Normalize.denseIds]] total-order contract: duplicate
+  * ids straddling a sampled range boundary could swap ranks between
+  * runs).
   */
 object SequencePack {
 
