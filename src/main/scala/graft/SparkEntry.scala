@@ -3129,6 +3129,19 @@ object SparkEntry {
       val d = t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"))
       SequencePack.nextFitWindows(d, capacity = 1024)
+    }),
+
+    // ---- incremental connected components (the daily crawl increment):
+    // yesterday's doc-chain clustering folded with today's new links —
+    // (a+2)—(a+20) for every third anchor — WITHOUT re-reading the old
+    // edge list; old components enter as min-id stars, so the merge is
+    // bit-identical to recomputing from scratch (the oracle does exactly
+    // that over the union graph). ---------------------------------------
+    "q319_incremental_components" -> ((s, dir) => {
+      val prev = Components.connectedComponents(docChainPairs(s, dir))
+      val fresh = t(s, dir, "documents").where(col("doc_id") % 60 === 0)
+        .select((col("doc_id") + 2).as("a_id"), (col("doc_id") + 20).as("b_id"))
+      Components.mergeIncrement(prev, fresh)
     })
   )
 
@@ -8536,7 +8549,28 @@ object SparkEntry {
         |SELECT p.doc_id,
         | CAST((SELECT max(bnd.w) FROM bnd WHERE bnd.bc < p.cum) AS BIGINT) AS window_id,
         | p.n AS n_tokens
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+
+    // q319: the incremental merge is DEFINED as equality with a from-
+    // scratch recompute, so the oracle computes components of the UNION
+    // graph (chains + a%40 bridges + the new a%60 links) directly — the
+    // q54 closure with one extra edge family.
+    "q319_incremental_components" ->
+      """WITH RECURSIVE b AS (SELECT doc_id AS a FROM documents WHERE doc_id % 20 = 0),
+        |edges0 AS (
+        | SELECT a AS u, a + 1 AS v FROM b
+        | UNION ALL SELECT a + 1, a + 2 FROM b
+        | UNION ALL SELECT a, a + 5 FROM b
+        | UNION ALL SELECT a + 5, a + 22 FROM b WHERE a % 40 = 0
+        | UNION ALL SELECT a + 2, a + 20 FROM b WHERE a % 60 = 0),
+        |edges AS (
+        | SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0),
+        |nodes AS (SELECT DISTINCT u AS id FROM edges),
+        |reach(id, r) AS (
+        | SELECT id, id FROM nodes
+        | UNION
+        | SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

@@ -152,4 +152,52 @@ object Components {
       .select(col("id").as(idCol), col("component").as(componentCol), col("rep_id"),
         (col("id") === col("rep_id")).as("is_rep"))
   }
+
+  /** Incremental connected components — fold a batch of NEW edges into an
+    * existing clustering without touching the old edge list: the daily
+    * crawl increment, where yesterday's near-dup graph has billions of
+    * edges but today only adds millions. Each old component enters as a
+    * STAR around its label (one edge per member, |V| not |E|), new edges
+    * are unioned in, and the standard contraction runs on that — old
+    * components are already depth-1 stars, so rounds are spent only on
+    * the NEW connectivity.
+    *
+    * EXACTNESS hinges on [[connectedComponents]]'s label invariant:
+    * `component` is the MINIMUM reachable id, so the star edge set is
+    * connectivity-equivalent to the old graph and the merged labels are
+    * again global minimums — output is bit-identical to recomputing
+    * `connectedComponents(oldEdges ∪ newPairs)` from scratch. Labels
+    * from any other scheme (hash buckets, arbitrary representatives)
+    * would break the minimum invariant and must be re-derived first.
+    *
+    * Output covers every id in `prevLabels` or `newPairs`.
+    */
+  def mergeIncrement(
+      prevLabels: DataFrame,
+      newPairs: DataFrame,
+      idCol: String = "id",
+      componentCol: String = "component",
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxIter: Int = 50,
+      reliable: Boolean = false): DataFrame = {
+    val stars = prevLabels.select(col(idCol).cast("long").as("a_id"),
+      col(componentCol).cast("long").as("b_id"))
+      .where(col("a_id") =!= col("b_id"))
+    // singleton components (id = label) have no star edge; keep them
+    // reachable through a self-pair, which canonicalEdges-equivalent
+    // dedup inside connectedComponents drops for edge purposes but the
+    // final union below restores
+    val fresh = newPairs.select(col(aCol).cast("long").as("a_id"),
+      col(bCol).cast("long").as("b_id"))
+    val merged = connectedComponents(stars.unionByName(fresh),
+      maxIter = maxIter, reliable = reliable)
+    // ids present before but untouched by any edge (old singletons, or
+    // members whose whole component had no new edge AND was a singleton
+    // star) keep their old label; merged labels win elsewhere
+    val keep = prevLabels.select(col(idCol).cast("long").as("id"),
+      col(componentCol).cast("long").as("component"))
+      .join(merged.select(col("id")), Seq("id"), "left_anti")
+    merged.unionByName(keep)
+  }
 }

@@ -47,4 +47,38 @@ class ComponentsSpec extends SparkSpec {
     val kept = Dedup.dropNearDuplicates(docs, pairs).select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(0L, 1L, 2L, 4L, 6L, 8L, 9L))
   }
+
+  test("mergeIncrement == from-scratch recompute on random edge splits") {
+    val rnd = new scala.util.Random(47)
+    for (trial <- 0 until 3) {
+      val edges = Seq.fill(70)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val (old, fresh) = edges.splitAt(edges.size / 2)
+      val prev = Components.connectedComponents(old.toDF("a_id", "b_id"))
+      val got = Components.mergeIncrement(prev, fresh.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Components.connectedComponents(edges.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // old-graph nodes isolated in the union graph (all their edges were
+      // in `old` and none survive dedup... they do survive) — want covers
+      // every edge endpoint; got additionally keeps prev-only singletons
+      assert(got.view.filterKeys(want.contains).toMap == want, s"trial $trial diverged")
+      assert(got.keySet == want.keySet ++ prev.collect().map(_.getLong(0)),
+        s"trial $trial coverage wrong")
+    }
+  }
+
+  test("mergeIncrement: untouched singletons keep labels; new nodes enter; empty increment is identity") {
+    // prev: component {1,2} labeled 1, singleton {9}
+    val prev = Seq((1L, 1L), (2L, 1L), (9L, 9L)).toDF("id", "component")
+    // new edges: 2—3 (extends old component), 20—21 (brand-new nodes)
+    val fresh = Seq((2L, 3L), (20L, 21L)).toDF("a_id", "b_id")
+    val got = Components.mergeIncrement(prev, fresh)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L, 20L -> 20L, 21L -> 20L))
+    val idGot = Components.mergeIncrement(prev,
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idGot == Map(1L -> 1L, 2L -> 1L, 9L -> 9L))
+  }
 }
