@@ -3142,6 +3142,28 @@ object SparkEntry {
       val fresh = t(s, dir, "documents").where(col("doc_id") % 60 === 0)
         .select((col("doc_id") + 2).as("a_id"), (col("doc_id") + 20).as("b_id"))
       Components.mergeIncrement(prev, fresh)
+    }),
+
+    // ---- Bradley–Terry preference strengths over supplier duels: each
+    // order's first two line items stage a head-to-head (bigger quantity
+    // wins, ties to the smaller player id), 100 players via suppkey%100,
+    // two MM iterations in scaled truncating integers — the
+    // preference-data curation primitive, replayed by the oracle with
+    // the iterations unrolled. --------------------------------------------
+    "q320_bradley_terry" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_linenumber") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_suppkey") % 100).as("p"), col("l_quantity").cast("long").as("q"))
+      val a = li.where(col("l_linenumber") === 1)
+        .select(col("l_orderkey").as("ok"), col("p").as("pa"), col("q").as("qa"))
+      val b = li.where(col("l_linenumber") === 2)
+        .select(col("l_orderkey").as("ok"), col("p").as("pb"), col("q").as("qb"))
+      val aWins = col("qa") > col("qb") ||
+        (col("qa") === col("qb") && col("pa") < col("pb"))
+      val duels = a.join(b, Seq("ok")).where(col("pa") =!= col("pb"))
+        .select(when(aWins, col("pa")).otherwise(col("pb")).as("winner"),
+          when(aWins, col("pb")).otherwise(col("pa")).as("loser"))
+      Eval.bradleyTerry(duels, iterations = 2)
     })
   )
 
@@ -8570,7 +8592,50 @@ object SparkEntry {
         | SELECT id, id FROM nodes
         | UNION
         | SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id)
-        |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin
+        |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
+
+    // q320: both MM iterations unrolled — denominator terms and the
+    // win/denominator quotient in HUGEINT floor division (= Spark's
+    // truncating DECIMAL `div` on these all-positive values), each round
+    // closed by the same max-normalization with its ε-floor of 1.
+    "q320_bradley_terry" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_suppkey % 100 AS p,
+        |  CAST(l_quantity AS BIGINT) AS q FROM lineitem WHERE l_linenumber <= 2),
+        |a AS (SELECT l_orderkey AS ok, p AS pa, q AS qa FROM li WHERE l_linenumber = 1),
+        |b AS (SELECT l_orderkey AS ok, p AS pb, q AS qb FROM li WHERE l_linenumber = 2),
+        |duel AS (SELECT
+        |  CASE WHEN qa > qb OR (qa = qb AND pa < pb) THEN pa ELSE pb END AS w,
+        |  CASE WHEN qa > qb OR (qa = qb AND pa < pb) THEN pb ELSE pa END AS l
+        | FROM a JOIN b USING (ok) WHERE pa <> pb),
+        |dct AS (SELECT w, l, CAST(count(*) AS BIGINT) AS c FROM duel GROUP BY 1, 2),
+        |sym AS (SELECT i, j, CAST(sum(c) AS BIGINT) AS n FROM (
+        | SELECT w AS i, l AS j, c FROM dct UNION ALL SELECT l, w, c FROM dct)
+        | GROUP BY 1, 2),
+        |stats AS (SELECT g.i, CAST(coalesce(wn.wins, 0) AS BIGINT) AS wins, g.games
+        | FROM (SELECT i, CAST(sum(n) AS BIGINT) AS games FROM sym GROUP BY 1) g
+        | LEFT JOIN (SELECT w AS i, CAST(sum(c) AS BIGINT) AS wins FROM dct GROUP BY 1) wn
+        |  ON wn.i = g.i),
+        |s0 AS (SELECT i, CAST(1000000 AS BIGINT) AS s FROM stats),
+        |d1 AS (SELECT sym.i,
+        |  CAST(sum((CAST(n AS HUGEINT) * 1000000 * 1000000) // (si.s + sj.s)) AS BIGINT) AS d
+        | FROM sym JOIN s0 si ON si.i = sym.i JOIN s0 sj ON sj.i = sym.j GROUP BY 1),
+        |r1 AS (SELECT stats.i, greatest(CAST(1 AS BIGINT),
+        |  CAST((CAST(wins AS HUGEINT) * 1000000 * 1000000) // d AS BIGINT)) AS s
+        | FROM stats JOIN d1 ON d1.i = stats.i),
+        |s1 AS (SELECT i, greatest(CAST(1 AS BIGINT),
+        |  CAST((CAST(s AS HUGEINT) * 1000000) // (SELECT max(s) FROM r1) AS BIGINT)) AS s
+        | FROM r1),
+        |d2 AS (SELECT sym.i,
+        |  CAST(sum((CAST(n AS HUGEINT) * 1000000 * 1000000) // (si.s + sj.s)) AS BIGINT) AS d
+        | FROM sym JOIN s1 si ON si.i = sym.i JOIN s1 sj ON sj.i = sym.j GROUP BY 1),
+        |r2 AS (SELECT stats.i, greatest(CAST(1 AS BIGINT),
+        |  CAST((CAST(wins AS HUGEINT) * 1000000 * 1000000) // d AS BIGINT)) AS s
+        | FROM stats JOIN d2 ON d2.i = stats.i),
+        |s2 AS (SELECT i, greatest(CAST(1 AS BIGINT),
+        |  CAST((CAST(s AS HUGEINT) * 1000000) // (SELECT max(s) FROM r2) AS BIGINT)) AS s
+        | FROM r2)
+        |SELECT s2.i AS id, s2.s AS strength_e6, stats.wins, stats.games
+        |FROM s2 JOIN stats ON stats.i = s2.i""".stripMargin
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

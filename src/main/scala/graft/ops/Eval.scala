@@ -446,4 +446,99 @@ object Eval {
           .otherwise(floor(lit(1000.0) * col("__h") / col("__c")).cast("long"))
           .as("h_adj_milli")): _*)
   }
+
+  /** Bradley–Terry preference strengths from pairwise duels — the model
+    * behind preference-data curation (which responses, annotators or
+    * sources actually win head-to-heads), fit by the classic MM
+    * iteration (Hunter 2004):
+    * `s'_i = W_i / Σ_{j : n_ij > 0} n_ij / (s_i + s_j)`
+    * with `W_i` = i's total wins and `n_ij` = games between i and j —
+    * each update provably increases the BT likelihood.
+    *
+    * Integer contract (cross-engine replayable): strengths live in
+    * scaled units (`scale` = 10⁶), every division is truncating, each
+    * denominator term `(n_ij · scale²) div (s_i + s_j)` is computed in
+    * DECIMAL(38,0) (n · 10¹² overflows Long at ~9M games per pair), and
+    * each round ends with [[hits]]-style max-normalization (one Long to
+    * the driver, documented bounded fetch) so magnitudes stay put — the
+    * MM update is scale-equivariant, so normalizing is a relabeling,
+    * not a different trajectory. Strengths are floored at 1 after each
+    * update (the standard ε-regularization: a winless item otherwise
+    * hits 0 and zeroes the denominators of everyone it played).
+    *
+    * Returns `(id, strength_e6, wins, games)` for every id that played;
+    * `iterations` is a fixed count, not a convergence probe — BT
+    * strengths move little after a few MM rounds and a fixed count
+    * keeps the oracle replayable by unrolling.
+    *
+    * Scale shape per round: one equi-join of the symmetric pair-count
+    * table with the item-strength table (both keyed by item), one
+    * map-side-combinable sum, one max fetch. PageRank's cost model.
+    */
+  def bradleyTerry(
+      duels: DataFrame,
+      winnerCol: String = "winner",
+      loserCol: String = "loser",
+      iterations: Int = 3,
+      scale: Long = 1000000L,
+      reliable: Boolean = false): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(scale >= 2, s"scale must be >= 2: $scale")
+    val d = duels.select(col(winnerCol).cast("long").as("w"),
+      col(loserCol).cast("long").as("l"))
+      .where(col("w").isNotNull && col("l").isNotNull && col("w") =!= col("l"))
+    val directed = d.groupBy(col("w"), col("l")).agg(count(lit(1)).as("c"))
+    // symmetric opponent table: (i, j, n_ij) both ways — the denominator
+    // scans each item's opponent list once per round
+    val sym = Staging.stage(directed
+      .select(col("w").as("i"), col("l").as("j"), col("c"))
+      .unionByName(directed.select(col("l").as("i"), col("w").as("j"), col("c")))
+      .groupBy(col("i"), col("j")).agg(sum(col("c")).as("n")),
+      reliable)
+    val stats = Staging.stage(sym.groupBy(col("i"))
+      .agg(sum(col("n")).as("games"))
+      .join(directed.groupBy(col("w").as("i")).agg(sum(col("c")).as("wins")),
+        Seq("i"), "left")
+      .select(col("i"), coalesce(col("wins"), lit(0L)).as("wins"), col("games")),
+      reliable)
+    val frames = scala.collection.mutable.ArrayBuffer(sym, stats)
+    var s = Staging.stage(stats.select(col("i"), lit(scale).as("s")), reliable)
+    frames += s
+    for (_ <- 1 to iterations) {
+      val denom = sym
+        .join(s.select(col("i"), col("s").as("si")), Seq("i"))
+        .join(s.select(col("i").as("j"), col("s").as("sj")), Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(expr(s"(cast(n as decimal(38,0)) * ${scale}L * ${scale}L) div (si + sj)"))
+          .cast("long").as("d"))
+      val raw = Staging.stage(stats.join(denom, Seq("i"))
+        .select(col("i"), greatest(lit(1L),
+          expr(s"(cast(wins as decimal(38,0)) * ${scale}L * ${scale}L) div d")
+            .cast("long")).as("s")),
+        reliable)
+      frames += raw
+      // bounded driver fetch: ONE Long per round (the hits normalizer
+      // justification — a broadcast crossJoin would deepen every
+      // subsequent round's plan instead); empty input → null max → no
+      // rows to normalize, any positive literal keeps the plan valid
+      val mx = Option(raw.agg(max(col("s"))).head().get(0))
+        .fold(scale)(_.asInstanceOf[Long])
+      val normed = Staging.stage(raw.select(col("i"),
+        greatest(lit(1L), expr(s"(cast(s as decimal(38,0)) * ${scale}L) div ${mx}L")
+          .cast("long")).as("s")),
+        reliable)
+      frames += normed
+      s = normed
+    }
+    val out = Staging.stage(
+      s.join(stats, Seq("i"))
+        .select(col("i").as("id"), col("s").as("strength_e6"),
+          col("wins"), col("games")),
+      reliable)
+    if (reliable) {
+      out.count()
+      frames.foreach(_.unpersist())
+    }
+    out
+  }
 }

@@ -659,4 +659,17 @@ class PlanShapeSpec extends SparkSpec {
     check("concatChunk", graft.ops.SequencePack.concatChunk(docs, windowSize = 32))
     check("nextFitWindows", graft.ops.SequencePack.nextFitWindows(docs, capacity = 32))
   }
+
+  test("bradleyTerry: item-keyed equi-joins only, no global window") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val duels = (1 to 200).map(i => ((i % 13).toLong, ((i * 7) % 13).toLong))
+      .filter(d => d._1 != d._2).toDF("winner", "loser")
+    val p = initialPlan(graft.ops.Eval.bradleyTerry(duels, iterations = 2))
+    assert(p.collect { case c: CartesianProductExec => c }.isEmpty &&
+      p.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"non-equi join in bradleyTerry plan:\n${p.treeString.take(1200)}")
+    assert(p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty,
+      "global window in bradleyTerry plan")
+  }
 }
