@@ -170,7 +170,11 @@ object Components {
     * from any other scheme (hash buckets, arbitrary representatives)
     * would break the minimum invariant and must be re-derived first.
     *
-    * Output covers every id in `prevLabels` or `newPairs`.
+    * Output covers every id in `prevLabels` or `newPairs`. Note
+    * `prevLabels` is referenced TWICE (star build + untouched-singleton
+    * restore): hand it a materialized table — a parquet scan or an
+    * already-staged frame, which is what yesterday's labels are in the
+    * increment scenario — not an expensive unstaged plan.
     */
   def mergeIncrement(
       prevLabels: DataFrame,
