@@ -3164,6 +3164,17 @@ object SparkEntry {
         .select(when(aWins, col("pa")).otherwise(col("pb")).as("winner"),
           when(aWins, col("pb")).otherwise(col("pa")).as("loser"))
       Eval.bradleyTerry(duels, iterations = 2)
+    }),
+
+    // ---- Duffield priority sampling: 200 documents drawn ∝ token count
+    // without replacement, each carrying the max(w, τ) estimator weight —
+    // subsample the corpus AND keep unbiased token-mass estimates. The
+    // uniform is the md5 contract, so the drawn set is a pure function of
+    // the corpus and the oracle replays it row for row. ------------------
+    "q321_priority_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      Sampling.prioritySample(d, k = 200, weightCol = "n_tokens")
     })
   )
 
@@ -8635,7 +8646,26 @@ object SparkEntry {
         |  CAST((CAST(s AS HUGEINT) * 1000000) // (SELECT max(s) FROM r2) AS BIGINT)) AS s
         | FROM r2)
         |SELECT s2.i AS id, s2.s AS strength_e6, stats.wins, stats.games
-        |FROM s2 JOIN stats ON stats.i = s2.i""".stripMargin
+        |FROM s2 JOIN stats ON stats.i = s2.i""".stripMargin,
+
+    // q321: priorities replayed with the shared hex-prefix uniform (+1
+    // keeps the divisor in [1, 2^32]), top-201 ordered identically, the
+    // threshold as a scalar CASE over the (k+1) count, selection LIMIT k.
+    "q321_priority_sample" -> {
+      val u32 = hexPrefixOracle("md5(CAST(id AS VARCHAR))", 8)
+      s"""WITH d AS (SELECT doc_id AS id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS weight
+         | FROM documents),
+         |p AS (SELECT id, weight,
+         |  CAST((weight * 4294967296) // ($u32 + 1) AS BIGINT) AS priority
+         | FROM d WHERE weight > 0),
+         |top AS (SELECT * FROM p ORDER BY priority DESC, id ASC LIMIT 201),
+         |tau AS (SELECT CASE WHEN count(*) = 201 THEN min(priority) ELSE CAST(0 AS BIGINT) END AS t
+         | FROM top)
+         |SELECT id, weight, priority,
+         | greatest(weight, (SELECT t FROM tau)) AS est_weight
+         |FROM (SELECT * FROM top ORDER BY priority DESC, id ASC LIMIT 200)""".stripMargin
+    }
   )
 
   private def sqlEsc(s: String): String = s.replace("'", "''")

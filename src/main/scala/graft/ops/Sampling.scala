@@ -425,4 +425,64 @@ object Sampling {
       .where(col("__rk") <= n)
       .drop("__prk", "__rk")
   }
+
+  /** Duffield–Lund–Thorup PRIORITY SAMPLING: a weight-proportional
+    * sample of `k` rows WITHOUT replacement that carries an unbiased
+    * subset-sum estimator — the principled way to subsample a corpus
+    * by token count (or bytes, or quality mass) and still estimate any
+    * weight total from the sample alone. Each row gets priority
+    * `q = (w · 2³²) div u` with `u` its md5-derived uniform on
+    * [1, 2³²]; the top-k by priority are selected, and with `τ` the
+    * (k+1)-th priority, `est_weight = max(w, τ)` satisfies
+    * `E[Σ_selected est_weight] = Σ_population w` (Duffield et al.,
+    * JACM 2007 — within the integer granularity of the scaled
+    * uniforms). The "randomness" is the [[idBucket]] md5 contract, so
+    * the sample is a pure function of the corpus: reruns, retries and
+    * the DuckDB oracle all pick byte-identical rows.
+    *
+    * Weights must be in [1, 2³¹): the priority product is computed in
+    * Long and `w < 2³¹` keeps `w · 2³²` under 2⁶³ (checked, fails
+    * loudly with the culprit). Heavier "weights" (byte counts of huge
+    * blobs) should be pre-scaled by the caller — the estimator is
+    * scale-equivariant.
+    *
+    * Scale shape: priority is map-only arithmetic; selection is ONE
+    * global top-(k+1) (`TakeOrderedAndProject` — per-partition heaps of
+    * k+1, merged once, never a full sort); the threshold crosses to the
+    * driver as one row with a written justification. `k` is assumed
+    * sample-sized (heaps hold k+1 rows); for k in the hundreds of
+    * millions use [[quotaSample]]-style stratified passes instead.
+    */
+  def prioritySample(
+      df: DataFrame,
+      k: Int,
+      weightCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(weightCol).cast("long").as("weight"))
+      .where(col("weight") > 0)
+    // bounded driver fetch (≤ 1 row): the Long-headroom contract above
+    val over = base.where(col("weight") >= (1L << 31)).limit(1).collect()
+    require(over.isEmpty,
+      s"row ${over.headOption.map(_.getLong(0)).getOrElse(-1L)} has weight " +
+        s"${over.headOption.map(_.getLong(1)).getOrElse(-1L)} >= 2^31 — pre-scale weights")
+    val pri = base
+      .withColumn("__u",
+        conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10).cast("long") + 1L)
+      .withColumn("priority", expr("(weight * 4294967296L) div __u"))
+      .drop("__u")
+    // top-(k+1) stays a DataFrame (distributed heap-merge); staged so
+    // the threshold agg and the final selection execute it once
+    val top = Staging.stage(
+      pri.orderBy(col("priority").desc, col("id").asc).limit(k + 1),
+      reliable = false)
+    // ONE row to the driver: the (k+1)-th priority IS the estimator's
+    // threshold — population ≤ k rows → τ = 0 → est_weight = weight
+    // exactly (the sample is the population, estimator degenerate-exact)
+    val r = top.agg(count(lit(1)), min(col("priority"))).head()
+    val tau = if (r.getLong(0) == k + 1L) r.getLong(1) else 0L
+    top.orderBy(col("priority").desc, col("id").asc).limit(k)
+      .withColumn("est_weight", greatest(col("weight"), lit(tau)))
+  }
 }

@@ -207,4 +207,46 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
     assert(got == expected)
   }
+
+  /** The operator's priority contract in memory: md5-hex prefix as the
+    * uniform, truncating scaled division, top-k with the (k+1)-th as τ.
+    */
+  private def referencePriority(
+      rows: Seq[(Long, Long)], k: Int): Seq[(Long, Long, Long, Long)] = {
+    def u32(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) + 1L
+    }
+    val pri = rows.filter(_._2 > 0)
+      .map { case (id, w) => (id, w, (w * 4294967296L) / u32(id)) }
+      .sortBy { case (id, _, q) => (-q, id) }
+    val tau = if (pri.size >= k + 1) pri(k)._3 else 0L
+    pri.take(k).map { case (id, w, q) => (id, w, q, math.max(w, tau)) }
+  }
+
+  test("prioritySample matches the in-memory replay; τ comes from the (k+1)-th") {
+    val rnd = new scala.util.Random(59)
+    val rows = (1L to 150L).map(i => (i, 1L + rnd.nextInt(500).toLong))
+    for (k <- Seq(5, 40, 149, 200)) {
+      val got = Sampling.prioritySample(rows.toDF("doc_id", "w"), k, "w")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == referencePriority(rows, k), s"k=$k diverged")
+    }
+  }
+
+  test("prioritySample: population <= k is exact (est_weight = weight)") {
+    val rows = Seq((1L, 10L), (2L, 20L), (3L, 30L))
+    val got = Sampling.prioritySample(rows.toDF("doc_id", "w"), k = 10, "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.length == 3 && got.forall(r => r._2 == r._3))
+  }
+
+  test("prioritySample refuses weights at or above 2^31 with the culprit named") {
+    val rows = Seq((1L, 5L), (7L, (1L << 31)))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.prioritySample(rows.toDF("doc_id", "w"), k = 1, "w")
+    }
+    assert(e.getMessage.contains("row 7"))
+  }
 }
