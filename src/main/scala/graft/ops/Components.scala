@@ -188,10 +188,10 @@ object Components {
     val stars = prevLabels.select(col(idCol).cast("long").as("a_id"),
       col(componentCol).cast("long").as("b_id"))
       .where(col("a_id") =!= col("b_id"))
-    // singleton components (id = label) have no star edge; keep them
-    // reachable through a self-pair, which canonicalEdges-equivalent
-    // dedup inside connectedComponents drops for edge purposes but the
-    // final union below restores
+    // singleton components (id = label) emit no star edge at all — the
+    // a_id =!= b_id filter drops them here; they re-enter only through
+    // the trailing left_anti union below, which restores every prior id
+    // untouched by the merged label set with its old label
     val fresh = newPairs.select(col(aCol).cast("long").as("a_id"),
       col(bCol).cast("long").as("b_id"))
     val merged = connectedComponents(stars.unionByName(fresh),

@@ -1061,9 +1061,13 @@ object GraphMetrics {
     * set is a PURE FUNCTION of the graph — re-runs, retries and the
     * cross-engine oracle all reproduce it bit-for-bit (the same
     * content-addressed-coin-flip contract as [[Sampling.idBucket]]).
-    * Seeding enters through the walk id: callers wanting k walks per
-    * node start k walk ids per node (e.g. `id·k + r`), and each id
-    * draws an independent hash stream.
+    * Seeding enters through the walk id, which is ALSO the start node
+    * by default (`walkCol` empty → one walk per start row, walk_id =
+    * node id). Callers wanting k walks per node pass a separate
+    * `walkCol`: walk ids must be globally unique (they key the corpus
+    * and the hash stream — e.g. `id·k + r`), `startCol` holds the
+    * start node, and each walk id draws an independent hash stream
+    * from the same start.
     *
     * Returns the walk corpus `(walk_id, step, node)` including step 0
     * (the start). Walkers that reach an isolated dead end simply stop —
@@ -1088,7 +1092,8 @@ object GraphMetrics {
       aCol: String = "a_id",
       bCol: String = "b_id",
       maxDegree: Int = Int.MaxValue,
-      reliable: Boolean = false): DataFrame = {
+      reliable: Boolean = false,
+      walkCol: String = ""): DataFrame = {
     require(steps >= 1, s"steps must be >= 1: $steps")
     require(maxDegree >= 1, s"maxDegree must be >= 1: $maxDegree")
     import org.apache.spark.sql.expressions.Window
@@ -1101,10 +1106,14 @@ object GraphMetrics {
         .withColumn("__rn", row_number().over(Window.partitionBy("src").orderBy("dst")))
         .where(col("__rn") <= maxDegree).drop("__rn")
     val sym = Staging.stage(capped, reliable)
-    var pos = Staging.stage(
-      starts.select(col(startCol).cast("long").as("walk_id")).distinct()
-        .select(col("walk_id"), col("walk_id").as("node")),
-      reliable)
+    val startRows =
+      if (walkCol.isEmpty)
+        starts.select(col(startCol).cast("long").as("walk_id")).distinct()
+          .select(col("walk_id"), col("walk_id").as("node"))
+      else
+        starts.select(col(walkCol).cast("long").as("walk_id"),
+          col(startCol).cast("long").as("node")).distinct()
+    var pos = Staging.stage(startRows, reliable)
     val frames = scala.collection.mutable.ArrayBuffer(pos)
     var corpus = pos.select(col("walk_id"), lit(0L).as("step"), col("node"))
     var step = 0
@@ -1353,6 +1362,10 @@ object GraphMetrics {
     frames += visited
     var frontier = visited
     var depth = 0
+    // deepest level that actually received nodes — the backward pass
+    // starts there instead of maxDepth-1, so shallow balls don't pay
+    // (maxDepth - realDepth) empty-frame join/stage/count rounds
+    var deepest = 0
     var exhausted = visited.isEmpty
     while (!exhausted && depth < maxDepth) {
       depth += 1
@@ -1370,6 +1383,7 @@ object GraphMetrics {
       exhausted = next.isEmpty
       if (exhausted) { if (reliable) next.unpersist() }
       else {
+        deepest = depth
         val grown = Staging.stage(visited.unionByName(next), reliable)
         frames += next
         frames += grown
@@ -1399,7 +1413,9 @@ object GraphMetrics {
           "source BIGINT, node BIGINT, delta BIGINT")),
       reliable)
     frames += deltas
-    var level = maxDepth - 1
+    // dag edges run dv → dv+1 ≤ deepest, so the deepest edge level is
+    // deepest-1; levels above that are structurally empty
+    var level = deepest - 1
     while (level >= 1) {
       val lv = Staging.stage(dag.where(col("dv") === level.toLong)
         .join(deltas.select(col("source"), col("node").as("w"), col("delta")),

@@ -446,6 +446,17 @@ object Sampling {
     * blobs) should be pre-scaled by the caller — the estimator is
     * scale-equivariant.
     *
+    * `idCol` MUST be unique (the same contract [[SequencePack]]
+    * documents): each row's uniform is md5(id), so duplicate ids get
+    * perfectly correlated draws, breaking the estimator's
+    * independence assumption and the without-replacement semantics.
+    * A full-pass uniqueness assert would cost a groupBy shuffle of
+    * every distinct id — as expensive as the sampling itself — so the
+    * check here is the bounded one that catches the case where the
+    * correlation actually bites: duplicate ids inside the selected
+    * top-(k+1) fail loudly (k+1 rows, one agg row to the driver,
+    * piggybacked on the threshold fetch).
+    *
     * Scale shape: priority is map-only arithmetic; selection is ONE
     * global top-(k+1) (`TakeOrderedAndProject` — per-partition heaps of
     * k+1, merged once, never a full sort); the threshold crosses to the
@@ -479,8 +490,16 @@ object Sampling {
       reliable = false)
     // ONE row to the driver: the (k+1)-th priority IS the estimator's
     // threshold — population ≤ k rows → τ = 0 → est_weight = weight
-    // exactly (the sample is the population, estimator degenerate-exact)
-    val r = top.agg(count(lit(1)), min(col("priority"))).head()
+    // exactly (the sample is the population, estimator degenerate-exact).
+    // countDistinct(id) rides the same row as the bounded duplicate
+    // probe (see the idCol-uniqueness contract in the scaladoc).
+    val r = top.agg(count(lit(1)), min(col("priority")),
+      countDistinct(col("id"))).head()
+    require(r.getLong(0) == r.getLong(2),
+      s"prioritySample: duplicate $idCol values in the selected top-" +
+        s"${k + 1} (${r.getLong(0)} rows, ${r.getLong(2)} distinct ids) — " +
+        "idCol must be unique; duplicate ids draw correlated uniforms " +
+        "and break the Duffield estimator")
     val tau = if (r.getLong(0) == k + 1L) r.getLong(1) else 0L
     top.orderBy(col("priority").desc, col("id").asc).limit(k)
       .withColumn("est_weight", greatest(col("weight"), lit(tau)))

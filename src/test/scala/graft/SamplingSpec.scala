@@ -249,4 +249,14 @@ class SamplingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("row 7"))
   }
+
+  test("prioritySample fails loudly when duplicate ids reach the selected top") {
+    // duplicate id 5 draws the SAME uniform twice → both copies land in
+    // the top-(k+1) and the bounded probe must refuse
+    val rows = Seq((5L, 100L), (5L, 100L), (2L, 1L), (3L, 1L))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.prioritySample(rows.toDF("doc_id", "w"), k = 1, "w")
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
 }

@@ -42,6 +42,47 @@ class WalksAndMotifsSpec extends SparkSpec {
     }.toSet
   }
 
+  /** Replay for the walkCol variant: the walk id keys the hash stream,
+    * the start node is independent of it.
+    */
+  private def referenceWalksKeyed(
+      edges: Seq[(Long, Long)], starts: Seq[(Long, Long)], steps: Int): Set[(Long, Long, Long)] = {
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    edges.filter(e => e._1 != e._2).foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    starts.distinct.flatMap { case (w, s) =>
+      var pos = s
+      var alive = true
+      val hops = (1 to steps).flatMap { i =>
+        if (!alive) Seq.empty
+        else adj.get(pos).filter(_.nonEmpty) match {
+          case None => alive = false; Seq.empty[(Long, Long)]
+          case Some(nbrs) =>
+            val next = nbrs.toSeq.map(n => (md5hex(s"$w:$i:$n"), n)).min._2
+            pos = next
+            Seq((i.toLong, next))
+        }
+      }
+      ((0L, s) +: hops).map { case (i, n) => (w, i, n) }
+    }.toSet
+  }
+
+  test("randomWalks walkCol: k independent walks per start node, exact vs replay") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 1L))
+    // two walk ids per start node — the documented id·k + r scheme
+    val starts = Seq((10L, 1L), (11L, 1L), (40L, 4L), (41L, 4L))
+    val got = GraphMetrics.randomWalks(
+      edges.toDF("a_id", "b_id"), starts.toDF("w", "id"),
+      steps = 6, walkCol = "w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == referenceWalksKeyed(edges, starts, 6))
+    // every walk starts at ITS start node (not at the walk id)
+    for ((w, s) <- starts) assert(got.contains((w, 0L, s)), s"walk $w start")
+    assert(got.map(_._1) == Set(10L, 11L, 40L, 41L))
+  }
+
   test("random walks agree exactly with the md5-argmin reference on random graphs") {
     val rnd = new scala.util.Random(29)
     for (_ <- 0 until 3) {
