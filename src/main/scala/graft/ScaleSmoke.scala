@@ -82,7 +82,16 @@ object ScaleSmoke {
     // Next-fit sequence packing: O(log #windows) orbit-doubling rounds
     // whose bench-scale cost is almost pure job-scheduling latency — the
     // 10× point is what shows the data-scale costs staying sublinear.
-    "q318_pack_nextfit")
+    "q318_pack_nextfit",
+    // Round-11 additions: the skip-gram pair census (map-only window
+    // expansion, tokens×2w pair stream — replica docs carry ~4× tokens,
+    // so its 10× point is really ~40× pairs: at-or-below-linear there is
+    // a strong claim) and the SCC trim/color/reach loop (round count set
+    // by graph structure, not size — the 10× point shows the per-round
+    // data cost staying sublinear while replica bands add 10× cycles;
+    // the n→n/2 bridges cross bands high→low, preserving the
+    // no-chain-of-SCCs property).
+    "q322_skipgrams", "q324_scc")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Association, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Correlate, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GeoGrid, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, Reshape, RuntimeFilter, Sampling, Scd, SequencePack, Sessionize, Similarity, Skyline, SkewJoin, SpanningForest, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
+import graft.ops.{AsOfJoin, Association, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Correlate, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GeoGrid, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, Reshape, RuntimeFilter, Sampling, Scc, Scd, SequencePack, Sessionize, Similarity, Skyline, SkewJoin, SpanningForest, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -3175,8 +3175,70 @@ object SparkEntry {
       val d = t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"))
       Sampling.prioritySample(d, k = 200, weightCol = "n_tokens")
+    }),
+
+    // ---- word2vec-style skip-gram co-occurrence: symmetric window-3
+    // pair census over the corpus, minCount pruning the hapax tail at
+    // the aggregation (map-only pair stream, vocabulary-sized shuffle).
+    "q322_skipgrams" -> ((s, dir) =>
+      Ngrams.skipGrams(t(s, dir, "documents"), window = 3, minCount = 5L)),
+
+    // ---- PPMI-monotone association lift in exact fixed point over the
+    // window-2 skip-gram matrix: marginals from the FULL matrix,
+    // reported pairs pruned at n >= 20. lift_e6 > 1e6 <=> PMI > 0.
+    "q323_skipgram_lift" -> ((s, dir) =>
+      Ngrams.skipGramLift(t(s, dir, "documents"), window = 2, minCount = 20L)),
+
+    // ---- strongly connected components of the directed doc-id graph
+    // (sccPairs: 3-cycles + high->low halving bridges + a DAG tail).
+    // The decreasing bridges make every cycle's min node a root in the
+    // FIRST coloring round — the fixture exercises trim, coloring and
+    // backward reach without the adversarial chain-of-SCCs depth.
+    "q324_scc" -> ((s, dir) =>
+      Scc.stronglyConnected(sccPairs(s, dir))),
+
+    // ---- condensation DAG of the same graph: SCCs contracted to their
+    // canonical min-id node, one row per ordered pair with the exact
+    // crossing-edge count.
+    "q325_scc_condensation" -> ((s, dir) =>
+      Scc.condensationEdges(sccPairs(s, dir))),
+
+    // ---- product-quantization codes (m=4 subspaces x k=16 sampled
+    // centroids) on the int8 lattice: per (vector, subspace) the nearest
+    // centroid id and the exact squared distortion.
+    "q326_pq_codes" -> ((s, dir) =>
+      Similarity.pqCodes(t(s, dir, "embeddings"), m = 4, k = 16)),
+
+    // ---- PQ asymmetric-distance top-10: the first 8 vectors query the
+    // coded corpus; the ADC sum is exact Long on the shared lattice, so
+    // the ranking replays bit-for-bit in the oracle.
+    "q327_pq_adc_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqAdcTopK(emb,
+        emb.where(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
+        m = 4, k = 16, topK = 10)
     })
   )
+
+  /** Deterministic DIRECTED graph for the SCC queries, derived from doc
+    * ids so the oracle rebuilds it in SQL: every 10th id anchors a
+    * 3-cycle {n, n+1, n+2}; every 20th id bridges DOWNWARD n → n/2
+    * (high-to-low, so no chain-of-SCCs peel depth builds up); every
+    * 30th id grows a pure-DAG tail n+2 → n+5 → n+7 (trim food).
+    */
+  private def sccPairs(s: SparkSession, dir: String): DataFrame = {
+    val b = t(s, dir, "documents").where(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("n"))
+    b.select(col("n").as("src"), (col("n") + 1).as("dst"))
+      .union(b.select((col("n") + 1).as("src"), (col("n") + 2).as("dst")))
+      .union(b.select((col("n") + 2).as("src"), col("n").as("dst")))
+      .union(b.where(col("n") % 20 === 0 && col("n") > 0)
+        .select(col("n").as("src"), expr("n div 2").as("dst")))
+      .union(b.where(col("n") % 30 === 0)
+        .select((col("n") + 2).as("src"), (col("n") + 5).as("dst")))
+      .union(b.where(col("n") % 30 === 0)
+        .select((col("n") + 5).as("src"), (col("n") + 7).as("dst")))
+  }
 
   /** The deterministic doc-id chain graph shared by q54 and q128: edges
     * between arithmetic neighbors of every 20th doc id — engine-neutral
@@ -8665,8 +8727,139 @@ object SparkEntry {
          |SELECT id, weight, priority,
          | greatest(weight, (SELECT t FROM tau)) AS est_weight
          |FROM (SELECT * FROM top ORDER BY priority DESC, id ASC LIMIT 200)""".stripMargin
-    }
+    },
+    // q322/q323: the positional self-join |i-j| in [1, w] replays the
+    // slice+zip_with symmetric window exactly (each ordered occurrence
+    // once per direction).
+    "q322_skipgrams" ->
+      s"""WITH $TokenPosCte,
+         |p AS (SELECT a.word AS center, b.word AS context
+         |      FROM t a JOIN t b ON a.doc_id = b.doc_id
+         |       AND abs(b.pos - a.pos) BETWEEN 1 AND 3)
+         |SELECT center, context, CAST(count(*) AS BIGINT) AS n
+         |FROM p GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
+    "q323_skipgram_lift" ->
+      s"""WITH $TokenPosCte,
+         |p AS (SELECT a.word AS center, b.word AS context
+         |      FROM t a JOIN t b ON a.doc_id = b.doc_id
+         |       AND abs(b.pos - a.pos) BETWEEN 1 AND 2),
+         |co AS (SELECT center, context, count(*) AS n FROM p GROUP BY 1, 2),
+         |r AS (SELECT center, sum(n) AS n_center FROM co GROUP BY 1),
+         |c AS (SELECT context, sum(n) AS n_context FROM co GROUP BY 1),
+         |tt AS (SELECT sum(n) AS n_total FROM co)
+         |SELECT co.center, co.context, CAST(co.n AS BIGINT) AS n,
+         | CAST((CAST(tt.n_total AS HUGEINT) * co.n * 1000000)
+         |   // (CAST(r.n_center AS HUGEINT) * c.n_context) AS BIGINT) AS lift_e6
+         |FROM co JOIN r USING (center) JOIN c USING (context), tt
+         |WHERE co.n >= 20""".stripMargin,
+    // q324/q325: recursive transitive closure of the directed sccPairs
+    // graph; SCC label = min over mutually-reachable peers (cycle nodes
+    // reach themselves through the cycle, singletons fall back to id).
+    "q324_scc" ->
+      s"""WITH RECURSIVE $SccClosureCte
+         |SELECT n.id,
+         | CAST(least(coalesce(min(m.peer), n.id), n.id) AS BIGINT) AS component
+         |FROM nodes n LEFT JOIN mut m ON n.id = m.id
+         |GROUP BY n.id""".stripMargin,
+    "q325_scc_condensation" ->
+      s"""WITH RECURSIVE $SccClosureCte,
+         |scc AS (
+         | SELECT n.id, least(coalesce(min(m.peer), n.id), n.id) AS comp
+         | FROM nodes n LEFT JOIN mut m ON n.id = m.id GROUP BY n.id)
+         |SELECT CAST(sa.comp AS BIGINT) AS src_scc,
+         | CAST(sb.comp AS BIGINT) AS dst_scc,
+         | CAST(count(*) AS BIGINT) AS n_edges
+         |FROM e0 JOIN scc sa ON e0.src = sa.id JOIN scc sb ON e0.dst = sb.id
+         |WHERE sa.comp <> sb.comp GROUP BY 1, 2""".stripMargin,
+    // q326/q327: the q78 int8-lattice quantization replayed, split into
+    // 4 x 16-dim subspaces; codes/ADC are exact BIGINT arithmetic.
+    "q326_pq_codes" ->
+      s"""WITH $PqCodesCte
+         |SELECT vec_id, s, j AS code, d2
+         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+         |        ORDER BY d2, j) AS rn FROM d)
+         |WHERE rn = 1""".stripMargin,
+    "q327_pq_adc_topk" ->
+      s"""WITH $PqCodesCte,
+         |codes AS (
+         | SELECT vec_id, s, j AS code
+         | FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+         |         ORDER BY d2, j) AS rn FROM d)
+         | WHERE rn = 1),
+         |lut AS (SELECT vec_id AS query_id, s, j AS code, d2 AS qd2
+         |        FROM d WHERE vec_id < 8),
+         |adc AS (
+         | SELECT l.query_id, c.vec_id AS neighbor_id,
+         |  CAST(sum(l.qd2) AS BIGINT) AS adc_d2
+         | FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+         | WHERE c.vec_id <> l.query_id
+         | GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, adc_d2, rank FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY adc_d2, neighbor_id) AS rank FROM adc)
+         |WHERE rank <= 10""".stripMargin
   )
+
+  /** Shared (doc, word, pos) tokenization CTE for the skip-gram oracles
+    * (the q84 idiom: whitespace split of trimmed lowercase text).
+    */
+  private val TokenPosCte: String =
+    """tok AS (
+      | SELECT doc_id,
+      |  list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
+      | FROM documents),
+      |t AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos FROM tok)""".stripMargin
+
+  /** Shared closure CTE for the [[sccPairs]] graph (callers prepend
+    * `WITH RECURSIVE `): e0 = the derived directed edges, reach = the
+    * transitive closure, mut = mutually-reachable pairs.
+    */
+  private val SccClosureCte: String =
+    """b AS (SELECT doc_id AS n FROM documents WHERE doc_id % 10 = 0),
+      |e0 AS (
+      | SELECT n AS src, n + 1 AS dst FROM b
+      | UNION ALL SELECT n + 1, n + 2 FROM b
+      | UNION ALL SELECT n + 2, n FROM b
+      | UNION ALL SELECT n, n // 2 FROM b WHERE n % 20 = 0 AND n > 0
+      | UNION ALL SELECT n + 2, n + 5 FROM b WHERE n % 30 = 0
+      | UNION ALL SELECT n + 5, n + 7 FROM b WHERE n % 30 = 0),
+      |nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0)),
+      |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+      |reach(a, d) AS (
+      | SELECT src, dst FROM e
+      | UNION
+      | SELECT r.a, e.dst FROM reach r JOIN e ON r.d = e.src),
+      |mut AS (
+      | SELECT r1.a AS id, r1.d AS peer
+      | FROM reach r1 JOIN reach r2 ON r1.a = r2.d AND r1.d = r2.a)""".stripMargin
+
+  /** Shared PQ CTE chain: q78's int8 quantization, the 4×16-dim subspace
+    * split (embeddings are dim-64), the 16-entry sampled codebook and the
+    * all-pairs lattice distances `d` the code/ADC oracles both rank.
+    */
+  private val PqCodesCte: String =
+    """m AS (
+      | SELECT vec_id, embedding,
+      |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+      | FROM embeddings),
+      |qv AS (
+      | SELECT vec_id,
+      |  CASE WHEN max_abs > 0
+      |   THEN list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs) AS BIGINT))
+      |   ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS v
+      | FROM m),
+      |sub AS (
+      | SELECT vec_id, CAST(r.s AS BIGINT) AS s, v[r.s * 16 + 1 : r.s * 16 + 16] AS vs
+      | FROM qv, range(0, 4) r(s)),
+      |cbids AS (
+      | SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS j
+      | FROM qv ORDER BY vec_id LIMIT 16),
+      |cb AS (SELECT c.j, s.s, s.vs AS cvec FROM cbids c JOIN sub s ON c.vec_id = s.vec_id),
+      |d AS (
+      | SELECT sub.vec_id, sub.s, CAST(cb.j AS BIGINT) AS j,
+      |  CAST(list_sum(list_transform(range(1, 17),
+      |    i -> (sub.vs[i] - cb.cvec[i]) * (sub.vs[i] - cb.cvec[i]))) AS BIGINT) AS d2
+      | FROM sub JOIN cb ON sub.s = cb.s)""".stripMargin
 
   private def sqlEsc(s: String): String = s.replace("'", "''")
 

@@ -491,4 +491,81 @@ object Ngrams {
       .withColumn("n_tokens", least(col("requested_n"), col("__tot")))
       .select(col("requested_n"), col("n_tokens"), col("vocab_size"))
   }
+
+  /** Skip-gram co-occurrence counts — the word2vec/GloVe corpus matrix:
+    * for every token position i and every offset 1 ≤ d ≤ `window`, the
+    * ordered pairs (w_i, w_i±d) each count once (the standard symmetric
+    * window: a center attends both left and right, so the matrix is
+    * symmetric by construction). Downstream: embedding pretraining
+    * corpora, [[skipGramLift]] association scores, tokenizer-vocab
+    * co-occurrence audits.
+    *
+    * Scale shape: the pair stream is built MAP-ONLY by zipping each
+    * token array against itself at `window` offsets (`slice` + `zip_with`
+    * — no positional self-join, no shuffle until the count), then ONE
+    * map-side-combined count keyed by the pair. At 100 TB the shuffle
+    * carries (distinct pair, partial count) rows — vocabulary², not
+    * corpus, sized; `minCount` prunes the hapax tail at that same
+    * aggregation. Pair stream size is tokens × 2·window, the same
+    * constant-factor blowup every skip-gram trainer pays.
+    */
+  def skipGrams(
+      docs: DataFrame,
+      textCol: String = "text",
+      window: Int = 3,
+      minCount: Long = 1L): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val w = col("__w")
+    val rights = Dedup.parallelize(docs)
+      .select(Dedup.wordTokens(col(textCol)).as("__w"))
+      .select(explode(flatten(transform(sequence(lit(1), lit(window)), d =>
+        zip_with(
+          slice(w, lit(1), greatest(size(w) - d, lit(0))),
+          slice(w, d + lit(1), greatest(size(w) - d, lit(0))),
+          (a, b) => struct(a.as("l"), b.as("r")))))).as("p"))
+    rights
+      .select(explode(array(
+        struct(col("p.l").as("center"), col("p.r").as("context")),
+        struct(col("p.r").as("center"), col("p.l").as("context")))).as("q"))
+      .select(col("q.center").as("center"), col("q.context").as("context"))
+      .groupBy("center", "context").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+  }
+
+  /** PPMI-monotone association LIFT over the [[skipGrams]] matrix in
+    * exact fixed point: `lift_e6 = ⌊1e6 · N·n(w,c) / (n(w,·)·n(·,c))⌋`
+    * with N the total pair mass and the marginals taken from the SAME
+    * co-occurrence matrix (the standard PMI normalization — symmetric
+    * window ⇒ row and column marginals coincide per word). lift_e6 >
+    * 1e6 ⇔ PMI > 0, and log is monotone, so thresholding/ranking by
+    * lift IS thresholding/ranking by PMI — but the value is an integer
+    * ratio both engines compute bit-identically, where a float log
+    * would hash-drift in the last ulp. `minCount` filters the REPORTED
+    * pairs only; marginals and N are always computed over the full
+    * matrix (filtering first would bias every score upward).
+    *
+    * Scale shape: [[skipGrams]] staged once and reused by all four
+    * consumers (pairs, two marginals, N); the marginal joins key on a
+    * single word — vocabulary-sized, broadcastable; N crosses as one
+    * broadcast row. The numerator needs > 64 bits at corpus scale
+    * (N·n·1e6), computed in decimal(38,0) with integral `div`.
+    */
+  def skipGramLift(
+      docs: DataFrame,
+      textCol: String = "text",
+      window: Int = 3,
+      minCount: Long = 1L): DataFrame = {
+    val co = Staging.stage(skipGrams(docs, textCol, window, 1L), reliable = false)
+    val rowm = co.groupBy("center").agg(sum(col("n")).as("n_center"))
+    val colm = co.groupBy("context").agg(sum(col("n")).as("n_context"))
+    val tot = co.groupBy().agg(sum(col("n")).as("n_total"))
+    co.where(col("n") >= minCount)
+      .join(rowm, Seq("center"))
+      .join(colm, Seq("context"))
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_e6",
+        expr("cast((cast(n_total as decimal(38,0)) * n * 1000000) div (n_center * n_context) as bigint)"))
+      .select(col("center"), col("context"), col("n"), col("lift_e6"))
+  }
 }

@@ -488,4 +488,124 @@ object Similarity {
         max(col("__n2")).as("norm2q_max"),
         expr("sum(__n2) div count(1)").as("norm2q_mean"))
   }
+
+  /** Shared PQ front end: int8-quantized subvectors of a vector table
+    * plus the sampled per-subspace codebook. Quantization is the
+    * [[VectorFunctions.quantizeInt8]] lattice (per-vector L∞
+    * normalization — the same contract as [[graft.ops.KMeans]]), so all
+    * downstream distances are EXACT Long arithmetic: order-independent,
+    * replayable in any SQL engine. The codebook is the k lowest-id
+    * vectors' subvectors, centroid j = rank-j id per subspace — the
+    * "sampled codebook" PQ variant (no training pass; callers wanting
+    * Lloyd-refined codebooks run [[graft.ops.KMeans]] per subspace and
+    * assign with the same subvector split). Returns the dim so callers
+    * share the single bounded head() fetch.
+    */
+  private def pqParts(
+      df: DataFrame,
+      m: Int,
+      k: Int,
+      idCol: String,
+      vecCol: String,
+      outId: String): (DataFrame, DataFrame) = {
+    require(m >= 1, s"m must be >= 1: $m")
+    require(k >= 1, s"k must be >= 1: $k")
+    // bounded driver fetch (1 row): the subspace split needs dim % m = 0
+    val dim = df.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val q = df.select(col(idCol).cast("long").as(outId),
+      VectorFunctions.quantizeInt8(col(vecCol), VectorFunctions.maxAbs(col(vecCol))).as("__qv"))
+    def split(t: DataFrame): DataFrame = t.select(col(outId),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("__qv"), s * lit(sub) + lit(1), lit(sub)))))
+      .select(col(outId), col("pos").cast("long").as("s"), col("col").as("v"))
+    val cb = split(
+      q.orderBy(col(outId)).limit(k)
+        .withColumn("__j",
+          row_number().over(Window.orderBy(col(outId))).cast("long") - 1L)
+        .select(col("__j").as(outId), col("__qv")))
+      .select(col("s"), col(outId).as("j"), col("v").as("cvec"))
+    (split(q), cb)
+  }
+
+  private def latticeD2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, e) => acc + e)
+
+  /** PRODUCT QUANTIZATION codes (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): split each vector into
+    * `m` subspaces and store, per subspace, the id of the nearest of
+    * `k` codebook centroids — m·log₂k bits per vector instead of
+    * dim·32, THE memory layout that lets a 100 TB embedding corpus fit
+    * an ANN index in RAM. Output `(vec_id, s, code, d2)` with `d2` the
+    * exact squared lattice distance to the chosen centroid (the
+    * per-vector quantization error, summable into a corpus distortion
+    * audit). Ties break to the smallest code.
+    *
+    * Scale shape: quantization and the subspace split are map-only; the
+    * assignment joins the n·m subvector stream against a BROADCAST
+    * k·m codebook (the min-agg combines map-side, keyed on the row —
+    * never a shuffle of the corpus against itself).
+    */
+  def pqCodes(
+      df: DataFrame,
+      m: Int = 4,
+      k: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (sub, cb) = pqParts(df, m, k, idCol, vecCol, "vec_id")
+    assignCodes(sub, cb)
+  }
+
+  private def assignCodes(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), Seq("s"))
+      .select(col("vec_id"), col("s"),
+        struct(latticeD2(col("v"), col("cvec")).as("d2"), col("j").as("code")).as("p"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(col("p")).as("m"))
+      .select(col("vec_id"), col("s"), col("m.code").as("code"), col("m.d2").as("d2"))
+
+  /** PQ ASYMMETRIC-DISTANCE top-k (ADC): approximate nearest neighbors
+    * where each corpus vector costs only its `m` codes — the query
+    * computes one lookup table of (subspace, centroid) → squared
+    * distance against the codebook, and a neighbor's approximate
+    * distance is the sum of m table entries. All arithmetic is exact
+    * Long on the shared quantization lattice, so the sum is
+    * order-independent and the ranking (adc_d2 asc, neighbor_id asc)
+    * reproduces bit-for-bit in the oracle engine. Recall is graded, not
+    * exact, by construction — [[recallAt]] and `PqSpec` carry that
+    * contract against [[bruteForceTopK]].
+    *
+    * Scale shape: the LUT is queries·m·k rows (broadcast); the corpus
+    * side is the codes table (n·m skinny integer rows) joined on
+    * (subspace, code) — a broadcast hash join with fan-out = #queries —
+    * then ONE map-side-combinable sum per (query, neighbor). Nothing
+    * quadratic in the corpus materializes anywhere.
+    */
+  def pqAdcTopK(
+      df: DataFrame,
+      queries: DataFrame,
+      m: Int = 4,
+      k: Int = 16,
+      topK: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id"): DataFrame = {
+    val (sub, cb) = pqParts(df, m, k, idCol, vecCol, "vec_id")
+    val codes = assignCodes(sub, cb)
+    val querySub = pqParts(queries, m, k, queryIdCol, vecCol, "query_id")._1
+    val lut = querySub.join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("j").as("code"),
+        latticeD2(col("v"), col("cvec")).as("qd2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("neighbor_id").asc)
+    codes.join(broadcast(lut), Seq("s", "code"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qd2"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qd2")).as("adc_d2"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
+  }
 }

@@ -1,0 +1,124 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+/** Product quantization: exact in-memory replay of the lattice codes and
+  * ADC ranking, plus a recall floor against the brute-force baseline.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** quantizeInt8 replayed: round(x·127/max|x|) half-away-from-zero. */
+  private def quantize(v: Seq[Float]): Seq[Long] = {
+    val m = v.map(x => math.abs(x.toDouble)).max
+    if (m > 0)
+      v.map(x => BigDecimal(x.toDouble * 127.0 / m)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    else v.map(_ => 0L)
+  }
+
+  private def d2(a: Seq[Long], b: Seq[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  /** The operator's contract replayed: codebook = k lowest-id vectors'
+    * subvectors; code = argmin d2, ties to smaller j.
+    */
+  private def referenceCodes(
+      vecs: Seq[(Long, Seq[Float])], m: Int, k: Int): Map[(Long, Long), (Long, Long)] = {
+    val q = vecs.map { case (id, v) => (id, quantize(v)) }
+    val sub = q.head._2.length / m
+    val cb = q.sortBy(_._1).take(k).zipWithIndex.map { case ((_, v), j) =>
+      (j.toLong, (0 until m).map(s => v.slice(s * sub, (s + 1) * sub)))
+    }
+    (for {
+      (id, v) <- q
+      s <- 0 until m
+      vs = v.slice(s * sub, (s + 1) * sub)
+    } yield {
+      val (j, dd) = cb.map { case (j, cs) => (j, d2(vs, cs(s))) }
+        .minBy { case (j, dd) => (dd, j) }
+      ((id, s.toLong), (j, dd))
+    }).toMap
+  }
+
+  // deterministic synthetic corpus: 5 well-separated cluster anchors in
+  // dim 8, members = anchor + small deterministic jitter
+  private val dim = 8
+  private def corpus(n: Int): Seq[(Long, Seq[Float])] =
+    (0L until n.toLong).map { i =>
+      val c = (i % 5).toInt
+      val v = (0 until dim).map { d =>
+        val anchor = if (d % 5 == c) 10.0 else 1.0
+        (anchor + 0.1 * ((i * 7 + d * 3) % 11)).toFloat
+      }
+      (i, v)
+    }
+
+  test("pqCodes matches the in-memory replay (codes AND distortion)") {
+    val data = corpus(40)
+    val got = Similarity.pqCodes(data.toDF("vec_id", "embedding"), m = 2, k = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == referenceCodes(data, 2, 4))
+  }
+
+  test("pqCodes: m=4/k=16 shape and code range on a bigger corpus") {
+    val data = corpus(120)
+    val got = Similarity.pqCodes(data.toDF("vec_id", "embedding"), m = 4, k = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+    assert(got.length == 120 * 4)
+    assert(got.forall { case (_, (code, dd)) => code >= 0 && code < 16 && dd >= 0 })
+    assert(got.toMap == referenceCodes(data, 4, 16))
+  }
+
+  test("indivisible dim is refused") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqCodes(corpus(10).toDF("vec_id", "embedding"), m = 3, k = 4).collect()
+    }
+    assert(e.getMessage.contains("subspace"))
+  }
+
+  test("pqAdcTopK matches the in-memory ADC replay exactly") {
+    val data = corpus(40)
+    val m = 2; val k = 4; val topK = 5
+    val queries = data.take(3).map { case (id, v) => (id, v) }
+    val got = Similarity.pqAdcTopK(
+      data.toDF("vec_id", "embedding"),
+      queries.toDF("query_id", "embedding"), m = m, k = k, topK = topK)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // replay: lut from the query's own quantization vs the corpus codebook
+    val codes = referenceCodes(data, m, k)
+    val q = data.map { case (id, v) => (id, quantize(v)) }.toMap
+    val sub = dim / m
+    val cb = data.sortBy(_._1).take(k).zipWithIndex.map { case ((_, v), j) =>
+      (j.toLong, (0 until m).map(s => quantize(v).slice(s * sub, (s + 1) * sub)))
+    }.toMap
+    val want = queries.flatMap { case (qid, qv) =>
+      val qq = quantize(qv)
+      val scored = data.filter(_._1 != qid).map { case (nid, _) =>
+        val adc = (0 until m).map { s =>
+          val (code, _) = codes((nid, s.toLong))
+          d2(qq.slice(s * sub, (s + 1) * sub), cb(code)(s))
+        }.sum
+        (nid, adc)
+      }.sortBy { case (nid, adc) => (adc, nid) }.take(topK)
+      scored.zipWithIndex.map { case ((nid, adc), r) => (qid, nid, adc, (r + 1).toLong) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("ADC recall@5 against brute-force cosine clears the floor on clustered data") {
+    val data = corpus(100)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val adc = Similarity.pqAdcTopK(df, queries, m = 4, k = 16, topK = 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(df, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (adc & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall below floor (adc=${adc.size}, brute=${brute.size})")
+  }
+}
