@@ -3217,8 +3217,42 @@ object SparkEntry {
       Similarity.pqAdcTopK(emb,
         emb.where(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
         m = 4, k = 16, topK = 10)
-    })
+    }),
+
+    // ---- longest-path layering of the halving DAG (dagPairs: strictly
+    // decreasing edges, depth grows log with the id range): the
+    // topological-schedule / critical-path primitive. ---------------------
+    "q328_dag_layers" -> ((s, dir) =>
+      Scc.dagLayers(dagPairs(s, dir))),
+
+    // ---- GloVe distance-weighted co-occurrence: window-3 pair census
+    // where a pair d apart adds floor(1e6/d) — X_ij and the raw count in
+    // one scan, all-integer. ---------------------------------------------
+    "q329_glove_cooc" -> ((s, dir) =>
+      Ngrams.gloveCooccurrence(t(s, dir, "documents"), window = 3, minCount = 5L)),
+
+    // ---- DBSCAN on the q213 synthetic point cloud (eps=2500, minPts=4:
+    // ~3 expected eps-neighbors at sf0.01 — a real core/border/noise
+    // mix); grid-blocked eps-graph, components over cores only,
+    // min-label border election keeps it a pure function of the input.
+    "q330_dbscan" -> ((s, dir) =>
+      GeoGrid.dbscan(gridRadiusPoints(t(s, dir, "customer"), lit(0L)),
+        "id", col("x"), col("y"), eps = 2500L, minPts = 4))
   )
+
+  /** Deterministic halving DAG for q328, from doc ids: n → n div 2 for
+    * every positive 10th id (chains of depth ~log₂ of the id range) plus
+    * n → n−30 cross edges every 40th id. Every edge strictly decreases,
+    * so acyclicity holds by construction at every scale.
+    */
+  private def dagPairs(s: SparkSession, dir: String): DataFrame = {
+    val b = t(s, dir, "documents")
+      .where(col("doc_id") % 10 === 0 && col("doc_id") > 0)
+      .select(col("doc_id").as("n"))
+    b.select(col("n").as("src"), expr("n div 2").as("dst"))
+      .union(b.where(col("n") % 40 === 0)
+        .select(col("n").as("src"), (col("n") - 30).as("dst")))
+  }
 
   /** Deterministic DIRECTED graph for the SCC queries, derived from doc
     * ids so the oracle rebuilds it in SQL: every 10th id anchors a
@@ -8797,7 +8831,66 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, adc_d2, rank FROM (
          | SELECT *, row_number() OVER (PARTITION BY query_id
          |   ORDER BY adc_d2, neighbor_id) AS rank FROM adc)
-         |WHERE rank <= 10""".stripMargin
+         |WHERE rank <= 10""".stripMargin,
+    // q328: longest path = max depth over ALL walks ending at a node; the
+    // recursive walk table is bounded by nodes × depth (UNION dedups).
+    "q328_dag_layers" ->
+      """WITH RECURSIVE b AS (
+        | SELECT doc_id AS n FROM documents WHERE doc_id % 10 = 0 AND doc_id > 0),
+        |e0 AS (
+        | SELECT n AS src, n // 2 AS dst FROM b
+        | UNION ALL SELECT n, n - 30 FROM b WHERE n % 40 = 0),
+        |e AS (SELECT DISTINCT src, dst FROM e0),
+        |nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |walk(id, d) AS (
+        | SELECT id, CAST(0 AS BIGINT) FROM nodes
+        | UNION
+        | SELECT e.dst, ww.d + 1 FROM walk ww JOIN e ON e.src = ww.id)
+        |SELECT id, CAST(max(d) AS BIGINT) AS layer FROM walk GROUP BY id""".stripMargin,
+    "q329_glove_cooc" ->
+      s"""WITH $TokenPosCte,
+         |p AS (SELECT a.word AS center, b.word AS context,
+         |  1000000 // abs(b.pos - a.pos) AS w
+         |      FROM t a JOIN t b ON a.doc_id = b.doc_id
+         |       AND abs(b.pos - a.pos) BETWEEN 1 AND 3)
+         |SELECT center, context, CAST(count(*) AS BIGINT) AS n,
+         | CAST(sum(w) AS BIGINT) AS w_e6
+         |FROM p GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
+    // q330: all-pairs eps-graph is fine at oracle scale; clusters replay
+    // as the q54-idiom min-closure over the core-core subgraph.
+    "q330_dbscan" ->
+      """WITH RECURSIVE p AS (
+        | SELECT CAST(c_custkey AS BIGINT) AS id,
+        |  (CAST(c_custkey AS BIGINT) * CAST(c_custkey AS BIGINT) * 7919
+        |   + CAST(c_custkey AS BIGINT) * 104729) % 100003 AS x,
+        |  (CAST(c_custkey AS BIGINT) * CAST(c_custkey AS BIGINT) * 6983
+        |   + CAST(c_custkey AS BIGINT) * 92821) % 99991 AS y
+        | FROM customer),
+        |pr AS (
+        | SELECT a.id AS a_id, b.id AS b_id FROM p a JOIN p b ON a.id < b.id
+        |  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 6250000),
+        |deg AS (SELECT id, count(*) AS nn FROM
+        | (SELECT a_id AS id FROM pr UNION ALL SELECT b_id FROM pr) GROUP BY 1),
+        |core AS (SELECT p.id FROM p LEFT JOIN deg USING (id)
+        |         WHERE coalesce(nn, 0) + 1 >= 4),
+        |ce0 AS (SELECT a_id AS u, b_id AS v FROM pr
+        |        WHERE a_id IN (SELECT id FROM core) AND b_id IN (SELECT id FROM core)),
+        |ce AS (SELECT u, v FROM ce0 UNION SELECT v, u FROM ce0),
+        |reach(id, r) AS (
+        | SELECT id, id FROM core
+        | UNION
+        | SELECT ce.u, reach.r FROM ce JOIN reach ON ce.v = reach.id),
+        |clab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        |adj AS (SELECT a_id AS id, b_id AS nb FROM pr UNION ALL SELECT b_id, a_id FROM pr),
+        |border AS (
+        | SELECT adj.id, min(cl.cluster) AS cluster
+        | FROM adj JOIN clab cl ON adj.nb = cl.id
+        | WHERE adj.id NOT IN (SELECT id FROM core) GROUP BY adj.id)
+        |SELECT id, CAST(cluster AS BIGINT) AS cluster, 'core' AS kind FROM clab
+        |UNION ALL SELECT id, CAST(cluster AS BIGINT), 'border' FROM border
+        |UNION ALL SELECT id, CAST(-1 AS BIGINT), 'noise' FROM p
+        | WHERE id NOT IN (SELECT id FROM clab)
+        |   AND id NOT IN (SELECT id FROM border)""".stripMargin
   )
 
   /** Shared (doc, word, pos) tokenization CTE for the skip-gram oracles

@@ -70,4 +70,69 @@ object GeoGrid {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         (dx * dx + dy * dy).as("dist2"))
   }
+
+  /** DBSCAN (Ester et al., KDD 1996) on the integer plane — density
+    * clustering for spatial curation (dedup of co-located records, POI
+    * cluster extraction, sensor blob detection): a point is CORE when
+    * its ε-neighborhood (inclusive of itself) holds ≥ `minPts` points;
+    * clusters are the connected components of the core-core ε-graph;
+    * non-core points adjacent to a core are BORDER; the rest is NOISE
+    * (`cluster = -1`).
+    *
+    * Determinism: classic DBSCAN leaves border-point membership
+    * scan-order-dependent (a border adjacent to two clusters joins
+    * whichever was expanded first); here a border joins the cluster
+    * with the SMALLEST label — a pure function of the input, which is
+    * what the exactness contract (and the oracle) requires. Cluster
+    * labels are min core id per cluster ([[graft.ops.Components]]
+    * semantics; isolated cores self-label).
+    *
+    * Scale shape: the ε-graph comes from [[radiusPairs]] (grid-blocked,
+    * never all-pairs); degree counts and border election are
+    * map-side-combined aggs; the only iteration is
+    * `connectedComponents` over the CORE subgraph (large-star/
+    * small-star O(log n) rounds). Output `(id, cluster, kind)` for
+    * every input point.
+    */
+  def dbscan(
+      points: DataFrame,
+      idCol: String,
+      xCol: Column,
+      yCol: Column,
+      eps: Long,
+      minPts: Int,
+      reliable: Boolean = false): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1: $minPts")
+    val pts = Staging.stage(points.select(col(idCol).cast("long").as("id")), reliable = false)
+    val pairs = Staging.stage(
+      radiusPairs(points, idCol, xCol, yCol, eps).select(col("a_id"), col("b_id")),
+      reliable = false)
+    val deg = pairs.select(col("a_id").as("id"))
+      .union(pairs.select(col("b_id").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("__nnb"))
+    val core = Staging.stage(pts.join(deg, Seq("id"), "left")
+      .where(coalesce(col("__nnb"), lit(0L)) + 1L >= minPts.toLong)
+      .select(col("id")), reliable = false)
+    val coreEdges = pairs
+      .join(core.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
+      .join(core.select(col("id").as("b_id")), Seq("b_id"), "left_semi")
+    val comp = Components.connectedComponents(coreEdges,
+      aCol = "a_id", bCol = "b_id", reliable = reliable)
+    val coreLabels = Staging.stage(core.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster")),
+      reliable = false)
+    val adj = pairs.select(col("a_id").as("id"), col("b_id").as("nb"))
+      .union(pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
+    val border = pts.join(coreLabels.select(col("id")), Seq("id"), "left_anti")
+      .join(adj, Seq("id"))
+      .join(coreLabels.select(col("id").as("nb"), col("cluster")), Seq("nb"))
+      .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+      .select(col("id"), col("cluster"), lit("border").as("kind"))
+    val assigned = Staging.stage(
+      coreLabels.select(col("id"), col("cluster"), lit("core").as("kind"))
+        .unionByName(border), reliable = false)
+    val noise = pts.join(assigned.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit(-1L).as("cluster"), lit("noise").as("kind"))
+    assigned.unionByName(noise)
+  }
 }

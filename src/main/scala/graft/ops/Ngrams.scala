@@ -533,6 +533,46 @@ object Ngrams {
       .where(col("n") >= minCount)
   }
 
+  /** GloVe-style DISTANCE-WEIGHTED co-occurrence (Pennington et al.,
+    * "GloVe", EMNLP 2014 §3: co-occurring words d tokens apart
+    * contribute 1/d to X_ij): the same symmetric window as
+    * [[skipGrams]] but each pair at offset d adds `⌊1e6/d⌋` to
+    * `w_e6` — exact integers (the per-offset weight is a SCALA-side
+    * constant, so no engine ever divides), order-independent sums,
+    * bit-identical in the oracle. Output also carries the raw count
+    * `n`, making X_ij and the unweighted census one scan.
+    *
+    * Scale shape: identical to [[skipGrams]] — one map-only
+    * slice+zip_with expansion per offset, union'd (window is a small
+    * Scala constant), then ONE vocabulary-sized count/sum aggregation.
+    */
+  def gloveCooccurrence(
+      docs: DataFrame,
+      textCol: String = "text",
+      window: Int = 3,
+      minCount: Long = 1L): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val w = col("__w")
+    val toks = Dedup.parallelize(docs)
+      .select(Dedup.wordTokens(col(textCol)).as("__w"))
+    val byOffset = (1 to window).map { d =>
+      toks.select(explode(zip_with(
+        slice(w, lit(1), greatest(size(w) - d, lit(0))),
+        slice(w, lit(d + 1), greatest(size(w) - d, lit(0))),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .select(col("p.l"), col("p.r"), lit(1000000L / d).as("w_e6"))
+    }.reduce(_ unionByName _)
+    byOffset
+      .select(explode(array(
+        struct(col("l").as("center"), col("r").as("context"), col("w_e6")),
+        struct(col("r").as("center"), col("l").as("context"), col("w_e6")))).as("q"))
+      .select(col("q.center").as("center"), col("q.context").as("context"), col("q.w_e6").as("w_e6"))
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n"), sum(col("w_e6")).as("w_e6"))
+      .where(col("n") >= minCount)
+  }
+
   /** PPMI-monotone association LIFT over the [[skipGrams]] matrix in
     * exact fixed point: `lift_e6 = ⌊1e6 · N·n(w,c) / (n(w,·)·n(·,c))⌋`
     * with N the total pair mass and the marginals taken from the SAME

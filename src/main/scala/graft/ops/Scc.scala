@@ -176,6 +176,70 @@ object Scc {
     out
   }
 
+  /** Longest-path LAYERING of a DAG: `layer(v)` = the length of the
+    * longest directed path ending at v (sources sit at layer 0) — the
+    * critical-path level a topological scheduler, lineage-depth audit,
+    * or condensation-DAG planner assigns. The op REQUIRES acyclicity
+    * and proves it operationally: on a cyclic input the max-propagation
+    * never fixes and the `maxIter` budget throws (plus an upfront
+    * self-loop probe that names the cheapest cycle immediately), so a
+    * wrong layering is never returned — the [[stronglyConnected]] /
+    * kTruss contract. Feed arbitrary directed graphs through
+    * [[condensationEdges]] first.
+    *
+    * Scale shape per round: ONE node-keyed equi-join + a
+    * map-side-combined max-agg; rounds = DAG depth (each round fixes
+    * one more layer). Same staged-leaf probe discipline as
+    * [[stronglyConnected]].
+    */
+  def dagLayers(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxIter: Int = 60,
+      reliable: Boolean = false): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def staged(df: DataFrame): DataFrame = {
+      val s = Staging.stage(df, reliable); frames += s; s
+    }
+    val raw = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    // bounded driver fetch (<= 1 row): a self-loop is the cheapest cycle
+    // witness — name it now instead of burning maxIter rounds
+    val loop = raw.where(col("src") === col("dst")).limit(1).collect()
+    require(loop.isEmpty,
+      s"dagLayers: self-loop at node ${loop.headOption.map(_.getLong(0)).getOrElse(-1L)} — input is not a DAG")
+    val e = staged(raw.distinct())
+    val nodes = staged(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    var lvl = nodes.select(col("id"), lit(0L).as("layer"))
+    var spent = 0
+    var changed = !nodes.isEmpty
+    while (changed) {
+      val inc = lvl.join(e, col("id") === col("src"))
+        .groupBy(col("dst")).agg((max(col("layer")) + 1L).as("cand"))
+        .select(col("dst").as("id"), col("cand"))
+      val merged = staged(lvl.join(inc, Seq("id"), "left")
+        .select(col("id"), col("layer"),
+          greatest(col("layer"), coalesce(col("cand"), col("layer"))).as("nl")))
+      changed = !merged.where(col("nl") > col("layer")).isEmpty
+      if (changed) {
+        spent += 1
+        if (spent > maxIter) throw new IllegalStateException(
+          s"dagLayers: no fixpoint within maxIter=$maxIter rounds — the input " +
+            "has a cycle, or its depth exceeds the budget (raise maxIter)")
+      }
+      lvl = merged.select(col("id"), col("nl").as("layer"))
+    }
+    val out = Staging.stage(lvl, reliable)
+    if (reliable) {
+      out.count()
+      frames.foreach(_.unpersist())
+    }
+    out
+  }
+
   /** Edges of the CONDENSATION — the DAG obtained by contracting every
     * SCC to its canonical (min-id) node: one row per ordered SCC pair
     * with the number of original edges crossing it. This is what a

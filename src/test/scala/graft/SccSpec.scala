@@ -128,4 +128,52 @@ class SccSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  // ---- dagLayers ---------------------------------------------------------
+
+  private def layers(edges: Seq[(Long, Long)], maxIter: Int = 60): Map[Long, Long] =
+    Scc.dagLayers(edges.toDF("src", "dst"), maxIter = maxIter)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  test("dagLayers: diamond with a long arm takes the LONGEST path") {
+    // 1→2→3→5 and 1→5: layer(5) = 3, not 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 5L), (1L, 5L))
+    assert(layers(edges) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 5L -> 3L))
+  }
+
+  test("dagLayers agrees with an in-memory longest-path reference on random DAGs") {
+    val rnd = new scala.util.Random(83)
+    for (trial <- 0 until 3) {
+      // edges only low→high id: acyclic by construction
+      val edges = Seq.fill(40)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+        .filter(e => e._1 < e._2)
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val want = scala.collection.mutable.Map(nodes.map(_ -> 0L): _*)
+      for (v <- nodes; (a, b) <- edges if b == v) // ascending order = topological
+        want(v) = math.max(want(v), want(a) + 1)
+      assert(layers(edges) == want.toMap, s"trial $trial: $edges")
+    }
+  }
+
+  test("dagLayers refuses cycles: self-loop named upfront, longer cycle via maxIter") {
+    val e1 = intercept[IllegalArgumentException] {
+      layers(Seq((1L, 2L), (7L, 7L)))
+    }
+    assert(e1.getMessage.contains("self-loop") && e1.getMessage.contains("7"))
+    val e2 = intercept[IllegalStateException] {
+      layers(Seq((1L, 2L), (2L, 3L), (3L, 1L)), maxIter = 10)
+    }
+    assert(e2.getMessage.contains("cycle"))
+  }
+
+  test("dagLayers layers the condensation of a cyclic graph") {
+    // {1,2} → {3,4} → {5,6} condensed: 1 → 3 → 5
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (5L, 6L), (6L, 5L),
+      (2L, 3L), (4L, 5L))
+    val cond = Scc.condensationEdges(edges.toDF("src", "dst"))
+      .select("src_scc", "dst_scc")
+    val got = Scc.dagLayers(cond, "src_scc", "dst_scc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 0L, 3L -> 1L, 5L -> 2L))
+  }
 }

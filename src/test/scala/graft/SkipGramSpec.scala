@@ -81,4 +81,26 @@ class SkipGramSpec extends SparkSpec {
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(3))).toMap
     got.foreach { case ((a, b), v) => assert(got((b, a)) == v, s"asymmetric at ($a,$b)") }
   }
+
+  test("gloveCooccurrence: counts match skipGrams, weights match the 1/d replay") {
+    val w = 3
+    val wants = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    for (doc <- corpus) {
+      val t = tokens(doc)
+      for {
+        i <- t.indices
+        d <- 1 to w
+        if i + d < t.length
+        p <- Seq((t(i), t(i + d)), (t(i + d), t(i)))
+      } {
+        val (n, we) = wants.getOrElse(p, (0L, 0L))
+        wants(p) = (n + 1L, we + 1000000L / d)
+      }
+    }
+    val got = Ngrams.gloveCooccurrence(corpus.toDF("text"), window = w)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == wants.toMap)
+    // the count column is exactly the skipGrams census
+    assert(got.view.mapValues(_._1).toMap == referencePairs(corpus, w))
+  }
 }
