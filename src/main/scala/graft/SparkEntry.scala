@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Association, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Correlate, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GeoGrid, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, Reshape, RuntimeFilter, Sampling, Scc, Scd, SequencePack, Sessionize, Similarity, Skyline, SkewJoin, SpanningForest, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
+import graft.ops.{AsOfJoin, Association, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Correlate, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GeoGrid, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, Reshape, RuntimeFilter, Sampling, Scc, Scd, SequencePack, Sessionize, Similarity, Sketch, Skyline, SkewJoin, SpanningForest, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -3237,7 +3237,24 @@ object SparkEntry {
     // min-label border election keeps it a pure function of the input.
     "q330_dbscan" -> ((s, dir) =>
       GeoGrid.dbscan(gridRadiusPoints(t(s, dir, "customer"), lit(0L)),
-        "id", col("x"), col("y"), eps = 2500L, minPts = 4))
+        "id", col("x"), col("y"), eps = 2500L, minPts = 4)),
+
+    // ---- Poisson bootstrap over line-item quantities: 32 one-pass
+    // replicates (each row enters replicate r Poisson(1)-many times via
+    // the md5 contract), per-replicate count+sum = the CI inputs for the
+    // mean quantity. --------------------------------------------------------
+    "q331_bootstrap_sums" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+          col("l_quantity").cast("long").as("v"))
+      Sampling.poissonBootstrap(li, "id", "v", replicates = 32)
+    }),
+
+    // ---- deterministic HLL cardinality profile of l_partkey: md5-fixed
+    // registers (b=6), the raw estimator in exact fixed point, and the
+    // true distinct count beside it as the accuracy audit. ----------------
+    "q332_hll_profile" -> ((s, dir) =>
+      Sketch.hllProfile(t(s, dir, "lineitem"), "l_partkey", b = 6))
   )
 
   /** Deterministic halving DAG for q328, from doc ids: n → n div 2 for
@@ -8890,7 +8907,48 @@ object SparkEntry {
         |UNION ALL SELECT id, CAST(cluster AS BIGINT), 'border' FROM border
         |UNION ALL SELECT id, CAST(-1 AS BIGINT), 'noise' FROM p
         | WHERE id NOT IN (SELECT id FROM clab)
-        |   AND id NOT IN (SELECT id FROM border)""".stripMargin
+        |   AND id NOT IN (SELECT id FROM border)""".stripMargin,
+    // q331: the Poisson(1) draw replayed from the shared cumulative
+    // thresholds (Sampling.PoissonCum — ONE source for both engines).
+    "q331_bootstrap_sums" -> {
+      val u = hexPrefixOracle("md5(id || ':' || CAST(replicate AS VARCHAR))", 8)
+      val kCase = Sampling.PoissonCum.zipWithIndex.reverse
+        .map { case (t, i) => s"WHEN u >= $t THEN ${i + 1}" }
+        .mkString("CASE ", " ", " ELSE 0 END")
+      s"""WITH li AS (
+         | SELECT CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS id,
+         |  CAST(l_quantity AS BIGINT) AS v
+         | FROM lineitem),
+         |x AS (SELECT id, v, r.r AS replicate FROM li, range(0, 32) r(r)),
+         |uu AS (SELECT replicate, v, $u AS u FROM x),
+         |k AS (SELECT replicate, v, $kCase AS k FROM uu)
+         |SELECT replicate, CAST(sum(k) AS BIGINT) AS n_rows,
+         | CAST(sum(k * v) AS BIGINT) AS sum_value
+         |FROM k GROUP BY 1""".stripMargin
+    },
+    // q332: the md5-fixed HLL replayed register by register; the rank is
+    // the same descending comparison chain the operator codegens.
+    "q332_hll_profile" -> {
+      val u = hexPrefixOracle("md5(CAST(l_partkey AS VARCHAR))", 8)
+      val rankCase = (1 to 26)
+        .map(r => s"WHEN w >= ${1L << (26 - r)} THEN $r")
+        .mkString("CASE ", " ", " ELSE 27 END")
+      s"""WITH uu AS (SELECT $u AS u FROM lineitem),
+         |s AS (SELECT u // 67108864 AS bucket, u % 67108864 AS w FROM uu),
+         |r AS (SELECT bucket, max($rankCase) AS register FROM s GROUP BY 1),
+         |z AS (SELECT g.b AS bucket, coalesce(r.register, 0) AS register
+         |      FROM range(0, 64) g(b) LEFT JOIN r ON g.b = r.bucket),
+         |agg AS (SELECT count(*) AS m,
+         |  sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS n_zero_registers,
+         |  sum(CAST(1 AS BIGINT) << (27 - register)) AS s_num FROM z)
+         |SELECT CAST(m AS BIGINT) AS m,
+         | CAST(n_zero_registers AS BIGINT) AS n_zero_registers,
+         | CAST(s_num AS BIGINT) AS s_num,
+         | CAST((CAST(709340 AS BIGINT) * 4096 * (CAST(1 AS BIGINT) << 27))
+         |   // s_num AS BIGINT) AS est_e6,
+         | (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem) AS n_exact
+         |FROM agg""".stripMargin
+    }
   )
 
   /** Shared (doc, word, pos) tokenization CTE for the skip-gram oracles

@@ -92,6 +92,14 @@ object TextFunctions {
   def tokenCount(text: Column): Column =
     GraftColumn(expressions.RegexpCount(GraftColumn.expr(text), TokenPattern))
 
+  /** The md5-uniform contract as a native Long: identical value to
+    * `conv(substring(md5(s), 1, nHex), 16, 10)` (what every oracle
+    * replays), evaluated straight off the digest bytes inside
+    * whole-stage codegen — see [[expressions.Md5PrefixLong]].
+    */
+  def md5Prefix(s: Column, nHex: Int): Column =
+    GraftColumn(expressions.Md5PrefixLong(GraftColumn.expr(s), nHex))
+
   /** Reference extract-all form of [[tokenCount]] (what the SQL oracles
     * run; tests cross-check the native form against it).
     */

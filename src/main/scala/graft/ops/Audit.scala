@@ -84,8 +84,8 @@ object Audit {
     */
   def groupChecksum(df: DataFrame, groupCols: Seq[String], hashCols: Seq[String]): DataFrame = {
     require(hashCols.nonEmpty, "hashCols must be non-empty")
-    val fp = conv(substring(md5(concat_ws("|", hashCols.map(col): _*)), 1, 10), 16, 10)
-      .cast("long")
+    val fp = graft.functions.TextFunctions.md5Prefix(
+      concat_ws("|", hashCols.map(col): _*), 10)
     val grouped =
       if (groupCols.isEmpty) df.groupBy() else df.groupBy(groupCols.map(col): _*)
     grouped.agg(

@@ -21,7 +21,7 @@ object Sampling {
     * [[graft.jobs.CorpusPrep.hashSplit]]'s train/val/test assignment).
     */
   def idBucket(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("long")
+    graft.functions.TextFunctions.md5Prefix(id.cast("string"), 2)
 
   /** Per-stratum threshold out of 256 for a sampling fraction. */
   def threshold(fraction: Double): Int = {
@@ -115,7 +115,7 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val wdf = strides.toSeq.toDF(sourceCol, "__stride")
-    val u40 = conv(substring(md5(col(idCol).cast("string")), 1, 10), 16, 10).cast("long")
+    val u40 = graft.functions.TextFunctions.md5Prefix(col(idCol).cast("string"), 10)
     df.join(broadcast(wdf), Seq(sourceCol))
       .withColumn("mix_pos", u40 * col("__stride"))
       .drop("__stride")
@@ -464,6 +464,61 @@ object Sampling {
     * sample-sized (heaps hold k+1 rows); for k in the hundreds of
     * millions use [[quotaSample]]-style stratified passes instead.
     */
+  /** Cumulative Poisson(1) CDF × 2³² (k = 0..7; the residual tail caps
+    * draws at 8) — the shared contract between [[poissonBootstrap]] and
+    * its oracle: a 32-bit md5 uniform u draws k = #{j : u ≥ cum(j)}.
+    */
+  val PoissonCum: Seq[Long] = Seq(1580030168L, 3160060337L, 3950075421L,
+    4213413783L, 4279248373L, 4292415291L, 4294609777L, 4294923276L)
+
+  /** POISSON BOOTSTRAP (the scalable bootstrap: each row enters
+    * replicate r a Poisson(1) number of times instead of multinomial
+    * resampling, so replicates build in ONE distributed pass with no
+    * global coordination — Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google 2012): per (row, replicate) the
+    * md5-derived 32-bit uniform draws k from [[PoissonCum]] (capped at
+    * 8, cumulative-tail < 1e-5), and each replicate reports its
+    * resampled row count and value sum — enough to bootstrap a CI for
+    * any mean/total downstream. The uniform is the [[idBucket]] md5
+    * contract keyed on (id, replicate): every rerun, retry and the
+    * DuckDB oracle draw identical counts.
+    *
+    * `idCol` MUST be unique (the [[prioritySample]] contract): duplicate
+    * ids draw identical Poisson counts in every replicate, correlating
+    * rows the bootstrap assumes independent.
+    *
+    * Scale shape: a ×B map-only fan-out (the standard Poisson-bootstrap
+    * cost) into a B-row map-side-combined aggregation — the shuffle
+    * carries B rows per task regardless of input size. B is a
+    * replicate count (32-ish), not data-sized.
+    */
+  def poissonBootstrap(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      replicates: Int = 32): DataFrame = {
+    require(replicates >= 1, s"replicates must be >= 1: $replicates")
+    // the ×B fan-out is CPU-bound map work (string build + md5 per
+    // draw): spread the narrow input across the full parallelism first
+    // (Spread is a no-op when the scan already has enough partitions)
+    val drawn = graft.io.Spread.toDefaultParallelism(
+      df.select(col(idCol).cast("string").as("__id"), col(valueCol).cast("long").as("__v")))
+      .select(col("__id"), col("__v"),
+        explode(sequence(lit(0L), lit(replicates.toLong - 1L))).as("replicate"))
+      .withColumn("__u",
+        graft.functions.TextFunctions.md5Prefix(
+          concat_ws(":", col("__id"), col("replicate").cast("string")), 8))
+      .withColumn("__k",
+        // ascending fold leaves the LARGEST threshold outermost, so the
+        // chain reads "k = highest j with u >= cum(j-1)"
+        PoissonCum.zipWithIndex.foldLeft(lit(0L)) { case (acc, (t, i)) =>
+          when(col("__u") >= t, lit(i + 1L)).otherwise(acc)
+        })
+    drawn.groupBy(col("replicate"))
+      .agg(sum(col("__k")).as("n_rows"),
+        sum(col("__k") * col("__v")).as("sum_value"))
+  }
+
   def prioritySample(
       df: DataFrame,
       k: Int,
@@ -480,7 +535,7 @@ object Sampling {
         s"${over.headOption.map(_.getLong(1)).getOrElse(-1L)} >= 2^31 — pre-scale weights")
     val pri = base
       .withColumn("__u",
-        conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10).cast("long") + 1L)
+        graft.functions.TextFunctions.md5Prefix(col("id").cast("string"), 8) + 1L)
       .withColumn("priority", expr("(weight * 4294967296L) div __u"))
       .drop("__u")
     // top-(k+1) stays a DataFrame (distributed heap-merge); staged so

@@ -1,0 +1,104 @@
+package graft
+
+import graft.ops.{Sampling, Sketch}
+
+/** Deterministic HLL and the Poisson bootstrap: exact in-memory replays
+  * of the md5-contract draws plus statistical sanity floors.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def u32(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+
+  // ---- HLL ----------------------------------------------------------------
+
+  private def referenceRegisters(values: Seq[String], b: Int): Map[Long, Long] = {
+    val wBits = 32 - b
+    val regs = scala.collection.mutable.Map((0L until (1L << b)).map(_ -> 0L): _*)
+    for (v <- values) {
+      val u = u32(v)
+      val bucket = u >> wBits
+      val w = u & ((1L << wBits) - 1)
+      val rank =
+        if (w == 0) wBits + 1L
+        else (1 to wBits).find(r => w >= (1L << (wBits - r))).get.toLong
+      regs(bucket) = math.max(regs(bucket), rank)
+    }
+    regs.toMap
+  }
+
+  test("hllRegisters matches the in-memory replay, duplicates free") {
+    val values = (1 to 500).map(i => s"v${i % 200}") // 200 distinct, heavy dups
+    val got = Sketch.hllRegisters(values.toDF("v"), "v", b = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 64)
+    assert(got == referenceRegisters(values.map(v => v), 6))
+    // duplicate-insensitivity: the distinct set sketches identically
+    val dedup = Sketch.hllRegisters(values.distinct.toDF("v"), "v", b = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == dedup)
+  }
+
+  test("hllProfile: integer estimator replays and lands near the truth") {
+    for (n <- Seq(300, 3000)) {
+      val values = (1 to n).map(i => s"item-$i")
+      val r = Sketch.hllProfile(values.toDF("v"), "v", b = 6).head()
+      val (m, nZero, sNum, est6, exact) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(m == 64 && exact == n)
+      // replay the estimator from the replayed registers
+      val regs = referenceRegisters(values, 6)
+      val sNumWant = regs.values.map(mr => 1L << (27 - mr)).sum
+      assert(sNum == sNumWant)
+      assert(est6 == 709340L * 64 * 64 * (1L << 27) / sNumWant)
+      if (n == 3000) assert(nZero == 0L)
+      // raw HLL with m=64 has ~13% relative error; 35% is a safe floor
+      // for a fixed hash (no randomness: this is a regression pin)
+      val rel = math.abs(est6 / 1e6 - n) / n
+      assert(rel < 0.35, s"n=$n est=${est6 / 1e6} rel=$rel")
+    }
+  }
+
+  // ---- Poisson bootstrap --------------------------------------------------
+
+  private def kOf(u: Long): Long = {
+    val c = Sampling.PoissonCum
+    c.count(t => u >= t).toLong
+  }
+
+  test("poissonBootstrap matches the in-memory md5 replay exactly") {
+    val rows = (1L to 300L).map(i => (i, i % 17))
+    val b = 8
+    val got = Sampling.poissonBootstrap(rows.toDF("id", "v"), "id", "v", replicates = b)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val want = (0L until b.toLong).map { rep =>
+      val ks = rows.map { case (id, v) => (kOf(u32(s"$id:$rep")), v) }
+      (rep, (ks.map(_._1).sum, ks.map { case (k, v) => k * v }.sum))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("poissonBootstrap replicate means bracket the truth (CI sanity)") {
+    val rows = (1L to 2000L).map(i => (i, 10L + (i % 21))) // mean 20
+    val got = Sampling.poissonBootstrap(rows.toDF("id", "v"), "id", "v", replicates = 32)
+      .collect().map(r => r.getLong(2).toDouble / r.getLong(1))
+    assert(got.length == 32)
+    val lo = got.min; val hi = got.max
+    assert(lo <= 20.2 && hi >= 19.8, s"bootstrap range [$lo, $hi] should bracket ~20")
+    assert(hi - lo < 2.0, s"replicate spread ${hi - lo} implausibly wide for n=2000")
+  }
+
+  test("poisson draw distribution is plausibly Poisson(1)") {
+    // across many (id, replicate) cells the empirical mean of k must sit
+    // near 1 (fixed hash: this is a regression pin, not a flaky test)
+    val rows = (1L to 1000L).map(i => (i, 1L))
+    val got = Sampling.poissonBootstrap(rows.toDF("id", "v"), "id", "v", replicates = 4)
+      .collect().map(r => r.getLong(1)).sum
+    val mean = got.toDouble / 4000
+    assert(mean > 0.93 && mean < 1.07, s"mean draw $mean far from 1")
+  }
+}
