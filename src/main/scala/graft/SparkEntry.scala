@@ -3254,7 +3254,27 @@ object SparkEntry {
     // registers (b=6), the raw estimator in exact fixed point, and the
     // true distinct count beside it as the accuracy audit. ----------------
     "q332_hll_profile" -> ((s, dir) =>
-      Sketch.hllProfile(t(s, dir, "lineitem"), "l_partkey", b = 6))
+      Sketch.hllProfile(t(s, dir, "lineitem"), "l_partkey", b = 6)),
+
+    // ---- KMV bottom-k distinct profile of the same column: the sketch
+    // with union AND intersection algebra, next to HLL for comparison. ----
+    "q333_kmv_distinct" -> ((s, dir) =>
+      Sketch.kmvProfile(t(s, dir, "lineitem"), "l_partkey", k = 256)),
+
+    // ---- count-min frequency estimates for the 20 busiest customers:
+    // 4x512 salted counters, estimate = min over rows — upper-bounds the
+    // exact count structurally. -------------------------------------------
+    "q334_count_min" -> ((s, dir) =>
+      Sketch.countMinTopK(t(s, dir, "orders"), "o_custkey",
+        rows = 4, width = 512, topK = 20)),
+
+    // ---- Bloom membership audit: every-7th-customer watchlist probed by
+    // all ordering customers; 2048 bits / 4 hashes sized to show a real,
+    // replayable false-positive rate. --------------------------------------
+    "q335_bloom_audit" -> ((s, dir) =>
+      Sketch.bloomAudit(t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer").where(col("c_custkey") % 7 === 0), "c_custkey",
+        bits = 2048, hashes = 4))
   )
 
   /** Deterministic halving DAG for q328, from doc ids: n → n div 2 for
@@ -8948,6 +8968,61 @@ object SparkEntry {
          |   // s_num AS BIGINT) AS est_e6,
          | (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem) AS n_exact
          |FROM agg""".stripMargin
+    },
+    "q333_kmv_distinct" -> {
+      val u = hexPrefixOracle("md5(CAST(l_partkey AS VARCHAR))", 8)
+      s"""WITH uu AS (SELECT DISTINCT $u AS u FROM lineitem),
+         |bottom AS (SELECT u FROM uu ORDER BY u LIMIT 256),
+         |a AS (SELECT count(*) AS n_in, max(u) AS kth FROM bottom),
+         |e AS (SELECT count(*) AS n_exact FROM uu)
+         |SELECT CAST(256 AS BIGINT) AS k,
+         | CAST(CASE WHEN n_in < 256 THEN 0 ELSE kth END AS BIGINT) AS kth_min,
+         | CAST(CASE WHEN n_in < 256 THEN n_exact
+         |      ELSE (255 * 4294967296) // kth END AS BIGINT) AS est,
+         | CAST(n_exact AS BIGINT) AS n_exact
+         |FROM a, e""".stripMargin
+    },
+    "q334_count_min" -> {
+      val ub = hexPrefixOracle("md5(value || ':' || CAST(r AS VARCHAR))", 8)
+      s"""WITH v AS (SELECT CAST(o_custkey AS VARCHAR) AS value FROM orders),
+         |fan AS (SELECT value, r.r AS r FROM v, range(0, 4) r(r)),
+         |cells AS (SELECT r, $ub % 512 AS b, count(*) AS c
+         |          FROM fan GROUP BY 1, 2),
+         |top AS (SELECT value, count(*) AS n_exact FROM v GROUP BY 1
+         |        ORDER BY n_exact DESC, value ASC LIMIT 20),
+         |tr AS (SELECT value, n_exact,
+         |  row_number() OVER (ORDER BY n_exact DESC, value ASC) AS rank FROM top),
+         |j AS (SELECT value, n_exact, rank, r.r AS r, $ub % 512 AS b
+         |      FROM tr, range(0, 4) r(r))
+         |SELECT j.value, CAST(j.n_exact AS BIGINT) AS n_exact,
+         | CAST(min(c.c) AS BIGINT) AS cm_est, CAST(j.rank AS BIGINT) AS rank
+         |FROM j JOIN cells c ON j.r = c.r AND j.b = c.b
+         |GROUP BY 1, 2, 4""".stripMargin
+    },
+    "q335_bloom_audit" -> {
+      def bitOf(vExpr: String, hExpr: String) =
+        hexPrefixOracle(s"md5($vExpr || '#' || CAST($hExpr AS VARCHAR))", 8) + " % 2048"
+      s"""WITH m AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS v
+         |           FROM customer WHERE c_custkey % 7 = 0),
+         |bitset AS (SELECT DISTINCT ${bitOf("m.v", "h.h")} AS bit
+         |           FROM m, range(0, 4) h(h)),
+         |p AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v FROM orders),
+         |pm AS (SELECT p.v, CASE WHEN m.v IS NOT NULL THEN 1 ELSE 0 END AS is_m
+         |       FROM p LEFT JOIN m ON p.v = m.v),
+         |hits AS (SELECT pm.v, pm.is_m, count(*) AS nh
+         | FROM pm, range(0, 4) h(h)
+         | WHERE (${bitOf("pm.v", "h.h")}) IN (SELECT bit FROM bitset)
+         | GROUP BY 1, 2),
+         |pos AS (SELECT count(*) AS n_positive, coalesce(sum(is_m), 0) AS n_true
+         |        FROM hits WHERE nh = 4),
+         |tot AS (SELECT count(*) AS n_probed, sum(is_m) AS n_member_probed FROM pm)
+         |SELECT CAST(n_probed AS BIGINT) AS n_probed,
+         | CAST(n_member_probed AS BIGINT) AS n_member_probed,
+         | CAST(n_positive AS BIGINT) AS n_positive,
+         | CAST(n_positive - n_true AS BIGINT) AS n_false_positive,
+         | CAST((1000000 * (n_positive - n_true))
+         |   // greatest(n_probed - n_member_probed, 1) AS BIGINT) AS fp_ppm
+         |FROM pos, tot""".stripMargin
     }
   )
 

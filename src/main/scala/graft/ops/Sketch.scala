@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, cross-engine-replayable cardinality sketching.
@@ -80,5 +81,142 @@ object Sketch {
           .as("est_e6"))
     val exact = df.agg(countDistinct(col(valueCol)).as("n_exact"))
     sketch.crossJoin(broadcast(exact))
+  }
+
+  /** KMV (k minimum values / bottom-k) distinct-count profile — the
+    * OTHER classic cardinality sketch, with different merge algebra
+    * than [[hllProfile]]: two KMV sketches merge by unioning hash sets
+    * and re-taking the k smallest, which also supports set
+    * INTERSECTION estimates (Jaccard via shared minima) that HLL
+    * cannot. Estimator: with u₍k₎ the k-th smallest distinct 32-bit
+    * md5 value, `est = (k−1)·2³² div u₍k₎` — exact integer division on
+    * the md5 contract, bit-identical in any engine. Fewer than k
+    * distinct values → the sketch IS the value set and the count is
+    * exact (`est = n_exact`, `kth_min = 0` as the degenerate marker).
+    *
+    * Scale shape: one distinct on the 32-bit hash (the shuffle carries
+    * hashes, not values) followed by a distributed top-k heap
+    * (`TakeOrderedAndProject`) — k is sketch-sized (hundreds), never
+    * data-sized. The exact distinct count rides the same distinct pass.
+    */
+  def kmvProfile(df: DataFrame, valueCol: String, k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val hashes = Staging.stage(
+      df.select(graft.functions.TextFunctions.md5Prefix(col(valueCol).cast("string"), 8).as("u"))
+        .distinct(),
+      reliable = false)
+    val bottom = hashes.orderBy(col("u").asc).limit(k)
+    val agg = bottom.agg(count(lit(1)).as("n_in_sketch"), max(col("u")).as("kth"))
+      .crossJoin(broadcast(hashes.agg(count(lit(1)).as("n_exact"))))
+    agg.select(
+      lit(k.toLong).as("k"),
+      when(col("n_in_sketch") < k, lit(0L)).otherwise(col("kth")).as("kth_min"),
+      when(col("n_in_sketch") < k, col("n_exact"))
+        .otherwise(expr(s"(${k - 1}L * 4294967296L) div kth")).as("est"),
+      col("n_exact"))
+  }
+
+  /** COUNT-MIN point-frequency estimates (Cormode–Muthukrishnan 2005)
+    * for the `topK` most frequent values, next to their exact counts:
+    * the sketch is `rows × width` counters (counter(r, b) = number of
+    * occurrences hashing to bucket b under salt r), the estimate is
+    * `min_r counter(r, bucket(v, r))` — an UPPER bound on the true
+    * count, always (`cm_est ≥ n_exact` is a structural invariant the
+    * spec pins). Every hash is the md5 contract salted by the row
+    * index, so sketch AND estimates replay exactly.
+    *
+    * Scale shape: the sketch build is a ×rows map fan-out into a
+    * map-side-combined count keyed by (row, bucket) — the shuffle is
+    * bounded by rows·width per task regardless of corpus size, and two
+    * sketches merge by cell-wise addition (the streaming/mergeable
+    * property that makes CM the 100 TB frequency primitive). The exact
+    * top-k (the audit) is the only value-keyed shuffle.
+    */
+  def countMinTopK(
+      df: DataFrame,
+      valueCol: String,
+      rows: Int = 4,
+      width: Int = 512,
+      topK: Int = 20): DataFrame = {
+    require(rows >= 1 && width >= 2 && topK >= 1, s"bad cm params: $rows/$width/$topK")
+    val v = col(valueCol).cast("string")
+    def bucket(value: Column, r: Column): Column =
+      graft.functions.TextFunctions.md5Prefix(
+        concat_ws(":", value, r.cast("string")), 8) % width
+    val fan = df.select(v.as("__v"))
+      .select(col("__v"), explode(sequence(lit(0L), lit(rows.toLong - 1L))).as("__r"))
+    val cells = Staging.stage(
+      fan.groupBy(col("__r"), bucket(col("__v"), col("__r")).as("__b"))
+        .agg(count(lit(1)).as("__c")),
+      reliable = false)
+    val top = Staging.stage(
+      df.select(v.as("value")).groupBy("value").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("value").asc).limit(topK)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("n_exact").desc, col("value").asc)).cast("long")),
+      reliable = false)
+    top.select(col("value"), col("n_exact"), col("rank"),
+        explode(sequence(lit(0L), lit(rows.toLong - 1L))).as("__qr"))
+      .join(cells,
+        col("__qr") === col("__r") && bucket(col("value"), col("__qr")) === col("__b"))
+      .groupBy(col("value"), col("n_exact"), col("rank"))
+      .agg(min(col("__c")).as("cm_est"))
+      .select(col("value"), col("n_exact"), col("cm_est"), col("rank"))
+  }
+
+  /** Deterministic BLOOM-FILTER membership audit: build a `bits`-wide,
+    * `hashes`-hash Bloom set over `members`, probe every distinct value
+    * of `df`, and report the confusion counts plus the observed
+    * false-positive rate in ppm — the planning number a runtime-filter
+    * or decontamination pass needs before trusting a Bloom at 100 TB.
+    * Spark's own Bloom (`bloom_filter_agg`/`might_contain`) hashes with
+    * engine-internal xxhash — this one is the md5 contract, so the bit
+    * set and every probe verdict replay bit-for-bit in the oracle.
+    *
+    * Scale shape: the bit set is a distinct on (bit) — at most
+    * `bits` rows survive; probes fan ×hashes and semi-join the bit set
+    * on the bit key; a probe is positive iff all `hashes` bits hit
+    * (count match). Nothing collects; the output is one row.
+    */
+  def bloomAudit(
+      df: DataFrame,
+      valueCol: String,
+      members: DataFrame,
+      memberCol: String,
+      bits: Int = 16384,
+      hashes: Int = 4): DataFrame = {
+    require(bits >= 2 && hashes >= 1, s"bad bloom params: $bits/$hashes")
+    def bit(value: Column, h: Column): Column =
+      graft.functions.TextFunctions.md5Prefix(
+        concat_ws("#", value, h.cast("string")), 8) % bits
+    val salts = explode(sequence(lit(0L), lit(hashes.toLong - 1L)))
+    val bitSet = Staging.stage(
+      members.select(col(memberCol).cast("string").as("__m"))
+        .distinct()
+        .select(col("__m"), salts.as("__h"))
+        .select(bit(col("__m"), col("__h")).as("__bit"))
+        .distinct(),
+      reliable = false)
+    val memberKeys = members.select(col(memberCol).cast("string").as("__v")).distinct()
+    val probes = Staging.stage(
+      df.select(col(valueCol).cast("string").as("__v")).distinct()
+        .join(memberKeys.select(col("__v"), lit(1L).as("__is_member")), Seq("__v"), "left"),
+      reliable = false)
+    val verdicts = probes
+      .select(col("__v"), col("__is_member"), salts.as("__h"))
+      .join(bitSet, bit(col("__v"), col("__h")) === col("__bit"), "left_semi")
+      .groupBy(col("__v"), col("__is_member"))
+      .agg(count(lit(1)).as("__hits"))
+      .where(col("__hits") === hashes.toLong)
+    verdicts
+      .agg(count(lit(1)).as("n_positive"),
+        count_if(col("__is_member").isNotNull).as("n_true_member"))
+      .crossJoin(broadcast(probes.agg(
+        count(lit(1)).as("n_probed"),
+        count_if(col("__is_member").isNotNull).as("n_member_probed"))))
+      .select(col("n_probed"), col("n_member_probed"), col("n_positive"),
+        (col("n_positive") - col("n_true_member")).as("n_false_positive"),
+        expr("(1000000L * (n_positive - n_true_member)) div greatest(n_probed - n_member_probed, 1L)")
+          .as("fp_ppm"))
   }
 }

@@ -92,6 +92,73 @@ class SketchSpec extends SparkSpec {
     assert(hi - lo < 2.0, s"replicate spread ${hi - lo} implausibly wide for n=2000")
   }
 
+  // ---- KMV ------------------------------------------------------------
+
+  test("kmvProfile: estimator replays from the k-th minimum and lands near truth") {
+    val values = (1 to 5000).map(i => s"item-${i % 1500}") // 1500 distinct
+    val r = Sketch.kmvProfile(values.toDF("v"), "v", k = 128).head()
+    val (k, kth, est, exact) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(k == 128 && exact == 1500)
+    val us = values.map(u32).distinct.sorted
+    assert(kth == us(127))
+    assert(est == 127L * 4294967296L / us(127))
+    assert(math.abs(est - 1500.0) / 1500 < 0.3, s"est $est far from 1500")
+  }
+
+  test("kmvProfile: fewer distincts than k is degenerate-exact") {
+    val values = Seq("a", "b", "c", "a")
+    val r = Sketch.kmvProfile(values.toDF("v"), "v", k = 16).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((0L, 3L, 3L)))
+  }
+
+  // ---- count-min --------------------------------------------------------
+
+  test("countMinTopK: estimates replay and upper-bound the exact counts") {
+    val rnd = new scala.util.Random(7)
+    // zipf-ish: value i appears ~ 600/i times
+    val values = (1 to 40).flatMap(i => Seq.fill(600 / i)(s"k$i")) ++
+      (1 to 300).map(i => s"tail$i")
+    val got = Sketch.countMinTopK(rnd.shuffle(values).toDF("v"), "v",
+      rows = 4, width = 64, topK = 10)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(got.length == 10)
+    // rank 1 is the most frequent value
+    assert(got.find(_._2._3 == 1L).get._1 == "k1")
+    // CM structural invariant: never underestimates
+    got.foreach { case (v, (exact, est, _)) => assert(est >= exact, s"$v: $est < $exact") }
+    // replay: counters from the same salted buckets
+    val counters = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (v <- values; r <- 0L until 4L) {
+      val b = u32(s"$v:$r") % 64
+      counters((r, b)) = counters.getOrElse((r, b), 0L) + 1
+    }
+    got.foreach { case (v, (_, est, _)) =>
+      val want = (0L until 4L).map(r => counters((r, u32(s"$v:$r") % 64))).min
+      assert(est == want, s"$v cm mismatch")
+    }
+  }
+
+  // ---- bloom ------------------------------------------------------------
+
+  test("bloomAudit: members always positive, FP rate replays exactly") {
+    val members = (1 to 200).map(i => s"m$i")
+    val probes = members ++ (1 to 2000).map(i => s"p$i")
+    val bits = 1024; val hashes = 3
+    val r = Sketch.bloomAudit(probes.toDF("v"), "v",
+      members.toDF("m"), "m", bits = bits, hashes = hashes).head()
+    val (nProbed, nMemberProbed, nPos, nFp, fpPpm) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nProbed == 2200 && nMemberProbed == 200)
+    // replay the bit set and every probe
+    val bitSet = members.flatMap(m => (0 until hashes).map(h => u32(s"$m#$h") % bits)).toSet
+    val pos = probes.distinct.count(p => (0 until hashes).forall(h => bitSet(u32(s"$p#$h") % bits)))
+    assert(nPos == pos)
+    assert(nFp == pos - 200)
+    assert(fpPpm == 1000000L * (pos - 200) / 2000)
+    // with 200*3 bits in 1024, theory predicts a meaningful but sub-50% FP rate
+    assert(nFp > 0 && nFp < 1000, s"implausible FP count $nFp")
+  }
+
   test("poisson draw distribution is plausibly Poisson(1)") {
     // across many (id, replicate) cells the empirical mean of k must sit
     // near 1 (fixed hash: this is a regression pin, not a flaky test)
