@@ -3274,7 +3274,30 @@ object SparkEntry {
     "q335_bloom_audit" -> ((s, dir) =>
       Sketch.bloomAudit(t(s, dir, "orders"), "o_custkey",
         t(s, dir, "customer").where(col("c_custkey") % 7 === 0), "c_custkey",
-        bits = 2048, hashes = 4))
+        bits = 2048, hashes = 4)),
+
+    // ---- IVF-PQ ANN (the FAISS IndexIVFPQ layout): q23's coarse
+    // centroids route, queries probe 2 lists, distance is the exact-Long
+    // PQ ADC sum — both approximation layers deterministic, so the
+    // result replays bit-for-bit. -------------------------------------------
+    "q336_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb,
+        emb.where(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding")),
+        emb.where(col("vec_id") % 97 === 0).select(col("vec_id").as("centroid_id"), col("embedding")),
+        m = 4, k = 16, topK = 10, nProbe = 2)
+    }),
+
+    // ---- KMV vocabulary resemblance: English vs non-English token sets,
+    // bottom-256 union sketch vs the exact Jaccard beside it. --------------
+    "q337_kmv_vocab_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def words(f: DataFrame) =
+        f.select(explode(Dedup.wordTokens(col("text"))).as("word"))
+      Sketch.kmvJaccard(
+        words(d.where(col("lang") === "en")),
+        words(d.where(col("lang") =!= "en")), "word", k = 256)
+    })
   )
 
   /** Deterministic halving DAG for q328, from doc ids: n → n div 2 for
@@ -9023,6 +9046,64 @@ object SparkEntry {
          | CAST((1000000 * (n_positive - n_true))
          |   // greatest(n_probed - n_member_probed, 1) AS BIGINT) AS fp_ppm
          |FROM pos, tot""".stripMargin
+    },
+    // q336: q23's coarse routing CTEs composed with the PQ chain — the
+    // candidate set is the probed lists, the distance is the ADC sum.
+    "q336_ivfpq_topk" ->
+      s"""WITH $PqCodesCte,
+         |codes AS (
+         | SELECT vec_id, s, j AS code
+         | FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+         |         ORDER BY d2, j) AS rn FROM d)
+         | WHERE rn = 1),
+         |lut AS (SELECT vec_id AS query_id, s, j AS code, d2 AS qd2
+         |        FROM d WHERE vec_id < 8),
+         |cent AS (SELECT vec_id AS c_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
+         |assigned AS (
+         | SELECT neighbor_id, c_id FROM (
+         |  SELECT e.vec_id AS neighbor_id, c.c_id,
+         |   row_number() OVER (PARTITION BY e.vec_id
+         |     ORDER BY list_cosine_similarity(e.embedding, c.embedding) DESC, c.c_id) AS rn
+         |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         |qprobe AS (
+         | SELECT query_id, c_id FROM (
+         |  SELECT q.vec_id AS query_id, c.c_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.c_id) AS rn
+         |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8) WHERE rn <= 2),
+         |cand AS (SELECT p.query_id, a.neighbor_id FROM qprobe p JOIN assigned a USING (c_id)),
+         |adc AS (
+         | SELECT c.query_id, c.neighbor_id, CAST(sum(l.qd2) AS BIGINT) AS adc_d2
+         | FROM cand c JOIN codes co ON co.vec_id = c.neighbor_id
+         | JOIN lut l ON l.query_id = c.query_id AND l.s = co.s AND l.code = co.code
+         | WHERE c.neighbor_id <> c.query_id GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, adc_d2, rank FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY adc_d2, neighbor_id) AS rank FROM adc)
+         |WHERE rank <= 10""".stripMargin,
+    "q337_kmv_vocab_jaccard" -> {
+      val u = hexPrefixOracle("md5(word)", 8)
+      def toks(where: String) =
+        s"""SELECT DISTINCT $u AS u FROM (
+           | SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+           |   w -> len(w) > 0)) AS word
+           | FROM documents WHERE $where)""".stripMargin
+      s"""WITH ta AS (${toks("lang = 'en'")}),
+         |tb AS (${toks("lang <> 'en'")}),
+         |un AS (SELECT u FROM ta UNION SELECT u FROM tb),
+         |bottom AS (SELECT u FROM un ORDER BY u LIMIT 256),
+         |sh AS (SELECT count(*) AS n_shared FROM bottom
+         |       WHERE u IN (SELECT u FROM ta) AND u IN (SELECT u FROM tb)),
+         |ns AS (SELECT count(*) AS n_sketch FROM bottom),
+         |ue AS (SELECT count(*) AS n_union_exact FROM un),
+         |ie AS (SELECT count(*) AS n_inter_exact FROM ta WHERE u IN (SELECT u FROM tb))
+         |SELECT CAST(256 AS BIGINT) AS k, CAST(n_sketch AS BIGINT) AS n_sketch,
+         | CAST(n_shared AS BIGINT) AS n_shared,
+         | CAST((1000000 * n_shared) // n_sketch AS BIGINT) AS jaccard_est_ppm,
+         | CAST(n_inter_exact AS BIGINT) AS n_inter_exact,
+         | CAST(n_union_exact AS BIGINT) AS n_union_exact,
+         | CAST((1000000 * n_inter_exact) // n_union_exact AS BIGINT) AS jaccard_exact_ppm
+         |FROM sh, ns, ue, ie""".stripMargin
     }
   )
 

@@ -608,4 +608,78 @@ object Similarity {
       .where(col("rank") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
   }
+
+  /** IVF-PQ — the production billion-vector ANN layout (FAISS's
+    * IndexIVFPQ): a COARSE quantizer routes every vector to an inverted
+    * list ([[ivfTopK]]'s broadcast-codebook assignment), queries probe
+    * only their `nProbe` nearest lists, and within the probed lists
+    * distance is the PQ ASYMMETRIC sum over codes ([[pqAdcTopK]]'s
+    * exact-Long lattice) instead of a full float scan. Memory per
+    * vector = m codes; scan cost per query = the probed lists only.
+    * Both approximation layers are deterministic here (cosine routing
+    * ties to the smallest centroid id; ADC is integer), so the result
+    * replays bit-for-bit in the oracle — recall is graded by the spec
+    * against [[bruteForceTopK]], as with every ANN variant in this
+    * module.
+    *
+    * Scale shape: routing is map-only against a broadcast codebook
+    * (corpus never shuffles for it); the candidate set is
+    * queries × probed-list sizes, built by an equi-join on the list id
+    * with the (tiny) query-probe side broadcast; ADC joins candidates
+    * to the skinny codes table on the vector id and to the broadcast
+    * LUT on (query, subspace, code). Nothing corpus-quadratic, nothing
+    * collected beyond the two codebooks.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: DataFrame,
+      m: Int = 4,
+      k: Int = 16,
+      topK: Int = 10,
+      nProbe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    // coarse codebook: identical collect/normalize/broadcast contract as
+    // [[ivfTopK]] (bounded: #centroids × dim doubles, justified there)
+    val centRows = centroids
+      .select(col(centroidIdCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(centRows.nonEmpty, "ivfPqTopK needs at least one centroid")
+    val codebook = corpus.sparkSession.sparkContext.broadcast(CentroidCodebook(
+      centRows.map(_._1),
+      centRows.map { case (_, v) =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (if (n > 0) v.map(_ / n) else v.map(_ => 0.0)).toArray
+      }))
+    val assigned = unitized(corpus, idCol, "vec_id", vecCol, "c_vec")
+      .withColumn("c_id", VectorFunctions.nearestCentroidId(col("c_vec"), codebook))
+      .select(col("vec_id"), col("c_id"))
+    val probes = unitized(queries, queryIdCol, "query_id", vecCol, "q_vec")
+      .withColumn("c_id", explode(VectorFunctions.topCentroidIds(col("q_vec"), codebook, nProbe)))
+      .select(col("query_id"), col("c_id"))
+    val (sub, cb) = pqParts(corpus, m, k, idCol, vecCol, "vec_id")
+    val codes = assignCodes(sub, cb).select(col("vec_id"), col("s"), col("code"))
+    val querySub = pqParts(queries, m, k, queryIdCol, vecCol, "query_id")._1
+    val lut = querySub.join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("j").as("code"),
+        latticeD2(col("v"), col("cvec")).as("qd2"))
+    val cand = broadcast(probes).join(assigned, Seq("c_id"))
+      .select(col("query_id"), col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("neighbor_id").asc)
+    cand.join(codes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "s", "code"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qd2"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qd2")).as("adc_d2"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
+  }
 }

@@ -116,6 +116,52 @@ object Sketch {
       col("n_exact"))
   }
 
+  /** KMV/theta-sketch SET RESEMBLANCE between two value sets — the
+    * scalable Jaccard: take the bottom-k of the UNION's distinct md5
+    * values; the fraction of that sketch present in both sides is an
+    * unbiased Jaccard estimate (Broder's minwise resemblance /
+    * theta-sketch intersection). Reported in exact ppm next to the
+    * exact Jaccard (computed on the same 32-bit hash universe, so both
+    * engines agree bit-for-bit even in the astronomically-unlikely
+    * collision). Below k union distincts the sketch IS the union and
+    * the estimate is exact by construction.
+    *
+    * Scale shape: two hash-distinct passes (hashes cross the wire, not
+    * values), one distributed bottom-k heap, two sketch-sized
+    * semi-joins. The exact intersection/union counts (the audit) are
+    * the only full-cardinality aggregations.
+    */
+  def kmvJaccard(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    def hashes(df: DataFrame): DataFrame = Staging.stage(
+      df.select(graft.functions.TextFunctions.md5Prefix(col(valueCol).cast("string"), 8).as("u"))
+        .distinct(),
+      reliable = false)
+    val ua = hashes(a)
+    val ub = hashes(b)
+    val union = Staging.stage(ua.union(ub).distinct(), reliable = false)
+    val bottom = Staging.stage(union.orderBy(col("u").asc).limit(k), reliable = false)
+    val shared = bottom
+      .join(ua, Seq("u"), "left_semi")
+      .join(ub, Seq("u"), "left_semi")
+      .agg(count(lit(1)).as("n_shared"))
+    val sizes = bottom.agg(count(lit(1)).as("n_sketch"))
+      .crossJoin(broadcast(union.agg(count(lit(1)).as("n_union_exact"))))
+      .crossJoin(broadcast(ua.join(ub, Seq("u"), "left_semi")
+        .agg(count(lit(1)).as("n_inter_exact"))))
+    broadcast(shared).crossJoin(sizes)
+      .select(
+        lit(k.toLong).as("k"),
+        col("n_sketch"), col("n_shared"),
+        expr("(1000000L * n_shared) div n_sketch").as("jaccard_est_ppm"),
+        col("n_inter_exact"), col("n_union_exact"),
+        expr("(1000000L * n_inter_exact) div n_union_exact").as("jaccard_exact_ppm"))
+  }
+
   /** COUNT-MIN point-frequency estimates (Cormode–Muthukrishnan 2005)
     * for the `topK` most frequent values, next to their exact counts:
     * the sketch is `rows × width` counters (counter(r, b) = number of

@@ -107,6 +107,58 @@ class PqSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ivfPqTopK with full probes equals pqAdcTopK (routing adds nothing)") {
+    val data = corpus(80)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val cents = df.where(col("vec_id") % 11 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val nCents = cents.count().toInt
+    val full = Similarity.ivfPqTopK(df, queries, cents,
+      m = 2, k = 8, topK = 7, nProbe = nCents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val adc = Similarity.pqAdcTopK(df, queries, m = 2, k = 8, topK = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(full == adc)
+  }
+
+  test("ivfPqTopK narrow probes: ADC values agree with the full scan on shared pairs") {
+    val data = corpus(80)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val cents = df.where(col("vec_id") % 11 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val narrow = Similarity.ivfPqTopK(df, queries, cents,
+      m = 2, k = 8, topK = 7, nProbe = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(narrow.nonEmpty)
+    val fullAdc = Similarity.pqAdcTopK(df, queries, m = 2, k = 8, topK = 80)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    narrow.foreach { case (pair, d) =>
+      assert(fullAdc(pair) == d, s"ADC for $pair differs between probed and full scan")
+    }
+  }
+
+  test("ivfPqTopK recall@5 vs brute force clears the floor on clustered data") {
+    val data = corpus(100)
+    val df = data.toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val cents = df.where(col("vec_id") % 9 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val got = Similarity.ivfPqTopK(df, queries, cents,
+      m = 4, k = 16, topK = 5, nProbe = 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(df, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    assert(recall >= 0.4, s"ivf-pq recall $recall below floor")
+  }
+
   test("ADC recall@5 against brute-force cosine clears the floor on clustered data") {
     val data = corpus(100)
     val df = data.toDF("vec_id", "embedding")

@@ -111,6 +111,34 @@ class SketchSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((0L, 3L, 3L)))
   }
 
+  test("kmvJaccard: estimator replays from the union sketch; exact beside it") {
+    val a = (1 to 900).map(i => s"w$i")        // |A| = 900
+    val b = (601 to 1400).map(i => s"w$i")     // |B| = 800, |A∩B| = 300, |A∪B| = 1400
+    val r = Sketch.kmvJaccard(a.toDF("v"), b.toDF("v"), "v", k = 128).head()
+    val (k, nSketch, nShared, estPpm, nInter, nUnion, exactPpm) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(k == 128 && nSketch == 128 && nInter == 300 && nUnion == 1400)
+    assert(exactPpm == 1000000L * 300 / 1400)
+    // replay: bottom-128 of the union hashes, shared = in both
+    val ua = a.map(u32).toSet; val ubs = b.map(u32).toSet
+    val bottom = (ua ++ ubs).toSeq.sorted.take(128)
+    val sharedWant = bottom.count(u => ua(u) && ubs(u))
+    assert(nShared == sharedWant)
+    assert(estPpm == 1000000L * sharedWant / 128)
+    // the estimate should be in the neighborhood of the truth (~214286 ppm)
+    assert(math.abs(estPpm - exactPpm) < 120000, s"est $estPpm vs exact $exactPpm")
+  }
+
+  test("kmvJaccard degenerate cases: identical sets and sub-k unions are exact") {
+    val a = (1 to 50).map(i => s"x$i")
+    val r = Sketch.kmvJaccard(a.toDF("v"), a.toDF("v"), "v", k = 256).head()
+    assert(r.getLong(1) == 50L && r.getLong(2) == 50L)   // sketch = union, all shared
+    assert(r.getLong(3) == 1000000L && r.getLong(6) == 1000000L)
+    val disjoint = Sketch.kmvJaccard(a.toDF("v"),
+      (1 to 50).map(i => s"y$i").toDF("v"), "v", k = 256).head()
+    assert(disjoint.getLong(2) == 0L && disjoint.getLong(3) == 0L)
+  }
+
   // ---- count-min --------------------------------------------------------
 
   test("countMinTopK: estimates replay and upper-bound the exact counts") {
