@@ -178,7 +178,8 @@ object Bench {
         """"q324_scc":"~4.5s at sf0.1 is fixed per-round scheduling latency (trim 3 rounds + coloring 3 + backward reach 3, each a staged tiny frame + limit-1 probe — ~30 small jobs), not data cost; the round COUNT is set by the fixture's graph structure, not its size, so 10x data reruns the same rounds with fatter partitions (sf1 smoke point). Attempt vectors are flat (4.5-4.6s) — a real floor, same class as q318's orbit loop",""" +
         """"q325_scc_condensation":"recomputes q324's SCC labeling end-to-end (driver queries are independent by contract) plus two label joins — its time is q324 + epsilon by construction",""" +
         """"q330_dbscan":"~6s at sf0.1: the sf0.1 point cloud is 10x denser than sf0.01 at the same eps (lambda ~29 eps-neighbors vs ~3), so nearly every point is core and connectedComponents runs over one giant ~15k-node eps-component — the large-star/small-star rounds are the cost, not the grid-blocked pair join (q213's shape, ~1.8s). The constituent shapes both carry sf1 smoke points (q54 components, q213 banded radius join); a 10x dbscan point at constant eps would measure densification (~100x pairs), not data scaling — the same reason q213 smokes banded",""" +
-        """"q328_dag_layers":"longest-path fixpoint rounds = DAG depth, which grows with log(max doc id) — sf0.1's halving chains are ~9 deep, so ~9 staged join/probe rounds of tiny frames: scheduling latency, q318/q324's class; attempt tail [3.7, 3.2] is the floor"}"""
+        """"q328_dag_layers":"longest-path fixpoint rounds = DAG depth, which grows with log(max doc id) — sf0.1's halving chains are ~9 deep, so ~9 staged join/probe rounds of tiny frames: scheduling latency, q318/q324's class; attempt tail [3.7, 3.2] is the floor",""" +
+        """"q341_greedy_matching":"locally-minimal-edge rounds: the round count is set by the edge-order dependency structure (~matching depth), not data size — the 120-node fixture needs the same rounds at every sf while per-round frames stay tiny; q318/q324/q328's scheduling-latency class"}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"rescue_attempts":$rescueJson,"rescue_skipped_stable":${vecJson(skippedStable)},"workload_notes":$notes,"sf":"$sfDir"}"""
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

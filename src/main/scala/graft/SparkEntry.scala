@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Association, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Correlate, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GeoGrid, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Normalize, Outliers, PageRank, Repetition, Reshape, RuntimeFilter, Sampling, Scc, Scd, SequencePack, Sessionize, Similarity, Sketch, Skyline, SkewJoin, SpanningForest, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
+import graft.ops.{AsOfJoin, Association, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Correlate, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GeoGrid, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Matching, Normalize, Outliers, PageRank, Paths, Repetition, Reshape, RuntimeFilter, Sampling, Scc, Scd, SequencePack, Sessionize, Similarity, Sketch, Skyline, SkewJoin, SpanningForest, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -3297,6 +3297,42 @@ object SparkEntry {
       Sketch.kmvJaccard(
         words(d.where(col("lang") === "en")),
         words(d.where(col("lang") =!= "en")), "word", k = 256)
+    }),
+
+    // ---- domain-balanced priority sampling: 40 docs per source drawn
+    // proportional to token count, each group carrying its own unbiased
+    // max(w, τ) estimator. --------------------------------------------------
+    "q338_priority_per_group" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      Sampling.prioritySamplePerGroup(d, k = 40, weightCol = "n_tokens",
+        groupCol = "source")
+    }),
+
+    // ---- Benford first-digit audit of order totals (floor to integer
+    // units first — double-to-int casts round differently across
+    // engines, floor does not). --------------------------------------------
+    "q339_benford" -> ((s, dir) =>
+      Audit.benford(
+        t(s, dir, "orders").select(floor(col("o_totalprice")).cast("long").as("v")), "v")),
+
+    // ---- multi-source weighted shortest paths (Bellman-Ford rounds)
+    // over the event graph with per-edge costs 1..7. -----------------------
+    "q340_weighted_sssp" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        (col("user_id") % 300).as("src"), (col("event_id") % 300).as("dst"),
+        (col("event_id") % 7 + 1).as("w"))
+      Paths.weightedSssp(e, s.range(4).toDF("id"))
+    }),
+
+    // ---- greedy weighted matching over the event pair graph: the
+    // record-linkage assignment step; oracle = pinned sequential greedy
+    // (tools/pin_matching.py, the q304/q305 fixture-pin pattern). ----------
+    "q341_greedy_matching" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(
+        (col("user_id") % 120).as("a_id"), (col("event_id") % 120).as("b_id"),
+        (col("event_id") % 97 + 1).as("w"))
+      Matching.greedyMatching(e)
     })
   )
 
@@ -9104,7 +9140,86 @@ object SparkEntry {
          | CAST(n_union_exact AS BIGINT) AS n_union_exact,
          | CAST((1000000 * n_inter_exact) // n_union_exact AS BIGINT) AS jaccard_exact_ppm
          |FROM sh, ns, ue, ie""".stripMargin
-    }
+    },
+    // q338: the q321 priority contract replayed per group; tau = the
+    // group's (k+1)-th priority via the same window rank.
+    "q338_priority_per_group" -> {
+      val u32 = hexPrefixOracle("md5(CAST(id AS VARCHAR))", 8)
+      s"""WITH d AS (SELECT source, doc_id AS id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS weight
+         | FROM documents),
+         |p AS (SELECT source, id, weight,
+         |  CAST((weight * 4294967296) // ($u32 + 1) AS BIGINT) AS priority
+         | FROM d WHERE weight > 0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |        ORDER BY priority DESC, id ASC) AS rk FROM p),
+         |tau AS (SELECT source,
+         |  max(CASE WHEN rk = 41 THEN priority ELSE 0 END) AS t
+         | FROM r WHERE rk <= 41 GROUP BY source)
+         |SELECT r.source AS "group", r.id, r.weight, r.priority,
+         | greatest(r.weight, tau.t) AS est_weight
+         |FROM r JOIN tau USING (source) WHERE rk <= 40""".stripMargin
+    },
+    // q339: shared Audit.BenfordPpm constants; floor() before the digit
+    // (double→int CASTs round half-even in the oracle engine, floor is
+    // engine-neutral).
+    "q339_benford" -> {
+      val probs = Audit.BenfordPpm.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+      s"""WITH v AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders),
+         |d AS (SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |  count(*) AS n FROM v WHERE v > 0 GROUP BY 1),
+         |bp AS (SELECT * FROM (VALUES $probs) t(digit, benford_ppm)),
+         |tot AS (SELECT sum(n) AS tot FROM d)
+         |SELECT CAST(bp.digit AS BIGINT) AS digit,
+         | CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+         | CAST(bp.benford_ppm AS BIGINT) AS benford_ppm,
+         | CAST((1000000 * coalesce(d.n, 0)) // greatest(tot.tot, 1) AS BIGINT) AS share_ppm,
+         | CAST((1000000 * coalesce(d.n, 0)) // greatest(tot.tot, 1)
+         |   - bp.benford_ppm AS BIGINT) AS dev_ppm
+         |FROM bp LEFT JOIN d ON bp.digit = d.digit, tot""".stripMargin
+    },
+    // q340: bounded-cost recursive walk enumeration (all true shortest
+    // distances on this dense mod-300 graph sit far below the 50 bound),
+    // then min per (source, node).
+    "q340_weighted_sssp" ->
+      """WITH RECURSIVE e0 AS (
+        | SELECT user_id % 300 AS src, event_id % 300 AS dst,
+        |  event_id % 7 + 1 AS w
+        | FROM events),
+        |e AS (SELECT src, dst, CAST(min(w) AS BIGINT) AS w
+        |      FROM e0 WHERE src <> dst GROUP BY 1, 2),
+        |walk(source, node, d) AS (
+        | SELECT s.s, s.s, CAST(0 AS BIGINT)
+        | FROM (VALUES (0), (1), (2), (3)) s(s)
+        | UNION
+        | SELECT ww.source, e.dst, ww.d + e.w
+        | FROM walk ww JOIN e ON e.src = ww.node WHERE ww.d + e.w <= 50)
+        |SELECT CAST(source AS BIGINT) AS source, CAST(node AS BIGINT) AS node,
+        | CAST(min(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY 1, 2""".stripMargin,
+    // q341: pinned sequential-greedy matching over the derived sf0.01
+    // event graph (regenerate: python3 tools/pin_matching.py) — the
+    // q304/q305 independent-reference fixture-pin pattern;
+    // PathsAndMatchingSpec carries the generalization burden (random
+    // graphs vs an in-memory sequential greedy).
+    "q341_greedy_matching" ->
+      """SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+        | CAST(w AS BIGINT) AS w
+        |FROM (VALUES
+        | (0, 8, 1), (1, 3, 1), (2, 37, 1), (4, 18, 1), (5, 38, 1),
+        | (6, 65, 1), (7, 27, 1), (9, 13, 1), (10, 47, 1), (11, 19, 1),
+        | (12, 22, 1), (14, 43, 1), (15, 16, 1), (17, 25, 1), (20, 50, 1),
+        | (21, 46, 1), (23, 81, 3), (24, 26, 1), (28, 72, 1), (29, 30, 1),
+        | (31, 54, 1), (32, 48, 1), (33, 105, 1), (34, 102, 1), (35, 106, 1),
+        | (36, 59, 3), (39, 103, 1), (40, 99, 1), (41, 104, 4), (42, 86, 1),
+        | (44, 68, 1), (45, 58, 1), (49, 119, 1), (51, 117, 10), (52, 57, 1),
+        | (53, 61, 1), (55, 90, 1), (56, 66, 1), (60, 93, 1), (62, 73, 1),
+        | (63, 91, 2), (64, 78, 1), (67, 79, 1), (69, 85, 9), (70, 74, 43),
+        | (71, 88, 1), (75, 76, 3), (77, 96, 1), (80, 116, 1), (82, 112, 7),
+        | (83, 110, 7), (84, 109, 2), (87, 98, 1), (89, 101, 7), (92, 107, 2),
+        | (94, 113, 1), (95, 111, 32), (97, 118, 2), (100, 108, 1), (114, 115, 1)
+        |) t(u, v, w)""".stripMargin
   )
 
   /** Shared (doc, word, pos) tokenization CTE for the skip-gram oracles

@@ -772,4 +772,44 @@ object Audit {
         min(when(col("__cum") >= col("__p90t"), col("__f"))).as("p90_fanout"))
       .withColumn("mean_fanout_milli", expr("(1000L * n_rows) div n_keys"))
   }
+
+  /** Benford's-law first-digit ppm constants, log₁₀(1 + 1/d) for
+    * d = 1..9 — they sum to exactly 1e6, and are the shared contract
+    * between [[benford]] and its oracle.
+    */
+  val BenfordPpm: Seq[Long] = Seq(301030L, 176091L, 124939L, 96910L,
+    79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /** BENFORD'S-LAW first-digit audit — the classic fabricated-data /
+    * unit-mix-up detector for naturally-occurring amounts (prices,
+    * populations, file sizes): one row per leading digit 1..9 with the
+    * observed count, observed share in ppm, the Benford expectation
+    * ([[BenfordPpm]]) and the signed deviation. Everything integer:
+    * the digit comes from the value's decimal string, shares are exact
+    * integer division, the expectation is a fixed constant table — no
+    * log is ever evaluated at query time.
+    *
+    * Scale shape: map-only digit extraction into a 9-row
+    * map-side-combined count; the output is always exactly 9 rows
+    * (zero-filled), so two audits merge by adding counts.
+    * Non-positive values are excluded (Benford is defined on positive
+    * magnitudes); callers pre-scale decimals to integer units.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = df.select(col(valueCol).cast("long").as("__v"))
+      .where(col("__v") > 0)
+      .select(substring(col("__v").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val expect = df.sparkSession.range(1, 10).select(col("id").as("digit"))
+      .withColumn("benford_ppm",
+        BenfordPpm.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
+          when(col("digit") === (i + 1).toLong, lit(p)).otherwise(acc)
+        })
+    expect.join(digits, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"), col("benford_ppm"))
+      .crossJoin(broadcast(digits.agg(sum(col("n")).as("__tot"))))
+      .select(col("digit"), col("n"), col("benford_ppm"),
+        expr("(1000000L * n) div greatest(__tot, 1L)").as("share_ppm"))
+      .withColumn("dev_ppm", col("share_ppm") - col("benford_ppm"))
+  }
 }

@@ -559,4 +559,52 @@ object Sampling {
     top.orderBy(col("priority").desc, col("id").asc).limit(k)
       .withColumn("est_weight", greatest(col("weight"), lit(tau)))
   }
+
+  /** Per-GROUP Duffield priority sampling: [[prioritySample]]'s
+    * weight-proportional without-replacement draw and max(w, τ)
+    * estimator, run independently inside every group — the
+    * domain-balanced corpus subsample (k docs per source/language,
+    * each group still carrying an unbiased weight-total estimator).
+    * Same md5 uniform, same Long-headroom weight check, same GLOBAL
+    * `idCol`-uniqueness contract (duplicate ids correlate draws across
+    * and within groups alike).
+    *
+    * Scale shape: priorities are map-only; selection is one window
+    * rank per group key — groups partition the shuffle, no global
+    * sort. τ is the (k+1)-th priority WITHIN the group (0 when the
+    * group is smaller: the sample is the group, estimator
+    * degenerate-exact), carried by a max-over-group window instead of
+    * any driver fetch.
+    */
+  def prioritySamplePerGroup(
+      df: DataFrame,
+      k: Int,
+      weightCol: String,
+      groupCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("group"),
+      col(idCol).cast("long").as("id"),
+      col(weightCol).cast("long").as("weight"))
+      .where(col("weight") > 0)
+    val over = base.where(col("weight") >= (1L << 31)).limit(1).collect()
+    require(over.isEmpty,
+      s"row ${over.headOption.map(_.getLong(1)).getOrElse(-1L)} has weight " +
+        s"${over.headOption.map(_.getLong(2)).getOrElse(-1L)} >= 2^31 — pre-scale weights")
+    val rankW = Window.partitionBy(col("group"))
+      .orderBy(col("priority").desc, col("id").asc)
+    val tauW = Window.partitionBy(col("group"))
+    base
+      .withColumn("__u",
+        graft.functions.TextFunctions.md5Prefix(col("id").cast("string"), 8) + 1L)
+      .withColumn("priority", expr("(weight * 4294967296L) div __u"))
+      .withColumn("__rk", row_number().over(rankW))
+      .where(col("__rk") <= k + 1)
+      .withColumn("__tau",
+        max(when(col("__rk") === k + 1, col("priority")).otherwise(lit(0L))).over(tauW))
+      .where(col("__rk") <= k)
+      .select(col("group"), col("id"), col("weight"), col("priority"),
+        greatest(col("weight"), col("__tau")).as("est_weight"))
+  }
 }

@@ -142,4 +142,27 @@ class AuditAndStatsSpec extends SparkSpec {
     assert(got(("a", "c")) == ((3L, 12L, 19L, 66L, 97L, 145L)))
     assert(got(("b", "c")) == ((3L, 15L, 19L, 93L, 116L, 145L)))
   }
+
+  test("benford: counts by leading digit, zero-filled, non-positives excluded") {
+    // values: 1x leading-1 (123), 2x leading-2 (2, 250), 1x leading-9; 0 and -5 dropped
+    val vals = Seq(123L, 2L, 250L, 9000L, 0L, -5L)
+    val got = Audit.benford(vals.toDF("v"), "v")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == (1L to 9L).toSet)
+    assert(got(1L)._1 == 1L && got(2L)._1 == 2L && got(9L)._1 == 1L && got(3L)._1 == 0L)
+    assert(got(2L)._3 == 1000000L * 2 / 4) // share_ppm over the 4 positive rows
+    // constants: Audit.BenfordPpm in digit order, dev = share - benford
+    got.foreach { case (d, (_, bp, sp, dev)) =>
+      assert(bp == Audit.BenfordPpm(d.toInt - 1))
+      assert(dev == sp - bp)
+    }
+  }
+
+  test("benford: a genuinely Benford-ish series (powers of 2) skews low digits high") {
+    val vals = (0 until 60).map(i => BigInt(2).pow(i).toLong % 1000000007L).filter(_ > 0)
+    val got = Audit.benford(vals.toDF("v"), "v")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // leading digit 1 should carry the largest share (classic 2^n behavior)
+    assert(got(1L) == got.values.max)
+  }
 }

@@ -250,6 +250,30 @@ class SamplingSpec extends SparkSpec {
     assert(e.getMessage.contains("row 7"))
   }
 
+  test("prioritySamplePerGroup: each group replays the single-group contract") {
+    val rnd = new scala.util.Random(83)
+    // ids globally unique, two groups of different sizes
+    val rows = (1L to 120L).map(i =>
+      (if (i <= 80) "g1" else "g2", i, 1L + rnd.nextInt(300).toLong))
+    val k = 15
+    val got = Sampling.prioritySamplePerGroup(
+      rows.toDF("src", "doc_id", "w"), k, "w", "src")
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (g <- Seq("g1", "g2")) {
+      val want = referencePriority(rows.filter(_._1 == g).map(r => (r._2, r._3)), k).toSet
+      assert(got(g) == want, s"group $g diverged")
+    }
+  }
+
+  test("prioritySamplePerGroup: a group smaller than k is degenerate-exact") {
+    val rows = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L))
+    val got = Sampling.prioritySamplePerGroup(rows.toDF("g", "doc_id", "w"), 5, "w", "g")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(got.length == 3 && got.forall(r => r._2 == r._3))
+  }
+
   test("prioritySample fails loudly when duplicate ids reach the selected top") {
     // duplicate id 5 draws the SAME uniform twice → both copies land in
     // the top-(k+1) and the bounded probe must refuse
