@@ -3333,7 +3333,25 @@ object SparkEntry {
         (col("user_id") % 120).as("a_id"), (col("event_id") % 120).as("b_id"),
         (col("event_id") % 97 + 1).as("w"))
       Matching.greedyMatching(e)
-    })
+    }),
+
+    // ---- reciprocal rank fusion of the exact cosine ranking and the PQ
+    // ADC ranking — hybrid retrieval without score calibration, exact
+    // integer contributions. ------------------------------------------------
+    "q342_rrf_fusion" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val adc = Similarity.pqAdcTopK(emb, queries, m = 4, k = 16, topK = 10)
+      Similarity.rrfFuse(exact, adc, kConst = 60, topK = 10)
+    }),
+
+    // ---- per-group HLL: approximate distinct users per event type with
+    // the exact count beside it — the grouped-sketch usage pattern. --------
+    "q343_hll_by_group" -> ((s, dir) =>
+      Sketch.hllByGroup(t(s, dir, "events"), "event_type", "user_id", b = 6))
   )
 
   /** Deterministic halving DAG for q328, from doc ids: n → n div 2 for
@@ -9219,7 +9237,71 @@ object SparkEntry {
         | (71, 88, 1), (75, 76, 3), (77, 96, 1), (80, 116, 1), (82, 112, 7),
         | (83, 110, 7), (84, 109, 2), (87, 98, 1), (89, 101, 7), (92, 107, 2),
         | (94, 113, 1), (95, 111, 32), (97, 118, 2), (100, 108, 1), (114, 115, 1)
-        |) t(u, v, w)""".stripMargin
+        |) t(u, v, w)""".stripMargin,
+    // q342: the q19 cosine ranking (restricted to the 8 shared queries)
+    // full-outer-joined with the q327 ADC ranking, integer RRF scores.
+    "q342_rrf_fusion" ->
+      s"""WITH $PqCodesCte,
+         |codes AS (
+         | SELECT vec_id, s, j AS code
+         | FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+         |         ORDER BY d2, j) AS rn FROM d)
+         | WHERE rn = 1),
+         |lut AS (SELECT vec_id AS query_id, s, j AS code, d2 AS qd2
+         |        FROM d WHERE vec_id < 8),
+         |adc0 AS (
+         | SELECT l.query_id, c.vec_id AS neighbor_id,
+         |  CAST(sum(l.qd2) AS BIGINT) AS adc_d2
+         | FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+         | WHERE c.vec_id <> l.query_id
+         | GROUP BY 1, 2),
+         |adcr AS (
+         | SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_d2, neighbor_id) AS rank FROM adc0)
+         | WHERE rank <= 10),
+         |bf AS (
+         | SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC, c.vec_id) AS rank
+         |  FROM embeddings c, embeddings q
+         |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+         | WHERE rank <= 10),
+         |fa AS (SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS c FROM bf),
+         |fb AS (SELECT query_id, neighbor_id, 1000000 // (60 + rank) AS c FROM adcr),
+         |f AS (
+         | SELECT coalesce(fa.query_id, fb.query_id) AS query_id,
+         |  coalesce(fa.neighbor_id, fb.neighbor_id) AS neighbor_id,
+         |  coalesce(fa.c, 0) + coalesce(fb.c, 0) AS rrf_e6
+         | FROM fa FULL JOIN fb
+         |  ON fa.query_id = fb.query_id AND fa.neighbor_id = fb.neighbor_id)
+         |SELECT query_id, neighbor_id, CAST(rrf_e6 AS BIGINT) AS rrf_e6, rank FROM (
+         | SELECT *, row_number() OVER (PARTITION BY query_id
+         |   ORDER BY rrf_e6 DESC, neighbor_id) AS rank FROM f)
+         |WHERE rank <= 10""".stripMargin,
+    // q343: q332's register/estimator arithmetic keyed by event_type;
+    // empty registers enter as (64 - present)·2^27.
+    "q343_hll_by_group" -> {
+      val u = hexPrefixOracle("md5(CAST(user_id AS VARCHAR))", 8)
+      val rankCase = (1 to 26)
+        .map(r => s"WHEN w >= ${1L << (26 - r)} THEN $r")
+        .mkString("CASE ", " ", " ELSE 27 END")
+      s"""WITH uu AS (SELECT event_type AS grp, $u AS u FROM events),
+         |s AS (SELECT grp, u // 67108864 AS bucket, u % 67108864 AS w FROM uu),
+         |r AS (SELECT grp, bucket, max($rankCase) AS register FROM s GROUP BY 1, 2),
+         |a AS (SELECT grp, count(*) AS present,
+         |      sum(CAST(1 AS BIGINT) << (27 - register)) AS sp FROM r GROUP BY 1),
+         |e AS (SELECT event_type AS grp, count(DISTINCT user_id) AS n_exact
+         |      FROM events GROUP BY 1)
+         |SELECT a.grp AS "group",
+         | CAST(64 - present AS BIGINT) AS n_zero_registers,
+         | CAST((64 - present) * (CAST(1 AS BIGINT) << 27) + sp AS BIGINT) AS s_num,
+         | CAST((CAST(709340 AS BIGINT) * 4096 * (CAST(1 AS BIGINT) << 27))
+         |   // ((64 - present) * (CAST(1 AS BIGINT) << 27) + sp) AS BIGINT) AS est_e6,
+         | CAST(n_exact AS BIGINT) AS n_exact
+         |FROM a JOIN e USING (grp)""".stripMargin
+    }
   )
 
   /** Shared (doc, word, pos) tokenization CTE for the skip-gram oracles

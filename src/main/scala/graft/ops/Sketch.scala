@@ -116,6 +116,53 @@ object Sketch {
       col("n_exact"))
   }
 
+  /** Per-GROUP HLL cardinality profile — the actual 100 TB usage
+    * pattern (distinct users per event type, distinct tokens per
+    * source): [[hllProfile]]'s md5-fixed registers and all-integer
+    * estimator, keyed by a group column. Empty registers are handled
+    * arithmetically instead of by zero-fill join: a register at 0
+    * contributes 2^maxRank to `s_num`, so
+    * `s_num = (m − present)·2^maxRank + Σ_present 2^(maxRank − M_j)`.
+    *
+    * Scale shape: ONE map-side-combined max-agg keyed (group, bucket)
+    * — at most m rows per group cross the wire — then an m-row-per-
+    * group reduction; the exact per-group distinct (the audit column)
+    * is the only full-cardinality shuffle.
+    */
+  def hllByGroup(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      b: Int = 6): DataFrame = {
+    require(b >= 2 && b <= 12, s"b must be in [2,12]: $b")
+    val m = (1 << b).toLong
+    val wBits = 32 - b
+    val maxRank = wBits + 1
+    val alphaE6 = math.floor(0.7213 / (1.0 + 1.079 / m) * 1e6).toLong
+    val u = graft.functions.TextFunctions.md5Prefix(col(valueCol).cast("string"), 8)
+    val w = col("__u") % (1L << wBits)
+    val rank = (wBits to 1 by -1).foldLeft(lit(maxRank.toLong)) { case (acc, r) =>
+      when(w >= (1L << (wBits - r)), lit(r.toLong)).otherwise(acc)
+    }
+    val regs = df.select(col(groupCol).as("group"), u.as("__u"))
+      .select(col("group"), (col("__u") / (1L << wBits)).cast("long").as("__bucket"),
+        rank.as("__r"))
+      .groupBy(col("group"), col("__bucket")).agg(max(col("__r")).as("__reg"))
+    val sketch = regs.groupBy(col("group"))
+      .agg(count(lit(1)).as("__present"),
+        sum(expr(s"cast(shiftleft(1L, cast($maxRank - __reg as int)) as bigint)")).as("__sp"))
+      .select(col("group"),
+        (lit(m) - col("__present")).as("n_zero_registers"),
+        (expr(s"(${m}L - __present) * cast(shiftleft(1L, $maxRank) as bigint)")
+          + col("__sp")).as("s_num"))
+      .select(col("group"), col("n_zero_registers"), col("s_num"),
+        expr(s"(${alphaE6}L * ${m * m}L * cast(shiftleft(1L, $maxRank) as bigint)) div s_num")
+          .as("est_e6"))
+    val exact = df.groupBy(col(groupCol).as("group"))
+      .agg(countDistinct(col(valueCol)).as("n_exact"))
+    sketch.join(exact, Seq("group"))
+  }
+
   /** KMV/theta-sketch SET RESEMBLANCE between two value sets — the
     * scalable Jaccard: take the bottom-k of the UNION's distinct md5
     * values; the fraction of that sketch present in both sides is an

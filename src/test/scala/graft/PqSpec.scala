@@ -159,6 +159,26 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.4, s"ivf-pq recall $recall below floor")
   }
 
+  test("rrfFuse: exact integer fusion, absences contribute zero, ties to smaller id") {
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L)).toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 11L, 1L), (1L, 13L, 2L)).toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.rrfFuse(a, b, kConst = 60, topK = 10)
+      .collect().map(r => (r.getLong(1), (r.getLong(2), r.getLong(3)))).toMap
+    // 11: 1e6/62 + 1e6/61 = 16129 + 16393 = 32522 — top
+    assert(got(11L) == ((1000000L / 62 + 1000000L / 61, 1L)))
+    assert(got(10L) == ((1000000L / 61, 2L)))           // 16393
+    assert(got(13L) == ((1000000L / 62, 3L)))           // 16129
+    assert(got(12L) == ((1000000L / 63, 4L)))           // 15873
+  }
+
+  test("rrfFuse promotes items ranked well by BOTH lists") {
+    // item 50 is rank 2 in both lists; 10 and 20 are rank-1 in one only
+    val a = Seq((7L, 10L, 1L), (7L, 50L, 2L)).toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((7L, 20L, 1L), (7L, 50L, 2L)).toDF("query_id", "neighbor_id", "rank")
+    val top = Similarity.rrfFuse(a, b).where(col("rank") === 1).head()
+    assert(top.getLong(1) == 50L)
+  }
+
   test("ADC recall@5 against brute-force cosine clears the floor on clustered data") {
     val data = corpus(100)
     val df = data.toDF("vec_id", "embedding")

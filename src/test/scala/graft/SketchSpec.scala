@@ -63,6 +63,19 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("hllByGroup: every group equals the single-group profile") {
+    val rows = (1 to 2000).map(i => (s"g${i % 3}", s"v${i % (200 + (i % 3) * 150)}"))
+    val got = Sketch.hllByGroup(rows.toDF("g", "v"), "g", "v", b = 6)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set("g0", "g1", "g2"))
+    for (g <- got.keySet) {
+      val single = Sketch.hllProfile(
+        rows.filter(_._1 == g).map(_._2).toDF("v"), "v", b = 6).head()
+      assert(got(g) == ((single.getLong(1), single.getLong(2), single.getLong(3), single.getLong(4))),
+        s"group $g diverged from hllProfile")
+    }
+  }
+
   // ---- Poisson bootstrap --------------------------------------------------
 
   private def kOf(u: Long): Long = {
