@@ -3351,7 +3351,20 @@ object SparkEntry {
     // ---- per-group HLL: approximate distinct users per event type with
     // the exact count beside it — the grouped-sketch usage pattern. --------
     "q343_hll_by_group" -> ((s, dir) =>
-      Sketch.hllByGroup(t(s, dir, "events"), "event_type", "user_id", b = 6))
+      Sketch.hllByGroup(t(s, dir, "events"), "event_type", "user_id", b = 6)),
+
+    // ---- truncated-RBO agreement between the exact cosine ranking and
+    // the PQ ADC ranking per query — the top-weighted ANN-quality
+    // metric, one C(max(ra, rb)) lookup per shared item. --------------------
+    "q344_rank_agreement" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val adc = Similarity.pqAdcTopK(emb, queries, m = 4, k = 16, topK = 10)
+      Similarity.rankAgreement(exact, adc, depth = 10, pE6 = 900000L)
+    })
   )
 
   /** Deterministic halving DAG for q328, from doc ids: n → n div 2 for
@@ -9301,6 +9314,47 @@ object SparkEntry {
          |   // ((64 - present) * (CAST(1 AS BIGINT) << 27) + sp) AS BIGINT) AS est_e6,
          | CAST(n_exact AS BIGINT) AS n_exact
          |FROM a JOIN e USING (grp)""".stripMargin
+    },
+    // q344: q342's two rankings joined on (query, item); each shared
+    // item contributes the cumulative truncated-RBO weight of its max
+    // rank — constants generated from the SAME Similarity.rboCumWeights.
+    "q344_rank_agreement" -> {
+      val cum = Similarity.rboCumWeights(10, 900000L)
+      val cCase = cum.zipWithIndex
+        .map { case (c, i) => s"WHEN ${i + 1} THEN $c" }
+        .mkString("CASE greatest(bf.rank, adcr.rank) ", " ", " ELSE 0 END")
+      s"""WITH $PqCodesCte,
+         |codes AS (
+         | SELECT vec_id, s, j AS code
+         | FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+         |         ORDER BY d2, j) AS rn FROM d)
+         | WHERE rn = 1),
+         |lut AS (SELECT vec_id AS query_id, s, j AS code, d2 AS qd2
+         |        FROM d WHERE vec_id < 8),
+         |adc0 AS (
+         | SELECT l.query_id, c.vec_id AS neighbor_id,
+         |  CAST(sum(l.qd2) AS BIGINT) AS adc_d2
+         | FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+         | WHERE c.vec_id <> l.query_id
+         | GROUP BY 1, 2),
+         |adcr AS (
+         | SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc_d2, neighbor_id) AS rank FROM adc0)
+         | WHERE rank <= 10),
+         |bf AS (
+         | SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC, c.vec_id) AS rank
+         |  FROM embeddings c, embeddings q
+         |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+         | WHERE rank <= 10)
+         |SELECT bf.query_id, CAST(count(*) AS BIGINT) AS n_shared,
+         | CAST(sum($cCase) AS BIGINT) AS score_e9,
+         | CAST(${cum.sum} AS BIGINT) AS max_score_e9
+         |FROM bf JOIN adcr USING (query_id, neighbor_id)
+         |GROUP BY 1""".stripMargin
     }
   )
 

@@ -646,6 +646,58 @@ object Similarity {
       .where(col("rank") <= topK)
   }
 
+  /** Per-rank cumulative weights for [[rankAgreement]]: the truncated
+    * rank-biased-overlap weighting (Webber–Moffat–Zobel, TOIS 2010)
+    * with persistence p, in a pure-integer chain — W₁ = 1e6 − p_e6,
+    * W_d = W_{d−1}·p_e6 div 1e6, and C(r) = Σ_{d=r..depth} (W_d·1000)
+    * div d. A matched pair visible from depth max(ra, rb) onward
+    * contributes C(max(ra, rb)) — the whole truncated-RBO sum becomes
+    * ONE lookup per shared item. Both engines read the same literal
+    * table, so agreement scores replay bit-for-bit.
+    */
+  private[graft] def rboCumWeights(depth: Int, pE6: Long): IndexedSeq[Long] = {
+    val w = Iterator.iterate(1000000L - pE6)(x => x * pE6 / 1000000L)
+      .take(depth).toIndexedSeq
+    (1 to depth).map(r => (r to depth).map(d => w(d - 1) * 1000L / d).sum)
+  }
+
+  /** Truncated-RBO RANKING AGREEMENT between two top-`depth` rankings
+    * per query — the ANN-quality / ranker-drift metric: 1e9-scaled
+    * score per query (perfect agreement = Σ_r C(r), emitted as
+    * `max_score_e9` for normalization downstream), plus the shared-item
+    * count. Top-weighted: agreeing on rank 1 is worth far more than
+    * agreeing on rank 10, which is what separates RBO from plain
+    * set-overlap@k. All arithmetic is the integer contract.
+    *
+    * Scale shape: one equi-join of two k-sized-per-query rankings on
+    * (query, item) + a map-side-combined sum; the weight table is a
+    * literal CASE, never data.
+    */
+  def rankAgreement(
+      a: DataFrame,
+      b: DataFrame,
+      depth: Int = 10,
+      pE6: Long = 900000L,
+      queryIdCol: String = "query_id",
+      itemCol: String = "neighbor_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(depth >= 1 && depth <= 100, s"depth must be in [1,100]: $depth")
+    require(pE6 >= 1 && pE6 < 1000000L, s"pE6 must be in [1, 1e6): $pE6")
+    val cum = rboCumWeights(depth, pE6)
+    def side(df: DataFrame, out: String): DataFrame =
+      df.select(col(queryIdCol).cast("long").as("query_id"),
+        col(itemCol).cast("long").as("neighbor_id"),
+        col(rankCol).cast("long").as(out))
+        .where(col(out) <= depth)
+    val contrib = cum.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, i)) =>
+      when(greatest(col("__ra"), col("__rb")) === (i + 1).toLong, lit(c)).otherwise(acc)
+    }
+    side(a, "__ra").join(side(b, "__rb"), Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_shared"), sum(contrib).as("score_e9"))
+      .withColumn("max_score_e9", lit(cum.sum))
+  }
+
   /** IVF-PQ — the production billion-vector ANN layout (FAISS's
     * IndexIVFPQ): a COARSE quantizer routes every vector to an inverted
     * list ([[ivfTopK]]'s broadcast-codebook assignment), queries probe

@@ -171,6 +171,24 @@ class PqSpec extends SparkSpec {
     assert(got(12L) == ((1000000L / 63, 4L)))           // 15873
   }
 
+  test("rankAgreement: identical rankings hit max_score_e9, contributions replay") {
+    val r1 = (1 to 10).map(i => (1L, 100L + i, i.toLong))
+    val a = r1.toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.rankAgreement(a, a, depth = 10, pE6 = 900000L).head()
+    val cum = Similarity.rboCumWeights(10, 900000L)
+    assert(got.getLong(1) == 10L)
+    assert(got.getLong(2) == cum.sum && got.getLong(3) == cum.sum)
+    // partial: b agrees only on the rank-1 and rank-10 items, at those ranks
+    val b = Seq((1L, 101L, 1L), (1L, 110L, 10L), (1L, 999L, 2L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val p = Similarity.rankAgreement(a, b, depth = 10, pE6 = 900000L).head()
+    assert(p.getLong(1) == 2L)
+    assert(p.getLong(2) == cum(0) + cum(9))
+    // disjoint rankings produce no row at all
+    val c = Seq((1L, 999L, 1L)).toDF("query_id", "neighbor_id", "rank")
+    assert(Similarity.rankAgreement(a, c).isEmpty)
+  }
+
   test("rrfFuse promotes items ranked well by BOTH lists") {
     // item 50 is rank 2 in both lists; 10 and 20 are rank-1 in one only
     val a = Seq((7L, 10L, 1L), (7L, 50L, 2L)).toDF("query_id", "neighbor_id", "rank")
