@@ -672,4 +672,56 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty,
       "global window in bradleyTerry plan")
   }
+
+  // ---- round-11 scale contracts -----------------------------------------
+
+  test("skipGrams builds the pair stream map-only: the ONLY shuffle is the count") {
+    val p = shuffleOutputs(graft.ops.Ngrams.skipGrams(docs, window = 3))
+    // exactly the aggregation exchange(s) keyed by the pair — and never text
+    assert(p.nonEmpty)
+    p.foreach { out =>
+      assert(!out.contains("text") && !out.contains("__w"), s"body column in shuffle: $out")
+    }
+    val plan = initialPlan(graft.ops.Ngrams.skipGrams(docs, window = 3))
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    assert(plan.collect { case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }.isEmpty &&
+      plan.collect { case c: CartesianProductExec => c }.isEmpty &&
+      plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "skipGrams must not join at all — the window expansion is slice+zip_with")
+  }
+
+  test("pqCodes assigns against a BROADCAST codebook — the corpus never shuffles for it") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val vecs = (1L to 60L).map(i => (i, (0 until 8).map(d => (i * 3 + d).toFloat % 5)))
+      .toDF("vec_id", "embedding")
+    val plan = initialPlan(graft.ops.Similarity.pqCodes(vecs, m = 2, k = 4))
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "codebook join is not broadcast")
+    assert(plan.collect { case s: SortMergeJoinExec => s }.isEmpty,
+      "corpus-side sort-merge join in the PQ assignment")
+  }
+
+  test("poissonBootstrap: the x32 fan-out combines map-side — the shuffle carries B rows, not draws") {
+    val rows = (1L to 400L).map(i => (i, i % 9)).toDF("id", "v")
+    val plan = initialPlan(graft.ops.Sampling.poissonBootstrap(rows, "id", "v", 32))
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    val aggs = plan.collect { case a: HashAggregateExec => a }
+    assert(aggs.size >= 2, "expected partial+final aggregation pair")
+    // the exchange output is the replicate-keyed partial aggregate — no
+    // per-draw columns (__k, __u) and no id may cross the wire
+    shuffleOutputs(graft.ops.Sampling.poissonBootstrap(rows, "id", "v", 32)).foreach { out =>
+      assert(!out.contains("__id") && !out.contains("__u"),
+        s"per-draw column in shuffle: $out")
+    }
+  }
+
+  test("rrfFuse plans equi-joins only over the two k-sized rankings") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val a = (1 to 40).map(i => (i.toLong % 4, i.toLong + 100, (i % 10 + 1).toLong))
+      .toDF("query_id", "neighbor_id", "rank")
+    val plan = initialPlan(graft.ops.Similarity.rrfFuse(a, a))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty &&
+      plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "non-equi join in rrfFuse plan")
+  }
 }
