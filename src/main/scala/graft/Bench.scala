@@ -179,7 +179,8 @@ object Bench {
         """"q325_scc_condensation":"recomputes q324's SCC labeling end-to-end (driver queries are independent by contract) plus two label joins — its time is q324 + epsilon by construction",""" +
         """"q330_dbscan":"~6s at sf0.1: the sf0.1 point cloud is 10x denser than sf0.01 at the same eps (lambda ~29 eps-neighbors vs ~3), so nearly every point is core and connectedComponents runs over one giant ~15k-node eps-component — the large-star/small-star rounds are the cost, not the grid-blocked pair join (q213's shape, ~1.8s). The constituent shapes both carry sf1 smoke points (q54 components, q213 banded radius join); a 10x dbscan point at constant eps would measure densification (~100x pairs), not data scaling — the same reason q213 smokes banded",""" +
         """"q328_dag_layers":"longest-path fixpoint rounds = DAG depth, which grows with log(max doc id) — sf0.1's halving chains are ~9 deep, so ~9 staged join/probe rounds of tiny frames: scheduling latency, q318/q324's class; attempt tail [3.7, 3.2] is the floor",""" +
-        """"q341_greedy_matching":"locally-minimal-edge rounds: the round count is set by the edge-order dependency structure (~matching depth), not data size — the 120-node fixture needs the same rounds at every sf while per-round frames stay tiny; q318/q324/q328's scheduling-latency class"}"""
+        """"q341_greedy_matching":"locally-minimal-edge rounds: the round count is set by the edge-order dependency structure (~matching depth), not data size — the 120-node fixture needs the same rounds at every sf while per-round frames stay tiny; q318/q324/q328's scheduling-latency class",""" +
+        """"q345_greedy_coverage":"k=10 SEQUENTIAL greedy rounds (each pick depends on the previous cover — inherent to submodular greedy), each an anti-join over the staged bigram-pair table + a distributed top-1 + a one-row fetch: ~4 jobs x 10 rounds of scheduling latency; the per-round data cost is one pass over (id, bigram) pairs, linear in corpus"}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"rescue_attempts":$rescueJson,"rescue_skipped_stable":${vecJson(skippedStable)},"workload_notes":$notes,"sf":"$sfDir"}"""
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Association, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Correlate, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GeoGrid, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Matching, Normalize, Outliers, PageRank, Paths, Repetition, Reshape, RuntimeFilter, Sampling, Scc, Scd, SequencePack, Sessionize, Similarity, Sketch, Skyline, SkewJoin, SpanningForest, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
+import graft.ops.{AsOfJoin, Association, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Correlate, Coverage, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GeoGrid, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Matching, Normalize, Outliers, PageRank, Paths, Repetition, Reshape, RuntimeFilter, Sampling, Scc, Scd, SequencePack, Sessionize, Similarity, Sketch, Skyline, SkewJoin, SpanningForest, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -3364,6 +3364,18 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
       val adc = Similarity.pqAdcTopK(emb, queries, m = 4, k = 16, topK = 10)
       Similarity.rankAgreement(exact, adc, depth = 10, pE6 = 900000L)
+    }),
+
+    // ---- greedy max-coverage subset selection over doc bigrams (the
+    // word vocabulary is tiny on this corpus — bigrams give a real
+    // submodular frontier): 10 picks, each the doc adding the most
+    // uncovered bigrams; oracle = pinned sequential greedy
+    // (tools/pin_coverage.py, the q341 pattern). ----------------------------
+    "q345_greedy_coverage" -> ((s, dir) => {
+      val pairs = graft.io.Spread.toDefaultParallelism(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          explode(array_distinct(Ngrams.bigrams(Dedup.wordTokens(col("text"))))).as("token"))
+      Coverage.greedyMaxCoverage(pairs, k = 10)
     })
   )
 
@@ -9355,7 +9367,19 @@ object SparkEntry {
          | CAST(${cum.sum} AS BIGINT) AS max_score_e9
          |FROM bf JOIN adcr USING (query_id, neighbor_id)
          |GROUP BY 1""".stripMargin
-    }
+    },
+    // q345: pinned sequential greedy max-coverage over sf0.01 doc
+    // bigrams (regenerate: python3 tools/pin_coverage.py) — CoverageSpec
+    // replays the greedy equivalence on random doc-feature sets.
+    "q345_greedy_coverage" ->
+      """SELECT CAST(pick AS BIGINT) AS pick, CAST(doc_id AS BIGINT) AS doc_id,
+        | CAST(gain AS BIGINT) AS gain, CAST(covered_total AS BIGINT) AS covered_total
+        |FROM (VALUES
+        | (1, 264, 95, 95), (2, 135, 88, 183), (3, 103, 77, 260),
+        | (4, 285, 71, 331), (5, 280, 63, 394), (6, 25, 58, 452),
+        | (7, 133, 52, 504), (8, 429, 46, 550), (9, 202, 40, 590),
+        | (10, 100, 36, 626)
+        |) t(pick, doc_id, gain, covered_total)""".stripMargin
   )
 
   /** Shared (doc, word, pos) tokenization CTE for the skip-gram oracles
