@@ -91,7 +91,13 @@ object ScaleSmoke {
     // data cost staying sublinear while replica bands add 10× cycles;
     // the n→n/2 bridges cross bands high→low, preserving the
     // no-chain-of-SCCs property).
-    "q322_skipgrams", "q324_scc")
+    "q322_skipgrams", "q324_scc",
+    // Late round-11: the Poisson-bootstrap ×32 fan-out (a genuinely
+    // data-proportional map shape — 10× rows = 10× md5 draws, the
+    // md5Prefix kernel's honest scaling point) and greedy max-coverage
+    // (k sequential rounds whose per-round cost is one linear pass over
+    // the bigram pairs — 10× pairs per round, fixed round count).
+    "q331_bootstrap_sums", "q345_greedy_coverage")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))
