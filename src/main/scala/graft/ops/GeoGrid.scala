@@ -103,24 +103,29 @@ object GeoGrid {
       minPts: Int,
       reliable: Boolean = false): DataFrame = {
     require(minPts >= 1, s"minPts must be >= 1: $minPts")
-    val pts = Staging.stage(points.select(col(idCol).cast("long").as("id")), reliable = false)
-    val pairs = Staging.stage(
-      radiusPairs(points, idCol, xCol, yCol, eps).select(col("a_id"), col("b_id")),
-      reliable = false)
+    // the posture covers EVERY staged frame here, not just the nested
+    // components loop — on `reliable` the final labeling is pinned
+    // eagerly and the intermediates released (the hits/Scc pattern)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def staged(df: DataFrame): DataFrame = {
+      val s = Staging.stage(df, reliable); frames += s; s
+    }
+    val pts = staged(points.select(col(idCol).cast("long").as("id")))
+    val pairs = staged(
+      radiusPairs(points, idCol, xCol, yCol, eps).select(col("a_id"), col("b_id")))
     val deg = pairs.select(col("a_id").as("id"))
       .union(pairs.select(col("b_id").as("id")))
       .groupBy("id").agg(count(lit(1)).as("__nnb"))
-    val core = Staging.stage(pts.join(deg, Seq("id"), "left")
+    val core = staged(pts.join(deg, Seq("id"), "left")
       .where(coalesce(col("__nnb"), lit(0L)) + 1L >= minPts.toLong)
-      .select(col("id")), reliable = false)
+      .select(col("id")))
     val coreEdges = pairs
       .join(core.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
       .join(core.select(col("id").as("b_id")), Seq("b_id"), "left_semi")
     val comp = Components.connectedComponents(coreEdges,
       aCol = "a_id", bCol = "b_id", reliable = reliable)
-    val coreLabels = Staging.stage(core.join(comp, Seq("id"), "left")
-      .select(col("id"), coalesce(col("component"), col("id")).as("cluster")),
-      reliable = false)
+    val coreLabels = staged(core.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster")))
     val adj = pairs.select(col("a_id").as("id"), col("b_id").as("nb"))
       .union(pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
     val border = pts.join(coreLabels.select(col("id")), Seq("id"), "left_anti")
@@ -128,11 +133,16 @@ object GeoGrid {
       .join(coreLabels.select(col("id").as("nb"), col("cluster")), Seq("nb"))
       .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
       .select(col("id"), col("cluster"), lit("border").as("kind"))
-    val assigned = Staging.stage(
+    val assigned = staged(
       coreLabels.select(col("id"), col("cluster"), lit("core").as("kind"))
-        .unionByName(border), reliable = false)
+        .unionByName(border))
     val noise = pts.join(assigned.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), lit(-1L).as("cluster"), lit("noise").as("kind"))
-    assigned.unionByName(noise)
+    val out = Staging.stage(assigned.unionByName(noise), reliable)
+    if (reliable) {
+      out.count()
+      frames.foreach(_.unpersist())
+    }
+    out
   }
 }
