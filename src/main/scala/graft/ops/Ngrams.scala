@@ -605,7 +605,11 @@ object Ngrams {
       .join(colm, Seq("context"))
       .crossJoin(broadcast(tot))
       .withColumn("lift_e6",
-        expr("cast((cast(n_total as decimal(38,0)) * n * 1000000) div (n_center * n_context) as bigint)"))
+        // both sides in decimal(38,0): the denominator n_center·n_context
+        // is a marginal product that passes 2^63 once marginals exceed
+        // ~3e9 — real at corpus scale, and the DuckDB oracle already
+        // widens both sides (HUGEINT)
+        expr("cast((cast(n_total as decimal(38,0)) * n * 1000000) div (cast(n_center as decimal(38,0)) * n_context) as bigint)"))
       .select(col("center"), col("context"), col("n"), col("lift_e6"))
   }
 }

@@ -510,12 +510,26 @@ object Similarity {
       outId: String): (DataFrame, DataFrame) = {
     require(m >= 1, s"m must be >= 1: $m")
     require(k >= 1, s"k must be >= 1: $k")
-    // bounded driver fetch (1 row): the subspace split needs dim % m = 0
-    val dim = df.select(size(col(vecCol)).as("d")).head().getInt(0)
+    // bounded driver fetch (1 row): the subspace split needs dim % m = 0.
+    // An empty input fails here with a clear message instead of a bare
+    // NoSuchElementException.
+    val dimRows = df.select(size(col(vecCol)).as("d")).head(1)
+    require(dimRows.nonEmpty,
+      s"pqParts: input is empty — cannot infer $vecCol dimensionality")
+    val dim = dimRows(0).getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
+    // ragged-table guard as a per-row codegen'd check rather than an
+    // agg(min(size),max(size)) probe: the probe would cost a second full
+    // scan of the embedding column at corpus scale, while this comparison
+    // rides the scan that quantization already pays — mixed dims fail
+    // loudly at execution instead of flowing through as null subvectors
+    val checkedVec = when(size(col(vecCol)) === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"pqParts: ragged $vecCol — expected dim $dim, found dim "),
+        size(col(vecCol)).cast("string"))))
     val q = df.select(col(idCol).cast("long").as(outId),
-      VectorFunctions.quantizeInt8(col(vecCol), VectorFunctions.maxAbs(col(vecCol))).as("__qv"))
+      VectorFunctions.quantizeInt8(checkedVec, VectorFunctions.maxAbs(checkedVec)).as("__qv"))
     def split(t: DataFrame): DataFrame = t.select(col(outId),
       posexplode(transform(sequence(lit(0), lit(m - 1)),
         s => slice(col("__qv"), s * lit(sub) + lit(1), lit(sub)))))

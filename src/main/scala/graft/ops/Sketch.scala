@@ -77,7 +77,9 @@ object Sketch {
         sum(expr(s"cast(shiftleft(1L, cast($maxRank - register as int)) as bigint)"))
           .as("s_num"))
       .select(col("m"), col("n_zero_registers"), col("s_num"),
-        expr(s"(${alphaE6}L * ${m * m}L * cast(shiftleft(1L, $maxRank) as bigint)) div s_num")
+        // numerator in decimal(38,0): α_e6·m²·2^maxRank tops 1.2e19 at
+        // b = 11 and would wrap a bigint silently in non-ANSI mode
+        expr(s"cast((cast(${alphaE6} as decimal(38,0)) * ${m * m} * cast(shiftleft(1L, $maxRank) as bigint)) div s_num as bigint)")
           .as("est_e6"))
     val exact = df.agg(countDistinct(col(valueCol)).as("n_exact"))
     sketch.crossJoin(broadcast(exact))
@@ -156,7 +158,9 @@ object Sketch {
         (expr(s"(${m}L - __present) * cast(shiftleft(1L, $maxRank) as bigint)")
           + col("__sp")).as("s_num"))
       .select(col("group"), col("n_zero_registers"), col("s_num"),
-        expr(s"(${alphaE6}L * ${m * m}L * cast(shiftleft(1L, $maxRank) as bigint)) div s_num")
+        // decimal(38,0) numerator for the same b = 11/12 overflow reason
+        // as [[hllProfile]]
+        expr(s"cast((cast(${alphaE6} as decimal(38,0)) * ${m * m} * cast(shiftleft(1L, $maxRank) as bigint)) div s_num as bigint)")
           .as("est_e6"))
     val exact = df.groupBy(col(groupCol).as("group"))
       .agg(countDistinct(col(valueCol)).as("n_exact"))

@@ -31,12 +31,10 @@ for pick in range(1, k + 1):
     best = max(docsets.items(),
                key=lambda kv: (len(kv[1] - covered), -kv[0]))
     gain = len(best[1] - covered)
-    if gain == 0 and not (docsets and covered == set().union(*docsets.values())):
-        pass
-    if not docsets or gain == 0 and covered:
-        # everything coverable is covered -> greedy run ends early
-        if gain == 0:
-            break
+    if gain == 0:
+        # everything coverable is covered -> greedy run ends early,
+        # matching greedyMaxCoverage which emits no zero-gain picks
+        break
     covered |= best[1]
     total += gain
     out.append(f"        | ({pick}, {best[0]}, {gain}, {total})")
