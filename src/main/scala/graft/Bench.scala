@@ -166,15 +166,16 @@ object Bench {
       """{"q86_fuzzy_block":"workload changed in round 3 (partkey%2 slice + length-band guard); r3+ timings not comparable to r1/r2",""" +
         """"q16_minhash_lsh":"round 4 adds exact-Jaccard verification (lshVerifiedPairs); r4+ not comparable to r1-r3 candidates-only",""" +
         """"q79_triangles":"round 4 switched to degree-ordered orientation (adds two degree joins; bounds power-law wedges)",""" +
-        """"q89_khop":"round 4 adds the maxDegree=64 second-hop cap (inert on this homogeneous graph, binds on power-law); r6's 20.6s adjudicated as host noise — r7 idle-host isolated rerun: 6.56s (r5: 6.35s, 1.03x)",""" +
+        """"q89_khop":"round 4 adds the maxDegree=64 second-hop cap (inert on this homogeneous graph, binds on power-law); r6's 20.6s adjudicated as host noise — r7 idle-host isolated rerun: 6.56s (r5: 6.35s, 1.03x); r10->r11 5.25->6.95 adjudicated r12: the full q89 path (partPairs + neighborhoodSize + Staging) is byte-identical r10->HEAD per git diff, so a plan regression is impossible - interleaved A/B bands overlap (r10 6.8-7.8, HEAD 7.6-8.2) with the window itself drifting up across reps",""" +
         """"q125_span_coverage":"r6's 11.3s adjudicated as host noise — r7 idle-host isolated rerun: 2.61s (r5: 3.36s)",""" +
         """"q130_prefix_jaccard":"r8: idle-host FULL 210-query run times it at 3.4s best-of-2 (code cache, heap, block manager all verified clean in-run), overturning r7's shared-JVM-context adjudication — the r6/r7 43-52s was host contention on both timed windows; r8 adds heavy-tail rescue passes (up to 2 extra deep-cleaned attempts for any query whose best-of-2 exceeds 2.5s, min reported) so two noisy windows can no longer set the score",""" +
-        """"q69_pagerank":"cold-JVM timings overstate its scaling (10x data appeared 33x until profiled warm per-phase: linear); ScaleSmoke warms every query untimed at sf0.01 before timing sf1",""" +
+        """"q69_pagerank":"cold-JVM timings overstate its scaling (10x data appeared 33x until profiled warm per-phase: linear); ScaleSmoke warms every query untimed at sf0.01 before timing sf1; the r9-r11 2.70->3.50->5.21 rise adjudicated r12 by interleaved same-host A/B (r10 worktree vs HEAD, 3 reps): r10's own code timed 6.4-6.5s flat in today's window (1.8x its recorded 3.50) while HEAD floored at 4.37s - host-window drift, HEAD faster on equal footing",""" +
         """"q106_rfm":"round 7 replaces the three global ntile windows with denseIds two-phase ranking (range repartition + 3 localCheckpoint jobs) — scale-correct shape, slightly more fixed overhead at bench scale",""" +
         """"q170_coverage_curve":"round 7 replaces the global vocabulary rank window with a range-partitioned two-phase scan (rankedPrefixSum)",""" +
         """"q211_damerau_pairs":"r9 attempt vector [2.83, 2.76, 2.89, 2.84] proves ~2.8s is the real kernel cost, not noise — it motivated r10's variance-aware rescue, later refined in-round: a pure pass1/pass2 gate turned out to also skip queries whose agreeing pair sits far above the floor (same-window A/B: q69 [6.9, 6.4, 6.7, 4.0] — only the last deep-cleaned attempt finds 4.0), so heavy queries now always take one deep-cleaned attempt and the gate only waives the fourth (flat triple recorded in rescue_skipped_stable)",""" +
         """"q318_pack_nextfit":"~4-6s at sf0.1 is mostly fixed scheduling latency (the O(log windows) orbit-doubling rounds each stage + count tiny frames), not data cost — the same loop at 10x data adds ~1 round (sf1 smoke: 14.5s at 10x, sublinear); capacity went 256 -> 1024 in-round for scaled-corpus headroom, which also shrank the orbit",""" +
         """"q266_harmonic":"r10 full-run elevation across ALL heavy queries (q69 4.1 vs r9 2.7, q89 5.4 vs 4.4, q266 5.8 vs 4.8) adjudicated as host drift by a same-window A/B: identical harness, same hour, r10 code q69 3.11s / q89 4.53s / q54 1.34s vs r9 code 3.58 / 5.10 / 1.47 — the r10 staging (capped-stats leaf) is FASTER than r9 on equal footing; cross-round absolute totals are not comparable across host windows (keyed here under q266 to keep workload_notes one-key-per-query: q69/q89 carry their own earlier notes)",""" +
+        """"q305_spanning_forest":"r11's 7.66 vs r9's 6.33 adjudicated r12 by the same interleaved A/B: floors within 5.6% (r10 code 8.05 vs HEAD 8.50) and BOTH above r11's recorded number - window drift; the batched pointer-doubling contraction is unchanged",""" +
         """"q324_scc":"~4.5s at sf0.1 is fixed per-round scheduling latency (trim 3 rounds + coloring 3 + backward reach 3, each a staged tiny frame + limit-1 probe — ~30 small jobs), not data cost; the round COUNT is set by the fixture's graph structure, not its size, so 10x data reruns the same rounds with fatter partitions (sf1 smoke point). Attempt vectors are flat (4.5-4.6s) — a real floor, same class as q318's orbit loop",""" +
         """"q325_scc_condensation":"recomputes q324's SCC labeling end-to-end (driver queries are independent by contract) plus two label joins — its time is q324 + epsilon by construction",""" +
         """"q330_dbscan":"~6s at sf0.1: the sf0.1 point cloud is 10x denser than sf0.01 at the same eps (lambda ~29 eps-neighbors vs ~3), so nearly every point is core and connectedComponents runs over one giant ~15k-node eps-component — the large-star/small-star rounds are the cost, not the grid-blocked pair join (q213's shape, ~1.8s). The constituent shapes both carry sf1 smoke points (q54 components, q213 banded radius join); a 10x dbscan point at constant eps would measure densification (~100x pairs), not data scaling — the same reason q213 smokes banded",""" +

@@ -21,13 +21,17 @@ object Coverage {
     * size. Stops early (fewer rows) once everything coverable is
     * covered. Deterministic: gain desc, id asc.
     *
-    * Scale shape per round: one feature-keyed anti-join (the pair
-    * table vs the covered set) + one map-side-combined count per doc +
-    * a distributed top-1 (`TakeOrderedAndProject`); the ONLY driver
-    * fetch is the single winning row per round (k rows total — the
-    * sequential dependence is inherent to greedy submodular selection;
-    * k is a curation budget, never data-sized). The covered set is
-    * staged per round so the anti-join reads a leaf.
+    * Scale shape per round: the pair table itself is SHRUNK after every
+    * pick (winner's tokens anti-joined out — a one-doc feature set, so
+    * the anti-join broadcasts), which removes covered tokens AND any
+    * doc that became fully covered; the argmax is then a plain
+    * map-side-combined count + distributed top-1
+    * (`TakeOrderedAndProject`) over a monotonically-decreasing frame —
+    * no growing covered set is ever rescanned (the [[Matching]]
+    * semi-join-shrink discipline). The ONLY driver fetch is the single
+    * winning row per round (k rows total — the sequential dependence is
+    * inherent to greedy submodular selection; k is a curation budget,
+    * never data-sized).
     */
   def greedyMaxCoverage(
       pairs: DataFrame,
@@ -41,21 +45,20 @@ object Coverage {
     def staged(df: DataFrame): DataFrame = {
       val s = Staging.stage(df, reliable); frames += s; s
     }
-    val toks = staged(pairs
+    var toks = staged(pairs
       .select(col(idCol).cast("long").as("id"),
         col(featureCol).cast("string").as("token"))
       .distinct())
-    var covered = staged(spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL("token STRING")))
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var total = 0L
     var round = 0
     var exhausted = false
     while (round < k && !exhausted) {
       round += 1
-      // ONE row to the driver: the argmax doc of this round
-      val win = toks.join(covered, Seq("token"), "left_anti")
+      // toks holds only UNCOVERED (id, token) pairs, so each doc's
+      // remaining gain is a plain count. ONE row to the driver: the
+      // argmax doc of this round.
+      val win = toks
         .groupBy(col("id")).agg(count(lit(1)).as("gain"))
         .orderBy(col("gain").desc, col("id").asc)
         .limit(1).collect()
@@ -65,8 +68,15 @@ object Coverage {
         val gain = win(0).getLong(1)
         total += gain
         picks += ((round.toLong, id, gain, total))
-        covered = staged(covered.unionByName(
-          toks.where(col("id") === id).select(col("token"))).distinct())
+        // shrink instead of accumulate: anti-join the winner's token set
+        // (one doc's features — broadcast side) out of the pair table.
+        // Covered tokens leave every doc's rows at once, fully-covered
+        // docs vanish with them, and round cost decreases monotonically.
+        // Skipped after the final pick — nothing reads the result.
+        if (round < k) {
+          val won = toks.where(col("id") === id).select(col("token"))
+          toks = staged(toks.join(broadcast(won), Seq("token"), "left_anti"))
+        }
       }
     }
     val out = Staging.stage(
