@@ -72,6 +72,15 @@ import org.apache.spark.storage.StorageLevel
   */
 private[graft] object Staging {
 
+  /** Monotone count of [[stage]] calls — each is one eager
+    * materialization job, i.e. one scheduling round of an iterative op.
+    * Read by specs that pin an operator's per-fixpoint round budget
+    * (job-level counts are not usable for that: AQE materializes every
+    * exchange as its own job, and non-AQE limit probes run scale-up
+    * waves — both measure Spark internals, not the op's loop shape).
+    */
+  private[graft] val stageCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def reliablePin(df: DataFrame): Boolean =
     df.sparkSession.conf.get("spark.graft.reliablePin", "false").toBoolean
 
@@ -80,7 +89,8 @@ private[graft] object Staging {
       "spark.graft.reliablePin=true requires SparkContext.setCheckpointDir " +
         "(cluster-visible storage, e.g. an HDFS/S3 path)")
 
-  def stage(df: DataFrame, reliable: Boolean): DataFrame =
+  def stage(df: DataFrame, reliable: Boolean): DataFrame = {
+    stageCalls.incrementAndGet()
     if (reliable && reliablePin(df)) {
       requireCheckpointDir(df)
       GraftStagedLeaf.cappedCheckpoint(df.checkpoint(), df)
@@ -95,6 +105,7 @@ private[graft] object Staging {
       // sameResult-based; a projection would silently no-op).
       GraftStagedLeaf(df).persist(StorageLevel.DISK_ONLY)
     } else GraftStagedLeaf.cappedCheckpoint(df.localCheckpoint(), df)
+  }
 
   /** Eager materialization whose RESULT must be pinned exactly once —
     * used where the staged plan is execution-nondeterministic (sampled

@@ -121,12 +121,31 @@ class SccSpec extends SparkSpec {
   }
 
   test("non-convergence throws instead of returning a wrong labeling") {
-    // maxIter=1 cannot even finish trimming a 3-deep DAG
-    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    // maxIter=1 buys one trim round = two peels; a 6-chain needs three
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
     val e = intercept[IllegalStateException] {
       run(edges, maxIter = 1)
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("double-stepped loops keep staged rounds under the pinned budget") {
+    // a single 17-cycle: one SCC whose color flood AND backward reach
+    // are both 16 deep — the fixture where per-round scheduling cost is
+    // everything. Pins the two-steps-per-staged-round discipline by
+    // counting Staging.stage calls (one eager job each — the
+    // scheduling-latency unit these loops pay per round); raw Spark job
+    // counts measure engine internals instead (AQE: one job per
+    // exchange; non-AQE: limit scale-up waves). One-step-per-round
+    // measured 43 stagings here; double-stepped: 27.
+    val n = 17
+    val edges = (0 until n).map(i => (i.toLong + 1L, ((i + 1) % n).toLong + 1L))
+    val before = graft.ops.Staging.stageCalls.get()
+    run(edges)
+    val rounds = graft.ops.Staging.stageCalls.get() - before
+    info(s"staged rounds on the 17-cycle: $rounds")
+    assert(rounds > 0, "stage-call counter did not move — the pin is not measuring")
+    assert(rounds <= 30, s"SCC staged $rounds rounds on the 17-cycle — double-stepping regressed")
   }
 
   // ---- dagLayers ---------------------------------------------------------
