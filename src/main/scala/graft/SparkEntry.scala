@@ -3376,6 +3376,18 @@ object SparkEntry {
         .select(col("doc_id"),
           explode(array_distinct(Ngrams.bigrams(Dedup.wordTokens(col("text"))))).as("token"))
       Coverage.greedyMaxCoverage(pairs, k = 10)
+    }),
+
+    // ---- the MERGEABLE HLL path on its own (q332 carries an exact
+    // audit column; this is the sketch-only 100 TB claim): registers
+    // built independently over the even- and odd-orderkey halves of
+    // lineitem, folded by per-register max, estimated WITHOUT any
+    // corpus-sized pass after the two register builds. ---------------------
+    "q346_hll_merge" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = Sketch.hllRegisters(li.where(col("l_orderkey") % 2 === 0), "l_partkey", b = 6)
+      val b = Sketch.hllRegisters(li.where(col("l_orderkey") % 2 === 1), "l_partkey", b = 6)
+      Sketch.hllEstimate(Sketch.hllMerge(a, b), b = 6)
     })
   )
 
@@ -9379,7 +9391,35 @@ object SparkEntry {
         | (4, 285, 71, 331), (5, 280, 63, 394), (6, 25, 58, 452),
         | (7, 133, 52, 504), (8, 429, 46, 550), (9, 202, 40, 590),
         | (10, 100, 36, 626)
-        |) t(pick, doc_id, gain, covered_total)""".stripMargin
+        |) t(pick, doc_id, gain, covered_total)""".stripMargin,
+    // q346: the register MERGE replayed — per-half registers, folded by
+    // greatest, then the q332 estimator over the merged set (the oracle
+    // replays the merge itself, not the mathematically-equal whole-table
+    // build, so the mergeable path is what's being checked).
+    "q346_hll_merge" -> {
+      val u = hexPrefixOracle("md5(CAST(l_partkey AS VARCHAR))", 8)
+      val rankCase = (1 to 26)
+        .map(r => s"WHEN w >= ${1L << (26 - r)} THEN $r")
+        .mkString("CASE ", " ", " ELSE 27 END")
+      s"""WITH uu AS (SELECT l_orderkey % 2 AS h, $u AS u FROM lineitem),
+         |s AS (SELECT h, u // 67108864 AS bucket, u % 67108864 AS w FROM uu),
+         |r AS (SELECT h, bucket, max($rankCase) AS register FROM s GROUP BY 1, 2),
+         |za AS (SELECT g.b AS bucket, coalesce(r.register, 0) AS register
+         |       FROM range(0, 64) g(b) LEFT JOIN r ON g.b = r.bucket AND r.h = 0),
+         |zb AS (SELECT g.b AS bucket, coalesce(r.register, 0) AS register
+         |       FROM range(0, 64) g(b) LEFT JOIN r ON g.b = r.bucket AND r.h = 1),
+         |mz AS (SELECT za.bucket, greatest(za.register, zb.register) AS register
+         |       FROM za JOIN zb USING (bucket)),
+         |agg AS (SELECT count(*) AS m,
+         |  sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS n_zero_registers,
+         |  sum(CAST(1 AS BIGINT) << (27 - register)) AS s_num FROM mz)
+         |SELECT CAST(m AS BIGINT) AS m,
+         | CAST(n_zero_registers AS BIGINT) AS n_zero_registers,
+         | CAST(s_num AS BIGINT) AS s_num,
+         | CAST((CAST(709340 AS BIGINT) * 4096 * (CAST(1 AS BIGINT) << 27))
+         |   // s_num AS BIGINT) AS est_e6
+         |FROM agg""".stripMargin
+    }
   )
 
   /** Shared (doc, word, pos) tokenization CTE for the skip-gram oracles

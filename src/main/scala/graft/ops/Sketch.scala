@@ -66,11 +66,36 @@ object Sketch {
     * only want the sketch use [[hllRegisters]].
     */
   def hllProfile(df: DataFrame, valueCol: String, b: Int = 6): DataFrame = {
+    val sketch = hllEstimate(hllRegisters(df, valueCol, b), b)
+    val exact = df.agg(countDistinct(col(valueCol)).as("n_exact"))
+    sketch.crossJoin(broadcast(exact))
+  }
+
+  /** Merge two [[hllRegisters]] frames built with the SAME `b`:
+    * per-register max — the mergeability that makes HLL the 100 TB
+    * cardinality primitive (registers build per partition / day /
+    * shard, each a 2^b-row frame, and fold pairwise without ever
+    * touching raw data again). The join is register-table-sized (2^b
+    * rows per side); merging k shards is a k-way fold of these.
+    */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("bucket"), col("register").as("__ra"))
+      .join(b.select(col("bucket"), col("register").as("__rb")), Seq("bucket"))
+      .select(col("bucket"), greatest(col("__ra"), col("__rb")).as("register"))
+
+  /** The [[hllProfile]] estimator over an EXISTING `(bucket, register)`
+    * frame — the sketch-only tail for callers that built registers per
+    * shard and merged them with [[hllMerge]]: one row
+    * `(m, n_zero_registers, s_num, est_e6)`, no corpus-sized pass
+    * anywhere (the input is 2^b rows). See [[hllProfile]] for the
+    * integer estimator contract.
+    */
+  def hllEstimate(registers: DataFrame, b: Int): DataFrame = {
     require(b >= 2 && b <= 12, s"b must be in [2,12]: $b")
     val m = (1 << b).toLong
     val maxRank = (32 - b) + 1
     val alphaE6 = math.floor(0.7213 / (1.0 + 1.079 / m) * 1e6).toLong
-    val sketch = hllRegisters(df, valueCol, b)
+    registers
       .agg(
         count(lit(1)).as("m"),
         count_if(col("register") === 0L).as("n_zero_registers"),
@@ -81,8 +106,6 @@ object Sketch {
         // b = 11 and would wrap a bigint silently in non-ANSI mode
         expr(s"cast((cast(${alphaE6} as decimal(38,0)) * ${m * m} * cast(shiftleft(1L, $maxRank) as bigint)) div s_num as bigint)")
           .as("est_e6"))
-    val exact = df.agg(countDistinct(col(valueCol)).as("n_exact"))
-    sketch.crossJoin(broadcast(exact))
   }
 
   /** KMV (k minimum values / bottom-k) distinct-count profile — the

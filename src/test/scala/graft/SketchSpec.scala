@@ -43,6 +43,29 @@ class SketchSpec extends SparkSpec {
     assert(got == dedup)
   }
 
+  test("hllMerge: per-register max of shard sketches equals the whole-set sketch") {
+    val values = (1 to 900).map(i => s"v${i % 400}")
+    val (evens, odds) = values.zipWithIndex.partition(_._2 % 2 == 0)
+    val ra = Sketch.hllRegisters(evens.map(_._1).toDF("v"), "v", b = 6)
+    val rb = Sketch.hllRegisters(odds.map(_._1).toDF("v"), "v", b = 6)
+    val merged = Sketch.hllMerge(ra, rb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val whole = Sketch.hllRegisters(values.toDF("v"), "v", b = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(merged == whole)
+    // commutative, idempotent — fold order over shards never matters
+    val swapped = Sketch.hllMerge(rb, ra)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(swapped == merged)
+    val self = Sketch.hllMerge(ra, ra)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(self == ra.collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
+    // the sketch-only estimate over merged registers equals the direct one
+    val eMerged = Sketch.hllEstimate(Sketch.hllMerge(ra, rb), b = 6).head()
+    val eWhole = Sketch.hllEstimate(Sketch.hllRegisters(values.toDF("v"), "v", b = 6), b = 6).head()
+    assert(eMerged == eWhole)
+  }
+
   test("hllProfile: integer estimator replays and lands near the truth") {
     for (n <- Seq(300, 3000)) {
       val values = (1 to n).map(i => s"item-$i")
