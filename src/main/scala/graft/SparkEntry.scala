@@ -3388,7 +3388,19 @@ object SparkEntry {
       val a = Sketch.hllRegisters(li.where(col("l_orderkey") % 2 === 0), "l_partkey", b = 6)
       val b = Sketch.hllRegisters(li.where(col("l_orderkey") % 2 === 1), "l_partkey", b = 6)
       Sketch.hllEstimate(Sketch.hllMerge(a, b), b = 6)
-    })
+    }),
+
+    // ---- node2vec-biased walks on the doc-chain graph (q312's corpus
+    // primitive with the p/q search bias): weights (1, 2, 4) =
+    // node2vec p=2, q=1/2 — outward-exploring. The weighted integer
+    // race keeps every hop a pure function of the graph, so DuckDB
+    // replays the whole biased corpus bit-for-bit. ---------------------------
+    "q347_node2vec_walks" -> ((s, dir) =>
+      GraphMetrics.node2vecWalks(
+        docChainPairs(s, dir),
+        t(s, dir, "documents").where(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("id")),
+        steps = 4, returnWeight = 1L, nearWeight = 2L, farWeight = 4L))
   )
 
   /** Deterministic halving DAG for q328, from doc ids: n → n div 2 for
@@ -9419,6 +9431,43 @@ object SparkEntry {
          | CAST((CAST(709340 AS BIGINT) * 4096 * (CAST(1 AS BIGINT) << 27))
          |   // s_num AS BIGINT) AS est_e6
          |FROM agg""".stripMargin
+    },
+    // q347: the q312 hop-by-hop replay with the node2vec class weights —
+    // each step classifies every candidate by distance to the PREVIOUS
+    // node (return / near / far via a left join on the symmetric edge
+    // list) and ranks by (md5₃₂ // weight, id), the operator's exact
+    // integer race.
+    "q347_node2vec_walks" -> {
+      def u(i: Int) = hexPrefixOracle(
+        s"md5(CAST(walk_id AS VARCHAR) || ':$i:' || CAST(dst AS VARCHAR))", 8)
+      val stepCtes = (1 to 4).map { i =>
+        s"""c$i AS (SELECT w.walk_id, w.prev, w.node, s.dst
+           |  FROM w${i - 1} w JOIN sym s ON s.src = w.node),
+           |f$i AS (SELECT c.walk_id, c.node, c.dst,
+           |  CASE WHEN c.dst = c.prev THEN 1
+           |       WHEN a.src IS NOT NULL THEN 2 ELSE 4 END AS wgt
+           |  FROM c$i c LEFT JOIN sym a ON a.src = c.prev AND a.dst = c.dst),
+           |r$i AS (SELECT walk_id, node, dst, row_number() OVER (PARTITION BY walk_id
+           |  ORDER BY (${u(i)}) // wgt, dst) AS rn FROM f$i),
+           |w$i AS (SELECT walk_id, node AS prev, dst AS node FROM r$i WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS (SELECT doc_id AS a FROM documents WHERE doc_id % 20 = 0),
+         |edges0 AS (
+         | SELECT a AS u, a + 1 AS v FROM b
+         | UNION ALL SELECT a + 1, a + 2 FROM b
+         | UNION ALL SELECT a, a + 5 FROM b
+         | UNION ALL SELECT a + 5, a + 22 FROM b WHERE a % 40 = 0),
+         |e AS (SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v FROM edges0),
+         |sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+         |w0 AS (SELECT doc_id AS walk_id, doc_id AS prev, doc_id AS node
+         |       FROM documents WHERE doc_id % 100 = 0),
+         |$stepCtes
+         |SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST(0 AS BIGINT) AS step,
+         | CAST(node AS BIGINT) AS node FROM w0
+         |UNION ALL SELECT walk_id, 1, node FROM w1
+         |UNION ALL SELECT walk_id, 2, node FROM w2
+         |UNION ALL SELECT walk_id, 3, node FROM w3
+         |UNION ALL SELECT walk_id, 4, node FROM w4""".stripMargin
     }
   )
 

@@ -1148,6 +1148,112 @@ object GraphMetrics {
     out
   }
 
+  /** node2vec-BIASED deterministic walks (Grover & Leskovec, "node2vec:
+    * Scalable Feature Learning for Networks", KDD 2016): like
+    * [[randomWalks]], but the hop out of node x on a walk that arrived
+    * from t is biased by the node2vec search parameters — candidates y
+    * fall into three classes by distance from t (y = t: the RETURN
+    * move, node2vec weight 1/p; y adjacent to t: weight 1; else the
+    * OUTWARD move, weight 1/q) — expressed here as caller-supplied
+    * integer class weights `(returnWeight, nearWeight, farWeight)`
+    * (node2vec p = 2, q = 1/2 ⇒ weights (1, 2, 4)).
+    *
+    * The uniform md5 argmin becomes a WEIGHTED RACE: y* minimizes
+    * `(md5₃₂(walk:step:y) div w_class(y), y)` — integer division of the
+    * 32-bit hash by the class weight, so higher-weight classes win
+    * proportionally more races. The pick is monotone in the weights and
+    * remains a pure function of the graph (bit-replayable in any SQL
+    * engine — the [[Sampling.idBucket]] md5-coin contract); it is the
+    * deterministic integer analogue of the exponential race, traded for
+    * cross-engine exactness over exact node2vec proportions. The first
+    * hop seeds prev = start, making every step-1 candidate "near" — the
+    * uniform first hop node2vec prescribes.
+    *
+    * Scale shape per step: the [[randomWalks]] equi-join + min-agg,
+    * plus ONE extra edge-keyed equi-join ((prev, dst) against the same
+    * staged adjacency) to classify candidates — never corpus-quadratic;
+    * `maxDegree` caps hub fan-out identically (and the distance
+    * classification reads the SAME capped list, keeping the walk a pure
+    * function of the capped graph).
+    */
+  def node2vecWalks(
+      pairs: DataFrame,
+      starts: DataFrame,
+      steps: Int,
+      returnWeight: Long = 1L,
+      nearWeight: Long = 2L,
+      farWeight: Long = 4L,
+      startCol: String = "id",
+      aCol: String = "a_id",
+      bCol: String = "b_id",
+      maxDegree: Int = Int.MaxValue,
+      reliable: Boolean = false,
+      walkCol: String = ""): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1: $steps")
+    require(maxDegree >= 1, s"maxDegree must be >= 1: $maxDegree")
+    require(returnWeight >= 1L && nearWeight >= 1L && farWeight >= 1L,
+      s"class weights must be >= 1: ($returnWeight, $nearWeight, $farWeight)")
+    import org.apache.spark.sql.expressions.Window
+    val e = canonicalEdges(pairs, aCol, bCol)
+    val symAll = e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst")))
+    val capped =
+      if (maxDegree == Int.MaxValue) symAll
+      else symAll
+        .withColumn("__rn", row_number().over(Window.partitionBy("src").orderBy("dst")))
+        .where(col("__rn") <= maxDegree).drop("__rn")
+    val sym = Staging.stage(capped, reliable)
+    val startRows =
+      if (walkCol.isEmpty)
+        starts.select(col(startCol).cast("long").as("walk_id")).distinct()
+          .select(col("walk_id"), col("walk_id").as("node"))
+      else
+        starts.select(col(walkCol).cast("long").as("walk_id"),
+          col(startCol).cast("long").as("node")).distinct()
+    var pos = Staging.stage(
+      startRows.select(col("walk_id"), col("node").as("prev"), col("node")), reliable)
+    val frames = scala.collection.mutable.ArrayBuffer(pos)
+    var corpus = pos.select(col("walk_id"), lit(0L).as("step"), col("node"))
+    var step = 0
+    var live = !pos.isEmpty
+    while (live && step < steps) {
+      step += 1
+      val nxt = Staging.stage(pos
+        .join(sym, col("node") === col("src"))
+        .select(col("walk_id"), col("prev"), col("node"), col("dst"))
+        // distance-from-prev class: the (prev, dst) probe against the
+        // SAME capped adjacency — null means no edge, i.e. the outward
+        // class. dst = prev is checked first (the return move).
+        .join(sym.select(col("src").as("prev"), col("dst"), lit(1L).as("__near")),
+          Seq("prev", "dst"), "left")
+        .withColumn("__w",
+          when(col("dst") === col("prev"), lit(returnWeight))
+            .when(col("__near") === 1L, lit(nearWeight))
+            .otherwise(lit(farWeight)))
+        .withColumn("__u", graft.functions.TextFunctions.md5Prefix(
+          concat_ws(":", col("walk_id").cast("string"), lit(step.toString),
+            col("dst").cast("string")), 8))
+        .select(col("walk_id"), col("node"),
+          struct(expr("__u div __w").as("race"), col("dst").as("nxt")).as("pick"))
+        .groupBy("walk_id")
+        .agg(min(col("pick")).as("m"), min(col("node")).as("prev"))
+        .select(col("walk_id"), col("prev"), col("m.nxt").as("node")),
+        reliable)
+      frames += nxt
+      corpus = corpus.unionByName(
+        nxt.select(col("walk_id"), lit(step.toLong).as("step"), col("node")))
+      live = !nxt.isEmpty
+      pos = nxt
+    }
+    val out = Staging.stage(corpus, reliable)
+    if (reliable) {
+      out.count()
+      frames.foreach(_.unpersist())
+      sym.unpersist()
+    }
+    out
+  }
+
   /** Double-sweep eccentricity: BFS from `startId`, hop to the farthest
     * reached node (max dist, ties to the smallest id), BFS again from
     * there. The second sweep's eccentricity is the classic DIAMETER

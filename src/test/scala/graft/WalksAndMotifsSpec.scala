@@ -69,6 +69,78 @@ class WalksAndMotifsSpec extends SparkSpec {
     }.toSet
   }
 
+  private def md5p32(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16)
+
+  /** node2vecWalks' contract replayed in memory: at each step the walker
+    * from prev t standing on x picks the neighbor minimizing
+    * (md5₃₂("walk:step:nbr") div classWeight, nbr) with the class from
+    * the distance of nbr to t (return / near / far).
+    */
+  private def referenceBiasedWalks(
+      edges: Seq[(Long, Long)], starts: Seq[Long], steps: Int,
+      rw: Long, nw: Long, fw: Long): Set[(Long, Long, Long)] = {
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    edges.filter(e => e._1 != e._2).foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    starts.distinct.flatMap { w =>
+      var pos = w
+      var prev = w
+      var alive = true
+      val hops = (1 to steps).flatMap { i =>
+        if (!alive) Seq.empty
+        else adj.get(pos).filter(_.nonEmpty) match {
+          case None => alive = false; Seq.empty[(Long, Long)]
+          case Some(nbrs) =>
+            val next = nbrs.toSeq.map { n =>
+              val cls =
+                if (n == prev) rw
+                else if (adj.get(prev).exists(_.contains(n))) nw
+                else fw
+              ((md5p32(s"$w:$i:$n") / cls, n), n)
+            }.minBy(_._1)._2
+            prev = pos; pos = next
+            Seq((i.toLong, next))
+        }
+      }
+      ((0L, w) +: hops).map { case (i, n) => (w, i, n) }
+    }.toSet
+  }
+
+  test("node2vecWalks agrees exactly with the weighted-race reference on random graphs") {
+    val rnd = new scala.util.Random(53)
+    for (trial <- 0 until 3) {
+      val edges = Seq.fill(40)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+        .filter(e => e._1 != e._2)
+      val starts = (0L until 12L).filter(_ => rnd.nextBoolean())
+      if (starts.nonEmpty) {
+        val got = GraphMetrics.node2vecWalks(
+          edges.toDF("a_id", "b_id"), starts.toDF("id"), steps = 4,
+          returnWeight = 1L, nearWeight = 2L, farWeight = 4L)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got == referenceBiasedWalks(edges, starts, 4, 1L, 2L, 4L), s"trial $trial")
+      }
+    }
+  }
+
+  test("node2vecWalks: a dominant return weight makes the walker oscillate") {
+    // path 1-2-3-4-5: from 2, with returnWeight huge the race value of
+    // the return move is ~2^32/1e6 < 4300 while any other candidate's is
+    // >= md5/4 — on this fixture every post-first hop returns, so the
+    // walk alternates between the first two positions
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val got = GraphMetrics.node2vecWalks(
+      edges.toDF("a_id", "b_id"), Seq(2L).toDF("id"), steps = 5,
+      returnWeight = 1000000L, nearWeight = 1L, farWeight = 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(got == referenceBiasedWalks(edges, Seq(2L), 5, 1000000L, 1L, 1L)
+      .map { case (_, s, n) => (s, n) }.toMap)
+    assert(got(0L) == 2L)
+    for (i <- 2L to 5L) assert(got(i) == got(i - 2L), s"step $i did not oscillate: $got")
+  }
+
   test("randomWalks walkCol: k independent walks per start node, exact vs replay") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 1L))
     // two walk ids per start node — the documented id·k + r scheme
