@@ -415,6 +415,96 @@ object StreamingOps {
         expr("(1000L * (n_t - n_c) * (n_t - n_c)) div (n_t + n_c)"))
       .withColumn("srm_suspect", col("chisq_milli") >= 3841L)
 
+  private def md5Prefix32(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+
+  /** Sparse HLL register state for [[hllRegisterStream]] (absent = 0). */
+  final case class HllRegState(regs: Map[Long, Long])
+
+  /** One register row per (group, bucket), zero-filled to all 2^b rows. */
+  final case class HllRegister(group: String, bucket: Long, register: Long)
+
+  /** Streaming HLL register maintenance — the streaming form of
+    * [[graft.ops.Sketch.hllByGroup]]'s register build, proving the
+    * mergeable-sketch claim end-to-end in a stream: per group, the
+    * 2^b-register set lives in the state store, each micro-batch folds
+    * its values in by per-register max, and the registers emitted after
+    * ANY prefix of the stream are bit-identical to
+    * [[graft.ops.Sketch.hllRegisters]] run in batch over the same values
+    * (same md5 contract: 32-bit hex prefix, top-b bucket split, integer
+    * rank = wBits − ⌊log₂ w⌋ — asserted in `StreamingSpec`). State is
+    * O(2^b) longs per group, bounded forever; the per-register max fold
+    * is commutative and idempotent, so replayed or reordered batches
+    * cannot corrupt it — the same property that merges the stream's
+    * registers with any batch-built shard via
+    * [[graft.ops.Sketch.hllMerge]]. Emits each touched group's full
+    * zero-filled register set per micro-batch (Update mode); feed the
+    * latest emission to [[graft.ops.Sketch.hllEstimate]].
+    */
+  def hllRegisterStream(
+      values: Dataset[(String, String)],
+      b: Int = 6): Dataset[HllRegister] = {
+    import values.sparkSession.implicits._
+    require(b >= 2 && b <= 12, s"b must be in [2,12]: $b")
+    val wBits = 32 - b
+    val m = 1 << b
+    values
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (group: String, batch: Iterator[(String, String)], state: GroupState[HllRegState]) =>
+          var regs = state.getOption.map(_.regs).getOrElse(Map.empty[Long, Long])
+          batch.foreach { case (_, v) =>
+            val u = md5Prefix32(v)
+            val bucket = u / (1L << wBits)
+            val w = u % (1L << wBits)
+            val rank =
+              if (w == 0L) (wBits + 1).toLong
+              else (wBits - (63 - java.lang.Long.numberOfLeadingZeros(w))).toLong
+            if (rank > regs.getOrElse(bucket, 0L)) regs = regs.updated(bucket, rank)
+          }
+          state.update(HllRegState(regs))
+          (0 until m).map(bk => HllRegister(group, bk.toLong, regs.getOrElse(bk.toLong, 0L)))
+      }
+      .flatMap(identity)
+  }
+
+  /** Single-cell state for [[countMinCellStream]]. */
+  final case class CmCellCount(n: Long)
+
+  /** One count-min cell `(r, c, n)` — the mergeable unit. */
+  final case class CmCell(r: Long, c: Long, n: Long)
+
+  /** Streaming count-min maintenance — the streaming form of
+    * [[graft.ops.Sketch.countMinTopK]]'s counter build: every value fans
+    * out to `rows` salted cells (`md5₃₂(value ":" r) % width`, the batch
+    * op's exact hash contract), the stream groups by CELL, and each
+    * cell's count is one Long in the state store — cell-add IS the
+    * count-min merge algebra, so per-batch increments are merges and the
+    * cell table after any stream prefix equals the batch counter table
+    * over the same values (asserted in `StreamingSpec`). State is
+    * bounded by rows × width cells regardless of stream length or
+    * cardinality; frequency estimates are query-side (min over a
+    * value's `rows` probed cells), exactly as in the batch op.
+    */
+  def countMinCellStream(
+      values: Dataset[String],
+      rows: Int = 4,
+      width: Int = 512): Dataset[CmCell] = {
+    import values.sparkSession.implicits._
+    require(rows >= 1 && width >= 2, s"bad cm params: $rows/$width")
+    values
+      .flatMap(v => (0L until rows.toLong).map(r => (r, md5Prefix32(s"$v:$r") % width)))
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (cell: (Long, Long), batch: Iterator[(Long, Long)], state: GroupState[CmCellCount]) =>
+          val n = state.getOption.map(_.n).getOrElse(0L) + batch.size
+          state.update(CmCellCount(n))
+          CmCell(cell._1, cell._2, n)
+      }
+  }
+
   /** Read the reference's user-exp JSON shape as a file stream. */
   def userExpStream(spark: SparkSession, dir: String): Dataset[SessionEvent] = {
     import spark.implicits._

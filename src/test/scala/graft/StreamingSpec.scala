@@ -429,4 +429,83 @@ class StreamingSpec extends SparkSpec {
         "parse path covered by the MemoryStream test above")
     }
   }
+
+  test("hllRegisterStream: registers after two micro-batches equal the batch sketch") {
+    val in = Files.createTempDirectory("graft_stream_hll")
+    def write(name: String, rows: Seq[(String, String)]): Unit =
+      Files.write(Paths.get(in.toString, name),
+        rows.map { case (g, v) => s"""{"g":"$g","v":"$v"}""" }.mkString("\n").getBytes)
+    val batch1 = (1 to 40).map(i => ("en", s"tok$i")) ++ (1 to 15).map(i => ("de", s"wort$i"))
+    val batch2 = (30 to 70).map(i => ("en", s"tok$i")) // overlaps batch1: max-fold must be idempotent
+    write("b1.json", batch1)
+    import spark.implicits._
+    val stream = spark.readStream.schema("g STRING, v STRING").json(in.toString)
+      .select(col("g"), col("v")).as[(String, String)]
+    val q = StreamingOps.hllRegisterStream(stream, b = 4)
+      .writeStream.outputMode("update").format("memory").queryName("hllregs")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable()
+    write("b2.json", batch2)
+    q.processAllAvailable(); q.stop()
+    // latest emission per (group, bucket) — mapGroupsWithState re-emits
+    // the full register set of touched groups each batch; take the max
+    // (registers are monotone) to read the final state
+    val got = spark.table("hllregs").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    val all = batch1 ++ batch2
+    for (g <- Seq("en", "de")) {
+      val want = graft.ops.Sketch.hllRegisters(
+        all.filter(_._1 == g).map(_._2).toDF("v"), "v", b = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val gotG = got.collect { case ((`g`, bk), reg) => (bk, reg) }.toMap
+      assert(gotG == want, s"group $g stream registers diverge from batch")
+    }
+    // and the sketch-only estimate over the stream's registers replays
+    val streamEn = got.collect { case (("en", bk), reg) => (bk, reg) }.toSeq
+      .toDF("bucket", "register")
+    val estStream = graft.ops.Sketch.hllEstimate(streamEn, b = 4).head()
+    val estBatch = graft.ops.Sketch.hllEstimate(
+      graft.ops.Sketch.hllRegisters(
+        all.filter(_._1 == "en").map(_._2).toDF("v"), "v", b = 4), b = 4).head()
+    assert(estStream == estBatch)
+  }
+
+  test("countMinCellStream: cell table after two micro-batches equals the batch counters") {
+    val in = Files.createTempDirectory("graft_stream_cm")
+    def write(name: String, items: Seq[String]): Unit =
+      Files.write(Paths.get(in.toString, name),
+        items.map(i => s"""{"item":"$i"}""").mkString("\n").getBytes)
+    val b1 = Seq("a", "a", "b", "c", "a")
+    val b2 = Seq("b", "d", "a", "d")
+    write("b1.json", b1)
+    import spark.implicits._
+    val stream = spark.readStream.schema("item STRING").json(in.toString)
+      .select(col("item")).as[String]
+    val q = StreamingOps.countMinCellStream(stream, rows = 3, width = 16)
+      .writeStream.outputMode("update").format("memory").queryName("cmcells")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable()
+    write("b2.json", b2)
+    q.processAllAvailable(); q.stop()
+    // latest emission per cell = max count (counts are monotone)
+    val got = spark.table("cmcells").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    // batch counter table over the union, via the op's own hash contract
+    val want = (b1 ++ b2)
+      .flatMap(v => (0L until 3L).map(r => (r, md5p32(s"$v:$r") % 16)))
+      .groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    assert(got == want)
+    // the count-min estimate for the heaviest item upper-bounds exactly
+    // as in batch: min over its probed cells >= true count
+    val aCells = (0L until 3L).map(r => (r, md5p32(s"a:$r") % 16))
+    val est = aCells.map(got).min
+    assert(est >= 4L)
+  }
+
+  private def md5p32(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
 }
