@@ -3400,7 +3400,13 @@ object SparkEntry {
         docChainPairs(s, dir),
         t(s, dir, "documents").where(col("doc_id") % 100 === 0)
           .select(col("doc_id").as("id")),
-        steps = 4, returnWeight = 1L, nearWeight = 2L, farWeight = 4L))
+        steps = 4, returnWeight = 1L, nearWeight = 2L, farWeight = 4L)),
+
+    // ---- the span-removal REWRITE q125 only measures: words inside
+    // corpus-hot 3-gram windows dropped, cleaned text emitted (the Lee
+    // et al. ExactSubstr transform at k-gram granularity). ------------------
+    "q348_span_remove" -> ((s, dir) =>
+      Repetition.spanRemove(t(s, dir, "documents"), minDocs = 3, k = 3))
   )
 
   /** Deterministic halving DAG for q328, from doc ids: n → n div 2 for
@@ -9468,7 +9474,39 @@ object SparkEntry {
          |UNION ALL SELECT walk_id, 2, node FROM w2
          |UNION ALL SELECT walk_id, 3, node FROM w3
          |UNION ALL SELECT walk_id, 4, node FROM w4""".stripMargin
-    }
+    },
+    // q348: q125's hot-window machinery (gram STRINGS stand in for the
+    // op's collision-free positional hashes, as in q125), then the
+    // rewrite itself — surviving words re-joined in position order.
+    "q348_span_remove" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - 2, 0)),
+        |   i -> {'i': i, 'g': w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]})) AS s
+        | FROM tok),
+        |gg AS (SELECT doc_id, CAST(s.i AS BIGINT) AS i, s.g AS g FROM g),
+        |hot AS (
+        | SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM gg GROUP BY 1)
+        | WHERE nd >= 3),
+        |cov AS (
+        | SELECT DISTINCT gg.doc_id, gg.i + o.k AS j
+        | FROM gg JOIN hot ON gg.g = hot.g
+        | CROSS JOIN (VALUES (0), (1), (2)) o(k)),
+        |wp AS (SELECT doc_id, CAST(generate_subscripts(w, 1) - 1 AS BIGINT) AS j,
+        |       unnest(w) AS word FROM tok),
+        |kept AS (
+        | SELECT wp.doc_id, wp.j, wp.word
+        | FROM wp LEFT JOIN cov ON cov.doc_id = wp.doc_id AND cov.j = wp.j
+        | WHERE cov.j IS NULL),
+        |r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_words,
+        |      string_agg(word, ' ' ORDER BY j) AS text FROM kept GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words,
+        | CAST(coalesce(r.kept_words, 0) AS BIGINT) AS kept_words,
+        | coalesce(r.text, '') AS text
+        |FROM tok t LEFT JOIN r USING (doc_id)""".stripMargin
   )
 
   /** Shared (doc, word, pos) tokenization CTE for the skip-gram oracles

@@ -145,4 +145,69 @@ object Repetition {
             col("n_words")))
           .otherwise(1000000L).as("kept_ppm"))
   }
+
+  /** The REWRITE [[spanCoverage]] only measures: drop every word inside
+    * a hot `k`-gram window (one occurring in ≥ `minDocs` distinct
+    * documents) and emit the cleaned text — the span-removal side of
+    * C4/RefinedWeb corpus hygiene (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022, §4's ExactSubstr
+    * approximated at k-gram granularity). Returns
+    * `(idCol, n_words, kept_words, text)` with `text` the surviving
+    * words joined by single spaces (whitespace-normalized by
+    * construction; empty string when everything was hot). Removal is
+    * corpus-global and deterministic, so re-running on the cleaned
+    * output is a no-op whenever the surviving text forms no new hot
+    * window.
+    *
+    * Scale shape: [[spanCoverage]]'s positional-hash frame (16-byte
+    * rows, bodies long gone; persisted once for the hot tally + the
+    * coverage resolve), then ONE (id, position)-keyed anti-join of the
+    * positional WORD table against covered positions and a per-doc
+    * `sort_array(collect_list(struct(pos, word)))` rebuild — the only
+    * text-bearing shuffle carries surviving words keyed by doc id, and
+    * the rebuild is per-group (no global sort; the struct sort pins
+    * determinism against collect_list's arrival order).
+    */
+  def spanRemove(
+      docs: DataFrame,
+      minDocs: Int = 3,
+      k: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2, "minDocs must be at least 2")
+    require(k >= 1, s"k must be >= 1: $k")
+    val words = Dedup.parallelize(docs)
+      .select(col(idCol).as("id"), Dedup.wordTokens(col(textCol)).as("__w"))
+    val withGrams = words.select(
+      col("id"), col("__w"), size(col("__w")).as("n_words"),
+      graft.functions.VectorFunctions.positionalShingleHashes(col("__w"), k).as("__g"))
+    val pos = withGrams
+      .select(col("id"), posexplode(col("__g")))
+      .withColumnRenamed("pos", "i")
+      .withColumnRenamed("col", "g")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = pos.groupBy("g").agg(countDistinct(col("id")).as("nd"))
+      .where(col("nd") >= minDocs).select("g")
+    val covered = pos
+      .join(hot, Seq("g"), "left_semi")
+      .select(col("id"), explode(sequence(col("i"), col("i") + (k - 1))).as("j"))
+      .distinct()
+    val wordPos = withGrams.select(col("id"), posexplode(col("__w")))
+      .withColumnRenamed("pos", "j")
+      .withColumnRenamed("col", "word")
+    val rebuilt = wordPos
+      .join(covered, Seq("id", "j"), "left_anti")
+      .groupBy("id").agg(
+        count(lit(1)).as("kept_words"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("j"), col("word")))),
+            s => s.getItem("word")),
+          " ").as("__text"))
+    withGrams.select(col("id"), col("n_words").cast("long").as("n_words"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_words"),
+        coalesce(col("kept_words"), lit(0L)).as("kept_words"),
+        coalesce(col("__text"), lit("")).as(textCol))
+  }
 }

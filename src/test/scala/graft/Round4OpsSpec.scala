@@ -234,6 +234,44 @@ class Round4OpsSpec extends SparkSpec {
     assert(got(5L) == ((0L, 0L, 1000000L)))
   }
 
+  test("spanRemove: hot windows drop their words, text rebuilds in position order") {
+    val docs = Seq(
+      (1L, "a b a b c x"),
+      (2L, "a b c y"),
+      (3L, "z a b c"),
+      (4L, "u v w")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Repetition.spanRemove(docs, minDocs = 3, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // hot gram "a b c": doc1 covers positions 2,3,4 → "a b x"
+    assert(got(1L) == ((6L, 3L, "a b x")))
+    assert(got(2L) == ((4L, 1L, "y")))
+    assert(got(3L) == ((4L, 1L, "z")))
+    assert(got(4L) == ((3L, 3L, "u v w")))
+    // kept_words always equals spanCoverage's n_words - covered_words
+    val cov = graft.ops.Repetition.spanCoverage(docs, minDocs = 3, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) - r.getLong(2))).toMap
+    assert(got.view.mapValues(_._2).toMap == cov)
+  }
+
+  test("spanRemove: fully-hot and empty docs yield empty text; rerun is a no-op here") {
+    val docs = Seq(
+      (1L, "p q p q p q"),
+      (2L, "p q p q p q"),
+      (3L, "p q p q p q"),
+      (5L, " ")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Repetition.spanRemove(docs, minDocs = 3, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((0L, "")))
+    assert(got(5L) == ((0L, "")))
+    // idempotence on the cleaned corpus: no words left → no hot windows
+    val again = graft.ops.Repetition.spanRemove(
+      Seq((1L, ""), (2L, ""), (3L, ""), (5L, "")).toDF("doc_id", "text"), minDocs = 3, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(again.values.forall(_ == ""))
+  }
+
   // -------------------------------------- multi-probe ANN + recall
 
   test("multi-probe LSH is a superset recall lever: recall@k >= single-probe, exact self-agreement = 1") {
