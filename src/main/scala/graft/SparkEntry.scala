@@ -3406,7 +3406,25 @@ object SparkEntry {
     // corpus-hot 3-gram windows dropped, cleaned text emitted (the Lee
     // et al. ExactSubstr transform at k-gram granularity). ------------------
     "q348_span_remove" -> ((s, dir) =>
-      Repetition.spanRemove(t(s, dir, "documents"), minDocs = 3, k = 3))
+      Repetition.spanRemove(t(s, dir, "documents"), minDocs = 3, k = 3)),
+
+    // ---- perceptual image fingerprints from the REAL BMP decode: the
+    // 9x8 nearest-neighbor grayscale dHash per synthesized image — the
+    // image-level analogue of simhashText. ----------------------------------
+    "q349_image_dhash" -> ((s, dir) =>
+      Multimodal.imageDhash(Multimodal.syntheticMedia(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("dhash"))),
+
+    // ---- banded Hamming near-dup join over those fingerprints: 8 bands
+    // of 8 bits (complete for hamming <= 7 by pigeonhole), popcount
+    // verify — image MinHash/LSH end to end. The oracle brute-forces
+    // all pairs, so it also PROVES the banding loses nothing. ---------------
+    "q350_dhash_neardup" -> ((s, dir) =>
+      Dedup.hammingPairs(
+        Multimodal.imageDhash(Multimodal.syntheticMedia(t(s, dir, "documents")))
+          .toDF().select(col("media_id").as("id"), col("dhash").as("hash")),
+        maxHamming = 7, bands = 8))
   )
 
   /** Deterministic halving DAG for q328, from doc ids: n → n div 2 for
@@ -9506,8 +9524,58 @@ object SparkEntry {
         |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words,
         | CAST(coalesce(r.kept_words, 0) AS BIGINT) AS kept_words,
         | coalesce(r.text, '') AS text
-        |FROM tok t LEFT JOIN r USING (doc_id)""".stripMargin
+        |FROM tok t LEFT JOIN r USING (doc_id)""".stripMargin,
+    // q349: the dHash replayed from the q150 analytic pixel function
+    // (pixel-array byte j = text byte j % len, rows bottom-up): grays
+    // sampled at the 9x8 grid centers in image orientation, horizontal
+    // comparisons summed into the 64-bit hash (bit 63 wraps negative in
+    // both engines; DuckDB's HUGEINT sum casts back exactly).
+    "q349_image_dhash" ->
+      s"""WITH $DhashCte
+         |SELECT dh.media_id, CAST(p.w AS BIGINT) AS width,
+         | CAST(p.h AS BIGINT) AS height, dh.dhash
+         |FROM dh JOIN par p ON p.doc_id = dh.media_id""".stripMargin,
+    // q350: the oracle brute-forces ALL image pairs — matching it proves
+    // the operator's 8x8 banding is lossless for hamming <= 7.
+    "q350_dhash_neardup" ->
+      s"""WITH $DhashCte
+         |SELECT a.media_id AS a_id, b.media_id AS b_id,
+         | CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+         |FROM dh a JOIN dh b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7""".stripMargin
   )
+
+  /** Shared dHash replay CTE for q349/q350: the q150 analytic pixel
+    * function sampled at the dHash grid. `dh` = (media_id, dhash); `par`
+    * carries (doc_id, w, h).
+    */
+  private val DhashCte: String =
+    """d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents WHERE doc_id % 2 = 0),
+      |par AS (SELECT doc_id, t, strlen(t) AS l, 8 + doc_id % 24 AS w,
+      |  8 + doc_id % 16 AS h FROM d),
+      |geom AS (SELECT *, ((24 * w + 31) // 32) * 4 AS row_size FROM par),
+      |cells AS (
+      | SELECT doc_id, l, t,
+      |  (h - 1 - ((2 * cy.cy + 1) * h) // 16) * row_size
+      |    + 3 * (((2 * cx.cx + 1) * w) // 18) AS base,
+      |  cy.cy AS cy, cx.cx AS cx
+      | FROM geom CROSS JOIN range(8) cy(cy) CROSS JOIN range(9) cx(cx)),
+      |gcell AS (
+      | SELECT doc_id, cy, cx,
+      |  ((CASE WHEN l = 0 THEN 0 ELSE ascii(substring(t, CAST(base % l AS INT) + 1, 1)) END)
+      |   + (CASE WHEN l = 0 THEN 0 ELSE ascii(substring(t, CAST((base + 1) % l AS INT) + 1, 1)) END)
+      |   + (CASE WHEN l = 0 THEN 0 ELSE ascii(substring(t, CAST((base + 2) % l AS INT) + 1, 1)) END)) // 3 AS gray
+      | FROM cells),
+      |dh AS (
+      | SELECT a.doc_id AS media_id,
+      |  CAST(coalesce(sum(CASE WHEN a.gray < b.gray THEN
+      |    CASE WHEN a.cy * 8 + a.cx = 63 THEN CAST(-9223372036854775807 AS HUGEINT) - 1
+      |         ELSE CAST(CAST(1 AS BIGINT) << (a.cy * 8 + a.cx) AS HUGEINT) END
+      |    ELSE CAST(0 AS HUGEINT) END), 0) AS BIGINT) AS dhash
+      | FROM gcell a JOIN gcell b
+      |   ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+      | WHERE a.cx < 8
+      | GROUP BY 1)""".stripMargin
 
   /** Shared (doc, word, pos) tokenization CTE for the skip-gram oracles
     * (the q84 idiom: whitespace split of trimmed lowercase text).

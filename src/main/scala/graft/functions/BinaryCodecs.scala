@@ -159,6 +159,51 @@ object BinaryCodecs {
     Some((w, h, sumB, sumG, sumR))
   }
 
+  /** 64-bit DIFFERENCE HASH (dHash) from a 24bpp bottom-up BMP payload —
+    * the classic perceptual near-duplicate fingerprint: sample a 9×8
+    * grayscale grid (nearest-neighbor at cell centers — integer-exact
+    * for ANY source size, where a block average would need w ≥ 9), and
+    * set bit (row·8 + col) when gray(col, row) < gray(col+1, row).
+    * Gray = (B + G + R) div 3, bytes unsigned; the grid samples in
+    * IMAGE orientation (top-down rows; the stored rows are bottom-up).
+    * Returns (width, height, dhash); None on a non-BMP payload. Every
+    * step is integer arithmetic on decoded bytes, so any engine replays
+    * the hash bit-for-bit from the same pixels.
+    */
+  def bmpDhash(payload: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M') return None
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = buf.getInt(10)
+    val dibSize = buf.getInt(14)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    val planes = buf.getShort(26)
+    val bpp = buf.getShort(28)
+    val compression = buf.getInt(30)
+    if (dibSize != 40 || planes != 1 || bpp != 24 || compression != 0 ||
+      w <= 0 || h <= 0) return None // bottom-up 24bpp uncompressed only
+    val rowSize = ((24 * w + 31) / 32) * 4
+    if (dataOff < 54 || dataOff.toLong + rowSize.toLong * h > payload.length) return None
+    def gray(x: Int, y: Int): Int = {
+      val p = dataOff + (h - 1 - y) * rowSize + 3 * x
+      ((payload(p) & 0xff) + (payload(p + 1) & 0xff) + (payload(p + 2) & 0xff)) / 3
+    }
+    var hash = 0L
+    var cy = 0
+    while (cy < 8) {
+      val y = (2 * cy + 1) * h / 16
+      var cx = 0
+      while (cx < 8) {
+        val xa = (2 * cx + 1) * w / 18
+        val xb = (2 * cx + 3) * w / 18
+        if (gray(xa, y) < gray(xb, y)) hash |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    Some((w, h, hash))
+  }
+
   /** Integer-exact PCM statistics from a 16-bit mono WAV payload — a REAL
     * audio decode (chunk walk + int16 LE sample scan), not a stub:
     * (sampleRate, nSamples, Σs², Σ|s|, max|s|). All sums are exact in

@@ -143,6 +143,48 @@ object Dedup {
       .select(col(idCol).as("id"), wordTokens(col(textCol)).as("__words"))
       .select(col("id"), VectorFunctions.simhash64(col("__words")).as("simhash"))
 
+  /** Banded Hamming near-duplicate pairs over ANY 64-bit fingerprint
+    * column (SimHash, image dHash): split the hash into `bands` equal
+    * bit slices — by pigeonhole, two hashes at Hamming distance
+    * ≤ bands − 1 agree on at least one complete band, so the equi-join
+    * on (band index, band bits) finds EVERY qualifying pair (the
+    * completeness condition `maxHamming ≤ bands − 1` is enforced) —
+    * then verify exactly with `bit_count(xor)`. Returns
+    * `(a_id, b_id, hamming)`, a_id < b_id.
+    *
+    * Scale shape: fingerprints fan out ×bands (tiny rows), candidates =
+    * Σ_bucket |bucket|² — the banded-LSH shape of [[lshVerifiedPairs]],
+    * never all-pairs; the popcount verify is a codegen'd scalar on the
+    * candidate stream.
+    */
+  def hammingPairs(
+      hashes: DataFrame,
+      idCol: String = "id",
+      hashCol: String = "hash",
+      maxHamming: Int = 7,
+      bands: Int = 8): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64: $bands")
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"completeness needs maxHamming <= bands - 1: $maxHamming vs ${bands - 1}")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val banded = hashes
+      .select(col(idCol).cast("long").as("id"), col(hashCol).cast("long").as("hash"))
+      .select(col("id"), col("hash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("b"))
+      // arithmetic shift + mask == unsigned shift + mask for every band
+      .withColumn("bits", expr(s"shiftright(hash, b * $width) & ${mask}L"))
+    banded.alias("x").join(banded.alias("y"),
+        col("x.b") === col("y.b") && col("x.bits") === col("y.bits") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        col("x.hash").as("a_hash"), col("y.hash").as("b_hash"))
+      .distinct() // a pair may collide in several bands
+      .select(col("a_id"), col("b_id"),
+        expr("cast(bit_count(a_hash ^ b_hash) as bigint)").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (columns a_id, b_id) — the verification stage after LSH.
     */

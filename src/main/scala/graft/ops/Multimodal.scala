@@ -215,6 +215,32 @@ object Multimodal {
     }
   }
 
+  final case class ImageDhash(media_id: Long, width: Long, height: Long, dhash: Long)
+
+  /** Perceptual near-duplicate fingerprints over the binary image
+    * column: the 64-bit dHash from a REAL 24bpp BMP decode
+    * ([[graft.functions.BinaryCodecs.bmpDhash]] — 9×8 nearest-neighbor
+    * grayscale grid, horizontal difference bits). Rows whose payload is
+    * not parseable BMP are dropped. Pair with
+    * [[graft.ops.Dedup.hammingPairs]] for the banded near-dup join —
+    * together they are image-level MinHash/LSH: fingerprint map-side,
+    * bucket-join, verify exactly. Same partition-batched, shuffle-free
+    * shape as [[imageStats]].
+    */
+  def imageDhash(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[ImageDhash] = {
+    import media.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          BinaryCodecs.bmpDhash(m.payload).map { case (w, h, d) =>
+            ImageDhash(m.media_id, w.toLong, h.toLong, d)
+          }
+        }
+      }
+    }
+  }
+
   /** Synthesize VALID media binaries from the documents table — real BMP
     * for even ids, real WAV for odd — with container parameters that are
     * pure functions of the id (so any engine can replay the expected

@@ -181,6 +181,85 @@ class MultimodalSpec extends SparkSpec {
     assert(s.sum_b == 6L * 10 && s.sum_g == 6L * 20 && s.sum_r == 6L * 30)
   }
 
+  test("bmpDhash: grid replay on a hand-built gradient, invariances and rejection") {
+    import graft.functions.BinaryCodecs
+    // 18×16 left-dark/right-bright gradient: every horizontal comparison
+    // gray(x) < gray(x+1) holds → all 64 bits set (-1L)
+    val w = 18; val h = 16
+    val grad = Array.tabulate[Byte](w * h * 3) { i => ((i / 3 % w) * 14).toByte }
+    // build row-major BGR with correct padding manually via the codec's
+    // cycled fill: rowSize = 56 = 3*18+2 pad — cycling would misalign
+    // rows, so build the padded array explicitly
+    val rowSize = ((24 * w + 31) / 32) * 4
+    val padded = Array.tabulate[Byte](rowSize * h) { j =>
+      val r = j / rowSize; val o = j % rowSize
+      if (o < 3 * w) ((o / 3) * 14).toByte else 0
+    }
+    val payload = BinaryCodecs.bmp(w, h, padded)
+    val Some((gw, gh, hash)) = BinaryCodecs.bmpDhash(payload)
+    assert(gw == w && gh == h)
+    assert(hash == -1L, s"gradient must set all 64 bits, got $hash")
+    // a flat image has no rising comparisons → hash 0
+    val flat = BinaryCodecs.bmp(9, 8, Array[Byte](77))
+    assert(BinaryCodecs.bmpDhash(flat).get._3 == 0L)
+    // in-memory replay of the exact kernel contract on the cycled fill
+    val pix = Array.tabulate[Byte](23)(i => (i * 37).toByte)
+    val p2 = BinaryCodecs.bmp(10, 9, pix)
+    val Some((w2, h2, got)) = BinaryCodecs.bmpDhash(p2)
+    def v(j: Int): Int = pix(j % pix.length) & 0xff
+    val rs = ((24 * 10 + 31) / 32) * 4
+    def gray(x: Int, y: Int): Int = {
+      val base = (h2 - 1 - y) * rs + 3 * x
+      (v(base) + v(base + 1) + v(base + 2)) / 3
+    }
+    var want = 0L
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val y = (2 * cy + 1) * h2 / 16
+      if (gray((2 * cx + 1) * w2 / 18, y) < gray((2 * cx + 3) * w2 / 18, y))
+        want |= 1L << (cy * 8 + cx)
+    }
+    assert(got == want)
+    assert(BinaryCodecs.bmpDhash(BinaryCodecs.wav(8000, Array[Short](1))).isEmpty)
+  }
+
+  test("hammingPairs: banding is lossless vs brute force, bounds enforced") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val rnd = new scala.util.Random(17)
+    // clustered hashes: a few seeds each with several low-hamming mutants
+    val seeds = Seq.fill(5)(rnd.nextLong())
+    val hashes = seeds.zipWithIndex.flatMap { case (s, i) =>
+      (0 until 6).map { j =>
+        var v = s
+        (0 until rnd.nextInt(5)).foreach(_ => v ^= 1L << rnd.nextInt(64))
+        (i * 10L + j, v)
+      }
+    }
+    val got = Dedup.hammingPairs(hashes.toDF("id", "hash"), maxHamming = 7, bands = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val want = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 7
+    } yield ((a, b), d.toLong)).toMap
+    assert(got == want, "banded pairs diverge from brute force")
+    assert(want.nonEmpty, "fixture produced no qualifying pairs — not testing anything")
+    intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(hashes.toDF("id", "hash"), maxHamming = 8, bands = 8)
+    }
+  }
+
+  test("imageDhash: dataset path drops non-images, equal payloads hash equal") {
+    import spark.implicits._
+    val a = graft.functions.BinaryCodecs.bmp(12, 10, Array[Byte](1, 5, 9, 13))
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", a, "image/bmp", a.length.toLong),
+      Multimodal.MediaRow(2L, "image", a.clone(), "image/bmp", a.length.toLong),
+      Multimodal.MediaRow(3L, "audio", Array[Byte](9), "application/x-fake", 1L)).toDS()
+    val out = Multimodal.imageDhash(media).collect().map(d => d.media_id -> d.dhash).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == out(2L))
+  }
+
   test("resizeAll rewrites payloads to the target budget, keeps ids and kinds") {
     import spark.implicits._
     val media = Seq(
