@@ -3424,7 +3424,14 @@ object SparkEntry {
       Dedup.hammingPairs(
         Multimodal.imageDhash(Multimodal.syntheticMedia(t(s, dir, "documents")))
           .toDF().select(col("media_id").as("id"), col("dhash").as("hash")),
-        maxHamming = 7, bands = 8))
+        maxHamming = 7, bands = 8)),
+
+    // ---- exact integer Gram matrix of the quantized embedding corpus
+    // (upper triangle): the mergeable covariance scaffold — cells add
+    // across shards, so a 100 TB corpus builds it per partition and
+    // folds. ---------------------------------------------------------------
+    "q351_quantized_gram" -> ((s, dir) =>
+      Similarity.quantizedGram(t(s, dir, "embeddings")))
   )
 
   /** Deterministic halving DAG for q328, from doc ids: n → n div 2 for
@@ -9542,7 +9549,27 @@ object SparkEntry {
          |SELECT a.media_id AS a_id, b.media_id AS b_id,
          | CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
          |FROM dh a JOIN dh b ON a.media_id < b.media_id
-         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7""".stripMargin
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7""".stripMargin,
+    // q351: the PqCodesCte quantization replay, then the upper-triangle
+    // product census cell by cell.
+    "q351_quantized_gram" ->
+      """WITH m AS (
+        | SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+        | FROM embeddings),
+        |qv AS (
+        | SELECT vec_id,
+        |  CASE WHEN max_abs > 0
+        |   THEN list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs) AS BIGINT))
+        |   ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS v
+        | FROM m),
+        |cells AS (
+        | SELECT i.i AS i, j.j AS j, v[CAST(i.i AS INT) + 1] * v[CAST(j.j AS INT) + 1] AS p
+        | FROM qv CROSS JOIN range(0, 64) i(i) CROSS JOIN range(0, 64) j(j)
+        | WHERE j.j >= i.i)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        | CAST(sum(p) AS BIGINT) AS g, CAST(count(*) AS BIGINT) AS n_vectors
+        |FROM cells GROUP BY 1, 2""".stripMargin
   )
 
   /** Shared dHash replay CTE for q349/q350: the q150 analytic pixel

@@ -785,4 +785,37 @@ object Similarity {
       .where(col("rank") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rank"))
   }
+
+  /** Exact integer GRAM MATRIX of the int8-quantized embedding corpus:
+    * `G(i,j) = Σ_vectors q_i·q_j` on the per-vector max-abs int8 lattice
+    * ([[VectorFunctions.quantizeInt8]] — the same quantization contract
+    * as PQ and [[graft.ops.KMeans]]), upper triangle only (i ≤ j; the
+    * matrix is symmetric). This is the covariance/whitening scaffold —
+    * PCA, ZCA, embedding-drift detection — as a MERGEABLE integer
+    * aggregate: cells ADD across shards/days/streams (the 100 TB
+    * property), and |q| ≤ 127 keeps a cell exact in a Long up to
+    * ~5.7×10¹⁴ vectors. `n_vectors` rides along so the caller picks its
+    * own normalization.
+    *
+    * Scale shape: map-only — quantize, explode to the dim·(dim+1)/2
+    * upper-triangle products per vector (the second explode slices from
+    * i, halving the fan-out), then ONE map-side-combined sum agg; the
+    * shuffle carries at most dim² rows per task, never the corpus.
+    */
+  def quantizedGram(
+      df: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val q = df.select(
+      VectorFunctions.quantizeInt8(col(vecCol), VectorFunctions.maxAbs(col(vecCol))).as("q"))
+    q.select(col("q"), posexplode(col("q")))
+      .withColumnRenamed("pos", "i")
+      .withColumnRenamed("col", "qi")
+      .select(col("i"), col("qi"),
+        posexplode(expr("slice(q, i + 1, size(q) - i)")))
+      .select(col("i").cast("long").as("i"),
+        (col("i") + col("pos")).cast("long").as("j"),
+        (col("qi") * col("col")).as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).as("g"), count(lit(1)).as("n_vectors"))
+  }
 }

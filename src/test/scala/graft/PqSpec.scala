@@ -55,6 +55,32 @@ class PqSpec extends SparkSpec {
       (i, v)
     }
 
+  test("quantizedGram: in-memory replay, upper triangle, cells add across shards") {
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    def quant(v: Array[Float]): Array[Long] = {
+      val ma = v.map(x => math.abs(x.toDouble)).max
+      if (ma > 0) v.map(x => math.round(x.toDouble * 127.0 / ma)) else v.map(_ => 0L)
+    }
+    val want = (for (i <- 0 until 8; j <- i until 8) yield {
+      ((i.toLong, j.toLong), vecs.map { case (_, v) => val q = quant(v); q(i) * q(j) }.sum)
+    }).toMap
+    val got = Similarity.quantizedGram(vecs.toDF("vec_id", "embedding"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got.view.mapValues(_._1).toMap == want)
+    assert(got.values.forall(_._2 == 40L))
+    assert(got.keySet.forall { case (i, j) => i <= j })
+    // mergeability: shard Grams add cell-by-cell to the whole-corpus Gram
+    val (a, b) = vecs.partition(_._1 % 2 == 0)
+    def gram(x: Seq[(Long, Array[Float])]) =
+      Similarity.quantizedGram(x.toDF("vec_id", "embedding"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val merged = gram(a).map { case (k, v) => k -> (v + gram(b)(k)) }
+    assert(merged == want)
+    // diagonal is a sum of squares
+    assert(got.collect { case ((i, j), (g, _)) if i == j => g }.forall(_ >= 0L))
+  }
+
   test("pqCodes matches the in-memory replay (codes AND distortion)") {
     val data = corpus(40)
     val got = Similarity.pqCodes(data.toDF("vec_id", "embedding"), m = 2, k = 4)
