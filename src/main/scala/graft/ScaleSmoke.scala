@@ -97,7 +97,19 @@ object ScaleSmoke {
     // md5Prefix kernel's honest scaling point) and greedy max-coverage
     // (k sequential rounds whose per-round cost is one linear pass over
     // the bigram pairs — 10× pairs per round, fixed round count).
-    "q331_bootstrap_sums", "q345_greedy_coverage")
+    "q331_bootstrap_sums", "q345_greedy_coverage",
+    // Round-12 additions (the r11 verdict's list + the new heavy
+    // shapes): temporal reachability (the slowest stable bench resident
+    // — dense bipartite frontier, 3 min-arrival hops), DBSCAN (banded
+    // like q213: per-replica disjoint x-bands keep the eps-graph at 10×
+    // pairs instead of ~100× densification), IVF-PQ (needs the
+    // embeddings replicas: circular-shifted vectors, disjoint
+    // directions), greedy matching (fixed 120-node graph — measures the
+    // 10× input dedup-agg scan + fixed rounds), the span-removal
+    // rewrite (token-heavy map + anti-join + per-doc rebuild) and the
+    // quantized-Gram census (dim²/2 fan-out per vector, pure map).
+    "q311_temporal_reach", "q330_dbscan", "q336_ivfpq_topk",
+    "q341_greedy_matching", "q348_span_remove", "q351_quantized_gram")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))
@@ -137,7 +149,7 @@ object ScaleSmoke {
       else 0
     if (haveVersion < genVersion && new java.io.File(out).exists()) {
       import scala.jdk.CollectionConverters._
-      val owned = Seq("customer", "orders", "lineitem", "documents", "events")
+      val owned = Seq("customer", "orders", "lineitem", "documents", "events", "embeddings")
         .map(t => java.nio.file.Paths.get(out, s"$t.parquet")) :+ verFile
       val stale = owned.filter(java.nio.file.Files.exists(_))
       if (stale.nonEmpty) {
@@ -246,6 +258,27 @@ object ScaleSmoke {
           .withColumn("props", concat(lit(s"r${i}_"), col("props")))
       }.write.mode("overwrite").parquet(s"$out/events.parquet")
     }
+    // Embeddings (q336 IVF-PQ, q351 Gram): shift vec_id past the global
+    // max and CIRCULAR-SHIFT each replica's vectors by i positions —
+    // per-replica geometry (norms, max-abs lattice, internal distances)
+    // stays identical to base while cross-replica directions are
+    // disjoint, so the 10× corpus adds no artificial near-duplicates.
+    // Separate if-guard like events: dirs generated by earlier builds
+    // lack this table.
+    if (absent("embeddings")) {
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      val vShift = emb.agg(max("vec_id")).head().getLong(0) + 1
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      replicate(emb, replicas) { case (d, i) =>
+        val rot = i % dim
+        val rotated =
+          if (rot == 0) col("embedding")
+          else concat(slice(col("embedding"), rot + 1, dim - rot),
+            slice(col("embedding"), 1, rot))
+        d.withColumn("vec_id", col("vec_id") + lit(i * vShift))
+          .withColumn("embedding", rotated)
+      }.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
     java.nio.file.Files.writeString(verFile, genVersion.toString)
 
     // q213's coordinates are hashed from c_custkey into one fixed grid, so
@@ -263,7 +296,15 @@ object ScaleSmoke {
           SparkEntry.gridRadiusPoints(
             s.read.parquet(s"$dir/customer.parquet"),
             expr(s"cast(c_custkey as long) div $ckShiftBase") * 110000L),
-          "id", col("x"), col("y"), radius = 1000L)))
+          "id", col("x"), col("y"), radius = 1000L)),
+      // same banding for DBSCAN: identical to the plain q330 at base
+      // scale (one band), disjoint eps-graphs per replica at 10×
+      "q330_dbscan" -> ((s: SparkSession, dir: String) =>
+        graft.ops.GeoGrid.dbscan(
+          SparkEntry.gridRadiusPoints(
+            s.read.parquet(s"$dir/customer.parquet"),
+            expr(s"cast(c_custkey as long) div $ckShiftBase") * 110000L),
+          "id", col("x"), col("y"), eps = 2500L, minPts = 4)))
 
     def run(name: String, dir: String): Boolean =
       try {
