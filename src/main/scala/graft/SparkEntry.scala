@@ -3431,7 +3431,22 @@ object SparkEntry {
     // across shards, so a 100 TB corpus builds it per partition and
     // folds. ---------------------------------------------------------------
     "q351_quantized_gram" -> ((s, dir) =>
-      Similarity.quantizedGram(t(s, dir, "embeddings")))
+      Similarity.quantizedGram(t(s, dir, "embeddings"))),
+
+    // ---- WEIGHTED PageRank on q69's trade graph with co-order
+    // multiplicity as the edge weight (the DISTINCT dropped into a
+    // count): rank splits proportionally over out-weights, decimal-exact
+    // per-edge products. ----------------------------------------------------
+    "q352_weighted_pagerank" -> ((s, dir) => {
+      val e0 = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("s"), (col("l_suppkey") * 2 + 1).as("d"))
+        .agg(count(lit(1)).as("w"))
+      val e = e0.unionByName(e0.select(col("d").as("s"), col("s").as("d"), col("w")))
+      PageRank.weightedRanksFixedPoint(e, "s", "d", "w", iterations = 3)
+        .select(col("id").as("node_id"), col("rank"))
+    })
   )
 
   /** Deterministic halving DAG for q328, from doc ids: n → n div 2 for
@@ -9569,7 +9584,31 @@ object SparkEntry {
         | WHERE j.j >= i.i)
         |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
         | CAST(sum(p) AS BIGINT) AS g, CAST(count(*) AS BIGINT) AS n_vectors
-        |FROM cells GROUP BY 1, 2""".stripMargin
+        |FROM cells GROUP BY 1, 2""".stripMargin,
+    // q352: the q69 unroll with weights — per-edge product in HUGEINT
+    // (mirrors the op's decimal(38,0)), floor-div by 100·wsum.
+    "q352_weighted_pagerank" -> {
+      val base =
+        """WITH e0 AS (
+          | SELECT o_custkey * 2 AS s, l_suppkey * 2 + 1 AS d,
+          |  CAST(count(*) AS BIGINT) AS w
+          | FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2),
+          |e AS (SELECT s, d, w FROM e0 UNION ALL SELECT d AS s, s AS d, w FROM e0),
+          |ws AS (SELECT s, CAST(sum(w) AS BIGINT) AS wsum FROM e GROUP BY 1),
+          |nodes AS (SELECT DISTINCT s AS id FROM e),
+          |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes)""".stripMargin
+      val iters = (1 to 3).map { i =>
+        s""",
+           |c$i AS (
+           | SELECT e.d AS id,
+           |  CAST(sum((CAST(r.rank AS HUGEINT) * 85 * e.w) // (100 * ws.wsum)) AS BIGINT) AS c
+           | FROM e JOIN r${i - 1} r ON e.s = r.id JOIN ws ON ws.s = e.s GROUP BY 1),
+           |r$i AS (
+           | SELECT n.id, CAST(150000 + coalesce(c$i.c, 0) AS BIGINT) AS rank
+           | FROM nodes n LEFT JOIN c$i ON n.id = c$i.id)""".stripMargin
+      }.mkString
+      base + iters + "\nSELECT id AS node_id, rank FROM r3"
+    }
   )
 
   /** Shared dHash replay CTE for q349/q350: the q150 analytic pixel

@@ -200,4 +200,71 @@ object PageRank {
       .select(col("d").as("id"),
         expr(s"(rank * $dampingNum) div (100 * outdeg)").as("c"))
       .groupBy("id").agg(sum("c").as("c"))
+
+  /** WEIGHTED PageRank: [[ranksFixedPoint]]'s loop with integer edge
+    * weights — a node's rank splits proportionally over its out-weights,
+    * `contribution = ⌊d · rank · w / (100 · wsum_src)⌋`. The link-graph
+    * ranking when edges carry multiplicities (co-order counts, citation
+    * counts, dedup-cluster sizes) instead of presence bits. Duplicate
+    * (src, dst) rows fold by SUMMING weights upfront, so a multigraph
+    * input ranks identically to its weighted-simple-graph collapse;
+    * weights must be ≥ 1 (probed with a bounded limit-1 fetch, the
+    * [[Paths.weightedSssp]] contract). The per-edge product
+    * rank·d·w needs more than 64 bits once rank mass meets large
+    * weights, so it is computed in decimal(38,0) with integral div —
+    * same overflow posture as [[Ngrams.skipGramLift]]. Dangling
+    * contract, staging cadence and scale shape are [[ranksFixedPoint]]'s
+    * (the weight fold rides the one degree aggregation).
+    */
+  def weightedRanksFixedPoint(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iterations: Int,
+      scale: Long = 1000000L,
+      dampingNum: Long = 85L,
+      reliable: Boolean = false): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0: $iterations")
+    require(scale % 100 == 0, s"scale must be a multiple of 100 for an exact teleport term: $scale")
+    require(dampingNum >= 0 && dampingNum <= 100, s"dampingNum must be in [0,100]: $dampingNum")
+    val raw = edges.select(col(srcCol).cast("long").as("s"),
+      col(dstCol).cast("long").as("d"), col(weightCol).cast("long").as("w"))
+    // bounded driver fetch (<= 1 row): name a non-positive weight now
+    // instead of silently mis-splitting rank mass
+    val bad = raw.where(col("w").isNull || col("w") <= 0L).limit(1).collect()
+    require(bad.isEmpty,
+      s"weightedRanksFixedPoint: non-positive weight on edge ${bad.headOption.map(r => (r.get(0), r.get(1), r.get(2))).getOrElse("")} — weights must be >= 1")
+    val e = Staging.stage(raw.groupBy(col("s"), col("d")).agg(sum(col("w")).as("w")), reliable)
+    val p = e.sparkSession.sparkContext.defaultParallelism
+    val nodes = e.select(col("s").as("id")).union(e.select(col("d").as("id")))
+      .distinct().repartition(p, col("id")).cache()
+    val wsum = e.groupBy("s").agg(sum(col("w")).as("wsum"))
+    val withW = e.join(wsum, "s").repartition(p, col("s")).cache()
+    val teleport = scale * (100 - dampingNum) / 100
+    var ranks = nodes.withColumn("rank", lit(scale))
+    val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (i <- 1 to iterations) {
+      val contribs = withW.join(ranks.hint("shuffle_hash"), col("s") === col("id"))
+        .select(col("d").as("id"),
+          expr(s"cast((cast(rank as decimal(38,0)) * $dampingNum * w) div (100 * cast(wsum as decimal(38,0))) as bigint)")
+            .as("c"))
+        .groupBy("id").agg(sum("c").as("c"))
+      val next = nodes.join(contribs.hint("shuffle_hash"), Seq("id"), "left")
+        .select(col("id"), (lit(teleport) + coalesce(col("c"), lit(0L))).as("rank"))
+      if (i == iterations || i % 4 == 0) {
+        ranks = Staging.stage(next, reliable)
+        staged += ranks
+      } else ranks = next
+    }
+    if (reliable) {
+      if (iterations == 0) ranks = Staging.stage(ranks, reliable)
+      ranks.count()
+      staged.dropRight(1).foreach(_.unpersist())
+      e.unpersist()
+    }
+    nodes.unpersist()
+    withW.unpersist()
+    ranks
+  }
 }

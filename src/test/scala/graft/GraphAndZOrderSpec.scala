@@ -80,6 +80,39 @@ class GraphAndZOrderSpec extends SparkSpec {
     assert(r(1L) == r(2L) && r(2L) == r(3L))
   }
 
+  test("weighted pagerank: unit weights equal the unweighted ranks; multigraph folds; bias follows weight") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 150).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }
+    def wRanks(rows: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] =
+      PageRank.weightedRanksFixedPoint(rows.toDF("s", "d", "w"), "s", "d", "w", iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // w = 1 everywhere degenerates exactly to the unweighted loop —
+    // provided the input has no duplicate edges (the weighted op FOLDS
+    // duplicates by summing, the unweighted one splits by row count)
+    val simple = edges.distinct
+    assert(wRanks(simple.map { case (s, d) => (s, d, 1L) }, 3) == ranksOf(simple, 3))
+    // a multigraph equals its weight-folded collapse
+    val multi = simple.flatMap { case (s, d) => Seq.fill(1 + (s % 3).toInt)((s, d, 2L)) }
+    val folded = simple.map { case (s, d) => (s, d, 2L * (1 + (s % 3))) }
+    assert(wRanks(multi, 3) == wRanks(folded, 3))
+    // weight bias: on 0→{1 (w 9), 2 (w 1)}, node 1 gets 9x node 2's share
+    val biased = wRanks(Seq((0L, 1L, 9L), (0L, 2L, 1L)), 1)
+    assert(biased(1L) == 150000L + 1000000L * 85 * 9 / (100 * 10))
+    assert(biased(2L) == 150000L + 1000000L * 85 / (100 * 10))
+    // non-positive weights are refused upfront with the offending edge
+    val e = intercept[IllegalArgumentException] {
+      wRanks(Seq((0L, 1L, 0L)), 1)
+    }
+    assert(e.getMessage.contains("non-positive weight"))
+    // reliable posture parity
+    val rel = PageRank.weightedRanksFixedPoint(
+      simple.map { case (s, d) => (s, d, 3L) }.toDF("s", "d", "w"),
+      "s", "d", "w", 5, reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rel == wRanks(simple.map { case (s, d) => (s, d, 3L) }, 5))
+  }
+
   test("pagerank: total mass is bounded by nodes*scale and conserved up to floor loss") {
     val rnd = new scala.util.Random(5)
     val edges = (1 to 200).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
