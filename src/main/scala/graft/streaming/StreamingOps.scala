@@ -505,6 +505,63 @@ object StreamingOps {
       }
   }
 
+  /** Top-(k+1) priority state for [[prioritySampleStream]]:
+    * (priority, id, weight), priority desc / id asc.
+    */
+  final case class PriSampleState(rows: List[(Long, Long, Long)])
+
+  /** One sampled row per group per micro-batch emission. */
+  final case class PriSample(group: String, id: Long, weight: Long, est_weight: Long)
+
+  /** Streaming per-group Duffield priority sampling — the streaming form
+    * of [[graft.ops.Sampling.prioritySamplePerGroup]]: each group keeps
+    * its top-(k+1) priorities `(w·2³² div (md5₃₂(id)+1))` in the state
+    * store (the priority is a pure function of the row — the batch op's
+    * exact md5 contract), merges every micro-batch in, and emits the
+    * current k-row sample with the `max(w, τ)` estimator (τ = the
+    * (k+1)-th priority; 0 while the group is smaller — sample =
+    * population, estimator degenerate-exact). Because a top-k of
+    * deterministic priorities is a MERGEABLE order statistic, the
+    * sample after any stream prefix is IDENTICAL to the batch op run
+    * over the same rows (asserted in `StreamingSpec`) — a uniform
+    * weight-proportional without-replacement sample that runs forever
+    * in O(k) state per group.
+    *
+    * Contracts carried over from the batch op: weights in (0, 2³¹)
+    * (violations throw — silently dropping them would bias the
+    * estimator), ids unique across the stream (a re-arriving id is
+    * folded by max priority, so exact duplicates are inert, but
+    * distinct rows sharing an id draw correlated uniforms exactly as
+    * documented on the batch op).
+    */
+  def prioritySampleStream(
+      rows: Dataset[(String, Long, Long)],
+      k: Int): Dataset[PriSample] = {
+    import rows.sparkSession.implicits._
+    require(k >= 1, s"k must be >= 1: $k")
+    rows
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (group: String, batch: Iterator[(String, Long, Long)], state: GroupState[PriSampleState]) =>
+          var top = state.getOption.map(_.rows).getOrElse(Nil)
+          batch.foreach { case (_, id, w) =>
+            if (w <= 0L || w >= (1L << 31)) throw new IllegalArgumentException(
+              s"prioritySampleStream: weight $w of id $id outside (0, 2^31) — pre-scale weights")
+            val pri = w * 4294967296L / (md5Prefix32(id.toString) + 1L)
+            val existing = top.find(_._2 == id)
+            if (!existing.exists(_._1 >= pri))
+              top = ((pri, id, w) :: top.filterNot(_._2 == id))
+                .sortBy { case (p, i, _) => (-p, i) }.take(k + 1)
+          }
+          state.update(PriSampleState(top))
+          val tau = if (top.length == k + 1) top.last._1 else 0L
+          top.take(k).map { case (_, id, w) =>
+            PriSample(group, id, w, math.max(w, tau))
+          }
+      }
+      .flatMap(identity)
+  }
+
   /** Read the reference's user-exp JSON shape as a file stream. */
   def userExpStream(spark: SparkSession, dir: String): Dataset[SessionEvent] = {
     import spark.implicits._

@@ -508,4 +508,46 @@ class StreamingSpec extends SparkSpec {
     java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+
+  test("prioritySampleStream: sample after two micro-batches equals the batch op") {
+    val in = Files.createTempDirectory("graft_stream_pri")
+    def write(name: String, rows: Seq[(String, Long, Long)]): Unit =
+      Files.write(Paths.get(in.toString, name),
+        rows.map { case (g, id, w) => s"""{"g":"$g","id":$id,"w":$w}""" }.mkString("\n").getBytes)
+    val b1 = (1L to 25L).map(i => ("en", i, 10L + i % 7))
+    val b2 = (26L to 60L).map(i => ("en", i, 5L + i % 11)) ++
+      (1L to 4L).map(i => ("de", 1000L + i, 3L * i))
+    write("b1.json", b1)
+    import spark.implicits._
+    val stream = spark.readStream.schema("g STRING, id LONG, w LONG").json(in.toString)
+      .select(col("g"), col("id"), col("w")).as[(String, Long, Long)]
+    val q = StreamingOps.prioritySampleStream(stream, k = 8)
+      .writeStream.outputMode("update").format("memory").queryName("prisample")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable()
+    write("b2.json", b2)
+    q.processAllAvailable(); q.stop()
+    // latest emission per group: batch 2 re-emits every touched group,
+    // and "de" only exists in batch 2 — compare each group's final
+    // sample to the BATCH op over that group's full row set
+    val rowsAll = spark.table("prisample").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    for (g <- Seq("en", "de")) {
+      val all = (b1 ++ b2).filter(_._1 == g)
+      val want = graft.ops.Sampling.prioritySample(
+        all.map { case (_, id, w) => (id, w) }.toDF("doc_id", "weight"),
+        k = 8, weightCol = "weight")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      // the stream emits per batch; the FINAL state is the last emission —
+      // reconstruct it as the batch-op-sized subset with max est_weight
+      // per id (est_weight only grows as tau grows)
+      val got = rowsAll.filter(_._1 == g)
+        .groupBy(_._2).map { case (_, vs) => vs.maxBy(_._4) }
+        .toSeq.sortBy(-_._4).map(t => (t._2, t._3, t._4)).toSet
+      // final emission ids = want ids; est_weight of the final emission
+      // must match — filter got to the batch sample's ids
+      assert(got.filter(t => want.exists(_._1 == t._1)) == want,
+        s"group $g stream sample diverges: got=$got want=$want")
+    }
+  }
 }
