@@ -230,25 +230,49 @@ object PageRank {
     require(dampingNum >= 0 && dampingNum <= 100, s"dampingNum must be in [0,100]: $dampingNum")
     val raw = edges.select(col(srcCol).cast("long").as("s"),
       col(dstCol).cast("long").as("d"), col(weightCol).cast("long").as("w"))
-    // bounded driver fetch (<= 1 row): name a non-positive weight now
-    // instead of silently mis-splitting rank mass
-    val bad = raw.where(col("w").isNull || col("w") <= 0L).limit(1).collect()
+    // The weight-quality probe RIDES the weight-fold aggregation (min
+    // weight + null census per folded edge) instead of scanning the raw
+    // edge plan separately — a standalone limit-1 probe would execute
+    // the caller's whole upstream join once just to check signs, then
+    // staging would execute it again.
+    val eAll = Staging.stage(
+      raw.groupBy(col("s"), col("d")).agg(sum(col("w")).as("w"),
+        min(col("w")).as("__mn"),
+        (count(lit(1)) - count(col("w"))).as("__nn")),
+      reliable)
+    // bounded driver fetch (<= 1 row, on the staged leaf): name a
+    // non-positive or null weight now instead of silently mis-splitting
+    // rank mass
+    val bad = eAll.where(col("__mn") <= 0L || col("__nn") > 0L).limit(1).collect()
     require(bad.isEmpty,
-      s"weightedRanksFixedPoint: non-positive weight on edge ${bad.headOption.map(r => (r.get(0), r.get(1), r.get(2))).getOrElse("")} — weights must be >= 1")
-    val e = Staging.stage(raw.groupBy(col("s"), col("d")).agg(sum(col("w")).as("w")), reliable)
+      s"weightedRanksFixedPoint: non-positive or null weight on edge ${bad.headOption.map(r => (r.get(0), r.get(1))).getOrElse("")} — weights must be >= 1")
+    val e = eAll.select(col("s"), col("d"), col("w"))
     val p = e.sparkSession.sparkContext.defaultParallelism
     val nodes = e.select(col("s").as("id")).union(e.select(col("d").as("id")))
       .distinct().repartition(p, col("id")).cache()
     val wsum = e.groupBy("s").agg(sum(col("w")).as("wsum"))
     val withW = e.join(wsum, "s").repartition(p, col("s")).cache()
     val teleport = scale * (100 - dampingNum) / 100
+    // Adaptive precision: total rank mass is invariant-bounded by
+    // n·scale (teleport injects n·(1−d)·scale per round, damping keeps
+    // ≤ d of the rest), so the per-edge product rank·d·w is bounded by
+    // n·scale·d·maxW. Probe n and maxW once (two bounded one-row
+    // fetches on cached frames) and take the codegen'd Long path when
+    // the bound clears 2^62 — decimal(38,0) otherwise (the correctness
+    // floor; same overflow posture as skipGramLift). Identical values
+    // either way: exact integer floor division on both paths.
+    val nNodes = nodes.count()
+    val maxW = withW.agg(max(col("w"))).head().getLong(0)
+    val longSafe =
+      BigInt(nNodes) * scale * dampingNum.max(1L) * maxW < BigInt(1L << 62)
+    val contribExpr =
+      if (longSafe) s"(rank * $dampingNum * w) div (100 * wsum)"
+      else s"cast((cast(rank as decimal(38,0)) * $dampingNum * w) div (100 * cast(wsum as decimal(38,0))) as bigint)"
     var ranks = nodes.withColumn("rank", lit(scale))
     val staged = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (i <- 1 to iterations) {
       val contribs = withW.join(ranks.hint("shuffle_hash"), col("s") === col("id"))
-        .select(col("d").as("id"),
-          expr(s"cast((cast(rank as decimal(38,0)) * $dampingNum * w) div (100 * cast(wsum as decimal(38,0))) as bigint)")
-            .as("c"))
+        .select(col("d").as("id"), expr(contribExpr).as("c"))
         .groupBy("id").agg(sum("c").as("c"))
       val next = nodes.join(contribs.hint("shuffle_hash"), Seq("id"), "left")
         .select(col("id"), (lit(teleport) + coalesce(col("c"), lit(0L))).as("rank"))
@@ -261,7 +285,9 @@ object PageRank {
       if (iterations == 0) ranks = Staging.stage(ranks, reliable)
       ranks.count()
       staged.dropRight(1).foreach(_.unpersist())
-      e.unpersist()
+      // the staged frame is eAll — e is a projection of it, and uncache
+      // matches by sameResult, so releasing the projection would no-op
+      eAll.unpersist()
     }
     nodes.unpersist()
     withW.unpersist()

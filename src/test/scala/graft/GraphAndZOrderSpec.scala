@@ -104,7 +104,7 @@ class GraphAndZOrderSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       wRanks(Seq((0L, 1L, 0L)), 1)
     }
-    assert(e.getMessage.contains("non-positive weight"))
+    assert(e.getMessage.contains("non-positive or null weight"))
     // reliable posture parity
     val rel = PageRank.weightedRanksFixedPoint(
       simple.map { case (s, d) => (s, d, 3L) }.toDF("s", "d", "w"),
