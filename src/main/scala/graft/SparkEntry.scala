@@ -3446,7 +3446,17 @@ object SparkEntry {
       val e = e0.unionByName(e0.select(col("d").as("s"), col("s").as("d"), col("w")))
       PageRank.weightedRanksFixedPoint(e, "s", "d", "w", iterations = 3)
         .select(col("id").as("node_id"), col("rank"))
-    })
+    }),
+
+    // ---- TEXT near-dup pairs at Hamming <= 3 over q17's SimHash
+    // fingerprints, via the banded join (4 bands of 16 bits —
+    // pigeonhole-complete at this radius). The simhash-equality dedup
+    // q17 feeds becomes a tolerance search with no new fingerprint. ---------
+    "q353_simhash_neardup" -> ((s, dir) =>
+      Dedup.hammingPairs(
+        Dedup.simhashText(t(s, dir, "documents"))
+          .select(col("id"), col("simhash").as("hash")),
+        maxHamming = 3, bands = 4))
   )
 
   /** Deterministic halving DAG for q328, from doc ids: n → n div 2 for
@@ -3734,7 +3744,7 @@ object SparkEntry {
     "q21_embedding_neardup" ->
       """SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id FROM (VALUES (1,124),(3,130),(3,174),(4,89),(4,408),(6,268),(10,123),(10,390),(11,145),(12,147),(12,246),(12,274),(13,395),(14,298),(15,424),(17,234),(24,298),(25,92),(28,246),(28,305),(32,483),(35,487),(43,80),(43,257),(45,459),(46,419),(47,201),(47,238),(47,316),(47,482),(48,378),(49,60),(50,82),(50,356),(52,227),(53,318),(61,152),(62,111),(64,284),(64,486),(66,247),(68,240),(68,439),(69,148),(69,449),(70,374),(70,377),(78,437),(84,341),(87,340),(87,426),(88,445),(89,256),(89,337),(91,116),(93,229),(94,336),(97,444),(98,331),(100,360),(103,445),(106,119),(106,312),(108,232),(116,427),(118,299),(120,283),(122,468),(125,419),(127,266),(133,499),(134,477),(137,169),(137,299),(139,170),(139,194),(140,296),(142,232),(143,271),(147,473),(148,195),(153,455),(153,499),(154,391),(159,257),(160,283),(162,392),(164,496),(165,185),(170,194),(171,473),(172,491),(173,331),(174,255),(175,186),(178,220),(179,220),(179,435),(181,266),(186,492),(188,347),(190,230),(192,304),(192,483),(195,235),(195,317),(196,308),(197,393),(199,324),(201,428),(205,485),(211,487),(215,289),(221,373),(221,484),(222,338),(224,488),(226,371),(233,430),(234,260),(236,469),(238,344),(240,436),(241,363),(243,247),(246,478),(253,428),(254,326),(256,337),(263,437),(263,462),(266,395),(267,304),(267,431),(276,447),(291,314),(292,345),(297,498),(299,466),(312,378),(313,382),(319,479),(322,485),(323,365),(330,408),(332,339),(335,439),(338,402),(340,381),(340,435),(343,499),(368,464),(369,413),(373,425),(373,467),(373,484),(390,460),(391,468),(395,440),(426,464),(427,437),(431,462),(442,471),(478,496),(486,490)) AS t(a_id, b_id)""",
     "q17_simhash" ->
-      """SELECT CAST(id AS BIGINT) AS id, CAST(simhash AS BIGINT) AS simhash FROM (VALUES (0,-660171688865428084),(1,-3272259197861905140),(2,-3299421260377813732),(3,8564256341137927440),(4,6683021735635823872),(5,-2987300953275848420),(6,-3269901429278824051),(7,-2987336235224253091),(8,-2985119245181670120),(9,-965254763995222760),(10,-7593601306044813988),(11,8563096978997919069),(12,-3272223839535252196),(13,6091778874401402132),(14,-808789357720785580),(15,-3253681576662749928),(16,6197684815512103180),(17,-371905559251732212),(18,-3254210695156224748),(19,4217123226784694324),(20,6241454292745502164),(21,-2964818221934445092),(22,-2988494748026032868),(23,6092888215991008524),(24,-660168920750572068),(25,-2984133947471385332),(26,-3251888530904795128),(27,-2970482544234022628),(28,-2988496135297976036),(29,-2981917825948612268),(30,-2389553260719928056),(31,8853544279716388636),(32,-2405456850317366004),(33,8833267309669449548),(34,-2970482824256246500),(35,-3254209320754573928),(36,-3270166618592790204),(37,-2983994444794872548),(38,-2982968653855838392),(39,-1530386061234492131),(40,-3110199964445722276),(41,-664640719370143468),(42,-7595680757458555636),(43,-2979490847306240755),(44,8706040805335152908),(45,-3114632917764489956),(46,-374333278246098668),(47,-2395183148941985524),(48,-516619436287160956),(49,9134069276215392572),(50,3811937392878599452),(51,-3128284727385850596),(52,4509892531100749208),(53,6685050336728562972),(54,-665800915660654244),(55,-2695938768616199796),(56,-678150610936218276),(57,-678220977533305572),(58,6238253579791875336),(59,5950978872947773272),(60,-682651821483778788),(61,-664640705407599340),(62,-2983992363856020004),(63,6090759625780149532),(64,-3258711081059697380),(65,-5992151468855482108),(66,-678150334984962724),(67,6834874324754214156),(68,-3275073736651327020),(69,6239343200657321244),(70,6259468970192637272),(71,-660137859547092732),(72,-2984026604434178612),(73,-3275566339853652195),(74,6289993641266314505),(75,4512107614290748696),(76,-664637333865186020),(77,-678181122249916964),(78,8562108822857104668),(79,-7888412840199930872),(80,8544062519734595484),(81,-2956972849167255276),(82,-657884089419252468),(83,-3272967283358827428),(84,-2389624037225816804),(85,-660646113092514532),(86,5819232744085895508),(87,-683774350919254180),(88,-83676557487460980),(89,-227823923450636004),(90,3788769392255413528),(91,8557605225648139548),(92,-2975021364615303926),(93,9104796293110491945),(94,-3276877253026530276),(95,-660133740541829860),(96,6237125792521305356),(97,-663546654829474344),(98,-660172496310716132),(99,-3114562587550835444),(100,-3276727593783808740),(101,6203315502579330516),(102,-2968228542709383396),(103,-2987370336324965092),(104,-3108950524365529844),(105,-101690960300689140),(106,4810613885734757657),(107,5953402157499264345),(108,-948420189780915968),(109,-683780937251635880),(110,-657884072276644467),(111,-2968228543264605924),(112,-678186685440709356),(113,6241594999950994844),(114,-3132642985872811684),(115,-117592870559675956),(116,181887367090125853),(117,-3272186662191630052),(118,-2405281892675633908),(119,3787017717228938516),(120,-88179072635783140),(121,-3115723671993336548),(122,-101866174229266612),(123,-7874956693697876736),(124,-2988496909476516595),(125,-2984024168107266724),(126,8546382444162428380),(127,-660171117609571956),(128,-804284383173296804),(129,-660171119784317688),(130,4361236908675349788),(131,-2971609611575415540),(132,-84836271672734440),(133,5950972380676930332),(134,8503563666235539292),(135,-678185518283703012),(136,-664637336005858020),(137,8828948477586877724),(138,-2966117826673985252),(139,9121505670088076572),(140,-2986387804050314988),(141,-2988528018987697900),(142,-678148134887965348),(143,9133927986823806268),(144,-806502857789362935),(145,-804285248066110130),(146,-86948120282453524),(147,-227755465454740196),(148,-2547284917429027571),(149,-2542676041039626980),(150,-2988527850410295972),(151,-2391805453537399540),(152,-103994361587462908),(153,9135051674827598108),(154,8401106514856819996),(155,8547473278341004636),(156,-2963797805611239076),(157,-3276199656133300327),(158,-657933613007332908),(159,5970290810708409661),(160,8401069850475048220),(161,-678185790476866292),(162,-2971608653531075300),(163,-3308402067058476780),(164,-7577699337746925540),(165,-3146156499099533988),(166,-678182234780849780),(167,-826804305986081524),(168,-682654294181200548),(169,-104117388652339884),(170,8509143133830447004),(171,6239202767574445340),(172,1339428433342039444),(173,8559825074934103316),(174,1945091029328510220),(175,-9027964247954310064),(176,-232259065065005796),(177,-2985084109136151204),(178,-104135236783207164),(179,-97185984127816420),(180,-822302633190839020),(181,3645166767768272444),(182,-2387228875973358328),(183,8257521321450743193),(184,-2988497027569042084),(185,-664640705409708780),(186,-7289575204122450660),(187,-822300995717448420),(188,8563238176182615304),(189,-2970517730787919588),(190,-83710921520988900),(191,-675864811070910514),(192,4509997534195776700),(193,-2986273796678304419),(194,6812461845363338509),(195,-3006544326604702440),(196,-2971609609696035428),(197,-660135939698348772),(198,9121545016695733596),(199,3951620274595621900),(200,-2988497217113834148),(201,-3255369305536546540),(202,-2984024150933455540),(203,8545041378708060444),(204,-2983004899083014820),(205,-2988462119023039204),(206,-1957733382813078116),(207,-2987404094757491364),(208,-3108950903541089976),(209,-804249474042905124),(210,6257393087940242844),(211,8256956140272232852),(212,-2676763542948049904),(213,8547403232795208968),(214,3933405665229921437),(215,-822265818205541092),(216,5948863532432605144),(217,-2983991161290179300),(218,5946503961133038876),(219,-2982341135249184364),(220,9139556114116820252),(221,-2981917431895773940),(222,9121577037430639644),(223,-2387442318661874412),(224,-2984028803974840556),(225,5964659114327457044),(226,-4430915454474646504),(227,-7595855562585563876),(228,6236986087976742172),(229,-2970656282103669416),(230,-950618386788401892),(231,8562111301326028252),(232,-2966014490758234852),(233,6543231068796390684),(234,-660135939698807540),(235,-7140778437275304696),(236,8258789023999912200),(237,8545190914470456732),(238,-3114595585921008312),(239,-966556511664272948),(240,-2405351026609844984),(241,9134032150523264284),(242,-2965944056599823076),(243,-966416186291454820),(244,-2409855123387859620),(245,-2985119244644799208),(246,9121576624165420556),(247,-3128109972036043492),(248,-808719816831877876),(249,8563236101452999964),(250,-3130483824605020916),(251,-678185522578150052),(252,5970464549920091404),(253,9142124707498700045),(254,-83465317851811796),(255,-3110129420381475572),(256,-9023327366956336099),(257,-2427877884861432547),(258,-2963830502904525544),(259,9118198991948810588),(260,-2965662324871889656),(261,-2985155531212247780),(262,8549692280714870044),(263,-966413746961404648),(264,-678185522578084516),(265,9139804601618271485),(266,-3270077421827735732),(267,-3114632917764424420),(268,9119378908190911764),(269,6097480082441153868),(270,-678324125475853044),(271,-3274510703472694956),(272,5946644717950778649),(273,-3004257426184816308),(274,8997796902974565652),(275,1193523038698679760),(276,-2970517732909576884),(277,-2898422807030882999),(278,-666329488696496740),(279,8558732226914299292),(280,6239345708376829212),(281,-3253225142984721080),(282,-2682288810327688908),(283,6241454292510227932),(284,-83781307453170420),(285,-660169006389543604),(286,-3276912051891946212),(287,-7021613140229965716),(288,6241489464014187924),(289,6250497779911436756),(290,-660172496310847204),(291,6524055448300629468),(292,8544344189602123229),(293,6247261053924523288),(294,-2965978962873172708),(295,6234873653141323036),(296,9137412000411594064),(297,-101865524951077624),(298,-2971643907694093924),(299,-2966014133282489000),(300,-2981741903559545512),(301,-660168920490197684),(302,5945520383551520124),(303,-2965976745307488996),(304,-660135955807552228),(305,-3978173189870146284),(306,-3418626168028680940),(307,-3270007103841256176),(308,6053574150028470676),(309,-3128109651686019820),(310,3951550598417006012),(311,-676074473137853092),(312,6262989705198812428),(313,-516197234908111556),(314,4368133111893830920),(315,-101689465654104824),(316,-89339939750175476),(317,-2983958450818532916),(318,6095265429766258012),(319,-2963727144537182900),(320,9116052952489832220),(321,-2532542702980977396),(322,-2965961631618306660),(323,-678186907705267956),(324,-3123640167484674744),(325,-664674721548559076),(326,-676039133611906740),(327,-2963728104728810232),(328,-3270112725672809188),(329,-7739759657349436132),(330,6257357903582772508),(331,-2986245142401275564),(332,-2394585038245349348),(333,-2965909954320355956),(334,8540575649988783388),(335,9137295589366336796),(336,-3253048292332815096),(337,-87191283844732548),(338,-9037429427632796400),(339,-660734344626071084),(340,-3111185213576725168),(341,-2984134376965984996),(342,-3004435683953767980),(343,-949322993894466275),(344,-2983991161281528484),(345,6241454363369221388),(346,-2971606604837831332),(347,-826804600225153764),(348,-3150655138122982128),(349,-84765953395868404),(350,-2984167890595828324),(351,-3276727338241382116),(352,8833311342141680916),(353,-228881108728574696),(354,-2981917533890888356),(355,-7881833876940801260),(356,-2965976762495746728),(357,9139838141268540796),(358,-683457799624183829),(359,9118445557705616669),(360,-678322974416590508),(361,-2969391757857444468),(362,-2954578692396761748),(363,8563200568110808468),(364,-2984028548703011492),(365,-678045692065833652),(366,-665766536596772588),(367,-801999461645964012),(368,-222984977020643058),(369,-678183594003747812),(370,-665731645093987924),(371,-660172220896072300),(372,-7433690448875977468),(373,8563200912781782428),(374,6234874752653049116),(375,-660137038136660708),(376,6107682487342710024),(377,-2984026604434178612),(378,6526483003005840668),(379,-808789942945796852),(380,6815698429640617244),(381,-949493312030786284),(382,-4830469195487330536),(383,8835527682166857500),(384,-2405352400721232612),(385,-2984028820091441892),(386,9121506494996458764),(387,-3251955205967860391),(388,-7577735611796505332),(389,3645305823755779260),(390,6545474051001912605),(391,6814782469874597148),(392,-2976635707666351784),(393,-2986281770150843116),(394,6240385842086226372),(395,-5276326945831076580),(396,6253981028485541140),(397,-678149236411941556),(398,-1804051344594523748),(399,-88178925268792060),(400,8546236498487193432),(401,-2983039259089389236),(402,4221660451706695513),(403,-2984025228827546164),(404,-2963762191743054391),(405,-84273596332376932),(406,-4695362597390467812),(407,-808685800702038770),(408,3648570800980279048),(409,-83708048179360504),(410,-2407673624672617188),(411,-660171141257061092),(412,-101865507763213043),(413,-3114632917764424420),(414,9121541713732078620),(415,6239343197964713244),(416,-2986245399569449652),(417,-2981776796133970668),(418,-105098069800997604),(419,6395694058530913564),(420,-2986281770150843116),(421,-3253048103346262772),(422,-1092517804998279916),(423,-2676761073888162536),(424,-657881936027865660),(425,9097897815688383768),(426,-660137331274564324),(427,4509963449582796092),(428,-660136214608561764),(429,-2409784392792691444),(430,-678186622089917180),(431,-678185520430703332),(432,-101724770282861236),(433,6243697571344059732),(434,-2966014163346871012),(435,8545471290069888460),(436,-678080947651105524),(437,-2966014150462096056),(438,8565489963384974812),(439,-5435042552301769964),(440,-3129271080878883492),(441,8544102361452166488),(442,6818126376523902216),(443,8557607428964007196),(444,6235825190256617800),(445,-660171124070543988),(446,8707351429637912844),(447,6259471169216154972),(448,5953402267012480269),(449,-4850735253921223415),(450,-2975021364078138082),(451,5912825563637037404),(452,-2409785562089214708),(453,8563200637908397324),(454,-4427433374152806640),(455,-2963656780363548392),(456,9119256382849060184),(457,-676039133611906739),(458,8563200637924997396),(459,-660168920213713516),(460,-660135940804014708),(461,-660136231756124900),(462,8563199538413353236),(463,8563238021298699548),(464,-3128143988846772908),(465,-2981813373428060916),(466,8563200912786369820),(467,8972992953858297116),(468,6237126826279221533),(469,-2844421631310582499),(470,-2965976750976025316),(471,9139558173825338780),(472,-2974981217552978676),(473,-2981776744871510692),(474,-2965978995095519988),(475,-2698093851103675123),(476,8558980166837115996),(477,8257930945597679948),(478,6235859981643327828),(479,9118585883148070236),(480,-83675462275787748),(481,6511098369439402256),(482,-3113436854870885107),(483,5953294508701035864),(484,-83673572493775608),(485,-7289575191241450224),(486,8545185142168759756),(487,-2986243012634560164),(488,4512070665517969460),(489,-3254243130203992620),(490,-7595853359251081124),(491,-2968265858477015795),(492,8526081675070908820),(493,8846962976218787096),(494,-2538101800518578944),(495,-232294249978349308),(496,-2389658929808949956),(497,-2983484616327229996),(498,-660133775035257460),(499,9123830437100236104)) AS t(id, simhash)""",
+      s"SELECT CAST(id AS BIGINT) AS id, CAST(simhash AS BIGINT) AS simhash FROM ($SimhashPin) AS t(id, simhash)",
     // q22: analytic multimodal oracle — kind by id%3; image/video dims
     // replay the BMP writer's (8 + id%24, 8 + id%16) params THROUGH the
     // real parser; the audio leg's (128, 352) is the stub's deterministic
@@ -9608,7 +9618,17 @@ object SparkEntry {
            | FROM nodes n LEFT JOIN c$i ON n.id = c$i.id)""".stripMargin
       }.mkString
       base + iters + "\nSELECT id AS node_id, rank FROM r3"
-    }
+    },
+    // q353: brute-forced pairs over the SAME pinned simhash table q17's
+    // oracle uses — matching it proves the 4x16 banding loses nothing at
+    // hamming <= 3 on real text fingerprints.
+    "q353_simhash_neardup" ->
+      s"""WITH h AS (SELECT CAST(id AS BIGINT) AS id, CAST(simhash AS BIGINT) AS h
+         |  FROM ($SimhashPin) AS t(id, simhash))
+         |SELECT a.id AS a_id, b.id AS b_id,
+         | CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         |FROM h a JOIN h b ON a.id < b.id
+         |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin
   )
 
   /** Shared dHash replay CTE for q349/q350: the q150 analytic pixel
@@ -9703,6 +9723,12 @@ object SparkEntry {
       |  CAST(list_sum(list_transform(range(1, 17),
       |    i -> (sub.vs[i] - cb.cvec[i]) * (sub.vs[i] - cb.cvec[i]))) AS BIGINT) AS d2
       | FROM sub JOIN cb ON sub.s = cb.s)""".stripMargin
+
+  /** Pinned sf0.01 simhash table (q17's oracle VALUES) — shared with
+    * q353's pair oracle so both read the same fixture.
+    */
+  private val SimhashPin: String =
+    """VALUES (0,-660171688865428084),(1,-3272259197861905140),(2,-3299421260377813732),(3,8564256341137927440),(4,6683021735635823872),(5,-2987300953275848420),(6,-3269901429278824051),(7,-2987336235224253091),(8,-2985119245181670120),(9,-965254763995222760),(10,-7593601306044813988),(11,8563096978997919069),(12,-3272223839535252196),(13,6091778874401402132),(14,-808789357720785580),(15,-3253681576662749928),(16,6197684815512103180),(17,-371905559251732212),(18,-3254210695156224748),(19,4217123226784694324),(20,6241454292745502164),(21,-2964818221934445092),(22,-2988494748026032868),(23,6092888215991008524),(24,-660168920750572068),(25,-2984133947471385332),(26,-3251888530904795128),(27,-2970482544234022628),(28,-2988496135297976036),(29,-2981917825948612268),(30,-2389553260719928056),(31,8853544279716388636),(32,-2405456850317366004),(33,8833267309669449548),(34,-2970482824256246500),(35,-3254209320754573928),(36,-3270166618592790204),(37,-2983994444794872548),(38,-2982968653855838392),(39,-1530386061234492131),(40,-3110199964445722276),(41,-664640719370143468),(42,-7595680757458555636),(43,-2979490847306240755),(44,8706040805335152908),(45,-3114632917764489956),(46,-374333278246098668),(47,-2395183148941985524),(48,-516619436287160956),(49,9134069276215392572),(50,3811937392878599452),(51,-3128284727385850596),(52,4509892531100749208),(53,6685050336728562972),(54,-665800915660654244),(55,-2695938768616199796),(56,-678150610936218276),(57,-678220977533305572),(58,6238253579791875336),(59,5950978872947773272),(60,-682651821483778788),(61,-664640705407599340),(62,-2983992363856020004),(63,6090759625780149532),(64,-3258711081059697380),(65,-5992151468855482108),(66,-678150334984962724),(67,6834874324754214156),(68,-3275073736651327020),(69,6239343200657321244),(70,6259468970192637272),(71,-660137859547092732),(72,-2984026604434178612),(73,-3275566339853652195),(74,6289993641266314505),(75,4512107614290748696),(76,-664637333865186020),(77,-678181122249916964),(78,8562108822857104668),(79,-7888412840199930872),(80,8544062519734595484),(81,-2956972849167255276),(82,-657884089419252468),(83,-3272967283358827428),(84,-2389624037225816804),(85,-660646113092514532),(86,5819232744085895508),(87,-683774350919254180),(88,-83676557487460980),(89,-227823923450636004),(90,3788769392255413528),(91,8557605225648139548),(92,-2975021364615303926),(93,9104796293110491945),(94,-3276877253026530276),(95,-660133740541829860),(96,6237125792521305356),(97,-663546654829474344),(98,-660172496310716132),(99,-3114562587550835444),(100,-3276727593783808740),(101,6203315502579330516),(102,-2968228542709383396),(103,-2987370336324965092),(104,-3108950524365529844),(105,-101690960300689140),(106,4810613885734757657),(107,5953402157499264345),(108,-948420189780915968),(109,-683780937251635880),(110,-657884072276644467),(111,-2968228543264605924),(112,-678186685440709356),(113,6241594999950994844),(114,-3132642985872811684),(115,-117592870559675956),(116,181887367090125853),(117,-3272186662191630052),(118,-2405281892675633908),(119,3787017717228938516),(120,-88179072635783140),(121,-3115723671993336548),(122,-101866174229266612),(123,-7874956693697876736),(124,-2988496909476516595),(125,-2984024168107266724),(126,8546382444162428380),(127,-660171117609571956),(128,-804284383173296804),(129,-660171119784317688),(130,4361236908675349788),(131,-2971609611575415540),(132,-84836271672734440),(133,5950972380676930332),(134,8503563666235539292),(135,-678185518283703012),(136,-664637336005858020),(137,8828948477586877724),(138,-2966117826673985252),(139,9121505670088076572),(140,-2986387804050314988),(141,-2988528018987697900),(142,-678148134887965348),(143,9133927986823806268),(144,-806502857789362935),(145,-804285248066110130),(146,-86948120282453524),(147,-227755465454740196),(148,-2547284917429027571),(149,-2542676041039626980),(150,-2988527850410295972),(151,-2391805453537399540),(152,-103994361587462908),(153,9135051674827598108),(154,8401106514856819996),(155,8547473278341004636),(156,-2963797805611239076),(157,-3276199656133300327),(158,-657933613007332908),(159,5970290810708409661),(160,8401069850475048220),(161,-678185790476866292),(162,-2971608653531075300),(163,-3308402067058476780),(164,-7577699337746925540),(165,-3146156499099533988),(166,-678182234780849780),(167,-826804305986081524),(168,-682654294181200548),(169,-104117388652339884),(170,8509143133830447004),(171,6239202767574445340),(172,1339428433342039444),(173,8559825074934103316),(174,1945091029328510220),(175,-9027964247954310064),(176,-232259065065005796),(177,-2985084109136151204),(178,-104135236783207164),(179,-97185984127816420),(180,-822302633190839020),(181,3645166767768272444),(182,-2387228875973358328),(183,8257521321450743193),(184,-2988497027569042084),(185,-664640705409708780),(186,-7289575204122450660),(187,-822300995717448420),(188,8563238176182615304),(189,-2970517730787919588),(190,-83710921520988900),(191,-675864811070910514),(192,4509997534195776700),(193,-2986273796678304419),(194,6812461845363338509),(195,-3006544326604702440),(196,-2971609609696035428),(197,-660135939698348772),(198,9121545016695733596),(199,3951620274595621900),(200,-2988497217113834148),(201,-3255369305536546540),(202,-2984024150933455540),(203,8545041378708060444),(204,-2983004899083014820),(205,-2988462119023039204),(206,-1957733382813078116),(207,-2987404094757491364),(208,-3108950903541089976),(209,-804249474042905124),(210,6257393087940242844),(211,8256956140272232852),(212,-2676763542948049904),(213,8547403232795208968),(214,3933405665229921437),(215,-822265818205541092),(216,5948863532432605144),(217,-2983991161290179300),(218,5946503961133038876),(219,-2982341135249184364),(220,9139556114116820252),(221,-2981917431895773940),(222,9121577037430639644),(223,-2387442318661874412),(224,-2984028803974840556),(225,5964659114327457044),(226,-4430915454474646504),(227,-7595855562585563876),(228,6236986087976742172),(229,-2970656282103669416),(230,-950618386788401892),(231,8562111301326028252),(232,-2966014490758234852),(233,6543231068796390684),(234,-660135939698807540),(235,-7140778437275304696),(236,8258789023999912200),(237,8545190914470456732),(238,-3114595585921008312),(239,-966556511664272948),(240,-2405351026609844984),(241,9134032150523264284),(242,-2965944056599823076),(243,-966416186291454820),(244,-2409855123387859620),(245,-2985119244644799208),(246,9121576624165420556),(247,-3128109972036043492),(248,-808719816831877876),(249,8563236101452999964),(250,-3130483824605020916),(251,-678185522578150052),(252,5970464549920091404),(253,9142124707498700045),(254,-83465317851811796),(255,-3110129420381475572),(256,-9023327366956336099),(257,-2427877884861432547),(258,-2963830502904525544),(259,9118198991948810588),(260,-2965662324871889656),(261,-2985155531212247780),(262,8549692280714870044),(263,-966413746961404648),(264,-678185522578084516),(265,9139804601618271485),(266,-3270077421827735732),(267,-3114632917764424420),(268,9119378908190911764),(269,6097480082441153868),(270,-678324125475853044),(271,-3274510703472694956),(272,5946644717950778649),(273,-3004257426184816308),(274,8997796902974565652),(275,1193523038698679760),(276,-2970517732909576884),(277,-2898422807030882999),(278,-666329488696496740),(279,8558732226914299292),(280,6239345708376829212),(281,-3253225142984721080),(282,-2682288810327688908),(283,6241454292510227932),(284,-83781307453170420),(285,-660169006389543604),(286,-3276912051891946212),(287,-7021613140229965716),(288,6241489464014187924),(289,6250497779911436756),(290,-660172496310847204),(291,6524055448300629468),(292,8544344189602123229),(293,6247261053924523288),(294,-2965978962873172708),(295,6234873653141323036),(296,9137412000411594064),(297,-101865524951077624),(298,-2971643907694093924),(299,-2966014133282489000),(300,-2981741903559545512),(301,-660168920490197684),(302,5945520383551520124),(303,-2965976745307488996),(304,-660135955807552228),(305,-3978173189870146284),(306,-3418626168028680940),(307,-3270007103841256176),(308,6053574150028470676),(309,-3128109651686019820),(310,3951550598417006012),(311,-676074473137853092),(312,6262989705198812428),(313,-516197234908111556),(314,4368133111893830920),(315,-101689465654104824),(316,-89339939750175476),(317,-2983958450818532916),(318,6095265429766258012),(319,-2963727144537182900),(320,9116052952489832220),(321,-2532542702980977396),(322,-2965961631618306660),(323,-678186907705267956),(324,-3123640167484674744),(325,-664674721548559076),(326,-676039133611906740),(327,-2963728104728810232),(328,-3270112725672809188),(329,-7739759657349436132),(330,6257357903582772508),(331,-2986245142401275564),(332,-2394585038245349348),(333,-2965909954320355956),(334,8540575649988783388),(335,9137295589366336796),(336,-3253048292332815096),(337,-87191283844732548),(338,-9037429427632796400),(339,-660734344626071084),(340,-3111185213576725168),(341,-2984134376965984996),(342,-3004435683953767980),(343,-949322993894466275),(344,-2983991161281528484),(345,6241454363369221388),(346,-2971606604837831332),(347,-826804600225153764),(348,-3150655138122982128),(349,-84765953395868404),(350,-2984167890595828324),(351,-3276727338241382116),(352,8833311342141680916),(353,-228881108728574696),(354,-2981917533890888356),(355,-7881833876940801260),(356,-2965976762495746728),(357,9139838141268540796),(358,-683457799624183829),(359,9118445557705616669),(360,-678322974416590508),(361,-2969391757857444468),(362,-2954578692396761748),(363,8563200568110808468),(364,-2984028548703011492),(365,-678045692065833652),(366,-665766536596772588),(367,-801999461645964012),(368,-222984977020643058),(369,-678183594003747812),(370,-665731645093987924),(371,-660172220896072300),(372,-7433690448875977468),(373,8563200912781782428),(374,6234874752653049116),(375,-660137038136660708),(376,6107682487342710024),(377,-2984026604434178612),(378,6526483003005840668),(379,-808789942945796852),(380,6815698429640617244),(381,-949493312030786284),(382,-4830469195487330536),(383,8835527682166857500),(384,-2405352400721232612),(385,-2984028820091441892),(386,9121506494996458764),(387,-3251955205967860391),(388,-7577735611796505332),(389,3645305823755779260),(390,6545474051001912605),(391,6814782469874597148),(392,-2976635707666351784),(393,-2986281770150843116),(394,6240385842086226372),(395,-5276326945831076580),(396,6253981028485541140),(397,-678149236411941556),(398,-1804051344594523748),(399,-88178925268792060),(400,8546236498487193432),(401,-2983039259089389236),(402,4221660451706695513),(403,-2984025228827546164),(404,-2963762191743054391),(405,-84273596332376932),(406,-4695362597390467812),(407,-808685800702038770),(408,3648570800980279048),(409,-83708048179360504),(410,-2407673624672617188),(411,-660171141257061092),(412,-101865507763213043),(413,-3114632917764424420),(414,9121541713732078620),(415,6239343197964713244),(416,-2986245399569449652),(417,-2981776796133970668),(418,-105098069800997604),(419,6395694058530913564),(420,-2986281770150843116),(421,-3253048103346262772),(422,-1092517804998279916),(423,-2676761073888162536),(424,-657881936027865660),(425,9097897815688383768),(426,-660137331274564324),(427,4509963449582796092),(428,-660136214608561764),(429,-2409784392792691444),(430,-678186622089917180),(431,-678185520430703332),(432,-101724770282861236),(433,6243697571344059732),(434,-2966014163346871012),(435,8545471290069888460),(436,-678080947651105524),(437,-2966014150462096056),(438,8565489963384974812),(439,-5435042552301769964),(440,-3129271080878883492),(441,8544102361452166488),(442,6818126376523902216),(443,8557607428964007196),(444,6235825190256617800),(445,-660171124070543988),(446,8707351429637912844),(447,6259471169216154972),(448,5953402267012480269),(449,-4850735253921223415),(450,-2975021364078138082),(451,5912825563637037404),(452,-2409785562089214708),(453,8563200637908397324),(454,-4427433374152806640),(455,-2963656780363548392),(456,9119256382849060184),(457,-676039133611906739),(458,8563200637924997396),(459,-660168920213713516),(460,-660135940804014708),(461,-660136231756124900),(462,8563199538413353236),(463,8563238021298699548),(464,-3128143988846772908),(465,-2981813373428060916),(466,8563200912786369820),(467,8972992953858297116),(468,6237126826279221533),(469,-2844421631310582499),(470,-2965976750976025316),(471,9139558173825338780),(472,-2974981217552978676),(473,-2981776744871510692),(474,-2965978995095519988),(475,-2698093851103675123),(476,8558980166837115996),(477,8257930945597679948),(478,6235859981643327828),(479,9118585883148070236),(480,-83675462275787748),(481,6511098369439402256),(482,-3113436854870885107),(483,5953294508701035864),(484,-83673572493775608),(485,-7289575191241450224),(486,8545185142168759756),(487,-2986243012634560164),(488,4512070665517969460),(489,-3254243130203992620),(490,-7595853359251081124),(491,-2968265858477015795),(492,8526081675070908820),(493,8846962976218787096),(494,-2538101800518578944),(495,-232294249978349308),(496,-2389658929808949956),(497,-2983484616327229996),(498,-660133775035257460),(499,9123830437100236104)"""
 
   private def sqlEsc(s: String): String = s.replace("'", "''")
 
