@@ -724,4 +724,56 @@ class PlanShapeSpec extends SparkSpec {
       plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
       "non-equi join in rrfFuse plan")
   }
+
+  test("hammingPairs: candidates come from a band EQUI-join — no cartesian anywhere") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val hashes = (1L to 80L).map(i => (i, i * 0x9E3779B97F4A7C15L)).toDF("id", "hash")
+    val plan = initialPlan(Dedup.hammingPairs(hashes, maxHamming = 7, bands = 8))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty &&
+      plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "hammingPairs planned a non-equi join — that is the all-pairs cliff")
+  }
+
+  test("quantizedGram is join-free: explode + ONE map-side-combined aggregation") {
+    val vecs = (1L to 60L).map(i => (i, (0 until 8).map(d => (i * 3 + d).toFloat % 5)))
+      .toDF("vec_id", "embedding")
+    val df = graft.ops.Similarity.quantizedGram(vecs)
+    val plan = initialPlan(df)
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    assert(plan.collect {
+      case j: SortMergeJoinExec => j; case j: ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }.isEmpty, "quantizedGram planned a join — it must be a pure fan-out + agg")
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    assert(plan.collect { case a: HashAggregateExec => a }.size >= 2,
+      "expected the partial+final aggregation pair (map-side combine)")
+    // the only shuffle carries cell partials, never vectors
+    shuffleOutputs(df).foreach { out =>
+      assert(!out.contains("embedding") && !out.contains("q"),
+        s"vector column in shuffle: $out")
+    }
+  }
+
+  test("spanRemove: no global sort — the rebuild is per-doc, bodies never shuffle") {
+    import org.apache.spark.sql.execution.SortExec
+    val df = Repetition.spanRemove(docs, minDocs = 3, k = 3)
+    val plan = initialPlan(df)
+    assert(plan.collect { case s: SortExec if s.global => s }.isEmpty,
+      "global sort in spanRemove — the per-doc rebuild must not order the corpus")
+    shuffleOutputs(df).foreach { out =>
+      assert(!out.contains("text") && !out.contains("__w"),
+        s"document body in shuffle: $out")
+    }
+  }
+
+  test("node2vecWalks steps are equi-joins only; the classifier join adds no cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val edges = (1L to 30L).map(i => (i, i % 7 + 1)).toDF("a_id", "b_id")
+    val starts = Seq(1L, 2L, 3L).toDF("id")
+    val plan = initialPlan(
+      graft.ops.GraphMetrics.node2vecWalks(edges, starts, steps = 2))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty &&
+      plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "non-equi join in the node2vec step")
+  }
 }
