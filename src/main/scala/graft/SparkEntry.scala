@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Association, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Correlate, Coverage, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GeoGrid, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Matching, Normalize, Outliers, PageRank, Paths, Repetition, Reshape, RuntimeFilter, Sampling, Scc, Scd, SequencePack, Sessionize, Similarity, Sketch, Skyline, SkewJoin, SpanningForest, Survivorship, TableDiff, TimeSeries, Transitions, Trend}
+import graft.ops.{AsOfJoin, Association, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Correlate, Coverage, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GeoGrid, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Matching, Normalize, Outliers, PageRank, Paths, Repetition, Reshape, RuntimeFilter, Sampling, Scc, Scd, SequencePack, Sessionize, Similarity, Sketch, Skyline, SkewJoin, SpanningForest, Survivorship, TableDiff, TimeSeries, Transitions, Trend, Urls}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -3456,7 +3456,27 @@ object SparkEntry {
       Dedup.hammingPairs(
         Dedup.simhashText(t(s, dir, "documents"))
           .select(col("id"), col("simhash").as("hash")),
-        maxHamming = 3, bands = 4))
+        maxHamming = 3, bands = 4)),
+
+    // ---- URL canonicalization over deterministically derived URLs (the
+    // syntheticMedia pattern — every messy feature is a pure function of
+    // doc_id, so the oracle rebuilds and re-normalizes them): scheme/host
+    // case, default ports, tracking params, param order, fragments,
+    // trailing slashes, and the PSL-lite registered domain. ------------------
+    "q354_url_canonical" -> ((s, dir) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+        lit("://WWW."), upper(col("source")), lit(".ExAmPle."),
+        when(col("doc_id") % 3 === 0, lit("co.uk"))
+          .when(col("doc_id") % 3 === 1, lit("com")).otherwise(lit("org")),
+        when(col("doc_id") % 4 === 0, lit(":80")).otherwise(lit("")),
+        lit("/Docs/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, lit("?utm_source=feed&z=9&a=1")).otherwise(lit("?b=2")),
+        when(col("doc_id") % 7 === 0, lit("#sec2")).otherwise(lit("")))
+      Urls.canonicalize(t(s, dir, "documents").select(col("doc_id"), url.as("url")))
+        .select(col("doc_id"), col("canonical_url"), col("host"), col("registered_domain"))
+    })
   )
 
   /** Deterministic halving DAG for q328, from doc ids: n → n div 2 for
@@ -9628,7 +9648,47 @@ object SparkEntry {
          |SELECT a.id AS a_id, b.id AS b_id,
          | CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
          |FROM h a JOIN h b ON a.id < b.id
-         |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin
+         |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin,
+    // q354: the URL derivation rebuilt from doc_id, then every
+    // normalization rule replayed with DuckDB's regex/list machinery.
+    "q354_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://WWW.' ||
+        |  upper(source) || '.ExAmPle.' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'co.uk' WHEN doc_id % 3 = 1 THEN 'com' ELSE 'org' END) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END) ||
+        |  '/Docs/' || CAST(doc_id AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&z=9&a=1' ELSE '?b=2' END) ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END) AS url
+        | FROM documents),
+        |p AS (SELECT doc_id, url,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS query FROM u),
+        |q AS (SELECT *, regexp_extract(hostport, '^([^:]*)', 1) AS host,
+        |  regexp_extract(hostport, ':([0-9]+)$', 1) AS port FROM p),
+        |r AS (SELECT *,
+        |  CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+        |       ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+        |  list_sort(list_filter(string_split(query, '&'),
+        |    x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)(=|$)'))) AS params,
+        |  string_split(host, '.') AS hl FROM q)
+        |SELECT doc_id,
+        | scheme || '://' || host ||
+        | (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        |       AND NOT (scheme = 'https' AND port = '443')
+        |   THEN ':' || port ELSE '' END) ||
+        | path ||
+        | (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END)
+        |   AS canonical_url,
+        | host,
+        | CASE WHEN len(hl) >= 3 AND len(hl[len(hl)]) = 2
+        |        AND hl[len(hl) - 1] IN ('co', 'com', 'org', 'net', 'ac', 'gov')
+        |   THEN array_to_string(hl[len(hl) - 2:], '.')
+        |   ELSE array_to_string(hl[len(hl) - 1:], '.') END AS registered_domain
+        |FROM r""".stripMargin
   )
 
   /** Shared dHash replay CTE for q349/q350: the q150 analytic pixel
