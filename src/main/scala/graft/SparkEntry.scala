@@ -3476,6 +3476,34 @@ object SparkEntry {
         when(col("doc_id") % 7 === 0, lit("#sec2")).otherwise(lit("")))
       Urls.canonicalize(t(s, dir, "documents").select(col("doc_id"), url.as("url")))
         .select(col("doc_id"), col("canonical_url"), col("host"), col("registered_domain"))
+    }),
+
+    // ---- PSL registered domain over hosts that exercise every rule
+    // class of the bundled Public Suffix List snapshot: exact multi-label
+    // (co.uk, github.io, blogspot.co.uk longest-match over co.uk),
+    // wildcard (*.ck, *.kawasaki.jp, 3-label *.elb.amazonaws.com),
+    // exception (!www.ck, !city.kawasaki.jp), geographic SLDs (aichi.jp),
+    // hosts that ARE a public suffix (→ NULL), and the implicit default
+    // rule. The oracle joins the SAME rule table (rendered from the
+    // loaded snapshot) and replays the PSL algorithm in SQL. -----------------
+    "q355_psl_domain" -> ((s, dir) => {
+      val g = col("doc_id").cast("string")
+      val m = col("doc_id") % 12
+      val host = when(m === 0, concat(lit("a"), g, lit(".github.io")))
+        .when(m === 1, concat(lit("b"), g, lit(".s3.amazonaws.com")))
+        .when(m === 2, concat(lit("w"), g, lit(".pref.aichi.jp")))
+        .when(m === 3, concat(lit("f"), g, lit(".bar.ck")))
+        .when(m === 4, lit("www.ck"))
+        .when(m === 5, concat(lit("s"), g, lit(".co.uk")))
+        .when(m === 6, concat(lit("x"), g, lit(".example.com")))
+        .when(m === 7, concat(lit("p"), g, lit(".city.kawasaki.jp")))
+        .when(m === 8, lit("ne.jp"))
+        .when(m === 9, concat(lit("lb"), g, lit(".us-east-1.elb.amazonaws.com")))
+        .when(m === 10, concat(lit("z"), g, lit(".blogspot.co.uk")))
+        .otherwise(lit("ward.kawasaki.jp"))
+      Urls.withRegisteredDomain(
+        t(s, dir, "documents").select(col("doc_id"), host.as("host")), "host")
+        .select(col("doc_id"), col("host"), col("registered_domain"))
     })
   )
 
@@ -9688,8 +9716,59 @@ object SparkEntry {
         |        AND hl[len(hl) - 1] IN ('co', 'com', 'org', 'net', 'ac', 'gov')
         |   THEN array_to_string(hl[len(hl) - 2:], '.')
         |   ELSE array_to_string(hl[len(hl) - 1:], '.') END AS registered_domain
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+    // q355: the PSL algorithm replayed in SQL against the SAME rule table
+    // the Spark op broadcasts (rendered from the loaded snapshot at
+    // oracle-build time, so op and oracle cannot drift): candidate
+    // suffixes per rule depth, exception precedence, longest match with
+    // wildcards counting their * label, implicit-default fallback.
+    "q355_psl_domain" ->
+      s"""WITH rules(suffix, nlab, kind) AS (VALUES $PslRulesValues),
+        |h AS (SELECT doc_id,
+        |  CASE doc_id % 12
+        |   WHEN 0 THEN 'a' || CAST(doc_id AS VARCHAR) || '.github.io'
+        |   WHEN 1 THEN 'b' || CAST(doc_id AS VARCHAR) || '.s3.amazonaws.com'
+        |   WHEN 2 THEN 'w' || CAST(doc_id AS VARCHAR) || '.pref.aichi.jp'
+        |   WHEN 3 THEN 'f' || CAST(doc_id AS VARCHAR) || '.bar.ck'
+        |   WHEN 4 THEN 'www.ck'
+        |   WHEN 5 THEN 's' || CAST(doc_id AS VARCHAR) || '.co.uk'
+        |   WHEN 6 THEN 'x' || CAST(doc_id AS VARCHAR) || '.example.com'
+        |   WHEN 7 THEN 'p' || CAST(doc_id AS VARCHAR) || '.city.kawasaki.jp'
+        |   WHEN 8 THEN 'ne.jp'
+        |   WHEN 9 THEN 'lb' || CAST(doc_id AS VARCHAR) || '.us-east-1.elb.amazonaws.com'
+        |   WHEN 10 THEN 'z' || CAST(doc_id AS VARCHAR) || '.blogspot.co.uk'
+        |   ELSE 'ward.kawasaki.jp' END AS host
+        | FROM documents),
+        |l AS (SELECT doc_id, host, string_split(host, '.') AS labs,
+        |  len(string_split(host, '.')) AS n FROM h),
+        |m AS (SELECT l.doc_id, l.n, ks.k, r.kind
+        | FROM l CROSS JOIN (VALUES $PslDepthsValues) ks(k)
+        | JOIN rules r ON l.n >= ks.k
+        |  AND array_to_string(l.labs[l.n - ks.k + 1:l.n], '.') = r.suffix),
+        |a AS (SELECT doc_id,
+        |  max(CASE WHEN kind = 2 THEN k - 1 END) AS exc,
+        |  max(CASE WHEN kind = 0 THEN k WHEN kind = 1 AND n > k THEN k + 1 END) AS best
+        | FROM m GROUP BY doc_id),
+        |j AS (SELECT l.doc_id, l.host, l.labs, l.n,
+        |  coalesce(a.exc, a.best, 1) AS pslen
+        | FROM l LEFT JOIN a USING (doc_id))
+        |SELECT doc_id, host,
+        | CASE WHEN n > pslen THEN array_to_string(labs[n - pslen:n], '.') END
+        |   AS registered_domain
+        |FROM j""".stripMargin
   )
+
+  /** [[graft.ops.Urls.pslRules]] rendered as DuckDB VALUES rows
+    * `(suffix, nlab, kind)` — generated from the SAME loaded snapshot
+    * the Spark op broadcast-joins, so the q355 oracle and the op cannot
+    * drift apart when the snapshot changes.
+    */
+  private lazy val PslRulesValues: String =
+    Urls.pslRules.map { case (s, k, kind) => s"('$s',$k,$kind)" }.mkString(",")
+
+  /** The distinct rule depths of the snapshot as VALUES rows. */
+  private lazy val PslDepthsValues: String =
+    Urls.pslRules.map(_._2).distinct.sorted.map(k => s"($k)").mkString(",")
 
   /** Shared dHash replay CTE for q349/q350: the q150 analytic pixel
     * function sampled at the dHash grid. `dh` = (media_id, dhash); `par`

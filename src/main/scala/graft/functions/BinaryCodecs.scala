@@ -138,8 +138,11 @@ object BinaryCodecs {
     val compression = buf.getInt(30)
     if (dibSize != 40 || planes != 1 || bpp != 24 || compression != 0 ||
       w <= 0 || h <= 0) return None // bottom-up 24bpp uncompressed only
-    val rowSize = ((24 * w + 31) / 32) * 4
-    if (dataOff < 54 || dataOff.toLong + rowSize.toLong * h > payload.length) return None
+    // rowSize in Long: a crafted header with w ≳ 89.5M wraps 24*w negative
+    // in Int, which would pass the bounds check and crash the pixel walk.
+    val rowSizeL = ((24L * w + 31) / 32) * 4
+    if (dataOff < 54 || dataOff.toLong + rowSizeL * h > payload.length) return None
+    val rowSize = rowSizeL.toInt // safe: bounded by payload.length above
     var sumB = 0L
     var sumG = 0L
     var sumR = 0L
@@ -182,8 +185,10 @@ object BinaryCodecs {
     val compression = buf.getInt(30)
     if (dibSize != 40 || planes != 1 || bpp != 24 || compression != 0 ||
       w <= 0 || h <= 0) return None // bottom-up 24bpp uncompressed only
-    val rowSize = ((24 * w + 31) / 32) * 4
-    if (dataOff < 54 || dataOff.toLong + rowSize.toLong * h > payload.length) return None
+    // rowSize in Long — same crafted-header overflow guard as bmpPixelStats.
+    val rowSizeL = ((24L * w + 31) / 32) * 4
+    if (dataOff < 54 || dataOff.toLong + rowSizeL * h > payload.length) return None
+    val rowSize = rowSizeL.toInt // safe: bounded by payload.length above
     def gray(x: Int, y: Int): Int = {
       val p = dataOff + (h - 1 - y) * rowSize + 3 * x
       ((payload(p) & 0xff) + (payload(p + 1) & 0xff) + (payload(p + 2) & 0xff)) / 3

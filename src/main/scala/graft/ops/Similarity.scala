@@ -805,8 +805,20 @@ object Similarity {
   def quantizedGram(
       df: DataFrame,
       vecCol: String = "embedding"): DataFrame = {
+    // bounded driver fetch (1 row) to probe the corpus dimensionality,
+    // then the pqParts ragged guard: mixed-dim input would silently emit
+    // cells with differing n_vectors that mix subspaces — fail loudly at
+    // execution instead, riding the scan quantization already pays.
+    val dimRows = df.select(size(col(vecCol)).as("d")).head(1)
+    require(dimRows.nonEmpty,
+      s"quantizedGram: input is empty — cannot infer $vecCol dimensionality")
+    val dim = dimRows(0).getInt(0)
+    val checkedVec = when(size(col(vecCol)) === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"quantizedGram: ragged $vecCol — expected dim $dim, found dim "),
+        size(col(vecCol)).cast("string"))))
     val q = df.select(
-      VectorFunctions.quantizeInt8(col(vecCol), VectorFunctions.maxAbs(col(vecCol))).as("q"))
+      VectorFunctions.quantizeInt8(checkedVec, VectorFunctions.maxAbs(checkedVec)).as("q"))
     q.select(col("q"), posexplode(col("q")))
       .withColumnRenamed("pos", "i")
       .withColumnRenamed("col", "qi")

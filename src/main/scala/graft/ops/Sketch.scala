@@ -79,9 +79,23 @@ object Sketch {
     * rows per side); merging k shards is a k-way fold of these.
     */
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    // FULL OUTER, not inner: [[hllRegisters]] frames are dense (2^b rows,
+    // zero registers included), so a bucket present on only one side means
+    // the two frames were built with different b (or one is not a register
+    // frame at all). An inner join would silently truncate to the bucket
+    // intersection and hand [[hllEstimate]] a wrong-sized frame; instead
+    // the mismatch fails loudly as a per-row codegen'd check that rides
+    // the join (no extra count probe — the upstream frames may be the tail
+    // of a corpus-sized register build, and counting them would run it
+    // twice).
     a.select(col("bucket"), col("register").as("__ra"))
-      .join(b.select(col("bucket"), col("register").as("__rb")), Seq("bucket"))
-      .select(col("bucket"), greatest(col("__ra"), col("__rb")).as("register"))
+      .join(b.select(col("bucket"), col("register").as("__rb")), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        when(col("__ra").isNull || col("__rb").isNull,
+          raise_error(concat(lit("hllMerge: bucket sets differ at bucket "),
+            col("bucket").cast("string"),
+            lit(" — frames built with different b, or not register frames"))))
+          .otherwise(greatest(col("__ra"), col("__rb"))).as("register"))
 
   /** The [[hllProfile]] estimator over an EXISTING `(bucket, register)`
     * frame — the sketch-only tail for callers that built registers per

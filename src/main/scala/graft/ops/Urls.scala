@@ -12,12 +12,58 @@ import org.apache.spark.sql.functions._
   * `/root/reference/src/data_processor.py:62`) — this is §2.9 extension
   * surface for the corpus-pipeline use case.
   *
-  * Everything is a codegen'd Column expression (regex + array ops):
-  * map-side, no shuffle, replayable in any SQL engine with the same
-  * regex semantics — the whole contract is deterministic string
-  * rewriting, no network, no IDN/punycode (documented below).
+  * Canonicalization is codegen'd Column expressions (regex + array ops),
+  * map-side and shuffle-free. Registered-domain extraction uses a real
+  * (trimmed) Public Suffix List snapshot — public data from
+  * publicsuffix.org — applied with the PSL algorithm (longest match,
+  * `*.` wildcard and `!` exception rules) via per-depth BROADCAST hash
+  * joins against the rule table: still map-side, no shuffle, and exactly
+  * replayable in any SQL engine by joining the same rule table.
   */
 object Urls {
+
+  /** PSL rule kinds: the stored `suffix` is the rule with any `*.` or
+    * `!` marker removed; `Wildcard` means the public suffix is one label
+    * LONGER than the stored suffix (the `*` matches one more label),
+    * `Exception` means it is one label SHORTER (PSL spec: an exception
+    * rule's public suffix is the rule minus its leftmost label).
+    */
+  private[graft] val Exact = 0
+  private[graft] val Wildcard = 1
+  private[graft] val Exception = 2
+
+  /** The trimmed PSL snapshot as (suffix, n_labels, kind) rows, parsed
+    * once per JVM from the bundled resource. Single-label EXACT rules
+    * are omitted from the snapshot by design — they are behaviorally the
+    * PSL's implicit default rule `*` (see the resource header) — so every
+    * row here changes a registered-domain answer. Empty when the
+    * resource is absent (stripped-resource deployments), in which case
+    * [[registeredDomainHeuristic]] is the documented fallback.
+    */
+  private[graft] lazy val pslRules: Seq[(String, Int, Int)] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    if (in == null) Seq.empty
+    else
+      try {
+        val rules = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim)
+          .filter(l => l.nonEmpty && !l.startsWith("//"))
+          .map { l =>
+            val (suffix, kind) =
+              if (l.startsWith("!")) (l.substring(1), Exception)
+              else if (l.startsWith("*.")) (l.substring(2), Wildcard)
+              else (l, Exact)
+            (suffix, suffix.count(_ == '.') + 1, kind)
+          }
+          .toVector
+        // one rule per stored suffix keeps the per-depth joins 1:1 (the
+        // published list satisfies this; a duplicated suffix would fan
+        // rows out silently)
+        require(rules.map(_._1).distinct.size == rules.size,
+          "public_suffix_list.dat: duplicate rule suffixes")
+        rules
+      } finally in.close()
+  }
 
   /** Canonical form of `urlCol` under the classic normalization rules:
     *
@@ -36,22 +82,24 @@ object Urls {
     * Scope (documented contract): absolute http(s) URLs; no IDN
     * (punycode hosts pass through verbatim), no percent-decoding (two
     * encodings of one byte stay distinct — decoding safely needs a
-    * reserved-set table this surface keeps out), userinfo kept verbatim
-    * if present. Malformed rows (no `scheme://`) canonicalize to NULL —
-    * filter or quarantine upstream.
+    * reserved-set table this surface keeps out). Userinfo (`user:pw@`)
+    * is kept VERBATIM — case preserved, not normalized — while the host
+    * behind it still case-folds and drives `host`/`registered_domain`
+    * (a `user:pw@host` row must not key on `user`). Malformed rows (no
+    * `scheme://`) canonicalize to NULL — filter or quarantine upstream.
     *
-    * Appends `canonical_url`, `host` (lowercased, port stripped) and
-    * `registered_domain` — a PSL-lite heuristic: hosts whose last label
-    * is a 2-letter ccTLD with a generic second-level label
-    * (co/com/org/net/ac/gov, e.g. `co.uk`, `com.au`) keep THREE labels,
-    * everything else keeps two. A full Public Suffix List is a data
-    * file, not an algorithm; the heuristic covers the dominant cases
-    * and is bit-replayable.
+    * Appends `canonical_url`, `host` (lowercased, userinfo and port
+    * stripped) and `registered_domain` (PSL longest-match; see
+    * [[withRegisteredDomain]]).
     */
   def canonicalize(df: DataFrame, urlCol: String = "url"): DataFrame = {
     val u = col(urlCol)
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostport = lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val authority = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    // userinfo split BEFORE host extraction: without it `user:pw@host`
+    // reads everything before the first ':' — i.e. `user` — as the host
+    val userinfo = regexp_extract(authority, "^([^/@]*@)", 1)
+    val hostport = lower(regexp_replace(authority, "^[^/@]*@", ""))
     val host = regexp_extract(hostport, "^([^:]*)", 1)
     val port = regexp_extract(hostport, ":([0-9]+)$", 1)
     val keepPort = port =!= "" &&
@@ -68,18 +116,81 @@ object Urls {
     val qpart = when(size(params) > 0,
       concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
     val canonical = when(scheme === "" || host === "", lit(null).cast("string"))
-      .otherwise(concat(scheme, lit("://"), host,
+      .otherwise(concat(scheme, lit("://"), userinfo, host,
         when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
         path, qpart))
-    df.withColumn("canonical_url", canonical)
-      .withColumn("host", when(host === "", lit(null).cast("string")).otherwise(host))
-      .withColumn("registered_domain", registeredDomain(host))
+    withRegisteredDomain(
+      df.withColumn("canonical_url", canonical)
+        .withColumn("host",
+          when(host === "", lit(null).cast("string")).otherwise(host)),
+      "host")
   }
 
-  /** PSL-lite registered domain of a lowercased host (see
-    * [[canonicalize]] for the heuristic's contract).
+  /** Appends `registered_domain` for a lowercased-host column via the
+    * PSL algorithm over [[pslRules]]:
+    *
+    *  1. candidate suffixes = the host's last k labels for every rule
+    *     depth k present in the table;
+    *  2. each depth joins BROADCAST against the rules of that depth
+    *     (a handful of map-side hash joins, no shuffle, no explode);
+    *  3. prevailing rule per the spec — any matching EXCEPTION rule wins
+    *     (public suffix = rule minus its leftmost label); otherwise the
+    *     longest match, where a WILDCARD rule counts its `*` as a label
+    *     (and only matches hosts that have that extra label); no match
+    *     falls back to the implicit `*` rule (public suffix = last
+    *     label);
+    *  4. `registered_domain` = public suffix + one more label — NULL
+    *     when the host IS a public suffix (nothing registrable).
+    *
+    * With the PSL resource absent, falls back to
+    * [[registeredDomainHeuristic]] (the documented PSL-lite rule).
     */
-  private[graft] def registeredDomain(host: Column): Column = {
+  private[graft] def withRegisteredDomain(
+      df: DataFrame,
+      hostCol: String,
+      out: String = "registered_domain"): DataFrame = {
+    val h = col(hostCol)
+    if (pslRules.isEmpty) return df.withColumn(out, registeredDomainHeuristic(h))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val depths = pslRules.map(_._2).distinct.sorted
+    val labs = split(h, "\\.")
+    val n = size(labs)
+    var cur = df.withColumn("__psl_labs", labs).withColumn("__psl_n", n)
+    depths.foreach { k =>
+      val rk = pslRules.filter(_._2 == k).map { case (s, _, kind) => (s, kind) }
+        .toDF(s"__psl_sfx$k", s"__psl_kind$k")
+      val key = when(col("__psl_n") >= k,
+        array_join(slice(col("__psl_labs"), -k, k), ".")).otherwise(lit(null))
+      cur = cur.join(broadcast(rk), key === col(s"__psl_sfx$k"), "left")
+    }
+    val kindAt = (k: Int) => col(s"__psl_kind$k")
+    // exception precedence, then longest match, then the default rule
+    val excLen = coalesce(depths.reverse.map(k =>
+      when(kindAt(k) === Exception, lit(k - 1))): _*)
+    val bestLen = depths.map(k =>
+      when(kindAt(k) === Exact, lit(k))
+        .when(kindAt(k) === Wildcard && col("__psl_n") > k, lit(k + 1)))
+      .reduceLeft((a, b) => greatest(a, b))
+    val psLen = coalesce(excLen, bestLen, lit(1))
+    val reg = when(h.isNull || h === "" || col("__psl_n") <= psLen,
+      lit(null).cast("string"))
+      .otherwise(array_join(
+        slice(col("__psl_labs"), -(psLen + lit(1)), psLen + lit(1)), "."))
+    cur.withColumn(out, reg)
+      .drop("__psl_labs" :: "__psl_n" ::
+        depths.toList.flatMap(k => List(s"__psl_sfx$k", s"__psl_kind$k")): _*)
+  }
+
+  /** PSL-LITE fallback registered domain (the pre-PSL heuristic, kept
+    * for deployments that strip resources): hosts whose last label is a
+    * 2-letter ccTLD with a generic second-level label
+    * (co/com/org/net/ac/gov, e.g. `co.uk`, `com.au`) keep THREE labels,
+    * everything else keeps two. Misses non-listed public suffixes
+    * (`ne.jp`-style families, `github.io`-style private suffixes) —
+    * that gap is exactly why [[withRegisteredDomain]] is the default.
+    */
+  private[graft] def registeredDomainHeuristic(host: Column): Column = {
     val labels = split(host, "\\.")
     val n = size(labels)
     val last = element_at(labels, -1)

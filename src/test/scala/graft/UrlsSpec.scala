@@ -52,6 +52,42 @@ class UrlsSpec extends SparkSpec {
     assert(got(3)._3 == null) // single label: no registrable domain
   }
 
+  test("PSL: wildcard, exception, geographic and private-section rules") {
+    val got = canon(
+      "http://foo.bar.ck/x",            // *.ck: bar.ck is a public suffix
+      "http://bar.ck/x",                //   ... so bar.ck itself registers nothing
+      "http://www.ck/x",                // !www.ck exception: ps = ck
+      "http://sub.city.kawasaki.jp/x",  // !city.kawasaki.jp under *.kawasaki.jp
+      "http://ward.kawasaki.jp/x",      // *.kawasaki.jp: ward.kawasaki.jp is a ps
+      "http://www.pref.aichi.jp/x",     // geographic SLD aichi.jp
+      "http://host.ne.jp/x",            // ne.jp family (PSL-lite mislabeled this)
+      "http://ne.jp/x",                 // host IS a public suffix → null
+      "http://alice.github.io/x",       // private section
+      "http://bucket.s3.amazonaws.com/x",
+      "http://my-lb.us-east-1.elb.amazonaws.com/x") // 3-label wildcard rule
+    assert(got(0)._3 == "foo.bar.ck")
+    assert(got(1)._3 == null)
+    assert(got(2)._3 == "www.ck")
+    assert(got(3)._3 == "city.kawasaki.jp")
+    assert(got(4)._3 == null)
+    assert(got(5)._3 == "pref.aichi.jp")
+    assert(got(6)._3 == "host.ne.jp")
+    assert(got(7)._3 == null)
+    assert(got(8)._3 == "alice.github.io")
+    assert(got(9)._3 == "bucket.s3.amazonaws.com")
+    assert(got(10)._3 == "my-lb.us-east-1.elb.amazonaws.com")
+  }
+
+  test("userinfo is kept verbatim but never read as the host") {
+    val got = canon(
+      "http://User:Pw@Example.COM:80/x",
+      "http://token@h.co.uk/p/")
+    assert(got(0) == (("http://User:Pw@example.com/x", "example.com", "example.com")))
+    assert(got(1) == (("http://token@h.co.uk/p", "h.co.uk", "h.co.uk")))
+    val once = got(0)._1 // canonical form with userinfo is still a fixed point
+    assert(canon(once).head._1 == once)
+  }
+
   test("malformed rows canonicalize to NULL; canonicalization is idempotent") {
     val bad = Urls.canonicalize(Seq("not a url", "ftp-ish//x").toDF("url"))
       .collect().map(_.isNullAt(1))
