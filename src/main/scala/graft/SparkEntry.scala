@@ -3504,7 +3504,28 @@ object SparkEntry {
       Urls.withRegisteredDomain(
         t(s, dir, "documents").select(col("doc_id"), host.as("host")), "host")
         .select(col("doc_id"), col("host"), col("registered_domain"))
-    })
+    }),
+
+    // ---- perceptual audio fingerprints from the REAL PCM decode: the
+    // 65-window energy-difference hash per synthesized WAV — the audio
+    // analogue of q349's image dHash; the oracle replays the window
+    // energies analytically from the WAV writer's sample formula. ------------
+    "q356_audio_ehash" -> ((s, dir) =>
+      Multimodal.audioEnergyHash(Multimodal.syntheticMedia(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"), col("ehash"))),
+
+    // ---- banded Hamming near-dup join over audio fingerprints, with the
+    // match set made PROVABLE: the corpus carries an amplitude-rescaled
+    // re-encode of every WAV (energy ratios preserved → identical hash),
+    // so each original/re-encode pair MUST surface at hamming 0. The
+    // oracle brute-forces all pairs — banding provably loses nothing. -------
+    "q357_audio_ehash_neardup" -> ((s, dir) =>
+      Dedup.hammingPairs(
+        Multimodal.audioEnergyHash(
+          Multimodal.syntheticAudioReencodes(t(s, dir, "documents")))
+          .toDF().select(col("media_id").as("id"), col("ehash").as("hash")),
+        maxHamming = 7, bands = 8))
   )
 
   /** Deterministic halving DAG for q328, from doc ids: n → n div 2 for
@@ -9755,8 +9776,59 @@ object SparkEntry {
         |SELECT doc_id, host,
         | CASE WHEN n > pslen THEN array_to_string(labs[n - pslen:n], '.') END
         |   AS registered_domain
-        |FROM j""".stripMargin
+        |FROM j""".stripMargin,
+    // q356: the energy-difference hash replayed analytically from the WAV
+    // writer's sample formula — window energies in BIGINT, bit assembly in
+    // HUGEINT (bit 63 is the sign bit; DuckDB's 1<<63 throws, so it
+    // contributes -(2^63) and the two's-complement sum casts back).
+    "q356_audio_ehash" ->
+      s"""WITH ${AudioEhashCte("(128, 0)")}
+        |SELECT mid AS media_id, CAST(rate AS BIGINT) AS sample_rate,
+        | CAST(n AS BIGINT) AS n_samples, ehash
+        |FROM eh""".stripMargin,
+    // q357: brute-forced Hamming pairs over BOTH encodes (amp 128 under
+    // the doc id, amp 127 re-encode under id + 1e9) — proving banding
+    // drops nothing AND that every original/re-encode pair surfaces.
+    "q357_audio_ehash_neardup" ->
+      s"""WITH ${AudioEhashCte("(128, 0), (127, 1000000000)")}
+        |SELECT a.mid AS a_id, b.mid AS b_id,
+        | CAST(bit_count(xor(a.ehash, b.ehash)) AS BIGINT) AS hamming
+        |FROM eh a JOIN eh b ON a.mid < b.mid
+        |WHERE bit_count(xor(a.ehash, b.ehash)) <= 7""".stripMargin
   )
+
+  /** Shared energy-hash replay CTE for q356/q357: the q149 analytic WAV
+    * sample formula (ascii byte at i mod len, × amp) bucketed into the 65
+    * windows of [[graft.functions.BinaryCodecs.wavEnergyHash]]
+    * (`w = i·65 div n`; n ≥ 500 > 65 in this fixture, so every window is
+    * populated and all 64 adjacent pairs exist). `ampValues` rows are
+    * `(amp, media-id offset)` — q356 replays the syntheticMedia encode,
+    * q357 adds the amplitude re-encode leg. Emits `eh(mid, rate, n,
+    * ehash)`.
+    */
+  private def AudioEhashCte(ampValues: String): String =
+    s"""d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents
+      |  WHERE doc_id % 2 = 1),
+      |amps(amp, off) AS (VALUES $ampValues),
+      |par AS (SELECT doc_id + off AS mid, t, strlen(t) AS l,
+      |  500 + doc_id % 1000 AS n, 8000 + (doc_id % 8) * 1000 AS rate, amp
+      | FROM d CROSS JOIN amps),
+      |ix AS (SELECT mid, rate, n, t, l, amp, unnest(range(n)) AS i FROM par),
+      |v AS (SELECT mid, rate, n, CAST((i * 65) // n AS INT) AS w,
+      |  CASE WHEN l = 0 THEN 0
+      |   ELSE ascii(substring(t, CAST(i % l AS INT) + 1, 1)) * amp END AS s
+      | FROM ix),
+      |e AS (SELECT mid, rate, n, w, sum(CAST(s AS BIGINT) * s) AS en
+      | FROM v GROUP BY mid, rate, n, w),
+      |bits AS (SELECT a.mid, a.rate, a.n,
+      |  CASE WHEN a.en < b.en THEN
+      |    CASE WHEN a.w = 63 THEN CAST(-9223372036854775807 AS HUGEINT) - 1
+      |         ELSE CAST(CAST(1 AS BIGINT) << a.w AS HUGEINT) END
+      |  ELSE CAST(0 AS HUGEINT) END AS contrib
+      | FROM e a JOIN e b ON a.mid = b.mid AND b.w = a.w + 1
+      | WHERE a.w < 64),
+      |eh AS (SELECT mid, any_value(rate) AS rate, any_value(n) AS n,
+      |  CAST(sum(contrib) AS BIGINT) AS ehash FROM bits GROUP BY mid)""".stripMargin
 
   /** [[graft.ops.Urls.pslRules]] rendered as DuckDB VALUES rows
     * `(suffix, nlab, kind)` — generated from the SAME loaded snapshot

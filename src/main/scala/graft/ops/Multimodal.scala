@@ -241,6 +241,67 @@ object Multimodal {
     }
   }
 
+  final case class AudioEhash(
+      media_id: Long, sample_rate: Long, n_samples: Long, ehash: Long)
+
+  /** Perceptual near-duplicate fingerprints over the binary AUDIO
+    * column: the 64-bit energy-difference hash from a REAL 16-bit PCM
+    * decode ([[graft.functions.BinaryCodecs.wavEnergyHash]] — 65 frame
+    * windows, adjacent-energy difference bits; invariant under amplitude
+    * rescaling, so a re-encode at another volume fingerprints
+    * identically). Rows whose payload is not parseable PCM WAV are
+    * dropped. Pair with [[graft.ops.Dedup.hammingPairs]] for the banded
+    * near-dup join — the audio leg of the same image-level LSH story as
+    * [[imageDhash]]. Same partition-batched, shuffle-free shape.
+    */
+  def audioEnergyHash(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[AudioEhash] = {
+    import media.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          BinaryCodecs.wavEnergyHash(m.payload).map { case (rate, n, h) =>
+            AudioEhash(m.media_id, rate.toLong, n, h)
+          }
+        }
+      }
+    }
+  }
+
+  /** RE-ENCODED audio corpus for perceptual dedup exercises: each odd-id
+    * document's WAV at TWO amplitudes — the [[syntheticMedia]] encode
+    * (byte × 128) under the original id, and an amplitude-rescaled
+    * re-encode (byte × 127) under `id + reencodeOffset`. Positive
+    * rescaling preserves every energy inequality, so the two encodes'
+    * [[audioEnergyHash]] fingerprints are bit-IDENTICAL — the controlled
+    * near-duplicate that makes the downstream Hamming join's match set
+    * provable instead of incidental.
+    */
+  def syntheticAudioReencodes(
+      docs: DataFrame,
+      reencodeOffset: Long = 1000000000L): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    graft.io.Spread.toDefaultParallelism(docs)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (id % 2 == 0) Iterator.empty
+        else {
+          val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+          val rate = 8000 + (id % 8).toInt * 1000
+          val n = 500 + (id % 1000).toInt
+          def enc(amp: Int, mid: Long): MediaRow = {
+            val samples = Array.tabulate(n)(i =>
+              (if (bytes.isEmpty) 0 else bytes(i % bytes.length) * amp).toShort)
+            val payload = BinaryCodecs.wav(rate, samples)
+            MediaRow(mid, "audio", payload, "audio/wav", payload.length.toLong)
+          }
+          Iterator(enc(128, id), enc(127, id + reencodeOffset))
+        }
+      }
+  }
+
   /** Synthesize VALID media binaries from the documents table — real BMP
     * for even ids, real WAV for odd — with container parameters that are
     * pure functions of the id (so any engine can replay the expected

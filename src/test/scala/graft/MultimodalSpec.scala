@@ -260,6 +260,62 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) == out(2L))
   }
 
+  test("wavEnergyHash: amplitude-invariant, order-sensitive, window replay; rejects non-WAV") {
+    import graft.functions.BinaryCodecs
+    // 130 samples = 2 per window: energies rise monotonically → all 64
+    // difference bits set
+    val rising = BinaryCodecs.wav(8000, Array.tabulate(130)(i => (i * 10).toShort))
+    val Some((rate, n, hRising)) = BinaryCodecs.wavEnergyHash(rising)
+    assert(rate == 8000 && n == 130L)
+    assert(hRising == -1L, "strictly rising window energies set every bit")
+    // falling energies clear every bit
+    val falling = BinaryCodecs.wav(8000, Array.tabulate(130)(i => ((129 - i) * 10).toShort))
+    assert(BinaryCodecs.wavEnergyHash(falling).get._3 == 0L)
+    // amplitude rescaling (the re-encode) preserves the hash exactly
+    val base = Array.tabulate(700)(i => ((i * 37) % 113 - 56).toShort)
+    val loud = base.map(s => (s * 2).toShort)
+    val hBase = BinaryCodecs.wavEnergyHash(BinaryCodecs.wav(8000, base)).get._3
+    val hLoud = BinaryCodecs.wavEnergyHash(BinaryCodecs.wav(8000, loud)).get._3
+    assert(hBase == hLoud, "perceptual invariance under volume change")
+    // a different signal hashes differently
+    val hRev = BinaryCodecs.wavEnergyHash(BinaryCodecs.wav(8000, base.reverse)).get._3
+    assert(hBase != hRev)
+    // n < 65 stays deterministic (tail windows read energy 0), n = 0 is 0
+    assert(BinaryCodecs.wavEnergyHash(BinaryCodecs.wav(8000, Array[Short](5, 3))).isDefined)
+    assert(BinaryCodecs.wavEnergyHash(BinaryCodecs.wav(8000, Array.empty[Short])).get._3 == 0L)
+    assert(BinaryCodecs.wavEnergyHash("RIFFxxxx".getBytes).isEmpty)
+  }
+
+  test("syntheticAudioReencodes: re-encode pairs fingerprint identically and survive hammingPairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "even ids skipped"), (3L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.syntheticAudioReencodes(docs, reencodeOffset = 100L)
+    val hashes = Multimodal.audioEnergyHash(media).collect()
+      .map(h => h.media_id -> h.ehash).toMap
+    assert(hashes.keySet == Set(1L, 101L, 3L, 103L))
+    assert(hashes(1L) == hashes(101L) && hashes(3L) == hashes(103L))
+    val pairs = graft.ops.Dedup.hammingPairs(
+      Multimodal.audioEnergyHash(media).toDF()
+        .select(col("media_id").as("id"), col("ehash").as("hash")),
+      maxHamming = 7, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((1L, 101L, 0L)) && pairs.contains((3L, 103L, 0L)))
+  }
+
+  test("bmpDhash/bmpPixelStats: crafted huge-width header returns None, not a crash") {
+    import graft.functions.BinaryCodecs
+    // width 90,000,000: 24*w wraps negative in Int — the pre-fix bounds
+    // check passed and the pixel walk threw ArrayIndexOutOfBounds
+    val evil = BinaryCodecs.bmp(4, 4, Array[Byte](1, 2, 3))
+    val buf = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(18, 90000000) // declared width
+    buf.putInt(22, 4)
+    assert(BinaryCodecs.bmpDhash(evil).isEmpty)
+    assert(BinaryCodecs.bmpPixelStats(evil).isEmpty)
+  }
+
   test("resizeAll rewrites payloads to the target budget, keeps ids and kinds") {
     import spark.implicits._
     val media = Seq(
