@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Association, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Correlate, Coverage, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GeoGrid, GraphMetrics, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Matching, Normalize, Outliers, PageRank, Paths, Repetition, Reshape, RuntimeFilter, Sampling, Scc, Scd, SequencePack, Sessionize, Similarity, Sketch, Skyline, SkewJoin, SpanningForest, Survivorship, TableDiff, TimeSeries, Transitions, Trend, Urls}
+import graft.ops.{AsOfJoin, Association, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Correlate, Coverage, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GeoGrid, GraphMetrics, Html, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Matching, Normalize, Outliers, PageRank, Paths, Repetition, Reshape, RuntimeFilter, Sampling, Scc, Scd, SequencePack, Sessionize, Similarity, Sketch, Skyline, SkewJoin, SpanningForest, Survivorship, TableDiff, TimeSeries, Transitions, Trend, Urls}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -3525,8 +3525,51 @@ object SparkEntry {
         Multimodal.audioEnergyHash(
           Multimodal.syntheticAudioReencodes(t(s, dir, "documents")))
           .toDF().select(col("media_id").as("id"), col("ehash").as("hash")),
-        maxHamming = 7, bands = 8))
+        maxHamming = 7, bands = 8)),
+
+    // ---- HTML markup strip over synthesized pages (every feature a pure
+    // function of doc_id + text): script/style/comment spans with content,
+    // tags to spaces, entity decode in single-pass order, whitespace
+    // squish. The oracle replays the same regex chain in DuckDB. ------------
+    "q358_html_strip" -> ((s, dir) =>
+      Html.stripMarkup(
+        t(s, dir, "documents").select(col("doc_id"), syntheticHtml.as("html")))
+        .select(col("doc_id"), col("clean_text"))),
+
+    // ---- main-content extraction via the link-density line filter over
+    // the same pages: nav/link-list lines drop, prose lines survive in
+    // order — entirely filter/transform lambdas on the split-line array
+    // (map-side, no explode, no shuffle). -----------------------------------
+    "q359_main_content" -> ((s, dir) =>
+      Html.mainContent(
+        t(s, dir, "documents").select(col("doc_id"), syntheticHtml.as("html")))
+        .select(col("doc_id"), col("main_text")))
   )
+
+  /** q358/q359's synthetic HTML page — every feature a pure function of
+    * doc_id and text so the oracle rebuilds it byte-for-byte: a head line
+    * with style+script spans, a comment line, a heading, a text paragraph
+    * carrying entities, a pure-link nav line, an id-dependent link-list
+    * or filler line, a mixed prose+link line, and the closing tags.
+    * Attribute values are unquoted (valid per the HTML spec for these
+    * characters) so the fixture needs no quote-escaping in either engine.
+    */
+  private def syntheticHtml: Column = {
+    val id = col("doc_id").cast("string")
+    concat(
+      lit("<html><head><style>body{color:red}</style><script>var n="), id,
+      lit(";</script></head>\n"),
+      lit("<body><!-- hidden "), id, lit(" -->\n"),
+      lit("<h1>Doc "), id, lit("</h1>\n"),
+      lit("<p>"), coalesce(col("text"), lit("")),
+      lit(" &amp; more &lt;raw&gt; &#39;tail&#39;</p>\n"),
+      lit("<div><a href=/h>Home</a> <a href=/a>About</a> <a href=/c>Contact</a></div>\n"),
+      when(col("doc_id") % 3 === 0,
+        lit("<ul><li><a href=/l1>Long link one</a></li><li><a href=/l2>Long link two</a></li></ul>\n"))
+        .otherwise(lit("<p>A plain filler paragraph with no links at all.</p>\n")),
+      lit("<p>Mixed line with one <a href=/m>tiny link</a> and plenty of surrounding prose to stay.</p>\n"),
+      lit("</body></html>"))
+  }
 
   /** Deterministic halving DAG for q328, from doc ids: n → n div 2 for
     * every positive 10th id (chains of depth ~log₂ of the id range) plus
@@ -9794,8 +9837,73 @@ object SparkEntry {
         |SELECT a.mid AS a_id, b.mid AS b_id,
         | CAST(bit_count(xor(a.ehash, b.ehash)) AS BIGINT) AS hamming
         |FROM eh a JOIN eh b ON a.mid < b.mid
-        |WHERE bit_count(xor(a.ehash, b.ehash)) <= 7""".stripMargin
+        |WHERE bit_count(xor(a.ehash, b.ehash)) <= 7""".stripMargin,
+    // q358: the markup-strip regex chain replayed step-for-step (DuckDB
+    // regexp_replace needs the explicit 'g' flag; Spark's replaces all by
+    // default — same result).
+    "q358_html_strip" ->
+      s"""WITH $HtmlFixtureCte,
+        |s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS x FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(x, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS x FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s3),
+        |s5 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(x,
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |  '&apos;', ''''), '&nbsp;', ' ') AS x FROM s4),
+        |s6 AS (SELECT doc_id, replace(x, '&amp;', '&') AS x FROM s5)
+        |SELECT doc_id, trim(regexp_replace(x, '\\s+', ' ', 'g')) AS clean_text FROM s6""".stripMargin,
+    // q359: the line filter replayed — split on chr(10) with positions,
+    // per-line clean chain, anchor-text chars via regexp_extract_all +
+    // list_sum, the integer density predicate, and an order-preserving
+    // list() re-join; docs with zero kept lines re-enter as '' via the
+    // left join (Spark's array_join over an empty array).
+    "q359_main_content" ->
+      s"""WITH $HtmlFixtureCte,
+        |p1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS html FROM h),
+        |p2 AS (SELECT doc_id, regexp_replace(html, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS html FROM p1),
+        |p3 AS (SELECT doc_id, regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS html FROM p2),
+        |lx AS (SELECT doc_id, string_split(html, chr(10)) AS ls FROM p3),
+        |li AS (SELECT doc_id, ls, unnest(range(len(ls))) AS i FROM lx),
+        |ln AS (SELECT doc_id, i, ls[CAST(i AS INT) + 1] AS line FROM li),
+        |c1 AS (SELECT doc_id, i, line, regexp_replace(line, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS x FROM ln),
+        |c2 AS (SELECT doc_id, i, line, regexp_replace(x, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS x FROM c1),
+        |c3 AS (SELECT doc_id, i, line, regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM c2),
+        |c4 AS (SELECT doc_id, i, line, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM c3),
+        |c5 AS (SELECT doc_id, i, line, replace(replace(replace(replace(replace(replace(x,
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |  '&apos;', ''''), '&nbsp;', ' ') AS x FROM c4),
+        |c6 AS (SELECT doc_id, i, line,
+        |  trim(regexp_replace(replace(x, '&amp;', '&'), '\\s+', ' ', 'g')) AS clean FROM c5),
+        |ck AS (SELECT doc_id, i, clean,
+        |  coalesce(list_sum(list_transform(
+        |    regexp_extract_all(line, '(?is)<a[^>]*>(.*?)</a>', 1),
+        |    a -> length(trim(regexp_replace(regexp_replace(a, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))))), 0) AS linkchars
+        | FROM c6),
+        |keep AS (SELECT doc_id, i, clean FROM ck
+        | WHERE length(clean) >= 5 AND linkchars * 100 <= 50 * length(clean)),
+        |m AS (SELECT doc_id, array_to_string(list(clean ORDER BY i), ' ') AS main_text
+        | FROM keep GROUP BY doc_id)
+        |SELECT h.doc_id, coalesce(m.main_text, '') AS main_text
+        |FROM h LEFT JOIN m USING (doc_id)""".stripMargin
   )
+
+  /** Shared synthetic-HTML fixture CTE for q358/q359 — the byte-exact
+    * SQL twin of [[syntheticHtml]].
+    */
+  private val HtmlFixtureCte: String =
+    """d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+      |h AS (SELECT doc_id,
+      |  '<html><head><style>body{color:red}</style><script>var n=' || CAST(doc_id AS VARCHAR) || ';</script></head>' || chr(10) ||
+      |  '<body><!-- hidden ' || CAST(doc_id AS VARCHAR) || ' -->' || chr(10) ||
+      |  '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
+      |  '<p>' || t || ' &amp; more &lt;raw&gt; &#39;tail&#39;</p>' || chr(10) ||
+      |  '<div><a href=/h>Home</a> <a href=/a>About</a> <a href=/c>Contact</a></div>' || chr(10) ||
+      |  (CASE WHEN doc_id % 3 = 0
+      |    THEN '<ul><li><a href=/l1>Long link one</a></li><li><a href=/l2>Long link two</a></li></ul>'
+      |    ELSE '<p>A plain filler paragraph with no links at all.</p>' END) || chr(10) ||
+      |  '<p>Mixed line with one <a href=/m>tiny link</a> and plenty of surrounding prose to stay.</p>' || chr(10) ||
+      |  '</body></html>' AS html
+      | FROM d)""".stripMargin
 
   /** Shared energy-hash replay CTE for q356/q357: the q149 analytic WAV
     * sample formula (ascii byte at i mod len, × amp) bucketed into the 65

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML/markup hygiene — the single most common web-corpus prep step:
+  * every crawl pipeline strips tags, drops script/style payloads and
+  * boilerplate navigation before any of the lexical/dedup machinery
+  * downstream sees the text. Reference behavior modeled: none — the
+  * reference pipeline ingests structured JSON only; this is §2.9
+  * extension surface for the corpus-pipeline use case.
+  *
+  * Everything is codegen'd Column expressions (regex, string replace,
+  * higher-order array functions): map-side, shuffle-free — even the
+  * line-level boilerplate filter runs as `filter`/`transform` lambdas
+  * over the split-line array rather than an explode + group-back — and
+  * bit-replayable in any engine with RE2/Java-compatible regexes (the
+  * subset used here is common to both).
+  */
+object Html {
+
+  /** Drop `<script>…</script>`, `<style>…</style>` and `<!-- … -->`
+    * SPANS (content included), dotall + case-insensitive, non-greedy so
+    * adjacent spans don't merge.
+    */
+  private[graft] def stripSpans(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+  }
+
+  /** Replace every remaining tag with a space (space, not empty — two
+    * words separated only by markup must not concatenate).
+    */
+  private[graft] def stripTags(c: Column): Column =
+    regexp_replace(c, "<[^>]*>", " ")
+
+  /** Decode the common named/numeric entities. `&amp;` is decoded LAST
+    * (standard single-pass order: `&amp;lt;` decodes to the literal
+    * `&lt;`, not to `<`).
+    */
+  private[graft] def decodeEntities(c: Column): Column = {
+    val pairs = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ")
+    val dec = pairs.foldLeft(c) { case (acc, (e, v)) =>
+      replace(acc, lit(e), lit(v))
+    }
+    replace(dec, lit("&amp;"), lit("&"))
+  }
+
+  /** Collapse whitespace runs to single spaces and trim. */
+  private[graft] def squish(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** The full markup-strip pipeline as one scalar Column: spans → tags →
+    * entities → whitespace. NOT idempotent by design — a decoded `&lt;b&gt;`
+    * becomes a literal `<b>` that a second pass would strip; run it once
+    * at ingest (plain text without markup IS a fixed point, pinned in
+    * `HtmlSpec`).
+    */
+  def cleanText(html: Column): Column =
+    squish(decodeEntities(stripTags(stripSpans(html))))
+
+  /** Appends `out` = [[cleanText]] of `htmlCol`. Map-side, no shuffle. */
+  def stripMarkup(
+      df: DataFrame,
+      htmlCol: String = "html",
+      out: String = "clean_text"): DataFrame =
+    df.withColumn(out, cleanText(col(htmlCol)))
+
+  /** Total character count of anchor INNER text on a line — the
+    * numerator of link density. Inner markup is stripped before
+    * measuring; the empty-match aggregate is 0.
+    */
+  private[graft] def linkChars(line: Column): Column =
+    aggregate(
+      regexp_extract_all(line, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+      lit(0),
+      (acc, x) => acc + length(squish(stripTags(x))))
+
+  /** MAIN-CONTENT extraction via the classic link-density line filter
+    * (the boilerpipe/jusText-family heuristic at line granularity):
+    * split on newlines, clean each line ([[cleanText]]), and keep lines
+    * that carry at least `minTextChars` cleaned characters AND whose
+    * anchor-text share is at most `maxLinkDensityPct` percent
+    * (integer-exact: `linkChars·100 ≤ pct·textChars`) — navigation bars,
+    * link lists and footers are link-dense and drop out; prose survives.
+    * Kept lines re-join in document order with single spaces into `out`.
+    *
+    * Script/style/comment SPANS are stripped document-level (dotall)
+    * BEFORE the line split — a multi-line script body must not leak in
+    * as "prose" lines. A span that crossed lines leaves its former
+    * endpoints joined into one line (the span, newlines included,
+    * becomes a single space). Entire pipeline is `filter`/`transform`
+    * lambdas over the split-line array: map-side, shuffle-free,
+    * order-preserving without a sort.
+    */
+  def mainContent(
+      df: DataFrame,
+      htmlCol: String = "html",
+      out: String = "main_text",
+      maxLinkDensityPct: Int = 50,
+      minTextChars: Int = 5): DataFrame = {
+    require(maxLinkDensityPct >= 0 && maxLinkDensityPct <= 100,
+      s"maxLinkDensityPct must be a percentage: $maxLinkDensityPct")
+    require(minTextChars >= 0, s"minTextChars must be >= 0: $minTextChars")
+    val lines = split(stripSpans(col(htmlCol)), "\n")
+    val kept = filter(lines, l => {
+      val clean = cleanText(l)
+      length(clean) >= minTextChars &&
+        linkChars(l) * 100 <= lit(maxLinkDensityPct) * length(clean)
+    })
+    df.withColumn(out, array_join(transform(kept, l => cleanText(l)), " "))
+  }
+}

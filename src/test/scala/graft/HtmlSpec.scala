@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Html
+
+/** Markup stripping and the link-density main-content filter: span
+  * handling (incl. multi-line), entity decode order, whitespace
+  * collapse, plain-text fixed point, and the line filter's keep/drop
+  * contract.
+  */
+class HtmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def strip(htmls: String*): Seq[String] =
+    Html.stripMarkup(htmls.toDF("html")).collect().map(_.getString(1)).toSeq
+
+  test("stripMarkup: script/style/comment spans drop with their content") {
+    val got = strip(
+      "a<script type=x>\nvar n = 1 < 2;\n</script>b", // multi-line, inner '<'
+      "a<style>p { color: red }</style>b<style>q{}</style>c", // non-greedy: two spans
+      "a<!-- hidden\nacross lines -->b",
+      "<SCRIPT>loud()</SCRIPT>quiet") // case-insensitive
+    assert(got == Seq("a b", "a b c", "a b", "quiet"))
+  }
+
+  test("stripMarkup: tags become spaces, entities decode once, in order") {
+    val got = strip(
+      "one<br>two<div class=x>three</div>",
+      "&lt;b&gt; &amp; &quot;q&quot; &#39;a&#39; &apos;b&apos; x&nbsp;y",
+      "&amp;lt; stays encoded", // amp decodes LAST: &amp;lt; → &lt;, not <
+      "  spaced \t out \n text  ")
+    assert(got(0) == "one two three")
+    assert(got(1) == "<b> & \"q\" 'a' 'b' x y")
+    assert(got(2) == "&lt; stays encoded")
+    assert(got(3) == "spaced out text")
+  }
+
+  test("stripMarkup: markup-free plain text is a fixed point") {
+    val plain = "Just ordinary prose, nothing special at all."
+    assert(strip(plain) == Seq(plain))
+    assert(strip(strip(plain).head) == Seq(plain))
+  }
+
+  test("mainContent: link-dense and too-short lines drop, prose survives in order") {
+    val html = Seq(
+      "<html><head><script>var n=1;</script></head>", // cleans to empty
+      "<h1>Title here</h1>",
+      "<div><a href=/h>Home</a> <a href=/a>About</a> <a href=/c>Contact</a></div>",
+      "<p>This paragraph has one <a href=/m>small link</a> inside a lot of prose.</p>",
+      "<ul><li><a href=/1>Long link one</a></li><li><a href=/2>Long link two</a></li></ul>",
+      "ok", // under minTextChars
+      "</body></html>").mkString("\n")
+    val got = Html.mainContent(Seq(html).toDF("html"))
+      .collect().head.getString(1)
+    assert(got ==
+      "Title here This paragraph has one small link inside a lot of prose.")
+  }
+
+  test("mainContent: multi-line script bodies are stripped before the line split") {
+    val html = Seq(
+      "<p>Real opening prose stays.</p>",
+      "<script>",
+      "var leakedLooksLikeProse = 'long enough to pass every line filter';",
+      "</script>",
+      "<p>Real closing prose stays.</p>").mkString("\n")
+    val got = Html.mainContent(Seq(html).toDF("html")).collect().head.getString(1)
+    assert(got == "Real opening prose stays. Real closing prose stays.")
+  }
+
+  test("mainContent: density threshold is integer-exact and tunable") {
+    // 10 anchor chars / 27 cleaned chars: 1000 <= 50*27 keeps, > 30*27 drops
+    val df = Seq("<a href=/x>1234567890</a> extra prose here").toDF("html")
+    assert(Html.mainContent(df).collect().head.getString(1) ==
+      "1234567890 extra prose here")
+    assert(Html.mainContent(df, maxLinkDensityPct = 30)
+      .collect().head.getString(1) == "")
+    intercept[IllegalArgumentException] {
+      Html.mainContent(df, maxLinkDensityPct = 101)
+    }
+  }
+}
