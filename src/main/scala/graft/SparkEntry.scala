@@ -3543,7 +3543,37 @@ object SparkEntry {
     "q359_main_content" -> ((s, dir) =>
       Html.mainContent(
         t(s, dir, "documents").select(col("doc_id"), syntheticHtml.as("html")))
-        .select(col("doc_id"), col("main_text")))
+        .select(col("doc_id"), col("main_text"))),
+
+    // ---- recall@10 of the IVF-PQ index (q336's exact configuration)
+    // against the brute-force cosine baseline — the number a user tuning
+    // nProbe/m/k actually needs: what the two approximation layers
+    // (coarse routing + product quantization) cost together. ----------------
+    "q360_ivfpq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.recallAt(
+        Similarity.ivfPqTopK(emb, qs,
+          emb.where(col("vec_id") % 97 === 0)
+            .select(col("vec_id").as("centroid_id"), col("embedding")),
+          m = 4, k = 16, topK = 10, nProbe = 2),
+        Similarity.bruteForceTopK(emb, qs, k = 10),
+        k = 10)
+    }),
+
+    // ---- recall@10 of banded-Hamming simhash retrieval (q353's 4x16
+    // banding as a top-k index) against exact Hamming ranking — what the
+    // band structure costs: neighbors sharing no band are unreachable. ------
+    "q361_simhash_recall" -> ((s, dir) => {
+      val hs = Dedup.simhashText(t(s, dir, "documents"))
+        .select(col("id"), col("simhash").as("hash"))
+      val qs = hs.where(col("id") < 8).select(col("id").as("query_id"), col("hash"))
+      Similarity.recallAt(
+        Dedup.hammingTopK(hs, qs, k = 10, bands = 4),
+        Dedup.hammingBruteTopK(hs, qs, k = 10),
+        k = 10)
+    })
   )
 
   /** q358/q359's synthetic HTML page — every feature a pure function of
@@ -9320,38 +9350,10 @@ object SparkEntry {
     },
     // q336: q23's coarse routing CTEs composed with the PQ chain — the
     // candidate set is the probed lists, the distance is the ADC sum.
+    // (Chain shared with q360's recall oracle via IvfPqAnnCtes.)
     "q336_ivfpq_topk" ->
-      s"""WITH $PqCodesCte,
-         |codes AS (
-         | SELECT vec_id, s, j AS code
-         | FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
-         |         ORDER BY d2, j) AS rn FROM d)
-         | WHERE rn = 1),
-         |lut AS (SELECT vec_id AS query_id, s, j AS code, d2 AS qd2
-         |        FROM d WHERE vec_id < 8),
-         |cent AS (SELECT vec_id AS c_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
-         |assigned AS (
-         | SELECT neighbor_id, c_id FROM (
-         |  SELECT e.vec_id AS neighbor_id, c.c_id,
-         |   row_number() OVER (PARTITION BY e.vec_id
-         |     ORDER BY list_cosine_similarity(e.embedding, c.embedding) DESC, c.c_id) AS rn
-         |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
-         |qprobe AS (
-         | SELECT query_id, c_id FROM (
-         |  SELECT q.vec_id AS query_id, c.c_id,
-         |   row_number() OVER (PARTITION BY q.vec_id
-         |     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.c_id) AS rn
-         |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8) WHERE rn <= 2),
-         |cand AS (SELECT p.query_id, a.neighbor_id FROM qprobe p JOIN assigned a USING (c_id)),
-         |adc AS (
-         | SELECT c.query_id, c.neighbor_id, CAST(sum(l.qd2) AS BIGINT) AS adc_d2
-         | FROM cand c JOIN codes co ON co.vec_id = c.neighbor_id
-         | JOIN lut l ON l.query_id = c.query_id AND l.s = co.s AND l.code = co.code
-         | WHERE c.neighbor_id <> c.query_id GROUP BY 1, 2)
-         |SELECT query_id, neighbor_id, adc_d2, rank FROM (
-         | SELECT *, row_number() OVER (PARTITION BY query_id
-         |   ORDER BY adc_d2, neighbor_id) AS rank FROM adc)
-         |WHERE rank <= 10""".stripMargin,
+      s"""WITH $IvfPqAnnCtes
+         |SELECT query_id, neighbor_id, adc_d2, rank FROM ivfpq""".stripMargin,
     "q337_kmv_vocab_jaccard" -> {
       val u = hexPrefixOracle("md5(word)", 8)
       def toks(where: String) =
@@ -9884,8 +9886,97 @@ object SparkEntry {
         |m AS (SELECT doc_id, array_to_string(list(clean ORDER BY i), ' ') AS main_text
         | FROM keep GROUP BY doc_id)
         |SELECT h.doc_id, coalesce(m.main_text, '') AS main_text
-        |FROM h LEFT JOIN m USING (doc_id)""".stripMargin
+        |FROM h LEFT JOIN m USING (doc_id)""".stripMargin,
+    // q360: q336's full IVF-PQ chain, the q127 brute-force-cosine exact
+    // side (vec_id < 8), and the recall math re-derived — this checks
+    // both approximation layers' composition AND the recall arithmetic.
+    "q360_ivfpq_recall" ->
+      s"""WITH $IvfPqAnnCtes,
+         |exact AS (
+         | SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |     ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC, c.vec_id) AS rank
+         |  FROM embeddings c, embeddings q
+         |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id) WHERE rank <= 10),
+         |h AS (
+         | SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         | FROM ivfpq a JOIN exact e
+         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id GROUP BY 1)
+         |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         | CAST(floor(1000000 * coalesce(h.n_hits, 0) / 10) AS BIGINT) AS recall_ppm
+         |FROM (SELECT DISTINCT query_id FROM exact) q LEFT JOIN h USING (query_id)""".stripMargin,
+    // q361: banded retrieval replayed over the SAME pinned simhash table
+    // q17/q353 use — band bits via arithmetic shift + mask exactly like
+    // the Spark op — against exact Hamming ranking, recall re-derived.
+    "q361_simhash_recall" ->
+      s"""WITH hs AS (SELECT CAST(id AS BIGINT) AS id, CAST(simhash AS BIGINT) AS h
+         |  FROM ($SimhashPin) AS t(id, simhash)),
+         |bb(b) AS (VALUES (0), (1), (2), (3)),
+         |bq AS (SELECT id AS query_id, h AS qh, b, (h >> (b * 16)) & 65535 AS bits
+         |       FROM hs CROSS JOIN bb WHERE id < 8),
+         |bc AS (SELECT id, h, b, (h >> (b * 16)) & 65535 AS bits FROM hs CROSS JOIN bb),
+         |cand AS (
+         | SELECT DISTINCT q.query_id, c.id AS neighbor_id,
+         |  bit_count(xor(q.qh, c.h)) AS hamming
+         | FROM bq q JOIN bc c ON q.b = c.b AND q.bits = c.bits AND c.id <> q.query_id),
+         |ann AS (
+         | SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY hamming, neighbor_id) AS rk FROM cand) WHERE rk <= 10),
+         |exact AS (
+         | SELECT query_id, neighbor_id FROM (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id,
+         |   row_number() OVER (PARTITION BY q.id
+         |     ORDER BY bit_count(xor(q.h, c.h)), c.id) AS rk
+         |  FROM hs q JOIN hs c ON c.id <> q.id WHERE q.id < 8) WHERE rk <= 10),
+         |hh AS (
+         | SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         | FROM ann a JOIN exact e
+         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id GROUP BY 1)
+         |SELECT q.query_id, CAST(coalesce(hh.n_hits, 0) AS BIGINT) AS n_hits,
+         | CAST(floor(1000000 * coalesce(hh.n_hits, 0) / 10) AS BIGINT) AS recall_ppm
+         |FROM (SELECT DISTINCT query_id FROM exact) q LEFT JOIN hh USING (query_id)""".stripMargin
   )
+
+  /** q336's IVF-PQ chain (coarse routing + PQ codes + ADC ranking) as a
+    * reusable CTE list ending in `ivfpq(query_id, neighbor_id, adc_d2,
+    * rank ≤ 10)` — shared by the q336 result oracle and q360's recall
+    * oracle so the two cannot drift.
+    */
+  private lazy val IvfPqAnnCtes: String =
+    s"""$PqCodesCte,
+       |codes AS (
+       | SELECT vec_id, s, j AS code
+       | FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+       |         ORDER BY d2, j) AS rn FROM d)
+       | WHERE rn = 1),
+       |lut AS (SELECT vec_id AS query_id, s, j AS code, d2 AS qd2
+       |        FROM d WHERE vec_id < 8),
+       |cent AS (SELECT vec_id AS c_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
+       |assigned AS (
+       | SELECT neighbor_id, c_id FROM (
+       |  SELECT e.vec_id AS neighbor_id, c.c_id,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY list_cosine_similarity(e.embedding, c.embedding) DESC, c.c_id) AS rn
+       |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+       |qprobe AS (
+       | SELECT query_id, c_id FROM (
+       |  SELECT q.vec_id AS query_id, c.c_id,
+       |   row_number() OVER (PARTITION BY q.vec_id
+       |     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.c_id) AS rn
+       |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8) WHERE rn <= 2),
+       |cand AS (SELECT p.query_id, a.neighbor_id FROM qprobe p JOIN assigned a USING (c_id)),
+       |adc AS (
+       | SELECT c.query_id, c.neighbor_id, CAST(sum(l.qd2) AS BIGINT) AS adc_d2
+       | FROM cand c JOIN codes co ON co.vec_id = c.neighbor_id
+       | JOIN lut l ON l.query_id = c.query_id AND l.s = co.s AND l.code = co.code
+       | WHERE c.neighbor_id <> c.query_id GROUP BY 1, 2),
+       |ivfpq AS (
+       | SELECT query_id, neighbor_id, adc_d2, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc_d2, neighbor_id) AS rank FROM adc)
+       | WHERE rank <= 10)""".stripMargin
 
   /** Shared synthetic-HTML fixture CTE for q358/q359 — the byte-exact
     * SQL twin of [[syntheticHtml]].

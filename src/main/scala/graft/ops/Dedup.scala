@@ -185,6 +185,80 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Banded-Hamming RETRIEVAL over 64-bit fingerprints — [[hammingPairs]]
+    * turned into a top-k index: per query fingerprint, rank the
+    * candidates that share at least one band by exact Hamming distance
+    * (ties to the smaller neighbor id) and keep the first `k`. The band
+    * structure IS the approximation: a true neighbor sharing no band is
+    * unreachable (guaranteed reachable only at hamming ≤ bands−1, the
+    * pigeonhole bound) — [[graft.ops.Similarity.recallAt]] against
+    * [[hammingBruteTopK]] measures exactly what that costs, the number a
+    * user tuning `bands` needs.
+    *
+    * Scale shape: the corpus fans out ×bands (tiny rows); the banded
+    * QUERY side is broadcast (query sets are small by definition), so
+    * candidate generation is a map-side hash join over the corpus scan —
+    * no corpus shuffle; the only shuffle is the per-query top-k window
+    * over candidates.
+    */
+  def hammingTopK(
+      hashes: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      bands: Int = 4,
+      idCol: String = "id",
+      hashCol: String = "hash",
+      queryIdCol: String = "query_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64: $bands")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    def banded(df: DataFrame, id: String, outId: String, outHash: String) = df
+      .select(col(id).cast("long").as(outId), col(hashCol).cast("long").as(outHash))
+      .select(col(outId), col(outHash),
+        explode(sequence(lit(0), lit(bands - 1))).as("b"))
+      .withColumn("bits", expr(s"shiftright($outHash, b * $width) & ${mask}L"))
+    val c = banded(hashes, idCol, "neighbor_id", "__h")
+    val q = banded(queries, queryIdCol, "query_id", "__qh")
+    val w = Window.partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
+    c.join(broadcast(q),
+        c("b") === q("b") && c("bits") === q("bits") &&
+          col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__h"), col("__qh"))
+      .distinct() // a candidate may collide in several bands
+      .select(col("query_id"), col("neighbor_id"),
+        expr("cast(bit_count(__h ^ __qh) as bigint)").as("hamming"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** EXACT Hamming top-k — the brute-force baseline [[hammingTopK]]'s
+    * recall is measured against: every (query, corpus) distance, ranked
+    * the same way. The scan is queries × corpus by construction (that is
+    * what makes it exact); the query set is broadcast and small, so the
+    * corpus is touched once, map-side, and only the per-query top-k
+    * window shuffles.
+    */
+  def hammingBruteTopK(
+      hashes: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      idCol: String = "id",
+      hashCol: String = "hash",
+      queryIdCol: String = "query_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val c = hashes.select(
+      col(idCol).cast("long").as("neighbor_id"), col(hashCol).cast("long").as("__h"))
+    val q = queries.select(
+      col(queryIdCol).cast("long").as("query_id"), col(hashCol).cast("long").as("__qh"))
+    val w = Window.partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("cast(bit_count(__h ^ __qh) as bigint)").as("hamming"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (columns a_id, b_id) — the verification stage after LSH.
     */

@@ -248,6 +248,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("hammingTopK: only band-sharing candidates rank; recall measures the unreachable") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Similarity}
+    // query 0L: 1L and 3L share bands (zero high bands); 0x0001000100010001
+    // differs in EVERY 16-bit band → unreachable by the index despite
+    // hamming 4 — exactly what recall@k must charge the banding for.
+    val unreachable = 0x0001000100010001L
+    val hashes = Seq((0L, 0L), (1L, 1L), (2L, unreachable), (3L, 3L))
+      .toDF("id", "hash")
+    val queries = Seq((0L, 0L)).toDF("query_id", "hash")
+    val ann = Dedup.hammingTopK(hashes, queries, k = 3, bands = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ann.toSeq == Seq((1L, 1L, 1L), (3L, 2L, 2L)), s"got ${ann.toSeq}")
+    val brute = Dedup.hammingBruteTopK(hashes, queries, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(brute.toSeq == Seq((1L, 1L, 1L), (3L, 2L, 2L), (2L, 4L, 3L)))
+    val rec = Similarity.recallAt(
+      Dedup.hammingTopK(hashes, queries, k = 3, bands = 4),
+      Dedup.hammingBruteTopK(hashes, queries, k = 3), k = 3)
+      .collect().head
+    assert(rec.getLong(1) == 2L && rec.getLong(2) == 666666L)
+  }
+
   test("imageDhash: dataset path drops non-images, equal payloads hash equal") {
     import spark.implicits._
     val a = graft.functions.BinaryCodecs.bmp(12, 10, Array[Byte](1, 5, 9, 13))
