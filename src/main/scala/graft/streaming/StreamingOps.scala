@@ -562,6 +562,73 @@ object StreamingOps {
       .flatMap(identity)
   }
 
+  /** Per-band-bucket state for [[hammingPairsStream]]: the most recent
+    * `maxBucket` (id, hash) residents, newest first.
+    */
+  final case class BandBucketState(ids: List[(Long, Long)])
+
+  /** One verified near-dup candidate pair (a_id < b_id). */
+  final case class HammingCandidate(a_id: Long, b_id: Long, hamming: Long)
+
+  /** Streaming banded-Hamming near-dup candidates — the streaming form
+    * of [[graft.ops.Dedup.hammingPairs]], i.e. dedup-at-ingest for a
+    * crawl stream: each arriving 64-bit fingerprint fans out to its
+    * `bands` band buckets (the batch op's exact band split: arithmetic
+    * shift + mask), the stream groups by (band, bits), and each bucket
+    * keeps its most recent `maxBucket` residents in the state store. An
+    * arrival emits a popcount-verified pair (hamming ≤ `maxHamming`,
+    * a_id < b_id) against every current resident of its bucket.
+    *
+    * Equality contract (asserted in `StreamingSpec`): while no bucket
+    * has evicted, the DISTINCT set of emitted pairs after any stream
+    * prefix equals the batch op over the same prefix — completeness is
+    * the same pigeonhole bound (`maxHamming ≤ bands−1` enforced), and a
+    * pair colliding in several bands is re-emitted once per band, so
+    * downstream consumers dedup or upsert idempotently (the batch op's
+    * `.distinct()`). State is O(maxBucket) ids per bucket FOREVER — the
+    * explicit recency window that makes infinite streams affordable:
+    * eviction trades match-vs-ancient-history for bounded state,
+    * exactly like every windowed stream dedup. Re-arriving ids are
+    * inert (no self-pairs, no duplicate residency).
+    */
+  def hammingPairsStream(
+      hashes: Dataset[(Long, Long)],
+      maxHamming: Int = 7,
+      bands: Int = 8,
+      maxBucket: Int = 64): Dataset[HammingCandidate] = {
+    import hashes.sparkSession.implicits._
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64: $bands")
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"completeness needs maxHamming <= bands - 1: $maxHamming vs ${bands - 1}")
+    require(maxBucket >= 1, s"maxBucket must be >= 1: $maxBucket")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    hashes
+      .flatMap { case (id, h) =>
+        (0 until bands).map(b => (b.toLong, (h >> (b * width)) & mask, id, h))
+      }
+      .groupByKey(r => (r._1, r._2))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (_: (Long, Long), batch: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[BandBucketState]) =>
+          var ids = state.getOption.map(_.ids).getOrElse(Nil)
+          val out = List.newBuilder[HammingCandidate]
+          batch.foreach { case (_, _, id, h) =>
+            if (!ids.exists(_._1 == id)) {
+              ids.foreach { case (oid, oh) =>
+                val d = java.lang.Long.bitCount(h ^ oh)
+                if (d <= maxHamming)
+                  out += HammingCandidate(math.min(id, oid), math.max(id, oid), d.toLong)
+              }
+              ids = ((id, h) :: ids).take(maxBucket)
+            }
+          }
+          state.update(BandBucketState(ids))
+          out.result()
+      }
+      .flatMap(identity)
+  }
+
   /** Read the reference's user-exp JSON shape as a file stream. */
   def userExpStream(spark: SparkSession, dir: String): Dataset[SessionEvent] = {
     import spark.implicits._

@@ -504,6 +504,39 @@ class StreamingSpec extends SparkSpec {
     assert(est >= 4L)
   }
 
+  test("hammingPairsStream: distinct stream pairs equal the batch op over each prefix") {
+    val in = Files.createTempDirectory("graft_stream_ham")
+    def write(name: String, rows: Seq[(Long, Long)]): Unit =
+      Files.write(Paths.get(in.toString, name),
+        rows.map { case (id, h) => s"""{"id":$id,"h":$h}""" }.mkString("\n").getBytes)
+    val far = 0x7F00FF00FF00FF0FL
+    val b1 = Seq((1L, 0L), (2L, 1L), (3L, far), (4L, 3L))
+    // batch 2: a cross-batch exact duplicate of id 3 (state must pair it),
+    // a new near neighbor, a re-arrival of id 2 (must be inert), and a
+    // single-bit value near the batch-1 cluster
+    val b2 = Seq((5L, Long.MinValue), (6L, 2L), (7L, far), (2L, 1L))
+    write("b1.json", b1)
+    import spark.implicits._
+    val stream = spark.readStream.schema("id LONG, h LONG").json(in.toString)
+      .select(col("id"), col("h")).as[(Long, Long)]
+    val q = StreamingOps.hammingPairsStream(stream, maxHamming = 3, bands = 8, maxBucket = 64)
+      .writeStream.outputMode("update").format("memory").queryName("hampairs")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable()
+    def emitted() = spark.table("hampairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def batchPairs(rows: Seq[(Long, Long)]) =
+      graft.ops.Dedup.hammingPairs(rows.distinct.toDF("id", "hash"),
+        maxHamming = 3, bands = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(emitted() == batchPairs(b1), "prefix 1 diverges from batch")
+    write("b2.json", b2)
+    q.processAllAvailable(); q.stop()
+    val all = emitted()
+    assert(all == batchPairs(b1 ++ b2), "full stream diverges from batch")
+    assert(all.contains((3L, 7L, 0L)), "cross-batch exact duplicate must pair via state")
+  }
+
   private def md5p32(s: String): Long =
     java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
