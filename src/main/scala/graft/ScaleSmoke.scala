@@ -109,7 +109,19 @@ object ScaleSmoke {
     // rewrite (token-heavy map + anti-join + per-doc rebuild) and the
     // quantized-Gram census (dim²/2 fan-out per vector, pure map).
     "q311_temporal_reach", "q330_dbscan", "q336_ivfpq_topk",
-    "q341_greedy_matching", "q348_span_remove", "q351_quantized_gram")
+    "q341_greedy_matching", "q348_span_remove", "q351_quantized_gram",
+    // Round-13 additions (the r12 verdict's list + the new heavy
+    // shapes): weighted PageRank (q69's loop + weight fold — the newest
+    // iterative resident), the banded simhash near-dup join (replica
+    // vocabularies are disjoint so fingerprints decorrelate across
+    // replicas — 10× docs is ~10× within-replica candidates), URL
+    // canonicalization + PSL registered domain (map-side regex + 4
+    // broadcast joins — the pure-scan scaling point), the audio
+    // fingerprint near-dup pipeline (WAV synth + PCM decode + banded
+    // join: the mapPartitions-heavy shape) and the main-content line
+    // filter (regex lambdas over split arrays, the CPU-bound map shape).
+    "q352_weighted_pagerank", "q353_simhash_neardup", "q354_url_canonical",
+    "q357_audio_ehash_neardup", "q359_main_content")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))

@@ -766,6 +766,51 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("Urls.canonicalize shuffles NOTHING — regex map + PSL broadcast joins only") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val urls = (1 to 60).map(i => (i.toLong, s"http://h$i.example.co.uk/p/$i?z=1"))
+      .toDF("doc_id", "url")
+    val df = graft.ops.Urls.canonicalize(urls)
+    assert(shuffleOutputs(df).isEmpty,
+      "URL canonicalization shuffled — the PSL lookup must stay a broadcast join")
+    val plan = initialPlan(df)
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "sort-merge join against the rule table")
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "expected broadcast hash joins against the PSL rule table")
+  }
+
+  test("Html stripMarkup and mainContent shuffle nothing and join nothing") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val pages = (1 to 40)
+      .map(i => (i.toLong, s"<p>line $i</p>\n<a href=/x>nav</a>\n<p>more prose here</p>"))
+      .toDF("doc_id", "html")
+    for (df <- Seq(graft.ops.Html.stripMarkup(pages, "html"),
+      graft.ops.Html.mainContent(pages, "html"))) {
+      assert(shuffleOutputs(df).isEmpty, "markup hygiene must be a pure map")
+      val plan = initialPlan(df)
+      assert(plan.collect {
+        case j: SortMergeJoinExec => j; case j: BroadcastHashJoinExec => j
+      }.isEmpty, "join in a markup-hygiene plan")
+    }
+  }
+
+  test("hammingTopK: candidates from a BROADCAST band equi-join — no cartesian, no corpus-side merge join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+    val hashes = (1L to 80L).map(i => (i, i * 0x9E3779B97F4A7C15L)).toDF("id", "hash")
+    val queries = (1L to 4L).map(i => (i, i * 0x9E3779B97F4A7C15L)).toDF("query_id", "hash")
+    val plan = initialPlan(Dedup.hammingTopK(hashes, queries, k = 5, bands = 8))
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty &&
+      plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      "hammingTopK candidate join must be broadcast-equi, not cartesian/merge")
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "expected the broadcast band equi-join")
+    // the one nested-loop join allowed is NONE: the self-exclusion rides
+    // the equi-join condition
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "non-equi join in hammingTopK")
+  }
+
   test("node2vecWalks steps are equi-joins only; the classifier join adds no cartesian") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val edges = (1L to 30L).map(i => (i, i % 7 + 1)).toDF("a_id", "b_id")
