@@ -3573,6 +3573,41 @@ object SparkEntry {
         Dedup.hammingTopK(hs, qs, k = 10, bands = 4),
         Dedup.hammingBruteTopK(hs, qs, k = 10),
         k = 10)
+    }),
+
+    // ---- the web-corpus composition end-to-end: anchor extraction
+    // (quoted + unquoted hrefs) → RFC 3986 resolution against the page
+    // URL (absolute / protocol-relative / root-relative / path-relative /
+    // query / fragment / mailto) → canonicalization + PSL registered
+    // domain on BOTH ends → the per-domain outlink graph. The oracle
+    // derives every target domain INDEPENDENTLY from the id formula, so
+    // a misfire anywhere in the chain breaks the match. ---------------------
+    "q362_outlink_domains" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val base = concat(lit("https://WWW.Site"), (col("doc_id") % 4).cast("string"),
+        lit(".github.io/dir/index.html"))
+      val html = concat(
+        lit("<p>Links:</p>\n<a href=\"https://ext"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org/a\">Abs</a>\n"),
+        lit("<a href='//cdn"), (col("doc_id") % 5).cast("string"),
+        lit(".example.co.uk/lib.js'>Proto</a>\n"),
+        lit("<a href=/local/"), id, lit(">Root</a>\n"),
+        lit("<a href=sub/page"), (col("doc_id") % 3).cast("string"), lit(".html>Rel</a>\n"),
+        lit("<a href=?p=2>Query</a> <a href=#top>Frag</a>\n"),
+        lit("<a href=mailto:x@example.net>Mail</a>"))
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id"), base.as("page_url"), html.as("html"))
+      val links = pages.select(col("page_url"),
+        explode(Html.extractLinks(col("html"))).as("ref"))
+      val resolved = links.select(col("page_url"),
+        Urls.resolve(col("page_url"), col("ref")).as("url"))
+      val tgt = Urls.canonicalize(resolved)
+        .select(col("page_url").as("url"), col("registered_domain").as("target_domain"))
+      Urls.canonicalize(tgt)
+        .select(col("registered_domain").as("page_domain"), col("target_domain"))
+        .where(col("target_domain").isNotNull)
+        .groupBy("page_domain", "target_domain")
+        .agg(count(lit(1)).as("n_links"))
     })
   )
 
@@ -9936,7 +9971,27 @@ object SparkEntry {
          |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id GROUP BY 1)
          |SELECT q.query_id, CAST(coalesce(hh.n_hits, 0) AS BIGINT) AS n_hits,
          | CAST(floor(1000000 * coalesce(hh.n_hits, 0) / 10) AS BIGINT) AS recall_ppm
-         |FROM (SELECT DISTINCT query_id FROM exact) q LEFT JOIN hh USING (query_id)""".stripMargin
+         |FROM (SELECT DISTINCT query_id FROM exact) q LEFT JOIN hh USING (query_id)""".stripMargin,
+    // q362: INDEPENDENT derivation — the oracle never parses HTML or
+    // resolves URLs; it computes each link's expected registered domain
+    // straight from the id formula (abs → example.org, protocol-relative
+    // → example.co.uk, the four same-site refs → the page's github.io
+    // domain, mailto → dropped). Any misfire in extraction, resolution,
+    // canonicalization or the PSL breaks the match.
+    "q362_outlink_domains" ->
+      """WITH d AS (SELECT doc_id,
+        |  'site' || CAST(doc_id % 4 AS VARCHAR) || '.github.io' AS pd
+        | FROM documents),
+        |l AS (
+        | SELECT pd, 'example.org' AS td FROM d
+        | UNION ALL SELECT pd, 'example.co.uk' FROM d
+        | UNION ALL SELECT pd, pd FROM d
+        | UNION ALL SELECT pd, pd FROM d
+        | UNION ALL SELECT pd, pd FROM d
+        | UNION ALL SELECT pd, pd FROM d)
+        |SELECT pd AS page_domain, td AS target_domain,
+        | CAST(count(*) AS BIGINT) AS n_links
+        |FROM l GROUP BY 1, 2""".stripMargin
   )
 
   /** q336's IVF-PQ chain (coarse routing + PQ codes + ADC ranking) as a

@@ -69,6 +69,19 @@ object Html {
       out: String = "clean_text"): DataFrame =
     df.withColumn(out, cleanText(col(htmlCol)))
 
+  /** All anchor `href` targets in document order, as an array Column —
+    * the raw material of link-graph construction (resolve against the
+    * page URL with [[Urls.resolve]], then canonicalize). Handles
+    * double-quoted, single-quoted and unquoted attribute values; the
+    * value is extracted verbatim (no entity decode — real pipelines
+    * decode after resolution if at all). Map-side, no shuffle.
+    */
+  def extractLinks(html: Column): Column =
+    transform(
+      regexp_extract_all(stripSpans(html),
+        lit("(?is)<a[^>]*\\shref=(\"[^\"]*\"|'[^']*'|[^\\s>]+)"), lit(1)),
+      v => regexp_replace(v, "^[\"']|[\"']$", ""))
+
   /** Total character count of anchor INNER text on a line — the
     * numerator of link density. Inner markup is stripped before
     * measuring; the empty-match aggregate is 0.

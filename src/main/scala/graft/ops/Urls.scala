@@ -126,6 +126,46 @@ object Urls {
       "host")
   }
 
+  /** Resolve a reference (an extracted `href`) against a base URL — the
+    * RFC 3986 §5 cases a link-graph builder meets, as pure Column
+    * expressions:
+    *
+    *  - absolute refs (any `scheme:`) pass through verbatim;
+    *  - protocol-relative `//host/...` takes the base's scheme;
+    *  - root-relative `/p` joins the base's origin
+    *    (`scheme://authority`);
+    *  - `?query` replaces the base's query (path kept, fragment
+    *    dropped); `#frag` replaces the base's fragment;
+    *  - anything else is path-relative: joined to the base path's
+    *    directory (everything through its last `/`; an empty base path
+    *    resolves as `/`);
+    *  - an empty ref is the base itself; a NULL ref, NULL base or
+    *    non-absolute base resolves to NULL.
+    *
+    * Scope (documented contract): NO dot-segment normalization — `../`
+    * stays verbatim in the resolved path (two spellings of one page stay
+    * distinct, the same conservatism as [[canonicalize]]'s
+    * no-percent-decode rule). Feed results to [[canonicalize]]; non-http
+    * refs (`mailto:`, `javascript:`) pass through here and canonicalize
+    * to NULL there.
+    */
+  def resolve(base: Column, ref: Column): Column = {
+    val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val origin = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val path = regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val dir = when(path === "", lit("/")).otherwise(regexp_replace(path, "[^/]*$", ""))
+    val noFrag = regexp_replace(base, "#.*$", "")
+    val noQuery = regexp_replace(noFrag, "\\?.*$", "")
+    when(ref.isNull || base.isNull || origin === "", lit(null).cast("string"))
+      .when(ref === "", base)
+      .when(ref.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), ref)
+      .when(ref.startsWith("//"), concat(scheme, lit(":"), ref))
+      .when(ref.startsWith("/"), concat(origin, ref))
+      .when(ref.startsWith("#"), concat(noFrag, ref))
+      .when(ref.startsWith("?"), concat(noQuery, ref))
+      .otherwise(concat(origin, dir, ref))
+  }
+
   /** Appends `registered_domain` for a lowercased-host column via the
     * PSL algorithm over [[pslRules]]:
     *

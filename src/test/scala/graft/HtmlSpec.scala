@@ -56,6 +56,18 @@ class HtmlSpec extends SparkSpec {
       "Title here This paragraph has one small link inside a lot of prose.")
   }
 
+  test("extractLinks: quoted, single-quoted and unquoted hrefs in order; script anchors don't count") {
+    val html = """<a href="https://a.org/1">one</a>
+      |<a class=x href='/two'>two</a>
+      |<a href=three.html>three</a>
+      |<script>var s = '<a href=/fake>no</a>';</script>
+      |<a name=anchor>no href</a>""".stripMargin
+    val got = Seq(html).toDF("html")
+      .select(Html.extractLinks(col("html")))
+      .collect().head.getSeq[String](0)
+    assert(got == Seq("https://a.org/1", "/two", "three.html"))
+  }
+
   test("mainContent: multi-line script bodies are stripped before the line split") {
     val html = Seq(
       "<p>Real opening prose stays.</p>",

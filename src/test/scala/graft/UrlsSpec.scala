@@ -88,6 +88,38 @@ class UrlsSpec extends SparkSpec {
     assert(canon(once).head._1 == once)
   }
 
+  test("resolve: the RFC 3986 reference cases against a directory base") {
+    import org.apache.spark.sql.functions.col
+    val base = "https://h.example.com/dir/index.html?q=1#top"
+    val refs = Seq(
+      "https://other.org/x",       // absolute
+      "mailto:a@b.c",              // non-http scheme passes through
+      "//cdn.net/lib.js",          // protocol-relative
+      "/root/p",                   // root-relative
+      "sub/p.html",                // path-relative (dir of base)
+      "?p=2",                      // query replacement
+      "#frag",                     // fragment replacement
+      "")                          // empty = base
+    val got = refs.map(r => (base, r)).toDF("base", "ref")
+      .select(graft.ops.Urls.resolve(col("base"), col("ref")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "https://other.org/x",
+      "mailto:a@b.c",
+      "https://cdn.net/lib.js",
+      "https://h.example.com/root/p",
+      "https://h.example.com/dir/sub/p.html",
+      "https://h.example.com/dir/index.html?p=2",
+      "https://h.example.com/dir/index.html?q=1#frag",
+      base))
+    // non-absolute base → NULL, host-only base resolves relatives at /
+    val edge = Seq(("not a url", "x"), ("http://h.co", "a/b")).toDF("base", "ref")
+      .select(graft.ops.Urls.resolve(col("base"), col("ref")))
+      .collect()
+    assert(edge(0).isNullAt(0))
+    assert(edge(1).getString(0) == "http://h.co/a/b")
+  }
+
   test("malformed rows canonicalize to NULL; canonicalization is idempotent") {
     val bad = Urls.canonicalize(Seq("not a url", "ftp-ish//x").toDF("url"))
       .collect().map(_.isNullAt(1))
