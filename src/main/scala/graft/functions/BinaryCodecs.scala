@@ -209,6 +209,38 @@ object BinaryCodecs {
     Some((w, h, hash))
   }
 
+  /** Chunk-walk a 16-bit mono PCM WAV header: (sampleRate, dataOff,
+    * nSamples); None on anything else. The shared front half of
+    * [[wavPcmStats]] and [[wavEnergyHash]].
+    */
+  private def pcm16MonoData(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (payload.length < 44) return None
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(payload, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var sampleRate = -1
+    var bitsPerSample = -1
+    var dataOff = -1
+    var dataBytes = -1
+    while (off + 8 <= payload.length && (sampleRate < 0 || dataOff < 0)) {
+      val id = tag(off)
+      val size = buf.getInt(off + 4)
+      if (size < 0 || off + 8 + size.toLong > payload.length) return None
+      if (id == "fmt " && size >= 16) {
+        if (buf.getShort(off + 8) != 1 || buf.getShort(off + 10) != 1) return None // PCM mono only
+        sampleRate = buf.getInt(off + 12)
+        bitsPerSample = buf.getShort(off + 22).toInt
+      } else if (id == "data") {
+        dataOff = off + 8
+        dataBytes = size
+      }
+      off += 8 + size + (size & 1)
+    }
+    if (sampleRate <= 0 || bitsPerSample != 16 || dataOff < 0) None
+    else Some((sampleRate, dataOff, dataBytes / 2))
+  }
+
   /** 64-bit ENERGY-DIFFERENCE HASH from a 16-bit mono WAV payload — the
     * audio analogue of [[bmpDhash]] and the classic shape of perceptual
     * audio fingerprints (energy deltas over fixed frame windows): split
@@ -222,47 +254,24 @@ object BinaryCodecs {
     * bit-for-bit. Returns (sampleRate, nSamples, ehash); None on a
     * non-PCM payload. Windows past the stream (n < 65) have energy 0.
     */
-  def wavEnergyHash(payload: Array[Byte]): Option[(Int, Long, Long)] = {
-    if (payload.length < 44) return None
-    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
-    def tag(off: Int) = new String(payload, off, 4, "US-ASCII")
-    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var off = 12
-    var sampleRate = -1
-    var bitsPerSample = -1
-    var dataOff = -1
-    var dataBytes = -1
-    while (off + 8 <= payload.length && (sampleRate < 0 || dataOff < 0)) {
-      val id = tag(off)
-      val size = buf.getInt(off + 4)
-      if (size < 0 || off + 8 + size.toLong > payload.length) return None
-      if (id == "fmt " && size >= 16) {
-        if (buf.getShort(off + 8) != 1 || buf.getShort(off + 10) != 1) return None // PCM mono only
-        sampleRate = buf.getInt(off + 12)
-        bitsPerSample = buf.getShort(off + 22).toInt
-      } else if (id == "data") {
-        dataOff = off + 8
-        dataBytes = size
+  def wavEnergyHash(payload: Array[Byte]): Option[(Int, Long, Long)] =
+    pcm16MonoData(payload).map { case (sampleRate, dataOff, n) =>
+      val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+      val e = new Array[Long](65)
+      var i = 0
+      while (i < n) {
+        val s = buf.getShort(dataOff + 2 * i).toInt
+        e(((i.toLong * 65) / n).toInt) += s.toLong * s
+        i += 1
       }
-      off += 8 + size + (size & 1)
+      var hash = 0L
+      var j = 0
+      while (j < 64) {
+        if (e(j) < e(j + 1)) hash |= 1L << j
+        j += 1
+      }
+      (sampleRate, n.toLong, hash)
     }
-    if (sampleRate <= 0 || bitsPerSample != 16 || dataOff < 0) return None
-    val n = dataBytes / 2
-    val e = new Array[Long](65)
-    var i = 0
-    while (i < n) {
-      val s = buf.getShort(dataOff + 2 * i).toInt
-      e(((i.toLong * 65) / n).toInt) += s.toLong * s
-      i += 1
-    }
-    var hash = 0L
-    var j = 0
-    while (j < 64) {
-      if (e(j) < e(j + 1)) hash |= 1L << j
-      j += 1
-    }
-    Some((sampleRate, n.toLong, hash))
-  }
 
   /** Integer-exact PCM statistics from a 16-bit mono WAV payload — a REAL
     * audio decode (chunk walk + int16 LE sample scan), not a stub:
@@ -270,44 +279,21 @@ object BinaryCodecs {
     * 64-bit (n·32768² per sample bounds Σs² at ~2⁶³ only past 8.5 G
     * samples ≈ 4.9 h of 48 kHz audio per file; callers chunk above that).
     */
-  def wavPcmStats(payload: Array[Byte]): Option[(Int, Long, Long, Long, Int)] = {
-    if (payload.length < 44) return None
-    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
-    def tag(off: Int) = new String(payload, off, 4, "US-ASCII")
-    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var off = 12
-    var sampleRate = -1
-    var bitsPerSample = -1
-    var dataOff = -1
-    var dataBytes = -1
-    while (off + 8 <= payload.length && (sampleRate < 0 || dataOff < 0)) {
-      val id = tag(off)
-      val size = buf.getInt(off + 4)
-      if (size < 0 || off + 8 + size.toLong > payload.length) return None
-      if (id == "fmt " && size >= 16) {
-        if (buf.getShort(off + 8) != 1 || buf.getShort(off + 10) != 1) return None // PCM mono only
-        sampleRate = buf.getInt(off + 12)
-        bitsPerSample = buf.getShort(off + 22).toInt
-      } else if (id == "data") {
-        dataOff = off + 8
-        dataBytes = size
+  def wavPcmStats(payload: Array[Byte]): Option[(Int, Long, Long, Long, Int)] =
+    pcm16MonoData(payload).map { case (sampleRate, dataOff, n) =>
+      val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      var sumSq = 0L
+      var sumAbs = 0L
+      var peak = 0
+      while (i < n) {
+        val s = buf.getShort(dataOff + 2 * i).toInt
+        val a = math.abs(s)
+        sumSq += s.toLong * s
+        sumAbs += a
+        if (a > peak) peak = a
+        i += 1
       }
-      off += 8 + size + (size & 1)
+      (sampleRate, n.toLong, sumSq, sumAbs, peak)
     }
-    if (sampleRate <= 0 || bitsPerSample != 16 || dataOff < 0) return None
-    val n = dataBytes / 2
-    var i = 0
-    var sumSq = 0L
-    var sumAbs = 0L
-    var peak = 0
-    while (i < n) {
-      val s = buf.getShort(dataOff + 2 * i).toInt
-      val a = math.abs(s)
-      sumSq += s.toLong * s
-      sumAbs += a
-      if (a > peak) peak = a
-      i += 1
-    }
-    Some((sampleRate, n.toLong, sumSq, sumAbs, peak))
-  }
 }
