@@ -3608,6 +3608,31 @@ object SparkEntry {
         .where(col("target_domain").isNotNull)
         .groupBy("page_domain", "target_domain")
         .agg(count(lit(1)).as("n_links"))
+    }),
+
+    // ---- robots.txt admission (crawl-side filter): per-doc star-group
+    // bodies exercising group isolation (a foreign group disallows
+    // everything), longest-match, the Allow tie-break and the no-match
+    // default; the oracle derives every expected decision INDEPENDENTLY
+    // from the id formula. ---------------------------------------------------
+    "q363_robots_allowed" -> ((s, dir) => {
+      val m2 = (col("doc_id") % 2).cast("string")
+      val m3 = (col("doc_id") % 3).cast("string")
+      val robots = concat(
+        lit("User-agent: bot\nDisallow: /\n\nUser-agent: *\nDisallow: /private\n"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("Allow: /private/ok"), m2, lit("\n"))).otherwise(lit("")),
+        lit("Disallow: /tmp"), m3,
+        lit("\n\nUser-agent: other\nDisallow: /x\n"))
+      val path = when(col("doc_id") % 5 === 0, concat(lit("/private/ok"), m2, lit("/page")))
+        .when(col("doc_id") % 5 === 1, lit("/private/secret"))
+        .when(col("doc_id") % 5 === 2, lit("/public/a"))
+        .when(col("doc_id") % 5 === 3, concat(lit("/tmp"), m3, lit("/x")))
+        .otherwise(lit("/x/y"))
+      graft.ops.Robots.filterAllowed(
+        t(s, dir, "documents")
+          .select(col("doc_id"), robots.as("robots"), path.as("path")))
+        .select(col("doc_id"), col("path"), col("allowed"))
     })
   )
 
@@ -9991,7 +10016,26 @@ object SparkEntry {
         | UNION ALL SELECT pd, pd FROM d)
         |SELECT pd AS page_domain, td AS target_domain,
         | CAST(count(*) AS BIGINT) AS n_links
-        |FROM l GROUP BY 1, 2""".stripMargin
+        |FROM l GROUP BY 1, 2""".stripMargin,
+    // q363: independent derivation, the q362 idiom — expected decisions
+    // computed straight from the id formula (star-group rules by id:
+    // /private disallowed, /private/ok{0} allowed only for even ids,
+    // /tmp{m3} disallowed, foreign groups invisible, no match allowed).
+    "q363_robots_allowed" ->
+      """SELECT doc_id,
+        | CASE doc_id % 5
+        |  WHEN 0 THEN '/private/ok' || CAST(doc_id % 2 AS VARCHAR) || '/page'
+        |  WHEN 1 THEN '/private/secret'
+        |  WHEN 2 THEN '/public/a'
+        |  WHEN 3 THEN '/tmp' || CAST(doc_id % 3 AS VARCHAR) || '/x'
+        |  ELSE '/x/y' END AS path,
+        | CASE doc_id % 5
+        |  WHEN 0 THEN doc_id % 2 = 0
+        |  WHEN 1 THEN false
+        |  WHEN 2 THEN true
+        |  WHEN 3 THEN false
+        |  ELSE true END AS allowed
+        |FROM documents""".stripMargin
   )
 
   /** q336's IVF-PQ chain (coarse routing + PQ codes + ADC ranking) as a

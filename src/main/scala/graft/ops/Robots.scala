@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** robots.txt evaluation — the crawl-side admission filter every web
+  * corpus applies before a page ever reaches the pipeline. Reference
+  * behavior modeled: none (the reference fetches one hard-coded URL);
+  * §2.9 extension surface completing the web-corpus family
+  * ([[Urls]] identity, [[Html]] hygiene, this module admission).
+  *
+  * Scope (documented contract): the original 1994 REP prefix rules for
+  * the `User-agent: *` group — `Allow`/`Disallow` path PREFIXES with
+  * longest-match-wins and Allow winning length ties (the Google
+  * tie-break) — no `*`/`$` wildcard extension, no Crawl-delay/Sitemap
+  * semantics (those lines parse as no-ops). Everything is codegen'd
+  * Column expressions over the split-line array: map-side, no shuffle,
+  * replayable in any engine.
+  */
+object Robots {
+
+  /** Parse the `User-agent: *` group of a robots.txt body into an array
+    * of `(allow: boolean, prefix: string)` rules, in file order: the
+    * lines strictly between the `User-agent: *` line and the next
+    * `User-agent:` line (or EOF). Comments (`# …`) strip first; field
+    * names match case-insensitively; prefixes keep their case (paths
+    * are case-sensitive); empty prefixes and non-rule lines
+    * (Crawl-delay, Sitemap, blanks) drop — an empty `Disallow:` is the
+    * spec's allow-everything no-op. A body with no star group yields no
+    * rules (everything allowed).
+    */
+  def starRules(robots: Column): Column = {
+    val lines = split(robots, "\n")
+    val norm = transform(lines, l =>
+      regexp_replace(trim(regexp_replace(lower(l), "#.*$", "")), "\\s+", " "))
+    val n = size(norm)
+    val ua = array_position(norm, "user-agent: *")
+    // n >= 1 always: split() of a non-null string yields at least [""]
+    val nextUa = array_min(filter(
+      transform(sequence(lit(1), n), i =>
+        when(i > ua && element_at(norm, i).startsWith("user-agent:"), i)),
+      x => x.isNotNull))
+    val end = coalesce(nextUa, n + 1)
+    val group = when(ua > 0, slice(lines, ua + 1, end - ua - lit(1)))
+      .otherwise(array().cast("array<string>"))
+    val parsed = transform(group, l => {
+      val noComment = regexp_replace(l, "#.*$", "")
+      val key = lower(trim(regexp_extract(noComment, "^([^:]+):", 1)))
+      val value = trim(regexp_extract(noComment, "^[^:]+:(.*)$", 1))
+      when(key === "allow" && value =!= "",
+        struct(lit(true).as("allow"), value.as("prefix")))
+        .when(key === "disallow" && value =!= "",
+          struct(lit(false).as("allow"), value.as("prefix")))
+    })
+    filter(parsed, r => r.isNotNull)
+  }
+
+  /** Longest-match decision for a path against [[starRules]] output:
+    * among rules whose prefix starts the path, the longest wins; a
+    * length tie goes to Allow; no matching rule means allowed. Pure
+    * integer/boolean fold over the (small) rule array.
+    */
+  def isAllowed(path: Column, rules: Column): Column = {
+    val matching = filter(rules, r =>
+      path.startsWith(r.getField("prefix")))
+    val best = aggregate(
+      matching,
+      struct(lit(-1).as("len"), lit(true).as("allow")),
+      (acc, r) => {
+        val rl = length(r.getField("prefix"))
+        when(rl > acc.getField("len"),
+          struct(rl.as("len"), r.getField("allow").as("allow")))
+          .when(rl === acc.getField("len") && r.getField("allow"),
+            struct(rl.as("len"), lit(true).as("allow")))
+          .otherwise(acc)
+      })
+    best.getField("allow")
+  }
+
+  /** Appends `allowed` for a (robots body, path) pair of columns —
+    * [[starRules]] ∘ [[isAllowed]] in one map-side pass.
+    */
+  def filterAllowed(
+      df: DataFrame,
+      robotsCol: String = "robots",
+      pathCol: String = "path",
+      out: String = "allowed"): DataFrame =
+    df.withColumn(out, isAllowed(col(pathCol), starRules(col(robotsCol))))
+}
