@@ -3633,7 +3633,16 @@ object SparkEntry {
         t(s, dir, "documents")
           .select(col("doc_id"), robots.as("robots"), path.as("path")))
         .select(col("doc_id"), col("path"), col("allowed"))
-    })
+    }),
+
+    // ---- compressed-corpus ingest roundtrip: every document's text is
+    // gzip'd distributed (writer half) and gunzip'd distributed with the
+    // zip-bomb cap (reader half); the oracle is the identity derivation —
+    // text and its byte length straight from the table. --------------------
+    "q364_gzip_roundtrip" -> ((s, dir) =>
+      Multimodal.gunzipText(Multimodal.syntheticGzipDocs(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("n_bytes"), col("text_out")))
   )
 
   /** q358/q359's synthetic HTML page — every feature a pure function of
@@ -10035,6 +10044,15 @@ object SparkEntry {
         |  WHEN 2 THEN true
         |  WHEN 3 THEN false
         |  ELSE true END AS allowed
+        |FROM documents""".stripMargin,
+    // q364: identity derivation — a correct compress/decompress roundtrip
+    // must reproduce the text column and its byte length exactly (text is
+    // pure ASCII in this corpus, so strlen == octet_length; asserted by
+    // the q149-family oracles).
+    "q364_gzip_roundtrip" ->
+      """SELECT doc_id AS media_id,
+        | CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
+        | coalesce(text, '') AS text_out
         |FROM documents""".stripMargin
   )
 

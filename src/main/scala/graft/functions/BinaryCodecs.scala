@@ -120,6 +120,44 @@ object BinaryCodecs {
     else None
   }
 
+  // --------------------------------------------------------------- GZIP --
+
+  /** gzip-compress bytes (RFC 1952, java.util.zip) — the writer half of
+    * the compressed-corpus roundtrip; web corpora (WET/WARC-style dumps)
+    * arrive gzip'd and the pipeline must decode them distributed.
+    */
+  def gzip(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(data)
+    g.close()
+    bos.toByteArray
+  }
+
+  /** Decompress a gzip payload with a HARD output cap — the zip-bomb
+    * guard a corpus decoder needs (a few-KB payload can inflate to GBs
+    * and OOM the executor; at `maxBytes` the row returns None instead).
+    * None also for non-gzip magic or corrupt streams — the same
+    * quarantine contract as the BMP/WAV parsers.
+    */
+  def gunzip(payload: Array[Byte], maxBytes: Int = 1 << 26): Option[Array[Byte]] = {
+    if (payload == null || payload.length < 2 ||
+      (payload(0) & 0xff) != 0x1f || (payload(1) & 0xff) != 0x8b) return None
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size > maxBytes) return None // bomb guard
+        n = in.read(buf)
+      }
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
+  }
+
   /** Integer-exact per-channel pixel statistics from a 24bpp bottom-up BMP
     * payload — a REAL image decode (header parse + padded-row pixel walk,
     * row padding excluded), not a stub: (width, height, Σblue, Σgreen,

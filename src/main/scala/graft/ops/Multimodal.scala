@@ -268,6 +268,49 @@ object Multimodal {
     }
   }
 
+  final case class TextPayload(media_id: Long, n_bytes: Long, text_out: String)
+
+  /** Distributed gunzip of the binary column into UTF-8 text — the
+    * WET/WARC-style compressed-corpus ingest step, with
+    * [[graft.functions.BinaryCodecs.gunzip]]'s zip-bomb cap per row
+    * (over-cap, non-gzip and corrupt payloads drop — the quarantine
+    * contract). Same partition-batched, shuffle-free shape as the other
+    * codec paths.
+    */
+  def gunzipText(
+      media: Dataset[MediaRow],
+      maxBytes: Int = 1 << 26,
+      batchSize: Int = 64): Dataset[TextPayload] = {
+    import media.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          BinaryCodecs.gunzip(m.payload, maxBytes).map { bytes =>
+            TextPayload(m.media_id, bytes.length.toLong, new String(bytes, "UTF-8"))
+          }
+        }
+      }
+    }
+  }
+
+  /** gzip each document's text into a binary media row — the writer half
+    * of the q364 roundtrip (compression happens distributed too; the
+    * compressed bytes are JVM-deflate-specific and never compared
+    * cross-engine, only roundtripped).
+    */
+  def syntheticGzipDocs(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    graft.io.Spread.toDefaultParallelism(docs)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = BinaryCodecs.gzip(Option(text).getOrElse("").getBytes("UTF-8"))
+        MediaRow(id, "text", payload, "application/gzip", payload.length.toLong)
+      }
+  }
+
   /** RE-ENCODED audio corpus for perceptual dedup exercises: each odd-id
     * document's WAV at TWO amplitudes — the [[syntheticMedia]] encode
     * (byte × 128) under the original id, and an amplitude-rescaled

@@ -339,6 +339,26 @@ class MultimodalSpec extends SparkSpec {
     assert(BinaryCodecs.bmpPixelStats(evil).isEmpty)
   }
 
+  test("gzip roundtrip; the bomb guard caps inflation; non-gzip quarantines") {
+    import graft.functions.BinaryCodecs
+    val data = "compressed corpus row é中".getBytes("UTF-8")
+    assert(BinaryCodecs.gunzip(BinaryCodecs.gzip(data)).get.sameElements(data))
+    // 4 MB of zeros compresses to ~4 KB; a 1 MB cap must refuse to inflate it
+    val bomb = BinaryCodecs.gzip(new Array[Byte](4 << 20))
+    assert(bomb.length < (64 << 10))
+    assert(BinaryCodecs.gunzip(bomb, maxBytes = 1 << 20).isEmpty)
+    assert(BinaryCodecs.gunzip(bomb).isDefined) // default cap admits it
+    assert(BinaryCodecs.gunzip("not gzip".getBytes).isEmpty)
+    assert(BinaryCodecs.gunzip(Array[Byte](0x1f, 0x8b.toByte, 9, 9)).isEmpty) // corrupt
+    // dataset path: roundtrip through the binary column, UTF-8 preserved
+    import spark.implicits._
+    val docs = Seq((1L, "plain"), (2L, "unicode üß")).toDF("doc_id", "text")
+    val got = Multimodal.gunzipText(Multimodal.syntheticGzipDocs(docs))
+      .collect().map(t => t.media_id -> (t.n_bytes, t.text_out)).toMap
+    assert(got(1L) == ((5L, "plain")))
+    assert(got(2L) == (("unicode üß".getBytes("UTF-8").length.toLong, "unicode üß")))
+  }
+
   test("resizeAll rewrites payloads to the target budget, keeps ids and kinds") {
     import spark.implicits._
     val media = Seq(
