@@ -9631,18 +9631,38 @@ object SparkEntry {
          |FROM bf JOIN adcr USING (query_id, neighbor_id)
          |GROUP BY 1""".stripMargin
     },
-    // q345: pinned sequential greedy max-coverage over sf0.01 doc
-    // bigrams (regenerate: python3 tools/pin_coverage.py) — CoverageSpec
-    // replays the greedy equivalence on random doc-feature sets.
-    "q345_greedy_coverage" ->
-      """SELECT CAST(pick AS BIGINT) AS pick, CAST(doc_id AS BIGINT) AS doc_id,
-        | CAST(gain AS BIGINT) AS gain, CAST(covered_total AS BIGINT) AS covered_total
-        |FROM (VALUES
-        | (1, 264, 95, 95), (2, 135, 88, 183), (3, 103, 77, 260),
-        | (4, 285, 71, 331), (5, 280, 63, 394), (6, 25, 58, 452),
-        | (7, 133, 52, 504), (8, 429, 46, 550), (9, 202, 40, 590),
-        | (10, 100, 36, 626)
-        |) t(pick, doc_id, gain, covered_total)""".stripMargin,
+    // q345: FULL sequential replay (upgraded r13 from the pinned VALUES —
+    // the q347 "replay the whole algorithm" pattern): ten chained greedy
+    // rounds, each an argmax (gain desc, id asc) over the uncovered pair
+    // table followed by the winner's-tokens anti-join shrink — exactly
+    // the Spark loop's structure; running coverage via a window sum.
+    // tools/pin_coverage.py remains as an independent third derivation.
+    "q345_greedy_coverage" -> {
+      // MATERIALIZED is load-bearing: each round references its
+      // predecessor twice, so inlined CTEs would expand to 2^10 scans of
+      // the documents parquet (observed as "too many open files").
+      val rounds = (1 to 10).map { r =>
+        val prev = if (r == 1) "tok" else s"p${r - 1}"
+        s"""w$r AS MATERIALIZED (SELECT id, CAST(count(*) AS BIGINT) AS gain FROM $prev
+           | GROUP BY id ORDER BY gain DESC, id ASC LIMIT 1),
+           |p$r AS MATERIALIZED (SELECT t.* FROM $prev t WHERE t.token NOT IN
+           |  (SELECT token FROM $prev WHERE id = (SELECT id FROM w$r)))""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to 10).map(r => s"SELECT $r AS pick, id, gain FROM w$r")
+        .mkString("\n UNION ALL ")
+      s"""WITH tw AS (SELECT doc_id,
+         |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> len(w) > 0) AS w
+         | FROM documents),
+         |tok AS MATERIALIZED (SELECT DISTINCT doc_id AS id,
+         |  w[CAST(i AS INT) + 1] || ' ' || w[CAST(i AS INT) + 2] AS token
+         | FROM (SELECT doc_id, w, unnest(range(len(w) - 1)) AS i
+         |        FROM tw WHERE len(w) >= 2)),
+         |$rounds,
+         |sel AS ($sel)
+         |SELECT CAST(pick AS BIGINT) AS pick, CAST(id AS BIGINT) AS doc_id, gain,
+         | CAST(sum(gain) OVER (ORDER BY pick) AS BIGINT) AS covered_total
+         |FROM sel""".stripMargin
+    },
     // q346: the register MERGE replayed — per-half registers, folded by
     // greatest, then the q332 estimator over the merged set (the oracle
     // replays the merge itself, not the mathematically-equal whole-table
