@@ -9509,23 +9509,47 @@ object SparkEntry {
     // q304/q305 independent-reference fixture-pin pattern;
     // PathsAndMatchingSpec carries the generalization burden (random
     // graphs vs an in-memory sequential greedy).
-    "q341_greedy_matching" ->
-      """SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
-        | CAST(w AS BIGINT) AS w
-        |FROM (VALUES
-        | (0, 8, 1), (1, 3, 1), (2, 37, 1), (4, 18, 1), (5, 38, 1),
-        | (6, 65, 1), (7, 27, 1), (9, 13, 1), (10, 47, 1), (11, 19, 1),
-        | (12, 22, 1), (14, 43, 1), (15, 16, 1), (17, 25, 1), (20, 50, 1),
-        | (21, 46, 1), (23, 81, 3), (24, 26, 1), (28, 72, 1), (29, 30, 1),
-        | (31, 54, 1), (32, 48, 1), (33, 105, 1), (34, 102, 1), (35, 106, 1),
-        | (36, 59, 3), (39, 103, 1), (40, 99, 1), (41, 104, 4), (42, 86, 1),
-        | (44, 68, 1), (45, 58, 1), (49, 119, 1), (51, 117, 10), (52, 57, 1),
-        | (53, 61, 1), (55, 90, 1), (56, 66, 1), (60, 93, 1), (62, 73, 1),
-        | (63, 91, 2), (64, 78, 1), (67, 79, 1), (69, 85, 9), (70, 74, 43),
-        | (71, 88, 1), (75, 76, 3), (77, 96, 1), (80, 116, 1), (82, 112, 7),
-        | (83, 110, 7), (84, 109, 2), (87, 98, 1), (89, 101, 7), (92, 107, 2),
-        | (94, 113, 1), (95, 111, 32), (97, 118, 2), (100, 108, 1), (114, 115, 1)
-        |) t(u, v, w)""".stripMargin,
+    // q341: FULL iterative replay (upgraded r13 from the pinned VALUES):
+    // locally-minimal-edge rounds unrolled generously — each round takes
+    // every edge that is the (w,u,v)-minimal incident edge of BOTH its
+    // endpoints, then drops matched vertices; once the edge table
+    // empties, the remaining rounds are no-ops, so over-unrolling is
+    // harmless while under-unrolling fails loudly as missing rows.
+    // MATERIALIZED for the same 2^N-inlining reason as q345.
+    // tools/pin_matching.py remains as an independent third derivation.
+    "q341_greedy_matching" -> {
+      val nRounds = 24
+      val rounds = (1 to nRounds).map { r =>
+        val prev = if (r == 1) "e0" else s"e${r - 1}"
+        s"""nom$r AS MATERIALIZED (
+           | SELECT node, w, u, v FROM (
+           |  SELECT node, w, u, v,
+           |   row_number() OVER (PARTITION BY node ORDER BY w, u, v) AS rn
+           |  FROM (SELECT u AS node, w, u, v FROM $prev
+           |        UNION ALL SELECT v AS node, w, u, v FROM $prev))
+           | WHERE rn = 1),
+           |t$r AS MATERIALIZED (
+           | SELECT e.u, e.v, e.w FROM $prev e
+           | JOIN nom$r a ON a.node = e.u AND a.w = e.w AND a.u = e.u AND a.v = e.v
+           | JOIN nom$r b ON b.node = e.v AND b.w = e.w AND b.u = e.u AND b.v = e.v),
+           |e$r AS MATERIALIZED (
+           | SELECT * FROM $prev
+           | WHERE u NOT IN (SELECT u AS node FROM t$r UNION SELECT v FROM t$r)
+           |  AND v NOT IN (SELECT u AS node FROM t$r UNION SELECT v FROM t$r))""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to nRounds).map(r => s"SELECT u, v, w FROM t$r")
+        .mkString("\n UNION ALL ")
+      s"""WITH raw AS (SELECT user_id % 120 AS a, event_id % 120 AS b,
+         |  event_id % 97 + 1 AS w FROM events),
+         |e0 AS MATERIALIZED (
+         | SELECT least(a, b) AS u, greatest(a, b) AS v, min(w) AS w
+         | FROM raw WHERE least(a, b) <> greatest(a, b)
+         | GROUP BY 1, 2),
+         |$rounds
+         |SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+         | CAST(w AS BIGINT) AS w
+         |FROM ($sel)""".stripMargin
+    },
     // q342: the q19 cosine ranking (restricted to the 8 shared queries)
     // full-outer-joined with the q327 ADC ranking, integer RRF scores.
     "q342_rrf_fusion" ->
