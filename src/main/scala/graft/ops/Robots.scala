@@ -31,10 +31,12 @@ object Robots {
     */
   def starRules(robots: Column): Column = {
     val lines = split(robots, "\n")
+    // canonical "key:value" — colon spacing varies in the wild
+    // (`User-agent:*` and `User-agent: *` are the same directive)
     val norm = transform(lines, l =>
-      regexp_replace(trim(regexp_replace(lower(l), "#.*$", "")), "\\s+", " "))
+      regexp_replace(trim(regexp_replace(lower(l), "#.*$", "")), "\\s*:\\s*", ":"))
     val n = size(norm)
-    val ua = array_position(norm, "user-agent: *")
+    val ua = array_position(norm, "user-agent:*")
     // n >= 1 always: split() of a non-null string yields at least [""]
     val nextUa = array_min(filter(
       transform(sequence(lit(1), n), i =>

@@ -56,6 +56,17 @@ class RobotsSpec extends SparkSpec {
     assert(tie == Seq(false, true))
   }
 
+  test("colon spacing variants: `User-agent:*` and padded fields both parse") {
+    val tight = "User-agent:*\nDisallow:/secret"
+    val padded = "User-agent  :  *\nDisallow : /secret"
+    val got = Seq((tight, "/secret/x"), (tight, "/open"),
+      (padded, "/secret/x"), (padded, "/open"))
+      .toDF("robots", "path")
+      .select(Robots.isAllowed(col("path"), Robots.starRules(col("robots"))))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(false, true, false, true))
+  }
+
   test("no star group means everything is allowed; star group at EOF parses") {
     val noStar = "User-agent: special\nDisallow: /"
     val eofStar = "User-agent: special\nDisallow: /z\nUser-agent: *\nDisallow: /end"
