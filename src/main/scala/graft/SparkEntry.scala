@@ -3642,7 +3642,33 @@ object SparkEntry {
     "q364_gzip_roundtrip" -> ((s, dir) =>
       Multimodal.gunzipText(Multimodal.syntheticGzipDocs(t(s, dir, "documents")))
         .toDF()
-        .select(col("media_id"), col("n_bytes"), col("text_out")))
+        .select(col("media_id"), col("n_bytes"), col("text_out"))),
+
+    // ---- the crawl-ingest COMPOSITE, end to end in one plan: gzip'd
+    // HTML pages decode distributed → robots admission drops /private
+    // paths → main-content extraction → token count + canonical URL.
+    // Every stage is individually oracled (q364/q363/q359/q354); this
+    // verifies their COMPOSITION, with the oracle reusing q359's replay
+    // chain and deriving admission/URL straight from the id formula. --------
+    "q365_crawl_ingest" -> ((s, dir) => {
+      val gz = Multimodal.syntheticGzipDocs(
+        t(s, dir, "documents").select(col("doc_id"), syntheticHtml.as("text")))
+      val pages = Multimodal.gunzipText(gz).toDF()
+        .select(col("media_id").as("doc_id"), col("text_out").as("html"))
+        .withColumn("path",
+          when(col("doc_id") % 7 === 0,
+            concat(lit("/private/p"), col("doc_id").cast("string")))
+            .otherwise(concat(lit("/dir/page"), col("doc_id").cast("string"))))
+        .withColumn("robots", lit("User-agent: *\nDisallow: /private"))
+      val admitted = graft.ops.Robots.filterAllowed(pages).where(col("allowed"))
+      val content = Html.mainContent(admitted)
+      val withUrl = content.withColumn("url",
+        concat(lit("https://WWW.Site"), (col("doc_id") % 4).cast("string"),
+          lit(".github.io"), col("path")))
+      Urls.canonicalize(withUrl)
+        .select(col("doc_id"), col("canonical_url"), col("registered_domain"),
+          TextFunctions.tokenCount(col("main_text")).as("n_tokens"))
+    })
   )
 
   /** q358/q359's synthetic HTML page — every feature a pure function of
@@ -9974,30 +10000,7 @@ object SparkEntry {
     // left join (Spark's array_join over an empty array).
     "q359_main_content" ->
       s"""WITH $HtmlFixtureCte,
-        |p1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS html FROM h),
-        |p2 AS (SELECT doc_id, regexp_replace(html, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS html FROM p1),
-        |p3 AS (SELECT doc_id, regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS html FROM p2),
-        |lx AS (SELECT doc_id, string_split(html, chr(10)) AS ls FROM p3),
-        |li AS (SELECT doc_id, ls, unnest(range(len(ls))) AS i FROM lx),
-        |ln AS (SELECT doc_id, i, ls[CAST(i AS INT) + 1] AS line FROM li),
-        |c1 AS (SELECT doc_id, i, line, regexp_replace(line, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS x FROM ln),
-        |c2 AS (SELECT doc_id, i, line, regexp_replace(x, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS x FROM c1),
-        |c3 AS (SELECT doc_id, i, line, regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM c2),
-        |c4 AS (SELECT doc_id, i, line, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM c3),
-        |c5 AS (SELECT doc_id, i, line, replace(replace(replace(replace(replace(replace(x,
-        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-        |  '&apos;', ''''), '&nbsp;', ' ') AS x FROM c4),
-        |c6 AS (SELECT doc_id, i, line,
-        |  trim(regexp_replace(replace(x, '&amp;', '&'), '\\s+', ' ', 'g')) AS clean FROM c5),
-        |ck AS (SELECT doc_id, i, clean,
-        |  coalesce(list_sum(list_transform(
-        |    regexp_extract_all(line, '(?is)<a[^>]*>(.*?)</a>', 1),
-        |    a -> length(trim(regexp_replace(regexp_replace(a, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))))), 0) AS linkchars
-        | FROM c6),
-        |keep AS (SELECT doc_id, i, clean FROM ck
-        | WHERE length(clean) >= 5 AND linkchars * 100 <= 50 * length(clean)),
-        |m AS (SELECT doc_id, array_to_string(list(clean ORDER BY i), ' ') AS main_text
-        | FROM keep GROUP BY doc_id)
+        |$MainContentCtes
         |SELECT h.doc_id, coalesce(m.main_text, '') AS main_text
         |FROM h LEFT JOIN m USING (doc_id)""".stripMargin,
     // q360: q336's full IVF-PQ chain, the q127 brute-force-cosine exact
@@ -10097,7 +10100,24 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         | CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
         | coalesce(text, '') AS text_out
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // q365: the q359 replay chain over the same HTML fixture, admission
+    // and canonical URL derived straight from the id formula (robots
+    // drops doc_id % 7 = 0; the path has no port/query/fragment so its
+    // canonical form is the lowercased-host concatenation), token count
+    // via the standard pre-tokenizer extract-all.
+    "q365_crawl_ingest" ->
+      s"""WITH $HtmlFixtureCte,
+         |$MainContentCtes,
+         |adm AS (SELECT h.doc_id, coalesce(m.main_text, '') AS mt
+         |        FROM h LEFT JOIN m USING (doc_id) WHERE h.doc_id % 7 <> 0)
+         |SELECT doc_id,
+         | 'https://www.site' || CAST(doc_id % 4 AS VARCHAR) || '.github.io/dir/page'
+         |   || CAST(doc_id AS VARCHAR) AS canonical_url,
+         | 'site' || CAST(doc_id % 4 AS VARCHAR) || '.github.io' AS registered_domain,
+         | CAST(len(regexp_extract_all(mt, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+         |   AS n_tokens
+         |FROM adm""".stripMargin
   )
 
   /** q336's IVF-PQ chain (coarse routing + PQ codes + ADC ranking) as a
@@ -10138,6 +10158,37 @@ object SparkEntry {
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY adc_d2, neighbor_id) AS rank FROM adc)
        | WHERE rank <= 10)""".stripMargin
+
+  /** The q359 line-filter replay as a reusable CTE list (expects a CTE
+    * `h(doc_id, html)` upstream, emits `m(doc_id, main_text)`) — shared
+    * by the q359 oracle and q365's composite so the two cannot drift.
+    * Plain (non-interpolated) string: regex backslashes are single here.
+    */
+  private val MainContentCtes: String =
+    """p1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS html FROM h),
+      |p2 AS (SELECT doc_id, regexp_replace(html, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS html FROM p1),
+      |p3 AS (SELECT doc_id, regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS html FROM p2),
+      |lx AS (SELECT doc_id, string_split(html, chr(10)) AS ls FROM p3),
+      |li AS (SELECT doc_id, ls, unnest(range(len(ls))) AS i FROM lx),
+      |ln AS (SELECT doc_id, i, ls[CAST(i AS INT) + 1] AS line FROM li),
+      |c1 AS (SELECT doc_id, i, line, regexp_replace(line, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS x FROM ln),
+      |c2 AS (SELECT doc_id, i, line, regexp_replace(x, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS x FROM c1),
+      |c3 AS (SELECT doc_id, i, line, regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM c2),
+      |c4 AS (SELECT doc_id, i, line, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM c3),
+      |c5 AS (SELECT doc_id, i, line, replace(replace(replace(replace(replace(replace(x,
+      |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      |  '&apos;', ''''), '&nbsp;', ' ') AS x FROM c4),
+      |c6 AS (SELECT doc_id, i, line,
+      |  trim(regexp_replace(replace(x, '&amp;', '&'), '\s+', ' ', 'g')) AS clean FROM c5),
+      |ck AS (SELECT doc_id, i, clean,
+      |  coalesce(list_sum(list_transform(
+      |    regexp_extract_all(line, '(?is)<a[^>]*>(.*?)</a>', 1),
+      |    a -> length(trim(regexp_replace(regexp_replace(a, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))))), 0) AS linkchars
+      | FROM c6),
+      |keep AS (SELECT doc_id, i, clean FROM ck
+      | WHERE length(clean) >= 5 AND linkchars * 100 <= 50 * length(clean)),
+      |m AS (SELECT doc_id, array_to_string(list(clean ORDER BY i), ' ') AS main_text
+      | FROM keep GROUP BY doc_id)""".stripMargin
 
   /** Shared synthetic-HTML fixture CTE for q358/q359 — the byte-exact
     * SQL twin of [[syntheticHtml]].
