@@ -811,6 +811,19 @@ class PlanShapeSpec extends SparkSpec {
       "non-equi join in hammingTopK")
   }
 
+  test("Robots admission shuffles nothing and joins nothing") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val rows = (1 to 40).map(i =>
+      (i.toLong, "User-agent: *\nDisallow: /private", s"/dir/p$i"))
+      .toDF("doc_id", "robots", "path")
+    val df = graft.ops.Robots.filterAllowed(rows)
+    assert(shuffleOutputs(df).isEmpty, "robots evaluation must be a pure map")
+    val plan = initialPlan(df)
+    assert(plan.collect {
+      case j: SortMergeJoinExec => j; case j: BroadcastHashJoinExec => j
+    }.isEmpty, "join in the robots plan")
+  }
+
   test("node2vecWalks steps are equi-joins only; the classifier join adds no cartesian") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val edges = (1L to 30L).map(i => (i, i % 7 + 1)).toDF("a_id", "b_id")

@@ -537,6 +537,34 @@ class StreamingSpec extends SparkSpec {
     assert(all.contains((3L, 7L, 0L)), "cross-batch exact duplicate must pair via state")
   }
 
+  test("crawl admission Columns are streaming-safe: robots + canonicalize on a stream equal batch") {
+    val in = Files.createTempDirectory("graft_stream_crawl")
+    val rows = Seq(
+      ("""{"url":"HTTP://A.Example.co.uk:80/x/?utm_source=f&b=2","path":"/dir/ok"}"""),
+      ("""{"url":"https://b.github.io/p","path":"/private/x"}"""),
+      ("""{"url":"https://c.ne.jp/q#frag","path":"/open"}"""))
+    Files.write(Paths.get(in.toString, "b1.json"), rows.mkString("\n").getBytes)
+    import spark.implicits._
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Urls.canonicalize(
+        graft.ops.Robots.filterAllowed(
+          df.withColumn("robots", lit("User-agent: *\nDisallow: /private"))))
+        .select(col("url"), col("canonical_url"), col("registered_domain"), col("allowed"))
+    val stream = spark.readStream.schema("url STRING, path STRING").json(in.toString)
+    val q = pipeline(stream)
+      .writeStream.outputMode("append").format("memory").queryName("crawladm")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("crawladm").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3))).toSet
+    val want = pipeline(
+      spark.read.schema("url STRING, path STRING").json(in.toString)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getBoolean(3))).toSet
+    assert(got == want, "stream and batch disagree on the admission pipeline")
+    assert(want.exists(_._4 == false) && want.exists(_._4 == true))
+    assert(want.exists(_._2 == "http://a.example.co.uk/x?b=2"))
+  }
+
   private def md5p32(s: String): Long =
     java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")
