@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.jobs.CorpusPrep
 import graft.functions.expressions.ZOrder
-import graft.ops.{AsOfJoin, Association, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Correlate, Coverage, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GeoGrid, GraphMetrics, Html, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Matching, Normalize, Outliers, PageRank, Paths, Repetition, Reshape, RuntimeFilter, Sampling, Scc, Scd, SequencePack, Sessionize, Similarity, Sketch, Skyline, SkewJoin, SpanningForest, Survivorship, TableDiff, TimeSeries, Transitions, Trend, Urls}
+import graft.ops.{AsOfJoin, Association, Attribution, Audit, Bm25, Cdc, Chunking, Cohort, Components, Correlate, Coverage, Crawl, Decontaminate, Dedup, Enrich, Eval, Funnel, FuzzyJoin, GeoGrid, GraphMetrics, Html, Indexing, IntervalJoin, KMeans, Lexical, Mappings, Metrics, Multimodal, Ngrams, Matching, Normalize, Outliers, PageRank, Paths, Repetition, Reshape, RuntimeFilter, Sampling, Scc, Scd, SequencePack, Sessionize, Similarity, Sketch, Skyline, SkewJoin, SpanningForest, Survivorship, TableDiff, TimeSeries, Transitions, Trend, Urls}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
@@ -3668,6 +3668,29 @@ object SparkEntry {
       Urls.canonicalize(withUrl)
         .select(col("doc_id"), col("canonical_url"), col("registered_domain"),
           TextFunctions.tokenCount(col("main_text")).as("n_tokens"))
+    }),
+
+    // ---- frontier politeness scheduling (the Mercator stage between
+    // link discovery and fetching): canonical-URL dedup where the max
+    // queued priority wins (every 3rd URL arrives twice — once with a
+    // tracking param and mixed host case — and must collapse), then
+    // per-host serial slots with the priority-desc/URL-asc order and the
+    // per-host admission cap. The oracle derives every canonical form
+    // independently from the id formula and replays the window. ------------
+    "q366_crawl_schedule" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = t(s, dir, "documents")
+      val first = docs.select(
+        concat(lit("http://host"), (id % 20).cast("string"), lit(".example.com/p/"),
+          id.cast("string"),
+          when(id % 3 === 0, lit("?utm_source=feed&b=2")).otherwise(lit(""))).as("url"),
+        (id * 7919 % 101).as("priority"))
+      val dup = docs.where(id % 3 === 0).select(
+        concat(lit("http://HOST"), (id % 20).cast("string"), lit(".Example.com/p/"),
+          id.cast("string"), lit("?b=2")).as("url"),
+        (id * 7919 % 101 + 50).as("priority"))
+      Crawl.politenessSchedule(first.unionByName(dup),
+        delayMs = 100L, maxPerHost = 8)
     })
   )
 
@@ -10117,7 +10140,33 @@ object SparkEntry {
          | 'site' || CAST(doc_id % 4 AS VARCHAR) || '.github.io' AS registered_domain,
          | CAST(len(regexp_extract_all(mt, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
          |   AS n_tokens
-         |FROM adm""".stripMargin
+         |FROM adm""".stripMargin,
+    // q366: independent derivation — both queued spellings canonicalize
+    // to the same lowercase-host, tracking-param-free form straight from
+    // the id formula; max-priority dedup and the per-host window replay
+    // in SQL.
+    "q366_crawl_schedule" ->
+      """WITH f AS (
+        | SELECT 'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p/'
+        |   || CAST(doc_id AS VARCHAR)
+        |   || CASE WHEN doc_id % 3 = 0 THEN '?b=2' ELSE '' END AS url,
+        |  CAST(doc_id * 7919 % 101 AS BIGINT) AS priority
+        | FROM documents
+        | UNION ALL
+        | SELECT 'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p/'
+        |   || CAST(doc_id AS VARCHAR) || '?b=2' AS url,
+        |  CAST(doc_id * 7919 % 101 + 50 AS BIGINT) AS priority
+        | FROM documents WHERE doc_id % 3 = 0),
+        |d AS (
+        | SELECT regexp_extract(url, '^http://([^/]*)', 1) AS host, url,
+        |  max(priority) AS priority
+        | FROM f GROUP BY 1, 2),
+        |r AS (
+        | SELECT host, url, priority,
+        |  row_number() OVER (PARTITION BY host ORDER BY priority DESC, url ASC) AS rn
+        | FROM d)
+        |SELECT host, url, priority, CAST((rn - 1) * 100 AS BIGINT) AS fetch_offset_ms
+        |FROM r WHERE rn <= 8""".stripMargin
   )
 
   /** q336's IVF-PQ chain (coarse routing + PQ codes + ADC ranking) as a

@@ -824,6 +824,19 @@ class PlanShapeSpec extends SparkSpec {
     }.isEmpty, "join in the robots plan")
   }
 
+  test("politenessSchedule: the per-host cap pushes down to a PARTIAL WindowGroupLimit") {
+    import org.apache.spark.sql.execution.window.{WindowGroupLimitExec, Partial}
+    val frontier = (1 to 120)
+      .map(i => (s"http://h${i % 3}.com/p$i", i.toLong)).toDF("url", "priority")
+    val plan = initialPlan(
+      graft.ops.Crawl.politenessSchedule(frontier, maxPerHost = 5))
+    // a mega-host must be pruned to maxPerHost rows per task BEFORE the
+    // window's shuffle — the skew bound the op's scaladoc promises
+    assert(plan.collect {
+      case w: WindowGroupLimitExec if w.mode == Partial => w
+    }.nonEmpty, "no map-side (Partial) WindowGroupLimit below the politeness window")
+  }
+
   test("node2vecWalks steps are equi-joins only; the classifier join adds no cartesian") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val edges = (1L to 30L).map(i => (i, i % 7 + 1)).toDF("a_id", "b_id")
