@@ -3691,6 +3691,28 @@ object SparkEntry {
         (id * 7919 % 101 + 50).as("priority"))
       Crawl.politenessSchedule(first.unionByName(dup),
         delayMs = 100L, maxPerHost = 8)
+    }),
+
+    // ---- bottom-k quantile sketch (the DISTRIBUTION member of the
+    // mergeable-sketch family): price quantiles estimated from the
+    // hash-sampled k-row frame, AND re-derived through an actual
+    // two-shard merge — est_merged comes from union + re-bottom-k over
+    // the supplier-parity split, so matching the oracle (which replays
+    // only the direct path) proves the merge algebra loses nothing. --------
+    "q367_kmv_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_suppkey"))
+      val qs = Seq(10000L, 250000L, 500000L, 750000L, 990000L)
+      val direct = Sketch.quantileSketch(li, "rid", "cents", k = 512)
+      val merged = Sketch.quantileMerge(
+        Sketch.quantileSketch(li.where(col("l_suppkey") % 2 === 0), "rid", "cents", k = 512),
+        Sketch.quantileSketch(li.where(col("l_suppkey") % 2 === 1), "rid", "cents", k = 512),
+        k = 512)
+      Sketch.quantileEstimate(direct, qs)
+        .join(Sketch.quantileEstimate(merged, qs)
+          .select(col("q_ppm"), col("est").as("est_merged")), Seq("q_ppm"))
     })
   )
 
@@ -10166,7 +10188,24 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY host ORDER BY priority DESC, url ASC) AS rn
         | FROM d)
         |SELECT host, url, priority, CAST((rn - 1) * 100 AS BIGINT) AS fetch_offset_ms
-        |FROM r WHERE rn <= 8""".stripMargin
+        |FROM r WHERE rn <= 8""".stripMargin,
+    // q367: the direct bottom-k replay (hash, take the k smallest by
+    // (u, v), rank by (v, u), lower empirical quantile); est_merged is
+    // asserted equal to the direct estimate — bottom-k of a union is the
+    // bottom-k of the parts' bottom-ks, so the op's merge path must land
+    // on the same rows.
+    "q367_kmv_quantiles" -> {
+      val u = hexPrefixOracle("md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR))", 8)
+      s"""WITH s AS (SELECT $u AS u,
+         |  CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+         |b AS (SELECT u, v FROM s ORDER BY u, v LIMIT 512),
+         |r AS (SELECT v, u, row_number() OVER (ORDER BY v, u) AS rn,
+         |  CAST(count(*) OVER () AS BIGINT) AS n_sample FROM b),
+         |q AS (SELECT CAST(q_ppm AS BIGINT) AS q_ppm FROM (VALUES
+         |  (10000), (250000), (500000), (750000), (990000)) t(q_ppm))
+         |SELECT q.q_ppm, r.v AS est, r.n_sample, r.v AS est_merged
+         |FROM q JOIN r ON r.rn = greatest(1, (q.q_ppm * r.n_sample + 999999) // 1000000)""".stripMargin
+    }
   )
 
   /** q336's IVF-PQ chain (coarse routing + PQ codes + ADC ranking) as a

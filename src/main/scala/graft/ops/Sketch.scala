@@ -353,4 +353,70 @@ object Sketch {
         expr("(1000000L * (n_positive - n_true_member)) div greatest(n_probed - n_member_probed, 1L)")
           .as("fp_ppm"))
   }
+
+  /** Bottom-k ROW sample keyed by a unique row identifier — the
+    * QUANTILE member of the sketch family (Cohen & Kaplan 2007,
+    * bottom-k sketches): the k rows whose 32-bit md5 of `keyCol` is
+    * smallest are a uniform corpus sample, so the sample's empirical
+    * quantiles estimate the corpus's. The frame is `(u, v)` — hash and
+    * integer value — and two frames over DISJOINT row sets merge by
+    * union + re-bottom-k ([[quantileMerge]]): bottom-k of a union IS
+    * the bottom-k of the parts' bottom-ks, so the merged estimate is
+    * bit-identical to the direct one (the mergeable property HLL/CM
+    * have for counts, here for distributions).
+    *
+    * Contract: `keyCol` unique per row (a duplicated key is ONE sample
+    * point, silently); `valueCol` integral (the family's exact-units
+    * rule). Ordering is by `(u, v)` throughout, so a hash collision at
+    * the k boundary still resolves identically in any engine.
+    *
+    * Scale shape: map-side hash + a distributed top-k heap
+    * (`TakeOrderedAndProject`) — k is sketch-sized, never data-sized;
+    * nothing corpus-wide shuffles.
+    */
+  def quantileSketch(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    df.select(
+      graft.functions.TextFunctions.md5Prefix(col(keyCol).cast("string"), 8).as("u"),
+      col(valueCol).cast("long").as("v"))
+      .orderBy(col("u").asc, col("v").asc)
+      .limit(k)
+  }
+
+  /** Merge two [[quantileSketch]] frames built with the same k over
+    * disjoint row sets: union, re-take the k smallest. Sketch-sized
+    * input (≤ 2k rows), sketch-sized output.
+    */
+  def quantileMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    a.unionByName(b).orderBy(col("u").asc, col("v").asc).limit(k)
+  }
+
+  /** Quantile estimates from a [[quantileSketch]] frame: for each
+    * requested ppm fraction q, the value at rank
+    * `max(1, ceil(q·n_sample / 10⁶))` of the sample sorted by
+    * `(v, u)` — the lower empirical quantile, all-integer arithmetic.
+    * Output: one row per requested quantile (`q_ppm`, `est`,
+    * `n_sample`).
+    *
+    * The global row_number window runs on ONE partition by design —
+    * the input is a k-row sketch, never the corpus.
+    */
+  def quantileEstimate(sketch: DataFrame, quantilesPpm: Seq[Long]): DataFrame = {
+    require(quantilesPpm.nonEmpty && quantilesPpm.forall(q => q >= 0 && q <= 1000000),
+      s"quantiles must be ppm fractions in [0, 1000000]: $quantilesPpm")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = sketch
+      .withColumn("__rn", row_number().over(Window.orderBy(col("v").asc, col("u").asc)))
+      .crossJoin(broadcast(sketch.agg(count(lit(1)).as("n_sample"))))
+    val qs = sketch.sparkSession.range(1)
+      .select(explode(typedLit(quantilesPpm)).as("q_ppm"))
+    broadcast(qs).join(ranked,
+      col("__rn") === greatest(lit(1L), expr("(q_ppm * n_sample + 999999L) div 1000000L")))
+      .select(col("q_ppm"), col("v").as("est"), col("n_sample"))
+  }
 }

@@ -232,4 +232,50 @@ class SketchSpec extends SparkSpec {
     val mean = got.toDouble / 4000
     assert(mean > 0.93 && mean < 1.07, s"mean draw $mean far from 1")
   }
+
+  test("quantileSketch with k >= n IS the data — estimates are exact quantiles") {
+    import spark.implicits._
+    val vals = (1L to 100L).map(i => (i, i * 3)) // values 3..300
+    val df = vals.toDF("rid", "v")
+    val got = Sketch.quantileEstimate(
+      Sketch.quantileSketch(df, "rid", "v", k = 200),
+      Seq(10000L, 500000L, 1000000L))
+      .orderBy("q_ppm").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // rank ceil(q*100): 1% → rank 1 (v=3), 50% → rank 50 (v=150), 100% → rank 100 (v=300)
+    assert(got.toSeq == Seq((10000L, 3L, 100L), (500000L, 150L, 100L), (1000000L, 300L, 100L)))
+  }
+
+  test("quantileMerge of a disjoint split is bit-identical to the direct sketch") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, (i * 7919) % 1000)).toDF("rid", "v")
+    val direct = Sketch.quantileSketch(df, "rid", "v", k = 64)
+      .orderBy("u", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val merged = Sketch.quantileMerge(
+      Sketch.quantileSketch(df.where($"rid" % 2 === 0), "rid", "v", k = 64),
+      Sketch.quantileSketch(df.where($"rid" % 2 === 1), "rid", "v", k = 64),
+      k = 64)
+      .orderBy("u", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(direct.toSeq == merged.toSeq)
+  }
+
+  test("quantileSketch estimates land near the true quantiles at k << n") {
+    import spark.implicits._
+    val df = (1L to 20000L).map(i => (i, i)).toDF("rid", "v") // uniform 1..20000
+    val got = Sketch.quantileEstimate(
+      Sketch.quantileSketch(df, "rid", "v", k = 512),
+      Seq(250000L, 500000L, 750000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    for ((q, est) <- got) {
+      val truth = q * 20000L / 1000000L
+      assert(math.abs(est - truth) < 2500,
+        s"q=$q estimate $est too far from $truth") // ±3σ ≈ 2.1% of range at k=512
+    }
+  }
+
+  test("quantileEstimate rejects out-of-range fractions") {
+    import spark.implicits._
+    val sk = Sketch.quantileSketch(Seq((1L, 1L)).toDF("rid", "v"), "rid", "v", k = 4)
+    intercept[IllegalArgumentException](Sketch.quantileEstimate(sk, Seq(1000001L)))
+    intercept[IllegalArgumentException](Sketch.quantileEstimate(sk, Seq.empty))
+  }
 }
