@@ -3713,7 +3713,16 @@ object SparkEntry {
       Sketch.quantileEstimate(direct, qs)
         .join(Sketch.quantileEstimate(merged, qs)
           .select(col("q_ppm"), col("est").as("est_merged")), Seq("q_ppm"))
-    })
+    }),
+
+    // ---- the Gram scaffold's consumer: 4 exact-integer power-iteration
+    // steps on q351's cells yield the corpus's top principal direction;
+    // every vector projects onto it map-side (codegen'd int dot against
+    // the direction folded in as a literal), with the Rayleigh-quotient
+    // mass riding along. The oracle replays the quantization, the Gram,
+    // all 4 rescaled iterations and the projection in SQL. ------------------
+    "q368_principal_projection" -> ((s, dir) =>
+      Similarity.principalProjection(t(s, dir, "embeddings")))
   )
 
   /** q358/q359's synthetic HTML page — every feature a pure function of
@@ -9873,26 +9882,12 @@ object SparkEntry {
          | CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
          |FROM dh a JOIN dh b ON a.media_id < b.media_id
          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7""".stripMargin,
-    // q351: the PqCodesCte quantization replay, then the upper-triangle
-    // product census cell by cell.
+    // q351: the shared quantization replay ([[QuantGramCtes]]), then the
+    // upper-triangle product census cell by cell.
     "q351_quantized_gram" ->
-      """WITH m AS (
-        | SELECT vec_id, embedding,
-        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
-        | FROM embeddings),
-        |qv AS (
-        | SELECT vec_id,
-        |  CASE WHEN max_abs > 0
-        |   THEN list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs) AS BIGINT))
-        |   ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS v
-        | FROM m),
-        |cells AS (
-        | SELECT i.i AS i, j.j AS j, v[CAST(i.i AS INT) + 1] * v[CAST(j.j AS INT) + 1] AS p
-        | FROM qv CROSS JOIN range(0, 64) i(i) CROSS JOIN range(0, 64) j(j)
-        | WHERE j.j >= i.i)
-        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-        | CAST(sum(p) AS BIGINT) AS g, CAST(count(*) AS BIGINT) AS n_vectors
-        |FROM cells GROUP BY 1, 2""".stripMargin,
+      s"""WITH $QuantGramCtes
+         |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, g, n_vectors
+         |FROM gcells""".stripMargin,
     // q352: the q69 unroll with weights — per-edge product in HUGEINT
     // (mirrors the op's decimal(38,0)), floor-div by 100·wsum.
     "q352_weighted_pagerank" -> {
@@ -10205,8 +10200,58 @@ object SparkEntry {
          |  (10000), (250000), (500000), (750000), (990000)) t(q_ppm))
          |SELECT q.q_ppm, r.v AS est, r.n_sample, r.v AS est_merged
          |FROM q JOIN r ON r.rn = greatest(1, (q.q_ppm * r.n_sample + 999999) // 1000000)""".stripMargin
+    },
+    // q368: full replay — the shared Gram chain, the mirror to a full
+    // matrix, 4 power-iteration steps with the sign-split ±2^20 rescale
+    // (operands kept nonnegative so HUGEINT // and the op's BigInt /
+    // agree), then the per-vector projection and the Rayleigh quotient.
+    "q368_principal_projection" -> {
+      val iters = (1 to 4).map { i =>
+        s""",
+           |w$i AS (SELECT f.i, sum(CAST(f.g AS HUGEINT) * v${i - 1}.v) AS w
+           |        FROM gfull f JOIN v${i - 1} ON v${i - 1}.i = f.j GROUP BY 1),
+           |m$i AS (SELECT max(abs(w)) AS m FROM w$i),
+           |v$i AS (SELECT i, CASE WHEN (SELECT m FROM m$i) = 0 THEN w
+           |         WHEN w < 0 THEN -(((-w) * 1048576) // (SELECT m FROM m$i))
+           |         ELSE (w * 1048576) // (SELECT m FROM m$i) END AS v FROM w$i)""".stripMargin
+      }.mkString
+      s"""WITH $QuantGramCtes,
+         |gfull AS (SELECT i, j, g FROM gcells
+         |          UNION ALL SELECT j AS i, i AS j, g FROM gcells WHERE i < j),
+         |v0 AS (SELECT r.r AS i, CAST(1 AS HUGEINT) AS v FROM range(0, 64) r(r))$iters,
+         |eig AS (SELECT CAST(
+         |   (SELECT sum(CAST(f.g AS HUGEINT) * a.v * b.v)
+         |    FROM gfull f JOIN v4 a ON a.i = f.i JOIN v4 b ON b.i = f.j)
+         |   // (SELECT sum(v * v) FROM v4) AS BIGINT) AS eigenvalue_est)
+         |SELECT q.vec_id, CAST(sum(q.v[CAST(d.r AS INT) + 1] * v4.v) AS BIGINT) AS score,
+         | (SELECT eigenvalue_est FROM eig) AS eigenvalue_est
+         |FROM gqv q CROSS JOIN range(0, 64) d(r) JOIN v4 ON v4.i = d.r
+         |GROUP BY 1""".stripMargin
     }
   )
+
+  /** q351's int8 quantization + upper-triangle Gram replay as a
+    * reusable CTE list ending in `gqv(vec_id, v)` and
+    * `gcells(i, j, g, n_vectors)` — shared by the q351 result oracle
+    * and q368's power-iteration oracle so the two cannot drift.
+    */
+  private lazy val QuantGramCtes: String =
+    """gm AS (
+      | SELECT vec_id, embedding,
+      |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+      | FROM embeddings),
+      |gqv AS (
+      | SELECT vec_id,
+      |  CASE WHEN max_abs > 0
+      |   THEN list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs) AS BIGINT))
+      |   ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS v
+      | FROM gm),
+      |gcells AS (
+      | SELECT i.i AS i, j.j AS j,
+      |  CAST(sum(v[CAST(i.i AS INT) + 1] * v[CAST(j.j AS INT) + 1]) AS BIGINT) AS g,
+      |  CAST(count(*) AS BIGINT) AS n_vectors
+      | FROM gqv CROSS JOIN range(0, 64) i(i) CROSS JOIN range(0, 64) j(j)
+      | WHERE j.j >= i.i GROUP BY 1, 2)""".stripMargin
 
   /** q336's IVF-PQ chain (coarse routing + PQ codes + ADC ranking) as a
     * reusable CTE list ending in `ivfpq(query_id, neighbor_id, adc_d2,

@@ -830,4 +830,61 @@ object Similarity {
       .groupBy(col("i"), col("j"))
       .agg(sum(col("p")).as("g"), count(lit(1)).as("n_vectors"))
   }
+
+  /** Projection of every vector onto the corpus's TOP PRINCIPAL
+    * DIRECTION — the consumer [[quantizedGram]]'s scaffold was built
+    * for: `iterations` steps of exact-integer power iteration
+    * (von Mises & Pollaczek-Geiringer 1929) on the Gram matrix, then a
+    * map-side int dot of each quantized vector against the resulting
+    * direction. Appends nothing float: the direction rescales each step
+    * to `±2^scaleBits` by sign-split nonnegative division (BigInt on
+    * the driver — no overflow at any corpus size), so every engine
+    * replaying the same arithmetic lands on the same bits. Output: one
+    * row per input (`idCol`, `score`) plus the constant
+    * `eigenvalue_est` — the Rayleigh quotient ⌊vᵀGv / vᵀv⌋, i.e. the
+    * dominant second-moment mass along the direction.
+    *
+    * Scale shape: the Gram build is [[quantizedGram]]'s map-only fold;
+    * its dim·(dim+1)/2 cells (dim ≤ 128 enforced → ≤ 8256 rows) are the
+    * ONLY driver fetch — matrix-sized, never corpus-sized (the codebook
+    * precedent). The projection is one map-side codegen'd int dot
+    * against the direction folded into the plan as a literal; nothing
+    * shuffles.
+    */
+  def principalProjection(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      iterations: Int = 4,
+      scaleBits: Int = 20): DataFrame = {
+    require(iterations >= 1 && iterations <= 16, s"iterations must be in [1,16]: $iterations")
+    require(scaleBits >= 4 && scaleBits <= 30, s"scaleBits must be in [4,30]: $scaleBits")
+    val cells = quantizedGram(df, vecCol).collect()
+    val dim = cells.iterator.map(_.getLong(1)).max.toInt + 1
+    require(dim <= 128, s"principalProjection: dim $dim > 128 — the Gram driver fetch is bounded by design")
+    val g = Array.ofDim[BigInt](dim, dim)
+    for (r <- cells) {
+      val (i, j, v) = (r.getLong(0).toInt, r.getLong(1).toInt, BigInt(r.getLong(2)))
+      g(i)(j) = v
+      g(j)(i) = v
+    }
+    var v = Array.fill(dim)(BigInt(1))
+    for (_ <- 1 to iterations) {
+      val w = Array.tabulate(dim)(i => (0 until dim).iterator.map(j => g(i)(j) * v(j)).sum)
+      val m = w.iterator.map(_.abs).max
+      // sign-split so both division operands stay nonnegative — BigInt /
+      // and any engine's integer // agree there, unlike on negatives
+      v = if (m == 0) w
+      else w.map(x => if (x < 0) -((-x << scaleBits) / m) else (x << scaleBits) / m)
+    }
+    val vGv = (0 until dim).iterator
+      .map(i => v(i) * (0 until dim).iterator.map(j => g(i)(j) * v(j)).sum).sum
+    val vv = v.iterator.map(x => x * x).sum
+    val eig = if (vv == 0) BigInt(0) else vGv / vv
+    require(eig.isValidLong, s"eigenvalue estimate overflows long: $eig")
+    val qv = VectorFunctions.quantizeInt8(col(vecCol), VectorFunctions.maxAbs(col(vecCol)))
+    df.select(col(idCol),
+      VectorFunctions.intDot(qv, typedLit(v.map(_.toLong).toSeq)).as("score"),
+      lit(eig.toLong).as("eigenvalue_est"))
+  }
 }

@@ -237,4 +237,50 @@ class PqSpec extends SparkSpec {
     val recall = (adc & brute).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall $recall below floor (adc=${adc.size}, brute=${brute.size})")
   }
+
+  test("principalProjection matches the in-memory BigInt replay exactly") {
+    val rnd = new scala.util.Random(67)
+    val vecs = (0L until 30L).map(i => (i, Array.fill(6)(rnd.nextFloat() * 2 - 1)))
+    def quant(v: Array[Float]): Array[Long] = {
+      val ma = v.map(x => math.abs(x.toDouble)).max
+      if (ma > 0) v.map(x => math.round(x.toDouble * 127.0 / ma)) else v.map(_ => 0L)
+    }
+    val qs = vecs.map { case (id, v) => (id, quant(v)) }
+    val g = Array.tabulate(6, 6)((i, j) => qs.map { case (_, q) => BigInt(q(i)) * q(j) }.sum)
+    var v = Array.fill(6)(BigInt(1))
+    for (_ <- 1 to 4) {
+      val w = Array.tabulate(6)(i => (0 until 6).map(j => g(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      v = if (m == 0) w else w.map(x => if (x < 0) -((-x << 20) / m) else (x << 20) / m)
+    }
+    val wantScores = qs.map { case (id, q) =>
+      id -> (0 until 6).map(i => BigInt(q(i)) * v(i)).sum.toLong
+    }.toMap
+    val vGv = (0 until 6).map(i => v(i) * (0 until 6).map(j => g(i)(j) * v(j)).sum).sum
+    val wantEig = (vGv / v.map(x => x * x).sum).toLong
+    val got = Similarity.principalProjection(vecs.toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(r => r._1 -> r._2).toMap == wantScores)
+    assert(got.forall(_._3 == wantEig) && wantEig > 0)
+  }
+
+  test("principalProjection finds the dominant axis (semantic sanity)") {
+    // 20 vectors along axis 0, 3 small ones along axis 1: the principal
+    // direction must be ~e0, so the axis-0 group out-projects the rest
+    val along = (0L until 20L).map(i =>
+      (i, Array[Float](if (i % 2 == 0) 5f + i else -5f - i, 0.01f * i, 0f, 0f)))
+    val off = (20L until 23L).map(i => (i, Array[Float](0f, 0.5f, 0.1f, 0f)))
+    val scores = Similarity.principalProjection((along ++ off).toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), math.abs(r.getLong(1)))).toMap
+    val minAlong = along.map(v => scores(v._1)).min
+    val maxOff = off.map(v => scores(v._1)).max
+    assert(minAlong > maxOff,
+      s"axis-0 group (min |score| $minAlong) should dominate axis-1 group (max $maxOff)")
+  }
+
+  test("principalProjection rejects bad arguments") {
+    val df = Seq((1L, Array(1f, 2f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](Similarity.principalProjection(df, iterations = 0))
+    intercept[IllegalArgumentException](Similarity.principalProjection(df, scaleBits = 40))
+  }
 }
