@@ -629,6 +629,60 @@ object StreamingOps {
       .flatMap(identity)
   }
 
+  /** Per-host politeness state: the next free fetch slot and how many
+    * URLs this host has been granted over the stream's lifetime.
+    */
+  final case class HostSlotState(granted: Long)
+
+  /** One scheduled fetch. */
+  final case class ScheduledFetch(host: String, url: String, priority: Long,
+      fetch_offset_ms: Long)
+
+  /** Streaming form of [[graft.ops.Crawl.politenessSchedule]]'s slotting
+    * half — politeness at crawl-ingest grain. Input rows are
+    * (host, canonical url, priority): canonicalization is a pure Column
+    * (proven streaming-safe in `StreamingSpec`) and frontier dedup is
+    * the stream-dedup leg's job, so this leg holds ONE counter per host
+    * in the state store and grants delay-spaced slots forever.
+    *
+    * Order contract: a live frontier cannot sort the future, so slots
+    * grant in arrival order ACROSS micro-batches; WITHIN a micro-batch
+    * the group sorts by (priority desc, url asc) — the batch op's order
+    * — so a stream that sees its whole frontier in one batch emits
+    * exactly [[graft.ops.Crawl.politenessSchedule]]'s schedule
+    * (asserted in `StreamingSpec`). `maxPerHost` caps lifetime grants:
+    * past it a host's URLs drop (re-queue upstream on a later round).
+    *
+    * State is O(1) per host forever — a single counter, the cheapest
+    * leg in the store.
+    */
+  def politenessStream(
+      urls: Dataset[(String, String, Long)],
+      delayMs: Long = 1000L,
+      maxPerHost: Int = 1000): Dataset[ScheduledFetch] = {
+    import urls.sparkSession.implicits._
+    require(delayMs > 0, s"delayMs must be > 0: $delayMs")
+    require(maxPerHost > 0, s"maxPerHost must be > 0: $maxPerHost")
+    urls
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (host: String, batch: Iterator[(String, String, Long)],
+         state: GroupState[HostSlotState]) =>
+          var granted = state.getOption.map(_.granted).getOrElse(0L)
+          val ordered = batch.toSeq.sortBy { case (_, url, pri) => (-pri, url) }
+          val out = ordered.flatMap { case (_, url, pri) =>
+            if (granted < maxPerHost) {
+              val f = ScheduledFetch(host, url, pri, granted * delayMs)
+              granted += 1
+              Some(f)
+            } else None
+          }
+          state.update(HostSlotState(granted))
+          out
+      }
+      .flatMap(identity)
+  }
+
   /** Read the reference's user-exp JSON shape as a file stream. */
   def userExpStream(spark: SparkSession, dir: String): Dataset[SessionEvent] = {
     import spark.implicits._

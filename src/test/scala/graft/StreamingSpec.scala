@@ -611,4 +611,41 @@ class StreamingSpec extends SparkSpec {
         s"group $g stream sample diverges: got=$got want=$want")
     }
   }
+
+  test("politenessStream: one-batch schedule equals the batch op; slots continue across batches") {
+    val in = Files.createTempDirectory("graft_stream_polite")
+    def write(name: String, rows: Seq[(String, Long)]): Unit =
+      Files.write(Paths.get(in.toString, name),
+        rows.map { case (u, p) => s"""{"url":"$u","pri":$p}""" }.mkString("\n").getBytes)
+    // canonical-form URLs (lowercase hosts, no tracking params): the
+    // batch op's canonicalization is an identity on them, so the two
+    // legs schedule the same frontier
+    val b1 = Seq(("http://a.com/p1", 10L), ("http://a.com/p2", 30L),
+      ("http://a.com/p3", 30L), ("http://b.com/x", 5L))
+    val b2 = Seq(("http://a.com/p4", 99L), ("http://b.com/y", 1L))
+    write("b1.json", b1)
+    import spark.implicits._
+    val stream = spark.readStream.schema("url STRING, pri LONG").json(in.toString)
+      .select(regexp_extract(col("url"), "^http://([^/]*)", 1), col("url"), col("pri"))
+      .as[(String, String, Long)]
+    val q = StreamingOps.politenessStream(stream, delayMs = 250L, maxPerHost = 3)
+      .writeStream.outputMode("update").format("memory").queryName("polite")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable()
+    def emitted() = spark.table("polite").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // prefix 1 arrives as ONE micro-batch → the per-batch priority sort
+    // must reproduce the batch op's schedule exactly
+    val want1 = graft.ops.Crawl.politenessSchedule(
+      b1.toDF("url", "priority"), delayMs = 250L, maxPerHost = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(emitted() == want1, "single-batch stream schedule diverges from the batch op")
+    write("b2.json", b2)
+    q.processAllAvailable(); q.stop()
+    val later = emitted() -- want1
+    // batch 2: a.com already granted 3 of 3 lifetime slots → p4 drops
+    // despite its priority; b.com continues from slot 1
+    assert(later == Set(("b.com", "http://b.com/y", 1L, 250L)),
+      s"cross-batch continuation wrong: $later")
+  }
 }
