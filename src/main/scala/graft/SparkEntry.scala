@@ -3722,7 +3722,62 @@ object SparkEntry {
     // mass riding along. The oracle replays the quantization, the Gram,
     // all 4 rescaled iterations and the projection in SQL. ------------------
     "q368_principal_projection" -> ((s, dir) =>
-      Similarity.principalProjection(t(s, dir, "embeddings")))
+      Similarity.principalProjection(t(s, dir, "embeddings"))),
+
+    // ---- anchor-text aggregation (the classic inlink signal: what
+    // other pages CALL a target): anchors extracted WITH inner text —
+    // inner markup stripped, entities decoded, whitespace squished —
+    // resolved, canonicalized, and counted per (target domain, text).
+    // mailto anchors canonicalize to NULL and drop. The oracle derives
+    // every (domain, text) pair independently from the id formula. ---------
+    "q369_anchor_text" -> ((s, dir) => {
+      val id = col("doc_id")
+      val base = concat(lit("https://site"), (id % 4).cast("string"),
+        lit(".github.io/dir/index.html"))
+      val html = concat(
+        lit("<a href=\"https://ext"), (id % 7).cast("string"),
+        lit(".example.org/a\">Read   <b>more</b></a>\n"),
+        lit("<a href='//cdn"), (id % 5).cast("string"),
+        lit(".example.co.uk/lib.js'>R&amp;D "), (id % 3).cast("string"), lit("</a>\n"),
+        lit("<a href=/local/"), id.cast("string"), lit(">Home</a>\n"),
+        lit("<a href=mailto:x@example.net>Mail me</a>"))
+      val anchors = t(s, dir, "documents")
+        .select(base.as("page_url"), explode(Html.extractAnchors(html)).as("a"))
+        .select(col("page_url"), col("a.text").as("anchor_text"),
+          Urls.resolve(col("page_url"), col("a.href")).as("url"))
+      Urls.canonicalize(anchors)
+        .where(col("registered_domain").isNotNull)
+        .groupBy(col("registered_domain").as("target_domain"), col("anchor_text"))
+        .agg(count(lit(1)).as("n_links"))
+    }),
+
+    // ---- recrawl priority from fetch history (Cho & Garcia-Molina
+    // freshness): 100 synthetic URL histories carved from events by id
+    // residue (event_id is the fetch clock — unique, so the change-lag
+    // order is total), content hash varying per-URL by formula; change
+    // rate × staleness age, exact integers. asOf = corpus max + 1000 via
+    // a 1-row agg, so the fixture scales with the table. -------------------
+    "q370_recrawl_priority" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"))
+      val asOf = ev.agg(max(col("event_id"))).head().getLong(0) + 1000L
+      val hist = ev.select(
+        concat(lit("u"), (col("event_id") % 100).cast("string")).as("url"),
+        col("event_id").as("ts_ms"),
+        (expr("event_id div 100") * (lit(1) + col("event_id") % 100) % 5)
+          .cast("string").as("content_hash"))
+      Crawl.recrawlPriority(hist, asOfMs = asOf)
+    }),
+
+    // ---- largest-remainder fetch-budget apportionment: a 10000-slot
+    // global budget split across 97 supplier-derived domains
+    // proportional to their quantity mass — floor shares, then the
+    // leftover to the largest remainders, Σalloc = budget exactly. ---------
+    "q371_budget_allocation" -> ((s, dir) =>
+      Crawl.allocateBudget(
+        t(s, dir, "lineitem").select(
+          concat(lit("d"), (col("l_suppkey") % 97).cast("string")).as("domain"),
+          col("l_quantity").cast("long").as("weight")),
+        budget = 10000L))
   )
 
   /** q358/q359's synthetic HTML page — every feature a pure function of
@@ -10227,7 +10282,65 @@ object SparkEntry {
          | (SELECT eigenvalue_est FROM eig) AS eigenvalue_est
          |FROM gqv q CROSS JOIN range(0, 64) d(r) JOIN v4 ON v4.i = d.r
          |GROUP BY 1""".stripMargin
-    }
+    },
+    // q369: independent derivation, the q362 idiom — every (target
+    // domain, anchor text) pair computed straight from the id formula
+    // (abs → example.org with the markup-stripped squished text;
+    // protocol-relative → example.co.uk with the entity-decoded text;
+    // root-relative → the page's own domain; mailto drops).
+    "q369_anchor_text" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |l AS (
+        | SELECT 'example.org' AS td, 'Read more' AS anchor_text FROM d
+        | UNION ALL SELECT 'example.co.uk', 'R&D ' || CAST(doc_id % 3 AS VARCHAR) FROM d
+        | UNION ALL SELECT 'site' || CAST(doc_id % 4 AS VARCHAR) || '.github.io', 'Home' FROM d)
+        |SELECT td AS target_domain, anchor_text, CAST(count(*) AS BIGINT) AS n_links
+        |FROM l GROUP BY 1, 2""".stripMargin,
+    // q370: full window replay — the same lag-based change flags over the
+    // event_id fetch clock, then the per-URL fold and the exact-integer
+    // rate/age/priority arithmetic.
+    "q370_recrawl_priority" ->
+      """WITH h AS (SELECT 'u' || CAST(event_id % 100 AS VARCHAR) AS url,
+        |  event_id AS ts,
+        |  CAST((event_id // 100) * (1 + event_id % 100) % 5 AS VARCHAR) AS ch
+        | FROM events),
+        |c AS (SELECT url, ts,
+        |  CASE WHEN lag(ch) OVER (PARTITION BY url ORDER BY ts) IS NULL THEN 0
+        |       WHEN ch <> lag(ch) OVER (PARTITION BY url ORDER BY ts) THEN 1
+        |       ELSE 0 END AS chg
+        | FROM h),
+        |a AS (SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,
+        |  CAST(sum(chg) AS BIGINT) AS n_changes, max(ts) AS last_ts
+        | FROM c GROUP BY 1),
+        |m AS (SELECT max(event_id) + 1000 AS as_of FROM events)
+        |SELECT url, n_fetches, n_changes,
+        | CAST(CASE WHEN n_fetches > 1
+        |   THEN (1000000 * n_changes) // (n_fetches - 1) ELSE 0 END AS BIGINT)
+        |   AS change_rate_ppm,
+        | CAST(m.as_of - last_ts AS BIGINT) AS age_ms,
+        | CAST((CASE WHEN n_fetches > 1
+        |   THEN (1000000 * n_changes) // (n_fetches - 1) ELSE 0 END
+        |   * (m.as_of - last_ts)) // 1000 AS BIGINT) AS priority
+        |FROM a, m""".stripMargin,
+    // q371: the Hamilton apportionment replay — floor shares by exact
+    // division, leftover slots to the largest remainders with the
+    // domain-name tie-break, summing to the budget by construction.
+    "q371_budget_allocation" ->
+      """WITH w AS (SELECT 'd' || CAST(l_suppkey % 97 AS VARCHAR) AS domain,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        | FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(w) AS tw FROM w),
+        |b AS (SELECT domain, w,
+        |  CAST((10000 * CAST(w AS HUGEINT)) // tw AS BIGINT) AS fl,
+        |  CAST((10000 * CAST(w AS HUGEINT)) % tw AS BIGINT) AS rem
+        | FROM w, t),
+        |r AS (SELECT domain, w, fl, rem,
+        |  sum(fl) OVER () AS spent,
+        |  row_number() OVER (ORDER BY rem DESC, domain ASC) AS rk
+        | FROM b)
+        |SELECT domain, w AS weight,
+        | CAST(fl + CASE WHEN rk <= 10000 - spent THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r""".stripMargin
   )
 
   /** q351's int8 quantization + upper-triangle Gram replay as a

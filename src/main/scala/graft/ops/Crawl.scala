@@ -56,4 +56,93 @@ object Crawl {
       .select(col("host"), col("url"), col("priority"),
         ((col("__slot") - 1) * delayMs).as("fetch_offset_ms"))
   }
+
+  /** Recrawl priority from fetch history (Cho & Garcia-Molina 2003,
+    * freshness-driven re-crawling, at estimate grain): per URL, the
+    * observed change rate — fetches whose content hash differs from the
+    * PREVIOUS fetch, over the fetch intervals — times the staleness age,
+    * both in exact integer units. A page that changes often and hasn't
+    * been fetched lately outranks both the static page and the
+    * just-fetched one.
+    *
+    * Output per URL: `n_fetches`, `n_changes` (first fetch is not a
+    * change), `change_rate_ppm` = `10⁶·n_changes div (n_fetches − 1)`
+    * (0 for a single fetch), `age_ms` since the URL's last fetch
+    * relative to `asOfMs` (pass the corpus max — determinism forbids
+    * wall clocks), and `priority = change_rate_ppm · age_ms div 1000`.
+    *
+    * Scale shape: ONE exchange keyed by URL — the change-detection lag
+    * window and the per-URL aggregation share the same hash
+    * partitioning, so the agg rides the window's shuffle; history rows
+    * carry (url, ts, hash), never bodies.
+    */
+  def recrawlPriority(
+      history: DataFrame,
+      urlCol: String = "url",
+      tsMsCol: String = "ts_ms",
+      hashCol: String = "content_hash",
+      asOfMs: Long): DataFrame = {
+    val w = Window.partitionBy(col(urlCol)).orderBy(col(tsMsCol).asc)
+    val changed = when(lag(col(hashCol), 1).over(w).isNull, lit(0L))
+      .when(col(hashCol) =!= lag(col(hashCol), 1).over(w), lit(1L))
+      .otherwise(lit(0L))
+    history
+      .select(col(urlCol).as("url"), col(tsMsCol).as("__ts"), changed.as("__chg"))
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n_fetches"),
+        sum(col("__chg")).as("n_changes"),
+        max(col("__ts")).as("__last"))
+      .select(col("url"), col("n_fetches"), col("n_changes"),
+        when(col("n_fetches") > 1,
+          expr("(1000000L * n_changes) div (n_fetches - 1L)")).otherwise(lit(0L))
+          .as("change_rate_ppm"),
+        (lit(asOfMs) - col("__last")).as("age_ms"))
+      .withColumn("priority", expr("(change_rate_ppm * age_ms) div 1000L"))
+  }
+
+  /** Largest-remainder (Hamilton) apportionment of a global fetch
+    * budget across domains, proportional to an integer weight (priority
+    * mass, inlink count, …): every domain gets its floor share
+    * `budget·w div W`, and the `budget − Σfloors` leftover slots go to
+    * the largest remainders (`budget·w mod W`), ties broken by domain
+    * name — exact, deterministic, and Σ`alloc` = `budget` ALWAYS (the
+    * property naive rounding loses). Zero/negative-weight domains
+    * allocate 0 and don't distort the remainder race.
+    *
+    * Scale shape: one map-side-combined weight agg, a broadcast 1-row
+    * total, and one domain-keyed window for the remainder rank —
+    * domain-cardinality data, never fetch-cardinality.
+    */
+  def allocateBudget(
+      domains: DataFrame,
+      domainCol: String = "domain",
+      weightCol: String = "weight",
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val w = domains.groupBy(col(domainCol).as("domain"))
+      .agg(sum(when(col(weightCol) > 0, col(weightCol)).otherwise(lit(0L))).as("w"))
+    val tot = w.agg(sum(col("w")).as("tw"))
+    // decimal(38,0) product: budget·w must not wrap a long when both are
+    // large (10¹² budget × 10⁹ weight mass is a legitimate corpus)
+    val based = w.crossJoin(broadcast(tot))
+      .select(col("domain"), col("w"), col("tw"),
+        when(col("tw") > 0,
+          expr(s"cast((cast($budget as decimal(38,0)) * w) div tw as bigint)"))
+          .otherwise(lit(0L)).as("__floor"),
+        when(col("tw") > 0,
+          expr(s"cast((cast($budget as decimal(38,0)) * w) % tw as bigint)"))
+          .otherwise(lit(0L)).as("__rem"))
+    val leftover = based
+      .withColumn("__spent", sum(col("__floor")).over(Window.partitionBy()))
+      .withColumn("__rank", row_number().over(
+        Window.orderBy(col("__rem").desc, col("domain").asc)))
+    // tw = 0 (no positive weight anywhere) allocates NOTHING — without
+    // the guard the remainder top-up would hand the whole budget to the
+    // first `budget` domains alphabetically
+    leftover.select(col("domain"), col("w").as("weight"),
+      (col("__floor") +
+        when(col("tw") > 0 && col("__rank") <= lit(budget) - col("__spent"),
+          lit(1L)).otherwise(lit(0L)))
+        .as("alloc"))
+  }
 }

@@ -82,6 +82,28 @@ object Html {
         lit("(?is)<a[^>]*\\shref=(\"[^\"]*\"|'[^']*'|[^\\s>]+)"), lit(1)),
       v => regexp_replace(v, "^[\"']|[\"']$", ""))
 
+  /** Anchors WITH their inner text, as an array of `(href, text)`
+    * structs in document order — the raw material of anchor-text
+    * aggregation (the classic inlink signal: what OTHER pages call a
+    * target page). `href` extracts exactly like [[extractLinks]]; the
+    * inner text is the element body cleaned the [[cleanText]] way
+    * (inner markup → spaces, entities decoded, whitespace squished),
+    * so `<a href=/x>Read   <b>more</b></a>` yields
+    * `(/x, "Read more")`. Only well-formed elements (an `href` and a
+    * closing `</a>`) participate — a dangling open tag contributes no
+    * pair. Map-side, no shuffle.
+    */
+  def extractAnchors(html: Column): Column =
+    transform(
+      regexp_extract_all(stripSpans(html),
+        lit("(?is)(<a[^>]*\\shref=(?:\"[^\"]*\"|'[^']*'|[^\\s>]+)[^>]*>.*?</a>)"), lit(1)),
+      a => struct(
+        regexp_replace(
+          regexp_extract(a, "(?is)<a[^>]*\\shref=(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1),
+          "^[\"']|[\"']$", "").as("href"),
+        squish(decodeEntities(stripTags(
+          regexp_extract(a, "(?is)<a[^>]*>(.*?)</a>", 1)))).as("text")))
+
   /** Total character count of anchor INNER text on a line — the
     * numerator of link density. Inner markup is stripped before
     * measuring; the empty-match aggregate is 0.

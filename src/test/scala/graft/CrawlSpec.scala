@@ -42,4 +42,59 @@ class CrawlSpec extends SparkSpec {
     intercept[IllegalArgumentException](Crawl.politenessSchedule(frontier, delayMs = 0L))
     intercept[IllegalArgumentException](Crawl.politenessSchedule(frontier, maxPerHost = 0))
   }
+
+  test("recrawlPriority: change flags, rates, ages and the priority product") {
+    // u1: hashes a,a,b,a over ts 10..40 → 2 changes / 3 intervals; last 40
+    // u2: single fetch → rate 0, priority 0
+    // u3: a,a → 0 changes / 1 interval
+    val hist = Seq(
+      ("u1", 10L, "a"), ("u1", 20L, "a"), ("u1", 30L, "b"), ("u1", 40L, "a"),
+      ("u2", 15L, "x"),
+      ("u3", 5L, "a"), ("u3", 25L, "a"))
+      .toDF("url", "ts_ms", "content_hash")
+    val got = Crawl.recrawlPriority(hist, asOfMs = 100L)
+      .orderBy("url").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("u1", 4L, 2L, 666666L, 60L, 39999L), // (2/3)e6 = 666666; *60/1000 = 39999
+      ("u2", 1L, 0L, 0L, 85L, 0L),
+      ("u3", 2L, 0L, 0L, 75L, 0L)))
+  }
+
+  test("allocateBudget: floors + largest remainders, sum is exactly the budget") {
+    // weights 5,3,2 over budget 7: floors 3,2,1 (Σ6), remainders 5,1,4 →
+    // the 1 leftover slot goes to a (largest remainder)
+    val got = Crawl.allocateBudget(
+      Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("domain", "weight"), budget = 7L)
+      .orderBy("domain").collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 4L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("allocateBudget: remainder ties break by domain; zero weights allocate zero") {
+    val got = Crawl.allocateBudget(
+      Seq(("b", 1L), ("a", 1L), ("z", 0L), ("n", -5L)).toDF("domain", "weight"), budget = 3L)
+      .orderBy("domain").collect().map(r => (r.getString(0), r.getLong(2)))
+    // w = {a:1, b:1}: floors 1,1; 1 leftover → tie on remainder → 'a' wins
+    assert(got.toSeq == Seq(("a", 2L), ("b", 1L), ("n", 0L), ("z", 0L)))
+    assert(got.map(_._2).sum == 3L)
+  }
+
+  test("allocateBudget conservation on adversarial weights (property)") {
+    val rnd = new scala.util.Random(7)
+    val doms = (1 to 50).map(i => (s"d$i", rnd.nextInt(1000).toLong))
+    for (budget <- Seq(0L, 1L, 97L, 100000L)) {
+      val alloc = Crawl.allocateBudget(doms.toDF("domain", "weight"), budget = budget)
+        .collect().map(_.getLong(2))
+      assert(alloc.sum == (if (doms.exists(_._2 > 0)) budget else 0L),
+        s"budget $budget not conserved")
+      assert(alloc.forall(_ >= 0))
+    }
+  }
+
+  test("allocateBudget: zero total weight allocates nothing at all") {
+    val got = Crawl.allocateBudget(
+      Seq(("a", 0L), ("b", 0L)).toDF("domain", "weight"), budget = 5L)
+      .collect().map(_.getLong(2))
+    assert(got.forall(_ == 0L))
+  }
 }

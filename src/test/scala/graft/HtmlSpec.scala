@@ -68,6 +68,27 @@ class HtmlSpec extends SparkSpec {
     assert(got == Seq("https://a.org/1", "/two", "three.html"))
   }
 
+  test("extractAnchors: (href, text) pairs — inner markup, entities, squish, dangling tags") {
+    val html = """<a href="https://a.org/1">Read   <b>more</b></a>
+      |<a class=x href='/two'>R&amp;D news</a>
+      |<a href=three.html></a>
+      |<a href=/dangling>never closed
+      |<a name=anchor>no href</a>""".stripMargin
+    val got = Seq(html).toDF("html")
+      .select(Html.extractAnchors(col("html")))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getString(1)))
+    // the dangling <a href=/dangling> has no </a> before the next anchor
+    // opens — its capture runs to THAT anchor's close; contract: only
+    // well-formed elements yield faithful pairs, malformed nesting folds
+    // into one (the /dangling element swallows the hrefless anchor)
+    assert(got.take(3) == Seq(
+      ("https://a.org/1", "Read more"),
+      ("/two", "R&D news"),
+      ("three.html", "")))
+    assert(got.length == 4 && got(3)._1 == "/dangling")
+  }
+
   test("mainContent: multi-line script bodies are stripped before the line split") {
     val html = Seq(
       "<p>Real opening prose stays.</p>",
