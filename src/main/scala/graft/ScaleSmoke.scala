@@ -121,7 +121,17 @@ object ScaleSmoke {
     // join: the mapPartitions-heavy shape) and the main-content line
     // filter (regex lambdas over split arrays, the CPU-bound map shape).
     "q352_weighted_pagerank", "q353_simhash_neardup", "q354_url_canonical",
-    "q357_audio_ehash_neardup", "q359_main_content")
+    "q357_audio_ehash_neardup", "q359_main_content",
+    // Late round-13: the politeness window (10× rows into the same 20
+    // hosts — exactly the mega-host skew the Partial WindowGroupLimit
+    // bounds; output stays cap-sized), the bottom-k quantile sketch
+    // (TakeOrderedAndProject heap over 10× lineitem — the scan-bound
+    // sketch point), the Gram power iteration (q351's map-only census +
+    // a matrix-sized driver solve + one more map pass for the
+    // projection) and the recrawl-priority window+fold (10× events over
+    // ~10× URL groups, the one-exchange shared-partitioning shape).
+    "q366_crawl_schedule", "q367_kmv_quantiles", "q368_principal_projection",
+    "q370_recrawl_priority")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))

@@ -3777,7 +3777,64 @@ object SparkEntry {
         t(s, dir, "lineitem").select(
           concat(lit("d"), (col("l_suppkey") % 97).cast("string")).as("domain"),
           col("l_quantity").cast("long").as("weight")),
-        budget = 10000L))
+        budget = 10000L)),
+
+    // ---- sitemap parsing (the publisher-declared half of discovery):
+    // per doc, a synthetic urlset with a lastmod'd page, a bare page, a
+    // loc-less entry (must drop) and — every 4th doc — a nested sitemap
+    // index entry. The oracle derives every entry from the id formula. ------
+    "q372_sitemap" -> ((s, dir) => {
+      val id = col("doc_id")
+      val host = concat(lit("s"), (id % 6).cast("string"), lit(".example.com"))
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset>"),
+        lit("<url><loc> https://"), host, lit("/p/"), id.cast("string"),
+        lit(" </loc><lastmod>2024-0"), (id % 9 + 1).cast("string"),
+        lit("-01</lastmod></url>"),
+        lit("<url><loc>https://"), host, lit("/q/"), id.cast("string"),
+        lit("</loc></url>"),
+        lit("<url><lastmod>2024-01-01</lastmod></url>"),
+        when(id % 4 === 0, concat(lit("<sitemap><loc>https://"), host,
+          lit("/sitemap2.xml</loc></sitemap>"))).otherwise(lit("")),
+        lit("</urlset>"))
+      t(s, dir, "documents")
+        .select(id, posexplode(Crawl.sitemapEntries(xml)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col.loc").as("loc"), col("col.lastmod").as("lastmod"),
+          col("col.is_index").as("is_index"))
+    }),
+
+    // ---- the frontier COMPOSITE, discovery to schedule in one plan:
+    // anchors extracted → RFC 3986 resolved → robots admission (drops
+    // the /private link) → canonicalized, inlink count becomes the
+    // frontier priority → per-host politeness slots under the cap. Every
+    // stage is individually oracled (q362/q363/q354/q366); the oracle
+    // derives admitted URLs and counts straight from the id formula and
+    // replays the window. ---------------------------------------------------
+    "q373_frontier_composite" -> ((s, dir) => {
+      val id = col("doc_id")
+      val base = concat(lit("https://site"), (id % 4).cast("string"),
+        lit(".github.io/dir/index.html"))
+      val html = concat(
+        lit("<a href=\"https://h"), (id % 10).cast("string"), lit(".example.org/page"),
+        (id % 25).cast("string"), lit("\">x</a>"),
+        lit("<a href='https://h"), ((id + 3) % 10).cast("string"),
+        lit(".example.org/private/p"), (id % 5).cast("string"), lit("'>y</a>"),
+        lit("<a href=/local/l"), (id % 8).cast("string"), lit(">z</a>"))
+      val links = t(s, dir, "documents")
+        .select(base.as("page_url"), explode(Html.extractLinks(html)).as("ref"))
+        .select(Urls.resolve(col("page_url"), col("ref")).as("url"))
+      val admitted = graft.ops.Robots.filterAllowed(
+        links
+          .withColumn("path", regexp_extract(col("url"), "^[a-z]+://[^/]*(/.*)$", 1))
+          .withColumn("robots", lit("User-agent: *\nDisallow: /private")))
+        .where(col("allowed"))
+      val frontier = Urls.canonicalize(admitted)
+        .where(col("canonical_url").isNotNull)
+        .groupBy(col("canonical_url").as("url"))
+        .agg(count(lit(1)).as("priority"))
+      Crawl.politenessSchedule(frontier, delayMs = 200L, maxPerHost = 4)
+    })
   )
 
   /** q358/q359's synthetic HTML page — every feature a pure function of
@@ -10340,7 +10397,44 @@ object SparkEntry {
         | FROM b)
         |SELECT domain, w AS weight,
         | CAST(fl + CASE WHEN rk <= 10000 - spent THEN 1 ELSE 0 END AS BIGINT) AS alloc
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+    // q372: independent derivation — every sitemap entry (loc trimmed,
+    // lastmod nullable, the loc-less entry dropped, the index entry only
+    // on every 4th doc) computed straight from the id formula, with the
+    // post-filter array positions.
+    "q372_sitemap" ->
+      """WITH d AS (SELECT doc_id,
+        |  's' || CAST(doc_id % 6 AS VARCHAR) || '.example.com' AS h FROM documents),
+        |e AS (
+        | SELECT doc_id, 0 AS pos,
+        |  'https://' || h || '/p/' || CAST(doc_id AS VARCHAR) AS loc,
+        |  '2024-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-01' AS lastmod,
+        |  false AS is_index FROM d
+        | UNION ALL SELECT doc_id, 1,
+        |  'https://' || h || '/q/' || CAST(doc_id AS VARCHAR), NULL, false FROM d
+        | UNION ALL SELECT doc_id, 2,
+        |  'https://' || h || '/sitemap2.xml', NULL, true FROM d WHERE doc_id % 4 = 0)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos, loc, lastmod, is_index FROM e""".stripMargin,
+    // q373: independent derivation, the q362/q366 idiom — the admitted
+    // frontier (the /private link never survives robots), its inlink
+    // counts, and the per-host window all replayed from the id formula.
+    "q373_frontier_composite" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |f AS (
+        | SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) || '.example.org' AS host,
+        |  'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.example.org/page'
+        |    || CAST(doc_id % 25 AS VARCHAR) AS url FROM d
+        | UNION ALL
+        | SELECT 'site' || CAST(doc_id % 4 AS VARCHAR) || '.github.io',
+        |  'https://site' || CAST(doc_id % 4 AS VARCHAR) || '.github.io/local/l'
+        |    || CAST(doc_id % 8 AS VARCHAR) FROM d),
+        |g AS (SELECT host, url, CAST(count(*) AS BIGINT) AS priority
+        |      FROM f GROUP BY 1, 2),
+        |r AS (SELECT host, url, priority,
+        |  row_number() OVER (PARTITION BY host ORDER BY priority DESC, url ASC) AS rn
+        | FROM g)
+        |SELECT host, url, priority, CAST((rn - 1) * 200 AS BIGINT) AS fetch_offset_ms
+        |FROM r WHERE rn <= 4""".stripMargin
   )
 
   /** q351's int8 quantization + upper-triangle Gram replay as a

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -55,6 +55,37 @@ object Crawl {
       .where(col("__slot") <= maxPerHost)
       .select(col("host"), col("url"), col("priority"),
         ((col("__slot") - 1) * delayMs).as("fetch_offset_ms"))
+  }
+
+  /** Sitemap entries (sitemaps.org protocol, the XML form) as an array
+    * of `(loc, lastmod, is_index)` structs in document order — the
+    * publisher-declared half of URL discovery ([[Html.extractAnchors]]
+    * is the crawled half). `<url>` entries carry `is_index = false`,
+    * `<sitemapindex>`-style `<sitemap>` entries `true` (their locs are
+    * MORE sitemaps to fetch, not pages); an entry without a `<loc>`
+    * drops; `<lastmod>` is kept verbatim (nullable) — date parsing has
+    * its own operators. Scope (documented contract): no CDATA sections,
+    * no XML entity decode beyond [[Html]]'s named set — the protocol
+    * requires entity-escaped URLs, which pass through verbatim the same
+    * conservatism as [[Urls.canonicalize]]'s no-percent-decode rule.
+    * Map-side, no shuffle.
+    */
+  def sitemapEntries(xml: Column): Column = {
+    def entries(tag: String, isIndex: Boolean): Column =
+      filter(
+        transform(
+          regexp_extract_all(xml, lit(s"(?is)<$tag>(.*?)</$tag>"), lit(1)),
+          e => {
+            val loc = trim(regexp_extract(e, "(?is)<loc>(.*?)</loc>", 1))
+            val lastmod = regexp_extract(e, "(?is)<lastmod>(.*?)</lastmod>", 1)
+            when(loc =!= "", struct(
+              loc.as("loc"),
+              when(lastmod =!= "", trim(lastmod)).otherwise(lit(null).cast("string"))
+                .as("lastmod"),
+              lit(isIndex).as("is_index")))
+          }),
+        e => e.isNotNull)
+    concat(entries("url", isIndex = false), entries("sitemap", isIndex = true))
   }
 
   /** Recrawl priority from fetch history (Cho & Garcia-Molina 2003,

@@ -683,6 +683,49 @@ object StreamingOps {
       .flatMap(identity)
   }
 
+  /** Per-URL recrawl state: last content hash + lifetime counters. */
+  final case class UrlHashState(lastHash: String, nFetches: Long, nChanges: Long)
+
+  /** One observed fetch with its change verdict and running counters. */
+  final case class FetchObservation(url: String, ts_ms: Long, changed: Boolean,
+      n_fetches: Long, n_changes: Long)
+
+  /** Streaming change detection — the state half of
+    * [[graft.ops.Crawl.recrawlPriority]] at ingest grain: each URL keeps
+    * its LAST content hash (plus two counters) in the state store, and
+    * every arriving fetch emits whether the page changed since the
+    * previous fetch, with running fetch/change totals. Within a
+    * micro-batch the group folds in `ts_ms` order (ties by hash — inert,
+    * equal-hash swaps can't flip a verdict), so a stream that sees its
+    * whole history emits exactly the batch op's lag flags (asserted in
+    * `StreamingSpec`). Out-of-order arrival ACROSS batches is the
+    * documented streaming tradeoff: a fetch older than the stored state
+    * compares against the newest hash seen, not its true predecessor —
+    * the same last-write semantics every at-ingest detector has.
+    *
+    * State is O(1) per URL forever: one hash and two longs.
+    */
+  def changeDetectStream(
+      fetches: Dataset[(String, Long, String)]): Dataset[FetchObservation] = {
+    import fetches.sparkSession.implicits._
+    fetches
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (url: String, batch: Iterator[(String, Long, String)],
+         state: GroupState[UrlHashState]) =>
+          var st = state.getOption.getOrElse(UrlHashState(null, 0L, 0L))
+          val out = batch.toSeq.sortBy { case (_, ts, h) => (ts, h) }.map {
+            case (_, ts, h) =>
+              val changed = st.lastHash != null && st.lastHash != h
+              st = UrlHashState(h, st.nFetches + 1, st.nChanges + (if (changed) 1L else 0L))
+              FetchObservation(url, ts, changed, st.nFetches, st.nChanges)
+          }
+          state.update(st)
+          out
+      }
+      .flatMap(identity)
+  }
+
   /** Read the reference's user-exp JSON shape as a file stream. */
   def userExpStream(spark: SparkSession, dir: String): Dataset[SessionEvent] = {
     import spark.implicits._

@@ -97,4 +97,22 @@ class CrawlSpec extends SparkSpec {
       .collect().map(_.getLong(2))
     assert(got.forall(_ == 0L))
   }
+
+  test("sitemapEntries: urls, index entries, loc-less drops, lastmod nullable, loc trims") {
+    import org.apache.spark.sql.functions.col
+    val xml = """<?xml version="1.0"?><urlset>
+      |<url><loc> https://a.com/1 </loc><lastmod>2024-01-02</lastmod></url>
+      |<url><loc>https://a.com/2</loc></url>
+      |<url><lastmod>2024-09-09</lastmod></url>
+      |<sitemap><loc>https://a.com/more.xml</loc></sitemap>
+      |</urlset>""".stripMargin
+    val got = Seq(xml).toDF("xml")
+      .select(Crawl.sitemapEntries(col("xml")))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getBoolean(2)))
+    assert(got == Seq(
+      ("https://a.com/1", Some("2024-01-02"), false),
+      ("https://a.com/2", None, false),
+      ("https://a.com/more.xml", None, true)))
+  }
 }
