@@ -3834,7 +3834,37 @@ object SparkEntry {
         .groupBy(col("canonical_url").as("url"))
         .agg(count(lit(1)).as("priority"))
       Crawl.politenessSchedule(frontier, delayMs = 200L, maxPerHost = 4)
-    })
+    }),
+
+    // ---- video container metadata: a real RIFF AVI header walk over
+    // the synthetic 4-frame corpus; every avih field derives from the
+    // anchor id, so the oracle is fully analytic. ---------------------------
+    "q374_video_meta" -> ((s, dir) =>
+      Multimodal.videoMeta(Multimodal.syntheticFrameVideos(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_frames"), col("usec_per_frame"))),
+
+    // ---- deterministic frame sampling (k = 2 of 4 → indices 0 and 2 by
+    // the evenly-spaced rule): frames extracted by the movi byte walk;
+    // each sampled frame is a real BMP whose byte length the oracle
+    // derives from the source doc's geometry formula. ------------------------
+    "q375_video_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleVideoFrames(
+        Multimodal.syntheticFrameVideos(t(s, dir, "documents")), k = 2)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"), col("n_bytes"))),
+
+    // ---- the video near-dup leg: sampled frames fingerprint through the
+    // REAL BMP dHash. Frame f of video v IS the q349 image of doc v+2f,
+    // so the oracle replays the full 9×8 analytic dHash chain and joins
+    // it to the frame table — a cross-modal identity any mistake in the
+    // sampler, the chunk walk, or the decoder breaks. ------------------------
+    "q376_video_frame_dhash" -> ((s, dir) =>
+      Multimodal.videoFrameDhash(
+        Multimodal.syntheticFrameVideos(t(s, dir, "documents")), k = 4)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"), col("dhash")))
   )
 
   /** q358/q359's synthetic HTML page — every feature a pure function of
@@ -10320,15 +10350,15 @@ object SparkEntry {
     "q368_principal_projection" -> {
       val iters = (1 to 4).map { i =>
         s""",
-           |w$i AS (SELECT f.i, sum(CAST(f.g AS HUGEINT) * v${i - 1}.v) AS w
+           |w$i AS MATERIALIZED (SELECT f.i, sum(CAST(f.g AS HUGEINT) * v${i - 1}.v) AS w
            |        FROM gfull f JOIN v${i - 1} ON v${i - 1}.i = f.j GROUP BY 1),
-           |m$i AS (SELECT max(abs(w)) AS m FROM w$i),
-           |v$i AS (SELECT i, CASE WHEN (SELECT m FROM m$i) = 0 THEN w
+           |m$i AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$i),
+           |v$i AS MATERIALIZED (SELECT i, CASE WHEN (SELECT m FROM m$i) = 0 THEN w
            |         WHEN w < 0 THEN -(((-w) * 1048576) // (SELECT m FROM m$i))
            |         ELSE (w * 1048576) // (SELECT m FROM m$i) END AS v FROM w$i)""".stripMargin
       }.mkString
       s"""WITH $QuantGramCtes,
-         |gfull AS (SELECT i, j, g FROM gcells
+         |gfull AS MATERIALIZED (SELECT i, j, g FROM gcells
          |          UNION ALL SELECT j AS i, i AS j, g FROM gcells WHERE i < j),
          |v0 AS (SELECT r.r AS i, CAST(1 AS HUGEINT) AS v FROM range(0, 64) r(r))$iters,
          |eig AS (SELECT CAST(
@@ -10434,7 +10464,40 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY host ORDER BY priority DESC, url ASC) AS rn
         | FROM g)
         |SELECT host, url, priority, CAST((rn - 1) * 200 AS BIGINT) AS fetch_offset_ms
-        |FROM r WHERE rn <= 4""".stripMargin
+        |FROM r WHERE rn <= 4""".stripMargin,
+    // q374: every avih field is a pure function of the anchor id; the
+    // clamp keeps only anchors whose 4 frame sources exist.
+    "q374_video_meta" ->
+      """SELECT doc_id AS media_id,
+        | CAST(8 + doc_id % 24 AS BIGINT) AS width,
+        | CAST(8 + doc_id % 16 AS BIGINT) AS height,
+        | CAST(4 AS BIGINT) AS n_frames,
+        | CAST(33000 + (doc_id % 5) * 1000 AS BIGINT) AS usec_per_frame
+        |FROM documents
+        |WHERE doc_id % 10 = 0 AND doc_id + 6 <= (SELECT max(doc_id) FROM documents)""".stripMargin,
+    // q375: the evenly-spaced index rule ((i·n)//take) and the BMP size
+    // formula of each sampled frame's SOURCE doc geometry.
+    "q375_video_frame_sample" ->
+      """WITH v AS (SELECT doc_id AS vid FROM documents
+        |  WHERE doc_id % 10 = 0 AND doc_id + 6 <= (SELECT max(doc_id) FROM documents)),
+        |fr AS (SELECT vid, (f.f * 4) // 2 AS frame_idx FROM v CROSS JOIN range(2) f(f)),
+        |geom AS (SELECT vid, frame_idx,
+        |  8 + (vid + 2 * frame_idx) % 24 AS w, 8 + (vid + 2 * frame_idx) % 16 AS h
+        | FROM fr)
+        |SELECT vid AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        | CAST(54 + ((24 * w + 31) // 32) * 4 * h AS BIGINT) AS n_bytes
+        |FROM geom""".stripMargin,
+    // q376: the q349 analytic dHash chain joined to the frame table on
+    // the frame-source identity (frame f of video v = image of doc
+    // v + 2f) — sampler, movi walk, and BMP decode all on the hook.
+    "q376_video_frame_dhash" ->
+      s"""WITH $DhashCte,
+         |v AS (SELECT doc_id AS vid FROM documents
+         |  WHERE doc_id % 10 = 0 AND doc_id + 6 <= (SELECT max(doc_id) FROM documents)),
+         |fr AS (SELECT vid, f.f AS frame_idx, vid + 2 * f.f AS src
+         |       FROM v CROSS JOIN range(4) f(f))
+         |SELECT fr.vid AS media_id, CAST(fr.frame_idx AS BIGINT) AS frame_idx, dh.dhash
+         |FROM fr JOIN dh ON dh.media_id = fr.src""".stripMargin
   )
 
   /** q351's int8 quantization + upper-triangle Gram replay as a
@@ -10447,13 +10510,13 @@ object SparkEntry {
       | SELECT vec_id, embedding,
       |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
       | FROM embeddings),
-      |gqv AS (
+      |gqv AS MATERIALIZED (
       | SELECT vec_id,
       |  CASE WHEN max_abs > 0
       |   THEN list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs) AS BIGINT))
       |   ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS v
       | FROM gm),
-      |gcells AS (
+      |gcells AS MATERIALIZED (
       | SELECT i.i AS i, j.j AS j,
       |  CAST(sum(v[CAST(i.i AS INT) + 1] * v[CAST(j.j AS INT) + 1]) AS BIGINT) AS g,
       |  CAST(count(*) AS BIGINT) AS n_vectors

@@ -4,8 +4,9 @@ import java.nio.{ByteBuffer, ByteOrder}
 
 /** Real pure-JVM binary codecs for the multimodal pipeline: byte-exact
   * writers and parsers for the two classic uncompressed container formats
-  * — BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, 24bpp) and WAV (RIFF /
-  * `fmt ` / `data`, 16-bit PCM). These are actual on-disk formats, not
+  * — BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, 24bpp), WAV (RIFF /
+  * `fmt ` / `data`, 16-bit PCM) and the RIFF AVI container (`hdrl`/`avih`
+  * metadata + `movi` frame chunks). These are actual on-disk formats, not
   * fakes: a file produced by [[bmp]] opens in any image viewer and one
   * from [[wav]] plays in any audio player. Compressed codecs (JPEG, MP3,
   * H.264) still need native libraries absent from this environment —
@@ -118,6 +119,133 @@ object BinaryCodecs {
     if (sampleRate > 0 && bytesPerFrame > 0 && dataBytes >= 0)
       Some((sampleRate, dataBytes / bytesPerFrame))
     else None
+  }
+
+  // ---------------------------------------------------------------- AVI --
+
+  /** Minimal spec-conformant RIFF AVI container:
+    * `RIFF('AVI ' LIST('hdrl' avih) LIST('movi' '00dc'×frames))` — the
+    * header layout every AVI parser reads first (the full spec also
+    * carries per-stream headers and an index; players tolerate their
+    * absence, and the metadata surface this pipeline needs lives
+    * entirely in `avih`). Frame payloads are stored verbatim as `00dc`
+    * chunks — [[graft.ops.Multimodal]] writes real BMPs there, so a
+    * sampled frame round-trips through the real image decoders.
+    */
+  def avi(
+      width: Int,
+      height: Int,
+      microSecPerFrame: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && microSecPerFrame > 0,
+      s"avi: width/height/microSecPerFrame must be positive: $width x $height @ $microSecPerFrame")
+    val framesSize = frames.map(f => 8L + f.length + (f.length & 1)).sum
+    val hdrlSize = 4L + 8L + 56L
+    val moviSize = 4L + framesSize
+    val riffSize = 4L + (8L + hdrlSize) + (8L + moviSize)
+    require(8L + riffSize <= Int.MaxValue, s"avi: payload too large: ${8L + riffSize}")
+    val buf = ByteBuffer.allocate((8L + riffSize).toInt).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    tag("RIFF"); buf.putInt(riffSize.toInt); tag("AVI ")
+    tag("LIST"); buf.putInt(hdrlSize.toInt); tag("hdrl")
+    tag("avih"); buf.putInt(56)
+    buf.putInt(microSecPerFrame)
+    buf.putInt(0) // dwMaxBytesPerSec
+    buf.putInt(0) // dwPaddingGranularity
+    buf.putInt(0) // dwFlags
+    buf.putInt(frames.length) // dwTotalFrames
+    buf.putInt(0) // dwInitialFrames
+    buf.putInt(1) // dwStreams
+    buf.putInt(0) // dwSuggestedBufferSize
+    buf.putInt(width)
+    buf.putInt(height)
+    (1 to 4).foreach(_ => buf.putInt(0)) // dwReserved
+    tag("LIST"); buf.putInt(moviSize.toInt); tag("movi")
+    frames.foreach { f =>
+      tag("00dc"); buf.putInt(f.length); buf.put(f)
+      if ((f.length & 1) == 1) buf.put(0.toByte)
+    }
+    buf.array()
+  }
+
+  /** `(width, height, totalFrames, microSecPerFrame)` if the payload is
+    * parseable AVI, else None. Walks the top-level chunk list to the
+    * `hdrl` LIST and its `avih` header; every offset/size comparison is
+    * in Long (the bmp rowSize lesson: a crafted 32-bit size must fail
+    * the bounds check, not wrap it).
+    */
+  def aviMeta(payload: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (payload.length < 12) return None
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(payload, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var off = 12L
+    while (off + 8 <= payload.length) {
+      val id = tag(off.toInt)
+      val size = buf.getInt(off.toInt + 4).toLong & 0xFFFFFFFFL
+      if (off + 8 + size > payload.length) return None
+      if (id == "LIST" && size >= 4 && tag(off.toInt + 8) == "hdrl") {
+        // walk the hdrl sub-chunks for avih
+        var sub = off + 12
+        val end = off + 8 + size
+        while (sub + 8 <= end) {
+          val sid = tag(sub.toInt)
+          val ssize = buf.getInt(sub.toInt + 4).toLong & 0xFFFFFFFFL
+          if (sub + 8 + ssize > end) return None
+          if (sid == "avih" && ssize >= 56) {
+            val b = sub.toInt + 8
+            val mspf = buf.getInt(b)
+            val totalFrames = buf.getInt(b + 16)
+            val w = buf.getInt(b + 32)
+            val h = buf.getInt(b + 36)
+            return if (w > 0 && h > 0 && mspf > 0 && totalFrames >= 0)
+              Some((w, h, totalFrames, mspf)) else None
+          }
+          sub += 8 + ssize + (ssize & 1)
+        }
+        return None
+      }
+      off += 8 + size + (size & 1)
+    }
+    None
+  }
+
+  /** The `idx`-th (0-based) `00dc` frame payload from the `movi` LIST,
+    * if the payload is parseable AVI and the frame exists.
+    */
+  def aviFrame(payload: Array[Byte], idx: Int): Option[Array[Byte]] = {
+    if (idx < 0 || payload.length < 12) return None
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int) = new String(payload, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var off = 12L
+    while (off + 8 <= payload.length) {
+      val id = tag(off.toInt)
+      val size = buf.getInt(off.toInt + 4).toLong & 0xFFFFFFFFL
+      if (off + 8 + size > payload.length) return None
+      if (id == "LIST" && size >= 4 && tag(off.toInt + 8) == "movi") {
+        var sub = off + 12
+        val end = off + 8 + size
+        var seen = 0
+        while (sub + 8 <= end) {
+          val sid = tag(sub.toInt)
+          val ssize = buf.getInt(sub.toInt + 4).toLong & 0xFFFFFFFFL
+          if (sub + 8 + ssize > end) return None
+          if (sid == "00dc") {
+            if (seen == idx) {
+              val out = new Array[Byte](ssize.toInt)
+              System.arraycopy(payload, sub.toInt + 8, out, 0, ssize.toInt)
+              return Some(out)
+            }
+            seen += 1
+          }
+          sub += 8 + ssize + (ssize & 1)
+        }
+        return None
+      }
+      off += 8 + size + (size & 1)
+    }
+    None
   }
 
   // --------------------------------------------------------------- GZIP --

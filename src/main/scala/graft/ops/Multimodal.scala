@@ -268,6 +268,132 @@ object Multimodal {
     }
   }
 
+  final case class VideoMeta(media_id: Long, width: Long, height: Long,
+      n_frames: Long, usec_per_frame: Long)
+
+  /** Container metadata from the binary VIDEO column: a REAL RIFF AVI
+    * header walk ([[graft.functions.BinaryCodecs.aviMeta]] — `hdrl`/
+    * `avih`). Rows whose payload is not parseable AVI drop. Same
+    * partition-batched, shuffle-free shape as [[imageStats]].
+    */
+  def videoMeta(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          BinaryCodecs.aviMeta(m.payload).map { case (w, h, n, mspf) =>
+            VideoMeta(m.media_id, w.toLong, h.toLong, n.toLong, mspf.toLong)
+          }
+        }
+      }
+    }
+  }
+
+  final case class FrameRow(media_id: Long, frame_idx: Long, payload: Array[Byte],
+      n_bytes: Long)
+
+  /** Deterministic FRAME SAMPLING from the binary video column: up to
+    * `k` evenly-spaced frames per video — indices `⌊i·n/take⌋` for
+    * `i < take = min(k, n)`, strictly increasing, always including frame
+    * 0 — extracted from the `movi` chunk list by a real byte walk
+    * ([[graft.functions.BinaryCodecs.aviFrame]]). The classic
+    * decode-free pre-step of every video featurizer: sample at ingest,
+    * ship only the sampled frames onward. Rows that don't parse drop;
+    * a video with no frames yields no rows. Partition-batched,
+    * shuffle-free; output bytes ≤ k frames per video by construction.
+    */
+  def sampleVideoFrames(
+      media: Dataset[MediaRow],
+      k: Int,
+      batchSize: Int = 64): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    require(k >= 1, s"k must be >= 1: $k")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          BinaryCodecs.aviMeta(m.payload).toSeq.flatMap { case (_, _, n, _) =>
+            val take = math.min(k, n)
+            (0 until take).iterator.flatMap { i =>
+              val idx = (i.toLong * n / take).toInt
+              BinaryCodecs.aviFrame(m.payload, idx).map(f =>
+                FrameRow(m.media_id, idx.toLong, f, f.length.toLong))
+            }
+          }
+        }
+      }
+    }
+  }
+
+  final case class VideoFrameDhash(media_id: Long, frame_idx: Long, dhash: Long)
+
+  /** Perceptual fingerprints of SAMPLED video frames: [[sampleVideoFrames]]
+    * then the real BMP dHash per frame — the video leg of the banded
+    * near-dup family ([[imageDhash]] for images, [[audioEnergyHash]] for
+    * audio): two videos sharing visually-near sampled frames surface via
+    * [[graft.ops.Dedup.hammingPairs]] over `(media_id·k + frame_idx)`
+    * keys, exactly the frame-sampling + perceptual-hash shape production
+    * video dedup uses. Frames that aren't parseable BMP drop (the codec
+    * contract: this pipeline stores DIB frames).
+    */
+  def videoFrameDhash(
+      media: Dataset[MediaRow],
+      k: Int,
+      batchSize: Int = 64): Dataset[VideoFrameDhash] = {
+    import media.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    sampleVideoFrames(media, k, batchSize).mapPartitions { rows =>
+      rows.flatMap { fr =>
+        BinaryCodecs.bmpDhash(fr.payload).map { case (_, _, d) =>
+          VideoFrameDhash(fr.media_id, fr.frame_idx, d)
+        }
+      }
+    }
+  }
+
+  /** Synthetic 4-frame AVI corpus from the documents table — every
+    * container parameter a pure function of doc ids so oracles replay
+    * analytically: videos anchor at every 10th doc id (clamped so all 4
+    * frame sources exist), `avih` geometry/rate from the anchor id, and
+    * frame f IS the [[syntheticMedia]] BMP of doc `id + 2f` (same
+    * width/height/pixel-byte construction), so a sampled frame's dHash
+    * equals the q349 image fingerprint of its source doc — the
+    * cross-modal identity q376's oracle pins.
+    */
+  def syntheticFrameVideos(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val anchors = docs.select(col("doc_id"), col("text"))
+      .where(col("doc_id") % 10 === 0 && col("doc_id") + 6 <= maxId)
+    val sources = docs.select(col("doc_id").as("__src"), col("text").as("__stext"))
+    val joined = anchors.select(col("doc_id"))
+      .crossJoin(spark_range4(docs))
+      .withColumn("__src", col("doc_id") + col("f") * 2)
+      .join(sources, Seq("__src"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("f").as("_1"), col("__stext").as("_2")))).as("__fr"))
+      .as[(Long, Seq[(Long, String)])]
+    joined.map { case (id, frames) =>
+      val frameBytes = frames.map { case (f, text) =>
+        val src = id + f * 2
+        val w = 8 + (src % 24).toInt
+        val h = 8 + (src % 16).toInt
+        BinaryCodecs.bmp(w, h, Option(text).getOrElse("").getBytes("UTF-8"))
+      }
+      val payload = BinaryCodecs.avi(
+        8 + (id % 24).toInt, 8 + (id % 16).toInt,
+        33000 + (id % 5).toInt * 1000, frameBytes)
+      MediaRow(id, "video", payload, "video/x-msvideo", payload.length.toLong)
+    }
+  }
+
+  /** The 4-row frame-index frame (f = 0..3) for [[syntheticFrameVideos]]. */
+  private def spark_range4(docs: DataFrame): DataFrame =
+    docs.sparkSession.range(4).select(col("id").as("f"))
+
   final case class TextPayload(media_id: Long, n_bytes: Long, text_out: String)
 
   /** Distributed gunzip of the binary column into UTF-8 text — the

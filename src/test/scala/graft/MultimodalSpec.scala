@@ -373,4 +373,57 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.resizeAll(media, w = 128, h = 128).collect().sortBy(_.media_id)
     assert(out.zip(again).forall { case (a, b) => a.payload.sameElements(b.payload) })
   }
+
+  test("avi writer/parser roundtrip: meta, frame extraction, word alignment") {
+    import graft.functions.BinaryCodecs
+    val f0 = Array[Byte](1, 2, 3)        // odd length → pad byte exercised
+    val f1 = Array[Byte](4, 5, 6, 7)
+    val payload = BinaryCodecs.avi(320, 240, 40000, Seq(f0, f1))
+    assert(BinaryCodecs.aviMeta(payload).contains((320, 240, 2, 40000)))
+    assert(BinaryCodecs.aviFrame(payload, 0).exists(_.sameElements(f0)))
+    assert(BinaryCodecs.aviFrame(payload, 1).exists(_.sameElements(f1)))
+    assert(BinaryCodecs.aviFrame(payload, 2).isEmpty)
+    assert(BinaryCodecs.aviFrame(payload, -1).isEmpty)
+  }
+
+  test("avi parser quarantines garbage instead of throwing") {
+    import graft.functions.BinaryCodecs
+    val good = BinaryCodecs.avi(8, 8, 1000, Seq(Array[Byte](9)))
+    for (bad <- Seq(
+      Array.empty[Byte],
+      "RIFFxxxxWAVE".getBytes("US-ASCII"),          // wrong form type
+      good.take(20),                                 // truncated mid-header
+      { val g = good.clone(); g(16) = -1; g })) {    // corrupt LIST size
+      assert(BinaryCodecs.aviMeta(bad).isEmpty, s"meta accepted ${bad.length} bytes")
+      assert(BinaryCodecs.aviFrame(bad, 0).isEmpty)
+    }
+  }
+
+  test("sampleVideoFrames: evenly-spaced indices, k > n takes all, bytes verbatim") {
+    import graft.functions.BinaryCodecs
+    val frames = (0 until 5).map(i => Array.fill(4)(i.toByte))
+    val media = Seq(Multimodal.MediaRow(7L, "video",
+      BinaryCodecs.avi(16, 16, 33000, frames), "video/x-msvideo", 0L)).toDS()
+    // k=2 of 5 → indices 0 and (1*5)//2 = 2
+    val two = Multimodal.sampleVideoFrames(media, k = 2).collect().sortBy(_.frame_idx)
+    assert(two.map(_.frame_idx).toSeq == Seq(0L, 2L))
+    assert(two.forall(f => f.payload.forall(_ == f.frame_idx.toByte)))
+    // k=9 > n → all 5, in order
+    val all = Multimodal.sampleVideoFrames(media, k = 9).collect().sortBy(_.frame_idx)
+    assert(all.map(_.frame_idx).toSeq == (0L to 4L))
+  }
+
+  test("videoFrameDhash equals imageDhash of the identical source BMPs (cross-modal identity)") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"), (2L, "epsilon zeta"), (4L, "eta theta iota"),
+      (6L, "kappa"), (10L, "lambda mu nu xi omicron"), (12L, "pi rho"),
+      (14L, "sigma tau"), (16L, "upsilon phi chi")).toDF("doc_id", "text")
+    val videos = Multimodal.syntheticFrameVideos(docs)
+    val got = Multimodal.videoFrameDhash(videos, k = 4).collect()
+      .map(v => (v.media_id + v.frame_idx * 2) -> v.dhash).toMap
+    val want = Multimodal.imageDhash(Multimodal.syntheticMedia(docs))
+      .collect().map(i => i.media_id -> i.dhash).toMap
+    assert(got.nonEmpty && got.forall { case (src, d) => want(src) == d },
+      s"frame dhash diverges from the source image dhash: $got vs $want")
+  }
 }
