@@ -3864,7 +3864,34 @@ object SparkEntry {
       Multimodal.videoFrameDhash(
         Multimodal.syntheticFrameVideos(t(s, dir, "documents")), k = 4)
         .toDF()
-        .select(col("media_id"), col("frame_idx"), col("dhash")))
+        .select(col("media_id"), col("frame_idx"), col("dhash"))),
+
+    // ---- VIDEO near-dup pairs: the sampled-frame fingerprints through
+    // the same banded Hamming join images (q350) and text (q353) use —
+    // the third modality of the family. The oracle brute-forces all
+    // frame pairs over the analytic dHash chain, so it again PROVES the
+    // banding drops nothing. -------------------------------------------------
+    "q377_video_neardup" -> ((s, dir) =>
+      Dedup.hammingPairs(
+        Multimodal.videoFrameDhash(
+          Multimodal.syntheticFrameVideos(t(s, dir, "documents")), k = 4)
+          .toDF()
+          .select((col("media_id") * 4 + col("frame_idx")).as("id"),
+            col("dhash").as("hash")),
+        maxHamming = 7, bands = 8)),
+
+    // ---- REAL thumbnailing: every synthetic image resizes to 8×8 by the
+    // integer nearest-neighbor map, then the real pixel walk sums the
+    // thumbnail's channels. The oracle recomputes every one of the 192
+    // sampled source bytes analytically — the resample map, the BMP
+    // round-trip and the stats walk all on the hook. -------------------------
+    "q378_image_resize" -> ((s, dir) =>
+      Multimodal.imageStats(
+        Multimodal.resizeImages(
+          Multimodal.syntheticMedia(t(s, dir, "documents")), w = 8, h = 8))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
+          col("sum_b"), col("sum_g"), col("sum_r")))
   )
 
   /** q358/q359's synthetic HTML page — every feature a pure function of
@@ -10494,10 +10521,51 @@ object SparkEntry {
       s"""WITH $DhashCte,
          |v AS (SELECT doc_id AS vid FROM documents
          |  WHERE doc_id % 10 = 0 AND doc_id + 6 <= (SELECT max(doc_id) FROM documents)),
-         |fr AS (SELECT vid, f.f AS frame_idx, vid + 2 * f.f AS src
+         |fr AS (SELECT vid, f.f AS frame_idx,
+         |  CASE WHEN f.f = 3 THEN vid ELSE vid + 2 * f.f END AS src
          |       FROM v CROSS JOIN range(4) f(f))
          |SELECT fr.vid AS media_id, CAST(fr.frame_idx AS BIGINT) AS frame_idx, dh.dhash
-         |FROM fr JOIN dh ON dh.media_id = fr.src""".stripMargin
+         |FROM fr JOIN dh ON dh.media_id = fr.src""".stripMargin,
+    // q377: brute-forced pairs over the q376 frame-fingerprint table —
+    // matching it proves the 8x8 banding is lossless on video frames too.
+    "q377_video_neardup" ->
+      s"""WITH $DhashCte,
+         |v AS (SELECT doc_id AS vid FROM documents
+         |  WHERE doc_id % 10 = 0 AND doc_id + 6 <= (SELECT max(doc_id) FROM documents)),
+         |fr AS (SELECT vid, f.f AS frame_idx,
+         |  CASE WHEN f.f = 3 THEN vid ELSE vid + 2 * f.f END AS src
+         |       FROM v CROSS JOIN range(4) f(f)),
+         |fh AS (SELECT fr.vid * 4 + fr.frame_idx AS id, dh.dhash AS h
+         |       FROM fr JOIN dh ON dh.media_id = fr.src)
+         |SELECT a.id AS a_id, b.id AS b_id,
+         | CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+         |FROM fh a JOIN fh b ON a.id < b.id
+         |WHERE bit_count(xor(a.h, b.h)) <= 7""".stripMargin,
+    // q378: every one of the 8x8x3 thumbnail bytes recomputed from the
+    // source formula — nearest-neighbor source pixel (X*w//8, Y*h//8),
+    // bottom-up offset, text-byte cycle — then the channel sums.
+    "q378_image_resize" ->
+      """WITH d AS (
+        | SELECT doc_id, coalesce(text, '') AS t FROM documents WHERE doc_id % 2 = 0),
+        |par AS (SELECT doc_id, t, strlen(t) AS l, 8 + doc_id % 24 AS w,
+        |  8 + doc_id % 16 AS h FROM d),
+        |geom AS (SELECT *, ((24 * w + 31) // 32) * 4 AS row_size FROM par),
+        |px AS (
+        | SELECT doc_id,
+        |  (h - 1 - (yy.y * h) // 8) * row_size + 3 * ((xx.x * w) // 8) + cc.c AS o,
+        |  cc.c AS c, l, t
+        | FROM geom CROSS JOIN range(8) yy(y) CROSS JOIN range(8) xx(x)
+        |   CROSS JOIN range(3) cc(c)),
+        |v AS (SELECT doc_id, c,
+        |  CASE WHEN l = 0 THEN 0
+        |   ELSE ascii(substring(t, CAST(o % l AS INT) + 1, 1)) END AS v
+        | FROM px)
+        |SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS width,
+        | CAST(8 AS BIGINT) AS height, CAST(64 AS BIGINT) AS n_pixels,
+        | CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+        | CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        | CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r
+        |FROM v GROUP BY doc_id""".stripMargin
   )
 
   /** q351's int8 quantization + upper-triangle Gram replay as a

@@ -328,6 +328,54 @@ object BinaryCodecs {
     Some((w, h, sumB, sumG, sumR))
   }
 
+  /** REAL nearest-neighbor resize of a 24bpp bottom-up BMP to `tw × th`:
+    * target IMAGE pixel (X, Y) copies source image pixel
+    * (⌊X·sw/tw⌋, ⌊Y·sh/th⌋) verbatim — the classic integer-exact
+    * thumbnail map (no blending, so any engine replays every output
+    * byte from the decoded input). Returns a valid BMP; None when the
+    * payload isn't parseable bottom-up 24bpp (same validation and
+    * Long-bounds discipline as [[bmpPixelStats]]).
+    */
+  def bmpResize(payload: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    require(tw > 0 && th > 0, s"bmpResize target must be positive: $tw x $th")
+    if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M') return None
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = buf.getInt(10)
+    val dibSize = buf.getInt(14)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    val planes = buf.getShort(26)
+    val bpp = buf.getShort(28)
+    val compression = buf.getInt(30)
+    if (dibSize != 40 || planes != 1 || bpp != 24 || compression != 0 ||
+      w <= 0 || h <= 0) return None
+    val rowSizeL = ((24L * w + 31) / 32) * 4
+    if (dataOff < 54 || dataOff.toLong + rowSizeL * h > payload.length) return None
+    val rowSize = rowSizeL.toInt
+    val rowT = (((24L * tw + 31) / 32) * 4).toInt
+    // exact-size pixel array (padding included) so the bmp() writer's
+    // cyclic fill is the identity on it
+    val px = new Array[Byte](rowT * th)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * h / th).toInt
+      val srcRow = dataOff + (h - 1 - sy) * rowSize
+      val dstRow = (th - 1 - y) * rowT
+      var x = 0
+      while (x < tw) {
+        val sx = (x.toLong * w / tw).toInt
+        val s = srcRow + 3 * sx
+        val d = dstRow + 3 * x
+        px(d) = payload(s)
+        px(d + 1) = payload(s + 1)
+        px(d + 2) = payload(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Some(bmp(tw, th, px))
+  }
+
   /** 64-bit DIFFERENCE HASH (dHash) from a 24bpp bottom-up BMP payload —
     * the classic perceptual near-duplicate fingerprint: sample a 9×8
     * grayscale grid (nearest-neighbor at cell centers — integer-exact

@@ -268,6 +268,33 @@ object Multimodal {
     }
   }
 
+  /** REAL thumbnailing over the binary image column: every parseable
+    * 24bpp BMP resizes to `w × h` by the integer nearest-neighbor map
+    * ([[graft.functions.BinaryCodecs.bmpResize]]) — an actual pixel
+    * resample producing a valid BMP, unlike [[resizeAll]]'s documented
+    * byte-window stub for codecs this environment can't decode. Non-BMP
+    * rows drop (route them to [[resizeAll]] if a stub thumbnail is
+    * better than none). Partition-batched, shuffle-free; output bytes
+    * per row collapse to the fixed thumbnail size — the 100 TB point of
+    * thumbnailing at ingest.
+    */
+  def resizeImages(
+      media: Dataset[MediaRow],
+      w: Int,
+      h: Int,
+      batchSize: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          BinaryCodecs.bmpResize(m.payload, w, h).map(p =>
+            MediaRow(m.media_id, m.kind, p, "image/bmp", p.length.toLong))
+        }
+      }
+    }
+  }
+
   final case class VideoMeta(media_id: Long, width: Long, height: Long,
       n_frames: Long, usec_per_frame: Long)
 
@@ -356,10 +383,13 @@ object Multimodal {
     * container parameter a pure function of doc ids so oracles replay
     * analytically: videos anchor at every 10th doc id (clamped so all 4
     * frame sources exist), `avih` geometry/rate from the anchor id, and
-    * frame f IS the [[syntheticMedia]] BMP of doc `id + 2f` (same
-    * width/height/pixel-byte construction), so a sampled frame's dHash
-    * equals the q349 image fingerprint of its source doc — the
-    * cross-modal identity q376's oracle pins.
+    * frame f IS the [[syntheticMedia]] BMP of doc `id + 2f` for f < 3
+    * while frame 3 REUSES frame 0's source (every video ends on a
+    * repeat of its opening shot — the planted duplicate that guarantees
+    * [[videoFrameDhash]] + hammingPairs finds at least one exact pair
+    * per video at every scale), so a sampled frame's dHash equals the
+    * q349 image fingerprint of its source doc — the cross-modal
+    * identity q376's oracle pins.
     */
   def syntheticFrameVideos(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
@@ -370,7 +400,8 @@ object Multimodal {
     val sources = docs.select(col("doc_id").as("__src"), col("text").as("__stext"))
     val joined = anchors.select(col("doc_id"))
       .crossJoin(spark_range4(docs))
-      .withColumn("__src", col("doc_id") + col("f") * 2)
+      .withColumn("__src",
+        when(col("f") === 3, col("doc_id")).otherwise(col("doc_id") + col("f") * 2))
       .join(sources, Seq("__src"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(
@@ -378,7 +409,7 @@ object Multimodal {
       .as[(Long, Seq[(Long, String)])]
     joined.map { case (id, frames) =>
       val frameBytes = frames.map { case (f, text) =>
-        val src = id + f * 2
+        val src = if (f == 3) id else id + f * 2
         val w = 8 + (src % 24).toInt
         val h = 8 + (src % 16).toInt
         BinaryCodecs.bmp(w, h, Option(text).getOrElse("").getBytes("UTF-8"))

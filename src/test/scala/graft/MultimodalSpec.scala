@@ -420,10 +420,13 @@ class MultimodalSpec extends SparkSpec {
       (14L, "sigma tau"), (16L, "upsilon phi chi")).toDF("doc_id", "text")
     val videos = Multimodal.syntheticFrameVideos(docs)
     val got = Multimodal.videoFrameDhash(videos, k = 4).collect()
-      .map(v => (v.media_id + v.frame_idx * 2) -> v.dhash).toMap
+      .map(v => (v.media_id, v.frame_idx) -> v.dhash).toMap
     val want = Multimodal.imageDhash(Multimodal.syntheticMedia(docs))
       .collect().map(i => i.media_id -> i.dhash).toMap
-    assert(got.nonEmpty && got.forall { case (src, d) => want(src) == d },
+    def src(id: Long, f: Long) = if (f == 3) id else id + f * 2
+    assert(got.nonEmpty && got.forall { case ((id, f), d) => want(src(id, f)) == d },
       s"frame dhash diverges from the source image dhash: $got vs $want")
+    // the planted duplicate: frame 3 always fingerprints like frame 0
+    assert(got.collect { case ((id, 0L), d) => d == got((id, 3L)) }.forall(identity))
   }
 }
