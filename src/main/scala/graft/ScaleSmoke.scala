@@ -131,7 +131,13 @@ object ScaleSmoke {
     // projection) and the recrawl-priority window+fold (10× events over
     // ~10× URL groups, the one-exchange shared-partitioning shape).
     "q366_crawl_schedule", "q367_kmv_quantiles", "q368_principal_projection",
-    "q370_recrawl_priority")
+    "q370_recrawl_priority",
+    // The video family's heavy pair: the AVI corpus build (groupBy over
+    // 10× documents) + per-frame BMP dHash + the banded Hamming join
+    // (10× frames, ~10× within-replica candidates), and the real
+    // thumbnail resample + stats walk (the pure per-row binary-compute
+    // scaling point, q357's class).
+    "q377_video_neardup", "q378_image_resize")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))

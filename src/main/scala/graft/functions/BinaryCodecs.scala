@@ -352,7 +352,12 @@ object BinaryCodecs {
     val rowSizeL = ((24L * w + 31) / 32) * 4
     if (dataOff < 54 || dataOff.toLong + rowSizeL * h > payload.length) return None
     val rowSize = rowSizeL.toInt
-    val rowT = (((24L * tw + 31) / 32) * 4).toInt
+    // target geometry in Long: rowT·th as an Int product can wrap
+    // POSITIVE for absurd targets and corrupt silently instead of failing
+    val rowTL = ((24L * tw + 31) / 32) * 4
+    require(rowTL * th + 54 <= Int.MaxValue,
+      s"bmpResize: target $tw x $th exceeds the BMP size ceiling")
+    val rowT = rowTL.toInt
     // exact-size pixel array (padding included) so the bmp() writer's
     // cyclic fill is the identity on it
     val px = new Array[Byte](rowT * th)

@@ -128,7 +128,11 @@ object Crawl {
           expr("(1000000L * n_changes) div (n_fetches - 1L)")).otherwise(lit(0L))
           .as("change_rate_ppm"),
         (lit(asOfMs) - col("__last")).as("age_ms"))
-      .withColumn("priority", expr("(change_rate_ppm * age_ms) div 1000L"))
+      // decimal(38,0) product: rate ≤ 10⁶ times an epoch-ms age brushes
+      // the Long ceiling (10⁶ · 4·10¹² ≈ 4·10¹⁸ of 9.2·10¹⁸) — one
+      // decade of clock headroom is not a safety margin
+      .withColumn("priority",
+        expr("cast((cast(change_rate_ppm as decimal(38,0)) * age_ms) div 1000 as bigint)"))
   }
 
   /** Largest-remainder (Hamilton) apportionment of a global fetch

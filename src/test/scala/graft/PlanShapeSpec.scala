@@ -837,6 +837,23 @@ class PlanShapeSpec extends SparkSpec {
     }.nonEmpty, "no map-side (Partial) WindowGroupLimit below the politeness window")
   }
 
+  test("video ops (meta, frame sampling, frame dHash, resize) shuffle nothing") {
+    import graft.ops.Multimodal
+    val payload = graft.functions.BinaryCodecs.avi(16, 16, 33000,
+      (0 until 4).map(i => graft.functions.BinaryCodecs.bmp(8, 8, Array(i.toByte))))
+    val media = (1L to 20L).map(i =>
+      Multimodal.MediaRow(i, "video", payload, "video/x-msvideo", payload.length.toLong)).toDS()
+    for (df <- Seq(
+      Multimodal.videoMeta(media).toDF(),
+      Multimodal.sampleVideoFrames(media, k = 2).toDF(),
+      Multimodal.videoFrameDhash(media, k = 2).toDF(),
+      Multimodal.resizeImages(
+        media.map(m => m.copy(payload = graft.functions.BinaryCodecs.bmp(8, 8, Array(1.toByte)))),
+        w = 4, h = 4).toDF()))
+      assert(shuffleOutputs(df).isEmpty,
+        "binary-codec video ops must stay partition-batched and shuffle-free")
+  }
+
   test("node2vecWalks steps are equi-joins only; the classifier join adds no cartesian") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val edges = (1L to 30L).map(i => (i, i % 7 + 1)).toDF("a_id", "b_id")
