@@ -3891,7 +3891,22 @@ object SparkEntry {
           Multimodal.syntheticMedia(t(s, dir, "documents")), w = 8, h = 8))
         .toDF()
         .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
-          col("sum_b"), col("sum_g"), col("sum_r")))
+          col("sum_b"), col("sum_g"), col("sum_r"))),
+
+    // ---- per-GROUP quantile sketch (hllByGroup's symmetry for
+    // distributions): document-length quartiles per source from the
+    // k-per-group bottom-k frame; the rank cap pushes down to a
+    // map-side WindowGroupLimit, so a mega-source never floods a
+    // reducer. The oracle replays hash, per-group bottom-k, and the
+    // rank arithmetic. -------------------------------------------------------
+    "q379_group_quantiles" -> ((s, dir) =>
+      Sketch.quantileEstimateByGroup(
+        Sketch.quantileSketchByGroup(
+          t(s, dir, "documents").select(col("source"), col("doc_id"),
+            length(coalesce(col("text"), lit(""))).cast("long").as("len")),
+          "source", "doc_id", "len", k = 128),
+        Seq(250000L, 500000L, 750000L, 990000L))
+        .select(col("group").as("source"), col("q_ppm"), col("est"), col("n_sample")))
   )
 
   /** q358/q359's synthetic HTML page — every feature a pure function of
@@ -10565,7 +10580,25 @@ object SparkEntry {
         | CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
         | CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
         | CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r
-        |FROM v GROUP BY doc_id""".stripMargin
+        |FROM v GROUP BY doc_id""".stripMargin,
+    // q379: the per-group bottom-k replay — hash, rank within group by
+    // (u, v), keep k, then rank by (v, u) and the lower-empirical-
+    // quantile arithmetic per group.
+    "q379_group_quantiles" -> {
+      val u = hexPrefixOracle("md5(CAST(doc_id AS VARCHAR))", 8)
+      s"""WITH s AS (SELECT source AS g, $u AS u,
+         |  CAST(strlen(coalesce(text, '')) AS BIGINT) AS v FROM documents),
+         |b AS (SELECT g, u, v, row_number() OVER
+         |  (PARTITION BY g ORDER BY u, v) AS brn FROM s),
+         |sk AS (SELECT g, u, v FROM b WHERE brn <= 128),
+         |r AS (SELECT g, v, u,
+         |  row_number() OVER (PARTITION BY g ORDER BY v, u) AS rn,
+         |  CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n_sample FROM sk),
+         |q AS (SELECT CAST(q_ppm AS BIGINT) AS q_ppm FROM (VALUES
+         |  (250000), (500000), (750000), (990000)) t(q_ppm))
+         |SELECT r.g AS source, q.q_ppm, r.v AS est, r.n_sample
+         |FROM q JOIN r ON r.rn = greatest(1, (q.q_ppm * r.n_sample + 999999) // 1000000)""".stripMargin
+    }
   )
 
   /** q351's int8 quantization + upper-triangle Gram replay as a

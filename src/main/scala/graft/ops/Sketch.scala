@@ -396,6 +396,54 @@ object Sketch {
     a.unionByName(b).orderBy(col("u").asc, col("v").asc).limit(k)
   }
 
+  /** Per-GROUP [[quantileSketch]] — the actual 100 TB usage pattern
+    * (doc-length quantiles per source, latency quantiles per endpoint):
+    * the k rows with the smallest key hash WITHIN each group, the same
+    * frame and merge algebra per group. Output: (`group`, `u`, `v`).
+    *
+    * Scale shape: ONE group-keyed exchange; the `row_number ≤ k` filter
+    * lets Catalyst insert a PARTIAL WindowGroupLimit below the shuffle
+    * (the politeness-window pin in PlanShapeSpec covers the same
+    * contract), so a mega-group contributes at most k rows per upstream
+    * task — group skew is bounded map-side.
+    */
+  def quantileSketchByGroup(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      valueCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    import org.apache.spark.sql.expressions.Window
+    val rn = row_number().over(
+      Window.partitionBy(col("group")).orderBy(col("u").asc, col("v").asc))
+    df.select(col(groupCol).as("group"),
+      graft.functions.TextFunctions.md5Prefix(col(keyCol).cast("string"), 8).as("u"),
+      col(valueCol).cast("long").as("v"))
+      .withColumn("__rn", rn).where(col("__rn") <= k).drop("__rn")
+  }
+
+  /** Per-group quantile estimates from a [[quantileSketchByGroup]]
+    * frame: [[quantileEstimate]]'s lower-empirical-quantile rule, keyed.
+    * Output: one row per (group, requested ppm). The rank window rides
+    * the sketch's group partitioning — sketch-sized frames, k rows per
+    * group at most.
+    */
+  def quantileEstimateByGroup(sketch: DataFrame, quantilesPpm: Seq[Long]): DataFrame = {
+    require(quantilesPpm.nonEmpty && quantilesPpm.forall(q => q >= 0 && q <= 1000000),
+      s"quantiles must be ppm fractions in [0, 1000000]: $quantilesPpm")
+    import org.apache.spark.sql.expressions.Window
+    val g = Window.partitionBy(col("group"))
+    val ranked = sketch
+      .withColumn("__rn", row_number().over(g.orderBy(col("v").asc, col("u").asc)))
+      .withColumn("n_sample", count(lit(1)).over(g))
+    val qs = sketch.sparkSession.range(1)
+      .select(explode(typedLit(quantilesPpm)).as("q_ppm"))
+    ranked.join(broadcast(qs),
+      col("__rn") === greatest(lit(1L), expr("(q_ppm * n_sample + 999999L) div 1000000L")))
+      .select(col("group"), col("q_ppm"), col("v").as("est"), col("n_sample"))
+  }
+
   /** Quantile estimates from a [[quantileSketch]] frame: for each
     * requested ppm fraction q, the value at rank
     * `max(1, ceil(q·n_sample / 10⁶))` of the sample sorted by

@@ -272,6 +272,23 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("quantileSketchByGroup: every group equals the single-group sketch") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i => (s"g${i % 3}", i, (i * 13) % 500))
+    val df = rows.toDF("g", "rid", "v")
+    val qs = Seq(250000L, 500000L, 750000L)
+    val got = Sketch.quantileEstimateByGroup(
+      Sketch.quantileSketchByGroup(df, "g", "rid", "v", k = 32), qs)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val single = Sketch.quantileEstimate(
+        Sketch.quantileSketch(df.where($"g" === g), "rid", "v", k = 32), qs)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      for (q <- qs)
+        assert(got((g, q)) == single(q), s"group $g q=$q diverges from the single-group path")
+    }
+  }
+
   test("quantileEstimate rejects out-of-range fractions") {
     import spark.implicits._
     val sk = Sketch.quantileSketch(Seq((1L, 1L)).toDF("rid", "v"), "rid", "v", k = 4)

@@ -649,6 +649,39 @@ class StreamingSpec extends SparkSpec {
       s"cross-batch continuation wrong: $later")
   }
 
+  test("streaming frontier composite: canonicalize + robots + politeness equal the batch chain") {
+    val in = Files.createTempDirectory("graft_stream_frontier")
+    val rows = Seq(
+      """{"url":"HTTP://A.Com:80/p1?utm_source=f&z=1","path":"/p1","pri":10}""",
+      """{"url":"http://a.com/p2","path":"/p2","pri":30}""",
+      """{"url":"http://a.com/private/x","path":"/private/x","pri":99}""",
+      """{"url":"https://b.com/y","path":"/y","pri":5}""")
+    Files.write(Paths.get(in.toString, "b1.json"), rows.mkString("\n").getBytes)
+    import spark.implicits._
+    def admit(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Urls.canonicalize(
+        graft.ops.Robots.filterAllowed(
+          df.withColumn("robots", lit("User-agent: *\nDisallow: /private"))))
+        .where(col("allowed") && col("canonical_url").isNotNull)
+    val stream = admit(
+      spark.readStream.schema("url STRING, path STRING, pri LONG").json(in.toString))
+      .select(col("host"), col("canonical_url"), col("pri"))
+      .as[(String, String, Long)]
+    val q = StreamingOps.politenessStream(stream, delayMs = 100L)
+      .writeStream.outputMode("update").format("memory").queryName("frontier")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("frontier").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = spark.read.schema("url STRING, path STRING, pri LONG").json(in.toString)
+    val want = graft.ops.Crawl.politenessSchedule(
+      admit(batch).select(col("url"), col("pri").as("priority")), delayMs = 100L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"stream frontier diverges from batch: $got vs $want")
+    assert(got.exists(_._2 == "http://a.com/p1?z=1"), "tracking param must strip en route")
+    assert(!got.exists(_._2.contains("private")), "robots admission must hold on the stream")
+  }
+
   test("changeDetectStream: flags equal the batch lag replay; counters survive batches") {
     val in = Files.createTempDirectory("graft_stream_chg")
     def write(name: String, rows: Seq[(String, Long, String)]): Unit =
