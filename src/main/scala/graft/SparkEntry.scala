@@ -3906,7 +3906,27 @@ object SparkEntry {
             length(coalesce(col("text"), lit(""))).cast("long").as("len")),
           "source", "doc_id", "len", k = 128),
         Seq(250000L, 500000L, 750000L, 990000L))
-        .select(col("group").as("source"), col("q_ppm"), col("est"), col("n_sample")))
+        .select(col("group").as("source"), col("q_ppm"), col("est"), col("n_sample"))),
+
+    // ---- Crawl-delay-aware politeness: per-host delays parsed from the
+    // robots body ((h%3+1).5 s; every 5th host declares none → the 700 ms
+    // default), hosts slot independently at their own cadence. The
+    // oracle derives every delay and offset from the id formula. ------------
+    "q380_crawl_delay_schedule" -> ((s, dir) => {
+      val id = col("doc_id")
+      val h = id % 20
+      val robots = when(h % 5 === 0,
+        lit("User-agent: *\nDisallow: /private"))
+        .otherwise(concat(lit("User-agent: *\nCrawl-delay: "),
+          (h % 3 + 1).cast("string"), lit(".5\nDisallow: /private")))
+      val frontier = t(s, dir, "documents").select(
+        concat(lit("http://host"), h.cast("string"), lit(".example.com/p/"),
+          id.cast("string")).as("url"),
+        (id * 7919 % 101).as("priority"),
+        graft.ops.Robots.crawlDelay(robots).as("delay_ms"))
+      Crawl.politenessScheduleWithDelays(frontier,
+        defaultDelayMs = 700L, maxPerHost = 6)
+    })
   )
 
   /** q358/q359's synthetic HTML page — every feature a pure function of
@@ -10598,7 +10618,27 @@ object SparkEntry {
          |  (250000), (500000), (750000), (990000)) t(q_ppm))
          |SELECT r.g AS source, q.q_ppm, r.v AS est, r.n_sample
          |FROM q JOIN r ON r.rn = greatest(1, (q.q_ppm * r.n_sample + 999999) // 1000000)""".stripMargin
-    }
+    },
+    // q380: independent derivation — per-host delay from the robots
+    // formula ((h%3+1)*1000+500 ms, 700 default on every 5th host), then
+    // the per-host window with delay-scaled offsets.
+    "q380_crawl_delay_schedule" ->
+      """WITH f AS (
+        | SELECT 'host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host,
+        |  'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p/'
+        |    || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(doc_id * 7919 % 101 AS BIGINT) AS priority,
+        |  CAST(CASE WHEN (doc_id % 20) % 5 = 0 THEN 700
+        |       ELSE ((doc_id % 20) % 3 + 1) * 1000 + 500 END AS BIGINT) AS delay_ms
+        | FROM documents),
+        |d AS (SELECT host, url, max(priority) AS priority, max(delay_ms) AS delay_ms
+        |      FROM f GROUP BY 1, 2),
+        |r AS (SELECT host, url, priority, delay_ms,
+        |  row_number() OVER (PARTITION BY host ORDER BY priority DESC, url ASC) AS rn
+        | FROM d)
+        |SELECT host, url, priority, delay_ms,
+        | CAST((rn - 1) * delay_ms AS BIGINT) AS fetch_offset_ms
+        |FROM r WHERE rn <= 6""".stripMargin
   )
 
   /** q351's int8 quantization + upper-triangle Gram replay as a

@@ -57,6 +57,42 @@ object Crawl {
         ((col("__slot") - 1) * delayMs).as("fetch_offset_ms"))
   }
 
+  /** [[politenessSchedule]] with PER-HOST delays — the robots
+    * `Crawl-delay` consumer ([[Robots.crawlDelay]] produces the hint
+    * column): every frontier row may carry a delay hint in `delayMsCol`
+    * (NULL = no opinion), a host's delay is the MAX hint over its rows
+    * (the politest interpretation of conflicting declarations) and
+    * `defaultDelayMs` when nobody opined. Appends `delay_ms` next to
+    * the slot offset. Same dedup, ordering, cap and map-side skew bound
+    * as the fixed-delay form; the host-level delay fold is a
+    * host-cardinality agg joined back on the host key — it must see all
+    * of a host's rows, so it cannot ride the capped window.
+    */
+  def politenessScheduleWithDelays(
+      frontier: DataFrame,
+      urlCol: String = "url",
+      priorityCol: String = "priority",
+      delayMsCol: String = "delay_ms",
+      defaultDelayMs: Long = 1000L,
+      maxPerHost: Int = 1000): DataFrame = {
+    require(defaultDelayMs > 0, s"defaultDelayMs must be > 0: $defaultDelayMs")
+    require(maxPerHost > 0, s"maxPerHost must be > 0: $maxPerHost")
+    val deduped = Urls.canonicalize(frontier, urlCol)
+      .where(col("canonical_url").isNotNull)
+      .groupBy(col("host"), col("canonical_url").as("url"))
+      .agg(max(col(priorityCol)).as("priority"), max(col(delayMsCol)).as("__d"))
+    val hostDelay = deduped.groupBy(col("host"))
+      .agg(coalesce(max(col("__d")), lit(defaultDelayMs)).as("delay_ms"))
+    val slot = row_number().over(
+      Window.partitionBy(col("host"))
+        .orderBy(col("priority").desc, col("url").asc))
+    deduped.withColumn("__slot", slot)
+      .where(col("__slot") <= maxPerHost)
+      .join(hostDelay, Seq("host"))
+      .select(col("host"), col("url"), col("priority"), col("delay_ms"),
+        ((col("__slot") - 1) * col("delay_ms")).as("fetch_offset_ms"))
+  }
+
   /** Sitemap entries (sitemaps.org protocol, the XML form) as an array
     * of `(loc, lastmod, is_index)` structs in document order — the
     * publisher-declared half of URL discovery ([[Html.extractAnchors]]

@@ -29,7 +29,12 @@ object Robots {
     * spec's allow-everything no-op. A body with no star group yields no
     * rules (everything allowed).
     */
-  def starRules(robots: Column): Column = {
+  /** The raw lines strictly inside the `User-agent: *` group (between
+    * its header and the next `User-agent:` line or EOF); empty when no
+    * star group exists. Shared by [[starRules]] and [[crawlDelay]] so
+    * the two can't disagree about group boundaries.
+    */
+  private[graft] def starGroupLines(robots: Column): Column = {
     val lines = split(robots, "\n")
     // canonical "key:value" — colon spacing varies in the wild
     // (`User-agent:*` and `User-agent: *` are the same directive)
@@ -43,8 +48,31 @@ object Robots {
         when(i > ua && element_at(norm, i).startsWith("user-agent:"), i)),
       x => x.isNotNull))
     val end = coalesce(nextUa, n + 1)
-    val group = when(ua > 0, slice(lines, ua + 1, end - ua - lit(1)))
+    when(ua > 0, slice(lines, ua + 1, end - ua - lit(1)))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** The star group's `Crawl-delay` in MILLISECONDS (the de-facto
+    * Bing/Yandex extension; integer or decimal seconds accepted,
+    * millisecond precision kept), NULL when absent or unparseable —
+    * callers coalesce their own default. First declaration wins, the
+    * same first-match conservatism parsers apply to duplicated
+    * directives.
+    */
+  def crawlDelay(robots: Column): Column = {
+    val norm = transform(starGroupLines(robots), l =>
+      regexp_replace(trim(regexp_replace(lower(l), "#.*$", "")), "\\s*:\\s*", ":"))
+    val decl = filter(norm, l => l.rlike("^crawl-delay:[0-9]+(\\.[0-9]+)?$"))
+    val v = element_at(decl, 1)
+    when(size(decl) > 0,
+      regexp_extract(v, "^crawl-delay:([0-9]+)", 1).cast("long") * 1000 +
+        regexp_extract(concat(regexp_extract(v, "\\.([0-9]+)$", 1), lit("000")),
+          "^([0-9]{3})", 1).cast("long"))
+      .otherwise(lit(null).cast("long"))
+  }
+
+  def starRules(robots: Column): Column = {
+    val group = starGroupLines(robots)
     val parsed = transform(group, l => {
       val noComment = regexp_replace(l, "#.*$", "")
       val key = lower(trim(regexp_extract(noComment, "^([^:]+):", 1)))

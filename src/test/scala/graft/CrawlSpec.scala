@@ -98,6 +98,39 @@ class CrawlSpec extends SparkSpec {
     assert(got.forall(_ == 0L))
   }
 
+  test("Robots.crawlDelay: integer and fractional seconds, group isolation, absence") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Robots
+    val got = Seq(
+      "User-agent: *\nCrawl-delay: 2\nDisallow: /x",      // 2 s
+      "User-agent: *\ncrawl-delay:1.5",                    // 1.5 s, colon-tight, case
+      "User-agent: *\nCrawl-delay: 0.25\nCrawl-delay: 9", // first declaration wins
+      "User-agent: bot\nCrawl-delay: 7\n\nUser-agent: *\nDisallow: /", // foreign group
+      "User-agent: *\nCrawl-delay: soon",                  // unparseable → NULL
+      "User-agent: *\nDisallow: /x")                       // absent → NULL
+      .toDF("robots")
+      .select(Robots.crawlDelay(col("robots")))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq == Seq(Some(2000L), Some(1500L), Some(250L), None, None, None))
+  }
+
+  test("politenessScheduleWithDelays: per-host max hint, default fallback, delay-scaled slots") {
+    val f = Seq(
+      ("http://a.com/p1", 10L, Some(2000L)),
+      ("http://a.com/p2", 30L, Some(500L)),  // a.com delay = max(2000, 500) = 2000
+      ("https://b.com/x", 5L, None),          // nobody opined → default 300
+      ("https://b.com/y", 9L, None))
+      .toDF("url", "priority", "delay_ms")
+    val got = Crawl.politenessScheduleWithDelays(f, defaultDelayMs = 300L)
+      .orderBy("host", "fetch_offset_ms").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("a.com", "http://a.com/p2", 2000L, 0L),
+      ("a.com", "http://a.com/p1", 2000L, 2000L),
+      ("b.com", "https://b.com/y", 300L, 0L),
+      ("b.com", "https://b.com/x", 300L, 300L)))
+  }
+
   test("sitemapEntries: urls, index entries, loc-less drops, lastmod nullable, loc trims") {
     import org.apache.spark.sql.functions.col
     val xml = """<?xml version="1.0"?><urlset>
