@@ -137,7 +137,12 @@ object ScaleSmoke {
     // (10× frames, ~10× within-replica candidates), and the real
     // thumbnail resample + stats walk (the pure per-row binary-compute
     // scaling point, q357's class).
-    "q377_video_neardup", "q378_image_resize")
+    "q377_video_neardup", "q378_image_resize",
+    // The per-group bottom-k sketch (group-keyed exchange with the
+    // map-side WindowGroupLimit prune — 10× rows, same 2^k per-group
+    // output) and the delay-aware politeness (two host-keyed stages +
+    // the join-back, q366's class with one more exchange).
+    "q379_group_quantiles", "q380_crawl_delay_schedule")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))
