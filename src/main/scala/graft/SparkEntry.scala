@@ -10454,8 +10454,8 @@ object SparkEntry {
         |  CAST((event_id // 100) * (1 + event_id % 100) % 5 AS VARCHAR) AS ch
         | FROM events),
         |c AS (SELECT url, ts,
-        |  CASE WHEN lag(ch) OVER (PARTITION BY url ORDER BY ts) IS NULL THEN 0
-        |       WHEN ch <> lag(ch) OVER (PARTITION BY url ORDER BY ts) THEN 1
+        |  CASE WHEN lag(ch) OVER (PARTITION BY url ORDER BY ts, ch) IS NULL THEN 0
+        |       WHEN ch <> lag(ch) OVER (PARTITION BY url ORDER BY ts, ch) THEN 1
         |       ELSE 0 END AS chg
         | FROM h),
         |a AS (SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,

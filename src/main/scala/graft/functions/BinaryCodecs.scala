@@ -168,85 +168,97 @@ object BinaryCodecs {
     buf.array()
   }
 
-  /** `(width, height, totalFrames, microSecPerFrame)` if the payload is
-    * parseable AVI, else None. Walks the top-level chunk list to the
-    * `hdrl` LIST and its `avih` header; every offset/size comparison is
-    * in Long (the bmp rowSize lesson: a crafted 32-bit size must fail
-    * the bounds check, not wrap it).
+  /** Body range (start, end-exclusive) of the first top-level LIST
+    * chunk of `listType` in a RIFF file of `formType` — the ONE chunk
+    * walk [[aviMeta]] and [[aviFrames]] share, so the bounds discipline
+    * (unsigned 32-bit sizes compared in Long, word-aligned stepping —
+    * the bmp rowSize lesson) lives in exactly one place.
     */
-  def aviMeta(payload: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+  private def riffListBody(
+      payload: Array[Byte],
+      formType: String,
+      listType: String): Option[(Int, Int)] = {
     if (payload.length < 12) return None
     val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
     def tag(off: Int) = new String(payload, off, 4, "US-ASCII")
-    if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    if (tag(0) != "RIFF" || tag(8) != formType) return None
     var off = 12L
     while (off + 8 <= payload.length) {
       val id = tag(off.toInt)
       val size = buf.getInt(off.toInt + 4).toLong & 0xFFFFFFFFL
       if (off + 8 + size > payload.length) return None
-      if (id == "LIST" && size >= 4 && tag(off.toInt + 8) == "hdrl") {
-        // walk the hdrl sub-chunks for avih
-        var sub = off + 12
-        val end = off + 8 + size
-        while (sub + 8 <= end) {
-          val sid = tag(sub.toInt)
-          val ssize = buf.getInt(sub.toInt + 4).toLong & 0xFFFFFFFFL
-          if (sub + 8 + ssize > end) return None
-          if (sid == "avih" && ssize >= 56) {
-            val b = sub.toInt + 8
-            val mspf = buf.getInt(b)
-            val totalFrames = buf.getInt(b + 16)
-            val w = buf.getInt(b + 32)
-            val h = buf.getInt(b + 36)
-            return if (w > 0 && h > 0 && mspf > 0 && totalFrames >= 0)
-              Some((w, h, totalFrames, mspf)) else None
-          }
-          sub += 8 + ssize + (ssize & 1)
-        }
-        return None
-      }
+      if (id == "LIST" && size >= 4 && tag(off.toInt + 8) == listType)
+        return Some(((off + 12).toInt, (off + 8 + size).toInt))
       off += 8 + size + (size & 1)
     }
     None
   }
 
-  /** The `idx`-th (0-based) `00dc` frame payload from the `movi` LIST,
-    * if the payload is parseable AVI and the frame exists.
+  /** All sub-chunks (id, bodyOffset, bodySize) of [start, end) in file
+    * order, None when any declared size runs past the range — shared
+    * malformed-input handling for both AVI consumers.
     */
-  def aviFrame(payload: Array[Byte], idx: Int): Option[Array[Byte]] = {
-    if (idx < 0 || payload.length < 12) return None
+  private def subChunks(
+      payload: Array[Byte],
+      start: Int,
+      end: Int): Option[Vector[(String, Int, Int)]] = {
     val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
-    def tag(off: Int) = new String(payload, off, 4, "US-ASCII")
-    if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
-    var off = 12L
-    while (off + 8 <= payload.length) {
-      val id = tag(off.toInt)
-      val size = buf.getInt(off.toInt + 4).toLong & 0xFFFFFFFFL
-      if (off + 8 + size > payload.length) return None
-      if (id == "LIST" && size >= 4 && tag(off.toInt + 8) == "movi") {
-        var sub = off + 12
-        val end = off + 8 + size
-        var seen = 0
-        while (sub + 8 <= end) {
-          val sid = tag(sub.toInt)
-          val ssize = buf.getInt(sub.toInt + 4).toLong & 0xFFFFFFFFL
-          if (sub + 8 + ssize > end) return None
-          if (sid == "00dc") {
-            if (seen == idx) {
-              val out = new Array[Byte](ssize.toInt)
-              System.arraycopy(payload, sub.toInt + 8, out, 0, ssize.toInt)
-              return Some(out)
-            }
-            seen += 1
-          }
-          sub += 8 + ssize + (ssize & 1)
-        }
-        return None
-      }
-      off += 8 + size + (size & 1)
+    val out = Vector.newBuilder[(String, Int, Int)]
+    var sub = start.toLong
+    while (sub + 8 <= end) {
+      val sid = new String(payload, sub.toInt, 4, "US-ASCII")
+      val ssize = buf.getInt(sub.toInt + 4).toLong & 0xFFFFFFFFL
+      if (sub + 8 + ssize > end) return None
+      out += ((sid, (sub + 8).toInt, ssize.toInt))
+      sub += 8 + ssize + (ssize & 1)
     }
-    None
+    Some(out.result())
   }
+
+  /** `(width, height, totalFrames, microSecPerFrame)` if the payload is
+    * parseable AVI, else None — the `hdrl` LIST's `avih` header.
+    */
+  def aviMeta(payload: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    for {
+      (start, end) <- riffListBody(payload, "AVI ", "hdrl")
+      chunks <- subChunks(payload, start, end)
+      (_, b, _) <- chunks.find { case (id, _, size) => id == "avih" && size >= 56 }
+      buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+      mspf = buf.getInt(b)
+      totalFrames = buf.getInt(b + 16)
+      w = buf.getInt(b + 32)
+      h = buf.getInt(b + 36)
+      if w > 0 && h > 0 && mspf > 0 && totalFrames >= 0
+    } yield (w, h, totalFrames, mspf)
+
+  /** The requested `00dc` frames (by 0-based frame index, returned as
+    * (index, bytes) in file order) in ONE pass over the `movi` chunk
+    * list — the batch form [[graft.ops.Multimodal.sampleVideoFrames]]
+    * uses so k sampled frames cost one walk, not k. Unknown indices are
+    * simply absent from the result; None when the container is
+    * malformed.
+    */
+  def aviFrames(
+      payload: Array[Byte],
+      indices: Seq[Int]): Option[Seq[(Int, Array[Byte])]] = {
+    val wanted = indices.filter(_ >= 0).toSet
+    for {
+      (start, end) <- riffListBody(payload, "AVI ", "movi")
+      chunks <- subChunks(payload, start, end)
+    } yield chunks.iterator
+      .filter(_._1 == "00dc")
+      .zipWithIndex
+      .collect { case ((_, off, size), i) if wanted(i) =>
+        val out = new Array[Byte](size)
+        System.arraycopy(payload, off, out, 0, size)
+        (i, out)
+      }
+      .toSeq
+  }
+
+  /** The `idx`-th (0-based) `00dc` frame payload, if present. */
+  def aviFrame(payload: Array[Byte], idx: Int): Option[Array[Byte]] =
+    aviFrames(payload, Seq(idx)).flatMap(_.headOption.map(_._2))
 
   // --------------------------------------------------------------- GZIP --
 

@@ -62,7 +62,11 @@ object Crawl {
     * column): every frontier row may carry a delay hint in `delayMsCol`
     * (NULL = no opinion), a host's delay is the MAX hint over its rows
     * (the politest interpretation of conflicting declarations) and
-    * `defaultDelayMs` when nobody opined. Appends `delay_ms` next to
+    * `defaultDelayMs` when nobody opined. Non-positive hints count as
+    * no opinion too — `Crawl-delay: 0` ("no delay required") must not
+    * defeat the positive-delay invariant the fixed-delay form enforces
+    * with its `require`, and a negative hint from bad upstream data
+    * must not mint negative offsets. Appends `delay_ms` next to
     * the slot offset. Same dedup, ordering, cap and map-side skew bound
     * as the fixed-delay form; the host-level delay fold is a
     * host-cardinality agg joined back on the host key — it must see all
@@ -80,7 +84,8 @@ object Crawl {
     val deduped = Urls.canonicalize(frontier, urlCol)
       .where(col("canonical_url").isNotNull)
       .groupBy(col("host"), col("canonical_url").as("url"))
-      .agg(max(col(priorityCol)).as("priority"), max(col(delayMsCol)).as("__d"))
+      .agg(max(col(priorityCol)).as("priority"),
+        max(when(col(delayMsCol) > 0, col(delayMsCol))).as("__d"))
     val hostDelay = deduped.groupBy(col("host"))
       .agg(coalesce(max(col("__d")), lit(defaultDelayMs)).as("delay_ms"))
     val slot = row_number().over(
@@ -94,7 +99,11 @@ object Crawl {
   }
 
   /** Sitemap entries (sitemaps.org protocol, the XML form) as an array
-    * of `(loc, lastmod, is_index)` structs in document order — the
+    * of `(loc, lastmod, is_index)` structs — all `<url>` entries in
+    * document order, then all `<sitemap>` entries in document order
+    * (the spec forbids mixing the two in one file, so for conformant
+    * input that IS document order; a spec-violating mixed file gets
+    * the two families stably separated, not interleaved) — the
     * publisher-declared half of URL discovery ([[Html.extractAnchors]]
     * is the crawled half). `<url>` entries carry `is_index = false`,
     * `<sitemapindex>`-style `<sitemap>` entries `true` (their locs are
@@ -149,7 +158,10 @@ object Crawl {
       tsMsCol: String = "ts_ms",
       hashCol: String = "content_hash",
       asOfMs: Long): DataFrame = {
-    val w = Window.partitionBy(col(urlCol)).orderBy(col(tsMsCol).asc)
+    // (ts, hash) order — the same tie-break the streaming sibling
+    // (changeDetectStream) uses: two fetches at one timestamp would
+    // otherwise make the lag comparison order-dependent across engines
+    val w = Window.partitionBy(col(urlCol)).orderBy(col(tsMsCol).asc, col(hashCol).asc)
     val changed = when(lag(col(hashCol), 1).over(w).isNull, lit(0L))
       .when(col(hashCol) =!= lag(col(hashCol), 1).over(w), lit(1L))
       .otherwise(lit(0L))

@@ -91,18 +91,26 @@ object Html {
     * so `<a href=/x>Read   <b>more</b></a>` yields
     * `(/x, "Read more")`. Only well-formed elements (an `href` and a
     * closing `</a>`) participate — a dangling open tag contributes no
-    * pair. Map-side, no shuffle.
+    * pair. The open-tag matching is QUOTE-AWARE (a quoted attribute
+    * value may legally contain `>` — `href="/x?q=a>b"` must not end the
+    * tag early), unlike [[extractLinks]]' cheaper href-only scan.
+    * Map-side, no shuffle.
     */
-  def extractAnchors(html: Column): Column =
+  def extractAnchors(html: Column): Column = {
+    // one attribute-or-text step inside an open tag: a quoted value
+    // (which may contain '>') or any single non-terminator character
+    val attr = "(?:\"[^\"]*\"|'[^']*'|[^>\"'])"
     transform(
       regexp_extract_all(stripSpans(html),
-        lit("(?is)(<a[^>]*\\shref=(?:\"[^\"]*\"|'[^']*'|[^\\s>]+)[^>]*>.*?</a>)"), lit(1)),
+        lit(s"(?is)(<a$attr*?\\shref=(?:\"[^\"]*\"|'[^']*'|[^\\s>]+)$attr*>.*?</a>)"),
+        lit(1)),
       a => struct(
         regexp_replace(
-          regexp_extract(a, "(?is)<a[^>]*\\shref=(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1),
+          regexp_extract(a, s"(?is)<a$attr*?\\shref=(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1),
           "^[\"']|[\"']$", "").as("href"),
         squish(decodeEntities(stripTags(
-          regexp_extract(a, "(?is)<a[^>]*>(.*?)</a>", 1)))).as("text")))
+          regexp_extract(a, s"(?is)<a$attr*>(.*?)</a>", 1)))).as("text")))
+  }
 
   /** Total character count of anchor INNER text on a line — the
     * numerator of link density. Inner markup is stripped before

@@ -342,10 +342,11 @@ object Multimodal {
         batch.iterator.flatMap { m =>
           BinaryCodecs.aviMeta(m.payload).toSeq.flatMap { case (_, _, n, _) =>
             val take = math.min(k, n)
-            (0 until take).iterator.flatMap { i =>
-              val idx = (i.toLong * n / take).toInt
-              BinaryCodecs.aviFrame(m.payload, idx).map(f =>
-                FrameRow(m.media_id, idx.toLong, f, f.length.toLong))
+            val idxs = (0 until take).map(i => (i.toLong * n / take).toInt)
+            // ONE movi walk for all k frames — per-index extraction
+            // would re-scan the chunk list from byte 0 every time
+            BinaryCodecs.aviFrames(m.payload, idxs).toSeq.flatten.map {
+              case (idx, f) => FrameRow(m.media_id, idx.toLong, f, f.length.toLong)
             }
           }
         }

@@ -19,16 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object Robots {
 
-  /** Parse the `User-agent: *` group of a robots.txt body into an array
-    * of `(allow: boolean, prefix: string)` rules, in file order: the
-    * lines strictly between the `User-agent: *` line and the next
-    * `User-agent:` line (or EOF). Comments (`# …`) strip first; field
-    * names match case-insensitively; prefixes keep their case (paths
-    * are case-sensitive); empty prefixes and non-rule lines
-    * (Crawl-delay, Sitemap, blanks) drop — an empty `Disallow:` is the
-    * spec's allow-everything no-op. A body with no star group yields no
-    * rules (everything allowed).
-    */
   /** The raw lines strictly inside the `User-agent: *` group (between
     * its header and the next `User-agent:` line or EOF); empty when no
     * star group exists. Shared by [[starRules]] and [[crawlDelay]] so
@@ -71,6 +61,16 @@ object Robots {
       .otherwise(lit(null).cast("long"))
   }
 
+  /** Parse the `User-agent: *` group of a robots.txt body into an array
+    * of `(allow: boolean, prefix: string)` rules, in file order: the
+    * lines strictly between the `User-agent: *` line and the next
+    * `User-agent:` line (or EOF). Comments (`# …`) strip first; field
+    * names match case-insensitively; prefixes keep their case (paths
+    * are case-sensitive); empty prefixes and non-rule lines
+    * (Crawl-delay, Sitemap, blanks) drop — an empty `Disallow:` is the
+    * spec's allow-everything no-op. A body with no star group yields no
+    * rules (everything allowed).
+    */
   def starRules(robots: Column): Column = {
     val group = starGroupLines(robots)
     val parsed = transform(group, l => {

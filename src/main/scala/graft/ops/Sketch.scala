@@ -452,7 +452,10 @@ object Sketch {
     * `n_sample`).
     *
     * The global row_number window runs on ONE partition by design —
-    * the input is a k-row sketch, never the corpus.
+    * the input is a k-row sketch, never the corpus. The sample count
+    * rides the same single-partition window pass (a separate `.agg`
+    * would re-evaluate the sketch subplan — a second corpus-wide top-k
+    * for a [[quantileSketch]] input).
     */
   def quantileEstimate(sketch: DataFrame, quantilesPpm: Seq[Long]): DataFrame = {
     require(quantilesPpm.nonEmpty && quantilesPpm.forall(q => q >= 0 && q <= 1000000),
@@ -460,7 +463,7 @@ object Sketch {
     import org.apache.spark.sql.expressions.Window
     val ranked = sketch
       .withColumn("__rn", row_number().over(Window.orderBy(col("v").asc, col("u").asc)))
-      .crossJoin(broadcast(sketch.agg(count(lit(1)).as("n_sample"))))
+      .withColumn("n_sample", count(lit(1)).over(Window.partitionBy()))
     val qs = sketch.sparkSession.range(1)
       .select(explode(typedLit(quantilesPpm)).as("q_ppm"))
     broadcast(qs).join(ranked,

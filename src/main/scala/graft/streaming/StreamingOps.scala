@@ -669,7 +669,10 @@ object StreamingOps {
         (host: String, batch: Iterator[(String, String, Long)],
          state: GroupState[HostSlotState]) =>
           var granted = state.getOption.map(_.granted).getOrElse(0L)
-          val ordered = batch.toSeq.sortBy { case (_, url, pri) => (-pri, url) }
+          // explicit reverse ordering, not arithmetic negation: -pri
+          // overflows Long.MinValue and would sort that priority FIRST
+          val ordered = batch.toSeq.sortBy { case (_, url, pri) => (pri, url) }(
+            Ordering.Tuple2(Ordering[Long].reverse, Ordering[String]))
           val out = ordered.flatMap { case (_, url, pri) =>
             if (granted < maxPerHost) {
               val f = ScheduledFetch(host, url, pri, granted * delayMs)
@@ -714,9 +717,15 @@ object StreamingOps {
         (url: String, batch: Iterator[(String, Long, String)],
          state: GroupState[UrlHashState]) =>
           var st = state.getOption.getOrElse(UrlHashState(null, 0L, 0L))
-          val out = batch.toSeq.sortBy { case (_, ts, h) => (ts, h) }.map {
+          // Option-wrapped hash in the sort key: None (null hash) orders
+          // first, matching Spark's nulls-first ascending window order —
+          // and a raw null String would NPE the Ordering
+          val out = batch.toSeq.sortBy { case (_, ts, h) => (ts, Option(h)) }.map {
             case (_, ts, h) =>
-              val changed = st.lastHash != null && st.lastHash != h
+              // a null on EITHER side is no-change — the batch op's
+              // `=!=` lag comparison is null-propagating, and the parity
+              // contract binds this leg to the same rule
+              val changed = st.lastHash != null && h != null && st.lastHash != h
               st = UrlHashState(h, st.nFetches + 1, st.nChanges + (if (changed) 1L else 0L))
               FetchObservation(url, ts, changed, st.nFetches, st.nChanges)
           }

@@ -131,6 +131,27 @@ class CrawlSpec extends SparkSpec {
       ("b.com", "https://b.com/x", 300L, 300L)))
   }
 
+  test("politenessScheduleWithDelays: Crawl-delay 0 and negative hints fall back to default") {
+    val f = Seq(
+      ("http://c.com/1", 1L, Some(0L)),    // declared zero — no opinion
+      ("http://c.com/2", 2L, Some(-5L)))   // garbage — no opinion
+      .toDF("url", "priority", "delay_ms")
+    val got = Crawl.politenessScheduleWithDelays(f, defaultDelayMs = 250L)
+      .orderBy("fetch_offset_ms").collect().map(r => (r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((250L, 0L), (250L, 250L)),
+      "non-positive hints must not defeat the positive-delay invariant")
+  }
+
+  test("recrawlPriority: equal-timestamp fetches are deterministic and nulls never count as change") {
+    val hist = Seq(
+      ("u1", 100L, "a"), ("u1", 100L, "b"), ("u1", 200L, "a"), // tie → (ts, hash) order: a,b then a
+      ("u2", 1L, "a"), ("u2", 2L, null), ("u2", 3L, "a"))       // null on either side = no change
+      .toDF("url", "ts_ms", "content_hash")
+    val got = Crawl.recrawlPriority(hist, asOfMs = 300L)
+      .orderBy("url").collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(got.toSeq == Seq(("u1", 2L), ("u2", 0L)))
+  }
+
   test("sitemapEntries: urls, index entries, loc-less drops, lastmod nullable, loc trims") {
     import org.apache.spark.sql.functions.col
     val xml = """<?xml version="1.0"?><urlset>

@@ -89,6 +89,15 @@ class HtmlSpec extends SparkSpec {
     assert(got.length == 4 && got(3)._1 == "/dangling")
   }
 
+  test("extractAnchors: '>' inside a quoted attribute value doesn't end the tag") {
+    val html = """<a href="/x?q=a>b">click</a> <a title="a>b" href=/y>go</a>"""
+    val got = Seq(html).toDF("html")
+      .select(Html.extractAnchors(col("html")))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got == Seq(("/x?q=a>b", "click"), ("/y", "go")))
+  }
+
   test("mainContent: multi-line script bodies are stripped before the line split") {
     val html = Seq(
       "<p>Real opening prose stays.</p>",

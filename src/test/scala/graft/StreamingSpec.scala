@@ -686,9 +686,14 @@ class StreamingSpec extends SparkSpec {
     val in = Files.createTempDirectory("graft_stream_chg")
     def write(name: String, rows: Seq[(String, Long, String)]): Unit =
       Files.write(Paths.get(in.toString, name),
-        rows.map { case (u, t, h) => s"""{"url":"$u","ts":$t,"h":"$h"}""" }.mkString("\n").getBytes)
+        rows.map { case (u, t, h) =>
+          val hv = if (h == null) "null" else s""""$h""""
+          s"""{"url":"$u","ts":$t,"h":$hv}"""
+        }.mkString("\n").getBytes)
     val b1 = Seq(("u1", 10L, "a"), ("u1", 20L, "a"), ("u1", 30L, "b"), ("u2", 5L, "x"))
-    val b2 = Seq(("u1", 40L, "b"), ("u1", 50L, "c"), ("u2", 15L, "x"), ("u3", 1L, "z"))
+    // u2's null hash: a null on either side is NO change (batch parity)
+    val b2 = Seq(("u1", 40L, "b"), ("u1", 50L, "c"), ("u2", 15L, null),
+      ("u2", 25L, "x"), ("u3", 1L, "z"))
     write("b1.json", b1)
     import spark.implicits._
     val stream = spark.readStream.schema("url STRING, ts LONG, h STRING").json(in.toString)
@@ -702,13 +707,15 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("chg").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getLong(3), r.getLong(4)))
       .sortBy(t => (t._1, t._2))
-    // the batch replay: changed = hash differs from the previous fetch
+    // the batch replay: changed = hash differs from the previous fetch,
+    // null on either side never counts (the =!= null-propagation rule)
+    def chg(a: String, b: String) = a != null && b != null && a != b
     val want = (b1 ++ b2).groupBy(_._1).toSeq.flatMap { case (u, rows) =>
       rows.sortBy(_._2).zipWithIndex.map { case ((_, ts, h), i) =>
         val prev = rows.sortBy(_._2).take(i).lastOption.map(_._3)
         val changes = rows.sortBy(_._2).take(i + 1).sliding(2)
-          .count(w => w.size == 2 && w(0)._3 != w(1)._3)
-        (u, ts, prev.exists(_ != h), (i + 1).toLong, changes.toLong)
+          .count(w => w.size == 2 && chg(w(0)._3, w(1)._3))
+        (u, ts, prev.exists(chg(_, h)), (i + 1).toLong, changes.toLong)
       }
     }.sortBy(t => (t._1, t._2))
     assert(got.toSeq == want,
