@@ -3926,7 +3926,34 @@ object SparkEntry {
         graft.ops.Robots.crawlDelay(robots).as("delay_ms"))
       Crawl.politenessScheduleWithDelays(frontier,
         defaultDelayMs = 700L, maxPerHost = 6)
-    })
+    }),
+
+    // ---- REAL audio downsampling: every synthetic WAV resamples to
+    // 6 kHz by the integer nearest-neighbor map, then the real PCM scan
+    // sums the result. The oracle recomputes every output sample from
+    // the source formula at the remapped index — resampler, WAV
+    // round-trip and stats walk all on the hook (q378's audio twin). --------
+    "q381_audio_resample" -> ((s, dir) =>
+      Multimodal.audioStats(
+        Multimodal.resampleAudio(
+          Multimodal.syntheticMedia(t(s, dir, "documents")), dstRate = 6000))
+        .toDF()
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          col("energy"), col("mean_abs"), col("peak_abs"))),
+
+    // ---- compressed BINARY ingest roundtrip (the WARC shape: gzip'd
+    // container members): synthetic AVIs gzip distributed, gunzip
+    // distributed under the zip-bomb cap, and parse — matching q374's
+    // oracle proves the binary roundtrip byte-preserving through the
+    // whole chain. -----------------------------------------------------------
+    "q382_gzip_video_ingest" -> ((s, dir) =>
+      Multimodal.videoMeta(
+        Multimodal.gunzipMedia(
+          Multimodal.gzipMedia(
+            Multimodal.syntheticFrameVideos(t(s, dir, "documents")))))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_frames"), col("usec_per_frame")))
   )
 
   /** q358/q359's synthetic HTML page — every feature a pure function of
@@ -10528,15 +10555,9 @@ object SparkEntry {
         |SELECT host, url, priority, CAST((rn - 1) * 200 AS BIGINT) AS fetch_offset_ms
         |FROM r WHERE rn <= 4""".stripMargin,
     // q374: every avih field is a pure function of the anchor id; the
-    // clamp keeps only anchors whose 4 frame sources exist.
-    "q374_video_meta" ->
-      """SELECT doc_id AS media_id,
-        | CAST(8 + doc_id % 24 AS BIGINT) AS width,
-        | CAST(8 + doc_id % 16 AS BIGINT) AS height,
-        | CAST(4 AS BIGINT) AS n_frames,
-        | CAST(33000 + (doc_id % 5) * 1000 AS BIGINT) AS usec_per_frame
-        |FROM documents
-        |WHERE doc_id % 10 = 0 AND doc_id + 6 <= (SELECT max(doc_id) FROM documents)""".stripMargin,
+    // clamp keeps only anchors whose 4 frame sources exist. (Shared with
+    // q382, whose gzip roundtrip must land on the identical bytes.)
+    "q374_video_meta" -> VideoMetaOracleSql,
     // q375: the evenly-spaced index rule ((i·n)//take) and the BMP size
     // formula of each sampled frame's SOURCE doc geometry.
     "q375_video_frame_sample" ->
@@ -10638,8 +10659,46 @@ object SparkEntry {
         | FROM d)
         |SELECT host, url, priority, delay_ms,
         | CAST((rn - 1) * delay_ms AS BIGINT) AS fetch_offset_ms
-        |FROM r WHERE rn <= 6""".stripMargin
+        |FROM r WHERE rn <= 6""".stripMargin,
+    // q381: the q149 analytic sample formula at the nearest-neighbor
+    // remapped index (i·srcRate // 6000), output length n·6000 // srcRate
+    // — then the same integer PCM statistics.
+    "q381_audio_resample" ->
+      """WITH d AS (
+        | SELECT doc_id, coalesce(text, '') AS t FROM documents WHERE doc_id % 2 = 1),
+        |par AS (
+        | SELECT doc_id, t, strlen(t) AS l, 500 + doc_id % 1000 AS n,
+        |  8000 + (doc_id % 8) * 1000 AS rate
+        | FROM d),
+        |res AS (SELECT *, (n * 6000) // rate AS n_out FROM par),
+        |ix AS (SELECT doc_id, n_out, t, l, rate, unnest(range(n_out)) AS i FROM res),
+        |v AS (
+        | SELECT doc_id, n_out,
+        |  CASE WHEN l = 0 THEN 0
+        |   ELSE ascii(substring(t, CAST(((i * rate) // 6000) % l AS INT) + 1, 1)) * 128 END AS s
+        | FROM ix)
+        |SELECT doc_id AS media_id, CAST(6000 AS BIGINT) AS sample_rate,
+        | CAST(n_out AS BIGINT) AS n_samples,
+        | CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS energy,
+        | CAST(sum(s) // n_out AS BIGINT) AS mean_abs,
+        | CAST(max(s) AS BIGINT) AS peak_abs
+        |FROM v GROUP BY doc_id, n_out""".stripMargin,
+    // q382: q374's derivation verbatim — the gzip/gunzip roundtrip must
+    // reproduce the container bytes exactly for the parse to agree.
+    "q382_gzip_video_ingest" -> VideoMetaOracleSql
   )
+
+  /** q374's avih derivation, shared verbatim with q382 (whose gzip
+    * roundtrip must land on identical container bytes).
+    */
+  private lazy val VideoMetaOracleSql: String =
+    """SELECT doc_id AS media_id,
+      | CAST(8 + doc_id % 24 AS BIGINT) AS width,
+      | CAST(8 + doc_id % 16 AS BIGINT) AS height,
+      | CAST(4 AS BIGINT) AS n_frames,
+      | CAST(33000 + (doc_id % 5) * 1000 AS BIGINT) AS usec_per_frame
+      |FROM documents
+      |WHERE doc_id % 10 = 0 AND doc_id + 6 <= (SELECT max(doc_id) FROM documents)""".stripMargin
 
   /** q351's int8 quantization + upper-triangle Gram replay as a
     * reusable CTE list ending in `gqv(vec_id, v)` and

@@ -472,6 +472,27 @@ object BinaryCodecs {
     else Some((sampleRate, dataOff, dataBytes / 2))
   }
 
+  /** REAL nearest-neighbor sample-rate conversion of a 16-bit mono PCM
+    * WAV to `dstRate`: output sample i copies input sample
+    * `⌊i·srcRate/dstRate⌋`, output length `⌊n·dstRate/srcRate⌋` — the
+    * audio analogue of [[bmpResize]]'s integer thumbnail map (no
+    * interpolation, so any engine replays every output sample from the
+    * decoded input). Returns a valid WAV at the new rate; None when the
+    * payload isn't parseable 16-bit mono PCM.
+    */
+  def wavResample(payload: Array[Byte], dstRate: Int): Option[Array[Byte]] = {
+    require(dstRate > 0 && dstRate <= 1000000,
+      s"wavResample: dstRate out of the sane audio range: $dstRate")
+    pcm16MonoData(payload).map { case (srcRate, dataOff, n) =>
+      val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+      val nOut = (n.toLong * dstRate / srcRate).toInt
+      val out = Array.tabulate(nOut) { i =>
+        buf.getShort(dataOff + 2 * (i.toLong * srcRate / dstRate).toInt)
+      }
+      wav(dstRate, out)
+    }
+  }
+
   /** 64-bit ENERGY-DIFFERENCE HASH from a 16-bit mono WAV payload — the
     * audio analogue of [[bmpDhash]] and the classic shape of perceptual
     * audio fingerprints (energy deltas over fixed frame windows): split

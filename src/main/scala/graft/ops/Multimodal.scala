@@ -295,6 +295,69 @@ object Multimodal {
     }
   }
 
+  /** REAL sample-rate conversion over the binary audio column: every
+    * parseable 16-bit mono PCM WAV resamples to `dstRate` by the
+    * integer nearest-neighbor map
+    * ([[graft.functions.BinaryCodecs.wavResample]]) — the audio
+    * analogue of [[resizeImages]]. Non-PCM rows drop. Partition-batched,
+    * shuffle-free; output bytes per row scale by `dstRate/srcRate` —
+    * downsampling at ingest is the audio thumbnailing.
+    */
+  def resampleAudio(
+      media: Dataset[MediaRow],
+      dstRate: Int,
+      batchSize: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          BinaryCodecs.wavResample(m.payload, dstRate).map(p =>
+            MediaRow(m.media_id, m.kind, p, "audio/wav", p.length.toLong))
+        }
+      }
+    }
+  }
+
+  /** Writer half of compressed-binary ingest: gzip every payload
+    * (WARC-style corpora ship members gzip'd). Partition-batched,
+    * shuffle-free.
+    */
+  def gzipMedia(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val p = BinaryCodecs.gzip(m.payload)
+          MediaRow(m.media_id, m.kind, p, "application/gzip", p.length.toLong)
+        }
+      }
+    }
+  }
+
+  /** Reader half: distributed gunzip of BINARY payloads (the
+    * [[gunzipText]] sibling for media bytes — a gzip'd AVI/BMP/WAV
+    * member decodes back into the container parsers' input), with the
+    * same HARD zip-bomb cap; over-cap, non-gzip and corrupt rows
+    * quarantine (drop). Partition-batched, shuffle-free.
+    */
+  def gunzipMedia(
+      media: Dataset[MediaRow],
+      maxBytes: Int = 1 << 26,
+      batchSize: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          BinaryCodecs.gunzip(m.payload, maxBytes).map(p =>
+            MediaRow(m.media_id, m.kind, p, "application/octet-stream", p.length.toLong))
+        }
+      }
+    }
+  }
+
   final case class VideoMeta(media_id: Long, width: Long, height: Long,
       n_frames: Long, usec_per_frame: Long)
 

@@ -374,6 +374,34 @@ class MultimodalSpec extends SparkSpec {
     assert(out.zip(again).forall { case (a, b) => a.payload.sameElements(b.payload) })
   }
 
+  test("wavResample: nearest-neighbor sample map, identity at equal rates, garbage quarantined") {
+    import graft.functions.BinaryCodecs
+    val samples = Array.tabulate(10)(i => (i * 100).toShort)
+    val src = BinaryCodecs.wav(8000, samples)
+    // 8000 → 4000: every 2nd sample, n_out = 5
+    val down = BinaryCodecs.wavResample(src, 4000).get
+    assert(BinaryCodecs.wavMeta(down).contains((4000, 5L)))
+    assert(BinaryCodecs.wavPcmStats(down).map(_._5).contains(800)) // peak = sample 8
+    // identity rate preserves every sample
+    val same = BinaryCodecs.wavResample(src, 8000).get
+    assert(BinaryCodecs.wavPcmStats(same) == BinaryCodecs.wavPcmStats(src))
+    assert(BinaryCodecs.wavResample("not a wav".getBytes, 4000).isEmpty)
+    intercept[IllegalArgumentException](BinaryCodecs.wavResample(src, 0))
+  }
+
+  test("gzipMedia/gunzipMedia: binary payloads roundtrip byte-exact; garbage drops") {
+    import graft.functions.BinaryCodecs
+    val avi = BinaryCodecs.avi(8, 8, 1000, Seq(Array[Byte](1, 2, 3)))
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", avi, "video/x-msvideo", avi.length.toLong),
+      Multimodal.MediaRow(2L, "junk", Array[Byte](9, 9), "application/octet-stream", 2L))
+      .toDS()
+    val round = Multimodal.gunzipMedia(Multimodal.gzipMedia(media)).collect().sortBy(_.media_id)
+    assert(round.length == 2 && round(0).payload.sameElements(avi))
+    // a non-gzip payload fed straight to the reader half quarantines
+    assert(Multimodal.gunzipMedia(media).collect().isEmpty)
+  }
+
   test("avi writer/parser roundtrip: meta, frame extraction, word alignment") {
     import graft.functions.BinaryCodecs
     val f0 = Array[Byte](1, 2, 3)        // odd length → pad byte exercised
