@@ -3953,7 +3953,26 @@ object SparkEntry {
             Multimodal.syntheticFrameVideos(t(s, dir, "documents")))))
         .toDF()
         .select(col("media_id"), col("width"), col("height"),
-          col("n_frames"), col("usec_per_frame")))
+          col("n_frames"), col("usec_per_frame"))),
+
+    // ---- the vision-encoder preprocessing COMPOSITE: sample k frames,
+    // thumbnail each to 8×8, stat the pixels — movi walk, per-frame BMP
+    // decode, nearest-neighbor resample and the stats walk in one plan.
+    // The oracle recomputes every thumbnail byte from the frame-source
+    // identity (frame f of video v = image of doc v+2f, f=3 repeats 0)
+    // through q378's resample arithmetic. ------------------------------------
+    "q383_video_thumbnails" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.imageStats(
+        Multimodal.videoThumbnails(
+          Multimodal.syntheticFrameVideos(t(s, dir, "documents")),
+          k = 4, w = 8, h = 8)
+          .map(fr => Multimodal.MediaRow(fr.media_id * 4 + fr.frame_idx, "image",
+            fr.payload, "image/bmp", fr.n_bytes)))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
+          col("sum_b"), col("sum_g"), col("sum_r"))
+    })
   )
 
   /** q358/q359's synthetic HTML page — every feature a pure function of
@@ -10685,7 +10704,37 @@ object SparkEntry {
         |FROM v GROUP BY doc_id, n_out""".stripMargin,
     // q382: q374's derivation verbatim — the gzip/gunzip roundtrip must
     // reproduce the container bytes exactly for the parse to agree.
-    "q382_gzip_video_ingest" -> VideoMetaOracleSql
+    "q382_gzip_video_ingest" -> VideoMetaOracleSql,
+    // q383: q378's 8x8 resample arithmetic applied per FRAME through the
+    // q376 frame-source identity — sampler, decoder, resampler and stats
+    // walk all replayed from the id formulas.
+    "q383_video_thumbnails" ->
+      """WITH vv AS (SELECT doc_id AS vid FROM documents
+        |  WHERE doc_id % 10 = 0 AND doc_id + 6 <= (SELECT max(doc_id) FROM documents)),
+        |fr AS (SELECT vid, f.f AS frame_idx,
+        |  CASE WHEN f.f = 3 THEN vid ELSE vid + 2 * f.f END AS src
+        | FROM vv CROSS JOIN range(4) f(f)),
+        |d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |par AS (SELECT fr.vid, fr.frame_idx, d.t, strlen(d.t) AS l,
+        |  8 + fr.src % 24 AS w, 8 + fr.src % 16 AS h
+        | FROM fr JOIN d ON d.doc_id = fr.src),
+        |geom AS (SELECT *, ((24 * w + 31) // 32) * 4 AS row_size FROM par),
+        |px AS (
+        | SELECT vid, frame_idx,
+        |  (h - 1 - (yy.y * h) // 8) * row_size + 3 * ((xx.x * w) // 8) + cc.c AS o,
+        |  cc.c AS c, l, t
+        | FROM geom CROSS JOIN range(8) yy(y) CROSS JOIN range(8) xx(x)
+        |   CROSS JOIN range(3) cc(c)),
+        |v2 AS (SELECT vid, frame_idx, c,
+        |  CASE WHEN l = 0 THEN 0
+        |   ELSE ascii(substring(t, CAST(o % l AS INT) + 1, 1)) END AS v
+        | FROM px)
+        |SELECT vid * 4 + frame_idx AS media_id, CAST(8 AS BIGINT) AS width,
+        | CAST(8 AS BIGINT) AS height, CAST(64 AS BIGINT) AS n_pixels,
+        | CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+        | CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        | CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r
+        |FROM v2 GROUP BY vid, frame_idx""".stripMargin
   )
 
   /** q374's avih derivation, shared verbatim with q382 (whose gzip

@@ -417,6 +417,29 @@ object Multimodal {
     }
   }
 
+  /** Uniform video THUMBNAILS: [[sampleVideoFrames]] then the real
+    * nearest-neighbor [[graft.functions.BinaryCodecs.bmpResize]] per
+    * sampled frame — the preprocessing shape a vision encoder wants
+    * (fixed geometry per frame, k frames per video, all decided at
+    * ingest). Frames that aren't parseable BMP drop. Output bytes per
+    * video collapse to k × the fixed thumbnail size.
+    */
+  def videoThumbnails(
+      media: Dataset[MediaRow],
+      k: Int,
+      w: Int,
+      h: Int,
+      batchSize: Int = 64): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    sampleVideoFrames(media, k, batchSize).mapPartitions { rows =>
+      rows.flatMap { fr =>
+        BinaryCodecs.bmpResize(fr.payload, w, h).map(p =>
+          FrameRow(fr.media_id, fr.frame_idx, p, p.length.toLong))
+      }
+    }
+  }
+
   final case class VideoFrameDhash(media_id: Long, frame_idx: Long, dhash: Long)
 
   /** Perceptual fingerprints of SAMPLED video frames: [[sampleVideoFrames]]

@@ -402,6 +402,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.gunzipMedia(media).collect().isEmpty)
   }
 
+  test("videoThumbnails: sampled frames resize to uniform geometry, bytes equal direct resize") {
+    import graft.functions.BinaryCodecs
+    val frames = (0 until 3).map(i => BinaryCodecs.bmp(10 + i, 12, Array((i + 1).toByte)))
+    val media = Seq(Multimodal.MediaRow(5L, "video",
+      BinaryCodecs.avi(10, 12, 33000, frames), "video/x-msvideo", 0L)).toDS()
+    val got = Multimodal.videoThumbnails(media, k = 3, w = 4, h = 4)
+      .collect().sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq == Seq(0L, 1L, 2L))
+    got.foreach { fr =>
+      val direct = BinaryCodecs.bmpResize(frames(fr.frame_idx.toInt), 4, 4).get
+      assert(fr.payload.sameElements(direct), s"frame ${fr.frame_idx} diverges from direct resize")
+    }
+  }
+
   test("avi writer/parser roundtrip: meta, frame extraction, word alignment") {
     import graft.functions.BinaryCodecs
     val f0 = Array[Byte](1, 2, 3)        // odd length → pad byte exercised
