@@ -10834,7 +10834,7 @@ object SparkEntry {
       |  trim(regexp_replace(replace(x, '&amp;', '&'), '\s+', ' ', 'g')) AS clean FROM c5),
       |ck AS (SELECT doc_id, i, clean,
       |  coalesce(list_sum(list_transform(
-      |    regexp_extract_all(line, '(?is)<a[^>]*>(.*?)</a>', 1),
+      |    regexp_extract_all(line, '(?is)<a(?:\s[^>]*)?>(.*?)</a>', 1),
       |    a -> length(trim(regexp_replace(regexp_replace(a, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))))), 0) AS linkchars
       | FROM c6),
       |keep AS (SELECT doc_id, i, clean FROM ck

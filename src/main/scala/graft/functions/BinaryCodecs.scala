@@ -483,13 +483,22 @@ object BinaryCodecs {
   def wavResample(payload: Array[Byte], dstRate: Int): Option[Array[Byte]] = {
     require(dstRate > 0 && dstRate <= 1000000,
       s"wavResample: dstRate out of the sane audio range: $dstRate")
-    pcm16MonoData(payload).map { case (srcRate, dataOff, n) =>
+    pcm16MonoData(payload).flatMap { case (srcRate, dataOff, n) =>
       val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
-      val nOut = (n.toLong * dstRate / srcRate).toInt
-      val out = Array.tabulate(nOut) { i =>
-        buf.getShort(dataOff + 2 * (i.toLong * srcRate / dstRate).toInt)
+      // nOut stays in Long: a corrupt-but-parseable header declaring a
+      // tiny srcRate against a large data chunk would wrap .toInt past
+      // Int.MaxValue (negative-size crash or silent truncation). The
+      // expansion is also an amplification bomb without a ceiling —
+      // quarantine (None) past the same output-size cap discipline
+      // bmpResize and gunzip enforce, instead of allocating unbounded.
+      val nOutL = n.toLong * dstRate / srcRate
+      if (44L + 2L * nOutL > Int.MaxValue) None
+      else {
+        val out = Array.tabulate(nOutL.toInt) { i =>
+          buf.getShort(dataOff + 2 * (i.toLong * srcRate / dstRate).toInt)
+        }
+        Some(wav(dstRate, out))
       }
-      wav(dstRate, out)
     }
   }
 

@@ -79,7 +79,7 @@ object Html {
   def extractLinks(html: Column): Column =
     transform(
       regexp_extract_all(stripSpans(html),
-        lit("(?is)<a[^>]*\\shref=(\"[^\"]*\"|'[^']*'|[^\\s>]+)"), lit(1)),
+        lit("(?is)<a(?:\\s[^>]*)?\\shref=(\"[^\"]*\"|'[^']*'|[^\\s>]+)"), lit(1)),
       v => regexp_replace(v, "^[\"']|[\"']$", ""))
 
   /** Anchors WITH their inner text, as an array of `(href, text)`
@@ -100,13 +100,17 @@ object Html {
     // one attribute-or-text step inside an open tag: a quoted value
     // (which may contain '>') or any single non-terminator character
     val attr = "(?:\"[^\"]*\"|'[^']*'|[^>\"'])"
+    // `(?:\s$attr*?)?\shref=` forces WHITESPACE right after the tag name
+    // (either branch starts with \s) — `<area href=…>` / a malformed
+    // `<abbr href=…>` must not parse as anchors — while keeping the
+    // \s-before-href attribute boundary (`xhref=` is not an href).
     transform(
       regexp_extract_all(stripSpans(html),
-        lit(s"(?is)(<a$attr*?\\shref=(?:\"[^\"]*\"|'[^']*'|[^\\s>]+)$attr*>.*?</a>)"),
+        lit(s"(?is)(<a(?:\\s$attr*?)?\\shref=(?:\"[^\"]*\"|'[^']*'|[^\\s>]+)$attr*>.*?</a>)"),
         lit(1)),
       a => struct(
         regexp_replace(
-          regexp_extract(a, s"(?is)<a$attr*?\\shref=(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1),
+          regexp_extract(a, s"(?is)<a(?:\\s$attr*?)?\\shref=(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1),
           "^[\"']|[\"']$", "").as("href"),
         squish(decodeEntities(stripTags(
           regexp_extract(a, s"(?is)<a$attr*>(.*?)</a>", 1)))).as("text")))
@@ -118,7 +122,10 @@ object Html {
     */
   private[graft] def linkChars(line: Column): Column =
     aggregate(
-      regexp_extract_all(line, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+      // (?:\s[^>]*)? — attrs only after whitespace, so `<abbr …>` and
+      // `<area …>` don't count as anchors (bare `<a>` still does);
+      // byte-synced with the oracle replay CTE in SparkEntry
+      regexp_extract_all(line, lit("(?is)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1)),
       lit(0),
       (acc, x) => acc + length(squish(stripTags(x))))
 

@@ -365,10 +365,14 @@ object Sketch {
     * bit-identical to the direct one (the mergeable property HLL/CM
     * have for counts, here for distributions).
     *
-    * Contract: `keyCol` unique per row (a duplicated key is ONE sample
-    * point, silently); `valueCol` integral (the family's exact-units
-    * rule). Ordering is by `(u, v)` throughout, so a hash collision at
-    * the k boundary still resolves identically in any engine.
+    * Contract: `keyCol` unique per row — the uniqueness is the CALLER's
+    * obligation, not enforced here: rows sharing a key hash to the same
+    * `u` and contribute multiple CORRELATED sample points (they enter or
+    * leave the bottom-k together, biasing the estimate toward duplicated
+    * keys' values) — dedup upstream if keys can repeat. `valueCol`
+    * integral (the family's exact-units rule). Ordering is by `(u, v)`
+    * throughout, so a hash collision at the k boundary still resolves
+    * identically in any engine.
     *
     * Scale shape: map-side hash + a distributed top-k heap
     * (`TakeOrderedAndProject`) — k is sketch-sized, never data-sized;

@@ -670,9 +670,21 @@ object StreamingOps {
          state: GroupState[HostSlotState]) =>
           var granted = state.getOption.map(_.granted).getOrElse(0L)
           // explicit reverse ordering, not arithmetic negation: -pri
-          // overflows Long.MinValue and would sort that priority FIRST
+          // overflows Long.MinValue and would sort that priority FIRST.
+          // URL ties compare by UTF-8 bytes UNSIGNED — Spark's string
+          // sort order — not Ordering[String]'s UTF-16 code units: for
+          // supplementary-plane characters the two orders diverge and
+          // would break the one-batch parity with the batch op's window.
+          val utf8Order: Ordering[String] = (a: String, b: String) => {
+            val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            var i = 0
+            val n = math.min(x.length, y.length)
+            while (i < n && x(i) == y(i)) i += 1
+            if (i < n) (x(i) & 0xff) - (y(i) & 0xff) else x.length - y.length
+          }
           val ordered = batch.toSeq.sortBy { case (_, url, pri) => (pri, url) }(
-            Ordering.Tuple2(Ordering[Long].reverse, Ordering[String]))
+            Ordering.Tuple2(Ordering[Long].reverse, utf8Order))
           val out = ordered.flatMap { case (_, url, pri) =>
             if (granted < maxPerHost) {
               val f = ScheduledFetch(host, url, pri, granted * delayMs)

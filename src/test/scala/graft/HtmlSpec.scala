@@ -89,6 +89,25 @@ class HtmlSpec extends SparkSpec {
     assert(got.length == 4 && got(3)._1 == "/dangling")
   }
 
+  test("tags merely STARTING with 'a' are not anchors: <area>/<abbr> don't extract or count") {
+    val html = """<area shape=rect href=/map-target>
+      |<abbr href=/malformed>AB</abbr>
+      |<a href=/real>genuine</a>
+      |<map><area href=/m2 alt=x></map> trailing</a>""".stripMargin
+    val links = Seq(html).toDF("html")
+      .select(Html.extractLinks(col("html"))).collect().head.getSeq[String](0)
+    assert(links == Seq("/real"))
+    val anchors = Seq(html).toDF("html")
+      .select(Html.extractAnchors(col("html"))).collect().head
+      .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getString(0), r.getString(1)))
+    assert(anchors == Seq(("/real", "genuine")))
+    // linkChars (the density numerator) applies the same boundary: the
+    // <abbr…>AB</abbr> span must not count as anchor text
+    val n = Seq("<abbr title=x>ABCDEFGH</abbr> and <a href=/y>hi</a> prose</a>")
+      .toDF("l").select(Html.linkChars(col("l"))).collect().head.getInt(0)
+    assert(n == 2)
+  }
+
   test("extractAnchors: '>' inside a quoted attribute value doesn't end the tag") {
     val html = """<a href="/x?q=a>b">click</a> <a title="a>b" href=/y>go</a>"""
     val got = Seq(html).toDF("html")

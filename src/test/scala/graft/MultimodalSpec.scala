@@ -387,6 +387,14 @@ class MultimodalSpec extends SparkSpec {
     assert(BinaryCodecs.wavPcmStats(same) == BinaryCodecs.wavPcmStats(src))
     assert(BinaryCodecs.wavResample("not a wav".getBytes, 4000).isEmpty)
     intercept[IllegalArgumentException](BinaryCodecs.wavResample(src, 0))
+    // amplification-bomb quarantine: a parseable header declaring a 1 Hz
+    // source rate against a real data chunk asks for a ~10⁶× expansion
+    // whose output would overflow/exhaust memory — must return None, not
+    // throw or truncate (the declared-rate field lives at fmt offset 12)
+    val bomb = BinaryCodecs.wav(8000, Array.tabulate(8192)(i => i.toShort))
+    val bb = java.nio.ByteBuffer.wrap(bomb).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(24, 1) // sampleRate := 1 Hz, 8192 samples on disk
+    assert(BinaryCodecs.wavResample(bomb, 1000000).isEmpty)
   }
 
   test("gzipMedia/gunzipMedia: binary payloads roundtrip byte-exact; garbage drops") {
