@@ -3972,6 +3972,46 @@ object SparkEntry {
         .toDF()
         .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
           col("sum_b"), col("sum_g"), col("sum_r"))
+    }),
+
+    // ---- WARC container ingest (the interchange format public crawls
+    // actually ship in): documents group 8-per-file into real .warc.gz
+    // bytes — one gzip member per record, the standard seekable layout —
+    // and the member walk + strict record framing parse them back
+    // distributed. The oracle derives every field (file grouping, record
+    // order, URI, type, byte length, text) straight from the id formula:
+    // the q364 identity-roundtrip idiom at container grain. -----------------
+    "q384_warc_ingest" -> ((s, dir) =>
+      graft.ops.Warc.parseWarc(graft.ops.Warc.syntheticWarc(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id").as("file_id"), col("record_idx"),
+          col("warc_type"), col("target_uri"), col("n_bytes"),
+          col("payload").cast("string").as("text_out"))),
+
+    // ---- the crawl-ingest composite FROM the on-disk crawl format:
+    // q365's chain (robots admission → main-content → canonical URL +
+    // tokens) re-rooted at real WARC input — pages arrive as gzip-member
+    // response records whose Target-URI carries the admission path, so
+    // the whole pipeline now runs from the file a crawler writes. Oracle
+    // = the q359 replay chain + id-formula URI derivation (q365 idiom). ----
+    "q385_warc_crawl" -> ((s, dir) => {
+      val id = col("doc_id")
+      val docs = t(s, dir, "documents").select(
+        id, syntheticHtml.as("text"),
+        concat(lit("https://host"), (id % 20).cast("string"), lit(".example.com"),
+          when(id % 7 === 0, concat(lit("/private/p"), id.cast("string")))
+            .otherwise(concat(lit("/dir/page"), id.cast("string")))).as("uri"))
+      val pages = graft.ops.Warc.responsePages(
+        graft.ops.Warc.parseWarc(graft.ops.Warc.syntheticWarc(docs)))
+        .withColumn("path", regexp_extract(col("target_uri"), "^[a-z]+://[^/]*(/.*)$", 1))
+        .withColumn("robots", lit("User-agent: *\nDisallow: /private"))
+      val admitted = graft.ops.Robots.filterAllowed(pages).where(col("allowed"))
+      val content = Html.mainContent(admitted)
+      Urls.canonicalize(content.withColumn("url", col("target_uri")))
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("canonical_url"), col("registered_domain"),
+          TextFunctions.tokenCount(col("main_text")).as("n_tokens"))
     })
   )
 
@@ -10734,7 +10774,47 @@ object SparkEntry {
         | CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
         | CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
         | CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r
-        |FROM v2 GROUP BY vid, frame_idx""".stripMargin
+        |FROM v2 GROUP BY vid, frame_idx""".stripMargin,
+    // q384: identity derivation — a correct member walk + record framing
+    // must reproduce each file's records in order: one fixed warcinfo
+    // per file (21-byte body), then the file's documents in doc-id order
+    // with URI/type/length/text straight from the table (text is pure
+    // ASCII, so strlen == octet_length — the q364 precedent).
+    "q384_warc_ingest" ->
+      """WITH resp AS (
+        | SELECT CAST(doc_id // 8 AS BIGINT) AS file_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)
+        |    AS BIGINT) AS record_idx,
+        |  'response' AS warc_type,
+        |  'https://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p/'
+        |    || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
+        |  coalesce(text, '') AS text_out
+        | FROM documents),
+        |info AS (
+        | SELECT DISTINCT CAST(doc_id // 8 AS BIGINT) AS file_id,
+        |  CAST(0 AS BIGINT) AS record_idx, 'warcinfo' AS warc_type,
+        |  CAST(NULL AS VARCHAR) AS target_uri, CAST(21 AS BIGINT) AS n_bytes,
+        |  'software: graft/0.1' || chr(13) || chr(10) AS text_out
+        | FROM documents)
+        |SELECT * FROM info UNION ALL SELECT * FROM resp""".stripMargin,
+    // q385: the q359 replay chain over the same HTML fixture (q365's
+    // oracle shape), admission and canonical URL derived straight from
+    // the WARC Target-URI id formula — robots drops doc_id % 7 = 0, the
+    // URI is already canonical (lowercase host, no port/query/fragment),
+    // and hostN.example.com's registered domain is example.com.
+    "q385_warc_crawl" ->
+      s"""WITH $HtmlFixtureCte,
+         |$MainContentCtes,
+         |adm AS (SELECT h.doc_id, coalesce(m.main_text, '') AS mt
+         |        FROM h LEFT JOIN m USING (doc_id) WHERE h.doc_id % 7 <> 0)
+         |SELECT doc_id,
+         | 'https://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/dir/page'
+         |   || CAST(doc_id AS VARCHAR) AS canonical_url,
+         | 'example.com' AS registered_domain,
+         | CAST(len(regexp_extract_all(mt, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+         |   AS n_tokens
+         |FROM adm""".stripMargin
   )
 
   /** q374's avih derivation, shared verbatim with q382 (whose gzip

@@ -298,6 +298,229 @@ object BinaryCodecs {
     } catch { case _: java.io.IOException => None }
   }
 
+  /** Walk a CONCATENATED-member gzip file (RFC 1952 §2.2: "a gzip file
+    * consists of a series of members") into its decompressed members —
+    * the container discipline of web-crawl interchange files, where each
+    * archived record is its own gzip member so a reader can seek to any
+    * member boundary without inflating the prefix. Each member's header
+    * is parsed in full (FEXTRA/FNAME/FCOMMENT/FHCRC optional fields
+    * skipped per spec), the DEFLATE body inflated with a HARD per-member
+    * output cap (the [[gunzip]] zip-bomb guard, per member), and the
+    * 8-byte trailer verified (CRC32 + ISIZE mod 2³²) — a corrupt member
+    * quarantines the whole file (None), the same contract as the other
+    * container parsers. `maxMembers` bounds the member walk itself (a
+    * crafted file of millions of empty members is its own bomb).
+    */
+  def gzipMembers(
+      payload: Array[Byte],
+      maxBytesPerMember: Int = 1 << 26,
+      maxMembers: Int = 1 << 20): Option[Vector[Array[Byte]]] = {
+    if (payload == null || payload.length < 20 ||
+      (payload(0) & 0xff) != 0x1f || (payload(1) & 0xff) != 0x8b) return None
+    val members = Vector.newBuilder[Array[Byte]]
+    var off = 0
+    var n = 0
+    while (off < payload.length) {
+      n += 1
+      if (n > maxMembers) return None
+      // ---- member header: magic, CM=8 (deflate), FLG + optional fields
+      if (off + 10 > payload.length ||
+        (payload(off) & 0xff) != 0x1f || (payload(off + 1) & 0xff) != 0x8b ||
+        (payload(off + 2) & 0xff) != 8) return None
+      val flg = payload(off + 3) & 0xff
+      var p = off + 10
+      if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + bytes
+        if (p + 2 > payload.length) return None
+        p += 2 + ((payload(p) & 0xff) | ((payload(p + 1) & 0xff) << 8))
+      }
+      if ((flg & 8) != 0) { // FNAME: zero-terminated
+        while (p < payload.length && payload(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT: zero-terminated
+        while (p < payload.length && payload(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 2) != 0) p += 2 // FHCRC
+      if (p >= payload.length) return None
+      // ---- DEFLATE body: inflate raw (nowrap), track bytes consumed so
+      // the walk can land on the trailer and the next member boundary
+      val inf = new java.util.zip.Inflater(true)
+      var member: Array[Byte] = null
+      var consumed = -1
+      try {
+        inf.setInput(payload, p, payload.length - p)
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var ok = true
+        while (ok && !inf.finished()) {
+          val k =
+            try inf.inflate(buf)
+            catch { case _: java.util.zip.DataFormatException => ok = false; 0 }
+          if (k > 0) {
+            bos.write(buf, 0, k)
+            if (bos.size > maxBytesPerMember) ok = false // bomb guard
+          } else if (ok && !inf.finished() && inf.needsInput()) ok = false // truncated
+        }
+        if (ok && inf.finished()) {
+          member = bos.toByteArray
+          consumed = (payload.length - p) - inf.getRemaining
+        }
+      } finally inf.end()
+      if (member == null) return None
+      // ---- trailer: CRC32 then ISIZE (uncompressed length mod 2³²)
+      val t = p + consumed
+      if (t + 8 > payload.length) return None
+      val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+      val crcStored = buf.getInt(t).toLong & 0xFFFFFFFFL
+      val isize = buf.getInt(t + 4).toLong & 0xFFFFFFFFL
+      val crc = new java.util.zip.CRC32
+      crc.update(member)
+      if (crc.getValue != crcStored || (member.length.toLong & 0xFFFFFFFFL) != isize)
+        return None
+      members += member
+      off = t + 8
+    }
+    Some(members.result())
+  }
+
+  // --------------------------------------------------------------- WARC --
+
+  /** One serialized WARC/1.0 record (ISO 28500): version line, named
+    * header fields, `Content-Length` (computed — never caller-supplied),
+    * the blank line, `payload` octets, and the two-CRLF record
+    * terminator. Callers supply the WARC-* headers (`WARC-Type`,
+    * `WARC-Target-URI`, …); a `Content-Length` in `headers` is rejected
+    * rather than silently doubled.
+    */
+  def warcRecord(headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {
+    require(!headers.exists(_._1.equalsIgnoreCase("Content-Length")),
+      "warcRecord computes Content-Length itself")
+    require(headers.forall { case (k, v) =>
+      !k.exists(c => c == '\r' || c == '\n' || c == ':') &&
+        !v.exists(c => c == '\r' || c == '\n')
+    }, "warcRecord: header names/values must be single-line (no CR/LF, no ':' in names)")
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
+    sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
+    val head = sb.toString.getBytes("UTF-8")
+    val out = new Array[Byte](head.length + payload.length + 4)
+    System.arraycopy(head, 0, out, 0, head.length)
+    System.arraycopy(payload, 0, out, head.length, payload.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** A whole WARC file from its records. `gzipPerRecord = true` writes
+    * the standard `.warc.gz` layout — EVERY record its own gzip member
+    * (what makes the format seekable and exactly what [[gzipMembers]]
+    * walks); `false` writes the plain concatenated `.warc` form.
+    */
+  def warcFile(
+      records: Seq[(Seq[(String, String)], Array[Byte])],
+      gzipPerRecord: Boolean = true): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    records.foreach { case (h, p) =>
+      val r = warcRecord(h, p)
+      bos.write(if (gzipPerRecord) gzip(r) else r)
+    }
+    bos.toByteArray
+  }
+
+  /** One parsed WARC record: `(warc_type, target_uri, n_headers,
+    * payload)` — type/URI null when the header is absent (legal for some
+    * record types).
+    */
+  final case class WarcRec(
+      warcType: String, targetUri: String, nHeaders: Int, payload: Array[Byte])
+
+  /** Parse a WARC file — gzip'd (member-per-record or any member split;
+    * detected by magic) or plain — into its records in file order. The
+    * header block parses strictly: a `WARC/x.y` version line, `Name:
+    * value` fields to the blank line, a mandatory non-negative
+    * `Content-Length`, the payload octets, and the two-CRLF terminator.
+    * ANY malformation (bad version line, unparseable field, missing
+    * length, payload overrun, missing terminator, corrupt gzip member)
+    * quarantines the whole FILE (None) — record-level salvage would turn
+    * a length corruption into silently misframed downstream records,
+    * since every later offset depends on every earlier length.
+    */
+  def warcRecords(
+      payload: Array[Byte],
+      maxBytesPerMember: Int = 1 << 26,
+      maxRecords: Int = 1 << 20): Option[Vector[WarcRec]] = {
+    if (payload == null || payload.length == 0) return None
+    // .warc.gz: members decompress then parse as one concatenated stream
+    // (records never straddle members in the standard layout, but the
+    // spec only requires the CONCATENATION to be a valid plain file)
+    val plain: Array[Byte] =
+      if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b)
+        gzipMembers(payload, maxBytesPerMember, maxRecords) match {
+          case Some(ms) =>
+            val bos = new java.io.ByteArrayOutputStream()
+            ms.foreach(bos.write)
+            bos.toByteArray
+          case None => return None
+        }
+      else payload
+    // CRLF-terminated line starting at off → (text, offset past CRLF);
+    // raw byte arithmetic, NOT text.getBytes (invalid UTF-8 would decode
+    // to replacement chars and desynchronize the byte offsets)
+    def lineAt(off: Int): (String, Int) = {
+      var i = off
+      while (i + 1 < plain.length && !(plain(i) == '\r' && plain(i + 1) == '\n')) i += 1
+      if (i + 1 >= plain.length) null
+      else (new String(plain, off, i - off, "UTF-8"), i + 2)
+    }
+    val out = Vector.newBuilder[WarcRec]
+    var off = 0
+    var n = 0
+    while (off < plain.length) {
+      n += 1
+      if (n > maxRecords) return None
+      // ---- version line
+      val vl = lineAt(off)
+      if (vl == null || !vl._1.matches("WARC/\\d+\\.\\d+")) return None
+      off = vl._2
+      // ---- header fields to the blank line
+      var warcType: String = null
+      var targetUri: String = null
+      var contentLength = -1L
+      var nHeaders = 0
+      var open = true
+      while (open) {
+        val ln = lineAt(off)
+        if (ln == null) return None
+        val l = ln._1
+        off = ln._2
+        if (l.isEmpty) open = false
+        else {
+          val c = l.indexOf(':')
+          if (c <= 0) return None
+          val name = l.substring(0, c).trim
+          val value = l.substring(c + 1).trim
+          nHeaders += 1
+          if (name.equalsIgnoreCase("WARC-Type")) warcType = value
+          else if (name.equalsIgnoreCase("WARC-Target-URI")) targetUri = value
+          else if (name.equalsIgnoreCase("Content-Length"))
+            contentLength = try value.toLong catch { case _: NumberFormatException => return None }
+        }
+      }
+      // ---- payload + the two-CRLF terminator
+      if (contentLength < 0 || off + contentLength + 4 > plain.length) return None
+      val body = new Array[Byte](contentLength.toInt)
+      System.arraycopy(plain, off, body, 0, contentLength.toInt)
+      off += contentLength.toInt
+      if (plain(off) != '\r' || plain(off + 1) != '\n' ||
+        plain(off + 2) != '\r' || plain(off + 3) != '\n') return None
+      off += 4
+      out += WarcRec(warcType, targetUri, nHeaders, body)
+    }
+    Some(out.result())
+  }
+
   /** Integer-exact per-channel pixel statistics from a 24bpp bottom-up BMP
     * payload — a REAL image decode (header parse + padded-row pixel walk,
     * row padding excluded), not a stub: (width, height, Σblue, Σgreen,

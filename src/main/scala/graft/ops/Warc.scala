@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Multimodal.MediaRow
+
+/** WARC container ingest — the interchange format every public web crawl
+  * actually ships in (ISO 28500: concatenated records, each its own gzip
+  * member in the standard `.warc.gz` layout). The repo's whole crawl
+  * chain (gunzip → robots → main-content → URL identity → frontier)
+  * starts from pages; this op turns the on-disk crawl format into those
+  * pages, so a corpus engineer can point the pipeline at real crawl
+  * files. Reference behavior modeled: none — the reference ingests
+  * structured JSON only; §2.9 extension surface.
+  *
+  * Byte-level parsing lives in [[graft.functions.BinaryCodecs]]
+  * (gzip member walk + strict record framing); this layer is the
+  * Dataset plumbing: one input row = one WARC FILE, exploded to record
+  * rows by a partition-batched `mapPartitions` walk — multi-KB binary
+  * container decode is not an `Expression` fit (same judgment as the
+  * BMP/WAV/AVI paths). Shuffle-free, linear in partitions: at 100 TB the
+  * unit of work is the crawl file (~1 GB each), records never leave
+  * their file's task until the caller shuffles downstream.
+  */
+object Warc {
+
+  /** One WARC record row: `record_idx` is the 0-based position within
+    * its file; `warc_type`/`target_uri` null when the record carries no
+    * such header (legal for e.g. warcinfo's URI).
+    */
+  final case class WarcRecordRow(
+      media_id: Long,
+      record_idx: Long,
+      warc_type: String,
+      target_uri: String,
+      n_headers: Int,
+      n_bytes: Long,
+      payload: Array[Byte])
+
+  /** Explode WARC files (gzip'd or plain — detected per file) into their
+    * records in file order. A malformed file quarantines WHOLE (drops) —
+    * record-level salvage after a length corruption would silently
+    * misframe every later record, the worst possible corpus bug. The
+    * per-member zip-bomb cap is [[graft.functions.BinaryCodecs.gunzip]]'s
+    * discipline, per record.
+    */
+  def parseWarc(
+      media: Dataset[MediaRow],
+      maxBytesPerMember: Int = 1 << 26,
+      batchSize: Int = 16): Dataset[WarcRecordRow] = {
+    import media.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          BinaryCodecs.warcRecords(m.payload, maxBytesPerMember).toSeq.flatMap { recs =>
+            recs.zipWithIndex.map { case (r, i) =>
+              WarcRecordRow(m.media_id, i.toLong, r.warcType, r.targetUri,
+                r.nHeaders, r.payload.length.toLong, r.payload)
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Filter to response records and surface the payload as page text —
+    * the handoff from container ingest to the HTML chain
+    * ([[Robots.filterAllowed]] → [[Html.mainContent]] →
+    * [[Urls.canonicalize]]). Map-side.
+    */
+  def responsePages(records: Dataset[WarcRecordRow]): DataFrame =
+    records.toDF()
+      .where(col("warc_type") === "response")
+      .select(col("media_id").as("file_id"), col("record_idx"),
+        col("target_uri"), col("payload").cast("string").as("html"))
+
+  /** Synthetic `.warc.gz` corpus from the documents table — the writer
+    * half of the q384 identity roundtrip (the q364 idiom: synthesize the
+    * container distributed from fixture rows, parse it back distributed,
+    * oracle derives every field straight from the id formula). Documents
+    * group `docsPerFile` to a file (file id = `doc_id div docsPerFile`,
+    * records in doc-id order after a leading warcinfo member); each
+    * record's Target-URI comes from the `uri` column when the caller
+    * provides one, else from the default host/path id formula. Every
+    * record is its own gzip member — the standard layout, so the parse
+    * side exercises the real member walk on every file.
+    */
+  def syntheticWarc(docs: DataFrame, docsPerFile: Int = 8): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    require(docsPerFile >= 1, s"docsPerFile must be >= 1: $docsPerFile")
+    val withUri =
+      if (docs.columns.contains("uri")) docs.select(col("doc_id"), col("text"), col("uri"))
+      else docs.select(col("doc_id"), col("text"),
+        concat(lit("https://host"), (col("doc_id") % 20).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string")).as("uri"))
+    graft.io.Spread.toDefaultParallelism(withUri)
+      .groupBy(expr(s"doc_id div $docsPerFile").as("file_id"))
+      .agg(sort_array(collect_list(struct(
+        col("doc_id").as("_1"), col("text").as("_2"), col("uri").as("_3")))).as("recs"))
+      .as[(Long, Seq[(Long, String, String)])]
+      .map { case (fid, recs) =>
+        val info = (Seq(
+          "WARC-Type" -> "warcinfo",
+          "WARC-Record-ID" -> s"<urn:graft:file:$fid>",
+          "WARC-Date" -> "2024-01-01T00:00:00Z"),
+          WarcInfoPayload.getBytes("UTF-8"))
+        val responses = recs.map { case (id, text, uri) =>
+          (Seq(
+            "WARC-Type" -> "response",
+            "WARC-Record-ID" -> s"<urn:graft:rec:$id>",
+            "WARC-Date" -> "2024-01-01T00:00:00Z",
+            "WARC-Target-URI" -> uri),
+            Option(text).getOrElse("").getBytes("UTF-8"))
+        }
+        val bytes = BinaryCodecs.warcFile(info +: responses, gzipPerRecord = true)
+        MediaRow(fid, "warc", bytes, "application/warc", bytes.length.toLong)
+      }
+  }
+
+  /** The fixed warcinfo body [[syntheticWarc]] writes (21 bytes). */
+  val WarcInfoPayload: String = "software: graft/0.1\r\n"
+}

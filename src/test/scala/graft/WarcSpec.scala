@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.BinaryCodecs
+import graft.ops.{Multimodal, Warc}
+
+/** WARC container ingest: the gzip member walk (RFC 1952 concatenated
+  * members), strict record framing (ISO 28500), roundtrip identity, and
+  * the quarantine contract on every malformation class.
+  */
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(t: String, uri: String, body: String) =
+    (Seq("WARC-Type" -> t) ++ Option(uri).map("WARC-Target-URI" -> _),
+      body.getBytes("UTF-8"))
+
+  test("gzipMembers: concatenated members decompress individually, CRC-checked") {
+    val a = "first member".getBytes
+    val b = "second, rather longer member with more bytes".getBytes
+    val c = Array.emptyByteArray
+    val file = BinaryCodecs.gzip(a) ++ BinaryCodecs.gzip(b) ++ BinaryCodecs.gzip(c)
+    val got = BinaryCodecs.gzipMembers(file).get
+    assert(got.length == 3)
+    assert(got(0).sameElements(a) && got(1).sameElements(b) && got(2).isEmpty)
+    // single member is the degenerate walk
+    assert(BinaryCodecs.gzipMembers(BinaryCodecs.gzip(a)).get.head.sameElements(a))
+  }
+
+  test("gzipMembers: corruption quarantines — truncation, flipped CRC, garbage tail, bomb cap") {
+    val m = BinaryCodecs.gzip("payload bytes here".getBytes)
+    assert(BinaryCodecs.gzipMembers(m.dropRight(3)).isEmpty) // truncated trailer
+    assert(BinaryCodecs.gzipMembers(m ++ Array[Byte](9, 9, 9)).isEmpty) // non-member tail
+    val flipped = m.clone
+    flipped(flipped.length - 5) = (flipped(flipped.length - 5) ^ 0xff).toByte // CRC byte
+    assert(BinaryCodecs.gzipMembers(flipped).isEmpty)
+    // per-member output cap: 1 KB of zeros against a 100-byte ceiling
+    val big = BinaryCodecs.gzip(new Array[Byte](1024))
+    assert(BinaryCodecs.gzipMembers(big, maxBytesPerMember = 100).isEmpty)
+    assert(BinaryCodecs.gzipMembers(big, maxBytesPerMember = 2048).nonEmpty)
+    assert(BinaryCodecs.gzipMembers("no magic".getBytes).isEmpty)
+  }
+
+  test("warc roundtrip: gzip-per-record and plain files parse to identical records") {
+    val records = Seq(
+      rec("warcinfo", null, "software: test\r\n"),
+      rec("response", "https://a.example.com/1", "<html>one</html>"),
+      rec("response", "https://b.example.com/2", ""), // empty body is legal
+      rec("request", "https://a.example.com/1", "GET /1 HTTP/1.1\r\n"))
+    for (gz <- Seq(true, false)) {
+      val file = BinaryCodecs.warcFile(records, gzipPerRecord = gz)
+      val got = BinaryCodecs.warcRecords(file).get
+      assert(got.length == 4)
+      assert(got.map(_.warcType) == Vector("warcinfo", "response", "response", "request"))
+      assert(got(0).targetUri == null && got(1).targetUri == "https://a.example.com/1")
+      assert(got(1).payload.sameElements("<html>one</html>".getBytes))
+      assert(got(2).payload.isEmpty)
+      // header count excludes the auto Content-Length? No — it counts all
+      // parsed fields: 1 caller header + Content-Length = 2 for warcinfo
+      assert(got(0).nHeaders == 2 && got(1).nHeaders == 3)
+    }
+  }
+
+  test("warcRecords: malformation quarantines the file — framing is all-or-nothing") {
+    val good = BinaryCodecs.warcFile(Seq(rec("response", "u:1", "body")), gzipPerRecord = false)
+    assert(BinaryCodecs.warcRecords(good).nonEmpty)
+    // bad version line
+    val badV = "HTTP/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n".getBytes
+    assert(BinaryCodecs.warcRecords(badV).isEmpty)
+    // declared length past the file end
+    val overrun = new String(good, "UTF-8").replace("Content-Length: 4", "Content-Length: 400")
+    assert(BinaryCodecs.warcRecords(overrun.getBytes).isEmpty)
+    // missing the two-CRLF terminator
+    assert(BinaryCodecs.warcRecords(good.dropRight(2)).isEmpty)
+    // a field line with no colon
+    val noColon = "WARC/1.0\r\nBroken header line\r\nContent-Length: 0\r\n\r\n\r\n\r\n".getBytes
+    assert(BinaryCodecs.warcRecords(noColon).isEmpty)
+    // second record malformed → WHOLE file quarantines (not partial salvage)
+    val twoRecsOneBad = good ++ badV
+    assert(BinaryCodecs.warcRecords(twoRecsOneBad).isEmpty)
+    // Content-Length must be present
+    val noLen = "WARC/1.0\r\nWARC-Type: response\r\n\r\n\r\n\r\n".getBytes
+    assert(BinaryCodecs.warcRecords(noLen).isEmpty)
+  }
+
+  test("warcRecord: rejects caller Content-Length and multi-line header values") {
+    intercept[IllegalArgumentException](
+      BinaryCodecs.warcRecord(Seq("Content-Length" -> "7"), Array.emptyByteArray))
+    intercept[IllegalArgumentException](
+      BinaryCodecs.warcRecord(Seq("X" -> "a\r\nInjected: b"), Array.emptyByteArray))
+  }
+
+  test("parseWarc + syntheticWarc: distributed roundtrip reproduces every document") {
+    val docs = Seq(
+      (0L, "alpha text"), (1L, "beta"), (2L, ""), (3L, "delta longer body"),
+      (8L, "ninth doc opens file 1"), (9L, "tenth")).toDF("doc_id", "text")
+    val files = Warc.syntheticWarc(docs, docsPerFile = 8)
+    assert(files.count() == 2) // files 0 and 1
+    val recs = Warc.parseWarc(files).collect().sortBy(r => (r.media_id, r.record_idx))
+    // file 0: warcinfo + 4 responses; file 1: warcinfo + 2
+    assert(recs.length == 8)
+    assert(recs.count(_.warc_type == "warcinfo") == 2)
+    val resp = recs.filter(_.warc_type == "response")
+    assert(resp.map(r => new String(r.payload, "UTF-8")).toSeq ==
+      Seq("alpha text", "beta", "", "delta longer body", "ninth doc opens file 1", "tenth"))
+    assert(resp.map(_.target_uri).forall(_ != null))
+    assert(resp.head.target_uri == "https://host0.example.com/p/0")
+    assert(recs.filter(_.media_id == 0L).map(_.record_idx).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // responsePages: the handoff frame carries the payload as text
+    val pages = Warc.responsePages(Warc.parseWarc(files))
+      .orderBy("file_id", "record_idx").collect()
+    assert(pages.length == 6 && pages.head.getString(3) == "alpha text")
+    // caller-supplied uri column wins over the formula
+    val withUri = docs.withColumn("uri",
+      concat(lit("https://u/"), col("doc_id").cast("string")))
+    val u = Warc.parseWarc(Warc.syntheticWarc(withUri, docsPerFile = 8))
+      .filter(_.warc_type == "response").collect().map(_.target_uri).sorted
+    assert(u.forall(_.startsWith("https://u/")))
+  }
+
+  test("parseWarc: a corrupt file drops whole; good files in the same batch survive") {
+    val good = BinaryCodecs.warcFile(Seq(rec("response", "u:1", "ok")))
+    val media = Seq(
+      Multimodal.MediaRow(1L, "warc", good, "application/warc", good.length.toLong),
+      Multimodal.MediaRow(2L, "warc", "garbage".getBytes, "application/warc", 7L))
+      .toDS()
+    val got = Warc.parseWarc(media).collect()
+    assert(got.length == 1 && got.head.media_id == 1L)
+  }
+}
