@@ -4012,7 +4012,50 @@ object SparkEntry {
           regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
           col("canonical_url"), col("registered_domain"),
           TextFunctions.tokenCount(col("main_text")).as("n_tokens"))
-    })
+    }),
+
+    // ---- REAL PNG decode feature extraction: per-channel pixel sums
+    // through the full chunk-walk + zlib-inflate + filter-reconstruction
+    // decoder over synthesized real PNGs (every doc; geometry from the q150
+    // id formula, pixels the text bytes cycled top-down UNPADDED — PNG
+    // scanlines carry no row padding, so the oracle's byte formula is a
+    // plain modulus, RGB channel order). ------------------------------------
+    "q386_png_stats" -> ((s, dir) =>
+      Multimodal.imageStats(Multimodal.syntheticPngMedia(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
+          col("sum_b"), col("sum_g"), col("sum_r"))),
+
+    // ---- PNG perceptual fingerprints: the q349 dHash through the PNG
+    // decoder — same 9×8 grid, top-down unpadded geometry; the oracle
+    // replays the grid on the cycled-byte formula. --------------------------
+    "q387_png_dhash" -> ((s, dir) =>
+      Multimodal.imageDhash(Multimodal.syntheticPngMedia(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("dhash"))),
+
+    // ---- PNG thumbnailing: nearest-neighbor resize to 8×8 through the
+    // real decoder/encoder, verified by per-channel sums of the resized
+    // pixels — the oracle replays the integer source-pixel map. -------------
+    "q388_png_resize" -> ((s, dir) =>
+      Multimodal.imageStats(
+        Multimodal.resizeImages(
+          Multimodal.syntheticPngMedia(t(s, dir, "documents")), w = 8, h = 8))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
+          col("sum_b"), col("sum_g"), col("sum_r"))),
+
+    // ---- format normalization invariant: BMP corpus transcoded to PNG
+    // (decode padded bottom-up BGR → re-encode unpadded top-down RGB →
+    // decode again) fingerprints BIT-IDENTICALLY — the output equals
+    // q349's, so the oracle is q349's replay verbatim. Proves the two
+    // decoders agree pixel-for-pixel end to end. ----------------------------
+    "q389_transcode_dhash" -> ((s, dir) =>
+      Multimodal.imageDhash(
+        Multimodal.transcodeToPng(
+          Multimodal.syntheticMedia(t(s, dir, "documents"))))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("dhash")))
   )
 
   /** q358/q359's synthetic HTML page — every feature a pure function of
@@ -10814,7 +10857,85 @@ object SparkEntry {
          | 'example.com' AS registered_domain,
          | CAST(len(regexp_extract_all(mt, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
          |   AS n_tokens
-         |FROM adm""".stripMargin
+         |FROM adm""".stripMargin,
+    // q386: the q150 idiom minus row padding — PNG scanlines are
+    // unpadded, so byte j of the pixel stream is channel j%3 (RGB order:
+    // 0→r, 1→g, 2→b) and the cycled-text formula is a plain modulus.
+    "q386_png_stats" ->
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |par AS (SELECT doc_id, t, strlen(t) AS l, 8 + doc_id % 24 AS w,
+        |  8 + doc_id % 16 AS h FROM d),
+        |ix AS (SELECT doc_id, w, h, t, l, unnest(range(3 * w * h)) AS j FROM par),
+        |px AS (SELECT doc_id, w, h, j % 3 AS c,
+        |  CASE WHEN l = 0 THEN 0
+        |   ELSE ascii(substring(t, CAST(j % l AS INT) + 1, 1)) END AS v
+        | FROM ix)
+        |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
+        | CAST(h AS BIGINT) AS height, CAST(w * h AS BIGINT) AS n_pixels,
+        | CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+        | CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        | CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r
+        |FROM px GROUP BY doc_id, w, h""".stripMargin,
+    // q387: the q349 grid replay in PNG geometry — top-down rows, no row
+    // padding, base = 3·(y·w + x); gray is channel-order-free.
+    "q387_png_dhash" ->
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |par AS (SELECT doc_id, t, strlen(t) AS l, 8 + doc_id % 24 AS w,
+        |  8 + doc_id % 16 AS h FROM d),
+        |cells AS (
+        | SELECT doc_id, l, t,
+        |  3 * ((((2 * cy.cy + 1) * h) // 16) * w + ((2 * cx.cx + 1) * w) // 18) AS base,
+        |  cy.cy AS cy, cx.cx AS cx
+        | FROM par CROSS JOIN range(8) cy(cy) CROSS JOIN range(9) cx(cx)),
+        |gcell AS (
+        | SELECT doc_id, cy, cx,
+        |  ((CASE WHEN l = 0 THEN 0 ELSE ascii(substring(t, CAST(base % l AS INT) + 1, 1)) END)
+        |   + (CASE WHEN l = 0 THEN 0 ELSE ascii(substring(t, CAST((base + 1) % l AS INT) + 1, 1)) END)
+        |   + (CASE WHEN l = 0 THEN 0 ELSE ascii(substring(t, CAST((base + 2) % l AS INT) + 1, 1)) END)) // 3 AS gray
+        | FROM cells),
+        |dh AS (
+        | SELECT a.doc_id AS media_id,
+        |  CAST(coalesce(sum(CASE WHEN a.gray < b.gray THEN
+        |    CASE WHEN a.cy * 8 + a.cx = 63 THEN CAST(-9223372036854775807 AS HUGEINT) - 1
+        |         ELSE CAST(CAST(1 AS BIGINT) << (a.cy * 8 + a.cx) AS HUGEINT) END
+        |    ELSE CAST(0 AS HUGEINT) END), 0) AS BIGINT) AS dhash
+        | FROM gcell a JOIN gcell b
+        |   ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+        | WHERE a.cx < 8
+        | GROUP BY 1)
+        |SELECT dh.media_id, CAST(p.w AS BIGINT) AS width,
+        | CAST(p.h AS BIGINT) AS height, dh.dhash
+        |FROM dh JOIN par p ON p.doc_id = dh.media_id""".stripMargin,
+    // q388: the integer source-pixel map replayed — target (x, y) of the
+    // 8×8 thumbnail reads source (x·w//8, y·h//8), then the q386 channel
+    // sums over the 64 sampled pixels.
+    "q388_png_resize" ->
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |par AS (SELECT doc_id, t, strlen(t) AS l, 8 + doc_id % 24 AS w,
+        |  8 + doc_id % 16 AS h FROM d),
+        |tgt AS (
+        | SELECT doc_id, t, l,
+        |  3 * (((yy.y * h) // 8) * w + (xx.x * w) // 8) AS base
+        | FROM par CROSS JOIN range(8) yy(y) CROSS JOIN range(8) xx(x)),
+        |ch AS (
+        | SELECT doc_id, cc.c AS c,
+        |  CASE WHEN l = 0 THEN 0
+        |   ELSE ascii(substring(t, CAST((base + cc.c) % l AS INT) + 1, 1)) END AS v
+        | FROM tgt CROSS JOIN range(3) cc(c))
+        |SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS width,
+        | CAST(8 AS BIGINT) AS height, CAST(64 AS BIGINT) AS n_pixels,
+        | CAST(sum(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+        | CAST(sum(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        | CAST(sum(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r
+        |FROM ch GROUP BY doc_id""".stripMargin,
+    // q389: transcoding must be pixel-invisible, so the oracle is q349's
+    // replay VERBATIM — if the BMP decoder, PNG encoder and PNG decoder
+    // disagree anywhere, the hashes diverge and this query goes red.
+    "q389_transcode_dhash" ->
+      s"""WITH $DhashCte
+         |SELECT dh.media_id, CAST(p.w AS BIGINT) AS width,
+         | CAST(p.h AS BIGINT) AS height, dh.dhash
+         |FROM dh JOIN par p ON p.doc_id = dh.media_id""".stripMargin
   )
 
   /** q374's avih derivation, shared verbatim with q382 (whose gzip

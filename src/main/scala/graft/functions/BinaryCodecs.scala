@@ -384,6 +384,296 @@ object BinaryCodecs {
     Some(members.result())
   }
 
+  // ---------------------------------------------------------------- PNG --
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** One PNG chunk: 4-byte big-endian length, type, data, CRC32 over
+    * type+data (the spec's framing, exactly).
+    */
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val buf = ByteBuffer.allocate(12 + data.length).order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(data.length).put(t).put(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(t); crc.update(data)
+    buf.putInt(crc.getValue.toInt)
+    buf.array()
+  }
+
+  /** 8-bit RGB (color type 2) non-interlaced PNG — a REAL spec-conformant
+    * file (zlib-deflated filter-0 scanlines, CRC'd chunks; opens in any
+    * viewer). `pixels` supplies RGB bytes row-major TOP-DOWN and is
+    * cycled/zero-padded over the 3·w·h pixel array — the [[bmp]] writer's
+    * fill contract, minus BMP's row padding (PNG scanlines are unpadded,
+    * which is what keeps the oracle's byte formula a plain modulus).
+    */
+  def png(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, "png dimensions must be positive")
+    require(3L * width * height + height <= Int.MaxValue - 64,
+      s"png: $width x $height exceeds the size ceiling")
+    val stride = 3 * width
+    val raw = new Array[Byte](height * (1 + stride))
+    var y = 0
+    while (y < height) {
+      val base = y * (1 + stride) // raw(base) = filter byte 0 (None)
+      var i = 0
+      while (i < stride) {
+        raw(base + 1 + i) =
+          if (pixels.nonEmpty) pixels((y * stride + i) % pixels.length) else 0: Byte
+        i += 1
+      }
+      y += 1
+    }
+    val def_ = new java.util.zip.Deflater()
+    val idat = try {
+      def_.setInput(raw); def_.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!def_.finished()) bos.write(buf, 0, def_.deflate(buf))
+      bos.toByteArray
+    } finally def_.end()
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive filter, no interlace
+      .array()
+    PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", idat) ++ pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Full PNG decode for 8-bit RGB/RGBA non-interlaced images:
+    * `(width, height, channels, pixels)` with pixels row-major TOP-DOWN,
+    * channels 3 or 4. A REAL decoder, not a header peek: chunk walk with
+    * CRC verification, multi-IDAT zlib inflate (output capped — the
+    * zip-bomb guard again; a PNG IDAT is a compressed stream like any
+    * other), and per-scanline reconstruction of all five spec filters
+    * (None/Sub/Up/Average/Paeth). Anything else — palette/gray/16-bit/
+    * interlaced images, bad CRCs, length mismatches — quarantines (None),
+    * the family contract.
+    */
+  def pngDecode(
+      payload: Array[Byte],
+      maxBytes: Int = 1 << 26): Option[(Int, Int, Int, Array[Byte])] = {
+    if (payload == null || payload.length < 8 + 25 ||
+      !payload.take(8).sameElements(PngSig)) return None
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
+    var off = 8
+    var w = -1; var h = -1; var channels = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    var first = true
+    while (!done) {
+      if (off + 12 > payload.length) return None
+      val len = buf.getInt(off)
+      if (len < 0 || off + 12L + len > payload.length) return None
+      val typ = new String(payload, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(payload, off + 4, 4 + len)
+      if (crc.getValue.toInt != buf.getInt(off + 8 + len)) return None
+      if (first && typ != "IHDR") return None
+      typ match {
+        case "IHDR" =>
+          if (!first || len != 13) return None
+          w = buf.getInt(off + 8)
+          h = buf.getInt(off + 12)
+          val bitDepth = payload(off + 16) & 0xff
+          val colorType = payload(off + 17) & 0xff
+          val compression = payload(off + 18) & 0xff
+          val filter = payload(off + 19) & 0xff
+          val interlace = payload(off + 20) & 0xff
+          channels = colorType match { case 2 => 3; case 6 => 4; case _ => -1 }
+          if (w <= 0 || h <= 0 || bitDepth != 8 || channels < 0 ||
+            compression != 0 || filter != 0 || interlace != 0) return None
+          // raw-size ceiling BEFORE inflating: the declared geometry
+          // bounds the inflate output exactly
+          if ((channels.toLong * w + 1) * h > maxBytes) return None
+        case "IDAT" => idat.write(payload, off + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks (tEXt, pHYs, …) skip — CRC already checked
+      }
+      first = false
+      off += 12 + len
+    }
+    if (w < 0 || idat.size == 0) return None
+    val stride = channels * w
+    val expected = (stride + 1) * h
+    val raw = new Array[Byte](expected)
+    val inf = new java.util.zip.Inflater()
+    val n = try {
+      inf.setInput(idat.toByteArray)
+      var total = 0
+      var ok = true
+      while (ok && !inf.finished() && total < expected) {
+        val k = try inf.inflate(raw, total, expected - total)
+          catch { case _: java.util.zip.DataFormatException => ok = false; 0 }
+        if (k > 0) total += k
+        else if (ok && !inf.finished() && inf.needsInput()) ok = false
+      }
+      if (!ok || total != expected || !inf.finished()) -1 else total
+    } finally inf.end()
+    if (n < 0) return None
+    // ---- filter reconstruction, scanline by scanline (spec §9)
+    val out = new Array[Byte](stride * h)
+    val bpp = channels
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (stride + 1)) & 0xff
+      val src = y * (stride + 1) + 1
+      val dst = y * stride
+      if (f > 4) return None
+      var x = 0
+      while (x < stride) {
+        val rv = raw(src + x) & 0xff
+        val a = if (x >= bpp) out(dst + x - bpp) & 0xff else 0         // left
+        val b = if (y > 0) out(dst - stride + x) & 0xff else 0         // up
+        val c = if (x >= bpp && y > 0) out(dst - stride + x - bpp) & 0xff else 0 // up-left
+        val v = f match {
+          case 0 => rv
+          case 1 => rv + a
+          case 2 => rv + b
+          case 3 => rv + (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            rv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        out(dst + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, channels, out))
+  }
+
+  /** (width, height) if the payload parses as a supported PNG. */
+  def pngDimensions(payload: Array[Byte]): Option[(Int, Int)] =
+    pngDecode(payload).map { case (w, h, _, _) => (w, h) }
+
+  /** Integer-exact per-channel pixel sums from a PNG payload — the
+    * [[bmpPixelStats]] twin for the format web images actually use,
+    * returned in the SAME (Σblue, Σgreen, Σred) order so the two feed
+    * one stats frame (PNG stores RGB; the sums swap accordingly). RGBA
+    * alpha is excluded — stats are color statistics.
+    */
+  def pngPixelStats(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+    pngDecode(payload).map { case (w, h, ch, px) =>
+      var sumR = 0L; var sumG = 0L; var sumB = 0L
+      var i = 0
+      while (i < px.length) {
+        sumR += px(i) & 0xff
+        sumG += px(i + 1) & 0xff
+        sumB += px(i + 2) & 0xff
+        i += ch
+      }
+      (w, h, sumB, sumG, sumR)
+    }
+
+  /** The 9×8-grid 64-bit difference hash shared by [[bmpDhash]] and
+    * [[pngDhash]] — one implementation of the grid walk, two gray
+    * accessors, so the two formats CANNOT fingerprint differently on
+    * identical pixels (the transcode-identity invariant q389 pins).
+    */
+  private def dhash64(w: Int, h: Int, gray: (Int, Int) => Int): Long = {
+    var hash = 0L
+    var cy = 0
+    while (cy < 8) {
+      val y = (2 * cy + 1) * h / 16
+      var cx = 0
+      while (cx < 8) {
+        val xa = (2 * cx + 1) * w / 18
+        val xb = (2 * cx + 3) * w / 18
+        if (gray(xa, y) < gray(xb, y)) hash |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
+  /** [[bmpDhash]] for PNG payloads: same grid, same gray ((R+G+B) div 3
+    * is channel-order-free), pixels already top-down. Returns
+    * (width, height, dhash); None on unsupported payloads.
+    */
+  def pngDhash(payload: Array[Byte]): Option[(Int, Int, Long)] =
+    pngDecode(payload).map { case (w, h, ch, px) =>
+      val hash = dhash64(w, h, (x, y) => {
+        val p = ch * (y * w + x)
+        ((px(p) & 0xff) + (px(p + 1) & 0xff) + (px(p + 2) & 0xff)) / 3
+      })
+      (w, h, hash)
+    }
+
+  /** [[bmpResize]] for PNG payloads: the same integer nearest-neighbor
+    * map (target (X, Y) copies source (⌊X·sw/tw⌋, ⌊Y·sh/th⌋)), top-down
+    * on both sides, RGBA alpha dropped (the writer is RGB). Returns a
+    * valid PNG; None on unsupported payloads.
+    */
+  def pngResize(payload: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    require(tw > 0 && th > 0, s"pngResize target must be positive: $tw x $th")
+    require(3L * tw * th + th <= Int.MaxValue - 64,
+      s"pngResize: target $tw x $th exceeds the PNG size ceiling")
+    pngDecode(payload).map { case (w, h, ch, px) =>
+      val out = new Array[Byte](3 * tw * th)
+      var y = 0
+      while (y < th) {
+        val sy = (y.toLong * h / th).toInt
+        var x = 0
+        while (x < tw) {
+          val sx = (x.toLong * w / tw).toInt
+          val s = ch * (sy * w + sx)
+          val d = 3 * (y * tw + x)
+          out(d) = px(s); out(d + 1) = px(s + 1); out(d + 2) = px(s + 2)
+          x += 1
+        }
+        y += 1
+      }
+      png(tw, th, out)
+    }
+  }
+
+  /** Transcode a 24bpp BMP to PNG losslessly: decode the padded
+    * bottom-up BGR pixel walk, re-emit unpadded top-down RGB — the
+    * format-normalization step a real ingest runs so every downstream
+    * image op sees one layout. Pixel-exact by construction ([[bmpDhash]]
+    * and [[pngDhash]] of the two files are bit-identical — q389's
+    * oracle); None when the source isn't parseable bottom-up 24bpp BMP.
+    */
+  def bmpToPng(payload: Array[Byte]): Option[Array[Byte]] = {
+    if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M') return None
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    val dataOff = buf.getInt(10)
+    val dibSize = buf.getInt(14)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    val planes = buf.getShort(26)
+    val bpp = buf.getShort(28)
+    val compression = buf.getInt(30)
+    if (dibSize != 40 || planes != 1 || bpp != 24 || compression != 0 ||
+      w <= 0 || h <= 0) return None
+    val rowSizeL = ((24L * w + 31) / 32) * 4
+    if (dataOff < 54 || dataOff.toLong + rowSizeL * h > payload.length) return None
+    if (3L * w * h + h > Int.MaxValue - 64) return None
+    val rowSize = rowSizeL.toInt
+    val px = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      val src = dataOff + (h - 1 - y) * rowSize // stored bottom-up
+      val dst = 3 * y * w
+      var x = 0
+      while (x < w) {
+        // BGR on disk → RGB in the PNG pixel array
+        px(dst + 3 * x) = payload(src + 3 * x + 2)
+        px(dst + 3 * x + 1) = payload(src + 3 * x + 1)
+        px(dst + 3 * x + 2) = payload(src + 3 * x)
+        x += 1
+      }
+      y += 1
+    }
+    Some(png(w, h, px))
+  }
+
   // --------------------------------------------------------------- WARC --
 
   /** One serialized WARC/1.0 record (ISO 28500): version line, named
@@ -643,23 +933,12 @@ object BinaryCodecs {
     val rowSizeL = ((24L * w + 31) / 32) * 4
     if (dataOff < 54 || dataOff.toLong + rowSizeL * h > payload.length) return None
     val rowSize = rowSizeL.toInt // safe: bounded by payload.length above
-    def gray(x: Int, y: Int): Int = {
+    // the grid walk itself is [[dhash64]], shared with the PNG decoder —
+    // identical pixels MUST fingerprint identically across formats
+    val hash = dhash64(w, h, (x, y) => {
       val p = dataOff + (h - 1 - y) * rowSize + 3 * x
       ((payload(p) & 0xff) + (payload(p + 1) & 0xff) + (payload(p + 2) & 0xff)) / 3
-    }
-    var hash = 0L
-    var cy = 0
-    while (cy < 8) {
-      val y = (2 * cy + 1) * h / 16
-      var cx = 0
-      while (cx < 8) {
-        val xa = (2 * cx + 1) * w / 18
-        val xb = (2 * cx + 3) * w / 18
-        if (gray(xa, y) < gray(xb, y)) hash |= 1L << (cy * 8 + cx)
-        cx += 1
-      }
-      cy += 1
-    }
+    })
     Some((w, h, hash))
   }
 

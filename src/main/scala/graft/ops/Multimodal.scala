@@ -195,11 +195,13 @@ object Multimodal {
       sum_b: Long, sum_g: Long, sum_r: Long)
 
   /** REAL image feature extraction over the binary column: integer-exact
-    * per-channel pixel sums from an actual 24bpp BMP pixel walk
-    * ([[graft.functions.BinaryCodecs.bmpPixelStats]]) — row padding
-    * excluded, bytes unsigned, no stub anywhere on this path. Rows whose
-    * payload is not parseable bottom-up 24bpp BMP are dropped. Same
-    * partition-batched, shuffle-free shape as [[audioStats]].
+    * per-channel pixel sums from an actual pixel walk — the 24bpp BMP
+    * decoder ([[graft.functions.BinaryCodecs.bmpPixelStats]], row padding
+    * excluded) or, when the magic says PNG, the full zlib+filter PNG
+    * decoder ([[graft.functions.BinaryCodecs.pngPixelStats]] — the format
+    * web images actually use). Bytes unsigned, no stub anywhere on this
+    * path; rows in neither format drop. Same partition-batched,
+    * shuffle-free shape as [[audioStats]].
     */
   def imageStats(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[ImageStats] = {
     import media.sparkSession.implicits._
@@ -207,9 +209,11 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { m =>
-          BinaryCodecs.bmpPixelStats(m.payload).map { case (w, h, sumB, sumG, sumR) =>
-            ImageStats(m.media_id, w.toLong, h.toLong, w.toLong * h, sumB, sumG, sumR)
-          }
+          BinaryCodecs.bmpPixelStats(m.payload)
+            .orElse(BinaryCodecs.pngPixelStats(m.payload))
+            .map { case (w, h, sumB, sumG, sumR) =>
+              ImageStats(m.media_id, w.toLong, h.toLong, w.toLong * h, sumB, sumG, sumR)
+            }
         }
       }
     }
@@ -233,9 +237,11 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { m =>
-          BinaryCodecs.bmpDhash(m.payload).map { case (w, h, d) =>
-            ImageDhash(m.media_id, w.toLong, h.toLong, d)
-          }
+          BinaryCodecs.bmpDhash(m.payload)
+            .orElse(BinaryCodecs.pngDhash(m.payload))
+            .map { case (w, h, d) =>
+              ImageDhash(m.media_id, w.toLong, h.toLong, d)
+            }
         }
       }
     }
@@ -288,8 +294,34 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { m =>
-          BinaryCodecs.bmpResize(m.payload, w, h).map(p =>
-            MediaRow(m.media_id, m.kind, p, "image/bmp", p.length.toLong))
+          BinaryCodecs.bmpResize(m.payload, w, h)
+            .map(p => MediaRow(m.media_id, m.kind, p, "image/bmp", p.length.toLong))
+            .orElse(BinaryCodecs.pngResize(m.payload, w, h)
+              .map(p => MediaRow(m.media_id, m.kind, p, "image/png", p.length.toLong)))
+        }
+      }
+    }
+  }
+
+  /** Format normalization at ingest: every parseable 24bpp BMP re-encodes
+    * as a pixel-exact PNG ([[graft.functions.BinaryCodecs.bmpToPng]] —
+    * decoded padded bottom-up BGR, re-emitted unpadded top-down RGB
+    * through the real zlib writer), so one on-disk layout feeds every
+    * downstream image op. Already-PNG rows pass through untouched;
+    * other payloads drop. The q389 invariant: a transcoded image's
+    * [[imageDhash]] is bit-identical to its source's. Partition-batched,
+    * shuffle-free.
+    */
+  def transcodeToPng(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          BinaryCodecs.bmpToPng(m.payload)
+            .map(p => MediaRow(m.media_id, m.kind, p, "image/png", p.length.toLong))
+            .orElse(
+              if (BinaryCodecs.pngDimensions(m.payload).nonEmpty) Some(m) else None)
         }
       }
     }
@@ -657,6 +689,29 @@ object Multimodal {
             val payload = BinaryCodecs.bmp(w, h, bytes)
             MediaRow(id, "video", payload, "video/x-bmp-frames", payload.length.toLong)
         }
+      }
+  }
+
+  /** Synthetic PNG corpus from the documents table — every doc a real
+    * 8-bit RGB PNG (zlib-deflated, CRC'd chunks) whose geometry comes
+    * from the [[syntheticMedia]] id formula and whose pixel array cycles
+    * the text bytes row-major top-down, UNPADDED (PNG scanlines carry no
+    * row padding, so the oracle's byte formula is a plain modulus —
+    * simpler than the BMP twin). The compressed bytes are
+    * JVM-deflate-specific and never compared cross-engine; only the
+    * decoded pixels are (the q364 compression-roundtrip rule).
+    */
+  def syntheticPngMedia(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    graft.io.Spread.toDefaultParallelism(docs)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val w = 8 + (id % 24).toInt
+        val h = 8 + (id % 16).toInt
+        val payload = BinaryCodecs.png(w, h, Option(text).getOrElse("").getBytes("UTF-8"))
+        MediaRow(id, "image", payload, "image/png", payload.length.toLong)
       }
   }
 
