@@ -4055,7 +4055,21 @@ object SparkEntry {
         Multimodal.transcodeToPng(
           Multimodal.syntheticMedia(t(s, dir, "documents"))))
         .toDF()
-        .select(col("media_id"), col("width"), col("height"), col("dhash")))
+        .select(col("media_id"), col("width"), col("height"), col("dhash"))),
+
+    // ---- charset sniff + transcode at crawl ingest (BOM → meta
+    // declaration → strict UTF-8 validation → flagged windows-1252
+    // fallback): a five-leg mixed-encoding corpus — ASCII, BOM'd UTF-8,
+    // BOM'd UTF-16LE, meta-declared latin-1, and UNDECLARED latin-1
+    // (the leg that must fall back flagged) — decodes to UTF-8 text
+    // before the HTML/lexical chain. The oracle derives label, flags and
+    // transcoded text from the id formula byte-for-byte (é = chr(233)). -----
+    "q390_charset_decode" -> ((s, dir) =>
+      Multimodal.decodeCharset(
+        Multimodal.syntheticEncodedDocs(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id").as("doc_id"), col("encoding"), col("bom"),
+          col("mojibake_risk"), col("text_out")))
   )
 
   /** q358/q359's synthetic HTML page — every feature a pure function of
@@ -10935,7 +10949,23 @@ object SparkEntry {
       s"""WITH $DhashCte
          |SELECT dh.media_id, CAST(p.w AS BIGINT) AS width,
          | CAST(p.h AS BIGINT) AS height, dh.dhash
-         |FROM dh JOIN par p ON p.doc_id = dh.media_id""".stripMargin
+         |FROM dh JOIN par p ON p.doc_id = dh.media_id""".stripMargin,
+    // q390: pure identity derivation — each leg's label/flags are fixed
+    // by the residue and the transcoded text is the ASCII text plus the
+    // leg's known non-ASCII tail (chr(233) = é, identical in latin-1 and
+    // windows-1252 for bytes ≥ 0xA0); the BOM'd legs strip their BOM.
+    "q390_charset_decode" ->
+      """SELECT doc_id,
+        | CASE doc_id % 5 WHEN 2 THEN 'utf-16le' WHEN 3 THEN 'iso-8859-1'
+        |  WHEN 4 THEN 'windows-1252' ELSE 'utf-8' END AS encoding,
+        | doc_id % 5 IN (1, 2) AS bom,
+        | doc_id % 5 = 4 AS mojibake_risk,
+        | CASE doc_id % 5
+        |  WHEN 1 THEN coalesce(text, '') || ' ' || chr(233)
+        |  WHEN 3 THEN '<meta charset="iso-8859-1">' || coalesce(text, '') || chr(233)
+        |  WHEN 4 THEN coalesce(text, '') || chr(233)
+        |  ELSE coalesce(text, '') END AS text_out
+        |FROM documents""".stripMargin
   )
 
   /** q374's avih derivation, shared verbatim with q382 (whose gzip

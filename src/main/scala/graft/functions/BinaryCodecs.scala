@@ -674,6 +674,95 @@ object BinaryCodecs {
     Some(png(w, h, px))
   }
 
+  // ------------------------------------------------------------- CHARSET --
+
+  /** A charset-sniffed decode: the label actually used, whether a BOM
+    * led, whether the decode was a contradicted-or-guessed fallback
+    * (mojibake risk — the flag a corpus health dashboard charts), and
+    * the decoded text.
+    */
+  final case class Sniffed(
+      encoding: String, bom: Boolean, mojibakeRisk: Boolean, text: String)
+
+  /** True iff the bytes are one valid UTF-8 sequence (strict decoder —
+    * no replacement, no truncated tails).
+    */
+  def validUtf8(payload: Array[Byte]): Boolean =
+    try {
+      java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        .decode(ByteBuffer.wrap(payload))
+      true
+    } catch { case _: java.nio.charset.CharacterCodingException => false }
+
+  /** Normalize a declared charset label to the small supported set; None
+    * for anything unrecognized (the caller falls back to the byte
+    * heuristic — an unknown label must not crash ingest).
+    */
+  private def normalizeCharset(label: String): Option[String] = label match {
+    case "utf-8" | "utf8" => Some("utf-8")
+    case "iso-8859-1" | "iso8859-1" | "latin-1" | "latin1" => Some("iso-8859-1")
+    case "windows-1252" | "cp1252" => Some("windows-1252")
+    case _ => None
+  }
+
+  private val MetaCharsetRe =
+    java.util.regex.Pattern.compile("<meta[^>]*charset\\s*=\\s*[\"']?([a-z0-9_\\-]+)")
+
+  /** Charset sniff + transcode-to-UTF-16-String for crawl ingest — the
+    * step real pipelines need because ~5–10 % of the web is not UTF-8
+    * and a byte-blind `new String(bytes, UTF_8)` silently corrupts text
+    * UPSTREAM of every dedup/quality op. Detection order (the WHATWG
+    * encoding-sniffing shape):
+    *
+    *  1. BOM: EF BB BF → utf-8, FF FE → utf-16le, FE FF → utf-16be
+    *     (stripped before decode; authoritative).
+    *  2. `<meta … charset=…>` in the first 1024 bytes, scanned through
+    *     the latin-1 superset (covers both `<meta charset=x>` and the
+    *     `http-equiv` `content="…; charset=x"` form). A declared utf-8
+    *     CONTRADICTED by invalid UTF-8 bytes falls back to windows-1252
+    *     with the mojibake flag raised — trusting a wrong label is how
+    *     mojibake enters a corpus.
+    *  3. Strict whole-payload UTF-8 validation (pure ASCII passes).
+    *  4. windows-1252 fallback (decodes every byte; flagged risky —
+    *     it is a GUESS).
+    *
+    * Total function: every payload decodes to something, the flag says
+    * how trustworthy.
+    */
+  def sniffCharset(payload: Array[Byte]): Sniffed = {
+    import java.nio.charset.StandardCharsets._
+    if (payload == null || payload.isEmpty) return Sniffed("utf-8", false, false, "")
+    val n = payload.length
+    if (n >= 3 && (payload(0) & 0xff) == 0xEF && (payload(1) & 0xff) == 0xBB &&
+      (payload(2) & 0xff) == 0xBF)
+      return Sniffed("utf-8", true, false, new String(payload, 3, n - 3, UTF_8))
+    if (n >= 2 && (payload(0) & 0xff) == 0xFF && (payload(1) & 0xff) == 0xFE)
+      return Sniffed("utf-16le", true, false, new String(payload, 2, n - 2, UTF_16LE))
+    if (n >= 2 && (payload(0) & 0xff) == 0xFE && (payload(1) & 0xff) == 0xFF)
+      return Sniffed("utf-16be", true, false, new String(payload, 2, n - 2, UTF_16BE))
+    val head = new String(payload, 0, math.min(1024, n), ISO_8859_1)
+      .toLowerCase(java.util.Locale.ROOT)
+    val m = MetaCharsetRe.matcher(head)
+    val declared = if (m.find()) normalizeCharset(m.group(1)) else None
+    declared match {
+      case Some("utf-8") =>
+        if (validUtf8(payload)) Sniffed("utf-8", false, false, new String(payload, UTF_8))
+        else Sniffed("windows-1252", false, true,
+          new String(payload, java.nio.charset.Charset.forName("windows-1252")))
+      case Some("iso-8859-1") =>
+        Sniffed("iso-8859-1", false, false, new String(payload, ISO_8859_1))
+      case Some(cs) => // windows-1252, the only other normalized label
+        Sniffed(cs, false, false,
+          new String(payload, java.nio.charset.Charset.forName("windows-1252")))
+      case None =>
+        if (validUtf8(payload)) Sniffed("utf-8", false, false, new String(payload, UTF_8))
+        else Sniffed("windows-1252", false, true,
+          new String(payload, java.nio.charset.Charset.forName("windows-1252")))
+    }
+  }
+
   // --------------------------------------------------------------- WARC --
 
   /** One serialized WARC/1.0 record (ISO 28500): version line, named

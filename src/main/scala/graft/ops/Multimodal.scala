@@ -692,6 +692,59 @@ object Multimodal {
       }
   }
 
+  final case class DecodedText(
+      media_id: Long, encoding: String, bom: Boolean, mojibake_risk: Boolean,
+      text_out: String)
+
+  /** Charset sniff + transcode at crawl ingest
+    * ([[graft.functions.BinaryCodecs.sniffCharset]]: BOM → meta
+    * declaration → strict UTF-8 validation → flagged windows-1252
+    * fallback): every binary page decodes to UTF-8 text BEFORE
+    * [[Html.stripMarkup]] and the lexical chain see it, with a
+    * per-document encoding label and mojibake-risk flag — the ~5–10 % of
+    * real crawls that is not UTF-8 otherwise corrupts silently upstream
+    * of every dedup/quality op. Total (every row decodes; the flag says
+    * how trustworthy); partition-batched, shuffle-free.
+    */
+  def decodeCharset(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[DecodedText] = {
+    import media.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val s = BinaryCodecs.sniffCharset(m.payload)
+          DecodedText(m.media_id, s.encoding, s.bom, s.mojibakeRisk, s.text)
+        }
+      }
+    }
+  }
+
+  /** Mixed-encoding synthetic corpus for the charset-ingest oracle —
+    * five legs by id residue, each a pure byte function of the (ASCII)
+    * text so the expected decode replays analytically: plain ASCII,
+    * BOM'd UTF-8 with a non-ASCII tail, BOM'd UTF-16LE, meta-declared
+    * latin-1 with a 0xE9 byte, and UNDECLARED latin-1 with the same
+    * byte — the leg that must fall back flagged.
+    */
+  def syntheticEncodedDocs(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    import java.nio.charset.StandardCharsets._
+    graft.io.Spread.toDefaultParallelism(docs)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val t = Option(text).getOrElse("")
+        val payload = (id % 5) match {
+          case 0 => t.getBytes(US_ASCII)
+          case 1 => Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++ (t + " \u00e9").getBytes(UTF_8)
+          case 2 => Array(0xFF, 0xFE).map(_.toByte) ++ t.getBytes(UTF_16LE)
+          case 3 => ("<meta charset=\"iso-8859-1\">" + t + "\u00e9").getBytes(ISO_8859_1)
+          case _ => (t + "\u00e9").getBytes(ISO_8859_1)
+        }
+        MediaRow(id, "text", payload, "application/octet-stream", payload.length.toLong)
+      }
+  }
+
   /** Synthetic PNG corpus from the documents table — every doc a real
     * 8-bit RGB PNG (zlib-deflated, CRC'd chunks) whose geometry comes
     * from the [[syntheticMedia]] id formula and whose pixel array cycles
