@@ -4069,7 +4069,36 @@ object SparkEntry {
         Multimodal.syntheticEncodedDocs(t(s, dir, "documents")))
         .toDF()
         .select(col("media_id").as("doc_id"), col("encoding"), col("bom"),
-          col("mojibake_risk"), col("text_out")))
+          col("mojibake_risk"), col("text_out"))),
+
+    // ---- TOKEN-EXACT sequence packing: q317's concat-and-chunk driven
+    // by REAL BPE subword counts (the q135-trained table applied by the
+    // q136 native encoder) instead of whitespace-ish word counts —
+    // context windows are token budgets, and word-count packing misfits
+    // real tokenizers by 20–40 %. The oracle composes the q136 merge-
+    // replay chain into the q317 window replay. ----------------------------
+    "q391_bpe_pack_chunk" -> ((s, dir) => {
+      val merges = Ngrams.bpeMerges(t(s, dir, "documents"), rounds = 16, batch = 8)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val d = Ngrams.bpeEncodeStats(t(s, dir, "documents"), merges)
+        .select(col("doc_id"), col("n_subwords").as("n_tokens"))
+      SequencePack.concatChunk(d, windowSize = 256)
+    }),
+
+    // ---- token-exact NEXT-FIT packing: q318's whole-document greedy
+    // fill, capacity 8192 BPE tokens (≥ 6× the largest doc's subword
+    // count at every scale the suite runs, so the n ≤ C contract holds
+    // with headroom). Same jump-orbit construction; the oracle walks the
+    // recurrence over the composed BPE counts. -----------------------------
+    "q392_bpe_pack_nextfit" -> ((s, dir) => {
+      val merges = Ngrams.bpeMerges(t(s, dir, "documents"), rounds = 16, batch = 8)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val d = Ngrams.bpeEncodeStats(t(s, dir, "documents"), merges)
+        .select(col("doc_id"), col("n_subwords").as("n_tokens"))
+      SequencePack.nextFitWindows(d, capacity = 8192)
+    })
   )
 
   /** q358/q359's synthetic HTML page — every feature a pure function of
@@ -5816,39 +5845,19 @@ object SparkEntry {
       "SELECT CAST(merge_rank AS BIGINT) AS merge_rank, left_sym, right_sym, " +
         s"CAST(n AS BIGINT) AS n FROM (VALUES $rows) AS t(merge_rank, left_sym, right_sym, n)"
     },
-    // q136: ENCODE replayed in pure SQL — each word becomes its spaced
-    // symbol string (every symbol wrapped ' x ', so adjacent pair
-    // patterns never share delimiter spaces) and the pinned merges apply
-    // as a chain of string replaces, whose left-to-right non-overlapping
-    // scan IS the trainer's leftmost-greedy rewrite.
-    "q136_bpe_encode" -> {
-      val chain = PinnedQ135Merges.foldLeft("spaced") { case (acc, (_, l, rt, _)) =>
-        s"replace($acc, ' ${sqlEsc(l)}  ${sqlEsc(rt)} ', ' ${sqlEsc(l + rt)} ')"
-      }
-      s"""WITH tok AS (
-        | SELECT doc_id,
-        |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> len(w) > 0) AS w
-        | FROM documents),
-        |words AS (SELECT doc_id, unnest(w) AS word FROM tok),
-        |enc AS (
-        | SELECT doc_id,
-        |  array_to_string(list_transform(range(len(word)), i -> ' ' || word[i+1] || ' '), '')
-        |   || ' </w> ' AS spaced
-        | FROM words),
-        |sub AS (
-        | SELECT doc_id,
-        |  CAST(len(string_split_regex(trim($chain), ' +')) AS BIGINT) AS n_sub
-        | FROM enc),
-        |per AS (
-        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-        |  CAST(sum(n_sub) AS BIGINT) AS n_subwords
-        | FROM sub GROUP BY 1)
+    // q136: ENCODE replayed in pure SQL ([[BpeEncodeCtes]] — each word
+    // becomes its spaced symbol string and the pinned merges apply as a
+    // chain of string replaces, whose left-to-right non-overlapping scan
+    // IS the trainer's leftmost-greedy rewrite), then the fertility
+    // arithmetic. The CTE list is shared verbatim with the token-exact
+    // packers q391/q392 so the three cannot drift.
+    "q136_bpe_encode" ->
+      s"""WITH $BpeEncodeCtes
         |SELECT t.doc_id, coalesce(p.n_words, 0) AS n_words,
         | coalesce(p.n_subwords, 0) AS n_subwords,
         | CAST(CASE WHEN coalesce(p.n_words, 0) > 0
         |  THEN floor(1000000 * p.n_subwords / p.n_words) ELSE 0 END AS BIGINT) AS fertility_ppm
-        |FROM tok t LEFT JOIN per p USING (doc_id)""".stripMargin
-    },
+        |FROM tok t LEFT JOIN per p USING (doc_id)""".stripMargin,
     // q138: identical segmentation (16-word blocks of the normalized
     // token list), md5 fingerprint election ordered by (doc_id, idx),
     // reassembly via ordered string_agg of the rn=1 survivors.
@@ -10965,7 +10974,45 @@ object SparkEntry {
         |  WHEN 3 THEN '<meta charset="iso-8859-1">' || coalesce(text, '') || chr(233)
         |  WHEN 4 THEN coalesce(text, '') || chr(233)
         |  ELSE coalesce(text, '') END AS text_out
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // q391: the q136 encode replay ([[BpeEncodeCtes]], pinned merges)
+    // feeds the q317 window replay — per-doc n := n_subwords, then the
+    // identical prefix-sum/fan-out arithmetic at window 256.
+    "q391_bpe_pack_chunk" ->
+      s"""WITH $BpeEncodeCtes,
+        |d2 AS (SELECT doc_id, n_subwords AS n FROM per),
+        |p2 AS (SELECT doc_id, n,
+        |  CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS s
+        | FROM d2 WHERE n > 0),
+        |x AS (SELECT doc_id, n, s,
+        |  unnest(generate_series(s // 256, (s + n - 1) // 256)) AS w FROM p2)
+        |SELECT CAST(w AS BIGINT) AS window_id, doc_id,
+        | CAST(greatest(w * 256, s) - w * 256 AS BIGINT) AS offset_in_window,
+        | CAST(least((w + 1) * 256, s + n) - greatest(w * 256, s) AS BIGINT) AS n_in_window,
+        | s >= w * 256 AS is_head, s + n <= (w + 1) * 256 AS is_tail
+        |FROM x""".stripMargin,
+    // q392: the q318 jump-function/recursive-boundary replay over the
+    // composed BPE counts at capacity 8192.
+    "q392_bpe_pack_nextfit" ->
+      s"""WITH RECURSIVE $BpeEncodeCtes,
+        |d2 AS (SELECT doc_id, n_subwords AS n FROM per),
+        |p2 AS (SELECT doc_id, n,
+        |  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rk,
+        |  CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+        | FROM d2 WHERE n > 0),
+        |s0 AS (SELECT rk, cum FROM p2
+        | UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |j AS (SELECT t.rk AS i, CAST(max(b.rk) AS BIGINT) AS jmp
+        | FROM s0 t JOIN s0 b ON b.cum <= t.cum + 8192 GROUP BY 1),
+        |wb(b, w) AS (
+        | SELECT CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
+        | UNION ALL
+        | SELECT j.jmp, wb.w + 1 FROM wb JOIN j ON j.i = wb.b WHERE j.jmp > wb.b),
+        |bnd AS (SELECT wb.w, s0.cum AS bc FROM wb JOIN s0 ON s0.rk = wb.b)
+        |SELECT p2.doc_id,
+        | CAST((SELECT max(bnd.w) FROM bnd WHERE bnd.bc < p2.cum) AS BIGINT) AS window_id,
+        | p2.n AS n_tokens
+        |FROM p2""".stripMargin
   )
 
   /** q374's avih derivation, shared verbatim with q382 (whose gzip
@@ -11135,6 +11182,40 @@ object SparkEntry {
   /** The distinct rule depths of the snapshot as VALUES rows. */
   private lazy val PslDepthsValues: String =
     Urls.pslRules.map(_._2).distinct.sorted.map(k => s"($k)").mkString(",")
+
+  /** q136's BPE-encode replay as a reusable CTE list ending in
+    * `per(doc_id, n_words, n_subwords)` (plus `tok` for the empty-doc
+    * join) — each word becomes its spaced symbol string (every symbol
+    * wrapped ' x ', so adjacent pair patterns never share delimiter
+    * spaces) and the PINNED sf0.01 merges apply as a chain of string
+    * replaces whose left-to-right non-overlapping scan IS the trainer's
+    * leftmost-greedy rewrite. Shared by the q136 fertility oracle and
+    * the token-exact packers q391/q392 so the encode replay cannot
+    * drift between them.
+    */
+  private lazy val BpeEncodeCtes: String = {
+    val chain = PinnedQ135Merges.foldLeft("spaced") { case (acc, (_, l, rt, _)) =>
+      s"replace($acc, ' ${sqlEsc(l)}  ${sqlEsc(rt)} ', ' ${sqlEsc(l + rt)} ')"
+    }
+    s"""tok AS (
+       | SELECT doc_id,
+       |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> len(w) > 0) AS w
+       | FROM documents),
+       |words AS (SELECT doc_id, unnest(w) AS word FROM tok),
+       |enc AS (
+       | SELECT doc_id,
+       |  array_to_string(list_transform(range(len(word)), i -> ' ' || word[i+1] || ' '), '') ||
+       |   ' </w> ' AS spaced
+       | FROM words),
+       |sub AS (
+       | SELECT doc_id,
+       |  CAST(len(string_split_regex(trim($chain), ' +')) AS BIGINT) AS n_sub
+       | FROM enc),
+       |per AS (
+       | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_sub) AS BIGINT) AS n_subwords
+       | FROM sub GROUP BY 1)""".stripMargin
+  }
 
   /** Shared dHash replay CTE for q349/q350: the q150 analytic pixel
     * function sampled at the dHash grid. `dh` = (media_id, dhash); `par`
