@@ -165,12 +165,26 @@ object Crawl {
     val changed = when(lag(col(hashCol), 1).over(w).isNull, lit(0L))
       .when(col(hashCol) =!= lag(col(hashCol), 1).over(w), lit(1L))
       .otherwise(lit(0L))
-    history
-      .select(col(urlCol).as("url"), col(tsMsCol).as("__ts"), changed.as("__chg"))
-      .groupBy(col("url"))
-      .agg(count(lit(1)).as("n_fetches"),
-        sum(col("__chg")).as("n_changes"),
-        max(col("__ts")).as("__last"))
+    priorityFromCounters(
+      history
+        .select(col(urlCol).as("url"), col(tsMsCol).as("__ts"), changed.as("__chg"))
+        .groupBy(col("url"))
+        .agg(count(lit(1)).as("n_fetches"),
+          sum(col("__chg")).as("n_changes"),
+          max(col("__ts")).as("__last")),
+      asOfMs)
+  }
+
+  /** The rate × staleness arithmetic of [[recrawlPriority]] from
+    * already-folded per-URL counters `(url, n_fetches, n_changes,
+    * __last)` — ONE implementation shared with the streaming control
+    * loop ([[graft.streaming.StreamingOps.crawlSchedulerStream]], whose
+    * counters come from the state store instead of a window), so the
+    * batch and streaming priorities cannot drift.
+    */
+  private[graft] def priorityFromCounters(
+      counters: DataFrame, asOfMs: Long): DataFrame =
+    counters
       .select(col("url"), col("n_fetches"), col("n_changes"),
         when(col("n_fetches") > 1,
           expr("(1000000L * n_changes) div (n_fetches - 1L)")).otherwise(lit(0L))
@@ -181,7 +195,6 @@ object Crawl {
       // decade of clock headroom is not a safety margin
       .withColumn("priority",
         expr("cast((cast(change_rate_ppm as decimal(38,0)) * age_ms) div 1000 as bigint)"))
-  }
 
   /** Largest-remainder (Hamilton) apportionment of a global fetch
     * budget across domains, proportional to an integer weight (priority

@@ -747,6 +747,54 @@ object StreamingOps {
       .flatMap(identity)
   }
 
+  /** The steady-state crawl CONTROL LOOP — the composition a crawler
+    * actually runs, chaining the three proven streaming legs into one
+    * pipeline: fetch observations `(url, ts_ms, content_hash)` stream
+    * in, [[changeDetectStream]] keeps per-URL change state in the state
+    * store, and each micro-batch re-prioritizes the URLs it touched from
+    * the STREAM'S OWN counters (no re-read of raw history — the whole
+    * point of the stateful leg) and re-schedules the next fetch round
+    * with per-host politeness and per-URL robots delay hints. `sink`
+    * receives each round's schedule (production: upsert into the
+    * frontier store).
+    *
+    * Equality contract (asserted in `StreamingSpec`): the priority
+    * arithmetic IS [[graft.ops.Crawl.recrawlPriority]]'s
+    * (`priorityFromCounters` — one shared implementation) and the
+    * scheduling IS [[graft.ops.Crawl.politenessScheduleWithDelays]]
+    * (called verbatim per batch), so a stream that sees its whole
+    * history in one batch emits exactly
+    * `politenessScheduleWithDelays ∘ recrawlPriority` over that history;
+    * across batches the counters continue from state and each round
+    * schedules the URLs the batch touched, with priorities equal to the
+    * full-history batch op restricted to those URLs.
+    *
+    * State is [[changeDetectStream]]'s O(1) per URL; everything else is
+    * per-batch batch-plan work (group agg + broadcast-sized hint join +
+    * the capped politeness window).
+    */
+  def crawlSchedulerStream(
+      fetches: Dataset[(String, Long, String)],
+      asOfMs: Long,
+      delayHints: DataFrame,
+      defaultDelayMs: Long = 1000L,
+      maxPerHost: Int = 1000)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[FetchObservation] =
+    changeDetectStream(fetches).writeStream.outputMode("update")
+      .foreachBatch { (batch: Dataset[FetchObservation], batchId: Long) =>
+        // counters are monotone within a URL's batch fold, so the max of
+        // each IS the final state after this batch
+        val latest = batch.toDF().groupBy(col("url"))
+          .agg(max(col("ts_ms")).as("__last"),
+            max(col("n_fetches")).as("n_fetches"),
+            max(col("n_changes")).as("n_changes"))
+        val frontier = graft.ops.Crawl.priorityFromCounters(latest, asOfMs)
+          .join(delayHints, Seq("url"), "left")
+          .select(col("url"), col("priority"), col("delay_ms"))
+        sink(graft.ops.Crawl.politenessScheduleWithDelays(frontier,
+          defaultDelayMs = defaultDelayMs, maxPerHost = maxPerHost), batchId)
+      }
+
   /** Read the reference's user-exp JSON shape as a file stream. */
   def userExpStream(spark: SparkSession, dir: String): Dataset[SessionEvent] = {
     import spark.implicits._

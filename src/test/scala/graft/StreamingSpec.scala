@@ -682,6 +682,70 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(_._2.contains("private")), "robots admission must hold on the stream")
   }
 
+  test("crawl control loop: change state -> recrawl priority -> politeness equals the batch composite") {
+    val in = Files.createTempDirectory("graft_stream_loop")
+    def write(name: String, rows: Seq[(String, Long, String)]): Unit =
+      Files.write(Paths.get(in.toString, name),
+        rows.map { case (u, t, h) => s"""{"url":"$u","ts":$t,"h":"$h"}""" }
+          .mkString("\n").getBytes)
+    def u(h: Int, p: Int) = s"http://h$h.test/p$p"
+    // two hosts, four URLs, mixed change histories (static, flapping,
+    // single-fetch) — canonical-form URLs so politeness' canonicalization
+    // is an identity on them
+    val b1 = Seq(
+      (u(0, 1), 10L, "a"), (u(0, 1), 20L, "b"), (u(0, 1), 30L, "b"),
+      (u(0, 2), 15L, "x"), (u(0, 2), 25L, "y"),
+      (u(1, 1), 5L, "s"),
+      (u(1, 2), 8L, "t"), (u(1, 2), 18L, "t"))
+    val b2 = Seq((u(0, 1), 40L, "c"), (u(1, 2), 28L, "u"))
+    val asOf = 1000L
+    import spark.implicits._
+    // robots Crawl-delay hints: h0's URLs hint 300 ms, h1 has no opinion
+    val hints = Seq((u(0, 1), 300L), (u(0, 2), 300L)).toDF("url", "delay_ms")
+    val schedules = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[(String, String, Long, Long, Long)])]
+    write("b1.json", b1)
+    val stream = spark.readStream.schema("url STRING, ts LONG, h STRING").json(in.toString)
+      .select(col("url"), col("ts"), col("h")).as[(String, Long, String)]
+    val q = StreamingOps.crawlSchedulerStream(stream, asOfMs = asOf,
+      delayHints = hints, defaultDelayMs = 100L, maxPerHost = 10) { (sched, bid) =>
+      val rows = sched.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      if (rows.nonEmpty) schedules += ((bid, rows))
+    }.trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable()
+    // the batch composite over a history prefix, restricted to `urls`
+    def want(history: Seq[(String, Long, String)], urls: Set[String]) = {
+      val pri = graft.ops.Crawl.recrawlPriority(
+        history.toDF("url", "ts_ms", "content_hash"), asOfMs = asOf)
+        .where(col("url").isin(urls.toSeq: _*))
+      graft.ops.Crawl.politenessScheduleWithDelays(
+        pri.join(hints, Seq("url"), "left")
+          .select(col("url"), col("priority"), col("delay_ms")),
+        defaultDelayMs = 100L, maxPerHost = 10)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+    }
+    // prefix 1 in ONE micro-batch → the loop's schedule IS the batch
+    // composite politenessScheduleWithDelays ∘ recrawlPriority
+    assert(schedules.size == 1,
+      s"expected one non-empty round after batch 1, got ${schedules.size}")
+    assert(schedules.head._2 == want(b1, b1.map(_._1).toSet),
+      s"round-1 schedule diverges from the batch composite:\n${schedules.head._2}\nvs\n${want(b1, b1.map(_._1).toSet)}")
+    // delay hints must actually space h0's slots at 300 ms
+    assert(schedules.head._2.filter(_._1 == "h0.test").map(_._4).max == 300L)
+    write("b2.json", b2)
+    q.processAllAvailable(); q.stop()
+    // round 2 re-schedules the URLs batch 2 touched, with counters
+    // CONTINUED from the state store: priorities equal the full-history
+    // batch op restricted to those URLs
+    assert(schedules.size == 2, s"expected two rounds, got ${schedules.size}")
+    assert(schedules(1)._2 == want(b1 ++ b2, b2.map(_._1).toSet),
+      s"round-2 schedule diverges from the full-history composite:\n${schedules(1)._2}\nvs\n${want(b1 ++ b2, b2.map(_._1).toSet)}")
+  }
+
   test("changeDetectStream: flags equal the batch lag replay; counters survive batches") {
     val in = Files.createTempDirectory("graft_stream_chg")
     def write(name: String, rows: Seq[(String, Long, String)]): Unit =
