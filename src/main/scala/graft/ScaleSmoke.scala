@@ -142,7 +142,19 @@ object ScaleSmoke {
     // map-side WindowGroupLimit prune — 10× rows, same 2^k per-group
     // output) and the delay-aware politeness (two host-keyed stages +
     // the join-back, q366's class with one more exchange).
-    "q379_group_quantiles", "q380_crawl_delay_schedule")
+    "q379_group_quantiles", "q380_crawl_delay_schedule",
+    // Round-14 additions: WARC container ingest (groupBy over 10×
+    // documents into per-file gzip members + the member walk + strict
+    // record framing — the binary-container analogue of q377's corpus
+    // build), the WARC→robots→main-content composite (stacks the
+    // CPU-bound map shapes on the container parse), the full PNG decode
+    // chain (zlib inflate + per-scanline filter reconstruction per row —
+    // the heaviest pure-compute map of the codec family), charset sniff
+    // (strict UTF-8 validation touches every byte) and token-exact BPE
+    // packing (the q135 trainer's aggregation rounds over a 10×
+    // vocabulary + native encode + the q317 prefix-sum fan-out).
+    "q384_warc_ingest", "q385_warc_crawl", "q386_png_stats",
+    "q390_charset_decode", "q391_bpe_pack_chunk")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))

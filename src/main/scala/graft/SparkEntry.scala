@@ -4098,6 +4098,67 @@ object SparkEntry {
       val d = Ngrams.bpeEncodeStats(t(s, dir, "documents"), merges)
         .select(col("doc_id"), col("n_subwords").as("n_tokens"))
       SequencePack.nextFitWindows(d, capacity = 8192)
+    }),
+
+    // ---- HTTP message split inside WARC response records: real
+    // crawlers archive the whole wire message (status line + headers +
+    // body), not bare HTML, so the container-to-text chain needs this
+    // parse. Status/Content-Type/X-Doc all id formulas; the oracle
+    // derives every field and the body is the roundtrip identity. ----------
+    "q393_http_split" -> ((s, dir) => {
+      import s.implicits._
+      val msgs = graft.io.Spread.toDefaultParallelism(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val body = Option(text).getOrElse("").getBytes("UTF-8")
+          val ct = if (id % 2 == 1) "text/html; charset=iso-8859-1" else "text/html"
+          val status = 200 + (id % 3).toInt * 2
+          val head = s"HTTP/1.1 $status OK\r\nContent-Type: $ct\r\nX-Doc: $id\r\n\r\n"
+          (id, head.getBytes("US-ASCII") ++ body,
+            s"https://host${id % 20}.example.com/p/$id")
+        }.toDF("doc_id", "payload", "uri")
+      graft.ops.Warc.httpResponses(
+        graft.ops.Warc.parseWarc(graft.ops.Warc.syntheticWarcBytes(msgs)))
+        .toDF()
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("status").cast("long").as("status"), col("content_type"),
+          col("n_headers").cast("long").as("n_headers"),
+          col("body").cast("string").as("text_out"))
+    }),
+
+    // ---- the COMPLETE day-one ingest: .warc.gz → gzip member walk →
+    // record framing → HTTP message split → charset sniff with the
+    // transport declaration (BOM'd UTF-16LE leg vs Content-Type-declared
+    // latin-1 leg, a non-ASCII é in every page) → main-content → token
+    // count. Every stage individually oracled (q384/q393/q390/q359);
+    // this verifies the full composition from the on-disk crawl format
+    // to clean corpus text. -------------------------------------------------
+    "q394_warc_http_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val htmlDocs = t(s, dir, "documents").select(col("doc_id"),
+        concat(syntheticHtml,
+          lit("\n<p>caf\u00e9 filler prose line stays in the corpus</p>")).as("html"),
+        concat(lit("https://host"), (col("doc_id") % 20).cast("string"),
+          lit(".example.com/dir/page"), col("doc_id").cast("string")).as("uri"))
+      val msgs = graft.io.Spread.toDefaultParallelism(htmlDocs)
+        .as[(Long, String, String)]
+        .map { case (id, html, uri) =>
+          import java.nio.charset.StandardCharsets._
+          val (ct, body) =
+            if (id % 2 == 1) ("text/html; charset=iso-8859-1", html.getBytes(ISO_8859_1))
+            else ("text/html",
+              Array(0xFF.toByte, 0xFE.toByte) ++ html.getBytes(UTF_16LE))
+          val head = s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\nX-Doc: $id\r\n\r\n"
+          (id, head.getBytes("US-ASCII") ++ body, uri)
+        }.toDF("doc_id", "payload", "uri")
+      val pages = graft.ops.Warc.decodePages(
+        graft.ops.Warc.parseWarc(graft.ops.Warc.syntheticWarcBytes(msgs))).toDF()
+      Html.mainContent(pages).select(
+        regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("encoding"), col("status").cast("long").as("status"),
+        TextFunctions.tokenCount(col("main_text")).as("n_tokens"))
     })
   )
 
@@ -11012,7 +11073,35 @@ object SparkEntry {
         |SELECT p2.doc_id,
         | CAST((SELECT max(bnd.w) FROM bnd WHERE bnd.bc < p2.cum) AS BIGINT) AS window_id,
         | p2.n AS n_tokens
-        |FROM p2""".stripMargin
+        |FROM p2""".stripMargin,
+    // q393: pure identity derivation — status/content-type/header-count
+    // from the id formulas, body the roundtrip identity (the q384
+    // precedent, one framing layer deeper).
+    "q393_http_split" ->
+      """SELECT doc_id,
+        | CAST(200 + (doc_id % 3) * 2 AS BIGINT) AS status,
+        | CASE WHEN doc_id % 2 = 1 THEN 'text/html; charset=iso-8859-1'
+        |  ELSE 'text/html' END AS content_type,
+        | CAST(2 AS BIGINT) AS n_headers,
+        | coalesce(text, '') AS text_out
+        |FROM documents""".stripMargin,
+    // q394: the q359 replay chain over the fixture html EXTENDED with
+    // the é paragraph (chr(233) — both encoding legs must deliver the
+    // identical decoded page or the token counts diverge), encoding
+    // label from the leg formula. The base fixture CTE is renamed h0 by
+    // a literal string substitution on the SHARED HtmlFixtureCte value
+    // so the two cannot drift.
+    "q394_warc_http_ingest" ->
+      s"""WITH ${HtmlFixtureCte.replace("h AS (SELECT doc_id,", "h0 AS (SELECT doc_id,")},
+         |h AS (SELECT doc_id, html || chr(10) || '<p>caf' || chr(233)
+         |  || ' filler prose line stays in the corpus</p>' AS html FROM h0),
+         |$MainContentCtes
+         |SELECT h.doc_id,
+         | CASE WHEN h.doc_id % 2 = 1 THEN 'iso-8859-1' ELSE 'utf-16le' END AS encoding,
+         | CAST(200 AS BIGINT) AS status,
+         | CAST(len(regexp_extract_all(coalesce(m.main_text, ''),
+         |   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+         |FROM h LEFT JOIN m USING (doc_id)""".stripMargin
   )
 
   /** q374's avih derivation, shared verbatim with q382 (whose gzip

@@ -718,20 +718,24 @@ object BinaryCodecs {
     *
     *  1. BOM: EF BB BF → utf-8, FF FE → utf-16le, FE FF → utf-16be
     *     (stripped before decode; authoritative).
-    *  2. `<meta … charset=…>` in the first 1024 bytes, scanned through
+    *  2. TRANSPORT declaration (`transport` — the `charset=` parameter
+    *     of an HTTP Content-Type header, when the caller has one;
+    *     normalized, unknown labels ignored). Precedes the in-document
+    *     meta per the WHATWG order.
+    *  3. `<meta … charset=…>` in the first 1024 bytes, scanned through
     *     the latin-1 superset (covers both `<meta charset=x>` and the
     *     `http-equiv` `content="…; charset=x"` form). A declared utf-8
     *     CONTRADICTED by invalid UTF-8 bytes falls back to windows-1252
     *     with the mojibake flag raised — trusting a wrong label is how
-    *     mojibake enters a corpus.
-    *  3. Strict whole-payload UTF-8 validation (pure ASCII passes).
-    *  4. windows-1252 fallback (decodes every byte; flagged risky —
+    *     mojibake enters a corpus (same rule for a transport utf-8).
+    *  4. Strict whole-payload UTF-8 validation (pure ASCII passes).
+    *  5. windows-1252 fallback (decodes every byte; flagged risky —
     *     it is a GUESS).
     *
     * Total function: every payload decodes to something, the flag says
     * how trustworthy.
     */
-  def sniffCharset(payload: Array[Byte]): Sniffed = {
+  def sniffCharset(payload: Array[Byte], transport: Option[String] = None): Sniffed = {
     import java.nio.charset.StandardCharsets._
     if (payload == null || payload.isEmpty) return Sniffed("utf-8", false, false, "")
     val n = payload.length
@@ -745,7 +749,9 @@ object BinaryCodecs {
     val head = new String(payload, 0, math.min(1024, n), ISO_8859_1)
       .toLowerCase(java.util.Locale.ROOT)
     val m = MetaCharsetRe.matcher(head)
-    val declared = if (m.find()) normalizeCharset(m.group(1)) else None
+    val declared = transport
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT)).flatMap(normalizeCharset)
+      .orElse(if (m.find()) normalizeCharset(m.group(1)) else None)
     declared match {
       case Some("utf-8") =>
         if (validUtf8(payload)) Sniffed("utf-8", false, false, new String(payload, UTF_8))
@@ -762,6 +768,74 @@ object BinaryCodecs {
           new String(payload, java.nio.charset.Charset.forName("windows-1252")))
     }
   }
+
+  // --------------------------------------------------------------- HTTP --
+
+  /** One parsed HTTP response message: status code, the raw
+    * `Content-Type` value (null when absent), header count, body
+    * octets.
+    */
+  final case class HttpMessage(
+      status: Int, contentType: String, nHeaders: Int, body: Array[Byte])
+
+  /** Parse an HTTP/1.x response MESSAGE (status line, header fields,
+    * blank line, body) — the payload a real WARC `response` record
+    * carries: crawlers archive the whole wire message, not bare HTML,
+    * so the chain from container to text needs this split. The body is
+    * everything after the blank line — the WARC record's
+    * Content-Length already frames the message, so transfer framing
+    * (chunked/Content-Length) inside it is NOT re-applied; the
+    * container is the source of truth (documented contract). Header
+    * names are matched case-insensitively; malformed messages (no
+    * HTTP/ magic, non-numeric status, unterminated headers, a field
+    * line with no colon) quarantine (None).
+    */
+  def parseHttpResponse(payload: Array[Byte]): Option[HttpMessage] = {
+    if (payload == null || payload.length < 12) return None
+    def lineAt(off: Int): (String, Int) = {
+      var i = off
+      while (i + 1 < payload.length && !(payload(i) == '\r' && payload(i + 1) == '\n')) i += 1
+      if (i + 1 >= payload.length) null
+      else (new String(payload, off, i - off, java.nio.charset.StandardCharsets.ISO_8859_1), i + 2)
+    }
+    val sl = lineAt(0)
+    if (sl == null) return None
+    val mStat = java.util.regex.Pattern
+      .compile("HTTP/\\d\\.\\d (\\d{3})(?: .*)?").matcher(sl._1)
+    if (!mStat.matches()) return None
+    val status = mStat.group(1).toInt
+    var off = sl._2
+    var contentType: String = null
+    var nHeaders = 0
+    var open = true
+    while (open) {
+      val ln = lineAt(off)
+      if (ln == null) return None
+      off = ln._2
+      if (ln._1.isEmpty) open = false
+      else {
+        val c = ln._1.indexOf(':')
+        if (c <= 0) return None
+        nHeaders += 1
+        if (ln._1.substring(0, c).trim.equalsIgnoreCase("Content-Type"))
+          contentType = ln._1.substring(c + 1).trim
+      }
+    }
+    val body = new Array[Byte](payload.length - off)
+    System.arraycopy(payload, off, body, 0, body.length)
+    Some(HttpMessage(status, contentType, nHeaders, body))
+  }
+
+  /** The `charset=` parameter of a Content-Type value (lowercased,
+    * unquoted), or None — the transport declaration [[sniffCharset]]
+    * consumes.
+    */
+  def contentTypeCharset(contentType: String): Option[String] =
+    Option(contentType).flatMap { ct =>
+      val m = java.util.regex.Pattern
+        .compile("(?i)charset\\s*=\\s*\"?([A-Za-z0-9_\\-]+)\"?").matcher(ct)
+      if (m.find()) Some(m.group(1).toLowerCase(java.util.Locale.ROOT)) else None
+    }
 
   // --------------------------------------------------------------- WARC --
 

@@ -76,6 +76,76 @@ object Warc {
       .select(col("media_id").as("file_id"), col("record_idx"),
         col("target_uri"), col("payload").cast("string").as("html"))
 
+  /** One WARC response record's parsed HTTP message. */
+  final case class HttpRecordRow(
+      media_id: Long,
+      record_idx: Long,
+      target_uri: String,
+      status: Int,
+      content_type: String,
+      n_headers: Int,
+      body: Array[Byte])
+
+  /** Split each `response` record's payload as the HTTP/1.x MESSAGE a
+    * real crawler archives (status line + headers + body —
+    * [[graft.functions.BinaryCodecs.parseHttpResponse]]): the step
+    * between container framing and content decode. Records whose
+    * payload is not a parseable HTTP response drop (quarantine);
+    * non-response records are not HTTP messages and are filtered
+    * upstream. Partition-batched, shuffle-free.
+    */
+  def httpResponses(
+      records: Dataset[WarcRecordRow],
+      batchSize: Int = 64): Dataset[HttpRecordRow] = {
+    import records.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    records.filter(_.warc_type == "response").mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          BinaryCodecs.parseHttpResponse(r.payload).map { h =>
+            HttpRecordRow(r.media_id, r.record_idx, r.target_uri,
+              h.status, h.contentType, h.nHeaders, h.body)
+          }
+        }
+      }
+    }
+  }
+
+  /** One fully-decoded page: HTTP envelope + charset-transcoded text. */
+  final case class DecodedPage(
+      media_id: Long,
+      record_idx: Long,
+      target_uri: String,
+      status: Int,
+      encoding: String,
+      bom: Boolean,
+      mojibake_risk: Boolean,
+      html: String)
+
+  /** The full container-to-text ingest: [[httpResponses]] then charset
+    * sniffing with the HTTP `Content-Type; charset=` as the TRANSPORT
+    * declaration ([[graft.functions.BinaryCodecs.sniffCharset]]'s
+    * WHATWG precedence: BOM → transport → meta → validation →
+    * flagged fallback). What comes out is UTF-8 text ready for
+    * [[Html.mainContent]] and everything downstream — the day-one path
+    * from a `.warc.gz` on disk to clean corpus text. Partition-batched,
+    * shuffle-free.
+    */
+  def decodePages(
+      records: Dataset[WarcRecordRow],
+      batchSize: Int = 64): Dataset[DecodedPage] = {
+    import records.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    httpResponses(records, batchSize).mapPartitions { rows =>
+      rows.map { h =>
+        val s = BinaryCodecs.sniffCharset(h.body,
+          BinaryCodecs.contentTypeCharset(h.content_type))
+        DecodedPage(h.media_id, h.record_idx, h.target_uri, h.status,
+          s.encoding, s.bom, s.mojibakeRisk, s.text)
+      }
+    }
+  }
+
   /** Synthetic `.warc.gz` corpus from the documents table — the writer
     * half of the q384 identity roundtrip (the q364 idiom: synthesize the
     * container distributed from fixture rows, parse it back distributed,
@@ -88,32 +158,44 @@ object Warc {
     * side exercises the real member walk on every file.
     */
   def syntheticWarc(docs: DataFrame, docsPerFile: Int = 8): Dataset[MediaRow] = {
-    import docs.sparkSession.implicits._
-    import graft.functions.BinaryCodecs
-    require(docsPerFile >= 1, s"docsPerFile must be >= 1: $docsPerFile")
     val withUri =
       if (docs.columns.contains("uri")) docs.select(col("doc_id"), col("text"), col("uri"))
       else docs.select(col("doc_id"), col("text"),
         concat(lit("https://host"), (col("doc_id") % 20).cast("string"),
           lit(".example.com/p/"), col("doc_id").cast("string")).as("uri"))
-    graft.io.Spread.toDefaultParallelism(withUri)
+    syntheticWarcBytes(
+      withUri.select(col("doc_id"),
+        coalesce(col("text"), lit("")).cast("binary").as("payload"), col("uri")),
+      docsPerFile)
+  }
+
+  /** [[syntheticWarc]]'s general form: record payloads are an arbitrary
+    * BINARY column — what the HTTP-message fixtures need (UTF-16/latin-1
+    * bodies are not representable as UTF-8-roundtripping strings).
+    * Input columns: `(doc_id, payload, uri)`.
+    */
+  def syntheticWarcBytes(docs: DataFrame, docsPerFile: Int = 8): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    require(docsPerFile >= 1, s"docsPerFile must be >= 1: $docsPerFile")
+    graft.io.Spread.toDefaultParallelism(docs)
       .groupBy(expr(s"doc_id div $docsPerFile").as("file_id"))
       .agg(sort_array(collect_list(struct(
-        col("doc_id").as("_1"), col("text").as("_2"), col("uri").as("_3")))).as("recs"))
-      .as[(Long, Seq[(Long, String, String)])]
+        col("doc_id").as("_1"), col("payload").as("_2"), col("uri").as("_3")))).as("recs"))
+      .as[(Long, Seq[(Long, Array[Byte], String)])]
       .map { case (fid, recs) =>
         val info = (Seq(
           "WARC-Type" -> "warcinfo",
           "WARC-Record-ID" -> s"<urn:graft:file:$fid>",
           "WARC-Date" -> "2024-01-01T00:00:00Z"),
           WarcInfoPayload.getBytes("UTF-8"))
-        val responses = recs.map { case (id, text, uri) =>
+        val responses = recs.map { case (id, payload, uri) =>
           (Seq(
             "WARC-Type" -> "response",
             "WARC-Record-ID" -> s"<urn:graft:rec:$id>",
             "WARC-Date" -> "2024-01-01T00:00:00Z",
             "WARC-Target-URI" -> uri),
-            Option(text).getOrElse("").getBytes("UTF-8"))
+            Option(payload).getOrElse(Array.emptyByteArray))
         }
         val bytes = BinaryCodecs.warcFile(info +: responses, gzipPerRecord = true)
         MediaRow(fid, "warc", bytes, "application/warc", bytes.length.toLong)

@@ -72,6 +72,22 @@ class CharsetSpec extends SparkSpec {
       BinaryCodecs.Sniffed("utf-8", false, false, ""))
   }
 
+  test("transport declaration precedence: BOM > transport > meta > heuristic") {
+    // transport outranks a CONTRADICTING meta
+    val metaSaysUtf8 = s"<meta charset=utf-8>caf$eAcute".getBytes(ISO_8859_1)
+    val viaTransport = BinaryCodecs.sniffCharset(metaSaysUtf8, Some("iso-8859-1"))
+    assert(viaTransport.encoding == "iso-8859-1" && !viaTransport.mojibakeRisk &&
+      viaTransport.text == s"<meta charset=utf-8>caf$eAcute")
+    // BOM outranks transport
+    val bommed = Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++ s"x$eAcute".getBytes(UTF_8)
+    assert(BinaryCodecs.sniffCharset(bommed, Some("iso-8859-1")).encoding == "utf-8")
+    // a transport utf-8 contradicted by bytes falls back flagged
+    val lying = BinaryCodecs.sniffCharset(s"caf$eAcute".getBytes(ISO_8859_1), Some("utf-8"))
+    assert(lying.encoding == "windows-1252" && lying.mojibakeRisk)
+    // unknown transport labels fall through to the meta/heuristic path
+    assert(BinaryCodecs.sniffCharset("ascii".getBytes, Some("ebcdic")).encoding == "utf-8")
+  }
+
   test("decodeCharset + stripMarkup: decode-before-strip yields clean text on every leg") {
     val docs = Seq((0L, "plain zero"), (1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
       .toDF("doc_id", "text")

@@ -118,6 +118,52 @@ class WarcSpec extends SparkSpec {
     assert(u.forall(_.startsWith("https://u/")))
   }
 
+  test("parseHttpResponse: status line, headers, body split; malformations quarantine") {
+    val msg = ("HTTP/1.1 301 Moved Permanently\r\nLocation: /new\r\n" +
+      "Content-Type: text/html; charset=ISO-8859-1\r\n\r\n<html>body</html>").getBytes("ISO-8859-1")
+    val got = BinaryCodecs.parseHttpResponse(msg).get
+    assert(got.status == 301 && got.nHeaders == 2)
+    assert(got.contentType == "text/html; charset=ISO-8859-1")
+    assert(got.body.sameElements("<html>body</html>".getBytes))
+    // empty body; no reason phrase; header-name case-insensitivity
+    val noBody = BinaryCodecs.parseHttpResponse("HTTP/1.0 204\r\ncontent-type: a/b\r\n\r\n".getBytes).get
+    assert(noBody.status == 204 && noBody.body.isEmpty && noBody.contentType == "a/b")
+    // malformations
+    assert(BinaryCodecs.parseHttpResponse("GET / HTTP/1.1\r\n\r\n".getBytes).isEmpty) // a request
+    assert(BinaryCodecs.parseHttpResponse("HTTP/1.1 xyz OK\r\n\r\n".getBytes).isEmpty)
+    assert(BinaryCodecs.parseHttpResponse("HTTP/1.1 200 OK\r\nno colon here\r\n\r\n".getBytes).isEmpty)
+    assert(BinaryCodecs.parseHttpResponse("HTTP/1.1 200 OK\r\nA: b\r\n".getBytes).isEmpty) // unterminated
+    // charset parameter extraction
+    assert(BinaryCodecs.contentTypeCharset("text/html; charset=UTF-8").contains("utf-8"))
+    assert(BinaryCodecs.contentTypeCharset("""text/html;charset="latin1"""").contains("latin1"))
+    assert(BinaryCodecs.contentTypeCharset("text/html").isEmpty)
+    assert(BinaryCodecs.contentTypeCharset(null).isEmpty)
+  }
+
+  test("httpResponses + decodePages: the full container-to-text chain with transport charsets") {
+    import java.nio.charset.StandardCharsets._
+    def msg(ct: String, body: Array[Byte]) =
+      s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n".getBytes(US_ASCII) ++ body
+    val rows = Seq(
+      // latin-1 body declared by TRANSPORT (no meta, no BOM)
+      (0L, msg("text/html; charset=iso-8859-1", "café latin".getBytes(ISO_8859_1)), "https://a/0"),
+      // BOM'd UTF-16LE body — BOM outranks the (absent) transport declaration
+      (1L, msg("text/html", Array(0xFF.toByte, 0xFE.toByte) ++ "café utf16".getBytes(UTF_16LE)), "https://a/1"),
+      // plain UTF-8
+      (2L, msg("text/html", "plain ascii page".getBytes(US_ASCII)), "https://a/2"),
+      // NOT an HTTP message → quarantines out of httpResponses
+      (3L, "just bytes, no status line".getBytes(US_ASCII), "https://a/3"))
+      .toDF("doc_id", "payload", "uri")
+    val pages = Warc.decodePages(Warc.parseWarc(Warc.syntheticWarcBytes(rows, docsPerFile = 8)))
+      .collect().sortBy(_.record_idx)
+    assert(pages.length == 3) // doc 3 dropped
+    assert(pages.map(_.encoding).toSeq == Seq("iso-8859-1", "utf-16le", "utf-8"))
+    assert(pages.map(_.bom).toSeq == Seq(false, true, false))
+    assert(pages(0).html == "café latin" && pages(1).html == "café utf16")
+    assert(pages.forall(_.status == 200))
+    assert(pages.forall(!_.mojibake_risk))
+  }
+
   test("parseWarc: a corrupt file drops whole; good files in the same batch survive") {
     val good = BinaryCodecs.warcFile(Seq(rec("response", "u:1", "ok")))
     val media = Seq(
