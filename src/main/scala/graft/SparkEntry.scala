@@ -4159,7 +4159,39 @@ object SparkEntry {
         regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
         col("encoding"), col("status").cast("long").as("status"),
         TextFunctions.tokenCount(col("main_text")).as("n_tokens"))
-    })
+    }),
+
+    // ---- REAL baseline JPEG decode (Huffman + DCT, the format most
+    // web images use): per-channel sums through the full marker walk /
+    // entropy decode / dequant / IDCT over the flat-even-block fixture,
+    // where quantization is provably the identity — analytic oracle
+    // through a genuinely lossy codec. Even ids grayscale, odd ids the
+    // 4:4:4 color path with gray values (exact YCbCr). ----------------------
+    "q395_jpeg_stats" -> ((s, dir) =>
+      Multimodal.imageStats(Multimodal.syntheticJpegMedia(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
+          col("sum_b"), col("sum_g"), col("sum_r"))),
+
+    // ---- JPEG perceptual fingerprints: the q349 dHash grid over the
+    // DECODED flat-block pixels — gray(x, y) = the block formula, so the
+    // oracle replays the grid analytically through the lossy codec. --------
+    "q396_jpeg_dhash" -> ((s, dir) =>
+      Multimodal.imageDhash(Multimodal.syntheticJpegMedia(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("dhash"))),
+
+    // ---- third-format normalization invariant: JPEG → PNG transcode
+    // (real decode, lossless re-emit) must preserve every pixel sum —
+    // the oracle is q395's VERBATIM, so any disagreement between the
+    // JPEG decoder and the PNG writer/decoder chain goes red. ---------------
+    "q397_jpeg_transcode" -> ((s, dir) =>
+      Multimodal.imageStats(
+        Multimodal.transcodeToPng(
+          Multimodal.syntheticJpegMedia(t(s, dir, "documents"))))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
+          col("sum_b"), col("sum_g"), col("sum_r")))
   )
 
   /** q358/q359's synthetic HTML page — every feature a pure function of
@@ -11101,8 +11133,63 @@ object SparkEntry {
          | CAST(200 AS BIGINT) AS status,
          | CAST(len(regexp_extract_all(coalesce(m.main_text, ''),
          |   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
-         |FROM h LEFT JOIN m USING (doc_id)""".stripMargin
+         |FROM h LEFT JOIN m USING (doc_id)""".stripMargin,
+    // q395: the flat-block derivation — every 8×8 block decodes to its
+    // formula value exactly (even values make dequantization the
+    // identity), so channel sums are Σ 64·v over the block grid; gray
+    // and color legs share the formula (gray pixels through YCbCr are
+    // exact).
+    "q395_jpeg_stats" -> JpegFlatStatsSql,
+    // q396: the q349/q387 grid replay where gray at a sample point IS
+    // the block formula of its 8×8 cell.
+    "q396_jpeg_dhash" ->
+      """WITH par AS (SELECT doc_id, 8 * (1 + doc_id % 3) AS w,
+        |  8 * (1 + doc_id % 2) AS h FROM documents),
+        |cells AS (
+        | SELECT doc_id, cy.cy AS cy, cx.cx AS cx,
+        |  (((2 * cx.cx + 1) * w) // 18) // 8 AS bx,
+        |  (((2 * cy.cy + 1) * h) // 16) // 8 AS byy
+        | FROM par CROSS JOIN range(8) cy(cy) CROSS JOIN range(9) cx(cx)),
+        |gcell AS (
+        | SELECT doc_id, cy, cx,
+        |  2 * ((doc_id * 7 + bx * 13 + byy * 29) % 128) AS gray
+        | FROM cells),
+        |dh AS (
+        | SELECT a.doc_id AS media_id,
+        |  CAST(coalesce(sum(CASE WHEN a.gray < b.gray THEN
+        |    CASE WHEN a.cy * 8 + a.cx = 63 THEN CAST(-9223372036854775807 AS HUGEINT) - 1
+        |         ELSE CAST(CAST(1 AS BIGINT) << (a.cy * 8 + a.cx) AS HUGEINT) END
+        |    ELSE CAST(0 AS HUGEINT) END), 0) AS BIGINT) AS dhash
+        | FROM gcell a JOIN gcell b
+        |   ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+        | WHERE a.cx < 8
+        | GROUP BY 1)
+        |SELECT dh.media_id, CAST(p.w AS BIGINT) AS width,
+        | CAST(p.h AS BIGINT) AS height, dh.dhash
+        |FROM dh JOIN par p ON p.doc_id = dh.media_id""".stripMargin,
+    // q397: transcoding must be pixel-invisible across the THIRD format
+    // too — the oracle is q395's verbatim.
+    "q397_jpeg_transcode" -> JpegFlatStatsSql
   )
+
+  /** The flat-block JPEG stats derivation, shared verbatim by q395 and
+    * the q397 transcode invariant (a transcode that changes any pixel
+    * breaks the second consumer).
+    */
+  private lazy val JpegFlatStatsSql: String =
+    """WITH par AS (SELECT doc_id, 8 * (1 + doc_id % 3) AS w,
+      |  8 * (1 + doc_id % 2) AS h FROM documents),
+      |blk AS (
+      | SELECT doc_id, w, h,
+      |  2 * ((doc_id * 7 + bx.bx * 13 + byy.byy * 29) % 128) AS v
+      | FROM par CROSS JOIN range(3) bx(bx) CROSS JOIN range(2) byy(byy)
+      | WHERE bx.bx < w // 8 AND byy.byy < h // 8),
+      |s AS (SELECT doc_id, w, h, CAST(sum(64 * v) AS BIGINT) AS sv
+      |      FROM blk GROUP BY 1, 2, 3)
+      |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
+      | CAST(h AS BIGINT) AS height, CAST(w * h AS BIGINT) AS n_pixels,
+      | sv AS sum_b, sv AS sum_g, sv AS sum_r
+      |FROM s""".stripMargin
 
   /** q374's avih derivation, shared verbatim with q382 (whose gzip
     * roundtrip must land on identical container bytes).

@@ -592,17 +592,72 @@ object BinaryCodecs {
     hash
   }
 
+  /** The dHash grid over an already-decoded top-down pixel array
+    * (1 = gray, 3 = RGB, 4 = RGBA; gray of a 1-channel pixel is the
+    * pixel) — the shared back half of [[pngDhash]] and the JPEG path.
+    */
+  private[graft] def pixelsDhash(w: Int, h: Int, ch: Int, px: Array[Byte]): Long =
+    dhash64(w, h, (x, y) => {
+      val p = ch * (y * w + x)
+      if (ch == 1) px(p) & 0xff
+      else ((px(p) & 0xff) + (px(p + 1) & 0xff) + (px(p + 2) & 0xff)) / 3
+    })
+
   /** [[bmpDhash]] for PNG payloads: same grid, same gray ((R+G+B) div 3
     * is channel-order-free), pixels already top-down. Returns
     * (width, height, dhash); None on unsupported payloads.
     */
   def pngDhash(payload: Array[Byte]): Option[(Int, Int, Long)] =
     pngDecode(payload).map { case (w, h, ch, px) =>
-      val hash = dhash64(w, h, (x, y) => {
-        val p = ch * (y * w + x)
-        ((px(p) & 0xff) + (px(p + 1) & 0xff) + (px(p + 2) & 0xff)) / 3
-      })
-      (w, h, hash)
+      (w, h, pixelsDhash(w, h, ch, px))
+    }
+
+  /** JPEG → PNG transcode: the REAL baseline JPEG decode
+    * ([[JpegCodec.decode]]) re-emitted losslessly-from-decode as RGB
+    * PNG (gray planes expand to R = G = B) — the third leg of
+    * format normalization at ingest, and the right thumbnail route for
+    * JPEG inputs (re-encoding a tiny thumbnail lossily would stack a
+    * second generation loss). None on unsupported payloads.
+    */
+  def jpegToPng(payload: Array[Byte]): Option[Array[Byte]] =
+    JpegCodec.decode(payload).flatMap { case (w, h, ch, px) =>
+      if (3L * w * h + h > Int.MaxValue - 64) None
+      else {
+        val rgb =
+          if (ch == 3) px
+          else {
+            val out = new Array[Byte](3 * w * h)
+            var i = 0
+            while (i < w * h) {
+              out(3 * i) = px(i); out(3 * i + 1) = px(i); out(3 * i + 2) = px(i)
+              i += 1
+            }
+            out
+          }
+        Some(png(w, h, rgb))
+      }
+    }
+
+  /** Integer-exact per-channel sums from a baseline JPEG — the third
+    * member of the [[bmpPixelStats]]/[[pngPixelStats]] family, same
+    * (Σblue, Σgreen, Σred) order; a gray JPEG's pixel is (v, v, v).
+    */
+  def jpegPixelStats(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+    JpegCodec.decode(payload).map { case (w, h, ch, px) =>
+      var sumR = 0L; var sumG = 0L; var sumB = 0L
+      var i = 0
+      while (i < px.length) {
+        if (ch == 1) { val v = (px(i) & 0xff).toLong; sumR += v; sumG += v; sumB += v }
+        else { sumR += px(i) & 0xff; sumG += px(i + 1) & 0xff; sumB += px(i + 2) & 0xff }
+        i += ch
+      }
+      (w, h, sumB, sumG, sumR)
+    }
+
+  /** [[bmpDhash]]/[[pngDhash]] for baseline JPEG payloads. */
+  def jpegDhash(payload: Array[Byte]): Option[(Int, Int, Long)] =
+    JpegCodec.decode(payload).map { case (w, h, ch, px) =>
+      (w, h, pixelsDhash(w, h, ch, px))
     }
 
   /** [[bmpResize]] for PNG payloads: the same integer nearest-neighbor

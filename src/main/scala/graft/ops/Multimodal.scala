@@ -211,6 +211,7 @@ object Multimodal {
         batch.iterator.flatMap { m =>
           BinaryCodecs.bmpPixelStats(m.payload)
             .orElse(BinaryCodecs.pngPixelStats(m.payload))
+            .orElse(BinaryCodecs.jpegPixelStats(m.payload))
             .map { case (w, h, sumB, sumG, sumR) =>
               ImageStats(m.media_id, w.toLong, h.toLong, w.toLong * h, sumB, sumG, sumR)
             }
@@ -239,6 +240,7 @@ object Multimodal {
         batch.iterator.flatMap { m =>
           BinaryCodecs.bmpDhash(m.payload)
             .orElse(BinaryCodecs.pngDhash(m.payload))
+            .orElse(BinaryCodecs.jpegDhash(m.payload))
             .map { case (w, h, d) =>
               ImageDhash(m.media_id, w.toLong, h.toLong, d)
             }
@@ -298,6 +300,11 @@ object Multimodal {
             .map(p => MediaRow(m.media_id, m.kind, p, "image/bmp", p.length.toLong))
             .orElse(BinaryCodecs.pngResize(m.payload, w, h)
               .map(p => MediaRow(m.media_id, m.kind, p, "image/png", p.length.toLong)))
+            // JPEG thumbnails leave as PNG: re-encoding a tiny thumbnail
+            // lossily would stack a second generation loss
+            .orElse(BinaryCodecs.jpegToPng(m.payload)
+              .flatMap(p => BinaryCodecs.pngResize(p, w, h))
+              .map(p => MediaRow(m.media_id, m.kind, p, "image/png", p.length.toLong)))
         }
       }
     }
@@ -319,6 +326,7 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { m =>
           BinaryCodecs.bmpToPng(m.payload)
+            .orElse(BinaryCodecs.jpegToPng(m.payload))
             .map(p => MediaRow(m.media_id, m.kind, p, "image/png", p.length.toLong))
             .orElse(
               if (BinaryCodecs.pngDimensions(m.payload).nonEmpty) Some(m) else None)
@@ -765,6 +773,37 @@ object Multimodal {
         val h = 8 + (id % 16).toInt
         val payload = BinaryCodecs.png(w, h, Option(text).getOrElse("").getBytes("UTF-8"))
         MediaRow(id, "image", payload, "image/png", payload.length.toLong)
+      }
+  }
+
+  /** Synthetic baseline-JPEG corpus from the documents table — REAL
+    * lossy-codec files built so the decode is analytically exact: every
+    * 8×8 block is a flat EVEN value (`2·((id·7 + bx·13 + by·29) mod
+    * 128)` — DC = 8·(v−128) divisible by the Annex K Q₀₀ = 16, zero
+    * AC), so quantization is the identity on the fixture and every
+    * pixel replays from the id formula through a genuine Huffman+DCT
+    * roundtrip. Geometry from the id (block-multiples); even ids
+    * grayscale, odd ids the 4:4:4 COLOR path with gray pixel values
+    * (Y = v, Cb = Cr = 128 exactly — the color machinery runs, the
+    * formula stays analytic).
+    */
+  def syntheticJpegMedia(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.JpegCodec
+    graft.io.Spread.toDefaultParallelism(docs)
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val w = 8 * (1 + (id % 3).toInt)
+        val h = 8 * (1 + (id % 2).toInt)
+        def v(bx: Int, by: Int): Int = 2 * (((id * 7 + bx * 13 + by * 29) % 128).toInt)
+        val gray = Array.tabulate(w * h) { i =>
+          v((i % w) / 8, (i / w) / 8).toByte
+        }
+        val payload =
+          if (id % 2 == 0) JpegCodec.encodeGray(w, h, gray)
+          else JpegCodec.encodeColor444(w, h, gray.flatMap(b => Array(b, b, b)))
+        MediaRow(id, "image", payload, "image/jpeg", payload.length.toLong)
       }
   }
 

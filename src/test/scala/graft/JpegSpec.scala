@@ -1,0 +1,122 @@
+package graft
+
+import graft.functions.JpegCodec
+
+/** Baseline JPEG codec: exact flat-block roundtrips (the oracle
+  * foundation), tolerance roundtrips on smooth content, byte stuffing,
+  * restart markers, edge replication, and the quarantine contract.
+  */
+class JpegSpec extends SparkSpec {
+
+  /** Gray image whose 8×8 blocks are flat EVEN values — the exact-
+    * roundtrip class (DC = 8·(v−128) divisible by Q₀₀ = 16, zero AC).
+    */
+  private def flatBlocks(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] =
+    Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      v(x / 8, y / 8).toByte
+    }
+
+  test("flat even-valued blocks roundtrip EXACTLY through the gray path") {
+    val w = 24; val h = 16
+    val src = flatBlocks(w, h, (bx, by) => 2 * ((bx * 7 + by * 13 + 30) % 128))
+    val jpg = JpegCodec.encodeGray(w, h, src)
+    val (dw, dh, ch, px) = JpegCodec.decode(jpg).get
+    assert((dw, dh, ch) == (w, h, 1))
+    assert(px.sameElements(src), "flat even blocks must decode bit-exactly")
+  }
+
+  test("flat gray blocks roundtrip EXACTLY through the 4:4:4 color path") {
+    val w = 16; val h = 16
+    val gray = flatBlocks(w, h, (bx, by) => 2 * ((bx * 11 + by * 5 + 64) % 128))
+    val rgb = gray.flatMap(b => Array(b, b, b))
+    val jpg = JpegCodec.encodeColor444(w, h, rgb)
+    val (dw, dh, ch, px) = JpegCodec.decode(jpg).get
+    assert((dw, dh, ch) == (w, h, 3))
+    // gray input: Y = v, Cb = Cr = 128 exactly; inverse restores R = G = B = v
+    assert(px.sameElements(rgb), "flat gray blocks must decode bit-exactly in color")
+  }
+
+  test("smooth gradients roundtrip within JPEG tolerance; stuffed 0xFF bytes handled") {
+    // NON-wrapping ramp (max 40·4 + 24·2 = 208 < 255): within each block
+    // the content is linear, so quantization error stays small — a
+    // wrapping sawtooth would put a step edge inside blocks and earn
+    // legitimate ~50-level Gibbs ringing at Annex K quantization
+    val w = 40; val h = 24
+    val src = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (x * 4 + y * 2).toByte
+    }
+    val jpg = JpegCodec.encodeGray(w, h, src)
+    // entropy data of varied content contains stuffed FF00 pairs often;
+    // find at least one anywhere in the stream to prove the writer path
+    val hasStuffed = jpg.sliding(2).exists(p => (p(0) & 0xff) == 0xff && p(1) == 0)
+    val (_, _, _, px) = JpegCodec.decode(jpg).get
+    val maxErr = px.zip(src).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxErr <= 24, s"gradient roundtrip error too large: $maxErr")
+    // sawtooth content (high frequency) also roundtrips structurally
+    val saw = Array.tabulate(w * h)(i => ((i * 37) % 256).toByte)
+    val jpg2 = JpegCodec.encodeGray(w, h, saw)
+    assert(JpegCodec.decode(jpg2).nonEmpty)
+    val anyStuffed = hasStuffed ||
+      jpg2.sliding(2).exists(p => (p(0) & 0xff) == 0xff && p(1) == 0)
+    assert(anyStuffed, "expected at least one byte-stuffed 0xFF00 across the two streams")
+  }
+
+  test("restart markers: DRI/RSTn streams decode identically to the plain encoding") {
+    val w = 32; val h = 24 // 4x3 = 12 MCUs
+    val src = flatBlocks(w, h, (bx, by) => 2 * ((bx * 9 + by * 17 + 10) % 128))
+    val plain = JpegCodec.decode(JpegCodec.encodeGray(w, h, src)).get._4
+    val rst = JpegCodec.decode(JpegCodec.encodeGray(w, h, src, restartInterval = 2)).get._4
+    assert(plain.sameElements(rst))
+    assert(rst.sameElements(src))
+  }
+
+  test("non-multiple-of-8 dims: edge replication keeps flat content exact after crop") {
+    val w = 10; val h = 12
+    val src = Array.fill(w * h)(120.toByte) // one flat even value everywhere
+    val (dw, dh, _, px) = JpegCodec.decode(JpegCodec.encodeGray(w, h, src)).get
+    assert((dw, dh) == (w, h))
+    assert(px.sameElements(src))
+  }
+
+  test("Dataset ops route JPEG: stats/dhash/resize/transcode across all three formats") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    import graft.functions.BinaryCodecs
+    val docs = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("doc_id", "text")
+    val jpgs = Multimodal.syntheticJpegMedia(docs)
+    val stats = Multimodal.imageStats(jpgs).collect().sortBy(_.media_id)
+    assert(stats.length == 4)
+    // gray and color legs: all three channel sums equal (gray content)
+    assert(stats.forall(s => s.sum_b == s.sum_g && s.sum_g == s.sum_r))
+    assert(Multimodal.imageDhash(jpgs).collect().length == 4)
+    // JPEG thumbnails come out PNG (no second generation loss)
+    val resized = Multimodal.resizeImages(jpgs, 8, 8).collect()
+    assert(resized.length == 4 && resized.forall(_.mime_type == "image/png"))
+    assert(resized.forall(r => BinaryCodecs.pngDimensions(r.payload).contains((8, 8))))
+    // transcode: pixel sums preserved bit-exactly across the format change
+    val before = stats.map(s => s.media_id -> (s.sum_b, s.sum_g, s.sum_r)).toMap
+    val after = Multimodal.imageStats(Multimodal.transcodeToPng(jpgs)).collect()
+    assert(after.length == 4 &&
+      after.forall(s => before(s.media_id) == ((s.sum_b, s.sum_g, s.sum_r))))
+  }
+
+  test("quarantine: progressive, truncation, missing tables, garbage, geometry bomb") {
+    val good = JpegCodec.encodeGray(16, 8, Array.tabulate(128)(_.toByte))
+    assert(JpegCodec.decode(good).nonEmpty)
+    // SOF0 -> SOF2 (progressive): find FF C0 and patch
+    val prog = good.clone
+    val at = prog.sliding(2).indexWhere(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc0)
+    assert(at >= 0)
+    prog(at + 1) = 0xc2.toByte
+    assert(JpegCodec.decode(prog).isEmpty)
+    // truncated entropy stream
+    assert(JpegCodec.decode(good.dropRight(8)).isEmpty)
+    // not a JPEG at all
+    assert(JpegCodec.decode("definitely not a jpeg".getBytes).isEmpty)
+    assert(JpegCodec.decode(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+    // geometry cap: decode with a tiny maxBytes must refuse before work
+    assert(JpegCodec.decode(good, maxBytes = 16).isEmpty)
+  }
+}
