@@ -154,7 +154,12 @@ object ScaleSmoke {
     // packing (the q135 trainer's aggregation rounds over a 10×
     // vocabulary + native encode + the q317 prefix-sum fan-out).
     "q384_warc_ingest", "q385_warc_crawl", "q386_png_stats",
-    "q390_charset_decode", "q391_bpe_pack_chunk")
+    "q390_charset_decode", "q391_bpe_pack_chunk",
+    // Late round-14: the full container-to-text composite (WARC + HTTP
+    // split + charset + main-content stacked — the heaviest pure-map
+    // chain in the suite) and the baseline JPEG decode (Huffman bit
+    // walk + per-block IDCT per row — the most CPU-dense codec path).
+    "q394_warc_http_ingest", "q395_jpeg_stats")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))

@@ -4191,7 +4191,47 @@ object SparkEntry {
           Multimodal.syntheticJpegMedia(t(s, dir, "documents"))))
         .toDF()
         .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
-          col("sum_b"), col("sum_g"), col("sum_r")))
+          col("sum_b"), col("sum_g"), col("sum_r"))),
+
+    // ---- WET export roundtrip: extracted text re-wrapped as standard
+    // `conversion` records (Content-Type text/plain + WARC-Refers-To),
+    // member-per-record gzip — the WRITE half of the crawl interchange
+    // story — then parsed back by the same strict framing. The oracle
+    // derives grouping/order/headers/text from the id formula (the q384
+    // idiom with the conversion envelope). ----------------------------------
+    "q398_wet_export" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        concat(lit("https://host"), (col("doc_id") % 20).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string")).as("uri"))
+      graft.ops.Warc.parseWarc(graft.ops.Warc.toWet(pages))
+        .toDF()
+        .select(col("media_id").as("file_id"), col("record_idx"),
+          col("warc_type"), col("target_uri"),
+          col("n_headers").cast("long").as("n_headers"), col("n_bytes"),
+          col("payload").cast("string").as("text_out"))
+    }),
+
+    // ---- robots `Sitemap:` declarations (the sitemaps.org extension):
+    // GLOBAL scope — the second declaration sits inside a foreign
+    // user-agent group and must still extract — with comment stripping
+    // and file order; feeds Crawl.sitemapEntries discovery (q372). The
+    // oracle derives both URLs from the id formula. -------------------------
+    "q399_robots_sitemaps" -> ((s, dir) => {
+      val id = col("doc_id")
+      val robots = concat(
+        lit("User-agent: *\nDisallow: /private\n"),
+        lit("Sitemap: https://s"), (id % 6).cast("string"),
+        lit(".example.com/sitemap"), (id % 4).cast("string"), lit(".xml\n"),
+        when(id % 3 === 0,
+          concat(lit("User-agent: other\nSitemap: https://m"), (id % 5).cast("string"),
+            lit(".example.org/root.xml  # trailing comment\n")))
+          .otherwise(lit("")),
+        lit("Crawl-delay: 2\n"))
+      t(s, dir, "documents")
+        .select(id, posexplode(graft.ops.Robots.sitemapUrls(robots)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("sitemap_url"))
+    })
   )
 
   /** q358/q359's synthetic HTML page — every feature a pure function of
@@ -11169,7 +11209,42 @@ object SparkEntry {
         |FROM dh JOIN par p ON p.doc_id = dh.media_id""".stripMargin,
     // q397: transcoding must be pixel-invisible across the THIRD format
     // too — the oracle is q395's verbatim.
-    "q397_jpeg_transcode" -> JpegFlatStatsSql
+    "q397_jpeg_transcode" -> JpegFlatStatsSql,
+    // q398: the q384 identity idiom with the conversion envelope —
+    // conversion records carry 7 header fields (4 base + Refers-To +
+    // Content-Type + Content-Length), warcinfo 4.
+    "q398_wet_export" ->
+      """WITH conv AS (
+        | SELECT CAST(doc_id // 8 AS BIGINT) AS file_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)
+        |    AS BIGINT) AS record_idx,
+        |  'conversion' AS warc_type,
+        |  'https://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p/'
+        |    || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  CAST(7 AS BIGINT) AS n_headers,
+        |  CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
+        |  coalesce(text, '') AS text_out
+        | FROM documents),
+        |info AS (
+        | SELECT DISTINCT CAST(doc_id // 8 AS BIGINT) AS file_id,
+        |  CAST(0 AS BIGINT) AS record_idx, 'warcinfo' AS warc_type,
+        |  CAST(NULL AS VARCHAR) AS target_uri, CAST(4 AS BIGINT) AS n_headers,
+        |  CAST(21 AS BIGINT) AS n_bytes,
+        |  'software: graft/0.1' || chr(13) || chr(10) AS text_out
+        | FROM documents)
+        |SELECT * FROM info UNION ALL SELECT * FROM conv""".stripMargin,
+    // q399: both declarations derived from the id formula; the foreign-
+    // group one only exists for doc_id % 3 = 0 and its trailing comment
+    // must strip.
+    "q399_robots_sitemaps" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+        | 'https://s' || CAST(doc_id % 6 AS VARCHAR) || '.example.com/sitemap'
+        |   || CAST(doc_id % 4 AS VARCHAR) || '.xml' AS sitemap_url
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS BIGINT) AS pos,
+        | 'https://m' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/root.xml' AS sitemap_url
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin
   )
 
   /** The flat-block JPEG stats derivation, shared verbatim by q395 and

@@ -7,16 +7,21 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` columns with typed metadata, and decode / feature
   * extraction runs as batched per-partition transforms.
   *
-  * The Spark-side plumbing — schema, partition-level batching, function
-  * signatures, lineage — is real. The codec itself is a clearly marked
-  * STUB ([[DecodeStub]]): media libraries are not available in this
-  * environment, so decode parses a deterministic fake header and features
-  * derive from a rolling hash of the payload. Swapping in a real codec
-  * changes only the stub body; every signature and the batching shape stay.
+  * The codec layer is REAL for the formats that matter: BMP, PNG
+  * (zlib + all five scanline filters) and baseline JPEG (Huffman + DCT)
+  * for images, 16-bit PCM WAV for audio, RIFF AVI for video frames,
+  * gzip/WARC for containers — all pure-JVM byte-level implementations in
+  * [[graft.functions.BinaryCodecs]] / [[graft.functions.JpegCodec]].
+  * [[DecodeStub]] remains ONLY as the documented fallback for codecs that
+  * genuinely need native libraries absent from this environment (H.264,
+  * MP3, …): [[extractFeatures]]' embedding vector and [[resizeAll]]'s
+  * byte-window resample say so explicitly; swapping in libjpeg-turbo/
+  * ffmpeg at deployment changes only those bodies.
   *
   * `mapPartitions` + `Iterator.grouped(batchSize)` is the JVM analog of a
-  * vectorized batch UDF: a real codec would initialize native state once
-  * per batch (not per row) exactly where the stub materializes its group.
+  * vectorized batch UDF: a codec initializes per-batch state exactly where
+  * the group materializes, and multi-KB binary decode is not an
+  * `Expression` fit — batching shape and signatures are the contract.
   */
 object Multimodal {
 

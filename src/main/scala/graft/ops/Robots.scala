@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * Scope (documented contract): the original 1994 REP prefix rules for
   * the `User-agent: *` group — `Allow`/`Disallow` path PREFIXES with
   * longest-match-wins and Allow winning length ties (the Google
-  * tie-break) — no `*`/`$` wildcard extension, no Crawl-delay/Sitemap
-  * semantics (those lines parse as no-ops). Everything is codegen'd
-  * Column expressions over the split-line array: map-side, no shuffle,
+  * tie-break) — no `*`/`$` wildcard extension. The two de-facto
+  * extensions every crawler honors are parsed too: `Crawl-delay`
+  * ([[crawlDelay]], star-group-scoped) and the GLOBAL `Sitemap:`
+  * declaration ([[sitemapUrls]]). Everything is codegen'd Column
+  * expressions over the split-line array: map-side, no shuffle,
   * replayable in any engine.
   */
 object Robots {
@@ -60,6 +62,26 @@ object Robots {
           "^([0-9]{3})", 1).cast("long"))
       .otherwise(lit(null).cast("long"))
   }
+
+  /** All `Sitemap:` declarations in the body, in file order, as an
+    * array Column — the sitemaps.org extension makes them GLOBAL
+    * (valid anywhere in the file, independent of any user-agent
+    * group), so this scans every line, not just the star group: the
+    * publisher's pointer from admission control into
+    * [[Crawl.sitemapEntries]] discovery. URL values stay verbatim
+    * (URLs are case-sensitive; only the key matches
+    * case-insensitively), comments strip first, valueless lines drop.
+    * Map-side, no shuffle.
+    */
+  def sitemapUrls(robots: Column): Column =
+    filter(
+      transform(split(robots, "\n"), l => {
+        val noComment = regexp_replace(l, "#.*$", "")
+        val key = lower(trim(regexp_extract(noComment, "^([^:]+):", 1)))
+        val value = trim(regexp_extract(noComment, "^[^:]+:(.*)$", 1))
+        when(key === "sitemap" && value =!= "", value)
+      }),
+      v => v.isNotNull)
 
   /** Parse the `User-agent: *` group of a robots.txt body into an array
     * of `(allow: boolean, prefix: string)` rules, in file order: the

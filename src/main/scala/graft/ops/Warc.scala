@@ -174,7 +174,36 @@ object Warc {
     * bodies are not representable as UTF-8-roundtripping strings).
     * Input columns: `(doc_id, payload, uri)`.
     */
-  def syntheticWarcBytes(docs: DataFrame, docsPerFile: Int = 8): Dataset[MediaRow] = {
+  def syntheticWarcBytes(docs: DataFrame, docsPerFile: Int = 8): Dataset[MediaRow] =
+    buildWarcFiles(docs, docsPerFile, "response", Nil)
+
+  /** WET export — Common Crawl's extracted-text sibling of WARC, the
+    * format processed corpus TEXT ships in: each page becomes a
+    * `conversion` record (`Content-Type: text/plain`,
+    * `WARC-Refers-To` the source response record) and pages group
+    * `docsPerFile` to a file in the standard member-per-record gzip
+    * layout. The WRITE half of the interchange story (read `.warc.gz`
+    * with [[parseWarc]]/[[decodePages]], emit `.wet.gz` here) — and one
+    * [[parseWarc]] away from its own roundtrip oracle. Input columns:
+    * `(doc_id, text, uri)`.
+    */
+  def toWet(pages: DataFrame, docsPerFile: Int = 8): Dataset[MediaRow] =
+    buildWarcFiles(
+      pages.select(col("doc_id"),
+        coalesce(col("text"), lit("")).cast("binary").as("payload"), col("uri")),
+      docsPerFile, "conversion",
+      Seq("Content-Type" -> "text/plain"), refersTo = true)
+
+  /** The shared file builder behind [[syntheticWarcBytes]] and
+    * [[toWet]]: group, order, warcinfo lead member, one gzip member per
+    * record.
+    */
+  private def buildWarcFiles(
+      docs: DataFrame,
+      docsPerFile: Int,
+      warcType: String,
+      extraHeaders: Seq[(String, String)],
+      refersTo: Boolean = false): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     import graft.functions.BinaryCodecs
     require(docsPerFile >= 1, s"docsPerFile must be >= 1: $docsPerFile")
@@ -189,15 +218,17 @@ object Warc {
           "WARC-Record-ID" -> s"<urn:graft:file:$fid>",
           "WARC-Date" -> "2024-01-01T00:00:00Z"),
           WarcInfoPayload.getBytes("UTF-8"))
-        val responses = recs.map { case (id, payload, uri) =>
+        val records = recs.map { case (id, payload, uri) =>
           (Seq(
-            "WARC-Type" -> "response",
+            "WARC-Type" -> warcType,
             "WARC-Record-ID" -> s"<urn:graft:rec:$id>",
             "WARC-Date" -> "2024-01-01T00:00:00Z",
-            "WARC-Target-URI" -> uri),
+            "WARC-Target-URI" -> uri) ++
+            (if (refersTo) Seq("WARC-Refers-To" -> s"<urn:graft:rec:$id>") else Nil) ++
+            extraHeaders,
             Option(payload).getOrElse(Array.emptyByteArray))
         }
-        val bytes = BinaryCodecs.warcFile(info +: responses, gzipPerRecord = true)
+        val bytes = BinaryCodecs.warcFile(info +: records, gzipPerRecord = true)
         MediaRow(fid, "warc", bytes, "application/warc", bytes.length.toLong)
       }
   }

@@ -114,6 +114,23 @@ class CrawlSpec extends SparkSpec {
     assert(got.toSeq == Seq(Some(2000L), Some(1500L), Some(250L), None, None, None))
   }
 
+  test("Robots.sitemapUrls: global scope, file order, comment strip, valueless drops") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Robots
+    val body = Seq(
+      "Sitemap: https://a/s1.xml\n" +              // before any group
+        "User-agent: *\nDisallow: /x\n" +
+        "sitemap:https://a/S2.xml  # comment\n" +  // colon-tight, case key, URL case kept
+        "User-agent: bot\n" +
+        "Sitemap: https://a/s3.xml\n" +            // inside a FOREIGN group: still global
+        "Sitemap:\n" +                              // valueless: drops
+        "Crawl-delay: 2")
+      .toDF("robots")
+      .select(Robots.sitemapUrls(col("robots")))
+      .collect().head.getSeq[String](0)
+    assert(body == Seq("https://a/s1.xml", "https://a/S2.xml", "https://a/s3.xml"))
+  }
+
   test("politenessScheduleWithDelays: per-host max hint, default fallback, delay-scaled slots") {
     val f = Seq(
       ("http://a.com/p1", 10L, Some(2000L)),

@@ -164,6 +164,22 @@ class WarcSpec extends SparkSpec {
     assert(pages.forall(!_.mojibake_risk))
   }
 
+  test("toWet: conversion records with Refers-To/Content-Type, roundtrip through parseWarc") {
+    val pages = Seq((0L, "extracted text zero", "https://a/0"),
+      (1L, "", "https://a/1"), (9L, "file one text", "https://a/9"))
+      .toDF("doc_id", "text", "uri")
+    val recs = Warc.parseWarc(Warc.toWet(pages, docsPerFile = 8))
+      .collect().sortBy(r => (r.media_id, r.record_idx))
+    assert(recs.length == 5) // 2 files x warcinfo + (2, 1) conversions
+    val conv = recs.filter(_.warc_type == "conversion")
+    assert(conv.length == 3)
+    assert(conv.map(r => new String(r.payload, "UTF-8")).toSeq ==
+      Seq("extracted text zero", "", "file one text"))
+    // conversion envelope: 4 base + Refers-To + Content-Type + Content-Length
+    assert(conv.forall(_.n_headers == 7))
+    assert(conv.map(_.target_uri).toSeq == Seq("https://a/0", "https://a/1", "https://a/9"))
+  }
+
   test("parseWarc: a corrupt file drops whole; good files in the same batch survive") {
     val good = BinaryCodecs.warcFile(Seq(rec("response", "u:1", "ok")))
     val media = Seq(
