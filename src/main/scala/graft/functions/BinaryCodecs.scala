@@ -309,17 +309,22 @@ object BinaryCodecs {
     * 8-byte trailer verified (CRC32 + ISIZE mod 2³²) — a corrupt member
     * quarantines the whole file (None), the same contract as the other
     * container parsers. `maxMembers` bounds the member walk itself (a
-    * crafted file of millions of empty members is its own bomb).
+    * crafted file of millions of empty members is its own bomb) and
+    * `maxBytesTotal` bounds the AGGREGATE output — without it, many
+    * members each just under the per-member cap amplify a ~10 MB input
+    * to tens of GB and the per-member discipline is moot.
     */
   def gzipMembers(
       payload: Array[Byte],
       maxBytesPerMember: Int = 1 << 26,
-      maxMembers: Int = 1 << 20): Option[Vector[Array[Byte]]] = {
+      maxMembers: Int = 1 << 20,
+      maxBytesTotal: Long = 1L << 28): Option[Vector[Array[Byte]]] = {
     if (payload == null || payload.length < 20 ||
       (payload(0) & 0xff) != 0x1f || (payload(1) & 0xff) != 0x8b) return None
     val members = Vector.newBuilder[Array[Byte]]
     var off = 0
     var n = 0
+    var total = 0L
     while (off < payload.length) {
       n += 1
       if (n > maxMembers) return None
@@ -378,6 +383,8 @@ object BinaryCodecs {
       crc.update(member)
       if (crc.getValue != crcStored || (member.length.toLong & 0xFFFFFFFFL) != isize)
         return None
+      total += member.length
+      if (total > maxBytesTotal) return None // aggregate bomb guard
       members += member
       off = t + 8
     }
@@ -453,9 +460,15 @@ object BinaryCodecs {
     * interlaced images, bad CRCs, length mismatches — quarantines (None),
     * the family contract.
     */
-  def pngDecode(
+  /** The CRC-verified chunk walk shared by [[pngDecode]] and the
+    * structural [[pngDimensions]] check: `(w, h, channels,
+    * concatenated IDAT bytes)` for a supported PNG, None otherwise.
+    * No inflation, no filter reconstruction — those are the decode
+    * phase's cost.
+    */
+  private def pngWalk(
       payload: Array[Byte],
-      maxBytes: Int = 1 << 26): Option[(Int, Int, Int, Array[Byte])] = {
+      maxBytes: Int): Option[(Int, Int, Int, Array[Byte])] = {
     if (payload == null || payload.length < 8 + 25 ||
       !payload.take(8).sameElements(PngSig)) return None
     val buf = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
@@ -496,13 +509,22 @@ object BinaryCodecs {
       first = false
       off += 12 + len
     }
-    if (w < 0 || idat.size == 0) return None
+    if (w < 0 || idat.size == 0) None
+    else Some((w, h, channels, idat.toByteArray))
+  }
+
+  def pngDecode(
+      payload: Array[Byte],
+      maxBytes: Int = 1 << 26): Option[(Int, Int, Int, Array[Byte])] = {
+    val walked = pngWalk(payload, maxBytes)
+    if (walked.isEmpty) return None
+    val (w, h, channels, idatBytes) = walked.get
     val stride = channels * w
     val expected = (stride + 1) * h
     val raw = new Array[Byte](expected)
     val inf = new java.util.zip.Inflater()
     val n = try {
-      inf.setInput(idat.toByteArray)
+      inf.setInput(idatBytes)
       var total = 0
       var ok = true
       while (ok && !inf.finished() && total < expected) {
@@ -547,9 +569,14 @@ object BinaryCodecs {
     Some((w, h, channels, out))
   }
 
-  /** (width, height) if the payload parses as a supported PNG. */
+  /** (width, height) if the payload is STRUCTURALLY a supported PNG —
+    * the CRC-verified chunk walk without pixel reconstruction (a
+    * truncated-but-CRC-clean IDAT passes here and fails at
+    * [[pngDecode]]). The cheap gate for passthrough paths that would
+    * otherwise pay a full inflate+defilter to produce a no-op.
+    */
   def pngDimensions(payload: Array[Byte]): Option[(Int, Int)] =
-    pngDecode(payload).map { case (w, h, _, _) => (w, h) }
+    pngWalk(payload, 1 << 26).map { case (w, h, _, _) => (w, h) }
 
   /** Integer-exact per-channel pixel sums from a PNG payload — the
     * [[bmpPixelStats]] twin for the format web images actually use,
@@ -665,26 +692,52 @@ object BinaryCodecs {
     * on both sides, RGBA alpha dropped (the writer is RGB). Returns a
     * valid PNG; None on unsupported payloads.
     */
+  /** Integer nearest-neighbor resample of decoded top-down pixels
+    * (1 = gray, replicated to RGB; 3 = RGB; 4 = RGBA, alpha dropped)
+    * into a 3·tw·th RGB array — the kernel [[pngResize]] and
+    * [[jpegResizeToPng]] share.
+    */
+  private def resizeToRgb(
+      w: Int, h: Int, ch: Int, px: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    val out = new Array[Byte](3 * tw * th)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * h / th).toInt
+      var x = 0
+      while (x < tw) {
+        val sx = (x.toLong * w / tw).toInt
+        val s = ch * (sy * w + sx)
+        val d = 3 * (y * tw + x)
+        if (ch == 1) { out(d) = px(s); out(d + 1) = px(s); out(d + 2) = px(s) }
+        else { out(d) = px(s); out(d + 1) = px(s + 1); out(d + 2) = px(s + 2) }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   def pngResize(payload: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
     require(tw > 0 && th > 0, s"pngResize target must be positive: $tw x $th")
     require(3L * tw * th + th <= Int.MaxValue - 64,
       s"pngResize: target $tw x $th exceeds the PNG size ceiling")
     pngDecode(payload).map { case (w, h, ch, px) =>
-      val out = new Array[Byte](3 * tw * th)
-      var y = 0
-      while (y < th) {
-        val sy = (y.toLong * h / th).toInt
-        var x = 0
-        while (x < tw) {
-          val sx = (x.toLong * w / tw).toInt
-          val s = ch * (sy * w + sx)
-          val d = 3 * (y * tw + x)
-          out(d) = px(s); out(d + 1) = px(s + 1); out(d + 2) = px(s + 2)
-          x += 1
-        }
-        y += 1
-      }
-      png(tw, th, out)
+      png(tw, th, resizeToRgb(w, h, ch, px, tw, th))
+    }
+  }
+
+  /** JPEG thumbnail in ONE decode: baseline decode → nearest-neighbor
+    * resample → PNG out (re-encoding a tiny thumbnail lossily would
+    * stack a second generation loss, and round-tripping through a
+    * full-size PNG first would pay a pointless deflate+inflate of the
+    * full-resolution image).
+    */
+  def jpegResizeToPng(payload: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    require(tw > 0 && th > 0, s"jpegResizeToPng target must be positive: $tw x $th")
+    require(3L * tw * th + th <= Int.MaxValue - 64,
+      s"jpegResizeToPng: target $tw x $th exceeds the PNG size ceiling")
+    JpegCodec.decode(payload).map { case (w, h, ch, px) =>
+      png(tw, th, resizeToRgb(w, h, ch, px, tw, th))
     }
   }
 

@@ -307,8 +307,7 @@ object Multimodal {
               .map(p => MediaRow(m.media_id, m.kind, p, "image/png", p.length.toLong)))
             // JPEG thumbnails leave as PNG: re-encoding a tiny thumbnail
             // lossily would stack a second generation loss
-            .orElse(BinaryCodecs.jpegToPng(m.payload)
-              .flatMap(p => BinaryCodecs.pngResize(p, w, h))
+            .orElse(BinaryCodecs.jpegResizeToPng(m.payload, w, h)
               .map(p => MediaRow(m.media_id, m.kind, p, "image/png", p.length.toLong)))
         }
       }

@@ -192,7 +192,11 @@ object Warc {
       pages.select(col("doc_id"),
         coalesce(col("text"), lit("")).cast("binary").as("payload"), col("uri")),
       docsPerFile, "conversion",
-      Seq("Content-Type" -> "text/plain"), refersTo = true)
+      Seq("Content-Type" -> "text/plain"), refersTo = true,
+      // conversion records get their OWN id namespace: ISO 28500 record
+      // ids are globally unique, and Refers-To must point at the SOURCE
+      // response record (urn:graft:rec:*), not at itself
+      recordIdPrefix = "conv")
 
   /** The shared file builder behind [[syntheticWarcBytes]] and
     * [[toWet]]: group, order, warcinfo lead member, one gzip member per
@@ -203,7 +207,8 @@ object Warc {
       docsPerFile: Int,
       warcType: String,
       extraHeaders: Seq[(String, String)],
-      refersTo: Boolean = false): Dataset[MediaRow] = {
+      refersTo: Boolean = false,
+      recordIdPrefix: String = "rec"): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     import graft.functions.BinaryCodecs
     require(docsPerFile >= 1, s"docsPerFile must be >= 1: $docsPerFile")
@@ -221,7 +226,7 @@ object Warc {
         val records = recs.map { case (id, payload, uri) =>
           (Seq(
             "WARC-Type" -> warcType,
-            "WARC-Record-ID" -> s"<urn:graft:rec:$id>",
+            "WARC-Record-ID" -> s"<urn:graft:$recordIdPrefix:$id>",
             "WARC-Date" -> "2024-01-01T00:00:00Z",
             "WARC-Target-URI" -> uri) ++
             (if (refersTo) Seq("WARC-Refers-To" -> s"<urn:graft:rec:$id>") else Nil) ++

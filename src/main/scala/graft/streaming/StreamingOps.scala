@@ -772,10 +772,19 @@ object StreamingOps {
     * State is [[changeDetectStream]]'s O(1) per URL; everything else is
     * per-batch batch-plan work (group agg + broadcast-sized hint join +
     * the capped politeness window).
+    *
+    * `asOfMs`: None (the steady-state default) derives each round's
+    * as-of from THAT batch's max fetch timestamp — an indefinitely-
+    * running loop cannot freeze a launch-time constant, or the moment
+    * observed timestamps pass it every changing page's age (and so its
+    * priority) goes NEGATIVE and the ranking inverts toward static
+    * pages. Some(fixed) is for deterministic replays/backfills whose
+    * whole history predates the fixed point (the batch op's "pass the
+    * corpus max" rule).
     */
   def crawlSchedulerStream(
       fetches: Dataset[(String, Long, String)],
-      asOfMs: Long,
+      asOfMs: Option[Long] = None,
       delayHints: DataFrame,
       defaultDelayMs: Long = 1000L,
       maxPerHost: Int = 1000)(
@@ -788,11 +797,16 @@ object StreamingOps {
           .agg(max(col("ts_ms")).as("__last"),
             max(col("n_fetches")).as("n_fetches"),
             max(col("n_changes")).as("n_changes"))
-        val frontier = graft.ops.Crawl.priorityFromCounters(latest, asOfMs)
-          .join(delayHints, Seq("url"), "left")
-          .select(col("url"), col("priority"), col("delay_ms"))
-        sink(graft.ops.Crawl.politenessScheduleWithDelays(frontier,
-          defaultDelayMs = defaultDelayMs, maxPerHost = maxPerHost), batchId)
+        if (!latest.isEmpty) {
+          // batch max ≥ every __last in the batch, so ages stay ≥ 0
+          val asOf = asOfMs.getOrElse(
+            latest.agg(max(col("__last"))).head().getLong(0))
+          val frontier = graft.ops.Crawl.priorityFromCounters(latest, asOf)
+            .join(delayHints, Seq("url"), "left")
+            .select(col("url"), col("priority"), col("delay_ms"))
+          sink(graft.ops.Crawl.politenessScheduleWithDelays(frontier,
+            defaultDelayMs = defaultDelayMs, maxPerHost = maxPerHost), batchId)
+        }
       }
 
   /** Read the reference's user-exp JSON shape as a file stream. */

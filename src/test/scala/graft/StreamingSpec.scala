@@ -707,7 +707,7 @@ class StreamingSpec extends SparkSpec {
     write("b1.json", b1)
     val stream = spark.readStream.schema("url STRING, ts LONG, h STRING").json(in.toString)
       .select(col("url"), col("ts"), col("h")).as[(String, Long, String)]
-    val q = StreamingOps.crawlSchedulerStream(stream, asOfMs = asOf,
+    val q = StreamingOps.crawlSchedulerStream(stream, asOfMs = Some(asOf),
       delayHints = hints, defaultDelayMs = 100L, maxPerHost = 10) { (sched, bid) =>
       val rows = sched.collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
@@ -744,6 +744,40 @@ class StreamingSpec extends SparkSpec {
     assert(schedules.size == 2, s"expected two rounds, got ${schedules.size}")
     assert(schedules(1)._2 == want(b1 ++ b2, b2.map(_._1).toSet),
       s"round-2 schedule diverges from the full-history composite:\n${schedules(1)._2}\nvs\n${want(b1 ++ b2, b2.map(_._1).toSet)}")
+  }
+
+  test("crawl control loop steady state: per-batch as-of keeps ages non-negative and ranks changers first") {
+    val in = Files.createTempDirectory("graft_stream_loop_ss")
+    def u(p: Int) = s"http://ss.test/p$p"
+    // one flapping URL, one static URL, same host — with a frozen
+    // launch-time as-of this history (timestamps arbitrarily large)
+    // would rank the STATIC page first; the derived as-of must not
+    val rows = Seq(
+      (u(1), 1000000L, "a"), (u(1), 1000100L, "b"), (u(1), 1000200L, "c"),
+      (u(2), 1000000L, "s"), (u(2), 1000100L, "s"), (u(2), 1000300L, "s"))
+    Files.write(Paths.get(in.toString, "b1.json"),
+      rows.map { case (url, t, h) => s"""{"url":"$url","ts":$t,"h":"$h"}""" }
+        .mkString("\n").getBytes)
+    import spark.implicits._
+    val hints = Seq.empty[(String, Long)].toDF("url", "delay_ms")
+    var sched = Set.empty[(String, Long, Long)]
+    val stream = spark.readStream.schema("url STRING, ts LONG, h STRING").json(in.toString)
+      .select(col("url"), col("ts"), col("h")).as[(String, Long, String)]
+    val q = StreamingOps.crawlSchedulerStream(stream, asOfMs = None,
+      delayHints = hints, defaultDelayMs = 100L, maxPerHost = 10) { (s, _) =>
+      sched = s.collect().map(r => (r.getString(1), r.getLong(2), r.getLong(4))).toSet
+    }.trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable(); q.stop()
+    assert(sched.nonEmpty)
+    // priorities never negative, and the flapping page outranks the
+    // static one (which is fresher AND unchanged → priority 0)
+    val byUrl = sched.map(t => t._1 -> t._2).toMap
+    assert(byUrl.values.forall(_ >= 0L), s"negative priority in $sched")
+    assert(byUrl(u(1)) > byUrl(u(2)),
+      s"changing page must outrank the static one: $byUrl")
+    // flapper first slot, static second
+    assert(sched.find(_._1 == u(1)).get._3 == 0L)
+    assert(sched.find(_._1 == u(2)).get._3 == 100L)
   }
 
   test("changeDetectStream: flags equal the batch lag replay; counters survive batches") {

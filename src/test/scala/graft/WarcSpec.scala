@@ -38,6 +38,13 @@ class WarcSpec extends SparkSpec {
     val big = BinaryCodecs.gzip(new Array[Byte](1024))
     assert(BinaryCodecs.gzipMembers(big, maxBytesPerMember = 100).isEmpty)
     assert(BinaryCodecs.gzipMembers(big, maxBytesPerMember = 2048).nonEmpty)
+    // AGGREGATE cap: many members each under the per-member ceiling must
+    // still hit the whole-file budget (the multi-member amplification bomb)
+    val multi = (1 to 8).map(_ => big).reduce(_ ++ _)
+    assert(BinaryCodecs.gzipMembers(multi, maxBytesPerMember = 2048,
+      maxBytesTotal = 4096L).isEmpty)
+    assert(BinaryCodecs.gzipMembers(multi, maxBytesPerMember = 2048,
+      maxBytesTotal = 16384L).nonEmpty)
     assert(BinaryCodecs.gzipMembers("no magic".getBytes).isEmpty)
   }
 
