@@ -12,11 +12,13 @@ import java.nio.{ByteBuffer, ByteOrder}
   * decode, dequantization, exact double-precision IDCT).
   *
   * Scope contract (everything else quarantines to None): baseline SOF0
-  * only — no progressive (SOF2), no arithmetic coding, no 12-bit, no
-  * subsampled chroma (sampling factors must be 1×1; 4:2:0's MCU
-  * geometry is a later extension). That covers every file this
-  * library's own encoder writes and the large plain-baseline share of
-  * web JPEGs; unsupported files drop rather than decode wrongly.
+  * only — no progressive (SOF2), no arithmetic coding, no 12-bit;
+  * sampling factors 1 or 2 per axis, which covers grayscale, 4:4:4,
+  * 4:2:2 and 4:2:0 (the layout most web JPEGs actually use — MCU =
+  * 4 luma blocks + 1 Cb + 1 Cr, chroma upsampled by replication).
+  * That covers every file this library's own encoders write and the
+  * overwhelming baseline share of web JPEGs; unsupported files drop
+  * rather than decode wrongly.
   *
   * Exactness note the oracles build on: JPEG is lossy in general, but a
   * FLAT 8×8 block of value `v` has DC = 8·(v−128) and zero AC, so when
@@ -438,6 +440,96 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** Baseline 4:2:0 COLOR JPEG — the subsampled layout most of the web
+    * ships: MCUs are 16×16 with four luma blocks and one block per
+    * chroma component, chroma downsampled by 2×2 AVERAGING (the
+    * standard encoder choice; a flat plane averages to itself, which
+    * keeps the flat-gray fixture analytic here too — gray pixels give
+    * Cb = Cr = 128 flat at any subsampling). `rgb` as in
+    * [[encodeColor444]].
+    */
+  def encodeColor420(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, "jpeg dimensions must be positive")
+    require(width <= 65535 && height <= 65535, "jpeg dimensions exceed 16 bits")
+    def ch(x: Int, y: Int, c: Int): Int = {
+      val cx = math.min(x, width - 1); val cy = math.min(y, height - 1)
+      if (rgb.isEmpty) 0 else rgb((3 * (cy * width + cx) + c) % rgb.length) & 0xff
+    }
+    def yb(x: Int, y: Int): Int = {
+      val r = ch(x, y, 0); val g = ch(x, y, 1); val b = ch(x, y, 2)
+      Math.round(0.299 * r + 0.587 * g + 0.114 * b).toInt
+    }
+    // chroma at HALF resolution: the 2×2 average of the full-res values
+    // (edge pixels replicate via the ch() clamp)
+    def cbHalf(x: Int, y: Int): Int = {
+      def cb(px: Int, py: Int): Double = {
+        val r = ch(px, py, 0); val g = ch(px, py, 1); val b = ch(px, py, 2)
+        128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+      }
+      Math.round((cb(2 * x, 2 * y) + cb(2 * x + 1, 2 * y) +
+        cb(2 * x, 2 * y + 1) + cb(2 * x + 1, 2 * y + 1)) / 4).toInt
+    }
+    def crHalf(x: Int, y: Int): Int = {
+      def cr(px: Int, py: Int): Double = {
+        val r = ch(px, py, 0); val g = ch(px, py, 1); val b = ch(px, py, 2)
+        128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+      }
+      Math.round((cr(2 * x, 2 * y) + cr(2 * x + 1, 2 * y) +
+        cr(2 * x, 2 * y + 1) + cr(2 * x + 1, 2 * y + 1)) / 4).toInt
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    seg(out, 0xe0, Jfif)
+    seg(out, 0xdb, dqtBody(0, QuantLuma))
+    seg(out, 0xdb, dqtBody(1, QuantChroma))
+    seg(out, 0xc0, Array[Byte](8,
+      ((height >> 8) & 0xff).toByte, (height & 0xff).toByte,
+      ((width >> 8) & 0xff).toByte, (width & 0xff).toByte,
+      3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    seg(out, 0xc4, dhtBody(0, 0, DcLumaCounts, DcLumaSyms))
+    seg(out, 0xc4, dhtBody(1, 0, AcLumaCounts, AcLumaSyms))
+    seg(out, 0xc4, dhtBody(0, 1, DcChromaCounts, DcChromaSyms))
+    seg(out, 0xc4, dhtBody(1, 1, AcChromaCounts, AcChromaSyms))
+    seg(out, 0xda, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+    val dcL = buildEncodeTable(DcLumaCounts, DcLumaSyms)
+    val acL = buildEncodeTable(AcLumaCounts, AcLumaSyms)
+    val dcC = buildEncodeTable(DcChromaCounts, DcChromaSyms)
+    val acC = buildEncodeTable(AcChromaCounts, AcChromaSyms)
+    val bw = new BitWriter(out)
+    val halfW = (width + 1) / 2
+    val halfH = (height + 1) / 2
+    val mcusX = (width + 15) / 16
+    val mcusY = (height + 15) / 16
+    var predY = 0; var predCb = 0; var predCr = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        // 4 luma blocks, raster order within the 16×16 MCU
+        var vi = 0
+        while (vi < 2) {
+          var hi = 0
+          while (hi < 2) {
+            predY = encodeBlock(bw,
+              block(mx * 2 + hi, my * 2 + vi, width, height, yb),
+              QuantLuma, dcL, acL, predY)
+            hi += 1
+          }
+          vi += 1
+        }
+        predCb = encodeBlock(bw, block(mx, my, halfW, halfH, cbHalf),
+          QuantChroma, dcC, acC, predCb)
+        predCr = encodeBlock(bw, block(mx, my, halfW, halfH, crHalf),
+          QuantChroma, dcC, acC, predCr)
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------- decoder --
 
   /** Entropy-stream bit reader with 0xFF00 unstuffing; `hitMarker`
@@ -511,6 +603,8 @@ object JpegCodec {
     val compId = new Array[Int](3)
     var restartInterval = 0
     var pos = 2
+    val compH = new Array[Int](3)
+    val compV = new Array[Int](3)
     def u16(p: Int): Int = ((payload(p) & 0xff) << 8) | (payload(p + 1) & 0xff)
     // ---- marker segments up to SOS
     var sosAt = -1
@@ -565,7 +659,13 @@ object JpegCodec {
           while (c < nComp) {
             compId(c) = payload(body + 6 + 3 * c) & 0xff
             val samp = payload(body + 7 + 3 * c) & 0xff
-            if (samp != 0x11) return None // 4:4:4 / gray only
+            compH(c) = (samp >> 4) & 0x0f
+            compV(c) = samp & 0x0f
+            // sampling factors 1 or 2 cover gray, 4:4:4, 4:2:2 and
+            // 4:2:0 — the baseline layouts the web actually uses;
+            // 4× factors quarantine
+            if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
+              return None
             compQ(c) = payload(body + 8 + 3 * c) & 0xff
             if (compQ(c) > 3) return None
             c += 1
@@ -602,15 +702,26 @@ object JpegCodec {
         return None
       c += 1
     }
-    // ---- entropy-coded scan: interleaved MCUs of one block per component
-    val bxN = (w + 7) / 8
-    val byN = (h + 7) / 8
-    val planes = Array.fill(nComp)(new Array[Byte](bxN * 8 * byN * 8))
+    // ---- entropy-coded scan: interleaved MCUs, sampling-factor-aware
+    // (an MCU carries h_c × v_c blocks per component; 4:2:0's MCU is
+    // 16×16 with 4 luma + 1 Cb + 1 Cr)
+    var hmax = 1; var vmax = 1
+    c = 0
+    while (c < nComp) {
+      if (compH(c) > hmax) hmax = compH(c)
+      if (compV(c) > vmax) vmax = compV(c)
+      c += 1
+    }
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val planeW = Array.tabulate(nComp)(c => mcusX * compH(c) * 8)
+    val planeH = Array.tabulate(nComp)(c => mcusY * compV(c) * 8)
+    val planes = Array.tabulate(nComp)(c => new Array[Byte](planeW(c) * planeH(c)))
     val br = new BitReader(payload, sosAt)
     val preds = new Array[Int](3)
     val coef = new Array[Int](64)
     var mcu = 0
-    val nMcu = bxN * byN
+    val nMcu = mcusX * mcusY
     while (mcu < nMcu) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
         br.align()
@@ -619,57 +730,69 @@ object JpegCodec {
         br.pos += 2
         java.util.Arrays.fill(preds, 0)
       }
-      val by = mcu / bxN
-      val bx = mcu % bxN
+      val mcuY = mcu / mcusX
+      val mcuX = mcu % mcusX
       c = 0
       while (c < nComp) {
-        java.util.Arrays.fill(coef, 0)
-        val t = decodeSymbol(br, dcTabs(compDc(c)))
-        if (t > 11) return None
-        preds(c) += extend(br.bits(t), t)
-        coef(0) = preds(c) * quant(compQ(c))(0)
-        var k = 1
-        while (k < 64) {
-          val rs = decodeSymbol(br, acTabs(compAc(c)))
-          if (br.badStream) return None
-          val run = rs >> 4
-          val size = rs & 0x0f
-          if (size == 0) {
-            if (run == 15) k += 16 // ZRL
-            else k = 64 // EOB
-          } else {
-            k += run
-            if (k > 63) return None
-            coef(Zigzag(k)) = extend(br.bits(size), size) * quant(compQ(c))(Zigzag(k))
-            k += 1
+        var vi = 0
+        while (vi < compV(c)) {
+          var hi = 0
+          while (hi < compH(c)) {
+            java.util.Arrays.fill(coef, 0)
+            val t = decodeSymbol(br, dcTabs(compDc(c)))
+            if (t > 11) return None
+            preds(c) += extend(br.bits(t), t)
+            coef(0) = preds(c) * quant(compQ(c))(0)
+            var k = 1
+            while (k < 64) {
+              val rs = decodeSymbol(br, acTabs(compAc(c)))
+              if (br.badStream) return None
+              val run = rs >> 4
+              val size = rs & 0x0f
+              if (size == 0) {
+                if (run == 15) k += 16 // ZRL
+                else k = 64 // EOB
+              } else {
+                k += run
+                if (k > 63) return None
+                coef(Zigzag(k)) = extend(br.bits(size), size) * quant(compQ(c))(Zigzag(k))
+                k += 1
+              }
+            }
+            if (br.badStream) return None
+            val sp = idct(coef)
+            val plane = planes(c)
+            val rowW = planeW(c)
+            val bx = mcuX * compH(c) + hi
+            val by = mcuY * compV(c) + vi
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                val v = Math.round(sp(y * 8 + x) + 128.0).toInt
+                plane((by * 8 + y) * rowW + bx * 8 + x) =
+                  (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+                x += 1
+              }
+              y += 1
+            }
+            hi += 1
           }
-        }
-        if (br.badStream) return None
-        val sp = idct(coef)
-        val plane = planes(c)
-        val rowW = bxN * 8
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            val v = Math.round(sp(y * 8 + x) + 128.0).toInt
-            plane((by * 8 + y) * rowW + bx * 8 + x) =
-              (if (v < 0) 0 else if (v > 255) 255 else v).toByte
-            x += 1
-          }
-          y += 1
+          vi += 1
         }
         c += 1
       }
       mcu += 1
     }
-    // ---- crop MCU padding; color-convert
-    val rowW = bxN * 8
+    // ---- crop MCU padding, upsample subsampled planes (pixel
+    // replication — nearest), color-convert
+    @inline def sample(c: Int, x: Int, y: Int): Int =
+      planes(c)((y * compV(c) / vmax) * planeW(c) + (x * compH(c) / hmax)) & 0xff
     if (nComp == 1) {
       val out = new Array[Byte](w * h)
       var y = 0
       while (y < h) {
-        System.arraycopy(planes(0), y * rowW, out, y * w, w)
+        System.arraycopy(planes(0), y * planeW(0), out, y * w, w)
         y += 1
       }
       Some((w, h, 1, out))
@@ -679,9 +802,9 @@ object JpegCodec {
       while (y < h) {
         var x = 0
         while (x < w) {
-          val yy = planes(0)(y * rowW + x) & 0xff
-          val cbv = (planes(1)(y * rowW + x) & 0xff) - 128
-          val crv = (planes(2)(y * rowW + x) & 0xff) - 128
+          val yy = sample(0, x, y)
+          val cbv = sample(1, x, y) - 128
+          val crv = sample(2, x, y) - 128
           val r = Math.round(yy + 1.402 * crv).toInt
           val g = Math.round(yy - 0.344136 * cbv - 0.714136 * crv).toInt
           val b = Math.round(yy + 1.772 * cbv).toInt

@@ -804,9 +804,14 @@ object Multimodal {
         val gray = Array.tabulate(w * h) { i =>
           v((i % w) / 8, (i / w) / 8).toByte
         }
-        val payload =
-          if (id % 2 == 0) JpegCodec.encodeGray(w, h, gray)
-          else JpegCodec.encodeColor444(w, h, gray.flatMap(b => Array(b, b, b)))
+        // leg rotates through ALL THREE supported layouts — gray, 4:4:4
+        // and subsampled 4:2:0; gray pixel values keep every leg exact
+        // (Y = v, Cb = Cr = 128 flat at any subsampling)
+        val payload = (id % 3) match {
+          case 0 => JpegCodec.encodeGray(w, h, gray)
+          case 1 => JpegCodec.encodeColor444(w, h, gray.flatMap(b => Array(b, b, b)))
+          case _ => JpegCodec.encodeColor420(w, h, gray.flatMap(b => Array(b, b, b)))
+        }
         MediaRow(id, "image", payload, "image/jpeg", payload.length.toLong)
       }
   }

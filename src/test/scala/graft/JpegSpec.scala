@@ -37,6 +37,31 @@ class JpegSpec extends SparkSpec {
     assert(px.sameElements(rgb), "flat gray blocks must decode bit-exactly in color")
   }
 
+  test("4:2:0 subsampling: flat gray blocks roundtrip EXACTLY; MCU padding crops clean") {
+    // 16x16 = exactly one MCU (4 luma + 1 Cb + 1 Cr)
+    val gray16 = flatBlocks(16, 16, (bx, by) => 2 * ((bx * 3 + by * 19 + 40) % 128))
+    val rgb16 = gray16.flatMap(b => Array(b, b, b))
+    val (w1, h1, ch1, px1) = JpegCodec.decode(JpegCodec.encodeColor420(16, 16, rgb16)).get
+    assert((w1, h1, ch1) == (16, 16, 3))
+    assert(px1.sameElements(rgb16), "4:2:0 flat gray must decode bit-exactly")
+    // 24x8: one MCU column is half-covered → MCU padding + crop path
+    val gray24 = flatBlocks(24, 8, (bx, _) => 2 * ((bx * 31 + 12) % 128))
+    val rgb24 = gray24.flatMap(b => Array(b, b, b))
+    val (w2, h2, _, px2) = JpegCodec.decode(JpegCodec.encodeColor420(24, 8, rgb24)).get
+    assert((w2, h2) == (24, 8))
+    assert(px2.sameElements(rgb24))
+    // a REAL color image through 4:2:0: chroma halves, so only assert
+    // tolerance on a smooth ramp (no wrap)
+    val w = 32; val h = 32
+    val rgb = Array.tabulate(3 * w * h) { i =>
+      val p = i / 3; val x = p % w; val y = p / w
+      (i % 3 match { case 0 => x * 4; case 1 => y * 4; case _ => 64 }).toByte
+    }
+    val (_, _, _, px) = JpegCodec.decode(JpegCodec.encodeColor420(w, h, rgb)).get
+    val maxErr = px.zip(rgb).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
+    assert(maxErr <= 32, s"4:2:0 ramp error too large: $maxErr")
+  }
+
   test("smooth gradients roundtrip within JPEG tolerance; stuffed 0xFF bytes handled") {
     // NON-wrapping ramp (max 40·4 + 24·2 = 208 < 255): within each block
     // the content is linear, so quantization error stays small — a
