@@ -448,7 +448,24 @@ object JpegCodec {
     * Cb = Cr = 128 flat at any subsampling). `rgb` as in
     * [[encodeColor444]].
     */
-  def encodeColor420(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+  def encodeColor420(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] =
+    encodeColorSub(width, height, rgb, 2, 2)
+
+  /** Baseline 4:2:2 COLOR JPEG (luma 2×1, chroma halved horizontally
+    * only) — the other subsampled layout in circulation; exists chiefly
+    * so the decoder's generic sampling-factor path is exercised on a
+    * factor pair no other writer produces.
+    */
+  def encodeColor422(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] =
+    encodeColorSub(width, height, rgb, 2, 1)
+
+  /** The generalized subsampled encoder behind [[encodeColor420]] /
+    * [[encodeColor422]]: luma at hs×vs blocks per MCU, each chroma
+    * component one block per MCU from the hs×vs-box-averaged
+    * half/quarter-resolution plane.
+    */
+  private def encodeColorSub(
+      width: Int, height: Int, rgb: Array[Byte], hs: Int, vs: Int): Array[Byte] = {
     require(width > 0 && height > 0, "jpeg dimensions must be positive")
     require(width <= 65535 && height <= 65535, "jpeg dimensions exceed 16 bits")
     def ch(x: Int, y: Int, c: Int): Int = {
@@ -459,24 +476,26 @@ object JpegCodec {
       val r = ch(x, y, 0); val g = ch(x, y, 1); val b = ch(x, y, 2)
       Math.round(0.299 * r + 0.587 * g + 0.114 * b).toInt
     }
-    // chroma at HALF resolution: the 2×2 average of the full-res values
-    // (edge pixels replicate via the ch() clamp)
-    def cbHalf(x: Int, y: Int): Int = {
-      def cb(px: Int, py: Int): Double = {
-        val r = ch(px, py, 0); val g = ch(px, py, 1); val b = ch(px, py, 2)
-        128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    // chroma at REDUCED resolution: the hs×vs box average of the
+    // full-res values (edge pixels replicate via the ch() clamp)
+    def boxAvg(x: Int, y: Int, f: (Int, Int) => Double): Int = {
+      var s = 0.0
+      var j = 0
+      while (j < vs) {
+        var i = 0
+        while (i < hs) { s += f(hs * x + i, vs * y + j); i += 1 }
+        j += 1
       }
-      Math.round((cb(2 * x, 2 * y) + cb(2 * x + 1, 2 * y) +
-        cb(2 * x, 2 * y + 1) + cb(2 * x + 1, 2 * y + 1)) / 4).toInt
+      Math.round(s / (hs * vs)).toInt
     }
-    def crHalf(x: Int, y: Int): Int = {
-      def cr(px: Int, py: Int): Double = {
-        val r = ch(px, py, 0); val g = ch(px, py, 1); val b = ch(px, py, 2)
-        128 + 0.5 * r - 0.418688 * g - 0.081312 * b
-      }
-      Math.round((cr(2 * x, 2 * y) + cr(2 * x + 1, 2 * y) +
-        cr(2 * x, 2 * y + 1) + cr(2 * x + 1, 2 * y + 1)) / 4).toInt
-    }
+    def cbHalf(x: Int, y: Int): Int = boxAvg(x, y, (px, py) => {
+      val r = ch(px, py, 0); val g = ch(px, py, 1); val b = ch(px, py, 2)
+      128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    })
+    def crHalf(x: Int, y: Int): Int = boxAvg(x, y, (px, py) => {
+      val r = ch(px, py, 0); val g = ch(px, py, 1); val b = ch(px, py, 2)
+      128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    })
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xff); out.write(0xd8)
     seg(out, 0xe0, Jfif)
@@ -485,7 +504,7 @@ object JpegCodec {
     seg(out, 0xc0, Array[Byte](8,
       ((height >> 8) & 0xff).toByte, (height & 0xff).toByte,
       ((width >> 8) & 0xff).toByte, (width & 0xff).toByte,
-      3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+      3, 1, ((hs << 4) | vs).toByte, 0, 2, 0x11, 1, 3, 0x11, 1))
     seg(out, 0xc4, dhtBody(0, 0, DcLumaCounts, DcLumaSyms))
     seg(out, 0xc4, dhtBody(1, 0, AcLumaCounts, AcLumaSyms))
     seg(out, 0xc4, dhtBody(0, 1, DcChromaCounts, DcChromaSyms))
@@ -496,30 +515,30 @@ object JpegCodec {
     val dcC = buildEncodeTable(DcChromaCounts, DcChromaSyms)
     val acC = buildEncodeTable(AcChromaCounts, AcChromaSyms)
     val bw = new BitWriter(out)
-    val halfW = (width + 1) / 2
-    val halfH = (height + 1) / 2
-    val mcusX = (width + 15) / 16
-    val mcusY = (height + 15) / 16
+    val subW = (width + hs - 1) / hs
+    val subH = (height + vs - 1) / vs
+    val mcusX = (width + 8 * hs - 1) / (8 * hs)
+    val mcusY = (height + 8 * vs - 1) / (8 * vs)
     var predY = 0; var predCb = 0; var predCr = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
-        // 4 luma blocks, raster order within the 16×16 MCU
+        // hs×vs luma blocks, raster order within the MCU
         var vi = 0
-        while (vi < 2) {
+        while (vi < vs) {
           var hi = 0
-          while (hi < 2) {
+          while (hi < hs) {
             predY = encodeBlock(bw,
-              block(mx * 2 + hi, my * 2 + vi, width, height, yb),
+              block(mx * hs + hi, my * vs + vi, width, height, yb),
               QuantLuma, dcL, acL, predY)
             hi += 1
           }
           vi += 1
         }
-        predCb = encodeBlock(bw, block(mx, my, halfW, halfH, cbHalf),
+        predCb = encodeBlock(bw, block(mx, my, subW, subH, cbHalf),
           QuantChroma, dcC, acC, predCb)
-        predCr = encodeBlock(bw, block(mx, my, halfW, halfH, crHalf),
+        predCr = encodeBlock(bw, block(mx, my, subW, subH, crHalf),
           QuantChroma, dcC, acC, predCr)
         mx += 1
       }

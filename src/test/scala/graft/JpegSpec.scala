@@ -60,6 +60,13 @@ class JpegSpec extends SparkSpec {
     val (_, _, _, px) = JpegCodec.decode(JpegCodec.encodeColor420(w, h, rgb)).get
     val maxErr = px.zip(rgb).map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }.max
     assert(maxErr <= 32, s"4:2:0 ramp error too large: $maxErr")
+    // 4:2:2 (luma 2x1): the decoder's generic factor path on a pair no
+    // other writer produces — flat gray stays exact there too
+    val gray422 = flatBlocks(32, 8, (bx, _) => 2 * ((bx * 23 + 6) % 128))
+    val rgb422 = gray422.flatMap(b => Array(b, b, b))
+    val (w4, h4, _, px4) = JpegCodec.decode(JpegCodec.encodeColor422(32, 8, rgb422)).get
+    assert((w4, h4) == (32, 8))
+    assert(px4.sameElements(rgb422), "4:2:2 flat gray must decode bit-exactly")
   }
 
   test("smooth gradients roundtrip within JPEG tolerance; stuffed 0xFF bytes handled") {
