@@ -4231,6 +4231,32 @@ object SparkEntry {
         .select(id, posexplode(graft.ops.Robots.sitemapUrls(robots)))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("col").as("sitemap_url"))
+    }),
+
+    // ---- <base href> resolution (the HTML spec: the FIRST base element
+    // re-roots every relative link on the page): even ids declare a CDN
+    // base, odd ids none — the same two relative anchors must resolve to
+    // DIFFERENT roots accordingly. The oracle derives both resolutions
+    // from the id formula. --------------------------------------------------
+    "q400_base_href" -> ((s, dir) => {
+      val id = col("doc_id")
+      val pageUrl = concat(lit("https://site"), (id % 4).cast("string"),
+        lit(".github.io/dir/index.html"))
+      val html = concat(
+        when(id % 2 === 0,
+          concat(lit("<head><base href=\"https://cdn"), (id % 3).cast("string"),
+            lit(".example.net/assets/\"><base href=/ignored-second></head>")))
+          .otherwise(lit("<head></head>")),
+        lit("<a href=/local/"), id.cast("string"), lit(">abs</a>"),
+        lit("<a href=rel/p"), (id % 5).cast("string"), lit(".html>rel</a>"))
+      val pages = t(s, dir, "documents")
+        .select(id, pageUrl.as("page_url"), html.as("html"))
+      pages
+        .select(col("doc_id"),
+          coalesce(Html.baseHref(col("html")), col("page_url")).as("__base"),
+          posexplode(Html.extractLinks(col("html"))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          Urls.resolve(col("__base"), col("col")).as("url"))
     })
   )
 
@@ -11244,7 +11270,27 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, CAST(1 AS BIGINT) AS pos,
         | 'https://m' || CAST(doc_id % 5 AS VARCHAR) || '.example.org/root.xml' AS sitemap_url
-        |FROM documents WHERE doc_id % 3 = 0""".stripMargin
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+    // q400: both resolutions derived from the id formula — the rooted
+    // anchor swaps path only, the relative anchor merges with the
+    // base's directory (RFC 3986), and the base applies only on even
+    // ids (first-base-wins: the second declaration must not).
+    "q400_base_href" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+        | CASE WHEN doc_id % 2 = 0
+        |  THEN 'https://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example.net/local/'
+        |    || CAST(doc_id AS VARCHAR)
+        |  ELSE 'https://site' || CAST(doc_id % 4 AS VARCHAR) || '.github.io/local/'
+        |    || CAST(doc_id AS VARCHAR) END AS url
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS BIGINT) AS pos,
+        | CASE WHEN doc_id % 2 = 0
+        |  THEN 'https://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example.net/assets/rel/p'
+        |    || CAST(doc_id % 5 AS VARCHAR) || '.html'
+        |  ELSE 'https://site' || CAST(doc_id % 4 AS VARCHAR) || '.github.io/dir/rel/p'
+        |    || CAST(doc_id % 5 AS VARCHAR) || '.html' END AS url
+        |FROM documents""".stripMargin
   )
 
   /** The flat-block JPEG stats derivation, shared verbatim by q395 and

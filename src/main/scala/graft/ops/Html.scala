@@ -82,6 +82,21 @@ object Html {
         lit("(?is)<a(?:\\s[^>]*)?\\shref=(\"[^\"]*\"|'[^']*'|[^\\s>]+)"), lit(1)),
       v => regexp_replace(v, "^[\"']|[\"']$", ""))
 
+  /** The first `<base href=…>` target, or NULL when the page declares
+    * none — the HTML spec honors only the FIRST base element, and
+    * anchors on a page that has one resolve against IT, not the page
+    * URL: a link graph that ignores base mis-roots every relative link
+    * on such pages. Same quoting forms and tag-name boundary as
+    * [[extractLinks]]; callers compose
+    * `Urls.resolve(coalesce(baseHref(html), pageUrl), ref)`.
+    * Map-side, no shuffle.
+    */
+  def baseHref(html: Column): Column = {
+    val v = regexp_extract(stripSpans(html),
+      "(?is)<base(?:\\s[^>]*)?\\shref=(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1)
+    when(v =!= "", regexp_replace(v, "^[\"']|[\"']$", ""))
+  }
+
   /** Anchors WITH their inner text, as an array of `(href, text)`
     * structs in document order — the raw material of anchor-text
     * aggregation (the classic inlink signal: what OTHER pages call a

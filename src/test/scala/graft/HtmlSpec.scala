@@ -117,6 +117,19 @@ class HtmlSpec extends SparkSpec {
     assert(got == Seq(("/x?q=a>b", "click"), ("/y", "go")))
   }
 
+  test("baseHref: first base wins, quoting forms, boundary, absence is NULL") {
+    val got = Seq(
+      """<head><base href="https://cdn.example/a/"><base href=/second></head>""",
+      """<base target=_blank href='/x'>""",   // other attrs before href
+      """<basefont href=/nope><a href=/y>z</a>""", // tag-name boundary
+      "no base here at all")
+      .toDF("html")
+      .select(Html.baseHref(col("html")))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.toSeq == Seq(
+      Some("https://cdn.example/a/"), Some("/x"), None, None))
+  }
+
   test("mainContent: multi-line script bodies are stripped before the line split") {
     val html = Seq(
       "<p>Real opening prose stays.</p>",
