@@ -809,6 +809,36 @@ object StreamingOps {
         }
       }
 
+  /** WARC files as they LAND: a `binaryFile` stream over a crawl
+    * output directory, each newly-arrived file exploded to record rows
+    * by the same member walk + strict framing as the batch path
+    * ([[graft.ops.Warc.parseWarc]] — literally: the stream reuses the
+    * batch operator, so the two cannot diverge). The archive side of
+    * crawl ingest at stream grain — pair with [[crawlSchedulerStream]]
+    * (the control side) for the full live loop. File identity is the
+    * 64-bit hash of the path (stable across restarts; the checkpoint
+    * already guarantees each file processes once). Shuffle-free.
+    */
+  def warcFileStream(
+      spark: SparkSession,
+      dir: String,
+      maxBytesPerMember: Int = 1 << 26): Dataset[graft.ops.Warc.WarcRecordRow] = {
+    import spark.implicits._
+    val media = spark.readStream.format("binaryFile")
+      // streaming file sources need the schema declared; this is
+      // binaryFile's fixed one
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        lit("warc").as("kind"),
+        col("content").as("payload"),
+        lit("application/warc").as("mime_type"),
+        col("length").as("size_bytes"))
+      .as[graft.ops.Multimodal.MediaRow]
+    graft.ops.Warc.parseWarc(media, maxBytesPerMember)
+  }
+
   /** Read the reference's user-exp JSON shape as a file stream. */
   def userExpStream(spark: SparkSession, dir: String): Dataset[SessionEvent] = {
     import spark.implicits._

@@ -780,6 +780,34 @@ class StreamingSpec extends SparkSpec {
     assert(sched.find(_._1 == u(2)).get._3 == 100L)
   }
 
+  test("warcFileStream: landed .warc.gz files explode to records incrementally; corrupt files drop") {
+    import graft.functions.BinaryCodecs
+    val in = Files.createTempDirectory("graft_stream_warc")
+    def mkFile(name: String, texts: Seq[(Long, String)]): Unit = {
+      val recs = texts.map { case (id, t) =>
+        (Seq("WARC-Type" -> "response",
+          "WARC-Target-URI" -> s"https://w/$id") , t.getBytes("UTF-8"))
+      }
+      Files.write(Paths.get(in.toString, name), BinaryCodecs.warcFile(recs))
+    }
+    mkFile("c-00000.warc.gz", Seq((0L, "first page"), (1L, "second page")))
+    val q = StreamingOps.warcFileStream(spark, in.toString)
+      .writeStream.outputMode("append").format("memory").queryName("warcin")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable()
+    def rows() = spark.table("warcin").collect()
+      .map(r => (r.getString(3), new String(r.getAs[Array[Byte]](6), "UTF-8")))
+      .toSet
+    assert(rows() == Set(("https://w/0", "first page"), ("https://w/1", "second page")))
+    // a later batch adds a good file and a corrupt one — the good file's
+    // records land, the corrupt file quarantines silently
+    mkFile("c-00001.warc.gz", Seq((2L, "third page")))
+    Files.write(Paths.get(in.toString, "c-00002.warc.gz"), "not a warc".getBytes)
+    q.processAllAvailable(); q.stop()
+    assert(rows() == Set(("https://w/0", "first page"), ("https://w/1", "second page"),
+      ("https://w/2", "third page")))
+  }
+
   test("changeDetectStream: flags equal the batch lag replay; counters survive batches") {
     val in = Files.createTempDirectory("graft_stream_chg")
     def write(name: String, rows: Seq[(String, Long, String)]): Unit =
