@@ -4257,6 +4257,54 @@ object SparkEntry {
           posexplode(Html.extractLinks(col("html"))))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           Urls.resolve(col("__base"), col("col")).as("url"))
+    }),
+
+    // ---- page metadata extraction (title + meta description + og:title
+    // with content-before-name attribute order on every 3rd doc): the
+    // most-used curation columns, entity-decoded and squished like all
+    // extracted text. Oracle derives each from the id formula. -------------
+    "q401_page_meta" -> ((s, dir) => {
+      val id = col("doc_id")
+      val html = concat(
+        lit("<head><title> Doc "), id.cast("string"),
+        lit(" &amp; Co </title>\n"),
+        when(id % 3 === 0,
+          concat(lit("<meta content=\"Summary "), (id % 7).cast("string"),
+            lit(" here.\" name=\"description\">")))
+          .otherwise(concat(lit("<meta name=\"description\" content=\"Summary "),
+            (id % 7).cast("string"), lit(" here.\">"))),
+        when(id % 4 === 0,
+          concat(lit("<meta property=\"og:title\" content='OG "),
+            (id % 5).cast("string"), lit("'>"))).otherwise(lit("")),
+        lit("</head><body><p>body</p></body>"))
+      t(s, dir, "documents").select(
+        id,
+        Html.title(html).as("title"),
+        Html.metaContent(html, "description").as("description"),
+        Html.metaContent(html, "og:title").as("og_title"))
+    }),
+
+    // ---- redirect edges from archived 3xx responses (the crawl loop's
+    // third discovery input besides anchors and sitemaps): 301s carry a
+    // RELATIVE Location (legal; must resolve against the record URI),
+    // 302s an absolute one, 200s contribute nothing. Oracle derives
+    // every edge from the id formula. ---------------------------------------
+    "q402_redirect_edges" -> ((s, dir) => {
+      import s.implicits._
+      val msgs = graft.io.Spread.toDefaultParallelism(
+        t(s, dir, "documents").select(col("doc_id")))
+        .as[Long]
+        .map { id =>
+          val uri = s"https://host${id % 20}.example.com/dir/p$id"
+          val head = (id % 4) match {
+            case 0 => s"HTTP/1.1 301 Moved Permanently\r\nLocation: /moved/m$id\r\n\r\n"
+            case 1 => s"HTTP/1.1 302 Found\r\nLocation: https://next${id % 3}.example.org/p$id\r\n\r\n"
+            case _ => "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+          }
+          (id, (head + "body").getBytes("US-ASCII"), uri)
+        }.toDF("doc_id", "payload", "uri")
+      graft.ops.Warc.redirectEdges(
+        graft.ops.Warc.parseWarc(graft.ops.Warc.syntheticWarcBytes(msgs)))
     })
   )
 
@@ -11290,7 +11338,34 @@ object SparkEntry {
         |    || CAST(doc_id % 5 AS VARCHAR) || '.html'
         |  ELSE 'https://site' || CAST(doc_id % 4 AS VARCHAR) || '.github.io/dir/rel/p'
         |    || CAST(doc_id % 5 AS VARCHAR) || '.html' END AS url
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // q401: every field straight from the id formula — the title's
+    // entity decodes and squishes, both meta attribute orders land the
+    // same description, og:title exists only on every 4th doc.
+    "q401_page_meta" ->
+      """SELECT doc_id,
+        | 'Doc ' || CAST(doc_id AS VARCHAR) || ' & Co' AS title,
+        | 'Summary ' || CAST(doc_id % 7 AS VARCHAR) || ' here.' AS description,
+        | CASE WHEN doc_id % 4 = 0 THEN 'OG ' || CAST(doc_id % 5 AS VARCHAR) END AS og_title
+        |FROM documents""".stripMargin,
+    // q402: both edge families from the id formula — the relative
+    // Location resolves against the record URI's directory root
+    // (RFC 3986 '/'-rooted), the absolute one passes through; 200s
+    // contribute nothing.
+    "q402_redirect_edges" ->
+      """SELECT
+        | 'https://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/dir/p'
+        |   || CAST(doc_id AS VARCHAR) AS from_url,
+        | 'https://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/moved/m'
+        |   || CAST(doc_id AS VARCHAR) AS to_url
+        |FROM documents WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT
+        | 'https://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/dir/p'
+        |   || CAST(doc_id AS VARCHAR) AS from_url,
+        | 'https://next' || CAST(doc_id % 3 AS VARCHAR) || '.example.org/p'
+        |   || CAST(doc_id AS VARCHAR) AS to_url
+        |FROM documents WHERE doc_id % 4 = 1""".stripMargin
   )
 
   /** The flat-block JPEG stats derivation, shared verbatim by q395 and

@@ -880,11 +880,12 @@ object BinaryCodecs {
   // --------------------------------------------------------------- HTTP --
 
   /** One parsed HTTP response message: status code, the raw
-    * `Content-Type` value (null when absent), header count, body
-    * octets.
+    * `Content-Type` and `Location` values (null when absent), header
+    * count, body octets.
     */
   final case class HttpMessage(
-      status: Int, contentType: String, nHeaders: Int, body: Array[Byte])
+      status: Int, contentType: String, location: String, nHeaders: Int,
+      body: Array[Byte])
 
   /** Parse an HTTP/1.x response MESSAGE (status line, header fields,
     * blank line, body) — the payload a real WARC `response` record
@@ -914,6 +915,7 @@ object BinaryCodecs {
     val status = mStat.group(1).toInt
     var off = sl._2
     var contentType: String = null
+    var location: String = null
     var nHeaders = 0
     var open = true
     while (open) {
@@ -925,13 +927,16 @@ object BinaryCodecs {
         val c = ln._1.indexOf(':')
         if (c <= 0) return None
         nHeaders += 1
-        if (ln._1.substring(0, c).trim.equalsIgnoreCase("Content-Type"))
+        val name = ln._1.substring(0, c).trim
+        if (name.equalsIgnoreCase("Content-Type"))
           contentType = ln._1.substring(c + 1).trim
+        else if (name.equalsIgnoreCase("Location"))
+          location = ln._1.substring(c + 1).trim
       }
     }
     val body = new Array[Byte](payload.length - off)
     System.arraycopy(payload, off, body, 0, body.length)
-    Some(HttpMessage(status, contentType, nHeaders, body))
+    Some(HttpMessage(status, contentType, location, nHeaders, body))
   }
 
   /** The `charset=` parameter of a Content-Type value (lowercased,

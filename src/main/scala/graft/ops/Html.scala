@@ -131,6 +131,36 @@ object Html {
           regexp_extract(a, s"(?is)<a$attr*>(.*?)</a>", 1)))).as("text")))
   }
 
+  /** The page `<title>`, cleaned like anchor text (inner markup →
+    * spaces, entities decoded, whitespace squished); NULL when absent
+    * or empty. The single most-used page metadata column in corpus
+    * curation. Map-side, no shuffle.
+    */
+  def title(html: Column): Column = {
+    val t = regexp_extract(stripSpans(html),
+      "(?is)<title(?:\\s[^>]*)?>(.*?)</title>", 1)
+    val clean = squish(decodeEntities(stripTags(t)))
+    when(clean =!= "", clean)
+  }
+
+  /** The `content=` value of the FIRST `<meta>` whose `name=` or
+    * `property=` equals `key` (case-insensitive; both attribute orders
+    * — real pages put content before name about a third of the time);
+    * NULL when absent. Entities decode and whitespace squishes like
+    * every other extracted text; `key` must be a plain token
+    * (letters/digits/`:_-` — og:* property keys qualify). Map-side.
+    */
+  def metaContent(html: Column, key: String): Column = {
+    require(key.matches("[A-Za-z0-9:_\\-]+"), s"metaContent key must be a plain token: $key")
+    val tags = regexp_extract_all(stripSpans(html), lit("(?is)(<meta\\s[^>]*>)"), lit(1))
+    val matching = filter(tags, t =>
+      t.rlike(s"(?is)[\\s\"'](?:name|property)\\s*=\\s*[\"']?$key([\"'\\s>]|$$)"))
+    val v = regexp_extract(element_at(matching, 1),
+      "(?is)\\scontent\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1)
+    val clean = squish(decodeEntities(regexp_replace(v, "^[\"']|[\"']$", "")))
+    when(size(matching) > 0 && clean =!= "", clean)
+  }
+
   /** Total character count of anchor INNER text on a line — the
     * numerator of link density. Inner markup is stripped before
     * measuring; the empty-match aggregate is 0.

@@ -83,6 +83,7 @@ object Warc {
       target_uri: String,
       status: Int,
       content_type: String,
+      location: String,
       n_headers: Int,
       body: Array[Byte])
 
@@ -104,12 +105,27 @@ object Warc {
         batch.iterator.flatMap { r =>
           BinaryCodecs.parseHttpResponse(r.payload).map { h =>
             HttpRecordRow(r.media_id, r.record_idx, r.target_uri,
-              h.status, h.contentType, h.nHeaders, h.body)
+              h.status, h.contentType, h.location, h.nHeaders, h.body)
           }
         }
       }
     }
   }
+
+  /** Redirect EDGES from the archived responses: every 3xx record with
+    * a `Location` header contributes `(from_url, to_url)`, the target
+    * RFC 3986-resolved against the record's own URI (Location is
+    * legally relative). The crawl loop's third input besides anchors
+    * and sitemaps — a frontier that drops redirects loses every moved
+    * page. Map-side after the HTTP split; feed through
+    * [[Urls.canonicalize]] + the politeness stage like any discovered
+    * URL.
+    */
+  def redirectEdges(records: Dataset[WarcRecordRow], batchSize: Int = 64): DataFrame =
+    httpResponses(records, batchSize).toDF()
+      .where(col("status").between(300, 399) && col("location").isNotNull)
+      .select(col("target_uri").as("from_url"),
+        Urls.resolve(col("target_uri"), col("location")).as("to_url"))
 
   /** One fully-decoded page: HTTP envelope + charset-transcoded text. */
   final case class DecodedPage(

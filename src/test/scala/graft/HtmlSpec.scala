@@ -130,6 +130,26 @@ class HtmlSpec extends SparkSpec {
       Some("https://cdn.example/a/"), Some("/x"), None, None))
   }
 
+  test("title and metaContent: entity decode, both attribute orders, og: keys, absence") {
+    val html = """<head><title> A &amp; B <b>bold</b> </title>
+      |<meta content="desc first" name=description>
+      |<meta name="keywords" content="k1, k2">
+      |<meta property='og:title' content='OG &quot;T&quot;'>
+      |<meta name="empty" content="">
+      |</head>""".stripMargin
+    val df = Seq(html).toDF("html")
+    def one(c: org.apache.spark.sql.Column) =
+      Option(df.select(c).collect().head.getString(0))
+    assert(one(Html.title(col("html"))) == Some("A & B bold"))
+    assert(one(Html.metaContent(col("html"), "description")) == Some("desc first"))
+    assert(one(Html.metaContent(col("html"), "keywords")) == Some("k1, k2"))
+    assert(one(Html.metaContent(col("html"), "og:title")) == Some("OG \"T\""))
+    assert(one(Html.metaContent(col("html"), "empty")).isEmpty)   // empty → NULL
+    assert(one(Html.metaContent(col("html"), "missing")).isEmpty) // absent → NULL
+    assert(one(Html.title(lit("<p>no title</p>"))).isEmpty)
+    intercept[IllegalArgumentException](Html.metaContent(col("html"), "bad key!"))
+  }
+
   test("mainContent: multi-line script bodies are stripped before the line split") {
     val html = Seq(
       "<p>Real opening prose stays.</p>",

@@ -140,6 +140,11 @@ class WarcSpec extends SparkSpec {
     assert(BinaryCodecs.parseHttpResponse("HTTP/1.1 xyz OK\r\n\r\n".getBytes).isEmpty)
     assert(BinaryCodecs.parseHttpResponse("HTTP/1.1 200 OK\r\nno colon here\r\n\r\n".getBytes).isEmpty)
     assert(BinaryCodecs.parseHttpResponse("HTTP/1.1 200 OK\r\nA: b\r\n".getBytes).isEmpty) // unterminated
+    // Location header captured for the redirect chain
+    val redir = BinaryCodecs.parseHttpResponse(
+      "HTTP/1.1 301 Moved\r\nlocation: /new/place\r\n\r\n".getBytes).get
+    assert(redir.status == 301 && redir.location == "/new/place")
+    assert(noBody.location == null)
     // charset parameter extraction
     assert(BinaryCodecs.contentTypeCharset("text/html; charset=UTF-8").contains("utf-8"))
     assert(BinaryCodecs.contentTypeCharset("""text/html;charset="latin1"""").contains("latin1"))
