@@ -11170,10 +11170,12 @@ object SparkEntry {
     // by the residue and the transcoded text is the ASCII text plus the
     // leg's known non-ASCII tail (chr(233) = é, identical in latin-1 and
     // windows-1252 for bytes ≥ 0xA0); the BOM'd legs strip their BOM.
+    // Declared iso-8859-1 aliases to windows-1252 per WHATWG (the
+    // mislabeled-page rule), so legs 3 and 4 share the label.
     "q390_charset_decode" ->
       """SELECT doc_id,
-        | CASE doc_id % 5 WHEN 2 THEN 'utf-16le' WHEN 3 THEN 'iso-8859-1'
-        |  WHEN 4 THEN 'windows-1252' ELSE 'utf-8' END AS encoding,
+        | CASE WHEN doc_id % 5 = 2 THEN 'utf-16le'
+        |  WHEN doc_id % 5 IN (3, 4) THEN 'windows-1252' ELSE 'utf-8' END AS encoding,
         | doc_id % 5 IN (1, 2) AS bom,
         | doc_id % 5 = 4 AS mojibake_risk,
         | CASE doc_id % 5
@@ -11243,7 +11245,7 @@ object SparkEntry {
          |  || ' filler prose line stays in the corpus</p>' AS html FROM h0),
          |$MainContentCtes
          |SELECT h.doc_id,
-         | CASE WHEN h.doc_id % 2 = 1 THEN 'iso-8859-1' ELSE 'utf-16le' END AS encoding,
+         | CASE WHEN h.doc_id % 2 = 1 THEN 'windows-1252' ELSE 'utf-16le' END AS encoding,
          | CAST(200 AS BIGINT) AS status,
          | CAST(len(regexp_extract_all(coalesce(m.main_text, ''),
          |   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens

@@ -328,67 +328,84 @@ object BinaryCodecs {
     while (off < payload.length) {
       n += 1
       if (n > maxMembers) return None
-      // ---- member header: magic, CM=8 (deflate), FLG + optional fields
-      if (off + 10 > payload.length ||
-        (payload(off) & 0xff) != 0x1f || (payload(off + 1) & 0xff) != 0x8b ||
-        (payload(off + 2) & 0xff) != 8) return None
-      val flg = payload(off + 3) & 0xff
-      var p = off + 10
-      if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + bytes
-        if (p + 2 > payload.length) return None
-        p += 2 + ((payload(p) & 0xff) | ((payload(p + 1) & 0xff) << 8))
+      inflateMemberAt(payload, off, maxBytesPerMember) match {
+        case None => return None
+        case Some((member, next)) =>
+          total += member.length
+          if (total > maxBytesTotal) return None // aggregate bomb guard
+          members += member
+          off = next
       }
-      if ((flg & 8) != 0) { // FNAME: zero-terminated
-        while (p < payload.length && payload(p) != 0) p += 1
-        p += 1
-      }
-      if ((flg & 16) != 0) { // FCOMMENT: zero-terminated
-        while (p < payload.length && payload(p) != 0) p += 1
-        p += 1
-      }
-      if ((flg & 2) != 0) p += 2 // FHCRC
-      if (p >= payload.length) return None
-      // ---- DEFLATE body: inflate raw (nowrap), track bytes consumed so
-      // the walk can land on the trailer and the next member boundary
-      val inf = new java.util.zip.Inflater(true)
-      var member: Array[Byte] = null
-      var consumed = -1
-      try {
-        inf.setInput(payload, p, payload.length - p)
-        val bos = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var ok = true
-        while (ok && !inf.finished()) {
-          val k =
-            try inf.inflate(buf)
-            catch { case _: java.util.zip.DataFormatException => ok = false; 0 }
-          if (k > 0) {
-            bos.write(buf, 0, k)
-            if (bos.size > maxBytesPerMember) ok = false // bomb guard
-          } else if (ok && !inf.finished() && inf.needsInput()) ok = false // truncated
-        }
-        if (ok && inf.finished()) {
-          member = bos.toByteArray
-          consumed = (payload.length - p) - inf.getRemaining
-        }
-      } finally inf.end()
-      if (member == null) return None
-      // ---- trailer: CRC32 then ISIZE (uncompressed length mod 2³²)
-      val t = p + consumed
-      if (t + 8 > payload.length) return None
-      val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
-      val crcStored = buf.getInt(t).toLong & 0xFFFFFFFFL
-      val isize = buf.getInt(t + 4).toLong & 0xFFFFFFFFL
-      val crc = new java.util.zip.CRC32
-      crc.update(member)
-      if (crc.getValue != crcStored || (member.length.toLong & 0xFFFFFFFFL) != isize)
-        return None
-      total += member.length
-      if (total > maxBytesTotal) return None // aggregate bomb guard
-      members += member
-      off = t + 8
     }
     Some(members.result())
+  }
+
+  /** Inflate ONE gzip member starting at `off`: full header parse
+    * (FEXTRA/FNAME/FCOMMENT/FHCRC optional fields skipped per RFC 1952),
+    * DEFLATE body with the hard per-member output cap, 8-byte trailer
+    * verified (CRC32 + ISIZE mod 2\u00b3\u00b2). Returns the member bytes and the
+    * offset of the NEXT member; None on any corruption — the shared
+    * step behind [[gzipMembers]]'s whole-file walk and [[warcRecords]]'s
+    * incremental one.
+    */
+  private def inflateMemberAt(
+      payload: Array[Byte], off: Int, maxBytesPerMember: Int): Option[(Array[Byte], Int)] = {
+    // ---- member header: magic, CM=8 (deflate), FLG + optional fields
+    if (off + 10 > payload.length ||
+      (payload(off) & 0xff) != 0x1f || (payload(off + 1) & 0xff) != 0x8b ||
+      (payload(off + 2) & 0xff) != 8) return None
+    val flg = payload(off + 3) & 0xff
+    var p = off + 10
+    if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + bytes
+      if (p + 2 > payload.length) return None
+      p += 2 + ((payload(p) & 0xff) | ((payload(p + 1) & 0xff) << 8))
+    }
+    if ((flg & 8) != 0) { // FNAME: zero-terminated
+      while (p < payload.length && payload(p) != 0) p += 1
+      p += 1
+    }
+    if ((flg & 16) != 0) { // FCOMMENT: zero-terminated
+      while (p < payload.length && payload(p) != 0) p += 1
+      p += 1
+    }
+    if ((flg & 2) != 0) p += 2 // FHCRC
+    if (p >= payload.length) return None
+    // ---- DEFLATE body: inflate raw (nowrap), track bytes consumed so
+    // the walk can land on the trailer and the next member boundary
+    val inf = new java.util.zip.Inflater(true)
+    var member: Array[Byte] = null
+    var consumed = -1
+    try {
+      inf.setInput(payload, p, payload.length - p)
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var ok = true
+      while (ok && !inf.finished()) {
+        val k =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => ok = false; 0 }
+        if (k > 0) {
+          bos.write(buf, 0, k)
+          if (bos.size > maxBytesPerMember) ok = false // bomb guard
+        } else if (ok && !inf.finished() && inf.needsInput()) ok = false // truncated
+      }
+      if (ok && inf.finished()) {
+        member = bos.toByteArray
+        consumed = (payload.length - p) - inf.getRemaining
+      }
+    } finally inf.end()
+    if (member == null) return None
+    // ---- trailer: CRC32 then ISIZE (uncompressed length mod 2\u00b3\u00b2)
+    val t = p + consumed
+    if (t + 8 > payload.length) return None
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    val crcStored = buf.getInt(t).toLong & 0xFFFFFFFFL
+    val isize = buf.getInt(t + 4).toLong & 0xFFFFFFFFL
+    val crc = new java.util.zip.CRC32
+    crc.update(member)
+    if (crc.getValue != crcStored || (member.length.toLong & 0xFFFFFFFFL) != isize)
+      return None
+    Some((member, t + 8))
   }
 
   // ---------------------------------------------------------------- PNG --
@@ -806,11 +823,16 @@ object BinaryCodecs {
 
   /** Normalize a declared charset label to the small supported set; None
     * for anything unrecognized (the caller falls back to the byte
-    * heuristic — an unknown label must not crash ingest).
+    * heuristic — an unknown label must not crash ingest). The
+    * iso-8859-1/latin-1 labels alias to windows-1252 — the WHATWG
+    * encoding table maps them there PRECISELY because mislabeled pages
+    * are the common case: bytes 0x80–0x9F are smart quotes and dashes in
+    * the wild, and a true ISO-8859-1 decode would turn them into C1
+    * control characters that enter the corpus unflagged.
     */
   private def normalizeCharset(label: String): Option[String] = label match {
     case "utf-8" | "utf8" => Some("utf-8")
-    case "iso-8859-1" | "iso8859-1" | "latin-1" | "latin1" => Some("iso-8859-1")
+    case "iso-8859-1" | "iso8859-1" | "latin-1" | "latin1" => Some("windows-1252")
     case "windows-1252" | "cp1252" => Some("windows-1252")
     case _ => None
   }
@@ -865,9 +887,8 @@ object BinaryCodecs {
         if (validUtf8(payload)) Sniffed("utf-8", false, false, new String(payload, UTF_8))
         else Sniffed("windows-1252", false, true,
           new String(payload, java.nio.charset.Charset.forName("windows-1252")))
-      case Some("iso-8859-1") =>
-        Sniffed("iso-8859-1", false, false, new String(payload, ISO_8859_1))
       case Some(cs) => // windows-1252, the only other normalized label
+        // (iso-8859-1/latin-1 labels alias here per WHATWG)
         Sniffed(cs, false, false,
           new String(payload, java.nio.charset.Charset.forName("windows-1252")))
       case None =>
@@ -1012,79 +1033,155 @@ object BinaryCodecs {
     * quarantines the whole FILE (None) — record-level salvage would turn
     * a length corruption into silently misframed downstream records,
     * since every later offset depends on every earlier length.
+    *
+    * The gzip path is INCREMENTAL: members inflate one at a time into a
+    * compacting buffer and complete records drain as they appear, so
+    * peak memory is one in-flight record plus one member — NOT the whole
+    * decompressed file. That is what makes the real unit of crawl work
+    * (a ~1 GB `.warc.gz` that inflates to several GB, past any JVM array
+    * ceiling) parseable at all; `maxBytesTotal` is a pure zip-bomb
+    * ceiling on aggregate decompressed output (default 16 GiB, sized for
+    * real crawl files), not a materialization bound.
     */
   def warcRecords(
       payload: Array[Byte],
       maxBytesPerMember: Int = 1 << 26,
-      maxRecords: Int = 1 << 20): Option[Vector[WarcRec]] = {
+      maxRecords: Int = 1 << 20,
+      maxBytesTotal: Long = 1L << 34): Option[Vector[WarcRec]] = {
     if (payload == null || payload.length == 0) return None
-    // .warc.gz: members decompress then parse as one concatenated stream
-    // (records never straddle members in the standard layout, but the
-    // spec only requires the CONCATENATION to be a valid plain file)
-    val plain: Array[Byte] =
-      if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b)
-        gzipMembers(payload, maxBytesPerMember, maxRecords) match {
-          case Some(ms) =>
-            val bos = new java.io.ByteArrayOutputStream()
-            ms.foreach(bos.write)
-            bos.toByteArray
+    val out = Vector.newBuilder[WarcRec]
+    var nRec = 0
+    if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b) {
+      // .warc.gz: inflate member-by-member, drain complete records from a
+      // compacting buffer (records may legally straddle member boundaries
+      // — the spec only requires the CONCATENATION to be a valid plain
+      // file — so the buffer holds whatever tail is still incomplete)
+      var buf = new Array[Byte](64 << 10)
+      var bufLen = 0
+      var off = 0
+      var nMembers = 0
+      var total = 0L
+      while (off < payload.length) {
+        nMembers += 1
+        if (nMembers > (1 << 20)) return None // member walk is its own bomb
+        inflateMemberAt(payload, off, maxBytesPerMember) match {
           case None => return None
+          case Some((member, next)) =>
+            total += member.length
+            if (total > maxBytesTotal) return None // aggregate bomb guard
+            if (bufLen + member.length > buf.length) {
+              val grown = new Array[Byte](
+                math.max(buf.length * 2L, bufLen.toLong + member.length)
+                  .min(Int.MaxValue - 8).toInt)
+              System.arraycopy(buf, 0, grown, 0, bufLen)
+              buf = grown
+            }
+            System.arraycopy(member, 0, buf, bufLen, member.length)
+            bufLen += member.length
+            off = next
         }
-      else payload
+        var start = 0
+        var more = true
+        while (more) {
+          parseWarcRecordAt(buf, start, bufLen) match {
+            case WarcParse.Complete(rec, next) =>
+              nRec += 1
+              if (nRec > maxRecords) return None
+              out += rec
+              start = next
+            case WarcParse.NeedMore => more = false
+            case WarcParse.Malformed => return None
+          }
+          if (start >= bufLen) more = false
+        }
+        if (start > 0) { // compact the consumed prefix
+          System.arraycopy(buf, start, buf, 0, bufLen - start)
+          bufLen -= start
+        }
+      }
+      if (bufLen != 0) return None // trailing partial record = corruption
+    } else {
+      var start = 0
+      while (start < payload.length) {
+        nRec += 1
+        if (nRec > maxRecords) return None
+        parseWarcRecordAt(payload, start, payload.length) match {
+          case WarcParse.Complete(rec, next) => out += rec; start = next
+          case _ => return None // at EOF, incomplete IS malformed
+        }
+      }
+    }
+    Some(out.result())
+  }
+
+  /** [[parseWarcRecordAt]]'s three-way result: a complete record (with
+    * the offset past its terminator), "need more bytes" (only the
+    * incremental gzip walk can supply them), or definitive malformation.
+    */
+  private object WarcParse {
+    sealed trait Result
+    final case class Complete(rec: WarcRec, next: Int) extends Result
+    case object NeedMore extends Result
+    case object Malformed extends Result
+  }
+
+  /** Parse ONE WARC record from `buf[start, end)` — the shared step
+    * behind both [[warcRecords]] paths. Distinguishes "ran off the end"
+    * (NeedMore — legal mid-stream in the incremental walk) from
+    * structural malformation (Malformed — quarantine either way).
+    */
+  private def parseWarcRecordAt(buf: Array[Byte], start: Int, end: Int): WarcParse.Result = {
     // CRLF-terminated line starting at off → (text, offset past CRLF);
     // raw byte arithmetic, NOT text.getBytes (invalid UTF-8 would decode
     // to replacement chars and desynchronize the byte offsets)
     def lineAt(off: Int): (String, Int) = {
       var i = off
-      while (i + 1 < plain.length && !(plain(i) == '\r' && plain(i + 1) == '\n')) i += 1
-      if (i + 1 >= plain.length) null
-      else (new String(plain, off, i - off, "UTF-8"), i + 2)
+      while (i + 1 < end && !(buf(i) == '\r' && buf(i + 1) == '\n')) i += 1
+      if (i + 1 >= end) null
+      else (new String(buf, off, i - off, "UTF-8"), i + 2)
     }
-    val out = Vector.newBuilder[WarcRec]
-    var off = 0
-    var n = 0
-    while (off < plain.length) {
-      n += 1
-      if (n > maxRecords) return None
-      // ---- version line
-      val vl = lineAt(off)
-      if (vl == null || !vl._1.matches("WARC/\\d+\\.\\d+")) return None
-      off = vl._2
-      // ---- header fields to the blank line
-      var warcType: String = null
-      var targetUri: String = null
-      var contentLength = -1L
-      var nHeaders = 0
-      var open = true
-      while (open) {
-        val ln = lineAt(off)
-        if (ln == null) return None
-        val l = ln._1
-        off = ln._2
-        if (l.isEmpty) open = false
-        else {
-          val c = l.indexOf(':')
-          if (c <= 0) return None
-          val name = l.substring(0, c).trim
-          val value = l.substring(c + 1).trim
-          nHeaders += 1
-          if (name.equalsIgnoreCase("WARC-Type")) warcType = value
-          else if (name.equalsIgnoreCase("WARC-Target-URI")) targetUri = value
-          else if (name.equalsIgnoreCase("Content-Length"))
-            contentLength = try value.toLong catch { case _: NumberFormatException => return None }
-        }
+    // ---- version line
+    val vl = lineAt(start)
+    if (vl == null) return WarcParse.NeedMore
+    if (!vl._1.matches("WARC/\\d+\\.\\d+")) return WarcParse.Malformed
+    var off = vl._2
+    // ---- header fields to the blank line
+    var warcType: String = null
+    var targetUri: String = null
+    var contentLength = -1L
+    var nHeaders = 0
+    var open = true
+    while (open) {
+      val ln = lineAt(off)
+      if (ln == null) return WarcParse.NeedMore
+      val l = ln._1
+      off = ln._2
+      if (l.isEmpty) open = false
+      else {
+        val c = l.indexOf(':')
+        if (c <= 0) return WarcParse.Malformed
+        val name = l.substring(0, c).trim
+        val value = l.substring(c + 1).trim
+        nHeaders += 1
+        if (name.equalsIgnoreCase("WARC-Type")) warcType = value
+        else if (name.equalsIgnoreCase("WARC-Target-URI")) targetUri = value
+        else if (name.equalsIgnoreCase("Content-Length"))
+          contentLength =
+            try value.toLong
+            catch { case _: NumberFormatException => return WarcParse.Malformed }
       }
-      // ---- payload + the two-CRLF terminator
-      if (contentLength < 0 || off + contentLength + 4 > plain.length) return None
-      val body = new Array[Byte](contentLength.toInt)
-      System.arraycopy(plain, off, body, 0, contentLength.toInt)
-      off += contentLength.toInt
-      if (plain(off) != '\r' || plain(off + 1) != '\n' ||
-        plain(off + 2) != '\r' || plain(off + 3) != '\n') return None
-      off += 4
-      out += WarcRec(warcType, targetUri, nHeaders, body)
     }
-    Some(out.result())
+    // ---- payload + the two-CRLF terminator
+    if (contentLength < 0) return WarcParse.Malformed
+    if (contentLength > Int.MaxValue - 8) return WarcParse.Malformed // JVM array ceiling
+    if (off.toLong + contentLength + 4 > end) return WarcParse.NeedMore
+    val body = new Array[Byte](contentLength.toInt)
+    System.arraycopy(buf, off, body, 0, contentLength.toInt)
+    var o = off + contentLength.toInt
+    if (buf(o) != '\r' || buf(o + 1) != '\n' || buf(o + 2) != '\r' || buf(o + 3) != '\n')
+      return WarcParse.Malformed
+    o += 4
+    WarcParse.Complete(WarcRec(warcType, targetUri, nHeaders, body), o)
   }
 
   /** Integer-exact per-channel pixel statistics from a 24bpp bottom-up BMP

@@ -94,7 +94,11 @@ object Html {
   def baseHref(html: Column): Column = {
     val v = regexp_extract(stripSpans(html),
       "(?is)<base(?:\\s[^>]*)?\\shref=(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1)
-    when(v =!= "", regexp_replace(v, "^[\"']|[\"']$", ""))
+    // strip quotes BEFORE the empty guard: <base href=""> must yield NULL
+    // (so the documented coalesce(baseHref(html), pageUrl) falls back to
+    // the page URL), not an empty base that mis-roots every link
+    val stripped = regexp_replace(v, "^[\"']|[\"']$", "")
+    when(stripped =!= "", stripped)
   }
 
   /** Anchors WITH their inner text, as an array of `(href, text)`

@@ -41,20 +41,27 @@ object Warc {
   /** Explode WARC files (gzip'd or plain — detected per file) into their
     * records in file order. A malformed file quarantines WHOLE (drops) —
     * record-level salvage after a length corruption would silently
-    * misframe every later record, the worst possible corpus bug. The
-    * per-member zip-bomb cap is [[graft.functions.BinaryCodecs.gunzip]]'s
-    * discipline, per record.
+    * misframe every later record, the worst possible corpus bug; pair
+    * with [[quarantinedFiles]] to surface the drops as rows instead of
+    * silence. The per-member zip-bomb cap is
+    * [[graft.functions.BinaryCodecs.gunzip]]'s discipline, per record;
+    * `maxBytesTotal` caps the file's AGGREGATE decompressed output
+    * (default 16 GiB — sized for real ~1 GB crawl files, which inflate
+    * to several GB; the parse is incremental, so this is a bomb ceiling,
+    * not a memory bound).
     */
   def parseWarc(
       media: Dataset[MediaRow],
       maxBytesPerMember: Int = 1 << 26,
-      batchSize: Int = 16): Dataset[WarcRecordRow] = {
+      batchSize: Int = 16,
+      maxBytesTotal: Long = 1L << 34): Dataset[WarcRecordRow] = {
     import media.sparkSession.implicits._
     import graft.functions.BinaryCodecs
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { m =>
-          BinaryCodecs.warcRecords(m.payload, maxBytesPerMember).toSeq.flatMap { recs =>
+          BinaryCodecs.warcRecords(m.payload, maxBytesPerMember,
+            maxBytesTotal = maxBytesTotal).toSeq.flatMap { recs =>
             recs.zipWithIndex.map { case (r, i) =>
               WarcRecordRow(m.media_id, i.toLong, r.warcType, r.targetUri,
                 r.nHeaders, r.payload.length.toLong, r.payload)
@@ -65,10 +72,38 @@ object Warc {
     }
   }
 
+  /** The files [[parseWarc]] would DROP, as `(media_id, size_bytes)`
+    * rows — quarantine made visible: a corpus job that silently loses
+    * whole crawl files is an ops incident nobody can see. Same
+    * shuffle-free per-file walk; feed the ids back to the fetch layer
+    * for re-archive or manual triage.
+    */
+  def quarantinedFiles(
+      media: Dataset[MediaRow],
+      maxBytesPerMember: Int = 1 << 26,
+      maxBytesTotal: Long = 1L << 34): DataFrame = {
+    import media.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    media.mapPartitions { rows =>
+      rows.filter(m =>
+        BinaryCodecs.warcRecords(m.payload, maxBytesPerMember,
+          maxBytesTotal = maxBytesTotal).isEmpty)
+        .map(m => (m.media_id, m.size_bytes))
+    }.toDF("media_id", "size_bytes")
+  }
+
   /** Filter to response records and surface the payload as page text —
     * the handoff from container ingest to the HTML chain
     * ([[Robots.filterAllowed]] → [[Html.mainContent]] →
     * [[Urls.canonicalize]]). Map-side.
+    *
+    * ONLY valid when payloads are bare UTF-8 HTML (the synthetic
+    * fixtures): the cast is byte-blind, so on a real crawl archive —
+    * where a response record carries the whole HTTP wire message, often
+    * non-UTF-8 — the status line and headers would leak into page text
+    * and mislabeled charsets would mojibake. Real `.warc.gz` input goes
+    * through [[decodePages]] (HTTP split + charset sniff), which is what
+    * every composite here does.
     */
   def responsePages(records: Dataset[WarcRecordRow]): DataFrame =
     records.toDF()

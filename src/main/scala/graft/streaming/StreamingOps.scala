@@ -822,7 +822,8 @@ object StreamingOps {
   def warcFileStream(
       spark: SparkSession,
       dir: String,
-      maxBytesPerMember: Int = 1 << 26): Dataset[graft.ops.Warc.WarcRecordRow] = {
+      maxBytesPerMember: Int = 1 << 26,
+      maxBytesTotal: Long = 1L << 34): Dataset[graft.ops.Warc.WarcRecordRow] = {
     import spark.implicits._
     val media = spark.readStream.format("binaryFile")
       // streaming file sources need the schema declared; this is
@@ -836,7 +837,7 @@ object StreamingOps {
         lit("application/warc").as("mime_type"),
         col("length").as("size_bytes"))
       .as[graft.ops.Multimodal.MediaRow]
-    graft.ops.Warc.parseWarc(media, maxBytesPerMember)
+    graft.ops.Warc.parseWarc(media, maxBytesPerMember, maxBytesTotal = maxBytesTotal)
   }
 
   /** Read the reference's user-exp JSON shape as a file stream. */

@@ -30,12 +30,18 @@ class CharsetSpec extends SparkSpec {
   test("meta declarations: both syntaxes, label normalization, unknown labels ignored") {
     val direct = s"<meta charset=iso-8859-1><p>caf$eAcute</p>".getBytes(ISO_8859_1)
     val got = BinaryCodecs.sniffCharset(direct)
-    assert(got.encoding == "iso-8859-1" && !got.mojibakeRisk &&
+    // WHATWG aliases iso-8859-1 to windows-1252: mislabeled pages are the
+    // common case, and 0x80-0x9F must decode as smart quotes, not C1 controls
+    assert(got.encoding == "windows-1252" && !got.mojibakeRisk &&
       got.text == s"<meta charset=iso-8859-1><p>caf$eAcute</p>")
+    val quoted = BinaryCodecs.sniffCharset(
+      "<meta charset=iso-8859-1>say ".getBytes(US_ASCII) ++
+        Array(0x93.toByte) ++ "hi".getBytes(US_ASCII) ++ Array(0x94.toByte))
+    assert(quoted.text.endsWith("say \u201chi\u201d") && !quoted.mojibakeRisk)
     val httpEquiv =
       (s"""<meta http-equiv="Content-Type" content="text/html; charset=latin1">x$eAcute""")
         .getBytes(ISO_8859_1)
-    assert(BinaryCodecs.sniffCharset(httpEquiv).encoding == "iso-8859-1")
+    assert(BinaryCodecs.sniffCharset(httpEquiv).encoding == "windows-1252")
     val cp = s"""<META CHARSET="CP1252">a$eAcute""".getBytes(ISO_8859_1)
     assert(BinaryCodecs.sniffCharset(cp).encoding == "windows-1252")
     // unknown label → heuristic path (bytes are invalid UTF-8 → fallback flagged)
@@ -76,7 +82,7 @@ class CharsetSpec extends SparkSpec {
     // transport outranks a CONTRADICTING meta
     val metaSaysUtf8 = s"<meta charset=utf-8>caf$eAcute".getBytes(ISO_8859_1)
     val viaTransport = BinaryCodecs.sniffCharset(metaSaysUtf8, Some("iso-8859-1"))
-    assert(viaTransport.encoding == "iso-8859-1" && !viaTransport.mojibakeRisk &&
+    assert(viaTransport.encoding == "windows-1252" && !viaTransport.mojibakeRisk &&
       viaTransport.text == s"<meta charset=utf-8>caf$eAcute")
     // BOM outranks transport
     val bommed = Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++ s"x$eAcute".getBytes(UTF_8)
@@ -94,7 +100,7 @@ class CharsetSpec extends SparkSpec {
     val decoded = Multimodal.decodeCharset(Multimodal.syntheticEncodedDocs(docs))
     val rows = decoded.collect().sortBy(_.media_id)
     assert(rows.map(_.encoding).toSeq ==
-      Seq("utf-8", "utf-8", "utf-16le", "iso-8859-1", "windows-1252"))
+      Seq("utf-8", "utf-8", "utf-16le", "windows-1252", "windows-1252"))
     assert(rows.map(_.bom).toSeq == Seq(false, true, true, false, false))
     assert(rows.map(_.mojibake_risk).toSeq == Seq(false, false, false, false, true))
     assert(rows(3).text_out == s"""<meta charset="iso-8859-1">three$eAcute""")

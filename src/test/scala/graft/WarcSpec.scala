@@ -90,6 +90,44 @@ class WarcSpec extends SparkSpec {
     assert(BinaryCodecs.warcRecords(noLen).isEmpty)
   }
 
+  test("warcRecords: records straddling gzip member boundaries parse (incremental buffer)") {
+    val records = (0 until 12).map(i => rec("response", s"u:$i", s"<html>body number $i</html>"))
+    val plain = BinaryCodecs.warcFile(records, gzipPerRecord = false)
+    // re-split the SAME byte stream into members at arbitrary 37-byte
+    // boundaries — the spec only requires the concatenation to be valid,
+    // and the incremental walk must carry partial records across members
+    val resplit = plain.grouped(37).map(BinaryCodecs.gzip).reduce(_ ++ _)
+    val got = BinaryCodecs.warcRecords(resplit).get
+    val want = BinaryCodecs.warcRecords(plain).get
+    assert(got.length == 12)
+    assert(got.map(_.targetUri) == want.map(_.targetUri))
+    assert(got.zip(want).forall { case (a, b) => a.payload.sameElements(b.payload) })
+  }
+
+  test("warcRecords: maxBytesTotal caps AGGREGATE decompressed output") {
+    // 64 members of 8 KiB each = 512 KiB aggregate, each member tiny
+    val records = (0 until 64).map(i => rec("response", s"u:$i", "x" * 8192))
+    val file = BinaryCodecs.warcFile(records, gzipPerRecord = true)
+    assert(BinaryCodecs.warcRecords(file).nonEmpty) // default cap: fine
+    assert(BinaryCodecs.warcRecords(file, maxBytesTotal = 128 << 10).isEmpty)
+    // the cap must also be caller-widenable PAST gzipMembers' old
+    // hard-coded default — parseWarc threads it through
+    assert(BinaryCodecs.warcRecords(file, maxBytesTotal = 1L << 40).nonEmpty)
+  }
+
+  test("quarantinedFiles: the drops parseWarc makes, surfaced as rows") {
+    val docs = (0L until 40L).map(i => (i, s"doc $i text")).toDF("doc_id", "text")
+    val media = Warc.syntheticWarc(docs, docsPerFile = 8) // files 0..4
+    val corrupted = media.map { m =>
+      if (m.media_id % 2 == 1) m.copy(payload = m.payload.dropRight(3)) else m
+    }
+    val q = Warc.quarantinedFiles(corrupted).collect().map(_.getLong(0)).sorted
+    assert(q.toSeq == Seq(1L, 3L))
+    // parseWarc on the same input drops exactly those files
+    val kept = Warc.parseWarc(corrupted).collect().map(_.media_id).distinct.sorted
+    assert(kept.toSeq == Seq(0L, 2L, 4L))
+  }
+
   test("warcRecord: rejects caller Content-Length and multi-line header values") {
     intercept[IllegalArgumentException](
       BinaryCodecs.warcRecord(Seq("Content-Length" -> "7"), Array.emptyByteArray))
@@ -169,7 +207,7 @@ class WarcSpec extends SparkSpec {
     val pages = Warc.decodePages(Warc.parseWarc(Warc.syntheticWarcBytes(rows, docsPerFile = 8)))
       .collect().sortBy(_.record_idx)
     assert(pages.length == 3) // doc 3 dropped
-    assert(pages.map(_.encoding).toSeq == Seq("iso-8859-1", "utf-16le", "utf-8"))
+    assert(pages.map(_.encoding).toSeq == Seq("windows-1252", "utf-16le", "utf-8"))
     assert(pages.map(_.bom).toSeq == Seq(false, true, false))
     assert(pages(0).html == "café latin" && pages(1).html == "café utf16")
     assert(pages.forall(_.status == 200))
