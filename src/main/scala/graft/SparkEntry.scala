@@ -4305,6 +4305,62 @@ object SparkEntry {
         }.toDF("doc_id", "payload", "uri")
       graft.ops.Warc.redirectEdges(
         graft.ops.Warc.parseWarc(graft.ops.Warc.syntheticWarcBytes(msgs)))
+    }),
+
+    // ---- HTTP body WIRE CODINGS undone inside archived responses: real
+    // crawls store the message as it crossed the wire — chunked transfer
+    // framing de-framed, gzip/deflate content codings inflated,
+    // chunked-over-gzip composed in the wire order, and an UNSUPPORTED
+    // coding (a br label over plain bytes, the mislabel case) surviving
+    // FLAGGED instead of silently dropping. Every leg's decoded body is
+    // the roundtrip identity; headers and flags from the id formula. -------
+    "q403_http_content_decode" -> ((s, dir) => {
+      import s.implicits._
+      val msgs = graft.io.Spread.toDefaultParallelism(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.functions.BinaryCodecs
+          val body = Option(text).getOrElse("").getBytes("UTF-8")
+          // chunked framing: 7-byte chunks (multibyte UTF-8 split mid-
+          // character on purpose — de-framing is byte-level), chunk
+          // extension on the first size line, one trailer field
+          def chunked(b: Array[Byte]): Array[Byte] = {
+            val out = new java.io.ByteArrayOutputStream()
+            var first = true
+            b.grouped(7).foreach { c =>
+              val ext = if (first) ";note=fixture" else ""
+              first = false
+              out.write((c.length.toHexString + ext + "\r\n").getBytes("US-ASCII"))
+              out.write(c)
+              out.write("\r\n".getBytes("US-ASCII"))
+            }
+            out.write("0\r\nX-Trailer: t\r\n\r\n".getBytes("US-ASCII"))
+            out.toByteArray
+          }
+          val (codingHdrs, wire) = (id % 6) match {
+            case 0 => ("", body)
+            case 1 => ("Transfer-Encoding: chunked\r\n", chunked(body))
+            case 2 => ("Content-Encoding: gzip\r\n", BinaryCodecs.gzip(body))
+            case 3 => ("Content-Encoding: deflate\r\n", BinaryCodecs.zlibDeflate(body))
+            case 4 => ("Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+              chunked(BinaryCodecs.gzip(body)))
+            case _ => ("Content-Encoding: br\r\n", body) // mislabeled: plain bytes
+          }
+          val head = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+            codingHdrs + s"X-Doc: $id\r\n\r\n"
+          (id, head.getBytes("US-ASCII") ++ wire,
+            s"https://host${id % 20}.example.com/p/$id")
+        }.toDF("doc_id", "payload", "uri")
+      graft.ops.Warc.httpResponses(
+        graft.ops.Warc.parseWarc(graft.ops.Warc.syntheticWarcBytes(msgs)))
+        .toDF()
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("n_headers").cast("long").as("n_headers"),
+          col("content_encoding"),
+          col("body_decoded"),
+          col("body").cast("string").as("text_out"))
     })
   )
 
@@ -11367,7 +11423,22 @@ object SparkEntry {
         |   || CAST(doc_id AS VARCHAR) AS from_url,
         | 'https://next' || CAST(doc_id % 3 AS VARCHAR) || '.example.org/p'
         |   || CAST(doc_id AS VARCHAR) AS to_url
-        |FROM documents WHERE doc_id % 4 = 1""".stripMargin
+        |FROM documents WHERE doc_id % 4 = 1""".stripMargin,
+    // q403: every decodable leg's body is the roundtrip identity, and
+    // the mislabeled-br leg's "raw" body IS the plain text — so text_out
+    // is the identity on all six legs and only headers/flags vary, all
+    // from the id formula. Legs: 0 identity, 1 chunked, 2 gzip,
+    // 3 deflate, 4 chunked-over-gzip, 5 unsupported-br (flagged).
+    "q403_http_content_decode" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN doc_id % 6 = 0 THEN 2 WHEN doc_id % 6 = 4 THEN 4
+        |  ELSE 3 END AS BIGINT) AS n_headers,
+        | CASE WHEN doc_id % 6 IN (2, 4) THEN 'gzip'
+        |  WHEN doc_id % 6 = 3 THEN 'deflate'
+        |  WHEN doc_id % 6 = 5 THEN 'br' END AS content_encoding,
+        | doc_id % 6 <> 5 AS body_decoded,
+        | coalesce(text, '') AS text_out
+        |FROM documents""".stripMargin
   )
 
   /** The flat-block JPEG stats derivation, shared verbatim by q395 and

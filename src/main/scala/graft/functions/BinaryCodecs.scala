@@ -274,6 +274,25 @@ object BinaryCodecs {
     bos.toByteArray
   }
 
+  /** zlib-wrapped DEFLATE (RFC 1950) — the encode twin of the HTTP
+    * `deflate` content-coding decode path; what fixtures and tests use
+    * to synthesize deflate-coded bodies.
+    */
+  def zlibDeflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(data)
+      d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) {
+        val k = d.deflate(buf)
+        out.write(buf, 0, k)
+      }
+      out.toByteArray
+    } finally d.end()
+  }
+
   /** Decompress a gzip payload with a HARD output cap — the zip-bomb
     * guard a corpus decoder needs (a few-KB payload can inflate to GBs
     * and OOM the executor; at `maxBytes` the row returns None instead).
@@ -901,26 +920,47 @@ object BinaryCodecs {
   // --------------------------------------------------------------- HTTP --
 
   /** One parsed HTTP response message: status code, the raw
-    * `Content-Type` and `Location` values (null when absent), header
-    * count, body octets.
+    * `Content-Type`, `Location`, `Transfer-Encoding` and
+    * `Content-Encoding` values (null when absent), header count, body
+    * octets, and whether every transfer/content coding was fully undone
+    * (`bodyDecoded` — false means an unsupported coding left the body
+    * raw from that layer out).
     */
   final case class HttpMessage(
       status: Int, contentType: String, location: String, nHeaders: Int,
-      body: Array[Byte])
+      body: Array[Byte], transferEncoding: String = null,
+      contentEncoding: String = null, bodyDecoded: Boolean = true)
 
   /** Parse an HTTP/1.x response MESSAGE (status line, header fields,
     * blank line, body) — the payload a real WARC `response` record
-    * carries: crawlers archive the whole wire message, not bare HTML,
-    * so the chain from container to text needs this split. The body is
-    * everything after the blank line — the WARC record's
-    * Content-Length already frames the message, so transfer framing
-    * (chunked/Content-Length) inside it is NOT re-applied; the
-    * container is the source of truth (documented contract). Header
-    * names are matched case-insensitively; malformed messages (no
-    * HTTP/ magic, non-numeric status, unterminated headers, a field
-    * line with no colon) quarantine (None).
+    * carries: crawlers archive the whole WIRE message, so the chain
+    * from container to text needs this split AND the wire codings
+    * undone: real archives keep `Transfer-Encoding: chunked` framing
+    * and `Content-Encoding: gzip|deflate` compression inside the
+    * message, and a body that reaches charset sniffing still
+    * chunk-framed or compressed is corpus garbage.
+    *
+    * Coding discipline (undone outermost-first — reversed
+    * Transfer-Encoding tokens, then reversed Content-Encoding tokens):
+    *  - `chunked` → de-framed (hex size lines, extensions dropped,
+    *    trailer fields consumed); malformed chunk framing quarantines
+    *    (None) — it is the same corruption class as bad record framing.
+    *  - `gzip`/`x-gzip` → inflated ([[gunzip]]'s zip-bomb cap via
+    *    `maxBodyBytes`); corrupt data quarantines.
+    *  - `deflate` → zlib inflate, with the raw-DEFLATE fallback
+    *    browsers apply (servers mislabel raw streams as deflate in the
+    *    wild); corrupt under BOTH framings quarantines.
+    *  - `identity` → no-op.
+    *  - anything else (`br`, `compress`, `zstd`, …) → UNSUPPORTED:
+    *    the body is left as-is from that layer out and `bodyDecoded`
+    *    flips false — flagged, never silently dropped.
+    *
+    * Header names are matched case-insensitively; malformed messages
+    * (no HTTP/ magic, non-numeric status, unterminated headers, a
+    * field line with no colon) quarantine (None).
     */
-  def parseHttpResponse(payload: Array[Byte]): Option[HttpMessage] = {
+  def parseHttpResponse(
+      payload: Array[Byte], maxBodyBytes: Int = 1 << 26): Option[HttpMessage] = {
     if (payload == null || payload.length < 12) return None
     def lineAt(off: Int): (String, Int) = {
       var i = off
@@ -937,6 +977,8 @@ object BinaryCodecs {
     var off = sl._2
     var contentType: String = null
     var location: String = null
+    var transferEncoding: String = null
+    var contentEncoding: String = null
     var nHeaders = 0
     var open = true
     while (open) {
@@ -953,11 +995,117 @@ object BinaryCodecs {
           contentType = ln._1.substring(c + 1).trim
         else if (name.equalsIgnoreCase("Location"))
           location = ln._1.substring(c + 1).trim
+        else if (name.equalsIgnoreCase("Transfer-Encoding"))
+          transferEncoding = ln._1.substring(c + 1).trim
+        else if (name.equalsIgnoreCase("Content-Encoding"))
+          contentEncoding = ln._1.substring(c + 1).trim
       }
     }
-    val body = new Array[Byte](payload.length - off)
+    var body = new Array[Byte](payload.length - off)
     System.arraycopy(payload, off, body, 0, body.length)
-    Some(HttpMessage(status, contentType, location, nHeaders, body))
+    // ---- undo wire codings, outermost first: TE tokens reversed, then
+    // CE tokens reversed (RFC 9112 puts chunked last in TE, so it is
+    // the first thing undone)
+    def tokens(v: String): List[String] =
+      if (v == null) Nil
+      else v.split(',').iterator.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+        .filter(_.nonEmpty).toList
+    var decoded = true
+    val toUndo = tokens(transferEncoding).reverse ++ tokens(contentEncoding).reverse
+    val it = toUndo.iterator
+    while (decoded && it.hasNext) {
+      it.next() match {
+        case "identity" => ()
+        case "chunked" =>
+          dechunk(body) match {
+            case Some(b) => body = b
+            case None => return None // framing corruption
+          }
+        case "gzip" | "x-gzip" =>
+          gunzip(body, maxBodyBytes) match {
+            case Some(b) => body = b
+            case None => return None // declared-gzip body that won't inflate
+          }
+        case "deflate" =>
+          inflateBytes(body, raw = false, maxBodyBytes)
+            .orElse(inflateBytes(body, raw = true, maxBodyBytes)) match {
+            case Some(b) => body = b
+            case None => return None
+          }
+        case _ => decoded = false // unsupported coding: flag, leave raw
+      }
+    }
+    Some(HttpMessage(status, contentType, location, nHeaders, body,
+      transferEncoding, contentEncoding, decoded))
+  }
+
+  /** Undo HTTP/1.1 chunked transfer framing (RFC 9112 §7.1): hex size
+    * line (chunk extensions after `;` dropped), chunk octets + CRLF,
+    * repeated to the zero chunk, then trailer fields to the blank line.
+    * Strict: junk after the terminator, a non-hex size line, or any
+    * truncation → None (the message was framed by the WARC record's
+    * Content-Length, so leftovers are corruption, not streaming).
+    */
+  private[functions] def dechunk(b: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var off = 0
+    def line(): String = {
+      var i = off
+      while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
+      if (i + 1 >= b.length) null
+      else {
+        val s = new String(b, off, i - off, java.nio.charset.StandardCharsets.ISO_8859_1)
+        off = i + 2
+        s
+      }
+    }
+    while (true) {
+      val l = line()
+      if (l == null) return None
+      val semi = l.indexOf(';')
+      val hexs = (if (semi >= 0) l.substring(0, semi) else l).trim
+      if (hexs.isEmpty || hexs.length > 8 ||
+        !hexs.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+          (c >= 'A' && c <= 'F'))) return None
+      val size = java.lang.Long.parseLong(hexs, 16)
+      if (size == 0) {
+        // trailer section: zero or more field lines, then the blank line
+        var t = line()
+        while (t != null && t.nonEmpty) t = line()
+        if (t == null) return None
+        if (off != b.length) return None // junk past the terminator
+        return Some(out.toByteArray)
+      }
+      if (off + size + 2 > b.length) return None
+      out.write(b, off, size.toInt)
+      off += size.toInt
+      if (b(off) != '\r' || b(off + 1) != '\n') return None
+      off += 2
+    }
+    None // unreachable
+  }
+
+  /** Inflate a DEFLATE stream — zlib-wrapped (`raw = false`) or bare
+    * (`raw = true`) — with the standard output cap. None on corruption
+    * or cap breach.
+    */
+  private def inflateBytes(b: Array[Byte], raw: Boolean, maxBytes: Int): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater(raw)
+    try {
+      inf.setInput(b)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val k =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (k > 0) {
+          out.write(buf, 0, k)
+          if (out.size > maxBytes) return None
+        } else if (!inf.finished() && inf.needsInput()) return None // truncated
+      }
+      Some(out.toByteArray)
+    } finally inf.end()
   }
 
   /** The `charset=` parameter of a Content-Type value (lowercased,

@@ -111,7 +111,12 @@ object Warc {
       .select(col("media_id").as("file_id"), col("record_idx"),
         col("target_uri"), col("payload").cast("string").as("html"))
 
-  /** One WARC response record's parsed HTTP message. */
+  /** One WARC response record's parsed HTTP message. `content_encoding`
+    * is the raw header value (null when absent); `body_decoded` is false
+    * when an UNSUPPORTED coding (br, compress, …) left the body raw —
+    * flagged rather than silently dropped, so a corpus job can count and
+    * route them instead of losing them invisibly.
+    */
   final case class HttpRecordRow(
       media_id: Long,
       record_idx: Long,
@@ -120,15 +125,21 @@ object Warc {
       content_type: String,
       location: String,
       n_headers: Int,
-      body: Array[Byte])
+      body: Array[Byte],
+      content_encoding: String,
+      body_decoded: Boolean)
 
   /** Split each `response` record's payload as the HTTP/1.x MESSAGE a
-    * real crawler archives (status line + headers + body —
-    * [[graft.functions.BinaryCodecs.parseHttpResponse]]): the step
-    * between container framing and content decode. Records whose
-    * payload is not a parseable HTTP response drop (quarantine);
-    * non-response records are not HTTP messages and are filtered
-    * upstream. Partition-batched, shuffle-free.
+    * real crawler archives (status line + headers + body) AND undo the
+    * wire codings — chunked transfer framing de-framed, gzip/deflate
+    * content codings inflated
+    * ([[graft.functions.BinaryCodecs.parseHttpResponse]]'s coding
+    * discipline): real archives store the message as it crossed the
+    * wire, and a still-chunked or still-compressed body silently
+    * corrupts every downstream text op. Records whose payload is not a
+    * parseable HTTP response — or whose DECLARED codings are framing-
+    * corrupt — drop (quarantine); unsupported codings survive with
+    * `body_decoded = false`. Partition-batched, shuffle-free.
     */
   def httpResponses(
       records: Dataset[WarcRecordRow],
@@ -140,7 +151,8 @@ object Warc {
         batch.iterator.flatMap { r =>
           BinaryCodecs.parseHttpResponse(r.payload).map { h =>
             HttpRecordRow(r.media_id, r.record_idx, r.target_uri,
-              h.status, h.contentType, h.location, h.nHeaders, h.body)
+              h.status, h.contentType, h.location, h.nHeaders, h.body,
+              h.contentEncoding, h.bodyDecoded)
           }
         }
       }
@@ -162,7 +174,11 @@ object Warc {
       .select(col("target_uri").as("from_url"),
         Urls.resolve(col("target_uri"), col("location")).as("to_url"))
 
-  /** One fully-decoded page: HTTP envelope + charset-transcoded text. */
+  /** One fully-decoded page: HTTP envelope + charset-transcoded text.
+    * `body_decoded` false marks pages whose HTTP body still carries an
+    * unsupported content coding (the text is the RAW bytes through the
+    * sniffer — flagged, filter or route on it, never trust it as prose).
+    */
   final case class DecodedPage(
       media_id: Long,
       record_idx: Long,
@@ -171,11 +187,13 @@ object Warc {
       encoding: String,
       bom: Boolean,
       mojibake_risk: Boolean,
+      body_decoded: Boolean,
       html: String)
 
-  /** The full container-to-text ingest: [[httpResponses]] then charset
-    * sniffing with the HTTP `Content-Type; charset=` as the TRANSPORT
-    * declaration ([[graft.functions.BinaryCodecs.sniffCharset]]'s
+  /** The full container-to-text ingest: [[httpResponses]] (chunked
+    * framing and gzip/deflate content codings already undone there)
+    * then charset sniffing with the HTTP `Content-Type; charset=` as
+    * the TRANSPORT declaration ([[graft.functions.BinaryCodecs.sniffCharset]]'s
     * WHATWG precedence: BOM → transport → meta → validation →
     * flagged fallback). What comes out is UTF-8 text ready for
     * [[Html.mainContent]] and everything downstream — the day-one path
@@ -192,7 +210,7 @@ object Warc {
         val s = BinaryCodecs.sniffCharset(h.body,
           BinaryCodecs.contentTypeCharset(h.content_type))
         DecodedPage(h.media_id, h.record_idx, h.target_uri, h.status,
-          s.encoding, s.bom, s.mojibakeRisk, s.text)
+          s.encoding, s.bom, s.mojibakeRisk, h.body_decoded, s.text)
       }
     }
   }

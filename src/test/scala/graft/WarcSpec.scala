@@ -190,6 +190,70 @@ class WarcSpec extends SparkSpec {
     assert(BinaryCodecs.contentTypeCharset(null).isEmpty)
   }
 
+  test("parseHttpResponse: wire codings undone — chunked, gzip, deflate, composed, flagged") {
+    import java.nio.charset.StandardCharsets.US_ASCII
+    val text = "hello chunked world, with enough bytes to span several chunks"
+    def msg(codingHdrs: String, wire: Array[Byte]) =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n$codingHdrs\r\n")
+        .getBytes(US_ASCII) ++ wire
+    def chunked(b: Array[Byte], n: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      b.grouped(n).foreach { c =>
+        out.write((c.length.toHexString + "\r\n").getBytes(US_ASCII))
+        out.write(c); out.write("\r\n".getBytes(US_ASCII))
+      }
+      out.write("0\r\n\r\n".getBytes(US_ASCII))
+      out.toByteArray
+    }
+    // chunked de-framing (with an extension and a trailer field)
+    val withExtras = ("5;ext=1\r\nhello\r\n1\r\n \r\n5\r\nworld\r\n0\r\n" +
+      "X-T: v\r\n\r\n").getBytes(US_ASCII)
+    val ch = BinaryCodecs.parseHttpResponse(
+      msg("Transfer-Encoding: chunked\r\n", withExtras)).get
+    assert(new String(ch.body, US_ASCII) == "hello world" && ch.bodyDecoded)
+    // gzip and deflate content codings
+    val gz = BinaryCodecs.parseHttpResponse(
+      msg("Content-Encoding: gzip\r\n", BinaryCodecs.gzip(text.getBytes(US_ASCII)))).get
+    assert(new String(gz.body, US_ASCII) == text && gz.contentEncoding == "gzip")
+    val df = BinaryCodecs.parseHttpResponse(
+      msg("Content-Encoding: deflate\r\n",
+        BinaryCodecs.zlibDeflate(text.getBytes(US_ASCII)))).get
+    assert(new String(df.body, US_ASCII) == text && df.bodyDecoded)
+    // raw-DEFLATE mislabeled as deflate (the browser fallback)
+    val rawDeflate = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(text.getBytes(US_ASCII)); d.finish()
+      val out = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](8192)
+      while (!d.finished()) { val k = d.deflate(buf); out.write(buf, 0, k) }
+      d.end(); out.toByteArray
+    }
+    val rdf = BinaryCodecs.parseHttpResponse(
+      msg("Content-Encoding: deflate\r\n", rawDeflate)).get
+    assert(new String(rdf.body, US_ASCII) == text)
+    // chunked over gzip: undone outermost-first
+    val composed = BinaryCodecs.parseHttpResponse(
+      msg("Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+        chunked(BinaryCodecs.gzip(text.getBytes(US_ASCII)), 7))).get
+    assert(new String(composed.body, US_ASCII) == text && composed.bodyDecoded)
+    // unsupported coding: flagged, body left raw, NOT dropped
+    val br = BinaryCodecs.parseHttpResponse(
+      msg("Content-Encoding: br\r\n", "opaque".getBytes(US_ASCII))).get
+    assert(!br.bodyDecoded && new String(br.body, US_ASCII) == "opaque" &&
+      br.contentEncoding == "br")
+    // framing corruption under a DECLARED supported coding quarantines
+    assert(BinaryCodecs.parseHttpResponse(
+      msg("Transfer-Encoding: chunked\r\n", "zz\r\nhello\r\n".getBytes(US_ASCII))).isEmpty)
+    assert(BinaryCodecs.parseHttpResponse(
+      msg("Transfer-Encoding: chunked\r\n",
+        chunked(text.getBytes(US_ASCII), 7).dropRight(3))).isEmpty) // truncated terminator
+    assert(BinaryCodecs.parseHttpResponse(
+      msg("Content-Encoding: gzip\r\n", "not gzip at all".getBytes(US_ASCII))).isEmpty)
+    // empty chunked body
+    val empty = BinaryCodecs.parseHttpResponse(
+      msg("Transfer-Encoding: chunked\r\n", "0\r\n\r\n".getBytes(US_ASCII))).get
+    assert(empty.body.isEmpty && empty.bodyDecoded)
+  }
+
   test("httpResponses + decodePages: the full container-to-text chain with transport charsets") {
     import java.nio.charset.StandardCharsets._
     def msg(ct: String, body: Array[Byte]) =
