@@ -4361,6 +4361,77 @@ object SparkEntry {
           col("content_encoding"),
           col("body_decoded"),
           col("body").cast("string").as("text_out"))
+    }),
+
+    // ---- WAT export roundtrip: the curation fields (status, content
+    // type, title, meta description, base, outlinks) extracted by the
+    // REAL Html operators, wrapped as Common Crawl-style `metadata`
+    // records with a deterministic JSON envelope, member-per-record
+    // gzip, then parsed back by the strict framing. The oracle rebuilds
+    // the envelope STRING from the id formulas — field order and JSON
+    // shape are interchange surface, so they are pinned byte-for-byte
+    // (the q398 idiom with the metadata envelope). --------------------------
+    "q404_wat_export" -> ((s, dir) => {
+      val id = col("doc_id")
+      val html = concat(
+        lit("<head><title>Doc "), id.cast("string"), lit("</title>"),
+        lit("<base href=\"https://cdn"), (id % 3).cast("string"),
+        lit(".example.net/assets/\">"),
+        lit("<meta name=\"description\" content=\"Summary "),
+        (id % 7).cast("string"), lit(" here.\">"),
+        lit("</head><body><a href=\"https://a"), (id % 4).cast("string"),
+        lit(".example.org/x\">l1</a><a href=\"/local/"), id.cast("string"),
+        lit("\">l2</a></body>"))
+      val pages = t(s, dir, "documents").select(
+        id,
+        concat(lit("https://host"), (id % 20).cast("string"),
+          lit(".example.com/p/"), id.cast("string")).as("uri"),
+        (lit(200) + (id % 3) * 2).as("status"),
+        lit("text/html").as("content_type"),
+        Html.title(html).as("title"),
+        Html.metaContent(html, "description").as("meta_desc"),
+        Html.baseHref(html).as("base"),
+        Html.extractLinks(html).as("links"))
+      graft.ops.Warc.parseWarc(graft.ops.Warc.toWat(pages))
+        .toDF()
+        .select(col("media_id").as("file_id"), col("record_idx"),
+          col("warc_type"), col("target_uri"),
+          col("n_headers").cast("long").as("n_headers"),
+          col("payload").cast("string").as("envelope"))
+    }),
+
+    // ---- publisher-declared discovery COMPOSITE: robots `Sitemap:`
+    // lines (q399) → broadcast join to the fetched sitemap FILES —
+    // gzip'd on even file residues, plain on odd, exactly how real
+    // sitemaps ship — → gunzip → entry explode (q372). A declaration
+    // whose file was never fetched contributes nothing. Oracle derives
+    // every entry from the url's own residues. ------------------------------
+    "q405_sitemap_discovery" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val robots = concat(
+        lit("User-agent: *\nDisallow: /private\n"),
+        lit("Sitemap: https://s"), (id % 6).cast("string"),
+        lit(".example.com/sitemap"), (id % 4).cast("string"), lit(".xml.gz\n"),
+        when(id % 3 === 0, lit("Sitemap: https://unfetched.example.org/root.xml\n"))
+          .otherwise(lit("")))
+      val robotsPages = t(s, dir, "documents").select(id, robots.as("robots"))
+      // the 24 distinct declared files; content derived from the url's
+      // own residues so the join is the only link between the two sides
+      val files = graft.io.Spread.toDefaultParallelism(
+        t(s, dir, "documents").select((id % 6).as("a"), (id % 4).as("b")).distinct())
+        .as[(Long, Long)]
+        .map { case (a, b) =>
+          val xml = "<?xml version=\"1.0\"?><urlset>" +
+            s"<url><loc>https://s$a.example.com/p$b/1</loc><lastmod>2024-0${(a + b) % 9 + 1}-01</lastmod></url>" +
+            s"<url><loc>https://s$a.example.com/p$b/2</loc></url>" +
+            (if (a % 2 == 0) s"<sitemap><loc>https://s$a.example.com/more$b.xml.gz</loc></sitemap>" else "") +
+            "</urlset>"
+          val bytes = xml.getBytes("UTF-8")
+          (s"https://s$a.example.com/sitemap$b.xml.gz",
+            if (b % 2 == 0) graft.functions.BinaryCodecs.gzip(bytes) else bytes)
+        }.toDF("url", "payload")
+      Crawl.sitemapDiscovery(robotsPages, files)
     })
   )
 
@@ -11438,7 +11509,61 @@ object SparkEntry {
         |  WHEN doc_id % 6 = 5 THEN 'br' END AS content_encoding,
         | doc_id % 6 <> 5 AS body_decoded,
         | coalesce(text, '') AS text_out
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // q404: the envelope STRING rebuilt byte-for-byte from the id
+    // formulas (field order is interchange surface); metadata records
+    // carry 7 header fields (4 base + Refers-To + Content-Type +
+    // Content-Length), warcinfo 4 — the q398 grouping shape.
+    "q404_wat_export" ->
+      """WITH env AS (
+        | SELECT doc_id,
+        |  '{"status":' || CAST(200 + (doc_id % 3) * 2 AS VARCHAR)
+        |  || ',"content_type":"text/html","title":"Doc ' || CAST(doc_id AS VARCHAR)
+        |  || '","meta_desc":"Summary ' || CAST(doc_id % 7 AS VARCHAR)
+        |  || ' here.","base":"https://cdn' || CAST(doc_id % 3 AS VARCHAR)
+        |  || '.example.net/assets/","links":["https://a' || CAST(doc_id % 4 AS VARCHAR)
+        |  || '.example.org/x","/local/' || CAST(doc_id AS VARCHAR) || '"]}' AS envelope
+        | FROM documents),
+        |meta AS (
+        | SELECT CAST(doc_id // 8 AS BIGINT) AS file_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)
+        |    AS BIGINT) AS record_idx,
+        |  'metadata' AS warc_type,
+        |  'https://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p/'
+        |    || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  CAST(7 AS BIGINT) AS n_headers,
+        |  envelope
+        | FROM env),
+        |info AS (
+        | SELECT DISTINCT CAST(doc_id // 8 AS BIGINT) AS file_id,
+        |  CAST(0 AS BIGINT) AS record_idx, 'warcinfo' AS warc_type,
+        |  CAST(NULL AS VARCHAR) AS target_uri, CAST(4 AS BIGINT) AS n_headers,
+        |  'software: graft/0.1' || chr(13) || chr(10) AS envelope
+        | FROM documents)
+        |SELECT * FROM info UNION ALL SELECT * FROM meta""".stripMargin,
+    // q405: per doc the declared file's residues (a, b) fix every
+    // entry; the index entry exists only on even a; the unfetched
+    // declaration never lands (inner join).
+    "q405_sitemap_discovery" ->
+      """WITH base AS (
+        | SELECT doc_id, doc_id % 6 AS a, doc_id % 4 AS b,
+        |  'https://s' || CAST(doc_id % 6 AS VARCHAR) || '.example.com' AS h,
+        |  'https://s' || CAST(doc_id % 6 AS VARCHAR) || '.example.com/sitemap'
+        |    || CAST(doc_id % 4 AS VARCHAR) || '.xml.gz' AS sm
+        | FROM documents)
+        |SELECT doc_id, sm AS sitemap_url, CAST(0 AS BIGINT) AS entry_pos,
+        | h || '/p' || CAST(b AS VARCHAR) || '/1' AS loc,
+        | '2024-0' || CAST((a + b) % 9 + 1 AS VARCHAR) || '-01' AS lastmod,
+        | FALSE AS is_index
+        |FROM base
+        |UNION ALL
+        |SELECT doc_id, sm, CAST(1 AS BIGINT),
+        | h || '/p' || CAST(b AS VARCHAR) || '/2', CAST(NULL AS VARCHAR), FALSE
+        |FROM base
+        |UNION ALL
+        |SELECT doc_id, sm, CAST(2 AS BIGINT),
+        | h || '/more' || CAST(b AS VARCHAR) || '.xml.gz', CAST(NULL AS VARCHAR), TRUE
+        |FROM base WHERE a % 2 = 0""".stripMargin
   )
 
   /** The flat-block JPEG stats derivation, shared verbatim by q395 and

@@ -133,6 +133,49 @@ object Crawl {
     concat(entries("url", isIndex = false), entries("sitemap", isIndex = true))
   }
 
+  /** The publisher-declared discovery COMPOSITE, robots to entries in
+    * one plan: each page's robots body yields its `Sitemap:`
+    * declarations ([[Robots.sitemapUrls]] — global scope, comments
+    * stripped), the declared URLs join to the fetched sitemap FILES
+    * (gunzip'd when gzip'd — real sitemaps ship as `sitemap.xml.gz`;
+    * plain XML passes through; a corrupt gzip body quarantines its
+    * file), and each file's entries explode via [[sitemapEntries]].
+    * Inner join: a declaration whose file was never fetched contributes
+    * nothing (fetch-gap accounting belongs to the frontier, not here).
+    *
+    * Scale shape: `sitemapFiles` is the small side — a crawl has orders
+    * of magnitude fewer sitemap files than pages — so it decompresses
+    * map-side ONCE per file and broadcasts; the robots side never
+    * shuffles. Input columns: `robotsPages (doc_id, robots)`,
+    * `sitemapFiles (url, payload: binary)`.
+    */
+  def sitemapDiscovery(
+      robotsPages: DataFrame,
+      sitemapFiles: DataFrame,
+      maxBytes: Int = 1 << 26): DataFrame = {
+    import robotsPages.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    val decoded = sitemapFiles.select(col("url"), col("payload"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (url, payload) =>
+        val bytes = Option(payload).getOrElse(Array.emptyByteArray)
+        val xml =
+          if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+            BinaryCodecs.gunzip(bytes, maxBytes).map(new String(_, "UTF-8"))
+          else Some(new String(bytes, "UTF-8"))
+        xml.map(x => (url, x))
+      }.toDF("__sm_url", "__sm_xml")
+    robotsPages
+      .select(col("doc_id"), explode(Robots.sitemapUrls(col("robots"))).as("sitemap_url"))
+      .join(broadcast(decoded), col("sitemap_url") === col("__sm_url"))
+      .select(col("doc_id"), col("sitemap_url"),
+        posexplode(sitemapEntries(col("__sm_xml"))))
+      .select(col("doc_id"), col("sitemap_url"),
+        col("pos").cast("long").as("entry_pos"),
+        col("col.loc").as("loc"), col("col.lastmod").as("lastmod"),
+        col("col.is_index").as("is_index"))
+  }
+
   /** Recrawl priority from fetch history (Cho & Garcia-Molina 2003,
     * freshness-driven re-crawling, at estimate grain): per URL, the
     * observed change rate — fetches whose content hash differs from the

@@ -267,9 +267,42 @@ object Warc {
       // response record (urn:graft:rec:*), not at itself
       recordIdPrefix = "conv")
 
-  /** The shared file builder behind [[syntheticWarcBytes]] and
-    * [[toWet]]: group, order, warcinfo lead member, one gzip member per
-    * record.
+  /** WAT export — Common Crawl's METADATA sibling of WET: each page
+    * becomes a `metadata` record whose payload is a deterministic JSON
+    * envelope of the curation fields (HTTP status + content type, page
+    * title, meta description, `<base href>`, outlinks — the things a
+    * corpus pipeline filters and joins on without re-parsing HTML), with
+    * `WARC-Refers-To` naming the source response record and
+    * `Content-Type: application/json`. Pages group `docsPerFile` to a
+    * file in the standard member-per-record gzip layout, one
+    * [[parseWarc]] away from its own roundtrip oracle (the [[toWet]]
+    * idiom). Input columns: `(doc_id, uri, status, content_type, title,
+    * meta_desc, base, links: array<string>)` — feed them from
+    * [[httpResponses]] + [[Html.title]]/[[Html.metaContent]]/
+    * [[Html.baseHref]]/[[Html.extractLinks]]. Field order in the
+    * envelope is the struct order here (fixed — envelope bytes are
+    * interchange, they must not depend on column arrival order);
+    * `to_json` omits null fields, the JSON convention for absent
+    * metadata.
+    */
+  def toWat(pages: DataFrame, docsPerFile: Int = 8): Dataset[MediaRow] =
+    buildWarcFiles(
+      pages.select(col("doc_id"),
+        to_json(struct(
+          col("status").cast("int").as("status"),
+          col("content_type").as("content_type"),
+          col("title").as("title"),
+          col("meta_desc").as("meta_desc"),
+          col("base").as("base"),
+          col("links").as("links"))).cast("binary").as("payload"),
+        col("uri")),
+      docsPerFile, "metadata",
+      Seq("Content-Type" -> "application/json"), refersTo = true,
+      recordIdPrefix = "meta")
+
+  /** The shared file builder behind [[syntheticWarcBytes]], [[toWet]]
+    * and [[toWat]]: group, order, warcinfo lead member, one gzip member
+    * per record.
     */
   private def buildWarcFiles(
       docs: DataFrame,

@@ -186,4 +186,37 @@ class CrawlSpec extends SparkSpec {
       ("https://a.com/2", None, false),
       ("https://a.com/more.xml", None, true)))
   }
+
+  test("sitemapDiscovery: robots declarations join fetched files, gzip'd or plain") {
+    import graft.functions.BinaryCodecs
+    val robots = Seq(
+      (0L, "User-agent: *\nSitemap: https://a.com/sm.xml.gz\n"),
+      (1L, "Sitemap: https://b.com/sm.xml\nSitemap: https://never.fetched/x.xml\n"),
+      (2L, "Disallow: /private\n") // declares nothing
+    ).toDF("doc_id", "robots")
+    def xml(host: String) =
+      s"<urlset><url><loc>https://$host/1</loc><lastmod>2024-02-03</lastmod></url>" +
+        s"<url><loc>https://$host/2</loc></url></urlset>"
+    val files = Seq(
+      ("https://a.com/sm.xml.gz", BinaryCodecs.gzip(xml("a.com").getBytes("UTF-8"))),
+      ("https://b.com/sm.xml", xml("b.com").getBytes("UTF-8")),
+      // corrupt gzip: the file quarantines, its declarer gets nothing
+      ("https://never.fetched/x.xml",
+        BinaryCodecs.gzip("x".getBytes).dropRight(2))
+    ).toDF("url", "payload")
+    val got = graft.ops.Crawl.sitemapDiscovery(robots, files)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        Option(r.getString(4)), r.getBoolean(5)))
+      .sortBy(t => (t._1, t._3))
+    assert(got.toSeq == Seq(
+      (0L, "https://a.com/sm.xml.gz", 0L, "https://a.com/1", Some("2024-02-03"), false),
+      (0L, "https://a.com/sm.xml.gz", 1L, "https://a.com/2", None, false),
+      (1L, "https://b.com/sm.xml", 0L, "https://b.com/1", Some("2024-02-03"), false),
+      (1L, "https://b.com/sm.xml", 1L, "https://b.com/2", None, false)))
+    // the small side broadcasts: no shuffle exchange feeding the join
+    val plan = graft.ops.Crawl.sitemapDiscovery(robots, files)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -294,6 +294,38 @@ class WarcSpec extends SparkSpec {
     assert(conv.map(_.target_uri).toSeq == Seq("https://a/0", "https://a/1", "https://a/9"))
   }
 
+  test("toWat: metadata records with the JSON envelope, roundtrip through parseWarc") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val pages = Seq(
+      (0L, "https://a.com/0", 200, "text/html", "T0", "D0", "https://cdn/", Seq("/x", "/y")),
+      (1L, "https://a.com/1", 404, "text/html", "T1", "D1", null: String, Seq.empty[String])
+    ).toDF("doc_id", "uri", "status", "content_type", "title", "meta_desc", "base", "links")
+    val recs = Warc.parseWarc(Warc.toWat(pages, docsPerFile = 8))
+      .collect().sortBy(_.record_idx)
+    assert(recs.map(_.warc_type).toSeq == Seq("warcinfo", "metadata", "metadata"))
+    val envs = recs.filter(_.warc_type == "metadata")
+      .map(r => new String(r.payload, "UTF-8"))
+    // deterministic field order — envelope bytes are interchange surface
+    assert(envs(0) == """{"status":200,"content_type":"text/html","title":"T0",""" +
+      """"meta_desc":"D0","base":"https://cdn/","links":["/x","/y"]}""")
+    // null fields omit (the JSON convention for absent metadata)
+    assert(envs(1) == """{"status":404,"content_type":"text/html","title":"T1",""" +
+      """"meta_desc":"D1","links":[]}""")
+    // refers-to names the SOURCE response record namespace
+    val raw = new String(
+      graft.functions.BinaryCodecs.gzipMembers(
+        Warc.toWat(pages).collect().head.payload).get.apply(1), "UTF-8")
+    assert(raw.contains("WARC-Refers-To: <urn:graft:rec:0>"))
+    assert(raw.contains("WARC-Record-ID: <urn:graft:meta:0>"))
+    assert(raw.contains("Content-Type: application/json"))
+    // fields parse back
+    val parsed = Warc.parseWarc(Warc.toWat(pages)).toDF()
+      .where(col("warc_type") === "metadata")
+      .select(get_json_object(col("payload").cast("string"), "$.title").as("t"))
+      .collect().map(_.getString(0)).sorted
+    assert(parsed.toSeq == Seq("T0", "T1"))
+  }
+
   test("parseWarc: a corrupt file drops whole; good files in the same batch survive") {
     val good = BinaryCodecs.warcFile(Seq(rec("response", "u:1", "ok")))
     val media = Seq(
