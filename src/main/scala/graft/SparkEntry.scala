@@ -4432,7 +4432,21 @@ object SparkEntry {
             if (b % 2 == 0) graft.functions.BinaryCodecs.gzip(bytes) else bytes)
         }.toDF("url", "payload")
       Crawl.sitemapDiscovery(robotsPages, files)
-    })
+    }),
+
+    // ---- PROGRESSIVE JPEG decode (SOF2 — a double-digit share of web
+    // JPEGs; a corpus pipeline that quarantines them all has a silent
+    // coverage hole in image dedup): the q395 flat-block fixture
+    // re-emitted as progressive scan scripts (spectral selection +
+    // DC/AC successive approximation), decoded through the full Annex G
+    // accumulation. The oracle is q395's VERBATIM — progressive and
+    // baseline must land on identical pixels. -------------------------------
+    "q406_jpeg_progressive" -> ((s, dir) =>
+      Multimodal.imageStats(
+        Multimodal.syntheticProgressiveJpegMedia(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
+          col("sum_b"), col("sum_g"), col("sum_r")))
   )
 
   /** q358/q359's synthetic HTML page — every feature a pure function of
@@ -11563,7 +11577,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, sm, CAST(2 AS BIGINT),
         | h || '/more' || CAST(b AS VARCHAR) || '.xml.gz', CAST(NULL AS VARCHAR), TRUE
-        |FROM base WHERE a % 2 = 0""".stripMargin
+        |FROM base WHERE a % 2 = 0""".stripMargin,
+    // q406: q395's flat-block derivation verbatim — the progressive
+    // scan accumulation must reconstruct the identical pixels.
+    "q406_jpeg_progressive" -> JpegFlatStatsSql
   )
 
   /** The flat-block JPEG stats derivation, shared verbatim by q395 and

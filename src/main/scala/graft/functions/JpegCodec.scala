@@ -12,13 +12,19 @@ import java.nio.{ByteBuffer, ByteOrder}
   * decode, dequantization, exact double-precision IDCT).
   *
   * Scope contract (everything else quarantines to None): baseline SOF0
-  * only — no progressive (SOF2), no arithmetic coding, no 12-bit;
+  * and progressive SOF2 frames — progressive DECODE implements the full
+  * T.81 Annex G Huffman procedures (spectral selection, successive
+  * approximation with DC/AC refinement scans, EOB runs spanning blocks)
+  * because progressive is a double-digit share of web JPEGs and a
+  * corpus image pipeline that drops them all has a silent coverage
+  * hole; the encode side stays baseline (plus the progressive fixture
+  * emitters tests and oracles drive). No arithmetic coding, no 12-bit;
   * sampling factors 1 or 2 per axis, which covers grayscale, 4:4:4,
   * 4:2:2 and 4:2:0 (the layout most web JPEGs actually use — MCU =
   * 4 luma blocks + 1 Cb + 1 Cr, chroma upsampled by replication).
   * That covers every file this library's own encoders write and the
-  * overwhelming baseline share of web JPEGs; unsupported files drop
-  * rather than decode wrongly.
+  * overwhelming share of web JPEGs; unsupported files drop rather than
+  * decode wrongly.
   *
   * Exactness note the oracles build on: JPEG is lossy in general, but a
   * FLAT 8×8 block of value `v` has DC = 8·(v−128) and zero AC, so when
@@ -621,6 +627,7 @@ object JpegCodec {
     val compQ = new Array[Int](3) // quant table id per component
     val compId = new Array[Int](3)
     var restartInterval = 0
+    var progressive = false
     var pos = 2
     val compH = new Array[Int](3)
     val compV = new Array[Int](3)
@@ -667,8 +674,9 @@ object JpegCodec {
             if (tc == 0) dcTabs(th) = table else acTabs(th) = table
             p += 17 + n
           }
-        case 0xc0 => // SOF0 baseline
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
           if (w >= 0) return None // two frames
+          progressive = marker == 0xc2
           if (bodyLen < 6 || (payload(body) & 0xff) != 8) return None
           h = u16(body + 1); w = u16(body + 3)
           nComp = payload(body + 5) & 0xff
@@ -690,13 +698,20 @@ object JpegCodec {
             c += 1
           }
           if ((nComp.toLong * w * h) > maxBytes) return None // geometry cap
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
-            0xcd | 0xce | 0xcf => return None // non-baseline frames
+        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+            0xcd | 0xce | 0xcf => return None // unsupported frame types
         case 0xdd => // DRI
           if (bodyLen < 2) return None
           restartInterval = u16(body)
         case 0xda => // SOS
           if (w < 0) return None
+          if (progressive) {
+            // progressive scans parse their own headers — hand the walk
+            // off at the first SOS marker
+            return decodeProgressive(payload, pos, w, h, nComp,
+              compId, compH, compV, compQ, quant, dcTabs, acTabs,
+              restartInterval)
+          }
           if (bodyLen < 1 + 2 * nComp + 3) return None
           val ns = payload(body) & 0xff
           if (ns != nComp) return None // interleaved single scan only
@@ -803,8 +818,18 @@ object JpegCodec {
       }
       mcu += 1
     }
-    // ---- crop MCU padding, upsample subsampled planes (pixel
-    // replication — nearest), color-convert
+    planesToPixels(planes, planeW, compH, compV, hmax, vmax, nComp, w, h)
+  }
+
+  /** The shared decode tail: crop MCU padding, upsample subsampled
+    * planes (pixel replication — nearest), color-convert. Behind both
+    * the baseline and progressive paths — the frame types differ only
+    * in how coefficients arrive, never in reconstruction.
+    */
+  private def planesToPixels(
+      planes: Array[Array[Byte]], planeW: Array[Int],
+      compH: Array[Int], compV: Array[Int], hmax: Int, vmax: Int,
+      nComp: Int, w: Int, h: Int): Option[(Int, Int, Int, Array[Byte])] = {
     @inline def sample(c: Int, x: Int, y: Int): Int =
       planes(c)((y * compV(c) / vmax) * planeW(c) + (x * compH(c) / hmax)) & 0xff
     if (nComp == 1) {
@@ -837,5 +862,623 @@ object JpegCodec {
       }
       Some((w, h, 3, out))
     }
+  }
+
+  // --------------------------------------------------- progressive decode --
+
+  /** Decode the scan sequence of a progressive (SOF2) frame. The marker
+    * walk hands off here at the first SOS; scans accumulate QUANTIZED
+    * coefficients per T.81 Annex G (spectral-selection bands,
+    * successive-approximation first and refinement passes for DC and
+    * AC, EOB runs spanning blocks), DHT/DQT/DRI are legal between
+    * scans, and after EOI every block dequantizes and IDCTs through the
+    * same reconstruction tail as baseline. Any malformation — bad scan
+    * header, missing table, truncated entropy stream, band overrun —
+    * quarantines (None).
+    */
+  private def decodeProgressive(
+      payload: Array[Byte], sosPos: Int,
+      w: Int, h: Int, nComp: Int,
+      compId: Array[Int], compH: Array[Int], compV: Array[Int], compQ: Array[Int],
+      quant: Array[Array[Int]], dcTabs: Array[DecodeTable], acTabs: Array[DecodeTable],
+      restartInterval0: Int): Option[(Int, Int, Int, Array[Byte])] = {
+    def u16(p: Int): Int = ((payload(p) & 0xff) << 8) | (payload(p + 1) & 0xff)
+    var restartInterval = restartInterval0
+    var hmax = 1; var vmax = 1
+    var c = 0
+    while (c < nComp) {
+      if (compH(c) > hmax) hmax = compH(c)
+      if (compV(c) > vmax) vmax = compV(c)
+      c += 1
+    }
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val blocksW = Array.tabulate(nComp)(c => mcusX * compH(c))
+    val blocksH = Array.tabulate(nComp)(c => mcusY * compV(c))
+    // non-interleaved scans traverse the component's OWN block grid
+    // (T.81 A.2.2), not the MCU-padded one — storage stays padded, the
+    // walk uses the row stride
+    val usedW = Array.tabulate(nComp)(c => ((w * compH(c) + hmax - 1) / hmax + 7) / 8)
+    val usedH = Array.tabulate(nComp)(c => ((h * compV(c) + vmax - 1) / vmax + 7) / 8)
+    val coefs = Array.tabulate(nComp)(c => new Array[Int](blocksW(c) * blocksH(c) * 64))
+    var pos = sosPos
+    var sawEoi = false
+    var sawScan = false
+    while (!sawEoi) {
+      if (pos + 2 > payload.length) return None
+      if ((payload(pos) & 0xff) != 0xff) return None
+      val marker = payload(pos + 1) & 0xff
+      if (marker == 0xd9) sawEoi = true
+      else if (marker == 0xff) pos += 1 // fill byte
+      else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) return None
+      else if (marker == 0xc0 || marker == 0xc2 || marker == 0xc1 || marker == 0xc3 ||
+        (marker >= 0xc5 && marker <= 0xc7) || (marker >= 0xc9 && marker <= 0xcb) ||
+        (marker >= 0xcd && marker <= 0xcf)) return None // second frame
+      else {
+        if (pos + 4 > payload.length) return None
+        val len = u16(pos + 2)
+        if (len < 2 || pos + 2 + len > payload.length) return None
+        val body = pos + 4
+        val bodyLen = len - 2
+        marker match {
+          case 0xda =>
+            if (bodyLen < 1) return None
+            val ns = payload(body) & 0xff
+            if (ns < 1 || ns > nComp || bodyLen != 1 + 2 * ns + 3) return None
+            val scanComps = new Array[Int](ns)
+            val scanDc = new Array[Int](ns)
+            val scanAc = new Array[Int](ns)
+            var i = 0
+            while (i < ns) {
+              val cid = payload(body + 1 + 2 * i) & 0xff
+              val idx = compId.indexOf(cid)
+              if (idx < 0) return None
+              scanComps(i) = idx
+              scanDc(i) = (payload(body + 2 + 2 * i) >> 4) & 0x0f
+              scanAc(i) = payload(body + 2 + 2 * i) & 0x0f
+              if (scanDc(i) > 3 || scanAc(i) > 3) return None
+              i += 1
+            }
+            val ss = payload(body + 1 + 2 * ns) & 0xff
+            val se = payload(body + 2 + 2 * ns) & 0xff
+            val ahAl = payload(body + 3 + 2 * ns) & 0xff
+            val ah = (ahAl >> 4) & 0x0f
+            val al = ahAl & 0x0f
+            if (ss == 0) { if (se != 0) return None } // DC scan
+            else if (ns != 1 || ss > se || se > 63) return None // AC: one comp
+            if (ah > 13 || al > 13) return None
+            // table existence for what THIS scan reads
+            if (ss == 0 && ah == 0) {
+              i = 0
+              while (i < ns) { if (dcTabs(scanDc(i)) == null) return None; i += 1 }
+            }
+            if (ss > 0 && acTabs(scanAc(0)) == null) return None
+            decodeProgressiveScan(payload, pos + 2 + len, scanComps, scanDc,
+              scanAc, ss, se, ah, al, coefs, blocksW, usedW, usedH,
+              compH, compV, mcusX, mcusY, dcTabs, acTabs, restartInterval) match {
+              case Some(next) => pos = next; sawScan = true
+              case None => return None
+            }
+          case 0xc4 => // DHT between scans
+            var pp = body
+            while (pp < body + bodyLen) {
+              if (pp + 17 > body + bodyLen) return None
+              val tc = (payload(pp) >> 4) & 0x0f
+              val th = payload(pp) & 0x0f
+              if (tc > 1 || th > 3) return None
+              val counts = Array.tabulate(16)(i => payload(pp + 1 + i) & 0xff)
+              val n = counts.sum
+              if (n > 256 || pp + 17 + n > body + bodyLen) return None
+              val syms = new Array[Byte](n)
+              System.arraycopy(payload, pp + 17, syms, 0, n)
+              val table = new DecodeTable(counts, syms)
+              if (tc == 0) dcTabs(th) = table else acTabs(th) = table
+              pp += 17 + n
+            }
+            pos += 2 + len
+          case 0xdb => // DQT between scans
+            var pp = body
+            while (pp < body + bodyLen) {
+              val pq = (payload(pp) >> 4) & 0x0f
+              val tq = payload(pp) & 0x0f
+              if (pq != 0 || tq > 3 || pp + 65 > body + bodyLen) return None
+              val t = new Array[Int](64)
+              var k = 0
+              while (k < 64) { t(Zigzag(k)) = payload(pp + 1 + k) & 0xff; k += 1 }
+              quant(tq) = t
+              pp += 65
+            }
+            pos += 2 + len
+          case 0xdd => // DRI between scans
+            if (bodyLen < 2) return None
+            restartInterval = u16(body)
+            pos += 2 + len
+          case _ => pos += 2 + len // APPn, COM: skip
+        }
+      }
+    }
+    if (!sawScan) return None
+    // ---- dequantize + IDCT every block into the component planes
+    val planeW = blocksW.map(_ * 8)
+    val planes = Array.tabulate(nComp)(c => new Array[Byte](blocksW(c) * blocksH(c) * 64))
+    val deq = new Array[Int](64)
+    c = 0
+    while (c < nComp) {
+      val q = quant(compQ(c))
+      if (q == null) return None
+      val arr = coefs(c)
+      var by = 0
+      while (by < blocksH(c)) {
+        var bx = 0
+        while (bx < blocksW(c)) {
+          val base = (by * blocksW(c) + bx) * 64
+          var k = 0
+          while (k < 64) { deq(k) = arr(base + k) * q(k); k += 1 }
+          val sp = idct(deq)
+          val plane = planes(c)
+          val rowW = planeW(c)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val v = Math.round(sp(y * 8 + x) + 128.0).toInt
+              plane((by * 8 + y) * rowW + bx * 8 + x) =
+                (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+              x += 1
+            }
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      c += 1
+    }
+    planesToPixels(planes, planeW, compH, compV, hmax, vmax, nComp, w, h)
+  }
+
+  /** One progressive scan's entropy segment: returns the position of
+    * the marker that follows it, or None on corruption. The four scan
+    * kinds (DC/AC × first/refinement) share the two traversal orders —
+    * the MCU walk for interleaved DC scans, the component's own raster
+    * for single-component scans — with restart markers resetting
+    * predictors and the EOB run.
+    */
+  private def decodeProgressiveScan(
+      payload: Array[Byte], dataStart: Int,
+      scanComps: Array[Int], scanDc: Array[Int], scanAc: Array[Int],
+      ss: Int, se: Int, ah: Int, al: Int,
+      coefs: Array[Array[Int]],
+      blocksW: Array[Int], usedW: Array[Int], usedH: Array[Int],
+      compH: Array[Int], compV: Array[Int],
+      mcusX: Int, mcusY: Int,
+      dcTabs: Array[DecodeTable], acTabs: Array[DecodeTable],
+      restartInterval: Int): Option[Int] = {
+    val br = new BitReader(payload, dataStart)
+    val ns = scanComps.length
+    val preds = new Array[Int](ns)
+    var eobrun = 0
+    var bad = false
+    def restartCheck(unit: Int): Unit =
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        br.align()
+        val m = br.markerAhead
+        if (m < 0xd0 || m > 0xd7) bad = true
+        else {
+          br.pos += 2
+          java.util.Arrays.fill(preds, 0)
+          eobrun = 0
+        }
+      }
+    // ---- the per-block unit for this scan kind: (scanIdx, coefBase)
+    val unit: (Int, Int) => Unit =
+      if (ss == 0 && ah == 0) { (si, base) => // DC first
+        val t = decodeSymbol(br, dcTabs(scanDc(si)))
+        if (t > 11 || br.badStream) bad = true
+        else {
+          preds(si) += extend(br.bits(t), t)
+          coefs(scanComps(si))(base) = preds(si) << al
+        }
+      }
+      else if (ss == 0) { (si, base) => // DC refinement: one bit per block
+        if (br.bit() == 1) coefs(scanComps(si))(base) |= (1 << al)
+      }
+      else if (ah == 0) { (si, base) => // AC first (G.2.2)
+        val arr = coefs(scanComps(si))
+        if (eobrun > 0) eobrun -= 1
+        else {
+          var k = ss
+          var done = false
+          while (!done && !bad && k <= se) {
+            val rs = decodeSymbol(br, acTabs(scanAc(si)))
+            if (br.badStream) bad = true
+            else {
+              val r = rs >> 4
+              val sz = rs & 15
+              if (sz == 0) {
+                if (r == 15) k += 16 // ZRL
+                else {
+                  eobrun = (1 << r) - 1 + (if (r > 0) br.bits(r) else 0)
+                  done = true
+                }
+              } else {
+                k += r
+                if (k > se) bad = true
+                else {
+                  arr(base + Zigzag(k)) = extend(br.bits(sz), sz) << al
+                  k += 1
+                }
+              }
+            }
+          }
+        }
+      }
+      else { (si, base) => // AC refinement (G.1.2.3)
+        val arr = coefs(scanComps(si))
+        val p1 = 1 << al
+        val m1 = -1 << al
+        def correct(idx: Int): Unit =
+          if (br.bit() == 1 && (arr(idx) & p1) == 0)
+            arr(idx) += (if (arr(idx) >= 0) p1 else m1)
+        var k = ss
+        if (eobrun == 0) {
+          var done = false
+          while (!done && !bad && k <= se) {
+            val rs = decodeSymbol(br, acTabs(scanAc(si)))
+            if (br.badStream) bad = true
+            else {
+              var r = rs >> 4
+              val sz = rs & 15
+              var newval = 0
+              if (sz == 0) {
+                if (r < 15) { // EOB run INCLUDING this block
+                  eobrun = (1 << r) + (if (r > 0) br.bits(r) else 0)
+                  done = true
+                } // r == 15: ZRL, skip 16 zero-history coefficients
+              } else if (sz != 1) bad = true // refinement codes only size 1
+              else newval = if (br.bit() == 1) p1 else m1
+              if (!bad && !done) {
+                // advance r zero-history positions, correcting the
+                // nonzero-history coefficients passed over
+                var placed = false
+                while (!placed && k <= se) {
+                  val idx = base + Zigzag(k)
+                  if (arr(idx) != 0) correct(idx)
+                  else if (r == 0) {
+                    if (sz != 0) arr(idx) = newval
+                    placed = true
+                  } else r -= 1
+                  k += 1
+                }
+                if (!placed && sz != 0) bad = true // run past the band end
+              }
+            }
+          }
+        }
+        if (!bad && eobrun > 0) {
+          // EOB: correction bits for the band's remaining nonzero coefs
+          while (k <= se) {
+            val idx = base + Zigzag(k)
+            if (arr(idx) != 0) correct(idx)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+    // ---- traversal: interleaved MCU walk, or the component's own grid
+    if (ns > 1) {
+      val nMcu = mcusX * mcusY
+      var mcu = 0
+      while (!bad && mcu < nMcu) {
+        restartCheck(mcu)
+        var si = 0
+        while (!bad && si < ns) {
+          val c = scanComps(si)
+          var vi = 0
+          while (!bad && vi < compV(c)) {
+            var hi = 0
+            while (!bad && hi < compH(c)) {
+              val bx = (mcu % mcusX) * compH(c) + hi
+              val by = (mcu / mcusX) * compV(c) + vi
+              unit(si, (by * blocksW(c) + bx) * 64)
+              hi += 1
+            }
+            vi += 1
+          }
+          si += 1
+        }
+        mcu += 1
+      }
+    } else {
+      val c = scanComps(0)
+      val n = usedW(c) * usedH(c)
+      var i = 0
+      while (!bad && i < n) {
+        restartCheck(i)
+        unit(0, ((i / usedW(c)) * blocksW(c) + (i % usedW(c))) * 64)
+        i += 1
+      }
+    }
+    if (bad || br.badStream) None else Some(br.pos)
+  }
+
+  // -------------------------------------------------- progressive encoder --
+
+  /** The AC Huffman table the progressive EMITTERS write into their
+    * DHT segments: the Annex K tables lack the EOBn symbols (0x10-0xE0)
+    * progressive EOB runs longer than one block require, so the
+    * emitters carry their own — every EOBn, ZRL, and run/size symbol at
+    * a flat 8-bit length (176 codes; the all-ones code stays reserved
+    * per C.2). Deliberately non-optimal: these are fixture/test
+    * streams, and the decoder reads whatever DHT the file declares.
+    */
+  private val ProgAcSyms: Array[Byte] = (
+    (0 to 14).map(r => (r << 4).toByte) ++ // EOBn
+      Seq(0xf0.toByte) ++ // ZRL
+      (for (r <- 0 to 15; sz <- 1 to 10) yield ((r << 4) | sz).toByte)
+    ).toArray
+  private val ProgAcCounts: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, ProgAcSyms.length, 0, 0, 0, 0, 0, 0, 0, 0)
+
+  /** Quantized coefficient blocks of one channel (natural order), raster
+    * over the block grid — the shared front half of the progressive
+    * fixture emitters.
+    */
+  private def quantBlocks(
+      w: Int, h: Int, quant: Array[Int],
+      get: (Int, Int) => Int): Array[Array[Int]] = {
+    val bxN = (w + 7) / 8
+    val byN = (h + 7) / 8
+    Array.tabulate(byN * bxN) { i =>
+      val f = fdct(block(i % bxN, i / bxN, w, h, get))
+      Array.tabulate(64)(k => Math.round(f(k) / quant(k)).toInt)
+    }
+  }
+
+  /** DC scan of a progressive frame: first pass (`ah = 0`) emits the
+    * point-transformed DC diffs, refinement emits one bit per block —
+    * components interleaved in MCU order (for the 1×1-sampling layouts
+    * the fixture emitters write, MCU order IS block raster order).
+    */
+  private def emitDcScan(
+      bw: BitWriter, comps: Seq[(Array[Array[Int]], Array[(Int, Int)])],
+      ah: Int, al: Int): Unit = {
+    val preds = new Array[Int](comps.size)
+    val n = comps.head._1.length
+    var i = 0
+    while (i < n) {
+      var ci = 0
+      while (ci < comps.size) {
+        val coef = comps(ci)._1(i)(0)
+        if (ah == 0) {
+          val v = coef >> al
+          val diff = v - preds(ci)
+          preds(ci) = v
+          val t = category(diff)
+          val (code, len) = comps(ci)._2(t)
+          bw.put(code, len)
+          if (t > 0) bw.put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+        } else bw.put((coef >> al) & 1, 1)
+        ci += 1
+      }
+      i += 1
+    }
+  }
+
+  /** AC first scan (`ah = 0`) of one component: run/size symbols over
+    * the point-transformed band with EOB runs accumulated ACROSS blocks
+    * (T.81 G.1.2.2 — all-zero tails fold into one EOBn symbol).
+    */
+  private def emitAcFirstScan(
+      bw: BitWriter, blocks: Array[Array[Int]], acTab: Array[(Int, Int)],
+      ss: Int, se: Int, al: Int): Unit = {
+    var eobrun = 0
+    def flushEob(): Unit = if (eobrun > 0) {
+      var t = eobrun
+      var nbits = 0
+      while ({ t >>= 1; t != 0 }) nbits += 1
+      val (c, l) = acTab(nbits << 4)
+      bw.put(c, l)
+      if (nbits > 0) bw.put(eobrun & ((1 << nbits) - 1), nbits)
+      eobrun = 0
+    }
+    blocks.foreach { b =>
+      var r = 0
+      var k = ss
+      while (k <= se) {
+        val raw = b(Zigzag(k))
+        val tmp = if (raw < 0) -((-raw) >> al) else raw >> al
+        if (tmp == 0) r += 1
+        else {
+          flushEob()
+          while (r > 15) { val (z, zl) = acTab(0xf0); bw.put(z, zl); r -= 16 }
+          val sz = category(tmp)
+          val (c, l) = acTab((r << 4) | sz)
+          bw.put(c, l)
+          bw.put(if (tmp >= 0) tmp else tmp + (1 << sz) - 1, sz)
+          r = 0
+        }
+        k += 1
+      }
+      if (r > 0) { eobrun += 1; if (eobrun == 0x7fff) flushEob() }
+    }
+    flushEob()
+  }
+
+  /** AC refinement scan of one component: newly-significant
+    * coefficients as run/1 symbols, correction bits for the
+    * previously-nonzero ones buffered and attached to the symbol (or
+    * EOB run) they follow — the T.81 G.1.2.3 bit discipline the decoder
+    * replays.
+    */
+  private def emitAcRefineScan(
+      bw: BitWriter, blocks: Array[Array[Int]], acTab: Array[(Int, Int)],
+      ss: Int, se: Int, al: Int): Unit = {
+    var eobrun = 0
+    val pending = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def flushEob(): Unit = {
+      if (eobrun > 0) {
+        var t = eobrun
+        var nbits = 0
+        while ({ t >>= 1; t != 0 }) nbits += 1
+        val (c, l) = acTab(nbits << 4)
+        bw.put(c, l)
+        if (nbits > 0) bw.put(eobrun & ((1 << nbits) - 1), nbits)
+        eobrun = 0
+      }
+      pending.foreach(bit => bw.put(bit, 1))
+      pending.clear()
+    }
+    blocks.foreach { b =>
+      val absv = Array.tabulate(se + 1) { k =>
+        if (k < ss) 0
+        else { val v = b(Zigzag(k)); (if (v < 0) -v else v) >> al }
+      }
+      var eob = 0
+      var k = ss
+      while (k <= se) { if (absv(k) == 1) eob = k; k += 1 }
+      var r = 0
+      val local = scala.collection.mutable.ArrayBuffer.empty[Int]
+      k = ss
+      while (k <= se) {
+        val tmp = absv(k)
+        if (tmp == 0) r += 1
+        else {
+          while (r > 15 && k <= eob) { // ZRLs not foldable into the EOB run
+            flushEob()
+            val (z, zl) = acTab(0xf0)
+            bw.put(z, zl)
+            r -= 16
+            local.foreach(bit => bw.put(bit, 1))
+            local.clear()
+          }
+          if (tmp > 1) local += (tmp & 1) // previously nonzero: correction bit
+          else { // newly significant
+            flushEob()
+            val (c, l) = acTab((r << 4) | 1)
+            bw.put(c, l)
+            bw.put(if (b(Zigzag(k)) < 0) 0 else 1, 1)
+            local.foreach(bit => bw.put(bit, 1))
+            local.clear()
+            r = 0
+          }
+        }
+        k += 1
+      }
+      if (r > 0 || local.nonEmpty) {
+        eobrun += 1
+        pending ++= local
+        if (eobrun == 0x7fff || pending.size > 937) flushEob() // the T.81 bounds
+      }
+    }
+    flushEob()
+  }
+
+  /** Progressive (SOF2) GRAYSCALE JPEG — the decode side's fixture/test
+    * twin, NOT a production encoder (production writes stay baseline).
+    * Scan script: DC first at Al=1, the whole AC band first at Al=1,
+    * then DC and AC refinement to Al=0 — spectral selection AND
+    * successive approximation on both coefficient classes, so a decoder
+    * has to get all four Annex G procedures right to reproduce the
+    * pixels.
+    */
+  def encodeGrayProgressive(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, "jpeg dimensions must be positive")
+    require(width <= 65535 && height <= 65535, "jpeg dimensions exceed 16 bits")
+    def px(x: Int, y: Int): Int =
+      if (pixels.isEmpty) 0 else pixels((y * width + x) % pixels.length) & 0xff
+    val blocks = quantBlocks(width, height, QuantLuma, px)
+    val dcT = buildEncodeTable(DcLumaCounts, DcLumaSyms)
+    val acT = buildEncodeTable(ProgAcCounts, ProgAcSyms)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    seg(out, 0xe0, Jfif)
+    seg(out, 0xdb, dqtBody(0, QuantLuma))
+    seg(out, 0xc2, Array[Byte](8,
+      ((height >> 8) & 0xff).toByte, (height & 0xff).toByte,
+      ((width >> 8) & 0xff).toByte, (width & 0xff).toByte,
+      1, 1, 0x11, 0))
+    seg(out, 0xc4, dhtBody(0, 0, DcLumaCounts, DcLumaSyms))
+    seg(out, 0xc4, dhtBody(1, 0, ProgAcCounts, ProgAcSyms))
+    def sos(comps: Seq[(Int, Int)], ss: Int, se: Int, ah: Int, al: Int)(
+        emit: BitWriter => Unit): Unit = {
+      seg(out, 0xda,
+        Array[Byte](comps.size.toByte) ++
+          comps.flatMap { case (cid, tabs) => Seq(cid.toByte, tabs.toByte) } ++
+          Array[Byte](ss.toByte, se.toByte, (((ah << 4) | al) & 0xff).toByte))
+      val bw = new BitWriter(out)
+      emit(bw)
+      bw.flush()
+    }
+    sos(Seq((1, 0x00)), 0, 0, 0, 1)(bw => emitDcScan(bw, Seq((blocks, dcT)), 0, 1))
+    sos(Seq((1, 0x00)), 1, 63, 0, 1)(bw => emitAcFirstScan(bw, blocks, acT, 1, 63, 1))
+    sos(Seq((1, 0x00)), 0, 0, 1, 0)(bw => emitDcScan(bw, Seq((blocks, dcT)), 1, 0))
+    sos(Seq((1, 0x00)), 1, 63, 1, 0)(bw => emitAcRefineScan(bw, blocks, acT, 1, 63, 0))
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
+  /** Progressive 4:4:4 COLOR JPEG fixture emitter — [[encodeGrayProgressive]]'s
+    * three-component sibling: one interleaved DC scan per pass, AC
+    * scans one component at a time (progressive AC scans are
+    * non-interleaved by spec), same Al=1→0 script.
+    */
+  def encodeColor444Progressive(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, "jpeg dimensions must be positive")
+    require(width <= 65535 && height <= 65535, "jpeg dimensions exceed 16 bits")
+    def ch(x: Int, y: Int, c: Int): Int =
+      if (rgb.isEmpty) 0 else rgb((3 * (y * width + x) + c) % rgb.length) & 0xff
+    def yb(x: Int, y: Int): Int = {
+      val r = ch(x, y, 0); val g = ch(x, y, 1); val b = ch(x, y, 2)
+      Math.round(0.299 * r + 0.587 * g + 0.114 * b).toInt
+    }
+    def cb(x: Int, y: Int): Int = {
+      val r = ch(x, y, 0); val g = ch(x, y, 1); val b = ch(x, y, 2)
+      Math.round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b).toInt
+    }
+    def cr(x: Int, y: Int): Int = {
+      val r = ch(x, y, 0); val g = ch(x, y, 1); val b = ch(x, y, 2)
+      Math.round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b).toInt
+    }
+    val bY = quantBlocks(width, height, QuantLuma, yb)
+    val bCb = quantBlocks(width, height, QuantChroma, cb)
+    val bCr = quantBlocks(width, height, QuantChroma, cr)
+    val dcL = buildEncodeTable(DcLumaCounts, DcLumaSyms)
+    val dcC = buildEncodeTable(DcChromaCounts, DcChromaSyms)
+    val acP = buildEncodeTable(ProgAcCounts, ProgAcSyms)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    seg(out, 0xe0, Jfif)
+    seg(out, 0xdb, dqtBody(0, QuantLuma))
+    seg(out, 0xdb, dqtBody(1, QuantChroma))
+    seg(out, 0xc2, Array[Byte](8,
+      ((height >> 8) & 0xff).toByte, (height & 0xff).toByte,
+      ((width >> 8) & 0xff).toByte, (width & 0xff).toByte,
+      3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+    seg(out, 0xc4, dhtBody(0, 0, DcLumaCounts, DcLumaSyms))
+    seg(out, 0xc4, dhtBody(0, 1, DcChromaCounts, DcChromaSyms))
+    seg(out, 0xc4, dhtBody(1, 0, ProgAcCounts, ProgAcSyms))
+    def sos(comps: Seq[(Int, Int)], ss: Int, se: Int, ah: Int, al: Int)(
+        emit: BitWriter => Unit): Unit = {
+      seg(out, 0xda,
+        Array[Byte](comps.size.toByte) ++
+          comps.flatMap { case (cid, tabs) => Seq(cid.toByte, tabs.toByte) } ++
+          Array[Byte](ss.toByte, se.toByte, (((ah << 4) | al) & 0xff).toByte))
+      val bw = new BitWriter(out)
+      emit(bw)
+      bw.flush()
+    }
+    sos(Seq((1, 0x00), (2, 0x10), (3, 0x10)), 0, 0, 0, 1)(bw =>
+      emitDcScan(bw, Seq((bY, dcL), (bCb, dcC), (bCr, dcC)), 0, 1))
+    sos(Seq((1, 0x00)), 1, 63, 0, 1)(bw => emitAcFirstScan(bw, bY, acP, 1, 63, 1))
+    sos(Seq((2, 0x10)), 1, 63, 0, 1)(bw => emitAcFirstScan(bw, bCb, acP, 1, 63, 1))
+    sos(Seq((3, 0x10)), 1, 63, 0, 1)(bw => emitAcFirstScan(bw, bCr, acP, 1, 63, 1))
+    sos(Seq((1, 0x00), (2, 0x10), (3, 0x10)), 0, 0, 1, 0)(bw =>
+      emitDcScan(bw, Seq((bY, dcL), (bCb, dcC), (bCr, dcC)), 1, 0))
+    sos(Seq((1, 0x00)), 1, 63, 1, 0)(bw => emitAcRefineScan(bw, bY, acP, 1, 63, 0))
+    sos(Seq((2, 0x10)), 1, 63, 1, 0)(bw => emitAcRefineScan(bw, bCb, acP, 1, 63, 0))
+    sos(Seq((3, 0x10)), 1, 63, 1, 0)(bw => emitAcRefineScan(bw, bCr, acP, 1, 63, 0))
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
   }
 }

@@ -816,6 +816,35 @@ object Multimodal {
       }
   }
 
+  /** Progressive-JPEG twin of [[syntheticJpegMedia]]: the SAME flat
+    * even-valued blocks emitted as SOF2 scan scripts (spectral
+    * selection + DC/AC successive approximation, the shape real
+    * progressive encoders write) — even ids grayscale, odd ids the
+    * 4:4:4 color path. Decoded pixels equal the baseline fixture's by
+    * construction, so the q395 stats oracle replays VERBATIM: any
+    * disagreement between the progressive scan accumulation and the
+    * baseline path goes red.
+    */
+  def syntheticProgressiveJpegMedia(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.JpegCodec
+    graft.io.Spread.toDefaultParallelism(docs)
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val w = 8 * (1 + (id % 3).toInt)
+        val h = 8 * (1 + (id % 2).toInt)
+        def v(bx: Int, by: Int): Int = 2 * (((id * 7 + bx * 13 + by * 29) % 128).toInt)
+        val gray = Array.tabulate(w * h) { i =>
+          v((i % w) / 8, (i / w) / 8).toByte
+        }
+        val payload =
+          if (id % 2 == 0) JpegCodec.encodeGrayProgressive(w, h, gray)
+          else JpegCodec.encodeColor444Progressive(w, h, gray.flatMap(b => Array(b, b, b)))
+        MediaRow(id, "image", payload, "image/jpeg", payload.length.toLong)
+      }
+  }
+
   /** Test-path adapter: treat document text bytes as opaque media payloads
     * so the full binary-column pipeline runs against real testdata.
     */

@@ -134,10 +134,12 @@ class JpegSpec extends SparkSpec {
       after.forall(s => before(s.media_id) == ((s.sum_b, s.sum_g, s.sum_r))))
   }
 
-  test("quarantine: progressive, truncation, missing tables, garbage, geometry bomb") {
+  test("quarantine: mislabeled frame type, truncation, missing tables, garbage, geometry bomb") {
     val good = JpegCodec.encodeGray(16, 8, Array.tabulate(128)(_.toByte))
     assert(JpegCodec.decode(good).nonEmpty)
-    // SOF0 -> SOF2 (progressive): find FF C0 and patch
+    // a BASELINE stream whose SOF0 is patched to SOF2: the progressive
+    // path rejects its scan header (a full-band interleaved scan is not
+    // a legal progressive scan), so the mislabel still quarantines
     val prog = good.clone
     val at = prog.sliding(2).indexWhere(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc0)
     assert(at >= 0)
@@ -150,5 +152,44 @@ class JpegSpec extends SparkSpec {
     assert(JpegCodec.decode(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
     // geometry cap: decode with a tiny maxBytes must refuse before work
     assert(JpegCodec.decode(good, maxBytes = 16).isEmpty)
+    // truncated PROGRESSIVE stream (mid-scan, and missing EOI)
+    val fullProg = JpegCodec.encodeGrayProgressive(16, 8, Array.tabulate(128)(_.toByte))
+    assert(JpegCodec.decode(fullProg.dropRight(8)).isEmpty)
+  }
+
+  test("progressive decode equals baseline decode on random content (gray + 4:4:4)") {
+    val rnd = new scala.util.Random(7)
+    for ((w, h) <- Seq((8, 8), (24, 16), (13, 9), (40, 33))) {
+      val gray = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val base = JpegCodec.decode(JpegCodec.encodeGray(w, h, gray)).get
+      val prog = JpegCodec.decode(JpegCodec.encodeGrayProgressive(w, h, gray)).get
+      assert(prog._1 == w && prog._2 == h && prog._3 == 1)
+      assert(base._4.sameElements(prog._4),
+        s"gray $w x $h: progressive pixels must equal baseline's")
+      val rgb = Array.fill(3 * w * h)(rnd.nextInt(256).toByte)
+      val cBase = JpegCodec.decode(JpegCodec.encodeColor444(w, h, rgb)).get
+      val cProg = JpegCodec.decode(JpegCodec.encodeColor444Progressive(w, h, rgb)).get
+      assert(cBase._4.sameElements(cProg._4),
+        s"color $w x $h: progressive pixels must equal baseline's")
+    }
+  }
+
+  test("progressive flat blocks decode exactly; dHash matches the baseline encoding's") {
+    import graft.functions.BinaryCodecs
+    val w = 24; val h = 16
+    val src = flatBlocks(w, h, (bx, by) => 2 * ((bx * 7 + by * 13 + 30) % 128))
+    val (dw, dh, ch, px) = JpegCodec.decode(JpegCodec.encodeGrayProgressive(w, h, src)).get
+    assert((dw, dh, ch) == (w, h, 1))
+    assert(px.sameElements(src), "flat even blocks must decode bit-exactly via SOF2 too")
+    // the image-dedup invariant: both encodings of the same pixels
+    // fingerprint identically, so progressive files join the dedup
+    // buckets instead of silently vanishing
+    val dhBase = BinaryCodecs.jpegDhash(JpegCodec.encodeGray(w, h, src)).get
+    val dhProg = BinaryCodecs.jpegDhash(JpegCodec.encodeGrayProgressive(w, h, src)).get
+    assert(dhBase == dhProg)
+    val rgb = src.flatMap(b => Array(b, b, b))
+    val dhcBase = BinaryCodecs.jpegDhash(JpegCodec.encodeColor444(w, h, rgb)).get
+    val dhcProg = BinaryCodecs.jpegDhash(JpegCodec.encodeColor444Progressive(w, h, rgb)).get
+    assert(dhcBase == dhcProg)
   }
 }
