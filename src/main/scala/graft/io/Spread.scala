@@ -12,6 +12,10 @@ import org.apache.spark.sql.DataFrame
   */
 object Spread {
   def toDefaultParallelism(df: DataFrame): DataFrame = {
+    // streaming plans can't be probed via .rdd (and their partitioning is
+    // the micro-batch planner's job) — pass through, so batch operators
+    // that spread themselves stay reusable verbatim inside streams
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -808,6 +808,71 @@ class StreamingSpec extends SparkSpec {
       ("https://w/2", "third page")))
   }
 
+  test("corpus ingest stream: warc -> http -> charset -> main content -> simhash dedup equals batch") {
+    import graft.functions.BinaryCodecs
+    import graft.ops.{Dedup, Html, Warc}
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_stream_ingest")
+    // HTTP-wrapped pages, the q394 charset legs: odd ids latin-1 via the
+    // transport declaration, even ids BOM'd UTF-16LE. Ids sharing id/3
+    // carry identical prose, so clusters pair at hamming 0.
+    def page(id: Long): (Seq[(String, String)], Array[Byte]) = {
+      import java.nio.charset.StandardCharsets._
+      val prose = s"shared cluster ${id / 3} prose line with caf\u00e9 and enough characters to survive extraction"
+      val html = s"<html><head><title>t$id</title></head><body>\n<p>$prose</p>\n</body></html>"
+      val (ct, body) =
+        if (id % 2 == 1) ("text/html; charset=iso-8859-1", html.getBytes(ISO_8859_1))
+        else ("text/html", Array(0xFF.toByte, 0xFE.toByte) ++ html.getBytes(UTF_16LE))
+      val msg = (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n").getBytes(US_ASCII) ++ body
+      (Seq("WARC-Type" -> "response", "WARC-Target-URI" -> s"https://w/$id"), msg)
+    }
+    def mkFile(name: String, ids: Seq[Long]): Unit =
+      Files.write(Paths.get(in.toString, name), BinaryCodecs.warcFile(ids.map(page)))
+    mkFile("c-0.warc.gz", Seq(0L, 1L, 2L, 3L))
+    // the LIVE chain — every stage is the batch operator, streaming
+    def chainToHashes(pages: org.apache.spark.sql.DataFrame) =
+      Dedup.simhashText(
+        Html.mainContent(pages)
+          .select(regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+            col("main_text").as("text")))
+        .select(col("id"), col("simhash")).as[(Long, Long)]
+    val hashes = chainToHashes(Warc.decodePages(
+      StreamingOps.warcFileStream(spark, in.toString)).toDF())
+    val q = StreamingOps.hammingPairsStream(hashes, maxHamming = 3, bands = 8, maxBucket = 64)
+      .writeStream.outputMode("update").format("memory").queryName("ingestdedup")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable()
+    def emitted() = spark.table("ingestdedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the batch composite over the same directory (q394's chain + q353's op)
+    def batchPairs(): Set[(Long, Long, Long)] = {
+      val media = spark.read.format("binaryFile").load(in.toString)
+        .select(xxhash64(col("path")).as("media_id"), lit("warc").as("kind"),
+          col("content").as("payload"), lit("application/warc").as("mime_type"),
+          col("length").as("size_bytes"))
+        .as[graft.ops.Multimodal.MediaRow]
+      Dedup.hammingPairs(
+        chainToHashes(Warc.decodePages(Warc.parseWarc(media)).toDF())
+          .toDF("id", "hash"),
+        maxHamming = 3, bands = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val prefix1 = emitted()
+    assert(prefix1 == batchPairs(), "prefix 1 diverges from the batch composite")
+    assert(prefix1.contains((0L, 1L, 0L)) || prefix1.contains((1L, 2L, 0L)),
+      "cluster 0 must pair — the two charset legs decoded to different text")
+    // second arrival: ids 4-5 extend cluster 1 (id 3's), plus a file that
+    // QUARANTINES mid-stream — it must be inert on both sides
+    mkFile("c-1.warc.gz", Seq(4L, 5L))
+    Files.write(Paths.get(in.toString, "c-2.warc.gz"),
+      BinaryCodecs.warcFile(Seq(page(99L))).dropRight(3))
+    q.processAllAvailable(); q.stop()
+    val all = emitted()
+    assert(all == batchPairs(), "full stream diverges from batch (the corrupt file must be inert)")
+    assert(all.contains((3L, 4L, 0L)), "cross-batch near-dup must pair via state")
+    assert(!all.exists(p => p._1 == 99L || p._2 == 99L), "the quarantined file leaked records")
+  }
+
   test("changeDetectStream: flags equal the batch lag replay; counters survive batches") {
     val in = Files.createTempDirectory("graft_stream_chg")
     def write(name: String, rows: Seq[(String, Long, String)]): Unit =
