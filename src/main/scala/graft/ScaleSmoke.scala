@@ -159,7 +159,15 @@ object ScaleSmoke {
     // split + charset + main-content stacked — the heaviest pure-map
     // chain in the suite) and the baseline JPEG decode (Huffman bit
     // walk + per-block IDCT per row — the most CPU-dense codec path).
-    "q394_warc_http_ingest", "q395_jpeg_stats")
+    "q394_warc_http_ingest", "q395_jpeg_stats",
+    // Round-15 additions: the flagship day-one corpus composite — the
+    // FULL multiplied-constants chain a user actually runs (.warc.gz →
+    // HTTP → charset → main content → verified SimHash dedup →
+    // token-exact packing) as ONE job; progressive JPEG decode (the
+    // multi-scan coefficient accumulation is ~4× the marker passes of
+    // baseline per image); and the WAT metadata export (Html extractor
+    // stack + JSON envelope + container build + re-parse).
+    "q407_corpus_composite", "q406_jpeg_progressive", "q404_wat_export")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))

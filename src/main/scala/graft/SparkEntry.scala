@@ -4446,7 +4446,89 @@ object SparkEntry {
         Multimodal.syntheticProgressiveJpegMedia(t(s, dir, "documents")))
         .toDF()
         .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
-          col("sum_b"), col("sum_g"), col("sum_r")))
+          col("sum_b"), col("sum_g"), col("sum_r"))),
+
+    // ---- the FLAGSHIP day-one corpus composite, in ONE job: every
+    // doc_id % 10 == 7 page is a byte-identical CLONE of doc_id - 1's
+    // content (served under its own URL in the OTHER charset leg), the
+    // corpus ships as `.warc.gz` wire messages, and the chain runs
+    // container parse → HTTP split → charset decode → main-content →
+    // SimHash fingerprint dedup (clones collapse across encodings —
+    // decode-normalizes-before-dedup, the property that matters) →
+    // BPE-token-exact window packing of the SURVIVORS. Composes
+    // q384/q394/q359/q353/q391, each individually oracled; the oracle
+    // replays the entire chain in SQL (fixture → main-content → group
+    // by text → pinned-merge encode → window arithmetic). -------------------
+    "q407_corpus_composite" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val withCid = base.select(col("doc_id").as("real_id"),
+        when(col("doc_id") % 10 === 7, col("doc_id") - 1)
+          .otherwise(col("doc_id")).as("doc_id"))
+      // page content keyed on the CONTENT id (clones byte-identical),
+      // URI on the real id
+      val joined = withCid.join(base, Seq("doc_id"))
+      val htmlDocs = joined.select(col("real_id"),
+        concat(syntheticHtml,
+          lit("\n<p>caf\u00e9 filler prose line stays in the corpus</p>")).as("html"))
+        .select(col("real_id").as("doc_id"), col("html"),
+          concat(lit("https://host"), (col("real_id") % 20).cast("string"),
+            lit(".example.com/p/"), col("real_id").cast("string")).as("uri"))
+      val msgs = graft.io.Spread.toDefaultParallelism(htmlDocs)
+        .as[(Long, String, String)]
+        .map { case (id, html, uri) =>
+          import java.nio.charset.StandardCharsets._
+          val (ct, body) =
+            if (id % 2 == 1) ("text/html; charset=iso-8859-1", html.getBytes(ISO_8859_1))
+            else ("text/html",
+              Array(0xFF.toByte, 0xFE.toByte) ++ html.getBytes(UTF_16LE))
+          val head = s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\nX-Doc: $id\r\n\r\n"
+          (id, head.getBytes("US-ASCII") ++ body, uri)
+        }.toDF("doc_id", "payload", "uri")
+      val pages = graft.ops.Warc.decodePages(
+        graft.ops.Warc.parseWarc(graft.ops.Warc.syntheticWarcBytes(msgs))).toDF()
+      val content = Html.mainContent(pages).select(
+        regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("main_text").as("text"))
+      // SimHash dedup with the repo's LSH discipline: banded candidates,
+      // then VERIFY by exact text before dropping — raw 64-bit
+      // fingerprint equality alone over-collapses (similar short docs
+      // genuinely collide; observed live at sf0.01), and a dedup that
+      // drops non-duplicates is corpus loss, the worst failure mode
+      val candidates = Dedup.hammingPairs(
+        Dedup.simhashText(content).select(col("id"), col("simhash").as("hash")),
+        maxHamming = 0, bands = 4)
+      val verified = candidates
+        .join(content.select(col("doc_id").as("a_id"), col("text").as("__ta")), "a_id")
+        .join(content.select(col("doc_id").as("b_id"), col("text").as("__tb")), "b_id")
+        .where(col("__ta") === col("__tb"))
+      val kept = content.join(
+        verified.select(col("b_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      // tokenizer trained on the raw corpus (q391's trainer), applied to
+      // the cleaned survivors; window packing is token-exact
+      val merges = Ngrams.bpeMerges(t(s, dir, "documents"), rounds = 16, batch = 8)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val counts = Ngrams.bpeEncodeStats(kept, merges)
+        .select(col("doc_id"), col("n_subwords").as("n_tokens"))
+      SequencePack.concatChunk(counts, windowSize = 256)
+    }),
+
+    // ---- quarantine made VISIBLE: parseWarc drops malformed crawl
+    // files whole (the right framing call), and this surfaces exactly
+    // those files as rows — a corpus job that silently loses crawl
+    // files is an ops incident nobody can see. Every file whose id sits
+    // on the corruption residue is truncated mid-member; the oracle
+    // derives the quarantine set from the residue. --------------------------
+    "q408_warc_quarantine" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val media = graft.ops.Warc.syntheticWarc(docs, docsPerFile = 8)
+        .map(m => if (m.media_id % 5 == 2) m.copy(payload = m.payload.dropRight(3)) else m)
+      graft.ops.Warc.quarantinedFiles(media)
+        .select(col("media_id").as("file_id"))
+    })
   )
 
   /** q358/q359's synthetic HTML page — every feature a pure function of
@@ -11580,7 +11662,49 @@ object SparkEntry {
         |FROM base WHERE a % 2 = 0""".stripMargin,
     // q406: q395's flat-block derivation verbatim — the progressive
     // scan accumulation must reconstruct the identical pixels.
-    "q406_jpeg_progressive" -> JpegFlatStatsSql
+    "q406_jpeg_progressive" -> JpegFlatStatsSql,
+    // q407: the WHOLE chain replayed in SQL — the html fixture retargeted
+    // at the clone-content id (literal substitutions on the SHARED
+    // HtmlFixtureCte, so the two cannot drift), the q359 main-content
+    // replay, then the pinned-merge encode + q317 window arithmetic over
+    // the survivors. The dedup outcome derives from the construction:
+    // main_text embeds the content id, so verified text equality holds
+    // EXACTLY for the % 10 = 7 clones — raw fingerprint collisions
+    // (which exist at sf0.01) are vetoed by the verify stage on the
+    // Spark side and never dropped. Charset legs cancel out by
+    // construction — both decode to the identical page.
+    "q407_corpus_composite" ->
+      s"""WITH src0 AS (SELECT doc_id AS real_id,
+         |  CASE WHEN doc_id % 10 = 7 THEN doc_id - 1 ELSE doc_id END AS cid
+         | FROM documents),
+         |${HtmlFixtureCte
+            .replace("d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents)",
+              "d AS (SELECT s.real_id, s.cid AS doc_id, coalesce(x.text, '') AS t" +
+                " FROM src0 s JOIN documents x ON x.doc_id = s.cid)")
+            .replace("h AS (SELECT doc_id,", "h0 AS (SELECT real_id, doc_id,")},
+         |h AS (SELECT real_id AS doc_id, html || chr(10) || '<p>caf' || chr(233)
+         |  || ' filler prose line stays in the corpus</p>' AS html FROM h0),
+         |$MainContentCtes,
+         |kept AS (
+         | SELECT doc_id, main_text AS text FROM m WHERE doc_id % 10 <> 7),
+         |${BpeEncodeCtes.replace("FROM documents)", "FROM kept)")},
+         |d2 AS (SELECT doc_id, n_subwords AS n FROM per),
+         |pp2 AS (SELECT doc_id, n,
+         |  CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS s
+         | FROM d2 WHERE n > 0),
+         |x AS (SELECT doc_id, n, s,
+         |  unnest(generate_series(s // 256, (s + n - 1) // 256)) AS w FROM pp2)
+         |SELECT CAST(w AS BIGINT) AS window_id, doc_id,
+         | CAST(greatest(w * 256, s) - w * 256 AS BIGINT) AS offset_in_window,
+         | CAST(least((w + 1) * 256, s + n) - greatest(w * 256, s) AS BIGINT) AS n_in_window,
+         | s >= w * 256 AS is_head, s + n <= (w + 1) * 256 AS is_tail
+         |FROM x""".stripMargin,
+    // q408: the quarantine set is exactly the corruption residue —
+    // every truncated file fails the member walk, every intact file
+    // parses.
+    "q408_warc_quarantine" ->
+      """SELECT DISTINCT CAST(doc_id // 8 AS BIGINT) AS file_id
+        |FROM documents WHERE (doc_id // 8) % 5 = 2""".stripMargin
   )
 
   /** The flat-block JPEG stats derivation, shared verbatim by q395 and
