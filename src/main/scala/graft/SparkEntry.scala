@@ -4528,6 +4528,52 @@ object SparkEntry {
         .map(m => if (m.media_id % 5 == 2) m.copy(payload = m.payload.dropRight(3)) else m)
       graft.ops.Warc.quarantinedFiles(media)
         .select(col("media_id").as("file_id"))
+    }),
+
+    // ---- revisit-record resolution: real crawlers archive UNCHANGED
+    // content as a body-less `revisit` record pointing at the original
+    // via WARC-Refers-To (the identical-payload-digest profile); a
+    // corpus read that ignores them loses every re-crawled-but-unchanged
+    // page. Every % 10 == 7 doc archives as a revisit of its
+    // predecessor; resolution inherits the ORIGINAL's payload under the
+    // revisit's own URI. Oracle: a documents self-join on the residue. --
+    "q409_warc_revisit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.ops.Warc.resolveRevisits(
+        graft.ops.Warc.parseWarc(graft.ops.Warc.syntheticWarcRevisits(docs)))
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("record_id"), col("was_revisit"),
+          col("payload").cast("string").as("text_out"))
+    }),
+
+    // ---- WAT parse-back (the READ half of q404's writer): metadata
+    // records' JSON envelopes come back out as typed columns next to
+    // the Refers-To source pointer — the roundtrip that proves the
+    // envelope is real interchange, not write-only bytes. Same fixture
+    // as q404; every field from the id formula. ----------------------------
+    "q410_wat_ingest" -> ((s, dir) => {
+      val id = col("doc_id")
+      val pages = t(s, dir, "documents").select(
+        id,
+        concat(lit("https://host"), (id % 20).cast("string"),
+          lit(".example.com/p/"), id.cast("string")).as("uri"),
+        (lit(200) + (id % 3) * 2).as("status"),
+        lit("text/html").as("content_type"),
+        concat(lit("Doc "), id.cast("string")).as("title"),
+        concat(lit("Summary "), (id % 7).cast("string"), lit(" here.")).as("meta_desc"),
+        concat(lit("https://cdn"), (id % 3).cast("string"),
+          lit(".example.net/assets/")).as("base"),
+        array(concat(lit("https://a"), (id % 4).cast("string"), lit(".example.org/x")),
+          concat(lit("/local/"), id.cast("string"))).as("links"))
+      graft.ops.Warc.watEnvelopes(
+        graft.ops.Warc.parseWarc(graft.ops.Warc.toWat(pages)))
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("refers_to"), col("status").cast("long").as("status"),
+          col("content_type"), col("title"), col("meta_desc"), col("base"),
+          size(col("links")).cast("long").as("n_links"),
+          element_at(col("links"), 2).as("last_link"))
     })
   )
 
@@ -11704,7 +11750,33 @@ object SparkEntry {
     // parses.
     "q408_warc_quarantine" ->
       """SELECT DISTINCT CAST(doc_id // 8 AS BIGINT) AS file_id
-        |FROM documents WHERE (doc_id // 8) % 5 = 2""".stripMargin
+        |FROM documents WHERE (doc_id // 8) % 5 = 2""".stripMargin,
+    // q409: responses pass through with their own text; the residue
+    // docs resolve to the PREDECESSOR's text with the revisit flag up.
+    "q409_warc_revisit" ->
+      """SELECT doc_id,
+        | '<urn:graft:rec:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+        | FALSE AS was_revisit, coalesce(text, '') AS text_out
+        |FROM documents WHERE doc_id % 10 <> 7
+        |UNION ALL
+        |SELECT a.doc_id,
+        | '<urn:graft:rec:' || CAST(a.doc_id AS VARCHAR) || '>' AS record_id,
+        | TRUE AS was_revisit, coalesce(b.text, '') AS text_out
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id - 1
+        |WHERE a.doc_id % 10 = 7""".stripMargin,
+    // q410: every envelope field straight from the id formula, plus the
+    // Refers-To pointer into the response-record id namespace.
+    "q410_wat_ingest" ->
+      """SELECT doc_id,
+        | '<urn:graft:rec:' || CAST(doc_id AS VARCHAR) || '>' AS refers_to,
+        | CAST(200 + (doc_id % 3) * 2 AS BIGINT) AS status,
+        | 'text/html' AS content_type,
+        | 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+        | 'Summary ' || CAST(doc_id % 7 AS VARCHAR) || ' here.' AS meta_desc,
+        | 'https://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example.net/assets/' AS base,
+        | CAST(2 AS BIGINT) AS n_links,
+        | '/local/' || CAST(doc_id AS VARCHAR) AS last_link
+        |FROM documents""".stripMargin
   )
 
   /** The flat-block JPEG stats derivation, shared verbatim by q395 and

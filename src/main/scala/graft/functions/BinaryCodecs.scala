@@ -1164,12 +1164,15 @@ object BinaryCodecs {
     bos.toByteArray
   }
 
-  /** One parsed WARC record: `(warc_type, target_uri, n_headers,
-    * payload)` — type/URI null when the header is absent (legal for some
-    * record types).
+  /** One parsed WARC record: type, target URI, the record's own
+    * `WARC-Record-ID`, its `WARC-Refers-To` (the link revisit/
+    * conversion/metadata records carry to their source record), header
+    * count, payload — each null when the header is absent (legal for
+    * some record types).
     */
   final case class WarcRec(
-      warcType: String, targetUri: String, nHeaders: Int, payload: Array[Byte])
+      warcType: String, targetUri: String, nHeaders: Int, payload: Array[Byte],
+      recordId: String = null, refersTo: String = null)
 
   /** Parse a WARC file — gzip'd (member-per-record or any member split;
     * detected by magic) or plain — into its records in file order. The
@@ -1296,6 +1299,8 @@ object BinaryCodecs {
     // ---- header fields to the blank line
     var warcType: String = null
     var targetUri: String = null
+    var recordId: String = null
+    var refersTo: String = null
     var contentLength = -1L
     var nHeaders = 0
     var open = true
@@ -1313,6 +1318,8 @@ object BinaryCodecs {
         nHeaders += 1
         if (name.equalsIgnoreCase("WARC-Type")) warcType = value
         else if (name.equalsIgnoreCase("WARC-Target-URI")) targetUri = value
+        else if (name.equalsIgnoreCase("WARC-Record-ID")) recordId = value
+        else if (name.equalsIgnoreCase("WARC-Refers-To")) refersTo = value
         else if (name.equalsIgnoreCase("Content-Length"))
           contentLength =
             try value.toLong
@@ -1329,7 +1336,8 @@ object BinaryCodecs {
     if (buf(o) != '\r' || buf(o + 1) != '\n' || buf(o + 2) != '\r' || buf(o + 3) != '\n')
       return WarcParse.Malformed
     o += 4
-    WarcParse.Complete(WarcRec(warcType, targetUri, nHeaders, body), o)
+    WarcParse.Complete(
+      WarcRec(warcType, targetUri, nHeaders, body, recordId, refersTo), o)
   }
 
   /** Integer-exact per-channel pixel statistics from a 24bpp bottom-up BMP

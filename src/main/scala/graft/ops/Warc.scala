@@ -26,8 +26,10 @@ import graft.ops.Multimodal.MediaRow
 object Warc {
 
   /** One WARC record row: `record_idx` is the 0-based position within
-    * its file; `warc_type`/`target_uri` null when the record carries no
-    * such header (legal for e.g. warcinfo's URI).
+    * its file; `warc_type`/`target_uri`/`record_id`/`refers_to` null
+    * when the record carries no such header (legal for e.g. warcinfo's
+    * URI; `refers_to` is how revisit/conversion/metadata records name
+    * their source record).
     */
   final case class WarcRecordRow(
       media_id: Long,
@@ -36,7 +38,9 @@ object Warc {
       target_uri: String,
       n_headers: Int,
       n_bytes: Long,
-      payload: Array[Byte])
+      payload: Array[Byte],
+      record_id: String,
+      refers_to: String)
 
   /** Explode WARC files (gzip'd or plain — detected per file) into their
     * records in file order. A malformed file quarantines WHOLE (drops) —
@@ -64,7 +68,8 @@ object Warc {
             maxBytesTotal = maxBytesTotal).toSeq.flatMap { recs =>
             recs.zipWithIndex.map { case (r, i) =>
               WarcRecordRow(m.media_id, i.toLong, r.warcType, r.targetUri,
-                r.nHeaders, r.payload.length.toLong, r.payload)
+                r.nHeaders, r.payload.length.toLong, r.payload,
+                r.recordId, r.refersTo)
             }
           }
         }
@@ -173,6 +178,105 @@ object Warc {
       .where(col("status").between(300, 399) && col("location").isNotNull)
       .select(col("target_uri").as("from_url"),
         Urls.resolve(col("target_uri"), col("location")).as("to_url"))
+
+  /** Resolve `revisit` records against the responses they reference —
+    * real crawlers archive UNCHANGED content as a body-less revisit
+    * record pointing at the original via `WARC-Refers-To` (the
+    * identical-payload-digest profile), so a corpus read that ignores
+    * them silently loses every re-crawled-but-unchanged page. Responses
+    * pass through (`was_revisit = false`); each revisit joins the
+    * response whose `WARC-Record-ID` it names and inherits that PAYLOAD
+    * under its own URI and position (`was_revisit = true`); a revisit
+    * whose original is absent from the input drops (quarantine — there
+    * is nothing sound to resolve it to).
+    *
+    * Scale shape: one shuffle on the record id; revisit references
+    * legally cross files, so the join is the honest plan — payloads
+    * move once, and only for records that are actually referenced.
+    */
+  def resolveRevisits(records: Dataset[WarcRecordRow]): DataFrame = {
+    val df = records.toDF()
+    val responses = df.where(col("warc_type") === "response")
+    val originals = responses
+      .select(col("record_id").as("__oid"), col("payload").as("__opayload"))
+    responses
+      .select(col("media_id"), col("record_idx"), col("target_uri"),
+        col("record_id"), col("payload"), lit(false).as("was_revisit"))
+      .unionByName(
+        df.where(col("warc_type") === "revisit" && col("refers_to").isNotNull)
+          .join(originals, col("refers_to") === col("__oid"))
+          .select(col("media_id"), col("record_idx"), col("target_uri"),
+            col("record_id"), col("__opayload").as("payload"),
+            lit(true).as("was_revisit")))
+  }
+
+  /** Parse WAT `metadata` records back into typed columns — the READ
+    * half of [[toWat]] (and of any WAT-shaped metadata sidecar): the
+    * JSON envelope fields come out as columns next to the record's URI
+    * and its `WARC-Refers-To` source pointer. Map-side, no shuffle;
+    * unparseable envelopes yield null fields (`from_json`'s contract),
+    * never dropped rows — metadata is advisory, quarantining a page
+    * over a bad sidecar would be backwards.
+    */
+  def watEnvelopes(records: Dataset[WarcRecordRow]): DataFrame = {
+    val envSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "status INT, content_type STRING, title STRING, " +
+        "meta_desc STRING, base STRING, links ARRAY<STRING>")
+    records.toDF()
+      .where(col("warc_type") === "metadata")
+      .select(col("media_id"), col("record_idx"), col("target_uri"),
+        col("refers_to"),
+        from_json(col("payload").cast("string"), envSchema).as("__env"))
+      .select(col("media_id"), col("record_idx"), col("target_uri"),
+        col("refers_to"), col("__env.*"))
+  }
+
+  /** Synthetic crawl corpus WITH revisit records — the write half of
+    * the q409 roundtrip: docs on the revisit residue archive as
+    * body-less `revisit` records whose `WARC-Refers-To` names the
+    * PREVIOUS doc's response record (the identical-payload-digest
+    * shape), everything else as normal responses.
+    */
+  def syntheticWarcRevisits(
+      docs: DataFrame, docsPerFile: Int = 8, residue: Int = 7): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    require(docsPerFile >= 1, s"docsPerFile must be >= 1: $docsPerFile")
+    graft.io.Spread.toDefaultParallelism(
+      docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text")))
+      .groupBy(expr(s"doc_id div $docsPerFile").as("file_id"))
+      .agg(sort_array(collect_list(struct(
+        col("doc_id").as("_1"), col("text").as("_2")))).as("recs"))
+      .as[(Long, Seq[(Long, String)])]
+      .map { case (fid, recs) =>
+        val info = (Seq(
+          "WARC-Type" -> "warcinfo",
+          "WARC-Record-ID" -> s"<urn:graft:file:$fid>",
+          "WARC-Date" -> "2024-01-01T00:00:00Z"),
+          WarcInfoPayload.getBytes("UTF-8"))
+        val records = recs.map { case (id, text) =>
+          val uri = s"https://host${id % 20}.example.com/p/$id"
+          if (id % 10 == residue)
+            (Seq(
+              "WARC-Type" -> "revisit",
+              "WARC-Record-ID" -> s"<urn:graft:rec:$id>",
+              "WARC-Date" -> "2024-01-01T00:00:00Z",
+              "WARC-Target-URI" -> uri,
+              "WARC-Refers-To" -> s"<urn:graft:rec:${id - 1}>",
+              "WARC-Profile" ->
+                "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"),
+              Array.emptyByteArray)
+          else
+            (Seq(
+              "WARC-Type" -> "response",
+              "WARC-Record-ID" -> s"<urn:graft:rec:$id>",
+              "WARC-Date" -> "2024-01-01T00:00:00Z",
+              "WARC-Target-URI" -> uri), text.getBytes("UTF-8"))
+        }
+        val bytes = BinaryCodecs.warcFile(info +: records, gzipPerRecord = true)
+        MediaRow(fid, "warc", bytes, "application/warc", bytes.length.toLong)
+      }
+  }
 
   /** One fully-decoded page: HTTP envelope + charset-transcoded text.
     * `body_decoded` false marks pages whose HTTP body still carries an

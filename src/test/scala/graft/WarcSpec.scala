@@ -326,6 +326,29 @@ class WarcSpec extends SparkSpec {
     assert(parsed.toSeq == Seq("T0", "T1"))
   }
 
+  test("resolveRevisits: body-less revisits inherit the original's payload; orphans drop") {
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 20L).map(i => (i, s"page $i body")).toDF("doc_id", "text")
+    val recs = Warc.parseWarc(Warc.syntheticWarcRevisits(docs, docsPerFile = 8))
+    // ids on the residue archived as revisit records with no body
+    val raw = recs.collect()
+    val revisits = raw.filter(_.warc_type == "revisit")
+    assert(revisits.map(r => r.target_uri.split("/").last.toLong).sorted.toSeq == Seq(7L, 17L))
+    assert(revisits.forall(r => r.payload.isEmpty && r.refers_to != null))
+    val resolved = Warc.resolveRevisits(recs)
+      .select(col("target_uri"), col("was_revisit"), col("payload").cast("string"))
+      .collect().map(r => (r.getString(0).split("/").last.toLong, r.getBoolean(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(resolved.length == 20)
+    assert(resolved(7) == ((7L, true, "page 6 body")), "revisit must inherit the ORIGINAL's body")
+    assert(resolved(17) == ((17L, true, "page 16 body")))
+    assert(resolved(6) == ((6L, false, "page 6 body")))
+    // an orphan revisit (its original absent) quarantines
+    val orphaned = Warc.resolveRevisits(
+      recs.filter(r => r.record_id != "<urn:graft:rec:6>"))
+    assert(orphaned.count() == 18) // 19 remaining records minus the orphan revisit of 6
+  }
+
   test("parseWarc: a corrupt file drops whole; good files in the same batch survive") {
     val good = BinaryCodecs.warcFile(Seq(rec("response", "u:1", "ok")))
     val media = Seq(
