@@ -4574,6 +4574,30 @@ object SparkEntry {
           col("content_type"), col("title"), col("meta_desc"), col("base"),
           size(col("links")).cast("long").as("n_links"),
           element_at(col("links"), 2).as("last_link"))
+    }),
+
+    // ---- host-level TEMPLATE line removal (the CCNet/RefinedWeb
+    // line-frequency boilerplate filter): lines repeating across >= 3
+    // pages of the SAME host (cookie banner, per-host navbar, the
+    // even-page promo) drop from every page; unique prose and the
+    // low-frequency shared line survive. The oracle replays the whole
+    // frequency computation in SQL, so thresholds are emergent and the
+    // fixture needs no per-sf constants. -------------------------------------
+    "q411_template_removal" -> ((s, dir) => {
+      val id = col("doc_id")
+      val text = concat(
+        lit("Cookie banner accept\n"),
+        lit("NavBar for host "), (id % 5).cast("string"), lit("\n"),
+        lit("unique prose "), id.cast("string"), lit(" "),
+        coalesce(col("text"), lit("")), lit("\n"),
+        lit("rare pair "), expr("doc_id div 250").cast("string"),
+        when(id % 2 === 0,
+          concat(lit("\npromo banner "), (id % 5).cast("string")))
+          .otherwise(lit("")))
+      val pages = t(s, dir, "documents").select(id,
+        concat(lit("h"), (id % 5).cast("string")).as("host"), text.as("text"))
+      Html.removeTemplateLines(pages, minPages = 3)
+        .select(col("doc_id"), col("clean_text"))
     })
   )
 
@@ -11776,7 +11800,32 @@ object SparkEntry {
         | 'https://cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example.net/assets/' AS base,
         | CAST(2 AS BIGINT) AS n_links,
         | '/local/' || CAST(doc_id AS VARCHAR) AS last_link
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // q411: the full frequency replay — explode lines with positions,
+    // per-(host, line) distinct-page counts, anti-join the template set,
+    // rejoin in line order. Thresholds emergent, valid at every sf.
+    "q411_template_removal" ->
+      """WITH pg AS (SELECT doc_id, 'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
+        |  'Cookie banner accept' || chr(10) ||
+        |  'NavBar for host ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+        |  'unique prose ' || CAST(doc_id AS VARCHAR) || ' ' || coalesce(text, '') || chr(10) ||
+        |  'rare pair ' || CAST(doc_id // 250 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 2 = 0
+        |    THEN chr(10) || 'promo banner ' || CAST(doc_id % 5 AS VARCHAR)
+        |    ELSE '' END) AS text
+        | FROM documents),
+        |lx AS (SELECT doc_id, host, string_split(text, chr(10)) AS ls FROM pg),
+        |li AS (SELECT doc_id, host, ls, unnest(range(len(ls))) AS i FROM lx),
+        |ln AS (SELECT doc_id, host, i, ls[CAST(i AS INT) + 1] AS line FROM li),
+        |tmpl AS (SELECT host, line FROM ln
+        | GROUP BY host, line HAVING count(DISTINCT doc_id) >= 3),
+        |keep AS (SELECT ln.doc_id, ln.i, ln.line FROM ln
+        | ANTI JOIN tmpl ON ln.host = tmpl.host AND ln.line = tmpl.line),
+        |outp AS (SELECT doc_id,
+        |  array_to_string(list(line ORDER BY i), chr(10)) AS clean_text
+        | FROM keep GROUP BY doc_id)
+        |SELECT p.doc_id, coalesce(o.clean_text, '') AS clean_text
+        |FROM pg p LEFT JOIN outp o USING (doc_id)""".stripMargin
   )
 
   /** The flat-block JPEG stats derivation, shared verbatim by q395 and

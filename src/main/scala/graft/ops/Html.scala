@@ -212,4 +212,51 @@ object Html {
     })
     df.withColumn(out, array_join(transform(kept, l => cleanText(l)), " "))
   }
+
+  /** Host-level TEMPLATE line removal — the line-frequency boilerplate
+    * filter web-corpus pipelines run after per-page extraction (the
+    * CCNet/RefinedWeb discipline): a line that repeats across many
+    * pages of the SAME host is navigation/footer/cookie-banner
+    * template, not prose, and per-page heuristics cannot see it. Lines
+    * split on `\n`; a line whose distinct-page count within its host
+    * reaches `minPages` drops from every page; survivors rejoin in
+    * original line order as `out` (empty string when everything was
+    * template). Line identity is EXACT (post-extraction text is already
+    * normalized upstream).
+    *
+    * Scale shape: the frequency table groups on `(host, xxhash64(line))`
+    * — counts shuffle hashes, never line bodies — and joins back by the
+    * same key, so full lines move only once (with their row). Per-host
+    * skew is bounded by the usual AQE skew handling; the frequency
+    * table is NOT broadcast because at corpus scale it is data-sized.
+    * Input columns: `idCol`, `hostCol`, `textCol`.
+    */
+  def removeTemplateLines(
+      pages: DataFrame,
+      idCol: String = "doc_id",
+      hostCol: String = "host",
+      textCol: String = "text",
+      minPages: Int = 3,
+      out: String = "clean_text"): DataFrame = {
+    require(minPages >= 2, s"minPages must be >= 2: $minPages")
+    val exploded = pages
+      .select(col(idCol), col(hostCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("__pos", "__line")))
+      .withColumn("__lh", xxhash64(col(hostCol), col("__line")))
+    val template = exploded
+      .groupBy(col(hostCol), col("__lh"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .where(col("__df") >= minPages)
+      .select(col(hostCol), col("__lh"))
+    val rebuilt = exploded
+      .join(template, Seq(hostCol, "__lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(array_sort(collect_list(struct(col("__pos"), col("__line"))))
+        .getField("__line"), "\n").as("__clean"))
+      .select(col(idCol), col("__clean"))
+    pages.join(rebuilt, Seq(idCol), "left")
+      .withColumn(out, coalesce(col("__clean"), lit("")))
+      .drop("__clean")
+  }
 }

@@ -172,4 +172,31 @@ class HtmlSpec extends SparkSpec {
       Html.mainContent(df, maxLinkDensityPct = 101)
     }
   }
+  test("removeTemplateLines: host-scoped frequency, order preserved, all-template pages empty") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // host A: 3 pages sharing a navbar; host B: 2 pages sharing the SAME
+    // line text — per-host scoping must drop it only where df >= 3
+    val pages = Seq(
+      (0L, "A", "shared nav\nalpha prose 0\nshared nav"),
+      (1L, "A", "shared nav\nbeta prose 1"),
+      (2L, "A", "shared nav\ngamma prose 2"),
+      (3L, "B", "shared nav\ndelta prose 3"),
+      (4L, "B", "shared nav\nepsilon prose 4"),
+      (5L, "A", "shared nav") // everything template -> empty page
+    ).toDF("doc_id", "host", "text")
+    val got = graft.ops.Html.removeTemplateLines(pages, minPages = 3)
+      .select(col("doc_id"), col("clean_text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got(0) == ((0L, "alpha prose 0")))
+    assert(got(1) == ((1L, "beta prose 1")))
+    assert(got(2) == ((2L, "gamma prose 2")))
+    // host B's df for "shared nav" is 2 < 3: the line SURVIVES there
+    assert(got(3) == ((3L, "shared nav\ndelta prose 3")))
+    assert(got(4) == ((4L, "shared nav\nepsilon prose 4")))
+    assert(got(5) == ((5L, "")))
+    // repeated occurrences WITHIN one page count that page once: doc 0
+    // had the navbar twice, both dropped, prose order preserved
+  }
+
 }
