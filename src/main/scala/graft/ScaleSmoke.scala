@@ -167,7 +167,13 @@ object ScaleSmoke {
     // multi-scan coefficient accumulation is ~4× the marker passes of
     // baseline per image); and the WAT metadata export (Html extractor
     // stack + JSON envelope + container build + re-parse).
-    "q407_corpus_composite", "q406_jpeg_progressive", "q404_wat_export")
+    "q407_corpus_composite", "q406_jpeg_progressive", "q404_wat_export",
+    // Late round-15: revisit resolution (the record-id shuffle join —
+    // payloads move once, only for referenced records) and host-level
+    // template removal (two aggs on (host, line-hash) + the anti-join —
+    // the line-frequency boilerplate shape; replica-prefixed vocab keeps
+    // per-host line populations disjoint across replicas).
+    "q409_warc_revisit", "q411_template_removal")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))

@@ -4598,6 +4598,23 @@ object SparkEntry {
         concat(lit("h"), (id % 5).cast("string")).as("host"), text.as("text"))
       Html.removeTemplateLines(pages, minPages = 3)
         .select(col("doc_id"), col("clean_text"))
+    }),
+
+    // ---- request/response pairing: crawlers archive BOTH fetch sides,
+    // the request naming its response via WARC-Concurrent-To — fetch
+    // provenance (which UA got this page, what was asked for) next to
+    // the response envelope. Completes the record-type surface
+    // (warcinfo/response/revisit/conversion/metadata/request). Oracle:
+    // every field from the id formula. --------------------------------------
+    "q412_warc_request_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.ops.Warc.requestResponsePairs(
+        graft.ops.Warc.parseWarc(graft.ops.Warc.syntheticWarcRequestPairs(docs)))
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("method"), col("target"), col("host"), col("user_agent"),
+          col("req_headers").cast("long").as("req_headers"),
+          col("status").cast("long").as("status"), col("content_type"))
     })
   )
 
@@ -11825,7 +11842,17 @@ object SparkEntry {
         |  array_to_string(list(line ORDER BY i), chr(10)) AS clean_text
         | FROM keep GROUP BY doc_id)
         |SELECT p.doc_id, coalesce(o.clean_text, '') AS clean_text
-        |FROM pg p LEFT JOIN outp o USING (doc_id)""".stripMargin
+        |FROM pg p LEFT JOIN outp o USING (doc_id)""".stripMargin,
+    // q412: both fetch sides from the id formula.
+    "q412_warc_request_pairs" ->
+      """SELECT doc_id, 'GET' AS method,
+        | '/p/' || CAST(doc_id AS VARCHAR) AS target,
+        | 'host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host,
+        | 'graft/0.1' AS user_agent,
+        | CAST(2 AS BIGINT) AS req_headers,
+        | CAST(200 + (doc_id % 3) * 2 AS BIGINT) AS status,
+        | 'text/html' AS content_type
+        |FROM documents""".stripMargin
   )
 
   /** The flat-block JPEG stats derivation, shared verbatim by q395 and

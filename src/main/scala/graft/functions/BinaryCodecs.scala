@@ -1119,6 +1119,58 @@ object BinaryCodecs {
       if (m.find()) Some(m.group(1).toLowerCase(java.util.Locale.ROOT)) else None
     }
 
+  /** One parsed HTTP request message: method, request target (the
+    * origin-form path), the `Host` and `User-Agent` values (null when
+    * absent), header count.
+    */
+  final case class HttpRequest(
+      method: String, target: String, host: String, userAgent: String,
+      nHeaders: Int)
+
+  /** Parse an HTTP/1.x REQUEST message — what a crawl archive's
+    * `request` records carry (the fetch as it was made: method, target,
+    * the headers that shaped content negotiation). Malformed messages
+    * (no tokenizable request line, bad HTTP version magic, unterminated
+    * headers, a field line with no colon) quarantine (None). Request
+    * bodies are not decoded — crawler requests are overwhelmingly
+    * GET/HEAD, and the WARC record already frames the message.
+    */
+  def parseHttpRequest(payload: Array[Byte]): Option[HttpRequest] = {
+    if (payload == null || payload.length < 14) return None
+    def lineAt(off: Int): (String, Int) = {
+      var i = off
+      while (i + 1 < payload.length && !(payload(i) == '\r' && payload(i + 1) == '\n')) i += 1
+      if (i + 1 >= payload.length) null
+      else (new String(payload, off, i - off, java.nio.charset.StandardCharsets.ISO_8859_1), i + 2)
+    }
+    val rl = lineAt(0)
+    if (rl == null) return None
+    val m = java.util.regex.Pattern
+      .compile("([A-Z]+) (\\S+) HTTP/\\d\\.\\d").matcher(rl._1)
+    if (!m.matches()) return None
+    var off = rl._2
+    var host: String = null
+    var userAgent: String = null
+    var nHeaders = 0
+    var open = true
+    while (open) {
+      val ln = lineAt(off)
+      if (ln == null) return None
+      off = ln._2
+      if (ln._1.isEmpty) open = false
+      else {
+        val c = ln._1.indexOf(':')
+        if (c <= 0) return None
+        nHeaders += 1
+        val name = ln._1.substring(0, c).trim
+        if (name.equalsIgnoreCase("Host")) host = ln._1.substring(c + 1).trim
+        else if (name.equalsIgnoreCase("User-Agent"))
+          userAgent = ln._1.substring(c + 1).trim
+      }
+    }
+    Some(HttpRequest(m.group(1), m.group(2), host, userAgent, nHeaders))
+  }
+
   // --------------------------------------------------------------- WARC --
 
   /** One serialized WARC/1.0 record (ISO 28500): version line, named
@@ -1172,7 +1224,8 @@ object BinaryCodecs {
     */
   final case class WarcRec(
       warcType: String, targetUri: String, nHeaders: Int, payload: Array[Byte],
-      recordId: String = null, refersTo: String = null)
+      recordId: String = null, refersTo: String = null,
+      concurrentTo: String = null)
 
   /** Parse a WARC file — gzip'd (member-per-record or any member split;
     * detected by magic) or plain — into its records in file order. The
@@ -1301,6 +1354,7 @@ object BinaryCodecs {
     var targetUri: String = null
     var recordId: String = null
     var refersTo: String = null
+    var concurrentTo: String = null
     var contentLength = -1L
     var nHeaders = 0
     var open = true
@@ -1320,6 +1374,7 @@ object BinaryCodecs {
         else if (name.equalsIgnoreCase("WARC-Target-URI")) targetUri = value
         else if (name.equalsIgnoreCase("WARC-Record-ID")) recordId = value
         else if (name.equalsIgnoreCase("WARC-Refers-To")) refersTo = value
+        else if (name.equalsIgnoreCase("WARC-Concurrent-To")) concurrentTo = value
         else if (name.equalsIgnoreCase("Content-Length"))
           contentLength =
             try value.toLong
@@ -1337,7 +1392,8 @@ object BinaryCodecs {
       return WarcParse.Malformed
     o += 4
     WarcParse.Complete(
-      WarcRec(warcType, targetUri, nHeaders, body, recordId, refersTo), o)
+      WarcRec(warcType, targetUri, nHeaders, body, recordId, refersTo,
+        concurrentTo), o)
   }
 
   /** Integer-exact per-channel pixel statistics from a 24bpp bottom-up BMP

@@ -40,7 +40,8 @@ object Warc {
       n_bytes: Long,
       payload: Array[Byte],
       record_id: String,
-      refers_to: String)
+      refers_to: String,
+      concurrent_to: String)
 
   /** Explode WARC files (gzip'd or plain — detected per file) into their
     * records in file order. A malformed file quarantines WHOLE (drops) —
@@ -69,7 +70,7 @@ object Warc {
             recs.zipWithIndex.map { case (r, i) =>
               WarcRecordRow(m.media_id, i.toLong, r.warcType, r.targetUri,
                 r.nHeaders, r.payload.length.toLong, r.payload,
-                r.recordId, r.refersTo)
+                r.recordId, r.refersTo, r.concurrentTo)
             }
           }
         }
@@ -278,6 +279,41 @@ object Warc {
       }
   }
 
+  /** Pair each archived `request` record with the `response` it
+    * produced — crawlers archive both sides of the fetch, the request
+    * naming its response via `WARC-Concurrent-To` — and surface the
+    * request's method/target/Host/User-Agent next to the response's
+    * status: the fetch provenance corpus audits need (which UA got this
+    * page? was it a conditional fetch?). Requests parse via
+    * [[graft.functions.BinaryCodecs.parseHttpRequest]]; unparseable
+    * requests and pairs whose response is absent drop (quarantine).
+    * One shuffle on the record id, the [[resolveRevisits]] shape.
+    */
+  def requestResponsePairs(records: Dataset[WarcRecordRow]): DataFrame = {
+    import records.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    val requests = records
+      .filter(r => r.warc_type == "request" && r.concurrent_to != null)
+      .mapPartitions(_.flatMap { r =>
+        BinaryCodecs.parseHttpRequest(r.payload).map(q =>
+          (r.media_id, r.record_idx, r.concurrent_to,
+            q.method, q.target, q.host, q.userAgent, q.nHeaders))
+      })
+      .toDF("media_id", "record_idx", "__cto", "method", "target",
+        "host", "user_agent", "req_headers")
+    val responses = records
+      .filter(r => r.warc_type == "response" && r.record_id != null)
+      .mapPartitions(_.flatMap { r =>
+        BinaryCodecs.parseHttpResponse(r.payload).map(h =>
+          (r.record_id, r.target_uri, h.status, h.contentType))
+      })
+      .toDF("__rid", "target_uri", "status", "content_type")
+    requests.join(responses, col("__cto") === col("__rid"))
+      .select(col("media_id"), col("record_idx"), col("target_uri"),
+        col("method"), col("target"), col("host"), col("user_agent"),
+        col("req_headers"), col("status"), col("content_type"))
+  }
+
   /** One fully-decoded page: HTTP envelope + charset-transcoded text.
     * `body_decoded` false marks pages whose HTTP body still carries an
     * unsupported content coding (the text is the RAW bytes through the
@@ -403,6 +439,54 @@ object Warc {
       docsPerFile, "metadata",
       Seq("Content-Type" -> "application/json"), refersTo = true,
       recordIdPrefix = "meta")
+
+  /** Synthetic crawl corpus archiving BOTH fetch sides — per doc a
+    * `request` record (GET line + Host + User-Agent, `Concurrent-To`
+    * its response) followed by the `response` record, the layout real
+    * crawlers write. The write half of the q412 pairing roundtrip.
+    */
+  def syntheticWarcRequestPairs(
+      docs: DataFrame, docsPerFile: Int = 8): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    require(docsPerFile >= 1, s"docsPerFile must be >= 1: $docsPerFile")
+    graft.io.Spread.toDefaultParallelism(
+      docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text")))
+      .groupBy(expr(s"doc_id div $docsPerFile").as("file_id"))
+      .agg(sort_array(collect_list(struct(
+        col("doc_id").as("_1"), col("text").as("_2")))).as("recs"))
+      .as[(Long, Seq[(Long, String)])]
+      .map { case (fid, recs) =>
+        val info = (Seq(
+          "WARC-Type" -> "warcinfo",
+          "WARC-Record-ID" -> s"<urn:graft:file:$fid>",
+          "WARC-Date" -> "2024-01-01T00:00:00Z"),
+          WarcInfoPayload.getBytes("UTF-8"))
+        val records = recs.flatMap { case (id, text) =>
+          val host = s"host${id % 20}.example.com"
+          val uri = s"https://$host/p/$id"
+          val req = (Seq(
+            "WARC-Type" -> "request",
+            "WARC-Record-ID" -> s"<urn:graft:req:$id>",
+            "WARC-Date" -> "2024-01-01T00:00:00Z",
+            "WARC-Target-URI" -> uri,
+            "WARC-Concurrent-To" -> s"<urn:graft:rec:$id>"),
+            (s"GET /p/$id HTTP/1.1\r\nHost: $host\r\n" +
+              "User-Agent: graft/0.1\r\n\r\n").getBytes("US-ASCII"))
+          val status = 200 + (id % 3) * 2
+          val resp = (Seq(
+            "WARC-Type" -> "response",
+            "WARC-Record-ID" -> s"<urn:graft:rec:$id>",
+            "WARC-Date" -> "2024-01-01T00:00:00Z",
+            "WARC-Target-URI" -> uri),
+            (s"HTTP/1.1 $status OK\r\nContent-Type: text/html\r\n\r\n" + text)
+              .getBytes("UTF-8"))
+          Seq(req, resp)
+        }
+        val bytes = BinaryCodecs.warcFile(info +: records, gzipPerRecord = true)
+        MediaRow(fid, "warc", bytes, "application/warc", bytes.length.toLong)
+      }
+  }
 
   /** The shared file builder behind [[syntheticWarcBytes]], [[toWet]]
     * and [[toWat]]: group, order, warcinfo lead member, one gzip member

@@ -326,6 +326,26 @@ class WarcSpec extends SparkSpec {
     assert(parsed.toSeq == Seq("T0", "T1"))
   }
 
+  test("requestResponsePairs: both fetch sides pair via Concurrent-To; orphans drop") {
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 10L).map(i => (i, s"body $i")).toDF("doc_id", "text")
+    val recs = Warc.parseWarc(Warc.syntheticWarcRequestPairs(docs, docsPerFile = 8))
+    val got = Warc.requestResponsePairs(recs)
+      .select(col("target"), col("method"), col("host"), col("user_agent"),
+        col("status"), col("content_type"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getInt(4), r.getString(5)))
+      .sortBy(_._1)
+    assert(got.length == 10)
+    assert(got.head == (("/p/0", "GET", "host0.example.com", "graft/0.1", 200, "text/html")))
+    assert(got(2) == (("/p/2", "GET", "host2.example.com", "graft/0.1", 204, "text/html")))
+    // a request whose response is missing drops (quarantine)
+    val orphaned = Warc.requestResponsePairs(
+      recs.filter(r => r.record_id != "<urn:graft:rec:3>"))
+    assert(orphaned.count() == 9)
+  }
+
   test("resolveRevisits: body-less revisits inherit the original's payload; orphans drop") {
     import org.apache.spark.sql.functions.col
     val docs = (0L until 20L).map(i => (i, s"page $i body")).toDF("doc_id", "text")
