@@ -4615,6 +4615,48 @@ object SparkEntry {
           col("method"), col("target"), col("host"), col("user_agent"),
           col("req_headers").cast("long").as("req_headers"),
           col("status").cast("long").as("status"), col("content_type"))
+    }),
+
+    // ---- RECURSIVE sitemap discovery: real publishers shard large
+    // sitemaps behind a <sitemapindex>, so the single-level walk (q405)
+    // sees only pointers — this follows them one level: robots declares
+    // the index file, depth 1 yields its two child pointers, depth 2
+    // the children's url entries; one child per a=5 host family was
+    // never fetched and contributes nothing (the fetch-gap rule).
+    // Mixed gzip/plain files on both levels. Oracle: every row from the
+    // url's own residues. ---------------------------------------------------
+    "q413_sitemap_recursive" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val robots = concat(lit("User-agent: *\n"),
+        lit("Sitemap: https://s"), (id % 6).cast("string"),
+        lit(".example.com/index"), (id % 4).cast("string"), lit(".xml.gz\n"))
+      val robotsPages = t(s, dir, "documents").select(id, robots.as("robots"))
+      val files = graft.io.Spread.toDefaultParallelism(
+        t(s, dir, "documents").select((id % 6).as("a"), (id % 4).as("b")).distinct())
+        .as[(Long, Long)]
+        .flatMap { case (a, b) =>
+          import graft.functions.BinaryCodecs
+          val host = s"https://s$a.example.com"
+          def enc(gzip: Boolean, xml: String): Array[Byte] = {
+            val bytes = xml.getBytes("UTF-8")
+            if (gzip) BinaryCodecs.gzip(bytes) else bytes
+          }
+          val index = (s"$host/index$b.xml.gz",
+            enc(b % 2 == 0, "<?xml version=\"1.0\"?><sitemapindex>" +
+              s"<sitemap><loc>$host/child${b}_0.xml.gz</loc></sitemap>" +
+              s"<sitemap><loc>$host/child${b}_1.xml.gz</loc></sitemap></sitemapindex>"))
+          val children = (0 to 1).map { c =>
+            (s"$host/child${b}_$c.xml.gz",
+              enc((b + c) % 2 == 1, "<?xml version=\"1.0\"?><urlset>" +
+                s"<url><loc>$host/p$b/$c/1</loc><lastmod>2024-0${(a + c) % 9 + 1}-02</lastmod></url>" +
+                s"<url><loc>$host/p$b/$c/2</loc></url></urlset>"))
+          }
+          (index +: children).filterNot { case (u, _) =>
+            a == 5 && u.endsWith("_1.xml.gz") // the never-fetched child
+          }
+        }.toDF("url", "payload")
+      Crawl.sitemapDiscoveryRecursive(robotsPages, files, maxDepth = 2)
     })
   )
 
@@ -11852,7 +11894,36 @@ object SparkEntry {
         | CAST(2 AS BIGINT) AS req_headers,
         | CAST(200 + (doc_id % 3) * 2 AS BIGINT) AS status,
         | 'text/html' AS content_type
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // q413: depth-1 rows are the index's two pointers, depth-2 the
+    // children's entries minus the never-fetched (a=5, child 1) family.
+    "q413_sitemap_recursive" ->
+      """WITH base AS (
+        | SELECT doc_id, doc_id % 6 AS a, doc_id % 4 AS b,
+        |  'https://s' || CAST(doc_id % 6 AS VARCHAR) || '.example.com' AS h,
+        |  'https://s' || CAST(doc_id % 6 AS VARCHAR) || '.example.com/index'
+        |    || CAST(doc_id % 4 AS VARCHAR) || '.xml.gz' AS idx
+        | FROM documents),
+        |d1 AS (
+        | SELECT doc_id, idx AS sitemap_url, CAST(c AS BIGINT) AS entry_pos,
+        |  h || '/child' || CAST(b AS VARCHAR) || '_' || CAST(c AS VARCHAR)
+        |    || '.xml.gz' AS loc,
+        |  CAST(NULL AS VARCHAR) AS lastmod, TRUE AS is_index,
+        |  CAST(1 AS BIGINT) AS depth
+        | FROM base CROSS JOIN (VALUES (0), (1)) t(c)),
+        |d2 AS (
+        | SELECT doc_id,
+        |  h || '/child' || CAST(b AS VARCHAR) || '_' || CAST(c AS VARCHAR)
+        |    || '.xml.gz' AS sitemap_url,
+        |  CAST(p AS BIGINT) AS entry_pos,
+        |  h || '/p' || CAST(b AS VARCHAR) || '/' || CAST(c AS VARCHAR) || '/'
+        |    || CAST(p + 1 AS VARCHAR) AS loc,
+        |  CASE WHEN p = 0
+        |   THEN '2024-0' || CAST((a + c) % 9 + 1 AS VARCHAR) || '-02' END AS lastmod,
+        |  FALSE AS is_index, CAST(2 AS BIGINT) AS depth
+        | FROM base CROSS JOIN (VALUES (0), (1)) t(c) CROSS JOIN (VALUES (0), (1)) u(p)
+        | WHERE NOT (a = 5 AND c = 1))
+        |SELECT * FROM d1 UNION ALL SELECT * FROM d2""".stripMargin
   )
 
   /** The flat-block JPEG stats derivation, shared verbatim by q395 and

@@ -153,9 +153,52 @@ object Crawl {
       robotsPages: DataFrame,
       sitemapFiles: DataFrame,
       maxBytes: Int = 1 << 26): DataFrame = {
-    import robotsPages.sparkSession.implicits._
+    val declared = robotsPages
+      .select(col("doc_id"), explode(Robots.sitemapUrls(col("robots"))).as("sitemap_url"))
+    explodeEntries(declared, decodedSitemaps(sitemapFiles, maxBytes))
+  }
+
+  /** [[sitemapDiscovery]] following `<sitemapindex>` one level per
+    * round, to `maxDepth` — real publishers shard large sitemaps behind
+    * an index file, so the single-level walk sees only pointers. Depth
+    * 1 is the robots-declared files' entries; each further depth joins
+    * the previous level's `is_index` locs back to the fetched files
+    * (same broadcast — the file set is the small side at every level).
+    * `depth` labels each row; index entries whose file was never
+    * fetched contribute nothing (the fetch-gap rule). The loop is
+    * driver-side over a FIXED small depth (real nesting is 2), never
+    * data-dependent.
+    */
+  def sitemapDiscoveryRecursive(
+      robotsPages: DataFrame,
+      sitemapFiles: DataFrame,
+      maxDepth: Int = 2,
+      maxBytes: Int = 1 << 26): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 8, s"maxDepth out of range: $maxDepth")
+    val decoded = decodedSitemaps(sitemapFiles, maxBytes)
+    var declared = robotsPages
+      .select(col("doc_id"), explode(Robots.sitemapUrls(col("robots"))).as("sitemap_url"))
+    var out: DataFrame = null
+    var d = 1
+    while (d <= maxDepth) {
+      val entries = explodeEntries(declared, decoded)
+        .withColumn("depth", lit(d).cast("long"))
+      out = if (out == null) entries else out.unionByName(entries)
+      declared = entries.where(col("is_index"))
+        .select(col("doc_id"), col("loc").as("sitemap_url")).distinct()
+      d += 1
+    }
+    out
+  }
+
+  /** The fetched sitemap FILES decoded once (gunzip'd when gzip'd,
+    * plain XML passes through; corrupt gzip quarantines the file) —
+    * the shared broadcast side of both discovery walks.
+    */
+  private def decodedSitemaps(sitemapFiles: DataFrame, maxBytes: Int): DataFrame = {
+    import sitemapFiles.sparkSession.implicits._
     import graft.functions.BinaryCodecs
-    val decoded = sitemapFiles.select(col("url"), col("payload"))
+    sitemapFiles.select(col("url"), col("payload"))
       .as[(String, Array[Byte])]
       .flatMap { case (url, payload) =>
         val bytes = Option(payload).getOrElse(Array.emptyByteArray)
@@ -165,8 +208,13 @@ object Crawl {
           else Some(new String(bytes, "UTF-8"))
         xml.map(x => (url, x))
       }.toDF("__sm_url", "__sm_xml")
-    robotsPages
-      .select(col("doc_id"), explode(Robots.sitemapUrls(col("robots"))).as("sitemap_url"))
+  }
+
+  /** One discovery level: declared `(doc_id, sitemap_url)` joined to
+    * the decoded files (broadcast), entries exploded in document order.
+    */
+  private def explodeEntries(declared: DataFrame, decoded: DataFrame): DataFrame =
+    declared
       .join(broadcast(decoded), col("sitemap_url") === col("__sm_url"))
       .select(col("doc_id"), col("sitemap_url"),
         posexplode(sitemapEntries(col("__sm_xml"))))
@@ -174,7 +222,6 @@ object Crawl {
         col("pos").cast("long").as("entry_pos"),
         col("col.loc").as("loc"), col("col.lastmod").as("lastmod"),
         col("col.is_index").as("is_index"))
-  }
 
   /** Recrawl priority from fetch history (Cho & Garcia-Molina 2003,
     * freshness-driven re-crawling, at estimate grain): per URL, the

@@ -219,4 +219,31 @@ class CrawlSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("sitemapDiscoveryRecursive: index pointers at depth 1, child entries at depth 2") {
+    import graft.functions.BinaryCodecs
+    val robots = Seq((0L, "Sitemap: https://a.com/index.xml.gz\n")).toDF("doc_id", "robots")
+    val indexXml = "<sitemapindex><sitemap><loc>https://a.com/c0.xml</loc></sitemap>" +
+      "<sitemap><loc>https://a.com/missing.xml</loc></sitemap></sitemapindex>"
+    val childXml = "<urlset><url><loc>https://a.com/p/1</loc></url>" +
+      "<url><loc>https://a.com/p/2</loc><lastmod>2024-03-04</lastmod></url></urlset>"
+    val files = Seq(
+      ("https://a.com/index.xml.gz", BinaryCodecs.gzip(indexXml.getBytes("UTF-8"))),
+      ("https://a.com/c0.xml", childXml.getBytes("UTF-8"))
+      // missing.xml was never fetched: depth-2 contributes nothing for it
+    ).toDF("url", "payload")
+    val got = graft.ops.Crawl.sitemapDiscoveryRecursive(robots, files, maxDepth = 2)
+      .collect()
+      .map(r => (r.getLong(6), r.getString(1), r.getLong(2), r.getString(3),
+        Option(r.getString(4)), r.getBoolean(5)))
+      .sortBy(t => (t._1, t._3))
+    assert(got.toSeq == Seq(
+      (1L, "https://a.com/index.xml.gz", 0L, "https://a.com/c0.xml", None, true),
+      (1L, "https://a.com/index.xml.gz", 1L, "https://a.com/missing.xml", None, true),
+      (2L, "https://a.com/c0.xml", 0L, "https://a.com/p/1", None, false),
+      (2L, "https://a.com/c0.xml", 1L, "https://a.com/p/2", Some("2024-03-04"), false)))
+    // depth 1 alone = the single-level walk
+    assert(graft.ops.Crawl.sitemapDiscoveryRecursive(robots, files, maxDepth = 1)
+      .count() == 2)
+  }
 }
