@@ -995,10 +995,18 @@ object BinaryCodecs {
           contentType = ln._1.substring(c + 1).trim
         else if (name.equalsIgnoreCase("Location"))
           location = ln._1.substring(c + 1).trim
-        else if (name.equalsIgnoreCase("Transfer-Encoding"))
-          transferEncoding = ln._1.substring(c + 1).trim
-        else if (name.equalsIgnoreCase("Content-Encoding"))
-          contentEncoding = ln._1.substring(c + 1).trim
+        else if (name.equalsIgnoreCase("Transfer-Encoding")) {
+          // list-valued field (RFC 9110 §5.3): repeated field lines are
+          // equivalent to one comma-joined value — overwriting would
+          // silently skip the earlier codings
+          val v = ln._1.substring(c + 1).trim
+          transferEncoding =
+            if (transferEncoding == null) v else transferEncoding + ", " + v
+        } else if (name.equalsIgnoreCase("Content-Encoding")) {
+          val v = ln._1.substring(c + 1).trim
+          contentEncoding =
+            if (contentEncoding == null) v else contentEncoding + ", " + v
+        }
       }
     }
     var body = new Array[Byte](payload.length - off)
@@ -1239,19 +1247,46 @@ object BinaryCodecs {
     * since every later offset depends on every earlier length.
     *
     * The gzip path is INCREMENTAL: members inflate one at a time into a
-    * compacting buffer and complete records drain as they appear, so
-    * peak memory is one in-flight record plus one member — NOT the whole
-    * decompressed file. That is what makes the real unit of crawl work
-    * (a ~1 GB `.warc.gz` that inflates to several GB, past any JVM array
-    * ceiling) parseable at all; `maxBytesTotal` is a pure zip-bomb
-    * ceiling on aggregate decompressed output (default 16 GiB, sized for
-    * real crawl files), not a materialization bound.
+    * compacting buffer and complete records drain as they appear, so no
+    * single CONTIGUOUS array ever has to hold the whole decompressed
+    * file (which can exceed the JVM array ceiling) — the buffer holds
+    * one in-flight record plus one member. The returned Vector still
+    * retains every record payload: the all-or-nothing quarantine
+    * contract requires the whole file to parse before the first record
+    * is trusted, so peak HEAP is the file's decompressed size and
+    * `maxBytesTotal` (default 4 GiB — sized for real ~1 GB crawl files,
+    * caller-widenable) is the knob that keeps that on-heap total sane.
+    * Use [[warcValid]] when only validity is needed — it runs the same
+    * walk without retaining payloads.
     */
   def warcRecords(
       payload: Array[Byte],
       maxBytesPerMember: Int = 1 << 26,
       maxRecords: Int = 1 << 20,
-      maxBytesTotal: Long = 1L << 34): Option[Vector[WarcRec]] = {
+      maxBytesTotal: Long = 1L << 32): Option[Vector[WarcRec]] =
+    warcRecordsImpl(payload, maxBytesPerMember, maxRecords, maxBytesTotal,
+      keepPayloads = true)
+
+  /** [[warcRecords]]' validity-only twin: the identical walk and
+    * quarantine contract, but record payloads are never retained — the
+    * cheap path for [[graft.ops.Warc.quarantinedFiles]]-style auditing,
+    * where materializing every payload just to test emptiness would pay
+    * full peak heap for a boolean.
+    */
+  def warcValid(
+      payload: Array[Byte],
+      maxBytesPerMember: Int = 1 << 26,
+      maxRecords: Int = 1 << 20,
+      maxBytesTotal: Long = 1L << 32): Boolean =
+    warcRecordsImpl(payload, maxBytesPerMember, maxRecords, maxBytesTotal,
+      keepPayloads = false).nonEmpty
+
+  private def warcRecordsImpl(
+      payload: Array[Byte],
+      maxBytesPerMember: Int,
+      maxRecords: Int,
+      maxBytesTotal: Long,
+      keepPayloads: Boolean): Option[Vector[WarcRec]] = {
     if (payload == null || payload.length == 0) return None
     val out = Vector.newBuilder[WarcRec]
     var nRec = 0
@@ -1273,6 +1308,8 @@ object BinaryCodecs {
           case Some((member, next)) =>
             total += member.length
             if (total > maxBytesTotal) return None // aggregate bomb guard
+            if (bufLen.toLong + member.length > Int.MaxValue - 8)
+              return None // a pending record larger than any JVM array: quarantine
             if (bufLen + member.length > buf.length) {
               val grown = new Array[Byte](
                 math.max(buf.length * 2L, bufLen.toLong + member.length)
@@ -1287,7 +1324,7 @@ object BinaryCodecs {
         var start = 0
         var more = true
         while (more) {
-          parseWarcRecordAt(buf, start, bufLen) match {
+          parseWarcRecordAt(buf, start, bufLen, keepPayloads) match {
             case WarcParse.Complete(rec, next) =>
               nRec += 1
               if (nRec > maxRecords) return None
@@ -1309,7 +1346,7 @@ object BinaryCodecs {
       while (start < payload.length) {
         nRec += 1
         if (nRec > maxRecords) return None
-        parseWarcRecordAt(payload, start, payload.length) match {
+        parseWarcRecordAt(payload, start, payload.length, keepPayloads) match {
           case WarcParse.Complete(rec, next) => out += rec; start = next
           case _ => return None // at EOF, incomplete IS malformed
         }
@@ -1334,7 +1371,9 @@ object BinaryCodecs {
     * (NeedMore — legal mid-stream in the incremental walk) from
     * structural malformation (Malformed — quarantine either way).
     */
-  private def parseWarcRecordAt(buf: Array[Byte], start: Int, end: Int): WarcParse.Result = {
+  private def parseWarcRecordAt(
+      buf: Array[Byte], start: Int, end: Int,
+      keepPayload: Boolean = true): WarcParse.Result = {
     // CRLF-terminated line starting at off → (text, offset past CRLF);
     // raw byte arithmetic, NOT text.getBytes (invalid UTF-8 would decode
     // to replacement chars and desynchronize the byte offsets)
@@ -1385,8 +1424,12 @@ object BinaryCodecs {
     if (contentLength < 0) return WarcParse.Malformed
     if (contentLength > Int.MaxValue - 8) return WarcParse.Malformed // JVM array ceiling
     if (off.toLong + contentLength + 4 > end) return WarcParse.NeedMore
-    val body = new Array[Byte](contentLength.toInt)
-    System.arraycopy(buf, off, body, 0, contentLength.toInt)
+    val body =
+      if (keepPayload) {
+        val b = new Array[Byte](contentLength.toInt)
+        System.arraycopy(buf, off, b, 0, contentLength.toInt)
+        b
+      } else Array.emptyByteArray
     var o = off + contentLength.toInt
     if (buf(o) != '\r' || buf(o + 1) != '\n' || buf(o + 2) != '\r' || buf(o + 3) != '\n')
       return WarcParse.Malformed

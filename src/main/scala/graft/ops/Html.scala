@@ -224,12 +224,19 @@ object Html {
     * template). Line identity is EXACT (post-extraction text is already
     * normalized upstream).
     *
-    * Scale shape: the frequency table groups on `(host, xxhash64(line))`
-    * — counts shuffle hashes, never line bodies — and joins back by the
-    * same key, so full lines move only once (with their row). Per-host
-    * skew is bounded by the usual AQE skew handling; the frequency
-    * table is NOT broadcast because at corpus scale it is data-sized.
-    * Input columns: `idCol`, `hostCol`, `textCol`.
+    * Scale shape, two-phase exactly like the dedup family (candidates
+    * then VERIFY — a 64-bit hash must never delete a line it only
+    * collided with): phase 1 counts distinct pages per
+    * `(host, xxhash64(line))` — hashes shuffle, line bodies don't — and
+    * hash-merging can only OVERcount, so the candidate buckets are a
+    * superset of the true templates; phase 2 recounts exactly by
+    * `(host, line)` on candidate-bucket rows only (template-ish lines,
+    * the minority, are the only bodies that extra pass moves); the
+    * final anti-join keys on `(host, hash, line)`, so a collided prose
+    * line survives. Per-host skew is bounded by the usual AQE skew
+    * handling; the frequency tables are NOT broadcast because at corpus
+    * scale they are data-sized. Input columns: `idCol`, `hostCol`,
+    * `textCol`.
     */
   def removeTemplateLines(
       pages: DataFrame,
@@ -244,13 +251,22 @@ object Html {
         posexplode(split(coalesce(col(textCol), lit("")), "\n"))
           .as(Seq("__pos", "__line")))
       .withColumn("__lh", xxhash64(col(hostCol), col("__line")))
-    val template = exploded
+    // phase 1: approximate candidates, hash-only shuffle (a superset —
+    // hash merging can only overcount)
+    val candidates = exploded
       .groupBy(col(hostCol), col("__lh"))
+      .agg(countDistinct(col(idCol)).as("__adf"))
+      .where(col("__adf") >= minPages)
+      .select(col(hostCol), col("__lh"))
+    // phase 2: exact recount by the LINE BODY, candidate buckets only
+    val template = exploded
+      .join(candidates, Seq(hostCol, "__lh"), "left_semi")
+      .groupBy(col(hostCol), col("__lh"), col("__line"))
       .agg(countDistinct(col(idCol)).as("__df"))
       .where(col("__df") >= minPages)
-      .select(col(hostCol), col("__lh"))
+      .select(col(hostCol), col("__lh"), col("__line"))
     val rebuilt = exploded
-      .join(template, Seq(hostCol, "__lh"), "left_anti")
+      .join(template, Seq(hostCol, "__lh", "__line"), "left_anti")
       .groupBy(col(idCol))
       .agg(array_join(array_sort(collect_list(struct(col("__pos"), col("__line"))))
         .getField("__line"), "\n").as("__clean"))

@@ -51,15 +51,18 @@ object Warc {
     * silence. The per-member zip-bomb cap is
     * [[graft.functions.BinaryCodecs.gunzip]]'s discipline, per record;
     * `maxBytesTotal` caps the file's AGGREGATE decompressed output
-    * (default 16 GiB — sized for real ~1 GB crawl files, which inflate
-    * to several GB; the parse is incremental, so this is a bomb ceiling,
-    * not a memory bound).
+    * (default 4 GiB — sized for real ~1 GB crawl files, which inflate
+    * to several GB, and caller-widenable). The cap is ALSO the peak-heap
+    * bound per in-flight file: the all-or-nothing quarantine means a
+    * file's records materialize together before any row is emitted, so
+    * size executor memory as batchSize-in-flight × maxBytesTotal worst
+    * case (real files sit far below the cap).
     */
   def parseWarc(
       media: Dataset[MediaRow],
       maxBytesPerMember: Int = 1 << 26,
       batchSize: Int = 16,
-      maxBytesTotal: Long = 1L << 34): Dataset[WarcRecordRow] = {
+      maxBytesTotal: Long = 1L << 32): Dataset[WarcRecordRow] = {
     import media.sparkSession.implicits._
     import graft.functions.BinaryCodecs
     media.mapPartitions { rows =>
@@ -80,20 +83,22 @@ object Warc {
 
   /** The files [[parseWarc]] would DROP, as `(media_id, size_bytes)`
     * rows — quarantine made visible: a corpus job that silently loses
-    * whole crawl files is an ops incident nobody can see. Same
-    * shuffle-free per-file walk; feed the ids back to the fetch layer
-    * for re-archive or manual triage.
+    * whole crawl files is an ops incident nobody can see. Runs the
+    * VALIDITY-ONLY walk ([[graft.functions.BinaryCodecs.warcValid]] —
+    * same framing, payloads never retained), so auditing a corpus costs
+    * the decompression CPU but not parseWarc's peak heap. Shuffle-free;
+    * feed the ids back to the fetch layer for re-archive or triage.
     */
   def quarantinedFiles(
       media: Dataset[MediaRow],
       maxBytesPerMember: Int = 1 << 26,
-      maxBytesTotal: Long = 1L << 34): DataFrame = {
+      maxBytesTotal: Long = 1L << 32): DataFrame = {
     import media.sparkSession.implicits._
     import graft.functions.BinaryCodecs
     media.mapPartitions { rows =>
       rows.filter(m =>
-        BinaryCodecs.warcRecords(m.payload, maxBytesPerMember,
-          maxBytesTotal = maxBytesTotal).isEmpty)
+        !BinaryCodecs.warcValid(m.payload, maxBytesPerMember,
+          maxBytesTotal = maxBytesTotal))
         .map(m => (m.media_id, m.size_bytes))
     }.toDF("media_id", "size_bytes")
   }
@@ -195,16 +200,21 @@ object Warc {
     * legally cross files, so the join is the honest plan — payloads
     * move once, and only for records that are actually referenced.
     */
-  def resolveRevisits(records: Dataset[WarcRecordRow]): DataFrame = {
-    val df = records.toDF()
-    val responses = df.where(col("warc_type") === "response")
+  def resolveRevisits(
+      records: Dataset[WarcRecordRow], reliable: Boolean = false): DataFrame = {
+    // stage the upstream parse ONCE ([[Staging.stage]]'s capped-stats
+    // leaf): three branches hang off this frame, and without staging
+    // Spark re-runs the (expensive) container parse per branch — the
+    // exact multi-branch recompute class Staging exists for
+    val staged = Staging.stage(records.toDF(), reliable)
+    val responses = staged.where(col("warc_type") === "response")
     val originals = responses
       .select(col("record_id").as("__oid"), col("payload").as("__opayload"))
     responses
       .select(col("media_id"), col("record_idx"), col("target_uri"),
         col("record_id"), col("payload"), lit(false).as("was_revisit"))
       .unionByName(
-        df.where(col("warc_type") === "revisit" && col("refers_to").isNotNull)
+        staged.where(col("warc_type") === "revisit" && col("refers_to").isNotNull)
           .join(originals, col("refers_to") === col("__oid"))
           .select(col("media_id"), col("record_idx"), col("target_uri"),
             col("record_id"), col("__opayload").as("payload"),
@@ -292,7 +302,11 @@ object Warc {
   def requestResponsePairs(records: Dataset[WarcRecordRow]): DataFrame = {
     import records.sparkSession.implicits._
     import graft.functions.BinaryCodecs
-    val requests = records
+    // staged for the same reason as [[resolveRevisits]]: both sides
+    // read the materialized frame, so the container parse runs once
+    val staged = Staging.stage(records.toDF(), reliable = false)
+      .as[WarcRecordRow]
+    val requests = staged
       .filter(r => r.warc_type == "request" && r.concurrent_to != null)
       .mapPartitions(_.flatMap { r =>
         BinaryCodecs.parseHttpRequest(r.payload).map(q =>
@@ -301,7 +315,7 @@ object Warc {
       })
       .toDF("media_id", "record_idx", "__cto", "method", "target",
         "host", "user_agent", "req_headers")
-    val responses = records
+    val responses = staged
       .filter(r => r.warc_type == "response" && r.record_id != null)
       .mapPartitions(_.flatMap { r =>
         BinaryCodecs.parseHttpResponse(r.payload).map(h =>

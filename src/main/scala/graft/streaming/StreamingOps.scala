@@ -823,7 +823,7 @@ object StreamingOps {
       spark: SparkSession,
       dir: String,
       maxBytesPerMember: Int = 1 << 26,
-      maxBytesTotal: Long = 1L << 34): Dataset[graft.ops.Warc.WarcRecordRow] = {
+      maxBytesTotal: Long = 1L << 32): Dataset[graft.ops.Warc.WarcRecordRow] = {
     import spark.implicits._
     val media = spark.readStream.format("binaryFile")
       // streaming file sources need the schema declared; this is

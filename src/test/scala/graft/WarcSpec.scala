@@ -252,6 +252,14 @@ class WarcSpec extends SparkSpec {
     val empty = BinaryCodecs.parseHttpResponse(
       msg("Transfer-Encoding: chunked\r\n", "0\r\n\r\n".getBytes(US_ASCII))).get
     assert(empty.body.isEmpty && empty.bodyDecoded)
+    // REPEATED coding fields are list-valued (RFC 9110): two
+    // Content-Encoding lines are equivalent to 'gzip, identity' and the
+    // earlier coding must still be undone, not silently skipped
+    val repeated = BinaryCodecs.parseHttpResponse(
+      msg("Content-Encoding: gzip\r\nContent-Encoding: identity\r\n",
+        BinaryCodecs.gzip(text.getBytes(US_ASCII)))).get
+    assert(new String(repeated.body, US_ASCII) == text && repeated.bodyDecoded)
+    assert(repeated.contentEncoding == "gzip, identity")
   }
 
   test("httpResponses + decodePages: the full container-to-text chain with transport charsets") {
