@@ -4657,7 +4657,17 @@ object SparkEntry {
           }
         }.toDF("url", "payload")
       Crawl.sitemapDiscoveryRecursive(robotsPages, files, maxDepth = 2)
-    })
+    }),
+
+    // ---- per-document LM fluency (the CCNet-style quality-filter
+    // score): the q129 Kneser-Ney table trained on the corpus, each
+    // doc's bigrams scored against it, mean probability in exact ppm —
+    // unseen/pruned bigrams contribute zero by contract. The oracle
+    // replays the whole chain: the q129 table derivation plus the
+    // doc-keyed bigram join and integral-mean fold. ------------------------
+    "q414_lm_fluency" -> ((s, dir) =>
+      Ngrams.lmFluencyPpm(t(s, dir, "documents"), minCount = 3)
+        .select(col("doc_id"), col("n_bigrams"), col("fluency_ppm")))
   )
 
   /** q358/q359's synthetic HTML page — every feature a pure function of
@@ -11923,7 +11933,44 @@ object SparkEntry {
         |  FALSE AS is_index, CAST(2 AS BIGINT) AS depth
         | FROM base CROSS JOIN (VALUES (0), (1)) t(c) CROSS JOIN (VALUES (0), (1)) u(p)
         | WHERE NOT (a = 5 AND c = 1))
-        |SELECT * FROM d1 UNION ALL SELECT * FROM d2""".stripMargin
+        |SELECT * FROM d1 UNION ALL SELECT * FROM d2""".stripMargin,
+    // q414: the q129 KN derivation (same integer rational, same
+    // minCount = 3 prune) extended with doc-keyed bigrams, the left
+    // join (unseen -> 0) and the integral mean.
+    "q414_lm_fluency" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS w
+        | FROM documents),
+        |bg0 AS (
+        | SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
+        |   i -> w[i+1] || ' ' || w[i+2])) AS bigram
+        | FROM tok),
+        |bi AS (
+        | SELECT string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2,
+        |  CAST(count(*) AS BIGINT) AS n_12
+        | FROM bg0 GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(n_12) AS BIGINT) AS c_1 FROM bi GROUP BY 1),
+        |r1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS r_1 FROM bi GROUP BY 1),
+        |l1 AS (SELECT w2, CAST(count(*) AS BIGINT) AS l_1 FROM bi GROUP BY 1),
+        |bb AS (SELECT CAST(count(*) AS BIGINT) AS n_bigrams FROM bi),
+        |probs AS (
+        | SELECT bi.w1, bi.w2,
+        |  CAST(floor((1000000 * (bb.n_bigrams * (4 * bi.n_12 - 3) + 3 * r1.r_1 * l1.l_1))
+        |    / (4 * c1.c_1 * bb.n_bigrams)) AS BIGINT) AS p_ppm
+        | FROM bi JOIN c1 USING (w1) JOIN r1 USING (w1) JOIN l1 USING (w2), bb
+        | WHERE bi.n_12 >= 3),
+        |db AS (
+        | SELECT doc_id, string_split(bigram, ' ')[1] AS w1,
+        |  string_split(bigram, ' ')[2] AS w2
+        | FROM bg0),
+        |sc AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(coalesce(p_ppm, 0)) AS BIGINT) AS s
+        | FROM db LEFT JOIN probs USING (w1, w2) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(sc.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        | coalesce(sc.s // sc.n_bigrams, CAST(0 AS BIGINT)) AS fluency_ppm
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
   )
 
   /** The flat-block JPEG stats derivation, shared verbatim by q395 and

@@ -242,6 +242,49 @@ object Ngrams {
           (lit(discountDen) * col("c_1") * col("n_bigrams"))).as("p_ppm"))
   }
 
+  /** Per-document LM fluency score — the CCNet-style quality-filter
+    * step: each document's bigrams score against the corpus-trained
+    * [[kneserNeyBigrams]] table and the document's score is the MEAN
+    * bigram probability in exact integer ppm (integral division, so the
+    * score is merge-order- and engine-independent like the table
+    * itself). Unseen-or-pruned bigrams contribute ZERO — harsh and
+    * deterministic by design: the backoff mass for unseen pairs is a
+    * per-pair formula whose materialization would be |V|² rows, and a
+    * quality THRESHOLD only needs a monotone fluency signal, which
+    * mean-observed-probability is. Documents with no bigrams (zero or
+    * one word) score 0 with `n_bigrams = 0`.
+    *
+    * Scale shape: the probability table is vocabulary-sized; document
+    * bigrams shuffle once onto it (equi-join on the word pair, AQE
+    * handling stopword-bigram skew) and the per-document fold groups
+    * back by id. The corpus tokenizes twice (once for the table, once
+    * for the scoring pass) — the table's own doc notes why persisting
+    * fat token arrays measures slower than re-tokenizing.
+    */
+  def lmFluencyPpm(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minCount: Long = 2L): DataFrame = {
+    val probs = kneserNeyBigrams(docs, textCol, minCount)
+      .select(col("w1"), col("w2"), col("p_ppm"))
+    val docBigrams = Dedup.parallelize(docs)
+      .select(col(idCol),
+        explode(bigrams(Dedup.wordTokens(col(textCol)))).as("__bg"))
+      .select(col(idCol),
+        split(col("__bg"), " ")(0).as("w1"), split(col("__bg"), " ")(1).as("w2"))
+    val scored = docBigrams.join(probs, Seq("w1", "w2"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("p_ppm"), lit(0L))).as("__sum"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("__sum div n_bigrams").as("fluency_ppm"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("fluency_ppm"), lit(0L)).as("fluency_ppm"))
+  }
+
   /** Byte-pair-encoding merge-table induction — the actual algorithm a
     * subword tokenizer is trained with (Sennrich et al.): words split
     * into characters plus an end-of-word marker symbol; each round elects

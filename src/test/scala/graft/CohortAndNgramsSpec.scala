@@ -222,4 +222,26 @@ class CohortAndNgramsSpec extends SparkSpec {
       assert(bad.toSeq == Seq("2,notanumber"))
     } finally { df.unpersist(); f.delete(); dir.delete() }
   }
+  test("lmFluencyPpm: identical docs score identically; fluent beats unseen-heavy; empties are 0") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // "a b" repeats corpus-wide (survives minCount), the rare pair never does
+    val docs = Seq(
+      (0L, "a b a b a b"), (1L, "a b a b a b"),
+      (2L, "zz qq"), // only unseen-after-prune bigrams
+      (3L, "a b zz qq"), // mixed
+      (4L, ""), (5L, "solo")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Ngrams.lmFluencyPpm(docs, minCount = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(0L) == byId(1L).copy(_1 = 0L), "identical docs must score identically")
+    assert(byId(0L)._2 == 5 && byId(0L)._3 > 0)
+    assert(byId(2L)._3 == 0, "all-unseen docs score zero")
+    assert(byId(3L)._3 > 0 && byId(3L)._3 < byId(0L)._3,
+      "mixed doc scores strictly between all-unseen and fluent")
+    assert(byId(4L) == ((4L, 0L, 0L)) && byId(5L) == ((5L, 0L, 0L)),
+      "zero/one-word docs have no bigrams and score 0")
+  }
+
 }
