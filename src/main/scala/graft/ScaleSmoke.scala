@@ -173,7 +173,11 @@ object ScaleSmoke {
     // template removal (two aggs on (host, line-hash) + the anti-join —
     // the line-frequency boilerplate shape; replica-prefixed vocab keeps
     // per-host line populations disjoint across replicas).
-    "q409_warc_revisit", "q411_template_removal")
+    "q409_warc_revisit", "q411_template_removal",
+    // LM fluency: two corpus tokenizations + the vocabulary-table join
+    // onto the doc-bigram stream (replica-prefixed vocab keeps bigram
+    // populations disjoint: 10x docs = 10x vocab rows, never denser).
+    "q414_lm_fluency")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))
