@@ -4667,8 +4667,94 @@ object SparkEntry {
     // doc-keyed bigram join and integral-mean fold. ------------------------
     "q414_lm_fluency" -> ((s, dir) =>
       Ngrams.lmFluencyPpm(t(s, dir, "documents"), minCount = 3)
-        .select(col("doc_id"), col("n_bigrams"), col("fluency_ppm")))
+        .select(col("doc_id"), col("n_bigrams"), col("fluency_ppm"))),
+
+    // ---- agent-scoped robots admission (q363's full-REP sibling):
+    // bodies carry THREE groups (an images bot, the crawler's own
+    // token, star-disallow-all); the requesting agent varies per doc and
+    // must select its group by longest-token prefix match with star
+    // fall-through — a crawler reading only the star group here would
+    // fetch NOTHING. The oracle derives every decision from the
+    // (id % 4 agent, id % 5 path, id % 2 allow-line) formula. ---------------
+    "q415_robots_agent_groups" -> ((s, dir) => {
+      val m2 = (col("doc_id") % 2).cast("string")
+      val robots = concat(
+        lit("User-agent: graftbot-images\nDisallow: /img\n\n" +
+          "User-agent: graftbot\nDisallow: /private\n"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("Allow: /private/ok"), m2, lit("\n"))).otherwise(lit("")),
+        lit("\nUser-agent: *\nDisallow: /\n"))
+      val agent = when(col("doc_id") % 4 === 0, lit("graftbot/1.0"))
+        .when(col("doc_id") % 4 === 1, lit("graftbot-images/2.0"))
+        .when(col("doc_id") % 4 === 2, lit("otherbot"))
+        .otherwise(lit("GraftBot"))
+      val path = when(col("doc_id") % 5 === 0, concat(lit("/private/ok"), m2, lit("/page")))
+        .when(col("doc_id") % 5 === 1, lit("/private/secret"))
+        .when(col("doc_id") % 5 === 2, lit("/img/banner"))
+        .when(col("doc_id") % 5 === 3, lit("/public/a"))
+        .otherwise(lit("/x"))
+      graft.ops.Robots.filterAllowedForAgent(
+        t(s, dir, "documents").select(col("doc_id"), robots.as("robots"),
+          agent.as("agent"), path.as("path")),
+        col("agent"))
+        .select(col("doc_id"), col("agent"), col("path"), col("allowed"))
+    }),
+
+    // ---- CDXJ index export (the third Common Crawl sidecar): a PLAIN
+    // .warc corpus of HTTP-message responses indexed to one line per
+    // record — SURT key, WARC-Date timestamp, JSON block with the
+    // random-access (offset, length) span. The plain layout makes every
+    // span ANALYTIC: the oracle rebuilds offsets from the record-framing
+    // arithmetic (header string lengths + Content-Length) and the whole
+    // line byte-for-byte. --------------------------------------------------
+    "q416_cdx_export" -> ((s, dir) =>
+      graft.ops.Warc.toCdxj(
+        graft.ops.Warc.syntheticWarcBytes(cdxHttpDocs(s, dir),
+          docsPerFile = 8, gzipPerRecord = false),
+        filenameCol = concat(lit("crawl-"), col("media_id"), lit(".warc")))
+        .select(col("media_id"), col("record_idx"), col("surt_key"),
+          col("ts"), col("url"), col("status"), col("mime"), col("digest"),
+          col("offset"), col("length"), col("filename"), col("cdxj_line"))),
+
+    // ---- CDXJ parse-back (the READ half of q416's writer): the same
+    // corpus's lines through [[Warc.cdxjEntries]] into typed columns;
+    // the oracle derives every field straight from the id formulas. --------
+    "q417_cdx_ingest" -> ((s, dir) =>
+      graft.ops.Warc.cdxjEntries(
+        graft.ops.Warc.toCdxj(
+          graft.ops.Warc.syntheticWarcBytes(cdxHttpDocs(s, dir),
+            docsPerFile = 8, gzipPerRecord = false),
+          filenameCol = concat(lit("crawl-"), col("media_id"), lit(".warc")))
+          .select(col("cdxj_line")))),
+
+    // ---- GIF decode (the q150/q406 family, fourth image format): REAL
+    // GIF89a files — LZW-compressed, interlaced on even ids, GCE on odd
+    // ids, an ignored second frame every 5th — through the first-frame
+    // decoder into integer-exact pixel stats; every pixel replays from
+    // the palette/index id formulas in the oracle. ------------------------
+    "q418_gif_decode" -> ((s, dir) =>
+      Multimodal.imageStats(Multimodal.syntheticGifMedia(
+        t(s, dir, "documents").select(col("doc_id"))))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
+          col("sum_b"), col("sum_g"), col("sum_r")))
   )
+
+  /** q416/q417's shared fixture: each document as the HTTP response
+    * message a crawler archives (status from the q412 id formula,
+    * `text/html`, the document text as body) under the standard
+    * host/path URI formula — every CDX field derivable in SQL.
+    */
+  private def cdxHttpDocs(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    t(s, dir, "documents").select(
+      id,
+      concat(lit("HTTP/1.1 "), (lit(200) + (id % 3) * 2).cast("string"),
+        lit(" OK\r\nContent-Type: text/html\r\n\r\n"),
+        coalesce(col("text"), lit(""))).cast("binary").as("payload"),
+      concat(lit("https://host"), (id % 20).cast("string"),
+        lit(".example.com/p/"), id.cast("string")).as("uri"))
+  }
 
   /** q358/q359's synthetic HTML page — every feature a pure function of
     * doc_id and text so the oracle rebuilds it byte-for-byte: a head line
@@ -11970,8 +12056,110 @@ object SparkEntry {
         | FROM db LEFT JOIN probs USING (w1, w2) GROUP BY 1)
         |SELECT d.doc_id, coalesce(sc.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
         | coalesce(sc.s // sc.n_bigrams, CAST(0 AS BIGINT)) AS fluency_ppm
-        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+    // q415: the q363 idiom with GROUP SELECTION in the formula — the
+    // images agent picks the longest token (its own group, only /img
+    // blocked), the crawler token keeps the q363-style private/ok rules,
+    // the foreign agent falls through to the star disallow-all.
+    "q415_robots_agent_groups" ->
+      """SELECT doc_id,
+        | CASE doc_id % 4
+        |  WHEN 0 THEN 'graftbot/1.0'
+        |  WHEN 1 THEN 'graftbot-images/2.0'
+        |  WHEN 2 THEN 'otherbot'
+        |  ELSE 'GraftBot' END AS agent,
+        | CASE doc_id % 5
+        |  WHEN 0 THEN '/private/ok' || CAST(doc_id % 2 AS VARCHAR) || '/page'
+        |  WHEN 1 THEN '/private/secret'
+        |  WHEN 2 THEN '/img/banner'
+        |  WHEN 3 THEN '/public/a'
+        |  ELSE '/x' END AS path,
+        | CASE
+        |  WHEN doc_id % 4 = 2 THEN false
+        |  WHEN doc_id % 4 = 1 THEN doc_id % 5 <> 2
+        |  ELSE CASE doc_id % 5
+        |   WHEN 0 THEN doc_id % 2 = 0
+        |   WHEN 1 THEN false
+        |   ELSE true END
+        | END AS allowed
+        |FROM documents""".stripMargin,
+    // q416: the envelope rebuilt byte-for-byte from the id formulas —
+    // offsets ANALYTIC from the record-framing arithmetic: a response
+    // record is 141 fixed header/framing bytes + len(id) + len(uri) +
+    // len(str(content_length)) + the payload, after a 146 + len(file_id)
+    // warcinfo lead record; the payload is the 44-byte HTTP envelope +
+    // the text.
+    "q416_cdx_export" -> (CdxOracleCtes +
+      """SELECT fid AS media_id, CAST(rn AS BIGINT) AS record_idx,
+        | surt_key, '20240101000000' AS ts, uri AS url,
+        | CAST(status AS INT) AS status, 'text/html' AS mime, digest,
+        | CAST(off AS BIGINT) AS "offset", CAST(rec_size AS BIGINT) AS length,
+        | fname AS filename,
+        | surt_key || ' 20240101000000 {"url":"' || uri || '","digest":"' ||
+        |  digest || '","mime":"text/html","status":"' ||
+        |  CAST(status AS VARCHAR) || '","offset":"' || CAST(off AS VARCHAR) ||
+        |  '","length":"' || CAST(rec_size AS VARCHAR) || '","filename":"' ||
+        |  fname || '"}' AS cdxj_line
+        |FROM o""".stripMargin),
+    // q417: the same derivation through the parse-back lens — typed
+    // fields only, no line assembly.
+    "q417_cdx_ingest" -> (CdxOracleCtes +
+      """SELECT surt_key, '20240101000000' AS ts, uri AS url, digest,
+        | 'text/html' AS mime, CAST(status AS INT) AS status,
+        | CAST(off AS BIGINT) AS "offset", CAST(rec_size AS BIGINT) AS length,
+        | fname AS filename
+        |FROM o""".stripMargin),
+    // q418: every pixel from the palette/index formulas — interlace and
+    // the second frame are invisible to order-free sums BY DESIGN (the
+    // sbt spec pins row order via dHash parity with a BMP of the same
+    // pixels and via javax.imageio cross-decode).
+    "q418_gif_decode" ->
+      """WITH par AS (SELECT doc_id, 8 + (doc_id % 3) * 7 AS w,
+        |  5 + (doc_id % 4) * 3 AS h FROM documents),
+        |px AS (
+        | SELECT doc_id, w, h, (x.x * 5 + y.y * 11 + doc_id) % 64 AS i
+        | FROM par CROSS JOIN range(22) x(x) CROSS JOIN range(14) y(y)
+        | WHERE x.x < w AND y.y < h),
+        |s AS (SELECT doc_id, w, h,
+        |  CAST(sum(255 - 3 * i) AS BIGINT) AS sb,
+        |  CAST(sum((i * 7) % 256) AS BIGINT) AS sg,
+        |  CAST(sum(4 * i) AS BIGINT) AS sr
+        | FROM px GROUP BY 1, 2, 3)
+        |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
+        | CAST(h AS BIGINT) AS height, CAST(w * h AS BIGINT) AS n_pixels,
+        | sb AS sum_b, sg AS sum_g, sr AS sum_r
+        |FROM s""".stripMargin
   )
+
+  /** q416/q417's shared offset-arithmetic replay, ending in CTE
+    * `o(doc_id, fid, rn, uri, surt_key, status, digest, n, rec_size,
+    * off, fname)`.
+    */
+  private lazy val CdxOracleCtes: String =
+    """WITH f AS (
+      | SELECT doc_id, doc_id // 8 AS fid,
+      |  'https://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p/' ||
+      |   CAST(doc_id AS VARCHAR) AS uri,
+      |  'com,example,host' || CAST(doc_id % 20 AS VARCHAR) || ')/p/' ||
+      |   CAST(doc_id AS VARCHAR) AS surt_key,
+      |  200 + (doc_id % 3) * 2 AS status,
+      |  sha256(coalesce(text, '')) AS digest,
+      |  44 + strlen(coalesce(text, '')) AS n
+      | FROM documents),
+      |sz AS (
+      | SELECT *,
+      |  141 + strlen(CAST(doc_id AS VARCHAR)) + strlen(uri) +
+      |   strlen(CAST(n AS VARCHAR)) + n AS rec_size,
+      |  row_number() OVER (PARTITION BY fid ORDER BY doc_id) AS rn
+      | FROM f),
+      |o AS (
+      | SELECT *,
+      |  146 + strlen(CAST(fid AS VARCHAR)) +
+      |   coalesce(sum(rec_size) OVER (PARTITION BY fid ORDER BY doc_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+      |  'crawl-' || CAST(fid AS VARCHAR) || '.warc' AS fname
+      | FROM sz)
+      |""".stripMargin
 
   /** The flat-block JPEG stats derivation, shared verbatim by q395 and
     * the q397 transcode invariant (a transcode that changes any pixel

@@ -818,6 +818,397 @@ object BinaryCodecs {
     Some(png(w, h, px))
   }
 
+  // ----------------------------------------------------------------- GIF --
+
+  /** Encode an indexed image as GIF89a (GIF87a/89a, the third web image
+    * container after PNG/JPEG) with a REAL LZW compressor — variable
+    * code width, dictionary growth to 12 bits, clear-code reset at 4096
+    * — optional interlace, and an optional Graphic Control Extension:
+    * the writer half of the q-family roundtrip and a legitimate export
+    * path. `palette` is packed 0xRRGGBB, length a power of two in
+    * [2, 256]; `indices` row-major top-down, each < palette length.
+    */
+  def gif(
+      width: Int,
+      height: Int,
+      palette: Array[Int],
+      indices: Array[Byte],
+      interlace: Boolean = false,
+      withGce: Boolean = false,
+      transparentIdx: Int = -1): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
+      "gif dimensions out of range")
+    require(palette.length >= 2 && palette.length <= 256 &&
+      Integer.bitCount(palette.length) == 1, "gif palette must be 2^k in [2,256]")
+    require(indices.length == width * height, "gif indices must cover the frame")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(width); u16(height)
+    val gctBits = 31 - Integer.numberOfLeadingZeros(palette.length) // log2
+    out.write(0x80 | ((gctBits - 1) & 0x07) | 0x70) // GCT, max color res
+    out.write(0) // background color index
+    out.write(0) // aspect
+    palette.foreach { c =>
+      out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff); out.write(c & 0xff)
+    }
+    if (withGce || transparentIdx >= 0) {
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(if (transparentIdx >= 0) 1 else 0) // packed: transparency flag
+      u16(0) // delay
+      out.write(math.max(transparentIdx, 0))
+      out.write(0) // terminator
+    }
+    out.write(0x2c) // image descriptor
+    u16(0); u16(0); u16(width); u16(height)
+    out.write(if (interlace) 0x40 else 0x00) // no LCT
+    // ---- LZW
+    val mcs = math.max(2, gctBits)
+    out.write(mcs)
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    // sub-block-framed LSB-first bit sink
+    val block = new Array[Byte](255)
+    var blockLen = 0
+    var bitBuf = 0L
+    var bitCnt = 0
+    def flushBytes(): Unit =
+      while (bitCnt >= 8) {
+        block(blockLen) = (bitBuf & 0xff).toByte
+        blockLen += 1
+        bitBuf >>>= 8; bitCnt -= 8
+        if (blockLen == 255) { out.write(255); out.write(block, 0, 255); blockLen = 0 }
+      }
+    def emit(code: Int, width: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += width
+      flushBytes()
+    }
+    // dictionary: (prefix code, next byte) → code. The code WIDTH
+    // schedule mirrors the decoder's exactly: the decoder adds one
+    // entry per data code read (except the first after a clear) and
+    // widens when ITS next-free counter fills the current width — one
+    // entry behind the encoder's own dictionary, the classic GIF-LZW
+    // lag. Tracking the decoder's counter per EMISSION (not our own
+    // adds, which skip the final flush) keeps the EOI width in sync
+    // too.
+    var dict = new java.util.HashMap[Integer, Integer]()
+    var nextCode = eoi + 1
+    var codeSize = mcs + 1
+    var decNext = eoi + 1
+    var firstEmit = true
+    def emitData(code: Int): Unit = {
+      emit(code, codeSize)
+      if (firstEmit) firstEmit = false
+      else {
+        decNext += 1
+        if (decNext == (1 << codeSize) && codeSize < 12) codeSize += 1
+      }
+    }
+    emit(clear, codeSize)
+    // interlaced files store rows in pass order — permute before encoding
+    val seq =
+      if (!interlace) indices
+      else {
+        val rows = Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (s0, st) =>
+          s0 until height by st
+        }
+        val p = new Array[Byte](indices.length)
+        var d = 0
+        rows.foreach { y =>
+          System.arraycopy(indices, y * width, p, d, width); d += width
+        }
+        p
+      }
+    var cur = -1
+    seq.foreach { b =>
+      val k = b & 0xff
+      require(k < palette.length, s"gif index $k out of palette")
+      if (cur < 0) cur = k
+      else {
+        val key = Integer.valueOf((cur << 8) | k)
+        val hit = dict.get(key)
+        if (hit != null) cur = hit.intValue()
+        else {
+          emitData(cur)
+          dict.put(key, Integer.valueOf(nextCode))
+          nextCode += 1
+          if (nextCode == 4096) { // dictionary full: reset
+            emit(clear, codeSize)
+            dict = new java.util.HashMap[Integer, Integer]()
+            nextCode = eoi + 1
+            codeSize = mcs + 1
+            decNext = eoi + 1
+            firstEmit = true
+          }
+          cur = k
+        }
+      }
+    }
+    if (cur >= 0) emitData(cur)
+    emit(eoi, codeSize)
+    if (bitCnt > 0) { // final partial byte
+      block(blockLen) = (bitBuf & 0xff).toByte
+      blockLen += 1
+      if (blockLen == 255) { out.write(255); out.write(block, 0, 255); blockLen = 0 }
+    }
+    if (blockLen > 0) { out.write(blockLen); out.write(block, 0, blockLen) }
+    out.write(0) // data terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Decode the FIRST frame of a GIF87a/89a payload to row-major
+    * top-down RGB — the [[pngDecode]] sibling for the third web image
+    * format, closing the silent coverage hole where GIF-share images
+    * fell out of image stats/dedup. A REAL decoder: header + logical
+    * screen descriptor, global/local color tables, extension-block
+    * skipping with GCE transparency capture, full variable-width LZW
+    * (clear-code resets, KwKwK, 12-bit growth), interlace
+    * reconstruction, and first-frame compositing — the frame renders
+    * onto the background-color-filled canvas, transparent pixels (and
+    * any canvas the frame does not cover) keep the background color;
+    * later frames of an animation are ignored by contract. Any
+    * malformation — bad magic, frame outside the canvas, LZW code
+    * overrun, index past the palette, truncated stream, pixel shortfall
+    * — quarantines (None), the family contract. `maxBytes` caps the
+    * decoded canvas (zip-bomb guard: LZW is a compressed stream like
+    * any other).
+    */
+  def gifDecode(
+      payload: Array[Byte],
+      maxBytes: Int = 1 << 26): Option[(Int, Int, Int, Array[Byte])] = {
+    if (payload == null || payload.length < 13) return None
+    val magic = new String(payload, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    def u16(p: Int): Int = (payload(p) & 0xff) | ((payload(p + 1) & 0xff) << 8)
+    val cw = u16(6); val chh = u16(8)
+    if (cw <= 0 || chh <= 0) return None
+    if (3L * cw * chh > maxBytes) return None
+    val packed = payload(10) & 0xff
+    var pos = 13
+    var gct: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      val n = 1 << ((packed & 0x07) + 1)
+      if (pos + 3 * n > payload.length) return None
+      gct = Array.tabulate(n)(i =>
+        ((payload(pos + 3 * i) & 0xff) << 16) |
+          ((payload(pos + 3 * i + 1) & 0xff) << 8) |
+          (payload(pos + 3 * i + 2) & 0xff))
+      pos += 3 * n
+    }
+    val bgIdx = payload(11) & 0xff
+    var transparent = -1
+    while (pos < payload.length) {
+      (payload(pos) & 0xff) match {
+        case 0x3b => return None // trailer before any image
+        case 0x21 => // extension: label + sub-blocks
+          if (pos + 2 > payload.length) return None
+          val label = payload(pos + 1) & 0xff
+          pos += 2
+          var first = true
+          var open = true
+          while (open) {
+            if (pos >= payload.length) return None
+            val n = payload(pos) & 0xff
+            if (n == 0) { pos += 1; open = false }
+            else {
+              if (pos + 1 + n > payload.length) return None
+              if (label == 0xf9 && first && n >= 4)
+                transparent =
+                  if ((payload(pos + 1) & 0x01) != 0) payload(pos + 4) & 0xff
+                  else -1
+              first = false
+              pos += 1 + n
+            }
+          }
+        case 0x2c => // image descriptor: decode this frame and return
+          if (pos + 10 > payload.length) return None
+          val left = u16(pos + 1); val top = u16(pos + 3)
+          val fw = u16(pos + 5); val fh = u16(pos + 7)
+          val ip = payload(pos + 9) & 0xff
+          pos += 10
+          if (fw <= 0 || fh <= 0 || left + fw > cw || top + fh > chh) return None
+          var pal = gct
+          if ((ip & 0x80) != 0) {
+            val n = 1 << ((ip & 0x07) + 1)
+            if (pos + 3 * n > payload.length) return None
+            pal = Array.tabulate(n)(i =>
+              ((payload(pos + 3 * i) & 0xff) << 16) |
+                ((payload(pos + 3 * i + 1) & 0xff) << 8) |
+                (payload(pos + 3 * i + 2) & 0xff))
+            pos += 3 * n
+          }
+          if (pal == null) return None // no color table at all
+          val interlaced = (ip & 0x40) != 0
+          if (pos >= payload.length) return None
+          val mcs = payload(pos) & 0xff
+          pos += 1
+          if (mcs < 2 || mcs > 8) return None
+          // ---- LZW decode of the concatenated sub-blocks
+          val need = fw * fh
+          val outIdx = new Array[Byte](need)
+          var got = 0
+          val clear = 1 << mcs
+          val eoi = clear + 1
+          val prefix = new Array[Int](4096)
+          val suffix = new Array[Byte](4096)
+          val stack = new Array[Byte](4097)
+          var nextCode = eoi + 1
+          var codeSize = mcs + 1
+          var prev = -1
+          var bitBuf = 0L
+          var bitCnt = 0
+          var sawEoi = false
+          var open = true
+          while (open) {
+            if (pos >= payload.length) return None
+            val n = payload(pos) & 0xff
+            pos += 1
+            if (n == 0) open = false
+            else {
+              if (pos + n > payload.length) return None
+              var i = 0
+              while (i < n) {
+                if (!sawEoi) {
+                  bitBuf |= (payload(pos + i) & 0xffL) << bitCnt
+                  bitCnt += 8
+                  while (!sawEoi && bitCnt >= codeSize) {
+                    val code = (bitBuf & ((1 << codeSize) - 1)).toInt
+                    bitBuf >>>= codeSize; bitCnt -= codeSize
+                    if (code == clear) {
+                      nextCode = eoi + 1; codeSize = mcs + 1; prev = -1
+                    } else if (code == eoi) {
+                      sawEoi = true
+                    } else if (code > nextCode || (code == nextCode && prev < 0)) {
+                      return None // code beyond the dictionary: corrupt
+                    } else {
+                      // expand `code` (KwKwK when code == nextCode)
+                      var sp = 0
+                      var c = code
+                      if (code == nextCode) {
+                        // prev + first(prev): push placeholder, expand prev
+                        var f = prev
+                        while (f >= clear + 2) f = prefix(f)
+                        stack(sp) = f.toByte; sp += 1
+                        c = prev
+                      }
+                      while (c >= clear + 2) {
+                        stack(sp) = suffix(c); sp += 1
+                        c = prefix(c)
+                      }
+                      if (c >= clear) return None // dangling chain
+                      stack(sp) = c.toByte; sp += 1
+                      val first = c
+                      // drain the stack (reversed) into the index plane
+                      while (sp > 0) {
+                        sp -= 1
+                        val v = stack(sp) & 0xff
+                        if (v >= pal.length) return None
+                        if (got >= need) return None // pixel overrun
+                        outIdx(got) = v.toByte; got += 1
+                      }
+                      if (prev >= 0 && nextCode < 4096) {
+                        prefix(nextCode) = prev
+                        suffix(nextCode) = first.toByte
+                        nextCode += 1
+                        // widen when the table fills the current width
+                        // (the GIFCOMPR-paired timing: the encoder's
+                        // width check uses its PRE-add count, so the
+                        // decoder's post-add count hits the boundary at
+                        // exactly the right read)
+                        if (nextCode == (1 << codeSize) && codeSize < 12)
+                          codeSize += 1
+                      }
+                      prev = code
+                    }
+                  }
+                }
+                i += 1
+              }
+              pos += n
+            }
+          }
+          if (!sawEoi || got != need) return None
+          // ---- composite onto the background-filled canvas
+          val bg = if (gct != null && bgIdx < gct.length) gct(bgIdx) else 0
+          val px = new Array[Byte](3 * cw * chh)
+          var p = 0
+          while (p < cw * chh) {
+            px(3 * p) = ((bg >> 16) & 0xff).toByte
+            px(3 * p + 1) = ((bg >> 8) & 0xff).toByte
+            px(3 * p + 2) = (bg & 0xff).toByte
+            p += 1
+          }
+          val rows: Seq[Int] =
+            if (!interlaced) 0 until fh
+            else Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (s0, st) =>
+              s0 until fh by st
+            }
+          var srcRow = 0
+          rows.foreach { y =>
+            var x = 0
+            while (x < fw) {
+              val v = outIdx(srcRow * fw + x) & 0xff
+              if (v != transparent) {
+                val d = 3 * ((top + y) * cw + (left + x))
+                val c = pal(v)
+                px(d) = ((c >> 16) & 0xff).toByte
+                px(d + 1) = ((c >> 8) & 0xff).toByte
+                px(d + 2) = (c & 0xff).toByte
+              }
+              x += 1
+            }
+            srcRow += 1
+          }
+          return Some((cw, chh, 3, px))
+        case _ => return None // unknown block type: corrupt
+      }
+    }
+    None // ran out of blocks with no image
+  }
+
+  /** [[pngPixelStats]] for GIF payloads — same (Σblue, Σgreen, Σred)
+    * order, canvas-sized (background-composited first frame).
+    */
+  def gifPixelStats(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+    gifDecode(payload).map { case (w, h, ch, px) =>
+      var sumR = 0L; var sumG = 0L; var sumB = 0L
+      var i = 0
+      while (i < px.length) {
+        sumR += px(i) & 0xff
+        sumG += px(i + 1) & 0xff
+        sumB += px(i + 2) & 0xff
+        i += ch
+      }
+      (w, h, sumB, sumG, sumR)
+    }
+
+  /** [[pngDhash]] for GIF payloads: same grid, same gray, so a GIF and
+    * a BMP/PNG/JPEG encoding of the same pixels land in the same dedup
+    * bucket.
+    */
+  def gifDhash(payload: Array[Byte]): Option[(Int, Int, Long)] =
+    gifDecode(payload).map { case (w, h, ch, px) =>
+      (w, h, pixelsDhash(w, h, ch, px))
+    }
+
+  /** GIF → PNG transcode — the fourth leg of format normalization at
+    * ingest ([[bmpToPng]]/[[jpegToPng]]'s sibling), pixel-exact from the
+    * first-frame decode.
+    */
+  def gifToPng(payload: Array[Byte]): Option[Array[Byte]] =
+    gifDecode(payload).map { case (w, h, _, px) => png(w, h, px) }
+
+  /** GIF thumbnail via the shared nearest-neighbor resample, emitted as
+    * PNG ([[jpegResizeToPng]]'s judgment: palette-quantizing a thumbnail
+    * would stack a second generation loss).
+    */
+  def gifResizeToPng(payload: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] =
+    gifDecode(payload).map { case (w, h, ch, px) =>
+      png(tw, th, resizeToRgb(w, h, ch, px, tw, th))
+    }
+
   // ------------------------------------------------------------- CHARSET --
 
   /** A charset-sniffed decode: the label actually used, whether a BOM
@@ -1072,10 +1463,14 @@ object BinaryCodecs {
       if (l == null) return None
       val semi = l.indexOf(';')
       val hexs = (if (semi >= 0) l.substring(0, semi) else l).trim
-      if (hexs.isEmpty || hexs.length > 8 ||
+      if (hexs.isEmpty ||
         !hexs.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
           (c >= 'A' && c <= 'F'))) return None
-      val size = java.lang.Long.parseLong(hexs, 16)
+      // RFC 9112 permits leading zeros in chunk-size; the value bound
+      // (0xFFFFFFFF) applies to the SIGNIFICANT digits only
+      val sig = hexs.dropWhile(_ == '0')
+      if (sig.length > 8) return None
+      val size = if (sig.isEmpty) 0L else java.lang.Long.parseLong(sig, 16)
       if (size == 0) {
         // trailer section: zero or more field lines, then the blank line
         var t = line()
@@ -1233,7 +1628,17 @@ object BinaryCodecs {
   final case class WarcRec(
       warcType: String, targetUri: String, nHeaders: Int, payload: Array[Byte],
       recordId: String = null, refersTo: String = null,
-      concurrentTo: String = null)
+      concurrentTo: String = null, warcDate: String = null)
+
+  /** One record plus its byte span IN THE FILE — what a CDX index line
+    * points at. For the standard member-per-record `.warc.gz` layout the
+    * span is the record's own gzip member (seek `offset`, read `length`
+    * bytes, gunzip, parse one record — record-level random access, the
+    * reason the layout exists); for a record straddling members the span
+    * covers every contributing member; for a plain `.warc` it is the
+    * record's own bytes (version line through terminator).
+    */
+  final case class WarcRecSpan(rec: WarcRec, offset: Long, length: Long)
 
   /** Parse a WARC file — gzip'd (member-per-record or any member split;
     * detected by magic) or plain — into its records in file order. The
@@ -1267,6 +1672,23 @@ object BinaryCodecs {
     warcRecordsImpl(payload, maxBytesPerMember, maxRecords, maxBytesTotal,
       keepPayloads = true)
 
+  /** [[warcRecords]] with each record's FILE byte span ([[WarcRecSpan]]'s
+    * contract) — the indexing walk behind CDX export. Same framing, same
+    * all-or-nothing quarantine.
+    */
+  def warcRecordsWithSpans(
+      payload: Array[Byte],
+      maxBytesPerMember: Int = 1 << 26,
+      maxRecords: Int = 1 << 20,
+      maxBytesTotal: Long = 1L << 32): Option[Vector[WarcRecSpan]] = {
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    warcRecordsImpl(payload, maxBytesPerMember, maxRecords, maxBytesTotal,
+      keepPayloads = true, spans = spans).map { recs =>
+      recs.iterator.zip(spans.iterator)
+        .map { case (r, (o, l)) => WarcRecSpan(r, o, l) }.toVector
+    }
+  }
+
   /** [[warcRecords]]' validity-only twin: the identical walk and
     * quarantine contract, but record payloads are never retained — the
     * cheap path for [[graft.ops.Warc.quarantinedFiles]]-style auditing,
@@ -1286,7 +1708,8 @@ object BinaryCodecs {
       maxBytesPerMember: Int,
       maxRecords: Int,
       maxBytesTotal: Long,
-      keepPayloads: Boolean): Option[Vector[WarcRec]] = {
+      keepPayloads: Boolean,
+      spans: scala.collection.mutable.ArrayBuffer[(Long, Long)] = null): Option[Vector[WarcRec]] = {
     if (payload == null || payload.length == 0) return None
     val out = Vector.newBuilder[WarcRec]
     var nRec = 0
@@ -1300,6 +1723,14 @@ object BinaryCodecs {
       var off = 0
       var nMembers = 0
       var total = 0L
+      // span bookkeeping (CDX export): members in GLOBAL decompressed-
+      // stream coordinates (never shifted by compaction) → file spans.
+      // mStarts grows by one tuple per member and is pruned from the
+      // front as records drain, so it never exceeds the in-flight tail.
+      var globalBase = 0L // global offset of buf(0)
+      val mStarts =
+        if (spans == null) null
+        else scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
       while (off < payload.length) {
         nMembers += 1
         if (nMembers > (1 << 20)) return None // member walk is its own bomb
@@ -1317,6 +1748,8 @@ object BinaryCodecs {
               System.arraycopy(buf, 0, grown, 0, bufLen)
               buf = grown
             }
+            if (mStarts != null && member.length > 0)
+              mStarts += ((globalBase + bufLen, off.toLong, next.toLong))
             System.arraycopy(member, 0, buf, bufLen, member.length)
             bufLen += member.length
             off = next
@@ -1329,6 +1762,21 @@ object BinaryCodecs {
               nRec += 1
               if (nRec > maxRecords) return None
               out += rec
+              if (mStarts != null) {
+                val gs = globalBase + start
+                val ge = globalBase + next
+                // file start: the member holding the record's first byte;
+                // file end: the end of the member holding its last byte
+                var i = mStarts.length - 1
+                while (i > 0 && mStarts(i)._1 > gs) i -= 1
+                val fileStart = mStarts(i)._2
+                var j = mStarts.length - 1
+                while (j > 0 && mStarts(j)._1 >= ge) j -= 1
+                spans += ((fileStart, mStarts(j)._3 - fileStart))
+                // members wholly before the NEXT record's start are dead
+                while (mStarts.length > 1 && mStarts(1)._1 <= ge)
+                  mStarts.remove(0)
+              }
               start = next
             case WarcParse.NeedMore => more = false
             case WarcParse.Malformed => return None
@@ -1338,6 +1786,7 @@ object BinaryCodecs {
         if (start > 0) { // compact the consumed prefix
           System.arraycopy(buf, start, buf, 0, bufLen - start)
           bufLen -= start
+          globalBase += start
         }
       }
       if (bufLen != 0) return None // trailing partial record = corruption
@@ -1347,7 +1796,10 @@ object BinaryCodecs {
         nRec += 1
         if (nRec > maxRecords) return None
         parseWarcRecordAt(payload, start, payload.length, keepPayloads) match {
-          case WarcParse.Complete(rec, next) => out += rec; start = next
+          case WarcParse.Complete(rec, next) =>
+            out += rec
+            if (spans != null) spans += ((start.toLong, (next - start).toLong))
+            start = next
           case _ => return None // at EOF, incomplete IS malformed
         }
       }
@@ -1394,6 +1846,7 @@ object BinaryCodecs {
     var recordId: String = null
     var refersTo: String = null
     var concurrentTo: String = null
+    var warcDate: String = null
     var contentLength = -1L
     var nHeaders = 0
     var open = true
@@ -1414,6 +1867,7 @@ object BinaryCodecs {
         else if (name.equalsIgnoreCase("WARC-Record-ID")) recordId = value
         else if (name.equalsIgnoreCase("WARC-Refers-To")) refersTo = value
         else if (name.equalsIgnoreCase("WARC-Concurrent-To")) concurrentTo = value
+        else if (name.equalsIgnoreCase("WARC-Date")) warcDate = value
         else if (name.equalsIgnoreCase("Content-Length"))
           contentLength =
             try value.toLong
@@ -1436,7 +1890,7 @@ object BinaryCodecs {
     o += 4
     WarcParse.Complete(
       WarcRec(warcType, targetUri, nHeaders, body, recordId, refersTo,
-        concurrentTo), o)
+        concurrentTo, warcDate), o)
   }
 
   /** Integer-exact per-channel pixel statistics from a 24bpp bottom-up BMP

@@ -985,6 +985,17 @@ object JpegCodec {
               val t = new Array[Int](64)
               var k = 0
               while (k < 64) { t(Zigzag(k)) = payload(pp + 1 + k) & 0xff; k += 1 }
+              // Quant tables latch at the frame's first scan (libjpeg
+              // semantics): this loop starts AT the first SOS, so a DQT
+              // seen here that CHANGES a table one of the frame's
+              // components references cannot be honored — dequantizing
+              // with the late table would decode different pixels than
+              // the reference decoder. Decode-or-quarantine: drop the
+              // file. Identical redefinitions and tables no component
+              // uses are harmless and pass through.
+              if (compQ.take(nComp).contains(tq) &&
+                (quant(tq) == null || !java.util.Arrays.equals(quant(tq), t)))
+                return None
               quant(tq) = t
               pp += 65
             }

@@ -198,7 +198,13 @@ object Crawl {
   private def decodedSitemaps(sitemapFiles: DataFrame, maxBytes: Int): DataFrame = {
     import sitemapFiles.sparkSession.implicits._
     import graft.functions.BinaryCodecs
-    sitemapFiles.select(col("url"), col("payload"))
+    // One file per URL before the broadcast join: a fetch layer that
+    // delivered the same sitemap twice would otherwise fan out every
+    // matching declaration's entries into duplicate rows. Arbitrary
+    // survivor among duplicates (re-fetches of one URL are the same
+    // bytes in any sane fetch log); dedup BEFORE decode so the loser
+    // never pays the gunzip.
+    sitemapFiles.dropDuplicates("url").select(col("url"), col("payload"))
       .as[(String, Array[Byte])]
       .flatMap { case (url, payload) =>
         val bytes = Option(payload).getOrElse(Array.emptyByteArray)

@@ -217,6 +217,7 @@ object Multimodal {
           BinaryCodecs.bmpPixelStats(m.payload)
             .orElse(BinaryCodecs.pngPixelStats(m.payload))
             .orElse(BinaryCodecs.jpegPixelStats(m.payload))
+            .orElse(BinaryCodecs.gifPixelStats(m.payload))
             .map { case (w, h, sumB, sumG, sumR) =>
               ImageStats(m.media_id, w.toLong, h.toLong, w.toLong * h, sumB, sumG, sumR)
             }
@@ -246,6 +247,7 @@ object Multimodal {
           BinaryCodecs.bmpDhash(m.payload)
             .orElse(BinaryCodecs.pngDhash(m.payload))
             .orElse(BinaryCodecs.jpegDhash(m.payload))
+            .orElse(BinaryCodecs.gifDhash(m.payload))
             .map { case (w, h, d) =>
               ImageDhash(m.media_id, w.toLong, h.toLong, d)
             }
@@ -305,9 +307,12 @@ object Multimodal {
             .map(p => MediaRow(m.media_id, m.kind, p, "image/bmp", p.length.toLong))
             .orElse(BinaryCodecs.pngResize(m.payload, w, h)
               .map(p => MediaRow(m.media_id, m.kind, p, "image/png", p.length.toLong)))
-            // JPEG thumbnails leave as PNG: re-encoding a tiny thumbnail
-            // lossily would stack a second generation loss
+            // JPEG/GIF thumbnails leave as PNG: re-encoding a tiny
+            // thumbnail lossily (or palette-quantized) would stack a
+            // second generation loss
             .orElse(BinaryCodecs.jpegResizeToPng(m.payload, w, h)
+              .map(p => MediaRow(m.media_id, m.kind, p, "image/png", p.length.toLong)))
+            .orElse(BinaryCodecs.gifResizeToPng(m.payload, w, h)
               .map(p => MediaRow(m.media_id, m.kind, p, "image/png", p.length.toLong)))
         }
       }
@@ -331,6 +336,7 @@ object Multimodal {
         batch.iterator.flatMap { m =>
           BinaryCodecs.bmpToPng(m.payload)
             .orElse(BinaryCodecs.jpegToPng(m.payload))
+            .orElse(BinaryCodecs.gifToPng(m.payload))
             .map(p => MediaRow(m.media_id, m.kind, p, "image/png", p.length.toLong))
             .orElse(
               if (BinaryCodecs.pngDimensions(m.payload).nonEmpty) Some(m) else None)
@@ -777,6 +783,44 @@ object Multimodal {
         val h = 8 + (id % 16).toInt
         val payload = BinaryCodecs.png(w, h, Option(text).getOrElse("").getBytes("UTF-8"))
         MediaRow(id, "image", payload, "image/png", payload.length.toLong)
+      }
+  }
+
+  /** Synthetic GIF corpus from the documents table — every doc a REAL
+    * GIF89a through the real LZW compressor: a fixed 64-color global
+    * palette (`palette[i] = (r = 4i, g = 7i mod 256, b = 255 − 3i)`),
+    * pixel indices from `index(x, y) = (5x + 11y + id) mod 64`, so
+    * every decoded pixel replays from the id formula. Even ids write
+    * INTERLACED (the decode must undo the 4-pass row order), odd ids
+    * carry a Graphic Control Extension (the skip-and-capture path),
+    * and every 5th id appends a SECOND frame — the first-frame
+    * contract must ignore it.
+    */
+  def syntheticGifMedia(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    graft.io.Spread.toDefaultParallelism(docs)
+      .select(col("doc_id"))
+      .as[Long]
+      .map { id =>
+        val w = 8 + (id % 3).toInt * 7
+        val h = 5 + (id % 4).toInt * 3
+        val pal = Array.tabulate(64)(i =>
+          ((4 * i) << 16) | ((7 * i % 256) << 8) | (255 - 3 * i))
+        val idx = Array.tabulate(w * h)(p =>
+          (((p % w) * 5 + (p / w) * 11 + id) % 64).toByte)
+        val gif = BinaryCodecs.gif(w, h, pal, idx,
+          interlace = id % 2 == 0, withGce = id % 2 == 1)
+        val payload =
+          if (id % 5 == 0) {
+            // splice a throwaway second frame (same canvas, flat index
+            // 0) before the trailer: animation the first-frame decode
+            // must NOT composite
+            val f2 = BinaryCodecs.gif(w, h, pal, new Array[Byte](w * h))
+            val descPos = 13 + 3 * pal.length // header + LSD + GCT
+            gif.dropRight(1) ++ f2.slice(descPos, f2.length - 1) :+ 0x3b.toByte
+          } else gif
+        MediaRow(id, "image", payload, "image/gif", payload.length.toLong)
       }
   }
 

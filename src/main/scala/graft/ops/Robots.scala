@@ -83,6 +83,90 @@ object Robots {
       }),
       v => v.isNotNull)
 
+  /** The raw lines of the group(s) a REQUESTING AGENT selects — the
+    * full REP group model the star-only view ([[starGroupLines]])
+    * simplifies away. Real robots.txt files carry agent-specific groups
+    * next to `*`, and a crawler identifying as its own product token
+    * must obey the MOST SPECIFIC matching group, not the star one:
+    *
+    *  - a group's `User-agent:` token matches when it is `*` or a
+    *    case-insensitive PREFIX of the requesting agent's token (the
+    *    Google "most specific user agent" selection; exact match is the
+    *    longest possible prefix);
+    *  - the longest matching token wins; `*` only applies when no named
+    *    token matches (fall-through);
+    *  - CONSECUTIVE `User-agent:` lines share the rule block that
+    *    follows them (RFC 9309 group formation — `User-agent: a` /
+    *    `User-agent: b` / `Disallow: /x` binds the rule to both);
+    *  - when several groups carry the winning token (a duplicated
+    *    group), their rule lines COMBINE in file order (RFC 9309's
+    *    merge rule).
+    *
+    * Everything stays a codegen'd Column fold over the split-line
+    * array — map-side, no shuffle, robots bodies are KB-sized. Note
+    * equal-length distinct tokens cannot both be prefixes of one agent,
+    * so "longest match" is unambiguous.
+    */
+  private[graft] def agentGroupLines(robots: Column, agent: Column): Column = {
+    val lines = split(robots, "\n")
+    val norm = transform(lines, l =>
+      regexp_replace(trim(regexp_replace(lower(l), "#.*$", "")), "\\s*:\\s*", ":"))
+    val n = size(norm)
+    val idx = sequence(lit(1), n)
+    val agentLc = lower(trim(agent))
+    // per-line: the UA token when the line is a group header, else null
+    val tok = transform(norm, l =>
+      when(l.startsWith("user-agent:"),
+        regexp_extract(l, "^user-agent:(.*)$", 1)))
+    // per-header score: * → 0, matching prefix → token length, else null
+    val score = transform(tok, t =>
+      when(t === "*", lit(0))
+        .when(t =!= "" && agentLc.startsWith(t), length(t)))
+    val best = array_max(filter(score, s => s.isNotNull))
+    // winning headers → each one's member block: skip the rest of its
+    // consecutive-header run, then take lines until the next header
+    val winners = filter(idx, i =>
+      element_at(score, i).isNotNull && element_at(score, i) === best)
+    val members = flatten(transform(winners, p => {
+      val start = array_min(filter(
+        transform(idx, i =>
+          when(i > p && !element_at(norm, i).startsWith("user-agent:"), i)),
+        x => x.isNotNull))
+      val nextUa = coalesce(
+        array_min(filter(
+          transform(idx, i =>
+            when(i > start && element_at(norm, i).startsWith("user-agent:"), i)),
+          x => x.isNotNull)),
+        n + 1)
+      when(start.isNotNull, slice(lines, start, nextUa - start))
+        .otherwise(array().cast("array<string>"))
+    }))
+    when(best.isNotNull, members).otherwise(array().cast("array<string>"))
+  }
+
+  /** [[starRules]] for a specific requesting agent: the rule array of
+    * the group(s) [[agentGroupLines]] selects, same `(allow, prefix)`
+    * struct shape, feeding the SAME [[isAllowed]] longest-match /
+    * Allow-tie-break evaluation. With `agent = "*"` only star groups
+    * can match (product tokens are letter-only, never a prefix of
+    * `"*"`), so the star view is the degenerate case of this one.
+    */
+  def agentRules(robots: Column, agent: Column): Column =
+    rulesFromLines(agentGroupLines(robots, agent))
+
+  /** [[filterAllowed]] with agent selection: appends `allowed` for a
+    * (robots body, path) pair as seen by `agent` — group selection,
+    * longest-match and the Allow tie-break in one map-side pass.
+    */
+  def filterAllowedForAgent(
+      df: DataFrame,
+      agent: Column,
+      robotsCol: String = "robots",
+      pathCol: String = "path",
+      out: String = "allowed"): DataFrame =
+    df.withColumn(out,
+      isAllowed(col(pathCol), agentRules(col(robotsCol), agent)))
+
   /** Parse the `User-agent: *` group of a robots.txt body into an array
     * of `(allow: boolean, prefix: string)` rules, in file order: the
     * lines strictly between the `User-agent: *` line and the next
@@ -93,8 +177,15 @@ object Robots {
     * spec's allow-everything no-op. A body with no star group yields no
     * rules (everything allowed).
     */
-  def starRules(robots: Column): Column = {
-    val group = starGroupLines(robots)
+  def starRules(robots: Column): Column =
+    rulesFromLines(starGroupLines(robots))
+
+  /** Group lines → `(allow, prefix)` rule structs, the shared back half
+    * of [[starRules]] and [[agentRules]]: comments strip, keys match
+    * case-insensitively, prefixes keep case, empty values and non-rule
+    * lines drop.
+    */
+  private def rulesFromLines(group: Column): Column = {
     val parsed = transform(group, l => {
       val noComment = regexp_replace(l, "#.*$", "")
       val key = lower(trim(regexp_extract(noComment, "^([^:]+):", 1)))

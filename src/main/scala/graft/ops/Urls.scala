@@ -242,4 +242,24 @@ object Urls {
         concat_ws(".", element_at(labels, -3), second, last))
         .otherwise(concat_ws(".", second, last)))
   }
+
+  /** The SURT-form index key (Sort-friendly URI Reordering Transform —
+    * the key every CDX(J) archive index sorts on): scheme dropped, host
+    * labels reversed and comma-joined, `)` then the lowercased
+    * path+query, an empty path keyed as `/`. `com,example,www)/path?q=1`
+    * groups one registrable domain's URLs contiguously, which is what
+    * makes a sorted CDX range-scannable by domain. Scope (documented):
+    * ports and userinfo are dropped, queries pass through un-sorted, no
+    * percent-decode — the same conservatism as [[canonicalize]]. Pure
+    * codegen'd Column work, map-side.
+    */
+  def surtKey(url: Column): Column = {
+    val noScheme = regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.\\-]*://", "")
+    val hostPort = regexp_extract(noScheme, "^([^/?#]*)", 1)
+    val host = lower(regexp_replace(regexp_replace(hostPort, "^[^@]*@", ""),
+      ":[0-9]*$", ""))
+    val rest = regexp_extract(noScheme, "^[^/?#]*([^#]*)", 1) // fragment off
+    val revHost = array_join(reverse(split(host, "\\.")), ",")
+    concat(revHost, lit(")"), lower(when(rest === "", "/").otherwise(rest)))
+  }
 }

@@ -208,8 +208,17 @@ object Warc {
     // exact multi-branch recompute class Staging exists for
     val staged = Staging.stage(records.toDF(), reliable)
     val responses = staged.where(col("warc_type") === "response")
+    // One payload per record id: ISO 28500 ids are globally unique, but
+    // the same crawl file ingested twice (or an archive with duplicated
+    // ids) would otherwise FAN OUT every revisit that names the id —
+    // silently multiplying resolved rows. Keep the first occurrence in
+    // (file, position) order: deterministic, and for the
+    // re-ingested-file case every occurrence is byte-identical anyway.
     val originals = responses
-      .select(col("record_id").as("__oid"), col("payload").as("__opayload"))
+      .where(col("record_id").isNotNull)
+      .groupBy(col("record_id").as("__oid"))
+      .agg(min_by(col("payload"), struct(col("media_id"), col("record_idx")))
+        .as("__opayload"))
     responses
       .select(col("media_id"), col("record_idx"), col("target_uri"),
         col("record_id"), col("payload"), lit(false).as("was_revisit"))
@@ -319,9 +328,19 @@ object Warc {
       .filter(r => r.warc_type == "response" && r.record_id != null)
       .mapPartitions(_.flatMap { r =>
         BinaryCodecs.parseHttpResponse(r.payload).map(h =>
-          (r.record_id, r.target_uri, h.status, h.contentType))
+          (r.record_id, r.target_uri, h.status, h.contentType,
+            r.media_id, r.record_idx))
       })
-      .toDF("__rid", "target_uri", "status", "content_type")
+      .toDF("__rid", "target_uri", "status", "content_type", "__rmid", "__ridx")
+      // one response per record id (the [[resolveRevisits]] guard): a
+      // re-ingested file would otherwise multiply every pair that names
+      // the duplicated id; first occurrence in (file, position) order
+      .groupBy("__rid")
+      .agg(
+        min_by(struct(col("target_uri"), col("status"), col("content_type")),
+          struct(col("__rmid"), col("__ridx"))).as("__r"))
+      .select(col("__rid"), col("__r.target_uri"), col("__r.status"),
+        col("__r.content_type"))
     requests.join(responses, col("__cto") === col("__rid"))
       .select(col("media_id"), col("record_idx"), col("target_uri"),
         col("method"), col("target"), col("host"), col("user_agent"),
@@ -369,6 +388,123 @@ object Warc {
     }
   }
 
+  /** One CDX index row before key/line assembly: the record's identity,
+    * its HTTP envelope when the payload parses as one (`status`/`mime`
+    * null otherwise — a bare-payload record still indexes), the SHA-256
+    * payload digest, and the byte span
+    * ([[graft.functions.BinaryCodecs.WarcRecSpan]]'s contract) that
+    * makes the row a random-access pointer into its container.
+    */
+  final case class CdxRecord(
+      media_id: Long,
+      record_idx: Long,
+      url: String,
+      warc_type: String,
+      warc_date: String,
+      status: Option[Int],
+      mime: Option[String],
+      digest: String,
+      offset: Long,
+      length: Long)
+
+  /** CDXJ index export — the third Common Crawl sidecar (WARC bytes ✓,
+    * WET text [[toWet]], WAT metadata [[toWat]], CDX here): one line per
+    * indexable record (`response`/`revisit` with a Target-URI), `SURT
+    * key, 14-digit timestamp, JSON block`, which is what gives an
+    * archive RECORD-LEVEL RANDOM ACCESS — seek `offset`, read `length`
+    * bytes, parse one record, no full-file scan. Offsets come from the
+    * indexing walk ([[graft.functions.BinaryCodecs.warcRecordsWithSpans]]);
+    * for the standard member-per-record `.warc.gz` layout they are the
+    * record's own gzip member. The JSON block carries (in this fixed
+    * order — index lines are interchange) `url`, `digest` (SHA-256 hex
+    * of the decoded HTTP body, or of the raw payload for non-HTTP
+    * records), `mime`, `status` (omitted when the payload is not an
+    * HTTP message), `offset`, `length`, `filename`; numbers are JSON
+    * strings, the CDXJ convention. Timestamp reformats the record's own
+    * `WARC-Date`. Shuffle-free: the walk is per-file map-side work and
+    * key/line assembly is codegen'd Column work.
+    *
+    * Input: the container files themselves plus a `filename` the lines
+    * should point at, derived per file from `media_id` (override
+    * `filenameCol` to match the real on-disk names).
+    */
+  def toCdxj(
+      media: Dataset[MediaRow],
+      filenameCol: org.apache.spark.sql.Column =
+        concat(lit("crawl-"), col("media_id"), lit(".warc.gz")),
+      batchSize: Int = 16): DataFrame = {
+    import media.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    val recs = media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          BinaryCodecs.warcRecordsWithSpans(m.payload).toSeq.flatMap { spans =>
+            spans.zipWithIndex.collect {
+              case (BinaryCodecs.WarcRecSpan(r, off, len), i)
+                  if (r.warcType == "response" || r.warcType == "revisit") &&
+                    r.targetUri != null =>
+                val http = BinaryCodecs.parseHttpResponse(r.payload)
+                val body = http.map(_.body).getOrElse(r.payload)
+                val md = java.security.MessageDigest.getInstance("SHA-256")
+                val hex = md.digest(body).map(b => f"$b%02x").mkString
+                CdxRecord(m.media_id, i.toLong, r.targetUri, r.warcType,
+                  r.warcDate, http.map(_.status),
+                  http.flatMap(h => Option(h.contentType).map(ct =>
+                    ct.split(";")(0).trim.toLowerCase(java.util.Locale.ROOT))),
+                  hex, off, len)
+            }
+          }
+        }
+      }
+    }
+    recs.toDF()
+      .withColumn("filename", filenameCol)
+      .withColumn("surt_key", Urls.surtKey(col("url")))
+      .withColumn("ts",
+        regexp_replace(col("warc_date"), "[^0-9]", "").substr(1, 14))
+      .withColumn("cdxj_line", concat_ws(" ", col("surt_key"), col("ts"),
+        to_json(struct(
+          col("url").as("url"),
+          col("digest").as("digest"),
+          col("mime").as("mime"),
+          col("status").cast("string").as("status"),
+          col("offset").cast("string").as("offset"),
+          col("length").cast("string").as("length"),
+          col("filename").as("filename")))))
+      .select(col("media_id"), col("record_idx"), col("surt_key"), col("ts"),
+        col("url"), col("warc_type"), col("status"), col("mime"),
+        col("digest"), col("offset"), col("length"), col("filename"),
+        col("cdxj_line"))
+  }
+
+  /** Parse CDXJ lines back into typed columns — the READ half of
+    * [[toCdxj]] (and of any externally-produced CDXJ sidecar): key and
+    * timestamp split off, the JSON block's fields out as columns with
+    * the numeric ones typed. Map-side, no shuffle; an unparseable JSON
+    * block yields null fields (`from_json`'s contract), never dropped
+    * rows — an index row with a bad block is still a row the auditor
+    * must see.
+    */
+  def cdxjEntries(lines: DataFrame, lineCol: String = "cdxj_line"): DataFrame = {
+    val blockSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "url STRING, digest STRING, mime STRING, status STRING, " +
+        "offset STRING, length STRING, filename STRING")
+    val l = col(lineCol)
+    lines
+      .withColumn("surt_key", regexp_extract(l, "^(\\S+) ", 1))
+      .withColumn("ts", regexp_extract(l, "^\\S+ (\\S+) ", 1))
+      .withColumn("__block",
+        from_json(regexp_extract(l, "^\\S+ \\S+ (.*)$", 1), blockSchema))
+      .select(col("surt_key"), col("ts"),
+        col("__block.url").as("url"),
+        col("__block.digest").as("digest"),
+        col("__block.mime").as("mime"),
+        col("__block.status").cast("int").as("status"),
+        col("__block.offset").cast("long").as("offset"),
+        col("__block.length").cast("long").as("length"),
+        col("__block.filename").as("filename"))
+  }
+
   /** Synthetic `.warc.gz` corpus from the documents table — the writer
     * half of the q384 identity roundtrip (the q364 idiom: synthesize the
     * container distributed from fixture rows, parse it back distributed,
@@ -397,8 +533,11 @@ object Warc {
     * bodies are not representable as UTF-8-roundtripping strings).
     * Input columns: `(doc_id, payload, uri)`.
     */
-  def syntheticWarcBytes(docs: DataFrame, docsPerFile: Int = 8): Dataset[MediaRow] =
-    buildWarcFiles(docs, docsPerFile, "response", Nil)
+  def syntheticWarcBytes(
+      docs: DataFrame, docsPerFile: Int = 8,
+      gzipPerRecord: Boolean = true): Dataset[MediaRow] =
+    buildWarcFiles(docs, docsPerFile, "response", Nil,
+      gzipPerRecord = gzipPerRecord)
 
   /** WET export — Common Crawl's extracted-text sibling of WARC, the
     * format processed corpus TEXT ships in: each page becomes a
@@ -512,7 +651,8 @@ object Warc {
       warcType: String,
       extraHeaders: Seq[(String, String)],
       refersTo: Boolean = false,
-      recordIdPrefix: String = "rec"): Dataset[MediaRow] = {
+      recordIdPrefix: String = "rec",
+      gzipPerRecord: Boolean = true): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     import graft.functions.BinaryCodecs
     require(docsPerFile >= 1, s"docsPerFile must be >= 1: $docsPerFile")
@@ -537,7 +677,7 @@ object Warc {
             extraHeaders,
             Option(payload).getOrElse(Array.emptyByteArray))
         }
-        val bytes = BinaryCodecs.warcFile(info +: records, gzipPerRecord = true)
+        val bytes = BinaryCodecs.warcFile(info +: records, gzipPerRecord)
         MediaRow(fid, "warc", bytes, "application/warc", bytes.length.toLong)
       }
   }

@@ -246,4 +246,17 @@ class CrawlSpec extends SparkSpec {
     assert(graft.ops.Crawl.sitemapDiscoveryRecursive(robots, files, maxDepth = 1)
       .count() == 2)
   }
+
+  test("sitemapDiscovery: a re-fetched (duplicate-URL) file does not fan out entries") {
+    val robots = Seq((0L, "Sitemap: https://a.com/sm.xml\n")).toDF("doc_id", "robots")
+    val xml = "<urlset><url><loc>https://a.com/1</loc></url>" +
+      "<url><loc>https://a.com/2</loc></url></urlset>"
+    val files = Seq(
+      ("https://a.com/sm.xml", xml.getBytes("UTF-8")),
+      ("https://a.com/sm.xml", xml.getBytes("UTF-8")) // fetch log delivered it twice
+    ).toDF("url", "payload")
+    assert(graft.ops.Crawl.sitemapDiscovery(robots, files).count() == 2)
+    assert(graft.ops.Crawl.sitemapDiscoveryRecursive(robots, files, maxDepth = 2)
+      .count() == 2)
+  }
 }

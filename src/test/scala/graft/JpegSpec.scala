@@ -192,4 +192,29 @@ class JpegSpec extends SparkSpec {
     val dhcProg = BinaryCodecs.jpegDhash(JpegCodec.encodeColor444Progressive(w, h, rgb)).get
     assert(dhcBase == dhcProg)
   }
+
+  test("progressive: mid-frame DQT changing an in-use table quarantines; identical redefinition passes") {
+    val w = 24; val h = 16
+    val src = flatBlocks(w, h, (bx, by) => 2 * ((bx * 7 + by * 13 + 30) % 128))
+    val jpg = JpegCodec.encodeGrayProgressive(w, h, src)
+    val base = JpegCodec.decode(jpg).get
+    // marker positions are unambiguous: entropy data byte-stuffs 0xFF
+    def markers(m: Int): Seq[Int] =
+      (0 until jpg.length - 1).filter(i =>
+        (jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == m)
+    val sos2 = markers(0xda)(1) // between scan 1 and scan 2
+    def inject(seg: Array[Byte]): Array[Byte] =
+      jpg.take(sos2) ++ seg ++ jpg.drop(sos2)
+    // the stream's own DQT segment re-sent verbatim between scans:
+    // an identical redefinition is harmless and must pass
+    val dqtPos = markers(0xdb).head
+    val dqtLen = (((jpg(dqtPos + 2) & 0xff) << 8) | (jpg(dqtPos + 3) & 0xff)) + 2
+    val same = JpegCodec.decode(inject(jpg.slice(dqtPos, dqtPos + dqtLen)))
+    assert(same.nonEmpty && same.get._4.sameElements(base._4))
+    // a CHANGED table 0 between scans: quant tables latched at the first
+    // scan (libjpeg semantics) — decode-or-quarantine says drop
+    val changed = Array[Byte](0xff.toByte, 0xdb.toByte, 0, 67, 0) ++
+      Array.fill[Byte](64)(1)
+    assert(JpegCodec.decode(inject(changed)).isEmpty)
+  }
 }

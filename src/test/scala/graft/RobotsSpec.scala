@@ -83,4 +83,59 @@ class RobotsSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getBoolean(2))).toSeq
     assert(got == Seq(("/tmp/q", false), ("/fine", true)))
   }
+
+  private def agentAllowed(agent: String, paths: String*): Seq[Boolean] =
+    paths.map(p => (body, p)).toDF("robots", "path")
+      .select(Robots.isAllowed(col("path"),
+        Robots.agentRules(col("robots"), lit(agent))))
+      .collect().map(_.getBoolean(0)).toSeq
+
+  test("agent groups: longest-token match selects the agent's own group over star") {
+    // special-bot's group disallows everything — star's rules must not apply
+    assert(agentAllowed("special-bot", "/anything", "/private/ok/x")
+      == Seq(false, false))
+    // prefix selection: agent token 'special-bot/1.2' matches 'special-bot'
+    assert(agentAllowed("Special-Bot/1.2", "/anything") == Seq(false))
+    // a foreign agent falls through to star
+    assert(agentAllowed("neverbot", "/private/secret", "/private/ok/x", "/x/y")
+      == Seq(false, true, true))
+    // agent 'other' selects ITS group (only /x disallowed)
+    assert(agentAllowed("other", "/x/y", "/private/secret") == Seq(false, true))
+    // agentRules with "*" degenerates to starRules
+    assert(agentAllowed("*", "/private/secret", "/private/ok/x", "/x/y")
+      == Seq(false, true, true))
+  }
+
+  test("agent groups: consecutive UA headers share a block; duplicate groups combine") {
+    val shared = Seq(
+      "User-agent: abot",
+      "User-agent: bbot",
+      "Disallow: /x",
+      "",
+      "User-agent: bbot",
+      "Disallow: /y",
+      "",
+      "User-agent: *",
+      "Disallow: /z").mkString("\n")
+    def dec(agent: String, path: String): Boolean =
+      Seq((shared, path)).toDF("robots", "path")
+        .select(Robots.isAllowed(col("path"),
+          Robots.agentRules(col("robots"), lit(agent))))
+        .collect().head.getBoolean(0)
+    // both agents of the run get the shared rule
+    assert(!dec("abot", "/x/1") && !dec("bbot", "/x/1"))
+    // bbot's two groups COMBINE: /x and /y both disallowed, /z is star-only
+    assert(!dec("bbot", "/y/1") && dec("bbot", "/z/1") && dec("abot", "/y/1"))
+    // the star group still binds everyone else
+    assert(!dec("cbot", "/z/1") && dec("cbot", "/x/1"))
+    // longest-match selection is case-insensitive on the token
+    assert(!dec("BBot-Images", "/y/1"))
+  }
+
+  test("filterAllowedForAgent appends the agent-scoped decision") {
+    val df = Seq((body, "/tmp/q"), (body, "/fine")).toDF("robots", "path")
+    val got = Robots.filterAllowedForAgent(df, lit("special-bot")).collect()
+      .map(r => (r.getString(1), r.getBoolean(2))).toSeq
+    assert(got == Seq(("/tmp/q", false), ("/fine", false)))
+  }
 }

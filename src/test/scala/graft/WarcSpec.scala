@@ -260,6 +260,16 @@ class WarcSpec extends SparkSpec {
         BinaryCodecs.gzip(text.getBytes(US_ASCII)))).get
     assert(new String(repeated.body, US_ASCII) == text && repeated.bodyDecoded)
     assert(repeated.contentEncoding == "gzip, identity")
+    // zero-padded chunk-size lines are legal (RFC 9112 permits leading
+    // zeros): the length cap applies to SIGNIFICANT digits only
+    val padded = BinaryCodecs.parseHttpResponse(
+      msg("Transfer-Encoding: chunked\r\n",
+        "0000000005\r\nhello\r\n000000000\r\n\r\n".getBytes(US_ASCII))).get
+    assert(new String(padded.body, US_ASCII) == "hello" && padded.bodyDecoded)
+    // …but significant digits past 8 hex still quarantine (value bound)
+    assert(BinaryCodecs.parseHttpResponse(
+      msg("Transfer-Encoding: chunked\r\n",
+        "0100000005\r\nhello\r\n0\r\n\r\n".getBytes(US_ASCII))).isEmpty)
   }
 
   test("httpResponses + decodePages: the full container-to-text chain with transport charsets") {
@@ -375,6 +385,53 @@ class WarcSpec extends SparkSpec {
     val orphaned = Warc.resolveRevisits(
       recs.filter(r => r.record_id != "<urn:graft:rec:6>"))
     assert(orphaned.count() == 18) // 19 remaining records minus the orphan revisit of 6
+  }
+
+  test("warcRecordsWithSpans: spans are random-access pointers, gzip and plain") {
+    val docs = (0L until 10L).map(i => (i, s"body $i")).toDF("doc_id", "text")
+    for (gz <- Seq(true, false)) {
+      val media = Warc.syntheticWarcBytes(
+        docs.selectExpr("doc_id", "cast(text as binary) as payload",
+          "concat('https://h/', doc_id) as uri"),
+        docsPerFile = 10, gzipPerRecord = gz).collect().head
+      val spans = BinaryCodecs.warcRecordsWithSpans(media.payload).get
+      assert(spans.length == 11) // warcinfo + 10 docs
+      // every span slices to a standalone one-record parse — the
+      // record-level random access CDX promises
+      spans.foreach { s =>
+        val slice = media.payload.slice(s.offset.toInt, (s.offset + s.length).toInt)
+        val rec = BinaryCodecs.warcRecords(slice).get
+        assert(rec.length == 1 && rec.head.recordId == s.rec.recordId)
+        assert(rec.head.payload.sameElements(s.rec.payload))
+      }
+      // spans tile the file exactly (member-per-record / plain layouts)
+      assert(spans.head.offset == 0)
+      assert(spans.map(_.length).sum == media.payload.length)
+      assert(spans.sliding(2).forall(p =>
+        p.head.offset + p.head.length == p.last.offset))
+      // WARC-Date is retained for the CDX timestamp
+      assert(spans.forall(_.rec.warcDate == "2024-01-01T00:00:00Z"))
+    }
+  }
+
+  test("resolveRevisits / requestResponsePairs: re-ingested files (duplicate record ids) do not fan out") {
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 20L).map(i => (i, s"page $i body")).toDF("doc_id", "text")
+    val media = Warc.syntheticWarcRevisits(docs, docsPerFile = 8)
+    val twice = media.union(media.map(m => m.copy(media_id = m.media_id + 100)))
+    val resolved = Warc.resolveRevisits(Warc.parseWarc(twice))
+    // 2 copies × (18 responses + 2 revisits): each revisit resolves ONCE
+    // against the single kept payload per duplicated record id
+    assert(resolved.count() == 40)
+    assert(resolved.where(col("was_revisit")).count() == 4)
+    assert(resolved.where(col("was_revisit"))
+      .select(col("payload").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("page 16 body", "page 6 body"))
+    val docs10 = (0L until 10L).map(i => (i, s"body $i")).toDF("doc_id", "text")
+    val pm = Warc.syntheticWarcRequestPairs(docs10, docsPerFile = 8)
+    val pmTwice = pm.union(pm.map(m => m.copy(media_id = m.media_id + 100)))
+    // 20 requests, each pairing exactly once despite the duplicated ids
+    assert(Warc.requestResponsePairs(Warc.parseWarc(pmTwice)).count() == 20)
   }
 
   test("parseWarc: a corrupt file drops whole; good files in the same batch survive") {
