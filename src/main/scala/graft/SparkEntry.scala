@@ -4737,7 +4737,92 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"))))
         .toDF()
         .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
-          col("sum_b"), col("sum_g"), col("sum_r")))
+          col("sum_b"), col("sum_g"), col("sum_r"))),
+
+    // ---- per-language quality gate (the CCNet pipeline users actually
+    // run, fluency as a FILTER not a report): q14 lang-ID partitions the
+    // corpus → one KN fluency model PER LANGUAGE in a single plan
+    // (lmFluencyPpmBy) → each language keeps its at-or-above-integral-
+    // mean docs → the global token budget apportions across languages by
+    // surviving token mass (q166's largest-remainder). The oracle replays
+    // the whole chain: lang-ID, the per-language q414 derivation, the
+    // mean gate, and the apportionment. --------------------------------------
+    "q419_lang_quality_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        TextFunctions.langGuessFromPadded(
+          TextFunctions.paddedText(col("text"))).as("lang"))
+      val scored = Ngrams.lmFluencyPpmBy(docs, "lang", minCount = 3)
+      val thr = scored.groupBy("lang").agg(
+        expr("sum(fluency_ppm) div count(1)").as("thr"),
+        count(lit(1)).as("n_docs"))
+      val toks = docs.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("tok"))
+      val kept = scored.join(thr.select("lang", "thr"), Seq("lang"))
+        .where(col("fluency_ppm") >= col("thr"))
+        .join(toks, Seq("doc_id"))
+      val counts = kept.groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("tok").as("tokens"))
+      Sampling.apportion(counts.select(col("lang"), col("tokens")),
+          "lang", "tokens", budget = 100000L)
+        .join(counts.select("lang", "n_kept"), Seq("lang"))
+        .join(thr, Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("thr"), col("n_kept"),
+          col("tokens"), col("alloc"))
+    }),
+
+    // ---- feed-driven URL discovery (RSS/Atom, the second publisher-
+    // declared channel after sitemaps): pages declare feeds via
+    // <link rel=alternate> in BOTH dialects and quoting/attribute-order
+    // variants, relative hrefs resolve against the page URL, declared
+    // feeds join the fetched files (gzip'd or plain; one host and one
+    // atom shard never fetched — the fetch-gap rule), entries explode in
+    // document order. Every row derives from the id formulas. ---------------
+    "q420_feed_discovery" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val pageUrl = concat(lit("https://host"), (id % 12).cast("string"),
+        lit(".example.com/p/"), id.cast("string"))
+      val html = concat(
+        lit("<html><head>"),
+        when(id % 3 =!= 2, concat(
+          lit("<link rel=\"alternate\" type=\"application/rss+xml\" href=\"/feed"),
+          (id % 4).cast("string"), lit(".xml\">"))).otherwise(lit("")),
+        when(id % 2 === 0, concat(
+          lit("<link type='application/atom+xml' rel='alternate nofollow' " +
+            "href='https://feeds.example.org/atom"),
+          (id % 5).cast("string"), lit(".xml'>"))).otherwise(lit("")),
+        lit("<link rel=\"stylesheet\" href=\"/style.css\"></head><body></body></html>"))
+      val pages = t(s, dir, "documents")
+        .select(id, pageUrl.as("page_url"), html.as("html"))
+      val files = graft.io.Spread.toDefaultParallelism(
+        t(s, dir, "documents").select((id % 12).as("m"), (id % 4).as("k")).distinct())
+        .as[(Long, Long)]
+        .flatMap { case (m, k) =>
+          import graft.functions.BinaryCodecs
+          def enc(gzip: Boolean, xml: String): Array[Byte] = {
+            val b = xml.getBytes("UTF-8")
+            if (gzip) BinaryCodecs.gzip(b) else b
+          }
+          val host = s"https://host$m.example.com"
+          val rss = (s"$host/feed$k.xml",
+            enc((m + k) % 2 == 0, "<rss><channel>" +
+              s"<item><title>a</title><link>$host/a/$k/1</link></item>" +
+              s"<item><link> $host/a/$k/2 </link></item>" +
+              "<item><title>no link</title></item></channel></rss>"))
+          val atoms = (0 to 4).map { j =>
+            (s"https://feeds.example.org/atom$j.xml",
+              enc(j % 2 == 1, "<feed>" +
+                s"""<entry><link rel="alternate" href="https://ex.org/e/$j/1"/></entry>""" +
+                s"""<entry><title>t</title><link href='https://ex.org/e/$j/2'/></entry>""" +
+                "<entry><title>no link</title></entry></feed>"))
+          }
+          // host 11's RSS and atom shard 4 are never fetched (fetch gap)
+          (rss +: atoms).filterNot { case (u, _) =>
+            u.startsWith("https://host11.") || u.endsWith("atom4.xml")
+          }
+        }.toDF("url", "payload").dropDuplicates("url")
+      Crawl.feedDiscovery(pages, files)
+    })
   )
 
   /** q416/q417's shared fixture: each document as the HTTP response
@@ -12128,7 +12213,106 @@ object SparkEntry {
         |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
         | CAST(h AS BIGINT) AS height, CAST(w * h AS BIGINT) AS n_pixels,
         | sb AS sum_b, sg AS sum_g, sr AS sum_r
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    // q419: the full chain replayed — the q14 lang-ID CTE partitions the
+    // corpus, the q414 KN derivation runs PER LANGUAGE (every key gains
+    // lang), the integral-mean gate keeps each language's upper docs,
+    // and q166's largest-remainder apportionment splits the 100k budget
+    // by surviving token mass.
+    "q419_lang_quality_gate" ->
+      s"""WITH g AS ($langIdOracle),
+         |dl AS (
+         | SELECT d.doc_id, d.text, g.lang_guess AS lang
+         | FROM documents d JOIN g USING (doc_id)),
+         |tok AS (
+         | SELECT doc_id, lang,
+         |  list_filter(string_split_regex(trim(lower(text)), '\\s+'), w -> len(w) > 0) AS w
+         | FROM dl),
+         |bg0 AS (
+         | SELECT doc_id, lang, unnest(list_transform(range(0, greatest(len(w) - 1, 0)),
+         |   i -> w[i+1] || ' ' || w[i+2])) AS bigram
+         | FROM tok),
+         |bi AS (
+         | SELECT lang, string_split(bigram, ' ')[1] AS w1,
+         |  string_split(bigram, ' ')[2] AS w2,
+         |  CAST(count(*) AS BIGINT) AS n_12
+         | FROM bg0 GROUP BY 1, 2, 3),
+         |c1 AS (SELECT lang, w1, CAST(sum(n_12) AS BIGINT) AS c_1 FROM bi GROUP BY 1, 2),
+         |r1 AS (SELECT lang, w1, CAST(count(*) AS BIGINT) AS r_1 FROM bi GROUP BY 1, 2),
+         |l1 AS (SELECT lang, w2, CAST(count(*) AS BIGINT) AS l_1 FROM bi GROUP BY 1, 2),
+         |bb AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_bigrams FROM bi GROUP BY 1),
+         |probs AS (
+         | SELECT bi.lang, bi.w1, bi.w2,
+         |  CAST(floor((1000000 * (bb.n_bigrams * (4 * bi.n_12 - 3) + 3 * r1.r_1 * l1.l_1))
+         |    / (4 * c1.c_1 * bb.n_bigrams)) AS BIGINT) AS p_ppm
+         | FROM bi JOIN c1 USING (lang, w1) JOIN r1 USING (lang, w1)
+         |  JOIN l1 USING (lang, w2) JOIN bb USING (lang)
+         | WHERE bi.n_12 >= 3),
+         |db AS (
+         | SELECT doc_id, lang, string_split(bigram, ' ')[1] AS w1,
+         |  string_split(bigram, ' ')[2] AS w2
+         | FROM bg0),
+         |sc AS (
+         | SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(coalesce(p_ppm, 0)) AS BIGINT) AS s
+         | FROM db LEFT JOIN probs USING (lang, w1, w2) GROUP BY 1, 2),
+         |sca AS (
+         | SELECT dl.doc_id, dl.lang,
+         |  coalesce(sc.s // sc.n_bigrams, CAST(0 AS BIGINT)) AS fl
+         | FROM dl LEFT JOIN sc ON dl.doc_id = sc.doc_id AND dl.lang = sc.lang),
+         |thr AS (
+         | SELECT lang, CAST(sum(fl) // count(*) AS BIGINT) AS thr,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         | FROM sca GROUP BY 1),
+         |dtok AS (
+         | SELECT doc_id, CAST(len(regexp_extract_all(text,
+         |  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS tok
+         | FROM dl),
+         |kc AS (
+         | SELECT sca.lang, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(dtok.tok) AS BIGINT) AS tokens
+         | FROM sca JOIN thr USING (lang) JOIN dtok USING (doc_id)
+         | WHERE sca.fl >= thr.thr GROUP BY 1),
+         |tt AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot FROM kc),
+         |ap AS (
+         | SELECT lang, tokens,
+         |  CAST((100000 * tokens) // tot AS BIGINT) AS flr,
+         |  CAST((100000 * tokens) % tot AS BIGINT) AS rem
+         | FROM kc, tt),
+         |dd AS (SELECT CAST(100000 - sum(flr) AS BIGINT) AS deficit FROM ap),
+         |rk AS (
+         | SELECT lang, tokens, flr,
+         |  row_number() OVER (ORDER BY rem DESC, lang) AS rk
+         | FROM ap)
+         |SELECT rk.lang, thr.n_docs, thr.thr, kc.n_kept, rk.tokens,
+         | CAST(rk.flr + CASE WHEN rk.rk <= dd.deficit THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |FROM rk CROSS JOIN dd JOIN kc USING (lang) JOIN thr USING (lang)""".stripMargin,
+    // q420: both discovery legs straight from the id formulas — the RSS
+    // leg (declared on id%3≠2, host id%12, shard id%4, host 11 never
+    // fetched) and the atom leg (even ids, shard id%5, shard 4 never
+    // fetched), two entries each in document order.
+    "q420_feed_discovery" ->
+      """WITH rss AS (
+        | SELECT doc_id,
+        |  'https://host' || CAST(doc_id % 12 AS VARCHAR) || '.example.com/feed' ||
+        |   CAST(doc_id % 4 AS VARCHAR) || '.xml' AS feed_url,
+        |  'rss' AS feed_type, CAST(e.p AS BIGINT) AS entry_pos,
+        |  'https://host' || CAST(doc_id % 12 AS VARCHAR) || '.example.com/a/' ||
+        |   CAST(doc_id % 4 AS VARCHAR) || '/' || CAST(e.p + 1 AS VARCHAR) AS loc,
+        |  'rss' AS dialect
+        | FROM documents CROSS JOIN (VALUES (0), (1)) e(p)
+        | WHERE doc_id % 3 <> 2 AND doc_id % 12 <> 11),
+        |atom AS (
+        | SELECT doc_id,
+        |  'https://feeds.example.org/atom' || CAST(doc_id % 5 AS VARCHAR) ||
+        |   '.xml' AS feed_url,
+        |  'atom' AS feed_type, CAST(e.p AS BIGINT) AS entry_pos,
+        |  'https://ex.org/e/' || CAST(doc_id % 5 AS VARCHAR) || '/' ||
+        |   CAST(e.p + 1 AS VARCHAR) AS loc,
+        |  'atom' AS dialect
+        | FROM documents CROSS JOIN (VALUES (0), (1)) e(p)
+        | WHERE doc_id % 2 = 0 AND doc_id % 5 <> 4)
+        |SELECT * FROM rss UNION ALL SELECT * FROM atom""".stripMargin
   )
 
   /** q416/q417's shared offset-arithmetic replay, ending in CTE

@@ -155,7 +155,7 @@ object Crawl {
       maxBytes: Int = 1 << 26): DataFrame = {
     val declared = robotsPages
       .select(col("doc_id"), explode(Robots.sitemapUrls(col("robots"))).as("sitemap_url"))
-    explodeEntries(declared, decodedSitemaps(sitemapFiles, maxBytes))
+    explodeEntries(declared, decodedXmlFiles(sitemapFiles, maxBytes))
   }
 
   /** [[sitemapDiscovery]] following `<sitemapindex>` one level per
@@ -175,7 +175,7 @@ object Crawl {
       maxDepth: Int = 2,
       maxBytes: Int = 1 << 26): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 8, s"maxDepth out of range: $maxDepth")
-    val decoded = decodedSitemaps(sitemapFiles, maxBytes)
+    val decoded = decodedXmlFiles(sitemapFiles, maxBytes)
     var declared = robotsPages
       .select(col("doc_id"), explode(Robots.sitemapUrls(col("robots"))).as("sitemap_url"))
     var out: DataFrame = null
@@ -191,11 +191,80 @@ object Crawl {
     out
   }
 
-  /** The fetched sitemap FILES decoded once (gunzip'd when gzip'd,
-    * plain XML passes through; corrupt gzip quarantines the file) —
-    * the shared broadcast side of both discovery walks.
+  /** Feed entries (RSS 2.0 / Atom, the two web-feed dialects) as an
+    * array of `(loc, dialect)` structs — all RSS `<item><link>` targets
+    * in document order, then all Atom `<entry><link href=…/>` targets
+    * in document order (a real feed file is one dialect, so that IS
+    * document order). [[sitemapEntries]]'s sibling for the second
+    * publisher-declared discovery channel; entries without a link
+    * drop, values pass through verbatim (feeds carry absolute URLs by
+    * convention; [[Urls.resolve]] composes where a publisher violates
+    * it). Map-side, no shuffle.
     */
-  private def decodedSitemaps(sitemapFiles: DataFrame, maxBytes: Int): DataFrame = {
+  def feedEntries(xml: Column): Column = {
+    val rss = filter(
+      transform(
+        regexp_extract_all(xml, lit("(?is)<item>(.*?)</item>"), lit(1)),
+        e => {
+          val loc = trim(regexp_extract(e, "(?is)<link>(.*?)</link>", 1))
+          when(loc =!= "", struct(loc.as("loc"), lit("rss").as("dialect")))
+        }),
+      e => e.isNotNull)
+    val atom = filter(
+      transform(
+        regexp_extract_all(xml, lit("(?is)<entry>(.*?)</entry>"), lit(1)),
+        e => {
+          val loc = regexp_replace(
+            regexp_extract(e,
+              "(?is)<link(?:\\s[^>]*)?\\shref=(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1),
+            "^[\"']|[\"']$", "")
+          when(loc =!= "", struct(loc.as("loc"), lit("atom").as("dialect")))
+        }),
+      e => e.isNotNull)
+    concat(rss, atom)
+  }
+
+  /** Feed-driven URL discovery — [[sitemapDiscovery]]'s sibling for the
+    * second publisher-declared channel: each page's
+    * `<link rel="alternate">` feed pointers ([[Html.feedLinks]])
+    * resolve against the page URL (feed hrefs are commonly relative),
+    * join to the fetched feed FILES (gunzip'd when gzip'd — the same
+    * quarantine and dedup discipline as sitemaps), and each file's
+    * entries explode via [[feedEntries]]. Inner join: a declared feed
+    * that was never fetched contributes nothing (the fetch-gap rule —
+    * accounting belongs to the frontier).
+    *
+    * Scale shape: identical to [[sitemapDiscovery]] — the feed-file set
+    * is frontier metadata (orders of magnitude smaller than pages), so
+    * it decodes map-side once and broadcasts; the page side never
+    * shuffles. Input columns: `pages (doc_id, page_url, html)`,
+    * `feedFiles (url, payload: binary)`.
+    */
+  def feedDiscovery(
+      pages: DataFrame,
+      feedFiles: DataFrame,
+      maxBytes: Int = 1 << 26): DataFrame = {
+    val declared = pages
+      .select(col("doc_id"), col("page_url"),
+        explode(Html.feedLinks(col("html"))).as("__f"))
+      .select(col("doc_id"),
+        Urls.resolve(col("page_url"), col("__f.href")).as("feed_url"),
+        col("__f.feed_type").as("feed_type"))
+    declared
+      .join(broadcast(decodedXmlFiles(feedFiles, maxBytes)),
+        col("feed_url") === col("__sm_url"))
+      .select(col("doc_id"), col("feed_url"), col("feed_type"),
+        posexplode(feedEntries(col("__sm_xml"))))
+      .select(col("doc_id"), col("feed_url"), col("feed_type"),
+        col("pos").cast("long").as("entry_pos"),
+        col("col.loc").as("loc"), col("col.dialect").as("dialect"))
+  }
+
+  /** The fetched sitemap/feed FILES decoded once (gunzip'd when gzip'd,
+    * plain XML passes through; corrupt gzip quarantines the file) —
+    * the shared broadcast side of the discovery walks.
+    */
+  private def decodedXmlFiles(sitemapFiles: DataFrame, maxBytes: Int): DataFrame = {
     import sitemapFiles.sparkSession.implicits._
     import graft.functions.BinaryCodecs
     // One file per URL before the broadcast join: a fetch layer that

@@ -82,6 +82,41 @@ object Html {
         lit("(?is)<a(?:\\s[^>]*)?\\shref=(\"[^\"]*\"|'[^']*'|[^\\s>]+)"), lit(1)),
       v => regexp_replace(v, "^[\"']|[\"']$", ""))
 
+  /** Publisher-declared feed pointers — every
+    * `<link rel="alternate" type="application/rss+xml|atom+xml">` in
+    * the page, as an array of `(href, feed_type)` structs in document
+    * order (`feed_type` ∈ `rss`/`atom`). Feeds are the second
+    * publisher-declared discovery channel after sitemaps: a frontier
+    * blind to them re-crawls on a timer what the publisher announces on
+    * change. `rel` matches as a space-separated token list
+    * (`rel="alternate nofollow"` counts), attribute order is free, all
+    * three quoting forms parse ([[extractLinks]]'s contract); links
+    * without an href, or with any other rel/type, drop. Hrefs come out
+    * VERBATIM (commonly relative — compose
+    * `Urls.resolve(pageUrl, href)`). Map-side, no shuffle.
+    */
+  def feedLinks(html: Column): Column = {
+    val tags = regexp_extract_all(stripSpans(html),
+      lit("(?is)<link(?:\\s[^>]*)?>"), lit(0))
+    filter(
+      transform(tags, t => {
+        def attr(name: String): Column =
+          regexp_replace(
+            regexp_extract(t,
+              s"(?is)\\s$name=(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1),
+            "^[\"']|[\"']$", "")
+        val rel = lower(attr("rel"))
+        val typ = lower(attr("type"))
+        val href = attr("href")
+        when(href =!= "" && rel.rlike("(^| )alternate( |$)") &&
+          typ.isin("application/rss+xml", "application/atom+xml"),
+          struct(href.as("href"),
+            when(typ === "application/rss+xml", lit("rss")).otherwise(lit("atom"))
+              .as("feed_type")))
+      }),
+      x => x.isNotNull)
+  }
+
   /** The first `<base href=…>` target, or NULL when the page declares
     * none — the HTML spec honors only the FIRST base element, and
     * anchors on a page that has one resolve against IT, not the page

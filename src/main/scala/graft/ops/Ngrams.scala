@@ -242,6 +242,77 @@ object Ngrams {
           (lit(discountDen) * col("c_1") * col("n_bigrams"))).as("p_ppm"))
   }
 
+  /** [[kneserNeyBigrams]] per GROUP — one independent KN table per
+    * value of `groupCol` in a SINGLE plan (no driver loop over
+    * languages): every aggregation and join gains the group key, so
+    * bigram counts, continuation sets and the bigram total are all
+    * group-scoped. Scale shape unchanged — tables stay vocabulary-sized
+    * per group and the group key rides the same exchanges; the totals
+    * frame is group-count-sized (broadcast).
+    */
+  def kneserNeyBigramsBy(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String = "text",
+      minCount: Long = 2L,
+      discountNum: Long = 3L,
+      discountDen: Long = 4L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    require(discountNum >= 0 && discountDen >= 1 && discountNum < discountDen,
+      s"discount must be a rational in [0,1): $discountNum/$discountDen")
+    val words = Dedup.parallelize(docs)
+      .select(col(groupCol), Dedup.wordTokens(col(textCol)).as("__w"))
+    val bi = words.select(col(groupCol), explode(bigrams(col("__w"))).as("bigram"))
+      .groupBy(groupCol, "bigram").agg(count(lit(1)).as("n_12"))
+      .select(col(groupCol),
+        split(col("bigram"), " ")(0).as("w1"), split(col("bigram"), " ")(1).as("w2"),
+        col("n_12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = bi.groupBy(groupCol, "w1").agg(sum("n_12").as("c_1"))
+    val r1 = bi.groupBy(groupCol, "w1").agg(count(lit(1)).as("r_1"))
+    val l1 = bi.groupBy(groupCol, "w2").agg(count(lit(1)).as("l_1"))
+    val b = bi.groupBy(groupCol).agg(count(lit(1)).as("n_bigrams"))
+    bi.where(col("n_12") >= minCount)
+      .join(c1, Seq(groupCol, "w1")).join(r1, Seq(groupCol, "w1"))
+      .join(l1, Seq(groupCol, "w2"))
+      .join(broadcast(b), Seq(groupCol))
+      .select(col(groupCol), col("w1"), col("w2"), col("n_12"),
+        floor((lit(1000000L) *
+          (col("n_bigrams") * (lit(discountDen) * col("n_12") - lit(discountNum)) +
+            lit(discountNum) * col("r_1") * col("l_1"))) /
+          (lit(discountDen) * col("c_1") * col("n_bigrams"))).as("p_ppm"))
+  }
+
+  /** [[lmFluencyPpm]] per GROUP — each document scores against ITS
+    * group's KN table (the CCNet shape: one LM per language, never a
+    * cross-language mixture). Same join-once/fold-back scale shape with
+    * the group key added; documents with no bigrams score 0.
+    */
+  def lmFluencyPpmBy(
+      docs: DataFrame,
+      groupCol: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minCount: Long = 2L): DataFrame = {
+    val probs = kneserNeyBigramsBy(docs, groupCol, textCol, minCount)
+      .select(col(groupCol), col("w1"), col("w2"), col("p_ppm"))
+    val docBigrams = Dedup.parallelize(docs)
+      .select(col(idCol), col(groupCol),
+        explode(bigrams(Dedup.wordTokens(col(textCol)))).as("__bg"))
+      .select(col(idCol), col(groupCol),
+        split(col("__bg"), " ")(0).as("w1"), split(col("__bg"), " ")(1).as("w2"))
+    val scored = docBigrams.join(probs, Seq(groupCol, "w1", "w2"), "left")
+      .groupBy(col(idCol), col(groupCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("p_ppm"), lit(0L))).as("__sum"))
+      .select(col(idCol), col(groupCol), col("n_bigrams"),
+        expr("__sum div n_bigrams").as("fluency_ppm"))
+    docs.select(col(idCol), col(groupCol)).join(scored, Seq(idCol, groupCol), "left")
+      .select(col(idCol), col(groupCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("fluency_ppm"), lit(0L)).as("fluency_ppm"))
+  }
+
   /** Per-document LM fluency score — the CCNet-style quality-filter
     * step: each document's bigrams score against the corpus-trained
     * [[kneserNeyBigrams]] table and the document's score is the MEAN

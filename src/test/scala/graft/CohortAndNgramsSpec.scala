@@ -244,4 +244,28 @@ class CohortAndNgramsSpec extends SparkSpec {
       "zero/one-word docs have no bigrams and score 0")
   }
 
+  test("lmFluencyPpmBy: each group scores exactly as its own standalone corpus") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // two 'languages' sharing surface bigrams — the grouped tables must
+    // NOT mix: "a b" is common in en, rare in xx
+    val docs = Seq(
+      (0L, "a b a b a b c", "en"), (1L, "a b a b d", "en"), (2L, "c d c d", "en"),
+      (3L, "a b zz", "xx"), (4L, "zz qq zz qq zz qq", "xx"), (5L, "", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val grouped = graft.ops.Ngrams.lmFluencyPpmBy(docs, "lang", minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(grouped.length == 6)
+    for (lang <- Seq("en", "xx")) {
+      val standalone = graft.ops.Ngrams.lmFluencyPpm(
+        docs.where(col("lang") === lang).select(col("doc_id"), col("text")),
+        minCount = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val fromGrouped = grouped.filter(_._2 == lang).map(t => (t._1, t._3, t._4))
+      assert(standalone.toSeq == fromGrouped.toSeq,
+        s"group $lang must equal its standalone corpus run")
+    }
+  }
+
 }

@@ -247,6 +247,41 @@ class CrawlSpec extends SparkSpec {
       .count() == 2)
   }
 
+  test("feedDiscovery: declared feeds resolve against the page, join fetched files, entries in order") {
+    import graft.functions.BinaryCodecs
+    val pages = Seq(
+      (0L, "https://a.com/p/1",
+        "<head><link rel=\"alternate\" type=\"application/rss+xml\" href=\"/feed.xml\">" +
+          "<link type='application/atom+xml' rel='alternate' href='https://f.org/atom.xml'>" +
+          "<link rel=\"stylesheet\" href=\"/s.css\"></head>"),
+      // declared but never fetched: the fetch-gap rule
+      (1L, "https://b.com/p/2",
+        "<head><link rel=\"alternate\" type=\"application/rss+xml\" " +
+          "href=\"https://never.fetched/f.xml\"></head>")
+    ).toDF("doc_id", "page_url", "html")
+    val rssXml = "<rss><channel><item><link>https://a.com/x/1</link></item>" +
+      "<item><link> https://a.com/x/2 </link></item>" +
+      "<item><title>no link</title></item></channel></rss>"
+    val atomXml = "<feed><entry><link href=\"https://f.org/e/1\"/></entry>" +
+      "<entry><link href='https://f.org/e/2'/></entry></feed>"
+    val files = Seq(
+      ("https://a.com/feed.xml", BinaryCodecs.gzip(rssXml.getBytes("UTF-8"))),
+      ("https://f.org/atom.xml", atomXml.getBytes("UTF-8"))
+    ).toDF("url", "payload")
+    val got = Crawl.feedDiscovery(pages, files).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+      .sortBy(t => (t._2, t._4))
+    assert(got.toSeq == Seq(
+      (0L, "https://a.com/feed.xml", "rss", 0L, "https://a.com/x/1", "rss"),
+      (0L, "https://a.com/feed.xml", "rss", 1L, "https://a.com/x/2", "rss"),
+      (0L, "https://f.org/atom.xml", "atom", 0L, "https://f.org/e/1", "atom"),
+      (0L, "https://f.org/atom.xml", "atom", 1L, "https://f.org/e/2", "atom")))
+    // the feed-file side broadcasts, the page side never shuffles
+    val plan = Crawl.feedDiscovery(pages, files).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("sitemapDiscovery: a re-fetched (duplicate-URL) file does not fan out entries") {
     val robots = Seq((0L, "Sitemap: https://a.com/sm.xml\n")).toDF("doc_id", "robots")
     val xml = "<urlset><url><loc>https://a.com/1</loc></url>" +

@@ -68,6 +68,23 @@ class HtmlSpec extends SparkSpec {
     assert(got == Seq("https://a.org/1", "/two", "three.html"))
   }
 
+  test("feedLinks: both dialects, any attribute order/quoting, token-list rel; others drop") {
+    val html = """<link rel="alternate" type="application/rss+xml" href="/feed.xml">
+      |<link type='application/atom+xml' rel='alternate nofollow' href='https://f.org/atom.xml'>
+      |<link href=feed2.xml type=application/rss+xml rel=alternate>
+      |<link rel="stylesheet" href="/style.css">
+      |<link rel="alternate" type="text/html" href="/mobile">
+      |<link rel="alternate" type="application/rss+xml">""".stripMargin
+    val got = Seq(html).toDF("html")
+      .select(Html.feedLinks(col("html")))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got == Seq(
+      ("/feed.xml", "rss"),
+      ("https://f.org/atom.xml", "atom"),
+      ("feed2.xml", "rss")))
+  }
+
   test("extractAnchors: (href, text) pairs — inner markup, entities, squish, dangling tags") {
     val html = """<a href="https://a.org/1">Read   <b>more</b></a>
       |<a class=x href='/two'>R&amp;D news</a>
