@@ -434,31 +434,88 @@ object Warc {
         concat(lit("crawl-"), col("media_id"), lit(".warc.gz")),
       batchSize: Int = 16): DataFrame = {
     import media.sparkSession.implicits._
-    import graft.functions.BinaryCodecs
     val recs = media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { m =>
-          BinaryCodecs.warcRecordsWithSpans(m.payload).toSeq.flatMap { spans =>
-            spans.zipWithIndex.collect {
-              case (BinaryCodecs.WarcRecSpan(r, off, len), i)
-                  if (r.warcType == "response" || r.warcType == "revisit") &&
-                    r.targetUri != null =>
-                val http = BinaryCodecs.parseHttpResponse(r.payload)
-                val body = http.map(_.body).getOrElse(r.payload)
-                val md = java.security.MessageDigest.getInstance("SHA-256")
-                val hex = md.digest(body).map(b => f"$b%02x").mkString
-                CdxRecord(m.media_id, i.toLong, r.targetUri, r.warcType,
-                  r.warcDate, http.map(_.status),
-                  http.flatMap(h => Option(h.contentType).map(ct =>
-                    ct.split(";")(0).trim.toLowerCase(java.util.Locale.ROOT))),
-                  hex, off, len)
-            }
+          cdxWalk(m.payload).map { w =>
+            CdxRecord(m.media_id, w.record_idx, w.url, w.warc_type,
+              w.warc_date, w.status, w.mime, w.digest, w.offset, w.length)
           }
         }
       }
     }
-    recs.toDF()
-      .withColumn("filename", filenameCol)
+    cdxAssemble(recs.toDF().withColumn("filename", filenameCol))
+      .select(col("media_id"), col("record_idx"), col("surt_key"), col("ts"),
+        col("url"), col("warc_type"), col("status"), col("mime"),
+        col("digest"), col("offset"), col("length"), col("filename"),
+        col("cdxj_line"))
+  }
+
+  /** [[toCdxj]] over `(filename, payload)` rows — the form that works
+    * UNCHANGED on a streaming DataFrame (no MediaRow id synthesis), so
+    * the live sidecar ([[graft.streaming.StreamingOps.cdxjStream]]) and
+    * the batch export are literally one code path and cannot diverge.
+    */
+  def toCdxjFiles(files: DataFrame, batchSize: Int = 16): DataFrame = {
+    import files.sparkSession.implicits._
+    val recs = files.select(col("filename"), col("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (fname, payload) =>
+            cdxWalk(payload).map(w => CdxFileRecord(fname, w.record_idx,
+              w.url, w.warc_type, w.warc_date, w.status, w.mime, w.digest,
+              w.offset, w.length))
+          }
+        }
+      }
+    cdxAssemble(recs.toDF())
+      .select(col("filename"), col("record_idx"), col("surt_key"), col("ts"),
+        col("url"), col("warc_type"), col("status"), col("mime"),
+        col("digest"), col("offset"), col("length"), col("cdxj_line"))
+  }
+
+  /** One indexable record from the per-file walk — the shared core of
+    * both [[toCdxj]] forms.
+    */
+  private final case class CdxWalkRec(
+      record_idx: Long, url: String, warc_type: String, warc_date: String,
+      status: Option[Int], mime: Option[String], digest: String,
+      offset: Long, length: Long)
+
+  /** [[CdxRecord]] keyed by the landed file's NAME instead of a media
+    * id — [[toCdxjFiles]]' row shape.
+    */
+  final case class CdxFileRecord(
+      filename: String, record_idx: Long, url: String, warc_type: String,
+      warc_date: String, status: Option[Int], mime: Option[String],
+      digest: String, offset: Long, length: Long)
+
+  private def cdxWalk(payload: Array[Byte]): Seq[CdxWalkRec] = {
+    import graft.functions.BinaryCodecs
+    BinaryCodecs.warcRecordsWithSpans(payload).toSeq.flatMap { spans =>
+      spans.zipWithIndex.collect {
+        case (BinaryCodecs.WarcRecSpan(r, off, len), i)
+            if (r.warcType == "response" || r.warcType == "revisit") &&
+              r.targetUri != null =>
+          val http = BinaryCodecs.parseHttpResponse(r.payload)
+          val body = http.map(_.body).getOrElse(r.payload)
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          val hex = md.digest(body).map(b => f"$b%02x").mkString
+          CdxWalkRec(i.toLong, r.targetUri, r.warcType, r.warcDate,
+            http.map(_.status),
+            http.flatMap(h => Option(h.contentType).map(ct =>
+              ct.split(";")(0).trim.toLowerCase(java.util.Locale.ROOT))),
+            hex, off, len)
+      }
+    }
+  }
+
+  /** Key/timestamp/line assembly shared by both [[toCdxj]] forms —
+    * codegen'd Column work over the walked rows.
+    */
+  private def cdxAssemble(recs: DataFrame): DataFrame =
+    recs
       .withColumn("surt_key", Urls.surtKey(col("url")))
       .withColumn("ts",
         regexp_replace(col("warc_date"), "[^0-9]", "").substr(1, 14))
@@ -471,11 +528,6 @@ object Warc {
           col("offset").cast("string").as("offset"),
           col("length").cast("string").as("length"),
           col("filename").as("filename")))))
-      .select(col("media_id"), col("record_idx"), col("surt_key"), col("ts"),
-        col("url"), col("warc_type"), col("status"), col("mime"),
-        col("digest"), col("offset"), col("length"), col("filename"),
-        col("cdxj_line"))
-  }
 
   /** Parse CDXJ lines back into typed columns — the READ half of
     * [[toCdxj]] (and of any externally-produced CDXJ sidecar): key and
@@ -580,18 +632,26 @@ object Warc {
     */
   def toWat(pages: DataFrame, docsPerFile: Int = 8): Dataset[MediaRow] =
     buildWarcFiles(
-      pages.select(col("doc_id"),
-        to_json(struct(
-          col("status").cast("int").as("status"),
-          col("content_type").as("content_type"),
-          col("title").as("title"),
-          col("meta_desc").as("meta_desc"),
-          col("base").as("base"),
-          col("links").as("links"))).cast("binary").as("payload"),
+      pages.select(col("doc_id"), watEnvelope.cast("binary").as("payload"),
         col("uri")),
       docsPerFile, "metadata",
       Seq("Content-Type" -> "application/json"), refersTo = true,
       recordIdPrefix = "meta")
+
+  /** The deterministic WAT envelope JSON over `(status, content_type,
+    * title, meta_desc, base, links)` columns — [[toWat]]'s payload
+    * factored out so the LIVE sidecar leg (emit envelope rows as pages
+    * arrive) and the container writer share one byte-for-byte
+    * definition and cannot drift.
+    */
+  def watEnvelope: org.apache.spark.sql.Column =
+    to_json(struct(
+      col("status").cast("int").as("status"),
+      col("content_type").as("content_type"),
+      col("title").as("title"),
+      col("meta_desc").as("meta_desc"),
+      col("base").as("base"),
+      col("links").as("links")))
 
   /** Synthetic crawl corpus archiving BOTH fetch sides — per doc a
     * `request` record (GET line + Host + User-Agent, `Concurrent-To`

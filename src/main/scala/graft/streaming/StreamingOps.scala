@@ -840,6 +840,24 @@ object StreamingOps {
     graft.ops.Warc.parseWarc(media, maxBytesPerMember, maxBytesTotal = maxBytesTotal)
   }
 
+  /** CDXJ sidecar lines as crawl files LAND — production crawls index
+    * each container when it arrives, not in a second pass over the
+    * archive. A `binaryFile` stream over the crawl directory feeds the
+    * SAME batch exporter ([[graft.ops.Warc.toCdxjFiles]] — literally
+    * one code path, so live lines cannot diverge from a batch re-index);
+    * `filename` is the landed file's basename, which is what the line's
+    * random-access pointer must name. Per-file map work, shuffle-free,
+    * append mode; a malformed file quarantines WHOLE (the indexing walk
+    * shares the parse walk's all-or-nothing contract).
+    */
+  def cdxjStream(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Warc.toCdxjFiles(
+      spark.readStream.format("binaryFile")
+        .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+        .load(dir)
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("filename"),
+          col("content").as("payload")))
+
   /** Read the reference's user-exp JSON shape as a file stream. */
   def userExpStream(spark: SparkSession, dir: String): Dataset[SessionEvent] = {
     import spark.implicits._

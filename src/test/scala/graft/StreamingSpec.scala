@@ -873,6 +873,88 @@ class StreamingSpec extends SparkSpec {
     assert(!all.exists(p => p._1 == 99L || p._2 == 99L), "the quarantined file leaked records")
   }
 
+  test("cdxj sidecar stream: lines equal a batch re-index at every arrival; WAT envelopes match the writer") {
+    import graft.functions.BinaryCodecs
+    import graft.ops.{Html, Warc}
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_stream_cdxj")
+    def page(id: Long): (Seq[(String, String)], Array[Byte]) = {
+      val html = s"<html><head><title>T$id</title></head><body><p>body $id</p></body></html>"
+      (Seq("WARC-Type" -> "response",
+        "WARC-Record-ID" -> s"<urn:graft:rec:$id>",
+        "WARC-Date" -> "2024-01-01T00:00:00Z",
+        "WARC-Target-URI" -> s"https://host${id % 3}.example.com/p/$id"),
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html).getBytes("UTF-8"))
+    }
+    def mkFile(name: String, ids: Seq[Long]): Unit =
+      Files.write(Paths.get(in.toString, name), BinaryCodecs.warcFile(ids.map(page)))
+    mkFile("c-0.warc.gz", Seq(0L, 1L, 2L))
+    val q = StreamingOps.cdxjStream(spark, in.toString)
+      .writeStream.outputMode("append").format("memory").queryName("cdxj")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable()
+    def streamed() = spark.table("cdxj").select("cdxj_line")
+      .collect().map(_.getString(0)).toSet
+    def batchLines() = Warc.toCdxjFiles(
+      spark.read.format("binaryFile").load(in.toString)
+        .select(regexp_extract(col("path"), "[^/]+$", 0).as("filename"),
+          col("content").as("payload")))
+      .select("cdxj_line").collect().map(_.getString(0)).toSet
+    val p1 = streamed()
+    assert(p1 == batchLines() && p1.size == 3, "prefix 1 diverges from the batch re-index")
+    assert(p1.forall(l => l.contains("\"filename\":\"c-0.warc.gz\"") &&
+      l.startsWith("com,example,host")))
+    // second arrival plus a file that QUARANTINES — inert on both sides
+    mkFile("c-1.warc.gz", Seq(3L, 4L))
+    Files.write(Paths.get(in.toString, "c-2.warc.gz"), "not a warc".getBytes)
+    q.processAllAvailable(); q.stop()
+    assert(streamed() == batchLines(), "full stream diverges from batch re-index")
+    assert(streamed().size == 5, "the quarantined file leaked index lines")
+    // the lines are REAL random-access pointers: every streamed
+    // (filename, offset, length) slices its landed file to a standalone
+    // one-record parse of the named URI
+    spark.table("cdxj").select("filename", "offset", "length", "url").collect()
+      .foreach { r =>
+        val bytes = Files.readAllBytes(Paths.get(in.toString, r.getString(0)))
+        val slice = bytes.slice(r.getLong(1).toInt, (r.getLong(1) + r.getLong(2)).toInt)
+        val rec = BinaryCodecs.warcRecords(slice).get
+        assert(rec.length == 1 && rec.head.targetUri == r.getString(3))
+      }
+    // WAT sidecar leg: envelopes emitted INCREMENTALLY off the ingest
+    // stream (the shared watEnvelope column) equal the batch container
+    // writer's payload bytes for the same pages
+    def pageMeta(df: org.apache.spark.sql.DataFrame) = df
+      .select(regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("target_uri").as("uri"), col("status"),
+        lit("text/html").as("content_type"),
+        Html.title(col("html")).as("title"),
+        Html.metaContent(col("html"), "description").as("meta_desc"),
+        Html.baseHref(col("html")).as("base"),
+        Html.extractLinks(col("html")).as("links"))
+    val watQ = pageMeta(Warc.decodePages(
+      StreamingOps.warcFileStream(spark, in.toString)).toDF())
+      .select(col("doc_id"), Warc.watEnvelope.as("env"))
+      .writeStream.outputMode("append").format("memory").queryName("watenv")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    watQ.processAllAvailable(); watQ.stop()
+    val streamedEnv = spark.table("watenv").as[(Long, String)].collect().toMap
+    val media = spark.read.format("binaryFile").load(in.toString)
+      .select(xxhash64(col("path")).as("media_id"), lit("warc").as("kind"),
+        col("content").as("payload"), lit("application/warc").as("mime_type"),
+        col("length").as("size_bytes"))
+      .as[graft.ops.Multimodal.MediaRow]
+    val viaContainer = Warc.parseWarc(
+      Warc.toWat(pageMeta(Warc.decodePages(Warc.parseWarc(media)).toDF())))
+      .toDF()
+      .where(col("warc_type") === "metadata")
+      .select(regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long"),
+        col("payload").cast("string"))
+      .as[(Long, String)].collect().toMap
+    assert(streamedEnv == viaContainer,
+      "live WAT envelopes diverge from the container writer's bytes")
+    assert(streamedEnv.size == 5 && streamedEnv(3L).contains("\"title\":\"T3\""))
+  }
+
   test("changeDetectStream: flags equal the batch lag replay; counters survive batches") {
     val in = Files.createTempDirectory("graft_stream_chg")
     def write(name: String, rows: Seq[(String, Long, String)]): Unit =
