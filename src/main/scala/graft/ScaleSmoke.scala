@@ -177,7 +177,18 @@ object ScaleSmoke {
     // LM fluency: two corpus tokenizations + the vocabulary-table join
     // onto the doc-bigram stream (replica-prefixed vocab keeps bigram
     // populations disjoint: 10x docs = 10x vocab rows, never denser).
-    "q414_lm_fluency")
+    "q414_lm_fluency",
+    // Round-16 additions: agent-scoped robots admission (per-row group
+    // selection over the split-line array — the heaviest pure-Column
+    // HOF fold in the suite), CDXJ export (container build + the
+    // spans walk + per-record SHA-256 + line assembly), GIF decode
+    // (per-image LZW bit walk — the fourth CPU-dense codec path), and
+    // the per-language quality gate (the grouped-KN chain; NOTE the
+    // replica token prefix defeats lang-ID markers at sf1, so all
+    // replicas land in one group — the probe times the grouped chain's
+    // plan at 10x data, not a wider language fan).
+    "q415_robots_agent_groups", "q416_cdx_export", "q418_gif_decode",
+    "q419_lang_quality_gate")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))

@@ -4822,7 +4822,120 @@ object SparkEntry {
           }
         }.toDF("url", "payload").dropDuplicates("url")
       Crawl.feedDiscovery(pages, files)
-    })
+    }),
+
+    // ---- agent-scoped fetch budget (q380 ∘ q415): each host's robots
+    // quotes a FAST delay for the preferred crawler and a slow star
+    // delay for everyone else; half the frontier fetches as the
+    // preferred agent, half as a foreign one, and the politeness
+    // scheduler folds the per-agent hints per host (max wins, default
+    // when nobody opined). The oracle derives every hint from the
+    // (agent, host) formula and replays the fold + window. ------------------
+    "q421_agent_delay_schedule" -> ((s, dir) => {
+      val id = col("doc_id")
+      val h = id % 20
+      val robots = concat(
+        lit("User-agent: fastbot\nCrawl-delay: 0.25\nDisallow: /private\n\n" +
+          "User-agent: *\n"),
+        when(h % 5 === 0, lit("Disallow: /private"))
+          .otherwise(concat(lit("Crawl-delay: "), (h % 3 + 1).cast("string"),
+            lit(".5\nDisallow: /private"))))
+      val agent = when(id % 2 === 0, lit("FastBot/1.0")).otherwise(lit("slowbot"))
+      val frontier = t(s, dir, "documents").select(
+        concat(lit("http://host"), h.cast("string"), lit(".example.com/p/"),
+          id.cast("string")).as("url"),
+        (id * 7919 % 101).as("priority"),
+        graft.ops.Robots.crawlDelayForAgent(robots, agent).as("delay_ms"))
+      Crawl.politenessScheduleWithDelays(frontier,
+        defaultDelayMs = 700L, maxPerHost = 6)
+    }),
+
+    // ---- the THREE-channel discovery frontier (q373 widened): anchors,
+    // robots-declared sitemaps and page-declared feeds all feed one
+    // frontier — a URL discovered by several channels collapses with its
+    // discovery count as priority (the sitemap page{v} family overlaps
+    // the anchor family by construction), robots drops /private, and the
+    // politeness window schedules per host. Never-fetched sitemap s5 and
+    // feed shard 3 contribute nothing (the fetch-gap rule). The oracle
+    // rebuilds all three legs from the id formulas and replays
+    // admission, the count fold and the window. ------------------------------
+    "q422_discovery_frontier" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.BinaryCodecs
+      val id = col("doc_id")
+      val pageUrl = concat(lit("https://site"), (id % 4).cast("string"),
+        lit(".github.io/dir/index.html"))
+      val html = concat(
+        lit("<a href=\"https://h"), (id % 10).cast("string"),
+        lit(".example.org/page"), (id % 25).cast("string"), lit("\">x</a>"),
+        lit("<a href='https://h"), ((id + 3) % 10).cast("string"),
+        lit(".example.org/private/p"), (id % 5).cast("string"), lit("'>y</a>"),
+        lit("<a href=/local/l"), (id % 8).cast("string"), lit(">z</a>"),
+        lit("<link rel=\"alternate\" type=\"application/rss+xml\" href=\"/feed"),
+        (id % 4).cast("string"), lit(".xml\">"))
+      val robots = concat(
+        lit("User-agent: *\nDisallow: /private\nSitemap: https://s"),
+        (id % 6).cast("string"), lit(".example.com/sm.xml\n"))
+      val docs = t(s, dir, "documents")
+        .select(id, pageUrl.as("page_url"), html.as("html"), robots.as("robots"))
+      def enc(gzip: Boolean, xml: String): Array[Byte] = {
+        val b = xml.getBytes("UTF-8")
+        if (gzip) BinaryCodecs.gzip(b) else b
+      }
+      val smFiles = graft.io.Spread.toDefaultParallelism(
+        t(s, dir, "documents").select((id % 6).as("v")).distinct()
+          .where(col("v") =!= 5))
+        .as[Long].map { v =>
+          (s"https://s$v.example.com/sm.xml", enc(v % 2 == 0,
+            "<urlset>" +
+              s"<url><loc>https://h$v.example.org/page$v</loc></url>" +
+              s"<url><loc>https://h$v.example.org/sm/$v</loc></url></urlset>"))
+        }.toDF("url", "payload")
+      val feedFiles = graft.io.Spread.toDefaultParallelism(
+        t(s, dir, "documents").select((id % 4).as("k")).distinct()
+          .where(col("k") =!= 3))
+        .as[Long].map { k =>
+          (s"https://site$k.github.io/feed$k.xml", enc(k % 2 == 1,
+            "<rss><channel>" +
+              s"<item><link>https://h${k + 6}.example.org/feed/$k/1</link></item>" +
+              s"<item><link>https://h${k + 6}.example.org/feed/$k/2</link></item>" +
+              "</channel></rss>"))
+        }.toDF("url", "payload")
+      val anchors = docs
+        .select(col("page_url"), explode(Html.extractLinks(col("html"))).as("ref"))
+        .select(Urls.resolve(col("page_url"), col("ref")).as("url"))
+      val smLocs = Crawl.sitemapDiscovery(
+        docs.select(col("doc_id"), col("robots")), smFiles)
+        .select(col("loc").as("url"))
+      val feedLocs = Crawl.feedDiscovery(
+        docs.select(col("doc_id"), col("page_url"), col("html")), feedFiles)
+        .select(col("loc").as("url"))
+      val discovered = anchors.unionByName(smLocs).unionByName(feedLocs)
+      val admitted = graft.ops.Robots.filterAllowed(
+        discovered
+          .withColumn("path", regexp_extract(col("url"), "^[a-z]+://[^/]*(/.*)$", 1))
+          .withColumn("robots", lit("User-agent: *\nDisallow: /private")))
+        .where(col("allowed"))
+      val frontier = Urls.canonicalize(admitted)
+        .where(col("canonical_url").isNotNull)
+        .groupBy(col("canonical_url").as("url"))
+        .agg(count(lit(1)).as("priority"))
+      Crawl.politenessSchedule(frontier, delayMs = 200L, maxPerHost = 4)
+    }),
+
+    // ---- the CDX CLUSTER index (Common Crawl's secondary index): the
+    // q416 line set globally sorted by SURT key via the range-
+    // partitioned two-phase scan, folded into 50-line shards — first/
+    // last key, line count, byte size and the shard's offset in the
+    // concatenated sorted index. The oracle rebuilds every line, sorts,
+    // and replays the shard arithmetic. --------------------------------------
+    "q423_cdx_cluster_idx" -> ((s, dir) =>
+      graft.ops.Warc.cdxClusterIndex(
+        graft.ops.Warc.toCdxj(
+          graft.ops.Warc.syntheticWarcBytes(cdxHttpDocs(s, dir),
+            docsPerFile = 8, gzipPerRecord = false),
+          filenameCol = concat(lit("crawl-"), col("media_id"), lit(".warc"))),
+        linesPerShard = 50))
   )
 
   /** q416/q417's shared fixture: each document as the HTTP response
@@ -12175,16 +12288,12 @@ object SparkEntry {
     // warcinfo lead record; the payload is the 44-byte HTTP envelope +
     // the text.
     "q416_cdx_export" -> (CdxOracleCtes +
-      """SELECT fid AS media_id, CAST(rn AS BIGINT) AS record_idx,
+      s"""SELECT fid AS media_id, CAST(rn AS BIGINT) AS record_idx,
         | surt_key, '20240101000000' AS ts, uri AS url,
         | CAST(status AS INT) AS status, 'text/html' AS mime, digest,
         | CAST(off AS BIGINT) AS "offset", CAST(rec_size AS BIGINT) AS length,
         | fname AS filename,
-        | surt_key || ' 20240101000000 {"url":"' || uri || '","digest":"' ||
-        |  digest || '","mime":"text/html","status":"' ||
-        |  CAST(status AS VARCHAR) || '","offset":"' || CAST(off AS VARCHAR) ||
-        |  '","length":"' || CAST(rec_size AS VARCHAR) || '","filename":"' ||
-        |  fname || '"}' AS cdxj_line
+        | $CdxLineSqlExpr AS cdxj_line
         |FROM o""".stripMargin),
     // q417: the same derivation through the parse-back lens — typed
     // fields only, no line assembly.
@@ -12312,8 +12421,97 @@ object SparkEntry {
         |  'atom' AS dialect
         | FROM documents CROSS JOIN (VALUES (0), (1)) e(p)
         | WHERE doc_id % 2 = 0 AND doc_id % 5 <> 4)
-        |SELECT * FROM rss UNION ALL SELECT * FROM atom""".stripMargin
+        |SELECT * FROM rss UNION ALL SELECT * FROM atom""".stripMargin,
+    // q421: hints from the (agent, host) formula — even ids select the
+    // fastbot group (250 ms), odd ids fall through to star ((h%3+1).5 s,
+    // absent on h%5=0) — then the q380 fold/window replay with the
+    // host-level max-or-default delay joined back.
+    "q421_agent_delay_schedule" ->
+      """WITH f AS (
+        | SELECT 'host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host,
+        |  'http://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p/'
+        |    || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(doc_id * 7919 % 101 AS BIGINT) AS priority,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(250 AS BIGINT)
+        |   WHEN (doc_id % 20) % 5 = 0 THEN NULL
+        |   ELSE CAST(((doc_id % 20) % 3 + 1) * 1000 + 500 AS BIGINT) END AS hint
+        | FROM documents),
+        |d AS (SELECT host, url, max(priority) AS priority, max(hint) AS hint
+        |      FROM f GROUP BY 1, 2),
+        |hd AS (SELECT host, coalesce(max(hint), 700) AS delay_ms FROM d GROUP BY 1),
+        |r AS (SELECT host, url, priority,
+        |  row_number() OVER (PARTITION BY host ORDER BY priority DESC, url ASC) AS rn
+        | FROM d)
+        |SELECT r.host, r.url, r.priority, CAST(hd.delay_ms AS BIGINT) AS delay_ms,
+        | CAST((rn - 1) * hd.delay_ms AS BIGINT) AS fetch_offset_ms
+        |FROM r JOIN hd USING (host) WHERE rn <= 6""".stripMargin,
+    // q422: all three legs from the id formulas (sitemap s5 / feed
+    // shard 3 never fetched), /private dropped, discovery-count
+    // priorities, the q373 window replay.
+    "q422_discovery_frontier" ->
+      """WITH a AS (
+        | SELECT 'https://h' || CAST(doc_id % 10 AS VARCHAR) || '.example.org/page' ||
+        |   CAST(doc_id % 25 AS VARCHAR) AS url FROM documents
+        | UNION ALL
+        | SELECT 'https://h' || CAST((doc_id + 3) % 10 AS VARCHAR) ||
+        |   '.example.org/private/p' || CAST(doc_id % 5 AS VARCHAR) FROM documents
+        | UNION ALL
+        | SELECT 'https://site' || CAST(doc_id % 4 AS VARCHAR) || '.github.io/local/l' ||
+        |   CAST(doc_id % 8 AS VARCHAR) FROM documents),
+        |sm AS (
+        | SELECT 'https://h' || CAST(doc_id % 6 AS VARCHAR) || '.example.org/page' ||
+        |   CAST(doc_id % 6 AS VARCHAR) AS url FROM documents WHERE doc_id % 6 <> 5
+        | UNION ALL
+        | SELECT 'https://h' || CAST(doc_id % 6 AS VARCHAR) || '.example.org/sm/' ||
+        |   CAST(doc_id % 6 AS VARCHAR) FROM documents WHERE doc_id % 6 <> 5),
+        |fd AS (
+        | SELECT 'https://h' || CAST(doc_id % 4 + 6 AS VARCHAR) || '.example.org/feed/' ||
+        |   CAST(doc_id % 4 AS VARCHAR) || '/' || CAST(e.p + 1 AS VARCHAR) AS url
+        | FROM documents CROSS JOIN (VALUES (0), (1)) e(p)
+        | WHERE doc_id % 4 <> 3),
+        |u AS (SELECT url FROM a UNION ALL SELECT url FROM sm
+        |      UNION ALL SELECT url FROM fd),
+        |adm AS (SELECT url FROM u WHERE url NOT LIKE '%/private/%'),
+        |g AS (
+        | SELECT regexp_extract(url, '^https://([^/]*)', 1) AS host, url,
+        |  CAST(count(*) AS BIGINT) AS priority
+        | FROM adm GROUP BY 1, 2),
+        |r AS (
+        | SELECT host, url, priority,
+        |  row_number() OVER (PARTITION BY host ORDER BY priority DESC, url ASC) AS rn
+        | FROM g)
+        |SELECT host, url, priority, CAST((rn - 1) * 200 AS BIGINT) AS fetch_offset_ms
+        |FROM r WHERE rn <= 4""".stripMargin,
+    // q423: every line rebuilt (the shared q416 expression), sorted by
+    // key, 50-line shard arithmetic replayed with byte-exact offsets.
+    "q423_cdx_cluster_idx" -> (CdxOracleCtes +
+      s""",l AS (
+         | SELECT surt_key, strlen($CdxLineSqlExpr) + 1 AS len
+         | FROM o),
+         |r AS (
+         | SELECT surt_key, len,
+         |  row_number() OVER (ORDER BY surt_key) AS rk,
+         |  sum(len) OVER (ORDER BY surt_key ROWS UNBOUNDED PRECEDING) AS cum
+         | FROM l)
+         |SELECT CAST((rk - 1) // 50 AS BIGINT) AS shard_id,
+         | min(surt_key) AS first_key, max(surt_key) AS last_key,
+         | CAST(count(*) AS BIGINT) AS n_lines,
+         | CAST(sum(len) AS BIGINT) AS shard_bytes,
+         | CAST(min(cum - len) AS BIGINT) AS byte_offset
+         |FROM r GROUP BY 1""".stripMargin)
   )
+
+  /** The q416 CDXJ line rebuilt byte-for-byte as a SQL expression over
+    * [[CdxOracleCtes]]'s `o` columns — shared by q416 and the q423
+    * cluster-index replay so the two cannot disagree about line bytes.
+    * `||` stays at line ends (the stripMargin interpolation rule).
+    */
+  private lazy val CdxLineSqlExpr: String =
+    """surt_key || ' 20240101000000 {"url":"' || uri || '","digest":"' ||
+      |  digest || '","mime":"text/html","status":"' ||
+      |  CAST(status AS VARCHAR) || '","offset":"' || CAST(off AS VARCHAR) ||
+      |  '","length":"' || CAST(rec_size AS VARCHAR) || '","filename":"' ||
+      |  fname || '"}'""".stripMargin
 
   /** q416/q417's shared offset-arithmetic replay, ending in CTE
     * `o(doc_id, fid, rn, uri, surt_key, status, digest, n, rec_size,

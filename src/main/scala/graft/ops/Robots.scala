@@ -51,8 +51,25 @@ object Robots {
     * same first-match conservatism parsers apply to duplicated
     * directives.
     */
-  def crawlDelay(robots: Column): Column = {
-    val norm = transform(starGroupLines(robots), l =>
+  def crawlDelay(robots: Column): Column =
+    delayFromLines(starGroupLines(robots))
+
+  /** [[crawlDelay]] under agent-group selection ([[agentGroupLines]]):
+    * the `Crawl-delay` of the group(s) the REQUESTING AGENT obeys —
+    * real sites quote slower delays for aggressive bots and faster ones
+    * for preferred crawlers, so a star-scoped read applies the wrong
+    * fetch budget the moment a named group exists. Same milliseconds /
+    * first-declaration-wins / NULL-when-absent contract; feed the
+    * result to [[Crawl.politenessScheduleWithDelays]].
+    */
+  def crawlDelayForAgent(robots: Column, agent: Column): Column =
+    delayFromLines(agentGroupLines(robots, agent))
+
+  /** Group lines → Crawl-delay milliseconds, the shared back half of
+    * both delay readers.
+    */
+  private def delayFromLines(group: Column): Column = {
+    val norm = transform(group, l =>
       regexp_replace(trim(regexp_replace(lower(l), "#.*$", "")), "\\s*:\\s*", ":"))
     val decl = filter(norm, l => l.rlike("^crawl-delay:[0-9]+(\\.[0-9]+)?$"))
     val v = element_at(decl, 1)

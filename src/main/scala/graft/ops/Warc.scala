@@ -475,6 +475,40 @@ object Warc {
         col("digest"), col("offset"), col("length"), col("cdxj_line"))
   }
 
+  /** The Common-Crawl-style SECONDARY index over a sorted CDXJ line set
+    * (the "cluster index"): lines totally ordered by SURT key, grouped
+    * into shards of `linesPerShard`, one row per shard — `(shard_id,
+    * first_key, last_key, n_lines, shard_bytes, byte_offset)`, with
+    * `byte_offset` the shard's position in the concatenated sorted
+    * index file (every line newline-terminated, byte-counted). This is
+    * what makes a 100 TB archive's index ITSELF range-scannable: a
+    * reader binary-searches the tiny cluster index by key, then reads
+    * one shard — two seeks from URL to archived record, no index scan.
+    *
+    * Scale shape: the global sort is
+    * [[Normalize.rankedPrefixSum]]'s range-partitioned two-phase scan
+    * (offset table broadcast back — no single-partition global window
+    * anywhere), and the shard fold is a shard-keyed aggregation over
+    * rank arithmetic. Input: [[toCdxj]]/[[toCdxjFiles]] output (needs
+    * `surt_key`, `cdxj_line`); keys must be unique — extend the sort
+    * key upstream when a corpus archives one URL many times.
+    */
+  def cdxClusterIndex(lines: DataFrame, linesPerShard: Int = 3000): DataFrame = {
+    require(linesPerShard >= 1, s"linesPerShard must be >= 1: $linesPerShard")
+    val sized = lines.select(col("surt_key"), col("cdxj_line"))
+      .withColumn("__len", octet_length(col("cdxj_line")).cast("long") + 1L)
+    val ranked = Normalize.rankedPrefixSum(sized, Seq(col("surt_key")),
+      "__len", "__rank", "__cum")
+    ranked
+      .withColumn("shard_id", expr(s"(__rank - 1) div $linesPerShard"))
+      .groupBy("shard_id")
+      .agg(min(col("surt_key")).as("first_key"),
+        max(col("surt_key")).as("last_key"),
+        count(lit(1)).as("n_lines"),
+        sum(col("__len")).as("shard_bytes"),
+        min(col("__cum") - col("__len")).as("byte_offset"))
+  }
+
   /** One indexable record from the per-file walk — the shared core of
     * both [[toCdxj]] forms.
     */

@@ -132,6 +132,20 @@ class RobotsSpec extends SparkSpec {
     assert(!dec("BBot-Images", "/y/1"))
   }
 
+  test("crawlDelayForAgent: the agent's group delay, star fall-through, absence is NULL") {
+    val b = "User-agent: fastbot\nCrawl-delay: 0.25\n\nUser-agent: *\n" +
+      "Crawl-delay: 2.5\n\nUser-agent: nodelay\nDisallow: /x"
+    val got = Seq("FastBot/1.0", "other", "nodelay").map(a => (b, a))
+      .toDF("robots", "agent")
+      .select(Robots.crawlDelayForAgent(col("robots"), col("agent")))
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+    assert(got == Seq(250L, 2500L, -1L))
+    // star view unchanged by the refactor
+    val star = Seq(b).toDF("robots")
+      .select(Robots.crawlDelay(col("robots"))).collect().head.getLong(0)
+    assert(star == 2500L)
+  }
+
   test("filterAllowedForAgent appends the agent-scoped decision") {
     val df = Seq((body, "/tmp/q"), (body, "/fine")).toDF("robots", "path")
     val got = Robots.filterAllowedForAgent(df, lit("special-bot")).collect()

@@ -387,6 +387,49 @@ class WarcSpec extends SparkSpec {
     assert(orphaned.count() == 18) // 19 remaining records minus the orphan revisit of 6
   }
 
+  test("toCdxj: revisit records index too; warcinfo and request records don't") {
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 10L).map(i => (i, s"page $i body")).toDF("doc_id", "text")
+    val lines = Warc.toCdxj(Warc.syntheticWarcRevisits(docs, docsPerFile = 10))
+    val byType = lines.groupBy("warc_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("response" -> 9L, "revisit" -> 1L))
+    // the revisit is body-less: its digest is sha256 of the empty payload
+    val rv = lines.where(col("warc_type") === "revisit").collect().head
+    assert(rv.getAs[String]("digest") ==
+      "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855")
+    assert(rv.getAs[String]("ts") == "20240101000000")
+    // pairing corpora: requests never index (no HTTP response to point at)
+    val pairLines = Warc.toCdxj(
+      Warc.syntheticWarcRequestPairs(docs, docsPerFile = 10))
+    assert(pairLines.select("warc_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("response"))
+    assert(pairLines.count() == 10)
+  }
+
+  test("cdxClusterIndex: shards tile the sorted concatenated index byte-for-byte") {
+    val docs = (0L until 23L).map(i => (i, s"page $i")).toDF("doc_id", "text")
+    val lines = Warc.toCdxj(Warc.syntheticWarc(docs, docsPerFile = 8))
+    val idx = Warc.cdxClusterIndex(lines, linesPerShard = 5)
+      .collect().sortBy(_.getLong(0))
+    assert(idx.length == 5 && idx.map(_.getLong(3)).sum == 23L) // 5+5+5+5+3
+    // the two-seek contract: each (byte_offset, shard_bytes) slices the
+    // concatenated SORTED index to exactly that shard's lines
+    val sorted = lines.select("surt_key", "cdxj_line").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    val file = sorted.map(_._2).mkString("", "\n", "\n").getBytes("UTF-8")
+    idx.foreach { r =>
+      val off = r.getLong(5).toInt; val sz = r.getLong(4).toInt
+      val shardLines = new String(file.slice(off, off + sz), "UTF-8")
+        .split("\n", -1).dropRight(1)
+      assert(shardLines.length == r.getLong(3).toInt)
+      assert(shardLines.head.startsWith(r.getString(1) + " "), "first_key")
+      assert(shardLines.last.startsWith(r.getString(2) + " "), "last_key")
+    }
+    assert(idx.head.getLong(5) == 0L)
+    assert(idx.map(r => r.getLong(5) + r.getLong(4)).max == file.length.toLong)
+  }
+
   test("warcRecordsWithSpans: spans are random-access pointers, gzip and plain") {
     val docs = (0L until 10L).map(i => (i, s"body $i")).toDF("doc_id", "text")
     for (gz <- Seq(true, false)) {
