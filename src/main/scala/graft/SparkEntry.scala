@@ -4748,9 +4748,15 @@ object SparkEntry {
     // the whole chain: lang-ID, the per-language q414 derivation, the
     // mean gate, and the apportionment. --------------------------------------
     "q419_lang_quality_gate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
-        TextFunctions.langGuessFromPadded(
-          TextFunctions.paddedText(col("text"))).as("lang"))
+      // staged ONCE: the composite fans this frame into four branches
+      // (KN table, doc bigrams, the score base, token counts), and the
+      // lang-ID column is the most expensive projection in the chain —
+      // recomputing it per branch measured ~4x the staged plan
+      val docs = graft.ops.Staging.stage(
+        t(s, dir, "documents").select(col("doc_id"), col("text"),
+          TextFunctions.langGuessFromPadded(
+            TextFunctions.paddedText(col("text"))).as("lang")),
+        reliable = false)
       val scored = Ngrams.lmFluencyPpmBy(docs, "lang", minCount = 3)
       val thr = scored.groupBy("lang").agg(
         expr("sum(fluency_ppm) div count(1)").as("thr"),
@@ -4841,11 +4847,14 @@ object SparkEntry {
           .otherwise(concat(lit("Crawl-delay: "), (h % 3 + 1).cast("string"),
             lit(".5\nDisallow: /private"))))
       val agent = when(id % 2 === 0, lit("FastBot/1.0")).otherwise(lit("slowbot"))
-      val frontier = t(s, dir, "documents").select(
-        concat(lit("http://host"), h.cast("string"), lit(".example.com/p/"),
-          id.cast("string")).as("url"),
-        (id * 7919 % 101).as("priority"),
-        graft.ops.Robots.crawlDelayForAgent(robots, agent).as("delay_ms"))
+      val frontier = graft.ops.Robots.withCrawlDelayForAgent(
+        t(s, dir, "documents").select(
+          concat(lit("http://host"), h.cast("string"), lit(".example.com/p/"),
+            id.cast("string")).as("url"),
+          (id * 7919 % 101).as("priority"),
+          robots.as("robots"), agent.as("agent")),
+        col("agent"))
+        .select(col("url"), col("priority"), col("delay_ms"))
       Crawl.politenessScheduleWithDelays(frontier,
         defaultDelayMs = 700L, maxPerHost = 6)
     }),

