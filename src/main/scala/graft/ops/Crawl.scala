@@ -214,11 +214,23 @@ object Crawl {
       transform(
         regexp_extract_all(xml, lit("(?is)<entry>(.*?)</entry>"), lit(1)),
         e => {
-          val loc = regexp_replace(
-            regexp_extract(e,
-              "(?is)<link(?:\\s[^>]*)?\\shref=(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1),
-            "^[\"']|[\"']$", "")
-          when(loc =!= "", struct(loc.as("loc"), lit("atom").as("dialect")))
+          // Atom's rule: rel="alternate" (or rel ABSENT) names the
+          // entry's page — a self/edit API link listed first must not
+          // win, so pick the first alternate-or-relless link's href
+          val links = regexp_extract_all(e, lit("(?is)<link(?:\\s[^>]*)?/?>"), lit(0))
+          val cand = filter(
+            transform(links, t => {
+              val rel = lower(regexp_replace(
+                regexp_extract(t, "(?is)\\srel=(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1),
+                "^[\"']|[\"']$", ""))
+              val href = regexp_replace(
+                regexp_extract(t, "(?is)\\shref=(\"[^\"]*\"|'[^']*'|[^\\s>]+)", 1),
+                "^[\"']|[\"']$", "")
+              when(href =!= "" && (rel === "" || rel === "alternate"), href)
+            }),
+            x => x.isNotNull)
+          val loc = when(size(cand) > 0, element_at(cand, 1))
+          when(loc.isNotNull, struct(loc.as("loc"), lit("atom").as("dialect")))
         }),
       e => e.isNotNull)
     concat(rss, atom)

@@ -126,28 +126,53 @@ object Robots {
     */
   private[graft] def agentGroupLines(robots: Column, agent: Column): Column = {
     val lines = split(robots, "\n")
-    val norm = transform(lines, l =>
+    val norm = normLines(lines)
+    val score = scoreLines(norm, agent)
+    val best = array_max(filter(score, s => s.isNotNull))
+    groupMembers(lines, norm, score, best)
+  }
+
+  /** Normalized (lowercased, comment-stripped, colon-canonical) lines. */
+  private def normLines(lines: Column): Column =
+    transform(lines, l =>
       regexp_replace(trim(regexp_replace(lower(l), "#.*$", "")), "\\s*:\\s*", ":"))
+
+  /** Per-line agent-match score over normalized lines: `*` → 0, a token
+    * that prefixes the agent → its length, else null (non-headers and
+    * non-matching headers).
+    */
+  private def scoreLines(norm: Column, agent: Column): Column = {
+    val agentLc = lower(trim(agent))
+    transform(norm, l => {
+      val t = when(l.startsWith("user-agent:"),
+        regexp_extract(l, "^user-agent:(.*)$", 1))
+      when(t === "*", lit(0))
+        .when(t =!= "" && agentLc.startsWith(t), length(t))
+    })
+  }
+
+  /** Member lines of every winning header, concatenated in file order —
+    * the ONE group-formation implementation behind both the Column form
+    * ([[agentGroupLines]]) and the staged DataFrame form
+    * ([[withAgentGroupLines]]), so the two cannot diverge. RFC 9309
+    * group formation: a run of `User-agent:` headers — blank and
+    * comment-only lines between them included, the grammar ignores both
+    * — shares the rule block that follows; a header's block runs from
+    * the first non-blank non-header line after it to the next header.
+    */
+  private def groupMembers(
+      lines: Column, norm: Column, score: Column, best: Column): Column = {
     val n = size(norm)
     val idx = sequence(lit(1), n)
-    val agentLc = lower(trim(agent))
-    // per-line: the UA token when the line is a group header, else null
-    val tok = transform(norm, l =>
-      when(l.startsWith("user-agent:"),
-        regexp_extract(l, "^user-agent:(.*)$", 1)))
-    // per-header score: * → 0, matching prefix → token length, else null
-    val score = transform(tok, t =>
-      when(t === "*", lit(0))
-        .when(t =!= "" && agentLc.startsWith(t), length(t)))
-    val best = array_max(filter(score, s => s.isNotNull))
-    // winning headers → each one's member block: skip the rest of its
-    // consecutive-header run, then take lines until the next header
     val winners = filter(idx, i =>
       element_at(score, i).isNotNull && element_at(score, i) === best)
     val members = flatten(transform(winners, p => {
+      // first line after the header that is neither another header of
+      // the run nor a blank/comment filler (normalized-empty)
       val start = array_min(filter(
         transform(idx, i =>
-          when(i > p && !element_at(norm, i).startsWith("user-agent:"), i)),
+          when(i > p && element_at(norm, i) =!= "" &&
+            !element_at(norm, i).startsWith("user-agent:"), i)),
         x => x.isNotNull))
       val nextUa = coalesce(
         array_min(filter(
@@ -218,45 +243,16 @@ object Robots {
       df: DataFrame,
       agent: Column,
       robotsCol: String,
-      outCol: String): DataFrame = {
-    val lines = col("__rob_lines"); val norm = col("__rob_norm")
-    val score = col("__rob_score"); val best = col("__rob_best")
-    val n = size(norm)
-    val idx = sequence(lit(1), n)
-    val winners = filter(idx, i =>
-      element_at(score, i).isNotNull && element_at(score, i) === best)
-    val members = flatten(transform(winners, p => {
-      val start = array_min(filter(
-        transform(idx, i =>
-          when(i > p && !element_at(norm, i).startsWith("user-agent:"), i)),
-        x => x.isNotNull))
-      val nextUa = coalesce(
-        array_min(filter(
-          transform(idx, i =>
-            when(i > start && element_at(norm, i).startsWith("user-agent:"), i)),
-          x => x.isNotNull)),
-        n + 1)
-      when(start.isNotNull, slice(lines, start, nextUa - start))
-        .otherwise(array().cast("array<string>"))
-    }))
+      outCol: String): DataFrame =
     df
       .withColumn("__rob_lines", split(col(robotsCol), "\n"))
-      .withColumn("__rob_norm", transform(lines, l =>
-        regexp_replace(trim(regexp_replace(lower(l), "#.*$", "")), "\\s*:\\s*", ":")))
-      .withColumn("__rob_score", {
-        val agentLc = lower(trim(agent))
-        transform(norm, l => {
-          val t = when(l.startsWith("user-agent:"),
-            regexp_extract(l, "^user-agent:(.*)$", 1))
-          when(t === "*", lit(0))
-            .when(t =!= "" && agentLc.startsWith(t), length(t))
-        })
-      })
-      .withColumn("__rob_best", array_max(filter(score, s => s.isNotNull)))
-      .withColumn(outCol,
-        when(best.isNotNull, members).otherwise(array().cast("array<string>")))
+      .withColumn("__rob_norm", normLines(col("__rob_lines")))
+      .withColumn("__rob_score", scoreLines(col("__rob_norm"), agent))
+      .withColumn("__rob_best",
+        array_max(filter(col("__rob_score"), s => s.isNotNull)))
+      .withColumn(outCol, groupMembers(col("__rob_lines"), col("__rob_norm"),
+        col("__rob_score"), col("__rob_best")))
       .drop("__rob_lines", "__rob_norm", "__rob_score", "__rob_best")
-  }
 
   /** Parse the `User-agent: *` group of a robots.txt body into an array
     * of `(allow: boolean, prefix: string)` rules, in file order: the

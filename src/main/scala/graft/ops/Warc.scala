@@ -551,8 +551,15 @@ object Warc {
   private def cdxAssemble(recs: DataFrame): DataFrame =
     recs
       .withColumn("surt_key", Urls.surtKey(col("url")))
-      .withColumn("ts",
-        regexp_replace(col("warc_date"), "[^0-9]", "").substr(1, 14))
+      // ISO 28500 makes WARC-Date mandatory, but the parse walk does not
+      // enforce it — a record without one indexes with the zero-epoch
+      // sentinel rather than letting a null collapse the line to two
+      // fields (concat_ws drops nulls; a 2-field line misparses in every
+      // CDXJ reader including our own cdxjEntries)
+      .withColumn("ts", coalesce(
+        nullif(regexp_replace(col("warc_date"), "[^0-9]", "").substr(1, 14),
+          lit("")),
+        lit("00000000000000")))
       .withColumn("cdxj_line", concat_ws(" ", col("surt_key"), col("ts"),
         to_json(struct(
           col("url").as("url"),

@@ -277,6 +277,19 @@ class CrawlSpec extends SparkSpec {
       (0L, "https://a.com/feed.xml", "rss", 1L, "https://a.com/x/2", "rss"),
       (0L, "https://f.org/atom.xml", "atom", 0L, "https://f.org/e/1", "atom"),
       (0L, "https://f.org/atom.xml", "atom", 1L, "https://f.org/e/2", "atom")))
+    // Atom rel discipline: a self/edit API link listed FIRST must not
+    // win — rel="alternate" (or rel absent) names the entry's page;
+    // an entry with only non-alternate links contributes nothing
+    val relXml = "<feed>" +
+      "<entry><link rel=\"self\" href=\"https://api.example/e/1\"/>" +
+      "<link rel=\"alternate\" href=\"https://example.com/post/1\"/></entry>" +
+      "<entry><link rel='edit' href='https://api.example/e/2'/></entry></feed>"
+    import org.apache.spark.sql.functions.col
+    val relGot = Seq(relXml).toDF("xml")
+      .select(Crawl.feedEntries(col("xml")))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(relGot == Seq(("https://example.com/post/1", "atom")))
     // the feed-file side broadcasts, the page side never shuffles
     val plan = Crawl.feedDiscovery(pages, files).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))

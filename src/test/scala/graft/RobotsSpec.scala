@@ -130,6 +130,26 @@ class RobotsSpec extends SparkSpec {
     assert(!dec("cbot", "/z/1") && dec("cbot", "/x/1"))
     // longest-match selection is case-insensitive on the token
     assert(!dec("BBot-Images", "/y/1"))
+    // RFC 9309 group formation ignores blank and comment-only lines
+    // BETWEEN headers of a run: goodbot shares the star block here
+    val filler = Seq(
+      "User-agent: goodbot",
+      "# our crawler",
+      "",
+      "User-agent: *",
+      "Disallow: /").mkString("\n")
+    val got = Seq(("goodbot", "/any"), ("other", "/any"))
+      .map { case (a, p) => (filler, a, p) }.toDF("robots", "agent", "path")
+      .select(Robots.isAllowed(col("path"),
+        Robots.agentRules(col("robots"), col("agent"))))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(false, false),
+      "a comment/blank between UA headers must not hand goodbot an empty rule set")
+    // the staged DataFrame form shares the same group formation
+    val staged = Robots.filterAllowedForAgent(
+      Seq((filler, "goodbot", "/any")).toDF("robots", "agent", "path"),
+      col("agent")).collect().head.getBoolean(3)
+    assert(!staged)
   }
 
   test("crawlDelayForAgent: the agent's group delay, star fall-through, absence is NULL") {

@@ -405,6 +405,19 @@ class WarcSpec extends SparkSpec {
     assert(pairLines.select("warc_type").distinct().collect()
       .map(_.getString(0)).toSeq == Seq("response"))
     assert(pairLines.count() == 10)
+    // a record WITHOUT a WARC-Date (spec violation the parser tolerates)
+    // indexes with the zero-epoch sentinel — the line stays 3-field and
+    // roundtrips through the reader instead of silently misparsing
+    val noDate = BinaryCodecs.warcFile(Seq(
+      (Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "https://x.example/p"),
+        "body".getBytes("UTF-8"))))
+    val m = Seq(Multimodal.MediaRow(7L, "warc", noDate, "application/warc",
+      noDate.length.toLong)).toDS()
+    val nd = Warc.toCdxj(m)
+    assert(nd.select("ts").collect().head.getString(0) == "00000000000000")
+    val back = Warc.cdxjEntries(nd.select("cdxj_line")).collect().head
+    assert(back.getAs[String]("url") == "https://x.example/p" &&
+      back.getAs[String]("ts") == "00000000000000")
   }
 
   test("cdxClusterIndex: shards tile the sorted concatenated index byte-for-byte") {
