@@ -177,7 +177,7 @@ object Bench {
         """"q211_damerau_pairs":"r9 attempt vector [2.83, 2.76, 2.89, 2.84] proves ~2.8s is the real kernel cost, not noise — it motivated r10's variance-aware rescue, later refined in-round: a pure pass1/pass2 gate turned out to also skip queries whose agreeing pair sits far above the floor (same-window A/B: q69 [6.9, 6.4, 6.7, 4.0] — only the last deep-cleaned attempt finds 4.0), so heavy queries now always take one deep-cleaned attempt and the gate only waives the fourth (flat triple recorded in rescue_skipped_stable)",""" +
         """"q318_pack_nextfit":"~4-6s at sf0.1 is mostly fixed scheduling latency (the O(log windows) orbit-doubling rounds each stage + count tiny frames), not data cost — the same loop at 10x data adds ~1 round (sf1 smoke: 14.5s at 10x, sublinear); capacity went 256 -> 1024 in-round for scaled-corpus headroom, which also shrank the orbit",""" +
         """"q392_bpe_pack_nextfit":"the composition of two known scheduling-latency classes by construction: the q135 BPE trainer's driver election rounds (16 merges at batch 8 = ~2 vocabulary aggregations) feeding q318's orbit-doubling next-fit loop — its ~5.7s is q318's ~4.8s plus the trainer rounds, and both constituents carry their own scaling adjudications (q318 sublinear at 10x; the trainer is vocabulary-sized per round)",""" +
-        """"q266_harmonic":"r10 full-run elevation across ALL heavy queries (q69 4.1 vs r9 2.7, q89 5.4 vs 4.4, q266 5.8 vs 4.8) adjudicated as host drift by a same-window A/B: identical harness, same hour, r10 code q69 3.11s / q89 4.53s / q54 1.34s vs r9 code 3.58 / 5.10 / 1.47 — the r10 staging (capped-stats leaf) is FASTER than r9 on equal footing; cross-round absolute totals are not comparable across host windows (keyed here under q266 to keep workload_notes one-key-per-query: q69/q89 carry their own earlier notes); r13's 44.4s sf1 tail entry asked for a 20x scaling verdict and r14 ran the q311-idiom probe: SAME-WINDOW interleaved spark-submit runs (10x/20x/10x/20x on disjoint replica sets, per-scale floors) timed 9.7s at 10x vs 10.8s at 20x — 1.11x for 2x data, SUBLINEAR, so the maxDegree=64-capped radius-2 wedge join needs no further bounding; the 44.4s full-run number was the usual full-suite window inflation (isolated floor 9.7s same code)",""" +
+        """"q266_harmonic":"r10 full-run elevation across ALL heavy queries (q69 4.1 vs r9 2.7, q89 5.4 vs 4.4, q266 5.8 vs 4.8) adjudicated as host drift by a same-window A/B: identical harness, same hour, r10 code q69 3.11s / q89 4.53s / q54 1.34s vs r9 code 3.58 / 5.10 / 1.47 — the r10 staging (capped-stats leaf) is FASTER than r9 on equal footing; cross-round absolute totals are not comparable across host windows (keyed here under q266 to keep workload_notes one-key-per-query: q69/q89 carry their own earlier notes); r13's 44.4s sf1 tail entry asked for a 20x scaling verdict and r14 ran the q311-idiom probe: SAME-WINDOW interleaved spark-submit runs (10x/20x/10x/20x on disjoint replica sets, per-scale floors) timed 9.7s at 10x vs 10.8s at 20x — 1.11x for 2x data, SUBLINEAR, so the maxDegree=64-capped radius-2 wedge join needs no further bounding; the 44.4s full-run number was the usual full-suite window inflation (isolated floor 9.7s same code); r16 adjudicated the r15 WHOLE-SUITE +9.8% per-query rise by full-suite pairs run in BOTH orders (r14 jar vs r15-tip jar, sf0.1, shared-402 totals): r14-first pair r14 454.8 / head 495.4 (+8.9%), head-first pair head 422.3 / r14 431.3 (+2.1% r14-slower) - the SECOND run of a pair is slower in both orders (the window degrades over a ~70-min pair), and per-jar floor-of-two totals land r14 420.4 vs head 416.6 (head 0.9% FASTER on equal footing): the r15 rise was window drift, no code regression anywhere in the suite",""" +
         """"q305_spanning_forest":"r11's 7.66 vs r9's 6.33 adjudicated r12 by the same interleaved A/B: floors within 5.6% (r10 code 8.05 vs HEAD 8.50) and BOTH above r11's recorded number - window drift; the batched pointer-doubling contraction is unchanged",""" +
         """"q324_scc":"~4.5s at sf0.1 is fixed per-round scheduling latency (trim 3 rounds + coloring 3 + backward reach 3, each a staged tiny frame + limit-1 probe — ~30 small jobs), not data cost; the round COUNT is set by the fixture's graph structure, not its size, so 10x data reruns the same rounds with fatter partitions (sf1 smoke point). Attempt vectors are flat (4.5-4.6s) — a real floor, same class as q318's orbit loop",""" +
         """"q325_scc_condensation":"recomputes q324's SCC labeling end-to-end (driver queries are independent by contract) plus two label joins — its time is q324 + epsilon by construction",""" +
