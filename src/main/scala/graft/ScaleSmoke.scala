@@ -188,7 +188,15 @@ object ScaleSmoke {
     // replicas land in one group — the probe times the grouped chain's
     // plan at 10x data, not a wider language fan).
     "q415_robots_agent_groups", "q416_cdx_export", "q418_gif_decode",
-    "q419_lang_quality_gate")
+    "q419_lang_quality_gate",
+    // Late round-16: the agent-scoped fetch budget (staged group
+    // selection + the two host-keyed politeness stages), the
+    // three-channel discovery frontier (anchors + sitemap + feed
+    // broadcast joins into the count fold and per-host window — the
+    // widest crawl composite), and the CDX cluster index (container
+    // build + spans walk + the range-partitioned two-phase global sort).
+    "q421_agent_delay_schedule", "q422_discovery_frontier",
+    "q423_cdx_cluster_idx")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))
