@@ -221,6 +221,11 @@ object Ngrams {
     // is cheap and saves four corpus re-tokenizations. (Persisting the
     // corpus-sized token arrays instead measured SLOWER — materializing
     // fat arrays costs more than recomputing the fused tokenize+agg.)
+    // Deliberately NOT unpersisted here: the table is still lazily
+    // referenced by the returned plan, and repeated invocations in a
+    // long-lived driver rely on Spark's LRU block eviction (the cached
+    // partitions are vocabulary-sized, and MEMORY_AND_DISK evicts
+    // cleanly under pressure).
     val bi = words.select(explode(bigrams(col("__w"))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n_12"))
       .select(split(col("bigram"), " ")(0).as("w1"), split(col("bigram"), " ")(1).as("w2"),
@@ -262,6 +267,10 @@ object Ngrams {
       s"discount must be a rational in [0,1): $discountNum/$discountDen")
     val words = Dedup.parallelize(docs)
       .select(col(groupCol), Dedup.wordTokens(col(textCol)).as("__w"))
+    // Staged for the same five-branch reason as [[kneserNeyBigrams]],
+    // and like it left to Spark's LRU eviction rather than unpersisted
+    // (the returned plan still references it lazily; per-group tables
+    // stay vocabulary-sized).
     val bi = words.select(col(groupCol), explode(bigrams(col("__w"))).as("bigram"))
       .groupBy(groupCol, "bigram").agg(count(lit(1)).as("n_12"))
       .select(col(groupCol),

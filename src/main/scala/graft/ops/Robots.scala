@@ -107,9 +107,13 @@ object Robots {
     * must obey the MOST SPECIFIC matching group, not the star one:
     *
     *  - a group's `User-agent:` token matches when it is `*` or a
-    *    case-insensitive PREFIX of the requesting agent's token (the
-    *    Google "most specific user agent" selection; exact match is the
-    *    longest possible prefix);
+    *    case-insensitive PREFIX of the requesting agent's PRODUCT TOKEN
+    *    — the agent string up to its first character outside
+    *    `[A-Za-z_-]`, so `graftbot/1.0` matches as `graftbot` (RFC 9309
+    *    §2.2.1 / the Google "most specific user agent" selection: a
+    *    version-qualified group line like `graftbot/1` matches NO
+    *    agent, rather than accidentally matching only version 1.x);
+    *    exact match is the longest possible prefix;
     *  - the longest matching token wins; `*` only applies when no named
     *    token matches (fall-through);
     *  - CONSECUTIVE `User-agent:` lines share the rule block that
@@ -138,11 +142,13 @@ object Robots {
       regexp_replace(trim(regexp_replace(lower(l), "#.*$", "")), "\\s*:\\s*", ":"))
 
   /** Per-line agent-match score over normalized lines: `*` → 0, a token
-    * that prefixes the agent → its length, else null (non-headers and
-    * non-matching headers).
+    * that prefixes the agent's PRODUCT TOKEN (the agent string up to
+    * its first non-`[a-z_-]` character, lowercased — RFC 9309 matches
+    * tokens, not the full `product/version` string) → its length, else
+    * null (non-headers and non-matching headers).
     */
   private def scoreLines(norm: Column, agent: Column): Column = {
-    val agentLc = lower(trim(agent))
+    val agentLc = regexp_extract(lower(trim(agent)), "^[a-z_-]*", 0)
     transform(norm, l => {
       val t = when(l.startsWith("user-agent:"),
         regexp_extract(l, "^user-agent:(.*)$", 1))
@@ -219,8 +225,12 @@ object Robots {
   /** [[crawlDelayForAgent]] as a staged DataFrame pass — appends the
     * agent-selected `Crawl-delay` milliseconds (NULL when absent) as
     * `out`, the frontier-side producer for
-    * [[Crawl.politenessScheduleWithDelays]]. Same staging rationale as
-    * [[filterAllowedForAgent]].
+    * [[Crawl.politenessScheduleWithDelays]]. Note the consumer's
+    * documented contract: it treats NON-POSITIVE hints as "no opinion",
+    * so an explicit `Crawl-delay: 0` here (emitted as 0 ms, faithfully)
+    * does NOT zero the host's schedule — the default delay applies, the
+    * politest reading and the one that preserves the positive-delay
+    * invariant. Same staging rationale as [[filterAllowedForAgent]].
     */
   def withCrawlDelayForAgent(
       df: DataFrame,

@@ -106,6 +106,35 @@ class RobotsSpec extends SparkSpec {
       == Seq(false, true, true))
   }
 
+  test("agent groups: matching is against the PRODUCT TOKEN, not product/version") {
+    // RFC 9309 §2.2.1: the requesting agent's token ends at the first
+    // character outside [A-Za-z_-], so a version-qualified group line
+    // matches no agent (it is never a prefix of a bare token) and the
+    // version suffix of the agent string never influences selection.
+    val b = Seq(
+      "User-agent: verbot/1",
+      "Disallow: /v1only",
+      "",
+      "User-agent: verbot",
+      "Disallow: /vall",
+      "",
+      "User-agent: *",
+      "Disallow: /star").mkString("\n")
+    def dec(agent: String, path: String): Boolean =
+      Seq((b, path)).toDF("robots", "path")
+        .select(Robots.isAllowed(col("path"),
+          Robots.agentRules(col("robots"), lit(agent))))
+        .collect().head.getBoolean(0)
+    // 'verbot/1.0' selects the 'verbot' group — NOT 'verbot/1'
+    assert(dec("verbot/1.0", "/v1only/x"))
+    assert(!dec("verbot/1.0", "/vall/x"))
+    assert(dec("verbot/1.0", "/star/x"))
+    // the bare token selects the same group
+    assert(!dec("verbot", "/vall/x") && dec("verbot", "/v1only/x"))
+    // an agent with no letter token at all falls through to star
+    assert(!dec("1.0", "/star/x") && dec("1.0", "/vall/x"))
+  }
+
   test("agent groups: consecutive UA headers share a block; duplicate groups combine") {
     val shared = Seq(
       "User-agent: abot",
