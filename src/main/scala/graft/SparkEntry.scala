@@ -4944,7 +4944,44 @@ object SparkEntry {
           graft.ops.Warc.syntheticWarcBytes(cdxHttpDocs(s, dir),
             docsPerFile = 8, gzipPerRecord = false),
           filenameCol = concat(lit("crawl-"), col("media_id"), lit(".warc"))),
-        linesPerShard = 50))
+        linesPerShard = 50)),
+
+    // ---- the two-seek CONSUMER path the cluster index exists for,
+    // paid end to end: a URL set (every 13≡5 doc, plus two guaranteed
+    // misses) → broadcast range lookup in the cluster index → parse
+    // ONLY the matching CDXJ shards → seek (filename, offset, length)
+    // into the containers → decode exactly those records, digests
+    // re-verified against the index's promise. Misses drop at the stage
+    // that discovers them (one sorting beyond every shard range, one
+    // inside the archive's host space but absent). The oracle replays the q416
+    // offset arithmetic + q423 shard arithmetic and serves the body
+    // straight from the documents table. ------------------------------------
+    "q424_random_access" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.ops.Staging.stage(
+        graft.ops.Warc.syntheticWarcBytes(cdxHttpDocs(s, dir),
+          docsPerFile = 8, gzipPerRecord = false).toDF(), reliable = false)
+        .as[graft.ops.Multimodal.MediaRow]
+      val lines = graft.ops.Staging.stage(
+        graft.ops.Warc.toCdxj(media,
+          filenameCol = concat(lit("crawl-"), col("media_id"), lit(".warc"))),
+        reliable = false)
+      val urls = t(s, dir, "documents").where(col("doc_id") % 13 === 5)
+        .select(concat(lit("https://host"), (col("doc_id") % 20).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string")).as("url"))
+        .unionByName(Seq(
+          "https://host0.example.com/p/nosuch", // in-range key, absent line
+          "https://zzz-archive.example.org/q"   // beyond every shard range
+        ).toDF("url"))
+      graft.ops.Warc.randomAccessFetch(
+        urls,
+        graft.ops.Warc.cdxClusterIndex(lines, linesPerShard = 50),
+        graft.ops.Warc.cdxShardFiles(lines, linesPerShard = 50),
+        media.toDF().select(
+          concat(lit("crawl-"), col("media_id"), lit(".warc")).as("filename"),
+          col("payload")))
+        .toDF()
+    })
   )
 
   /** q416/q417's shared fixture: each document as the HTTP response
@@ -12507,7 +12544,27 @@ object SparkEntry {
          | CAST(count(*) AS BIGINT) AS n_lines,
          | CAST(sum(len) AS BIGINT) AS shard_bytes,
          | CAST(min(cum - len) AS BIGINT) AS byte_offset
-         |FROM r GROUP BY 1""".stripMargin)
+         |FROM r GROUP BY 1""".stripMargin),
+    // q424: the queried subset through the SAME offset (q416) and shard
+    // (q423) arithmetic, body served from the documents table, both
+    // miss URLs absent by construction; digest_ok is the reader's
+    // recomputed-SHA-256 check, TRUE for every untampered record.
+    "q424_random_access" -> (CdxOracleCtes +
+      """,r AS (
+        | SELECT o.*, row_number() OVER (ORDER BY surt_key) AS rk FROM o),
+        |sh AS (
+        | SELECT (rk - 1) // 50 AS sid, CAST(count(*) AS BIGINT) AS shard_n_lines
+        | FROM r GROUP BY 1)
+        |SELECT r.uri AS url, r.surt_key,
+        | CAST((r.rk - 1) // 50 AS BIGINT) AS shard_id,
+        | sh.shard_n_lines, r.fname AS filename,
+        | CAST(r.off AS BIGINT) AS "offset", CAST(r.rec_size AS BIGINT) AS length,
+        | CAST(r.status AS INT) AS status, TRUE AS digest_ok,
+        | CAST(r.n - 44 AS BIGINT) AS n_body_bytes,
+        | coalesce(d.text, '') AS body
+        |FROM r JOIN sh ON (r.rk - 1) // 50 = sh.sid
+        | JOIN documents d ON r.doc_id = d.doc_id
+        |WHERE r.doc_id % 13 = 5""".stripMargin)
   )
 
   /** The q416 CDXJ line rebuilt byte-for-byte as a SQL expression over

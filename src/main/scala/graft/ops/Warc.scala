@@ -493,20 +493,190 @@ object Warc {
     * `surt_key`, `cdxj_line`); keys must be unique — extend the sort
     * key upstream when a corpus archives one URL many times.
     */
-  def cdxClusterIndex(lines: DataFrame, linesPerShard: Int = 3000): DataFrame = {
-    require(linesPerShard >= 1, s"linesPerShard must be >= 1: $linesPerShard")
-    val sized = lines.select(col("surt_key"), col("cdxj_line"))
-      .withColumn("__len", octet_length(col("cdxj_line")).cast("long") + 1L)
-    val ranked = Normalize.rankedPrefixSum(sized, Seq(col("surt_key")),
-      "__len", "__rank", "__cum")
-    ranked
-      .withColumn("shard_id", expr(s"(__rank - 1) div $linesPerShard"))
+  def cdxClusterIndex(lines: DataFrame, linesPerShard: Int = 3000): DataFrame =
+    shardRanked(lines, linesPerShard)
       .groupBy("shard_id")
       .agg(min(col("surt_key")).as("first_key"),
         max(col("surt_key")).as("last_key"),
         count(lit(1)).as("n_lines"),
         sum(col("__len")).as("shard_bytes"),
         min(col("__cum") - col("__len")).as("byte_offset"))
+
+  /** The shared rank/shard arithmetic behind [[cdxClusterIndex]] and
+    * [[cdxShardFiles]] — ONE implementation so the index's byte offsets
+    * and the physical shard blobs cannot drift: lines totally ordered
+    * by SURT key via [[Normalize.rankedPrefixSum]]'s range-partitioned
+    * two-phase scan, each line's byte length (newline included) as the
+    * prefix-summed value, `shard_id = (rank − 1) div linesPerShard`.
+    */
+  private def shardRanked(lines: DataFrame, linesPerShard: Int): DataFrame = {
+    require(linesPerShard >= 1, s"linesPerShard must be >= 1: $linesPerShard")
+    val sized = lines.select(col("surt_key"), col("cdxj_line"))
+      .withColumn("__len", octet_length(col("cdxj_line")).cast("long") + 1L)
+    Normalize.rankedPrefixSum(sized, Seq(col("surt_key")),
+      "__len", "__rank", "__cum")
+      .withColumn("shard_id", expr(s"(__rank - 1) div $linesPerShard"))
+  }
+
+  /** The PHYSICAL shards the cluster index points into: the sorted CDXJ
+    * line set cut into `linesPerShard`-line blobs (every line
+    * newline-terminated, key order preserved inside each blob), one row
+    * per shard — `(shard_id, n_lines, payload)`. Concatenated in
+    * shard-id order these ARE the sorted index file whose byte offsets
+    * [[cdxClusterIndex]] records (same rank arithmetic, one shared
+    * implementation); written as separate objects they are the
+    * shard-per-file layout a reader range-GETs. Shard payloads are
+    * `linesPerShard`-bounded by construction — the one per-shard
+    * `collect_list` materializes an index blob, never data.
+    */
+  def cdxShardFiles(lines: DataFrame, linesPerShard: Int = 3000): DataFrame = {
+    import lines.sparkSession.implicits._
+    shardRanked(lines, linesPerShard)
+      .groupBy("shard_id")
+      .agg(sort_array(collect_list(struct(col("__rank"), col("cdxj_line"))))
+        .as("__ls"))
+      .as[(Long, Seq[(Long, String)])]
+      .map { case (sid, ls) =>
+        val sb = new StringBuilder
+        ls.foreach { case (_, l) => sb.append(l).append('\n') }
+        (sid, ls.size.toLong, sb.toString.getBytes("UTF-8"))
+      }
+      .toDF("shard_id", "n_lines", "payload")
+  }
+
+  /** [[cdxjEntries]] preserving the input's OTHER columns next to the
+    * parsed fields — what a shard-scoped parse needs (the shard id must
+    * ride along); [[cdxjEntries]] keeps its original
+    * parsed-columns-only shape for index-wide consumers.
+    */
+  private def cdxjEntriesWith(lines: DataFrame, lineCol: String): DataFrame = {
+    val blockSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "url STRING, digest STRING, mime STRING, status STRING, " +
+        "offset STRING, length STRING, filename STRING")
+    val l = col(lineCol)
+    val keep = lines.columns.filterNot(_ == lineCol).map(col).toSeq
+    lines
+      .withColumn("__block",
+        from_json(regexp_extract(l, "^\\S+ \\S+ (.*)$", 1), blockSchema))
+      .select(keep ++ Seq(
+        regexp_extract(l, "^(\\S+) ", 1).as("surt_key"),
+        regexp_extract(l, "^\\S+ (\\S+) ", 1).as("ts"),
+        col("__block.url").as("url"),
+        col("__block.digest").as("digest"),
+        col("__block.mime").as("mime"),
+        col("__block.status").cast("int").as("status"),
+        col("__block.offset").cast("long").as("offset"),
+        col("__block.length").cast("long").as("length"),
+        col("__block.filename").as("filename")): _*)
+  }
+
+  /** One record fetched by the two-seek random-access path —
+    * [[randomAccessFetch]]'s row shape. `digest_ok` is the reader's
+    * integrity check: the SHA-256 of the body it actually decoded from
+    * the byte span, compared against the digest the index promised.
+    */
+  final case class FetchedRecord(
+      url: String, surt_key: String, shard_id: Long, shard_n_lines: Long,
+      filename: String, offset: Long, length: Long, status: Option[Int],
+      digest_ok: Boolean, n_body_bytes: Long, body: String)
+
+  /** One requested span inside its container file — the grouped fetch
+    * list [[randomAccessFetch]] carries to each container row. Public
+    * only because encoder codegen must reach it; not API.
+    */
+  final case class FetchReq(
+      url: String, surt_key: String, shard_id: Long, shard_n_lines: Long,
+      status: Option[Int], digest: String, offset: Long, length: Long)
+
+  /** The CONSUMER path the whole CDX index stack exists for, end to
+    * end: URL → SURT key → cluster-index range lookup (the binary
+    * search, as a broadcast range join — the index is
+    * shard-count-sized) → parse ONLY the matching CDXJ shards → seek
+    * `(filename, offset, length)` → decode exactly those records. Two
+    * seeks per URL at any archive size, no index scan, no container
+    * scan — and the structure GUARANTEES the only-what-matches claim:
+    * shard payloads parse strictly after the inner join with the
+    * looked-up shard ids, container payloads decode strictly after the
+    * inner join with the matched filenames, so an untouched shard or
+    * container never reaches a parser (the WarcSpec equivalence check
+    * pins this: deleting every unselected shard/container leaves the
+    * result identical).
+    *
+    * Misses quarantine (drop) at the stage that discovers them: a key
+    * outside every shard's `[first_key, last_key]` range falls out of
+    * the index join (definitively absent — shard ranges tile the key
+    * space); a key inside a range but absent from the shard falls out
+    * of the line join; a span that fails bounds/framing/decode drops at
+    * the record parse. Corrupt-span variants never emit a row with
+    * wrong bytes — `digest_ok` reports a body that decodes but does not
+    * match the index's digest.
+    *
+    * Scale shape: one broadcast nested-loop join against the tiny
+    * cluster index, one shuffle keying queries+lines on `(shard_id,
+    * surt_key)`, one shuffle keying spans on `filename` with requests
+    * GROUPED per file first — each container payload moves ONCE however
+    * many records it serves (on a real object store this join is
+    * replaced by ranged GETs; here the container column plays the
+    * store). Per-task memory is bounded by one container plus its
+    * request list, the [[parseWarc]] discipline.
+    *
+    * Inputs: `urls` (the query set, `urlCol`), [[cdxClusterIndex]]
+    * output, [[cdxShardFiles]] output, and containers as
+    * `(filename, payload)` rows.
+    */
+  def randomAccessFetch(
+      urls: DataFrame,
+      clusterIndex: DataFrame,
+      shards: DataFrame,
+      containers: DataFrame,
+      urlCol: String = "url"): Dataset[FetchedRecord] = {
+    import urls.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    val keys = urls.select(col(urlCol).as("__q_url"))
+      .withColumn("surt_key", Urls.surtKey(col("__q_url")))
+    val hits = keys.join(
+      broadcast(clusterIndex.select(col("shard_id"), col("first_key"),
+        col("last_key"), col("n_lines").as("shard_n_lines"))),
+      col("surt_key") >= col("first_key") && col("surt_key") <= col("last_key"))
+      .select(col("__q_url"), col("surt_key"), col("shard_id"),
+        col("shard_n_lines"))
+    // shard ids in play — bounded by min(#queries, #shards), broadcast
+    val selIds = hits.select("shard_id").distinct()
+    val lines = shards.join(broadcast(selIds), Seq("shard_id"))
+      .select(col("shard_id"),
+        explode(split(col("payload").cast("string"), "\n")).as("cdxj_line"))
+      .where(col("cdxj_line") =!= "")
+    val matched = cdxjEntriesWith(lines, "cdxj_line")
+      .join(hits, Seq("shard_id", "surt_key"))
+    val byFile = matched.groupBy(col("filename"))
+      .agg(collect_list(struct(
+        col("__q_url").as("url"), col("surt_key"), col("shard_id"),
+        col("shard_n_lines"), col("status"), col("digest"),
+        col("offset"), col("length"))).as("__reqs"))
+    byFile.join(containers.select(col("filename"), col("payload")), Seq("filename"))
+      .select(col("filename"), col("__reqs"), col("payload"))
+      .as[(String, Seq[FetchReq], Array[Byte])]
+      .flatMap { case (fname, reqs, bytes) =>
+        reqs.flatMap { q =>
+          if (q.offset < 0 || q.length <= 0 ||
+            q.offset + q.length > bytes.length) Nil
+          else {
+            val slice = java.util.Arrays.copyOfRange(
+              bytes, q.offset.toInt, (q.offset + q.length).toInt)
+            BinaryCodecs.warcRecords(slice).toSeq.collect {
+              case Vector(rec) =>
+                val body = BinaryCodecs.parseHttpResponse(rec.payload)
+                  .map(_.body).getOrElse(rec.payload)
+                val md = java.security.MessageDigest.getInstance("SHA-256")
+                val hex = md.digest(body).map(b => f"$b%02x").mkString
+                FetchedRecord(q.url, q.surt_key, q.shard_id,
+                  q.shard_n_lines, fname, q.offset, q.length, q.status,
+                  hex == q.digest, body.length.toLong,
+                  new String(body, "UTF-8"))
+            }
+          }
+        }
+      }
   }
 
   /** One indexable record from the per-file walk — the shared core of

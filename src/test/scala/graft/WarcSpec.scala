@@ -443,6 +443,94 @@ class WarcSpec extends SparkSpec {
     assert(idx.map(r => r.getLong(5) + r.getLong(4)).max == file.length.toLong)
   }
 
+  test("randomAccessFetch: two-seek path — only selected shards/containers matter, misses drop, tampering surfaces") {
+    val docs = (0L until 40L).map(i => (i, s"page $i")).toDF("doc_id", "text")
+    for (gz <- Seq(true, false)) {
+      val media = Warc.syntheticWarc(docs, docsPerFile = 8) // gz toggled below
+      val m = if (gz) media else Warc.syntheticWarcBytes(
+        docs.selectExpr("doc_id", "cast(text as binary) as payload",
+          "concat('https://host', doc_id % 20, '.example.com/p/', doc_id) as uri"),
+        docsPerFile = 8, gzipPerRecord = false)
+      val containers = m.toDF().select(
+        concat(lit("c-"), col("media_id"), lit(".warc")).as("filename"),
+        col("payload"))
+      val lines = Warc.toCdxj(m,
+        filenameCol = concat(lit("c-"), col("media_id"), lit(".warc")))
+      val idx = Warc.cdxClusterIndex(lines, linesPerShard = 7)
+      val shards = Warc.cdxShardFiles(lines, linesPerShard = 7)
+      // the queried set: five present URLs + two guaranteed-miss URLs
+      val present = Seq(3L, 11L, 19L, 27L, 35L)
+      val urls = (present.map(i => s"https://host${i % 20}.example.com/p/$i") ++
+        Seq("https://host1.example.com/p/nosuch", // inside the host key space
+          "https://zzz.example.org/x")) // sorts beyond every shard range
+        .toDF("url")
+      val got = Warc.randomAccessFetch(urls, idx, shards, containers)
+        .collect().sortBy(_.url)
+      assert(got.length == present.length, "misses must drop, hits must land")
+      got.foreach { r =>
+        val id = r.url.split("/").last.toLong
+        assert(r.body == s"page $id" && r.digest_ok &&
+          r.n_body_bytes == s"page $id".length.toLong)
+        assert(r.status.isEmpty, "bare (non-HTTP) payloads index without a status")
+        assert(r.filename == s"c-${id / 8}.warc")
+      }
+      // the structural only-what-matches guarantee, pinned by equivalence:
+      // deleting every UNSELECTED shard and every UNREFERENCED container
+      // leaves the result identical — the plan never needed them
+      val usedShards = got.map(_.shard_id).toSet
+      val usedFiles = got.map(_.filename).toSet
+      val pruned = Warc.randomAccessFetch(urls, idx,
+        shards.where(col("shard_id").isInCollection(usedShards)),
+        containers.where(col("filename").isInCollection(usedFiles)))
+        .collect().sortBy(_.url)
+      assert(pruned.map(_.toString).toSeq == got.map(_.toString).toSeq,
+        "unselected shards/containers must be irrelevant to the result")
+      // a tampered digest SURFACES (digest_ok=false); a tampered offset
+      // misframes the slice and the row QUARANTINES (drops)
+      val tampered = lines.withColumn("cdxj_line",
+        when(col("surt_key").endsWith(")/p/3"),
+          regexp_replace(col("cdxj_line"), "\"digest\":\"[0-9a-f]{8}",
+            "\"digest\":\"00000000"))
+          .when(col("surt_key").endsWith(")/p/11"),
+            regexp_replace(col("cdxj_line"), "\"offset\":\"",
+              "\"offset\":\"1"))
+          .otherwise(col("cdxj_line")))
+      val tgot = Warc.randomAccessFetch(urls,
+        Warc.cdxClusterIndex(tampered, linesPerShard = 7),
+        Warc.cdxShardFiles(tampered, linesPerShard = 7), containers)
+        .collect().sortBy(_.url)
+      assert(tgot.length == present.length - 1, "the misframed span must drop")
+      assert(!tgot.exists(_.url.endsWith("/11")))
+      val flags = tgot.map(r => r.url.split("/").last -> r.digest_ok).toMap
+      assert(!flags("3") && flags("19") && flags("27") && flags("35"))
+    }
+  }
+
+  test("cdxShardFiles: blobs concatenated in shard order ARE the sorted index file the cluster index offsets point into") {
+    val docs = (0L until 23L).map(i => (i, s"page $i")).toDF("doc_id", "text")
+    val lines = Warc.toCdxj(Warc.syntheticWarc(docs, docsPerFile = 8))
+    val idx = Warc.cdxClusterIndex(lines, linesPerShard = 5)
+      .collect().sortBy(_.getLong(0))
+    val blobs = Warc.cdxShardFiles(lines, linesPerShard = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2)))
+      .sortBy(_._1)
+    assert(blobs.map(_._1).toSeq == idx.map(_.getLong(0)).toSeq)
+    // line counts and byte sizes agree with the index rows
+    blobs.zip(idx).foreach { case ((_, n, payload), r) =>
+      assert(n == r.getLong(3) && payload.length.toLong == r.getLong(4))
+    }
+    // concatenation equals the independently sorted index file
+    val sorted = lines.select("surt_key", "cdxj_line").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    val file = sorted.map(_._2).mkString("", "\n", "\n").getBytes("UTF-8")
+    assert(blobs.flatMap(_._3).toSeq == file.toSeq)
+    // each blob slices out of the file at the index's byte_offset
+    blobs.zip(idx).foreach { case ((_, _, payload), r) =>
+      val off = r.getLong(5).toInt
+      assert(file.slice(off, off + payload.length).toSeq == payload.toSeq)
+    }
+  }
+
   test("warcRecordsWithSpans: spans are random-access pointers, gzip and plain") {
     val docs = (0L until 10L).map(i => (i, s"body $i")).toDF("doc_id", "text")
     for (gz <- Seq(true, false)) {
