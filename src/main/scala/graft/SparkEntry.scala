@@ -4981,7 +4981,16 @@ object SparkEntry {
           concat(lit("crawl-"), col("media_id"), lit(".warc")).as("filename"),
           col("payload")))
         .toDF()
-    })
+    }),
+
+    // ---- ISO-BMFF (MP4) container metadata: the moov/mvhd/trak/tkhd/
+    // mdhd/hdlr/stsd/stts box walk over the synthetic two-track corpus
+    // (video on every doc, audio on even docs) — one row per TRACK,
+    // dims from tkhd's 16.16 fixed point, frame counts from the stts
+    // runs, durations on each track's own media clock; every field an
+    // id formula, so the oracle is fully analytic. --------------------------
+    "q425_mp4_tracks" -> ((s, dir) =>
+      Multimodal.mp4Tracks(Multimodal.syntheticMp4s(t(s, dir, "documents"))))
   )
 
   /** q416/q417's shared fixture: each document as the HTTP response
@@ -12564,7 +12573,35 @@ object SparkEntry {
         | coalesce(d.text, '') AS body
         |FROM r JOIN sh ON (r.rk - 1) // 50 = sh.sid
         | JOIN documents d ON r.doc_id = d.doc_id
-        |WHERE r.doc_id % 13 = 5""".stripMargin)
+        |WHERE r.doc_id % 13 = 5""".stripMargin),
+    // q425: both track legs straight from the id formulas — the video
+    // leg on every doc (µs clock, so track_duration = n·delta), the
+    // audio leg on even docs with the 8 kHz → µs movie-clock rescale
+    // (n·320/8000 s = n·40000 µs) feeding the movie duration max.
+    "q425_mp4_tracks" ->
+      """WITH v AS (
+        | SELECT doc_id, 3 + doc_id % 4 AS nv,
+        |  20000 + (doc_id % 3) * 5000 AS dv
+        | FROM documents),
+        |a AS (
+        | SELECT doc_id, 5 + doc_id % 7 AS na
+        | FROM documents WHERE doc_id % 2 = 0),
+        |md AS (
+        | SELECT v.doc_id, greatest(v.nv * v.dv, coalesce(a.na * 40000, 0)) AS mdur
+        | FROM v LEFT JOIN a USING (doc_id))
+        |SELECT v.doc_id AS media_id, CAST(1000000 AS BIGINT) AS movie_timescale,
+        | CAST(md.mdur AS BIGINT) AS movie_duration, CAST(1 AS BIGINT) AS track_id,
+        | 'vide' AS handler, 'avc1' AS codec,
+        | CAST(16 + (v.doc_id % 8) * 4 AS INT) AS width,
+        | CAST(12 + (v.doc_id % 5) * 4 AS INT) AS height,
+        | CAST(1000000 AS BIGINT) AS track_timescale,
+        | CAST(nv * dv AS BIGINT) AS track_duration,
+        | CAST(nv AS BIGINT) AS n_samples, CAST(dv AS BIGINT) AS sample_delta
+        |FROM v JOIN md USING (doc_id)
+        |UNION ALL
+        |SELECT a.doc_id, 1000000, md.mdur, 2, 'soun', 'mp4a', 0, 0, 8000,
+        | na * 320, na, 320
+        |FROM a JOIN md USING (doc_id)""".stripMargin
   )
 
   /** The q416 CDXJ line rebuilt byte-for-byte as a SQL expression over

@@ -260,6 +260,241 @@ object BinaryCodecs {
   def aviFrame(payload: Array[Byte], idx: Int): Option[Array[Byte]] =
     aviFrames(payload, Seq(idx)).flatMap(_.headOption.map(_._2))
 
+  // ------------------------------------------------------ MP4 / ISO-BMFF --
+
+  /** One track's spec for the [[mp4]] writer (and its parse-back row
+    * from [[mp4Meta]]): identity, handler (`vide`/`soun`), the sample
+    * entry's codec fourcc, tkhd pixel dims (0×0 for sound tracks), the
+    * media timescale and the uniform `stts` timing.
+    */
+  final case class Mp4Track(
+      trackId: Long, handler: String, codec: String,
+      width: Int, height: Int, timescale: Long,
+      sampleDelta: Long, nSamples: Long)
+
+  /** Movie-level metadata + per-track rows — [[mp4Meta]]'s result.
+    * `duration` is mvhd's, in `timescale` units (the max track duration
+    * rescaled, as real muxers write it).
+    */
+  final case class Mp4Info(timescale: Long, duration: Long,
+      tracks: Vector[Mp4Track])
+
+  /** Minimal spec-conformant ISO-BMFF (MP4) container — the box tree a
+    * real muxer writes and every demuxer walks first:
+    * `ftyp` + `moov(mvhd, trak(tkhd, mdia(mdhd, hdlr, minf(stbl(stsd,
+    * stts)))))` + `mdat`. Metadata-only by design (the `mdat` payload
+    * is free bytes, no codec bitstream): the surface this pipeline
+    * needs is duration/timescale/track dims/codec fourcc, the same
+    * judgment as the AVI writer. ISO-BMFF is BIG-endian throughout
+    * (ISO/IEC 14496-12 §4.2), the mirror of RIFF's little-endian.
+    * `movieTimescale` units govern mvhd and tkhd durations; each
+    * track's media clock runs in its own `timescale` — the writer
+    * requires the rescale to land on integers (synthetic fixtures pick
+    * divisible clocks; real muxers round).
+    */
+  def mp4(tracks: Seq[Mp4Track], movieTimescale: Long,
+      mdat: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    require(tracks.nonEmpty, "mp4: at least one track")
+    require(movieTimescale > 0, s"mp4: movieTimescale must be positive: $movieTimescale")
+    def be32(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def box(tp: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.foldLeft(Array.emptyByteArray)(_ ++ _)
+      be32(8L + body.length) ++ tp.getBytes("US-ASCII") ++ body
+    }
+    def movieDur(t: Mp4Track): Long = {
+      val media = t.sampleDelta * t.nSamples
+      require(media * movieTimescale % t.timescale == 0,
+        s"mp4: track ${t.trackId} duration does not rescale to integer movie units")
+      media * movieTimescale / t.timescale
+    }
+    val identity = be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000L)
+    val mvhd = box("mvhd",
+      be32(0), // version 0 + flags
+      be32(0), be32(0), // creation/modification
+      be32(movieTimescale), be32(tracks.map(movieDur).max),
+      be32(0x00010000L), // rate 1.0
+      Array(0x01.toByte, 0x00.toByte), // volume 1.0
+      new Array[Byte](10), // reserved
+      identity,
+      new Array[Byte](24), // pre_defined
+      be32(tracks.map(_.trackId).max + 1)) // next_track_ID
+    val traks = tracks.map { t =>
+      require(t.timescale > 0 && t.sampleDelta >= 0 && t.nSamples >= 0,
+        s"mp4: bad track timing for ${t.trackId}")
+      val tkhd = box("tkhd",
+        be32(7), // version 0, flags: enabled | in-movie | in-preview
+        be32(0), be32(0), be32(t.trackId), be32(0),
+        be32(movieDur(t)),
+        new Array[Byte](8), // reserved
+        Array(0, 0, 0, 0), // layer + alternate_group
+        Array(0, 0, 0, 0), // volume + reserved
+        identity,
+        be32(t.width.toLong << 16), be32(t.height.toLong << 16))
+      val mdhd = box("mdhd",
+        be32(0), be32(0), be32(0),
+        be32(t.timescale), be32(t.sampleDelta * t.nSamples),
+        Array(0x55.toByte, 0xC4.toByte), // language 'und'
+        Array(0, 0)) // pre_defined
+      val hdlr = box("hdlr",
+        be32(0), be32(0), t.handler.getBytes("US-ASCII"),
+        new Array[Byte](12), Array(0.toByte)) // reserved + empty name
+      val sampleEntry = be32(16) ++ t.codec.getBytes("US-ASCII") ++
+        new Array[Byte](6) ++ Array(0.toByte, 1.toByte) // data_ref_idx 1
+      val stsd = box("stsd", be32(0), be32(1), sampleEntry)
+      val stts = box("stts", be32(0), be32(1),
+        be32(t.nSamples), be32(t.sampleDelta))
+      box("trak", tkhd,
+        box("mdia", mdhd, hdlr, box("minf", box("stbl", stsd, stts))))
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
+      "isom".getBytes("US-ASCII"), "mp41".getBytes("US-ASCII"))
+    ftyp ++ box("moov", (mvhd +: traks): _*) ++ box("mdat", mdat)
+  }
+
+  /** All boxes `(fourcc, bodyStart, bodyEnd)` tiling `[start, end)` in
+    * file order — the one ISO-BMFF walk every [[mp4Meta]] descent
+    * shares, so the bounds discipline lives in exactly one place:
+    * 32-bit sizes read unsigned and compared in Long; `size == 1` reads
+    * the 64-bit largesize; `size == 0` means to-end-of-enclosing-box
+    * (legal only for the last box); any declared size running past the
+    * range, or a gap the walk cannot tile, quarantines the whole file —
+    * record-level salvage after a size corruption would misframe every
+    * later box, the WARC lesson.
+    */
+  private def bmffBoxes(
+      payload: Array[Byte], start: Long, end: Long): Option[Vector[(String, Long, Long)]] = {
+    val out = Vector.newBuilder[(String, Long, Long)]
+    var off = start
+    while (off < end) {
+      if (off + 8 > end) return None
+      val buf = ByteBuffer.wrap(payload)
+      val size32 = buf.getInt(off.toInt).toLong & 0xFFFFFFFFL
+      val tp = new String(payload, off.toInt + 4, 4, "US-ASCII")
+      val (bodyStart, boxEnd) =
+        if (size32 == 0L) (off + 8, end) // to end of enclosing box
+        else if (size32 == 1L) {
+          if (off + 16 > end) return None
+          val size64 = buf.getLong(off.toInt + 8)
+          if (size64 < 16 || off + size64 > end) return None
+          (off + 16, off + size64)
+        } else {
+          if (size32 < 8 || off + size32 > end) return None
+          (off + 8, off + size32)
+        }
+      out += ((tp, bodyStart, boxEnd))
+      off = boxEnd
+    }
+    Some(out.result())
+  }
+
+  /** First child box of `fourcc` within a body range. */
+  private def bmffChild(
+      payload: Array[Byte], range: (String, Long, Long),
+      fourcc: String): Option[(String, Long, Long)] =
+    bmffBoxes(payload, range._2, range._3).flatMap(_.find(_._1 == fourcc))
+
+  /** The full-box version byte + the (version-dependent) u32/u64 field
+    * reader ISO-BMFF headers share: mvhd/tkhd/mdhd carry 32-bit times
+    * in version 0 and 64-bit in version 1.
+    */
+  private def bmffU(payload: Array[Byte], off: Long, v: Int): Long =
+    if (v == 0) ByteBuffer.wrap(payload).getInt(off.toInt).toLong & 0xFFFFFFFFL
+    else ByteBuffer.wrap(payload).getLong(off.toInt)
+
+  /** ISO-BMFF (MP4/MOV) metadata — the moov/mvhd/trak/tkhd/mdhd/hdlr/
+    * stsd/stts walk, metadata only, no codec decode (frame EXTRACTION
+    * needs the stsc/stsz/stco sample tables and a codec bitstream;
+    * the pipeline's video surface is dims/duration/codec identity,
+    * [[aviMeta]]'s judgment). None (whole-file quarantine) for
+    * anything that is not a cleanly tiling box tree with an `ftyp`
+    * lead box and a parseable moov: a corrupted size, a truncated
+    * header, a sample-table entry count that overruns its box — the
+    * zip-bomb-style caps are the body-bounds checks (every claimed
+    * count must fit inside its own box, so a hostile count cannot
+    * drive allocation). A track with several `stts` runs reports
+    * `sampleDelta` of run 0 and the exact total `nSamples`.
+    */
+  def mp4Meta(payload: Array[Byte]): Option[Mp4Info] = {
+    if (payload.length < 12 ||
+      new String(payload, 4, 4, "US-ASCII") != "ftyp") return None
+    val buf = ByteBuffer.wrap(payload)
+    for {
+      top <- bmffBoxes(payload, 0L, payload.length.toLong)
+      moov <- top.find(_._1 == "moov")
+      kids <- bmffBoxes(payload, moov._2, moov._3)
+      mvhd <- kids.find(_._1 == "mvhd")
+      mvhdV = payload(mvhd._2.toInt).toInt & 0xFF
+      if mvhd._3 - mvhd._2 >= (if (mvhdV == 0) 20 else 32)
+      // version 1 widens TIMES and DURATIONS to 64-bit; timescale
+      // stays u32 in both versions (ISO 14496-12 §8.2.2)
+      ts = bmffU(payload, mvhd._2 + (if (mvhdV == 0) 12 else 20), 0)
+      dur = bmffU(payload, mvhd._2 + (if (mvhdV == 0) 16 else 24), mvhdV)
+      if ts > 0
+      tracks <- traverseOpt(kids.filter(_._1 == "trak"))(parseTrak(payload, buf, _))
+    } yield Mp4Info(ts, dur, tracks)
+  }
+
+  /** Option-traverse: None if any element parses to None (all-or-
+    * nothing quarantine over a file's tracks).
+    */
+  private def traverseOpt[A, B](xs: Vector[A])(f: A => Option[B]): Option[Vector[B]] = {
+    val out = Vector.newBuilder[B]
+    for (x <- xs) f(x) match {
+      case Some(b) => out += b
+      case None => return None
+    }
+    Some(out.result())
+  }
+
+  private def parseTrak(
+      payload: Array[Byte], buf: ByteBuffer,
+      trak: (String, Long, Long)): Option[Mp4Track] =
+    for {
+      tkhd <- bmffChild(payload, trak, "tkhd")
+      v = payload(tkhd._2.toInt).toInt & 0xFF
+      if tkhd._3 - tkhd._2 >= (if (v == 0) 84 else 96)
+      trackId = bmffU(payload, tkhd._2 + (if (v == 0) 12 else 20), 0)
+      w = buf.getInt((tkhd._2 + (if (v == 0) 76 else 88)).toInt)
+      h = buf.getInt((tkhd._2 + (if (v == 0) 80 else 92)).toInt)
+      mdia <- bmffChild(payload, trak, "mdia")
+      mdhd <- bmffChild(payload, mdia, "mdhd")
+      mv = payload(mdhd._2.toInt).toInt & 0xFF
+      if mdhd._3 - mdhd._2 >= (if (mv == 0) 20 else 24)
+      // timescale is u32 in BOTH mdhd versions (the mvhd rule)
+      mts = bmffU(payload, mdhd._2 + (if (mv == 0) 12 else 20), 0)
+      if mts > 0
+      hdlr <- bmffChild(payload, mdia, "hdlr")
+      if hdlr._3 - hdlr._2 >= 12
+      handler = new String(payload, hdlr._2.toInt + 8, 4, "US-ASCII")
+      stbl <- bmffChild(payload, mdia, "minf").flatMap(bmffChild(payload, _, "stbl"))
+      stsd <- bmffChild(payload, stbl, "stsd")
+      if stsd._3 - stsd._2 >= 8
+      nEntries = buf.getInt(stsd._2.toInt + 4)
+      // the first sample entry's format fourcc; the entry header must
+      // fit inside the stsd box (hostile counts cannot overrun)
+      if nEntries >= 1 && stsd._3 - stsd._2 >= 16
+      codec = new String(payload, stsd._2.toInt + 12, 4, "US-ASCII")
+      stts <- bmffChild(payload, stbl, "stts")
+      if stts._3 - stts._2 >= 8
+      nRuns = buf.getInt(stts._2.toInt + 4)
+      if nRuns >= 0 && 8L + 8L * nRuns <= stts._3 - stts._2
+    } yield {
+      var n = 0L
+      var i = 0
+      while (i < nRuns) {
+        n += buf.getInt((stts._2 + 8 + 8L * i).toInt).toLong & 0xFFFFFFFFL
+        i += 1
+      }
+      val delta =
+        if (nRuns > 0) buf.getInt(stts._2.toInt + 12).toLong & 0xFFFFFFFFL else 0L
+      Mp4Track(trackId, handler, codec,
+        w >>> 16, h >>> 16, // 16.16 fixed point → integer pixels
+        mts, delta, n)
+    }
+
   // --------------------------------------------------------------- GZIP --
 
   /** gzip-compress bytes (RFC 1952, java.util.zip) — the writer half of

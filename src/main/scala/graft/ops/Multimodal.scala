@@ -413,8 +413,14 @@ object Multimodal {
 
   /** Container metadata from the binary VIDEO column: a REAL RIFF AVI
     * header walk ([[graft.functions.BinaryCodecs.aviMeta]] — `hdrl`/
-    * `avih`). Rows whose payload is not parseable AVI drop. Same
-    * partition-batched, shuffle-free shape as [[imageStats]].
+    * `avih`), falling back to the ISO-BMFF (MP4/MOV) box walk
+    * ([[graft.functions.BinaryCodecs.mp4Meta]]) — the dominant real-web
+    * container: dims from the first `vide` track's tkhd, frame count
+    * from its `stts` sample runs, and `usec_per_frame` rescaled from
+    * the track's own media clock (`delta · 10⁶ / timescale`, floor).
+    * Rows that parse as neither — or whose MP4 has no video track —
+    * drop. Same partition-batched, shuffle-free shape as
+    * [[imageStats]].
     */
   def videoMeta(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[VideoMeta] = {
     import media.sparkSession.implicits._
@@ -424,10 +430,44 @@ object Multimodal {
         batch.iterator.flatMap { m =>
           BinaryCodecs.aviMeta(m.payload).map { case (w, h, n, mspf) =>
             VideoMeta(m.media_id, w.toLong, h.toLong, n.toLong, mspf.toLong)
+          }.orElse {
+            BinaryCodecs.mp4Meta(m.payload).flatMap { info =>
+              info.tracks.find(t => t.handler == "vide" && t.timescale > 0)
+                .map(t => VideoMeta(m.media_id, t.width.toLong, t.height.toLong,
+                  t.nSamples, t.sampleDelta * 1000000L / t.timescale))
+            }
           }
         }
       }
     }
+  }
+
+  /** The full per-track ISO-BMFF metadata surface — one row per track
+    * of every parseable MP4/MOV payload: movie clock, track identity,
+    * handler (`vide`/`soun`/…), the sample entry's codec fourcc, tkhd
+    * pixel dims (0×0 for sound), the track's media timescale and its
+    * uniform `stts` timing. What a corpus triage job filters on before
+    * any decode (keep H.264 video under 4K, route audio by codec,
+    * flag zero-sample tracks). Non-BMFF payloads drop (quarantine —
+    * pair with [[videoMeta]]'s AVI route for RIFF input). Map-side,
+    * shuffle-free, partition-batched.
+    */
+  def mp4Tracks(media: Dataset[MediaRow], batchSize: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          BinaryCodecs.mp4Meta(m.payload).toSeq.flatMap { info =>
+            info.tracks.map(t => (m.media_id, info.timescale, info.duration,
+              t.trackId, t.handler, t.codec, t.width, t.height,
+              t.timescale, t.sampleDelta * t.nSamples, t.nSamples, t.sampleDelta))
+          }
+        }
+      }
+    }.toDF("media_id", "movie_timescale", "movie_duration", "track_id",
+      "handler", "codec", "width", "height", "track_timescale",
+      "track_duration", "n_samples", "sample_delta")
   }
 
   final case class FrameRow(media_id: Long, frame_idx: Long, payload: Array[Byte],
@@ -556,6 +596,37 @@ object Multimodal {
         33000 + (id % 5).toInt * 1000, frameBytes)
       MediaRow(id, "video", payload, "video/x-msvideo", payload.length.toLong)
     }
+  }
+
+  /** Synthetic ISO-BMFF corpus — one MP4 per document, every field a
+    * pure function of `doc_id` so the oracle is analytic: a video
+    * track (id 1, `avc1`, µs media clock, `3 + id%4` samples of
+    * `20000 + (id%3)·5000` µs) on every doc, plus an audio track
+    * (id 2, `mp4a`, 8 kHz clock, `5 + id%7` samples of 320 ticks =
+    * 40 ms) on even docs — so the fixture exercises multi-track walks,
+    * cross-clock rescaling and sound-track 0×0 dims. The `mdat`
+    * payload is the doc text (free bytes; metadata-only container,
+    * matching [[graft.functions.BinaryCodecs.mp4Meta]]'s scope).
+    */
+  def syntheticMp4s(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    graft.io.Spread.toDefaultParallelism(
+      docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text")))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val video = BinaryCodecs.Mp4Track(1L, "vide", "avc1",
+          16 + (id % 8).toInt * 4, 12 + (id % 5).toInt * 4,
+          1000000L, 20000L + (id % 3) * 5000L, 3L + id % 4)
+        val tracks =
+          if (id % 2 == 0)
+            Seq(video, BinaryCodecs.Mp4Track(2L, "soun", "mp4a", 0, 0,
+              8000L, 320L, 5L + id % 7))
+          else Seq(video)
+        val payload = BinaryCodecs.mp4(tracks, 1000000L,
+          mdat = text.getBytes("UTF-8"))
+        MediaRow(id, "video", payload, "video/mp4", payload.length.toLong)
+      }
   }
 
   /** The 4-row frame-index frame (f = 0..3) for [[syntheticFrameVideos]]. */
