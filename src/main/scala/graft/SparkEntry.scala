@@ -4990,7 +4990,49 @@ object SparkEntry {
     // runs, durations on each track's own media clock; every field an
     // id formula, so the oracle is fully analytic. --------------------------
     "q425_mp4_tracks" -> ((s, dir) =>
-      Multimodal.mp4Tracks(Multimodal.syntheticMp4s(t(s, dir, "documents"))))
+      Multimodal.mp4Tracks(Multimodal.syntheticMp4s(t(s, dir, "documents")))),
+
+    // ---- cross-crawl dedup on the WRITE side, full lifecycle: the
+    // prior crawl's archives → digest index (metadata-sized) → a
+    // recrawl whose captures changed on 5≡0 docs and grew /alt pages
+    // on 11≡7 docs → emitRevisits turns every unchanged capture into a
+    // body-less revisit naming the prior record → serialized to real
+    // WARC files → parsed back → resolveRevisits reconstructs every
+    // revisit body from the prior archive. The roundtrip identity IS
+    // the oracle: each new-crawl row's body equals the current text,
+    // with was_revisit true exactly on the unchanged set. ----------------------
+    "q426_revisit_emit" -> ((s, dir) => {
+      val prior = graft.ops.Staging.stage(
+        graft.ops.Warc.parseWarc(
+          graft.ops.Warc.syntheticWarc(t(s, dir, "documents"), docsPerFile = 8))
+          .toDF(), reliable = false)
+        .as[graft.ops.Warc.WarcRecordRow](
+          org.apache.spark.sql.Encoders.product[graft.ops.Warc.WarcRecordRow])
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://host"), (col("doc_id") % 20).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string")).as("url"),
+        coalesce(col("text"), lit("")).as("t"))
+      val captures = base.select(col("doc_id"), col("url"),
+        when(col("doc_id") % 5 === 0, concat(col("t"), lit(" v2")))
+          .otherwise(col("t")).cast("binary").as("payload"))
+        .unionByName(base.where(col("doc_id") % 11 === 7)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("url"), lit("/alt")).as("url"),
+            concat(lit("alt "), col("t")).cast("binary").as("payload")))
+      val emitted = graft.ops.Warc.emitRevisits(captures,
+        graft.ops.Warc.cdxDigestIndex(prior))
+      val newArch = graft.ops.Warc.toWarcRecords(
+        emitted.select(col("doc_id"), col("payload"), col("url").as("uri"),
+          when(col("is_revisit"), lit("revisit")).otherwise(lit("response"))
+            .as("warc_type"),
+          col("refers_to")),
+        docsPerFile = 8, recordIdPrefix = "rc2")
+      graft.ops.Warc.resolveRevisits(
+        prior.unionByName(graft.ops.Warc.parseWarc(newArch)))
+        .where(col("record_id").startsWith("<urn:graft:rc2:"))
+        .select(col("target_uri").as("url"), col("was_revisit"),
+          col("payload").cast("string").as("body"))
+    })
   )
 
   /** q416/q417's shared fixture: each document as the HTTP response
@@ -12601,7 +12643,29 @@ object SparkEntry {
         |UNION ALL
         |SELECT a.doc_id, 1000000, md.mdur, 2, 'soun', 'mp4a', 0, 0, 8000,
         | na * 320, na, 320
-        |FROM a JOIN md USING (doc_id)""".stripMargin
+        |FROM a JOIN md USING (doc_id)""".stripMargin,
+    // q426: the roundtrip identity straight from the change formulas —
+    // every new-crawl capture comes back body-equal to the CURRENT
+    // text (revisits reconstructed from the prior archive, changed and
+    // /alt pages archived in full), was_revisit true exactly where the
+    // digest was unchanged.
+    "q426_revisit_emit" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  'https://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p/' ||
+        |   CAST(doc_id AS VARCHAR) AS url,
+        |  coalesce(text, '') AS t
+        | FROM documents),
+        |main AS (
+        | SELECT url, doc_id % 5 <> 0 AS was_revisit,
+        |  CASE WHEN doc_id % 5 = 0 THEN t || ' v2' ELSE t END AS body
+        | FROM base),
+        |alt AS (
+        | SELECT url || '/alt' AS url, FALSE AS was_revisit, 'alt ' || t AS body
+        | FROM base WHERE doc_id % 11 = 7)
+        |SELECT url, was_revisit, body FROM main
+        |UNION ALL
+        |SELECT url, was_revisit, body FROM alt""".stripMargin
   )
 
   /** The q416 CDXJ line rebuilt byte-for-byte as a SQL expression over

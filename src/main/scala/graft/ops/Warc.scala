@@ -695,6 +695,19 @@ object Warc {
       warc_date: String, status: Option[Int], mime: Option[String],
       digest: String, offset: Long, length: Long)
 
+  /** The ONE payload-digest rule every CDX surface shares (index lines,
+    * the digest index, the random-access re-verification): SHA-256 hex
+    * of the DECODED HTTP body when the payload parses as an HTTP
+    * response, of the raw payload otherwise.
+    */
+  private[graft] def payloadDigest(payload: Array[Byte]): String = {
+    import graft.functions.BinaryCodecs
+    val body = BinaryCodecs.parseHttpResponse(payload)
+      .map(_.body).getOrElse(payload)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(body).map(b => f"$b%02x").mkString
+  }
+
   private def cdxWalk(payload: Array[Byte]): Seq[CdxWalkRec] = {
     import graft.functions.BinaryCodecs
     BinaryCodecs.warcRecordsWithSpans(payload).toSeq.flatMap { spans =>
@@ -703,16 +716,128 @@ object Warc {
             if (r.warcType == "response" || r.warcType == "revisit") &&
               r.targetUri != null =>
           val http = BinaryCodecs.parseHttpResponse(r.payload)
-          val body = http.map(_.body).getOrElse(r.payload)
-          val md = java.security.MessageDigest.getInstance("SHA-256")
-          val hex = md.digest(body).map(b => f"$b%02x").mkString
           CdxWalkRec(i.toLong, r.targetUri, r.warcType, r.warcDate,
             http.map(_.status),
             http.flatMap(h => Option(h.contentType).map(ct =>
               ct.split(";")(0).trim.toLowerCase(java.util.Locale.ROOT))),
-            hex, off, len)
+            payloadDigest(r.payload), off, len)
       }
     }
+  }
+
+  /** The digest index a DEDUPLICATING recrawl carries forward from a
+    * prior crawl: one row per archived URL — `(surt_key, url, digest,
+    * record_id)` — built from the prior crawl's response records with
+    * the SAME digest rule as the CDXJ lines ([[payloadDigest]]).
+    * Metadata-sized (no payloads survive the projection), which is the
+    * whole point: at 100 TB the index rides a shuffle while the
+    * archives stay on disk. The standard CDXJ block omits the record
+    * id, but `WARC-Refers-To` (what [[resolveRevisits]] resolves by)
+    * NAMES one — so the dedup pipeline keeps this id-bearing variant;
+    * per-URL collisions keep the first capture in `(file, position)`
+    * order, the [[resolveRevisits]] determinism rule.
+    */
+  def cdxDigestIndex(records: Dataset[WarcRecordRow]): DataFrame = {
+    import records.sparkSession.implicits._
+    records
+      .filter(r => r.warc_type == "response" && r.target_uri != null &&
+        r.record_id != null)
+      .mapPartitions(_.map(r => (r.target_uri, payloadDigest(r.payload),
+        r.record_id, r.media_id, r.record_idx)))
+      .toDF("url", "digest", "record_id", "__mid", "__idx")
+      .withColumn("surt_key", Urls.surtKey(col("url")))
+      .groupBy("surt_key")
+      .agg(min_by(struct(col("url"), col("digest"), col("record_id")),
+        struct(col("__mid"), col("__idx"))).as("__r"))
+      .select(col("surt_key"), col("__r.url").as("url"),
+        col("__r.digest").as("digest"), col("__r.record_id").as("record_id"))
+  }
+
+  /** Cross-crawl deduplication on the WRITE side — the inverse of
+    * [[resolveRevisits]]: each new capture whose body digest matches
+    * the prior crawl's [[cdxDigestIndex]] entry for the same URL
+    * becomes a BODY-LESS revisit (`warc_type = "revisit"`, `refers_to`
+    * naming the prior record, payload emptied — the
+    * identical-payload-digest profile); changed and never-seen URLs
+    * pass through as full responses. Without this op a recrawl
+    * pipeline doubles its archive every crawl; with it the unchanged
+    * tail costs headers only. Input: capture rows with `urlCol` and a
+    * BINARY `payloadCol` holding the capture's (decoded) body; all
+    * other columns pass through. Appends `digest`, `is_revisit`,
+    * `refers_to`; empties `payloadCol` on revisit rows.
+    *
+    * Scale shape: digesting is map-side codegen'd `sha2`; the one
+    * shuffle keys captures and the metadata-sized index on `surt_key`
+    * (a left join — new URLs must survive). Feed the output to
+    * [[toWarcRecords]] to serialize, and the
+    * [[resolveRevisits]] roundtrip reconstructs every revisit body
+    * from the prior archive (the q426 identity).
+    */
+  def emitRevisits(
+      captures: DataFrame,
+      priorIndex: DataFrame,
+      urlCol: String = "url",
+      payloadCol: String = "payload"): DataFrame = {
+    val idx = priorIndex.select(col("surt_key").as("__p_key"),
+      col("digest").as("__p_digest"), col("record_id").as("__p_rid"))
+    captures
+      .withColumn("__key", Urls.surtKey(col(urlCol)))
+      .withColumn("digest", lower(sha2(col(payloadCol), 256)))
+      .join(idx, col("__key") === col("__p_key"), "left")
+      .withColumn("is_revisit",
+        col("__p_digest").isNotNull && col("__p_digest") === col("digest"))
+      .withColumn("refers_to", when(col("is_revisit"), col("__p_rid")))
+      .withColumn(payloadCol,
+        when(col("is_revisit"), lit(Array.emptyByteArray)).otherwise(col(payloadCol)))
+      .drop("__key", "__p_key", "__p_digest", "__p_rid")
+  }
+
+  /** Serialize MIXED-type records to WARC files — the generic writer
+    * behind the revisit-producing recrawl (and any archive whose rows
+    * are not all one type): input columns `(doc_id, payload, uri,
+    * warc_type, refers_to)` (refers_to nullable; revisit rows gain the
+    * identical-payload-digest profile header next to `WARC-Refers-To`).
+    * Same grouping, ordering, warcinfo lead member and
+    * member-per-record gzip layout as the single-type builders.
+    */
+  def toWarcRecords(
+      rows: DataFrame,
+      docsPerFile: Int = 8,
+      recordIdPrefix: String = "rec",
+      gzipPerRecord: Boolean = true): Dataset[MediaRow] = {
+    import rows.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    require(docsPerFile >= 1, s"docsPerFile must be >= 1: $docsPerFile")
+    graft.io.Spread.toDefaultParallelism(
+      rows.select(col("doc_id"), col("payload"), col("uri"),
+        col("warc_type"), col("refers_to")))
+      .groupBy(expr(s"doc_id div $docsPerFile").as("file_id"))
+      .agg(sort_array(collect_list(struct(
+        col("doc_id").as("_1"), col("payload").as("_2"), col("uri").as("_3"),
+        col("warc_type").as("_4"), col("refers_to").as("_5")))).as("recs"))
+      .as[(Long, Seq[(Long, Array[Byte], String, String, String)])]
+      .map { case (fid, recs) =>
+        val info = (Seq(
+          "WARC-Type" -> "warcinfo",
+          "WARC-Record-ID" -> s"<urn:graft:file:$recordIdPrefix:$fid>",
+          "WARC-Date" -> "2024-01-01T00:00:00Z"),
+          WarcInfoPayload.getBytes("UTF-8"))
+        val records = recs.map { case (id, payload, uri, tp, refersTo) =>
+          (Seq(
+            "WARC-Type" -> tp,
+            "WARC-Record-ID" -> s"<urn:graft:$recordIdPrefix:$id>",
+            "WARC-Date" -> "2024-01-01T00:00:00Z",
+            "WARC-Target-URI" -> uri) ++
+            Option(refersTo).map("WARC-Refers-To" -> _) ++
+            (if (tp == "revisit")
+              Seq("WARC-Profile" ->
+                "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest")
+            else Nil),
+            Option(payload).getOrElse(Array.emptyByteArray))
+        }
+        val bytes = BinaryCodecs.warcFile(info +: records, gzipPerRecord)
+        MediaRow(fid, "warc", bytes, "application/warc", bytes.length.toLong)
+      }
   }
 
   /** Key/timestamp/line assembly shared by both [[toCdxj]] forms —

@@ -506,6 +506,73 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("emitRevisits: unchanged captures become body-less revisits; resolveRevisits reconstructs them") {
+    // page-sized bodies — the shrink assertion at the end is only true
+    // when bodies outweigh the revisit record's extra headers
+    def bodyOf(i: Long) = s"body $i " + ("lorem ipsum " * 40)
+    val docs = (0L until 20L).map(i => (i, bodyOf(i))).toDF("doc_id", "text")
+    val prior = Warc.parseWarc(Warc.syntheticWarc(docs, docsPerFile = 8))
+    val idx = Warc.cdxDigestIndex(prior)
+    assert(idx.count() == 20 && idx.columns.toSet ==
+      Set("surt_key", "url", "digest", "record_id"))
+    // recrawl: docs 0/5/10/15 changed, doc 21 is brand new, rest unchanged
+    val captures = (0L until 20L).map { i =>
+      val body = if (i % 5 == 0) bodyOf(i) + " CHANGED" else bodyOf(i)
+      (i, s"https://host${i % 20}.example.com/p/$i", body.getBytes("UTF-8"))
+    } :+ ((21L, "https://hostx.example.com/new", "fresh".getBytes("UTF-8")))
+    val emitted = Warc.emitRevisits(
+      captures.toDF("doc_id", "url", "payload"), idx)
+    val rows = emitted.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Boolean]("is_revisit"), r.getAs[Array[Byte]]("payload"),
+      r.getAs[String]("refers_to"))).sortBy(_._1)
+    rows.foreach { case (id, rev, payload, ref) =>
+      if (id < 20 && id % 5 != 0) {
+        assert(rev && payload.isEmpty && ref == s"<urn:graft:rec:$id>",
+          s"doc $id must dedup against the prior capture")
+      } else {
+        assert(!rev && payload.nonEmpty && ref == null,
+          s"doc $id must archive in full")
+      }
+    }
+    // lifecycle roundtrip: serialize, parse back, resolve against the
+    // prior archive — every capture's body comes back byte-identical
+    val arch = Warc.toWarcRecords(
+      emitted.selectExpr("doc_id", "payload", "url as uri",
+        "CASE WHEN is_revisit THEN 'revisit' ELSE 'response' END as warc_type",
+        "refers_to"),
+      docsPerFile = 8, recordIdPrefix = "rc2")
+    val resolved = Warc.resolveRevisits(prior.unionByName(Warc.parseWarc(arch)))
+      .where(col("record_id").startsWith("<urn:graft:rc2:"))
+      .select(col("target_uri"), col("was_revisit"),
+        col("payload").cast("string")).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+    assert(resolved.length == 21)
+    resolved.foreach { case (uri, rev, body) =>
+      if (uri.endsWith("/new")) assert(!rev && body == "fresh")
+      else {
+        val id = uri.split("/").last.toLong
+        if (id % 5 == 0) assert(!rev && body == bodyOf(id) + " CHANGED")
+        else assert(rev && body == bodyOf(id))
+      }
+    }
+    // the point of the op: the new archive carries body bytes ONLY for
+    // the changed/new captures (compared plain — per-record gzip would
+    // also compress the bodies and muddy the byte accounting)
+    val newBytes = Warc.toWarcRecords(
+      emitted.selectExpr("doc_id", "payload", "url as uri",
+        "CASE WHEN is_revisit THEN 'revisit' ELSE 'response' END as warc_type",
+        "refers_to"),
+      docsPerFile = 8, recordIdPrefix = "rc3", gzipPerRecord = false)
+      .collect().map(_.size_bytes).sum
+    val fullBytes = Warc.toWarcRecords(
+      captures.toDF("doc_id", "url", "payload")
+        .selectExpr("doc_id", "payload", "url as uri",
+          "'response' as warc_type", "cast(null as string) as refers_to"),
+      docsPerFile = 8, recordIdPrefix = "rcf", gzipPerRecord = false)
+      .collect().map(_.size_bytes).sum
+    assert(newBytes < fullBytes, "revisit production must shrink the archive")
+  }
+
   test("cdxShardFiles: blobs concatenated in shard order ARE the sorted index file the cluster index offsets point into") {
     val docs = (0L until 23L).map(i => (i, s"page $i")).toDF("doc_id", "text")
     val lines = Warc.toCdxj(Warc.syntheticWarc(docs, docsPerFile = 8))
