@@ -4910,24 +4910,9 @@ object SparkEntry {
               s"<item><link>https://h${k + 6}.example.org/feed/$k/2</link></item>" +
               "</channel></rss>"))
         }.toDF("url", "payload")
-      val anchors = docs
-        .select(col("page_url"), explode(Html.extractLinks(col("html"))).as("ref"))
-        .select(Urls.resolve(col("page_url"), col("ref")).as("url"))
-      val smLocs = Crawl.sitemapDiscovery(
-        docs.select(col("doc_id"), col("robots")), smFiles)
-        .select(col("loc").as("url"))
-      val feedLocs = Crawl.feedDiscovery(
-        docs.select(col("doc_id"), col("page_url"), col("html")), feedFiles)
-        .select(col("loc").as("url"))
-      val discovered = anchors.unionByName(smLocs).unionByName(feedLocs)
-      val admitted = graft.ops.Robots.filterAllowed(
-        discovered
-          .withColumn("path", regexp_extract(col("url"), "^[a-z]+://[^/]*(/.*)$", 1))
-          .withColumn("robots", lit("User-agent: *\nDisallow: /private")))
-        .where(col("allowed"))
-      val frontier = Urls.canonicalize(admitted)
-        .where(col("canonical_url").isNotNull)
-        .groupBy(col("canonical_url").as("url"))
+      val frontier = Crawl.discoveryAdmitted(docs, smFiles, feedFiles,
+        lit("User-agent: *\nDisallow: /private"))
+        .groupBy(col("url"))
         .agg(count(lit(1)).as("priority"))
       Crawl.politenessSchedule(frontier, delayMs = 200L, maxPerHost = 4)
     }),

@@ -297,6 +297,45 @@ object Crawl {
       }.toDF("__sm_url", "__sm_xml")
   }
 
+  /** The three-channel discovery front half, factored so the BATCH
+    * frontier (q422) and the STREAMING frontier
+    * ([[graft.streaming.StreamingOps.discoveryFrontierStream]]) are
+    * literally one code path: crawled anchors
+    * ([[Html.extractLinks]] resolved against the page) ∪
+    * robots-declared sitemap entries ([[sitemapDiscovery]]) ∪
+    * page-declared feed entries ([[feedDiscovery]]), then robots
+    * admission (`admissionRobots` is the policy body every candidate
+    * is judged against) and URL canonicalization — one `url` column of
+    * admitted canonical URLs, duplicates preserved (the count IS the
+    * downstream priority signal). Every stage is map-side page work or
+    * a broadcast join against the static file sets, which is exactly
+    * what makes it legal verbatim on a streaming `pages` frame.
+    * Input: `(doc_id, page_url, html, robots)`.
+    */
+  def discoveryAdmitted(
+      pages: DataFrame,
+      sitemapFiles: DataFrame,
+      feedFiles: DataFrame,
+      admissionRobots: Column): DataFrame = {
+    val anchors = pages
+      .select(col("page_url"), explode(Html.extractLinks(col("html"))).as("__ref"))
+      .select(Urls.resolve(col("page_url"), col("__ref")).as("url"))
+    val smLocs = sitemapDiscovery(
+      pages.select(col("doc_id"), col("robots")), sitemapFiles)
+      .select(col("loc").as("url"))
+    val feedLocs = feedDiscovery(
+      pages.select(col("doc_id"), col("page_url"), col("html")), feedFiles)
+      .select(col("loc").as("url"))
+    val admitted = Robots.filterAllowed(
+      anchors.unionByName(smLocs).unionByName(feedLocs)
+        .withColumn("path", regexp_extract(col("url"), "^[a-z]+://[^/]*(/.*)$", 1))
+        .withColumn("robots", admissionRobots))
+      .where(col("allowed"))
+    Urls.canonicalize(admitted)
+      .where(col("canonical_url").isNotNull)
+      .select(col("canonical_url").as("url"))
+  }
+
   /** One discovery level: declared `(doc_id, sitemap_url)` joined to
     * the decoded files (broadcast), entries exploded in document order.
     */

@@ -809,6 +809,42 @@ object StreamingOps {
         }
       }
 
+  /** The three-channel discovery frontier as a STREAM — production
+    * frontiers are incremental by definition: pages arrive, their
+    * anchor/sitemap/feed discoveries accumulate, and each micro-batch
+    * re-emits the politeness schedule over everything admitted so far.
+    * The discovery+admission half is
+    * [[graft.ops.Crawl.discoveryAdmitted]] VERBATIM (map-side page
+    * work + broadcast joins against the static file sets, so the
+    * batch q422 composite and this stream cannot diverge); the
+    * accumulation is a complete-mode streaming count keyed on the
+    * canonical URL — that count state IS the frontier store, bounded
+    * by the number of distinct admitted URLs (exactly what a real
+    * frontier persists); the per-batch politeness pass is
+    * [[graft.ops.Crawl.politenessSchedule]] called verbatim on the
+    * complete counts. Equality contract (pinned in `StreamingSpec`):
+    * after any prefix of arrivals, the sinked schedule equals the
+    * batch composite over the pages seen so far — quarantined
+    * candidates (unparseable URLs, robots-disallowed paths,
+    * never-fetched files) drop identically on both sides.
+    */
+  def discoveryFrontierStream(
+      pages: DataFrame,
+      sitemapFiles: DataFrame,
+      feedFiles: DataFrame,
+      admissionRobots: Column,
+      delayMs: Long = 1000L,
+      maxPerHost: Int = 1000)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    graft.ops.Crawl.discoveryAdmitted(pages, sitemapFiles, feedFiles, admissionRobots)
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("priority"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.ops.Crawl.politenessSchedule(batch.toDF(),
+          delayMs = delayMs, maxPerHost = maxPerHost), batchId)
+      }
+
   /** WARC files as they LAND: a `binaryFile` stream over a crawl
     * output directory, each newly-arrived file exploded to record rows
     * by the same member walk + strict framing as the batch path

@@ -994,4 +994,84 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == want,
       s"stream change log diverges from the batch lag replay:\n$got\nvs\n$want")
   }
+
+  test("discoveryFrontierStream: per-arrival schedules equal the batch composite; quarantined candidates inert") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_stream_frontier")
+    // page rows from an id formula (single-quoted HTML attrs keep the
+    // JSON lines quote-free): one good anchor, one /private anchor, one
+    // relative anchor, a feed declaration, and a robots sitemap pointer
+    def pageJson(id: Long): String = {
+      val html = s"<a href='https://h${id % 3}.example.org/page${id % 5}'>x</a>" +
+        s"<a href='https://h${id % 3}.example.org/private/p${id % 2}'>y</a>" +
+        s"<a href='/local/l${id % 4}'>z</a>" +
+        s"<link rel='alternate' type='application/rss+xml' href='/feed${id % 2}.xml'>" +
+        (if (id == 99) "<a href='http://'>bad</a>" else "")
+      s"""{"doc_id":$id,"page_url":"https://site${id % 2}.test/dir/idx.html",""" +
+        s""""html":"$html",""" +
+        s""""robots":"User-agent: *\\nSitemap: https://s${id % 3}.test/sm.xml"}"""
+    }
+    def write(name: String, ids: Seq[Long]): Unit =
+      Files.write(Paths.get(in.toString, name),
+        ids.map(pageJson).mkString("\n").getBytes)
+    // static file sets: s0 plain, s1 gzip'd, s2 CORRUPT (quarantines,
+    // contributes nothing); feed0 fetched, feed1 never fetched
+    val smXml = (v: Int) => s"<urlset><url><loc>https://h$v.example.org/sm/$v</loc></url></urlset>"
+    val smFiles = Seq(
+      ("https://s0.test/sm.xml", smXml(0).getBytes("UTF-8")),
+      ("https://s1.test/sm.xml", graft.functions.BinaryCodecs.gzip(smXml(1).getBytes("UTF-8"))),
+      ("https://s2.test/sm.xml", Array[Byte](0x1f, 0x8b.toByte, 9, 9, 9))
+    ).toDF("url", "payload")
+    val feedFiles = Seq(
+      ("https://site0.test/feed0.xml",
+        "<rss><channel><item><link>https://h7.example.org/feed/1</link></item></channel></rss>"
+          .getBytes("UTF-8"))).toDF("url", "payload")
+    val policy = "User-agent: *\nDisallow: /private"
+    // the batch composite over the pages seen so far — the SAME ops the
+    // stream runs (discoveryAdmitted + politenessSchedule), so equality
+    // here proves the two paths cannot diverge
+    def want(ids: Seq[Long]) = {
+      val pages = spark.read.schema(
+        "doc_id LONG, page_url STRING, html STRING, robots STRING")
+        .json(ids.map(pageJson).toDS())
+      graft.ops.Crawl.politenessSchedule(
+        graft.ops.Crawl.discoveryAdmitted(pages, smFiles, feedFiles, lit(policy))
+          .groupBy(col("url")).agg(count(lit(1)).as("priority")),
+        delayMs = 100L, maxPerHost = 3)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    }
+    val schedules = scala.collection.mutable.Map.empty[Long, Set[(String, String, Long, Long)]]
+    val b1 = (0L until 8L).toSeq
+    val b2 = Seq(8L, 9L, 10L, 11L, 99L) // 99 carries the unparseable URL
+    write("b1.json", b1)
+    val pagesStream = spark.readStream
+      .schema("doc_id LONG, page_url STRING, html STRING, robots STRING")
+      .json(in.toString)
+    val q = StreamingOps.discoveryFrontierStream(
+      pagesStream, smFiles, feedFiles, lit(policy),
+      delayMs = 100L, maxPerHost = 3) { (sched, bid) =>
+      val rows = sched.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      if (rows.nonEmpty) schedules(bid) = rows
+    }.trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable()
+    val round1 = schedules(schedules.keys.max)
+    assert(round1 == want(b1),
+      s"round-1 schedule diverges from the batch composite:\n$round1\nvs\n${want(b1)}")
+    // sanity on the fixture itself: /private admitted nowhere, the
+    // quarantined s2 sitemap and unfetched feed1 contribute nothing
+    assert(round1.nonEmpty && !round1.exists(_._2.contains("/private/")))
+    assert(!round1.exists(_._2.contains("s2")) && !round1.exists(_._2.contains("feed/2")))
+    // discoveries ACCUMULATE: arrival 2 (including the quarantined-URL
+    // page) re-emits the frontier over BOTH arrivals
+    write("b2.json", b2)
+    q.processAllAvailable(); q.stop()
+    val round2 = schedules(schedules.keys.max)
+    assert(round2 == want(b1 ++ b2),
+      s"round-2 schedule diverges from the accumulated batch composite:\n$round2\nvs\n${want(b1 ++ b2)}")
+    assert(round2 != round1, "arrival 2 must change the frontier")
+  }
 }
