@@ -4977,6 +4977,15 @@ object SparkEntry {
     "q425_mp4_tracks" -> ((s, dir) =>
       Multimodal.mp4Tracks(Multimodal.syntheticMp4s(t(s, dir, "documents")))),
 
+    // ---- MPEG audio metadata by frame-header walk (no audio decode):
+    // sync scan with strict tiling over the synthetic Layer III corpus
+    // — MPEG1 and MPEG2 clocks, CBR and alternating-bitrate VBR files,
+    // ID3v2/ID3v1 tags skipped — frame counts exact, duration on the
+    // sample clock, frame-0 bitrate + VBR flag; every field an id
+    // formula. --------------------------------------------------------------
+    "q427_mp3_meta" -> ((s, dir) =>
+      Multimodal.mp3Meta(Multimodal.syntheticMp3s(t(s, dir, "documents")))),
+
     // ---- cross-crawl dedup on the WRITE side, full lifecycle: the
     // prior crawl's archives → digest index (metadata-sized) → a
     // recrawl whose captures changed on 5≡0 docs and grew /alt pages
@@ -12629,6 +12638,36 @@ object SparkEntry {
         |SELECT a.doc_id, 1000000, md.mdur, 2, 'soun', 'mp4a', 0, 0, 8000,
         | na * 320, na, 320
         |FROM a JOIN md USING (doc_id)""".stripMargin,
+    // q427: version, clock, frame count, floor-µs duration and the
+    // bitrate-table lookups replayed straight from the id formulas
+    // (VBR files report frame 0's bitrate, i.e. the base index).
+    "q427_mp3_meta" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 3 THEN '2' ELSE '1' END AS ver,
+        |  20 + doc_id % 9 AS n,
+        |  4 + (doc_id % 4) * 3 AS bi
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id, ver, n, bi,
+        |  CASE WHEN ver = '1' THEN
+        |    CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+        |  ELSE
+        |    CASE doc_id % 3 WHEN 0 THEN 22050 WHEN 1 THEN 24000 ELSE 16000 END
+        |  END AS rate,
+        |  CASE WHEN ver = '1' THEN 1152 ELSE 576 END AS spf,
+        |  CASE WHEN ver = '1' THEN
+        |    CASE bi WHEN 4 THEN 56 WHEN 7 THEN 96 WHEN 10 THEN 160 ELSE 256 END
+        |  ELSE
+        |    CASE bi WHEN 4 THEN 32 WHEN 7 THEN 56 WHEN 10 THEN 96 ELSE 144 END
+        |  END AS kbps
+        | FROM p)
+        |SELECT doc_id AS media_id, ver AS mpeg_version, CAST(3 AS INT) AS layer,
+        | CAST(rate AS INT) AS sample_rate, CAST(n AS BIGINT) AS n_frames,
+        | CAST((n * spf * 1000000) // rate AS BIGINT) AS duration_us,
+        | CAST(kbps AS INT) AS bitrate_kbps,
+        | doc_id % 6 = 1 AS vbr
+        |FROM r""".stripMargin,
     // q426: the roundtrip identity straight from the change formulas —
     // every new-crawl capture comes back body-equal to the CURRENT
     // text (revisits reconstructed from the prior archive, changed and

@@ -260,6 +260,160 @@ object BinaryCodecs {
   def aviFrame(payload: Array[Byte], idx: Int): Option[Array[Byte]] =
     aviFrames(payload, Seq(idx)).flatMap(_.headOption.map(_._2))
 
+  // ---------------------------------------------------------------- MP3 --
+
+  /** One MP3 stream's header-walk result: MPEG version ("1"/"2"/"2.5"),
+    * layer (1–3), sample rate, and the per-frame bitrates (kbps) in
+    * file order — everything a corpus triage needs (duration, CBR/VBR,
+    * codec identity) with NO audio decode, [[mp4Meta]]'s judgment one
+    * modality over.
+    */
+  final case class Mp3Meta(
+      version: String, layer: Int, sampleRate: Int, frameBitratesKbps: Vector[Int]) {
+    def nFrames: Long = frameBitratesKbps.length.toLong
+    def samplesPerFrame: Int =
+      if (layer == 1) 384 else if (layer == 2) 1152
+      else if (version == "1") 1152 else 576
+    /** Total duration in µs (floor) — frame count × samples-per-frame
+      * on the stream's sample clock.
+      */
+    def durationUs: Long = nFrames * samplesPerFrame * 1000000L / sampleRate
+  }
+
+  /** The ISO 11172-3 / 13818-3 bitrate tables (kbps), by version then
+    * layer; index 0 is "free format" and 15 forbidden — both quarantine
+    * (a free-format stream's frame length is undeclared, so a header
+    * walk cannot frame it).
+    */
+  private val Mp3Bitrates: Map[(String, Int), Vector[Int]] = {
+    val m1l1 = Vector(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+    val m1l2 = Vector(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+    val m1l3 = Vector(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val m2l1 = Vector(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+    val m2l23 = Vector(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    Map(("1", 1) -> m1l1, ("1", 2) -> m1l2, ("1", 3) -> m1l3,
+      ("2", 1) -> m2l1, ("2", 2) -> m2l23, ("2", 3) -> m2l23,
+      ("2.5", 1) -> m2l1, ("2.5", 2) -> m2l23, ("2.5", 3) -> m2l23)
+  }
+
+  private val Mp3SampleRates: Map[String, Vector[Int]] = Map(
+    "1" -> Vector(44100, 48000, 32000),
+    "2" -> Vector(22050, 24000, 16000),
+    "2.5" -> Vector(11025, 12000, 8000))
+
+  /** Synthesize an MPEG audio stream frame-by-frame (headers real,
+    * bodies zero bytes — metadata-only, the [[mp4]] judgment): Layer
+    * III at the given version/sample-rate index, one frame per bitrate
+    * index in `bitrateIdxs` (1–14; vary them for a VBR fixture), an
+    * optional leading ID3v2 tag of `id3v2Bytes` content bytes
+    * (synchsafe-sized, as written) and an optional trailing 128-byte
+    * ID3v1 tag.
+    */
+  def mp3(
+      version: String,
+      sampleRateIdx: Int,
+      bitrateIdxs: Seq[Int],
+      id3v2Bytes: Int = 0,
+      id3v1: Boolean = false): Array[Byte] = {
+    require(Mp3SampleRates.contains(version), s"mp3: bad version $version")
+    require(sampleRateIdx >= 0 && sampleRateIdx <= 2, s"mp3: bad rate idx $sampleRateIdx")
+    require(bitrateIdxs.forall(i => i >= 1 && i <= 14), "mp3: bitrate idx in 1..14")
+    val rate = Mp3SampleRates(version)(sampleRateIdx)
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3v2Bytes > 0) {
+      require(id3v2Bytes < (1 << 28), "mp3: id3v2 too large")
+      out.write("ID3".getBytes("US-ASCII"))
+      out.write(3); out.write(0); out.write(0) // version 2.3, flags 0
+      // synchsafe: 4 × 7 bits, high bit of every byte clear
+      out.write((id3v2Bytes >>> 21) & 0x7F); out.write((id3v2Bytes >>> 14) & 0x7F)
+      out.write((id3v2Bytes >>> 7) & 0x7F); out.write(id3v2Bytes & 0x7F)
+      out.write(new Array[Byte](id3v2Bytes))
+    }
+    val verBits = version match { case "1" => 3; case "2" => 2; case _ => 0 }
+    bitrateIdxs.foreach { bi =>
+      val kbps = Mp3Bitrates((version, 3))(bi - 1)
+      val len = (if (version == "1") 144000 else 72000) * kbps / rate
+      out.write(0xFF)
+      out.write(0xE0 | (verBits << 3) | (1 << 1) | 1) // layer III, no CRC
+      out.write((bi << 4) | (sampleRateIdx << 2)) // padding 0, private 0
+      out.write(0) // stereo, no emphasis
+      out.write(new Array[Byte](len - 4))
+    }
+    if (id3v1) {
+      out.write("TAG".getBytes("US-ASCII"))
+      out.write(new Array[Byte](125))
+    }
+    out.toByteArray
+  }
+
+  /** MPEG audio (MP3 and friends) metadata by FRAME-HEADER WALK — sync
+    * scan with strict tiling, no audio decode: skip a leading ID3v2 tag
+    * (synchsafe size), then every frame header must parse (11-bit sync,
+    * version, layer, bitrate and sample-rate indices) and declare a
+    * length that lands exactly on the next frame, the trailing ID3v1
+    * tag, or end-of-file. None (whole-file quarantine) for anything
+    * else: broken sync mid-file, free-format or forbidden bitrate,
+    * reserved version/layer/rate codes, a frame running past EOF, or a
+    * mid-stream version/layer/rate change — real decoders resync on
+    * garbage; a CORPUS walk must not, because a resync that silently
+    * skips bytes misreports duration, the [[warcRecords]] lesson.
+    * Layer I/II/III all framed per their own length formulas; CRC
+    * frames accepted (the 16-bit CRC lives inside the declared length).
+    */
+  def mp3Meta(payload: Array[Byte]): Option[Mp3Meta] = {
+    var off = 0
+    val end = payload.length
+    if (end >= 10 && payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') {
+      val size = ((payload(6) & 0x7F) << 21) | ((payload(7) & 0x7F) << 14) |
+        ((payload(8) & 0x7F) << 7) | (payload(9) & 0x7F)
+      if ((payload(6) | payload(7) | payload(8) | payload(9)) < 0) return None
+      off = 10 + size
+      if (off > end) return None
+    }
+    var version: String = null
+    var layer = 0
+    var rate = 0
+    val frames = Vector.newBuilder[Int]
+    var n = 0
+    while (off < end) {
+      if (end - off == 128 && payload(off) == 'T' && payload(off + 1) == 'A' &&
+        payload(off + 2) == 'G') {
+        off = end // trailing ID3v1 tag
+      } else {
+        if (off + 4 > end) return None
+        val b1 = payload(off) & 0xFF
+        val b2 = payload(off + 1) & 0xFF
+        val b3 = payload(off + 2) & 0xFF
+        if (b1 != 0xFF || (b2 & 0xE0) != 0xE0) return None
+        val v = (b2 >> 3) & 3 match {
+          case 3 => "1"; case 2 => "2"; case 0 => "2.5"; case _ => return None
+        }
+        val l = (b2 >> 1) & 3 match {
+          case 3 => 1; case 2 => 2; case 1 => 3; case _ => return None
+        }
+        val bi = (b3 >> 4) & 0xF
+        val si = (b3 >> 2) & 3
+        if (bi == 0 || bi == 15 || si == 3) return None
+        val r = Mp3SampleRates(v)(si)
+        if (version == null) { version = v; layer = l; rate = r }
+        else if (version != v || layer != l || rate != r) return None
+        val kbps = Mp3Bitrates((v, l))(bi - 1)
+        val padding = (b3 >> 1) & 1
+        val len = l match {
+          case 1 => (12000 * kbps / r + padding) * 4
+          case 2 => 144000 * kbps / r + padding
+          case _ => (if (v == "1") 144000 else 72000) * kbps / r + padding
+        }
+        if (len < 4 || off + len > end) return None
+        frames += kbps
+        n += 1
+        off += len
+      }
+    }
+    if (version == null) None
+    else Some(Mp3Meta(version, layer, rate, frames.result()))
+  }
+
   // ------------------------------------------------------ MP4 / ISO-BMFF --
 
   /** One track's spec for the [[mp4]] writer (and its parse-back row

@@ -470,6 +470,60 @@ object Multimodal {
       "track_duration", "n_samples", "sample_delta")
   }
 
+  /** MPEG audio metadata from the binary AUDIO column — the frame-
+    * header walk ([[graft.functions.BinaryCodecs.mp3Meta]]: sync scan,
+    * strict tiling, ID3 tags skipped, no audio decode), WAV's
+    * compressed-world sibling: per file the version/layer identity,
+    * sample clock, exact frame count, floor-µs duration, frame 0's
+    * bitrate and a VBR flag (any frame's bitrate differing). Rows that
+    * don't parse as a clean MPEG stream drop (quarantine). Same
+    * partition-batched, shuffle-free shape as [[videoMeta]].
+    */
+  def mp3Meta(media: Dataset[MediaRow], batchSize: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          BinaryCodecs.mp3Meta(m.payload).filter(_.nFrames > 0).map { a =>
+            (m.media_id, a.version, a.layer, a.sampleRate, a.nFrames,
+              a.durationUs, a.frameBitratesKbps.head,
+              a.frameBitratesKbps.exists(_ != a.frameBitratesKbps.head))
+          }
+        }
+      }
+    }.toDF("media_id", "mpeg_version", "layer", "sample_rate", "n_frames",
+      "duration_us", "bitrate_kbps", "vbr")
+  }
+
+  /** Synthetic MPEG audio corpus — one Layer III stream per document,
+    * every field a pure function of `doc_id`: MPEG2 on 7≡3 docs (576
+    * samples/frame, the 72000 length coefficient) else MPEG1, sample
+    * rate by `id%3` on the version's own clock table, `20 + id%9`
+    * frames at bitrate index `4 + (id%4)*3` — except 6≡1 docs, which
+    * alternate two bitrate indices per frame parity (the VBR leg). A
+    * leading ID3v2 tag of `id%17` content bytes on even docs and a
+    * trailing ID3v1 tag on 5≡2 docs exercise both skip paths.
+    */
+  def syntheticMp3s(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    graft.io.Spread.toDefaultParallelism(docs.select(col("doc_id")))
+      .as[Long]
+      .map { id =>
+        val version = if (id % 7 == 3) "2" else "1"
+        val n = 20 + (id % 9).toInt
+        val base = 4 + (id % 4).toInt * 3
+        val idxs =
+          if (id % 6 == 1) (0 until n).map(f => if (f % 2 == 0) base else 5)
+          else Seq.fill(n)(base)
+        val payload = BinaryCodecs.mp3(version, (id % 3).toInt, idxs,
+          id3v2Bytes = if (id % 2 == 0) (id % 17).toInt else 0,
+          id3v1 = id % 5 == 2)
+        MediaRow(id, "audio", payload, "audio/mpeg", payload.length.toLong)
+      }
+  }
+
   final case class FrameRow(media_id: Long, frame_idx: Long, payload: Array[Byte],
       n_bytes: Long)
 
