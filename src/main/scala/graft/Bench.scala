@@ -189,6 +189,8 @@ object Bench {
         """"q419_lang_quality_gate":"r16 same-window interleaved 10x/20x probes (per-scale floors, disjoint replica sets): 17.8s at 10x vs 18.0s at 20x - 1.01x for 2x data, STRONGLY SUBLINEAR at probe scale because the chain's fixed term dominates (staging the lang frame + the grouped-KN stage count; the 10x attempt vector [17.8, 38.9] shows the usual window noise - floors are the read); the honest asymptotic model is q414's (linear in the doc-bigram stream - both tables scale with data) plus that fixed term, so expect the q414 slope once data swamps the stages; in-round staging adjudication: computing the lang-ID column once (Staging.stage) instead of per-branch took the sf0.1 floor 11.9 -> 9.0s, and the same aliasing discipline took q415 4.95 -> 0.46s and q421 11.0 -> 1.6s (Catalyst inlines non-cheap aliases per REFERENCE inside nested HOF folds)",""" +
         """"q422_discovery_frontier":"r16 same-window interleaved 10x/20x probes (per-scale floors): 12.7s at 10x vs 14.7s at 20x - 1.15x for 2x data, SUBLINEAR: the sitemap/feed file sets are frontier metadata (scale-constant broadcast sides), only the page-side channels and the count fold grow with data",""" +
         """"q423_cdx_cluster_idx":"r16 same-window interleaved 10x/20x probes (per-scale floors): 2.9s at 10x vs 3.3s at 20x - 1.15x for 2x data, sublinear; the range-partitioned two-phase sort and the container walk both scale with rows while the shard fold stays shard-count-sized",""" +
+        """"q424_random_access":"r17 same-window interleaved 10x/20x probes (per-scale floors, disjoint replica sets, both orders): 5.35s at 10x vs 5.96s at 20x - 1.11x for 2x data, SUBLINEAR: the cluster-index lookup is a broadcast against a shard-count-sized frame, shard parsing touches only the shards the query set selects, and container payloads move once per referenced file; what grows with data is the index build (q423's shape) and the queried span set",""" +
+        """"q426_revisit_emit":"r17 same-window interleaved 10x/20x probes (per-scale floors, disjoint replica sets, both orders): 5.64s at 10x vs 6.19s at 20x - 1.10x for 2x data, SUBLINEAR: the digest index is metadata-sized (payloads never survive its projection), emitRevisits' one shuffle keys captures on the surt key, and the resolve join moves prior payloads only for records that revisits actually reference (q409's class, with the container build's fixed stages amortizing)",""" +
         """"q414_lm_fluency":"r15 same-window interleaved 10x/20x probes (per-scale floors): 3.63s at 10x vs 7.38s at 20x - 2.03x for 2x data, LINEAR and honestly so: the doc-bigram stream and the replica-disjoint vocabulary both scale with the data, the KN table join is vocabulary-sized on both sides, and there is no fixed-cost term to amortize; at-or-below-linear is the smoke's bar and linear is the true cost model for this shape (the 20x attempt vector [15.2, 7.4] shows the usual window noise - floors are the read)",""" +
         """"q409_warc_revisit":"r15 same-window interleaved 10x/20x probes (per-scale floors): 1.93s at 10x vs 2.25s at 20x - 1.16x for 2x data, sublinear; the record-id shuffle join moves payloads once and only for referenced records",""" +
         """"q411_template_removal":"r15 same-window interleaved 10x/20x probes (per-scale floors): 1.08s at 10x vs 1.37s at 20x - 1.27x for 2x data, sublinear; the frequency table shuffles (host, line-hash, doc_id) only - line bodies move once into the doc-order rebuild - and replica-prefixed vocabularies keep per-host line populations disjoint across replicas (10x pages = 10x lines, never denser hosts)",""" +

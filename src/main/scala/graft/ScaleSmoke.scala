@@ -196,7 +196,19 @@ object ScaleSmoke {
     // widest crawl composite), and the CDX cluster index (container
     // build + spans walk + the range-partitioned two-phase global sort).
     "q421_agent_delay_schedule", "q422_discovery_frontier",
-    "q423_cdx_cluster_idx")
+    "q423_cdx_cluster_idx",
+    // Round-17 additions: the two r16 shapes previously missing from
+    // the smoke (CDXJ parse-back and feed discovery — both cheap, kept
+    // for the "every query family has an sf1 data point" invariant),
+    // then the round's new composites: the two-seek random-access
+    // fetch (index build + shard blobs + the three joins + per-span
+    // record decode), MP4 and MP3 metadata walks (pure-map codec
+    // paths), and the full revisit-production lifecycle (digest index +
+    // surt-key join + mixed-type container build + parse-back + the
+    // record-id resolve join — the widest WARC chain in the suite).
+    "q417_cdx_ingest", "q420_feed_discovery",
+    "q424_random_access", "q425_mp4_tracks", "q426_revisit_emit",
+    "q427_mp3_meta", "q428_mp4_frame_sample")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))

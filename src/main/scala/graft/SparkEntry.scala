@@ -4986,6 +4986,19 @@ object SparkEntry {
     "q427_mp3_meta" -> ((s, dir) =>
       Multimodal.mp3Meta(Multimodal.syntheticMp3s(t(s, dir, "documents")))),
 
+    // ---- MP4 frame sampling: the q375 sampler over the ISO-BMFF
+    // corpus — the stsz/stsc/stco sample-table walk resolves each
+    // requested frame to an absolute byte span (3+1 chunk layout, so
+    // every file crosses a chunk boundary) and the extracted frames
+    // are byte-identical to the AVI corpus's (same BMPs, same
+    // geometry formulas), which is why the oracle IS q375's, shared
+    // verbatim. -------------------------------------------------------------
+    "q428_mp4_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleVideoFrames(
+        Multimodal.syntheticFrameMp4s(t(s, dir, "documents")), k = 2)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"), col("n_bytes"))),
+
     // ---- cross-crawl dedup on the WRITE side, full lifecycle: the
     // prior crawl's archives → digest index (metadata-sized) → a
     // recrawl whose captures changed on 5≡0 docs and grew /alt pages
@@ -11629,16 +11642,10 @@ object SparkEntry {
     "q374_video_meta" -> VideoMetaOracleSql,
     // q375: the evenly-spaced index rule ((i·n)//take) and the BMP size
     // formula of each sampled frame's SOURCE doc geometry.
-    "q375_video_frame_sample" ->
-      """WITH v AS (SELECT doc_id AS vid FROM documents
-        |  WHERE doc_id % 10 = 0 AND doc_id + 6 <= (SELECT max(doc_id) FROM documents)),
-        |fr AS (SELECT vid, (f.f * 4) // 2 AS frame_idx FROM v CROSS JOIN range(2) f(f)),
-        |geom AS (SELECT vid, frame_idx,
-        |  8 + (vid + 2 * frame_idx) % 24 AS w, 8 + (vid + 2 * frame_idx) % 16 AS h
-        | FROM fr)
-        |SELECT vid AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
-        | CAST(54 + ((24 * w + 31) // 32) * 4 * h AS BIGINT) AS n_bytes
-        |FROM geom""".stripMargin,
+    "q375_video_frame_sample" -> FrameSampleOracleSql,
+    // q428: the SAME derivation verbatim — the MP4 sampler must land on
+    // byte-identical frames (the cross-container identity).
+    "q428_mp4_frame_sample" -> FrameSampleOracleSql,
     // q376: the q349 analytic dHash chain joined to the frame table on
     // the frame-source identity (frame f of video v = image of doc
     // v + 2f) — sampler, movi walk, and BMP decode all on the hook.
@@ -12752,6 +12759,23 @@ object SparkEntry {
       | CAST(h AS BIGINT) AS height, CAST(w * h AS BIGINT) AS n_pixels,
       | sv AS sum_b, sv AS sum_g, sv AS sum_r
       |FROM s""".stripMargin
+
+  /** The k=2 evenly-spaced frame-sample derivation (indices 0 and 2,
+    * BMP byte sizes from the geometry formulas) — shared VERBATIM by
+    * q375 (AVI `movi` walk) and q428 (MP4 sample-table walk): the two
+    * containers carry the same frames, so one oracle pins both and the
+    * cross-container identity cannot drift.
+    */
+  private lazy val FrameSampleOracleSql: String =
+    """WITH v AS (SELECT doc_id AS vid FROM documents
+      |  WHERE doc_id % 10 = 0 AND doc_id + 6 <= (SELECT max(doc_id) FROM documents)),
+      |fr AS (SELECT vid, (f.f * 4) // 2 AS frame_idx FROM v CROSS JOIN range(2) f(f)),
+      |geom AS (SELECT vid, frame_idx,
+      |  8 + (vid + 2 * frame_idx) % 24 AS w, 8 + (vid + 2 * frame_idx) % 16 AS h
+      | FROM fr)
+      |SELECT vid AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      | CAST(54 + ((24 * w + 31) // 32) * 4 * h AS BIGINT) AS n_bytes
+      |FROM geom""".stripMargin
 
   /** q374's avih derivation, shared verbatim with q382 (whose gzip
     * roundtrip must land on identical container bytes).

@@ -447,7 +447,33 @@ object BinaryCodecs {
     * divisible clocks; real muxers round).
     */
   def mp4(tracks: Seq[Mp4Track], movieTimescale: Long,
-      mdat: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+      mdat: Array[Byte] = Array.emptyByteArray): Array[Byte] =
+    mp4Build(tracks, movieTimescale, mdat, Nil, 0)
+
+  /** [[mp4]] with a REAL sample layout on the first `vide` track: the
+    * `videoSamples` bytes concatenate into `mdat` and the track's
+    * `stbl` gains the stsz/stsc/stco tables that make each sample
+    * random-accessible — sizes per sample, `samplesPerChunk` samples
+    * per chunk (the trailing chunk partial when it doesn't divide),
+    * chunk offsets ABSOLUTE into the file, as ISO 14496-12 specifies.
+    * The video track's `nSamples` must equal `videoSamples.length`
+    * (one stts/stsz source of truth).
+    */
+  def mp4WithSamples(
+      tracks: Seq[Mp4Track], movieTimescale: Long,
+      videoSamples: Seq[Array[Byte]], samplesPerChunk: Int = 4): Array[Byte] = {
+    require(videoSamples.nonEmpty, "mp4WithSamples: at least one sample")
+    require(samplesPerChunk >= 1, s"mp4WithSamples: bad samplesPerChunk $samplesPerChunk")
+    val v = tracks.find(_.handler == "vide")
+    require(v.exists(_.nSamples == videoSamples.length),
+      "mp4WithSamples: video track nSamples must equal videoSamples.length")
+    mp4Build(tracks, movieTimescale,
+      videoSamples.foldLeft(Array.emptyByteArray)(_ ++ _),
+      videoSamples.map(_.length), samplesPerChunk)
+  }
+
+  private def mp4Build(tracks: Seq[Mp4Track], movieTimescale: Long,
+      mdat: Array[Byte], sampleSizes: Seq[Int], samplesPerChunk: Int): Array[Byte] = {
     require(tracks.nonEmpty, "mp4: at least one track")
     require(movieTimescale > 0, s"mp4: movieTimescale must be positive: $movieTimescale")
     def be32(v: Long): Array[Byte] = Array(
@@ -475,37 +501,77 @@ object BinaryCodecs {
       identity,
       new Array[Byte](24), // pre_defined
       be32(tracks.map(_.trackId).max + 1)) // next_track_ID
-    val traks = tracks.map { t =>
-      require(t.timescale > 0 && t.sampleDelta >= 0 && t.nSamples >= 0,
-        s"mp4: bad track timing for ${t.trackId}")
-      val tkhd = box("tkhd",
-        be32(7), // version 0, flags: enabled | in-movie | in-preview
-        be32(0), be32(0), be32(t.trackId), be32(0),
-        be32(movieDur(t)),
-        new Array[Byte](8), // reserved
-        Array(0, 0, 0, 0), // layer + alternate_group
-        Array(0, 0, 0, 0), // volume + reserved
-        identity,
-        be32(t.width.toLong << 16), be32(t.height.toLong << 16))
-      val mdhd = box("mdhd",
-        be32(0), be32(0), be32(0),
-        be32(t.timescale), be32(t.sampleDelta * t.nSamples),
-        Array(0x55.toByte, 0xC4.toByte), // language 'und'
-        Array(0, 0)) // pre_defined
-      val hdlr = box("hdlr",
-        be32(0), be32(0), t.handler.getBytes("US-ASCII"),
-        new Array[Byte](12), Array(0.toByte)) // reserved + empty name
-      val sampleEntry = be32(16) ++ t.codec.getBytes("US-ASCII") ++
-        new Array[Byte](6) ++ Array(0.toByte, 1.toByte) // data_ref_idx 1
-      val stsd = box("stsd", be32(0), be32(1), sampleEntry)
-      val stts = box("stts", be32(0), be32(1),
-        be32(t.nSamples), be32(t.sampleDelta))
-      box("trak", tkhd,
-        box("mdia", mdhd, hdlr, box("minf", box("stbl", stsd, stts))))
+    val nChunks =
+      if (sampleSizes.isEmpty) 0
+      else (sampleSizes.length + samplesPerChunk - 1) / samplesPerChunk
+    // stco carries ABSOLUTE file offsets, and the moov box precedes
+    // mdat — so build moov twice: once with zeroed offsets to learn its
+    // byte length (offset VALUES are fixed-width, the length cannot
+    // change), then again with the real offsets.
+    def buildMoov(chunkOffsets: Seq[Long]): Array[Byte] = {
+      var tablesDone = false
+      val traks = tracks.map { t =>
+        require(t.timescale > 0 && t.sampleDelta >= 0 && t.nSamples >= 0,
+          s"mp4: bad track timing for ${t.trackId}")
+        val tkhd = box("tkhd",
+          be32(7), // version 0, flags: enabled | in-movie | in-preview
+          be32(0), be32(0), be32(t.trackId), be32(0),
+          be32(movieDur(t)),
+          new Array[Byte](8), // reserved
+          Array(0, 0, 0, 0), // layer + alternate_group
+          Array(0, 0, 0, 0), // volume + reserved
+          identity,
+          be32(t.width.toLong << 16), be32(t.height.toLong << 16))
+        val mdhd = box("mdhd",
+          be32(0), be32(0), be32(0),
+          be32(t.timescale), be32(t.sampleDelta * t.nSamples),
+          Array(0x55.toByte, 0xC4.toByte), // language 'und'
+          Array(0, 0)) // pre_defined
+        val hdlr = box("hdlr",
+          be32(0), be32(0), t.handler.getBytes("US-ASCII"),
+          new Array[Byte](12), Array(0.toByte)) // reserved + empty name
+        val sampleEntry = be32(16) ++ t.codec.getBytes("US-ASCII") ++
+          new Array[Byte](6) ++ Array(0.toByte, 1.toByte) // data_ref_idx 1
+        val stsd = box("stsd", be32(0), be32(1), sampleEntry)
+        val stts = box("stts", be32(0), be32(1),
+          be32(t.nSamples), be32(t.sampleDelta))
+        val tables =
+          if (sampleSizes.isEmpty || t.handler != "vide" || tablesDone) Nil
+          else {
+            tablesDone = true
+            val stsz = box("stsz", be32(0), be32(0), // per-sample sizes
+              be32(sampleSizes.length),
+              sampleSizes.map(s => be32(s.toLong))
+                .foldLeft(Array.emptyByteArray)(_ ++ _))
+            // run-length stsc: full chunks, then the partial trailer
+            val rem = sampleSizes.length % samplesPerChunk
+            val runs =
+              if (rem == 0 || nChunks == 1) Seq((1L, math.min(samplesPerChunk, sampleSizes.length).toLong))
+              else Seq((1L, samplesPerChunk.toLong), (nChunks.toLong, rem.toLong))
+            val stsc = box("stsc", be32(0), be32(runs.length),
+              runs.map { case (fc, spc) => be32(fc) ++ be32(spc) ++ be32(1) }
+                .foldLeft(Array.emptyByteArray)(_ ++ _))
+            val stco = box("stco", be32(0), be32(chunkOffsets.length),
+              chunkOffsets.map(be32).foldLeft(Array.emptyByteArray)(_ ++ _))
+            Seq(stsz, stsc, stco)
+          }
+        box("trak", tkhd,
+          box("mdia", mdhd, hdlr,
+            box("minf", box("stbl", (Seq(stsd, stts) ++ tables): _*))))
+      }
+      box("moov", (mvhd +: traks): _*)
     }
     val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
       "isom".getBytes("US-ASCII"), "mp41".getBytes("US-ASCII"))
-    ftyp ++ box("moov", (mvhd +: traks): _*) ++ box("mdat", mdat)
+    if (sampleSizes.isEmpty)
+      ftyp ++ buildMoov(Nil) ++ box("mdat", mdat)
+    else {
+      val moovLen = buildMoov(Seq.fill(nChunks)(0L)).length
+      val mdatBody = ftyp.length.toLong + moovLen + 8L
+      val offsets = (0 until nChunks).map(c =>
+        mdatBody + sampleSizes.take(c * samplesPerChunk).map(_.toLong).sum)
+      ftyp ++ buildMoov(offsets) ++ box("mdat", mdat)
+    }
   }
 
   /** All boxes `(fourcc, bodyStart, bodyEnd)` tiling `[start, end)` in
@@ -648,6 +714,107 @@ object BinaryCodecs {
         w >>> 16, h >>> 16, // 16.16 fixed point → integer pixels
         mts, delta, n)
     }
+
+  /** The requested video samples (by 0-based index, returned as
+    * (index, bytes) in index order) from the first `vide` track's
+    * stsz/stsc/stco sample tables — [[aviFrames]]' ISO-BMFF twin, one
+    * table walk for all requested indices. The stsc run list expands
+    * chunk by chunk (first_chunk runs must start at 1 and strictly
+    * increase), each sample's file offset is its chunk's stco/co64
+    * offset plus the sizes of the chunk's earlier samples, and every
+    * span is bounds-checked against the file. None (whole-file
+    * quarantine) for malformed tables: counts overrunning their box,
+    * a non-tiling run list, uniform-size stsz (`sample_size != 0` is
+    * legal ISO-BMFF but absent from this writer's fixtures — handled),
+    * or any span outside the payload. Unknown indices are simply
+    * absent, the [[aviFrames]] contract.
+    */
+  def mp4Samples(
+      payload: Array[Byte], indices: Seq[Int]): Option[Seq[(Int, Array[Byte])]] = {
+    val wanted = indices.filter(_ >= 0).toSet
+    if (payload.length < 12 ||
+      new String(payload, 4, 4, "US-ASCII") != "ftyp") return None
+    val buf = ByteBuffer.wrap(payload)
+    def u32(off: Long): Long = buf.getInt(off.toInt).toLong & 0xFFFFFFFFL
+    for {
+      top <- bmffBoxes(payload, 0L, payload.length.toLong)
+      moov <- top.find(_._1 == "moov")
+      kids <- bmffBoxes(payload, moov._2, moov._3)
+      trak <- kids.filter(_._1 == "trak").find(t =>
+        bmffChild(payload, t, "mdia").flatMap(bmffChild(payload, _, "hdlr"))
+          .exists(h => h._3 - h._2 >= 12 &&
+            new String(payload, h._2.toInt + 8, 4, "US-ASCII") == "vide"))
+      stbl <- bmffChild(payload, trak, "mdia")
+        .flatMap(bmffChild(payload, _, "minf"))
+        .flatMap(bmffChild(payload, _, "stbl"))
+      stsz <- bmffChild(payload, stbl, "stsz")
+      if stsz._3 - stsz._2 >= 12
+      uniform = u32(stsz._2 + 4)
+      nSamples = u32(stsz._2 + 8)
+      if nSamples <= Int.MaxValue &&
+        (uniform != 0L || 12L + 4L * nSamples <= stsz._3 - stsz._2)
+      sizes = (0 until nSamples.toInt).map(i =>
+        if (uniform != 0L) uniform else u32(stsz._2 + 12 + 4L * i))
+      stsc <- bmffChild(payload, stbl, "stsc")
+      if stsc._3 - stsc._2 >= 8
+      nRuns = u32(stsc._2 + 4)
+      if 8L + 12L * nRuns <= stsc._3 - stsc._2
+      runs = (0 until nRuns.toInt).map(i =>
+        (u32(stsc._2 + 8 + 12L * i), u32(stsc._2 + 12 + 12L * i)))
+      if runs.nonEmpty && runs.head._1 == 1L &&
+        runs.sliding(2).forall(w => w.length < 2 || w(0)._1 < w(1)._1) &&
+        runs.forall(_._2 >= 1L)
+      co <- bmffChild(payload, stbl, "stco").map((_, false))
+        .orElse(bmffChild(payload, stbl, "co64").map((_, true)))
+      (coBox, wide) = co
+      if coBox._3 - coBox._2 >= 8
+      nChunks = u32(coBox._2 + 4)
+      if 8L + (if (wide) 8L else 4L) * nChunks <= coBox._3 - coBox._2
+      offsets = (0 until nChunks.toInt).map(i =>
+        if (wide) buf.getLong((coBox._2 + 8 + 8L * i).toInt)
+        else u32(coBox._2 + 8 + 4L * i))
+      res <- mp4ExtractSpans(payload, sizes, runs, offsets, wanted)
+    } yield res
+  }
+
+  /** The chunk-expansion loop behind [[mp4Samples]]: walk the stsc runs
+    * chunk by chunk, resolve each sample's absolute span, copy the
+    * wanted ones; None on any span outside the payload.
+    */
+  private def mp4ExtractSpans(
+      payload: Array[Byte],
+      sizes: Seq[Long],
+      runs: Seq[(Long, Long)],
+      offsets: Seq[Long],
+      wanted: Set[Int]): Option[Seq[(Int, Array[Byte])]] = {
+    val out = Seq.newBuilder[(Int, Array[Byte])]
+    var sample = 0
+    var chunk = 0
+    var run = 0
+    while (chunk < offsets.length && sample < sizes.length) {
+      // advance to the stsc run governing this chunk (runs are keyed
+      // by FIRST chunk; a run holds until the next run's first chunk)
+      while (run + 1 < runs.length && runs(run + 1)._1 <= chunk + 1) run += 1
+      val spc = runs(run)._2.toInt
+      var within = 0L
+      var i = 0
+      while (i < spc && sample < sizes.length) {
+        val size = sizes(sample)
+        val off = offsets(chunk) + within
+        if (wanted(sample)) {
+          if (off < 0 || size < 0 || off + size > payload.length) return None
+          val bytes = new Array[Byte](size.toInt)
+          System.arraycopy(payload, off.toInt, bytes, 0, size.toInt)
+          out += ((sample, bytes))
+        }
+        within += size
+        sample += 1
+        i += 1
+      }
+      chunk += 1
+    }
+    Some(out.result())
+  }
 
   // --------------------------------------------------------------- GZIP --
 

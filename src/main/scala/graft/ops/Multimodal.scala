@@ -530,12 +530,16 @@ object Multimodal {
   /** Deterministic FRAME SAMPLING from the binary video column: up to
     * `k` evenly-spaced frames per video — indices `⌊i·n/take⌋` for
     * `i < take = min(k, n)`, strictly increasing, always including frame
-    * 0 — extracted from the `movi` chunk list by a real byte walk
-    * ([[graft.functions.BinaryCodecs.aviFrame]]). The classic
-    * decode-free pre-step of every video featurizer: sample at ingest,
-    * ship only the sampled frames onward. Rows that don't parse drop;
-    * a video with no frames yields no rows. Partition-batched,
-    * shuffle-free; output bytes ≤ k frames per video by construction.
+    * 0 — extracted by a real byte walk from whichever container the
+    * payload is: the AVI `movi` chunk list
+    * ([[graft.functions.BinaryCodecs.aviFrames]]) or the MP4 video
+    * track's stsz/stsc/stco sample tables
+    * ([[graft.functions.BinaryCodecs.mp4Samples]]), the [[videoMeta]]
+    * routing one level deeper. The classic decode-free pre-step of
+    * every video featurizer: sample at ingest, ship only the sampled
+    * frames onward. Rows that don't parse drop; a video with no frames
+    * yields no rows. Partition-batched, shuffle-free; output bytes ≤ k
+    * frames per video by construction.
     */
   def sampleVideoFrames(
       media: Dataset[MediaRow],
@@ -547,14 +551,21 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { m =>
-          BinaryCodecs.aviMeta(m.payload).toSeq.flatMap { case (_, _, n, _) =>
+          // frame COUNT from whichever container walk recognizes the
+          // payload (AVI avih, else the MP4 video track's stts), then
+          // ONE chunk-table walk for all k frames — per-index
+          // extraction would re-scan from byte 0 every time
+          val nOpt = BinaryCodecs.aviMeta(m.payload).map(_._3).orElse(
+            BinaryCodecs.mp4Meta(m.payload).flatMap(
+              _.tracks.find(_.handler == "vide").map(_.nSamples.toInt)))
+          nOpt.toSeq.flatMap { n =>
             val take = math.min(k, n)
             val idxs = (0 until take).map(i => (i.toLong * n / take).toInt)
-            // ONE movi walk for all k frames — per-index extraction
-            // would re-scan the chunk list from byte 0 every time
-            BinaryCodecs.aviFrames(m.payload, idxs).toSeq.flatten.map {
-              case (idx, f) => FrameRow(m.media_id, idx.toLong, f, f.length.toLong)
-            }
+            BinaryCodecs.aviFrames(m.payload, idxs)
+              .orElse(BinaryCodecs.mp4Samples(m.payload, idxs))
+              .toSeq.flatten.map {
+                case (idx, f) => FrameRow(m.media_id, idx.toLong, f, f.length.toLong)
+              }
           }
         }
       }
@@ -681,6 +692,50 @@ object Multimodal {
           mdat = text.getBytes("UTF-8"))
         MediaRow(id, "video", payload, "video/mp4", payload.length.toLong)
       }
+  }
+
+  /** [[syntheticFrameVideos]] in the ISO-BMFF container — the SAME
+    * 4-frame BMP layout (frame f = the doc `id + 2f` image for f < 3,
+    * frame 3 repeats frame 0) carried as real stsz/stsc/stco-indexed
+    * samples (3 samples in chunk 1, the fourth in chunk 2, so the
+    * extractor crosses a chunk boundary on every file), avih's fields
+    * mapped onto the video track (µs clock ⇒ `sampleDelta` IS
+    * usec-per-frame). A frame sampled from the MP4 corpus is
+    * byte-identical to the one sampled from the AVI corpus — the
+    * cross-container identity the q428 oracle (q375's, reused
+    * verbatim) pins.
+    */
+  def syntheticFrameMp4s(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val anchors = docs.select(col("doc_id"), col("text"))
+      .where(col("doc_id") % 10 === 0 && col("doc_id") + 6 <= maxId)
+    val sources = docs.select(col("doc_id").as("__src"), col("text").as("__stext"))
+    val joined = anchors.select(col("doc_id"))
+      .crossJoin(spark_range4(docs))
+      .withColumn("__src",
+        when(col("f") === 3, col("doc_id")).otherwise(col("doc_id") + col("f") * 2))
+      .join(sources, Seq("__src"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("f").as("_1"), col("__stext").as("_2")))).as("__fr"))
+      .as[(Long, Seq[(Long, String)])]
+    joined.map { case (id, frames) =>
+      val frameBytes = frames.map { case (f, text) =>
+        val src = if (f == 3) id else id + f * 2
+        val w = 8 + (src % 24).toInt
+        val h = 8 + (src % 16).toInt
+        BinaryCodecs.bmp(w, h, Option(text).getOrElse("").getBytes("UTF-8"))
+      }
+      val payload = BinaryCodecs.mp4WithSamples(
+        Seq(BinaryCodecs.Mp4Track(1L, "vide", "avc1",
+          8 + (id % 24).toInt, 8 + (id % 16).toInt,
+          1000000L, 33000L + (id % 5) * 1000L, 4L)),
+        movieTimescale = 1000000L, videoSamples = frameBytes,
+        samplesPerChunk = 3)
+      MediaRow(id, "video", payload, "video/mp4", payload.length.toLong)
+    }
   }
 
   /** The 4-row frame-index frame (f = 0..3) for [[syntheticFrameVideos]]. */

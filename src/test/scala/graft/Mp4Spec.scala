@@ -101,6 +101,51 @@ class Mp4Spec extends SparkSpec {
     assert(BinaryCodecs.mp4Meta(noMoov).isEmpty)
   }
 
+  test("mp4 sample tables: stsz/stsc/stco roundtrip, chunk boundaries, quarantines") {
+    val samples = (0 until 7).map(i => Array.fill[Byte](10 + i * 3)((0x40 + i).toByte))
+    val file = BinaryCodecs.mp4WithSamples(
+      Seq(Mp4Track(1L, "vide", "avc1", 32, 24, 1000000L, 40000L, 7L)),
+      movieTimescale = 1000000L, videoSamples = samples, samplesPerChunk = 3)
+    // the table-bearing file still reads as plain metadata
+    val info = BinaryCodecs.mp4Meta(file).get
+    assert(info.tracks.head.nSamples == 7L)
+    // every sample extracts byte-identical — 3+3+1 chunks, so indices
+    // 3 and 6 cross chunk boundaries
+    val got = BinaryCodecs.mp4Samples(file, 0 until 7).get
+    assert(got.map(_._1) == (0 until 7))
+    got.foreach { case (i, bytes) => assert(bytes.sameElements(samples(i))) }
+    // sparse requests walk the tables once and skip the rest
+    val sparse = BinaryCodecs.mp4Samples(file, Seq(6, 2)).get
+    assert(sparse.map(_._1) == Seq(2, 6))
+    // unknown indices are absent, not errors
+    assert(BinaryCodecs.mp4Samples(file, Seq(99)).get.isEmpty)
+    // a chunk offset past EOF quarantines (the span bounds check)
+    val stcoAt = file.indexOfSlice("stco".getBytes("US-ASCII"))
+    val bad = file.clone
+    bad(stcoAt + 12) = 0x7F.toByte // chunk 0 offset high byte
+    assert(BinaryCodecs.mp4Samples(bad, Seq(0)).isEmpty)
+    // a hostile stsz count overrunning its box quarantines
+    val szAt = file.indexOfSlice("stsz".getBytes("US-ASCII"))
+    val hostile = file.clone
+    hostile(szAt + 12) = 0x7F.toByte // sample_count high byte
+    assert(BinaryCodecs.mp4Samples(hostile, Seq(0)).isEmpty)
+    // a file without sample tables (the metadata-only writer) yields
+    // no samples rather than an error-shaped crash
+    assert(BinaryCodecs.mp4Samples(twoTrack, Seq(0)).isEmpty)
+  }
+
+  test("sampleVideoFrames routes MP4 next to AVI; frames byte-identical across containers") {
+    val docs = (0L until 20L).map(i => (i, s"pixels $i")).toDF("doc_id", "text")
+    val avi = Multimodal.sampleVideoFrames(Multimodal.syntheticFrameVideos(docs), k = 4)
+      .collect().map(f => (f.media_id, f.frame_idx) -> f.payload.toSeq).toMap
+    val mp4 = Multimodal.sampleVideoFrames(Multimodal.syntheticFrameMp4s(docs), k = 4)
+      .collect().map(f => (f.media_id, f.frame_idx) -> f.payload.toSeq).toMap
+    assert(avi.nonEmpty && avi.keySet == mp4.keySet)
+    // the cross-container identity: same doc, same frame, same bytes —
+    // sampler, chunk walk and sample-table walk all on the hook
+    avi.foreach { case (k, bytes) => assert(mp4(k) == bytes) }
+  }
+
   test("videoMeta routes AVI and MP4 side by side; soundless-video-less MP4 drops") {
     val avi = BinaryCodecs.avi(32, 16, 40000, Seq("f0".getBytes, "f1".getBytes))
     val audioOnly = BinaryCodecs.mp4(
