@@ -208,7 +208,10 @@ object ScaleSmoke {
     // record-id resolve join — the widest WARC chain in the suite).
     "q417_cdx_ingest", "q420_feed_discovery",
     "q424_random_access", "q425_mp4_tracks", "q426_revisit_emit",
-    "q427_mp3_meta", "q428_mp4_frame_sample")
+    "q427_mp3_meta", "q428_mp4_frame_sample",
+    // Media triage: nine encoder families built per row then sniffed,
+    // gunzip'd and header-parsed back - the widest pure-map codec fan.
+    "q429_media_triage")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))

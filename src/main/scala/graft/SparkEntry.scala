@@ -4999,6 +4999,16 @@ object SparkEntry {
         .toDF()
         .select(col("media_id"), col("frame_idx"), col("n_bytes"))),
 
+    // ---- corpus MEDIA TRIAGE: magic sniff → gunzip-and-resniff one
+    // level → header-grain parse, one row per payload ALWAYS (junk
+    // surfaces as parsed=false, never a dropped row) — over the
+    // nine-family mixed corpus (doc_id%9 picks the container, even
+    // docs gzip-wrap). Every family's metadata is an id formula, so
+    // the oracle is a routed CASE union. --------------------------------------
+    "q429_media_triage" -> ((s, dir) =>
+      Multimodal.mediaTriage(Multimodal.syntheticMixedMedia(t(s, dir, "documents")))
+        .toDF()),
+
     // ---- cross-crawl dedup on the WRITE side, full lifecycle: the
     // prior crawl's archives → digest index (metadata-sized) → a
     // recrawl whose captures changed on 5≡0 docs and grew /alt pages
@@ -11646,6 +11656,40 @@ object SparkEntry {
     // q428: the SAME derivation verbatim — the MP4 sampler must land on
     // byte-identical frames (the cross-container identity).
     "q428_mp4_frame_sample" -> FrameSampleOracleSql,
+    // q429: the nine-family routing replayed as a CASE union — each
+    // family's header fields from its own id formulas, the gzip wrap
+    // on even docs invisible to everything but the gzipped flag, and
+    // the raw-bytes family parsed=false with all fields null.
+    "q429_media_triage" ->
+      """WITH b AS (SELECT doc_id AS id, doc_id % 9 AS r FROM documents)
+        |SELECT id AS media_id,
+        | CASE r WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
+        |        WHEN 3 THEN 'jpeg' WHEN 4 THEN 'wav' WHEN 5 THEN 'avi'
+        |        WHEN 6 THEN 'mp4' WHEN 7 THEN 'mp3' ELSE 'unknown' END AS format,
+        | id % 2 = 0 AS gzipped,
+        | r <> 8 AS parsed,
+        | CAST(CASE r WHEN 0 THEN 8 + id % 24 WHEN 1 THEN 4 + id % 9
+        |        WHEN 2 THEN 6 + id % 5 WHEN 3 THEN 8 * (1 + id % 3)
+        |        WHEN 5 THEN 8 + id % 24 WHEN 6 THEN 16 + (id % 8) * 4
+        |        ELSE NULL END AS INT) AS width,
+        | CAST(CASE r WHEN 0 THEN 8 + id % 16 WHEN 1 THEN 3 + id % 7
+        |        WHEN 2 THEN 4 + id % 6 WHEN 3 THEN 8 * (1 + id % 2)
+        |        WHEN 5 THEN 8 + id % 16 WHEN 6 THEN 12 + (id % 5) * 4
+        |        ELSE NULL END AS INT) AS height,
+        | CAST(CASE r WHEN 5 THEN 2 WHEN 6 THEN 3 + id % 4
+        |        ELSE NULL END AS BIGINT) AS n_frames,
+        | CAST(CASE r WHEN 4 THEN 8000 + (id % 4) * 4000
+        |        WHEN 7 THEN CASE id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |                    ELSE 32000 END
+        |        ELSE NULL END AS INT) AS sample_rate,
+        | CAST(CASE r
+        |  WHEN 4 THEN ((100 + id % 50) * 1000000) // (8000 + (id % 4) * 4000)
+        |  WHEN 5 THEN 2 * (33000 + (id % 5) * 1000)
+        |  WHEN 6 THEN (3 + id % 4) * (20000 + (id % 3) * 5000)
+        |  WHEN 7 THEN ((20 + id % 9) * 1152 * 1000000) //
+        |    (CASE id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)
+        |  ELSE NULL END AS BIGINT) AS duration_us
+        |FROM b""".stripMargin,
     // q376: the q349 analytic dHash chain joined to the frame table on
     // the frame-source identity (frame f of video v = image of doc
     // v + 2f) — sampler, movi walk, and BMP decode all on the hook.

@@ -260,6 +260,51 @@ object BinaryCodecs {
   def aviFrame(payload: Array[Byte], idx: Int): Option[Array[Byte]] =
     aviFrames(payload, Seq(idx)).flatMap(_.headOption.map(_._2))
 
+  // ------------------------------------------------------- FORMAT SNIFF --
+
+  /** Magic-byte format identification — the FIRST pass of a corpus
+    * media-triage job: label the payload's container family so each
+    * row routes to the right parser (which then decides validity; the
+    * sniff itself never parses). Order matters: BMP's two-byte "BM" is
+    * the weakest magic and tests last; the MP3 frame-sync fallback
+    * (0xFFEx) is weak too and sits just above it. Returns "unknown"
+    * rather than guessing.
+    */
+  def sniffFormat(payload: Array[Byte]): String = {
+    if (payload == null || payload.length < 4) return "unknown"
+    def ascii(off: Int, n: Int): String =
+      if (payload.length >= off + n) new String(payload, off, n, "US-ASCII") else ""
+    if ((payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b) "gzip"
+    else if ((payload(0) & 0xff) == 0x89 && ascii(1, 3) == "PNG") "png"
+    else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8 &&
+      (payload(2) & 0xff) == 0xff) "jpeg"
+    else if (ascii(0, 6) == "GIF87a" || ascii(0, 6) == "GIF89a") "gif"
+    else if (ascii(0, 4) == "RIFF" && payload.length >= 12)
+      ascii(8, 4) match {
+        case "WAVE" => "wav"
+        case "AVI " => "avi"
+        case _ => "unknown"
+      }
+    else if (payload.length >= 12 && ascii(4, 4) == "ftyp") "mp4"
+    else if (ascii(0, 5) == "WARC/") "warc"
+    else if (ascii(0, 3) == "ID3") "mp3"
+    else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xe0) == 0xe0) "mp3"
+    else if (payload(0) == 'B' && payload(1) == 'M') "bmp"
+    else "unknown"
+  }
+
+  /** GIF logical-screen dimensions — header-grain (magic + LSD only,
+    * no LZW decode): the cheap triage read, [[gifDecode]]'s gate.
+    */
+  def gifDimensions(payload: Array[Byte]): Option[(Int, Int)] = {
+    if (payload == null || payload.length < 13) return None
+    val magic = new String(payload, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    val w = (payload(6) & 0xff) | ((payload(7) & 0xff) << 8)
+    val h = (payload(8) & 0xff) | ((payload(9) & 0xff) << 8)
+    if (w > 0 && h > 0) Some((w, h)) else None
+  }
+
   // ---------------------------------------------------------------- MP3 --
 
   /** One MP3 stream's header-walk result: MPEG version ("1"/"2"/"2.5"),

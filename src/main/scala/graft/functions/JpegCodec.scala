@@ -608,6 +608,37 @@ object JpegCodec {
   @inline private def extend(v: Int, t: Int): Int =
     if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
+  /** `(width, height)` from the first SOF marker — the header-grain
+    * triage read ([[decode]] without the entropy/IDCT cost): walk the
+    * marker stream (standalone markers skipped, segment lengths
+    * bounds-checked), stop at any SOFn frame header. None for
+    * non-JPEG, a malformed marker walk, or a scan starting before any
+    * SOF.
+    */
+  def dimensions(payload: Array[Byte]): Option[(Int, Int)] = {
+    if (payload == null || payload.length < 4 ||
+      (payload(0) & 0xff) != 0xff || (payload(1) & 0xff) != 0xd8) return None
+    var p = 2
+    while (p + 4 <= payload.length) {
+      if ((payload(p) & 0xff) != 0xff) return None
+      val m = payload(p + 1) & 0xff
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) p += 2
+      else {
+        val len = ((payload(p + 2) & 0xff) << 8) | (payload(p + 3) & 0xff)
+        if (len < 2 || p + 2 + len > payload.length) return None
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          if (len < 7) return None
+          val h = ((payload(p + 5) & 0xff) << 8) | (payload(p + 6) & 0xff)
+          val w = ((payload(p + 7) & 0xff) << 8) | (payload(p + 8) & 0xff)
+          return if (w > 0 && h > 0) Some((w, h)) else None
+        }
+        if (m == 0xda) return None // scan before any SOF: malformed
+        p += 2 + len
+      }
+    }
+    None
+  }
+
   /** Decode a baseline JPEG: `(width, height, channels, pixels)` with
     * channels 1 (gray bytes) or 3 (RGB bytes), row-major top-down.
     * Anything outside the scope contract — or any corruption (bad

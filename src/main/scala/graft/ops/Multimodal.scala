@@ -524,6 +524,131 @@ object Multimodal {
       }
   }
 
+  /** One triaged payload: its sniffed container family, whether it
+    * arrived gzip-wrapped, whether the family's parser accepted it,
+    * and the family's header-grain metadata (nulls where the modality
+    * has no such field).
+    */
+  final case class TriageRow(
+      media_id: Long, format: String, gzipped: Boolean, parsed: Boolean,
+      width: Option[Int], height: Option[Int], n_frames: Option[Long],
+      sample_rate: Option[Int], duration_us: Option[Long])
+
+  /** Corpus MEDIA TRIAGE — the first job over a crawl's binary
+    * payloads, before any expensive decode: sniff each payload's
+    * container family by magic
+    * ([[graft.functions.BinaryCodecs.sniffFormat]]), gunzip-and-resniff
+    * ONE level when it arrives gzip-wrapped (capped — the zip-bomb
+    * discipline), route to that family's HEADER-GRAIN parser (BMP/PNG/
+    * GIF/JPEG dims, WAV/MP3 clock+duration, AVI/MP4 dims+frames+
+    * duration), and emit one row per payload with `parsed = false` —
+    * never a dropped row — when the family's parser rejects it or the
+    * magic is unknown: triage EXISTS to count and route the junk, so
+    * quarantining-by-drop here would be self-defeating. Map-side,
+    * partition-batched, shuffle-free; at 100 TB this is the pass that
+    * decides what the decode fleet actually fetches.
+    */
+  def mediaTriage(
+      media: Dataset[MediaRow],
+      batchSize: Int = 64,
+      maxGunzipBytes: Int = 1 << 26): Dataset[TriageRow] = {
+    import media.sparkSession.implicits._
+    import graft.functions.{BinaryCodecs => C, JpegCodec}
+    def triage(id: Long, payload: Array[Byte], gzipped: Boolean): TriageRow = {
+      def none = TriageRow(id, C.sniffFormat(payload), gzipped, parsed = false,
+        None, None, None, None, None)
+      C.sniffFormat(payload) match {
+        case "gzip" if !gzipped =>
+          C.gunzip(payload, maxGunzipBytes)
+            .map(inner => triage(id, inner, gzipped = true))
+            .getOrElse(none)
+        case "bmp" => C.bmpDimensions(payload).map { case (w, h) =>
+          TriageRow(id, "bmp", gzipped, parsed = true, Some(w), Some(h),
+            None, None, None)
+        }.getOrElse(none)
+        case "png" => C.pngDimensions(payload).map { case (w, h) =>
+          TriageRow(id, "png", gzipped, parsed = true, Some(w), Some(h),
+            None, None, None)
+        }.getOrElse(none)
+        case "gif" => C.gifDimensions(payload).map { case (w, h) =>
+          TriageRow(id, "gif", gzipped, parsed = true, Some(w), Some(h),
+            None, None, None)
+        }.getOrElse(none)
+        case "jpeg" => JpegCodec.dimensions(payload).map { case (w, h) =>
+          TriageRow(id, "jpeg", gzipped, parsed = true, Some(w), Some(h),
+            None, None, None)
+        }.getOrElse(none)
+        case "wav" => C.wavMeta(payload).map { case (rate, frames) =>
+          TriageRow(id, "wav", gzipped, parsed = true, None, None, None,
+            Some(rate), Some(frames * 1000000L / rate))
+        }.getOrElse(none)
+        case "avi" => C.aviMeta(payload).map { case (w, h, n, uspf) =>
+          TriageRow(id, "avi", gzipped, parsed = true, Some(w), Some(h),
+            Some(n.toLong), None, Some(n.toLong * uspf))
+        }.getOrElse(none)
+        case "mp4" => C.mp4Meta(payload).map { info =>
+          val v = info.tracks.find(_.handler == "vide")
+          TriageRow(id, "mp4", gzipped, parsed = true,
+            v.map(_.width), v.map(_.height), v.map(_.nSamples), None,
+            Some(info.duration * 1000000L / info.timescale))
+        }.getOrElse(none)
+        case "mp3" => C.mp3Meta(payload).filter(_.nFrames > 0).map { a =>
+          TriageRow(id, "mp3", gzipped, parsed = true, None, None, None,
+            Some(a.sampleRate), Some(a.durationUs))
+        }.getOrElse(none)
+        case _ => none
+      }
+    }
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map(m => triage(m.media_id, m.payload, gzipped = false))
+      }
+    }
+  }
+
+  /** Mixed-container synthetic corpus for the triage composite — each
+    * document becomes ONE payload whose container family is
+    * `doc_id % 9` (bmp, png, gif, jpeg, wav, avi, mp4, mp3, raw-bytes
+    * unknown) with that family's id-formula parameters, and every even
+    * doc's payload additionally gzip-wraps — so the triage exercises
+    * every route, the re-sniff leg, and the parsed=false leg at every
+    * scale.
+    */
+  def syntheticMixedMedia(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.{BinaryCodecs => C, JpegCodec}
+    graft.io.Spread.toDefaultParallelism(
+      docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text")))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val inner = (id % 9) match {
+          case 0 => C.bmp(8 + (id % 24).toInt, 8 + (id % 16).toInt, bytes)
+          case 1 => C.png(4 + (id % 9).toInt, 3 + (id % 7).toInt, bytes)
+          case 2 =>
+            val w = 6 + (id % 5).toInt
+            val h = 4 + (id % 6).toInt
+            C.gif(w, h, Array.tabulate(4)(i => i * 0x111111),
+              Array.tabulate(w * h)(p => (p % 4).toByte))
+          case 3 => JpegCodec.encodeGray(8 * (1 + (id % 3).toInt),
+            8 * (1 + (id % 2).toInt), bytes)
+          case 4 => C.wav(8000 + (id % 4).toInt * 4000,
+            Array.tabulate(100 + (id % 50).toInt)(i => (i * 31 + id).toShort))
+          case 5 => C.avi(8 + (id % 24).toInt, 8 + (id % 16).toInt,
+            33000 + (id % 5).toInt * 1000, Seq(bytes, bytes))
+          case 6 => C.mp4(Seq(C.Mp4Track(1L, "vide", "avc1",
+            16 + (id % 8).toInt * 4, 12 + (id % 5).toInt * 4,
+            1000000L, 20000L + (id % 3) * 5000L, 3L + id % 4)), 1000000L)
+          case 7 => C.mp3("1", (id % 3).toInt,
+            Seq.fill(20 + (id % 9).toInt)(4 + (id % 4).toInt * 3))
+          case _ => ("?" + text).getBytes("UTF-8") // deterministic unknown
+        }
+        val payload = if (id % 2 == 0) C.gzip(inner) else inner
+        MediaRow(id, "mixed", payload, "application/octet-stream",
+          payload.length.toLong)
+      }
+  }
+
   final case class FrameRow(media_id: Long, frame_idx: Long, payload: Array[Byte],
       n_bytes: Long)
 

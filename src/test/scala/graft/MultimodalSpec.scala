@@ -479,4 +479,37 @@ class MultimodalSpec extends SparkSpec {
     // the planted duplicate: frame 3 always fingerprints like frame 0
     assert(got.collect { case ((id, 0L), d) => d == got((id, 3L)) }.forall(identity))
   }
+
+  test("mediaTriage: junk surfaces as parsed=false rows, never drops; gunzip one level only") {
+    import graft.functions.{BinaryCodecs => C}
+    val bmp = C.bmp(5, 3, "px".getBytes)
+    val corruptBmp = bmp.take(20) // valid magic, truncated header
+    val wav = C.wav(8000, Array.tabulate(80)(_.toShort))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "m", bmp, "x", bmp.length.toLong),
+      Multimodal.MediaRow(2L, "m", corruptBmp, "x", corruptBmp.length.toLong),
+      Multimodal.MediaRow(3L, "m", C.gzip(wav), "x", 1L),
+      Multimodal.MediaRow(4L, "m", C.gzip(C.gzip(wav)), "x", 1L), // double wrap
+      Multimodal.MediaRow(5L, "m", C.gzip("junk".getBytes).dropRight(2), "x", 1L),
+      Multimodal.MediaRow(6L, "m", "WARC/1.0\r\n".getBytes, "x", 1L),
+      Multimodal.MediaRow(7L, "m", Array[Byte](1, 2), "x", 2L))
+      .toDS()
+    val got = Multimodal.mediaTriage(rows).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(got.size == 7, "triage must emit one row per payload, junk included")
+    assert(got(1L).parsed && got(1L).format == "bmp" && got(1L).width.contains(5))
+    // valid magic + broken header: labeled, flagged, kept
+    assert(!got(2L).parsed && got(2L).format == "bmp")
+    // gzip wrap is transparent (one level), flagged
+    assert(got(3L).parsed && got(3L).format == "wav" && got(3L).gzipped &&
+      got(3L).sample_rate.contains(8000) && got(3L).duration_us.contains(10000L))
+    // double-gzip: inner sniff says gzip again, and the one-level rule
+    // stops there — parsed=false, format gzip, gzipped=true
+    assert(!got(4L).parsed && got(4L).format == "gzip" && got(4L).gzipped)
+    // corrupt gzip: the wrapper itself fails to inflate
+    assert(!got(5L).parsed && got(5L).format == "gzip" && !got(5L).gzipped)
+    // WARC files are labeled for the container pipeline, not parsed here
+    assert(!got(6L).parsed && got(6L).format == "warc")
+    assert(!got(7L).parsed && got(7L).format == "unknown")
+  }
 }
