@@ -211,7 +211,9 @@ object ScaleSmoke {
     "q427_mp3_meta", "q428_mp4_frame_sample",
     // Media triage: nine encoder families built per row then sniffed,
     // gunzip'd and header-parsed back - the widest pure-map codec fan.
-    "q429_media_triage")
+    "q429_media_triage",
+    // zstd wire coding: container build + HTTP split with the zstd legs.
+    "q430_zstd_coding")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))

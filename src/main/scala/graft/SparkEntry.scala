@@ -4999,6 +4999,54 @@ object SparkEntry {
         .toDF()
         .select(col("media_id"), col("frame_idx"), col("n_bytes"))),
 
+    // ---- zstd content-coding (RFC 8878, the coding Chrome now sends
+    // Accept-Encoding for — via the zstd-jni Spark itself ships, no
+    // new dependency): plain zstd, zstd under chunked framing, and a
+    // stacked gzip-then-zstd leg all decode through the same
+    // outermost-first chain as gzip/deflate, with an identity control
+    // row; every body comes back byte-equal to the document text. -----------
+    "q430_zstd_coding" -> ((s, dir) => {
+      import s.implicits._
+      val msgs = graft.io.Spread.toDefaultParallelism(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.functions.BinaryCodecs
+          val body = Option(text).getOrElse("").getBytes("UTF-8")
+          def chunked(b: Array[Byte]): Array[Byte] = {
+            val out = new java.io.ByteArrayOutputStream()
+            b.grouped(11).foreach { c =>
+              out.write((c.length.toHexString + "\r\n").getBytes("US-ASCII"))
+              out.write(c)
+              out.write("\r\n".getBytes("US-ASCII"))
+            }
+            out.write("0\r\n\r\n".getBytes("US-ASCII"))
+            out.toByteArray
+          }
+          val (codingHdrs, wire) = (id % 4) match {
+            case 0 => ("Content-Encoding: zstd\r\n", BinaryCodecs.zstd(body))
+            case 1 => ("Content-Encoding: zstd\r\nTransfer-Encoding: chunked\r\n",
+              chunked(BinaryCodecs.zstd(body)))
+            case 2 => ("Content-Encoding: gzip, zstd\r\n",
+              BinaryCodecs.zstd(BinaryCodecs.gzip(body)))
+            case _ => ("", body)
+          }
+          val head = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+            codingHdrs + "\r\n"
+          (id, head.getBytes("US-ASCII") ++ wire,
+            s"https://host${id % 20}.example.com/p/$id")
+        }.toDF("doc_id", "payload", "uri")
+      graft.ops.Warc.httpResponses(
+        graft.ops.Warc.parseWarc(graft.ops.Warc.syntheticWarcBytes(msgs)))
+        .toDF()
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("n_headers").cast("long").as("n_headers"),
+          col("content_encoding"),
+          col("body_decoded"),
+          col("body").cast("string").as("text_out"))
+    }),
+
     // ---- corpus MEDIA TRIAGE: magic sniff → gunzip-and-resniff one
     // level → header-grain parse, one row per payload ALWAYS (junk
     // surfaces as parsed=false, never a dropped row) — over the
@@ -11656,6 +11704,18 @@ object SparkEntry {
     // q428: the SAME derivation verbatim — the MP4 sampler must land on
     // byte-identical frames (the cross-container identity).
     "q428_mp4_frame_sample" -> FrameSampleOracleSql,
+    // q430: header counts and coding labels from the id routing; every
+    // leg decodes (zstd is now a supported coding), so text_out is the
+    // document text verbatim — the decode identity IS the check.
+    "q430_zstd_coding" ->
+      """SELECT doc_id,
+        | CAST(CASE doc_id % 4 WHEN 1 THEN 3 WHEN 3 THEN 1 ELSE 2 END
+        |   AS BIGINT) AS n_headers,
+        | CASE doc_id % 4 WHEN 0 THEN 'zstd' WHEN 1 THEN 'zstd'
+        |   WHEN 2 THEN 'gzip, zstd' END AS content_encoding,
+        | TRUE AS body_decoded,
+        | coalesce(text, '') AS text_out
+        |FROM documents""".stripMargin,
     // q429: the nine-family routing replayed as a CASE union — each
     // family's header fields from its own id formulas, the gzip wrap
     // on even docs invisible to everything but the gzipped flag, and

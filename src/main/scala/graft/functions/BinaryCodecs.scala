@@ -1942,10 +1942,13 @@ object BinaryCodecs {
     *  - `deflate` → zlib inflate, with the raw-DEFLATE fallback
     *    browsers apply (servers mislabel raw streams as deflate in the
     *    wild); corrupt under BOTH framings quarantines.
+    *  - `zstd` → decompressed (RFC 8878, [[zstdDecompress]]'s
+    *    zip-bomb cap — via the zstd-jni Spark itself ships); corrupt
+    *    data quarantines.
     *  - `identity` → no-op.
-    *  - anything else (`br`, `compress`, `zstd`, …) → UNSUPPORTED:
-    *    the body is left as-is from that layer out and `bodyDecoded`
-    *    flips false — flagged, never silently dropped.
+    *  - anything else (`br`, `compress`, …) → UNSUPPORTED: the body
+    *    is left as-is from that layer out and `bodyDecoded` flips
+    *    false — flagged, never silently dropped.
     *
     * Header names are matched case-insensitively; malformed messages
     * (no HTTP/ magic, non-numeric status, unterminated headers, a
@@ -2032,11 +2035,48 @@ object BinaryCodecs {
             case Some(b) => body = b
             case None => return None
           }
+        case "zstd" =>
+          zstdDecompress(body, maxBodyBytes) match {
+            case Some(b) => body = b
+            case None => return None // declared-zstd body that won't decode
+          }
         case _ => decoded = false // unsupported coding: flag, leave raw
       }
     }
     Some(HttpMessage(status, contentType, location, nHeaders, body,
       transferEncoding, contentEncoding, decoded))
+  }
+
+  /** zstd-compress (RFC 8878) — the encode twin of the `zstd` HTTP
+    * content-coding decode path, via the zstd-jni Spark itself ships
+    * (no new dependency; the same binding backs Spark's shuffle
+    * compression).
+    */
+  def zstd(data: Array[Byte]): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(data)
+
+  /** Decompress a zstd frame with the HARD output cap every corpus
+    * decoder needs (zstd's ratio ceiling is far higher than gzip's, so
+    * the zip-bomb guard matters MORE here); None at the cap, for
+    * non-zstd magic, or corrupt streams — the [[gunzip]] contract.
+    * Streamed so the cap binds before allocation, not after.
+    */
+  def zstdDecompress(data: Array[Byte], maxBytes: Int = 1 << 26): Option[Array[Byte]] = {
+    val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+      new java.io.ByteArrayInputStream(data))
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (out.size + n > maxBytes) return None
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      Some(out.toByteArray)
+    } catch {
+      case _: java.io.IOException => None
+    } finally in.close()
   }
 
   /** Undo HTTP/1.1 chunked transfer framing (RFC 9112 §7.1): hex size

@@ -190,6 +190,37 @@ class WarcSpec extends SparkSpec {
     assert(BinaryCodecs.contentTypeCharset(null).isEmpty)
   }
 
+  test("zstd content-coding: roundtrip, stacked and chunked legs, cap and corruption quarantine") {
+    val body = ("zstd body " * 40).getBytes("UTF-8")
+    // codec roundtrip + the zip-bomb cap
+    assert(BinaryCodecs.zstdDecompress(BinaryCodecs.zstd(body)).get.sameElements(body))
+    assert(BinaryCodecs.zstdDecompress(BinaryCodecs.zstd(new Array[Byte](4096)),
+      maxBytes = 1024).isEmpty)
+    assert(BinaryCodecs.zstdDecompress("not zstd".getBytes).isEmpty)
+    def msg(hdrs: String, wire: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n$hdrs\r\n")
+        .getBytes("US-ASCII") ++ wire
+    // plain zstd decodes through the chain
+    val plain = BinaryCodecs.parseHttpResponse(
+      msg("Content-Encoding: zstd\r\n", BinaryCodecs.zstd(body))).get
+    assert(plain.bodyDecoded && plain.body.sameElements(body))
+    // stacked gzip-then-zstd: outermost (zstd) undone first
+    val stacked = BinaryCodecs.parseHttpResponse(
+      msg("Content-Encoding: gzip, zstd\r\n",
+        BinaryCodecs.zstd(BinaryCodecs.gzip(body)))).get
+    assert(stacked.bodyDecoded && stacked.body.sameElements(body))
+    // declared-zstd garbage quarantines (same class as declared-gzip)
+    assert(BinaryCodecs.parseHttpResponse(
+      msg("Content-Encoding: zstd\r\n", "junk".getBytes)).isEmpty)
+    val truncated = BinaryCodecs.zstd(body).dropRight(3)
+    assert(BinaryCodecs.parseHttpResponse(
+      msg("Content-Encoding: zstd\r\n", truncated)).isEmpty)
+    // br stays FLAGGED, not decoded — zstd support must not widen that
+    val br = BinaryCodecs.parseHttpResponse(
+      msg("Content-Encoding: br\r\n", body)).get
+    assert(!br.bodyDecoded && br.body.sameElements(body))
+  }
+
   test("parseHttpResponse: wire codings undone — chunked, gzip, deflate, composed, flagged") {
     import java.nio.charset.StandardCharsets.US_ASCII
     val text = "hello chunked world, with enough bytes to span several chunks"
