@@ -213,7 +213,9 @@ object ScaleSmoke {
     // gunzip'd and header-parsed back - the widest pure-map codec fan.
     "q429_media_triage",
     // zstd wire coding: container build + HTTP split with the zstd legs.
-    "q430_zstd_coding")
+    "q430_zstd_coding",
+    // .warc.zst ingest: per-record zstd frame build + the frame walk.
+    "q431_warc_zst_ingest")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))

@@ -5047,6 +5047,19 @@ object SparkEntry {
           col("body").cast("string").as("text_out"))
     }),
 
+    // ---- `.warc.zst` ingest (the IIPC zstd WARC layout, one frame
+    // per record): the SAME documents through the zstd container must
+    // parse row-identical to the `.warc.gz` corpus — q431's oracle IS
+    // q384's, shared verbatim. Frame boundaries come from the zstd
+    // block-chain walk; dictionary-bearing archives quarantine rather
+    // than misread. -----------------------------------------------------------
+    "q431_warc_zst_ingest" -> ((s, dir) =>
+      graft.ops.Warc.parseWarc(graft.ops.Warc.syntheticWarcZst(t(s, dir, "documents")))
+        .toDF()
+        .select(col("media_id").as("file_id"), col("record_idx"),
+          col("warc_type"), col("target_uri"), col("n_bytes"),
+          col("payload").cast("string").as("text_out"))),
+
     // ---- corpus MEDIA TRIAGE: magic sniff → gunzip-and-resniff one
     // level → header-grain parse, one row per payload ALWAYS (junk
     // surfaces as parsed=false, never a dropped row) — over the
@@ -11901,24 +11914,10 @@ object SparkEntry {
     // per file (21-byte body), then the file's documents in doc-id order
     // with URI/type/length/text straight from the table (text is pure
     // ASCII, so strlen == octet_length — the q364 precedent).
-    "q384_warc_ingest" ->
-      """WITH resp AS (
-        | SELECT CAST(doc_id // 8 AS BIGINT) AS file_id,
-        |  CAST(row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)
-        |    AS BIGINT) AS record_idx,
-        |  'response' AS warc_type,
-        |  'https://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p/'
-        |    || CAST(doc_id AS VARCHAR) AS target_uri,
-        |  CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
-        |  coalesce(text, '') AS text_out
-        | FROM documents),
-        |info AS (
-        | SELECT DISTINCT CAST(doc_id // 8 AS BIGINT) AS file_id,
-        |  CAST(0 AS BIGINT) AS record_idx, 'warcinfo' AS warc_type,
-        |  CAST(NULL AS VARCHAR) AS target_uri, CAST(21 AS BIGINT) AS n_bytes,
-        |  'software: graft/0.1' || chr(13) || chr(10) AS text_out
-        | FROM documents)
-        |SELECT * FROM info UNION ALL SELECT * FROM resp""".stripMargin,
+    "q384_warc_ingest" -> WarcIngestOracleSql,
+    // q431: the SAME oracle verbatim - the zstd container layout must
+    // be invisible to parse-back (one frame per record, same rows).
+    "q431_warc_zst_ingest" -> WarcIngestOracleSql,
     // q385: the q359 replay chain over the same HTML fixture (q365's
     // oracle shape), admission and canonical URL derived straight from
     // the WARC Target-URI id formula — robots drops doc_id % 7 = 0, the
@@ -12863,6 +12862,30 @@ object SparkEntry {
       | CAST(h AS BIGINT) AS height, CAST(w * h AS BIGINT) AS n_pixels,
       | sv AS sum_b, sv AS sum_g, sv AS sum_r
       |FROM s""".stripMargin
+
+  /** The `.warc` ingest parse-back derivation (warcinfo lead member +
+    * per-file response rows from the id formulas) — shared VERBATIM by
+    * q384 (`.warc.gz`) and q431 (`.warc.zst`): the container compression
+    * layout must be invisible to parse-back.
+    */
+  private lazy val WarcIngestOracleSql: String =
+      """WITH resp AS (
+        | SELECT CAST(doc_id // 8 AS BIGINT) AS file_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id)
+        |    AS BIGINT) AS record_idx,
+        |  'response' AS warc_type,
+        |  'https://host' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p/'
+        |    || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
+        |  coalesce(text, '') AS text_out
+        | FROM documents),
+        |info AS (
+        | SELECT DISTINCT CAST(doc_id // 8 AS BIGINT) AS file_id,
+        |  CAST(0 AS BIGINT) AS record_idx, 'warcinfo' AS warc_type,
+        |  CAST(NULL AS VARCHAR) AS target_uri, CAST(21 AS BIGINT) AS n_bytes,
+        |  'software: graft/0.1' || chr(13) || chr(10) AS text_out
+        | FROM documents)
+        |SELECT * FROM info UNION ALL SELECT * FROM resp""".stripMargin
 
   /** The k=2 evenly-spaced frame-sample derivation (indices 0 and 2,
     * BMP byte sizes from the geometry formulas) — shared VERBATIM by

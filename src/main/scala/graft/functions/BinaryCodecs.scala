@@ -2129,6 +2129,40 @@ object BinaryCodecs {
     None // unreachable
   }
 
+  /** One zstd frame starting at `off`: its decompressed bytes (empty
+    * for a skippable frame — the decoder skips it) and the offset just
+    * past it — [[inflateMemberAt]]'s `.warc.zst` twin. Frame
+    * boundaries come from `Zstd.findFrameCompressedSize` (frames do
+    * not declare their compressed size in the header; the binding
+    * walks the block chain), the decode streams so the per-member cap
+    * binds before allocation, and anything corrupt — including a
+    * frame that needs an unavailable dictionary — is None.
+    */
+  private def zstdFrameAt(
+      payload: Array[Byte], off: Int, maxBytesPerMember: Int): Option[(Array[Byte], Int)] = {
+    import com.github.luben.zstd.Zstd
+    val csize =
+      try Zstd.findFrameCompressedSize(payload, off)
+      catch { case _: Exception => return None }
+    if (Zstd.isError(csize) || csize <= 0 || off + csize > payload.length)
+      return None
+    val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+      new java.io.ByteArrayInputStream(payload, off, csize.toInt))
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (out.size + n > maxBytesPerMember) return None
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      Some((out.toByteArray, off + csize.toInt))
+    } catch {
+      case _: java.io.IOException => None
+    } finally in.close()
+  }
+
   /** Inflate a DEFLATE stream — zlib-wrapped (`raw = false`) or bare
     * (`raw = true`) — with the standard output cap. None on corruption
     * or cap breach.
@@ -2260,6 +2294,24 @@ object BinaryCodecs {
     bos.toByteArray
   }
 
+  /** [[warcFile]] in the IIPC `.warc.zst` layout: one zstd FRAME per
+    * record, concatenated — the member-per-record discipline that keeps
+    * records individually seekable (a CDX span is the record's own
+    * frame, which standalone-decodes because a frame is
+    * self-contained). No shared-dictionary skippable frame is written —
+    * dictionary-compressed archives trade that seekability for ratio,
+    * and the parser quarantines them rather than misread (the frames
+    * fail to decode without the dict).
+    */
+  def warcFileZst(
+      records: Seq[(Seq[(String, String)], Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    records.foreach { case (h, p) =>
+      bos.write(com.github.luben.zstd.Zstd.compress(warcRecord(h, p)))
+    }
+    bos.toByteArray
+  }
+
   /** One parsed WARC record: type, target URI, the record's own
     * `WARC-Record-ID`, its `WARC-Refers-To` (the link revisit/
     * conversion/metadata records carry to their source record), header
@@ -2354,11 +2406,27 @@ object BinaryCodecs {
     if (payload == null || payload.length == 0) return None
     val out = Vector.newBuilder[WarcRec]
     var nRec = 0
-    if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b) {
-      // .warc.gz: inflate member-by-member, drain complete records from a
-      // compacting buffer (records may legally straddle member boundaries
-      // — the spec only requires the CONCATENATION to be a valid plain
-      // file — so the buffer holds whatever tail is still incomplete)
+    val isGz = payload.length >= 2 &&
+      (payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b
+    // zstd data-frame magic (RFC 8878) or a leading skippable frame
+    // (0x184D2A50–5F LE — where a dictionary-bearing .warc.zst puts its
+    // dict; those quarantine downstream when the frames fail to decode
+    // without it, never misread)
+    val isZst = payload.length >= 4 && (
+      ((payload(0) & 0xff) == 0x28 && (payload(1) & 0xff) == 0xb5 &&
+        (payload(2) & 0xff) == 0x2f && (payload(3) & 0xff) == 0xfd) ||
+      ((payload(0) & 0xf0) == 0x50 && (payload(1) & 0xff) == 0x2a &&
+        (payload(2) & 0xff) == 0x4d && (payload(3) & 0xff) == 0x18))
+    if (isGz || isZst) {
+      // .warc.gz / .warc.zst: decompress member-by-member (gzip member
+      // or zstd frame — one shared walk, the stepper is the only
+      // difference), drain complete records from a compacting buffer
+      // (records may legally straddle member boundaries — the spec only
+      // requires the CONCATENATION to be a valid plain file — so the
+      // buffer holds whatever tail is still incomplete)
+      val memberAt: (Array[Byte], Int) => Option[(Array[Byte], Int)] =
+        if (isGz) inflateMemberAt(_, _, maxBytesPerMember)
+        else zstdFrameAt(_, _, maxBytesPerMember)
       var buf = new Array[Byte](64 << 10)
       var bufLen = 0
       var off = 0
@@ -2375,7 +2443,7 @@ object BinaryCodecs {
       while (off < payload.length) {
         nMembers += 1
         if (nMembers > (1 << 20)) return None // member walk is its own bomb
-        inflateMemberAt(payload, off, maxBytesPerMember) match {
+        memberAt(payload, off) match {
           case None => return None
           case Some((member, next)) =>
             total += member.length

@@ -43,7 +43,8 @@ object Warc {
       refers_to: String,
       concurrent_to: String)
 
-  /** Explode WARC files (gzip'd or plain — detected per file) into their
+  /** Explode WARC files (gzip'd, zstd'd — the IIPC `.warc.zst` frame
+    * layout — or plain; detected per file by magic) into their
     * records in file order. A malformed file quarantines WHOLE (drops) —
     * record-level salvage after a length corruption would silently
     * misframe every later record, the worst possible corpus bug; pair
@@ -1048,7 +1049,8 @@ object Warc {
       extraHeaders: Seq[(String, String)],
       refersTo: Boolean = false,
       recordIdPrefix: String = "rec",
-      gzipPerRecord: Boolean = true): Dataset[MediaRow] = {
+      gzipPerRecord: Boolean = true,
+      zstPerRecord: Boolean = false): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
     import graft.functions.BinaryCodecs
     require(docsPerFile >= 1, s"docsPerFile must be >= 1: $docsPerFile")
@@ -1073,9 +1075,29 @@ object Warc {
             extraHeaders,
             Option(payload).getOrElse(Array.emptyByteArray))
         }
-        val bytes = BinaryCodecs.warcFile(info +: records, gzipPerRecord)
+        val bytes =
+          if (zstPerRecord) BinaryCodecs.warcFileZst(info +: records)
+          else BinaryCodecs.warcFile(info +: records, gzipPerRecord)
         MediaRow(fid, "warc", bytes, "application/warc", bytes.length.toLong)
       }
+  }
+
+  /** [[syntheticWarc]] in the IIPC `.warc.zst` layout — one zstd frame
+    * per record ([[graft.functions.BinaryCodecs.warcFileZst]]), the
+    * same documents, URIs and record ids, so parse-back must be
+    * row-identical to the `.warc.gz` corpus (q431 shares q384's
+    * oracle verbatim).
+    */
+  def syntheticWarcZst(docs: DataFrame, docsPerFile: Int = 8): Dataset[MediaRow] = {
+    val withUri =
+      if (docs.columns.contains("uri")) docs.select(col("doc_id"), col("text"), col("uri"))
+      else docs.select(col("doc_id"), col("text"),
+        concat(lit("https://host"), (col("doc_id") % 20).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string")).as("uri"))
+    buildWarcFiles(
+      withUri.select(col("doc_id"),
+        coalesce(col("text"), lit("")).cast("binary").as("payload"), col("uri")),
+      docsPerFile, "response", Nil, zstPerRecord = true)
   }
 
   /** The fixed warcinfo body [[syntheticWarc]] writes (21 bytes). */

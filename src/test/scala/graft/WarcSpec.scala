@@ -537,6 +537,56 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test(".warc.zst: frame-per-record parse, spans slice standalone, corruption and dictionary quarantine") {
+    val records = (0 until 9).map(i => rec("response", s"https://z/$i", s"<p>body $i</p>"))
+    val zst = BinaryCodecs.warcFileZst(records)
+    val plain = BinaryCodecs.warcFile(records, gzipPerRecord = false)
+    // parse-back identical to the plain layout
+    val got = BinaryCodecs.warcRecords(zst).get
+    val want = BinaryCodecs.warcRecords(plain).get
+    assert(got.map(_.targetUri) == want.map(_.targetUri))
+    assert(got.zip(want).forall { case (a, b) => a.payload.sameElements(b.payload) })
+    // spans are compressed-coordinate random-access pointers: each
+    // slice is a complete zstd frame and standalone-decodes ONE record
+    val spans = BinaryCodecs.warcRecordsWithSpans(zst).get
+    assert(spans.length == 9)
+    assert(spans.head.offset == 0 && spans.map(_.length).sum == zst.length)
+    spans.foreach { sp =>
+      val slice = zst.slice(sp.offset.toInt, (sp.offset + sp.length).toInt)
+      val one = BinaryCodecs.warcRecords(slice).get
+      assert(one.length == 1 && one.head.targetUri == sp.rec.targetUri)
+    }
+    // records straddling frame boundaries also parse (re-framed stream)
+    val restraddled = plain.grouped(41).map(
+      b => com.github.luben.zstd.Zstd.compress(b)).reduce(_ ++ _)
+    assert(BinaryCodecs.warcRecords(restraddled).get.length == 9)
+    // corruption quarantines whole: truncated frame, flipped byte
+    assert(BinaryCodecs.warcRecords(zst.dropRight(2)).isEmpty)
+    val bad = zst.clone; bad(zst.length / 2) = (bad(zst.length / 2) ^ 0x55).toByte
+    assert(BinaryCodecs.warcRecords(bad).isEmpty)
+    // a dictionary-bearing archive (skippable frame + dict-compressed
+    // frames) must quarantine, never misread: synthesize a skippable
+    // frame followed by garbage that claims to be a frame
+    val skippable = Array[Byte](0x50, 0x2a, 0x4d, 0x18, 4, 0, 0, 0, 1, 2, 3, 4)
+    assert(BinaryCodecs.warcRecords(skippable ++ Array[Byte](9, 9, 9, 9)).isEmpty)
+    // a skippable frame before valid frames is legal and skipped
+    assert(BinaryCodecs.warcRecords(skippable ++ zst).get.length == 9)
+    // the CDX stack works over zst unchanged: toCdxj offsets point at
+    // the record's own frame
+    val media = Seq(Multimodal.MediaRow(7L, "warc", zst, "application/warc",
+      zst.length.toLong)).toDS()
+    val lines = Warc.toCdxj(media,
+      filenameCol = concat(lit("c-"), col("media_id"), lit(".warc.zst")))
+      .collect()
+    assert(lines.length == 9)
+    lines.foreach { r =>
+      val off = r.getAs[Long]("offset").toInt
+      val len = r.getAs[Long]("length").toInt
+      val one = BinaryCodecs.warcRecords(zst.slice(off, off + len)).get
+      assert(one.length == 1 && one.head.targetUri == r.getAs[String]("url"))
+    }
+  }
+
   test("emitRevisits: unchanged captures become body-less revisits; resolveRevisits reconstructs them") {
     // page-sized bodies — the shrink assertion at the end is only true
     // when bodies outweigh the revisit record's extra headers
