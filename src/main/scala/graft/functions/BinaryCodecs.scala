@@ -412,7 +412,11 @@ object BinaryCodecs {
       val size = ((payload(6) & 0x7F) << 21) | ((payload(7) & 0x7F) << 14) |
         ((payload(8) & 0x7F) << 7) | (payload(9) & 0x7F)
       if ((payload(6) | payload(7) | payload(8) | payload(9)) < 0) return None
-      off = 10 + size
+      // the v2.4 footer flag (flags bit 4) adds a 10-byte footer that
+      // the synchsafe size EXCLUDES (ID3v2.4 §3.1) — without skipping
+      // it, every footered file would false-quarantine on the tiling
+      val footer = if ((payload(5) & 0x10) != 0) 10 else 0
+      off = 10 + size + footer
       if (off > end) return None
     }
     var version: String = null
@@ -796,8 +800,12 @@ object BinaryCodecs {
       if stsz._3 - stsz._2 >= 12
       uniform = u32(stsz._2 + 4)
       nSamples = u32(stsz._2 + 8)
+      // EVERY count must be bounded before it drives allocation: the
+      // per-sample leg by its own box, the uniform leg by the file
+      // itself (uniform·count bytes of samples cannot exceed it)
       if nSamples <= Int.MaxValue &&
-        (uniform != 0L || 12L + 4L * nSamples <= stsz._3 - stsz._2)
+        (if (uniform == 0L) 12L + 4L * nSamples <= stsz._3 - stsz._2
+         else uniform * nSamples <= payload.length)
       sizes = (0 until nSamples.toInt).map(i =>
         if (uniform != 0L) uniform else u32(stsz._2 + 12 + 4L * i))
       stsc <- bmffChild(payload, stbl, "stsc")
@@ -808,7 +816,10 @@ object BinaryCodecs {
         (u32(stsc._2 + 8 + 12L * i), u32(stsc._2 + 12 + 12L * i)))
       if runs.nonEmpty && runs.head._1 == 1L &&
         runs.sliding(2).forall(w => w.length < 2 || w(0)._1 < w(1)._1) &&
-        runs.forall(_._2 >= 1L)
+        // upper bound matters too: a u32 samples-per-chunk past
+        // Int.MaxValue would wrap negative in the expansion loop and
+        // silently skip every sample instead of quarantining
+        runs.forall(r => r._2 >= 1L && r._2 <= Int.MaxValue)
       co <- bmffChild(payload, stbl, "stco").map((_, false))
         .orElse(bmffChild(payload, stbl, "co64").map((_, true)))
       (coBox, wide) = co

@@ -666,13 +666,11 @@ object Warc {
               bytes, q.offset.toInt, (q.offset + q.length).toInt)
             BinaryCodecs.warcRecords(slice).toSeq.collect {
               case Vector(rec) =>
-                val body = BinaryCodecs.parseHttpResponse(rec.payload)
-                  .map(_.body).getOrElse(rec.payload)
-                val md = java.security.MessageDigest.getInstance("SHA-256")
-                val hex = md.digest(body).map(b => f"$b%02x").mkString
+                // the index's digest rule, re-applied verbatim
+                val body = digestBody(rec.payload)
                 FetchedRecord(q.url, q.surt_key, q.shard_id,
                   q.shard_n_lines, fname, q.offset, q.length, q.status,
-                  hex == q.digest, body.length.toLong,
+                  sha256Hex(body) == q.digest, body.length.toLong,
                   new String(body, "UTF-8"))
             }
           }
@@ -699,14 +697,21 @@ object Warc {
   /** The ONE payload-digest rule every CDX surface shares (index lines,
     * the digest index, the random-access re-verification): SHA-256 hex
     * of the DECODED HTTP body when the payload parses as an HTTP
-    * response, of the raw payload otherwise.
+    * response, of the raw payload otherwise — [[digestBody]] picks the
+    * bytes, [[sha256Hex]] digests them, and every consumer composes
+    * those two so the rule cannot fork.
     */
-  private[graft] def payloadDigest(payload: Array[Byte]): String = {
-    import graft.functions.BinaryCodecs
-    val body = BinaryCodecs.parseHttpResponse(payload)
+  private[graft] def payloadDigest(payload: Array[Byte]): String =
+    sha256Hex(digestBody(payload))
+
+  /** The bytes the CDX digest covers ([[payloadDigest]]'s body rule). */
+  private def digestBody(payload: Array[Byte]): Array[Byte] =
+    graft.functions.BinaryCodecs.parseHttpResponse(payload)
       .map(_.body).getOrElse(payload)
+
+  private def sha256Hex(bytes: Array[Byte]): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(body).map(b => f"$b%02x").mkString
+    md.digest(bytes).map(b => f"$b%02x").mkString
   }
 
   private def cdxWalk(payload: Array[Byte]): Seq[CdxWalkRec] = {
@@ -805,13 +810,40 @@ object Warc {
       rows: DataFrame,
       docsPerFile: Int = 8,
       recordIdPrefix: String = "rec",
-      gzipPerRecord: Boolean = true): Dataset[MediaRow] = {
+      gzipPerRecord: Boolean = true,
+      zstPerRecord: Boolean = false): Dataset[MediaRow] =
+    buildWarcFilesRows(
+      rows.select(col("doc_id"), col("payload"), col("uri"),
+        col("warc_type"), col("refers_to")),
+      docsPerFile, recordIdPrefix,
+      fid => s"<urn:graft:file:$recordIdPrefix:$fid>",
+      tp => if (tp == "revisit")
+        Seq("WARC-Profile" ->
+          "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest")
+      else Nil,
+      gzipPerRecord, zstPerRecord)
+
+  /** The ONE file assembler behind every WARC writer here
+    * ([[buildWarcFiles]]'s single-type wrappers and
+    * [[toWarcRecords]]'s mixed-type rows): group `docsPerFile` rows to
+    * a file in doc-id order, lead with the warcinfo member, write one
+    * (gzip member | zstd frame | plain) record per row. `warcinfoId`
+    * and `extraHeadersFor` carry the two callers' only differences —
+    * byte layouts are interchange surface, so the assembler itself
+    * cannot fork.
+    */
+  private def buildWarcFilesRows(
+      rows: DataFrame,
+      docsPerFile: Int,
+      recordIdPrefix: String,
+      warcinfoId: Long => String,
+      extraHeadersFor: String => Seq[(String, String)],
+      gzipPerRecord: Boolean,
+      zstPerRecord: Boolean): Dataset[MediaRow] = {
     import rows.sparkSession.implicits._
     import graft.functions.BinaryCodecs
     require(docsPerFile >= 1, s"docsPerFile must be >= 1: $docsPerFile")
-    graft.io.Spread.toDefaultParallelism(
-      rows.select(col("doc_id"), col("payload"), col("uri"),
-        col("warc_type"), col("refers_to")))
+    graft.io.Spread.toDefaultParallelism(rows)
       .groupBy(expr(s"doc_id div $docsPerFile").as("file_id"))
       .agg(sort_array(collect_list(struct(
         col("doc_id").as("_1"), col("payload").as("_2"), col("uri").as("_3"),
@@ -820,23 +852,22 @@ object Warc {
       .map { case (fid, recs) =>
         val info = (Seq(
           "WARC-Type" -> "warcinfo",
-          "WARC-Record-ID" -> s"<urn:graft:file:$recordIdPrefix:$fid>",
+          "WARC-Record-ID" -> warcinfoId(fid),
           "WARC-Date" -> "2024-01-01T00:00:00Z"),
           WarcInfoPayload.getBytes("UTF-8"))
         val records = recs.map { case (id, payload, uri, tp, refersTo) =>
           (Seq(
             "WARC-Type" -> tp,
             "WARC-Record-ID" -> s"<urn:graft:$recordIdPrefix:$id>",
-            "WARC-Date" -> "2024-01-01T00:00:00Z",
-            "WARC-Target-URI" -> uri) ++
+            "WARC-Date" -> "2024-01-01T00:00:00Z") ++
+            Option(uri).map("WARC-Target-URI" -> _) ++
             Option(refersTo).map("WARC-Refers-To" -> _) ++
-            (if (tp == "revisit")
-              Seq("WARC-Profile" ->
-                "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest")
-            else Nil),
+            extraHeadersFor(tp),
             Option(payload).getOrElse(Array.emptyByteArray))
         }
-        val bytes = BinaryCodecs.warcFile(info +: records, gzipPerRecord)
+        val bytes =
+          if (zstPerRecord) BinaryCodecs.warcFileZst(info +: records)
+          else BinaryCodecs.warcFile(info +: records, gzipPerRecord)
         MediaRow(fid, "warc", bytes, "application/warc", bytes.length.toLong)
       }
   }
@@ -905,16 +936,23 @@ object Warc {
     * record is its own gzip member — the standard layout, so the parse
     * side exercises the real member walk on every file.
     */
-  def syntheticWarc(docs: DataFrame, docsPerFile: Int = 8): Dataset[MediaRow] = {
+  def syntheticWarc(docs: DataFrame, docsPerFile: Int = 8): Dataset[MediaRow] =
+    syntheticWarcBytes(docsWithDefaultUri(docs), docsPerFile)
+
+  /** The shared `(doc_id, payload, uri)` projection behind
+    * [[syntheticWarc]] and [[syntheticWarcZst]]: text as UTF-8 body
+    * bytes, URIs from the caller's `uri` column or the default
+    * host/path id formula — one definition, so the `.gz` and `.zst`
+    * corpora (and q384/q431's shared oracle) cannot drift.
+    */
+  private def docsWithDefaultUri(docs: DataFrame): DataFrame = {
     val withUri =
       if (docs.columns.contains("uri")) docs.select(col("doc_id"), col("text"), col("uri"))
       else docs.select(col("doc_id"), col("text"),
         concat(lit("https://host"), (col("doc_id") % 20).cast("string"),
           lit(".example.com/p/"), col("doc_id").cast("string")).as("uri"))
-    syntheticWarcBytes(
-      withUri.select(col("doc_id"),
-        coalesce(col("text"), lit("")).cast("binary").as("payload"), col("uri")),
-      docsPerFile)
+    withUri.select(col("doc_id"),
+      coalesce(col("text"), lit("")).cast("binary").as("payload"), col("uri"))
   }
 
   /** [[syntheticWarc]]'s general form: record payloads are an arbitrary
@@ -1050,37 +1088,17 @@ object Warc {
       refersTo: Boolean = false,
       recordIdPrefix: String = "rec",
       gzipPerRecord: Boolean = true,
-      zstPerRecord: Boolean = false): Dataset[MediaRow] = {
-    import docs.sparkSession.implicits._
-    import graft.functions.BinaryCodecs
-    require(docsPerFile >= 1, s"docsPerFile must be >= 1: $docsPerFile")
-    graft.io.Spread.toDefaultParallelism(docs)
-      .groupBy(expr(s"doc_id div $docsPerFile").as("file_id"))
-      .agg(sort_array(collect_list(struct(
-        col("doc_id").as("_1"), col("payload").as("_2"), col("uri").as("_3")))).as("recs"))
-      .as[(Long, Seq[(Long, Array[Byte], String)])]
-      .map { case (fid, recs) =>
-        val info = (Seq(
-          "WARC-Type" -> "warcinfo",
-          "WARC-Record-ID" -> s"<urn:graft:file:$fid>",
-          "WARC-Date" -> "2024-01-01T00:00:00Z"),
-          WarcInfoPayload.getBytes("UTF-8"))
-        val records = recs.map { case (id, payload, uri) =>
-          (Seq(
-            "WARC-Type" -> warcType,
-            "WARC-Record-ID" -> s"<urn:graft:$recordIdPrefix:$id>",
-            "WARC-Date" -> "2024-01-01T00:00:00Z",
-            "WARC-Target-URI" -> uri) ++
-            (if (refersTo) Seq("WARC-Refers-To" -> s"<urn:graft:rec:$id>") else Nil) ++
-            extraHeaders,
-            Option(payload).getOrElse(Array.emptyByteArray))
-        }
-        val bytes =
-          if (zstPerRecord) BinaryCodecs.warcFileZst(info +: records)
-          else BinaryCodecs.warcFile(info +: records, gzipPerRecord)
-        MediaRow(fid, "warc", bytes, "application/warc", bytes.length.toLong)
-      }
-  }
+      zstPerRecord: Boolean = false): Dataset[MediaRow] =
+    buildWarcFilesRows(
+      docs.select(col("doc_id"), col("payload"), col("uri"),
+        lit(warcType).as("warc_type"),
+        (if (refersTo)
+          concat(lit("<urn:graft:rec:"), col("doc_id").cast("string"), lit(">"))
+        else lit(null).cast("string")).as("refers_to")),
+      docsPerFile, recordIdPrefix,
+      fid => s"<urn:graft:file:$fid>",
+      _ => extraHeaders,
+      gzipPerRecord, zstPerRecord)
 
   /** [[syntheticWarc]] in the IIPC `.warc.zst` layout — one zstd frame
     * per record ([[graft.functions.BinaryCodecs.warcFileZst]]), the
@@ -1088,17 +1106,9 @@ object Warc {
     * row-identical to the `.warc.gz` corpus (q431 shares q384's
     * oracle verbatim).
     */
-  def syntheticWarcZst(docs: DataFrame, docsPerFile: Int = 8): Dataset[MediaRow] = {
-    val withUri =
-      if (docs.columns.contains("uri")) docs.select(col("doc_id"), col("text"), col("uri"))
-      else docs.select(col("doc_id"), col("text"),
-        concat(lit("https://host"), (col("doc_id") % 20).cast("string"),
-          lit(".example.com/p/"), col("doc_id").cast("string")).as("uri"))
-    buildWarcFiles(
-      withUri.select(col("doc_id"),
-        coalesce(col("text"), lit("")).cast("binary").as("payload"), col("uri")),
-      docsPerFile, "response", Nil, zstPerRecord = true)
-  }
+  def syntheticWarcZst(docs: DataFrame, docsPerFile: Int = 8): Dataset[MediaRow] =
+    buildWarcFiles(docsWithDefaultUri(docs), docsPerFile, "response", Nil,
+      zstPerRecord = true)
 
   /** The fixed warcinfo body [[syntheticWarc]] writes (21 bytes). */
   val WarcInfoPayload: String = "software: graft/0.1\r\n"

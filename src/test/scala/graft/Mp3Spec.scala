@@ -39,6 +39,14 @@ class Mp3Spec extends SparkSpec {
     assert(tagged(8) == 2 && tagged(9) == 0x2C)
     // an ID3v2 size running past EOF quarantines
     assert(BinaryCodecs.mp3Meta(tagged.take(200)).isEmpty)
+    // the ID3v2.4 FOOTER flag adds 10 bytes the synchsafe size
+    // excludes - a footered file must not false-quarantine
+    val frames = BinaryCodecs.mp3("1", 0, Seq.fill(3)(9))
+    val hdr = "ID3".getBytes ++ Array[Byte](4, 0, 0x10.toByte, 0, 0, 0, 20)
+    val footered = hdr ++ new Array[Byte](20) ++
+      ("3DI".getBytes ++ Array[Byte](4, 0, 0x10.toByte, 0, 0, 0, 20)) ++ frames
+    val fm = BinaryCodecs.mp3Meta(footered).get
+    assert(fm.nFrames == 3 && fm.sampleRate == 44100)
   }
 
   test("mp3Meta: quarantine contract — sync, codes, tiling, mid-stream change") {

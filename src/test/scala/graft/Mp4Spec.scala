@@ -132,6 +132,23 @@ class Mp4Spec extends SparkSpec {
     // a file without sample tables (the metadata-only writer) yields
     // no samples rather than an error-shaped crash
     assert(BinaryCodecs.mp4Samples(twoTrack, Seq(0)).isEmpty)
+    // a hostile UNIFORM-size stsz (sample_size != 0) with a huge count
+    // must quarantine, not allocate: uniform*count is bounded by the
+    // file itself
+    val szBody = szAt + 4 // stsz body start (ver/flags at +4)
+    val hostileUniform = file.clone
+    hostileUniform(szBody + 4) = 0 // sample_size -> 1
+    hostileUniform(szBody + 5) = 0
+    hostileUniform(szBody + 6) = 0
+    hostileUniform(szBody + 7) = 1
+    hostileUniform(szBody + 8) = 0x7F.toByte // sample_count -> huge
+    assert(BinaryCodecs.mp4Samples(hostileUniform, Seq(0)).isEmpty)
+    // a u32 stsc samples-per-chunk past Int.MaxValue must quarantine,
+    // not wrap negative and silently skip every sample
+    val scAt = file.indexOfSlice("stsc".getBytes("US-ASCII"))
+    val wrap = file.clone
+    wrap(scAt + 16) = 0x80.toByte // first run's samples_per_chunk high byte
+    assert(BinaryCodecs.mp4Samples(wrap, Seq(0)).isEmpty)
   }
 
   test("sampleVideoFrames routes MP4 next to AVI; frames byte-identical across containers") {
