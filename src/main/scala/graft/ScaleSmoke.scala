@@ -215,7 +215,9 @@ object ScaleSmoke {
     // zstd wire coding: container build + HTTP split with the zstd legs.
     "q430_zstd_coding",
     // .warc.zst ingest: per-record zstd frame build + the frame walk.
-    "q431_warc_zst_ingest")
+    "q431_warc_zst_ingest",
+    // Archive triage: container + HTTP split + the nine-family sniff/parse.
+    "q432_archive_media_triage")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))

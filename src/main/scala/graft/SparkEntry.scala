@@ -5060,6 +5060,47 @@ object SparkEntry {
           col("warc_type"), col("target_uri"), col("n_bytes"),
           col("payload").cast("string").as("text_out"))),
 
+    // ---- crawl-ARCHIVE media triage, the flagship of the round's
+    // multimodal surface: mixed-family payloads arrive as archived
+    // HTTP responses (gzip content-coding on even docs, a planted
+    // Content-Type mislabel on 10≡9 docs), the wire codings come off
+    // in httpResponses, each body runs the same sniff-and-parse rules
+    // as q429, and type_matches compares the DECLARED type's promised
+    // family with the sniffed one — the integrity signal a decode
+    // fleet filters on before paying for a decode the label lied
+    // about. ------------------------------------------------------------------
+    "q432_archive_media_triage" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.BinaryCodecs
+      val msgs = graft.io.Spread.toDefaultParallelism(
+        t(s, dir, "documents").select(col("doc_id"),
+          coalesce(col("text"), lit("")).as("text")))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val inner = Multimodal.mixedMediaPayload(id, text)
+          val declared =
+            if (id % 10 == 9) "image/png" else Multimodal.mixedMediaMime(id)
+          val (ceHdr, wire) =
+            if (id % 2 == 0) ("Content-Encoding: gzip\r\n", BinaryCodecs.gzip(inner))
+            else ("", inner)
+          val head = s"HTTP/1.1 200 OK\r\nContent-Type: $declared\r\n" +
+            ceHdr + "\r\n"
+          (id, head.getBytes("US-ASCII") ++ wire,
+            s"https://host${id % 20}.example.com/m/$id")
+        }.toDF("doc_id", "payload", "uri")
+      Multimodal.archiveMediaTriage(
+        graft.ops.Warc.httpResponses(
+          graft.ops.Warc.parseWarc(graft.ops.Warc.syntheticWarcBytes(msgs))))
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("content_type"), col("format"),
+          // string-typed: a NULLABLE boolean round-trips asymmetrically
+          // through the comparison harness (NaN vs None)
+          col("type_matches").cast("string").as("type_matches"),
+          col("parsed"), col("width"), col("height"), col("n_frames"),
+          col("sample_rate"), col("duration_us"))
+    }),
+
     // ---- corpus MEDIA TRIAGE: magic sniff → gunzip-and-resniff one
     // level → header-grain parse, one row per payload ALWAYS (junk
     // surfaces as parsed=false, never a dropped row) — over the
@@ -11733,36 +11774,30 @@ object SparkEntry {
     // family's header fields from its own id formulas, the gzip wrap
     // on even docs invisible to everything but the gzipped flag, and
     // the raw-bytes family parsed=false with all fields null.
-    "q429_media_triage" ->
-      """WITH b AS (SELECT doc_id AS id, doc_id % 9 AS r FROM documents)
-        |SELECT id AS media_id,
-        | CASE r WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
-        |        WHEN 3 THEN 'jpeg' WHEN 4 THEN 'wav' WHEN 5 THEN 'avi'
-        |        WHEN 6 THEN 'mp4' WHEN 7 THEN 'mp3' ELSE 'unknown' END AS format,
-        | id % 2 = 0 AS gzipped,
-        | r <> 8 AS parsed,
-        | CAST(CASE r WHEN 0 THEN 8 + id % 24 WHEN 1 THEN 4 + id % 9
-        |        WHEN 2 THEN 6 + id % 5 WHEN 3 THEN 8 * (1 + id % 3)
-        |        WHEN 5 THEN 8 + id % 24 WHEN 6 THEN 16 + (id % 8) * 4
-        |        ELSE NULL END AS INT) AS width,
-        | CAST(CASE r WHEN 0 THEN 8 + id % 16 WHEN 1 THEN 3 + id % 7
-        |        WHEN 2 THEN 4 + id % 6 WHEN 3 THEN 8 * (1 + id % 2)
-        |        WHEN 5 THEN 8 + id % 16 WHEN 6 THEN 12 + (id % 5) * 4
-        |        ELSE NULL END AS INT) AS height,
-        | CAST(CASE r WHEN 5 THEN 2 WHEN 6 THEN 3 + id % 4
-        |        ELSE NULL END AS BIGINT) AS n_frames,
-        | CAST(CASE r WHEN 4 THEN 8000 + (id % 4) * 4000
-        |        WHEN 7 THEN CASE id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
-        |                    ELSE 32000 END
-        |        ELSE NULL END AS INT) AS sample_rate,
-        | CAST(CASE r
-        |  WHEN 4 THEN ((100 + id % 50) * 1000000) // (8000 + (id % 4) * 4000)
-        |  WHEN 5 THEN 2 * (33000 + (id % 5) * 1000)
-        |  WHEN 6 THEN (3 + id % 4) * (20000 + (id % 3) * 5000)
-        |  WHEN 7 THEN ((20 + id % 9) * 1152 * 1000000) //
-        |    (CASE id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)
-        |  ELSE NULL END AS BIGINT) AS duration_us
-        |FROM b""".stripMargin,
+    "q429_media_triage" -> (MixedMediaCte +
+      """SELECT id AS media_id, format, id % 2 = 0 AS gzipped, parsed,
+        | width, height, n_frames, sample_rate, duration_us
+        |FROM m""".stripMargin),
+    // q432: the same family metadata through the archive lens — the
+    // declared Content-Type from the id routing (mislabeled to
+    // image/png on 10≡9 docs), type_matches true on honest sniffable
+    // rows, false on mislabels (unless the lie is accidentally true:
+    // a 10≡9 doc whose family really is png), null where the declared
+    // type has no sniffable family.
+    "q432_archive_media_triage" -> (MixedMediaCte +
+      """SELECT id AS doc_id,
+        | CASE WHEN id % 10 = 9 THEN 'image/png' ELSE
+        |   CASE r WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'image/png'
+        |          WHEN 2 THEN 'image/gif' WHEN 3 THEN 'image/jpeg'
+        |          WHEN 4 THEN 'audio/wav' WHEN 5 THEN 'video/x-msvideo'
+        |          WHEN 6 THEN 'video/mp4' WHEN 7 THEN 'audio/mpeg'
+        |          ELSE 'application/octet-stream' END
+        | END AS content_type,
+        | format,
+        | CAST(CASE WHEN id % 10 = 9 THEN format = 'png'
+        |      WHEN r = 8 THEN NULL ELSE TRUE END AS VARCHAR) AS type_matches,
+        | parsed, width, height, n_frames, sample_rate, duration_us
+        |FROM m""".stripMargin),
     // q376: the q349 analytic dHash chain joined to the frame table on
     // the frame-source identity (frame f of video v = image of doc
     // v + 2f) — sampler, movi walk, and BMP decode all on the hook.
@@ -12862,6 +12897,45 @@ object SparkEntry {
       | CAST(h AS BIGINT) AS height, CAST(w * h AS BIGINT) AS n_pixels,
       | sv AS sum_b, sv AS sum_g, sv AS sum_r
       |FROM s""".stripMargin
+
+  /** The nine-family mixed-media metadata derivation — family label
+    * and per-family header fields from the id formulas, ending in CTE
+    * `m(id, r, format, parsed, width, height, n_frames, sample_rate,
+    * duration_us)` — shared by q429 (standalone payloads) and q432
+    * (the same payloads as archived HTTP bodies), so the two lenses
+    * cannot drift.
+    */
+  private lazy val MixedMediaCte: String =
+    """WITH b AS (SELECT doc_id AS id, doc_id % 9 AS r FROM documents),
+      |m AS (
+      | SELECT id, r,
+      |  CASE r WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
+      |         WHEN 3 THEN 'jpeg' WHEN 4 THEN 'wav' WHEN 5 THEN 'avi'
+      |         WHEN 6 THEN 'mp4' WHEN 7 THEN 'mp3' ELSE 'unknown' END AS format,
+      |  r <> 8 AS parsed,
+      |  CAST(CASE r WHEN 0 THEN 8 + id % 24 WHEN 1 THEN 4 + id % 9
+      |         WHEN 2 THEN 6 + id % 5 WHEN 3 THEN 8 * (1 + id % 3)
+      |         WHEN 5 THEN 8 + id % 24 WHEN 6 THEN 16 + (id % 8) * 4
+      |         ELSE NULL END AS INT) AS width,
+      |  CAST(CASE r WHEN 0 THEN 8 + id % 16 WHEN 1 THEN 3 + id % 7
+      |         WHEN 2 THEN 4 + id % 6 WHEN 3 THEN 8 * (1 + id % 2)
+      |         WHEN 5 THEN 8 + id % 16 WHEN 6 THEN 12 + (id % 5) * 4
+      |         ELSE NULL END AS INT) AS height,
+      |  CAST(CASE r WHEN 5 THEN 2 WHEN 6 THEN 3 + id % 4
+      |         ELSE NULL END AS BIGINT) AS n_frames,
+      |  CAST(CASE r WHEN 4 THEN 8000 + (id % 4) * 4000
+      |         WHEN 7 THEN CASE id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+      |                     ELSE 32000 END
+      |         ELSE NULL END AS INT) AS sample_rate,
+      |  CAST(CASE r
+      |   WHEN 4 THEN ((100 + id % 50) * 1000000) // (8000 + (id % 4) * 4000)
+      |   WHEN 5 THEN 2 * (33000 + (id % 5) * 1000)
+      |   WHEN 6 THEN (3 + id % 4) * (20000 + (id % 3) * 5000)
+      |   WHEN 7 THEN ((20 + id % 9) * 1152 * 1000000) //
+      |     (CASE id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)
+      |   ELSE NULL END AS BIGINT) AS duration_us
+      | FROM b)
+      |""".stripMargin
 
   /** The `.warc` ingest parse-back derivation (warcinfo lead member +
     * per-file response rows from the id formulas) — shared VERBATIM by

@@ -553,6 +553,21 @@ object Multimodal {
       batchSize: Int = 64,
       maxGunzipBytes: Int = 1 << 26): Dataset[TriageRow] = {
     import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map(m =>
+          triageOne(m.media_id, m.payload, gzipped0 = false, maxGunzipBytes))
+      }
+    }
+  }
+
+  /** One payload through the triage rules — the shared core of
+    * [[mediaTriage]] (standalone payload rows) and
+    * [[archiveMediaTriage]] (crawl-archive response bodies).
+    */
+  private def triageOne(
+      id: Long, payload0: Array[Byte], gzipped0: Boolean,
+      maxGunzipBytes: Int): TriageRow = {
     import graft.functions.{BinaryCodecs => C, JpegCodec}
     def triage(id: Long, payload: Array[Byte], gzipped: Boolean): TriageRow = {
       def none = TriageRow(id, C.sniffFormat(payload), gzipped, parsed = false,
@@ -599,11 +614,41 @@ object Multimodal {
         case _ => none
       }
     }
-    media.mapPartitions { rows =>
+    triage(id, payload0, gzipped0)
+  }
+
+  /** Media triage over a CRAWL ARCHIVE's response records — the
+    * "what's actually in my crawl" job: each archived HTTP body (wire
+    * codings already undone by [[graft.ops.Warc.httpResponses]]) runs
+    * the same [[mediaTriage]] rules, keyed by its record identity, and
+    * gains `type_matches`: the declared `Content-Type` mapped to its
+    * promised family ([[mimeFormat]]) compared with the SNIFFED
+    * format — null (no verdict) when the declared type is outside the
+    * sniffable set, false on the mislabels every real archive carries
+    * (the integrity signal a decode fleet filters on before paying for
+    * a decode the label lied about). Map-side, partition-batched,
+    * shuffle-free.
+    */
+  def archiveMediaTriage(
+      responses: Dataset[graft.ops.Warc.HttpRecordRow],
+      batchSize: Int = 64,
+      maxGunzipBytes: Int = 1 << 26): DataFrame = {
+    import responses.sparkSession.implicits._
+    responses.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map(m => triage(m.media_id, m.payload, gzipped = false))
+        batch.iterator.map { h =>
+          val t = triageOne(h.media_id, h.body, gzipped0 = false, maxGunzipBytes)
+          (h.media_id, h.record_idx, h.target_uri, h.content_type,
+            t.format, t.parsed, t.width, t.height, t.n_frames,
+            t.sample_rate, t.duration_us)
+        }
       }
-    }
+    }.toDF("media_id", "record_idx", "target_uri", "content_type",
+      "format", "parsed", "width", "height", "n_frames",
+      "sample_rate", "duration_us")
+      .withColumn("type_matches",
+        when(mimeFormat(col("content_type")).isNotNull,
+          mimeFormat(col("content_type")) === col("format")))
   }
 
   /** Mixed-container synthetic corpus for the triage composite — each
@@ -616,37 +661,78 @@ object Multimodal {
     */
   def syntheticMixedMedia(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    import graft.functions.{BinaryCodecs => C, JpegCodec}
+    import graft.functions.{BinaryCodecs => C}
     graft.io.Spread.toDefaultParallelism(
       docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("text")))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val bytes = text.getBytes("UTF-8")
-        val inner = (id % 9) match {
-          case 0 => C.bmp(8 + (id % 24).toInt, 8 + (id % 16).toInt, bytes)
-          case 1 => C.png(4 + (id % 9).toInt, 3 + (id % 7).toInt, bytes)
-          case 2 =>
-            val w = 6 + (id % 5).toInt
-            val h = 4 + (id % 6).toInt
-            C.gif(w, h, Array.tabulate(4)(i => i * 0x111111),
-              Array.tabulate(w * h)(p => (p % 4).toByte))
-          case 3 => JpegCodec.encodeGray(8 * (1 + (id % 3).toInt),
-            8 * (1 + (id % 2).toInt), bytes)
-          case 4 => C.wav(8000 + (id % 4).toInt * 4000,
-            Array.tabulate(100 + (id % 50).toInt)(i => (i * 31 + id).toShort))
-          case 5 => C.avi(8 + (id % 24).toInt, 8 + (id % 16).toInt,
-            33000 + (id % 5).toInt * 1000, Seq(bytes, bytes))
-          case 6 => C.mp4(Seq(C.Mp4Track(1L, "vide", "avc1",
-            16 + (id % 8).toInt * 4, 12 + (id % 5).toInt * 4,
-            1000000L, 20000L + (id % 3) * 5000L, 3L + id % 4)), 1000000L)
-          case 7 => C.mp3("1", (id % 3).toInt,
-            Seq.fill(20 + (id % 9).toInt)(4 + (id % 4).toInt * 3))
-          case _ => ("?" + text).getBytes("UTF-8") // deterministic unknown
-        }
+        val inner = mixedMediaPayload(id, text)
         val payload = if (id % 2 == 0) C.gzip(inner) else inner
         MediaRow(id, "mixed", payload, "application/octet-stream",
           payload.length.toLong)
       }
+  }
+
+  /** The nine-family payload formula behind [[syntheticMixedMedia]]
+    * (and the q432 crawl-archive fixture): `doc_id % 9` picks the
+    * container, every parameter an id formula — one definition, so
+    * the standalone and HTTP-embedded fixtures cannot drift.
+    */
+  private[graft] def mixedMediaPayload(id: Long, text: String): Array[Byte] = {
+    import graft.functions.{BinaryCodecs => C, JpegCodec}
+    val bytes = text.getBytes("UTF-8")
+    (id % 9) match {
+      case 0 => C.bmp(8 + (id % 24).toInt, 8 + (id % 16).toInt, bytes)
+      case 1 => C.png(4 + (id % 9).toInt, 3 + (id % 7).toInt, bytes)
+      case 2 =>
+        val w = 6 + (id % 5).toInt
+        val h = 4 + (id % 6).toInt
+        C.gif(w, h, Array.tabulate(4)(i => i * 0x111111),
+          Array.tabulate(w * h)(p => (p % 4).toByte))
+      case 3 => JpegCodec.encodeGray(8 * (1 + (id % 3).toInt),
+        8 * (1 + (id % 2).toInt), bytes)
+      case 4 => C.wav(8000 + (id % 4).toInt * 4000,
+        Array.tabulate(100 + (id % 50).toInt)(i => (i * 31 + id).toShort))
+      case 5 => C.avi(8 + (id % 24).toInt, 8 + (id % 16).toInt,
+        33000 + (id % 5).toInt * 1000, Seq(bytes, bytes))
+      case 6 => C.mp4(Seq(C.Mp4Track(1L, "vide", "avc1",
+        16 + (id % 8).toInt * 4, 12 + (id % 5).toInt * 4,
+        1000000L, 20000L + (id % 3) * 5000L, 3L + id % 4)), 1000000L)
+      case 7 => C.mp3("1", (id % 3).toInt,
+        Seq.fill(20 + (id % 9).toInt)(4 + (id % 4).toInt * 3))
+      case _ => ("?" + text).getBytes("UTF-8") // deterministic unknown
+    }
+  }
+
+  /** The MIME label each [[mixedMediaPayload]] family would be served
+    * with — the declared-type half of the q432 integrity check.
+    */
+  private[graft] def mixedMediaMime(id: Long): String = (id % 9) match {
+    case 0 => "image/bmp"
+    case 1 => "image/png"
+    case 2 => "image/gif"
+    case 3 => "image/jpeg"
+    case 4 => "audio/wav"
+    case 5 => "video/x-msvideo"
+    case 6 => "video/mp4"
+    case 7 => "audio/mpeg"
+    case _ => "application/octet-stream"
+  }
+
+  /** The sniffed-format family a declared MIME type promises — the
+    * comparison rule of [[archiveMediaTriage]]'s `type_matches`
+    * column: null (no verdict) for types outside the sniffable set.
+    */
+  def mimeFormat(contentType: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ct = lower(trim(regexp_extract(contentType, "^([^;]*)", 1)))
+    when(ct === "image/bmp", "bmp")
+      .when(ct === "image/png", "png")
+      .when(ct === "image/gif", "gif")
+      .when(ct === "image/jpeg" || ct === "image/jpg", "jpeg")
+      .when(ct === "audio/wav" || ct === "audio/x-wav" || ct === "audio/wave", "wav")
+      .when(ct === "video/x-msvideo" || ct === "video/avi", "avi")
+      .when(ct === "video/mp4" || ct === "video/quicktime", "mp4")
+      .when(ct === "audio/mpeg" || ct === "audio/mp3", "mp3")
   }
 
   final case class FrameRow(media_id: Long, frame_idx: Long, payload: Array[Byte],

@@ -512,4 +512,40 @@ class MultimodalSpec extends SparkSpec {
     assert(!got(6L).parsed && got(6L).format == "warc")
     assert(!got(7L).parsed && got(7L).format == "unknown")
   }
+
+  test("archiveMediaTriage: declared-vs-sniffed verdicts over archived bodies") {
+    import graft.functions.{BinaryCodecs => C}
+    val bmp = C.bmp(6, 4, "px".getBytes)
+    val wav = C.wav(8000, Array.tabulate(40)(_.toShort))
+    def msg(ct: String, body: Array[Byte], gz: Boolean): Array[Byte] = {
+      val ce = if (gz) "Content-Encoding: gzip\r\n" else ""
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n$ce\r\n").getBytes("US-ASCII") ++
+        (if (gz) C.gzip(body) else body)
+    }
+    val docs = Seq(
+      (0L, msg("image/bmp", bmp, gz = false)),   // honest
+      (1L, msg("audio/wav", wav, gz = true)),    // honest, coded on the wire
+      (2L, msg("image/png", bmp, gz = false)),   // MISLABEL: bmp served as png
+      (3L, msg("text/html", "<p>hi</p>".getBytes, gz = false)), // no verdict
+      (4L, msg("image/bmp", "junk".getBytes, gz = false))) // label lies, junk
+      .map { case (id, p) => (id, p, s"https://a/m/$id") }
+      .toDF("doc_id", "payload", "uri")
+    val got = graft.ops.Multimodal.archiveMediaTriage(
+      graft.ops.Warc.httpResponses(
+        graft.ops.Warc.parseWarc(graft.ops.Warc.syntheticWarcBytes(docs))))
+      .collect().map(r => r.getAs[String]("target_uri").split("/").last.toLong -> r).toMap
+    def verdict(id: Long): Any =
+      if (got(id).isNullAt(got(id).fieldIndex("type_matches"))) null
+      else got(id).getAs[Boolean]("type_matches")
+    assert(got(0L).getAs[String]("format") == "bmp" && verdict(0L) == true)
+    // the wire coding is invisible: the DECODED body sniffs wav
+    assert(got(1L).getAs[String]("format") == "wav" && verdict(1L) == true &&
+      got(1L).getAs[Int]("sample_rate") == 8000)
+    // a bmp served as image/png: sniff wins, verdict false
+    assert(got(2L).getAs[String]("format") == "bmp" && verdict(2L) == false)
+    // declared type outside the sniffable set: no verdict either way
+    assert(verdict(3L) == null && got(3L).getAs[String]("format") == "unknown")
+    // junk under an image label: labeled by sniff as unknown, flagged
+    assert(!got(4L).getAs[Boolean]("parsed") && verdict(4L) == false)
+  }
 }
