@@ -995,6 +995,61 @@ class StreamingSpec extends SparkSpec {
       s"stream change log diverges from the batch lag replay:\n$got\nvs\n$want")
   }
 
+  test("archive media triage at stream grain: landed archives triage ≡ batch, mislabels flagged live") {
+    import spark.implicits._
+    import graft.functions.{BinaryCodecs => C}
+    val in = Files.createTempDirectory("graft_stream_triage")
+    def msg(ct: String, body: Array[Byte], gz: Boolean): Array[Byte] = {
+      val ce = if (gz) "Content-Encoding: gzip\r\n" else ""
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n$ce\r\n").getBytes("US-ASCII") ++
+        (if (gz) C.gzip(body) else body)
+    }
+    def mkFile(name: String, recs: Seq[(Long, Array[Byte])]): Unit =
+      Files.write(Paths.get(in.toString, name), C.warcFile(recs.map { case (id, p) =>
+        (Seq("WARC-Type" -> "response",
+          "WARC-Target-URI" -> s"https://m/$id"), p)
+      }))
+    val bmp = C.bmp(6, 4, "px".getBytes)
+    val wav = C.wav(8000, Array.tabulate(40)(_.toShort))
+    mkFile("t-0.warc.gz", Seq(
+      (0L, msg("image/bmp", bmp, gz = false)),
+      (1L, msg("audio/wav", wav, gz = true))))
+    // the whole chain is map-side, so the batch composite runs VERBATIM
+    // on the stream — one code path (the warcFileStream design rule)
+    val q = graft.ops.Multimodal.archiveMediaTriage(
+      graft.ops.Warc.httpResponses(StreamingOps.warcFileStream(spark, in.toString)))
+      .writeStream.outputMode("append").format("memory").queryName("triage")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    q.processAllAvailable()
+    def streamed() = spark.table("triage").collect()
+      .map(r => (r.getAs[String]("target_uri"), r.getAs[String]("format"),
+        if (r.isNullAt(r.fieldIndex("type_matches"))) null
+        else r.getAs[Boolean]("type_matches"))).toSet
+    assert(streamed() == Set(
+      ("https://m/0", "bmp", true), ("https://m/1", "wav", true)))
+    // arrival 2: a mislabel and a no-verdict row surface LIVE
+    mkFile("t-1.warc.gz", Seq(
+      (2L, msg("image/png", bmp, gz = false)),
+      (3L, msg("text/html", "<p>x</p>".getBytes, gz = false))))
+    q.processAllAvailable(); q.stop()
+    assert(streamed() == Set(
+      ("https://m/0", "bmp", true), ("https://m/1", "wav", true),
+      ("https://m/2", "bmp", false), ("https://m/3", "unknown", null)))
+    // equality with the batch path over the same landed files
+    val media = spark.read.format("binaryFile").load(in.toString)
+      .select(xxhash64(col("path")).as("media_id"), lit("warc").as("kind"),
+        col("content").as("payload"), lit("application/warc").as("mime_type"),
+        col("length").as("size_bytes"))
+      .as[graft.ops.Multimodal.MediaRow]
+    val batch = graft.ops.Multimodal.archiveMediaTriage(
+      graft.ops.Warc.httpResponses(graft.ops.Warc.parseWarc(media)))
+      .collect()
+      .map(r => (r.getAs[String]("target_uri"), r.getAs[String]("format"),
+        if (r.isNullAt(r.fieldIndex("type_matches"))) null
+        else r.getAs[Boolean]("type_matches"))).toSet
+    assert(streamed() == batch, "stream triage diverges from the batch re-run")
+  }
+
   test("discoveryFrontierStream: per-arrival schedules equal the batch composite; quarantined candidates inert") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_stream_frontier")
