@@ -217,7 +217,9 @@ object ScaleSmoke {
     // .warc.zst ingest: per-record zstd frame build + the frame walk.
     "q431_warc_zst_ingest",
     // Archive triage: container + HTTP split + the nine-family sniff/parse.
-    "q432_archive_media_triage")
+    "q432_archive_media_triage",
+    // ID3v2 tag build + parse-back over every doc (pure-map, both versions).
+    "q433_id3_tags")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))

@@ -5060,6 +5060,13 @@ object SparkEntry {
           col("warc_type"), col("target_uri"), col("n_bytes"),
           col("payload").cast("string").as("text_out"))),
 
+    // ---- ID3v2 audio metadata: the text frames (title/artist/album,
+    // TRCK on 4≡1 docs) of every tagged stream, both wire formats —
+    // v2.3 plain-u32 ISO-8859-1 on even docs, v2.4 synchsafe UTF-8 on
+    // odd — exploded to rows; every value an id formula. -----------------------
+    "q433_id3_tags" -> ((s, dir) =>
+      Multimodal.audioTags(Multimodal.syntheticTaggedMp3s(t(s, dir, "documents")))),
+
     // ---- crawl-ARCHIVE media triage, the flagship of the round's
     // multimodal surface: mixed-family payloads arrive as archived
     // HTTP responses (gzip content-coding on even docs, a planted
@@ -11770,6 +11777,21 @@ object SparkEntry {
         | TRUE AS body_decoded,
         | coalesce(text, '') AS text_out
         |FROM documents""".stripMargin,
+    // q433: the four frame formulas in tag order — the v2.3/v2.4 wire
+    // split is invisible to the decoded values (ASCII text in both
+    // encodings), which is exactly the reader's job.
+    "q433_id3_tags" ->
+      """WITH f AS (
+        | SELECT doc_id, 0 AS pos, 'TIT2' AS frame_id,
+        |  'Title ' || CAST(doc_id AS VARCHAR) AS value FROM documents
+        | UNION ALL SELECT doc_id, 1, 'TPE1',
+        |  'Artist ' || CAST(doc_id % 7 AS VARCHAR) FROM documents
+        | UNION ALL SELECT doc_id, 2, 'TALB',
+        |  'Album ' || CAST(doc_id % 3 AS VARCHAR) FROM documents
+        | UNION ALL SELECT doc_id, 3, 'TRCK',
+        |  CAST(doc_id % 12 + 1 AS VARCHAR) FROM documents WHERE doc_id % 4 = 1)
+        |SELECT doc_id AS media_id, CAST(pos AS INT) AS frame_pos, frame_id, value
+        |FROM f""".stripMargin,
     // q429: the nine-family routing replayed as a CASE union — each
     // family's header fields from its own id formulas, the gzip wrap
     // on even docs invisible to everything but the gzipped flag, and

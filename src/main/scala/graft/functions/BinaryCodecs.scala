@@ -391,6 +391,124 @@ object BinaryCodecs {
     out.toByteArray
   }
 
+  /** One ID3v2 text frame: the 4-char frame id (`TIT2` title, `TPE1`
+    * artist, `TALB` album, …) and its decoded text.
+    */
+  final case class Id3Frame(frameId: String, text: String)
+
+  private def synchsafe4(v: Int): Array[Byte] = {
+    require(v >= 0 && v < (1 << 28), s"synchsafe overflow: $v")
+    Array(((v >>> 21) & 0x7F).toByte, ((v >>> 14) & 0x7F).toByte,
+      ((v >>> 7) & 0x7F).toByte, (v & 0x7F).toByte)
+  }
+
+  /** Build an ID3v2.3 or v2.4 tag carrying TEXT frames — the metadata
+    * block real MP3s lead with. v2.3 writes ISO-8859-1 bodies with
+    * plain 32-bit frame sizes; v2.4 writes UTF-8 with synchsafe frame
+    * sizes (the two versions' actual wire differences). Prepend to an
+    * [[mp3]] stream for a tagged fixture — [[mp3Meta]] skips the tag,
+    * [[id3TextFrames]] reads it.
+    */
+  def id3v2(frames: Seq[(String, String)], version: Int = 3): Array[Byte] = {
+    require(version == 3 || version == 4, s"id3v2: version 3 or 4, got $version")
+    val body = frames.flatMap { case (id, text) =>
+      require(id.length == 4 && id.forall(c => c.isUpper || c.isDigit),
+        s"id3v2: bad frame id $id")
+      val t =
+        if (version == 3) text.getBytes("ISO-8859-1") else text.getBytes("UTF-8")
+      val fbody = (if (version == 3) 0 else 3).toByte +: t
+      val sz =
+        if (version == 3) Array((fbody.length >>> 24).toByte,
+          (fbody.length >>> 16).toByte, (fbody.length >>> 8).toByte,
+          fbody.length.toByte)
+        else synchsafe4(fbody.length)
+      id.getBytes("US-ASCII") ++ sz ++ Array[Byte](0, 0) ++ fbody
+    }.toArray
+    "ID3".getBytes("US-ASCII") ++ Array(version.toByte, 0.toByte, 0.toByte) ++
+      synchsafe4(body.length) ++ body
+  }
+
+  /** The TEXT frames of a leading ID3v2.3/v2.4 tag, in tag order —
+    * title/artist/album and friends, the curation metadata an audio
+    * corpus filters and joins on without decoding a single sample.
+    * Encodings per the frame's own marker byte (ISO-8859-1, UTF-16
+    * with BOM, UTF-16BE, UTF-8), trailing NULs stripped, padding ends
+    * the walk, a v2.3/v2.4 extended header is skipped by its own size
+    * rule (v2.4's includes itself, v2.3's excludes the size field).
+    * None (quarantine) for: no tag, ID3v2.2 (3-char frame ids — a
+    * different wire format), the unsynchronisation flag (bytes would
+    * need de-stuffing this reader does not do — flagged, never
+    * misread), a malformed frame id, a frame size past the tag, or an
+    * unknown encoding byte. Compressed/encrypted frames (v2.3 frame
+    * flags) are SKIPPED, not quarantined — the rest of the tag is
+    * still sound.
+    */
+  def id3TextFrames(payload: Array[Byte]): Option[Vector[Id3Frame]] = {
+    if (payload == null || payload.length < 10 ||
+      payload(0) != 'I' || payload(1) != 'D' || payload(2) != '3') return None
+    val ver = payload(3).toInt & 0xFF
+    if (ver != 3 && ver != 4) return None
+    val flags = payload(5).toInt & 0xFF
+    if ((flags & 0x80) != 0) return None // unsynchronised: quarantine
+    if ((payload(6) | payload(7) | payload(8) | payload(9)) < 0) return None
+    val size = ((payload(6) & 0x7F) << 21) | ((payload(7) & 0x7F) << 14) |
+      ((payload(8) & 0x7F) << 7) | (payload(9) & 0x7F)
+    val end = 10 + size
+    if (end > payload.length) return None
+    var off = 10
+    if ((flags & 0x40) != 0) { // extended header
+      if (off + 4 > end) return None
+      if (ver == 4) {
+        if ((payload(off) | payload(off + 1) | payload(off + 2) | payload(off + 3)) < 0)
+          return None
+        val eh = ((payload(off) & 0x7F) << 21) | ((payload(off + 1) & 0x7F) << 14) |
+          ((payload(off + 2) & 0x7F) << 7) | (payload(off + 3) & 0x7F)
+        if (eh < 4 || off + eh > end) return None
+        off += eh // v2.4 ext size includes itself
+      } else {
+        val eh = ByteBuffer.wrap(payload).getInt(off)
+        if (eh < 0 || off + 4 + eh > end) return None
+        off += 4 + eh // v2.3 ext size excludes the size field
+      }
+    }
+    val out = Vector.newBuilder[Id3Frame]
+    var open = true
+    while (open && off + 10 <= end) {
+      if (payload(off) == 0) open = false // padding
+      else {
+        val id = new String(payload, off, 4, "US-ASCII")
+        if (!id.forall(c => (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')))
+          return None
+        val fsize =
+          if (ver == 4) {
+            if ((payload(off + 4) | payload(off + 5) | payload(off + 6) |
+              payload(off + 7)) < 0) return None
+            ((payload(off + 4) & 0x7F) << 21) | ((payload(off + 5) & 0x7F) << 14) |
+              ((payload(off + 6) & 0x7F) << 7) | (payload(off + 7) & 0x7F)
+          } else ByteBuffer.wrap(payload).getInt(off + 4)
+        if (fsize < 0 || off + 10 + fsize > end) return None
+        val fflags = payload(off + 9).toInt & 0xFF
+        // v2.3 compression (0x80) / encryption (0x40); v2.4 moved them
+        // to 0x08/0x04 — skip either set, the body is not plain text
+        val obscured = (fflags & (if (ver == 4) 0x0C else 0xC0)) != 0
+        if (id.startsWith("T") && fsize >= 1 && !obscured) {
+          val cs = (payload(off + 10).toInt & 0xFF) match {
+            case 0 => "ISO-8859-1"
+            case 1 => "UTF-16"
+            case 2 => "UTF-16BE"
+            case 3 => "UTF-8"
+            case _ => return None
+          }
+          val text = new String(payload, off + 11, fsize - 1, cs)
+            .reverse.dropWhile(_ == '\u0000').reverse // trailing NUL terminators
+          out += Id3Frame(id, text)
+        }
+        off += 10 + fsize
+      }
+    }
+    Some(out.result())
+  }
+
   /** MPEG audio (MP3 and friends) metadata by FRAME-HEADER WALK — sync
     * scan with strict tiling, no audio decode: skip a leading ID3v2 tag
     * (synchsafe size), then every frame header must parse (11-bit sync,

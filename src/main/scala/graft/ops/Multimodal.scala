@@ -496,6 +496,55 @@ object Multimodal {
       "duration_us", "bitrate_kbps", "vbr")
   }
 
+  /** The ID3v2 TEXT frames of every tagged audio payload, exploded to
+    * `(media_id, frame_pos, frame_id, value)` rows — title/artist/
+    * album and friends, the curation metadata an audio corpus filters
+    * and joins on without decoding a single sample
+    * ([[graft.functions.BinaryCodecs.id3TextFrames]]' contract:
+    * v2.3 + v2.4, all four text encodings, padding/extended-header
+    * handling; unsynchronised and v2.2 tags quarantine, untagged
+    * payloads drop). Map-side, shuffle-free, partition-batched.
+    */
+  def audioTags(media: Dataset[MediaRow], batchSize: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          BinaryCodecs.id3TextFrames(m.payload).toSeq.flatMap { frames =>
+            frames.zipWithIndex.map { case (f, i) =>
+              (m.media_id, i, f.frameId, f.text)
+            }
+          }
+        }
+      }
+    }.toDF("media_id", "frame_pos", "frame_id", "value")
+  }
+
+  /** [[syntheticMp3s]] with REAL ID3v2 metadata: every doc's stream
+    * leads with a tag carrying TIT2/TPE1/TALB from id formulas (plus
+    * TRCK on 4≡1 docs) — v2.3 ISO-8859-1 on even docs, v2.4 UTF-8
+    * with synchsafe frame sizes on odd docs, so both wire formats
+    * parse at every scale.
+    */
+  def syntheticTaggedMp3s(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    graft.io.Spread.toDefaultParallelism(docs.select(col("doc_id")))
+      .as[Long]
+      .map { id =>
+        val frames = Seq(
+          "TIT2" -> s"Title $id",
+          "TPE1" -> s"Artist ${id % 7}",
+          "TALB" -> s"Album ${id % 3}") ++
+          (if (id % 4 == 1) Seq("TRCK" -> s"${id % 12 + 1}") else Nil)
+        val payload = BinaryCodecs.id3v2(frames,
+          version = if (id % 2 == 0) 3 else 4) ++
+          BinaryCodecs.mp3("1", (id % 3).toInt, Seq.fill(5)(9))
+        MediaRow(id, "audio", payload, "audio/mpeg", payload.length.toLong)
+      }
+  }
+
   /** Synthetic MPEG audio corpus — one Layer III stream per document,
     * every field a pure function of `doc_id`: MPEG2 on 7≡3 docs (576
     * samples/frame, the 72000 length coefficient) else MPEG1, sample
