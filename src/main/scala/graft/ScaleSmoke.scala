@@ -219,7 +219,9 @@ object ScaleSmoke {
     // Archive triage: container + HTTP split + the nine-family sniff/parse.
     "q432_archive_media_triage",
     // ID3v2 tag build + parse-back over every doc (pure-map, both versions).
-    "q433_id3_tags")
+    "q433_id3_tags",
+    // Keyframe sampling: container build + stss consult + table extraction.
+    "q434_mp4_keyframes")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))

@@ -5060,6 +5060,17 @@ object SparkEntry {
           col("warc_type"), col("target_uri"), col("n_bytes"),
           col("payload").cast("string").as("text_out"))),
 
+    // ---- KEYFRAME sampling (MP4 stss): the sampler's picks come from
+    // the sync-sample table — frames 0 and 3 in the fixture (1-based
+    // stss {1,4}), NOT the even-spacing {0,2} of q428, so the result
+    // proves stss is actually consulted; frame 3 repeats frame 0, so
+    // both sampled frames share the anchor doc's BMP geometry. ---------------
+    "q434_mp4_keyframes" -> ((s, dir) =>
+      Multimodal.sampleKeyframes(
+        Multimodal.syntheticFrameMp4s(t(s, dir, "documents")), k = 2)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"), col("n_bytes"))),
+
     // ---- ID3v2 audio metadata: the text frames (title/artist/album,
     // TRCK on 4≡1 docs) of every tagged stream, both wire formats —
     // v2.3 plain-u32 ISO-8859-1 on even docs, v2.4 synchsafe UTF-8 on
@@ -11777,6 +11788,19 @@ object SparkEntry {
         | TRUE AS body_decoded,
         | coalesce(text, '') AS text_out
         |FROM documents""".stripMargin,
+    // q434: both keyframes map to the ANCHOR doc's geometry (frame 3
+    // repeats frame 0 by construction), frame indices pinned to the
+    // stss picks {0, 3}.
+    "q434_mp4_keyframes" ->
+      """WITH v AS (SELECT doc_id AS vid FROM documents
+        |  WHERE doc_id % 10 = 0 AND doc_id + 6 <= (SELECT max(doc_id) FROM documents)),
+        |fr AS (SELECT vid, f.f AS frame_idx FROM v
+        |       CROSS JOIN (VALUES (0), (3)) f(f)),
+        |geom AS (SELECT vid, frame_idx,
+        |  8 + vid % 24 AS w, 8 + vid % 16 AS h FROM fr)
+        |SELECT vid AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        | CAST(54 + ((24 * w + 31) // 32) * 4 * h AS BIGINT) AS n_bytes
+        |FROM geom""".stripMargin,
     // q433: the four frame formulas in tag order — the v2.3/v2.4 wire
     // split is invisible to the decoded values (ASCII text in both
     // encodings), which is exactly the reader's job.

@@ -628,19 +628,23 @@ object BinaryCodecs {
     */
   def mp4WithSamples(
       tracks: Seq[Mp4Track], movieTimescale: Long,
-      videoSamples: Seq[Array[Byte]], samplesPerChunk: Int = 4): Array[Byte] = {
+      videoSamples: Seq[Array[Byte]], samplesPerChunk: Int = 4,
+      syncSamples: Seq[Int] = Nil): Array[Byte] = {
     require(videoSamples.nonEmpty, "mp4WithSamples: at least one sample")
     require(samplesPerChunk >= 1, s"mp4WithSamples: bad samplesPerChunk $samplesPerChunk")
     val v = tracks.find(_.handler == "vide")
     require(v.exists(_.nSamples == videoSamples.length),
       "mp4WithSamples: video track nSamples must equal videoSamples.length")
+    require(syncSamples.forall(n => n >= 1 && n <= videoSamples.length),
+      "mp4WithSamples: sync sample numbers are 1-based within the track")
     mp4Build(tracks, movieTimescale,
       videoSamples.foldLeft(Array.emptyByteArray)(_ ++ _),
-      videoSamples.map(_.length), samplesPerChunk)
+      videoSamples.map(_.length), samplesPerChunk, syncSamples)
   }
 
   private def mp4Build(tracks: Seq[Mp4Track], movieTimescale: Long,
-      mdat: Array[Byte], sampleSizes: Seq[Int], samplesPerChunk: Int): Array[Byte] = {
+      mdat: Array[Byte], sampleSizes: Seq[Int], samplesPerChunk: Int,
+      syncSamples: Seq[Int] = Nil): Array[Byte] = {
     require(tracks.nonEmpty, "mp4: at least one track")
     require(movieTimescale > 0, s"mp4: movieTimescale must be positive: $movieTimescale")
     def be32(v: Long): Array[Byte] = Array(
@@ -720,7 +724,14 @@ object BinaryCodecs {
                 .foldLeft(Array.emptyByteArray)(_ ++ _))
             val stco = box("stco", be32(0), be32(chunkOffsets.length),
               chunkOffsets.map(be32).foldLeft(Array.emptyByteArray)(_ ++ _))
-            Seq(stsz, stsc, stco)
+            // stss: present only when the caller marks keyframes —
+            // ISO rule: an ABSENT box means every sample is sync
+            val stss =
+              if (syncSamples.isEmpty) Nil
+              else Seq(box("stss", be32(0), be32(syncSamples.length),
+                syncSamples.map(n => be32(n.toLong))
+                  .foldLeft(Array.emptyByteArray)(_ ++ _)))
+            Seq(stsz, stsc, stco) ++ stss
           }
         box("trak", tkhd,
           box("mdia", mdhd, hdlr,
@@ -949,6 +960,37 @@ object BinaryCodecs {
         else u32(coBox._2 + 8 + 4L * i))
       res <- mp4ExtractSpans(payload, sizes, runs, offsets, wanted)
     } yield res
+  }
+
+  /** The SYNC-SAMPLE (keyframe) numbers of the first `vide` track —
+    * the `stss` table, 1-based per ISO 14496-12 §8.6.2. Some(list) when
+    * the box is present and well-formed (counts bounded by the box, the
+    * hostile-count rule); None when the file is not parseable BMFF, has
+    * no video stbl, or carries NO stss — which the spec defines as
+    * "every sample is a sync sample", so callers fall back to
+    * all-samples sampling, never to a guess.
+    */
+  def mp4SyncSamples(payload: Array[Byte]): Option[Vector[Long]] = {
+    if (payload.length < 12 ||
+      new String(payload, 4, 4, "US-ASCII") != "ftyp") return None
+    val buf = ByteBuffer.wrap(payload)
+    def u32(off: Long): Long = buf.getInt(off.toInt).toLong & 0xFFFFFFFFL
+    for {
+      top <- bmffBoxes(payload, 0L, payload.length.toLong)
+      moov <- top.find(_._1 == "moov")
+      kids <- bmffBoxes(payload, moov._2, moov._3)
+      trak <- kids.filter(_._1 == "trak").find(t =>
+        bmffChild(payload, t, "mdia").flatMap(bmffChild(payload, _, "hdlr"))
+          .exists(h => h._3 - h._2 >= 12 &&
+            new String(payload, h._2.toInt + 8, 4, "US-ASCII") == "vide"))
+      stbl <- bmffChild(payload, trak, "mdia")
+        .flatMap(bmffChild(payload, _, "minf"))
+        .flatMap(bmffChild(payload, _, "stbl"))
+      stss <- bmffChild(payload, stbl, "stss")
+      if stss._3 - stss._2 >= 8
+      n = u32(stss._2 + 4)
+      if 8L + 4L * n <= stss._3 - stss._2
+    } yield (0 until n.toInt).map(i => u32(stss._2 + 8 + 4L * i)).toVector
   }
 
   /** The chunk-expansion loop behind [[mp4Samples]]: walk the stsc runs

@@ -810,24 +810,11 @@ object Multimodal {
     require(k >= 1, s"k must be >= 1: $k")
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        batch.iterator.flatMap { m =>
-          // frame COUNT from whichever container walk recognizes the
-          // payload (AVI avih, else the MP4 video track's stts), then
-          // ONE chunk-table walk for all k frames — per-index
-          // extraction would re-scan from byte 0 every time
-          val nOpt = BinaryCodecs.aviMeta(m.payload).map(_._3).orElse(
-            BinaryCodecs.mp4Meta(m.payload).flatMap(
-              _.tracks.find(_.handler == "vide").map(_.nSamples.toInt)))
-          nOpt.toSeq.flatMap { n =>
-            val take = math.min(k, n)
-            val idxs = (0 until take).map(i => (i.toLong * n / take).toInt)
-            BinaryCodecs.aviFrames(m.payload, idxs)
-              .orElse(BinaryCodecs.mp4Samples(m.payload, idxs))
-              .toSeq.flatten.map {
-                case (idx, f) => FrameRow(m.media_id, idx.toLong, f, f.length.toLong)
-              }
-          }
-        }
+        // frame COUNT from whichever container walk recognizes the
+        // payload (AVI avih, else the MP4 video track's stts), then
+        // ONE chunk-table walk for all k frames — per-index extraction
+        // would re-scan from byte 0 every time
+        batch.iterator.flatMap(m => sampleVideoFramesOne(m, k))
       }
     }
   }
@@ -954,6 +941,61 @@ object Multimodal {
       }
   }
 
+  /** KEYFRAME-preferring frame sampling: like [[sampleVideoFrames]],
+    * but when the payload is an MP4 whose video track carries an
+    * `stss` sync-sample table, the k evenly-spaced picks come from the
+    * KEYFRAME list — the frames a real featurizer can actually decode
+    * standalone (a non-sync sample needs its predecessors; sampling it
+    * from a real codec stream buys a grey smear). Files with no stss
+    * (ISO: every sample is sync) and AVI payloads fall back to
+    * [[sampleVideoFrames]]'s all-samples spacing — the same rule, one
+    * level up. Same partition-batched, shuffle-free shape.
+    */
+  def sampleKeyframes(
+      media: Dataset[MediaRow],
+      k: Int,
+      batchSize: Int = 64): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    require(k >= 1, s"k must be >= 1: $k")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          BinaryCodecs.mp4SyncSamples(m.payload) match {
+            case Some(sync) if sync.nonEmpty =>
+              val take = math.min(k, sync.length)
+              val idxs = (0 until take)
+                .map(i => (sync((i.toLong * sync.length / take).toInt) - 1).toInt)
+              BinaryCodecs.mp4Samples(m.payload, idxs).toSeq.flatten.map {
+                case (idx, f) => FrameRow(m.media_id, idx.toLong, f, f.length.toLong)
+              }
+            case _ =>
+              sampleVideoFramesOne(m, k)
+          }
+        }
+      }
+    }
+  }
+
+  /** One payload through [[sampleVideoFrames]]' rule — shared by the
+    * plain sampler and [[sampleKeyframes]]' fallback leg.
+    */
+  private def sampleVideoFramesOne(m: MediaRow, k: Int): Seq[FrameRow] = {
+    import graft.functions.BinaryCodecs
+    val nOpt = BinaryCodecs.aviMeta(m.payload).map(_._3).orElse(
+      BinaryCodecs.mp4Meta(m.payload).flatMap(
+        _.tracks.find(_.handler == "vide").map(_.nSamples.toInt)))
+    nOpt.toSeq.flatMap { n =>
+      val take = math.min(k, n)
+      val idxs = (0 until take).map(i => (i.toLong * n / take).toInt)
+      BinaryCodecs.aviFrames(m.payload, idxs)
+        .orElse(BinaryCodecs.mp4Samples(m.payload, idxs))
+        .toSeq.flatten.map {
+          case (idx, f) => FrameRow(m.media_id, idx.toLong, f, f.length.toLong)
+        }
+    }
+  }
+
   /** [[syntheticFrameVideos]] in the ISO-BMFF container — the SAME
     * 4-frame BMP layout (frame f = the doc `id + 2f` image for f < 3,
     * frame 3 repeats frame 0) carried as real stsz/stsc/stco-indexed
@@ -993,7 +1035,11 @@ object Multimodal {
           8 + (id % 24).toInt, 8 + (id % 16).toInt,
           1000000L, 33000L + (id % 5) * 1000L, 4L)),
         movieTimescale = 1000000L, videoSamples = frameBytes,
-        samplesPerChunk = 3)
+        samplesPerChunk = 3,
+        // frames 0 and 3 are the sync samples (1-based stss) — frame 3
+        // repeats frame 0, so the keyframe sampler lands on the
+        // planted-duplicate pair, distinguishable from even spacing
+        syncSamples = Seq(1, 4))
       MediaRow(id, "video", payload, "video/mp4", payload.length.toLong)
     }
   }

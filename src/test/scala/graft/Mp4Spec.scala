@@ -151,6 +151,41 @@ class Mp4Spec extends SparkSpec {
     assert(BinaryCodecs.mp4Samples(wrap, Seq(0)).isEmpty)
   }
 
+  test("stss sync samples: keyframe sampler consults the table, falls back without it") {
+    val samples = (0 until 6).map(i => Array.fill[Byte](8 + i)((0x30 + i).toByte))
+    val keyed = BinaryCodecs.mp4WithSamples(
+      Seq(Mp4Track(1L, "vide", "avc1", 16, 12, 1000000L, 40000L, 6L)),
+      movieTimescale = 1000000L, videoSamples = samples, samplesPerChunk = 4,
+      syncSamples = Seq(2, 5)) // 1-based: frames 1 and 4 are keyframes
+    assert(BinaryCodecs.mp4SyncSamples(keyed).contains(Vector(2L, 5L)))
+    // absent stss: ISO says every sample is sync — reader reports None
+    // and the sampler falls back to all-samples spacing
+    val plain = BinaryCodecs.mp4WithSamples(
+      Seq(Mp4Track(1L, "vide", "avc1", 16, 12, 1000000L, 40000L, 6L)),
+      movieTimescale = 1000000L, videoSamples = samples, samplesPerChunk = 4)
+    assert(BinaryCodecs.mp4SyncSamples(plain).isEmpty)
+    // a hostile stss count overrunning its box quarantines
+    val ssAt = keyed.indexOfSlice("stss".getBytes("US-ASCII"))
+    val hostile = keyed.clone
+    hostile(ssAt + 8) = 0x7F.toByte
+    assert(BinaryCodecs.mp4SyncSamples(hostile).isEmpty)
+    // the sampler: keyed file yields the KEYFRAMES (0-based 1 and 4),
+    // byte-identical to the written samples; plain file yields the
+    // even spacing (0 and 3)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", keyed, "video/mp4", keyed.length.toLong),
+      Multimodal.MediaRow(2L, "video", plain, "video/mp4", plain.length.toLong))
+      .toDS()
+    val got = Multimodal.sampleKeyframes(media, k = 2).collect()
+      .map(f => (f.media_id, f.frame_idx) -> f.payload.toSeq).toMap
+    assert(got.keySet == Set((1L, 1L), (1L, 4L), (2L, 0L), (2L, 3L)))
+    assert(got((1L, 1L)) == samples(1).toSeq && got((1L, 4L)) == samples(4).toSeq)
+    // the PLAIN sampler ignores stss entirely (decode-free spacing)
+    val all = Multimodal.sampleVideoFrames(media, k = 2).collect()
+      .map(f => (f.media_id, f.frame_idx)).toSet
+    assert(all == Set((1L, 0L), (1L, 3L), (2L, 0L), (2L, 3L)))
+  }
+
   test("sampleVideoFrames routes MP4 next to AVI; frames byte-identical across containers") {
     val docs = (0L until 20L).map(i => (i, s"pixels $i")).toDF("doc_id", "text")
     val avi = Multimodal.sampleVideoFrames(Multimodal.syntheticFrameVideos(docs), k = 4)
