@@ -191,6 +191,7 @@ object Bench {
         """"q423_cdx_cluster_idx":"r16 same-window interleaved 10x/20x probes (per-scale floors): 2.9s at 10x vs 3.3s at 20x - 1.15x for 2x data, sublinear; the range-partitioned two-phase sort and the container walk both scale with rows while the shard fold stays shard-count-sized",""" +
         """"q424_random_access":"r17 same-window interleaved 10x/20x probes (per-scale floors, disjoint replica sets, both orders): 5.35s at 10x vs 5.96s at 20x - 1.11x for 2x data, SUBLINEAR: the cluster-index lookup is a broadcast against a shard-count-sized frame, shard parsing touches only the shards the query set selects, and container payloads move once per referenced file; what grows with data is the index build (q423's shape) and the queried span set",""" +
         """"q426_revisit_emit":"r17 same-window interleaved 10x/20x probes (per-scale floors, disjoint replica sets, both orders): 5.64s at 10x vs 6.19s at 20x - 1.10x for 2x data, SUBLINEAR: the digest index is metadata-sized (payloads never survive its projection), emitRevisits' one shuffle keys captures on the surt key, and the resolve join moves prior payloads only for records that revisits actually reference (q409's class, with the container build's fixed stages amortizing)",""" +
+        """"q432_archive_media_triage":"r17 same-window interleaved 10x/20x probes (per-scale floors, both orders): 2.04s at 10x vs 2.05s at 20x - 1.00x for 2x data at probe scale, the fixed container/HTTP/sniff stage costs dominating; the honest asymptotic model is linear in archived bodies (every stage is per-row map work, no shuffle anywhere in the chain)",""" +
         """"q414_lm_fluency":"r15 same-window interleaved 10x/20x probes (per-scale floors): 3.63s at 10x vs 7.38s at 20x - 2.03x for 2x data, LINEAR and honestly so: the doc-bigram stream and the replica-disjoint vocabulary both scale with the data, the KN table join is vocabulary-sized on both sides, and there is no fixed-cost term to amortize; at-or-below-linear is the smoke's bar and linear is the true cost model for this shape (the 20x attempt vector [15.2, 7.4] shows the usual window noise - floors are the read)",""" +
         """"q409_warc_revisit":"r15 same-window interleaved 10x/20x probes (per-scale floors): 1.93s at 10x vs 2.25s at 20x - 1.16x for 2x data, sublinear; the record-id shuffle join moves payloads once and only for referenced records",""" +
         """"q411_template_removal":"r15 same-window interleaved 10x/20x probes (per-scale floors): 1.08s at 10x vs 1.37s at 20x - 1.27x for 2x data, sublinear; the frequency table shuffles (host, line-hash, doc_id) only - line bodies move once into the doc-order rebuild - and replica-prefixed vocabularies keep per-host line populations disjoint across replicas (10x pages = 10x lines, never denser hosts)",""" +
