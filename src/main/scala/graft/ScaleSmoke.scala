@@ -221,7 +221,9 @@ object ScaleSmoke {
     // ID3v2 tag build + parse-back over every doc (pure-map, both versions).
     "q433_id3_tags",
     // Keyframe sampling: container build + stss consult + table extraction.
-    "q434_mp4_keyframes")
+    "q434_mp4_keyframes",
+    // FLAC/WebP header walks through the triage surface (pure-map).
+    "q435_flac_meta", "q436_webp_dims")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))

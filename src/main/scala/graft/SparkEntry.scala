@@ -5060,6 +5060,44 @@ object SparkEntry {
           col("warc_type"), col("target_uri"), col("n_bytes"),
           col("payload").cast("string").as("text_out"))),
 
+    // ---- FLAC STREAMINFO (the lossless-audio family): fixed-layout
+    // decode of the spec-mandatory first metadata block — rate,
+    // channels, bit depth, total samples; a zero total is the spec's
+    // "unknown" and yields a null duration rather than a fake zero.
+    // Routed through the same triage surface as every other family. ----------
+    "q435_flac_meta" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.io.Spread.toDefaultParallelism(
+        t(s, dir, "documents").select(col("doc_id"))).as[Long]
+        .map { id =>
+          val total = if (id % 9 == 0) 0L else 44100L + (id % 1000) * 50L
+          val p = graft.functions.BinaryCodecs.flac(
+            32000 + (id % 5).toInt * 8000, 1 + (id % 2).toInt, 16, total)
+          Multimodal.MediaRow(id, "audio", p, "audio/flac", p.length.toLong)
+        }
+      Multimodal.mediaTriage(media).toDF()
+        .select(col("media_id"), col("format"), col("parsed"),
+          col("sample_rate"), col("duration_us"))
+    }),
+
+    // ---- WebP canvas dims (the image format a third of the modern
+    // web serves): the VP8X extended-header read through the triage
+    // surface; the VP8/VP8L wire variants are spec-pinned in the sbt
+    // spec with hand-built headers. -------------------------------------------
+    "q436_webp_dims" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.io.Spread.toDefaultParallelism(
+        t(s, dir, "documents").select(col("doc_id"))).as[Long]
+        .map { id =>
+          val p = graft.functions.BinaryCodecs.webp(
+            10 + (id % 100).toInt, 5 + (id % 50).toInt)
+          Multimodal.MediaRow(id, "image", p, "image/webp", p.length.toLong)
+        }
+      Multimodal.mediaTriage(media).toDF()
+        .select(col("media_id"), col("format"), col("parsed"),
+          col("width"), col("height"))
+    }),
+
     // ---- KEYFRAME sampling (MP4 stss): the sampler's picks come from
     // the sync-sample table — frames 0 and 3 in the fixture (1-based
     // stss {1,4}), NOT the even-spacing {0,2} of q428, so the result
@@ -11787,6 +11825,20 @@ object SparkEntry {
         |   WHEN 2 THEN 'gzip, zstd' END AS content_encoding,
         | TRUE AS body_decoded,
         | coalesce(text, '') AS text_out
+        |FROM documents""".stripMargin,
+    // q435: rate/total formulas, the 9≡0 unknown-total leg null.
+    "q435_flac_meta" ->
+      """SELECT doc_id AS media_id, 'flac' AS format, TRUE AS parsed,
+        | CAST(32000 + (doc_id % 5) * 8000 AS INT) AS sample_rate,
+        | CAST(CASE WHEN doc_id % 9 = 0 THEN NULL
+        |  ELSE ((44100 + (doc_id % 1000) * 50) * 1000000) //
+        |       (32000 + (doc_id % 5) * 8000) END AS BIGINT) AS duration_us
+        |FROM documents""".stripMargin,
+    // q436: the minus-one canvas fields undone by the id formulas.
+    "q436_webp_dims" ->
+      """SELECT doc_id AS media_id, 'webp' AS format, TRUE AS parsed,
+        | CAST(10 + doc_id % 100 AS INT) AS width,
+        | CAST(5 + doc_id % 50 AS INT) AS height
         |FROM documents""".stripMargin,
     // q434: both keyframes map to the ANCHOR doc's geometry (frame 3
     // repeats frame 0 by construction), frame indices pinned to the

@@ -260,6 +260,126 @@ object BinaryCodecs {
   def aviFrame(payload: Array[Byte], idx: Int): Option[Array[Byte]] =
     aviFrames(payload, Seq(idx)).flatMap(_.headOption.map(_._2))
 
+  // --------------------------------------------------------------- FLAC --
+
+  /** Minimal FLAC file: the `fLaC` marker + a last-block STREAMINFO
+    * (the spec-mandatory FIRST metadata block) — metadata-only, no
+    * frames, the [[mp3]] judgment for the lossless-audio family.
+    */
+  def flac(
+      sampleRate: Int, channels: Int, bitsPerSample: Int,
+      totalSamples: Long): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20), s"flac: bad rate $sampleRate")
+    require(channels >= 1 && channels <= 8, s"flac: bad channels $channels")
+    require(bitsPerSample >= 4 && bitsPerSample <= 32, s"flac: bad bps $bitsPerSample")
+    require(totalSamples >= 0 && totalSamples < (1L << 36), s"flac: bad count $totalSamples")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes("US-ASCII"))
+    out.write(0x80) // last-block flag | type 0 (STREAMINFO)
+    out.write(0); out.write(0); out.write(34) // block length
+    out.write(0x10); out.write(0) // min blocksize 4096
+    out.write(0x10); out.write(0) // max blocksize 4096
+    (0 until 6).foreach(_ => out.write(0)) // min/max framesize unknown
+    // 20-bit rate | 3-bit channels-1 | 5-bit bps-1 | 36-bit samples
+    val packed = (sampleRate.toLong << 44) | ((channels - 1).toLong << 41) |
+      ((bitsPerSample - 1).toLong << 36) | totalSamples
+    (7 to 0 by -1).foreach(i => out.write(((packed >>> (8 * i)) & 0xFF).toInt))
+    (0 until 16).foreach(_ => out.write(0)) // MD5 unset
+    out.toByteArray
+  }
+
+  /** FLAC STREAMINFO — `(sampleRate, channels, bitsPerSample,
+    * totalSamples)`: the spec requires STREAMINFO as the FIRST
+    * metadata block, so the read is one fixed-layout decode after the
+    * marker; anything else (bad marker, wrong first block type, short
+    * block, zero rate) quarantines. `totalSamples` of 0 is legal
+    * ("unknown") and passes through — duration derivation is the
+    * caller's `when(total > 0, ...)`.
+    */
+  def flacMeta(payload: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (payload == null || payload.length < 42) return None
+    if (new String(payload, 0, 4, "US-ASCII") != "fLaC") return None
+    if ((payload(4) & 0x7F) != 0) return None // first block must be STREAMINFO
+    val blockLen = ((payload(5) & 0xFF) << 16) | ((payload(6) & 0xFF) << 8) |
+      (payload(7) & 0xFF)
+    if (blockLen < 34 || 8 + blockLen > payload.length) return None
+    var packed = 0L
+    (0 until 8).foreach(i => packed = (packed << 8) | (payload(18 + i) & 0xFFL))
+    val rate = (packed >>> 44).toInt
+    val channels = ((packed >>> 41) & 0x7).toInt + 1
+    val bps = ((packed >>> 36) & 0x1F).toInt + 1
+    val total = packed & ((1L << 36) - 1)
+    if (rate <= 0) return None
+    Some((rate, channels, bps, total))
+  }
+
+  // --------------------------------------------------------------- WEBP --
+
+  /** Minimal WebP: the RIFF/WEBP container with a VP8X extended-format
+    * chunk (canvas size as 24-bit minus-one fields) — the header every
+    * modern WebP carries; dims-only, no bitstream, the family
+    * judgment.
+    */
+  def webp(width: Int, height: Int): Array[Byte] = {
+    require(width >= 1 && width <= (1 << 24) &&
+      height >= 1 && height <= (1 << 24), s"webp: bad dims $width x $height")
+    val buf = ByteBuffer.allocate(30).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(22)
+    buf.put("WEBP".getBytes("US-ASCII"))
+    buf.put("VP8X".getBytes("US-ASCII")).putInt(10)
+    buf.putInt(0) // flags + reserved
+    def u24(v: Int): Unit = {
+      buf.put((v & 0xFF).toByte); buf.put(((v >> 8) & 0xFF).toByte)
+      buf.put(((v >> 16) & 0xFF).toByte)
+    }
+    u24(width - 1); u24(height - 1)
+    buf.array()
+  }
+
+  /** WebP canvas dimensions across all three wire formats: `VP8X`
+    * (24-bit minus-one canvas fields), lossy `VP8 ` (the frame tag's
+    * 0x9D012A sync + 14-bit dims) and lossless `VP8L` (0x2F signature
+    * + packed 14-bit minus-one dims) — the header-grain triage read
+    * for the image format a third of the modern web serves. None for
+    * a non-WEBP RIFF, an unknown first chunk, or malformed headers.
+    */
+  def webpDimensions(payload: Array[Byte]): Option[(Int, Int)] = {
+    if (payload == null || payload.length < 20) return None
+    if (new String(payload, 0, 4, "US-ASCII") != "RIFF" ||
+      new String(payload, 8, 4, "US-ASCII") != "WEBP") return None
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    val chunkSize = buf.getInt(16).toLong & 0xFFFFFFFFL
+    if (20 + chunkSize > payload.length) return None
+    def u24(off: Int): Int = (payload(off) & 0xFF) | ((payload(off + 1) & 0xFF) << 8) |
+      ((payload(off + 2) & 0xFF) << 16)
+    new String(payload, 12, 4, "US-ASCII") match {
+      case "VP8X" =>
+        if (chunkSize < 10 || payload.length < 30) None
+        else Some((u24(24) + 1, u24(27) + 1))
+      case "VP8 " =>
+        // frame tag (3 bytes) then the 0x9D 0x01 0x2A start code, then
+        // 14-bit width/height in the next two u16s
+        if (chunkSize < 10 || payload.length < 30) None
+        else if ((payload(23) & 0xFF) != 0x9D || (payload(24) & 0xFF) != 0x01 ||
+          (payload(25) & 0xFF) != 0x2A) None
+        else {
+          val w = buf.getShort(26) & 0x3FFF
+          val h = buf.getShort(28) & 0x3FFF
+          if (w > 0 && h > 0) Some((w, h)) else None
+        }
+      case "VP8L" =>
+        if (chunkSize < 5 || payload.length < 25 ||
+          (payload(20) & 0xFF) != 0x2F) None
+        else {
+          val bits = buf.getInt(21)
+          val w = (bits & 0x3FFF) + 1
+          val h = ((bits >> 14) & 0x3FFF) + 1
+          Some((w, h))
+        }
+      case _ => None
+    }
+  }
+
   // ------------------------------------------------------- FORMAT SNIFF --
 
   /** Magic-byte format identification — the FIRST pass of a corpus
@@ -283,9 +403,11 @@ object BinaryCodecs {
       ascii(8, 4) match {
         case "WAVE" => "wav"
         case "AVI " => "avi"
+        case "WEBP" => "webp"
         case _ => "unknown"
       }
     else if (payload.length >= 12 && ascii(4, 4) == "ftyp") "mp4"
+    else if (ascii(0, 4) == "fLaC") "flac"
     else if (ascii(0, 5) == "WARC/") "warc"
     else if (ascii(0, 3) == "ID3") "mp3"
     else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xe0) == 0xe0) "mp3"

@@ -660,6 +660,15 @@ object Multimodal {
           TriageRow(id, "mp3", gzipped, parsed = true, None, None, None,
             Some(a.sampleRate), Some(a.durationUs))
         }.getOrElse(none)
+        case "flac" => C.flacMeta(payload).map { case (rate, _, _, total) =>
+          TriageRow(id, "flac", gzipped, parsed = true, None, None, None,
+            Some(rate),
+            if (total > 0) Some(total * 1000000L / rate) else None)
+        }.getOrElse(none)
+        case "webp" => C.webpDimensions(payload).map { case (w, h) =>
+          TriageRow(id, "webp", gzipped, parsed = true, Some(w), Some(h),
+            None, None, None)
+        }.getOrElse(none)
         case _ => none
       }
     }
@@ -782,6 +791,8 @@ object Multimodal {
       .when(ct === "video/x-msvideo" || ct === "video/avi", "avi")
       .when(ct === "video/mp4" || ct === "video/quicktime", "mp4")
       .when(ct === "audio/mpeg" || ct === "audio/mp3", "mp3")
+      .when(ct === "audio/flac" || ct === "audio/x-flac", "flac")
+      .when(ct === "image/webp", "webp")
   }
 
   final case class FrameRow(media_id: Long, frame_idx: Long, payload: Array[Byte],

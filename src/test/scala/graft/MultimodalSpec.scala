@@ -513,6 +513,63 @@ class MultimodalSpec extends SparkSpec {
     assert(!got(7L).parsed && got(7L).format == "unknown")
   }
 
+  test("flacMeta: STREAMINFO roundtrip, unknown total, quarantines") {
+    import graft.functions.{BinaryCodecs => C}
+    val f = C.flac(44100, 2, 16, 441000L)
+    assert(C.flacMeta(f).contains((44100, 2, 16, 441000L)))
+    assert(C.sniffFormat(f) == "flac")
+    // total 0 is the spec's "unknown", passes through
+    assert(C.flacMeta(C.flac(48000, 1, 24, 0L)).contains((48000, 1, 24, 0L)))
+    // quarantines: bad magic, short, wrong first block type, zero rate
+    assert(C.flacMeta("fLaX0000".getBytes ++ new Array[Byte](40)).isEmpty)
+    assert(C.flacMeta(f.take(30)).isEmpty)
+    val wrongFirst = f.clone
+    wrongFirst(4) = 0x84.toByte // last-block | type 4 (VORBIS_COMMENT)
+    assert(C.flacMeta(wrongFirst).isEmpty)
+    val zeroRate = f.clone
+    // rate lives in the top 20 bits of the packed field at offset 18
+    zeroRate(18) = 0; zeroRate(19) = 0
+    zeroRate(20) = (zeroRate(20) & 0x0F).toByte
+    assert(C.flacMeta(zeroRate).isEmpty)
+  }
+
+  test("webpDimensions: VP8X, lossy VP8 and lossless VP8L headers; quarantines") {
+    import graft.functions.{BinaryCodecs => C}
+    val x = C.webp(640, 480)
+    assert(C.webpDimensions(x).contains((640, 480)))
+    assert(C.sniffFormat(x) == "webp")
+    // hand-built lossy VP8 header: frame tag + 9D 01 2A sync + 14-bit dims
+    def le32(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val vp8 = "RIFF".getBytes ++ le32(22) ++ "WEBP".getBytes ++
+      "VP8 ".getBytes ++ le32(10) ++ Array[Byte](0, 0, 0) ++
+      Array(0x9D.toByte, 0x01.toByte, 0x2A.toByte) ++ le16(320) ++ le16(240)
+    assert(C.webpDimensions(vp8).contains((320, 240)))
+    // lossless VP8L: 0x2F signature + packed 14-bit minus-one fields
+    val w = 100 - 1; val h = 80 - 1
+    val packed = (w & 0x3FFF) | ((h & 0x3FFF) << 14)
+    val vp8l = "RIFF".getBytes ++ le32(17) ++ "WEBP".getBytes ++
+      "VP8L".getBytes ++ le32(5) ++ Array(0x2F.toByte) ++ le32(packed)
+    assert(C.webpDimensions(vp8l).contains((100, 80)))
+    // quarantines: non-WEBP RIFF, broken VP8 sync, unknown chunk, short
+    assert(C.webpDimensions(C.wav(8000, Array[Short](1, 2))).isEmpty)
+    val badSync = vp8.clone; badSync(23) = 0
+    assert(C.webpDimensions(badSync).isEmpty)
+    val unk = "RIFF".getBytes ++ le32(12) ++ "WEBP".getBytes ++
+      "XXXX".getBytes ++ le32(4) ++ le32(0)
+    assert(C.webpDimensions(unk).isEmpty)
+    assert(C.webpDimensions(x.take(18)).isEmpty)
+    // both families route through the triage
+    val media = Seq(
+      Multimodal.MediaRow(1L, "m", C.flac(32000, 1, 16, 64000L), "x", 1L),
+      Multimodal.MediaRow(2L, "m", vp8l, "x", 1L)).toDS()
+    val got = Multimodal.mediaTriage(media).collect().map(r => r.media_id -> r).toMap
+    assert(got(1L).format == "flac" && got(1L).sample_rate.contains(32000) &&
+      got(1L).duration_us.contains(2000000L))
+    assert(got(2L).format == "webp" && got(2L).width.contains(100))
+  }
+
   test("archiveMediaTriage: declared-vs-sniffed verdicts over archived bodies") {
     import graft.functions.{BinaryCodecs => C}
     val bmp = C.bmp(6, 4, "px".getBytes)
