@@ -635,12 +635,17 @@ object Warc {
     import graft.functions.BinaryCodecs
     val keys = urls.select(col(urlCol).as("__q_url"))
       .withColumn("surt_key", Urls.surtKey(col("__q_url")))
-    val hits = keys.join(
+    // staged ([[Staging.stage]]): TWO branches consume the lookup —
+    // the shard-id pruning set and the line match — and without
+    // staging Spark plans (and runs) the broadcast range probe once
+    // per branch, the multi-branch recompute class (the PlanShapeSpec
+    // leg pins exactly ONE nested-loop probe in the plan)
+    val hits = Staging.stage(keys.join(
       broadcast(clusterIndex.select(col("shard_id"), col("first_key"),
         col("last_key"), col("n_lines").as("shard_n_lines"))),
       col("surt_key") >= col("first_key") && col("surt_key") <= col("last_key"))
       .select(col("__q_url"), col("surt_key"), col("shard_id"),
-        col("shard_n_lines"))
+        col("shard_n_lines")), reliable = false)
     // shard ids in play — bounded by min(#queries, #shards), broadcast
     val selIds = hits.select("shard_id").distinct()
     val lines = shards.join(broadcast(selIds), Seq("shard_id"))

@@ -854,6 +854,33 @@ class PlanShapeSpec extends SparkSpec {
         "binary-codec video ops must stay partition-batched and shuffle-free")
   }
 
+  test("randomAccessFetch: one broadcast range probe against the cluster index, no cartesian") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import graft.ops.{Multimodal, Warc}
+    val rdocs = (0L until 24L).map(i => (i, s"page $i")).toDF("doc_id", "text")
+    val media = Warc.syntheticWarc(rdocs, docsPerFile = 8)
+    val lines = Warc.toCdxj(media)
+    val urls = Seq("https://host1.example.com/p/1").toDF("url")
+    val plan = initialPlan(Warc.randomAccessFetch(urls,
+      Warc.cdxClusterIndex(lines, linesPerShard = 7),
+      Warc.cdxShardFiles(lines, linesPerShard = 7),
+      media.toDF().select(
+        concat(lit("crawl-"), col("media_id"), lit(".warc.gz")).as("filename"),
+        col("payload"))).toDF())
+    // the index range probe (the one legitimate nested-loop — a
+    // broadcast binary-search surrogate) runs ONCE inside the staged
+    // lookup, so the composite's own plan must carry NO nested-loop
+    // and no cartesian: every residual join is keyed (shard_id,
+    // surt_key, filename). A nested-loop appearing here means either
+    // the staging regressed (the probe re-planned per consumer) or a
+    // downstream join lost its keys.
+    val bnl = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(bnl.isEmpty,
+      s"un-staged or key-less nested-loop joins in the plan: ${bnl.length}")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      "cartesian product in the random-access plan")
+  }
+
   test("node2vecWalks steps are equi-joins only; the classifier join adds no cartesian") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     val edges = (1L to 30L).map(i => (i, i % 7 + 1)).toDF("a_id", "b_id")
