@@ -223,7 +223,9 @@ object ScaleSmoke {
     // Keyframe sampling: container build + stss consult + table extraction.
     "q434_mp4_keyframes",
     // FLAC/WebP header walks through the triage surface (pure-map).
-    "q435_flac_meta", "q436_webp_dims")
+    "q435_flac_meta", "q436_webp_dims",
+    // Ogg BOS-page build + CRC-verified parse-back (pure-map).
+    "q437_ogg_meta")
   // SPARK_GRAFT_SMOKE_ONLY=q130_prefix_jaccard → isolated adjudication runs.
   private def Queries: Seq[String] = sys.env.get("SPARK_GRAFT_SMOKE_ONLY")
     .map(v => AllQueries.filter(v.split(",").map(_.trim).toSet))

@@ -5060,6 +5060,25 @@ object SparkEntry {
           col("warc_type"), col("target_uri"), col("n_bytes"),
           col("payload").cast("string").as("text_out"))),
 
+    // ---- Ogg audio identity (the podcast container): Vorbis on even
+    // docs, Opus on odd, each BOS page carrying its real RFC 3533 CRC
+    // — codec, clock and channel count straight from the id packet. ----------
+    "q437_ogg_meta" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.BinaryCodecs
+      val media = graft.io.Spread.toDefaultParallelism(
+        t(s, dir, "documents").select(col("doc_id"))).as[Long]
+        .map { id =>
+          val packet =
+            if (id % 2 == 0) BinaryCodecs.vorbisIdPacket(
+              8000 + (id % 4).toInt * 4000, 1 + ((id / 2) % 2).toInt)
+            else BinaryCodecs.opusIdPacket(48000, 1 + (id % 3).toInt)
+          val p = BinaryCodecs.ogg(packet, serial = id.toInt)
+          Multimodal.MediaRow(id, "audio", p, "audio/ogg", p.length.toLong)
+        }
+      Multimodal.oggMeta(media)
+    }),
+
     // ---- FLAC STREAMINFO (the lossless-audio family): fixed-layout
     // decode of the spec-mandatory first metadata block — rate,
     // channels, bit depth, total samples; a zero total is the spec's
@@ -11825,6 +11844,16 @@ object SparkEntry {
         |   WHEN 2 THEN 'gzip, zstd' END AS content_encoding,
         | TRUE AS body_decoded,
         | coalesce(text, '') AS text_out
+        |FROM documents""".stripMargin,
+    // q437: the parity routing — vorbis rate formula on even docs,
+    // opus 48k on odd, channel formulas per dialect.
+    "q437_ogg_meta" ->
+      """SELECT doc_id AS media_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS codec,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 4) * 4000
+        |  ELSE 48000 END AS INT) AS sample_rate,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 2) % 2
+        |  ELSE 1 + doc_id % 3 END AS INT) AS channels
         |FROM documents""".stripMargin,
     // q435: rate/total formulas, the 9≡0 unknown-total leg null.
     "q435_flac_meta" ->

@@ -313,6 +313,135 @@ object BinaryCodecs {
     Some((rate, channels, bps, total))
   }
 
+  // ---------------------------------------------------------------- OGG --
+
+  /** The Ogg page CRC (ITU V.42 polynomial 0x04C11DB7, UNREFLECTED,
+    * init 0, no final xor — deliberately not zlib's reflected CRC32),
+    * computed over the page with its CRC field zeroed.
+    */
+  private def oggCrc(page: Array[Byte]): Int = {
+    var crc = 0
+    var i = 0
+    while (i < page.length) {
+      crc = crc ^ ((page(i) & 0xFF) << 24)
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04C11DB7 else crc << 1
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** One BOS Ogg page carrying a single identification packet — what
+    * every real Ogg stream leads with (RFC 3533 framing, REAL CRC).
+    * Packets ≤ 255 bytes (id headers are), one lacing segment.
+    */
+  def ogg(idPacket: Array[Byte], serial: Int = 1): Array[Byte] = {
+    require(idPacket.length <= 255, "ogg: id packet must fit one segment")
+    val page = ByteBuffer.allocate(28 + idPacket.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    page.put("OggS".getBytes("US-ASCII"))
+    page.put(0.toByte) // version
+    page.put(0x02.toByte) // header type: beginning-of-stream
+    page.putLong(0L) // granule position
+    page.putInt(serial)
+    page.putInt(0) // page sequence
+    page.putInt(0) // CRC placeholder
+    page.put(1.toByte) // one lacing segment
+    page.put(idPacket.length.toByte)
+    page.put(idPacket)
+    val bytes = page.array()
+    val crc = oggCrc(bytes)
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).putInt(22, crc)
+    bytes
+  }
+
+  /** A Vorbis identification packet (`vorbis` + version 0 +
+    * channels + rate — the header every Vorbis stream opens with).
+    */
+  def vorbisIdPacket(sampleRate: Int, channels: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(30).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte).put("vorbis".getBytes("US-ASCII"))
+    b.putInt(0) // vorbis version
+    b.put(channels.toByte)
+    b.putInt(sampleRate)
+    b.putInt(0).putInt(0).putInt(0) // bitrate max/nominal/min
+    b.put(0xB8.toByte) // blocksizes
+    b.put(1.toByte) // framing bit
+    b.array()
+  }
+
+  /** An `OpusHead` identification packet (RFC 7845 §5.1). */
+  def opusIdPacket(inputSampleRate: Int, channels: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(19).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("OpusHead".getBytes("US-ASCII"))
+    b.put(1.toByte) // version
+    b.put(channels.toByte)
+    b.putShort(312.toShort) // pre-skip
+    b.putInt(inputSampleRate)
+    b.putShort(0.toShort) // output gain
+    b.put(0.toByte) // channel mapping family 0
+    b.array()
+  }
+
+  /** Ogg audio identity — `(codec, sampleRate, channels)` from the
+    * BOS page's identification packet, Vorbis and Opus dialects (the
+    * two codecs the web's Ogg streams actually carry): RFC 3533 page
+    * framing with the REAL Ogg CRC verified (unreflected 0x04C11DB7 —
+    * a flipped byte anywhere in the page quarantines), version-0
+    * pages only, the first packet assembled from the lacing table.
+    * None for non-Ogg, a CRC mismatch, a non-BOS first page, a
+    * truncated lacing table, or an id packet of neither dialect.
+    * Header-grain: DURATION needs the final page's granule position —
+    * a tail scan this read deliberately does not pay.
+    */
+  def oggAudioMeta(payload: Array[Byte]): Option[(String, Int, Int)] = {
+    if (payload == null || payload.length < 28) return None
+    if (new String(payload, 0, 4, "US-ASCII") != "OggS") return None
+    if (payload(4) != 0) return None // stream structure version
+    if ((payload(5) & 0x02) == 0) return None // first page must be BOS
+    val nsegs = payload(26) & 0xFF
+    if (27 + nsegs > payload.length) return None
+    // first packet: segments up to (and including) the first lacing
+    // value < 255 (RFC 3533 §5: 255 means the packet continues)
+    var packetLen = 0
+    var seg = 0
+    var open = true
+    while (open && seg < nsegs) {
+      val l = payload(27 + seg) & 0xFF
+      packetLen += l
+      seg += 1
+      if (l < 255) open = false
+    }
+    if (open) return None // packet continues past this page: not an id header
+    val dataStart = 27 + nsegs
+    val pageDataLen = (0 until nsegs).map(i => payload(27 + i) & 0xFF).sum
+    if (dataStart + pageDataLen > payload.length) return None
+    // CRC over the whole page with the CRC field zeroed
+    val page = java.util.Arrays.copyOfRange(payload, 0, dataStart + pageDataLen)
+    val declared = ByteBuffer.wrap(page).order(ByteOrder.LITTLE_ENDIAN).getInt(22)
+    page(22) = 0; page(23) = 0; page(24) = 0; page(25) = 0
+    if (oggCrc(page) != declared) return None
+    if (packetLen < 7) return None
+    val buf = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    if (payload(dataStart) == 1 &&
+      new String(payload, dataStart + 1, 6, "US-ASCII") == "vorbis") {
+      if (packetLen < 16) return None
+      if (buf.getInt(dataStart + 7) != 0) return None // vorbis version
+      val channels = payload(dataStart + 11) & 0xFF
+      val rate = buf.getInt(dataStart + 12)
+      if (rate <= 0 || channels < 1) None else Some(("vorbis", rate, channels))
+    } else if (packetLen >= 19 &&
+      new String(payload, dataStart, 8, "US-ASCII") == "OpusHead") {
+      if ((payload(dataStart + 8) & 0xFF) != 1) return None // OpusHead version
+      val channels = payload(dataStart + 9) & 0xFF
+      val rate = buf.getInt(dataStart + 12)
+      if (rate <= 0 || channels < 1) None else Some(("opus", rate, channels))
+    } else None
+  }
+
   // --------------------------------------------------------------- WEBP --
 
   /** Minimal WebP: the RIFF/WEBP container with a VP8X extended-format
@@ -408,6 +537,7 @@ object BinaryCodecs {
       }
     else if (payload.length >= 12 && ascii(4, 4) == "ftyp") "mp4"
     else if (ascii(0, 4) == "fLaC") "flac"
+    else if (ascii(0, 4) == "OggS") "ogg"
     else if (ascii(0, 5) == "WARC/") "warc"
     else if (ascii(0, 3) == "ID3") "mp3"
     else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xe0) == 0xe0) "mp3"

@@ -521,6 +521,28 @@ object Multimodal {
     }.toDF("media_id", "frame_pos", "frame_id", "value")
   }
 
+  /** Ogg stream identity from the BOS page's identification packet —
+    * codec (vorbis/opus), sample clock and channel count, with the
+    * page's REAL CRC verified
+    * ([[graft.functions.BinaryCodecs.oggAudioMeta]]); non-Ogg,
+    * CRC-corrupt and neither-dialect payloads drop. The third audio
+    * container next to WAV and MP3, and the one podcasts actually
+    * ship in. Map-side, shuffle-free, partition-batched.
+    */
+  def oggMeta(media: Dataset[MediaRow], batchSize: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    import graft.functions.BinaryCodecs
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          BinaryCodecs.oggAudioMeta(m.payload).map { case (codec, rate, ch) =>
+            (m.media_id, codec, rate, ch)
+          }
+        }
+      }
+    }.toDF("media_id", "codec", "sample_rate", "channels")
+  }
+
   /** [[syntheticMp3s]] with REAL ID3v2 metadata: every doc's stream
     * leads with a tag carrying TIT2/TPE1/TALB from id formulas (plus
     * TRCK on 4≡1 docs) — v2.3 ISO-8859-1 on even docs, v2.4 UTF-8
@@ -660,6 +682,10 @@ object Multimodal {
           TriageRow(id, "mp3", gzipped, parsed = true, None, None, None,
             Some(a.sampleRate), Some(a.durationUs))
         }.getOrElse(none)
+        case "ogg" => C.oggAudioMeta(payload).map { case (_, rate, _) =>
+          TriageRow(id, "ogg", gzipped, parsed = true, None, None, None,
+            Some(rate), None) // duration needs the tail granule scan
+        }.getOrElse(none)
         case "flac" => C.flacMeta(payload).map { case (rate, _, _, total) =>
           TriageRow(id, "flac", gzipped, parsed = true, None, None, None,
             Some(rate),
@@ -792,6 +818,7 @@ object Multimodal {
       .when(ct === "video/mp4" || ct === "video/quicktime", "mp4")
       .when(ct === "audio/mpeg" || ct === "audio/mp3", "mp3")
       .when(ct === "audio/flac" || ct === "audio/x-flac", "flac")
+      .when(ct === "audio/ogg" || ct === "application/ogg" || ct === "audio/opus", "ogg")
       .when(ct === "image/webp", "webp")
   }
 

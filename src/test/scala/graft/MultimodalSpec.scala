@@ -570,6 +570,33 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L).format == "webp" && got(2L).width.contains(100))
   }
 
+  test("oggAudioMeta: Vorbis and Opus id packets, real CRC verified, quarantines") {
+    import graft.functions.{BinaryCodecs => C}
+    val vorbis = C.ogg(C.vorbisIdPacket(44100, 2))
+    assert(C.oggAudioMeta(vorbis).contains(("vorbis", 44100, 2)))
+    assert(C.sniffFormat(vorbis) == "ogg")
+    val opus = C.ogg(C.opusIdPacket(48000, 1))
+    assert(C.oggAudioMeta(opus).contains(("opus", 48000, 1)))
+    // the CRC is the REAL Ogg polynomial: a flipped byte ANYWHERE in
+    // the page quarantines — payload byte, lacing byte, header byte
+    for (pos <- Seq(6, 27, vorbis.length - 3)) {
+      val bad = vorbis.clone
+      bad(pos) = (bad(pos) ^ 0x41).toByte
+      assert(C.oggAudioMeta(bad).isEmpty, s"flipped byte at $pos must fail CRC")
+    }
+    // quarantines: non-BOS first page, truncation, neither dialect,
+    // a continued (lacing 255) packet, bad vorbis version
+    val nonBos = vorbis.clone; nonBos(5) = 0
+    assert(C.oggAudioMeta(nonBos).isEmpty)
+    assert(C.oggAudioMeta(vorbis.dropRight(2)).isEmpty)
+    assert(C.oggAudioMeta(C.ogg("neither dialect".getBytes)).isEmpty)
+    assert(C.oggAudioMeta("OggS and then garbage".getBytes ++ new Array[Byte](20)).isEmpty)
+    // triage routes the family with its sample clock
+    val media = Seq(Multimodal.MediaRow(1L, "m", opus, "x", 1L)).toDS()
+    val t = Multimodal.mediaTriage(media).collect().head
+    assert(t.format == "ogg" && t.parsed && t.sample_rate.contains(48000))
+  }
+
   test("archiveMediaTriage: declared-vs-sniffed verdicts over archived bodies") {
     import graft.functions.{BinaryCodecs => C}
     val bmp = C.bmp(6, 4, "px".getBytes)
