@@ -3829,10 +3829,16 @@ object SparkEntry {
           .withColumn("path", regexp_extract(col("url"), "^[a-z]+://[^/]*(/.*)$", 1))
           .withColumn("robots", lit("User-agent: *\nDisallow: /private")))
         .where(col("allowed"))
-      val frontier = Urls.canonicalize(admitted)
-        .where(col("canonical_url").isNotNull)
-        .groupBy(col("canonical_url").as("url"))
-        .agg(count(lit(1)).as("priority"))
+      // Staged (r17 optimization): same cut as q422 — the grouped frontier
+      // is one URL + one count per row, but unstaged it drags the full
+      // link-extraction/admission/canonicalize tree (~470 KB formatted)
+      // under politenessSchedule's second canonicalize + PSL joins and
+      // every AQE pass re-walks it. Measured 7.4 s -> ~2.5 s at sf0.1.
+      val frontier = graft.ops.Staging.stage(
+        Urls.canonicalize(admitted)
+          .where(col("canonical_url").isNotNull)
+          .groupBy(col("canonical_url").as("url"))
+          .agg(count(lit(1)).as("priority")), reliable = false)
       Crawl.politenessSchedule(frontier, delayMs = 200L, maxPerHost = 4)
     }),
 
@@ -4487,9 +4493,16 @@ object SparkEntry {
         }.toDF("doc_id", "payload", "uri")
       val pages = graft.ops.Warc.decodePages(
         graft.ops.Warc.parseWarc(graft.ops.Warc.syntheticWarcBytes(msgs))).toDF()
-      val content = Html.mainContent(pages).select(
-        regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
-        col("main_text").as("text"))
+      // Staged (r17 optimization): `content` fans into FOUR consumers
+      // (simhash, the two verify joins, the anti-join base), and each
+      // broadcast build re-ran the whole WARC-synthesize/parse/HTTP-decode/
+      // charset/main-content chain — 8 concurrent ~2-2.5 s rebuild jobs
+      // profiled at sf0.1. One narrow (doc_id, text) materialization
+      // replaces them; measured 13-14 s -> ~6 s.
+      val content = graft.ops.Staging.stage(
+        Html.mainContent(pages).select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("main_text").as("text")), reliable = false)
       // SimHash dedup with the repo's LSH discipline: banded candidates,
       // then VERIFY by exact text before dropping — raw 64-bit
       // fingerprint equality alone over-collapses (similar short docs
@@ -4757,17 +4770,28 @@ object SparkEntry {
           TextFunctions.langGuessFromPadded(
             TextFunctions.paddedText(col("text"))).as("lang")),
         reliable = false)
-      val scored = Ngrams.lmFluencyPpmBy(docs, "lang", minCount = 3)
-      val thr = scored.groupBy("lang").agg(
-        expr("sum(fluency_ppm) div count(1)").as("thr"),
-        count(lit(1)).as("n_docs"))
+      // Staged (r17 optimization): `scored` is referenced by thr AND kept,
+      // and `counts` three more times downstream (apportion reads it twice,
+      // the assembly join once) — unstaged, the corpus-tokenize + KN-join
+      // subtree re-executed ~7x (137 jobs profiled, 11.2 s at sf0.1).
+      // Both frames are narrow (scored: 4 cols/doc; counts/thr: one row
+      // per language); staging them runs the chain once. Measured
+      // 11.2 s -> ~4.5 s, identical results.
+      val scored = graft.ops.Staging.stage(
+        Ngrams.lmFluencyPpmBy(docs, "lang", minCount = 3), reliable = false)
+      val thr = graft.ops.Staging.stage(
+        scored.groupBy("lang").agg(
+          expr("sum(fluency_ppm) div count(1)").as("thr"),
+          count(lit(1)).as("n_docs")), reliable = false)
       val toks = docs.select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("tok"))
       val kept = scored.join(thr.select("lang", "thr"), Seq("lang"))
         .where(col("fluency_ppm") >= col("thr"))
         .join(toks, Seq("doc_id"))
-      val counts = kept.groupBy("lang")
-        .agg(count(lit(1)).as("n_kept"), sum("tok").as("tokens"))
+      val counts = graft.ops.Staging.stage(
+        kept.groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"), sum("tok").as("tokens")),
+        reliable = false)
       Sampling.apportion(counts.select(col("lang"), col("tokens")),
           "lang", "tokens", budget = 100000L)
         .join(counts.select("lang", "n_kept"), Seq("lang"))
@@ -4910,10 +4934,19 @@ object SparkEntry {
               s"<item><link>https://h${k + 6}.example.org/feed/$k/2</link></item>" +
               "</channel></rss>"))
         }.toDF("url", "payload")
-      val frontier = Crawl.discoveryAdmitted(docs, smFiles, feedFiles,
-        lit("User-agent: *\nDisallow: /private"))
-        .groupBy(col("url"))
-        .agg(count(lit(1)).as("priority"))
+      // Staged twice (r17 optimization): the admitted-URL frame and the
+      // grouped frontier are both narrow (one URL + one count), but the
+      // UNSTAGED plan carries the full three-channel discovery expression
+      // tree (~430 KB formatted) into politenessSchedule's canonicalize +
+      // PSL joins, and every AQE re-optimization re-walks it — measured
+      // 8.6-10 s unstaged vs 3.3 s staged at sf0.1 (same results; the
+      // politeness window now plans over a leaf).
+      val admitted = graft.ops.Staging.stage(
+        Crawl.discoveryAdmitted(docs, smFiles, feedFiles,
+          lit("User-agent: *\nDisallow: /private")), reliable = false)
+      val frontier = graft.ops.Staging.stage(
+        admitted.groupBy(col("url")).agg(count(lit(1)).as("priority")),
+        reliable = false)
       Crawl.politenessSchedule(frontier, delayMs = 200L, maxPerHost = 4)
     }),
 

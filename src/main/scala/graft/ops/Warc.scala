@@ -848,7 +848,19 @@ object Warc {
     import rows.sparkSession.implicits._
     import graft.functions.BinaryCodecs
     require(docsPerFile >= 1, s"docsPerFile must be >= 1: $docsPerFile")
-    graft.io.Spread.toDefaultParallelism(rows)
+    // One explicit hash exchange on the file key, sized to the core count
+    // (r17 optimization). The previous round-robin Spread + groupBy paid
+    // TWO exchanges, and AQE then coalesced the agg's output to 1-2
+    // partitions by BYTE size — leaving the expensive downstream (file
+    // assembly, gzip, and every consumer's parse/HTTP/charset/decode
+    // chain, all map-side in the same stage) nearly single-threaded
+    // (profiled: 2-task 1.5-2.5 s stages at sf0.1/local[32]). An explicit
+    // repartition count is exempt from AQE coalescing, and the groupBy
+    // reuses the partitioning (same key), so this is also one exchange
+    // fewer. defaultParallelism keeps it scale-adaptive; rows are keyed by
+    // dense doc ids, so the hash spread is even.
+    rows.repartition(rows.sparkSession.sparkContext.defaultParallelism,
+        expr(s"doc_id div $docsPerFile"))
       .groupBy(expr(s"doc_id div $docsPerFile").as("file_id"))
       .agg(sort_array(collect_list(struct(
         col("doc_id").as("_1"), col("payload").as("_2"), col("uri").as("_3"),
