@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, GraftColumn}
 import org.apache.spark.sql.functions._
-import graft.functions.expressions.{CentroidCodebook, CosineSimilarity, DotProduct, HyperplaneBucket => HyperplaneBucketExpr, IntDotProduct, LatticeCodebook, MinHashSignature, NearestCentroidId, NearestLatticeCentroid, PositionalShingleHashes, ShingleHashes, SimHash64, SortedIntersectCount, TopCentroidIds}
+import graft.functions.expressions.{CentroidCodebook, CosineSimilarity, DotProduct, HyperplaneBucket => HyperplaneBucketExpr, IntDotProduct, LatticeCodebook, MinHashSignature, NearestCentroidId, NearestLatticeCentroid, PositionalShingleHashes, QuantizeInt8MaxAbs, ShingleHashes, SimHash64, SortedIntersectCount, TopCentroidIds}
 
 /** Vector math over `array<float>` embedding columns. The hot pairwise
   * functions ([[dot]], [[cosine]], [[simhashBucket]]) are native Catalyst
@@ -107,6 +107,17 @@ object VectorFunctions {
     when(maxAbsCol > 0,
       transform(vec, x => round(x.cast("double") * 127.0 / maxAbsCol).cast("long")))
       .otherwise(transform(vec, _ => lit(0L)))
+
+  /** Fused `quantizeInt8(vec, maxAbs(vec))` as ONE native codegen'd pass —
+    * bit-identical to the HOF pair (cross-checked in
+    * `NativeExpressionsSpec`). Use this when the scale is the vector's own
+    * max|xᵢ|: the inline HOF composition re-evaluates the interpreted
+    * maxAbs once per ELEMENT of the transform lambda (~65 array scans per
+    * 64-dim row). The two-argument form above stays for callers carrying a
+    * pre-staged maxAbs column.
+    */
+  def quantizeInt8MaxAbs(vec: Column): Column =
+    GraftColumn(QuantizeInt8MaxAbs(GraftColumn.expr(vec)))
 
   /** Signed random-hyperplane LSH bucket: the sign bits of `nBits` fixed
     * pseudo-random hyperplane projections, packed into a long. Two vectors

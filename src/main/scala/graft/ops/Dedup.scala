@@ -562,7 +562,12 @@ object Dedup {
     val w = Window.partitionBy(col("id")).orderBy(col("__df"), col("word"))
     // ⌈t·n⌉ = (t_ppm·n + 999999) div 1e6, exact in Long
     val needed = expr(s"($thresholdPpm * n + 999999) div 1000000")
+    // explicit core-count partitioning for the prefix window (r17): the
+    // (id, word, df) rows are skinny, so AQE coalesced the window's
+    // exchange to ONE partition and the per-doc sort ran single-threaded
+    // (profiled 2.1 s/1 task at sf0.1). Same layout the window requires.
     val prefixes = ranked
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("id"))
       .withColumn("__rk", row_number().over(w).cast("long"))
       .where(col("__rk") <= col("n") - needed + lit(1L))
       .select(col("id"), col("word"))
@@ -571,6 +576,14 @@ object Dedup {
         col("a.word") === col("b.word") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
+      // explicit core-count partitioning (r17 optimization): the candidate
+      // pair frame is tiny in BYTES, so AQE coalesced the verify join to
+      // ONE partition — and sortedIntersectCount over full token arrays
+      // then ran single-threaded (profiled: a 3.6 s 1-task stage at
+      // sf0.1/local[32]). An explicit count is exempt from coalescing and
+      // the a_id verify join reuses the layout. No-op semantically.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("a_id"))
     candidates
       .join(sets.select(col("id").as("a_id"), col("toks").as("a_toks"), col("n").as("n_a")), Seq("a_id"))
       .join(sets.select(col("id").as("b_id"), col("toks").as("b_toks"), col("n").as("n_b")), Seq("b_id"))

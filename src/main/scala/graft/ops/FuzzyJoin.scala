@@ -56,15 +56,27 @@ object FuzzyJoin {
     val g = saltBuckets
     val side = df.select(col(idCol).as("id"), col(nameCol).as("name"), blockKey.as("block"))
     val guard = abs(length(col("a.name")) - length(col("b.name"))) <= maxDist
+    // Explicit core-count partitioning on the join key (r17 optimization):
+    // the block-keyed sides are skinny (id + name + block), so AQE
+    // coalesced the self-join's exchanges to ONE partition — and the DP
+    // verifier (levenshtein/damerau, the expensive part) then ran
+    // single-threaded over every candidate pair (profiled: 3.2 s/1 task
+    // at sf0.1/local[32]). An explicit count is exempt from coalescing and
+    // the join reuses the layout, so no exchange is added. Parallelism is
+    // min(#blocks, cores) — at real scale blocks are plentiful.
+    val p = df.sparkSession.sparkContext.defaultParallelism
     val joined =
-      if (g == 1)
-        side.alias("a").join(side.alias("b"),
+      if (g == 1) {
+        val keyed = side.repartition(p, col("block"))
+        keyed.alias("a").join(keyed.alias("b"),
           col("a.block") === col("b.block") && col("a.id") < col("b.id") && guard)
-      else {
+      } else {
         val withB = side.withColumn("__b", pmod(xxhash64(col("id")), lit(g)).cast("int"))
         val roles = array((0 until g).map(lit): _*)
-        val a = withB.withColumn("__j", explode(roles)).alias("a")
-        val b = withB.withColumn("__i", explode(roles)).alias("b")
+        val a = withB.withColumn("__j", explode(roles))
+          .repartition(p, col("block"), col("__b"), col("__j")).alias("a")
+        val b = withB.withColumn("__i", explode(roles))
+          .repartition(p, col("block"), col("__i"), col("__b")).alias("b")
         // a plays role (own bucket, j); b plays role (i, own bucket) —
         // they meet exactly when (i, j) = (bucket_a, bucket_b).
         a.join(b,
@@ -92,7 +104,10 @@ object FuzzyJoin {
       blockKey: Column,
       minSim: Double,
       sim: (Column, Column) => Column): DataFrame = {
+    // same explicit block-key partitioning as [[selfPairs]] (r17): the
+    // similarity kernel otherwise runs in the AQE-coalesced single task
     val side = df.select(col(idCol).as("id"), col(nameCol).as("name"), blockKey.as("block"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("block"))
     side.alias("a").join(side.alias("b"),
         col("a.block") === col("b.block") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),

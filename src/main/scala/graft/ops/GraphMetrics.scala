@@ -202,17 +202,28 @@ object GraphMetrics {
     // right call on preemptible nodes. `sym.distinct()` is deterministic,
     // so recompute is bit-identical.
     val oneHop = Staging.stage(sym.distinct(), reliable)
+    // Explicit core-count partitioning on both wedge-join inputs (r17
+    // optimization): the adjacency is small in BYTES, so AQE coalesced the
+    // join's exchanges to 1-2 partitions — and the wedge EXPLOSION
+    // (≤ 2·m·maxDegree rows) plus the distinct's map-side partial agg then
+    // ran nearly single-threaded (profiled: one 2-task 3.7-3.8 s stage at
+    // sf0.1/local[32] in both q89 and q266). An explicit repartition count
+    // is exempt from AQE coalescing; the window and the join both reuse
+    // the partitioning, so no exchange is added — the hub-truncation
+    // window's shuffle is simply pinned at core count instead of
+    // byte-coalesced. Scale-adaptive via defaultParallelism.
+    val part = pairs.sparkSession.sparkContext.defaultParallelism
     val mid =
-      if (maxDegree == Int.MaxValue) oneHop
+      if (maxDegree == Int.MaxValue) oneHop.repartition(part, col("src"))
       else {
         // Deterministic hub truncation: keep each src's maxDegree smallest
         // dst ids. One extra shuffle+sort on src — the price of turning an
         // unbounded Σdeg² join into a bounded one.
         val w = org.apache.spark.sql.expressions.Window.partitionBy("src").orderBy("dst")
-        oneHop.withColumn("rn", row_number().over(w))
+        oneHop.repartition(part, col("src")).withColumn("rn", row_number().over(w))
           .where(col("rn") <= maxDegree).drop("rn")
       }
-    val twoHop = oneHop.alias("p")
+    val twoHop = oneHop.repartition(part, col("dst")).alias("p")
       .join(mid.alias("q"), col("p.dst") === col("q.src"))
       .select(col("p.src").as("src"), col("q.dst").as("dst"))
       .where(col("src") =!= col("dst"))
@@ -651,7 +662,14 @@ object GraphMetrics {
       .distinct()
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("__d"))
     val w = Window.partitionBy("src").orderBy("dst")
-    val capped = sym.withColumn("__rn", row_number().over(w))
+    // Explicit core-count partitioning on src (r17): the adjacency is
+    // small in bytes, so AQE coalesced the wedge self-join to 2 partitions
+    // and the Σ min(deg,64)² expansion ran nearly single-threaded
+    // (1.4 s/2 tasks profiled at sf0.1). The cap window AND both join
+    // sides reuse the one explicit exchange.
+    val capped = sym
+      .repartition(pairs.sparkSession.sparkContext.defaultParallelism, col("src"))
+      .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= maxDegree).drop("__rn")
     val common = capped.alias("a").hint("shuffle_hash")
       .join(capped.alias("b").hint("shuffle_hash"),

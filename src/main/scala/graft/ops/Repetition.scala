@@ -134,6 +134,11 @@ object Repetition {
     val covered = pos
       .join(hot, Seq("g"), "left_semi")
       .select(col("id"), explode(sequence(col("i"), col("i") + (k - 1))).as("j"))
+      // explicit core-count partitioning (r17): the (id, j) rows are
+      // 16 bytes, so AQE coalesced the dedup (and downstream join)
+      // exchanges to one partition; the distinct reuses this layout
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("id"), col("j"))
       .distinct()
       .groupBy("id").agg(count(lit(1)).as("covered_words"))
     withGrams.select(col("id"), col("n_words").cast("long").as("n_words"))
@@ -191,6 +196,11 @@ object Repetition {
     val covered = pos
       .join(hot, Seq("g"), "left_semi")
       .select(col("id"), explode(sequence(col("i"), col("i") + (k - 1))).as("j"))
+      // explicit core-count partitioning (r17): the (id, j) rows are
+      // 16 bytes, so AQE coalesced the dedup (and downstream join)
+      // exchanges to one partition; the distinct reuses this layout
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("id"), col("j"))
       .distinct()
     val wordPos = withGrams.select(col("id"), posexplode(col("__w")))
       .withColumnRenamed("pos", "j")

@@ -42,7 +42,12 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       queryIdCol: String = "query_id"): DataFrame = {
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    // Spread before the per-row dot products (r17 optimization): the test
+    // corpora are one parquet row group = one scan task, and #queries
+    // cosines per row ran single-threaded without it; no-op on real
+    // multi-split inputs (see [[graft.io.Spread]]).
+    val scored = graft.io.Spread.toDefaultParallelism(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec")))
       .crossJoin(broadcast(queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("q_vec"))))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -529,13 +534,23 @@ object Similarity {
         lit(s"pqParts: ragged $vecCol — expected dim $dim, found dim "),
         size(col(vecCol)).cast("string"))))
     val q = df.select(col(idCol).cast("long").as(outId),
-      VectorFunctions.quantizeInt8(checkedVec, VectorFunctions.maxAbs(checkedVec)).as("__qv"))
+      VectorFunctions.quantizeInt8MaxAbs(checkedVec).as("__qv"))
     def split(t: DataFrame): DataFrame = t.select(col(outId),
       posexplode(transform(sequence(lit(0), lit(m - 1)),
         s => slice(col("__qv"), s * lit(sub) + lit(1), lit(sub)))))
       .select(col(outId), col("pos").cast("long").as("s"), col("col").as("v"))
+    // Codebook: limit BEFORE quantize (r17 optimization). The previous
+    // `q.orderBy.limit(k)` quantized the WHOLE corpus (the 3-transform
+    // int8 lattice projection) just to keep its first k rows by id — and
+    // the codebook subtree is built once per broadcast consumer, so the
+    // full-corpus pass ran twice in the ADC/IVF-PQ plans. TakeOrdered over
+    // the raw (id, vec) rows first, then quantize exactly k vectors —
+    // identical rows (quantization is per-row and deterministic).
+    val firstK = df.select(col(idCol).cast("long").as(outId), col(vecCol))
+      .orderBy(col(outId)).limit(k)
     val cb = split(
-      q.orderBy(col(outId)).limit(k)
+      firstK.select(col(outId),
+          VectorFunctions.quantizeInt8MaxAbs(checkedVec).as("__qv"))
         .withColumn("__j",
           row_number().over(Window.orderBy(col(outId))).cast("long") - 1L)
         .select(col("__j").as(outId), col("__qv")))
@@ -567,7 +582,10 @@ object Similarity {
       k: Int = 16,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val (sub, cb) = pqParts(df, m, k, idCol, vecCol, "vec_id")
+    // corpus side spread before the quantize + m-way subspace explode
+    // (r17: single-split test scans ran the lattice math single-threaded)
+    val (sub, cb) = pqParts(graft.io.Spread.toDefaultParallelism(df),
+      m, k, idCol, vecCol, "vec_id")
     assignCodes(sub, cb)
   }
 
@@ -605,7 +623,9 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       queryIdCol: String = "query_id"): DataFrame = {
-    val (sub, cb) = pqParts(df, m, k, idCol, vecCol, "vec_id")
+    // corpus side spread (r17): same single-split rationale as [[pqCodes]]
+    val (sub, cb) = pqParts(graft.io.Spread.toDefaultParallelism(df),
+      m, k, idCol, vecCol, "vec_id")
     val codes = assignCodes(sub, cb)
     val querySub = pqParts(queries, m, k, queryIdCol, vecCol, "query_id")._1
     val lut = querySub.join(broadcast(cb), Seq("s"))
@@ -759,13 +779,16 @@ object Similarity {
         val n = math.sqrt(v.map(x => x * x).sum)
         (if (n > 0) v.map(_ / n) else v.map(_ => 0.0)).toArray
       }))
-    val assigned = unitized(corpus, idCol, "vec_id", vecCol, "c_vec")
+    // corpus side spread (r17): the routing scan and the PQ lattice math
+    // both ran single-threaded on single-split test scans without it
+    val corpusSpread = graft.io.Spread.toDefaultParallelism(corpus)
+    val assigned = unitized(corpusSpread, idCol, "vec_id", vecCol, "c_vec")
       .withColumn("c_id", VectorFunctions.nearestCentroidId(col("c_vec"), codebook))
       .select(col("vec_id"), col("c_id"))
     val probes = unitized(queries, queryIdCol, "query_id", vecCol, "q_vec")
       .withColumn("c_id", explode(VectorFunctions.topCentroidIds(col("q_vec"), codebook, nProbe)))
       .select(col("query_id"), col("c_id"))
-    val (sub, cb) = pqParts(corpus, m, k, idCol, vecCol, "vec_id")
+    val (sub, cb) = pqParts(corpusSpread, m, k, idCol, vecCol, "vec_id")
     val codes = assignCodes(sub, cb).select(col("vec_id"), col("s"), col("code"))
     val querySub = pqParts(queries, m, k, queryIdCol, vecCol, "query_id")._1
     val lut = querySub.join(broadcast(cb), Seq("s"))
@@ -817,8 +840,10 @@ object Similarity {
       .otherwise(raise_error(concat(
         lit(s"quantizedGram: ragged $vecCol — expected dim $dim, found dim "),
         size(col(vecCol)).cast("string"))))
-    val q = df.select(
-      VectorFunctions.quantizeInt8(checkedVec, VectorFunctions.maxAbs(checkedVec)).as("q"))
+    // corpus spread (r17): the dim·(dim+1)/2-per-row product explode ran
+    // single-threaded on single-split test scans; no-op on real inputs
+    val q = graft.io.Spread.toDefaultParallelism(df).select(
+      VectorFunctions.quantizeInt8MaxAbs(checkedVec).as("q"))
     q.select(col("q"), posexplode(col("q")))
       .withColumnRenamed("pos", "i")
       .withColumnRenamed("col", "qi")
@@ -882,8 +907,10 @@ object Similarity {
     val vv = v.iterator.map(x => x * x).sum
     val eig = if (vv == 0) BigInt(0) else vGv / vv
     require(eig.isValidLong, s"eigenvalue estimate overflows long: $eig")
-    val qv = VectorFunctions.quantizeInt8(col(vecCol), VectorFunctions.maxAbs(col(vecCol)))
-    df.select(col(idCol),
+    val qv = VectorFunctions.quantizeInt8MaxAbs(col(vecCol))
+    // projection scan spread (r17): the quantize + dim-length int dot per
+    // row ran single-threaded on the single-split test scan
+    graft.io.Spread.toDefaultParallelism(df).select(col(idCol),
       VectorFunctions.intDot(qv, typedLit(v.map(_.toLong).toSeq)).as("score"),
       lit(eig.toLong).as("eigenvalue_est"))
   }

@@ -158,8 +158,14 @@ object Trend {
     import org.apache.spark.sql.expressions.Window
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     require(scale >= 1, s"scale must be >= 1: $scale")
+    // Explicit core-count partitioning on the group key (r17): the point
+    // sides are skinny, so AQE coalesced the pair join to one partition
+    // and the Σ n_g² slope expansion ran single-threaded (1.75 s/1 task
+    // profiled at sf0.1). The join reuses the layout — no extra exchange.
+    val p = df.sparkSession.sparkContext.defaultParallelism
     val pts = df.select(
       (groupCols.map(col) :+ xCol.cast("long").as("__x") :+ yCol.cast("long").as("__y")): _*)
+      .repartition(p, groupCols.map(col): _*)
     val a = pts.toDF(pts.columns.map(c => if (c.startsWith("__")) s"a${c.stripPrefix("__")}" else c): _*)
     val b = pts.toDF(pts.columns.map(c => if (c.startsWith("__")) s"b${c.stripPrefix("__")}" else c): _*)
     val pairs = a.join(b, groupCols)

@@ -30,6 +30,32 @@ class NativeExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("quantizeInt8MaxAbs is bit-identical to the staged HOF pair") {
+    // random vectors + edge cases: all-zero, empty, null elements, all-null
+    val base = vecs.map(_._1)
+    val edge = Seq(Seq.fill(8)(0.0f), Seq.empty[Float])
+    val df = (base ++ edge).map(v => Tuple1(v.map(Option(_)))).toDF("v")
+      .union(Seq(Tuple1(Seq(Option(1.5f), None, Option(-2.5f)))).toDF("v"))
+      .union(Seq(Tuple1(Seq.fill(3)(Option.empty[Float]))).toDF("v"))
+    val rows = df.select(
+      VectorFunctions.quantizeInt8MaxAbs(col("v")).as("fused"),
+      VectorFunctions.quantizeInt8(col("v"), VectorFunctions.maxAbs(col("v"))).as("staged")
+    ).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1),
+        s"fused=${r.getSeq[Any](0)} staged=${r.getSeq[Any](1)}")
+    }
+    // interpreted eval path agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val lit = Literal.create(Seq(1.0f, -2.0f, 0.5f), ArrayType(FloatType))
+    val interp = graft.functions.expressions.QuantizeInt8MaxAbs(lit).eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+    val viaDf = Seq(Tuple1(Seq(1.0f, -2.0f, 0.5f))).toDF("v")
+      .select(VectorFunctions.quantizeInt8MaxAbs(col("v"))).head().getSeq[Long](0)
+    assert(interp == viaDf)
+  }
+
   test("native expressions: interpreted eval path matches codegen result") {
     val a = Literal.create(Seq(1.0, 2.0, 3.0), ArrayType(DoubleType))
     val b = Literal.create(Seq(4.0, 5.0, 6.0), ArrayType(DoubleType))
